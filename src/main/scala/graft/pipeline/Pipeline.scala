@@ -1,0 +1,446 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.{Q, Tables}
+import Tables.t
+import TextHash._
+
+/** Training-data pipeline operators over the `documents` / `embeddings`
+  * tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * text analysis (tokens, quality, language-ID, fingerprints) and the
+  * multimodal binary-column plumbing stub.
+  *
+  * Scale notes (100 TB target): every pair-producing operator has a
+  * banded/bucketed formulation (MinHash bands, SimHash prefix buckets,
+  * hyperplane LSH) so candidate generation is a hash-partitioned
+  * equi-join on the band/bucket key, never an all-pairs product. The
+  * all-pairs variants (p02/p04/p05 at sf0.01) are the verification
+  * baselines the banded paths are checked against.
+  */
+object Pipeline {
+
+  private val P_ = P.toString
+
+  /** documents tokenized once: (doc_id, text, ws). */
+  private def tok(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("ws"))
+
+  /** Distinct word-bigrams per doc: (doc_id, b). */
+  private def bigramSets(s: SparkSession, dir: String): DataFrame =
+    tok(s, dir).select(col("doc_id"), explode(bigrams("ws")).as("b")).distinct()
+
+  /** embeddings with double vector + norm: (vec_id, v, nrm). */
+  private def embNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+
+  private val cosExpr =
+    "aggregate(zip_with(v1, v2, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (n1 * n2)"
+
+  private val sqlTok =
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
+  private def sqlPows(n: Int) = s"pows(i, v) AS (VALUES ${powsValuesSql(n)})"
+  private val sqlBigrams =
+    """bg AS (SELECT DISTINCT doc_id, ws[i] || '~' || ws[i+1] AS b
+      |       FROM tok, unnest(generate_series(1, len(ws)-1)) g(i))""".stripMargin
+  private val sqlBigramHash =
+    s"""bh AS (SELECT doc_id, b, SUM(CAST(ascii(substring(b, p.i, 1)) AS BIGINT) * p.v) % $P_ AS h
+       |       FROM bg, pows p WHERE p.i <= length(b) GROUP BY doc_id, b)""".stripMargin
+  private val sqlEmb =
+    """e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings)""".stripMargin
+  private val sqlCos =
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), t -> CAST(t[1] AS DOUBLE) * t[2])) / (a.nrm * b.nrm)"
+
+  // ---------------------------------------------------------------- p01
+  private val p01 = Q(
+    "p01_dedup_exact",
+    (s, dir) =>
+      tok(s, dir)
+        .withColumn("k", concat_ws(" ", slice(col("ws"), 1, 5)))
+        .groupBy("k")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        .filter(col("copies") > 1)
+        .select("k", "keeper", "copies")
+        .orderBy("keeper"),
+    Some(s"""
+      SELECT k, keeper, copies FROM (
+        SELECT array_to_string((string_split(text, ' '))[1:5], ' ') AS k,
+               MIN(doc_id) AS keeper, COUNT(*) AS copies
+        FROM documents GROUP BY 1
+      ) WHERE copies > 1 ORDER BY keeper"""))
+
+  // ---------------------------------------------------------------- p02
+  private val p02 = Q(
+    "p02_dedup_ngram_jaccard",
+    (s, dir) => {
+      val bg = bigramSets(s, dir)
+      val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val x = bg.toDF("d1", "bx")
+      val y = bg.toDF("d2", "by")
+      x.join(y, col("bx") === col("by") && col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
+        .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
+        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni")) // Jaccard >= 0.5, integer-exact
+        .select("d1", "d2", "inter", "uni")
+        .orderBy("d1", "d2")
+    },
+    Some(s"""
+      WITH $sqlTok, $sqlBigrams,
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                FROM bg a JOIN bg b ON a.b = b.b AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, i AS inter, (s1.n + s2.n - i) AS uni
+      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+      WHERE 2*i >= s1.n + s2.n - i ORDER BY d1, d2"""))
+
+  // ---------------------------------------------------------------- p03
+  private val p03 = Q(
+    "p03_dedup_minhash_lsh",
+    (s, dir) => {
+      val bg = bigramSets(s, dir)
+      val bh = bg.withColumn("h", strHash("b"))
+      val minCols = (0 until NumHashes).map { k =>
+        min(pmod(col("h") * minhashA(k) + minhashB(k), lit(P))).as(s"m$k")
+      }
+      val sig = bh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandArr = array((0 until NumBands).map { j =>
+        struct(col(s"m${2 * j}").as("x"), col(s"m${2 * j + 1}").as("y"))
+      }: _*)
+      val bands = sig.select(col("doc_id"),
+        posexplode(bandArr).as(Seq("bidx", "bkey")))
+      // candidate pairs: hash-partitioned equi-join on (band index, band key)
+      val cand = bands.toDF("d1", "i1", "k1")
+        .join(bands.toDF("d2", "i2", "k2"),
+          col("i1") === col("i2") && col("k1") === col("k2") && col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      // verify candidates with exact bigram Jaccard (integer cross-mult)
+      val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cand.join(bg.toDF("dx", "bx"), col("d1") === col("dx"))
+        .join(bg.toDF("dy", "by"), col("d2") === col("dy") && col("bx") === col("by"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
+        .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
+        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select("d1", "d2", "inter", "uni")
+        .orderBy("d1", "d2")
+    },
+    Some {
+      val mins = (0 until NumHashes).map { k =>
+        s"MIN((${minhashA(k)}*h + ${minhashB(k)}) % $P_) AS m$k"
+      }.mkString(", ")
+      val bandsEq = (0 until NumBands).map { j =>
+        s"(a.m${2 * j} = b.m${2 * j} AND a.m${2 * j + 1} = b.m${2 * j + 1})"
+      }.mkString(" OR ")
+      s"""
+      WITH ${sqlPows(24)}, $sqlTok, $sqlBigrams, $sqlBigramHash,
+      sig AS (SELECT doc_id, $mins FROM bh GROUP BY doc_id),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsEq)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+      inter AS (SELECT c.d1, c.d2, COUNT(*) AS i FROM cand c
+                JOIN bg x ON x.doc_id = c.d1
+                JOIN bg y ON y.doc_id = c.d2 AND x.b = y.b
+                GROUP BY c.d1, c.d2)
+      SELECT d1, d2, i AS inter, (s1.n + s2.n - i) AS uni
+      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+      WHERE 2*i >= s1.n + s2.n - i ORDER BY d1, d2"""
+    },
+    headline = true)
+
+  // ---------------------------------------------------------------- p04
+  private val p04 = Q(
+    "p04_dedup_simhash",
+    (s, dir) => {
+      val wx = tok(s, dir).select(col("doc_id"), explode(col("ws")).as("w"))
+        .withColumn("h", strHash("w"))
+      val bitSums = (0 until 24).map { j =>
+        sum(when(expr(s"(shiftright(h, $j) & 1)") === 1, 1L).otherwise(-1L)).as(s"w$j")
+      }
+      val sh = wx.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 24).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _))
+        .select("doc_id", "simhash")
+      sh.toDF("d1", "s1").join(sh.toDF("d2", "s2"), col("d1") < col("d2"))
+        .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+        .filter(col("hamming") <= 4)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    },
+    Some {
+      val bitSums = (0 until 24).map { j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS w$j"
+      }.mkString(", ")
+      val shBits = (0 until 24).map { j =>
+        s"CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH ${sqlPows(24)}, $sqlTok,
+      wordsx AS (SELECT doc_id, i AS wpos, ws[i] AS w
+                 FROM tok, unnest(generate_series(1, len(ws))) g(i)),
+      wh AS (SELECT doc_id, wpos, SUM(CAST(ascii(substring(w, p.i, 1)) AS BIGINT) * p.v) % $P_ AS h
+             FROM wordsx, pows p WHERE p.i <= length(w) GROUP BY doc_id, wpos, w),
+      bits AS (SELECT doc_id, $bitSums FROM wh GROUP BY doc_id),
+      sh AS (SELECT doc_id, CAST($shBits AS BIGINT) AS simhash FROM bits)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+      ORDER BY d1, d2"""
+    })
+
+  // ---------------------------------------------------------------- p05
+  private val p05 = Q(
+    "p05_dedup_embedding_cosine",
+    (s, dir) => {
+      val e = embNorm(s, dir)
+      e.toDF("id1", "v1", "n1")
+        .join(e.toDF("id2", "v2", "n2"), col("id1") < col("id2"))
+        .withColumn("cos", expr(cosExpr))
+        .filter(col("cos") > 0.3)
+        .select("id1", "id2")
+        .orderBy("id1", "id2")
+    },
+    Some(s"""
+      WITH $sqlEmb
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE $sqlCos > 0.3
+      ORDER BY id1, id2"""))
+
+  // ---------------------------------------------------------------- p06
+  private val p06 = Q(
+    "p06_ann_bruteforce",
+    (s, dir) => {
+      val e = embNorm(s, dir)
+      val q = e.toDF("qid", "v1", "n1").filter(col("qid") < 10)
+      val n = e.toDF("nid", "v2", "n2")
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      q.join(n, col("qid") =!= col("nid"))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "nid")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH $sqlEmb,
+      scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $sqlCos AS cos
+                 FROM e a JOIN e b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10)
+      SELECT qid, rank, nid FROM (
+        SELECT qid, nid,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank
+        FROM scored
+      ) WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  // ---------------------------------------------------------------- p07
+  private val p07 = Q(
+    "p07_ann_lsh",
+    (s, dir) => {
+      val e = embNorm(s, dir)
+      // 8 deterministic integer hyperplanes; bucket = 8-bit sign pattern
+      val bucketCol = (0 until 8).map { k =>
+        val arr = Array.tabulate(64)(j => ((1 + 31 * k + 17 * j) % 13) - 6)
+          .mkString("array(", ",", ")")
+        val d = expr(s"aggregate(zip_with(v, $arr, (x, h) -> x * h), 0D, (acc, x) -> acc + x)")
+        when(d >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val eb = e.withColumn("bucket", bucketCol)
+      val q = eb.toDF("qid", "v1", "n1", "b1").filter(col("qid") < 50)
+      val n = eb.toDF("nid", "v2", "n2", "b2")
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      q.join(n, col("b1") === col("b2") && col("qid") =!= col("nid")) // bucketed equi-join
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH $sqlEmb,
+      hp AS (SELECT k, j, ((1 + 31*k + 17*j) % 13) - 6 AS v
+             FROM generate_series(0, 7) gk(k), generate_series(0, 63) gj(j)),
+      ex AS (SELECT vec_id, j, CAST(embedding[j+1] AS DOUBLE) AS x
+             FROM embeddings, generate_series(0, 63) g(j)),
+      dots AS (SELECT e2.vec_id, h.k, SUM(e2.x * h.v) AS d
+               FROM ex e2 JOIN hp h ON e2.j = h.j GROUP BY 1, 2),
+      buck AS (SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN 1<<k ELSE 0 END) AS BIGINT) AS bucket
+               FROM dots GROUP BY 1),
+      scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid, $sqlCos AS cos
+                 FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+                 JOIN e a ON a.vec_id = ba.vec_id
+                 JOIN e b ON b.vec_id = bb.vec_id
+                 WHERE ba.vec_id < 50)
+      SELECT qid, rank, nid FROM (
+        SELECT qid, nid,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank
+        FROM scored
+      ) WHERE rank <= 3 ORDER BY qid, rank"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- p08
+  private val p08 = Q(
+    "p08_text_token_stats",
+    (s, dir) =>
+      tok(s, dir)
+        .select(col("doc_id"),
+          size(col("ws")).as("n_tokens"),
+          size(array_distinct(col("ws"))).as("n_distinct"),
+          (length(col("text")) - (size(col("ws")) - 1)).as("sum_token_len"))
+        .withColumn("avg_token_len",
+          col("sum_token_len").cast(DoubleType) / col("n_tokens"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS INT) AS sum_token_len,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- p09
+  private val p09 = Q(
+    "p09_text_quality",
+    (s, dir) =>
+      tok(s, dir)
+        .select(col("doc_id"),
+          size(col("ws")).as("n_tokens"),
+          expr("size(filter(ws, w -> w IN ('the', 'a')))").as("stop_cnt"),
+          expr("size(filter(ws, w -> length(w) >= 6))").as("long_cnt"))
+        .withColumn("stop_ratio", col("stop_cnt").cast(DoubleType) / col("n_tokens"))
+        .withColumn("quality",
+          when(col("n_tokens") >= 60 && col("stop_cnt") * 15 >= col("n_tokens"), "high")
+            .when(col("n_tokens") >= 30, "mid")
+            .otherwise("low"))
+        .select("doc_id", "n_tokens", "stop_cnt", "long_cnt", "stop_ratio", "quality")
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        CAST(len(ws) AS INT) AS n_tokens,
+        CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS INT) AS stop_cnt,
+        CAST(len(list_filter(ws, w -> length(w) >= 6)) AS INT) AS long_cnt,
+        CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stop_ratio,
+        CASE WHEN len(ws) >= 60 AND len(list_filter(ws, w -> w IN ('the', 'a'))) * 15 >= len(ws) THEN 'high'
+             WHEN len(ws) >= 30 THEN 'mid' ELSE 'low' END AS quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- p10
+  private val p10 = Q(
+    "p10_text_langid",
+    (s, dir) => {
+      def score(words: String*) = {
+        val list = words.map(w => s"'$w'").mkString(", ")
+        expr(s"size(filter(ws, w -> w IN ($list)))")
+      }
+      tok(s, dir)
+        .select(col("doc_id"), col("ws"))
+        .withColumn("s_en", score("the", "a", "of"))
+        .withColumn("s_de", score("der", "die", "und"))
+        .withColumn("s_es", score("el", "la", "los"))
+        .withColumn("s_fr", score("le", "les", "et"))
+        .withColumn("pred",
+          when(col("s_en") > 0 && col("s_en") >= col("s_de") &&
+            col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") > 0 && col("s_de") >= col("s_es") &&
+              col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") > 0 && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und"))
+        .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "pred")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(list_filter(ws, w -> w IN ('the','a','of'))) AS INT) AS s_en,
+        CAST(len(list_filter(ws, w -> w IN ('der','die','und'))) AS INT) AS s_de,
+        CAST(len(list_filter(ws, w -> w IN ('el','la','los'))) AS INT) AS s_es,
+        CAST(len(list_filter(ws, w -> w IN ('le','les','et'))) AS INT) AS s_fr,
+        CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of'))) > 0
+                  AND len(list_filter(ws, w -> w IN ('the','a','of'))) >= len(list_filter(ws, w -> w IN ('der','die','und')))
+                  AND len(list_filter(ws, w -> w IN ('the','a','of'))) >= len(list_filter(ws, w -> w IN ('el','la','los')))
+                  AND len(list_filter(ws, w -> w IN ('the','a','of'))) >= len(list_filter(ws, w -> w IN ('le','les','et'))) THEN 'en'
+             WHEN len(list_filter(ws, w -> w IN ('der','die','und'))) > 0
+                  AND len(list_filter(ws, w -> w IN ('der','die','und'))) >= len(list_filter(ws, w -> w IN ('el','la','los')))
+                  AND len(list_filter(ws, w -> w IN ('der','die','und'))) >= len(list_filter(ws, w -> w IN ('le','les','et'))) THEN 'de'
+             WHEN len(list_filter(ws, w -> w IN ('el','la','los'))) > 0
+                  AND len(list_filter(ws, w -> w IN ('el','la','los'))) >= len(list_filter(ws, w -> w IN ('le','les','et'))) THEN 'es'
+             WHEN len(list_filter(ws, w -> w IN ('le','les','et'))) > 0 THEN 'fr'
+             ELSE 'und' END AS pred
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- p11
+  private val p11 = Q(
+    "p11_text_fingerprint",
+    (s, dir) => {
+      val powArr = pow31.take(MaxLen).map(_.toString + "L").mkString("array(", ",", ")")
+      tok(s, dir)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .withColumn("h", strHash("w"))
+        .withColumn("term", (col("h") % 1048576) * expr(s"element_at($powArr, pos + 1)"))
+        .groupBy("doc_id")
+        .agg(pmod(sum(col("term")), lit(P)).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${sqlPows(MaxLen)}, $sqlTok,
+      wordsx AS (SELECT doc_id, i AS wpos, ws[i] AS w
+                 FROM tok, unnest(generate_series(1, len(ws))) g(i)),
+      wh AS (SELECT doc_id, wpos, SUM(CAST(ascii(substring(w, p.i, 1)) AS BIGINT) * p.v) % $P_ AS h
+             FROM wordsx, pows p WHERE p.i <= length(w) GROUP BY doc_id, wpos, w)
+      SELECT doc_id, CAST(SUM((h % 1048576) * pw.v) % $P_ AS BIGINT) AS fp
+      FROM wh JOIN pows pw ON pw.i = wpos
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- p12
+  private val p12 = Q(
+    "p12_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      // Multimodal plumbing: opaque binary column + per-partition batched
+      // "decode". The container ships no image/audio codecs, so the decode
+      // step is a STUB: deterministic pseudo-features over the raw bytes.
+      // Schema, partitioning and the mapPartitions batch shape are real.
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, blob) =>
+            var sum = 0L
+            var i = 0
+            while (i < blob.length) { sum += blob(i) & 0xff; i += 1 }
+            (id, blob.length.toLong, (blob(0) & 0xff).toLong,
+              (blob(blob.length - 1) & 0xff).toLong, sum % 65536)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "first_byte", "last_byte", "checksum")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ch AS (SELECT doc_id, ascii(substring(text, i, 1)) AS c
+                  FROM documents, unnest(generate_series(1, length(text))) g(i))
+      SELECT d.doc_id,
+        CAST(length(d.text) AS BIGINT) AS n_bytes,
+        CAST(ascii(substring(d.text, 1, 1)) AS BIGINT) AS first_byte,
+        CAST(ascii(substring(d.text, length(d.text), 1)) AS BIGINT) AS last_byte,
+        CAST(SUM(ch.c) % 65536 AS BIGINT) AS checksum
+      FROM documents d JOIN ch ON ch.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.text ORDER BY d.doc_id"""))
+
+  val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
+}
