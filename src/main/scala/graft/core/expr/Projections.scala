@@ -110,9 +110,16 @@ object Projections {
           case Op.Eq => Some(BoundPred(Op.Eq, pf, pos, Seq(tv(p.value))))
           case Op.In => Some(BoundPred(Op.In, pf, pos, p.values.map(tv).distinct))
           case Op.NotEq | Op.NotIn => None // transformed values can collide
-          case Op.Lt | Op.LtEq if t.preservesOrder =>
+          case Op.Lt if t.preservesOrder =>
+            // integral boundary tightening: col < X ⇔ col <= X-1, so the
+            // partition bound is t(X-1) (prunes the boundary partition when
+            // X sits exactly on a partition edge — reference ProjectionUtil)
+            Some(BoundPred(Op.LtEq, pf, pos, Seq(tv(decrement(p.value).getOrElse(p.value)))))
+          case Op.LtEq if t.preservesOrder =>
             Some(BoundPred(Op.LtEq, pf, pos, Seq(tv(p.value))))
-          case Op.Gt | Op.GtEq if t.preservesOrder =>
+          case Op.Gt if t.preservesOrder =>
+            Some(BoundPred(Op.GtEq, pf, pos, Seq(tv(increment(p.value).getOrElse(p.value)))))
+          case Op.GtEq if t.preservesOrder =>
             Some(BoundPred(Op.GtEq, pf, pos, Seq(tv(p.value))))
           case Op.StartsWith if t.isInstanceOf[TruncateT] && src == GString =>
             val w = t.asInstanceOf[TruncateT].w
@@ -122,6 +129,17 @@ object Projections {
           case _ => None
         }
     }
+  }
+
+  private def decrement(v: Any): Option[Any] = v match {
+    case i: Int if i > Int.MinValue   => Some(i - 1)
+    case l: Long if l > Long.MinValue => Some(l - 1)
+    case _                            => None
+  }
+  private def increment(v: Any): Option[Any] = v match {
+    case i: Int if i < Int.MaxValue   => Some(i + 1)
+    case l: Long if l < Long.MaxValue => Some(l + 1)
+    case _                            => None
   }
 
   /** partition-pred that proves the row-pred for every row in partition */

@@ -1,0 +1,171 @@
+package graft.core.meta
+
+import graft.core.expr.{ColStats, FileStats}
+import graft.core.transform.Transform
+import graft.core.types._
+
+/** Metadata tree model (reference format/spec.md:657-1203):
+  * table-metadata JSON → per-snapshot manifest list → manifests (entry
+  * per data/delete file with partition tuple + column stats) → files.
+  *
+  * Deliberate idiomatic deviations from the reference serialization:
+  * manifests/manifest lists are JSON (lines) instead of Avro — the
+  * format is behind `ManifestIO` so a columnar manifest format is a
+  * drop-in replacement for 100 TB metadata scale.
+  */
+object FileContent {
+  val Data = 0
+  val PositionDeletes = 1
+  val EqualityDeletes = 2
+}
+
+final case class DataFile(
+    path: String,
+    format: String,
+    specId: Int,
+    partition: Seq[Any], // partition tuple, internal representation
+    recordCount: Long,
+    fileSizeBytes: Long,
+    columnStats: Map[Int, ColStats] = Map.empty,
+    content: Int = FileContent.Data,
+    // delete-file-only fields
+    equalityIds: Seq[Int] = Nil,
+    // path of the single data file a position-delete file targets, if known
+    referencedDataFile: Option[String] = None) {
+  def fileStats: FileStats = FileStats(recordCount, columnStats)
+  def isDeleteFile: Boolean = content != FileContent.Data
+}
+
+object ManifestEntryStatus {
+  val Existing = 0
+  val Added = 1
+  val Deleted = 2
+}
+
+final case class ManifestEntry(
+    status: Int,
+    snapshotId: Long,
+    dataSequenceNumber: Long,
+    file: DataFile) {
+  def isLive: Boolean = status != ManifestEntryStatus.Deleted
+}
+
+/** Per-partition-field summary kept in the manifest list for manifest
+  * pruning (format/spec.md field_summary). */
+final case class FieldSummary(
+    containsNull: Boolean,
+    containsNan: Boolean = false,
+    lower: Option[Any] = None,
+    upper: Option[Any] = None)
+
+final case class ManifestFile(
+    path: String,
+    length: Long,
+    specId: Int,
+    content: Int, // 0=data, 1=deletes
+    addedSnapshotId: Long,
+    minSequenceNumber: Long,
+    addedFilesCount: Int,
+    existingFilesCount: Int,
+    deletedFilesCount: Int,
+    addedRowsCount: Long,
+    partitionSummaries: Seq[FieldSummary] = Nil) {
+  def hasLiveFiles: Boolean = addedFilesCount + existingFilesCount > 0
+}
+
+final case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    operation: String, // append | replace | overwrite | delete
+    manifestListPath: String,
+    summary: Map[String, String] = Map.empty)
+
+object SnapshotRefType {
+  val Branch = "branch"
+  val Tag = "tag"
+}
+final case class SnapshotRef(snapshotId: Long, refType: String,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None)
+
+final case class SortField(sourceId: Int, transform: Transform,
+    ascending: Boolean = true, nullsFirst: Boolean = true)
+final case class SortOrder(orderId: Int, fields: Seq[SortField])
+object SortOrder { val Unsorted: SortOrder = SortOrder(0, Nil) }
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    currentSchemaId: Int,
+    schemas: Seq[GSchema],
+    defaultSpecId: Int,
+    specs: Seq[graft.core.expr.PartitionSpec],
+    lastPartitionId: Int,
+    defaultSortOrderId: Int,
+    sortOrders: Seq[SortOrder],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot],
+    snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
+    refs: Map[String, SnapshotRef]) {
+
+  def schema: GSchema = schemas.find(_.schemaId == currentSchemaId).get
+  def spec: graft.core.expr.PartitionSpec = specs.find(_.specId == defaultSpecId).get
+  def specById(id: Int): graft.core.expr.PartitionSpec = specs.find(_.specId == id).get
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+  def ref(name: String): Option[SnapshotRef] =
+    refs.get(name).orElse(
+      if (name == "main") currentSnapshotId.map(SnapshotRef(_, SnapshotRefType.Branch)) else None)
+
+  /** snapshot current as of a wall-clock timestamp (time travel) */
+  def snapshotAsOfTime(tsMs: Long): Option[Snapshot] =
+    snapshotLog.filter(_._1 <= tsMs).lastOption
+      .flatMap { case (_, id) => snapshotById(id) }
+
+  def withSnapshot(s: Snapshot, ref: String = "main"): TableMetadata = {
+    val newRefs =
+      if (ref == "main") refs.updated("main", SnapshotRef(s.snapshotId, SnapshotRefType.Branch))
+      else refs.updated(ref, SnapshotRef(s.snapshotId, SnapshotRefType.Branch))
+    copy(
+      lastSequenceNumber = math.max(lastSequenceNumber, s.sequenceNumber),
+      lastUpdatedMs = s.timestampMs,
+      currentSnapshotId = if (ref == "main") Some(s.snapshotId) else currentSnapshotId,
+      snapshots = snapshots :+ s,
+      snapshotLog =
+        if (ref == "main") snapshotLog :+ (s.timestampMs, s.snapshotId) else snapshotLog,
+      refs = newRefs)
+  }
+}
+
+object TableMetadata {
+  def newTable(location: String, schema: GSchema,
+      spec: graft.core.expr.PartitionSpec,
+      properties: Map[String, String] = Map.empty): TableMetadata =
+    TableMetadata(
+      formatVersion = 2,
+      tableUuid = java.util.UUID.randomUUID.toString,
+      location = location,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.highestFieldId,
+      currentSchemaId = schema.schemaId,
+      schemas = Seq(schema),
+      defaultSpecId = spec.specId,
+      specs = Seq(spec),
+      lastPartitionId = spec.fields.map(_.fieldId).maxOption.getOrElse(999),
+      defaultSortOrderId = 0,
+      sortOrders = Seq(SortOrder.Unsorted),
+      properties = properties,
+      currentSnapshotId = None,
+      snapshots = Nil,
+      snapshotLog = Nil,
+      refs = Map.empty)
+}

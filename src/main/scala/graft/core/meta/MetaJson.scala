@@ -1,0 +1,340 @@
+package graft.core.meta
+
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.core.expr.{ColStats, PartitionField, PartitionSpec}
+import graft.core.transform.Transform
+import graft.core.types._
+
+/** JSON (de)serialization for the metadata tree. Values (partition
+  * tuples, stats bounds) are stored with a runtime type tag so entries
+  * are self-contained: {"t":"long","v":123}. Jackson ships with Spark.
+  */
+object MetaJson {
+  val mapper = new ObjectMapper()
+
+  // ------------------------------------------------------------- values
+  def writeValue(v: Any): JsonNode = {
+    val o = mapper.createObjectNode()
+    v match {
+      case null                => o.put("t", "null")
+      case b: Boolean          => o.put("t", "bool").put("v", b)
+      case i: Int              => o.put("t", "int").put("v", i)
+      case l: Long             => o.put("t", "long").put("v", l)
+      case f: Float            => o.put("t", "float").put("v", f.toString)
+      case d: Double           => o.put("t", "double").put("v", d.toString)
+      case d: java.math.BigDecimal => o.put("t", "dec").put("v", d.toPlainString)
+      case s: String           => o.put("t", "str").put("v", s)
+      case b: Array[Byte]      => o.put("t", "bin").put("v", Base64.getEncoder.encodeToString(b))
+      case other => throw new IllegalArgumentException(s"cannot serialize value: $other")
+    }
+    o
+  }
+
+  def readValue(n: JsonNode): Any = n.get("t").asText() match {
+    case "null"   => null
+    case "bool"   => n.get("v").asBoolean()
+    case "int"    => n.get("v").asInt()
+    case "long"   => n.get("v").asLong()
+    case "float"  => n.get("v").asText().toFloat
+    case "double" => n.get("v").asText().toDouble
+    case "dec"    => new java.math.BigDecimal(n.get("v").asText())
+    case "str"    => n.get("v").asText()
+    case "bin"    => Base64.getDecoder.decode(n.get("v").asText())
+    case other    => throw new IllegalArgumentException(s"unknown value tag: $other")
+  }
+
+  // ------------------------------------------------------------- schema
+  def writeType(t: GType): JsonNode = t match {
+    case s: GStruct =>
+      val o = mapper.createObjectNode()
+      o.put("type", "struct")
+      val arr = o.putArray("fields")
+      s.fields.foreach { f =>
+        val fo = arr.addObject()
+        fo.put("id", f.id).put("name", f.name).put("required", f.required)
+        fo.set[JsonNode]("ftype", writeType(f.tpe))
+      }
+      o
+    case l: GList =>
+      val o = mapper.createObjectNode()
+      o.put("type", "list").put("element-id", l.elementId)
+        .put("element-required", l.elementRequired)
+      o.set[JsonNode]("element", writeType(l.elementType))
+      o
+    case m: GMap =>
+      val o = mapper.createObjectNode()
+      o.put("type", "map").put("key-id", m.keyId).put("value-id", m.valueId)
+        .put("value-required", m.valueRequired)
+      o.set[JsonNode]("key", writeType(m.keyType))
+      o.set[JsonNode]("value", writeType(m.valueType))
+      o
+    case prim => mapper.getNodeFactory.textNode(SparkTypes.typeName(prim))
+  }
+
+  def readType(n: JsonNode): GType =
+    if (n.isTextual) SparkTypes.typeFromName(n.asText())
+    else n.get("type").asText() match {
+      case "struct" =>
+        val fields = n.get("fields").elements()
+        val buf = Seq.newBuilder[GField]
+        while (fields.hasNext) {
+          val f = fields.next()
+          buf += GField(f.get("id").asInt(), f.get("name").asText(),
+            readType(f.get("ftype")), f.get("required").asBoolean())
+        }
+        GStruct(buf.result())
+      case "list" =>
+        GList(n.get("element-id").asInt(), readType(n.get("element")),
+          n.get("element-required").asBoolean())
+      case "map" =>
+        GMap(n.get("key-id").asInt(), readType(n.get("key")),
+          n.get("value-id").asInt(), readType(n.get("value")),
+          n.get("value-required").asBoolean())
+    }
+
+  def writeSchema(s: GSchema): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("schema-id", s.schemaId)
+    val ids = o.putArray("identifier-field-ids")
+    s.identifierFieldIds.toSeq.sorted.foreach(ids.add)
+    o.set[JsonNode]("struct", writeType(s.struct))
+    o
+  }
+
+  def readSchema(n: JsonNode): GSchema = {
+    val ids = Set.newBuilder[Int]
+    n.get("identifier-field-ids").elements().forEachRemaining(e => ids += e.asInt())
+    GSchema(readType(n.get("struct")).asInstanceOf[GStruct],
+      n.get("schema-id").asInt(), ids.result())
+  }
+
+  // ------------------------------------------------------------- spec
+  def writeSpec(s: PartitionSpec): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("spec-id", s.specId)
+    val arr = o.putArray("fields")
+    s.fields.foreach { f =>
+      arr.addObject()
+        .put("source-id", f.sourceId)
+        .put("field-id", f.fieldId)
+        .put("name", f.name)
+        .put("transform", f.transform.name)
+    }
+    o
+  }
+
+  def readSpec(n: JsonNode): PartitionSpec = {
+    val buf = Seq.newBuilder[PartitionField]
+    n.get("fields").elements().forEachRemaining { f =>
+      buf += PartitionField(f.get("source-id").asInt(), f.get("field-id").asInt(),
+        f.get("name").asText(), Transform.fromName(f.get("transform").asText()))
+    }
+    PartitionSpec(n.get("spec-id").asInt(), buf.result())
+  }
+
+  // ------------------------------------------------------------- stats
+  def writeStats(stats: Map[Int, ColStats]): ObjectNode = {
+    val o = mapper.createObjectNode()
+    stats.foreach { case (id, st) =>
+      val so = o.putObject(id.toString)
+      st.valueCount.foreach(so.put("vc", _))
+      st.nullCount.foreach(so.put("nc", _))
+      st.nanCount.foreach(so.put("nan", _))
+      st.lower.foreach(v => so.set[JsonNode]("lo", writeValue(v)))
+      st.upper.foreach(v => so.set[JsonNode]("hi", writeValue(v)))
+    }
+    o
+  }
+
+  def readStats(n: JsonNode): Map[Int, ColStats] = {
+    val buf = Map.newBuilder[Int, ColStats]
+    n.fields().forEachRemaining { e =>
+      val so = e.getValue
+      buf += e.getKey.toInt -> ColStats(
+        Option(so.get("vc")).map(_.asLong()),
+        Option(so.get("nc")).map(_.asLong()),
+        Option(so.get("nan")).map(_.asLong()),
+        Option(so.get("lo")).map(readValue),
+        Option(so.get("hi")).map(readValue))
+    }
+    buf.result()
+  }
+
+  // ------------------------------------------------------------- files
+  def writeDataFile(f: DataFile): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("path", f.path).put("format", f.format).put("spec-id", f.specId)
+      .put("records", f.recordCount).put("size", f.fileSizeBytes)
+      .put("content", f.content)
+    val pt = o.putArray("partition")
+    f.partition.foreach(v => pt.add(writeValue(v)))
+    o.set[JsonNode]("stats", writeStats(f.columnStats))
+    if (f.equalityIds.nonEmpty) {
+      val eq = o.putArray("equality-ids"); f.equalityIds.foreach(eq.add)
+    }
+    f.referencedDataFile.foreach(o.put("ref-data-file", _))
+    o
+  }
+
+  def readDataFile(n: JsonNode): DataFile = {
+    val pt = Seq.newBuilder[Any]
+    n.get("partition").elements().forEachRemaining(e => pt += readValue(e))
+    val eq = Seq.newBuilder[Int]
+    Option(n.get("equality-ids")).foreach(_.elements().forEachRemaining(e => eq += e.asInt()))
+    DataFile(
+      n.get("path").asText(), n.get("format").asText(), n.get("spec-id").asInt(),
+      pt.result(), n.get("records").asLong(), n.get("size").asLong(),
+      readStats(n.get("stats")), n.get("content").asInt(), eq.result(),
+      Option(n.get("ref-data-file")).map(_.asText()))
+  }
+
+  def writeEntry(e: ManifestEntry): String = {
+    val o = mapper.createObjectNode()
+    o.put("status", e.status).put("snapshot-id", e.snapshotId)
+      .put("sequence-number", e.dataSequenceNumber)
+    o.set[JsonNode]("file", writeDataFile(e.file))
+    mapper.writeValueAsString(o)
+  }
+
+  def readEntry(line: String): ManifestEntry = {
+    val n = mapper.readTree(line)
+    ManifestEntry(n.get("status").asInt(), n.get("snapshot-id").asLong(),
+      n.get("sequence-number").asLong(), readDataFile(n.get("file")))
+  }
+
+  // ------------------------------------------------------------- manifest list
+  def writeManifestFile(m: ManifestFile): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("path", m.path).put("length", m.length).put("spec-id", m.specId)
+      .put("content", m.content).put("added-snapshot-id", m.addedSnapshotId)
+      .put("min-seq", m.minSequenceNumber)
+      .put("added-files", m.addedFilesCount).put("existing-files", m.existingFilesCount)
+      .put("deleted-files", m.deletedFilesCount).put("added-rows", m.addedRowsCount)
+    val arr = o.putArray("summaries")
+    m.partitionSummaries.foreach { s =>
+      val so = arr.addObject()
+      so.put("has-null", s.containsNull).put("has-nan", s.containsNan)
+      s.lower.foreach(v => so.set[JsonNode]("lo", writeValue(v)))
+      s.upper.foreach(v => so.set[JsonNode]("hi", writeValue(v)))
+    }
+    o
+  }
+
+  def readManifestFile(n: JsonNode): ManifestFile = {
+    val sums = Seq.newBuilder[FieldSummary]
+    n.get("summaries").elements().forEachRemaining { so =>
+      sums += FieldSummary(so.get("has-null").asBoolean(), so.get("has-nan").asBoolean(),
+        Option(so.get("lo")).map(readValue), Option(so.get("hi")).map(readValue))
+    }
+    ManifestFile(n.get("path").asText(), n.get("length").asLong(), n.get("spec-id").asInt(),
+      n.get("content").asInt(), n.get("added-snapshot-id").asLong(),
+      n.get("min-seq").asLong(), n.get("added-files").asInt(),
+      n.get("existing-files").asInt(), n.get("deleted-files").asInt(),
+      n.get("added-rows").asLong(), sums.result())
+  }
+
+  // ------------------------------------------------------------- table metadata
+  def writeMetadata(m: TableMetadata): String = {
+    val o = mapper.createObjectNode()
+    o.put("format-version", m.formatVersion).put("table-uuid", m.tableUuid)
+      .put("location", m.location).put("last-sequence-number", m.lastSequenceNumber)
+      .put("last-updated-ms", m.lastUpdatedMs).put("last-column-id", m.lastColumnId)
+      .put("current-schema-id", m.currentSchemaId)
+      .put("default-spec-id", m.defaultSpecId).put("last-partition-id", m.lastPartitionId)
+      .put("default-sort-order-id", m.defaultSortOrderId)
+    m.currentSnapshotId.foreach(o.put("current-snapshot-id", _))
+    val schemas = o.putArray("schemas")
+    m.schemas.foreach(s => schemas.add(writeSchema(s)))
+    val specs = o.putArray("partition-specs")
+    m.specs.foreach(s => specs.add(writeSpec(s)))
+    val orders = o.putArray("sort-orders")
+    m.sortOrders.foreach { so =>
+      val oo = orders.addObject()
+      oo.put("order-id", so.orderId)
+      val fs = oo.putArray("fields")
+      so.fields.foreach { f =>
+        fs.addObject().put("source-id", f.sourceId).put("transform", f.transform.name)
+          .put("asc", f.ascending).put("nulls-first", f.nullsFirst)
+      }
+    }
+    val props = o.putObject("properties")
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    val snaps = o.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val so = snaps.addObject()
+      so.put("snapshot-id", s.snapshotId).put("sequence-number", s.sequenceNumber)
+        .put("timestamp-ms", s.timestampMs).put("operation", s.operation)
+        .put("manifest-list", s.manifestListPath)
+      s.parentId.foreach(so.put("parent-snapshot-id", _))
+      val sum = so.putObject("summary")
+      s.summary.foreach { case (k, v) => sum.put(k, v) }
+    }
+    val log = o.putArray("snapshot-log")
+    m.snapshotLog.foreach { case (ts, id) =>
+      log.addObject().put("timestamp-ms", ts).put("snapshot-id", id)
+    }
+    val refs = o.putObject("refs")
+    m.refs.foreach { case (name, r) =>
+      val ro = refs.putObject(name)
+      ro.put("snapshot-id", r.snapshotId).put("type", r.refType)
+      r.minSnapshotsToKeep.foreach(ro.put("min-snapshots-to-keep", _))
+      r.maxSnapshotAgeMs.foreach(ro.put("max-snapshot-age-ms", _))
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  def readMetadata(json: String): TableMetadata = {
+    val n = mapper.readTree(json)
+    val schemas = Seq.newBuilder[GSchema]
+    n.get("schemas").elements().forEachRemaining(s => schemas += readSchema(s))
+    val specs = Seq.newBuilder[PartitionSpec]
+    n.get("partition-specs").elements().forEachRemaining(s => specs += readSpec(s))
+    val orders = Seq.newBuilder[SortOrder]
+    n.get("sort-orders").elements().forEachRemaining { oo =>
+      val fs = Seq.newBuilder[SortField]
+      oo.get("fields").elements().forEachRemaining { f =>
+        fs += SortField(f.get("source-id").asInt(),
+          Transform.fromName(f.get("transform").asText()),
+          f.get("asc").asBoolean(), f.get("nulls-first").asBoolean())
+      }
+      orders += SortOrder(oo.get("order-id").asInt(), fs.result())
+    }
+    val props = Map.newBuilder[String, String]
+    n.get("properties").fields().forEachRemaining(e => props += e.getKey -> e.getValue.asText())
+    val snaps = Seq.newBuilder[Snapshot]
+    n.get("snapshots").elements().forEachRemaining { so =>
+      val sum = Map.newBuilder[String, String]
+      so.get("summary").fields().forEachRemaining(e => sum += e.getKey -> e.getValue.asText())
+      snaps += Snapshot(so.get("snapshot-id").asLong(),
+        Option(so.get("parent-snapshot-id")).map(_.asLong()),
+        so.get("sequence-number").asLong(), so.get("timestamp-ms").asLong(),
+        so.get("operation").asText(), so.get("manifest-list").asText(), sum.result())
+    }
+    val log = Seq.newBuilder[(Long, Long)]
+    n.get("snapshot-log").elements().forEachRemaining { e =>
+      log += ((e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong()))
+    }
+    val refs = Map.newBuilder[String, SnapshotRef]
+    n.get("refs").fields().forEachRemaining { e =>
+      val r = e.getValue
+      refs += e.getKey -> SnapshotRef(r.get("snapshot-id").asLong(), r.get("type").asText(),
+        Option(r.get("min-snapshots-to-keep")).map(_.asInt()),
+        Option(r.get("max-snapshot-age-ms")).map(_.asLong()))
+    }
+    TableMetadata(
+      n.get("format-version").asInt(), n.get("table-uuid").asText(),
+      n.get("location").asText(), n.get("last-sequence-number").asLong(),
+      n.get("last-updated-ms").asLong(), n.get("last-column-id").asInt(),
+      n.get("current-schema-id").asInt(), schemas.result(),
+      n.get("default-spec-id").asInt(), specs.result(),
+      n.get("last-partition-id").asInt(),
+      n.get("default-sort-order-id").asInt(), orders.result(),
+      props.result(),
+      Option(n.get("current-snapshot-id")).map(_.asLong()),
+      snaps.result(), log.result(), refs.result())
+  }
+}

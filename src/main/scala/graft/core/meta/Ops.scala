@@ -1,0 +1,432 @@
+package graft.core.meta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import graft.core.expr._
+import graft.core.types._
+
+/** Local/posix file IO for the metadata tree. The commit primitive is
+  * hard-link creation (atomic fail-if-exists), giving compare-and-swap
+  * semantics on any posix filesystem; HDFS-style object stores swap in a
+  * different TableOps (rename-if-absent / conditional PUT) behind the
+  * same interface. */
+object GraftIO {
+  def toPath(s: String): Path = Paths.get(s.stripPrefix("file:"))
+
+  def writeString(path: String, content: String): Unit = {
+    val p = toPath(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readString(path: String): String =
+    new String(Files.readAllBytes(toPath(path)), StandardCharsets.UTF_8)
+
+  def exists(path: String): Boolean = Files.exists(toPath(path))
+
+  def size(path: String): Long = Files.size(toPath(path))
+
+  def delete(path: String): Unit = Files.deleteIfExists(toPath(path))
+
+  def list(dir: String): Seq[String] = {
+    val p = toPath(dir)
+    if (!Files.exists(p)) Nil
+    else Files.list(p).iterator().asScala.map(_.toString).toSeq
+  }
+
+  /** Atomically create `target` with `content`; false if it already
+    * exists (CAS failure). */
+  def atomicCreate(target: String, content: String): Boolean = {
+    val t = toPath(target)
+    Files.createDirectories(t.getParent)
+    val tmp = t.resolveSibling(s".tmp-${UUID.randomUUID}")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(t, tmp) // atomic, fails if target exists
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+}
+
+/** Versioned metadata pointer with optimistic-concurrency commit
+  * (reference core/.../TableOperations + HadoopTableOperations). */
+final class TableOps(val location: String) {
+  private def metadataDir = s"$location/metadata"
+  private def versionFile(v: Int) = s"$metadataDir/v$v.metadata.json"
+  private val VersionRe = """.*/v(\d+)\.metadata\.json""".r
+
+  def currentVersion(): Int =
+    GraftIO.list(metadataDir).collect { case VersionRe(v) => v.toInt }.maxOption.getOrElse(0)
+
+  def current(): Option[TableMetadata] = {
+    val v = currentVersion()
+    if (v == 0) None
+    else Some(MetaJson.readMetadata(GraftIO.readString(versionFile(v))))
+  }
+
+  /** CAS: commit `updated` as version baseVersion+1. */
+  def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
+    val ok = GraftIO.atomicCreate(versionFile(baseVersion + 1), MetaJson.writeMetadata(updated))
+    if (ok) { // best-effort hint for readers
+      try GraftIO.writeString(s"$metadataDir/version-hint.text", (baseVersion + 1).toString)
+      catch { case _: Throwable => () }
+    }
+    ok
+  }
+
+  def newManifestPath(): String = s"$metadataDir/manifest-${UUID.randomUUID}.json"
+  def newManifestListPath(snapshotId: Long): String =
+    s"$metadataDir/snap-$snapshotId-${UUID.randomUUID}.json"
+}
+
+/** Manifest read/write (JSON-lines of entries; summaries computed on
+  * write for manifest-list pruning). */
+object ManifestIO {
+
+  def write(path: String, entries: Seq[ManifestEntry], specId: Int, content: Int,
+      spec: PartitionSpec, schema: GSchema, snapshotId: Long): ManifestFile = {
+    val sb = new StringBuilder
+    entries.foreach { e => sb.append(MetaJson.writeEntry(e)).append('\n') }
+    GraftIO.writeString(path, sb.toString)
+    val partType = spec.partitionType(schema)
+    val summaries = partType.fields.zipWithIndex.map { case (pf, i) =>
+      val vals = entries.filter(_.isLive).map(_.file.partition(i))
+      val nonNull = vals.filter(_ != null)
+      FieldSummary(
+        containsNull = vals.exists(_ == null),
+        containsNan = nonNull.exists {
+          case d: Double => d.isNaN
+          case f: Float  => f.isNaN
+          case _         => false
+        },
+        lower = nonNull.reduceOption((a, b) =>
+          if (TypeComparators.compare(pf.tpe, a, b) <= 0) a else b),
+        upper = nonNull.reduceOption((a, b) =>
+          if (TypeComparators.compare(pf.tpe, a, b) >= 0) a else b))
+    }
+    val live = entries.filter(_.isLive)
+    ManifestFile(path, GraftIO.size(path), specId, content,
+      addedSnapshotId = snapshotId,
+      minSequenceNumber = entries.map(_.dataSequenceNumber).minOption.getOrElse(0L),
+      addedFilesCount = entries.count(_.status == ManifestEntryStatus.Added),
+      existingFilesCount = entries.count(_.status == ManifestEntryStatus.Existing),
+      deletedFilesCount = entries.count(_.status == ManifestEntryStatus.Deleted),
+      addedRowsCount = live.filter(_.status == ManifestEntryStatus.Added)
+        .map(_.file.recordCount).sum,
+      partitionSummaries = summaries)
+  }
+
+  def readEntries(m: ManifestFile): Seq[ManifestEntry] =
+    GraftIO.readString(m.path).linesIterator.filter(_.nonEmpty)
+      .map(MetaJson.readEntry).toSeq
+
+  def writeList(path: String, manifests: Seq[ManifestFile]): Unit = {
+    val arr = MetaJson.mapper.createArrayNode()
+    manifests.foreach(m => arr.add(MetaJson.writeManifestFile(m)))
+    GraftIO.writeString(path, MetaJson.mapper.writeValueAsString(arr))
+  }
+
+  def readList(path: String): Seq[ManifestFile] = {
+    val n = MetaJson.mapper.readTree(GraftIO.readString(path))
+    val buf = Seq.newBuilder[ManifestFile]
+    n.elements().forEachRemaining(e => buf += MetaJson.readManifestFile(e))
+    buf.result()
+  }
+}
+
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+class ValidationException(msg: String) extends RuntimeException(msg)
+
+/** A graft table handle: refreshable metadata + snapshot producers. */
+final class GTable(val ops: TableOps) {
+  @volatile private var cached: TableMetadata = _
+
+  def refresh(): TableMetadata = {
+    cached = ops.current().getOrElse(
+      throw new IllegalStateException(s"no such table at ${ops.location}"))
+    cached
+  }
+  def meta: TableMetadata = { if (cached == null) refresh() else cached }
+  def location: String = ops.location
+  def schema: GSchema = meta.schema
+  def spec: PartitionSpec = meta.spec
+
+  def newAppend(): FastAppend = new FastAppend(this)
+  def newOverwrite(): OverwriteFiles = new OverwriteFiles(this)
+  def newRowDelta(): RowDelta = new RowDelta(this)
+
+  def newScan(): TableScan = { refresh(); new TableScan(this) }
+
+  def currentManifests(m: TableMetadata): Seq[ManifestFile] =
+    m.currentSnapshot.map(s => ManifestIO.readList(s.manifestListPath)).getOrElse(Nil)
+
+  def manifestsFor(m: TableMetadata, snapshotId: Long): Seq[ManifestFile] =
+    m.snapshotById(snapshotId).map(s => ManifestIO.readList(s.manifestListPath)).getOrElse(Nil)
+
+  /** Metadata-only ops: set a branch/tag ref. */
+  def setRef(name: String, snapshotId: Long, refType: String): Unit = {
+    commitUpdate { base =>
+      require(base.snapshotById(snapshotId).isDefined, s"unknown snapshot $snapshotId")
+      base.copy(refs = base.refs.updated(name, SnapshotRef(snapshotId, refType)))
+    }
+  }
+
+  def rollbackTo(snapshotId: Long): Unit = commitUpdate { base =>
+    require(base.snapshotById(snapshotId).isDefined, s"unknown snapshot $snapshotId")
+    base.copy(currentSnapshotId = Some(snapshotId),
+      snapshotLog = base.snapshotLog :+ (System.currentTimeMillis(), snapshotId),
+      refs = base.refs.updated("main", SnapshotRef(snapshotId, SnapshotRefType.Branch)))
+  }
+
+  def updateProperties(up: Map[String, String]): Unit =
+    commitUpdate(base => base.copy(properties = base.properties ++ up))
+
+  /** Generic retried CAS of a metadata transformation. */
+  def commitUpdate(f: TableMetadata => TableMetadata): TableMetadata = {
+    var attempts = 0
+    while (attempts < 10) {
+      val baseVersion = ops.currentVersion()
+      val base = refresh()
+      val updated = f(base)
+      if (ops.commit(baseVersion, updated)) {
+        cached = updated
+        return updated
+      }
+      attempts += 1
+    }
+    throw new CommitConflictException(s"commit failed after $attempts attempts at $location")
+  }
+}
+
+/** Base snapshot producer: write manifests + manifest list, then CAS the
+  * metadata pointer with retry (reference SnapshotProducer.java:87,480). */
+abstract class SnapshotProducer(table: GTable, operation: String) {
+  protected def branch: String = "main"
+
+  /** Produce the full manifest set for the new snapshot from the base. */
+  protected def manifests(base: TableMetadata, snapshotId: Long, seq: Long): Seq[ManifestFile]
+
+  /** manifests of the target branch's head (the parent of this commit) */
+  protected def parentManifests(base: TableMetadata): Seq[ManifestFile] =
+    base.ref(branch).flatMap(r => base.snapshotById(r.snapshotId))
+      .map(s => ManifestIO.readList(s.manifestListPath)).getOrElse(Nil)
+  protected def summary(base: TableMetadata): Map[String, String] = Map.empty
+  /** Re-check preconditions against a refreshed base (conflict detection). */
+  protected def validate(base: TableMetadata): Unit = ()
+
+  def commit(): Snapshot = {
+    var attempts = 0
+    while (attempts < 10) {
+      val baseVersion = table.ops.currentVersion()
+      val base = table.refresh()
+      validate(base)
+      val snapshotId = math.abs(java.util.UUID.randomUUID.getMostSignificantBits)
+      val seq = base.lastSequenceNumber + 1
+      val ms = manifests(base, snapshotId, seq)
+      val listPath = table.ops.newManifestListPath(snapshotId)
+      ManifestIO.writeList(listPath, ms)
+      val parent = base.ref(branch).map(_.snapshotId)
+      val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
+        operation, listPath, summary(base))
+      val updated = base.withSnapshot(snap, branch)
+      if (table.ops.commit(baseVersion, updated)) {
+        table.refresh()
+        return snap
+      }
+      GraftIO.delete(listPath) // clean up the orphaned list; manifests may be reused
+      attempts += 1
+    }
+    throw new CommitConflictException(s"commit failed after $attempts attempts")
+  }
+}
+
+/** Append without merging manifests (reference FastAppend.java). */
+final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") {
+  private val files = Seq.newBuilder[DataFile]
+  private var toBranch = "main"
+  def appendFile(f: DataFile): this.type = { files += f; this }
+  def appendFiles(fs: Seq[DataFile]): this.type = { files ++= fs; this }
+  def toBranch(b: String): this.type = { toBranch = b; this }
+  override protected def branch: String = toBranch
+
+  override protected def manifests(base: TableMetadata, snapshotId: Long,
+      seq: Long): Seq[ManifestFile] = {
+    val added = files.result()
+    if (added.isEmpty) return parentManifests(base)
+    val entries = added.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
+    val spec = base.specById(added.head.specId)
+    val m = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
+      FileContent.Data, spec, base.schema, snapshotId)
+    m +: parentManifests(base)
+  }
+
+  override protected def summary(base: TableMetadata): Map[String, String] = {
+    val added = files.result()
+    Map("added-data-files" -> added.size.toString,
+      "added-records" -> added.map(_.recordCount).sum.toString)
+  }
+}
+
+/** Overwrite: remove files (by path set or by strict-matching predicate)
+  * and add replacements atomically (reference BaseOverwriteFiles /
+  * BaseRewriteFiles). Fails with ValidationException if a predicate
+  * delete would need a row-level rewrite (caller falls back to CoW). */
+final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overwrite") {
+  private val added = Seq.newBuilder[DataFile]
+  private val removedPaths = Set.newBuilder[String]
+  private var deleteExpr: Option[Expr] = None
+  private var validateNoConflictingAppendsFrom: Option[Long] = None
+
+  def addFile(f: DataFile): this.type = { added += f; this }
+  def addFiles(fs: Seq[DataFile]): this.type = { added ++= fs; this }
+  def deleteFile(path: String): this.type = { removedPaths += path; this }
+  def deleteFiles(paths: Seq[String]): this.type = { removedPaths ++= paths; this }
+  /** metadata-only delete: drop whole files proven to match */
+  def overwriteByRowFilter(e: Expr): this.type = { deleteExpr = Some(e); this }
+  def validateFromSnapshot(snapshotId: Long): this.type = {
+    validateNoConflictingAppendsFrom = Some(snapshotId); this
+  }
+
+  override protected def validate(base: TableMetadata): Unit =
+    validateNoConflictingAppendsFrom.foreach { fromId =>
+      val newer = base.snapshots.filter(s =>
+        s.sequenceNumber > base.snapshotById(fromId).map(_.sequenceNumber).getOrElse(0L))
+      if (newer.exists(s => s.operation != "append")) {
+        throw new CommitConflictException(
+          s"conflicting ${newer.map(_.operation).mkString(",")} since snapshot $fromId")
+      }
+    }
+
+  override protected def manifests(base: TableMetadata, snapshotId: Long,
+      seq: Long): Seq[ManifestFile] = {
+    val removeSet = removedPaths.result()
+    val schema = base.schema
+    val bound = deleteExpr.map(e => Expr.bind(schema, e))
+    // rewrite existing manifests without the removed files
+    val kept = parentManifests(base).flatMap { mf =>
+      val entries = ManifestIO.readEntries(mf).filter(_.isLive)
+      val spec = base.specById(mf.specId)
+      val (dropped, keptEntries) = entries.partition { e =>
+        if (removeSet.contains(e.file.path)) true
+        else bound match {
+          case Some(expr) if e.file.content == FileContent.Data =>
+            val partType = spec.partitionType(schema)
+            val partStrict = Projections.strict(spec, schema, expr)
+            val partMatches = RowEvaluator.eval(partStrict, ArrayRow(e.file.partition.toArray))
+            val strictStats = StrictMetricsEvaluator.rowsMustMatch(expr, e.file.fileStats)
+            if (partMatches || strictStats) true
+            else {
+              val inclusive = Projections.inclusive(spec, schema, expr)
+              val mightMatch = RowEvaluator.eval(inclusive, ArrayRow(e.file.partition.toArray)) &&
+                InclusiveMetricsEvaluator.rowsMightMatch(expr, e.file.fileStats)
+              if (mightMatch)
+                throw new ValidationException(
+                  s"cannot metadata-delete: ${e.file.path} partially matches; rewrite required")
+              false
+            }
+          case _ => false
+        }
+      }
+      if (dropped.isEmpty) Some(mf)
+      else if (keptEntries.isEmpty) None
+      else Some(ManifestIO.write(table.ops.newManifestPath(), keptEntries, mf.specId,
+        mf.content, spec, schema, snapshotId))
+    }
+    val addedFiles = added.result()
+    if (addedFiles.isEmpty) kept
+    else {
+      val spec = base.specById(addedFiles.head.specId)
+      val entries = addedFiles.map(f =>
+        ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
+      ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
+        FileContent.Data, spec, schema, snapshotId) +: kept
+    }
+  }
+
+  override protected def summary(base: TableMetadata): Map[String, String] =
+    Map("added-data-files" -> added.result().size.toString,
+      "removed-paths" -> removedPaths.result().size.toString)
+}
+
+/** Merge-on-read delta: add position/equality delete files (+ optional
+  * new data files) without touching existing data (reference
+  * BaseRowDelta.java). */
+final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
+  private val deleteFiles = Seq.newBuilder[DataFile]
+  private val dataFiles = Seq.newBuilder[DataFile]
+  def addDeletes(f: DataFile): this.type = { deleteFiles += f; this }
+  def addRows(f: DataFile): this.type = { dataFiles += f; this }
+
+  override protected def manifests(base: TableMetadata, snapshotId: Long,
+      seq: Long): Seq[ManifestFile] = {
+    val schema = base.schema
+    var ms = parentManifests(base)
+    val dels = deleteFiles.result()
+    if (dels.nonEmpty) {
+      val spec = base.specById(dels.head.specId)
+      val entries = dels.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
+      ms = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
+        1, spec, schema, snapshotId) +: ms
+    }
+    val datas = dataFiles.result()
+    if (datas.nonEmpty) {
+      val spec = base.specById(datas.head.specId)
+      val entries = datas.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
+      ms = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
+        FileContent.Data, spec, schema, snapshotId) +: ms
+    }
+    ms
+  }
+
+  override protected def summary(base: TableMetadata): Map[String, String] =
+    Map("added-delete-files" -> deleteFiles.result().size.toString,
+      "added-data-files" -> dataFiles.result().size.toString)
+}
+
+/** Hadoop-style directory catalog: <warehouse>/<ns...>/<table>. */
+final class HadoopCatalog(val warehouse: String) {
+  def tableLocation(namespace: Seq[String], name: String): String =
+    (warehouse +: namespace :+ name).mkString("/")
+
+  def createTable(namespace: Seq[String], name: String, schema: GSchema,
+      spec: PartitionSpec = PartitionSpec.Unpartitioned,
+      properties: Map[String, String] = Map.empty): GTable = {
+    val loc = tableLocation(namespace, name)
+    val ops = new TableOps(loc)
+    val meta = TableMetadata.newTable(loc, schema, spec, properties)
+    if (!ops.commit(0, meta))
+      throw new IllegalStateException(s"table already exists: $loc")
+    new GTable(ops)
+  }
+
+  def loadTable(namespace: Seq[String], name: String): Option[GTable] = {
+    val ops = new TableOps(tableLocation(namespace, name))
+    if (ops.currentVersion() > 0) Some(new GTable(ops)) else None
+  }
+
+  def tableExists(namespace: Seq[String], name: String): Boolean =
+    new TableOps(tableLocation(namespace, name)).currentVersion() > 0
+
+  def dropTable(namespace: Seq[String], name: String): Boolean = {
+    val loc = GraftIO.toPath(tableLocation(namespace, name))
+    if (!java.nio.file.Files.exists(loc)) false
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      true
+    }
+  }
+
+  def listTables(namespace: Seq[String]): Seq[String] = {
+    val dir = (warehouse +: namespace).mkString("/")
+    GraftIO.list(dir).map(p => GraftIO.toPath(p).getFileName.toString)
+      .filter(n => new TableOps(s"$dir/$n").currentVersion() > 0)
+  }
+}

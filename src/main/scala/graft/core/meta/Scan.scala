@@ -1,0 +1,178 @@
+package graft.core.meta
+
+import graft.core.expr._
+import graft.core.types._
+
+/** A planned read unit: one data file (or slice) + residual predicate +
+  * the delete files that apply to it (reference FileScanTask). */
+final case class FileScanTask(
+    file: DataFile,
+    start: Long,
+    length: Long,
+    residual: Expr,
+    deletes: Seq[DataFile])
+
+/** Matches delete files to data files by partition + sequence number
+  * (reference DeleteFileIndex.java). Position deletes apply when
+  * deleteSeq >= dataSeq; equality deletes when deleteSeq > dataSeq. */
+final class DeleteFileIndex(deletes: Seq[(ManifestEntry, Int)]) {
+  private def partKey(specId: Int, partition: Seq[Any]): (Int, Seq[Any]) =
+    (specId, partition.map {
+      case b: Array[Byte] => b.toSeq
+      case x              => x
+    })
+
+  private val (global, partitioned) = deletes.partition(_._1.file.partition.isEmpty)
+  private val byPartition: Map[(Int, Seq[Any]), Seq[ManifestEntry]] =
+    partitioned.map(_._1).groupBy(e => partKey(e.file.specId, e.file.partition))
+
+  def isEmpty: Boolean = deletes.isEmpty
+
+  def forDataFile(dataSeq: Long, f: DataFile): Seq[DataFile] = {
+    val candidates = global.map(_._1) ++
+      byPartition.getOrElse(partKey(f.specId, f.partition), Nil)
+    candidates.filter { e =>
+      val applies =
+        if (e.file.content == FileContent.PositionDeletes) e.dataSequenceNumber >= dataSeq
+        else e.dataSequenceNumber > dataSeq
+      val targets = e.file.referencedDataFile.forall(_ == f.path)
+      applies && targets
+    }.map(_.file)
+  }
+}
+
+/** Driver-side scan planning: the 3-layer metadata pruning funnel
+  * (SURVEY.md §4; reference ManifestGroup.java):
+  *   1. partition projection of the row filter (hidden partitioning)
+  *   2. manifest pruning via manifest-list partition summaries
+  *   3. per-file pruning: exact partition eval + column min/max stats
+  * plus residual computation and delete-file attachment.
+  */
+final class TableScan(table: GTable) {
+  private var snapshotIdOpt: Option[Long] = None
+  private var filterExpr: Expr = TrueE
+  private var refName: Option[String] = None
+
+  def useSnapshot(id: Long): TableScan = { snapshotIdOpt = Some(id); this }
+  def useRef(name: String): TableScan = { refName = Some(name); this }
+  def asOfTime(tsMs: Long): TableScan = {
+    snapshotIdOpt = table.meta.snapshotAsOfTime(tsMs).map(_.snapshotId)
+    if (snapshotIdOpt.isEmpty)
+      throw new IllegalArgumentException(s"no snapshot as of $tsMs")
+    this
+  }
+  def filter(e: Expr): TableScan = { filterExpr = Expr.and(filterExpr, e); this }
+
+  def snapshot(): Option[Snapshot] = {
+    val m = table.meta
+    snapshotIdOpt.flatMap(m.snapshotById)
+      .orElse(refName.flatMap(r => m.ref(r)).flatMap(r => m.snapshotById(r.snapshotId)))
+      .orElse(m.currentSnapshot)
+  }
+
+  /** summaries → pseudo-FileStats keyed by partition field id, so the
+    * inclusive metrics evaluator doubles as the manifest evaluator */
+  private def summaryStats(mf: ManifestFile, spec: PartitionSpec,
+      schema: GSchema): FileStats = {
+    val partType = spec.partitionType(schema)
+    val cols = partType.fields.zipWithIndex.flatMap { case (pf, i) =>
+      mf.partitionSummaries.lift(i).map { s =>
+        pf.id -> ColStats(
+          valueCount = None,
+          nullCount = if (s.containsNull) None else Some(0L),
+          nanCount = if (s.containsNan) None else Some(0L),
+          lower = s.lower, upper = s.upper)
+      }
+    }.toMap
+    FileStats(1L, cols)
+  }
+
+  def planFiles(): Seq[FileScanTask] = {
+    val m = table.meta
+    val snap = snapshot().getOrElse(return Nil)
+    val schema = m.schema
+    val bound = Expr.bind(schema, filterExpr)
+    val manifests = ManifestIO.readList(snap.manifestListPath)
+
+    // per-spec inclusive/strict partition projections (computed once)
+    val partPreds = scala.collection.mutable.Map.empty[Int, Expr]
+    def partPred(specId: Int): Expr =
+      partPreds.getOrElseUpdate(specId,
+        Projections.inclusive(m.specById(specId), schema, bound))
+
+    // layer 2: manifest pruning via partition summaries
+    val (dataManifests, deleteManifests) = manifests
+      .filter(_.hasLiveFiles)
+      .filter { mf =>
+        val spec = m.specById(mf.specId)
+        mf.partitionSummaries.isEmpty ||
+          InclusiveMetricsEvaluator.rowsMightMatch(partPred(mf.specId),
+            summaryStats(mf, spec, schema))
+      }
+      .partition(_.content == 0)
+
+    // delete index from surviving delete manifests
+    val deleteEntries = deleteManifests.flatMap { mf =>
+      ManifestIO.readEntries(mf).filter(_.isLive).map(e => (e, mf.specId))
+    }
+    val deleteIndex = new DeleteFileIndex(deleteEntries)
+
+    // layer 3: per-file pruning (exact partition eval + column stats)
+    dataManifests.par_flatMap { mf =>
+      val spec = m.specById(mf.specId)
+      ManifestIO.readEntries(mf).filter(_.isLive).flatMap { e =>
+        val partRow = ArrayRow(e.file.partition.toArray)
+        val keep = RowEvaluator.eval(partPred(mf.specId), partRow) &&
+          InclusiveMetricsEvaluator.rowsMightMatch(bound, e.file.fileStats)
+        if (!keep) None
+        else {
+          val residual = Projections.residual(spec, schema, bound, partRow)
+          if (residual == FalseE) None
+          else Some(FileScanTask(e.file, 0L, e.file.fileSizeBytes, residual,
+            deleteIndex.forDataFile(e.dataSequenceNumber, e.file)))
+        }
+      }
+    }
+  }
+
+  /** Bin-pack tasks into groups of ~targetSize bytes (reference
+    * TableScanUtil; default split 128 MB), one group per Spark
+    * InputPartition. */
+  def planTaskGroups(targetSize: Long = 128L * 1024 * 1024,
+      openFileCost: Long = 4L * 1024 * 1024): Seq[Seq[FileScanTask]] = {
+    val tasks = planFiles()
+    val groups = Seq.newBuilder[Seq[FileScanTask]]
+    var current = Seq.newBuilder[FileScanTask]
+    var size = 0L
+    var any = false
+    tasks.foreach { t =>
+      val w = math.max(t.length, openFileCost)
+      if (any && size + w > targetSize) {
+        groups += current.result()
+        current = Seq.newBuilder[FileScanTask]
+        size = 0L
+        any = false
+      }
+      current += t
+      size += w
+      any = true
+    }
+    if (any) groups += current.result()
+    groups.result()
+  }
+
+  /** total record count upper bound from metadata (for stats reporting) */
+  def totalRecords(): Long = planFiles().map(_.file.recordCount).sum
+
+  private implicit class ParOps[A](seq: Seq[A]) {
+    /** manifest reads are IO-bound: fan out on the common pool */
+    def par_flatMap[B](f: A => Seq[B]): Seq[B] =
+      if (seq.size <= 1) seq.flatMap(f)
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Await.result(Future.traverse(seq)(a => Future(f(a))), Duration.Inf).flatten
+      }
+  }
+}

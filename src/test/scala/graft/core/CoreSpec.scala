@@ -183,13 +183,16 @@ class CoreSpec extends AnyFunSuite {
     val sp = Projections.strict(spec, schema, pred)
     assert(RowEvaluator.eval(sp, ArrayRow(Array(day0 - 1))))
     assert(!RowEvaluator.eval(sp, ArrayRow(Array(day0))))
-    // residual: fully-matching partition → TrueE; fully-pruned → FalseE;
-    // boundary partition keeps the predicate
+    // residual: fully-matching partition → TrueE; fully-pruned → FalseE.
+    // X is exactly midnight of day0, so the tightened inclusive projection
+    // (LtEq(day(X-1))) prunes day0 entirely:
     assert(Projections.residual(spec, schema, pred, ArrayRow(Array(day0 - 1))) === TrueE)
     assert(Projections.residual(spec, schema, pred, ArrayRow(Array(day0 + 1))) === FalseE)
-    // ts < boundary means day <= day0-1 inclusive-true at day0? day(X)=day0;
-    // inclusive LtEq(day0) keeps day0; strict Lt(day0) rejects → residual = pred
-    assert(Projections.residual(spec, schema, pred, ArrayRow(Array(day0))) === pred)
+    assert(Projections.residual(spec, schema, pred, ArrayRow(Array(day0))) === FalseE)
+    // a mid-day bound keeps the predicate on the boundary partition
+    val midday = Expr.bind(schema, Expr.lt("ts", boundary + 7L))
+    assert(Projections.residual(spec, schema, midday, ArrayRow(Array(day0))) === midday)
+    assert(Projections.residual(spec, schema, midday, ArrayRow(Array(day0 - 1))) === TrueE)
   }
 
   test("identity projection and partition values") {
