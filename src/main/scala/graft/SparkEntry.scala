@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All gate queries, registered by the operator areas. */
-  def bank: Vector[Q] = Relational.all ++ graft.pipeline.Pipeline.all
+  def bank: Vector[Q] =
+    Relational.all ++ graft.pipeline.Pipeline.all ++ Engine.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

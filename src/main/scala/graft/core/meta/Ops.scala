@@ -281,6 +281,7 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
   private val added = Seq.newBuilder[DataFile]
   private val removedPaths = Set.newBuilder[String]
   private var deleteExpr: Option[Expr] = None
+  private var replaceParts: Option[Set[Seq[Any]]] = None
   private var validateNoConflictingAppendsFrom: Option[Long] = None
 
   def addFile(f: DataFile): this.type = { added += f; this }
@@ -289,6 +290,14 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
   def deleteFiles(paths: Seq[String]): this.type = { removedPaths ++= paths; this }
   /** metadata-only delete: drop whole files proven to match */
   def overwriteByRowFilter(e: Expr): this.type = { deleteExpr = Some(e); this }
+  /** dynamic-partition overwrite: drop all live files in these partitions */
+  def replacePartitions(parts: Set[Seq[Any]]): this.type = {
+    replaceParts = Some(parts.map(normalizeKey)); this
+  }
+  private def normalizeKey(p: Seq[Any]): Seq[Any] = p.map {
+    case b: Array[Byte] => b.toSeq
+    case x              => x
+  }
   def validateFromSnapshot(snapshotId: Long): this.type = {
     validateNoConflictingAppendsFrom = Some(snapshotId); this
   }
@@ -314,6 +323,7 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
       val spec = base.specById(mf.specId)
       val (dropped, keptEntries) = entries.partition { e =>
         if (removeSet.contains(e.file.path)) true
+        else if (replaceParts.exists(_.contains(normalizeKey(e.file.partition)))) true
         else bound match {
           case Some(expr) if e.file.content == FileContent.Data =>
             val partType = spec.partitionType(schema)

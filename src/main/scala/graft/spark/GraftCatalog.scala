@@ -1,0 +1,174 @@
+package graft.spark
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.expr.{PartitionField, PartitionSpec}
+import graft.core.meta.{GTable, HadoopCatalog}
+import graft.core.types._
+
+/** DSv2 TableCatalog over the engine's directory catalog. Register with
+  *   spark.sql.catalog.graft = graft.spark.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * (reference spark/.../SparkCatalog.java:127).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var catalog: HadoopCatalog = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse")
+    catalog = new HadoopCatalog(wh)
+  }
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    catalog.listTables(namespace.toSeq)
+      .map(t => Identifier.of(namespace, t)).toArray
+
+  override def loadTable(ident: Identifier): Table =
+    catalog.loadTable(ident.namespace.toSeq, ident.name)
+      .map(t => new GraftSparkTable(t, fullName(ident)))
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  /** VERSION AS OF: snapshot id, or a branch/tag name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = catalog.loadTable(ident.namespace.toSeq, ident.name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val snapshotId = version.toLongOption match {
+      case Some(id) if t.meta.snapshotById(id).isDefined => id
+      case _ =>
+        t.meta.ref(version).map(_.snapshotId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no snapshot or ref '$version' in ${ident.name}"))
+    }
+    new GraftSparkTable(t, fullName(ident), snapshotId = Some(snapshotId))
+  }
+
+  /** TIMESTAMP AS OF (micros since epoch). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = catalog.loadTable(ident.namespace.toSeq, ident.name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val snap = t.meta.snapshotAsOfTime(timestampMicros / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot as of $timestampMicros in ${ident.name}"))
+    new GraftSparkTable(t, fullName(ident), snapshotId = Some(snap.snapshotId))
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (catalog.tableExists(ident.namespace.toSeq, ident.name))
+      throw new TableAlreadyExistsException(ident)
+    val sparkSchema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    val schema = SparkTypes.fromSpark(sparkSchema)
+    val specs = partitions.map(SparkBridge.fromSparkTransform)
+    val spec =
+      if (specs.isEmpty) PartitionSpec.Unpartitioned
+      else PartitionSpec.of(schema, specs.toIndexedSeq: _*)
+    val t = catalog.createTable(ident.namespace.toSeq, ident.name, schema, spec,
+      properties.asScala.toMap)
+    new GraftSparkTable(t, fullName(ident))
+  }
+
+  @deprecated("use createTable with columns", "")
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createTable(ident,
+      schema.fields.map(f => Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = catalog.loadTable(ident.namespace.toSeq, ident.name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    t.commitUpdate { base =>
+      var schema = base.schema
+      var props = base.properties
+      var nextId = base.lastColumnId
+      changes.foreach {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames.length == 1, "nested add not supported yet")
+          nextId += 1
+          val g = SparkBridge.gTypeOf(a.dataType)
+          schema = schema.copy(struct =
+            GStruct(schema.fields :+ GField(nextId, a.fieldNames()(0), g, !a.isNullable)))
+        case r: TableChange.RenameColumn =>
+          schema = schema.copy(struct = GStruct(schema.fields.map(f =>
+            if (f.name == r.fieldNames()(0)) f.copy(name = r.newName) else f)))
+        case d: TableChange.DeleteColumn =>
+          schema = schema.copy(struct = GStruct(
+            schema.fields.filterNot(_.name == d.fieldNames()(0))))
+        case u: TableChange.UpdateColumnType =>
+          val g = SparkBridge.gTypeOf(u.newDataType)
+          schema = schema.copy(struct = GStruct(schema.fields.map(f =>
+            if (f.name == u.fieldNames()(0)) f.copy(tpe = g) else f)))
+        case p: TableChange.SetProperty    => props = props + (p.property -> p.value)
+        case p: TableChange.RemoveProperty => props = props - p.property
+        case other => throw new UnsupportedOperationException(s"alter: $other")
+      }
+      val newSchema = schema.copy(schemaId = base.schemas.map(_.schemaId).max + 1)
+      base.copy(
+        schemas = base.schemas :+ newSchema,
+        currentSchemaId = newSchema.schemaId,
+        lastColumnId = nextId,
+        properties = props)
+    }
+    new GraftSparkTable(t, fullName(ident))
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    catalog.dropTable(ident.namespace.toSeq, ident.name)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename not supported yet")
+
+  // ----------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] =
+    graft.core.meta.GraftIO.list(catalog.warehouse)
+      .filter(p => java.nio.file.Files.isDirectory(graft.core.meta.GraftIO.toPath(p)))
+      .map(p => Array(graft.core.meta.GraftIO.toPath(p).getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    java.nio.file.Files.isDirectory(
+      graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    java.nio.file.Files.createDirectories(
+      graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = ()
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/"))
+    if (!java.nio.file.Files.exists(p)) false
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      true
+    }
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+}

@@ -1,0 +1,373 @@
+package graft.spark
+
+import java.util
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPred}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.sources.{Filter => V1Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.core.expr._
+import graft.core.meta.{FileScanTask, GTable}
+import graft.core.types._
+
+/** DSv2 table over a graft table (reference spark/.../source/SparkTable.java).
+  * Reads: pushdown → 3-layer metadata pruning → vectorized parquet.
+  * Writes: fanout partitioned parquet + snapshot commit.
+  */
+class GraftSparkTable(val table: GTable, fullName: String,
+    snapshotId: Option[Long] = None)
+  extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+
+  import GraftSparkTable._
+
+  override def name(): String = fullName
+
+  override def schema(): StructType = SparkTypes.toSparkSchema(table.schema)
+
+  override def partitioning(): Array[Transform] =
+    table.spec.fields.map(pf => SparkBridge.toSparkTransform(pf, table.schema)).toArray
+
+  override def properties(): util.Map[String, String] =
+    table.meta.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val snapId = Option(options.get("snapshot-id")).map(_.toLong).orElse(snapshotId)
+    val branch = Option(options.get("branch"))
+    val asOf = Option(options.get("as-of-timestamp")).map(_.toLong)
+    new GraftScanBuilder(table, snapId, branch, asOf)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(table, info)
+
+  // metadata-only DELETE FROM (strict-match whole files); Spark falls back
+  // to an error if rows partially match — row-level CoW comes via the
+  // rewrite path.
+  override def canDeleteWhere(predicates: Array[VPred]): Boolean = {
+    val exprs = predicates.map(SparkBridge.toExpr)
+    if (!exprs.forall(_.isDefined)) return false
+    val expr = exprs.flatten.foldLeft[Expr](TrueE)(Expr.and)
+    try {
+      // dry-run the metadata delete against current state
+      val bound = Expr.bind(table.schema, expr)
+      table.newScan().filter(expr).planFiles().forall { t =>
+        val spec = table.meta.specById(t.file.specId)
+        val strictPart = Projections.strict(spec, table.schema, bound)
+        RowEvaluator.eval(strictPart, ArrayRow(t.file.partition.toArray)) ||
+          StrictMetricsEvaluator.rowsMustMatch(bound, t.file.fileStats)
+      }
+    } catch { case _: Throwable => false }
+  }
+
+  override def deleteWhere(predicates: Array[VPred]): Unit = {
+    val expr = predicates.flatMap(SparkBridge.toExpr).foldLeft[Expr](TrueE)(Expr.and)
+    table.newOverwrite().overwriteByRowFilter(expr).commit()
+  }
+}
+
+object GraftSparkTable {
+
+  /** Serializable slice of a FileScanTask shipped to executors. */
+  final case class TaskDesc(path: String, start: Long, length: Long,
+      deletePaths: Array[String])
+
+  final case class GraftInputPartition(tasks: Array[TaskDesc]) extends InputPartition
+
+  final class GraftScanBuilder(table: GTable, snapshotId: Option[Long],
+      branch: Option[String], asOfTs: Option[Long])
+    extends ScanBuilder with SupportsPushDownV2Filters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+    private var pushed: Array[VPred] = Array.empty
+    private var expr: Expr = TrueE
+    private var required: StructType = SparkTypes.toSparkSchema(table.schema)
+    private var limit: Option[Int] = None
+
+    override def pushPredicates(predicates: Array[VPred]): Array[VPred] = {
+      val converted = predicates.flatMap(p => SparkBridge.toExpr(p).map(e => (p, e)))
+      pushed = converted.map(_._1)
+      expr = converted.map(_._2).foldLeft[Expr](TrueE)(Expr.and)
+      // return ALL predicates: the engine prunes with the converted ones,
+      // Spark still evaluates every predicate post-scan (codegen'd filter)
+      // so unconvertible or residual-bearing files are always correct.
+      predicates
+    }
+    override def pushedPredicates(): Array[VPred] = pushed
+
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      // keep table field metadata (ids) on the pruned columns
+      val full = SparkTypes.toSparkSchema(table.schema)
+      required = StructType(requiredSchema.fields.map(f =>
+        full.fields.find(_.name == f.name).getOrElse(f)))
+    }
+
+    override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
+    override def build(): Scan =
+      new GraftScan(table, expr, required, limit, snapshotId, branch, asOfTs)
+  }
+
+  final class GraftScan(table: GTable, expr: Expr, required: StructType,
+      limit: Option[Int], snapshotId: Option[Long], branch: Option[String],
+      asOfTs: Option[Long])
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+    private var runtimeExpr: Expr = TrueE
+    @transient private var cachedTasks: Seq[FileScanTask] = _
+
+    private def newCoreScan() = {
+      val s = table.newScan().filter(Expr.and(expr, runtimeExpr))
+      snapshotId.foreach(s.useSnapshot)
+      branch.foreach(s.useRef)
+      asOfTs.foreach(s.asOfTime)
+      s
+    }
+
+    private def tasks(): Seq[FileScanTask] = {
+      if (cachedTasks == null) {
+        var ts = newCoreScan().planFiles()
+        // limit pushdown: stop planning once the limit is guaranteed
+        limit.foreach { n =>
+          if (expr == TrueE && runtimeExpr == TrueE) {
+            var acc = 0L
+            ts = ts.takeWhile { t => val take = acc < n; acc += t.file.recordCount; take }
+          }
+        }
+        cachedTasks = ts
+      }
+      cachedTasks
+    }
+
+    override def readSchema(): StructType = required
+
+    override def toBatch: Batch = this
+
+    override def description(): String =
+      s"graft(${table.location}) filter=$expr"
+
+    // ------------------------------------------------- runtime filtering (DPP)
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      table.spec.fields.map { pf =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(
+          table.schema.byId(pf.sourceId).name)
+      }.toArray
+
+    override def filter(predicates: Array[VPred]): Unit = {
+      val converted = predicates.flatMap(SparkBridge.toExpr)
+      if (converted.nonEmpty) {
+        runtimeExpr = converted.foldLeft(runtimeExpr)(Expr.and)
+        cachedTasks = null // re-plan with the runtime filter
+      }
+    }
+
+    // ------------------------------------------------- stats for CBO/AQE
+    override def estimateStatistics(): Statistics = {
+      val ts = tasks()
+      val rows = ts.map(_.file.recordCount).sum
+      // scale size by column pruning ratio for broadcast decisions
+      val fullCols = table.schema.fields.size.max(1)
+      val ratio = required.fields.length.toDouble / fullCols
+      val bytes = (ts.map(_.length).sum * ratio).toLong.max(1L)
+      new Statistics {
+        override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+        override def numRows(): OptionalLong = OptionalLong.of(rows)
+      }
+    }
+
+    // ------------------------------------------------- execution
+    override def planInputPartitions(): Array[InputPartition] = {
+      val groups = {
+        val all = tasks()
+        // bin-pack into ~split-size groups (reference TableScanUtil)
+        val target = 128L * 1024 * 1024
+        val openCost = 4L * 1024 * 1024
+        val out = Seq.newBuilder[Seq[FileScanTask]]
+        var cur = Seq.newBuilder[FileScanTask]
+        var size = 0L; var n = 0
+        all.foreach { t =>
+          val w = math.max(t.length, openCost)
+          if (n > 0 && size + w > target) {
+            out += cur.result(); cur = Seq.newBuilder; size = 0L; n = 0
+          }
+          cur += t; size += w; n += 1
+        }
+        if (n > 0) out += cur.result()
+        out.result()
+      }
+      groups.map { g =>
+        GraftInputPartition(g.map(t => TaskDesc(t.file.path, t.start, t.length,
+          t.deletes.map(_.path).toArray)).toArray): InputPartition
+      }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val spark = SparkSession.active
+      val fullSchema = SparkTypes.toSparkSchema(table.schema)
+      val v1Filters = exprToV1(Expr.and(expr, runtimeExpr))
+      val fmt = new ParquetFileFormat
+      val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+      // our files always carry parquet field ids: resolve columns by id so
+      // renames/evolution never mis-bind
+      conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+      val vectorized = spark.sessionState.conf.parquetVectorizedReaderEnabled &&
+        fullSchema.forall(f => GraftReaderFactory.batchSupported(f.dataType))
+      // each build mutates + broadcasts its conf: every reader needs its own
+      def freshConf = new org.apache.hadoop.conf.Configuration(conf)
+      val batchFunc =
+        if (vectorized)
+          fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
+            required, v1Filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
+        else null
+      val rowFunc = fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
+        required, v1Filters,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshConf)
+      // delete-bearing tasks: full-file row read, positions = row index
+      val rowFuncNoFilter = fmt.buildReaderWithPartitionValues(spark, fullSchema,
+        new StructType(), required, Nil,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshConf)
+      val deleteSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType)))
+      val deleteFunc = fmt.buildReaderWithPartitionValues(spark, deleteSchema,
+        new StructType(), deleteSchema, Nil,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshConf)
+      new GraftReaderFactory(batchFunc, rowFunc, rowFuncNoFilter, deleteFunc, vectorized)
+    }
+
+    /** engine expr → V1 filters for parquet row-group/page pruning */
+    private def exprToV1(e: Expr): Seq[V1Filter] = {
+      import org.apache.spark.sql.sources
+      def conv(x: Expr): Option[V1Filter] = x match {
+        case TrueE | FalseE => None
+        case And(l, r) => (conv(l), conv(r)) match {
+          case (Some(a), Some(b)) => Some(sources.And(a, b))
+          case (a, b)             => a.orElse(b)
+        }
+        case Or(l, r) =>
+          for (a <- conv(l); b <- conv(r)) yield sources.Or(a, b)
+        case Not(c) => conv(c).map(sources.Not)
+        case BoundPred(op, f, _, vs) => predToV1(op, f, vs)
+        case UnboundPred(op, ref, vs) =>
+          table.schema.findField(ref).flatMap(f => predToV1(op, f.copy(name = ref), vs))
+      }
+      def ext(f: GField, v: Any): Any = v match {
+        // engine internal → external for sources.Filter (Spark converts back)
+        case s: String => s
+        case i: Int if f.tpe == GDate => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
+        case l: Long if f.tpe.isInstanceOf[GTimestamp] =>
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000))
+        case other => other
+      }
+      def predToV1(op: Operation, f: GField, vs: Seq[Any]): Option[V1Filter] = op match {
+        case Op.IsNull     => Some(sources.IsNull(f.name))
+        case Op.NotNull    => Some(sources.IsNotNull(f.name))
+        case Op.Eq         => Some(sources.EqualTo(f.name, ext(f, vs.head)))
+        case Op.NotEq      => Some(sources.Not(sources.EqualTo(f.name, ext(f, vs.head))))
+        case Op.Lt         => Some(sources.LessThan(f.name, ext(f, vs.head)))
+        case Op.LtEq       => Some(sources.LessThanOrEqual(f.name, ext(f, vs.head)))
+        case Op.Gt         => Some(sources.GreaterThan(f.name, ext(f, vs.head)))
+        case Op.GtEq       => Some(sources.GreaterThanOrEqual(f.name, ext(f, vs.head)))
+        case Op.In         => Some(sources.In(f.name, vs.map(ext(f, _)).toArray))
+        case Op.StartsWith => Some(sources.StringStartsWith(f.name, vs.head.toString))
+        case _             => None
+      }
+      conv(e).toSeq
+    }
+  }
+
+  /** Executor-side readers. Columnar fast path for delete-free partitions;
+    * row path applies position-delete masks by file row index. */
+  final class GraftReaderFactory(
+      batchFunc: PartitionedFile => Iterator[InternalRow],
+      rowFunc: PartitionedFile => Iterator[InternalRow],
+      rowFuncNoFilter: PartitionedFile => Iterator[InternalRow],
+      deleteFunc: PartitionedFile => Iterator[InternalRow],
+      vectorized: Boolean) extends PartitionReaderFactory {
+
+    private def pf(path: String, start: Long, length: Long): PartitionedFile =
+      PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
+        Array.empty[String], 0L, length, Map.empty)
+
+    override def supportColumnarReads(partition: InputPartition): Boolean =
+      vectorized && partition.asInstanceOf[GraftInputPartition].tasks.forall(_.deletePaths.isEmpty)
+
+    override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+      val tasks = partition.asInstanceOf[GraftInputPartition].tasks
+      val it: Iterator[ColumnarBatch] = tasks.iterator.flatMap { t =>
+        batchFunc(pf(t.path, t.start, t.length)).asInstanceOf[Iterator[ColumnarBatch]]
+      }
+      new PartitionReader[ColumnarBatch] {
+        private var current: ColumnarBatch = _
+        override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+        override def get(): ColumnarBatch = current
+        override def close(): Unit = ()
+      }
+    }
+
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val tasks = partition.asInstanceOf[GraftInputPartition].tasks
+      val it: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
+        if (t.deletePaths.isEmpty) rowFunc(pf(t.path, t.start, t.length))
+        else {
+          // positions deleted for THIS data file across its delete files
+          val deleted = new java.util.HashSet[Long]()
+          t.deletePaths.foreach { dp =>
+            deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
+              if (r.getUTF8String(0).toString == t.path) deleted.add(r.getLong(1))
+            }
+          }
+          // full-file read so row index == file position
+          rowFuncNoFilter(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
+            case (row, idx) if !deleted.contains(idx.toLong) => row
+          }
+        }
+      }
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
+    }
+  }
+
+  object GraftReaderFactory {
+    def batchSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType | StringType | BinaryType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    }
+  }
+}

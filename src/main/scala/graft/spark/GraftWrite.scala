@@ -1,0 +1,280 @@
+package graft.spark
+
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPred}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+import graft.core.expr._
+import graft.core.meta._
+import graft.core.types._
+
+/** DSv2 write path (reference spark/.../source/SparkWrite.java): executors
+  * run partitioned fanout parquet writers and return DataFile descriptors;
+  * the driver commits them as one atomic snapshot (append / overwrite /
+  * dynamic partition replace).
+  */
+class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate with SupportsOverwriteV2
+  with SupportsDynamicOverwrite {
+
+  private var mode: WriteMode = AppendMode
+
+  override def truncate(): WriteBuilder = { mode = OverwriteMode(TrueE); this }
+
+  override def overwrite(predicates: Array[VPred]): WriteBuilder = {
+    val exprs = predicates.flatMap(SparkBridge.toExpr)
+    require(exprs.length == predicates.length, "unconvertible overwrite filter")
+    mode = OverwriteMode(exprs.foldLeft[Expr](TrueE)(Expr.and))
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = DynamicOverwriteMode
+    this
+  }
+
+  override def build(): Write = {
+    // write with the TABLE schema (positionally equal to info.schema after
+    // Spark's resolution) so parquet files always carry field ids
+    val tableSchema = SparkTypes.toSparkSchema(table.schema)
+    require(tableSchema.length == info.schema().length,
+      s"write schema mismatch: ${info.schema()} vs $tableSchema")
+    new GraftWrite(table, tableSchema, mode)
+  }
+}
+
+sealed trait WriteMode extends Serializable
+case object AppendMode extends WriteMode
+final case class OverwriteMode(filter: Expr) extends WriteMode
+case object DynamicOverwriteMode extends WriteMode
+
+final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode)
+  extends Write {
+  override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode)
+  override def description(): String = s"graft-write(${table.location}, $mode)"
+}
+
+final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteMode)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    // prepareWrite wires ParquetWriteSupport (schema, field ids, codec)
+    // into the job conf; the OutputWriterFactory is serializable.
+    val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+    val job = Job.getInstance(conf)
+    val fmt = new ParquetFileFormat
+    val owf = fmt.prepareWrite(spark, job,
+      Map("compression" -> spark.sessionState.conf
+        .getConfString("spark.sql.parquet.compression.codec", "snappy")),
+      writeSchema)
+    val confMap = job.getConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val metaJson = graft.core.meta.MetaJson
+    new GraftWriterFactory(
+      table.location,
+      writeSchema.json,
+      metaJson.writeSchema(table.schema).toString,
+      metaJson.writeSpec(table.spec).toString,
+      owf, confMap)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.flatMap(_.asInstanceOf[GraftCommitMessage].files).toSeq
+    mode match {
+      case AppendMode =>
+        table.newAppend().appendFiles(files).commit()
+      case OverwriteMode(filter) =>
+        table.newOverwrite().overwriteByRowFilter(filter).addFiles(files).commit()
+      case DynamicOverwriteMode =>
+        table.newOverwrite()
+          .replacePartitions(files.map(_.partition).toSet)
+          .addFiles(files).commit()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.filter(_ != null).flatMap(_.asInstanceOf[GraftCommitMessage].files)
+      .foreach(f => GraftIO.delete(f.path))
+}
+
+final case class GraftCommitMessage(files: Seq[DataFile]) extends WriterCommitMessage
+
+final class GraftWriterFactory(
+    location: String,
+    writeSchemaJson: String,
+    gSchemaJson: String,
+    specJson: String,
+    owf: OutputWriterFactory,
+    confMap: Map[String, String]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
+      .asInstanceOf[StructType]
+    val gSchema = MetaJson.readSchema(MetaJson.mapper.readTree(gSchemaJson))
+    val spec = MetaJson.readSpec(MetaJson.mapper.readTree(specJson))
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    new GraftFanoutWriter(location, writeSchema, gSchema, spec, owf, conf,
+      partitionId, taskId)
+  }
+}
+
+/** Partitioned fanout writer: routes rows to one open file per partition
+  * tuple, rolls at a row threshold, and extracts per-column stats from
+  * the parquet footer on close (reference FanoutDataWriter +
+  * SparkFileWriterFactory). */
+final class GraftFanoutWriter(
+    location: String,
+    writeSchema: StructType,
+    gSchema: GSchema,
+    spec: PartitionSpec,
+    owf: OutputWriterFactory,
+    conf: Configuration,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val RollRows = 2000000L
+
+  private final class OpenFile(val path: String,
+      val writer: org.apache.spark.sql.execution.datasources.OutputWriter) {
+    var rows: Long = 0L
+  }
+
+  private val open = mutable.Map.empty[Seq[Any], OpenFile]
+  private val closed = Seq.newBuilder[(Seq[Any], String, Long)]
+
+  // partition tuple extraction: source positions + types from the spec
+  private val extractors: Array[InternalRow => Any] = spec.fields.map { pf =>
+    val src = gSchema.byId(pf.sourceId)
+    val pos = writeSchema.fieldIndex(src.name)
+    val dt = writeSchema(pos).dataType
+    (row: InternalRow) => pf.transform.apply(SparkBridge.valueAt(row, pos, dt), src.tpe)
+  }.toArray
+
+  private def partitionPath(values: Seq[Any]): String =
+    if (values.isEmpty) ""
+    else spec.fields.zip(values).map { case (pf, v) =>
+      val s = if (v == null) "null" else v.toString.replaceAll("[^A-Za-z0-9_.-]", "_")
+      s"${pf.name}=$s"
+    }.mkString("/", "/", "")
+
+  private def newFile(values: Seq[Any]): OpenFile = {
+    val dir = s"$location/data${partitionPath(values)}"
+    val path = s"$dir/part-$partitionId-$taskId-${UUID.randomUUID}.parquet"
+    graft.core.meta.GraftIO.toPath(path) // validate
+    java.nio.file.Files.createDirectories(graft.core.meta.GraftIO.toPath(dir))
+    val ctx = new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID("graft", partitionId, TaskType.MAP, taskId.toInt), 0))
+    new OpenFile(path, owf.newInstance(path, writeSchema, ctx))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key: Seq[Any] = extractors.map(_(row)).toSeq
+    val f = open.getOrElseUpdate(key, newFile(key))
+    f.writer.write(row)
+    f.rows += 1
+    if (f.rows >= RollRows) {
+      f.writer.close()
+      closed += ((key, f.path, f.rows))
+      open.remove(key)
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.foreach { case (key, f) =>
+      f.writer.close()
+      closed += ((key, f.path, f.rows))
+    }
+    open.clear()
+    val files = closed.result().map { case (key, path, rows) =>
+      val (size, stats) = FooterStats.read(path, conf, gSchema)
+      DataFile(path, "parquet", spec.specId, key, rows, size, stats)
+    }
+    GraftCommitMessage(files)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(f => try f.writer.close() catch { case _: Throwable => () })
+    open.keys.toSeq.foreach(open.remove)
+    closed.result().foreach { case (_, path, _) => GraftIO.delete(path) }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Extract per-column min/max/null stats from a parquet footer
+  * (reference parquet/.../ParquetUtil footer metrics). */
+object FooterStats {
+  def read(path: String, conf: Configuration,
+      schema: GSchema): (Long, Map[Int, ColStats]) = {
+    val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala
+      val size = GraftIO.size(path)
+      val byField = mutable.Map.empty[Int, ColStats]
+      val byName = schema.fields.map(f => f.name -> f).toMap
+      val colNames = blocks.flatMap(_.getColumns.asScala.map(_.getPath.toDotString)).distinct
+      colNames.foreach { name =>
+        byName.get(name).foreach { field =>
+          val chunks = blocks.flatMap(_.getColumns.asScala
+            .filter(_.getPath.toDotString == name))
+          val statsList = chunks.map(_.getStatistics).filter(_ != null)
+          if (statsList.nonEmpty && statsList.forall(s => !s.isEmpty)) {
+            val nulls = statsList.map(_.getNumNulls).sum
+            val values = blocks.map(_.getRowCount).sum
+            val (lo, hi) = minMax(statsList.toSeq, field.tpe)
+            byField(field.id) = ColStats(
+              valueCount = Some(values),
+              nullCount = if (nulls >= 0) Some(nulls) else None,
+              nanCount = None,
+              lower = lo, upper = hi)
+          }
+        }
+      }
+      (size, byField.toMap)
+    } finally reader.close()
+  }
+
+  private def minMax(statsList: Seq[org.apache.parquet.column.statistics.Statistics[_]],
+      t: GType): (Option[Any], Option[Any]) = {
+    def conv(v: Any): Option[Any] = (t, v) match {
+      case (_, null)                 => None
+      case (GString, b: org.apache.parquet.io.api.Binary) =>
+        Some(b.toStringUsingUTF8)
+      case (GBinary, b: org.apache.parquet.io.api.Binary) => Some(b.getBytes)
+      case (GInt | GDate, i: java.lang.Integer)           => Some(i.intValue)
+      case (GLong | GTimestamp(_), l: java.lang.Long)     => Some(l.longValue)
+      case (GFloat, f: java.lang.Float)                   => Some(f.floatValue)
+      case (GDouble, d: java.lang.Double)                 => Some(d.doubleValue)
+      case _                                              => None // decimals etc: skip v1
+    }
+    val withVals = statsList.filter(_.hasNonNullValue)
+    if (withVals.isEmpty) (None, None)
+    else {
+      val los = withVals.flatMap(s => conv(s.genericGetMin))
+      val his = withVals.flatMap(s => conv(s.genericGetMax))
+      if (los.size != withVals.size || his.size != withVals.size) (None, None)
+      else (
+        los.reduceOption((a, b) => if (TypeComparators.compare(t, a, b) <= 0) a else b),
+        his.reduceOption((a, b) => if (TypeComparators.compare(t, a, b) >= 0) a else b))
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.expr.Expr
+import graft.core.meta.HadoopCatalog
+
+/** End-to-end DSv2 tests: SQL DDL/DML through the graft catalog,
+  * scan pruning, time travel, metadata delete, dynamic overwrite
+  * (mirrors reference spark/sql/TestSelect + TestFilterPushDown shapes). */
+class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("graft-wh").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-it")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def coreTable(name: String) =
+    new HadoopCatalog(warehouse).loadTable(Seq("db"), name).get
+
+  test("create, insert, select through SQL with hidden partitioning") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("""CREATE TABLE graft.db.li (
+      id BIGINT, data STRING, ts TIMESTAMP, qty INT) PARTITIONED BY (days(ts))""")
+
+    spark.sql("""INSERT INTO graft.db.li VALUES
+      (1, 'a', TIMESTAMP '2024-01-01 10:00:00', 5),
+      (2, 'b', TIMESTAMP '2024-01-01 23:00:00', 10),
+      (3, 'c', TIMESTAMP '2024-01-02 01:00:00', 15),
+      (4, 'd', TIMESTAMP '2024-01-03 12:00:00', 20)""")
+
+    val all = spark.sql("SELECT * FROM graft.db.li ORDER BY id").collect()
+    assert(all.length === 4)
+    assert(all.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(all(0).getString(1) === "a")
+    assert(all(2).getInt(3) === 15)
+
+    // filter returning correct rows
+    val filtered = spark.sql(
+      "SELECT id FROM graft.db.li WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(filtered === Seq(3L, 4L))
+
+    // hidden partitioning prunes files: 3 day-partitions were written
+    // (several write tasks may emit multiple files per partition)
+    val t = coreTable("li")
+    assert(t.newScan().planFiles().map(_.file.partition).distinct.size === 3)
+    val pruned = t.newScan()
+      .filter(Expr.gtEq("ts", 19725L * 86400000000L)) // 2024-01-03
+      .planFiles()
+    assert(pruned.size === 1)
+
+    // column stats pruning within a partition
+    val statsPruned = t.newScan().filter(Expr.equalTo("id", 4L)).planFiles()
+    assert(statsPruned.size === 1)
+  }
+
+  test("time travel: version as of and snapshot isolation") {
+    spark.sql("CREATE TABLE graft.db.tt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1, 'one')")
+    val snap1 = coreTable("tt").meta.currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO graft.db.tt VALUES (2, 'two')")
+
+    assert(spark.sql("SELECT * FROM graft.db.tt").count() === 2)
+    assert(spark.sql(s"SELECT * FROM graft.db.tt VERSION AS OF $snap1").count() === 1)
+    val ts1 = coreTable("tt").meta.snapshotById(snap1).get.timestampMs
+    val asOf = new java.sql.Timestamp(ts1).toString
+    assert(spark.sql(s"SELECT * FROM graft.db.tt TIMESTAMP AS OF '$asOf'").count() === 1)
+  }
+
+  test("metadata-only DELETE FROM on partition boundary") {
+    spark.sql("""CREATE TABLE graft.db.del (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft.db.del VALUES
+      (1, TIMESTAMP '2024-02-01 05:00:00'),
+      (2, TIMESTAMP '2024-02-02 05:00:00'),
+      (3, TIMESTAMP '2024-02-03 05:00:00')""")
+    spark.sql("DELETE FROM graft.db.del WHERE ts < TIMESTAMP '2024-02-02 00:00:00'")
+    val rows = spark.sql("SELECT id FROM graft.db.del ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(2L, 3L))
+    assert(coreTable("del").meta.currentSnapshot.get.operation === "overwrite")
+  }
+
+  test("insert overwrite: truncate and dynamic partition modes") {
+    spark.sql("""CREATE TABLE graft.db.ow (id BIGINT, part STRING)
+      PARTITIONED BY (part)""")
+    spark.sql("INSERT INTO graft.db.ow VALUES (1, 'p1'), (2, 'p2')")
+    // dynamic overwrite replaces only partition p1
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.sql("INSERT OVERWRITE graft.db.ow VALUES (10, 'p1')")
+    val rows = spark.sql("SELECT id, part FROM graft.db.ow ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((2L, "p2"), (10L, "p1")))
+    // static overwrite (truncate-all)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.sql("INSERT OVERWRITE graft.db.ow VALUES (100, 'p3')")
+    assert(spark.sql("SELECT * FROM graft.db.ow").count() === 1)
+  }
+
+  test("schema evolution: add column reads old files as null") {
+    spark.sql("CREATE TABLE graft.db.evo (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.evo VALUES (1)")
+    spark.sql("ALTER TABLE graft.db.evo ADD COLUMN extra STRING")
+    spark.sql("INSERT INTO graft.db.evo VALUES (2, 'x')")
+    val rows = spark.sql("SELECT id, extra FROM graft.db.evo ORDER BY id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getString(1) === "x")
+  }
+
+  test("pushdown plumbing: pushed predicates prune, spark re-filters") {
+    spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
+    spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
+      .writeTo("graft.db.pd").append()
+    assert(spark.sql("SELECT count(*) FROM graft.db.pd WHERE id < 100").collect()(0).getLong(0) === 100)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pd WHERE s = 'v42'").collect()(0).getLong(0) === 1)
+    // stats-based file pruning visible at the planner level
+    val plan = spark.sql("SELECT * FROM graft.db.pd WHERE id < 100").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BatchScan") || plan.contains("graft"))
+  }
+}
