@@ -1,0 +1,64 @@
+package graft.spark
+
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.meta.GTable
+import graft.core.types.SparkTypes
+
+/** Copy-on-write row-level operations (reference
+  * SparkCopyOnWriteOperation.java / SparkCopyOnWriteScan.java).
+  *
+  * Spark 4's analyzer rewrites DELETE/UPDATE/MERGE against a
+  * SupportsRowLevelOperations table into a group-based ReplaceData plan:
+  * it scans the affected file groups through this operation's
+  * ScanBuilder (narrowed further by runtime group filtering), recomputes
+  * the surviving rows, and writes them through this operation's
+  * WriteBuilder. The commit atomically swaps exactly the files the scan
+  * planned for the rewritten output. Metadata-only deletes still
+  * short-circuit via SupportsDeleteV2 (OptimizeMetadataOnlyDeleteFromTable).
+  */
+final class GraftRowLevelOperationBuilder(table: GTable,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation = new GraftCoWOperation(table, info.command())
+}
+
+final class GraftCoWOperation(table: GTable,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  // the scan instance is shared with the write: the files it planned
+  // (after pushdown + runtime group filtering) are the replace set
+  @volatile private var configuredScan: GraftSparkTable.GraftScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  // requesting _file makes Spark build data/metadata projections, so the
+  // writer receives clean table-schema rows (and _file identifies groups)
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftSparkTable.MetaFileCol))
+
+  // ignoreResiduals: the rewrite must see EVERY row of the planned files;
+  // pushed filters prune files only, never rows
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSparkTable.GraftScanBuilder(table, None, None, None,
+      onBuild = s => configuredScan = s, ignoreResiduals = true)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        val writeSchema = SparkTypes.toSparkSchema(table.schema)
+        require(info.schema().length == writeSchema.length,
+          s"CoW write schema mismatch: got ${info.schema()} expected $writeSchema")
+        new GraftWrite(table, writeSchema, CopyOnWriteMode(() => {
+          val scan = configuredScan
+          require(scan != null, "copy-on-write scan was never configured")
+          scan.plannedFilePaths()
+        }))
+      }
+    }
+
+  override def description(): String = s"graft-cow($cmd)"
+}

@@ -30,11 +30,27 @@ import graft.core.types._
   */
 class GraftSparkTable(val table: GTable, fullName: String,
     snapshotId: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+  extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   import GraftSparkTable._
 
   override def name(): String = fullName
+
+  // reserved metadata columns (reference core/.../MetadataColumns.java:34-78)
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = MetaFileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+    },
+    new MetadataColumn {
+      override def name(): String = MetaPosCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+    })
 
   override def schema(): StructType = SparkTypes.toSparkSchema(table.schema)
 
@@ -61,6 +77,11 @@ class GraftSparkTable(val table: GTable, fullName: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table, info)
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(table, info)
 
   // metadata-only DELETE FROM (strict-match whole files); Spark falls back
   // to an error if rows partially match — row-level CoW comes via the
@@ -89,6 +110,10 @@ class GraftSparkTable(val table: GTable, fullName: String,
 
 object GraftSparkTable {
 
+  val MetaFileCol = "_file"
+  val MetaPosCol = "_pos"
+  private val MetaColNames = Set(MetaFileCol, MetaPosCol)
+
   /** Serializable slice of a FileScanTask shipped to executors. */
   final case class TaskDesc(path: String, start: Long, length: Long,
       deletePaths: Array[String])
@@ -96,7 +121,9 @@ object GraftSparkTable {
   final case class GraftInputPartition(tasks: Array[TaskDesc]) extends InputPartition
 
   final class GraftScanBuilder(table: GTable, snapshotId: Option[Long],
-      branch: Option[String], asOfTs: Option[Long])
+      branch: Option[String], asOfTs: Option[Long],
+      onBuild: GraftScan => Unit = _ => (),
+      ignoreResiduals: Boolean = false)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -117,21 +144,27 @@ object GraftSparkTable {
     override def pushedPredicates(): Array[VPred] = pushed
 
     override def pruneColumns(requiredSchema: StructType): Unit = {
-      // keep table field metadata (ids) on the pruned columns
+      // keep table field metadata (ids) on the pruned columns; metadata
+      // columns (_file/_pos) go last so readers can append them
       val full = SparkTypes.toSparkSchema(table.schema)
-      required = StructType(requiredSchema.fields.map(f =>
-        full.fields.find(_.name == f.name).getOrElse(f)))
+      val (meta, data) = requiredSchema.fields.partition(f => MetaColNames(f.name))
+      required = StructType(data.map(f =>
+        full.fields.find(_.name == f.name).getOrElse(f)) ++ meta)
     }
 
     override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-    override def build(): Scan =
-      new GraftScan(table, expr, required, limit, snapshotId, branch, asOfTs)
+    override def build(): Scan = {
+      val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
+        asOfTs, ignoreResiduals)
+      onBuild(scan)
+      scan
+    }
   }
 
   final class GraftScan(table: GTable, expr: Expr, required: StructType,
       limit: Option[Int], snapshotId: Option[Long], branch: Option[String],
-      asOfTs: Option[Long])
+      asOfTs: Option[Long], ignoreResiduals: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -162,6 +195,10 @@ object GraftSparkTable {
     }
 
     override def readSchema(): StructType = required
+
+    /** files this scan planned (post pushdown + runtime filtering);
+      * the copy-on-write replace set */
+    def plannedFilePaths(): Seq[String] = tasks().map(_.file.path)
 
     override def toBatch: Batch = this
 
@@ -226,28 +263,36 @@ object GraftSparkTable {
     override def createReaderFactory(): PartitionReaderFactory = {
       val spark = SparkSession.active
       val fullSchema = SparkTypes.toSparkSchema(table.schema)
-      val v1Filters = exprToV1(Expr.and(expr, runtimeExpr))
+      // row-level-op scans must return every row of the planned files:
+      // suppress residual filters below the scan (reference ignoreResiduals)
+      val v1Filters =
+        if (ignoreResiduals) Nil else exprToV1(Expr.and(expr, runtimeExpr))
+      // metadata columns are appended reader-side, not read from parquet
+      val metaCols = required.fields.map(_.name).filter(MetaColNames)
+      val dataRequired = StructType(required.fields.filterNot(f => MetaColNames(f.name)))
       val fmt = new ParquetFileFormat
       val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
       // our files always carry parquet field ids: resolve columns by id so
       // renames/evolution never mis-bind
       conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
       val vectorized = spark.sessionState.conf.parquetVectorizedReaderEnabled &&
+        metaCols.isEmpty &&
         fullSchema.forall(f => GraftReaderFactory.batchSupported(f.dataType))
       // each build mutates + broadcasts its conf: every reader needs its own
       def freshConf = new org.apache.hadoop.conf.Configuration(conf)
       val batchFunc =
         if (vectorized)
           fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
-            required, v1Filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
+            dataRequired, v1Filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
         else null
       val rowFunc = fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
-        required, v1Filters,
+        dataRequired, v1Filters,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshConf)
-      // delete-bearing tasks: full-file row read, positions = row index
+      // delete-bearing / position-tracking tasks: full-file row read so the
+      // emitted row index equals the file position
       val rowFuncNoFilter = fmt.buildReaderWithPartitionValues(spark, fullSchema,
-        new StructType(), required, Nil,
+        new StructType(), dataRequired, Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshConf)
       val deleteSchema = StructType(Seq(
@@ -257,7 +302,8 @@ object GraftSparkTable {
         new StructType(), deleteSchema, Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshConf)
-      new GraftReaderFactory(batchFunc, rowFunc, rowFuncNoFilter, deleteFunc, vectorized)
+      new GraftReaderFactory(batchFunc, rowFunc, rowFuncNoFilter, deleteFunc,
+        vectorized, metaCols)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -303,13 +349,15 @@ object GraftSparkTable {
   }
 
   /** Executor-side readers. Columnar fast path for delete-free partitions;
-    * row path applies position-delete masks by file row index. */
+    * row path applies position-delete masks by file row index and appends
+    * requested metadata columns (_file, _pos). */
   final class GraftReaderFactory(
       batchFunc: PartitionedFile => Iterator[InternalRow],
       rowFunc: PartitionedFile => Iterator[InternalRow],
       rowFuncNoFilter: PartitionedFile => Iterator[InternalRow],
       deleteFunc: PartitionedFile => Iterator[InternalRow],
-      vectorized: Boolean) extends PartitionReaderFactory {
+      vectorized: Boolean,
+      metaCols: Array[String]) extends PartitionReaderFactory {
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
       PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
@@ -333,8 +381,27 @@ object GraftSparkTable {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val tasks = partition.asInstanceOf[GraftInputPartition].tasks
+      val needPos = metaCols.contains(MetaPosCol)
       val it: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
-        if (t.deletePaths.isEmpty) rowFunc(pf(t.path, t.start, t.length))
+        // one reusable metadata suffix row per task ( _file is constant )
+        val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(metaCols.length)
+        metaCols.zipWithIndex.foreach {
+          case (MetaFileCol, i) =>
+            metaRow.update(i, org.apache.spark.unsafe.types.UTF8String.fromString(t.path))
+          case _ => ()
+        }
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        def withMeta(row: InternalRow, pos: Long): InternalRow =
+          if (metaCols.isEmpty) row
+          else {
+            metaCols.zipWithIndex.foreach {
+              case (MetaPosCol, i) => metaRow.setLong(i, pos)
+              case _               => ()
+            }
+            joined(row, metaRow)
+          }
+        if (t.deletePaths.isEmpty && !needPos)
+          rowFunc(pf(t.path, t.start, t.length)).map(withMeta(_, -1L))
         else {
           // positions deleted for THIS data file across its delete files
           val deleted = new java.util.HashSet[Long]()
@@ -345,7 +412,7 @@ object GraftSparkTable {
           }
           // full-file read so row index == file position
           rowFuncNoFilter(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
-            case (row, idx) if !deleted.contains(idx.toLong) => row
+            case (row, idx) if !deleted.contains(idx.toLong) => withMeta(row, idx.toLong)
           }
         }
       }

@@ -61,6 +61,8 @@ sealed trait WriteMode extends Serializable
 case object AppendMode extends WriteMode
 final case class OverwriteMode(filter: Expr) extends WriteMode
 case object DynamicOverwriteMode extends WriteMode
+/** copy-on-write rewrite: atomically replace the scanned files */
+final case class CopyOnWriteMode(replacedPaths: () => Seq[String]) extends WriteMode
 
 final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode)
   extends Write {
@@ -105,6 +107,10 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
         table.newOverwrite()
           .replacePartitions(files.map(_.partition).toSet)
           .addFiles(files).commit()
+      case CopyOnWriteMode(replaced) =>
+        val paths = replaced()
+        if (paths.nonEmpty || files.nonEmpty)
+          table.newOverwrite().deleteFiles(paths).addFiles(files).commit()
     }
   }
 

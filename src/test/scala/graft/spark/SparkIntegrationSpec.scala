@@ -127,6 +127,57 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getString(1) === "x")
   }
 
+  test("copy-on-write DELETE mid-partition") {
+    spark.sql("""CREATE TABLE graft.db.cow (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft.db.cow VALUES
+      (1, TIMESTAMP '2024-03-01 05:00:00'),
+      (2, TIMESTAMP '2024-03-01 15:00:00'),
+      (3, TIMESTAMP '2024-03-02 05:00:00')""")
+    // mid-partition: not provable metadata-only → CoW rewrite
+    spark.sql("DELETE FROM graft.db.cow WHERE ts > TIMESTAMP '2024-03-01 10:00:00' " +
+      "AND ts < TIMESTAMP '2024-03-02 00:00:00'")
+    val rows = spark.sql("SELECT id FROM graft.db.cow ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(1L, 3L))
+  }
+
+  test("copy-on-write UPDATE") {
+    spark.sql("CREATE TABLE graft.db.upd (id BIGINT, qty INT)")
+    spark.sql("INSERT INTO graft.db.upd VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("UPDATE graft.db.upd SET qty = qty + 100 WHERE id >= 2")
+    val rows = spark.sql("SELECT id, qty FROM graft.db.upd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows === Seq((1L, 10), (2L, 120), (3L, 130)))
+  }
+
+  test("copy-on-write MERGE INTO") {
+    spark.sql("CREATE TABLE graft.db.mrg (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.mrg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.range(2, 5).selectExpr("id", "concat('new', id) AS v")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO graft.db.mrg t USING mrg_src s ON t.id = s.id
+      WHEN MATCHED AND s.id = 3 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val rows = spark.sql("SELECT id, v FROM graft.db.mrg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "new2"), (4L, "new4")))
+  }
+
+  test("metadata columns _file and _pos") {
+    spark.sql("CREATE TABLE graft.db.mc (id BIGINT, v STRING)")
+    // single task → one file, so positions are 0..2 within it
+    spark.range(1, 4, 1, 1).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.mc").append()
+    val rows = spark.sql("SELECT id, _file, _pos FROM graft.db.mc ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1) === Seq(1L, 2L, 3L))
+    assert(rows.forall(_._2.endsWith(".parquet")))
+    assert(rows.map(_._2).distinct.size === 1)
+    assert(rows.map(_._3) === Seq(0L, 1L, 2L))
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
