@@ -19,7 +19,8 @@ import graft.core.types._
   *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
   * (reference spark/.../SparkCatalog.java:127).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private var catalog: HadoopCatalog = _
@@ -132,6 +133,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename not supported yet")
+
+  // ------------------------------------------------------------ functions
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")) ||
+        namespaceExists(namespace))
+      GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftFunctions.load(ident.name).isDefined
 
   // ----------------------------------------------------------- namespaces
   override def listNamespaces(): Array[Array[String]] =

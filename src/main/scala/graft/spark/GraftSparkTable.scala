@@ -125,12 +125,98 @@ object GraftSparkTable {
       onBuild: GraftScan => Unit = _ => (),
       ignoreResiduals: Boolean = false)
     extends ScanBuilder with SupportsPushDownV2Filters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
     private var pushed: Array[VPred] = Array.empty
     private var expr: Expr = TrueE
     private var required: StructType = SparkTypes.toSparkSchema(table.schema)
     private var limit: Option[Int] = None
+    private var aggResult: Option[(StructType, InternalRow)] = None
+
+    // ---------------------------------------------------------------------
+    // Aggregate pushdown: COUNT(*)/COUNT(c)/MIN(c)/MAX(c) answered entirely
+    // from manifest stats — zero data files read (reference
+    // SparkScanBuilder.java:207-270 pushAggregation + AggregateEvaluator).
+    // Bails on: pushed filters (residuals unknown), group-by, row-level
+    // deletes, missing per-file stats, and types whose parquet min/max are
+    // unsafe (float/double NaN ordering, truncated string/binary stats).
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      evalAggregation(agg).isDefined
+
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+      aggResult = evalAggregation(agg)
+      aggResult.isDefined
+    }
+
+    private def evalAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Option[(StructType, InternalRow)] = {
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      import org.apache.spark.sql.types.{LongType, StructField}
+      if (expr != TrueE || agg.groupByExpressions().nonEmpty) return None
+      val tasks =
+        try {
+          val s = table.newScan()
+          snapshotId.foreach(s.useSnapshot)
+          branch.foreach(s.useRef)
+          asOfTs.foreach(s.asOfTime)
+          s.planFiles()
+        } catch { case _: Throwable => return None }
+      if (tasks.exists(_.deletes.nonEmpty)) return None
+
+      def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[GField] =
+        e match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames.length == 1 =>
+            table.schema.findField(nr.fieldNames()(0))
+          case _ => None
+        }
+      def minMaxSafe(t: GType): Boolean = t match {
+        case GInt | GLong | GDate | GTimestamp(_) => true
+        case _                                    => false // float/double NaN, truncated string/binary
+      }
+
+      val values = agg.aggregateExpressions().map {
+        case _: CountStar =>
+          Some(("count(*)", LongType: org.apache.spark.sql.types.DataType,
+            tasks.map(_.file.recordCount).sum: Any))
+        case c: Count if !c.isDistinct =>
+          fieldOf(c.column).flatMap { f =>
+            val counts = tasks.map { t =>
+              val st = t.file.fileStats.col(f.id)
+              for (v <- st.valueCount; n <- st.nullCount) yield v - n
+            }
+            if (counts.exists(_.isEmpty)) None
+            else Some((s"count(${f.name})", LongType: org.apache.spark.sql.types.DataType,
+              counts.flatten.sum: Any))
+          }
+        case m: Min =>
+          fieldOf(m.column).filter(f => minMaxSafe(f.tpe)).flatMap { f =>
+            val lowers = tasks.map(_.file.fileStats.col(f.id).lower)
+            if (tasks.isEmpty || lowers.exists(_.isEmpty)) None
+            else Some((s"min(${f.name})", SparkTypes.toSpark(f.tpe),
+              lowers.flatten.reduce((a, b) =>
+                if (TypeComparators.compare(f.tpe, a, b) <= 0) a else b): Any))
+          }
+        case m: Max =>
+          fieldOf(m.column).filter(f => minMaxSafe(f.tpe)).flatMap { f =>
+            val uppers = tasks.map(_.file.fileStats.col(f.id).upper)
+            if (tasks.isEmpty || uppers.exists(_.isEmpty)) None
+            else Some((s"max(${f.name})", SparkTypes.toSpark(f.tpe),
+              uppers.flatten.reduce((a, b) =>
+                if (TypeComparators.compare(f.tpe, a, b) >= 0) a else b): Any))
+          }
+        case _ => None
+      }
+      if (values.exists(_.isEmpty)) return None
+      val cols = values.flatten
+      val schema = StructType(cols.map { case (n, dt, _) => StructField(n, dt) })
+      val row = InternalRow.fromSeq(cols.map(_._3).toIndexedSeq)
+      Some((schema, row))
+    }
 
     override def pushPredicates(predicates: Array[VPred]): Array[VPred] = {
       val converted = predicates.flatMap(p => SparkBridge.toExpr(p).map(e => (p, e)))
@@ -154,12 +240,23 @@ object GraftSparkTable {
 
     override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-    override def build(): Scan = {
-      val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
-        asOfTs, ignoreResiduals)
-      onBuild(scan)
-      scan
+    override def build(): Scan = aggResult match {
+      case Some((schema, row)) => new GraftLocalScan(schema, Array(row))
+      case None =>
+        val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
+          asOfTs, ignoreResiduals)
+        onBuild(scan)
+        scan
     }
+  }
+
+  /** Metadata-only answer for a fully pushed aggregate: one local row, no
+    * executor tasks at all (reference SparkLocalScan.java). */
+  final class GraftLocalScan(schema: StructType, data: Array[InternalRow])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = data
+    override def description(): String = "graft-local-agg"
   }
 
   final class GraftScan(table: GTable, expr: Expr, required: StructType,

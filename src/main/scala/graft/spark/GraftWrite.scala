@@ -65,7 +65,45 @@ case object DynamicOverwriteMode extends WriteMode
 final case class CopyOnWriteMode(replacedPaths: () => Seq[String]) extends WriteMode
 
 final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode)
-  extends Write {
+  extends Write with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions => VE, SortDirection, SortOrder}
+
+  // Cluster incoming rows by the partition transforms so each task writes
+  // few files per partition instead of every task fanning out to every
+  // partition — at 1000 executors an unclustered write to a daily-
+  // partitioned table produces executors×days small files (reference
+  // SparkWriteRequirements/SparkWriteUtil; modes none/hash/range via
+  // table property write.distribution-mode, default hash for partitioned).
+  private def partitionExprs =
+    table.spec.fields.filterNot(_.transform == graft.core.transform.VoidT)
+      .map(pf => SparkBridge.toSparkTransform(pf, table.schema))
+
+  private def sortOrders: Array[SortOrder] =
+    partitionExprs.map(t => VE.sort(t, SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution = {
+    val exprs = partitionExprs
+    val dm = table.meta.properties.getOrElse("write.distribution-mode",
+      if (exprs.isEmpty) "none" else "hash")
+    dm match {
+      case "hash" if exprs.nonEmpty  => Distributions.clustered(exprs.toArray)
+      case "range" if exprs.nonEmpty => Distributions.ordered(sortOrders)
+      case _                         => Distributions.unspecified()
+    }
+  }
+
+  // local sort by partition → the fanout writer degenerates to one open
+  // file at a time (clustered-writer memory profile)
+  override def requiredOrdering(): Array[SortOrder] = sortOrders
+
+  override def requiredNumPartitions(): Int = 0 // let AQE choose
+
+  override def advisoryPartitionSizeInBytes(): Long =
+    table.meta.properties.get("write.advisory-partition-size-bytes")
+      .map(_.toLong).getOrElse(0L)
+
   override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode)
   override def description(): String = s"graft-write(${table.location}, $mode)"
 }

@@ -178,6 +178,51 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._3) === Seq(0L, 1L, 2L))
   }
 
+  test("aggregate pushdown: count/min/max from metadata only") {
+    spark.sql("CREATE TABLE graft.db.agg (id BIGINT, qty INT, name STRING)")
+    spark.range(0, 500).selectExpr("id", "cast(id % 7 as int) AS qty", "concat('n', id) AS name")
+      .writeTo("graft.db.agg").append()
+    val df = spark.sql("SELECT count(*) AS c, count(qty) AS cq, min(id) AS mn, max(id) AS mx FROM graft.db.agg")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected metadata-only answer, got:\n$plan")
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((500L, 500L, 0L, 499L)))
+    // with a filter the pushdown must bail and read data
+    val f = spark.sql("SELECT count(*) FROM graft.db.agg WHERE id < 10")
+    assert(f.collect()(0).getLong(0) === 10L)
+    // min/max on strings must bail (truncated parquet stats) yet stay correct
+    val s = spark.sql("SELECT max(name) AS m FROM graft.db.agg")
+    assert(s.collect()(0).getString(0) === "n99")
+  }
+
+  test("function catalog: bucket/truncate/days with spec test vectors") {
+    // spec Appendix B vectors: murmur3(int 34)=2017239379, bucket semantics
+    val b = spark.sql("SELECT graft.system.bucket(16, 34) AS b").collect()(0).getInt(0)
+    assert(b === (2017239379 & Integer.MAX_VALUE) % 16)
+    // long 34 hashes identically to int 34 (canonical widening)
+    val bl = spark.sql("SELECT graft.system.bucket(16, CAST(34 AS BIGINT)) AS b").collect()(0).getInt(0)
+    assert(bl === b)
+    assert(spark.sql("SELECT graft.system.truncate(3, 'iceberg') AS t").collect()(0).getString(0) === "ice")
+    assert(spark.sql("SELECT graft.system.truncate(10, -1) AS t").collect()(0).getInt(0) === -10)
+    assert(spark.sql("SELECT graft.system.days(TIMESTAMP '1970-01-02 12:00:00') AS d")
+      .collect()(0).getDate(0).toString === "1970-01-02")
+    assert(spark.sql("SELECT graft.system.months(DATE '1970-03-15') AS m").collect()(0).getInt(0) === 2)
+    assert(spark.sql("SELECT graft.system.graft_version() AS v").collect()(0).getString(0).startsWith("graft"))
+  }
+
+  test("partitioned write clusters by partition transform") {
+    spark.sql("""CREATE TABLE graft.db.dist (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    // 4 input partitions × 3 days; hash distribution must coalesce to ≤ 1
+    // file per day (not 4 tasks × 3 days = 12 files)
+    spark.range(0, 300, 1, 4)
+      .selectExpr("id", "timestampadd(HOUR, CAST(id % 72 AS INT), TIMESTAMP '2024-05-01 00:00:00') AS ts")
+      .writeTo("graft.db.dist").append()
+    val files = spark.sql("SELECT DISTINCT _file FROM graft.db.dist").count()
+    assert(files === 3L, s"expected 3 files (one per day), got $files")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dist").collect()(0).getLong(0) === 300L)
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
