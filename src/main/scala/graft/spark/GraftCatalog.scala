@@ -20,7 +20,7 @@ import graft.core.types._
   * (reference spark/.../SparkCatalog.java:127).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog {
+  with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var catalog: HadoopCatalog = _
@@ -40,8 +40,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table =
     catalog.loadTable(ident.namespace.toSeq, ident.name)
-      .map(t => new GraftSparkTable(t, fullName(ident)))
+      .map(t => new GraftSparkTable(t, fullName(ident)): Table)
+      .orElse(loadMetadataTable(ident))
       .getOrElse(throw new NoSuchTableException(ident))
+
+  /** `cat.db.tbl.snapshots` etc: ident = (namespace=[db, tbl], name=kind) */
+  private def loadMetadataTable(ident: Identifier): Option[Table] =
+    if (ident.namespace.isEmpty ||
+        !GraftMetadataTables.types.contains(ident.name.toLowerCase)) None
+    else catalog.loadTable(ident.namespace.init.toSeq, ident.namespace.last)
+      .map(t => new GraftMetadataTable(t, fullName(ident), ident.name.toLowerCase))
 
   /** VERSION AS OF: snapshot id, or a branch/tag name. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -133,6 +141,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename not supported yet")
+
+  // ----------------------------------------------------------- procedures
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident.name, catalog).getOrElse(
+      throw new RuntimeException(s"no such procedure: ${ident.name}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
 
   // ------------------------------------------------------------ functions
   override def listFunctions(namespace: Array[String]): Array[Identifier] =

@@ -1,0 +1,170 @@
+package graft.spark
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.meta._
+
+/** Metadata tables: `SELECT * FROM cat.db.tbl.snapshots` etc. (reference
+  * core/.../MetadataTableType.java:23-39 + {Snapshots,History,…}Table.java).
+  *
+  * Each is a tiny read-only DSv2 table computed from the metadata tree on
+  * the driver and served as a LocalScan: snapshot/ref/history rows are
+  * O(snapshots), and files/entries/partitions rows are O(manifest
+  * entries) — metadata scale, not data scale, so driver-side
+  * materialization matches the reference's planning cost. */
+object GraftMetadataTables {
+
+  val types: Set[String] = Set(
+    "snapshots", "history", "refs", "manifests", "files", "entries",
+    "partitions", "metadata_log_entries")
+
+  private def s(v: String): UTF8String = UTF8String.fromString(v)
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "snapshots" => StructType(Seq(
+      StructField("committed_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("parent_id", LongType),
+      StructField("operation", StringType),
+      StructField("manifest_list", StringType),
+      StructField("sequence_number", LongType),
+      StructField("summary", MapType(StringType, StringType))))
+    case "history" => StructType(Seq(
+      StructField("made_current_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("parent_id", LongType),
+      StructField("is_current_ancestor", BooleanType)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("snapshot_id", LongType),
+      StructField("min_snapshots_to_keep", IntegerType),
+      StructField("max_snapshot_age_in_ms", LongType)))
+    case "manifests" => StructType(Seq(
+      StructField("content", IntegerType),
+      StructField("path", StringType),
+      StructField("length", LongType),
+      StructField("partition_spec_id", IntegerType),
+      StructField("added_snapshot_id", LongType),
+      StructField("added_data_files_count", IntegerType),
+      StructField("existing_data_files_count", IntegerType),
+      StructField("deleted_data_files_count", IntegerType)))
+    case "files" => StructType(Seq(
+      StructField("content", IntegerType),
+      StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("spec_id", IntegerType),
+      StructField("partition", StringType),
+      StructField("record_count", LongType),
+      StructField("file_size_in_bytes", LongType)))
+    case "entries" => StructType(Seq(
+      StructField("status", IntegerType),
+      StructField("snapshot_id", LongType),
+      StructField("sequence_number", LongType),
+      StructField("file_path", StringType),
+      StructField("record_count", LongType)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType),
+      StructField("spec_id", IntegerType),
+      StructField("record_count", LongType),
+      StructField("file_count", IntegerType),
+      StructField("total_size_in_bytes", LongType)))
+    case "metadata_log_entries" => StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("snapshot_id", LongType)))
+    case other => throw new IllegalArgumentException(s"unknown metadata table: $other")
+  }
+
+  def rowsOf(kind: String, table: GTable): Array[InternalRow] = {
+    val m = table.meta
+    def currentManifests: Seq[ManifestFile] =
+      m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+    def liveEntries: Seq[(ManifestFile, ManifestEntry)] =
+      currentManifests.flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map((mf, _)))
+    def partString(specId: Int, tuple: Seq[Any]): UTF8String = {
+      val spec = m.specById(specId)
+      s(spec.fields.zip(tuple).map { case (pf, v) => s"${pf.name}=$v" }.mkString("{", ", ", "}"))
+    }
+
+    kind match {
+      case "snapshots" => m.snapshots.map { sn =>
+        new GenericInternalRow(Array[Any](
+          sn.timestampMs * 1000L, sn.snapshotId, sn.parentId.map(Long.box).orNull,
+          s(sn.operation), s(sn.manifestListPath), sn.sequenceNumber,
+          ArrayBasedMapData(sn.summary.keys.map(s).toArray,
+            sn.summary.values.map(s).toArray))): InternalRow
+      }.toArray
+      case "history" =>
+        val ancestors = {
+          var ids = Set.empty[Long]
+          var cur = m.currentSnapshot
+          while (cur.isDefined) { ids += cur.get.snapshotId; cur = cur.get.parentId.flatMap(m.snapshotById) }
+          ids
+        }
+        m.snapshotLog.map { case (ts, id) =>
+          new GenericInternalRow(Array[Any](
+            ts * 1000L, id, m.snapshotById(id).flatMap(_.parentId).map(Long.box).orNull,
+            ancestors.contains(id))): InternalRow
+        }.toArray
+      case "refs" => m.refs.map { case (name, r) =>
+        new GenericInternalRow(Array[Any](
+          s(name), s(r.refType), r.snapshotId,
+          r.minSnapshotsToKeep.map(Int.box).orNull,
+          r.maxSnapshotAgeMs.map(Long.box).orNull)): InternalRow
+      }.toArray
+      case "manifests" => currentManifests.map { mf =>
+        new GenericInternalRow(Array[Any](
+          mf.content, s(mf.path), mf.length, mf.specId, mf.addedSnapshotId,
+          mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount)): InternalRow
+      }.toArray
+      case "files" => liveEntries.map { case (_, e) =>
+        new GenericInternalRow(Array[Any](
+          e.file.content, s(e.file.path), s(e.file.format), e.file.specId,
+          partString(e.file.specId, e.file.partition),
+          e.file.recordCount, e.file.fileSizeBytes)): InternalRow
+      }.toArray
+      case "entries" => liveEntries.map { case (_, e) =>
+        new GenericInternalRow(Array[Any](
+          e.status, e.snapshotId, e.dataSequenceNumber, s(e.file.path),
+          e.file.recordCount)): InternalRow
+      }.toArray
+      case "partitions" =>
+        liveEntries.filter(_._2.file.content == FileContent.Data)
+          .groupBy(e => (e._2.file.specId, e._2.file.partition))
+          .map { case ((specId, tuple), es) =>
+            new GenericInternalRow(Array[Any](
+              partString(specId, tuple), specId,
+              es.map(_._2.file.recordCount).sum, es.size,
+              es.map(_._2.file.fileSizeBytes).sum)): InternalRow
+          }.toArray
+      case "metadata_log_entries" => m.snapshotLog.map { case (ts, id) =>
+        new GenericInternalRow(Array[Any](ts * 1000L, id)): InternalRow
+      }.toArray
+      case other => throw new IllegalArgumentException(s"unknown metadata table: $other")
+    }
+  }
+}
+
+final class GraftMetadataTable(table: GTable, fullName: String, kind: String)
+  extends Table with SupportsRead {
+
+  override def name(): String = fullName
+  override def schema(): StructType = GraftMetadataTables.schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftSparkTable.GraftLocalScan(
+        GraftMetadataTables.schemaOf(kind), GraftMetadataTables.rowsOf(kind, table))
+    }
+}

@@ -1,0 +1,387 @@
+package graft.spark
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.meta._
+
+/** Stored procedures: `CALL graft.system.<name>(...)` (reference
+  * spark/.../procedures/SparkProcedures.java, 23 procedures; Spark 4 has
+  * native ProcedureCatalog + CALL so no parser extension is needed).
+  *
+  * Snapshot management is metadata-only CAS commits. Maintenance
+  * (expire/orphans) computes reachability over the metadata tree on the
+  * driver — O(metadata), matching the reference's default; its
+  * Spark-job variants only matter past ~256 MB of metadata.
+  * rewrite_data_files runs real Spark jobs per file group and commits one
+  * atomic replace.
+  */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq(
+    "rollback_to_snapshot", "rollback_to_timestamp", "set_current_snapshot",
+    "cherrypick_snapshot", "fast_forward",
+    "create_branch", "create_tag", "drop_ref",
+    "expire_snapshots", "remove_orphan_files",
+    "rewrite_data_files", "rewrite_manifests", "compute_table_stats")
+
+  def load(name: String, catalog: HadoopCatalog): Option[UnboundProcedure] =
+    if (names.contains(name.toLowerCase)) Some(new GraftProcedure(name.toLowerCase, catalog))
+    else None
+
+  // ---------------------------------------------------------- helpers
+  private[spark] def s(v: String): UTF8String = UTF8String.fromString(v)
+
+  private[spark] def row(vs: Any*): InternalRow = new GenericInternalRow(vs.toArray)
+
+  private[spark] def out(schema: StructType, rows: InternalRow*): util.Iterator[Scan] =
+    util.List.of[Scan](new GraftSparkTable.GraftLocalScan(schema, rows.toArray)).iterator()
+
+  private[spark] val idResult = StructType(Seq(
+    StructField("previous_snapshot_id", LongType),
+    StructField("current_snapshot_id", LongType)))
+
+  private[spark] def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private[spark] def param(name: String, dt: DataType, dflt: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  /** All files reachable from the metadata of `t` (all snapshots). */
+  private[spark] def reachableFiles(t: GTable): Set[String] = {
+    val m = t.meta
+    val out = mutable.Set.empty[String]
+    m.snapshots.foreach { sn =>
+      out += sn.manifestListPath
+      val manifests = try ManifestIO.readList(sn.manifestListPath) catch { case _: Throwable => Nil }
+      manifests.foreach { mf =>
+        out += mf.path
+        try ManifestIO.readEntries(mf).foreach(e => out += e.file.path)
+        catch { case _: Throwable => () }
+      }
+    }
+    out.toSet
+  }
+
+  private[spark] def walkFiles(dir: String): Seq[String] = {
+    val p = GraftIO.toPath(dir)
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.walk(p).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSeq
+  }
+}
+
+final class GraftProcedure(pname: String, catalog: HadoopCatalog)
+  extends UnboundProcedure with BoundProcedure {
+
+  import GraftProcedures._
+
+  override def name(): String = pname
+  override def description(): String = s"graft procedure $pname"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = pname match {
+    case "rollback_to_snapshot" | "set_current_snapshot" | "cherrypick_snapshot" =>
+      Array(param("table", StringType), param("snapshot_id", LongType))
+    case "rollback_to_timestamp" =>
+      Array(param("table", StringType), param("timestamp", TimestampType))
+    case "fast_forward" =>
+      Array(param("table", StringType), param("branch", StringType),
+        param("to", StringType))
+    case "create_branch" | "create_tag" | "drop_ref" =>
+      Array(param("table", StringType), param("name", StringType),
+        param("snapshot_id", LongType, "-1"))
+    case "expire_snapshots" =>
+      Array(param("table", StringType),
+        param("older_than_ms", LongType, s"${Long.MaxValue}"),
+        param("retain_last", IntegerType, "1"))
+    case "remove_orphan_files" =>
+      Array(param("table", StringType), param("dry_run", BooleanType, "false"))
+    case "rewrite_data_files" =>
+      Array(param("table", StringType), param("strategy", StringType, "'binpack'"),
+        param("sort_order", StringType, "''"),
+        param("target_file_size_bytes", LongType, s"${512L * 1024 * 1024}"),
+        param("min_input_files", IntegerType, "2"))
+    case "rewrite_manifests" =>
+      Array(param("table", StringType))
+    case "compute_table_stats" =>
+      Array(param("table", StringType))
+    case other => throw new IllegalArgumentException(other)
+  }
+
+  private def loadTable(nameArg: String): GTable = {
+    val parts = nameArg.split("\\.").toSeq
+    val (ns, tbl) =
+      if (parts.length >= 2) (parts.init, parts.last) else (Seq("db"), parts.head)
+    catalog.loadTable(ns, tbl).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $nameArg"))
+  }
+
+  override def call(input: InternalRow): util.Iterator[Scan] = pname match {
+
+    // ------------------------------------------------ snapshot management
+    case "rollback_to_snapshot" | "set_current_snapshot" =>
+      val t = loadTable(input.getUTF8String(0).toString)
+      val prev = t.meta.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+      t.rollbackTo(input.getLong(1))
+      out(idResult, row(prev, input.getLong(1)))
+
+    case "rollback_to_timestamp" =>
+      val t = loadTable(input.getUTF8String(0).toString)
+      val tsMs = input.getLong(1) / 1000L
+      val snap = t.meta.snapshotAsOfTime(tsMs).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot as of $tsMs"))
+      val prev = t.meta.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+      t.rollbackTo(snap.snapshotId)
+      out(idResult, row(prev, snap.snapshotId))
+
+    case "cherrypick_snapshot" =>
+      // re-apply an (append) snapshot's added files on top of the current
+      // head (reference CherryPickOperation; non-append picks need full
+      // conflict analysis and are rejected)
+      val t = loadTable(input.getUTF8String(0).toString)
+      val snapId = input.getLong(1)
+      val snap = t.meta.snapshotById(snapId).getOrElse(
+        throw new IllegalArgumentException(s"unknown snapshot $snapId"))
+      require(snap.operation == "append", s"can only cherry-pick appends, got ${snap.operation}")
+      val added = ManifestIO.readList(snap.manifestListPath)
+        .filter(_.addedSnapshotId == snapId)
+        .flatMap(mf => ManifestIO.readEntries(mf))
+        .filter(e => e.status == ManifestEntryStatus.Added && e.snapshotId == snapId)
+        .map(_.file)
+      val prev = t.meta.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+      val ns = t.newAppend().appendFiles(added).commit()
+      out(idResult, row(prev, ns.snapshotId))
+
+    case "fast_forward" =>
+      val t = loadTable(input.getUTF8String(0).toString)
+      val branch = input.getUTF8String(1).toString
+      val to = input.getUTF8String(2).toString
+      val target = t.meta.ref(to).map(_.snapshotId)
+        .orElse(to.toLongOption.filter(id => t.meta.snapshotById(id).isDefined))
+        .getOrElse(throw new IllegalArgumentException(s"unknown ref $to"))
+      val prev = t.meta.ref(branch).map(_.snapshotId).getOrElse(-1L)
+      if (branch == "main") t.rollbackTo(target)
+      else t.setRef(branch, target, SnapshotRefType.Branch)
+      out(idResult, row(prev, target))
+
+    // ----------------------------------------------------- branches / tags
+    case "create_branch" | "create_tag" =>
+      val t = loadTable(input.getUTF8String(0).toString)
+      val refName = input.getUTF8String(1).toString
+      val snapId = input.getLong(2) match {
+        case -1L => t.meta.currentSnapshot.map(_.snapshotId).getOrElse(
+          throw new IllegalArgumentException("table has no snapshots"))
+        case id  => id
+      }
+      val kind = if (pname == "create_branch") SnapshotRefType.Branch else SnapshotRefType.Tag
+      t.setRef(refName, snapId, kind)
+      out(StructType(Seq(StructField("name", StringType), StructField("snapshot_id", LongType))),
+        row(s(refName), snapId))
+
+    case "drop_ref" =>
+      val t = loadTable(input.getUTF8String(0).toString)
+      val refName = input.getUTF8String(1).toString
+      t.commitUpdate(base => base.copy(refs = base.refs - refName))
+      out(StructType(Seq(StructField("name", StringType))), row(s(refName)))
+
+    // ------------------------------------------------------- maintenance
+    case "expire_snapshots" =>
+      val t = loadTable(input.getUTF8String(0).toString)
+      val olderThan = input.getLong(1)
+      val retainLast = input.getInt(2)
+      val m = t.meta
+      val referenced = m.refs.values.map(_.snapshotId).toSet ++
+        m.currentSnapshotId.toSet
+      val byTime = m.snapshots.sortBy(_.timestampMs)
+      val keepLast = byTime.takeRight(retainLast).map(_.snapshotId).toSet
+      val (kept, expired) = m.snapshots.partition(sn =>
+        referenced(sn.snapshotId) || keepLast(sn.snapshotId) ||
+          sn.timestampMs >= olderThan)
+      if (expired.isEmpty) {
+        out(StructType(Seq(StructField("deleted_snapshots", IntegerType),
+          StructField("deleted_files", IntegerType))), row(0, 0))
+      } else {
+        val before = reachableFiles(t)
+        t.commitUpdate { base =>
+          val expiredIds = expired.map(_.snapshotId).toSet
+          base.copy(
+            snapshots = base.snapshots.filterNot(sn => expiredIds(sn.snapshotId)),
+            snapshotLog = base.snapshotLog.filterNot { case (_, id) => expiredIds(id) })
+        }
+        val after = reachableFiles(t)
+        val toDelete = before -- after
+        toDelete.foreach(GraftIO.delete)
+        out(StructType(Seq(StructField("deleted_snapshots", IntegerType),
+          StructField("deleted_files", IntegerType))),
+          row(expired.size, toDelete.size))
+      }
+
+    case "remove_orphan_files" =>
+      val t = loadTable(input.getUTF8String(0).toString)
+      val dryRun = input.getBoolean(1)
+      val reachable = reachableFiles(t)
+      // hidden files (.crc checksums, _SUCCESS markers) are never orphans
+      // (reference HiddenPathFilter)
+      val actual = walkFiles(s"${t.location}/data").filterNot { p =>
+        val n = GraftIO.toPath(p).getFileName.toString
+        n.startsWith(".") || n.startsWith("_")
+      }
+      val orphans = actual.filterNot(reachable.contains)
+      if (!dryRun) orphans.foreach(GraftIO.delete)
+      out(StructType(Seq(StructField("orphan_file_count", IntegerType))),
+        row(orphans.size))
+
+    case "rewrite_data_files" =>
+      RewriteDataFiles.run(loadTable(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        input.getLong(3), input.getInt(4))
+
+    case "rewrite_manifests" =>
+      // re-cluster all live entries into one manifest per (spec, content)
+      val t = loadTable(input.getUTF8String(0).toString)
+      val m = t.meta
+      val snap = m.currentSnapshot.getOrElse(
+        throw new IllegalArgumentException("table has no snapshots"))
+      val manifests = ManifestIO.readList(snap.manifestListPath)
+      val entries = manifests.flatMap(mf =>
+        ManifestIO.readEntries(mf).filter(_.isLive).map(e => (mf.specId, mf.content, e)))
+      val producer = new SnapshotProducer(t, "replace") {
+        override protected def manifests(base: TableMetadata, snapshotId: Long,
+            seq: Long): Seq[ManifestFile] =
+          entries.groupBy { case (specId, content, _) => (specId, content) }
+            .map { case ((specId, content), es) =>
+              val spec = base.specById(specId)
+              // keep original sequence numbers via Existing status
+              val kept = es.map { case (_, _, e) =>
+                e.copy(status = ManifestEntryStatus.Existing)
+              }
+              ManifestIO.write(t.ops.newManifestPath(), kept, specId, content,
+                spec, base.schema, snapshotId)
+            }.toSeq
+      }
+      val ns = producer.commit()
+      out(StructType(Seq(StructField("rewritten_manifests_count", IntegerType),
+        StructField("added_manifests_count", IntegerType))),
+        row(manifests.size, ManifestIO.readList(ns.manifestListPath).size))
+
+    case "compute_table_stats" =>
+      // NDV per column via approx_count_distinct; stored as table
+      // properties feeding SupportsReportStatistics (reference
+      // ComputeTableStatsSparkAction + Puffin theta sketches)
+      val t = loadTable(input.getUTF8String(0).toString)
+      val spark = SparkSession.active
+      val df = spark.read.format("parquet")
+        .schema(graft.core.types.SparkTypes.toSparkSchema(t.schema))
+        .parquet(t.newScan().planFiles().map(_.file.path): _*)
+      import org.apache.spark.sql.functions.approx_count_distinct
+      val cols = t.schema.fields.filter(_.tpe.isPrimitive).map(_.name)
+      if (cols.nonEmpty) {
+        val r = df.select(cols.map(c => approx_count_distinct(c).as(c)): _*).collect()(0)
+        val props = cols.zipWithIndex.map { case (c, i) => s"stats.ndv.$c" -> r.getLong(i).toString }
+        t.updateProperties(props.toMap)
+      }
+      out(StructType(Seq(StructField("columns_analyzed", IntegerType))), row(cols.size))
+
+    case other => throw new IllegalArgumentException(other)
+  }
+}
+
+/** Compaction (reference RewriteDataFilesSparkAction + runners): bin-pack
+  * or sort file groups per partition, rewrite with Spark, commit one
+  * atomic replace. Each group is an independent Spark job — at cluster
+  * scale groups run through a job queue; partial-progress commits are a
+  * follow-up. */
+object RewriteDataFiles {
+  import GraftProcedures._
+
+  private val resultSchema = StructType(Seq(
+    StructField("rewritten_data_files_count", IntegerType),
+    StructField("added_data_files_count", IntegerType),
+    StructField("rewritten_bytes_count", LongType)))
+
+  def run(t: GTable, strategy: String, sortOrder: String,
+      targetSize: Long, minInputFiles: Int): util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val schemaWithIds = graft.core.types.SparkTypes.toSparkSchema(t.schema)
+    val tasks = t.newScan().planFiles()
+    require(tasks.forall(_.deletes.isEmpty),
+      "rewrite with delete files pending not supported yet")
+
+    // group by partition tuple; a group qualifies if it has enough small
+    // files (binpack) or any files at all (sort re-clusters everything)
+    val bySort = strategy.toLowerCase == "sort"
+    require(bySort || strategy.toLowerCase == "binpack", s"unknown strategy $strategy")
+    val groups = tasks.groupBy(ts => (ts.file.specId, ts.file.partition))
+      .filter { case (_, ts) =>
+        if (bySort) ts.nonEmpty
+        else ts.count(_.file.fileSizeBytes < targetSize) >= minInputFiles
+      }
+    if (groups.isEmpty)
+      return GraftProcedures.out(resultSchema, GraftProcedures.row(0, 0, 0L))
+
+    val sortCols = sortOrder.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+      val bits = part.split("\\s+")
+      val c = org.apache.spark.sql.functions.col(bits(0))
+      if (bits.length > 1 && bits(1).equalsIgnoreCase("desc")) c.desc else c.asc
+    }
+    require(!bySort || sortCols.nonEmpty, "sort strategy requires sort_order")
+
+    var rewritten = 0
+    var added = 0
+    var bytes = 0L
+    val newFiles = Seq.newBuilder[DataFile]
+    val oldPaths = Seq.newBuilder[String]
+
+    groups.foreach { case ((specId, partition), ts) =>
+      val paths = ts.map(_.file.path)
+      val totalBytes = ts.map(_.file.fileSizeBytes).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetSize).toInt)
+      val df0 = spark.read.schema(schemaWithIds).parquet(paths: _*)
+      val df =
+        if (bySort) df0.repartitionByRange(nOut, sortCols.toIndexedSeq: _*)
+          .sortWithinPartitions(sortCols.toIndexedSeq: _*)
+        else if (nOut == 1) df0.coalesce(1)
+        else df0.repartition(nOut)
+      val staging = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      df.write.mode("overwrite").parquet(staging)
+      val conf = spark.sessionState.newHadoopConf()
+      walkFiles(staging).filter(_.endsWith(".parquet")).foreach { sf =>
+        val part = t.meta.specById(specId).fields.zip(partition)
+          .map { case (pf, v) => s"${pf.name}=$v" }.mkString("/")
+        val dataDir = if (part.isEmpty) s"${t.location}/data" else s"${t.location}/data/$part"
+        java.nio.file.Files.createDirectories(GraftIO.toPath(dataDir))
+        val target = s"$dataDir/rewrite-${java.util.UUID.randomUUID}.parquet"
+        java.nio.file.Files.move(GraftIO.toPath(sf), GraftIO.toPath(target))
+        val (size, stats) = FooterStats.read(target, conf, t.meta.schema)
+        val rows = readRowCount(target, conf)
+        newFiles += DataFile(target, "parquet", specId, partition, rows, size, stats)
+        added += 1
+      }
+      rewritten += ts.size
+      bytes += totalBytes
+      oldPaths ++= paths
+    }
+    t.newOverwrite().deleteFiles(oldPaths.result()).addFiles(newFiles.result()).commit()
+    GraftProcedures.out(resultSchema, GraftProcedures.row(rewritten, added, bytes))
+  }
+
+  private def readRowCount(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+    try r.getRecordCount finally r.close()
+  }
+}

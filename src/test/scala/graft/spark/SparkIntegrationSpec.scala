@@ -223,6 +223,83 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.dist").collect()(0).getLong(0) === 300L)
   }
 
+  test("metadata tables: snapshots, files, history, partitions, refs") {
+    spark.sql("""CREATE TABLE graft.db.mt (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("INSERT INTO graft.db.mt VALUES (1, TIMESTAMP '2024-01-01 00:00:00')")
+    spark.sql("INSERT INTO graft.db.mt VALUES (2, TIMESTAMP '2024-01-02 00:00:00')")
+    val snaps = spark.sql("SELECT snapshot_id, operation FROM graft.db.mt.snapshots ORDER BY committed_at").collect()
+    assert(snaps.length === 2)
+    assert(snaps.forall(_.getString(1) === "append"))
+    assert(spark.sql("SELECT * FROM graft.db.mt.history").count() === 2)
+    assert(spark.sql("SELECT * FROM graft.db.mt.manifests").count() >= 1)
+    val files = spark.sql("SELECT file_path, record_count FROM graft.db.mt.files").collect()
+    assert(files.length === 2 && files.forall(_.getLong(1) === 1L))
+    val parts = spark.sql("SELECT partition, record_count FROM graft.db.mt.partitions ORDER BY partition").collect()
+    assert(parts.length === 2)
+    val refs = spark.sql("SELECT name, type FROM graft.db.mt.refs").collect()
+    assert(refs.exists(r => r.getString(0) === "main" && r.getString(1) === "branch"))
+    assert(spark.sql("SELECT * FROM graft.db.mt.entries").count() === 2)
+  }
+
+  test("procedures: rollback, branches/tags, expire, orphans") {
+    spark.sql("CREATE TABLE graft.db.proc (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.proc VALUES (1)")
+    val snap1 = coreTable("proc").meta.currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO graft.db.proc VALUES (2)")
+
+    // tag the head, roll back, read via tag
+    spark.sql(s"CALL graft.system.create_tag('db.proc', 'v2')")
+    spark.sql(s"CALL graft.system.rollback_to_snapshot('db.proc', $snap1)")
+    assert(spark.sql("SELECT * FROM graft.db.proc").count() === 1)
+    assert(spark.sql("SELECT * FROM graft.db.proc VERSION AS OF 'v2'").count() === 2)
+    // branch from the tag and fast-forward main back to it
+    spark.sql("CALL graft.system.create_branch('db.proc', 'dev', " +
+      coreTable("proc").meta.ref("v2").get.snapshotId + ")")
+    spark.sql("CALL graft.system.fast_forward('db.proc', 'main', 'dev')")
+    assert(spark.sql("SELECT * FROM graft.db.proc").count() === 2)
+
+    // orphan removal: drop a stray file
+    val stray = coreTable("proc").location + "/data/stray.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stray).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(stray), Array[Byte](1, 2))
+    val orphans = spark.sql("CALL graft.system.remove_orphan_files('db.proc', false)")
+      .collect()(0).getInt(0)
+    assert(orphans === 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stray)))
+
+    // expire: drop refs so old snapshots are unreferenced, keep last 1
+    spark.sql("CALL graft.system.drop_ref('db.proc', 'v2')")
+    spark.sql("CALL graft.system.drop_ref('db.proc', 'dev')")
+    val exp = spark.sql("CALL graft.system.expire_snapshots('db.proc')").collect()(0)
+    assert(exp.getInt(0) >= 1)
+    assert(spark.sql("SELECT * FROM graft.db.proc").count() === 2)
+  }
+
+  test("procedures: rewrite_data_files compacts small files") {
+    spark.sql("CREATE TABLE graft.db.compact (id BIGINT, v STRING)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.db.compact VALUES ($i, 'v$i')"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.compact.files").collect()(0).getLong(0) === 4L)
+    val res = spark.sql("CALL graft.system.rewrite_data_files('db.compact')").collect()(0)
+    assert(res.getInt(0) === 4 && res.getInt(1) === 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db.compact.files").collect()(0).getLong(0) === 1L)
+    assert(spark.sql("SELECT id FROM graft.db.compact ORDER BY id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // sort strategy re-clusters
+    spark.sql("CALL graft.system.rewrite_data_files('db.compact', 'sort', 'id DESC')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.compact").collect()(0).getLong(0) === 4L)
+  }
+
+  test("procedures: rewrite_manifests and compute_table_stats") {
+    spark.sql("CREATE TABLE graft.db.rm (id BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.db.rm VALUES ($i)"))
+    val res = spark.sql("CALL graft.system.rewrite_manifests('db.rm')").collect()(0)
+    assert(res.getInt(0) === 3 && res.getInt(1) === 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db.rm").collect()(0).getLong(0) === 3L)
+    spark.sql("CALL graft.system.compute_table_stats('db.rm')")
+    assert(coreTable("rm").meta.properties.get("stats.ndv.id").exists(_.toLong >= 2))
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
