@@ -21,7 +21,21 @@ import graft.core.types.SparkTypes
   */
 final class GraftRowLevelOperationBuilder(table: GTable,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation = new GraftCoWOperation(table, info.command())
+  // per-command mode dispatch via table properties (reference
+  // SparkRowLevelOperationBuilder + RowLevelOperationMode)
+  override def build(): RowLevelOperation = {
+    import RowLevelOperation.Command
+    val propKey = info.command() match {
+      case Command.DELETE => "write.delete.mode"
+      case Command.UPDATE => "write.update.mode"
+      case Command.MERGE  => "write.merge.mode"
+      case other          => throw new IllegalArgumentException(other.toString)
+    }
+    table.meta.properties.getOrElse(propKey, "copy-on-write") match {
+      case "merge-on-read" => new GraftMoROperation(table, info.command())
+      case _               => new GraftCoWOperation(table, info.command())
+    }
+  }
 }
 
 final class GraftCoWOperation(table: GTable,
@@ -61,4 +75,33 @@ final class GraftCoWOperation(table: GTable,
     }
 
   override def description(): String = s"graft-cow($cmd)"
+}
+
+/** Merge-on-read row-level operations (reference
+  * SparkPositionDeltaOperation / SparkPositionDeltaWrite): instead of
+  * rewriting file groups, each task emits position-delete files keyed by
+  * (_file, _pos) plus new data rows, committed as one RowDelta. Readers
+  * mask deleted positions. At scale this turns an UPDATE touching 1% of
+  * rows from a full-group rewrite into a delta proportional to the
+  * touched rows.
+  */
+final class GraftMoROperation(table: GTable,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaFileCol),
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaPosCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSparkTable.GraftScanBuilder(table, None, None, None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(table)
+    }
+
+  override def description(): String = s"graft-mor($cmd)"
 }

@@ -262,6 +262,148 @@ final class GraftFanoutWriter(
   override def close(): Unit = ()
 }
 
+// ---------------------------------------------------------------------------
+// Merge-on-read delta write (reference SparkPositionDeltaWrite.java):
+// executors buffer (_file, _pos) delete keys and route inserted rows through
+// the fanout data writer; commit is a single atomic RowDelta.
+// ---------------------------------------------------------------------------
+
+final class GraftDeltaWrite(table: GTable) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(table)
+  override def description(): String = s"graft-delta-write(${table.location})"
+}
+
+final class GraftDeltaBatchWrite(table: GTable) extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val writeSchema = SparkTypes.toSparkSchema(table.schema)
+    val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+    val codec = Map("compression" -> spark.sessionState.conf
+      .getConfString("spark.sql.parquet.compression.codec", "snappy"))
+    val dataJob = Job.getInstance(conf)
+    val dataOwf = new ParquetFileFormat().prepareWrite(spark, dataJob, codec, writeSchema)
+    val delJob = Job.getInstance(conf)
+    val delOwf = new ParquetFileFormat()
+      .prepareWrite(spark, delJob, codec, GraftDeltaWriter.DeleteSchema)
+    val confMap = dataJob.getConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    // the delete writer needs the conf prepareWrite populated with the
+    // DELETE schema, not the data schema
+    val delConfMap = delJob.getConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    new GraftDeltaWriterFactory(
+      table.location, writeSchema.json,
+      MetaJson.writeSchema(table.schema).toString,
+      MetaJson.writeSpec(table.spec).toString,
+      dataOwf, delOwf, confMap, delConfMap)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.filter(_ != null).map(_.asInstanceOf[GraftDeltaCommitMessage])
+    val rd = table.newRowDelta()
+    msgs.flatMap(_.dataFiles).foreach(rd.addRows)
+    msgs.flatMap(_.deleteFiles).foreach(rd.addDeletes)
+    rd.commit()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.filter(_ != null).map(_.asInstanceOf[GraftDeltaCommitMessage])
+      .foreach(m => (m.dataFiles ++ m.deleteFiles).foreach(f => GraftIO.delete(f.path)))
+}
+
+final case class GraftDeltaCommitMessage(dataFiles: Seq[DataFile],
+    deleteFiles: Seq[DataFile]) extends WriterCommitMessage
+
+final class GraftDeltaWriterFactory(
+    location: String,
+    writeSchemaJson: String,
+    gSchemaJson: String,
+    specJson: String,
+    dataOwf: OutputWriterFactory,
+    delOwf: OutputWriterFactory,
+    confMap: Map[String, String],
+    delConfMap: Map[String, String]) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
+      .asInstanceOf[StructType]
+    val gSchema = MetaJson.readSchema(MetaJson.mapper.readTree(gSchemaJson))
+    val spec = MetaJson.readSpec(MetaJson.mapper.readTree(specJson))
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val dataWriter = new GraftFanoutWriter(location, writeSchema, gSchema, spec,
+      dataOwf, conf, partitionId, taskId)
+    val delConf = new Configuration(false)
+    delConfMap.foreach { case (k, v) => delConf.set(k, v) }
+    new GraftDeltaWriter(location, spec.specId, dataWriter, delOwf, delConf,
+      partitionId, taskId)
+  }
+}
+
+object GraftDeltaWriter {
+  /** position-delete file schema (format/spec.md position deletes) */
+  val DeleteSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+final class GraftDeltaWriter(
+    location: String,
+    specId: Int,
+    dataWriter: GraftFanoutWriter,
+    delOwf: OutputWriterFactory,
+    conf: Configuration,
+    partitionId: Int,
+    taskId: Long) extends DeltaWriter[InternalRow] {
+
+  private val deleted = mutable.ArrayBuffer.empty[(String, Long)]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deleted += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = dataWriter.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = dataWriter.commit().asInstanceOf[GraftCommitMessage]
+    val deleteFiles =
+      if (deleted.isEmpty) Nil
+      else {
+        val dir = s"$location/data"
+        java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
+        val path = s"$dir/delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
+        val ctx = new TaskAttemptContextImpl(conf,
+          new TaskAttemptID(new TaskID("graft-del", partitionId, TaskType.MAP, taskId.toInt), 0))
+        val w = delOwf.newInstance(path, GraftDeltaWriter.DeleteSchema, ctx)
+        // sorted by (file, pos) so per-file runs are contiguous
+        deleted.sortInPlace()
+        val rowOut = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        deleted.foreach { case (f, p) =>
+          rowOut.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f))
+          rowOut.setLong(1, p)
+          w.write(rowOut)
+        }
+        w.close()
+        val refs = deleted.map(_._1).distinct
+        Seq(DataFile(path, "parquet", specId, Nil, deleted.size.toLong,
+          GraftIO.size(path), Map.empty, content = FileContent.PositionDeletes,
+          referencedDataFile = if (refs.size == 1) Some(refs.head) else None))
+      }
+    GraftDeltaCommitMessage(dataMsg.files, deleteFiles)
+  }
+
+  override def abort(): Unit = dataWriter.abort()
+  override def close(): Unit = dataWriter.close()
+}
+
 /** Extract per-column min/max/null stats from a parquet footer
   * (reference parquet/.../ParquetUtil footer metrics). */
 object FooterStats {

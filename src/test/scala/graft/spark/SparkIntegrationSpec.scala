@@ -300,6 +300,36 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(coreTable("rm").meta.properties.get("stats.ndv.id").exists(_.toLong >= 2))
   }
 
+  test("merge-on-read DELETE writes position deletes, not rewrites") {
+    spark.sql("""CREATE TABLE graft.db.mor (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.update.mode'='merge-on-read',
+                     'write.merge.mode'='merge-on-read')""")
+    spark.range(0, 100, 1, 1).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.mor").append()
+    val dataFile = spark.sql("SELECT DISTINCT _file FROM graft.db.mor").collect()(0).getString(0)
+
+    spark.sql("DELETE FROM graft.db.mor WHERE id % 10 = 3")
+    assert(spark.sql("SELECT count(*) FROM graft.db.mor").collect()(0).getLong(0) === 90L)
+    // original data file survives; a position-delete file was added
+    val files = spark.sql("SELECT content, file_path, record_count FROM graft.db.mor.files").collect()
+    assert(files.exists(r => r.getInt(0) === 0 && r.getString(1) === dataFile))
+    assert(files.exists(r => r.getInt(0) === 1 && r.getLong(2) === 10L))
+
+    spark.sql("UPDATE graft.db.mor SET v = 'updated' WHERE id = 4")
+    assert(spark.sql("SELECT v FROM graft.db.mor WHERE id = 4").collect()(0).getString(0) === "updated")
+    assert(spark.sql("SELECT count(*) FROM graft.db.mor").collect()(0).getLong(0) === 90L)
+
+    spark.range(98, 102).selectExpr("id", "concat('m', id) AS v")
+      .createOrReplaceTempView("mor_src")
+    spark.sql("""MERGE INTO graft.db.mor t USING mor_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val after = spark.sql("SELECT id, v FROM graft.db.mor WHERE id >= 98 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after === Seq((98L, "m98"), (99L, "m99"), (100L, "m100"), (101L, "m101")))
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
