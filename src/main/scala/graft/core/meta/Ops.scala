@@ -250,9 +250,14 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
 final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") {
   private val files = Seq.newBuilder[DataFile]
   private var toBranch = "main"
+  private var extraSummary = Map.empty[String, String]
   def appendFile(f: DataFile): this.type = { files += f; this }
   def appendFiles(fs: Seq[DataFile]): this.type = { files ++= fs; this }
   def toBranch(b: String): this.type = { toBranch = b; this }
+  /** extra snapshot-summary entries (e.g. streaming epoch ids) */
+  def set(key: String, value: String): this.type = {
+    extraSummary += (key -> value); this
+  }
   override protected def branch: String = toBranch
 
   override protected def manifests(base: TableMetadata, snapshotId: Long,
@@ -269,7 +274,7 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
   override protected def summary(base: TableMetadata): Map[String, String] = {
     val added = files.result()
     Map("added-data-files" -> added.size.toString,
-      "added-records" -> added.map(_.recordCount).sum.toString)
+      "added-records" -> added.map(_.recordCount).sum.toString) ++ extraSummary
   }
 }
 

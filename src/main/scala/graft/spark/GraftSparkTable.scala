@@ -64,6 +64,8 @@ class GraftSparkTable(val table: GTable, fullName: String,
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE)
@@ -72,7 +74,8 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val snapId = Option(options.get("snapshot-id")).map(_.toLong).orElse(snapshotId)
     val branch = Option(options.get("branch"))
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong)
-    new GraftScanBuilder(table, snapId, branch, asOf)
+    val maxFiles = Option(options.get("max-files-per-micro-batch")).map(_.toInt)
+    new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -123,7 +126,8 @@ object GraftSparkTable {
   final class GraftScanBuilder(table: GTable, snapshotId: Option[Long],
       branch: Option[String], asOfTs: Option[Long],
       onBuild: GraftScan => Unit = _ => (),
-      ignoreResiduals: Boolean = false)
+      ignoreResiduals: Boolean = false,
+      streamMaxFiles: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -244,7 +248,7 @@ object GraftSparkTable {
       case Some((schema, row)) => new GraftLocalScan(schema, Array(row))
       case None =>
         val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
-          asOfTs, ignoreResiduals)
+          asOfTs, ignoreResiduals, streamMaxFiles)
         onBuild(scan)
         scan
     }
@@ -261,9 +265,14 @@ object GraftSparkTable {
 
   final class GraftScan(table: GTable, expr: Expr, required: StructType,
       limit: Option[Int], snapshotId: Option[Long], branch: Option[String],
-      asOfTs: Option[Long], ignoreResiduals: Boolean = false)
+      asOfTs: Option[Long], ignoreResiduals: Boolean = false,
+      streamMaxFiles: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
+
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new GraftMicroBatchStream(table, streamMaxFiles, () => createReaderFactory())
 
     private var runtimeExpr: Expr = TrueE
     @transient private var cachedTasks: Seq[FileScanTask] = _

@@ -1,0 +1,170 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.catalyst.InternalRow
+
+import graft.core.meta._
+
+/** Micro-batch streaming source (reference SparkMicroBatchStream.java:59,
+  * StreamingOffset.java): an offset is (sequenceNumber, fileIndex) — all
+  * snapshots with a lower sequence number are fully processed, plus the
+  * first `fileIndex` files (path-ordered) of the snapshot at that
+  * sequence number. Each batch plans only the files appended in
+  * (start, end]; non-append snapshots (overwrite/delete/replace) are
+  * skipped, matching the reference's skip-overwrite option semantics.
+  * Admission control caps files per micro-batch.
+  */
+final class GraftMicroBatchStream(
+    table: GTable,
+    maxFilesPerBatch: Option[Int],
+    readerFactory: () => PartitionReaderFactory)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  import GraftMicroBatchStream._
+
+  // Trigger.AvailableNow: freeze the target offset at query start; batches
+  // advance toward it under the admission limit, then the query stops
+  @volatile private var availableNowTarget: Option[GraftStreamingOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(reportLatestOffset().asInstanceOf[GraftStreamingOffset])
+
+  private def lineage(): Seq[Snapshot] =
+    table.refresh().snapshots.sortBy(_.sequenceNumber)
+
+  /** files appended by an append snapshot, in stable (path) order */
+  private def addedFiles(snap: Snapshot): Seq[DataFile] =
+    if (snap.operation != "append") Nil
+    else ManifestIO.readList(snap.manifestListPath)
+      .filter(_.addedSnapshotId == snap.snapshotId)
+      .flatMap(mf => ManifestIO.readEntries(mf))
+      .filter(e => e.status == ManifestEntryStatus.Added &&
+        e.snapshotId == snap.snapshotId)
+      .map(_.file)
+      .sortBy(_.path)
+
+  override def initialOffset(): Offset = GraftStreamingOffset(0L, 0)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerBatch.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset = {
+    val snaps = lineage()
+    snaps.lastOption.map(s => GraftStreamingOffset(s.sequenceNumber, addedFiles(s).size))
+      .getOrElse(GraftStreamingOffset(0L, 0))
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftStreamingOffset]
+    val cap = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _                => Int.MaxValue
+    }
+    var last = s
+    var budget = cap
+    val target = availableNowTarget
+    lineage().filter(_.sequenceNumber >= s.seq)
+      .filter(sn => target.forall(t => sn.sequenceNumber <= t.seq))
+      .foreach { snap =>
+        if (budget > 0) {
+          val files = addedFiles(snap)
+          val from = if (snap.sequenceNumber == s.seq) s.fileIdx else 0
+          val untilCap = target match {
+            case Some(t) if t.seq == snap.sequenceNumber => t.fileIdx
+            case _                                       => files.size
+          }
+          val remaining = (untilCap - from).max(0)
+          val take = remaining.min(budget)
+          if (take > 0 || snap.sequenceNumber > last.seq)
+            last = GraftStreamingOffset(snap.sequenceNumber, from + take)
+          budget -= take
+        }
+      }
+    last
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamingOffset]
+    val e = end.asInstanceOf[GraftStreamingOffset]
+    val files = lineage()
+      .filter(sn => sn.sequenceNumber >= s.seq && sn.sequenceNumber <= e.seq)
+      .flatMap { snap =>
+        val fs = addedFiles(snap)
+        val from = if (snap.sequenceNumber == s.seq) s.fileIdx else 0
+        val until = if (snap.sequenceNumber == e.seq) e.fileIdx else fs.size
+        fs.slice(from, until)
+      }
+    // one file per partition; streaming batches are small by construction
+    files.map(f => GraftSparkTable.GraftInputPartition(Array(
+      GraftSparkTable.TaskDesc(f.path, 0L, f.fileSizeBytes, Array.empty))): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory()
+
+  override def deserializeOffset(json: String): Offset = GraftStreamingOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object GraftMicroBatchStream {
+  final case class GraftStreamingOffset(seq: Long, fileIdx: Int) extends Offset {
+    override def json(): String = s"""{"seq":$seq,"fileIdx":$fileIdx}"""
+  }
+  object GraftStreamingOffset {
+    def fromJson(s: String): GraftStreamingOffset = {
+      val n = MetaJson.mapper.readTree(s)
+      GraftStreamingOffset(n.get("seq").asLong(), n.get("fileIdx").asInt())
+    }
+  }
+}
+
+/** Streaming sink (reference SparkWrite.asStreamingAppend): exactly-once
+  * via idempotent commits — each epoch's snapshot records
+  * (query-id, epoch-id) in its summary; a replayed epoch with an id at or
+  * below the last committed one for the same query is skipped. */
+final class GraftStreamingWrite(table: GTable, queryId: String,
+    batchFactory: PhysicalWriteInfo => org.apache.spark.sql.connector.write.DataWriterFactory,
+    truncateFirst: Boolean)
+  extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val inner = batchFactory(info)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        inner.createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val lastCommitted = table.refresh().snapshots
+      .filter(_.summary.get("streaming-query-id").contains(queryId))
+      .flatMap(_.summary.get("streaming-epoch-id").flatMap(_.toLongOption))
+      .maxOption
+    if (lastCommitted.exists(_ >= epochId)) return // replayed epoch: no-op
+    val files = messages.filter(_ != null)
+      .flatMap(_.asInstanceOf[GraftCommitMessage].files).toSeq
+    if (truncateFirst) {
+      table.newOverwrite().overwriteByRowFilter(graft.core.expr.TrueE)
+        .addFiles(files).commit()
+    } else {
+      table.newAppend().appendFiles(files)
+        .set("streaming-query-id", queryId)
+        .set("streaming-epoch-id", epochId.toString)
+        .commit()
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.filter(_ != null).flatMap(_.asInstanceOf[GraftCommitMessage].files)
+      .foreach(f => GraftIO.delete(f.path))
+}

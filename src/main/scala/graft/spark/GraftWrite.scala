@@ -53,7 +53,7 @@ class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo)
     val tableSchema = SparkTypes.toSparkSchema(table.schema)
     require(tableSchema.length == info.schema().length,
       s"write schema mismatch: ${info.schema()} vs $tableSchema")
-    new GraftWrite(table, tableSchema, mode)
+    new GraftWrite(table, tableSchema, mode, info.queryId())
   }
 }
 
@@ -64,7 +64,8 @@ case object DynamicOverwriteMode extends WriteMode
 /** copy-on-write rewrite: atomically replace the scanned files */
 final case class CopyOnWriteMode(replacedPaths: () => Seq[String]) extends WriteMode
 
-final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode)
+final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
+    queryId: String = "")
   extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -105,6 +106,18 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode)
       .map(_.toLong).getOrElse(0L)
 
   override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode)
+
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    val truncateEachEpoch = mode match {
+      case OverwriteMode(TrueE) => true // Complete output mode
+      case _                    => false
+    }
+    new GraftStreamingWrite(table, queryId,
+      info => new GraftBatchWrite(table, writeSchema, AppendMode)
+        .createBatchWriterFactory(info),
+      truncateEachEpoch)
+  }
+
   override def description(): String = s"graft-write(${table.location}, $mode)"
 }
 
