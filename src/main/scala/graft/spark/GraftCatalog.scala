@@ -45,11 +45,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new NoSuchTableException(ident))
 
   /** `cat.db.tbl.snapshots` etc: ident = (namespace=[db, tbl], name=kind) */
-  private def loadMetadataTable(ident: Identifier): Option[Table] =
-    if (ident.namespace.isEmpty ||
-        !GraftMetadataTables.types.contains(ident.name.toLowerCase)) None
-    else catalog.loadTable(ident.namespace.init.toSeq, ident.namespace.last)
-      .map(t => new GraftMetadataTable(t, fullName(ident), ident.name.toLowerCase))
+  private def loadMetadataTable(ident: Identifier): Option[Table] = {
+    val kind = ident.name.toLowerCase
+    if (ident.namespace.isEmpty) None
+    else if (kind == "changes")
+      catalog.loadTable(ident.namespace.init.toSeq, ident.namespace.last)
+        .map(t => new GraftChangesTable(t, fullName(ident)))
+    else if (GraftMetadataTables.types.contains(kind))
+      catalog.loadTable(ident.namespace.init.toSeq, ident.namespace.last)
+        .map(t => new GraftMetadataTable(t, fullName(ident), kind))
+    else None
+  }
 
   /** VERSION AS OF: snapshot id, or a branch/tag name. */
   override def loadTable(ident: Identifier, version: String): Table = {

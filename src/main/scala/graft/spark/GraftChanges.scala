@@ -1,0 +1,201 @@
+package graft.spark
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.meta._
+import graft.core.types.SparkTypes
+
+/** Changelog scan: `tbl.changes` (reference SparkChangelogTable /
+  * BaseIncrementalChangelogScan / ChangelogRowReader). Emits every row
+  * change between snapshots with `_change_type` (INSERT/DELETE),
+  * `_change_ordinal` (commit order within the range) and
+  * `_commit_snapshot_id`. Sources of changes per snapshot:
+  *   - data files added        → INSERT rows
+  *   - data files removed      → DELETE rows (whole file)
+  *   - position deletes added  → DELETE rows (masked positions, emitted
+  *     by reading the referenced data file and keeping ONLY deleted rows)
+  * Carryover removal and update pairing are DataFrame transforms layered
+  * on top by the create_changelog_view procedure — the scan itself stays
+  * a flat file-parallel read.
+  */
+object GraftChangesTable {
+  val ChangeType = "_change_type"
+  val ChangeOrdinal = "_change_ordinal"
+  val CommitSnapshotId = "_commit_snapshot_id"
+
+  def changeSchema(table: GTable): StructType =
+    SparkTypes.toSparkSchema(table.schema)
+      .add(ChangeType, StringType, nullable = false)
+      .add(ChangeOrdinal, IntegerType, nullable = false)
+      .add(CommitSnapshotId, LongType, nullable = false)
+
+  /** one unit of changelog work: read a data file, emit rows as changes */
+  final case class ChangeTask(
+      path: String,
+      length: Long,
+      changeType: String, // INSERT | DELETE
+      ordinal: Int,
+      commitSnapshotId: Long,
+      // when set: emit ONLY the rows at these delete-file positions
+      posDeletePaths: Array[String]) extends InputPartition
+}
+
+final class GraftChangesTable(table: GTable, fullName: String)
+  extends Table with SupportsRead {
+
+  override def name(): String = fullName
+  override def schema(): StructType = GraftChangesTable.changeSchema(table)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startId = Option(options.get("start-snapshot-id")).map(_.toLong)
+    val endId = Option(options.get("end-snapshot-id")).map(_.toLong)
+    new ScanBuilder {
+      override def build(): Scan = new GraftChangesScan(table, startId, endId)
+    }
+  }
+}
+
+final class GraftChangesScan(table: GTable, startId: Option[Long],
+    endId: Option[Long]) extends Scan with Batch {
+
+  import GraftChangesTable._
+
+  override def readSchema(): StructType = changeSchema(table)
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-changes(${table.location})"
+
+  private def liveDataFiles(sn: Snapshot): Map[String, DataFile] =
+    ManifestIO.readList(sn.manifestListPath)
+      .filter(_.content == 0)
+      .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map(_.file))
+      .map(f => f.path -> f).toMap
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = table.refresh()
+    val ordered = m.snapshots.sortBy(_.sequenceNumber)
+    val startSeq = startId.map(id => m.snapshotById(id)
+      .getOrElse(throw new IllegalArgumentException(s"unknown snapshot $id"))
+      .sequenceNumber).getOrElse(0L)
+    val endSeq = endId.map(id => m.snapshotById(id)
+      .getOrElse(throw new IllegalArgumentException(s"unknown snapshot $id"))
+      .sequenceNumber).getOrElse(Long.MaxValue)
+    // (start, end]: the start snapshot's own state is the baseline
+    val range = ordered.filter(sn => sn.sequenceNumber > startSeq && sn.sequenceNumber <= endSeq)
+
+    val tasks = Seq.newBuilder[InputPartition]
+    range.zipWithIndex.foreach { case (sn, ordinal) =>
+      val manifests = ManifestIO.readList(sn.manifestListPath)
+      // data files added in this snapshot
+      manifests.filter(mf => mf.content == 0 && mf.addedSnapshotId == sn.snapshotId)
+        .flatMap(mf => ManifestIO.readEntries(mf))
+        .filter(e => e.status == ManifestEntryStatus.Added && e.snapshotId == sn.snapshotId)
+        .foreach { e =>
+          tasks += ChangeTask(e.file.path, e.file.fileSizeBytes, "INSERT",
+            ordinal, sn.snapshotId, Array.empty)
+        }
+      // data files removed vs parent (copy-on-write deletes/overwrites)
+      sn.parentId.flatMap(m.snapshotById).foreach { parent =>
+        val before = liveDataFiles(parent)
+        val after = liveDataFiles(sn)
+        (before.keySet -- after.keySet).foreach { path =>
+          val f = before(path)
+          tasks += ChangeTask(f.path, f.fileSizeBytes, "DELETE",
+            ordinal, sn.snapshotId, Array.empty)
+        }
+      }
+      // position-delete files added in this snapshot (merge-on-read)
+      val addedDeletes = manifests.filter(mf => mf.content == 1 &&
+          mf.addedSnapshotId == sn.snapshotId)
+        .flatMap(mf => ManifestIO.readEntries(mf))
+        .filter(e => e.status == ManifestEntryStatus.Added &&
+          e.snapshotId == sn.snapshotId &&
+          e.file.content == FileContent.PositionDeletes)
+        .map(_.file)
+      if (addedDeletes.nonEmpty) {
+        val live = liveDataFiles(sn)
+        // group deletes by the data files they reference; unknown refs →
+        // apply against every live data file (reader filters by path)
+        val targets: Seq[(DataFile, Seq[DataFile])] =
+          if (addedDeletes.forall(_.referencedDataFile.isDefined))
+            addedDeletes.groupBy(_.referencedDataFile.get).toSeq
+              .flatMap { case (p, ds) => live.get(p).map(f => (f, ds)) }
+          else live.values.map(f => (f, addedDeletes)).toSeq
+        targets.foreach { case (dataFile, deletes) =>
+          tasks += ChangeTask(dataFile.path, dataFile.fileSizeBytes, "DELETE",
+            ordinal, sn.snapshotId, deletes.map(_.path).toArray)
+        }
+      }
+    }
+    tasks.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val dataSchema = SparkTypes.toSparkSchema(table.schema)
+    val fmt = new ParquetFileFormat
+    val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+    def freshConf = new org.apache.hadoop.conf.Configuration(conf)
+    val rowFunc = fmt.buildReaderWithPartitionValues(spark, dataSchema,
+      new StructType(), dataSchema, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+        "enableVectorizedReader" -> "false"), freshConf)
+    val deleteSchema = GraftDeltaWriter.DeleteSchema
+    val deleteFunc = fmt.buildReaderWithPartitionValues(spark, deleteSchema,
+      new StructType(), deleteSchema, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+        "enableVectorizedReader" -> "false"), freshConf)
+    new ChangesReaderFactory(rowFunc, deleteFunc)
+  }
+
+  private final class ChangesReaderFactory(
+      rowFunc: PartitionedFile => Iterator[InternalRow],
+      deleteFunc: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+    private def pf(path: String, length: Long): PartitionedFile =
+      PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), 0L,
+        length, Array.empty[String], 0L, length, Map.empty)
+
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val t = partition.asInstanceOf[ChangeTask]
+      val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(t.changeType), t.ordinal, t.commitSnapshotId))
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val base: Iterator[InternalRow] =
+        if (t.posDeletePaths.isEmpty) rowFunc(pf(t.path, t.length))
+        else {
+          val deleted = new java.util.HashSet[Long]()
+          t.posDeletePaths.foreach { dp =>
+            deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
+              if (r.getUTF8String(0).toString == t.path) deleted.add(r.getLong(1))
+            }
+          }
+          // emit ONLY the deleted positions — these are the removed rows
+          rowFunc(pf(t.path, t.length)).zipWithIndex.collect {
+            case (row, idx) if deleted.contains(idx.toLong) => row
+          }
+        }
+      val it = base.map(row => joined(row, metaRow): InternalRow)
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
+    }
+  }
+}

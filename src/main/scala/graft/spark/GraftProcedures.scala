@@ -33,7 +33,8 @@ object GraftProcedures {
     "cherrypick_snapshot", "fast_forward",
     "create_branch", "create_tag", "drop_ref",
     "expire_snapshots", "remove_orphan_files",
-    "rewrite_data_files", "rewrite_manifests", "compute_table_stats")
+    "rewrite_data_files", "rewrite_manifests", "compute_table_stats",
+    "create_changelog_view")
 
   def load(name: String, catalog: HadoopCatalog): Option[UnboundProcedure] =
     if (names.contains(name.toLowerCase)) Some(new GraftProcedure(name.toLowerCase, catalog))
@@ -116,6 +117,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       Array(param("table", StringType))
     case "compute_table_stats" =>
       Array(param("table", StringType))
+    case "create_changelog_view" =>
+      Array(param("table", StringType),
+        param("changelog_view", StringType, "''"),
+        param("identifier_columns", StringType, "''"))
     case other => throw new IllegalArgumentException(other)
   }
 
@@ -292,6 +297,60 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         t.updateProperties(props.toMap)
       }
       out(StructType(Seq(StructField("columns_analyzed", IntegerType))), row(cols.size))
+
+    case "create_changelog_view" =>
+      // Changelog view with carryover removal + update pairing (reference
+      // ChangelogIterator/ComputeUpdateIterator/RemoveCarryoverIterator —
+      // reformulated as declarative Spark transforms: a group-count nets
+      // out CoW carryover rows; a window over the identifier columns
+      // pairs DELETE+INSERT into UPDATE_BEFORE/UPDATE_AFTER).
+      val tblName = input.getUTF8String(0).toString
+      val viewName = input.getUTF8String(1).toString match {
+        case "" => s"${tblName.split("\\.").last}_changes"
+        case v  => v
+      }
+      val idCols = input.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty)
+      val spark = SparkSession.active
+      import org.apache.spark.sql.functions._
+      val t = loadTable(tblName)
+      val fq = tblName.split("\\.").toSeq match {
+        case one :: Nil => s"graft.db.$one.changes"
+        case parts      => s"graft.${parts.mkString(".")}.changes"
+      }
+      val changes = spark.read.table(fq)
+      val dataCols = t.schema.fields.map(_.name)
+      val CT = GraftChangesTable.ChangeType
+      val ORD = GraftChangesTable.ChangeOrdinal
+      val SID = GraftChangesTable.CommitSnapshotId
+      // 1) net out carryovers: identical rows deleted AND re-inserted in
+      //    the same commit (copy-on-write rewrite noise)
+      val grouped = changes.groupBy((dataCols :+ ORD :+ SID).map(col): _*)
+        .agg(
+          sum(when(col(CT) === "INSERT", 1).otherwise(0)).as("__ins"),
+          sum(when(col(CT) === "DELETE", 1).otherwise(0)).as("__del"))
+      val net = grouped.select((dataCols :+ ORD :+ SID).map(col) :+
+        explode(concat(
+          array_repeat(lit("INSERT"), greatest(col("__ins") - col("__del"), lit(0)).cast("int")),
+          array_repeat(lit("DELETE"), greatest(col("__del") - col("__ins"), lit(0)).cast("int"))
+        )).as(CT): _*)
+      // 2) pair updates by identifier columns within a commit
+      val result =
+        if (idCols.isEmpty) net
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy((idCols.toSeq :+ ORD).map(col): _*)
+          net
+            .withColumn("__has_del", max(when(col(CT) === "DELETE", 1).otherwise(0)).over(w))
+            .withColumn("__has_ins", max(when(col(CT) === "INSERT", 1).otherwise(0)).over(w))
+            .withColumn(CT,
+              when(col(CT) === "DELETE" && col("__has_del") === 1 && col("__has_ins") === 1, "UPDATE_BEFORE")
+                .when(col(CT) === "INSERT" && col("__has_del") === 1 && col("__has_ins") === 1, "UPDATE_AFTER")
+                .otherwise(col(CT)))
+            .drop("__has_del", "__has_ins")
+        }
+      result.createOrReplaceTempView(viewName)
+      out(StructType(Seq(StructField("changelog_view", StringType))),
+        row(GraftProcedures.s(viewName)))
 
     case other => throw new IllegalArgumentException(other)
   }

@@ -75,7 +75,10 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val branch = Option(options.get("branch"))
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong)
     val maxFiles = Option(options.get("max-files-per-micro-batch")).map(_.toInt)
-    new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles)
+    val incremental = Option(options.get("start-snapshot-id")).map(_.toLong)
+      .map(s => (s, Option(options.get("end-snapshot-id")).map(_.toLong)))
+    new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles,
+      incremental = incremental)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -127,7 +130,8 @@ object GraftSparkTable {
       branch: Option[String], asOfTs: Option[Long],
       onBuild: GraftScan => Unit = _ => (),
       ignoreResiduals: Boolean = false,
-      streamMaxFiles: Option[Int] = None)
+      streamMaxFiles: Option[Int] = None,
+      incremental: Option[(Long, Option[Long])] = None)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -248,7 +252,7 @@ object GraftSparkTable {
       case Some((schema, row)) => new GraftLocalScan(schema, Array(row))
       case None =>
         val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
-          asOfTs, ignoreResiduals, streamMaxFiles)
+          asOfTs, ignoreResiduals, streamMaxFiles, incremental)
         onBuild(scan)
         scan
     }
@@ -266,7 +270,8 @@ object GraftSparkTable {
   final class GraftScan(table: GTable, expr: Expr, required: StructType,
       limit: Option[Int], snapshotId: Option[Long], branch: Option[String],
       asOfTs: Option[Long], ignoreResiduals: Boolean = false,
-      streamMaxFiles: Option[Int] = None)
+      streamMaxFiles: Option[Int] = None,
+      incremental: Option[(Long, Option[Long])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -285,7 +290,34 @@ object GraftSparkTable {
       s
     }
 
+    /** incremental append scan: files added by append snapshots in
+      * (start, end] (reference BaseIncrementalAppendScan); stats/metrics
+      * pruning still applies via the inclusive evaluator */
+    private def incrementalTasks(startId: Long, endIdOpt: Option[Long]): Seq[FileScanTask] = {
+      val m = table.refresh()
+      val bound = Expr.bind(m.schema, Expr.and(expr, runtimeExpr))
+      val startSeq = m.snapshotById(startId)
+        .map(_.sequenceNumber).getOrElse(0L)
+      val endSeq = endIdOpt.flatMap(m.snapshotById).map(_.sequenceNumber)
+        .getOrElse(Long.MaxValue)
+      m.snapshots.filter(sn => sn.operation == "append" &&
+          sn.sequenceNumber > startSeq && sn.sequenceNumber <= endSeq)
+        .sortBy(_.sequenceNumber)
+        .flatMap { sn =>
+          graft.core.meta.ManifestIO.readList(sn.manifestListPath)
+            .filter(mf => mf.content == 0 && mf.addedSnapshotId == sn.snapshotId)
+            .flatMap(mf => graft.core.meta.ManifestIO.readEntries(mf))
+            .filter(e => e.status == 1 && e.snapshotId == sn.snapshotId)
+            .filter(e => InclusiveMetricsEvaluator.rowsMightMatch(bound, e.file.fileStats))
+            .map(e => FileScanTask(e.file, 0L, e.file.fileSizeBytes, TrueE, Nil))
+        }
+    }
+
     private def tasks(): Seq[FileScanTask] = {
+      if (cachedTasks == null && incremental.isDefined) {
+        val (s, e) = incremental.get
+        cachedTasks = incrementalTasks(s, e)
+      }
       if (cachedTasks == null) {
         var ts = newCoreScan().planFiles()
         // limit pushdown: stop planning once the limit is guaranteed

@@ -330,6 +330,35 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after === Seq((98L, "m98"), (99L, "m99"), (100L, "m100"), (101L, "m101")))
   }
 
+  test("changelog: tbl.changes, incremental read, changelog view") {
+    spark.sql("CREATE TABLE graft.db.cdc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.cdc VALUES (1, 'a'), (2, 'b')")
+    val snap1 = coreTable("cdc").meta.currentSnapshot.get.snapshotId
+    spark.sql("INSERT INTO graft.db.cdc VALUES (3, 'c')")
+    spark.sql("UPDATE graft.db.cdc SET v = 'B' WHERE id = 2") // CoW rewrite
+
+    val changes = spark.sql(
+      "SELECT id, v, _change_type, _change_ordinal FROM graft.db.cdc.changes ORDER BY _change_ordinal, _change_type, id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSeq
+    // ordinal 0: insert 1,2; ordinal 1: insert 3; ordinal 2: CoW rewrite of
+    // the file holding (1,2): delete 1,2 + insert 1,B... (carryover of 1)
+    assert(changes.count(_._3 === "INSERT") >= 4)
+    assert(changes.count(_._3 === "DELETE") >= 1)
+    assert(changes.contains((2L, "b", "DELETE", 2)) && changes.contains((2L, "B", "INSERT", 2)))
+
+    // incremental append read: only snapshots after snap1
+    val inc = spark.read.option("start-snapshot-id", snap1.toString)
+      .table("graft.db.cdc").select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(inc === Seq(3L))
+
+    // changelog view: carryover (1,'a') removed, update paired for id=2
+    spark.sql("CALL graft.system.create_changelog_view('db.cdc', 'cdc_view', 'id')")
+    val view = spark.sql(
+      "SELECT id, v, _change_type FROM cdc_view WHERE _change_ordinal = 2 ORDER BY _change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(view === Seq((2L, "B", "UPDATE_AFTER"), (2L, "b", "UPDATE_BEFORE")))
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
