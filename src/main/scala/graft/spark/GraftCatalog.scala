@@ -20,7 +20,7 @@ import graft.core.types._
   * (reference spark/.../SparkCatalog.java:127).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog with ProcedureCatalog {
+  with FunctionCatalog with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var catalog: HadoopCatalog = _
@@ -148,6 +148,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename not supported yet")
 
+  // -------------------------------------------------------------- staging
+  // CTAS/RTAS (reference SparkCatalog stage* + BaseTransaction). The table
+  // is created eagerly so writers have a location; abort drops it. RTAS
+  // recreates in place — full staged-commit atomicity for replace is a
+  // follow-up.
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    val t = createTable(ident, columns, partitions, properties)
+    new GraftStagedTable(t.asInstanceOf[GraftSparkTable], onAbort = () => dropTable(ident))
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (!catalog.tableExists(ident.namespace.toSeq, ident.name))
+      throw new NoSuchTableException(ident)
+    dropTable(ident)
+    val t = createTable(ident, columns, partitions, properties)
+    new GraftStagedTable(t.asInstanceOf[GraftSparkTable], onAbort = () => ())
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (catalog.tableExists(ident.namespace.toSeq, ident.name)) dropTable(ident)
+    val t = createTable(ident, columns, partitions, properties)
+    new GraftStagedTable(t.asInstanceOf[GraftSparkTable], onAbort = () => ())
+  }
+
   // ----------------------------------------------------------- procedures
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -210,4 +237,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace :+ ident.name).mkString(".")
+}
+
+/** CTAS/RTAS staged table: delegates everything to the real table; abort
+  * undoes the eager creation. */
+final class GraftStagedTable(inner: GraftSparkTable, onAbort: () => Unit)
+  extends Table with StagedTable with SupportsRead with SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = onAbort()
 }

@@ -124,7 +124,12 @@ object GraftSparkTable {
   final case class TaskDesc(path: String, start: Long, length: Long,
       deletePaths: Array[String])
 
-  final case class GraftInputPartition(tasks: Array[TaskDesc]) extends InputPartition
+  final case class GraftInputPartition(tasks: Array[TaskDesc],
+      key: InternalRow = null)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow = key
+  }
 
   final class GraftScanBuilder(table: GTable, snapshotId: Option[Long],
       branch: Option[String], asOfTs: Option[Long],
@@ -273,7 +278,52 @@ object GraftSparkTable {
       streamMaxFiles: Option[Int] = None,
       incremental: Option[(Long, Option[Long])] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+    // ------------------------------------------- storage-partitioned joins
+    // Report KeyGroupedPartitioning over the partition transforms so joins
+    // on partition keys elide their shuffles (reference
+    // SparkPartitioningAwareScan.java:59-120; gated on a conf because
+    // per-key task groups can be skewed for non-join scans).
+    private def preserveGrouping: Boolean =
+      SparkSession.active.conf
+        .getOption("spark.sql.graft.preserveDataGrouping").exists(_.toBoolean) &&
+        table.spec.fields.nonEmpty
+
+    @transient private lazy val groupedTasks: Seq[(Seq[Any], Seq[FileScanTask])] = {
+      val specId = table.spec.specId
+      val all = tasks()
+      if (all.isEmpty || all.exists(_.file.specId != specId)) Nil
+      else all.groupBy(t => t.file.partition.map {
+        case b: Array[Byte] => b.toSeq
+        case x              => x
+      }).map { case (_, ts) => (ts.head.file.partition, ts) }.toSeq
+    }
+
+    private def keyRow(partition: Seq[Any]): InternalRow = {
+      val partType = table.spec.partitionType(table.schema)
+      val vals = partition.zip(partType.fields).map { case (v, f) =>
+        if (v == null) null
+        else f.tpe match {
+          case GString => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+          case GDecimal(p, s) => org.apache.spark.sql.types.Decimal(
+            v.asInstanceOf[java.math.BigDecimal], p, s)
+          case _ => v
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals.toArray)
+    }
+
+    override def outputPartitioning()
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      if (preserveGrouping && groupedTasks.nonEmpty)
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          table.spec.fields.map(pf =>
+            SparkBridge.toSparkTransform(pf, table.schema)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          groupedTasks.size)
+      else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -374,6 +424,13 @@ object GraftSparkTable {
 
     // ------------------------------------------------- execution
     override def planInputPartitions(): Array[InputPartition] = {
+      if (preserveGrouping && groupedTasks.nonEmpty) {
+        // one input partition per partition key, tagged for SPJ
+        return groupedTasks.map { case (partition, ts) =>
+          GraftInputPartition(ts.map(t => TaskDesc(t.file.path, t.start, t.length,
+            t.deletes.map(_.path).toArray)).toArray, keyRow(partition)): InputPartition
+        }.toArray
+      }
       val groups = {
         val all = tasks()
         // bin-pack into ~split-size groups (reference TableScanUtil)

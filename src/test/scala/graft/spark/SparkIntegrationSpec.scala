@@ -359,6 +359,47 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(view === Seq((2L, "B", "UPDATE_AFTER"), (2L, "b", "UPDATE_BEFORE")))
   }
 
+  test("CTAS and RTAS through the staging catalog") {
+    spark.sql("CREATE TABLE graft.db.ctas USING parquet AS SELECT id, id * 2 AS dbl FROM range(10)")
+    assert(spark.sql("SELECT sum(dbl) FROM graft.db.ctas").collect()(0).getLong(0) === 90L)
+    spark.sql("REPLACE TABLE graft.db.ctas AS SELECT id, id * 3 AS tpl FROM range(5)")
+    assert(spark.sql("SELECT sum(tpl) FROM graft.db.ctas").collect()(0).getLong(0) === 30L)
+  }
+
+  test("storage-partitioned join elides shuffles on partition keys") {
+    spark.sql("CREATE TABLE graft.db.spj_a (id BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("CREATE TABLE graft.db.spj_b (id BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.range(0, 100).selectExpr("id", "concat('p', id % 4) AS part")
+      .writeTo("graft.db.spj_a").append()
+    spark.range(0, 60).selectExpr("id", "concat('p', id % 4) AS part")
+      .writeTo("graft.db.spj_b").append()
+    withConfs(
+      "spark.sql.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql("""SELECT a.part, count(*) AS c FROM graft.db.spj_a a
+        JOIN graft.db.spj_b b ON a.part = b.part GROUP BY a.part""")
+      val plan = df.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx > 0, s"expected SMJ:\n$plan")
+      // no shuffle below the join: partitioning came from storage
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"expected shuffle-free join:\n$plan")
+      assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        === Map("p0" -> 375L, "p1" -> 375L, "p2" -> 375L, "p3" -> 375L))
+    }
+  }
+
+  private def withConfs(confs: (String, String)*)(f: => Unit): Unit = {
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
