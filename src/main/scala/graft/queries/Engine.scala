@@ -30,10 +30,11 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v2").contains("true"))
     if (!complete) {
       // wipe any partial previous build
-      Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo")
+      Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
+        "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
 
@@ -84,8 +85,63 @@ object Engine {
         .select("c_custkey", "c_name", "c_mktsegment")
         .writeTo("graft.db.cust_evo").append()
 
+      // copy-on-write mid-file DELETE (rewrites affected files atomically)
+      s.sql("""CREATE TABLE graft.db.cow_del (
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+      o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .writeTo("graft.db.cow_del").append()
+      s.sql("DELETE FROM graft.db.cow_del WHERE o_orderkey % 7 = 3")
+
+      // merge-on-read DELETE + UPDATE (position-delete files, no rewrites)
+      s.sql("""CREATE TABLE graft.db.mor_cust (
+        c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                       'write.update.mode'='merge-on-read')""")
+      c.select("c_custkey", "c_name", "c_acctbal").writeTo("graft.db.mor_cust").append()
+      s.sql("DELETE FROM graft.db.mor_cust WHERE c_custkey % 13 = 5")
+      s.sql("UPDATE graft.db.mor_cust SET c_acctbal = c_acctbal + 100 WHERE c_custkey % 10 = 0")
+
+      // MERGE INTO (copy-on-write): odd part keys, upsert every third key
+      s.sql("CREATE TABLE graft.db.mrg_part (p_partkey BIGINT, p_retailprice DOUBLE)")
+      p.filter(col("p_partkey") % 2 === 1).select("p_partkey", "p_retailprice")
+        .writeTo("graft.db.mrg_part").append()
+      p.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey"), (col("p_retailprice") * 2).as("p_retailprice"))
+        .createOrReplaceTempView("mrg_part_src")
+      s.sql("""MERGE INTO graft.db.mrg_part t USING mrg_part_src src
+        ON t.p_partkey = src.p_partkey
+        WHEN MATCHED THEN UPDATE SET p_retailprice = src.p_retailprice
+        WHEN NOT MATCHED THEN INSERT (p_partkey, p_retailprice)
+          VALUES (src.p_partkey, src.p_retailprice)""")
+
+      // compaction: 3 small appends bin-packed into one file + manifest rewrite
+      s.sql("CREATE TABLE graft.db.compact_g (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
+      val n = t(s, dir, "nation")
+      Seq(0, 1, 2).foreach { m =>
+        n.filter(col("n_nationkey") % 3 === m).writeTo("graft.db.compact_g").append()
+      }
+      s.sql("CALL graft.system.rewrite_data_files('db.compact_g')")
+      s.sql("CALL graft.system.rewrite_manifests('db.compact_g')")
+
+      // changelog: two appends → all-INSERT change rows
+      s.sql("CREATE TABLE graft.db.cdc_g (r_regionkey BIGINT, r_name STRING)")
+      val r = t(s, dir, "region")
+      r.filter(col("r_regionkey") < 3).writeTo("graft.db.cdc_g").append()
+      r.filter(col("r_regionkey") >= 3).writeTo("graft.db.cdc_g").append()
+
+      // streaming: micro-batch read of orders_snap → exactly-once sink
+      s.sql("""CREATE TABLE graft.db.stream_g (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+      val q = s.readStream.table("graft.db.orders_snap")
+        .writeStream
+        .option("checkpointLocation", s"$wh/_ckpt_stream_g")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.db.stream_g")
+      q.awaitTermination(120000)
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete" -> "true"))
+        .updateProperties(Map("build-complete-v2" -> "true"))
     }
     built += wh
   }
@@ -181,5 +237,120 @@ object Engine {
         CASE WHEN c_custkey <= 100 THEN 'none' ELSE c_mktsegment END AS seg
       FROM customer ORDER BY c_custkey"""))
 
-  val all: Vector[Q] = Vector(g01, g02, g03, g04, g05)
+  // ------------------------------------------------------------------ g06
+  private val g06 = Q(
+    "g06_engine_cow_delete",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.cow_del")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_e2"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM orders WHERE NOT (o_orderkey % 7 = 3)"""))
+
+  // ------------------------------------------------------------------ g07
+  private val g07 = Q(
+    "g07_engine_mor_rowlevel",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.mor_cust")
+        .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("sum_e2"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+                           ELSE c_acctbal END AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM customer WHERE NOT (c_custkey % 13 = 5)"""))
+
+  // ------------------------------------------------------------------ g08
+  private val g08 = Q(
+    "g08_engine_merge",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.mrg_part")
+        .agg(count(lit(1)).as("n"), sum(cents(col("p_retailprice"))).as("sum_e2"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(CASE WHEN p_partkey % 3 = 0 THEN p_retailprice * 2
+                           ELSE p_retailprice END AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM part WHERE p_partkey % 2 = 1 OR p_partkey % 3 = 0"""))
+
+  // ------------------------------------------------------------------ g09
+  private val g09 = Q(
+    "g09_engine_agg_pushdown",
+    (s, dir) => {
+      setup(s, dir)
+      // no filter → answered entirely from manifest stats (LocalScan)
+      s.table("graft.db.lineitem_g")
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+      FROM lineitem"""))
+
+  // ------------------------------------------------------------------ g10
+  private val g10 = Q(
+    "g10_engine_compaction",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.compact_g")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // ------------------------------------------------------------------ g11
+  private val g11 = Q(
+    "g11_engine_changelog",
+    (s, dir) => {
+      setup(s, dir)
+      s.read.table("graft.db.cdc_g.changes")
+        .select(col("r_regionkey"), col("r_name"), col("_change_type"))
+        .orderBy("r_regionkey")
+    },
+    Some("""
+      SELECT r_regionkey, r_name, 'INSERT' AS _change_type
+      FROM region ORDER BY r_regionkey"""))
+
+  // ------------------------------------------------------------------ g12
+  private val g12 = Q(
+    "g12_engine_transforms",
+    (s, dir) => {
+      setup(s, dir)
+      s.sql("""
+        SELECT graft.system.months(l_shipdate) AS m, COUNT(*) AS n,
+               CAST(SUM(graft.system.truncate(100, l_orderkey)) AS BIGINT) AS sum_trunc
+        FROM graft.db.lineitem_g GROUP BY 1 ORDER BY m""")
+    },
+    Some("""
+      SELECT (EXTRACT(year FROM l_shipdate) - 1970) * 12
+             + EXTRACT(month FROM l_shipdate) - 1 AS m,
+             COUNT(*) AS n,
+             CAST(SUM(l_orderkey - ((l_orderkey % 100 + 100) % 100)) AS BIGINT) AS sum_trunc
+      FROM lineitem GROUP BY 1 ORDER BY m"""))
+
+  // ------------------------------------------------------------------ g13
+  private val g13 = Q(
+    "g13_engine_streaming",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.stream_g")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_e2"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
+    g10, g11, g12, g13)
 }
