@@ -219,4 +219,20 @@ object TypeComparators {
     case d: Double => d; case f: Float => f.toDouble
     case other     => throw new IllegalArgumentException(s"not a double: $other")
   }
+
+  /** Parse a partition-path string ("col=value" segment) into the
+    * internal representation of the given type. */
+  def parse(t: GType, s: String): Any =
+    if (s == "null") null
+    else t match {
+      case GBoolean      => s.toBoolean
+      case GInt          => s.toInt
+      case GLong         => s.toLong
+      case GFloat        => s.toFloat
+      case GDouble       => s.toDouble
+      case GDecimal(_, _) => new java.math.BigDecimal(s)
+      case GDate         => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case GString       => s
+      case other => throw new IllegalArgumentException(s"cannot parse partition value: $other")
+    }
 }

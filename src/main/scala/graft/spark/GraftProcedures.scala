@@ -34,7 +34,7 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref",
     "expire_snapshots", "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "compute_table_stats",
-    "create_changelog_view")
+    "create_changelog_view", "add_files")
 
   def load(name: String, catalog: HadoopCatalog): Option[UnboundProcedure] =
     if (names.contains(name.toLowerCase)) Some(new GraftProcedure(name.toLowerCase, catalog))
@@ -121,6 +121,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       Array(param("table", StringType),
         param("changelog_view", StringType, "''"),
         param("identifier_columns", StringType, "''"))
+    case "add_files" =>
+      Array(param("table", StringType), param("source_dir", StringType))
     case other => throw new IllegalArgumentException(other)
   }
 
@@ -351,6 +353,41 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       result.createOrReplaceTempView(viewName)
       out(StructType(Seq(StructField("changelog_view", StringType))),
         row(GraftProcedures.s(viewName)))
+
+    case "add_files" =>
+      // external import: register existing parquet files by reading their
+      // footers — no data rewrite (reference AddFilesProcedure /
+      // SparkTableUtil). Hive-style `col=value` path segments become
+      // identity-partition tuples.
+      val t = loadTable(input.getUTF8String(0).toString)
+      val srcDir = input.getUTF8String(1).toString
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val spec = t.spec
+      val schema = t.schema
+      val files = walkFiles(srcDir).filter(_.endsWith(".parquet"))
+      require(files.nonEmpty, s"no parquet files under $srcDir")
+      val dataFiles = files.map { path =>
+        val partition: Seq[Any] = spec.fields.map { pf =>
+          val src = schema.byId(pf.sourceId)
+          val seg = path.split("/").find(_.startsWith(src.name + "="))
+            .map(_.substring(src.name.length + 1))
+            .getOrElse(throw new IllegalArgumentException(
+              s"file $path missing partition segment ${src.name}= (identity import only)"))
+          graft.core.types.TypeComparators.parse(src.tpe, seg)
+        }
+        val (size, stats) = FooterStats.read(path, conf, schema)
+        val rows = {
+          val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+          try r.getRecordCount finally r.close()
+        }
+        DataFile(path, "parquet", spec.specId, partition, rows, size, stats)
+      }
+      t.newAppend().appendFiles(dataFiles).commit()
+      out(StructType(Seq(StructField("added_files_count", IntegerType),
+        StructField("added_records", LongType))),
+        row(dataFiles.size, dataFiles.map(_.recordCount).sum))
 
     case other => throw new IllegalArgumentException(other)
   }

@@ -120,9 +120,13 @@ object GraftSparkTable {
   val MetaPosCol = "_pos"
   private val MetaColNames = Set(MetaFileCol, MetaPosCol)
 
+  /** an equality-delete file + the field ids it deletes by */
+  final case class EqDeleteDesc(path: String, fieldIds: Array[Int])
+
   /** Serializable slice of a FileScanTask shipped to executors. */
   final case class TaskDesc(path: String, start: Long, length: Long,
-      deletePaths: Array[String])
+      deletePaths: Array[String],
+      eqDeletes: Array[EqDeleteDesc] = Array.empty)
 
   final case class GraftInputPartition(tasks: Array[TaskDesc],
       key: InternalRow = null)
@@ -427,19 +431,35 @@ object GraftSparkTable {
       if (preserveGrouping && groupedTasks.nonEmpty) {
         // one input partition per partition key, tagged for SPJ
         return groupedTasks.map { case (partition, ts) =>
-          GraftInputPartition(ts.map(t => TaskDesc(t.file.path, t.start, t.length,
-            t.deletes.map(_.path).toArray)).toArray, keyRow(partition)): InputPartition
+          GraftInputPartition(ts.map(toDesc).toArray, keyRow(partition)): InputPartition
         }.toArray
       }
+      val all = tasks()
+      val openCost = 4L * 1024 * 1024
+      // Adaptive split target (reference TableScanUtil + adaptive split
+      // size): cap at 128 MB for cluster-scale reads, but shrink toward
+      // totalBytes/defaultParallelism so a scan never plans fewer task
+      // groups than the cluster has slots — a 100 MB table on 32 cores
+      // must not become one single-threaded task.
+      val parallelism =
+        try SparkSession.active.sparkContext.defaultParallelism catch { case _: Throwable => 8 }
+      val totalBytes = all.map(t => math.max(t.length, openCost)).sum
+      val target = math.min(128L * 1024 * 1024,
+        math.max(4L * 1024 * 1024, totalBytes / math.max(1, parallelism)))
+      // split oversized files at target boundaries — safe only when the
+      // reader honors (start, length): no delete masking, no _pos
+      val needPos = required.fieldNames.contains(MetaPosCol)
+      val split = all.flatMap { t =>
+        if (t.length <= target || t.deletes.nonEmpty || needPos) Seq(t)
+        else (0L until t.length by target).map(off =>
+          t.copy(start = off, length = math.min(target, t.length - off)))
+      }
       val groups = {
-        val all = tasks()
-        // bin-pack into ~split-size groups (reference TableScanUtil)
-        val target = 128L * 1024 * 1024
-        val openCost = 4L * 1024 * 1024
+        // bin-pack into ~target-size groups (reference TableScanUtil)
         val out = Seq.newBuilder[Seq[FileScanTask]]
         var cur = Seq.newBuilder[FileScanTask]
         var size = 0L; var n = 0
-        all.foreach { t =>
+        split.foreach { t =>
           val w = math.max(t.length, openCost)
           if (n > 0 && size + w > target) {
             out += cur.result(); cur = Seq.newBuilder; size = 0L; n = 0
@@ -450,9 +470,14 @@ object GraftSparkTable {
         out.result()
       }
       groups.map { g =>
-        GraftInputPartition(g.map(t => TaskDesc(t.file.path, t.start, t.length,
-          t.deletes.map(_.path).toArray)).toArray): InputPartition
+        GraftInputPartition(g.map(toDesc).toArray): InputPartition
       }.toArray
+    }
+
+    private def toDesc(t: FileScanTask): TaskDesc = {
+      val (eq, pos) = t.deletes.partition(_.content == graft.core.meta.FileContent.EqualityDeletes)
+      TaskDesc(t.file.path, t.start, t.length, pos.map(_.path).toArray,
+        eq.map(d => EqDeleteDesc(d.path, d.equalityIds.toArray)).toArray)
     }
 
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -497,8 +522,21 @@ object GraftSparkTable {
         new StructType(), deleteSchema, Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshConf)
+      // equality-delete masking needs the identifier columns regardless of
+      // pruning: read the full schema (field-id resolution nulls absent
+      // columns in the delete files themselves)
+      val rowFuncFull = fmt.buildReaderWithPartitionValues(spark, fullSchema,
+        new StructType(), fullSchema, Nil,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshConf)
+      // Spark requires a uniform columnar/row answer across every input
+      // partition of a scan: go columnar only when NO planned task needs
+      // delete masking
+      val allColumnar = vectorized &&
+        tasks().forall(t => t.deletes.isEmpty)
       new GraftReaderFactory(batchFunc, rowFunc, rowFuncNoFilter, deleteFunc,
-        vectorized, metaCols)
+        allColumnar, metaCols, rowFuncFull, fullSchema, dataRequired,
+        table.schema.fields.map(f => f.id -> f.name).toMap)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -552,14 +590,66 @@ object GraftSparkTable {
       rowFuncNoFilter: PartitionedFile => Iterator[InternalRow],
       deleteFunc: PartitionedFile => Iterator[InternalRow],
       vectorized: Boolean,
-      metaCols: Array[String]) extends PartitionReaderFactory {
+      metaCols: Array[String],
+      rowFuncFull: PartitionedFile => Iterator[InternalRow],
+      fullSchema: StructType,
+      dataRequired: StructType,
+      fieldNamesById: Map[Int, String]) extends PartitionReaderFactory {
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
       PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
         Array.empty[String], 0L, length, Map.empty)
 
     override def supportColumnarReads(partition: InputPartition): Boolean =
-      vectorized && partition.asInstanceOf[GraftInputPartition].tasks.forall(_.deletePaths.isEmpty)
+      vectorized // scan-level decision: uniform across partitions
+
+    /** canonical (hashable, buffer-safe) copy of a column value */
+    private def canonical(row: InternalRow, pos: Int,
+        dt: org.apache.spark.sql.types.DataType): Any =
+      if (row.isNullAt(pos)) null
+      else row.get(pos, dt) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case b: Array[Byte]                              => b.toSeq
+        case d: org.apache.spark.sql.types.Decimal       => d.toJavaBigDecimal
+        case other                                       => other
+      }
+
+    /** rows of `t` masked by its equality (and position) deletes,
+      * projected to the required data columns, with file positions */
+    private def eqMaskedRows(t: TaskDesc): Iterator[(InternalRow, Long)] = {
+      val posOf = fullSchema.fieldNames.zipWithIndex.toMap
+      // per delete file: the key positions + the set of deleted keys
+      val masks: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] =
+        t.eqDeletes.toSeq.map { ed =>
+          val positions = ed.fieldIds.flatMap(id =>
+            fieldNamesById.get(id).flatMap(posOf.get))
+          val keys = new java.util.HashSet[Seq[Any]]()
+          rowFuncFull(pf(ed.path, 0, Long.MaxValue)).foreach { r =>
+            keys.add(positions.map(p => canonical(r, p, fullSchema(p).dataType)).toSeq)
+          }
+          (positions, keys)
+        }
+      val posDeleted = new java.util.HashSet[Long]()
+      t.deletePaths.foreach { dp =>
+        deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
+          if (r.getUTF8String(0).toString == t.path) posDeleted.add(r.getLong(1))
+        }
+      }
+      val project = dataRequired.fields.map(f => fullSchema.fieldIndex(f.name))
+      rowFuncFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
+        case (row, idx) if !posDeleted.contains(idx.toLong) &&
+          !masks.exists { case (positions, keys) =>
+            keys.contains(positions.map(p => canonical(row, p, fullSchema(p).dataType)).toSeq)
+          } =>
+          val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(project.length)
+          var i = 0
+          while (i < project.length) {
+            out.update(i, row.get(project(i), fullSchema(project(i)).dataType))
+            i += 1
+          }
+          (out: InternalRow, idx.toLong)
+      }
+    }
 
     override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
       val tasks = partition.asInstanceOf[GraftInputPartition].tasks
@@ -595,7 +685,9 @@ object GraftSparkTable {
             }
             joined(row, metaRow)
           }
-        if (t.deletePaths.isEmpty && !needPos)
+        if (t.eqDeletes.nonEmpty)
+          eqMaskedRows(t).map { case (row, idx) => withMeta(row, idx) }
+        else if (t.deletePaths.isEmpty && !needPos)
           rowFunc(pf(t.path, t.start, t.length)).map(withMeta(_, -1L))
         else {
           // positions deleted for THIS data file across its delete files

@@ -400,6 +400,53 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("equality deletes mask rows by identifier values") {
+    spark.sql("CREATE TABLE graft.db.eqd (id BIGINT, v STRING)")
+    spark.range(0, 20, 1, 1).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.eqd").append()
+    val t = coreTable("eqd")
+    val idField = t.schema.findField("id").get
+
+    // write an equality-delete file (id in {3, 7}) with field-id metadata,
+    // as a CDC writer would (reference EqualityDeleteWriter)
+    val delDir = java.nio.file.Files.createTempDirectory("eqdel").toString
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val delSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType,
+        nullable = false,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", idField.id.toLong).build())))
+    spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(3L), org.apache.spark.sql.Row(7L)), delSchema)
+      .coalesce(1).write.mode("overwrite").parquet(delDir)
+    val delFile = java.nio.file.Files.list(java.nio.file.Paths.get(delDir))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().toString
+
+    t.newRowDelta().addDeletes(graft.core.meta.DataFile(
+      delFile, "parquet", t.spec.specId, Nil, 2L,
+      java.nio.file.Files.size(java.nio.file.Paths.get(delFile)),
+      content = graft.core.meta.FileContent.EqualityDeletes,
+      equalityIds = Seq(idField.id))).commit()
+
+    val ids = spark.sql("SELECT id FROM graft.db.eqd ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === (0L until 20L).filterNot(Set(3L, 7L)))
+    // pruned projection still applies the mask
+    assert(spark.sql("SELECT count(v) FROM graft.db.eqd").collect()(0).getLong(0) === 18L)
+  }
+
+  test("add_files imports external parquet without rewriting") {
+    val ext = java.nio.file.Files.createTempDirectory("ext-parquet").toString
+    spark.range(0, 50).selectExpr("id", "concat('x', id) AS v")
+      .coalesce(1).write.parquet(s"$ext/batch1")
+    spark.sql("CREATE TABLE graft.db.imported (id BIGINT, v STRING)")
+    val res = spark.sql(s"CALL graft.system.add_files('db.imported', '$ext/batch1')").collect()(0)
+    assert(res.getInt(0) === 1 && res.getLong(1) === 50L)
+    assert(spark.sql("SELECT count(*), min(id), max(id) FROM graft.db.imported")
+      .collect()(0).toSeq === Seq(50L, 0L, 49L))
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
