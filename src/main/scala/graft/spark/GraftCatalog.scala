@@ -20,7 +20,8 @@ import graft.core.types._
   * (reference spark/.../SparkCatalog.java:127).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog with ProcedureCatalog with StagingTableCatalog {
+  with FunctionCatalog with ProcedureCatalog with StagingTableCatalog
+  with ViewCatalog {
 
   private var catalogName: String = _
   private var catalog: HadoopCatalog = _
@@ -147,6 +148,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename not supported yet")
+
+  // ----------------------------------------------------------------- views
+  // catalog-stored SQL views (reference view-spec.md; SparkView.java)
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViewStore.list(catalog.warehouse, namespace)
+      .map(n => Identifier.of(namespace.toArray, n)).toArray
+
+  override def loadView(ident: Identifier): View =
+    GraftViewStore.load(catalog.warehouse, ident)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+
+  override def createView(info: ViewInfo): View =
+    GraftViewStore.create(catalog.warehouse, info, replace = false)
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View =
+    GraftViewStore.create(catalog.warehouse, info, replace = true)
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    GraftViewStore.alter(catalog.warehouse, ident, changes)
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViewStore.drop(catalog.warehouse, ident)
+
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    GraftViewStore.rename(catalog.warehouse, from, to)
 
   // -------------------------------------------------------------- staging
   // CTAS/RTAS (reference SparkCatalog stage* + BaseTransaction). The table

@@ -34,7 +34,7 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref",
     "expire_snapshots", "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "compute_table_stats",
-    "create_changelog_view", "add_files")
+    "create_changelog_view", "add_files", "create_view", "drop_view")
 
   def load(name: String, catalog: HadoopCatalog): Option[UnboundProcedure] =
     if (names.contains(name.toLowerCase)) Some(new GraftProcedure(name.toLowerCase, catalog))
@@ -123,6 +123,11 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("identifier_columns", StringType, "''"))
     case "add_files" =>
       Array(param("table", StringType), param("source_dir", StringType))
+    case "create_view" =>
+      Array(param("view", StringType), param("sql", StringType),
+        param("replace", BooleanType, "false"))
+    case "drop_view" =>
+      Array(param("view", StringType))
     case other => throw new IllegalArgumentException(other)
   }
 
@@ -388,6 +393,32 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       out(StructType(Seq(StructField("added_files_count", IntegerType),
         StructField("added_records", LongType))),
         row(dataFiles.size, dataFiles.map(_.recordCount).sum))
+
+    case "create_view" =>
+      // v2 view DDL (Spark 4 lacks native CREATE VIEW for v2 catalogs;
+      // reads resolve via GraftExtensions' substitution rule)
+      val viewName = input.getUTF8String(0).toString
+      val sql = input.getUTF8String(1).toString
+      val replace = input.getBoolean(2)
+      val spark = SparkSession.active
+      val schema = spark.sql(sql).schema
+      val parts = viewName.split("\\.").toSeq
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.init.toArray, parts.last)
+      GraftViewStore.create(catalog.warehouse,
+        new org.apache.spark.sql.connector.catalog.ViewInfo(ident, sql,
+          spark.sessionState.catalogManager.currentCatalog.name,
+          Array.empty[String], schema, schema.fieldNames,
+          Array.empty[String], Array.empty[String],
+          new java.util.HashMap[String, String]()), replace)
+      out(StructType(Seq(StructField("view", StringType))), row(s(viewName)))
+
+    case "drop_view" =>
+      val viewName = input.getUTF8String(0).toString
+      val parts = viewName.split("\\.").toSeq
+      val dropped = GraftViewStore.drop(catalog.warehouse,
+        org.apache.spark.sql.connector.catalog.Identifier.of(parts.init.toArray, parts.last))
+      out(StructType(Seq(StructField("dropped", BooleanType))), row(dropped))
 
     case other => throw new IllegalArgumentException(other)
   }

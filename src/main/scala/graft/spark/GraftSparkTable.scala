@@ -420,9 +420,35 @@ object GraftSparkTable {
       val fullCols = table.schema.fields.size.max(1)
       val ratio = required.fields.length.toDouble / fullCols
       val bytes = (ts.map(_.length).sum * ratio).toLong.max(1L)
+      // column NDVs from compute_table_stats + null counts from manifests
+      // (reference SparkColumnStatistics; feeds CBO join ordering)
+      val colStats = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      table.schema.fields.foreach { f =>
+        val ndv = table.meta.properties.get(s"stats.ndv.${f.name}").flatMap(_.toLongOption)
+        val nulls = {
+          val perFile = ts.map(_.file.fileStats.col(f.id).nullCount)
+          if (perFile.nonEmpty && perFile.forall(_.isDefined)) Some(perFile.flatten.sum)
+          else None
+        }
+        if (ndv.isDefined || nulls.isDefined) {
+          colStats.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def nullCount(): OptionalLong =
+                nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            })
+        }
+      }
       new Statistics {
         override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
         override def numRows(): OptionalLong = OptionalLong.of(rows)
+        override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
       }
     }
 

@@ -27,6 +27,7 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
       .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
   }
@@ -445,6 +446,20 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.getInt(0) === 1 && res.getLong(1) === 50L)
     assert(spark.sql("SELECT count(*), min(id), max(id) FROM graft.db.imported")
       .collect()(0).toSeq === Seq(50L, 0L, 49L))
+  }
+
+  test("catalog-stored SQL views: create, read, replace, drop") {
+    spark.sql("CREATE TABLE graft.db.vt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.vt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CALL graft.system.create_view('db.v_big', 'SELECT id, v FROM graft.db.vt WHERE id >= 2')")
+    assert(spark.sql("SELECT * FROM graft.db.v_big ORDER BY id").count() === 2)
+    // view sees post-creation table changes (SQL views, not snapshots)
+    spark.sql("INSERT INTO graft.db.vt VALUES (4, 'd')")
+    assert(spark.sql("SELECT * FROM graft.db.v_big").count() === 3)
+    spark.sql("CALL graft.system.create_view('db.v_big', 'SELECT id FROM graft.db.vt WHERE id >= 4', true)")
+    assert(spark.sql("SELECT * FROM graft.db.v_big").count() === 1)
+    spark.sql("CALL graft.system.drop_view('db.v_big')")
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.v_big").collect())
   }
 
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
