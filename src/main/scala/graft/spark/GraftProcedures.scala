@@ -34,7 +34,8 @@ object GraftProcedures {
     "create_branch", "create_tag", "drop_ref",
     "expire_snapshots", "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "compute_table_stats",
-    "create_changelog_view", "add_files", "create_view", "drop_view")
+    "create_changelog_view", "add_files", "create_view", "drop_view",
+    "snapshot_table")
 
   def load(name: String, catalog: HadoopCatalog): Option[UnboundProcedure] =
     if (names.contains(name.toLowerCase)) Some(new GraftProcedure(name.toLowerCase, catalog))
@@ -123,6 +124,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("identifier_columns", StringType, "''"))
     case "add_files" =>
       Array(param("table", StringType), param("source_dir", StringType))
+    case "snapshot_table" =>
+      Array(param("source_dir", StringType), param("table", StringType))
     case "create_view" =>
       Array(param("view", StringType), param("sql", StringType),
         param("replace", BooleanType, "false"))
@@ -387,7 +390,16 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
           try r.getRecordCount finally r.close()
         }
-        DataFile(path, "parquet", spec.specId, partition, rows, size, stats)
+        // files without parquet field ids are read name-based
+        val hasIds = {
+          val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+          try r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null)
+          finally r.close()
+        }
+        DataFile(path, if (hasIds) "parquet" else "parquet-nm",
+          spec.specId, partition, rows, size, stats)
       }
       t.newAppend().appendFiles(dataFiles).commit()
       out(StructType(Seq(StructField("added_files_count", IntegerType),
@@ -419,6 +431,24 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val dropped = GraftViewStore.drop(catalog.warehouse,
         org.apache.spark.sql.connector.catalog.Identifier.of(parts.init.toArray, parts.last))
       out(StructType(Seq(StructField("dropped", BooleanType))), row(dropped))
+
+    case "snapshot_table" =>
+      // import an external parquet directory as a NEW graft table without
+      // copying data (reference SnapshotTableProcedure): infer the schema
+      // with Spark, create the table, register files by footer
+      val srcDir = input.getUTF8String(0).toString
+      val tblName = input.getUTF8String(1).toString
+      val parts = tblName.split("\\.").toSeq
+      val (ns, tbl) = if (parts.length >= 2) (parts.init, parts.last)
+                      else (Seq("db"), parts.head)
+      val spark = SparkSession.active
+      val inferred = spark.read.parquet(srcDir).schema
+      val gSchema = graft.core.types.SparkTypes.fromSpark(inferred)
+      catalog.createTable(ns, tbl, gSchema)
+      // delegate file registration to the same footer-based import
+      val addProc = new GraftProcedure("add_files", catalog)
+      addProc.call(new GenericInternalRow(Array[Any](
+        s(tblName), s(srcDir))))
 
     case other => throw new IllegalArgumentException(other)
   }

@@ -126,7 +126,9 @@ object GraftSparkTable {
   /** Serializable slice of a FileScanTask shipped to executors. */
   final case class TaskDesc(path: String, start: Long, length: Long,
       deletePaths: Array[String],
-      eqDeletes: Array[EqDeleteDesc] = Array.empty)
+      eqDeletes: Array[EqDeleteDesc] = Array.empty,
+      // imported files carry no parquet field ids → name-based resolution
+      nameBased: Boolean = false)
 
   final case class GraftInputPartition(tasks: Array[TaskDesc],
       key: InternalRow = null)
@@ -503,7 +505,8 @@ object GraftSparkTable {
     private def toDesc(t: FileScanTask): TaskDesc = {
       val (eq, pos) = t.deletes.partition(_.content == graft.core.meta.FileContent.EqualityDeletes)
       TaskDesc(t.file.path, t.start, t.length, pos.map(_.path).toArray,
-        eq.map(d => EqDeleteDesc(d.path, d.equalityIds.toArray)).toArray)
+        eq.map(d => EqDeleteDesc(d.path, d.equalityIds.toArray)).toArray,
+        nameBased = t.file.format == "parquet-nm")
     }
 
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -555,14 +558,33 @@ object GraftSparkTable {
         new StructType(), fullSchema, Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshConf)
+      // imported files (add_files/snapshot_table) have no field ids: read
+      // them by NAME with the id metadata stripped (reference name-mapping,
+      // schema.name-mapping.default)
+      val nameConf = new org.apache.hadoop.conf.Configuration(conf)
+      nameConf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+      def stripIds(st: StructType): StructType =
+        StructType(st.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      def freshNameConf = new org.apache.hadoop.conf.Configuration(nameConf)
+      val nameRowFunc = fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
+        new StructType(), stripIds(dataRequired), v1Filters,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshNameConf)
+      val nameRowFuncNoFilter = fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
+        new StructType(), stripIds(dataRequired), Nil,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshNameConf)
       // Spark requires a uniform columnar/row answer across every input
       // partition of a scan: go columnar only when NO planned task needs
       // delete masking
       val allColumnar = vectorized &&
         tasks().forall(t => t.deletes.isEmpty)
+      // name-based files force the row path (uniform columnar answer)
+      val columnarOk = allColumnar && tasks().forall(_.file.format != "parquet-nm")
       new GraftReaderFactory(batchFunc, rowFunc, rowFuncNoFilter, deleteFunc,
-        allColumnar, metaCols, rowFuncFull, fullSchema, dataRequired,
-        table.schema.fields.map(f => f.id -> f.name).toMap)
+        columnarOk, metaCols, rowFuncFull, fullSchema, dataRequired,
+        table.schema.fields.map(f => f.id -> f.name).toMap,
+        nameRowFunc, nameRowFuncNoFilter)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -620,7 +642,10 @@ object GraftSparkTable {
       rowFuncFull: PartitionedFile => Iterator[InternalRow],
       fullSchema: StructType,
       dataRequired: StructType,
-      fieldNamesById: Map[Int, String]) extends PartitionReaderFactory {
+      fieldNamesById: Map[Int, String],
+      nameRowFunc: PartitionedFile => Iterator[InternalRow],
+      nameRowFuncNoFilter: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
       PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
@@ -713,9 +738,10 @@ object GraftSparkTable {
           }
         if (t.eqDeletes.nonEmpty)
           eqMaskedRows(t).map { case (row, idx) => withMeta(row, idx) }
-        else if (t.deletePaths.isEmpty && !needPos)
-          rowFunc(pf(t.path, t.start, t.length)).map(withMeta(_, -1L))
-        else {
+        else if (t.deletePaths.isEmpty && !needPos) {
+          val f = if (t.nameBased) nameRowFunc else rowFunc
+          f(pf(t.path, t.start, t.length)).map(withMeta(_, -1L))
+        } else {
           // positions deleted for THIS data file across its delete files
           val deleted = new java.util.HashSet[Long]()
           t.deletePaths.foreach { dp =>
@@ -724,7 +750,8 @@ object GraftSparkTable {
             }
           }
           // full-file read so row index == file position
-          rowFuncNoFilter(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
+          val f = if (t.nameBased) nameRowFuncNoFilter else rowFuncNoFilter
+          f(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
             case (row, idx) if !deleted.contains(idx.toLong) => withMeta(row, idx.toLong)
           }
         }

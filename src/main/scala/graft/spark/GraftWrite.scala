@@ -281,7 +281,26 @@ final class GraftFanoutWriter(
 // the fanout data writer; commit is a single atomic RowDelta.
 // ---------------------------------------------------------------------------
 
-final class GraftDeltaWrite(table: GTable) extends DeltaWrite {
+final class GraftDeltaWrite(table: GTable) extends DeltaWrite
+  with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions => VE, SortDirection, SortOrder}
+
+  // cluster + sort deltas by (_file, _pos) so each task's position-delete
+  // file covers few data files with contiguous runs (reference
+  // SparkPositionDeltaWrite ordering)
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(
+      VE.identity(GraftSparkTable.MetaFileCol)
+        : org.apache.spark.sql.connector.expressions.Expression))
+
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    VE.sort(VE.identity(GraftSparkTable.MetaFileCol), SortDirection.ASCENDING),
+    VE.sort(VE.identity(GraftSparkTable.MetaPosCol), SortDirection.ASCENDING))
+
+  override def requiredNumPartitions(): Int = 0
+
   override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(table)
   override def description(): String = s"graft-delta-write(${table.location})"
 }

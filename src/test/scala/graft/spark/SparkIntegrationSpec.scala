@@ -462,6 +462,38 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("SELECT * FROM graft.db.v_big").collect())
   }
 
+  test("snapshot_table imports an external directory as a new table") {
+    val ext = java.nio.file.Files.createTempDirectory("snap-src").toString + "/t"
+    spark.range(0, 30).selectExpr("id", "id * 10 AS x").coalesce(1).write.parquet(ext)
+    spark.sql(s"CALL graft.system.snapshot_table('$ext', 'db.snapped')")
+    assert(spark.sql("SELECT count(*), sum(x) FROM graft.db.snapped")
+      .collect()(0).toSeq === Seq(30L, 4350L))
+  }
+
+  test("concurrent appends: optimistic CAS commits all succeed") {
+    spark.sql("CREATE TABLE graft.db.conc (id BIGINT)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val t = coreTable("conc")
+    // 8 threads race metadata-only appends through the retry loop
+    val futures = (0 until 8).map { i =>
+      Future {
+        t.newAppend().appendFile(graft.core.meta.DataFile(
+          s"${t.location}/data/fake-$i.parquet", "parquet",
+          t.spec.specId, Nil, 1L, 1L)).commit()
+      }
+    }
+    Await.result(Future.sequence(futures), 60.seconds)
+    assert(coreTable("conc").meta.snapshots.size === 8)
+    // linear history: every snapshot's parent is the previous one
+    val ordered = coreTable("conc").meta.snapshots.sortBy(_.sequenceNumber)
+    ordered.sliding(2).foreach {
+      case Seq(a, b) => assert(b.parentId.contains(a.snapshotId))
+      case _         => ()
+    }
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
