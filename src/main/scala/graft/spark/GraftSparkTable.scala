@@ -269,6 +269,41 @@ object GraftSparkTable {
     }
   }
 
+  /** Delete-aware column vector: presents only surviving rows by mapping
+    * logical row ids onto the underlying vector (reference
+    * spark/.../data/vectorized/ColumnVectorWithFilter.java). Supports the
+    * flat types the batch reader emits; nested types take the row path. */
+  final class FilteredVector(v: org.apache.spark.sql.vectorized.ColumnVector,
+      rowMap: Array[Int], n: Int)
+    extends org.apache.spark.sql.vectorized.ColumnVector(v.dataType) {
+    override def close(): Unit = v.close()
+    override def hasNull: Boolean = v.hasNull
+    override def numNulls(): Int = {
+      var c = 0; var i = 0
+      while (i < n) { if (v.isNullAt(rowMap(i))) c += 1; i += 1 }
+      c
+    }
+    override def isNullAt(i: Int): Boolean = v.isNullAt(rowMap(i))
+    override def getBoolean(i: Int): Boolean = v.getBoolean(rowMap(i))
+    override def getByte(i: Int): Byte = v.getByte(rowMap(i))
+    override def getShort(i: Int): Short = v.getShort(rowMap(i))
+    override def getInt(i: Int): Int = v.getInt(rowMap(i))
+    override def getLong(i: Int): Long = v.getLong(rowMap(i))
+    override def getFloat(i: Int): Float = v.getFloat(rowMap(i))
+    override def getDouble(i: Int): Double = v.getDouble(rowMap(i))
+    override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+      v.getDecimal(rowMap(i), p, s)
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      v.getUTF8String(rowMap(i))
+    override def getBinary(i: Int): Array[Byte] = v.getBinary(rowMap(i))
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      v.getArray(rowMap(i))
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      v.getMap(rowMap(i))
+    override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      throw new UnsupportedOperationException("nested types use the row path")
+  }
+
   /** Metadata-only answer for a fully pushed aggregate: one local row, no
     * executor tasks at all (reference SparkLocalScan.java). */
   final class GraftLocalScan(schema: StructType, data: Array[InternalRow])
@@ -534,6 +569,13 @@ object GraftSparkTable {
           fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
             dataRequired, v1Filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
         else null
+      // full-file batches (no filters) so batch-relative offsets equal file
+      // positions — used to mask position deletes inside columnar reads
+      val batchFuncNoFilter =
+        if (vectorized)
+          fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
+            dataRequired, Nil, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
+        else null
       val rowFunc = fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
         dataRequired, v1Filters,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
@@ -574,17 +616,15 @@ object GraftSparkTable {
         new StructType(), stripIds(dataRequired), Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshNameConf)
-      // Spark requires a uniform columnar/row answer across every input
-      // partition of a scan: go columnar only when NO planned task needs
-      // delete masking
-      val allColumnar = vectorized &&
-        tasks().forall(t => t.deletes.isEmpty)
-      // name-based files force the row path (uniform columnar answer)
-      val columnarOk = allColumnar && tasks().forall(_.file.format != "parquet-nm")
+      // name-based files and equality deletes force the row path; position
+      // deletes stay columnar via delete-aware vectors (uniform answer)
+      val columnarOk = vectorized && tasks().forall(t =>
+        t.file.format != "parquet-nm" &&
+          t.deletes.forall(_.content == graft.core.meta.FileContent.PositionDeletes))
       new GraftReaderFactory(batchFunc, rowFunc, rowFuncNoFilter, deleteFunc,
         columnarOk, metaCols, rowFuncFull, fullSchema, dataRequired,
         table.schema.fields.map(f => f.id -> f.name).toMap,
-        nameRowFunc, nameRowFuncNoFilter)
+        nameRowFunc, nameRowFuncNoFilter, batchFuncNoFilter)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -644,7 +684,8 @@ object GraftSparkTable {
       dataRequired: StructType,
       fieldNamesById: Map[Int, String],
       nameRowFunc: PartitionedFile => Iterator[InternalRow],
-      nameRowFuncNoFilter: PartitionedFile => Iterator[InternalRow])
+      nameRowFuncNoFilter: PartitionedFile => Iterator[InternalRow],
+      batchFuncNoFilter: PartitionedFile => Iterator[InternalRow])
     extends PartitionReaderFactory {
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
@@ -705,7 +746,38 @@ object GraftSparkTable {
     override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
       val tasks = partition.asInstanceOf[GraftInputPartition].tasks
       val it: Iterator[ColumnarBatch] = tasks.iterator.flatMap { t =>
-        batchFunc(pf(t.path, t.start, t.length)).asInstanceOf[Iterator[ColumnarBatch]]
+        if (t.deletePaths.isEmpty)
+          batchFunc(pf(t.path, t.start, t.length)).asInstanceOf[Iterator[ColumnarBatch]]
+        else {
+          // delete-aware columnar read: full-file batches, masked in place
+          // (reference ColumnarBatchUtil.buildRowIdMapping)
+          val deleted = new java.util.HashSet[Long]()
+          t.deletePaths.foreach { dp =>
+            deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
+              if (r.getUTF8String(0).toString == t.path) deleted.add(r.getLong(1))
+            }
+          }
+          var base = 0L
+          batchFuncNoFilter(pf(t.path, 0, Long.MaxValue))
+            .asInstanceOf[Iterator[ColumnarBatch]].map { cb =>
+              val n = cb.numRows()
+              val map = new Array[Int](n)
+              var k = 0
+              var i = 0
+              while (i < n) {
+                if (!deleted.contains(base + i)) { map(k) = i; k += 1 }
+                i += 1
+              }
+              base += n
+              if (k == n) cb
+              else {
+                val cols = (0 until cb.numCols()).map(c =>
+                  new FilteredVector(cb.column(c), map, k)
+                    : org.apache.spark.sql.vectorized.ColumnVector).toArray
+                new ColumnarBatch(cols, k)
+              }
+            }
+        }
       }
       new PartitionReader[ColumnarBatch] {
         private var current: ColumnarBatch = _
