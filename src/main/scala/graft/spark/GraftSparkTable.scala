@@ -120,6 +120,28 @@ object GraftSparkTable {
   val MetaPosCol = "_pos"
   private val MetaColNames = Set(MetaFileCol, MetaPosCol)
 
+  /** Executor-side cache of parsed position-delete files (reference
+    * spark/.../SparkExecutorCache.java): delete files are immutable, and
+    * one delete file often applies to many data files read by many tasks
+    * in the same executor — parse it once per JVM instead of per task.
+    * Keyed by path; bounded LRU. Values map data-file path → deleted
+    * positions. */
+  object PosDeleteCache {
+    private val MaxEntries = 64
+    private val cache = new java.util.LinkedHashMap[String, Map[String, java.util.HashSet[Long]]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, java.util.HashSet[Long]]]): Boolean =
+        size() > MaxEntries
+    }
+    def get(path: String, load: () => Map[String, java.util.HashSet[Long]])
+        : Map[String, java.util.HashSet[Long]] = cache.synchronized {
+      val hit = cache.get(path)
+      if (hit != null) hit
+      else { val v = load(); cache.put(path, v); v }
+    }
+  }
+
   /** an equality-delete file + the field ids it deletes by */
   final case class EqDeleteDesc(path: String, fieldIds: Array[Int])
 
@@ -692,6 +714,25 @@ object GraftSparkTable {
       PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
         Array.empty[String], 0L, length, Map.empty)
 
+    /** positions deleted for `dataPath` across `deletePaths` (cached per
+      * executor: delete files are immutable) */
+    private def deletedPositions(dataPath: String,
+        deletePaths: Array[String]): java.util.HashSet[Long] = {
+      val out = new java.util.HashSet[Long]()
+      deletePaths.foreach { dp =>
+        val byFile = PosDeleteCache.get(dp, () => {
+          val m = scala.collection.mutable.Map.empty[String, java.util.HashSet[Long]]
+          deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
+            m.getOrElseUpdate(r.getUTF8String(0).toString,
+              new java.util.HashSet[Long]()).add(r.getLong(1))
+          }
+          m.toMap
+        })
+        byFile.get(dataPath).foreach(out.addAll)
+      }
+      out
+    }
+
     override def supportColumnarReads(partition: InputPartition): Boolean =
       vectorized // scan-level decision: uniform across partitions
 
@@ -721,12 +762,7 @@ object GraftSparkTable {
           }
           (positions, keys)
         }
-      val posDeleted = new java.util.HashSet[Long]()
-      t.deletePaths.foreach { dp =>
-        deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
-          if (r.getUTF8String(0).toString == t.path) posDeleted.add(r.getLong(1))
-        }
-      }
+      val posDeleted = deletedPositions(t.path, t.deletePaths)
       val project = dataRequired.fields.map(f => fullSchema.fieldIndex(f.name))
       rowFuncFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
         case (row, idx) if !posDeleted.contains(idx.toLong) &&
@@ -751,12 +787,7 @@ object GraftSparkTable {
         else {
           // delete-aware columnar read: full-file batches, masked in place
           // (reference ColumnarBatchUtil.buildRowIdMapping)
-          val deleted = new java.util.HashSet[Long]()
-          t.deletePaths.foreach { dp =>
-            deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
-              if (r.getUTF8String(0).toString == t.path) deleted.add(r.getLong(1))
-            }
-          }
+          val deleted = deletedPositions(t.path, t.deletePaths)
           var base = 0L
           batchFuncNoFilter(pf(t.path, 0, Long.MaxValue))
             .asInstanceOf[Iterator[ColumnarBatch]].map { cb =>
@@ -815,12 +846,7 @@ object GraftSparkTable {
           f(pf(t.path, t.start, t.length)).map(withMeta(_, -1L))
         } else {
           // positions deleted for THIS data file across its delete files
-          val deleted = new java.util.HashSet[Long]()
-          t.deletePaths.foreach { dp =>
-            deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
-              if (r.getUTF8String(0).toString == t.path) deleted.add(r.getLong(1))
-            }
-          }
+          val deleted = deletedPositions(t.path, t.deletePaths)
           // full-file read so row index == file position
           val f = if (t.nameBased) nameRowFuncNoFilter else rowFuncNoFilter
           f(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
