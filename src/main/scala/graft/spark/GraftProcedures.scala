@@ -454,9 +454,41 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
   }
 }
 
-/** Compaction (reference RewriteDataFilesSparkAction + runners): bin-pack
-  * or sort file groups per partition, rewrite with Spark, commit one
-  * atomic replace. Each group is an independent Spark job — at cluster
+/** Z-order clustering for compaction (reference SparkZOrderUDF.java,
+  * simplified): each column is mapped to an order-preserving double
+  * (strings cluster by hash), normalized to an orderable unsigned long,
+  * and the top bits are interleaved into one z-value that range-
+  * partitioning + local sort cluster on. */
+object ZOrder {
+  private def orderedBits(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    if (bits >= 0) bits ^ Long.MinValue else ~bits
+  }
+
+  def zValue(vs: Seq[Double]): Long = {
+    val n = vs.length.max(1)
+    val longs = vs.map(v => orderedBits(if (v == null) 0.0 else v))
+    val bitsPer = 64 / n
+    var out = 0L
+    var i = 0
+    while (i < bitsPer) {
+      var j = 0
+      while (j < n) {
+        out = (out << 1) | ((longs(j) >>> (63 - i)) & 1L)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  val zudf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((vs: Seq[Double]) => zValue(vs))
+}
+
+/** Compaction (reference RewriteDataFilesSparkAction + runners): bin-pack,
+  * sort, or z-order file groups per partition, rewrite with Spark, commit
+  * one atomic replace. Each group is an independent Spark job — at cluster
   * scale groups run through a job queue; partial-progress commits are a
   * follow-up. */
 object RewriteDataFiles {
@@ -476,12 +508,14 @@ object RewriteDataFiles {
       "rewrite with delete files pending not supported yet")
 
     // group by partition tuple; a group qualifies if it has enough small
-    // files (binpack) or any files at all (sort re-clusters everything)
+    // files (binpack) or any files at all (sort/zorder re-cluster everything)
     val bySort = strategy.toLowerCase == "sort"
-    require(bySort || strategy.toLowerCase == "binpack", s"unknown strategy $strategy")
+    val byZ = strategy.toLowerCase == "zorder"
+    require(bySort || byZ || strategy.toLowerCase == "binpack",
+      s"unknown strategy $strategy")
     val groups = tasks.groupBy(ts => (ts.file.specId, ts.file.partition))
       .filter { case (_, ts) =>
-        if (bySort) ts.nonEmpty
+        if (bySort || byZ) ts.nonEmpty
         else ts.count(_.file.fileSizeBytes < targetSize) >= minInputFiles
       }
     if (groups.isEmpty)
@@ -492,7 +526,10 @@ object RewriteDataFiles {
       val c = org.apache.spark.sql.functions.col(bits(0))
       if (bits.length > 1 && bits(1).equalsIgnoreCase("desc")) c.desc else c.asc
     }
-    require(!bySort || sortCols.nonEmpty, "sort strategy requires sort_order")
+    val zFields = sortOrder.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\s+")(0))
+    require(!(bySort || byZ) || sortCols.nonEmpty,
+      s"$strategy strategy requires sort_order")
 
     var rewritten = 0
     var added = 0
@@ -505,9 +542,23 @@ object RewriteDataFiles {
       val totalBytes = ts.map(_.file.fileSizeBytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetSize).toInt)
       val df0 = spark.read.schema(schemaWithIds).parquet(paths: _*)
+      import org.apache.spark.sql.functions.{array, col => fcol, xxhash64}
       val df =
         if (bySort) df0.repartitionByRange(nOut, sortCols.toIndexedSeq: _*)
           .sortWithinPartitions(sortCols.toIndexedSeq: _*)
+        else if (byZ) {
+          val zin = array(zFields.toIndexedSeq.map { f =>
+            df0.schema(f).dataType match {
+              case org.apache.spark.sql.types.StringType =>
+                xxhash64(fcol(f)).cast("double")
+              case _ => fcol(f).cast("double")
+            }
+          }: _*)
+          df0.withColumn("__z", ZOrder.zudf(zin))
+            .repartitionByRange(nOut, fcol("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        }
         else if (nOut == 1) df0.coalesce(1)
         else df0.repartition(nOut)
       val staging = java.nio.file.Files.createTempDirectory("graft-rewrite").toString

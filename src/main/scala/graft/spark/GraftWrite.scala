@@ -53,7 +53,8 @@ class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo)
     val tableSchema = SparkTypes.toSparkSchema(table.schema)
     require(tableSchema.length == info.schema().length,
       s"write schema mismatch: ${info.schema()} vs $tableSchema")
-    new GraftWrite(table, tableSchema, mode, info.queryId())
+    val branch = Option(info.options.get("branch")).getOrElse("main")
+    new GraftWrite(table, tableSchema, mode, info.queryId(), branch)
   }
 }
 
@@ -65,7 +66,7 @@ case object DynamicOverwriteMode extends WriteMode
 final case class CopyOnWriteMode(replacedPaths: () => Seq[String]) extends WriteMode
 
 final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
-    queryId: String = "")
+    queryId: String = "", branch: String = "main")
   extends Write with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -105,7 +106,7 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     table.meta.properties.get("write.advisory-partition-size-bytes")
       .map(_.toLong).getOrElse(0L)
 
-  override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode)
+  override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode, branch)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     val truncateEachEpoch = mode match {
@@ -121,7 +122,8 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
   override def description(): String = s"graft-write(${table.location}, $mode)"
 }
 
-final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteMode)
+final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
+    branch: String = "main")
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -151,7 +153,7 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     val files = messages.flatMap(_.asInstanceOf[GraftCommitMessage].files).toSeq
     mode match {
       case AppendMode =>
-        table.newAppend().appendFiles(files).commit()
+        table.newAppend().appendFiles(files).toBranch(branch).commit()
       case OverwriteMode(filter) =>
         table.newOverwrite().overwriteByRowFilter(filter).addFiles(files).commit()
       case DynamicOverwriteMode =>

@@ -494,6 +494,32 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("branch writes: append to a branch, read via VERSION AS OF") {
+    spark.sql("CREATE TABLE graft.db.brw (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.brw VALUES (1)")
+    spark.sql("CALL graft.system.create_branch('db.brw', 'audit')")
+    spark.range(100, 103).toDF("id")
+      .writeTo("graft.db.brw").option("branch", "audit").append()
+    // main unchanged; branch has both
+    assert(spark.sql("SELECT count(*) FROM graft.db.brw").collect()(0).getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.brw VERSION AS OF 'audit'")
+      .collect()(0).getLong(0) === 4L)
+    // write-audit-publish: fast-forward main to the audited branch
+    spark.sql("CALL graft.system.fast_forward('db.brw', 'main', 'audit')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.brw").collect()(0).getLong(0) === 4L)
+  }
+
+  test("rewrite_data_files zorder clusters by z-value") {
+    spark.sql("CREATE TABLE graft.db.zord (x BIGINT, y BIGINT)")
+    spark.range(0, 1000).selectExpr("id % 32 AS x", "CAST(id / 32 AS BIGINT) AS y")
+      .writeTo("graft.db.zord").append()
+    val res = spark.sql(
+      "CALL graft.system.rewrite_data_files('db.zord', 'zorder', 'x, y', 4096)").collect()(0)
+    assert(res.getInt(1) >= 1)
+    assert(spark.sql("SELECT count(*), sum(x), sum(y) FROM graft.db.zord")
+      .collect()(0).toSeq === Seq(1000L, 15404L, 15128L))
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
