@@ -322,12 +322,13 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
     val removeSet = removedPaths.result()
     val schema = base.schema
     val bound = deleteExpr.map(e => Expr.bind(schema, e))
+    val removedSeen = scala.collection.mutable.Set.empty[String]
     // rewrite existing manifests without the removed files
     val kept = parentManifests(base).flatMap { mf =>
       val entries = ManifestIO.readEntries(mf).filter(_.isLive)
       val spec = base.specById(mf.specId)
       val (dropped, keptEntries) = entries.partition { e =>
-        if (removeSet.contains(e.file.path)) true
+        if (removeSet.contains(e.file.path)) { removedSeen += e.file.path; true }
         else if (replaceParts.exists(_.contains(normalizeKey(e.file.partition)))) true
         else bound match {
           case Some(expr) if e.file.content == FileContent.Data =>
@@ -353,6 +354,15 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
       else Some(ManifestIO.write(table.ops.newManifestPath(), keptEntries, mf.specId,
         mf.content, spec, schema, snapshotId))
     }
+    // A path we were told to replace is no longer live: a concurrent
+    // commit (compaction, another CoW) already removed it. Committing the
+    // rewritten copy anyway would duplicate its surviving rows — fail the
+    // commit instead (serializable isolation; reference BaseOverwriteFiles
+    // validation).
+    val missing = removeSet -- removedSeen
+    if (missing.nonEmpty)
+      throw new CommitConflictException(
+        s"files to replace no longer live (concurrent rewrite?): ${missing.take(3).mkString(", ")}")
     val addedFiles = added.result()
     if (addedFiles.isEmpty) kept
     else {

@@ -520,6 +520,45 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).toSeq === Seq(1000L, 15404L, 15128L))
   }
 
+  test("bucket hidden partitioning prunes on raw-column equality") {
+    spark.sql("""CREATE TABLE graft.db.bkt (id BIGINT, v STRING)
+      PARTITIONED BY (bucket(8, id))""")
+    spark.range(0, 800).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.bkt").append()
+    val t = coreTable("bkt")
+    val all = t.newScan().planFiles().size
+    assert(all >= 8) // one+ file per bucket
+    // equality on the SOURCE column projects through the bucket transform
+    val pruned = t.newScan().filter(Expr.equalTo("id", 42L)).planFiles()
+    assert(pruned.size * 8 <= all, s"expected ~1/8 of $all files, got ${pruned.size}")
+    assert(spark.sql("SELECT v FROM graft.db.bkt WHERE id = 42").collect()(0).getString(0) === "v42")
+  }
+
+  test("event-time windows over the streaming source") {
+    spark.sql("CREATE TABLE graft.db.evt (ts TIMESTAMP, v BIGINT)")
+    spark.sql("""INSERT INTO graft.db.evt VALUES
+      (TIMESTAMP '2024-01-01 00:01:00', 1), (TIMESTAMP '2024-01-01 00:02:00', 2),
+      (TIMESTAMP '2024-01-01 00:11:00', 10), (TIMESTAMP '2024-01-01 00:12:00', 20)""")
+    val checkpoint = Files.createTempDirectory("graft-win-ckpt").toString
+    // Spark's watermark + windowed agg run downstream of our micro-batch
+    // source (reference delegates these to the engine)
+    val q = spark.readStream.table("graft.db.evt")
+      .withWatermark("ts", "1 minute")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "10 minutes"))
+      .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val sums = spark.sql("SELECT s FROM win_out ORDER BY window.start")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sums === Seq(3L, 30L))
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
