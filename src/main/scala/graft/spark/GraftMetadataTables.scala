@@ -25,7 +25,8 @@ object GraftMetadataTables {
 
   val types: Set[String] = Set(
     "snapshots", "history", "refs", "manifests", "files", "entries",
-    "partitions", "metadata_log_entries")
+    "partitions", "metadata_log_entries", "position_deletes",
+    "all_files", "all_manifests", "all_entries")
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -81,6 +82,13 @@ object GraftMetadataTables {
     case "metadata_log_entries" => StructType(Seq(
       StructField("timestamp", TimestampType),
       StructField("snapshot_id", LongType)))
+    case "position_deletes" => StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("pos", LongType),
+      StructField("delete_file_path", StringType)))
+    case "all_files" => schemaOf("files")
+    case "all_manifests" => schemaOf("manifests")
+    case "all_entries" => schemaOf("entries")
     case other => throw new IllegalArgumentException(s"unknown metadata table: $other")
   }
 
@@ -149,6 +157,45 @@ object GraftMetadataTables {
       case "metadata_log_entries" => m.snapshotLog.map { case (ts, id) =>
         new GenericInternalRow(Array[Any](ts * 1000L, id)): InternalRow
       }.toArray
+      case "position_deletes" =>
+        // contents of live position-delete files (reference PositionDeletesTable)
+        liveEntries.filter(_._2.file.content == FileContent.PositionDeletes)
+          .flatMap { case (_, e) =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            spark.read.parquet(e.file.path).collect().map { r =>
+              new GenericInternalRow(Array[Any](
+                s(r.getString(0)), r.getLong(1), s(e.file.path))): InternalRow
+            }
+          }.toArray
+      case "all_files" | "all_manifests" | "all_entries" =>
+        // union across ALL snapshots, deduplicated (reference all_* tables)
+        val allManifests = m.snapshots
+          .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
+            catch { case _: Throwable => Nil })
+          .groupBy(_.path).map(_._2.head).toSeq
+        kind match {
+          case "all_manifests" => allManifests.map { mf =>
+            new GenericInternalRow(Array[Any](
+              mf.content, s(mf.path), mf.length, mf.specId, mf.addedSnapshotId,
+              mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount)): InternalRow
+          }.toArray
+          case _ =>
+            val es = allManifests
+              .flatMap(mf => try ManifestIO.readEntries(mf).filter(_.isLive)
+                catch { case _: Throwable => Nil })
+              .groupBy(_.file.path).map(_._2.head).toSeq
+            if (kind == "all_entries") es.map { e =>
+              new GenericInternalRow(Array[Any](
+                e.status, e.snapshotId, e.dataSequenceNumber, s(e.file.path),
+                e.file.recordCount)): InternalRow
+            }.toArray
+            else es.map { e =>
+              new GenericInternalRow(Array[Any](
+                e.file.content, s(e.file.path), s(e.file.format), e.file.specId,
+                partString(e.file.specId, e.file.partition),
+                e.file.recordCount, e.file.fileSizeBytes)): InternalRow
+            }.toArray
+        }
       case other => throw new IllegalArgumentException(s"unknown metadata table: $other")
     }
   }

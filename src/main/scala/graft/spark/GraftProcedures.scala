@@ -35,7 +35,8 @@ object GraftProcedures {
     "expire_snapshots", "remove_orphan_files",
     "rewrite_data_files", "rewrite_manifests", "compute_table_stats",
     "create_changelog_view", "add_files", "create_view", "drop_view",
-    "snapshot_table")
+    "snapshot_table", "remove_dangling_deletes",
+    "add_partition_field", "drop_partition_field")
 
   def load(name: String, catalog: HadoopCatalog): Option[UnboundProcedure] =
     if (names.contains(name.toLowerCase)) Some(new GraftProcedure(name.toLowerCase, catalog))
@@ -126,6 +127,13 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       Array(param("table", StringType), param("source_dir", StringType))
     case "snapshot_table" =>
       Array(param("source_dir", StringType), param("table", StringType))
+    case "remove_dangling_deletes" =>
+      Array(param("table", StringType))
+    case "add_partition_field" =>
+      Array(param("table", StringType), param("transform", StringType),
+        param("column", StringType))
+    case "drop_partition_field" =>
+      Array(param("table", StringType), param("name", StringType))
     case "create_view" =>
       Array(param("view", StringType), param("sql", StringType),
         param("replace", BooleanType, "false"))
@@ -405,6 +413,70 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       out(StructType(Seq(StructField("added_files_count", IntegerType),
         StructField("added_records", LongType))),
         row(dataFiles.size, dataFiles.map(_.recordCount).sum))
+
+    case "remove_dangling_deletes" =>
+      // drop delete files whose referenced data file is no longer live
+      // (reference RemoveDanglingDeletesSparkAction)
+      val t = loadTable(input.getUTF8String(0).toString)
+      val snap = t.meta.currentSnapshot
+      val manifests = snap.map(s0 => ManifestIO.readList(s0.manifestListPath)).getOrElse(Nil)
+      val liveData = manifests.filter(_.content == 0)
+        .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
+        .map(_.file.path).toSet
+      val dangling = manifests.filter(_.content == 1)
+        .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
+        .map(_.file)
+        .filter(df => df.referencedDataFile.exists(p => !liveData.contains(p)))
+      if (dangling.nonEmpty)
+        t.newOverwrite().deleteFiles(dangling.map(_.path)).commit()
+      out(StructType(Seq(StructField("removed_delete_files", IntegerType))),
+        row(dangling.size))
+
+    case "add_partition_field" =>
+      // partition spec evolution (reference BaseUpdatePartitionSpec /
+      // ALTER TABLE ADD PARTITION FIELD): new spec becomes the write
+      // default; existing files keep their old spec, and scans prune each
+      // manifest with its own spec
+      val t = loadTable(input.getUTF8String(0).toString)
+      val transformName = input.getUTF8String(1).toString
+      val column = input.getUTF8String(2).toString
+      t.commitUpdate { base =>
+        val src = base.schema.findField(column).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $column"))
+        val tr = graft.core.transform.Transform.fromName(transformName)
+        require(tr.canTransform(src.tpe), s"$transformName cannot apply to ${src.tpe}")
+        val cur = base.spec
+        val fieldName = tr match {
+          case graft.core.transform.IdentityT => src.name
+          case b: graft.core.transform.BucketT => s"${src.name}_bucket"
+          case tt: graft.core.transform.TruncateT => s"${src.name}_trunc"
+          case _ => s"${src.name}_$transformName"
+        }
+        val nextFieldId = base.lastPartitionId + 1
+        val newSpec = graft.core.expr.PartitionSpec(
+          base.specs.map(_.specId).max + 1,
+          cur.fields :+ graft.core.expr.PartitionField(
+            src.id, nextFieldId, fieldName, tr))
+        base.copy(specs = base.specs :+ newSpec,
+          defaultSpecId = newSpec.specId,
+          lastPartitionId = nextFieldId)
+      }
+      out(StructType(Seq(StructField("spec_id", IntegerType))),
+        row(t.meta.defaultSpecId))
+
+    case "drop_partition_field" =>
+      val t = loadTable(input.getUTF8String(0).toString)
+      val fieldName = input.getUTF8String(1).toString
+      t.commitUpdate { base =>
+        val cur = base.spec
+        require(cur.fields.exists(_.name == fieldName), s"no partition field $fieldName")
+        val newSpec = graft.core.expr.PartitionSpec(
+          base.specs.map(_.specId).max + 1,
+          cur.fields.filterNot(_.name == fieldName))
+        base.copy(specs = base.specs :+ newSpec, defaultSpecId = newSpec.specId)
+      }
+      out(StructType(Seq(StructField("spec_id", IntegerType))),
+        row(t.meta.defaultSpecId))
 
     case "create_view" =>
       // v2 view DDL (Spark 4 lacks native CREATE VIEW for v2 catalogs;

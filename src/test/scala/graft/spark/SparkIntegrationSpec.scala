@@ -559,6 +559,39 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sums === Seq(3L, 30L))
   }
 
+  test("partition spec evolution: add field, old files keep old spec") {
+    spark.sql("CREATE TABLE graft.db.spev (id BIGINT, cat STRING)")
+    spark.sql("INSERT INTO graft.db.spev VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL graft.system.add_partition_field('db.spev', 'identity', 'cat')")
+    spark.sql("INSERT INTO graft.db.spev VALUES (3, 'a'), (4, 'b')")
+    // both generations readable
+    assert(spark.sql("SELECT count(*) FROM graft.db.spev").collect()(0).getLong(0) === 4L)
+    // new files land partitioned; filter prunes only the new spec's files
+    val t = coreTable("spev")
+    assert(t.meta.specs.size === 2)
+    val pruned = t.newScan().filter(Expr.equalTo("cat", "a")).planFiles()
+    val all = t.newScan().planFiles()
+    assert(pruned.size < all.size)
+    assert(spark.sql("SELECT id FROM graft.db.spev WHERE cat = 'a' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // metadata: new_partitions table shows the evolved spec ids
+    spark.sql("CALL graft.system.drop_partition_field('db.spev', 'cat')")
+    spark.sql("INSERT INTO graft.db.spev VALUES (5, 'c')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.spev").collect()(0).getLong(0) === 5L)
+  }
+
+  test("position_deletes and all_files metadata tables") {
+    spark.sql("""CREATE TABLE graft.db.pdmt (id BIGINT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 10, 1, 1).writeTo("graft.db.pdmt").append()
+    spark.sql("DELETE FROM graft.db.pdmt WHERE id IN (2, 5)")
+    val pd = spark.sql("SELECT pos FROM graft.db.pdmt.position_deletes ORDER BY pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pd === Seq(2L, 5L))
+    assert(spark.sql("SELECT count(*) FROM graft.db.pdmt.all_files").collect()(0).getLong(0) >= 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pdmt.all_manifests").collect()(0).getLong(0) >= 2L)
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
