@@ -30,11 +30,12 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v2").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v3").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
-        "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g")
+        "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
+        "spev_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
 
@@ -140,8 +141,20 @@ object Engine {
         .toTable("graft.db.stream_g")
       q.awaitTermination(120000)
 
+      // partition spec evolution: nation, identity(n_regionkey) added mid-life
+      s.sql("CREATE TABLE graft.db.spev_g (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
+      val nn = t(s, dir, "nation")
+      nn.filter(col("n_nationkey") % 2 === 0).writeTo("graft.db.spev_g").append()
+      s.sql("CALL graft.system.add_partition_field('db.spev_g', 'identity', 'n_regionkey')")
+      nn.filter(col("n_nationkey") % 2 === 1).writeTo("graft.db.spev_g").append()
+
+      // catalog-stored SQL view over the partitioned lineitem
+      s.sql("""CALL graft.system.create_view('db.rev_by_flag_v',
+        'SELECT l_returnflag, COUNT(*) AS n FROM graft.db.lineitem_g GROUP BY l_returnflag',
+        true)""")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v2" -> "true"))
+        .updateProperties(Map("build-complete-v3" -> "true"))
     }
     built += wh
   }
@@ -351,6 +364,31 @@ object Engine {
         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ------------------------------------------------------------------ g14
+  private val g14 = Q(
+    "g14_engine_spec_evolution",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.spev_g")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // ------------------------------------------------------------------ g15
+  private val g15 = Q(
+    "g15_engine_views",
+    (s, dir) => {
+      setup(s, dir)
+      s.sql("SELECT l_returnflag, n FROM graft.db.rev_by_flag_v ORDER BY l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
-    g10, g11, g12, g13)
+    g10, g11, g12, g13, g14, g15)
 }
