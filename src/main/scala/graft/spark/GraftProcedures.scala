@@ -380,8 +380,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val conf = SparkSession.active.sessionState.newHadoopConf()
       val spec = t.spec
       val schema = t.schema
-      val files = walkFiles(srcDir).filter(_.endsWith(".parquet"))
-      require(files.nonEmpty, s"no parquet files under $srcDir")
+      val files = walkFiles(srcDir)
+        .filter(p => p.endsWith(".parquet") || p.endsWith(".orc"))
+      require(files.nonEmpty, s"no parquet/orc files under $srcDir")
       val dataFiles = files.map { path =>
         val partition: Seq[Any] = spec.fields.map { pf =>
           val src = schema.byId(pf.sourceId)
@@ -391,23 +392,33 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
               s"file $path missing partition segment ${src.name}= (identity import only)"))
           graft.core.types.TypeComparators.parse(src.tpe, seg)
         }
-        val (size, stats) = FooterStats.read(path, conf, schema)
-        val rows = {
+        if (path.endsWith(".orc")) {
+          // ORC import: row count from the ORC tail; column stats deferred
           val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
-          try r.getRecordCount finally r.close()
+          val r = org.apache.orc.OrcFile.createReader(hPath,
+            org.apache.orc.OrcFile.readerOptions(conf))
+          val rows = try r.getNumberOfRows finally r.close()
+          DataFile(path, "orc", spec.specId, partition, rows,
+            GraftIO.size(path), Map.empty)
+        } else {
+          val (size, stats) = FooterStats.read(path, conf, schema)
+          val rows = {
+            val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+            try r.getRecordCount finally r.close()
+          }
+          // files without parquet field ids are read name-based
+          val hasIds = {
+            val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+            try r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null)
+            finally r.close()
+          }
+          DataFile(path, if (hasIds) "parquet" else "parquet-nm",
+            spec.specId, partition, rows, size, stats)
         }
-        // files without parquet field ids are read name-based
-        val hasIds = {
-          val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
-          try r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null)
-          finally r.close()
-        }
-        DataFile(path, if (hasIds) "parquet" else "parquet-nm",
-          spec.specId, partition, rows, size, stats)
       }
       t.newAppend().appendFiles(dataFiles).commit()
       out(StructType(Seq(StructField("added_files_count", IntegerType),
@@ -514,7 +525,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val (ns, tbl) = if (parts.length >= 2) (parts.init, parts.last)
                       else (Seq("db"), parts.head)
       val spark = SparkSession.active
-      val inferred = spark.read.parquet(srcDir).schema
+      val anyOrc = walkFiles(srcDir).exists(_.endsWith(".orc"))
+      val inferred =
+        if (anyOrc) spark.read.orc(srcDir).schema
+        else spark.read.parquet(srcDir).schema
       val gSchema = graft.core.types.SparkTypes.fromSpark(inferred)
       catalog.createTable(ns, tbl, gSchema)
       // delegate file registration to the same footer-based import

@@ -149,8 +149,11 @@ object GraftSparkTable {
   final case class TaskDesc(path: String, start: Long, length: Long,
       deletePaths: Array[String],
       eqDeletes: Array[EqDeleteDesc] = Array.empty,
-      // imported files carry no parquet field ids → name-based resolution
-      nameBased: Boolean = false)
+      // "parquet" (field-id resolution) | "parquet-nm" (imported, by name)
+      // | "orc" (imported, by name)
+      fileFormat: String = "parquet") {
+    def nameBased: Boolean = fileFormat != "parquet"
+  }
 
   final case class GraftInputPartition(tasks: Array[TaskDesc],
       key: InternalRow = null)
@@ -563,7 +566,7 @@ object GraftSparkTable {
       val (eq, pos) = t.deletes.partition(_.content == graft.core.meta.FileContent.EqualityDeletes)
       TaskDesc(t.file.path, t.start, t.length, pos.map(_.path).toArray,
         eq.map(d => EqDeleteDesc(d.path, d.equalityIds.toArray)).toArray,
-        nameBased = t.file.format == "parquet-nm")
+        fileFormat = t.file.format)
     }
 
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -638,15 +641,26 @@ object GraftSparkTable {
         new StructType(), stripIds(dataRequired), Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshNameConf)
-      // name-based files and equality deletes force the row path; position
-      // deletes stay columnar via delete-aware vectors (uniform answer)
+      // imported ORC files: Spark's ORC reader resolves columns by name
+      val orcFmt = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      val orcRowFunc = orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
+        new StructType(), stripIds(dataRequired), v1Filters,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshNameConf)
+      val orcRowFuncNoFilter = orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
+        new StructType(), stripIds(dataRequired), Nil,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshNameConf)
+      // name-based/ORC files and equality deletes force the row path;
+      // position deletes stay columnar via delete-aware vectors
       val columnarOk = vectorized && tasks().forall(t =>
-        t.file.format != "parquet-nm" &&
+        t.file.format == "parquet" &&
           t.deletes.forall(_.content == graft.core.meta.FileContent.PositionDeletes))
       new GraftReaderFactory(batchFunc, rowFunc, rowFuncNoFilter, deleteFunc,
         columnarOk, metaCols, rowFuncFull, fullSchema, dataRequired,
         table.schema.fields.map(f => f.id -> f.name).toMap,
-        nameRowFunc, nameRowFuncNoFilter, batchFuncNoFilter)
+        nameRowFunc, nameRowFuncNoFilter, batchFuncNoFilter,
+        orcRowFunc, orcRowFuncNoFilter)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -707,7 +721,9 @@ object GraftSparkTable {
       fieldNamesById: Map[Int, String],
       nameRowFunc: PartitionedFile => Iterator[InternalRow],
       nameRowFuncNoFilter: PartitionedFile => Iterator[InternalRow],
-      batchFuncNoFilter: PartitionedFile => Iterator[InternalRow])
+      batchFuncNoFilter: PartitionedFile => Iterator[InternalRow],
+      orcRowFunc: PartitionedFile => Iterator[InternalRow],
+      orcRowFuncNoFilter: PartitionedFile => Iterator[InternalRow])
     extends PartitionReaderFactory {
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
@@ -842,13 +858,21 @@ object GraftSparkTable {
         if (t.eqDeletes.nonEmpty)
           eqMaskedRows(t).map { case (row, idx) => withMeta(row, idx) }
         else if (t.deletePaths.isEmpty && !needPos) {
-          val f = if (t.nameBased) nameRowFunc else rowFunc
+          val f = t.fileFormat match {
+            case "orc"        => orcRowFunc
+            case "parquet-nm" => nameRowFunc
+            case _            => rowFunc
+          }
           f(pf(t.path, t.start, t.length)).map(withMeta(_, -1L))
         } else {
           // positions deleted for THIS data file across its delete files
           val deleted = deletedPositions(t.path, t.deletePaths)
           // full-file read so row index == file position
-          val f = if (t.nameBased) nameRowFuncNoFilter else rowFuncNoFilter
+          val f = t.fileFormat match {
+            case "orc"        => orcRowFuncNoFilter
+            case "parquet-nm" => nameRowFuncNoFilter
+            case _            => rowFuncNoFilter
+          }
           f(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
             case (row, idx) if !deleted.contains(idx.toLong) => withMeta(row, idx.toLong)
           }

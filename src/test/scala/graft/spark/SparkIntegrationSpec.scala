@@ -592,6 +592,21 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.pdmt.all_manifests").collect()(0).getLong(0) >= 2L)
   }
 
+  test("ORC import: add_files reads ORC alongside parquet") {
+    val ext = java.nio.file.Files.createTempDirectory("orc-src").toString + "/t"
+    spark.range(0, 40).selectExpr("id", "concat('o', id) AS v")
+      .coalesce(1).write.orc(ext)
+    spark.sql("CREATE TABLE graft.db.orcimp (id BIGINT, v STRING)")
+    spark.sql(s"CALL graft.system.add_files('db.orcimp', '$ext')")
+    assert(spark.sql("SELECT count(*), min(id), max(id) FROM graft.db.orcimp")
+      .collect()(0).toSeq === Seq(40L, 0L, 39L))
+    assert(spark.sql("SELECT v FROM graft.db.orcimp WHERE id = 7").collect()(0).getString(0) === "o7")
+    // row-level delete over an ORC file (merge-on-read style masking works
+    // through the CoW rewrite: ORC in, parquet out)
+    spark.sql("DELETE FROM graft.db.orcimp WHERE id % 10 = 1")
+    assert(spark.sql("SELECT count(*) FROM graft.db.orcimp").collect()(0).getLong(0) === 36L)
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
