@@ -185,13 +185,19 @@ object GraftSparkTable {
     // Bails on: pushed filters (residuals unknown), group-by, row-level
     // deletes, missing per-file stats, and types whose parquet min/max are
     // unsafe (float/double NaN ordering, truncated string/binary stats).
+    // Spark probes supportCompletePushDown then calls pushAggregation with
+    // the same Aggregation: evaluate once, reuse
+    private var lastAgg: AnyRef = _
     override def supportCompletePushDown(
-        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-      evalAggregation(agg).isDefined
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+      aggResult = evalAggregation(agg)
+      lastAgg = agg
+      aggResult.isDefined
+    }
 
     override def pushAggregation(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-      aggResult = evalAggregation(agg)
+      if (!(agg eq lastAgg)) { aggResult = evalAggregation(agg); lastAgg = agg }
       aggResult.isDefined
     }
 

@@ -132,6 +132,8 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     // into the job conf; the OutputWriterFactory is serializable.
     val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+    table.meta.properties.get("write.target-file-rows")
+      .foreach(conf.set("graft.write.target-file-rows", _))
     val job = Job.getInstance(conf)
     val fmt = new ParquetFileFormat
     val owf = fmt.prepareWrite(spark, job,
@@ -208,7 +210,12 @@ final class GraftFanoutWriter(
     partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
 
-  private val RollRows = 2000000L
+  // roll target (reference RollingFileWriter rolls at
+  // write.target-file-size-bytes; parquet buffers row groups in memory so
+  // on-disk size lags — a row-count proxy, overridable per table via
+  // write.target-file-rows, keeps the writer format-agnostic)
+  private val RollRows =
+    Option(conf.get("graft.write.target-file-rows")).map(_.toLong).getOrElse(2000000L)
 
   private final class OpenFile(val path: String,
       val writer: org.apache.spark.sql.execution.datasources.OutputWriter) {
