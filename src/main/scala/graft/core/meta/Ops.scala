@@ -381,12 +381,28 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
 
 /** Merge-on-read delta: add position/equality delete files (+ optional
   * new data files) without touching existing data (reference
-  * BaseRowDelta.java). */
+  * BaseRowDelta.java). Validates that the data files its position
+  * deletes reference are still live — a concurrent rewrite replacing
+  * them would strand the deletes and resurrect rows. */
 final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
   private val deleteFiles = Seq.newBuilder[DataFile]
   private val dataFiles = Seq.newBuilder[DataFile]
   def addDeletes(f: DataFile): this.type = { deleteFiles += f; this }
   def addRows(f: DataFile): this.type = { dataFiles += f; this }
+
+  override protected def validate(base: TableMetadata): Unit = {
+    val referenced = deleteFiles.result().flatMap(_.referencedDataFile).toSet
+    if (referenced.nonEmpty) {
+      val live = parentManifests(base).filter(_.content == 0)
+        .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
+        .map(_.file.path).toSet
+      val gone = referenced -- live
+      if (gone.nonEmpty)
+        throw new CommitConflictException(
+          s"data files referenced by position deletes were concurrently " +
+            s"replaced: ${gone.take(3).mkString(", ")}")
+    }
+  }
 
   override protected def manifests(base: TableMetadata, snapshotId: Long,
       seq: Long): Seq[ManifestFile] = {

@@ -66,11 +66,13 @@ final class GraftCoWOperation(table: GTable,
         val writeSchema = SparkTypes.toSparkSchema(table.schema)
         require(info.schema().length == writeSchema.length,
           s"CoW write schema mismatch: got ${info.schema()} expected $writeSchema")
-        new GraftWrite(table, writeSchema, CopyOnWriteMode(() => {
-          val scan = configuredScan
-          require(scan != null, "copy-on-write scan was never configured")
-          scan.plannedFilePaths()
-        }))
+        new GraftWrite(table, writeSchema, CopyOnWriteMode(
+          () => {
+            val scan = configuredScan
+            require(scan != null, "copy-on-write scan was never configured")
+            scan.plannedFilePaths()
+          },
+          () => Option(configuredScan).flatMap(_.scannedSnapshotId())))
       }
     }
 

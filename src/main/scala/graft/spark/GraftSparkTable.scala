@@ -403,6 +403,7 @@ object GraftSparkTable {
 
     private var runtimeExpr: Expr = TrueE
     @transient private var cachedTasks: Seq[FileScanTask] = _
+    @transient private var plannedSnapshot: Option[Long] = None
 
     private def newCoreScan() = {
       val s = table.newScan().filter(Expr.and(expr, runtimeExpr))
@@ -441,7 +442,9 @@ object GraftSparkTable {
         cachedTasks = incrementalTasks(s, e)
       }
       if (cachedTasks == null) {
-        var ts = newCoreScan().planFiles()
+        val coreScan = newCoreScan()
+        plannedSnapshot = coreScan.snapshot().map(_.snapshotId)
+        var ts = coreScan.planFiles()
         // limit pushdown: stop planning once the limit is guaranteed
         limit.foreach { n =>
           if (expr == TrueE && runtimeExpr == TrueE) {
@@ -459,6 +462,10 @@ object GraftSparkTable {
     /** files this scan planned (post pushdown + runtime filtering);
       * the copy-on-write replace set */
     def plannedFilePaths(): Seq[String] = tasks().map(_.file.path)
+
+    /** snapshot the scan planned against (captured at planning time so
+      * commit-time validation covers the scan→commit window) */
+    def scannedSnapshotId(): Option[Long] = { tasks(); plannedSnapshot }
 
     override def toBatch: Batch = this
 

@@ -62,8 +62,10 @@ sealed trait WriteMode extends Serializable
 case object AppendMode extends WriteMode
 final case class OverwriteMode(filter: Expr) extends WriteMode
 case object DynamicOverwriteMode extends WriteMode
-/** copy-on-write rewrite: atomically replace the scanned files */
-final case class CopyOnWriteMode(replacedPaths: () => Seq[String]) extends WriteMode
+/** copy-on-write rewrite: atomically replace the scanned files,
+  * validating no conflicting commit landed since the scan */
+final case class CopyOnWriteMode(replacedPaths: () => Seq[String],
+    scannedSnapshot: () => Option[Long] = () => None) extends WriteMode
 
 final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     queryId: String = "", branch: String = "main")
@@ -162,10 +164,15 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
         table.newOverwrite()
           .replacePartitions(files.map(_.partition).toSet)
           .addFiles(files).commit()
-      case CopyOnWriteMode(replaced) =>
+      case CopyOnWriteMode(replaced, scannedSnap) =>
         val paths = replaced()
-        if (paths.nonEmpty || files.nonEmpty)
-          table.newOverwrite().deleteFiles(paths).addFiles(files).commit()
+        if (paths.nonEmpty || files.nonEmpty) {
+          val ow = table.newOverwrite().deleteFiles(paths).addFiles(files)
+          // serializable isolation: fail if a delete/overwrite/replace
+          // landed after the snapshot this rewrite read
+          scannedSnap().foreach(ow.validateFromSnapshot)
+          ow.commit()
+        }
     }
   }
 
