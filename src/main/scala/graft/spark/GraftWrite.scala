@@ -53,7 +53,12 @@ class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo)
     val tableSchema = SparkTypes.toSparkSchema(table.schema)
     require(tableSchema.length == info.schema().length,
       s"write schema mismatch: ${info.schema()} vs $tableSchema")
-    val branch = Option(info.options.get("branch")).getOrElse("main")
+    // branch routing: explicit write option, else the session's WAP branch
+    // (write-audit-publish: stage on a branch, audit, fast_forward main)
+    val wapBranch =
+      try SparkSession.active.conf.getOption("spark.wap.branch")
+      catch { case _: Throwable => None }
+    val branch = Option(info.options.get("branch")).orElse(wapBranch).getOrElse("main")
     new GraftWrite(table, tableSchema, mode, info.queryId(), branch)
   }
 }

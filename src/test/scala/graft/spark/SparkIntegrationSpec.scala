@@ -607,6 +607,21 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.orcimp").collect()(0).getLong(0) === 36L)
   }
 
+  test("write-audit-publish via spark.wap.branch") {
+    spark.sql("CREATE TABLE graft.db.wap (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.wap VALUES (1)")
+    spark.sql("CALL graft.system.create_branch('db.wap', 'staging')")
+    spark.conf.set("spark.wap.branch", "staging")
+    try spark.sql("INSERT INTO graft.db.wap VALUES (2), (3)")
+    finally spark.conf.unset("spark.wap.branch")
+    // main untouched until published
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap").collect()(0).getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap VERSION AS OF 'staging'")
+      .collect()(0).getLong(0) === 3L)
+    spark.sql("CALL graft.system.fast_forward('db.wap', 'main', 'staging')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap").collect()(0).getLong(0) === 3L)
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
