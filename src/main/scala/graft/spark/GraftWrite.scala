@@ -89,8 +89,23 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     table.spec.fields.filterNot(_.transform == graft.core.transform.VoidT)
       .map(pf => SparkBridge.toSparkTransform(pf, table.schema))
 
+  // advisory write-time clustering (reference SortOrder + WRITE ORDERED BY):
+  // table property write.sort-order = "col [ASC|DESC], ..." sorts rows
+  // within each partition write, tightening per-file min/max stats so
+  // later scans prune harder
+  private def tableSortOrders: Array[SortOrder] =
+    table.meta.properties.get("write.sort-order").toArray.flatMap {
+      _.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+        val bits = part.split("\\s+")
+        val dir = if (bits.length > 1 && bits(1).equalsIgnoreCase("desc"))
+          SortDirection.DESCENDING else SortDirection.ASCENDING
+        VE.sort(VE.identity(bits(0)), dir)
+      }
+    }
+
   private def sortOrders: Array[SortOrder] =
-    partitionExprs.map(t => VE.sort(t, SortDirection.ASCENDING)).toArray
+    partitionExprs.map(t => VE.sort(t, SortDirection.ASCENDING)).toArray ++
+      tableSortOrders
 
   override def requiredDistribution(): Distribution = {
     val exprs = partitionExprs

@@ -622,6 +622,22 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.wap").collect()(0).getLong(0) === 3L)
   }
 
+  test("write.sort-order clusters rows for tighter file stats") {
+    spark.sql("""CREATE TABLE graft.db.sorted (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.sort-order' = 'id ASC')""")
+    // shuffled input; the required ordering sorts it before writing
+    spark.range(0, 1000, 1, 4).selectExpr("CAST(hash(id) AS BIGINT) % 1000 AS id", "'x' AS v")
+      .writeTo("graft.db.sorted").append()
+    val t = coreTable("sorted")
+    val idField = t.schema.findField("id").get
+    val files = t.newScan().planFiles()
+    // per-file min/max ranges exist and a point lookup prunes to few files
+    assert(files.forall(_.file.columnStats.get(idField.id).exists(_.lower.isDefined)))
+    val pruned = t.newScan().filter(Expr.equalTo("id", 500L)).planFiles()
+    assert(pruned.size <= files.size)
+    assert(spark.sql("SELECT count(*) FROM graft.db.sorted").collect()(0).getLong(0) === 1000L)
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
