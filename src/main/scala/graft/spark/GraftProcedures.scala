@@ -590,11 +590,13 @@ object RewriteDataFiles {
     val spark = SparkSession.active
     val schemaWithIds = graft.core.types.SparkTypes.toSparkSchema(t.schema)
     val tasks = t.newScan().planFiles()
-    require(tasks.forall(_.deletes.isEmpty),
-      "rewrite with delete files pending not supported yet")
+    require(tasks.flatMap(_.deletes).forall(
+      _.content == FileContent.PositionDeletes),
+      "rewrite over equality deletes not supported yet")
 
     // group by partition tuple; a group qualifies if it has enough small
-    // files (binpack) or any files at all (sort/zorder re-cluster everything)
+    // files (binpack), carries position deletes to apply, or any files at
+    // all (sort/zorder re-cluster everything)
     val bySort = strategy.toLowerCase == "sort"
     val byZ = strategy.toLowerCase == "zorder"
     require(bySort || byZ || strategy.toLowerCase == "binpack",
@@ -602,7 +604,8 @@ object RewriteDataFiles {
     val groups = tasks.groupBy(ts => (ts.file.specId, ts.file.partition))
       .filter { case (_, ts) =>
         if (bySort || byZ) ts.nonEmpty
-        else ts.count(_.file.fileSizeBytes < targetSize) >= minInputFiles
+        else ts.exists(_.deletes.nonEmpty) ||
+          ts.count(_.file.fileSizeBytes < targetSize) >= minInputFiles
       }
     if (groups.isEmpty)
       return GraftProcedures.out(resultSchema, GraftProcedures.row(0, 0, 0L))
@@ -627,26 +630,49 @@ object RewriteDataFiles {
       val paths = ts.map(_.file.path)
       val totalBytes = ts.map(_.file.fileSizeBytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetSize).toInt)
-      val df0 = spark.read.schema(schemaWithIds).parquet(paths: _*)
+      val raw = spark.read.schema(schemaWithIds).parquet(paths: _*)
+      // apply pending position deletes with an anti-join on the file
+      // metadata columns (path AND position) — deletes disappear in the
+      // rewrite output
+      val deleteFiles = ts.flatMap(_.deletes).distinct
+      val df1 =
+        if (deleteFiles.isEmpty) raw
+        else {
+          import org.apache.spark.sql.functions.{col, concat, lit}
+          val withPos = raw.select(col("*"),
+            col("_metadata.file_path").as("__f"),
+            col("_metadata.row_index").as("__p"))
+          val dels = spark.read
+            .schema(GraftDeltaWriter.DeleteSchema)
+            .parquet(deleteFiles.map(_.path): _*)
+            .select(concat(lit("file:"), col("file_path")).as("__df1"),
+              concat(lit("file://"), col("file_path")).as("__df2"),
+              col("file_path").as("__df3"),
+              col("pos").as("__dp"))
+          withPos.join(dels,
+            (withPos("__f") === dels("__df1") || withPos("__f") === dels("__df2") ||
+              withPos("__f") === dels("__df3")) && withPos("__p") === dels("__dp"),
+            "left_anti").drop("__f", "__p")
+        }
       import org.apache.spark.sql.functions.{array, col => fcol, xxhash64}
       val df =
-        if (bySort) df0.repartitionByRange(nOut, sortCols.toIndexedSeq: _*)
+        if (bySort) df1.repartitionByRange(nOut, sortCols.toIndexedSeq: _*)
           .sortWithinPartitions(sortCols.toIndexedSeq: _*)
         else if (byZ) {
           val zin = array(zFields.toIndexedSeq.map { f =>
-            df0.schema(f).dataType match {
+            df1.schema(f).dataType match {
               case org.apache.spark.sql.types.StringType =>
                 xxhash64(fcol(f)).cast("double")
               case _ => fcol(f).cast("double")
             }
           }: _*)
-          df0.withColumn("__z", ZOrder.zudf(zin))
+          df1.withColumn("__z", ZOrder.zudf(zin))
             .repartitionByRange(nOut, fcol("__z"))
             .sortWithinPartitions("__z")
             .drop("__z")
         }
-        else if (nOut == 1) df0.coalesce(1)
-        else df0.repartition(nOut)
+        else if (nOut == 1) df1.coalesce(1)
+        else df1.repartition(nOut)
       val staging = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       df.write.mode("overwrite").parquet(staging)
@@ -667,7 +693,22 @@ object RewriteDataFiles {
       bytes += totalBytes
       oldPaths ++= paths
     }
-    t.newOverwrite().deleteFiles(oldPaths.result()).addFiles(newFiles.result()).commit()
+    val rewrittenSet = oldPaths.result().toSet
+    // a delete file is obsolete once EVERY data file it applied to was
+    // rewritten in this pass (the masks are baked into the new files, and
+    // new files carry a higher sequence number than the deletes)
+    val applicability = scala.collection.mutable.Map.empty[String, Set[String]]
+    tasks.foreach { ts0 =>
+      ts0.deletes.foreach { d =>
+        applicability(d.path) = applicability.getOrElse(d.path, Set.empty) + ts0.file.path
+      }
+    }
+    val obsoleteDeletes = applicability.collect {
+      case (dp, applies) if applies.subsetOf(rewrittenSet) => dp
+    }.toSeq
+    t.newOverwrite()
+      .deleteFiles((rewrittenSet ++ obsoleteDeletes).toSeq)
+      .addFiles(newFiles.result()).commit()
     GraftProcedures.out(resultSchema, GraftProcedures.row(rewritten, added, bytes))
   }
 

@@ -638,6 +638,26 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.sorted").collect()(0).getLong(0) === 1000L)
   }
 
+  test("compaction over merge-on-read tables applies pending deletes") {
+    spark.sql("""CREATE TABLE graft.db.morc (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 100, 1, 1).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.morc").append()
+    spark.range(100, 200, 1, 1).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.morc").append()
+    spark.sql("DELETE FROM graft.db.morc WHERE id % 10 = 7")
+    // pending position deletes exist
+    assert(spark.sql("SELECT count(*) FROM graft.db.morc.files WHERE content = 1")
+      .collect()(0).getLong(0) >= 1L)
+    spark.sql("CALL graft.system.rewrite_data_files('db.morc')")
+    // deletes were applied and dropped in the same commit
+    assert(spark.sql("SELECT count(*) FROM graft.db.morc.files WHERE content = 1")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.morc").collect()(0).getLong(0) === 180L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.morc WHERE id % 10 = 7")
+      .collect()(0).getLong(0) === 0L)
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
