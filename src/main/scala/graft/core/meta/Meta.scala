@@ -125,6 +125,21 @@ final case class TableMetadata(
     refs.get(name).orElse(
       if (name == "main") currentSnapshotId.map(SnapshotRef(_, SnapshotRefType.Branch)) else None)
 
+  /** Ancestry chain of a ref's head (oldest first): the snapshots
+    * reachable by following parentId from the branch head. Incremental /
+    * changelog reads filter with this instead of the global snapshot
+    * list, so snapshots staged on other branches (WAP) never leak. */
+  def ancestry(refName: String = "main"): Seq[Snapshot] = {
+    val out = List.newBuilder[Snapshot]
+    var cur = ref(refName).flatMap(r => snapshotById(r.snapshotId))
+    val seen = scala.collection.mutable.Set.empty[Long]
+    while (cur.isDefined && seen.add(cur.get.snapshotId)) {
+      out += cur.get
+      cur = cur.get.parentId.flatMap(snapshotById)
+    }
+    out.result().reverse
+  }
+
   /** snapshot current as of a wall-clock timestamp (time travel) */
   def snapshotAsOfTime(tsMs: Long): Option[Snapshot] =
     snapshotLog.filter(_._1 <= tsMs).lastOption

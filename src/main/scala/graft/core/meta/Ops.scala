@@ -95,8 +95,16 @@ object ManifestIO {
     entries.foreach { e => sb.append(MetaJson.writeEntry(e)).append('\n') }
     GraftIO.writeString(path, sb.toString)
     val partType = spec.partitionType(schema)
-    val summaries = partType.fields.zipWithIndex.map { case (pf, i) =>
-      val vals = entries.filter(_.isLive).map(_.file.partition(i))
+    // Entries whose partition tuple is shorter than the spec (e.g. global
+    // position deletes with partition=Nil committed under a partitioned
+    // spec) can't contribute field bounds — emit no summaries so the
+    // manifest is never pruned (conservative; reference writes such
+    // deletes under an unpartitioned spec).
+    val liveEntries = entries.filter(_.isLive)
+    val summaries =
+      if (liveEntries.exists(_.file.partition.length < partType.fields.length)) Nil
+      else partType.fields.zipWithIndex.map { case (pf, i) =>
+      val vals = liveEntries.map(_.file.partition(i))
       val nonNull = vals.filter(_ != null)
       FieldSummary(
         containsNull = vals.exists(_ == null),
@@ -212,9 +220,16 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
   /** Produce the full manifest set for the new snapshot from the base. */
   protected def manifests(base: TableMetadata, snapshotId: Long, seq: Long): Seq[ManifestFile]
 
+  /** head snapshot this commit builds on: the branch's head, or — when
+    * the branch doesn't exist yet (first staged WAP write) — the current
+    * main head, so a new branch forks from the table's current state */
+  protected def parentSnapshot(base: TableMetadata): Option[Snapshot] =
+    base.ref(branch).flatMap(r => base.snapshotById(r.snapshotId))
+      .orElse(base.currentSnapshot)
+
   /** manifests of the target branch's head (the parent of this commit) */
   protected def parentManifests(base: TableMetadata): Seq[ManifestFile] =
-    base.ref(branch).flatMap(r => base.snapshotById(r.snapshotId))
+    parentSnapshot(base)
       .map(s => ManifestIO.readList(s.manifestListPath)).getOrElse(Nil)
   protected def summary(base: TableMetadata): Map[String, String] = Map.empty
   /** Re-check preconditions against a refreshed base (conflict detection). */
@@ -231,7 +246,7 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       val ms = manifests(base, snapshotId, seq)
       val listPath = table.ops.newManifestListPath(snapshotId)
       ManifestIO.writeList(listPath, ms)
-      val parent = base.ref(branch).map(_.snapshotId)
+      val parent = parentSnapshot(base).map(_.snapshotId)
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
         operation, listPath, summary(base))
       val updated = base.withSnapshot(snap, branch)
@@ -288,6 +303,9 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
   private var deleteExpr: Option[Expr] = None
   private var replaceParts: Option[Set[Seq[Any]]] = None
   private var validateNoConflictingAppendsFrom: Option[Long] = None
+  private var targetBranch = "main"
+  def toBranch(b: String): this.type = { targetBranch = b; this }
+  override protected def branch: String = targetBranch
 
   def addFile(f: DataFile): this.type = { added += f; this }
   def addFiles(fs: Seq[DataFile]): this.type = { added ++= fs; this }
@@ -387,8 +405,11 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
 final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
   private val deleteFiles = Seq.newBuilder[DataFile]
   private val dataFiles = Seq.newBuilder[DataFile]
+  private var targetBranch = "main"
   def addDeletes(f: DataFile): this.type = { deleteFiles += f; this }
   def addRows(f: DataFile): this.type = { dataFiles += f; this }
+  def toBranch(b: String): this.type = { targetBranch = b; this }
+  override protected def branch: String = targetBranch
 
   override protected def validate(base: TableMetadata): Unit = {
     val referenced = deleteFiles.result().flatMap(_.referencedDataFile).toSet

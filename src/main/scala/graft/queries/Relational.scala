@@ -29,9 +29,17 @@ object Relational {
             .as("sum_disc_price_e4"),
           sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))) *
               (lit(100L) + pct(col("l_tax")))).as("sum_charge_e6"),
-          (sum(dec4(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
-          (sum(dec4(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          // fixed-point e4 averages via integer division: double division
+          // formats/rounds differently across engines and broke the
+          // round-1 hash compare
+          sum((col("l_quantity").cast(DecimalType(18, 4)) * 10000).cast(LongType))
+            .as("__sq_e4"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 4)) * 10000).cast(LongType))
+            .as("__sp_e4"),
           count(lit(1)).as("count_order"))
+        .withColumn("avg_qty_e4", expr("__sq_e4 div count_order"))
+        .withColumn("avg_price_e4", expr("__sp_e4 div count_order"))
+        .drop("__sq_e4", "__sp_e4")
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""
@@ -43,9 +51,11 @@ object Relational {
         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)
             * (100 - CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT))
             * (100 + CAST(CAST(l_tax AS DECIMAL(18,2))*100 AS BIGINT))) AS BIGINT) AS sum_charge_e6,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_price,
-        COUNT(*) AS count_order
+        COUNT(*) AS count_order,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4))*10000 AS BIGINT)) AS BIGINT)
+          // COUNT(*) AS avg_qty_e4,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))*10000 AS BIGINT)) AS BIGINT)
+          // COUNT(*) AS avg_price_e4
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
       GROUP BY l_returnflag, l_linestatus

@@ -85,7 +85,9 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = table.refresh()
-    val ordered = m.snapshots.sortBy(_.sequenceNumber)
+    // main-branch ancestry only: snapshots staged on other branches (WAP)
+    // are not published changes and must not appear in CDC output
+    val ordered = m.ancestry("main").sortBy(_.sequenceNumber)
     val startSeq = startId.map(id => m.snapshotById(id)
       .getOrElse(throw new IllegalArgumentException(s"unknown snapshot $id"))
       .sequenceNumber).getOrElse(0L)

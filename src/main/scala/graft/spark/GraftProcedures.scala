@@ -109,7 +109,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("older_than_ms", LongType, s"${Long.MaxValue}"),
         param("retain_last", IntegerType, "1"))
     case "remove_orphan_files" =>
-      Array(param("table", StringType), param("dry_run", BooleanType, "false"))
+      Array(param("table", StringType), param("dry_run", BooleanType, "false"),
+        param("older_than_ms", LongType, "-1"))
     case "rewrite_data_files" =>
       Array(param("table", StringType), param("strategy", StringType, "'binpack'"),
         param("sort_order", StringType, "''"),
@@ -253,12 +254,23 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
     case "remove_orphan_files" =>
       val t = loadTable(input.getUTF8String(0).toString)
       val dryRun = input.getBoolean(1)
+      // age threshold: files written by an in-flight, not-yet-committed
+      // write look exactly like orphans — only delete files older than
+      // the cutoff (reference defaults to 3 days for this reason)
+      val olderThanMs = input.getLong(2) match {
+        case -1L => System.currentTimeMillis() - 3L * 24 * 3600 * 1000
+        case v   => v
+      }
       val reachable = reachableFiles(t)
       // hidden files (.crc checksums, _SUCCESS markers) are never orphans
       // (reference HiddenPathFilter)
       val actual = walkFiles(s"${t.location}/data").filterNot { p =>
         val n = GraftIO.toPath(p).getFileName.toString
         n.startsWith(".") || n.startsWith("_")
+      }.filter { p =>
+        try java.nio.file.Files.getLastModifiedTime(GraftIO.toPath(p))
+          .toMillis < olderThanMs
+        catch { case _: Throwable => false }
       }
       val orphans = actual.filterNot(reachable.contains)
       if (!dryRun) orphans.foreach(GraftIO.delete)
@@ -589,7 +601,14 @@ object RewriteDataFiles {
       targetSize: Long, minInputFiles: Int): util.Iterator[Scan] = {
     val spark = SparkSession.active
     val schemaWithIds = graft.core.types.SparkTypes.toSparkSchema(t.schema)
-    val tasks = t.newScan().planFiles()
+    val scan = t.newScan()
+    // captured BEFORE planning: the commit validates that no conflicting
+    // operation (row-level delete, another rewrite, overwrite) landed in
+    // the scan→commit window — a MoR delete committed mid-compaction
+    // would otherwise be silently dropped (its positions point at the
+    // replaced files) and its rows resurrected
+    val scannedSnapshotId = scan.snapshot().map(_.snapshotId)
+    val tasks = scan.planFiles()
     require(tasks.flatMap(_.deletes).forall(
       _.content == FileContent.PositionDeletes),
       "rewrite over equality deletes not supported yet")
@@ -706,9 +725,11 @@ object RewriteDataFiles {
     val obsoleteDeletes = applicability.collect {
       case (dp, applies) if applies.subsetOf(rewrittenSet) => dp
     }.toSeq
-    t.newOverwrite()
+    val ow = t.newOverwrite()
       .deleteFiles((rewrittenSet ++ obsoleteDeletes).toSeq)
-      .addFiles(newFiles.result()).commit()
+      .addFiles(newFiles.result())
+    scannedSnapshotId.foreach(ow.validateFromSnapshot)
+    ow.commit()
     GraftProcedures.out(resultSchema, GraftProcedures.row(rewritten, added, bytes))
   }
 

@@ -72,7 +72,8 @@ final class GraftCoWOperation(table: GTable,
             require(scan != null, "copy-on-write scan was never configured")
             scan.plannedFilePaths()
           },
-          () => Option(configuredScan).flatMap(_.scannedSnapshotId())))
+          () => Option(configuredScan).flatMap(_.scannedSnapshotId())),
+          branch = WapBranch.resolve().getOrElse("main"))
       }
     }
 
@@ -96,6 +97,17 @@ final class GraftMoROperation(table: GTable,
     Array(
       org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaFileCol),
       org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaPosCol))
+
+  // partitioned tables: project (_spec_id, _partition) so delete writers
+  // fan position-delete files out per partition tuple (reference
+  // SparkPositionDeltaOperation.requiredMetadataAttributes) — partition-
+  // scoped deletes prune at scan time instead of attaching globally
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (table.spec.fields.isEmpty) Array.empty
+    else Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaSpecIdCol),
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaPartitionCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSparkTable.GraftScanBuilder(table, None, None, None)

@@ -38,19 +38,23 @@ class GraftSparkTable(val table: GTable, fullName: String,
   override def name(): String = fullName
 
   // reserved metadata columns (reference core/.../MetadataColumns.java:34-78)
-  override def metadataColumns(): Array[MetadataColumn] = Array(
-    new MetadataColumn {
-      override def name(): String = MetaFileCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-    },
-    new MetadataColumn {
-      override def name(): String = MetaPosCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.LongType
-      override def isNullable: Boolean = false
-    })
+  override def metadataColumns(): Array[MetadataColumn] = {
+    def mc(n: String, dt: org.apache.spark.sql.types.DataType,
+        nullable: Boolean = false): MetadataColumn = new MetadataColumn {
+      override def name(): String = n
+      override def dataType(): org.apache.spark.sql.types.DataType = dt
+      override def isNullable: Boolean = nullable
+    }
+    val base = Array(
+      mc(MetaFileCol, org.apache.spark.sql.types.StringType),
+      mc(MetaPosCol, org.apache.spark.sql.types.LongType),
+      mc(MetaSpecIdCol, org.apache.spark.sql.types.IntegerType))
+    // _partition: the default spec's partition tuple (null for files of
+    // other specs) — lets MoR deletes fan out per partition
+    if (table.spec.fields.isEmpty) base
+    else base :+ mc(MetaPartitionCol,
+      partitionStructType(table.spec, table.schema), nullable = true)
+  }
 
   override def schema(): StructType = SparkTypes.toSparkSchema(table.schema)
 
@@ -97,9 +101,12 @@ class GraftSparkTable(val table: GTable, fullName: String,
     if (!exprs.forall(_.isDefined)) return false
     val expr = exprs.flatten.foldLeft[Expr](TrueE)(Expr.and)
     try {
-      // dry-run the metadata delete against current state
+      // dry-run the metadata delete against current state (on the WAP
+      // branch if one is staged — that is where deleteWhere will commit)
       val bound = Expr.bind(table.schema, expr)
-      table.newScan().filter(expr).planFiles().forall { t =>
+      val sc = table.newScan().filter(expr)
+      WapBranch.forRead(table).foreach(sc.useRef)
+      sc.planFiles().forall { t =>
         val spec = table.meta.specById(t.file.specId)
         val strictPart = Projections.strict(spec, table.schema, bound)
         RowEvaluator.eval(strictPart, ArrayRow(t.file.partition.toArray)) ||
@@ -110,7 +117,8 @@ class GraftSparkTable(val table: GTable, fullName: String,
 
   override def deleteWhere(predicates: Array[VPred]): Unit = {
     val expr = predicates.flatMap(SparkBridge.toExpr).foldLeft[Expr](TrueE)(Expr.and)
-    table.newOverwrite().overwriteByRowFilter(expr).commit()
+    table.newOverwrite().overwriteByRowFilter(expr)
+      .toBranch(WapBranch.resolve().getOrElse("main")).commit()
   }
 }
 
@@ -118,7 +126,16 @@ object GraftSparkTable {
 
   val MetaFileCol = "_file"
   val MetaPosCol = "_pos"
-  private val MetaColNames = Set(MetaFileCol, MetaPosCol)
+  val MetaSpecIdCol = "_spec_id"
+  val MetaPartitionCol = "_partition"
+  private val MetaColNames =
+    Set(MetaFileCol, MetaPosCol, MetaSpecIdCol, MetaPartitionCol)
+
+  /** Spark struct type of a spec's partition tuple. */
+  def partitionStructType(spec: graft.core.expr.PartitionSpec,
+      schema: GSchema): StructType =
+    StructType(spec.partitionType(schema).fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, SparkTypes.toSpark(f.tpe))))
 
   /** Executor-side cache of parsed position-delete files (reference
     * spark/.../SparkExecutorCache.java): delete files are immutable, and
@@ -151,7 +168,10 @@ object GraftSparkTable {
       eqDeletes: Array[EqDeleteDesc] = Array.empty,
       // "parquet" (field-id resolution) | "parquet-nm" (imported, by name)
       // | "orc" (imported, by name)
-      fileFormat: String = "parquet") {
+      fileFormat: String = "parquet",
+      // for _spec_id/_partition metadata columns (internal-rep values)
+      specId: Int = 0,
+      partition: Seq[Any] = Nil) {
     def nameBased: Boolean = fileFormat != "parquet"
   }
 
@@ -213,6 +233,8 @@ object GraftSparkTable {
           snapshotId.foreach(s.useSnapshot)
           branch.foreach(s.useRef)
           asOfTs.foreach(s.asOfTime)
+          if (snapshotId.isEmpty && branch.isEmpty && asOfTs.isEmpty)
+            WapBranch.forRead(table).foreach(s.useRef)
           s.planFiles()
         } catch { case _: Throwable => return None }
       if (tasks.exists(_.deletes.nonEmpty)) return None
@@ -410,6 +432,10 @@ object GraftSparkTable {
       snapshotId.foreach(s.useSnapshot)
       branch.foreach(s.useRef)
       asOfTs.foreach(s.asOfTime)
+      // WAP: unversioned reads resolve to the staged branch once it exists,
+      // so audits see their own staged writes (reference SparkReadConf)
+      if (snapshotId.isEmpty && branch.isEmpty && asOfTs.isEmpty)
+        WapBranch.forRead(table).foreach(s.useRef)
       s
     }
 
@@ -423,7 +449,11 @@ object GraftSparkTable {
         .map(_.sequenceNumber).getOrElse(0L)
       val endSeq = endIdOpt.flatMap(m.snapshotById).map(_.sequenceNumber)
         .getOrElse(Long.MaxValue)
-      m.snapshots.filter(sn => sn.operation == "append" &&
+      // walk the main branch's ancestry, NOT the global snapshot list:
+      // snapshots staged on other branches (WAP) must not leak into
+      // incremental reads of main
+      m.ancestry(branch.getOrElse("main"))
+        .filter(sn => sn.operation == "append" &&
           sn.sequenceNumber > startSeq && sn.sequenceNumber <= endSeq)
         .sortBy(_.sequenceNumber)
         .flatMap { sn =>
@@ -579,7 +609,8 @@ object GraftSparkTable {
       val (eq, pos) = t.deletes.partition(_.content == graft.core.meta.FileContent.EqualityDeletes)
       TaskDesc(t.file.path, t.start, t.length, pos.map(_.path).toArray,
         eq.map(d => EqDeleteDesc(d.path, d.equalityIds.toArray)).toArray,
-        fileFormat = t.file.format)
+        fileFormat = t.file.format,
+        specId = t.file.specId, partition = t.file.partition)
     }
 
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -673,7 +704,9 @@ object GraftSparkTable {
         columnarOk, metaCols, rowFuncFull, fullSchema, dataRequired,
         table.schema.fields.map(f => f.id -> f.name).toMap,
         nameRowFunc, nameRowFuncNoFilter, batchFuncNoFilter,
-        orcRowFunc, orcRowFuncNoFilter)
+        orcRowFunc, orcRowFuncNoFilter,
+        defaultSpecId = table.spec.specId,
+        partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -736,7 +769,9 @@ object GraftSparkTable {
       nameRowFuncNoFilter: PartitionedFile => Iterator[InternalRow],
       batchFuncNoFilter: PartitionedFile => Iterator[InternalRow],
       orcRowFunc: PartitionedFile => Iterator[InternalRow],
-      orcRowFuncNoFilter: PartitionedFile => Iterator[InternalRow])
+      orcRowFuncNoFilter: PartitionedFile => Iterator[InternalRow],
+      defaultSpecId: Int = 0,
+      partTypes: Array[GType] = Array.empty)
     extends PartitionReaderFactory {
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
@@ -851,11 +886,27 @@ object GraftSparkTable {
       val tasks = partition.asInstanceOf[GraftInputPartition].tasks
       val needPos = metaCols.contains(MetaPosCol)
       val it: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
-        // one reusable metadata suffix row per task ( _file is constant )
+        // one reusable metadata suffix row per task (_file, _spec_id and
+        // _partition are constant; _pos is set per row)
         val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(metaCols.length)
         metaCols.zipWithIndex.foreach {
           case (MetaFileCol, i) =>
             metaRow.update(i, org.apache.spark.unsafe.types.UTF8String.fromString(t.path))
+          case (MetaSpecIdCol, i) => metaRow.update(i, t.specId)
+          case (MetaPartitionCol, i) =>
+            // only meaningful for files of the default spec; older specs
+            // read as null (callers fall back to partition-less handling)
+            if (t.specId == defaultSpecId && t.partition.length == partTypes.length) {
+              val vals = partTypes.zip(t.partition).map { case (tp, v) =>
+                SparkBridge.toSpark(v match {
+                  case b: Seq[_] if tp == GBinary => b.asInstanceOf[Seq[Byte]].toArray
+                  case x => x
+                }, tp)
+              }
+              metaRow.update(i,
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  vals.asInstanceOf[Array[Any]]))
+            } else metaRow.update(i, null)
           case _ => ()
         }
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow

@@ -35,7 +35,9 @@ final class GraftMicroBatchStream(
     availableNowTarget = Some(reportLatestOffset().asInstanceOf[GraftStreamingOffset])
 
   private def lineage(): Seq[Snapshot] =
-    table.refresh().snapshots.sortBy(_.sequenceNumber)
+    // main-branch ancestry only — staged WAP/branch appends are not
+    // published and must not flow into streaming reads
+    table.refresh().ancestry("main").sortBy(_.sequenceNumber)
 
   /** files appended by an append snapshot, in stable (path) order */
   private def addedFiles(snap: Snapshot): Seq[DataFile] =

@@ -55,12 +55,25 @@ class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo)
       s"write schema mismatch: ${info.schema()} vs $tableSchema")
     // branch routing: explicit write option, else the session's WAP branch
     // (write-audit-publish: stage on a branch, audit, fast_forward main)
-    val wapBranch =
-      try SparkSession.active.conf.getOption("spark.wap.branch")
-      catch { case _: Throwable => None }
-    val branch = Option(info.options.get("branch")).orElse(wapBranch).getOrElse("main")
+    val branch = Option(info.options.get("branch"))
+      .orElse(WapBranch.resolve()).getOrElse("main")
     new GraftWrite(table, tableSchema, mode, info.queryId(), branch)
   }
+}
+
+/** Session write-audit-publish branch (reference SparkWriteConf.branch /
+  * SparkReadConf: while `spark.wap.branch` is set, EVERY operation —
+  * append, overwrite, row-level delta, deleteWhere — commits to that
+  * branch, and reads without an explicit version resolve to it). */
+object WapBranch {
+  def resolve(): Option[String] =
+    try SparkSession.active.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
+    catch { case _: Throwable => None }
+
+  /** WAP branch for READS: only once the branch actually exists (it is
+    * created by the first staged write; before that, reads see main). */
+  def forRead(table: graft.core.meta.GTable): Option[String] =
+    resolve().filter(b => table.meta.refs.contains(b))
 }
 
 sealed trait WriteMode extends Serializable
@@ -179,15 +192,17 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
       case AppendMode =>
         table.newAppend().appendFiles(files).toBranch(branch).commit()
       case OverwriteMode(filter) =>
-        table.newOverwrite().overwriteByRowFilter(filter).addFiles(files).commit()
+        table.newOverwrite().overwriteByRowFilter(filter).addFiles(files)
+          .toBranch(branch).commit()
       case DynamicOverwriteMode =>
         table.newOverwrite()
           .replacePartitions(files.map(_.partition).toSet)
-          .addFiles(files).commit()
+          .addFiles(files).toBranch(branch).commit()
       case CopyOnWriteMode(replaced, scannedSnap) =>
         val paths = replaced()
         if (paths.nonEmpty || files.nonEmpty) {
           val ow = table.newOverwrite().deleteFiles(paths).addFiles(files)
+            .toBranch(branch)
           // serializable isolation: fail if a delete/overwrite/replace
           // landed after the snapshot this rewrite read
           scannedSnap().foreach(ow.validateFromSnapshot)
@@ -370,7 +385,7 @@ final class GraftDeltaBatchWrite(table: GTable) extends DeltaBatchWrite {
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.filter(_ != null).map(_.asInstanceOf[GraftDeltaCommitMessage])
-    val rd = table.newRowDelta()
+    val rd = table.newRowDelta().toBranch(WapBranch.resolve().getOrElse("main"))
     msgs.flatMap(_.dataFiles).foreach(rd.addRows)
     msgs.flatMap(_.deleteFiles).foreach(rd.addDeletes)
     rd.commit()
@@ -405,8 +420,9 @@ final class GraftDeltaWriterFactory(
       dataOwf, conf, partitionId, taskId)
     val delConf = new Configuration(false)
     delConfMap.foreach { case (k, v) => delConf.set(k, v) }
-    new GraftDeltaWriter(location, spec.specId, dataWriter, delOwf, delConf,
-      partitionId, taskId)
+    new GraftDeltaWriter(location, spec.specId,
+      spec.partitionType(gSchema).fields.map(f => SparkTypes.toSpark(f.tpe)).toArray,
+      dataWriter, delOwf, delConf, partitionId, taskId)
   }
 }
 
@@ -422,16 +438,43 @@ object GraftDeltaWriter {
 final class GraftDeltaWriter(
     location: String,
     specId: Int,
+    partSparkTypes: Array[org.apache.spark.sql.types.DataType],
     dataWriter: GraftFanoutWriter,
     delOwf: OutputWriterFactory,
     conf: Configuration,
     partitionId: Int,
     taskId: Long) extends DeltaWriter[InternalRow] {
 
-  private val deleted = mutable.ArrayBuffer.empty[(String, Long)]
+  // position deletes grouped by the referenced data file's partition tuple
+  // (reference fans delete files out per partition so they prune at scan
+  // time; Nil = global — unknown partition or a non-default-spec file)
+  private val deleted =
+    mutable.Map.empty[Seq[Any], (Seq[Any], mutable.ArrayBuffer[(String, Long)])]
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit =
-    deleted += ((id.getUTF8String(0).toString, id.getLong(1)))
+  /** partition tuple (internal rep) from the (_spec_id, _partition)
+    * metadata row, or Nil when it doesn't apply cleanly */
+  private def partitionOf(meta: InternalRow): Seq[Any] =
+    try {
+      if (meta == null || partSparkTypes.isEmpty || meta.numFields < 2 ||
+          meta.isNullAt(0) || meta.getInt(0) != specId || meta.isNullAt(1)) Nil
+      else {
+        val st = meta.getStruct(1, partSparkTypes.length)
+        partSparkTypes.zipWithIndex.map { case (dt, i) =>
+          SparkBridge.valueAt(st, i, dt)
+        }.toSeq
+      }
+    } catch {
+      // unexpected metadata projection shape → fall back to a global
+      // (unpartitioned) delete file, which is always correct
+      case _: Throwable => Nil
+    }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val raw = partitionOf(meta)
+    val key = raw.map { case b: Array[Byte] => b.toSeq; case x => x }
+    deleted.getOrElseUpdate(key, (raw, mutable.ArrayBuffer.empty))
+      ._2 += ((id.getUTF8String(0).toString, id.getLong(1)))
+  }
 
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(meta, id)
@@ -442,29 +485,27 @@ final class GraftDeltaWriter(
 
   override def commit(): WriterCommitMessage = {
     val dataMsg = dataWriter.commit().asInstanceOf[GraftCommitMessage]
-    val deleteFiles =
-      if (deleted.isEmpty) Nil
-      else {
-        val dir = s"$location/data"
-        java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
-        val path = s"$dir/delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
-        val ctx = new TaskAttemptContextImpl(conf,
-          new TaskAttemptID(new TaskID("graft-del", partitionId, TaskType.MAP, taskId.toInt), 0))
-        val w = delOwf.newInstance(path, GraftDeltaWriter.DeleteSchema, ctx)
-        // sorted by (file, pos) so per-file runs are contiguous
-        deleted.sortInPlace()
-        val rowOut = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-        deleted.foreach { case (f, p) =>
-          rowOut.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f))
-          rowOut.setLong(1, p)
-          w.write(rowOut)
-        }
-        w.close()
-        val refs = deleted.map(_._1).distinct
-        Seq(DataFile(path, "parquet", specId, Nil, deleted.size.toLong,
-          GraftIO.size(path), Map.empty, content = FileContent.PositionDeletes,
-          referencedDataFile = if (refs.size == 1) Some(refs.head) else None))
+    val deleteFiles = deleted.values.toSeq.map { case (partition, dels) =>
+      val dir = s"$location/data"
+      java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
+      val path = s"$dir/delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
+      val ctx = new TaskAttemptContextImpl(conf,
+        new TaskAttemptID(new TaskID("graft-del", partitionId, TaskType.MAP, taskId.toInt), 0))
+      val w = delOwf.newInstance(path, GraftDeltaWriter.DeleteSchema, ctx)
+      // sorted by (file, pos) so per-file runs are contiguous
+      dels.sortInPlace()
+      val rowOut = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      dels.foreach { case (f, p) =>
+        rowOut.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f))
+        rowOut.setLong(1, p)
+        w.write(rowOut)
       }
+      w.close()
+      val refs = dels.map(_._1).distinct
+      DataFile(path, "parquet", specId, partition, dels.size.toLong,
+        GraftIO.size(path), Map.empty, content = FileContent.PositionDeletes,
+        referencedDataFile = if (refs.size == 1) Some(refs.head) else None)
+    }
     GraftDeltaCommitMessage(dataMsg.files, deleteFiles)
   }
 

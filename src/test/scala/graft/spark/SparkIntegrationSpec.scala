@@ -264,7 +264,16 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stray = coreTable("proc").location + "/data/stray.parquet"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stray).getParent)
     java.nio.file.Files.write(java.nio.file.Paths.get(stray), Array[Byte](1, 2))
-    val orphans = spark.sql("CALL graft.system.remove_orphan_files('db.proc', false)")
+    // default 3-day age cutoff protects just-written (possibly in-flight
+    // uncommitted) files
+    val protectedCount = spark.sql(
+      "CALL graft.system.remove_orphan_files('db.proc', false)")
+      .collect()(0).getInt(0)
+    assert(protectedCount === 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(stray)))
+    val cutoff = System.currentTimeMillis() + 60000
+    val orphans = spark.sql(
+      s"CALL graft.system.remove_orphan_files('db.proc', false, ${cutoff}L)")
       .collect()(0).getInt(0)
     assert(orphans === 1)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stray)))
@@ -656,6 +665,119 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.morc").collect()(0).getLong(0) === 180L)
     assert(spark.sql("SELECT count(*) FROM graft.db.morc WHERE id % 10 = 7")
       .collect()(0).getLong(0) === 0L)
+  }
+
+  test("merge-on-read row-level ops on a PARTITIONED table") {
+    spark.sql("""CREATE TABLE graft.db.morp (
+      id BIGINT, cat STRING, v STRING) PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        'write.update.mode'='merge-on-read',
+        'write.merge.mode'='merge-on-read')""")
+    spark.range(0, 100, 1, 2)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cat",
+        "concat('v', id) AS v")
+      .writeTo("graft.db.morp").append()
+
+    // DELETE: previously crashed at commit (partition summary on an empty
+    // delete-file tuple under the partitioned spec)
+    spark.sql("DELETE FROM graft.db.morp WHERE id < 10")
+    assert(spark.sql("SELECT count(*) FROM graft.db.morp").collect()(0).getLong(0) === 90L)
+    // the position-delete files fanned out per partition tuple
+    val delFiles = coreTable("morp").newScan().planFiles()
+      .flatMap(_.deletes).distinctBy(_.path)
+    assert(delFiles.nonEmpty)
+    assert(delFiles.forall(_.partition.nonEmpty),
+      s"expected partition-scoped deletes, got ${delFiles.map(_.partition)}")
+
+    spark.sql("UPDATE graft.db.morp SET v = 'upd' WHERE id = 42")
+    assert(spark.sql("SELECT v FROM graft.db.morp WHERE id = 42")
+      .collect()(0).getString(0) === "upd")
+
+    spark.sql("""MERGE INTO graft.db.morp t
+      USING (SELECT 43 AS id, 'merged' AS v UNION ALL SELECT 999, 'new') s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, cat, v) VALUES (s.id, 'c', s.v)""")
+    assert(spark.sql("SELECT v FROM graft.db.morp WHERE id = 43")
+      .collect()(0).getString(0) === "merged")
+    assert(spark.sql("SELECT v FROM graft.db.morp WHERE id = 999")
+      .collect()(0).getString(0) === "new")
+    assert(spark.sql("SELECT count(*) FROM graft.db.morp").collect()(0).getLong(0) === 91L)
+    // partition pruning still selects the right rows under deletes
+    assert(spark.sql("SELECT count(*) FROM graft.db.morp WHERE cat = 'a'")
+      .collect()(0).getLong(0) === 45L)
+  }
+
+  test("spark.wap.branch isolates overwrite, CoW and MoR deletes; reads follow") {
+    spark.sql("CREATE TABLE graft.db.wap2 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.wap2 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""CREATE TABLE graft.db.wap3 (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.db.wap3 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      // CoW / metadata delete stages on the branch
+      spark.sql("DELETE FROM graft.db.wap2 WHERE id = 1")
+      // staged reads see it; main does not
+      assert(spark.sql("SELECT count(*) FROM graft.db.wap2").collect()(0).getLong(0) === 2L)
+      // MoR delta stages on the branch
+      spark.sql("DELETE FROM graft.db.wap3 WHERE id = 1")
+      assert(spark.sql("SELECT count(*) FROM graft.db.wap3").collect()(0).getLong(0) === 2L)
+      // overwrite stages on the branch
+      spark.sql("INSERT OVERWRITE graft.db.wap2 VALUES (10, 'x')")
+      assert(spark.sql("SELECT count(*) FROM graft.db.wap2").collect()(0).getLong(0) === 1L)
+    } finally spark.conf.unset("spark.wap.branch")
+
+    // main is untouched by ALL staged operations
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap2").collect()(0).getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap3").collect()(0).getLong(0) === 3L)
+    // publish and verify
+    spark.sql("CALL graft.system.fast_forward('db.wap2', 'main', 'audit')")
+    spark.sql("CALL graft.system.fast_forward('db.wap3', 'main', 'audit')")
+    assert(spark.sql("SELECT id FROM graft.db.wap2").collect()(0).getLong(0) === 10L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.wap3").collect()(0).getLong(0) === 2L)
+  }
+
+  test("rewrite_data_files aborts on a concurrent row-level delete") {
+    spark.sql("""CREATE TABLE graft.db.rwc (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.db.rwc VALUES ($i, 'v$i')"))
+    val t = coreTable("rwc")
+    // simulate the compaction's scan→commit window: plan, then a MoR
+    // DELETE lands, then the compaction tries to commit its replace
+    val scan = t.newScan()
+    val snapId = scan.snapshot().get.snapshotId
+    val tasks = scan.planFiles()
+    spark.sql("DELETE FROM graft.db.rwc WHERE id = 2") // RowDelta mid-window
+    val ow = t.newOverwrite().deleteFiles(tasks.map(_.file.path))
+      .validateFromSnapshot(snapId)
+    intercept[graft.core.meta.CommitConflictException] { ow.commit() }
+    // and the procedure run AFTER the delete still compacts correctly
+    spark.sql("CALL graft.system.rewrite_data_files('db.rwc')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.rwc").collect()(0).getLong(0) === 2L)
+  }
+
+  test("branch snapshots don't leak into incremental or changelog reads") {
+    spark.sql("CREATE TABLE graft.db.inc2 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.inc2 VALUES (1)")
+    val s1 = coreTable("inc2").meta.currentSnapshot.get.snapshotId
+    // stage rows on a WAP branch — NOT published
+    spark.conf.set("spark.wap.branch", "staging")
+    try spark.sql("INSERT INTO graft.db.inc2 VALUES (2), (3)")
+    finally spark.conf.unset("spark.wap.branch")
+    spark.sql("INSERT INTO graft.db.inc2 VALUES (4)")
+
+    // incremental append read from s1: only the main-branch append (4)
+    val inc = spark.read.option("start-snapshot-id", s1)
+      .table("graft.db.inc2").collect().map(_.getLong(0)).toSeq.sorted
+    assert(inc === Seq(4L), s"incremental read leaked branch rows: $inc")
+
+    // changelog: INSERTs on main only (1 and 4)
+    val changes = spark.read.table("graft.db.inc2.changes")
+      .where("_change_type = 'INSERT'")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(changes === Seq(1L, 4L), s"changelog leaked branch rows: $changes")
   }
 
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
