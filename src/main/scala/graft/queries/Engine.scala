@@ -30,12 +30,12 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v3").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v4").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
-        "spev_g")
+        "spev_g", "mor_part_g", "wap_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
 
@@ -153,8 +153,31 @@ object Engine {
         'SELECT l_returnflag, COUNT(*) AS n FROM graft.db.lineitem_g GROUP BY l_returnflag',
         true)""")
 
+      // merge-on-read row-level ops on a PARTITIONED table: position
+      // deletes fan out per months(o_orderdate) partition
+      s.sql("""CREATE TABLE graft.db.mor_part_g (
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+        o_orderdate TIMESTAMP)
+        PARTITIONED BY (months(o_orderdate))
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                       'write.update.mode'='merge-on-read')""")
+      o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .writeTo("graft.db.mor_part_g").append()
+      s.sql("DELETE FROM graft.db.mor_part_g WHERE o_orderkey % 5 = 2")
+      s.sql("""UPDATE graft.db.mor_part_g SET o_totalprice = o_totalprice + 10
+        WHERE o_orderkey % 11 = 0""")
+
+      // write-audit-publish: stage a row-level delete on spark.wap.branch,
+      // then publish by fast-forwarding main
+      s.sql("CREATE TABLE graft.db.wap_g (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
+      n.writeTo("graft.db.wap_g").append()
+      s.conf.set("spark.wap.branch", "audit")
+      try s.sql("DELETE FROM graft.db.wap_g WHERE n_nationkey % 4 = 1")
+      finally s.conf.unset("spark.wap.branch")
+      s.sql("CALL graft.system.fast_forward('db.wap_g', 'main', 'audit')")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v3" -> "true"))
+        .updateProperties(Map("build-complete-v4" -> "true"))
     }
     built += wh
   }
@@ -389,6 +412,60 @@ object Engine {
       SELECT l_returnflag, COUNT(*) AS n FROM lineitem
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ------------------------------------------------------------------ g16
+  private val g16 = Q(
+    "g16_engine_mor_partitioned",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.mor_part_g")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_e2"))
+        .orderBy("yr")
+    },
+    Some("""
+      SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10
+                           ELSE o_totalprice END AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM orders WHERE NOT (o_orderkey % 5 = 2)
+      GROUP BY 1 ORDER BY yr"""))
+
+  // ------------------------------------------------------------------ g17
+  private val g17 = Q(
+    "g17_engine_wap_publish",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.wap_g")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+      FROM nation WHERE NOT (n_nationkey % 4 = 1)
+      GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // ------------------------------------------------------------------ g18
+  private val g18 = Q(
+    "g18_engine_incremental",
+    (s, dir) => {
+      setup(s, dir)
+      // incremental append scan: only files added AFTER the first append
+      // (the odd-orderkey half), planned via main-branch ancestry
+      val table = new HadoopCatalog(warehouse(dir)).loadTable(Seq("db"), "orders_snap").get
+      val firstSnap = table.meta.ancestry("main")
+        .filter(_.operation == "append").minBy(_.sequenceNumber).snapshotId
+      s.read.option("start-snapshot-id", firstSnap.toString)
+        .table("graft.db.orders_snap")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_e2"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM orders WHERE o_orderkey % 2 = 1
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
-    g10, g11, g12, g13, g14, g15)
+    g10, g11, g12, g13, g14, g15, g16, g17, g18)
 }
