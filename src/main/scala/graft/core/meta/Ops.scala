@@ -384,11 +384,15 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
     val addedFiles = added.result()
     if (addedFiles.isEmpty) kept
     else {
-      val spec = base.specById(addedFiles.head.specId)
-      val entries = addedFiles.map(f =>
-        ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
-      ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-        FileContent.Data, spec, schema, snapshotId) +: kept
+      // data and delete files go to separate manifests (content 0 vs 1) —
+      // rewrite_position_deletes replaces delete files through this path
+      addedFiles.groupBy(_.isDeleteFile).toSeq.map { case (isDelete, fs) =>
+        val spec = base.specById(fs.head.specId)
+        val entries = fs.map(f =>
+          ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
+        ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
+          if (isDelete) 1 else FileContent.Data, spec, schema, snapshotId)
+      } ++ kept
     }
   }
 

@@ -26,7 +26,9 @@ object GraftMetadataTables {
   val types: Set[String] = Set(
     "snapshots", "history", "refs", "manifests", "files", "entries",
     "partitions", "metadata_log_entries", "position_deletes",
-    "all_files", "all_manifests", "all_entries")
+    "data_files", "delete_files",
+    "all_files", "all_manifests", "all_entries",
+    "all_data_files", "all_delete_files")
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -86,7 +88,8 @@ object GraftMetadataTables {
       StructField("file_path", StringType),
       StructField("pos", LongType),
       StructField("delete_file_path", StringType)))
-    case "all_files" => schemaOf("files")
+    case "data_files" | "delete_files" => schemaOf("files")
+    case "all_files" | "all_data_files" | "all_delete_files" => schemaOf("files")
     case "all_manifests" => schemaOf("manifests")
     case "all_entries" => schemaOf("entries")
     case other => throw new IllegalArgumentException(s"unknown metadata table: $other")
@@ -134,12 +137,18 @@ object GraftMetadataTables {
           mf.content, s(mf.path), mf.length, mf.specId, mf.addedSnapshotId,
           mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount)): InternalRow
       }.toArray
-      case "files" => liveEntries.map { case (_, e) =>
-        new GenericInternalRow(Array[Any](
-          e.file.content, s(e.file.path), s(e.file.format), e.file.specId,
-          partString(e.file.specId, e.file.partition),
-          e.file.recordCount, e.file.fileSizeBytes)): InternalRow
-      }.toArray
+      case "files" | "data_files" | "delete_files" =>
+        val filtered = kind match {
+          case "data_files"   => liveEntries.filter(_._2.file.content == FileContent.Data)
+          case "delete_files" => liveEntries.filter(_._2.file.content != FileContent.Data)
+          case _              => liveEntries
+        }
+        filtered.map { case (_, e) =>
+          new GenericInternalRow(Array[Any](
+            e.file.content, s(e.file.path), s(e.file.format), e.file.specId,
+            partString(e.file.specId, e.file.partition),
+            e.file.recordCount, e.file.fileSizeBytes)): InternalRow
+        }.toArray
       case "entries" => liveEntries.map { case (_, e) =>
         new GenericInternalRow(Array[Any](
           e.status, e.snapshotId, e.dataSequenceNumber, s(e.file.path),
@@ -167,7 +176,8 @@ object GraftMetadataTables {
                 s(r.getString(0)), r.getLong(1), s(e.file.path))): InternalRow
             }
           }.toArray
-      case "all_files" | "all_manifests" | "all_entries" =>
+      case "all_files" | "all_manifests" | "all_entries"
+         | "all_data_files" | "all_delete_files" =>
         // union across ALL snapshots, deduplicated (reference all_* tables)
         val allManifests = m.snapshots
           .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
@@ -189,7 +199,11 @@ object GraftMetadataTables {
                 e.status, e.snapshotId, e.dataSequenceNumber, s(e.file.path),
                 e.file.recordCount)): InternalRow
             }.toArray
-            else es.map { e =>
+            else (kind match {
+              case "all_data_files"   => es.filter(_.file.content == FileContent.Data)
+              case "all_delete_files" => es.filter(_.file.content != FileContent.Data)
+              case _                  => es
+            }).map { e =>
               new GenericInternalRow(Array[Any](
                 e.file.content, s(e.file.path), s(e.file.format), e.file.specId,
                 partString(e.file.specId, e.file.partition),

@@ -33,7 +33,8 @@ object GraftProcedures {
     "cherrypick_snapshot", "fast_forward",
     "create_branch", "create_tag", "drop_ref",
     "expire_snapshots", "remove_orphan_files",
-    "rewrite_data_files", "rewrite_manifests", "compute_table_stats",
+    "rewrite_data_files", "rewrite_manifests", "rewrite_position_deletes",
+    "compute_table_stats",
     "create_changelog_view", "add_files", "create_view", "drop_view",
     "snapshot_table", "remove_dangling_deletes",
     "add_partition_field", "drop_partition_field")
@@ -116,7 +117,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("sort_order", StringType, "''"),
         param("target_file_size_bytes", LongType, s"${512L * 1024 * 1024}"),
         param("min_input_files", IntegerType, "2"))
-    case "rewrite_manifests" =>
+    case "rewrite_manifests" | "rewrite_position_deletes" =>
       Array(param("table", StringType))
     case "compute_table_stats" =>
       Array(param("table", StringType))
@@ -309,6 +310,77 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       out(StructType(Seq(StructField("rewritten_manifests_count", IntegerType),
         StructField("added_manifests_count", IntegerType))),
         row(manifests.size, ManifestIO.readList(ns.manifestListPath).size))
+
+    case "rewrite_position_deletes" =>
+      // Compact position-delete files: merge all live delete files per
+      // partition into one, dropping positions that reference dead data
+      // files (reference RewritePositionDeleteFilesSparkAction). The new
+      // delete file's higher sequence number keeps it applicable to every
+      // data file the originals covered; masks are path-keyed so extra
+      // candidates are filtered executor-side.
+      val t = loadTable(input.getUTF8String(0).toString)
+      val spark = SparkSession.active
+      val scanSnap = t.meta.currentSnapshot.map(_.snapshotId)
+      val manifests = t.meta.currentSnapshot
+        .map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+      val liveData = manifests.filter(_.content == 0)
+        .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
+        .map(_.file.path).toSet
+      val delFiles = manifests.filter(_.content == 1)
+        .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
+        .map(_.file)
+        .filter(_.content == FileContent.PositionDeletes)
+      val groups = delFiles.groupBy(f => (f.specId, f.partition.map {
+        case b: Array[Byte] => b.toSeq
+        case x              => x
+      }))
+      val rewritable = groups.filter { case (_, fs) => fs.size >= 2 ||
+        fs.exists(f => f.referencedDataFile.exists(p => !liveData.contains(p))) }
+      if (rewritable.isEmpty) {
+        out(StructType(Seq(StructField("rewritten_delete_files_count", IntegerType),
+          StructField("added_delete_files_count", IntegerType))), row(0, 0))
+      } else {
+        val conf = spark.sessionState.newHadoopConf()
+        val newFiles = Seq.newBuilder[DataFile]
+        val oldPaths = Seq.newBuilder[String]
+        import org.apache.spark.sql.functions.{col => fcol, broadcast}
+        val liveDf = broadcast(spark.createDataFrame(
+          liveData.toSeq.map(Tuple1(_))).toDF("__live"))
+        rewritable.foreach { case ((specId, _), fs) =>
+          val partition = fs.head.partition
+          val rows = spark.read.schema(GraftDeltaWriter.DeleteSchema)
+            .parquet(fs.map(_.path): _*)
+            .join(liveDf, fcol("file_path") === fcol("__live"), "left_semi")
+            .sort("file_path", "pos")
+          val staging = java.nio.file.Files.createTempDirectory("graft-posdel").toString
+          rows.coalesce(1).write.mode("overwrite").parquet(staging)
+          walkFiles(staging).filter(_.endsWith(".parquet")).foreach { sf =>
+            val target = s"${t.location}/data/delete-rw-${java.util.UUID.randomUUID}.parquet"
+            java.nio.file.Files.move(GraftIO.toPath(sf), GraftIO.toPath(target))
+            val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(target).toString)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+            val n = try r.getRecordCount finally r.close()
+            if (n == 0) GraftIO.delete(target)
+            else {
+              val refs = fs.flatMap(_.referencedDataFile).distinct
+              newFiles += DataFile(target, "parquet", specId, partition, n,
+                GraftIO.size(target), Map.empty,
+                content = FileContent.PositionDeletes,
+                referencedDataFile = if (refs.size == 1 && fs.forall(_.referencedDataFile.isDefined))
+                  Some(refs.head) else None)
+            }
+          }
+          oldPaths ++= fs.map(_.path)
+        }
+        val ow = t.newOverwrite().deleteFiles(oldPaths.result())
+          .addFiles(newFiles.result())
+        scanSnap.foreach(ow.validateFromSnapshot)
+        ow.commit()
+        out(StructType(Seq(StructField("rewritten_delete_files_count", IntegerType),
+          StructField("added_delete_files_count", IntegerType))),
+          row(oldPaths.result().size, newFiles.result().size))
+      }
 
     case "compute_table_stats" =>
       // NDV per column via approx_count_distinct; stored as table

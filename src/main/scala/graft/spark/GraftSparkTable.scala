@@ -79,10 +79,11 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val branch = Option(options.get("branch"))
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong)
     val maxFiles = Option(options.get("max-files-per-micro-batch")).map(_.toInt)
+    val maxRecords = Option(options.get("max-records-per-micro-batch")).map(_.toLong)
     val incremental = Option(options.get("start-snapshot-id")).map(_.toLong)
       .map(s => (s, Option(options.get("end-snapshot-id")).map(_.toLong)))
     new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles,
-      incremental = incremental)
+      incremental = incremental, streamMaxRecords = maxRecords)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -187,7 +188,8 @@ object GraftSparkTable {
       onBuild: GraftScan => Unit = _ => (),
       ignoreResiduals: Boolean = false,
       streamMaxFiles: Option[Int] = None,
-      incremental: Option[(Long, Option[Long])] = None)
+      incremental: Option[(Long, Option[Long])] = None,
+      streamMaxRecords: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -316,7 +318,7 @@ object GraftSparkTable {
       case Some((schema, row)) => new GraftLocalScan(schema, Array(row))
       case None =>
         val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
-          asOfTs, ignoreResiduals, streamMaxFiles, incremental)
+          asOfTs, ignoreResiduals, streamMaxFiles, incremental, streamMaxRecords)
         onBuild(scan)
         scan
     }
@@ -370,7 +372,8 @@ object GraftSparkTable {
       limit: Option[Int], snapshotId: Option[Long], branch: Option[String],
       asOfTs: Option[Long], ignoreResiduals: Boolean = false,
       streamMaxFiles: Option[Int] = None,
-      incremental: Option[(Long, Option[Long])] = None)
+      incremental: Option[(Long, Option[Long])] = None,
+      streamMaxRecords: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -421,7 +424,8 @@ object GraftSparkTable {
 
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new GraftMicroBatchStream(table, streamMaxFiles, () => createReaderFactory())
+      new GraftMicroBatchStream(table, streamMaxFiles, () => createReaderFactory(),
+        streamMaxRecords)
 
     private var runtimeExpr: Expr = TrueE
     @transient private var cachedTasks: Seq[FileScanTask] = _

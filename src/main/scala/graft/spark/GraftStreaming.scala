@@ -21,7 +21,8 @@ import graft.core.meta._
 final class GraftMicroBatchStream(
     table: GTable,
     maxFilesPerBatch: Option[Int],
-    readerFactory: () => PartitionReaderFactory)
+    readerFactory: () => PartitionReaderFactory,
+    maxRecordsPerBatch: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -52,8 +53,15 @@ final class GraftMicroBatchStream(
 
   override def initialOffset(): Offset = GraftStreamingOffset(0L, 0)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerBatch.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerBatch.map(ReadLimit.maxFiles).toSeq ++
+      maxRecordsPerBatch.map(ReadLimit.maxRows).toSeq
+    limits match {
+      case Nil      => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
@@ -66,28 +74,43 @@ final class GraftMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftStreamingOffset]
-    val cap = limit match {
-      case mf: ReadMaxFiles => mf.maxFiles()
-      case _                => Int.MaxValue
+    // admission control: files AND rows per micro-batch (row cap is soft —
+    // at least one file is admitted so the stream always progresses)
+    var fileBudget = Int.MaxValue
+    var rowBudget = Long.MaxValue
+    def applyLimit(l: ReadLimit): Unit = l match {
+      case c: CompositeReadLimit => c.getReadLimits.foreach(applyLimit)
+      case mf: ReadMaxFiles      => fileBudget = mf.maxFiles()
+      case mr: ReadMaxRows       => rowBudget = mr.maxRows()
+      case _                     => ()
     }
+    applyLimit(limit)
     var last = s
-    var budget = cap
+    var tookAny = false
+    var blocked = false // budget ran out with files still pending
     val target = availableNowTarget
     lineage().filter(_.sequenceNumber >= s.seq)
       .filter(sn => target.forall(t => sn.sequenceNumber <= t.seq))
       .foreach { snap =>
-        if (budget > 0) {
+        if (!blocked) {
           val files = addedFiles(snap)
           val from = if (snap.sequenceNumber == s.seq) s.fileIdx else 0
           val untilCap = target match {
             case Some(t) if t.seq == snap.sequenceNumber => t.fileIdx
             case _                                       => files.size
           }
-          val remaining = (untilCap - from).max(0)
-          val take = remaining.min(budget)
-          if (take > 0 || snap.sequenceNumber > last.seq)
-            last = GraftStreamingOffset(snap.sequenceNumber, from + take)
-          budget -= take
+          var idx = from
+          while (idx < untilCap && fileBudget > 0 && (rowBudget > 0 || !tookAny)) {
+            rowBudget -= files(idx).recordCount
+            fileBudget -= 1
+            tookAny = true
+            idx += 1
+            last = GraftStreamingOffset(snap.sequenceNumber, idx)
+          }
+          if (idx < untilCap) blocked = true
+          // fully consumed (or empty non-append) snapshot: advance past it
+          else if (untilCap >= files.size && snap.sequenceNumber > last.seq)
+            last = GraftStreamingOffset(snap.sequenceNumber, files.size)
         }
       }
     last

@@ -780,6 +780,36 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(changes === Seq(1L, 4L), s"changelog leaked branch rows: $changes")
   }
 
+  test("rewrite_position_deletes compacts delete files and drops dead positions") {
+    spark.sql("""CREATE TABLE graft.db.rpd (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 50, 1, 1).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.rpd").append()
+    spark.range(50, 100, 1, 1).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.rpd").append()
+    // two separate MoR deletes → at least 2 position-delete files
+    spark.sql("DELETE FROM graft.db.rpd WHERE id IN (1, 51)")
+    spark.sql("DELETE FROM graft.db.rpd WHERE id IN (2, 52)")
+    val delsBefore = spark.sql(
+      "SELECT count(*) FROM graft.db.rpd.delete_files").collect()(0).getLong(0)
+    assert(delsBefore >= 2L)
+    val res = spark.sql("CALL graft.system.rewrite_position_deletes('db.rpd')")
+      .collect()(0)
+    assert(res.getInt(0) >= 2) // rewritten
+    val delsAfter = spark.sql(
+      "SELECT count(*) FROM graft.db.rpd.delete_files").collect()(0).getLong(0)
+    assert(delsAfter < delsBefore)
+    // masking still correct after the rewrite
+    assert(spark.sql("SELECT count(*) FROM graft.db.rpd").collect()(0).getLong(0) === 96L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.rpd WHERE id IN (1, 2, 51, 52)")
+      .collect()(0).getLong(0) === 0L)
+    // data_files/delete_files metadata table split
+    assert(spark.sql("SELECT count(*) FROM graft.db.rpd.data_files")
+      .collect()(0).getLong(0) === 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.rpd.all_delete_files").collect()(0).getLong(0) >= 1L)
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")

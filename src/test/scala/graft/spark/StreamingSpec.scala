@@ -84,4 +84,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(snaps === 4L, s"expected 4 snapshots, got $snaps")
   }
+
+  test("admission control: max-records-per-micro-batch bounds batches") {
+    spark.sql("CREATE TABLE graft.db.stream_src3 (id BIGINT)")
+    spark.sql("CREATE TABLE graft.db.stream_dst3 (id BIGINT)")
+    // two appends of 3 rows each (single file per append)
+    spark.range(0, 3).coalesce(1).writeTo("graft.db.stream_src3").append()
+    spark.range(3, 6).coalesce(1).writeTo("graft.db.stream_src3").append()
+
+    val checkpoint = Files.createTempDirectory("graft-ckpt3").toString
+    val q = spark.readStream
+      .option("max-records-per-micro-batch", "3")
+      .table("graft.db.stream_src3")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.db.stream_dst3")
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM graft.db.stream_dst3 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === (0L to 5L))
+    // 3-row cap admits one 3-row file per batch → 2 sink snapshots
+    val snaps = spark.sql("SELECT count(*) FROM graft.db.stream_dst3.snapshots")
+      .collect()(0).getLong(0)
+    assert(snaps === 2L, s"expected 2 snapshots, got $snaps")
+  }
 }
