@@ -110,7 +110,11 @@ object Pipeline {
     "p03_dedup_minhash_lsh",
     (s, dir) => {
       val bg = bigramSets(s, dir)
-      val bh = bg.withColumn("h", strHash("b"))
+      // signatures: min() is duplicate-insensitive, so skip the distinct's
+      // full shuffle and pipeline tokenize→explode→hash→partial-min inside
+      // one codegen stage
+      val bh = tok(s, dir).select(col("doc_id"), explode(bigrams("ws")).as("b"))
+        .withColumn("h", strHash("b"))
       val minCols = (0 until NumHashes).map { k =>
         min(pmod(col("h") * minhashA(k) + minhashB(k), lit(P))).as(s"m$k")
       }
