@@ -507,11 +507,17 @@ object GraftSparkTable {
       s"graft(${table.location}) filter=$expr"
 
     // ------------------------------------------------- runtime filtering (DPP)
-    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-      table.spec.fields.map { pf =>
-        org.apache.spark.sql.connector.expressions.Expressions.column(
-          table.schema.byId(pf.sourceId).name)
-      }.toArray
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+      // only columns present in the scan OUTPUT: Spark resolves these refs
+      // against the pruned relation and throws (failing the whole query)
+      // for any attribute the projection dropped
+      val out = required.fieldNames.toSet
+      table.spec.fields.iterator
+        .map(pf => table.schema.byId(pf.sourceId).name)
+        .filter(out.contains)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
+    }
 
     override def filter(predicates: Array[VPred]): Unit = {
       val converted = predicates.flatMap(SparkBridge.toExpr)

@@ -810,6 +810,26 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) FROM graft.db.rpd.all_delete_files").collect()(0).getLong(0) >= 1L)
   }
 
+  test("join on non-partition key with partition column pruned away (DPP refs)") {
+    // regression: filterAttributes used to report partition source columns
+    // unconditionally; when the projection dropped them, Spark's dynamic
+    // partition pruning failed the whole query resolving the refs
+    spark.sql("""CREATE TABLE graft.db.dppk (
+      id BIGINT, grp BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft.db.dppk VALUES
+      (1, 10, TIMESTAMP '2024-01-01 00:00:00'),
+      (2, 20, TIMESTAMP '2024-01-02 00:00:00'),
+      (3, 10, TIMESTAMP '2024-01-03 00:00:00')""")
+    spark.sql("CREATE TABLE graft.db.dppd (grp BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.db.dppd VALUES (10, 'a'), (20, 'b')")
+    val rows = spark.sql("""
+      SELECT d.name, COUNT(*) AS n
+      FROM graft.db.dppk k JOIN graft.db.dppd d ON k.grp = d.grp
+      GROUP BY d.name ORDER BY d.name""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
