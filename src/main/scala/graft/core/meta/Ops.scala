@@ -325,13 +325,40 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
     validateNoConflictingAppendsFrom = Some(snapshotId); this
   }
 
+  /** Serializable isolation (reference IsolationLevel + per-op
+    * validateAddedDataFiles): ALSO fail when data appended since the
+    * validated snapshot might match this row filter — under snapshot
+    * isolation concurrent appends are allowed, under serializable a
+    * DELETE must observe rows a concurrent append slipped in. */
+  def failOnNewMatchingData(filter: Expr): this.type = {
+    conflictFilter = Some(filter); this
+  }
+  private var conflictFilter: Option[Expr] = None
+
   override protected def validate(base: TableMetadata): Unit =
     validateNoConflictingAppendsFrom.foreach { fromId =>
-      val newer = base.snapshots.filter(s =>
-        s.sequenceNumber > base.snapshotById(fromId).map(_.sequenceNumber).getOrElse(0L))
+      val fromSeq = base.snapshotById(fromId).map(_.sequenceNumber).getOrElse(0L)
+      val newer = base.snapshots.filter(_.sequenceNumber > fromSeq)
       if (newer.exists(s => s.operation != "append")) {
         throw new CommitConflictException(
           s"conflicting ${newer.map(_.operation).mkString(",")} since snapshot $fromId")
+      }
+      conflictFilter.foreach { filter =>
+        val bound = Expr.bind(base.schema, filter)
+        base.ancestry(branch)
+          .filter(s => s.operation == "append" && s.sequenceNumber > fromSeq)
+          .foreach { sn =>
+            val added = ManifestIO.readList(sn.manifestListPath)
+              .filter(mf => mf.content == 0 && mf.addedSnapshotId == sn.snapshotId)
+              .flatMap(mf => ManifestIO.readEntries(mf))
+              .filter(e => e.status == ManifestEntryStatus.Added &&
+                e.snapshotId == sn.snapshotId)
+            if (added.exists(e =>
+                InclusiveMetricsEvaluator.rowsMightMatch(bound, e.file.fileStats)))
+              throw new CommitConflictException(
+                s"serializable isolation: snapshot ${sn.snapshotId} appended " +
+                  s"rows that might match the operation filter")
+          }
       }
     }
 

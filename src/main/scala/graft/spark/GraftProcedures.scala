@@ -37,7 +37,8 @@ object GraftProcedures {
     "compute_table_stats",
     "create_changelog_view", "add_files", "create_view", "drop_view",
     "snapshot_table", "remove_dangling_deletes",
-    "add_partition_field", "drop_partition_field")
+    "add_partition_field", "drop_partition_field",
+    "set_identifier_fields", "drop_identifier_fields")
 
   def load(name: String, catalog: HadoopCatalog): Option[UnboundProcedure] =
     if (names.contains(name.toLowerCase)) Some(new GraftProcedure(name.toLowerCase, catalog))
@@ -136,6 +137,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("column", StringType))
     case "drop_partition_field" =>
       Array(param("table", StringType), param("name", StringType))
+    case "set_identifier_fields" =>
+      Array(param("table", StringType), param("columns", StringType))
+    case "drop_identifier_fields" =>
+      Array(param("table", StringType))
     case "create_view" =>
       Array(param("view", StringType), param("sql", StringType),
         param("replace", BooleanType, "false"))
@@ -411,10 +416,17 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         case "" => s"${tblName.split("\\.").last}_changes"
         case v  => v
       }
-      val idCols = input.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty)
       val spark = SparkSession.active
       import org.apache.spark.sql.functions._
       val t = loadTable(tblName)
+      // explicit identifier_columns param, else the schema's identifier
+      // fields (set via set_identifier_fields)
+      val idCols = input.getUTF8String(2).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty) match {
+        case arr if arr.nonEmpty => arr
+        case _ => t.schema.identifierFieldIds.toArray.sorted
+          .map(id => t.schema.byId(id).name)
+      }
       val fq = tblName.split("\\.").toSeq match {
         case one :: Nil => s"graft.db.$one.changes"
         case parts      => s"graft.${parts.mkString(".")}.changes"
@@ -572,6 +584,25 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       }
       out(StructType(Seq(StructField("spec_id", IntegerType))),
         row(t.meta.defaultSpecId))
+
+    case "set_identifier_fields" | "drop_identifier_fields" =>
+      // row-identity columns (reference ALTER TABLE ... SET IDENTIFIER
+      // FIELDS / Schema.identifierFieldIds): consumed by equality deletes
+      // and as the default update-pairing key for changelog views
+      val t = loadTable(input.getUTF8String(0).toString)
+      val cols =
+        if (pname == "drop_identifier_fields") Array.empty[String]
+        else input.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty)
+      t.commitUpdate { base =>
+        val schema = base.schema
+        val ids = cols.map(c => schema.findField(c).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $c")).id).toSet
+        val updated = schema.copy(identifierFieldIds = ids)
+        base.copy(schemas = base.schemas.map(s0 =>
+          if (s0.schemaId == schema.schemaId) updated else s0))
+      }
+      out(StructType(Seq(StructField("identifier_fields", StringType))),
+        row(s(cols.mkString(","))))
 
     case "create_view" =>
       // v2 view DDL (Spark 4 lacks native CREATE VIEW for v2 catalogs;

@@ -72,7 +72,23 @@ final class GraftCoWOperation(table: GTable,
             require(scan != null, "copy-on-write scan was never configured")
             scan.plannedFilePaths()
           },
-          () => Option(configuredScan).flatMap(_.scannedSnapshotId())),
+          () => Option(configuredScan).flatMap(_.scannedSnapshotId()),
+          // per-command isolation level (reference IsolationLevel; default
+          // serializable): serializable also aborts when appended rows
+          // might match the operation's pushed filter
+          () => {
+            val key = cmd match {
+              case RowLevelOperation.Command.DELETE => "write.delete.isolation-level"
+              case RowLevelOperation.Command.UPDATE => "write.update.isolation-level"
+              case _                                => "write.merge.isolation-level"
+            }
+            table.meta.properties.getOrElse(key, "serializable") match {
+              case "serializable" =>
+                Some(Option(configuredScan).map(_.pushedExpr)
+                  .getOrElse(graft.core.expr.TrueE))
+              case _ => None
+            }
+          }),
           branch = WapBranch.resolve().getOrElse("main"))
       }
     }

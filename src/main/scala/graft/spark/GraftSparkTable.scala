@@ -501,6 +501,9 @@ object GraftSparkTable {
       * commit-time validation covers the scan→commit window) */
     def scannedSnapshotId(): Option[Long] = { tasks(); plannedSnapshot }
 
+    /** the pushed row filter (for serializable conflict detection) */
+    def pushedExpr: Expr = expr
+
     override def toBatch: Batch = this
 
     override def description(): String =

@@ -81,9 +81,13 @@ case object AppendMode extends WriteMode
 final case class OverwriteMode(filter: Expr) extends WriteMode
 case object DynamicOverwriteMode extends WriteMode
 /** copy-on-write rewrite: atomically replace the scanned files,
-  * validating no conflicting commit landed since the scan */
+  * validating no conflicting commit landed since the scan; under
+  * serializable isolation, `conflictFilter` additionally fails the
+  * commit when concurrently-appended data might match the operation
+  * filter (None = snapshot isolation) */
 final case class CopyOnWriteMode(replacedPaths: () => Seq[String],
-    scannedSnapshot: () => Option[Long] = () => None) extends WriteMode
+    scannedSnapshot: () => Option[Long] = () => None,
+    conflictFilter: () => Option[Expr] = () => None) extends WriteMode
 
 final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     queryId: String = "", branch: String = "main")
@@ -198,14 +202,16 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
         table.newOverwrite()
           .replacePartitions(files.map(_.partition).toSet)
           .addFiles(files).toBranch(branch).commit()
-      case CopyOnWriteMode(replaced, scannedSnap) =>
+      case CopyOnWriteMode(replaced, scannedSnap, conflictFilter) =>
         val paths = replaced()
         if (paths.nonEmpty || files.nonEmpty) {
           val ow = table.newOverwrite().deleteFiles(paths).addFiles(files)
             .toBranch(branch)
-          // serializable isolation: fail if a delete/overwrite/replace
-          // landed after the snapshot this rewrite read
+          // fail if a delete/overwrite/replace landed after the snapshot
+          // this rewrite read; under serializable isolation, also fail on
+          // concurrently appended rows matching the operation filter
           scannedSnap().foreach(ow.validateFromSnapshot)
+          conflictFilter().foreach(ow.failOnNewMatchingData)
           ow.commit()
         }
     }

@@ -830,6 +830,46 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("isolation: serializable flags matching concurrent appends, snapshot allows") {
+    spark.sql("CREATE TABLE graft.db.iso (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.iso VALUES (1, 'a'), (2, 'b')")
+    val t = coreTable("iso")
+    // simulate a CoW DELETE's scan→commit window with a concurrent append
+    val scan = t.newScan()
+    val snapId = scan.snapshot().get.snapshotId
+    val tasks = scan.planFiles()
+    spark.sql("INSERT INTO graft.db.iso VALUES (1, 'dup')") // lands mid-window
+    // serializable: the appended row might match id=1 → abort
+    val ser = t.newOverwrite().deleteFiles(tasks.map(_.file.path))
+      .validateFromSnapshot(snapId)
+      .failOnNewMatchingData(graft.core.expr.Expr.equalTo("id", 1L))
+    intercept[graft.core.meta.CommitConflictException] { ser.commit() }
+    // filter provably not matching the appended stats → commits (and a
+    // missing filter = snapshot isolation, same path)
+    t.newOverwrite().deleteFiles(tasks.map(_.file.path))
+      .validateFromSnapshot(snapId)
+      .failOnNewMatchingData(graft.core.expr.Expr.equalTo("id", 999L))
+      .commit()
+    assert(spark.sql("SELECT v FROM graft.db.iso").collect().map(_.getString(0)).toSeq
+      === Seq("dup"))
+  }
+
+  test("identifier fields feed changelog update pairing by default") {
+    spark.sql("""CREATE TABLE graft.db.idf (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.db.idf VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL graft.system.set_identifier_fields('db.idf', 'id')")
+    assert(coreTable("idf").schema.identifierFieldIds.nonEmpty)
+    spark.sql("UPDATE graft.db.idf SET v = 'a2' WHERE id = 1")
+    // no identifier_columns arg: pairing key comes from the schema
+    spark.sql("CALL graft.system.create_changelog_view('db.idf', '', '')")
+    val types = spark.sql(
+      "SELECT _change_type FROM idf_changes WHERE id = 1 ORDER BY _change_type")
+      .collect().map(_.getString(0)).toSeq
+    assert(types.contains("UPDATE_BEFORE") && types.contains("UPDATE_AFTER"),
+      s"expected paired update, got $types")
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
