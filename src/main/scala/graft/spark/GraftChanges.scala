@@ -182,7 +182,9 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
         else {
           val deleted = new java.util.HashSet[Long]()
           t.posDeletePaths.foreach { dp =>
-            deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
+            if (DVIO.isDV(dp)) {
+              DVIO.readAsSets(dp).get(t.path).foreach(deleted.addAll)
+            } else deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
               if (r.getUTF8String(0).toString == t.path) deleted.add(r.getLong(1))
             }
           }

@@ -170,10 +170,20 @@ object GraftMetadataTables {
         // contents of live position-delete files (reference PositionDeletesTable)
         liveEntries.filter(_._2.file.content == FileContent.PositionDeletes)
           .flatMap { case (_, e) =>
-            val spark = org.apache.spark.sql.SparkSession.active
-            spark.read.parquet(e.file.path).collect().map { r =>
-              new GenericInternalRow(Array[Any](
-                s(r.getString(0)), r.getLong(1), s(e.file.path))): InternalRow
+            if (e.file.format == "dv") {
+              val (ref, bm) = DVIO.read(e.file.path)
+              val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+              bm.forEach((l: Long) => {
+                buf += new GenericInternalRow(Array[Any](s(ref), l, s(e.file.path)))
+                ()
+              })
+              buf
+            } else {
+              val spark = org.apache.spark.sql.SparkSession.active
+              spark.read.parquet(e.file.path).collect().map { r =>
+                new GenericInternalRow(Array[Any](
+                  s(r.getString(0)), r.getLong(1), s(e.file.path))): InternalRow
+              }.toSeq
             }
           }.toArray
       case "all_files" | "all_manifests" | "all_entries"

@@ -83,6 +83,27 @@ object GraftProcedures {
     else java.nio.file.Files.walk(p).iterator().asScala
       .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSeq
   }
+
+  /** (file_path, pos) rows of position-delete files as one DataFrame,
+    * across both delete formats (parquet files and roaring DVs). */
+  private[spark] def deleteRowsDf(spark: SparkSession,
+      files: Seq[DataFile]): org.apache.spark.sql.DataFrame = {
+    val (dv, pq) = files.partition(_.format == "dv")
+    val parts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    if (pq.nonEmpty)
+      parts += spark.read.schema(GraftDeltaWriter.DeleteSchema)
+        .parquet(pq.map(_.path): _*)
+    if (dv.nonEmpty) {
+      val rows = dv.flatMap { f =>
+        val (ref, bm) = DVIO.read(f.path)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        bm.forEach((l: Long) => { buf += ((ref, l)); () })
+        buf
+      }
+      parts += spark.createDataFrame(rows).toDF("file_path", "pos")
+    }
+    parts.result().reduce(_ union _)
+  }
 }
 
 final class GraftProcedure(pname: String, catalog: HadoopCatalog)
@@ -353,8 +374,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           liveData.toSeq.map(Tuple1(_))).toDF("__live"))
         rewritable.foreach { case ((specId, _), fs) =>
           val partition = fs.head.partition
-          val rows = spark.read.schema(GraftDeltaWriter.DeleteSchema)
-            .parquet(fs.map(_.path): _*)
+          val rows = deleteRowsDf(spark, fs)
             .join(liveDf, fcol("file_path") === fcol("__live"), "left_semi")
             .sort("file_path", "pos")
           val staging = java.nio.file.Files.createTempDirectory("graft-posdel").toString
@@ -764,9 +784,7 @@ object RewriteDataFiles {
           val withPos = raw.select(col("*"),
             col("_metadata.file_path").as("__f"),
             col("_metadata.row_index").as("__p"))
-          val dels = spark.read
-            .schema(GraftDeltaWriter.DeleteSchema)
-            .parquet(deleteFiles.map(_.path): _*)
+          val dels = GraftProcedures.deleteRowsDf(spark, deleteFiles)
             .select(concat(lit("file:"), col("file_path")).as("__df1"),
               concat(lit("file://"), col("file_path")).as("__df2"),
               col("file_path").as("__df3"),

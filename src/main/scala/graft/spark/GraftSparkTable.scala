@@ -798,12 +798,15 @@ object GraftSparkTable {
       val out = new java.util.HashSet[Long]()
       deletePaths.foreach { dp =>
         val byFile = PosDeleteCache.get(dp, () => {
-          val m = scala.collection.mutable.Map.empty[String, java.util.HashSet[Long]]
-          deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
-            m.getOrElseUpdate(r.getUTF8String(0).toString,
-              new java.util.HashSet[Long]()).add(r.getLong(1))
+          if (graft.core.meta.DVIO.isDV(dp)) graft.core.meta.DVIO.readAsSets(dp)
+          else {
+            val m = scala.collection.mutable.Map.empty[String, java.util.HashSet[Long]]
+            deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
+              m.getOrElseUpdate(r.getUTF8String(0).toString,
+                new java.util.HashSet[Long]()).add(r.getLong(1))
+            }
+            m.toMap
           }
-          m.toMap
         })
         byFile.get(dataPath).foreach(out.addAll)
       }

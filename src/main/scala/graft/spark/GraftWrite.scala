@@ -386,7 +386,8 @@ final class GraftDeltaBatchWrite(table: GTable) extends DeltaBatchWrite {
       table.location, writeSchema.json,
       MetaJson.writeSchema(table.schema).toString,
       MetaJson.writeSpec(table.spec).toString,
-      dataOwf, delOwf, confMap, delConfMap)
+      dataOwf, delOwf, confMap, delConfMap,
+      table.meta.properties.getOrElse("write.delete.format", "parquet"))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -413,7 +414,8 @@ final class GraftDeltaWriterFactory(
     dataOwf: OutputWriterFactory,
     delOwf: OutputWriterFactory,
     confMap: Map[String, String],
-    delConfMap: Map[String, String]) extends DeltaWriterFactory {
+    delConfMap: Map[String, String],
+    deleteFormat: String = "parquet") extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
@@ -428,7 +430,7 @@ final class GraftDeltaWriterFactory(
     delConfMap.foreach { case (k, v) => delConf.set(k, v) }
     new GraftDeltaWriter(location, spec.specId,
       spec.partitionType(gSchema).fields.map(f => SparkTypes.toSpark(f.tpe)).toArray,
-      dataWriter, delOwf, delConf, partitionId, taskId)
+      dataWriter, delOwf, delConf, partitionId, taskId, deleteFormat)
   }
 }
 
@@ -449,7 +451,8 @@ final class GraftDeltaWriter(
     delOwf: OutputWriterFactory,
     conf: Configuration,
     partitionId: Int,
-    taskId: Long) extends DeltaWriter[InternalRow] {
+    taskId: Long,
+    deleteFormat: String = "parquet") extends DeltaWriter[InternalRow] {
 
   // position deletes grouped by the referenced data file's partition tuple
   // (reference fans delete files out per partition so they prune at scan
@@ -491,7 +494,9 @@ final class GraftDeltaWriter(
 
   override def commit(): WriterCommitMessage = {
     val dataMsg = dataWriter.commit().asInstanceOf[GraftCommitMessage]
-    val deleteFiles = deleted.values.toSeq.map { case (partition, dels) =>
+    val deleteFiles =
+      if (deleteFormat == "dv") commitDVs()
+      else deleted.values.toSeq.map { case (partition, dels) =>
       val dir = s"$location/data"
       java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
       val path = s"$dir/delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
@@ -514,6 +519,19 @@ final class GraftDeltaWriter(
     }
     GraftDeltaCommitMessage(dataMsg.files, deleteFiles)
   }
+
+  /** deletion vectors: one Roaring bitmap file per referenced data file
+    * (reference v3 DVs; write.delete.format = 'dv') */
+  private def commitDVs(): Seq[DataFile] =
+    deleted.values.toSeq.flatMap { case (partition, dels) =>
+      dels.groupBy(_._1).toSeq.map { case (dataPath, posRows) =>
+        val path = s"$location/data/dv-$partitionId-$taskId-${UUID.randomUUID}.dv"
+        val n = DVIO.write(path, dataPath, posRows.iterator.map(_._2))
+        DataFile(path, "dv", specId, partition, n, GraftIO.size(path),
+          Map.empty, content = FileContent.PositionDeletes,
+          referencedDataFile = Some(dataPath))
+      }
+    }
 
   override def abort(): Unit = dataWriter.abort()
   override def close(): Unit = dataWriter.close()

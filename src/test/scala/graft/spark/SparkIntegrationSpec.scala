@@ -870,6 +870,40 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected paired update, got $types")
   }
 
+  test("deletion vectors: MoR deletes as roaring bitmaps (write.delete.format=dv)") {
+    spark.sql("""CREATE TABLE graft.db.dvt (id BIGINT, cat STRING, v STRING)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.update.mode'='merge-on-read',
+                     'write.delete.format'='dv')""")
+    spark.range(0, 100, 1, 2)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cat",
+        "concat('v', id) AS v")
+      .writeTo("graft.db.dvt").append()
+    spark.sql("DELETE FROM graft.db.dvt WHERE id < 20")
+    // delete files are DVs: one roaring bitmap per referenced data file
+    val dels = coreTable("dvt").newScan().planFiles().flatMap(_.deletes).distinctBy(_.path)
+    assert(dels.nonEmpty && dels.forall(_.format == "dv"), s"${dels.map(_.format)}")
+    assert(dels.forall(_.referencedDataFile.isDefined))
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvt").collect()(0).getLong(0) === 80L)
+    // columnar read path stays on under DVs (position deletes only)
+    assert(spark.sql("SELECT sum(id) FROM graft.db.dvt").collect()(0).getLong(0) ===
+      (20L until 100L).sum)
+    // position_deletes metadata table decodes bitmaps
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvt.position_deletes")
+      .collect()(0).getLong(0) === 20L)
+    // changes table emits DV-masked rows as DELETEs
+    assert(spark.read.table("graft.db.dvt.changes")
+      .where("_change_type = 'DELETE'").count() === 20L)
+    // compaction applies DVs and drops them
+    spark.sql("CALL graft.system.rewrite_data_files('db.dvt')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvt.delete_files")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvt").collect()(0).getLong(0) === 80L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvt WHERE id < 20")
+      .collect()(0).getLong(0) === 0L)
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
