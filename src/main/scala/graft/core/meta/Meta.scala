@@ -158,6 +158,13 @@ final case class TableMetadata(
         if (ref == "main") snapshotLog :+ (s.timestampMs, s.snapshotId) else snapshotLog,
       refs = newRefs)
   }
+
+  /** Add a snapshot WITHOUT moving any ref (stage-only WAP commit): it is
+    * reachable by id for audit/cherry-pick but invisible to branch reads. */
+  def withStagedSnapshot(s: Snapshot): TableMetadata = copy(
+    lastSequenceNumber = math.max(lastSequenceNumber, s.sequenceNumber),
+    lastUpdatedMs = s.timestampMs,
+    snapshots = snapshots :+ s)
 }
 
 object TableMetadata {

@@ -235,6 +235,18 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
   /** Re-check preconditions against a refreshed base (conflict detection). */
   protected def validate(base: TableMetadata): Unit = ()
 
+  /** extra snapshot-summary entries (wap.id, streaming epoch ids, …) */
+  private var extraSummary = Map.empty[String, String]
+  def set(key: String, value: String): this.type = {
+    extraSummary += (key -> value); this
+  }
+
+  // write-audit-publish by id (reference SnapshotProducer.stageOnly):
+  // the snapshot is added to table metadata but NO ref moves; it is
+  // published later by cherry-pick (`publish_changes` with its wap.id)
+  private var stagedOnly = false
+  def stageOnly(): this.type = { stagedOnly = true; this }
+
   def commit(): Snapshot = {
     var attempts = 0
     while (attempts < 10) {
@@ -248,8 +260,10 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       ManifestIO.writeList(listPath, ms)
       val parent = parentSnapshot(base).map(_.snapshotId)
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
-        operation, listPath, summary(base))
-      val updated = base.withSnapshot(snap, branch)
+        operation, listPath, summary(base) ++ extraSummary)
+      val updated =
+        if (stagedOnly) base.withStagedSnapshot(snap)
+        else base.withSnapshot(snap, branch)
       if (table.ops.commit(baseVersion, updated)) {
         table.refresh()
         return snap
@@ -265,14 +279,9 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
 final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") {
   private val files = Seq.newBuilder[DataFile]
   private var toBranch = "main"
-  private var extraSummary = Map.empty[String, String]
   def appendFile(f: DataFile): this.type = { files += f; this }
   def appendFiles(fs: Seq[DataFile]): this.type = { files ++= fs; this }
   def toBranch(b: String): this.type = { toBranch = b; this }
-  /** extra snapshot-summary entries (e.g. streaming epoch ids) */
-  def set(key: String, value: String): this.type = {
-    extraSummary += (key -> value); this
-  }
   override protected def branch: String = toBranch
 
   override protected def manifests(base: TableMetadata, snapshotId: Long,
@@ -289,7 +298,7 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
   override protected def summary(base: TableMetadata): Map[String, String] = {
     val added = files.result()
     Map("added-data-files" -> added.size.toString,
-      "added-records" -> added.map(_.recordCount).sum.toString) ++ extraSummary
+      "added-records" -> added.map(_.recordCount).sum.toString)
   }
 }
 

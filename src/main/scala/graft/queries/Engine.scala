@@ -30,12 +30,12 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v4").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v5").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
-        "spev_g", "mor_part_g", "wap_g")
+        "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
 
@@ -176,8 +176,30 @@ object Engine {
       finally s.conf.unset("spark.wap.branch")
       s.sql("CALL graft.system.fast_forward('db.wap_g', 'main', 'audit')")
 
+      // write-audit-publish by id: stage an append with spark.wap.id
+      // (snapshot recorded, main unmoved), then publish_changes
+      s.sql("""CREATE TABLE graft.db.wapid_g (
+        n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+        TBLPROPERTIES ('write.wap.enabled'='true')""")
+      n.filter(col("n_nationkey") % 2 === 0).writeTo("graft.db.wapid_g").append()
+      s.conf.set("spark.wap.id", "stage-odds")
+      try n.filter(col("n_nationkey") % 2 === 1).writeTo("graft.db.wapid_g").append()
+      finally s.conf.unset("spark.wap.id")
+      s.sql("CALL graft.system.publish_changes('db.wapid_g', 'stage-odds')")
+
+      // merge-on-read deletes as deletion vectors (roaring bitmaps)
+      s.sql("""CREATE TABLE graft.db.dv_g (
+        o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        PARTITIONED BY (o_orderstatus)
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                       'write.update.mode'='merge-on-read',
+                       'write.delete.format'='dv')""")
+      o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .writeTo("graft.db.dv_g").append()
+      s.sql("DELETE FROM graft.db.dv_g WHERE o_orderkey % 3 = 0")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v4" -> "true"))
+        .updateProperties(Map("build-complete-v5" -> "true"))
     }
     built += wh
   }
@@ -466,6 +488,36 @@ object Engine {
       FROM orders WHERE o_orderkey % 2 = 1
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ------------------------------------------------------------------ g19
+  private val g19 = Q(
+    "g19_engine_wap_id_publish",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.wapid_g")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // ------------------------------------------------------------------ g20
+  private val g20 = Q(
+    "g20_engine_deletion_vectors",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.dv_g")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_e2"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM orders WHERE NOT (o_orderkey % 3 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
-    g10, g11, g12, g13, g14, g15, g16, g17, g18)
+    g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20)
 }

@@ -38,7 +38,11 @@ object GraftProcedures {
     "create_changelog_view", "add_files", "create_view", "drop_view",
     "snapshot_table", "remove_dangling_deletes",
     "add_partition_field", "drop_partition_field",
-    "set_identifier_fields", "drop_identifier_fields")
+    "set_identifier_fields", "drop_identifier_fields",
+    "ancestors_of", "publish_changes", "register_table", "migrate",
+    "compute_partition_stats", "rewrite_table_path",
+    // reference-registry aliases
+    "snapshot", "rewrite_position_delete_files")
 
   def load(name: String, catalog: HadoopCatalog): Option[UnboundProcedure] =
     if (names.contains(name.toLowerCase)) Some(new GraftProcedure(name.toLowerCase, catalog))
@@ -139,8 +143,23 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("sort_order", StringType, "''"),
         param("target_file_size_bytes", LongType, s"${512L * 1024 * 1024}"),
         param("min_input_files", IntegerType, "2"))
-    case "rewrite_manifests" | "rewrite_position_deletes" =>
+    case "rewrite_manifests" | "rewrite_position_deletes"
+       | "rewrite_position_delete_files" =>
       Array(param("table", StringType))
+    case "ancestors_of" =>
+      Array(param("table", StringType), param("snapshot_id", LongType, "-1"))
+    case "publish_changes" =>
+      Array(param("table", StringType), param("wap_id", StringType))
+    case "register_table" =>
+      Array(param("table", StringType), param("metadata_file", StringType))
+    case "migrate" =>
+      Array(param("source_dir", StringType), param("table", StringType))
+    case "compute_partition_stats" =>
+      Array(param("table", StringType))
+    case "rewrite_table_path" =>
+      Array(param("table", StringType), param("source_prefix", StringType),
+        param("target_prefix", StringType),
+        param("staging_location", StringType, "''"))
     case "compute_table_stats" =>
       Array(param("table", StringType))
     case "create_changelog_view" =>
@@ -149,7 +168,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("identifier_columns", StringType, "''"))
     case "add_files" =>
       Array(param("table", StringType), param("source_dir", StringType))
-    case "snapshot_table" =>
+    case "snapshot_table" | "snapshot" =>
       Array(param("source_dir", StringType), param("table", StringType))
     case "remove_dangling_deletes" =>
       Array(param("table", StringType))
@@ -178,6 +197,25 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       throw new IllegalArgumentException(s"no such table: $nameArg"))
   }
 
+  /** Re-apply an (append) snapshot's added files on top of the current
+    * head (reference CherryPickOperation; non-append picks need full
+    * conflict analysis and are rejected). Returns (previous, new) ids. */
+  private def cherryPick(t: GTable, snapId: Long,
+      extraSummary: Map[String, String] = Map.empty): (Long, Long) = {
+    val snap = t.meta.snapshotById(snapId).getOrElse(
+      throw new IllegalArgumentException(s"unknown snapshot $snapId"))
+    require(snap.operation == "append", s"can only cherry-pick appends, got ${snap.operation}")
+    val added = ManifestIO.readList(snap.manifestListPath)
+      .filter(_.addedSnapshotId == snapId)
+      .flatMap(mf => ManifestIO.readEntries(mf))
+      .filter(e => e.status == ManifestEntryStatus.Added && e.snapshotId == snapId)
+      .map(_.file)
+    val prev = t.meta.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+    val ap = t.newAppend().appendFiles(added)
+    extraSummary.foreach { case (k, v) => ap.set(k, v) }
+    (prev, ap.commit().snapshotId)
+  }
+
   override def call(input: InternalRow): util.Iterator[Scan] = pname match {
 
     // ------------------------------------------------ snapshot management
@@ -197,22 +235,26 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       out(idResult, row(prev, snap.snapshotId))
 
     case "cherrypick_snapshot" =>
-      // re-apply an (append) snapshot's added files on top of the current
-      // head (reference CherryPickOperation; non-append picks need full
-      // conflict analysis and are rejected)
       val t = loadTable(input.getUTF8String(0).toString)
-      val snapId = input.getLong(1)
-      val snap = t.meta.snapshotById(snapId).getOrElse(
-        throw new IllegalArgumentException(s"unknown snapshot $snapId"))
-      require(snap.operation == "append", s"can only cherry-pick appends, got ${snap.operation}")
-      val added = ManifestIO.readList(snap.manifestListPath)
-        .filter(_.addedSnapshotId == snapId)
-        .flatMap(mf => ManifestIO.readEntries(mf))
-        .filter(e => e.status == ManifestEntryStatus.Added && e.snapshotId == snapId)
-        .map(_.file)
-      val prev = t.meta.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
-      val ns = t.newAppend().appendFiles(added).commit()
-      out(idResult, row(prev, ns.snapshotId))
+      val (prev, ns) = cherryPick(t, input.getLong(1))
+      out(idResult, row(prev, ns))
+
+    case "publish_changes" =>
+      // publish a stage-only WAP snapshot by its wap.id: cherry-pick it
+      // onto main, refusing double-publish (reference PublishChangesProcedure
+      // + CherryPickOperation wap-id dedup)
+      val t = loadTable(input.getUTF8String(0).toString)
+      val wapId = input.getUTF8String(1).toString
+      val staged = t.meta.snapshots.find(_.summary.get("wap.id").contains(wapId))
+        .getOrElse(throw new IllegalArgumentException(s"no snapshot with wap.id $wapId"))
+      val published = t.meta.ancestry("main").exists(sn =>
+        sn.summary.get("published-wap-id").contains(wapId) ||
+          (sn.snapshotId != staged.snapshotId && sn.summary.get("wap.id").contains(wapId)))
+      require(!published && !t.meta.ancestry("main").exists(_.snapshotId == staged.snapshotId),
+        s"wap.id $wapId already published")
+      val (prev, ns) = cherryPick(t, staged.snapshotId,
+        Map("wap.id" -> wapId, "published-wap-id" -> wapId))
+      out(idResult, row(prev, ns))
 
     case "fast_forward" =>
       val t = loadTable(input.getUTF8String(0).toString)
@@ -337,7 +379,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         StructField("added_manifests_count", IntegerType))),
         row(manifests.size, ManifestIO.readList(ns.manifestListPath).size))
 
-    case "rewrite_position_deletes" =>
+    case "rewrite_position_deletes" | "rewrite_position_delete_files" =>
       // Compact position-delete files: merge all live delete files per
       // partition into one, dropping positions that reference dead data
       // files (reference RewritePositionDeleteFilesSparkAction). The new
@@ -650,7 +692,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         org.apache.spark.sql.connector.catalog.Identifier.of(parts.init.toArray, parts.last))
       out(StructType(Seq(StructField("dropped", BooleanType))), row(dropped))
 
-    case "snapshot_table" =>
+    case "snapshot_table" | "snapshot" =>
       // import an external parquet directory as a NEW graft table without
       // copying data (reference SnapshotTableProcedure): infer the schema
       // with Spark, create the table, register files by footer
@@ -670,6 +712,145 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val addProc = new GraftProcedure("add_files", catalog)
       addProc.call(new GenericInternalRow(Array[Any](
         s(tblName), s(srcDir))))
+
+    case "migrate" =>
+      // like snapshot, but records provenance and is intended to REPLACE
+      // the source (reference MigrateTableProcedure; with a file catalog
+      // the source dir is left in place and the new table owns the files)
+      val srcDir = input.getUTF8String(0).toString
+      val tblName = input.getUTF8String(1).toString
+      val snapProc = new GraftProcedure("snapshot_table", catalog)
+      val res = snapProc.call(new GenericInternalRow(Array[Any](
+        s(srcDir), s(tblName))))
+      loadTable(tblName).updateProperties(Map("migrated-from" -> srcDir))
+      res
+
+    case "ancestors_of" =>
+      // (snapshot_id, timestamp_ms, operation) from the given snapshot —
+      // default the current head — back to the table's first snapshot
+      val t = loadTable(input.getUTF8String(0).toString)
+      val startId = input.getLong(1) match {
+        case -1L => t.meta.currentSnapshot.map(_.snapshotId).getOrElse(
+          throw new IllegalArgumentException("table has no snapshots"))
+        case id  => id
+      }
+      val chain = Iterator.iterate(t.meta.snapshotById(startId))(
+          _.flatMap(_.parentId).flatMap(t.meta.snapshotById))
+        .takeWhile(_.isDefined).flatten.toSeq
+      out(StructType(Seq(
+          StructField("snapshot_id", LongType),
+          StructField("timestamp_ms", LongType),
+          StructField("operation", StringType))),
+        chain.map(sn => row(sn.snapshotId, sn.timestampMs, s(sn.operation))): _*)
+
+    case "register_table" =>
+      // create a catalog entry from an existing metadata.json (reference
+      // RegisterTableProcedure): the new table points at the SAME data and
+      // manifests (absolute paths), only the metadata dir is new
+      val tblName = input.getUTF8String(0).toString
+      val metaFile = input.getUTF8String(1).toString
+      val parts = tblName.split("\\.").toSeq
+      val (ns, tbl) = if (parts.length >= 2) (parts.init, parts.last)
+                      else (Seq("db"), parts.head)
+      require(!catalog.tableExists(ns, tbl), s"table already exists: $tblName")
+      val meta = MetaJson.readMetadata(GraftIO.readString(metaFile))
+      val loc = catalog.tableLocation(ns, tbl)
+      val ops = new TableOps(loc)
+      require(ops.commit(0, meta.copy(location = loc)),
+        s"failed to register $tblName at $loc")
+      val t = new GTable(ops)
+      val (dataFiles, deleteFiles) = t.meta.currentSnapshot.map { sn =>
+        val entries = ManifestIO.readList(sn.manifestListPath)
+          .flatMap(mf => ManifestIO.readEntries(mf)).filter(_.isLive)
+        (entries.count(_.file.content == FileContent.Data),
+          entries.count(_.file.content != FileContent.Data))
+      }.getOrElse((0, 0))
+      out(StructType(Seq(
+          StructField("current_snapshot_id", LongType),
+          StructField("total_snapshots_count", LongType),
+          StructField("total_data_files_count", LongType),
+          StructField("total_delete_files_count", LongType))),
+        row(t.meta.currentSnapshotId.getOrElse(-1L),
+          t.meta.snapshots.size.toLong, dataFiles.toLong, deleteFiles.toLong))
+
+    case "compute_partition_stats" =>
+      // per-partition file/record/delete counts from live manifest entries
+      // (reference ComputePartitionStatsSparkAction → partition-stats file,
+      // format/spec.md partition statistics); stored as a JSON stats file
+      // next to the metadata and pointed at by a table property
+      val t = loadTable(input.getUTF8String(0).toString)
+      val m = t.meta
+      val sn = m.currentSnapshot.getOrElse(
+        throw new IllegalArgumentException("table has no snapshots"))
+      val entries = ManifestIO.readList(sn.manifestListPath)
+        .flatMap(mf => ManifestIO.readEntries(mf)).filter(_.isLive)
+      val byPart = entries.groupBy(e => (e.file.specId, e.file.partition.map {
+        case b: Array[Byte] => b.toSeq
+        case x              => x
+      }))
+      val node = MetaJson.mapper.createArrayNode()
+      byPart.foreach { case ((specId, partKey), es) =>
+        val o = node.addObject()
+        o.put("spec_id", specId)
+        o.put("partition", partKey.mkString("[", ",", "]"))
+        o.put("data_file_count", es.count(_.file.content == FileContent.Data))
+        o.put("record_count",
+          es.filter(_.file.content == FileContent.Data).map(_.file.recordCount).sum)
+        o.put("delete_file_count", es.count(_.file.content != FileContent.Data))
+        o.put("total_size_bytes", es.map(_.file.fileSizeBytes).sum)
+      }
+      val statsPath = s"${t.location}/metadata/partition-stats-${sn.snapshotId}.json"
+      GraftIO.writeString(statsPath, node.toString)
+      t.updateProperties(Map("partition-stats-path" -> statsPath))
+      out(StructType(Seq(
+          StructField("statistics_file", StringType),
+          StructField("partitions_analyzed", IntegerType))),
+        row(s(statsPath), byPart.size))
+
+    case "rewrite_table_path" =>
+      // prepare a table's metadata tree for relocation to a new prefix
+      // (reference RewriteTablePathSparkAction): write prefix-rewritten
+      // COPIES of the current metadata/manifest-list/manifest files under
+      // a staging dir, plus a CSV mapping every file (metadata AND data)
+      // from source to target — a copy tool then moves the bytes
+      val t = loadTable(input.getUTF8String(0).toString)
+      val srcPrefix = input.getUTF8String(1).toString
+      val dstPrefix = input.getUTF8String(2).toString
+      val stagingArg = input.getUTF8String(3).toString
+      val staging =
+        if (stagingArg.nonEmpty) stagingArg
+        else s"${t.location}/metadata/rewrite-${java.util.UUID.randomUUID}"
+      java.nio.file.Files.createDirectories(GraftIO.toPath(staging))
+      def rewrite(path: String): String = {
+        val name = GraftIO.toPath(path).getFileName.toString
+        val outPath = s"$staging/$name"
+        GraftIO.writeString(outPath,
+          GraftIO.readString(path).replace(srcPrefix, dstPrefix))
+        outPath
+      }
+      val m = t.meta
+      val metaCopy = rewrite(
+        s"${t.location}/metadata/v${t.ops.currentVersion()}.metadata.json")
+      val copied = mutable.ArrayBuffer.empty[(String, String)]
+      copied += ((metaCopy, metaCopy.replace(srcPrefix, dstPrefix)))
+      m.snapshots.foreach { sn =>
+        copied += ((rewrite(sn.manifestListPath),
+          sn.manifestListPath.replace(srcPrefix, dstPrefix)))
+        try ManifestIO.readList(sn.manifestListPath).foreach { mf =>
+          copied += ((rewrite(mf.path), mf.path.replace(srcPrefix, dstPrefix)))
+          try ManifestIO.readEntries(mf).foreach { e =>
+            // data files are not rewritten, only listed for the copy tool
+            copied += ((e.file.path, e.file.path.replace(srcPrefix, dstPrefix)))
+          } catch { case _: Throwable => () }
+        } catch { case _: Throwable => () }
+      }
+      val fileList = s"$staging/file-list.csv"
+      GraftIO.writeString(fileList,
+        copied.distinct.map { case (a, b) => s"$a,$b" }.mkString("\n"))
+      out(StructType(Seq(
+          StructField("latest_version", StringType),
+          StructField("file_list_location", StringType))),
+        row(s(GraftIO.toPath(metaCopy).getFileName.toString), s(fileList)))
 
     case other => throw new IllegalArgumentException(other)
   }

@@ -331,7 +331,10 @@ object GraftSparkTable {
   final class FilteredVector(v: org.apache.spark.sql.vectorized.ColumnVector,
       rowMap: Array[Int], n: Int)
     extends org.apache.spark.sql.vectorized.ColumnVector(v.dataType) {
-    override def close(): Unit = v.close()
+    // the wrapped vector is OWNED and reused by the parquet record reader;
+    // closing it here frees the reader's buffers mid-stream (NPE on the
+    // next readBatch when a consumer closes a wrapped batch early)
+    override def close(): Unit = ()
     override def hasNull: Boolean = v.hasNull
     override def numNulls(): Int = {
       var c = 0; var i = 0

@@ -70,6 +70,25 @@ object WapBranch {
     try SparkSession.active.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
     catch { case _: Throwable => None }
 
+  /** Session WAP id (reference SparkWriteConf.wapId): always recorded in
+    * the snapshot summary; when the table has `write.wap.enabled=true`
+    * the commit is additionally STAGED (no ref moves) for later
+    * `publish_changes`. */
+  def wapId(): Option[String] =
+    try SparkSession.active.conf.getOption("spark.wap.id").filter(_.nonEmpty)
+    catch { case _: Throwable => None }
+
+  /** Apply wap.id summary + stage-only to a producer; returns it. */
+  def stage[P <: graft.core.meta.SnapshotProducer](
+      table: graft.core.meta.GTable, p: P): P = {
+    wapId().foreach { id =>
+      p.set("wap.id", id)
+      if (table.meta.properties.getOrElse("write.wap.enabled", "false") == "true")
+        p.stageOnly()
+    }
+    p
+  }
+
   /** WAP branch for READS: only once the branch actually exists (it is
     * created by the first staged write; before that, reads see main). */
   def forRead(table: graft.core.meta.GTable): Option[String] =
@@ -194,14 +213,17 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     val files = messages.flatMap(_.asInstanceOf[GraftCommitMessage].files).toSeq
     mode match {
       case AppendMode =>
-        table.newAppend().appendFiles(files).toBranch(branch).commit()
+        WapBranch.stage(table,
+          table.newAppend().appendFiles(files).toBranch(branch)).commit()
       case OverwriteMode(filter) =>
-        table.newOverwrite().overwriteByRowFilter(filter).addFiles(files)
-          .toBranch(branch).commit()
+        WapBranch.stage(table,
+          table.newOverwrite().overwriteByRowFilter(filter).addFiles(files)
+            .toBranch(branch)).commit()
       case DynamicOverwriteMode =>
-        table.newOverwrite()
-          .replacePartitions(files.map(_.partition).toSet)
-          .addFiles(files).toBranch(branch).commit()
+        WapBranch.stage(table,
+          table.newOverwrite()
+            .replacePartitions(files.map(_.partition).toSet)
+            .addFiles(files).toBranch(branch)).commit()
       case CopyOnWriteMode(replaced, scannedSnap, conflictFilter) =>
         val paths = replaced()
         if (paths.nonEmpty || files.nonEmpty) {
@@ -212,7 +234,7 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
           // concurrently appended rows matching the operation filter
           scannedSnap().foreach(ow.validateFromSnapshot)
           conflictFilter().foreach(ow.failOnNewMatchingData)
-          ow.commit()
+          WapBranch.stage(table, ow).commit()
         }
     }
   }
@@ -395,7 +417,7 @@ final class GraftDeltaBatchWrite(table: GTable) extends DeltaBatchWrite {
     val rd = table.newRowDelta().toBranch(WapBranch.resolve().getOrElse("main"))
     msgs.flatMap(_.dataFiles).foreach(rd.addRows)
     msgs.flatMap(_.deleteFiles).foreach(rd.addDeletes)
-    rd.commit()
+    WapBranch.stage(table, rd).commit()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -904,6 +904,67 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 0L)
   }
 
+  test("wap.id staging + publish_changes + ancestors_of") {
+    spark.sql("""CREATE TABLE graft.db.wapid (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.wap.enabled'='true')""")
+    spark.sql("INSERT INTO graft.db.wapid VALUES (1, 'base')")
+    // staged write: snapshot exists but main does not move
+    spark.conf.set("spark.wap.id", "audit-1")
+    spark.sql("INSERT INTO graft.db.wapid VALUES (2, 'staged')")
+    spark.conf.unset("spark.wap.id")
+    assert(spark.sql("SELECT count(*) FROM graft.db.wapid").collect()(0).getLong(0) === 1L)
+    val t = coreTable("wapid")
+    assert(t.meta.snapshots.exists(_.summary.get("wap.id").contains("audit-1")))
+    // publish: cherry-picks the staged snapshot onto main
+    spark.sql("CALL graft.system.publish_changes('db.wapid', 'audit-1')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.wapid").collect()(0).getLong(0) === 2L)
+    // double-publish refused
+    intercept[Exception] {
+      spark.sql("CALL graft.system.publish_changes('db.wapid', 'audit-1')")
+    }
+    // ancestors_of walks the parent chain of the current head
+    val anc = spark.sql("CALL graft.system.ancestors_of('db.wapid')").collect()
+    assert(anc.length === 2, s"expected 2 main ancestors, got ${anc.length}")
+    assert(anc.map(_.getString(2)).forall(_ == "append"))
+  }
+
+  test("register_table, migrate, compute_partition_stats, rewrite_table_path") {
+    spark.sql("""CREATE TABLE graft.db.regsrc (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.db.regsrc VALUES (1,'a'),(2,'b'),(3,'a')")
+    // register the SAME metadata under a new table name
+    val src = coreTable("regsrc")
+    val ver = src.ops.currentVersion()
+    val metaFile = s"${src.location}/metadata/v$ver.metadata.json"
+    val reg = spark.sql(
+      s"CALL graft.system.register_table('db.regdst', '$metaFile')").collect()(0)
+    assert(reg.getLong(1) >= 1L) // total_snapshots_count
+    assert(spark.sql("SELECT count(*) FROM graft.db.regdst").collect()(0).getLong(0) === 3L)
+
+    // migrate an external parquet dir
+    val extDir = Files.createTempDirectory("graft-mig").toString
+    spark.range(0, 10).selectExpr("id", "concat('m', id) AS v")
+      .write.mode("overwrite").parquet(extDir)
+    spark.sql(s"CALL graft.system.migrate('$extDir', 'db.migrated')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.migrated").collect()(0).getLong(0) === 10L)
+    assert(coreTable("migrated").meta.properties.get("migrated-from").contains(extDir))
+
+    // partition stats: one row per live partition
+    val ps = spark.sql("CALL graft.system.compute_partition_stats('db.regsrc')").collect()(0)
+    assert(ps.getInt(1) === 2, s"expected 2 partitions, got ${ps.getInt(1)}")
+    assert(graft.core.meta.GraftIO.exists(ps.getString(0)))
+
+    // rewrite_table_path: staged metadata copies + file list
+    val rp = spark.sql(
+      s"CALL graft.system.rewrite_table_path('db.regsrc', '$warehouse', '/new/wh')")
+      .collect()(0)
+    val fileList = rp.getString(1)
+    assert(graft.core.meta.GraftIO.exists(fileList))
+    val lines = graft.core.meta.GraftIO.readString(fileList).split("\n")
+    assert(lines.nonEmpty && lines.forall(_.contains(",/new/wh")),
+      s"file list not rewritten: ${lines.take(3).mkString(";")}")
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
