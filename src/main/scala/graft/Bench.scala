@@ -29,6 +29,9 @@ object Bench {
     headliners.foreach { q =>
       try q.run(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // drop any DataFrame persist() from the warm-up pass so timed runs
+    // measure cold plans (persist reuse within one run is still counted)
+    spark.catalog.clearCache()
     val results = headliners.map { q =>
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }

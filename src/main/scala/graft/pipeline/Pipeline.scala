@@ -109,34 +109,36 @@ object Pipeline {
   private val p03 = Q(
     "p03_dedup_minhash_lsh",
     (s, dir) => {
-      val bg = bigramSets(s, dir)
-      // signatures: min() is duplicate-insensitive, so skip the distinct's
-      // full shuffle and pipeline tokenize→explode→hash→partial-min inside
-      // one codegen stage
+      // ONE wide agg computes both the MinHash signature and the distinct
+      // bigram set per doc: min() is duplicate-insensitive and collect_set
+      // dedups in the agg, so tokenize→explode→hash→aggregate is a single
+      // shuffle (no separate distinct pass, no re-scan for verification)
       val bh = tok(s, dir).select(col("doc_id"), explode(bigrams("ws")).as("b"))
         .withColumn("h", strHash("b"))
       val minCols = (0 until NumHashes).map { k =>
         min(pmod(col("h") * minhashA(k) + minhashB(k), lit(P))).as(s"m$k")
       }
-      val sig = bh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val sigSet = bh.groupBy("doc_id")
+        .agg(minCols.head, (minCols.tail :+ collect_set(col("b")).as("bs")): _*)
+        .persist() // signatures+sets are tiny vs the corpus; reused 3×
       val bandArr = array((0 until NumBands).map { j =>
         struct(col(s"m${2 * j}").as("x"), col(s"m${2 * j + 1}").as("y"))
       }: _*)
-      val bands = sig.select(col("doc_id"),
+      val bands = sigSet.select(col("doc_id"),
         posexplode(bandArr).as(Seq("bidx", "bkey")))
       // candidate pairs: hash-partitioned equi-join on (band index, band key)
       val cand = bands.toDF("d1", "i1", "k1")
         .join(bands.toDF("d2", "i2", "k2"),
           col("i1") === col("i2") && col("k1") === col("k2") && col("d1") < col("d2"))
         .select("d1", "d2").distinct()
-      // verify candidates with exact bigram Jaccard (integer cross-mult)
-      val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      cand.join(bg.toDF("dx", "bx"), col("d1") === col("dx"))
-        .join(bg.toDF("dy", "by"), col("d2") === col("dy") && col("bx") === col("by"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-        .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
-        .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
-        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      // verify candidates with exact bigram Jaccard: set intersection on
+      // the per-doc arrays — joins stay on doc_id (agg partitioning reused,
+      // no exploded pair×bigram shuffle)
+      val docSets = sigSet.select(col("doc_id").as("dk"), col("bs"))
+      cand.join(docSets.toDF("dx", "bx"), col("d1") === col("dx"))
+        .join(docSets.toDF("dy", "by"), col("d2") === col("dy"))
+        .withColumn("inter", size(array_intersect(col("bx"), col("by"))).cast(LongType))
+        .withColumn("uni", (size(col("bx")) + size(col("by"))).cast(LongType) - col("inter"))
         .filter(col("inter") * 2 >= col("uni"))
         .select("d1", "d2", "inter", "uni")
         .orderBy("d1", "d2")

@@ -1,7 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic, SQL-expressible hashing primitives shared by the
   * dedup/fingerprint operators and their DuckDB oracles.
@@ -34,13 +38,24 @@ object TextHash {
   def powsValuesSql(n: Int = 24): String =
     (1 to n).map(i => s"($i,${pow31(i - 1)})").mkString(",")
 
-  /** Spark: polynomial hash of a string column (length <= n). */
-  def strHash(colName: String, n: Int = 24): Column = {
-    val arr = pow31.take(n).map(_.toString + "L").mkString("array(", ",", ")")
-    expr(
-      s"""pmod(aggregate(
-         |  zip_with(split($colName, ''), $arr, (c, p) -> ascii(c) * p),
-         |  0L, (acc, x) -> acc + coalesce(x, 0L)), ${P}L)""".stripMargin)
+  /** Spark: polynomial hash of a string column (first n chars). A native
+    * codegen'd expression — the zip_with/aggregate formulation is
+    * semantically identical but evaluates interpreted lambdas per char,
+    * which dominated the MinHash profile. */
+  def strHash(colName: String, n: Int = 24): Column =
+    GraftSqlBridge.column(PolyHash(GraftSqlBridge.expression(col(colName)), n))
+
+  /** base-31 polynomial over char codes mod P of the first n chars
+    * (exactly `aggregate(zip_with(split(s,''), pows, ascii*pow), sum)`). */
+  def polyHash(s: UTF8String, n: Int): Long = {
+    if (s == null) return 0L
+    val str = s.toString
+    val len = math.min(str.length, n)
+    var sum = 0L
+    var i = 0
+    while (i < len) { sum += str.charAt(i).toLong * pow31(i); i += 1 }
+    val m = sum % P
+    if (m < 0) m + P else m
   }
 
   /** Spark: word-bigram array ("w1~w2") from a token-array column. */
@@ -48,4 +63,21 @@ object TextHash {
     expr(s"""transform(sequence(0, size($wsCol) - 2),
          |  i -> concat(element_at($wsCol, i + 1), '~', element_at($wsCol, i + 2)))"""
       .stripMargin)
+}
+
+/** Codegen'd base-31 polynomial string hash (see TextHash.polyHash). */
+final case class PolyHash(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.polyHash(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.TextHash.polyHash($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
 }
