@@ -30,12 +30,12 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v5").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v6").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
-        "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g")
+        "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
 
@@ -198,8 +198,17 @@ object Engine {
         .writeTo("graft.db.dv_g").append()
       s.sql("DELETE FROM graft.db.dv_g WHERE o_orderkey % 3 = 0")
 
+      // ORC as the data file format (write.format.default)
+      s.sql("""CREATE TABLE graft.db.orc_g (
+        c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, c_acctbal DOUBLE)
+        PARTITIONED BY (bucket(4, c_custkey))
+        TBLPROPERTIES ('write.format.default'='orc')""")
+      t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .writeTo("graft.db.orc_g").append()
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v5" -> "true"))
+        .updateProperties(Map("build-complete-v6" -> "true"))
     }
     built += wh
   }
@@ -518,6 +527,23 @@ object Engine {
       FROM orders WHERE NOT (o_orderkey % 3 = 0)
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ------------------------------------------------------------------ g21
+  private val g21 = Q(
+    "g21_engine_orc_format",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.orc_g")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("bal_e2"),
+          max(col("c_name")).as("max_name"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS bal_e2,
+        MAX(c_name) AS max_name
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
-    g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20)
+    g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21)
 }

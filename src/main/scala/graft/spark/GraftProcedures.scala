@@ -455,9 +455,13 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       // ComputeTableStatsSparkAction + Puffin theta sketches)
       val t = loadTable(input.getUTF8String(0).toString)
       val spark = SparkSession.active
-      val df = spark.read.format("parquet")
-        .schema(graft.core.types.SparkTypes.toSparkSchema(t.schema))
-        .parquet(t.newScan().planFiles().map(_.file.path): _*)
+      val schema = graft.core.types.SparkTypes.toSparkSchema(t.schema)
+      val byFmt = t.newScan().planFiles().map(_.file).groupBy(_.format)
+      val df = byFmt.map { case (f, fs) =>
+        val rdr = spark.read.schema(schema)
+        if (f == "orc") rdr.orc(fs.map(_.path): _*)
+        else rdr.parquet(fs.map(_.path): _*)
+      }.reduce(_ union _)
       import org.apache.spark.sql.functions.approx_count_distinct
       val cols = t.schema.fields.filter(_.tpe.isPrimitive).map(_.name)
       if (cols.nonEmpty) {
@@ -953,7 +957,11 @@ object RewriteDataFiles {
       val paths = ts.map(_.file.path)
       val totalBytes = ts.map(_.file.fileSizeBytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetSize).toInt)
-      val raw = spark.read.schema(schemaWithIds).parquet(paths: _*)
+      val raw = ts.groupBy(_.file.format).map { case (f, fts) =>
+        val rdr = spark.read.schema(schemaWithIds)
+        if (f == "orc") rdr.orc(fts.map(_.file.path): _*)
+        else rdr.parquet(fts.map(_.file.path): _*)
+      }.reduce(_ union _)
       // apply pending position deletes with an anti-join on the file
       // metadata columns (path AND position) — deletes disappear in the
       // rewrite output
@@ -996,18 +1004,26 @@ object RewriteDataFiles {
         else df1.repartition(nOut)
       val staging = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-      df.write.mode("overwrite").parquet(staging)
+      // rewrite in the table's current data format
+      val outFmt = t.meta.properties.getOrElse("write.format.default", "parquet")
+      if (outFmt == "orc") df.write.mode("overwrite").orc(staging)
+      else df.write.mode("overwrite").parquet(staging)
       val conf = spark.sessionState.newHadoopConf()
-      walkFiles(staging).filter(_.endsWith(".parquet")).foreach { sf =>
+      walkFiles(staging).filter(_.endsWith(s".$outFmt")).foreach { sf =>
         val part = t.meta.specById(specId).fields.zip(partition)
           .map { case (pf, v) => s"${pf.name}=$v" }.mkString("/")
         val dataDir = if (part.isEmpty) s"${t.location}/data" else s"${t.location}/data/$part"
         java.nio.file.Files.createDirectories(GraftIO.toPath(dataDir))
-        val target = s"$dataDir/rewrite-${java.util.UUID.randomUUID}.parquet"
+        val target = s"$dataDir/rewrite-${java.util.UUID.randomUUID}.$outFmt"
         java.nio.file.Files.move(GraftIO.toPath(sf), GraftIO.toPath(target))
-        val (size, stats) = FooterStats.read(target, conf, t.meta.schema)
-        val rows = readRowCount(target, conf)
-        newFiles += DataFile(target, "parquet", specId, partition, rows, size, stats)
+        val sparkSchema = graft.core.types.SparkTypes.toSparkSchema(t.meta.schema)
+        val (size, stats) =
+          if (outFmt == "orc") FooterStats.readOrc(target, conf, t.meta.schema, sparkSchema)
+          else FooterStats.read(target, conf, t.meta.schema)
+        val rows =
+          if (outFmt == "orc") orcRowCount(target, conf)
+          else readRowCount(target, conf)
+        newFiles += DataFile(target, outFmt, specId, partition, rows, size, stats)
         added += 1
       }
       rewritten += ts.size
@@ -1033,6 +1049,14 @@ object RewriteDataFiles {
     scannedSnapshotId.foreach(ow.validateFromSnapshot)
     ow.commit()
     GraftProcedures.out(resultSchema, GraftProcedures.row(rewritten, added, bytes))
+  }
+
+  private def orcRowCount(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
+    val r = org.apache.orc.OrcFile.createReader(hPath,
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try r.getNumberOfRows finally r.close()
   }
 
   private def readRowCount(path: String,

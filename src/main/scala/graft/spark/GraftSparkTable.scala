@@ -711,15 +711,34 @@ object GraftSparkTable {
         new StructType(), stripIds(dataRequired), Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshNameConf)
-      // name-based/ORC files and equality deletes force the row path;
-      // position deletes stay columnar via delete-aware vectors
-      val columnarOk = vectorized && tasks().forall(t =>
-        t.file.format == "parquet" &&
-          t.deletes.forall(_.content == graft.core.meta.FileContent.PositionDeletes))
-      new GraftReaderFactory(batchFunc, rowFunc, rowFuncNoFilter, deleteFunc,
+      // columnar needs one uniform batch reader across the scan: all
+      // parquet (field-id based) or all orc (name based); name-mapped
+      // parquet imports and equality deletes force the row path; position
+      // deletes stay columnar via delete-aware vectors
+      val ts = tasks()
+      val allParquet = ts.forall(_.file.format == "parquet")
+      val allOrc = ts.nonEmpty && ts.forall(_.file.format == "orc")
+      val columnarOk = vectorized && (allParquet || allOrc) && ts.forall(
+        _.deletes.forall(_.content == graft.core.meta.FileContent.PositionDeletes))
+      val orcBatchFunc =
+        if (columnarOk && allOrc)
+          orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
+            new StructType(), stripIds(dataRequired), v1Filters,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshNameConf)
+        else null
+      val orcBatchFuncNoFilter =
+        if (columnarOk && allOrc)
+          orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
+            new StructType(), stripIds(dataRequired), Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshNameConf)
+        else null
+      new GraftReaderFactory(
+        if (allOrc) orcBatchFunc else batchFunc,
+        rowFunc, rowFuncNoFilter, deleteFunc,
         columnarOk, metaCols, rowFuncFull, fullSchema, dataRequired,
         table.schema.fields.map(f => f.id -> f.name).toMap,
-        nameRowFunc, nameRowFuncNoFilter, batchFuncNoFilter,
+        nameRowFunc, nameRowFuncNoFilter,
+        if (allOrc) orcBatchFuncNoFilter else batchFuncNoFilter,
         orcRowFunc, orcRowFuncNoFilter,
         defaultSpecId = table.spec.specId,
         partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray)

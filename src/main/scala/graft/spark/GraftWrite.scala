@@ -193,11 +193,24 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     table.meta.properties.get("write.target-file-rows")
       .foreach(conf.set("graft.write.target-file-rows", _))
     val job = Job.getInstance(conf)
-    val fmt = new ParquetFileFormat
-    val owf = fmt.prepareWrite(spark, job,
-      Map("compression" -> spark.sessionState.conf
-        .getConfString("spark.sql.parquet.compression.codec", "snappy")),
-      writeSchema)
+    // data file format: write.format.default (reference TableProperties
+    // DEFAULT_FILE_FORMAT; parquet default, orc supported — avro has no
+    // Spark SQL connector on this classpath)
+    val dataFormat = table.meta.properties
+      .getOrElse("write.format.default", "parquet").toLowerCase
+    val owf = dataFormat match {
+      case "orc" =>
+        new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+          .prepareWrite(spark, job,
+            Map("compression" -> spark.sessionState.conf
+              .getConfString("spark.sql.orc.compression.codec", "snappy")),
+            writeSchema)
+      case _ =>
+        new ParquetFileFormat().prepareWrite(spark, job,
+          Map("compression" -> spark.sessionState.conf
+            .getConfString("spark.sql.parquet.compression.codec", "snappy")),
+          writeSchema)
+    }
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     val metaJson = graft.core.meta.MetaJson
@@ -206,7 +219,7 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
       writeSchema.json,
       metaJson.writeSchema(table.schema).toString,
       metaJson.writeSpec(table.spec).toString,
-      owf, confMap)
+      owf, confMap, dataFormat)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -252,7 +265,8 @@ final class GraftWriterFactory(
     gSchemaJson: String,
     specJson: String,
     owf: OutputWriterFactory,
-    confMap: Map[String, String]) extends DataWriterFactory {
+    confMap: Map[String, String],
+    fileFormat: String = "parquet") extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
@@ -262,7 +276,7 @@ final class GraftWriterFactory(
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
     new GraftFanoutWriter(location, writeSchema, gSchema, spec, owf, conf,
-      partitionId, taskId)
+      partitionId, taskId, fileFormat)
   }
 }
 
@@ -278,7 +292,8 @@ final class GraftFanoutWriter(
     owf: OutputWriterFactory,
     conf: Configuration,
     partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    fileFormat: String = "parquet") extends DataWriter[InternalRow] {
 
   // roll target (reference RollingFileWriter rolls at
   // write.target-file-size-bytes; parquet buffers row groups in memory so
@@ -312,7 +327,7 @@ final class GraftFanoutWriter(
 
   private def newFile(values: Seq[Any]): OpenFile = {
     val dir = s"$location/data${partitionPath(values)}"
-    val path = s"$dir/part-$partitionId-$taskId-${UUID.randomUUID}.parquet"
+    val path = s"$dir/part-$partitionId-$taskId-${UUID.randomUUID}.$fileFormat"
     graft.core.meta.GraftIO.toPath(path) // validate
     java.nio.file.Files.createDirectories(graft.core.meta.GraftIO.toPath(dir))
     val ctx = new TaskAttemptContextImpl(conf,
@@ -339,8 +354,10 @@ final class GraftFanoutWriter(
     }
     open.clear()
     val files = closed.result().map { case (key, path, rows) =>
-      val (size, stats) = FooterStats.read(path, conf, gSchema)
-      DataFile(path, "parquet", spec.specId, key, rows, size, stats)
+      val (size, stats) =
+        if (fileFormat == "orc") FooterStats.readOrc(path, conf, gSchema, writeSchema)
+        else FooterStats.read(path, conf, gSchema)
+      DataFile(path, fileFormat, spec.specId, key, rows, size, stats)
     }
     GraftCommitMessage(files)
   }
@@ -591,6 +608,54 @@ object FooterStats {
         }
       }
       (size, byField.toMap)
+    } finally reader.close()
+  }
+
+  /** ORC footer stats: column statistics indexed 1..n in schema order for
+    * a flat struct (index 0 is the root). Timestamp/decimal/binary min-max
+    * are skipped (timezone/represention subtleties) — null/value counts
+    * still feed IS NULL pruning. */
+  def readOrc(path: String, conf: Configuration, schema: GSchema,
+      writeSchema: StructType): (Long, Map[Int, ColStats]) = {
+    import org.apache.orc.{ColumnStatistics => OStats, _}
+    val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
+    val reader = OrcFile.createReader(hPath, OrcFile.readerOptions(conf))
+    try {
+      val rows = reader.getNumberOfRows
+      val all = reader.getStatistics
+      val byName = schema.fields.map(f => f.name -> f).toMap
+      val byField = mutable.Map.empty[Int, ColStats]
+      writeSchema.fields.zipWithIndex.foreach { case (sf, i) =>
+        byName.get(sf.name).foreach { field =>
+          if (i + 1 < all.length) {
+            val st = all(i + 1)
+            val (lo, hi): (Option[Any], Option[Any]) = (field.tpe, st) match {
+              case (GInt, s: IntegerColumnStatistics) =>
+                (Some(s.getMinimum.toInt), Some(s.getMaximum.toInt))
+              case (GLong, s: IntegerColumnStatistics) =>
+                (Some(s.getMinimum), Some(s.getMaximum))
+              case (GFloat, s: DoubleColumnStatistics) =>
+                (Some(s.getMinimum.toFloat), Some(s.getMaximum.toFloat))
+              case (GDouble, s: DoubleColumnStatistics) =>
+                (Some(s.getMinimum), Some(s.getMaximum))
+              case (GString, s: StringColumnStatistics) =>
+                (Option(s.getMinimum), Option(s.getMaximum))
+              case (GDate, s: DateColumnStatistics) =>
+                (Some(s.getMinimumDayOfEpoch.toInt), Some(s.getMaximumDayOfEpoch.toInt))
+              case _ => (None, None)
+            }
+            val nonNull = st.getNumberOfValues
+            if (st.getNumberOfValues >= 0)
+              byField(field.id) = ColStats(
+                valueCount = Some(rows),
+                nullCount = Some(rows - nonNull),
+                nanCount = None,
+                lower = if (nonNull == 0) None else lo,
+                upper = if (nonNull == 0) None else hi)
+          }
+        }
+      }
+      (GraftIO.size(path), byField.toMap)
     } finally reader.close()
   }
 

@@ -965,6 +965,37 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"file list not rewritten: ${lines.take(3).mkString(";")}")
   }
 
+  test("orc data format: write, columnar read, prune, CoW delete, compaction") {
+    spark.sql("""CREATE TABLE graft.db.orct (id BIGINT, cat STRING, v DOUBLE)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.range(0, 1000, 1, 4)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cat",
+        "CAST(id AS DOUBLE) / 7 AS v")
+      .writeTo("graft.db.orct").append()
+    // files are orc with footer stats
+    val files = coreTable("orct").newScan().planFiles().map(_.file)
+    assert(files.nonEmpty && files.forall(_.format == "orc"), files.map(_.format).distinct)
+    assert(files.forall(_.columnStats.nonEmpty), "orc footer stats missing")
+    assert(spark.sql("SELECT count(*) FROM graft.db.orct").collect()(0).getLong(0) === 1000L)
+    assert(spark.sql("SELECT sum(id) FROM graft.db.orct WHERE cat = 'a'")
+      .collect()(0).getLong(0) === (0L until 1000L by 2).sum)
+    // min/max stats prune: id < 0 planning should read no files
+    val t = coreTable("orct")
+    val sc = t.newScan().filter(graft.core.expr.Expr.lt("id", 0L))
+    assert(sc.planFiles().isEmpty, "stats pruning failed for orc")
+    // CoW delete + read back
+    spark.sql("DELETE FROM graft.db.orct WHERE id < 100")
+    assert(spark.sql("SELECT count(*) FROM graft.db.orct").collect()(0).getLong(0) === 900L)
+    // compaction keeps the orc format
+    spark.sql("CALL graft.system.rewrite_data_files('db.orct')")
+    val after = coreTable("orct").newScan().planFiles().map(_.file)
+    assert(after.forall(_.format == "orc"), after.map(_.format).distinct)
+    assert(spark.sql("SELECT count(*) FROM graft.db.orct").collect()(0).getLong(0) === 900L)
+    assert(spark.sql("SELECT sum(id) FROM graft.db.orct").collect()(0).getLong(0) ===
+      (100L until 1000L).sum)
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
