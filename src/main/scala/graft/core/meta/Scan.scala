@@ -15,7 +15,7 @@ final case class FileScanTask(
 /** Matches delete files to data files by partition + sequence number
   * (reference DeleteFileIndex.java). Position deletes apply when
   * deleteSeq >= dataSeq; equality deletes when deleteSeq > dataSeq. */
-final class DeleteFileIndex(deletes: Seq[(ManifestEntry, Int)]) {
+final class DeleteFileIndex(deletes: Seq[(ManifestEntry, Int)]) extends Serializable {
   private def partKey(specId: Int, partition: Seq[Any]): (Int, Seq[Any]) =
     (specId, partition.map {
       case b: Array[Byte] => b.toSeq
@@ -38,6 +38,49 @@ final class DeleteFileIndex(deletes: Seq[(ManifestEntry, Int)]) {
       val targets = e.file.referencedDataFile.forall(_ == f.path)
       applies && targets
     }.map(_.file)
+  }
+}
+
+/** Serializable layer-3 planning input: ships to executors for
+  * distributed planning of large metadata (manifest reads fan out on the
+  * cluster; only surviving FileScanTasks come back to the driver). */
+final case class PlanContext(
+    schema: GSchema,
+    bound: Expr,
+    specs: Map[Int, PartitionSpec],
+    partPreds: Map[Int, Expr],
+    deleteIndex: DeleteFileIndex)
+
+object TableScan {
+  /** Local layer-3 over many manifests: IO-bound, fan out on the common
+    * pool (the cluster-job variant lives in the Spark layer). */
+  def planManifests(ctx: PlanContext, mfs: Seq[ManifestFile]): Seq[FileScanTask] =
+    if (mfs.size <= 1) mfs.flatMap(planManifest(ctx, _))
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.traverse(mfs)(mf => Future(planManifest(ctx, mf))),
+        Duration.Inf).flatten
+    }
+
+  /** Prune one data manifest's entries to FileScanTasks (runs on the
+    * driver's fork-join pool or inside a Spark job). */
+  def planManifest(ctx: PlanContext, mf: ManifestFile): Seq[FileScanTask] = {
+    val spec = ctx.specs(mf.specId)
+    val partPred = ctx.partPreds(mf.specId)
+    ManifestIO.readEntries(mf).filter(_.isLive).flatMap { e =>
+      val partRow = ArrayRow(e.file.partition.toArray)
+      val keep = RowEvaluator.eval(partPred, partRow) &&
+        InclusiveMetricsEvaluator.rowsMightMatch(ctx.bound, e.file.fileStats)
+      if (!keep) None
+      else {
+        val residual = Projections.residual(spec, ctx.schema, ctx.bound, partRow)
+        if (residual == FalseE) None
+        else Some(FileScanTask(e.file, 0L, e.file.fileSizeBytes, residual,
+          ctx.deleteIndex.forDataFile(e.dataSequenceNumber, e.file)))
+      }
+    }
   }
 }
 
@@ -87,14 +130,18 @@ final class TableScan(table: GTable) {
     FileStats(1L, cols)
   }
 
-  def planFiles(): Seq[FileScanTask] = {
+  /** Layers 1+2 (partition projection + manifest-list pruning) plus the
+    * delete index: everything layer 3 needs, packaged serializably so the
+    * per-manifest entry pruning can run locally OR as a cluster job
+    * (reference BaseDistributedDataScan / SparkDistributedDataScan). */
+  def planParts(): Option[(PlanContext, Seq[ManifestFile])] = {
     val m = table.meta
-    val snap = snapshot().getOrElse(return Nil)
+    val snap = snapshot().getOrElse(return None)
     val schema = m.schema
     val bound = Expr.bind(schema, filterExpr)
     val manifests = ManifestIO.readList(snap.manifestListPath)
 
-    // per-spec inclusive/strict partition projections (computed once)
+    // per-spec inclusive partition projections (computed once)
     val partPreds = scala.collection.mutable.Map.empty[Int, Expr]
     def partPred(specId: Int): Expr =
       partPreds.getOrElseUpdate(specId,
@@ -115,24 +162,19 @@ final class TableScan(table: GTable) {
     val deleteEntries = deleteManifests.flatMap { mf =>
       ManifestIO.readEntries(mf).filter(_.isLive).map(e => (e, mf.specId))
     }
-    val deleteIndex = new DeleteFileIndex(deleteEntries)
+    val specIds = (dataManifests.map(_.specId) ++ deleteManifests.map(_.specId)).distinct
+    val ctx = PlanContext(schema, bound,
+      specIds.map(id => id -> m.specById(id)).toMap,
+      specIds.map(id => id -> partPred(id)).toMap,
+      new DeleteFileIndex(deleteEntries))
+    Some((ctx, dataManifests))
+  }
 
-    // layer 3: per-file pruning (exact partition eval + column stats)
-    dataManifests.par_flatMap { mf =>
-      val spec = m.specById(mf.specId)
-      ManifestIO.readEntries(mf).filter(_.isLive).flatMap { e =>
-        val partRow = ArrayRow(e.file.partition.toArray)
-        val keep = RowEvaluator.eval(partPred(mf.specId), partRow) &&
-          InclusiveMetricsEvaluator.rowsMightMatch(bound, e.file.fileStats)
-        if (!keep) None
-        else {
-          val residual = Projections.residual(spec, schema, bound, partRow)
-          if (residual == FalseE) None
-          else Some(FileScanTask(e.file, 0L, e.file.fileSizeBytes, residual,
-            deleteIndex.forDataFile(e.dataSequenceNumber, e.file)))
-        }
-      }
-    }
+  def planFiles(): Seq[FileScanTask] = planParts() match {
+    case None => Nil
+    case Some((ctx, dataManifests)) =>
+      // layer 3: per-file pruning (exact partition eval + column stats)
+      TableScan.planManifests(ctx, dataManifests)
   }
 
   /** Bin-pack tasks into groups of ~targetSize bytes (reference

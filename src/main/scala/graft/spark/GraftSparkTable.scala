@@ -481,7 +481,28 @@ object GraftSparkTable {
       if (cachedTasks == null) {
         val coreScan = newCoreScan()
         plannedSnapshot = coreScan.snapshot().map(_.snapshotId)
-        var ts = coreScan.planFiles()
+        var ts = {
+          // distributed planning (reference SparkDistributedDataScan +
+          // SparkReadConf 256 MB threshold): past the metadata threshold,
+          // fan manifest pruning out as a Spark job; only surviving tasks
+          // return to the driver
+          val threshold =
+            try SparkSession.active.conf
+              .getOption("spark.graft.distributed-planning-min-bytes")
+              .map(_.toLong).getOrElse(256L * 1024 * 1024)
+            catch { case _: Throwable => 256L * 1024 * 1024 }
+          coreScan.planParts() match {
+            case Some((ctx, mfs))
+                if mfs.size > 1 && mfs.map(_.length).sum > threshold =>
+              val sc = SparkSession.active.sparkContext
+              sc.parallelize(mfs, math.min(mfs.size, sc.defaultParallelism))
+                .flatMap(mf => graft.core.meta.TableScan.planManifest(ctx, mf))
+                .collect().toSeq
+            case Some((ctx, mfs)) =>
+              graft.core.meta.TableScan.planManifests(ctx, mfs)
+            case None => Nil
+          }
+        }
         // limit pushdown: stop planning once the limit is guaranteed
         limit.foreach { n =>
           if (expr == TrueE && runtimeExpr == TrueE) {

@@ -996,6 +996,32 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (100L until 1000L).sum)
   }
 
+  test("distributed scan planning matches local planning") {
+    spark.sql("""CREATE TABLE graft.db.dplan (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    // several appends → several manifests
+    (0 until 4).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100)
+        .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cat")
+        .writeTo("graft.db.dplan").append()
+    }
+    val local = spark.sql(
+      "SELECT cat, count(*) AS n, sum(id) AS s FROM graft.db.dplan GROUP BY cat ORDER BY cat")
+      .collect().map(_.toString).toSeq
+    // force the cluster-job planning path
+    spark.conf.set("spark.graft.distributed-planning-min-bytes", "1")
+    try {
+      val dist = spark.sql(
+        "SELECT cat, count(*) AS n, sum(id) AS s FROM graft.db.dplan GROUP BY cat ORDER BY cat")
+        .collect().map(_.toString).toSeq
+      assert(dist === local)
+      // pruning still works through the distributed path
+      val pruned = spark.sql("SELECT count(*) FROM graft.db.dplan WHERE cat = 'a'")
+        .collect()(0).getLong(0)
+      assert(pruned === 200L)
+    } finally spark.conf.unset("spark.graft.distributed-planning-min-bytes")
+  }
+
   test("pushdown plumbing: pushed predicates prune, spark re-filters") {
     spark.sql("CREATE TABLE graft.db.pd (id BIGINT, s STRING)")
     spark.range(0, 1000).selectExpr("id", "concat('v', id) AS s")
