@@ -26,6 +26,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var catalog: HadoopCatalog = _
 
+  /** underlying file catalog (procedures + extension DDL) */
+  private[spark] def core: HadoopCatalog = catalog
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     val wh = Option(options.get("warehouse"))

@@ -18,6 +18,9 @@ import org.apache.spark.sql.connector.catalog.Identifier
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new ResolveGraftViews(spark))
+    // format-specific DDL (partition-field/identifier/write-order/branch
+    // DDL — reference IcebergSqlExtensions.g4) ahead of Spark's parser
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

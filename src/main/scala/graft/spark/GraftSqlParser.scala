@@ -1,0 +1,209 @@
+package graft.spark
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.core.meta.HadoopCatalog
+
+/** SQL extension statements (reference IcebergSqlExtensions.g4): the
+  * format-specific DDL Spark's grammar lacks, recognized ahead of the
+  * delegate parser —
+  *   ALTER TABLE t ADD PARTITION FIELD <transform> [AS name]
+  *   ALTER TABLE t DROP PARTITION FIELD <name|transform>
+  *   ALTER TABLE t REPLACE PARTITION FIELD <old> WITH <transform> [AS name]
+  *   ALTER TABLE t SET IDENTIFIER FIELDS c1[, c2 ...]
+  *   ALTER TABLE t DROP IDENTIFIER FIELDS [c1, ...]
+  *   ALTER TABLE t WRITE ORDERED BY c1 [ASC|DESC][, ...]
+  *   ALTER TABLE t WRITE LOCALLY ORDERED BY ...
+  *   ALTER TABLE t WRITE DISTRIBUTED BY PARTITION [LOCALLY ORDERED BY ...]
+  *   ALTER TABLE t WRITE UNORDERED
+  *   ALTER TABLE t CREATE [OR REPLACE] BRANCH|TAG [IF NOT EXISTS] name
+  *       [AS OF VERSION v] [retention clauses ignored]
+  *   ALTER TABLE t DROP BRANCH|TAG [IF EXISTS] name
+  * Everything else falls through to Spark's parser. Statements execute as
+  * driver-side commands on the same metadata ops the CALL procedures use.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftDdl.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftDdl {
+
+  // `ALTER TABLE <ident> <rest>` — rest matched per statement below
+  private val Alter = """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+(.*?)\s*;?\s*""".r
+
+  private val AddPartField =
+    """(?is)ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(\w+))?""".r
+  private val DropPartField = """(?is)DROP\s+PARTITION\s+FIELD\s+(.+?)""".r
+  private val ReplacePartField =
+    """(?is)REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)(?:\s+AS\s+(\w+))?""".r
+  private val SetIdFields = """(?is)SET\s+IDENTIFIER\s+FIELDS\s+(.+?)""".r
+  private val DropIdFields = """(?is)DROP\s+IDENTIFIER\s+FIELDS\b.*""".r
+  private val WriteOrdered = """(?is)WRITE\s+ORDERED\s+BY\s+(.+?)""".r
+  private val WriteLocallyOrdered = """(?is)WRITE\s+LOCALLY\s+ORDERED\s+BY\s+(.+?)""".r
+  private val WriteDistributed =
+    """(?is)WRITE\s+DISTRIBUTED\s+BY\s+PARTITION(?:\s+LOCALLY\s+ORDERED\s+BY\s+(.+?))?""".r
+  private val WriteUnordered = """(?is)WRITE\s+UNORDERED""".r
+  private val CreateRef =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?(?:\s+RETAIN\b.*|\s+WITH\s+SNAPSHOT\s+RETENTION\b.*)?""".r
+  private val DropRef =
+    """(?is)DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)""".r
+
+  /** DDL transform syntax → (core transform name, source column). */
+  private[spark] def parseTransform(s: String): (String, String) = {
+    val FnRe = """(?i)\s*(\w+)\s*\(\s*([^)]*)\s*\)\s*""".r
+    s.trim match {
+      case FnRe(fn, args) =>
+        val as = args.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        fn.toLowerCase match {
+          case "bucket"                      => (s"bucket[${as(0)}]", as(1))
+          case "truncate" if as(0).forall(_.isDigit) => (s"truncate[${as(0)}]", as(1))
+          case "truncate"                    => (s"truncate[${as(1)}]", as(0))
+          case "year" | "years"              => ("year", as(0))
+          case "month" | "months"            => ("month", as(0))
+          case "day" | "days" | "date"       => ("day", as(0))
+          case "hour" | "hours" | "date_hour" => ("hour", as(0))
+          case other => throw new IllegalArgumentException(s"unknown transform $other")
+        }
+      case col => ("identity", col.stripPrefix("`").stripSuffix("`"))
+    }
+  }
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Alter(ident, rest) =>
+      val table = ident.replace("`", "")
+      rest match {
+        case AddPartField(tr, _) =>
+          val (t, c) = parseTransform(tr)
+          Some(GraftDdlCommand(table, "add_partition_field", Seq(t, c)))
+        case ReplacePartField(oldF, newF, _) =>
+          val (t, c) = parseTransform(newF)
+          Some(GraftDdlCommand(table, "replace_partition_field",
+            Seq(partFieldName(oldF), t, c)))
+        case DropPartField(f) =>
+          Some(GraftDdlCommand(table, "drop_partition_field", Seq(partFieldName(f))))
+        case SetIdFields(cols) =>
+          Some(GraftDdlCommand(table, "set_identifier_fields",
+            Seq(cols.split(",").map(_.trim.replace("`", "")).mkString(","))))
+        case DropIdFields() =>
+          Some(GraftDdlCommand(table, "drop_identifier_fields", Nil))
+        case WriteOrdered(order) =>
+          Some(GraftDdlCommand(table, "write_ordered", Seq("range", order.trim)))
+        case WriteLocallyOrdered(order) =>
+          Some(GraftDdlCommand(table, "write_ordered", Seq("", order.trim)))
+        case WriteDistributed(order) =>
+          Some(GraftDdlCommand(table, "write_ordered",
+            Seq("hash", Option(order).map(_.trim).getOrElse(""))))
+        case WriteUnordered() =>
+          Some(GraftDdlCommand(table, "write_ordered", Seq("none", "")))
+        case CreateRef(kind, name, ver) =>
+          Some(GraftDdlCommand(table, s"create_${kind.toLowerCase}",
+            Seq(name, Option(ver).getOrElse("-1"))))
+        case DropRef(_, name) =>
+          Some(GraftDdlCommand(table, "drop_ref", Seq(name)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** DROP/REPLACE refer to a field by name OR by its transform spelling —
+    * normalize the transform spelling to the generated field name. */
+  private def partFieldName(s: String): String = {
+    val t = s.trim
+    if (!t.contains("(")) t.replace("`", "")
+    else parseTransform(t) match {
+      case ("identity", c)                     => c
+      case (tr, c) if tr.startsWith("bucket")   => s"${c}_bucket"
+      case (tr, c) if tr.startsWith("truncate") => s"${c}_trunc"
+      case (tr, c)                              => s"${c}_$tr"
+    }
+  }
+}
+
+/** Driver-side execution of a parsed extension statement against the
+  * graft catalog's metadata ops (same code paths as CALL procedures). */
+final case class GraftDdlCommand(table: String, action: String, args: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  private def resolve(spark: SparkSession): (HadoopCatalog, String) = {
+    val cm = spark.sessionState.catalogManager
+    val parts = table.split("\\.").toSeq
+    val (cat, rest) = parts match {
+      case Seq(c, r @ _*) if r.nonEmpty && cm.isCatalogRegistered(c) =>
+        (cm.catalog(c), r)
+      case _ => (cm.currentCatalog, parts)
+    }
+    cat match {
+      case g: GraftCatalog => (g.core, rest.mkString("."))
+      case other => throw new IllegalArgumentException(
+        s"${other.name} is not a graft catalog (statement: $action)")
+    }
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (core, tbl) = resolve(spark)
+    import GraftProcedures.s
+    def call(proc: String, in: Array[Any]): Unit =
+      new GraftProcedure(proc, core).call(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(in))
+    action match {
+      case "add_partition_field" =>
+        call("add_partition_field", Array(s(tbl), s(args(0)), s(args(1))))
+      case "drop_partition_field" =>
+        call("drop_partition_field", Array(s(tbl), s(args(0))))
+      case "replace_partition_field" =>
+        call("drop_partition_field", Array(s(tbl), s(args(0))))
+        call("add_partition_field", Array(s(tbl), s(args(1)), s(args(2))))
+      case "set_identifier_fields" =>
+        call("set_identifier_fields", Array(s(tbl), s(args(0))))
+      case "drop_identifier_fields" =>
+        call("drop_identifier_fields", Array(s(tbl)))
+      case "create_branch" | "create_tag" =>
+        call(action, Array(s(tbl), s(args(0)), java.lang.Long.valueOf(args(1).toLong)))
+      case "drop_ref" =>
+        call("drop_ref", Array(s(tbl), s(args(0))))
+      case "write_ordered" =>
+        // WRITE [LOCALLY] ORDERED BY / DISTRIBUTED BY PARTITION / UNORDERED
+        // → write.distribution-mode + write.sort-order table properties
+        val parts = tbl.split("\\.").toSeq
+        val (ns, name) = if (parts.length >= 2) (parts.init, parts.last)
+                         else (Seq("db"), parts.head)
+        val t = core.loadTable(ns, name).getOrElse(
+          throw new IllegalArgumentException(s"no such table: $tbl"))
+        val mode = args(0)
+        val order = args(1)
+        val props = Seq.newBuilder[(String, String)]
+        if (mode.nonEmpty) props += ("write.distribution-mode" -> mode)
+        props += ("write.sort-order" -> order)
+        t.updateProperties(props.result().toMap)
+      case other => throw new IllegalArgumentException(other)
+    }
+    Nil
+  }
+}

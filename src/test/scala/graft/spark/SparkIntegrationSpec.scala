@@ -996,6 +996,45 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (100L until 1000L).sum)
   }
 
+  test("SQL extension DDL: partition field, identifier fields, write order, branch/tag") {
+    spark.sql("CREATE TABLE graft.db.ddlx (id BIGINT, cat STRING, ts TIMESTAMP)")
+    spark.sql("INSERT INTO graft.db.ddlx VALUES (1, 'a', TIMESTAMP '2024-03-01 10:00:00')")
+
+    spark.sql("ALTER TABLE graft.db.ddlx ADD PARTITION FIELD bucket(4, id)")
+    assert(coreTable("ddlx").spec.fields.exists(_.name == "id_bucket"))
+    spark.sql("ALTER TABLE graft.db.ddlx ADD PARTITION FIELD days(ts)")
+    assert(coreTable("ddlx").spec.fields.exists(_.name == "ts_day"))
+    spark.sql("ALTER TABLE graft.db.ddlx DROP PARTITION FIELD bucket(4, id)")
+    assert(!coreTable("ddlx").spec.fields.exists(_.name == "id_bucket"))
+    spark.sql("ALTER TABLE graft.db.ddlx REPLACE PARTITION FIELD ts_day WITH months(ts)")
+    val fields = coreTable("ddlx").spec.fields.map(_.name)
+    assert(fields.contains("ts_month") && !fields.contains("ts_day"), fields)
+
+    spark.sql("ALTER TABLE graft.db.ddlx SET IDENTIFIER FIELDS id")
+    assert(coreTable("ddlx").meta.schema.identifierFieldIds.nonEmpty)
+    spark.sql("ALTER TABLE graft.db.ddlx DROP IDENTIFIER FIELDS")
+    assert(coreTable("ddlx").meta.schema.identifierFieldIds.isEmpty)
+
+    spark.sql("ALTER TABLE graft.db.ddlx WRITE ORDERED BY cat ASC, id DESC")
+    assert(coreTable("ddlx").meta.properties("write.sort-order").contains("cat"))
+    assert(coreTable("ddlx").meta.properties("write.distribution-mode") == "range")
+    spark.sql("ALTER TABLE graft.db.ddlx WRITE DISTRIBUTED BY PARTITION")
+    assert(coreTable("ddlx").meta.properties("write.distribution-mode") == "hash")
+
+    spark.sql("ALTER TABLE graft.db.ddlx CREATE BRANCH audit")
+    assert(coreTable("ddlx").meta.refs.contains("audit"))
+    spark.sql("ALTER TABLE graft.db.ddlx CREATE TAG v1 RETAIN 7 DAYS")
+    assert(coreTable("ddlx").meta.refs.contains("v1"))
+    spark.sql("ALTER TABLE graft.db.ddlx DROP BRANCH audit")
+    assert(!coreTable("ddlx").meta.refs.contains("audit"))
+    spark.sql("ALTER TABLE graft.db.ddlx DROP TAG IF EXISTS v1")
+    assert(!coreTable("ddlx").meta.refs.contains("v1"))
+
+    // ordinary ALTER statements still reach Spark's parser
+    spark.sql("ALTER TABLE graft.db.ddlx ADD COLUMN extra STRING")
+    assert(coreTable("ddlx").meta.schema.findField("extra").isDefined)
+  }
+
   test("distributed scan planning matches local planning") {
     spark.sql("""CREATE TABLE graft.db.dplan (id BIGINT, cat STRING)
       PARTITIONED BY (cat)""")
