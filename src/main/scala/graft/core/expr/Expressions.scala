@@ -65,6 +65,22 @@ final case class BoundPred(op: Operation, field: GField, pos: Int,
   def value: Any = values.head
 }
 
+/** Predicate on a TRANSFORM of a column (system-function pushdown,
+  * reference SparkV2Filters SUPPORTED_FUNCTIONS + ReplaceStaticInvoke):
+  * e.g. `bucket(16, c) = 3`. Values live in the transform's RESULT
+  * space. Projects exactly onto a matching partition field (the
+  * partition value IS the transform value, so partition-granularity
+  * evaluation is exact, not just inclusive). */
+final case class TransformPred(op: Operation,
+    transform: graft.core.transform.Transform, ref: String,
+    values: Seq[Any] = Nil) extends Expr
+
+final case class BoundTransformPred(op: Operation,
+    transform: graft.core.transform.Transform, field: GField, pos: Int,
+    values: Seq[Any] = Nil) extends Expr {
+  def value: Any = values.head
+}
+
 object Expr {
   def and(l: Expr, r: Expr): Expr = (l, r) match {
     case (TrueE, x)      => x
@@ -88,6 +104,9 @@ object Expr {
     case Or(l, r)            => and(not(l), not(r))
     case UnboundPred(op, r, v) => UnboundPred(Op.negate(op), r, v)
     case BoundPred(op, f, p, v) => BoundPred(Op.negate(op), f, p, v)
+    case TransformPred(op, t, r, v) => TransformPred(Op.negate(op), t, r, v)
+    case BoundTransformPred(op, t, f, p, v) =>
+      BoundTransformPred(Op.negate(op), t, f, p, v)
   }
 
   // convenience factories (reference Expressions.java:33-291)
@@ -114,6 +133,18 @@ object Expr {
       case Or(l, r)       => or(bind(schema, l, caseSensitive), bind(schema, r, caseSensitive))
       case Not(c)         => not(bind(schema, c, caseSensitive))
       case p: BoundPred   => p
+      case p: BoundTransformPred => p
+      case TransformPred(op, tr, ref, values) =>
+        val field =
+          if (caseSensitive) schema.findField(ref)
+          else schema.byName.collectFirst { case (n, f) if n.equalsIgnoreCase(ref) => f }
+        field match {
+          case None => throw new IllegalArgumentException(s"cannot bind: $ref not in schema")
+          case Some(f) =>
+            val pos = schema.fields.indexWhere(_.id == f.id)
+            val rt = tr.resultType(f.tpe)
+            BoundTransformPred(op, tr, f, pos, values.map(Literals.convert(_, rt)))
+        }
       case UnboundPred(op, ref, values) =>
         val field =
           if (caseSensitive) schema.findField(ref)
@@ -247,7 +278,26 @@ object RowEvaluator {
         case Op.NotStartsWith =>
           !v.asInstanceOf[String].startsWith(p.value.asInstanceOf[String])
       }
-    case _: UnboundPred =>
+    case p @ BoundTransformPred(op, tr, f, pos, values) =>
+      // evaluate the transform on the row value, compare in result space
+      val raw = row.get(pos)
+      val rt = tr.resultType(f.tpe)
+      val v = if (raw == null) null else tr.apply(raw, f.tpe)
+      op match {
+        case Op.IsNull  => v == null
+        case Op.NotNull => v != null
+        case _ if v == null => false
+        case Op.Lt    => TypeComparators.compare(rt, v, p.value) < 0
+        case Op.LtEq  => TypeComparators.compare(rt, v, p.value) <= 0
+        case Op.Gt    => TypeComparators.compare(rt, v, p.value) > 0
+        case Op.GtEq  => TypeComparators.compare(rt, v, p.value) >= 0
+        case Op.Eq    => TypeComparators.compare(rt, v, p.value) == 0
+        case Op.NotEq => TypeComparators.compare(rt, v, p.value) != 0
+        case Op.In    => values.exists(x => TypeComparators.compare(rt, v, x) == 0)
+        case Op.NotIn => !values.exists(x => TypeComparators.compare(rt, v, x) == 0)
+        case _        => false
+      }
+    case _: UnboundPred | _: TransformPred =>
       throw new IllegalStateException("unbound predicate; bind() first")
   }
 

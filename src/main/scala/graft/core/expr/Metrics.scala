@@ -90,7 +90,11 @@ object InclusiveMetricsEvaluator {
           }
           !allStart || !st.nullCount.contains(0L)
       }
-    case _: UnboundPred =>
+    // file column stats are in ROW space; a transform predicate can't be
+    // checked against them — conservative "might match" (partition-level
+    // pruning happens via projection instead)
+    case _: BoundTransformPred => true
+    case _: UnboundPred | _: TransformPred =>
       throw new IllegalStateException("unbound predicate; bind() first")
   }
 }
@@ -149,7 +153,8 @@ object StrictMetricsEvaluator {
           }
         case Op.StartsWith | Op.NotStartsWith => false // conservative
       }
-    case _: UnboundPred =>
+    case _: BoundTransformPred => false // conservative: no strict proof
+    case _: UnboundPred | _: TransformPred =>
       throw new IllegalStateException("unbound predicate; bind() first")
   }
 }

@@ -91,7 +91,20 @@ object Projections {
         }
       if (projections.isEmpty) { if (strict) FalseE else TrueE }
       else projections.reduce[Expr]((a, b) => if (strict) Expr.or(a, b) else Expr.and(a, b))
-    case _: UnboundPred =>
+    case p: BoundTransformPred =>
+      // exact at partition granularity when a spec field carries the SAME
+      // transform of the same source: partition value == transform value
+      val matches = spec.fields.zipWithIndex
+        .filter { case (pf, _) =>
+          pf.sourceId == p.field.id && pf.transform == p.transform }
+        .map { case (pf, idx) =>
+          BoundPred(p.op,
+            GField(pf.fieldId, pf.name, p.transform.resultType(p.field.tpe)),
+            idx, p.values): Expr
+        }
+      if (matches.isEmpty) { if (strict) FalseE else TrueE }
+      else matches.reduce((a, b) => if (strict) Expr.or(a, b) else Expr.and(a, b))
+    case _: UnboundPred | _: TransformPred =>
       throw new IllegalStateException("bind before projecting")
   }
 
@@ -187,7 +200,7 @@ object Projections {
     case Or(l, r) =>
       Expr.or(residual(spec, schema, l, partition), residual(spec, schema, r, partition))
     case Not(c) => residual(spec, schema, Expr.not(c), partition)
-    case p: BoundPred =>
+    case p @ (_: BoundPred | _: BoundTransformPred) =>
       val strictP = project(spec, schema, p, strict = true)
       if (strictP != FalseE && RowEvaluator.eval(strictP, partition)) TrueE
       else {
@@ -195,7 +208,7 @@ object Projections {
         if (!RowEvaluator.eval(inclP, partition)) FalseE
         else p
       }
-    case _: UnboundPred =>
+    case _: UnboundPred | _: TransformPred =>
       throw new IllegalStateException("bind before residual")
   }
 }

@@ -21,6 +21,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // format-specific DDL (partition-field/identifier/write-order/branch
     // DDL — reference IcebergSqlExtensions.g4) ahead of Spark's parser
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // system-function predicates: bucket(16,c)=3 in a filter/join plans as
+    // StaticInvoke (magic-method codegen), which DSv2 pushdown can't
+    // translate — swap it for ApplyFunctionExpression so the predicate
+    // reaches pushPredicates (reference optimizer/ReplaceStaticInvoke)
+    ext.injectOptimizerRule(_ => ReplaceGraftStaticInvoke)
+  }
+}
+
+object ReplaceGraftStaticInvoke extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{ApplyFunctionExpression, BinaryComparison, Expression, In}
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+
+  // only OUR catalog functions, and only where the counterpart is
+  // foldable — elsewhere the codegen'd StaticInvoke stays (faster)
+  private def ours(e: Expression): Boolean = e match {
+    case si: StaticInvoke =>
+      si.functionName == "invoke" &&
+        si.scalarFunction.exists(_.canonicalName.startsWith("graft."))
+    case _ => false
+  }
+
+  private def swap(e: Expression): Expression = e match {
+    case si: StaticInvoke =>
+      ApplyFunctionExpression(si.scalarFunction.get, si.arguments)
+    case other => other
+  }
+
+  private def rewrite(cond: Expression): Expression = cond.transform {
+    case c @ BinaryComparison(l, r) if ours(l) && r.foldable =>
+      c.withNewChildren(Seq(swap(l), r))
+    case c @ BinaryComparison(l, r) if ours(r) && l.foldable =>
+      c.withNewChildren(Seq(l, swap(r)))
+    case in @ In(v, list) if ours(v) && list.forall(_.foldable) =>
+      in.copy(value = swap(v))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      val c = rewrite(cond); if (c fastEquals cond) f else f.copy(condition = c)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      val c = rewrite(cond); if (c fastEquals cond) j else j.copy(condition = Some(c))
   }
 }
 

@@ -780,6 +780,7 @@ object GraftSparkTable {
         case BoundPred(op, f, _, vs) => predToV1(op, f, vs)
         case UnboundPred(op, ref, vs) =>
           table.schema.findField(ref).flatMap(f => predToV1(op, f.copy(name = ref), vs))
+        case _ => None // transform predicates prune partitions, not row groups
       }
       def ext(f: GField, v: Any): Any = v match {
         // engine internal → external for sources.Filter (Spark converts back)

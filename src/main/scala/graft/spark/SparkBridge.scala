@@ -84,22 +84,62 @@ object SparkBridge {
           case (_, _, Some(r), Some(v)) => Some(flip(r, v))
           case _                        => None
         }
+      // system-function predicates (reference SparkV2Filters line 72
+      // SUPPORTED_FUNCTIONS): `bucket(16, c) = 3` etc. — the function call
+      // arrives as a UserDefinedScalarFunc; converted to a TransformPred
+      // that projects exactly onto a matching partition field
+      def fnTransform(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[(Transform, String)] = e match {
+        case f: org.apache.spark.sql.connector.expressions.UserDefinedScalarFunc =>
+          val args = f.children()
+          def col(i: Int): Option[String] = args.lift(i).flatMap(refName)
+          def intArg(i: Int): Option[Int] = args.lift(i).flatMap(litValue).flatMap {
+            case n: Number => Some(n.intValue)
+            case _         => None
+          }
+          f.name().toLowerCase match {
+            case "bucket" => for (n <- intArg(0); c <- col(1)) yield (BucketT(n), c)
+            case "truncate" =>
+              (for (w <- intArg(0); c <- col(1)) yield (TruncateT(w): Transform, c))
+                .orElse(for (w <- intArg(1); c <- col(0)) yield (TruncateT(w), c))
+            case "years"  => col(0).map((YearT, _))
+            case "months" => col(0).map((MonthT, _))
+            case "days"   => col(0).map((DayT, _))
+            case "hours"  => col(0).map((HourT, _))
+            case _        => None
+          }
+        case _ => None
+      }
+      def tpred(op: Operation, flip: Operation): Option[Expr] =
+        if (ch.length != 2) None
+        else (fnTransform(ch(0)), litValue(ch(1)), fnTransform(ch(1)), litValue(ch(0))) match {
+          case (Some((t, r)), Some(v), _, _) => Some(TransformPred(op, t, r, Seq(v)))
+          case (_, _, Some((t, r)), Some(v)) => Some(TransformPred(flip, t, r, Seq(v)))
+          case _                             => None
+        }
       p.name() match {
         case "IS_NULL" => refName(ch(0)).map(Expr.isNull)
         case "IS_NOT_NULL" => refName(ch(0)).map(Expr.notNull)
-        case "=" => binary(Expr.equalTo, Expr.equalTo)
+        case "=" => binary(Expr.equalTo, Expr.equalTo).orElse(tpred(Op.Eq, Op.Eq))
         case "<=>" => binary(
           (r, v) => if (v == null) Expr.isNull(r) else Expr.equalTo(r, v),
           (r, v) => if (v == null) Expr.isNull(r) else Expr.equalTo(r, v))
-        case "<>" | "!=" => binary(Expr.notEq, Expr.notEq)
-        case "<"  => binary(Expr.lt, Expr.gt)
-        case "<=" => binary(Expr.ltEq, Expr.gtEq)
-        case ">"  => binary(Expr.gt, Expr.lt)
-        case ">=" => binary(Expr.gtEq, Expr.ltEq)
+        case "<>" | "!=" => binary(Expr.notEq, Expr.notEq).orElse(tpred(Op.NotEq, Op.NotEq))
+        case "<"  => binary(Expr.lt, Expr.gt).orElse(tpred(Op.Lt, Op.Gt))
+        case "<=" => binary(Expr.ltEq, Expr.gtEq).orElse(tpred(Op.LtEq, Op.GtEq))
+        case ">"  => binary(Expr.gt, Expr.lt).orElse(tpred(Op.Gt, Op.Lt))
+        case ">=" => binary(Expr.gtEq, Expr.ltEq).orElse(tpred(Op.GtEq, Op.LtEq))
         case "IN" =>
           refName(ch(0)).flatMap { r =>
             val vals = ch.drop(1).map(litValue)
             if (vals.forall(_.isDefined)) Some(Expr.in(r, vals.flatten.toSeq)) else None
+          }.orElse {
+            fnTransform(ch(0)).flatMap { case (t, r) =>
+              val vals = ch.drop(1).map(litValue)
+              if (vals.forall(_.isDefined))
+                Some(TransformPred(Op.In, t, r, vals.flatten.toSeq))
+              else None
+            }
           }
         case "STARTS_WITH" =>
           for (r <- refName(ch(0)); v <- litValue(ch(1)) if v.isInstanceOf[String])
