@@ -1,0 +1,92 @@
+package graft.spark
+
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Delegating session catalog (reference SparkSessionCatalog): installed
+  * as `spark.sql.catalog.spark_catalog`, it serves graft tables for
+  * identifiers the graft warehouse knows (or creates with `USING graft`)
+  * and falls through to Spark's built-in session catalog for everything
+  * else — so one catalog namespace mixes graft and non-graft tables.
+  */
+class GraftSessionCatalog extends GraftCatalog with CatalogExtension {
+
+  private var delegate: CatalogPlugin = _
+
+  override def setDelegateCatalog(d: CatalogPlugin): Unit = delegate = d
+
+  private def asTables: TableCatalog = delegate.asInstanceOf[TableCatalog]
+  private def asNamespaces: SupportsNamespaces = delegate.asInstanceOf[SupportsNamespaces]
+
+  override def loadTable(ident: Identifier): Table =
+    try super.loadTable(ident)
+    catch { case _: NoSuchTableException => asTables.loadTable(ident) }
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    try super.loadTable(ident, version)
+    catch { case _: NoSuchTableException => asTables.loadTable(ident, version) }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    try super.loadTable(ident, timestampMicros)
+    catch { case _: NoSuchTableException => asTables.loadTable(ident, timestampMicros) }
+
+  override def tableExists(ident: Identifier): Boolean =
+    super.tableExists(ident) || asTables.tableExists(ident)
+
+  private def isGraftProvider(properties: util.Map[String, String]): Boolean =
+    Option(properties.get(TableCatalog.PROP_PROVIDER)).exists(_.equalsIgnoreCase("graft"))
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    if (isGraftProvider(properties)) super.createTable(ident, columns, partitions, properties)
+    else asTables.createTable(ident, columns, partitions, properties)
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    if (isGraftProvider(properties)) super.createTable(ident, schema, partitions, properties)
+    else asTables.createTable(ident, schema, partitions, properties)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    if (super.tableExists(ident)) super.alterTable(ident, changes: _*)
+    else asTables.alterTable(ident, changes: _*)
+
+  override def dropTable(ident: Identifier): Boolean =
+    super.dropTable(ident) || asTables.dropTable(ident)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    if (super.tableExists(oldIdent)) super.renameTable(oldIdent, newIdent)
+    else asTables.renameTable(oldIdent, newIdent)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    (super.listTables(namespace) ++ asTables.listTables(namespace)).distinct
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    super.namespaceExists(namespace) || asNamespaces.namespaceExists(namespace)
+
+  override def listNamespaces(): Array[Array[String]] =
+    (super.listNamespaces() ++ asNamespaces.listNamespaces()).distinct
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (super.namespaceExists(namespace)) super.loadNamespaceMetadata(namespace)
+    else asNamespaces.loadNamespaceMetadata(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    // create in BOTH so `USE ns` and graft table creation each work
+    try asNamespaces.createNamespace(namespace, metadata)
+    catch { case _: Throwable => () }
+    try super.createNamespace(namespace, metadata)
+    catch { case _: Throwable => () }
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val a = try super.dropNamespace(namespace, cascade) catch { case _: Throwable => false }
+    val b = try asNamespaces.dropNamespace(namespace, cascade) catch { case _: Throwable => false }
+    a || b
+  }
+}

@@ -1079,6 +1079,29 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql === viaScan)
   }
 
+  test("session catalog delegates: graft and built-in tables in spark_catalog") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.spark_catalog",
+      classOf[GraftSessionCatalog].getName)
+    s2.conf.set("spark.sql.catalog.spark_catalog.warehouse", warehouse)
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS spark_catalog.sdb")
+    // graft-provider table goes to the graft warehouse
+    s2.sql("CREATE TABLE spark_catalog.sdb.gt (id BIGINT, v STRING) USING graft")
+    s2.sql("INSERT INTO spark_catalog.sdb.gt VALUES (1, 'a'), (2, 'b')")
+    assert(s2.sql("SELECT count(*) FROM spark_catalog.sdb.gt").collect()(0).getLong(0) === 2L)
+    assert(new HadoopCatalog(warehouse).loadTable(Seq("sdb"), "gt").isDefined)
+    // graft DML still works through the session catalog
+    s2.sql("DELETE FROM spark_catalog.sdb.gt WHERE id = 1")
+    assert(s2.sql("SELECT count(*) FROM spark_catalog.sdb.gt").collect()(0).getLong(0) === 1L)
+    // non-graft table falls through to the built-in session catalog
+    s2.sql("DROP TABLE IF EXISTS spark_catalog.sdb.pt")
+    s2.sql("CREATE TABLE spark_catalog.sdb.pt (id BIGINT) USING parquet")
+    s2.sql("INSERT INTO spark_catalog.sdb.pt VALUES (7)")
+    assert(s2.sql("SELECT count(*) FROM spark_catalog.sdb.pt").collect()(0).getLong(0) === 1L)
+    assert(new HadoopCatalog(warehouse).loadTable(Seq("sdb"), "pt").isEmpty)
+    s2.sql("DROP TABLE IF EXISTS spark_catalog.sdb.pt")
+  }
+
   test("distributed scan planning matches local planning") {
     spark.sql("""CREATE TABLE graft.db.dplan (id BIGINT, cat STRING)
       PARTITIONED BY (cat)""")
