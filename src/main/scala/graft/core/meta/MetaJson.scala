@@ -56,6 +56,8 @@ object MetaJson {
       s.fields.foreach { f =>
         val fo = arr.addObject()
         fo.put("id", f.id).put("name", f.name).put("required", f.required)
+        f.initialDefaultSql.foreach(fo.put("initial-default", _))
+        f.writeDefaultSql.foreach(fo.put("write-default", _))
         fo.set[JsonNode]("ftype", writeType(f.tpe))
       }
       o
@@ -84,7 +86,9 @@ object MetaJson {
         while (fields.hasNext) {
           val f = fields.next()
           buf += GField(f.get("id").asInt(), f.get("name").asText(),
-            readType(f.get("ftype")), f.get("required").asBoolean())
+            readType(f.get("ftype")), f.get("required").asBoolean(),
+            Option(f.get("initial-default")).map(_.asText()),
+            Option(f.get("write-default")).map(_.asText()))
         }
         GStruct(buf.result())
       case "list" =>

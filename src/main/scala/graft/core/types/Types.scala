@@ -28,8 +28,15 @@ final case class GTimestamp(ntz: Boolean = false) extends GType
 case object GString extends GType
 case object GBinary extends GType
 
+/** v3 column defaults (spec stores typed JSON values; we store the SQL
+  * literal text, which Spark's readers evaluate natively):
+  * `initialDefaultSql` — value for rows written BEFORE the column
+  * existed (EXISTS_DEFAULT; immutable after creation);
+  * `writeDefaultSql` — value for omitted INSERT columns
+  * (CURRENT_DEFAULT; mutable via ALTER COLUMN SET DEFAULT). */
 final case class GField(id: Int, name: String, tpe: GType,
-    required: Boolean = false) {
+    required: Boolean = false, initialDefaultSql: Option[String] = None,
+    writeDefaultSql: Option[String] = None) {
   def nested: Seq[GField] = tpe match {
     case s: GStruct => s.fields
     case l: GList   => Seq(l.elementField)
@@ -111,11 +118,16 @@ object SparkTypes {
 
   def toSparkStruct(s: GStruct): StructType =
     StructType(s.fields.map { f =>
-      val md = new MetadataBuilder()
+      val mb = new MetadataBuilder()
         .putLong(FieldIdKey, f.id.toLong)
         .putLong(ParquetFieldIdKey, f.id.toLong)
-        .build()
-      StructField(f.name, toSpark(f.tpe), nullable = !f.required, metadata = md)
+      // Spark's parquet/orc readers fill columns ABSENT from a file with
+      // EXISTS_DEFAULT (v3 initial-default); the analyzer fills omitted
+      // INSERT columns from CURRENT_DEFAULT
+      f.initialDefaultSql.foreach(mb.putString("EXISTS_DEFAULT", _))
+      f.writeDefaultSql.orElse(f.initialDefaultSql)
+        .foreach(mb.putString("CURRENT_DEFAULT", _))
+      StructField(f.name, toSpark(f.tpe), nullable = !f.required, metadata = mb.build())
     })
 
   def toSparkSchema(s: GSchema): StructType = toSparkStruct(s.struct)

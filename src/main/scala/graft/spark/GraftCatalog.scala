@@ -38,6 +38,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     catalog.listTables(namespace.toSeq)
       .map(t => Identifier.of(namespace, t)).toArray
@@ -91,7 +94,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException(ident)
     val sparkSchema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
-    val schema = SparkTypes.fromSpark(sparkSchema)
+    val schema0 = SparkTypes.fromSpark(sparkSchema)
+    // column defaults declared at CREATE: write-default only (no earlier
+    // files exist, so initial-default is never consulted — set both)
+    val schema = schema0.copy(struct = graft.core.types.GStruct(
+      schema0.fields.map { f =>
+        columns.find(_.name == f.name).flatMap(c => Option(c.defaultValue()))
+          .map(d => f.copy(initialDefaultSql = Some(d.getSql),
+            writeDefaultSql = Some(d.getSql)))
+          .getOrElse(f)
+      }))
     val specs = partitions.map(SparkBridge.fromSparkTransform)
     val spec =
       if (specs.isEmpty) PartitionSpec.Unpartitioned
@@ -120,8 +132,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(a.fieldNames.length == 1, "nested add not supported yet")
           nextId += 1
           val g = SparkBridge.gTypeOf(a.dataType)
+          val dflt = Option(a.defaultValue()).map(_.getSql)
           schema = schema.copy(struct =
-            GStruct(schema.fields :+ GField(nextId, a.fieldNames()(0), g, !a.isNullable)))
+            GStruct(schema.fields :+
+              GField(nextId, a.fieldNames()(0), g, !a.isNullable, dflt, dflt)))
+        case d: TableChange.UpdateColumnDefaultValue =>
+          // SET DEFAULT changes the WRITE default only; initial-default is
+          // fixed at column creation (spec: existing rows keep their value)
+          val sql = Option(d.newCurrentDefault()).map(_.getSql).filter(_.nonEmpty)
+          schema = schema.copy(struct = GStruct(schema.fields.map(f =>
+            if (f.name == d.fieldNames()(0)) f.copy(writeDefaultSql = sql) else f)))
         case r: TableChange.RenameColumn =>
           schema = schema.copy(struct = GStruct(schema.fields.map(f =>
             if (f.name == r.fieldNames()(0)) f.copy(name = r.newName) else f)))

@@ -1079,6 +1079,32 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql === viaScan)
   }
 
+  test("column default values: initial-default on old files, current on insert") {
+    spark.sql("CREATE TABLE graft.db.dflt (id BIGINT, v STRING DEFAULT 'seed')")
+    spark.sql("INSERT INTO graft.db.dflt (id) VALUES (1)")
+    assert(spark.sql("SELECT v FROM graft.db.dflt WHERE id = 1")
+      .collect()(0).getString(0) === "seed")
+    // add a column with a default AFTER data exists: old rows read it
+    spark.sql("ALTER TABLE graft.db.dflt ADD COLUMN score INT DEFAULT 42")
+    assert(spark.sql("SELECT score FROM graft.db.dflt WHERE id = 1")
+      .collect()(0).getInt(0) === 42)
+    // new inserts that omit the column also get it
+    spark.sql("INSERT INTO graft.db.dflt (id, v) VALUES (2, 'x')")
+    assert(spark.sql("SELECT score FROM graft.db.dflt WHERE id = 2")
+      .collect()(0).getInt(0) === 42)
+    // explicit values win, and SET DEFAULT changes only future writes
+    spark.sql("ALTER TABLE graft.db.dflt ALTER COLUMN score SET DEFAULT 7")
+    spark.sql("INSERT INTO graft.db.dflt (id, v) VALUES (3, 'y')")
+    assert(spark.sql("SELECT score FROM graft.db.dflt WHERE id = 3")
+      .collect()(0).getInt(0) === 7)
+    // rows written before the column existed STILL read initial-default
+    assert(spark.sql("SELECT score FROM graft.db.dflt WHERE id = 1")
+      .collect()(0).getInt(0) === 42)
+    // filters over defaulted columns stay correct
+    assert(spark.sql("SELECT count(*) FROM graft.db.dflt WHERE score = 42")
+      .collect()(0).getLong(0) === 2L)
+  }
+
   test("session catalog delegates: graft and built-in tables in spark_catalog") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.catalog.spark_catalog",
