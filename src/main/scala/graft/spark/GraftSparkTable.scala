@@ -612,7 +612,9 @@ object GraftSparkTable {
       val parallelism =
         try SparkSession.active.sparkContext.defaultParallelism catch { case _: Throwable => 8 }
       val totalBytes = all.map(t => math.max(t.length, openCost)).sum
-      val target = math.min(128L * 1024 * 1024,
+      val configured = table.meta.properties.get("read.split.target-size")
+        .flatMap(_.toLongOption).getOrElse(128L * 1024 * 1024)
+      val target = math.min(configured,
         math.max(4L * 1024 * 1024, totalBytes / math.max(1, parallelism)))
       // split oversized files at target boundaries — safe only when the
       // reader honors (start, length): no delete masking, no _pos

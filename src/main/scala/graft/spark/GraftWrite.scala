@@ -206,10 +206,24 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
               .getConfString("spark.sql.orc.compression.codec", "snappy")),
             writeSchema)
       case _ =>
+        // table-level parquet tuning (reference TableProperties):
+        // write.parquet.compression-codec, row-group size, bloom filters
+        val props = table.meta.properties
+        val codec = props.getOrElse("write.parquet.compression-codec",
+          spark.sessionState.conf
+            .getConfString("spark.sql.parquet.compression.codec", "snappy"))
+        props.get("write.parquet.row-group-size-bytes")
+          .foreach(job.getConfiguration.set("parquet.block.size", _))
+        props.get("write.parquet.page-size-bytes")
+          .foreach(job.getConfiguration.set("parquet.page.size", _))
+        // write.parquet.bloom-filter-enabled.column.<col> = true
+        props.collect {
+          case (k, v) if k.startsWith("write.parquet.bloom-filter-enabled.column.") =>
+            job.getConfiguration.set("parquet.bloom.filter.enabled#" +
+              k.stripPrefix("write.parquet.bloom-filter-enabled.column."), v)
+        }
         new ParquetFileFormat().prepareWrite(spark, job,
-          Map("compression" -> spark.sessionState.conf
-            .getConfString("spark.sql.parquet.compression.codec", "snappy")),
-          writeSchema)
+          Map("compression" -> codec), writeSchema)
     }
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
