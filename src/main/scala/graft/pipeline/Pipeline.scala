@@ -448,5 +448,90 @@ object Pipeline {
       FROM documents d JOIN ch ON ch.doc_id = d.doc_id
       GROUP BY d.doc_id, d.text ORDER BY d.doc_id"""))
 
-  val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
+  // ---------------------------------------------------------------- p13
+  // IVF-style ANN: coarse-quantize vectors into inverted lists keyed by
+  // their nearest of 16 fixed centroids (the first 16 vectors); queries
+  // probe the 2 nearest lists and brute-force only those candidates.
+  // At 100 TB the assignment is one broadcast join (centroids are tiny)
+  // and candidate generation is a hash equi-join on the list id — never
+  // an all-pairs product.
+  private val p13 = Q(
+    "p13_ann_ivf",
+    (s, dir) => {
+      val e = embNorm(s, dir)
+      val cents = e.filter(col("vec_id") < 16).toDF("cid", "cv", "cn")
+      // rank lists per vector by centroid cosine (broadcast 16 centroids)
+      val ranked = e.join(broadcast(cents), col("vec_id") =!= lit(-1))
+        .withColumn("ccos",
+          expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (nrm * cn)"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      val lists = ranked.filter(col("crank") === 1)
+        .select(col("vec_id").as("nid"), col("cid").as("list"),
+          col("v").as("v2"), col("nrm").as("n2"))
+      val probes = ranked.filter(col("vec_id") < 30 && col("crank") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("plist"),
+          col("v").as("v1"), col("nrm").as("n1"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      probes.join(lists, col("plist") === col("list") && col("qid") =!= col("nid"))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid")
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH $sqlEmb,
+      cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM e WHERE vec_id < 16),
+      ranked AS (
+        SELECT e.vec_id, c.cid,
+          CAST(ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            (list_sum(list_transform(list_zip(e.embedding, c.cv),
+              t -> CAST(t[1] AS DOUBLE) * t[2])) / (e.nrm * c.cn)) DESC,
+            c.cid ASC) AS INT) AS crank
+        FROM e CROSS JOIN cents c),
+      lists AS (SELECT vec_id AS nid, cid AS list FROM ranked WHERE crank = 1),
+      probes AS (SELECT vec_id AS qid, cid AS plist FROM ranked
+                 WHERE vec_id < 30 AND crank <= 2),
+      scored AS (SELECT p.qid, l.nid, $sqlCos AS cos
+                 FROM probes p JOIN lists l ON p.plist = l.list AND p.qid <> l.nid
+                 JOIN e a ON a.vec_id = p.qid
+                 JOIN e b ON b.vec_id = l.nid)
+      SELECT qid, rank, nid FROM (
+        SELECT qid, nid,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank
+        FROM scored
+      ) WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  // ---------------------------------------------------------------- p14
+  // Text chunking for training pipelines: fixed 32-token windows with
+  // stride 24 (8-token overlap), one output row per chunk. Pure
+  // tokenize→explode→slice inside one codegen stage — no shuffle at all
+  // until the (optional) downstream sort.
+  private val p14 = Q(
+    "p14_text_chunk",
+    (s, dir) => {
+      tok(s, dir)
+        .withColumn("nw", size(col("ws")))
+        .filter(col("nw") > 0)
+        .select(col("doc_id"), col("ws"), col("nw"),
+          posexplode(expr("sequence(0, cast(floor((nw - 1) / 24) as int))"))
+            .as(Seq("chunk_idx", "ci")))
+        .withColumn("n_tok", least(lit(32), col("nw") - col("ci") * 24))
+        .withColumn("chunk",
+          concat_ws(" ", expr("slice(ws, ci * 24 + 1, 32)")))
+        .select("doc_id", "chunk_idx", "n_tok", "chunk")
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""
+      WITH $sqlTok,
+      t2 AS (SELECT doc_id, ws, len(ws) AS nw FROM tok WHERE len(ws) > 0)
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        CAST(LEAST(32, nw - i * 24) AS INT) AS n_tok,
+        array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk
+      FROM t2, unnest(generate_series(0, CAST(floor((nw - 1) / 24) AS BIGINT))) g(i)
+      ORDER BY doc_id, chunk_idx"""))
+
+  val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
+    p10, p11, p12, p13, p14)
 }
