@@ -88,7 +88,8 @@ object SnapshotRefType {
 }
 final case class SnapshotRef(snapshotId: Long, refType: String,
     minSnapshotsToKeep: Option[Int] = None,
-    maxSnapshotAgeMs: Option[Long] = None)
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None)
 
 final case class SortField(sourceId: Int, transform: Transform,
     ascending: Boolean = true, nullsFirst: Boolean = true)

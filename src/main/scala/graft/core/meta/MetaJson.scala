@@ -287,6 +287,7 @@ object MetaJson {
       ro.put("snapshot-id", r.snapshotId).put("type", r.refType)
       r.minSnapshotsToKeep.foreach(ro.put("min-snapshots-to-keep", _))
       r.maxSnapshotAgeMs.foreach(ro.put("max-snapshot-age-ms", _))
+      r.maxRefAgeMs.foreach(ro.put("max-ref-age-ms", _))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
@@ -327,7 +328,8 @@ object MetaJson {
       val r = e.getValue
       refs += e.getKey -> SnapshotRef(r.get("snapshot-id").asLong(), r.get("type").asText(),
         Option(r.get("min-snapshots-to-keep")).map(_.asInt()),
-        Option(r.get("max-snapshot-age-ms")).map(_.asLong()))
+        Option(r.get("max-snapshot-age-ms")).map(_.asLong()),
+        Option(r.get("max-ref-age-ms")).map(_.asLong()))
     }
     TableMetadata(
       n.get("format-version").asInt(), n.get("table-uuid").asText(),

@@ -293,14 +293,35 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val t = loadTable(input.getUTF8String(0).toString)
       val olderThan = input.getLong(1)
       val retainLast = input.getInt(2)
+      val now = System.currentTimeMillis()
+      // retire refs past their max-ref-age first (reference RemoveSnapshots
+      // ref expiry; age measured from the head snapshot's commit time)
+      val agedOut = t.meta.refs.collect {
+        case (name, r) if name != "main" && r.maxRefAgeMs.exists(a =>
+          t.meta.snapshotById(r.snapshotId).exists(_.timestampMs < now - a)) => name
+      }.toSet
+      if (agedOut.nonEmpty)
+        t.commitUpdate(base => base.copy(refs = base.refs -- agedOut))
       val m = t.meta
       val referenced = m.refs.values.map(_.snapshotId).toSet ++
         m.currentSnapshotId.toSet
       val byTime = m.snapshots.sortBy(_.timestampMs)
       val keepLast = byTime.takeRight(retainLast).map(_.snapshotId).toSet
+      // per-branch retention: each branch protects its last
+      // min-snapshots-to-keep ancestors plus ancestors younger than
+      // max-snapshot-age-ms (reference branch snapshot retention)
+      val branchKeep = m.refs.collect {
+        case (name, r) if r.refType == SnapshotRefType.Branch =>
+          val anc = m.ancestry(name)
+          val latest = anc.sortBy(-_.sequenceNumber)
+          val byCount = latest.take(r.minSnapshotsToKeep.getOrElse(1)).map(_.snapshotId)
+          val byAge = r.maxSnapshotAgeMs.toSeq.flatMap(a =>
+            anc.filter(_.timestampMs >= now - a).map(_.snapshotId))
+          byCount ++ byAge
+      }.flatten.toSet
       val (kept, expired) = m.snapshots.partition(sn =>
         referenced(sn.snapshotId) || keepLast(sn.snapshotId) ||
-          sn.timestampMs >= olderThan)
+          branchKeep(sn.snapshotId) || sn.timestampMs >= olderThan)
       if (expired.isEmpty) {
         out(StructType(Seq(StructField("deleted_snapshots", IntegerType),
           StructField("deleted_files", IntegerType))), row(0, 0))

@@ -69,7 +69,17 @@ object GraftDdl {
     """(?is)WRITE\s+DISTRIBUTED\s+BY\s+PARTITION(?:\s+LOCALLY\s+ORDERED\s+BY\s+(.+?))?""".r
   private val WriteUnordered = """(?is)WRITE\s+UNORDERED""".r
   private val CreateRef =
-    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?(?:\s+RETAIN\b.*|\s+WITH\s+SNAPSHOT\s+RETENTION\b.*)?""".r
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?((?:\s+RETAIN\b|\s+WITH\s+SNAPSHOT\s+RETENTION\b).*)?""".r
+  private val RetainClause = """(?is).*RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES).*""".r
+  private val KeepSnapshots = """(?is).*SNAPSHOT\s+RETENTION\s+(\d+)\s+SNAPSHOTS.*""".r
+  private val KeepSnapshotAge =
+    """(?is).*SNAPSHOT\s+RETENTION\s+(?:\d+\s+SNAPSHOTS\s+)?(\d+)\s+(DAYS|HOURS|MINUTES).*""".r
+
+  private def toMs(n: String, unit: String): Long = unit.toUpperCase match {
+    case "DAYS"    => n.toLong * 24 * 3600 * 1000
+    case "HOURS"   => n.toLong * 3600 * 1000
+    case _         => n.toLong * 60 * 1000
+  }
   private val DropRef =
     """(?is)DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)""".r
 
@@ -120,9 +130,26 @@ object GraftDdl {
             Seq("hash", Option(order).map(_.trim).getOrElse(""))))
         case WriteUnordered() =>
           Some(GraftDdlCommand(table, "write_ordered", Seq("none", "")))
-        case CreateRef(kind, name, ver) =>
+        case CreateRef(kind, name, ver, tail0) =>
+          // grammar: [RETAIN n UNIT] [WITH SNAPSHOT RETENTION n SNAPSHOTS [n UNIT]]
+          val tail = Option(tail0).getOrElse("")
+          val splitAt = tail.toUpperCase.indexOf("WITH SNAPSHOT RETENTION")
+          val (refPart, snapPart) =
+            if (splitAt < 0) (tail, "") else tail.splitAt(splitAt)
+          val maxRefAge = refPart match {
+            case RetainClause(n, u) => toMs(n, u).toString
+            case _                  => ""
+          }
+          val minKeep = snapPart match {
+            case KeepSnapshots(n) => n
+            case _                => ""
+          }
+          val maxSnapAge = snapPart match {
+            case KeepSnapshotAge(n, u) => toMs(n, u).toString
+            case _                     => ""
+          }
           Some(GraftDdlCommand(table, s"create_${kind.toLowerCase}",
-            Seq(name, Option(ver).getOrElse("-1"))))
+            Seq(name, Option(ver).getOrElse("-1"), maxRefAge, minKeep, maxSnapAge)))
         case DropRef(_, name) =>
           Some(GraftDdlCommand(table, "drop_ref", Seq(name)))
         case _ => None
@@ -186,6 +213,26 @@ final case class GraftDdlCommand(table: String, action: String, args: Seq[String
         call("drop_identifier_fields", Array(s(tbl)))
       case "create_branch" | "create_tag" =>
         call(action, Array(s(tbl), s(args(0)), java.lang.Long.valueOf(args(1).toLong)))
+        // retention clauses update the ref in place
+        val (maxRefAge, minKeep, maxSnapAge) =
+          (args.lift(2).filter(_.nonEmpty).map(_.toLong),
+            args.lift(3).filter(_.nonEmpty).map(_.toInt),
+            args.lift(4).filter(_.nonEmpty).map(_.toLong))
+        if (maxRefAge.isDefined || minKeep.isDefined || maxSnapAge.isDefined) {
+          val parts = tbl.split("\\.").toSeq
+          val (ns, name) = if (parts.length >= 2) (parts.init, parts.last)
+                           else (Seq("db"), parts.head)
+          val t = core.loadTable(ns, name).get
+          t.commitUpdate { base =>
+            base.refs.get(args(0)) match {
+              case Some(r) => base.copy(refs = base.refs.updated(args(0),
+                r.copy(minSnapshotsToKeep = minKeep.orElse(r.minSnapshotsToKeep),
+                  maxSnapshotAgeMs = maxSnapAge.orElse(r.maxSnapshotAgeMs),
+                  maxRefAgeMs = maxRefAge.orElse(r.maxRefAgeMs))))
+              case None => base
+            }
+          }
+        }
       case "drop_ref" =>
         call("drop_ref", Array(s(tbl), s(args(0))))
       case "write_ordered" =>

@@ -1079,6 +1079,31 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql === viaScan)
   }
 
+  test("branch/tag retention: DDL stores policy, expire honors it") {
+    spark.sql("CREATE TABLE graft.db.reten (id BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.db.reten VALUES ($i)"))
+    spark.sql("""ALTER TABLE graft.db.reten CREATE BRANCH hist
+      RETAIN 30 DAYS WITH SNAPSHOT RETENTION 3 SNAPSHOTS 10 DAYS""")
+    val r = coreTable("reten").meta.refs("hist")
+    assert(r.maxRefAgeMs.contains(30L * 24 * 3600 * 1000), r)
+    assert(r.minSnapshotsToKeep.contains(3), r)
+    assert(r.maxSnapshotAgeMs.contains(10L * 24 * 3600 * 1000), r)
+    // aggressive expire: ALL snapshots qualify by time, but the branch's
+    // 3-ancestor minimum plus main's head must survive
+    spark.sql(
+      s"CALL graft.system.expire_snapshots('db.reten', ${System.currentTimeMillis + 1000}, 1)")
+    val left = coreTable("reten").meta.snapshots.map(_.snapshotId).toSet
+    assert(left.size >= 3, s"expected >=3 kept, got ${left.size}")
+    val anc = coreTable("reten").meta.ancestry("hist").map(_.snapshotId)
+    assert(anc.take(3).forall(left), "branch retention violated")
+    // tag with short RETAIN ages out on expire
+    spark.sql("ALTER TABLE graft.db.reten CREATE TAG old RETAIN 0 MINUTES")
+    Thread.sleep(5)
+    spark.sql(
+      s"CALL graft.system.expire_snapshots('db.reten', 0, ${left.size})")
+    assert(!coreTable("reten").meta.refs.contains("old"), "aged-out tag kept")
+  }
+
   test("column default values: initial-default on old files, current on insert") {
     spark.sql("CREATE TABLE graft.db.dflt (id BIGINT, v STRING DEFAULT 'seed')")
     spark.sql("INSERT INTO graft.db.dflt (id) VALUES (1)")
