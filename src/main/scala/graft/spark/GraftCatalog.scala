@@ -55,6 +55,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def loadMetadataTable(ident: Identifier): Option[Table] = {
     val kind = ident.name.toLowerCase
     if (ident.namespace.isEmpty) None
+    else if (kind.startsWith("branch_") || kind.startsWith("tag_")) {
+      // `t.branch_x` / `t.tag_x` ref-pinned reads (reference
+      // SparkCatalog ref-aware identifiers); branch pins also take writes
+      val isTag = kind.startsWith("tag_")
+      val refName = ident.name.substring(if (isTag) 4 else 7)
+      catalog.loadTable(ident.namespace.init.toSeq, ident.namespace.last)
+        .filter(_.meta.refs.contains(refName))
+        .map(t => new GraftSparkTable(t, fullName(ident),
+          refPin = Some((refName, isTag))))
+    }
     else if (kind == "changes")
       catalog.loadTable(ident.namespace.init.toSeq, ident.namespace.last)
         .map(t => new GraftChangesTable(t, fullName(ident)))

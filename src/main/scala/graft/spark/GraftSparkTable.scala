@@ -29,7 +29,10 @@ import graft.core.types._
   * Writes: fanout partitioned parquet + snapshot commit.
   */
 class GraftSparkTable(val table: GTable, fullName: String,
-    snapshotId: Option[Long] = None)
+    snapshotId: Option[Long] = None,
+    // `t.branch_x` / `t.tag_x` identifier pin: (ref name, isTag). Branch
+    // pins route reads AND writes to the branch; tag pins are read-only.
+    refPin: Option[(String, Boolean)] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -76,7 +79,7 @@ class GraftSparkTable(val table: GTable, fullName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val snapId = Option(options.get("snapshot-id")).map(_.toLong).orElse(snapshotId)
-    val branch = Option(options.get("branch"))
+    val branch = Option(options.get("branch")).orElse(refPin.map(_._1))
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong)
     val maxFiles = Option(options.get("max-files-per-micro-batch")).map(_.toInt)
     val maxRecords = Option(options.get("max-records-per-micro-batch")).map(_.toLong)
@@ -86,8 +89,12 @@ class GraftSparkTable(val table: GTable, fullName: String,
       incremental = incremental, streamMaxRecords = maxRecords)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table, info)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refPin.foreach { case (name, isTag) =>
+      require(!isTag, s"cannot write to a tag: $name")
+    }
+    new GraftWriteBuilder(table, info, defaultBranch = refPin.map(_._1))
+  }
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)

@@ -27,7 +27,8 @@ import graft.core.types._
   * the driver commits them as one atomic snapshot (append / overwrite /
   * dynamic partition replace).
   */
-class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo)
+class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo,
+    defaultBranch: Option[String] = None)
   extends WriteBuilder with SupportsTruncate with SupportsOverwriteV2
   with SupportsDynamicOverwrite {
 
@@ -56,6 +57,7 @@ class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo)
     // branch routing: explicit write option, else the session's WAP branch
     // (write-audit-publish: stage on a branch, audit, fast_forward main)
     val branch = Option(info.options.get("branch"))
+      .orElse(defaultBranch)
       .orElse(WapBranch.resolve()).getOrElse("main")
     new GraftWrite(table, tableSchema, mode, info.queryId(), branch)
   }

@@ -1079,6 +1079,28 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql === viaScan)
   }
 
+  test("branch_/tag_ identifiers: ref-pinned reads, branch writes") {
+    spark.sql("CREATE TABLE graft.db.refid (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.refid VALUES (1), (2)")
+    spark.sql("ALTER TABLE graft.db.refid CREATE BRANCH dev")
+    spark.sql("ALTER TABLE graft.db.refid CREATE TAG v1")
+    spark.sql("INSERT INTO graft.db.refid VALUES (3)") // main only
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid").collect()(0).getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid.branch_dev")
+      .collect()(0).getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid.tag_v1")
+      .collect()(0).getLong(0) === 2L)
+    // writes to a branch identifier land on the branch, not main
+    spark.sql("INSERT INTO graft.db.refid.branch_dev VALUES (10), (11)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid.branch_dev")
+      .collect()(0).getLong(0) === 4L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid").collect()(0).getLong(0) === 3L)
+    // tags are read-only
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.refid.tag_v1 VALUES (99)")
+    }
+  }
+
   test("branch/tag retention: DDL stores policy, expire honors it") {
     spark.sql("CREATE TABLE graft.db.reten (id BIGINT)")
     (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.db.reten VALUES ($i)"))
