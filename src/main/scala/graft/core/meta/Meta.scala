@@ -31,7 +31,9 @@ final case class DataFile(
     // delete-file-only fields
     equalityIds: Seq[Int] = Nil,
     // path of the single data file a position-delete file targets, if known
-    referencedDataFile: Option[String] = None) {
+    referencedDataFile: Option[String] = None,
+    // v3 row lineage: _row_id of this file's first row (data files only)
+    firstRowId: Option[Long] = None) {
   def fileStats: FileStats = FileStats(recordCount, columnStats)
   def isDeleteFile: Boolean = content != FileContent.Data
 }
@@ -80,7 +82,9 @@ final case class Snapshot(
     timestampMs: Long,
     operation: String, // append | replace | overwrite | delete
     manifestListPath: String,
-    summary: Map[String, String] = Map.empty)
+    summary: Map[String, String] = Map.empty,
+    // v3 row lineage: first row id allocated to files added by this snapshot
+    firstRowId: Option[Long] = None)
 
 object SnapshotRefType {
   val Branch = "branch"
@@ -114,7 +118,9 @@ final case class TableMetadata(
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
-    refs: Map[String, SnapshotRef]) {
+    refs: Map[String, SnapshotRef],
+    // v3 row lineage: next unassigned _row_id
+    nextRowId: Long = 0L) {
 
   def schema: GSchema = schemas.find(_.schemaId == currentSchemaId).get
   def spec: graft.core.expr.PartitionSpec = specs.find(_.specId == defaultSpecId).get
@@ -190,5 +196,6 @@ object TableMetadata {
       currentSnapshotId = None,
       snapshots = Nil,
       snapshotLog = Nil,
-      refs = Map.empty)
+      refs = Map.empty,
+      nextRowId = 0L)
 }

@@ -181,6 +181,7 @@ object MetaJson {
       val eq = o.putArray("equality-ids"); f.equalityIds.foreach(eq.add)
     }
     f.referencedDataFile.foreach(o.put("ref-data-file", _))
+    f.firstRowId.foreach(o.put("first-row-id", _))
     o
   }
 
@@ -193,7 +194,8 @@ object MetaJson {
       n.get("path").asText(), n.get("format").asText(), n.get("spec-id").asInt(),
       pt.result(), n.get("records").asLong(), n.get("size").asLong(),
       readStats(n.get("stats")), n.get("content").asInt(), eq.result(),
-      Option(n.get("ref-data-file")).map(_.asText()))
+      Option(n.get("ref-data-file")).map(_.asText()),
+      Option(n.get("first-row-id")).map(_.asLong()))
   }
 
   def writeEntry(e: ManifestEntry): String = {
@@ -250,6 +252,7 @@ object MetaJson {
       .put("current-schema-id", m.currentSchemaId)
       .put("default-spec-id", m.defaultSpecId).put("last-partition-id", m.lastPartitionId)
       .put("default-sort-order-id", m.defaultSortOrderId)
+      .put("next-row-id", m.nextRowId)
     m.currentSnapshotId.foreach(o.put("current-snapshot-id", _))
     val schemas = o.putArray("schemas")
     m.schemas.foreach(s => schemas.add(writeSchema(s)))
@@ -274,6 +277,7 @@ object MetaJson {
         .put("timestamp-ms", s.timestampMs).put("operation", s.operation)
         .put("manifest-list", s.manifestListPath)
       s.parentId.foreach(so.put("parent-snapshot-id", _))
+      s.firstRowId.foreach(so.put("first-row-id", _))
       val sum = so.putObject("summary")
       s.summary.foreach { case (k, v) => sum.put(k, v) }
     }
@@ -317,7 +321,8 @@ object MetaJson {
       snaps += Snapshot(so.get("snapshot-id").asLong(),
         Option(so.get("parent-snapshot-id")).map(_.asLong()),
         so.get("sequence-number").asLong(), so.get("timestamp-ms").asLong(),
-        so.get("operation").asText(), so.get("manifest-list").asText(), sum.result())
+        so.get("operation").asText(), so.get("manifest-list").asText(), sum.result(),
+        Option(so.get("first-row-id")).map(_.asLong()))
     }
     val log = Seq.newBuilder[(Long, Long)]
     n.get("snapshot-log").elements().forEachRemaining { e =>
@@ -341,6 +346,7 @@ object MetaJson {
       n.get("default-sort-order-id").asInt(), orders.result(),
       props.result(),
       Option(n.get("current-snapshot-id")).map(_.asLong()),
-      snaps.result(), log.result(), refs.result())
+      snaps.result(), log.result(), refs.result(),
+      Option(n.get("next-row-id")).map(_.asLong()).getOrElse(0L))
   }
 }

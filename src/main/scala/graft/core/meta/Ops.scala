@@ -247,6 +247,21 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
   private var stagedOnly = false
   def stageOnly(): this.type = { stagedOnly = true; this }
 
+  // v3 row lineage: newly added data files get sequential _row_id ranges
+  // from the table's next-row-id counter. Files that already carry a
+  // first-row-id (cherry-picked appends) keep it — same rows, same ids.
+  private var allocatedRows = 0L
+  protected def assignRowIds(base: TableMetadata, files: Seq[DataFile]): Seq[DataFile] = {
+    var next = base.nextRowId + allocatedRows
+    val out = files.map { f =>
+      if (f.content == FileContent.Data && f.firstRowId.isEmpty) {
+        val withId = f.copy(firstRowId = Some(next)); next += f.recordCount; withId
+      } else f
+    }
+    allocatedRows = next - base.nextRowId
+    out
+  }
+
   def commit(): Snapshot = {
     var attempts = 0
     while (attempts < 10) {
@@ -255,15 +270,18 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       validate(base)
       val snapshotId = math.abs(java.util.UUID.randomUUID.getMostSignificantBits)
       val seq = base.lastSequenceNumber + 1
+      allocatedRows = 0L
       val ms = manifests(base, snapshotId, seq)
       val listPath = table.ops.newManifestListPath(snapshotId)
       ManifestIO.writeList(listPath, ms)
       val parent = parentSnapshot(base).map(_.snapshotId)
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
-        operation, listPath, summary(base) ++ extraSummary)
-      val updated =
+        operation, listPath, summary(base) ++ extraSummary,
+        firstRowId = if (allocatedRows > 0) Some(base.nextRowId) else None)
+      val updated0 =
         if (stagedOnly) base.withStagedSnapshot(snap)
         else base.withSnapshot(snap, branch)
+      val updated = updated0.copy(nextRowId = base.nextRowId + allocatedRows)
       if (table.ops.commit(baseVersion, updated)) {
         table.refresh()
         return snap
@@ -286,7 +304,7 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
 
   override protected def manifests(base: TableMetadata, snapshotId: Long,
       seq: Long): Seq[ManifestFile] = {
-    val added = files.result()
+    val added = assignRowIds(base, files.result())
     if (added.isEmpty) return parentManifests(base)
     val entries = added.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
     val spec = base.specById(added.head.specId)
@@ -417,7 +435,7 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
     if (missing.nonEmpty)
       throw new CommitConflictException(
         s"files to replace no longer live (concurrent rewrite?): ${missing.take(3).mkString(", ")}")
-    val addedFiles = added.result()
+    val addedFiles = assignRowIds(base, added.result())
     if (addedFiles.isEmpty) kept
     else {
       // data and delete files go to separate manifests (content 0 vs 1) —
@@ -476,7 +494,7 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
       ms = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
         1, spec, schema, snapshotId) +: ms
     }
-    val datas = dataFiles.result()
+    val datas = assignRowIds(base, dataFiles.result())
     if (datas.nonEmpty) {
       val spec = base.specById(datas.head.specId)
       val entries = datas.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))

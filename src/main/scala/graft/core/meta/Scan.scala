@@ -10,7 +10,10 @@ final case class FileScanTask(
     start: Long,
     length: Long,
     residual: Expr,
-    deletes: Seq[DataFile])
+    deletes: Seq[DataFile],
+    // sequence number the file was added at (row lineage
+    // _last_updated_sequence_number for unmodified rows)
+    dataSequenceNumber: Long = 0L)
 
 /** Matches delete files to data files by partition + sequence number
   * (reference DeleteFileIndex.java). Position deletes apply when
@@ -78,7 +81,8 @@ object TableScan {
         val residual = Projections.residual(spec, ctx.schema, ctx.bound, partRow)
         if (residual == FalseE) None
         else Some(FileScanTask(e.file, 0L, e.file.fileSizeBytes, residual,
-          ctx.deleteIndex.forDataFile(e.dataSequenceNumber, e.file)))
+          ctx.deleteIndex.forDataFile(e.dataSequenceNumber, e.file),
+          e.dataSequenceNumber))
       }
     }
   }

@@ -51,7 +51,9 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val base = Array(
       mc(MetaFileCol, org.apache.spark.sql.types.StringType),
       mc(MetaPosCol, org.apache.spark.sql.types.LongType),
-      mc(MetaSpecIdCol, org.apache.spark.sql.types.IntegerType))
+      mc(MetaSpecIdCol, org.apache.spark.sql.types.IntegerType),
+      mc(MetaRowIdCol, org.apache.spark.sql.types.LongType, nullable = true),
+      mc(MetaSeqCol, org.apache.spark.sql.types.LongType, nullable = true))
     // _partition: the default spec's partition tuple (null for files of
     // other specs) — lets MoR deletes fan out per partition
     if (table.spec.fields.isEmpty) base
@@ -136,8 +138,12 @@ object GraftSparkTable {
   val MetaPosCol = "_pos"
   val MetaSpecIdCol = "_spec_id"
   val MetaPartitionCol = "_partition"
+  // v3 row lineage (reference MetadataColumns ROW_ID / LAST_UPDATED_SEQ)
+  val MetaRowIdCol = "_row_id"
+  val MetaSeqCol = "_last_updated_sequence_number"
   private val MetaColNames =
-    Set(MetaFileCol, MetaPosCol, MetaSpecIdCol, MetaPartitionCol)
+    Set(MetaFileCol, MetaPosCol, MetaSpecIdCol, MetaPartitionCol,
+      MetaRowIdCol, MetaSeqCol)
 
   /** Spark struct type of a spec's partition tuple. */
   def partitionStructType(spec: graft.core.expr.PartitionSpec,
@@ -179,7 +185,10 @@ object GraftSparkTable {
       fileFormat: String = "parquet",
       // for _spec_id/_partition metadata columns (internal-rep values)
       specId: Int = 0,
-      partition: Seq[Any] = Nil) {
+      partition: Seq[Any] = Nil,
+      // row lineage: _row_id base + the file's data sequence number
+      firstRowId: Option[Long] = None,
+      dataSeq: Long = 0L) {
     def nameBased: Boolean = fileFormat != "parquet"
   }
 
@@ -625,7 +634,8 @@ object GraftSparkTable {
         math.max(4L * 1024 * 1024, totalBytes / math.max(1, parallelism)))
       // split oversized files at target boundaries — safe only when the
       // reader honors (start, length): no delete masking, no _pos
-      val needPos = required.fieldNames.contains(MetaPosCol)
+      val needPos = required.fieldNames.contains(MetaPosCol) ||
+        required.fieldNames.contains(MetaRowIdCol)
       val split = all.flatMap { t =>
         if (t.length <= target || t.deletes.nonEmpty || needPos) Seq(t)
         else (0L until t.length by target).map(off =>
@@ -656,7 +666,8 @@ object GraftSparkTable {
       TaskDesc(t.file.path, t.start, t.length, pos.map(_.path).toArray,
         eq.map(d => EqDeleteDesc(d.path, d.equalityIds.toArray)).toArray,
         fileFormat = t.file.format,
-        specId = t.file.specId, partition = t.file.partition)
+        specId = t.file.specId, partition = t.file.partition,
+        firstRowId = t.file.firstRowId, dataSeq = t.dataSequenceNumber)
     }
 
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -953,7 +964,7 @@ object GraftSparkTable {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val tasks = partition.asInstanceOf[GraftInputPartition].tasks
-      val needPos = metaCols.contains(MetaPosCol)
+      val needPos = metaCols.contains(MetaPosCol) || metaCols.contains(MetaRowIdCol)
       val it: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
         // one reusable metadata suffix row per task (_file, _spec_id and
         // _partition are constant; _pos is set per row)
@@ -962,6 +973,7 @@ object GraftSparkTable {
           case (MetaFileCol, i) =>
             metaRow.update(i, org.apache.spark.unsafe.types.UTF8String.fromString(t.path))
           case (MetaSpecIdCol, i) => metaRow.update(i, t.specId)
+          case (MetaSeqCol, i)    => metaRow.update(i, t.dataSeq)
           case (MetaPartitionCol, i) =>
             // only meaningful for files of the default spec; older specs
             // read as null (callers fall back to partition-less handling)
@@ -984,6 +996,10 @@ object GraftSparkTable {
           else {
             metaCols.zipWithIndex.foreach {
               case (MetaPosCol, i) => metaRow.setLong(i, pos)
+              case (MetaRowIdCol, i) =>
+                // null for files without an assigned range (pre-lineage
+                // metadata or compaction rewrites)
+                metaRow.update(i, t.firstRowId.map(f => (f + pos): java.lang.Long).orNull)
               case _               => ()
             }
             joined(row, metaRow)

@@ -1079,6 +1079,27 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql === viaScan)
   }
 
+  test("row lineage: _row_id / _last_updated_sequence_number metadata columns") {
+    spark.sql("""CREATE TABLE graft.db.lineage (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.db.lineage VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.lineage VALUES (3, 'c')")
+    val rows = spark.sql(
+      "SELECT id, _row_id, _last_updated_sequence_number FROM graft.db.lineage ORDER BY _row_id")
+      .collect()
+    // row ids are dense and unique across both appends
+    assert(rows.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    // second append has a higher sequence number
+    assert(rows.last.getLong(2) > rows.head.getLong(2))
+    // MoR delete does NOT rewrite files: surviving rows keep their _row_id
+    spark.sql("DELETE FROM graft.db.lineage WHERE id = 1")
+    val after = spark.sql("SELECT id, _row_id FROM graft.db.lineage ORDER BY _row_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after === Seq((2L, 1L), (3L, 2L)), after)
+    // next-row-id persisted in table metadata
+    assert(coreTable("lineage").meta.nextRowId === 3L)
+  }
+
   test("branch_/tag_ identifiers: ref-pinned reads, branch writes") {
     spark.sql("CREATE TABLE graft.db.refid (id BIGINT)")
     spark.sql("INSERT INTO graft.db.refid VALUES (1), (2)")
