@@ -30,12 +30,12 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v6").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v7").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
-        "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g")
+        "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
 
@@ -207,8 +207,18 @@ object Engine {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
         .writeTo("graft.db.orc_g").append()
 
+      // column defaults: evens inserted BEFORE the defaulted column exists
+      // (read initial-default), odds carry explicit values
+      s.sql("""CREATE TABLE graft.db.dflt_g (o_orderkey BIGINT, o_totalprice DOUBLE)""")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice").writeTo("graft.db.dflt_g").append()
+      s.sql("ALTER TABLE graft.db.dflt_g ADD COLUMN prio STRING DEFAULT 'unassigned'")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority").as("prio"))
+        .writeTo("graft.db.dflt_g").append()
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v6" -> "true"))
+        .updateProperties(Map("build-complete-v7" -> "true"))
     }
     built += wh
   }
@@ -544,6 +554,22 @@ object Engine {
         MAX(c_name) AS max_name
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  // ------------------------------------------------------------------ g22
+  private val g22 = Q(
+    "g22_engine_column_defaults",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.dflt_g")
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_e2"))
+        .orderBy("prio")
+    },
+    Some("""
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'unassigned' ELSE o_orderpriority END AS prio,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM orders GROUP BY 1 ORDER BY prio"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
-    g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21)
+    g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22)
 }
