@@ -176,13 +176,27 @@ final class GraftStreamingWrite(table: GTable, queryId: String,
       .flatMap(_.summary.get("streaming-epoch-id").flatMap(_.toLongOption))
       .maxOption
     if (lastCommitted.exists(_ >= epochId)) return // replayed epoch: no-op
-    val files = messages.filter(_ != null)
-      .flatMap(_.asInstanceOf[GraftCommitMessage].files).toSeq
+    val msgs = messages.filter(_ != null)
+    val dataFiles = msgs.flatMap {
+      case m: GraftCommitMessage      => m.files
+      case m: GraftDeltaCommitMessage => m.dataFiles
+    }.toSeq
+    val eqDeletes = msgs.collect {
+      case m: GraftDeltaCommitMessage => m.deleteFiles
+    }.flatten.toSeq
     if (truncateFirst) {
       table.newOverwrite().overwriteByRowFilter(graft.core.expr.TrueE)
-        .addFiles(files).commit()
+        .addFiles(dataFiles).commit()
+    } else if (eqDeletes.nonEmpty) {
+      // streaming upsert: new rows + equality deletes of the epoch's keys
+      val rd = table.newRowDelta()
+      dataFiles.foreach(rd.addRows)
+      eqDeletes.foreach(rd.addDeletes)
+      rd.set("streaming-query-id", queryId)
+        .set("streaming-epoch-id", epochId.toString)
+        .commit()
     } else {
-      table.newAppend().appendFiles(files)
+      table.newAppend().appendFiles(dataFiles)
         .set("streaming-query-id", queryId)
         .set("streaming-epoch-id", epochId.toString)
         .commit()

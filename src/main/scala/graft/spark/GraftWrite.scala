@@ -173,10 +173,27 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
       case OverwriteMode(TrueE) => true // Complete output mode
       case _                    => false
     }
-    new GraftStreamingWrite(table, queryId,
-      info => new GraftBatchWrite(table, writeSchema, AppendMode)
-        .createBatchWriterFactory(info),
-      truncateEachEpoch)
+    // streaming UPSERT (Flink-CDC parity; write.upsert.enabled + identifier
+    // fields): each epoch commits new rows PLUS an equality-delete file of
+    // the batch's keys — prior versions of those keys disappear (equality
+    // deletes apply only to files with a lower sequence number, so the
+    // same epoch's rows are unaffected)
+    val upsert = !truncateEachEpoch &&
+      table.meta.properties.get("write.upsert.enabled").contains("true")
+    val factory: org.apache.spark.sql.connector.write.PhysicalWriteInfo =>
+        org.apache.spark.sql.connector.write.DataWriterFactory =
+      if (upsert) {
+        require(table.schema.identifierFieldIds.nonEmpty,
+          "write.upsert.enabled requires identifier fields " +
+            "(ALTER TABLE ... SET IDENTIFIER FIELDS)")
+        info => GraftUpsertWriterFactory.create(table, writeSchema,
+          new GraftBatchWrite(table, writeSchema, AppendMode)
+            .createBatchWriterFactory(info))
+      } else {
+        info => new GraftBatchWrite(table, writeSchema, AppendMode)
+          .createBatchWriterFactory(info)
+      }
+    new GraftStreamingWrite(table, queryId, factory, truncateEachEpoch)
   }
 
   override def description(): String = s"graft-write(${table.location}, $mode)"
@@ -274,6 +291,110 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
 }
 
 final case class GraftCommitMessage(files: Seq[DataFile]) extends WriterCommitMessage
+
+/** Streaming-upsert writer: tees the identifier-key tuple of every
+  * written row and emits one equality-delete file per task alongside the
+  * data files (reference: Flink upsert writers; the Spark reference has
+  * no equality-delete write path — this is the training-pipeline CDC
+  * surface). */
+object GraftUpsertWriterFactory {
+  def create(table: GTable, writeSchema: StructType,
+      inner: DataWriterFactory): GraftUpsertWriterFactory = {
+    val spark = SparkSession.active
+    val eqIds = table.schema.identifierFieldIds.toSeq.sorted
+    val eqFields = eqIds.map(id => table.schema.fields.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"identifier field $id not in schema")))
+    // identifier sub-schema WITH parquet field ids so full-schema
+    // field-id reads bind the key columns (absent columns read null)
+    val eqStruct = SparkTypes.toSparkStruct(graft.core.types.GStruct(eqFields))
+    val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+    val job = Job.getInstance(conf)
+    val owf = new ParquetFileFormat().prepareWrite(spark, job,
+      Map("compression" -> "snappy"), eqStruct)
+    val confMap = job.getConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    new GraftUpsertWriterFactory(inner, table.location, eqStruct.json,
+      confMap, eqFields.map(f => writeSchema.fieldIndex(f.name)).toArray,
+      eqIds.toArray, owf)
+  }
+}
+
+final class GraftUpsertWriterFactory(
+    inner: DataWriterFactory,
+    location: String,
+    eqSchemaJson: String,
+    confMap: Map[String, String],
+    keyPos: Array[Int],
+    eqIds: Array[Int],
+    owf: OutputWriterFactory) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftUpsertWriter(inner.createWriter(partitionId, taskId),
+      location, eqSchemaJson, confMap, keyPos, eqIds, owf, partitionId, taskId)
+}
+
+final class GraftUpsertWriter(
+    inner: DataWriter[InternalRow],
+    location: String,
+    eqSchemaJson: String,
+    confMap: Map[String, String],
+    keyPos: Array[Int],
+    eqIds: Array[Int],
+    owf: OutputWriterFactory,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val eqSchema = org.apache.spark.sql.types.DataType.fromJson(eqSchemaJson)
+    .asInstanceOf[StructType]
+  // stable (copied) key tuples, insertion-ordered and deduped
+  private val keys = mutable.LinkedHashSet.empty[Seq[Any]]
+
+  override def write(row: InternalRow): Unit = {
+    keys += keyPos.zip(eqSchema.fields).map { case (p, f) =>
+      SparkBridge.valueAt(row, p, f.dataType)
+    }.toSeq
+    inner.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = inner.commit().asInstanceOf[GraftCommitMessage]
+    if (keys.isEmpty) return GraftDeltaCommitMessage(dataMsg.files, Nil)
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val dir = s"$location/data"
+    java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
+    val path = s"$dir/eq-delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
+    val ctx = new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID("graft-eq", partitionId, TaskType.MAP, taskId.toInt), 0))
+    val w = owf.newInstance(path, eqSchema, ctx)
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyPos.length)
+    keys.foreach { key =>
+      var i = 0
+      while (i < keyPos.length) {
+        out.update(i, toInternal(key(i), eqSchema.fields(i).dataType))
+        i += 1
+      }
+      w.write(out)
+    }
+    w.close()
+    val eqFile = DataFile(path, "parquet", 0, Nil, keys.size.toLong,
+      GraftIO.size(path), Map.empty,
+      content = graft.core.meta.FileContent.EqualityDeletes,
+      equalityIds = eqIds.toSeq)
+    GraftDeltaCommitMessage(dataMsg.files, Seq(eqFile))
+  }
+
+  private def toInternal(v: Any, dt: org.apache.spark.sql.types.DataType): Any = v match {
+    case null => null
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case d: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(d)
+    case other => other
+  }
+
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
 
 final class GraftWriterFactory(
     location: String,

@@ -1079,6 +1079,33 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql === viaScan)
   }
 
+  test("streaming upsert: equality deletes replace prior key versions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("""CREATE TABLE graft.db.upsrt (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.upsert.enabled'='true')""")
+    spark.sql("ALTER TABLE graft.db.upsrt SET IDENTIFIER FIELDS id")
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toString
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("graft.db.upsrt")
+    ms.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    ms.addData((2L, "b2"), (3L, "c")) // updates key 2, inserts key 3
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT id, v FROM graft.db.upsrt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b2"), (3L, "c")), rows)
+    // the second epoch committed equality-delete files
+    val eq = coreTable("upsrt").newScan().planFiles().flatMap(_.deletes)
+      .filter(_.content == graft.core.meta.FileContent.EqualityDeletes)
+    assert(eq.nonEmpty, "no equality-delete files written")
+  }
+
   test("row lineage: _row_id / _last_updated_sequence_number metadata columns") {
     spark.sql("""CREATE TABLE graft.db.lineage (id BIGINT, v STRING)
       TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
