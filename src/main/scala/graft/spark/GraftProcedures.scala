@@ -938,9 +938,11 @@ object RewriteDataFiles {
     // replaced files) and its rows resurrected
     val scannedSnapshotId = scan.snapshot().map(_.snapshotId)
     val tasks = scan.planFiles()
-    require(tasks.flatMap(_.deletes).forall(
-      _.content == FileContent.PositionDeletes),
-      "rewrite over equality deletes not supported yet")
+    // heterogeneous equality-key sets can't share one anti-join
+    val eqIdSets = tasks.flatMap(_.deletes)
+      .filter(_.content == FileContent.EqualityDeletes).map(_.equalityIds.toSet).distinct
+    require(eqIdSets.size <= 1,
+      s"rewrite over mixed equality-delete key sets not supported: $eqIdSets")
 
     // group by partition tuple; a group qualifies if it has enough small
     // files (binpack), carries position deletes to apply, or any files at
@@ -983,26 +985,54 @@ object RewriteDataFiles {
         if (f == "orc") rdr.orc(fts.map(_.file.path): _*)
         else rdr.parquet(fts.map(_.file.path): _*)
       }.reduce(_ union _)
-      // apply pending position deletes with an anti-join on the file
-      // metadata columns (path AND position) — deletes disappear in the
+      // apply pending deletes with anti-joins on the file metadata columns
+      // — position deletes by (path, row index), equality deletes by
+      // (path, identifier key) since applicability is per data file
+      // (delete sequence > file sequence) — deletes disappear in the
       // rewrite output
-      val deleteFiles = ts.flatMap(_.deletes).distinct
+      val posFiles = ts.flatMap(_.deletes)
+        .filter(_.content == FileContent.PositionDeletes).distinct
+      val eqByFile = ts.flatMap(t => t.deletes
+          .filter(_.content == FileContent.EqualityDeletes).map(d => (d, t.file.path)))
+        .groupBy(_._1).map { case (d, ps) => (d, ps.map(_._2).distinct) }
+      val anyDeletes = posFiles.nonEmpty || eqByFile.nonEmpty
       val df1 =
-        if (deleteFiles.isEmpty) raw
+        if (!anyDeletes) raw
         else {
-          import org.apache.spark.sql.functions.{col, concat, lit}
+          import org.apache.spark.sql.functions.{array => sarray, col, concat, explode, lit}
           val withPos = raw.select(col("*"),
             col("_metadata.file_path").as("__f"),
             col("_metadata.row_index").as("__p"))
-          val dels = GraftProcedures.deleteRowsDf(spark, deleteFiles)
-            .select(concat(lit("file:"), col("file_path")).as("__df1"),
-              concat(lit("file://"), col("file_path")).as("__df2"),
-              col("file_path").as("__df3"),
-              col("pos").as("__dp"))
-          withPos.join(dels,
-            (withPos("__f") === dels("__df1") || withPos("__f") === dels("__df2") ||
-              withPos("__f") === dels("__df3")) && withPos("__p") === dels("__dp"),
-            "left_anti").drop("__f", "__p")
+          val afterPos =
+            if (posFiles.isEmpty) withPos
+            else {
+              val dels = GraftProcedures.deleteRowsDf(spark, posFiles)
+                .select(concat(lit("file:"), col("file_path")).as("__df1"),
+                  concat(lit("file://"), col("file_path")).as("__df2"),
+                  col("file_path").as("__df3"),
+                  col("pos").as("__dp"))
+              withPos.join(dels,
+                (withPos("__f") === dels("__df1") || withPos("__f") === dels("__df2") ||
+                  withPos("__f") === dels("__df3")) && withPos("__p") === dels("__dp"),
+                "left_anti")
+            }
+          val afterEq =
+            if (eqByFile.isEmpty) afterPos
+            else {
+              val fields = t.meta.schema.fields
+              val keyNames = eqByFile.keys.head.equalityIds
+                .flatMap(id => fields.find(_.id == id).map(_.name))
+              val delKeys = eqByFile.map { case (d, applies) =>
+                spark.read.parquet(d.path).select(keyNames.map(col): _*)
+                  .toDF(keyNames.map(n => s"__ek_$n"): _*)
+                  .withColumn("__ef", explode(sarray(applies.flatMap(p =>
+                    Seq(lit("file:" + p), lit("file://" + p), lit(p))): _*)))
+              }.reduce(_ unionByName _)
+              val cond = keyNames.map(n => afterPos(n) <=> delKeys(s"__ek_$n"))
+                .foldLeft(afterPos("__f") === delKeys("__ef"))(_ && _)
+              afterPos.join(delKeys, cond, "left_anti")
+            }
+          afterEq.drop("__f", "__p")
         }
       import org.apache.spark.sql.functions.{array, col => fcol, xxhash64}
       val df =

@@ -1104,6 +1104,14 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eq = coreTable("upsrt").newScan().planFiles().flatMap(_.deletes)
       .filter(_.content == graft.core.meta.FileContent.EqualityDeletes)
     assert(eq.nonEmpty, "no equality-delete files written")
+    // compaction applies the equality deletes and drops them
+    spark.sql("CALL graft.system.rewrite_data_files('db.upsrt')")
+    val eqAfter = coreTable("upsrt").newScan().planFiles().flatMap(_.deletes)
+      .filter(_.content == graft.core.meta.FileContent.EqualityDeletes)
+    assert(eqAfter.isEmpty, s"eq deletes survived compaction: ${eqAfter.map(_.path)}")
+    val rowsAfter = spark.sql("SELECT id, v FROM graft.db.upsrt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rowsAfter === Seq((1L, "a"), (2L, "b2"), (3L, "c")), rowsAfter)
   }
 
   test("row lineage: _row_id / _last_updated_sequence_number metadata columns") {
