@@ -532,6 +532,44 @@ object Pipeline {
       FROM t2, unnest(generate_series(0, CAST(floor((nw - 1) / 24) AS BIGINT))) g(i)
       ORDER BY doc_id, chunk_idx"""))
 
+  // ---------------------------------------------------------------- p15
+  // Multimodal frame sampling: treat the blob as a stream, sample fixed
+  // 64-byte frames (up to 8) and emit one row per frame with a stubbed
+  // per-frame feature — the explode shape of video/audio frame pipelines
+  // (decode itself is stubbed: no codecs in this container).
+  private val p15 = Q(
+    "p15_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, blob) =>
+            val frames = math.min(8, (blob.length + 63) / 64)
+            (0 until frames).iterator.map { f =>
+              val start = f * 64
+              val end = math.min(start + 64, blob.length)
+              var sum = 0L
+              var i = start
+              while (i < end) { sum += blob(i) & 0xff; i += 1 }
+              (id, f, (end - start).toLong, sum % 65536)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "n_bytes", "checksum")
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH ch AS (SELECT doc_id, i, ascii(substring(text, i, 1)) AS c
+                  FROM documents, unnest(generate_series(1, length(text))) g(i)
+                  WHERE i <= 512)
+      SELECT doc_id, CAST((i - 1) // 64 AS INT) AS frame_idx,
+        CAST(COUNT(*) AS BIGINT) AS n_bytes,
+        CAST(SUM(c) % 65536 AS BIGINT) AS checksum
+      FROM ch GROUP BY doc_id, (i - 1) // 64
+      ORDER BY doc_id, frame_idx"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
-    p10, p11, p12, p13, p14)
+    p10, p11, p12, p13, p14, p15)
 }
