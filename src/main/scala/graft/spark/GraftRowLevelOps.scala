@@ -20,7 +20,8 @@ import graft.core.types.SparkTypes
   * short-circuit via SupportsDeleteV2 (OptimizeMetadataOnlyDeleteFromTable).
   */
 final class GraftRowLevelOperationBuilder(table: GTable,
-    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+    info: RowLevelOperationInfo,
+    branchPin: Option[String] = None) extends RowLevelOperationBuilder {
   // per-command mode dispatch via table properties (reference
   // SparkRowLevelOperationBuilder + RowLevelOperationMode)
   override def build(): RowLevelOperation = {
@@ -32,14 +33,15 @@ final class GraftRowLevelOperationBuilder(table: GTable,
       case other          => throw new IllegalArgumentException(other.toString)
     }
     table.meta.properties.getOrElse(propKey, "copy-on-write") match {
-      case "merge-on-read" => new GraftMoROperation(table, info.command())
-      case _               => new GraftCoWOperation(table, info.command())
+      case "merge-on-read" => new GraftMoROperation(table, info.command(), branchPin)
+      case _               => new GraftCoWOperation(table, info.command(), branchPin)
     }
   }
 }
 
 final class GraftCoWOperation(table: GTable,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    branchPin: Option[String] = None) extends RowLevelOperation {
 
   // the scan instance is shared with the write: the files it planned
   // (after pushdown + runtime group filtering) are the replace set
@@ -57,7 +59,7 @@ final class GraftCoWOperation(table: GTable,
   // ignoreResiduals: the rewrite must see EVERY row of the planned files;
   // pushed filters prune files only, never rows
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSparkTable.GraftScanBuilder(table, None, None, None,
+    new GraftSparkTable.GraftScanBuilder(table, None, branchPin, None,
       onBuild = s => configuredScan = s, ignoreResiduals = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -89,7 +91,7 @@ final class GraftCoWOperation(table: GTable,
               case _ => None
             }
           }),
-          branch = WapBranch.resolve().getOrElse("main"))
+          branch = branchPin.orElse(WapBranch.resolve()).getOrElse("main"))
       }
     }
 
@@ -105,7 +107,8 @@ final class GraftCoWOperation(table: GTable,
   * touched rows.
   */
 final class GraftMoROperation(table: GTable,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+    cmd: RowLevelOperation.Command,
+    branchPin: Option[String] = None) extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -126,11 +129,11 @@ final class GraftMoROperation(table: GTable,
       org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaPartitionCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSparkTable.GraftScanBuilder(table, None, None, None)
+    new GraftSparkTable.GraftScanBuilder(table, None, branchPin, None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new GraftDeltaWrite(table)
+      override def build(): DeltaWrite = new GraftDeltaWrite(table, branchPin)
     }
 
   override def description(): String = s"graft-mor($cmd)"

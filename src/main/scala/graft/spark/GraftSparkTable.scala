@@ -100,8 +100,12 @@ class GraftSparkTable(val table: GTable, fullName: String,
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new GraftRowLevelOperationBuilder(table, info)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refPin.foreach { case (name, isTag) =>
+      require(!isTag, s"cannot modify a tag: $name")
+    }
+    new GraftRowLevelOperationBuilder(table, info, branchPin = refPin.map(_._1))
+  }
 
   // metadata-only DELETE FROM (strict-match whole files); Spark falls back
   // to an error if rows partially match — row-level CoW comes via the
@@ -115,7 +119,7 @@ class GraftSparkTable(val table: GTable, fullName: String,
       // branch if one is staged — that is where deleteWhere will commit)
       val bound = Expr.bind(table.schema, expr)
       val sc = table.newScan().filter(expr)
-      WapBranch.forRead(table).foreach(sc.useRef)
+      refPin.map(_._1).orElse(WapBranch.forRead(table)).foreach(sc.useRef)
       sc.planFiles().forall { t =>
         val spec = table.meta.specById(t.file.specId)
         val strictPart = Projections.strict(spec, table.schema, bound)
@@ -126,9 +130,13 @@ class GraftSparkTable(val table: GTable, fullName: String,
   }
 
   override def deleteWhere(predicates: Array[VPred]): Unit = {
+    refPin.foreach { case (name, isTag) =>
+      require(!isTag, s"cannot modify a tag: $name")
+    }
     val expr = predicates.flatMap(SparkBridge.toExpr).foldLeft[Expr](TrueE)(Expr.and)
     table.newOverwrite().overwriteByRowFilter(expr)
-      .toBranch(WapBranch.resolve().getOrElse("main")).commit()
+      .toBranch(refPin.map(_._1).orElse(WapBranch.resolve()).getOrElse("main"))
+      .commit()
   }
 }
 

@@ -514,8 +514,8 @@ final class GraftFanoutWriter(
 // the fanout data writer; commit is a single atomic RowDelta.
 // ---------------------------------------------------------------------------
 
-final class GraftDeltaWrite(table: GTable) extends DeltaWrite
-  with RequiresDistributionAndOrdering {
+final class GraftDeltaWrite(table: GTable, branchPin: Option[String] = None)
+  extends DeltaWrite with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions => VE, SortDirection, SortOrder}
@@ -534,11 +534,12 @@ final class GraftDeltaWrite(table: GTable) extends DeltaWrite
 
   override def requiredNumPartitions(): Int = 0
 
-  override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(table)
+  override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(table, branchPin)
   override def description(): String = s"graft-delta-write(${table.location})"
 }
 
-final class GraftDeltaBatchWrite(table: GTable) extends DeltaBatchWrite {
+final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None)
+  extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
@@ -568,7 +569,8 @@ final class GraftDeltaBatchWrite(table: GTable) extends DeltaBatchWrite {
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.filter(_ != null).map(_.asInstanceOf[GraftDeltaCommitMessage])
-    val rd = table.newRowDelta().toBranch(WapBranch.resolve().getOrElse("main"))
+    val rd = table.newRowDelta().toBranch(
+      branchPin.orElse(WapBranch.resolve()).getOrElse("main"))
     msgs.flatMap(_.dataFiles).foreach(rd.addRows)
     msgs.flatMap(_.deleteFiles).foreach(rd.addDeletes)
     WapBranch.stage(table, rd).commit()

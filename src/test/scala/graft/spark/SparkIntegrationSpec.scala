@@ -1155,6 +1155,14 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] {
       spark.sql("INSERT INTO graft.db.refid.tag_v1 VALUES (99)")
     }
+    // row-level DML on a branch identifier stays on the branch
+    spark.sql("DELETE FROM graft.db.refid.branch_dev WHERE id = 10")
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid.branch_dev")
+      .collect()(0).getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid").collect()(0).getLong(0) === 3L)
+    spark.sql("UPDATE graft.db.refid.branch_dev SET id = 20 WHERE id = 11")
+    assert(spark.sql("SELECT sum(id) FROM graft.db.refid.branch_dev")
+      .collect()(0).getLong(0) === (1L + 2L + 20L))
   }
 
   test("branch/tag retention: DDL stores policy, expire honors it") {
