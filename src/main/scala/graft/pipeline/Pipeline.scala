@@ -25,6 +25,8 @@ import TextHash._
 object Pipeline {
 
   private val P_ = P.toString
+  // p03's persisted signature+set DataFrame (replaced per invocation)
+  @volatile private var p03Cache: DataFrame = _
 
   /** documents tokenized once: (doc_id, text, ws). */
   private def tok(s: SparkSession, dir: String): DataFrame =
@@ -118,9 +120,14 @@ object Pipeline {
       val minCols = (0 until NumHashes).map { k =>
         min(pmod(col("h") * minhashA(k) + minhashB(k), lit(P))).as(s"m$k")
       }
+      // signatures+sets are tiny vs the corpus and reused 3×; unpersist
+      // the previous invocation's cache so repeated runs don't accumulate
       val sigSet = bh.groupBy("doc_id")
         .agg(minCols.head, (minCols.tail :+ collect_set(col("b")).as("bs")): _*)
-        .persist() // signatures+sets are tiny vs the corpus; reused 3×
+      Pipeline.synchronized {
+        if (p03Cache != null) { try p03Cache.unpersist(false) catch { case _: Throwable => () } }
+        p03Cache = sigSet.persist()
+      }
       val bandArr = array((0 until NumBands).map { j =>
         struct(col(s"m${2 * j}").as("x"), col(s"m${2 * j + 1}").as("y"))
       }: _*)

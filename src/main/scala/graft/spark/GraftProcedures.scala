@@ -174,7 +174,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       Array(param("table", StringType))
     case "add_partition_field" =>
       Array(param("table", StringType), param("transform", StringType),
-        param("column", StringType))
+        param("column", StringType), param("name", StringType, "''"))
     case "drop_partition_field" =>
       Array(param("table", StringType), param("name", StringType))
     case "set_identifier_fields" =>
@@ -478,6 +478,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val spark = SparkSession.active
       val schema = graft.core.types.SparkTypes.toSparkSchema(t.schema)
       val byFmt = t.newScan().planFiles().map(_.file).groupBy(_.format)
+      if (byFmt.isEmpty) {
+        // no live data files: nothing to analyze
+        return out(StructType(Seq(StructField("columns_analyzed", IntegerType))), row(0))
+      }
       val df = byFmt.map { case (f, fs) =>
         val rdr = spark.read.schema(schema)
         if (f == "orc") rdr.orc(fs.map(_.path): _*)
@@ -640,12 +644,17 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         val tr = graft.core.transform.Transform.fromName(transformName)
         require(tr.canTransform(src.tpe), s"$transformName cannot apply to ${src.tpe}")
         val cur = base.spec
-        val fieldName = tr match {
-          case graft.core.transform.IdentityT => src.name
-          case b: graft.core.transform.BucketT => s"${src.name}_bucket"
-          case tt: graft.core.transform.TruncateT => s"${src.name}_trunc"
-          case _ => s"${src.name}_$transformName"
-        }
+        val requested =
+          if (input.numFields > 3 && !input.isNullAt(3)) input.getUTF8String(3).toString
+          else ""
+        val fieldName =
+          if (requested.nonEmpty) requested
+          else tr match {
+            case graft.core.transform.IdentityT => src.name
+            case b: graft.core.transform.BucketT => s"${src.name}_bucket"
+            case tt: graft.core.transform.TruncateT => s"${src.name}_trunc"
+            case _ => s"${src.name}_$transformName"
+          }
         val nextFieldId = base.lastPartitionId + 1
         val newSpec = graft.core.expr.PartitionSpec(
           base.specs.map(_.specId).max + 1,
@@ -854,10 +863,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         outPath
       }
       val m = t.meta
-      val metaCopy = rewrite(
-        s"${t.location}/metadata/v${t.ops.currentVersion()}.metadata.json")
+      val srcMetaPath = s"${t.location}/metadata/v${t.ops.currentVersion()}.metadata.json"
+      val metaCopy = rewrite(srcMetaPath)
       val copied = mutable.ArrayBuffer.empty[(String, String)]
-      copied += ((metaCopy, metaCopy.replace(srcPrefix, dstPrefix)))
+      // the copy target is the ORIGINAL layout under the new prefix (the
+      // staging dir is only where the rewritten bytes live locally)
+      copied += ((metaCopy, srcMetaPath.replace(srcPrefix, dstPrefix)))
       m.snapshots.foreach { sn =>
         copied += ((rewrite(sn.manifestListPath),
           sn.manifestListPath.replace(srcPrefix, dstPrefix)))

@@ -77,11 +77,16 @@ class GraftSessionCatalog extends GraftCatalog with CatalogExtension {
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
-    // create in BOTH so `USE ns` and graft table creation each work
-    try asNamespaces.createNamespace(namespace, metadata)
-    catch { case _: Throwable => () }
-    try super.createNamespace(namespace, metadata)
-    catch { case _: Throwable => () }
+    // create in BOTH so `USE ns` and graft table creation each work;
+    // succeed if EITHER side does, propagate the failure when both fail
+    val a = try { asNamespaces.createNamespace(namespace, metadata); None }
+            catch { case e: Throwable => Some(e) }
+    val b = try { super.createNamespace(namespace, metadata); None }
+            catch { case e: Throwable => Some(e) }
+    (a, b) match {
+      case (Some(e), Some(_)) => throw e
+      case _                  => ()
+    }
   }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

@@ -134,8 +134,10 @@ class GraftSparkTable(val table: GTable, fullName: String,
       require(!isTag, s"cannot modify a tag: $name")
     }
     val expr = predicates.flatMap(SparkBridge.toExpr).foldLeft[Expr](TrueE)(Expr.and)
-    table.newOverwrite().overwriteByRowFilter(expr)
-      .toBranch(refPin.map(_._1).orElse(WapBranch.resolve()).getOrElse("main"))
+    // stage under spark.wap.id like every other write path
+    WapBranch.stage(table,
+      table.newOverwrite().overwriteByRowFilter(expr)
+        .toBranch(refPin.map(_._1).orElse(WapBranch.resolve()).getOrElse("main")))
       .commit()
   }
 }

@@ -62,7 +62,7 @@ object GraftDdl {
   private val ReplacePartField =
     """(?is)REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)(?:\s+AS\s+(\w+))?""".r
   private val SetIdFields = """(?is)SET\s+IDENTIFIER\s+FIELDS\s+(.+?)""".r
-  private val DropIdFields = """(?is)DROP\s+IDENTIFIER\s+FIELDS\b.*""".r
+  private val DropIdFields = """(?is)DROP\s+IDENTIFIER\s+FIELDS(\s+[\w`,\s]+)?""".r
   private val WriteOrdered = """(?is)WRITE\s+ORDERED\s+BY\s+(.+?)""".r
   private val WriteLocallyOrdered = """(?is)WRITE\s+LOCALLY\s+ORDERED\s+BY\s+(.+?)""".r
   private val WriteDistributed =
@@ -107,20 +107,22 @@ object GraftDdl {
     case Alter(ident, rest) =>
       val table = ident.replace("`", "")
       rest match {
-        case AddPartField(tr, _) =>
+        case AddPartField(tr, asName) =>
           val (t, c) = parseTransform(tr)
-          Some(GraftDdlCommand(table, "add_partition_field", Seq(t, c)))
-        case ReplacePartField(oldF, newF, _) =>
+          Some(GraftDdlCommand(table, "add_partition_field",
+            Seq(t, c, Option(asName).getOrElse(""))))
+        case ReplacePartField(oldF, newF, asName) =>
           val (t, c) = parseTransform(newF)
           Some(GraftDdlCommand(table, "replace_partition_field",
-            Seq(partFieldName(oldF), t, c)))
+            Seq(partFieldName(oldF), t, c, Option(asName).getOrElse(""))))
         case DropPartField(f) =>
           Some(GraftDdlCommand(table, "drop_partition_field", Seq(partFieldName(f))))
         case SetIdFields(cols) =>
           Some(GraftDdlCommand(table, "set_identifier_fields",
             Seq(cols.split(",").map(_.trim.replace("`", "")).mkString(","))))
-        case DropIdFields() =>
-          Some(GraftDdlCommand(table, "drop_identifier_fields", Nil))
+        case DropIdFields(cols) =>
+          Some(GraftDdlCommand(table, "drop_identifier_fields",
+            Option(cols).map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq))
         case WriteOrdered(order) =>
           Some(GraftDdlCommand(table, "write_ordered", Seq("range", order.trim)))
         case WriteLocallyOrdered(order) =>
@@ -199,18 +201,44 @@ final case class GraftDdlCommand(table: String, action: String, args: Seq[String
     def call(proc: String, in: Array[Any]): Unit =
       new GraftProcedure(proc, core).call(
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(in))
+    def loadCore(name: String): graft.core.meta.GTable = {
+      val parts = name.split("\\.").toSeq
+      val (ns, t) = if (parts.length >= 2) (parts.init, parts.last)
+                    else (Seq("db"), parts.head)
+      core.loadTable(ns, t).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $name"))
+    }
     action match {
       case "add_partition_field" =>
-        call("add_partition_field", Array(s(tbl), s(args(0)), s(args(1))))
+        call("add_partition_field", Array(s(tbl), s(args(0)), s(args(1)), s(args(2))))
       case "drop_partition_field" =>
         call("drop_partition_field", Array(s(tbl), s(args(0))))
       case "replace_partition_field" =>
+        // pre-validate the ADD before committing the DROP so a bad
+        // replacement can't leave the table missing its original field
+        locally {
+          val t = loadCore(tbl)
+          val src = t.schema.findField(args(2)).getOrElse(
+            throw new IllegalArgumentException(s"no such column: ${args(2)}"))
+          val tr = graft.core.transform.Transform.fromName(args(1))
+          require(tr.canTransform(src.tpe), s"${args(1)} cannot apply to ${src.tpe}")
+        }
         call("drop_partition_field", Array(s(tbl), s(args(0))))
-        call("add_partition_field", Array(s(tbl), s(args(1)), s(args(2))))
+        call("add_partition_field", Array(s(tbl), s(args(1)), s(args(2)), s(args(3))))
       case "set_identifier_fields" =>
         call("set_identifier_fields", Array(s(tbl), s(args(0))))
       case "drop_identifier_fields" =>
-        call("drop_identifier_fields", Array(s(tbl)))
+        if (args.isEmpty) call("drop_identifier_fields", Array(s(tbl)))
+        else {
+          // drop ONLY the listed fields: recompute the remaining set
+          val t = loadCore(tbl)
+          val dropNames = args(0).split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val remaining = t.schema.identifierFieldIds.toSeq.sorted
+            .flatMap(id => t.schema.fields.find(_.id == id)).map(_.name)
+            .filterNot(dropNames)
+          if (remaining.isEmpty) call("drop_identifier_fields", Array(s(tbl)))
+          else call("set_identifier_fields", Array(s(tbl), s(remaining.mkString(","))))
+        }
       case "create_branch" | "create_tag" =>
         call(action, Array(s(tbl), s(args(0)), java.lang.Long.valueOf(args(1).toLong)))
         // retention clauses update the ref in place

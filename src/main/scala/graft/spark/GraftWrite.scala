@@ -347,17 +347,22 @@ final class GraftUpsertWriter(
 
   private val eqSchema = org.apache.spark.sql.types.DataType.fromJson(eqSchemaJson)
     .asInstanceOf[StructType]
-  // stable (copied) key tuples, insertion-ordered and deduped
-  private val keys = mutable.LinkedHashSet.empty[Seq[Any]]
+  // last row per key, insertion-ordered: the epoch's equality-delete file
+  // shares its sequence number with the data files (eq deletes apply only
+  // to LOWER sequences), so same-epoch duplicates must be resolved
+  // writer-side — buffer rows and keep the LAST version of each key
+  private val byKey = mutable.LinkedHashMap.empty[Seq[Any], InternalRow]
 
   override def write(row: InternalRow): Unit = {
-    keys += keyPos.zip(eqSchema.fields).map { case (p, f) =>
+    val key = keyPos.zip(eqSchema.fields).map { case (p, f) =>
       SparkBridge.valueAt(row, p, f.dataType)
     }.toSeq
-    inner.write(row)
+    byKey.put(key, row.copy())
   }
 
   override def commit(): WriterCommitMessage = {
+    byKey.values.foreach(inner.write)
+    val keys = byKey.keys
     val dataMsg = inner.commit().asInstanceOf[GraftCommitMessage]
     if (keys.isEmpty) return GraftDeltaCommitMessage(dataMsg.files, Nil)
     val conf = new Configuration(false)
@@ -750,10 +755,20 @@ object FooterStats {
     } finally reader.close()
   }
 
-  /** ORC footer stats: column statistics indexed 1..n in schema order for
-    * a flat struct (index 0 is the root). Timestamp/decimal/binary min-max
-    * are skipped (timezone/represention subtleties) — null/value counts
-    * still feed IS NULL pruning. */
+  /** ORC footer stats: column statistics are indexed in PRE-ORDER over
+    * the type tree (index 0 is the root struct), so a nested column
+    * occupies a subtree of indexes — top-level field i's index is
+    * 1 + sum of preceding fields' subtree sizes, NOT i + 1.
+    * Timestamp/decimal/binary min-max are skipped (timezone/representation
+    * subtleties) — null/value counts still feed IS NULL pruning. */
+  private def orcSubtreeSize(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+    case s: StructType => 1 + s.fields.map(f => orcSubtreeSize(f.dataType)).sum
+    case a: org.apache.spark.sql.types.ArrayType => 1 + orcSubtreeSize(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      1 + orcSubtreeSize(m.keyType) + orcSubtreeSize(m.valueType)
+    case _ => 1
+  }
+
   def readOrc(path: String, conf: Configuration, schema: GSchema,
       writeSchema: StructType): (Long, Map[Int, ColStats]) = {
     import org.apache.orc.{ColumnStatistics => OStats, _}
@@ -764,10 +779,14 @@ object FooterStats {
       val all = reader.getStatistics
       val byName = schema.fields.map(f => f.name -> f).toMap
       val byField = mutable.Map.empty[Int, ColStats]
+      // pre-order index of each top-level field
+      val indexes = writeSchema.fields.scanLeft(1) { (idx, sf) =>
+        idx + orcSubtreeSize(sf.dataType)
+      }
       writeSchema.fields.zipWithIndex.foreach { case (sf, i) =>
         byName.get(sf.name).foreach { field =>
-          if (i + 1 < all.length) {
-            val st = all(i + 1)
+          if (indexes(i) < all.length) {
+            val st = all(indexes(i))
             val (lo, hi): (Option[Any], Option[Any]) = (field.tpe, st) match {
               case (GInt, s: IntegerColumnStatistics) =>
                 (Some(s.getMinimum.toInt), Some(s.getMaximum.toInt))

@@ -1033,6 +1033,47 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ordinary ALTER statements still reach Spark's parser
     spark.sql("ALTER TABLE graft.db.ddlx ADD COLUMN extra STRING")
     assert(coreTable("ddlx").meta.schema.findField("extra").isDefined)
+
+    // AS name is honored
+    spark.sql("ALTER TABLE graft.db.ddlx ADD PARTITION FIELD bucket(8, id) AS shard")
+    assert(coreTable("ddlx").spec.fields.exists(_.name == "shard"))
+    spark.sql("ALTER TABLE graft.db.ddlx DROP PARTITION FIELD shard")
+    // DROP IDENTIFIER FIELDS with a column list drops only those
+    spark.sql("ALTER TABLE graft.db.ddlx SET IDENTIFIER FIELDS id, cat")
+    spark.sql("ALTER TABLE graft.db.ddlx DROP IDENTIFIER FIELDS cat")
+    val remaining = coreTable("ddlx").meta.schema.identifierFieldIds
+      .flatMap(id => coreTable("ddlx").meta.schema.fields.find(_.id == id)).map(_.name)
+    assert(remaining === Set("id"), remaining)
+    // REPLACE with an invalid transform fails WITHOUT dropping the original
+    spark.sql("ALTER TABLE graft.db.ddlx ADD PARTITION FIELD months(ts)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.ddlx REPLACE PARTITION FIELD ts_month WITH months(cat)")
+    }
+    assert(coreTable("ddlx").spec.fields.exists(_.name == "ts_month"),
+      "failed REPLACE must not drop the original field")
+  }
+
+  test("orc footer stats index correctly past nested columns") {
+    spark.sql("""CREATE TABLE graft.db.orcnested (
+      a STRUCT<x: INT, y: INT>, b BIGINT)
+      TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("""INSERT INTO graft.db.orcnested
+      SELECT named_struct('x', CAST(id AS INT), 'y', 1), id + 1000 FROM range(0, 50)""")
+    val files = coreTable("orcnested").newScan().planFiles().map(_.file)
+    assert(files.forall(_.format == "orc"))
+    val bField = coreTable("orcnested").meta.schema.findField("b").get
+    val bStats = files.flatMap(_.columnStats.get(bField.id))
+    // b's min/max must be in [1000, 1049] — NOT a.x's [0, 49]
+    assert(bStats.nonEmpty, "no stats for b")
+    // every per-file bound must be in b's value range [1000, 1049] —
+    // misattribution would surface a.x's [0, 49]
+    assert(bStats.forall(st =>
+        st.lower.exists(_.asInstanceOf[Long] >= 1000L) &&
+        st.upper.exists(_.asInstanceOf[Long] <= 1049L)),
+      s"misattributed stats: $bStats")
+    // and a pruning query over b stays correct
+    assert(spark.sql("SELECT count(*) FROM graft.db.orcnested WHERE b >= 1040")
+      .collect()(0).getLong(0) === 10L)
   }
 
   test("system-function predicate pushdown prunes bucket partitions") {
@@ -1096,10 +1137,13 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     ms.addData((2L, "b2"), (3L, "c")) // updates key 2, inserts key 3
     q.processAllAvailable()
+    // same-epoch duplicate: only the LAST version of key 3 survives
+    ms.addData((3L, "c2"), (3L, "c3"))
+    q.processAllAvailable()
     q.stop()
     val rows = spark.sql("SELECT id, v FROM graft.db.upsrt ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(rows === Seq((1L, "a"), (2L, "b2"), (3L, "c")), rows)
+    assert(rows === Seq((1L, "a"), (2L, "b2"), (3L, "c3")), rows)
     // the second epoch committed equality-delete files
     val eq = coreTable("upsrt").newScan().planFiles().flatMap(_.deletes)
       .filter(_.content == graft.core.meta.FileContent.EqualityDeletes)
@@ -1111,7 +1155,7 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eqAfter.isEmpty, s"eq deletes survived compaction: ${eqAfter.map(_.path)}")
     val rowsAfter = spark.sql("SELECT id, v FROM graft.db.upsrt ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(rowsAfter === Seq((1L, "a"), (2L, "b2"), (3L, "c")), rowsAfter)
+    assert(rowsAfter === Seq((1L, "a"), (2L, "b2"), (3L, "c3")), rowsAfter)
   }
 
   test("row lineage: _row_id / _last_updated_sequence_number metadata columns") {
