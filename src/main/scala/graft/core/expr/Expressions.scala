@@ -153,12 +153,36 @@ object Expr {
           case None => throw new IllegalArgumentException(s"cannot bind: $ref not in schema")
           case Some(f) =>
             val pos = schema.fields.indexWhere(_.id == f.id)
-            val conv = values.map(Literals.convert(_, f.tpe))
-            op match {
-              // IsNull on a required column is always false; NotNull always true
-              case Op.IsNull if f.required  => FalseE
-              case Op.NotNull if f.required => TrueE
-              case _ => BoundPred(op, f, pos, conv)
+            // out-of-range long-vs-int literals resolve the predicate
+            // statically (reference ABOVE_MAX/BELOW_MIN): clamping would
+            // change Eq/ordering semantics at the boundary
+            def range(v: Any): Int = (f.tpe, v) match {
+              case (GInt, l: Long) if l > Int.MaxValue => 1
+              case (GInt, l: Long) if l < Int.MinValue => -1
+              case _                                   => 0
+            }
+            if (values.size == 1 && range(values.head) != 0) {
+              val above = range(values.head) > 0
+              op match {
+                case Op.Lt | Op.LtEq => if (above) TrueE else FalseE
+                case Op.Gt | Op.GtEq => if (above) FalseE else TrueE
+                case Op.Eq           => FalseE
+                case Op.NotEq        => TrueE
+                case _               => BoundPred(op, f, pos,
+                  values.map(Literals.convert(_, f.tpe)))
+              }
+            } else if (op == Op.In || op == Op.NotIn) {
+              val inRange = values.filter(range(_) == 0)
+              if (inRange.isEmpty) { if (op == Op.In) FalseE else TrueE }
+              else BoundPred(op, f, pos, inRange.map(Literals.convert(_, f.tpe)))
+            } else {
+              val conv = values.map(Literals.convert(_, f.tpe))
+              op match {
+                // IsNull on a required column is always false; NotNull always true
+                case Op.IsNull if f.required  => FalseE
+                case Op.NotNull if f.required => TrueE
+                case _ => BoundPred(op, f, pos, conv)
+              }
             }
         }
     }

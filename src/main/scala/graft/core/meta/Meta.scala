@@ -153,9 +153,12 @@ final case class TableMetadata(
       .flatMap { case (_, id) => snapshotById(id) }
 
   def withSnapshot(s: Snapshot, ref: String = "main"): TableMetadata = {
-    val newRefs =
-      if (ref == "main") refs.updated("main", SnapshotRef(s.snapshotId, SnapshotRefType.Branch))
-      else refs.updated(ref, SnapshotRef(s.snapshotId, SnapshotRefType.Branch))
+    // advance the branch head PRESERVING its retention policy
+    val advanced = refs.get(ref) match {
+      case Some(r) => r.copy(snapshotId = s.snapshotId, refType = SnapshotRefType.Branch)
+      case None    => SnapshotRef(s.snapshotId, SnapshotRefType.Branch)
+    }
+    val newRefs = refs.updated(ref, advanced)
     copy(
       lastSequenceNumber = math.max(lastSequenceNumber, s.sequenceNumber),
       lastUpdatedMs = s.timestampMs,

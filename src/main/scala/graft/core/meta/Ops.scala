@@ -35,7 +35,10 @@ object GraftIO {
   def list(dir: String): Seq[String] = {
     val p = toPath(dir)
     if (!Files.exists(p)) Nil
-    else Files.list(p).iterator().asScala.map(_.toString).toSeq
+    else {
+      val st = Files.list(p)
+      try st.iterator().asScala.map(_.toString).toSeq finally st.close()
+    }
   }
 
   /** Atomically create `target` with `content`; false if it already
@@ -118,14 +121,13 @@ object ManifestIO {
         upper = nonNull.reduceOption((a, b) =>
           if (TypeComparators.compare(pf.tpe, a, b) >= 0) a else b))
     }
-    val live = entries.filter(_.isLive)
     ManifestFile(path, GraftIO.size(path), specId, content,
       addedSnapshotId = snapshotId,
       minSequenceNumber = entries.map(_.dataSequenceNumber).minOption.getOrElse(0L),
       addedFilesCount = entries.count(_.status == ManifestEntryStatus.Added),
       existingFilesCount = entries.count(_.status == ManifestEntryStatus.Existing),
       deletedFilesCount = entries.count(_.status == ManifestEntryStatus.Deleted),
-      addedRowsCount = live.filter(_.status == ManifestEntryStatus.Added)
+      addedRowsCount = liveEntries.filter(_.status == ManifestEntryStatus.Added)
         .map(_.file.recordCount).sum,
       partitionSummaries = summaries)
   }
@@ -365,7 +367,10 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
   override protected def validate(base: TableMetadata): Unit =
     validateNoConflictingAppendsFrom.foreach { fromId =>
       val fromSeq = base.snapshotById(fromId).map(_.sequenceNumber).getOrElse(0L)
-      val newer = base.snapshots.filter(_.sequenceNumber > fromSeq)
+      // only commits on THIS branch's ancestry conflict — staged WAP
+      // snapshots and other branches' commits are invisible to readers
+      // of this branch
+      val newer = base.ancestry(branch).filter(_.sequenceNumber > fromSeq)
       if (newer.exists(s => s.operation != "append")) {
         throw new CommitConflictException(
           s"conflicting ${newer.map(_.operation).mkString(",")} since snapshot $fromId")
@@ -538,8 +543,9 @@ final class HadoopCatalog(val warehouse: String) {
     if (!java.nio.file.Files.exists(loc)) false
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val st = java.nio.file.Files.walk(loc)
+      val paths = try st.iterator().asScala.toSeq finally st.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
       true
     }
   }

@@ -18,21 +18,21 @@ final case class FileScanTask(
 /** Matches delete files to data files by partition + sequence number
   * (reference DeleteFileIndex.java). Position deletes apply when
   * deleteSeq >= dataSeq; equality deletes when deleteSeq > dataSeq. */
-final class DeleteFileIndex(deletes: Seq[(ManifestEntry, Int)]) extends Serializable {
+final class DeleteFileIndex(deletes: Seq[ManifestEntry]) extends Serializable {
   private def partKey(specId: Int, partition: Seq[Any]): (Int, Seq[Any]) =
     (specId, partition.map {
       case b: Array[Byte] => b.toSeq
       case x              => x
     })
 
-  private val (global, partitioned) = deletes.partition(_._1.file.partition.isEmpty)
+  private val (global, partitioned) = deletes.partition(_.file.partition.isEmpty)
   private val byPartition: Map[(Int, Seq[Any]), Seq[ManifestEntry]] =
-    partitioned.map(_._1).groupBy(e => partKey(e.file.specId, e.file.partition))
+    partitioned.groupBy(e => partKey(e.file.specId, e.file.partition))
 
   def isEmpty: Boolean = deletes.isEmpty
 
   def forDataFile(dataSeq: Long, f: DataFile): Seq[DataFile] = {
-    val candidates = global.map(_._1) ++
+    val candidates = global ++
       byPartition.getOrElse(partKey(f.specId, f.partition), Nil)
     candidates.filter { e =>
       val applies =
@@ -112,9 +112,16 @@ final class TableScan(table: GTable) {
 
   def snapshot(): Option[Snapshot] = {
     val m = table.meta
+    // an explicitly requested snapshot/ref must EXIST — silently serving
+    // the current state would make time travel return wrong results
+    // ("main" on an empty table legitimately resolves to no snapshot)
+    snapshotIdOpt.foreach(id => require(m.snapshotById(id).isDefined,
+      s"unknown snapshot id: $id"))
+    refName.filter(_ != "main").foreach(r => require(m.ref(r).isDefined,
+      s"unknown branch or tag: $r"))
     snapshotIdOpt.flatMap(m.snapshotById)
       .orElse(refName.flatMap(r => m.ref(r)).flatMap(r => m.snapshotById(r.snapshotId)))
-      .orElse(m.currentSnapshot)
+      .orElse(if (refName.forall(_ == "main")) m.currentSnapshot else None)
   }
 
   /** summaries → pseudo-FileStats keyed by partition field id, so the
@@ -164,7 +171,7 @@ final class TableScan(table: GTable) {
 
     // delete index from surviving delete manifests
     val deleteEntries = deleteManifests.flatMap { mf =>
-      ManifestIO.readEntries(mf).filter(_.isLive).map(e => (e, mf.specId))
+      ManifestIO.readEntries(mf).filter(_.isLive)
     }
     val specIds = (dataManifests.map(_.specId) ++ deleteManifests.map(_.specId)).distinct
     val ctx = PlanContext(schema, bound,
@@ -209,16 +216,4 @@ final class TableScan(table: GTable) {
 
   /** total record count upper bound from metadata (for stats reporting) */
   def totalRecords(): Long = planFiles().map(_.file.recordCount).sum
-
-  private implicit class ParOps[A](seq: Seq[A]) {
-    /** manifest reads are IO-bound: fan out on the common pool */
-    def par_flatMap[B](f: A => Seq[B]): Seq[B] =
-      if (seq.size <= 1) seq.flatMap(f)
-      else {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        Await.result(Future.traverse(seq)(a => Future(f(a))), Duration.Inf).flatten
-      }
-  }
 }

@@ -89,7 +89,7 @@ final case class GSchema(struct: GStruct, schemaId: Int = 0,
 
   def highestFieldId: Int = {
     def walk(fs: Seq[GField]): Int =
-      (fs.map(_.id) ++ fs.flatMap(f => f.nested.map(_ => walk(f.nested)))).maxOption.getOrElse(0)
+      fs.map(f => math.max(f.id, walk(f.nested))).maxOption.getOrElse(0)
     walk(fields)
   }
 }
@@ -245,6 +245,18 @@ object TypeComparators {
       case GDecimal(_, _) => new java.math.BigDecimal(s)
       case GDate         => java.time.LocalDate.parse(s).toEpochDay.toInt
       case GString       => s
+      case GTimestamp(_) =>
+        // Hive-style path segments: epoch micros, or an ISO (local) date /
+        // datetime with the ':'s often URL-encoded
+        if (s.matches("-?\\d+")) s.toLong
+        else {
+          val decoded = java.net.URLDecoder.decode(s, "UTF-8").replace(' ', 'T')
+          val ldt =
+            try java.time.LocalDateTime.parse(decoded)
+            catch { case _: Exception => java.time.LocalDate.parse(decoded).atStartOfDay }
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L
+        }
       case other => throw new IllegalArgumentException(s"cannot parse partition value: $other")
     }
 }

@@ -1053,6 +1053,45 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "failed REPLACE must not drop the original field")
   }
 
+  test("core review regressions: retention survives commits, staged WAP vs CoW, time travel errors") {
+    // 1. branch retention must survive subsequent commits to the branch
+    spark.sql("CREATE TABLE graft.db.coreg (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.coreg VALUES (1)")
+    spark.sql("ALTER TABLE graft.db.coreg CREATE BRANCH keepme WITH SNAPSHOT RETENTION 5 SNAPSHOTS")
+    spark.sql("INSERT INTO graft.db.coreg.branch_keepme VALUES (2)")
+    assert(coreTable("coreg").meta.refs("keepme").minSnapshotsToKeep.contains(5),
+      "retention wiped by branch commit")
+
+    // 2. a STAGED wap.id snapshot must not block later CoW deletes on main
+    spark.sql("""CREATE TABLE graft.db.wapblk (id BIGINT)
+      TBLPROPERTIES ('write.wap.enabled'='true')""")
+    spark.sql("INSERT INTO graft.db.wapblk VALUES (1), (2), (3)")
+    spark.conf.set("spark.wap.id", "staged-ow")
+    try spark.sql("INSERT OVERWRITE graft.db.wapblk VALUES (9)") // staged overwrite
+    finally spark.conf.unset("spark.wap.id")
+    // CoW delete on main validates from its scanned snapshot — the staged
+    // overwrite is NOT on main's ancestry and must not conflict
+    spark.sql("DELETE FROM graft.db.wapblk WHERE id = 2")
+    assert(spark.sql("SELECT count(*) FROM graft.db.wapblk").collect()(0).getLong(0) === 2L)
+
+    // 3. unknown snapshot ids / refs error instead of silently reading current
+    intercept[Exception] {
+      spark.read.option("snapshot-id", "123456789").table("graft.db.coreg").collect()
+    }
+    intercept[Exception] {
+      spark.read.option("branch", "nope").table("graft.db.coreg").collect()
+    }
+
+    // 4. out-of-int-range literals resolve statically, not clamped
+    spark.sql("CREATE TABLE graft.db.intrange (i INT)")
+    spark.sql(s"INSERT INTO graft.db.intrange VALUES (${Int.MaxValue}), (5)")
+    val t = coreTable("intrange")
+    val eqOver = t.newScan().filter(graft.core.expr.Expr.equalTo("i", 5000000000L))
+    assert(eqOver.planFiles().isEmpty, "Eq above int range must match nothing")
+    val ltOver = t.newScan().filter(graft.core.expr.Expr.lt("i", 5000000000L))
+    assert(ltOver.planFiles().nonEmpty, "Lt above int range must match everything")
+  }
+
   test("orc footer stats index correctly past nested columns") {
     spark.sql("""CREATE TABLE graft.db.orcnested (
       a STRUCT<x: INT, y: INT>, b BIGINT)
