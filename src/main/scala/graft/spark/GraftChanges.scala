@@ -48,7 +48,14 @@ object GraftChangesTable {
       ordinal: Int,
       commitSnapshotId: Long,
       // when set: emit ONLY the rows at these delete-file positions
-      posDeletePaths: Array[String]) extends InputPartition
+      posDeletePaths: Array[String],
+      // positions already deleted BEFORE this snapshot: excluded from the
+      // emitted rows (a removed/re-deleted row must not be re-reported)
+      maskPaths: Array[String] = Array.empty,
+      // when set: emit ONLY rows whose identifier key appears in these
+      // equality-delete files (MoR equality deletes / streaming upsert)
+      eqDeletePaths: Array[String] = Array.empty,
+      eqKeyPositions: Array[Int] = Array.empty) extends InputPartition
 }
 
 final class GraftChangesTable(table: GTable, fullName: String)
@@ -98,6 +105,9 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
     val range = ordered.filter(sn => sn.sequenceNumber > startSeq && sn.sequenceNumber <= endSeq)
 
     val tasks = Seq.newBuilder[InputPartition]
+    // the range is a contiguous parent chain: each snapshot's state is the
+    // next one's parent state — carry it forward instead of re-reading
+    var carried: Option[Map[String, DataFile]] = None
     range.zipWithIndex.foreach { case (sn, ordinal) =>
       val manifests = ManifestIO.readList(sn.manifestListPath)
       // data files added in this snapshot
@@ -108,36 +118,77 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
           tasks += ChangeTask(e.file.path, e.file.fileSizeBytes, "INSERT",
             ordinal, sn.snapshotId, Array.empty)
         }
+      // position-delete files live in the PARENT state: rows they mask
+      // were deleted by EARLIER snapshots and must not be re-reported by
+      // this snapshot's removed-file or re-delete tasks
+      val parentOpt = sn.parentId.flatMap(m.snapshotById)
+      val parentPosDeletes: Seq[DataFile] = parentOpt.toSeq.flatMap { parent =>
+        ManifestIO.readList(parent.manifestListPath)
+          .filter(_.content == 1)
+          .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map(_.file))
+          .filter(_.content == FileContent.PositionDeletes)
+      }
+      def maskFor(path: String): Array[String] =
+        parentPosDeletes.filter(_.referencedDataFile.forall(_ == path))
+          .map(_.path).toArray
+      val beforeOpt: Option[Map[String, DataFile]] =
+        carried.orElse(parentOpt.map(liveDataFiles))
+      val after = liveDataFiles(sn)
+      carried = Some(after)
       // data files removed vs parent (copy-on-write deletes/overwrites)
-      sn.parentId.flatMap(m.snapshotById).foreach { parent =>
-        val before = liveDataFiles(parent)
-        val after = liveDataFiles(sn)
+      beforeOpt.foreach { before =>
         (before.keySet -- after.keySet).foreach { path =>
           val f = before(path)
           tasks += ChangeTask(f.path, f.fileSizeBytes, "DELETE",
-            ordinal, sn.snapshotId, Array.empty)
+            ordinal, sn.snapshotId, Array.empty, maskPaths = maskFor(path))
         }
       }
-      // position-delete files added in this snapshot (merge-on-read)
-      val addedDeletes = manifests.filter(mf => mf.content == 1 &&
+      // delete files added in this snapshot (merge-on-read)
+      val addedDeleteEntries = manifests.filter(mf => mf.content == 1 &&
           mf.addedSnapshotId == sn.snapshotId)
         .flatMap(mf => ManifestIO.readEntries(mf))
         .filter(e => e.status == ManifestEntryStatus.Added &&
-          e.snapshotId == sn.snapshotId &&
-          e.file.content == FileContent.PositionDeletes)
+          e.snapshotId == sn.snapshotId)
         .map(_.file)
+      val addedDeletes = addedDeleteEntries.filter(_.content == FileContent.PositionDeletes)
       if (addedDeletes.nonEmpty) {
-        val live = liveDataFiles(sn)
-        // group deletes by the data files they reference; unknown refs →
-        // apply against every live data file (reader filters by path)
-        val targets: Seq[(DataFile, Seq[DataFile])] =
-          if (addedDeletes.forall(_.referencedDataFile.isDefined))
-            addedDeletes.groupBy(_.referencedDataFile.get).toSeq
-              .flatMap { case (p, ds) => live.get(p).map(f => (f, ds)) }
-          else live.values.map(f => (f, addedDeletes)).toSeq
+        val live = after
+        // group known-ref deletes by target; only unknown-ref deletes fan
+        // out against every live data file (reader filters by path)
+        val (known, unknown) = addedDeletes.partition(_.referencedDataFile.isDefined)
+        val targets: Seq[(DataFile, Seq[DataFile])] = {
+          val byRef = known.groupBy(_.referencedDataFile.get).toSeq
+            .flatMap { case (p, ds) =>
+              live.get(p).map(f => (f, ds ++ unknown)) }
+          val covered = byRef.map(_._1.path).toSet
+          byRef ++ (if (unknown.isEmpty) Nil
+                    else live.values.filterNot(f => covered(f.path))
+                      .map(f => (f, unknown)).toSeq)
+        }
         targets.foreach { case (dataFile, deletes) =>
           tasks += ChangeTask(dataFile.path, dataFile.fileSizeBytes, "DELETE",
-            ordinal, sn.snapshotId, deletes.map(_.path).toArray)
+            ordinal, sn.snapshotId, deletes.map(_.path).toArray,
+            maskPaths = maskFor(dataFile.path))
+        }
+      }
+      // equality-delete files added in this snapshot (streaming upsert /
+      // CDC writers): rows of PRIOR files whose identifier key matches are
+      // the deleted rows; same-commit data files are unaffected (equality
+      // deletes apply only to lower sequence numbers)
+      val addedEqDeletes = addedDeleteEntries.filter(_.content == FileContent.EqualityDeletes)
+      if (addedEqDeletes.nonEmpty) {
+        val schema = m.schema
+        beforeOpt.foreach { before =>
+          addedEqDeletes.groupBy(_.equalityIds).foreach { case (ids, eqFiles) =>
+            val keyPos = ids.map(id => schema.posOf(id)).toArray
+            before.values.foreach { dataFile =>
+              tasks += ChangeTask(dataFile.path, dataFile.fileSizeBytes, "DELETE",
+                ordinal, sn.snapshotId, Array.empty,
+                maskPaths = maskFor(dataFile.path),
+                eqDeletePaths = eqFiles.map(_.path).toArray,
+                eqKeyPositions = keyPos)
+            }
+          }
         }
       }
     }
@@ -160,12 +211,13 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       new StructType(), deleteSchema, Nil,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
         "enableVectorizedReader" -> "false"), freshConf)
-    new ChangesReaderFactory(rowFunc, deleteFunc)
+    new ChangesReaderFactory(rowFunc, deleteFunc, dataSchema)
   }
 
   private final class ChangesReaderFactory(
       rowFunc: PartitionedFile => Iterator[InternalRow],
-      deleteFunc: PartitionedFile => Iterator[InternalRow])
+      deleteFunc: PartitionedFile => Iterator[InternalRow],
+      dataSchema: StructType)
     extends PartitionReaderFactory {
 
     private def pf(path: String, length: Long): PartitionedFile =
@@ -177,20 +229,47 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](UTF8String.fromString(t.changeType), t.ordinal, t.commitSnapshotId))
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      def positionsOf(paths: Array[String]): java.util.HashSet[Long] = {
+        val out = new java.util.HashSet[Long]()
+        paths.foreach { dp =>
+          if (DVIO.isDV(dp)) {
+            DVIO.readAsSets(dp).get(t.path).foreach(out.addAll)
+          } else deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
+            if (r.getUTF8String(0).toString == t.path) out.add(r.getLong(1))
+          }
+        }
+        out
+      }
+      // rows deleted BEFORE this snapshot are never re-reported
+      val masked = positionsOf(t.maskPaths)
       val base: Iterator[InternalRow] =
-        if (t.posDeletePaths.isEmpty) rowFunc(pf(t.path, t.length))
-        else {
-          val deleted = new java.util.HashSet[Long]()
-          t.posDeletePaths.foreach { dp =>
-            if (DVIO.isDV(dp)) {
-              DVIO.readAsSets(dp).get(t.path).foreach(deleted.addAll)
-            } else deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
-              if (r.getUTF8String(0).toString == t.path) deleted.add(r.getLong(1))
+        if (t.eqDeletePaths.nonEmpty) {
+          // emit rows whose identifier key appears in the added
+          // equality-delete files (canonical value copies for hashing)
+          def canonical(row: InternalRow, p: Int): Any =
+            if (row.isNullAt(p)) null
+            else SparkBridge.valueAt(row, p, dataSchema(p).dataType)
+          val keys = new java.util.HashSet[Seq[Any]]()
+          t.eqDeletePaths.foreach { ep =>
+            rowFunc(pf(ep, Long.MaxValue)).foreach { r =>
+              keys.add(t.eqKeyPositions.map(p => canonical(r, p)).toSeq)
             }
           }
-          // emit ONLY the deleted positions — these are the removed rows
           rowFunc(pf(t.path, t.length)).zipWithIndex.collect {
-            case (row, idx) if deleted.contains(idx.toLong) => row
+            case (row, idx) if !masked.contains(idx.toLong) &&
+              keys.contains(t.eqKeyPositions.map(p => canonical(row, p)).toSeq) => row
+          }
+        } else if (t.posDeletePaths.isEmpty) {
+          if (masked.isEmpty) rowFunc(pf(t.path, t.length))
+          else rowFunc(pf(t.path, t.length)).zipWithIndex.collect {
+            case (row, idx) if !masked.contains(idx.toLong) => row
+          }
+        } else {
+          val deleted = positionsOf(t.posDeletePaths)
+          // emit ONLY the newly deleted positions — these are the removed rows
+          rowFunc(pf(t.path, t.length)).zipWithIndex.collect {
+            case (row, idx) if deleted.contains(idx.toLong) &&
+              !masked.contains(idx.toLong) => row
           }
         }
       val it = base.map(row => joined(row, metaRow): InternalRow)

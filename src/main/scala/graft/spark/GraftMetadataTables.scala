@@ -96,14 +96,20 @@ object GraftMetadataTables {
   }
 
   def rowsOf(kind: String, table: GTable): Array[InternalRow] = {
-    val m = table.meta
+    val m = table.refresh() // metadata tables reflect the CURRENT state
     def currentManifests: Seq[ManifestFile] =
       m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
     def liveEntries: Seq[(ManifestFile, ManifestEntry)] =
       currentManifests.flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map((mf, _)))
     def partString(specId: Int, tuple: Seq[Any]): UTF8String = {
       val spec = m.specById(specId)
-      s(spec.fields.zip(tuple).map { case (pf, v) => s"${pf.name}=$v" }.mkString("{", ", ", "}"))
+      s(spec.fields.zip(tuple).map { case (pf, v) =>
+        val shown = v match {
+          case b: Array[Byte] => b.map("%02x".format(_)).mkString
+          case other          => String.valueOf(other)
+        }
+        s"${pf.name}=$shown"
+      }.mkString("{", ", ", "}"))
     }
 
     kind match {
@@ -156,8 +162,13 @@ object GraftMetadataTables {
       }.toArray
       case "partitions" =>
         liveEntries.filter(_._2.file.content == FileContent.Data)
-          .groupBy(e => (e._2.file.specId, e._2.file.partition))
-          .map { case ((specId, tuple), es) =>
+          // byte-array partition values compare by reference: normalize
+          .groupBy(e => (e._2.file.specId, e._2.file.partition.map {
+            case b: Array[Byte] => b.toSeq
+            case x              => x
+          }))
+          .map { case ((specId, _), es) =>
+            val tuple = es.head._2.file.partition
             new GenericInternalRow(Array[Any](
               partString(specId, tuple), specId,
               es.map(_._2.file.recordCount).sum, es.size,

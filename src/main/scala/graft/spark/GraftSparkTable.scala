@@ -454,7 +454,7 @@ object GraftSparkTable {
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       new GraftMicroBatchStream(table, streamMaxFiles, () => createReaderFactory(),
-        streamMaxRecords)
+        streamMaxRecords, branch)
 
     private var runtimeExpr: Expr = TrueE
     @transient private var cachedTasks: Seq[FileScanTask] = _

@@ -22,7 +22,8 @@ final class GraftMicroBatchStream(
     table: GTable,
     maxFilesPerBatch: Option[Int],
     readerFactory: () => PartitionReaderFactory,
-    maxRecordsPerBatch: Option[Long] = None)
+    maxRecordsPerBatch: Option[Long] = None,
+    branch: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -36,12 +37,20 @@ final class GraftMicroBatchStream(
     availableNowTarget = Some(reportLatestOffset().asInstanceOf[GraftStreamingOffset])
 
   private def lineage(): Seq[Snapshot] =
-    // main-branch ancestry only — staged WAP/branch appends are not
-    // published and must not flow into streaming reads
-    table.refresh().ancestry("main").sortBy(_.sequenceNumber)
+    // the requested branch's ancestry only (main by default) — staged
+    // WAP/other-branch appends are not published and must not flow in
+    table.refresh().ancestry(branch.getOrElse("main")).sortBy(_.sequenceNumber)
+
+  // snapshots are immutable: cache their added-file lists so latestOffset
+  // + planInputPartitions on every trigger don't re-read manifests
+  private val addedFilesCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[DataFile]]()
 
   /** files appended by an append snapshot, in stable (path) order */
   private def addedFiles(snap: Snapshot): Seq[DataFile] =
+    addedFilesCache.computeIfAbsent(snap.snapshotId, _ => addedFilesUncached(snap))
+
+  private def addedFilesUncached(snap: Snapshot): Seq[DataFile] =
     if (snap.operation != "append") Nil
     else ManifestIO.readList(snap.manifestListPath)
       .filter(_.addedSnapshotId == snap.snapshotId)
@@ -186,7 +195,10 @@ final class GraftStreamingWrite(table: GTable, queryId: String,
     }.flatten.toSeq
     if (truncateFirst) {
       table.newOverwrite().overwriteByRowFilter(graft.core.expr.TrueE)
-        .addFiles(dataFiles).commit()
+        .addFiles(dataFiles)
+        .set("streaming-query-id", queryId)
+        .set("streaming-epoch-id", epochId.toString)
+        .commit()
     } else if (eqDeletes.nonEmpty) {
       // streaming upsert: new rows + equality deletes of the epoch's keys
       val rd = table.newRowDelta()
@@ -204,6 +216,9 @@ final class GraftStreamingWrite(table: GTable, queryId: String,
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.filter(_ != null).flatMap(_.asInstanceOf[GraftCommitMessage].files)
-      .foreach(f => GraftIO.delete(f.path))
+    messages.filter(_ != null).flatMap {
+      case m: GraftCommitMessage      => m.files
+      case m: GraftDeltaCommitMessage => m.dataFiles ++ m.deleteFiles
+      case _                          => Nil
+    }.foreach(f => GraftIO.delete(f.path))
 }

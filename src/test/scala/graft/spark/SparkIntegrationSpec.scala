@@ -1092,6 +1092,43 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ltOver.planFiles().nonEmpty, "Lt above int range must match everything")
   }
 
+  test("changes scan: eq-delete DELETEs, no re-reported rows after compaction") {
+    // equality deletes from a streaming upsert appear as DELETE changes
+    spark.sql("""CREATE TABLE graft.db.cdceq (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.upsert.enabled'='true')""")
+    spark.sql("ALTER TABLE graft.db.cdceq SET IDENTIFIER FIELDS id")
+    val s2 = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    import s2.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdceq-ckpt").toString)
+      .toTable("graft.db.cdceq")
+    ms.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+    ms.addData((2L, "b2")); q.processAllAvailable()
+    q.stop()
+    val ch = spark.read.table("graft.db.cdceq.changes")
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // the upsert of key 2 must surface BOTH the delete of the old version
+    // and the insert of the new one
+    assert(ch.contains((2L, "b", "DELETE")), s"missing eq-delete change: $ch")
+    assert(ch.contains((2L, "b2", "INSERT")), ch)
+    assert(!ch.contains((1L, "a", "DELETE")), ch)
+
+    // MoR delete then compaction: the deleted row is reported ONCE
+    spark.sql("""CREATE TABLE graft.db.cdcmor (id BIGINT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.db.cdcmor VALUES (1), (2), (3)")
+    spark.sql("DELETE FROM graft.db.cdcmor WHERE id = 2")
+    spark.sql("CALL graft.system.rewrite_data_files('db.cdcmor', min_input_files => 1)")
+    val dels = spark.read.table("graft.db.cdcmor.changes")
+      .where("_change_type = 'DELETE' AND id = 2").count()
+    assert(dels === 1L, s"row 2 reported deleted $dels times (expected 1)")
+  }
+
   test("orc footer stats index correctly past nested columns") {
     spark.sql("""CREATE TABLE graft.db.orcnested (
       a STRUCT<x: INT, y: INT>, b BIGINT)
