@@ -30,13 +30,19 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v7").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v9").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
-        "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g")
+        "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
+        "avro_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
+      // stale streaming checkpoints would replay old-table offsets against
+      // the rebuilt tables (exactly-once dedup then writes nothing)
+      graft.core.meta.GraftIO.list(wh).filter(_.contains("_ckpt_"))
+        .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(p)))
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
 
       // lineitem partitioned by month(l_shipdate) — hidden partitioning
@@ -207,6 +213,20 @@ object Engine {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
         .writeTo("graft.db.orc_g").append()
 
+      // Avro as the data file format: append (write-time stats), a MoR
+      // DELETE masking avro rows by position, then compaction rewriting
+      // the survivors into fresh avro files
+      s.sql("""CREATE TABLE graft.db.avro_g (
+        s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE)
+        PARTITIONED BY (bucket(4, s_suppkey))
+        TBLPROPERTIES ('write.format.default'='avro',
+                       'write.delete.mode'='merge-on-read')""")
+      t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .writeTo("graft.db.avro_g").append()
+      s.sql("DELETE FROM graft.db.avro_g WHERE s_suppkey % 5 = 2")
+      s.sql("CALL graft.system.rewrite_data_files('db.avro_g')")
+
       // column defaults: evens inserted BEFORE the defaulted column exists
       // (read initial-default), odds carry explicit values
       s.sql("""CREATE TABLE graft.db.dflt_g (o_orderkey BIGINT, o_totalprice DOUBLE)""")
@@ -218,7 +238,7 @@ object Engine {
         .writeTo("graft.db.dflt_g").append()
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v7" -> "true"))
+        .updateProperties(Map("build-complete-v9" -> "true"))
     }
     built += wh
   }
@@ -570,6 +590,24 @@ object Engine {
         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
       FROM orders GROUP BY 1 ORDER BY prio"""))
 
+  // ------------------------------------------------------------------ g23
+  private val g23 = Q(
+    "g23_engine_avro_format",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.avro_g")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("bal_e2"),
+          max(col("s_name")).as("max_name"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS bal_e2,
+        MAX(s_name) AS max_name
+      FROM supplier WHERE s_suppkey % 5 <> 2
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
-    g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22)
+    g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23)
 }

@@ -23,29 +23,27 @@ object Relational {
         .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
       l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec4(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
-          sum(dec4(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base_price"),
+          // all money/quantity outputs are fixed-point e4 BIGINTs: q01 was
+          // the only query emitting decimal columns and the only driver
+          // hash mismatch in round 2 (decimal canonicalization differs
+          // between the spark-parquet and duckdb sides of the compare)
+          sum((col("l_quantity").cast(DecimalType(18, 4)) * 10000).cast(LongType))
+            .as("sum_qty_e4"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 4)) * 10000).cast(LongType))
+            .as("sum_base_price_e4"),
           sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
             .as("sum_disc_price_e4"),
           sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))) *
               (lit(100L) + pct(col("l_tax")))).as("sum_charge_e6"),
-          // fixed-point e4 averages via integer division: double division
-          // formats/rounds differently across engines and broke the
-          // round-1 hash compare
-          sum((col("l_quantity").cast(DecimalType(18, 4)) * 10000).cast(LongType))
-            .as("__sq_e4"),
-          sum((col("l_extendedprice").cast(DecimalType(18, 4)) * 10000).cast(LongType))
-            .as("__sp_e4"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty_e4", expr("__sq_e4 div count_order"))
-        .withColumn("avg_price_e4", expr("__sp_e4 div count_order"))
-        .drop("__sq_e4", "__sp_e4")
+        .withColumn("avg_qty_e4", expr("sum_qty_e4 div count_order"))
+        .withColumn("avg_price_e4", expr("sum_base_price_e4 div count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4))*10000 AS BIGINT)) AS BIGINT) AS sum_qty_e4,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))*10000 AS BIGINT)) AS BIGINT) AS sum_base_price_e4,
         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)
             * (100 - CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)

@@ -483,9 +483,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         return out(StructType(Seq(StructField("columns_analyzed", IntegerType))), row(0))
       }
       val df = byFmt.map { case (f, fs) =>
-        val rdr = spark.read.schema(schema)
-        if (f == "orc") rdr.orc(fs.map(_.path): _*)
-        else rdr.parquet(fs.map(_.path): _*)
+        if (f == "avro") GraftAvro.readToDf(spark, fs.map(_.path), schema, withPos = false)
+        else {
+          val rdr = spark.read.schema(schema)
+          if (f == "orc") rdr.orc(fs.map(_.path): _*)
+          else rdr.parquet(fs.map(_.path): _*)
+        }
       }.reduce(_ union _)
       import org.apache.spark.sql.functions.approx_count_distinct
       val cols = t.schema.fields.filter(_.tpe.isPrimitive).map(_.name)
@@ -991,11 +994,6 @@ object RewriteDataFiles {
       val paths = ts.map(_.file.path)
       val totalBytes = ts.map(_.file.fileSizeBytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetSize).toInt)
-      val raw = ts.groupBy(_.file.format).map { case (f, fts) =>
-        val rdr = spark.read.schema(schemaWithIds)
-        if (f == "orc") rdr.orc(fts.map(_.file.path): _*)
-        else rdr.parquet(fts.map(_.file.path): _*)
-      }.reduce(_ union _)
       // apply pending deletes with anti-joins on the file metadata columns
       // — position deletes by (path, row index), equality deletes by
       // (path, identifier key) since applicability is per data file
@@ -1007,13 +1005,27 @@ object RewriteDataFiles {
           .filter(_.content == FileContent.EqualityDeletes).map(d => (d, t.file.path)))
         .groupBy(_._1).map { case (d, ps) => (d, ps.map(_._2).distinct) }
       val anyDeletes = posFiles.nonEmpty || eqByFile.nonEmpty
+      // per-format reads; when deletes apply, every branch carries __f/__p
+      // (file-source formats via _metadata, avro via the reader itself)
+      val raw = ts.groupBy(_.file.format).map { case (f, fts) =>
+        import org.apache.spark.sql.functions.col
+        if (f == "avro")
+          GraftAvro.readToDf(spark, fts.map(_.file.path), schemaWithIds, withPos = anyDeletes)
+        else {
+          val rdr = spark.read.schema(schemaWithIds)
+          val base = if (f == "orc") rdr.orc(fts.map(_.file.path): _*)
+            else rdr.parquet(fts.map(_.file.path): _*)
+          if (anyDeletes) base.select(col("*"),
+            col("_metadata.file_path").as("__f"),
+            col("_metadata.row_index").as("__p"))
+          else base
+        }
+      }.reduce(_ union _)
       val df1 =
         if (!anyDeletes) raw
         else {
           import org.apache.spark.sql.functions.{array => sarray, col, concat, explode, lit}
-          val withPos = raw.select(col("*"),
-            col("_metadata.file_path").as("__f"),
-            col("_metadata.row_index").as("__p"))
+          val withPos = raw
           val afterPos =
             if (posFiles.isEmpty) withPos
             else {
@@ -1064,18 +1076,39 @@ object RewriteDataFiles {
         }
         else if (nOut == 1) df1.coalesce(1)
         else df1.repartition(nOut)
-      val staging = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       // rewrite in the table's current data format
       val outFmt = t.meta.properties.getOrElse("write.format.default", "parquet")
+      val part = t.meta.specById(specId).fields.zip(partition)
+        .map { case (pf, v) => s"${pf.name}=$v" }.mkString("/")
+      val dataDir = if (part.isEmpty) s"${t.location}/data" else s"${t.location}/data/$part"
+      java.nio.file.Files.createDirectories(GraftIO.toPath(dataDir))
+      if (outFmt == "avro") {
+        // executor-side avro write straight to the data dir: each task
+        // writes one file and returns its descriptor fields (write-time
+        // stats — avro has no footer metrics to re-read)
+        val sparkSchema = graft.core.types.SparkTypes.toSparkSchema(t.meta.schema)
+        val gJson = graft.core.meta.MetaJson.writeSchema(t.meta.schema).toString
+        val written = df.queryExecution.toRdd.mapPartitions { rows =>
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val g = graft.core.meta.MetaJson.readSchema(
+              graft.core.meta.MetaJson.mapper.readTree(gJson))
+            val target = s"$dataDir/rewrite-${java.util.UUID.randomUUID}.avro"
+            val (n, stats) = GraftAvro.writeFile(target, sparkSchema, g, rows)
+            Iterator.single((target, n, GraftIO.size(target), stats))
+          }
+        }.collect()
+        written.foreach { case (target, rows, size, stats) =>
+          newFiles += DataFile(target, outFmt, specId, partition, rows, size, stats)
+          added += 1
+        }
+      } else {
+      val staging = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
       if (outFmt == "orc") df.write.mode("overwrite").orc(staging)
       else df.write.mode("overwrite").parquet(staging)
       val conf = spark.sessionState.newHadoopConf()
       walkFiles(staging).filter(_.endsWith(s".$outFmt")).foreach { sf =>
-        val part = t.meta.specById(specId).fields.zip(partition)
-          .map { case (pf, v) => s"${pf.name}=$v" }.mkString("/")
-        val dataDir = if (part.isEmpty) s"${t.location}/data" else s"${t.location}/data/$part"
-        java.nio.file.Files.createDirectories(GraftIO.toPath(dataDir))
         val target = s"$dataDir/rewrite-${java.util.UUID.randomUUID}.$outFmt"
         java.nio.file.Files.move(GraftIO.toPath(sf), GraftIO.toPath(target))
         val sparkSchema = graft.core.types.SparkTypes.toSparkSchema(t.meta.schema)
@@ -1087,6 +1120,7 @@ object RewriteDataFiles {
           else readRowCount(target, conf)
         newFiles += DataFile(target, outFmt, specId, partition, rows, size, stats)
         added += 1
+      }
       }
       rewritten += ts.size
       bytes += totalBytes

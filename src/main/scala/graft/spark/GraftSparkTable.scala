@@ -783,6 +783,10 @@ object GraftSparkTable {
             new StructType(), stripIds(dataRequired), Nil,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshNameConf)
         else null
+      // avro data files: our own sync-splittable row reader (no spark-avro
+      // connector on this classpath); filters re-applied by Spark above
+      val avroRowFunc = GraftAvro.ReadFunc(dataRequired.json)
+      val avroFullFunc = GraftAvro.ReadFunc(fullSchema.json)
       new GraftReaderFactory(
         if (allOrc) orcBatchFunc else batchFunc,
         rowFunc, rowFuncNoFilter, deleteFunc,
@@ -792,7 +796,8 @@ object GraftSparkTable {
         if (allOrc) orcBatchFuncNoFilter else batchFuncNoFilter,
         orcRowFunc, orcRowFuncNoFilter,
         defaultSpecId = table.spec.specId,
-        partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray)
+        partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray,
+        avroRowFunc = avroRowFunc, avroFullFunc = avroFullFunc)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -858,7 +863,9 @@ object GraftSparkTable {
       orcRowFunc: PartitionedFile => Iterator[InternalRow],
       orcRowFuncNoFilter: PartitionedFile => Iterator[InternalRow],
       defaultSpecId: Int = 0,
-      partTypes: Array[GType] = Array.empty)
+      partTypes: Array[GType] = Array.empty,
+      avroRowFunc: PartitionedFile => Iterator[InternalRow] = null,
+      avroFullFunc: PartitionedFile => Iterator[InternalRow] = null)
     extends PartitionReaderFactory {
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
@@ -918,7 +925,9 @@ object GraftSparkTable {
         }
       val posDeleted = deletedPositions(t.path, t.deletePaths)
       val project = dataRequired.fields.map(f => fullSchema.fieldIndex(f.name))
-      rowFuncFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
+      val dataFull =
+        if (t.fileFormat == "avro") avroFullFunc else rowFuncFull
+      dataFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
         case (row, idx) if !posDeleted.contains(idx.toLong) &&
           !masks.exists { case (positions, keys) =>
             keys.contains(positions.map(p => canonical(row, p, fullSchema(p).dataType)).toSeq)
@@ -1020,6 +1029,7 @@ object GraftSparkTable {
           val f = t.fileFormat match {
             case "orc"        => orcRowFunc
             case "parquet-nm" => nameRowFunc
+            case "avro"       => avroRowFunc
             case _            => rowFunc
           }
           f(pf(t.path, t.start, t.length)).map(withMeta(_, -1L))
@@ -1030,6 +1040,7 @@ object GraftSparkTable {
           val f = t.fileFormat match {
             case "orc"        => orcRowFuncNoFilter
             case "parquet-nm" => nameRowFuncNoFilter
+            case "avro"       => avroRowFunc
             case _            => rowFuncNoFilter
           }
           f(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {

@@ -218,6 +218,9 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     val dataFormat = table.meta.properties
       .getOrElse("write.format.default", "parquet").toLowerCase
     val owf = dataFormat match {
+      case "avro" =>
+        new GraftAvro.AvroWriterFactory(
+          graft.core.meta.MetaJson.writeSchema(table.schema).toString)
       case "orc" =>
         new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
           .prepareWrite(spark, job,
@@ -496,9 +499,11 @@ final class GraftFanoutWriter(
     }
     open.clear()
     val files = closed.result().map { case (key, path, rows) =>
-      val (size, stats) =
-        if (fileFormat == "orc") FooterStats.readOrc(path, conf, gSchema, writeSchema)
-        else FooterStats.read(path, conf, gSchema)
+      val (size, stats) = fileFormat match {
+        case "avro" => GraftAvro.footerStats(path, gSchema)
+        case "orc"  => FooterStats.readOrc(path, conf, gSchema, writeSchema)
+        case _      => FooterStats.read(path, conf, gSchema)
+      }
       DataFile(path, fileFormat, spec.specId, key, rows, size, stats)
     }
     GraftCommitMessage(files)
