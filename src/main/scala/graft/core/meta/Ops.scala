@@ -58,9 +58,27 @@ object GraftIO {
 }
 
 /** Versioned metadata pointer with optimistic-concurrency commit
-  * (reference core/.../TableOperations + HadoopTableOperations). */
-final class TableOps(val location: String) {
-  private def metadataDir = s"$location/metadata"
+  * (reference core/.../TableOperations): implementations differ only in
+  * where the current-version pointer lives and how it is swapped —
+  * file-link CAS (Hadoop-style) or a database row (JDBC-style). */
+trait TableOps {
+  def location: String
+  protected def metadataDir: String = s"$location/metadata"
+
+  /** 0 when the table does not exist. */
+  def currentVersion(): Int
+  def current(): Option[TableMetadata]
+  /** CAS: commit `updated` as version baseVersion+1. */
+  def commit(baseVersion: Int, updated: TableMetadata): Boolean
+
+  def newManifestPath(): String = s"$metadataDir/manifest-${UUID.randomUUID}.json"
+  def newManifestListPath(snapshotId: Long): String =
+    s"$metadataDir/snap-$snapshotId-${UUID.randomUUID}.json"
+}
+
+/** File-based pointer (reference HadoopTableOperations): version N IS the
+  * file v{N}.metadata.json; CAS = atomic create-if-absent of version N+1. */
+final class FileTableOps(val location: String) extends TableOps {
   private def versionFile(v: Int) = s"$metadataDir/v$v.metadata.json"
   private val VersionRe = """.*/v(\d+)\.metadata\.json""".r
 
@@ -73,7 +91,6 @@ final class TableOps(val location: String) {
     else Some(MetaJson.readMetadata(GraftIO.readString(versionFile(v))))
   }
 
-  /** CAS: commit `updated` as version baseVersion+1. */
   def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
     val ok = GraftIO.atomicCreate(versionFile(baseVersion + 1), MetaJson.writeMetadata(updated))
     if (ok) { // best-effort hint for readers
@@ -82,10 +99,6 @@ final class TableOps(val location: String) {
     }
     ok
   }
-
-  def newManifestPath(): String = s"$metadataDir/manifest-${UUID.randomUUID}.json"
-  def newManifestListPath(snapshotId: Long): String =
-    s"$metadataDir/snap-$snapshotId-${UUID.randomUUID}.json"
 }
 
 /** Manifest read/write (JSON-lines of entries; summaries computed on
@@ -197,10 +210,14 @@ final class GTable(val ops: TableOps) {
   def updateProperties(up: Map[String, String]): Unit =
     commitUpdate(base => base.copy(properties = base.properties ++ up))
 
-  /** Generic retried CAS of a metadata transformation. */
+  /** Generic retried CAS of a metadata transformation, with jittered
+    * exponential backoff so hot committers interleave instead of
+    * spinning in lockstep (reference Tasks.foreach().retry() in
+    * SnapshotProducer.commit). */
   def commitUpdate(f: TableMetadata => TableMetadata): TableMetadata = {
     var attempts = 0
-    while (attempts < 10) {
+    val max = 20
+    while (attempts < max) {
       val baseVersion = ops.currentVersion()
       val base = refresh()
       val updated = f(base)
@@ -209,6 +226,8 @@ final class GTable(val ops: TableOps) {
         return updated
       }
       attempts += 1
+      val cap = math.min(200L, 4L << math.min(attempts, 6))
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
     }
     throw new CommitConflictException(s"commit failed after $attempts attempts at $location")
   }
@@ -290,6 +309,10 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       }
       GraftIO.delete(listPath) // clean up the orphaned list; manifests may be reused
       attempts += 1
+      // jittered exponential backoff (reference Tasks.retry): avoids
+      // lockstep re-contention when many writers hit the same table
+      val cap = math.min(200L, 4L << math.min(attempts, 6))
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
     }
     throw new CommitConflictException(s"commit failed after $attempts attempts")
   }
@@ -514,8 +537,10 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
       "added-data-files" -> dataFiles.result().size.toString)
 }
 
-/** Hadoop-style directory catalog: <warehouse>/<ns...>/<table>. */
-final class HadoopCatalog(val warehouse: String) {
+/** Hadoop-style directory catalog: <warehouse>/<ns...>/<table>. Subclasses
+  * swap where the table POINTER lives (e.g. JdbcCatalog) while data and
+  * metadata files stay under the warehouse directory. */
+class HadoopCatalog(val warehouse: String) {
   def tableLocation(namespace: Seq[String], name: String): String =
     (warehouse +: namespace :+ name).mkString("/")
 
@@ -523,7 +548,7 @@ final class HadoopCatalog(val warehouse: String) {
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
       properties: Map[String, String] = Map.empty): GTable = {
     val loc = tableLocation(namespace, name)
-    val ops = new TableOps(loc)
+    val ops = new FileTableOps(loc)
     val meta = TableMetadata.newTable(loc, schema, spec, properties)
     if (!ops.commit(0, meta))
       throw new IllegalStateException(s"table already exists: $loc")
@@ -531,12 +556,12 @@ final class HadoopCatalog(val warehouse: String) {
   }
 
   def loadTable(namespace: Seq[String], name: String): Option[GTable] = {
-    val ops = new TableOps(tableLocation(namespace, name))
+    val ops = new FileTableOps(tableLocation(namespace, name))
     if (ops.currentVersion() > 0) Some(new GTable(ops)) else None
   }
 
   def tableExists(namespace: Seq[String], name: String): Boolean =
-    new TableOps(tableLocation(namespace, name)).currentVersion() > 0
+    new FileTableOps(tableLocation(namespace, name)).currentVersion() > 0
 
   def dropTable(namespace: Seq[String], name: String): Boolean = {
     val loc = GraftIO.toPath(tableLocation(namespace, name))
@@ -553,6 +578,14 @@ final class HadoopCatalog(val warehouse: String) {
   def listTables(namespace: Seq[String]): Seq[String] = {
     val dir = (warehouse +: namespace).mkString("/")
     GraftIO.list(dir).map(p => GraftIO.toPath(p).getFileName.toString)
-      .filter(n => new TableOps(s"$dir/$n").currentVersion() > 0)
+      .filter(n => new FileTableOps(s"$dir/$n").currentVersion() > 0)
   }
+
+  /** Directory catalogs cannot rename: metadata records absolute paths
+    * under the name-derived location (the reference HadoopCatalog throws
+    * too). Pointer-based catalogs (JDBC) override this. */
+  def renameTable(namespace: Seq[String], name: String,
+      newNamespace: Seq[String], newName: String): Unit =
+    throw new UnsupportedOperationException(
+      "rename is not supported by the directory catalog (use the JDBC catalog)")
 }

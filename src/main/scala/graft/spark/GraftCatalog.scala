@@ -33,7 +33,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     catalogName = name
     val wh = Option(options.get("warehouse"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse")
-    catalog = new HadoopCatalog(wh)
+    // catalog-impl selects where the table pointer lives (reference
+    // SparkCatalog catalog-impl / JdbcCatalog): 'jdbc' + uri → pointer
+    // rows with SQL CAS; default → directory catalog with file CAS
+    catalog = Option(options.get("catalog-impl")).map(_.toLowerCase) match {
+      case Some("jdbc") =>
+        val uri = Option(options.get("uri")).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog $name: catalog-impl=jdbc requires a 'uri' option"))
+        new graft.core.meta.JdbcCatalog(wh, uri, name)
+      case _ => new HadoopCatalog(wh)
+    }
   }
 
   override def name(): String = catalogName
@@ -179,8 +189,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean =
     catalog.dropTable(ident.namespace.toSeq, ident.name)
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename not supported yet")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!catalog.tableExists(oldIdent.namespace.toSeq, oldIdent.name))
+      throw new NoSuchTableException(oldIdent)
+    if (catalog.tableExists(newIdent.namespace.toSeq, newIdent.name))
+      throw new TableAlreadyExistsException(newIdent)
+    catalog.renameTable(oldIdent.namespace.toSeq, oldIdent.name,
+      newIdent.namespace.toSeq, newIdent.name)
+  }
 
   // ----------------------------------------------------------------- views
   // catalog-stored SQL views (reference view-spec.md; SparkView.java)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.core.meta.{GTable, TableOps}
+import graft.core.meta.{FileTableOps, GTable}
 import graft.core.types.SparkTypes
 
 /** `USING graft` / `format("graft")` registration (reference
@@ -22,7 +22,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   private def open(options: CaseInsensitiveStringMap): GTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source requires a path or a catalog identifier"))
-    val ops = new TableOps(path)
+    val ops = new FileTableOps(path)
     require(ops.currentVersion() > 0, s"no graft table at $path")
     new GTable(ops)
   }

@@ -792,7 +792,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       require(!catalog.tableExists(ns, tbl), s"table already exists: $tblName")
       val meta = MetaJson.readMetadata(GraftIO.readString(metaFile))
       val loc = catalog.tableLocation(ns, tbl)
-      val ops = new TableOps(loc)
+      val ops = new FileTableOps(loc)
       require(ops.commit(0, meta.copy(location = loc)),
         s"failed to register $tblName at $loc")
       val t = new GTable(ops)

@@ -159,7 +159,7 @@ class MetaSpec extends AnyFunSuite {
     t2.newAppend().appendFile(dataFile("y.parquet", Nil, (6L, 9L))).commit()
     assert(t.newScan().planFiles().map(_.file.path).toSet === Set("x.parquet", "y.parquet"))
     // direct stale CAS at the ops layer must fail
-    val ops = new TableOps(t.location)
+    val ops = new FileTableOps(t.location)
     val stale = ops.current().get
     assert(!ops.commit(1, stale)) // v2 exists already
   }
