@@ -142,7 +142,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       Array(param("table", StringType), param("strategy", StringType, "'binpack'"),
         param("sort_order", StringType, "''"),
         param("target_file_size_bytes", LongType, s"${512L * 1024 * 1024}"),
-        param("min_input_files", IntegerType, "2"))
+        param("min_input_files", IntegerType, "2"),
+        param("partial_progress_enabled", BooleanType, "false"),
+        param("partial_progress_max_commits", IntegerType, "10"))
     case "rewrite_manifests" | "rewrite_position_deletes"
        | "rewrite_position_delete_files" =>
       Array(param("table", StringType))
@@ -370,7 +372,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
     case "rewrite_data_files" =>
       RewriteDataFiles.run(loadTable(input.getUTF8String(0).toString),
         input.getUTF8String(1).toString, input.getUTF8String(2).toString,
-        input.getLong(3), input.getInt(4))
+        input.getLong(3), input.getInt(4),
+        partialProgress = input.getBoolean(5),
+        maxCommits = input.getInt(6))
 
     case "rewrite_manifests" =>
       // re-cluster all live entries into one manifest per (spec, content)
@@ -938,10 +942,13 @@ object RewriteDataFiles {
   private val resultSchema = StructType(Seq(
     StructField("rewritten_data_files_count", IntegerType),
     StructField("added_data_files_count", IntegerType),
-    StructField("rewritten_bytes_count", LongType)))
+    StructField("rewritten_bytes_count", LongType),
+    StructField("failed_data_files_count", IntegerType)))
 
   def run(t: GTable, strategy: String, sortOrder: String,
-      targetSize: Long, minInputFiles: Int): util.Iterator[Scan] = {
+      targetSize: Long, minInputFiles: Int,
+      partialProgress: Boolean = false,
+      maxCommits: Int = 10): util.Iterator[Scan] = {
     val spark = SparkSession.active
     val schemaWithIds = graft.core.types.SparkTypes.toSparkSchema(t.schema)
     val scan = t.newScan()
@@ -972,7 +979,7 @@ object RewriteDataFiles {
           ts.count(_.file.fileSizeBytes < targetSize) >= minInputFiles
       }
     if (groups.isEmpty)
-      return GraftProcedures.out(resultSchema, GraftProcedures.row(0, 0, 0L))
+      return GraftProcedures.out(resultSchema, GraftProcedures.row(0, 0, 0L, 0))
 
     val sortCols = sortOrder.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
       val bits = part.split("\\s+")
@@ -987,10 +994,57 @@ object RewriteDataFiles {
     var rewritten = 0
     var added = 0
     var bytes = 0L
+    var failedFiles = 0
     val newFiles = Seq.newBuilder[DataFile]
     val oldPaths = Seq.newBuilder[String]
 
-    groups.foreach { case ((specId, partition), ts) =>
+    // delete-file applicability over the whole scan: a delete file is
+    // obsolete once EVERY data file it applied to has been rewritten in
+    // commits so far (masks baked into new files with higher sequences)
+    val applicability = scala.collection.mutable.Map.empty[String, Set[String]]
+    tasks.foreach { ts0 =>
+      ts0.deletes.foreach { d =>
+        applicability(d.path) = applicability.getOrElse(d.path, Set.empty) + ts0.file.path
+      }
+    }
+    val cumulativeRewritten = scala.collection.mutable.Set.empty[String]
+    val droppedDeletes = scala.collection.mutable.Set.empty[String]
+    // partial progress (reference partial-progress.enabled/max-commits):
+    // commit completed file groups in batches so one failure or conflict
+    // keeps everything already committed; each batch validates from the
+    // previous commit (our own overwrite would otherwise conflict)
+    var validateFrom = scannedSnapshotId
+    val groupSeq = groups.toSeq
+    val doPartial = partialProgress && groupSeq.size > 1
+    val batchSize =
+      if (doPartial)
+        math.max(1, math.ceil(groupSeq.size.toDouble / math.max(1, maxCommits)).toInt)
+      else groupSeq.size
+    var pendingGroups = 0
+
+    def commitPending(): Unit = {
+      val old = oldPaths.result()
+      val nf = newFiles.result()
+      pendingGroups = 0; oldPaths.clear(); newFiles.clear()
+      if (old.isEmpty && nf.isEmpty) return
+      cumulativeRewritten ++= old
+      val obsolete = applicability.collect {
+        case (dp, applies) if !droppedDeletes(dp) &&
+          applies.subsetOf(cumulativeRewritten) => dp
+      }.toSeq
+      droppedDeletes ++= obsolete
+      val ow = t.newOverwrite()
+        .deleteFiles((old ++ obsolete).distinct)
+        .addFiles(nf)
+      validateFrom.foreach(ow.validateFromSnapshot)
+      val snap = ow.commit()
+      validateFrom = Some(snap.snapshotId)
+    }
+
+    groupSeq.foreach { case ((specId, partition), ts) => try {
+      // group-local staging: a group that fails midway must contribute
+      // nothing to the batch commit (its files become orphans)
+      val groupNew = Seq.newBuilder[DataFile]
       val paths = ts.map(_.file.path)
       val totalBytes = ts.map(_.file.fileSizeBytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetSize).toInt)
@@ -1005,23 +1059,30 @@ object RewriteDataFiles {
           .filter(_.content == FileContent.EqualityDeletes).map(d => (d, t.file.path)))
         .groupBy(_._1).map { case (d, ps) => (d, ps.map(_._2).distinct) }
       val anyDeletes = posFiles.nonEmpty || eqByFile.nonEmpty
-      // per-format reads; when deletes apply, every branch carries __f/__p
-      // (file-source formats via _metadata, avro via the reader itself)
+      // row lineage: rewritten rows keep their ORIGINAL _row_id and
+      // last-updated sequence, materialized as real columns in the new
+      // files (v3 lineage; reference ExtractRowLineage). Sources: a
+      // materialized column from an earlier rewrite wins, else the file's
+      // firstRowId + row position.
+      val lineageFields = GraftSparkTable.lineageReadFields
+      val readSchema = org.apache.spark.sql.types.StructType(
+        schemaWithIds.fields ++ lineageFields)
+      // per-format reads with __f/__p path+position columns (file-source
+      // formats via _metadata, avro via the reader itself)
       val raw = ts.groupBy(_.file.format).map { case (f, fts) =>
         import org.apache.spark.sql.functions.col
         if (f == "avro")
-          GraftAvro.readToDf(spark, fts.map(_.file.path), schemaWithIds, withPos = anyDeletes)
+          GraftAvro.readToDf(spark, fts.map(_.file.path), readSchema, withPos = true)
         else {
-          val rdr = spark.read.schema(schemaWithIds)
+          val rdr = spark.read.schema(readSchema)
           val base = if (f == "orc") rdr.orc(fts.map(_.file.path): _*)
             else rdr.parquet(fts.map(_.file.path): _*)
-          if (anyDeletes) base.select(col("*"),
+          base.select(col("*"),
             col("_metadata.file_path").as("__f"),
             col("_metadata.row_index").as("__p"))
-          else base
         }
       }.reduce(_ union _)
-      val df1 =
+      val df1pre =
         if (!anyDeletes) raw
         else {
           import org.apache.spark.sql.functions.{array => sarray, col, concat, explode, lit}
@@ -1055,8 +1116,29 @@ object RewriteDataFiles {
                 .foldLeft(afterPos("__f") === delKeys("__ef"))(_ && _)
               afterPos.join(delKeys, cond, "left_anti")
             }
-          afterEq.drop("__f", "__p")
+          afterEq
         }
+      // finalize lineage columns: materialized value wins, else inherit
+      // firstRowId + position; attach the reserved field ids so the new
+      // parquet files persist them id-addressably
+      val df1 = {
+        import org.apache.spark.sql.functions.{coalesce, col, element_at, typedLit}
+        def variants(p: String) = Seq("file:" + p, "file://" + p, p)
+        val fm = ts.flatMap(t0 => t0.file.firstRowId.toSeq.flatMap(fr =>
+          variants(t0.file.path).map(v => v -> fr))).toMap
+        val sm = ts.flatMap(t0 =>
+          variants(t0.file.path).map(v => v -> t0.dataSequenceNumber)).toMap
+        val rowIdExpr = coalesce(col(lineageFields.head.name),
+          if (fm.isEmpty) typedLit[Option[Long]](None)
+          else element_at(typedLit(fm), col("__f")) + col("__p"))
+        val seqExpr = coalesce(col(lineageFields(1).name),
+          if (sm.isEmpty) typedLit[Option[Long]](None)
+          else element_at(typedLit(sm), col("__f")))
+        df1pre.select(
+          schemaWithIds.fields.map(f => col(f.name)) ++ Seq(
+            rowIdExpr.as(lineageFields.head.name, lineageFields.head.metadata),
+            seqExpr.as(lineageFields(1).name, lineageFields(1).metadata)): _*)
+      }
       import org.apache.spark.sql.functions.{array, col => fcol, xxhash64}
       val df =
         if (bySort) df1.repartitionByRange(nOut, sortCols.toIndexedSeq: _*)
@@ -1086,8 +1168,9 @@ object RewriteDataFiles {
       if (outFmt == "avro") {
         // executor-side avro write straight to the data dir: each task
         // writes one file and returns its descriptor fields (write-time
-        // stats — avro has no footer metrics to re-read)
-        val sparkSchema = graft.core.types.SparkTypes.toSparkSchema(t.meta.schema)
+        // stats — avro has no footer metrics to re-read). df.schema, not
+        // the table schema: the rewrite carries materialized lineage cols.
+        val sparkSchema = df.schema
         val gJson = graft.core.meta.MetaJson.writeSchema(t.meta.schema).toString
         val written = df.queryExecution.toRdd.mapPartitions { rows =>
           if (rows.isEmpty) Iterator.empty
@@ -1100,8 +1183,7 @@ object RewriteDataFiles {
           }
         }.collect()
         written.foreach { case (target, rows, size, stats) =>
-          newFiles += DataFile(target, outFmt, specId, partition, rows, size, stats)
-          added += 1
+          groupNew += DataFile(target, outFmt, specId, partition, rows, size, stats)
         }
       } else {
       val staging = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
@@ -1118,33 +1200,28 @@ object RewriteDataFiles {
         val rows =
           if (outFmt == "orc") orcRowCount(target, conf)
           else readRowCount(target, conf)
-        newFiles += DataFile(target, outFmt, specId, partition, rows, size, stats)
-        added += 1
+        groupNew += DataFile(target, outFmt, specId, partition, rows, size, stats)
       }
       }
+      val gf = groupNew.result()
       rewritten += ts.size
+      added += gf.size
       bytes += totalBytes
+      newFiles ++= gf
       oldPaths ++= paths
-    }
-    val rewrittenSet = oldPaths.result().toSet
-    // a delete file is obsolete once EVERY data file it applied to was
-    // rewritten in this pass (the masks are baked into the new files, and
-    // new files carry a higher sequence number than the deletes)
-    val applicability = scala.collection.mutable.Map.empty[String, Set[String]]
-    tasks.foreach { ts0 =>
-      ts0.deletes.foreach { d =>
-        applicability(d.path) = applicability.getOrElse(d.path, Set.empty) + ts0.file.path
-      }
-    }
-    val obsoleteDeletes = applicability.collect {
-      case (dp, applies) if applies.subsetOf(rewrittenSet) => dp
-    }.toSeq
-    val ow = t.newOverwrite()
-      .deleteFiles((rewrittenSet ++ obsoleteDeletes).toSeq)
-      .addFiles(newFiles.result())
-    scannedSnapshotId.foreach(ow.validateFromSnapshot)
-    ow.commit()
-    GraftProcedures.out(resultSchema, GraftProcedures.row(rewritten, added, bytes))
+      pendingGroups += 1
+      if (doPartial && pendingGroups >= batchSize) commitPending()
+    } catch {
+      // partial progress: a failed group forfeits only its own rewrite;
+      // its uncommitted outputs become orphans (remove_orphan_files)
+      case e: Throwable if doPartial =>
+        failedFiles += ts.size
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"rewrite group ($specId, $partition) failed, skipping", e)
+    }}
+    commitPending()
+    GraftProcedures.out(resultSchema,
+      GraftProcedures.row(rewritten, added, bytes, failedFiles))
   }
 
   private def orcRowCount(path: String,

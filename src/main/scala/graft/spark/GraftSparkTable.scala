@@ -151,9 +151,28 @@ object GraftSparkTable {
   // v3 row lineage (reference MetadataColumns ROW_ID / LAST_UPDATED_SEQ)
   val MetaRowIdCol = "_row_id"
   val MetaSeqCol = "_last_updated_sequence_number"
+  // reserved field ids for MATERIALIZED lineage columns: rewritten files
+  // (compaction) persist each row's original _row_id / last-updated seq as
+  // real columns under these ids; readers prefer them over metadata-based
+  // inheritance (format/spec.md row lineage, reference MetadataColumns)
+  val RowIdFieldId = 2147483540
+  val LastUpdSeqFieldId = 2147483539
   private val MetaColNames =
     Set(MetaFileCol, MetaPosCol, MetaSpecIdCol, MetaPartitionCol,
       MetaRowIdCol, MetaSeqCol)
+
+  /** the two materialized-lineage read columns, appended to a read schema
+    * so files that carry them yield values and older files yield null */
+  def lineageReadFields: Seq[org.apache.spark.sql.types.StructField] = {
+    def meta(id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SparkTypes.FieldIdKey, id.toLong)
+      .putLong(SparkTypes.ParquetFieldIdKey, id.toLong).build()
+    Seq(
+      org.apache.spark.sql.types.StructField(MetaRowIdCol,
+        org.apache.spark.sql.types.LongType, nullable = true, meta(RowIdFieldId)),
+      org.apache.spark.sql.types.StructField(MetaSeqCol,
+        org.apache.spark.sql.types.LongType, nullable = true, meta(LastUpdSeqFieldId)))
+  }
 
   /** Spark struct type of a spec's partition tuple. */
   def partitionStructType(spec: graft.core.expr.PartitionSpec,
@@ -645,7 +664,8 @@ object GraftSparkTable {
       // split oversized files at target boundaries — safe only when the
       // reader honors (start, length): no delete masking, no _pos
       val needPos = required.fieldNames.contains(MetaPosCol) ||
-        required.fieldNames.contains(MetaRowIdCol)
+        required.fieldNames.contains(MetaRowIdCol) ||
+        required.fieldNames.contains(MetaSeqCol)
       val split = all.flatMap { t =>
         if (t.length <= target || t.deletes.nonEmpty || needPos) Seq(t)
         else (0L until t.length by target).map(off =>
@@ -716,10 +736,21 @@ object GraftSparkTable {
         dataRequired, v1Filters,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshConf)
+      // row lineage: when _row_id / _last_updated_sequence_number are
+      // requested, extend the read schema with the MATERIALIZED lineage
+      // columns (reserved field ids) — rewritten files carry them, older
+      // files read null and fall back to metadata inheritance
+      val wantLineage = metaCols.contains(MetaRowIdCol) || metaCols.contains(MetaSeqCol)
+      val dataReadNF =
+        if (wantLineage) StructType(dataRequired.fields ++ lineageReadFields)
+        else dataRequired
       // delete-bearing / position-tracking tasks: full-file row read so the
       // emitted row index equals the file position
-      val rowFuncNoFilter = fmt.buildReaderWithPartitionValues(spark, fullSchema,
-        new StructType(), dataRequired, Nil,
+      val fullSchemaNF =
+        if (wantLineage) StructType(fullSchema.fields ++ lineageReadFields)
+        else fullSchema
+      val rowFuncNoFilter = fmt.buildReaderWithPartitionValues(spark, fullSchemaNF,
+        new StructType(), dataReadNF, Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshConf)
       val deleteSchema = StructType(Seq(
@@ -748,8 +779,8 @@ object GraftSparkTable {
         new StructType(), stripIds(dataRequired), v1Filters,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshNameConf)
-      val nameRowFuncNoFilter = fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
-        new StructType(), stripIds(dataRequired), Nil,
+      val nameRowFuncNoFilter = fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchemaNF),
+        new StructType(), stripIds(dataReadNF), Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshNameConf)
       // imported ORC files: Spark's ORC reader resolves columns by name
@@ -758,8 +789,8 @@ object GraftSparkTable {
         new StructType(), stripIds(dataRequired), v1Filters,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshNameConf)
-      val orcRowFuncNoFilter = orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
-        new StructType(), stripIds(dataRequired), Nil,
+      val orcRowFuncNoFilter = orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchemaNF),
+        new StructType(), stripIds(dataReadNF), Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshNameConf)
       // columnar needs one uniform batch reader across the scan: all
@@ -786,6 +817,7 @@ object GraftSparkTable {
       // avro data files: our own sync-splittable row reader (no spark-avro
       // connector on this classpath); filters re-applied by Spark above
       val avroRowFunc = GraftAvro.ReadFunc(dataRequired.json)
+      val avroRowFuncNF = GraftAvro.ReadFunc(dataReadNF.json)
       val avroFullFunc = GraftAvro.ReadFunc(fullSchema.json)
       new GraftReaderFactory(
         if (allOrc) orcBatchFunc else batchFunc,
@@ -797,7 +829,8 @@ object GraftSparkTable {
         orcRowFunc, orcRowFuncNoFilter,
         defaultSpecId = table.spec.specId,
         partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray,
-        avroRowFunc = avroRowFunc, avroFullFunc = avroFullFunc)
+        avroRowFunc = avroRowFunc, avroFullFunc = avroFullFunc,
+        avroRowFuncNF = avroRowFuncNF, lineageExt = wantLineage)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -865,7 +898,10 @@ object GraftSparkTable {
       defaultSpecId: Int = 0,
       partTypes: Array[GType] = Array.empty,
       avroRowFunc: PartitionedFile => Iterator[InternalRow] = null,
-      avroFullFunc: PartitionedFile => Iterator[InternalRow] = null)
+      avroFullFunc: PartitionedFile => Iterator[InternalRow] = null,
+      avroRowFuncNF: PartitionedFile => Iterator[InternalRow] = null,
+      // no-filter reads carry 2 extra trailing materialized-lineage columns
+      lineageExt: Boolean = false)
     extends PartitionReaderFactory {
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
@@ -983,7 +1019,7 @@ object GraftSparkTable {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val tasks = partition.asInstanceOf[GraftInputPartition].tasks
-      val needPos = metaCols.contains(MetaPosCol) || metaCols.contains(MetaRowIdCol)
+      val needPos = metaCols.contains(MetaPosCol) || lineageExt
       val it: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
         // one reusable metadata suffix row per task (_file, _spec_id and
         // _partition are constant; _pos is set per row)
@@ -1010,18 +1046,42 @@ object GraftSparkTable {
           case _ => ()
         }
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-        def withMeta(row: InternalRow, pos: Long): InternalRow =
+        def withMeta(row: InternalRow, pos: Long,
+            matRowId: java.lang.Long = null,
+            matSeq: java.lang.Long = null): InternalRow =
           if (metaCols.isEmpty) row
           else {
             metaCols.zipWithIndex.foreach {
               case (MetaPosCol, i) => metaRow.setLong(i, pos)
               case (MetaRowIdCol, i) =>
-                // null for files without an assigned range (pre-lineage
-                // metadata or compaction rewrites)
-                metaRow.update(i, t.firstRowId.map(f => (f + pos): java.lang.Long).orNull)
+                // materialized column (compaction rewrites) wins; else
+                // inherit firstRowId + pos; null for pre-lineage files
+                metaRow.update(i,
+                  if (matRowId != null) matRowId
+                  else t.firstRowId.map(f => (f + pos): java.lang.Long).orNull)
+              case (MetaSeqCol, i) if matSeq != null => metaRow.update(i, matSeq)
               case _               => ()
             }
             joined(row, metaRow)
+          }
+        // no-filter reads carry 2 extra trailing materialized-lineage
+        // columns: pull them off and trim the row back to the data schema
+        val nData = dataRequired.length
+        def withMetaExt(row: InternalRow, pos: Long): InternalRow =
+          if (!lineageExt) withMeta(row, pos)
+          else {
+            val matRowId: java.lang.Long =
+              if (row.isNullAt(nData)) null else row.getLong(nData)
+            val matSeq: java.lang.Long =
+              if (row.isNullAt(nData + 1)) null else row.getLong(nData + 1)
+            val trimmed = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nData)
+            var i = 0
+            while (i < nData) {
+              trimmed.update(i,
+                if (row.isNullAt(i)) null else row.get(i, dataRequired.fields(i).dataType))
+              i += 1
+            }
+            withMeta(trimmed, pos, matRowId, matSeq)
           }
         if (t.eqDeletes.nonEmpty)
           eqMaskedRows(t).map { case (row, idx) => withMeta(row, idx) }
@@ -1040,11 +1100,11 @@ object GraftSparkTable {
           val f = t.fileFormat match {
             case "orc"        => orcRowFuncNoFilter
             case "parquet-nm" => nameRowFuncNoFilter
-            case "avro"       => avroRowFunc
+            case "avro"       => avroRowFuncNF
             case _            => rowFuncNoFilter
           }
           f(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
-            case (row, idx) if !deleted.contains(idx.toLong) => withMeta(row, idx.toLong)
+            case (row, idx) if !deleted.contains(idx.toLong) => withMetaExt(row, idx.toLong)
           }
         }
       }

@@ -300,6 +300,28 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.db.compact").collect()(0).getLong(0) === 4L)
   }
 
+  test("procedures: rewrite_data_files partial progress commits per batch") {
+    spark.sql("""CREATE TABLE graft.db.pprog (id BIGINT, p BIGINT)
+      PARTITIONED BY (p)""")
+    // 4 partitions × 2 small files each → 4 rewrite groups
+    (0 until 2).foreach { _ =>
+      spark.range(0, 40).selectExpr("id", "id % 4 AS p")
+        .writeTo("graft.db.pprog").append()
+    }
+    val before = spark.sql("SELECT COUNT(*) FROM graft.db.pprog.snapshots")
+      .collect()(0).getLong(0)
+    val res = spark.sql(
+      """CALL graft.system.rewrite_data_files('db.pprog', 'binpack', '',
+         536870912, 2, true, 2)""").collect()(0)
+    assert(res.getInt(0) === 8 && res.getInt(1) === 4 && res.getInt(3) === 0)
+    val after = spark.sql("SELECT COUNT(*) FROM graft.db.pprog.snapshots")
+      .collect()(0).getLong(0)
+    // 4 groups / max 2 commits → exactly 2 overwrite snapshots
+    assert(after - before === 2)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.pprog").collect()(0).getLong(0) === 80)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pprog.files").collect()(0).getLong(0) === 4L)
+  }
+
   test("procedures: rewrite_manifests and compute_table_stats") {
     spark.sql("CREATE TABLE graft.db.rm (id BIGINT)")
     (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.db.rm VALUES ($i)"))
@@ -1253,6 +1275,33 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after === Seq((2L, 1L), (3L, 2L)), after)
     // next-row-id persisted in table metadata
     assert(coreTable("lineage").meta.nextRowId === 3L)
+  }
+
+  test("row lineage survives compaction (materialized lineage columns)") {
+    spark.sql("""CREATE TABLE graft.db.lin_c (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.db.lin_c VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.lin_c VALUES (3, 'c'), (4, 'd')")
+    spark.sql("DELETE FROM graft.db.lin_c WHERE id = 2")
+    val before = spark.sql(
+      "SELECT id, _row_id, _last_updated_sequence_number FROM graft.db.lin_c ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    spark.sql("CALL graft.system.rewrite_data_files('db.lin_c')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.lin_c.files")
+      .collect()(0).getLong(0) === 1L)
+    val after = spark.sql(
+      "SELECT id, _row_id, _last_updated_sequence_number FROM graft.db.lin_c ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // rewritten rows keep their original row ids AND last-updated seqs
+    assert(after === before, s"before=$before after=$after")
+
+    // a second compaction round-trips the materialized columns
+    spark.sql("INSERT INTO graft.db.lin_c VALUES (5, 'e')")
+    spark.sql("CALL graft.system.rewrite_data_files('db.lin_c', 'sort', 'id DESC')")
+    val again = spark.sql("SELECT id, _row_id FROM graft.db.lin_c WHERE id <= 4 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again === before.map(t => (t._1, t._2)), again)
   }
 
   test("branch_/tag_ identifiers: ref-pinned reads, branch writes") {
