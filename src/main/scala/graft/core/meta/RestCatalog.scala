@@ -1,0 +1,213 @@
+package graft.core.meta
+
+import java.net.InetSocketAddress
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core.expr.PartitionSpec
+import graft.core.types.GSchema
+
+/** REST catalog (reference core/.../rest/RESTCatalog.java + server-side
+  * CatalogHandlers.java, spec open-api/): the catalog lives behind an
+  * HTTP endpoint; clients load tables and commit metadata through it.
+  * The SERVER owns metadata-file writes and the pointer swap, so clients
+  * need no direct access to the pointer store — commits POST the full
+  * updated metadata and the server answers 409 on a version conflict,
+  * which surfaces client-side as an ordinary CAS failure feeding the
+  * existing retry loop.
+  *
+  * Endpoints (graft-simplified but REST-catalog-shaped):
+  *   GET    /v1/config                               → {warehouse}
+  *   GET    /v1/namespaces/{ns}/tables               → {identifiers:[...]}
+  *   POST   /v1/namespaces/{ns}/tables/{t}/create    → {location, version}
+  *   GET    /v1/namespaces/{ns}/tables/{t}           → {version, metadata}
+  *   POST   /v1/namespaces/{ns}/tables/{t}/commit    → 200 | 409
+  *   DELETE /v1/namespaces/{ns}/tables/{t}           → 200 | 404
+  *   POST   /v1/tables/rename                        → 200 | 404 | 409
+  */
+object RestCatalogServer {
+  /** Start an in-process server over a directory warehouse; returns
+    * (server, uri). Backing store: FileTableOps per table, so the server
+    * composes with everything the Hadoop catalog supports. */
+  def start(warehouse: String, port: Int = 0): (HttpServer, String) = {
+    val backing = new HadoopCatalog(warehouse)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    def json(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      x.getResponseHeaders.set("Content-Type", "application/json")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    }
+    def readBody(x: HttpExchange): String =
+      new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+    server.createContext("/v1/config", (x: HttpExchange) =>
+      json(x, 200, s"""{"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)}}"""))
+
+    server.createContext("/v1/tables/rename", (x: HttpExchange) =>
+      try {
+        val n = MetaJson.mapper.readTree(readBody(x))
+        val from = n.get("from").asText().split("\\.")
+        val to = n.get("to").asText().split("\\.")
+        // directory-backed store cannot rename (absolute paths in
+        // metadata); report as 409 like a conflicting server would
+        json(x, 409, s"""{"error": "rename not supported by this backend"}""")
+      } catch { case e: Throwable => json(x, 400, errJson(e)) })
+
+    // /v1/namespaces/{ns}/tables[/{t}[/create|/commit]]
+    server.createContext("/v1/namespaces", (x: HttpExchange) =>
+      try {
+        val parts = x.getRequestURI.getPath.stripPrefix("/v1/namespaces/")
+          .split("/").filter(_.nonEmpty)
+        (x.getRequestMethod, parts) match {
+          case ("GET", Array(ns, "tables")) =>
+            val names = backing.listTables(ns.split("\\.").toSeq)
+            json(x, 200, MetaJson.mapper.writeValueAsString(
+              java.util.Map.of("identifiers", names.toArray)))
+          case ("POST", Array(ns, "tables", t, "create")) =>
+            val meta = MetaJson.readMetadata(readBody(x))
+            val nsSeq = ns.split("\\.").toSeq
+            val loc = backing.tableLocation(nsSeq, t)
+            val ops = new FileTableOps(loc)
+            // location is server-assigned: rewrite it into the metadata
+            val withLoc = meta.copy(location = loc)
+            if (ops.commit(0, withLoc))
+              json(x, 200, s"""{"location": ${MetaJson.mapper.writeValueAsString(loc)}, "version": 1}""")
+            else json(x, 409, s"""{"error": "table exists"}""")
+          case ("GET", Array(ns, "tables", t)) =>
+            val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, t))
+            val v = ops.currentVersion()
+            if (v == 0) json(x, 404, s"""{"error": "no such table"}""")
+            else json(x, 200,
+              s"""{"version": $v, "metadata": ${MetaJson.writeMetadata(ops.current().get)}}""")
+          case ("POST", Array(ns, "tables", t, "commit")) =>
+            val body = MetaJson.mapper.readTree(readBody(x))
+            val base = body.get("base-version").asInt()
+            val meta = MetaJson.readMetadata(
+              MetaJson.mapper.writeValueAsString(body.get("metadata")))
+            val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, t))
+            if (ops.commit(base, meta)) json(x, 200, s"""{"version": ${base + 1}}""")
+            else json(x, 409, s"""{"error": "commit conflict at base $base"}""")
+          case ("DELETE", Array(ns, "tables", t)) =>
+            if (backing.dropTable(ns.split("\\.").toSeq, t)) json(x, 200, "{}")
+            else json(x, 404, s"""{"error": "no such table"}""")
+          case _ => json(x, 404, s"""{"error": "unknown route"}""")
+        }
+      } catch { case e: Throwable => json(x, 400, errJson(e)) })
+
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+  }
+
+  private def errJson(e: Throwable): String =
+    s"""{"error": ${MetaJson.mapper.writeValueAsString(String.valueOf(e.getMessage))}}"""
+}
+
+object RestHttp {
+  lazy val client: HttpClient = HttpClient.newHttpClient()
+
+  def get(url: String): (Int, String) = send(
+    HttpRequest.newBuilder(java.net.URI.create(url)).GET().build())
+
+  def post(url: String, body: String): (Int, String) = send(
+    HttpRequest.newBuilder(java.net.URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+
+  def delete(url: String): (Int, String) = send(
+    HttpRequest.newBuilder(java.net.URI.create(url)).DELETE().build())
+
+  private def send(req: HttpRequest): (Int, String) = {
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+}
+
+/** Client-side ops: the version/metadata pointer is the REST resource. */
+final class RestTableOps(
+    val location: String,
+    uri: String,
+    namespace: String,
+    name: String) extends TableOps {
+
+  private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
+
+  override def currentVersion(): Int = {
+    val (code, body) = RestHttp.get(tableUrl)
+    if (code != 200) 0 else MetaJson.mapper.readTree(body).get("version").asInt()
+  }
+
+  override def current(): Option[TableMetadata] = {
+    val (code, body) = RestHttp.get(tableUrl)
+    if (code != 200) None
+    else Some(MetaJson.readMetadata(
+      MetaJson.mapper.writeValueAsString(MetaJson.mapper.readTree(body).get("metadata"))))
+  }
+
+  override def commit(baseVersion: Int, updated: TableMetadata): Boolean =
+    if (baseVersion == 0) {
+      val (code, _) = RestHttp.post(s"$tableUrl/create", MetaJson.writeMetadata(updated))
+      code == 200
+    } else {
+      val (code, _) = RestHttp.post(s"$tableUrl/commit",
+        s"""{"base-version": $baseVersion, "metadata": ${MetaJson.writeMetadata(updated)}}""")
+      code == 200
+    }
+}
+
+/** REST catalog client. The warehouse comes from the server's /v1/config,
+  * so data/metadata paths agree between client and server (single shared
+  * filesystem in this implementation, as with HadoopCatalog). */
+final class RestCatalog private (warehouse: String, uri: String)
+  extends HadoopCatalog(warehouse) {
+
+  private def ns(namespace: Seq[String]): String = namespace.mkString(".")
+
+  private def ops(namespace: Seq[String], name: String): RestTableOps =
+    new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name)
+
+  override def createTable(namespace: Seq[String], name: String, schema: GSchema,
+      spec: PartitionSpec = PartitionSpec.Unpartitioned,
+      properties: Map[String, String] = Map.empty): GTable = {
+    val o = ops(namespace, name)
+    val meta = TableMetadata.newTable(o.location, schema, spec, properties)
+    if (!o.commit(0, meta))
+      throw new IllegalStateException(s"table already exists: ${ns(namespace)}.$name")
+    new GTable(o)
+  }
+
+  override def loadTable(namespace: Seq[String], name: String): Option[GTable] = {
+    val o = ops(namespace, name)
+    if (o.currentVersion() > 0) Some(new GTable(o)) else None
+  }
+
+  override def tableExists(namespace: Seq[String], name: String): Boolean =
+    ops(namespace, name).currentVersion() > 0
+
+  override def dropTable(namespace: Seq[String], name: String): Boolean =
+    RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name")._1 == 200
+
+  override def listTables(namespace: Seq[String]): Seq[String] = {
+    val (code, body) = RestHttp.get(s"$uri/v1/namespaces/${ns(namespace)}/tables")
+    if (code != 200) Nil
+    else {
+      val arr = MetaJson.mapper.readTree(body).get("identifiers")
+      val out = Seq.newBuilder[String]
+      arr.elements().forEachRemaining(e => out += e.asText())
+      out.result()
+    }
+  }
+}
+
+object RestCatalog {
+  /** Connect: fetch the warehouse from the server config endpoint. */
+  def connect(uri: String): RestCatalog = {
+    val (code, body) = RestHttp.get(s"$uri/v1/config")
+    require(code == 200, s"REST catalog config failed: $code $body")
+    new RestCatalog(MetaJson.mapper.readTree(body).get("warehouse").asText(), uri)
+  }
+}

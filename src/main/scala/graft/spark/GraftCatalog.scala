@@ -42,6 +42,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"catalog $name: catalog-impl=jdbc requires a 'uri' option"))
         new graft.core.meta.JdbcCatalog(wh, uri, name)
+      case Some("rest") =>
+        val uri = Option(options.get("uri")).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog $name: catalog-impl=rest requires a 'uri' option"))
+        graft.core.meta.RestCatalog.connect(uri)
       case _ => new HadoopCatalog(wh)
     }
   }
