@@ -27,6 +27,16 @@ case object GDate extends GType
 final case class GTimestamp(ntz: Boolean = false) extends GType
 case object GString extends GType
 case object GBinary extends GType
+/** v3 semi-structured values (reference api/.../variants, spec variant
+  * type); maps to Spark 4's native VariantType. No stats/transforms —
+  * pruning treats variant columns as opaque. */
+case object GVariant extends GType
+/** time-of-day, micros since midnight (Types.TimeType; Spark 4.1 TIME) */
+case object GTime extends GType
+/** 16-byte UUID (Types.UUIDType); surfaced to Spark as a fixed binary */
+case object GUuid extends GType
+/** v3 `unknown`: all-null column of undetermined type → Spark NullType */
+case object GUnknown extends GType
 
 /** v3 column defaults (spec stores typed JSON values; we store the SQL
   * literal text, which Spark's readers evaluate natively):
@@ -111,6 +121,10 @@ object SparkTypes {
     case GTimestamp(false) => TimestampType
     case GString           => StringType
     case GBinary           => BinaryType
+    case GVariant          => VariantType
+    case GTime             => new TimeType(6) // micros precision
+    case GUuid             => BinaryType      // 16-byte canonical encoding
+    case GUnknown          => NullType
     case s: GStruct        => toSparkStruct(s)
     case l: GList          => ArrayType(toSpark(l.elementType), !l.elementRequired)
     case m: GMap           => MapType(toSpark(m.keyType), toSpark(m.valueType), !m.valueRequired)
@@ -149,6 +163,9 @@ object SparkTypes {
       case TimestampNTZType => GTimestamp(true)
       case StringType       => GString
       case BinaryType       => GBinary
+      case VariantType      => GVariant
+      case _: TimeType      => GTime
+      case NullType         => GUnknown
       case s: StructType    => GStruct(s.fields.map(f => GField(nid(), f.name, conv(f.dataType), !f.nullable)))
       case a: ArrayType     => GList(nid(), conv(a.elementType), !a.containsNull)
       case m: MapType       => GMap(nid(), conv(m.keyType), nid(), conv(m.valueType), !m.valueContainsNull)
@@ -174,6 +191,10 @@ object SparkTypes {
     case GTimestamp(false) => "timestamptz"
     case GString           => "string"
     case GBinary           => "binary"
+    case GVariant          => "variant"
+    case GTime             => "time"
+    case GUuid             => "uuid"
+    case GUnknown          => "unknown"
     case _ => throw new IllegalArgumentException(s"not a primitive: $t")
   }
 
@@ -190,6 +211,10 @@ object SparkTypes {
     case "timestamptz"      => GTimestamp(false)
     case "string"           => GString
     case "binary"           => GBinary
+    case "variant"          => GVariant
+    case "time"             => GTime
+    case "uuid"             => GUuid
+    case "unknown"          => GUnknown
     case other => throw new IllegalArgumentException(s"unknown type: $other")
   }
 }

@@ -47,6 +47,7 @@ object SparkBridge {
     case TimestampNTZType => GTimestamp(true)
     case StringType       => GString
     case BinaryType       => GBinary
+    case VariantType      => GVariant
     case other => throw new IllegalArgumentException(s"unsupported: $other")
   }
 

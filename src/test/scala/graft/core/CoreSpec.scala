@@ -214,4 +214,22 @@ class CoreSpec extends AnyFunSuite {
     val gs = SparkTypes.fromSpark(st)
     assert(gs.fields.map(_.name) === schema.fields.map(_.name))
   }
+
+  test("v3 types: variant/time/uuid/unknown name + spark round-trips") {
+    import org.apache.spark.sql.types.{NullType, TimeType, VariantType}
+    val v3 = Seq[(GType, org.apache.spark.sql.types.DataType)](
+      GVariant -> VariantType, GTime -> new TimeType(6), GUnknown -> NullType)
+    v3.foreach { case (g, s) => assert(SparkTypes.toSpark(g) === s) }
+    Seq(GVariant, GTime, GUuid, GUnknown).foreach { g =>
+      assert(SparkTypes.typeFromName(SparkTypes.typeName(g)) === g)
+    }
+    // json metadata round-trip keeps the type
+    val sch = GSchema(GStruct(Seq(
+      GField(1, "id", GLong, required = true), GField(2, "payload", GVariant),
+      GField(3, "t", GTime), GField(4, "u", GUuid), GField(5, "x", GUnknown))))
+    val json = graft.core.meta.MetaJson.writeSchema(sch).toString
+    val back = graft.core.meta.MetaJson.readSchema(
+      graft.core.meta.MetaJson.mapper.readTree(json))
+    assert(back.fields.map(_.tpe) === sch.fields.map(_.tpe))
+  }
 }

@@ -1304,6 +1304,33 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === before.map(t => (t._1, t._2)), again)
   }
 
+  test("variant type: write, read, shred with variant_get, evolve") {
+    spark.sql("CREATE TABLE graft.db.vart (id BIGINT, payload VARIANT)")
+    spark.sql("""INSERT INTO graft.db.vart SELECT 1, parse_json('{"a": 1, "b": "x"}')""")
+    spark.sql("""INSERT INTO graft.db.vart SELECT 2, parse_json('{"a": 7, "c": [1,2,3]}')""")
+    val rows = spark.sql("""
+      SELECT id, variant_get(payload, '$.a', 'int') AS a,
+             variant_get(payload, '$.b', 'string') AS b
+      FROM graft.db.vart ORDER BY id""").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(1, 7))
+    assert(rows(0).getString(2) === "x" && rows(1).isNullAt(2))
+    // filters over shredded values evaluate post-scan
+    assert(spark.sql(
+      "SELECT id FROM graft.db.vart WHERE variant_get(payload, '$.a', 'int') > 3")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // evolution: add a variant column to an existing table
+    spark.sql("ALTER TABLE graft.db.vart ADD COLUMN extra VARIANT")
+    spark.sql("""INSERT INTO graft.db.vart
+      SELECT 3, parse_json('{"a": 9}'), parse_json('[true, false]')""")
+    val ev = spark.sql("""
+      SELECT id, variant_get(extra, '$[0]', 'boolean') FROM graft.db.vart
+      WHERE id = 3""").collect()
+    assert(ev(0).getBoolean(1) === true)
+    // CoW delete rewrites files carrying variants intact
+    spark.sql("DELETE FROM graft.db.vart WHERE id = 1")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.vart").collect()(0).getLong(0) === 2)
+  }
+
   test("branch_/tag_ identifiers: ref-pinned reads, branch writes") {
     spark.sql("CREATE TABLE graft.db.refid (id BIGINT)")
     spark.sql("INSERT INTO graft.db.refid VALUES (1), (2)")
