@@ -577,6 +577,59 @@ object Pipeline {
       FROM ch GROUP BY doc_id, (i - 1) // 64
       ORDER BY doc_id, frame_idx"""))
 
+  // ---------------------------------------------------------------- p16
+  /** Deterministic stratified sampling (training-data curation): keep a
+    * per-stratum rate of documents, chosen by a hash of the stable doc id
+    * (never rand() — reruns and engines must agree). Downsamples the
+    * dominant language, keeps the tail. At 100 TB this is a stateless
+    * map-side filter: no shuffle, no sampling state. */
+  private val p16 = Q(
+    "p16_sample_stratified",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("rate",
+          when(col("lang") === "en", lit(30)).otherwise(lit(90)))
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) < col("rate"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, lang, source FROM documents
+      WHERE (doc_id * 2654435761) % 100 <
+        CASE WHEN lang = 'en' THEN 30 ELSE 90 END
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- p17
+  /** Sequence packing for LLM training: assign documents to fixed-budget
+    * context windows per language — pack boundary every `budget`
+    * cumulative tokens (fixed-boundary packing; deterministic order by
+    * doc_id). One window + one partial agg: shuffles once on lang. */
+  private val p17 = Q(
+    "p17_pack_sequences",
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("tokens"))
+        .withColumn("prior", coalesce(sum("tokens").over(w), lit(0L)))
+        .withColumn("pack_id", expr("prior div 2048"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"))
+        .orderBy("lang", "pack_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, lang,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+                  FROM documents),
+      c AS (SELECT lang, tokens,
+              COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+            FROM tk)
+      SELECT lang, CAST(prior // 2048 AS BIGINT) AS pack_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS sum_tokens
+      FROM c GROUP BY 1, 2 ORDER BY lang, pack_id"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
-    p10, p11, p12, p13, p14, p15)
+    p10, p11, p12, p13, p14, p15, p16, p17)
 }

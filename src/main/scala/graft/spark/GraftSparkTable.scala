@@ -85,10 +85,12 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong)
     val maxFiles = Option(options.get("max-files-per-micro-batch")).map(_.toInt)
     val maxRecords = Option(options.get("max-records-per-micro-batch")).map(_.toLong)
+    val streamFromTs = Option(options.get("stream-from-timestamp")).map(_.toLong)
     val incremental = Option(options.get("start-snapshot-id")).map(_.toLong)
       .map(s => (s, Option(options.get("end-snapshot-id")).map(_.toLong)))
     new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles,
-      incremental = incremental, streamMaxRecords = maxRecords)
+      incremental = incremental, streamMaxRecords = maxRecords,
+      streamFromTs = streamFromTs)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -234,7 +236,8 @@ object GraftSparkTable {
       ignoreResiduals: Boolean = false,
       streamMaxFiles: Option[Int] = None,
       incremental: Option[(Long, Option[Long])] = None,
-      streamMaxRecords: Option[Long] = None)
+      streamMaxRecords: Option[Long] = None,
+      streamFromTs: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -363,7 +366,8 @@ object GraftSparkTable {
       case Some((schema, row)) => new GraftLocalScan(schema, Array(row))
       case None =>
         val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
-          asOfTs, ignoreResiduals, streamMaxFiles, incremental, streamMaxRecords)
+          asOfTs, ignoreResiduals, streamMaxFiles, incremental, streamMaxRecords,
+          streamFromTs)
         onBuild(scan)
         scan
     }
@@ -421,7 +425,8 @@ object GraftSparkTable {
       asOfTs: Option[Long], ignoreResiduals: Boolean = false,
       streamMaxFiles: Option[Int] = None,
       incremental: Option[(Long, Option[Long])] = None,
-      streamMaxRecords: Option[Long] = None)
+      streamMaxRecords: Option[Long] = None,
+      streamFromTs: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -473,7 +478,7 @@ object GraftSparkTable {
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       new GraftMicroBatchStream(table, streamMaxFiles, () => createReaderFactory(),
-        streamMaxRecords, branch)
+        streamMaxRecords, branch, streamFromTs)
 
     private var runtimeExpr: Expr = TrueE
     @transient private var cachedTasks: Seq[FileScanTask] = _

@@ -23,7 +23,8 @@ final class GraftMicroBatchStream(
     maxFilesPerBatch: Option[Int],
     readerFactory: () => PartitionReaderFactory,
     maxRecordsPerBatch: Option[Long] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    streamFromTs: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -60,7 +61,15 @@ final class GraftMicroBatchStream(
       .map(_.file)
       .sortBy(_.path)
 
-  override def initialOffset(): Offset = GraftStreamingOffset(0L, 0)
+  // stream-from-timestamp (reference SparkReadConf.streamFromTimestamp):
+  // snapshots committed before the timestamp count as already processed
+  override def initialOffset(): Offset = streamFromTs match {
+    case None => GraftStreamingOffset(0L, 0)
+    case Some(ts) =>
+      lineage().filter(_.timestampMs < ts).lastOption
+        .map(s => GraftStreamingOffset(s.sequenceNumber, addedFiles(s).size))
+        .getOrElse(GraftStreamingOffset(0L, 0))
+  }
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxFilesPerBatch.map(ReadLimit.maxFiles).toSeq ++

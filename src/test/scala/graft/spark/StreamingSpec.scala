@@ -85,6 +85,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snaps === 4L, s"expected 4 snapshots, got $snaps")
   }
 
+  test("stream-from-timestamp skips snapshots committed before the cutoff") {
+    spark.sql("CREATE TABLE graft.db.stream_src_ts (id BIGINT)")
+    spark.sql("CREATE TABLE graft.db.stream_dst_ts (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.stream_src_ts VALUES (1)")
+    spark.sql("INSERT INTO graft.db.stream_src_ts VALUES (2)")
+    Thread.sleep(10)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(10)
+    spark.sql("INSERT INTO graft.db.stream_src_ts VALUES (3)")
+    spark.sql("INSERT INTO graft.db.stream_src_ts VALUES (4)")
+
+    val checkpoint = Files.createTempDirectory("graft-ckpt-ts").toString
+    val q = spark.readStream
+      .option("stream-from-timestamp", cutoff.toString)
+      .table("graft.db.stream_src_ts")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.db.stream_dst_ts")
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM graft.db.stream_dst_ts ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L, 4L))
+  }
+
   test("admission control: max-records-per-micro-batch bounds batches") {
     spark.sql("CREATE TABLE graft.db.stream_src3 (id BIGINT)")
     spark.sql("CREATE TABLE graft.db.stream_dst3 (id BIGINT)")
