@@ -100,6 +100,11 @@ final case class SortField(sourceId: Int, transform: Transform,
 final case class SortOrder(orderId: Int, fields: Seq[SortField])
 object SortOrder { val Unsorted: SortOrder = SortOrder(0, Nil) }
 
+/** A Puffin statistics file attached to a snapshot
+  * (format/spec.md statistics-file; reference core/.../StatisticsFile). */
+final case class StatisticsFile(snapshotId: Long, path: String,
+    fileSizeBytes: Long)
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -120,7 +125,9 @@ final case class TableMetadata(
     snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
     refs: Map[String, SnapshotRef],
     // v3 row lineage: next unassigned _row_id
-    nextRowId: Long = 0L) {
+    nextRowId: Long = 0L,
+    // Puffin statistics files (format/puffin-spec.md; spec.md statistics)
+    statistics: Seq[StatisticsFile] = Nil) {
 
   def schema: GSchema = schemas.find(_.schemaId == currentSchemaId).get
   def spec: graft.core.expr.PartitionSpec = specs.find(_.specId == defaultSpecId).get

@@ -293,6 +293,14 @@ object MetaJson {
       r.maxSnapshotAgeMs.foreach(ro.put("max-snapshot-age-ms", _))
       r.maxRefAgeMs.foreach(ro.put("max-ref-age-ms", _))
     }
+    if (m.statistics.nonEmpty) {
+      val st = o.putArray("statistics")
+      m.statistics.foreach { sf =>
+        st.addObject().put("snapshot-id", sf.snapshotId)
+          .put("statistics-path", sf.path)
+          .put("file-size-in-bytes", sf.fileSizeBytes)
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
@@ -347,6 +355,15 @@ object MetaJson {
       props.result(),
       Option(n.get("current-snapshot-id")).map(_.asLong()),
       snaps.result(), log.result(), refs.result(),
-      Option(n.get("next-row-id")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("next-row-id")).map(_.asLong()).getOrElse(0L),
+      statistics = {
+        val st = Seq.newBuilder[StatisticsFile]
+        Option(n.get("statistics")).foreach(_.elements().forEachRemaining { e =>
+          st += StatisticsFile(e.get("snapshot-id").asLong(),
+            e.get("statistics-path").asText(),
+            e.get("file-size-in-bytes").asLong())
+        })
+        st.result()
+      })
   }
 }

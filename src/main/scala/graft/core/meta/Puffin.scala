@@ -1,0 +1,116 @@
+package graft.core.meta
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** Puffin statistics file format (reference format/puffin-spec.md +
+  * core/.../puffin/): a binary container of statistics blobs with a
+  * JSON footer describing each blob's type, covered field ids, snapshot
+  * and byte range. Layout:
+  *
+  *   Magic  Blob1 ... BlobN  Magic  FooterPayload(JSON)
+  *   FooterPayloadSize(i32 LE)  Flags(i32)  Magic
+  *
+  * Blob payloads here are graft-defined ("graft-ndv-v1" = 8-byte LE long
+  * distinct-count, the role the reference fills with
+  * apache-datasketches-theta-v1 sketches — no datasketches jar on this
+  * classpath, so the sketch itself is replaced by the exact/approximate
+  * NDV the engine computed).
+  */
+object Puffin {
+  private val Magic = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
+
+  final case class Blob(
+      blobType: String,
+      fields: Seq[Int],
+      snapshotId: Long,
+      sequenceNumber: Long,
+      payload: Array[Byte],
+      properties: Map[String, String] = Map.empty)
+
+  def write(path: String, blobs: Seq[Blob],
+      fileProperties: Map[String, String] = Map.empty): Long = {
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.write(Magic)
+    val located = blobs.map { b =>
+      val offset = out.size().toLong
+      d.write(b.payload)
+      (b, offset)
+    }
+    // footer: Magic + JSON payload + size + flags + Magic
+    d.write(Magic)
+    val fo = MetaJson.mapper.createObjectNode()
+    val arr = fo.putArray("blobs")
+    located.foreach { case (b, off) =>
+      val bo = arr.addObject()
+      bo.put("type", b.blobType)
+      val fs = bo.putArray("fields")
+      b.fields.foreach(fs.add)
+      bo.put("snapshot-id", b.snapshotId)
+        .put("sequence-number", b.sequenceNumber)
+        .put("offset", off)
+        .put("length", b.payload.length.toLong)
+      if (b.properties.nonEmpty) {
+        val p = bo.putObject("properties")
+        b.properties.foreach { case (k, v) => p.put(k, v) }
+      }
+    }
+    if (fileProperties.nonEmpty) {
+      val p = fo.putObject("properties")
+      fileProperties.foreach { case (k, v) => p.put(k, v) }
+    }
+    val footer = MetaJson.mapper.writeValueAsString(fo).getBytes(StandardCharsets.UTF_8)
+    d.write(footer)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(footer.length)
+    tail.putInt(0) // flags: footer not compressed
+    d.write(tail.array())
+    d.write(Magic)
+    d.flush()
+    val p = GraftIO.toPath(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, out.toByteArray)
+    out.size().toLong
+  }
+
+  def read(path: String): Seq[Blob] = {
+    val bytes = Files.readAllBytes(GraftIO.toPath(path))
+    require(bytes.length > 20 && sliceEq(bytes, 0, Magic) &&
+      sliceEq(bytes, bytes.length - 4, Magic), s"not a puffin file: $path")
+    val tail = ByteBuffer.wrap(bytes, bytes.length - 12, 8).order(ByteOrder.LITTLE_ENDIAN)
+    val footerLen = tail.getInt()
+    val flags = tail.getInt()
+    require((flags & 1) == 0, "compressed puffin footers not supported")
+    val footerStart = bytes.length - 12 - footerLen
+    val footer = new String(bytes, footerStart, footerLen, StandardCharsets.UTF_8)
+    val n = MetaJson.mapper.readTree(footer)
+    val out = Seq.newBuilder[Blob]
+    n.get("blobs").elements().forEachRemaining { bo =>
+      val fields = Seq.newBuilder[Int]
+      bo.get("fields").elements().forEachRemaining(f => fields += f.asInt())
+      val off = bo.get("offset").asLong().toInt
+      val len = bo.get("length").asLong().toInt
+      val props = Map.newBuilder[String, String]
+      Option(bo.get("properties")).foreach(_.fields().forEachRemaining(e =>
+        props += e.getKey -> e.getValue.asText()))
+      out += Blob(bo.get("type").asText(), fields.result(),
+        bo.get("snapshot-id").asLong(), bo.get("sequence-number").asLong(),
+        java.util.Arrays.copyOfRange(bytes, off, off + len), props.result())
+    }
+    out.result()
+  }
+
+  /** graft-ndv-v1 payload codec: 8-byte little-endian distinct count */
+  def ndvPayload(ndv: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.putLong(ndv); b.array()
+  }
+  def ndvFromPayload(p: Array[Byte]): Long =
+    ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN).getLong()
+
+  private def sliceEq(bytes: Array[Byte], off: Int, m: Array[Byte]): Boolean =
+    m.indices.forall(i => bytes(off + i) == m(i))
+}

@@ -495,13 +495,34 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         }
       }.reduce(_ union _)
       import org.apache.spark.sql.functions.approx_count_distinct
-      val cols = t.schema.fields.filter(_.tpe.isPrimitive).map(_.name)
-      if (cols.nonEmpty) {
+      val fields = t.schema.fields
+        .filter(f => f.tpe.isPrimitive && f.tpe != graft.core.types.GVariant)
+      if (fields.nonEmpty) {
+        val cols = fields.map(_.name)
         val r = df.select(cols.map(c => approx_count_distinct(c).as(c)): _*).collect()(0)
+        // NDVs both as properties (CBO's SupportsReportStatistics source)
+        // and as a Puffin statistics file recorded in table metadata
+        // (reference ComputeTableStatsSparkAction → puffin blobs)
         val props = cols.zipWithIndex.map { case (c, i) => s"stats.ndv.$c" -> r.getLong(i).toString }
-        t.updateProperties(props.toMap)
+        val snap = t.meta.currentSnapshot
+        val puffinPath =
+          s"${t.location}/metadata/${java.util.UUID.randomUUID}.stats.puffin"
+        val blobs = fields.zipWithIndex.map { case (f, i) =>
+          Puffin.Blob("graft-ndv-v1", Seq(f.id),
+            snap.map(_.snapshotId).getOrElse(0L),
+            snap.map(_.sequenceNumber).getOrElse(0L),
+            Puffin.ndvPayload(r.getLong(i)),
+            Map("ndv" -> r.getLong(i).toString))
+        }
+        val size = Puffin.write(puffinPath, blobs)
+        t.commitUpdate { base =>
+          base.copy(properties = base.properties ++ props,
+            statistics = base.statistics
+              .filterNot(sf => snap.exists(_.snapshotId == sf.snapshotId)) :+
+              StatisticsFile(snap.map(_.snapshotId).getOrElse(0L), puffinPath, size))
+        }
       }
-      out(StructType(Seq(StructField("columns_analyzed", IntegerType))), row(cols.size))
+      out(StructType(Seq(StructField("columns_analyzed", IntegerType))), row(fields.size))
 
     case "create_changelog_view" =>
       // Changelog view with carryover removal + update pairing (reference
@@ -575,8 +596,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val spec = t.spec
       val schema = t.schema
       val files = walkFiles(srcDir)
-        .filter(p => p.endsWith(".parquet") || p.endsWith(".orc"))
-      require(files.nonEmpty, s"no parquet/orc files under $srcDir")
+        .filter(p => p.endsWith(".parquet") || p.endsWith(".orc") || p.endsWith(".avro"))
+      require(files.nonEmpty, s"no parquet/orc/avro files under $srcDir")
       val dataFiles = files.map { path =>
         val partition: Seq[Any] = spec.fields.map { pf =>
           val src = schema.byId(pf.sourceId)
@@ -594,6 +615,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           val rows = try r.getNumberOfRows finally r.close()
           DataFile(path, "orc", spec.specId, partition, rows,
             GraftIO.size(path), Map.empty)
+        } else if (path.endsWith(".avro")) {
+          // avro import: one scan collects row count + column metrics;
+          // columns resolve by name (imported files carry no field ids)
+          val (size, stats) = GraftAvro.footerStats(path, schema)
+          DataFile(path, "avro", spec.specId, partition,
+            GraftAvro.rowCount(path), size, stats)
         } else {
           val (size, stats) = FooterStats.read(path, conf, schema)
           val rows = {

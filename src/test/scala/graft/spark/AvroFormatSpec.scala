@@ -112,6 +112,23 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     check()
   }
 
+  test("avro import: add_files registers external avro files by name") {
+    // write avro files OUTSIDE any table (no field ids), then import
+    spark.sql("""CREATE TABLE graft.db.av_src (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.format.default'='avro')""")
+    spark.range(0, 10).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.av_src").append()
+    val srcData = coreTable("av_src").location + "/data"
+
+    spark.sql("CREATE TABLE graft.db.av_imp (id BIGINT, v STRING)")
+    val res = spark.sql(
+      s"CALL graft.system.add_files('db.av_imp', '$srcData')").collect()(0)
+    assert(res.getLong(1) === 10L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.av_imp").collect()(0).getLong(0) === 10)
+    assert(spark.sql("SELECT v FROM graft.db.av_imp WHERE id = 7").collect()(0)
+      .getString(0) === "v7")
+  }
+
   test("avro nested types roundtrip") {
     spark.sql("""CREATE TABLE graft.db.av_nest (
       id BIGINT, s STRUCT<a: INT, b: STRING>, xs ARRAY<INT>, m MAP<STRING, INT>)

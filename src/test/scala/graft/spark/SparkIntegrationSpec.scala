@@ -329,7 +329,16 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.getInt(0) === 3 && res.getInt(1) === 1)
     assert(spark.sql("SELECT count(*) FROM graft.db.rm").collect()(0).getLong(0) === 3L)
     spark.sql("CALL graft.system.compute_table_stats('db.rm')")
-    assert(coreTable("rm").meta.properties.get("stats.ndv.id").exists(_.toLong >= 2))
+    val rm = coreTable("rm")
+    assert(rm.meta.properties.get("stats.ndv.id").exists(_.toLong >= 2))
+    // a Puffin statistics file is written and recorded in table metadata
+    val stats = rm.meta.statistics
+    assert(stats.size === 1)
+    assert(stats.head.snapshotId === rm.meta.currentSnapshot.get.snapshotId)
+    val blobs = graft.core.meta.Puffin.read(stats.head.path)
+    assert(blobs.size === 1 && blobs.head.blobType === "graft-ndv-v1")
+    assert(blobs.head.fields === Seq(1))
+    assert(graft.core.meta.Puffin.ndvFromPayload(blobs.head.payload) >= 2L)
   }
 
   test("merge-on-read DELETE writes position deletes, not rewrites") {
