@@ -720,8 +720,14 @@ object GraftSparkTable {
       // our files always carry parquet field ids: resolve columns by id so
       // renames/evolution never mis-bind
       conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+      // metadata columns stay COLUMNAR via constant/position vectors
+      // (reference ConstantColumnVectors + row-index vectors), so CoW/MoR
+      // DML scans keep the vectorized path; materialized-lineage columns
+      // (_row_id/_last_updated_sequence_number) still take the row path
+      val columnarMeta =
+        Set(MetaFileCol, MetaSpecIdCol, MetaPartitionCol, MetaPosCol)
       val vectorized = spark.sessionState.conf.parquetVectorizedReaderEnabled &&
-        metaCols.isEmpty &&
+        metaCols.forall(columnarMeta) &&
         fullSchema.forall(f => GraftReaderFactory.batchSupported(f.dataType))
       // each build mutates + broadcasts its conf: every reader needs its own
       def freshConf = new org.apache.hadoop.conf.Configuration(conf)
@@ -835,7 +841,8 @@ object GraftSparkTable {
         defaultSpecId = table.spec.specId,
         partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray,
         avroRowFunc = avroRowFunc, avroFullFunc = avroFullFunc,
-        avroRowFuncNF = avroRowFuncNF, lineageExt = wantLineage)
+        avroRowFuncNF = avroRowFuncNF, lineageExt = wantLineage,
+        partStruct = partitionStructType(table.spec, table.schema))
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -906,7 +913,8 @@ object GraftSparkTable {
       avroFullFunc: PartitionedFile => Iterator[InternalRow] = null,
       avroRowFuncNF: PartitionedFile => Iterator[InternalRow] = null,
       // no-filter reads carry 2 extra trailing materialized-lineage columns
-      lineageExt: Boolean = false)
+      lineageExt: Boolean = false,
+      partStruct: StructType = new StructType())
     extends PartitionReaderFactory {
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
@@ -983,34 +991,140 @@ object GraftSparkTable {
       }
     }
 
+    /** position column vector: base + i (reference row-index vectors) */
+    private final class PositionVector(base: Long)
+      extends org.apache.spark.sql.vectorized.ColumnVector(
+        org.apache.spark.sql.types.LongType) {
+      override def close(): Unit = ()
+      override def hasNull: Boolean = false
+      override def numNulls(): Int = 0
+      override def isNullAt(i: Int): Boolean = false
+      override def getLong(i: Int): Long = base + i
+      override def getBoolean(i: Int): Boolean = throw new UnsupportedOperationException
+      override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+      override def getShort(i: Int): Short = throw new UnsupportedOperationException
+      override def getInt(i: Int): Int = throw new UnsupportedOperationException
+      override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+      override def getDouble(i: Int): Double = throw new UnsupportedOperationException
+      override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+        throw new UnsupportedOperationException
+      override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+        throw new UnsupportedOperationException
+      override def getBinary(i: Int): Array[Byte] = throw new UnsupportedOperationException
+      override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+        throw new UnsupportedOperationException
+      override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+        throw new UnsupportedOperationException
+      override def getChild(i: Int): org.apache.spark.sql.vectorized.ColumnVector =
+        throw new UnsupportedOperationException
+    }
+
+    /** constant metadata vector for one task; null for _pos (positional,
+      * built per batch). Unsupported partition value types degrade to a
+      * null _partition (callers handle null partitions correctly). */
+    private def constMetaVec(t: TaskDesc, name: String, n: Int)
+        : org.apache.spark.sql.vectorized.ColumnVector = {
+      import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+      import org.apache.spark.sql.types._
+      def setConst(v: ConstantColumnVector, dt: DataType, value: Any): Boolean =
+        (dt, value) match {
+          case (_, null)                  => v.setNull(); true
+          case (BooleanType, b: Boolean)  => v.setBoolean(b); true
+          case (IntegerType | DateType, i: Int) => v.setInt(i); true
+          case (LongType | TimestampType | TimestampNTZType, l: Long) => v.setLong(l); true
+          case (FloatType, f: Float)      => v.setFloat(f); true
+          case (DoubleType, d: Double)    => v.setDouble(d); true
+          case (StringType, s: String)    =>
+            v.setUtf8String(org.apache.spark.unsafe.types.UTF8String.fromString(s)); true
+          case (BinaryType, b: Array[Byte]) => v.setBinary(b); true
+          case _ => false
+        }
+      name match {
+        case MetaFileCol =>
+          val v = new ConstantColumnVector(n, StringType)
+          v.setUtf8String(org.apache.spark.unsafe.types.UTF8String.fromString(t.path))
+          v
+        case MetaSpecIdCol =>
+          val v = new ConstantColumnVector(n, IntegerType); v.setInt(t.specId); v
+        case MetaPartitionCol =>
+          val v = new ConstantColumnVector(n, partStruct)
+          val usable = t.specId == defaultSpecId &&
+            t.partition.length == partTypes.length && partStruct.fields.nonEmpty
+          if (!usable) v.setNull()
+          else {
+            var ok = true
+            var i = 0
+            while (i < partTypes.length && ok) {
+              val child = new ConstantColumnVector(n, partStruct.fields(i).dataType)
+              val raw = t.partition(i) match {
+                case b: Seq[_] if partTypes(i) == GBinary =>
+                  b.asInstanceOf[Seq[Byte]].toArray
+                case x => x
+              }
+              val internal = if (raw == null) null
+                else partTypes(i) match {
+                  case GString => raw.asInstanceOf[String]
+                  case _       => raw
+                }
+              ok = setConst(child, partStruct.fields(i).dataType, internal)
+              if (ok) v.setChild(i, child)
+              i += 1
+            }
+            if (ok) v.setNotNull() else v.setNull()
+          }
+          v
+        case MetaPosCol => null
+        case other => throw new IllegalStateException(s"non-columnar meta col $other")
+      }
+    }
+
     override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
       val tasks = partition.asInstanceOf[GraftInputPartition].tasks
+      val needPosV = metaCols.contains(MetaPosCol)
       val it: Iterator[ColumnarBatch] = tasks.iterator.flatMap { t =>
-        if (t.deletePaths.isEmpty)
-          batchFunc(pf(t.path, t.start, t.length)).asInstanceOf[Iterator[ColumnarBatch]]
-        else {
-          // delete-aware columnar read: full-file batches, masked in place
+        if (t.deletePaths.isEmpty && !needPosV) {
+          // filtered split reads; metadata (if any) is task-constant
+          batchFunc(pf(t.path, t.start, t.length))
+            .asInstanceOf[Iterator[ColumnarBatch]].map { cb =>
+              if (metaCols.isEmpty) cb
+              else {
+                val n = cb.numRows()
+                val cols = (0 until cb.numCols()).map(cb.column) ++
+                  metaCols.map(constMetaVec(t, _, n))
+                new ColumnarBatch(cols.toArray, n)
+              }
+            }
+        } else {
+          // delete-aware / position-bearing columnar read: full-file
+          // batches, masked in place, with _pos as a row-index vector
           // (reference ColumnarBatchUtil.buildRowIdMapping)
-          val deleted = deletedPositions(t.path, t.deletePaths)
+          val deleted =
+            if (t.deletePaths.isEmpty) new java.util.HashSet[Long]()
+            else deletedPositions(t.path, t.deletePaths)
           var base = 0L
           batchFuncNoFilter(pf(t.path, 0, Long.MaxValue))
             .asInstanceOf[Iterator[ColumnarBatch]].map { cb =>
               val n = cb.numRows()
+              val b0 = base
+              base += n
               val map = new Array[Int](n)
               var k = 0
               var i = 0
               while (i < n) {
-                if (!deleted.contains(base + i)) { map(k) = i; k += 1 }
+                if (!deleted.contains(b0 + i)) { map(k) = i; k += 1 }
                 i += 1
               }
-              base += n
-              if (k == n) cb
-              else {
-                val cols = (0 until cb.numCols()).map(c =>
-                  new FilteredVector(cb.column(c), map, k)
-                    : org.apache.spark.sql.vectorized.ColumnVector).toArray
-                new ColumnarBatch(cols, k)
+              val full = k == n
+              def masked(v: org.apache.spark.sql.vectorized.ColumnVector) =
+                if (full) v else new FilteredVector(v, map, k)
+                  : org.apache.spark.sql.vectorized.ColumnVector
+              val dataCols = (0 until cb.numCols()).map(c => masked(cb.column(c)))
+              val metaVecs = metaCols.map {
+                case MetaPosCol => masked(new PositionVector(b0))
+                case other      => constMetaVec(t, other, n) // constants need no mask
               }
+              if (full && metaCols.isEmpty) cb
+              else new ColumnarBatch((dataCols ++ metaVecs).toArray, k)
             }
         }
       }
