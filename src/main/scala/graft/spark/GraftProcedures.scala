@@ -167,7 +167,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
     case "create_changelog_view" =>
       Array(param("table", StringType),
         param("changelog_view", StringType, "''"),
-        param("identifier_columns", StringType, "''"))
+        param("identifier_columns", StringType, "''"),
+        param("net_changes", BooleanType, "false"))
     case "add_files" =>
       Array(param("table", StringType), param("source_dir", StringType))
     case "snapshot_table" | "snapshot" =>
@@ -566,9 +567,25 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           array_repeat(lit("INSERT"), greatest(col("__ins") - col("__del"), lit(0)).cast("int")),
           array_repeat(lit("DELETE"), greatest(col("__del") - col("__ins"), lit(0)).cast("int"))
         )).as(CT): _*)
+      // net_changes (reference RemoveNetCarryoverIterator): collapse the
+      // whole requested range to each row's NET effect — rows deleted and
+      // re-inserted across different commits disappear; survivors keep
+      // the range's last ordinal. Mutually exclusive with update pairing.
+      val netChanges = input.getBoolean(3)
       // 2) pair updates by identifier columns within a commit
       val result =
-        if (idCols.isEmpty) net
+        if (netChanges) {
+          val g2 = net.groupBy(dataCols.map(col): _*)
+            .agg(
+              sum(when(col(CT) === "INSERT", 1).otherwise(-1)).as("__net"),
+              max(col(ORD)).as(ORD), max_by(col(SID), col(ORD)).as(SID))
+          g2.select((dataCols :+ ORD :+ SID).map(col) :+
+            explode(concat(
+              array_repeat(lit("INSERT"), greatest(col("__net"), lit(0)).cast("int")),
+              array_repeat(lit("DELETE"), greatest(-col("__net"), lit(0)).cast("int"))
+            )).as(CT): _*)
+        }
+        else if (idCols.isEmpty) net
         else {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy((idCols.toSeq :+ ORD).map(col): _*)

@@ -398,6 +398,16 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT id, v, _change_type FROM cdc_view WHERE _change_ordinal = 2 ORDER BY _change_type")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(view === Seq((2L, "B", "UPDATE_AFTER"), (2L, "b", "UPDATE_BEFORE")))
+
+    // net_changes: the whole range collapses to each row's net effect —
+    // (2,'b') was inserted then replaced, so only its final state and the
+    // other survivors remain, all as INSERTs (nothing net-deleted here)
+    spark.sql(
+      "CALL graft.system.create_changelog_view('db.cdc', 'cdc_net', '', true)")
+    val netRows = spark.sql("SELECT id, v, _change_type FROM cdc_net ORDER BY id, v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(netRows === Seq((1L, "a", "INSERT"), (2L, "B", "INSERT"), (3L, "c", "INSERT")),
+      netRows.toString)
   }
 
   test("CTAS and RTAS through the staging catalog") {
