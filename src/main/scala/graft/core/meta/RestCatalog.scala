@@ -99,8 +99,21 @@ object RestCatalogServer {
         }
       } catch { case e: Throwable => json(x, 400, errJson(e)) })
 
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
-    server.start()
+    // DAEMON threads only: the server must never pin the JVM open (the
+    // dispatcher thread inherits daemon status from its creator, so
+    // start() runs on a short-lived daemon thread)
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-rest-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, tf))
+    val starter = new Thread(() => server.start(), "graft-rest-starter")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     (server, s"http://127.0.0.1:${server.getAddress.getPort}")
   }
 

@@ -608,6 +608,103 @@ object Engine {
       FROM supplier WHERE s_suppkey % 5 <> 2
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // ------------------------------------------------------------------ g24
+  // JDBC catalog (pointer rows + SQL CAS on embedded Derby): same engine,
+  // different metadata pointer store — results must match the oracle
+  private val g24 = Q(
+    "g24_engine_jdbc_catalog",
+    (s, dir) => {
+      val wh = warehouse(dir) + "_jdbc"
+      val uri = s"jdbc:derby:$wh/cat;create=true"
+      s.conf.set("spark.sql.catalog.gjdbc", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gjdbc.warehouse", wh)
+      s.conf.set("spark.sql.catalog.gjdbc.catalog-impl", "jdbc")
+      s.conf.set("spark.sql.catalog.gjdbc.uri", uri)
+      val cat = try {
+        val c = new graft.core.meta.JdbcCatalog(wh, uri, "gjdbc")
+        c.tableExists(Seq("db"), "nation_j") // probe the db boots
+        c
+      } catch {
+        case _: Throwable =>
+          // stale/corrupt embedded-derby db (e.g. a killed JVM left a
+          // lock): wipe the fixture warehouse and rebuild from scratch
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+          new graft.core.meta.JdbcCatalog(wh, uri, "gjdbc")
+      }
+      if (!cat.tableExists(Seq("db"), "nation_j")) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gjdbc.db")
+        s.sql("""CREATE TABLE gjdbc.db.nation_j (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)""")
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .writeTo("gjdbc.db.nation_j").append()
+        s.sql("DELETE FROM gjdbc.db.nation_j WHERE n_nationkey % 5 = 0")
+      }
+      s.table("gjdbc.db.nation_j")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+      FROM nation WHERE n_nationkey % 5 <> 0
+      GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // ------------------------------------------------------------------ g25
+  // REST catalog: commits round-trip through the in-process HTTP server
+  private object RestFixture {
+    @volatile var uri: String = _
+    def ensure(wh: String): String = synchronized {
+      if (uri == null) uri = graft.core.meta.RestCatalogServer.start(wh)._2
+      uri
+    }
+  }
+  private val g25 = Q(
+    "g25_engine_rest_catalog",
+    (s, dir) => {
+      val wh = warehouse(dir) + "_rest"
+      val uri = RestFixture.ensure(wh)
+      s.conf.set("spark.sql.catalog.grest", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grest.catalog-impl", "rest")
+      s.conf.set("spark.sql.catalog.grest.uri", uri)
+      val cat = graft.core.meta.RestCatalog.connect(uri)
+      if (!cat.tableExists(Seq("db"), "region_r")) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS grest.db")
+        s.sql("CREATE TABLE grest.db.region_r (r_regionkey BIGINT, r_name STRING)")
+        t(s, dir, "region").select("r_regionkey", "r_name")
+          .writeTo("grest.db.region_r").append()
+      }
+      s.table("grest.db.region_r").orderBy("r_regionkey")
+    },
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  // ------------------------------------------------------------------ g26
+  // variant type: JSON payloads stored as Spark VariantType, shredded
+  // back out with variant_get — oracle computes from the raw columns
+  private val g26 = Q(
+    "g26_engine_variant",
+    (s, dir) => {
+      setup(s, dir)
+      val wh = warehouse(dir)
+      val cat = new HadoopCatalog(wh)
+      if (!cat.tableExists(Seq("db"), "var_g")) {
+        s.sql("CREATE TABLE graft.db.var_g (n_nationkey BIGINT, payload VARIANT)")
+        t(s, dir, "nation")
+          .selectExpr("n_nationkey",
+            "parse_json(to_json(struct(n_name, n_regionkey))) AS payload")
+          .writeTo("graft.db.var_g").append()
+      }
+      s.table("graft.db.var_g")
+        .selectExpr("n_nationkey",
+          "variant_get(payload, '$.n_name', 'string') AS name",
+          "variant_get(payload, '$.n_regionkey', 'bigint') AS rk")
+        .filter(col("rk") >= 2)
+        .orderBy("n_nationkey")
+    },
+    Some("""
+      SELECT n_nationkey, n_name AS name, n_regionkey AS rk
+      FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
-    g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23)
+    g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
+    g24, g25, g26)
 }
