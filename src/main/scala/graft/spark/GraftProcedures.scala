@@ -330,12 +330,16 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           StructField("deleted_files", IntegerType))), row(0, 0))
       } else {
         val before = reachableFiles(t)
+        val expiredIds = expired.map(_.snapshotId).toSet
+        // statistics files attached to expired snapshots go with them
+        val expiredStats = t.meta.statistics.filter(sf => expiredIds(sf.snapshotId))
         t.commitUpdate { base =>
-          val expiredIds = expired.map(_.snapshotId).toSet
           base.copy(
             snapshots = base.snapshots.filterNot(sn => expiredIds(sn.snapshotId)),
-            snapshotLog = base.snapshotLog.filterNot { case (_, id) => expiredIds(id) })
+            snapshotLog = base.snapshotLog.filterNot { case (_, id) => expiredIds(id) },
+            statistics = base.statistics.filterNot(sf => expiredIds(sf.snapshotId)))
         }
+        expiredStats.foreach(sf => try GraftIO.delete(sf.path) catch { case _: Throwable => () })
         val after = reachableFiles(t)
         val toDelete = before -- after
         toDelete.foreach(GraftIO.delete)

@@ -204,6 +204,29 @@ object GraftSparkTable {
     }
   }
 
+  /** Executor-side cache of parsed EQUALITY-delete key sets, mirroring
+    * PosDeleteCache: one eq-delete file is applied to every data file
+    * with a lower sequence, so without caching each task re-reads and
+    * re-hashes the same immutable file. Keyed by (path, key positions). */
+  object EqDeleteCache {
+    private val MaxEntries = 64
+    private val cache =
+      new java.util.LinkedHashMap[(String, Seq[Int]), java.util.HashSet[Seq[Any]]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Seq[Int]), java.util.HashSet[Seq[Any]]]): Boolean =
+          size() > MaxEntries
+      }
+    def get(path: String, positions: Seq[Int],
+        load: () => java.util.HashSet[Seq[Any]]): java.util.HashSet[Seq[Any]] =
+      cache.synchronized {
+        val k = (path, positions)
+        val hit = cache.get(k)
+        if (hit != null) hit
+        else { val v = load(); cache.put(k, v); v }
+      }
+  }
+
   /** an equality-delete file + the field ids it deletes by */
   final case class EqDeleteDesc(path: String, fieldIds: Array[Int])
 
@@ -966,10 +989,13 @@ object GraftSparkTable {
         t.eqDeletes.toSeq.map { ed =>
           val positions = ed.fieldIds.flatMap(id =>
             fieldNamesById.get(id).flatMap(posOf.get))
-          val keys = new java.util.HashSet[Seq[Any]]()
-          rowFuncFull(pf(ed.path, 0, Long.MaxValue)).foreach { r =>
-            keys.add(positions.map(p => canonical(r, p, fullSchema(p).dataType)).toSeq)
-          }
+          val keys = EqDeleteCache.get(ed.path, positions.toSeq, () => {
+            val ks = new java.util.HashSet[Seq[Any]]()
+            rowFuncFull(pf(ed.path, 0, Long.MaxValue)).foreach { r =>
+              ks.add(positions.map(p => canonical(r, p, fullSchema(p).dataType)).toSeq)
+            }
+            ks
+          })
           (positions, keys)
         }
       val posDeleted = deletedPositions(t.path, t.deletePaths)
