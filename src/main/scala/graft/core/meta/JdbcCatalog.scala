@@ -103,7 +103,14 @@ final class JdbcTableOps(
           ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
           ps.setString(4, metadataPath); ps.setString(5, location)
           try ps.executeUpdate() == 1
-          catch { case _: SQLException => false } // duplicate key: lost the race
+          catch {
+            // only a unique/primary-key violation means we lost the create
+            // race (SQLState 23xxx, integrity constraint violation); any
+            // other SQLException is a real DB failure and must propagate,
+            // not masquerade as "table already exists"
+            case e: SQLException
+              if Option(e.getSQLState).exists(_.startsWith("23")) => false
+          }
         } finally ps.close()
       } else {
         val ps = c.prepareStatement(

@@ -77,30 +77,45 @@ object Puffin {
   }
 
   def read(path: String): Seq[Blob] = {
-    val bytes = Files.readAllBytes(GraftIO.toPath(path))
-    require(bytes.length > 20 && sliceEq(bytes, 0, Magic) &&
-      sliceEq(bytes, bytes.length - 4, Magic), s"not a puffin file: $path")
-    val tail = ByteBuffer.wrap(bytes, bytes.length - 12, 8).order(ByteOrder.LITTLE_ENDIAN)
-    val footerLen = tail.getInt()
-    val flags = tail.getInt()
-    require((flags & 1) == 0, "compressed puffin footers not supported")
-    val footerStart = bytes.length - 12 - footerLen
-    val footer = new String(bytes, footerStart, footerLen, StandardCharsets.UTF_8)
-    val n = MetaJson.mapper.readTree(footer)
-    val out = Seq.newBuilder[Blob]
-    n.get("blobs").elements().forEachRemaining { bo =>
-      val fields = Seq.newBuilder[Int]
-      bo.get("fields").elements().forEachRemaining(f => fields += f.asInt())
-      val off = bo.get("offset").asLong().toInt
-      val len = bo.get("length").asLong().toInt
-      val props = Map.newBuilder[String, String]
-      Option(bo.get("properties")).foreach(_.fields().forEachRemaining(e =>
-        props += e.getKey -> e.getValue.asText()))
-      out += Blob(bo.get("type").asText(), fields.result(),
-        bo.get("snapshot-id").asLong(), bo.get("sequence-number").asLong(),
-        java.util.Arrays.copyOfRange(bytes, off, off + len), props.result())
-    }
-    out.result()
+    // ranged channel reads with LONG blob offsets: statistics files can
+    // exceed 2 GB (many wide tables / sketch payloads), so neither the
+    // whole file nor blob offsets may pass through an Int
+    val ch = Files.newByteChannel(GraftIO.toPath(path))
+    try {
+      val fileLen = ch.size()
+      def readAt(off: Long, len: Int): Array[Byte] = {
+        val buf = ByteBuffer.allocate(len)
+        ch.position(off)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        require(!buf.hasRemaining, s"truncated puffin file: $path")
+        buf.array()
+      }
+      require(fileLen > 20 && sliceEq(readAt(0, 4), 0, Magic) &&
+        sliceEq(readAt(fileLen - 4, 4), 0, Magic), s"not a puffin file: $path")
+      val tail = ByteBuffer.wrap(readAt(fileLen - 12, 8)).order(ByteOrder.LITTLE_ENDIAN)
+      val footerLen = tail.getInt()
+      val flags = tail.getInt()
+      require((flags & 1) == 0, "compressed puffin footers not supported")
+      val footer = new String(readAt(fileLen - 12L - footerLen, footerLen),
+        StandardCharsets.UTF_8)
+      val n = MetaJson.mapper.readTree(footer)
+      val out = Seq.newBuilder[Blob]
+      n.get("blobs").elements().forEachRemaining { bo =>
+        val fields = Seq.newBuilder[Int]
+        bo.get("fields").elements().forEachRemaining(f => fields += f.asInt())
+        val off = bo.get("offset").asLong()
+        // a single in-memory payload is Array[Byte]-bound; fail loudly
+        // rather than wrap if one blob ever exceeds 2 GB
+        val len = Math.toIntExact(bo.get("length").asLong())
+        val props = Map.newBuilder[String, String]
+        Option(bo.get("properties")).foreach(_.fields().forEachRemaining(e =>
+          props += e.getKey -> e.getValue.asText()))
+        out += Blob(bo.get("type").asText(), fields.result(),
+          bo.get("snapshot-id").asLong(), bo.get("sequence-number").asLong(),
+          readAt(off, len), props.result())
+      }
+      out.result()
+    } finally ch.close()
   }
 
   /** graft-ndv-v1 payload codec: 8-byte little-endian distinct count */

@@ -51,8 +51,7 @@ object RestCatalogServer {
     server.createContext("/v1/tables/rename", (x: HttpExchange) =>
       try {
         val n = MetaJson.mapper.readTree(readBody(x))
-        val from = n.get("from").asText().split("\\.")
-        val to = n.get("to").asText().split("\\.")
+        require(n.hasNonNull("from") && n.hasNonNull("to"), "from/to required")
         // directory-backed store cannot rename (absolute paths in
         // metadata); report as 409 like a conflicting server would
         json(x, 409, s"""{"error": "rename not supported by this backend"}""")
@@ -203,6 +202,19 @@ final class RestCatalog private (warehouse: String, uri: String)
 
   override def dropTable(namespace: Seq[String], name: String): Boolean =
     RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name")._1 == 200
+
+  /** routes through the server's rename endpoint so capability is decided
+    * server-side (this backend reports 409: directory-backed store) */
+  override def renameTable(namespace: Seq[String], name: String,
+      newNamespace: Seq[String], newName: String): Unit = {
+    val body = MetaJson.mapper.createObjectNode()
+    body.put("from", s"${ns(namespace)}.$name")
+    body.put("to", s"${ns(newNamespace)}.$newName")
+    val (code, resp) = RestHttp.post(s"$uri/v1/tables/rename",
+      MetaJson.mapper.writeValueAsString(body))
+    if (code != 200)
+      throw new UnsupportedOperationException(s"rename rejected by server: $resp")
+  }
 
   override def listTables(namespace: Seq[String]): Seq[String] = {
     val (code, body) = RestHttp.get(s"$uri/v1/namespaces/${ns(namespace)}/tables")

@@ -589,12 +589,18 @@ object Pipeline {
       t(s, dir, "documents")
         .withColumn("rate",
           when(col("lang") === "en", lit(30)).otherwise(lit(90)))
-        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) < col("rate"))
+        // doc_id is first folded into [0, 1000003) so the Knuth multiply
+        // can never overflow a BIGINT — Spark would wrap silently where
+        // DuckDB raises, and negative ids would pmod/% differently; the
+        // bounded non-negative intermediate makes both engines agree for
+        // every possible doc_id
+        .filter(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(100)) < col("rate"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id"),
     Some("""
       SELECT doc_id, lang, source FROM documents
-      WHERE (doc_id * 2654435761) % 100 <
+      WHERE (((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 % 100 <
         CASE WHEN lang = 'en' THEN 30 ELSE 90 END
       ORDER BY doc_id"""))
 

@@ -625,9 +625,20 @@ object Engine {
         c.tableExists(Seq("db"), "nation_j") // probe the db boots
         c
       } catch {
-        case _: Throwable =>
-          // stale/corrupt embedded-derby db (e.g. a killed JVM left a
-          // lock): wipe the fixture warehouse and rebuild from scratch
+        // stale/corrupt embedded-derby db (e.g. a killed JVM left a
+        // lock): wipe the fixture warehouse and rebuild from scratch.
+        // Scoped to Derby boot/corruption SQLStates — a transient error
+        // (NPE, OOM, plain SQL failure) must NOT wipe a warehouse that
+        // may be live in another JVM.
+        case e: Throwable if {
+          val states = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .take(10).collect {
+              case s: java.sql.SQLException => Option(s.getSQLState)
+            }.flatten.toSet
+          // XJ040 failed boot; XSDB6 stale db.lck from a killed JVM;
+          // XBM0* storage-level boot corruption
+          states.exists(st => st == "XJ040" || st == "XSDB6" || st.startsWith("XBM"))
+        } =>
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
           new graft.core.meta.JdbcCatalog(wh, uri, "gjdbc")
       }

@@ -261,11 +261,22 @@ object GraftAvro {
   /** write-time column metrics stash: `OutputWriter`s record stats here at
     * close, keyed by file path; the enclosing fanout writer pops them in
     * the same executor JVM when building the DataFile descriptor. */
-  private val statsStash = new ConcurrentHashMap[String, (Long, Map[Int, ColStats])]
+  // bounded: entries from failed/aborted/speculative tasks are never
+  // popped, so insertion-order eviction keeps the stash from growing for
+  // the executor's lifetime (live entries are popped right after close)
+  private val MaxStash = 256
+  private val statsStash = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Map[Int, ColStats])](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Map[Int, ColStats])]): Boolean =
+        size() > MaxStash
+    })
 
-  def footerStats(path: String, gSchema: GSchema): (Long, Map[Int, ColStats]) = {
+  /** (file size, row count, column stats) — one call, zero re-scans when
+    * the file was written (and stashed) by this JVM */
+  def footerStats(path: String, gSchema: GSchema): (Long, Long, Map[Int, ColStats]) = {
     val stashed = statsStash.remove(path)
-    if (stashed != null) (GraftIO.size(path), stashed._2)
+    if (stashed != null) (GraftIO.size(path), stashed._1, stashed._2)
     else scanStats(path, gSchema) // fallback: files not written by this JVM
   }
 
@@ -276,7 +287,8 @@ object GraftAvro {
     try { var n = 0L; while (r.hasNext) { r.next(); n += 1 }; n } finally r.close()
   }
 
-  private def scanStats(path: String, gSchema: GSchema): (Long, Map[Int, ColStats]) = {
+  private def scanStats(path: String, gSchema: GSchema)
+      : (Long, Long, Map[Int, ColStats]) = {
     val spark = SparkTypes.toSparkSchema(gSchema)
     val tracker = new StatsTracker(spark, gSchema)
     val r = new DataFileReader[GenericRecord](
@@ -294,7 +306,7 @@ object GraftAvro {
         tracker.row()
       }
     } finally r.close()
-    (GraftIO.size(path), tracker.result())
+    (GraftIO.size(path), tracker.rowCount, tracker.result())
   }
 
   /** min/max/null metrics over raw avro-written values; bounds use the
@@ -487,6 +499,10 @@ object GraftAvro {
     val w = new AvroOutputWriter(path, sparkSchema, gSchema)
     try rows.foreach(w.write) finally w.close()
     val st = statsStash.remove(path)
-    (st._1, st._2)
+    if (st != null) (st._1, st._2)
+    else { // stash miss (evicted under pressure): re-derive from the file
+      val (_, rows2, stats) = scanStats(path, gSchema)
+      (rows2, stats)
+    }
   }
 }

@@ -639,9 +639,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         } else if (path.endsWith(".avro")) {
           // avro import: one scan collects row count + column metrics;
           // columns resolve by name (imported files carry no field ids)
-          val (size, stats) = GraftAvro.footerStats(path, schema)
-          DataFile(path, "avro", spec.specId, partition,
-            GraftAvro.rowCount(path), size, stats)
+          val (size, rows, stats) = GraftAvro.footerStats(path, schema)
+          DataFile(path, "avro", spec.specId, partition, rows, size, stats)
         } else {
           val (size, stats) = FooterStats.read(path, conf, schema)
           val rows = {
@@ -1069,24 +1068,42 @@ object RewriteDataFiles {
         math.max(1, math.ceil(groupSeq.size.toDouble / math.max(1, maxCommits)).toInt)
       else groupSeq.size
     var pendingGroups = 0
+    var pendingRewritten = 0
+    var pendingAdded = 0
+    var pendingBytes = 0L
 
+    // cumulative/dropped sets and the result counters move ONLY after a
+    // successful commit — a failed batch commit must not make later
+    // batches believe its files were rewritten (dropping delete files
+    // that still apply would resurrect deleted rows)
     def commitPending(): Unit = {
       val old = oldPaths.result()
       val nf = newFiles.result()
+      val (pr, pa, pb) = (pendingRewritten, pendingAdded, pendingBytes)
       pendingGroups = 0; oldPaths.clear(); newFiles.clear()
+      pendingRewritten = 0; pendingAdded = 0; pendingBytes = 0L
       if (old.isEmpty && nf.isEmpty) return
-      cumulativeRewritten ++= old
+      val rewrittenIfCommitted = cumulativeRewritten.toSet ++ old
       val obsolete = applicability.collect {
         case (dp, applies) if !droppedDeletes(dp) &&
-          applies.subsetOf(cumulativeRewritten) => dp
+          applies.subsetOf(rewrittenIfCommitted) => dp
       }.toSeq
-      droppedDeletes ++= obsolete
       val ow = t.newOverwrite()
         .deleteFiles((old ++ obsolete).distinct)
         .addFiles(nf)
       validateFrom.foreach(ow.validateFromSnapshot)
-      val snap = ow.commit()
-      validateFrom = Some(snap.snapshotId)
+      try {
+        val snap = ow.commit()
+        validateFrom = Some(snap.snapshotId)
+        cumulativeRewritten ++= old
+        droppedDeletes ++= obsolete
+        rewritten += pr; added += pa; bytes += pb
+      } catch {
+        case e: Throwable if doPartial =>
+          failedFiles += pr
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"rewrite batch commit failed, forfeiting ${old.size} files", e)
+      }
     }
 
     groupSeq.foreach { case ((specId, partition), ts) => try {
@@ -1252,9 +1269,9 @@ object RewriteDataFiles {
       }
       }
       val gf = groupNew.result()
-      rewritten += ts.size
-      added += gf.size
-      bytes += totalBytes
+      pendingRewritten += ts.size
+      pendingAdded += gf.size
+      pendingBytes += totalBytes
       newFiles ++= gf
       oldPaths ++= paths
       pendingGroups += 1

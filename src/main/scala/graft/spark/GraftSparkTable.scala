@@ -210,17 +210,23 @@ object GraftSparkTable {
     * re-hashes the same immutable file. Keyed by (path, key positions). */
   object EqDeleteCache {
     private val MaxEntries = 64
+    // keyed by (path, key positions, key column types): cached key sets
+    // are canonicalized with the read schema's types, so a later read
+    // after type promotion (INT identifier -> BIGINT) must NOT hit the
+    // entry built with the old types — the boxed classes would never
+    // compare equal and every equality delete would silently un-apply
     private val cache =
-      new java.util.LinkedHashMap[(String, Seq[Int]), java.util.HashSet[Seq[Any]]](
-        16, 0.75f, true) {
+      new java.util.LinkedHashMap[(String, Seq[Int], Seq[String]),
+          java.util.HashSet[Seq[Any]]](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Seq[Int]), java.util.HashSet[Seq[Any]]]): Boolean =
+            e: java.util.Map.Entry[(String, Seq[Int], Seq[String]),
+              java.util.HashSet[Seq[Any]]]): Boolean =
           size() > MaxEntries
       }
-    def get(path: String, positions: Seq[Int],
+    def get(path: String, positions: Seq[Int], keyTypes: Seq[String],
         load: () => java.util.HashSet[Seq[Any]]): java.util.HashSet[Seq[Any]] =
       cache.synchronized {
-        val k = (path, positions)
+        val k = (path, positions, keyTypes)
         val hit = cache.get(k)
         if (hit != null) hit
         else { val v = load(); cache.put(k, v); v }
@@ -801,6 +807,15 @@ object GraftSparkTable {
         new StructType(), fullSchema, Nil,
         Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"), freshConf)
+      // lineage-extended variant of the full-schema read: the eq-delete
+      // masking path must also surface the MATERIALIZED lineage columns,
+      // or compacted files (fresh firstRowId) would fall back to
+      // firstRowId + pos and report wrong _row_id values
+      lazy val rowFuncFullLin = fmt.buildReaderWithPartitionValues(spark,
+        StructType(fullSchema.fields ++ lineageReadFields), new StructType(),
+        StructType(fullSchema.fields ++ lineageReadFields), Nil,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshConf)
       // imported files (add_files/snapshot_table) have no field ids: read
       // them by NAME with the id metadata stripped (reference name-mapping,
       // schema.name-mapping.default)
@@ -853,6 +868,10 @@ object GraftSparkTable {
       val avroRowFunc = GraftAvro.ReadFunc(dataRequired.json)
       val avroRowFuncNF = GraftAvro.ReadFunc(dataReadNF.json)
       val avroFullFunc = GraftAvro.ReadFunc(fullSchema.json)
+      val avroFullLin =
+        if (wantLineage)
+          GraftAvro.ReadFunc(StructType(fullSchema.fields ++ lineageReadFields).json)
+        else avroFullFunc
       new GraftReaderFactory(
         if (allOrc) orcBatchFunc else batchFunc,
         rowFunc, rowFuncNoFilter, deleteFunc,
@@ -865,6 +884,8 @@ object GraftSparkTable {
         partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray,
         avroRowFunc = avroRowFunc, avroFullFunc = avroFullFunc,
         avroRowFuncNF = avroRowFuncNF, lineageExt = wantLineage,
+        rowFuncFullLin = if (wantLineage) rowFuncFullLin else rowFuncFull,
+        avroFullLin = avroFullLin,
         partStruct = partitionStructType(table.spec, table.schema))
     }
 
@@ -937,6 +958,8 @@ object GraftSparkTable {
       avroRowFuncNF: PartitionedFile => Iterator[InternalRow] = null,
       // no-filter reads carry 2 extra trailing materialized-lineage columns
       lineageExt: Boolean = false,
+      rowFuncFullLin: PartitionedFile => Iterator[InternalRow] = null,
+      avroFullLin: PartitionedFile => Iterator[InternalRow] = null,
       partStruct: StructType = new StructType())
     extends PartitionReaderFactory {
 
@@ -982,14 +1005,16 @@ object GraftSparkTable {
 
     /** rows of `t` masked by its equality (and position) deletes,
       * projected to the required data columns, with file positions */
-    private def eqMaskedRows(t: TaskDesc): Iterator[(InternalRow, Long)] = {
+    private def eqMaskedRows(t: TaskDesc)
+        : Iterator[(InternalRow, Long, java.lang.Long, java.lang.Long)] = {
       val posOf = fullSchema.fieldNames.zipWithIndex.toMap
       // per delete file: the key positions + the set of deleted keys
       val masks: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] =
         t.eqDeletes.toSeq.map { ed =>
           val positions = ed.fieldIds.flatMap(id =>
             fieldNamesById.get(id).flatMap(posOf.get))
-          val keys = EqDeleteCache.get(ed.path, positions.toSeq, () => {
+          val keys = EqDeleteCache.get(ed.path, positions.toSeq,
+            positions.toSeq.map(p => fullSchema(p).dataType.catalogString), () => {
             val ks = new java.util.HashSet[Seq[Any]]()
             rowFuncFull(pf(ed.path, 0, Long.MaxValue)).foreach { r =>
               ks.add(positions.map(p => canonical(r, p, fullSchema(p).dataType)).toSeq)
@@ -1000,8 +1025,14 @@ object GraftSparkTable {
         }
       val posDeleted = deletedPositions(t.path, t.deletePaths)
       val project = dataRequired.fields.map(f => fullSchema.fieldIndex(f.name))
+      // when lineage columns are requested, read the lineage-extended
+      // variant so compacted files' materialized _row_id wins over the
+      // firstRowId + pos fallback (mirrors withMetaExt on the pos path)
+      val nFull = fullSchema.length
       val dataFull =
-        if (t.fileFormat == "avro") avroFullFunc else rowFuncFull
+        if (t.fileFormat == "avro") { if (lineageExt) avroFullLin else avroFullFunc }
+        else if (lineageExt) rowFuncFullLin
+        else rowFuncFull
       dataFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
         case (row, idx) if !posDeleted.contains(idx.toLong) &&
           !masks.exists { case (positions, keys) =>
@@ -1013,7 +1044,11 @@ object GraftSparkTable {
             out.update(i, row.get(project(i), fullSchema(project(i)).dataType))
             i += 1
           }
-          (out: InternalRow, idx.toLong)
+          val matRowId: java.lang.Long =
+            if (!lineageExt || row.isNullAt(nFull)) null else row.getLong(nFull)
+          val matSeq: java.lang.Long =
+            if (!lineageExt || row.isNullAt(nFull + 1)) null else row.getLong(nFull + 1)
+          (out: InternalRow, idx.toLong, matRowId, matSeq)
       }
     }
 
@@ -1229,7 +1264,8 @@ object GraftSparkTable {
             withMeta(trimmed, pos, matRowId, matSeq)
           }
         if (t.eqDeletes.nonEmpty)
-          eqMaskedRows(t).map { case (row, idx) => withMeta(row, idx) }
+          eqMaskedRows(t).map { case (row, idx, mRowId, mSeq) =>
+            withMeta(row, idx, mRowId, mSeq) }
         else if (t.deletePaths.isEmpty && !needPos) {
           val f = t.fileFormat match {
             case "orc"        => orcRowFunc

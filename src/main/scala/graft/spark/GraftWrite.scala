@@ -500,7 +500,8 @@ final class GraftFanoutWriter(
     open.clear()
     val files = closed.result().map { case (key, path, rows) =>
       val (size, stats) = fileFormat match {
-        case "avro" => GraftAvro.footerStats(path, gSchema)
+        case "avro" =>
+          val (sz, _, st) = GraftAvro.footerStats(path, gSchema); (sz, st)
         case "orc"  => FooterStats.readOrc(path, conf, gSchema, writeSchema)
         case _      => FooterStats.read(path, conf, gSchema)
       }
