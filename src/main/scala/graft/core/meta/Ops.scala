@@ -57,6 +57,32 @@ object GraftIO {
   }
 }
 
+/** Bounded concurrent parse cache. Metadata JSON, manifest lists and
+  * manifests are written once under unique names (UUID-suffixed), so a
+  * parsed value never goes stale; capped by entry count so driver and
+  * executor heaps stay bounded (reference CachingCatalog.java + the
+  * manifest caching in ManifestFiles.java). Eviction is whole-cache
+  * clear on overflow: simple, and at the cap the next refill costs one
+  * re-parse per entry — not worth LRU bookkeeping here. */
+private[graft] final class BoundedCache[V <: AnyRef](max: Int) {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
+  def get(key: String)(load: => V): V = {
+    val hit = m.get(key)
+    if (hit != null) hit
+    else {
+      val v = load
+      if (m.size >= max) m.clear()
+      m.put(key, v)
+      v
+    }
+  }
+  def put(key: String, v: V): Unit = {
+    if (m.size >= max) m.clear()
+    m.put(key, v)
+  }
+  def invalidate(key: String): Unit = m.remove(key)
+}
+
 /** Versioned metadata pointer with optimistic-concurrency commit
   * (reference core/.../TableOperations): implementations differ only in
   * where the current-version pointer lives and how it is swapped —
@@ -88,7 +114,17 @@ final class FileTableOps(val location: String) extends TableOps {
   def current(): Option[TableMetadata] = {
     val v = currentVersion()
     if (v == 0) None
-    else Some(MetaJson.readMetadata(GraftIO.readString(versionFile(v))))
+    else {
+      // v{N}.metadata.json paths are predictable (a dropped + recreated
+      // table reuses them), so guard the parse cache with a stat: same
+      // (size, mtime) ⇒ same content on any posix filesystem we target
+      val path = versionFile(v)
+      val attrs = Files.readAttributes(GraftIO.toPath(path),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val key = s"$path#${attrs.size}#${attrs.lastModifiedTime.toMillis}"
+      Some(FileTableOps.metaCache.get(key)(
+        MetaJson.readMetadata(GraftIO.readString(path))))
+    }
   }
 
   def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
@@ -101,9 +137,18 @@ final class FileTableOps(val location: String) extends TableOps {
   }
 }
 
+object FileTableOps {
+  /** parsed table metadata, stat-guard-keyed (shared across handles) */
+  private[meta] val metaCache = new BoundedCache[TableMetadata](256)
+}
+
 /** Manifest read/write (JSON-lines of entries; summaries computed on
   * write for manifest-list pruning). */
 object ManifestIO {
+  // manifest lists and manifests are UUID-named and immutable: plain
+  // path-keyed parse caches are safe on driver and executors alike
+  private val listCache = new BoundedCache[Seq[ManifestFile]](256)
+  private val entryCache = new BoundedCache[Seq[ManifestEntry]](64)
 
   def write(path: String, entries: Seq[ManifestEntry], specId: Int, content: Int,
       spec: PartitionSpec, schema: GSchema, snapshotId: Long): ManifestFile = {
@@ -146,8 +191,9 @@ object ManifestIO {
   }
 
   def readEntries(m: ManifestFile): Seq[ManifestEntry] =
-    GraftIO.readString(m.path).linesIterator.filter(_.nonEmpty)
-      .map(MetaJson.readEntry).toSeq
+    entryCache.get(m.path)(
+      GraftIO.readString(m.path).linesIterator.filter(_.nonEmpty)
+        .map(MetaJson.readEntry).toSeq)
 
   def writeList(path: String, manifests: Seq[ManifestFile]): Unit = {
     val arr = MetaJson.mapper.createArrayNode()
@@ -155,7 +201,7 @@ object ManifestIO {
     GraftIO.writeString(path, MetaJson.mapper.writeValueAsString(arr))
   }
 
-  def readList(path: String): Seq[ManifestFile] = {
+  def readList(path: String): Seq[ManifestFile] = listCache.get(path) {
     val n = MetaJson.mapper.readTree(GraftIO.readString(path))
     val buf = Seq.newBuilder[ManifestFile]
     n.elements().forEachRemaining(e => buf += MetaJson.readManifestFile(e))

@@ -715,7 +715,24 @@ object Engine {
       SELECT n_nationkey, n_name AS name, n_regionkey AS rk
       FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey"""))
 
+  // ------------------------------------------------------------------ g27
+  // position_deletes metadata table, DISTRIBUTED read: the scan plans one
+  // input partition per live delete file and decodes DV bitmaps / reads
+  // delete parquet executor-side (no driver collect). Row count equals
+  // the rows the MoR DELETE removed — which the oracle derives from the
+  // base data + predicate (paths/positions themselves are engine-internal
+  // and deliberately aggregated away).
+  private val g27 = Q(
+    "g27_engine_position_deletes",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.dv_g.position_deletes")
+        .agg(count(lit(1)).as("n_deleted"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_deleted FROM orders WHERE o_orderkey % 3 = 0"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26)
+    g24, g25, g26, g27)
 }

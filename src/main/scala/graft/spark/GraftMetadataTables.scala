@@ -178,25 +178,8 @@ object GraftMetadataTables {
         new GenericInternalRow(Array[Any](ts * 1000L, id)): InternalRow
       }.toArray
       case "position_deletes" =>
-        // contents of live position-delete files (reference PositionDeletesTable)
-        liveEntries.filter(_._2.file.content == FileContent.PositionDeletes)
-          .flatMap { case (_, e) =>
-            if (e.file.format == "dv") {
-              val (ref, bm) = DVIO.read(e.file.path)
-              val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-              bm.forEach((l: Long) => {
-                buf += new GenericInternalRow(Array[Any](s(ref), l, s(e.file.path)))
-                ()
-              })
-              buf
-            } else {
-              val spark = org.apache.spark.sql.SparkSession.active
-              spark.read.parquet(e.file.path).collect().map { r =>
-                new GenericInternalRow(Array[Any](
-                  s(r.getString(0)), r.getLong(1), s(e.file.path))): InternalRow
-              }.toSeq
-            }
-          }.toArray
+        throw new IllegalStateException(
+          "position_deletes is served by PositionDeletesScan (distributed), not a LocalScan")
       case "all_files" | "all_manifests" | "all_entries"
          | "all_data_files" | "all_delete_files" =>
         // union across ALL snapshots, deduplicated (reference all_* tables)
@@ -236,6 +219,89 @@ object GraftMetadataTables {
   }
 }
 
+/** One live position-delete file (or deletion vector) to read
+  * executor-side. */
+final case class PosDeleteFileTask(path: String, format: String)
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Distributed `position_deletes` scan (reference
+  * core/src/main/java/org/apache/iceberg/PositionDeletesTable.java):
+  * planning lists the live delete files (metadata scale); their CONTENTS
+  * — at 100 TB potentially millions of (file, pos) rows — are read
+  * executor-side, one input partition per delete file. Parquet delete
+  * files go through a driver-built (executor-run) reader closure,
+  * deletion-vector bitmaps decode on the executor; the driver never
+  * materializes delete rows (the previous LocalScan collect()ed every
+  * delete file onto the driver). */
+final class PositionDeletesScan(table: GTable)
+  extends Scan with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+
+  override def readSchema(): StructType = GraftMetadataTables.schemaOf("position_deletes")
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String = s"graft-position-deletes(${table.location})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = table.refresh()
+    m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+      .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
+      .filter(_.file.content == FileContent.PositionDeletes)
+      .map(e => PosDeleteFileTask(e.file.path, e.file.format): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val deleteSchema = StructType(Seq(
+      StructField("file_path", StringType), StructField("pos", LongType)))
+    val readFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(spark, deleteSchema, new StructType(),
+        deleteSchema, Nil,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"),
+        spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    new PositionDeletesScan.Factory(readFunc)
+  }
+}
+
+object PositionDeletesScan {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+  import org.apache.spark.sql.execution.datasources.PartitionedFile
+
+  private[spark] final class Factory(
+      readFunc: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val t = p.asInstanceOf[PosDeleteFileTask]
+      val it: Iterator[InternalRow] =
+        if (t.format == "dv") {
+          val (ref, bm) = DVIO.read(t.path)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          bm.forEach((l: Long) => {
+            buf += new GenericInternalRow(Array[Any](
+              UTF8String.fromString(ref), l, UTF8String.fromString(t.path)))
+            ()
+          })
+          buf.iterator
+        } else {
+          val pf = PartitionedFile(InternalRow.empty,
+            org.apache.spark.paths.SparkPath.fromPathString(t.path),
+            0L, Long.MaxValue, Array.empty[String], 0L, Long.MaxValue, Map.empty)
+          readFunc(pf).map { r =>
+            new GenericInternalRow(Array[Any](
+              r.getUTF8String(0), r.getLong(1), UTF8String.fromString(t.path))): InternalRow
+          }
+        }
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
 final class GraftMetadataTable(table: GTable, fullName: String, kind: String)
   extends Table with SupportsRead {
 
@@ -246,7 +312,9 @@ final class GraftMetadataTable(table: GTable, fullName: String, kind: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new GraftSparkTable.GraftLocalScan(
-        GraftMetadataTables.schemaOf(kind), GraftMetadataTables.rowsOf(kind, table))
+      override def build(): Scan =
+        if (kind == "position_deletes") new PositionDeletesScan(table)
+        else new GraftSparkTable.GraftLocalScan(
+          GraftMetadataTables.schemaOf(kind), GraftMetadataTables.rowsOf(kind, table))
     }
 }

@@ -506,7 +506,7 @@ object GraftSparkTable {
 
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new GraftMicroBatchStream(table, streamMaxFiles, () => createReaderFactory(),
+      new GraftMicroBatchStream(table, streamMaxFiles, () => buildReaderFactory(conservative = true),
         streamMaxRecords, branch, streamFromTs)
 
     private var runtimeExpr: Expr = TrueE
@@ -734,7 +734,18 @@ object GraftSparkTable {
         firstRowId = t.file.firstRowId, dataSeq = t.dataSequenceNumber)
     }
 
-    override def createReaderFactory(): PartitionReaderFactory = {
+    override def createReaderFactory(): PartitionReaderFactory =
+      buildReaderFactory(conservative = false)
+
+    /** Build the executor-side reader factory. Each parquet/orc reader
+      * closure built here broadcasts its own Hadoop conf driver-side, so
+      * build ONLY the variants the planned task set actually dispatches
+      * to (formats present, delete kinds, requested metadata columns) —
+      * eagerly constructing every variant cost ~12 broadcasts of fixed
+      * overhead per scan. `conservative` (streaming) builds everything:
+      * later micro-batches may add files the stream-start task set
+      * didn't contain. */
+    private[spark] def buildReaderFactory(conservative: Boolean): PartitionReaderFactory = {
       val spark = SparkSession.active
       val fullSchema = SparkTypes.toSparkSchema(table.schema)
       // row-level-op scans must return every row of the planned files:
@@ -755,121 +766,197 @@ object GraftSparkTable {
       // (_row_id/_last_updated_sequence_number) still take the row path
       val columnarMeta =
         Set(MetaFileCol, MetaSpecIdCol, MetaPartitionCol, MetaPosCol)
+      val partStructT = partitionStructType(table.spec, table.schema)
+      // _partition is served columnar via ConstantColumnVector only for
+      // value types setConst supports — otherwise fall back to the row
+      // path (a silently-null _partition would be a wrong result)
+      def constSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case BooleanType | IntegerType | DateType | LongType |
+               TimestampType | TimestampNTZType | FloatType | DoubleType |
+               StringType | BinaryType => true
+          case _: DecimalType => true
+          case _ => false
+        }
+      }
       val vectorized = spark.sessionState.conf.parquetVectorizedReaderEnabled &&
         metaCols.forall(columnarMeta) &&
-        fullSchema.forall(f => GraftReaderFactory.batchSupported(f.dataType))
+        fullSchema.forall(f => GraftReaderFactory.batchSupported(f.dataType)) &&
+        (!metaCols.contains(MetaPartitionCol) ||
+          partStructT.fields.forall(f => constSupported(f.dataType)))
+
+      // ------------------------------ what does this task set dispatch to?
+      import graft.core.meta.FileContent
+      val ts = tasks()
+      val formats: Set[String] =
+        if (conservative) Set("parquet", "parquet-nm", "orc", "avro")
+        else ts.iterator.map(_.file.format).toSet
+      val anyEq = conservative ||
+        ts.exists(_.deletes.exists(_.content == FileContent.EqualityDeletes))
+      val anyNonDvPos = conservative || ts.exists(_.deletes.exists(d =>
+        d.content == FileContent.PositionDeletes && !graft.core.meta.DVIO.isDV(d.path)))
+      val wantLineage = metaCols.contains(MetaRowIdCol) || metaCols.contains(MetaSeqCol)
+      val needPosRow = metaCols.contains(MetaPosCol) || wantLineage
+      val needPosV = metaCols.contains(MetaPosCol)
+      // columnar needs one uniform batch reader across the scan: all
+      // parquet (field-id based) or all orc (name based); name-mapped
+      // parquet imports and equality deletes force the row path; position
+      // deletes stay columnar via delete-aware vectors
+      val allParquet = ts.forall(_.file.format == "parquet")
+      val allOrc = ts.nonEmpty && ts.forall(_.file.format == "orc")
+      val columnarOk = vectorized && (allParquet || allOrc) && ts.forall(
+        _.deletes.forall(_.content == FileContent.PositionDeletes))
+      // row-path dispatch per format (mirrors createReader): clean =
+      // filtered split-respecting read; nf = full-file read (pos-delete
+      // masking, _pos, lineage); eq-delete tasks take eqMaskedRows
+      val cleanFormats: Set[String] =
+        if (conservative) formats
+        else if (columnarOk || needPosRow) Set.empty
+        else ts.iterator.filter(_.deletes.isEmpty).map(_.file.format).toSet
+      val nfFormats: Set[String] =
+        if (conservative) formats
+        else if (columnarOk) Set.empty
+        else ts.iterator
+          .filter(t => !t.deletes.exists(_.content == FileContent.EqualityDeletes) &&
+            (needPosRow || t.deletes.nonEmpty))
+          .map(_.file.format).toSet
+
       // each build mutates + broadcasts its conf: every reader needs its own
       def freshConf = new org.apache.hadoop.conf.Configuration(conf)
+      val parquetBatch = columnarOk && allParquet
       val batchFunc =
-        if (vectorized)
+        if (parquetBatch && !needPosV && (conservative || ts.exists(_.deletes.isEmpty)))
           fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
             dataRequired, v1Filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
         else null
       // full-file batches (no filters) so batch-relative offsets equal file
       // positions — used to mask position deletes inside columnar reads
       val batchFuncNoFilter =
-        if (vectorized)
+        if (parquetBatch && (needPosV || conservative || ts.exists(_.deletes.nonEmpty)))
           fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
             dataRequired, Nil, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
         else null
-      val rowFunc = fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
-        dataRequired, v1Filters,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshConf)
+      val rowFunc =
+        if (cleanFormats("parquet"))
+          fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
+            dataRequired, v1Filters,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshConf)
+        else null
       // row lineage: when _row_id / _last_updated_sequence_number are
       // requested, extend the read schema with the MATERIALIZED lineage
       // columns (reserved field ids) — rewritten files carry them, older
       // files read null and fall back to metadata inheritance
-      val wantLineage = metaCols.contains(MetaRowIdCol) || metaCols.contains(MetaSeqCol)
       val dataReadNF =
         if (wantLineage) StructType(dataRequired.fields ++ lineageReadFields)
         else dataRequired
-      // delete-bearing / position-tracking tasks: full-file row read so the
-      // emitted row index equals the file position
       val fullSchemaNF =
         if (wantLineage) StructType(fullSchema.fields ++ lineageReadFields)
         else fullSchema
-      val rowFuncNoFilter = fmt.buildReaderWithPartitionValues(spark, fullSchemaNF,
-        new StructType(), dataReadNF, Nil,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshConf)
+      // delete-bearing / position-tracking tasks: full-file row read so the
+      // emitted row index equals the file position
+      val rowFuncNoFilter =
+        if (nfFormats("parquet"))
+          fmt.buildReaderWithPartitionValues(spark, fullSchemaNF,
+            new StructType(), dataReadNF, Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshConf)
+        else null
       val deleteSchema = StructType(Seq(
         org.apache.spark.sql.types.StructField("file_path", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType)))
-      val deleteFunc = fmt.buildReaderWithPartitionValues(spark, deleteSchema,
-        new StructType(), deleteSchema, Nil,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshConf)
+      val deleteFunc =
+        if (anyNonDvPos)
+          fmt.buildReaderWithPartitionValues(spark, deleteSchema,
+            new StructType(), deleteSchema, Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshConf)
+        else null
       // equality-delete masking needs the identifier columns regardless of
       // pruning: read the full schema (field-id resolution nulls absent
       // columns in the delete files themselves)
-      val rowFuncFull = fmt.buildReaderWithPartitionValues(spark, fullSchema,
-        new StructType(), fullSchema, Nil,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshConf)
+      val rowFuncFull =
+        if (anyEq)
+          fmt.buildReaderWithPartitionValues(spark, fullSchema,
+            new StructType(), fullSchema, Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshConf)
+        else null
       // lineage-extended variant of the full-schema read: the eq-delete
       // masking path must also surface the MATERIALIZED lineage columns,
       // or compacted files (fresh firstRowId) would fall back to
       // firstRowId + pos and report wrong _row_id values
-      lazy val rowFuncFullLin = fmt.buildReaderWithPartitionValues(spark,
-        StructType(fullSchema.fields ++ lineageReadFields), new StructType(),
-        StructType(fullSchema.fields ++ lineageReadFields), Nil,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshConf)
+      val rowFuncFullLin =
+        if (anyEq && wantLineage)
+          fmt.buildReaderWithPartitionValues(spark,
+            StructType(fullSchema.fields ++ lineageReadFields), new StructType(),
+            StructType(fullSchema.fields ++ lineageReadFields), Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshConf)
+        else rowFuncFull
       // imported files (add_files/snapshot_table) have no field ids: read
       // them by NAME with the id metadata stripped (reference name-mapping,
       // schema.name-mapping.default)
-      val nameConf = new org.apache.hadoop.conf.Configuration(conf)
-      nameConf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
       def stripIds(st: StructType): StructType =
         StructType(st.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      lazy val nameConf = {
+        val c = new org.apache.hadoop.conf.Configuration(conf)
+        c.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+        c
+      }
       def freshNameConf = new org.apache.hadoop.conf.Configuration(nameConf)
-      val nameRowFunc = fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
-        new StructType(), stripIds(dataRequired), v1Filters,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshNameConf)
-      val nameRowFuncNoFilter = fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchemaNF),
-        new StructType(), stripIds(dataReadNF), Nil,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshNameConf)
+      val nameRowFunc =
+        if (cleanFormats("parquet-nm"))
+          fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
+            new StructType(), stripIds(dataRequired), v1Filters,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshNameConf)
+        else null
+      val nameRowFuncNoFilter =
+        if (nfFormats("parquet-nm"))
+          fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchemaNF),
+            new StructType(), stripIds(dataReadNF), Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshNameConf)
+        else null
       // imported ORC files: Spark's ORC reader resolves columns by name
-      val orcFmt = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
-      val orcRowFunc = orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
-        new StructType(), stripIds(dataRequired), v1Filters,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshNameConf)
-      val orcRowFuncNoFilter = orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchemaNF),
-        new StructType(), stripIds(dataReadNF), Nil,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshNameConf)
-      // columnar needs one uniform batch reader across the scan: all
-      // parquet (field-id based) or all orc (name based); name-mapped
-      // parquet imports and equality deletes force the row path; position
-      // deletes stay columnar via delete-aware vectors
-      val ts = tasks()
-      val allParquet = ts.forall(_.file.format == "parquet")
-      val allOrc = ts.nonEmpty && ts.forall(_.file.format == "orc")
-      val columnarOk = vectorized && (allParquet || allOrc) && ts.forall(
-        _.deletes.forall(_.content == graft.core.meta.FileContent.PositionDeletes))
+      lazy val orcFmt = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      val orcRowFunc =
+        if (cleanFormats("orc"))
+          orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
+            new StructType(), stripIds(dataRequired), v1Filters,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshNameConf)
+        else null
+      val orcRowFuncNoFilter =
+        if (nfFormats("orc"))
+          orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchemaNF),
+            new StructType(), stripIds(dataReadNF), Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshNameConf)
+        else null
       val orcBatchFunc =
-        if (columnarOk && allOrc)
+        if (columnarOk && allOrc && !needPosV && (conservative || ts.exists(_.deletes.isEmpty)))
           orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
             new StructType(), stripIds(dataRequired), v1Filters,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshNameConf)
         else null
       val orcBatchFuncNoFilter =
-        if (columnarOk && allOrc)
+        if (columnarOk && allOrc && (needPosV || conservative || ts.exists(_.deletes.nonEmpty)))
           orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
             new StructType(), stripIds(dataRequired), Nil,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshNameConf)
         else null
       // avro data files: our own sync-splittable row reader (no spark-avro
-      // connector on this classpath); filters re-applied by Spark above
-      val avroRowFunc = GraftAvro.ReadFunc(dataRequired.json)
-      val avroRowFuncNF = GraftAvro.ReadFunc(dataReadNF.json)
-      val avroFullFunc = GraftAvro.ReadFunc(fullSchema.json)
+      // connector on this classpath); filters re-applied by Spark above.
+      // These broadcast nothing — cheap to construct when avro is present.
+      val needAvro = formats("avro")
+      val avroRowFunc = if (needAvro) GraftAvro.ReadFunc(dataRequired.json) else null
+      val avroRowFuncNF = if (needAvro) GraftAvro.ReadFunc(dataReadNF.json) else null
+      val avroFullFunc = if (needAvro && anyEq) GraftAvro.ReadFunc(fullSchema.json) else null
       val avroFullLin =
-        if (wantLineage)
+        if (needAvro && anyEq && wantLineage)
           GraftAvro.ReadFunc(StructType(fullSchema.fields ++ lineageReadFields).json)
         else avroFullFunc
       new GraftReaderFactory(
@@ -884,9 +971,9 @@ object GraftSparkTable {
         partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray,
         avroRowFunc = avroRowFunc, avroFullFunc = avroFullFunc,
         avroRowFuncNF = avroRowFuncNF, lineageExt = wantLineage,
-        rowFuncFullLin = if (wantLineage) rowFuncFullLin else rowFuncFull,
+        rowFuncFullLin = rowFuncFullLin,
         avroFullLin = avroFullLin,
-        partStruct = partitionStructType(table.spec, table.schema))
+        partStruct = partStructT)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -1098,6 +1185,10 @@ object GraftSparkTable {
           case (StringType, s: String)    =>
             v.setUtf8String(org.apache.spark.unsafe.types.UTF8String.fromString(s)); true
           case (BinaryType, b: Array[Byte]) => v.setBinary(b); true
+          case (dt: DecimalType, d: java.math.BigDecimal) =>
+            v.setDecimal(org.apache.spark.sql.types.Decimal(d), dt.precision); true
+          case (dt: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+            v.setDecimal(d, dt.precision); true
           case _ => false
         }
       name match {
@@ -1239,7 +1330,10 @@ object GraftSparkTable {
                 metaRow.update(i,
                   if (matRowId != null) matRowId
                   else t.firstRowId.map(f => (f + pos): java.lang.Long).orNull)
-              case (MetaSeqCol, i) if matSeq != null => metaRow.update(i, matSeq)
+              case (MetaSeqCol, i) =>
+                // reset to the task's dataSeq when this row carries no
+                // materialized seq — a prior row's value must not leak
+                metaRow.update(i, if (matSeq != null) matSeq else t.dataSeq)
               case _               => ()
             }
             joined(row, metaRow)
