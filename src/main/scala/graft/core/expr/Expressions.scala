@@ -253,6 +253,12 @@ object Literals {
         case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
         case other => throw new IllegalArgumentException(s"cannot convert to timestamp: $other")
       }
+      case GTimestampNs(_) => v match {
+        case l: Long => l // nanos since epoch
+        case t: java.sql.Timestamp => t.getTime / 1000L * 1000000000L + t.getNanos
+        case i: java.time.Instant => i.getEpochSecond * 1000000000L + i.getNano
+        case other => throw new IllegalArgumentException(s"cannot convert to timestamp_ns: $other")
+      }
       case GString => v match {
         case s: String => s
         case other     => other.toString

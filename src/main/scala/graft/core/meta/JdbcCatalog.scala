@@ -64,7 +64,7 @@ object Jdbc {
   * is written to uniquely-named files so concurrent committers never
   * collide on a path — the row decides the winner. */
 final class JdbcTableOps(
-    val location: String,
+    defaultLocation: String,
     uri: String,
     catalogName: String,
     namespace: String,
@@ -75,7 +75,7 @@ final class JdbcTableOps(
   private def selectRow[A](f: java.sql.ResultSet => A): Option[A] =
     Jdbc.withConn(uri) { c =>
       val ps = c.prepareStatement(
-        "SELECT metadata_location, version FROM graft_tables " +
+        "SELECT metadata_location, version, table_location FROM graft_tables " +
           "WHERE catalog_name=? AND table_namespace=? AND table_name=?")
       try {
         ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
@@ -83,6 +83,12 @@ final class JdbcTableOps(
         try { if (rs.next()) Some(f(rs)) else None } finally rs.close()
       } finally ps.close()
     }
+
+  // the STORED table_location wins over the name-derived default: after a
+  // rename the data/metadata tree stays at the original path, and commits
+  // + dropTable must keep writing/purging there, not under the new name
+  override lazy val location: String =
+    selectRow(rs => Option(rs.getString(3))).flatten.getOrElse(defaultLocation)
 
   override def currentVersion(): Int = selectRow(_.getInt(2)).getOrElse(0)
 
@@ -113,14 +119,21 @@ final class JdbcTableOps(
           }
         } finally ps.close()
       } else {
+        // bind the previous location as a parameter instead of
+        // `previous_metadata_location=metadata_location`: MySQL evaluates
+        // SET clauses left-to-right and would record the NEW location.
+        // No race: metadata_location can only change together with
+        // version, and version=base guards the UPDATE.
+        val prev = selectRow(_.getString(1)).orNull
         val ps = c.prepareStatement(
           "UPDATE graft_tables SET metadata_location=?, " +
-            "previous_metadata_location=metadata_location, version=? " +
+            "previous_metadata_location=?, version=? " +
             "WHERE catalog_name=? AND table_namespace=? AND table_name=? AND version=?")
         try {
-          ps.setString(1, metadataPath); ps.setInt(2, baseVersion + 1)
-          ps.setString(3, catalogName); ps.setString(4, namespace); ps.setString(5, name)
-          ps.setInt(6, baseVersion)
+          ps.setString(1, metadataPath); ps.setString(2, prev)
+          ps.setInt(3, baseVersion + 1)
+          ps.setString(4, catalogName); ps.setString(5, namespace); ps.setString(6, name)
+          ps.setInt(7, baseVersion)
           ps.executeUpdate() == 1
         } finally ps.close()
       }

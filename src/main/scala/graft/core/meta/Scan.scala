@@ -1,5 +1,7 @@
 package graft.core.meta
 
+import scala.jdk.CollectionConverters._
+
 import graft.core.expr._
 import graft.core.types._
 
@@ -95,10 +97,48 @@ object TableScan {
   *   3. per-file pruning: exact partition eval + column min/max stats
   * plus residual computation and delete-file attachment.
   */
+/** One scan's planning-funnel counts (reference
+  * api/.../metrics/ScanReport.java + core/.../metrics/): which snapshot
+  * was planned, how many manifests the snapshot had vs how many survived
+  * summary pruning, how many live files the surviving manifests carried
+  * vs how many tasks planning produced, and how many delete files were
+  * attached. At 100 TB this is the first thing to read when a query is
+  * slow: it shows whether pruning actually pruned. */
+final case class ScanReport(
+    tableLocation: String, snapshotId: Long, filter: String,
+    totalManifests: Int, scannedManifests: Int,
+    totalDataFiles: Long, resultTasks: Int, resultDeleteFiles: Int,
+    planningMs: Long, timestampMs: Long)
+
+/** Recent scan reports, newest first (bounded ring; served by the
+  * `scan_reports` metadata table and GraftScan.description). */
+object ScanReports {
+  private val Max = 128
+  private val buf = new java.util.concurrent.ConcurrentLinkedDeque[ScanReport]()
+  def add(r: ScanReport): Unit = {
+    buf.addFirst(r)
+    while (buf.size > Max) buf.pollLast()
+  }
+  def recent: Seq[ScanReport] = buf.iterator.asScala.toSeq
+}
+
 final class TableScan(table: GTable) {
   private var snapshotIdOpt: Option[Long] = None
   private var filterExpr: Expr = TrueE
   private var refName: Option[String] = None
+
+  // planning-funnel counters captured by the last planParts() call
+  private var rptSnapshotId = 0L
+  private var rptTotalManifests = 0
+  private var rptScannedManifests = 0
+  private var rptTotalDataFiles = 0L
+
+  /** report for the last planParts() + the given task result */
+  def buildReport(resultTasks: Seq[FileScanTask], planningMs: Long): ScanReport =
+    ScanReport(table.location, rptSnapshotId, filterExpr.toString,
+      rptTotalManifests, rptScannedManifests, rptTotalDataFiles,
+      resultTasks.size, resultTasks.map(_.deletes.size).sum,
+      planningMs, System.currentTimeMillis())
 
   def useSnapshot(id: Long): TableScan = { snapshotIdOpt = Some(id); this }
   def useRef(name: String): TableScan = { refName = Some(name); this }
@@ -174,6 +214,12 @@ final class TableScan(table: GTable) {
       ManifestIO.readEntries(mf).filter(_.isLive)
     }
     val specIds = (dataManifests.map(_.specId) ++ deleteManifests.map(_.specId)).distinct
+    rptSnapshotId = snap.snapshotId
+    rptTotalManifests = manifests.size
+    rptScannedManifests = dataManifests.size + deleteManifests.size
+    // live-file counts come from manifest metadata — no extra IO
+    rptTotalDataFiles = dataManifests
+      .map(mf => mf.addedFilesCount.toLong + mf.existingFilesCount).sum
     val ctx = PlanContext(schema, bound,
       specIds.map(id => id -> m.specById(id)).toMap,
       specIds.map(id => id -> partPred(id)).toMap,

@@ -105,12 +105,16 @@ final case class BucketT(n: Int) extends Transform {
   val name = s"bucket[$n]"
   def resultType(src: GType): GType = GInt
   def canTransform(src: GType): Boolean = src match {
-    case GInt | GLong | GDate | GString | GBinary | GTimestamp(_) | GDecimal(_, _) => true
+    case GInt | GLong | GDate | GString | GBinary | GTimestamp(_) |
+         GTimestampNs(_) | GDecimal(_, _) => true
     case _ => false
   }
   def hash(v: Any, src: GType): Int = src match {
     case GInt | GDate     => Murmur3.hashLong(TypeComparators.anyToInt(v).toLong)
-    case GLong | GTimestamp(_) => Murmur3.hashLong(TypeComparators.anyToLong(v))
+    // ns timestamps hash their raw long representation (nanos), matching
+    // the long-hash convention of the other epoch-long types
+    case GLong | GTimestamp(_) | GTimestampNs(_) =>
+      Murmur3.hashLong(TypeComparators.anyToLong(v))
     case GString          => Murmur3.hashBytes(v.asInstanceOf[String].getBytes("UTF-8"))
     case GBinary          => Murmur3.hashBytes(v.asInstanceOf[Array[Byte]])
     case GDecimal(_, _) =>
@@ -161,8 +165,9 @@ sealed abstract class TimeT(val name: String, val unit: ChronoUnit) extends Tran
   def resultType(src: GType): GType = if (this == DayT) GDate else GInt
   def canTransform(src: GType): Boolean = src match {
     case GDate          => this != HourT
-    case GTimestamp(_)  => true
-    case _              => false
+    case GTimestamp(_)    => true
+    case GTimestampNs(_)  => true
+    case _                => false
   }
   override def preservesOrder = true
 
@@ -185,8 +190,11 @@ sealed abstract class TimeT(val name: String, val unit: ChronoUnit) extends Tran
           case ChronoUnit.DAYS                      => days
           case other => throw new IllegalArgumentException(s"$other on date")
         }
-      case GTimestamp(_) =>
-        val micros = TypeComparators.anyToLong(v)
+      case GTimestamp(_) | GTimestampNs(_) =>
+        val micros = src match {
+          case GTimestampNs(_) => Math.floorDiv(TypeComparators.anyToLong(v), 1000L)
+          case _               => TypeComparators.anyToLong(v)
+        }
         // floorDiv keeps pre-1970 values on the correct ordinal
         val days = Math.floorDiv(micros, 86400000000L).toInt
         unit match {

@@ -25,6 +25,12 @@ final case class GDecimal(precision: Int, scale: Int) extends GType
 case object GDate extends GType
 /** micros since epoch; ntz = no timezone (TimestampNTZType in Spark). */
 final case class GTimestamp(ntz: Boolean = false) extends GType
+/** v3 nanosecond timestamps (reference api/.../types/Types.java:300,
+  * format/spec.md v3 `timestamp_ns`/`timestamptz_ns`): nanos since
+  * epoch. Spark has no nanosecond timestamp type, so these surface as
+  * LongType nanos (SURVEY §1 mapping); transforms and comparators work
+  * on the underlying long with floorDiv conversions. */
+final case class GTimestampNs(ntz: Boolean = false) extends GType
 case object GString extends GType
 case object GBinary extends GType
 /** v3 semi-structured values (reference api/.../variants, spec variant
@@ -119,6 +125,7 @@ object SparkTypes {
     case GDate             => DateType
     case GTimestamp(true)  => TimestampNTZType
     case GTimestamp(false) => TimestampType
+    case GTimestampNs(_)   => LongType // nanos since epoch
     case GString           => StringType
     case GBinary           => BinaryType
     case GVariant          => VariantType
@@ -189,6 +196,8 @@ object SparkTypes {
     case GDate             => "date"
     case GTimestamp(true)  => "timestamp"
     case GTimestamp(false) => "timestamptz"
+    case GTimestampNs(true)  => "timestamp_ns"
+    case GTimestampNs(false) => "timestamptz_ns"
     case GString           => "string"
     case GBinary           => "binary"
     case GVariant          => "variant"
@@ -209,6 +218,8 @@ object SparkTypes {
     case "date"             => GDate
     case "timestamp"        => GTimestamp(true)
     case "timestamptz"      => GTimestamp(false)
+    case "timestamp_ns"     => GTimestampNs(true)
+    case "timestamptz_ns"   => GTimestampNs(false)
     case "string"           => GString
     case "binary"           => GBinary
     case "variant"          => GVariant
@@ -231,6 +242,7 @@ object TypeComparators {
       a.asInstanceOf[java.math.BigDecimal].compareTo(b.asInstanceOf[java.math.BigDecimal])
     case GDate         => Integer.compare(anyToInt(a), anyToInt(b))
     case GTimestamp(_) => java.lang.Long.compare(anyToLong(a), anyToLong(b))
+    case GTimestampNs(_) => java.lang.Long.compare(anyToLong(a), anyToLong(b))
     case GString       => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
     case GBinary =>
       val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]

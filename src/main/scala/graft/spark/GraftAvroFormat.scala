@@ -332,7 +332,7 @@ object GraftAvro {
       val conv: Any = g match {
         case GString               => v.toString
         case GInt | GDate          => v.asInstanceOf[Number].intValue()
-        case GLong | GTimestamp(_) => v.asInstanceOf[Number].longValue()
+        case GLong | GTimestamp(_) | GTimestampNs(_) => v.asInstanceOf[Number].longValue()
         case GFloat =>
           val f = v.asInstanceOf[Number].floatValue()
           if (f.isNaN) { nans(i) += 1; return }

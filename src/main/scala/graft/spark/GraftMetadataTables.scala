@@ -28,7 +28,7 @@ object GraftMetadataTables {
     "partitions", "metadata_log_entries", "position_deletes",
     "data_files", "delete_files",
     "all_files", "all_manifests", "all_entries",
-    "all_data_files", "all_delete_files")
+    "all_data_files", "all_delete_files", "scan_reports")
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -88,6 +88,16 @@ object GraftMetadataTables {
       StructField("file_path", StringType),
       StructField("pos", LongType),
       StructField("delete_file_path", StringType)))
+    case "scan_reports" => StructType(Seq(
+      StructField("made_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("filter", StringType),
+      StructField("total_manifests", IntegerType),
+      StructField("scanned_manifests", IntegerType),
+      StructField("total_data_files", LongType),
+      StructField("result_tasks", IntegerType),
+      StructField("result_delete_files", IntegerType),
+      StructField("planning_ms", LongType)))
     case "data_files" | "delete_files" => schemaOf("files")
     case "all_files" | "all_data_files" | "all_delete_files" => schemaOf("files")
     case "all_manifests" => schemaOf("manifests")
@@ -177,6 +187,15 @@ object GraftMetadataTables {
       case "metadata_log_entries" => m.snapshotLog.map { case (ts, id) =>
         new GenericInternalRow(Array[Any](ts * 1000L, id)): InternalRow
       }.toArray
+      case "scan_reports" =>
+        // this session's recent planning reports for THIS table, newest
+        // first (driver-side ring; reference ScanReport metrics)
+        ScanReports.recent.filter(_.tableLocation == table.location).map { r =>
+          new GenericInternalRow(Array[Any](
+            r.timestampMs * 1000L, r.snapshotId, s(r.filter),
+            r.totalManifests, r.scannedManifests, r.totalDataFiles,
+            r.resultTasks, r.resultDeleteFiles, r.planningMs)): InternalRow
+        }.toArray
       case "position_deletes" =>
         throw new IllegalStateException(
           "position_deletes is served by PositionDeletesScan (distributed), not a LocalScan")

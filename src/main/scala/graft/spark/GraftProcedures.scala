@@ -520,12 +520,21 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             Map("ndv" -> r.getLong(i).toString))
         }
         val size = Puffin.write(puffinPath, blobs)
+        // delete superseded puffin files AFTER the commit lands: the
+        // replaced entries are unreferenced from the new metadata and
+        // remove_orphan_files only walks {location}/data, so they would
+        // otherwise accumulate under /metadata forever
+        var replaced: Seq[String] = Nil
         t.commitUpdate { base =>
+          replaced = base.statistics
+            .filter(sf => snap.exists(_.snapshotId == sf.snapshotId)).map(_.path)
           base.copy(properties = base.properties ++ props,
             statistics = base.statistics
               .filterNot(sf => snap.exists(_.snapshotId == sf.snapshotId)) :+
               StatisticsFile(snap.map(_.snapshotId).getOrElse(0L), puffinPath, size))
         }
+        replaced.filterNot(_ == puffinPath)
+          .foreach(p => try graft.core.meta.GraftIO.delete(p) catch { case _: Throwable => () })
       }
       out(StructType(Seq(StructField("columns_analyzed", IntegerType))), row(fields.size))
 

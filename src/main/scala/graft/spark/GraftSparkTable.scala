@@ -326,7 +326,7 @@ object GraftSparkTable {
           case _ => None
         }
       def minMaxSafe(t: GType): Boolean = t match {
-        case GInt | GLong | GDate | GTimestamp(_) => true
+        case GInt | GLong | GDate | GTimestamp(_) | GTimestampNs(_) => true
         case _                                    => false // float/double NaN, truncated string/binary
       }
 
@@ -464,11 +464,15 @@ object GraftSparkTable {
     // Report KeyGroupedPartitioning over the partition transforms so joins
     // on partition keys elide their shuffles (reference
     // SparkPartitioningAwareScan.java:59-120; gated on a conf because
-    // per-key task groups can be skewed for non-join scans).
-    private def preserveGrouping: Boolean =
-      SparkSession.active.conf
-        .getOption("spark.sql.graft.preserveDataGrouping").exists(_.toBoolean) &&
+    // per-key task groups can be skewed for non-join scans). Honors
+    // Spark's own SPJ switch — the conf a user of any DSv2 source sets —
+    // with spark.sql.graft.preserveDataGrouping kept as an alias.
+    private def preserveGrouping: Boolean = {
+      val conf = SparkSession.active.conf
+      (conf.getOption("spark.sql.sources.v2.bucketing.enabled").exists(_.toBoolean) ||
+        conf.getOption("spark.sql.graft.preserveDataGrouping").exists(_.toBoolean)) &&
         table.spec.fields.nonEmpty
+    }
 
     @transient private lazy val groupedTasks: Seq[(Seq[Any], Seq[FileScanTask])] = {
       val specId = table.spec.specId
@@ -558,6 +562,7 @@ object GraftSparkTable {
         cachedTasks = incrementalTasks(s, e)
       }
       if (cachedTasks == null) {
+        val t0 = System.nanoTime()
         val coreScan = newCoreScan()
         plannedSnapshot = coreScan.snapshot().map(_.snapshotId)
         var ts = {
@@ -582,17 +587,32 @@ object GraftSparkTable {
             case None => Nil
           }
         }
-        // limit pushdown: stop planning once the limit is guaranteed
+        // limit pushdown: stop planning once the limit is GUARANTEED.
+        // A task guarantees its recordCount rows only when its residual
+        // is TrueE (partition pruning fully satisfied the pushed filter)
+        // and no deletes can remove rows; other tasks still plan but
+        // contribute nothing to the guarantee (reference
+        // SparkScanBuilder.pushLimit semantics). Spark re-applies LIMIT
+        // above the scan, so planning a prefix is always safe.
         limit.foreach { n =>
-          if (expr == TrueE && runtimeExpr == TrueE) {
-            var acc = 0L
-            ts = ts.takeWhile { t => val take = acc < n; acc += t.file.recordCount; take }
+          var acc = 0L
+          ts = ts.takeWhile { t =>
+            val take = acc < n
+            if (t.residual == TrueE && t.deletes.isEmpty) acc += t.file.recordCount
+            take
           }
         }
         cachedTasks = ts
+        // scan report: pruning-funnel counts for this planning pass
+        // (served by the scan_reports metadata table + description())
+        val report = coreScan.buildReport(ts, (System.nanoTime() - t0) / 1000000L)
+        graft.core.meta.ScanReports.add(report)
+        lastReport = Some(report)
       }
       cachedTasks
     }
+
+    @transient @volatile private var lastReport: Option[graft.core.meta.ScanReport] = None
 
     override def readSchema(): StructType = required
 
@@ -610,7 +630,10 @@ object GraftSparkTable {
     override def toBatch: Batch = this
 
     override def description(): String =
-      s"graft(${table.location}) filter=$expr"
+      s"graft(${table.location}) filter=$expr" + lastReport.map(r =>
+        s" [manifests ${r.scannedManifests}/${r.totalManifests}," +
+          s" files ${r.resultTasks}/${r.totalDataFiles}," +
+          s" deletes ${r.resultDeleteFiles}, plan ${r.planningMs}ms]").getOrElse("")
 
     // ------------------------------------------------- runtime filtering (DPP)
     override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {

@@ -831,7 +831,8 @@ object FooterStats {
         Some(b.toStringUsingUTF8)
       case (GBinary, b: org.apache.parquet.io.api.Binary) => Some(b.getBytes)
       case (GInt | GDate, i: java.lang.Integer)           => Some(i.intValue)
-      case (GLong | GTimestamp(_), l: java.lang.Long)     => Some(l.longValue)
+      case (GLong | GTimestamp(_) | GTimestampNs(_), l: java.lang.Long) =>
+        Some(l.longValue)
       case (GFloat, f: java.lang.Float)                   => Some(f.floatValue)
       case (GDouble, d: java.lang.Double)                 => Some(d.doubleValue)
       case _                                              => None // decimals etc: skip v1

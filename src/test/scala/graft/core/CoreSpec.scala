@@ -232,4 +232,36 @@ class CoreSpec extends AnyFunSuite {
       graft.core.meta.MetaJson.mapper.readTree(json))
     assert(back.fields.map(_.tpe) === sch.fields.map(_.tpe))
   }
+
+  test("v3 timestamp_ns: mapping, json round-trip, transforms, comparator") {
+    import org.apache.spark.sql.types.LongType
+    // Spark surface: LongType nanos (no ns timestamp type in Spark)
+    assert(SparkTypes.toSpark(GTimestampNs(true)) === LongType)
+    assert(SparkTypes.toSpark(GTimestampNs(false)) === LongType)
+    assert(SparkTypes.typeName(GTimestampNs(true)) === "timestamp_ns")
+    assert(SparkTypes.typeName(GTimestampNs(false)) === "timestamptz_ns")
+    Seq(GTimestampNs(true), GTimestampNs(false)).foreach { g =>
+      assert(SparkTypes.typeFromName(SparkTypes.typeName(g)) === g)
+    }
+    // metadata JSON round-trip
+    val sch = GSchema(GStruct(Seq(
+      GField(1, "id", GLong, required = true),
+      GField(2, "ts9", GTimestampNs(false)), GField(3, "ts9n", GTimestampNs(true)))))
+    val json = graft.core.meta.MetaJson.writeSchema(sch).toString
+    val back = graft.core.meta.MetaJson.readSchema(
+      graft.core.meta.MetaJson.mapper.readTree(json))
+    assert(back.fields.map(_.tpe) === sch.fields.map(_.tpe))
+    // time transforms divide nanos to micros with floorDiv (pre-epoch safe)
+    val ns = 1700000000L * 1000000000L + 123456789L // 2023-11-14T22:13:20.123456789Z
+    assert(DayT.apply(ns, GTimestampNs(false)) ===
+      DayT.apply(1700000000L * 1000000L + 123456L, GTimestamp(false)))
+    assert(MonthT.apply(ns, GTimestampNs(false)) ===
+      MonthT.apply(1700000000L * 1000000L, GTimestamp(false)))
+    val preEpoch = -1L // 1969-12-31T23:59:59.999999999Z
+    assert(DayT.apply(preEpoch, GTimestampNs(false)) ===
+      DayT.apply(-1L, GTimestamp(false)))
+    // bucket hashes the raw nanos long; comparator orders by the long
+    assert(BucketT(8).canTransform(GTimestampNs(false)))
+    assert(TypeComparators.compare(GTimestampNs(false), 5L, 7L) < 0)
+  }
 }

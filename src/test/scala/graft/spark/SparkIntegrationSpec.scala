@@ -424,8 +424,9 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeTo("graft.db.spj_a").append()
     spark.range(0, 60).selectExpr("id", "concat('p', id % 4) AS part")
       .writeTo("graft.db.spj_b").append()
+    // Spark's OWN SPJ conf alone must enable the path (the graft alias
+    // conf is not set here)
     withConfs(
-      "spark.sql.graft.preserveDataGrouping" -> "true",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false") {
@@ -440,6 +441,46 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
         === Map("p0" -> 375L, "p1" -> 375L, "p2" -> 375L, "p3" -> 375L))
     }
+  }
+
+  test("scan_reports metadata table records the pruning funnel") {
+    // li (days(ts)-partitioned, one file per day) was built above; a
+    // one-day filter must plan fewer tasks than the table has files
+    spark.sql(
+      "SELECT * FROM graft.db.li WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'").collect()
+    val r = spark.sql("""SELECT snapshot_id, total_manifests, scanned_manifests,
+        total_data_files, result_tasks, planning_ms FROM graft.db.li.scan_reports""")
+      .collect().head // newest first = the scan above
+    assert(r.getLong(0) !== 0L)
+    assert(r.getInt(4) < r.getLong(3), s"expected pruning: $r") // tasks < files
+    assert(r.getInt(2) <= r.getInt(1))
+    // the report also surfaces in the scan description (explain output)
+    val desc = spark.sql(
+      "SELECT * FROM graft.db.li WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'")
+    desc.collect()
+    assert(desc.queryExecution.executedPlan.toString.contains("manifests"))
+  }
+
+  test("filtered LIMIT plans only a file prefix when rows are guaranteed") {
+    spark.sql("CREATE TABLE graft.db.limtest (id BIGINT, part STRING) PARTITIONED BY (part)")
+    (0 until 6).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).toDF("id").selectExpr("id", "'a' AS part")
+        .coalesce(1).writeTo("graft.db.limtest").append()
+    }
+    import org.apache.spark.sql.connector.{expressions => vexpr}
+    val b = new GraftSparkTable.GraftScanBuilder(coreTable("limtest"), None, None, None)
+    b.pushPredicates(Array(new vexpr.filter.Predicate("=",
+      Array[vexpr.Expression](vexpr.Expressions.column("part"),
+        vexpr.Expressions.literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString("a"))))))
+    b.pushLimit(15)
+    val scan = b.build().asInstanceOf[GraftSparkTable.GraftScan]
+    // identity-partition pruning satisfies the filter (residual TrueE), so
+    // each 10-row file guarantees its rows: 15-row limit => 2 of 6 files
+    assert(scan.plannedFilePaths().size === 2, scan.plannedFilePaths())
+    // end-to-end LIMIT still exact (Spark re-applies the limit)
+    assert(spark.sql(
+      "SELECT * FROM graft.db.limtest WHERE part = 'a' LIMIT 15").count() === 15L)
   }
 
   private def withConfs(confs: (String, String)*)(f: => Unit): Unit = {
