@@ -30,13 +30,13 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v9").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v10").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
-        "avro_g")
+        "avro_g", "eqdel_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -237,8 +237,21 @@ object Engine {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority").as("prio"))
         .writeTo("graft.db.dflt_g").append()
 
+      // SQL DELETE as equality deletes: identifier-keyed MoR table, the
+      // delta is one eq-delete file of deleted keys per touched partition
+      s.sql("""CREATE TABLE graft.db.eqdel_g (
+        s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
+        PARTITIONED BY (s_nationkey)
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                       'write.delete.equality-enabled'='true')""")
+      s.sql("CALL graft.system.set_identifier_fields('db.eqdel_g', 's_suppkey')")
+      t(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .writeTo("graft.db.eqdel_g").append()
+      s.sql("DELETE FROM graft.db.eqdel_g WHERE s_acctbal < 0")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v9" -> "true"))
+        .updateProperties(Map("build-complete-v10" -> "true"))
     }
     built += wh
   }
@@ -732,7 +745,24 @@ object Engine {
     Some("""
       SELECT COUNT(*) AS n_deleted FROM orders WHERE o_orderkey % 3 = 0"""))
 
+  // ------------------------------------------------------------------ g28
+  // SQL DELETE on an identifier-keyed MoR table writes EQUALITY deletes
+  // (graft extension; reference only reaches EqualityDeleteWriter from
+  // Flink CDC). The read applies the key mask; the oracle applies the
+  // same predicate to the base data.
+  private val g28 = Q(
+    "g28_engine_equality_delete_sql",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.eqdel_g")
+        .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("sum_e2"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM supplier WHERE NOT (s_acctbal < 0)"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26, g27)
+    g24, g25, g26, g27, g28)
 }

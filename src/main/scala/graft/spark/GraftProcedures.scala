@@ -756,7 +756,15 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         val schema = base.schema
         val ids = cols.map(c => schema.findField(c).getOrElse(
           throw new IllegalArgumentException(s"no such column: $c")).id).toSet
-        val updated = schema.copy(identifierFieldIds = ids)
+        // identifier fields must be required (format/spec.md; reference
+        // Schema validation rejects optional identifier fields). Spark
+        // DDL columns default to nullable, so this procedure call is the
+        // explicit opt-in to promote them (reference analogue:
+        // UpdateSchema.allowIncompatibleChanges().requireColumn()) —
+        // the caller asserts existing rows hold no nulls in these fields
+        val updated = schema.copy(identifierFieldIds = ids,
+          struct = schema.struct.copy(fields = schema.struct.fields.map(f =>
+            if (ids.contains(f.id) && !f.required) f.copy(required = true) else f)))
         base.copy(schemas = base.schemas.map(s0 =>
           if (s0.schemaId == schema.schemaId) updated else s0))
       }

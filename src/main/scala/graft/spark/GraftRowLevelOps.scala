@@ -33,6 +33,15 @@ final class GraftRowLevelOperationBuilder(table: GTable,
       case other          => throw new IllegalArgumentException(other.toString)
     }
     table.meta.properties.getOrElse(propKey, "copy-on-write") match {
+      // graft extension: DELETE on an identifier-keyed MoR table can
+      // write equality deletes (delta ∝ distinct keys, no per-row
+      // position bookkeeping) — the reference only reaches its
+      // EqualityDeleteWriter from Flink CDC, never from Spark SQL
+      case "merge-on-read"
+          if info.command() == Command.DELETE &&
+            table.schema.identifierFieldIds.nonEmpty &&
+            table.meta.properties.get("write.delete.equality-enabled").contains("true") =>
+        new GraftEqDeleteOperation(table, branchPin)
       case "merge-on-read" => new GraftMoROperation(table, info.command(), branchPin)
       case _               => new GraftCoWOperation(table, info.command(), branchPin)
     }
@@ -137,4 +146,42 @@ final class GraftMoROperation(table: GTable,
     }
 
   override def description(): String = s"graft-mor($cmd)"
+}
+
+/** DELETE as equality deletes (see GraftEqDeltaWrite): the row ID is the
+  * identifier-field tuple, so Spark's delta plan feeds the writer exactly
+  * the key values of the matched rows — no (_file, _pos) projection, no
+  * clustering by file needed. */
+final class GraftEqDeleteOperation(table: GTable,
+    branchPin: Option[String] = None) extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+
+  private def eqFields = table.schema.identifierFieldIds.toSeq.sorted
+    .map(id => table.schema.fields.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(
+        s"identifier field $id must be a top-level column")))
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    eqFields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name)).toArray
+
+  // partitioned tables: project (_spec_id, _partition) so delete files
+  // fan out per partition tuple and attach partition-scoped
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (table.spec.fields.isEmpty) Array.empty
+    else Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaSpecIdCol),
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaPartitionCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSparkTable.GraftScanBuilder(table, None, branchPin, None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftEqDeltaWrite(table, branchPin)
+    }
+
+  override def description(): String = "graft-eq-delete(DELETE)"
 }

@@ -370,38 +370,56 @@ final class GraftUpsertWriter(
     if (keys.isEmpty) return GraftDeltaCommitMessage(dataMsg.files, Nil)
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
+    val eqFile = EqDeleteFiles.write(location, eqSchema, eqIds, 0, Nil,
+      keys, owf, conf, partitionId, taskId)
+    GraftDeltaCommitMessage(dataMsg.files, Seq(eqFile))
+  }
+
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
+
+/** Writes one equality-delete parquet file: rows are identifier-key
+  * tuples; readers drop any lower-sequence data row whose key matches
+  * (format/spec.md equality deletes). Shared by the streaming-upsert
+  * writer (global scope) and the SQL DELETE equality path
+  * (partition-scoped). */
+object EqDeleteFiles {
+  def write(location: String, eqSchema: StructType, eqIds: Array[Int],
+      specId: Int, partition: Seq[Any], keys: Iterable[Seq[Any]],
+      owf: OutputWriterFactory, conf: Configuration,
+      partitionId: Int, taskId: Long): DataFile = {
     val dir = s"$location/data"
     java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
     val path = s"$dir/eq-delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
     val ctx = new TaskAttemptContextImpl(conf,
       new TaskAttemptID(new TaskID("graft-eq", partitionId, TaskType.MAP, taskId.toInt), 0))
     val w = owf.newInstance(path, eqSchema, ctx)
-    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyPos.length)
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      eqSchema.length)
     keys.foreach { key =>
       var i = 0
-      while (i < keyPos.length) {
+      while (i < eqSchema.length) {
         out.update(i, toInternal(key(i), eqSchema.fields(i).dataType))
         i += 1
       }
       w.write(out)
     }
     w.close()
-    val eqFile = DataFile(path, "parquet", 0, Nil, keys.size.toLong,
+    DataFile(path, "parquet", specId, partition, keys.size.toLong,
       GraftIO.size(path), Map.empty,
       content = graft.core.meta.FileContent.EqualityDeletes,
       equalityIds = eqIds.toSeq)
-    GraftDeltaCommitMessage(dataMsg.files, Seq(eqFile))
   }
 
-  private def toInternal(v: Any, dt: org.apache.spark.sql.types.DataType): Any = v match {
+  def toInternal(v: Any, dt: org.apache.spark.sql.types.DataType): Any = v match {
     case null => null
     case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
     case d: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(d)
+    case bs: Seq[_] if dt == org.apache.spark.sql.types.BinaryType =>
+      bs.asInstanceOf[Seq[Byte]].toArray
     case other => other
   }
-
-  override def abort(): Unit = inner.abort()
-  override def close(): Unit = inner.close()
 }
 
 final class GraftWriterFactory(
@@ -630,6 +648,25 @@ object GraftDeltaWriter {
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** partition tuple (internal rep) from a (_spec_id, _partition)
+    * metadata projection row, or Nil when it doesn't apply cleanly —
+    * Nil means the delete file attaches globally, which is always
+    * correct, just less prunable */
+  def partitionOf(meta: InternalRow, specId: Int,
+      partSparkTypes: Array[org.apache.spark.sql.types.DataType]): Seq[Any] =
+    try {
+      if (meta == null || partSparkTypes.isEmpty || meta.numFields < 2 ||
+          meta.isNullAt(0) || meta.getInt(0) != specId || meta.isNullAt(1)) Nil
+      else {
+        val st = meta.getStruct(1, partSparkTypes.length)
+        partSparkTypes.zipWithIndex.map { case (dt, i) =>
+          SparkBridge.valueAt(st, i, dt)
+        }.toSeq
+      }
+    } catch {
+      case _: Throwable => Nil
+    }
 }
 
 final class GraftDeltaWriter(
@@ -649,26 +686,8 @@ final class GraftDeltaWriter(
   private val deleted =
     mutable.Map.empty[Seq[Any], (Seq[Any], mutable.ArrayBuffer[(String, Long)])]
 
-  /** partition tuple (internal rep) from the (_spec_id, _partition)
-    * metadata row, or Nil when it doesn't apply cleanly */
-  private def partitionOf(meta: InternalRow): Seq[Any] =
-    try {
-      if (meta == null || partSparkTypes.isEmpty || meta.numFields < 2 ||
-          meta.isNullAt(0) || meta.getInt(0) != specId || meta.isNullAt(1)) Nil
-      else {
-        val st = meta.getStruct(1, partSparkTypes.length)
-        partSparkTypes.zipWithIndex.map { case (dt, i) =>
-          SparkBridge.valueAt(st, i, dt)
-        }.toSeq
-      }
-    } catch {
-      // unexpected metadata projection shape → fall back to a global
-      // (unpartitioned) delete file, which is always correct
-      case _: Throwable => Nil
-    }
-
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    val raw = partitionOf(meta)
+    val raw = GraftDeltaWriter.partitionOf(meta, specId, partSparkTypes)
     val key = raw.map { case b: Array[Byte] => b.toSeq; case x => x }
     deleted.getOrElseUpdate(key, (raw, mutable.ArrayBuffer.empty))
       ._2 += ((id.getUTF8String(0).toString, id.getLong(1)))
@@ -724,6 +743,140 @@ final class GraftDeltaWriter(
 
   override def abort(): Unit = dataWriter.abort()
   override def close(): Unit = dataWriter.close()
+}
+
+/** Equality-delete DELETE path (graft extension; write-side analogue of
+  * reference core/.../deletes/EqualityDeleteWriter.java, which only Flink
+  * CDC drives — the reference Spark connector has no SQL route to it).
+  * On an identifier-keyed merge-on-read table with
+  * write.delete.equality-enabled=true, DELETE writes equality-delete
+  * files carrying the DISTINCT identifier tuples of the matched rows:
+  * the delta is proportional to distinct deleted keys, needs no
+  * (_file, _pos) bookkeeping, and commits through the same RowDelta.
+  * Correctness contract (same one the streaming-upsert path relies on):
+  * identifier fields uniquely identify a live row. */
+final class GraftEqDeltaWrite(table: GTable, branchPin: Option[String] = None)
+  extends DeltaWrite with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions => VE, SortOrder}
+
+  // cluster deletes by partition so each partition's keys land in few
+  // tasks → one equality-delete file per (task, partition), and the file
+  // attaches partition-scoped (prunes at scan time)
+  override def requiredDistribution(): Distribution =
+    if (table.spec.fields.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(Array(
+      VE.identity(GraftSparkTable.MetaPartitionCol)
+        : org.apache.spark.sql.connector.expressions.Expression))
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  override def requiredNumPartitions(): Int = 0
+
+  override def toBatch: DeltaBatchWrite = new GraftEqDeltaBatchWrite(table, branchPin)
+  override def description(): String = s"graft-eq-delta-write(${table.location})"
+}
+
+final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = None)
+  extends DeltaBatchWrite {
+
+  // commit/abort are identical to the position-delta path: one RowDelta
+  private val delegate = new GraftDeltaBatchWrite(table, branchPin)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val eqIds = table.schema.identifierFieldIds.toSeq.sorted
+    val eqFields = eqIds.map(id => table.schema.fields.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"identifier field $id not in schema")))
+    // identifier sub-schema WITH parquet field ids so full-schema
+    // field-id reads bind the key columns
+    val eqStruct = SparkTypes.toSparkStruct(graft.core.types.GStruct(eqFields))
+    val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+    val job = Job.getInstance(conf)
+    val owf = new ParquetFileFormat().prepareWrite(spark, job,
+      Map("compression" -> "snappy"), eqStruct)
+    val confMap = job.getConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    new GraftEqDeltaWriterFactory(table.location, eqStruct.json, confMap,
+      eqIds.toArray, MetaJson.writeSpec(table.spec).toString,
+      MetaJson.writeSchema(table.schema).toString, owf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    delegate.commit(messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    delegate.abort(messages)
+}
+
+final class GraftEqDeltaWriterFactory(
+    location: String,
+    eqSchemaJson: String,
+    confMap: Map[String, String],
+    eqIds: Array[Int],
+    specJson: String,
+    gSchemaJson: String,
+    owf: OutputWriterFactory) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    val eqSchema = org.apache.spark.sql.types.DataType.fromJson(eqSchemaJson)
+      .asInstanceOf[StructType]
+    val gSchema = MetaJson.readSchema(MetaJson.mapper.readTree(gSchemaJson))
+    val spec = MetaJson.readSpec(MetaJson.mapper.readTree(specJson))
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    new GraftEqDeltaWriter(location, spec.specId,
+      spec.partitionType(gSchema).fields.map(f => SparkTypes.toSpark(f.tpe)).toArray,
+      eqSchema, eqIds, owf, conf, partitionId, taskId)
+  }
+}
+
+final class GraftEqDeltaWriter(
+    location: String,
+    specId: Int,
+    partSparkTypes: Array[org.apache.spark.sql.types.DataType],
+    eqSchema: StructType,
+    eqIds: Array[Int],
+    owf: OutputWriterFactory,
+    conf: Configuration,
+    partitionId: Int,
+    taskId: Long) extends DeltaWriter[InternalRow] {
+
+  // distinct identifier tuples per referenced partition tuple: a key
+  // deleted twice in one task writes once (equality deletes are
+  // value-keyed, duplicates are pure overhead)
+  private val deleted =
+    mutable.Map.empty[Seq[Any], (Seq[Any], mutable.LinkedHashSet[Seq[Any]])]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val raw = GraftDeltaWriter.partitionOf(meta, specId, partSparkTypes)
+    val partKey = raw.map { case b: Array[Byte] => b.toSeq; case x => x }
+    val key = eqSchema.fields.indices.map { i =>
+      SparkBridge.valueAt(id, i, eqSchema.fields(i).dataType) match {
+        case b: Array[Byte] => b.toSeq // value-hashable for the set
+        case x              => x
+      }
+    }
+    deleted.getOrElseUpdate(partKey, (raw, mutable.LinkedHashSet.empty))._2 += key
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException("equality-delta write serves DELETE only")
+
+  override def insert(row: InternalRow): Unit =
+    throw new IllegalStateException("equality-delta write serves DELETE only")
+
+  override def commit(): WriterCommitMessage = {
+    val files = deleted.values.toSeq.map { case (partition, keys) =>
+      EqDeleteFiles.write(location, eqSchema, eqIds, specId, partition,
+        keys, owf, conf, partitionId, taskId)
+    }
+    GraftDeltaCommitMessage(Nil, files)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 /** Extract per-column min/max/null stats from a parquet footer

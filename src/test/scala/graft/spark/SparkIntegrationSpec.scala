@@ -528,6 +528,41 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(v) FROM graft.db.eqd").collect()(0).getLong(0) === 18L)
   }
 
+  test("DELETE on identifier-keyed MoR table writes equality deletes") {
+    spark.sql("""CREATE TABLE graft.db.eqdel (id BIGINT, cat STRING, v STRING)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.equality-enabled'='true')""")
+    spark.sql("CALL graft.system.set_identifier_fields('db.eqdel', 'id')")
+    spark.range(0, 100, 1, 1)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cat",
+        "concat('v', id) AS v")
+      .writeTo("graft.db.eqdel").append()
+
+    spark.sql("DELETE FROM graft.db.eqdel WHERE id % 10 = 3") // 10 rows, all cat='b'
+    assert(spark.sql("SELECT count(*) FROM graft.db.eqdel")
+      .collect()(0).getLong(0) === 90L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.eqdel WHERE id % 10 = 3")
+      .collect()(0).getLong(0) === 0L)
+    // data files survive; the delta is equality-delete content (2), one
+    // file carrying the 10 deleted keys, scoped to the 'b' partition
+    val files = spark.sql(
+      "SELECT content, record_count, partition FROM graft.db.eqdel.files").collect()
+    assert(files.exists(_.getInt(0) === 0))
+    assert(!files.exists(_.getInt(0) === 1)) // no position deletes
+    val eqs = files.filter(_.getInt(0) === 2)
+    assert(eqs.nonEmpty && eqs.map(_.getLong(1)).sum === 10L)
+    assert(eqs.forall(_.get(2).toString.contains("b")))
+
+    // equality deletes apply only to LOWER sequence numbers: re-inserting
+    // a deleted key is visible
+    spark.sql("INSERT INTO graft.db.eqdel VALUES (3, 'b', 'back')")
+    assert(spark.sql("SELECT v FROM graft.db.eqdel WHERE id = 3")
+      .collect().map(_.getString(0)).toSeq === Seq("back"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.eqdel")
+      .collect()(0).getLong(0) === 91L)
+  }
+
   test("add_files imports external parquet without rewriting") {
     val ext = java.nio.file.Files.createTempDirectory("ext-parquet").toString
     spark.range(0, 50).selectExpr("id", "concat('x', id) AS v")
