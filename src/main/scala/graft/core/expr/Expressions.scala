@@ -24,6 +24,12 @@ object Op {
   case object NotIn extends Operation
   case object StartsWith extends Operation
   case object NotStartsWith extends Operation
+  /** v3 geospatial bbox intersection (reference api/.../geospatial/
+    * GeospatialPredicateEvaluators.java): value's bounding box intersects
+    * a query GeoBox. The predicate value is a GeoBox, not a column-typed
+    * literal. */
+  case object StIntersects extends Operation
+  case object StNotIntersects extends Operation
 
   def negate(op: Operation): Operation = op match {
     case IsNull        => NotNull
@@ -40,6 +46,8 @@ object Op {
     case NotIn         => In
     case StartsWith    => NotStartsWith
     case NotStartsWith => StartsWith
+    case StIntersects    => StNotIntersects
+    case StNotIntersects => StIntersects
   }
 }
 
@@ -123,6 +131,8 @@ object Expr {
   def in(ref: String, vs: Seq[Any]): Expr = UnboundPred(Op.In, ref, vs)
   def notIn(ref: String, vs: Seq[Any]): Expr = UnboundPred(Op.NotIn, ref, vs)
   def startsWith(ref: String, v: String): Expr = UnboundPred(Op.StartsWith, ref, Seq(v))
+  def stIntersects(ref: String, box: GeoBox): Expr =
+    UnboundPred(Op.StIntersects, ref, Seq(box))
 
   /** Bind named references against a schema, converting literals to the
     * field's internal representation (reference Binder/Literals). */
@@ -161,7 +171,12 @@ object Expr {
               case (GInt, l: Long) if l < Int.MinValue => -1
               case _                                   => 0
             }
-            if (values.size == 1 && range(values.head) != 0) {
+            if (op == Op.StIntersects || op == Op.StNotIntersects) {
+              if (!GeoDefaults.isGeo(f.tpe))
+                throw new IllegalArgumentException(
+                  s"st_intersects requires a geometry/geography column: $ref is ${f.tpe}")
+              BoundPred(op, f, pos, values) // value is a GeoBox, not a column literal
+            } else if (values.size == 1 && range(values.head) != 0) {
               val above = range(values.head) > 0
               op match {
                 case Op.Lt | Op.LtEq => if (above) TrueE else FalseE
@@ -263,7 +278,7 @@ object Literals {
         case s: String => s
         case other     => other.toString
       }
-      case GBinary => v match {
+      case GBinary | GGeometry(_) | GGeography(_, _) => v match {
         case b: Array[Byte] => b
         case other => throw new IllegalArgumentException(s"cannot convert to binary: $other")
       }
@@ -295,6 +310,15 @@ object RowEvaluator {
         case Op.IsNan   => v != null && isNan(v)
         case Op.NotNan  => v != null && !isNan(v)
         case _ if v == null => false
+        case Op.StIntersects | Op.StNotIntersects =>
+          val box = p.value.asInstanceOf[GeoBox]
+          val geography = f.tpe.isInstanceOf[GGeography]
+          // empty geometry (no bbox) never intersects
+          val hits = WKB.bbox(v.asInstanceOf[Array[Byte]]).exists { vb =>
+            if (geography) GeoBox.intersectsGeography(vb, box)
+            else GeoBox.intersectsPlanar(vb, box)
+          }
+          if (op == Op.StIntersects) hits else !hits
         case Op.Lt      => TypeComparators.compare(f.tpe, v, p.value) < 0
         case Op.LtEq    => TypeComparators.compare(f.tpe, v, p.value) <= 0
         case Op.Gt      => TypeComparators.compare(f.tpe, v, p.value) > 0

@@ -50,6 +50,19 @@ object InclusiveMetricsEvaluator {
             case _                     => true
           }
         case _ if allNull => false
+        // geospatial: bounds are bbox corner points, not value min/max —
+        // only bbox intersection may consult them (reference
+        // GeospatialPredicateEvaluators); everything else might match
+        case Op.StIntersects =>
+          GeoBounds.boxOf(st.lower, st.upper) match {
+            case Some(fileBox) =>
+              val qBox = p.value.asInstanceOf[GeoBox]
+              if (t.isInstanceOf[GGeography]) GeoBox.intersectsGeography(fileBox, qBox)
+              else GeoBox.intersectsPlanar(fileBox, qBox)
+            case None => true
+          }
+        case Op.StNotIntersects => true
+        case _ if GeoDefaults.isGeo(t) => true
         case Op.Lt   => !cmpLower(p.value).exists(_ >= 0)
         case Op.LtEq => !cmpLower(p.value).exists(_ > 0)
         case Op.Gt   => !cmpUpper(p.value).exists(_ <= 0)
@@ -126,6 +139,10 @@ object StrictMetricsEvaluator {
       op match {
         case Op.IsNull  => allNull
         case Op.NotNull => noNulls
+        // bbox containment can't prove per-row intersection (a file may
+        // hold empty geometries whose bbox never intersects) — no strict
+        // proof for any geo predicate
+        case _ if GeoDefaults.isGeo(t) => false
         case Op.IsNan =>
           (st.nanCount, st.valueCount) match {
             case (Some(nan), Some(vc)) => nan == vc && vc > 0

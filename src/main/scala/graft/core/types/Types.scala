@@ -43,6 +43,23 @@ case object GTime extends GType
 case object GUuid extends GType
 /** v3 `unknown`: all-null column of undetermined type → Spark NullType */
 case object GUnknown extends GType
+/** v3 geospatial types (reference api/.../types/Types.java:574,640;
+  * spec format/spec.md:284-335). Values are WKB byte arrays surfaced to
+  * Spark as BinaryType; file stats carry bounding-box bound points and
+  * pruning goes through GeoBox intersection (see Geo.scala). Defaults
+  * must be null; no partition transform applies (spec :335, :572). */
+final case class GGeometry(crs: String = GeoDefaults.Crs) extends GType
+final case class GGeography(crs: String = GeoDefaults.Crs,
+    algorithm: String = GeoDefaults.Algorithm) extends GType
+
+object GeoDefaults {
+  val Crs = "OGC:CRS84"
+  val Algorithm = "spherical"
+  def isGeo(t: GType): Boolean = t match {
+    case GGeometry(_) | GGeography(_, _) => true
+    case _                               => false
+  }
+}
 
 /** v3 column defaults (spec stores typed JSON values; we store the SQL
   * literal text, which Spark's readers evaluate natively):
@@ -132,6 +149,7 @@ object SparkTypes {
     case GTime             => new TimeType(6) // micros precision
     case GUuid             => BinaryType      // 16-byte canonical encoding
     case GUnknown          => NullType
+    case GGeometry(_) | GGeography(_, _) => BinaryType // WKB
     case s: GStruct        => toSparkStruct(s)
     case l: GList          => ArrayType(toSpark(l.elementType), !l.elementRequired)
     case m: GMap           => MapType(toSpark(m.keyType), toSpark(m.valueType), !m.valueRequired)
@@ -204,10 +222,19 @@ object SparkTypes {
     case GTime             => "time"
     case GUuid             => "uuid"
     case GUnknown          => "unknown"
+    // spec format/spec.md:1690-1691: bare name when parameters are the
+    // defaults, else "geometry(<C>)" / "geography(<C>, <A>)"
+    case GGeometry(GeoDefaults.Crs) => "geometry"
+    case GGeometry(crs)             => s"geometry($crs)"
+    case GGeography(GeoDefaults.Crs, GeoDefaults.Algorithm) => "geography"
+    case GGeography(crs, GeoDefaults.Algorithm) => s"geography($crs)"
+    case GGeography(crs, alg)       => s"geography($crs, $alg)"
     case _ => throw new IllegalArgumentException(s"not a primitive: $t")
   }
 
   private val DecimalRe = """decimal\((\d+),(\d+)\)""".r
+  private val GeometryRe = """geometry\(([^)]+)\)""".r
+  private val GeographyRe = """geography\(([^,)]+)(?:,\s*([^)]+))?\)""".r
   def typeFromName(s: String): GType = s match {
     case "boolean"          => GBoolean
     case "int"              => GInt
@@ -226,6 +253,11 @@ object SparkTypes {
     case "time"             => GTime
     case "uuid"             => GUuid
     case "unknown"          => GUnknown
+    case "geometry"         => GGeometry()
+    case GeometryRe(crs)    => GGeometry(crs.trim)
+    case "geography"        => GGeography()
+    case GeographyRe(crs, alg) =>
+      GGeography(crs.trim, Option(alg).map(_.trim).getOrElse(GeoDefaults.Algorithm))
     case other => throw new IllegalArgumentException(s"unknown type: $other")
   }
 }
@@ -244,7 +276,7 @@ object TypeComparators {
     case GTimestamp(_) => java.lang.Long.compare(anyToLong(a), anyToLong(b))
     case GTimestampNs(_) => java.lang.Long.compare(anyToLong(a), anyToLong(b))
     case GString       => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
-    case GBinary =>
+    case GBinary | GGeometry(_) | GGeography(_, _) =>
       val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
       var i = 0
       while (i < x.length && i < y.length) {

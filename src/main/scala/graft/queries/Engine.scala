@@ -30,13 +30,13 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v10").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v11").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
-        "avro_g", "eqdel_g")
+        "avro_g", "eqdel_g", "geo_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -250,8 +250,19 @@ object Engine {
         .writeTo("graft.db.eqdel_g").append()
       s.sql("DELETE FROM graft.db.eqdel_g WHERE s_acctbal < 0")
 
+      // v3 geospatial: a WKB point column declared BINARY then promoted
+      // via set_geo_type; x/y derive deterministically from c_custkey so
+      // the DuckDB oracle can recompute them without spatial functions
+      s.sql("CREATE TABLE graft.db.geo_g (c_custkey BIGINT, geo BINARY)")
+      s.sql("CALL graft.system.set_geo_type('db.geo_g', 'geo', 'geometry')")
+      t(s, dir, "customer").selectExpr("c_custkey",
+        """graft.system.st_point(
+             CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) + 0.5d,
+             CAST(c_custkey * 13 % 180 - 90 AS DOUBLE) + 0.5d) AS geo""")
+        .writeTo("graft.db.geo_g").append()
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v10" -> "true"))
+        .updateProperties(Map("build-complete-v11" -> "true"))
     }
     built += wh
   }
@@ -762,7 +773,31 @@ object Engine {
         CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
       FROM supplier WHERE NOT (s_acctbal < 0)"""))
 
+  // ------------------------------------------------------------------ g29
+  // v3 geometry: st_intersects_bbox filter pushes down as an StIntersects
+  // predicate and prunes files via bounding-box bounds (spec
+  // format/spec.md:770-774); st_x/st_y decode the WKB points back so the
+  // oracle can verify values from the deterministic c_custkey derivation.
+  private val g29 = Q(
+    "g29_engine_geospatial",
+    (s, dir) => {
+      setup(s, dir)
+      s.sql("""SELECT c_custkey,
+          graft.system.st_x(geo) AS x, graft.system.st_y(geo) AS y
+        FROM graft.db.geo_g
+        WHERE graft.system.st_intersects_bbox(geo, -90.0D, -45.0D, 0.0D, 45.0D) = true
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey,
+        CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) + 0.5 AS x,
+        CAST(c_custkey * 13 % 180 - 90 AS DOUBLE) + 0.5 AS y
+      FROM customer
+      WHERE (c_custkey * 7 % 360 - 180 + 0.5) BETWEEN -90 AND 0
+        AND (c_custkey * 13 % 180 - 90 + 0.5) BETWEEN -45 AND 45
+      ORDER BY c_custkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26, g27, g28)
+    g24, g25, g26, g27, g28, g29)
 }

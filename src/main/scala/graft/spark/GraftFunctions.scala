@@ -21,7 +21,8 @@ import graft.core.transform._
 object GraftFunctions {
 
   val names: Seq[String] = Seq(
-    "graft_version", "years", "months", "days", "hours", "bucket", "truncate")
+    "graft_version", "years", "months", "days", "hours", "bucket", "truncate",
+    "st_point", "st_x", "st_y", "st_intersects_bbox")
 
   def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
     case "graft_version" => Some(VersionFn)
@@ -31,6 +32,10 @@ object GraftFunctions {
     case "hours"         => Some(new TimeUnbound("hours", HourT))
     case "bucket"        => Some(BucketUnbound)
     case "truncate"      => Some(TruncateUnbound)
+    case "st_point"           => Some(StPointFn)
+    case "st_x"               => Some(new StCoordFn("st_x", 0))
+    case "st_y"               => Some(new StCoordFn("st_y", 8))
+    case "st_intersects_bbox" => Some(StIntersectsBboxFn)
     case _               => None
   }
 
@@ -47,6 +52,76 @@ object GraftFunctions {
     override def canonicalName(): String = "graft.graft_version"
     def invoke(): UTF8String = UTF8String.fromString("graft-0.1")
     override def produceResult(input: InternalRow): UTF8String = invoke()
+  }
+
+  // ----------------------------------------------------------- geospatial
+  // v3 geometry/geography values are WKB binaries (spec format/spec.md
+  // Appendix G); these functions construct/inspect them and express the
+  // bbox-intersection predicate that the scan prunes with (reference
+  // api/.../geospatial/GeospatialPredicateEvaluators.java — the reference
+  // has no SQL surface for it yet; DSv2 catalog functions are ours).
+  object StPointFn extends UnboundFunction with ScalarFunction[Array[Byte]] {
+    override def name(): String = "st_point"
+    override def description(): String = "st_point(x, y) - WKB point"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType.forall(_.dataType == DoubleType), "st_point takes (x: double, y: double)")
+      this
+    }
+    override def inputTypes(): Array[DataType] = Array(DoubleType, DoubleType)
+    override def resultType(): DataType = BinaryType
+    override def canonicalName(): String = "graft.st_point"
+    def invoke(x: Double, y: Double): Array[Byte] =
+      graft.core.types.WKB.encodePoint(x, y)
+    override def produceResult(input: InternalRow): Array[Byte] =
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else invoke(input.getDouble(0), input.getDouble(1))
+  }
+
+  /** st_x/st_y of a WKB point (null for non-point geometries). */
+  final class StCoordFn(fname: String, which: Int)
+    extends UnboundFunction with ScalarFunction[java.lang.Double] {
+    override def name(): String = fname
+    override def description(): String = s"$fname(geom) - point coordinate"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1 && inputType(0).dataType == BinaryType,
+        s"$fname takes a geometry (binary WKB)")
+      this
+    }
+    override def inputTypes(): Array[DataType] = Array(BinaryType)
+    override def resultType(): DataType = DoubleType
+    override def canonicalName(): String = s"graft.$fname"
+    def invoke(wkb: Array[Byte]): java.lang.Double =
+      graft.core.types.WKB.decodePoint(wkb) match {
+        case Some((x, y)) => if (which == 0) x else y
+        case None         => null
+      }
+    override def produceResult(input: InternalRow): java.lang.Double =
+      if (input.isNullAt(0)) null else invoke(input.getBinary(0))
+  }
+
+  object StIntersectsBboxFn extends UnboundFunction with ScalarFunction[java.lang.Boolean] {
+    override def name(): String = "st_intersects_bbox"
+    override def description(): String =
+      "st_intersects_bbox(geom, xmin, ymin, xmax, ymax) - value bbox intersects box"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 5 && inputType(0).dataType == BinaryType &&
+        inputType.drop(1).forall(_.dataType == DoubleType),
+        "st_intersects_bbox takes (geom, xmin: double, ymin: double, xmax: double, ymax: double)")
+      this
+    }
+    override def inputTypes(): Array[DataType] =
+      Array(BinaryType, DoubleType, DoubleType, DoubleType, DoubleType)
+    override def resultType(): DataType = BooleanType
+    override def canonicalName(): String = "graft.st_intersects_bbox"
+    def invoke(wkb: Array[Byte], xmin: Double, ymin: Double,
+        xmax: Double, ymax: Double): Boolean =
+      graft.core.types.WKB.bbox(wkb).exists(b => graft.core.types.GeoBox
+        .intersectsPlanar(b, graft.core.types.GeoBox(xmin, ymin, xmax, ymax)))
+    override def produceResult(input: InternalRow): java.lang.Boolean =
+      if (input.isNullAt(0)) null
+      else Boolean.box(invoke(input.getBinary(0), input.getDouble(1),
+        input.getDouble(2), input.getDouble(3), input.getDouble(4)))
   }
 
   // ------------------------------------------------------- time transforms

@@ -14,6 +14,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.meta._
+import graft.core.types.{GBinary, GGeography, GGeometry, GeoDefaults, SparkTypes}
 
 /** Stored procedures: `CALL graft.system.<name>(...)` (reference
   * spark/.../procedures/SparkProcedures.java, 23 procedures; Spark 4 has
@@ -38,7 +39,7 @@ object GraftProcedures {
     "create_changelog_view", "add_files", "create_view", "drop_view",
     "snapshot_table", "remove_dangling_deletes",
     "add_partition_field", "drop_partition_field",
-    "set_identifier_fields", "drop_identifier_fields",
+    "set_identifier_fields", "drop_identifier_fields", "set_geo_type",
     "ancestors_of", "publish_changes", "register_table", "migrate",
     "compute_partition_stats", "rewrite_table_path",
     // reference-registry aliases
@@ -182,6 +183,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       Array(param("table", StringType), param("name", StringType))
     case "set_identifier_fields" =>
       Array(param("table", StringType), param("columns", StringType))
+    case "set_geo_type" =>
+      Array(param("table", StringType), param("column", StringType),
+        param("type", StringType))
     case "drop_identifier_fields" =>
       Array(param("table", StringType))
     case "create_view" =>
@@ -770,6 +774,35 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       }
       out(StructType(Seq(StructField("identifier_fields", StringType))),
         row(s(cols.mkString(","))))
+
+    case "set_geo_type" =>
+      // v3 geospatial column DDL: Spark SQL has no geometry type name, so
+      // a geo column is declared BINARY and promoted here (values stay
+      // WKB; only the graft type — and with it bbox stats collection and
+      // st_intersects_bbox pruning — changes). Accepts "geometry",
+      // "geometry(C)", "geography", "geography(C, A)" per spec
+      // format/spec.md:1690-1691.
+      val t = loadTable(input.getUTF8String(0).toString)
+      val colName = input.getUTF8String(1).toString
+      val geoType = SparkTypes.typeFromName(input.getUTF8String(2).toString) match {
+        case g @ (GGeometry(_) | GGeography(_, _)) => g
+        case other => throw new IllegalArgumentException(
+          s"not a geospatial type: $other")
+      }
+      t.commitUpdate { base =>
+        val schema = base.schema
+        val field = schema.findField(colName).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $colName"))
+        require(field.tpe == GBinary || GeoDefaults.isGeo(field.tpe),
+          s"$colName must be binary (WKB) to become geospatial, is ${field.tpe}")
+        val updated = schema.copy(struct = schema.struct.copy(
+          fields = schema.struct.fields.map(f =>
+            if (f.id == field.id) f.copy(tpe = geoType) else f)))
+        base.copy(schemas = base.schemas.map(s0 =>
+          if (s0.schemaId == schema.schemaId) updated else s0))
+      }
+      out(StructType(Seq(StructField("type", StringType))),
+        row(s(SparkTypes.typeName(geoType))))
 
     case "create_view" =>
       // v2 view DDL (Spark 4 lacks native CREATE VIEW for v2 catalogs;

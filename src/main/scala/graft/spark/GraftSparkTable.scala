@@ -370,7 +370,22 @@ object GraftSparkTable {
     }
 
     override def pushPredicates(predicates: Array[VPred]): Array[VPred] = {
-      val converted = predicates.flatMap(p => SparkBridge.toExpr(p).map(e => (p, e)))
+      // st_intersects_bbox on a column that is NOT geometry/geography
+      // typed is a plain row-level function call — drop it from the
+      // pruning expression (bind would reject it) and let Spark evaluate
+      def geoSafe(e: Expr): Boolean = e match {
+        case UnboundPred(Op.StIntersects | Op.StNotIntersects, ref, _) =>
+          table.schema.byName.exists { case (n, f) =>
+            n.equalsIgnoreCase(ref) && graft.core.types.GeoDefaults.isGeo(f.tpe)
+          }
+        case And(l, r) => geoSafe(l) && geoSafe(r)
+        case Or(l, r)  => geoSafe(l) && geoSafe(r)
+        case Not(c)    => geoSafe(c)
+        case _         => true
+      }
+      val converted = predicates
+        .flatMap(p => SparkBridge.toExpr(p).map(e => (p, e)))
+        .filter { case (_, e) => geoSafe(e) }
       pushed = converted.map(_._1)
       expr = converted.map(_._2).foldLeft[Expr](TrueE)(Expr.and)
       // return ALL predicates: the engine prunes with the converted ones,

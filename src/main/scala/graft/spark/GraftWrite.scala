@@ -910,8 +910,71 @@ object FooterStats {
           }
         }
       }
+      // geospatial columns: footer byte-order min/max is meaningless for
+      // WKB; bounds are bounding-box corner points instead (spec
+      // format/spec.md:770-774). One projected re-read of just the geo
+      // columns per written file, executor-side — the single choke point
+      // every parquet-writing path (append, CoW, compaction, streaming)
+      // already flows through.
+      val geoFields = schema.fields.filter(f =>
+        GeoDefaults.isGeo(f.tpe) && colNames.contains(f.name))
+      if (geoFields.nonEmpty) {
+        val rows = blocks.map(_.getRowCount).sum
+        geoBounds(hPath, conf, footer.getFileMetaData.getSchema, geoFields)
+          .foreach { case (field, nonNull, boxOpt) =>
+            val base = byField.getOrElse(field.id, ColStats())
+            byField(field.id) = base.copy(
+              valueCount = Some(rows),
+              nullCount = Some(rows - nonNull),
+              lower = boxOpt.map(b => GeoBounds.encode(b.xmin, b.ymin)),
+              upper = boxOpt.map(b => GeoBounds.encode(b.xmax, b.ymax)))
+          }
+      }
       (size, byField.toMap)
     } finally reader.close()
+  }
+
+  /** Per geo field: non-null value count + merged bbox over the file. */
+  private def geoBounds(hPath: org.apache.hadoop.fs.Path, conf: Configuration,
+      fileSchema: org.apache.parquet.schema.MessageType,
+      geoFields: Seq[graft.core.types.GField])
+      : Seq[(graft.core.types.GField, Long, Option[GeoBox])] = {
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val proj = new org.apache.parquet.schema.MessageType("proj",
+      geoFields.map(f => fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))): _*)
+    val readConf = new Configuration(conf)
+    readConf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      proj.toString)
+    val nonNull = new Array[Long](geoFields.size)
+    val acc = Array.fill(geoFields.size)(
+      Array(Double.PositiveInfinity, Double.PositiveInfinity,
+        Double.NegativeInfinity, Double.NegativeInfinity))
+    val rd = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), hPath).withConf(readConf).build()
+    try {
+      var g = rd.read()
+      while (g != null) {
+        var i = 0
+        while (i < geoFields.size) {
+          if (g.getFieldRepetitionCount(i) > 0) {
+            nonNull(i) += 1
+            WKB.bbox(g.getBinary(i, 0).getBytes).foreach { b =>
+              val a = acc(i)
+              a(0) = math.min(a(0), b.xmin); a(1) = math.min(a(1), b.ymin)
+              a(2) = math.max(a(2), b.xmax); a(3) = math.max(a(3), b.ymax)
+            }
+          }
+          i += 1
+        }
+        g = rd.read()
+      }
+    } finally rd.close()
+    geoFields.zipWithIndex.map { case (f, i) =>
+      val a = acc(i)
+      val box = if (a(0).isInfinite || a(1).isInfinite) None
+        else Some(GeoBox(a(0), a(1), a(2), a(3)))
+      (f, nonNull(i), box)
+    }
   }
 
   /** ORC footer stats: column statistics are indexed in PRE-ORDER over

@@ -111,6 +111,32 @@ object SparkBridge {
           }
         case _ => None
       }
+      // geospatial predicate: `st_intersects_bbox(geo, xmin..ymax) = true`
+      // (the boolean function call reaches DSv2 as an equality against a
+      // foldable literal, same shape as the transform predicates above)
+      def geoPred: Option[Expr] = {
+        def fromSide(fe: org.apache.spark.sql.connector.expressions.Expression,
+            le: org.apache.spark.sql.connector.expressions.Expression): Option[Expr] =
+          fe match {
+            case f: org.apache.spark.sql.connector.expressions.UserDefinedScalarFunc
+                if f.name().equalsIgnoreCase("st_intersects_bbox") =>
+              val args = f.children()
+              def dbl(i: Int): Option[Double] = args.lift(i).flatMap(litValue).collect {
+                case n: Number => n.doubleValue
+              }
+              for {
+                r <- args.lift(0).flatMap(refName)
+                xmin <- dbl(1); ymin <- dbl(2); xmax <- dbl(3); ymax <- dbl(4)
+                b <- litValue(le).collect { case bb: Boolean => bb }
+              } yield {
+                val e = Expr.stIntersects(r, graft.core.types.GeoBox(xmin, ymin, xmax, ymax))
+                if (b) e else Expr.not(e)
+              }
+            case _ => None
+          }
+        if (ch.length != 2) None
+        else fromSide(ch(0), ch(1)).orElse(fromSide(ch(1), ch(0)))
+      }
       def tpred(op: Operation, flip: Operation): Option[Expr] =
         if (ch.length != 2) None
         else (fnTransform(ch(0)), litValue(ch(1)), fnTransform(ch(1)), litValue(ch(0))) match {
@@ -122,6 +148,7 @@ object SparkBridge {
         case "IS_NULL" => refName(ch(0)).map(Expr.isNull)
         case "IS_NOT_NULL" => refName(ch(0)).map(Expr.notNull)
         case "=" => binary(Expr.equalTo, Expr.equalTo).orElse(tpred(Op.Eq, Op.Eq))
+          .orElse(geoPred)
         case "<=>" => binary(
           (r, v) => if (v == null) Expr.isNull(r) else Expr.equalTo(r, v),
           (r, v) => if (v == null) Expr.isNull(r) else Expr.equalTo(r, v))
