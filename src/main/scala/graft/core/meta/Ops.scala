@@ -281,6 +281,31 @@ final class GTable(val ops: TableOps) {
 
 /** Base snapshot producer: write manifests + manifest list, then CAS the
   * metadata pointer with retry (reference SnapshotProducer.java:87,480). */
+/** One commit's outcome (reference api/.../metrics/CommitReport.java +
+  * core/.../metrics/CommitMetricsResult): which snapshot landed, after
+  * how many CAS attempts, how long the commit loop took, and the
+  * snapshot summary (added/removed file and record counts per op). At
+  * scale this is the first place to look when writers contend. */
+final case class CommitReport(
+    tableLocation: String, snapshotId: Long, operation: String,
+    branch: String, attempts: Int, durationMs: Long,
+    summary: Map[String, String], timestampMs: Long)
+
+/** Recent commit reports, newest first (bounded ring; served by the
+  * `commit_reports` metadata table — mirrors ScanReports). */
+object CommitReports {
+  private val Max = 128
+  private val buf = new java.util.concurrent.ConcurrentLinkedDeque[CommitReport]()
+  def add(r: CommitReport): Unit = {
+    buf.addFirst(r)
+    while (buf.size > Max) buf.pollLast()
+  }
+  def recent: Seq[CommitReport] = {
+    import scala.jdk.CollectionConverters._
+    buf.iterator.asScala.toSeq
+  }
+}
+
 abstract class SnapshotProducer(table: GTable, operation: String) {
   protected def branch: String = "main"
 
@@ -330,6 +355,7 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
   }
 
   def commit(): Snapshot = {
+    val t0 = System.currentTimeMillis()
     var attempts = 0
     while (attempts < 10) {
       val baseVersion = table.ops.currentVersion()
@@ -351,6 +377,9 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       val updated = updated0.copy(nextRowId = base.nextRowId + allocatedRows)
       if (table.ops.commit(baseVersion, updated)) {
         table.refresh()
+        CommitReports.add(CommitReport(table.location, snapshotId, operation,
+          branch, attempts + 1, System.currentTimeMillis() - t0,
+          snap.summary, System.currentTimeMillis()))
         return snap
       }
       GraftIO.delete(listPath) // clean up the orphaned list; manifests may be reused

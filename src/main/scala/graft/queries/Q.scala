@@ -39,6 +39,10 @@ object Tables {
     * robust to Spark reading parquet TIMESTAMP(NANOS) either as
     * TimestampType or (with legacy conf) as nanosecond longs. */
   def events(s: SparkSession, dir: String): DataFrame = {
+    // set BEFORE the first read: without it Spark's schema inference runs
+    // (and fails) a footer-merge job on the NANOS column before the catch
+    // below retries — a wasted failed job per session
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df =
       try t(s, dir, "events")
       catch {

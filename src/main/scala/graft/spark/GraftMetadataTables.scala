@@ -28,7 +28,7 @@ object GraftMetadataTables {
     "partitions", "metadata_log_entries", "position_deletes",
     "data_files", "delete_files",
     "all_files", "all_manifests", "all_entries",
-    "all_data_files", "all_delete_files", "scan_reports")
+    "all_data_files", "all_delete_files", "scan_reports", "commit_reports")
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -98,6 +98,14 @@ object GraftMetadataTables {
       StructField("result_tasks", IntegerType),
       StructField("result_delete_files", IntegerType),
       StructField("planning_ms", LongType)))
+    case "commit_reports" => StructType(Seq(
+      StructField("made_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("operation", StringType),
+      StructField("branch", StringType),
+      StructField("attempts", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("summary", MapType(StringType, StringType))))
     case "data_files" | "delete_files" => schemaOf("files")
     case "all_files" | "all_data_files" | "all_delete_files" => schemaOf("files")
     case "all_manifests" => schemaOf("manifests")
@@ -195,6 +203,16 @@ object GraftMetadataTables {
             r.timestampMs * 1000L, r.snapshotId, s(r.filter),
             r.totalManifests, r.scannedManifests, r.totalDataFiles,
             r.resultTasks, r.resultDeleteFiles, r.planningMs)): InternalRow
+        }.toArray
+      case "commit_reports" =>
+        // this session's recent commit outcomes for THIS table, newest
+        // first (driver-side ring; reference CommitReport metrics)
+        CommitReports.recent.filter(_.tableLocation == table.location).map { r =>
+          new GenericInternalRow(Array[Any](
+            r.timestampMs * 1000L, r.snapshotId, s(r.operation), s(r.branch),
+            r.attempts, r.durationMs,
+            ArrayBasedMapData(r.summary.keys.map(s).toArray,
+              r.summary.values.map(s).toArray))): InternalRow
         }.toArray
       case "position_deletes" =>
         throw new IllegalStateException(

@@ -1567,4 +1567,22 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .executedPlan.toString
     assert(plan.contains("BatchScan") || plan.contains("graft"))
   }
+
+  test("commit_reports metadata table records commit outcomes") {
+    spark.sql("CREATE TABLE graft.db.crep (id BIGINT)")
+    spark.range(0, 10).writeTo("graft.db.crep").append()
+    spark.range(10, 20).writeTo("graft.db.crep").append()
+    spark.sql("DELETE FROM graft.db.crep WHERE id < 5")
+    val reports = spark.sql("""SELECT operation, branch, attempts, summary
+      FROM graft.db.crep.commit_reports""").collect()
+    assert(reports.length >= 3) // newest first: delete, append, append
+    assert(reports.forall(_.getInt(2) >= 1))
+    assert(reports.forall(_.getString(1) === "main"))
+    val ops = reports.map(_.getString(0)).toSeq
+    assert(ops.count(_ == "append") === 2)
+    // appends carry added-file/record summary counts
+    val appendSummary = reports.find(_.getString(0) == "append").get
+      .getMap[String, String](3)
+    assert(appendSummary.get("added-records").contains("10"))
+  }
 }
