@@ -30,7 +30,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v11").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v12").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
@@ -261,8 +261,13 @@ object Engine {
              CAST(c_custkey * 13 % 180 - 90 AS DOUBLE) + 0.5d) AS geo""")
         .writeTo("graft.db.geo_g").append()
 
+      // catalog-stored SQL UDF (udf-spec): replace => true keeps the
+      // build idempotent across rebuilds (adds a version, same body)
+      s.sql("""CALL graft.system.create_udf('db.disc_price',
+        'ep double, d double', 'double', 'ep * (1 - d)', replace => true)""")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v11" -> "true"))
+        .updateProperties(Map("build-complete-v12" -> "true"))
     }
     built += wh
   }
@@ -797,7 +802,26 @@ object Engine {
         AND (c_custkey * 13 % 180 - 90 + 0.5) BETWEEN -45 AND 45
       ORDER BY c_custkey"""))
 
+  // ------------------------------------------------------------------ g30
+  // Catalog-stored SQL UDF (format/udf-spec.md — the reference specifies
+  // but does not implement it): disc_price(ep, d) = ep * (1 - d) is
+  // macro-expanded / FunctionCatalog-served, so the oracle just inlines
+  // the body. Truncating-to-cents keeps the aggregation integer-exact.
+  private val g30 = Q(
+    "g30_engine_sql_udf",
+    (s, dir) => {
+      setup(s, dir)
+      s.sql("""SELECT l_returnflag,
+          CAST(SUM(CAST(FLOOR(graft.db.disc_price(l_extendedprice, l_discount) * 100)
+            AS BIGINT)) AS BIGINT) AS rev_c
+        FROM graft.db.lineitem_g GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26, g27, g28, g29)
+    g24, g25, g26, g27, g28, g29, g30)
 }

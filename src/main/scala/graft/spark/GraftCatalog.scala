@@ -29,6 +29,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** underlying file catalog (procedures + extension DDL) */
   private[spark] def core: HadoopCatalog = catalog
 
+  /** warehouse root (view + UDF stores key off it) */
+  private[spark] def warehouse: String = catalog.warehouse
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     val wh = Option(options.get("warehouse"))
@@ -268,16 +271,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")) ||
         namespaceExists(namespace))
-      GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+      (GraftFunctions.names ++
+        GraftUdfStore.list(catalog.warehouse, namespace.toSeq))
+        .map(n => Identifier.of(namespace, n)).toArray
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    GraftFunctions.load(ident.name).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    GraftFunctions.load(ident.name)
+      .orElse(GraftUdfStore.load(catalog.warehouse, ident.namespace.toSeq, ident.name)
+        .map(u => new GraftUdfStore.SqlUdfUnbound(catalog.warehouse,
+          ident.namespace.toSeq, ident.name, u)))
+      .getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   override def functionExists(ident: Identifier): Boolean =
-    GraftFunctions.load(ident.name).isDefined
+    GraftFunctions.load(ident.name).isDefined ||
+      GraftUdfStore.load(catalog.warehouse, ident.namespace.toSeq, ident.name).isDefined
 
   // ----------------------------------------------------------- namespaces
   override def listNamespaces(): Array[Array[String]] =

@@ -18,9 +18,15 @@ import org.apache.spark.sql.connector.catalog.Identifier
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new ResolveGraftViews(spark))
+    // catalog-stored SQL UDFs (format/udf-spec.md): macro-expand calls
+    // into their bodies so Catalyst optimizes through them; the
+    // FunctionCatalog fallback in GraftCatalog serves the same UDFs when
+    // Spark's own resolution wins the race
+    ext.injectResolutionRule(spark => new ResolveGraftUdfs(spark))
     // format-specific DDL (partition-field/identifier/write-order/branch
     // DDL — reference IcebergSqlExtensions.g4) ahead of Spark's parser
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(delegate, Some(session)))
     // system-function predicates: bucket(16,c)=3 in a filter/join plans as
     // StaticInvoke (magic-method codegen), which DSv2 pushdown can't
     // translate — swap it for ApplyFunctionExpression so the predicate

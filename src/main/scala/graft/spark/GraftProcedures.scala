@@ -40,6 +40,7 @@ object GraftProcedures {
     "snapshot_table", "remove_dangling_deletes",
     "add_partition_field", "drop_partition_field",
     "set_identifier_fields", "drop_identifier_fields", "set_geo_type",
+    "create_udf", "create_udtf", "drop_udf", "rollback_udf",
     "ancestors_of", "publish_changes", "register_table", "migrate",
     "compute_partition_stats", "rewrite_table_path",
     // reference-registry aliases
@@ -186,6 +187,20 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
     case "set_geo_type" =>
       Array(param("table", StringType), param("column", StringType),
         param("type", StringType))
+    case "create_udf" =>
+      Array(param("function", StringType), param("parameters", StringType),
+        param("returns", StringType), param("sql", StringType),
+        param("replace", BooleanType, "false"),
+        param("deterministic", BooleanType, "true"),
+        param("on_null_input", StringType, "'call'"))
+    case "create_udtf" =>
+      Array(param("function", StringType), param("parameters", StringType),
+        param("sql", StringType), param("replace", BooleanType, "false"))
+    case "drop_udf" =>
+      Array(param("function", StringType))
+    case "rollback_udf" =>
+      Array(param("function", StringType), param("definition_id", StringType),
+        param("version_id", IntegerType))
     case "drop_identifier_fields" =>
       Array(param("table", StringType))
     case "create_view" =>
@@ -194,6 +209,38 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
     case "drop_view" =>
       Array(param("view", StringType))
     case other => throw new IllegalArgumentException(other)
+  }
+
+  private def splitFunctionName(nameArg: String): (Seq[String], String) = {
+    val parts = nameArg.split("\\.").toSeq
+    if (parts.length >= 2) (parts.init, parts.last) else (Seq("db"), parts.head)
+  }
+
+  /** SQL type aliases → udf-spec canonical names (spec stores Iceberg
+    * type-JSON names: long not bigint, int not integer, …). */
+  private def canonicalTypeName(t: String): String = t.toLowerCase match {
+    case "bigint"                            => "long"
+    case "integer" | "smallint" | "tinyint"  => "int"
+    case "bool"                              => "boolean"
+    case "real"                              => "float"
+    case "varchar" | "text"                  => "string"
+    case other                               => other
+  }
+
+  /** split "x int, y decimal(9,2)" on top-level commas only */
+  private def splitTopLevel(s0: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s0.foreach {
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c =>
+        if (c == '(' || c == '<') depth += 1
+        else if (c == ')' || c == '>') depth -= 1
+        cur += c
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private def loadTable(nameArg: String): GTable = {
@@ -803,6 +850,78 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       }
       out(StructType(Seq(StructField("type", StringType))),
         row(s(SparkTypes.typeName(geoType))))
+
+    case "create_udf" =>
+      // catalog-stored SQL UDF (format/udf-spec.md): parameters like
+      // "x int, y decimal(9,2)" with graft type names; same signature +
+      // replace := true adds a new definition version
+      val (ns, fn) = splitFunctionName(input.getUTF8String(0).toString)
+      val params = splitTopLevel(input.getUTF8String(1).toString).map { p =>
+        val t = p.trim.split("\\s+", 2)
+        require(t.length == 2, s"parameter needs 'name type': $p")
+        val tpe = canonicalTypeName(t(1).replaceAll("\\s", ""))
+        SparkTypes.typeFromName(tpe) // validate
+        GraftUdfStore.UdfParam(t(0), tpe)
+      }
+      val returns = canonicalTypeName(
+        input.getUTF8String(2).toString.replaceAll("\\s", ""))
+      SparkTypes.typeFromName(returns) // validate
+      val onNull = input.getUTF8String(6).toString
+      require(onNull == "call" || onNull == "return-null",
+        s"on_null_input must be 'call' or 'return-null': $onNull")
+      GraftUdfStore.createOrReplace(catalog.warehouse, ns, fn, params, returns,
+        "udf", input.getUTF8String(3).toString, input.getBoolean(5), onNull,
+        replace = input.getBoolean(4))
+      out(StructType(Seq(StructField("function", StringType),
+        StructField("definition_id", StringType))),
+        row(s(fn), s(GraftUdfStore.definitionId(params.map(_.tpe)))))
+
+    case "create_udtf" =>
+      // catalog-stored SQL table function (udf-spec function-type
+      // "udtf"): the body is a full query over the parameters; its
+      // output struct (the spec's required struct return-type) is
+      // derived here by analyzing the body with typed NULLs bound to
+      // the parameters
+      val (ns, fn) = splitFunctionName(input.getUTF8String(0).toString)
+      val params = splitTopLevel(input.getUTF8String(1).toString).map { p =>
+        val t = p.trim.split("\\s+", 2)
+        require(t.length == 2, s"parameter needs 'name type': $p")
+        val tpe = canonicalTypeName(t(1).replaceAll("\\s", ""))
+        SparkTypes.typeFromName(tpe)
+        GraftUdfStore.UdfParam(t(0), tpe)
+      }
+      val sqlText = input.getUTF8String(2).toString
+      val spark = SparkSession.active
+      val byName = params.map(p => p.name.toLowerCase ->
+        SparkTypes.toSpark(SparkTypes.typeFromName(p.tpe))).toMap
+      val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+      val probe = parsed.transformAllExpressions {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.nameParts.size == 1 && byName.contains(ua.name.toLowerCase) =>
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            null, byName(ua.name.toLowerCase))
+      }
+      val outSchema = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, probe).schema
+      val returns = "struct<" + outSchema.map(f =>
+        s"${f.name}:${SparkTypes.typeName(SparkBridge.gTypeOf(f.dataType))}")
+        .mkString(",") + ">"
+      GraftUdfStore.createOrReplace(catalog.warehouse, ns, fn, params, returns,
+        "udtf", sqlText, deterministic = false, onNullInput = "call",
+        replace = input.getBoolean(3))
+      out(StructType(Seq(StructField("function", StringType),
+        StructField("returns", StringType))), row(s(fn), s(returns)))
+
+    case "drop_udf" =>
+      val (ns, fn) = splitFunctionName(input.getUTF8String(0).toString)
+      val dropped = GraftUdfStore.drop(catalog.warehouse, ns, fn)
+      out(StructType(Seq(StructField("dropped", BooleanType))), row(dropped))
+
+    case "rollback_udf" =>
+      val (ns, fn) = splitFunctionName(input.getUTF8String(0).toString)
+      val defId = input.getUTF8String(1).toString
+      val vid = input.getInt(2)
+      GraftUdfStore.rollback(catalog.warehouse, ns, fn, defId, vid)
+      out(StructType(Seq(StructField("current_version_id", IntegerType))), row(vid))
 
     case "create_view" =>
       // v2 view DDL (Spark 4 lacks native CREATE VIEW for v2 catalogs;

@@ -28,10 +28,16 @@ import graft.core.meta.HadoopCatalog
   * Everything else falls through to Spark's parser. Statements execute as
   * driver-side commands on the same metadata ops the CALL procedures use.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftDdl.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = GraftDdl.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    // catalog-stored SQL UDTFs expand at parse time (Spark 4 has no v2
+    // table-function catalog ability; its resolver would reject the call
+    // before any extension rule runs)
+    session.map(s => GraftUdfMacro.expandTableFunctions(s, plan)).getOrElse(plan)
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
