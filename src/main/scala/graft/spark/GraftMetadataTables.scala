@@ -16,11 +16,12 @@ import graft.core.meta._
 /** Metadata tables: `SELECT * FROM cat.db.tbl.snapshots` etc. (reference
   * core/.../MetadataTableType.java:23-39 + {Snapshots,History,…}Table.java).
   *
-  * Each is a tiny read-only DSv2 table computed from the metadata tree on
-  * the driver and served as a LocalScan: snapshot/ref/history rows are
-  * O(snapshots), and files/entries/partitions rows are O(manifest
-  * entries) — metadata scale, not data scale, so driver-side
-  * materialization matches the reference's planning cost. */
+  * Snapshot/ref/history/manifest tables are O(snapshots) and served as
+  * driver-side LocalScans. The entry-level tables (files/entries and
+  * their all_ variants) and position_deletes are DISTRIBUTED scans —
+  * one input partition per manifest (or delete file), entries read
+  * executor-side — because at 100 TB those are millions of rows
+  * (reference BaseFilesTable.ManifestReadTask / PositionDeletesTable). */
 object GraftMetadataTables {
 
   val types: Set[String] = Set(
@@ -161,23 +162,6 @@ object GraftMetadataTables {
           mf.content, s(mf.path), mf.length, mf.specId, mf.addedSnapshotId,
           mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount)): InternalRow
       }.toArray
-      case "files" | "data_files" | "delete_files" =>
-        val filtered = kind match {
-          case "data_files"   => liveEntries.filter(_._2.file.content == FileContent.Data)
-          case "delete_files" => liveEntries.filter(_._2.file.content != FileContent.Data)
-          case _              => liveEntries
-        }
-        filtered.map { case (_, e) =>
-          new GenericInternalRow(Array[Any](
-            e.file.content, s(e.file.path), s(e.file.format), e.file.specId,
-            partString(e.file.specId, e.file.partition),
-            e.file.recordCount, e.file.fileSizeBytes)): InternalRow
-        }.toArray
-      case "entries" => liveEntries.map { case (_, e) =>
-        new GenericInternalRow(Array[Any](
-          e.status, e.snapshotId, e.dataSequenceNumber, s(e.file.path),
-          e.file.recordCount)): InternalRow
-      }.toArray
       case "partitions" =>
         liveEntries.filter(_._2.file.content == FileContent.Data)
           // byte-array partition values compare by reference: normalize
@@ -214,44 +198,108 @@ object GraftMetadataTables {
             ArrayBasedMapData(r.summary.keys.map(s).toArray,
               r.summary.values.map(s).toArray))): InternalRow
         }.toArray
-      case "position_deletes" =>
-        throw new IllegalStateException(
-          "position_deletes is served by PositionDeletesScan (distributed), not a LocalScan")
-      case "all_files" | "all_manifests" | "all_entries"
-         | "all_data_files" | "all_delete_files" =>
-        // union across ALL snapshots, deduplicated (reference all_* tables)
-        val allManifests = m.snapshots
+      case "all_manifests" =>
+        // union across ALL snapshots, deduplicated by path
+        m.snapshots
           .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
             catch { case _: Throwable => Nil })
           .groupBy(_.path).map(_._2.head).toSeq
-        kind match {
-          case "all_manifests" => allManifests.map { mf =>
+          .map { mf =>
             new GenericInternalRow(Array[Any](
               mf.content, s(mf.path), mf.length, mf.specId, mf.addedSnapshotId,
               mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount)): InternalRow
           }.toArray
-          case _ =>
-            val es = allManifests
-              .flatMap(mf => try ManifestIO.readEntries(mf).filter(_.isLive)
-                catch { case _: Throwable => Nil })
-              .groupBy(_.file.path).map(_._2.head).toSeq
-            if (kind == "all_entries") es.map { e =>
-              new GenericInternalRow(Array[Any](
-                e.status, e.snapshotId, e.dataSequenceNumber, s(e.file.path),
-                e.file.recordCount)): InternalRow
-            }.toArray
-            else (kind match {
-              case "all_data_files"   => es.filter(_.file.content == FileContent.Data)
-              case "all_delete_files" => es.filter(_.file.content != FileContent.Data)
-              case _                  => es
-            }).map { e =>
-              new GenericInternalRow(Array[Any](
-                e.file.content, s(e.file.path), s(e.file.format), e.file.specId,
-                partString(e.file.specId, e.file.partition),
-                e.file.recordCount, e.file.fileSizeBytes)): InternalRow
-            }.toArray
-        }
-      case other => throw new IllegalArgumentException(s"unknown metadata table: $other")
+      case other => throw new IllegalArgumentException(
+        s"metadata table $other is served by a distributed scan, not a LocalScan")
+    }
+  }
+}
+
+/** One manifest to read executor-side for the entry-level metadata
+  * tables; carries the spec-id → partition-field-names map so the
+  * partition tuple renders without table metadata on the executor. */
+final case class ManifestReadTask(manifest: ManifestFile,
+    specNames: Map[Int, Seq[String]], kind: String)
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Distributed scan for the entry-level metadata tables (files/entries/
+  * data_files/delete_files and their all_ variants; reference
+  * core/.../BaseFilesTable.java ManifestReadTask): planning lists
+  * manifests (manifest-list scale); each manifest's entries — at 100 TB
+  * potentially millions of rows across thousands of manifests — are
+  * read executor-side, one input partition per manifest. Like the
+  * reference, the all_ tables may produce more than one row per file
+  * when several retained snapshots reference it. */
+final class ManifestEntriesScan(table: GTable, kind: String)
+  extends Scan with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  override def readSchema(): StructType = GraftMetadataTables.schemaOf(kind)
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String = s"graft-$kind(${table.location})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = table.refresh()
+    val manifests =
+      if (kind.startsWith("all_"))
+        m.snapshots
+          .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
+            catch { case _: Throwable => Nil })
+          .groupBy(_.path).map(_._2.head).toSeq
+      else
+        m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+    val specNames = m.specs.map(sp => sp.specId -> sp.fields.map(_.name)).toMap
+    manifests.map(mf => ManifestReadTask(mf, specNames, kind): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = ManifestEntriesScan.Factory
+}
+
+object ManifestEntriesScan {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+
+  private[spark] object Factory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val t = p.asInstanceOf[ManifestReadTask]
+      def us(v: String): UTF8String = UTF8String.fromString(v)
+      def partString(specId: Int, tuple: Seq[Any]): UTF8String = {
+        val names = t.specNames.getOrElse(specId, Nil)
+        us(names.zip(tuple).map { case (name, v) =>
+          val shown = v match {
+            case b: Array[Byte] => b.map("%02x".format(_)).mkString
+            case other          => String.valueOf(other)
+          }
+          s"$name=$shown"
+        }.mkString("{", ", ", "}"))
+      }
+      val entries = ManifestIO.readEntries(t.manifest).filter(_.isLive)
+      val filtered = t.kind match {
+        case "data_files" | "all_data_files" =>
+          entries.filter(_.file.content == FileContent.Data)
+        case "delete_files" | "all_delete_files" =>
+          entries.filter(_.file.content != FileContent.Data)
+        case _ => entries
+      }
+      val it: Iterator[InternalRow] =
+        if (t.kind == "entries" || t.kind == "all_entries")
+          filtered.iterator.map { e =>
+            new GenericInternalRow(Array[Any](
+              e.status, e.snapshotId, e.dataSequenceNumber, us(e.file.path),
+              e.file.recordCount)): InternalRow
+          }
+        else
+          filtered.iterator.map { e =>
+            new GenericInternalRow(Array[Any](
+              e.file.content, us(e.file.path), us(e.file.format), e.file.specId,
+              partString(e.file.specId, e.file.partition),
+              e.file.recordCount, e.file.fileSizeBytes)): InternalRow
+          }
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
     }
   }
 }
@@ -347,10 +395,15 @@ final class GraftMetadataTable(table: GTable, fullName: String, kind: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  private val distributedKinds = Set("files", "entries", "data_files",
+    "delete_files", "all_files", "all_entries", "all_data_files",
+    "all_delete_files")
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
         if (kind == "position_deletes") new PositionDeletesScan(table)
+        else if (distributedKinds(kind)) new ManifestEntriesScan(table, kind)
         else new GraftSparkTable.GraftLocalScan(
           GraftMetadataTables.schemaOf(kind), GraftMetadataTables.rowsOf(kind, table))
     }
