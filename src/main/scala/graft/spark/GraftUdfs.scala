@@ -346,6 +346,11 @@ object GraftUdfMacro {
     * the plan as soon as it is parsed. */
   def expandTableFunctions(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
     if (depth.get() >= 8) return plan
+    // tree-pattern gate: plans without a TVF node skip the walk entirely
+    // (this runs on every parsed statement)
+    if (!plan.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.UNRESOLVED_TABLE_VALUED_FUNCTION))
+      return plan
     plan.transformUp {
       case utvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction =>
         expandTable(spark, utvf).getOrElse(utvf)
@@ -419,12 +424,20 @@ class ResolveGraftUdfs(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case utvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction =>
-      GraftUdfMacro.expandTable(spark, utvf).getOrElse(utvf)
-    case p =>
-      p.transformExpressionsUp {
-        case u: UnresolvedFunction => expand(u).getOrElse(u)
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // tree-pattern gate: analyzer fixed point re-runs this rule per
+    // iteration; fully-resolved plans skip the walk
+    import org.apache.spark.sql.catalyst.trees.TreePattern
+    if (!plan.containsAnyPattern(TreePattern.UNRESOLVED_FUNCTION,
+        TreePattern.UNRESOLVED_TABLE_VALUED_FUNCTION))
+      return plan
+    plan.resolveOperatorsUp {
+      case utvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction =>
+        GraftUdfMacro.expandTable(spark, utvf).getOrElse(utvf)
+      case p =>
+        p.transformExpressionsUp {
+          case u: UnresolvedFunction => expand(u).getOrElse(u)
+        }
+    }
   }
 }
