@@ -478,14 +478,19 @@ object GraftSparkTable {
     // ------------------------------------------- storage-partitioned joins
     // Report KeyGroupedPartitioning over the partition transforms so joins
     // on partition keys elide their shuffles (reference
-    // SparkPartitioningAwareScan.java:59-120; gated on a conf because
-    // per-key task groups can be skewed for non-join scans). Honors
-    // Spark's own SPJ switch — the conf a user of any DSv2 source sets —
-    // with spark.sql.graft.preserveDataGrouping kept as an alias.
+    // SparkPartitioningAwareScan.java:59-120). Mirrors the reference's
+    // two-switch gate exactly: Spark's spark.sql.sources.v2.bucketing.enabled
+    // (defaults TRUE in Spark 4 — it only enables the planner machinery)
+    // AND the source's own explicit opt-in, default FALSE (reference
+    // spark.sql.iceberg.planning.preserve-data-grouping). Grouping must
+    // not be the default: it emits one input partition per partition KEY
+    // — no bin-packing, no file splitting — which collapses parallelism
+    // and freezes task groups against runtime filtering; it only pays
+    // off when a join actually consumes the partitioning.
     private def preserveGrouping: Boolean = {
       val conf = SparkSession.active.conf
-      (conf.getOption("spark.sql.sources.v2.bucketing.enabled").exists(_.toBoolean) ||
-        conf.getOption("spark.sql.graft.preserveDataGrouping").exists(_.toBoolean)) &&
+      conf.getOption("spark.sql.sources.v2.bucketing.enabled").forall(_.toBoolean) &&
+        conf.getOption("spark.sql.graft.preserveDataGrouping").exists(_.toBoolean) &&
         table.spec.fields.nonEmpty
     }
 

@@ -424,10 +424,12 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeTo("graft.db.spj_a").append()
     spark.range(0, 60).selectExpr("id", "concat('p', id % 4) AS part")
       .writeTo("graft.db.spj_b").append()
-    // Spark's OWN SPJ conf alone must enable the path (the graft alias
-    // conf is not set here)
+    // two-switch gate like the reference: Spark's bucketing conf enables
+    // the planner machinery, the graft conf is the source's explicit
+    // opt-in (grouping costs parallelism, so it is never the default)
     withConfs(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.graft.preserveDataGrouping" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false") {
       val df = spark.sql("""SELECT a.part, count(*) AS c FROM graft.db.spj_a a
@@ -440,6 +442,18 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"expected shuffle-free join:\n$plan")
       assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
         === Map("p0" -> 375L, "p1" -> 375L, "p2" -> 375L, "p3" -> 375L))
+    }
+    // honoring Spark's convention: its conf OFF disables SPJ even with
+    // the source opt-in on
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.graft.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = spark.sql("""SELECT a.part, count(*) AS c FROM graft.db.spj_a a
+        JOIN graft.db.spj_b b ON a.part = b.part GROUP BY a.part""")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"), s"expected shuffled join:\n$plan")
     }
   }
 
@@ -1566,6 +1580,35 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = spark.sql("SELECT * FROM graft.db.pd WHERE id < 100").queryExecution
       .executedPlan.toString
     assert(plan.contains("BatchScan") || plan.contains("graft"))
+  }
+
+  test("runtime filtering (DPP) re-plans tasks against the runtime predicate") {
+    spark.sql("""CREATE TABLE graft.db.rtf (
+      id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft.db.rtf VALUES
+      (1, TIMESTAMP '2024-03-01 10:00:00'),
+      (2, TIMESTAMP '2024-03-02 10:00:00'),
+      (3, TIMESTAMP '2024-03-03 10:00:00')""")
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import org.apache.spark.sql.connector.expressions.{Expressions => VE}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => VP}
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val tbl = cat.loadTable(Identifier.of(Array("db"), "rtf"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val scan = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(new java.util.HashMap()))
+      .build()
+    assert(scan.toBatch.planInputPartitions().length === 3)
+    // Spark hands the DPP subquery result to the scan as a predicate on
+    // the partition source column; the scan must re-plan, not append
+    val rf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq === Seq("ts"))
+    val micros = java.time.Instant.parse("2024-03-02T10:00:00Z").getEpochSecond * 1000000L
+    rf.filter(Array(new VP("=", Array(VE.column("ts"),
+      VE.literal(micros).asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]))))
+    assert(scan.toBatch.planInputPartitions().length === 1)
   }
 
   test("commit_reports metadata table records commit outcomes") {
