@@ -56,9 +56,10 @@ object InclusiveMetricsEvaluator {
         case Op.StIntersects =>
           GeoBounds.boxOf(st.lower, st.upper) match {
             case Some(fileBox) =>
-              val qBox = p.value.asInstanceOf[GeoBox]
-              if (t.isInstanceOf[GGeography]) GeoBox.intersectsGeography(fileBox, qBox)
-              else GeoBox.intersectsPlanar(fileBox, qBox)
+              // wrap-aware like the row sides (planar for non-wrapped
+              // boxes); a wrapped geography file box from a foreign
+              // writer is honored too
+              GeoBox.intersects(fileBox, p.value.asInstanceOf[GeoBox])
             case None => true
           }
         case Op.StNotIntersects => true

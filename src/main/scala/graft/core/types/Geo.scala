@@ -19,6 +19,14 @@ final case class GeoBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double) 
 }
 
 object GeoBox {
+  /** The intersection every evaluation site uses (row function, row
+    * evaluator, metrics pruning): wrap-aware. Value/file boxes computed
+    * from WKB min/max never wrap, and for non-wrapped boxes this is
+    * exactly planar overlap — so geometry behavior is unchanged while
+    * wrapped geography query boxes (xmin > xmax, spec :772) get one
+    * consistent answer across pruning and row evaluation. */
+  def intersects(a: GeoBox, b: GeoBox): Boolean = intersectsGeography(a, b)
+
   /** Planar (geometry) intersection: plain range overlap on both axes
     * (reference GeospatialPredicateEvaluators.GeometryEvaluator). */
   def intersectsPlanar(a: GeoBox, b: GeoBox): Boolean =
@@ -76,14 +84,18 @@ object WKB {
       Double.NegativeInfinity, Double.NegativeInfinity)
     try {
       val buf = java.nio.ByteBuffer.wrap(wkb)
-      readGeom(buf, acc)
+      readGeom(buf, acc, depth = 0)
       if (buf.hasRemaining) return None // trailing garbage: not WKB
     } catch { case _: RuntimeException => return None }
     if (acc(0).isInfinite || acc(1).isInfinite) None
     else Some(GeoBox(acc(0), acc(1), acc(2), acc(3)))
   }
 
-  private def readGeom(buf: java.nio.ByteBuffer, acc: Array[Double]): Unit = {
+  private def readGeom(buf: java.nio.ByteBuffer, acc: Array[Double], depth: Int): Unit = {
+    // bound nesting: a crafted byte string of repeated collection
+    // headers would otherwise recurse once per level and escape the
+    // RuntimeException guard as a StackOverflowError
+    if (depth > 32) throw new IllegalArgumentException("wkb nesting too deep")
     val order = buf.get() match {
       case 0 => java.nio.ByteOrder.BIG_ENDIAN
       case 1 => java.nio.ByteOrder.LITTLE_ENDIAN
@@ -121,7 +133,7 @@ object WKB {
       case TypeMultiPoint | TypeMultiLineString | TypeMultiPolygon | TypeCollection =>
         // each element is a full nested WKB value with its own header
         var n = buf.getInt
-        while (n > 0) { readGeom(buf, acc); buf.order(order); n -= 1 }
+        while (n > 0) { readGeom(buf, acc, depth + 1); buf.order(order); n -= 1 }
       case k => throw new IllegalArgumentException(s"bad wkb kind: $k")
     }
   }

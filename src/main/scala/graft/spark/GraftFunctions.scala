@@ -116,8 +116,10 @@ object GraftFunctions {
     override def canonicalName(): String = "graft.st_intersects_bbox"
     def invoke(wkb: Array[Byte], xmin: Double, ymin: Double,
         xmax: Double, ymax: Double): Boolean =
+      // wrap-aware (matches pruning + row evaluation): xmin > xmax means
+      // an antimeridian-crossing box; for ordinary boxes this is planar
       graft.core.types.WKB.bbox(wkb).exists(b => graft.core.types.GeoBox
-        .intersectsPlanar(b, graft.core.types.GeoBox(xmin, ymin, xmax, ymax)))
+        .intersects(b, graft.core.types.GeoBox(xmin, ymin, xmax, ymax)))
     override def produceResult(input: InternalRow): java.lang.Boolean =
       if (input.isNullAt(0)) null
       else Boolean.box(invoke(input.getBinary(0), input.getDouble(1),

@@ -840,8 +840,20 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         val schema = base.schema
         val field = schema.findField(colName).getOrElse(
           throw new IllegalArgumentException(s"no such column: $colName"))
+        // top-level only: the schema rewrite below and the write-side
+        // bbox stats pass both resolve top-level fields
+        require(schema.fields.exists(_.id == field.id),
+          s"$colName must be a top-level column to become geospatial")
         require(field.tpe == GBinary || GeoDefaults.isGeo(field.tpe),
           s"$colName must be binary (WKB) to become geospatial, is ${field.tpe}")
+        // binary→geo promotion is only safe on an empty table: files
+        // written while the column was plain binary carry byte-order
+        // min/max bounds, which a later scan would misread as bbox
+        // corner points and wrongly prune with
+        if (field.tpe == GBinary)
+          require(base.snapshots.isEmpty,
+            s"set_geo_type requires an empty table (no snapshots); " +
+              "create the column as geospatial before writing data")
         val updated = schema.copy(struct = schema.struct.copy(
           fields = schema.struct.fields.map(f =>
             if (f.id == field.id) f.copy(tpe = geoType) else f)))
@@ -895,13 +907,29 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val byName = params.map(p => p.name.toLowerCase ->
         SparkTypes.toSpark(SparkTypes.typeFromName(p.tpe))).toMap
       val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
-      val probe = parsed.transformAllExpressions {
+      def substituting(except: Set[String]) = parsed.transformAllExpressions {
         case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if ua.nameParts.size == 1 && byName.contains(ua.name.toLowerCase) =>
+            if ua.nameParts.size == 1 && byName.contains(ua.name.toLowerCase) &&
+              !except.contains(ua.name.toLowerCase) =>
           org.apache.spark.sql.catalyst.expressions.Literal(
             null, byName(ua.name.toLowerCase))
       }
-      val outSchema = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, probe).schema
+      // reject parameter names that shadow a column of a table the body
+      // reads: substitution would silently capture the column (the body
+      // must still analyze when the parameter is NOT substituted only if
+      // the name is actually a column)
+      params.foreach { p =>
+        val collides =
+          try {
+            org.apache.spark.sql.GraftSqlBridge
+              .ofRows(spark, substituting(Set(p.name.toLowerCase))).schema
+            true
+          } catch { case _: Throwable => false }
+        require(!collides, s"parameter '${p.name}' collides with a column " +
+          "visible in the function body; rename the parameter")
+      }
+      val outSchema =
+        org.apache.spark.sql.GraftSqlBridge.ofRows(spark, substituting(Set.empty)).schema
       val returns = "struct<" + outSchema.map(f =>
         s"${f.name}:${SparkTypes.typeName(SparkBridge.gTypeOf(f.dataType))}")
         .mkString(",") + ">"

@@ -60,31 +60,55 @@ object GraftUdfStore {
   private def versionsIn(d: String): Seq[(Int, String)] = {
     val p = GraftIO.toPath(d)
     if (!java.nio.file.Files.isDirectory(p)) Nil
-    else java.nio.file.Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.startsWith("v") && n.endsWith(".metadata.json") =>
-        (n.stripPrefix("v").stripSuffix(".metadata.json").toInt, s"$d/$n")
-      }.toSeq.sortBy(_._1)
+    else {
+      val stream = java.nio.file.Files.list(p)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".metadata.json") =>
+          (n.stripPrefix("v").stripSuffix(".metadata.json").toInt, s"$d/$n")
+        }.toSeq.sortBy(_._1)
+      finally stream.close()
+    }
   }
 
   def load(warehouse: String, ns: Seq[String], name: String): Option[StoredUdf] =
-    versionsIn(dir(warehouse, ns, name)).lastOption.map { case (_, path) =>
-      readJson(GraftIO.readString(path))
+    loadWithVersion(warehouse, ns, name).map(_._2)
+
+  private def loadWithVersion(warehouse: String, ns: Seq[String],
+      name: String): Option[(Int, StoredUdf)] =
+    versionsIn(dir(warehouse, ns, name)).lastOption.map { case (v, path) =>
+      (v, readJson(GraftIO.readString(path)))
     }
 
   def list(warehouse: String, ns: Seq[String]): Seq[String] = {
     val d = GraftIO.toPath((warehouse +: ns :+ "_udfs").mkString("/"))
     if (!java.nio.file.Files.isDirectory(d)) Nil
-    else java.nio.file.Files.list(d).iterator().asScala
-      .filter(java.nio.file.Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq
+    else {
+      val stream = java.nio.file.Files.list(d)
+      try stream.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+      finally stream.close()
+    }
   }
 
-  def save(warehouse: String, ns: Seq[String], name: String, udf: StoredUdf): Unit = {
+  /** Atomically claim version file v{version}; false when another
+    * writer got there first (the caller reloads and retries — the UDF
+    * analogue of the table commit CAS). */
+  private def saveAt(warehouse: String, ns: Seq[String], name: String,
+      udf: StoredUdf, version: Int): Boolean = {
     val d = dir(warehouse, ns, name)
     java.nio.file.Files.createDirectories(GraftIO.toPath(d))
-    val next = versionsIn(d).lastOption.map(_._1 + 1).getOrElse(1)
-    GraftIO.writeString(s"$d/v$next.metadata.json", writeJson(udf))
+    val tmp = java.nio.file.Files.createTempFile(GraftIO.toPath(d), ".udf", ".tmp")
+    java.nio.file.Files.writeString(tmp, writeJson(udf))
+    try {
+      java.nio.file.Files.move(tmp, GraftIO.toPath(s"$d/v$version.metadata.json"))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        false
+    }
   }
 
   def drop(warehouse: String, ns: Seq[String], name: String): Boolean = {
@@ -102,34 +126,39 @@ object GraftUdfStore {
       params: Seq[UdfParam], returnType: String, functionType: String,
       sql: String, deterministic: Boolean, onNullInput: String,
       replace: Boolean): StoredUdf = {
-    val now = System.currentTimeMillis()
-    val defId = definitionId(params.map(_.tpe))
-    val existing = load(warehouse, ns, name)
-    val base = existing.getOrElse(
-      StoredUdf(java.util.UUID.randomUUID.toString, Nil, Nil, Map.empty, None))
-    if (existing.isDefined && base.definitions.exists(_.definitionId == defId) && !replace)
-      throw new IllegalArgumentException(
-        s"function $name($defId) already exists (use replace := true to add a version)")
-    val defs = base.definitions.find(_.definitionId == defId) match {
-      case Some(d) =>
-        require(d.functionType == functionType,
-          s"cannot change function type of $name($defId)")
-        val vid = d.versions.map(_.versionId).max + 1
-        val nv = UdfVersion(vid, sql, "spark", deterministic, onNullInput, now)
-        base.definitions.map(x =>
-          if (x.definitionId == defId)
-            x.copy(parameters = params, returnType = returnType,
-              versions = x.versions :+ nv, currentVersionId = vid)
-          else x)
-      case None =>
-        base.definitions :+ UdfDefinition(defId, params, returnType, functionType,
-          Seq(UdfVersion(1, sql, "spark", deterministic, onNullInput, now)), 1)
+    var attempts = 0
+    while (attempts < 10) {
+      val now = System.currentTimeMillis()
+      val defId = definitionId(params.map(_.tpe))
+      val existing = loadWithVersion(warehouse, ns, name)
+      val base = existing.map(_._2).getOrElse(
+        StoredUdf(java.util.UUID.randomUUID.toString, Nil, Nil, Map.empty, None))
+      if (existing.isDefined && base.definitions.exists(_.definitionId == defId) && !replace)
+        throw new IllegalArgumentException(
+          s"function $name($defId) already exists (use replace := true to add a version)")
+      val defs = base.definitions.find(_.definitionId == defId) match {
+        case Some(d) =>
+          require(d.functionType == functionType,
+            s"cannot change function type of $name($defId)")
+          val vid = d.versions.map(_.versionId).max + 1
+          val nv = UdfVersion(vid, sql, "spark", deterministic, onNullInput, now)
+          base.definitions.map(x =>
+            if (x.definitionId == defId)
+              x.copy(parameters = params, returnType = returnType,
+                versions = x.versions :+ nv, currentVersionId = vid)
+            else x)
+        case None =>
+          base.definitions :+ UdfDefinition(defId, params, returnType, functionType,
+            Seq(UdfVersion(1, sql, "spark", deterministic, onNullInput, now)), 1)
+      }
+      val logEntry = (now, defs.map(d => d.definitionId -> d.currentVersionId).toMap)
+      val updated = base.copy(definitions = defs,
+        definitionLog = base.definitionLog :+ logEntry)
+      if (saveAt(warehouse, ns, name, updated,
+          existing.map(_._1 + 1).getOrElse(1))) return updated
+      attempts += 1 // another writer claimed the version: reload + retry
     }
-    val logEntry = (now, defs.map(d => d.definitionId -> d.currentVersionId).toMap)
-    val updated = base.copy(definitions = defs,
-      definitionLog = base.definitionLog :+ logEntry)
-    save(warehouse, ns, name, updated)
-    updated
+    throw new IllegalStateException(s"could not commit UDF metadata for $name")
   }
 
   /** Point a definition's current version back to an earlier one
@@ -137,19 +166,23 @@ object GraftUdfStore {
     * rollback"); writes a new immutable metadata file. */
   def rollback(warehouse: String, ns: Seq[String], name: String,
       defId: String, versionId: Int): StoredUdf = {
-    val udf = load(warehouse, ns, name).getOrElse(
-      throw new IllegalArgumentException(s"no such function: $name"))
-    val d = udf.definitions.find(_.definitionId == defId).getOrElse(
-      throw new IllegalArgumentException(s"no definition $defId on $name"))
-    require(d.versions.exists(_.versionId == versionId),
-      s"no version $versionId on $name($defId)")
-    val defs = udf.definitions.map(x =>
-      if (x.definitionId == defId) x.copy(currentVersionId = versionId) else x)
-    val updated = udf.copy(definitions = defs, definitionLog =
-      udf.definitionLog :+ ((System.currentTimeMillis(),
-        defs.map(x => x.definitionId -> x.currentVersionId).toMap)))
-    save(warehouse, ns, name, updated)
-    updated
+    var attempts = 0
+    while (attempts < 10) {
+      val (metaVersion, udf) = loadWithVersion(warehouse, ns, name).getOrElse(
+        throw new IllegalArgumentException(s"no such function: $name"))
+      val d = udf.definitions.find(_.definitionId == defId).getOrElse(
+        throw new IllegalArgumentException(s"no definition $defId on $name"))
+      require(d.versions.exists(_.versionId == versionId),
+        s"no version $versionId on $name($defId)")
+      val defs = udf.definitions.map(x =>
+        if (x.definitionId == defId) x.copy(currentVersionId = versionId) else x)
+      val updated = udf.copy(definitions = defs, definitionLog =
+        udf.definitionLog :+ ((System.currentTimeMillis(),
+          defs.map(x => x.definitionId -> x.currentVersionId).toMap)))
+      if (saveAt(warehouse, ns, name, updated, metaVersion + 1)) return updated
+      attempts += 1
+    }
+    throw new IllegalStateException(s"could not commit UDF metadata for $name")
   }
 
   // ------------------------------------------------------------- JSON
@@ -255,7 +288,11 @@ object GraftUdfStore {
       case other    => other
     }
     val cast = if (resolved.dataType == returnType) resolved
-      else Cast(resolved, returnType)
+      // timeZoneId must be supplied here: this expression never passes
+      // through the analyzer's ResolveTimeZone again, and a timezone-
+      // dependent cast with None crashes at eval time
+      else Cast(resolved, returnType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone))
     cast.transform {
       case a: AttributeReference =>
         val i = attrs.indexWhere(_.exprId == a.exprId)
@@ -291,18 +328,29 @@ object GraftUdfStore {
       val body = analyzeBody(SparkSession.active, chosen.currentVersion.sql,
         chosen.parameters.map(_.name), pTypes, ret)
       new SqlUdfBound(fname, pTypes.toArray, ret, body,
-        chosen.currentVersion.deterministic)
+        chosen.currentVersion.deterministic,
+        chosen.currentVersion.onNullInput == "return-null")
     }
   }
 
   final class SqlUdfBound(fname: String, paramTypes: Array[DataType],
-      ret: DataType, body: Expression, det: Boolean) extends ScalarFunction[Any] {
+      ret: DataType, body: Expression, det: Boolean,
+      returnNullOnNull: Boolean) extends ScalarFunction[Any] {
     override def name(): String = fname
     override def inputTypes(): Array[DataType] = paramTypes
     override def resultType(): DataType = ret
     override def isDeterministic: Boolean = det
     override def canonicalName(): String = s"graft.udf.$fname"
-    override def produceResult(input: InternalRow): Any = body.eval(input)
+    override def produceResult(input: InternalRow): Any = {
+      if (returnNullOnNull) {
+        var i = 0
+        while (i < paramTypes.length) {
+          if (input.isNullAt(i)) return null
+          i += 1
+        }
+      }
+      body.eval(input)
+    }
   }
 }
 
@@ -395,6 +443,11 @@ class ResolveGraftUdfs(spark: SparkSession) extends Rule[LogicalPlan] {
   private def expand(u: UnresolvedFunction): Option[Expression] = {
     if (u.isDistinct || u.filter.isDefined || u.orderingWithinGroup.nonEmpty) return None
     if (!u.arguments.forall(_.resolved)) return None
+    // macro expansion splices each argument into EVERY occurrence of its
+    // parameter; for a non-deterministic argument (rand()) that would
+    // sample per occurrence. Decline — the FunctionCatalog path then
+    // serves the call with evaluate-args-once semantics.
+    if (u.arguments.exists(!_.deterministic)) return None
     lookup(u.nameParts).flatMap { case (_, _, _, udf) =>
       val scalarDefs = udf.definitions.filter(_.functionType == "udf")
       val arity = scalarDefs.filter(_.parameters.size == u.arguments.size)
@@ -405,7 +458,7 @@ class ResolveGraftUdfs(spark: SparkSession) extends Rule[LogicalPlan] {
         sparkTypes(d).zip(u.arguments.map(_.dataType)).forall { case (p, a) =>
           Cast.canUpCast(a, p)
         }))
-      chosen.map { d =>
+      chosen.flatMap { d =>
         val pTypes = sparkTypes(d)
         val args = u.arguments.zip(pTypes).map { case (a, t) =>
           if (a.dataType == t) a else Cast(a, t)
@@ -417,9 +470,24 @@ class ResolveGraftUdfs(spark: SparkSession) extends Rule[LogicalPlan] {
               if ua.nameParts.size == 1 && byName.contains(ua.name.toLowerCase) =>
             byName(ua.name.toLowerCase)
         }
-        val ret = SparkTypes.toSpark(SparkTypes.typeFromName(d.returnType))
-        // declared return type is the contract; a same-type Cast folds away
-        Cast(substituted, ret)
+        // a leftover attribute would capture a COLUMN of the calling
+        // query — a scope leak the FunctionCatalog path correctly
+        // rejects; decline so both paths agree
+        val leaks = substituted.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute])
+        if (leaks) None
+        else {
+          val ret = SparkTypes.toSpark(SparkTypes.typeFromName(d.returnType))
+          // declared return type is the contract; same-type Cast folds away
+          val cast: Expression = Cast(substituted, ret)
+          // on-null-input=return-null (udf-spec Null Input Handling):
+          // short-circuit NULL arguments without invoking the body
+          if (d.currentVersion.onNullInput == "return-null" && args.nonEmpty) {
+            import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, Or}
+            val anyNull = args.map(IsNull(_): Expression).reduce(Or(_, _))
+            Some(If(anyNull, Literal(null, ret), cast))
+          } else Some(cast)
+        }
       }
     }
   }

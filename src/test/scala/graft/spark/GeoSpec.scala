@@ -202,5 +202,22 @@ class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     // full sweep keeps both
     assert(t.newScan()
       .filter(Expr.stIntersects("loc", GeoBox(-180, -90, 180, 90))).planFiles().size === 2)
+
+    // the SQL function agrees with the pruning layers on wrapped boxes:
+    // pruning keeps the east file AND the row filter keeps its rows
+    val rows = spark.sql("""SELECT id FROM graft.db.geog
+      WHERE graft.system.st_intersects_bbox(loc, 170.0D, -90.0D, -170.0D, 90.0D) = true
+      ORDER BY id""").collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("set_geo_type rejects binary promotion on a table with data") {
+    spark.sql("CREATE TABLE graft.db.geo_late (id BIGINT, b BINARY)")
+    spark.sql("INSERT INTO graft.db.geo_late VALUES (1, X'0101000000')")
+    // files written pre-promotion carry byte-order bounds a geo scan
+    // would misread as bbox points — promotion must be refused
+    intercept[Exception] {
+      spark.sql("CALL graft.system.set_geo_type('db.geo_late', 'b', 'geometry')")
+    }
   }
 }

@@ -127,6 +127,47 @@ class UdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.get("return-type").asText() === "struct<id:long>")
   }
 
+  test("on_null_input return-null short-circuits; call invokes the body") {
+    spark.sql("""CALL graft.system.create_udf('db.nn', 'x int', 'int',
+      'coalesce(x, 42)', on_null_input => 'return-null')""")
+    spark.sql("""CALL graft.system.create_udf('db.nc', 'x int', 'int',
+      'coalesce(x, 42)', on_null_input => 'call')""")
+    assert(spark.sql("SELECT graft.db.nn(CAST(NULL AS INT)) AS r").collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT graft.db.nc(CAST(NULL AS INT)) AS r").collect()(0).getInt(0) === 42)
+    assert(spark.sql("SELECT graft.db.nn(1) AS r").collect()(0).getInt(0) === 1)
+  }
+
+  test("non-deterministic arguments evaluate once, not per occurrence") {
+    // zero(x) = x - x must be 0 for ANY single evaluation of x; macro
+    // expansion splicing rand() twice would make it almost surely nonzero
+    spark.sql("CALL graft.system.create_udf('db.zero', 'x double', 'double', 'x - x')")
+    val vals = spark.sql(
+      "SELECT graft.db.zero(rand()) AS r FROM range(0, 100)").collect().map(_.getDouble(0))
+    assert(vals.forall(_ == 0.0))
+  }
+
+  test("udtf parameter colliding with a body column is rejected at creation") {
+    spark.sql("CREATE TABLE graft.db.tvf_amb (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO graft.db.tvf_amb VALUES (1, 'a')")
+    intercept[Exception] {
+      spark.sql("""CALL graft.system.create_udtf('db.amb', 'id bigint',
+        'SELECT id, grp FROM graft.db.tvf_amb WHERE id > 0')""")
+    }
+    // renamed parameter is fine
+    spark.sql("""CALL graft.system.create_udtf('db.amb', 'min_id bigint',
+      'SELECT id, grp FROM graft.db.tvf_amb WHERE id > min_id')""")
+  }
+
+  test("udf body referencing an unknown name fails instead of capturing columns") {
+    spark.sql("CALL graft.system.create_udf('db.leak', 'x bigint', 'bigint', 'x + v')")
+    spark.sql("CREATE TABLE graft.db.leakt (v BIGINT)")
+    spark.sql("INSERT INTO graft.db.leakt VALUES (100)")
+    // 'v' must NOT silently bind to the calling query's column
+    intercept[Exception] {
+      spark.sql("SELECT graft.db.leak(1) AS r FROM graft.db.leakt").collect()
+    }
+  }
+
   test("udf calling built-in functions and used in WHERE") {
     spark.sql("""CALL graft.system.create_udf('db.norm', 's string', 'string',
       'upper(trim(s))')""")
