@@ -93,7 +93,7 @@ final class JdbcTableOps(
   override def currentVersion(): Int = selectRow(_.getInt(2)).getOrElse(0)
 
   override def current(): Option[TableMetadata] =
-    selectRow(_.getString(1)).map(p => MetaJson.readMetadata(GraftIO.readString(p)))
+    selectRow(_.getString(1)).map(p => MetaJson.readMetadata(GraftIO.readString(p), Some(p)))
 
   override def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
     val metadataPath =

@@ -245,6 +245,12 @@ object MetaJson {
 
   // ------------------------------------------------------------- table metadata
   def writeMetadata(m: TableMetadata): String = {
+    // v4 relative locations (spec "File Locations in Metadata"): tracked
+    // paths under the table location are always stored relative, so a
+    // table directory can be moved and re-registered without rewriting
+    // any metadata; paths OUTSIDE the location (add_files imports) stay
+    // absolute, and readers resolve both forms
+    def wp(p: String): String = GraftIO.relativize(p, m.location)
     val o = mapper.createObjectNode()
     o.put("format-version", m.formatVersion).put("table-uuid", m.tableUuid)
       .put("location", m.location).put("last-sequence-number", m.lastSequenceNumber)
@@ -275,7 +281,7 @@ object MetaJson {
       val so = snaps.addObject()
       so.put("snapshot-id", s.snapshotId).put("sequence-number", s.sequenceNumber)
         .put("timestamp-ms", s.timestampMs).put("operation", s.operation)
-        .put("manifest-list", s.manifestListPath)
+        .put("manifest-list", wp(s.manifestListPath))
       s.parentId.foreach(so.put("parent-snapshot-id", _))
       s.firstRowId.foreach(so.put("first-row-id", _))
       val sum = so.putObject("summary")
@@ -297,15 +303,25 @@ object MetaJson {
       val st = o.putArray("statistics")
       m.statistics.foreach { sf =>
         st.addObject().put("snapshot-id", sf.snapshotId)
-          .put("statistics-path", sf.path)
+          .put("statistics-path", wp(sf.path))
           .put("file-size-in-bytes", sf.fileSizeBytes)
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
-  def readMetadata(json: String): TableMetadata = {
+  /** `metaPath`: where this JSON was read from. When it lives under
+    * `{base}/metadata/`, relative tracked locations (v4 relative
+    * locations, spec "File Locations in Metadata") resolve against that
+    * base, and a table that was MOVED (base != stored location) is
+    * re-rooted so all downstream paths point at the new home. */
+  def readMetadata(json: String, metaPath: Option[String] = None): TableMetadata = {
     val n = mapper.readTree(json)
+    // resolution base: where the file actually lives (re-roots a moved
+    // table), else the stored location (path-less reads, e.g. REST)
+    val base = metaPath.flatMap(GraftIO.metadataBase)
+    val resolveBase = Some(base.getOrElse(n.get("location").asText()))
+    def res(p: String): String = GraftIO.resolve(p, resolveBase)
     val schemas = Seq.newBuilder[GSchema]
     n.get("schemas").elements().forEachRemaining(s => schemas += readSchema(s))
     val specs = Seq.newBuilder[PartitionSpec]
@@ -329,7 +345,8 @@ object MetaJson {
       snaps += Snapshot(so.get("snapshot-id").asLong(),
         Option(so.get("parent-snapshot-id")).map(_.asLong()),
         so.get("sequence-number").asLong(), so.get("timestamp-ms").asLong(),
-        so.get("operation").asText(), so.get("manifest-list").asText(), sum.result(),
+        so.get("operation").asText(), res(so.get("manifest-list").asText()),
+        sum.result(),
         Option(so.get("first-row-id")).map(_.asLong()))
     }
     val log = Seq.newBuilder[(Long, Long)]
@@ -346,7 +363,7 @@ object MetaJson {
     }
     TableMetadata(
       n.get("format-version").asInt(), n.get("table-uuid").asText(),
-      n.get("location").asText(), n.get("last-sequence-number").asLong(),
+      base.getOrElse(n.get("location").asText()), n.get("last-sequence-number").asLong(),
       n.get("last-updated-ms").asLong(), n.get("last-column-id").asInt(),
       n.get("current-schema-id").asInt(), schemas.result(),
       n.get("default-spec-id").asInt(), specs.result(),
@@ -360,7 +377,7 @@ object MetaJson {
         val st = Seq.newBuilder[StatisticsFile]
         Option(n.get("statistics")).foreach(_.elements().forEachRemaining { e =>
           st += StatisticsFile(e.get("snapshot-id").asLong(),
-            e.get("statistics-path").asText(),
+            res(e.get("statistics-path").asText()),
             e.get("file-size-in-bytes").asLong())
         })
         st.result()

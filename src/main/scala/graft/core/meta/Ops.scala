@@ -41,6 +41,26 @@ object GraftIO {
     }
   }
 
+  // ---------------------------------------------- v4 relative locations
+  // (spec format/spec.md "File Locations in Metadata": any tracked
+  // location may be relative, resolved against the table's base
+  // location, so a table can be relocated without rewriting metadata.)
+
+  /** table base location for a file living under `{location}/metadata/` */
+  def metadataBase(path: String): Option[String] = {
+    val i = path.lastIndexOf("/metadata/")
+    if (i > 0) Some(path.substring(0, i)) else None
+  }
+
+  /** resolve a possibly-relative tracked location against a base */
+  def resolve(path: String, base: Option[String]): String =
+    if (path.startsWith("/") || path.contains("://")) path
+    else base.map(b => s"$b/$path").getOrElse(path)
+
+  /** relativize a tracked location when it lives under the base */
+  def relativize(path: String, base: String): String =
+    if (path.startsWith(base + "/")) path.substring(base.length + 1) else path
+
   /** Atomically create `target` with `content`; false if it already
     * exists (CAS failure). */
   def atomicCreate(target: String, content: String): Boolean = {
@@ -123,7 +143,7 @@ final class FileTableOps(val location: String) extends TableOps {
         classOf[java.nio.file.attribute.BasicFileAttributes])
       val key = s"$path#${attrs.size}#${attrs.lastModifiedTime.toMillis}"
       Some(FileTableOps.metaCache.get(key)(
-        MetaJson.readMetadata(GraftIO.readString(path))))
+        MetaJson.readMetadata(GraftIO.readString(path), Some(path))))
     }
   }
 
@@ -152,8 +172,20 @@ object ManifestIO {
 
   def write(path: String, entries: Seq[ManifestEntry], specId: Int, content: Int,
       spec: PartitionSpec, schema: GSchema, snapshotId: Long): ManifestFile = {
+    // v4 relative locations: data-file paths under the table location
+    // store relative (the manifest lives in {location}/metadata/, so the
+    // base is recoverable at read time); foreign paths stay absolute
+    val base = GraftIO.metadataBase(path)
+    def store(e: ManifestEntry): ManifestEntry = base match {
+      case Some(b) =>
+        e.copy(file = e.file.copy(
+          path = GraftIO.relativize(e.file.path, b),
+          referencedDataFile = e.file.referencedDataFile
+            .map(GraftIO.relativize(_, b))))
+      case _ => e
+    }
     val sb = new StringBuilder
-    entries.foreach { e => sb.append(MetaJson.writeEntry(e)).append('\n') }
+    entries.foreach { e => sb.append(MetaJson.writeEntry(store(e))).append('\n') }
     GraftIO.writeString(path, sb.toString)
     val partType = spec.partitionType(schema)
     // Entries whose partition tuple is shorter than the spec (e.g. global
@@ -191,20 +223,36 @@ object ManifestIO {
   }
 
   def readEntries(m: ManifestFile): Seq[ManifestEntry] =
-    entryCache.get(m.path)(
+    entryCache.get(m.path) {
+      val base = GraftIO.metadataBase(m.path)
       GraftIO.readString(m.path).linesIterator.filter(_.nonEmpty)
-        .map(MetaJson.readEntry).toSeq)
+        .map(MetaJson.readEntry)
+        .map(e => e.copy(file = e.file.copy(
+          path = GraftIO.resolve(e.file.path, base),
+          referencedDataFile = e.file.referencedDataFile
+            .map(GraftIO.resolve(_, base)))))
+        .toSeq
+    }
 
   def writeList(path: String, manifests: Seq[ManifestFile]): Unit = {
+    val base = GraftIO.metadataBase(path)
+    def store(m: ManifestFile): ManifestFile = base match {
+      case Some(b) => m.copy(path = GraftIO.relativize(m.path, b))
+      case None    => m
+    }
     val arr = MetaJson.mapper.createArrayNode()
-    manifests.foreach(m => arr.add(MetaJson.writeManifestFile(m)))
+    manifests.foreach(m => arr.add(MetaJson.writeManifestFile(store(m))))
     GraftIO.writeString(path, MetaJson.mapper.writeValueAsString(arr))
   }
 
   def readList(path: String): Seq[ManifestFile] = listCache.get(path) {
+    val base = GraftIO.metadataBase(path)
     val n = MetaJson.mapper.readTree(GraftIO.readString(path))
     val buf = Seq.newBuilder[ManifestFile]
-    n.elements().forEachRemaining(e => buf += MetaJson.readManifestFile(e))
+    n.elements().forEachRemaining(e => buf += {
+      val m = MetaJson.readManifestFile(e)
+      m.copy(path = GraftIO.resolve(m.path, base))
+    })
     buf.result()
   }
 }

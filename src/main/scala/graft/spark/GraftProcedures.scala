@@ -90,6 +90,19 @@ object GraftProcedures {
       .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSeq
   }
 
+  /** Path-equality key that survives table relocation: position-delete
+    * files store the data file's ABSOLUTE path at write time, so after
+    * a move (v4 relative metadata locations) it no longer equals the
+    * re-rooted scan path. Canonicalize to the last-"/data/" suffix,
+    * which is unique within a table and scheme-prefix agnostic; paths
+    * without "/data/" (imports) fall back to the raw value. */
+  private[spark] def dataSuffixCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{regexp_extract, when}
+    val ex = regexp_extract(c, "^.*(/data/.*)$", 1)
+    when(ex =!= "", ex).otherwise(c)
+  }
+
   /** (file_path, pos) rows of position-delete files as one DataFrame,
     * across both delete formats (parquet files and roaring DVs). */
   private[spark] def deleteRowsDf(spark: SparkSession,
@@ -498,7 +511,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         rewritable.foreach { case ((specId, _), fs) =>
           val partition = fs.head.partition
           val rows = deleteRowsDf(spark, fs)
-            .join(liveDf, fcol("file_path") === fcol("__live"), "left_semi")
+            .join(liveDf, GraftProcedures.dataSuffixCol(fcol("file_path")) ===
+              GraftProcedures.dataSuffixCol(fcol("__live")), "left_semi")
             .sort("file_path", "pos")
           val staging = java.nio.file.Files.createTempDirectory("graft-posdel").toString
           rows.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -1030,18 +1044,21 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
 
     case "register_table" =>
       // create a catalog entry from an existing metadata.json (reference
-      // RegisterTableProcedure): the new table points at the SAME data and
-      // manifests (absolute paths), only the metadata dir is new
+      // RegisterTableProcedure). Two flows: pointing at ANOTHER table's
+      // metadata (shared data/manifests via absolute paths), or at a
+      // COPIED/MOVED table directory — there the v4 relative locations
+      // re-root everything under the new home, and the commit stacks on
+      // top of whatever metadata versions the copy brought along
       val tblName = input.getUTF8String(0).toString
       val metaFile = input.getUTF8String(1).toString
       val parts = tblName.split("\\.").toSeq
       val (ns, tbl) = if (parts.length >= 2) (parts.init, parts.last)
                       else (Seq("db"), parts.head)
       require(!catalog.tableExists(ns, tbl), s"table already exists: $tblName")
-      val meta = MetaJson.readMetadata(GraftIO.readString(metaFile))
+      val meta = MetaJson.readMetadata(GraftIO.readString(metaFile), Some(metaFile))
       val loc = catalog.tableLocation(ns, tbl)
       val ops = new FileTableOps(loc)
-      require(ops.commit(0, meta.copy(location = loc)),
+      require(ops.commit(ops.currentVersion(), meta.copy(location = loc)),
         s"failed to register $tblName at $loc")
       val t = new GTable(ops)
       val (dataFiles, deleteFiles) = t.meta.currentSnapshot.map { sn =>
@@ -1352,14 +1369,15 @@ object RewriteDataFiles {
           val afterPos =
             if (posFiles.isEmpty) withPos
             else {
+              // /data/-suffix equality: scheme-prefix agnostic AND
+              // stable across table relocation (the stored path is the
+              // writer-time absolute path)
               val dels = GraftProcedures.deleteRowsDf(spark, posFiles)
-                .select(concat(lit("file:"), col("file_path")).as("__df1"),
-                  concat(lit("file://"), col("file_path")).as("__df2"),
-                  col("file_path").as("__df3"),
+                .select(GraftProcedures.dataSuffixCol(col("file_path")).as("__df"),
                   col("pos").as("__dp"))
               withPos.join(dels,
-                (withPos("__f") === dels("__df1") || withPos("__f") === dels("__df2") ||
-                  withPos("__f") === dels("__df3")) && withPos("__p") === dels("__dp"),
+                GraftProcedures.dataSuffixCol(withPos("__f")) === dels("__df") &&
+                  withPos("__p") === dels("__dp"),
                 "left_anti")
             }
           val afterEq =
@@ -1368,14 +1386,19 @@ object RewriteDataFiles {
               val fields = t.meta.schema.fields
               val keyNames = eqByFile.keys.head.equalityIds
                 .flatMap(id => fields.find(_.id == id).map(_.name))
+              def suffix(p: String): String = {
+                val i = p.lastIndexOf("/data/")
+                if (i >= 0) p.substring(i) else p
+              }
               val delKeys = eqByFile.map { case (d, applies) =>
                 spark.read.parquet(d.path).select(keyNames.map(col): _*)
                   .toDF(keyNames.map(n => s"__ek_$n"): _*)
-                  .withColumn("__ef", explode(sarray(applies.flatMap(p =>
-                    Seq(lit("file:" + p), lit("file://" + p), lit(p))): _*)))
+                  .withColumn("__ef",
+                    explode(sarray(applies.map(p => lit(suffix(p))): _*)))
               }.reduce(_ unionByName _)
               val cond = keyNames.map(n => afterPos(n) <=> delKeys(s"__ek_$n"))
-                .foldLeft(afterPos("__f") === delKeys("__ef"))(_ && _)
+                .foldLeft(GraftProcedures.dataSuffixCol(afterPos("__f"))
+                  === delKeys("__ef"))(_ && _)
               afterPos.join(delKeys, cond, "left_anti")
             }
           afterEq

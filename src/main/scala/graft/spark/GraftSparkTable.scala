@@ -1097,6 +1097,17 @@ object GraftSparkTable {
       PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
         Array.empty[String], 0L, length, Map.empty)
 
+    /** Position-delete files and DVs reference data files by the
+      * ABSOLUTE path current at write time; after a table relocation
+      * (v4 relative metadata locations) the re-rooted task path no
+      * longer equals it. Canonicalize both sides to the path from the
+      * table's /data/ dir down — unique within a table (partition dirs
+      * are name=value segments and can never introduce "/data/"). */
+    private def dataSuffix(p: String): String = {
+      val i = p.lastIndexOf("/data/")
+      if (i >= 0) p.substring(i) else p
+    }
+
     /** positions deleted for `dataPath` across `deletePaths` (cached per
       * executor: delete files are immutable) */
     private def deletedPositions(dataPath: String,
@@ -1104,17 +1115,19 @@ object GraftSparkTable {
       val out = new java.util.HashSet[Long]()
       deletePaths.foreach { dp =>
         val byFile = PosDeleteCache.get(dp, () => {
-          if (graft.core.meta.DVIO.isDV(dp)) graft.core.meta.DVIO.readAsSets(dp)
+          if (graft.core.meta.DVIO.isDV(dp))
+            graft.core.meta.DVIO.readAsSets(dp)
+              .map { case (k, v) => dataSuffix(k) -> v }
           else {
             val m = scala.collection.mutable.Map.empty[String, java.util.HashSet[Long]]
             deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
-              m.getOrElseUpdate(r.getUTF8String(0).toString,
+              m.getOrElseUpdate(dataSuffix(r.getUTF8String(0).toString),
                 new java.util.HashSet[Long]()).add(r.getLong(1))
             }
             m.toMap
           }
         })
-        byFile.get(dataPath).foreach(out.addAll)
+        byFile.get(dataSuffix(dataPath)).foreach(out.addAll)
       }
       out
     }

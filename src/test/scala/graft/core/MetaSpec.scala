@@ -43,7 +43,10 @@ class MetaSpec extends AnyFunSuite {
     assert(m.currentSnapshot.map(_.operation) === Some("append"))
     assert(m.lastSequenceNumber === 1L)
     val tasks = t.newScan().planFiles()
-    assert(tasks.map(_.file.path).toSet === Set("f1.parquet", "f2.parquet"))
+    // entry paths store relative (v4 relative locations) and resolve
+    // against the table location on read
+    assert(tasks.map(_.file.path).toSet ===
+      Set(s"${t.location}/f1.parquet", s"${t.location}/f2.parquet"))
     // JSON round-trip fidelity
     val rt = MetaJson.readMetadata(MetaJson.writeMetadata(m))
     assert(rt === m)
@@ -64,17 +67,18 @@ class MetaSpec extends AnyFunSuite {
     // hidden partitioning: filter on ts prunes by day partition
     val scan = t.newScan().filter(Expr.gtEq("ts", tsOf(day + 1) + 5L))
     val files = scan.planFiles()
-    assert(files.map(_.file.path).toSet === Set("d1.parquet", "d2.parquet"))
+    def name(p: String): String = p.split('/').last
+    assert(files.map(f => name(f.file.path)).toSet === Set("d1.parquet", "d2.parquet"))
     // d1 is a boundary day → residual keeps predicate; d2 fully matches? no:
     // inclusive projection keeps day+1 (partial); strict Lt projection shows
     // day+2 fully matches only for Gt via strict Gt(day(X)) → day+2 > day+1 ✓
-    val res = files.map(f => f.file.path -> f.residual).toMap
+    val res = files.map(f => name(f.file.path) -> f.residual).toMap
     assert(res("d2.parquet") === TrueE)
     assert(res("d1.parquet") !== TrueE)
 
     // stats pruning on id bounds
     val byId = t.newScan().filter(Expr.equalTo("id", 25L)).planFiles()
-    assert(byId.map(_.file.path) === Seq("d2.parquet"))
+    assert(byId.map(f => name(f.file.path)) === Seq("d2.parquet"))
   }
 
   test("overwrite: metadata-only delete and partial-match rejection") {
@@ -90,7 +94,7 @@ class MetaSpec extends AnyFunSuite {
 
     // whole-partition delete: strict projection proves it → metadata-only
     t.newOverwrite().overwriteByRowFilter(Expr.lt("ts", tsOf(day + 1))).commit()
-    assert(t.newScan().planFiles().map(_.file.path) === Seq("b.parquet"))
+    assert(t.newScan().planFiles().map(_.file.path) === Seq(s"${t.location}/b.parquet"))
 
     // mid-partition delete must be rejected (needs CoW rewrite)
     intercept[ValidationException] {
@@ -98,9 +102,10 @@ class MetaSpec extends AnyFunSuite {
     }
 
     // file replacement (CoW commit shape)
-    t.newOverwrite().deleteFile("b.parquet")
+    t.newOverwrite().deleteFile(s"${t.location}/b.parquet")
       .addFile(dataFile("b2.parquet", Seq(day + 1), (11L, 19L))).commit()
-    assert(t.newScan().planFiles().map(_.file.path) === Seq("b2.parquet"))
+    assert(t.newScan().planFiles().map(_.file.path)
+      === Seq(s"${t.location}/b2.parquet"))
   }
 
   test("row delta: position deletes attach to matching partitions/seqs") {
@@ -110,18 +115,19 @@ class MetaSpec extends AnyFunSuite {
     val day = 15000
     t.newAppend().appendFile(dataFile("d.parquet", Seq(day), (1L, 10L))).commit()
     val del = DataFile("del.parquet", "parquet", 0, Seq(day), 2L, 100L,
-      content = FileContent.PositionDeletes, referencedDataFile = Some("d.parquet"))
+      content = FileContent.PositionDeletes,
+      referencedDataFile = Some(s"${t.location}/d.parquet"))
     t.newRowDelta().addDeletes(del).commit()
 
     val tasks = t.newScan().planFiles()
     assert(tasks.size === 1)
-    assert(tasks.head.deletes.map(_.path) === Seq("del.parquet"))
+    assert(tasks.head.deletes.map(_.path) === Seq(s"${t.location}/del.parquet"))
 
     // a file appended after the delete does not see it
     t.newAppend().appendFile(dataFile("e.parquet", Seq(day), (11L, 20L))).commit()
     val t2 = t.newScan().planFiles().map(f => f.file.path -> f.deletes.size).toMap
-    assert(t2("d.parquet") === 1)
-    assert(t2("e.parquet") === 0)
+    assert(t2(s"${t.location}/d.parquet") === 1)
+    assert(t2(s"${t.location}/e.parquet") === 0)
   }
 
   test("time travel, branches, rollback") {
@@ -157,7 +163,8 @@ class MetaSpec extends AnyFunSuite {
     t.newAppend().appendFile(dataFile("x.parquet", Nil, (1L, 5L))).commit()
     // t2 has stale metadata; its producer must refresh + retry → both files live
     t2.newAppend().appendFile(dataFile("y.parquet", Nil, (6L, 9L))).commit()
-    assert(t.newScan().planFiles().map(_.file.path).toSet === Set("x.parquet", "y.parquet"))
+    assert(t.newScan().planFiles().map(_.file.path).toSet ===
+      Set(s"${t.location}/x.parquet", s"${t.location}/y.parquet"))
     // direct stale CAS at the ops layer must fail
     val ops = new FileTableOps(t.location)
     val stale = ops.current().get

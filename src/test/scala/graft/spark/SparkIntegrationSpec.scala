@@ -1611,6 +1611,44 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.toBatch.planInputPartitions().length === 1)
   }
 
+  test("v4 relative locations: copied table re-registers and reads, deletes intact") {
+    spark.sql("""CREATE TABLE graft.db.relo (
+      id BIGINT, grp STRING) PARTITIONED BY (grp)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 100).selectExpr("id", "concat('g', id % 2) AS grp")
+      .writeTo("graft.db.relo").append()
+    spark.sql("DELETE FROM graft.db.relo WHERE id % 10 = 3") // MoR position deletes
+    assert(spark.sql("SELECT count(*) FROM graft.db.relo").collect()(0).getLong(0) === 90L)
+
+    // tracked paths under the table location are stored RELATIVE
+    val srcDir = s"$warehouse/db/relo"
+    val metaJson = graft.core.meta.GraftIO.list(s"$srcDir/metadata")
+      .filter(_.endsWith(".metadata.json")).max
+    assert(!graft.core.meta.GraftIO.readString(metaJson).contains(s"$srcDir/metadata"),
+      "metadata must not embed absolute tracked paths under the table location")
+
+    // relocate: a plain directory copy IS a usable table — no metadata
+    // rewrite, no re-registration (the directory catalog discovers it;
+    // every tracked path re-roots under the new home on read)
+    val dstDir = s"$warehouse/db/relo_copy"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(srcDir), new java.io.File(dstDir))
+
+    // reads come from the NEW location with position deletes still applied
+    // the deletion index must match the re-rooted referenced data files
+    val tasks = coreTable("relo_copy").newScan().planFiles()
+    assert(tasks.exists(_.deletes.nonEmpty), "expected deletes attached after relocation")
+    assert(spark.sql("SELECT count(*) FROM graft.db.relo_copy")
+      .collect()(0).getLong(0) === 90L)
+    // ids ending in 3 are all odd, so every deleted row was in g1
+    assert(spark.sql("SELECT count(*) FROM graft.db.relo_copy WHERE grp = 'g1'")
+      .collect()(0).getLong(0) === 40L)
+    // and the copy is independent: drop the ORIGINAL, copy still reads
+    spark.sql("DROP TABLE graft.db.relo")
+    assert(spark.sql("SELECT sum(id) FROM graft.db.relo_copy")
+      .collect()(0).getLong(0) === (0L until 100L).filterNot(_ % 10 == 3).sum)
+  }
+
   test("commit_reports metadata table records commit outcomes") {
     spark.sql("CREATE TABLE graft.db.crep (id BIGINT)")
     spark.range(0, 10).writeTo("graft.db.crep").append()
