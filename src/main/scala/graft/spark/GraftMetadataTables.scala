@@ -118,8 +118,6 @@ object GraftMetadataTables {
     val m = table.refresh() // metadata tables reflect the CURRENT state
     def currentManifests: Seq[ManifestFile] =
       m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
-    def liveEntries: Seq[(ManifestFile, ManifestEntry)] =
-      currentManifests.flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map((mf, _)))
     def partString(specId: Int, tuple: Seq[Any]): UTF8String = {
       val spec = m.specById(specId)
       s(spec.fields.zip(tuple).map { case (pf, v) =>
@@ -163,19 +161,31 @@ object GraftMetadataTables {
           mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount)): InternalRow
       }.toArray
       case "partitions" =>
-        liveEntries.filter(_._2.file.content == FileContent.Data)
-          // byte-array partition values compare by reference: normalize
-          .groupBy(e => (e._2.file.specId, e._2.file.partition.map {
-            case b: Array[Byte] => b.toSeq
-            case x              => x
-          }))
-          .map { case ((specId, _), es) =>
-            val tuple = es.head._2.file.partition
-            new GenericInternalRow(Array[Any](
-              partString(specId, tuple), specId,
-              es.map(_._2.file.recordCount).sum, es.size,
-              es.map(_._2.file.fileSizeBytes).sum)): InternalRow
-          }.toArray
+        // streaming fold, one manifest at a time: memory stays
+        // O(partitions) + one manifest's entries, not O(all entries)
+        // (byte-array partition values normalize for hashable keys)
+        final case class PartAgg(tuple: Seq[Any], var records: Long,
+          var files: Int, var bytes: Long)
+        val agg = scala.collection.mutable.LinkedHashMap.empty[(Int, Seq[Any]), PartAgg]
+        currentManifests.foreach { mf =>
+          ManifestIO.readEntries(mf).foreach { e =>
+            if (e.isLive && e.file.content == FileContent.Data) {
+              val key = (e.file.specId, e.file.partition.map {
+                case b: Array[Byte] => b.toSeq
+                case x              => x
+              })
+              val a = agg.getOrElseUpdate(key, PartAgg(e.file.partition, 0L, 0, 0L))
+              a.records += e.file.recordCount
+              a.files += 1
+              a.bytes += e.file.fileSizeBytes
+            }
+          }
+        }
+        agg.map { case ((specId, _), a) =>
+          new GenericInternalRow(Array[Any](
+            partString(specId, a.tuple), specId,
+            a.records, a.files, a.bytes)): InternalRow
+        }.toArray
       case "metadata_log_entries" => m.snapshotLog.map { case (ts, id) =>
         new GenericInternalRow(Array[Any](ts * 1000L, id)): InternalRow
       }.toArray
