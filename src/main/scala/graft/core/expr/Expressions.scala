@@ -312,12 +312,11 @@ object RowEvaluator {
         case _ if v == null => false
         case Op.StIntersects | Op.StNotIntersects =>
           val box = p.value.asInstanceOf[GeoBox]
-          // empty geometry (no bbox) never intersects; wrap-aware
-          // intersection keeps this consistent with st_intersects_bbox
-          // and the metrics evaluator (value boxes never wrap, so this
-          // is planar overlap for geometry)
+          // empty geometry (no bbox) never intersects; one shared
+          // intersection rule across function/row/pruning layers
           val hits = WKB.bbox(v.asInstanceOf[Array[Byte]])
-            .exists(vb => GeoBox.intersects(vb, box))
+            .exists(vb => GeoBox.intersects(vb, box,
+              geography = f.tpe.isInstanceOf[GGeography]))
           if (op == Op.StIntersects) hits else !hits
         case Op.Lt      => TypeComparators.compare(f.tpe, v, p.value) < 0
         case Op.LtEq    => TypeComparators.compare(f.tpe, v, p.value) <= 0

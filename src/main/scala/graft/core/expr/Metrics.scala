@@ -56,10 +56,10 @@ object InclusiveMetricsEvaluator {
         case Op.StIntersects =>
           GeoBounds.boxOf(st.lower, st.upper) match {
             case Some(fileBox) =>
-              // wrap-aware like the row sides (planar for non-wrapped
-              // boxes); a wrapped geography file box from a foreign
-              // writer is honored too
-              GeoBox.intersects(fileBox, p.value.asInstanceOf[GeoBox])
+              // same rule as the row sides; sound for pruning because
+              // intersection is monotone under box containment
+              GeoBox.intersects(fileBox, p.value.asInstanceOf[GeoBox],
+                geography = t.isInstanceOf[GGeography])
             case None => true
           }
         case Op.StNotIntersects => true

@@ -61,6 +61,22 @@ object GraftIO {
   def relativize(path: String, base: String): String =
     if (path.startsWith(base + "/")) path.substring(base.length + 1) else path
 
+  /** drop a file:/file:// scheme prefix (Spark's _metadata.file_path and
+    * some readers qualify paths; stored metadata paths are bare) */
+  def stripScheme(p: String): String = p.replaceFirst("^file:(//)?", "")
+
+  /** Relocation-stable matching key for data-file paths referenced
+    * INSIDE delete-file content (which stores the writer-time absolute
+    * path): scheme-stripped, truncated to the last "/data/" suffix when
+    * one exists. The single definition every delete-matching site uses —
+    * the read mask, compaction, and rewrite_position_delete_files must
+    * agree byte-for-byte. */
+  def dataSuffix(p: String): String = {
+    val s = stripScheme(p)
+    val i = s.lastIndexOf("/data/")
+    if (i >= 0) s.substring(i) else s
+  }
+
   /** Atomically create `target` with `content`; false if it already
     * exists (CAS failure). */
   def atomicCreate(target: String, content: String): Boolean = {

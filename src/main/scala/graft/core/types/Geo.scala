@@ -19,13 +19,18 @@ final case class GeoBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double) 
 }
 
 object GeoBox {
-  /** The intersection every evaluation site uses (row function, row
-    * evaluator, metrics pruning): wrap-aware. Value/file boxes computed
-    * from WKB min/max never wrap, and for non-wrapped boxes this is
-    * exactly planar overlap — so geometry behavior is unchanged while
-    * wrapped geography query boxes (xmin > xmax, spec :772) get one
-    * consistent answer across pruning and row evaluation. */
-  def intersects(a: GeoBox, b: GeoBox): Boolean = intersectsGeography(a, b)
+  /** The one intersection rule every evaluation site uses (function,
+    * row evaluator, metrics pruning): planar per the spec's geometry
+    * semantics, antimeridian-aware when the column is geography OR the
+    * query box itself wraps (xmin > xmax — spec :772 defines that
+    * encoding for geography; honoring it for an explicitly wrapped box
+    * on geometry keeps every layer giving the same answer instead of
+    * pruning disagreeing with the row function). Value/file boxes
+    * computed from WKB min/max never wrap. */
+  def intersects(a: GeoBox, query: GeoBox, geography: Boolean = false): Boolean =
+    if (geography || query.wrapsAntimeridian || a.wrapsAntimeridian)
+      intersectsGeography(a, query)
+    else intersectsPlanar(a, query)
 
   /** Planar (geometry) intersection: plain range overlap on both axes
     * (reference GeospatialPredicateEvaluators.GeometryEvaluator). */

@@ -90,18 +90,26 @@ object GraftProcedures {
       .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSeq
   }
 
-  /** Path-equality key that survives table relocation: position-delete
-    * files store the data file's ABSOLUTE path at write time, so after
-    * a move (v4 relative metadata locations) it no longer equals the
-    * re-rooted scan path. Canonicalize to the last-"/data/" suffix,
-    * which is unique within a table and scheme-prefix agnostic; paths
-    * without "/data/" (imports) fall back to the raw value. */
+  /** Column forms of GraftIO.stripScheme / GraftIO.dataSuffix — the
+    * matching rule for delete-file content paths (see deletedPositions
+    * in GraftSparkTable): scheme-stripped exact, with the last-"/data/"
+    * suffix as the relocation-stable key. */
+  private[spark] def stripSchemeCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:(//)?", "")
+
   private[spark] def dataSuffixCol(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{regexp_extract, when}
-    val ex = regexp_extract(c, "^.*(/data/.*)$", 1)
-    when(ex =!= "", ex).otherwise(c)
+    val s = stripSchemeCol(c)
+    val ex = regexp_extract(s, "^.*(/data/.*)$", 1)
+    when(ex =!= "", ex).otherwise(s)
   }
+
+  /** join condition: scheme-stripped exact OR relocation-stable suffix */
+  private[spark] def pathMatches(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    stripSchemeCol(a) === stripSchemeCol(b) || dataSuffixCol(a) === dataSuffixCol(b)
 
   /** (file_path, pos) rows of position-delete files as one DataFrame,
     * across both delete formats (parquet files and roaring DVs). */
@@ -511,8 +519,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         rewritable.foreach { case ((specId, _), fs) =>
           val partition = fs.head.partition
           val rows = deleteRowsDf(spark, fs)
-            .join(liveDf, GraftProcedures.dataSuffixCol(fcol("file_path")) ===
-              GraftProcedures.dataSuffixCol(fcol("__live")), "left_semi")
+            .join(liveDf,
+              GraftProcedures.pathMatches(fcol("file_path"), fcol("__live")),
+              "left_semi")
             .sort("file_path", "pos")
           val staging = java.nio.file.Files.createTempDirectory("graft-posdel").toString
           rows.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -929,16 +938,25 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             null, byName(ua.name.toLowerCase))
       }
       // reject parameter names that shadow a column of a table the body
-      // reads: substitution would silently capture the column (the body
-      // must still analyze when the parameter is NOT substituted only if
-      // the name is actually a column)
-      params.foreach { p =>
+      // reads: substitution would silently capture the column. Only
+      // parameters the body actually REFERENCES are probed (an unused
+      // parameter trivially analyzes without substitution and is fine)
+      val referenced = {
+        val names = scala.collection.mutable.Set.empty[String]
+        parsed.transformAllExpressions {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            if (ua.nameParts.size == 1) names += ua.name.toLowerCase
+            ua
+        }
+        names.toSet
+      }
+      params.filter(p => referenced.contains(p.name.toLowerCase)).foreach { p =>
         val collides =
           try {
             org.apache.spark.sql.GraftSqlBridge
               .ofRows(spark, substituting(Set(p.name.toLowerCase))).schema
             true
-          } catch { case _: Throwable => false }
+          } catch { case scala.util.control.NonFatal(_) => false }
         require(!collides, s"parameter '${p.name}' collides with a column " +
           "visible in the function body; rename the parameter")
       }
@@ -1044,11 +1062,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
 
     case "register_table" =>
       // create a catalog entry from an existing metadata.json (reference
-      // RegisterTableProcedure). Two flows: pointing at ANOTHER table's
-      // metadata (shared data/manifests via absolute paths), or at a
-      // COPIED/MOVED table directory — there the v4 relative locations
-      // re-root everything under the new home, and the commit stacks on
-      // top of whatever metadata versions the copy brought along
+      // RegisterTableProcedure): the new table points at the source's
+      // data and manifests — absolute when the source lives elsewhere,
+      // re-rooted by the v4 relative locations when the metadata file
+      // sits inside a copied table directory. (A directory copied INTO
+      // a file-catalog warehouse needs no registration at all — the
+      // catalog discovers it.)
       val tblName = input.getUTF8String(0).toString
       val metaFile = input.getUTF8String(1).toString
       val parts = tblName.split("\\.").toSeq
@@ -1058,7 +1077,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val meta = MetaJson.readMetadata(GraftIO.readString(metaFile), Some(metaFile))
       val loc = catalog.tableLocation(ns, tbl)
       val ops = new FileTableOps(loc)
-      require(ops.commit(ops.currentVersion(), meta.copy(location = loc)),
+      require(ops.commit(0, meta.copy(location = loc)),
         s"failed to register $tblName at $loc")
       val t = new GTable(ops)
       val (dataFiles, deleteFiles) = t.meta.currentSnapshot.map { sn =>
@@ -1369,14 +1388,12 @@ object RewriteDataFiles {
           val afterPos =
             if (posFiles.isEmpty) withPos
             else {
-              // /data/-suffix equality: scheme-prefix agnostic AND
-              // stable across table relocation (the stored path is the
-              // writer-time absolute path)
+              // scheme-stripped exact or relocation-stable suffix match
+              // (the stored path is the writer-time absolute path)
               val dels = GraftProcedures.deleteRowsDf(spark, posFiles)
-                .select(GraftProcedures.dataSuffixCol(col("file_path")).as("__df"),
-                  col("pos").as("__dp"))
+                .select(col("file_path").as("__df"), col("pos").as("__dp"))
               withPos.join(dels,
-                GraftProcedures.dataSuffixCol(withPos("__f")) === dels("__df") &&
+                GraftProcedures.pathMatches(withPos("__f"), dels("__df")) &&
                   withPos("__p") === dels("__dp"),
                 "left_anti")
             }
@@ -1386,19 +1403,14 @@ object RewriteDataFiles {
               val fields = t.meta.schema.fields
               val keyNames = eqByFile.keys.head.equalityIds
                 .flatMap(id => fields.find(_.id == id).map(_.name))
-              def suffix(p: String): String = {
-                val i = p.lastIndexOf("/data/")
-                if (i >= 0) p.substring(i) else p
-              }
               val delKeys = eqByFile.map { case (d, applies) =>
                 spark.read.parquet(d.path).select(keyNames.map(col): _*)
                   .toDF(keyNames.map(n => s"__ek_$n"): _*)
-                  .withColumn("__ef",
-                    explode(sarray(applies.map(p => lit(suffix(p))): _*)))
+                  .withColumn("__ef", explode(sarray(applies.map(lit): _*)))
               }.reduce(_ unionByName _)
               val cond = keyNames.map(n => afterPos(n) <=> delKeys(s"__ek_$n"))
-                .foldLeft(GraftProcedures.dataSuffixCol(afterPos("__f"))
-                  === delKeys("__ef"))(_ && _)
+                .foldLeft(GraftProcedures.pathMatches(afterPos("__f"),
+                  delKeys("__ef")))(_ && _)
               afterPos.join(delKeys, cond, "left_anti")
             }
           afterEq

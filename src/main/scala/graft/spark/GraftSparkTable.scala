@@ -1097,37 +1097,40 @@ object GraftSparkTable {
       PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
         Array.empty[String], 0L, length, Map.empty)
 
-    /** Position-delete files and DVs reference data files by the
-      * ABSOLUTE path current at write time; after a table relocation
-      * (v4 relative metadata locations) the re-rooted task path no
-      * longer equals it. Canonicalize both sides to the path from the
-      * table's /data/ dir down — unique within a table (partition dirs
-      * are name=value segments and can never introduce "/data/"). */
-    private def dataSuffix(p: String): String = {
-      val i = p.lastIndexOf("/data/")
-      if (i >= 0) p.substring(i) else p
-    }
-
     /** positions deleted for `dataPath` across `deletePaths` (cached per
-      * executor: delete files are immutable) */
+      * executor: delete files are immutable). Delete content stores the
+      * writer-time ABSOLUTE data-file path: match scheme-stripped exact
+      * first, then — for tables relocated under v4 relative metadata
+      * locations — fall back to a UNIQUE last-/data/-suffix match (an
+      * ambiguous suffix, e.g. an import colliding with a native file
+      * name, never silently cross-applies). */
     private def deletedPositions(dataPath: String,
         deletePaths: Array[String]): java.util.HashSet[Long] = {
+      import graft.core.meta.GraftIO.{dataSuffix, stripScheme}
       val out = new java.util.HashSet[Long]()
       deletePaths.foreach { dp =>
         val byFile = PosDeleteCache.get(dp, () => {
           if (graft.core.meta.DVIO.isDV(dp))
             graft.core.meta.DVIO.readAsSets(dp)
-              .map { case (k, v) => dataSuffix(k) -> v }
+              .map { case (k, v) => stripScheme(k) -> v }
           else {
             val m = scala.collection.mutable.Map.empty[String, java.util.HashSet[Long]]
             deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
-              m.getOrElseUpdate(dataSuffix(r.getUTF8String(0).toString),
+              m.getOrElseUpdate(stripScheme(r.getUTF8String(0).toString),
                 new java.util.HashSet[Long]()).add(r.getLong(1))
             }
             m.toMap
           }
         })
-        byFile.get(dataSuffix(dataPath)).foreach(out.addAll)
+        val exact = byFile.get(stripScheme(dataPath))
+        val hit = exact.orElse {
+          val want = dataSuffix(dataPath)
+          byFile.keys.filter(k => dataSuffix(k) == want).toSeq match {
+            case Seq(only) => byFile.get(only)
+            case _         => None
+          }
+        }
+        hit.foreach(out.addAll)
       }
       out
     }

@@ -94,22 +94,12 @@ object GraftUdfStore {
 
   /** Atomically claim version file v{version}; false when another
     * writer got there first (the caller reloads and retries — the UDF
-    * analogue of the table commit CAS). */
+    * analogue of the table commit CAS, built on the same hard-link
+    * create-if-absent primitive). */
   private def saveAt(warehouse: String, ns: Seq[String], name: String,
-      udf: StoredUdf, version: Int): Boolean = {
-    val d = dir(warehouse, ns, name)
-    java.nio.file.Files.createDirectories(GraftIO.toPath(d))
-    val tmp = java.nio.file.Files.createTempFile(GraftIO.toPath(d), ".udf", ".tmp")
-    java.nio.file.Files.writeString(tmp, writeJson(udf))
-    try {
-      java.nio.file.Files.move(tmp, GraftIO.toPath(s"$d/v$version.metadata.json"))
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.deleteIfExists(tmp)
-        false
-    }
-  }
+      udf: StoredUdf, version: Int): Boolean =
+    GraftIO.atomicCreate(
+      s"${dir(warehouse, ns, name)}/v$version.metadata.json", writeJson(udf))
 
   def drop(warehouse: String, ns: Seq[String], name: String): Boolean = {
     val d = GraftIO.toPath(dir(warehouse, ns, name))

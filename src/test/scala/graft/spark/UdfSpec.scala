@@ -156,6 +156,9 @@ class UdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     // renamed parameter is fine
     spark.sql("""CALL graft.system.create_udtf('db.amb', 'min_id bigint',
       'SELECT id, grp FROM graft.db.tvf_amb WHERE id > min_id')""")
+    // a parameter the body never references is NOT a collision
+    spark.sql("""CALL graft.system.create_udtf('db.amb_unused', 'unused int',
+      'SELECT id FROM graft.db.tvf_amb')""")
   }
 
   test("udf body referencing an unknown name fails instead of capturing columns") {
