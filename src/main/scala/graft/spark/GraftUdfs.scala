@@ -71,13 +71,18 @@ object GraftUdfStore {
     }
   }
 
+  // parsed-UDF cache: metadata files are immutable and keyed by their
+  // version path, so a parse is reusable for the session's lifetime;
+  // function resolution consults load() several times per query
+  private val parseCache = new graft.core.meta.BoundedCache[StoredUdf](256)
+
   def load(warehouse: String, ns: Seq[String], name: String): Option[StoredUdf] =
     loadWithVersion(warehouse, ns, name).map(_._2)
 
   private def loadWithVersion(warehouse: String, ns: Seq[String],
       name: String): Option[(Int, StoredUdf)] =
     versionsIn(dir(warehouse, ns, name)).lastOption.map { case (v, path) =>
-      (v, readJson(GraftIO.readString(path)))
+      (v, parseCache.get(path)(readJson(GraftIO.readString(path))))
     }
 
   def list(warehouse: String, ns: Seq[String]): Seq[String] = {
