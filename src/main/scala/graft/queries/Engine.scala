@@ -30,13 +30,13 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v12").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v13").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
-        "avro_g", "eqdel_g", "geo_g")
+        "avro_g", "eqdel_g", "geo_g", "geog_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -261,13 +261,23 @@ object Engine {
              CAST(c_custkey * 13 % 180 - 90 AS DOUBLE) + 0.5d) AS geo""")
         .writeTo("graft.db.geo_g").append()
 
+      // geography variant: same deterministic point derivation; the
+      // gate filters with an antimeridian-WRAPPED box (xmin > xmax)
+      s.sql("CREATE TABLE graft.db.geog_g (c_custkey BIGINT, loc BINARY)")
+      s.sql("CALL graft.system.set_geo_type('db.geog_g', 'loc', 'geography')")
+      t(s, dir, "customer").selectExpr("c_custkey",
+        """graft.system.st_point(
+             CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) + 0.5d,
+             CAST(c_custkey * 13 % 180 - 90 AS DOUBLE) + 0.5d) AS loc""")
+        .writeTo("graft.db.geog_g").append()
+
       // catalog-stored SQL UDF (udf-spec): replace => true keeps the
       // build idempotent across rebuilds (adds a version, same body)
       s.sql("""CALL graft.system.create_udf('db.disc_price',
         'ep double, d double', 'double', 'ep * (1 - d)', replace => true)""")
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v12" -> "true"))
+        .updateProperties(Map("build-complete-v13" -> "true"))
     }
     built += wh
   }
@@ -821,7 +831,31 @@ object Engine {
         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ------------------------------------------------------------------ g31
+  // v3 geography: an antimeridian-WRAPPED query box (xmin > xmax, spec
+  // format/spec.md:772) means [xmin,180] ∪ [-180,xmax]; for points the
+  // oracle is the plain disjunction on the derived coordinates.
+  private val g31 = Q(
+    "g31_engine_geography",
+    (s, dir) => {
+      setup(s, dir)
+      s.sql("""SELECT c_custkey,
+          graft.system.st_x(loc) AS x, graft.system.st_y(loc) AS y
+        FROM graft.db.geog_g
+        WHERE graft.system.st_intersects_bbox(loc, 170.0D, -60.0D, -170.0D, 60.0D) = true
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey,
+        CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) + 0.5 AS x,
+        CAST(c_custkey * 13 % 180 - 90 AS DOUBLE) + 0.5 AS y
+      FROM customer
+      WHERE ((c_custkey * 7 % 360 - 180 + 0.5) >= 170
+          OR (c_custkey * 7 % 360 - 180 + 0.5) <= -170)
+        AND (c_custkey * 13 % 180 - 90 + 0.5) BETWEEN -60 AND 60
+      ORDER BY c_custkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26, g27, g28, g29, g30)
+    g24, g25, g26, g27, g28, g29, g30, g31)
 }
