@@ -171,6 +171,30 @@ class UdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concurrent overload creation: version CAS loses no definition") {
+    // 6 threads each add a DIFFERENT signature to the same function;
+    // the version-file CAS must serialize them without losing any
+    val types = Seq("int", "long", "double", "string", "boolean", "date")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futures = types.map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            GraftUdfStore.createOrReplace(warehouse, Seq("db"), "cc_fn",
+              Seq(GraftUdfStore.UdfParam("x", t)), "string", "udf",
+              s"'$t'", deterministic = true, onNullInput = "call",
+              replace = false)
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val udf = GraftUdfStore.load(warehouse, Seq("db"), "cc_fn").get
+    assert(udf.definitions.map(_.definitionId).toSet === types.toSet)
+    // and they all resolve
+    assert(spark.sql("SELECT graft.db.cc_fn(1.5D) AS r").collect()(0).getString(0) === "double")
+    assert(spark.sql("SELECT graft.db.cc_fn('s') AS r").collect()(0).getString(0) === "string")
+  }
+
   test("udf calling built-in functions and used in WHERE") {
     spark.sql("""CALL graft.system.create_udf('db.norm', 's string', 'string',
       'upper(trim(s))')""")
