@@ -30,7 +30,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v13").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v14").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
@@ -243,12 +243,18 @@ object Engine {
         s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
         PARTITIONED BY (s_nationkey)
         TBLPROPERTIES ('write.delete.mode'='merge-on-read',
-                       'write.delete.equality-enabled'='true')""")
+                       'write.delete.equality-enabled'='true',
+                       'write.update.mode'='merge-on-read',
+                       'write.update.equality-enabled'='true')""")
       s.sql("CALL graft.system.set_identifier_fields('db.eqdel_g', 's_suppkey')")
       t(s, dir, "supplier")
         .select("s_suppkey", "s_nationkey", "s_acctbal")
         .writeTo("graft.db.eqdel_g").append()
       s.sql("DELETE FROM graft.db.eqdel_g WHERE s_acctbal < 0")
+      // UPDATE also routes through equality deletes (old key deleted,
+      // replacement row appended in the same RowDelta)
+      s.sql("""UPDATE graft.db.eqdel_g SET s_acctbal = s_acctbal + 1000
+        WHERE s_suppkey % 5 = 0""")
 
       // v3 geospatial: a WKB point column declared BINARY then promoted
       // via set_geo_type; x/y derive deterministically from c_custkey so
@@ -277,7 +283,7 @@ object Engine {
         'ep double, d double', 'double', 'ep * (1 - d)', replace => true)""")
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v13" -> "true"))
+        .updateProperties(Map("build-complete-v14" -> "true"))
     }
     built += wh
   }
@@ -785,8 +791,31 @@ object Engine {
     },
     Some("""
       SELECT COUNT(*) AS n,
-        CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+        CAST(SUM(CAST(CAST(
+          CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 1000 ELSE s_acctbal END
+          AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
       FROM supplier WHERE NOT (s_acctbal < 0)"""))
+
+  // ------------------------------------------------------------------ g32
+  // UPDATE via equality deletes (same table as g28): the old keys are
+  // eq-deleted and the replacement rows appended in one RowDelta; the
+  // per-nation aggregate verifies both the mask and the new values.
+  private val g32 = Q(
+    "g32_engine_equality_update_sql",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.eqdel_g")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("sum_c"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(
+          CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 1000 ELSE s_acctbal END
+          AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_c
+      FROM supplier WHERE NOT (s_acctbal < 0)
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
   // ------------------------------------------------------------------ g29
   // v3 geometry: st_intersects_bbox filter pushes down as an StIntersects
@@ -857,5 +886,5 @@ object Engine {
 
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26, g27, g28, g29, g30, g31)
+    g24, g25, g26, g27, g28, g29, g30, g31, g32)
 }

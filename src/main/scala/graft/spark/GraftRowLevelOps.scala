@@ -32,16 +32,23 @@ final class GraftRowLevelOperationBuilder(table: GTable,
       case Command.MERGE  => "write.merge.mode"
       case other          => throw new IllegalArgumentException(other.toString)
     }
+    val eqPropKey = info.command() match {
+      case Command.DELETE => "write.delete.equality-enabled"
+      case Command.UPDATE => "write.update.equality-enabled"
+      case _              => "" // MERGE keeps position deltas
+    }
     table.meta.properties.getOrElse(propKey, "copy-on-write") match {
-      // graft extension: DELETE on an identifier-keyed MoR table can
-      // write equality deletes (delta ∝ distinct keys, no per-row
-      // position bookkeeping) — the reference only reaches its
+      // graft extension: DELETE/UPDATE on an identifier-keyed MoR table
+      // can write equality deletes (delta ∝ distinct touched keys, no
+      // per-row position bookkeeping; UPDATE = eq-delete of the old key
+      // + new data row at the same sequence, so the delete never masks
+      // the replacement) — the reference only reaches its
       // EqualityDeleteWriter from Flink CDC, never from Spark SQL
       case "merge-on-read"
-          if info.command() == Command.DELETE &&
+          if eqPropKey.nonEmpty &&
             table.schema.identifierFieldIds.nonEmpty &&
-            table.meta.properties.get("write.delete.equality-enabled").contains("true") =>
-        new GraftEqDeleteOperation(table, branchPin)
+            table.meta.properties.get(eqPropKey).contains("true") =>
+        new GraftEqDeleteOperation(table, info.command(), branchPin)
       case "merge-on-read" => new GraftMoROperation(table, info.command(), branchPin)
       case _               => new GraftCoWOperation(table, info.command(), branchPin)
     }
@@ -148,14 +155,16 @@ final class GraftMoROperation(table: GTable,
   override def description(): String = s"graft-mor($cmd)"
 }
 
-/** DELETE as equality deletes (see GraftEqDeltaWrite): the row ID is the
-  * identifier-field tuple, so Spark's delta plan feeds the writer exactly
-  * the key values of the matched rows — no (_file, _pos) projection, no
-  * clustering by file needed. */
+/** DELETE/UPDATE as equality deletes (see GraftEqDeltaWrite): the row ID
+  * is the identifier-field tuple, so Spark's delta plan feeds the writer
+  * exactly the key values of the matched rows — no (_file, _pos)
+  * projection, no clustering by file needed. UPDATE additionally writes
+  * the new rows as ordinary data files in the same RowDelta. */
 final class GraftEqDeleteOperation(table: GTable,
+    cmd: RowLevelOperation.Command,
     branchPin: Option[String] = None) extends RowLevelOperation with SupportsDelta {
 
-  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+  override def command(): RowLevelOperation.Command = cmd
 
   private def eqFields = table.schema.identifierFieldIds.toSeq.sorted
     .map(id => table.schema.fields.find(_.id == id).getOrElse(
@@ -183,5 +192,5 @@ final class GraftEqDeleteOperation(table: GTable,
       override def build(): DeltaWrite = new GraftEqDeltaWrite(table, branchPin)
     }
 
-  override def description(): String = "graft-eq-delete(DELETE)"
+  override def description(): String = s"graft-eq-delete($cmd)"
 }

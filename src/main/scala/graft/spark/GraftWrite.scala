@@ -798,9 +798,17 @@ final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = No
       Map("compression" -> "snappy"), eqStruct)
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
+    // UPDATE also writes replacement rows: a full-schema data writer
+    val writeSchema = SparkTypes.toSparkSchema(table.schema)
+    val dataJob = Job.getInstance(conf)
+    val dataOwf = new ParquetFileFormat().prepareWrite(spark, dataJob,
+      Map("compression" -> "snappy"), writeSchema)
+    val dataConfMap = dataJob.getConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
     new GraftEqDeltaWriterFactory(table.location, eqStruct.json, confMap,
       eqIds.toArray, MetaJson.writeSpec(table.spec).toString,
-      MetaJson.writeSchema(table.schema).toString, owf)
+      MetaJson.writeSchema(table.schema).toString, owf,
+      writeSchema.json, dataOwf, dataConfMap)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -817,7 +825,10 @@ final class GraftEqDeltaWriterFactory(
     eqIds: Array[Int],
     specJson: String,
     gSchemaJson: String,
-    owf: OutputWriterFactory) extends DeltaWriterFactory {
+    owf: OutputWriterFactory,
+    writeSchemaJson: String,
+    dataOwf: OutputWriterFactory,
+    dataConfMap: Map[String, String]) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val eqSchema = org.apache.spark.sql.types.DataType.fromJson(eqSchemaJson)
@@ -826,9 +837,15 @@ final class GraftEqDeltaWriterFactory(
     val spec = MetaJson.readSpec(MetaJson.mapper.readTree(specJson))
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
+    val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
+      .asInstanceOf[StructType]
+    val dataConf = new Configuration(false)
+    dataConfMap.foreach { case (k, v) => dataConf.set(k, v) }
+    val dataWriter = new GraftFanoutWriter(location, writeSchema, gSchema, spec,
+      dataOwf, dataConf, partitionId, taskId)
     new GraftEqDeltaWriter(location, spec.specId,
       spec.partitionType(gSchema).fields.map(f => SparkTypes.toSpark(f.tpe)).toArray,
-      eqSchema, eqIds, owf, conf, partitionId, taskId)
+      eqSchema, eqIds, owf, conf, partitionId, taskId, dataWriter)
   }
 }
 
@@ -841,7 +858,8 @@ final class GraftEqDeltaWriter(
     owf: OutputWriterFactory,
     conf: Configuration,
     partitionId: Int,
-    taskId: Long) extends DeltaWriter[InternalRow] {
+    taskId: Long,
+    dataWriter: GraftFanoutWriter) extends DeltaWriter[InternalRow] {
 
   // distinct identifier tuples per referenced partition tuple: a key
   // deleted twice in one task writes once (equality deletes are
@@ -861,22 +879,28 @@ final class GraftEqDeltaWriter(
     deleted.getOrElseUpdate(partKey, (raw, mutable.LinkedHashSet.empty))._2 += key
   }
 
-  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    throw new IllegalStateException("equality-delta write serves DELETE only")
+  // UPDATE: eq-delete the OLD key, write the replacement row. Both land
+  // in one RowDelta at one sequence number, and equality deletes only
+  // apply to strictly LOWER sequences — so the delete can never mask
+  // its own replacement (same contract the streaming upsert relies on).
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
 
-  override def insert(row: InternalRow): Unit =
-    throw new IllegalStateException("equality-delta write serves DELETE only")
+  override def insert(row: InternalRow): Unit = dataWriter.write(row)
 
   override def commit(): WriterCommitMessage = {
+    val dataMsg = dataWriter.commit().asInstanceOf[GraftCommitMessage]
     val files = deleted.values.toSeq.map { case (partition, keys) =>
       EqDeleteFiles.write(location, eqSchema, eqIds, specId, partition,
         keys, owf, conf, partitionId, taskId)
     }
-    GraftDeltaCommitMessage(Nil, files)
+    GraftDeltaCommitMessage(dataMsg.files, files)
   }
 
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit = dataWriter.abort()
+  override def close(): Unit = dataWriter.close()
 }
 
 /** Extract per-column min/max/null stats from a parquet footer

@@ -577,6 +577,43 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 91L)
   }
 
+  test("UPDATE on identifier-keyed MoR table writes equality deletes + rows") {
+    spark.sql("""CREATE TABLE graft.db.equpd (id BIGINT, cat STRING, v STRING)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.update.mode'='merge-on-read',
+                     'write.update.equality-enabled'='true')""")
+    spark.sql("CALL graft.system.set_identifier_fields('db.equpd', 'id')")
+    spark.range(0, 100, 1, 1)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cat",
+        "concat('v', id) AS v")
+      .writeTo("graft.db.equpd").append()
+
+    spark.sql("UPDATE graft.db.equpd SET v = concat(v, '!') WHERE id % 10 = 3")
+    // count unchanged, touched rows carry the new value, untouched don't
+    assert(spark.sql("SELECT count(*) FROM graft.db.equpd")
+      .collect()(0).getLong(0) === 100L)
+    assert(spark.sql("SELECT v FROM graft.db.equpd WHERE id = 13")
+      .collect().map(_.getString(0)).toSeq === Seq("v13!"))
+    assert(spark.sql("SELECT v FROM graft.db.equpd WHERE id = 14")
+      .collect().map(_.getString(0)).toSeq === Seq("v14"))
+    // the delta is equality-delete content for the OLD keys + new data
+    // rows — never position deletes, never a file-group rewrite: the
+    // original data files all survive
+    val files = spark.sql(
+      "SELECT content, record_count FROM graft.db.equpd.files").collect()
+    assert(!files.exists(_.getInt(0) === 1)) // no position deletes
+    val eqs = files.filter(_.getInt(0) === 2)
+    assert(eqs.nonEmpty && eqs.map(_.getLong(1)).sum === 10L)
+    // 10 replacement rows rode along as data
+    assert(files.filter(_.getInt(0) === 0).map(_.getLong(1)).sum === 110L)
+    // updating an identifier column itself also works (delete + reinsert)
+    spark.sql("UPDATE graft.db.equpd SET id = 1000 WHERE id = 3")
+    assert(spark.sql("SELECT count(*) FROM graft.db.equpd WHERE id = 3")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.sql("SELECT v FROM graft.db.equpd WHERE id = 1000")
+      .collect().map(_.getString(0)).toSeq === Seq("v3!"))
+  }
+
   test("add_files imports external parquet without rewriting") {
     val ext = java.nio.file.Files.createTempDirectory("ext-parquet").toString
     spark.range(0, 50).selectExpr("id", "concat('x', id) AS v")
