@@ -35,7 +35,8 @@ final class GraftRowLevelOperationBuilder(table: GTable,
     val eqPropKey = info.command() match {
       case Command.DELETE => "write.delete.equality-enabled"
       case Command.UPDATE => "write.update.equality-enabled"
-      case _              => "" // MERGE keeps position deltas
+      case Command.MERGE  => "write.merge.equality-enabled"
+      case _              => ""
     }
     table.meta.properties.getOrElse(propKey, "copy-on-write") match {
       // graft extension: DELETE/UPDATE on an identifier-keyed MoR table

@@ -614,6 +614,28 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSeq === Seq("v3!"))
   }
 
+  test("MERGE upsert on identifier-keyed MoR table via equality deletes") {
+    spark.sql("""CREATE TABLE graft.db.eqmrg (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+                     'write.merge.equality-enabled'='true')""")
+    spark.sql("CALL graft.system.set_identifier_fields('db.eqmrg', 'id')")
+    spark.sql("INSERT INTO graft.db.eqmrg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.range(2, 5).selectExpr("id", "concat('new', id) AS v")
+      .createOrReplaceTempView("eqmrg_src")
+    spark.sql("""MERGE INTO graft.db.eqmrg t USING eqmrg_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(spark.sql("SELECT id, v FROM graft.db.eqmrg ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "new2"), (3L, "new3"), (4L, "new4")))
+    // delta shape: equality deletes for the 2 matched keys, no position
+    // deletes, no rewrite of the original file
+    val files = spark.sql(
+      "SELECT content, record_count FROM graft.db.eqmrg.files").collect()
+    assert(!files.exists(_.getInt(0) === 1))
+    assert(files.filter(_.getInt(0) === 2).map(_.getLong(1)).sum === 2L)
+  }
+
   test("add_files imports external parquet without rewriting") {
     val ext = java.nio.file.Files.createTempDirectory("ext-parquet").toString
     spark.range(0, 50).selectExpr("id", "concat('x', id) AS v")
