@@ -631,10 +631,27 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
   private val deleteFiles = Seq.newBuilder[DataFile]
   private val dataFiles = Seq.newBuilder[DataFile]
   private var targetBranch = "main"
+  // scan-to-commit conflict window (reference BaseRowDelta
+  // conflictDetectionFilter + validateFromSnapshot): which snapshot the
+  // operation read, the row filter it matched against, and the
+  // isolation level to enforce against commits that landed in between
+  private var conflictFrom: Option[Long] = None
+  private var conflictFilter: Expr = TrueE
+  private var conflictSerializable = false
+  private var conflictConfigured = false
   def addDeletes(f: DataFile): this.type = { deleteFiles += f; this }
   def addRows(f: DataFile): this.type = { dataFiles += f; this }
   def toBranch(b: String): this.type = { targetBranch = b; this }
   override protected def branch: String = targetBranch
+
+  def validateFromSnapshot(scannedSnapshotId: Option[Long], filter: Expr,
+      serializable: Boolean): this.type = {
+    conflictFrom = scannedSnapshotId
+    conflictFilter = filter
+    conflictSerializable = serializable
+    conflictConfigured = true
+    this
+  }
 
   override protected def validate(base: TableMetadata): Unit = {
     val referenced = deleteFiles.result().flatMap(_.referencedDataFile).toSet
@@ -647,6 +664,40 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
         throw new CommitConflictException(
           s"data files referenced by position deletes were concurrently " +
             s"replaced: ${gone.take(3).mkString(", ")}")
+    }
+    // write-write conflicts in the scan-to-commit window: a concurrent
+    // commit that added DELETE files matching our filter may have masked
+    // rows this operation read (lost update — both isolation levels);
+    // under serializable, concurrently ADDED data rows matching the
+    // filter are phantoms the operation should have seen.
+    if (conflictConfigured) {
+      val bound = Expr.bind(base.schema, conflictFilter)
+      val anc = base.ancestry(targetBranch) // oldest-first
+      val intervening = conflictFrom match {
+        case Some(id) if anc.exists(_.snapshotId == id) =>
+          anc.dropWhile(_.snapshotId != id).drop(1)
+        // scanned snapshot vanished from the branch (rollback raced us)
+        // or the scan saw an empty table: check the whole ancestry
+        case _ => anc
+      }
+      intervening.foreach { s =>
+        val added = ManifestIO.readList(s.manifestListPath)
+          .filter(_.addedSnapshotId == s.snapshotId)
+          .flatMap(mf => ManifestIO.readEntries(mf))
+          .filter(e => e.status == ManifestEntryStatus.Added &&
+            e.snapshotId == s.snapshotId)
+        def mightMatch(e: ManifestEntry): Boolean =
+          InclusiveMetricsEvaluator.rowsMightMatch(bound, e.file.fileStats)
+        if (added.exists(e => e.file.content != FileContent.Data && mightMatch(e)))
+          throw new CommitConflictException(
+            s"concurrent commit ${s.snapshotId} added delete files " +
+              "matching this operation's filter (lost update)")
+        if (conflictSerializable &&
+            added.exists(e => e.file.content == FileContent.Data && mightMatch(e)))
+          throw new CommitConflictException(
+            s"serializable isolation: concurrent commit ${s.snapshotId} " +
+              "added rows matching this operation's filter")
+      }
     }
   }
 

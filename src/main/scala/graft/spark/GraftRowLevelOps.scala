@@ -35,19 +35,21 @@ final class GraftRowLevelOperationBuilder(table: GTable,
     val eqPropKey = info.command() match {
       case Command.DELETE => "write.delete.equality-enabled"
       case Command.UPDATE => "write.update.equality-enabled"
-      case Command.MERGE  => "write.merge.equality-enabled"
-      case _              => ""
+      case _              => "write.merge.equality-enabled"
     }
     table.meta.properties.getOrElse(propKey, "copy-on-write") match {
-      // graft extension: DELETE/UPDATE on an identifier-keyed MoR table
-      // can write equality deletes (delta ∝ distinct touched keys, no
-      // per-row position bookkeeping; UPDATE = eq-delete of the old key
-      // + new data row at the same sequence, so the delete never masks
-      // the replacement) — the reference only reaches its
-      // EqualityDeleteWriter from Flink CDC, never from Spark SQL
+      // graft extension: DELETE/UPDATE/MERGE on an identifier-keyed MoR
+      // table can write equality deletes (delta ∝ distinct touched keys,
+      // no per-row position bookkeeping; updates eq-delete the old key +
+      // append the replacement at the same sequence, which the delete —
+      // applying only to strictly lower sequences — can never mask) —
+      // the reference only reaches its EqualityDeleteWriter from Flink
+      // CDC, never from Spark SQL. CONTRACT (same as streaming upsert):
+      // identifier fields uniquely identify a live row; with duplicate
+      // keys present, a key-wise UPDATE masks every copy while
+      // replacing only the matched one.
       case "merge-on-read"
-          if eqPropKey.nonEmpty &&
-            table.schema.identifierFieldIds.nonEmpty &&
+          if table.schema.identifierFieldIds.nonEmpty &&
             table.meta.properties.get(eqPropKey).contains("true") =>
         new GraftEqDeleteOperation(table, info.command(), branchPin)
       case "merge-on-read" => new GraftMoROperation(table, info.command(), branchPin)
@@ -127,6 +129,11 @@ final class GraftMoROperation(table: GTable,
     cmd: RowLevelOperation.Command,
     branchPin: Option[String] = None) extends RowLevelOperation with SupportsDelta {
 
+  // the operation's scan: its snapshot + pushed filter define the
+  // scan-to-commit conflict window (reference SparkPositionDeltaWrite
+  // validates through BaseRowDelta with the command's isolation level)
+  @volatile private var configuredScan: GraftSparkTable.GraftScan = _
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -146,14 +153,37 @@ final class GraftMoROperation(table: GTable,
       org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaPartitionCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSparkTable.GraftScanBuilder(table, None, branchPin, None)
+    new GraftSparkTable.GraftScanBuilder(table, None, branchPin, None,
+      onBuild = s => configuredScan = s)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new GraftDeltaWrite(table, branchPin)
+      override def build(): DeltaWrite = new GraftDeltaWrite(table, branchPin,
+        GraftRowLevelOps.conflictInfo(() => configuredScan),
+        GraftRowLevelOps.serializableIsolation(table, cmd))
     }
 
   override def description(): String = s"graft-mor($cmd)"
+}
+
+object GraftRowLevelOps {
+  /** (scanned snapshot, pushed filter) of the operation's configured
+    * scan, evaluated at commit time */
+  private[spark] def conflictInfo(scan: () => GraftSparkTable.GraftScan)
+      : () => Option[(Option[Long], graft.core.expr.Expr)] =
+    () => Option(scan()).map(s => (s.scannedSnapshotId(), s.pushedExpr))
+
+  /** per-command isolation level (reference IsolationLevel; default
+    * serializable) */
+  private[spark] def serializableIsolation(table: GTable,
+      cmd: RowLevelOperation.Command): Boolean = {
+    val key = cmd match {
+      case RowLevelOperation.Command.DELETE => "write.delete.isolation-level"
+      case RowLevelOperation.Command.UPDATE => "write.update.isolation-level"
+      case _                                => "write.merge.isolation-level"
+    }
+    table.meta.properties.getOrElse(key, "serializable") == "serializable"
+  }
 }
 
 /** DELETE/UPDATE as equality deletes (see GraftEqDeltaWrite): the row ID
@@ -164,6 +194,8 @@ final class GraftMoROperation(table: GTable,
 final class GraftEqDeleteOperation(table: GTable,
     cmd: RowLevelOperation.Command,
     branchPin: Option[String] = None) extends RowLevelOperation with SupportsDelta {
+
+  @volatile private var configuredScan: GraftSparkTable.GraftScan = _
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -186,11 +218,14 @@ final class GraftEqDeleteOperation(table: GTable,
       org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaPartitionCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSparkTable.GraftScanBuilder(table, None, branchPin, None)
+    new GraftSparkTable.GraftScanBuilder(table, None, branchPin, None,
+      onBuild = s => configuredScan = s)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new GraftEqDeltaWrite(table, branchPin)
+      override def build(): DeltaWrite = new GraftEqDeltaWrite(table, branchPin,
+        GraftRowLevelOps.conflictInfo(() => configuredScan),
+        GraftRowLevelOps.serializableIsolation(table, cmd))
     }
 
   override def description(): String = s"graft-eq-delete($cmd)"

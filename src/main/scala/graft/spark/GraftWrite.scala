@@ -543,7 +543,9 @@ final class GraftFanoutWriter(
 // the fanout data writer; commit is a single atomic RowDelta.
 // ---------------------------------------------------------------------------
 
-final class GraftDeltaWrite(table: GTable, branchPin: Option[String] = None)
+final class GraftDeltaWrite(table: GTable, branchPin: Option[String] = None,
+    conflict: () => Option[(Option[Long], graft.core.expr.Expr)] = () => None,
+    serializable: Boolean = true)
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -563,11 +565,14 @@ final class GraftDeltaWrite(table: GTable, branchPin: Option[String] = None)
 
   override def requiredNumPartitions(): Int = 0
 
-  override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(table, branchPin)
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(table, branchPin, conflict, serializable)
   override def description(): String = s"graft-delta-write(${table.location})"
 }
 
-final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None)
+final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None,
+    conflict: () => Option[(Option[Long], graft.core.expr.Expr)] = () => None,
+    serializable: Boolean = true)
   extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -600,6 +605,12 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
     val msgs = messages.filter(_ != null).map(_.asInstanceOf[GraftDeltaCommitMessage])
     val rd = table.newRowDelta().toBranch(
       branchPin.orElse(WapBranch.resolve()).getOrElse("main"))
+    // scan-to-commit conflict window: abort on concurrent deletes
+    // matching our filter (lost update), and under serializable also on
+    // concurrently added matching rows (phantoms)
+    conflict().foreach { case (snapId, filter) =>
+      rd.validateFromSnapshot(snapId, filter, serializable)
+    }
     msgs.flatMap(_.dataFiles).foreach(rd.addRows)
     msgs.flatMap(_.deleteFiles).foreach(rd.addDeletes)
     WapBranch.stage(table, rd).commit()
@@ -755,7 +766,9 @@ final class GraftDeltaWriter(
   * (_file, _pos) bookkeeping, and commits through the same RowDelta.
   * Correctness contract (same one the streaming-upsert path relies on):
   * identifier fields uniquely identify a live row. */
-final class GraftEqDeltaWrite(table: GTable, branchPin: Option[String] = None)
+final class GraftEqDeltaWrite(table: GTable, branchPin: Option[String] = None,
+    conflict: () => Option[(Option[Long], graft.core.expr.Expr)] = () => None,
+    serializable: Boolean = true)
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -773,15 +786,18 @@ final class GraftEqDeltaWrite(table: GTable, branchPin: Option[String] = None)
   override def requiredOrdering(): Array[SortOrder] = Array.empty
   override def requiredNumPartitions(): Int = 0
 
-  override def toBatch: DeltaBatchWrite = new GraftEqDeltaBatchWrite(table, branchPin)
+  override def toBatch: DeltaBatchWrite =
+    new GraftEqDeltaBatchWrite(table, branchPin, conflict, serializable)
   override def description(): String = s"graft-eq-delta-write(${table.location})"
 }
 
-final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = None)
+final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = None,
+    conflict: () => Option[(Option[Long], graft.core.expr.Expr)] = () => None,
+    serializable: Boolean = true)
   extends DeltaBatchWrite {
 
   // commit/abort are identical to the position-delta path: one RowDelta
-  private val delegate = new GraftDeltaBatchWrite(table, branchPin)
+  private val delegate = new GraftDeltaBatchWrite(table, branchPin, conflict, serializable)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
@@ -798,11 +814,16 @@ final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = No
       Map("compression" -> "snappy"), eqStruct)
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
-    // UPDATE also writes replacement rows: a full-schema data writer
+    // UPDATE/MERGE also write replacement rows: a full-schema data
+    // writer with the same codec + roll-size handling the position-delta
+    // path uses (not a hardcoded codec)
     val writeSchema = SparkTypes.toSparkSchema(table.schema)
+    val codec = Map("compression" -> spark.sessionState.conf
+      .getConfString("spark.sql.parquet.compression.codec", "snappy"))
     val dataJob = Job.getInstance(conf)
-    val dataOwf = new ParquetFileFormat().prepareWrite(spark, dataJob,
-      Map("compression" -> "snappy"), writeSchema)
+    table.meta.properties.get("write.target-file-rows")
+      .foreach(dataJob.getConfiguration.set("graft.write.target-file-rows", _))
+    val dataOwf = new ParquetFileFormat().prepareWrite(spark, dataJob, codec, writeSchema)
     val dataConfMap = dataJob.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     new GraftEqDeltaWriterFactory(table.location, eqStruct.json, confMap,

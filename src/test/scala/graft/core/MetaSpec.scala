@@ -108,6 +108,49 @@ class MetaSpec extends AnyFunSuite {
       === Seq(s"${t.location}/b2.parquet"))
   }
 
+  test("row delta conflict window: concurrent deletes and phantoms abort") {
+    val cat = tempCatalog()
+    val t = cat.createTable(Seq("db"), "tc", schema)
+    t.newAppend().appendFile(dataFile("base.parquet", Nil, (1L, 100L))).commit()
+    val scanned = t.meta.currentSnapshot.get.snapshotId
+
+    // a concurrent writer masks rows in (1,100) with an equality delete
+    val concDel = DataFile("conc-del.parquet", "parquet", 0, Nil, 1L, 50L,
+      columnStats = Map(1 -> ColStats(Some(1L), Some(0L), None, Some(5L), Some(5L))),
+      content = FileContent.EqualityDeletes, equalityIds = Seq(1))
+    t.newRowDelta().addDeletes(concDel).commit()
+
+    // our delta scanned BEFORE that commit with an overlapping filter:
+    // lost update → abort (both isolation levels)
+    val ours = DataFile("our-del.parquet", "parquet", 0, Nil, 1L, 50L,
+      content = FileContent.EqualityDeletes, equalityIds = Seq(1))
+    intercept[CommitConflictException] {
+      t.newRowDelta().addDeletes(ours)
+        .validateFromSnapshot(Some(scanned), Expr.equalTo("id", 5L),
+          serializable = false).commit()
+    }
+    // non-overlapping filter commits fine (the concurrent delete's id
+    // bounds [5,5] don't intersect id = 999)
+    t.newRowDelta().addDeletes(ours)
+      .validateFromSnapshot(Some(scanned), Expr.equalTo("id", 999L),
+        serializable = false).commit()
+
+    // phantoms: a concurrent APPEND matching the filter aborts only
+    // under serializable
+    val snap2 = t.meta.currentSnapshot.get.snapshotId
+    t.newAppend().appendFile(dataFile("late.parquet", Nil, (200L, 210L))).commit()
+    val more = DataFile("more-del.parquet", "parquet", 0, Nil, 1L, 50L,
+      content = FileContent.EqualityDeletes, equalityIds = Seq(1))
+    intercept[CommitConflictException] {
+      t.newRowDelta().addDeletes(more)
+        .validateFromSnapshot(Some(snap2), Expr.equalTo("id", 205L),
+          serializable = true).commit()
+    }
+    t.newRowDelta().addDeletes(more)
+      .validateFromSnapshot(Some(snap2), Expr.equalTo("id", 205L),
+        serializable = false).commit()
+  }
+
   test("row delta: position deletes attach to matching partitions/seqs") {
     val cat = tempCatalog()
     val spec = PartitionSpec.of(schema, "ts" -> DayT)
