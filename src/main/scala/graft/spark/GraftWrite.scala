@@ -465,13 +465,55 @@ final class GraftFanoutWriter(
   private val RollRows =
     Option(conf.get("graft.write.target-file-rows")).map(_.toLong).getOrElse(2000000L)
 
+  // geospatial columns accumulate their bounding box AS ROWS FLOW, so
+  // commit needs no second read of the written file (FooterStats' geo
+  // re-read remains only for files we didn't write: add_files imports)
+  private val geoCols: Array[(Int, Int)] = gSchema.fields
+    .collect { case f if GeoDefaults.isGeo(f.tpe) && writeSchema.fieldNames.contains(f.name) =>
+      (writeSchema.fieldIndex(f.name), f.id)
+    }.toArray
+
+  private final class GeoAcc {
+    // per geo column: nonNull count + (xmin, ymin, xmax, ymax)
+    val nonNull = new Array[Long](geoCols.length)
+    val box = Array.fill(geoCols.length)(Array(Double.PositiveInfinity,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NegativeInfinity))
+    def observe(row: InternalRow): Unit = {
+      var i = 0
+      while (i < geoCols.length) {
+        val pos = geoCols(i)._1
+        if (!row.isNullAt(pos)) {
+          nonNull(i) += 1
+          graft.core.types.WKB.bbox(row.getBinary(pos)).foreach { b =>
+            val a = box(i)
+            a(0) = math.min(a(0), b.xmin); a(1) = math.min(a(1), b.ymin)
+            a(2) = math.max(a(2), b.xmax); a(3) = math.max(a(3), b.ymax)
+          }
+        }
+        i += 1
+      }
+    }
+    /** fieldId → stats override for this file */
+    def stats(rows: Long): Seq[(Int, ColStats)] =
+      geoCols.indices.map { i =>
+        val a = box(i)
+        val bounds = if (a(0).isInfinite || a(1).isInfinite) (None, None)
+          else (Some(GeoBounds.encode(a(0), a(1)): Any),
+            Some(GeoBounds.encode(a(2), a(3)): Any))
+        geoCols(i)._2 -> ColStats(valueCount = Some(rows),
+          nullCount = Some(rows - nonNull(i)), nanCount = None,
+          lower = bounds._1, upper = bounds._2)
+      }
+  }
+
   private final class OpenFile(val path: String,
       val writer: org.apache.spark.sql.execution.datasources.OutputWriter) {
     var rows: Long = 0L
+    val geo: GeoAcc = if (geoCols.isEmpty) null else new GeoAcc
   }
 
   private val open = mutable.Map.empty[Seq[Any], OpenFile]
-  private val closed = Seq.newBuilder[(Seq[Any], String, Long)]
+  private val closed = Seq.newBuilder[(Seq[Any], String, Long, GeoAcc)]
 
   // partition tuple extraction: source positions + types from the spec
   private val extractors: Array[InternalRow => Any] = spec.fields.map { pf =>
@@ -503,9 +545,10 @@ final class GraftFanoutWriter(
     val f = open.getOrElseUpdate(key, newFile(key))
     f.writer.write(row)
     f.rows += 1
+    if (f.geo != null) f.geo.observe(row)
     if (f.rows >= RollRows) {
       f.writer.close()
-      closed += ((key, f.path, f.rows))
+      closed += ((key, f.path, f.rows, f.geo))
       open.remove(key)
     }
   }
@@ -513,17 +556,19 @@ final class GraftFanoutWriter(
   override def commit(): WriterCommitMessage = {
     open.foreach { case (key, f) =>
       f.writer.close()
-      closed += ((key, f.path, f.rows))
+      closed += ((key, f.path, f.rows, f.geo))
     }
     open.clear()
-    val files = closed.result().map { case (key, path, rows) =>
+    val files = closed.result().map { case (key, path, rows, geo) =>
       val (size, stats) = fileFormat match {
         case "avro" =>
           val (sz, _, st) = GraftAvro.footerStats(path, gSchema); (sz, st)
         case "orc"  => FooterStats.readOrc(path, conf, gSchema, writeSchema)
-        case _      => FooterStats.read(path, conf, gSchema)
+        // geo bounds were accumulated as rows flowed: skip the re-read
+        case _      => FooterStats.read(path, conf, gSchema, skipGeo = geo != null)
       }
-      DataFile(path, fileFormat, spec.specId, key, rows, size, stats)
+      val withGeo = if (geo == null) stats else stats ++ geo.stats(rows)
+      DataFile(path, fileFormat, spec.specId, key, rows, size, withGeo)
     }
     GraftCommitMessage(files)
   }
@@ -531,7 +576,7 @@ final class GraftFanoutWriter(
   override def abort(): Unit = {
     open.values.foreach(f => try f.writer.close() catch { case _: Throwable => () })
     open.keys.toSeq.foreach(open.remove)
-    closed.result().foreach { case (_, path, _) => GraftIO.delete(path) }
+    closed.result().foreach { case (_, path, _, _) => GraftIO.delete(path) }
   }
 
   override def close(): Unit = ()
@@ -928,7 +973,7 @@ final class GraftEqDeltaWriter(
   * (reference parquet/.../ParquetUtil footer metrics). */
 object FooterStats {
   def read(path: String, conf: Configuration,
-      schema: GSchema): (Long, Map[Int, ColStats]) = {
+      schema: GSchema, skipGeo: Boolean = false): (Long, Map[Int, ColStats]) = {
     val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
     try {
@@ -957,11 +1002,10 @@ object FooterStats {
       }
       // geospatial columns: footer byte-order min/max is meaningless for
       // WKB; bounds are bounding-box corner points instead (spec
-      // format/spec.md:770-774). One projected re-read of just the geo
-      // columns per written file, executor-side — the single choke point
-      // every parquet-writing path (append, CoW, compaction, streaming)
-      // already flows through.
-      val geoFields = schema.fields.filter(f =>
+      // format/spec.md:770-774). Files WE write measure the bbox as rows
+      // flow (GraftFanoutWriter.GeoAcc, skipGeo = true); this projected
+      // re-read serves only files written elsewhere (add_files imports).
+      val geoFields = if (skipGeo) Nil else schema.fields.filter(f =>
         GeoDefaults.isGeo(f.tpe) && colNames.contains(f.name))
       if (geoFields.nonEmpty) {
         val rows = blocks.map(_.getRowCount).sum
