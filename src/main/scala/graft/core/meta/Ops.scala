@@ -397,6 +397,14 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
     extraSummary += (key -> value); this
   }
 
+  // rewrites (compaction, delete-file rewrite, dangling-delete removal)
+  // commit as operation "replace" (reference DataOperations.REPLACE):
+  // they change no logical rows, so row-level conflict validation and
+  // CDC must be able to tell them apart from real overwrites
+  private var opOverride: Option[String] = None
+  def overrideOperation(op: String): this.type = { opOverride = Some(op); this }
+  protected final def operationName: String = opOverride.getOrElse(operation)
+
   // write-audit-publish by id (reference SnapshotProducer.stageOnly):
   // the snapshot is added to table metadata but NO ref moves; it is
   // published later by cherry-pick (`publish_changes` with its wap.id)
@@ -433,7 +441,7 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       ManifestIO.writeList(listPath, ms)
       val parent = parentSnapshot(base).map(_.snapshotId)
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
-        operation, listPath, summary(base) ++ extraSummary,
+        operationName, listPath, summary(base) ++ extraSummary,
         firstRowId = if (allocatedRows > 0) Some(base.nextRowId) else None)
       val updated0 =
         if (stagedOnly) base.withStagedSnapshot(snap)
@@ -441,7 +449,7 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       val updated = updated0.copy(nextRowId = base.nextRowId + allocatedRows)
       if (table.ops.commit(baseVersion, updated)) {
         table.refresh()
-        CommitReports.add(CommitReport(table.location, snapshotId, operation,
+        CommitReports.add(CommitReport(table.location, snapshotId, operationName,
           branch, attempts + 1, System.currentTimeMillis() - t0,
           snap.summary, System.currentTimeMillis()))
         return snap
@@ -669,25 +677,39 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     // commit that added DELETE files matching our filter may have masked
     // rows this operation read (lost update — both isolation levels);
     // under serializable, concurrently ADDED data rows matching the
-    // filter are phantoms the operation should have seen.
+    // filter are phantoms the operation should have seen. Rewrites
+    // (operation "replace": compaction, delete-file rewrites) change no
+    // logical rows and are skipped, like the reference's REPLACE
+    // exclusion. The window walks the PARENT CHAIN of this commit's
+    // parent snapshot — not a ref — so the first staged write to a
+    // not-yet-existing WAP branch still validates against the main-line
+    // commits it forks from.
     if (conflictConfigured) {
       val bound = Expr.bind(base.schema, conflictFilter)
-      val anc = base.ancestry(targetBranch) // oldest-first
-      val intervening = conflictFrom match {
-        case Some(id) if anc.exists(_.snapshotId == id) =>
-          anc.dropWhile(_.snapshotId != id).drop(1)
-        // scanned snapshot vanished from the branch (rollback raced us)
-        // or the scan saw an empty table: check the whole ancestry
-        case _ => anc
-      }
-      intervening.foreach { s =>
+      val chain = Iterator.iterate(parentSnapshot(base))(
+        _.flatMap(_.parentId).flatMap(base.snapshotById))
+        .takeWhile(_.isDefined).map(_.get)
+        .takeWhile(s => !conflictFrom.contains(s.snapshotId)) // newest-first
+      chain.filterNot(_.operation == "replace").foreach { s =>
         val added = ManifestIO.readList(s.manifestListPath)
           .filter(_.addedSnapshotId == s.snapshotId)
           .flatMap(mf => ManifestIO.readEntries(mf))
           .filter(e => e.status == ManifestEntryStatus.Added &&
             e.snapshotId == s.snapshotId)
+        // pre-filter by exact partition evaluation (layer-3 style): a
+        // file in a partition the filter excludes can't conflict
+        def partMight(e: ManifestEntry): Boolean =
+          base.specById(e.file.specId) match {
+            case spec if spec.fields.nonEmpty &&
+                e.file.partition.length == spec.fields.length =>
+              RowEvaluator.eval(
+                Projections.inclusive(spec, base.schema, bound),
+                ArrayRow(e.file.partition.toArray))
+            case _ => true
+          }
         def mightMatch(e: ManifestEntry): Boolean =
-          InclusiveMetricsEvaluator.rowsMightMatch(bound, e.file.fileStats)
+          partMight(e) &&
+            InclusiveMetricsEvaluator.rowsMightMatch(bound, e.file.fileStats)
         if (added.exists(e => e.file.content != FileContent.Data && mightMatch(e)))
           throw new CommitConflictException(
             s"concurrent commit ${s.snapshotId} added delete files " +

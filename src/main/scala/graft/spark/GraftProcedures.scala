@@ -545,7 +545,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           oldPaths ++= fs.map(_.path)
         }
         val ow = t.newOverwrite().deleteFiles(oldPaths.result())
-          .addFiles(newFiles.result())
+          .addFiles(newFiles.result()).overrideOperation("replace")
         scanSnap.foreach(ow.validateFromSnapshot)
         ow.commit()
         out(StructType(Seq(StructField("rewritten_delete_files_count", IntegerType),
@@ -763,7 +763,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         .map(_.file)
         .filter(df => df.referencedDataFile.exists(p => !liveData.contains(p)))
       if (dangling.nonEmpty)
-        t.newOverwrite().deleteFiles(dangling.map(_.path)).commit()
+        t.newOverwrite().deleteFiles(dangling.map(_.path))
+          .overrideOperation("replace").commit()
       out(StructType(Seq(StructField("removed_delete_files", IntegerType))),
         row(dangling.size))
 
@@ -1323,7 +1324,7 @@ object RewriteDataFiles {
       }.toSeq
       val ow = t.newOverwrite()
         .deleteFiles((old ++ obsolete).distinct)
-        .addFiles(nf)
+        .addFiles(nf).overrideOperation("replace")
       validateFrom.foreach(ow.validateFromSnapshot)
       try {
         val snap = ow.commit()

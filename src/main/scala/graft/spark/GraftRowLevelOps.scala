@@ -94,21 +94,14 @@ final class GraftCoWOperation(table: GTable,
             scan.plannedFilePaths()
           },
           () => Option(configuredScan).flatMap(_.scannedSnapshotId()),
-          // per-command isolation level (reference IsolationLevel; default
-          // serializable): serializable also aborts when appended rows
-          // might match the operation's pushed filter
+          // per-command isolation level (shared with the delta paths):
+          // serializable also aborts when appended rows might match the
+          // operation's pushed filter
           () => {
-            val key = cmd match {
-              case RowLevelOperation.Command.DELETE => "write.delete.isolation-level"
-              case RowLevelOperation.Command.UPDATE => "write.update.isolation-level"
-              case _                                => "write.merge.isolation-level"
-            }
-            table.meta.properties.getOrElse(key, "serializable") match {
-              case "serializable" =>
-                Some(Option(configuredScan).map(_.pushedExpr)
-                  .getOrElse(graft.core.expr.TrueE))
-              case _ => None
-            }
+            if (GraftRowLevelOps.serializableIsolation(table, cmd))
+              Some(Option(configuredScan).map(_.pushedExpr)
+                .getOrElse(graft.core.expr.TrueE))
+            else None
           }),
           branch = branchPin.orElse(WapBranch.resolve()).getOrElse("main"))
       }

@@ -406,8 +406,28 @@ object EqDeleteFiles {
       w.write(out)
     }
     w.close()
+    // min/max of the key columns (values are already in memory): the
+    // delta conflict validation prunes concurrent operations by these
+    // bounds — without them every pair of concurrent row-level ops on
+    // the table would conservatively abort
+    val stats = eqSchema.fields.indices.flatMap { i =>
+      val t = try Some(SparkBridge.gTypeOf(eqSchema.fields(i).dataType))
+        catch { case _: IllegalArgumentException => None }
+      t.map { gt =>
+        val vals = keys.iterator.map(_(i)).filter(_ != null).map {
+          case b: Seq[_] => b.asInstanceOf[Seq[Byte]].toArray: Any
+          case x         => x
+        }.toSeq
+        val lo = vals.reduceOption((a, b) =>
+          if (TypeComparators.compare(gt, a, b) <= 0) a else b)
+        val hi = vals.reduceOption((a, b) =>
+          if (TypeComparators.compare(gt, a, b) >= 0) a else b)
+        eqIds(i) -> ColStats(Some(keys.size.toLong),
+          Some((keys.size - vals.size).toLong), None, lo, hi)
+      }
+    }.toMap
     DataFile(path, "parquet", specId, partition, keys.size.toLong,
-      GraftIO.size(path), Map.empty,
+      GraftIO.size(path), stats,
       content = graft.core.meta.FileContent.EqualityDeletes,
       equalityIds = eqIds.toSeq)
   }
@@ -628,6 +648,8 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
     val codec = Map("compression" -> spark.sessionState.conf
       .getConfString("spark.sql.parquet.compression.codec", "snappy"))
     val dataJob = Job.getInstance(conf)
+    table.meta.properties.get("write.target-file-rows")
+      .foreach(dataJob.getConfiguration.set("graft.write.target-file-rows", _))
     val dataOwf = new ParquetFileFormat().prepareWrite(spark, dataJob, codec, writeSchema)
     val delJob = Job.getInstance(conf)
     val delOwf = new ParquetFileFormat()

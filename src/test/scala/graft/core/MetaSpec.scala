@@ -149,6 +149,20 @@ class MetaSpec extends AnyFunSuite {
     t.newRowDelta().addDeletes(more)
       .validateFromSnapshot(Some(snap2), Expr.equalTo("id", 205L),
         serializable = false).commit()
+
+    // rewrites (operation "replace": compaction) change no logical rows
+    // and must NOT trip the window even under serializable
+    val snap3 = t.meta.currentSnapshot.get.snapshotId
+    val live = t.newScan().planFiles().map(_.file)
+    t.newOverwrite().deleteFiles(live.map(_.path))
+      .addFiles(Seq(dataFile("compacted.parquet", Nil, (1L, 210L))))
+      .overrideOperation("replace").commit()
+    assert(t.meta.currentSnapshot.get.operation === "replace")
+    val last = DataFile("last-del.parquet", "parquet", 0, Nil, 1L, 50L,
+      content = FileContent.EqualityDeletes, equalityIds = Seq(1))
+    t.newRowDelta().addDeletes(last)
+      .validateFromSnapshot(Some(snap3), Expr.equalTo("id", 100L),
+        serializable = true).commit()
   }
 
   test("row delta: position deletes attach to matching partitions/seqs") {
