@@ -1706,6 +1706,33 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.relo")
     assert(spark.sql("SELECT sum(id) FROM graft.db.relo_copy")
       .collect()(0).getLong(0) === (0L until 100L).filterNot(_ % 10 == 3).sum)
+
+    // compacting the RELOCATED copy applies its position deletes through
+    // the suffix-canonical matching (the delete content still references
+    // the original absolute paths) — deleted rows must not resurrect
+    spark.sql("CALL graft.system.rewrite_data_files('db.relo_copy')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.relo_copy")
+      .collect()(0).getLong(0) === 90L)
+    assert(spark.sql("SELECT sum(id) FROM graft.db.relo_copy")
+      .collect()(0).getLong(0) === (0L until 100L).filterNot(_ % 10 == 3).sum)
+    // and the rewrite dropped the applied position deletes
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.relo_copy.delete_files").collect()(0).getLong(0) === 0L)
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE DELETE on MoR table") {
+    spark.sql("""CREATE TABLE graft.db.mrgnb (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.merge.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.db.mrgnb VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.range(2, 4).selectExpr("id", "concat('s', id) AS v")
+      .createOrReplaceTempView("mrgnb_src")
+    spark.sql("""MERGE INTO graft.db.mrgnb t USING mrgnb_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT id, v FROM graft.db.mrgnb ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "s2"), (3L, "s3")))
   }
 
   test("commit_reports metadata table records commit outcomes") {
