@@ -169,6 +169,9 @@ final class JdbcCatalog(warehouse: String, uri: String,
     if (o.currentVersion() > 0) Some(new GTable(o)) else None
   }
 
+  override def tableOps(namespace: Seq[String], name: String): TableOps =
+    ops(namespace, name)
+
   override def tableExists(namespace: Seq[String], name: String): Boolean =
     ops(namespace, name).currentVersion() > 0
 

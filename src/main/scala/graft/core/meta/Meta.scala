@@ -84,7 +84,11 @@ final case class Snapshot(
     manifestListPath: String,
     summary: Map[String, String] = Map.empty,
     // v3 row lineage: first row id allocated to files added by this snapshot
-    firstRowId: Option[Long] = None)
+    firstRowId: Option[Long] = None,
+    // schema current when this snapshot committed (spec `schema-id`):
+    // time travel reads with THIS schema, so a later REPLACE TABLE or
+    // column drop never re-shapes historical reads
+    schemaId: Option[Int] = None)
 
 object SnapshotRefType {
   val Branch = "branch"
@@ -208,4 +212,41 @@ object TableMetadata {
       snapshotLog = Nil,
       refs = Map.empty,
       nextRowId = 0L)
+
+  /** Metadata for REPLACE TABLE: same table identity (uuid, location,
+    * snapshot history, sequence counter) with a brand-new current schema,
+    * default spec and properties, and NO current snapshot — the staged
+    * replacement write lands as a parentless snapshot and becomes the new
+    * head in the same CAS (reference core/.../TableMetadata.java
+    * buildReplacement). Old snapshots stay reachable for time travel;
+    * the new schema's field ids start past lastColumnId so recycled ids
+    * can never alias an old column. */
+  def buildReplacement(base: TableMetadata, schema: GSchema,
+      spec: graft.core.expr.PartitionSpec,
+      properties: Map[String, String]): TableMetadata = {
+    val shifted = schema.shiftIds(base.lastColumnId)
+      .copy(schemaId = base.schemas.map(_.schemaId).max + 1)
+    // the caller built `spec` against the UNSHIFTED schema; re-key its
+    // source ids and give the partition fields ids past lastPartitionId
+    val srcShift = spec.fields.map(f =>
+      f.copy(sourceId = f.sourceId + base.lastColumnId))
+    val newSpec = spec.copy(
+      specId = base.specs.map(_.specId).max + 1,
+      fields = srcShift.zipWithIndex.map { case (f, i) =>
+        f.copy(fieldId = math.max(base.lastPartitionId, 999) + 1 + i)
+      })
+    base.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = shifted.highestFieldId,
+      currentSchemaId = shifted.schemaId,
+      schemas = base.schemas :+ shifted,
+      defaultSpecId = newSpec.specId,
+      specs = base.specs :+ newSpec,
+      lastPartitionId = newSpec.fields.map(_.fieldId).maxOption
+        .getOrElse(base.lastPartitionId),
+      defaultSortOrderId = 0,
+      properties = base.properties ++ properties,
+      currentSnapshotId = None,
+      refs = base.refs - "main")
+  }
 }

@@ -284,6 +284,7 @@ object MetaJson {
         .put("manifest-list", wp(s.manifestListPath))
       s.parentId.foreach(so.put("parent-snapshot-id", _))
       s.firstRowId.foreach(so.put("first-row-id", _))
+      s.schemaId.foreach(so.put("schema-id", _))
       val sum = so.putObject("summary")
       s.summary.foreach { case (k, v) => sum.put(k, v) }
     }
@@ -347,7 +348,8 @@ object MetaJson {
         so.get("sequence-number").asLong(), so.get("timestamp-ms").asLong(),
         so.get("operation").asText(), res(so.get("manifest-list").asText()),
         sum.result(),
-        Option(so.get("first-row-id")).map(_.asLong()))
+        Option(so.get("first-row-id")).map(_.asLong()),
+        Option(so.get("schema-id")).map(_.asInt()))
     }
     val log = Seq.newBuilder[(Long, Long)]
     n.get("snapshot-log").elements().forEachRemaining { e =>

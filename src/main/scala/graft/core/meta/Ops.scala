@@ -178,6 +178,68 @@ object FileTableOps {
   private[meta] val metaCache = new BoundedCache[TableMetadata](256)
 }
 
+/** Read-only ops view presenting a historical schema as current: a
+  * time-travel handle pinned to snapshot S reads with S's recorded
+  * schema-id (spec: snapshots carry `schema-id`), so a later REPLACE
+  * TABLE or column drop never re-shapes historical reads. */
+final class SchemaPinnedOps(real: TableOps, schemaId: Int) extends TableOps {
+  def location: String = real.location
+  def currentVersion(): Int = real.currentVersion()
+  def current(): Option[TableMetadata] = real.current().map { m =>
+    if (m.schemas.exists(_.schemaId == schemaId)) m.copy(currentSchemaId = schemaId)
+    else m
+  }
+  def commit(baseVersion: Int, updated: TableMetadata): Boolean =
+    throw new UnsupportedOperationException("cannot write through a time-travel handle")
+}
+
+/** In-memory table operations backing a transaction or a staged CTAS/RTAS
+  * (reference core/.../BaseTransaction.java TransactionTableOperations):
+  * every commit mutates a buffered metadata value; nothing touches the
+  * real current-version pointer until the owner publishes the final
+  * buffered state in ONE CAS against the real ops. Data files and
+  * manifests ARE written to their final paths during staging (they are
+  * UUID-named and unreachable until the pointer moves), so publishing is
+  * pointer-swap-cheap and aborting leaves the table untouched. */
+final class StagedOps(val real: TableOps, initial: TableMetadata) extends TableOps {
+  def location: String = real.location
+  @volatile private var version = 1
+  @volatile private var staged: TableMetadata = initial
+
+  /** metadata as staged so far (what a publish would make current) */
+  def current(): Option[TableMetadata] = Some(staged)
+  def currentVersion(): Int = version
+  def stagedMeta: TableMetadata = staged
+
+  def commit(baseVersion: Int, updated: TableMetadata): Boolean = synchronized {
+    if (baseVersion != version) false
+    else { staged = updated; version += 1; true }
+  }
+
+  /** Snapshots staged here that the initial base did not have (their files
+    * are the ones an abort should best-effort clean up). */
+  def stagedSnapshots: Seq[Snapshot] =
+    staged.snapshots.filterNot(s => initial.snapshots.exists(_.snapshotId == s.snapshotId))
+
+  /** Best-effort removal of files written while staging: added data files,
+    * manifests, and manifest lists of staged snapshots. Never throws — an
+    * abort must always leave the real table pointer untouched, and any
+    * stragglers are ordinary orphans for remove_orphan_files. */
+  def cleanupStagedFiles(): Unit = stagedSnapshots.foreach { s =>
+    try {
+      val manifests = ManifestIO.readList(s.manifestListPath)
+      manifests.foreach { m =>
+        try ManifestIO.readEntries(m)
+          .filter(_.status == ManifestEntryStatus.Added)
+          .foreach(e => try GraftIO.delete(e.file.path) catch { case _: Throwable => () })
+        catch { case _: Throwable => () }
+        try GraftIO.delete(m.path) catch { case _: Throwable => () }
+      }
+      GraftIO.delete(s.manifestListPath)
+    } catch { case _: Throwable => () }
+  }
+}
+
 /** Manifest read/write (JSON-lines of entries; summaries computed on
   * write for manifest-list pruning). */
 object ManifestIO {
@@ -293,6 +355,39 @@ final class GTable(val ops: TableOps) {
   def newAppend(): FastAppend = new FastAppend(this)
   def newOverwrite(): OverwriteFiles = new OverwriteFiles(this)
   def newRowDelta(): RowDelta = new RowDelta(this)
+
+  /** Multi-operation transaction (reference core/.../BaseTransaction.java):
+    * run `body` against a staged in-memory copy of this table — every
+    * commit inside (schema/property updates, appends, row deltas, …)
+    * lands in the buffer — then publish the whole batch as ONE CAS of the
+    * real pointer. Concurrent readers never see a partial state. On CAS
+    * conflict the body re-runs against a refreshed base (the reference
+    * re-applies its pending updates the same way), so the body must be
+    * safe to re-run; files staged by a losing attempt are best-effort
+    * cleaned up. */
+  def transaction[A](body: GTable => A): A = {
+    var attempts = 0
+    val max = 20
+    while (attempts < max) {
+      val baseVersion = ops.currentVersion()
+      val base = refresh()
+      val stagedOps = new StagedOps(ops, base)
+      val stagedTable = new GTable(stagedOps)
+      val result =
+        try body(stagedTable)
+        catch { case e: Throwable => stagedOps.cleanupStagedFiles(); throw e }
+      if (ops.commit(baseVersion, stagedOps.stagedMeta)) {
+        refresh()
+        return result
+      }
+      stagedOps.cleanupStagedFiles()
+      attempts += 1
+      val cap = math.min(200L, 4L << math.min(attempts, 6))
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+    }
+    throw new CommitConflictException(
+      s"transaction failed after $attempts attempts at $location")
+  }
 
   def newScan(): TableScan = { refresh(); new TableScan(this) }
 
@@ -442,7 +537,8 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       val parent = parentSnapshot(base).map(_.snapshotId)
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
         operationName, listPath, summary(base) ++ extraSummary,
-        firstRowId = if (allocatedRows > 0) Some(base.nextRowId) else None)
+        firstRowId = if (allocatedRows > 0) Some(base.nextRowId) else None,
+        schemaId = Some(base.currentSchemaId))
       val updated0 =
         if (stagedOnly) base.withStagedSnapshot(snap)
         else base.withSnapshot(snap, branch)
@@ -771,6 +867,11 @@ class HadoopCatalog(val warehouse: String) {
     val ops = new FileTableOps(tableLocation(namespace, name))
     if (ops.currentVersion() > 0) Some(new GTable(ops)) else None
   }
+
+  /** Versioned-pointer ops for a table that may not exist yet — the CAS
+    * target a staged CTAS/RTAS publishes against. */
+  def tableOps(namespace: Seq[String], name: String): TableOps =
+    new FileTableOps(tableLocation(namespace, name))
 
   def tableExists(namespace: Seq[String], name: String): Boolean =
     new FileTableOps(tableLocation(namespace, name)).currentVersion() > 0

@@ -125,6 +125,24 @@ final case class GSchema(struct: GStruct, schemaId: Int = 0,
       fs.map(f => math.max(f.id, walk(f.nested))).maxOption.getOrElse(0)
     walk(fields)
   }
+
+  /** Re-key every field id by a constant offset. REPLACE TABLE assigns the
+    * replacement schema ids past the old table's last-column-id (reference
+    * core/.../TableMetadata.java buildReplacement → reassignment via
+    * TypeUtil.assignFreshIds) so old data files can never alias a new
+    * column through a recycled id. */
+  def shiftIds(offset: Int): GSchema = {
+    def shiftType(t: GType): GType = t match {
+      case s: GStruct => GStruct(s.fields.map(shiftField))
+      case l: GList   => GList(l.elementId + offset, shiftType(l.elementType), l.elementRequired)
+      case m: GMap    => GMap(m.keyId + offset, shiftType(m.keyType),
+        m.valueId + offset, shiftType(m.valueType), m.valueRequired)
+      case p          => p
+    }
+    def shiftField(f: GField): GField = f.copy(id = f.id + offset, tpe = shiftType(f.tpe))
+    copy(struct = GStruct(fields.map(shiftField)),
+      identifierFieldIds = identifierFieldIds.map(_ + offset))
+  }
 }
 
 object SparkTypes {

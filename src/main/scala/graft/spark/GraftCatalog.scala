@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.expr.{PartitionField, PartitionSpec}
-import graft.core.meta.{GTable, HadoopCatalog}
+import graft.core.meta.{GTable, HadoopCatalog, StagedOps, TableMetadata}
 import graft.core.types._
 
 /** DSv2 TableCatalog over the engine's directory catalog. Register with
@@ -103,8 +103,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new IllegalArgumentException(
             s"no snapshot or ref '$version' in ${ident.name}"))
     }
-    new GraftSparkTable(t, fullName(ident), snapshotId = Some(snapshotId))
+    new GraftSparkTable(schemaPinned(t, snapshotId), fullName(ident),
+      snapshotId = Some(snapshotId))
   }
+
+  /** time travel reads with the snapshot's recorded schema */
+  private def schemaPinned(t: GTable, snapshotId: Long): GTable =
+    t.meta.snapshotById(snapshotId).flatMap(_.schemaId)
+      .filter(_ != t.meta.currentSchemaId)
+      .map(sid => new GTable(new graft.core.meta.SchemaPinnedOps(t.ops, sid)))
+      .getOrElse(t)
 
   /** TIMESTAMP AS OF (micros since epoch). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
@@ -113,13 +121,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val snap = t.meta.snapshotAsOfTime(timestampMicros / 1000L)
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot as of $timestampMicros in ${ident.name}"))
-    new GraftSparkTable(t, fullName(ident), snapshotId = Some(snap.snapshotId))
+    new GraftSparkTable(schemaPinned(t, snap.snapshotId), fullName(ident),
+      snapshotId = Some(snap.snapshotId))
   }
 
-  override def createTable(ident: Identifier, columns: Array[Column],
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (catalog.tableExists(ident.namespace.toSeq, ident.name))
-      throw new TableAlreadyExistsException(ident)
+  /** columns+transforms → engine schema and spec (shared by CREATE and
+    * the staged CTAS/RTAS paths) */
+  private def schemaAndSpec(columns: Array[Column], partitions: Array[Transform])
+      : (graft.core.types.GSchema, PartitionSpec) = {
     val sparkSchema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
     val schema0 = SparkTypes.fromSpark(sparkSchema)
@@ -136,6 +145,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val spec =
       if (specs.isEmpty) PartitionSpec.Unpartitioned
       else PartitionSpec.of(schema, specs.toIndexedSeq: _*)
+    (schema, spec)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (catalog.tableExists(ident.namespace.toSeq, ident.name))
+      throw new TableAlreadyExistsException(ident)
+    val (schema, spec) = schemaAndSpec(columns, partitions)
     val t = catalog.createTable(ident.namespace.toSeq, ident.name, schema, spec,
       properties.asScala.toMap)
     new GraftSparkTable(t, fullName(ident))
@@ -232,31 +249,91 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftViewStore.rename(catalog.warehouse, from, to)
 
   // -------------------------------------------------------------- staging
-  // CTAS/RTAS (reference SparkCatalog stage* + BaseTransaction). The table
-  // is created eagerly so writers have a location; abort drops it. RTAS
-  // recreates in place — full staged-commit atomicity for replace is a
-  // follow-up.
+  // CTAS/RTAS (reference SparkCatalog stage* + BaseTransaction staged
+  // commits): the staged table buffers every metadata commit in memory
+  // (StagedOps); data files and manifests are written to their final
+  // UUID-named paths — unreachable until the pointer moves — and
+  // commitStagedChanges publishes the buffered metadata in ONE CAS of the
+  // real pointer. A failed or aborted CTAS/RTAS leaves the catalog
+  // exactly as it was: readers mid-RTAS keep seeing the original table.
+  private def staged(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    val ns = ident.namespace.toSeq
+    val ops = catalog.tableOps(ns, ident.name)
+    val (schema, spec) = schemaAndSpec(columns, partitions)
+    val props = properties.asScala.toMap
+    val initial =
+      if (replace && ops.currentVersion() > 0)
+        TableMetadata.buildReplacement(ops.current().get, schema, spec, props)
+      else if (replace && !orCreate) throw new NoSuchTableException(ident)
+      else TableMetadata.newTable(
+        catalog.tableLocation(ns, ident.name), schema, spec, props)
+    val stagedOps = new StagedOps(ops, initial)
+    val inner = new GraftSparkTable(new GTable(stagedOps), fullName(ident))
+    new GraftStagedTable(inner,
+      onCommit = () => publishStaged(ident, ops, stagedOps,
+        allowReplace = replace, allowCreate = !replace || orCreate),
+      onAbort = () => stagedOps.cleanupStagedFiles())
+  }
+
+  /** One-CAS publish of a staged CTAS/RTAS, with rebase-on-conflict: a
+    * commit that landed between staging and publish stays in the snapshot
+    * history (REPLACE supersedes it as head — reference replace
+    * transaction semantics) and the CAS retries from the new version. */
+  private def publishStaged(ident: Identifier, ops: graft.core.meta.TableOps,
+      stagedOps: StagedOps, allowReplace: Boolean, allowCreate: Boolean): Unit = {
+    var attempts = 0
+    val max = 20
+    while (attempts < max) {
+      val baseVersion = ops.currentVersion()
+      val staged = stagedOps.stagedMeta
+      if (baseVersion == 0) {
+        if (!allowCreate) {
+          stagedOps.cleanupStagedFiles()
+          throw new NoSuchTableException(ident) // concurrent DROP mid-RTAS
+        }
+        if (ops.commit(0, staged)) return
+      } else {
+        if (!allowReplace) {
+          stagedOps.cleanupStagedFiles()
+          throw new TableAlreadyExistsException(ident) // concurrent CREATE mid-CTAS
+        }
+        val base = ops.current().get
+        val merged = staged.copy(
+          snapshots = base.snapshots ++ staged.snapshots.filterNot(s =>
+            base.snapshots.exists(_.snapshotId == s.snapshotId)),
+          snapshotLog = (base.snapshotLog ++
+            staged.snapshotLog.filterNot(base.snapshotLog.contains)).distinct,
+          lastSequenceNumber =
+            math.max(base.lastSequenceNumber, staged.lastSequenceNumber),
+          nextRowId = math.max(base.nextRowId, staged.nextRowId),
+          lastUpdatedMs = System.currentTimeMillis())
+        if (ops.commit(baseVersion, merged)) return
+      }
+      attempts += 1
+      val cap = math.min(200L, 4L << math.min(attempts, 6))
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+    }
+    stagedOps.cleanupStagedFiles()
+    throw new graft.core.meta.CommitConflictException(
+      s"staged commit failed after $attempts attempts for ${fullName(ident)}")
+  }
+
   override def stageCreate(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
-    val t = createTable(ident, columns, partitions, properties)
-    new GraftStagedTable(t.asInstanceOf[GraftSparkTable], onAbort = () => dropTable(ident))
+    if (catalog.tableExists(ident.namespace.toSeq, ident.name))
+      throw new TableAlreadyExistsException(ident)
+    staged(ident, columns, partitions, properties, replace = false, orCreate = false)
   }
 
   override def stageReplace(ident: Identifier, columns: Array[Column],
-      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
-    if (!catalog.tableExists(ident.namespace.toSeq, ident.name))
-      throw new NoSuchTableException(ident)
-    dropTable(ident)
-    val t = createTable(ident, columns, partitions, properties)
-    new GraftStagedTable(t.asInstanceOf[GraftSparkTable], onAbort = () => ())
-  }
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    staged(ident, columns, partitions, properties, replace = true, orCreate = false)
 
   override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
-      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
-    if (catalog.tableExists(ident.namespace.toSeq, ident.name)) dropTable(ident)
-    val t = createTable(ident, columns, partitions, properties)
-    new GraftStagedTable(t.asInstanceOf[GraftSparkTable], onAbort = () => ())
-  }
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    staged(ident, columns, partitions, properties, replace = true, orCreate = true)
 
   // ----------------------------------------------------------- procedures
   override def loadProcedure(ident: Identifier)
@@ -329,9 +406,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (catalogName +: ident.namespace :+ ident.name).mkString(".")
 }
 
-/** CTAS/RTAS staged table: delegates everything to the real table; abort
-  * undoes the eager creation. */
-final class GraftStagedTable(inner: GraftSparkTable, onAbort: () => Unit)
+/** CTAS/RTAS staged table: delegates reads/writes to a table handle whose
+  * commits buffer in StagedOps; commit publishes the buffer with one CAS,
+  * abort discards it (and best-effort deletes staged files). */
+final class GraftStagedTable(inner: GraftSparkTable, onCommit: () => Unit,
+    onAbort: () => Unit)
   extends Table with StagedTable with SupportsRead with SupportsWrite {
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()
@@ -342,6 +421,6 @@ final class GraftStagedTable(inner: GraftSparkTable, onAbort: () => Unit)
     inner.newScanBuilder(options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
     inner.newWriteBuilder(info)
-  override def commitStagedChanges(): Unit = ()
+  override def commitStagedChanges(): Unit = onCommit()
   override def abortStagedChanges(): Unit = onAbort()
 }

@@ -228,6 +228,48 @@ class MetaSpec extends AnyFunSuite {
     assert(!ops.commit(1, stale)) // v2 exists already
   }
 
+  test("transaction batches ops into one CAS, replays on conflict, all-or-nothing") {
+    val cat = tempCatalog()
+    val t = cat.createTable(Seq("db"), "tx1", schema)
+    t.newAppend().appendFile(dataFile("seed.parquet", Nil, (1L, 10L))).commit()
+    val v0 = new FileTableOps(t.location).currentVersion()
+
+    // conflict replay: an intruder commits mid-transaction; the body
+    // re-runs against the refreshed base and everything lands atomically
+    var runs = 0
+    val intruder = cat.loadTable(Seq("db"), "tx1").get
+    t.transaction { tx =>
+      runs += 1
+      if (runs == 1) intruder.updateProperties(Map("intruder" -> "yes"))
+      tx.updateProperties(Map("batched" -> "true"))
+      tx.newAppend().appendFile(dataFile("txa.parquet", Nil, (11L, 20L))).commit()
+      tx.newAppend().appendFile(dataFile("txb.parquet", Nil, (21L, 30L))).commit()
+    }
+    assert(runs === 2)
+    val m = t.refresh()
+    // the intruder's property survived (transaction rebased onto it) and
+    // the batch is fully visible
+    assert(m.properties.get("intruder").contains("yes"))
+    assert(m.properties.get("batched").contains("true"))
+    assert(t.newScan().planFiles().map(_.file.path).toSet ===
+      Set(s"${t.location}/seed.parquet", s"${t.location}/txa.parquet",
+        s"${t.location}/txb.parquet"))
+    // whole batch = intruder commit + ONE transaction CAS
+    assert(new FileTableOps(t.location).currentVersion() === v0 + 2)
+
+    // all-or-nothing: a failing body publishes nothing
+    intercept[RuntimeException] {
+      t.transaction { tx =>
+        tx.newAppend().appendFile(dataFile("orphan.parquet", Nil, (31L, 40L))).commit()
+        throw new RuntimeException("boom")
+      }
+    }
+    val after = t.refresh()
+    assert(after.properties.get("batched").contains("true"))
+    assert(!t.newScan().planFiles().map(_.file.path).exists(_.contains("orphan")))
+    assert(new FileTableOps(t.location).currentVersion() === v0 + 2)
+  }
+
   test("task group bin-packing") {
     val cat = tempCatalog()
     val t = cat.createTable(Seq("db"), "t7", schema)

@@ -415,6 +415,37 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT sum(dbl) FROM graft.db.ctas").collect()(0).getLong(0) === 90L)
     spark.sql("REPLACE TABLE graft.db.ctas AS SELECT id, id * 3 AS tpl FROM range(5)")
     assert(spark.sql("SELECT sum(tpl) FROM graft.db.ctas").collect()(0).getLong(0) === 30L)
+    // replace keeps the table's identity: pre-replace snapshots remain
+    // time-travelable (reference TableMetadata.buildReplacement)
+    val snaps = spark.sql(
+      "SELECT snapshot_id FROM graft.db.ctas.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0))
+    assert(snaps.length >= 2, snaps.mkString(","))
+    assert(spark.sql(
+      s"SELECT sum(dbl) FROM graft.db.ctas VERSION AS OF ${snaps.head}")
+      .collect()(0).getLong(0) === 90L)
+  }
+
+  test("failed RTAS leaves the original table current and readable") {
+    spark.sql("CREATE TABLE graft.db.rtas_atom AS SELECT id, id * 2 AS dbl FROM range(10)")
+    spark.udf.register("rtas_boom", (x: Long) =>
+      if (x > 2) throw new RuntimeException("mid-RTAS failure") else x)
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.db.rtas_atom AS SELECT rtas_boom(id) AS id FROM range(10)")
+    }
+    // the replace never staged: old schema, old rows, table never dropped
+    assert(spark.sql("SELECT sum(dbl) FROM graft.db.rtas_atom")
+      .collect()(0).getLong(0) === 90L)
+    // and a subsequent successful replace still works
+    spark.sql("REPLACE TABLE graft.db.rtas_atom AS SELECT id, id * 5 AS five FROM range(4)")
+    assert(spark.sql("SELECT sum(five) FROM graft.db.rtas_atom")
+      .collect()(0).getLong(0) === 30L)
+    // RTAS on a missing table is an error; CREATE OR REPLACE is not
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.db.rtas_missing AS SELECT 1 AS one")
+    }
+    spark.sql("CREATE OR REPLACE TABLE graft.db.rtas_missing AS SELECT 1 AS one")
+    assert(spark.sql("SELECT one FROM graft.db.rtas_missing").collect()(0).getInt(0) === 1)
   }
 
   test("storage-partitioned join elides shuffles on partition keys") {
