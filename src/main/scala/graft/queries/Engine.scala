@@ -30,13 +30,13 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v14").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v15").contains("true"))
     if (!complete) {
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
-        "avro_g", "eqdel_g", "geo_g", "geog_g")
+        "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -282,8 +282,34 @@ object Engine {
       s.sql("""CALL graft.system.create_udf('db.disc_price',
         'ep double, d double', 'double', 'ep * (1 - d)', replace => true)""")
 
+      // atomic RTAS: CTAS, then a FAILING replace (must leave the table
+      // current — if it destroyed it, the next REPLACE errors and the
+      // gate goes red), then the real replacement with a new schema
+      t(s, dir, "nation").createOrReplaceTempView("rtas_nation_src")
+      s.sql("""CREATE TABLE graft.db.rtas_g AS
+        SELECT n_nationkey, n_name FROM rtas_nation_src""")
+      s.udf.register("rtas_fail_fn", (x: Long) =>
+        if (x >= 0) throw new RuntimeException("intentional RTAS failure") else x)
+      try s.sql("""REPLACE TABLE graft.db.rtas_g AS
+        SELECT rtas_fail_fn(n_nationkey) AS x FROM rtas_nation_src""")
+      catch { case _: Throwable => () }
+      s.sql("""REPLACE TABLE graft.db.rtas_g AS
+        SELECT n_regionkey, count(*) AS n_nations
+        FROM rtas_nation_src GROUP BY n_regionkey""")
+
+      // storage-partitioned join pair: same bucket transform on the join
+      // key on both sides, so the join can run exchange-free (g34)
+      s.sql("""CREATE TABLE graft.db.spj_c_g (c_custkey BIGINT, c_mktsegment STRING)
+        PARTITIONED BY (bucket(4, c_custkey))""")
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .writeTo("graft.db.spj_c_g").append()
+      s.sql("""CREATE TABLE graft.db.spj_o_g (o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(4, o_custkey))""")
+      t(s, dir, "orders").select("o_custkey", "o_totalprice")
+        .writeTo("graft.db.spj_o_g").append()
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v14" -> "true"))
+        .updateProperties(Map("build-complete-v15" -> "true"))
     }
     built += wh
   }
@@ -884,7 +910,64 @@ object Engine {
         AND (c_custkey * 13 % 180 - 90 + 0.5) BETWEEN -60 AND 60
       ORDER BY c_custkey"""))
 
+  // ------------------------------------------------------------------ g33
+  // Atomic RTAS: the build CTAS'd rtas_g, ran a REPLACE whose write
+  // throws mid-query (staged commit must abort without touching the
+  // table), then REPLACE'd it for real with a different schema. The
+  // aggregate below only matches the oracle if the failed replace left
+  // the table intact AND the successful one swapped schema+data in one
+  // CAS (reference BaseTransaction / SparkCatalog stageReplace).
+  private val g33 = Q(
+    "g33_engine_atomic_rtas",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.rtas_g").orderBy("n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n_nations
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // ------------------------------------------------------------------ g34
+  // Storage-partitioned join: both sides bucket(4, key) on the join key;
+  // with Spark's v2 bucketing conf + the source grouping opt-in the join
+  // runs on storage partitioning with NO exchange below it (reference
+  // spark/.../sql/TestStoragePartitionedJoins.java). The plan shape is
+  // asserted here — a silent fallback to shuffle fails the gate.
+  private val g34 = Q(
+    "g34_engine_spj",
+    (s, dir) => {
+      setup(s, dir)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.graft.preserveDataGrouping" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.table("graft.db.spj_c_g")
+          .join(s.table("graft.db.spj_o_g"), col("c_custkey") === col("o_custkey"))
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+          .orderBy("c_custkey")
+        val plan = df.queryExecution.executedPlan.toString
+        val joinIdx = plan.indexOf("SortMergeJoin")
+        require(joinIdx >= 0, s"g34: expected a sort-merge join:\n$plan")
+        require(!plan.substring(joinIdx).contains("Exchange"),
+          s"g34: expected an exchange-free storage-partitioned join:\n$plan")
+        df
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    },
+    Some("""
+      SELECT c_custkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_c
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26, g27, g28, g29, g30, g31, g32)
+    g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34)
 }
