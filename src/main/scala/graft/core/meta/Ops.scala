@@ -815,6 +815,35 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
           throw new CommitConflictException(
             s"serializable isolation: concurrent commit ${s.snapshotId} " +
               "added rows matching this operation's filter")
+        // Concurrently REMOVED data files: a metadata-only or whole-file
+        // CoW DELETE commits with no added files, so the checks above
+        // can't see it — but rows this operation read (and is about to
+        // re-write) may have been deleted underneath it, and committing
+        // would resurrect them. Lost update under BOTH isolation levels
+        // (reference BaseRowDelta validateDeletedDataFiles /
+        // validateNoConflictingDeletedDataFiles). Diff at the manifest
+        // level: only manifests the child dropped or rewrote can contain
+        // removals, so shared manifest files are never read.
+        val removedData = s.parentId.flatMap(base.snapshotById).toSeq.flatMap { p =>
+          val parentMs = ManifestIO.readList(p.manifestListPath).filter(_.content == 0)
+          val childMs = ManifestIO.readList(s.manifestListPath).filter(_.content == 0)
+          val childPaths = childMs.map(_.path).toSet
+          val droppedMs = parentMs.filterNot(m => childPaths.contains(m.path))
+          if (droppedMs.isEmpty) Nil
+          else {
+            val parentPaths = parentMs.map(_.path).toSet
+            val stillLive = childMs.filterNot(m => parentPaths.contains(m.path))
+              .flatMap(m => ManifestIO.readEntries(m).filter(_.isLive))
+              .map(_.file.path).toSet
+            droppedMs.flatMap(m => ManifestIO.readEntries(m).filter(e =>
+              e.isLive && e.file.content == FileContent.Data &&
+                !stillLive.contains(e.file.path)))
+          }
+        }
+        if (removedData.exists(mightMatch))
+          throw new CommitConflictException(
+            s"concurrent commit ${s.snapshotId} deleted data files " +
+              "matching this operation's filter (lost update)")
       }
     }
   }

@@ -106,10 +106,38 @@ object GraftProcedures {
     when(ex =!= "", ex).otherwise(s)
   }
 
-  /** join condition: scheme-stripped exact OR relocation-stable suffix */
-  private[spark] def pathMatches(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    stripSchemeCol(a) === stripSchemeCol(b) || dataSuffixCol(a) === dataSuffixCol(b)
+  /** Join data rows (`target`, path in `targetPath`) to delete-content
+    * rows (`dels`, writer-time absolute path in `delPath`) under the
+    * read path's matching rule (deletedPositions in GraftSparkTable):
+    * scheme-stripped exact match wins; the relocation-stable /data/
+    * suffix is consulted ONLY for targets with no exact match anywhere
+    * on the delete side, and only when the suffix names a single
+    * distinct delete-side path — two imports that both contain
+    * '/data/<name>' never cross-apply. `extra` adds per-row conditions
+    * (position, identifier keys). */
+  private[spark] def joinWithDeletePaths(
+      target: org.apache.spark.sql.DataFrame, targetPath: String,
+      dels: org.apache.spark.sql.DataFrame, delPath: String, joinType: String,
+      extra: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.Column = (_, _) => org.apache.spark.sql.functions.lit(true))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d0 = dels.withColumn("__d_exact", stripSchemeCol(col(delPath)))
+      .withColumn("__d_sfx0", dataSuffixCol(col(delPath)))
+    val sfxCounts = d0.groupBy("__d_sfx0")
+      .agg(countDistinct("__d_exact").as("__d_n"))
+    val d = d0.join(broadcast(sfxCounts), "__d_sfx0")
+      .withColumn("__d_sfx", when(col("__d_n") === 1, col("__d_sfx0")))
+      .drop("__d_sfx0", "__d_n")
+    val exacts = d.select(col("__d_exact").as("__hx")).distinct()
+    val t = target.withColumn("__t_exact", stripSchemeCol(col(targetPath)))
+      .withColumn("__t_sfx", dataSuffixCol(col(targetPath)))
+      .join(broadcast(exacts), col("__t_exact") === col("__hx"), "left")
+    val cond = (t("__t_exact") === d("__d_exact") ||
+      (t("__hx").isNull && t("__t_sfx") === d("__d_sfx"))) && extra(t, d)
+    t.join(d, cond, joinType)
+      .drop("__t_exact", "__t_sfx", "__hx", "__d_exact", "__d_sfx")
+  }
 
   /** (file_path, pos) rows of position-delete files as one DataFrame,
     * across both delete formats (parquet files and roaring DVs). */
@@ -513,15 +541,19 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         val conf = spark.sessionState.newHadoopConf()
         val newFiles = Seq.newBuilder[DataFile]
         val oldPaths = Seq.newBuilder[String]
-        import org.apache.spark.sql.functions.{col => fcol, broadcast}
-        val liveDf = broadcast(spark.createDataFrame(
-          liveData.toSeq.map(Tuple1(_))).toDF("__live"))
+        import org.apache.spark.sql.functions.{col => fcol, monotonically_increasing_id}
+        val liveDf = spark.createDataFrame(
+          liveData.toSeq.map(Tuple1(_))).toDF("__live")
         rewritable.foreach { case ((specId, _), fs) =>
           val partition = fs.head.partition
-          val rows = deleteRowsDf(spark, fs)
-            .join(liveDf,
-              GraftProcedures.pathMatches(fcol("file_path"), fcol("__live")),
-              "left_semi")
+          // keep delete rows that still apply to SOME live file under the
+          // read path's matching rule (exact wins, unique suffix only)
+          val rows0 = deleteRowsDf(spark, fs)
+            .withColumn("__rid", monotonically_increasing_id())
+          val rows = GraftProcedures
+            .joinWithDeletePaths(liveDf, "__live", rows0, "file_path", "inner")
+            .select(fcol("file_path"), fcol("pos"), fcol("__rid"))
+            .dropDuplicates("__rid").drop("__rid")
             .sort("file_path", "pos")
           val staging = java.nio.file.Files.createTempDirectory("graft-posdel").toString
           rows.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -870,19 +902,26 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           s"$colName must be a top-level column to become geospatial")
         require(field.tpe == GBinary || GeoDefaults.isGeo(field.tpe),
           s"$colName must be binary (WKB) to become geospatial, is ${field.tpe}")
-        // binary→geo promotion is only safe on an empty table: files
-        // written while the column was plain binary carry byte-order
-        // min/max bounds, which a later scan would misread as bbox
-        // corner points and wrongly prune with
-        if (field.tpe == GBinary)
+        // any geo type CHANGE is only safe on an empty table: binary
+        // files carry byte-order min/max bounds a later scan would
+        // misread as bbox corners, and geometry<->geography flips the
+        // intersection semantics (wrap-aware vs not) for existing bboxes
+        if (field.tpe != geoType)
           require(base.snapshots.isEmpty,
             s"set_geo_type requires an empty table (no snapshots); " +
               "create the column as geospatial before writing data")
         val updated = schema.copy(struct = schema.struct.copy(
           fields = schema.struct.fields.map(f =>
             if (f.id == field.id) f.copy(tpe = geoType) else f)))
-        base.copy(schemas = base.schemas.map(s0 =>
-          if (s0.schemaId == schema.schemaId) updated else s0))
+        if (field.tpe == geoType) base // no-op re-promotion
+        else {
+          // commit under a FRESH schema id (spec: schemas are immutable
+          // once written — consumers cache/compare by id)
+          val promoted = updated.copy(
+            schemaId = base.schemas.map(_.schemaId).max + 1)
+          base.copy(schemas = base.schemas :+ promoted,
+            currentSchemaId = promoted.schemaId)
+        }
       }
       out(StructType(Seq(StructField("type", StringType))),
         row(s(SparkTypes.typeName(geoType))))
@@ -1389,14 +1428,13 @@ object RewriteDataFiles {
           val afterPos =
             if (posFiles.isEmpty) withPos
             else {
-              // scheme-stripped exact or relocation-stable suffix match
-              // (the stored path is the writer-time absolute path)
+              // scheme-stripped exact match, with the relocation-stable
+              // suffix only as an unambiguous fallback (the stored path
+              // is the writer-time absolute path)
               val dels = GraftProcedures.deleteRowsDf(spark, posFiles)
                 .select(col("file_path").as("__df"), col("pos").as("__dp"))
-              withPos.join(dels,
-                GraftProcedures.pathMatches(withPos("__f"), dels("__df")) &&
-                  withPos("__p") === dels("__dp"),
-                "left_anti")
+              GraftProcedures.joinWithDeletePaths(withPos, "__f", dels, "__df",
+                "left_anti", (t, d) => t("__p") === d("__dp"))
             }
           val afterEq =
             if (eqByFile.isEmpty) afterPos
@@ -1409,10 +1447,10 @@ object RewriteDataFiles {
                   .toDF(keyNames.map(n => s"__ek_$n"): _*)
                   .withColumn("__ef", explode(sarray(applies.map(lit): _*)))
               }.reduce(_ unionByName _)
-              val cond = keyNames.map(n => afterPos(n) <=> delKeys(s"__ek_$n"))
-                .foldLeft(GraftProcedures.pathMatches(afterPos("__f"),
-                  delKeys("__ef")))(_ && _)
-              afterPos.join(delKeys, cond, "left_anti")
+              GraftProcedures.joinWithDeletePaths(afterPos, "__f", delKeys,
+                "__ef", "left_anti",
+                (t, d) => keyNames.map(n => t(n) <=> d(s"__ek_$n"))
+                  .reduce(_ && _))
             }
           afterEq
         }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, 
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 import graft.core.meta.{GraftIO, MetaJson}
 import graft.core.types.SparkTypes
@@ -297,9 +297,53 @@ object GraftUdfStore {
     }
   }
 
+  /** Deterministic overload choice shared by bind and macro expansion:
+    * exact signature wins; otherwise the up-castable candidate with the
+    * LEAST total widening. Two candidates at the same minimal cost are
+    * ambiguous and rejected — never resolved by definition-storage
+    * order, so (long) beats (double) for an int argument regardless of
+    * which overload was created first. */
+  private[spark] def chooseOverload(arity: Seq[UdfDefinition],
+      argTypes: Seq[DataType], sparkTypes: UdfDefinition => Seq[DataType],
+      fname: String): Option[UdfDefinition] = {
+    val exact = arity.find(d => sparkTypes(d) == argTypes)
+    if (exact.isDefined) return exact
+    def rank(t: DataType): Int = t match {
+      case ByteType       => 1
+      case ShortType      => 2
+      case IntegerType    => 3
+      case LongType       => 4
+      case FloatType      => 5
+      case _: DecimalType => 5
+      case DoubleType     => 6
+      case _              => 0
+    }
+    val costed = arity.flatMap { d =>
+      val ps = sparkTypes(d)
+      if (ps.zip(argTypes).forall { case (p, a) => Cast.canUpCast(a, p) })
+        Some(d -> ps.zip(argTypes).map { case (p, a) =>
+          if (p == a) 0
+          else { val w = rank(p) - rank(a); if (w > 0) w else 10 }
+        }.sum)
+      else None
+    }
+    if (costed.isEmpty) None
+    else {
+      val min = costed.map(_._2).min
+      costed.filter(_._2 == min) match {
+        case Seq((d, _)) => Some(d)
+        case many => throw new UnsupportedOperationException(
+          s"$fname: ambiguous overloads for " +
+            s"(${argTypes.map(_.sql).mkString(", ")}): " +
+            many.map(_._1.parameters.map(_.tpe).mkString("(", ",", ")"))
+              .mkString(" vs "))
+      }
+    }
+  }
+
   /** DSv2 function-catalog adapter for a stored scalar UDF: overload
-    * selection per udf-spec (exact match first, then one safe-upcast
-    * candidate), body analyzed at bind time. */
+    * selection per udf-spec (exact match first, then the least-widening
+    * upcast candidate), body analyzed at bind time. */
   final class SqlUdfUnbound(warehouse: String, ns: Seq[String],
       fname: String, udf: StoredUdf) extends UnboundFunction {
     override def name(): String = fname
@@ -312,12 +356,10 @@ object GraftUdfStore {
         s"$fname has no definition with ${inputType.size} parameters")
       def sparkTypes(d: UdfDefinition): Seq[DataType] =
         d.parameters.map(p => SparkTypes.toSpark(SparkTypes.typeFromName(p.tpe)))
-      val exact = arity.find(d => sparkTypes(d) == inputType.map(_.dataType).toSeq)
-      val chosen = exact.orElse(arity.find(d =>
-        sparkTypes(d).zip(inputType.map(_.dataType)).forall { case (p, a) =>
-          Cast.canUpCast(a, p)
-        })).getOrElse(throw new UnsupportedOperationException(
-        s"$fname: no definition matches (${inputType.map(_.dataType.sql).mkString(", ")})"))
+      val chosen = GraftUdfStore.chooseOverload(arity,
+        inputType.map(_.dataType).toSeq, sparkTypes, fname)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"$fname: no definition matches (${inputType.map(_.dataType.sql).mkString(", ")})"))
       val pTypes = sparkTypes(chosen)
       val ret = SparkTypes.toSpark(SparkTypes.typeFromName(chosen.returnType))
       val body = analyzeBody(SparkSession.active, chosen.currentVersion.sql,
@@ -448,11 +490,8 @@ class ResolveGraftUdfs(spark: SparkSession) extends Rule[LogicalPlan] {
       val arity = scalarDefs.filter(_.parameters.size == u.arguments.size)
       def sparkTypes(d: UdfDefinition): Seq[DataType] =
         d.parameters.map(p => SparkTypes.toSpark(SparkTypes.typeFromName(p.tpe)))
-      val exact = arity.find(d => sparkTypes(d) == u.arguments.map(_.dataType))
-      val chosen = exact.orElse(arity.find(d =>
-        sparkTypes(d).zip(u.arguments.map(_.dataType)).forall { case (p, a) =>
-          Cast.canUpCast(a, p)
-        }))
+      val chosen = GraftUdfStore.chooseOverload(arity,
+        u.arguments.map(_.dataType), sparkTypes, u.nameParts.mkString("."))
       chosen.flatMap { d =>
         val pTypes = sparkTypes(d)
         val args = u.arguments.zip(pTypes).map { case (a, t) =>

@@ -228,6 +228,34 @@ class MetaSpec extends AnyFunSuite {
     assert(!ops.commit(1, stale)) // v2 exists already
   }
 
+  test("delta conflict validation catches concurrently deleted data files") {
+    val cat = tempCatalog()
+    val t = cat.createTable(Seq("db"), "tdel", schema)
+    t.newAppend().appendFile(dataFile("a.parquet", Nil, (1L, 100L))).commit()
+    t.newAppend().appendFile(dataFile("b.parquet", Nil, (200L, 300L))).commit()
+    val scanned = t.meta.currentSnapshot.get.snapshotId
+
+    // a concurrent whole-file DELETE commits with NO added files — only
+    // the removal diff can reveal it
+    t.newOverwrite().deleteFile(s"${t.location}/a.parquet").commit()
+
+    // our delta scanned BEFORE that commit with a filter overlapping the
+    // removed file's rows: committing replacement rows would resurrect
+    // concurrently deleted data → lost update, abort (both levels)
+    val del = DataFile("d1.parquet", "parquet", 0, Nil, 1L, 50L,
+      content = FileContent.EqualityDeletes, equalityIds = Seq(1))
+    intercept[CommitConflictException] {
+      t.newRowDelta().addDeletes(del)
+        .validateFromSnapshot(Some(scanned), Expr.equalTo("id", 50L),
+          serializable = false).commit()
+    }
+    // a filter that can't touch the removed rows (id bounds [1,100])
+    // commits fine — the check must not false-abort
+    t.newRowDelta().addDeletes(del)
+      .validateFromSnapshot(Some(scanned), Expr.equalTo("id", 250L),
+        serializable = false).commit()
+  }
+
   test("transaction batches ops into one CAS, replays on conflict, all-or-nothing") {
     val cat = tempCatalog()
     val t = cat.createTable(Seq("db"), "tx1", schema)
