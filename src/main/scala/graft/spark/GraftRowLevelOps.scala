@@ -69,11 +69,15 @@ final class GraftCoWOperation(table: GTable,
   override def command(): RowLevelOperation.Command = cmd
 
   // requesting _file makes Spark build data/metadata projections, so the
-  // writer receives clean table-schema rows (and _file identifies groups)
+  // writer receives clean table-schema rows (and _file identifies groups);
+  // the lineage columns ride along so rewritten rows keep their _row_id /
+  // last-updated sequence (reference SparkCopyOnWriteOperation
+  // requiredMetadataAttributes + ExtractRowLineage)
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
-      GraftSparkTable.MetaFileCol))
+    Array(GraftSparkTable.MetaFileCol, GraftSparkTable.MetaRowIdCol,
+      GraftSparkTable.MetaSeqCol)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   // ignoreResiduals: the rewrite must see EVERY row of the planned files;
   // pushed filters prune files only, never rows
@@ -137,13 +141,16 @@ final class GraftMoROperation(table: GTable,
   // partitioned tables: project (_spec_id, _partition) so delete writers
   // fan position-delete files out per partition tuple (reference
   // SparkPositionDeltaOperation.requiredMetadataAttributes) — partition-
-  // scoped deletes prune at scan time instead of attaching globally
+  // scoped deletes prune at scan time instead of attaching globally.
+  // Lineage columns ride along so UPDATE's replacement rows keep _row_id.
   override def requiredMetadataAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (table.spec.fields.isEmpty) Array.empty
-    else Array(
-      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaSpecIdCol),
-      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaPartitionCol))
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val part: Array[String] =
+      if (table.spec.fields.isEmpty) Array.empty
+      else Array(GraftSparkTable.MetaSpecIdCol, GraftSparkTable.MetaPartitionCol)
+    (part ++ Array(GraftSparkTable.MetaRowIdCol, GraftSparkTable.MetaSeqCol))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSparkTable.GraftScanBuilder(table, None, branchPin, None,
@@ -202,13 +209,16 @@ final class GraftEqDeleteOperation(table: GTable,
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name)).toArray
 
   // partitioned tables: project (_spec_id, _partition) so delete files
-  // fan out per partition tuple and attach partition-scoped
+  // fan out per partition tuple and attach partition-scoped; lineage
+  // columns ride along for UPDATE's replacement rows
   override def requiredMetadataAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (table.spec.fields.isEmpty) Array.empty
-    else Array(
-      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaSpecIdCol),
-      org.apache.spark.sql.connector.expressions.Expressions.column(GraftSparkTable.MetaPartitionCol))
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val part: Array[String] =
+      if (table.spec.fields.isEmpty) Array.empty
+      else Array(GraftSparkTable.MetaSpecIdCol, GraftSparkTable.MetaPartitionCol)
+    (part ++ Array(GraftSparkTable.MetaRowIdCol, GraftSparkTable.MetaSeqCol))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSparkTable.GraftScanBuilder(table, None, branchPin, None,

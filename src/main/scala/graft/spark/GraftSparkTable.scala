@@ -43,17 +43,32 @@ class GraftSparkTable(val table: GTable, fullName: String,
   // reserved metadata columns (reference core/.../MetadataColumns.java:34-78)
   override def metadataColumns(): Array[MetadataColumn] = {
     def mc(n: String, dt: org.apache.spark.sql.types.DataType,
-        nullable: Boolean = false): MetadataColumn = new MetadataColumn {
-      override def name(): String = n
-      override def dataType(): org.apache.spark.sql.types.DataType = dt
-      override def isNullable: Boolean = nullable
-    }
+        nullable: Boolean = false, metaJson: String = null): MetadataColumn =
+      new MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = nullable
+        override def metadataInJSON(): String = metaJson
+      }
+    // lineage preservation through row-level plans (reference
+    // SparkTable.metadataColumns preserveOnUpdate/...): Spark carries
+    // _row_id through UPDATE/MERGE-UPDATE rewrites but nulls
+    // _last_updated_sequence_number, so updated rows inherit the new
+    // commit's sequence while keeping their identity
+    def preserve(reinsert: Boolean, update: Boolean): String =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(MetadataColumn.PRESERVE_ON_REINSERT, reinsert)
+        .putBoolean(MetadataColumn.PRESERVE_ON_UPDATE, update)
+        .putBoolean(MetadataColumn.PRESERVE_ON_DELETE, false)
+        .build().json
     val base = Array(
       mc(MetaFileCol, org.apache.spark.sql.types.StringType),
       mc(MetaPosCol, org.apache.spark.sql.types.LongType),
       mc(MetaSpecIdCol, org.apache.spark.sql.types.IntegerType),
-      mc(MetaRowIdCol, org.apache.spark.sql.types.LongType, nullable = true),
-      mc(MetaSeqCol, org.apache.spark.sql.types.LongType, nullable = true))
+      mc(MetaRowIdCol, org.apache.spark.sql.types.LongType, nullable = true,
+        metaJson = preserve(reinsert = true, update = true)),
+      mc(MetaSeqCol, org.apache.spark.sql.types.LongType, nullable = true,
+        metaJson = preserve(reinsert = false, update = false)))
     // _partition: the default spec's partition tuple (null for files of
     // other specs) — lets MoR deletes fan out per partition
     if (table.spec.fields.isEmpty) base
@@ -175,6 +190,12 @@ object GraftSparkTable {
       org.apache.spark.sql.types.StructField(MetaSeqCol,
         org.apache.spark.sql.types.LongType, nullable = true, meta(LastUpdSeqFieldId)))
   }
+
+  /** lineage columns as engine fields, appended to a writer's gSchema so
+    * format-side stats/conversions see them (same reserved ids) */
+  def lineageGFields: Seq[graft.core.types.GField] = Seq(
+    graft.core.types.GField(RowIdFieldId, MetaRowIdCol, graft.core.types.GLong),
+    graft.core.types.GField(LastUpdSeqFieldId, MetaSeqCol, graft.core.types.GLong))
 
   /** Spark struct type of a spec's partition tuple. */
   def partitionStructType(spec: graft.core.expr.PartitionSpec,

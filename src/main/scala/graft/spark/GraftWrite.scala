@@ -205,6 +205,17 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
+    // copy-on-write rewrites materialize row lineage: the written files
+    // carry _row_id/_last_updated_sequence_number columns under the
+    // reserved field ids, filled from Spark's metadata projection
+    val isCow = mode.isInstanceOf[CopyOnWriteMode]
+    val fileSchema =
+      if (isCow) StructType(writeSchema.fields ++ GraftSparkTable.lineageReadFields)
+      else writeSchema
+    val fileGSchema =
+      if (isCow) table.schema.copy(struct = graft.core.types.GStruct(
+        table.schema.fields ++ GraftSparkTable.lineageGFields))
+      else table.schema
     // prepareWrite wires ParquetWriteSupport (schema, field ids, codec)
     // into the job conf; the OutputWriterFactory is serializable.
     val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
@@ -220,13 +231,13 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     val owf = dataFormat match {
       case "avro" =>
         new GraftAvro.AvroWriterFactory(
-          graft.core.meta.MetaJson.writeSchema(table.schema).toString)
+          graft.core.meta.MetaJson.writeSchema(fileGSchema).toString)
       case "orc" =>
         new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
           .prepareWrite(spark, job,
             Map("compression" -> spark.sessionState.conf
               .getConfString("spark.sql.orc.compression.codec", "snappy")),
-            writeSchema)
+            fileSchema)
       case _ =>
         // table-level parquet tuning (reference TableProperties):
         // write.parquet.compression-codec, row-group size, bloom filters
@@ -245,17 +256,17 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
               k.stripPrefix("write.parquet.bloom-filter-enabled.column."), v)
         }
         new ParquetFileFormat().prepareWrite(spark, job,
-          Map("compression" -> codec), writeSchema)
+          Map("compression" -> codec), fileSchema)
     }
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     val metaJson = graft.core.meta.MetaJson
     new GraftWriterFactory(
       table.location,
-      writeSchema.json,
-      metaJson.writeSchema(table.schema).toString,
+      fileSchema.json,
+      metaJson.writeSchema(fileGSchema).toString,
       metaJson.writeSpec(table.spec).toString,
-      owf, confMap, dataFormat)
+      owf, confMap, dataFormat, lineage = isCow)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -449,7 +460,8 @@ final class GraftWriterFactory(
     specJson: String,
     owf: OutputWriterFactory,
     confMap: Map[String, String],
-    fileFormat: String = "parquet") extends DataWriterFactory {
+    fileFormat: String = "parquet",
+    lineage: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
@@ -459,7 +471,7 @@ final class GraftWriterFactory(
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
     new GraftFanoutWriter(location, writeSchema, gSchema, spec, owf, conf,
-      partitionId, taskId, fileFormat)
+      partitionId, taskId, fileFormat, lineage)
   }
 }
 
@@ -476,7 +488,40 @@ final class GraftFanoutWriter(
     conf: Configuration,
     partitionId: Int,
     taskId: Long,
-    fileFormat: String = "parquet") extends DataWriter[InternalRow] {
+    fileFormat: String = "parquet",
+    // row-level rewrites materialize lineage: writeSchema's last two
+    // fields are _row_id/_last_updated_sequence_number, filled from the
+    // metadata projection Spark hands to write(meta, row) (reference
+    // ExtractRowLineage + DataWriterWithLineage)
+    lineage: Boolean = false) extends DataWriter[InternalRow] {
+
+  private val nullLineage =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+  private val lineageRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+  private val lineageJoin = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+  private var metaRowIdOrd = -2 // -2 = not yet resolved from the meta schema
+  private var metaSeqOrd = -2
+
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    if (!lineage) write(row)
+    else if (meta == null) writeFull(lineageJoin(row, nullLineage))
+    else {
+      if (metaRowIdOrd == -2) {
+        val sch = meta.asInstanceOf[org.apache.spark.sql.catalyst.ProjectingInternalRow].schema
+        metaRowIdOrd = sch.fieldNames.indexOf(GraftSparkTable.MetaRowIdCol)
+        metaSeqOrd = sch.fieldNames.indexOf(GraftSparkTable.MetaSeqCol)
+      }
+      lineageRow.update(0,
+        if (metaRowIdOrd >= 0 && !meta.isNullAt(metaRowIdOrd))
+          meta.getLong(metaRowIdOrd): java.lang.Long
+        else null)
+      lineageRow.update(1,
+        if (metaSeqOrd >= 0 && !meta.isNullAt(metaSeqOrd))
+          meta.getLong(metaSeqOrd): java.lang.Long
+        else null)
+      writeFull(lineageJoin(row, lineageRow))
+    }
 
   // roll target (reference RollingFileWriter rolls at
   // write.target-file-size-bytes; parquet buffers row groups in memory so
@@ -560,7 +605,15 @@ final class GraftFanoutWriter(
     new OpenFile(path, owf.newInstance(path, writeSchema, ctx))
   }
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row: InternalRow): Unit =
+    // a bare data row on a lineage writer (MoR INSERT branch, plain
+    // writeAll) gets null lineage: fresh ids assigned at read from the
+    // file's first-row-id + position
+    if (lineage && row.numFields < writeSchema.length)
+      writeFull(lineageJoin(row, nullLineage))
+    else writeFull(row)
+
+  private def writeFull(row: InternalRow): Unit = {
     val key: Seq[Any] = extractors.map(_(row)).toSeq
     val f = open.getOrElseUpdate(key, newFile(key))
     f.writer.write(row)
@@ -642,7 +695,12 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
-    val writeSchema = SparkTypes.toSparkSchema(table.schema)
+    // replacement rows materialize lineage (UPDATE keeps _row_id; the
+    // nulled last-updated seq falls back to the new commit's sequence)
+    val writeSchema = StructType(SparkTypes.toSparkSchema(table.schema).fields ++
+      GraftSparkTable.lineageReadFields)
+    val gSchemaForFile = table.schema.copy(struct = graft.core.types.GStruct(
+      table.schema.fields ++ GraftSparkTable.lineageGFields))
     val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     val codec = Map("compression" -> spark.sessionState.conf
@@ -662,7 +720,7 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
       .map(e => e.getKey -> e.getValue).toMap
     new GraftDeltaWriterFactory(
       table.location, writeSchema.json,
-      MetaJson.writeSchema(table.schema).toString,
+      MetaJson.writeSchema(gSchemaForFile).toString,
       MetaJson.writeSpec(table.spec).toString,
       dataOwf, delOwf, confMap, delConfMap,
       table.meta.properties.getOrElse("write.delete.format", "parquet"))
@@ -710,7 +768,7 @@ final class GraftDeltaWriterFactory(
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
     val dataWriter = new GraftFanoutWriter(location, writeSchema, gSchema, spec,
-      dataOwf, conf, partitionId, taskId)
+      dataOwf, conf, partitionId, taskId, lineage = true)
     val delConf = new Configuration(false)
     delConfMap.foreach { case (k, v) => delConf.set(k, v) }
     new GraftDeltaWriter(location, spec.specId,
@@ -773,7 +831,9 @@ final class GraftDeltaWriter(
 
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(meta, id)
-    insert(row)
+    // replacement row keeps its _row_id (Spark's metadata projection
+    // preserves it and nulls the last-updated seq per the column flags)
+    dataWriter.write(meta, row)
   }
 
   override def insert(row: InternalRow): Unit = dataWriter.write(row)
@@ -883,8 +943,12 @@ final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = No
       .map(e => e.getKey -> e.getValue).toMap
     // UPDATE/MERGE also write replacement rows: a full-schema data
     // writer with the same codec + roll-size handling the position-delta
-    // path uses (not a hardcoded codec)
-    val writeSchema = SparkTypes.toSparkSchema(table.schema)
+    // path uses (not a hardcoded codec); lineage columns materialize so
+    // replacements keep their _row_id
+    val writeSchema = StructType(SparkTypes.toSparkSchema(table.schema).fields ++
+      GraftSparkTable.lineageReadFields)
+    val gSchemaForFile = table.schema.copy(struct = graft.core.types.GStruct(
+      table.schema.fields ++ GraftSparkTable.lineageGFields))
     val codec = Map("compression" -> spark.sessionState.conf
       .getConfString("spark.sql.parquet.compression.codec", "snappy"))
     val dataJob = Job.getInstance(conf)
@@ -895,7 +959,7 @@ final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = No
       .map(e => e.getKey -> e.getValue).toMap
     new GraftEqDeltaWriterFactory(table.location, eqStruct.json, confMap,
       eqIds.toArray, MetaJson.writeSpec(table.spec).toString,
-      MetaJson.writeSchema(table.schema).toString, owf,
+      MetaJson.writeSchema(gSchemaForFile).toString, owf,
       writeSchema.json, dataOwf, dataConfMap)
   }
 
@@ -930,7 +994,7 @@ final class GraftEqDeltaWriterFactory(
     val dataConf = new Configuration(false)
     dataConfMap.foreach { case (k, v) => dataConf.set(k, v) }
     val dataWriter = new GraftFanoutWriter(location, writeSchema, gSchema, spec,
-      dataOwf, dataConf, partitionId, taskId)
+      dataOwf, dataConf, partitionId, taskId, lineage = true)
     new GraftEqDeltaWriter(location, spec.specId,
       spec.partitionType(gSchema).fields.map(f => SparkTypes.toSpark(f.tpe)).toArray,
       eqSchema, eqIds, owf, conf, partitionId, taskId, dataWriter)
@@ -973,7 +1037,9 @@ final class GraftEqDeltaWriter(
   // its own replacement (same contract the streaming upsert relies on).
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(meta, id)
-    insert(row)
+    // replacement row keeps its _row_id (Spark's metadata projection
+    // preserves it and nulls the last-updated seq per the column flags)
+    dataWriter.write(meta, row)
   }
 
   override def insert(row: InternalRow): Unit = dataWriter.write(row)

@@ -426,6 +426,51 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 90L)
   }
 
+  test("row lineage survives CoW and MoR DML rewrites") {
+    def lineage(t: String): Map[Long, (Long, Long)] =
+      spark.sql(s"SELECT id, _row_id, _last_updated_sequence_number FROM $t")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // copy-on-write UPDATE: the whole file is rewritten; untouched rows
+    // must keep BOTH lineage values, the updated row keeps _row_id and
+    // moves to the update commit's sequence (spec row lineage;
+    // reference ExtractRowLineage + TestRowLevelOperationsWithLineage)
+    spark.sql("CREATE TABLE graft.db.lin_cow (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.lin_cow VALUES (1,'a'),(2,'b'),(3,'c')")
+    val cowBefore = lineage("graft.db.lin_cow")
+    spark.sql("UPDATE graft.db.lin_cow SET v = 'B' WHERE id = 2")
+    val cowAfter = lineage("graft.db.lin_cow")
+    assert(cowAfter.view.mapValues(_._1).toMap ===
+      cowBefore.view.mapValues(_._1).toMap, "CoW UPDATE must keep _row_id")
+    assert(cowAfter(1)._2 === cowBefore(1)._2, "untouched row keeps its seq")
+    assert(cowAfter(3)._2 === cowBefore(3)._2, "untouched row keeps its seq")
+    assert(cowAfter(2)._2 > cowBefore(2)._2, "updated row moves to the new seq")
+
+    // MERGE: matched update keeps _row_id; the inserted row gets a fresh
+    // one past every pre-merge id
+    spark.sql("""MERGE INTO graft.db.lin_cow t
+      USING (SELECT 3 AS id, 'C' AS v UNION ALL SELECT 9, 'i') s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val cowMerged = lineage("graft.db.lin_cow")
+    assert(cowMerged(3)._1 === cowBefore(3)._1, "MERGE UPDATE must keep _row_id")
+    assert(cowMerged(9)._1 > cowBefore.values.map(_._1).max,
+      "MERGE INSERT gets a fresh _row_id")
+
+    // merge-on-read UPDATE: replacement row written to a new file must
+    // carry the original _row_id as a materialized column
+    spark.sql("""CREATE TABLE graft.db.lin_mor (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.db.lin_mor VALUES (1,'a'),(2,'b'),(3,'c')")
+    val morBefore = lineage("graft.db.lin_mor")
+    spark.sql("UPDATE graft.db.lin_mor SET v = 'B' WHERE id = 2")
+    val morAfter = lineage("graft.db.lin_mor")
+    assert(morAfter.view.mapValues(_._1).toMap ===
+      morBefore.view.mapValues(_._1).toMap, "MoR UPDATE must keep _row_id")
+    assert(morAfter(2)._2 > morBefore(2)._2, "updated row moves to the new seq")
+    assert(morAfter(1) === morBefore(1), "untouched rows keep full lineage")
+  }
+
   test("failed RTAS leaves the original table current and readable") {
     spark.sql("CREATE TABLE graft.db.rtas_atom AS SELECT id, id * 2 AS dbl FROM range(10)")
     spark.udf.register("rtas_boom", (x: Long) =>
