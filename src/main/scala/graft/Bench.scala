@@ -41,12 +41,19 @@ object Bench {
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      q.name -> samples(1)
+      }
+      (q.name, samples.sorted.apply(1), samples)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // raw samples, in run order: a contaminated driver run (cold
+    // warehouse rebuild in the same JVM) shows up as a wild first sample
+    // and is distinguishable from a real regression without a re-run
+    val sampleJson = results.map { case (k, _, ss) =>
+      "\"" + k + "\":[" + ss.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val wasCold = graft.queries.Engine.builtCold(sfDir)
     // BASELINE.md's 2x budget is vs native spark.read.parquet: measure the
     // exact native equivalent of g01 (q06's plan) in the SAME run so the
     // gate is evaluated directly, not by cross-run proxy. Median of 3 —
@@ -63,6 +70,7 @@ object Bench {
     val g01 = results.find(_._1 == "g01_engine_scan_prune").map(_._2).getOrElse(0.0)
     val ratio = if (native > 0) g01 / native else -1.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""samples":$sampleJson,"warehouse_was_cold":$wasCold,""" +
       s""""native_scan_sec":$native,"g01_vs_native":$ratio,"sf":"$sfDir"}""")
     spark.stop()
   }

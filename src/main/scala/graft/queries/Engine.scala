@@ -17,9 +17,16 @@ import Tables._
 object Engine {
 
   private val built = scala.collection.mutable.Set.empty[String]
+  private val coldBuilt = scala.collection.mutable.Set.empty[String]
 
   private def warehouse(dir: String): String =
     s"/tmp/graft_wh_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** true when THIS JVM rebuilt the gate warehouse for `dir` — bench
+    * samples taken right after a rebuild run against freshly written
+    * files and a busy page cache, so the flag lets a reader tell a
+    * contaminated sample from a regression */
+  def builtCold(dir: String): Boolean = coldBuilt.contains(warehouse(dir))
 
   /** idempotent per-JVM setup: catalog conf + tables */
   private def setup(s: SparkSession, dir: String): Unit = synchronized {
@@ -32,6 +39,7 @@ object Engine {
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
       .exists(_.meta.properties.get("build-complete-v15").contains("true"))
     if (!complete) {
+      coldBuilt += wh
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
