@@ -161,31 +161,39 @@ object GraftMetadataTables {
           mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount)): InternalRow
       }.toArray
       case "partitions" =>
-        // streaming fold, one manifest at a time: memory stays
-        // O(partitions) + one manifest's entries, not O(all entries)
-        // (byte-array partition values normalize for hashable keys)
-        final case class PartAgg(tuple: Seq[Any], var records: Long,
-          var files: Int, var bytes: Long)
-        val agg = scala.collection.mutable.LinkedHashMap.empty[(Int, Seq[Any]), PartAgg]
-        currentManifests.foreach { mf =>
-          ManifestIO.readEntries(mf).foreach { e =>
-            if (e.isLive && e.file.content == FileContent.Data) {
-              val key = (e.file.specId, e.file.partition.map {
-                case b: Array[Byte] => b.toSeq
-                case x              => x
-              })
-              val a = agg.getOrElseUpdate(key, PartAgg(e.file.partition, 0L, 0, 0L))
-              a.records += e.file.recordCount
-              a.files += 1
-              a.bytes += e.file.fileSizeBytes
+        // distributed aggregate (reference PartitionsTable is built from
+        // the entries scan): each task folds ONE manifest into
+        // (spec, partition) → (records, files, bytes) partials,
+        // reduceByKey combines map-side, and the driver collects only
+        // O(partitions) — at 1.5M files the driver never sees an entry
+        val dataMfs = currentManifests.filter(_.content == 0)
+        if (dataMfs.isEmpty) Array.empty
+        else {
+          val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+          val partials = sc
+            .parallelize(dataMfs, math.max(1, math.min(dataMfs.size, 64)))
+            .flatMap { mf =>
+              ManifestIO.readEntries(mf).iterator.collect {
+                case e if e.isLive && e.file.content == FileContent.Data =>
+                  // byte-array partition values normalize for hashable keys
+                  ((e.file.specId, e.file.partition.map {
+                    case b: Array[Byte] => b.toSeq
+                    case x              => x
+                  }), (e.file.partition, e.file.recordCount, 1L, e.file.fileSizeBytes))
+              }
             }
-          }
+            .reduceByKey((a, b) => (a._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+            .collect()
+          partials
+            .map { case ((specId, _), (tuple, records, files, bytes)) =>
+              (specId, partString(specId, tuple), records, files, bytes)
+            }
+            .sortBy { case (specId, ps, _, _, _) => (specId, ps.toString) }
+            .map { case (specId, ps, records, files, bytes) =>
+              new GenericInternalRow(Array[Any](
+                ps, specId, records, files.toInt, bytes)): InternalRow
+            }
         }
-        agg.map { case ((specId, _), a) =>
-          new GenericInternalRow(Array[Any](
-            partString(specId, a.tuple), specId,
-            a.records, a.files, a.bytes)): InternalRow
-        }.toArray
       case "metadata_log_entries" => m.snapshotLog.map { case (ts, id) =>
         new GenericInternalRow(Array[Any](ts * 1000L, id)): InternalRow
       }.toArray
@@ -370,14 +378,17 @@ object PositionDeletesScan {
       val t = p.asInstanceOf[PosDeleteFileTask]
       val it: Iterator[InternalRow] =
         if (t.format == "dv") {
+          // stream the bitmap: a 100M-position DV iterates in place
+          // instead of allocating one row object per position up front
           val (ref, bm) = DVIO.read(t.path)
-          val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-          bm.forEach((l: Long) => {
-            buf += new GenericInternalRow(Array[Any](
-              UTF8String.fromString(ref), l, UTF8String.fromString(t.path)))
-            ()
-          })
-          buf.iterator
+          val refU = UTF8String.fromString(ref)
+          val pathU = UTF8String.fromString(t.path)
+          val li = bm.getLongIterator
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = li.hasNext
+            override def next(): InternalRow =
+              new GenericInternalRow(Array[Any](refU, li.next(), pathU))
+          }
         } else {
           val pf = PartitionedFile(InternalRow.empty,
             org.apache.spark.paths.SparkPath.fromPathString(t.path),

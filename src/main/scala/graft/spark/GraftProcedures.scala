@@ -458,21 +458,62 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         case -1L => System.currentTimeMillis() - 3L * 24 * 3600 * 1000
         case v   => v
       }
-      val reachable = reachableFiles(t)
-      // hidden files (.crc checksums, _SUCCESS markers) are never orphans
-      // (reference HiddenPathFilter)
-      val actual = walkFiles(s"${t.location}/data").filterNot { p =>
-        val n = GraftIO.toPath(p).getFileName.toString
-        n.startsWith(".") || n.startsWith("_")
-      }.filter { p =>
-        try java.nio.file.Files.getLastModifiedTime(GraftIO.toPath(p))
-          .toMillis < olderThanMs
-        catch { case _: Throwable => false }
+      // Both sides of the diff run as Spark jobs (reference
+      // DeleteOrphanFilesSparkAction): at 100 TB the data tree holds
+      // millions of files and the metadata hundreds of thousands of
+      // manifest entries — neither list may materialize on the driver.
+      val spark = SparkSession.active
+      val sc = spark.sparkContext
+      import spark.implicits._
+      // reachable data/delete paths: manifest LISTS are read on the
+      // driver (one small file per snapshot); entry reads fan out per
+      // manifest
+      val mfs = t.meta.snapshots
+        .flatMap(s => try ManifestIO.readList(s.manifestListPath)
+          catch { case _: Throwable => Nil })
+        .groupBy(_.path).map(_._2.head).toSeq
+      val reachableDs =
+        if (mfs.isEmpty) spark.emptyDataset[String]
+        else sc.parallelize(mfs, math.max(1, math.min(mfs.size, 64)))
+          .flatMap(mf => try ManifestIO.readEntries(mf).flatMap(e =>
+              e.file.path +: e.file.referencedDataFile.toSeq)
+            catch { case _: Throwable => Nil })
+          .toDS()
+      // actual files: one driver readdir of data/, then each first-level
+      // entry (partition directory or file) walks in its own task
+      val dataDir = s"${t.location}/data"
+      val firstLevel: Seq[String] = {
+        val p = GraftIO.toPath(dataDir)
+        if (!java.nio.file.Files.exists(p)) Nil
+        else {
+          val st = java.nio.file.Files.list(p)
+          try st.iterator().asScala.map(_.toString).toSeq finally st.close()
+        }
       }
-      val orphans = actual.filterNot(reachable.contains)
+      val actualDs =
+        if (firstLevel.isEmpty) spark.emptyDataset[String]
+        else sc.parallelize(firstLevel, math.max(1, math.min(firstLevel.size, 64)))
+          .flatMap { p0 =>
+            val path = GraftIO.toPath(p0)
+            if (java.nio.file.Files.isRegularFile(path)) Seq(p0)
+            else GraftProcedures.walkFiles(p0)
+          }
+          // hidden files (.crc checksums, _SUCCESS markers) are never
+          // orphans (reference HiddenPathFilter); the age filter runs
+          // executor-side next to the listing
+          .filter { p =>
+            val n = GraftIO.toPath(p).getFileName.toString
+            !n.startsWith(".") && !n.startsWith("_") &&
+              (try java.nio.file.Files.getLastModifiedTime(GraftIO.toPath(p))
+                .toMillis < olderThanMs
+              catch { case _: Throwable => false })
+          }
+          .toDS()
+      val orphans = actualDs.toDF("p").except(reachableDs.toDF("p"))
+        .as[String].collect()
       if (!dryRun) orphans.foreach(GraftIO.delete)
       out(StructType(Seq(StructField("orphan_file_count", IntegerType))),
-        row(orphans.size))
+        row(orphans.length))
 
     case "rewrite_data_files" =>
       RewriteDataFiles.run(loadTable(input.getUTF8String(0).toString),

@@ -278,6 +278,19 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphans === 1)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stray)))
 
+    // distributed listing: orphans inside partition subdirectories are
+    // found per-directory tasks, live files stay
+    spark.sql("CREATE TABLE graft.db.proc_part (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.db.proc_part VALUES (1,'x'),(2,'y')")
+    val strayPart = coreTable("proc_part").location + "/data/p=x/stray2.parquet"
+    java.nio.file.Files.write(java.nio.file.Paths.get(strayPart), Array[Byte](3, 4))
+    val orphans2 = spark.sql(
+      s"CALL graft.system.remove_orphan_files('db.proc_part', false, ${cutoff}L)")
+      .collect()(0).getInt(0)
+    assert(orphans2 === 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(strayPart)))
+    assert(spark.sql("SELECT * FROM graft.db.proc_part").count() === 2)
+
     // expire: drop refs so old snapshots are unreferenced, keep last 1
     spark.sql("CALL graft.system.drop_ref('db.proc', 'v2')")
     spark.sql("CALL graft.system.drop_ref('db.proc', 'dev')")
