@@ -89,6 +89,19 @@ final case class BoundTransformPred(op: Operation,
   def value: Any = values.head
 }
 
+/** Predicate on a SHREDDED variant sub-path (write.variant.shred.* —
+  * reference parquet/.../VariantShreddingAnalyzer + spec variant
+  * shredding): `variant_get_long(payload, '$.x') >= 2`. Used ONLY for
+  * file pruning against per-file shredded stats keyed "fieldId:path";
+  * row evaluation is conservative TRUE (Spark re-applies the original
+  * function filter after the scan). */
+final case class UnboundShredPred(op: Operation, ref: String, path: String,
+    tpe: GType, values: Seq[Any] = Nil) extends Expr
+final case class ShredPred(op: Operation, key: String, tpe: GType,
+    values: Seq[Any] = Nil) extends Expr {
+  def value: Any = values.head
+}
+
 object Expr {
   def and(l: Expr, r: Expr): Expr = (l, r) match {
     case (TrueE, x)      => x
@@ -115,6 +128,9 @@ object Expr {
     case TransformPred(op, t, r, v) => TransformPred(Op.negate(op), t, r, v)
     case BoundTransformPred(op, t, f, p, v) =>
       BoundTransformPred(Op.negate(op), t, f, p, v)
+    case UnboundShredPred(op, r, pa, t, v) =>
+      UnboundShredPred(Op.negate(op), r, pa, t, v)
+    case ShredPred(op, k, t, v) => ShredPred(Op.negate(op), k, t, v)
   }
 
   // convenience factories (reference Expressions.java:33-291)
@@ -154,6 +170,17 @@ object Expr {
             val pos = schema.fields.indexWhere(_.id == f.id)
             val rt = tr.resultType(f.tpe)
             BoundTransformPred(op, tr, f, pos, values.map(Literals.convert(_, rt)))
+        }
+      case UnboundShredPred(op, ref, path, tpe, values) =>
+        val field =
+          if (caseSensitive) schema.findField(ref)
+          else schema.byName.collectFirst { case (n, f) if n.equalsIgnoreCase(ref) => f }
+        field match {
+          case None => throw new IllegalArgumentException(s"cannot bind: $ref not in schema")
+          case Some(f) =>
+            require(f.tpe == GVariant,
+              s"variant_get pushdown requires a variant column: $ref is ${f.tpe}")
+            ShredPred(op, s"${f.id}:$path", tpe, values.map(Literals.convert(_, tpe)))
         }
       case UnboundPred(op, ref, values) =>
         val field =
@@ -350,7 +377,10 @@ object RowEvaluator {
         case Op.NotIn => !values.exists(x => TypeComparators.compare(rt, v, x) == 0)
         case _        => false
       }
-    case _: UnboundPred | _: TransformPred =>
+    // shredded-variant predicate: pruning-only — conservatively keep the
+    // row (Spark re-applies the original variant_get filter post-scan)
+    case _: ShredPred => true
+    case _: UnboundPred | _: TransformPred | _: UnboundShredPred =>
       throw new IllegalStateException("unbound predicate; bind() first")
   }
 

@@ -13,7 +13,8 @@ final case class ColStats(
     lower: Option[Any] = None,
     upper: Option[Any] = None)
 
-final case class FileStats(recordCount: Long, cols: Map[Int, ColStats]) {
+final case class FileStats(recordCount: Long, cols: Map[Int, ColStats],
+    shreds: Map[String, ColStats] = Map.empty) {
   def col(id: Int): ColStats = cols.getOrElse(id, ColStats())
 }
 
@@ -108,7 +109,36 @@ object InclusiveMetricsEvaluator {
     // checked against them — conservative "might match" (partition-level
     // pruning happens via projection instead)
     case _: BoundTransformPred => true
-    case _: UnboundPred | _: TransformPred =>
+    // shredded-variant predicate: consult the file's shredded stats
+    // (write.variant.shred.*); unknown key/bounds → might match
+    case p @ ShredPred(op, key, t, values) =>
+      fs.shreds.get(key) match {
+        case None => true
+        case Some(st) =>
+          def cmpLower(v: Any): Option[Int] =
+            st.lower.map(l => TypeComparators.compare(t, l, v))
+          def cmpUpper(v: Any): Option[Int] =
+            st.upper.map(u => TypeComparators.compare(t, u, v))
+          def allNull: Boolean = (st.valueCount, st.nullCount) match {
+            case (Some(vc), Some(nc)) => vc == nc
+            case _                    => false
+          }
+          op match {
+            case Op.IsNull  => !st.nullCount.contains(0L)
+            case Op.NotNull => !allNull
+            case _ if allNull => false
+            case Op.Lt   => !cmpLower(p.value).exists(_ >= 0)
+            case Op.LtEq => !cmpLower(p.value).exists(_ > 0)
+            case Op.Gt   => !cmpUpper(p.value).exists(_ <= 0)
+            case Op.GtEq => !cmpUpper(p.value).exists(_ < 0)
+            case Op.Eq =>
+              !(cmpLower(p.value).exists(_ > 0) || cmpUpper(p.value).exists(_ < 0))
+            case Op.In => values.exists(v =>
+              !(cmpLower(v).exists(_ > 0) || cmpUpper(v).exists(_ < 0)))
+            case _ => true // NotEq/NotIn and anything else: can't exclude
+          }
+      }
+    case _: UnboundPred | _: TransformPred | _: UnboundShredPred =>
       throw new IllegalStateException("unbound predicate; bind() first")
   }
 }
@@ -172,7 +202,8 @@ object StrictMetricsEvaluator {
         case Op.StartsWith | Op.NotStartsWith => false // conservative
       }
     case _: BoundTransformPred => false // conservative: no strict proof
-    case _: UnboundPred | _: TransformPred =>
+    case _: ShredPred => false // shredded stats can't prove all-rows-match
+    case _: UnboundPred | _: TransformPred | _: UnboundShredPred =>
       throw new IllegalStateException("unbound predicate; bind() first")
   }
 }

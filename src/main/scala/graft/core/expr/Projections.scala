@@ -104,7 +104,9 @@ object Projections {
         }
       if (matches.isEmpty) { if (strict) FalseE else TrueE }
       else matches.reduce((a, b) => if (strict) Expr.or(a, b) else Expr.and(a, b))
-    case _: UnboundPred | _: TransformPred =>
+    // shredded-variant predicate: invisible to partition space
+    case _: ShredPred => if (strict) FalseE else TrueE
+    case _: UnboundPred | _: TransformPred | _: UnboundShredPred =>
       throw new IllegalStateException("bind before projecting")
   }
 
@@ -200,7 +202,7 @@ object Projections {
     case Or(l, r) =>
       Expr.or(residual(spec, schema, l, partition), residual(spec, schema, r, partition))
     case Not(c) => residual(spec, schema, Expr.not(c), partition)
-    case p @ (_: BoundPred | _: BoundTransformPred) =>
+    case p @ (_: BoundPred | _: BoundTransformPred | _: ShredPred) =>
       val strictP = project(spec, schema, p, strict = true)
       if (strictP != FalseE && RowEvaluator.eval(strictP, partition)) TrueE
       else {
@@ -208,7 +210,7 @@ object Projections {
         if (!RowEvaluator.eval(inclP, partition)) FalseE
         else p
       }
-    case _: UnboundPred | _: TransformPred =>
+    case _: UnboundPred | _: TransformPred | _: UnboundShredPred =>
       throw new IllegalStateException("bind before residual")
   }
 }

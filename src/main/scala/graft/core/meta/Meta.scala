@@ -33,8 +33,12 @@ final case class DataFile(
     // path of the single data file a position-delete file targets, if known
     referencedDataFile: Option[String] = None,
     // v3 row lineage: _row_id of this file's first row (data files only)
-    firstRowId: Option[Long] = None) {
-  def fileStats: FileStats = FileStats(recordCount, columnStats)
+    firstRowId: Option[Long] = None,
+    // shredded-variant sub-path stats, keyed "variantFieldId:$.path"
+    // (write.variant.shred.* config; reference variant shredding spec) —
+    // lets variant_get predicates prune files without schema fields
+    shredStats: Map[String, graft.core.expr.ColStats] = Map.empty) {
+  def fileStats: FileStats = FileStats(recordCount, columnStats, shredStats)
   def isDeleteFile: Boolean = content != FileContent.Data
 }
 

@@ -182,6 +182,16 @@ object MetaJson {
     }
     f.referencedDataFile.foreach(o.put("ref-data-file", _))
     f.firstRowId.foreach(o.put("first-row-id", _))
+    if (f.shredStats.nonEmpty) {
+      val so = o.putObject("shred-stats")
+      f.shredStats.foreach { case (key, st) =>
+        val eo = so.putObject(key)
+        st.valueCount.foreach(eo.put("vc", _))
+        st.nullCount.foreach(eo.put("nc", _))
+        st.lower.foreach(v => eo.set[JsonNode]("lo", writeValue(v)))
+        st.upper.foreach(v => eo.set[JsonNode]("hi", writeValue(v)))
+      }
+    }
     o
   }
 
@@ -195,7 +205,20 @@ object MetaJson {
       pt.result(), n.get("records").asLong(), n.get("size").asLong(),
       readStats(n.get("stats")), n.get("content").asInt(), eq.result(),
       Option(n.get("ref-data-file")).map(_.asText()),
-      Option(n.get("first-row-id")).map(_.asLong()))
+      Option(n.get("first-row-id")).map(_.asLong()),
+      Option(n.get("shred-stats")).map { so =>
+        val buf = Map.newBuilder[String, ColStats]
+        so.fields().forEachRemaining { e =>
+          val eo = e.getValue
+          buf += e.getKey -> ColStats(
+            Option(eo.get("vc")).map(_.asLong()),
+            Option(eo.get("nc")).map(_.asLong()),
+            None,
+            Option(eo.get("lo")).map(readValue),
+            Option(eo.get("hi")).map(readValue))
+        }
+        buf.result()
+      }.getOrElse(Map.empty))
   }
 
   def writeEntry(e: ManifestEntry): String = {

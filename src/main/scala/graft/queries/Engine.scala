@@ -37,14 +37,14 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v15").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v16").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
-        "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g")
+        "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -305,6 +305,18 @@ object Engine {
         SELECT n_regionkey, count(*) AS n_nations
         FROM rtas_nation_src GROUP BY n_regionkey""")
 
+      // shredded-variant stats (g35): each file records min/max of the
+      // configured '$.n_regionkey' sub-path; two region-split appends
+      // give files with disjoint bounds, so the gate's filter prunes
+      s.sql("""CREATE TABLE graft.db.var_shred_g (n_nationkey BIGINT, payload VARIANT)
+        TBLPROPERTIES ('write.variant.shred.payload'='$.n_regionkey:bigint')""")
+      val nVar = t(s, dir, "nation").selectExpr("n_nationkey", "n_regionkey",
+        "parse_json(to_json(struct(n_name, n_regionkey))) AS payload")
+      nVar.filter(col("n_regionkey") < 2).select("n_nationkey", "payload")
+        .writeTo("graft.db.var_shred_g").append()
+      nVar.filter(col("n_regionkey") >= 2).select("n_nationkey", "payload")
+        .writeTo("graft.db.var_shred_g").append()
+
       // storage-partitioned join pair: same bucket transform on the join
       // key on both sides, so the join can run exchange-free (g34)
       s.sql("""CREATE TABLE graft.db.spj_c_g (c_custkey BIGINT, c_mktsegment STRING)
@@ -317,7 +329,7 @@ object Engine {
         .writeTo("graft.db.spj_o_g").append()
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v15" -> "true"))
+        .updateProperties(Map("build-complete-v16" -> "true"))
     }
     built += wh
   }
@@ -975,7 +987,31 @@ object Engine {
       FROM customer JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey ORDER BY c_custkey"""))
 
+  // ------------------------------------------------------------------ g35
+  // Variant shredding stats: write.variant.shred.* records per-file
+  // min/max of configured variant sub-paths, and a pushable
+  // graft.system.variant_get_long predicate prunes whole files with
+  // them (reference parquet/.../VariantShreddingAnalyzer + variant
+  // shredding spec; Spark's PushVariantIntoScan covers only v1 file
+  // relations, so the DSv2 path needs the catalog-function route). The
+  // two region-split appends guarantee prunable file bounds; the filter
+  // correctness is still end-to-end vs the oracle.
+  private val g35 = Q(
+    "g35_engine_variant_shredding",
+    (s, dir) => {
+      setup(s, dir)
+      s.sql("""SELECT n_nationkey,
+          graft.system.variant_get_long(payload, '$.n_regionkey') AS rk,
+          graft.system.variant_get_string(payload, '$.n_name') AS name
+        FROM graft.db.var_shred_g
+        WHERE graft.system.variant_get_long(payload, '$.n_regionkey') >= 2
+        ORDER BY n_nationkey""")
+    },
+    Some("""
+      SELECT n_nationkey, n_regionkey AS rk, n_name AS name
+      FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34)
+    g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35)
 }

@@ -22,7 +22,8 @@ object GraftFunctions {
 
   val names: Seq[String] = Seq(
     "graft_version", "years", "months", "days", "hours", "bucket", "truncate",
-    "st_point", "st_x", "st_y", "st_intersects_bbox")
+    "st_point", "st_x", "st_y", "st_intersects_bbox",
+    "variant_get_long", "variant_get_string")
 
   def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
     case "graft_version" => Some(VersionFn)
@@ -36,7 +37,44 @@ object GraftFunctions {
     case "st_x"               => Some(new StCoordFn("st_x", 0))
     case "st_y"               => Some(new StCoordFn("st_y", 8))
     case "st_intersects_bbox" => Some(StIntersectsBboxFn)
+    case "variant_get_long"   => Some(new VariantGetFn("variant_get_long", LongType))
+    case "variant_get_string" => Some(new VariantGetFn("variant_get_string", StringType))
     case _               => None
+  }
+
+  // ------------------------------------------------------------- variant
+  /** variant_get_long/string(payload, '$.path') — typed variant path
+    * extraction as a CATALOG function, so comparisons against it reach
+    * the scan as a UserDefinedScalarFunc predicate and prune files via
+    * shredded-path stats (write.variant.shred.*; reference variant
+    * shredding spec — Spark's own PushVariantIntoScan only rewrites v1
+    * file-source relations, never DSv2). Evaluation delegates to
+    * Spark's VariantGet cast machinery, so semantics match
+    * variant_get(col, path, type) exactly. */
+  final class VariantGetFn(fname: String, out: DataType)
+    extends UnboundFunction with ScalarFunction[Any] {
+    override def name(): String = fname
+    override def description(): String =
+      s"$fname(variant, path) - typed variant path extraction (shred-prunable)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 && inputType(0).dataType == VariantType &&
+        inputType(1).dataType == StringType,
+        s"$fname takes (v: variant, path: string)")
+      this
+    }
+    override def inputTypes(): Array[DataType] = Array(VariantType, StringType)
+    override def resultType(): DataType = out
+    override def canonicalName(): String = s"graft.$fname"
+    private val castArgs =
+      org.apache.spark.sql.catalyst.expressions.variant.VariantCastArgs(
+        false, None, java.time.ZoneOffset.UTC)
+    override def produceResult(input: InternalRow): Any = {
+      if (input.isNullAt(0) || input.isNullAt(1)) return null
+      val v = input.get(0, VariantType)
+        .asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+      org.apache.spark.sql.catalyst.expressions.variant.VariantGet.variantGet(
+        v, input.getUTF8String(1), out, castArgs, fname)
+    }
   }
 
   // ------------------------------------------------------------ version

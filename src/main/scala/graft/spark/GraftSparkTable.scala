@@ -399,6 +399,12 @@ object GraftSparkTable {
           table.schema.byName.exists { case (n, f) =>
             n.equalsIgnoreCase(ref) && graft.core.types.GeoDefaults.isGeo(f.tpe)
           }
+        // variant_get pushdown only binds against a variant column —
+        // any other argument is a plain row-level call Spark evaluates
+        case UnboundShredPred(_, ref, _, _, _) =>
+          table.schema.byName.exists { case (n, f) =>
+            n.equalsIgnoreCase(ref) && f.tpe == graft.core.types.GVariant
+          }
         case And(l, r) => geoSafe(l) && geoSafe(r)
         case Or(l, r)  => geoSafe(l) && geoSafe(r)
         case Not(c)    => geoSafe(c)

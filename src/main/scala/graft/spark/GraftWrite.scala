@@ -261,12 +261,32 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     val metaJson = graft.core.meta.MetaJson
+    // write.variant.shred.<col> = "$.path:type[, ...]": each configured
+    // variant sub-path gets per-file min/max stats keyed "fieldId:path"
+    // so variant_get_long/string predicates prune files (reference
+    // variant shredding spec; stats-only — values stay unshredded binary)
+    val shredSpecs: Seq[(String, String, String)] =
+      table.meta.properties.toSeq.collect {
+        case (k, v) if k.startsWith("write.variant.shred.") =>
+          val col = k.stripPrefix("write.variant.shred.")
+          v.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { item =>
+            val i = item.lastIndexOf(':')
+            require(i > 0, s"bad shred spec '$item': want $$.path:type")
+            val tn = item.substring(i + 1).trim.toLowerCase match {
+              case "bigint"           => "long"
+              case "integer"          => "int"
+              case "varchar" | "text" => "string"
+              case x                  => x
+            }
+            (col, item.substring(0, i), tn)
+          }
+      }.flatten
     new GraftWriterFactory(
       table.location,
       fileSchema.json,
       metaJson.writeSchema(fileGSchema).toString,
       metaJson.writeSpec(table.spec).toString,
-      owf, confMap, dataFormat, lineage = isCow)
+      owf, confMap, dataFormat, lineage = isCow, shredSpecs = shredSpecs)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -461,7 +481,8 @@ final class GraftWriterFactory(
     owf: OutputWriterFactory,
     confMap: Map[String, String],
     fileFormat: String = "parquet",
-    lineage: Boolean = false) extends DataWriterFactory {
+    lineage: Boolean = false,
+    shredSpecs: Seq[(String, String, String)] = Nil) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
@@ -471,7 +492,7 @@ final class GraftWriterFactory(
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
     new GraftFanoutWriter(location, writeSchema, gSchema, spec, owf, conf,
-      partitionId, taskId, fileFormat, lineage)
+      partitionId, taskId, fileFormat, lineage, shredSpecs)
   }
 }
 
@@ -493,7 +514,60 @@ final class GraftFanoutWriter(
     // fields are _row_id/_last_updated_sequence_number, filled from the
     // metadata projection Spark hands to write(meta, row) (reference
     // ExtractRowLineage + DataWriterWithLineage)
-    lineage: Boolean = false) extends DataWriter[InternalRow] {
+    lineage: Boolean = false,
+    // (variant column, '$.path', type name) triples from
+    // write.variant.shred.* — accumulated into per-file shredded stats
+    shredSpecs: Seq[(String, String, String)] = Nil) extends DataWriter[InternalRow] {
+
+  // shredded-variant stat accumulators: ordinal in writeSchema, stats
+  // key "fieldId:path", engine type, Spark type, parsed path
+  private val shredCols: Array[(Int, String, GType,
+      org.apache.spark.sql.types.DataType, org.apache.spark.unsafe.types.UTF8String)] =
+    shredSpecs.flatMap { case (colName, path, typeName) =>
+      val gt = SparkTypes.typeFromName(typeName)
+      gSchema.fields.find(f => f.name == colName && f.tpe == GVariant).map { f =>
+        (writeSchema.fieldIndex(colName), s"${f.id}:$path", gt,
+          SparkTypes.toSpark(gt),
+          org.apache.spark.unsafe.types.UTF8String.fromString(path))
+      }
+    }.toArray
+
+  private val shredCastArgs =
+    org.apache.spark.sql.catalyst.expressions.variant.VariantCastArgs(
+      false, None, java.time.ZoneOffset.UTC)
+
+  private final class ShredAcc {
+    val nonNull = new Array[Long](shredCols.length)
+    val lo = new Array[Any](shredCols.length)
+    val hi = new Array[Any](shredCols.length)
+    def observe(row: InternalRow): Unit = {
+      var i = 0
+      while (i < shredCols.length) {
+        val (ord, _, gt, dt, path) = shredCols(i)
+        if (!row.isNullAt(ord)) {
+          val sparkV =
+            try org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+              .variantGet(row.get(ord, org.apache.spark.sql.types.VariantType)
+                .asInstanceOf[org.apache.spark.unsafe.types.VariantVal],
+                path, dt, shredCastArgs, "variant_shred_stats")
+            catch { case _: Throwable => null }
+          if (sparkV != null) {
+            val v = SparkBridge.fromSpark(sparkV, gt)
+            nonNull(i) += 1
+            if (lo(i) == null || TypeComparators.compare(gt, v, lo(i)) < 0) lo(i) = v
+            if (hi(i) == null || TypeComparators.compare(gt, v, hi(i)) > 0) hi(i) = v
+          }
+        }
+        i += 1
+      }
+    }
+    def stats(rows: Long): Map[String, ColStats] =
+      shredCols.indices.map { i =>
+        shredCols(i)._2 -> ColStats(valueCount = Some(rows),
+          nullCount = Some(rows - nonNull(i)), nanCount = None,
+          lower = Option(lo(i)), upper = Option(hi(i)))
+      }.toMap
+  }
 
   private val nullLineage =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
@@ -575,10 +649,11 @@ final class GraftFanoutWriter(
       val writer: org.apache.spark.sql.execution.datasources.OutputWriter) {
     var rows: Long = 0L
     val geo: GeoAcc = if (geoCols.isEmpty) null else new GeoAcc
+    val shred: ShredAcc = if (shredCols.isEmpty) null else new ShredAcc
   }
 
   private val open = mutable.Map.empty[Seq[Any], OpenFile]
-  private val closed = Seq.newBuilder[(Seq[Any], String, Long, GeoAcc)]
+  private val closed = Seq.newBuilder[(Seq[Any], String, Long, GeoAcc, ShredAcc)]
 
   // partition tuple extraction: source positions + types from the spec
   private val extractors: Array[InternalRow => Any] = spec.fields.map { pf =>
@@ -619,9 +694,10 @@ final class GraftFanoutWriter(
     f.writer.write(row)
     f.rows += 1
     if (f.geo != null) f.geo.observe(row)
+    if (f.shred != null) f.shred.observe(row)
     if (f.rows >= RollRows) {
       f.writer.close()
-      closed += ((key, f.path, f.rows, f.geo))
+      closed += ((key, f.path, f.rows, f.geo, f.shred))
       open.remove(key)
     }
   }
@@ -629,10 +705,10 @@ final class GraftFanoutWriter(
   override def commit(): WriterCommitMessage = {
     open.foreach { case (key, f) =>
       f.writer.close()
-      closed += ((key, f.path, f.rows, f.geo))
+      closed += ((key, f.path, f.rows, f.geo, f.shred))
     }
     open.clear()
-    val files = closed.result().map { case (key, path, rows, geo) =>
+    val files = closed.result().map { case (key, path, rows, geo, shred) =>
       val (size, stats) = fileFormat match {
         case "avro" =>
           val (sz, _, st) = GraftAvro.footerStats(path, gSchema); (sz, st)
@@ -641,7 +717,8 @@ final class GraftFanoutWriter(
         case _      => FooterStats.read(path, conf, gSchema, skipGeo = geo != null)
       }
       val withGeo = if (geo == null) stats else stats ++ geo.stats(rows)
-      DataFile(path, fileFormat, spec.specId, key, rows, size, withGeo)
+      DataFile(path, fileFormat, spec.specId, key, rows, size, withGeo,
+        shredStats = if (shred == null) Map.empty else shred.stats(rows))
     }
     GraftCommitMessage(files)
   }
@@ -649,7 +726,7 @@ final class GraftFanoutWriter(
   override def abort(): Unit = {
     open.values.foreach(f => try f.writer.close() catch { case _: Throwable => () })
     open.keys.toSeq.foreach(open.remove)
-    closed.result().foreach { case (_, path, _, _) => GraftIO.delete(path) }
+    closed.result().foreach { case (_, path, _, _, _) => GraftIO.delete(path) }
   }
 
   override def close(): Unit = ()

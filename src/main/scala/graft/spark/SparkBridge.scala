@@ -144,19 +144,50 @@ object SparkBridge {
           case (_, _, Some((t, r)), Some(v)) => Some(TransformPred(flip, t, r, Seq(v)))
           case _                             => None
         }
+      // shredded-variant predicate: `variant_get_long(payload, '$.x') >= 2`
+      // prunes files via write.variant.shred.* stats (never row-evaluated
+      // engine-side; Spark re-applies the function filter post-scan)
+      def fnShred(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[(String, String, graft.core.types.GType)] = e match {
+        case f: org.apache.spark.sql.connector.expressions.UserDefinedScalarFunc
+            if f.name().equalsIgnoreCase("variant_get_long") ||
+              f.name().equalsIgnoreCase("variant_get_string") =>
+          val args = f.children()
+          for {
+            r <- args.lift(0).flatMap(refName)
+            p <- args.lift(1).flatMap(litValue).collect { case s: String => s }
+          } yield (r, p,
+            if (f.name().equalsIgnoreCase("variant_get_long")) graft.core.types.GLong
+            else graft.core.types.GString)
+        case _ => None
+      }
+      def spred(op: Operation, flip: Operation): Option[Expr] =
+        if (ch.length != 2) None
+        else (fnShred(ch(0)), litValue(ch(1)), fnShred(ch(1)), litValue(ch(0))) match {
+          case (Some((r, pa, t)), Some(v), _, _) =>
+            Some(UnboundShredPred(op, r, pa, t, Seq(v)))
+          case (_, _, Some((r, pa, t)), Some(v)) =>
+            Some(UnboundShredPred(flip, r, pa, t, Seq(v)))
+          case _ => None
+        }
       p.name() match {
         case "IS_NULL" => refName(ch(0)).map(Expr.isNull)
         case "IS_NOT_NULL" => refName(ch(0)).map(Expr.notNull)
         case "=" => binary(Expr.equalTo, Expr.equalTo).orElse(tpred(Op.Eq, Op.Eq))
-          .orElse(geoPred)
+          .orElse(geoPred).orElse(spred(Op.Eq, Op.Eq))
         case "<=>" => binary(
           (r, v) => if (v == null) Expr.isNull(r) else Expr.equalTo(r, v),
           (r, v) => if (v == null) Expr.isNull(r) else Expr.equalTo(r, v))
         case "<>" | "!=" => binary(Expr.notEq, Expr.notEq).orElse(tpred(Op.NotEq, Op.NotEq))
+          .orElse(spred(Op.NotEq, Op.NotEq))
         case "<"  => binary(Expr.lt, Expr.gt).orElse(tpred(Op.Lt, Op.Gt))
+          .orElse(spred(Op.Lt, Op.Gt))
         case "<=" => binary(Expr.ltEq, Expr.gtEq).orElse(tpred(Op.LtEq, Op.GtEq))
+          .orElse(spred(Op.LtEq, Op.GtEq))
         case ">"  => binary(Expr.gt, Expr.lt).orElse(tpred(Op.Gt, Op.Lt))
+          .orElse(spred(Op.Gt, Op.Lt))
         case ">=" => binary(Expr.gtEq, Expr.ltEq).orElse(tpred(Op.GtEq, Op.LtEq))
+          .orElse(spred(Op.GtEq, Op.LtEq))
         case "IN" =>
           refName(ch(0)).flatMap { r =>
             val vals = ch.drop(1).map(litValue)
