@@ -45,8 +45,14 @@ object RestCatalogServer {
     def readBody(x: HttpExchange): String =
       new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
+    // reference rest-catalog-open-api.yaml getConfig: server-controlled
+    // defaults/overrides a second engine instance merges into its own
+    // settings; warehouse doubles as both for this backend
     server.createContext("/v1/config", (x: HttpExchange) =>
-      json(x, 200, s"""{"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)}}"""))
+      json(x, 200,
+        s"""{"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)},""" +
+          s""" "defaults": {"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)}},""" +
+          s""" "overrides": {}}"""))
 
     server.createContext("/v1/tables/rename", (x: HttpExchange) =>
       try {
@@ -64,9 +70,34 @@ object RestCatalogServer {
           .split("/").filter(_.nonEmpty)
         (x.getRequestMethod, parts) match {
           case ("GET", Array(ns, "tables")) =>
-            val names = backing.listTables(ns.split("\\.").toSeq)
-            json(x, 200, MetaJson.mapper.writeValueAsString(
-              java.util.Map.of("identifiers", names.toArray)))
+            // paginated listing (reference CatalogHandlers.paginate):
+            // stable sort order, pageToken = last name already returned,
+            // next-page-token present only when more pages remain
+            val q = Option(x.getRequestURI.getQuery).getOrElse("")
+            val params = q.split("&").filter(_.contains("="))
+              .map { kv => val i = kv.indexOf('='); kv.substring(0, i) ->
+                java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8") }.toMap
+            val pageSize = params.get("pageSize").flatMap(_.toIntOption)
+            val after = params.getOrElse("pageToken", "")
+            val all = backing.listTables(ns.split("\\.").toSeq).sorted
+            val fromTok = if (after.isEmpty) all else all.filter(_ > after)
+            val page = pageSize.map(fromTok.take).getOrElse(fromTok)
+            val o = MetaJson.mapper.createObjectNode()
+            val arr = o.putArray("identifiers")
+            page.foreach(arr.add)
+            if (pageSize.exists(_ < fromTok.size) && page.nonEmpty)
+              o.put("next-page-token", page.last)
+            json(x, 200, MetaJson.mapper.writeValueAsString(o))
+          case ("HEAD", Array(ns, "tables", t)) =>
+            // cheap existence probe (reference spec tableExists HEAD):
+            // no metadata payload, version in a header
+            val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, t))
+            val v = ops.currentVersion()
+            if (v == 0) { x.sendResponseHeaders(404, -1); x.close() }
+            else {
+              x.getResponseHeaders.set("X-Graft-Version", v.toString)
+              x.sendResponseHeaders(204, -1); x.close()
+            }
           case ("POST", Array(ns, "tables", t, "create")) =>
             val meta = MetaJson.readMetadata(readBody(x))
             val nsSeq = ns.split("\\.").toSeq
@@ -129,6 +160,10 @@ object RestHttp {
   def post(url: String, body: String): (Int, String) = send(
     HttpRequest.newBuilder(java.net.URI.create(url))
       .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+
+  def head(url: String): (Int, String) = send(
+    HttpRequest.newBuilder(java.net.URI.create(url))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build())
 
   def delete(url: String): (Int, String) = send(
     HttpRequest.newBuilder(java.net.URI.create(url)).DELETE().build())
@@ -201,7 +236,9 @@ final class RestCatalog private (warehouse: String, uri: String)
     ops(namespace, name)
 
   override def tableExists(namespace: Seq[String], name: String): Boolean =
-    ops(namespace, name).currentVersion() > 0
+    // HEAD probe: no metadata payload crosses the wire (reference spec
+    // tableExists)
+    RestHttp.head(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name")._1 == 204
 
   override def dropTable(namespace: Seq[String], name: String): Boolean =
     RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name")._1 == 200
@@ -220,14 +257,25 @@ final class RestCatalog private (warehouse: String, uri: String)
   }
 
   override def listTables(namespace: Seq[String]): Seq[String] = {
-    val (code, body) = RestHttp.get(s"$uri/v1/namespaces/${ns(namespace)}/tables")
-    if (code != 200) Nil
-    else {
-      val arr = MetaJson.mapper.readTree(body).get("identifiers")
-      val out = Seq.newBuilder[String]
-      arr.elements().forEachRemaining(e => out += e.asText())
-      out.result()
+    // follow next-page-token until exhausted (reference RESTCatalog
+    // paginated listing) so a namespace with many tables never needs one
+    // giant response
+    val out = Seq.newBuilder[String]
+    var token = ""
+    var more = true
+    while (more) {
+      val tok = if (token.isEmpty) ""
+        else s"&pageToken=${java.net.URLEncoder.encode(token, "UTF-8")}"
+      val (code, body) = RestHttp.get(
+        s"$uri/v1/namespaces/${ns(namespace)}/tables?pageSize=100$tok")
+      if (code != 200) return out.result()
+      val n = MetaJson.mapper.readTree(body)
+      n.get("identifiers").elements().forEachRemaining(e => out += e.asText())
+      val next = Option(n.get("next-page-token")).map(_.asText()).getOrElse("")
+      more = next.nonEmpty
+      token = next
     }
+    out.result()
   }
 }
 

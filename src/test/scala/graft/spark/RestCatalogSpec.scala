@@ -80,6 +80,47 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t3.ops.currentVersion() === 3)
   }
 
+  test("paginated listing follows next-page-token; HEAD probes existence") {
+    val cat = RestCatalog.connect(uri)
+    val schema = GSchema(GStruct(Seq(GField(1, "id", GLong, required = true))))
+    val names = (1 to 7).map(i => f"pg_t$i%02d")
+    names.foreach(n => cat.createTable(Seq("pgdb"), n, schema))
+    // server pages at the requested size with a stable order
+    val (c1, b1) = graft.core.meta.RestHttp.get(
+      s"$uri/v1/namespaces/pgdb/tables?pageSize=3")
+    assert(c1 === 200)
+    val n1 = graft.core.meta.MetaJson.mapper.readTree(b1)
+    assert(n1.get("identifiers").size() === 3)
+    assert(n1.hasNonNull("next-page-token"))
+    // the paginating client reassembles the full sorted listing
+    assert(cat.listTables(Seq("pgdb")).sorted === names)
+    // HEAD existence: 204 + version header for live, 404 for missing
+    val (hc, _) = graft.core.meta.RestHttp.head(
+      s"$uri/v1/namespaces/pgdb/tables/pg_t01")
+    assert(hc === 204)
+    assert(cat.tableExists(Seq("pgdb"), "pg_t01"))
+    assert(!cat.tableExists(Seq("pgdb"), "pg_missing"))
+  }
+
+  test("two catalog instances share one server: concurrent commits retry on 409") {
+    val a = RestCatalog.connect(uri)
+    val b = RestCatalog.connect(uri)
+    val schema = GSchema(GStruct(Seq(GField(1, "id", GLong, required = true))))
+    a.createTable(Seq("condb"), "ct", schema)
+    val ta = a.loadTable(Seq("condb"), "ct").get
+    val tb = b.loadTable(Seq("condb"), "ct").get
+    // interleave property commits from both handles: each CAS that loses
+    // gets a 409 from the server and the retry loop rebases — no lost
+    // updates, both markers present at the end
+    ta.updateProperties(Map("from-a" -> "1"))
+    tb.updateProperties(Map("from-b" -> "1"))
+    ta.updateProperties(Map("from-a2" -> "1"))
+    val m = b.loadTable(Seq("condb"), "ct").get.refresh()
+    assert(m.properties.get("from-a").contains("1"))
+    assert(m.properties.get("from-b").contains("1"))
+    assert(m.properties.get("from-a2").contains("1"))
+  }
+
   test("duplicate create over REST is rejected") {
     val cat = RestCatalog.connect(uri)
     val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
