@@ -429,7 +429,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         out(StructType(Seq(StructField("deleted_snapshots", IntegerType),
           StructField("deleted_files", IntegerType))), row(0, 0))
       } else {
-        val before = reachableFiles(t)
+        val beforeSnaps = m.snapshots
         val expiredIds = expired.map(_.snapshotId).toSet
         // statistics files attached to expired snapshots go with them
         val expiredStats = t.meta.statistics.filter(sf => expiredIds(sf.snapshotId))
@@ -440,9 +440,37 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             statistics = base.statistics.filterNot(sf => expiredIds(sf.snapshotId)))
         }
         expiredStats.foreach(sf => try GraftIO.delete(sf.path) catch { case _: Throwable => () })
-        val after = reachableFiles(t)
-        val toDelete = before -- after
-        toDelete.foreach(GraftIO.delete)
+        // Reachability diff at MANIFEST granularity first (shared
+        // manifests need no reading at all), then a distributed except
+        // over entries of only the dropped vs surviving manifests
+        // (reference ExpireSnapshotsSparkAction) — the driver never holds
+        // the full file list
+        val afterSnaps = t.meta.snapshots
+        def manifestsOf(snaps: Seq[Snapshot]): Seq[ManifestFile] =
+          snaps.flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
+              catch { case _: Throwable => Nil })
+            .groupBy(_.path).map(_._2.head).toSeq
+        val beforeMfs = manifestsOf(beforeSnaps)
+        val afterMfs = manifestsOf(afterSnaps)
+        val afterMfPaths = afterMfs.map(_.path).toSet
+        val droppedMfs = beforeMfs.filterNot(mf => afterMfPaths(mf.path))
+        val metaDelete =
+          (beforeSnaps.map(_.manifestListPath).toSet --
+            afterSnaps.map(_.manifestListPath).toSet) ++ droppedMfs.map(_.path)
+        val spark = SparkSession.active
+        import spark.implicits._
+        def entryPathsDs(mfs: Seq[ManifestFile]) =
+          if (mfs.isEmpty) spark.emptyDataset[String]
+          else spark.sparkContext
+            .parallelize(mfs, math.max(1, math.min(mfs.size, 64)))
+            .flatMap(mf => try ManifestIO.readEntries(mf).flatMap(e =>
+                e.file.path +: e.file.referencedDataFile.toSeq)
+              catch { case _: Throwable => Nil })
+            .toDS()
+        val dataDelete = entryPathsDs(droppedMfs).toDF("p")
+          .except(entryPathsDs(afterMfs).toDF("p")).as[String].collect()
+        val toDelete = metaDelete ++ dataDelete
+        toDelete.foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
         out(StructType(Seq(StructField("deleted_snapshots", IntegerType),
           StructField("deleted_files", IntegerType))),
           row(expired.size, toDelete.size))

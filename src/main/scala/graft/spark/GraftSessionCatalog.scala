@@ -94,4 +94,54 @@ class GraftSessionCatalog extends GraftCatalog with CatalogExtension {
     val b = try asNamespaces.dropNamespace(namespace, cascade) catch { case _: Throwable => false }
     a || b
   }
+
+  // ------------------------------------------------------------- staging
+  // provider-dispatched (reference SparkSessionCatalog.stageCreate):
+  // graft tables stage atomically through GraftCatalog's StagedOps; other
+  // providers create eagerly through the session catalog with a
+  // rollback-on-abort wrapper (reference RollbackStagedTable)
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    if (isGraftProvider(properties)) super.stageCreate(ident, columns, partitions, properties)
+    else new GraftSessionCatalog.RollbackStagedTable(asTables, ident,
+      asTables.createTable(ident, columns, partitions, properties))
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    if (isGraftProvider(properties)) super.stageReplace(ident, columns, partitions, properties)
+    else {
+      if (!asTables.dropTable(ident)) throw new NoSuchTableException(ident)
+      new GraftSessionCatalog.RollbackStagedTable(asTables, ident,
+        asTables.createTable(ident, columns, partitions, properties))
+    }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    if (isGraftProvider(properties))
+      super.stageCreateOrReplace(ident, columns, partitions, properties)
+    else {
+      asTables.dropTable(ident)
+      new GraftSessionCatalog.RollbackStagedTable(asTables, ident,
+        asTables.createTable(ident, columns, partitions, properties))
+    }
+}
+
+object GraftSessionCatalog {
+  /** Eagerly-created staged table for non-graft providers: commit keeps
+    * it, abort drops it (reference spark/.../RollbackStagedTable.java). */
+  private final class RollbackStagedTable(catalog: TableCatalog,
+      ident: Identifier, t: Table)
+    extends Table with StagedTable with SupportsRead with SupportsWrite {
+    override def name(): String = t.name()
+    override def schema(): StructType = t.schema()
+    override def partitioning(): Array[Transform] = t.partitioning()
+    override def properties(): util.Map[String, String] = t.properties()
+    override def capabilities(): util.Set[TableCapability] = t.capabilities()
+    override def newScanBuilder(options: CaseInsensitiveStringMap) =
+      t.asInstanceOf[SupportsRead].newScanBuilder(options)
+    override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+      t.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+    override def commitStagedChanges(): Unit = ()
+    override def abortStagedChanges(): Unit = catalog.dropTable(ident)
+  }
 }

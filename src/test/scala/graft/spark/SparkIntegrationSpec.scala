@@ -1720,6 +1720,22 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2.sql("SELECT count(*) FROM spark_catalog.sdb.pt").collect()(0).getLong(0) === 1L)
     assert(new HadoopCatalog(warehouse).loadTable(Seq("sdb"), "pt").isEmpty)
     s2.sql("DROP TABLE IF EXISTS spark_catalog.sdb.pt")
+
+    // CTAS routes by provider through the staging path: graft CTAS
+    // stages atomically in the warehouse; parquet CTAS goes to the
+    // delegate (and never creates a graft table)
+    s2.sql("""CREATE TABLE spark_catalog.sdb.gt_ctas USING graft
+      AS SELECT id FROM range(5)""")
+    assert(s2.sql("SELECT count(*) FROM spark_catalog.sdb.gt_ctas")
+      .collect()(0).getLong(0) === 5L)
+    assert(new HadoopCatalog(warehouse).loadTable(Seq("sdb"), "gt_ctas").isDefined)
+    s2.sql("DROP TABLE IF EXISTS spark_catalog.sdb.pt_ctas")
+    s2.sql("""CREATE TABLE spark_catalog.sdb.pt_ctas USING parquet
+      AS SELECT id FROM range(3)""")
+    assert(s2.sql("SELECT count(*) FROM spark_catalog.sdb.pt_ctas")
+      .collect()(0).getLong(0) === 3L)
+    assert(new HadoopCatalog(warehouse).loadTable(Seq("sdb"), "pt_ctas").isEmpty)
+    s2.sql("DROP TABLE IF EXISTS spark_catalog.sdb.pt_ctas")
   }
 
   test("distributed scan planning matches local planning") {
