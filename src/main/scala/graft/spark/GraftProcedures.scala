@@ -551,27 +551,66 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         maxCommits = input.getInt(6))
 
     case "rewrite_manifests" =>
-      // re-cluster all live entries into one manifest per (spec, content)
+      // Re-cluster live entries into partition-range-clustered manifests
+      // of bounded size, written DISTRIBUTED (reference
+      // RewriteManifestsSparkAction): entries sort globally by
+      // (spec, content, partition) — range partitioning keeps each output
+      // manifest's partition summaries tight for manifest-level pruning —
+      // and each task rolls manifests at the target entry count. The
+      // driver only collects the ManifestFile descriptors; the commit
+      // stamps the real snapshot id into them per attempt, so a CAS retry
+      // never re-runs the job.
       val t = loadTable(input.getUTF8String(0).toString)
       val m = t.meta
       val snap = m.currentSnapshot.getOrElse(
         throw new IllegalArgumentException("table has no snapshots"))
       val manifests = ManifestIO.readList(snap.manifestListPath)
-      val entries = manifests.flatMap(mf =>
-        ManifestIO.readEntries(mf).filter(_.isLive).map(e => (mf.specId, mf.content, e)))
+      val spark = SparkSession.active
+      val sc = spark.sparkContext
+      val location = t.location
+      val specsById = m.specs.map(s0 => s0.specId -> s0).toMap
+      val schema = m.schema
+      val targetEntries = m.properties
+        .get("commit.manifest.target-entries").flatMap(_.toIntOption)
+        .getOrElse(8192)
+      val written: Seq[ManifestFile] =
+        if (manifests.isEmpty) Nil
+        else sc.parallelize(manifests, math.max(1, math.min(manifests.size, 64)))
+          .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map { e =>
+            // keep original sequence numbers via Existing status
+            val kept = e.copy(status = ManifestEntryStatus.Existing)
+            ((mf.specId, mf.content, kept.file.partition.map {
+              case b: Array[Byte] => b.toSeq.toString
+              case x              => String.valueOf(x)
+            }.mkString("/")), kept)
+          })
+          .sortBy(_._1)
+          .mapPartitions { it =>
+            val outMfs = Seq.newBuilder[ManifestFile]
+            var curKey: (Int, Int) = null
+            val buf = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
+            def flush(): Unit = if (buf.nonEmpty) {
+              val (specId, content) = curKey
+              val path =
+                s"$location/metadata/manifest-${java.util.UUID.randomUUID}.json"
+              outMfs += ManifestIO.write(path, buf.toSeq, specId, content,
+                specsById(specId), schema, snapshotId = 0L)
+              buf.clear()
+            }
+            it.foreach { case ((specId, content, _), e) =>
+              if (curKey != (specId, content) || buf.size >= targetEntries) {
+                flush(); curKey = (specId, content)
+              }
+              buf += e
+            }
+            flush()
+            outMfs.result().iterator
+          }
+          .collect().toSeq
       val producer = new SnapshotProducer(t, "replace") {
         override protected def manifests(base: TableMetadata, snapshotId: Long,
             seq: Long): Seq[ManifestFile] =
-          entries.groupBy { case (specId, content, _) => (specId, content) }
-            .map { case ((specId, content), es) =>
-              val spec = base.specById(specId)
-              // keep original sequence numbers via Existing status
-              val kept = es.map { case (_, _, e) =>
-                e.copy(status = ManifestEntryStatus.Existing)
-              }
-              ManifestIO.write(t.ops.newManifestPath(), kept, specId, content,
-                spec, base.schema, snapshotId)
-            }.toSeq
+          written.map(_.copy(addedSnapshotId = snapshotId))
       }
       val ns = producer.commit()
       out(StructType(Seq(StructField("rewritten_manifests_count", IntegerType),
