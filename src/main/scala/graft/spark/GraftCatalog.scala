@@ -172,31 +172,106 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var schema = base.schema
       var props = base.properties
       var nextId = base.lastColumnId
+
+      // fresh field ids for an added column's whole type tree (nested
+      // struct/list/map adds need ids on every sub-field — spec: ids are
+      // assigned once and never recycled)
+      def assignIds(dt: org.apache.spark.sql.types.DataType): graft.core.types.GType =
+        dt match {
+          case s: StructType => graft.core.types.GStruct(s.fields.toSeq.map { f =>
+            nextId += 1
+            val id = nextId
+            graft.core.types.GField(id, f.name, assignIds(f.dataType), !f.nullable)
+          })
+          case a: org.apache.spark.sql.types.ArrayType =>
+            nextId += 1
+            val id = nextId
+            graft.core.types.GList(id, assignIds(a.elementType), !a.containsNull)
+          case mp: org.apache.spark.sql.types.MapType =>
+            nextId += 1; val kid = nextId
+            nextId += 1; val vid = nextId
+            graft.core.types.GMap(kid, assignIds(mp.keyType), vid,
+              assignIds(mp.valueType), !mp.valueContainsNull)
+          case prim => SparkBridge.gTypeOf(prim)
+        }
+
+      // edit the field at a dotted path (nested structs); None = delete
+      def editAt(st: graft.core.types.GStruct, path: Seq[String],
+          f: GField => Option[GField]): graft.core.types.GStruct = {
+        require(path.nonEmpty, "empty field path")
+        val found = st.fields.exists(_.name == path.head)
+        require(found, s"no such column: ${path.head}")
+        GStruct(st.fields.flatMap { fld =>
+          if (fld.name != path.head) Some(fld)
+          else if (path.length == 1) f(fld)
+          else fld.tpe match {
+            case inner: graft.core.types.GStruct =>
+              Some(fld.copy(tpe = editAt(inner, path.tail, f)))
+            case other => throw new UnsupportedOperationException(
+              s"cannot descend into $other at ${path.head}")
+          }
+        })
+      }
+
+      // insert/move within the parent struct per ColumnPosition
+      def placed(fields: Seq[GField], fld: GField,
+          pos: TableChange.ColumnPosition): Seq[GField] = pos match {
+        case _: TableChange.First => fld +: fields
+        case a: TableChange.After =>
+          val i = fields.indexWhere(_.name == a.column())
+          require(i >= 0, s"no such column: ${a.column()} (AFTER)")
+          (fields.take(i + 1) :+ fld) ++ fields.drop(i + 1)
+        case _ => fields :+ fld
+      }
+
+      def addAt(st: graft.core.types.GStruct, path: Seq[String], fld: GField,
+          pos: TableChange.ColumnPosition): graft.core.types.GStruct =
+        if (path.isEmpty) GStruct(placed(st.fields, fld, pos))
+        else editAt(st, path, parent => parent.tpe match {
+          case inner: graft.core.types.GStruct =>
+            Some(parent.copy(tpe = GStruct(placed(inner.fields, fld, pos))))
+          case other => throw new UnsupportedOperationException(
+            s"cannot add a column under $other")
+        })
+
       changes.foreach {
         case a: TableChange.AddColumn =>
-          require(a.fieldNames.length == 1, "nested add not supported yet")
           nextId += 1
-          val g = SparkBridge.gTypeOf(a.dataType)
+          val fid = nextId
+          val g = assignIds(a.dataType)
           val dflt = Option(a.defaultValue()).map(_.getSql)
+          val fld = GField(fid, a.fieldNames().last, g, !a.isNullable, dflt, dflt)
           schema = schema.copy(struct =
-            GStruct(schema.fields :+
-              GField(nextId, a.fieldNames()(0), g, !a.isNullable, dflt, dflt)))
+            addAt(schema.struct, a.fieldNames().toSeq.init, fld,
+              Option(a.position()).orNull))
         case d: TableChange.UpdateColumnDefaultValue =>
           // SET DEFAULT changes the WRITE default only; initial-default is
           // fixed at column creation (spec: existing rows keep their value)
           val sql = Option(d.newCurrentDefault()).map(_.getSql).filter(_.nonEmpty)
-          schema = schema.copy(struct = GStruct(schema.fields.map(f =>
-            if (f.name == d.fieldNames()(0)) f.copy(writeDefaultSql = sql) else f)))
+          schema = schema.copy(struct = editAt(schema.struct,
+            d.fieldNames().toSeq, f => Some(f.copy(writeDefaultSql = sql))))
         case r: TableChange.RenameColumn =>
-          schema = schema.copy(struct = GStruct(schema.fields.map(f =>
-            if (f.name == r.fieldNames()(0)) f.copy(name = r.newName) else f)))
+          schema = schema.copy(struct = editAt(schema.struct,
+            r.fieldNames().toSeq, f => Some(f.copy(name = r.newName))))
         case d: TableChange.DeleteColumn =>
-          schema = schema.copy(struct = GStruct(
-            schema.fields.filterNot(_.name == d.fieldNames()(0))))
+          schema = schema.copy(struct =
+            editAt(schema.struct, d.fieldNames().toSeq, _ => None))
         case u: TableChange.UpdateColumnType =>
+          // type WIDENING only keeps the id (promotion, spec Schema
+          // Evolution); reads resolve by id so old files stay readable
           val g = SparkBridge.gTypeOf(u.newDataType)
-          schema = schema.copy(struct = GStruct(schema.fields.map(f =>
-            if (f.name == u.fieldNames()(0)) f.copy(tpe = g) else f)))
+          schema = schema.copy(struct = editAt(schema.struct,
+            u.fieldNames().toSeq, f => Some(f.copy(tpe = g))))
+        case n: TableChange.UpdateColumnNullability =>
+          schema = schema.copy(struct = editAt(schema.struct,
+            n.fieldNames().toSeq, f => Some(f.copy(required = !n.nullable()))))
+        case mv: TableChange.UpdateColumnPosition =>
+          // remove then re-insert at the requested position (same parent)
+          val path = mv.fieldNames().toSeq
+          var moved: GField = null
+          val without = editAt(schema.struct, path, f => { moved = f; None })
+          schema = schema.copy(struct =
+            addAt(without, path.init, moved, mv.position()))
         case p: TableChange.SetProperty    => props = props + (p.property -> p.value)
         case p: TableChange.RemoveProperty => props = props - p.property
         case other => throw new UnsupportedOperationException(s"alter: $other")

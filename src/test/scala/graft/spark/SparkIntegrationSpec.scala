@@ -439,6 +439,43 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 90L)
   }
 
+  test("schema evolution: nested adds, renames, drops, moves, nullability") {
+    spark.sql("""CREATE TABLE graft.db.evo_n (
+      id BIGINT, info STRUCT<name: STRING, age: INT>)""")
+    spark.sql("""INSERT INTO graft.db.evo_n VALUES
+      (1, named_struct('name', 'a', 'age', 10)),
+      (2, named_struct('name', 'b', 'age', 20))""")
+    // nested ADD: old files read the new sub-column as null
+    spark.sql("ALTER TABLE graft.db.evo_n ADD COLUMN info.city STRING")
+    assert(spark.sql("SELECT info.city FROM graft.db.evo_n")
+      .collect().forall(_.isNullAt(0)))
+    spark.sql("""INSERT INTO graft.db.evo_n VALUES
+      (3, named_struct('name', 'c', 'age', 30, 'city', 'x'))""")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.evo_n WHERE info.city = 'x'")
+      .collect()(0).getLong(0) === 1L)
+    // nested RENAME keeps field-id addressing: old rows still resolve
+    spark.sql("ALTER TABLE graft.db.evo_n RENAME COLUMN info.age TO years")
+    assert(spark.sql("SELECT sum(info.years) FROM graft.db.evo_n")
+      .collect()(0).getLong(0) === 60L)
+    // top-level ADD with position + MOVE
+    spark.sql("ALTER TABLE graft.db.evo_n ADD COLUMN flag BOOLEAN AFTER id")
+    assert(spark.table("graft.db.evo_n").schema.fieldNames.toSeq ===
+      Seq("id", "flag", "info"))
+    spark.sql("ALTER TABLE graft.db.evo_n ALTER COLUMN flag AFTER info")
+    assert(spark.table("graft.db.evo_n").schema.fieldNames.toSeq ===
+      Seq("id", "info", "flag"))
+    // nested DROP
+    spark.sql("ALTER TABLE graft.db.evo_n DROP COLUMN info.city")
+    assert(!spark.table("graft.db.evo_n").schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("city"))
+    assert(spark.sql("SELECT sum(info.years) FROM graft.db.evo_n")
+      .collect()(0).getLong(0) === 60L)
+    // nullability tightening is metadata-only here
+    spark.sql("ALTER TABLE graft.db.evo_n ALTER COLUMN id DROP NOT NULL")
+    assert(spark.table("graft.db.evo_n").schema("id").nullable)
+  }
+
   test("variant shredded stats prune files on variant_get predicates") {
     spark.sql("""CREATE TABLE graft.db.vshred (id BIGINT, payload VARIANT)
       TBLPROPERTIES ('write.variant.shred.payload'='$.v:bigint')""")
