@@ -112,6 +112,21 @@ class AvroFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     check()
   }
 
+  test("avro CoW delete rewrites in-format and preserves row lineage") {
+    spark.sql("""CREATE TABLE graft.db.av_cow (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.format.default'='avro')""")
+    spark.sql("INSERT INTO graft.db.av_cow VALUES (1,'a'),(2,'b'),(3,'c')")
+    val before = spark.sql("SELECT id, _row_id FROM graft.db.av_cow")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("DELETE FROM graft.db.av_cow WHERE id = 2")
+    val after = spark.sql("SELECT id, _row_id FROM graft.db.av_cow")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before - 2L,
+      "survivors of a CoW rewrite must keep their _row_id")
+    assert(coreTable("av_cow").newScan().planFiles()
+      .forall(_.file.format == "avro"), "CoW rewrite must stay avro")
+  }
+
   test("avro import: add_files registers external avro files by name") {
     // write avro files OUTSIDE any table (no field ids), then import
     spark.sql("""CREATE TABLE graft.db.av_src (id BIGINT, v STRING)
