@@ -254,8 +254,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = schema.copy(struct = editAt(schema.struct,
             r.fieldNames().toSeq, f => Some(f.copy(name = r.newName))))
         case d: TableChange.DeleteColumn =>
-          schema = schema.copy(struct =
+          try schema = schema.copy(struct =
             editAt(schema.struct, d.fieldNames().toSeq, _ => None))
+          catch {
+            case e: IllegalArgumentException => if (!d.ifExists()) throw e
+          }
         case u: TableChange.UpdateColumnType =>
           // type WIDENING only keeps the id (promotion, spec Schema
           // Evolution); reads resolve by id so old files stay readable
@@ -263,6 +266,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = schema.copy(struct = editAt(schema.struct,
             u.fieldNames().toSeq, f => Some(f.copy(tpe = g))))
         case n: TableChange.UpdateColumnNullability =>
+          // optional → required is only provable on an empty table:
+          // existing files may hold nulls (reference UpdateSchema rejects
+          // the incompatible direction)
+          if (!n.nullable())
+            require(base.snapshots.isEmpty,
+              s"cannot make ${n.fieldNames().mkString(".")} required: " +
+                "existing rows may hold nulls")
           schema = schema.copy(struct = editAt(schema.struct,
             n.fieldNames().toSeq, f => Some(f.copy(required = !n.nullable()))))
         case mv: TableChange.UpdateColumnPosition =>
