@@ -103,8 +103,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new IllegalArgumentException(
             s"no snapshot or ref '$version' in ${ident.name}"))
     }
-    new GraftSparkTable(schemaPinned(t, snapshotId), fullName(ident),
-      snapshotId = Some(snapshotId))
+    // branch refs read with the CURRENT table schema (the branch keeps
+    // advancing); tags and raw snapshot ids pin the snapshot's schema
+    // (reference SnapshotUtil.schemaFor)
+    val isBranch = version.toLongOption.isEmpty &&
+      t.meta.refs.get(version).exists(_.refType ==
+        graft.core.meta.SnapshotRefType.Branch)
+    new GraftSparkTable(if (isBranch) t else schemaPinned(t, snapshotId),
+      fullName(ident), snapshotId = Some(snapshotId))
   }
 
   /** time travel reads with the snapshot's recorded schema */
