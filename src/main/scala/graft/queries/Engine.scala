@@ -37,14 +37,14 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v16").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v17").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
-        "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g")
+        "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -305,6 +305,27 @@ object Engine {
         SELECT n_regionkey, count(*) AS n_nations
         FROM rtas_nation_src GROUP BY n_regionkey""")
 
+      // external import (g36): native Spark parquet files registered by
+      // add_files — read through name mapping, no rewrite
+      val impDir = s"$wh/_import_src_nation"
+      t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(impDir)
+      s.sql("""CREATE TABLE graft.db.imp_g (
+        n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)""")
+      s.sql(s"CALL graft.system.add_files('db.imp_g', '$impDir')")
+
+      // snapshot expiry (g37): three appends, compaction, then expire
+      // everything but the head — the physical file deletion must leave
+      // exactly the live data (a reachability bug would destroy rows and
+      // go red against the oracle)
+      s.sql("CREATE TABLE graft.db.exp_g (r_regionkey BIGINT, r_name STRING)")
+      val rExp = t(s, dir, "region")
+      rExp.filter(col("r_regionkey") < 2).writeTo("graft.db.exp_g").append()
+      rExp.filter(col("r_regionkey") === 2).writeTo("graft.db.exp_g").append()
+      rExp.filter(col("r_regionkey") > 2).writeTo("graft.db.exp_g").append()
+      s.sql("CALL graft.system.rewrite_data_files('db.exp_g')")
+      s.sql("CALL graft.system.expire_snapshots('db.exp_g')")
+
       // shredded-variant stats (g35): each file records min/max of the
       // configured '$.n_regionkey' sub-path; two region-split appends
       // give files with disjoint bounds, so the gate's filter prunes
@@ -329,7 +350,7 @@ object Engine {
         .writeTo("graft.db.spj_o_g").append()
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v16" -> "true"))
+        .updateProperties(Map("build-complete-v17" -> "true"))
     }
     built += wh
   }
@@ -1011,7 +1032,38 @@ object Engine {
       SELECT n_nationkey, n_regionkey AS rk, n_name AS name
       FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey"""))
 
+  // ------------------------------------------------------------------ g36
+  // External import: add_files registered native parquet (written by
+  // Spark's own writer, no graft metadata) into a graft table; reads
+  // resolve columns by NAME MAPPING since the files carry no field ids
+  // (reference SparkTableUtil importSparkTable + name-mapping spec).
+  private val g36 = Q(
+    "g36_engine_add_files_import",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.imp_g")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // ------------------------------------------------------------------ g37
+  // Snapshot expiry end-to-end: after compaction + expire-all-but-head
+  // PHYSICALLY deleted the superseded files, the table must still hold
+  // exactly the original rows (reference ExpireSnapshotsSparkAction;
+  // the distributed reachability diff is what this guards).
+  private val g37 = Q(
+    "g37_engine_snapshot_expiry",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.exp_g").orderBy("r_regionkey")
+    },
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35)
+    g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37)
 }
