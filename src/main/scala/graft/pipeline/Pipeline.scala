@@ -715,6 +715,38 @@ object Pipeline {
       WHERE $sqlCos > 0.3
       ORDER BY id1, id2"""))
 
+  // ---------------------------------------------------------------- p19
+  // Benchmark decontamination (DataComp/Dolma-style): flag training docs
+  // sharing ≥T distinct shingles with any benchmark doc. The benchmark
+  // side is SMALL by construction (eval sets are thousands of docs), so
+  // the shingle equi-join BROADCASTS it — per-task hash probes, no
+  // shuffle of the corpus, linear at 100 TB. Here every 37th doc stands
+  // in for the benchmark; production would shingle wider (8-13 tokens)
+  // for selectivity, same plan shape.
+  private val p19 = Q(
+    "p19_decontaminate",
+    (s, dir) => {
+      val bg = bigramSets(s, dir)
+      val bench = bg.filter(col("doc_id") % 37 === 0).toDF("bid", "bb")
+      val cand = bg.filter(col("doc_id") % 37 =!= 0)
+      cand.join(broadcast(bench), col("b") === col("bb"))
+        .groupBy("doc_id", "bid").agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 10)
+        .groupBy("doc_id")
+        .agg(max(col("overlap")).as("max_overlap"),
+          countDistinct(col("bid")).as("n_bench"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $sqlTok, $sqlBigrams,
+      bench AS (SELECT doc_id AS bid, b FROM bg WHERE doc_id % 37 = 0),
+      cand AS (SELECT doc_id, b FROM bg WHERE doc_id % 37 <> 0),
+      ov AS (SELECT c.doc_id, bench.bid, COUNT(*) AS overlap
+             FROM cand c JOIN bench ON c.b = bench.b GROUP BY 1, 2)
+      SELECT doc_id, CAST(MAX(overlap) AS BIGINT) AS max_overlap,
+             CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_bench
+      FROM ov WHERE overlap >= 10 GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
-    p10, p11, p12, p13, p14, p15, p16, p17, p18)
+    p10, p11, p12, p13, p14, p15, p16, p17, p18, p19)
 }
