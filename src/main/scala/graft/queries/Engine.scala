@@ -37,14 +37,14 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v17").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v18").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
-        "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g")
+        "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -305,6 +305,18 @@ object Engine {
         SELECT n_regionkey, count(*) AS n_nations
         FROM rtas_nation_src GROUP BY n_regionkey""")
 
+      // v3 timestamp_ns (g38): nanosecond longs written through the
+      // LongType surface into a GTimestampNs-typed column (Spark has no
+      // ns type; SURVEY §1 maps it to LongType nanos)
+      cat.createTable(Seq("db"), "ns_g", graft.core.types.GSchema(
+        graft.core.types.GStruct(Seq(
+          graft.core.types.GField(1, "user_id", graft.core.types.GLong,
+            required = true),
+          graft.core.types.GField(2, "ts_ns",
+            graft.core.types.GTimestampNs(true))))))
+      events(s, dir).selectExpr("user_id", "ts_us * 1000 AS ts_ns")
+        .writeTo("graft.db.ns_g").append()
+
       // external import (g36): native Spark parquet files registered by
       // add_files — read through name mapping, no rewrite
       val impDir = s"$wh/_import_src_nation"
@@ -350,7 +362,7 @@ object Engine {
         .writeTo("graft.db.spj_o_g").append()
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v17" -> "true"))
+        .updateProperties(Map("build-complete-v18" -> "true"))
     }
     built += wh
   }
@@ -1063,7 +1075,27 @@ object Engine {
     },
     Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
 
+  // ------------------------------------------------------------------ g38
+  // v3 timestamp_ns: nanosecond timestamps survive the round-trip
+  // exactly (engine type GTimestampNs over a LongType Spark surface; the
+  // oracle reads the parquet TIMESTAMP(NANOS) column natively).
+  private val g38 = Q(
+    "g38_engine_timestamp_ns",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.ns_g").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), min(col("ts_ns")).as("mn"),
+          max(col("ts_ns")).as("mx"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n,
+        CAST(epoch_ns(MIN(ts)) AS BIGINT) AS mn,
+        CAST(epoch_ns(MAX(ts)) AS BIGINT) AS mx
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
-    g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37)
+    g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
+    g38)
 }
