@@ -30,10 +30,20 @@ import graft.core.types.GSchema
 object RestCatalogServer {
   /** Start an in-process server over a directory warehouse; returns
     * (server, uri). Backing store: FileTableOps per table, so the server
-    * composes with everything the Hadoop catalog supports. */
-  def start(warehouse: String, port: Int = 0): (HttpServer, String) = {
+    * composes with everything the Hadoop catalog supports.
+    *
+    * When `credential` (client-id, client-secret) is set, the server
+    * requires OAuth2 client-credentials auth (reference
+    * core/.../rest/auth/OAuth2Util + open-api /v1/oauth/tokens): clients
+    * exchange the credential for a bearer token once, then send
+    * `Authorization: Bearer` on every call; anything else gets 401. */
+  def start(warehouse: String, port: Int = 0,
+      credential: Option[(String, String)] = None): (HttpServer, String) = {
     val backing = new HadoopCatalog(warehouse)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // per-server-instance opaque token; handed out only for the right
+    // client credential
+    val serverToken = credential.map(_ => java.util.UUID.randomUUID().toString)
 
     def json(x: HttpExchange, code: Int, body: String): Unit = {
       val b = body.getBytes(StandardCharsets.UTF_8)
@@ -45,17 +55,52 @@ object RestCatalogServer {
     def readBody(x: HttpExchange): String =
       new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
+    /** true when the request may proceed; otherwise a 401 was sent */
+    def authed(x: HttpExchange): Boolean = serverToken match {
+      case None => true
+      case Some(tok)
+        if Option(x.getRequestHeaders.getFirst("Authorization"))
+          .contains(s"Bearer $tok") => true
+      case _ =>
+        // HEAD responses must not carry a body
+        if (x.getRequestMethod == "HEAD") { x.sendResponseHeaders(401, -1); x.close() }
+        else json(x, 401, """{"error": "unauthorized"}""")
+        false
+    }
+
+    // OAuth2 token endpoint: client-credentials grant only, form-encoded
+    // (reference open-api getToken); the only route that never needs auth
+    server.createContext("/v1/oauth/tokens", (x: HttpExchange) =>
+      try {
+        val form = readBody(x).split("&").filter(_.contains("="))
+          .map { kv =>
+            val i = kv.indexOf('=')
+            kv.substring(0, i) ->
+              java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+          }.toMap
+        credential match {
+          case Some((id, secret))
+            if form.get("grant_type").contains("client_credentials") &&
+              form.get("client_id").contains(id) &&
+              form.get("client_secret").contains(secret) =>
+            json(x, 200, s"""{"access_token": ${MetaJson.mapper.writeValueAsString(serverToken.get)},""" +
+              s""" "token_type": "bearer", "expires_in": 3600}""")
+          case Some(_) => json(x, 401, """{"error": "invalid client credentials"}""")
+          case None    => json(x, 400, """{"error": "auth not configured on this server"}""")
+        }
+      } catch { case e: Throwable => json(x, 400, errJson(e)) })
+
     // reference rest-catalog-open-api.yaml getConfig: server-controlled
     // defaults/overrides a second engine instance merges into its own
     // settings; warehouse doubles as both for this backend
     server.createContext("/v1/config", (x: HttpExchange) =>
-      json(x, 200,
+      if (authed(x)) json(x, 200,
         s"""{"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)},""" +
           s""" "defaults": {"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)}},""" +
           s""" "overrides": {}}"""))
 
     server.createContext("/v1/tables/rename", (x: HttpExchange) =>
-      try {
+      try if (authed(x)) {
         val n = MetaJson.mapper.readTree(readBody(x))
         require(n.hasNonNull("from") && n.hasNonNull("to"), "from/to required")
         // directory-backed store cannot rename (absolute paths in
@@ -65,7 +110,7 @@ object RestCatalogServer {
 
     // /v1/namespaces/{ns}/tables[/{t}[/create|/commit]]
     server.createContext("/v1/namespaces", (x: HttpExchange) =>
-      try {
+      try if (authed(x)) {
         val parts = x.getRequestURI.getPath.stripPrefix("/v1/namespaces/")
           .split("/").filter(_.nonEmpty)
         (x.getRequestMethod, parts) match {
@@ -154,19 +199,26 @@ object RestCatalogServer {
 object RestHttp {
   lazy val client: HttpClient = HttpClient.newHttpClient()
 
-  def get(url: String): (Int, String) = send(
-    HttpRequest.newBuilder(java.net.URI.create(url)).GET().build())
+  def get(url: String, headers: Map[String, String] = Map.empty): (Int, String) =
+    send(withHeaders(HttpRequest.newBuilder(java.net.URI.create(url)).GET(), headers))
 
-  def post(url: String, body: String): (Int, String) = send(
-    HttpRequest.newBuilder(java.net.URI.create(url))
-      .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+  def post(url: String, body: String,
+      headers: Map[String, String] = Map.empty): (Int, String) =
+    send(withHeaders(HttpRequest.newBuilder(java.net.URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)), headers))
 
-  def head(url: String): (Int, String) = send(
-    HttpRequest.newBuilder(java.net.URI.create(url))
-      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build())
+  def head(url: String, headers: Map[String, String] = Map.empty): (Int, String) =
+    send(withHeaders(HttpRequest.newBuilder(java.net.URI.create(url))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()), headers))
 
-  def delete(url: String): (Int, String) = send(
-    HttpRequest.newBuilder(java.net.URI.create(url)).DELETE().build())
+  def delete(url: String, headers: Map[String, String] = Map.empty): (Int, String) =
+    send(withHeaders(HttpRequest.newBuilder(java.net.URI.create(url)).DELETE(), headers))
+
+  private def withHeaders(b: HttpRequest.Builder,
+      headers: Map[String, String]): HttpRequest = {
+    headers.foreach { case (k, v) => b.header(k, v) }
+    b.build()
+  }
 
   private def send(req: HttpRequest): (Int, String) = {
     val r = client.send(req, HttpResponse.BodyHandlers.ofString())
@@ -179,17 +231,20 @@ final class RestTableOps(
     val location: String,
     uri: String,
     namespace: String,
-    name: String) extends TableOps {
+    name: String,
+    token: Option[String] = None) extends TableOps {
 
   private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
+  private def hdrs: Map[String, String] =
+    token.map(t => "Authorization" -> s"Bearer $t").toMap
 
   override def currentVersion(): Int = {
-    val (code, body) = RestHttp.get(tableUrl)
+    val (code, body) = RestHttp.get(tableUrl, hdrs)
     if (code != 200) 0 else MetaJson.mapper.readTree(body).get("version").asInt()
   }
 
   override def current(): Option[TableMetadata] = {
-    val (code, body) = RestHttp.get(tableUrl)
+    val (code, body) = RestHttp.get(tableUrl, hdrs)
     if (code != 200) None
     else Some(MetaJson.readMetadata(
       MetaJson.mapper.writeValueAsString(MetaJson.mapper.readTree(body).get("metadata"))))
@@ -197,11 +252,12 @@ final class RestTableOps(
 
   override def commit(baseVersion: Int, updated: TableMetadata): Boolean =
     if (baseVersion == 0) {
-      val (code, _) = RestHttp.post(s"$tableUrl/create", MetaJson.writeMetadata(updated))
+      val (code, _) = RestHttp.post(s"$tableUrl/create", MetaJson.writeMetadata(updated), hdrs)
       code == 200
     } else {
       val (code, _) = RestHttp.post(s"$tableUrl/commit",
-        s"""{"base-version": $baseVersion, "metadata": ${MetaJson.writeMetadata(updated)}}""")
+        s"""{"base-version": $baseVersion, "metadata": ${MetaJson.writeMetadata(updated)}}""",
+        hdrs)
       code == 200
     }
 }
@@ -209,13 +265,16 @@ final class RestTableOps(
 /** REST catalog client. The warehouse comes from the server's /v1/config,
   * so data/metadata paths agree between client and server (single shared
   * filesystem in this implementation, as with HadoopCatalog). */
-final class RestCatalog private (warehouse: String, uri: String)
+final class RestCatalog private (warehouse: String, uri: String,
+    token: Option[String])
   extends HadoopCatalog(warehouse) {
 
   private def ns(namespace: Seq[String]): String = namespace.mkString(".")
+  private def hdrs: Map[String, String] =
+    token.map(t => "Authorization" -> s"Bearer $t").toMap
 
   private def ops(namespace: Seq[String], name: String): RestTableOps =
-    new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name)
+    new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name, token)
 
   override def createTable(namespace: Seq[String], name: String, schema: GSchema,
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
@@ -238,10 +297,10 @@ final class RestCatalog private (warehouse: String, uri: String)
   override def tableExists(namespace: Seq[String], name: String): Boolean =
     // HEAD probe: no metadata payload crosses the wire (reference spec
     // tableExists)
-    RestHttp.head(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name")._1 == 204
+    RestHttp.head(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name", hdrs)._1 == 204
 
   override def dropTable(namespace: Seq[String], name: String): Boolean =
-    RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name")._1 == 200
+    RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name", hdrs)._1 == 200
 
   /** routes through the server's rename endpoint so capability is decided
     * server-side (this backend reports 409: directory-backed store) */
@@ -251,7 +310,7 @@ final class RestCatalog private (warehouse: String, uri: String)
     body.put("from", s"${ns(namespace)}.$name")
     body.put("to", s"${ns(newNamespace)}.$newName")
     val (code, resp) = RestHttp.post(s"$uri/v1/tables/rename",
-      MetaJson.mapper.writeValueAsString(body))
+      MetaJson.mapper.writeValueAsString(body), hdrs)
     if (code != 200)
       throw new UnsupportedOperationException(s"rename rejected by server: $resp")
   }
@@ -267,7 +326,7 @@ final class RestCatalog private (warehouse: String, uri: String)
       val tok = if (token.isEmpty) ""
         else s"&pageToken=${java.net.URLEncoder.encode(token, "UTF-8")}"
       val (code, body) = RestHttp.get(
-        s"$uri/v1/namespaces/${ns(namespace)}/tables?pageSize=100$tok")
+        s"$uri/v1/namespaces/${ns(namespace)}/tables?pageSize=100$tok", hdrs)
       if (code != 200) return out.result()
       val n = MetaJson.mapper.readTree(body)
       n.get("identifiers").elements().forEachRemaining(e => out += e.asText())
@@ -280,10 +339,26 @@ final class RestCatalog private (warehouse: String, uri: String)
 }
 
 object RestCatalog {
-  /** Connect: fetch the warehouse from the server config endpoint. */
-  def connect(uri: String): RestCatalog = {
-    val (code, body) = RestHttp.get(s"$uri/v1/config")
+  /** Connect: optionally exchange an OAuth2 client credential
+    * ("client-id:client-secret", reference RESTCatalog `credential`
+    * property) for a bearer token, then fetch the warehouse from the
+    * server config endpoint. */
+  def connect(uri: String, credential: Option[String] = None): RestCatalog = {
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+    val token = credential.map { cred =>
+      val (id, secret) = cred.split(":", 2) match {
+        case Array(i, s) => (i, s)
+        case _ => throw new IllegalArgumentException(
+          "credential must be 'client-id:client-secret'")
+      }
+      val (code, resp) = RestHttp.post(s"$uri/v1/oauth/tokens",
+        s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}")
+      require(code == 200, s"OAuth token exchange failed: $code $resp")
+      MetaJson.mapper.readTree(resp).get("access_token").asText()
+    }
+    val hdrs = token.map(t => "Authorization" -> s"Bearer $t").toMap
+    val (code, body) = RestHttp.get(s"$uri/v1/config", hdrs)
     require(code == 200, s"REST catalog config failed: $code $body")
-    new RestCatalog(MetaJson.mapper.readTree(body).get("warehouse").asText(), uri)
+    new RestCatalog(MetaJson.mapper.readTree(body).get("warehouse").asText(), uri, token)
   }
 }

@@ -747,6 +747,150 @@ object Pipeline {
              CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_bench
       FROM ov WHERE overlap >= 10 GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- p20
+  // Repetition-based quality filtering (Gopher/Dolma-style): flag docs
+  // whose duplicate-bigram fraction exceeds 25% or whose most frequent
+  // token exceeds 20% of all tokens. All measures are exact integer
+  // counts and the thresholds are cross-multiplied comparisons, so no
+  // float ever enters the result. Scale: explode + two-level hash agg
+  // on (doc_id, token) with map-side combine — one shuffle keyed by
+  // doc_id, linear at 100 TB.
+  private val p20 = Q(
+    "p20_quality_repetition",
+    (s, dir) => {
+      val tk = tok(s, dir)
+      val tokStats = tk.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_tok"))
+      val bgTotal = tk.select(col("doc_id"),
+        (size(col("ws")) - 1).cast(LongType).as("n_bg"))
+      val bgDistinct = bigramSets(s, dir)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bgd"))
+      tokStats.join(bgTotal, "doc_id").join(bgDistinct, "doc_id")
+        .withColumn("n_dup_bg", col("n_bg") - col("n_bgd"))
+        .filter(col("n_dup_bg") * 4 > col("n_bg") ||
+          col("top_tok") * 5 > col("n_tok"))
+        .select("doc_id", "n_tok", "top_tok", "n_dup_bg")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $sqlTok, $sqlBigrams,
+      tc AS (SELECT doc_id, ws[i] AS w
+             FROM tok, unnest(generate_series(1, len(ws))) g(i)),
+      ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                    CAST(MAX(c) AS BIGINT) AS top_tok
+             FROM (SELECT doc_id, w, COUNT(*) AS c FROM tc GROUP BY 1, 2)
+             GROUP BY 1),
+      bt AS (SELECT doc_id, CAST(len(ws) - 1 AS BIGINT) AS n_bg FROM tok),
+      bd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bgd FROM bg GROUP BY 1)
+      SELECT doc_id, n_tok, top_tok, n_bg - n_bgd AS n_dup_bg
+      FROM ts JOIN bt USING (doc_id) JOIN bd USING (doc_id)
+      WHERE (n_bg - n_bgd) * 4 > n_bg OR top_tok * 5 > n_tok
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- p21
+  // PII scrubbing: deterministic synthetic emails/phones are injected
+  // into each doc (the corpus itself is PII-free word salad), then
+  // redacted with regexes from the Java/RE2 COMMON subset — identical
+  // match semantics in Spark (codegen'd regexp_replace/regexp_count)
+  // and the DuckDB oracle. Stateless map, zero shuffles — embarrassingly
+  // parallel at 100 TB.
+  private val p21 = Q(
+    "p21_pii_scrub",
+    (s, dir) => {
+      val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+      val phoneRe = "\\+1-555-[0-9][0-9][0-9][0-9]"
+      t(s, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@mail.example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+          lit(" now")))
+        .select(col("doc_id"),
+          regexp_count(col("txt"), lit(emailRe)).cast(LongType).as("n_emails"),
+          regexp_count(col("txt"), lit(phoneRe)).cast(LongType).as("n_phones"),
+          length(regexp_replace(regexp_replace(col("txt"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")).cast(LongType).as("scrub_len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          '@mail.example.com or +1-555-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS txt
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(txt, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(txt, '\+1-555-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS n_phones,
+        CAST(length(regexp_replace(regexp_replace(txt,
+          '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z][a-z]+', '[EMAIL]', 'g'),
+          '\+1-555-[0-9][0-9][0-9][0-9]', '[PHONE]', 'g')) AS BIGINT) AS scrub_len
+      FROM d ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- p22
+  // Embedding clustering: two Lloyd iterations of k-means (k=8, seeded
+  // from vec_id 0-7) over INTEGER-quantized vectors — q = floor(x*64)
+  // is exact because 64 is a power of two, distances and floored means
+  // are exact integer/rational arithmetic, so Spark and the oracle
+  // agree bit-for-bit (cross-row float means would not). Scale: the k
+  // centroids broadcast (k-means' inherent driver state); assignment is
+  // a stateless map over a k-way crossJoin — no data shuffle; the
+  // centroid update shuffles k*64 partial sums. Linear at 100 TB.
+  private val p22 = Q(
+    "p22_cluster_kmeans",
+    (s, dir) => {
+      val q = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+          .as("qv"))
+      def assign(cent: DataFrame): DataFrame =
+        q.crossJoin(broadcast(cent))
+          .withColumn("dist",
+            expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+      def recompute(asg: DataFrame): DataFrame =
+        q.join(asg, "vec_id")
+          .select(col("cid"), posexplode(col("qv")).as(Seq("j", "x")))
+          .groupBy("cid", "j")
+          .agg(floor(sum(col("x")) / count(lit(1))).cast(LongType).as("c"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(j, c))), s -> s.c)").as("cv"))
+      val c0 = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      val a2 = assign(recompute(assign(c0)))
+      a2.groupBy("cid")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
+          sum(col("vec_id")).as("sum_ids"))
+        .orderBy("cid")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+             FROM embeddings),
+      qx AS (SELECT vec_id, j, qv[j + 1] AS x
+             FROM q, generate_series(0, 63) g(j)),
+      c0 AS (SELECT vec_id AS cid, j, x AS c FROM qx WHERE vec_id < 8),
+      d1 AS (SELECT qx.vec_id, c0.cid, SUM((qx.x - c0.c) * (qx.x - c0.c)) AS dist
+             FROM qx JOIN c0 ON qx.j = c0.j GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a1.cid, qx.j,
+                    CAST(FLOOR(CAST(SUM(qx.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             FROM qx JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT qx.vec_id, c1.cid, SUM((qx.x - c1.c) * (qx.x - c1.c)) AS dist
+             FROM qx JOIN c1 ON qx.j = c1.j GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d2) WHERE rn = 1)
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS min_id,
+             CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+      FROM a2 GROUP BY cid ORDER BY cid"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
-    p10, p11, p12, p13, p14, p15, p16, p17, p18, p19)
+    p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22)
 }

@@ -28,6 +28,21 @@ object Engine {
     * contaminated sample from a regression */
   def builtCold(dir: String): Boolean = coldBuilt.contains(warehouse(dir))
 
+  /** recursive file listing (setup/gate-side convenience; the engine's
+    * own maintenance paths list distributed) */
+  private def listTree(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) Nil
+    else {
+      val st = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.toString).toVector
+      } finally st.close()
+    }
+  }
+
   /** idempotent per-JVM setup: catalog conf + tables */
   private def setup(s: SparkSession, dir: String): Unit = synchronized {
     val wh = warehouse(dir)
@@ -37,14 +52,15 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v18").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v19").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
       Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
-        "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g")
+        "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
+        "lin_g", "orph_g", "txn_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -350,6 +366,63 @@ object Engine {
       nVar.filter(col("n_regionkey") >= 2).select("n_nationkey", "payload")
         .writeTo("graft.db.var_shred_g").append()
 
+      // row lineage (g39): one sorted file so the append assigns
+      // _row_id == n_nationkey; the CoW UPDATE must then carry lineage
+      // through the whole-file rewrite (spec v3 row lineage; reference
+      // spark/.../source/ExtractRowLineage.java)
+      s.sql("CREATE TABLE graft.db.lin_g (n_nationkey BIGINT, n_name STRING)")
+      t(s, dir, "nation").select("n_nationkey", "n_name")
+        .repartition(1).sortWithinPartitions("n_nationkey")
+        .writeTo("graft.db.lin_g").append()
+      s.sql("UPDATE graft.db.lin_g SET n_name = concat(n_name, '!') WHERE n_nationkey % 5 = 2")
+
+      // NDV stats (g41): compute_table_stats stores per-column NDVs as
+      // stats.ndv.* properties + a puffin statistics file; at nation
+      // cardinality (25/25/5) the HLL++ estimate is exact and
+      // deterministic, so the oracle is plain COUNT(DISTINCT)
+      s.sql("CALL graft.system.compute_table_stats('db.imp_g')")
+
+      // orphan files (g42): plant a copy of a live data file under
+      // data/ (a failed write's leftover), then remove_orphan_files must
+      // delete exactly it and nothing live
+      s.sql("CREATE TABLE graft.db.orph_g (r_regionkey BIGINT, r_name STRING)")
+      t(s, dir, "region").select("r_regionkey", "r_name")
+        .writeTo("graft.db.orph_g").append()
+      val orphLoc = cat.loadTable(Seq("db"), "orph_g").get.location
+      val livePart = listTree(s"$orphLoc/data").filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(livePart),
+        java.nio.file.Paths.get(s"$orphLoc/data/planted-orphan.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      s.sql(s"""CALL graft.system.remove_orphan_files('db.orph_g',
+        dry_run => false, older_than_ms => ${System.currentTimeMillis() + 3600000L})""")
+
+      // multi-op transaction (g43): a property update + a data append of
+      // externally staged parquet land as ONE CAS (reference
+      // BaseTransaction); the gate sees both halves of supplier or
+      // neither
+      s.sql("""CREATE TABLE graft.db.txn_g (
+        s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT)""")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      sup.filter(col("s_suppkey") % 2 === 0).writeTo("graft.db.txn_g").append()
+      val txnStage = s"$wh/_txn_stage"
+      sup.filter(col("s_suppkey") % 2 === 1)
+        .repartition(1).write.mode("overwrite").parquet(txnStage)
+      val txnRows = sup.filter(col("s_suppkey") % 2 === 1).count()
+      val gt = cat.loadTable(Seq("db"), "txn_g").get
+      val hconf = s.sessionState.newHadoopConf()
+      gt.transaction { tx =>
+        tx.updateProperties(Map("txn-batched" -> "true"))
+        val staged = listTree(txnStage).filter(_.endsWith(".parquet"))
+        val dataFiles = staged.map { p =>
+          val (size, stats) = graft.spark.FooterStats.read(p, hconf, tx.schema)
+          // Spark-native files carry no graft field ids → name-mapped
+          graft.core.meta.DataFile(p, "parquet-nm", tx.spec.specId, Nil,
+            txnRows, size, stats)
+        }
+        tx.newAppend().appendFiles(dataFiles).commit()
+      }
+
       // storage-partitioned join pair: same bucket transform on the join
       // key on both sides, so the join can run exchange-free (g34)
       s.sql("""CREATE TABLE graft.db.spj_c_g (c_custkey BIGINT, c_mktsegment STRING)
@@ -362,7 +435,7 @@ object Engine {
         .writeTo("graft.db.spj_o_g").append()
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v18" -> "true"))
+        .updateProperties(Map("build-complete-v19" -> "true"))
     }
     built += wh
   }
@@ -1094,8 +1167,136 @@ object Engine {
         CAST(epoch_ns(MAX(ts)) AS BIGINT) AS mx
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // ------------------------------------------------------------------ g39
+  // v3 row lineage through DML: the setup wrote nation as ONE sorted
+  // file (_row_id == n_nationkey), then CoW-updated every 5th row. The
+  // rewrite must preserve _row_id on every row and move ONLY the
+  // updated rows to the update commit's sequence number (spec
+  // format/spec.md row lineage; reference ExtractRowLineage +
+  // TestRowLevelOperationsWithLineage).
+  private val g39 = Q(
+    "g39_engine_row_lineage",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.lin_g")
+        .select(col("n_nationkey"), col("n_name"),
+          col("_row_id").as("rid"),
+          col("_last_updated_sequence_number").as("lseq"))
+        .orderBy("n_nationkey")
+    },
+    Some("""
+      SELECT n_nationkey,
+        CASE WHEN n_nationkey % 5 = 2 THEN n_name || '!' ELSE n_name END AS n_name,
+        n_nationkey AS rid,
+        CAST(CASE WHEN n_nationkey % 5 = 2 THEN 2 ELSE 1 END AS BIGINT) AS lseq
+      FROM nation ORDER BY n_nationkey"""))
+
+  // ------------------------------------------------------------------ g40
+  // Runtime filtering (DPP): a broadcast dim filtered to one month joins
+  // the month-partitioned fact on the partition SOURCE column; Spark
+  // hands the dim's values to the scan as a runtime predicate
+  // (SupportsRuntimeV2Filtering) and the scan re-plans to one month of
+  // files. The dynamic-pruning subquery is asserted in the plan — a
+  // silent fallback to a full scan fails the gate.
+  private val g40 = Q(
+    "g40_engine_runtime_filter",
+    (s, dir) => {
+      setup(s, dir)
+      val dim = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .select(col("l_shipdate").as("d")).distinct()
+      val df = s.table("graft.db.lineitem_g")
+        .join(dim, col("l_shipdate") === col("d"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("sum_e2"))
+        .orderBy("d")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.toLowerCase.contains("dynamicpruning"),
+        s"g40: expected a dynamic-pruning runtime filter on the graft scan:\n$plan")
+      df
+    },
+    Some("""
+      WITH dim AS (SELECT DISTINCT l_shipdate AS d FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')
+      SELECT d, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM lineitem JOIN dim ON l_shipdate = d
+      GROUP BY d ORDER BY d"""))
+
+  // ------------------------------------------------------------------ g41
+  // compute_table_stats: per-column NDVs land as stats.ndv.* properties
+  // (and a puffin statistics file) feeding join-strategy stats; at
+  // nation cardinality the HLL++ sketch is exact, so plain
+  // COUNT(DISTINCT) is the oracle (reference
+  // ComputeTableStatsSparkAction + theta-sketch puffin blobs).
+  private val g41 = Q(
+    "g41_engine_table_stats",
+    (s, dir) => {
+      setup(s, dir)
+      val props = new HadoopCatalog(warehouse(dir))
+        .loadTable(Seq("db"), "imp_g").get.meta.properties
+      val rows = Seq("n_nationkey", "n_name", "n_regionkey")
+        .map(c => (c, props(s"stats.ndv.$c").toLong))
+      import s.implicits._
+      rows.toDF("col_name", "ndv").orderBy("col_name")
+    },
+    Some("""
+      SELECT col_name, ndv FROM (
+        SELECT 'n_nationkey' AS col_name, CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS ndv FROM nation
+        UNION ALL
+        SELECT 'n_name', CAST(COUNT(DISTINCT n_name) AS BIGINT) FROM nation
+        UNION ALL
+        SELECT 'n_regionkey', CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation
+      ) ORDER BY col_name"""))
+
+  // ------------------------------------------------------------------ g42
+  // remove_orphan_files: the planted copy under data/ must be gone, the
+  // live rows untouched — a reachability bug in the distributed diff
+  // either leaves the orphan (orphans_left=1) or deletes live data
+  // (missing rows); both go red against the oracle.
+  private val g42 = Q(
+    "g42_engine_orphan_files",
+    (s, dir) => {
+      setup(s, dir)
+      val loc = new HadoopCatalog(warehouse(dir))
+        .loadTable(Seq("db"), "orph_g").get.location
+      val left = listTree(s"$loc/data").count(_.contains("planted-orphan"))
+      s.table("graft.db.orph_g")
+        .select(col("r_regionkey"), col("r_name"))
+        .withColumn("orphans_left", lit(left.toLong))
+        .orderBy("r_regionkey")
+    },
+    Some("""
+      SELECT r_regionkey, r_name, CAST(0 AS BIGINT) AS orphans_left
+      FROM region ORDER BY r_regionkey"""))
+
+  // ------------------------------------------------------------------ g43
+  // Multi-op transaction: setup committed a property update + an append
+  // of externally staged files as ONE CAS (GTable.transaction, reference
+  // BaseTransaction). Both supplier halves present = the batch landed
+  // atomically; the property is asserted too so a silently dropped
+  // metadata op fails the gate.
+  private val g43 = Q(
+    "g43_engine_transaction",
+    (s, dir) => {
+      setup(s, dir)
+      val meta = new HadoopCatalog(warehouse(dir))
+        .loadTable(Seq("db"), "txn_g").get.meta
+      require(meta.properties.get("txn-batched").contains("true"),
+        "g43: transaction property update missing")
+      s.table("graft.db.txn_g")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("sum_k"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS sum_k
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
-    g38)
+    g38, g39, g40, g41, g42, g43)
 }

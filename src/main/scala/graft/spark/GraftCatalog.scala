@@ -49,7 +49,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val uri = Option(options.get("uri")).getOrElse(
           throw new IllegalArgumentException(
             s"catalog $name: catalog-impl=rest requires a 'uri' option"))
-        graft.core.meta.RestCatalog.connect(uri)
+        // optional OAuth2 client credential, reference RESTCatalog style:
+        // spark.sql.catalog.<name>.credential = "client-id:client-secret"
+        graft.core.meta.RestCatalog.connect(uri, Option(options.get("credential")))
       case _ => new HadoopCatalog(wh)
     }
   }

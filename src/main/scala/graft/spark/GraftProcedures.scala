@@ -708,7 +708,15 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val df = byFmt.map { case (f, fs) =>
         if (f == "avro") GraftAvro.readToDf(spark, fs.map(_.path), schema, withPos = false)
         else {
-          val rdr = spark.read.schema(schema)
+          // name-mapped imports carry no parquet field ids: reading them
+          // with a field-id-annotated schema fails outright, so strip
+          // the ids and resolve by name (the import contract)
+          val readSchema =
+            if (f == "parquet-nm")
+              StructType(schema.fields.map(_.copy(
+                metadata = org.apache.spark.sql.types.Metadata.empty)))
+            else schema
+          val rdr = spark.read.schema(readSchema)
           if (f == "orc") rdr.orc(fs.map(_.path): _*)
           else rdr.parquet(fs.map(_.path): _*)
         }

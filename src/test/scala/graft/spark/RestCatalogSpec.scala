@@ -127,4 +127,32 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.createTable(Seq("db"), "dup_r", schema)
     intercept[IllegalStateException](cat.createTable(Seq("db"), "dup_r", schema))
   }
+
+  test("OAuth2 client-credentials auth gates every endpoint") {
+    val wh2 = Files.createTempDirectory("graft-rest-auth-wh").toString
+    val (srv, authUri) = RestCatalogServer.start(wh2,
+      credential = Some(("svc-account", "s3cret")))
+    try {
+      // no credential: config fetch is rejected, connect fails
+      val noAuth = intercept[IllegalArgumentException](RestCatalog.connect(authUri))
+      assert(noAuth.getMessage.contains("401"))
+      // wrong secret: the token endpoint itself refuses
+      val badSecret = intercept[IllegalArgumentException](
+        RestCatalog.connect(authUri, Some("svc-account:wrong")))
+      assert(badSecret.getMessage.contains("401"))
+      // right credential: token exchange once, then normal catalog life
+      val cat = RestCatalog.connect(authUri, Some("svc-account:s3cret"))
+      val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
+      val t = cat.createTable(Seq("db"), "auth_t", schema)
+      t.updateProperties(Map("authed" -> "true"))
+      assert(cat.tableExists(Seq("db"), "auth_t"))
+      assert(cat.listTables(Seq("db")) === Seq("auth_t"))
+      assert(cat.loadTable(Seq("db"), "auth_t").get
+        .meta.properties.get("authed").contains("true"))
+      // a raw unauthenticated probe against a protected route is a 401
+      assert(graft.core.meta.RestHttp.get(
+        s"$authUri/v1/namespaces/db/tables")._1 === 401)
+      assert(cat.dropTable(Seq("db"), "auth_t"))
+    } finally srv.stop(0)
+  }
 }
