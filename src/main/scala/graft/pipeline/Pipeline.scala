@@ -891,6 +891,84 @@ object Pipeline {
              CAST(SUM(vec_id) AS BIGINT) AS sum_ids
       FROM a2 GROUP BY cid ORDER BY cid"""))
 
+  // ---------------------------------------------------------------- p23
+  // TF-IDF keyword extraction: top-3 terms per doc ranked by tf/df.
+  // tf and df are exact integer counts; the ranking key is one IEEE
+  // double DIVISION of those integers — bit-deterministic in any engine
+  // (unlike cross-row float SUMS, which depend on partition order) —
+  // with an exact term tie-break. Scale: two hash aggs (doc_id,term)
+  // then (term), an equi-join on term, one doc_id window. All linear;
+  // no step holds a vocabulary or corpus in one place.
+  private val p23 = Q(
+    "p23_tfidf_topterms",
+    (s, dir) => {
+      val tf = tok(s, dir).select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // tf already has one row per (doc, term), so df = rows per term
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "w")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy((col("tf").cast(DoubleType) / col("df")).desc, col("w"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+          col("w").as("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""
+      WITH $sqlTok,
+      tc AS (SELECT doc_id, ws[i] AS w
+             FROM tok, unnest(generate_series(1, len(ws))) g(i)),
+      tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tc GROUP BY 1, 2),
+      dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      rk AS (SELECT doc_id, w, tf, df,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY CAST(tf AS DOUBLE) / df DESC, w) AS rank
+             FROM tf JOIN dfq USING (w))
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, w AS term, tf, df
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  // ---------------------------------------------------------------- p24
+  // Domain-mix rebalancing: downsample every language to the size of the
+  // SMALLEST one (equal target mix; swap the target vector for Pile/
+  // Dolma-style weights the same way). The per-lang keep threshold is an
+  // exact integer in basis points, membership is p16's overflow-safe
+  // Knuth hash, so the kept set is deterministic and engine-independent.
+  // Scale: one tiny count agg broadcast back, a stateless filter, one
+  // final agg — the corpus itself shuffles once, on lang, at the end.
+  private val p24 = Q(
+    "p24_domain_mix",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val minCnt = counts.agg(min(col("cnt"))).as(org.apache.spark.sql.Encoders.scalaLong).head()
+      val rates = counts.withColumn("rate_bp",
+        (lit(minCnt) * 10000L / col("cnt")).cast(LongType))
+      d.join(broadcast(rates), "lang")
+        .filter(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+          lit(10000)) < col("rate_bp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"),
+          max(col("rate_bp")).as("rate_bp"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM documents GROUP BY 1),
+      rates AS (SELECT lang, cnt,
+                       (SELECT MIN(cnt) FROM counts) * 10000 // cnt AS rate_bp
+                FROM counts),
+      kept AS (SELECT d.doc_id, d.lang, r.rate_bp
+               FROM documents d JOIN rates r USING (lang)
+               WHERE (((d.doc_id % 1000003) + 1000003) % 1000003)
+                 * 2654435761 % 10000 < r.rate_bp)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+             CAST(MAX(rate_bp) AS BIGINT) AS rate_bp
+      FROM kept GROUP BY lang ORDER BY lang"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
-    p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22)
+    p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
+    p24)
 }

@@ -52,7 +52,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v19").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v20").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -60,7 +60,7 @@ object Engine {
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
-        "lin_g", "orph_g", "txn_g")
+        "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -423,6 +423,18 @@ object Engine {
         tx.newAppend().appendFiles(dataFiles).commit()
       }
 
+      // v4 relative locations (g44): a MoR table with position deletes is
+      // relocated by a PLAIN DIRECTORY COPY — no metadata rewrite — and
+      // the copy must read identically (tracked paths are stored relative
+      // and re-root under the new home)
+      s.sql("""CREATE TABLE graft.db.relo_g (
+        o_orderkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+      o.select("o_orderkey", "o_totalprice").writeTo("graft.db.relo_g").append()
+      s.sql("DELETE FROM graft.db.relo_g WHERE o_orderkey % 9 = 4")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$wh/db/relo_g"), new java.io.File(s"$wh/db/relo_copy_g"))
+
       // storage-partitioned join pair: same bucket transform on the join
       // key on both sides, so the join can run exchange-free (g34)
       s.sql("""CREATE TABLE graft.db.spj_c_g (c_custkey BIGINT, c_mktsegment STRING)
@@ -435,7 +447,7 @@ object Engine {
         .writeTo("graft.db.spj_o_g").append()
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v19" -> "true"))
+        .updateProperties(Map("build-complete-v20" -> "true"))
     }
     built += wh
   }
@@ -1295,8 +1307,28 @@ object Engine {
       SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS sum_k
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // ------------------------------------------------------------------ g44
+  // v4 relative metadata locations: the gate reads the DIRECTORY COPY of
+  // a merge-on-read table (made in setup with zero metadata rewrites).
+  // Re-rooted data paths, manifests AND the position-delete index must
+  // all resolve under the new home or rows go missing/resurrect against
+  // the oracle (SURVEY §1 v4 relative paths; reference discussion in
+  // format/spec.md location fields).
+  private val g44 = Q(
+    "g44_engine_relocated_table",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.relo_copy_g")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_k"),
+          sum(cents(col("o_totalprice"))).as("sum_e2"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM orders WHERE o_orderkey % 9 <> 4"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
-    g38, g39, g40, g41, g42, g43)
+    g38, g39, g40, g41, g42, g43, g44)
 }

@@ -467,13 +467,24 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
                 e.file.path +: e.file.referencedDataFile.toSeq)
               catch { case _: Throwable => Nil })
             .toDS()
-        val dataDelete = entryPathsDs(droppedMfs).toDF("p")
-          .except(entryPathsDs(afterMfs).toDF("p")).as[String].collect()
-        val toDelete = metaDelete ++ dataDelete
-        toDelete.foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
+        // data-file deletion runs executor-side: an expiry at 100 TB can
+        // unreference millions of files, and a driver loop over them is
+        // the slowest possible shape; only the COUNT crosses back
+        val dataDeleted = entryPathsDs(droppedMfs).toDF("p")
+          .except(entryPathsDs(afterMfs).toDF("p")).as[String]
+          .rdd.mapPartitions { it =>
+            var n = 0
+            it.foreach { p =>
+              try GraftIO.delete(p) catch { case _: Throwable => () }
+              n += 1
+            }
+            Iterator.single(n)
+          }.fold(0)(_ + _)
+        // manifest lists + manifests: O(snapshots) paths, driver-side
+        metaDelete.foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
         out(StructType(Seq(StructField("deleted_snapshots", IntegerType),
           StructField("deleted_files", IntegerType))),
-          row(expired.size, toDelete.size))
+          row(expired.size, metaDelete.size + dataDeleted))
       }
 
     case "remove_orphan_files" =>
@@ -537,11 +548,21 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
               catch { case _: Throwable => false })
           }
           .toDS()
-      val orphans = actualDs.toDF("p").except(reachableDs.toDF("p"))
-        .as[String].collect()
-      if (!dryRun) orphans.foreach(GraftIO.delete)
+      // the orphan set can be huge (that is the point of the procedure):
+      // delete executor-side, return only the count
+      val orphansDs = actualDs.toDF("p").except(reachableDs.toDF("p")).as[String]
+      val orphanCount =
+        if (dryRun) orphansDs.count().toInt
+        else orphansDs.rdd.mapPartitions { it =>
+          var n = 0
+          it.foreach { p =>
+            try GraftIO.delete(p) catch { case _: Throwable => () }
+            n += 1
+          }
+          Iterator.single(n)
+        }.fold(0)(_ + _)
       out(StructType(Seq(StructField("orphan_file_count", IntegerType))),
-        row(orphans.length))
+        row(orphanCount))
 
     case "rewrite_data_files" =>
       RewriteDataFiles.run(loadTable(input.getUTF8String(0).toString),
