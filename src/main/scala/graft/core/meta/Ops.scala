@@ -41,6 +41,18 @@ object GraftIO {
     }
   }
 
+  /** recursive listing of regular files under `dir` */
+  def walkFiles(dir: String): Seq[String] = {
+    val p = toPath(dir)
+    if (!Files.exists(p)) Nil
+    else {
+      val st = Files.walk(p)
+      try st.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.toString).toVector
+      finally st.close()
+    }
+  }
+
   // ---------------------------------------------- v4 relative locations
   // (spec format/spec.md "File Locations in Metadata": any tracked
   // location may be relative, resolved against the table's base
@@ -455,9 +467,14 @@ final case class CommitReport(
 object CommitReports {
   private val Max = 128
   private val buf = new java.util.concurrent.ConcurrentLinkedDeque[CommitReport]()
+  // pluggable forwarders, same contract as ScanReports.sinks
+  private val sinks =
+    new java.util.concurrent.CopyOnWriteArrayList[CommitReport => Unit]()
+  def addSink(s: CommitReport => Unit): Unit = sinks.add(s)
   def add(r: CommitReport): Unit = {
     buf.addFirst(r)
     while (buf.size > Max) buf.pollLast()
+    sinks.forEach(s => try s(r) catch { case _: Throwable => () })
   }
   def recent: Seq[CommitReport] = {
     import scala.jdk.CollectionConverters._

@@ -44,6 +44,11 @@ object RestCatalogServer {
     // per-server-instance opaque token; handed out only for the right
     // client credential
     val serverToken = credential.map(_ => java.util.UUID.randomUUID().toString)
+    // per-table ring of client-reported metrics payloads (reference
+    // open-api reportMetrics: engines POST scan/commit reports so the
+    // catalog operator sees load without engine-side access)
+    val metrics = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedDeque[String]]()
 
     def json(x: HttpExchange, code: Int, body: String): Unit = {
       val b = body.getBytes(StandardCharsets.UTF_8)
@@ -167,6 +172,26 @@ object RestCatalogServer {
             val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, t))
             if (ops.commit(base, meta)) json(x, 200, s"""{"version": ${base + 1}}""")
             else json(x, 409, s"""{"error": "commit conflict at base $base"}""")
+          case ("POST", Array(ns, "tables", t, "metrics")) =>
+            val ring = metrics.computeIfAbsent(s"$ns.$t",
+              _ => new java.util.concurrent.ConcurrentLinkedDeque[String]())
+            ring.addFirst(readBody(x))
+            while (ring.size > 32) ring.pollLast()
+            x.sendResponseHeaders(204, -1); x.close()
+          case ("GET", Array(ns, "tables", t, "metrics")) =>
+            val ring = metrics.get(s"$ns.$t")
+            val n = if (ring == null) 0 else ring.size
+            val o = MetaJson.mapper.createObjectNode()
+            o.put("report-count", n)
+            val arr = o.putArray("reports")
+            if (ring != null) {
+              val it = ring.iterator()
+              var i = 0
+              while (it.hasNext && i < 8) {
+                arr.add(MetaJson.mapper.readTree(it.next())); i += 1
+              }
+            }
+            json(x, 200, MetaJson.mapper.writeValueAsString(o))
           case ("DELETE", Array(ns, "tables", t)) =>
             if (backing.dropTable(ns.split("\\.").toSeq, t)) json(x, 200, "{}")
             else json(x, 404, s"""{"error": "no such table"}""")
@@ -339,6 +364,70 @@ final class RestCatalog private (warehouse: String, uri: String,
 }
 
 object RestCatalog {
+  // fire-and-forget metrics posts: one daemon thread, bounded queue,
+  // DROPS on overflow — reporting must never add latency to (or fail) a
+  // scan or commit (reference RESTMetricsReporter is async the same way)
+  private lazy val metricsExec = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-rest-metrics"); t.setDaemon(true); t
+      }
+    }
+    new java.util.concurrent.ThreadPoolExecutor(1, 1, 30,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.ArrayBlockingQueue[Runnable](256), tf,
+      new java.util.concurrent.ThreadPoolExecutor.DiscardPolicy)
+  }
+  // one sink registration per server uri, however many times connect()
+  // is called for it
+  private val metricsWired =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** register forwarders that POST scan/commit reports for tables under
+    * `warehouse` to the server's reportMetrics endpoint */
+  private def wireMetrics(uri: String, warehouse: String,
+      token: Option[String]): Unit = {
+    if (!metricsWired.add(uri)) return
+    val prefix = warehouse.stripSuffix("/") + "/"
+    val hdrs = token.map(t => "Authorization" -> s"Bearer $t").toMap
+    def post(tableLocation: String, kind: String,
+        fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+      val rel = tableLocation.stripPrefix(prefix).split("/").filter(_.nonEmpty)
+      if (rel.length < 2) return
+      val (ns, t) = (rel.init.mkString("."), rel.last)
+      val o = MetaJson.mapper.createObjectNode()
+      o.put("report-type", kind)
+      fill(o)
+      val body = MetaJson.mapper.writeValueAsString(o)
+      metricsExec.execute(() =>
+        try RestHttp.post(s"$uri/v1/namespaces/$ns/tables/$t/metrics", body, hdrs)
+        catch { case _: Throwable => () })
+    }
+    ScanReports.addSink { r =>
+      if (r.tableLocation.startsWith(prefix))
+        post(r.tableLocation, "scan-report", { o =>
+          o.put("snapshot-id", r.snapshotId)
+          o.put("filter", r.filter)
+          o.put("total-manifests", r.totalManifests)
+          o.put("scanned-manifests", r.scannedManifests)
+          o.put("total-data-files", r.totalDataFiles)
+          o.put("result-tasks", r.resultTasks)
+          o.put("result-delete-files", r.resultDeleteFiles)
+          o.put("planning-ms", r.planningMs)
+        })
+    }
+    CommitReports.addSink { r =>
+      if (r.tableLocation.startsWith(prefix))
+        post(r.tableLocation, "commit-report", { o =>
+          o.put("snapshot-id", r.snapshotId)
+          o.put("operation", r.operation)
+          o.put("branch", r.branch)
+          o.put("attempts", r.attempts)
+          o.put("duration-ms", r.durationMs)
+        })
+    }
+  }
+
   /** Connect: optionally exchange an OAuth2 client credential
     * ("client-id:client-secret", reference RESTCatalog `credential`
     * property) for a bearer token, then fetch the warehouse from the
@@ -359,6 +448,8 @@ object RestCatalog {
     val hdrs = token.map(t => "Authorization" -> s"Bearer $t").toMap
     val (code, body) = RestHttp.get(s"$uri/v1/config", hdrs)
     require(code == 200, s"REST catalog config failed: $code $body")
-    new RestCatalog(MetaJson.mapper.readTree(body).get("warehouse").asText(), uri, token)
+    val warehouse = MetaJson.mapper.readTree(body).get("warehouse").asText()
+    wireMetrics(uri, warehouse, token)
+    new RestCatalog(warehouse, uri, token)
   }
 }

@@ -115,9 +115,15 @@ final case class ScanReport(
 object ScanReports {
   private val Max = 128
   private val buf = new java.util.concurrent.ConcurrentLinkedDeque[ScanReport]()
+  // pluggable forwarders (e.g. the REST catalog posting reports to its
+  // server, reference open-api reportMetrics); must never fail a scan
+  private val sinks =
+    new java.util.concurrent.CopyOnWriteArrayList[ScanReport => Unit]()
+  def addSink(s: ScanReport => Unit): Unit = sinks.add(s)
   def add(r: ScanReport): Unit = {
     buf.addFirst(r)
     while (buf.size > Max) buf.pollLast()
+    sinks.forEach(s => try s(r) catch { case _: Throwable => () })
   }
   def recent: Seq[ScanReport] = buf.iterator.asScala.toSeq
 }

@@ -943,8 +943,11 @@ object Pipeline {
       val d = t(s, dir, "documents")
       val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
       val minCnt = counts.agg(min(col("cnt"))).as(org.apache.spark.sql.Encoders.scalaLong).head()
+      // integer `div`, not `/`: Spark's `/` is double division, which
+      // rounds before truncation and can cross an integer boundary the
+      // oracle's exact `//` does not once counts reach double-ulp scale
       val rates = counts.withColumn("rate_bp",
-        (lit(minCnt) * 10000L / col("cnt")).cast(LongType))
+        expr(s"(${minCnt}L * 10000L) div cnt"))
       d.join(broadcast(rates), "lang")
         .filter(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
           lit(10000)) < col("rate_bp"))

@@ -30,18 +30,8 @@ object Engine {
 
   /** recursive file listing (setup/gate-side convenience; the engine's
     * own maintenance paths list distributed) */
-  private def listTree(dir: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) Nil
-    else {
-      val st = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-          .map(_.toString).toVector
-      } finally st.close()
-    }
-  }
+  private def listTree(dir: String): Seq[String] =
+    graft.core.meta.GraftIO.walkFiles(dir)
 
   /** idempotent per-JVM setup: catalog conf + tables */
   private def setup(s: SparkSession, dir: String): Unit = synchronized {

@@ -83,12 +83,20 @@ object GraftProcedures {
     out.toSet
   }
 
-  private[spark] def walkFiles(dir: String): Seq[String] = {
-    val p = GraftIO.toPath(dir)
-    if (!java.nio.file.Files.exists(p)) Nil
-    else java.nio.file.Files.walk(p).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString).toSeq
-  }
+  private[spark] def walkFiles(dir: String): Seq[String] =
+    GraftIO.walkFiles(dir)
+
+  /** delete every path in `ds` executor-side; returns the number
+    * SUCCESSFULLY deleted (failures are skipped, not counted — the next
+    * maintenance run sees them again) */
+  private[spark] def deleteDistributed(ds: org.apache.spark.sql.Dataset[String]): Int =
+    ds.rdd.mapPartitions { it =>
+      var n = 0
+      it.foreach { p =>
+        try { GraftIO.delete(p); n += 1 } catch { case _: Throwable => () }
+      }
+      Iterator.single(n)
+    }.fold(0)(_ + _)
 
   /** Column forms of GraftIO.stripScheme / GraftIO.dataSuffix — the
     * matching rule for delete-file content paths (see deletedPositions
@@ -470,16 +478,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         // data-file deletion runs executor-side: an expiry at 100 TB can
         // unreference millions of files, and a driver loop over them is
         // the slowest possible shape; only the COUNT crosses back
-        val dataDeleted = entryPathsDs(droppedMfs).toDF("p")
-          .except(entryPathsDs(afterMfs).toDF("p")).as[String]
-          .rdd.mapPartitions { it =>
-            var n = 0
-            it.foreach { p =>
-              try GraftIO.delete(p) catch { case _: Throwable => () }
-              n += 1
-            }
-            Iterator.single(n)
-          }.fold(0)(_ + _)
+        val dataDeleted = GraftProcedures.deleteDistributed(
+          entryPathsDs(droppedMfs).toDF("p")
+            .except(entryPathsDs(afterMfs).toDF("p")).as[String])
         // manifest lists + manifests: O(snapshots) paths, driver-side
         metaDelete.foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
         out(StructType(Seq(StructField("deleted_snapshots", IntegerType),
@@ -549,18 +550,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           }
           .toDS()
       // the orphan set can be huge (that is the point of the procedure):
-      // delete executor-side, return only the count
+      // delete executor-side, return only the count of files actually
+      // removed (an undeletable orphan is NOT reported as cleaned up)
       val orphansDs = actualDs.toDF("p").except(reachableDs.toDF("p")).as[String]
       val orphanCount =
         if (dryRun) orphansDs.count().toInt
-        else orphansDs.rdd.mapPartitions { it =>
-          var n = 0
-          it.foreach { p =>
-            try GraftIO.delete(p) catch { case _: Throwable => () }
-            n += 1
-          }
-          Iterator.single(n)
-        }.fold(0)(_ + _)
+        else GraftProcedures.deleteDistributed(orphansDs)
       out(StructType(Seq(StructField("orphan_file_count", IntegerType))),
         row(orphanCount))
 

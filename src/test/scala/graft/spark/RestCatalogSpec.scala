@@ -128,6 +128,36 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException](cat.createTable(Seq("db"), "dup_r", schema))
   }
 
+  test("scan/commit reports are posted to the server metrics endpoint") {
+    // a write + a read through the rcat session catalog produce commit
+    // and scan reports; the async forwarder posts them to
+    // /v1/namespaces/db/tables/mtr/metrics (reference open-api
+    // reportMetrics + RESTMetricsReporter)
+    spark.sql("CREATE TABLE rcat.db.mtr (id BIGINT)")
+    spark.range(0, 50).writeTo("rcat.db.mtr").append()
+    assert(spark.sql("SELECT count(*) FROM rcat.db.mtr")
+      .collect()(0).getLong(0) === 50L)
+    // posts are fire-and-forget on a daemon thread: poll briefly
+    def reportCount(): Int = {
+      val (code, body) = graft.core.meta.RestHttp.get(
+        s"$uri/v1/namespaces/db/tables/mtr/metrics")
+      if (code != 200) 0
+      else graft.core.meta.MetaJson.mapper.readTree(body)
+        .get("report-count").asInt()
+    }
+    val deadline = System.currentTimeMillis() + 10000
+    while (reportCount() == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(reportCount() > 0, "expected at least one posted report")
+    val (_, body) = graft.core.meta.RestHttp.get(
+      s"$uri/v1/namespaces/db/tables/mtr/metrics")
+    val kinds = graft.core.meta.MetaJson.mapper.readTree(body).get("reports")
+      .elements()
+    var seen = Set.empty[String]
+    kinds.forEachRemaining(r => seen += r.get("report-type").asText())
+    assert(seen.nonEmpty)
+  }
+
   test("OAuth2 client-credentials auth gates every endpoint") {
     val wh2 = Files.createTempDirectory("graft-rest-auth-wh").toString
     val (srv, authUri) = RestCatalogServer.start(wh2,
