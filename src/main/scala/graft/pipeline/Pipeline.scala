@@ -971,7 +971,42 @@ object Pipeline {
              CAST(MAX(rate_bp) AS BIGINT) AS rate_bp
       FROM kept GROUP BY lang ORDER BY lang"""))
 
+  // ---------------------------------------------------------------- p25
+  // Boilerplate / memorization-risk mining: token 3-grams shared by >= 5
+  // distinct docs, ranked by doc-frequency (CCNet/Dolma-style boilerplate
+  // detection; also what a memorization audit greps for). Exact integer
+  // counts, deterministic (n_docs DESC, gram) order, top 50. Scale: one
+  // explode + two hash aggs keyed by gram — the gram space shards
+  // evenly, nothing driver-side; the final top-k is a tiny ordered take.
+  private val p25 = Q(
+    "p25_boilerplate_ngrams",
+    (s, dir) => {
+      // docs shorter than 3 tokens are filtered BEFORE the sequence():
+      // Spark's sequence(0, n) runs DESCENDING for n < 0 (DuckDB's
+      // generate_series is just empty), so the guard keeps both engines
+      // on the same gram set
+      val grams = tok(s, dir).filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(expr("""transform(sequence(0, size(ws) - 3),
+            i -> concat_ws('~', slice(ws, i + 1, 3)))""")).as("g"))
+      grams.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 5)
+        .orderBy(col("n_docs").desc, col("g"))
+        .limit(50)
+        .select(col("g").as("gram"), col("n_docs"), col("n_occ"))
+    },
+    Some(s"""
+      WITH $sqlTok,
+      grams AS (SELECT doc_id, array_to_string(ws[i:i+2], '~') AS g
+                FROM tok, unnest(generate_series(1, len(ws) - 2)) s(i))
+      SELECT g AS gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 5
+      ORDER BY n_docs DESC, g LIMIT 50"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
     p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
-    p24)
+    p24, p25)
 }

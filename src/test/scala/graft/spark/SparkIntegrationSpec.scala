@@ -1475,6 +1475,54 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dels === 1L, s"row 2 reported deleted $dels times (expected 1)")
   }
 
+  test("watermarked tumbling-window aggregation streams into a graft sink") {
+    // the classic stateful-streaming pipeline: event-time window + late-
+    // data watermark aggregating into a graft table (readStream of the
+    // table is covered by the streaming source tests; this drives the
+    // state-store side end to end, including the append-mode rule that a
+    // window only emits once the watermark passes its end)
+    spark.sql("""CREATE TABLE graft.db.wmk_sink (
+      win_start TIMESTAMP, user_id BIGINT, n BIGINT)""")
+    val s2 = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    import s2.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = ms.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("user_id"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-wmk-ckpt").toString)
+      .toTable("graft.db.wmk_sink")
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:$m%02d:00")
+    // hour 10: two events for user 1, one for user 2
+    ms.addData((t(10, 5), 1L), (t(10, 40), 1L), (t(10, 20), 2L))
+    q.processAllAvailable()
+    // hour 12 event pushes the watermark past hour 10's end → hour-10
+    // windows close and land in the sink on the NEXT batch
+    ms.addData((t(12, 30), 3L))
+    q.processAllAvailable()
+    // a late hour-10 straggler behind the watermark must be DROPPED, not
+    // double-counted into an already-emitted window
+    ms.addData((t(10, 55), 1L), (t(12, 45), 3L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft.db.wmk_sink")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(rows.contains(("2024-06-01 10:00:00.0", 1L, 2L)),
+      s"hour-10 window for user 1 must have exactly the 2 pre-watermark events: $rows")
+    assert(rows.contains(("2024-06-01 10:00:00.0", 2L, 1L)), rows)
+    // hour-12 windows are still open (watermark has not passed 13:00)
+    assert(!rows.exists(_._1.startsWith("2024-06-01 12")), rows)
+  }
+
   test("orc footer stats index correctly past nested columns") {
     spark.sql("""CREATE TABLE graft.db.orcnested (
       a STRUCT<x: INT, y: INT>, b BIGINT)
