@@ -173,9 +173,13 @@ object RestCatalogServer {
             if (ops.commit(base, meta)) json(x, 200, s"""{"version": ${base + 1}}""")
             else json(x, 409, s"""{"error": "commit conflict at base $base"}""")
           case ("POST", Array(ns, "tables", t, "metrics")) =>
+            // validate at ingest: a stored non-JSON body would otherwise
+            // poison every later GET of this table's ring
+            val body = readBody(x)
+            MetaJson.mapper.readTree(body)
             val ring = metrics.computeIfAbsent(s"$ns.$t",
               _ => new java.util.concurrent.ConcurrentLinkedDeque[String]())
-            ring.addFirst(readBody(x))
+            ring.addFirst(body)
             while (ring.size > 32) ring.pollLast()
             x.sendResponseHeaders(204, -1); x.close()
           case ("GET", Array(ns, "tables", t, "metrics")) =>
@@ -228,9 +232,13 @@ object RestHttp {
     send(withHeaders(HttpRequest.newBuilder(java.net.URI.create(url)).GET(), headers))
 
   def post(url: String, body: String,
-      headers: Map[String, String] = Map.empty): (Int, String) =
-    send(withHeaders(HttpRequest.newBuilder(java.net.URI.create(url))
-      .POST(HttpRequest.BodyPublishers.ofString(body)), headers))
+      headers: Map[String, String] = Map.empty,
+      timeoutMs: Long = 0): (Int, String) = {
+    val b = HttpRequest.newBuilder(java.net.URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    if (timeoutMs > 0) b.timeout(java.time.Duration.ofMillis(timeoutMs))
+    send(withHeaders(b, headers))
+  }
 
   def head(url: String, headers: Map[String, String] = Map.empty): (Int, String) =
     send(withHeaders(HttpRequest.newBuilder(java.net.URI.create(url))
@@ -378,53 +386,66 @@ object RestCatalog {
       new java.util.concurrent.ArrayBlockingQueue[Runnable](256), tf,
       new java.util.concurrent.ThreadPoolExecutor.DiscardPolicy)
   }
-  // one sink registration per server uri, however many times connect()
-  // is called for it
-  private val metricsWired =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // live metrics targets, uri -> (warehouse prefix, auth headers).
+  // connect() UPDATES the entry so a re-connect after server restart or
+  // token rotation posts with the fresh token, and exactly ONE global
+  // sink pair serves every uri (the sink count cannot grow with the
+  // number of catalogs a JVM connects to)
+  private val metricsTargets = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, String])]()
+  private val metricsWired = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** register forwarders that POST scan/commit reports for tables under
-    * `warehouse` to the server's reportMetrics endpoint */
+  private def postMetrics(uri: String, prefix: String,
+      hdrs: Map[String, String], tableLocation: String, kind: String,
+      fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val rel = tableLocation.stripPrefix(prefix).split("/").filter(_.nonEmpty)
+    if (rel.length < 2) return
+    val (ns, t) = (rel.init.mkString("."), rel.last)
+    val o = MetaJson.mapper.createObjectNode()
+    o.put("report-type", kind)
+    fill(o)
+    val body = MetaJson.mapper.writeValueAsString(o)
+    metricsExec.execute(() =>
+      // bounded timeout: a hung server must not wedge the lone metrics
+      // thread (and thereby silently drop every later report)
+      try RestHttp.post(s"$uri/v1/namespaces/$ns/tables/$t/metrics", body,
+        hdrs, timeoutMs = 5000)
+      catch { case _: Throwable => () })
+  }
+
+  /** register `uri` as a metrics target for tables under `warehouse`;
+    * the global forwarders consult the registry at fire time */
   private def wireMetrics(uri: String, warehouse: String,
       token: Option[String]): Unit = {
-    if (!metricsWired.add(uri)) return
-    val prefix = warehouse.stripSuffix("/") + "/"
     val hdrs = token.map(t => "Authorization" -> s"Bearer $t").toMap
-    def post(tableLocation: String, kind: String,
-        fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
-      val rel = tableLocation.stripPrefix(prefix).split("/").filter(_.nonEmpty)
-      if (rel.length < 2) return
-      val (ns, t) = (rel.init.mkString("."), rel.last)
-      val o = MetaJson.mapper.createObjectNode()
-      o.put("report-type", kind)
-      fill(o)
-      val body = MetaJson.mapper.writeValueAsString(o)
-      metricsExec.execute(() =>
-        try RestHttp.post(s"$uri/v1/namespaces/$ns/tables/$t/metrics", body, hdrs)
-        catch { case _: Throwable => () })
-    }
+    metricsTargets.put(uri, (warehouse.stripSuffix("/") + "/", hdrs))
+    if (!metricsWired.compareAndSet(false, true)) return
     ScanReports.addSink { r =>
-      if (r.tableLocation.startsWith(prefix))
-        post(r.tableLocation, "scan-report", { o =>
-          o.put("snapshot-id", r.snapshotId)
-          o.put("filter", r.filter)
-          o.put("total-manifests", r.totalManifests)
-          o.put("scanned-manifests", r.scannedManifests)
-          o.put("total-data-files", r.totalDataFiles)
-          o.put("result-tasks", r.resultTasks)
-          o.put("result-delete-files", r.resultDeleteFiles)
-          o.put("planning-ms", r.planningMs)
-        })
+      metricsTargets.forEach { (uri, v) =>
+        if (r.tableLocation.startsWith(v._1))
+          postMetrics(uri, v._1, v._2, r.tableLocation, "scan-report", { o =>
+            o.put("snapshot-id", r.snapshotId)
+            o.put("filter", r.filter)
+            o.put("total-manifests", r.totalManifests)
+            o.put("scanned-manifests", r.scannedManifests)
+            o.put("total-data-files", r.totalDataFiles)
+            o.put("result-tasks", r.resultTasks)
+            o.put("result-delete-files", r.resultDeleteFiles)
+            o.put("planning-ms", r.planningMs)
+          })
+      }
     }
     CommitReports.addSink { r =>
-      if (r.tableLocation.startsWith(prefix))
-        post(r.tableLocation, "commit-report", { o =>
-          o.put("snapshot-id", r.snapshotId)
-          o.put("operation", r.operation)
-          o.put("branch", r.branch)
-          o.put("attempts", r.attempts)
-          o.put("duration-ms", r.durationMs)
-        })
+      metricsTargets.forEach { (uri, v) =>
+        if (r.tableLocation.startsWith(v._1))
+          postMetrics(uri, v._1, v._2, r.tableLocation, "commit-report", { o =>
+            o.put("snapshot-id", r.snapshotId)
+            o.put("operation", r.operation)
+            o.put("branch", r.branch)
+            o.put("attempts", r.attempts)
+            o.put("duration-ms", r.durationMs)
+          })
+      }
     }
   }
 

@@ -156,6 +156,11 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     var seen = Set.empty[String]
     kinds.forEachRemaining(r => seen += r.get("report-type").asText())
     assert(seen.nonEmpty)
+    // a malformed report is rejected at ingest (not stored to poison GET)
+    val before = reportCount()
+    assert(graft.core.meta.RestHttp.post(
+      s"$uri/v1/namespaces/db/tables/mtr/metrics", "not json")._1 === 400)
+    assert(reportCount() === before, "malformed body must not be stored")
   }
 
   test("OAuth2 client-credentials auth gates every endpoint") {
