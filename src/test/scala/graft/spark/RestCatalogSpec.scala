@@ -163,6 +163,53 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reportCount() === before, "malformed body must not be stored")
   }
 
+  test("reconnect after server restart posts metrics with the fresh token") {
+    val wh2 = Files.createTempDirectory("graft-rest-rot-wh").toString
+    val loc = s"${wh2.stripSuffix("/")}/db/rot_t"
+    def report() = graft.core.meta.ScanReport(loc, 1L, "true",
+      1, 1, 1L, 1, 0, 3L, System.currentTimeMillis())
+    def tokenFor(u: String, secret: String): String = {
+      val (code, resp) = graft.core.meta.RestHttp.post(s"$u/v1/oauth/tokens",
+        s"grant_type=client_credentials&client_id=svc&client_secret=$secret")
+      assert(code === 200, resp)
+      graft.core.meta.MetaJson.mapper.readTree(resp).get("access_token").asText()
+    }
+    def count(u: String, tok: String): Int = {
+      val (code, body) = graft.core.meta.RestHttp.get(
+        s"$u/v1/namespaces/db/tables/rot_t/metrics",
+        Map("Authorization" -> s"Bearer $tok"))
+      if (code != 200) -1
+      else graft.core.meta.MetaJson.mapper.readTree(body)
+        .get("report-count").asInt()
+    }
+    def waitFor(f: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + 10000
+      while (!f && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      f
+    }
+    // first server generation, credential A
+    val (srv1, u1) = RestCatalogServer.start(wh2, credential = Some(("svc", "a")))
+    val port = srv1.getAddress.getPort
+    RestCatalog.connect(u1, Some("svc:a"))
+    val tok1 = tokenFor(u1, "a")
+    graft.core.meta.ScanReports.add(report())
+    assert(waitFor(count(u1, tok1) > 0), "first-generation report must arrive")
+    srv1.stop(0)
+    // same uri, NEW server generation with a ROTATED credential: the
+    // registry entry must be refreshed on reconnect — a forwarder still
+    // holding generation-1's bearer token would get 401s forever
+    val (srv2, u2) = RestCatalogServer.start(wh2, port = port,
+      credential = Some(("svc", "b")))
+    try {
+      assert(u2 === u1)
+      RestCatalog.connect(u2, Some("svc:b"))
+      val tok2 = tokenFor(u2, "b")
+      graft.core.meta.ScanReports.add(report())
+      assert(waitFor(count(u2, tok2) > 0),
+        "post-rotation report must arrive with the fresh token")
+    } finally srv2.stop(0)
+  }
+
   test("OAuth2 client-credentials auth gates every endpoint") {
     val wh2 = Files.createTempDirectory("graft-rest-auth-wh").toString
     val (srv, authUri) = RestCatalogServer.start(wh2,
