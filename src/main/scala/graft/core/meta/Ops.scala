@@ -940,11 +940,27 @@ class HadoopCatalog(val warehouse: String) {
       .filter(n => new FileTableOps(s"$dir/$n").currentVersion() > 0)
   }
 
-  /** Directory catalogs cannot rename: metadata records absolute paths
-    * under the name-derived location (the reference HadoopCatalog throws
-    * too). Pointer-based catalogs (JDBC) override this. */
+  /** Rename by atomic directory move. The reference HadoopCatalog throws
+    * here because its metadata embeds absolute paths under the
+    * name-derived location; OUR metadata stores every under-location
+    * path RELATIVE (v4 relative locations), so the moved directory IS
+    * the renamed table — external absolute paths (add_files imports)
+    * stay where they are and keep resolving. A reader holding the old
+    * location mid-move sees "no such table" and must re-resolve by name,
+    * the same visibility a pointer-catalog rename gives. */
   def renameTable(namespace: Seq[String], name: String,
-      newNamespace: Seq[String], newName: String): Unit =
-    throw new UnsupportedOperationException(
-      "rename is not supported by the directory catalog (use the JDBC catalog)")
+      newNamespace: Seq[String], newName: String): Unit = {
+    val srcLoc = tableLocation(namespace, name)
+    if (new FileTableOps(srcLoc).currentVersion() == 0)
+      throw new IllegalArgumentException(
+        s"no such table: ${(namespace :+ name).mkString(".")}")
+    val dstLoc = tableLocation(newNamespace, newName)
+    if (new FileTableOps(dstLoc).currentVersion() > 0)
+      throw new IllegalStateException(
+        s"table already exists: ${(newNamespace :+ newName).mkString(".")}")
+    val dst = GraftIO.toPath(dstLoc)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(GraftIO.toPath(srcLoc), dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 }

@@ -108,9 +108,18 @@ object RestCatalogServer {
       try if (authed(x)) {
         val n = MetaJson.mapper.readTree(readBody(x))
         require(n.hasNonNull("from") && n.hasNonNull("to"), "from/to required")
-        // directory-backed store cannot rename (absolute paths in
-        // metadata); report as 409 like a conflicting server would
-        json(x, 409, s"""{"error": "rename not supported by this backend"}""")
+        val from = n.get("from").asText().split("\\.").toSeq
+        val to = n.get("to").asText().split("\\.").toSeq
+        require(from.length >= 2 && to.length >= 2, "namespace.table required")
+        // an atomic directory move server-side (relative locations make
+        // the moved directory the renamed table)
+        try {
+          backing.renameTable(from.init, from.last, to.init, to.last)
+          json(x, 200, "{}")
+        } catch {
+          case e: IllegalArgumentException => json(x, 404, errJson(e))
+          case e: IllegalStateException    => json(x, 409, errJson(e))
+        }
       } catch { case e: Throwable => json(x, 400, errJson(e)) })
 
     // /v1/namespaces/{ns}/tables[/{t}[/create|/commit]]
@@ -335,8 +344,8 @@ final class RestCatalog private (warehouse: String, uri: String,
   override def dropTable(namespace: Seq[String], name: String): Boolean =
     RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name", hdrs)._1 == 200
 
-  /** routes through the server's rename endpoint so capability is decided
-    * server-side (this backend reports 409: directory-backed store) */
+  /** routes through the server's rename endpoint so capability (and the
+    * atomic move itself) is decided server-side */
   override def renameTable(namespace: Seq[String], name: String,
       newNamespace: Seq[String], newName: String): Unit = {
     val body = MetaJson.mapper.createObjectNode()
@@ -344,8 +353,15 @@ final class RestCatalog private (warehouse: String, uri: String,
     body.put("to", s"${ns(newNamespace)}.$newName")
     val (code, resp) = RestHttp.post(s"$uri/v1/tables/rename",
       MetaJson.mapper.writeValueAsString(body), hdrs)
-    if (code != 200)
-      throw new UnsupportedOperationException(s"rename rejected by server: $resp")
+    code match {
+      case 200 => ()
+      case 404 => throw new IllegalArgumentException(
+        s"no such table: ${ns(namespace)}.$name ($resp)")
+      case 409 => throw new IllegalStateException(
+        s"table already exists: ${ns(newNamespace)}.$newName ($resp)")
+      case _ => throw new UnsupportedOperationException(
+        s"rename rejected by server: $resp")
+    }
   }
 
   override def listTables(namespace: Seq[String]): Seq[String] = {

@@ -256,6 +256,27 @@ class MetaSpec extends AnyFunSuite {
         serializable = false).commit()
   }
 
+  test("directory-catalog rename moves the table; relative paths re-root") {
+    val cat = tempCatalog()
+    val t = cat.createTable(Seq("db"), "rn1", schema)
+    t.newAppend().appendFile(dataFile("f1.parquet", Nil, (1L, 10L))).commit()
+    cat.renameTable(Seq("db"), "rn1", Seq("db"), "rn2")
+    assert(!cat.tableExists(Seq("db"), "rn1"))
+    val t2 = cat.loadTable(Seq("db"), "rn2").get
+    // the relative data path resolves under the NEW location
+    assert(t2.newScan().planFiles().map(_.file.path) ===
+      Seq(s"${t2.location}/f1.parquet"))
+    // and the renamed table accepts further commits
+    t2.newAppend().appendFile(dataFile("f2.parquet", Nil, (11L, 20L))).commit()
+    assert(t2.newScan().planFiles().size === 2)
+    // missing source and occupied destination both refuse
+    intercept[IllegalArgumentException](
+      cat.renameTable(Seq("db"), "rn1", Seq("db"), "rn3"))
+    cat.createTable(Seq("db"), "rn3", schema)
+    intercept[IllegalStateException](
+      cat.renameTable(Seq("db"), "rn2", Seq("db"), "rn3"))
+  }
+
   test("transaction batches ops into one CAS, replays on conflict, all-or-nothing") {
     val cat = tempCatalog()
     val t = cat.createTable(Seq("db"), "tx1", schema)

@@ -121,6 +121,20 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.properties.get("from-a2").contains("1"))
   }
 
+  test("rename over REST moves the table server-side") {
+    val cat = RestCatalog.connect(uri)
+    val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
+    cat.createTable(Seq("db"), "ren_r1", schema)
+    cat.renameTable(Seq("db"), "ren_r1", Seq("db"), "ren_r2")
+    assert(!cat.tableExists(Seq("db"), "ren_r1"))
+    assert(cat.tableExists(Seq("db"), "ren_r2"))
+    intercept[IllegalArgumentException](
+      cat.renameTable(Seq("db"), "ren_r1", Seq("db"), "ren_r3"))
+    cat.createTable(Seq("db"), "ren_r3", schema)
+    intercept[IllegalStateException](
+      cat.renameTable(Seq("db"), "ren_r2", Seq("db"), "ren_r3"))
+  }
+
   test("duplicate create over REST is rejected") {
     val cat = RestCatalog.connect(uri)
     val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))

@@ -1475,6 +1475,22 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dels === 1L, s"row 2 reported deleted $dels times (expected 1)")
   }
 
+  test("ALTER TABLE RENAME moves a directory-catalog table, deletes intact") {
+    spark.sql("""CREATE TABLE graft.db.ren_a (id BIGINT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 100).writeTo("graft.db.ren_a").append()
+    spark.sql("DELETE FROM graft.db.ren_a WHERE id % 5 = 0")
+    spark.sql("ALTER TABLE graft.db.ren_a RENAME TO db.ren_b")
+    // old name gone, new name serves the data with position deletes applied
+    assert(spark.sql("SELECT count(*) FROM graft.db.ren_b")
+      .collect()(0).getLong(0) === 80L)
+    intercept[Exception](spark.table("graft.db.ren_a").count())
+    // the renamed table keeps working as a write target
+    spark.sql("INSERT INTO graft.db.ren_b VALUES (1000)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ren_b")
+      .collect()(0).getLong(0) === 81L)
+  }
+
   test("watermarked tumbling-window aggregation streams into a graft sink") {
     // the classic stateful-streaming pipeline: event-time window + late-
     // data watermark aggregating into a graft table (readStream of the
