@@ -238,6 +238,9 @@ final class JdbcCatalog(warehouse: String, uri: String,
       } finally ps.close()
     }
     if (n != 1)
-      throw new IllegalStateException(s"no such table: ${ns(namespace)}.$name")
+      // IllegalArgumentException = source missing, IllegalStateException
+      // = destination occupied — the same contract as the directory and
+      // REST catalogs (whose server maps them to 404 / 409)
+      throw new IllegalArgumentException(s"no such table: ${ns(namespace)}.$name")
   }
 }

@@ -176,6 +176,15 @@ final class FileTableOps(val location: String) extends TableOps {
   }
 
   def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
+    // CAS sanity: committing against base N requires N to still be
+    // present AT THIS LOCATION. After a rename moved the directory away,
+    // the old path is empty — without this check a straggling writer
+    // that planned before the move would recreate the old directory as a
+    // zombie table and its commit would silently vanish from the renamed
+    // table (version files are never deleted in place, so an absent base
+    // always means drop or move, both of which must fail the CAS).
+    if (baseVersion > 0 && !GraftIO.exists(versionFile(baseVersion)))
+      return false
     val ok = GraftIO.atomicCreate(versionFile(baseVersion + 1), MetaJson.writeMetadata(updated))
     if (ok) { // best-effort hint for readers
       try GraftIO.writeString(s"$metadataDir/version-hint.text", (baseVersion + 1).toString)
@@ -955,12 +964,22 @@ class HadoopCatalog(val warehouse: String) {
       throw new IllegalArgumentException(
         s"no such table: ${(namespace :+ name).mkString(".")}")
     val dstLoc = tableLocation(newNamespace, newName)
-    if (new FileTableOps(dstLoc).currentVersion() > 0)
+    // refuse ANY existing destination path, not just valid tables: an
+    // empty namespace directory would be silently replaced by the POSIX
+    // rename, a non-empty one surfaces as a raw filesystem error
+    if (GraftIO.exists(dstLoc))
       throw new IllegalStateException(
-        s"table already exists: ${(newNamespace :+ newName).mkString(".")}")
+        s"destination already exists: ${(newNamespace :+ newName).mkString(".")}")
     val dst = GraftIO.toPath(dstLoc)
     java.nio.file.Files.createDirectories(dst.getParent)
-    java.nio.file.Files.move(GraftIO.toPath(srcLoc), dst,
+    try java.nio.file.Files.move(GraftIO.toPath(srcLoc), dst,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        // raced with a concurrent create of the destination
+        throw new IllegalStateException(
+          s"destination already exists: ${(newNamespace :+ newName).mkString(".")}")
+    }
   }
 }

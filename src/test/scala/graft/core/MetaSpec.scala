@@ -275,6 +275,13 @@ class MetaSpec extends AnyFunSuite {
     cat.createTable(Seq("db"), "rn3", schema)
     intercept[IllegalStateException](
       cat.renameTable(Seq("db"), "rn2", Seq("db"), "rn3"))
+    // a straggling writer that planned BEFORE the move must fail its CAS
+    // against the old location — not resurrect it as a zombie directory
+    // with a commit the renamed table never sees
+    val oldLoc = cat.tableLocation(Seq("db"), "rn1")
+    assert(!new FileTableOps(oldLoc).commit(1, t2.meta),
+      "stale commit against a moved-away location must fail")
+    assert(!GraftIO.exists(oldLoc), "failed stale commit must not recreate the dir")
   }
 
   test("transaction batches ops into one CAS, replays on conflict, all-or-nothing") {

@@ -1507,8 +1507,18 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("checkpointLocation", ckpt).toTable("graft.db.restart_sink")
     ms.addData(1L, 2L, 3L); q1.processAllAvailable()
     q1.stop()
-    // restart against the SAME checkpoint and source (MemoryStream
-    // replays from its retained buffer on recovery)
+    // simulate a crash BETWEEN the sink commit and the checkpoint commit
+    // log: deleting the commit-log entry forces the restarted query to
+    // RE-EXECUTE batch 0, so the epoch-id dedup is actually on the hook
+    // (with a clean stop the restart would just continue at batch 1 and
+    // the test would pass even with dedup deleted)
+    val commitLog = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(java.nio.file.Files.deleteIfExists(commitLog), "commit log entry expected")
+    // the local checksum FS keeps a .crc sidecar; leaving it behind makes
+    // the re-written commit file fail its rename (looks like a concurrent
+    // query to Spark), which is not the scenario under test
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
     val q2 = ms.toDF().toDF("id").writeStream
       .option("checkpointLocation", ckpt).toTable("graft.db.restart_sink")
     ms.addData(4L, 5L); q2.processAllAvailable()
