@@ -38,7 +38,8 @@ object RestCatalogServer {
     * exchange the credential for a bearer token once, then send
     * `Authorization: Bearer` on every call; anything else gets 401. */
   def start(warehouse: String, port: Int = 0,
-      credential: Option[(String, String)] = None): (HttpServer, String) = {
+      credential: Option[(String, String)] = None,
+      tableConfig: Map[String, String] = Map.empty): (HttpServer, String) = {
     val backing = new HadoopCatalog(warehouse)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // per-server-instance opaque token; handed out only for the right
@@ -171,8 +172,39 @@ object RestCatalogServer {
             val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, t))
             val v = ops.currentVersion()
             if (v == 0) json(x, 404, s"""{"error": "no such table"}""")
-            else json(x, 200,
-              s"""{"version": $v, "metadata": ${MetaJson.writeMetadata(ops.current().get)}}""")
+            else {
+              // LoadTableResult-shaped response (reference open-api
+              // LoadTableResponse): `config` carries server-controlled
+              // table configuration the CLIENT must apply on top of the
+              // table's own properties without ever committing it back;
+              // `storage-credentials` are vended only when the client
+              // asks for access delegation (reference
+              // X-Iceberg-Access-Delegation), scoped to the table's
+              // location prefix and expiring, so a client holding only
+              // the catalog credential never needs storage credentials
+              // of its own. This backing store is a shared local
+              // filesystem, which enforces no ACLs — the vend carries
+              // the full contract (scope, expiry, per-load mint), the
+              // enforcement would come from a real object store.
+              val o = MetaJson.mapper.createObjectNode()
+              o.put("version", v)
+              o.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
+                MetaJson.mapper.readTree(MetaJson.writeMetadata(ops.current().get)))
+              val cfg = o.putObject("config")
+              tableConfig.foreach { case (k, vv) => cfg.put(k, vv) }
+              val wantsCreds = Option(
+                x.getRequestHeaders.getFirst("X-Graft-Access-Delegation"))
+                .exists(_.split(",").map(_.trim).contains("vended-credentials"))
+              if (wantsCreds) {
+                val cred = o.putArray("storage-credentials").addObject()
+                cred.put("prefix", ops.location)
+                val cc = cred.putObject("config")
+                cc.put("token", java.util.UUID.randomUUID().toString)
+                cc.put("expires-at-ms",
+                  (System.currentTimeMillis() + 15 * 60 * 1000L).toString)
+              }
+              json(x, 200, MetaJson.mapper.writeValueAsString(o))
+            }
           case ("POST", Array(ns, "tables", t, "commit")) =>
             val body = MetaJson.mapper.readTree(readBody(x))
             val base = body.get("base-version").asInt()
@@ -268,47 +300,103 @@ object RestHttp {
   }
 }
 
+/** A storage credential vended by the catalog for one location prefix
+  * (reference open-api StorageCredential): the client applies the
+  * innermost matching prefix when opening files under it. */
+final case class StorageCredential(prefix: String, config: Map[String, String]) {
+  def expiresAtMs: Option[Long] = config.get("expires-at-ms").flatMap(_.toLongOption)
+}
+
 /** Client-side ops: the version/metadata pointer is the REST resource. */
 final class RestTableOps(
     val location: String,
     uri: String,
     namespace: String,
     name: String,
-    token: Option[String] = None) extends TableOps {
+    token: Option[String] = None,
+    delegation: Boolean = false) extends TableOps {
 
   private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
   private def hdrs: Map[String, String] =
-    token.map(t => "Authorization" -> s"Bearer $t").toMap
+    token.map(t => "Authorization" -> s"Bearer $t").toMap ++
+      (if (delegation) Map("X-Graft-Access-Delegation" -> "vended-credentials")
+       else Map.empty)
 
-  override def currentVersion(): Int = {
-    val (code, body) = RestHttp.get(tableUrl, hdrs)
-    if (code != 200) 0 else MetaJson.mapper.readTree(body).get("version").asInt()
-  }
+  // captured from the last successful load; the overlay must be
+  // distinguishable from the table's own stored properties so commit()
+  // never writes it back
+  @volatile private var lastConfig: Map[String, String] = Map.empty
+  @volatile private var lastRawProps: Map[String, String] = Map.empty
+  @volatile private var lastCreds: Seq[StorageCredential] = Nil
 
-  override def current(): Option[TableMetadata] = {
+  /** server-controlled table config from the last load (empty before) */
+  def serverConfig: Map[String, String] = lastConfig
+  /** vended credentials from the last load; empty unless `delegation` */
+  def storageCredentials: Seq[StorageCredential] = lastCreds
+
+  private def load(): Option[(Int, TableMetadata)] = {
     val (code, body) = RestHttp.get(tableUrl, hdrs)
     if (code != 200) None
-    else Some(MetaJson.readMetadata(
-      MetaJson.mapper.writeValueAsString(MetaJson.mapper.readTree(body).get("metadata"))))
+    else {
+      val n = MetaJson.mapper.readTree(body)
+      lastConfig = Option(n.get("config")).map { c =>
+        val b = Map.newBuilder[String, String]
+        c.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
+        b.result()
+      }.getOrElse(Map.empty)
+      lastCreds = Option(n.get("storage-credentials")).map { arr =>
+        val b = Seq.newBuilder[StorageCredential]
+        arr.elements().forEachRemaining { c =>
+          val cfg = Map.newBuilder[String, String]
+          Option(c.get("config")).foreach(
+            _.fields().forEachRemaining(e => cfg += e.getKey -> e.getValue.asText()))
+          b += StorageCredential(c.get("prefix").asText(), cfg.result())
+        }
+        b.result()
+      }.getOrElse(Nil)
+      val meta = MetaJson.readMetadata(
+        MetaJson.mapper.writeValueAsString(n.get("metadata")))
+      lastRawProps = meta.properties
+      Some((n.get("version").asInt(), meta))
+    }
   }
 
-  override def commit(baseVersion: Int, updated: TableMetadata): Boolean =
+  override def currentVersion(): Int = load().map(_._1).getOrElse(0)
+
+  override def current(): Option[TableMetadata] = load().map { case (_, m) =>
+    // the server's config OVERRIDES stored properties client-side
+    // (reference LoadTableResponse: "configuration the client should
+    // use"); never persisted — see the strip in commit()
+    if (lastConfig.isEmpty) m else m.copy(properties = m.properties ++ lastConfig)
+  }
+
+  override def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
+    // strip the server-config overlay before it crosses the wire: a
+    // load→modify→commit cycle must not launder the overlay into stored
+    // properties. An entry survives only if the table's own stored
+    // properties already carried it or the committer changed its value.
+    val props = updated.properties.filter { case (k, v) =>
+      !lastConfig.get(k).contains(v) || lastRawProps.get(k).contains(v)
+    }
+    val clean = if (props == updated.properties) updated
+      else updated.copy(properties = props)
     if (baseVersion == 0) {
-      val (code, _) = RestHttp.post(s"$tableUrl/create", MetaJson.writeMetadata(updated), hdrs)
+      val (code, _) = RestHttp.post(s"$tableUrl/create", MetaJson.writeMetadata(clean), hdrs)
       code == 200
     } else {
       val (code, _) = RestHttp.post(s"$tableUrl/commit",
-        s"""{"base-version": $baseVersion, "metadata": ${MetaJson.writeMetadata(updated)}}""",
+        s"""{"base-version": $baseVersion, "metadata": ${MetaJson.writeMetadata(clean)}}""",
         hdrs)
       code == 200
     }
+  }
 }
 
 /** REST catalog client. The warehouse comes from the server's /v1/config,
   * so data/metadata paths agree between client and server (single shared
   * filesystem in this implementation, as with HadoopCatalog). */
 final class RestCatalog private (warehouse: String, uri: String,
-    token: Option[String])
+    token: Option[String], delegation: Boolean)
   extends HadoopCatalog(warehouse) {
 
   private def ns(namespace: Seq[String]): String = namespace.mkString(".")
@@ -316,7 +404,18 @@ final class RestCatalog private (warehouse: String, uri: String,
     token.map(t => "Authorization" -> s"Bearer $t").toMap
 
   private def ops(namespace: Seq[String], name: String): RestTableOps =
-    new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name, token)
+    new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name,
+      token, delegation)
+
+  /** Load the table's vended storage credentials (requires the catalog
+    * to have been connected with access delegation). One fresh set per
+    * call — credentials are per-load and expiring by design. */
+  def storageCredentials(namespace: Seq[String], name: String): Seq[StorageCredential] = {
+    val o = ops(namespace, name)
+    if (o.currentVersion() == 0)
+      throw new IllegalArgumentException(s"no such table: ${ns(namespace)}.$name")
+    o.storageCredentials
+  }
 
   override def createTable(namespace: Seq[String], name: String, schema: GSchema,
       spec: PartitionSpec = PartitionSpec.Unpartitioned,
@@ -469,7 +568,8 @@ object RestCatalog {
     * ("client-id:client-secret", reference RESTCatalog `credential`
     * property) for a bearer token, then fetch the warehouse from the
     * server config endpoint. */
-  def connect(uri: String, credential: Option[String] = None): RestCatalog = {
+  def connect(uri: String, credential: Option[String] = None,
+      accessDelegation: Boolean = false): RestCatalog = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     val token = credential.map { cred =>
       val (id, secret) = cred.split(":", 2) match {
@@ -487,6 +587,6 @@ object RestCatalog {
     require(code == 200, s"REST catalog config failed: $code $body")
     val warehouse = MetaJson.mapper.readTree(body).get("warehouse").asText()
     wireMetrics(uri, warehouse, token)
-    new RestCatalog(warehouse, uri, token)
+    new RestCatalog(warehouse, uri, token, accessDelegation)
   }
 }

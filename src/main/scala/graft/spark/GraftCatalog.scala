@@ -50,8 +50,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"catalog $name: catalog-impl=rest requires a 'uri' option"))
         // optional OAuth2 client credential, reference RESTCatalog style:
-        // spark.sql.catalog.<name>.credential = "client-id:client-secret"
-        graft.core.meta.RestCatalog.connect(uri, Option(options.get("credential")))
+        // spark.sql.catalog.<name>.credential = "client-id:client-secret";
+        // header-style access delegation opts into vended storage
+        // credentials on every table load (reference
+        // X-Iceberg-Access-Delegation)
+        graft.core.meta.RestCatalog.connect(uri, Option(options.get("credential")),
+          Option(options.get("access-delegation")).contains("vended-credentials"))
       case _ => new HadoopCatalog(wh)
     }
   }

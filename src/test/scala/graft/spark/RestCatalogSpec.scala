@@ -251,4 +251,74 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cat.dropTable(Seq("db"), "auth_t"))
     } finally srv.stop(0)
   }
+
+  test("load response carries server table config; client applies, never persists") {
+    val wh2 = Files.createTempDirectory("graft-rest-cfg-wh").toString
+    val (srv, cfgUri) = RestCatalogServer.start(wh2, tableConfig = Map(
+      "write.parquet.compression-codec" -> "zstd", "client.pool-size" -> "4"))
+    try {
+      val cat = RestCatalog.connect(cfgUri)
+      val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
+      val t = cat.createTable(Seq("db"), "cfg_t", schema,
+        properties = Map("owner" -> "tests"))
+      // the client-visible properties are stored ++ server config
+      // (server wins — reference LoadTableResponse `config` semantics)
+      val seen = cat.loadTable(Seq("db"), "cfg_t").get.meta.properties
+      assert(seen.get("owner").contains("tests"))
+      assert(seen.get("write.parquet.compression-codec").contains("zstd"))
+      assert(seen.get("client.pool-size").contains("4"))
+      // a load→modify→commit cycle must NOT launder the overlay into the
+      // stored metadata: commit a real property change, then read the
+      // stored file directly (bypassing the REST client)
+      t.updateProperties(Map("touched" -> "yes"))
+      val stored = new graft.core.meta.FileTableOps(
+        cat.tableLocation(Seq("db"), "cfg_t")).current().get.properties
+      assert(stored.get("touched").contains("yes"))
+      assert(stored.get("owner").contains("tests"))
+      assert(!stored.contains("write.parquet.compression-codec"),
+        s"server config leaked into stored properties: $stored")
+      assert(!stored.contains("client.pool-size"))
+      // an EXPLICIT committer override of a config key does persist
+      // (the value differs from the overlay, so it is the user's own)
+      t.refresh()
+      t.updateProperties(Map("write.parquet.compression-codec" -> "gzip"))
+      val stored2 = new graft.core.meta.FileTableOps(
+        cat.tableLocation(Seq("db"), "cfg_t")).current().get.properties
+      assert(stored2.get("write.parquet.compression-codec").contains("gzip"))
+      // ...but the client view still sees the server override on top
+      assert(cat.loadTable(Seq("db"), "cfg_t").get.meta.properties
+        .get("write.parquet.compression-codec").contains("zstd"))
+    } finally srv.stop(0)
+  }
+
+  test("vended storage credentials: scoped, expiring, per-load, opt-in") {
+    val wh2 = Files.createTempDirectory("graft-rest-vend-wh").toString
+    val (srv, vUri) = RestCatalogServer.start(wh2)
+    try {
+      val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
+      // without delegation the response carries no credentials at all
+      val plain = RestCatalog.connect(vUri)
+      plain.createTable(Seq("db"), "vend_t", schema)
+      assert(plain.storageCredentials(Seq("db"), "vend_t").isEmpty)
+      // with delegation each load vends one credential scoped to the
+      // table's location prefix with a future expiry
+      val vend = RestCatalog.connect(vUri, accessDelegation = true)
+      val before = System.currentTimeMillis()
+      val c1 = vend.storageCredentials(Seq("db"), "vend_t")
+      assert(c1.size === 1)
+      assert(c1.head.prefix === plain.tableLocation(Seq("db"), "vend_t"))
+      val tok1 = c1.head.config("token")
+      assert(tok1.nonEmpty)
+      assert(c1.head.expiresAtMs.exists(_ > before),
+        s"vended credential must expire in the future: ${c1.head}")
+      // per-load mint: a second load gets a DIFFERENT token (short-lived
+      // by design; the client refreshes on reload, reference vended-
+      // credential flow)
+      val c2 = vend.storageCredentials(Seq("db"), "vend_t")
+      assert(c2.head.config("token") !== tok1)
+      // unknown table: scoped vend has nothing to scope to
+      intercept[IllegalArgumentException](
+        vend.storageCredentials(Seq("db"), "nope"))
+    } finally srv.stop(0)
+  }
 }
