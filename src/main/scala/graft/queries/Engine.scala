@@ -42,7 +42,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v20").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v22").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -50,7 +50,7 @@ object Engine {
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
-        "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g")
+        "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -436,8 +436,49 @@ object Engine {
       t(s, dir, "orders").select("o_custkey", "o_totalprice")
         .writeTo("graft.db.spj_o_g").append()
 
+      // watermarked tumbling-window streaming (g45): three single-file
+      // appends streamed NEWEST-FIRST (one file per micro-batch). Batch 0
+      // (newest 12h) raises the watermark to max(ts) - 1h; Spark applies
+      // the PREVIOUS batch's watermark to late-filter incoming rows, so
+      // batch 1 (the 13h before that — still filtered against WM 0, kept)
+      // exists to put one committed batch between the raise and the late
+      // data; batch 2 (everything 25h+ older) then arrives entirely
+      // behind the batch-0 watermark and is DROPPED. The sink therefore
+      // holds exactly the hour windows of the last 25h whose end the
+      // watermark passed. Every boundary is integer-µs arithmetic on the
+      // data, so a DuckDB oracle reproduces the exact surviving set.
+      s.sql("CREATE TABLE graft.db.wmk_src_g (event_type STRING, ts TIMESTAMP)")
+      val evw = events(s, dir).select(col("event_type"), col("ts_us"))
+      val maxUs = evw.agg(max("ts_us")).head().getLong(0)
+      val hourUs = 3600L * 1000000L
+      val splitA = maxUs - 12L * hourUs
+      val splitB = maxUs - 25L * hourUs
+      val evwT = evw.withColumn("ts", timestamp_micros(col("ts_us")))
+      evwT.filter(col("ts_us") >= splitA).select("event_type", "ts")
+        .coalesce(1).writeTo("graft.db.wmk_src_g").append()
+      evwT.filter(col("ts_us") >= splitB && col("ts_us") < splitA)
+        .select("event_type", "ts")
+        .coalesce(1).writeTo("graft.db.wmk_src_g").append()
+      evwT.filter(col("ts_us") < splitB).select("event_type", "ts")
+        .coalesce(1).writeTo("graft.db.wmk_src_g").append()
+      s.sql("""CREATE TABLE graft.db.wmk_g (
+        win_start_us BIGINT, event_type STRING, n BIGINT)""")
+      val wq = s.readStream.option("max-files-per-micro-batch", "1")
+        .table("graft.db.wmk_src_g")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$wh/_ckpt_wmk_g")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.db.wmk_g")
+      wq.awaitTermination(120000)
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v20" -> "true"))
+        .updateProperties(Map("build-complete-v22" -> "true"))
     }
     built += wh
   }
@@ -1317,8 +1358,32 @@ object Engine {
         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
       FROM orders WHERE o_orderkey % 9 <> 4"""))
 
+  // ------------------------------------------------------------------ g45
+  // Watermark semantics as an ORACLE gate (previously unit-only): the
+  // sink holds exactly the hour windows of the last 25h whose end the
+  // watermark (max ts, ms-floored, minus 1h) passed — the 25h+-old file
+  // streamed two batches behind the watermark raise and append mode
+  // dropped every row of it; still-open trailing windows never emitted.
+  // Setup streams three files newest-first, one per micro-batch (see
+  // wmk_src_g / wmk_g in setup for why three).
+  private val g45 = Q(
+    "g45_engine_stream_watermark",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.wmk_g").orderBy("win_start_us", "event_type")
+    },
+    Some("""
+      WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
+      SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS win_start_us,
+             event_type, COUNT(*) AS n
+      FROM events, mx
+      WHERE epoch_us(ts) >= m - 25 * 3600000000
+        AND epoch_us(ts) - epoch_us(ts) % 3600000000 + 3600000000
+            <= (m // 1000 - 3600000) * 1000
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
-    g38, g39, g40, g41, g42, g43, g44)
+    g38, g39, g40, g41, g42, g43, g44, g45)
 }
