@@ -547,6 +547,7 @@ object RestCatalog {
             o.put("result-tasks", r.resultTasks)
             o.put("result-delete-files", r.resultDeleteFiles)
             o.put("planning-ms", r.planningMs)
+            o.put("distributed-planning", r.distributedPlanning)
           })
       }
     }

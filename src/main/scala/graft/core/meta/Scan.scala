@@ -108,7 +108,8 @@ final case class ScanReport(
     tableLocation: String, snapshotId: Long, filter: String,
     totalManifests: Int, scannedManifests: Int,
     totalDataFiles: Long, resultTasks: Int, resultDeleteFiles: Int,
-    planningMs: Long, timestampMs: Long)
+    planningMs: Long, timestampMs: Long,
+    distributedPlanning: Boolean = false)
 
 /** Recent scan reports, newest first (bounded ring; served by the
   * `scan_reports` metadata table and GraftScan.description). */
@@ -140,11 +141,12 @@ final class TableScan(table: GTable) {
   private var rptTotalDataFiles = 0L
 
   /** report for the last planParts() + the given task result */
-  def buildReport(resultTasks: Seq[FileScanTask], planningMs: Long): ScanReport =
+  def buildReport(resultTasks: Seq[FileScanTask], planningMs: Long,
+      distributed: Boolean = false): ScanReport =
     ScanReport(table.location, rptSnapshotId, filterExpr.toString,
       rptTotalManifests, rptScannedManifests, rptTotalDataFiles,
       resultTasks.size, resultTasks.map(_.deletes.size).sum,
-      planningMs, System.currentTimeMillis())
+      planningMs, System.currentTimeMillis(), distributed)
 
   def useSnapshot(id: Long): TableScan = { snapshotIdOpt = Some(id); this }
   def useRef(name: String): TableScan = { refName = Some(name); this }

@@ -1382,8 +1382,41 @@ object Engine {
             <= (m // 1000 - 3600000) * 1000
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ------------------------------------------------------------------ g46
+  // Distributed scan planning as an ORACLE gate (previously unit-only):
+  // force the metadata threshold to 1 byte so the multi-manifest
+  // orders_snap scan plans as a Spark job (reference
+  // SparkDistributedDataScan; manifests fan out, only surviving tasks
+  // return to the driver), execute under that conf, and require the
+  // scan report to confirm the distributed path actually ran — then
+  // compare the result against the oracle like any other gate.
+  private val g46 = Q(
+    "g46_engine_distributed_planning",
+    (s, dir) => {
+      setup(s, dir)
+      val key = "spark.graft.distributed-planning-min-bytes"
+      s.conf.set(key, "1")
+      val df = s.table("graft.db.orders_snap")
+        .filter(col("o_orderkey") % 3 === 0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_k"))
+        .orderBy("o_orderstatus")
+      // plan + execute NOW, while the threshold override is in force
+      df.persist().count()
+      s.conf.unset(key)
+      val rpt = graft.core.meta.ScanReports.recent
+        .find(_.tableLocation.endsWith("orders_snap"))
+      require(rpt.exists(_.distributedPlanning),
+        s"g46: scan did not take the distributed-planning path: $rpt")
+      df
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_k
+      FROM orders WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
-    g38, g39, g40, g41, g42, g43, g44, g45)
+    g38, g39, g40, g41, g42, g43, g44, g45, g46)
 }

@@ -98,7 +98,8 @@ object GraftMetadataTables {
       StructField("total_data_files", LongType),
       StructField("result_tasks", IntegerType),
       StructField("result_delete_files", IntegerType),
-      StructField("planning_ms", LongType)))
+      StructField("planning_ms", LongType),
+      StructField("distributed_planning", BooleanType)))
     case "commit_reports" => StructType(Seq(
       StructField("made_at", TimestampType),
       StructField("snapshot_id", LongType),
@@ -204,7 +205,8 @@ object GraftMetadataTables {
           new GenericInternalRow(Array[Any](
             r.timestampMs * 1000L, r.snapshotId, s(r.filter),
             r.totalManifests, r.scannedManifests, r.totalDataFiles,
-            r.resultTasks, r.resultDeleteFiles, r.planningMs)): InternalRow
+            r.resultTasks, r.resultDeleteFiles, r.planningMs,
+            r.distributedPlanning)): InternalRow
         }.toArray
       case "commit_reports" =>
         // this session's recent commit outcomes for THIS table, newest

@@ -612,6 +612,7 @@ object GraftSparkTable {
         val t0 = System.nanoTime()
         val coreScan = newCoreScan()
         plannedSnapshot = coreScan.snapshot().map(_.snapshotId)
+        var planRanDistributed = false
         var ts = {
           // distributed planning (reference SparkDistributedDataScan +
           // SparkReadConf 256 MB threshold): past the metadata threshold,
@@ -626,6 +627,7 @@ object GraftSparkTable {
             case Some((ctx, mfs))
                 if mfs.size > 1 && mfs.map(_.length).sum > threshold =>
               val sc = SparkSession.active.sparkContext
+              planRanDistributed = true
               sc.parallelize(mfs, math.min(mfs.size, sc.defaultParallelism))
                 .flatMap(mf => graft.core.meta.TableScan.planManifest(ctx, mf))
                 .collect().toSeq
@@ -652,7 +654,8 @@ object GraftSparkTable {
         cachedTasks = ts
         // scan report: pruning-funnel counts for this planning pass
         // (served by the scan_reports metadata table + description())
-        val report = coreScan.buildReport(ts, (System.nanoTime() - t0) / 1000000L)
+        val report = coreScan.buildReport(ts, (System.nanoTime() - t0) / 1000000L,
+          distributed = planRanDistributed)
         graft.core.meta.ScanReports.add(report)
         lastReport = Some(report)
       }
