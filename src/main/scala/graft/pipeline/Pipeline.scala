@@ -121,9 +121,11 @@ object Pipeline {
       WHERE 2*i >= s1.n + s2.n - i ORDER BY d1, d2"""))
 
   // ---------------------------------------------------------------- p03
-  private val p03 = Q(
-    "p03_dedup_minhash_lsh",
-    (s, dir) => {
+  /** p03's core: MinHash signatures + banded candidate generation +
+    * exact bigram-Jaccard verification. Returns the verified duplicate
+    * pairs (d1 < d2, inter, uni). Shared by p03 (pair listing) and p26
+    * (cluster assembly over the pair graph). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
       // ONE wide agg computes both the MinHash signature and the distinct
       // bigram set per doc: min() is duplicate-insensitive and collect_set
       // dedups in the agg, so tokenize→explode→hash→aggregate is a single
@@ -161,17 +163,18 @@ object Pipeline {
         .withColumn("uni", (size(col("bx")) + size(col("by"))).cast(LongType) - col("inter"))
         .filter(col("inter") * 2 >= col("uni"))
         .select("d1", "d2", "inter", "uni")
-        .orderBy("d1", "d2")
-    },
-    Some {
-      val mins = (0 until NumHashes).map { k =>
-        s"MIN((${minhashA(k)}*h + ${minhashB(k)}) % $P_) AS m$k"
-      }.mkString(", ")
-      val bandsEq = (0 until NumBands).map { j =>
-        s"(a.m${2 * j} = b.m${2 * j} AND a.m${2 * j + 1} = b.m${2 * j + 1})"
-      }.mkString(" OR ")
-      s"""
-      WITH ${sqlPows(24)}, $sqlTok, $sqlBigrams, $sqlBigramHash,
+  }
+
+  /** Oracle CTE chain ending in `pairs(d1, d2, inter, uni)` — the SQL
+    * twin of [[minhashPairs]], shared by the p03 and p26 oracles. */
+  private val sqlMinhashPairs: String = {
+    val mins = (0 until NumHashes).map { k =>
+      s"MIN((${minhashA(k)}*h + ${minhashB(k)}) % $P_) AS m$k"
+    }.mkString(", ")
+    val bandsEq = (0 until NumBands).map { j =>
+      s"(a.m${2 * j} = b.m${2 * j} AND a.m${2 * j + 1} = b.m${2 * j + 1})"
+    }.mkString(" OR ")
+    s"""${sqlPows(24)}, $sqlTok, $sqlBigrams, $sqlBigramHash,
       sig AS (SELECT doc_id, $mins FROM bh GROUP BY doc_id),
       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsEq)),
@@ -179,11 +182,19 @@ object Pipeline {
       inter AS (SELECT c.d1, c.d2, COUNT(*) AS i FROM cand c
                 JOIN bg x ON x.doc_id = c.d1
                 JOIN bg y ON y.doc_id = c.d2 AND x.b = y.b
-                GROUP BY c.d1, c.d2)
-      SELECT d1, d2, i AS inter, (s1.n + s2.n - i) AS uni
-      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
-      WHERE 2*i >= s1.n + s2.n - i ORDER BY d1, d2"""
-    },
+                GROUP BY c.d1, c.d2),
+      pairs AS (SELECT d1, d2, i AS inter, (s1.n + s2.n - i) AS uni
+                FROM inter JOIN sz s1 ON s1.doc_id = d1
+                           JOIN sz s2 ON s2.doc_id = d2
+                WHERE 2*i >= s1.n + s2.n - i)"""
+  }
+
+  private val p03 = Q(
+    "p03_dedup_minhash_lsh",
+    (s, dir) => minhashPairs(s, dir).orderBy("d1", "d2"),
+    Some(s"""
+      WITH $sqlMinhashPairs
+      SELECT d1, d2, inter, uni FROM pairs ORDER BY d1, d2"""),
     headline = true)
 
   // ---------------------------------------------------------------- p04
@@ -1006,7 +1017,97 @@ object Pipeline {
       FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 5
       ORDER BY n_docs DESC, g LIMIT 50"""))
 
+  // ---------------------------------------------------------------- p26
+  /** Connected components over an undirected edge list with the
+    * alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    * published web-scale formulation). Each round is two passes of
+    * groupBy(min) + equi-join over the edge set: per-node minima are
+    * JOINED back rather than collected into neighbor lists, so a
+    * skewed high-degree node never materializes its neighborhood in
+    * one task, and nothing per-component touches the driver. Converges
+    * to a star forest (every node linked to its component minimum) in
+    * O(log^2 n) rounds; the per-round driver `.count()`s are scalar
+    * materialization barriers, not data movement.
+    *
+    * Input: pairs (d1, d2). Output: (doc_id, cluster, csize) for every
+    * node, cluster = min doc_id of its component. */
+  private[pipeline] def connectedComponents(pairs: DataFrame): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    // star(e, large): for each node u with m = min(N(u) ∪ {u}), link the
+    // strictly-larger (large-star) or smaller-or-equal (small-star)
+    // neighbors to m; re-symmetrized so N(u) stays the full neighborhood
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u").as("uu"), least(col("mv"), col("u")).as("m"))
+      val nbr = e.join(m, col("u") === col("uu"))
+      val out =
+        if (large) nbr.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else nbr.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("uu").as("u"), col("m").as("v")))
+      sym(out)
+    }
+    // localCheckpoint per round truncates the LOGICAL plan, not just the
+    // physical recompute: star() references its input twice, so without
+    // the cut Catalyst re-analyzes a 2^rounds-node plan and OOMs the
+    // driver long before the data does. (On a real cluster this would be
+    // a reliable checkpoint() to the cluster FS instead — same pattern
+    // GraphX/GraphFrames use for iterative convergence.)
+    var edges = sym(pairs.select(col("d1").as("u"), col("d2").as("v")))
+      .localCheckpoint(true)
+    var n = edges.count()
+    var converged = n == 0
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(true)
+      val nn = next.count()
+      // exact fixpoint test: both sides are distinct sets, so equal
+      // count + empty difference ⇔ identical edge sets
+      converged = nn == n && next.except(edges).isEmpty
+      edges = next; n = nn; rounds += 1
+    }
+    require(converged || n == 0, s"connectedComponents: no fixpoint after $rounds rounds")
+    // star forest ⇒ label(u) = min(min N(u), u) is the component min
+    val lab = edges.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u").as("doc_id"), least(col("mv"), col("u")).as("cluster"))
+    val cs = lab.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val out = lab.join(cs, "cluster").select("doc_id", "cluster", "csize")
+      .orderBy("doc_id")
+    out
+  }
+
+  // Duplicate-CLUSTER assembly: p03 emits near-duplicate PAIRS, but a
+  // dedup pass needs per-cluster decisions (keep the canonical doc,
+  // drop the rest) — pairs must be closed into connected components
+  // first, since A~B and B~C put A and C in one cluster even when the
+  // LSH never paired them directly. Oracle: DuckDB recursive-CTE
+  // transitive closure over the same verified pair list.
+  private val p26 = Q(
+    "p26_dedup_cluster_cc",
+    (s, dir) => connectedComponents(minhashPairs(s, dir).select("d1", "d2")),
+    Some(s"""
+      WITH RECURSIVE $sqlMinhashPairs,
+      edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                UNION SELECT d2, d1 FROM pairs),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        WHERE e.v <> r.u),
+      lab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+              FROM reach GROUP BY u),
+      cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize
+             FROM lab GROUP BY cluster)
+      SELECT l.doc_id, l.cluster, cs.csize
+      FROM lab l JOIN cs ON cs.cluster = l.cluster
+      ORDER BY l.doc_id"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
     p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
-    p24, p25)
+    p24, p25, p26)
 }
