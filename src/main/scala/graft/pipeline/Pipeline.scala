@@ -1107,7 +1107,61 @@ object Pipeline {
       FROM lab l JOIN cs ON cs.cluster = l.cluster
       ORDER BY l.doc_id"""))
 
+  // ---------------------------------------------------------------- p27
+  // Segment-level corpus dedup (RefinedWeb/CCNet "line dedup" with
+  // fixed-width segments, since the synthetic corpus has no newlines):
+  // docs split into non-overlapping 8-token segments; a segment whose
+  // exact text appears in >= 3 distinct docs is corpus boilerplate and
+  // is REMOVED from every doc; remaining segments reassemble in order.
+  // Unlike p25 (which only ranks boilerplate), this produces the
+  // cleaned corpus. Scale: segment doc-frequency is one hash agg keyed
+  // by segment text; the surviving-segment filter is an anti-join
+  // against the boilerplate list, which is tiny BY CONSTRUCTION (only
+  // high-doc-frequency segments) and therefore broadcast; reassembly
+  // is one groupBy(doc_id) with an in-agg sort — no shuffle wider than
+  // the corpus itself, nothing driver-side.
+  private val p27 = Q(
+    "p27_segment_dedup",
+    (s, dir) => {
+      val chunks = tok(s, dir).filter(size(col("ws")) >= 1)
+        .select(col("doc_id"),
+          posexplode(expr("""transform(sequence(0, (size(ws)+7) div 8 - 1),
+            i -> concat_ws(' ', slice(ws, i*8+1, 8)))""")).as(Seq("idx", "c")))
+      val boiler = chunks.groupBy("c")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("c").as("bc"))
+      val kept = chunks.join(broadcast(boiler), col("c") === col("bc"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nk"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(idx, c))), x -> x.c)"))
+            .as("clean"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST((size(split(text, ' ')) + 7) div 8 AS BIGINT)").as("n_chunks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("nk"), lit(0L)).as("n_kept"),
+          coalesce(col("clean"), lit("")).as("cleaned"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $sqlTok,
+      chunks AS (SELECT doc_id, i AS idx, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS c
+                 FROM tok, unnest(generate_series(0, (len(ws)+7)//8 - 1)) g(i)),
+      boiler AS (SELECT c FROM chunks GROUP BY c HAVING COUNT(DISTINCT doc_id) >= 3),
+      kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      string_agg(c, ' ' ORDER BY idx) AS cleaned
+               FROM chunks WHERE c NOT IN (SELECT c FROM boiler)
+               GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST((len(string_split(d.text, ' ')) + 7) // 8 AS BIGINT) AS n_chunks,
+             COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.cleaned, '') AS cleaned
+      FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
     p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
-    p24, p25, p26)
+    p24, p25, p26, p27)
 }
