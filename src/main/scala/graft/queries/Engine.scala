@@ -42,7 +42,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v22").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v23").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -50,7 +50,8 @@ object Engine {
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
-        "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g")
+        "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
+        "adm_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -160,6 +161,23 @@ object Engine {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .toTable("graft.db.stream_g")
       q.awaitTermination(120000)
+
+      // admission control: the same source re-streamed ONE FILE PER
+      // micro-batch (`max-files-per-micro-batch`, reference
+      // SparkReadOptions.STREAMING_MAX_FILES_PER_MICRO_BATCH). Every
+      // admitted batch commits one append snapshot on the sink, so the
+      // sink's snapshot history is durable evidence the limiter engaged
+      // — re-asserted by g47 on every run, not just at build time.
+      s.sql("""CREATE TABLE graft.db.adm_g (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+      val qa = s.readStream.option("max-files-per-micro-batch", "1")
+        .table("graft.db.orders_snap")
+        .writeStream
+        .option("checkpointLocation", s"$wh/_ckpt_adm_g")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.db.adm_g")
+      qa.awaitTermination(120000)
 
       // partition spec evolution: nation, identity(n_regionkey) added mid-life
       s.sql("CREATE TABLE graft.db.spev_g (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
@@ -478,7 +496,7 @@ object Engine {
       wq.awaitTermination(120000)
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v22" -> "true"))
+        .updateProperties(Map("build-complete-v23" -> "true"))
     }
     built += wh
   }
@@ -1415,8 +1433,37 @@ object Engine {
       FROM orders WHERE o_orderkey % 3 = 0
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ------------------------------------------------------------------ g47
+  // Streaming admission control as an ORACLE gate (previously
+  // unit-only): the warehouse build streams orders_snap into adm_g
+  // under max-files-per-micro-batch=1, so each source data file must
+  // arrive in its own micro-batch — and since every admitted batch
+  // commits one append snapshot, the sink's snapshot count equals the
+  // source's data-file count exactly when the limiter engaged. The
+  // gate re-checks that evidence every run, then compares the sink's
+  // contents against the oracle.
+  private val g47 = Q(
+    "g47_engine_admission_control",
+    (s, dir) => {
+      setup(s, dir)
+      val sink = new HadoopCatalog(warehouse(dir)).loadTable(Seq("db"), "adm_g").get
+      val batches = sink.meta.snapshots.count(_.operation == "append")
+      val files = s.table("graft.db.orders_snap.files").count()
+      require(batches == files && batches > 1,
+        s"g47: admission control did not split the stream: " +
+          s"$batches batches for $files source files")
+      s.table("graft.db.adm_g")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_e2"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
-    g38, g39, g40, g41, g42, g43, g44, g45, g46)
+    g38, g39, g40, g41, g42, g43, g44, g45, g46, g47)
 }
