@@ -1462,8 +1462,37 @@ object Engine {
         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // ------------------------------------------------------------------ g48
+  // Stats-for-join-strategy as an ORACLE gate (previously unit-only):
+  // two graft tables joined with NO broadcast hint — Spark can only
+  // pick the broadcast build side from the sizeInBytes/rowCount our
+  // scan reports via SupportsReportStatistics (reference
+  // SparkScan.estimateStatistics feeding CBO). A silent fallback to a
+  // sort-merge join (e.g. stats missing → sizeInBytes = Long.Max)
+  // fails the plan assertion even though the rows would still match.
+  private val g48 = Q(
+    "g48_engine_join_stats",
+    (s, dir) => {
+      setup(s, dir)
+      val df = s.table("graft.db.lineitem_g")
+        .join(s.table("graft.db.orders_snap"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("sum_e2"))
+        .orderBy("o_orderstatus")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        s"g48: expected reported stats to broadcast the small side:\n$plan")
+      df
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
-    g38, g39, g40, g41, g42, g43, g44, g45, g46, g47)
+    g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48)
 }
