@@ -237,6 +237,12 @@ final class StagedOps(val real: TableOps, initial: TableMetadata) extends TableO
     else { staged = updated; version += 1; true }
   }
 
+  /** The REAL table's metadata when staging began (None for a fresh
+    * create) — what a rebase-on-conflict publish diffs against. Distinct
+    * from `initial`, which is the staging SEED (e.g. buildReplacement
+    * output) and already contains staged-minted schema/spec ids. */
+  val preBase: Option[TableMetadata] = real.current()
+
   /** Snapshots staged here that the initial base did not have (their files
     * are the ones an abort should best-effort clean up). */
   def stagedSnapshots: Seq[Snapshot] =
@@ -246,18 +252,32 @@ final class StagedOps(val real: TableOps, initial: TableMetadata) extends TableO
     * manifests, and manifest lists of staged snapshots. Never throws — an
     * abort must always leave the real table pointer untouched, and any
     * stragglers are ordinary orphans for remove_orphan_files. */
-  def cleanupStagedFiles(): Unit = stagedSnapshots.foreach { s =>
-    try {
-      val manifests = ManifestIO.readList(s.manifestListPath)
-      manifests.foreach { m =>
-        try ManifestIO.readEntries(m)
-          .filter(_.status == ManifestEntryStatus.Added)
-          .foreach(e => try GraftIO.delete(e.file.path) catch { case _: Throwable => () })
-        catch { case _: Throwable => () }
-        try GraftIO.delete(m.path) catch { case _: Throwable => () }
-      }
-      GraftIO.delete(s.manifestListPath)
-    } catch { case _: Throwable => () }
+  def cleanupStagedFiles(): Unit = {
+    // Artifacts of the INITIAL (real) table must survive an abort: a
+    // staged append's manifest list embeds the parent snapshot's
+    // manifests, and a staged commit may reference pre-existing external
+    // files (add_files-style imports, transaction bodies appending staged
+    // parquet). Only what the staging itself created is deleted —
+    // manifests not reachable from the initial metadata, and added data
+    // files under this table's own data/ directory.
+    val keepManifests: Set[String] = initial.snapshots.flatMap(s =>
+      try ManifestIO.readList(s.manifestListPath).map(_.path)
+      catch { case _: Throwable => Nil }).toSet
+    val dataPrefix = location.stripSuffix("/") + "/data/"
+    stagedSnapshots.foreach { s =>
+      try {
+        val manifests = ManifestIO.readList(s.manifestListPath)
+        manifests.filterNot(m => keepManifests.contains(m.path)).foreach { m =>
+          try ManifestIO.readEntries(m)
+            .filter(e => e.status == ManifestEntryStatus.Added &&
+              e.file.path.startsWith(dataPrefix))
+            .foreach(e => try GraftIO.delete(e.file.path) catch { case _: Throwable => () })
+          catch { case _: Throwable => () }
+          try GraftIO.delete(m.path) catch { case _: Throwable => () }
+        }
+        GraftIO.delete(s.manifestListPath)
+      } catch { case _: Throwable => () }
+    }
   }
 }
 
@@ -850,7 +870,17 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
         // validateNoConflictingDeletedDataFiles). Diff at the manifest
         // level: only manifests the child dropped or rewrote can contain
         // removals, so shared manifest files are never read.
-        val removedData = s.parentId.flatMap(base.snapshotById).toSeq.flatMap { p =>
+        val parentOpt = s.parentId.flatMap(base.snapshotById)
+        // if the concurrent snapshot's parent was expired mid-window we
+        // cannot diff its removals — for operations that can remove rows
+        // that is an unverifiable conflict, not a pass (skipping would
+        // reintroduce exactly the lost update this check exists for)
+        if (s.parentId.isDefined && parentOpt.isEmpty &&
+            (s.operation == "delete" || s.operation == "overwrite"))
+          throw new CommitConflictException(
+            s"cannot validate concurrent ${s.operation} ${s.snapshotId}: " +
+              "its parent snapshot is no longer available")
+        val removedData = parentOpt.toSeq.flatMap { p =>
           val parentMs = ManifestIO.readList(p.manifestListPath).filter(_.content == 0)
           val childMs = ManifestIO.readList(s.manifestListPath).filter(_.content == 0)
           val childPaths = childMs.map(_.path).toSet

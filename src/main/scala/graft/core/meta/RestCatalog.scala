@@ -373,10 +373,14 @@ final class RestTableOps(
   override def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
     // strip the server-config overlay before it crosses the wire: a
     // load→modify→commit cycle must not launder the overlay into stored
-    // properties. An entry survives only if the table's own stored
-    // properties already carried it or the committer changed its value.
-    val props = updated.properties.filter { case (k, v) =>
-      !lastConfig.get(k).contains(v) || lastRawProps.get(k).contains(v)
+    // properties. An entry the committer left at the overlay value maps
+    // back to the table's OWN stored value (dropping it instead would
+    // erase the stored property on every commit); entries the committer
+    // changed, or that the stored properties already carried, pass as-is.
+    val props = updated.properties.flatMap { case (k, v) =>
+      if (!lastConfig.get(k).contains(v) || lastRawProps.get(k).contains(v))
+        Some(k -> v)
+      else lastRawProps.get(k).map(k -> _)
     }
     val clean = if (props == updated.properties) updated
       else updated.copy(properties = props)

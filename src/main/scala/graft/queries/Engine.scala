@@ -16,6 +16,9 @@ import Tables._
   */
 object Engine {
 
+  // g46's persisted distributed-planning result (replaced per invocation)
+  @volatile private var g46Cache: DataFrame = _
+
   private val built = scala.collection.mutable.Set.empty[String]
   private val coldBuilt = scala.collection.mutable.Set.empty[String]
 
@@ -1419,8 +1422,18 @@ object Engine {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_k"))
         .orderBy("o_orderstatus")
-      // plan + execute NOW, while the threshold override is in force
-      df.persist().count()
+      // plan + execute NOW, while the threshold override is in force; the
+      // persist keeps the distributed-planned result as what Verify
+      // writes (an unpersisted re-execution would re-plan without the
+      // override). One cached result per JVM — the previous invocation's
+      // cache is dropped, not leaked.
+      Engine.synchronized {
+        if (g46Cache != null) {
+          try g46Cache.unpersist(false) catch { case _: Throwable => () }
+        }
+        g46Cache = df.persist()
+      }
+      df.count()
       s.conf.unset(key)
       val rpt = graft.core.meta.ScanReports.recent
         .find(_.tableLocation.endsWith("orders_snap"))

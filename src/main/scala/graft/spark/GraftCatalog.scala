@@ -397,9 +397,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new TableAlreadyExistsException(ident) // concurrent CREATE mid-CTAS
         }
         val base = ops.current().get
+        val preSchemas = stagedOps.preBase.map(_.schemas).getOrElse(Nil)
+        val preSpecs = stagedOps.preBase.map(_.specs).getOrElse(Nil)
+        // Concurrent commits may have minted the SAME schema id as the
+        // staged replacement (both allocate max+1): keeping staged.schemas
+        // verbatim would re-bind the concurrent snapshot's schemaId to the
+        // replacement schema. Schema ids live only in metadata (snapshots
+        // reference them; manifests don't), so remap the staged-minted
+        // colliding ids above everything both sides know.
+        val stagedNewSchemas = staged.schemas
+          .filterNot(s => preSchemas.exists(_.schemaId == s.schemaId))
+        val baseNewSchemas = base.schemas
+          .filterNot(s => preSchemas.exists(_.schemaId == s.schemaId))
+        var nextSchemaId = ((base.schemas ++ staged.schemas).map(_.schemaId)
+          .foldLeft(0)(math.max)) + 1
+        val remap: Map[Int, Int] = stagedNewSchemas.flatMap { s =>
+          baseNewSchemas.find(_.schemaId == s.schemaId) match {
+            case Some(b) if b != s =>
+              val nid = nextSchemaId; nextSchemaId += 1; Some(s.schemaId -> nid)
+            case _ => None
+          }
+        }.toMap
+        def mapSid(id: Int): Int = remap.getOrElse(id, id)
+        val mergedSchemas = base.schemas ++ stagedNewSchemas
+          .map(s => s.copy(schemaId = mapSid(s.schemaId)))
+          .filterNot(s => base.schemas.exists(_.schemaId == s.schemaId))
+        // Partition-spec ids ARE stamped into manifests (file.specId), so a
+        // genuine collision between concurrently-minted different specs
+        // cannot be remapped — fail the publish instead of corrupting
+        // either lineage's partition resolution.
+        val stagedNewSpecs = staged.specs
+          .filterNot(p => preSpecs.exists(_.specId == p.specId))
+        val baseNewSpecs = base.specs
+          .filterNot(p => preSpecs.exists(_.specId == p.specId))
+        if (stagedNewSpecs.exists(p =>
+            baseNewSpecs.exists(b => b.specId == p.specId && b != p))) {
+          stagedOps.cleanupStagedFiles()
+          throw new graft.core.meta.CommitConflictException(
+            s"staged replace conflicts with a concurrent partition-spec change on ${fullName(ident)}")
+        }
+        val mergedSpecs = base.specs ++ stagedNewSpecs
+          .filterNot(p => base.specs.exists(_.specId == p.specId))
         val merged = staged.copy(
-          snapshots = base.snapshots ++ staged.snapshots.filterNot(s =>
-            base.snapshots.exists(_.snapshotId == s.snapshotId)),
+          schemas = mergedSchemas,
+          currentSchemaId = mapSid(staged.currentSchemaId),
+          specs = mergedSpecs,
+          lastColumnId = math.max(base.lastColumnId, staged.lastColumnId),
+          lastPartitionId = math.max(base.lastPartitionId, staged.lastPartitionId),
+          snapshots = base.snapshots ++ staged.snapshots
+            .map(s => s.copy(schemaId = s.schemaId.map(mapSid)))
+            .filterNot(s => base.snapshots.exists(_.snapshotId == s.snapshotId)),
           snapshotLog = (base.snapshotLog ++
             staged.snapshotLog.filterNot(base.snapshotLog.contains)).distinct,
           lastSequenceNumber =

@@ -115,57 +115,83 @@ object GraftProcedures {
   }
 
   /** Join data rows (`target`, path in `targetPath`) to delete-content
-    * rows (`dels`, writer-time absolute path in `delPath`) under the
-    * read path's matching rule (deletedPositions in GraftSparkTable):
+    * rows (`dels`, writer-time absolute path in `delPath`, SOURCE delete
+    * file in `delSrc`) under the read path's matching rule
+    * (deletedPositions in GraftSparkTable) — applied PER DELETE FILE,
+    * exactly like the read path: within each source delete file, a
     * scheme-stripped exact match wins; the relocation-stable /data/
-    * suffix is consulted ONLY for targets with no exact match anywhere
-    * on the delete side, and only when the suffix names a single
-    * distinct delete-side path — two imports that both contain
-    * '/data/<name>' never cross-apply. `extra` adds per-row conditions
-    * (position, identifier keys). */
+    * suffix is consulted only when the target has no exact match IN THAT
+    * FILE, and only when the suffix names a single distinct path IN THAT
+    * FILE. (A pooled rule would diverge after relocation: an exact match
+    * in a NEW delete file must not disable the suffix fallback against
+    * an OLD one, or compaction resurrects rows the read path deletes.)
+    * `extra` adds per-row conditions (position, identifier keys).
+    * `joinType` ∈ inner | left_anti. */
   private[spark] def joinWithDeletePaths(
       target: org.apache.spark.sql.DataFrame, targetPath: String,
-      dels: org.apache.spark.sql.DataFrame, delPath: String, joinType: String,
+      dels: org.apache.spark.sql.DataFrame, delPath: String, delSrc: String,
+      joinType: String,
       extra: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
         org.apache.spark.sql.Column = (_, _) => org.apache.spark.sql.functions.lit(true))
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val d0 = dels.withColumn("__d_exact", stripSchemeCol(col(delPath)))
       .withColumn("__d_sfx0", dataSuffixCol(col(delPath)))
-    val sfxCounts = d0.groupBy("__d_sfx0")
+      .withColumn("__d_src", col(delSrc))
+    val sfxCounts = d0.groupBy("__d_src", "__d_sfx0")
       .agg(countDistinct("__d_exact").as("__d_n"))
-    val d = d0.join(broadcast(sfxCounts), "__d_sfx0")
+    val d = d0.join(broadcast(sfxCounts), Seq("__d_src", "__d_sfx0"))
       .withColumn("__d_sfx", when(col("__d_n") === 1, col("__d_sfx0")))
       .drop("__d_sfx0", "__d_n")
-    val exacts = d.select(col("__d_exact").as("__hx")).distinct()
-    val t = target.withColumn("__t_exact", stripSchemeCol(col(targetPath)))
+    // (exact path, source file) pairs — identifies, per delete file,
+    // which targets have an exact hit there (suffix disabled for those)
+    val exacts = d.select(col("__d_src").as("__hx_src"),
+      col("__d_exact").as("__hx")).distinct()
+    val t = target.withColumn("__t_id", monotonically_increasing_id())
+      .withColumn("__t_exact", stripSchemeCol(col(targetPath)))
       .withColumn("__t_sfx", dataSuffixCol(col(targetPath)))
-      .join(broadcast(exacts), col("__t_exact") === col("__hx"), "left")
-    val cond = (t("__t_exact") === d("__d_exact") ||
-      (t("__hx").isNull && t("__t_sfx") === d("__d_sfx"))) && extra(t, d)
-    t.join(d, cond, joinType)
-      .drop("__t_exact", "__t_sfx", "__hx", "__d_exact", "__d_sfx")
+    val matched = t.join(d,
+        (t("__t_exact") === d("__d_exact") ||
+          t("__t_sfx") === d("__d_sfx")) && extra(t, d))
+      .join(broadcast(exacts),
+        col("__t_exact") === col("__hx") && col("__d_src") === col("__hx_src"),
+        "left")
+      .filter(col("__t_exact") === col("__d_exact") || col("__hx").isNull)
+      .drop("__hx", "__hx_src")
+    val helper = Seq("__t_id", "__t_exact", "__t_sfx", "__d_exact", "__d_sfx", "__d_src")
+    joinType match {
+      case "inner" => matched.drop(helper: _*)
+      case "left_anti" =>
+        t.join(matched.select("__t_id").distinct(), Seq("__t_id"), "left_anti")
+          .drop(helper: _*)
+      case other => throw new IllegalArgumentException(
+        s"joinWithDeletePaths: unsupported join type $other")
+    }
   }
 
   /** (file_path, pos) rows of position-delete files as one DataFrame,
     * across both delete formats (parquet files and roaring DVs). */
+  /** (file_path, pos, __src) rows of position-delete files, __src = the
+    * delete file each row came from (the per-file path-matching scope). */
   private[spark] def deleteRowsDf(spark: SparkSession,
       files: Seq[DataFile]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
     val (dv, pq) = files.partition(_.format == "dv")
     val parts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     if (pq.nonEmpty)
       parts += spark.read.schema(GraftDeltaWriter.DeleteSchema)
         .parquet(pq.map(_.path): _*)
+        .withColumn("__src", input_file_name())
     if (dv.nonEmpty) {
       val rows = dv.flatMap { f =>
         val (ref, bm) = DVIO.read(f.path)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-        bm.forEach((l: Long) => { buf += ((ref, l)); () })
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+        bm.forEach((l: Long) => { buf += ((ref, l, f.path)); () })
         buf
       }
-      parts += spark.createDataFrame(rows).toDF("file_path", "pos")
+      parts += spark.createDataFrame(rows).toDF("file_path", "pos", "__src")
     }
-    parts.result().reduce(_ union _)
+    parts.result().reduce(_ unionByName _)
   }
 }
 
@@ -623,10 +649,25 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             outMfs.result().iterator
           }
           .collect().toSeq
+      // the commit merges per attempt against the REFRESHED base: the
+      // compacted manifests replace exactly the source manifests, and any
+      // manifest a concurrent commit added in the meantime is carried
+      // over untouched. If a concurrent commit REWROTE one of the source
+      // manifests (entries no longer current), the rewrite is stale and
+      // must fail instead of resurrecting them (reference
+      // BaseRewriteManifests validateDeletedManifests).
+      val sourcePaths = manifests.map(_.path).toSet
       val producer = new SnapshotProducer(t, "replace") {
+        override protected def validate(base: TableMetadata): Unit = {
+          val curPaths = parentManifests(base).map(_.path).toSet
+          if (!sourcePaths.subsetOf(curPaths))
+            throw new CommitConflictException(
+              "rewrite_manifests: a source manifest was replaced by a concurrent commit")
+        }
         override protected def manifests(base: TableMetadata, snapshotId: Long,
             seq: Long): Seq[ManifestFile] =
-          written.map(_.copy(addedSnapshotId = snapshotId))
+          written.map(_.copy(addedSnapshotId = snapshotId)) ++
+            parentManifests(base).filterNot(mf => sourcePaths.contains(mf.path))
       }
       val ns = producer.commit()
       out(StructType(Seq(StructField("rewritten_manifests_count", IntegerType),
@@ -675,7 +716,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           val rows0 = deleteRowsDf(spark, fs)
             .withColumn("__rid", monotonically_increasing_id())
           val rows = GraftProcedures
-            .joinWithDeletePaths(liveDf, "__live", rows0, "file_path", "inner")
+            .joinWithDeletePaths(liveDf, "__live", rows0, "file_path", "__src", "inner")
             .select(fcol("file_path"), fcol("pos"), fcol("__rid"))
             .dropDuplicates("__rid").drop("__rid")
             .sort("file_path", "pos")
@@ -1564,9 +1605,10 @@ object RewriteDataFiles {
               // suffix only as an unambiguous fallback (the stored path
               // is the writer-time absolute path)
               val dels = GraftProcedures.deleteRowsDf(spark, posFiles)
-                .select(col("file_path").as("__df"), col("pos").as("__dp"))
+                .select(col("file_path").as("__df"), col("pos").as("__dp"),
+                  col("__src"))
               GraftProcedures.joinWithDeletePaths(withPos, "__f", dels, "__df",
-                "left_anti", (t, d) => t("__p") === d("__dp"))
+                "__src", "left_anti", (t, d) => t("__p") === d("__dp"))
             }
           val afterEq =
             if (eqByFile.isEmpty) afterPos
@@ -1578,9 +1620,10 @@ object RewriteDataFiles {
                 spark.read.parquet(d.path).select(keyNames.map(col): _*)
                   .toDF(keyNames.map(n => s"__ek_$n"): _*)
                   .withColumn("__ef", explode(sarray(applies.map(lit): _*)))
+                  .withColumn("__src", lit(d.path))
               }.reduce(_ unionByName _)
               GraftProcedures.joinWithDeletePaths(afterPos, "__f", delKeys,
-                "__ef", "left_anti",
+                "__ef", "__src", "left_anti",
                 (t, d) => keyNames.map(n => t(n) <=> d(s"__ek_$n"))
                   .reduce(_ && _))
             }
