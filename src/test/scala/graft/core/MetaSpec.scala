@@ -337,4 +337,30 @@ class MetaSpec extends AnyFunSuite {
     assert(groups.map(_.size).sum === 10)
     assert(groups.forall(_.size <= 2))
   }
+
+  test("transaction abort preserves the base table and external files") {
+    val cat = tempCatalog()
+    val t = cat.createTable(Seq("db"), "txa", schema)
+    t.newAppend().appendFile(dataFile("base-1.parquet", Nil, (1L, 10L))).commit()
+    val baseManifests = ManifestIO
+      .readList(t.meta.currentSnapshot.get.manifestListPath).map(_.path)
+    // an externally staged file the transaction body appends but does
+    // not own — an abort must never delete it (the body re-runs on CAS
+    // retry and needs it, and it may be shared add_files-style input)
+    val ext = s"${t.location}/_stage/ext.parquet"
+    GraftIO.writeString(ext, "external bytes")
+    intercept[RuntimeException] {
+      t.transaction { st =>
+        st.newAppend().appendFile(dataFile(ext, Nil, (11L, 20L))).commit()
+        throw new RuntimeException("boom")
+      }
+    }
+    // base table intact: same head, parent manifests still on disk
+    val m = t.refresh()
+    assert(m.currentSnapshot.map(_.operation) === Some("append"))
+    assert(t.newScan().planFiles().map(_.file.path).toSet ===
+      Set(s"${t.location}/base-1.parquet"))
+    baseManifests.foreach(p => assert(GraftIO.exists(p), s"parent manifest deleted: $p"))
+    assert(GraftIO.exists(ext), "externally appended file deleted by abort")
+  }
 }

@@ -288,6 +288,17 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       // ...but the client view still sees the server override on top
       assert(cat.loadTable(Seq("db"), "cfg_t").get.meta.properties
         .get("write.parquet.compression-codec").contains("zstd"))
+      // a later commit that does NOT touch the key must keep the user's
+      // stored value — the overlay masks it in the committed view, and
+      // the strip must map it back instead of dropping the key
+      t.refresh()
+      t.updateProperties(Map("unrelated" -> "1"))
+      val stored3 = new graft.core.meta.FileTableOps(
+        cat.tableLocation(Seq("db"), "cfg_t")).current().get.properties
+      assert(stored3.get("write.parquet.compression-codec").contains("gzip"),
+        s"stored override erased by an unrelated commit: $stored3")
+      assert(stored3.get("unrelated").contains("1"))
+      assert(!stored3.contains("client.pool-size"))
     } finally srv.stop(0)
   }
 
