@@ -114,6 +114,30 @@ object GraftProcedures {
     when(ex =!= "", ex).otherwise(s)
   }
 
+  /** Commit producer for rewrite_manifests: replaces exactly the source
+    * manifests with the compacted ones, merging PER CAS ATTEMPT against
+    * the refreshed base so a concurrently added manifest is carried over
+    * untouched; if a concurrent commit REWROTE a source manifest (its
+    * entries are no longer current), the rewrite is stale and fails
+    * instead of resurrecting them (reference BaseRewriteManifests
+    * validateDeletedManifests). */
+  private[spark] def rewriteManifestsProducer(t: GTable,
+      sources: Seq[ManifestFile], written: Seq[ManifestFile]): SnapshotProducer = {
+    val sourcePaths = sources.map(_.path).toSet
+    new SnapshotProducer(t, "replace") {
+      override protected def validate(base: TableMetadata): Unit = {
+        val curPaths = parentManifests(base).map(_.path).toSet
+        if (!sourcePaths.subsetOf(curPaths))
+          throw new CommitConflictException(
+            "rewrite_manifests: a source manifest was replaced by a concurrent commit")
+      }
+      override protected def manifests(base: TableMetadata, snapshotId: Long,
+          seq: Long): Seq[ManifestFile] =
+        written.map(_.copy(addedSnapshotId = snapshotId)) ++
+          parentManifests(base).filterNot(mf => sourcePaths.contains(mf.path))
+    }
+  }
+
   /** Join data rows (`target`, path in `targetPath`) to delete-content
     * rows (`dels`, writer-time absolute path in `delPath`, SOURCE delete
     * file in `delSrc`) under the read path's matching rule
@@ -656,20 +680,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       // manifests (entries no longer current), the rewrite is stale and
       // must fail instead of resurrecting them (reference
       // BaseRewriteManifests validateDeletedManifests).
-      val sourcePaths = manifests.map(_.path).toSet
-      val producer = new SnapshotProducer(t, "replace") {
-        override protected def validate(base: TableMetadata): Unit = {
-          val curPaths = parentManifests(base).map(_.path).toSet
-          if (!sourcePaths.subsetOf(curPaths))
-            throw new CommitConflictException(
-              "rewrite_manifests: a source manifest was replaced by a concurrent commit")
-        }
-        override protected def manifests(base: TableMetadata, snapshotId: Long,
-            seq: Long): Seq[ManifestFile] =
-          written.map(_.copy(addedSnapshotId = snapshotId)) ++
-            parentManifests(base).filterNot(mf => sourcePaths.contains(mf.path))
-      }
-      val ns = producer.commit()
+      val ns = rewriteManifestsProducer(t, manifests, written).commit()
       out(StructType(Seq(StructField("rewritten_manifests_count", IntegerType),
         StructField("added_manifests_count", IntegerType))),
         row(manifests.size, ManifestIO.readList(ns.manifestListPath).size))

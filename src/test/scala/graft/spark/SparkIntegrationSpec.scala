@@ -439,6 +439,43 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 90L)
   }
 
+  test("staged RTAS publish rebases around a concurrent schema change") {
+    import org.apache.spark.sql.connector.catalog.{Column => CCol, Identifier}
+    spark.sql("CREATE TABLE graft.db.rtas_cc AS SELECT id, id * 2 AS dbl FROM range(4)")
+    val firstSnap = spark.sql(
+      "SELECT snapshot_id FROM graft.db.rtas_cc.snapshots").collect()(0).getLong(0)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(Array("db"), "rtas_cc")
+    // stage a replacement (fresh schema, ids minted from the current base)
+    val stagedTbl = cat.stageReplace(ident,
+      Array(CCol.create("id", org.apache.spark.sql.types.LongType),
+        CCol.create("tpl", org.apache.spark.sql.types.LongType)),
+      Array.empty, new java.util.HashMap[String, String]())
+    // concurrent commits while the replacement is staged: a schema change
+    // that mints the SAME schema id, and a snapshot stamped with it
+    spark.sql("ALTER TABLE graft.db.rtas_cc ADD COLUMNS (extra INT)")
+    spark.sql("INSERT INTO graft.db.rtas_cc VALUES (100, 200, 7)")
+    val concurrentSnap = spark.sql(
+      """SELECT snapshot_id FROM graft.db.rtas_cc.snapshots
+         ORDER BY committed_at DESC LIMIT 1""").collect()(0).getLong(0)
+    stagedTbl.commitStagedChanges()
+    spark.sql("REFRESH TABLE graft.db.rtas_cc")
+    // current = the replacement schema
+    assert(spark.table("graft.db.rtas_cc").schema.fieldNames.toSeq ===
+      Seq("id", "tpl"))
+    // the concurrent snapshot still time-travels with ITS schema (the
+    // ALTERed one incl. `extra`), not the replacement bound to its id
+    val tt = spark.sql(
+      s"SELECT * FROM graft.db.rtas_cc VERSION AS OF $concurrentSnap")
+    assert(tt.schema.fieldNames.toSeq === Seq("id", "dbl", "extra"))
+    assert(tt.where("id = 100").collect()(0).getInt(2) === 7)
+    // and the ORIGINAL pre-replace snapshot still reads too
+    assert(spark.sql(
+      s"SELECT sum(dbl) FROM graft.db.rtas_cc VERSION AS OF $firstSnap")
+      .collect()(0).getLong(0) === 12L)
+  }
+
   test("schema evolution: nested adds, renames, drops, moves, nullability") {
     spark.sql("""CREATE TABLE graft.db.evo_n (
       id BIGINT, info STRUCT<name: STRING, age: INT>)""")
