@@ -1002,14 +1002,37 @@ class HadoopCatalog(val warehouse: String) {
         s"destination already exists: ${(newNamespace :+ newName).mkString(".")}")
     val dst = GraftIO.toPath(dstLoc)
     java.nio.file.Files.createDirectories(dst.getParent)
+    // POSIX rename(2) silently replaces an EMPTY destination directory,
+    // so a bare move could clobber a racing CREATE's just-made table dir
+    // without the mapped conflict. Claim the destination first with an
+    // atomic createDirectory: if a racing create already owns the path
+    // this fails, and once we own it the only empty dir the move can
+    // replace is the one we created ourselves. A creator arriving
+    // between claim and move makes dst non-empty (its metadata/ dir) and
+    // the move fails with DirectoryNotEmptyException — one winner either
+    // way, the loser gets a clean already-exists error.
+    try java.nio.file.Files.createDirectory(dst)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"destination already exists: ${(newNamespace :+ newName).mkString(".")}")
+    }
+    val srcVersion = new FileTableOps(srcLoc).currentVersion()
     try java.nio.file.Files.move(GraftIO.toPath(srcLoc), dst,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.DirectoryNotEmptyException =>
         // raced with a concurrent create of the destination
+        try java.nio.file.Files.deleteIfExists(dst) // drop our empty claim
+        catch { case _: Throwable => () }           // creator filled it — leave it
         throw new IllegalStateException(
           s"destination already exists: ${(newNamespace :+ newName).mkString(".")}")
     }
+    // belt-and-braces: the moved directory must present this table's
+    // metadata version files (guards non-POSIX move semantics)
+    if (new FileTableOps(dstLoc).currentVersion() < srcVersion)
+      throw new IllegalStateException(
+        s"rename verification failed: $dstLoc is missing version files (expected v$srcVersion)")
   }
 }

@@ -1417,24 +1417,26 @@ object Engine {
       setup(s, dir)
       val key = "spark.graft.distributed-planning-min-bytes"
       s.conf.set(key, "1")
-      val df = s.table("graft.db.orders_snap")
-        .filter(col("o_orderkey") % 3 === 0)
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_k"))
-        .orderBy("o_orderstatus")
-      // plan + execute NOW, while the threshold override is in force; the
-      // persist keeps the distributed-planned result as what Verify
-      // writes (an unpersisted re-execution would re-plan without the
-      // override). One cached result per JVM — the previous invocation's
-      // cache is dropped, not leaked.
-      Engine.synchronized {
-        if (g46Cache != null) {
-          try g46Cache.unpersist(false) catch { case _: Throwable => () }
+      val df = try {
+        val d = s.table("graft.db.orders_snap")
+          .filter(col("o_orderkey") % 3 === 0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_k"))
+          .orderBy("o_orderstatus")
+        // plan + execute NOW, while the threshold override is in force; the
+        // persist keeps the distributed-planned result as what Verify
+        // writes (an unpersisted re-execution would re-plan without the
+        // override). One cached result per JVM — the previous invocation's
+        // cache is dropped, not leaked.
+        Engine.synchronized {
+          if (g46Cache != null) {
+            try g46Cache.unpersist(false) catch { case _: Throwable => () }
+          }
+          g46Cache = d.persist()
         }
-        g46Cache = df.persist()
-      }
-      df.count()
-      s.conf.unset(key)
+        d.count()
+        d
+      } finally s.conf.unset(key)
       val rpt = graft.core.meta.ScanReports.recent
         .find(_.tableLocation.endsWith("orders_snap"))
       require(rpt.exists(_.distributedPlanning),

@@ -150,13 +150,18 @@ object GraftProcedures {
     * in a NEW delete file must not disable the suffix fallback against
     * an OLD one, or compaction resurrects rows the read path deletes.)
     * `extra` adds per-row conditions (position, identifier keys).
-    * `joinType` ∈ inner | left_anti. */
+    * `joinType` ∈ inner | left_anti. `antiKeys` (required for left_anti)
+    * names target columns that uniquely identify a target row — the
+    * anti-join is keyed on them, never on a generated id (a
+    * nondeterministic id computed independently in two plan branches can
+    * mis-drop or resurrect rows under AQE/task retry). */
   private[spark] def joinWithDeletePaths(
       target: org.apache.spark.sql.DataFrame, targetPath: String,
       dels: org.apache.spark.sql.DataFrame, delPath: String, delSrc: String,
       joinType: String,
       extra: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
-        org.apache.spark.sql.Column = (_, _) => org.apache.spark.sql.functions.lit(true))
+        org.apache.spark.sql.Column = (_, _) => org.apache.spark.sql.functions.lit(true),
+      antiKeys: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val d0 = dels.withColumn("__d_exact", stripSchemeCol(col(delPath)))
@@ -171,7 +176,7 @@ object GraftProcedures {
     // which targets have an exact hit there (suffix disabled for those)
     val exacts = d.select(col("__d_src").as("__hx_src"),
       col("__d_exact").as("__hx")).distinct()
-    val t = target.withColumn("__t_id", monotonically_increasing_id())
+    val t = target
       .withColumn("__t_exact", stripSchemeCol(col(targetPath)))
       .withColumn("__t_sfx", dataSuffixCol(col(targetPath)))
     val matched = t.join(d,
@@ -182,11 +187,14 @@ object GraftProcedures {
         "left")
       .filter(col("__t_exact") === col("__d_exact") || col("__hx").isNull)
       .drop("__hx", "__hx_src")
-    val helper = Seq("__t_id", "__t_exact", "__t_sfx", "__d_exact", "__d_sfx", "__d_src")
+    val helper = Seq("__t_exact", "__t_sfx", "__d_exact", "__d_sfx", "__d_src")
     joinType match {
       case "inner" => matched.drop(helper: _*)
       case "left_anti" =>
-        t.join(matched.select("__t_id").distinct(), Seq("__t_id"), "left_anti")
+        require(antiKeys.nonEmpty,
+          "joinWithDeletePaths: left_anti requires deterministic antiKeys")
+        t.join(matched.select(antiKeys.map(matched(_)): _*).distinct(),
+            antiKeys, "left_anti")
           .drop(helper: _*)
       case other => throw new IllegalArgumentException(
         s"joinWithDeletePaths: unsupported join type $other")
@@ -599,10 +607,50 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
               catch { case _: Throwable => false })
           }
           .toDS()
+      // metadata-dir orphans: failed/conflicted rewrite_manifests and
+      // staged RTAS attempts write manifests + manifest lists to final
+      // metadata/ paths before the CAS, so losers leave files no
+      // snapshot references (reference orphan cleanup scans the whole
+      // table location, not just data/). Reachable = every snapshot's
+      // manifest list + manifests + statistics files; version files and
+      // the hint are the commit log itself and are always kept.
+      val metaReachableDs = (
+        t.meta.snapshots.map(_.manifestListPath) ++
+        mfs.map(_.path) ++
+        t.meta.statistics.map(_.path) ++
+        t.meta.properties.get("partition-stats-path").toSeq).toDS()
+      val metaDir = s"${t.location}/metadata"
+      val metaFirst: Seq[String] = {
+        val p = GraftIO.toPath(metaDir)
+        if (!java.nio.file.Files.exists(p)) Nil
+        else {
+          val st = java.nio.file.Files.list(p)
+          try st.iterator().asScala.map(_.toString).toSeq finally st.close()
+        }
+      }
+      val metaActualDs =
+        if (metaFirst.isEmpty) spark.emptyDataset[String]
+        else sc.parallelize(metaFirst, math.max(1, math.min(metaFirst.size, 64)))
+          .flatMap { p0 =>
+            val path = GraftIO.toPath(p0)
+            if (java.nio.file.Files.isRegularFile(path)) Seq(p0)
+            else GraftProcedures.walkFiles(p0)
+          }
+          .filter { p =>
+            val n = GraftIO.toPath(p).getFileName.toString
+            !n.startsWith(".") && !n.startsWith("_") &&
+              !n.endsWith(".metadata.json") && n != "version-hint.text" &&
+              (try java.nio.file.Files.getLastModifiedTime(GraftIO.toPath(p))
+                .toMillis < olderThanMs
+              catch { case _: Throwable => false })
+          }
+          .toDS()
       // the orphan set can be huge (that is the point of the procedure):
       // delete executor-side, return only the count of files actually
       // removed (an undeletable orphan is NOT reported as cleaned up)
-      val orphansDs = actualDs.toDF("p").except(reachableDs.toDF("p")).as[String]
+      val orphansDs = actualDs.toDF("p").union(metaActualDs.toDF("p"))
+        .except(reachableDs.toDF("p").union(metaReachableDs.toDF("p")))
+        .as[String]
       val orphanCount =
         if (dryRun) orphansDs.count().toInt
         else GraftProcedures.deleteDistributed(orphansDs)
@@ -717,19 +765,23 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         val conf = spark.sessionState.newHadoopConf()
         val newFiles = Seq.newBuilder[DataFile]
         val oldPaths = Seq.newBuilder[String]
-        import org.apache.spark.sql.functions.{col => fcol, monotonically_increasing_id}
+        import org.apache.spark.sql.functions.{col => fcol}
         val liveDf = spark.createDataFrame(
           liveData.toSeq.map(Tuple1(_))).toDF("__live")
         rewritable.foreach { case ((specId, _), fs) =>
           val partition = fs.head.partition
           // keep delete rows that still apply to SOME live file under the
-          // read path's matching rule (exact wins, unique suffix only)
+          // read path's matching rule (exact wins, unique suffix only).
+          // Dedup on (file_path, pos) — the content identity of a
+          // position delete — rather than a generated row id: the merged
+          // output applies a position once no matter how many source
+          // files or live matches produced it, and the key is stable
+          // under AQE replanning and task retry.
           val rows0 = deleteRowsDf(spark, fs)
-            .withColumn("__rid", monotonically_increasing_id())
           val rows = GraftProcedures
             .joinWithDeletePaths(liveDf, "__live", rows0, "file_path", "__src", "inner")
-            .select(fcol("file_path"), fcol("pos"), fcol("__rid"))
-            .dropDuplicates("__rid").drop("__rid")
+            .select(fcol("file_path"), fcol("pos"))
+            .dropDuplicates("file_path", "pos")
             .sort("file_path", "pos")
           val staging = java.nio.file.Files.createTempDirectory("graft-posdel").toString
           rows.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -1619,7 +1671,8 @@ object RewriteDataFiles {
                 .select(col("file_path").as("__df"), col("pos").as("__dp"),
                   col("__src"))
               GraftProcedures.joinWithDeletePaths(withPos, "__f", dels, "__df",
-                "__src", "left_anti", (t, d) => t("__p") === d("__dp"))
+                "__src", "left_anti", (t, d) => t("__p") === d("__dp"),
+                antiKeys = Seq("__f", "__p"))
             }
           val afterEq =
             if (eqByFile.isEmpty) afterPos
@@ -1636,7 +1689,8 @@ object RewriteDataFiles {
               GraftProcedures.joinWithDeletePaths(afterPos, "__f", delKeys,
                 "__ef", "__src", "left_anti",
                 (t, d) => keyNames.map(n => t(n) <=> d(s"__ek_$n"))
-                  .reduce(_ && _))
+                  .reduce(_ && _),
+                antiKeys = Seq("__f", "__p"))
             }
           afterEq
         }

@@ -278,6 +278,21 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphans === 1)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stray)))
 
+    // metadata-dir orphans: a manifest written by a failed/conflicted
+    // attempt (never referenced by any snapshot) is collected; live
+    // manifests, manifest lists, version files and the hint survive
+    val strayMf = coreTable("proc").location + "/metadata/stray-m9.avro"
+    java.nio.file.Files.write(java.nio.file.Paths.get(strayMf), Array[Byte](5, 6))
+    val orphansMeta = spark.sql(
+      s"CALL graft.system.remove_orphan_files('db.proc', false, ${cutoff}L)")
+      .collect()(0).getInt(0)
+    assert(orphansMeta === 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(strayMf)))
+    // table still fully readable: every live snapshot's metadata intact
+    assert(spark.sql("SELECT * FROM graft.db.proc").count() === 2)
+    assert(spark.sql("SELECT * FROM graft.db.proc.snapshots").count() >= 2)
+    assert(spark.sql("SELECT * FROM graft.db.proc VERSION AS OF 'v2'").count() === 2)
+
     // distributed listing: orphans inside partition subdirectories are
     // found per-directory tasks, live files stay
     spark.sql("CREATE TABLE graft.db.proc_part (id BIGINT, p STRING) PARTITIONED BY (p)")
