@@ -45,7 +45,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v23").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v24").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -54,7 +54,7 @@ object Engine {
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
-        "adm_g")
+        "adm_g", "dang_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -498,8 +498,36 @@ object Engine {
         .toTable("graft.db.wmk_g")
       wq.awaitTermination(120000)
 
+      // dangling-delete removal (g49): CDC-style eq-delete table. The
+      // lowest nation's data files are dropped WHOLE by a partition-
+      // aligned metadata delete, stranding that partition's earlier
+      // eq-delete file; rows appended after carry higher sequence
+      // numbers the old eq-delete can never mask (eq deletes apply only
+      // to strictly older files). remove_dangling_deletes must collect
+      // exactly the stranded file and leave the still-applicable
+      // eq-deletes of every other partition alone.
+      s.sql("""CREATE TABLE graft.db.dang_g (
+        s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
+        PARTITIONED BY (s_nationkey)
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                       'write.delete.equality-enabled'='true')""")
+      s.sql("CALL graft.system.set_identifier_fields('db.dang_g', 's_suppkey')")
+      val supD = t(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+      val dangNk = supD.agg(min("s_nationkey")).head().getLong(0)
+      supD.writeTo("graft.db.dang_g").append()                      // seq 1
+      s.sql("DELETE FROM graft.db.dang_g WHERE s_suppkey % 3 = 0")  // seq 2
+      s.sql(s"DELETE FROM graft.db.dang_g WHERE s_nationkey = $dangNk") // seq 3: metadata delete
+      supD.filter(col("s_nationkey") === dangNk)
+        .withColumn("s_acctbal", col("s_acctbal") + 100)
+        .writeTo("graft.db.dang_g").append()                        // seq 4
+      val dangRemoved = s.sql(
+        "CALL graft.system.remove_dangling_deletes('db.dang_g')").head().getInt(0)
+      require(dangRemoved >= 1,
+        s"expected the stranded eq-delete file to be collected, got $dangRemoved")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v23" -> "true"))
+        .updateProperties(Map("build-complete-v24" -> "true"))
     }
     built += wh
   }
@@ -1506,8 +1534,47 @@ object Engine {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ------------------------------------------------------------------ g49
+  // Dangling-delete removal (reference RemoveDanglingDeletesSparkAction):
+  // the setup stranded one eq-delete file (its partition's data files
+  // were dropped whole, then fresh higher-sequence rows arrived) and the
+  // procedure collected it. The gate asserts the stranded file is GONE
+  // from delete_files while the still-applicable eq-deletes of other
+  // partitions remain, and that the data — including the re-appended
+  // rows whose keys the dead delete once named, which it must never
+  // mask — still matches the oracle.
+  private val g49 = Q(
+    "g49_engine_dangling_deletes",
+    (s, dir) => {
+      setup(s, dir)
+      val nk = t(s, dir, "supplier").agg(min("s_nationkey")).head().getLong(0)
+      val delParts = s.table("graft.db.dang_g.delete_files")
+        .select("partition").collect().map(_.getString(0)).toSeq
+      require(!delParts.contains(s"s_nationkey=$nk"),
+        s"g49: stranded eq-delete of partition $nk survived: $delParts")
+      val nNations = t(s, dir, "supplier")
+        .select("s_nationkey").distinct().count()
+      require(nNations < 2 || delParts.nonEmpty,
+        "g49: still-applicable eq-deletes of other partitions were removed")
+      s.table("graft.db.dang_g")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("sum_c"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_c
+      FROM (
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        WHERE s_nationkey <> (SELECT MIN(s_nationkey) FROM supplier)
+          AND s_suppkey % 3 <> 0
+        UNION ALL
+        SELECT s_suppkey, s_nationkey, s_acctbal + 100 AS s_acctbal FROM supplier
+        WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+      ) GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
-    g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48)
+    g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49)
 }

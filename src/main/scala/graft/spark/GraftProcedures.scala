@@ -1018,20 +1018,56 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         row(dataFiles.size, dataFiles.map(_.recordCount).sum))
 
     case "remove_dangling_deletes" =>
-      // drop delete files whose referenced data file is no longer live
-      // (reference RemoveDanglingDeletesSparkAction)
+      // drop delete files that no longer apply to ANY live data file
+      // (reference RemoveDanglingDeletesSparkAction:126-169): per
+      // (spec, partition), a position delete is dead when its sequence
+      // number < the partition's min live data sequence, an equality
+      // delete when seq <= it (eq deletes mask only STRICTLY older
+      // files), and every delete in a partition holding no data files at
+      // all; a delete targeting a specific data file (DV / single-file
+      // position delete) also dies with its referenced file. The entries
+      // scan runs one task per manifest — only the matched delete-file
+      // descriptors (metadata-scale) return to the driver for the commit.
       val t = loadTable(input.getUTF8String(0).toString)
       val snap = t.meta.currentSnapshot
       val manifests = snap.map(s0 => ManifestIO.readList(s0.manifestListPath)).getOrElse(Nil)
-      val liveData = manifests.filter(_.content == 0)
-        .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
-        .map(_.file.path).toSet
-      val dangling = manifests.filter(_.content == 1)
-        .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
-        .map(_.file)
-        .filter(df => df.referencedDataFile.exists(p => !liveData.contains(p)))
+      val dangling: Seq[String] = if (manifests.forall(_.content == 0)) Nil else {
+        val spark = SparkSession.active
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col => fcol, min => fmin}
+        val entries = spark.sparkContext
+          .parallelize(manifests, math.max(1, math.min(manifests.size, 64)))
+          .flatMap { mf =>
+            ManifestIO.readEntries(mf).filter(_.isLive).map { e =>
+              // spec-scoped partition key (the reference joins on
+              // spec_id AND partition: deletes attach with the spec of
+              // the data they target)
+              val key = e.file.specId + "|" + e.file.partition.map {
+                case b: Array[Byte] => b.map("%02x".format(_)).mkString
+                case o              => String.valueOf(o)
+              }.mkString("|")
+              (e.file.content, e.file.path, e.dataSequenceNumber, key,
+                e.file.referencedDataFile.orNull)
+            }
+          }.toDF("content", "path", "seq", "pk", "ref")
+        val data = entries.filter(fcol("content") === FileContent.Data)
+        val dels = entries.filter(fcol("content") =!= FileContent.Data)
+        val minSeq = data.groupBy("pk").agg(fmin("seq").as("min_seq"))
+        val seqDead = dels.join(minSeq, Seq("pk"), "left")
+          .filter(fcol("min_seq").isNull ||
+            (fcol("content") === FileContent.PositionDeletes &&
+              fcol("seq") < fcol("min_seq")) ||
+            (fcol("content") === FileContent.EqualityDeletes &&
+              fcol("seq") <= fcol("min_seq")))
+          .select("path")
+        val refDead = dels.filter(fcol("ref").isNotNull)
+          .join(data.select(fcol("path").as("__dp")),
+            fcol("ref") === fcol("__dp"), "left_anti")
+          .select("path")
+        seqDead.union(refDead).distinct().as[String].collect().toSeq
+      }
       if (dangling.nonEmpty)
-        t.newOverwrite().deleteFiles(dangling.map(_.path))
+        t.newOverwrite().deleteFiles(dangling)
           .overrideOperation("replace").commit()
       out(StructType(Seq(StructField("removed_delete_files", IntegerType))),
         row(dangling.size))

@@ -69,10 +69,17 @@ class GraftSparkTable(val table: GTable, fullName: String,
         metaJson = preserve(reinsert = true, update = true)),
       mc(MetaSeqCol, org.apache.spark.sql.types.LongType, nullable = true,
         metaJson = preserve(reinsert = false, update = false)))
+    // hidden shredded-variant columns (read-side shredding): one per
+    // configured write.variant.shred.* sub-path, served from the
+    // materialized file column (or the binary, for pre-spec files)
+    val shreds = shredSpecsOf(table.meta.properties, table.schema)
+      .filterNot(sp => table.schema.fields.exists(_.name == sp.metaName))
+      .map(sp => mc(sp.metaName, sp.sparkType, nullable = true))
     // _partition: the default spec's partition tuple (null for files of
     // other specs) — lets MoR deletes fan out per partition
-    if (table.spec.fields.isEmpty) base
-    else base :+ mc(MetaPartitionCol,
+    val withShred = base ++ shreds
+    if (table.spec.fields.isEmpty) withShred
+    else withShred :+ mc(MetaPartitionCol,
       partitionStructType(table.spec, table.schema), nullable = true)
   }
 
@@ -177,6 +184,10 @@ object GraftSparkTable {
   private val MetaColNames =
     Set(MetaFileCol, MetaPosCol, MetaSpecIdCol, MetaPartitionCol,
       MetaRowIdCol, MetaSeqCol)
+  /** every reader-appended column: the fixed metadata set plus any
+    * hidden shredded-variant column */
+  private def isMetaCol(n: String): Boolean =
+    MetaColNames(n) || n.startsWith(ShredColPrefix)
 
   /** the two materialized-lineage read columns, appended to a read schema
     * so files that carry them yield values and older files yield null */
@@ -196,6 +207,80 @@ object GraftSparkTable {
   def lineageGFields: Seq[graft.core.types.GField] = Seq(
     graft.core.types.GField(RowIdFieldId, MetaRowIdCol, graft.core.types.GLong),
     graft.core.types.GField(LastUpdSeqFieldId, MetaSeqCol, graft.core.types.GLong))
+
+  // ------------------------------------------------- variant shredding
+  // Read-side shredding (reference parquet variant-shredding spec +
+  // spark/.../data/vectorized/VariantColumnVector.java): each configured
+  // `write.variant.shred.<col> = "$.path:type"` sub-path is MATERIALIZED
+  // as a typed column in every written data file (reserved field id) and
+  // exposed as a hidden metadata column, so `variant_get` on a shredded
+  // path is served from the typed column without parsing the variant
+  // binary — at 100 TB the per-row binary parse is the dominant CPU cost
+  // of a variant scan. Files written before the spec (imports, old
+  // writers) fall back to the binary per task, keyed off the "mat:"
+  // marker the writer leaves in the file's shredStats.
+  val ShredColPrefix = "_shred_"
+  /** reserved id range for materialized shred columns (below the lineage
+    * ids; specs are capped well under the range width) */
+  val ShredFieldBase = 2147482000
+
+  /** one configured shred sub-path: hidden-column name, parent variant
+    * column, parsed path, engine/Spark types, reserved materialized id */
+  final case class ShredSpec(metaName: String, parent: String, parentId: Int,
+      path: String, tpe: GType, matId: Int) {
+    def sparkType: org.apache.spark.sql.types.DataType = SparkTypes.toSpark(tpe)
+    /** shredStats key carrying this path's min/max (r5 stats-only form) */
+    def statsKey: String = s"$parentId:$path"
+    /** marker key: present in a file's shredStats iff the file carries
+      * the MATERIALIZED column (older files have stats but no column) */
+    def matKey: String = s"mat:$parentId:$path"
+  }
+
+  /** parse write.variant.shred.* against a schema. Sorted by
+    * (parent, path) so materialized ids are deterministic across writers
+    * and readers of the same property set; a spec-set change just makes
+    * old files fall back to the binary (ids no longer line up). */
+  def shredSpecsOf(props: Map[String, String],
+      schema: GSchema): Seq[ShredSpec] = {
+    val raw = props.toSeq.collect {
+      case (k, v) if k.startsWith("write.variant.shred.") =>
+        val col = k.stripPrefix("write.variant.shred.")
+        v.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { item =>
+          val i = item.lastIndexOf(':')
+          require(i > 0, s"bad shred spec '$item': want $$.path:type")
+          val tn = item.substring(i + 1).trim.toLowerCase match {
+            case "bigint"           => "long"
+            case "integer"          => "int"
+            case "varchar" | "text" => "string"
+            case x                  => x
+          }
+          (col, item.substring(0, i), tn)
+        }
+    }.flatten
+    raw.flatMap { case (col, path, tn) =>
+      schema.fields.find(f => f.name == col && f.tpe == graft.core.types.GVariant)
+        .map { f =>
+          val safe = path.stripPrefix("$.").replaceAll("[^A-Za-z0-9_]", "_")
+          ShredSpec(s"$ShredColPrefix${col}_$safe", col, f.id, path,
+            SparkTypes.typeFromName(tn), 0)
+        }
+    }.sortBy(sp => (sp.parent, sp.path))
+      .distinctBy(_.metaName)
+      .zipWithIndex.map { case (sp, i) => sp.copy(matId = ShredFieldBase + i) }
+  }
+
+  /** the materialized file column for one spec (field-id metadata so the
+    * parquet reader resolves it like any evolved column) */
+  def shredMatField(sp: ShredSpec): org.apache.spark.sql.types.StructField = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SparkTypes.FieldIdKey, sp.matId.toLong)
+      .putLong(SparkTypes.ParquetFieldIdKey, sp.matId.toLong).build()
+    org.apache.spark.sql.types.StructField(sp.metaName, sp.sparkType,
+      nullable = true, m)
+  }
+
+  def shredMatGField(sp: ShredSpec): graft.core.types.GField =
+    graft.core.types.GField(sp.matId, sp.metaName, sp.tpe)
 
   /** Spark struct type of a spec's partition tuple. */
   def partitionStructType(spec: graft.core.expr.PartitionSpec,
@@ -426,7 +511,7 @@ object GraftSparkTable {
       // keep table field metadata (ids) on the pruned columns; metadata
       // columns (_file/_pos) go last so readers can append them
       val full = SparkTypes.toSparkSchema(table.schema)
-      val (meta, data) = requiredSchema.fields.partition(f => MetaColNames(f.name))
+      val (meta, data) = requiredSchema.fields.partition(f => isMetaCol(f.name))
       required = StructType(data.map(f =>
         full.fields.find(_.name == f.name).getOrElse(f)) ++ meta)
     }
@@ -826,8 +911,8 @@ object GraftSparkTable {
       val v1Filters =
         if (ignoreResiduals) Nil else exprToV1(Expr.and(expr, runtimeExpr))
       // metadata columns are appended reader-side, not read from parquet
-      val metaCols = required.fields.map(_.name).filter(MetaColNames)
-      val dataRequired = StructType(required.fields.filterNot(f => MetaColNames(f.name)))
+      val metaCols = required.fields.map(_.name).filter(isMetaCol)
+      val dataRequired = StructType(required.fields.filterNot(f => isMetaCol(f.name)))
       val fmt = new ParquetFileFormat
       val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
       // our files always carry parquet field ids: resolve columns by id so

@@ -209,12 +209,24 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     // carry _row_id/_last_updated_sequence_number columns under the
     // reserved field ids, filled from Spark's metadata projection
     val isCow = mode.isInstanceOf[CopyOnWriteMode]
-    val fileSchema =
-      if (isCow) StructType(writeSchema.fields ++ GraftSparkTable.lineageReadFields)
-      else writeSchema
+    // read-side shredding: materialize each configured variant sub-path
+    // as a typed file column (reserved id) after the data (+lineage)
+    // fields — readers serve variant_get from it without touching the
+    // binary (reference variant-shredding spec typed_value columns)
+    val shredSpecs = GraftSparkTable
+      .shredSpecsOf(table.meta.properties, table.schema)
+      .filter(sp => writeSchema.fieldNames.contains(sp.parent))
+    val lineageFields =
+      if (isCow) GraftSparkTable.lineageReadFields else Nil
+    val lineageG =
+      if (isCow) GraftSparkTable.lineageGFields else Nil
+    val fileSchema = StructType(writeSchema.fields ++ lineageFields ++
+      shredSpecs.map(GraftSparkTable.shredMatField))
     val fileGSchema =
-      if (isCow) table.schema.copy(struct = graft.core.types.GStruct(
-        table.schema.fields ++ GraftSparkTable.lineageGFields))
+      if (isCow || shredSpecs.nonEmpty)
+        table.schema.copy(struct = graft.core.types.GStruct(
+          table.schema.fields ++ lineageG ++
+            shredSpecs.map(GraftSparkTable.shredMatGField)))
       else table.schema
     // prepareWrite wires ParquetWriteSupport (schema, field ids, codec)
     // into the job conf; the OutputWriterFactory is serializable.
@@ -261,26 +273,6 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     val metaJson = graft.core.meta.MetaJson
-    // write.variant.shred.<col> = "$.path:type[, ...]": each configured
-    // variant sub-path gets per-file min/max stats keyed "fieldId:path"
-    // so variant_get_long/string predicates prune files (reference
-    // variant shredding spec; stats-only — values stay unshredded binary)
-    val shredSpecs: Seq[(String, String, String)] =
-      table.meta.properties.toSeq.collect {
-        case (k, v) if k.startsWith("write.variant.shred.") =>
-          val col = k.stripPrefix("write.variant.shred.")
-          v.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { item =>
-            val i = item.lastIndexOf(':')
-            require(i > 0, s"bad shred spec '$item': want $$.path:type")
-            val tn = item.substring(i + 1).trim.toLowerCase match {
-              case "bigint"           => "long"
-              case "integer"          => "int"
-              case "varchar" | "text" => "string"
-              case x                  => x
-            }
-            (col, item.substring(0, i), tn)
-          }
-      }.flatten
     new GraftWriterFactory(
       table.location,
       fileSchema.json,
@@ -482,7 +474,7 @@ final class GraftWriterFactory(
     confMap: Map[String, String],
     fileFormat: String = "parquet",
     lineage: Boolean = false,
-    shredSpecs: Seq[(String, String, String)] = Nil) extends DataWriterFactory {
+    shredSpecs: Seq[GraftSparkTable.ShredSpec] = Nil) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
@@ -515,20 +507,20 @@ final class GraftFanoutWriter(
     // metadata projection Spark hands to write(meta, row) (reference
     // ExtractRowLineage + DataWriterWithLineage)
     lineage: Boolean = false,
-    // (variant column, '$.path', type name) triples from
-    // write.variant.shred.* — accumulated into per-file shredded stats
-    shredSpecs: Seq[(String, String, String)] = Nil) extends DataWriter[InternalRow] {
+    // configured shred sub-paths: each is MATERIALIZED as a typed column
+    // (writeSchema's trailing fields, reserved ids) and accumulated into
+    // per-file shredded stats with a "mat:" marker so readers know the
+    // column is physically present
+    shredSpecs: Seq[GraftSparkTable.ShredSpec] = Nil) extends DataWriter[InternalRow] {
 
-  // shredded-variant stat accumulators: ordinal in writeSchema, stats
-  // key "fieldId:path", engine type, Spark type, parsed path
-  private val shredCols: Array[(Int, String, GType,
+  // per spec: parent-variant ordinal in writeSchema, the spec, Spark
+  // type, parsed path (specs whose parent the schema lacks are dropped)
+  private val shredCols: Array[(Int, GraftSparkTable.ShredSpec,
       org.apache.spark.sql.types.DataType, org.apache.spark.unsafe.types.UTF8String)] =
-    shredSpecs.flatMap { case (colName, path, typeName) =>
-      val gt = SparkTypes.typeFromName(typeName)
-      gSchema.fields.find(f => f.name == colName && f.tpe == GVariant).map { f =>
-        (writeSchema.fieldIndex(colName), s"${f.id}:$path", gt,
-          SparkTypes.toSpark(gt),
-          org.apache.spark.unsafe.types.UTF8String.fromString(path))
+    shredSpecs.flatMap { sp =>
+      gSchema.fields.find(f => f.name == sp.parent && f.tpe == GVariant).map { _ =>
+        (writeSchema.fieldIndex(sp.parent), sp, sp.sparkType,
+          org.apache.spark.unsafe.types.UTF8String.fromString(sp.path))
       }
     }.toArray
 
@@ -536,36 +528,48 @@ final class GraftFanoutWriter(
     org.apache.spark.sql.catalyst.expressions.variant.VariantCastArgs(
       false, None, java.time.ZoneOffset.UTC)
 
+  /** the typed value of shred path i for a row, null when absent */
+  private def shredValue(row: InternalRow, i: Int): Any = {
+    val (ord, _, dt, path) = shredCols(i)
+    if (row.isNullAt(ord)) null
+    else
+      try org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+        .variantGet(row.get(ord, org.apache.spark.sql.types.VariantType)
+          .asInstanceOf[org.apache.spark.unsafe.types.VariantVal],
+          path, dt, shredCastArgs, "variant_shred")
+      catch { case _: Throwable => null }
+  }
+
   private final class ShredAcc {
     val nonNull = new Array[Long](shredCols.length)
     val lo = new Array[Any](shredCols.length)
     val hi = new Array[Any](shredCols.length)
-    def observe(row: InternalRow): Unit = {
+    /** observe the ALREADY-COMPUTED materialized values (Spark-internal
+      * representation) of one row */
+    def observe(values: Array[Any]): Unit = {
       var i = 0
       while (i < shredCols.length) {
-        val (ord, _, gt, dt, path) = shredCols(i)
-        if (!row.isNullAt(ord)) {
-          val sparkV =
-            try org.apache.spark.sql.catalyst.expressions.variant.VariantGet
-              .variantGet(row.get(ord, org.apache.spark.sql.types.VariantType)
-                .asInstanceOf[org.apache.spark.unsafe.types.VariantVal],
-                path, dt, shredCastArgs, "variant_shred_stats")
-            catch { case _: Throwable => null }
-          if (sparkV != null) {
-            val v = SparkBridge.fromSpark(sparkV, gt)
-            nonNull(i) += 1
-            if (lo(i) == null || TypeComparators.compare(gt, v, lo(i)) < 0) lo(i) = v
-            if (hi(i) == null || TypeComparators.compare(gt, v, hi(i)) > 0) hi(i) = v
-          }
+        val sparkV = values(i)
+        if (sparkV != null) {
+          val gt = shredCols(i)._2.tpe
+          val v = SparkBridge.fromSpark(sparkV, gt)
+          nonNull(i) += 1
+          if (lo(i) == null || TypeComparators.compare(gt, v, lo(i)) < 0) lo(i) = v
+          if (hi(i) == null || TypeComparators.compare(gt, v, hi(i)) > 0) hi(i) = v
         }
         i += 1
       }
     }
     def stats(rows: Long): Map[String, ColStats] =
-      shredCols.indices.map { i =>
-        shredCols(i)._2 -> ColStats(valueCount = Some(rows),
-          nullCount = Some(rows - nonNull(i)), nanCount = None,
-          lower = Option(lo(i)), upper = Option(hi(i)))
+      shredCols.indices.flatMap { i =>
+        val sp = shredCols(i)._2
+        Seq(
+          sp.statsKey -> ColStats(valueCount = Some(rows),
+            nullCount = Some(rows - nonNull(i)), nanCount = None,
+            lower = Option(lo(i)), upper = Option(hi(i))),
+          // marker: this file physically carries the materialized column
+          sp.matKey -> ColStats(valueCount = Some(rows), nullCount = None,
+            nanCount = None, lower = None, upper = None))
       }.toMap
   }
 
