@@ -26,6 +26,7 @@ import graft.core.types.GSchema
   *   POST   /v1/namespaces/{ns}/tables/{t}/commit    → 200 | 409
   *   DELETE /v1/namespaces/{ns}/tables/{t}           → 200 | 404
   *   POST   /v1/tables/rename                        → 200 | 404 | 409
+  *   POST   /v1/transactions/commit                  → 200 | 409
   */
 object RestCatalogServer {
   /** Start an in-process server over a directory warehouse; returns
@@ -120,6 +121,61 @@ object RestCatalogServer {
         } catch {
           case e: IllegalArgumentException => json(x, 404, errJson(e))
           case e: IllegalStateException    => json(x, 409, errJson(e))
+        }
+      } catch { case e: Throwable => json(x, 400, errJson(e)) })
+
+    // multi-table transaction commit (reference RESTCatalog
+    // .commitTransaction(List<TableCommit>) + open-api commitTransaction):
+    // N table CAS'es applied all-or-nothing. The server owns every pointer
+    // swap, so a global lock makes verify-then-apply atomic against other
+    // REST committers; a mid-apply failure (out-of-band filesystem writer)
+    // restores the already-swapped tables' CONTENT before answering 409.
+    val txnLock = new Object
+    server.createContext("/v1/transactions/commit", (x: HttpExchange) =>
+      try if (authed(x)) {
+        val n = MetaJson.mapper.readTree(readBody(x))
+        val commits = {
+          val b = Seq.newBuilder[(FileTableOps, Int, TableMetadata, String)]
+          n.get("table-commits").elements().forEachRemaining { c =>
+            val ident = s"${c.get("namespace").asText()}.${c.get("name").asText()}"
+            b += ((new FileTableOps(backing.tableLocation(
+                c.get("namespace").asText().split("\\.").toSeq,
+                c.get("name").asText())),
+              c.get("base-version").asInt(),
+              MetaJson.readMetadata(
+                MetaJson.mapper.writeValueAsString(c.get("metadata"))),
+              ident))
+          }
+          b.result()
+        }
+        require(commits.nonEmpty, "table-commits must be non-empty")
+        txnLock.synchronized {
+          val stale = commits.find { case (ops, base, _, _) =>
+            ops.currentVersion() != base }
+          stale match {
+            case Some((_, base, _, ident)) =>
+              json(x, 409, s"""{"error": ${MetaJson.mapper.writeValueAsString(
+                s"commit conflict: $ident moved past base $base")}}""")
+            case None =>
+              // verify passed under the lock: apply in order; restore on a
+              // mid-apply CAS loss to an out-of-band writer
+              val done = Seq.newBuilder[(FileTableOps, Int, TableMetadata)]
+              val failed = commits.find { case (ops, base, meta, _) =>
+                val prior = ops.current()
+                val ok = ops.commit(base, meta)
+                if (ok) prior.foreach(p => done += ((ops, base + 1, p)))
+                !ok
+              }
+              failed match {
+                case Some((_, _, _, ident)) =>
+                  done.result().foreach { case (ops, v, prior) =>
+                    ops.commit(v, prior) // content rollback (version advances)
+                  }
+                  json(x, 409, s"""{"error": ${MetaJson.mapper.writeValueAsString(
+                    s"commit conflict applying $ident; transaction rolled back")}}""")
+                case None => json(x, 200, "{}")
+              }
+          }
         }
       } catch { case e: Throwable => json(x, 400, errJson(e)) })
 
@@ -363,6 +419,11 @@ final class RestTableOps(
 
   override def currentVersion(): Int = load().map(_._1).getOrElse(0)
 
+  /** one consistent (version, RAW metadata) snapshot — no server-config
+    * overlay applied, so a transaction staging from it never needs the
+    * commit-side overlay strip */
+  def loadVersioned(): Option[(Int, TableMetadata)] = load()
+
   override def current(): Option[TableMetadata] = load().map { case (_, m) =>
     // the server's config OVERRIDES stored properties client-side
     // (reference LoadTableResponse: "configuration the client should
@@ -467,6 +528,71 @@ final class RestCatalog private (warehouse: String, uri: String,
     }
   }
 
+  /** one table's contribution to a multi-table transaction */
+  def commitTransaction(commits: Seq[RestCatalog.TableCommit]): Unit = {
+    require(commits.nonEmpty, "empty transaction")
+    val body = MetaJson.mapper.createObjectNode()
+    val arr = body.putArray("table-commits")
+    commits.foreach { c =>
+      val o = arr.addObject()
+      o.put("namespace", ns(c.namespace))
+      o.put("name", c.name)
+      o.put("base-version", c.baseVersion)
+      o.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
+        MetaJson.mapper.readTree(MetaJson.writeMetadata(c.metadata)))
+    }
+    val (code, resp) = RestHttp.post(s"$uri/v1/transactions/commit",
+      MetaJson.mapper.writeValueAsString(body), hdrs)
+    code match {
+      case 200 => ()
+      case 409 => throw new CommitConflictException(
+        s"multi-table transaction conflict: $resp")
+      case _ => throw new IllegalStateException(
+        s"transaction rejected by server: $code $resp")
+    }
+  }
+
+  /** Multi-table transaction (reference RESTCatalog.commitTransaction):
+    * run `body` against staged copies of the named tables — every commit
+    * inside lands in per-table buffers — then publish ALL buffers through
+    * the server's atomic transaction endpoint. On conflict the body
+    * re-runs against refreshed bases, like single-table transactions. */
+  def transact[A](idents: Seq[(Seq[String], String)])(
+      body: Seq[GTable] => A): A = {
+    var attempts = 0
+    val max = 20
+    while (attempts < max) {
+      val staged = idents.map { case (nsp, name) =>
+        val o = ops(nsp, name)
+        val (ver, meta) = o.loadVersioned().getOrElse(
+          throw new IllegalArgumentException(s"no such table: ${ns(nsp)}.$name"))
+        (nsp, name, ver, new StagedOps(o, meta))
+      }
+      val result =
+        try body(staged.map { case (_, _, _, so) => new GTable(so) })
+        catch {
+          case e: Throwable =>
+            staged.foreach(_._4.cleanupStagedFiles()); throw e
+        }
+      val changed = staged.filter { case (_, _, _, so) => so.currentVersion() > 1 }
+      if (changed.isEmpty) return result
+      try {
+        commitTransaction(changed.map { case (nsp, name, ver, so) =>
+          RestCatalog.TableCommit(nsp, name, ver, so.stagedMeta) })
+        return result
+      } catch {
+        case _: CommitConflictException =>
+          staged.foreach(_._4.cleanupStagedFiles())
+          attempts += 1
+          val cap = math.min(200L, 4L << math.min(attempts, 6))
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+      }
+    }
+    throw new CommitConflictException(
+      s"multi-table transaction failed after $attempts attempts")
+  }
+
   override def listTables(namespace: Seq[String]): Seq[String] = {
     // follow next-page-token until exhausted (reference RESTCatalog
     // paginated listing) so a namespace with many tables never needs one
@@ -491,6 +617,12 @@ final class RestCatalog private (warehouse: String, uri: String,
 }
 
 object RestCatalog {
+  /** one table's buffered outcome inside a multi-table transaction
+    * (reference core/.../rest/RESTCatalog.java commitTransaction +
+    * open-api CommitTransactionRequest) */
+  final case class TableCommit(namespace: Seq[String], name: String,
+      baseVersion: Int, metadata: TableMetadata)
+
   // fire-and-forget metrics posts: one daemon thread, bounded queue,
   // DROPS on overflow — reporting must never add latency to (or fail) a
   // scan or commit (reference RESTMetricsReporter is async the same way)

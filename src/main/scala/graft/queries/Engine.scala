@@ -45,7 +45,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v24").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v25").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -54,7 +54,7 @@ object Engine {
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
-        "adm_g", "dang_g")
+        "adm_g", "dang_g", "rb_g", "rpd_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -514,7 +514,7 @@ object Engine {
       s.sql("CALL graft.system.set_identifier_fields('db.dang_g', 's_suppkey')")
       val supD = t(s, dir, "supplier")
         .select("s_suppkey", "s_nationkey", "s_acctbal")
-      val dangNk = supD.agg(min("s_nationkey")).head().getLong(0)
+      val dangNk = supD.agg(min("s_nationkey")).head().getAs[Number](0).longValue
       supD.writeTo("graft.db.dang_g").append()                      // seq 1
       s.sql("DELETE FROM graft.db.dang_g WHERE s_suppkey % 3 = 0")  // seq 2
       s.sql(s"DELETE FROM graft.db.dang_g WHERE s_nationkey = $dangNk") // seq 3: metadata delete
@@ -526,8 +526,47 @@ object Engine {
       require(dangRemoved >= 1,
         s"expected the stranded eq-delete file to be collected, got $dangRemoved")
 
+      // rollback + cherry-pick (g50): roll main back past an append, then
+      // cherry-pick re-applies the orphaned snapshot's files on the new
+      // head (reference rollback_to_snapshot + cherrypick_snapshot)
+      s.sql("""CREATE TABLE graft.db.rb_g (
+        n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)""")
+      val natRb = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      natRb.filter(col("n_regionkey") < 2).writeTo("graft.db.rb_g").append()
+      val rbSnapA = cat.loadTable(Seq("db"), "rb_g").get
+        .meta.currentSnapshot.get.snapshotId
+      natRb.filter(col("n_regionkey") === 2).writeTo("graft.db.rb_g").append()
+      val rbSnapB = cat.loadTable(Seq("db"), "rb_g").get
+        .meta.currentSnapshot.get.snapshotId
+      s.sql(s"CALL graft.system.rollback_to_snapshot('db.rb_g', ${rbSnapA}L)")
+      s.sql(s"CALL graft.system.cherrypick_snapshot('db.rb_g', ${rbSnapB}L)")
+      natRb.filter(col("n_regionkey") > 2).writeTo("graft.db.rb_g").append()
+
+      // rewrite_position_deletes (g51): two MoR deletes scatter position
+      // deletes over every data file; the rewrite must merge them into
+      // one delete file per partition with identical query results
+      s.sql("""CREATE TABLE graft.db.rpd_g (
+        s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+      val supRpd = t(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+      supRpd.filter(col("s_suppkey") % 2 === 0).writeTo("graft.db.rpd_g").append()
+      supRpd.filter(col("s_suppkey") % 2 === 1).writeTo("graft.db.rpd_g").append()
+      s.sql("DELETE FROM graft.db.rpd_g WHERE s_suppkey % 5 = 0")
+      s.sql("DELETE FROM graft.db.rpd_g WHERE s_suppkey % 7 = 0")
+      val rpdBefore = s.sql("SELECT count(*) FROM graft.db.rpd_g.delete_files")
+        .head().getLong(0)
+      require(rpdBefore >= 2,
+        s"expected scattered position deletes before rewrite, got $rpdBefore")
+      s.sql("CALL graft.system.rewrite_position_deletes('db.rpd_g')")
+      val rpdAfter = s.sql("SELECT count(*) FROM graft.db.rpd_g.delete_files")
+        .head().getLong(0)
+      require(rpdAfter >= 1 && rpdAfter < rpdBefore,
+        s"rewrite_position_deletes did not consolidate: $rpdBefore -> $rpdAfter")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v24" -> "true"))
+        .updateProperties(Map("build-complete-v25" -> "true"))
     }
     built += wh
   }
@@ -1198,12 +1237,23 @@ object Engine {
     "g35_engine_variant_shredding",
     (s, dir) => {
       setup(s, dir)
-      s.sql("""SELECT n_nationkey,
+      val df = s.sql("""SELECT n_nationkey,
           graft.system.variant_get_long(payload, '$.n_regionkey') AS rk,
           graft.system.variant_get_string(payload, '$.n_name') AS name
         FROM graft.db.var_shred_g
         WHERE graft.system.variant_get_long(payload, '$.n_regionkey') >= 2
         ORDER BY n_nationkey""")
+      // read-side shredding: both the filter and the rk projection must
+      // be served by the materialized _shred_ column — no variant_get_long
+      // call survives in the physical plan (variant_get_string stays: no
+      // shred spec covers $.n_name). The values still hash-match the
+      // oracle end-to-end.
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("_shred_payload_n_regionkey"),
+        "g35: shredded column did not serve the read:\n" + plan)
+      require(!plan.contains("variant_get_long"),
+        "g35: variant_get_long still evaluated per row:\n" + plan)
+      df
     },
     Some("""
       SELECT n_nationkey, n_regionkey AS rk, n_name AS name
@@ -1547,7 +1597,7 @@ object Engine {
     "g49_engine_dangling_deletes",
     (s, dir) => {
       setup(s, dir)
-      val nk = t(s, dir, "supplier").agg(min("s_nationkey")).head().getLong(0)
+      val nk = t(s, dir, "supplier").agg(min("s_nationkey")).head().getAs[Number](0).longValue
       val delParts = s.table("graft.db.dang_g.delete_files")
         .select("partition").collect().map(_.getString(0)).toSeq
       require(!delParts.contains(s"s_nationkey=$nk"),
@@ -1573,8 +1623,45 @@ object Engine {
         WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
       ) GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // ------------------------------------------------------------------ g50
+  // Rollback + cherry-pick: after main was rolled back past an append and
+  // the orphaned snapshot cherry-picked onto the new head, the table must
+  // hold exactly the full row set (reference rollback_to_snapshot +
+  // cherrypick_snapshot; the history shows the re-applied commit).
+  private val g50 = Q(
+    "g50_engine_rollback_cherrypick",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.rb_g")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // ------------------------------------------------------------------ g51
+  // rewrite_position_deletes consolidated the scattered MoR deletes
+  // (setup asserts the delete-file count strictly dropped); the data
+  // must still read exactly as if the deletes applied row-by-row.
+  private val g51 = Q(
+    "g51_engine_rewrite_position_deletes",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.rpd_g")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("sum_c"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_c
+      FROM supplier WHERE s_suppkey % 5 <> 0 AND s_suppkey % 7 <> 0
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
-    g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49)
+    g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51)
 }

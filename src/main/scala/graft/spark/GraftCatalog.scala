@@ -39,7 +39,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // catalog-impl selects where the table pointer lives (reference
     // SparkCatalog catalog-impl / JdbcCatalog): 'jdbc' + uri → pointer
     // rows with SQL CAS; default → directory catalog with file CAS
-    catalog = Option(options.get("catalog-impl")).map(_.toLowerCase) match {
+    val backing = Option(options.get("catalog-impl")).map(_.toLowerCase) match {
       case Some("jdbc") =>
         val uri = Option(options.get("uri")).getOrElse(
           throw new IllegalArgumentException(
@@ -58,6 +58,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Option(options.get("access-delegation")).contains("vended-credentials"))
       case _ => new HadoopCatalog(wh)
     }
+    // expiration-aware table cache (reference CachingCatalog +
+    // cache-enabled / cache.expiration-interval-ms): skips the per-query
+    // catalog round-trip; disable with cache-enabled=false
+    catalog =
+      if (Option(options.get("cache-enabled")).contains("false")) backing
+      else new graft.core.meta.CachingCatalog(backing,
+        Option(options.get("cache.expiration-interval-ms"))
+          .flatMap(_.toLongOption).getOrElse(30000L))
   }
 
   override def name(): String = catalogName
@@ -378,7 +386,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * commit that landed between staging and publish stays in the snapshot
     * history (REPLACE supersedes it as head — reference replace
     * transaction semantics) and the CAS retries from the new version. */
-  private def publishStaged(ident: Identifier, ops: graft.core.meta.TableOps,
+  private[spark] def publishStaged(ident: Identifier, ops: graft.core.meta.TableOps,
       stagedOps: StagedOps, allowReplace: Boolean, allowCreate: Boolean): Unit = {
     var attempts = 0
     val max = 20
@@ -438,22 +446,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         val mergedSpecs = base.specs ++ stagedNewSpecs
           .filterNot(p => base.specs.exists(_.specId == p.specId))
+        // Concurrent commits while staging advanced the base's sequence
+        // numbers past the staged snapshots' (both allocate preLast+1…):
+        // publishing verbatim would interleave DUPLICATE sequence numbers
+        // between the superseded head and the replacement, leaving strict
+        // seq-ordered readers (changelog) ambiguous. Sequence numbers are
+        // explicit in snapshots, manifest lists AND manifest entries, so
+        // shift every staged-minted seq above the base's last by
+        // rewriting the staged manifests at publish (they are unreachable
+        // until the CAS, so the rewrite races nothing).
+        val preLast = stagedOps.preBase.map(_.lastSequenceNumber).getOrElse(0L)
+        val delta = base.lastSequenceNumber - preLast
+        val stagedNewSnaps = staged.snapshots
+          .filterNot(s => base.snapshots.exists(_.snapshotId == s.snapshotId))
+        val attemptFiles = Seq.newBuilder[String] // this attempt's rewrites
+        val renumbered =
+          if (delta <= 0 || stagedNewSnaps.isEmpty) stagedNewSnaps
+          else {
+            val keep: Set[String] = stagedOps.preBase.toSeq
+              .flatMap(_.snapshots).flatMap(s =>
+                try graft.core.meta.ManifestIO.readList(s.manifestListPath).map(_.path)
+                catch { case _: Throwable => Nil }).toSet
+            def shiftSeq(n: Long): Long = if (n > preLast) n + delta else n
+            val rewrittenMf = scala.collection.mutable
+              .Map.empty[String, graft.core.meta.ManifestFile]
+            stagedNewSnaps.map { s =>
+              val mfs = graft.core.meta.ManifestIO.readList(s.manifestListPath)
+              val newMfs = mfs.map { m =>
+                if (keep.contains(m.path)) m
+                else rewrittenMf.getOrElseUpdate(m.path, {
+                  val entries = graft.core.meta.ManifestIO.readEntries(m).map(e =>
+                    if (e.dataSequenceNumber > preLast)
+                      e.copy(dataSequenceNumber = e.dataSequenceNumber + delta)
+                    else e)
+                  val nm = graft.core.meta.ManifestIO.write(ops.newManifestPath(),
+                    entries, m.specId, m.content, staged.specById(m.specId),
+                    staged.schema, m.addedSnapshotId)
+                  attemptFiles += nm.path
+                  nm
+                })
+              }
+              val listPath = ops.newManifestListPath(s.snapshotId)
+              graft.core.meta.ManifestIO.writeList(listPath, newMfs)
+              attemptFiles += listPath
+              s.copy(sequenceNumber = shiftSeq(s.sequenceNumber),
+                manifestListPath = listPath)
+            }
+          }
         val merged = staged.copy(
           schemas = mergedSchemas,
           currentSchemaId = mapSid(staged.currentSchemaId),
           specs = mergedSpecs,
           lastColumnId = math.max(base.lastColumnId, staged.lastColumnId),
           lastPartitionId = math.max(base.lastPartitionId, staged.lastPartitionId),
-          snapshots = base.snapshots ++ staged.snapshots
-            .map(s => s.copy(schemaId = s.schemaId.map(mapSid)))
-            .filterNot(s => base.snapshots.exists(_.snapshotId == s.snapshotId)),
+          snapshots = base.snapshots ++
+            renumbered.map(s => s.copy(schemaId = s.schemaId.map(mapSid))),
           snapshotLog = (base.snapshotLog ++
             staged.snapshotLog.filterNot(base.snapshotLog.contains)).distinct,
-          lastSequenceNumber =
-            math.max(base.lastSequenceNumber, staged.lastSequenceNumber),
+          lastSequenceNumber = math.max(base.lastSequenceNumber,
+            if (delta > 0) staged.lastSequenceNumber + delta
+            else staged.lastSequenceNumber),
           nextRowId = math.max(base.nextRowId, staged.nextRowId),
           lastUpdatedMs = System.currentTimeMillis())
-        if (ops.commit(baseVersion, merged)) return
+        if (ops.commit(baseVersion, merged)) {
+          // the pre-shift staged lists/manifests are unreferenced now;
+          // best-effort removal (stragglers are metadata orphans)
+          if (delta > 0) stagedNewSnaps.foreach { s =>
+            try graft.core.meta.GraftIO.delete(s.manifestListPath)
+            catch { case _: Throwable => () }
+          }
+          return
+        }
+        // CAS lost: this attempt's rewritten files are garbage
+        attemptFiles.result().foreach(p =>
+          try graft.core.meta.GraftIO.delete(p) catch { case _: Throwable => () })
       }
       attempts += 1
       val cap = math.min(200L, 4L << math.min(attempts, 6))

@@ -32,6 +32,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // translate — swap it for ApplyFunctionExpression so the predicate
     // reaches pushPredicates (reference optimizer/ReplaceStaticInvoke)
     ext.injectOptimizerRule(_ => ReplaceGraftStaticInvoke)
+    // variant read-side shredding: serve variant_get on a configured
+    // write.variant.shred.* path from the table's hidden materialized
+    // _shred_* column instead of parsing the variant binary per row
+    ext.injectResolutionRule(_ => ResolveShreddedVariantGets)
+  }
+}
+
+/** Rewrite `graft.system.variant_get_*(col, '$.path')` over a variant
+  * column with a configured shred spec to the table's hidden `_shred_*`
+  * metadata column (reference variant-shredding spec typed_value +
+  * spark/.../vectorized/VariantColumnVector.java — there the vectorized
+  * reader assembles the typed column; here the column IS materialized in
+  * the data files, so the scan serves it and never touches the binary).
+  * Runs in the resolution fixpoint: once an expression is swapped for the
+  * metadata attribute, Spark's own AddMetadataColumns propagates the
+  * column into the relation output. Filters over the swapped attribute
+  * still prune files — the scan maps `_shred_*` predicates back onto the
+  * per-file shred stats. */
+object ResolveShreddedVariantGets extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{ApplyFunctionExpression, Attribute, AttributeReference, Literal}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rels = plan.collect {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] => r
+    }
+    if (rels.isEmpty) return plan
+    // the materialized column for (variant attr, path, result type) — the
+    // attr must be the relation's own output (exprId match), the type
+    // must equal the spec's declared type exactly
+    def target(a: AttributeReference, path: String,
+        out: org.apache.spark.sql.types.DataType): Option[Attribute] =
+      rels.iterator.flatMap { r =>
+        if (!r.outputSet.contains(a)) None
+        else {
+          val g = r.table.asInstanceOf[GraftSparkTable]
+          GraftSparkTable.shredSpecsOf(g.table.meta.properties, g.table.schema)
+            .find(sp => sp.parent == a.name && sp.path == path &&
+              sp.sparkType == out)
+            .flatMap(sp => r.metadataOutput.find(_.name == sp.metaName))
+        }
+      }.nextOption()
+    plan.resolveOperatorsUp {
+      case p if p.resolved =>
+        p.transformExpressions {
+          case e @ ApplyFunctionExpression(fn, Seq(a: AttributeReference,
+              Literal(pathU: org.apache.spark.unsafe.types.UTF8String,
+                org.apache.spark.sql.types.StringType)))
+              if fn.canonicalName.startsWith("graft.variant_get") =>
+            target(a, pathU.toString, e.dataType).getOrElse(e)
+        }
+    }
   }
 }
 

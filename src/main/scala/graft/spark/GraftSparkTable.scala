@@ -354,7 +354,12 @@ object GraftSparkTable {
       partition: Seq[Any] = Nil,
       // row lineage: _row_id base + the file's data sequence number
       firstRowId: Option[Long] = None,
-      dataSeq: Long = 0L) {
+      dataSeq: Long = 0L,
+      // true iff the file physically carries EVERY configured materialized
+      // shred column ("mat:" markers in its shredStats) — readers serve
+      // _shred_* from the typed file columns; older files fall back to
+      // parsing the variant binary per row
+      shredMat: Boolean = false) {
     def nameBased: Boolean = fileFormat != "parquet"
   }
 
@@ -495,8 +500,40 @@ object GraftSparkTable {
         case Not(c)    => geoSafe(c)
         case _         => true
       }
+      // filters on the hidden _shred_* metadata columns (the analyzer
+      // rewrote variant_get over a shredded path to them) prune files via
+      // the same shred stats as the function form; unsupported shapes
+      // drop to no-pruning — Spark re-evaluates every predicate post-scan
+      val shredByMeta: Map[String, GraftSparkTable.ShredSpec] =
+        GraftSparkTable.shredSpecsOf(table.meta.properties, table.schema)
+          .map(sp => sp.metaName -> sp).toMap
+      def remapShred(e: Expr): Option[Expr] = e match {
+        case UnboundPred(op, ref, vs) if shredByMeta.contains(ref) =>
+          val sp = shredByMeta(ref)
+          op match {
+            case Op.Eq | Op.NotEq | Op.Lt | Op.LtEq | Op.Gt | Op.GtEq | Op.In =>
+              Some(UnboundShredPred(op, sp.parent, sp.path, sp.tpe, vs))
+            case _ => None
+          }
+        case And(l, r) => (remapShred(l), remapShred(r)) match {
+          case (Some(a), Some(b)) => Some(Expr.and(a, b))
+          case (a, b)             => a.orElse(b) // weaker pruning is safe
+        }
+        case Or(l, r) => for (a <- remapShred(l); b <- remapShred(r))
+          yield Expr.or(a, b)
+        case Not(c) =>
+          // only keep a negation whose subtree needed NO remapping — a
+          // weakened branch under NOT would over-prune
+          remapShred(c) match {
+            case Some(c2) if c2 == c => Some(e)
+            case _                   => None
+          }
+        case other => Some(other)
+      }
       val converted = predicates
         .flatMap(p => SparkBridge.toExpr(p).map(e => (p, e)))
+        .flatMap { case (p, e) =>
+          (if (shredByMeta.isEmpty) Some(e) else remapShred(e)).map((p, _)) }
         .filter { case (_, e) => geoSafe(e) }
       pushed = converted.map(_._1)
       expr = converted.map(_._2).foldLeft[Expr](TrueE)(Expr.and)
@@ -883,13 +920,18 @@ object GraftSparkTable {
       }.toArray
     }
 
+    private lazy val shredAll =
+      GraftSparkTable.shredSpecsOf(table.meta.properties, table.schema)
+
     private def toDesc(t: FileScanTask): TaskDesc = {
       val (eq, pos) = t.deletes.partition(_.content == graft.core.meta.FileContent.EqualityDeletes)
       TaskDesc(t.file.path, t.start, t.length, pos.map(_.path).toArray,
         eq.map(d => EqDeleteDesc(d.path, d.equalityIds.toArray)).toArray,
         fileFormat = t.file.format,
         specId = t.file.specId, partition = t.file.partition,
-        firstRowId = t.file.firstRowId, dataSeq = t.dataSequenceNumber)
+        firstRowId = t.file.firstRowId, dataSeq = t.dataSequenceNumber,
+        shredMat = shredAll.nonEmpty &&
+          shredAll.forall(sp => t.file.shredStats.contains(sp.matKey)))
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -913,6 +955,37 @@ object GraftSparkTable {
       // metadata columns are appended reader-side, not read from parquet
       val metaCols = required.fields.map(_.name).filter(isMetaCol)
       val dataRequired = StructType(required.fields.filterNot(f => isMetaCol(f.name)))
+      // ------------------------------------------------ shredded variants
+      // requested hidden _shred_* columns, in metaCols order. Files that
+      // carry the materialized typed column serve it directly; older
+      // files compute the value from the parent variant binary per row.
+      val shredReq: Array[GraftSparkTable.ShredSpec] =
+        if (!metaCols.exists(_.startsWith(ShredColPrefix))) Array.empty
+        else {
+          val specs = shredSpecsOf(table.meta.properties, table.schema)
+          metaCols.flatMap(n => specs.find(_.metaName == n))
+        }
+      val shredMatFields = shredReq.map(shredMatField)
+      // parent variant columns the binary fallback needs but the query
+      // didn't select: appended after the data (+lineage) fields
+      val shredMissingParents: Array[org.apache.spark.sql.types.StructField] =
+        shredReq.map(_.parent).distinct
+          .filterNot(p => dataRequired.fieldNames.contains(p))
+          .map(p => fullSchema.fields.find(_.name == p).get)
+      val shredParentFull: Array[Int] =
+        shredReq.map(sp => fullSchema.fieldIndex(sp.parent))
+      // per requested spec: its parent's ordinal in a bin-extended row —
+      // either inside dataRequired or among the appended parents (the
+      // reader shifts appended ordinals past any lineage extension)
+      val shredParentRel: Array[Int] = shredReq.map { sp =>
+        val i = dataRequired.fieldNames.indexOf(sp.parent)
+        if (i >= 0) i
+        else dataRequired.length + shredMissingParents.indexWhere(_.name == sp.parent)
+      }
+      // binary fallback needs the parent variant in the read schema
+      val dataRequiredBin =
+        if (shredReq.isEmpty) dataRequired
+        else StructType(dataRequired.fields ++ shredMissingParents)
       val fmt = new ParquetFileFormat
       val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
       // our files always carry parquet field ids: resolve columns by id so
@@ -1009,6 +1082,9 @@ object GraftSparkTable {
       val dataReadNF =
         if (wantLineage) StructType(dataRequired.fields ++ lineageReadFields)
         else dataRequired
+      val dataReadNFBin =
+        if (shredReq.isEmpty) dataReadNF
+        else StructType(dataReadNF.fields ++ shredMissingParents)
       val fullSchemaNF =
         if (wantLineage) StructType(fullSchema.fields ++ lineageReadFields)
         else fullSchema
@@ -1021,6 +1097,32 @@ object GraftSparkTable {
             Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
               "enableVectorizedReader" -> "false"), freshConf)
         else null
+      // shred-scan parquet readers: mat = typed file columns appended
+      // (reserved ids resolve like any evolved column — the 100 TB hot
+      // path never parses the variant binary); bin = parent variant
+      // appended for the per-row fallback on pre-spec files
+      val rowOpts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+        "enableVectorizedReader" -> "false")
+      val shredMatRowFunc =
+        if (shredReq.isEmpty) null
+        else fmt.buildReaderWithPartitionValues(spark,
+          StructType(fullSchema.fields ++ shredMatFields), new StructType(),
+          StructType(dataRequired.fields ++ shredMatFields), v1Filters,
+          rowOpts, freshConf)
+      val shredBinRowFunc =
+        if (shredReq.isEmpty) null
+        else fmt.buildReaderWithPartitionValues(spark, fullSchema,
+          new StructType(), dataRequiredBin, v1Filters, rowOpts, freshConf)
+      val shredMatRowFuncNF =
+        if (shredReq.isEmpty) null
+        else fmt.buildReaderWithPartitionValues(spark,
+          StructType(fullSchemaNF.fields ++ shredMatFields), new StructType(),
+          StructType(dataReadNF.fields ++ shredMatFields), Nil,
+          rowOpts, freshConf)
+      val shredBinRowFuncNF =
+        if (shredReq.isEmpty) null
+        else fmt.buildReaderWithPartitionValues(spark, fullSchemaNF,
+          new StructType(), dataReadNFBin, Nil, rowOpts, freshConf)
       val deleteSchema = StructType(Seq(
         org.apache.spark.sql.types.StructField("file_path", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType)))
@@ -1067,14 +1169,14 @@ object GraftSparkTable {
       val nameRowFunc =
         if (cleanFormats("parquet-nm"))
           fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
-            new StructType(), stripIds(dataRequired), v1Filters,
+            new StructType(), stripIds(dataRequiredBin), v1Filters,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
               "enableVectorizedReader" -> "false"), freshNameConf)
         else null
       val nameRowFuncNoFilter =
         if (nfFormats("parquet-nm"))
           fmt.buildReaderWithPartitionValues(spark, stripIds(fullSchemaNF),
-            new StructType(), stripIds(dataReadNF), Nil,
+            new StructType(), stripIds(dataReadNFBin), Nil,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
               "enableVectorizedReader" -> "false"), freshNameConf)
         else null
@@ -1083,14 +1185,14 @@ object GraftSparkTable {
       val orcRowFunc =
         if (cleanFormats("orc"))
           orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
-            new StructType(), stripIds(dataRequired), v1Filters,
+            new StructType(), stripIds(dataRequiredBin), v1Filters,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
               "enableVectorizedReader" -> "false"), freshNameConf)
         else null
       val orcRowFuncNoFilter =
         if (nfFormats("orc"))
           orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchemaNF),
-            new StructType(), stripIds(dataReadNF), Nil,
+            new StructType(), stripIds(dataReadNFBin), Nil,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
               "enableVectorizedReader" -> "false"), freshNameConf)
         else null
@@ -1110,8 +1212,8 @@ object GraftSparkTable {
       // connector on this classpath); filters re-applied by Spark above.
       // These broadcast nothing — cheap to construct when avro is present.
       val needAvro = formats("avro")
-      val avroRowFunc = if (needAvro) GraftAvro.ReadFunc(dataRequired.json) else null
-      val avroRowFuncNF = if (needAvro) GraftAvro.ReadFunc(dataReadNF.json) else null
+      val avroRowFunc = if (needAvro) GraftAvro.ReadFunc(dataRequiredBin.json) else null
+      val avroRowFuncNF = if (needAvro) GraftAvro.ReadFunc(dataReadNFBin.json) else null
       val avroFullFunc = if (needAvro && anyEq) GraftAvro.ReadFunc(fullSchema.json) else null
       val avroFullLin =
         if (needAvro && anyEq && wantLineage)
@@ -1131,7 +1233,12 @@ object GraftSparkTable {
         avroRowFuncNF = avroRowFuncNF, lineageExt = wantLineage,
         rowFuncFullLin = rowFuncFullLin,
         avroFullLin = avroFullLin,
-        partStruct = partStructT)
+        partStruct = partStructT,
+        shredReq = shredReq,
+        shredMatRowFunc = shredMatRowFunc, shredBinRowFunc = shredBinRowFunc,
+        shredMatRowFuncNF = shredMatRowFuncNF,
+        shredBinRowFuncNF = shredBinRowFuncNF,
+        shredParentRel = shredParentRel, shredParentFull = shredParentFull)
     }
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
@@ -1205,8 +1312,68 @@ object GraftSparkTable {
       lineageExt: Boolean = false,
       rowFuncFullLin: PartitionedFile => Iterator[InternalRow] = null,
       avroFullLin: PartitionedFile => Iterator[InternalRow] = null,
-      partStruct: StructType = new StructType())
+      partStruct: StructType = new StructType(),
+      // shredded-variant reads: requested specs (metaCols order), the
+      // mat/bin parquet readers, and parent ordinals for the binary
+      // fallback (rel = bin-extended row, full = fullSchema/eq path)
+      shredReq: Array[GraftSparkTable.ShredSpec] = Array.empty,
+      shredMatRowFunc: PartitionedFile => Iterator[InternalRow] = null,
+      shredBinRowFunc: PartitionedFile => Iterator[InternalRow] = null,
+      shredMatRowFuncNF: PartitionedFile => Iterator[InternalRow] = null,
+      shredBinRowFuncNF: PartitionedFile => Iterator[InternalRow] = null,
+      shredParentRel: Array[Int] = Array.empty,
+      shredParentFull: Array[Int] = Array.empty)
     extends PartitionReaderFactory {
+
+    // per-executor shred helpers (transient: rebuilt after serialization)
+    @transient private lazy val shredPaths =
+      shredReq.map(sp => org.apache.spark.unsafe.types.UTF8String.fromString(sp.path))
+    @transient private lazy val shredTypes = shredReq.map(_.sparkType)
+    @transient private lazy val shredCastArgs =
+      org.apache.spark.sql.catalyst.expressions.variant.VariantCastArgs(
+        false, None, java.time.ZoneOffset.UTC)
+
+    /** typed value of requested shred spec `i` computed from the parent
+      * variant binary at ordinal `parentOrd` (pre-spec files, eq path) */
+    private def shredFromBinary(row: InternalRow, parentOrd: Int, i: Int): Any =
+      if (row.isNullAt(parentOrd)) null
+      else
+        try org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+          .variantGet(row.get(parentOrd, org.apache.spark.sql.types.VariantType)
+            .asInstanceOf[org.apache.spark.unsafe.types.VariantVal],
+            shredPaths(i), shredTypes(i), shredCastArgs, "variant_shred")
+        catch { case _: Throwable => null }
+
+    /** metaCols ordinals of the requested _shred_* columns (aligned
+      * with shredReq, which was built by walking metaCols in order) */
+    @transient private lazy val shredMetaIdx: Array[Int] =
+      metaCols.zipWithIndex.collect {
+        case (n, i) if n.startsWith(ShredColPrefix) => i
+      }
+
+    /** the requested shred values of one extended row. `mat`: serve from
+      * the appended typed columns at `matBase`; else binary fallback via
+      * the parent ordinals (appended parents sit past `extraOff` extra
+      * leading ext columns — lineage on no-filter reads) */
+    private def shredValsOf(row: InternalRow, mat: Boolean, matBase: Int,
+        extraOff: Int): Array[Any] = {
+      val out = new Array[Any](shredReq.length)
+      val nData = dataRequired.length
+      var i = 0
+      while (i < shredReq.length) {
+        out(i) =
+          if (mat) {
+            val ord = matBase + i
+            if (row.isNullAt(ord)) null else row.get(ord, shredTypes(i))
+          } else {
+            val rel = shredParentRel(i)
+            val ord = if (rel < nData) rel else rel + extraOff
+            shredFromBinary(row, ord, i)
+          }
+        i += 1
+      }
+      out
+    }
 
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
       PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
@@ -1267,7 +1434,7 @@ object GraftSparkTable {
     /** rows of `t` masked by its equality (and position) deletes,
       * projected to the required data columns, with file positions */
     private def eqMaskedRows(t: TaskDesc)
-        : Iterator[(InternalRow, Long, java.lang.Long, java.lang.Long)] = {
+        : Iterator[(InternalRow, Long, java.lang.Long, java.lang.Long, Array[Any])] = {
       val posOf = fullSchema.fieldNames.zipWithIndex.toMap
       // per delete file: the key positions + the set of deleted keys
       val masks: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] =
@@ -1309,7 +1476,17 @@ object GraftSparkTable {
             if (!lineageExt || row.isNullAt(nFull)) null else row.getLong(nFull)
           val matSeq: java.lang.Long =
             if (!lineageExt || row.isNullAt(nFull + 1)) null else row.getLong(nFull + 1)
-          (out: InternalRow, idx.toLong, matRowId, matSeq)
+          // eq-delete reads parse every row anyway: shred values come
+          // from the parent variant in the full-schema row
+          val sv = if (shredReq.isEmpty) null else {
+            val arr = new Array[Any](shredReq.length)
+            var k = 0
+            while (k < shredReq.length) {
+              arr(k) = shredFromBinary(row, shredParentFull(k), k); k += 1
+            }
+            arr
+          }
+          (out: InternalRow, idx.toLong, matRowId, matSeq, sv)
       }
     }
 
@@ -1493,7 +1670,8 @@ object GraftSparkTable {
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
         def withMeta(row: InternalRow, pos: Long,
             matRowId: java.lang.Long = null,
-            matSeq: java.lang.Long = null): InternalRow =
+            matSeq: java.lang.Long = null,
+            shredVals: Array[Any] = null): InternalRow =
           if (metaCols.isEmpty) row
           else {
             metaCols.zipWithIndex.foreach {
@@ -1510,18 +1688,22 @@ object GraftSparkTable {
                 metaRow.update(i, if (matSeq != null) matSeq else t.dataSeq)
               case _               => ()
             }
+            if (shredVals != null) {
+              var k = 0
+              while (k < shredMetaIdx.length) {
+                metaRow.update(shredMetaIdx(k), shredVals(k)); k += 1
+              }
+            }
             joined(row, metaRow)
           }
-        // no-filter reads carry 2 extra trailing materialized-lineage
-        // columns: pull them off and trim the row back to the data schema
+        // extended reads carry trailing writer/reader-appended columns
+        // (materialized lineage on no-filter reads, shred mat/parent
+        // columns on shred scans): pull them off and trim the row back
+        // to the data schema
         val nData = dataRequired.length
-        def withMetaExt(row: InternalRow, pos: Long): InternalRow =
-          if (!lineageExt) withMeta(row, pos)
+        def trimData(row: InternalRow): InternalRow =
+          if (row.numFields == nData) row
           else {
-            val matRowId: java.lang.Long =
-              if (row.isNullAt(nData)) null else row.getLong(nData)
-            val matSeq: java.lang.Long =
-              if (row.isNullAt(nData + 1)) null else row.getLong(nData + 1)
             val trimmed = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nData)
             var i = 0
             while (i < nData) {
@@ -1529,31 +1711,59 @@ object GraftSparkTable {
                 if (row.isNullAt(i)) null else row.get(i, dataRequired.fields(i).dataType))
               i += 1
             }
-            withMeta(trimmed, pos, matRowId, matSeq)
+            trimmed
           }
+        def withMetaExt(row: InternalRow, pos: Long,
+            shredVals: Array[Any] = null): InternalRow =
+          if (!lineageExt && shredVals == null) withMeta(row, pos)
+          else {
+            val matRowId: java.lang.Long =
+              if (!lineageExt || row.isNullAt(nData)) null else row.getLong(nData)
+            val matSeq: java.lang.Long =
+              if (!lineageExt || row.isNullAt(nData + 1)) null
+              else row.getLong(nData + 1)
+            withMeta(trimData(row), pos, matRowId, matSeq, shredVals)
+          }
+        val hasShred = shredReq.nonEmpty
         if (t.eqDeletes.nonEmpty)
-          eqMaskedRows(t).map { case (row, idx, mRowId, mSeq) =>
-            withMeta(row, idx, mRowId, mSeq) }
+          eqMaskedRows(t).map { case (row, idx, mRowId, mSeq, sv) =>
+            withMeta(row, idx, mRowId, mSeq, sv) }
         else if (t.deletePaths.isEmpty && !needPos) {
+          // mat fast path: parquet files carrying every materialized
+          // shred column serve _shred_* without touching the binary
+          val mat = hasShred && t.shredMat && t.fileFormat == "parquet"
           val f = t.fileFormat match {
             case "orc"        => orcRowFunc
             case "parquet-nm" => nameRowFunc
             case "avro"       => avroRowFunc
-            case _            => rowFunc
+            case _ =>
+              if (!hasShred) rowFunc
+              else if (mat) shredMatRowFunc else shredBinRowFunc
           }
-          f(pf(t.path, t.start, t.length)).map(withMeta(_, -1L))
+          if (!hasShred) f(pf(t.path, t.start, t.length)).map(withMeta(_, -1L))
+          else f(pf(t.path, t.start, t.length)).map { row =>
+            val sv = shredValsOf(row, mat, nData, 0)
+            withMeta(trimData(row), -1L, shredVals = sv)
+          }
         } else {
           // positions deleted for THIS data file across its delete files
           val deleted = deletedPositions(t.path, t.deletePaths)
+          val mat = hasShred && t.shredMat && t.fileFormat == "parquet"
           // full-file read so row index == file position
           val f = t.fileFormat match {
             case "orc"        => orcRowFuncNoFilter
             case "parquet-nm" => nameRowFuncNoFilter
             case "avro"       => avroRowFuncNF
-            case _            => rowFuncNoFilter
+            case _ =>
+              if (!hasShred) rowFuncNoFilter
+              else if (mat) shredMatRowFuncNF else shredBinRowFuncNF
           }
+          val lin = if (lineageExt) 2 else 0
           f(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
-            case (row, idx) if !deleted.contains(idx.toLong) => withMetaExt(row, idx.toLong)
+            case (row, idx) if !deleted.contains(idx.toLong) =>
+              if (!hasShred) withMetaExt(row, idx.toLong)
+              else withMetaExt(row, idx.toLong,
+                shredValsOf(row, mat, nData + lin, lin))
           }
         }
       }

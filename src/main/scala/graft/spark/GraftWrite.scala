@@ -659,6 +659,18 @@ final class GraftFanoutWriter(
   private val open = mutable.Map.empty[Seq[Any], OpenFile]
   private val closed = Seq.newBuilder[(Seq[Any], String, Long, GeoAcc, ShredAcc)]
 
+  // materialized shred columns are writer-appended (like lineage): the
+  // incoming row carries only the data (+lineage) prefix of writeSchema;
+  // the computed typed values fill the trailing fields. Buffers are
+  // reused — the format writer consumes the row synchronously.
+  private val shredVals = new Array[Any](shredCols.length)
+  private val shredValsRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(shredVals)
+  private val shredJoin = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+  /** incoming arity before writer-appended fields */
+  private val dataArity =
+    writeSchema.length - (if (lineage) 2 else 0) - shredCols.length
+
   // partition tuple extraction: source positions + types from the spec
   private val extractors: Array[InternalRow => Any] = spec.fields.map { pf =>
     val src = gSchema.byId(pf.sourceId)
@@ -688,17 +700,22 @@ final class GraftFanoutWriter(
     // a bare data row on a lineage writer (MoR INSERT branch, plain
     // writeAll) gets null lineage: fresh ids assigned at read from the
     // file's first-row-id + position
-    if (lineage && row.numFields < writeSchema.length)
+    if (lineage && row.numFields < dataArity + 2)
       writeFull(lineageJoin(row, nullLineage))
     else writeFull(row)
 
   private def writeFull(row: InternalRow): Unit = {
     val key: Seq[Any] = extractors.map(_(row)).toSeq
     val f = open.getOrElseUpdate(key, newFile(key))
-    f.writer.write(row)
+    val full = if (shredCols.isEmpty) row else {
+      var i = 0
+      while (i < shredCols.length) { shredVals(i) = shredValue(row, i); i += 1 }
+      f.shred.observe(shredVals)
+      shredJoin(row, shredValsRow)
+    }
+    f.writer.write(full)
     f.rows += 1
     if (f.geo != null) f.geo.observe(row)
-    if (f.shred != null) f.shred.observe(row)
     if (f.rows >= RollRows) {
       f.writer.close()
       closed += ((key, f.path, f.rows, f.geo, f.shred))

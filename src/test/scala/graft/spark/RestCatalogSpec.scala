@@ -332,4 +332,47 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         vend.storageCredentials(Seq("db"), "nope"))
     } finally srv.stop(0)
   }
+
+  test("multi-table transaction: both commit atomically, conflict rolls back") {
+    val cat = RestCatalog.connect(uri)
+    val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
+    cat.createTable(Seq("db"), "tx1", schema)
+    cat.createTable(Seq("db"), "tx2", schema)
+
+    // both tables' property updates land in ONE transaction commit
+    cat.transact(Seq(Seq("db") -> "tx1", Seq("db") -> "tx2")) { tables =>
+      tables(0).updateProperties(Map("k" -> "v1"))
+      tables(1).updateProperties(Map("k" -> "v2"))
+    }
+    assert(cat.loadTable(Seq("db"), "tx1").get.meta.properties.get("k").contains("v1"))
+    assert(cat.loadTable(Seq("db"), "tx2").get.meta.properties.get("k").contains("v2"))
+
+    // stale base on ONE table fails the WHOLE transaction: neither moves
+    val v1 = cat.tableOps(Seq("db"), "tx1").currentVersion()
+    val v2 = cat.tableOps(Seq("db"), "tx2").currentVersion()
+    val m1 = cat.tableOps(Seq("db"), "tx1").current().get
+    val m2 = cat.tableOps(Seq("db"), "tx2").current().get
+    intercept[graft.core.meta.CommitConflictException] {
+      cat.commitTransaction(Seq(
+        RestCatalog.TableCommit(Seq("db"), "tx1", v1,
+          m1.copy(properties = m1.properties + ("x" -> "1"))),
+        RestCatalog.TableCommit(Seq("db"), "tx2", v2 + 7, // stale
+          m2.copy(properties = m2.properties + ("x" -> "2")))))
+    }
+    assert(cat.tableOps(Seq("db"), "tx1").currentVersion() === v1)
+    assert(cat.tableOps(Seq("db"), "tx2").currentVersion() === v2)
+    assert(!cat.loadTable(Seq("db"), "tx1").get.meta.properties.contains("x"))
+
+    // transact retries past a concurrent interloper and still lands both
+    val interloper = cat.loadTable(Seq("db"), "tx1").get
+    var first = true
+    cat.transact(Seq(Seq("db") -> "tx1", Seq("db") -> "tx2")) { tables =>
+      if (first) { first = false; interloper.updateProperties(Map("i" -> "1")) }
+      tables(0).updateProperties(Map("r" -> "a"))
+      tables(1).updateProperties(Map("r" -> "b"))
+    }
+    val f1 = cat.loadTable(Seq("db"), "tx1").get.meta.properties
+    assert(f1.get("i").contains("1") && f1.get("r").contains("a"))
+    assert(cat.loadTable(Seq("db"), "tx2").get.meta.properties.get("r").contains("b"))
+  }
 }

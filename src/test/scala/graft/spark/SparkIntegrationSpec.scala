@@ -491,6 +491,41 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 12L)
   }
 
+  test("staged publish renumbers sequence numbers past concurrent commits") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import graft.core.meta.{DataFile, GTable, ManifestIO, StagedOps}
+    import graft.core.expr.ColStats
+    spark.sql("CREATE TABLE graft.db.rtseq (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.rtseq VALUES (1)") // seq 1
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val t = coreTable("rtseq")
+    val stagedOps = new StagedOps(t.ops, t.meta)
+    // staged append mints seq 2 (preLast = 1)
+    new GTable(stagedOps).newAppend().appendFiles(Seq(DataFile(
+      s"${t.location}/data/staged-seq.parquet", "parquet", 0, Nil,
+      recordCount = 1, fileSizeBytes = 100,
+      columnStats = Map(1 -> ColStats(Some(1L), Some(0L), None,
+        Some(7L), Some(7L)))))).commit()
+    // concurrent REAL append also mints seq 2 — the duplicate
+    spark.sql("INSERT INTO graft.db.rtseq VALUES (2)")
+    cat.publishStaged(Identifier.of(Array("db"), "rtseq"), t.ops, stagedOps,
+      allowReplace = true, allowCreate = true)
+    val after = coreTable("rtseq").meta
+    val seqs = after.snapshots.map(_.sequenceNumber)
+    assert(seqs.distinct.size === seqs.size,
+      s"duplicate sequence numbers after publish: $seqs")
+    assert(after.lastSequenceNumber === 3)
+    // the published staged head carries the RENUMBERED seq, and its
+    // manifest entries were rewritten to match
+    val head = after.currentSnapshot.get
+    assert(head.sequenceNumber === 3)
+    val entrySeqs = ManifestIO.readList(head.manifestListPath)
+      .flatMap(m => ManifestIO.readEntries(m)).map(_.dataSequenceNumber)
+    assert(entrySeqs.contains(3L), s"staged entries not renumbered: $entrySeqs")
+    assert(!entrySeqs.contains(2L), s"stale staged seq survived: $entrySeqs")
+  }
+
   test("schema evolution: nested adds, renames, drops, moves, nullability") {
     spark.sql("""CREATE TABLE graft.db.evo_n (
       id BIGINT, info STRUCT<name: STRING, age: INT>)""")
@@ -2059,6 +2094,52 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT id, v FROM graft.db.mrgnb ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq((2L, "s2"), (3L, "s3")))
+  }
+
+  test("variant read-side shredding: mat fast path, binary fallback, deletes") {
+    // file 1 written BEFORE the shred spec exists → no materialized
+    // column → per-row binary fallback; files 2/3 carry the typed column
+    spark.sql("CREATE TABLE graft.db.vshred_rs (id BIGINT, payload VARIANT)")
+    spark.sql("""INSERT INTO graft.db.vshred_rs
+      SELECT 1L, parse_json('{"a": 10, "b": "x"}')""")
+    spark.sql("""ALTER TABLE graft.db.vshred_rs
+      SET TBLPROPERTIES ('write.variant.shred.payload'='$.a:bigint')""")
+    spark.sql("""INSERT INTO graft.db.vshred_rs
+      SELECT 2L, parse_json('{"a": 20, "b": "y"}')""")
+    spark.sql("""INSERT INTO graft.db.vshred_rs
+      SELECT 3L, parse_json('{"b": "z"}')""")
+
+    val df = spark.sql("""SELECT id,
+        graft.system.variant_get_long(payload, '$.a') AS a
+      FROM graft.db.vshred_rs ORDER BY id""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("_shred_payload_a"),
+      "shredded column did not serve the read:\n" + plan)
+    assert(!plan.contains("variant_get_long"),
+      "variant_get_long still evaluated per row:\n" + plan)
+    assert(df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, null)))
+
+    // the hidden column stays hidden from star expansion
+    assert(spark.sql("SELECT * FROM graft.db.vshred_rs").columns.toSeq ===
+      Seq("id", "payload"))
+
+    // filter across mat and legacy files (prunes via shred stats where
+    // present, Spark re-filters post-scan)
+    assert(spark.sql("""SELECT id FROM graft.db.vshred_rs
+        WHERE graft.system.variant_get_long(payload, '$.a') >= 15
+        ORDER BY id""").collect().map(_.getLong(0)).toSeq === Seq(2L))
+
+    // MoR delete: the delete-aware (no-filter) read path serves shreds too
+    spark.sql("""ALTER TABLE graft.db.vshred_rs
+      SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("DELETE FROM graft.db.vshred_rs WHERE id = 2")
+    assert(spark.sql("""SELECT id,
+        graft.system.variant_get_long(payload, '$.a') AS a
+      FROM graft.db.vshred_rs ORDER BY id""").collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (3L, null)))
   }
 
   test("commit_reports metadata table records commit outcomes") {
