@@ -1253,6 +1253,20 @@ object Engine {
         "g35: shredded column did not serve the read:\n" + plan)
       require(!plan.contains("variant_get_long"),
         "g35: variant_get_long still evaluated per row:\n" + plan)
+      // every file carries the materialized columns, so the scan must
+      // stay COLUMNAR (vectorized batches; AQE hides the transition in
+      // the plan string pre-execution, so ask the scan node itself)
+      val inner = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      val colScans = inner.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.supportsColumnar
+      }
+      require(colScans.nonEmpty && colScans.forall(identity),
+        s"g35: shredded scan fell off the vectorized path ($colScans):\n" + plan)
       df
     },
     Some("""

@@ -75,6 +75,15 @@ object ResolveShreddedVariantGets extends Rule[LogicalPlan] {
         }
       }.nextOption()
     plan.resolveOperatorsUp {
+      // row-level commands keep the function form: their rewrite plans
+      // project the table schema for the write, and a swapped metadata
+      // attribute in the condition would leak into the write projection.
+      // The scan still prunes files — the function predicate pushes down
+      // as a shred predicate on its own.
+      case dml @ (_: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
+                  _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
+                  _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable) =>
+        dml
       case p if p.resolved =>
         p.transformExpressions {
           case e @ ApplyFunctionExpression(fn, Seq(a: AttributeReference,

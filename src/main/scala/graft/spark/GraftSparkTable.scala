@@ -1012,8 +1012,11 @@ object GraftSparkTable {
         }
       }
       val vectorized = spark.sessionState.conf.parquetVectorizedReaderEnabled &&
-        metaCols.forall(columnarMeta) &&
-        fullSchema.forall(f => GraftReaderFactory.batchSupported(f.dataType)) &&
+        metaCols.forall(c => columnarMeta(c) || c.startsWith(ShredColPrefix)) &&
+        // gate on the columns actually READ, not the full table schema —
+        // a nested/unsupported column that the query never touches must
+        // not push the scan off the vectorized path
+        dataRequired.forall(f => GraftReaderFactory.batchSupported(f.dataType)) &&
         (!metaCols.contains(MetaPartitionCol) ||
           partStructT.fields.forall(f => constSupported(f.dataType)))
 
@@ -1036,8 +1039,23 @@ object GraftSparkTable {
       // deletes stay columnar via delete-aware vectors
       val allParquet = ts.forall(_.file.format == "parquet")
       val allOrc = ts.nonEmpty && ts.forall(_.file.format == "orc")
-      val columnarOk = vectorized && (allParquet || allOrc) && ts.forall(
-        _.deletes.forall(_.content == FileContent.PositionDeletes))
+      // shredded metadata columns stay columnar only when EVERY planned
+      // file physically carries the requested materialized columns
+      // (parquet + "mat:" markers) — one legacy file degrades the scan to
+      // the row path's per-file mat/binary dispatch
+      val shredBatchOk = shredReq.isEmpty ||
+        (!conservative && allParquet &&
+          ts.forall(t => shredReq.forall(sp =>
+            t.file.shredStats.contains(sp.matKey))))
+      // delete-masked batches slice vectors through FilteredVector, which
+      // serves flat getters only — variant values resolve through child
+      // vectors (ColumnVector.getVariant is final over getChild), so a
+      // delete-bearing variant read takes the row path
+      val variantInRead = dataRequired.exists(
+        _.dataType == org.apache.spark.sql.types.VariantType)
+      val columnarOk = vectorized && shredBatchOk && (allParquet || allOrc) &&
+        ts.forall(_.deletes.forall(_.content == FileContent.PositionDeletes)) &&
+        (!variantInRead || ts.forall(_.deletes.isEmpty))
       // row-path dispatch per format (mirrors createReader): clean =
       // filtered split-respecting read; nf = full-file read (pos-delete
       // masking, _pos, lineage); eq-delete tasks take eqMaskedRows
@@ -1056,17 +1074,26 @@ object GraftSparkTable {
       // each build mutates + broadcasts its conf: every reader needs its own
       def freshConf = new org.apache.hadoop.conf.Configuration(conf)
       val parquetBatch = columnarOk && allParquet
+      // columnar shred scans read the materialized columns as ordinary
+      // trailing batch columns (field-id resolution) — the reader factory
+      // slots them into the requested metadata positions
+      val batchRequired =
+        if (shredReq.isEmpty || !parquetBatch) dataRequired
+        else StructType(dataRequired.fields ++ shredMatFields)
+      val batchDataSchema =
+        if (shredReq.isEmpty || !parquetBatch) fullSchema
+        else StructType(fullSchema.fields ++ shredMatFields)
       val batchFunc =
         if (parquetBatch && !needPosV && (conservative || ts.exists(_.deletes.isEmpty)))
-          fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
-            dataRequired, v1Filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
+          fmt.buildReaderWithPartitionValues(spark, batchDataSchema, new StructType(),
+            batchRequired, v1Filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
         else null
       // full-file batches (no filters) so batch-relative offsets equal file
       // positions — used to mask position deletes inside columnar reads
       val batchFuncNoFilter =
         if (parquetBatch && (needPosV || conservative || ts.exists(_.deletes.nonEmpty)))
-          fmt.buildReaderWithPartitionValues(spark, fullSchema, new StructType(),
-            dataRequired, Nil, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
+          fmt.buildReaderWithPartitionValues(spark, batchDataSchema, new StructType(),
+            batchRequired, Nil, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
         else null
       val rowFunc =
         if (cleanFormats("parquet"))
@@ -1234,12 +1261,18 @@ object GraftSparkTable {
         rowFuncFullLin = rowFuncFullLin,
         avroFullLin = avroFullLin,
         partStruct = partStructT,
+        shredBatch = parquetBatch && shredReq.nonEmpty,
         shredReq = shredReq,
         shredMatRowFunc = shredMatRowFunc, shredBinRowFunc = shredBinRowFunc,
         shredMatRowFuncNF = shredMatRowFuncNF,
         shredBinRowFuncNF = shredBinRowFuncNF,
         shredParentRel = shredParentRel, shredParentFull = shredParentFull)
     }
+
+    /** (parent, path) → materialized shred file-column name */
+    private lazy val shredV1Names: Map[(String, String), String] =
+      GraftSparkTable.shredSpecsOf(table.meta.properties, table.schema)
+        .map(sp => (sp.parent, sp.path) -> sp.metaName).toMap
 
     /** engine expr → V1 filters for parquet row-group/page pruning */
     private def exprToV1(e: Expr): Seq[V1Filter] = {
@@ -1256,6 +1289,12 @@ object GraftSparkTable {
         case BoundPred(op, f, _, vs) => predToV1(op, f, vs)
         case UnboundPred(op, ref, vs) =>
           table.schema.findField(ref).flatMap(f => predToV1(op, f.copy(name = ref), vs))
+        case UnboundShredPred(op, ref, path, tpe, vs) =>
+          // shredded-variant predicate: filter on the MATERIALIZED file
+          // column by name — parquet prunes row groups in files that
+          // carry it and silently skips the filter in legacy files
+          shredV1Names.get((ref, path))
+            .flatMap(n => predToV1(op, GField(0, n, tpe), vs))
         case _ => None // transform predicates prune partitions, not row groups
       }
       def ext(f: GField, v: Any): Any = v match {
@@ -1315,7 +1354,10 @@ object GraftSparkTable {
       partStruct: StructType = new StructType(),
       // shredded-variant reads: requested specs (metaCols order), the
       // mat/bin parquet readers, and parent ordinals for the binary
-      // fallback (rel = bin-extended row, full = fullSchema/eq path)
+      // fallback (rel = bin-extended row, full = fullSchema/eq path);
+      // shredBatch = the columnar funcs read the mat columns as trailing
+      // batch columns
+      shredBatch: Boolean = false,
       shredReq: Array[GraftSparkTable.ShredSpec] = Array.empty,
       shredMatRowFunc: PartitionedFile => Iterator[InternalRow] = null,
       shredBinRowFunc: PartitionedFile => Iterator[InternalRow] = null,
@@ -1586,15 +1628,24 @@ object GraftSparkTable {
       val needPosV = metaCols.contains(MetaPosCol)
       val it: Iterator[ColumnarBatch] = tasks.iterator.flatMap { t =>
         if (t.deletePaths.isEmpty && !needPosV) {
-          // filtered split reads; metadata (if any) is task-constant
+          // filtered split reads; metadata is task-constant except the
+          // materialized shred columns, which ride along as trailing
+          // batch columns and slot into their requested positions
+          val nData = dataRequired.length
           batchFunc(pf(t.path, t.start, t.length))
             .asInstanceOf[Iterator[ColumnarBatch]].map { cb =>
               if (metaCols.isEmpty) cb
               else {
                 val n = cb.numRows()
-                val cols = (0 until cb.numCols()).map(cb.column) ++
-                  metaCols.map(constMetaVec(t, _, n))
-                new ColumnarBatch(cols.toArray, n)
+                var shredOrd = -1
+                val metaVecs = metaCols.map { c =>
+                  if (shredBatch && c.startsWith(ShredColPrefix)) {
+                    shredOrd += 1
+                    cb.column(nData + shredOrd)
+                  } else constMetaVec(t, c, n)
+                }
+                val dataCols = (0 until nData).map(cb.column)
+                new ColumnarBatch((dataCols ++ metaVecs).toArray, n)
               }
             }
         } else {
@@ -1605,6 +1656,7 @@ object GraftSparkTable {
             if (t.deletePaths.isEmpty) new java.util.HashSet[Long]()
             else deletedPositions(t.path, t.deletePaths)
           var base = 0L
+          val nData = dataRequired.length
           batchFuncNoFilter(pf(t.path, 0, Long.MaxValue))
             .asInstanceOf[Iterator[ColumnarBatch]].map { cb =>
               val n = cb.numRows()
@@ -1621,10 +1673,16 @@ object GraftSparkTable {
               def masked(v: org.apache.spark.sql.vectorized.ColumnVector) =
                 if (full) v else new FilteredVector(v, map, k)
                   : org.apache.spark.sql.vectorized.ColumnVector
-              val dataCols = (0 until cb.numCols()).map(c => masked(cb.column(c)))
-              val metaVecs = metaCols.map {
-                case MetaPosCol => masked(new PositionVector(b0))
-                case other      => constMetaVec(t, other, n) // constants need no mask
+              val dataCols = (0 until nData).map(c => masked(cb.column(c)))
+              var shredOrd = -1
+              val metaVecs = metaCols.map { c =>
+                if (shredBatch && c.startsWith(ShredColPrefix)) {
+                  shredOrd += 1
+                  masked(cb.column(nData + shredOrd))
+                } else c match {
+                  case MetaPosCol => masked(new PositionVector(b0))
+                  case other => constMetaVec(t, other, n) // constants: no mask
+                }
               }
               if (full && metaCols.isEmpty) cb
               else new ColumnarBatch((dataCols ++ metaVecs).toArray, k)
@@ -1783,6 +1841,10 @@ object GraftSparkTable {
         case BooleanType | ByteType | ShortType | IntegerType | LongType |
              FloatType | DoubleType | DateType | TimestampType |
              TimestampNTZType | StringType | BinaryType => true
+        // Spark 4 vectorized parquet assembles variant batches natively
+        // (ColumnVector.getVariant); delete-masked variant reads are
+        // separately excluded — FilteredVector has no child vectors
+        case VariantType => true
         case _: DecimalType => true
         case _ => false
       }

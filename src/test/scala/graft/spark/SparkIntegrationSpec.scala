@@ -2140,6 +2140,20 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       FROM graft.db.vshred_rs ORDER BY id""").collect().map(r =>
       (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSeq ===
       Seq((1L, 10L), (3L, null)))
+
+    // CoW DML whose condition is a rewritten variant_get: the row-level
+    // rewrite reads the shred metadata column, and the rewritten files
+    // re-materialize it for later scans
+    spark.sql("""CREATE TABLE graft.db.vshred_cow (id BIGINT, payload VARIANT)
+      TBLPROPERTIES ('write.variant.shred.payload'='$.a:bigint')""")
+    spark.sql("""INSERT INTO graft.db.vshred_cow SELECT
+      id, parse_json(concat('{"a": ', id * 10, '}')) FROM range(1, 5)""")
+    spark.sql("""DELETE FROM graft.db.vshred_cow
+      WHERE graft.system.variant_get_long(payload, '$.a') >= 30""")
+    assert(spark.sql("""SELECT id,
+        graft.system.variant_get_long(payload, '$.a') AS a
+      FROM graft.db.vshred_cow ORDER BY id""").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 10L), (2L, 20L)))
   }
 
   test("commit_reports metadata table records commit outcomes") {
