@@ -135,44 +135,54 @@ object RestCatalogServer {
       try if (authed(x)) {
         val n = MetaJson.mapper.readTree(readBody(x))
         val commits = {
-          val b = Seq.newBuilder[(FileTableOps, Int, TableMetadata, String)]
+          val b = Seq.newBuilder[(FileTableOps, Int, TableMetadata, String, String)]
           n.get("table-commits").elements().forEachRemaining { c =>
-            val ident = s"${c.get("namespace").asText()}.${c.get("name").asText()}"
-            b += ((new FileTableOps(backing.tableLocation(
-                c.get("namespace").asText().split("\\.").toSeq,
-                c.get("name").asText())),
+            val cns = c.get("namespace").asText()
+            val cnm = c.get("name").asText()
+            b += ((new FileTableOps(
+                backing.tableLocation(cns.split("\\.").toSeq, cnm)),
               c.get("base-version").asInt(),
               MetaJson.readMetadata(
                 MetaJson.mapper.writeValueAsString(c.get("metadata"))),
-              ident))
+              cns, cnm))
           }
           b.result()
         }
         require(commits.nonEmpty, "table-commits must be non-empty")
         txnLock.synchronized {
-          val stale = commits.find { case (ops, base, _, _) =>
+          val stale = commits.find { case (ops, base, _, _, _) =>
             ops.currentVersion() != base }
           stale match {
-            case Some((_, base, _, ident)) =>
+            case Some((_, base, _, cns, cnm)) =>
               json(x, 409, s"""{"error": ${MetaJson.mapper.writeValueAsString(
-                s"commit conflict: $ident moved past base $base")}}""")
+                s"commit conflict: $cns.$cnm moved past base $base")}}""")
             case None =>
-              // verify passed under the lock: apply in order; restore on a
-              // mid-apply CAS loss to an out-of-band writer
-              val done = Seq.newBuilder[(FileTableOps, Int, TableMetadata)]
-              val failed = commits.find { case (ops, base, meta, _) =>
+              // verify passed under the lock; every REST commit route also
+              // takes this lock, so a mid-apply CAS loss can only come
+              // from an out-of-band filesystem writer
+              val done = Seq.newBuilder[
+                (FileTableOps, Int, Option[TableMetadata], String, String)]
+              val failed = commits.find { case (ops, base, meta, cns, cnm) =>
                 val prior = ops.current()
                 val ok = ops.commit(base, meta)
-                if (ok) prior.foreach(p => done += ((ops, base + 1, p)))
+                if (ok) done += ((ops, base + 1, prior, cns, cnm))
                 !ok
               }
               failed match {
-                case Some((_, _, _, ident)) =>
-                  done.result().foreach { case (ops, v, prior) =>
-                    ops.commit(v, prior) // content rollback (version advances)
+                case Some((_, _, _, cns, cnm)) =>
+                  done.result().reverse.foreach {
+                    case (ops, v, Some(prior), _, _) =>
+                      // restore CONTENT only while our swap is still the
+                      // head — an out-of-band commit stacked on top wins
+                      // (restoring over it would erase that commit)
+                      if (ops.currentVersion() == v) ops.commit(v, prior)
+                    case (_, _, None, dns, dnm) =>
+                      // the transaction CREATED this table: undo = drop
+                      try backing.dropTable(dns.split("\\.").toSeq, dnm)
+                      catch { case _: Throwable => () }
                   }
                   json(x, 409, s"""{"error": ${MetaJson.mapper.writeValueAsString(
-                    s"commit conflict applying $ident; transaction rolled back")}}""")
+                    s"commit conflict applying $cns.$cnm; transaction rolled back")}}""")
                 case None => json(x, 200, "{}")
               }
           }
@@ -267,7 +277,10 @@ object RestCatalogServer {
             val meta = MetaJson.readMetadata(
               MetaJson.mapper.writeValueAsString(body.get("metadata")))
             val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, t))
-            if (ops.commit(base, meta)) json(x, 200, s"""{"version": ${base + 1}}""")
+            // shares the transaction lock: a single-table commit must not
+            // interleave with a multi-table verify-then-apply window
+            val ok = txnLock.synchronized(ops.commit(base, meta))
+            if (ok) json(x, 200, s"""{"version": ${base + 1}}""")
             else json(x, 409, s"""{"error": "commit conflict at base $base"}""")
           case ("POST", Array(ns, "tables", t, "metrics")) =>
             // validate at ingest: a stored non-JSON body would otherwise
@@ -587,6 +600,10 @@ final class RestCatalog private (warehouse: String, uri: String,
           val cap = math.min(200L, 4L << math.min(attempts, 6))
           Thread.sleep(
             java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+        case e: Throwable =>
+          // non-conflict server rejection: staged files must not leak
+          staged.foreach(_._4.cleanupStagedFiles())
+          throw e
       }
     }
     throw new CommitConflictException(

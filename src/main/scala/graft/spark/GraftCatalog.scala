@@ -61,11 +61,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // expiration-aware table cache (reference CachingCatalog +
     // cache-enabled / cache.expiration-interval-ms): skips the per-query
     // catalog round-trip; disable with cache-enabled=false
+    val cacheTtl = Option(options.get("cache.expiration-interval-ms"))
+      .flatMap(_.toLongOption).getOrElse(30000L)
+    // reference semantics: negative TTL caches forever, zero disables
     catalog =
-      if (Option(options.get("cache-enabled")).contains("false")) backing
-      else new graft.core.meta.CachingCatalog(backing,
-        Option(options.get("cache.expiration-interval-ms"))
-          .flatMap(_.toLongOption).getOrElse(30000L))
+      if (Option(options.get("cache-enabled")).contains("false") ||
+          cacheTtl == 0L) backing
+      else new graft.core.meta.CachingCatalog(backing, cacheTtl)
   }
 
   override def name(): String = catalogName
@@ -457,17 +459,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // until the CAS, so the rewrite races nothing).
         val preLast = stagedOps.preBase.map(_.lastSequenceNumber).getOrElse(0L)
         val delta = base.lastSequenceNumber - preLast
+        // row-id ranges collide the same way sequence numbers do: both
+        // sides allocated _row_id from preBase.nextRowId, so staged
+        // allocations shift past the base's high-water mark too
+        val preNext = stagedOps.preBase.map(_.nextRowId).getOrElse(0L)
+        val rowDelta = base.nextRowId - preNext
+        def shiftRowId(o: Option[Long]): Option[Long] =
+          if (rowDelta <= 0) o
+          else o.map(r => if (r >= preNext) r + rowDelta else r)
         val stagedNewSnaps = staged.snapshots
           .filterNot(s => base.snapshots.exists(_.snapshotId == s.snapshotId))
         val attemptFiles = Seq.newBuilder[String] // this attempt's rewrites
         val renumbered =
-          if (delta <= 0 || stagedNewSnaps.isEmpty) stagedNewSnaps
+          if ((delta <= 0 && rowDelta <= 0) || stagedNewSnaps.isEmpty)
+            stagedNewSnaps
           else {
             val keep: Set[String] = stagedOps.preBase.toSeq
               .flatMap(_.snapshots).flatMap(s =>
                 try graft.core.meta.ManifestIO.readList(s.manifestListPath).map(_.path)
                 catch { case _: Throwable => Nil }).toSet
-            def shiftSeq(n: Long): Long = if (n > preLast) n + delta else n
+            def shiftSeq(n: Long): Long =
+              if (delta > 0 && n > preLast) n + delta else n
             val rewrittenMf = scala.collection.mutable
               .Map.empty[String, graft.core.meta.ManifestFile]
             stagedNewSnaps.map { s =>
@@ -475,10 +487,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               val newMfs = mfs.map { m =>
                 if (keep.contains(m.path)) m
                 else rewrittenMf.getOrElseUpdate(m.path, {
-                  val entries = graft.core.meta.ManifestIO.readEntries(m).map(e =>
-                    if (e.dataSequenceNumber > preLast)
-                      e.copy(dataSequenceNumber = e.dataSequenceNumber + delta)
-                    else e)
+                  val entries = graft.core.meta.ManifestIO.readEntries(m).map { e =>
+                    val f2 = e.file.copy(firstRowId = shiftRowId(e.file.firstRowId))
+                    e.copy(dataSequenceNumber = shiftSeq(e.dataSequenceNumber),
+                      file = f2)
+                  }
                   val nm = graft.core.meta.ManifestIO.write(ops.newManifestPath(),
                     entries, m.specId, m.content, staged.specById(m.specId),
                     staged.schema, m.addedSnapshotId)
@@ -490,7 +503,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               graft.core.meta.ManifestIO.writeList(listPath, newMfs)
               attemptFiles += listPath
               s.copy(sequenceNumber = shiftSeq(s.sequenceNumber),
-                manifestListPath = listPath)
+                manifestListPath = listPath,
+                firstRowId = shiftRowId(s.firstRowId))
             }
           }
         val merged = staged.copy(
@@ -506,12 +520,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           lastSequenceNumber = math.max(base.lastSequenceNumber,
             if (delta > 0) staged.lastSequenceNumber + delta
             else staged.lastSequenceNumber),
-          nextRowId = math.max(base.nextRowId, staged.nextRowId),
+          nextRowId = math.max(base.nextRowId,
+            staged.nextRowId + math.max(0L, rowDelta)),
           lastUpdatedMs = System.currentTimeMillis())
         if (ops.commit(baseVersion, merged)) {
           // the pre-shift staged lists/manifests are unreferenced now;
           // best-effort removal (stragglers are metadata orphans)
-          if (delta > 0) stagedNewSnaps.foreach { s =>
+          if (delta > 0 || rowDelta > 0) stagedNewSnaps.foreach { s =>
             try graft.core.meta.GraftIO.delete(s.manifestListPath)
             catch { case _: Throwable => () }
           }

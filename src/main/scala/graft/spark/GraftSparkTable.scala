@@ -232,8 +232,11 @@ object GraftSparkTable {
     /** shredStats key carrying this path's min/max (r5 stats-only form) */
     def statsKey: String = s"$parentId:$path"
     /** marker key: present in a file's shredStats iff the file carries
-      * the MATERIALIZED column (older files have stats but no column) */
-    def matKey: String = s"mat:$parentId:$path"
+      * the MATERIALIZED column at THIS reserved field id — the id is part
+      * of the key so a changed shred-spec set (which re-sorts and re-mints
+      * ids) can never mis-bind an old file's column; such files simply
+      * fail the marker check and fall back to the variant binary */
+    def matKey: String = s"mat:$parentId:$path:$matId"
   }
 
   /** parse write.variant.shred.* against a schema. Sorted by

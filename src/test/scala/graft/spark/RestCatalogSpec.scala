@@ -374,5 +374,34 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f1 = cat.loadTable(Seq("db"), "tx1").get.meta.properties
     assert(f1.get("i").contains("1") && f1.get("r").contains("a"))
     assert(cat.loadTable(Seq("db"), "tx2").get.meta.properties.get("r").contains("b"))
+
+    // a transaction that CREATES a table rolls the creation back when any
+    // member conflicts: all-or-nothing includes creations
+    val vA = cat.tableOps(Seq("db"), "tx1").currentVersion()
+    val mA = cat.tableOps(Seq("db"), "tx1").current().get
+    intercept[graft.core.meta.CommitConflictException] {
+      cat.commitTransaction(Seq(
+        RestCatalog.TableCommit(Seq("db"), "txnew", 0,
+          graft.core.meta.TableMetadata.newTable(
+            cat.tableLocation(Seq("db"), "txnew"), schema,
+            graft.core.expr.PartitionSpec.Unpartitioned, Map.empty)),
+        RestCatalog.TableCommit(Seq("db"), "tx1", vA + 9, // stale
+          mA.copy(properties = mA.properties + ("z" -> "1")))))
+    }
+    assert(!cat.tableExists(Seq("db"), "txnew"),
+      "created table survived a rolled-back transaction")
+
+    // mid-APPLY failure (verify passes, second CAS loses): the creation
+    // already applied must be dropped by the rollback
+    def newMeta = graft.core.meta.TableMetadata.newTable(
+      cat.tableLocation(Seq("db"), "txnew2"), schema,
+      graft.core.expr.PartitionSpec.Unpartitioned, Map.empty)
+    intercept[graft.core.meta.CommitConflictException] {
+      cat.commitTransaction(Seq(
+        RestCatalog.TableCommit(Seq("db"), "txnew2", 0, newMeta),
+        RestCatalog.TableCommit(Seq("db"), "txnew2", 0, newMeta)))
+    }
+    assert(!cat.tableExists(Seq("db"), "txnew2"),
+      "mid-apply rollback left the created table behind")
   }
 }

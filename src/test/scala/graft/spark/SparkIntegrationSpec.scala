@@ -524,6 +524,22 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .flatMap(m => ManifestIO.readEntries(m)).map(_.dataSequenceNumber)
     assert(entrySeqs.contains(3L), s"staged entries not renumbered: $entrySeqs")
     assert(!entrySeqs.contains(2L), s"stale staged seq survived: $entrySeqs")
+    // row-id ranges renumber the same way: both sides allocated _row_id
+    // from the pre-staging nextRowId, so published file ranges must not
+    // overlap across the whole history
+    val ranges = after.snapshots
+      .flatMap(sn => ManifestIO.readList(sn.manifestListPath))
+      .distinctBy(_.path)
+      .flatMap(m => ManifestIO.readEntries(m))
+      .filter(e => e.isLive && e.file.firstRowId.isDefined)
+      .map(e => (e.file.firstRowId.get, e.file.firstRowId.get + e.file.recordCount))
+      .distinct.sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping _row_id ranges after publish: $ranges")
+      case _ => ()
+    }
+    assert(after.nextRowId >= ranges.map(_._2).maxOption.getOrElse(0L))
   }
 
   test("schema evolution: nested adds, renames, drops, moves, nullability") {
