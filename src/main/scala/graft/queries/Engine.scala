@@ -45,7 +45,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v25").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v26").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -54,7 +54,7 @@ object Engine {
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
-        "adm_g", "dang_g", "rb_g", "rpd_g")
+        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -565,8 +565,26 @@ object Engine {
       require(rpdAfter >= 1 && rpdAfter < rpdBefore,
         s"rewrite_position_deletes did not consolidate: $rpdBefore -> $rpdAfter")
 
+      // merge-schema write (g52): the second append carries a brand-new
+      // column; the write itself evolves the table schema (reference
+      // SparkWriteBuilder mergeSchema + ACCEPT_ANY_SCHEMA capability)
+      s.sql("""CREATE TABLE graft.db.msch_g (
+        s_suppkey BIGINT, s_nationkey BIGINT)
+        TBLPROPERTIES ('write.spark.accept-any-schema'='true')""")
+      val supMs = t(s, dir, "supplier")
+      supMs.select("s_suppkey", "s_nationkey")
+        .filter(col("s_suppkey") % 2 === 0)
+        .writeTo("graft.db.msch_g").append()
+      supMs.select("s_suppkey", "s_nationkey", "s_acctbal")
+        .filter(col("s_suppkey") % 2 === 1)
+        .writeTo("graft.db.msch_g").option("merge-schema", "true").append()
+      val msCols = cat.loadTable(Seq("db"), "msch_g").get
+        .schema.fields.map(_.name)
+      require(msCols == Seq("s_suppkey", "s_nationkey", "s_acctbal"),
+        s"g52: merge-schema did not evolve the table: $msCols")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v25" -> "true"))
+        .updateProperties(Map("build-complete-v26" -> "true"))
     }
     built += wh
   }
@@ -1674,8 +1692,32 @@ object Engine {
       FROM supplier WHERE s_suppkey % 5 <> 0 AND s_suppkey % 7 <> 0
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // ------------------------------------------------------------------ g52
+  // Schema evolution ON WRITE: the table grew a column via the second
+  // append's merge-schema option (setup asserts the evolved shape); rows
+  // from the first append read null for it, rows from the second carry
+  // their values — all through one scan of the evolved table.
+  private val g52 = Q(
+    "g52_engine_merge_schema_write",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.msch_g")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          count(col("s_acctbal")).as("with_bal"),
+          sum(cents(col("s_acctbal"))).as("sum_c"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+        COUNT(CASE WHEN s_suppkey % 2 = 1 THEN 1 END) AS with_bal,
+        CAST(SUM(CASE WHEN s_suppkey % 2 = 1
+          THEN CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT) END) AS BIGINT) AS sum_c
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
-    g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51)
+    g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
+    g52)
 }

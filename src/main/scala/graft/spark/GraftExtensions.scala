@@ -160,7 +160,7 @@ class ResolveGraftViews(spark: org.apache.spark.sql.SparkSession)
     case u: UnresolvedRelation =>
       lookupView(u.multipartIdentifier) match {
         case Some((view, _)) =>
-          val parsed = spark.sessionState.sqlParser.parsePlan(view.sql)
+          val parsed = spark.sessionState.sqlParser.parsePlan(view.query())
           SubqueryAlias(u.multipartIdentifier.last, parsed)
         case None => u
       }

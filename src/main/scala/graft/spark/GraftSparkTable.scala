@@ -91,8 +91,8 @@ class GraftSparkTable(val table: GTable, fullName: String,
   override def properties(): util.Map[String, String] =
     table.meta.properties.asJava
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ,
@@ -100,6 +100,13 @@ class GraftSparkTable(val table: GTable, fullName: String,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE)
+    // reference SparkTable.java:118-163: write.spark.accept-any-schema
+    // lets Spark skip by-name output resolution so merge-schema /
+    // subset / reordered writes reach the write builder unchanged
+    if (table.meta.properties.get("write.spark.accept-any-schema").contains("true"))
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val snapId = Option(options.get("snapshot-id")).map(_.toLong).orElse(snapshotId)

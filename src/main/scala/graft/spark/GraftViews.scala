@@ -12,10 +12,19 @@ import graft.core.meta.{GraftIO, MetaJson}
 
 /** Catalog-stored SQL views (reference api/core view/ + view-spec.md):
   * each view is a JSON document under `<warehouse>/<ns>/_views/<name>.json`
-  * holding the SQL text, the resolution context (catalog + namespace),
-  * the declared schema, and properties. Reads re-parse the stored SQL in
-  * the stored context — the Spark analyzer does the rest. */
+  * holding, per the view spec, an immutable VERSION LIST — every
+  * CREATE OR REPLACE appends a new version (id, timestamp, SQL
+  * representation, schema, resolution context, summary) and moves
+  * `current-version-id`; `version-log` records each move, and history
+  * is trimmed to `version.history.num-entries` (default 10,
+  * view-spec.md "Versions" note [1]). Property-only changes do NOT
+  * create versions (view-spec: versions are immutable definitions).
+  * Reads re-parse the current version's SQL in its stored context —
+  * the Spark analyzer does the rest. */
 object GraftViewStore {
+
+  private val HistoryProp = "version.history.num-entries"
+  private val DefaultHistory = 10
 
   private def dir(warehouse: String, namespace: Seq[String]): String =
     (warehouse +: namespace :+ "_views").mkString("/")
@@ -23,8 +32,10 @@ object GraftViewStore {
   private def path(warehouse: String, ident: Identifier): String =
     s"${dir(warehouse, ident.namespace.toSeq)}/${ident.name}.json"
 
-  final case class StoredView(
-      viewName: String,
+  /** one immutable view definition (view-spec "Versions") */
+  final case class ViewVersion(
+      versionId: Int,
+      timestampMs: Long,
       sql: String,
       catalogName: String,
       namespaceParts: Seq[String],
@@ -32,28 +43,51 @@ object GraftViewStore {
       queryCols: Seq[String],
       aliases: Seq[String],
       comments: Seq[String],
+      summary: Map[String, String])
+
+  final case class StoredView(
+      viewName: String,
+      viewUuid: String,
+      currentVersionId: Int,
+      versions: Seq[ViewVersion],
+      versionLog: Seq[(Long, Int)],
       props: Map[String, String]) extends View {
+    def current: ViewVersion = versions.find(_.versionId == currentVersionId).get
     override def name(): String = viewName
-    override def query(): String = sql
-    override def currentCatalog(): String = catalogName
+    override def query(): String = current.sql
+    override def currentCatalog(): String = current.catalogName
     override def schema(): StructType =
-      DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    override def currentNamespace(): Array[String] = namespaceParts.toArray
-    override def queryColumnNames(): Array[String] = queryCols.toArray
-    override def columnAliases(): Array[String] = aliases.toArray
-    override def columnComments(): Array[String] = comments.toArray
+      DataType.fromJson(current.schemaJson).asInstanceOf[StructType]
+    override def currentNamespace(): Array[String] = current.namespaceParts.toArray
+    override def queryColumnNames(): Array[String] = current.queryCols.toArray
+    override def columnAliases(): Array[String] = current.aliases.toArray
+    override def columnComments(): Array[String] = current.comments.toArray
     override def properties(): util.Map[String, String] = props.asJava
   }
 
   private def write(warehouse: String, ident: Identifier, v: StoredView): Unit = {
     val o = MetaJson.mapper.createObjectNode()
-    o.put("name", v.viewName).put("sql", v.sql)
-      .put("current-catalog", v.catalogName)
-      .put("schema", v.schemaJson)
-    val ns = o.putArray("current-namespace"); v.namespaceParts.foreach(ns.add)
-    val qc = o.putArray("query-column-names"); v.queryCols.foreach(qc.add)
-    val ca = o.putArray("column-aliases"); v.aliases.foreach(ca.add)
-    val cc = o.putArray("column-comments"); v.comments.foreach(cc.add)
+    o.put("format-version", 1)
+      .put("name", v.viewName)
+      .put("view-uuid", v.viewUuid)
+      .put("current-version-id", v.currentVersionId)
+    val vs = o.putArray("versions")
+    v.versions.foreach { ver =>
+      val n = vs.addObject()
+      n.put("version-id", ver.versionId).put("timestamp-ms", ver.timestampMs)
+        .put("sql", ver.sql)
+        .put("default-catalog", ver.catalogName)
+        .put("schema", ver.schemaJson)
+      val ns = n.putArray("default-namespace"); ver.namespaceParts.foreach(ns.add)
+      val qc = n.putArray("query-column-names"); ver.queryCols.foreach(qc.add)
+      val ca = n.putArray("column-aliases"); ver.aliases.foreach(ca.add)
+      val cc = n.putArray("column-comments"); ver.comments.foreach(cc.add)
+      val sm = n.putObject("summary"); ver.summary.foreach { case (k, x) => sm.put(k, x) }
+    }
+    val vl = o.putArray("version-log")
+    v.versionLog.foreach { case (ts, id) =>
+      vl.addObject().put("timestamp-ms", ts).put("version-id", id)
+    }
     val p = o.putObject("properties"); v.props.foreach { case (k, x) => p.put(k, x) }
     java.nio.file.Files.createDirectories(
       GraftIO.toPath(dir(warehouse, ident.namespace.toSeq)))
@@ -75,11 +109,38 @@ object GraftViewStore {
       if (n.has("properties"))
         n.get("properties").properties().asScala
           .foreach(e => props += e.getKey -> e.getValue.asText())
-      Some(StoredView(n.get("name").asText(), n.get("sql").asText(),
-        n.get("current-catalog").asText(), readArr(n, "current-namespace"),
-        n.get("schema").asText(), readArr(n, "query-column-names"),
-        readArr(n, "column-aliases"), readArr(n, "column-comments"),
-        props.toMap))
+      if (n.has("versions")) {
+        val vers = Seq.newBuilder[ViewVersion]
+        n.get("versions").elements().forEachRemaining { vn =>
+          vers += ViewVersion(vn.get("version-id").asInt(),
+            vn.get("timestamp-ms").asLong(), vn.get("sql").asText(),
+            vn.get("default-catalog").asText(), readArr(vn, "default-namespace"),
+            vn.get("schema").asText(), readArr(vn, "query-column-names"),
+            readArr(vn, "column-aliases"), readArr(vn, "column-comments"),
+            if (vn.has("summary"))
+              vn.get("summary").properties().asScala
+                .map(e => e.getKey -> e.getValue.asText()).toMap
+            else Map.empty)
+        }
+        val log = Seq.newBuilder[(Long, Int)]
+        if (n.has("version-log"))
+          n.get("version-log").elements().forEachRemaining(e =>
+            log += ((e.get("timestamp-ms").asLong(), e.get("version-id").asInt())))
+        Some(StoredView(n.get("name").asText(),
+          if (n.has("view-uuid")) n.get("view-uuid").asText()
+          else util.UUID.randomUUID.toString,
+          n.get("current-version-id").asInt(), vers.result(), log.result(),
+          props.toMap))
+      } else {
+        // pre-versioning single-definition document: surface as version 1
+        val v1 = ViewVersion(1, 0L, n.get("sql").asText(),
+          n.get("current-catalog").asText(), readArr(n, "current-namespace"),
+          n.get("schema").asText(), readArr(n, "query-column-names"),
+          readArr(n, "column-aliases"), readArr(n, "column-comments"),
+          Map("operation" -> "create"))
+        Some(StoredView(n.get("name").asText(), util.UUID.randomUUID.toString,
+          1, Seq(v1), Seq((0L, 1)), props.toMap))
+      }
     }
   }
 
@@ -93,12 +154,26 @@ object GraftViewStore {
 
   def create(warehouse: String, info: ViewInfo, replace: Boolean): StoredView = {
     val ident = info.ident
-    if (!replace && GraftIO.exists(path(warehouse, ident)))
+    val existing = load(warehouse, ident)
+    if (!replace && existing.isDefined)
       throw new ViewAlreadyExistsException(ident)
-    val v = StoredView(ident.name, info.sql, info.currentCatalog,
+    val now = System.currentTimeMillis()
+    val newProps = info.properties.asScala.toMap
+    val nextId = existing.map(_.versions.map(_.versionId).max + 1).getOrElse(1)
+    val ver = ViewVersion(nextId, now, info.sql, info.currentCatalog,
       info.currentNamespace.toSeq, info.schema.json,
       info.queryColumnNames.toSeq, info.columnAliases.toSeq,
-      info.columnComments.toSeq, info.properties.asScala.toMap)
+      info.columnComments.toSeq,
+      Map("operation" -> (if (existing.isDefined) "replace" else "create")))
+    val keep = newProps.get(HistoryProp).flatMap(_.toIntOption)
+      .getOrElse(DefaultHistory).max(1)
+    val versions = (existing.map(_.versions).getOrElse(Nil) :+ ver).takeRight(keep)
+    val live = versions.map(_.versionId).toSet
+    val log = (existing.map(_.versionLog).getOrElse(Nil) :+ ((now, nextId)))
+      .filter(e => live.contains(e._2))
+    val v = StoredView(ident.name,
+      existing.map(_.viewUuid).getOrElse(util.UUID.randomUUID.toString),
+      nextId, versions, log, newProps)
     write(warehouse, ident, v)
     v
   }
@@ -111,6 +186,8 @@ object GraftViewStore {
       case rp: ViewChange.RemoveProperty => props -= rp.property
       case other => throw new UnsupportedOperationException(other.toString)
     }
+    // property changes do not create a version (view-spec: versions are
+    // immutable view DEFINITIONS)
     val updated = v.copy(props = props)
     write(warehouse, ident, updated)
     updated

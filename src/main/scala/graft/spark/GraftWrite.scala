@@ -49,17 +49,57 @@ class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo,
   }
 
   override def build(): Write = {
-    // write with the TABLE schema (positionally equal to info.schema after
-    // Spark's resolution) so parquet files always carry field ids
-    val tableSchema = SparkTypes.toSparkSchema(table.schema)
-    require(tableSchema.length == info.schema().length,
-      s"write schema mismatch: ${info.schema()} vs $tableSchema")
+    val ds = info.schema()
+    // schema evolution on write (reference SparkWriteBuilder mergeSchema):
+    // union the dataset schema into the table schema before writing
+    val mergeRequested = Seq("merge-schema", "mergeSchema").exists(k =>
+      Option(info.options.get(k)).exists(_.equalsIgnoreCase("true")))
+    if (mergeRequested) SchemaMerge.mergeInto(table, ds)
+    // write with the TABLE's field ids: positionally when Spark already
+    // resolved the query to the table shape, else projected by name
+    // (accept-any-schema / merge-schema writes arrive in the dataset's
+    // own shape — subset/reorder allowed). Dataset columns narrower than
+    // the table column (uncast INSERT literals, pre-widen writers) keep
+    // their own type in the file — identical to a pre-promotion file.
+    val full = SparkTypes.toSparkSchema(table.schema)
+    val namesMatch = full.length == ds.length &&
+      full.fieldNames.zip(ds.fieldNames).forall { case (a, b) => a.equalsIgnoreCase(b) }
+    val typesMatch = namesMatch &&
+      full.fields.zip(ds.fields).forall { case (a, b) =>
+        SchemaMerge.sparkSameType(a.dataType, b.dataType)
+      }
+    val byName = !namesMatch &&
+      ds.fields.forall(f => SchemaMerge.resolves(table.schema.struct, f.name))
+    val fileG: GSchema =
+      if (typesMatch) table.schema
+      else if (byName) {
+        SchemaMerge.validateRequired(table.schema.struct, ds)
+        table.schema.copy(struct =
+          SchemaMerge.fileStruct(table.schema.struct, ds, positional = false))
+      } else {
+        // positional: names stay the table's, types follow the dataset
+        require(full.length == ds.length,
+          s"write schema mismatch: $ds vs $full")
+        table.schema.copy(struct =
+          SchemaMerge.fileStruct(table.schema.struct, ds, positional = true))
+      }
+    val writeSchema =
+      if (fileG eq table.schema) full else SparkTypes.toSparkSchema(fileG)
+    // positional write whose query keeps its own column names (an
+    // accept-any-schema table skips Spark's output resolution, so an
+    // INSERT .. VALUES arrives as col1..colN): the required-distribution
+    // transforms must reference the QUERY's names to resolve
+    val queryNames =
+      if (!byName && !full.fieldNames.zip(ds.fieldNames)
+        .forall { case (a, b) => a.equalsIgnoreCase(b) }) Some(ds.fieldNames)
+      else None
     // branch routing: explicit write option, else the session's WAP branch
     // (write-audit-publish: stage on a branch, audit, fast_forward main)
     val branch = Option(info.options.get("branch"))
       .orElse(defaultBranch)
       .orElse(WapBranch.resolve()).getOrElse("main")
-    new GraftWrite(table, tableSchema, mode, info.queryId(), branch)
+    new GraftWrite(table, writeSchema, mode, info.queryId(), branch, queryNames,
+      fileG)
   }
 }
 
@@ -111,8 +151,14 @@ final case class CopyOnWriteMode(replacedPaths: () => Seq[String],
     conflictFilter: () => Option[Expr] = () => None) extends WriteMode
 
 final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
-    queryId: String = "", branch: String = "main")
+    queryId: String = "", branch: String = "main",
+    queryNames: Option[Array[String]] = None,
+    fileG: GSchema = null)
   extends Write with RequiresDistributionAndOrdering {
+
+  /** graft schema of the files this write produces (dataset shape/types,
+    * table ids); defaults to the table schema for exact-shape writers */
+  private def baseG: GSchema = if (fileG == null) table.schema else fileG
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions => VE, SortDirection, SortOrder}
@@ -123,9 +169,19 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
   // partitioned table produces executors×days small files (reference
   // SparkWriteRequirements/SparkWriteUtil; modes none/hash/range via
   // table property write.distribution-mode, default hash for partitioned).
+  // distribution expressions resolve against the WRITE QUERY's output:
+  // normally the table's column names, but a positional write on an
+  // accept-any-schema table keeps the query's own names (col1..colN)
+  private def distSchema: graft.core.types.GSchema = queryNames match {
+    case Some(qn) if qn.length == table.schema.fields.length =>
+      table.schema.copy(struct = graft.core.types.GStruct(
+        table.schema.fields.zip(qn.toSeq).map { case (f, n) => f.copy(name = n) }))
+    case _ => table.schema
+  }
+
   private def partitionExprs =
     table.spec.fields.filterNot(_.transform == graft.core.transform.VoidT)
-      .map(pf => SparkBridge.toSparkTransform(pf, table.schema))
+      .map(pf => SparkBridge.toSparkTransform(pf, distSchema))
 
   // advisory write-time clustering (reference SortOrder + WRITE ORDERED BY):
   // table property write.sort-order = "col [ASC|DESC], ..." sorts rows
@@ -137,7 +193,15 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
         val bits = part.split("\\s+")
         val dir = if (bits.length > 1 && bits(1).equalsIgnoreCase("desc"))
           SortDirection.DESCENDING else SortDirection.ASCENDING
-        VE.sort(VE.identity(bits(0)), dir)
+        // map the table-schema column name onto the query's name when a
+        // positional accept-any-schema write renamed the output
+        val colName = queryNames match {
+          case Some(qn) =>
+            val i = table.schema.fields.indexWhere(_.name.equalsIgnoreCase(bits(0)))
+            if (i >= 0 && i < qn.length) qn(i) else bits(0)
+          case None => bits(0)
+        }
+        VE.sort(VE.identity(colName), dir)
       }
     }
 
@@ -166,7 +230,8 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     table.meta.properties.get("write.advisory-partition-size-bytes")
       .map(_.toLong).getOrElse(0L)
 
-  override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode, branch)
+  override def toBatch: BatchWrite =
+    new GraftBatchWrite(table, writeSchema, mode, branch, baseG)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     val truncateEachEpoch = mode match {
@@ -200,7 +265,7 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
 }
 
 final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
-    branch: String = "main")
+    branch: String = "main", fileGBase: GSchema = null)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -222,10 +287,14 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
       if (isCow) GraftSparkTable.lineageGFields else Nil
     val fileSchema = StructType(writeSchema.fields ++ lineageFields ++
       shredSpecs.map(GraftSparkTable.shredMatField))
+    // by-name (accept-any-schema / merge-schema) writes arrive in the
+    // dataset's shape: the file's graft schema follows the dataset, with
+    // the table's field ids (identity for exact-shape writers)
+    val baseG: GSchema = if (fileGBase == null) table.schema else fileGBase
     val fileGSchema =
-      if (isCow || shredSpecs.nonEmpty)
-        table.schema.copy(struct = graft.core.types.GStruct(
-          table.schema.fields ++ lineageG ++
+      if (isCow || shredSpecs.nonEmpty || (baseG ne table.schema))
+        baseG.copy(struct = graft.core.types.GStruct(
+          baseG.fields ++ lineageG ++
             shredSpecs.map(GraftSparkTable.shredMatGField)))
       else table.schema
     // prepareWrite wires ParquetWriteSupport (schema, field ids, codec)

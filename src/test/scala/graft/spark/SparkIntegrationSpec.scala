@@ -916,6 +916,19 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT * FROM graft.db.v_big").count() === 3)
     spark.sql("CALL graft.system.create_view('db.v_big', 'SELECT id FROM graft.db.vt WHERE id >= 4', true)")
     assert(spark.sql("SELECT * FROM graft.db.v_big").count() === 1)
+    // view-spec versioning: the replace appended an immutable version and
+    // moved current-version-id; the version log records both states
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "v_big")
+    val stored = GraftViewStore.load(warehouse, ident).get
+    assert(stored.versions.map(_.versionId) === Seq(1, 2))
+    assert(stored.currentVersionId === 2)
+    assert(stored.versions.head.sql.contains("id >= 2"))
+    assert(stored.current.sql.contains("id >= 4"))
+    assert(stored.versions.head.summary.get("operation").contains("create"))
+    assert(stored.current.summary.get("operation").contains("replace"))
+    assert(stored.versionLog.map(_._2) === Seq(1, 2))
+    assert(stored.versions.forall(_.timestampMs >= 0))
     spark.sql("CALL graft.system.drop_view('db.v_big')")
     intercept[Exception](spark.sql("SELECT * FROM graft.db.v_big").collect())
   }
@@ -2188,5 +2201,83 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val appendSummary = reports.find(_.getString(0) == "append").get
       .getMap[String, String](3)
     assert(appendSummary.get("added-records").contains("10"))
+  }
+
+  test("merge-schema write: new column, widened column, by-name subset") {
+    import org.apache.spark.sql.functions._
+    spark.sql("""CREATE TABLE graft.db.msch (
+      id BIGINT, cat STRING, qty INT) PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.spark.accept-any-schema'='true')""")
+    spark.sql("""INSERT INTO graft.db.msch VALUES
+      (1, 'a', 10), (2, 'b', 20)""")
+
+    // a new column arrives + qty widens int -> long
+    val evolved = spark.range(3, 5)
+      .withColumn("cat", lit("c"))
+      .withColumn("qty", col("id") * 100)           // LongType: widens
+      .withColumn("score", col("id").cast("double")) // brand new
+    evolved.writeTo("graft.db.msch").option("merge-schema", "true").append()
+
+    val t = coreTable("msch")
+    assert(t.schema.fields.map(_.name) === Seq("id", "cat", "qty", "score"))
+    assert(t.schema.findField("qty").get.tpe === graft.core.types.GLong)
+    val newId = t.schema.findField("score").get.id
+    assert(newId > 0 && t.schema.fields.map(_.id).distinct.length === 4)
+
+    // old rows read null for the new column; widened column reads fine
+    val rows = spark.sql(
+      "SELECT id, qty, score FROM graft.db.msch ORDER BY id").collect()
+    assert(rows.length === 4)
+    assert(rows(0).getLong(1) === 10L && rows(0).isNullAt(2))
+    assert(rows(3).getLong(1) === 400L && rows(3).getDouble(2) === 4.0)
+
+    // by-name SUBSET + reordered write (accept-any-schema, no merge):
+    // missing optional columns read back null
+    spark.createDataFrame(Seq(("d", 9L))).toDF("cat", "id")
+      .writeTo("graft.db.msch").append()
+    val sub = spark.sql(
+      "SELECT id, cat, qty, score FROM graft.db.msch WHERE cat = 'd'").collect()
+    assert(sub.length === 1)
+    assert(sub(0).getLong(0) === 9L && sub(0).isNullAt(2) && sub(0).isNullAt(3))
+
+    // narrower dataset type (int into the widened long column) writes a
+    // pre-promotion-shaped file that reads back as long
+    val narrow = spark.range(6, 7).withColumn("cat", lit("e"))
+      .withColumn("qty", lit(7))   // IntegerType into LongType column
+      .select("id", "cat", "qty")
+    narrow.writeTo("graft.db.msch").option("merge-schema", "true").append()
+    val nr = spark.sql("SELECT qty FROM graft.db.msch WHERE cat = 'e'").collect()
+    assert(nr.length === 1 && nr(0).getLong(0) === 7L)
+
+    // without merge-schema, an unknown column is rejected
+    val extra = spark.range(7, 8).withColumn("cat", lit("f"))
+      .withColumn("mystery", lit(1L))
+    val e2 = intercept[Exception] { extra.writeTo("graft.db.msch").append() }
+    assert(e2.getMessage.contains("mystery") ||
+      e2.getMessage.contains("not in the table schema"))
+  }
+
+  test("merge-schema write: nested struct gains a field") {
+    import org.apache.spark.sql.functions._
+    spark.sql("""CREATE TABLE graft.db.msch_n (
+      id BIGINT, info STRUCT<a: STRING, b: BIGINT>)
+      TBLPROPERTIES ('write.spark.accept-any-schema'='true')""")
+    spark.sql(
+      "INSERT INTO graft.db.msch_n VALUES (1, named_struct('a', 'x', 'b', 2L))")
+
+    spark.range(2, 3)
+      .withColumn("info", struct(lit("y").as("a"), lit(3L).as("b"),
+        lit(1.5).as("c")))
+      .writeTo("graft.db.msch_n").option("merge-schema", "true").append()
+
+    val t = coreTable("msch_n")
+    val info = t.schema.findField("info").get.tpe
+      .asInstanceOf[graft.core.types.GStruct]
+    assert(info.fields.map(_.name) === Seq("a", "b", "c"))
+
+    val rows = spark.sql(
+      "SELECT id, info.a, info.c FROM graft.db.msch_n ORDER BY id").collect()
+    assert(rows(0).getString(1) === "x" && rows(0).isNullAt(2))
+    assert(rows(1).getString(1) === "y" && rows(1).getDouble(2) === 1.5)
   }
 }
