@@ -1063,8 +1063,29 @@ object GraftSparkTable {
       // delete-bearing variant read takes the row path
       val variantInRead = dataRequired.exists(
         _.dataType == org.apache.spark.sql.types.VariantType)
+      // vectorized equality-delete masking (reference ColumnarBatchUtil
+      // buildRowIdMapping over eq-delete predicates): batches additionally
+      // read the delete-key columns, each row's key tuple probes the
+      // executor-cached key sets, and the same filtered vectors that mask
+      // position deletes drop the dead rows. Requires parquet batches and
+      // top-level batch-supported key columns.
+      val fieldNameOfId = table.schema.fields.map(f => f.id -> f.name).toMap
+      val eqIds: Seq[Int] =
+        if (conservative) Nil
+        else ts.iterator.flatMap(_.deletes.iterator
+          .filter(_.content == FileContent.EqualityDeletes)
+          .flatMap(_.equalityIds)).toSeq.distinct.sorted
+      val eqBatchOk = !conservative && eqIds.nonEmpty && allParquet &&
+        eqIds.forall(id => fieldNameOfId.get(id).exists { n =>
+          val i = fullSchema.fieldNames.indexOf(n)
+          i >= 0 &&
+            GraftReaderFactory.batchSupported(fullSchema(i).dataType) &&
+            fullSchema(i).dataType != org.apache.spark.sql.types.VariantType
+        })
       val columnarOk = vectorized && shredBatchOk && (allParquet || allOrc) &&
-        ts.forall(_.deletes.forall(_.content == FileContent.PositionDeletes)) &&
+        ts.forall(_.deletes.forall(d =>
+          d.content == FileContent.PositionDeletes ||
+            (d.content == FileContent.EqualityDeletes && eqBatchOk))) &&
         (!variantInRead || ts.forall(_.deletes.isEmpty))
       // row-path dispatch per format (mirrors createReader): clean =
       // filtered split-respecting read; nf = full-file read (pos-delete
@@ -1098,12 +1119,39 @@ object GraftSparkTable {
           fmt.buildReaderWithPartitionValues(spark, batchDataSchema, new StructType(),
             batchRequired, v1Filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
         else null
+      // equality-delete keyed batches: the delete-key columns ride along
+      // as trailing batch columns (dropped after masking)
+      val eqBatchFields: Array[org.apache.spark.sql.types.StructField] =
+        if (!(eqBatchOk && parquetBatch)) Array.empty
+        else eqIds.flatMap(fieldNameOfId.get).distinct
+          .filterNot(batchRequired.fieldNames.contains)
+          .map(n => fullSchema(fullSchema.fieldIndex(n))).toArray
+      val batchRequiredEq = StructType(batchRequired.fields ++ eqBatchFields)
+      /** fieldId → (column index in the eq-extended batch, its type) */
+      val eqBatchPos: Map[Int, (Int, org.apache.spark.sql.types.DataType)] =
+        if (!(eqBatchOk && parquetBatch)) Map.empty
+        else {
+          val idx = batchRequiredEq.fieldNames.zipWithIndex.toMap
+          eqIds.flatMap(id => fieldNameOfId.get(id).flatMap(idx.get)
+            .map(p => id -> (p, batchRequiredEq(p).dataType))).toMap
+        }
+      // eq-only tasks (no position deletes, no _pos) keep filtered split
+      // reads: eq masking needs no file positions, so pushdown survives
+      val batchFuncEq =
+        if (eqBatchOk && parquetBatch && !needPosV &&
+          ts.exists(t => t.deletes.nonEmpty &&
+            t.deletes.forall(_.content == FileContent.EqualityDeletes)))
+          fmt.buildReaderWithPartitionValues(spark, batchDataSchema, new StructType(),
+            batchRequiredEq, v1Filters,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
+        else null
       // full-file batches (no filters) so batch-relative offsets equal file
       // positions — used to mask position deletes inside columnar reads
       val batchFuncNoFilter =
         if (parquetBatch && (needPosV || conservative || ts.exists(_.deletes.nonEmpty)))
           fmt.buildReaderWithPartitionValues(spark, batchDataSchema, new StructType(),
-            batchRequired, Nil, Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
+            if (eqBatchOk) batchRequiredEq else batchRequired, Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshConf)
         else null
       val rowFunc =
         if (cleanFormats("parquet"))
@@ -1276,7 +1324,8 @@ object GraftSparkTable {
         shredMatRowFunc = shredMatRowFunc, shredBinRowFunc = shredBinRowFunc,
         shredMatRowFuncNF = shredMatRowFuncNF,
         shredBinRowFuncNF = shredBinRowFuncNF,
-        shredParentRel = shredParentRel, shredParentFull = shredParentFull)
+        shredParentRel = shredParentRel, shredParentFull = shredParentFull,
+        batchFuncEq = batchFuncEq, eqBatchPos = eqBatchPos)
     }
 
     /** (parent, path) → materialized shred file-column name */
@@ -1374,7 +1423,13 @@ object GraftSparkTable {
       shredMatRowFuncNF: PartitionedFile => Iterator[InternalRow] = null,
       shredBinRowFuncNF: PartitionedFile => Iterator[InternalRow] = null,
       shredParentRel: Array[Int] = Array.empty,
-      shredParentFull: Array[Int] = Array.empty)
+      shredParentFull: Array[Int] = Array.empty,
+      // vectorized equality-delete masking: filtered batch reader with
+      // trailing delete-key columns (eq-only tasks), and fieldId →
+      // (batch column index, type) for key-tuple probing — both batch
+      // layouts (filtered-eq and no-filter) place the keys identically
+      batchFuncEq: PartitionedFile => Iterator[InternalRow] = null,
+      eqBatchPos: Map[Int, (Int, org.apache.spark.sql.types.DataType)] = Map.empty)
     extends PartitionReaderFactory {
 
     // per-executor shred helpers (transient: rebuilt after serialization)
@@ -1483,26 +1538,31 @@ object GraftSparkTable {
         case other                                       => other
       }
 
+    /** key positions (fullSchema) + executor-cached deleted-key set of
+      * one equality-delete file; keys are canonical values in the delete
+      * file's fieldIds order — shared by the row and columnar paths */
+    private def eqKeySet(ed: EqDeleteDesc): (Array[Int], java.util.HashSet[Seq[Any]]) = {
+      val posOf = fullSchema.fieldNames.zipWithIndex.toMap
+      val positions = ed.fieldIds.flatMap(id =>
+        fieldNamesById.get(id).flatMap(posOf.get))
+      val keys = EqDeleteCache.get(ed.path, positions.toSeq,
+        positions.toSeq.map(p => fullSchema(p).dataType.catalogString), () => {
+        val ks = new java.util.HashSet[Seq[Any]]()
+        rowFuncFull(pf(ed.path, 0, Long.MaxValue)).foreach { r =>
+          ks.add(positions.map(p => canonical(r, p, fullSchema(p).dataType)).toSeq)
+        }
+        ks
+      })
+      (positions, keys)
+    }
+
     /** rows of `t` masked by its equality (and position) deletes,
       * projected to the required data columns, with file positions */
     private def eqMaskedRows(t: TaskDesc)
         : Iterator[(InternalRow, Long, java.lang.Long, java.lang.Long, Array[Any])] = {
-      val posOf = fullSchema.fieldNames.zipWithIndex.toMap
       // per delete file: the key positions + the set of deleted keys
       val masks: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] =
-        t.eqDeletes.toSeq.map { ed =>
-          val positions = ed.fieldIds.flatMap(id =>
-            fieldNamesById.get(id).flatMap(posOf.get))
-          val keys = EqDeleteCache.get(ed.path, positions.toSeq,
-            positions.toSeq.map(p => fullSchema(p).dataType.catalogString), () => {
-            val ks = new java.util.HashSet[Seq[Any]]()
-            rowFuncFull(pf(ed.path, 0, Long.MaxValue)).foreach { r =>
-              ks.add(positions.map(p => canonical(r, p, fullSchema(p).dataType)).toSeq)
-            }
-            ks
-          })
-          (positions, keys)
-        }
+        t.eqDeletes.toSeq.map(eqKeySet)
       val posDeleted = deletedPositions(t.path, t.deletePaths)
       val project = dataRequired.fields.map(f => fullSchema.fieldIndex(f.name))
       // when lineage columns are requested, read the lineage-extended
@@ -1637,7 +1697,23 @@ object GraftSparkTable {
       val tasks = partition.asInstanceOf[GraftInputPartition].tasks
       val needPosV = metaCols.contains(MetaPosCol)
       val it: Iterator[ColumnarBatch] = tasks.iterator.flatMap { t =>
-        if (t.deletePaths.isEmpty && !needPosV) {
+        // equality-delete key probes for this task's batches (columns
+        // were planned into the batch layout; missing would mis-read)
+        val eqMasks: Array[(Array[(Int, org.apache.spark.sql.types.DataType)],
+            java.util.HashSet[Seq[Any]])] =
+          t.eqDeletes.map { ed =>
+            val cols = ed.fieldIds.flatMap(id => eqBatchPos.get(id))
+            require(cols.length == ed.fieldIds.length,
+              s"equality-delete key columns missing from batch read: ${ed.path}")
+            (cols, eqKeySet(ed)._2)
+          }
+        def eqDead(cb: ColumnarBatch, i: Int): Boolean = {
+          val r = cb.getRow(i)
+          eqMasks.exists { case (cols, keys) =>
+            keys.contains(cols.map { case (p, dt) => canonical(r, p, dt) }.toSeq)
+          }
+        }
+        if (t.deletePaths.isEmpty && t.eqDeletes.isEmpty && !needPosV) {
           // filtered split reads; metadata is task-constant except the
           // materialized shred columns, which ride along as trailing
           // batch columns and slot into their requested positions
@@ -1658,6 +1734,35 @@ object GraftSparkTable {
                 new ColumnarBatch((dataCols ++ metaVecs).toArray, n)
               }
             }
+        } else if (t.deletePaths.isEmpty && !needPosV && batchFuncEq != null) {
+          // eq-only masking on filtered split reads: equality deletes
+          // need no file positions, so split + pushdown survive; the
+          // trailing key columns are dropped after the probe
+          val nData = dataRequired.length
+          batchFuncEq(pf(t.path, t.start, t.length))
+            .asInstanceOf[Iterator[ColumnarBatch]].map { cb =>
+              val n = cb.numRows()
+              val map = new Array[Int](n)
+              var k = 0
+              var i = 0
+              while (i < n) {
+                if (!eqDead(cb, i)) { map(k) = i; k += 1 }
+                i += 1
+              }
+              val full = k == n
+              def masked(v: org.apache.spark.sql.vectorized.ColumnVector) =
+                if (full) v else new FilteredVector(v, map, k)
+                  : org.apache.spark.sql.vectorized.ColumnVector
+              val dataCols = (0 until nData).map(c => masked(cb.column(c)))
+              var shredOrd = -1
+              val metaVecs = metaCols.map { c =>
+                if (shredBatch && c.startsWith(ShredColPrefix)) {
+                  shredOrd += 1
+                  masked(cb.column(nData + shredOrd))
+                } else constMetaVec(t, c, n) // constants: no mask
+              }
+              new ColumnarBatch((dataCols ++ metaVecs).toArray, k)
+            }
         } else {
           // delete-aware / position-bearing columnar read: full-file
           // batches, masked in place, with _pos as a row-index vector
@@ -1667,6 +1772,7 @@ object GraftSparkTable {
             else deletedPositions(t.path, t.deletePaths)
           var base = 0L
           val nData = dataRequired.length
+          val hasEq = eqMasks.nonEmpty
           batchFuncNoFilter(pf(t.path, 0, Long.MaxValue))
             .asInstanceOf[Iterator[ColumnarBatch]].map { cb =>
               val n = cb.numRows()
@@ -1676,7 +1782,9 @@ object GraftSparkTable {
               var k = 0
               var i = 0
               while (i < n) {
-                if (!deleted.contains(b0 + i)) { map(k) = i; k += 1 }
+                if (!deleted.contains(b0 + i) && !(hasEq && eqDead(cb, i))) {
+                  map(k) = i; k += 1
+                }
                 i += 1
               }
               val full = k == n

@@ -2257,6 +2257,42 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       e2.getMessage.contains("not in the table schema"))
   }
 
+  test("equality deletes apply inside vectorized batches") {
+    import org.apache.spark.sql.functions._
+    spark.sql("""CREATE TABLE graft.db.eqv (id BIGINT, grp STRING, v DOUBLE)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.equality-enabled'='true')""")
+    spark.sql("CALL graft.system.set_identifier_fields('db.eqv', 'id')")
+    spark.range(0, 1000)
+      .selectExpr("id", "concat('g', id % 7) AS grp", "id * 1.5 AS v")
+      .writeTo("graft.db.eqv").append()
+    spark.sql("DELETE FROM graft.db.eqv WHERE id % 10 = 3")
+    // the deletes really are equality deletes (content code 2)
+    val dels = spark.sql("SELECT content FROM graft.db.eqv.delete_files").collect()
+    assert(dels.nonEmpty && dels.forall(_.getInt(0) === 2))
+
+    // the masked scan stays on the vectorized path...
+    val df = spark.table("graft.db.eqv").filter(col("id") < 500)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected a vectorized scan:\n$plan")
+    // ...and masks correctly: 50 of the 500 ids end in 3
+    assert(df.count() === 450)
+    assert(spark.table("graft.db.eqv").count() === 900)
+
+    // a projection that does NOT include the key column still masks
+    // (the key rides along as a dropped trailing batch column)
+    val got = spark.table("graft.db.eqv").agg(sum("v")).head().getDouble(0)
+    val expect = (0L until 1000L).filterNot(_ % 10 == 3).map(_ * 1.5).sum
+    assert(math.abs(got - expect) < 1e-6)
+
+    // eq + position deletes on the same file mask together
+    spark.sql("ALTER TABLE graft.db.eqv UNSET TBLPROPERTIES ('write.delete.equality-enabled')")
+    spark.sql("DELETE FROM graft.db.eqv WHERE id = 4")
+    assert(spark.table("graft.db.eqv").count() === 899)
+    val all = spark.table("graft.db.eqv").select("id").collect().map(_.getLong(0)).toSet
+    assert(!all.contains(4L) && !all.contains(3L) && all.contains(5L))
+  }
+
   test("merge-schema write: nested struct gains a field") {
     import org.apache.spark.sql.functions._
     spark.sql("""CREATE TABLE graft.db.msch_n (
