@@ -309,6 +309,52 @@ object RestCatalogServer {
           case ("DELETE", Array(ns, "tables", t)) =>
             if (backing.dropTable(ns.split("\\.").toSeq, t)) json(x, 200, "{}")
             else json(x, 404, s"""{"error": "no such table"}""")
+          // view routes (reference open-api listViews / loadView /
+          // createView / replaceView / dropView): documents are opaque
+          // to the server and stored under the server's warehouse
+          case ("GET", Array(ns, "views")) =>
+            val d = java.nio.file.Paths.get(
+              (warehouse +: ns.split("\\.").toSeq :+ "_views").mkString("/"))
+            val names =
+              if (!java.nio.file.Files.isDirectory(d)) Nil
+              else {
+                val s = java.nio.file.Files.list(d)
+                try {
+                  val b = Seq.newBuilder[String]
+                  s.iterator().forEachRemaining { p =>
+                    val n = p.getFileName.toString
+                    if (n.endsWith(".json")) b += n.stripSuffix(".json")
+                  }
+                  b.result().sorted
+                } finally s.close()
+              }
+            val o = MetaJson.mapper.createObjectNode()
+            val arr = o.putArray("identifiers")
+            names.foreach(arr.add)
+            json(x, 200, MetaJson.mapper.writeValueAsString(o))
+          case ("GET", Array(ns, "views", v)) =>
+            val p = (warehouse +: ns.split("\\.").toSeq :+ "_views")
+              .mkString("/") + s"/$v.json"
+            if (!GraftIO.exists(p)) json(x, 404, s"""{"error": "no such view"}""")
+            else json(x, 200, GraftIO.readString(p))
+          case ("POST", Array(ns, "views", v)) =>
+            val body = MetaJson.mapper.readTree(readBody(x))
+            val replace = body.has("replace") && body.get("replace").asBoolean()
+            val dir = (warehouse +: ns.split("\\.").toSeq :+ "_views").mkString("/")
+            val p = s"$dir/$v.json"
+            if (!replace && GraftIO.exists(p))
+              json(x, 409, s"""{"error": "view exists"}""")
+            else {
+              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+              GraftIO.writeString(p,
+                MetaJson.mapper.writeValueAsString(body.get("view")))
+              json(x, 200, "{}")
+            }
+          case ("DELETE", Array(ns, "views", v)) =>
+            val p = (warehouse +: ns.split("\\.").toSeq :+ "_views")
+              .mkString("/") + s"/$v.json"
+            if (!GraftIO.exists(p)) json(x, 404, s"""{"error": "no such view"}""")
+            else { GraftIO.delete(p); json(x, 200, "{}") }
           case _ => json(x, 404, s"""{"error": "unknown route"}""")
         }
       } catch { case e: Throwable => json(x, 400, errJson(e)) })
@@ -631,6 +677,52 @@ final class RestCatalog private (warehouse: String, uri: String,
     }
     out.result()
   }
+
+  // ------------------------------------------------------------- views
+  // view documents over the REST protocol (reference RESTCatalog
+  // implements ViewCatalog + open-api view routes): the server stores
+  // opaque documents, so views never depend on a filesystem the client
+  // shares with the server
+
+  def listViewNames(namespace: Seq[String]): Seq[String] = {
+    val (code, body) = RestHttp.get(
+      s"$uri/v1/namespaces/${ns(namespace)}/views", hdrs)
+    if (code != 200) Nil
+    else {
+      val out = Seq.newBuilder[String]
+      MetaJson.mapper.readTree(body).get("identifiers").elements()
+        .forEachRemaining(e => out += e.asText())
+      out.result()
+    }
+  }
+
+  def loadViewDoc(namespace: Seq[String], name: String): Option[String] = {
+    val (code, body) = RestHttp.get(
+      s"$uri/v1/namespaces/${ns(namespace)}/views/$name", hdrs)
+    if (code == 200) Some(body) else None
+  }
+
+  /** store a view document; IllegalStateException on 409 (exists) */
+  def putViewDoc(namespace: Seq[String], name: String, doc: String,
+      replace: Boolean): Unit = {
+    val o = MetaJson.mapper.createObjectNode()
+    o.put("replace", replace)
+    o.set[com.fasterxml.jackson.databind.JsonNode]("view",
+      MetaJson.mapper.readTree(doc))
+    val (code, resp) = RestHttp.post(
+      s"$uri/v1/namespaces/${ns(namespace)}/views/$name",
+      MetaJson.mapper.writeValueAsString(o), hdrs)
+    code match {
+      case 200 => ()
+      case 409 => throw new IllegalStateException(
+        s"view already exists: ${ns(namespace)}.$name")
+      case _ => throw new IllegalArgumentException(
+        s"view store rejected by server: $resp")
+    }
+  }
+
+  def dropViewDoc(namespace: Seq[String], name: String): Boolean =
+    RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/views/$name", hdrs)._1 == 200
 }
 
 object RestCatalog {

@@ -331,29 +331,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   // ----------------------------------------------------------------- views
-  // catalog-stored SQL views (reference view-spec.md; SparkView.java)
+  // catalog-stored SQL views (reference view-spec.md; SparkView.java).
+  // REST-backed catalogs serve view documents over the protocol
+  // (reference RESTCatalog implements ViewCatalog); everything else
+  // stores them under the warehouse.
+  private def viewDocs: GraftViewStore.ViewDocs = GraftViewStore.docsFor(catalog)
+
   override def listViews(namespace: String*): Array[Identifier] =
-    GraftViewStore.list(catalog.warehouse, namespace)
+    GraftViewStore.list(viewDocs, namespace)
       .map(n => Identifier.of(namespace.toArray, n)).toArray
 
   override def loadView(ident: Identifier): View =
-    GraftViewStore.load(catalog.warehouse, ident)
+    GraftViewStore.load(viewDocs, ident)
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
 
   override def createView(info: ViewInfo): View =
-    GraftViewStore.create(catalog.warehouse, info, replace = false)
+    GraftViewStore.create(viewDocs, info, replace = false)
 
   override def replaceView(info: ViewInfo, orCreate: Boolean): View =
-    GraftViewStore.create(catalog.warehouse, info, replace = true)
+    GraftViewStore.create(viewDocs, info, replace = true)
 
   override def alterView(ident: Identifier, changes: ViewChange*): View =
-    GraftViewStore.alter(catalog.warehouse, ident, changes)
+    GraftViewStore.alter(viewDocs, ident, changes)
 
   override def dropView(ident: Identifier): Boolean =
-    GraftViewStore.drop(catalog.warehouse, ident)
+    GraftViewStore.drop(viewDocs, ident)
 
   override def renameView(from: Identifier, to: Identifier): Unit =
-    GraftViewStore.rename(catalog.warehouse, from, to)
+    GraftViewStore.rename(viewDocs, from, to)
 
   // -------------------------------------------------------------- staging
   // CTAS/RTAS (reference SparkCatalog stage* + BaseTransaction staged

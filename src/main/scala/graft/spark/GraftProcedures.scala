@@ -1306,7 +1306,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val parts = viewName.split("\\.").toSeq
       val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
         parts.init.toArray, parts.last)
-      GraftViewStore.create(catalog.warehouse,
+      GraftViewStore.create(GraftViewStore.docsFor(catalog),
         new org.apache.spark.sql.connector.catalog.ViewInfo(ident, sql,
           spark.sessionState.catalogManager.currentCatalog.name,
           Array.empty[String], schema, schema.fieldNames,
@@ -1317,7 +1317,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
     case "drop_view" =>
       val viewName = input.getUTF8String(0).toString
       val parts = viewName.split("\\.").toSeq
-      val dropped = GraftViewStore.drop(catalog.warehouse,
+      val dropped = GraftViewStore.drop(GraftViewStore.docsFor(catalog),
         org.apache.spark.sql.connector.catalog.Identifier.of(parts.init.toArray, parts.last))
       out(StructType(Seq(StructField("dropped", BooleanType))), row(dropped))
 

@@ -26,11 +26,74 @@ object GraftViewStore {
   private val HistoryProp = "version.history.num-entries"
   private val DefaultHistory = 10
 
-  private def dir(warehouse: String, namespace: Seq[String]): String =
-    (warehouse +: namespace :+ "_views").mkString("/")
+  /** where view documents live: the warehouse filesystem for directory /
+    * JDBC catalogs, the REST protocol for REST catalogs (reference
+    * RESTCatalog implements ViewCatalog — views must not depend on a
+    * filesystem the client shares with the server) */
+  trait ViewDocs {
+    def get(namespace: Seq[String], name: String): Option[String]
+    /** throws ViewAlreadyExistsException when present and !replace */
+    def put(namespace: Seq[String], name: String, doc: String, replace: Boolean): Unit
+    def delete(namespace: Seq[String], name: String): Boolean
+    def names(namespace: Seq[String]): Seq[String]
+  }
 
-  private def path(warehouse: String, ident: Identifier): String =
-    s"${dir(warehouse, ident.namespace.toSeq)}/${ident.name}.json"
+  final case class FileViewDocs(warehouse: String) extends ViewDocs {
+    private def dir(namespace: Seq[String]): String =
+      (warehouse +: namespace :+ "_views").mkString("/")
+    private def path(namespace: Seq[String], name: String): String =
+      s"${dir(namespace)}/$name.json"
+    override def get(namespace: Seq[String], name: String): Option[String] = {
+      val p = path(namespace, name)
+      if (GraftIO.exists(p)) Some(GraftIO.readString(p)) else None
+    }
+    override def put(namespace: Seq[String], name: String, doc: String,
+        replace: Boolean): Unit = {
+      if (!replace && GraftIO.exists(path(namespace, name)))
+        throw new ViewAlreadyExistsException(
+          Identifier.of(namespace.toArray, name))
+      java.nio.file.Files.createDirectories(GraftIO.toPath(dir(namespace)))
+      GraftIO.writeString(path(namespace, name), doc)
+    }
+    override def delete(namespace: Seq[String], name: String): Boolean = {
+      val p = path(namespace, name)
+      val existed = GraftIO.exists(p)
+      GraftIO.delete(p)
+      existed
+    }
+    override def names(namespace: Seq[String]): Seq[String] = {
+      val d = GraftIO.toPath(dir(namespace))
+      if (!java.nio.file.Files.isDirectory(d)) Nil
+      else java.nio.file.Files.list(d).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json")).toSeq
+    }
+  }
+
+  final class RestViewDocs(rc: graft.core.meta.RestCatalog) extends ViewDocs {
+    override def get(namespace: Seq[String], name: String): Option[String] =
+      rc.loadViewDoc(namespace, name)
+    override def put(namespace: Seq[String], name: String, doc: String,
+        replace: Boolean): Unit =
+      try rc.putViewDoc(namespace, name, doc, replace)
+      catch {
+        case _: IllegalStateException =>
+          throw new ViewAlreadyExistsException(
+            Identifier.of(namespace.toArray, name))
+      }
+    override def delete(namespace: Seq[String], name: String): Boolean =
+      rc.dropViewDoc(namespace, name)
+    override def names(namespace: Seq[String]): Seq[String] =
+      rc.listViewNames(namespace)
+  }
+
+  /** pick the doc store for a catalog backing: REST catalogs serve view
+    * documents over the protocol, everything else uses the warehouse */
+  def docsFor(cat: graft.core.meta.HadoopCatalog): ViewDocs = cat match {
+    case c: graft.core.meta.CachingCatalog => docsFor(c.underlying)
+    case r: graft.core.meta.RestCatalog    => new RestViewDocs(r)
+    case c                                 => FileViewDocs(c.warehouse)
+  }
 
   /** one immutable view definition (view-spec "Versions") */
   final case class ViewVersion(
@@ -65,7 +128,7 @@ object GraftViewStore {
     override def properties(): util.Map[String, String] = props.asJava
   }
 
-  private def write(warehouse: String, ident: Identifier, v: StoredView): Unit = {
+  private def toJson(v: StoredView): String = {
     val o = MetaJson.mapper.createObjectNode()
     o.put("format-version", 1)
       .put("name", v.viewName)
@@ -89,9 +152,7 @@ object GraftViewStore {
       vl.addObject().put("timestamp-ms", ts).put("version-id", id)
     }
     val p = o.putObject("properties"); v.props.foreach { case (k, x) => p.put(k, x) }
-    java.nio.file.Files.createDirectories(
-      GraftIO.toPath(dir(warehouse, ident.namespace.toSeq)))
-    GraftIO.writeString(path(warehouse, ident), MetaJson.mapper.writeValueAsString(o))
+    MetaJson.mapper.writeValueAsString(o)
   }
 
   private def readArr(n: com.fasterxml.jackson.databind.JsonNode, f: String): Seq[String] = {
@@ -100,11 +161,15 @@ object GraftViewStore {
     b.result()
   }
 
-  def load(warehouse: String, ident: Identifier): Option[StoredView] = {
-    val p = path(warehouse, ident)
-    if (!GraftIO.exists(p)) None
-    else {
-      val n = MetaJson.mapper.readTree(GraftIO.readString(p))
+  def load(warehouse: String, ident: Identifier): Option[StoredView] =
+    load(FileViewDocs(warehouse), ident)
+
+  def load(docs: ViewDocs, ident: Identifier): Option[StoredView] =
+    docs.get(ident.namespace.toSeq, ident.name).map(fromJson)
+
+  private def fromJson(doc: String): StoredView = {
+    {
+      val n = MetaJson.mapper.readTree(doc)
       val props = scala.collection.mutable.Map.empty[String, String]
       if (n.has("properties"))
         n.get("properties").properties().asScala
@@ -126,11 +191,11 @@ object GraftViewStore {
         if (n.has("version-log"))
           n.get("version-log").elements().forEachRemaining(e =>
             log += ((e.get("timestamp-ms").asLong(), e.get("version-id").asInt())))
-        Some(StoredView(n.get("name").asText(),
+        StoredView(n.get("name").asText(),
           if (n.has("view-uuid")) n.get("view-uuid").asText()
           else util.UUID.randomUUID.toString,
           n.get("current-version-id").asInt(), vers.result(), log.result(),
-          props.toMap))
+          props.toMap)
       } else {
         // pre-versioning single-definition document: surface as version 1
         val v1 = ViewVersion(1, 0L, n.get("sql").asText(),
@@ -138,23 +203,24 @@ object GraftViewStore {
           n.get("schema").asText(), readArr(n, "query-column-names"),
           readArr(n, "column-aliases"), readArr(n, "column-comments"),
           Map("operation" -> "create"))
-        Some(StoredView(n.get("name").asText(), util.UUID.randomUUID.toString,
-          1, Seq(v1), Seq((0L, 1)), props.toMap))
+        StoredView(n.get("name").asText(), util.UUID.randomUUID.toString,
+          1, Seq(v1), Seq((0L, 1)), props.toMap)
       }
     }
   }
 
-  def list(warehouse: String, namespace: Seq[String]): Seq[String] = {
-    val d = GraftIO.toPath(dir(warehouse, namespace))
-    if (!java.nio.file.Files.isDirectory(d)) Nil
-    else java.nio.file.Files.list(d).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json")).toSeq
-  }
+  def list(warehouse: String, namespace: Seq[String]): Seq[String] =
+    FileViewDocs(warehouse).names(namespace)
 
-  def create(warehouse: String, info: ViewInfo, replace: Boolean): StoredView = {
+  def list(docs: ViewDocs, namespace: Seq[String]): Seq[String] =
+    docs.names(namespace)
+
+  def create(warehouse: String, info: ViewInfo, replace: Boolean): StoredView =
+    create(FileViewDocs(warehouse), info, replace)
+
+  def create(docs: ViewDocs, info: ViewInfo, replace: Boolean): StoredView = {
     val ident = info.ident
-    val existing = load(warehouse, ident)
+    val existing = load(docs, ident)
     if (!replace && existing.isDefined)
       throw new ViewAlreadyExistsException(ident)
     val now = System.currentTimeMillis()
@@ -174,12 +240,16 @@ object GraftViewStore {
     val v = StoredView(ident.name,
       existing.map(_.viewUuid).getOrElse(util.UUID.randomUUID.toString),
       nextId, versions, log, newProps)
-    write(warehouse, ident, v)
+    docs.put(ident.namespace.toSeq, ident.name, toJson(v),
+      replace = existing.isDefined)
     v
   }
 
-  def alter(warehouse: String, ident: Identifier, changes: Seq[ViewChange]): StoredView = {
-    val v = load(warehouse, ident).getOrElse(throw new NoSuchViewException(ident))
+  def alter(warehouse: String, ident: Identifier, changes: Seq[ViewChange]): StoredView =
+    alter(FileViewDocs(warehouse), ident, changes)
+
+  def alter(docs: ViewDocs, ident: Identifier, changes: Seq[ViewChange]): StoredView = {
+    val v = load(docs, ident).getOrElse(throw new NoSuchViewException(ident))
     var props = v.props
     changes.foreach {
       case sp: ViewChange.SetProperty    => props += (sp.property -> sp.value)
@@ -189,21 +259,24 @@ object GraftViewStore {
     // property changes do not create a version (view-spec: versions are
     // immutable view DEFINITIONS)
     val updated = v.copy(props = props)
-    write(warehouse, ident, updated)
+    docs.put(ident.namespace.toSeq, ident.name, toJson(updated), replace = true)
     updated
   }
 
-  def drop(warehouse: String, ident: Identifier): Boolean = {
-    val p = path(warehouse, ident)
-    val existed = GraftIO.exists(p)
-    GraftIO.delete(p)
-    existed
-  }
+  def drop(warehouse: String, ident: Identifier): Boolean =
+    drop(FileViewDocs(warehouse), ident)
 
-  def rename(warehouse: String, from: Identifier, to: Identifier): Unit = {
-    val v = load(warehouse, from).getOrElse(throw new NoSuchViewException(from))
-    if (GraftIO.exists(path(warehouse, to))) throw new ViewAlreadyExistsException(to)
-    write(warehouse, to, v.copy(viewName = to.name))
-    GraftIO.delete(path(warehouse, from))
+  def drop(docs: ViewDocs, ident: Identifier): Boolean =
+    docs.delete(ident.namespace.toSeq, ident.name)
+
+  def rename(warehouse: String, from: Identifier, to: Identifier): Unit =
+    rename(FileViewDocs(warehouse), from, to)
+
+  def rename(docs: ViewDocs, from: Identifier, to: Identifier): Unit = {
+    val v = load(docs, from).getOrElse(throw new NoSuchViewException(from))
+    if (load(docs, to).isDefined) throw new ViewAlreadyExistsException(to)
+    docs.put(to.namespace.toSeq, to.name, toJson(v.copy(viewName = to.name)),
+      replace = false)
+    docs.delete(from.namespace.toSeq, from.name)
   }
 }

@@ -64,6 +64,42 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("SELECT * FROM rcat.db.rt").collect())
   }
 
+  test("views are served over the REST protocol") {
+    spark.sql("CREATE TABLE rcat.db.vt2 (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO rcat.db.vt2 VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    spark.sql("CALL rcat.system.create_view('db.v_rest', " +
+      "'SELECT id, v FROM rcat.db.vt2 WHERE id >= 2')")
+    assert(spark.sql("SELECT * FROM rcat.db.v_rest").count() === 2)
+    // the document landed through the server (server-warehouse layout)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$warehouse/db/_views/v_rest.json")))
+
+    // a second, independent REST client sees the view and its versions
+    val rc2 = RestCatalog.connect(uri)
+    val docs2 = new GraftViewStore.RestViewDocs(rc2)
+    assert(rc2.listViewNames(Seq("db")) === Seq("v_rest"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "v_rest")
+    assert(GraftViewStore.load(docs2, ident).get.current.sql.contains("id >= 2"))
+
+    // replace appends a version; both clients observe the move
+    spark.sql("CALL rcat.system.create_view('db.v_rest', " +
+      "'SELECT id FROM rcat.db.vt2 WHERE id >= 3', true)")
+    val stored = GraftViewStore.load(docs2, ident).get
+    assert(stored.versions.map(_.versionId) === Seq(1, 2))
+    assert(stored.currentVersionId === 2)
+    assert(spark.sql("SELECT * FROM rcat.db.v_rest").count() === 1)
+
+    // non-replace create of an existing view 409s into the catalog error
+    intercept[IllegalStateException] {
+      rc2.putViewDoc(Seq("db"), "v_rest", """{"x": 1}""", replace = false)
+    }
+
+    spark.sql("CALL rcat.system.drop_view('db.v_rest')")
+    assert(rc2.listViewNames(Seq("db")).isEmpty)
+    intercept[Exception](spark.sql("SELECT * FROM rcat.db.v_rest").collect())
+  }
+
   test("server-side CAS: stale client commit gets 409 and retries cleanly") {
     val cat = RestCatalog.connect(uri)
     val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
