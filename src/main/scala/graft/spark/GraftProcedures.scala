@@ -261,7 +261,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("target_file_size_bytes", LongType, s"${512L * 1024 * 1024}"),
         param("min_input_files", IntegerType, "2"),
         param("partial_progress_enabled", BooleanType, "false"),
-        param("partial_progress_max_commits", IntegerType, "10"))
+        param("partial_progress_max_commits", IntegerType, "10"),
+        param("where", StringType, "''"))
     case "rewrite_manifests" | "rewrite_position_deletes"
        | "rewrite_position_delete_files" =>
       Array(param("table", StringType))
@@ -662,7 +663,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         input.getUTF8String(1).toString, input.getUTF8String(2).toString,
         input.getLong(3), input.getInt(4),
         partialProgress = input.getBoolean(5),
-        maxCommits = input.getInt(6))
+        maxCommits = input.getInt(6),
+        where = input.getUTF8String(7).toString)
 
     case "rewrite_manifests" =>
       // Re-cluster live entries into partition-range-clustered manifests
@@ -1537,13 +1539,80 @@ object RewriteDataFiles {
     StructField("rewritten_bytes_count", LongType),
     StructField("failed_data_files_count", IntegerType)))
 
+  /** SQL `where` text → engine expression (reference
+    * RewriteDataFilesProcedure `where` parameter): a conservative
+    * subset — comparisons, IN, IS [NOT] NULL, AND/OR/NOT, and
+    * LIKE-'x%' prefixes — over top-level columns, with foldable
+    * literal sides (casts and literal arithmetic evaluate). Anything
+    * else is rejected loudly rather than silently rewriting more
+    * files than the caller asked for. */
+  private[spark] def parseWhere(sql: String): graft.core.expr.Expr = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import graft.core.expr.{Expr, Op, UnboundPred, TrueE}
+    val parsed = SparkSession.active.sessionState.sqlParser.parseExpression(sql)
+    def fold(e: ce.Expression): Any = {
+      require(e.foldable, s"where: non-literal operand $e")
+      e.eval(null) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal       => d.toJavaBigDecimal
+        case other                                       => other
+      }
+    }
+    def attr(e: ce.Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case _ => None
+    }
+    def cmp(l: ce.Expression, r: ce.Expression,
+        op: graft.core.expr.Operation,
+        flip: graft.core.expr.Operation): Expr =
+      attr(l) match {
+        case Some(n) => UnboundPred(op, n, Seq(fold(r)))
+        case None => attr(r) match {
+          case Some(n) => UnboundPred(flip, n, Seq(fold(l)))
+          case None => throw new IllegalArgumentException(
+            s"where: expected <column> <op> <literal>, got $l / $r")
+        }
+      }
+    def conv(e: ce.Expression): Expr = e match {
+      case ce.And(l, r) => Expr.and(conv(l), conv(r))
+      case ce.Or(l, r)  => Expr.or(conv(l), conv(r))
+      case ce.Not(c)    => Expr.not(conv(c))
+      case ce.Literal(true, _)  => TrueE
+      case ce.EqualTo(l, r)            => cmp(l, r, Op.Eq, Op.Eq)
+      case ce.LessThan(l, r)           => cmp(l, r, Op.Lt, Op.Gt)
+      case ce.GreaterThan(l, r)        => cmp(l, r, Op.Gt, Op.Lt)
+      case ce.LessThanOrEqual(l, r)    => cmp(l, r, Op.LtEq, Op.GtEq)
+      case ce.GreaterThanOrEqual(l, r) => cmp(l, r, Op.GtEq, Op.LtEq)
+      case ce.In(a, vs) if attr(a).isDefined =>
+        UnboundPred(Op.In, attr(a).get, vs.map(fold))
+      case ce.IsNull(a) if attr(a).isDefined =>
+        UnboundPred(Op.IsNull, attr(a).get)
+      case ce.IsNotNull(a) if attr(a).isDefined =>
+        UnboundPred(Op.NotNull, attr(a).get)
+      case like: ce.Like if attr(like.left).isDefined =>
+        val pat = String.valueOf(fold(like.right))
+        require(pat.endsWith("%") &&
+          !pat.dropRight(1).exists(c => c == '%' || c == '_'),
+          s"where: only prefix LIKE 'x%' is supported, got '$pat'")
+        UnboundPred(Op.StartsWith, attr(like.left).get, Seq(pat.dropRight(1)))
+      case other => throw new IllegalArgumentException(
+        s"where: unsupported predicate $other")
+    }
+    conv(parsed)
+  }
+
   def run(t: GTable, strategy: String, sortOrder: String,
       targetSize: Long, minInputFiles: Int,
       partialProgress: Boolean = false,
-      maxCommits: Int = 10): util.Iterator[Scan] = {
+      maxCommits: Int = 10,
+      where: String = ""): util.Iterator[Scan] = {
     val spark = SparkSession.active
     val schemaWithIds = graft.core.types.SparkTypes.toSparkSchema(t.schema)
     val scan = t.newScan()
+    // `where` restricts the rewrite to files that MAY match (inclusive
+    // metadata pruning — file selection, not row filtering)
+    if (where.trim.nonEmpty) scan.filter(parseWhere(where))
     // captured BEFORE planning: the commit validates that no conflicting
     // operation (row-level delete, another rewrite, overwrite) landed in
     // the scan→commit window — a MoR delete committed mid-compaction
@@ -1551,6 +1620,17 @@ object RewriteDataFiles {
     // replaced files) and its rows resurrected
     val scannedSnapshotId = scan.snapshot().map(_.snapshotId)
     val tasks = scan.planFiles()
+    // delete-file obsolescence must be judged against EVERY data file the
+    // delete applies to — a `where`-filtered plan only sees a subset, and
+    // dropping a delete still applicable to an unselected file would
+    // resurrect its rows. Same pinned snapshot, unfiltered.
+    val tasksForDeletes =
+      if (where.trim.isEmpty) tasks
+      else {
+        val s2 = t.newScan()
+        scannedSnapshotId.foreach(s2.useSnapshot)
+        s2.planFiles()
+      }
     // heterogeneous equality-key sets can't share one anti-join
     val eqIdSets = tasks.flatMap(_.deletes)
       .filter(_.content == FileContent.EqualityDeletes).map(_.equalityIds.toSet).distinct
@@ -1594,7 +1674,7 @@ object RewriteDataFiles {
     // obsolete once EVERY data file it applied to has been rewritten in
     // commits so far (masks baked into new files with higher sequences)
     val applicability = scala.collection.mutable.Map.empty[String, Set[String]]
-    tasks.foreach { ts0 =>
+    tasksForDeletes.foreach { ts0 =>
       ts0.deletes.foreach { d =>
         applicability(d.path) = applicability.getOrElse(d.path, Set.empty) + ts0.file.path
       }

@@ -796,6 +796,29 @@ object GraftSparkTable {
 
     @transient @volatile private var lastReport: Option[graft.core.meta.ScanReport] = None
 
+    // DSv2 custom metrics (reference SparkScan.supportedCustomMetrics +
+    // spark/.../source/metrics/*): the planning funnel surfaces in the
+    // Spark UI per query, not only in the scan_reports ring
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      GraftScanMetrics.supported
+
+    override def reportDriverMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      lastReport.map { r =>
+        Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
+          GraftScanMetrics.Value("totalDataManifests", r.totalManifests),
+          GraftScanMetrics.Value("scannedDataManifests", r.scannedManifests),
+          GraftScanMetrics.Value("skippedDataManifests",
+            math.max(0, r.totalManifests - r.scannedManifests)),
+          GraftScanMetrics.Value("totalDataFiles", r.totalDataFiles),
+          GraftScanMetrics.Value("resultDataFiles", r.resultTasks),
+          GraftScanMetrics.Value("skippedDataFiles",
+            math.max(0L, r.totalDataFiles - r.resultTasks)),
+          GraftScanMetrics.Value("resultDeleteFiles", r.resultDeleteFiles),
+          GraftScanMetrics.Value("totalPlanningDuration", r.planningMs))
+      }.getOrElse(Array.empty)
+
     override def readSchema(): StructType = required
 
     /** files this scan planned (post pushdown + runtime filtering);
@@ -1967,5 +1990,33 @@ object GraftSparkTable {
         case _ => false
       }
     }
+  }
+}
+
+/** DSv2 custom scan metrics (reference spark/.../source/metrics/): the
+  * planning funnel — manifests scanned vs skipped, files pruned vs
+  * planned, delete files attached, planning wall time — rendered by the
+  * Spark UI next to each scan node. */
+object GraftScanMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+
+  private final class Sum(n: String, d: String) extends CustomSumMetric {
+    override def name(): String = n
+    override def description(): String = d
+  }
+
+  val supported: Array[CustomMetric] = Array(
+    new Sum("totalDataManifests", "total data manifests"),
+    new Sum("scannedDataManifests", "scanned data manifests"),
+    new Sum("skippedDataManifests", "skipped data manifests"),
+    new Sum("totalDataFiles", "total data files"),
+    new Sum("resultDataFiles", "result data files"),
+    new Sum("skippedDataFiles", "skipped data files"),
+    new Sum("resultDeleteFiles", "result delete files"),
+    new Sum("totalPlanningDuration", "total planning duration (ms)"))
+
+  final case class Value(metricName: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
   }
 }

@@ -2257,6 +2257,52 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       e2.getMessage.contains("not in the table schema"))
   }
 
+  test("scan planning funnel surfaces as DSv2 custom metrics") {
+    spark.sql("""CREATE TABLE graft.db.cmx (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft.db.cmx VALUES
+      (1, TIMESTAMP '2024-03-01 10:00:00'), (2, TIMESTAMP '2024-03-02 10:00:00'),
+      (3, TIMESTAMP '2024-03-03 10:00:00')""")
+    val df = spark.table("graft.db.cmx")
+      .filter(org.apache.spark.sql.functions.col("ts") >=
+        org.apache.spark.sql.functions.lit("2024-03-03 00:00:00").cast("timestamp"))
+    assert(df.count() === 1)
+    df.collect()
+    val scanExec = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    val m = scanExec.metrics
+    assert(m.contains("resultDataFiles") && m.contains("skippedDataFiles") &&
+      m.contains("totalPlanningDuration"), s"metrics: ${m.keys}")
+    assert(m("resultDataFiles").value >= 1)
+    assert(m("skippedDataFiles").value >= 1) // day pruning skipped files
+  }
+
+  test("rewrite_data_files with a where filter compacts only matching files") {
+    spark.sql("CREATE TABLE graft.db.rwf (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    for (i <- 0 until 2) {
+      spark.range(i * 10, i * 10 + 10).selectExpr("id", "'a' AS cat")
+        .writeTo("graft.db.rwf").append()
+      spark.range(i * 10, i * 10 + 10).selectExpr("id", "'b' AS cat")
+        .writeTo("graft.db.rwf").append()
+    }
+    def filesPer: Map[String, Long] = spark.sql(
+      "SELECT CAST(partition AS STRING), count(*) FROM graft.db.rwf.files GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map { case (k, v) => k.split("=").last.replaceAll("[^a-z]", "") -> v }
+    assert(filesPer === Map("a" -> 2L, "b" -> 2L))
+    // filtered rewrite: only partition 'a' compacts
+    spark.sql("CALL graft.system.rewrite_data_files(" +
+      "'db.rwf', 'binpack', '', 536870912, 2, false, 10, \"cat = 'a'\")")
+    assert(filesPer === Map("a" -> 1L, "b" -> 2L))
+    assert(spark.sql("SELECT count(*) FROM graft.db.rwf").head().getLong(0) === 40L)
+    // an unsupported where is rejected, not silently widened
+    intercept[Exception] {
+      spark.sql("CALL graft.system.rewrite_data_files(" +
+        "'db.rwf', 'binpack', '', 536870912, 2, false, 10, \"length(cat) = 1\")")
+    }
+  }
+
   test("equality deletes apply inside vectorized batches") {
     import org.apache.spark.sql.functions._
     spark.sql("""CREATE TABLE graft.db.eqv (id BIGINT, grp STRING, v DOUBLE)
