@@ -117,9 +117,14 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val streamFromTs = Option(options.get("stream-from-timestamp")).map(_.toLong)
     val incremental = Option(options.get("start-snapshot-id")).map(_.toLong)
       .map(s => (s, Option(options.get("end-snapshot-id")).map(_.toLong)))
+    // reference SparkReadOptions streaming-skip-delete/overwrite-snapshots:
+    // default FAIL when the stream reaches a snapshot that removed rows
+    val streamSkip = (
+      Option(options.get("streaming-skip-delete-snapshots")).exists(_.toBoolean),
+      Option(options.get("streaming-skip-overwrite-snapshots")).exists(_.toBoolean))
     new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles,
       incremental = incremental, streamMaxRecords = maxRecords,
-      streamFromTs = streamFromTs)
+      streamFromTs = streamFromTs, streamSkip = streamSkip)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -387,7 +392,8 @@ object GraftSparkTable {
       streamMaxFiles: Option[Int] = None,
       incremental: Option[(Long, Option[Long])] = None,
       streamMaxRecords: Option[Long] = None,
-      streamFromTs: Option[Long] = None)
+      streamFromTs: Option[Long] = None,
+      streamSkip: (Boolean, Boolean) = (false, false))
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -570,7 +576,7 @@ object GraftSparkTable {
       case None =>
         val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
           asOfTs, ignoreResiduals, streamMaxFiles, incremental, streamMaxRecords,
-          streamFromTs)
+          streamFromTs, streamSkip)
         onBuild(scan)
         scan
     }
@@ -629,7 +635,8 @@ object GraftSparkTable {
       streamMaxFiles: Option[Int] = None,
       incremental: Option[(Long, Option[Long])] = None,
       streamMaxRecords: Option[Long] = None,
-      streamFromTs: Option[Long] = None)
+      streamFromTs: Option[Long] = None,
+      streamSkip: (Boolean, Boolean) = (false, false))
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -690,7 +697,8 @@ object GraftSparkTable {
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       new GraftMicroBatchStream(table, streamMaxFiles, () => buildReaderFactory(conservative = true),
-        streamMaxRecords, branch, streamFromTs)
+        streamMaxRecords, branch, streamFromTs,
+        skipDelete = streamSkip._1, skipOverwrite = streamSkip._2)
 
     private var runtimeExpr: Expr = TrueE
     @transient private var cachedTasks: Seq[FileScanTask] = _

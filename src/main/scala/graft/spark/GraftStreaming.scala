@@ -14,9 +14,12 @@ import graft.core.meta._
   * snapshots with a lower sequence number are fully processed, plus the
   * first `fileIndex` files (path-ordered) of the snapshot at that
   * sequence number. Each batch plans only the files appended in
-  * (start, end]; non-append snapshots (overwrite/delete/replace) are
-  * skipped, matching the reference's skip-overwrite option semantics.
-  * Admission control caps files per micro-batch.
+  * (start, end]. Row-removing snapshots (delete/overwrite) FAIL the
+  * stream unless streaming-skip-delete-snapshots /
+  * streaming-skip-overwrite-snapshots opt into skipping them
+  * (reference SparkMicroBatchStream + SparkReadOptions); `replace`
+  * (compaction) passes silently. Admission control caps files per
+  * micro-batch.
   */
 final class GraftMicroBatchStream(
     table: GTable,
@@ -24,9 +27,29 @@ final class GraftMicroBatchStream(
     readerFactory: () => PartitionReaderFactory,
     maxRecordsPerBatch: Option[Long] = None,
     branch: Option[String] = None,
-    streamFromTs: Option[Long] = None)
+    streamFromTs: Option[Long] = None,
+    skipDelete: Boolean = false,
+    skipOverwrite: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
+
+  /** reference SparkMicroBatchStream: an append-only stream reaching a
+    * snapshot that REMOVED rows is a correctness error by default —
+    * those rows were already emitted and cannot be retracted. The skip
+    * options opt into ignoring them; `replace` (compaction) never
+    * changes data and is always safe to pass. */
+  private def guardRemovals(snap: Snapshot): Unit = snap.operation match {
+    case "append" | "replace" => ()
+    case "delete" if !skipDelete =>
+      throw new IllegalStateException(
+        s"cannot process delete snapshot ${snap.snapshotId} in a streaming " +
+          "read: set streaming-skip-delete-snapshots=true to skip it")
+    case "overwrite" if !skipOverwrite =>
+      throw new IllegalStateException(
+        s"cannot process overwrite snapshot ${snap.snapshotId} in a streaming " +
+          "read: set streaming-skip-overwrite-snapshots=true to skip it")
+    case _ => ()
+  }
 
   import GraftMicroBatchStream._
 
@@ -111,6 +134,7 @@ final class GraftMicroBatchStream(
       .filter(sn => target.forall(t => sn.sequenceNumber <= t.seq))
       .foreach { snap =>
         if (!blocked) {
+          if (snap.sequenceNumber > s.seq) guardRemovals(snap)
           val files = addedFiles(snap)
           val from = if (snap.sequenceNumber == s.seq) s.fileIdx else 0
           val untilCap = target match {

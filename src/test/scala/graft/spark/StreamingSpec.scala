@@ -132,4 +132,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(snaps === 2L, s"expected 2 snapshots, got $snaps")
   }
+
+  test("row-removing snapshots fail the stream unless skip options opt in") {
+    spark.sql("CREATE TABLE graft.db.stream_src4 (id BIGINT)")
+    spark.sql("CREATE TABLE graft.db.stream_dst4 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.stream_src4 VALUES (1), (2), (3)")
+    val checkpoint = Files.createTempDirectory("graft-ckpt4").toString
+    val q1 = spark.readStream.table("graft.db.stream_src4")
+      .writeStream.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).toTable("graft.db.stream_dst4")
+    q1.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM graft.db.stream_dst4")
+      .head().getLong(0) === 3L)
+
+    // a CoW delete lands mid-stream: the next run must FAIL by default —
+    // row 2 was already emitted and cannot be retracted
+    spark.sql("DELETE FROM graft.db.stream_src4 WHERE id = 2")
+    spark.sql("INSERT INTO graft.db.stream_src4 VALUES (4)")
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.table("graft.db.stream_src4")
+        .writeStream.option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).toTable("graft.db.stream_dst4")
+      q2.awaitTermination(60000)
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("streaming-skip"), rootMsg(e))
+
+    // with the skip options the stream resumes and emits only the append
+    val q3 = spark.readStream
+      .option("streaming-skip-delete-snapshots", "true")
+      .option("streaming-skip-overwrite-snapshots", "true")
+      .table("graft.db.stream_src4")
+      .writeStream.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).toTable("graft.db.stream_dst4")
+    q3.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM graft.db.stream_dst4 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+  }
 }
