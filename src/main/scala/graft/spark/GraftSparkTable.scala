@@ -1727,6 +1727,9 @@ object GraftSparkTable {
     override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
       val tasks = partition.asInstanceOf[GraftInputPartition].tasks
       val needPosV = metaCols.contains(MetaPosCol)
+      // task metrics (reference SparkScan NumSplits/NumDeletes): rows
+      // masked out of batches accumulate; read by currentMetricsValues
+      var deletesApplied = 0L
       val it: Iterator[ColumnarBatch] = tasks.iterator.flatMap { t =>
         // equality-delete key probes for this task's batches (columns
         // were planned into the batch layout; missing would mis-read)
@@ -1780,6 +1783,7 @@ object GraftSparkTable {
                 if (!eqDead(cb, i)) { map(k) = i; k += 1 }
                 i += 1
               }
+              deletesApplied += n - k
               val full = k == n
               def masked(v: org.apache.spark.sql.vectorized.ColumnVector) =
                 if (full) v else new FilteredVector(v, map, k)
@@ -1818,6 +1822,7 @@ object GraftSparkTable {
                 }
                 i += 1
               }
+              deletesApplied += n - k
               val full = k == n
               def masked(v: org.apache.spark.sql.vectorized.ColumnVector) =
                 if (full) v else new FilteredVector(v, map, k)
@@ -1843,6 +1848,10 @@ object GraftSparkTable {
         override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
         override def get(): ColumnarBatch = current
         override def close(): Unit = ()
+        override def currentMetricsValues()
+            : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          Array(GraftScanMetrics.Value("numSplits", tasks.length),
+            GraftScanMetrics.Value("numDeletes", deletesApplied))
       }
     }
 
@@ -1979,6 +1988,9 @@ object GraftSparkTable {
         override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
         override def get(): InternalRow = current
         override def close(): Unit = ()
+        override def currentMetricsValues()
+            : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          Array(GraftScanMetrics.Value("numSplits", tasks.length))
       }
     }
   }
@@ -2014,6 +2026,8 @@ object GraftScanMetrics {
   }
 
   val supported: Array[CustomMetric] = Array(
+    new Sum("numSplits", "number of file splits read"),
+    new Sum("numDeletes", "number of row deletes applied"),
     new Sum("totalDataManifests", "total data manifests"),
     new Sum("scannedDataManifests", "scanned data manifests"),
     new Sum("skippedDataManifests", "skipped data manifests"),

@@ -2325,6 +2325,16 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 450)
     assert(spark.table("graft.db.eqv").count() === 900)
 
+    // task metrics: the masked rows surface as numDeletes in the UI
+    val dfm = spark.table("graft.db.eqv")
+    dfm.collect()
+    val mScan = dfm.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.metrics
+    assert(mScan.contains("numDeletes") && mScan("numDeletes").value === 100L,
+      s"numDeletes: ${mScan.get("numDeletes").map(_.value)}")
+    assert(mScan("numSplits").value >= 1)
+
     // a projection that does NOT include the key column still masks
     // (the key rides along as a dropped trailing batch column)
     val got = spark.table("graft.db.eqv").agg(sum("v")).head().getDouble(0)
