@@ -197,7 +197,17 @@ object TableMetadata {
       spec: graft.core.expr.PartitionSpec,
       properties: Map[String, String] = Map.empty): TableMetadata =
     TableMetadata(
-      formatVersion = 2,
+      // the reserved format-version property selects the spec version at
+      // creation (reference TableMetadata.newTableMetadata); v3+ changes
+      // write-side defaults (deletion vectors instead of position-delete
+      // files)
+      formatVersion = properties.get("format-version")
+        .flatMap(_.toIntOption)
+        .map { v =>
+          require(v >= 1 && v <= 4, s"unsupported format-version: $v")
+          v
+        }
+        .getOrElse(2),
       tableUuid = java.util.UUID.randomUUID.toString,
       location = location,
       lastSequenceNumber = 0L,

@@ -308,8 +308,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case p: TableChange.RemoveProperty => props = props - p.property
         case other => throw new UnsupportedOperationException(s"alter: $other")
       }
+      // the reserved format-version property UPGRADES the table's spec
+      // version (reference: downgrades are rejected; v3+ flips the delete
+      // write default to deletion vectors)
+      val newVersion = props.get("format-version").flatMap(_.toIntOption) match {
+        case Some(v) =>
+          require(v >= base.formatVersion,
+            s"cannot downgrade format-version ${base.formatVersion} -> $v")
+          require(v <= 4, s"unsupported format-version: $v")
+          v
+        case None => base.formatVersion
+      }
       val newSchema = schema.copy(schemaId = base.schemas.map(_.schemaId).max + 1)
       base.copy(
+        formatVersion = newVersion,
         schemas = base.schemas :+ newSchema,
         currentSchemaId = newSchema.schemaId,
         lastColumnId = nextId,

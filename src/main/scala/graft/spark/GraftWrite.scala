@@ -890,7 +890,10 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
       MetaJson.writeSchema(gSchemaForFile).toString,
       MetaJson.writeSpec(table.spec).toString,
       dataOwf, delOwf, confMap, delConfMap,
-      table.meta.properties.getOrElse("write.delete.format", "parquet"))
+      // v3+ tables default to deletion vectors (reference v3: DVs replace
+      // position-delete files); explicit write.delete.format still wins
+      table.meta.properties.getOrElse("write.delete.format",
+        if (table.meta.formatVersion >= 3) "dv" else "parquet"))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -2257,6 +2257,30 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       e2.getMessage.contains("not in the table schema"))
   }
 
+  test("format-version 3 tables default MoR deletes to deletion vectors") {
+    spark.sql("""CREATE TABLE graft.db.fv3 (id BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3',
+                     'write.delete.mode'='merge-on-read')""")
+    assert(coreTable("fv3").meta.formatVersion === 3)
+    spark.range(0, 100).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.fv3").append()
+    spark.sql("DELETE FROM graft.db.fv3 WHERE id % 4 = 0")
+    // the delta landed as a roaring deletion vector, not a parquet file
+    val dels = spark.sql(
+      "SELECT file_format, file_path FROM graft.db.fv3.delete_files").collect()
+    assert(dels.nonEmpty && dels.forall(_.getString(0) == "dv"), dels.mkString)
+    assert(spark.sql("SELECT count(*) FROM graft.db.fv3").head().getLong(0) === 75L)
+
+    // v2 table upgrades via the reserved property; downgrade is rejected
+    spark.sql("CREATE TABLE graft.db.fv2 (id BIGINT)")
+    assert(coreTable("fv2").meta.formatVersion === 2)
+    spark.sql("ALTER TABLE graft.db.fv2 SET TBLPROPERTIES ('format-version'='3')")
+    assert(coreTable("fv2").meta.formatVersion === 3)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.fv2 SET TBLPROPERTIES ('format-version'='2')")
+    }
+  }
+
   test("scan planning funnel surfaces as DSv2 custom metrics") {
     spark.sql("""CREATE TABLE graft.db.cmx (id BIGINT, ts TIMESTAMP)
       PARTITIONED BY (days(ts))""")
