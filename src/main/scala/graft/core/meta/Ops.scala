@@ -557,8 +557,14 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
   // first-row-id (cherry-picked appends) keep it — same rows, same ids.
   private var allocatedRows = 0L
   protected def assignRowIds(base: TableMetadata, files: Seq[DataFile]): Seq[DataFile] = {
+    // single choke point for every data-file commit (append / overwrite /
+    // delta / import / compaction): trim column metrics to the table's
+    // policy (reference MetricsConfig; write.metadata.metrics.*) so wide
+    // schemas don't bloat manifests with full string bounds at scale
+    val metricsConfig = MetricsConfig.forTable(base)
     var next = base.nextRowId + allocatedRows
-    val out = files.map { f =>
+    val out = files.map { f0 =>
+      val f = metricsConfig.trimFile(f0)
       if (f.content == FileContent.Data && f.firstRowId.isEmpty) {
         val withId = f.copy(firstRowId = Some(next)); next += f.recordCount; withId
       } else f

@@ -45,7 +45,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v26").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v27").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -54,7 +54,7 @@ object Engine {
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
-        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g")
+        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -583,8 +583,42 @@ object Engine {
       require(msCols == Seq("s_suppkey", "s_nationkey", "s_acctbal"),
         s"g52: merge-schema did not evolve the table: $msCols")
 
+      // metrics modes (g53): per-table column-metrics policy (reference
+      // MetricsConfig; write.metadata.metrics.*) — counts default, one
+      // truncate(4) column, one full column, observable through the
+      // files metadata table's bounds maps
+      s.sql("""CREATE TABLE graft.db.metrics_g (
+        p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING,
+        p_size INT, p_retailprice DOUBLE)
+        TBLPROPERTIES (
+          'write.metadata.metrics.default'='counts',
+          'write.metadata.metrics.column.p_name'='truncate(4)',
+          'write.metadata.metrics.column.p_partkey'='full')""")
+      val pm = t(s, dir, "part")
+      Seq(0, 1).foreach { m =>
+        pm.filter(col("p_partkey") % 2 === m).writeTo("graft.db.metrics_g").append()
+      }
+      val mrows = s.sql("""SELECT lower_bounds, upper_bounds, value_counts
+        FROM graft.db.metrics_g.files""").collect()
+      require(mrows.nonEmpty, "g53: no files rows")
+      mrows.foreach { r =>
+        val lo = r.getMap[Int, String](0)
+        val hi = r.getMap[Int, String](1)
+        val vc = r.getMap[Int, Long](2)
+        require(lo.contains(1) && hi.contains(1),
+          s"g53: full-mode p_partkey lost its bounds: $lo")
+        require(lo.get(2).nonEmpty && hi.get(2).nonEmpty,
+          "g53: truncate-mode p_name lost its bounds")
+        require(lo.get(2).forall(_.length <= 4) && hi.get(2).forall(_.length <= 4),
+          s"g53: p_name bounds not truncated to 4: ${lo.get(2)} / ${hi.get(2)}")
+        require(!lo.contains(3) && !hi.contains(3) && !lo.contains(5),
+          s"g53: counts-mode column kept bounds: $lo")
+        require(vc.contains(3) && vc.contains(5),
+          s"g53: counts-mode column lost value_counts: $vc")
+      }
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v26" -> "true"))
+        .updateProperties(Map("build-complete-v27" -> "true"))
     }
     built += wh
   }
@@ -1715,9 +1749,30 @@ object Engine {
           THEN CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT) END) AS BIGINT) AS sum_c
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // ------------------------------------------------------------------ g53
+  // Metrics modes: setup wrote the table under a counts default with a
+  // truncate(4) string column and asserted the trimmed bounds through
+  // the files metadata table; this query proves trimmed metrics never
+  // change results — pruning with truncated/absent bounds stays sound.
+  private val g53 = Q(
+    "g53_engine_metrics_modes",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.metrics_g")
+        .filter(col("p_name") >= "m" && col("p_size") > 10)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size").cast(LongType)).as("sum_size"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size
+      FROM part WHERE p_name >= 'm' AND p_size > 10
+      GROUP BY p_brand ORDER BY p_brand"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52)
+    g52, g53)
 }

@@ -69,7 +69,16 @@ object GraftMetadataTables {
       StructField("spec_id", IntegerType),
       StructField("partition", StringType),
       StructField("record_count", LongType),
-      StructField("file_size_in_bytes", LongType)))
+      StructField("file_size_in_bytes", LongType),
+      // per-column metrics keyed by field id (reference BaseFilesTable
+      // schema: value_counts/null_value_counts/nan_value_counts/
+      // lower_bounds/upper_bounds); bounds render human-readable, which
+      // also makes the metrics-mode policy observable (g53)
+      StructField("value_counts", MapType(IntegerType, LongType)),
+      StructField("null_value_counts", MapType(IntegerType, LongType)),
+      StructField("nan_value_counts", MapType(IntegerType, LongType)),
+      StructField("lower_bounds", MapType(IntegerType, StringType)),
+      StructField("upper_bounds", MapType(IntegerType, StringType))))
     case "entries" => StructType(Seq(
       StructField("status", IntegerType),
       StructField("snapshot_id", LongType),
@@ -309,10 +318,28 @@ object ManifestEntriesScan {
           }
         else
           filtered.iterator.map { e =>
+            val st = e.file.columnStats.toSeq.sortBy(_._1)
+            def counts(sel: graft.core.expr.ColStats => Option[Long]): Any = {
+              val kv = st.flatMap { case (id, cs) => sel(cs).map(id -> _) }
+              if (kv.isEmpty) null
+              else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2).toArray)
+            }
+            def bounds(sel: graft.core.expr.ColStats => Option[Any]): Any = {
+              val kv = st.flatMap { case (id, cs) =>
+                sel(cs).map {
+                  case b: Array[Byte] => id -> us(b.map("%02x".format(_)).mkString)
+                  case other          => id -> us(String.valueOf(other))
+                }
+              }
+              if (kv.isEmpty) null
+              else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2: Any).toArray)
+            }
             new GenericInternalRow(Array[Any](
               e.file.content, us(e.file.path), us(e.file.format), e.file.specId,
               partString(e.file.specId, e.file.partition),
-              e.file.recordCount, e.file.fileSizeBytes)): InternalRow
+              e.file.recordCount, e.file.fileSizeBytes,
+              counts(_.valueCount), counts(_.nullCount), counts(_.nanCount),
+              bounds(_.lower), bounds(_.upper))): InternalRow
           }
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
