@@ -95,10 +95,19 @@ final class JdbcTableOps(
   override def current(): Option[TableMetadata] =
     selectRow(_.getString(1)).map(p => MetaJson.readMetadata(GraftIO.readString(p), Some(p)))
 
+  override def currentMetadataPath: Option[String] =
+    selectRow(rs => Option(rs.getString(1))).flatten
+
   override def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
     val metadataPath =
       s"$metadataDir/v${baseVersion + 1}-${UUID.randomUUID}.metadata.json"
-    GraftIO.writeString(metadataPath, MetaJson.writeMetadata(updated))
+    // spec metadata-log: carry the superseded document forward, trimmed
+    // to the table's previous-versions-max (see MetadataLogs)
+    val (toWrite, expired) =
+      (if (baseVersion == 0) None else current().zip(currentMetadataPath))
+        .map { case (base, prev) => MetadataLogs.advance(base, prev, updated) }
+        .getOrElse((updated, Nil))
+    GraftIO.writeString(metadataPath, MetaJson.writeMetadata(toWrite))
     val ok = Jdbc.withConn(uri) { c =>
       if (baseVersion == 0) {
         val ps = c.prepareStatement(
@@ -139,6 +148,7 @@ final class JdbcTableOps(
       }
     }
     if (!ok) GraftIO.delete(metadataPath) // orphaned loser metadata
+    else expired.foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
     ok
   }
 }

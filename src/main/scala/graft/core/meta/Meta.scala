@@ -135,7 +135,12 @@ final case class TableMetadata(
     // v3 row lineage: next unassigned _row_id
     nextRowId: Long = 0L,
     // Puffin statistics files (format/puffin-spec.md; spec.md statistics)
-    statistics: Seq[StatisticsFile] = Nil) {
+    statistics: Seq[StatisticsFile] = Nil,
+    // spec `metadata-log`: previous metadata files, oldest first, each
+    // (timestamp the file BECAME current, file path); appended by the
+    // catalog ops at commit and trimmed to
+    // write.metadata.previous-versions-max
+    metadataLog: Seq[(Long, String)] = Nil) {
 
   def schema: GSchema = schemas.find(_.schemaId == currentSchemaId).get
   def spec: graft.core.expr.PartitionSpec = specs.find(_.specId == defaultSpecId).get

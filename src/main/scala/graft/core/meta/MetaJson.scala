@@ -331,6 +331,12 @@ object MetaJson {
           .put("file-size-in-bytes", sf.fileSizeBytes)
       }
     }
+    if (m.metadataLog.nonEmpty) {
+      val ml = o.putArray("metadata-log")
+      m.metadataLog.foreach { case (ts, f) =>
+        ml.addObject().put("timestamp-ms", ts).put("metadata-file", wp(f))
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
@@ -406,6 +412,14 @@ object MetaJson {
             e.get("file-size-in-bytes").asLong())
         })
         st.result()
+      },
+      metadataLog = {
+        val ml = Seq.newBuilder[(Long, String)]
+        Option(n.get("metadata-log")).foreach(_.elements().forEachRemaining { e =>
+          ml += ((e.get("timestamp-ms").asLong(),
+            res(e.get("metadata-file").asText())))
+        })
+        ml.result()
       })
   }
 }

@@ -144,6 +144,9 @@ trait TableOps {
   def current(): Option[TableMetadata]
   /** CAS: commit `updated` as version baseVersion+1. */
   def commit(baseVersion: Int, updated: TableMetadata): Boolean
+  /** Where the current metadata document lives, when the backend stores
+    * one (file + JDBC pointer catalogs); feeds metadata_log_entries. */
+  def currentMetadataPath: Option[String] = None
 
   def newManifestPath(): String = s"$metadataDir/manifest-${UUID.randomUUID}.json"
   def newManifestListPath(snapshotId: Long): String =
@@ -161,18 +164,24 @@ final class FileTableOps(val location: String) extends TableOps {
 
   def current(): Option[TableMetadata] = {
     val v = currentVersion()
-    if (v == 0) None
-    else {
-      // v{N}.metadata.json paths are predictable (a dropped + recreated
-      // table reuses them), so guard the parse cache with a stat: same
-      // (size, mtime) ⇒ same content on any posix filesystem we target
-      val path = versionFile(v)
-      val attrs = Files.readAttributes(GraftIO.toPath(path),
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-      val key = s"$path#${attrs.size}#${attrs.lastModifiedTime.toMillis}"
-      Some(FileTableOps.metaCache.get(key)(
-        MetaJson.readMetadata(GraftIO.readString(path), Some(path))))
-    }
+    if (v == 0) None else Some(read(v))
+  }
+
+  override def currentMetadataPath: Option[String] = {
+    val v = currentVersion()
+    if (v == 0) None else Some(versionFile(v))
+  }
+
+  // v{N}.metadata.json paths are predictable (a dropped + recreated
+  // table reuses them), so guard the parse cache with a stat: same
+  // (size, mtime) ⇒ same content on any posix filesystem we target
+  private def read(v: Int): TableMetadata = {
+    val path = versionFile(v)
+    val attrs = Files.readAttributes(GraftIO.toPath(path),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = s"$path#${attrs.size}#${attrs.lastModifiedTime.toMillis}"
+    FileTableOps.metaCache.get(key)(
+      MetaJson.readMetadata(GraftIO.readString(path), Some(path)))
   }
 
   def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
@@ -181,16 +190,49 @@ final class FileTableOps(val location: String) extends TableOps {
     // the old path is empty — without this check a straggling writer
     // that planned before the move would recreate the old directory as a
     // zombie table and its commit would silently vanish from the renamed
-    // table (version files are never deleted in place, so an absent base
-    // always means drop or move, both of which must fail the CAS).
+    // table (the current and recent version files are never deleted in
+    // place, so an absent base always means drop or move, both of which
+    // must fail the CAS).
     if (baseVersion > 0 && !GraftIO.exists(versionFile(baseVersion)))
       return false
-    val ok = GraftIO.atomicCreate(versionFile(baseVersion + 1), MetaJson.writeMetadata(updated))
+    // spec metadata-log: the superseded file becomes a previous-metadata
+    // entry, trimmed to write.metadata.previous-versions-max
+    val (toWrite, expired) =
+      if (baseVersion == 0) (updated, Nil)
+      else MetadataLogs.advance(read(baseVersion), versionFile(baseVersion), updated)
+    val ok = GraftIO.atomicCreate(versionFile(baseVersion + 1), MetaJson.writeMetadata(toWrite))
     if (ok) { // best-effort hint for readers
       try GraftIO.writeString(s"$metadataDir/version-hint.text", (baseVersion + 1).toString)
       catch { case _: Throwable => () }
+      expired.foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
     }
     ok
+  }
+}
+
+/** spec `metadata-log` maintenance, shared by the pointer-commit impls:
+  * append the superseded metadata file (stamped with the time it became
+  * current), trim to `write.metadata.previous-versions-max` (default
+  * 100), and — only when `write.metadata.delete-after-commit.enabled` —
+  * hand back the files that fell off the log for deletion AFTER the CAS
+  * succeeds (reference TableMetadata.addPreviousFile +
+  * BaseMetastoreTableOperations.deleteRemovedMetadataFiles). Without the
+  * trim a long-lived table accumulates one metadata file per commit
+  * forever — millions of files at streaming commit rates. */
+object MetadataLogs {
+  val MaxKey = "write.metadata.previous-versions-max"
+  val DeleteKey = "write.metadata.delete-after-commit.enabled"
+
+  def advance(base: TableMetadata, baseFile: String,
+      updated: TableMetadata): (TableMetadata, Seq[String]) = {
+    val appended = base.metadataLog :+ ((base.lastUpdatedMs, baseFile))
+    val max = updated.properties.get(MaxKey).flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(100)
+    val trimmed = appended.takeRight(max)
+    val dropped = appended.take(appended.size - trimmed.size).map(_._2)
+    val withLog = updated.copy(metadataLog = trimmed)
+    if (updated.properties.get(DeleteKey).contains("true")) (withLog, dropped)
+    else (withLog, Nil)
   }
 }
 

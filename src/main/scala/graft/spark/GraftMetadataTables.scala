@@ -93,7 +93,8 @@ object GraftMetadataTables {
       StructField("total_size_in_bytes", LongType)))
     case "metadata_log_entries" => StructType(Seq(
       StructField("timestamp", TimestampType),
-      StructField("snapshot_id", LongType)))
+      StructField("file", StringType),
+      StructField("latest_snapshot_id", LongType)))
     case "position_deletes" => StructType(Seq(
       StructField("file_path", StringType),
       StructField("pos", LongType),
@@ -204,9 +205,19 @@ object GraftMetadataTables {
                 ps, specId, records, files.toInt, bytes)): InternalRow
             }
         }
-      case "metadata_log_entries" => m.snapshotLog.map { case (ts, id) =>
-        new GenericInternalRow(Array[Any](ts * 1000L, id)): InternalRow
-      }.toArray
+      case "metadata_log_entries" =>
+        // reference MetadataLogEntriesTable: one row per previous metadata
+        // file (spec metadata-log) plus the current document; the latest
+        // snapshot of each is the newest snapshot-log entry at or before
+        // the time the file became current
+        val entries = m.metadataLog ++
+          table.ops.currentMetadataPath.map(p => (m.lastUpdatedMs, p)).toSeq
+        entries.map { case (ts, file) =>
+          val latest = m.snapshotLog.filter(_._1 <= ts).lastOption.map(_._2)
+          new GenericInternalRow(Array[Any](
+            ts * 1000L, s(file),
+            latest.map(java.lang.Long.valueOf).orNull)): InternalRow
+        }.toArray
       case "scan_reports" =>
         // this session's recent planning reports for THIS table, newest
         // first (driver-side ring; reference ScanReport metrics)

@@ -52,6 +52,47 @@ class MetaSpec extends AnyFunSuite {
     assert(rt === m)
   }
 
+  test("metadata-log: append, trim to previous-versions-max, delete-after-commit") {
+    val cat = tempCatalog()
+    val t = cat.createTable(Seq("db"), "ml", schema,
+      PartitionSpec.Unpartitioned,
+      Map("write.metadata.previous-versions-max" -> "2"))
+    (1 to 4).foreach { i =>
+      t.newAppend().appendFile(dataFile(s"f$i.parquet", Nil, (i * 10L, i * 10L + 5)))
+        .commit()
+    }
+    // 5 commits total (create + 4 appends): log carries only the last 2
+    // previous documents, oldest first, with became-current timestamps
+    val m = t.refresh()
+    assert(m.metadataLog.size === 2)
+    assert(m.metadataLog.map(_._2).forall(_.contains(".metadata.json")))
+    assert(m.metadataLog.last._2.contains("v4"))
+    assert(m.metadataLog.map(_._1) === m.metadataLog.map(_._1).sorted)
+    // without delete-after-commit the superseded files stay on disk
+    val mdir = s"${t.location}/metadata"
+    def versions = GraftIO.list(mdir).filter(_.endsWith(".metadata.json"))
+      .map(p => p.split("/").last).sorted
+    assert(versions === Seq("v1.metadata.json", "v2.metadata.json",
+      "v3.metadata.json", "v4.metadata.json", "v5.metadata.json"))
+    // enabling delete-after-commit removes files as they fall off the log
+    t.updateProperties(Map("write.metadata.delete-after-commit.enabled" -> "true"))
+    t.newAppend().appendFile(dataFile("f9.parquet", Nil, (90L, 95L))).commit()
+    // the two delete-enabled commits (v6, v7) each removed the file that
+    // fell off the log (v3, then v4); files orphaned back when deletion
+    // was disabled stay put — remove_orphan_files territory, as in the
+    // reference
+    val after = versions
+    assert(after.contains("v7.metadata.json"))
+    assert(!after.contains("v3.metadata.json") && !after.contains("v4.metadata.json"))
+    assert(after.contains("v1.metadata.json") && after.contains("v2.metadata.json"))
+    // the CAS base (v6) and its predecessor (v5) are the retained log
+    val m2 = t.refresh()
+    assert(m2.metadataLog.map(_._2.split("/").last) ===
+      Seq("v5.metadata.json", "v6.metadata.json"))
+    // round-trip fidelity for the new field
+    assert(MetaJson.readMetadata(MetaJson.writeMetadata(m2)) === m2)
+  }
+
   test("partition + stats pruning with residuals") {
     val cat = tempCatalog()
     val spec = PartitionSpec.of(schema, "ts" -> DayT)

@@ -2396,4 +2396,22 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getString(1) === "x" && rows(0).isNullAt(2))
     assert(rows(1).getString(1) === "y" && rows(1).getDouble(2) === 1.5)
   }
+
+  test("metadata_log_entries lists previous metadata files with latest snapshots") {
+    spark.sql("CREATE TABLE graft.db.mlog (id BIGINT, data STRING)")
+    spark.sql("INSERT INTO graft.db.mlog VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.db.mlog VALUES (2, 'b')")
+
+    val rows = spark.sql("""SELECT file, latest_snapshot_id
+      FROM graft.db.mlog.metadata_log_entries ORDER BY timestamp""").collect()
+    // create + 2 inserts = v1, v2 previous + v3 current
+    assert(rows.length === 3)
+    assert(rows.map(_.getString(0)).forall(_.endsWith(".metadata.json")))
+    assert(rows(0).isNullAt(1)) // pre-first-snapshot document
+    val snaps = spark.sql(
+      "SELECT snapshot_id FROM graft.db.mlog.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0))
+    assert(rows(1).getLong(1) === snaps(0)) // v2 was current at snapshot 1
+    assert(rows(2).getLong(1) === snaps(1)) // current doc carries snapshot 2
+  }
 }
