@@ -75,8 +75,14 @@ final case class ManifestFile(
     existingFilesCount: Int,
     deletedFilesCount: Int,
     addedRowsCount: Long,
-    partitionSummaries: Seq[FieldSummary] = Nil) {
+    partitionSummaries: Seq[FieldSummary] = Nil,
+    // spec manifest-list existing_rows_count / deleted_rows_count: row
+    // counts of Existing / Deleted entries, so live-row totals are a
+    // manifest-list sum instead of an entry scan
+    existingRowsCount: Long = 0L,
+    deletedRowsCount: Long = 0L) {
   def hasLiveFiles: Boolean = addedFilesCount + existingFilesCount > 0
+  def liveRowsCount: Long = addedRowsCount + existingRowsCount
 }
 
 final case class Snapshot(

@@ -243,6 +243,7 @@ object MetaJson {
       .put("min-seq", m.minSequenceNumber)
       .put("added-files", m.addedFilesCount).put("existing-files", m.existingFilesCount)
       .put("deleted-files", m.deletedFilesCount).put("added-rows", m.addedRowsCount)
+      .put("existing-rows", m.existingRowsCount).put("deleted-rows", m.deletedRowsCount)
     val arr = o.putArray("summaries")
     m.partitionSummaries.foreach { s =>
       val so = arr.addObject()
@@ -263,7 +264,11 @@ object MetaJson {
       n.get("content").asInt(), n.get("added-snapshot-id").asLong(),
       n.get("min-seq").asLong(), n.get("added-files").asInt(),
       n.get("existing-files").asInt(), n.get("deleted-files").asInt(),
-      n.get("added-rows").asLong(), sums.result())
+      n.get("added-rows").asLong(), sums.result(),
+      // absent in pre-existing lists → 0 (their Existing rows predate
+      // the field; totals resume exactness from the next rewrite)
+      existingRowsCount = Option(n.get("existing-rows")).map(_.asLong()).getOrElse(0L),
+      deletedRowsCount = Option(n.get("deleted-rows")).map(_.asLong()).getOrElse(0L))
   }
 
   // ------------------------------------------------------------- table metadata

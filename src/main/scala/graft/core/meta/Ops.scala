@@ -380,7 +380,11 @@ object ManifestIO {
       deletedFilesCount = entries.count(_.status == ManifestEntryStatus.Deleted),
       addedRowsCount = liveEntries.filter(_.status == ManifestEntryStatus.Added)
         .map(_.file.recordCount).sum,
-      partitionSummaries = summaries)
+      partitionSummaries = summaries,
+      existingRowsCount = entries.filter(_.status == ManifestEntryStatus.Existing)
+        .map(_.file.recordCount).sum,
+      deletedRowsCount = entries.filter(_.status == ManifestEntryStatus.Deleted)
+        .map(_.file.recordCount).sum)
   }
 
   def readEntries(m: ManifestFile): Seq[ManifestEntry] =
@@ -629,8 +633,19 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       val listPath = table.ops.newManifestListPath(snapshotId)
       ManifestIO.writeList(listPath, ms)
       val parent = parentSnapshot(base).map(_.snapshotId)
+      // table-state totals (reference SnapshotSummary total-* metrics):
+      // exact sums over the new manifest list — O(#manifests), no entry
+      // scan, no fragile chaining from the parent's summary
+      val dataMs = ms.filter(_.content == 0)
+      val delMs = ms.filter(_.content == 1)
+      val totals = Map(
+        "total-data-files" ->
+          dataMs.map(m => (m.addedFilesCount + m.existingFilesCount).toLong).sum.toString,
+        "total-delete-files" ->
+          delMs.map(m => (m.addedFilesCount + m.existingFilesCount).toLong).sum.toString,
+        "total-records" -> dataMs.map(_.liveRowsCount).sum.toString)
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
-        operationName, listPath, summary(base) ++ extraSummary,
+        operationName, listPath, summary(base) ++ totals ++ extraSummary,
         firstRowId = if (allocatedRows > 0) Some(base.nextRowId) else None,
         schemaId = Some(base.currentSchemaId))
       val updated0 =

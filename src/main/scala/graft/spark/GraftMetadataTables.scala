@@ -33,6 +33,16 @@ object GraftMetadataTables {
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
+  /** Map[String,String] → MapData with keys and values from ONE
+    * pairwise traversal. Never build the arrays from `.keys.map(...)` /
+    * `.values.map(...)`: mapping the keySet yields a NEW hash-ordered
+    * Set (UTF8String hashing ≠ String hashing) while the values keep
+    * insertion order — above 4 entries the two silently misalign. */
+  private def strMap(m: Map[String, String]): ArrayBasedMapData = {
+    val kv = m.toSeq
+    ArrayBasedMapData(kv.map(e => s(e._1)).toArray, kv.map(e => s(e._2)).toArray)
+  }
+
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
       StructField("committed_at", TimestampType),
@@ -145,8 +155,7 @@ object GraftMetadataTables {
         new GenericInternalRow(Array[Any](
           sn.timestampMs * 1000L, sn.snapshotId, sn.parentId.map(Long.box).orNull,
           s(sn.operation), s(sn.manifestListPath), sn.sequenceNumber,
-          ArrayBasedMapData(sn.summary.keys.map(s).toArray,
-            sn.summary.values.map(s).toArray))): InternalRow
+          strMap(sn.summary))): InternalRow
       }.toArray
       case "history" =>
         val ancestors = {
@@ -235,8 +244,7 @@ object GraftMetadataTables {
           new GenericInternalRow(Array[Any](
             r.timestampMs * 1000L, r.snapshotId, s(r.operation), s(r.branch),
             r.attempts, r.durationMs,
-            ArrayBasedMapData(r.summary.keys.map(s).toArray,
-              r.summary.values.map(s).toArray))): InternalRow
+            strMap(r.summary))): InternalRow
         }.toArray
       case "all_manifests" =>
         // union across ALL snapshots, deduplicated by path

@@ -42,6 +42,11 @@ class MetaSpec extends AnyFunSuite {
     val m = t.refresh()
     assert(m.currentSnapshot.map(_.operation) === Some("append"))
     assert(m.lastSequenceNumber === 1L)
+    // reference SnapshotSummary total-* metrics, exact from the list
+    val sum = m.currentSnapshot.get.summary
+    assert(sum("total-data-files") === "2")
+    assert(sum("total-records") === "20")
+    assert(sum("total-delete-files") === "0")
     val tasks = t.newScan().planFiles()
     // entry paths store relative (v4 relative locations) and resolve
     // against the table location on read
