@@ -107,7 +107,8 @@ final class JdbcTableOps(
       (if (baseVersion == 0) None else current().zip(currentMetadataPath))
         .map { case (base, prev) => MetadataLogs.advance(base, prev, updated) }
         .getOrElse((updated, Nil))
-    GraftIO.writeString(metadataPath, MetaJson.writeMetadata(toWrite))
+    GraftIO.writeString(metadataPath, MetaJson.writeMetadata(toWrite),
+      GraftIO.metadataGzip(toWrite.properties))
     val ok = Jdbc.withConn(uri) { c =>
       if (baseVersion == 0) {
         val ps = c.prepareStatement(

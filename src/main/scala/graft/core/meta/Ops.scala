@@ -17,14 +17,41 @@ import graft.core.types._
 object GraftIO {
   def toPath(s: String): Path = Paths.get(s.stripPrefix("file:"))
 
-  def writeString(path: String, content: String): Unit = {
+  def writeString(path: String, content: String, gzip: Boolean = false): Unit = {
     val p = toPath(path)
     Files.createDirectories(p.getParent)
-    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    Files.write(p, encode(content, gzip))
   }
 
-  def readString(path: String): String =
-    new String(Files.readAllBytes(toPath(path)), StandardCharsets.UTF_8)
+  /** Reads transparently decompress by magic (0x1f 0x8b), so a table can
+    * flip `write.metadata.compression-codec` at any point and mixed
+    * plain/gzip metadata documents and manifests keep reading. */
+  def readString(path: String): String = {
+    val bytes = Files.readAllBytes(toPath(path))
+    if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    } else new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  private def encode(content: String, gzip: Boolean): Array[Byte] =
+    if (!gzip) content.getBytes(StandardCharsets.UTF_8)
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      out.write(content.getBytes(StandardCharsets.UTF_8))
+      out.close()
+      bos.toByteArray
+    }
+
+  /** write.metadata.compression-codec=gzip compresses metadata documents,
+    * manifest lists and manifests (reference TableProperties
+    * METADATA_COMPRESSION; manifests are natively compressed avro there —
+    * ours are JSON, where gzip is the difference between reading
+    * hundreds of MB and tens of MB of manifest text per plan at scale) */
+  def metadataGzip(props: Map[String, String]): Boolean =
+    props.get("write.metadata.compression-codec").exists(_.equalsIgnoreCase("gzip"))
 
   def exists(path: String): Boolean = Files.exists(toPath(path))
 
@@ -91,11 +118,11 @@ object GraftIO {
 
   /** Atomically create `target` with `content`; false if it already
     * exists (CAS failure). */
-  def atomicCreate(target: String, content: String): Boolean = {
+  def atomicCreate(target: String, content: String, gzip: Boolean = false): Boolean = {
     val t = toPath(target)
     Files.createDirectories(t.getParent)
     val tmp = t.resolveSibling(s".tmp-${UUID.randomUUID}")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, encode(content, gzip))
     try {
       Files.createLink(t, tmp) // atomic, fails if target exists
       true
@@ -200,7 +227,8 @@ final class FileTableOps(val location: String) extends TableOps {
     val (toWrite, expired) =
       if (baseVersion == 0) (updated, Nil)
       else MetadataLogs.advance(read(baseVersion), versionFile(baseVersion), updated)
-    val ok = GraftIO.atomicCreate(versionFile(baseVersion + 1), MetaJson.writeMetadata(toWrite))
+    val ok = GraftIO.atomicCreate(versionFile(baseVersion + 1),
+      MetaJson.writeMetadata(toWrite), GraftIO.metadataGzip(toWrite.properties))
     if (ok) { // best-effort hint for readers
       try GraftIO.writeString(s"$metadataDir/version-hint.text", (baseVersion + 1).toString)
       catch { case _: Throwable => () }
@@ -332,7 +360,8 @@ object ManifestIO {
   private val entryCache = new BoundedCache[Seq[ManifestEntry]](64)
 
   def write(path: String, entries: Seq[ManifestEntry], specId: Int, content: Int,
-      spec: PartitionSpec, schema: GSchema, snapshotId: Long): ManifestFile = {
+      spec: PartitionSpec, schema: GSchema, snapshotId: Long,
+      gzip: Boolean = false): ManifestFile = {
     // v4 relative locations: data-file paths under the table location
     // store relative (the manifest lives in {location}/metadata/, so the
     // base is recoverable at read time); foreign paths stay absolute
@@ -347,7 +376,7 @@ object ManifestIO {
     }
     val sb = new StringBuilder
     entries.foreach { e => sb.append(MetaJson.writeEntry(store(e))).append('\n') }
-    GraftIO.writeString(path, sb.toString)
+    GraftIO.writeString(path, sb.toString, gzip)
     val partType = spec.partitionType(schema)
     // Entries whose partition tuple is shorter than the spec (e.g. global
     // position deletes with partition=Nil committed under a partitioned
@@ -399,7 +428,8 @@ object ManifestIO {
         .toSeq
     }
 
-  def writeList(path: String, manifests: Seq[ManifestFile]): Unit = {
+  def writeList(path: String, manifests: Seq[ManifestFile],
+      gzip: Boolean = false): Unit = {
     val base = GraftIO.metadataBase(path)
     def store(m: ManifestFile): ManifestFile = base match {
       case Some(b) => m.copy(path = GraftIO.relativize(m.path, b))
@@ -407,7 +437,7 @@ object ManifestIO {
     }
     val arr = MetaJson.mapper.createArrayNode()
     manifests.foreach(m => arr.add(MetaJson.writeManifestFile(store(m))))
-    GraftIO.writeString(path, MetaJson.mapper.writeValueAsString(arr))
+    GraftIO.writeString(path, MetaJson.mapper.writeValueAsString(arr), gzip)
   }
 
   def readList(path: String): Seq[ManifestFile] = listCache.get(path) {
@@ -631,7 +661,7 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       allocatedRows = 0L
       val ms = manifests(base, snapshotId, seq)
       val listPath = table.ops.newManifestListPath(snapshotId)
-      ManifestIO.writeList(listPath, ms)
+      ManifestIO.writeList(listPath, ms, GraftIO.metadataGzip(base.properties))
       val parent = parentSnapshot(base).map(_.snapshotId)
       // table-state totals (reference SnapshotSummary total-* metrics):
       // exact sums over the new manifest list — O(#manifests), no entry
@@ -686,7 +716,8 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
     val entries = added.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
     val spec = base.specById(added.head.specId)
     val m = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-      FileContent.Data, spec, base.schema, snapshotId)
+      FileContent.Data, spec, base.schema, snapshotId,
+      GraftIO.metadataGzip(base.properties))
     m +: parentManifests(base)
   }
 
@@ -804,7 +835,7 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
       if (dropped.isEmpty) Some(mf)
       else if (keptEntries.isEmpty) None
       else Some(ManifestIO.write(table.ops.newManifestPath(), keptEntries, mf.specId,
-        mf.content, spec, schema, snapshotId))
+        mf.content, spec, schema, snapshotId, GraftIO.metadataGzip(base.properties)))
     }
     // A path we were told to replace is no longer live: a concurrent
     // commit (compaction, another CoW) already removed it. Committing the
@@ -825,7 +856,8 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
         val entries = fs.map(f =>
           ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
         ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-          if (isDelete) 1 else FileContent.Data, spec, schema, snapshotId)
+          if (isDelete) 1 else FileContent.Data, spec, schema, snapshotId,
+          GraftIO.metadataGzip(base.properties))
       } ++ kept
     }
   }
@@ -976,14 +1008,15 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
       val spec = base.specById(dels.head.specId)
       val entries = dels.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
       ms = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-        1, spec, schema, snapshotId) +: ms
+        1, spec, schema, snapshotId, GraftIO.metadataGzip(base.properties)) +: ms
     }
     val datas = assignRowIds(base, dataFiles.result())
     if (datas.nonEmpty) {
       val spec = base.specById(datas.head.specId)
       val entries = datas.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
       ms = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-        FileContent.Data, spec, schema, snapshotId) +: ms
+        FileContent.Data, spec, schema, snapshotId,
+        GraftIO.metadataGzip(base.properties)) +: ms
     }
     ms
   }

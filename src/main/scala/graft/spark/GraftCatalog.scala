@@ -511,13 +511,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   }
                   val nm = graft.core.meta.ManifestIO.write(ops.newManifestPath(),
                     entries, m.specId, m.content, staged.specById(m.specId),
-                    staged.schema, m.addedSnapshotId)
+                    staged.schema, m.addedSnapshotId,
+                    graft.core.meta.GraftIO.metadataGzip(staged.properties))
                   attemptFiles += nm.path
                   nm
                 })
               }
               val listPath = ops.newManifestListPath(s.snapshotId)
-              graft.core.meta.ManifestIO.writeList(listPath, newMfs)
+              graft.core.meta.ManifestIO.writeList(listPath, newMfs,
+                graft.core.meta.GraftIO.metadataGzip(staged.properties))
               attemptFiles += listPath
               s.copy(sequenceNumber = shiftSeq(s.sequenceNumber),
                 manifestListPath = listPath,

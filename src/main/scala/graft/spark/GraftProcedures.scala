@@ -689,6 +689,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val targetEntries = m.properties
         .get("commit.manifest.target-entries").flatMap(_.toIntOption)
         .getOrElse(8192)
+      val mfGzip = GraftIO.metadataGzip(m.properties)
       val written: Seq[ManifestFile] =
         if (manifests.isEmpty) Nil
         else sc.parallelize(manifests, math.max(1, math.min(manifests.size, 64)))
@@ -710,7 +711,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
               val path =
                 s"$location/metadata/manifest-${java.util.UUID.randomUUID}.json"
               outMfs += ManifestIO.write(path, buf.toSeq, specId, content,
-                specsById(specId), schema, snapshotId = 0L)
+                specsById(specId), schema, snapshotId = 0L, gzip = mfGzip)
               buf.clear()
             }
             it.foreach { case ((specId, content, _), e) =>

@@ -160,7 +160,8 @@ final class GraftMoROperation(table: GTable,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new GraftDeltaWrite(table, branchPin,
         GraftRowLevelOps.conflictInfo(() => configuredScan),
-        GraftRowLevelOps.serializableIsolation(table, cmd))
+        GraftRowLevelOps.serializableIsolation(table, cmd),
+        SnapshotProps.from(info.options))
     }
 
   override def description(): String = s"graft-mor($cmd)"

@@ -200,7 +200,8 @@ object GraftMicroBatchStream {
   * below the last committed one for the same query is skipped. */
 final class GraftStreamingWrite(table: GTable, queryId: String,
     batchFactory: PhysicalWriteInfo => org.apache.spark.sql.connector.write.DataWriterFactory,
-    truncateFirst: Boolean)
+    truncateFirst: Boolean,
+    snapshotProps: Map[String, String] = Map.empty)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -226,25 +227,23 @@ final class GraftStreamingWrite(table: GTable, queryId: String,
     val eqDeletes = msgs.collect {
       case m: GraftDeltaCommitMessage => m.deleteFiles
     }.flatten.toSeq
-    if (truncateFirst) {
-      table.newOverwrite().overwriteByRowFilter(graft.core.expr.TrueE)
-        .addFiles(dataFiles)
-        .set("streaming-query-id", queryId)
+    def withProps[P <: graft.core.meta.SnapshotProducer](p: P): P = {
+      snapshotProps.foreach { case (k, v) => p.set(k, v) }
+      p.set("streaming-query-id", queryId)
         .set("streaming-epoch-id", epochId.toString)
-        .commit()
+      p
+    }
+    if (truncateFirst) {
+      withProps(table.newOverwrite().overwriteByRowFilter(graft.core.expr.TrueE)
+        .addFiles(dataFiles)).commit()
     } else if (eqDeletes.nonEmpty) {
       // streaming upsert: new rows + equality deletes of the epoch's keys
       val rd = table.newRowDelta()
       dataFiles.foreach(rd.addRows)
       eqDeletes.foreach(rd.addDeletes)
-      rd.set("streaming-query-id", queryId)
-        .set("streaming-epoch-id", epochId.toString)
-        .commit()
+      withProps(rd).commit()
     } else {
-      table.newAppend().appendFiles(dataFiles)
-        .set("streaming-query-id", queryId)
-        .set("streaming-epoch-id", epochId.toString)
-        .commit()
+      withProps(table.newAppend().appendFiles(dataFiles)).commit()
     }
   }
 

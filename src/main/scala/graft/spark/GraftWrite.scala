@@ -99,7 +99,27 @@ class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo,
       .orElse(defaultBranch)
       .orElse(WapBranch.resolve()).getOrElse("main")
     new GraftWrite(table, writeSchema, mode, info.queryId(), branch, queryNames,
-      fileG)
+      fileG, SnapshotProps.from(info.options))
+  }
+}
+
+/** `snapshot-property.<key>` write options → snapshot summary entries
+  * (reference SparkWriteConf.extraSnapshotMetadata / SnapshotSummary
+  * EXTRA_METADATA_PREFIX): lineage tags like a job id or source offset
+  * travel on the commit itself. */
+object SnapshotProps {
+  val Prefix = "snapshot-property."
+  def from(options: java.util.Map[String, String]): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    options.forEach { (k, v) =>
+      if (k.toLowerCase.startsWith(Prefix)) b += k.substring(Prefix.length) -> v
+    }
+    b.result()
+  }
+  def apply[P <: graft.core.meta.SnapshotProducer](p: P,
+      props: Map[String, String]): P = {
+    props.foreach { case (k, v) => p.set(k, v) }
+    p
   }
 }
 
@@ -153,7 +173,8 @@ final case class CopyOnWriteMode(replacedPaths: () => Seq[String],
 final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     queryId: String = "", branch: String = "main",
     queryNames: Option[Array[String]] = None,
-    fileG: GSchema = null)
+    fileG: GSchema = null,
+    snapshotProps: Map[String, String] = Map.empty)
   extends Write with RequiresDistributionAndOrdering {
 
   /** graft schema of the files this write produces (dataset shape/types,
@@ -231,7 +252,7 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
       .map(_.toLong).getOrElse(0L)
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(table, writeSchema, mode, branch, baseG)
+    new GraftBatchWrite(table, writeSchema, mode, branch, baseG, snapshotProps)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     val truncateEachEpoch = mode match {
@@ -258,14 +279,16 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
         info => new GraftBatchWrite(table, writeSchema, AppendMode)
           .createBatchWriterFactory(info)
       }
-    new GraftStreamingWrite(table, queryId, factory, truncateEachEpoch)
+    new GraftStreamingWrite(table, queryId, factory, truncateEachEpoch,
+      snapshotProps)
   }
 
   override def description(): String = s"graft-write(${table.location}, $mode)"
 }
 
 final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
-    branch: String = "main", fileGBase: GSchema = null)
+    branch: String = "main", fileGBase: GSchema = null,
+    snapshotProps: Map[String, String] = Map.empty)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -354,17 +377,18 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     val files = messages.flatMap(_.asInstanceOf[GraftCommitMessage].files).toSeq
     mode match {
       case AppendMode =>
-        WapBranch.stage(table,
-          table.newAppend().appendFiles(files).toBranch(branch)).commit()
+        SnapshotProps(WapBranch.stage(table,
+          table.newAppend().appendFiles(files).toBranch(branch)),
+          snapshotProps).commit()
       case OverwriteMode(filter) =>
-        WapBranch.stage(table,
+        SnapshotProps(WapBranch.stage(table,
           table.newOverwrite().overwriteByRowFilter(filter).addFiles(files)
-            .toBranch(branch)).commit()
+            .toBranch(branch)), snapshotProps).commit()
       case DynamicOverwriteMode =>
-        WapBranch.stage(table,
+        SnapshotProps(WapBranch.stage(table,
           table.newOverwrite()
             .replacePartitions(files.map(_.partition).toSet)
-            .addFiles(files).toBranch(branch)).commit()
+            .addFiles(files).toBranch(branch)), snapshotProps).commit()
       case CopyOnWriteMode(replaced, scannedSnap, conflictFilter) =>
         val paths = replaced()
         if (paths.nonEmpty || files.nonEmpty) {
@@ -375,7 +399,7 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
           // concurrently appended rows matching the operation filter
           scannedSnap().foreach(ow.validateFromSnapshot)
           conflictFilter().foreach(ow.failOnNewMatchingData)
-          WapBranch.stage(table, ow).commit()
+          SnapshotProps(WapBranch.stage(table, ow), snapshotProps).commit()
         }
     }
   }
@@ -830,7 +854,8 @@ final class GraftFanoutWriter(
 
 final class GraftDeltaWrite(table: GTable, branchPin: Option[String] = None,
     conflict: () => Option[(Option[Long], graft.core.expr.Expr)] = () => None,
-    serializable: Boolean = true)
+    serializable: Boolean = true,
+    snapshotProps: Map[String, String] = Map.empty)
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -851,13 +876,15 @@ final class GraftDeltaWrite(table: GTable, branchPin: Option[String] = None,
   override def requiredNumPartitions(): Int = 0
 
   override def toBatch: DeltaBatchWrite =
-    new GraftDeltaBatchWrite(table, branchPin, conflict, serializable)
+    new GraftDeltaBatchWrite(table, branchPin, conflict, serializable,
+      snapshotProps)
   override def description(): String = s"graft-delta-write(${table.location})"
 }
 
 final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None,
     conflict: () => Option[(Option[Long], graft.core.expr.Expr)] = () => None,
-    serializable: Boolean = true)
+    serializable: Boolean = true,
+    snapshotProps: Map[String, String] = Map.empty)
   extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -908,7 +935,7 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
     }
     msgs.flatMap(_.dataFiles).foreach(rd.addRows)
     msgs.flatMap(_.deleteFiles).foreach(rd.addDeletes)
-    WapBranch.stage(table, rd).commit()
+    SnapshotProps(WapBranch.stage(table, rd), snapshotProps).commit()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -2397,6 +2397,46 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getString(1) === "y" && rows(1).getDouble(2) === 1.5)
   }
 
+  test("write.metadata.compression-codec=gzip compresses metadata and manifests") {
+    spark.sql("""CREATE TABLE graft.db.gzmeta (id BIGINT, data STRING)
+      TBLPROPERTIES ('write.metadata.compression-codec'='gzip')""")
+    spark.range(4).selectExpr("id", "cast(id as string) as data")
+      .writeTo("graft.db.gzmeta").append()
+    spark.sql("DELETE FROM graft.db.gzmeta WHERE id = 1")
+
+    def isGzip(p: String): Boolean = {
+      val in = new java.io.FileInputStream(p)
+      try { val a = in.read(); val b = in.read(); a == 0x1f && b == 0x8b }
+      finally in.close()
+    }
+    val t = coreTable("gzmeta")
+    val mdir = s"${t.location}/metadata"
+    // every JSON document — metadata versions, manifest lists, manifests —
+    // is gzip on disk (the property arrives with CREATE, so v1 included)
+    val all = graft.core.meta.GraftIO.list(mdir).filter(_.endsWith(".json"))
+    assert(all.size >= 5, s"expected metadata tree, got $all")
+    assert(all.forall(isGzip), s"uncompressed metadata left: ${all.filterNot(isGzip)}")
+    // reads stay transparent: rows, metadata tables, compaction
+    assert(spark.table("graft.db.gzmeta").count() === 3)
+    spark.sql("CALL graft.system.rewrite_manifests('db.gzmeta')")
+    assert(spark.table("graft.db.gzmeta").count() === 3)
+    assert(spark.sql("SELECT count(*) FROM graft.db.gzmeta.files").head().getLong(0) >= 1)
+  }
+
+  test("snapshot-property write options land in the snapshot summary") {
+    spark.sql("CREATE TABLE graft.db.sprop (id BIGINT, data STRING)")
+    spark.range(3).selectExpr("id", "cast(id as string) as data")
+      .writeTo("graft.db.sprop")
+      .option("snapshot-property.job-id", "run-42")
+      .option("snapshot-property.source", "unit")
+      .append()
+    val sum = coreTable("sprop").meta.currentSnapshot.get.summary
+    assert(sum.get("job-id") === Some("run-42"))
+    assert(sum.get("source") === Some("unit"))
+    // totals computed by the commit itself are present alongside
+    assert(sum.get("total-records") === Some("3"))
+  }
+
   test("metadata_log_entries lists previous metadata files with latest snapshots") {
     spark.sql("CREATE TABLE graft.db.mlog (id BIGINT, data STRING)")
     spark.sql("INSERT INTO graft.db.mlog VALUES (1, 'a')")
