@@ -848,29 +848,37 @@ object Pipeline {
   // centroids broadcast (k-means' inherent driver state); assignment is
   // a stateless map over a k-way crossJoin — no data shuffle; the
   // centroid update shuffles k*64 partial sums. Linear at 100 TB.
+  /** Exact-arithmetic k-means shared by p22/p28: quantized vectors
+    * (floor(x*64) — exact, 64 is a power of two) and the 2-Lloyd-
+    * iteration assignment seeded from vec_id 0-7. Returns (quantized
+    * vectors, final vec_id→cid assignment). */
+  private def kmeansQ(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val q = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+        .as("qv"))
+    def assign(cent: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+    def recompute(asg: DataFrame): DataFrame =
+      q.join(asg, "vec_id")
+        .select(col("cid"), posexplode(col("qv")).as(Seq("j", "x")))
+        .groupBy("cid", "j")
+        .agg(floor(sum(col("x")) / count(lit(1))).cast(LongType).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(j, c))), s -> s.c)").as("cv"))
+    val c0 = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    (q, assign(recompute(assign(c0))))
+  }
+
   private val p22 = Q(
     "p22_cluster_kmeans",
     (s, dir) => {
-      val q = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))")
-          .as("qv"))
-      def assign(cent: DataFrame): DataFrame =
-        q.crossJoin(broadcast(cent))
-          .withColumn("dist",
-            expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"))
-      def recompute(asg: DataFrame): DataFrame =
-        q.join(asg, "vec_id")
-          .select(col("cid"), posexplode(col("qv")).as(Seq("j", "x")))
-          .groupBy("cid", "j")
-          .agg(floor(sum(col("x")) / count(lit(1))).cast(LongType).as("c"))
-          .groupBy("cid")
-          .agg(expr("transform(array_sort(collect_list(struct(j, c))), s -> s.c)").as("cv"))
-      val c0 = q.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      val a2 = assign(recompute(assign(c0)))
+      val (_, a2) = kmeansQ(s, dir)
       a2.groupBy("cid")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
           sum(col("vec_id")).as("sum_ids"))
@@ -1161,7 +1169,90 @@ object Pipeline {
       FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  // ---------------------------------------------------------------- p28
+  // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings,
+  // then pairwise-compare ONLY within clusters and drop the higher-id
+  // member of every near-duplicate pair. The clustering is what makes
+  // this linear at 100 TB — pair count is bounded by cluster size (k
+  // scales with n to keep clusters constant-sized), never all-pairs.
+  // Near-dup test is exact integer arithmetic on the quantized vectors:
+  // cos >= 0.4  ⇔  dot > 0 ∧ 100·dot² >= 16·|a|²·|b|² — no float sums,
+  // so Spark and DuckDB agree bit-for-bit. Reuses p22's k-means.
+  private val p28 = Q(
+    "p28_dedup_semantic",
+    (s, dir) => {
+      val (q, a2) = kmeansQ(s, dir)
+      val n = q.join(a2, "vec_id")
+        .withColumn("qn",
+          expr("aggregate(transform(qv, v -> v * v), 0L, (acc, x) -> acc + x)"))
+      val a = n.select(col("cid"), col("vec_id").as("id1"),
+        col("qv").as("v1"), col("qn").as("n1"))
+      val b = n.select(col("cid"), col("vec_id").as("id2"),
+        col("qv").as("v2"), col("qn").as("n2"))
+      val pairs = a.join(b, Seq("cid")).filter(col("id1") < col("id2"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      val dropped = pairs
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * 100 >= col("n1") * col("n2") * 16)
+        .select(col("cid"), col("id2").as("vec_id")).distinct()
+      val drops = dropped.groupBy("cid")
+        .agg(count(lit(1)).as("dropped"), sum("vec_id").as("sum_dropped"))
+      n.groupBy("cid").agg(count(lit(1)).as("n"))
+        .join(drops, Seq("cid"), "left")
+        .select(col("cid"), col("n"),
+          coalesce(col("dropped"), lit(0L)).as("dropped"),
+          (col("n") - coalesce(col("dropped"), lit(0L))).as("kept"),
+          coalesce(col("sum_dropped"), lit(0L)).as("sum_dropped"))
+        .orderBy("cid")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+             FROM embeddings),
+      qx AS (SELECT vec_id, j, qv[j + 1] AS x
+             FROM q, generate_series(0, 63) g(j)),
+      c0 AS (SELECT vec_id AS cid, j, x AS c FROM qx WHERE vec_id < 8),
+      d1 AS (SELECT qx.vec_id, c0.cid, SUM((qx.x - c0.c) * (qx.x - c0.c)) AS dist
+             FROM qx JOIN c0 ON qx.j = c0.j GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a1.cid, qx.j,
+                    CAST(FLOOR(CAST(SUM(qx.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             FROM qx JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT qx.vec_id, c1.cid, SUM((qx.x - c1.c) * (qx.x - c1.c)) AS dist
+             FROM qx JOIN c1 ON qx.j = c1.j GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d2) WHERE rn = 1),
+      nn AS (SELECT a2.vec_id, a2.cid, SUM(qx.x * qx.x) AS qn
+             FROM a2 JOIN qx USING (vec_id) GROUP BY 1, 2),
+      dots AS (SELECT na.cid, qa.vec_id AS id1, qb.vec_id AS id2,
+                      SUM(qa.x * qb.x) AS dot
+               FROM qx qa JOIN nn na ON qa.vec_id = na.vec_id
+               JOIN nn nb ON na.cid = nb.cid AND na.vec_id < nb.vec_id
+               JOIN qx qb ON qb.vec_id = nb.vec_id AND qb.j = qa.j
+               GROUP BY 1, 2, 3),
+      dropped AS (SELECT DISTINCT dots.cid, dots.id2 AS vec_id
+                  FROM dots
+                  JOIN nn na ON dots.id1 = na.vec_id
+                  JOIN nn nb ON dots.id2 = nb.vec_id
+                  WHERE dot > 0 AND 100 * dot * dot >= 16 * na.qn * nb.qn),
+      drops AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS dropped,
+                       CAST(SUM(vec_id) AS BIGINT) AS sum_dropped
+                FROM dropped GROUP BY cid),
+      members AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM a2 GROUP BY cid)
+      SELECT members.cid, members.n,
+             COALESCE(drops.dropped, 0) AS dropped,
+             members.n - COALESCE(drops.dropped, 0) AS kept,
+             COALESCE(drops.sum_dropped, 0) AS sum_dropped
+      FROM members LEFT JOIN drops ON members.cid = drops.cid
+      ORDER BY members.cid"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
     p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
-    p24, p25, p26, p27)
+    p24, p25, p26, p27, p28)
 }

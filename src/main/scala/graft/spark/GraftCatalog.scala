@@ -333,6 +333,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean =
     catalog.dropTable(ident.namespace.toSeq, ident.name)
 
+  // DROP TABLE ... PURGE (reference SparkCatalog.purgeTable backed by
+  // DeleteReachableFilesSparkAction): deletes data too; refused when the
+  // table opted out of physical GC — external readers may still hold
+  // its files (gc.enabled=false)
+  override def purgeTable(ident: Identifier): Boolean = {
+    catalog.loadTable(ident.namespace.toSeq, ident.name).foreach { t =>
+      if (t.meta.properties.get("gc.enabled").contains("false"))
+        throw new UnsupportedOperationException(
+          s"cannot purge table ${fullName(ident)}: gc.enabled=false")
+    }
+    catalog.dropTable(ident.namespace.toSeq, ident.name)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!catalog.tableExists(oldIdent.namespace.toSeq, oldIdent.name))
       throw new NoSuchTableException(oldIdent)

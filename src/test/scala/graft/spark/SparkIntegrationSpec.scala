@@ -2397,6 +2397,21 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getString(1) === "y" && rows(1).getDouble(2) === 1.5)
   }
 
+  test("DROP TABLE PURGE deletes the tree; gc.enabled=false refuses") {
+    spark.sql("""CREATE TABLE graft.db.purge_ok (id BIGINT)""")
+    spark.sql("INSERT INTO graft.db.purge_ok VALUES (1)")
+    val loc = coreTable("purge_ok").location
+    spark.sql("DROP TABLE graft.db.purge_ok PURGE")
+    assert(!graft.core.meta.GraftIO.exists(loc))
+
+    spark.sql("""CREATE TABLE graft.db.purge_no (id BIGINT)
+      TBLPROPERTIES ('gc.enabled'='false')""")
+    val e = intercept[Exception](spark.sql("DROP TABLE graft.db.purge_no PURGE"))
+    assert(e.getMessage.contains("gc.enabled"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.purge_no").head().getLong(0) === 0)
+    spark.sql("DROP TABLE graft.db.purge_no")
+  }
+
   test("write.metadata.compression-codec=gzip compresses metadata and manifests") {
     spark.sql("""CREATE TABLE graft.db.gzmeta (id BIGINT, data STRING)
       TBLPROPERTIES ('write.metadata.compression-codec'='gzip')""")
