@@ -109,8 +109,13 @@ class GraftSparkTable(val table: GTable, fullName: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // (versionAsOf/timestampAsOf never reach here: Spark's analyzer owns
+    // those spellings and routes them to the catalog's time-travel
+    // loadTable overloads)
     val snapId = Option(options.get("snapshot-id")).map(_.toLong).orElse(snapshotId)
-    val branch = Option(options.get("branch")).orElse(refPin.map(_._1))
+    // a tag is a ref like a branch; writes to tags are refused upstream
+    val branch = Option(options.get("branch"))
+      .orElse(Option(options.get("tag"))).orElse(refPin.map(_._1))
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong)
     val maxFiles = Option(options.get("max-files-per-micro-batch")).map(_.toInt)
     val maxRecords = Option(options.get("max-records-per-micro-batch")).map(_.toLong)
@@ -122,9 +127,15 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val streamSkip = (
       Option(options.get("streaming-skip-delete-snapshots")).exists(_.toBoolean),
       Option(options.get("streaming-skip-overwrite-snapshots")).exists(_.toBoolean))
+    // per-scan split tuning (reference SparkReadOptions SPLIT_SIZE /
+    // FILE_OPEN_COST): overrides the table's read.split.target-size
+    val splitOverride = (
+      Option(options.get("split-size")).map(_.toLong),
+      Option(options.get("file-open-cost")).map(_.toLong))
     new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles,
       incremental = incremental, streamMaxRecords = maxRecords,
-      streamFromTs = streamFromTs, streamSkip = streamSkip)
+      streamFromTs = streamFromTs, streamSkip = streamSkip,
+      splitOverride = splitOverride)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -393,7 +404,8 @@ object GraftSparkTable {
       incremental: Option[(Long, Option[Long])] = None,
       streamMaxRecords: Option[Long] = None,
       streamFromTs: Option[Long] = None,
-      streamSkip: (Boolean, Boolean) = (false, false))
+      streamSkip: (Boolean, Boolean) = (false, false),
+      splitOverride: (Option[Long], Option[Long]) = (None, None))
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -576,7 +588,7 @@ object GraftSparkTable {
       case None =>
         val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
           asOfTs, ignoreResiduals, streamMaxFiles, incremental, streamMaxRecords,
-          streamFromTs, streamSkip)
+          streamFromTs, streamSkip, splitOverride)
         onBuild(scan)
         scan
     }
@@ -636,7 +648,8 @@ object GraftSparkTable {
       incremental: Option[(Long, Option[Long])] = None,
       streamMaxRecords: Option[Long] = None,
       streamFromTs: Option[Long] = None,
-      streamSkip: (Boolean, Boolean) = (false, false))
+      streamSkip: (Boolean, Boolean) = (false, false),
+      splitOverride: (Option[Long], Option[Long]) = (None, None))
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -918,7 +931,7 @@ object GraftSparkTable {
         }.toArray
       }
       val all = tasks()
-      val openCost = 4L * 1024 * 1024
+      val openCost = splitOverride._2.getOrElse(4L * 1024 * 1024)
       // Adaptive split target (reference TableScanUtil + adaptive split
       // size): cap at 128 MB for cluster-scale reads, but shrink toward
       // totalBytes/defaultParallelism so a scan never plans fewer task
@@ -927,8 +940,9 @@ object GraftSparkTable {
       val parallelism =
         try SparkSession.active.sparkContext.defaultParallelism catch { case _: Throwable => 8 }
       val totalBytes = all.map(t => math.max(t.length, openCost)).sum
-      val configured = table.meta.properties.get("read.split.target-size")
-        .flatMap(_.toLongOption).getOrElse(128L * 1024 * 1024)
+      val configured = splitOverride._1
+        .orElse(table.meta.properties.get("read.split.target-size")
+          .flatMap(_.toLongOption)).getOrElse(128L * 1024 * 1024)
       val target = math.min(configured,
         math.max(4L * 1024 * 1024, totalBytes / math.max(1, parallelism)))
       // split oversized files at target boundaries — safe only when the

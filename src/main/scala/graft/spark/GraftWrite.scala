@@ -99,7 +99,8 @@ class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo,
       .orElse(defaultBranch)
       .orElse(WapBranch.resolve()).getOrElse("main")
     new GraftWrite(table, writeSchema, mode, info.queryId(), branch, queryNames,
-      fileG, SnapshotProps.from(info.options))
+      fileG, SnapshotProps.from(info.options),
+      Option(info.options.get("write-format")).map(_.toLowerCase))
   }
 }
 
@@ -174,7 +175,8 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     queryId: String = "", branch: String = "main",
     queryNames: Option[Array[String]] = None,
     fileG: GSchema = null,
-    snapshotProps: Map[String, String] = Map.empty)
+    snapshotProps: Map[String, String] = Map.empty,
+    formatOverride: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   /** graft schema of the files this write produces (dataset shape/types,
@@ -252,7 +254,8 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
       .map(_.toLong).getOrElse(0L)
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(table, writeSchema, mode, branch, baseG, snapshotProps)
+    new GraftBatchWrite(table, writeSchema, mode, branch, baseG, snapshotProps,
+      formatOverride)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     val truncateEachEpoch = mode match {
@@ -288,7 +291,8 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
 
 final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     branch: String = "main", fileGBase: GSchema = null,
-    snapshotProps: Map[String, String] = Map.empty)
+    snapshotProps: Map[String, String] = Map.empty,
+    formatOverride: Option[String] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -327,11 +331,12 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     table.meta.properties.get("write.target-file-rows")
       .foreach(conf.set("graft.write.target-file-rows", _))
     val job = Job.getInstance(conf)
-    // data file format: write.format.default (reference TableProperties
-    // DEFAULT_FILE_FORMAT; parquet default, orc supported — avro has no
-    // Spark SQL connector on this classpath)
-    val dataFormat = table.meta.properties
-      .getOrElse("write.format.default", "parquet").toLowerCase
+    // data file format: per-write `write-format` option (reference
+    // SparkWriteOptions.WRITE_FORMAT), else write.format.default
+    // (reference TableProperties DEFAULT_FILE_FORMAT; parquet default,
+    // orc supported — avro has no Spark SQL connector on this classpath)
+    val dataFormat = formatOverride.getOrElse(table.meta.properties
+      .getOrElse("write.format.default", "parquet").toLowerCase)
     val owf = dataFormat match {
       case "avro" =>
         new GraftAvro.AvroWriterFactory(

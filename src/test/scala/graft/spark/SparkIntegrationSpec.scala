@@ -2397,6 +2397,43 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getString(1) === "y" && rows(1).getDouble(2) === 1.5)
   }
 
+  test("read options: versionAsOf/timestampAsOf/tag/split-size; write-format") {
+    spark.sql("CREATE TABLE graft.db.ropt (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.ropt VALUES (1)")
+    val t1 = coreTable("ropt")
+    val snap1 = t1.meta.currentSnapshot.get.snapshotId
+    val ts1 = System.currentTimeMillis()
+    spark.sql(s"ALTER TABLE graft.db.ropt CREATE TAG v1")
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.db.ropt VALUES (2), (3)")
+
+    // Spark's analyzer owns these two option spellings: it parses them
+    // (timestampAsOf as a castable timestamp string) and routes to the
+    // catalog's time-travel loadTable overloads
+    assert(spark.read.option("versionAsOf", snap1.toString)
+      .table("graft.db.ropt").count() === 1)
+    val tsStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ts1))
+    assert(spark.read.option("timestampAsOf", tsStr)
+      .table("graft.db.ropt").count() === 1)
+    assert(spark.read.option("tag", "v1").table("graft.db.ropt").count() === 1)
+    // split-size forces one input partition per file-ish byte range;
+    // just assert the scan still returns correct rows with a tiny target
+    assert(spark.read.option("split-size", "1024")
+      .option("file-open-cost", "1").table("graft.db.ropt").count() === 3)
+
+    // per-write format override beats write.format.default
+    spark.range(2).selectExpr("id")
+      .writeTo("graft.db.ropt").option("write-format", "orc").append()
+    val formats = spark.sql(
+      "SELECT DISTINCT file_format FROM graft.db.ropt.files").collect()
+      .map(_.getString(0)).toSet
+    assert(formats === Set("parquet", "orc"))
+    assert(spark.table("graft.db.ropt").count() === 5)
+  }
+
   test("DROP TABLE PURGE deletes the tree; gc.enabled=false refuses") {
     spark.sql("""CREATE TABLE graft.db.purge_ok (id BIGINT)""")
     spark.sql("INSERT INTO graft.db.purge_ok VALUES (1)")
