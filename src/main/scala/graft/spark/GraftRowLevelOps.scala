@@ -161,7 +161,8 @@ final class GraftMoROperation(table: GTable,
       override def build(): DeltaWrite = new GraftDeltaWrite(table, branchPin,
         GraftRowLevelOps.conflictInfo(() => configuredScan),
         GraftRowLevelOps.serializableIsolation(table, cmd),
-        SnapshotProps.from(info.options))
+        SnapshotProps.from(info.options),
+        Option(info.options.get("delete-granularity")))
     }
 
   override def description(): String = s"graft-mor($cmd)"

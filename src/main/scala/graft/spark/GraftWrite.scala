@@ -860,7 +860,8 @@ final class GraftFanoutWriter(
 final class GraftDeltaWrite(table: GTable, branchPin: Option[String] = None,
     conflict: () => Option[(Option[Long], graft.core.expr.Expr)] = () => None,
     serializable: Boolean = true,
-    snapshotProps: Map[String, String] = Map.empty)
+    snapshotProps: Map[String, String] = Map.empty,
+    deleteGranularity: Option[String] = None)
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -882,14 +883,15 @@ final class GraftDeltaWrite(table: GTable, branchPin: Option[String] = None,
 
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(table, branchPin, conflict, serializable,
-      snapshotProps)
+      snapshotProps, deleteGranularity)
   override def description(): String = s"graft-delta-write(${table.location})"
 }
 
 final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None,
     conflict: () => Option[(Option[Long], graft.core.expr.Expr)] = () => None,
     serializable: Boolean = true,
-    snapshotProps: Map[String, String] = Map.empty)
+    snapshotProps: Map[String, String] = Map.empty,
+    deleteGranularity: Option[String] = None)
   extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -925,7 +927,14 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
       // v3+ tables default to deletion vectors (reference v3: DVs replace
       // position-delete files); explicit write.delete.format still wins
       table.meta.properties.getOrElse("write.delete.format",
-        if (table.meta.formatVersion >= 3) "dv" else "parquet"))
+        if (table.meta.formatVersion >= 3) "dv" else "parquet"),
+      // position-delete scoping (reference DeleteGranularity): 'file'
+      // rolls one delete file per referenced data file — prunable by the
+      // delete index and droppable one-for-one when the data file is
+      // rewritten; 'partition' (default) packs a task's deletes per
+      // partition. DVs are inherently file-granular.
+      deleteGranularity.getOrElse(table.meta.properties
+        .getOrElse("write.delete.granularity", "partition")).toLowerCase)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -960,7 +969,8 @@ final class GraftDeltaWriterFactory(
     delOwf: OutputWriterFactory,
     confMap: Map[String, String],
     delConfMap: Map[String, String],
-    deleteFormat: String = "parquet") extends DeltaWriterFactory {
+    deleteFormat: String = "parquet",
+    deleteGranularity: String = "partition") extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
@@ -975,7 +985,8 @@ final class GraftDeltaWriterFactory(
     delConfMap.foreach { case (k, v) => delConf.set(k, v) }
     new GraftDeltaWriter(location, spec.specId,
       spec.partitionType(gSchema).fields.map(f => SparkTypes.toSpark(f.tpe)).toArray,
-      dataWriter, delOwf, delConf, partitionId, taskId, deleteFormat)
+      dataWriter, delOwf, delConf, partitionId, taskId, deleteFormat,
+      deleteGranularity)
   }
 }
 
@@ -1016,7 +1027,8 @@ final class GraftDeltaWriter(
     conf: Configuration,
     partitionId: Int,
     taskId: Long,
-    deleteFormat: String = "parquet") extends DeltaWriter[InternalRow] {
+    deleteFormat: String = "parquet",
+    deleteGranularity: String = "partition") extends DeltaWriter[InternalRow] {
 
   // position deletes grouped by the referenced data file's partition tuple
   // (reference fans delete files out per partition so they prune at scan
@@ -1040,31 +1052,48 @@ final class GraftDeltaWriter(
 
   override def insert(row: InternalRow): Unit = dataWriter.write(row)
 
+  /** one parquet position-delete file for `dels` (sorted (file,pos)) */
+  private def writeDeleteFile(partition: Seq[Any],
+      dels: mutable.ArrayBuffer[(String, Long)]): DataFile = {
+    val dir = s"$location/data"
+    java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
+    val path = s"$dir/delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
+    val ctx = new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID("graft-del", partitionId, TaskType.MAP, taskId.toInt), 0))
+    val w = delOwf.newInstance(path, GraftDeltaWriter.DeleteSchema, ctx)
+    // sorted by (file, pos) so per-file runs are contiguous
+    dels.sortInPlace()
+    val rowOut = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    dels.foreach { case (f, p) =>
+      rowOut.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f))
+      rowOut.setLong(1, p)
+      w.write(rowOut)
+    }
+    w.close()
+    val refs = dels.map(_._1).distinct
+    DataFile(path, "parquet", specId, partition, dels.size.toLong,
+      GraftIO.size(path), Map.empty, content = FileContent.PositionDeletes,
+      referencedDataFile = if (refs.size == 1) Some(refs.head) else None)
+  }
+
   override def commit(): WriterCommitMessage = {
     val dataMsg = dataWriter.commit().asInstanceOf[GraftCommitMessage]
     val deleteFiles =
       if (deleteFormat == "dv") commitDVs()
+      else if (deleteGranularity == "file")
+        // file granularity (reference DeleteGranularity.FILE): one delete
+        // file per referenced data file — the delete index prunes it to
+        // exactly that file's tasks, and a rewrite of the data file drops
+        // it one-for-one instead of leaving a partly-dangling blob
+        deleted.values.toSeq.flatMap { case (partition, dels) =>
+          dels.groupBy(_._1).toSeq.map { case (_, posRows) =>
+            writeDeleteFile(partition,
+              mutable.ArrayBuffer.from(posRows))
+          }
+        }
       else deleted.values.toSeq.map { case (partition, dels) =>
-      val dir = s"$location/data"
-      java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
-      val path = s"$dir/delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
-      val ctx = new TaskAttemptContextImpl(conf,
-        new TaskAttemptID(new TaskID("graft-del", partitionId, TaskType.MAP, taskId.toInt), 0))
-      val w = delOwf.newInstance(path, GraftDeltaWriter.DeleteSchema, ctx)
-      // sorted by (file, pos) so per-file runs are contiguous
-      dels.sortInPlace()
-      val rowOut = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-      dels.foreach { case (f, p) =>
-        rowOut.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f))
-        rowOut.setLong(1, p)
-        w.write(rowOut)
+        writeDeleteFile(partition, dels)
       }
-      w.close()
-      val refs = dels.map(_._1).distinct
-      DataFile(path, "parquet", specId, partition, dels.size.toLong,
-        GraftIO.size(path), Map.empty, content = FileContent.PositionDeletes,
-        referencedDataFile = if (refs.size == 1) Some(refs.head) else None)
-    }
     GraftDeltaCommitMessage(dataMsg.files, deleteFiles)
   }
 

@@ -2397,6 +2397,37 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getString(1) === "y" && rows(1).getDouble(2) === 1.5)
   }
 
+  test("write.delete.granularity=file scopes position deletes per data file") {
+    spark.sql("""CREATE TABLE graft.db.delgran (id BIGINT, data STRING)
+      TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+        'write.delete.mode'='merge-on-read',
+        'write.delete.granularity'='file')""")
+    // two appends of ONE file each (coalesce(1)), so the delete hits a
+    // strict subset of every file — a metadata-only delete is impossible
+    // and the MoR delta path must write position deletes
+    import org.apache.spark.sql.functions.{col => fcol, concat, lit => flit}
+    spark.range(1, 3).select(fcol("id"), concat(flit("d"), fcol("id")).as("data"))
+      .coalesce(1).writeTo("graft.db.delgran").append()
+    spark.range(3, 5).select(fcol("id"), concat(flit("d"), fcol("id")).as("data"))
+      .coalesce(1).writeTo("graft.db.delgran").append()
+    spark.sql("DELETE FROM graft.db.delgran WHERE id IN (1, 3)")
+
+    val t = coreTable("delgran")
+    val dels = t.meta.currentSnapshot.map { sn =>
+      graft.core.meta.ManifestIO.readList(sn.manifestListPath)
+        .filter(_.content == 1)
+        .flatMap(graft.core.meta.ManifestIO.readEntries)
+        .filter(_.isLive).map(_.file)
+    }.getOrElse(Nil)
+    // file granularity: one position-delete file per touched data file,
+    // each carrying its referenced-data-file pointer
+    assert(dels.size === 2, s"expected 2 file-scoped delete files: $dels")
+    assert(dels.forall(_.referencedDataFile.isDefined))
+    assert(dels.map(_.referencedDataFile.get).distinct.size === 2)
+    assert(spark.sql("SELECT id FROM graft.db.delgran ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 4L))
+  }
+
   test("read options: versionAsOf/timestampAsOf/tag/split-size; write-format") {
     spark.sql("CREATE TABLE graft.db.ropt (id BIGINT)")
     spark.sql("INSERT INTO graft.db.ropt VALUES (1)")
