@@ -226,7 +226,15 @@ final class FileTableOps(val location: String) extends TableOps {
     // entry, trimmed to write.metadata.previous-versions-max
     val (toWrite, expired) =
       if (baseVersion == 0) (updated, Nil)
-      else MetadataLogs.advance(read(baseVersion), versionFile(baseVersion), updated)
+      else {
+        // under delete-after-commit a concurrent winner may remove the
+        // base document between the exists() probe and this read — that
+        // is a lost CAS, not an error: report failure so the caller
+        // refreshes and retries
+        val base =
+          try read(baseVersion) catch { case _: Throwable => return false }
+        MetadataLogs.advance(base, versionFile(baseVersion), updated)
+      }
     val ok = GraftIO.atomicCreate(versionFile(baseVersion + 1),
       MetaJson.writeMetadata(toWrite), GraftIO.metadataGzip(toWrite.properties))
     if (ok) { // best-effort hint for readers
