@@ -93,7 +93,9 @@ final class JdbcTableOps(
   override def currentVersion(): Int = selectRow(_.getInt(2)).getOrElse(0)
 
   override def current(): Option[TableMetadata] =
-    selectRow(_.getString(1)).map(p => MetaJson.readMetadata(GraftIO.readString(p), Some(p)))
+    // documents are UUID-named and immutable → parse once across handles
+    selectRow(_.getString(1)).map(p => FileTableOps.metaCache.get(p)(
+      MetaJson.readMetadata(GraftIO.readString(p), Some(p))))
 
   override def currentMetadataPath: Option[String] =
     selectRow(rs => Option(rs.getString(1))).flatten
@@ -101,12 +103,22 @@ final class JdbcTableOps(
   override def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
     val metadataPath =
       s"$metadataDir/v${baseVersion + 1}-${UUID.randomUUID}.metadata.json"
-    // spec metadata-log: carry the superseded document forward, trimmed
-    // to the table's previous-versions-max (see MetadataLogs)
-    val (toWrite, expired) =
-      (if (baseVersion == 0) None else current().zip(currentMetadataPath))
-        .map { case (base, prev) => MetadataLogs.advance(base, prev, updated) }
-        .getOrElse((updated, Nil))
+    // ONE pointer read serves the metadata-log advance and the UPDATE's
+    // previous-location bind below; the base document parse is cached
+    // (UUID-named, immutable). If delete-after-commit removed the path a
+    // concurrent winner superseded, that is a lost CAS — report false so
+    // the committer refreshes and retries (same contract as FileTableOps).
+    val prevPath =
+      if (baseVersion == 0) None else selectRow(rs => Option(rs.getString(1))).flatten
+    val (toWrite, expired) = prevPath match {
+      case Some(p) =>
+        val base =
+          try FileTableOps.metaCache.get(p)(
+            MetaJson.readMetadata(GraftIO.readString(p), Some(p)))
+          catch { case _: Throwable => return false }
+        MetadataLogs.advance(base, p, updated)
+      case None => (updated, Nil)
+    }
     GraftIO.writeString(metadataPath, MetaJson.writeMetadata(toWrite),
       GraftIO.metadataGzip(toWrite.properties))
     val ok = Jdbc.withConn(uri) { c =>
@@ -134,7 +146,7 @@ final class JdbcTableOps(
         // SET clauses left-to-right and would record the NEW location.
         // No race: metadata_location can only change together with
         // version, and version=base guards the UPDATE.
-        val prev = selectRow(_.getString(1)).orNull
+        val prev = prevPath.orNull
         val ps = c.prepareStatement(
           "UPDATE graft_tables SET metadata_location=?, " +
             "previous_metadata_location=?, version=? " +
@@ -186,7 +198,8 @@ final class JdbcCatalog(warehouse: String, uri: String,
   override def tableExists(namespace: Seq[String], name: String): Boolean =
     ops(namespace, name).currentVersion() > 0
 
-  override def dropTable(namespace: Seq[String], name: String): Boolean = {
+  override def dropTable(namespace: Seq[String], name: String,
+      purge: Boolean): Boolean = {
     val existedLoc = Jdbc.withConn(uri) { c =>
       val ps = c.prepareStatement("SELECT table_location FROM graft_tables " +
         "WHERE catalog_name=? AND table_namespace=? AND table_name=?")
@@ -207,8 +220,10 @@ final class JdbcCatalog(warehouse: String, uri: String,
             ps.executeUpdate()
           } finally ps.close()
         }
+        // the database row IS the identity; purge additionally removes
+        // the tree, a plain drop leaves the files for external readers
         val p = GraftIO.toPath(loc)
-        if (java.nio.file.Files.exists(p)) {
+        if (purge && java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
           val st = java.nio.file.Files.walk(p)
           val paths = try st.iterator().asScala.toSeq finally st.close()

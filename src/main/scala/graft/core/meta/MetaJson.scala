@@ -265,9 +265,13 @@ object MetaJson {
       n.get("min-seq").asLong(), n.get("added-files").asInt(),
       n.get("existing-files").asInt(), n.get("deleted-files").asInt(),
       n.get("added-rows").asLong(), sums.result(),
-      // absent in pre-existing lists → 0 (their Existing rows predate
-      // the field; totals resume exactness from the next rewrite)
-      existingRowsCount = Option(n.get("existing-rows")).map(_.asLong()).getOrElse(0L),
+      // pre-field lists: when the manifest HAS Existing entries but no
+      // recorded row count, mark it unknown (-1) — publishing 0 would
+      // make snapshot-summary totals silently undercount forever; the
+      // totals computation omits total-records while any manifest is
+      // unknown, and exactness resumes once a rewrite re-counts it
+      existingRowsCount = Option(n.get("existing-rows")).map(_.asLong())
+        .getOrElse(if (n.get("existing-files").asInt() > 0) -1L else 0L),
       deletedRowsCount = Option(n.get("deleted-rows")).map(_.asLong()).getOrElse(0L))
   }
 

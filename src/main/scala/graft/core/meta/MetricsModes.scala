@@ -38,10 +38,16 @@ object MetricsMode {
     case "none"           => NoMetrics
     case "counts"         => Counts
     case "full"           => Full
-    case TruncateRe(n) if n.toInt > 0 => Truncate(n.toInt)
+    case TruncateRe(n) if n.toIntOption.exists(_ > 0) => Truncate(n.toInt)
     case other =>
       throw new IllegalArgumentException(s"invalid metrics mode: $other")
   }
+
+  /** Commit-path parsing never throws: a malformed value that slipped
+    * past DDL validation (hand-edited metadata, older writer) falls back
+    * to the reference default instead of bricking every write. */
+  def parseLenient(s: String): MetricsMode =
+    try parse(s) catch { case _: IllegalArgumentException => Truncate(16) }
 }
 
 final class MetricsConfig(modeById: Map[Int, MetricsMode], schema: GSchema) {
@@ -75,12 +81,13 @@ final class MetricsConfig(modeById: Map[Int, MetricsMode], schema: GSchema) {
       }
     }
 
+  /** true when every column keeps full metrics — the common case for
+    * narrow schemas under `full`; lets trimFile skip map rebuilding */
+  private val allFull: Boolean = modeById.valuesIterator.forall(_ == Full)
+
   def trimFile(f: DataFile): DataFile =
-    if (f.content != FileContent.Data || f.columnStats.isEmpty) f
-    else {
-      val trimmed = trim(f.columnStats)
-      if (trimmed eq f.columnStats) f else f.copy(columnStats = trimmed)
-    }
+    if (allFull || f.content != FileContent.Data || f.columnStats.isEmpty) f
+    else f.copy(columnStats = trim(f.columnStats))
 
   // ---------------------------------------------------------------- trunc
   /** First n code points — a prefix, so ≤ the original in UTF-16 order. */
@@ -145,14 +152,17 @@ object MetricsConfig {
 
   def forSchema(schema: GSchema, props: Map[String, String],
       sortedIds: Set[Int] = Set.empty): MetricsConfig = {
-    val default = props.get(DefaultModeKey).map(MetricsMode.parse)
+    val default = props.get(DefaultModeKey).map(MetricsMode.parseLenient)
       .getOrElse(DefaultMode)
-    val maxInferred = props.get(MaxInferredKey).map(_.toInt)
+    val maxInferred = props.get(MaxInferredKey).flatMap(_.toIntOption)
       .getOrElse(DefaultMaxInferred)
+    // unknown column names skip silently HERE (the schema may have
+    // evolved past an old override); DDL-time validation in alterTable
+    // rejects typos when the property is set
     val explicit: Map[Int, MetricsMode] = props.collect {
       case (k, v) if k.startsWith(ColumnModePrefix) =>
         schema.byName.get(k.stripPrefix(ColumnModePrefix))
-          .map(f => f.id -> MetricsMode.parse(v))
+          .map(f => f.id -> MetricsMode.parseLenient(v))
     }.flatten.toMap
     // leaf ids in schema pre-order, for the inferred-defaults cutoff
     def leaves(fs: Seq[GField]): Seq[Int] = fs.flatMap { f =>

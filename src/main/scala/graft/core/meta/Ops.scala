@@ -680,8 +680,13 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
         "total-data-files" ->
           dataMs.map(m => (m.addedFilesCount + m.existingFilesCount).toLong).sum.toString,
         "total-delete-files" ->
-          delMs.map(m => (m.addedFilesCount + m.existingFilesCount).toLong).sum.toString,
-        "total-records" -> dataMs.map(_.liveRowsCount).sum.toString)
+          delMs.map(m => (m.addedFilesCount + m.existingFilesCount).toLong).sum.toString) ++
+        // total-records only when every manifest's existing-row count is
+        // known — a pre-field manifest (existingRowsCount < 0) would
+        // make the published total silently wrong, worse than absent
+        (if (dataMs.forall(_.existingRowsCount >= 0))
+          Map("total-records" -> dataMs.map(_.liveRowsCount).sum.toString)
+        else Map.empty)
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
         operationName, listPath, summary(base) ++ totals ++ extraSummary,
         firstRowId = if (allocatedRows > 0) Some(base.nextRowId) else None,
@@ -1065,8 +1070,18 @@ class HadoopCatalog(val warehouse: String) {
   def tableExists(namespace: Seq[String], name: String): Boolean =
     new FileTableOps(tableLocation(namespace, name)).currentVersion() > 0
 
-  def dropTable(namespace: Seq[String], name: String): Boolean = {
-    val loc = GraftIO.toPath(tableLocation(namespace, name))
+  def dropTable(namespace: Seq[String], name: String): Boolean =
+    dropTable(namespace, name, purge = true)
+
+  /** purge=true deletes the whole tree. purge=false (reference
+    * SparkCatalog's plain DROP TABLE) removes only the table's IDENTITY
+    * — for a directory catalog that is the metadata/ dir, since the
+    * directory is the pointer — and leaves every data file on disk for
+    * external readers still holding them (the gc.enabled=false
+    * contract). */
+  def dropTable(namespace: Seq[String], name: String, purge: Boolean): Boolean = {
+    val locStr = tableLocation(namespace, name)
+    val loc = GraftIO.toPath(if (purge) locStr else s"$locStr/metadata")
     if (!java.nio.file.Files.exists(loc)) false
     else {
       import scala.jdk.CollectionConverters._

@@ -307,7 +307,12 @@ object RestCatalogServer {
             }
             json(x, 200, MetaJson.mapper.writeValueAsString(o))
           case ("DELETE", Array(ns, "tables", t)) =>
-            if (backing.dropTable(ns.split("\\.").toSeq, t)) json(x, 200, "{}")
+            // open-api purgeRequested: only an explicit purge deletes
+            // data files; a plain drop removes just the table identity
+            val purge = Option(x.getRequestURI.getQuery)
+              .exists(_.contains("purgeRequested=true"))
+            if (backing.dropTable(ns.split("\\.").toSeq, t, purge))
+              json(x, 200, "{}")
             else json(x, 404, s"""{"error": "no such table"}""")
           // view routes (reference open-api listViews / loadView /
           // createView / replaceView / dropView): documents are opaque
@@ -565,7 +570,16 @@ final class RestCatalog private (warehouse: String, uri: String,
     RestHttp.head(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name", hdrs)._1 == 204
 
   override def dropTable(namespace: Seq[String], name: String): Boolean =
-    RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name", hdrs)._1 == 200
+    dropTable(namespace, name, purge = true)
+
+  // both arities route through the server (open-api purgeRequested
+  // flag); never the base directory impl — file lifecycle is the
+  // server's decision for a REST table
+  override def dropTable(namespace: Seq[String], name: String,
+      purge: Boolean): Boolean =
+    RestHttp.delete(
+      s"$uri/v1/namespaces/${ns(namespace)}/tables/$name" +
+        (if (purge) "?purgeRequested=true" else ""), hdrs)._1 == 200
 
   /** routes through the server's rename endpoint so capability (and the
     * atomic move itself) is decided server-side */

@@ -304,7 +304,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val without = editAt(schema.struct, path, f => { moved = f; None })
           schema = schema.copy(struct =
             addAt(without, path.init, moved, mv.position()))
-        case p: TableChange.SetProperty    => props = props + (p.property -> p.value)
+        case p: TableChange.SetProperty    =>
+          // metrics-policy properties are validated HERE, at DDL time —
+          // a malformed mode or misspelled column that only surfaced
+          // inside the commit path would brick every subsequent write
+          if (p.property == graft.core.meta.MetricsConfig.DefaultModeKey)
+            graft.core.meta.MetricsMode.parse(p.value)
+          else if (p.property.startsWith(graft.core.meta.MetricsConfig.ColumnModePrefix)) {
+            graft.core.meta.MetricsMode.parse(p.value)
+            val colName = p.property
+              .stripPrefix(graft.core.meta.MetricsConfig.ColumnModePrefix)
+            require(schema.byName.contains(colName),
+              s"no such column for metrics override: $colName")
+          }
+          props = props + (p.property -> p.value)
         case p: TableChange.RemoveProperty => props = props - p.property
         case other => throw new UnsupportedOperationException(s"alter: $other")
       }
@@ -330,20 +343,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(t, fullName(ident))
   }
 
+  // plain DROP TABLE removes only the table's IDENTITY (reference
+  // SparkCatalog.dropTable → dropTable(ident, purge=false)): data files
+  // stay on disk for external readers still holding them — the promise
+  // gc.enabled=false relies on
   override def dropTable(ident: Identifier): Boolean =
-    catalog.dropTable(ident.namespace.toSeq, ident.name)
+    catalog.dropTable(ident.namespace.toSeq, ident.name, purge = false)
 
   // DROP TABLE ... PURGE (reference SparkCatalog.purgeTable backed by
   // DeleteReachableFilesSparkAction): deletes data too; refused when the
-  // table opted out of physical GC — external readers may still hold
-  // its files (gc.enabled=false)
+  // table opted out of physical GC
   override def purgeTable(ident: Identifier): Boolean = {
     catalog.loadTable(ident.namespace.toSeq, ident.name).foreach { t =>
       if (t.meta.properties.get("gc.enabled").contains("false"))
         throw new UnsupportedOperationException(
           s"cannot purge table ${fullName(ident)}: gc.enabled=false")
     }
-    catalog.dropTable(ident.namespace.toSeq, ident.name)
+    catalog.dropTable(ident.namespace.toSeq, ident.name, purge = true)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -276,11 +276,11 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
           "write.upsert.enabled requires identifier fields " +
             "(ALTER TABLE ... SET IDENTIFIER FIELDS)")
         info => GraftUpsertWriterFactory.create(table, writeSchema,
-          new GraftBatchWrite(table, writeSchema, AppendMode)
-            .createBatchWriterFactory(info))
+          new GraftBatchWrite(table, writeSchema, AppendMode,
+            formatOverride = formatOverride).createBatchWriterFactory(info))
       } else {
-        info => new GraftBatchWrite(table, writeSchema, AppendMode)
-          .createBatchWriterFactory(info)
+        info => new GraftBatchWrite(table, writeSchema, AppendMode,
+          formatOverride = formatOverride).createBatchWriterFactory(info)
       }
     new GraftStreamingWrite(table, queryId, factory, truncateEachEpoch,
       snapshotProps)

@@ -2465,7 +2465,7 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.db.ropt").count() === 5)
   }
 
-  test("DROP TABLE PURGE deletes the tree; gc.enabled=false refuses") {
+  test("DROP TABLE PURGE deletes the tree; plain DROP keeps data; gc guard") {
     spark.sql("""CREATE TABLE graft.db.purge_ok (id BIGINT)""")
     spark.sql("INSERT INTO graft.db.purge_ok VALUES (1)")
     val loc = coreTable("purge_ok").location
@@ -2474,10 +2474,16 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     spark.sql("""CREATE TABLE graft.db.purge_no (id BIGINT)
       TBLPROPERTIES ('gc.enabled'='false')""")
+    spark.sql("INSERT INTO graft.db.purge_no VALUES (7)")
+    val loc2 = coreTable("purge_no").location
     val e = intercept[Exception](spark.sql("DROP TABLE graft.db.purge_no PURGE"))
     assert(e.getMessage.contains("gc.enabled"))
-    assert(spark.sql("SELECT count(*) FROM graft.db.purge_no").head().getLong(0) === 0)
+    assert(spark.sql("SELECT count(*) FROM graft.db.purge_no").head().getLong(0) === 1)
+    // plain DROP removes the identity but leaves the data files —
+    // that is the protection gc.enabled=false promises external readers
     spark.sql("DROP TABLE graft.db.purge_no")
+    assert(!graft.core.meta.GraftIO.exists(s"$loc2/metadata"))
+    assert(graft.core.meta.GraftIO.walkFiles(s"$loc2/data").nonEmpty)
   }
 
   test("write.metadata.compression-codec=gzip compresses metadata and manifests") {
