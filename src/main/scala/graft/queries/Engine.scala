@@ -45,7 +45,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v27").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v28").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -618,7 +618,7 @@ object Engine {
       }
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v27" -> "true"))
+        .updateProperties(Map("build-complete-v28" -> "true"))
     }
     built += wh
   }
@@ -1770,9 +1770,25 @@ object Engine {
       FROM part WHERE p_name >= 'm' AND p_size > 10
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  // ------------------------------------------------------------------ g54
+  // Commit-time snapshot-summary totals (reference SnapshotSummary):
+  // the engine stamped total-records into lineitem_g's append summary
+  // from the manifest list alone — the oracle recounts the source rows.
+  private val g54 = Q(
+    "g54_engine_summary_totals",
+    (s, dir) => {
+      setup(s, dir)
+      s.sql("""SELECT CAST(summary['total-records'] AS BIGINT) AS n,
+        CAST(summary['total-delete-files'] AS BIGINT) AS del_files
+        FROM graft.db.lineitem_g.snapshots
+        ORDER BY committed_at DESC LIMIT 1""")
+    },
+    Some("""
+      SELECT COUNT(*) AS n, CAST(0 AS BIGINT) AS del_files FROM lineitem"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53)
+    g52, g53, g54)
 }
