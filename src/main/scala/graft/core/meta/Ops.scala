@@ -737,7 +737,11 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
   override protected def summary(base: TableMetadata): Map[String, String] = {
     val added = files.result()
     Map("added-data-files" -> added.size.toString,
-      "added-records" -> added.map(_.recordCount).sum.toString)
+      "added-records" -> added.map(_.recordCount).sum.toString,
+      "added-files-size" -> added.map(_.fileSizeBytes).sum.toString,
+      "changed-partition-count" -> added
+        .map(_.partition.map { case b: Array[Byte] => b.toSeq; case x => x })
+        .distinct.size.toString)
   }
 }
 
@@ -748,6 +752,9 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
 final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overwrite") {
   private val added = Seq.newBuilder[DataFile]
   private val removedPaths = Set.newBuilder[String]
+  // files dropped by the LAST manifests() pass (summary() runs after it
+  // in commit(); cleared per attempt so CAS retries re-count)
+  private val droppedFiles = scala.collection.mutable.ArrayBuffer.empty[DataFile]
   private var deleteExpr: Option[Expr] = None
   private var replaceParts: Option[Set[Seq[Any]]] = None
   private var validateNoConflictingAppendsFrom: Option[Long] = None
@@ -819,6 +826,7 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
     val schema = base.schema
     val bound = deleteExpr.map(e => Expr.bind(schema, e))
     val removedSeen = scala.collection.mutable.Set.empty[String]
+    droppedFiles.clear()
     // rewrite existing manifests without the removed files
     val kept = parentManifests(base).flatMap { mf =>
       val entries = ManifestIO.readEntries(mf).filter(_.isLive)
@@ -845,6 +853,7 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
           case _ => false
         }
       }
+      droppedFiles ++= dropped.map(_.file)
       if (dropped.isEmpty) Some(mf)
       else if (keptEntries.isEmpty) None
       else Some(ManifestIO.write(table.ops.newManifestPath(), keptEntries, mf.specId,
@@ -875,9 +884,23 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
     }
   }
 
-  override protected def summary(base: TableMetadata): Map[String, String] =
-    Map("added-data-files" -> added.result().size.toString,
-      "removed-paths" -> removedPaths.result().size.toString)
+  override protected def summary(base: TableMetadata): Map[String, String] = {
+    val adds = added.result()
+    def isData(f: DataFile) = f.content == FileContent.Data
+    Map(
+      "added-data-files" -> adds.count(isData).toString,
+      "added-delete-files" -> adds.count(f => !isData(f)).toString,
+      "added-records" -> adds.filter(isData).map(_.recordCount).sum.toString,
+      "added-files-size" -> adds.map(_.fileSizeBytes).sum.toString,
+      "deleted-data-files" -> droppedFiles.count(isData).toString,
+      "removed-delete-files" -> droppedFiles.count(f => !isData(f)).toString,
+      "deleted-records" ->
+        droppedFiles.filter(isData).map(_.recordCount).sum.toString,
+      "removed-files-size" -> droppedFiles.map(_.fileSizeBytes).sum.toString,
+      "changed-partition-count" -> (adds ++ droppedFiles)
+        .map(_.partition.map { case b: Array[Byte] => b.toSeq; case x => x })
+        .distinct.size.toString)
+  }
 }
 
 /** Merge-on-read delta: add position/equality delete files (+ optional
@@ -1034,9 +1057,24 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     ms
   }
 
-  override protected def summary(base: TableMetadata): Map[String, String] =
-    Map("added-delete-files" -> deleteFiles.result().size.toString,
-      "added-data-files" -> dataFiles.result().size.toString)
+  override protected def summary(base: TableMetadata): Map[String, String] = {
+    val datas = dataFiles.result()
+    val dels = deleteFiles.result()
+    Map(
+      "added-delete-files" -> dels.size.toString,
+      "added-data-files" -> datas.size.toString,
+      "added-records" -> datas.map(_.recordCount).sum.toString,
+      "added-files-size" -> (datas ++ dels).map(_.fileSizeBytes).sum.toString,
+      "added-position-deletes" -> dels
+        .filter(_.content == FileContent.PositionDeletes)
+        .map(_.recordCount).sum.toString,
+      "added-equality-deletes" -> dels
+        .filter(_.content == FileContent.EqualityDeletes)
+        .map(_.recordCount).sum.toString,
+      "changed-partition-count" -> (datas ++ dels)
+        .map(_.partition.map { case b: Array[Byte] => b.toSeq; case x => x })
+        .distinct.size.toString)
+  }
 }
 
 /** Hadoop-style directory catalog: <warehouse>/<ns...>/<table>. Subclasses
