@@ -676,6 +676,7 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       // scan, no fragile chaining from the parent's summary
       val dataMs = ms.filter(_.content == 0)
       val delMs = ms.filter(_.content == 1)
+      val deltas = summary(base)
       val totals = Map(
         "total-data-files" ->
           dataMs.map(m => (m.addedFilesCount + m.existingFilesCount).toLong).sum.toString,
@@ -686,9 +687,22 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
         // make the published total silently wrong, worse than absent
         (if (dataMs.forall(_.existingRowsCount >= 0))
           Map("total-records" -> dataMs.map(_.liveRowsCount).sum.toString)
-        else Map.empty)
+        else Map.empty) ++
+        // total-files-size chains parent total + this commit's deltas
+        // (manifest lists don't carry live byte sums); omitted when the
+        // chain was broken by a pre-field ancestor
+        {
+          def d(k: String) = deltas.get(k).flatMap(_.toLongOption).getOrElse(0L)
+          val delta = d("added-files-size") - d("removed-files-size")
+          parentSnapshot(base) match {
+            case None => Map("total-files-size" -> delta.toString)
+            case Some(p) => p.summary.get("total-files-size").flatMap(_.toLongOption)
+              .map(t => Map("total-files-size" -> (t + delta).toString))
+              .getOrElse(Map.empty)
+          }
+        }
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
-        operationName, listPath, summary(base) ++ totals ++ extraSummary,
+        operationName, listPath, deltas ++ totals ++ extraSummary,
         firstRowId = if (allocatedRows > 0) Some(base.nextRowId) else None,
         schemaId = Some(base.currentSchemaId))
       val updated0 =

@@ -112,6 +112,14 @@ object SnapshotProps {
   val Prefix = "snapshot-property."
   def from(options: java.util.Map[String, String]): Map[String, String] = {
     val b = Map.newBuilder[String, String]
+    // engine provenance first (reference EnvironmentContext /
+    // SnapshotSummary: spark.app.id + engine version on every commit);
+    // user-supplied snapshot properties may override
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      b += "spark.app.id" -> s.sparkContext.applicationId
+      b += "engine-name" -> "spark"
+      b += "engine-version" -> s.sparkContext.version
+    }
     options.forEach { (k, v) =>
       if (k.toLowerCase.startsWith(Prefix)) b += k.substring(Prefix.length) -> v
     }
