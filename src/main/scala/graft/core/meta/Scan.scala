@@ -20,6 +20,15 @@ final case class FileScanTask(
 /** Matches delete files to data files by partition + sequence number
   * (reference DeleteFileIndex.java). Position deletes apply when
   * deleteSeq >= dataSeq; equality deletes when deleteSeq > dataSeq. */
+object DeleteFileIndex {
+  /** reserved field id of the position-delete file_path column
+    * (format/spec.md position-delete schema; reference
+    * MetadataColumns.DELETE_FILE_PATH). Our writers store min/max of the
+    * RELOCATION-STABLE suffix key (GraftIO.dataSuffix) so the bounds
+    * survive a table move, where raw-path bounds would not. */
+  val FilePathFieldId = 2147483546
+}
+
 final class DeleteFileIndex(deletes: Seq[ManifestEntry]) extends Serializable {
   private def partKey(specId: Int, partition: Seq[Any]): (Int, Seq[Any]) =
     (specId, partition.map {
@@ -41,7 +50,17 @@ final class DeleteFileIndex(deletes: Seq[ManifestEntry]) extends Serializable {
         if (e.file.content == FileContent.PositionDeletes) e.dataSequenceNumber >= dataSeq
         else e.dataSequenceNumber > dataSeq
       val targets = e.file.referencedDataFile.forall(_ == f.path)
-      applies && targets
+      // partition-scoped position deletes: skip ones whose recorded
+      // file_path range can't contain this data file (reference
+      // DeleteFileIndex path-bounds filtering) — without this every
+      // delete file in the partition rides along to every task
+      val inPathBounds = e.file.content != FileContent.PositionDeletes ||
+        e.file.columnStats.get(DeleteFileIndex.FilePathFieldId).forall { st =>
+          val key = GraftIO.dataSuffix(f.path)
+          st.lower.forall(l => key.compareTo(l.toString) >= 0) &&
+            st.upper.forall(u => key.compareTo(u.toString) <= 0)
+        }
+      applies && targets && inPathBounds
     }.map(_.file)
   }
 }

@@ -1079,8 +1079,16 @@ final class GraftDeltaWriter(
     }
     w.close()
     val refs = dels.map(_._1).distinct
+    // file_path range of the RELOCATION-STABLE suffix keys: the delete
+    // index uses it to skip data files this delete can't reference
+    // (reference records file_path bounds in delete-file metrics)
+    val keys = refs.map(GraftIO.dataSuffix)
+    val pathStats = Map(graft.core.meta.DeleteFileIndex.FilePathFieldId ->
+      graft.core.expr.ColStats(valueCount = Some(dels.size.toLong),
+        nullCount = Some(0L), nanCount = None,
+        lower = Some(keys.min), upper = Some(keys.max)))
     DataFile(path, "parquet", specId, partition, dels.size.toLong,
-      GraftIO.size(path), Map.empty, content = FileContent.PositionDeletes,
+      GraftIO.size(path), pathStats, content = FileContent.PositionDeletes,
       referencedDataFile = if (refs.size == 1) Some(refs.head) else None)
   }
 

@@ -57,6 +57,25 @@ class MetaSpec extends AnyFunSuite {
     assert(rt === m)
   }
 
+  test("delete index prunes position deletes by file_path bounds") {
+    import graft.core.meta.{DeleteFileIndex, ManifestEntry, ManifestEntryStatus, FileContent}
+    def del(lo: String, hi: String): ManifestEntry = ManifestEntry(
+      ManifestEntryStatus.Added, 1L, 5L,
+      DataFile("d1.parquet", "parquet", 0, Seq(7), 2L, 100L,
+        Map(DeleteFileIndex.FilePathFieldId -> ColStats(
+          Some(2L), Some(0L), None, Some(lo), Some(hi))),
+        content = FileContent.PositionDeletes))
+    val covered = DataFile("/wh/t/data/b.parquet", "parquet", 0, Seq(7), 10, 100)
+    val outside = DataFile("/wh/t/data/z.parquet", "parquet", 0, Seq(7), 10, 100)
+    val idx = new DeleteFileIndex(Seq(del("/data/a.parquet", "/data/c.parquet")))
+    assert(idx.forDataFile(1L, covered).size === 1)
+    assert(idx.forDataFile(1L, outside).isEmpty)
+    // bounds-less delete files still attach to everything (older writers)
+    val noBounds = new DeleteFileIndex(Seq(del("x", "y").copy(file =
+      del("x", "y").file.copy(columnStats = Map.empty))))
+    assert(noBounds.forDataFile(1L, outside).size === 1)
+  }
+
   test("metadata-log: append, trim to previous-versions-max, delete-after-commit") {
     val cat = tempCatalog()
     val t = cat.createTable(Seq("db"), "ml", schema,
