@@ -29,7 +29,8 @@ object DeleteFileIndex {
   val FilePathFieldId = 2147483546
 }
 
-final class DeleteFileIndex(deletes: Seq[ManifestEntry]) extends Serializable {
+final class DeleteFileIndex(deletes: Seq[ManifestEntry],
+    schema: GSchema = null) extends Serializable {
   private def partKey(specId: Int, partition: Seq[Any]): (Int, Seq[Any]) =
     (specId, partition.map {
       case b: Array[Byte] => b.toSeq
@@ -60,7 +61,30 @@ final class DeleteFileIndex(deletes: Seq[ManifestEntry]) extends Serializable {
           st.lower.forall(l => key.compareTo(l.toString) >= 0) &&
             st.upper.forall(u => key.compareTo(u.toString) <= 0)
         }
-      applies && targets && inPathBounds
+      // equality deletes: a delete can only mask a row that EQUALS one of
+      // its keys, so disjoint per-column [min,max] ranges prove it never
+      // applies to this data file (reference DeleteFileIndex bounds
+      // filtering). Requires both sides' bounds; a shared null makes the
+      // ranges inconclusive.
+      val eqOverlaps = e.file.content != FileContent.EqualityDeletes ||
+        schema == null || !e.file.equalityIds.exists { fid =>
+          schema.byId.get(fid).exists { field =>
+            (e.file.columnStats.get(fid), f.columnStats.get(fid)) match {
+              case (Some(d), Some(x)) =>
+                val nullsBoth = d.nullCount.exists(_ > 0) && x.nullCount.exists(_ > 0)
+                // an unexpected bound representation must degrade to
+                // "keep the delete", never break the scan
+                try !nullsBoth && (for (dl <- d.lower; du <- d.upper;
+                    xl <- x.lower; xu <- x.upper) yield
+                  TypeComparators.compare(field.tpe, du, xl) < 0 ||
+                    TypeComparators.compare(field.tpe, dl, xu) > 0)
+                  .contains(true)
+                catch { case _: Throwable => false }
+              case _ => false
+            }
+          }
+        }
+      applies && targets && inPathBounds && eqOverlaps
     }.map(_.file)
   }
 }
@@ -250,7 +274,7 @@ final class TableScan(table: GTable) {
     val ctx = PlanContext(schema, bound,
       specIds.map(id => id -> m.specById(id)).toMap,
       specIds.map(id => id -> partPred(id)).toMap,
-      new DeleteFileIndex(deleteEntries))
+      new DeleteFileIndex(deleteEntries, schema))
     Some((ctx, dataManifests))
   }
 

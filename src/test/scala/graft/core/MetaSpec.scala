@@ -76,6 +76,28 @@ class MetaSpec extends AnyFunSuite {
     assert(noBounds.forDataFile(1L, outside).size === 1)
   }
 
+  test("delete index prunes equality deletes by key-range overlap") {
+    import graft.core.meta.{DeleteFileIndex, ManifestEntry, ManifestEntryStatus, FileContent}
+    def eqDel(lo: Long, hi: Long, nulls: Long = 0): ManifestEntry = ManifestEntry(
+      ManifestEntryStatus.Added, 1L, 5L,
+      DataFile("e1.parquet", "parquet", 0, Nil, 2L, 100L,
+        Map(1 -> ColStats(Some(2L), Some(nulls), None, Some(lo), Some(hi))),
+        content = FileContent.EqualityDeletes, equalityIds = Seq(1)))
+    def data(lo: Long, hi: Long, nulls: Long = 0): DataFile =
+      DataFile("d.parquet", "parquet", 0, Nil, 10, 100,
+        Map(1 -> ColStats(Some(10L), Some(nulls), None, Some(lo), Some(hi))))
+    val idx = new DeleteFileIndex(Seq(eqDel(100L, 200L)), schema)
+    assert(idx.forDataFile(1L, data(150L, 300L)).size === 1) // overlap
+    assert(idx.forDataFile(1L, data(250L, 300L)).isEmpty)    // disjoint
+    assert(idx.forDataFile(1L, data(1L, 50L)).isEmpty)       // disjoint below
+    // shared nulls make ranges inconclusive — keep the delete
+    val nullIdx = new DeleteFileIndex(Seq(eqDel(100L, 200L, nulls = 1)), schema)
+    assert(nullIdx.forDataFile(1L, data(250L, 300L, nulls = 1)).size === 1)
+    // no schema (executor-shipped legacy) or no bounds: keep
+    assert(new DeleteFileIndex(Seq(eqDel(100L, 200L)))
+      .forDataFile(1L, data(250L, 300L)).size === 1)
+  }
+
   test("metadata-log: append, trim to previous-versions-max, delete-after-commit") {
     val cat = tempCatalog()
     val t = cat.createTable(Seq("db"), "ml", schema,
