@@ -135,7 +135,8 @@ class GraftSparkTable(val table: GTable, fullName: String,
     new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles,
       incremental = incremental, streamMaxRecords = maxRecords,
       streamFromTs = streamFromTs, streamSkip = streamSkip,
-      splitOverride = splitOverride)
+      splitOverride = splitOverride,
+      vecOverride = Option(options.get("vectorization-enabled")).map(_.toBoolean))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -405,7 +406,8 @@ object GraftSparkTable {
       streamMaxRecords: Option[Long] = None,
       streamFromTs: Option[Long] = None,
       streamSkip: (Boolean, Boolean) = (false, false),
-      splitOverride: (Option[Long], Option[Long]) = (None, None))
+      splitOverride: (Option[Long], Option[Long]) = (None, None),
+      vecOverride: Option[Boolean] = None)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -588,7 +590,7 @@ object GraftSparkTable {
       case None =>
         val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
           asOfTs, ignoreResiduals, streamMaxFiles, incremental, streamMaxRecords,
-          streamFromTs, streamSkip, splitOverride)
+          streamFromTs, streamSkip, splitOverride, vecOverride)
         onBuild(scan)
         scan
     }
@@ -649,7 +651,8 @@ object GraftSparkTable {
       streamMaxRecords: Option[Long] = None,
       streamFromTs: Option[Long] = None,
       streamSkip: (Boolean, Boolean) = (false, false),
-      splitOverride: (Option[Long], Option[Long]) = (None, None))
+      splitOverride: (Option[Long], Option[Long]) = (None, None),
+      vecOverride: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1066,7 +1069,9 @@ object GraftSparkTable {
           case _ => false
         }
       }
-      val vectorized = spark.sessionState.conf.parquetVectorizedReaderEnabled &&
+      // per-scan toggle (reference SparkReadOptions VECTORIZATION_ENABLED)
+      val vectorized = vecOverride.getOrElse(
+          spark.sessionState.conf.parquetVectorizedReaderEnabled) &&
         metaCols.forall(c => columnarMeta(c) || c.startsWith(ShredColPrefix)) &&
         // gate on the columns actually READ, not the full table schema —
         // a nested/unsupported column that the query never touches must

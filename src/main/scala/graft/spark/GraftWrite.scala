@@ -100,7 +100,9 @@ class GraftWriteBuilder(table: GTable, info: LogicalWriteInfo,
       .orElse(WapBranch.resolve()).getOrElse("main")
     new GraftWrite(table, writeSchema, mode, info.queryId(), branch, queryNames,
       fileG, SnapshotProps.from(info.options),
-      Option(info.options.get("write-format")).map(_.toLowerCase))
+      Option(info.options.get("write-format")).map(_.toLowerCase),
+      Option(info.options.get("compression-codec")).map(_.toLowerCase),
+      Option(info.options.get("compression-level")))
   }
 }
 
@@ -184,7 +186,9 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     queryNames: Option[Array[String]] = None,
     fileG: GSchema = null,
     snapshotProps: Map[String, String] = Map.empty,
-    formatOverride: Option[String] = None)
+    formatOverride: Option[String] = None,
+    codecOverride: Option[String] = None,
+    codecLevel: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   /** graft schema of the files this write produces (dataset shape/types,
@@ -263,7 +267,7 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(table, writeSchema, mode, branch, baseG, snapshotProps,
-      formatOverride)
+      formatOverride, codecOverride, codecLevel)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     val truncateEachEpoch = mode match {
@@ -300,7 +304,9 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
 final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
     branch: String = "main", fileGBase: GSchema = null,
     snapshotProps: Map[String, String] = Map.empty,
-    formatOverride: Option[String] = None)
+    formatOverride: Option[String] = None,
+    codecOverride: Option[String] = None,
+    codecLevel: Option[String] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -352,16 +358,24 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
       case "orc" =>
         new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
           .prepareWrite(spark, job,
-            Map("compression" -> spark.sessionState.conf
-              .getConfString("spark.sql.orc.compression.codec", "snappy")),
+            Map("compression" -> codecOverride.getOrElse(
+              spark.sessionState.conf
+                .getConfString("spark.sql.orc.compression.codec", "snappy"))),
             fileSchema)
       case _ =>
         // table-level parquet tuning (reference TableProperties):
         // write.parquet.compression-codec, row-group size, bloom filters
         val props = table.meta.properties
-        val codec = props.getOrElse("write.parquet.compression-codec",
-          spark.sessionState.conf
-            .getConfString("spark.sql.parquet.compression.codec", "snappy"))
+        // per-write compression-codec / compression-level options
+        // (reference SparkWriteOptions) beat the table properties
+        val codec = codecOverride.getOrElse(
+          props.getOrElse("write.parquet.compression-codec",
+            spark.sessionState.conf
+              .getConfString("spark.sql.parquet.compression.codec", "snappy")))
+        codecLevel.orElse(props.get("write.parquet.compression-level")).foreach { lvl =>
+          job.getConfiguration.set("parquet.compression.codec.zstd.level", lvl)
+          job.getConfiguration.set("compression.level", lvl)
+        }
         props.get("write.parquet.row-group-size-bytes")
           .foreach(job.getConfiguration.set("parquet.block.size", _))
         props.get("write.parquet.page-size-bytes")

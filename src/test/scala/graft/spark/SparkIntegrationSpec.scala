@@ -2463,6 +2463,26 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).toSet
     assert(formats === Set("parquet", "orc"))
     assert(spark.table("graft.db.ropt").count() === 5)
+
+    // per-write codec override: the new parquet file's footer says gzip
+    spark.range(5, 6).selectExpr("id")
+      .writeTo("graft.db.ropt").option("compression-codec", "gzip").append()
+    val gzFile = spark.sql("""SELECT file_path FROM graft.db.ropt.files
+      WHERE file_format = 'parquet' ORDER BY file_path""").collect()
+      .map(_.getString(0)).find { p =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path("file://" + p),
+            new org.apache.hadoop.conf.Configuration()))
+        try rd.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.name
+          .equalsIgnoreCase("gzip")
+        finally rd.close()
+      }
+    assert(gzFile.isDefined, "no gzip-compressed parquet file written")
+
+    // vectorization toggle changes the plan, not the rows
+    assert(spark.read.option("vectorization-enabled", "false")
+      .table("graft.db.ropt").count() === 6)
   }
 
   test("DROP TABLE PURGE deletes the tree; plain DROP keeps data; gc guard") {
