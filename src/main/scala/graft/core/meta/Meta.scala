@@ -64,6 +64,17 @@ final case class FieldSummary(
     lower: Option[Any] = None,
     upper: Option[Any] = None)
 
+/** Spec-scoped, array-normalized partition identity — the ONE way to
+  * compare partition tuples (byte arrays compare by reference in a Seq;
+  * tuples only mean the same thing under the same spec). */
+object PartitionTuples {
+  def key(f: DataFile): (Int, Seq[Any]) = (f.specId, normalize(f.partition))
+  def normalize(p: Seq[Any]): Seq[Any] = p.map {
+    case b: Array[Byte] => b.toSeq
+    case x              => x
+  }
+}
+
 final case class ManifestFile(
     path: String,
     length: Long,

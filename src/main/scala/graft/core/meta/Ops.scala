@@ -753,9 +753,8 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
     Map("added-data-files" -> added.size.toString,
       "added-records" -> added.map(_.recordCount).sum.toString,
       "added-files-size" -> added.map(_.fileSizeBytes).sum.toString,
-      "changed-partition-count" -> added
-        .map(_.partition.map { case b: Array[Byte] => b.toSeq; case x => x })
-        .distinct.size.toString)
+      "changed-partition-count" ->
+        added.map(PartitionTuples.key).distinct.size.toString)
   }
 }
 
@@ -786,10 +785,7 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
   def replacePartitions(parts: Set[Seq[Any]]): this.type = {
     replaceParts = Some(parts.map(normalizeKey)); this
   }
-  private def normalizeKey(p: Seq[Any]): Seq[Any] = p.map {
-    case b: Array[Byte] => b.toSeq
-    case x              => x
-  }
+  private def normalizeKey(p: Seq[Any]): Seq[Any] = PartitionTuples.normalize(p)
   def validateFromSnapshot(snapshotId: Long): this.type = {
     validateNoConflictingAppendsFrom = Some(snapshotId); this
   }
@@ -911,9 +907,8 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
       "deleted-records" ->
         droppedFiles.filter(isData).map(_.recordCount).sum.toString,
       "removed-files-size" -> droppedFiles.map(_.fileSizeBytes).sum.toString,
-      "changed-partition-count" -> (adds ++ droppedFiles)
-        .map(_.partition.map { case b: Array[Byte] => b.toSeq; case x => x })
-        .distinct.size.toString)
+      "changed-partition-count" ->
+        (adds ++ droppedFiles).map(PartitionTuples.key).distinct.size.toString)
   }
 }
 
@@ -1085,9 +1080,8 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
       "added-equality-deletes" -> dels
         .filter(_.content == FileContent.EqualityDeletes)
         .map(_.recordCount).sum.toString,
-      "changed-partition-count" -> (datas ++ dels)
-        .map(_.partition.map { case b: Array[Byte] => b.toSeq; case x => x })
-        .distinct.size.toString)
+      "changed-partition-count" ->
+        (datas ++ dels).map(PartitionTuples.key).distinct.size.toString)
   }
 }
 

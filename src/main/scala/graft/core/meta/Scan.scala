@@ -32,10 +32,7 @@ object DeleteFileIndex {
 final class DeleteFileIndex(deletes: Seq[ManifestEntry],
     schema: GSchema = null) extends Serializable {
   private def partKey(specId: Int, partition: Seq[Any]): (Int, Seq[Any]) =
-    (specId, partition.map {
-      case b: Array[Byte] => b.toSeq
-      case x              => x
-    })
+    (specId, PartitionTuples.normalize(partition))
 
   private val (global, partitioned) = deletes.partition(_.file.partition.isEmpty)
   private val byPartition: Map[(Int, Seq[Any]), Seq[ManifestEntry]] =
@@ -46,6 +43,7 @@ final class DeleteFileIndex(deletes: Seq[ManifestEntry],
   def forDataFile(dataSeq: Long, f: DataFile): Seq[DataFile] = {
     val candidates = global ++
       byPartition.getOrElse(partKey(f.specId, f.partition), Nil)
+    val pathKey = GraftIO.dataSuffix(f.path)
     candidates.filter { e =>
       val applies =
         if (e.file.content == FileContent.PositionDeletes) e.dataSequenceNumber >= dataSeq
@@ -57,9 +55,8 @@ final class DeleteFileIndex(deletes: Seq[ManifestEntry],
       // delete file in the partition rides along to every task
       val inPathBounds = e.file.content != FileContent.PositionDeletes ||
         e.file.columnStats.get(DeleteFileIndex.FilePathFieldId).forall { st =>
-          val key = GraftIO.dataSuffix(f.path)
-          st.lower.forall(l => key.compareTo(l.toString) >= 0) &&
-            st.upper.forall(u => key.compareTo(u.toString) <= 0)
+          st.lower.forall(l => pathKey.compareTo(l.toString) >= 0) &&
+            st.upper.forall(u => pathKey.compareTo(u.toString) <= 0)
         }
       // equality deletes: a delete can only mask a row that EQUALS one of
       // its keys, so disjoint per-column [min,max] ranges prove it never
@@ -71,15 +68,20 @@ final class DeleteFileIndex(deletes: Seq[ManifestEntry],
           schema.byId.get(fid).exists { field =>
             (e.file.columnStats.get(fid), f.columnStats.get(fid)) match {
               case (Some(d), Some(x)) =>
-                val nullsBoth = d.nullCount.exists(_ > 0) && x.nullCount.exists(_ > 0)
+                // a NULL delete key matches NULL values regardless of the
+                // ranges; pruning needs PROOF no null pair exists, i.e.
+                // one side with a KNOWN-zero null count (an unknown count
+                // may hide nulls — reference allNonNull semantics)
+                val noNullPair =
+                  d.nullCount.contains(0L) || x.nullCount.contains(0L)
                 // an unexpected bound representation must degrade to
                 // "keep the delete", never break the scan
-                try !nullsBoth && (for (dl <- d.lower; du <- d.upper;
+                try noNullPair && (for (dl <- d.lower; du <- d.upper;
                     xl <- x.lower; xu <- x.upper) yield
                   TypeComparators.compare(field.tpe, du, xl) < 0 ||
                     TypeComparators.compare(field.tpe, dl, xu) > 0)
                   .contains(true)
-                catch { case _: Throwable => false }
+                catch { case scala.util.control.NonFatal(_) => false }
               case _ => false
             }
           }

@@ -363,13 +363,19 @@ object GraftAvro {
   }
 
   final class AvroOutputWriter(val path: String, sparkSchema: StructType,
-      gSchema: GSchema) extends OutputWriter {
+      gSchema: GSchema, codec: String = "snappy") extends OutputWriter {
     private val avroSchema = toAvroSchema(sparkSchema)
     private val tracker = new StatsTracker(sparkSchema, gSchema)
     private val writer = {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](avroSchema))
-      w.setCodec(CodecFactory.snappyCodec())
+      w.setCodec(codec.toLowerCase match {
+        case "gzip" | "deflate" => CodecFactory.deflateCodec(
+          CodecFactory.DEFAULT_DEFLATE_LEVEL)
+        case "zstd"             => CodecFactory.zstandardCodec(3)
+        case "uncompressed" | "none" => CodecFactory.nullCodec()
+        case _                  => CodecFactory.snappyCodec()
+      })
       w.create(avroSchema, GraftIO.toPath(path).toFile)
     }
 
@@ -398,14 +404,15 @@ object GraftAvro {
 
   /** OutputWriterFactory drop-in next to ParquetFileFormat/OrcFileFormat's
     * prepareWrite results — serializable, reconstructs schemas from JSON. */
-  final class AvroWriterFactory(gSchemaJson: String) extends OutputWriterFactory {
+  final class AvroWriterFactory(gSchemaJson: String,
+      codec: String = "snappy") extends OutputWriterFactory {
     @transient private lazy val gSchema =
       graft.core.meta.MetaJson.readSchema(
         graft.core.meta.MetaJson.mapper.readTree(gSchemaJson))
     override def getFileExtension(context: TaskAttemptContext): String = ".avro"
     override def newInstance(path: String, dataSchema: StructType,
         context: TaskAttemptContext): OutputWriter =
-      new AvroOutputWriter(stripLocal(path), dataSchema, gSchema)
+      new AvroOutputWriter(stripLocal(path), dataSchema, gSchema, codec)
   }
 
   private def stripLocal(path: String): String = path

@@ -289,10 +289,12 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
             "(ALTER TABLE ... SET IDENTIFIER FIELDS)")
         info => GraftUpsertWriterFactory.create(table, writeSchema,
           new GraftBatchWrite(table, writeSchema, AppendMode,
-            formatOverride = formatOverride).createBatchWriterFactory(info))
+            formatOverride = formatOverride, codecOverride = codecOverride,
+            codecLevel = codecLevel).createBatchWriterFactory(info))
       } else {
         info => new GraftBatchWrite(table, writeSchema, AppendMode,
-          formatOverride = formatOverride).createBatchWriterFactory(info)
+          formatOverride = formatOverride, codecOverride = codecOverride,
+          codecLevel = codecLevel).createBatchWriterFactory(info)
       }
     new GraftStreamingWrite(table, queryId, factory, truncateEachEpoch,
       snapshotProps)
@@ -354,7 +356,9 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     val owf = dataFormat match {
       case "avro" =>
         new GraftAvro.AvroWriterFactory(
-          graft.core.meta.MetaJson.writeSchema(fileGSchema).toString)
+          graft.core.meta.MetaJson.writeSchema(fileGSchema).toString,
+          codecOverride.getOrElse(table.meta.properties
+            .getOrElse("write.avro.compression-codec", "snappy")))
       case "orc" =>
         new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
           .prepareWrite(spark, job,

@@ -90,9 +90,13 @@ class MetaSpec extends AnyFunSuite {
     assert(idx.forDataFile(1L, data(150L, 300L)).size === 1) // overlap
     assert(idx.forDataFile(1L, data(250L, 300L)).isEmpty)    // disjoint
     assert(idx.forDataFile(1L, data(1L, 50L)).isEmpty)       // disjoint below
-    // shared nulls make ranges inconclusive — keep the delete
+    // possible nulls on both sides make ranges inconclusive — keep
     val nullIdx = new DeleteFileIndex(Seq(eqDel(100L, 200L, nulls = 1)), schema)
     assert(nullIdx.forDataFile(1L, data(250L, 300L, nulls = 1)).size === 1)
+    // UNKNOWN null count may hide nulls — pruning needs a proven zero
+    val unknown = DataFile("d.parquet", "parquet", 0, Nil, 10, 100,
+      Map(1 -> ColStats(Some(10L), None, None, Some(250L), Some(300L))))
+    assert(nullIdx.forDataFile(1L, unknown).size === 1)
     // no schema (executor-shipped legacy) or no bounds: keep
     assert(new DeleteFileIndex(Seq(eqDel(100L, 200L)))
       .forDataFile(1L, data(250L, 300L)).size === 1)
