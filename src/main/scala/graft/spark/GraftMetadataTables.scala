@@ -94,7 +94,11 @@ object GraftMetadataTables {
       StructField("snapshot_id", LongType),
       StructField("sequence_number", LongType),
       StructField("file_path", StringType),
-      StructField("record_count", LongType)))
+      StructField("record_count", LongType),
+      StructField("content", IntegerType),
+      StructField("file_size_in_bytes", LongType),
+      StructField("spec_id", IntegerType),
+      StructField("partition", StringType)))
     case "partitions" => StructType(Seq(
       StructField("partition", StringType),
       StructField("spec_id", IntegerType),
@@ -333,7 +337,9 @@ object ManifestEntriesScan {
           filtered.iterator.map { e =>
             new GenericInternalRow(Array[Any](
               e.status, e.snapshotId, e.dataSequenceNumber, us(e.file.path),
-              e.file.recordCount)): InternalRow
+              e.file.recordCount, e.file.content, e.file.fileSizeBytes,
+              e.file.specId,
+              partString(e.file.specId, e.file.partition))): InternalRow
           }
         else
           filtered.iterator.map { e =>

@@ -131,7 +131,8 @@ class GraftSparkTable(val table: GTable, fullName: String,
     // FILE_OPEN_COST): overrides the table's read.split.target-size
     val splitOverride = (
       Option(options.get("split-size")).map(_.toLong),
-      Option(options.get("file-open-cost")).map(_.toLong))
+      Option(options.get("file-open-cost")).map(_.toLong),
+      Option(options.get("lookback")).map(_.toInt))
     new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles,
       incremental = incremental, streamMaxRecords = maxRecords,
       streamFromTs = streamFromTs, streamSkip = streamSkip,
@@ -406,7 +407,7 @@ object GraftSparkTable {
       streamMaxRecords: Option[Long] = None,
       streamFromTs: Option[Long] = None,
       streamSkip: (Boolean, Boolean) = (false, false),
-      splitOverride: (Option[Long], Option[Long]) = (None, None),
+      splitOverride: (Option[Long], Option[Long], Option[Int]) = (None, None, None),
       vecOverride: Option[Boolean] = None)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
@@ -651,7 +652,7 @@ object GraftSparkTable {
       streamMaxRecords: Option[Long] = None,
       streamFromTs: Option[Long] = None,
       streamSkip: (Boolean, Boolean) = (false, false),
-      splitOverride: (Option[Long], Option[Long]) = (None, None),
+      splitOverride: (Option[Long], Option[Long], Option[Int]) = (None, None, None),
       vecOverride: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering
@@ -959,18 +960,32 @@ object GraftSparkTable {
           t.copy(start = off, length = math.min(target, t.length - off)))
       }
       val groups = {
-        // bin-pack into ~target-size groups (reference TableScanUtil)
+        // bin-pack into ~target-size groups with a lookback window of
+        // open bins (reference TableScanUtil/BinPacking + the `lookback`
+        // read option / read.split.planning-lookback, default 10): a
+        // task goes to the first open bin it fits; when none fits and
+        // the window is full, the oldest bin closes — tighter packing
+        // than pure greedy when sizes interleave
+        val lookback = splitOverride._3.orElse(
+          table.meta.properties.get("read.split.planning-lookback")
+            .flatMap(_.toIntOption)).getOrElse(10).max(1)
+        final class Bin {
+          val items = Seq.newBuilder[FileScanTask]
+          var size = 0L
+          def add(t: FileScanTask, w: Long): Unit = { items += t; size += w }
+        }
         val out = Seq.newBuilder[Seq[FileScanTask]]
-        var cur = Seq.newBuilder[FileScanTask]
-        var size = 0L; var n = 0
+        val open = scala.collection.mutable.ArrayBuffer.empty[Bin]
         split.foreach { t =>
           val w = math.max(t.length, openCost)
-          if (n > 0 && size + w > target) {
-            out += cur.result(); cur = Seq.newBuilder; size = 0L; n = 0
+          open.find(_.size + w <= target) match {
+            case Some(b) => b.add(t, w)
+            case None =>
+              if (open.size >= lookback) out += open.remove(0).items.result()
+              val b = new Bin; b.add(t, w); open += b
           }
-          cur += t; size += w; n += 1
         }
-        if (n > 0) out += cur.result()
+        open.foreach(b => out += b.items.result())
         out.result()
       }
       groups.map { g =>
