@@ -91,7 +91,10 @@ final case class ManifestFile(
     // counts of Existing / Deleted entries, so live-row totals are a
     // manifest-list sum instead of an entry scan
     existingRowsCount: Long = 0L,
-    deletedRowsCount: Long = 0L) {
+    deletedRowsCount: Long = 0L,
+    // encrypted tables: this manifest file's wrapped DEK+AAD (spec
+    // manifest_file field 519 key_metadata)
+    keyMetadata: Option[String] = None) {
   def hasLiveFiles: Boolean = addedFilesCount + existingFilesCount > 0
   def liveRowsCount: Long = addedRowsCount + existingRowsCount
 }
@@ -109,7 +112,12 @@ final case class Snapshot(
     // schema current when this snapshot committed (spec `schema-id`):
     // time travel reads with THIS schema, so a later REPLACE TABLE or
     // column drop never re-shapes historical reads
-    schemaId: Option[Int] = None)
+    schemaId: Option[Int] = None,
+    // encrypted tables (spec v3 "the encryption key used for a snapshot
+    // is specified by key-id"): the table key that wraps this snapshot's
+    // manifest-list DEK, and that wrapped DEK+AAD
+    keyId: Option[String] = None,
+    keyMetadata: Option[String] = None)
 
 object SnapshotRefType {
   val Branch = "branch"
@@ -157,7 +165,10 @@ final case class TableMetadata(
     // (timestamp the file BECAME current, file path); appended by the
     // catalog ops at commit and trimmed to
     // write.metadata.previous-versions-max
-    metadataLog: Seq[(Long, String)] = Nil) {
+    metadataLog: Seq[(Long, String)] = Nil,
+    // spec `encryption-keys`: wrapped per-table keys for table
+    // encryption (newest last; resolved through the KMS at load)
+    encryptionKeys: Seq[EncryptionKey] = Nil) {
 
   def schema: GSchema = schemas.find(_.schemaId == currentSchemaId).get
   def spec: graft.core.expr.PartitionSpec = specs.find(_.specId == defaultSpecId).get
@@ -247,7 +258,12 @@ object TableMetadata {
       snapshots = Nil,
       snapshotLog = Nil,
       refs = Map.empty,
-      nextRowId = 0L)
+      nextRowId = 0L,
+      // `encryption.key-id` at CREATE turns on table encryption: mint a
+      // table key, wrap it with the named KMS master key, and track it
+      // in `encryption-keys` (spec v3 table encryption)
+      encryptionKeys = properties.get(TableCrypto.KeyIdProp).toSeq
+        .map(masterId => TableCrypto.create(masterId)._1))
 
   /** Metadata for REPLACE TABLE: same table identity (uuid, location,
     * snapshot history, sequence counter) with a brand-new current schema,

@@ -244,6 +244,7 @@ object MetaJson {
       .put("added-files", m.addedFilesCount).put("existing-files", m.existingFilesCount)
       .put("deleted-files", m.deletedFilesCount).put("added-rows", m.addedRowsCount)
       .put("existing-rows", m.existingRowsCount).put("deleted-rows", m.deletedRowsCount)
+    m.keyMetadata.foreach(o.put("key-metadata", _))
     val arr = o.putArray("summaries")
     m.partitionSummaries.foreach { s =>
       val so = arr.addObject()
@@ -272,7 +273,8 @@ object MetaJson {
       // unknown, and exactness resumes once a rewrite re-counts it
       existingRowsCount = Option(n.get("existing-rows")).map(_.asLong())
         .getOrElse(if (n.get("existing-files").asInt() > 0) -1L else 0L),
-      deletedRowsCount = Option(n.get("deleted-rows")).map(_.asLong()).getOrElse(0L))
+      deletedRowsCount = Option(n.get("deleted-rows")).map(_.asLong()).getOrElse(0L),
+      keyMetadata = Option(n.get("key-metadata")).map(_.asText()))
   }
 
   // ------------------------------------------------------------- table metadata
@@ -317,6 +319,8 @@ object MetaJson {
       s.parentId.foreach(so.put("parent-snapshot-id", _))
       s.firstRowId.foreach(so.put("first-row-id", _))
       s.schemaId.foreach(so.put("schema-id", _))
+      s.keyId.foreach(so.put("key-id", _))
+      s.keyMetadata.foreach(so.put("manifest-list-key-metadata", _))
       val sum = so.putObject("summary")
       s.summary.foreach { case (k, v) => sum.put(k, v) }
     }
@@ -344,6 +348,19 @@ object MetaJson {
       val ml = o.putArray("metadata-log")
       m.metadataLog.foreach { case (ts, f) =>
         ml.addObject().put("timestamp-ms", ts).put("metadata-file", wp(f))
+      }
+    }
+    if (m.encryptionKeys.nonEmpty) {
+      val ek = o.putArray("encryption-keys")
+      m.encryptionKeys.foreach { k =>
+        val ko = ek.addObject()
+        ko.put("key-id", k.keyId)
+          .put("encrypted-key-metadata", k.encryptedKeyMetadata)
+        k.encryptedById.foreach(ko.put("encrypted-by-id", _))
+        if (k.properties.nonEmpty) {
+          val kp = ko.putObject("properties")
+          k.properties.foreach { case (pk, pv) => kp.put(pk, pv) }
+        }
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
@@ -387,7 +404,9 @@ object MetaJson {
         so.get("operation").asText(), res(so.get("manifest-list").asText()),
         sum.result(),
         Option(so.get("first-row-id")).map(_.asLong()),
-        Option(so.get("schema-id")).map(_.asInt()))
+        Option(so.get("schema-id")).map(_.asInt()),
+        Option(so.get("key-id")).map(_.asText()),
+        Option(so.get("manifest-list-key-metadata")).map(_.asText()))
     }
     val log = Seq.newBuilder[(Long, Long)]
     n.get("snapshot-log").elements().forEachRemaining { e =>
@@ -401,7 +420,7 @@ object MetaJson {
         Option(r.get("max-snapshot-age-ms")).map(_.asLong()),
         Option(r.get("max-ref-age-ms")).map(_.asLong()))
     }
-    TableMetadata(
+    val out = TableMetadata(
       n.get("format-version").asInt(), n.get("table-uuid").asText(),
       base.getOrElse(n.get("location").asText()), n.get("last-sequence-number").asLong(),
       n.get("last-updated-ms").asLong(), n.get("last-column-id").asInt(),
@@ -429,6 +448,22 @@ object MetaJson {
             res(e.get("metadata-file").asText())))
         })
         ml.result()
+      },
+      encryptionKeys = {
+        val ek = Seq.newBuilder[EncryptionKey]
+        Option(n.get("encryption-keys")).foreach(_.elements().forEachRemaining { e =>
+          val kp = Map.newBuilder[String, String]
+          Option(e.get("properties")).foreach(_.fields().forEachRemaining(f =>
+            kp += f.getKey -> f.getValue.asText()))
+          ek += EncryptionKey(e.get("key-id").asText(),
+            e.get("encrypted-key-metadata").asText(),
+            Option(e.get("encrypted-by-id")).map(_.asText()), kp.result())
+        })
+        ek.result()
       })
+    // every metadata load primes the crypto cache so the manifest-read
+    // sites below stay key-threading-free
+    CryptoRegistry.register(out)
+    out
   }
 }

@@ -17,17 +17,33 @@ import graft.core.types._
 object GraftIO {
   def toPath(s: String): Path = Paths.get(s.stripPrefix("file:"))
 
-  def writeString(path: String, content: String, gzip: Boolean = false): Unit = {
+  def writeString(path: String, content: String, gzip: Boolean = false,
+      fileKey: Option[(Array[Byte], Array[Byte])] = None): Unit = {
     val p = toPath(path)
     Files.createDirectories(p.getParent)
-    Files.write(p, encode(content, gzip))
+    val plain = encode(content, gzip)
+    Files.write(p, fileKey match {
+      // gzip-then-encrypt: the AGS1 layer wraps whatever codec produced
+      case Some((dek, aad)) => AesGcm.encryptStream(plain, dek, aad)
+      case None             => plain
+    })
   }
 
-  /** Reads transparently decompress by magic (0x1f 0x8b), so a table can
-    * flip `write.metadata.compression-codec` at any point and mixed
-    * plain/gzip metadata documents and manifests keep reading. */
-  def readString(path: String): String = {
-    val bytes = Files.readAllBytes(toPath(path))
+  /** Reads transparently decrypt (AGS1 magic, when a file key is at
+    * hand) and decompress by magic (0x1f 0x8b), so a table can flip
+    * `write.metadata.compression-codec` or turn encryption on at any
+    * point and mixed plain/gzip/encrypted metadata trees keep reading. */
+  def readString(path: String,
+      fileKey: Option[(Array[Byte], Array[Byte])] = None): String = {
+    val raw = Files.readAllBytes(toPath(path))
+    val bytes =
+      if (AesGcm.isEncrypted(raw)) fileKey match {
+        case Some((dek, aad)) => AesGcm.decryptStream(raw, dek, aad)
+        case None => throw new IllegalStateException(
+          s"$path is encrypted (AGS1) but no key was provided — is " +
+            "graft.encryption.kms.key-list configured?")
+      }
+      else raw
     if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -369,7 +385,7 @@ object ManifestIO {
 
   def write(path: String, entries: Seq[ManifestEntry], specId: Int, content: Int,
       spec: PartitionSpec, schema: GSchema, snapshotId: Long,
-      gzip: Boolean = false): ManifestFile = {
+      gzip: Boolean = false, crypto: Option[TableCrypto] = None): ManifestFile = {
     // v4 relative locations: data-file paths under the table location
     // store relative (the manifest lives in {location}/metadata/, so the
     // base is recoverable at read time); foreign paths stay absolute
@@ -384,7 +400,12 @@ object ManifestIO {
     }
     val sb = new StringBuilder
     entries.foreach { e => sb.append(MetaJson.writeEntry(store(e))).append('\n') }
-    GraftIO.writeString(path, sb.toString, gzip)
+    // encrypted tables: every manifest gets a fresh DEK+AAD wrapped by
+    // the table key; the wrapped form rides in the manifest-list entry
+    // (spec manifest_file.key_metadata)
+    val fileKey = crypto.map(_.newFileKey())
+    GraftIO.writeString(path, sb.toString, gzip, fileKey.map(k => (k._2, k._3)))
+    fileKey.foreach(k => CryptoRegistry.putFileKey(path, (k._2, k._3)))
     val partType = spec.partitionType(schema)
     // Entries whose partition tuple is shorter than the spec (e.g. global
     // position deletes with partition=Nil committed under a partitioned
@@ -410,6 +431,7 @@ object ManifestIO {
           if (TypeComparators.compare(pf.tpe, a, b) >= 0) a else b))
     }
     ManifestFile(path, GraftIO.size(path), specId, content,
+      keyMetadata = fileKey.map(_._1),
       addedSnapshotId = snapshotId,
       minSequenceNumber = entries.map(_.dataSequenceNumber).minOption.getOrElse(0L),
       addedFilesCount = entries.count(_.status == ManifestEntryStatus.Added),
@@ -424,10 +446,20 @@ object ManifestIO {
         .map(_.file.recordCount).sum)
   }
 
-  def readEntries(m: ManifestFile): Seq[ManifestEntry] =
+  def readEntries(m: ManifestFile,
+      crypto: Option[TableCrypto] = None): Seq[ManifestEntry] =
     entryCache.get(m.path) {
       val base = GraftIO.metadataBase(m.path)
-      GraftIO.readString(m.path).linesIterator.filter(_.nonEmpty)
+      // encrypted manifests carry their wrapped DEK in the list entry;
+      // unwrap with the table key (explicit on executors, registry-
+      // resolved on the driver)
+      val fileKey = m.keyMetadata.map { km =>
+        crypto.orElse(CryptoRegistry.forPath(m.path)).getOrElse(
+          throw new IllegalStateException(
+            s"manifest ${m.path} is encrypted but no table key is available"))
+          .fileKey(km)
+      }
+      GraftIO.readString(m.path, fileKey).linesIterator.filter(_.nonEmpty)
         .map(MetaJson.readEntry)
         .map(e => e.copy(file = e.file.copy(
           path = GraftIO.resolve(e.file.path, base),
@@ -436,8 +468,11 @@ object ManifestIO {
         .toSeq
     }
 
+  /** Writes the manifest list; for encrypted tables returns the list's
+    * wrapped DEK+AAD, which the caller records on the snapshot (spec v3:
+    * "the encryption key used for a snapshot is specified by key-id"). */
   def writeList(path: String, manifests: Seq[ManifestFile],
-      gzip: Boolean = false): Unit = {
+      gzip: Boolean = false, crypto: Option[TableCrypto] = None): Option[String] = {
     val base = GraftIO.metadataBase(path)
     def store(m: ManifestFile): ManifestFile = base match {
       case Some(b) => m.copy(path = GraftIO.relativize(m.path, b))
@@ -445,12 +480,17 @@ object ManifestIO {
     }
     val arr = MetaJson.mapper.createArrayNode()
     manifests.foreach(m => arr.add(MetaJson.writeManifestFile(store(m))))
-    GraftIO.writeString(path, MetaJson.mapper.writeValueAsString(arr), gzip)
+    val fileKey = crypto.map(_.newFileKey())
+    GraftIO.writeString(path, MetaJson.mapper.writeValueAsString(arr), gzip,
+      fileKey.map(k => (k._2, k._3)))
+    fileKey.foreach(k => CryptoRegistry.putFileKey(path, (k._2, k._3)))
+    fileKey.map(_._1)
   }
 
   def readList(path: String): Seq[ManifestFile] = listCache.get(path) {
     val base = GraftIO.metadataBase(path)
-    val n = MetaJson.mapper.readTree(GraftIO.readString(path))
+    val n = MetaJson.mapper.readTree(
+      GraftIO.readString(path, CryptoRegistry.fileKey(path)))
     val buf = Seq.newBuilder[ManifestFile]
     n.elements().forEachRemaining(e => buf += {
       val m = MetaJson.readManifestFile(e)
@@ -601,6 +641,15 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
   /** Produce the full manifest set for the new snapshot from the base. */
   protected def manifests(base: TableMetadata, snapshotId: Long, seq: Long): Seq[ManifestFile]
 
+  /** resolved table key for encrypted tables — every new manifest /
+    * manifest list this producer writes is AGS1-encrypted with a fresh
+    * DEK wrapped by it (cached per commit attempt) */
+  private var cryptoCache: Option[Option[TableCrypto]] = None
+  protected final def tableCrypto(base: TableMetadata): Option[TableCrypto] = {
+    if (cryptoCache.isEmpty) cryptoCache = Some(TableCrypto.resolve(base))
+    cryptoCache.get
+  }
+
   /** head snapshot this commit builds on: the branch's head, or — when
     * the branch doesn't exist yet (first staged WAP write) — the current
     * main head, so a new branch forks from the table's current state */
@@ -667,9 +716,11 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       val snapshotId = math.abs(java.util.UUID.randomUUID.getMostSignificantBits)
       val seq = base.lastSequenceNumber + 1
       allocatedRows = 0L
+      cryptoCache = None
       val ms = manifests(base, snapshotId, seq)
       val listPath = table.ops.newManifestListPath(snapshotId)
-      ManifestIO.writeList(listPath, ms, GraftIO.metadataGzip(base.properties))
+      val listKeyMeta = ManifestIO.writeList(listPath, ms,
+        GraftIO.metadataGzip(base.properties), tableCrypto(base))
       val parent = parentSnapshot(base).map(_.snapshotId)
       // table-state totals (reference SnapshotSummary total-* metrics):
       // exact sums over the new manifest list — O(#manifests), no entry
@@ -704,7 +755,9 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
         operationName, listPath, deltas ++ totals ++ extraSummary,
         firstRowId = if (allocatedRows > 0) Some(base.nextRowId) else None,
-        schemaId = Some(base.currentSchemaId))
+        schemaId = Some(base.currentSchemaId),
+        keyId = tableCrypto(base).map(_.tableKeyId),
+        keyMetadata = listKeyMeta)
       val updated0 =
         if (stagedOnly) base.withStagedSnapshot(snap)
         else base.withSnapshot(snap, branch)
@@ -744,7 +797,7 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
     val spec = base.specById(added.head.specId)
     val m = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
       FileContent.Data, spec, base.schema, snapshotId,
-      GraftIO.metadataGzip(base.properties))
+      GraftIO.metadataGzip(base.properties), tableCrypto(base))
     m +: parentManifests(base)
   }
 
@@ -867,7 +920,8 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
       if (dropped.isEmpty) Some(mf)
       else if (keptEntries.isEmpty) None
       else Some(ManifestIO.write(table.ops.newManifestPath(), keptEntries, mf.specId,
-        mf.content, spec, schema, snapshotId, GraftIO.metadataGzip(base.properties)))
+        mf.content, spec, schema, snapshotId,
+        GraftIO.metadataGzip(base.properties), tableCrypto(base)))
     }
     // A path we were told to replace is no longer live: a concurrent
     // commit (compaction, another CoW) already removed it. Committing the
@@ -889,7 +943,7 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
           ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
         ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
           if (isDelete) 1 else FileContent.Data, spec, schema, snapshotId,
-          GraftIO.metadataGzip(base.properties))
+          GraftIO.metadataGzip(base.properties), tableCrypto(base))
       } ++ kept
     }
   }
@@ -1053,7 +1107,8 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
       val spec = base.specById(dels.head.specId)
       val entries = dels.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
       ms = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-        1, spec, schema, snapshotId, GraftIO.metadataGzip(base.properties)) +: ms
+        1, spec, schema, snapshotId,
+        GraftIO.metadataGzip(base.properties), tableCrypto(base)) +: ms
     }
     val datas = assignRowIds(base, dataFiles.result())
     if (datas.nonEmpty) {
@@ -1061,7 +1116,7 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
       val entries = datas.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
       ms = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
         FileContent.Data, spec, schema, snapshotId,
-        GraftIO.metadataGzip(base.properties)) +: ms
+        GraftIO.metadataGzip(base.properties), tableCrypto(base)) +: ms
     }
     ms
   }

@@ -31,7 +31,8 @@ object Puffin {
       properties: Map[String, String] = Map.empty)
 
   def write(path: String, blobs: Seq[Blob],
-      fileProperties: Map[String, String] = Map.empty): Long = {
+      fileProperties: Map[String, String] = Map.empty,
+      crypto: Option[TableCrypto] = None): Long = {
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
     d.write(Magic)
@@ -72,15 +73,71 @@ object Puffin {
     d.flush()
     val p = GraftIO.toPath(path)
     Files.createDirectories(p.getParent)
-    Files.write(p, out.toByteArray)
-    out.size().toLong
+    // encrypted tables: the whole container is AES GCM Stream under a
+    // derived per-file key (reference encrypts puffin like any metadata
+    // content file — min/max sketches are as sensitive as the data)
+    val bytes = crypto match {
+      case Some(tc) =>
+        val (dek, aad) = tc.derivedFileKey(path)
+        AesGcm.encryptStream(out.toByteArray, dek, aad)
+      case None => out.toByteArray
+    }
+    Files.write(p, bytes)
+    bytes.length.toLong
   }
 
-  def read(path: String): Seq[Blob] = {
+  def read(path: String, crypto: Option[TableCrypto] = None): Seq[Blob] = {
+    // encrypted stats file: decrypt whole (blob offsets address the
+    // PLAINTEXT layout); plaintext keeps the ranged channel path so
+    // multi-GB unencrypted stats never fully materialize
+    val head = {
+      val ch0 = Files.newByteChannel(GraftIO.toPath(path))
+      try {
+        val b = ByteBuffer.allocate(4)
+        while (b.hasRemaining && ch0.read(b) >= 0) {}
+        b.array()
+      } finally ch0.close()
+    }
+    if (AesGcm.isEncrypted(head)) {
+      val tc = crypto.orElse(CryptoRegistry.forPath(path)).getOrElse(
+        throw new IllegalStateException(
+          s"$path is an encrypted statistics file but no table key is available"))
+      val (dek, aad) = tc.derivedFileKey(path)
+      val plain = AesGcm.decryptStream(
+        Files.readAllBytes(GraftIO.toPath(path)), dek, aad)
+      readChannel(path, new InMemoryChannel(plain))
+    } else readChannel(path, Files.newByteChannel(GraftIO.toPath(path)))
+  }
+
+  /** minimal read-only seekable channel over a byte array */
+  private final class InMemoryChannel(bytes: Array[Byte])
+    extends java.nio.channels.SeekableByteChannel {
+    private var pos = 0L
+    private var open = true
+    override def read(dst: ByteBuffer): Int = {
+      if (pos >= bytes.length) return -1
+      val n = math.min(dst.remaining(), (bytes.length - pos).toInt)
+      dst.put(bytes, pos.toInt, n); pos += n; n
+    }
+    override def write(src: ByteBuffer): Int =
+      throw new UnsupportedOperationException
+    override def position(): Long = pos
+    override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+      pos = newPosition; this
+    }
+    override def size(): Long = bytes.length.toLong
+    override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException
+    override def isOpen: Boolean = open
+    override def close(): Unit = open = false
+  }
+
+  private def readChannel(path: String,
+      ch0: java.nio.channels.SeekableByteChannel): Seq[Blob] = {
     // ranged channel reads with LONG blob offsets: statistics files can
     // exceed 2 GB (many wide tables / sketch payloads), so neither the
     // whole file nor blob offsets may pass through an Int
-    val ch = Files.newByteChannel(GraftIO.toPath(path))
+    val ch = ch0
     try {
       val fileLen = ch.size()
       def readAt(off: Long, len: Int): Array[Byte] = {

@@ -99,7 +99,10 @@ final case class PlanContext(
     bound: Expr,
     specs: Map[Int, PartitionSpec],
     partPreds: Map[Int, Expr],
-    deleteIndex: DeleteFileIndex)
+    deleteIndex: DeleteFileIndex,
+    // encrypted tables: resolved table key rides to executors in the
+    // task closure (the driver-side CryptoRegistry doesn't travel)
+    crypto: Option[TableCrypto] = None)
 
 object TableScan {
   /** Local layer-3 over many manifests: IO-bound, fan out on the common
@@ -119,7 +122,7 @@ object TableScan {
   def planManifest(ctx: PlanContext, mf: ManifestFile): Seq[FileScanTask] = {
     val spec = ctx.specs(mf.specId)
     val partPred = ctx.partPreds(mf.specId)
-    ManifestIO.readEntries(mf).filter(_.isLive).flatMap { e =>
+    ManifestIO.readEntries(mf, ctx.crypto).filter(_.isLive).flatMap { e =>
       val partRow = ArrayRow(e.file.partition.toArray)
       val keep = RowEvaluator.eval(partPred, partRow) &&
         InclusiveMetricsEvaluator.rowsMightMatch(ctx.bound, e.file.fileStats)
@@ -276,7 +279,8 @@ final class TableScan(table: GTable) {
     val ctx = PlanContext(schema, bound,
       specIds.map(id => id -> m.specById(id)).toMap,
       specIds.map(id => id -> partPred(id)).toMap,
-      new DeleteFileIndex(deleteEntries, schema))
+      new DeleteFileIndex(deleteEntries, schema),
+      TableCrypto.resolve(m))
     Some((ctx, dataManifests))
   }
 

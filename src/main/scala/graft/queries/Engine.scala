@@ -42,10 +42,15 @@ object Engine {
     if (built.contains(wh)) return
     s.conf.set("spark.sql.catalog.graft", classOf[graft.spark.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    // g55 table-encryption gate: a FIXED test master key (not a secret —
+    // the warehouse must decrypt across driver JVM restarts)
+    val gateKms = "gate-mk:Z3JhZnQtZ2F0ZS1tazEyMzQ="
+    s.conf.set("spark.sql.catalog.graft.encryption.kms.key-list", gateKms)
+    graft.core.meta.KmsRegistry.setKeyList(gateKms)
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v28").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v29").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -54,7 +59,7 @@ object Engine {
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
-        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g")
+        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g", "enc_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
@@ -617,8 +622,19 @@ object Engine {
           s"g53: counts-mode column lost value_counts: $vc")
       }
 
+      // g55: encrypted table — parquet modular encryption + AGS1 metadata,
+      // exercised through append, MoR delete and scan
+      s.sql("""CREATE TABLE graft.db.enc_g (
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+        o_orderstatus STRING)
+        TBLPROPERTIES ('encryption.key-id'='gate-mk',
+                       'write.delete.mode'='merge-on-read')""")
+      o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .writeTo("graft.db.enc_g").append()
+      s.sql("DELETE FROM graft.db.enc_g WHERE o_orderkey % 5 = 2")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v28" -> "true"))
+        .updateProperties(Map("build-complete-v29" -> "true"))
     }
     built += wh
   }
@@ -1786,9 +1802,57 @@ object Engine {
     Some("""
       SELECT COUNT(*) AS n, CAST(0 AS BIGINT) AS del_files FROM lineitem"""))
 
+  // ------------------------------------------------------------------ g55
+  // Table encryption end-to-end (reference format/spec.md encryption
+  // keys, gcm-stream-spec.md, parquet modular encryption): the gate
+  // asserts — at the BYTE level — that every manifest list/manifest is
+  // AGS1, every data and delete file has an encrypted parquet footer
+  // (PARE), the snapshot records its key metadata, and the decrypted
+  // scan still matches the DuckDB oracle computed from plaintext source.
+  private val g55 = Q(
+    "g55_engine_encryption",
+    (s, dir) => {
+      setup(s, dir)
+      import graft.core.meta.{AesGcm, GraftIO, ManifestIO}
+      val t0 = new HadoopCatalog(warehouse(dir)).loadTable(Seq("db"), "enc_g").get
+      require(t0.meta.encryptionKeys.nonEmpty, "g55: no encryption-keys")
+      val snap = t0.meta.currentSnapshot.get
+      require(snap.keyId.nonEmpty && snap.keyMetadata.nonEmpty,
+        "g55: snapshot carries no key metadata")
+      def raw(p: String): Array[Byte] =
+        java.nio.file.Files.readAllBytes(GraftIO.toPath(p))
+      require(AesGcm.isEncrypted(raw(snap.manifestListPath)),
+        "g55: manifest list not AGS1")
+      val mfs = ManifestIO.readList(snap.manifestListPath)
+      require(mfs.nonEmpty && mfs.forall(_.keyMetadata.isDefined),
+        "g55: manifest without key metadata")
+      mfs.foreach(m => require(AesGcm.isEncrypted(raw(m.path)),
+        s"g55: manifest not AGS1: ${m.path}"))
+      val tasks = t0.newScan().planFiles()
+      val contentFiles =
+        tasks.map(_.file.path) ++ tasks.flatMap(_.deletes.map(_.path))
+      require(tasks.exists(_.deletes.nonEmpty), "g55: MoR deletes missing")
+      contentFiles.distinct.foreach { p =>
+        val b = raw(p)
+        require(new String(b, 0, 4, "ISO-8859-1") == "PARE",
+          s"g55: plaintext parquet footer: $p")
+      }
+      s.table("graft.db.enc_g")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+          AS sum_price_cents
+      FROM orders WHERE o_orderkey % 5 <> 2
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54)
+    g52, g53, g54, g55)
 }

@@ -36,6 +36,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     catalogName = name
     val wh = Option(options.get("warehouse"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse")
+    // table-encryption key material (reference CatalogProperties
+    // ENCRYPTION_KMS_*): spark.sql.catalog.<name>.encryption.kms.key-list
+    // seeds the local KMS that wraps/unwraps per-table keys
+    GraftParquetCrypto.seedKms(Option(options.get("encryption.kms.key-list")))
     // catalog-impl selects where the table pointer lives (reference
     // SparkCatalog catalog-impl / JdbcCatalog): 'jdbc' + uri → pointer
     // rows with SQL CAS; default → directory catalog with file CAS
@@ -515,6 +519,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else o.map(r => if (r >= preNext) r + rowDelta else r)
         val stagedNewSnaps = staged.snapshots
           .filterNot(s => base.snapshots.exists(_.snapshotId == s.snapshotId))
+        val stagedCrypto = graft.core.meta.TableCrypto.resolve(staged)
         val attemptFiles = Seq.newBuilder[String] // this attempt's rewrites
         val renumbered =
           if ((delta <= 0 && rowDelta <= 0) || stagedNewSnaps.isEmpty)
@@ -541,18 +546,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   val nm = graft.core.meta.ManifestIO.write(ops.newManifestPath(),
                     entries, m.specId, m.content, staged.specById(m.specId),
                     staged.schema, m.addedSnapshotId,
-                    graft.core.meta.GraftIO.metadataGzip(staged.properties))
+                    graft.core.meta.GraftIO.metadataGzip(staged.properties),
+                    stagedCrypto)
                   attemptFiles += nm.path
                   nm
                 })
               }
               val listPath = ops.newManifestListPath(s.snapshotId)
-              graft.core.meta.ManifestIO.writeList(listPath, newMfs,
-                graft.core.meta.GraftIO.metadataGzip(staged.properties))
+              val listKeyMeta = graft.core.meta.ManifestIO.writeList(listPath,
+                newMfs, graft.core.meta.GraftIO.metadataGzip(staged.properties),
+                stagedCrypto)
               attemptFiles += listPath
               s.copy(sequenceNumber = shiftSeq(s.sequenceNumber),
                 manifestListPath = listPath,
-                firstRowId = shiftRowId(s.firstRowId))
+                firstRowId = shiftRowId(s.firstRowId),
+                keyId = stagedCrypto.map(_.tableKeyId),
+                keyMetadata = listKeyMeta)
             }
           }
         val merged = staged.copy(

@@ -206,12 +206,14 @@ object GraftProcedures {
   /** (file_path, pos, __src) rows of position-delete files, __src = the
     * delete file each row came from (the per-file path-matching scope). */
   private[spark] def deleteRowsDf(spark: SparkSession,
-      files: Seq[DataFile]): org.apache.spark.sql.DataFrame = {
+      files: Seq[DataFile],
+      readOpts: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.input_file_name
     val (dv, pq) = files.partition(_.format == "dv")
     val parts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     if (pq.nonEmpty)
       parts += spark.read.schema(GraftDeltaWriter.DeleteSchema)
+        .options(readOpts)
         .parquet(pq.map(_.path): _*)
         .withColumn("__src", input_file_name())
     if (dv.nonEmpty) {
@@ -690,10 +692,13 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         .get("commit.manifest.target-entries").flatMap(_.toIntOption)
         .getOrElse(8192)
       val mfGzip = GraftIO.metadataGzip(m.properties)
+      // runs on executors: the resolved table key ships in the closure
+      // (registry state is driver-local)
+      val mfCrypto = graft.core.meta.TableCrypto.resolve(m)
       val written: Seq[ManifestFile] =
         if (manifests.isEmpty) Nil
         else sc.parallelize(manifests, math.max(1, math.min(manifests.size, 64)))
-          .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map { e =>
+          .flatMap(mf => ManifestIO.readEntries(mf, mfCrypto).filter(_.isLive).map { e =>
             // keep original sequence numbers via Existing status
             val kept = e.copy(status = ManifestEntryStatus.Existing)
             ((mf.specId, mf.content, kept.file.partition.map {
@@ -711,7 +716,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
               val path =
                 s"$location/metadata/manifest-${java.util.UUID.randomUUID}.json"
               outMfs += ManifestIO.write(path, buf.toSeq, specId, content,
-                specsById(specId), schema, snapshotId = 0L, gzip = mfGzip)
+                specsById(specId), schema, snapshotId = 0L, gzip = mfGzip,
+                crypto = mfCrypto)
               buf.clear()
             }
             it.foreach { case ((specId, content, _), e) =>
@@ -766,6 +772,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           StructField("added_delete_files_count", IntegerType))), row(0, 0))
       } else {
         val conf = spark.sessionState.newHadoopConf()
+        GraftParquetCrypto.configure(conf, t.meta)
         val newFiles = Seq.newBuilder[DataFile]
         val oldPaths = Seq.newBuilder[String]
         import org.apache.spark.sql.functions.{col => fcol}
@@ -780,20 +787,23 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           // output applies a position once no matter how many source
           // files or live matches produced it, and the key is stable
           // under AQE replanning and task retry.
-          val rows0 = deleteRowsDf(spark, fs)
+          val rows0 = deleteRowsDf(spark, fs,
+            GraftParquetCrypto.readOptions(t.meta))
           val rows = GraftProcedures
             .joinWithDeletePaths(liveDf, "__live", rows0, "file_path", "__src", "inner")
             .select(fcol("file_path"), fcol("pos"))
             .dropDuplicates("file_path", "pos")
             .sort("file_path", "pos")
           val staging = java.nio.file.Files.createTempDirectory("graft-posdel").toString
-          rows.coalesce(1).write.mode("overwrite").parquet(staging)
+          rows.coalesce(1).write.options(GraftParquetCrypto.readOptions(t.meta))
+            .mode("overwrite").parquet(staging)
           walkFiles(staging).filter(_.endsWith(".parquet")).foreach { sf =>
             val target = s"${t.location}/data/delete-rw-${java.util.UUID.randomUUID}.parquet"
             java.nio.file.Files.move(GraftIO.toPath(sf), GraftIO.toPath(target))
             val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(target).toString)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
+              org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
             val n = try r.getRecordCount finally r.close()
             if (n == 0) GraftIO.delete(target)
             else {
@@ -840,6 +850,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
                 metadata = org.apache.spark.sql.types.Metadata.empty)))
             else schema
           val rdr = spark.read.schema(readSchema)
+            .options(GraftParquetCrypto.readOptions(t.meta))
           if (f == "orc") rdr.orc(fs.map(_.path): _*)
           else rdr.parquet(fs.map(_.path): _*)
         }
@@ -864,7 +875,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             Puffin.ndvPayload(r.getLong(i)),
             Map("ndv" -> r.getLong(i).toString))
         }
-        val size = Puffin.write(puffinPath, blobs)
+        val size = Puffin.write(puffinPath, blobs,
+          crypto = graft.core.meta.TableCrypto.resolve(t.meta))
         // delete superseded puffin files AFTER the commit lands: the
         // replaced entries are unreferenced from the new metadata and
         // remove_orphan_files only walks {location}/data, so they would
@@ -1000,14 +1012,16 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           val rows = {
             val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
+              org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
             try r.getRecordCount finally r.close()
           }
           // files without parquet field ids are read name-based
           val hasIds = {
             val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
+              org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
             try r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null)
             finally r.close()
           }
@@ -1766,6 +1780,7 @@ object RewriteDataFiles {
           GraftAvro.readToDf(spark, fts.map(_.file.path), readSchema, withPos = true)
         else {
           val rdr = spark.read.schema(readSchema)
+            .options(GraftParquetCrypto.readOptions(t.meta))
           val base = if (f == "orc") rdr.orc(fts.map(_.file.path): _*)
             else rdr.parquet(fts.map(_.file.path): _*)
           base.select(col("*"),
@@ -1784,7 +1799,8 @@ object RewriteDataFiles {
               // scheme-stripped exact match, with the relocation-stable
               // suffix only as an unambiguous fallback (the stored path
               // is the writer-time absolute path)
-              val dels = GraftProcedures.deleteRowsDf(spark, posFiles)
+              val dels = GraftProcedures.deleteRowsDf(spark, posFiles,
+                GraftParquetCrypto.readOptions(t.meta))
                 .select(col("file_path").as("__df"), col("pos").as("__dp"),
                   col("__src"))
               GraftProcedures.joinWithDeletePaths(withPos, "__f", dels, "__df",
@@ -1798,7 +1814,8 @@ object RewriteDataFiles {
               val keyNames = eqByFile.keys.head.equalityIds
                 .flatMap(id => fields.find(_.id == id).map(_.name))
               val delKeys = eqByFile.map { case (d, applies) =>
-                spark.read.parquet(d.path).select(keyNames.map(col): _*)
+                spark.read.options(GraftParquetCrypto.readOptions(t.meta))
+                  .parquet(d.path).select(keyNames.map(col): _*)
                   .toDF(keyNames.map(n => s"__ek_$n"): _*)
                   .withColumn("__ef", explode(sarray(applies.map(lit): _*)))
                   .withColumn("__src", lit(d.path))
@@ -1880,9 +1897,11 @@ object RewriteDataFiles {
         }
       } else {
       val staging = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
+      val cryptoOpts = GraftParquetCrypto.readOptions(t.meta)
       if (outFmt == "orc") df.write.mode("overwrite").orc(staging)
-      else df.write.mode("overwrite").parquet(staging)
+      else df.write.options(cryptoOpts).mode("overwrite").parquet(staging)
       val conf = spark.sessionState.newHadoopConf()
+      cryptoOpts.foreach { case (k, v) => conf.set(k, v) }
       walkFiles(staging).filter(_.endsWith(s".$outFmt")).foreach { sf =>
         val target = s"$dataDir/rewrite-${java.util.UUID.randomUUID}.$outFmt"
         java.nio.file.Files.move(GraftIO.toPath(sf), GraftIO.toPath(target))
@@ -1929,7 +1948,8 @@ object RewriteDataFiles {
       conf: org.apache.hadoop.conf.Configuration): Long = {
     val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
+      org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
     try r.getRecordCount finally r.close()
   }
 }

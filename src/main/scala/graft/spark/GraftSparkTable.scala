@@ -1064,6 +1064,9 @@ object GraftSparkTable {
       // our files always carry parquet field ids: resolve columns by id so
       // renames/evolution never mis-bind
       conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+      // encrypted tables: the parquet decryption factory + KMS key list
+      // ride the same conf into every task's footer/page reader
+      GraftParquetCrypto.configure(conf, table.meta)
       // metadata columns stay COLUMNAR via constant/position vectors
       // (reference ConstantColumnVectors + row-index vectors), so CoW/MoR
       // DML scans keep the vectorized path; materialized-lineage columns
@@ -1390,7 +1393,8 @@ object GraftSparkTable {
         shredMatRowFuncNF = shredMatRowFuncNF,
         shredBinRowFuncNF = shredBinRowFuncNF,
         shredParentRel = shredParentRel, shredParentFull = shredParentFull,
-        batchFuncEq = batchFuncEq, eqBatchPos = eqBatchPos)
+        batchFuncEq = batchFuncEq, eqBatchPos = eqBatchPos,
+        crypto = graft.core.meta.TableCrypto.resolve(table.meta))
     }
 
     /** (parent, path) → materialized shred file-column name */
@@ -1494,7 +1498,9 @@ object GraftSparkTable {
       // (batch column index, type) for key-tuple probing — both batch
       // layouts (filtered-eq and no-filter) place the keys identically
       batchFuncEq: PartitionedFile => Iterator[InternalRow] = null,
-      eqBatchPos: Map[Int, (Int, org.apache.spark.sql.types.DataType)] = Map.empty)
+      eqBatchPos: Map[Int, (Int, org.apache.spark.sql.types.DataType)] = Map.empty,
+      // encrypted tables: table key for executor-side DV decryption
+      crypto: Option[graft.core.meta.TableCrypto] = None)
     extends PartitionReaderFactory {
 
     // per-executor shred helpers (transient: rebuilt after serialization)
@@ -1565,7 +1571,7 @@ object GraftSparkTable {
       deletePaths.foreach { dp =>
         val byFile = PosDeleteCache.get(dp, () => {
           if (graft.core.meta.DVIO.isDV(dp))
-            graft.core.meta.DVIO.readAsSets(dp)
+            graft.core.meta.DVIO.readAsSets(dp, crypto)
               .map { case (k, v) => stripScheme(k) -> v }
           else {
             val m = scala.collection.mutable.Map.empty[String, java.util.HashSet[Long]]

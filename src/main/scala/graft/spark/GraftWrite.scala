@@ -346,6 +346,7 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     table.meta.properties.get("write.target-file-rows")
       .foreach(conf.set("graft.write.target-file-rows", _))
+    GraftParquetCrypto.configure(conf, table.meta)
     val job = Job.getInstance(conf)
     // data file format: per-write `write-format` option (reference
     // SparkWriteOptions.WRITE_FORMAT), else write.format.default
@@ -353,6 +354,13 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     // orc supported — avro has no Spark SQL connector on this classpath)
     val dataFormat = formatOverride.getOrElse(table.meta.properties
       .getOrElse("write.format.default", "parquet").toLowerCase)
+    // only parquet has native modular encryption on this engine (the
+    // reference's avro-data path uses AES GCM streams; orc native
+    // encryption is unwired there too) — refuse rather than silently
+    // writing plaintext data into an encrypted table
+    if (GraftParquetCrypto.isEncrypted(table.meta) && dataFormat != "parquet")
+      throw new UnsupportedOperationException(
+        s"encrypted tables require the parquet write format, got $dataFormat")
     val owf = dataFormat match {
       case "avro" =>
         new GraftAvro.AvroWriterFactory(
@@ -459,6 +467,7 @@ object GraftUpsertWriterFactory {
     val eqStruct = SparkTypes.toSparkStruct(graft.core.types.GStruct(eqFields))
     val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+    GraftParquetCrypto.configure(conf, table.meta)
     val job = Job.getInstance(conf)
     val owf = new ParquetFileFormat().prepareWrite(spark, job,
       Map("compression" -> "snappy"), eqStruct)
@@ -930,6 +939,7 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
       table.schema.fields ++ GraftSparkTable.lineageGFields))
     val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+    GraftParquetCrypto.configure(conf, table.meta)
     val codec = Map("compression" -> spark.sessionState.conf
       .getConfString("spark.sql.parquet.compression.codec", "snappy"))
     val dataJob = Job.getInstance(conf)
@@ -960,7 +970,8 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
       // rewritten; 'partition' (default) packs a task's deletes per
       // partition. DVs are inherently file-granular.
       deleteGranularity.getOrElse(table.meta.properties
-        .getOrElse("write.delete.granularity", "partition")).toLowerCase)
+        .getOrElse("write.delete.granularity", "partition")).toLowerCase,
+      crypto = graft.core.meta.TableCrypto.resolve(table.meta))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -996,7 +1007,10 @@ final class GraftDeltaWriterFactory(
     confMap: Map[String, String],
     delConfMap: Map[String, String],
     deleteFormat: String = "parquet",
-    deleteGranularity: String = "partition") extends DeltaWriterFactory {
+    deleteGranularity: String = "partition",
+    // encrypted tables: resolved table key ships serialized to executors
+    // so DV content files encrypt with derived per-file keys
+    crypto: Option[graft.core.meta.TableCrypto] = None) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
@@ -1012,7 +1026,7 @@ final class GraftDeltaWriterFactory(
     new GraftDeltaWriter(location, spec.specId,
       spec.partitionType(gSchema).fields.map(f => SparkTypes.toSpark(f.tpe)).toArray,
       dataWriter, delOwf, delConf, partitionId, taskId, deleteFormat,
-      deleteGranularity)
+      deleteGranularity, crypto)
   }
 }
 
@@ -1054,7 +1068,8 @@ final class GraftDeltaWriter(
     partitionId: Int,
     taskId: Long,
     deleteFormat: String = "parquet",
-    deleteGranularity: String = "partition") extends DeltaWriter[InternalRow] {
+    deleteGranularity: String = "partition",
+    crypto: Option[graft.core.meta.TableCrypto] = None) extends DeltaWriter[InternalRow] {
 
   // position deletes grouped by the referenced data file's partition tuple
   // (reference fans delete files out per partition so they prune at scan
@@ -1137,7 +1152,7 @@ final class GraftDeltaWriter(
     deleted.values.toSeq.flatMap { case (partition, dels) =>
       dels.groupBy(_._1).toSeq.map { case (dataPath, posRows) =>
         val path = s"$location/data/dv-$partitionId-$taskId-${UUID.randomUUID}.dv"
-        val n = DVIO.write(path, dataPath, posRows.iterator.map(_._2))
+        val n = DVIO.write(path, dataPath, posRows.iterator.map(_._2), crypto)
         DataFile(path, "dv", specId, partition, n, GraftIO.size(path),
           Map.empty, content = FileContent.PositionDeletes,
           referencedDataFile = Some(dataPath))
@@ -1201,6 +1216,7 @@ final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = No
     val eqStruct = SparkTypes.toSparkStruct(graft.core.types.GStruct(eqFields))
     val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+    GraftParquetCrypto.configure(conf, table.meta)
     val job = Job.getInstance(conf)
     val owf = new ParquetFileFormat().prepareWrite(spark, job,
       Map("compression" -> "snappy"), eqStruct)
@@ -1328,7 +1344,10 @@ object FooterStats {
   def read(path: String, conf: Configuration,
       schema: GSchema, skipGeo: Boolean = false): (Long, Map[Int, ColStats]) = {
     val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    // HadoopReadOptions (not the bare open) loads the decryption factory
+    // from the conf, so footers of modular-encrypted files stay readable
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf),
+      org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala

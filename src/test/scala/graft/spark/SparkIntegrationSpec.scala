@@ -2416,7 +2416,7 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dels = t.meta.currentSnapshot.map { sn =>
       graft.core.meta.ManifestIO.readList(sn.manifestListPath)
         .filter(_.content == 1)
-        .flatMap(graft.core.meta.ManifestIO.readEntries)
+        .flatMap(mf => graft.core.meta.ManifestIO.readEntries(mf))
         .filter(_.isLive).map(_.file)
     }.getOrElse(Nil)
     // file granularity: one position-delete file per touched data file,
