@@ -35,11 +35,18 @@ object Bench {
     // each sample, drop any DataFrame persist() left by the previous run so
     // every sample measures a cold plan (persist reuse within one run is
     // still counted — that reuse is part of the query's design).
+    // a throwing query must NOT produce a time-to-exception "sample"
+    // (r7's g01 published 0.009 s fast-fails as real numbers); record the
+    // failure and exit nonzero after printing whatever is valid.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = headliners.map { q =>
       val samples = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { q.run(spark, sfDir).count() } catch { case e: Throwable =>
+          failed.getOrElseUpdate(q.name,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       (q.name, samples.sorted.apply(1), samples)
@@ -69,9 +76,16 @@ object Bench {
     }.getOrElse(0.0)
     val g01 = results.find(_._1 == "g01_engine_scan_prune").map(_._2).getOrElse(0.0)
     val ratio = if (native > 0) g01 / native else -1.0
+    val failedJson = failed.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ") + "\""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""samples":$sampleJson,"warehouse_was_cold":$wasCold,""" +
+      s""""failed":$failedJson,""" +
       s""""native_scan_sec":$native,"g01_vs_native":$ratio,"sf":"$sfDir"}""")
     spark.stop()
+    // nonzero exit: a setup crash must never masquerade as a fast sample
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

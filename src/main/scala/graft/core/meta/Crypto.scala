@@ -154,7 +154,14 @@ object LocalKms {
     s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
       val i = kv.indexOf(':')
       require(i > 0, s"bad kms key entry: $kv")
-      kv.substring(0, i) -> Base64.getDecoder.decode(kv.substring(i + 1))
+      val key = Base64.getDecoder.decode(kv.substring(i + 1))
+      // fail at conf-parse time with a clear message, not mid-table-build
+      // (reference contract: parquet-java keytools / core Ciphers.java —
+      // AES accepts exactly 16/24/32-byte keys)
+      require(key.length == 16 || key.length == 24 || key.length == 32,
+        s"invalid AES master key '${kv.substring(0, i)}': ${key.length} bytes " +
+          "(must be 16, 24 or 32)")
+      kv.substring(0, i) -> key
     }.toMap
 }
 
@@ -164,11 +171,21 @@ object LocalKms {
 object KmsRegistry {
   @volatile private var kms: Kms = new LocalKms(Map.empty)
   @volatile private var keyList: String = ""
+  @volatile private var merged: Map[String, Array[Byte]] = Map.empty
 
   def set(k: Kms): Unit = kms = k
-  def setKeyList(s: String): Unit = if (s != null && s != keyList) {
-    keyList = s
-    kms = new LocalKms(LocalKms.parseKeyList(s))
+  /** MERGE new key material into the process-global local KMS (last
+    * definition of a given key id wins) rather than replacing it: two
+    * catalogs configured with different encryption.kms.key-list values
+    * must not clobber each other's master keys — the first catalog's
+    * encrypted tables would fail with "unknown KMS master key" only at
+    * read time. */
+  def setKeyList(s: String): Unit = synchronized {
+    if (s != null && s != keyList) {
+      keyList = s
+      merged = merged ++ LocalKms.parseKeyList(s)
+      kms = new LocalKms(merged)
+    }
   }
   def current: Kms = kms
   def currentKeyList: String = keyList
@@ -181,10 +198,18 @@ object KmsRegistry {
   * signature-free; executors in distributed planning get the table key
   * passed explicitly through the task closure instead. */
 object CryptoRegistry {
-  private val tables =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[TableCrypto]]()
-  private val fileKeys = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Byte], Array[Byte])]()
+  /** access-ordered LRU, synchronized: unlike BoundedCache, these entries
+    * CANNOT be re-loaded on miss (manifest-list DEKs come from snapshot
+    * records seen only at metadata-parse time), so whole-map clears would
+    * hard-fail currently-open tables mid-read. Per-entry eviction keeps
+    * hot tables resident in long-running multi-table services. */
+  private final class Lru[V](max: Int)
+      extends java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, V]): Boolean = size() > max
+  }
+  private val tables = new Lru[Option[TableCrypto]](10000)
+  private val fileKeys = new Lru[(Array[Byte], Array[Byte])](100000)
 
   def register(meta: TableMetadata): Unit =
     if (meta.encryptionKeys.nonEmpty) {
@@ -193,34 +218,45 @@ object CryptoRegistry {
       // KMS stay legal; reads that NEED the key fail with a clear error
       try {
         val tc = TableCrypto.resolve(meta)
-        tables.put(meta.location, tc)
-        for {
-          crypto <- tc
-          s <- meta.snapshots
-          km <- s.keyMetadata
-        } fileKeys.putIfAbsent(s.manifestListPath, crypto.fileKey(km))
-      } catch { case _: Exception => () /* no KMS here; fail lazily */ }
-      if (fileKeys.size() > 100000) fileKeys.clear()
-      if (tables.size() > 10000) tables.clear()
+        synchronized {
+          tables.put(meta.location, tc)
+          for {
+            crypto <- tc
+            s <- meta.snapshots
+            km <- s.keyMetadata
+          } if (!fileKeys.containsKey(s.manifestListPath))
+            fileKeys.put(s.manifestListPath, crypto.fileKey(km))
+        }
+      } catch {
+        // ADVICE: only swallow KMS-UNAVAILABLE (the lazy-resolution case);
+        // an authentication/unwrap failure means corrupt or wrong key
+        // metadata and must surface at the parse site, not later as a
+        // misleading "no table key is available"
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("unknown KMS master key") => ()
+      }
     }
 
   /** table crypto for a metadata file living under {base}/metadata/ */
   def forPath(path: String): Option[TableCrypto] =
-    GraftIO.metadataBase(path).flatMap(b => Option(tables.get(b)).flatten)
+    GraftIO.metadataBase(path).flatMap(b =>
+      synchronized(Option(tables.get(b))).flatten)
 
   /** table crypto for a CONTENT file under {base}/data/ (DVs, stats) */
   def forContentPath(path: String): Option[TableCrypto] = {
     val i = path.lastIndexOf("/data/")
     val byData =
-      if (i > 0) Option(tables.get(path.substring(0, i))).flatten else None
+      if (i > 0) synchronized(Option(tables.get(path.substring(0, i)))).flatten
+      else None
     byData.orElse(forPath(path))
   }
 
   def fileKey(path: String): Option[(Array[Byte], Array[Byte])] =
-    Option(fileKeys.get(path))
+    synchronized(Option(fileKeys.get(path)))
 
   def putFileKey(path: String, key: (Array[Byte], Array[Byte])): Unit =
-    fileKeys.put(path, key)
+    synchronized { fileKeys.put(path, key); () }
 }
 
 /** An encryption key tracked in table metadata (spec "Encryption Keys":

@@ -1,43 +1,81 @@
 package graft.core.meta
 
 import java.io.{ByteArrayInputStream, DataInputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
-import org.roaringbitmap.longlong.Roaring64Bitmap
+import org.roaringbitmap.longlong.{Roaring64Bitmap, Roaring64NavigableMap}
 
-/** Deletion-vector files (reference format/spec.md v3 deletion vectors +
-  * RoaringPositionBitmap): one bitmap of deleted row positions per data
-  * file, serialized as a Roaring bitmap. Deliberate idiomatic deviation
-  * from the reference: a standalone `.dv` container per data file
-  * (magic, referenced data-file path, portable Roaring64 bytes) instead
-  * of puffin blobs — the container format is behind this object, so a
-  * puffin writer is a drop-in replacement. Unlike spec v3's exactly-one-
-  * DV-per-file rule, DVs may stack like position-delete files; readers
-  * union all masks, and rewrite_position_deletes re-compacts them.
+/** Deletion-vector files (reference format/spec.md v3 "Deletion Vectors"
+  * + format/puffin-spec.md `deletion-vector-v1`;
+  * core/src/main/java/org/apache/iceberg/deletes/BaseDVFileWriter.java,
+  * core/.../puffin/PuffinWriter.java).
   *
-  * Encrypted tables wrap the container in AES GCM Stream (AGS1,
+  * Container is a SPEC-SHAPED Puffin file holding one
+  * `deletion-vector-v1` blob:
+  *   PFA1 | blob | PFA1 footerPayload payloadSize(int32 LE) flags PFA1
+  * where the blob is
+  *   combinedLen(int32 BE) | D1 D3 39 64 | portable Roaring64 | CRC-32(BE)
+  * and the footer JSON records blob offset/length plus the REQUIRED
+  * `referenced-data-file` and `cardinality` properties — so any Iceberg
+  * v3 reader's Puffin code can consume these DVs byte-for-byte. Two
+  * documented deviations from the reference WRITER (not the format):
+  * one puffin file per DV (the spec allows many blobs per file; the
+  * footer is self-describing either way), and DVs may stack per data
+  * file like position-delete files (spec v3 mandates at-most-one per
+  * file; readers here union all masks and rewrite_position_deletes
+  * re-compacts). Legacy GDV1 containers from older graft tables are
+  * still readable.
+  *
+  * Encrypted tables wrap the whole container in AES GCM Stream (AGS1,
   * gcm-stream-spec.md — the reference encrypts DV/puffin content the
   * same way) under a per-file key DERIVED from the table key
   * (TableCrypto.derivedFileKey).
   */
 object DVIO {
-  private val Magic = 0x47445631 // "GDV1"
+  private val LegacyMagic = 0x47445631 // "GDV1" (pre-puffin graft container)
+  private val PuffinMagic = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
+  private val DvMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+  /** Iceberg MetadataColumns.ROW_POSITION field id (blob `fields`) */
+  private val RowPosFieldId = 2147483645L
 
   def write(path: String, dataFilePath: String, positions: Iterator[Long],
       crypto: Option[TableCrypto] = None): Long = {
-    val bm = new Roaring64Bitmap
+    val bm = new Roaring64NavigableMap()
     positions.foreach(bm.addLong)
     bm.runOptimize()
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(Magic)
-    val pathBytes = dataFilePath.getBytes(StandardCharsets.UTF_8)
-    out.writeInt(pathBytes.length)
-    out.write(pathBytes)
-    bm.serialize(out)
-    out.close()
+
+    // deletion-vector-v1 blob bytes (puffin-spec.md): BE length + magic +
+    // portable roaring (LE internals) + BE CRC-32 of magic+vector
+    val vecBos = new java.io.ByteArrayOutputStream()
+    bm.serializePortable(new DataOutputStream(vecBos))
+    val vec = vecBos.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(DvMagic)
+    crc.update(vec)
+    val blob = ByteBuffer.allocate(4 + 4 + vec.length + 4)
+      .order(ByteOrder.BIG_ENDIAN)
+      .putInt(4 + vec.length).put(DvMagic).put(vec)
+      .putInt(crc.getValue.toInt).array()
+
+    val cardinality = bm.getLongCardinality
+    val payload = footerJson(blobOffset = 4L, blobLength = blob.length.toLong,
+      dataFilePath, cardinality)
+    val payloadBytes = payload.getBytes(StandardCharsets.UTF_8)
+
+    val bos = new java.io.ByteArrayOutputStream(
+      8 + blob.length + payloadBytes.length + 16)
+    bos.write(PuffinMagic)
+    bos.write(blob)
+    bos.write(PuffinMagic)
+    bos.write(payloadBytes)
+    bos.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(payloadBytes.length).array())
+    bos.write(Array[Byte](0, 0, 0, 0)) // flags: payload uncompressed
+    bos.write(PuffinMagic)
     val plain = bos.toByteArray
+
     val p = GraftIO.toPath(path)
     Files.createDirectories(p.getParent)
     Files.write(p, crypto match {
@@ -46,7 +84,25 @@ object DVIO {
         AesGcm.encryptStream(plain, dek, aad)
       case None => plain
     })
-    bm.getLongCardinality
+    cardinality
+  }
+
+  private def footerJson(blobOffset: Long, blobLength: Long,
+      dataFilePath: String, cardinality: Long): String = {
+    val root = MetaJson.mapper.createObjectNode()
+    val blobs = root.putArray("blobs")
+    val b = blobs.addObject()
+    b.put("type", "deletion-vector-v1")
+    b.putArray("fields").add(RowPosFieldId)
+    b.put("snapshot-id", -1L)      // inherited (puffin-spec: must be -1)
+    b.put("sequence-number", -1L)
+    b.put("offset", blobOffset)
+    b.put("length", blobLength)
+    val props = b.putObject("properties")
+    props.put("referenced-data-file", dataFilePath)
+    props.put("cardinality", cardinality.toString)
+    root.putObject("properties").put("created-by", "graft")
+    MetaJson.mapper.writeValueAsString(root)
   }
 
   /** (referenced data-file path, deleted positions) */
@@ -60,9 +116,63 @@ object DVIO {
         val (dek, aad) = tc.derivedFileKey(path)
         AesGcm.decryptStream(raw, dek, aad)
       } else raw
+    if (bytes.length >= 4 &&
+        ByteBuffer.wrap(bytes, 0, 4).getInt == LegacyMagic) readLegacy(path, bytes)
+    else readPuffin(path, bytes)
+  }
+
+  private def readPuffin(path: String, bytes: Array[Byte]): (String, Roaring64Bitmap) = {
+    require(bytes.length > 20 && bytes.startsWith(PuffinMagic),
+      s"not a puffin DV file: $path")
+    val n = bytes.length
+    require(java.util.Arrays.equals(bytes, n - 4, n,
+      PuffinMagic, 0, 4), s"corrupt puffin footer magic: $path")
+    val flags = bytes(n - 8)
+    require((flags & 1) == 0, s"compressed puffin footer unsupported: $path")
+    val payloadSize = ByteBuffer.wrap(bytes, n - 12, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    val payloadStart = n - 12 - payloadSize
+    val footer = MetaJson.mapper.readTree(
+      new String(bytes, payloadStart, payloadSize, StandardCharsets.UTF_8))
+    val blob = footer.get("blobs").elements()
+    var found: (String, Roaring64Bitmap) = null
+    while (blob.hasNext && found == null) {
+      val b = blob.next()
+      if (b.get("type").asText() == "deletion-vector-v1") {
+        val off = b.get("offset").asLong()
+        val len = b.get("length").asLong().toInt
+        val ref = b.get("properties").get("referenced-data-file").asText()
+        found = (ref, parseDvBlob(path, bytes, off.toInt, len))
+      }
+    }
+    require(found != null, s"no deletion-vector-v1 blob in $path")
+    found
+  }
+
+  private def parseDvBlob(path: String, bytes: Array[Byte], off: Int,
+      len: Int): Roaring64Bitmap = {
+    val buf = ByteBuffer.wrap(bytes, off, len).order(ByteOrder.BIG_ENDIAN)
+    val combined = buf.getInt // magic + vector length
+    require(combined == len - 8, s"DV blob length mismatch in $path")
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(java.util.Arrays.equals(magic, DvMagic),
+      s"bad DV blob magic in $path")
+    val vec = new Array[Byte](combined - 4); buf.get(vec)
+    val expectCrc = buf.getInt
+    val crc = new java.util.zip.CRC32()
+    crc.update(DvMagic); crc.update(vec)
+    require(crc.getValue.toInt == expectCrc, s"DV blob CRC mismatch in $path")
+    val nav = new Roaring64NavigableMap()
+    nav.deserializePortable(new DataInputStream(new ByteArrayInputStream(vec)))
+    val bm = new Roaring64Bitmap
+    nav.forEach((l: Long) => bm.addLong(l))
+    bm
+  }
+
+  private def readLegacy(path: String, bytes: Array[Byte]): (String, Roaring64Bitmap) = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     try {
-      require(in.readInt() == Magic, s"not a graft DV file: $path")
+      require(in.readInt() == LegacyMagic, s"not a graft DV file: $path")
       val len = in.readInt()
       val nameBytes = new Array[Byte](len)
       in.readFully(nameBytes)
@@ -72,7 +182,8 @@ object DVIO {
     } finally in.close()
   }
 
-  def isDV(path: String): Boolean = path.endsWith(".dv")
+  def isDV(path: String): Boolean =
+    path.endsWith(".dv") || path.endsWith(".puffin")
 
   /** positions as (dataPath -> java HashSet) for the executor cache */
   def readAsSets(path: String,

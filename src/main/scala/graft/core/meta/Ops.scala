@@ -34,14 +34,26 @@ object GraftIO {
     * `write.metadata.compression-codec` or turn encryption on at any
     * point and mixed plain/gzip/encrypted metadata trees keep reading. */
   def readString(path: String,
-      fileKey: Option[(Array[Byte], Array[Byte])] = None): String = {
+      fileKey: Option[(Array[Byte], Array[Byte])] = None,
+      expectedLen: Long = -1L): String = {
     val raw = Files.readAllBytes(toPath(path))
     val bytes =
-      if (AesGcm.isEncrypted(raw)) fileKey match {
-        case Some((dek, aad)) => AesGcm.decryptStream(raw, dek, aad)
-        case None => throw new IllegalStateException(
-          s"$path is encrypted (AGS1) but no key was provided — is " +
-            "graft.encryption.kms.key-list configured?")
+      if (AesGcm.isEncrypted(raw)) {
+        // gcm-stream-spec "File length": each AGS1 block authenticates
+        // independently via its index AAD, so TRUNCATION at a block
+        // boundary is undetectable from the stream alone — verify the
+        // ciphertext length against a trusted source (the manifest list's
+        // ManifestFile.length, itself authenticated by the snapshot DEK)
+        if (expectedLen >= 0 && raw.length != expectedLen)
+          throw new IllegalStateException(
+            s"$path: encrypted file length ${raw.length} != expected " +
+              s"$expectedLen — possible truncation/tamper")
+        fileKey match {
+          case Some((dek, aad)) => AesGcm.decryptStream(raw, dek, aad)
+          case None => throw new IllegalStateException(
+            s"$path is encrypted (AGS1) but no key was provided — is " +
+              "graft.encryption.kms.key-list configured?")
+        }
       }
       else raw
     if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
@@ -459,7 +471,9 @@ object ManifestIO {
             s"manifest ${m.path} is encrypted but no table key is available"))
           .fileKey(km)
       }
-      GraftIO.readString(m.path, fileKey).linesIterator.filter(_.nonEmpty)
+      GraftIO.readString(m.path, fileKey,
+        expectedLen = if (fileKey.isDefined) m.length else -1L)
+        .linesIterator.filter(_.nonEmpty)
         .map(MetaJson.readEntry)
         .map(e => e.copy(file = e.file.copy(
           path = GraftIO.resolve(e.file.path, base),

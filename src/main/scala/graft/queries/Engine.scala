@@ -44,13 +44,14 @@ object Engine {
     s.conf.set("spark.sql.catalog.graft.warehouse", wh)
     // g55 table-encryption gate: a FIXED test master key (not a secret —
     // the warehouse must decrypt across driver JVM restarts)
-    val gateKms = "gate-mk:Z3JhZnQtZ2F0ZS1tazEyMzQ="
+    // ("graft-gate-mk123" = 16 bytes — AES requires 16/24/32)
+    val gateKms = "gate-mk:Z3JhZnQtZ2F0ZS1tazEyMw=="
     s.conf.set("spark.sql.catalog.graft.encryption.kms.key-list", gateKms)
     graft.core.meta.KmsRegistry.setKeyList(gateKms)
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v29").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v30").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -59,8 +60,16 @@ object Engine {
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
-        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g", "enc_g")
+        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g", "enc_g", "mev_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
+      // the wipe above went through a FRESH HadoopCatalog, bypassing the
+      // session GraftCatalog's 30s-TTL cache; invalidate it so an in-JVM
+      // retry after a mid-build failure doesn't die on stale
+      // "table already exists" entries (r7 post-mortem)
+      s.sessionState.catalogManager.catalog("graft") match {
+        case g: graft.spark.GraftCatalog => g.invalidateCache()
+        case _ => ()
+      }
       // stale streaming checkpoints would replay old-table offsets against
       // the rebuilt tables (exactly-once dedup then writes nothing)
       graft.core.meta.GraftIO.list(wh).filter(_.contains("_ckpt_"))
@@ -588,6 +597,27 @@ object Engine {
       require(msCols == Seq("s_suppkey", "s_nationkey", "s_acctbal"),
         s"g52: merge-schema did not evolve the table: $msCols")
 
+      // MERGE WITH SCHEMA EVOLUTION (g56): the target starts WITHOUT
+      // s_acctbal; Spark 4's evolution clause adds it through
+      // catalog.alterTable (analyzer ResolveMergeIntoSchemaEvolution,
+      // gated on AUTOMATIC_SCHEMA_EVOLUTION capability), then matched
+      // rows UPDATE and unmatched INSERT through the evolved schema
+      // (reference SparkRowLevelOperationBuilder + schema-evolution tests)
+      s.sql("CREATE TABLE graft.db.mev_g (s_suppkey BIGINT, s_name STRING)")
+      supMs.select("s_suppkey", "s_name")
+        .filter(col("s_suppkey") % 2 === 0)
+        .writeTo("graft.db.mev_g").append()
+      supMs.select("s_suppkey", "s_name", "s_acctbal")
+        .createOrReplaceTempView("mev_src")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.db.mev_g t
+        USING mev_src v ON t.s_suppkey = v.s_suppkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val mevCols = cat.loadTable(Seq("db"), "mev_g").get
+        .schema.fields.map(_.name)
+      require(mevCols == Seq("s_suppkey", "s_name", "s_acctbal"),
+        s"g56: MERGE schema evolution did not add the column: $mevCols")
+
       // metrics modes (g53): per-table column-metrics policy (reference
       // MetricsConfig; write.metadata.metrics.*) — counts default, one
       // truncate(4) column, one full column, observable through the
@@ -634,7 +664,7 @@ object Engine {
       s.sql("DELETE FROM graft.db.enc_g WHERE o_orderkey % 5 = 2")
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v29" -> "true"))
+        .updateProperties(Map("build-complete-v30" -> "true"))
     }
     built += wh
   }
@@ -1850,9 +1880,32 @@ object Engine {
       FROM orders WHERE o_orderkey % 5 <> 2
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ------------------------------------------------------------------ g56
+  // MERGE … WITH SCHEMA EVOLUTION: setup merged a source carrying a
+  // brand-new column into a target without it (asserting the evolved
+  // shape); after the merge every supplier row is present and carries
+  // the source's s_acctbal — matched rows via UPDATE SET *, new rows
+  // via INSERT * — so the table now equals the full supplier relation.
+  private val g56 = Q(
+    "g56_engine_merge_schema_evolution",
+    (s, dir) => {
+      setup(s, dir)
+      s.table("graft.db.mev_g")
+        .groupBy((col("s_suppkey") % 5).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          count(col("s_acctbal")).as("with_bal"),
+          sum(cents(col("s_acctbal"))).as("sum_c"))
+        .orderBy("grp")
+    },
+    Some("""
+      SELECT s_suppkey % 5 AS grp, COUNT(*) AS n, COUNT(s_acctbal) AS with_bal,
+        CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+          AS sum_c
+      FROM supplier GROUP BY 1 ORDER BY grp"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55)
+    g52, g53, g54, g55, g56)
 }

@@ -32,6 +32,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** warehouse root (view + UDF stores key off it) */
   private[spark] def warehouse: String = catalog.warehouse
 
+  /** drop all cached table entries (reference Catalog.invalidateTable /
+    * CachingCatalog invalidation): needed when tables are mutated through
+    * a DIFFERENT catalog instance (e.g. a test harness wiping a warehouse
+    * via its own HadoopCatalog) — without this, the 30 s TTL serves stale
+    * existence/metadata and in-JVM retries die on "already exists" */
+  def invalidateCache(): Unit = catalog match {
+    case c: graft.core.meta.CachingCatalog => c.invalidateAll()
+    case _ => ()
+  }
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     val wh = Option(options.get("warehouse"))

@@ -105,6 +105,13 @@ class GraftSparkTable(val table: GTable, fullName: String,
     // subset / reordered writes reach the write builder unchanged
     if (table.meta.properties.get("write.spark.accept-any-schema").contains("true"))
       caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    // Spark 4 `MERGE INTO … WITH SCHEMA EVOLUTION`: the analyzer
+    // (ResolveMergeIntoSchemaEvolution) only applies the clause to tables
+    // advertising this capability, then routes new source columns through
+    // catalog.alterTable(AddColumn) — the same evolution path as ALTER
+    // TABLE, so graft's field-id assignment applies (reference
+    // SparkRowLevelOperationBuilder + Spark TableCapability)
+    caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     caps
   }
 
@@ -2058,24 +2065,22 @@ object GraftSparkTable {
   * planned, delete files attached, planning wall time — rendered by the
   * Spark UI next to each scan node. */
 object GraftScanMetrics {
-  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 
-  private final class Sum(n: String, d: String) extends CustomSumMetric {
-    override def name(): String = n
-    override def description(): String = d
-  }
-
+  // top-level zero-arg classes (graft.spark.metrics): Spark re-instantiates
+  // metric classes reflectively at query end, so anything with ctor args
+  // never aggregates (r7 "zero-argument constructor" listener errors)
   val supported: Array[CustomMetric] = Array(
-    new Sum("numSplits", "number of file splits read"),
-    new Sum("numDeletes", "number of row deletes applied"),
-    new Sum("totalDataManifests", "total data manifests"),
-    new Sum("scannedDataManifests", "scanned data manifests"),
-    new Sum("skippedDataManifests", "skipped data manifests"),
-    new Sum("totalDataFiles", "total data files"),
-    new Sum("resultDataFiles", "result data files"),
-    new Sum("skippedDataFiles", "skipped data files"),
-    new Sum("resultDeleteFiles", "result delete files"),
-    new Sum("totalPlanningDuration", "total planning duration (ms)"))
+    new graft.spark.metrics.NumSplits,
+    new graft.spark.metrics.NumDeletes,
+    new graft.spark.metrics.TotalDataManifests,
+    new graft.spark.metrics.ScannedDataManifests,
+    new graft.spark.metrics.SkippedDataManifests,
+    new graft.spark.metrics.TotalDataFiles,
+    new graft.spark.metrics.ResultDataFiles,
+    new graft.spark.metrics.SkippedDataFiles,
+    new graft.spark.metrics.ResultDeleteFiles,
+    new graft.spark.metrics.TotalPlanningDuration)
 
   final case class Value(metricName: String, v: Long) extends CustomTaskMetric {
     override def name(): String = metricName
