@@ -105,8 +105,13 @@ object DVIO {
     MetaJson.mapper.writeValueAsString(root)
   }
 
+  /** test hook: physical DV container reads in this JVM (the executor
+    * cache should make this O(delete files), not O(tasks)) */
+  private[graft] val readCount = new java.util.concurrent.atomic.AtomicLong()
+
   /** (referenced data-file path, deleted positions) */
   def read(path: String, crypto: Option[TableCrypto] = None): (String, Roaring64Bitmap) = {
+    readCount.incrementAndGet()
     val raw = Files.readAllBytes(GraftIO.toPath(path))
     val bytes =
       if (AesGcm.isEncrypted(raw)) {

@@ -51,7 +51,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v30").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v31").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -188,7 +188,11 @@ object Engine {
       s.sql("""CREATE TABLE graft.db.adm_g (
         o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
         o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+      // async planning ON here: g47 then proves the admission limiter
+      // behaves identically when batch N+1's metadata is prefetched on
+      // the background planner thread (reference AsyncSparkMicroBatchPlanner)
       val qa = s.readStream.option("max-files-per-micro-batch", "1")
+        .option("streaming-async-planning", "true")
         .table("graft.db.orders_snap")
         .writeStream
         .option("checkpointLocation", s"$wh/_ckpt_adm_g")
@@ -664,7 +668,7 @@ object Engine {
       s.sql("DELETE FROM graft.db.enc_g WHERE o_orderkey % 5 = 2")
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v30" -> "true"))
+        .updateProperties(Map("build-complete-v31" -> "true"))
     }
     built += wh
   }

@@ -134,6 +134,10 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val streamSkip = (
       Option(options.get("streaming-skip-delete-snapshots")).exists(_.toBoolean),
       Option(options.get("streaming-skip-overwrite-snapshots")).exists(_.toBoolean))
+    // off by default: plan batch N+1's metadata on a background thread
+    // while batch N executes (reference AsyncSparkMicroBatchPlanner)
+    val streamAsyncPlanning =
+      Option(options.get("streaming-async-planning")).exists(_.toBoolean)
     // per-scan split tuning (reference SparkReadOptions SPLIT_SIZE /
     // FILE_OPEN_COST): overrides the table's read.split.target-size
     val splitOverride = (
@@ -143,6 +147,7 @@ class GraftSparkTable(val table: GTable, fullName: String,
     new GraftScanBuilder(table, snapId, branch, asOf, streamMaxFiles = maxFiles,
       incremental = incremental, streamMaxRecords = maxRecords,
       streamFromTs = streamFromTs, streamSkip = streamSkip,
+      streamAsync = streamAsyncPlanning,
       splitOverride = splitOverride,
       vecOverride = Option(options.get("vectorization-enabled")).map(_.toBoolean))
   }
@@ -330,19 +335,10 @@ object GraftSparkTable {
     * Keyed by path; bounded LRU. Values map data-file path → deleted
     * positions. */
   object PosDeleteCache {
-    private val MaxEntries = 64
-    private val cache = new java.util.LinkedHashMap[String, Map[String, java.util.HashSet[Long]]](
-      16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, java.util.HashSet[Long]]]): Boolean =
-        size() > MaxEntries
-    }
     def get(path: String, load: () => Map[String, java.util.HashSet[Long]])
-        : Map[String, java.util.HashSet[Long]] = cache.synchronized {
-      val hit = cache.get(path)
-      if (hit != null) hit
-      else { val v = load(); cache.put(path, v); v }
-    }
+        : Map[String, java.util.HashSet[Long]] =
+      GraftExecutorCache.get(("pos", path),
+        GraftExecutorCache.weighPosMap)(load())
   }
 
   /** Executor-side cache of parsed EQUALITY-delete key sets, mirroring
@@ -350,28 +346,16 @@ object GraftSparkTable {
     * with a lower sequence, so without caching each task re-reads and
     * re-hashes the same immutable file. Keyed by (path, key positions). */
   object EqDeleteCache {
-    private val MaxEntries = 64
     // keyed by (path, key positions, key column types): cached key sets
     // are canonicalized with the read schema's types, so a later read
     // after type promotion (INT identifier -> BIGINT) must NOT hit the
     // entry built with the old types — the boxed classes would never
     // compare equal and every equality delete would silently un-apply
-    private val cache =
-      new java.util.LinkedHashMap[(String, Seq[Int], Seq[String]),
-          java.util.HashSet[Seq[Any]]](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Seq[Int], Seq[String]),
-              java.util.HashSet[Seq[Any]]]): Boolean =
-          size() > MaxEntries
-      }
     def get(path: String, positions: Seq[Int], keyTypes: Seq[String],
         load: () => java.util.HashSet[Seq[Any]]): java.util.HashSet[Seq[Any]] =
-      cache.synchronized {
-        val k = (path, positions, keyTypes)
-        val hit = cache.get(k)
-        if (hit != null) hit
-        else { val v = load(); cache.put(k, v); v }
-      }
+      GraftExecutorCache.get(("eq", path, positions, keyTypes),
+        (s: java.util.HashSet[Seq[Any]]) =>
+          GraftExecutorCache.weighKeySet(s, positions.size))(load())
   }
 
   /** an equality-delete file + the field ids it deletes by */
@@ -414,6 +398,7 @@ object GraftSparkTable {
       streamMaxRecords: Option[Long] = None,
       streamFromTs: Option[Long] = None,
       streamSkip: (Boolean, Boolean) = (false, false),
+      streamAsync: Boolean = false,
       splitOverride: (Option[Long], Option[Long], Option[Int]) = (None, None, None),
       vecOverride: Option[Boolean] = None)
     extends ScanBuilder with SupportsPushDownV2Filters
@@ -598,7 +583,7 @@ object GraftSparkTable {
       case None =>
         val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
           asOfTs, ignoreResiduals, streamMaxFiles, incremental, streamMaxRecords,
-          streamFromTs, streamSkip, splitOverride, vecOverride)
+          streamFromTs, streamSkip, streamAsync, splitOverride, vecOverride)
         onBuild(scan)
         scan
     }
@@ -659,6 +644,7 @@ object GraftSparkTable {
       streamMaxRecords: Option[Long] = None,
       streamFromTs: Option[Long] = None,
       streamSkip: (Boolean, Boolean) = (false, false),
+      streamAsync: Boolean = false,
       splitOverride: (Option[Long], Option[Long], Option[Int]) = (None, None, None),
       vecOverride: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportStatistics
@@ -722,7 +708,8 @@ object GraftSparkTable {
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       new GraftMicroBatchStream(table, streamMaxFiles, () => buildReaderFactory(conservative = true),
         streamMaxRecords, branch, streamFromTs,
-        skipDelete = streamSkip._1, skipOverwrite = streamSkip._2)
+        skipDelete = streamSkip._1, skipOverwrite = streamSkip._2,
+        asyncPlanning = streamAsync)
 
     private var runtimeExpr: Expr = TrueE
     @transient private var cachedTasks: Seq[FileScanTask] = _

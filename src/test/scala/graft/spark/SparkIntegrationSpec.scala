@@ -2563,4 +2563,56 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getLong(1) === snaps(0)) // v2 was current at snapshot 1
     assert(rows(2).getLong(1) === snaps(1)) // current doc carries snapshot 2
   }
+
+  test("executor cache: repeated scans parse each DV container once") {
+    spark.sql("""CREATE TABLE graft.db.dvc (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.format'='dv')""")
+    spark.range(0, 500).selectExpr("id", "cast(id as string) as v")
+      .writeTo("graft.db.dvc").append()
+    spark.sql("DELETE FROM graft.db.dvc WHERE id % 10 = 3")
+    assert(spark.table("graft.db.dvc").count() === 450)
+    // warm: the first scan above parsed each DV exactly once per JVM;
+    // subsequent scans must hit GraftExecutorCache, not re-read the file
+    val before = graft.core.meta.DVIO.readCount.get()
+    assert(spark.table("graft.db.dvc").count() === 450)
+    assert(spark.sql("SELECT sum(id) FROM graft.db.dvc").head().getLong(0) ===
+      (0L until 500L).filter(_ % 10 != 3).sum)
+    assert(graft.core.meta.DVIO.readCount.get() === before,
+      "DV containers were re-read despite the executor cache")
+  }
+
+  test("invalidateCache: out-of-band drops become visible to the session") {
+    spark.sql("CREATE TABLE graft.db.oob (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.oob VALUES (1)")
+    assert(spark.table("graft.db.oob").count() === 1)
+    // drop through a FOREIGN catalog instance (the r7 gate-wipe pattern):
+    // the session catalog's TTL cache still believes the table exists
+    new HadoopCatalog(warehouse).dropTable(Seq("db"), "oob")
+    val g = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    g.invalidateCache()
+    // with the cache invalidated, re-creating under the same name works
+    // inside the same JVM (previously: "table already exists" cascade)
+    spark.sql("CREATE TABLE graft.db.oob (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.oob VALUES (2, 'x')")
+    assert(spark.table("graft.db.oob").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("custom scan metrics instantiate reflectively (listener contract)") {
+    // Spark's SQLAppStatusListener re-creates each CustomMetric class by
+    // name with a PUBLIC ZERO-ARG constructor to aggregate task values; a
+    // nested/parameterized class compiles but never aggregates (and spams
+    // listener errors on every query end)
+    val metrics = GraftScanMetrics.supported
+    assert(metrics.map(_.name()).toSet.contains("skippedDataFiles"))
+    metrics.foreach { m =>
+      val cls = Class.forName(m.getClass.getName)
+      val inst = cls.getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.connector.metric.CustomMetric]
+      assert(inst.name() === m.name())
+      // the aggregation path Spark actually runs at query end
+      assert(inst.aggregateTaskMetrics(Array(2L, 3L)).nonEmpty)
+    }
+  }
 }

@@ -171,4 +171,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT id FROM graft.db.stream_dst4 ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
   }
+
+  test("async micro-batch planning delivers identical results") {
+    spark.sql("CREATE TABLE graft.db.stream_src_ap (id BIGINT)")
+    spark.sql("CREATE TABLE graft.db.stream_dst_ap (id BIGINT)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO graft.db.stream_src_ap VALUES ($i)"))
+
+    val checkpoint = Files.createTempDirectory("graft-ckpt-ap").toString
+    def run(): Unit = {
+      // one-file batches force several triggers, so the async planner's
+      // prefetched lineage is actually consumed (not just the first
+      // synchronous fallback)
+      val q = spark.readStream
+        .option("streaming-async-planning", "true")
+        .option("max-files-per-micro-batch", "1")
+        .table("graft.db.stream_src_ap")
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.db.stream_dst_ap")
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.sql("SELECT id FROM graft.db.stream_dst_ap ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === (1L to 5L))
+    // restart: no duplicates, and appends committed between runs are
+    // picked up even though the planner serves prefetched state
+    spark.sql("INSERT INTO graft.db.stream_src_ap VALUES (6)")
+    run()
+    assert(spark.sql("SELECT id FROM graft.db.stream_dst_ap ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === (1L to 6L))
+  }
 }
