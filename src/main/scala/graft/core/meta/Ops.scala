@@ -1112,11 +1112,79 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     }
   }
 
+  /** v3 "at most one deletion vector per data file" (format/spec.md
+    * Deletion Vectors; reference BaseDVFileWriter loadPreviousDeletes +
+    * rewrittenDeleteFiles): union each incoming DV with any LIVE DV
+    * already referencing the same data file (and with same-commit
+    * siblings), return the rewritten delete list plus the superseded
+    * prior DV paths to drop from the parent delete manifests. Runs
+    * inside manifests() so a CAS retry re-merges against the fresh base. */
+  private def mergeDVs(base: TableMetadata, ms: Seq[ManifestFile],
+      snapshotId: Long, dels0: Seq[DataFile]): (Seq[DataFile], Set[String]) = {
+    val newDvs = dels0.filter(f => DVIO.isDV(f.path) && f.referencedDataFile.isDefined)
+    if (newDvs.isEmpty) return (dels0, Set.empty)
+    val refs = newDvs.flatMap(_.referencedDataFile).toSet
+    val priorByRef: Map[String, Seq[DataFile]] = ms.filter(_.content == 1)
+      .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map(_.file))
+      .filter(f => DVIO.isDV(f.path) && f.referencedDataFile.exists(refs.contains))
+      .groupBy(_.referencedDataFile.get)
+    val dvByRef = newDvs.groupBy(_.referencedDataFile.get)
+    val needsMerge = dvByRef.filter { case (ref, nd) =>
+      nd.size > 1 || priorByRef.contains(ref)
+    }
+    if (needsMerge.isEmpty) return (dels0, Set.empty)
+    val crypto = tableCrypto(base)
+    val merged: Map[String, DataFile] = needsMerge.map { case (ref, nd) =>
+      val bm = new org.roaringbitmap.longlong.Roaring64Bitmap
+      (nd ++ priorByRef.getOrElse(ref, Nil)).foreach { f =>
+        DVIO.read(f.path, crypto)._2.forEach((l: Long) => bm.addLong(l))
+      }
+      val path =
+        s"${table.ops.location}/data/dv-m-$snapshotId-${java.util.UUID.randomUUID}.dv"
+      val it = bm.getLongIterator
+      val n = DVIO.write(path, ref,
+        new Iterator[Long] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Long = it.next()
+        }, crypto)
+      ref -> nd.head.copy(path = path, recordCount = n,
+        fileSizeBytes = GraftIO.size(path))
+    }
+    val out = Seq.newBuilder[DataFile]
+    val emitted = scala.collection.mutable.Set.empty[String]
+    dels0.foreach { f =>
+      val mergedRef = f.referencedDataFile.filter(r =>
+        DVIO.isDV(f.path) && needsMerge.contains(r))
+      mergedRef match {
+        case Some(r) => if (emitted.add(r)) out += merged(r)
+        case None    => out += f
+      }
+    }
+    val superseded = priorByRef.collect {
+      case (ref, priors) if needsMerge.contains(ref) => priors.map(_.path)
+    }.flatten.toSet
+    (out.result(), superseded)
+  }
+
   override protected def manifests(base: TableMetadata, snapshotId: Long,
       seq: Long): Seq[ManifestFile] = {
     val schema = base.schema
     var ms = parentManifests(base)
-    val dels = deleteFiles.result()
+    val (dels, supersededDvs) = mergeDVs(base, ms, snapshotId, deleteFiles.result())
+    // drop superseded DVs from the parent delete manifests (same-commit
+    // replacement, like OverwriteFiles' kept-manifest rewrite)
+    if (supersededDvs.nonEmpty) ms = ms.flatMap { mf =>
+      if (mf.content != 1) Some(mf)
+      else {
+        val entries = ManifestIO.readEntries(mf).filter(_.isLive)
+        val keep = entries.filterNot(e => supersededDvs.contains(e.file.path))
+        if (keep.size == entries.size) Some(mf)
+        else if (keep.isEmpty) None
+        else Some(ManifestIO.write(table.ops.newManifestPath(), keep, mf.specId,
+          mf.content, base.specById(mf.specId), schema, snapshotId,
+          GraftIO.metadataGzip(base.properties), tableCrypto(base)))
+      }
+    }
     if (dels.nonEmpty) {
       val spec = base.specById(dels.head.specId)
       val entries = dels.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))

@@ -794,6 +794,32 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             .select(fcol("file_path"), fcol("pos"))
             .dropDuplicates("file_path", "pos")
             .sort("file_path", "pos")
+          // spec v3: "Position delete files must not be added to v3
+          // tables … existing position deletes must be written to delete
+          // vectors" — on v3 (or write.delete.format=dv) the compaction
+          // OUTPUT is one DV per referenced data file, written executor-
+          // side (one task per data file group; only descriptors collect)
+          val dvMode = t.meta.formatVersion >= 3 ||
+            t.meta.properties.get("write.delete.format").contains("dv")
+          if (dvMode) {
+            val loc = t.location
+            val crypto = graft.core.meta.TableCrypto.resolve(t.meta)
+            import spark.implicits._
+            val written = rows
+              .select(fcol("file_path").as[String], fcol("pos").as[Long])
+              .groupByKey(_._1)
+              .mapGroups { (fp, it) =>
+                val path = s"$loc/data/dv-rw-${java.util.UUID.randomUUID}.dv"
+                val n = DVIO.write(path, fp, it.map(_._2), crypto)
+                (fp, path, n, GraftIO.size(path))
+              }.collect()
+            written.foreach { case (fp, path, n, size) =>
+              newFiles += DataFile(path, "dv", specId, partition, n, size,
+                Map.empty, content = FileContent.PositionDeletes,
+                referencedDataFile = Some(fp))
+            }
+            oldPaths ++= fs.map(_.path)
+          } else {
           val staging = java.nio.file.Files.createTempDirectory("graft-posdel").toString
           rows.coalesce(1).write.options(GraftParquetCrypto.readOptions(t.meta))
             .mode("overwrite").parquet(staging)
@@ -816,6 +842,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             }
           }
           oldPaths ++= fs.map(_.path)
+          }
         }
         val ow = t.newOverwrite().deleteFiles(oldPaths.result())
           .addFiles(newFiles.result()).overrideOperation("replace")

@@ -2599,6 +2599,60 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.db.oob").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("v3 DV invariant: consecutive MoR deletes merge to one DV per file") {
+    spark.sql("""CREATE TABLE graft.db.dvm (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.format'='dv')""")
+    spark.range(0, 100).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.dvm").append()
+    spark.sql("DELETE FROM graft.db.dvm WHERE id < 10")
+    spark.sql("DELETE FROM graft.db.dvm WHERE id >= 90")
+    // spec v3: at most ONE deletion vector per data file in a snapshot —
+    // the second commit must union with the first file's DV and drop it
+    val tasks = coreTable("dvm").newScan().planFiles()
+    val byData = tasks.filter(_.deletes.nonEmpty)
+      .map(t => t.file.path -> t.deletes.map(_.path).distinct)
+    assert(byData.nonEmpty)
+    byData.foreach { case (data, dvs) =>
+      assert(dvs.size === 1, s"$data carries stacked DVs: $dvs")
+    }
+    // merged cardinality is visible in metadata and the masked read
+    val delCard = spark.sql(
+      "SELECT CAST(SUM(record_count) AS BIGINT) FROM graft.db.dvm.delete_files")
+      .head().getLong(0)
+    assert(delCard === 20L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvm").head().getLong(0) === 80L)
+    assert(spark.sql("SELECT CAST(sum(id) AS BIGINT) FROM graft.db.dvm")
+      .head().getLong(0) === (10L until 90L).sum)
+  }
+
+  test("rewrite_position_deletes emits DVs on v3 tables") {
+    // a v2 table accumulates parquet position deletes, then upgrades to
+    // v3: the spec forbids ADDING position-delete files to v3 tables and
+    // requires compaction to rewrite them as deletion vectors
+    spark.sql("""CREATE TABLE graft.db.rpd3 (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 100).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.rpd3").append()
+    spark.sql("DELETE FROM graft.db.rpd3 WHERE id % 5 = 0")
+    spark.sql("DELETE FROM graft.db.rpd3 WHERE id % 7 = 0")
+    val fmtsBefore = spark.sql(
+      "SELECT DISTINCT file_format FROM graft.db.rpd3.delete_files")
+      .collect().map(_.getString(0)).toSet
+    assert(fmtsBefore === Set("parquet"))
+    spark.sql("ALTER TABLE graft.db.rpd3 SET TBLPROPERTIES ('format-version'='3')")
+    spark.sql("CALL graft.system.rewrite_position_deletes('db.rpd3')")
+    val fmtsAfter = spark.sql(
+      "SELECT DISTINCT file_format FROM graft.db.rpd3.delete_files")
+      .collect().map(_.getString(0)).toSet
+    assert(fmtsAfter === Set("dv"), s"expected DV output, got $fmtsAfter")
+    // 100/5 + 100/7 - overlap(0,35,70) = 20 + 15 - 3 → 32 masked rows
+    assert(spark.sql("SELECT count(*) FROM graft.db.rpd3").head().getLong(0) === 68L)
+    assert(spark.sql(
+      "SELECT CAST(SUM(record_count) AS BIGINT) FROM graft.db.rpd3.delete_files")
+      .head().getLong(0) === 32L)
+  }
+
   test("custom scan metrics instantiate reflectively (listener contract)") {
     // Spark's SQLAppStatusListener re-creates each CustomMetric class by
     // name with a PUBLIC ZERO-ARG constructor to aggregate task values; a
