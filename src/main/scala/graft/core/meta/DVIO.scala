@@ -41,7 +41,15 @@ object DVIO {
   private val RowPosFieldId = 2147483645L
 
   def write(path: String, dataFilePath: String, positions: Iterator[Long],
-      crypto: Option[TableCrypto] = None): Long = {
+      crypto: Option[TableCrypto] = None): Long =
+    writeBlob(path, dataFilePath, positions, crypto)._1
+
+  /** like write, but also returns the blob's (offset, length) inside the
+    * container — recorded in the manifest as the spec's content_offset /
+    * content_size_in_bytes (fields 144/145) so readers can seek without
+    * re-parsing the footer */
+  def writeBlob(path: String, dataFilePath: String, positions: Iterator[Long],
+      crypto: Option[TableCrypto] = None): (Long, Long, Long) = {
     val bm = new Roaring64NavigableMap()
     positions.foreach(bm.addLong)
     bm.runOptimize()
@@ -84,7 +92,7 @@ object DVIO {
         AesGcm.encryptStream(plain, dek, aad)
       case None => plain
     })
-    cardinality
+    (cardinality, 4L, blob.length.toLong)
   }
 
   private def footerJson(blobOffset: Long, blobLength: Long,

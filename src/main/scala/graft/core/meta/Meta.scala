@@ -32,6 +32,11 @@ final case class DataFile(
     equalityIds: Seq[Int] = Nil,
     // path of the single data file a position-delete file targets, if known
     referencedDataFile: Option[String] = None,
+    // DV-only (spec manifest fields 144/145): where the deletion-vector-v1
+    // blob lives inside its Puffin container, so readers can seek straight
+    // to it without re-parsing the footer
+    contentOffset: Option[Long] = None,
+    contentSizeInBytes: Option[Long] = None,
     // v3 row lineage: _row_id of this file's first row (data files only)
     firstRowId: Option[Long] = None,
     // shredded-variant sub-path stats, keyed "variantFieldId:$.path"

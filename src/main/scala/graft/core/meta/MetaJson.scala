@@ -181,6 +181,8 @@ object MetaJson {
       val eq = o.putArray("equality-ids"); f.equalityIds.foreach(eq.add)
     }
     f.referencedDataFile.foreach(o.put("ref-data-file", _))
+    f.contentOffset.foreach(o.put("content-offset", _))
+    f.contentSizeInBytes.foreach(o.put("content-size", _))
     f.firstRowId.foreach(o.put("first-row-id", _))
     if (f.shredStats.nonEmpty) {
       val so = o.putObject("shred-stats")
@@ -205,6 +207,8 @@ object MetaJson {
       pt.result(), n.get("records").asLong(), n.get("size").asLong(),
       readStats(n.get("stats")), n.get("content").asInt(), eq.result(),
       Option(n.get("ref-data-file")).map(_.asText()),
+      Option(n.get("content-offset")).map(_.asLong()),
+      Option(n.get("content-size")).map(_.asLong()),
       Option(n.get("first-row-id")).map(_.asLong()),
       Option(n.get("shred-stats")).map { so =>
         val buf = Map.newBuilder[String, ColStats]

@@ -1142,13 +1142,14 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
       val path =
         s"${table.ops.location}/data/dv-m-$snapshotId-${java.util.UUID.randomUUID}.dv"
       val it = bm.getLongIterator
-      val n = DVIO.write(path, ref,
+      val (n, off, len) = DVIO.writeBlob(path, ref,
         new Iterator[Long] {
           def hasNext: Boolean = it.hasNext
           def next(): Long = it.next()
         }, crypto)
       ref -> nd.head.copy(path = path, recordCount = n,
-        fileSizeBytes = GraftIO.size(path))
+        fileSizeBytes = GraftIO.size(path),
+        contentOffset = Some(off), contentSizeInBytes = Some(len))
     }
     val out = Seq.newBuilder[DataFile]
     val emitted = scala.collection.mutable.Set.empty[String]

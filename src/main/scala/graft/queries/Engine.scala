@@ -51,7 +51,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v31").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v32").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -60,7 +60,7 @@ object Engine {
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
-        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g", "enc_g", "mev_g")
+        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g", "enc_g", "mev_g", "dvm_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // the wipe above went through a FRESH HadoopCatalog, bypassing the
       // session GraftCatalog's 30s-TTL cache; invalidate it so an in-JVM
@@ -667,8 +667,20 @@ object Engine {
         .writeTo("graft.db.enc_g").append()
       s.sql("DELETE FROM graft.db.enc_g WHERE o_orderkey % 5 = 2")
 
+      // DV merge invariant (g57): two MoR DELETE commits on a dv-format
+      // table — the second must union into the first file's DV (spec v3
+      // at-most-one-DV-per-data-file), asserted in-gate every run
+      s.sql("""CREATE TABLE graft.db.dvm_g (
+        o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                       'write.delete.format'='dv')""")
+      o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .writeTo("graft.db.dvm_g").append()
+      s.sql("DELETE FROM graft.db.dvm_g WHERE o_orderkey % 4 = 1")
+      s.sql("DELETE FROM graft.db.dvm_g WHERE o_orderkey % 6 = 2")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v31" -> "true"))
+        .updateProperties(Map("build-complete-v32" -> "true"))
     }
     built += wh
   }
@@ -1907,9 +1919,42 @@ object Engine {
           AS sum_c
       FROM supplier GROUP BY 1 ORDER BY grp"""))
 
+  // ------------------------------------------------------------------ g57
+  // v3 DV merge invariant: setup committed TWO MoR deletes against a
+  // dv-format table; the commit path must have unioned the second
+  // delete's vectors into the first's (spec v3: at most one DV per data
+  // file) — asserted structurally in-gate, then the masked read is
+  // compared against the oracle's two-predicate filter.
+  private val g57 = Q(
+    "g57_engine_dv_merge",
+    (s, dir) => {
+      setup(s, dir)
+      val t0 = new HadoopCatalog(warehouse(dir)).loadTable(Seq("db"), "dvm_g").get
+      val tasks = t0.newScan().planFiles()
+      require(tasks.exists(_.deletes.nonEmpty), "g57: no DV deletes planned")
+      tasks.filter(_.deletes.nonEmpty).foreach { t =>
+        val dvs = t.deletes.map(_.path).distinct
+        require(dvs.size == 1,
+          s"g57: stacked DVs survived the merge for ${t.file.path}: $dvs")
+        require(graft.core.meta.DVIO.isDV(dvs.head),
+          s"g57: non-DV delete in a dv-format table: ${dvs.head}")
+      }
+      s.table("graft.db.dvm_g")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+          AS sum_price_cents
+      FROM orders WHERE o_orderkey % 4 <> 1 AND o_orderkey % 6 <> 2
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56)
+    g52, g53, g54, g55, g56, g57)
 }

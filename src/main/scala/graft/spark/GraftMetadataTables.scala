@@ -88,7 +88,10 @@ object GraftMetadataTables {
       StructField("null_value_counts", MapType(IntegerType, LongType)),
       StructField("nan_value_counts", MapType(IntegerType, LongType)),
       StructField("lower_bounds", MapType(IntegerType, StringType)),
-      StructField("upper_bounds", MapType(IntegerType, StringType))))
+      StructField("upper_bounds", MapType(IntegerType, StringType)),
+      // DV-only (spec fields 144/145): blob position inside the puffin
+      StructField("content_offset", LongType),
+      StructField("content_size_in_bytes", LongType)))
     case "entries" => StructType(Seq(
       StructField("status", IntegerType),
       StructField("snapshot_id", LongType),
@@ -364,7 +367,9 @@ object ManifestEntriesScan {
               partString(e.file.specId, e.file.partition),
               e.file.recordCount, e.file.fileSizeBytes,
               counts(_.valueCount), counts(_.nullCount), counts(_.nanCount),
-              bounds(_.lower), bounds(_.upper))): InternalRow
+              bounds(_.lower), bounds(_.upper),
+              e.file.contentOffset.map(Long.box).orNull,
+              e.file.contentSizeInBytes.map(Long.box).orNull)): InternalRow
           }
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _

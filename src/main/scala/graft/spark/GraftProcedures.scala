@@ -810,13 +810,14 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
               .groupByKey(_._1)
               .mapGroups { (fp, it) =>
                 val path = s"$loc/data/dv-rw-${java.util.UUID.randomUUID}.dv"
-                val n = DVIO.write(path, fp, it.map(_._2), crypto)
-                (fp, path, n, GraftIO.size(path))
+                val (n, off, len) = DVIO.writeBlob(path, fp, it.map(_._2), crypto)
+                (fp, path, n, GraftIO.size(path), off, len)
               }.collect()
-            written.foreach { case (fp, path, n, size) =>
+            written.foreach { case (fp, path, n, size, off, len) =>
               newFiles += DataFile(path, "dv", specId, partition, n, size,
                 Map.empty, content = FileContent.PositionDeletes,
-                referencedDataFile = Some(fp))
+                referencedDataFile = Some(fp),
+                contentOffset = Some(off), contentSizeInBytes = Some(len))
             }
             oldPaths ++= fs.map(_.path)
           } else {

@@ -1152,10 +1152,12 @@ final class GraftDeltaWriter(
     deleted.values.toSeq.flatMap { case (partition, dels) =>
       dels.groupBy(_._1).toSeq.map { case (dataPath, posRows) =>
         val path = s"$location/data/dv-$partitionId-$taskId-${UUID.randomUUID}.dv"
-        val n = DVIO.write(path, dataPath, posRows.iterator.map(_._2), crypto)
+        val (n, off, len) =
+          DVIO.writeBlob(path, dataPath, posRows.iterator.map(_._2), crypto)
         DataFile(path, "dv", specId, partition, n, GraftIO.size(path),
           Map.empty, content = FileContent.PositionDeletes,
-          referencedDataFile = Some(dataPath))
+          referencedDataFile = Some(dataPath),
+          contentOffset = Some(off), contentSizeInBytes = Some(len))
       }
     }
 

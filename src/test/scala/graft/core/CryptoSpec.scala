@@ -99,6 +99,49 @@ class CryptoSpec extends AnyFunSuite {
       assert(e.getMessage.contains("encrypted"))
     }
   }
+
+  test("KMS key list rejects non-AES key lengths at parse time") {
+    // 17 bytes compiles to a conf string fine but can never init an AES
+    // cipher — must fail at parse with the key id in the message, not
+    // mid-table-build (r7 post-mortem)
+    val bad = java.util.Base64.getEncoder.encodeToString(AesGcm.randomBytes(17))
+    val e = intercept[IllegalArgumentException](
+      LocalKms.parseKeyList(s"badkey:$bad"))
+    assert(e.getMessage.contains("badkey") && e.getMessage.contains("17"))
+    // all three legal AES lengths parse
+    Seq(16, 24, 32).foreach { n =>
+      val ok = java.util.Base64.getEncoder.encodeToString(AesGcm.randomBytes(n))
+      assert(LocalKms.parseKeyList(s"k$n:$ok")(s"k$n").length == n)
+    }
+  }
+
+  test("KmsRegistry merges key lists across catalogs") {
+    val k1 = java.util.Base64.getEncoder.encodeToString(AesGcm.randomBytes(16))
+    val k2 = java.util.Base64.getEncoder.encodeToString(AesGcm.randomBytes(16))
+    KmsRegistry.setKeyList(s"cat-a-mk:$k1")
+    KmsRegistry.setKeyList(s"cat-b-mk:$k2")
+    // the second catalog's init must NOT clobber the first's master key
+    val dek = AesGcm.randomBytes(16)
+    val wrapped = KmsRegistry.current.wrapKey(dek, "cat-a-mk")
+    assert(KmsRegistry.current.unwrapKey(wrapped, "cat-a-mk").sameElements(dek))
+    val wrapped2 = KmsRegistry.current.wrapKey(dek, "cat-b-mk")
+    assert(KmsRegistry.current.unwrapKey(wrapped2, "cat-b-mk").sameElements(dek))
+  }
+
+  test("encrypted read verifies length against a trusted value") {
+    val dir = java.nio.file.Files.createTempDirectory("crypt-len").toString
+    val dek = AesGcm.randomBytes(16)
+    val p = s"$dir/m.json"
+    GraftIO.writeString(p, "entry1\nentry2\n", gzip = false, Some((dek, aad)))
+    val trueLen = GraftIO.size(p)
+    assert(GraftIO.readString(p, Some((dek, aad)), expectedLen = trueLen)
+      == "entry1\nentry2\n")
+    // gcm-stream 'File length': a truncated/tampered container must fail
+    // the trusted-length check before any block is even decrypted
+    val e = intercept[IllegalStateException](
+      GraftIO.readString(p, Some((dek, aad)), expectedLen = trueLen - 28))
+    assert(e.getMessage.contains("truncation") || e.getMessage.contains("length"))
+  }
 }
 
 object GSchemaFixtures {
