@@ -197,13 +197,4 @@ object DVIO {
 
   def isDV(path: String): Boolean =
     path.endsWith(".dv") || path.endsWith(".puffin")
-
-  /** positions as (dataPath -> java HashSet) for the executor cache */
-  def readAsSets(path: String,
-      crypto: Option[TableCrypto] = None): Map[String, java.util.HashSet[Long]] = {
-    val (dataPath, bm) = read(path, crypto)
-    val set = new java.util.HashSet[Long](math.min(bm.getLongCardinality, 1 << 20).toInt)
-    bm.forEach((l: Long) => { set.add(l); () })
-    Map(dataPath -> set)
-  }
 }

@@ -66,10 +66,13 @@ object GraftExecutorCache {
     cache.clear(); totalWeight = 0L
   }
 
-  /** ~retained bytes of a data-path → positions map: HashSet[Long] costs
-    * ~48 B/element (node + boxed long), plus string keys */
-  def weighPosMap(m: Map[String, java.util.HashSet[Long]]): Long =
-    m.iterator.map { case (k, v) => k.length * 2L + 64L + v.size * 48L }.sum
+  /** ~retained bytes of a data-path → position-bitmap map: the roaring
+    * serialized size tracks heap closely (containers are the payload) */
+  def weighPosMap(
+      m: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap]): Long =
+    m.iterator.map { case (k, v) =>
+      k.length * 2L + 64L + v.serializedSizeInBytes()
+    }.sum
 
   /** ~retained bytes of an eq-delete key set: per row a Seq wrapper plus
     * ~32 B per boxed key column value */

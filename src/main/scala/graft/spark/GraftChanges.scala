@@ -229,13 +229,15 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](UTF8String.fromString(t.changeType), t.ordinal, t.commitSnapshotId))
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      def positionsOf(paths: Array[String]): java.util.HashSet[Long] = {
-        val out = new java.util.HashSet[Long]()
+      def positionsOf(paths: Array[String])
+          : org.roaringbitmap.longlong.Roaring64Bitmap = {
+        val out = new org.roaringbitmap.longlong.Roaring64Bitmap()
         paths.foreach { dp =>
           if (DVIO.isDV(dp)) {
-            DVIO.readAsSets(dp).get(t.path).foreach(out.addAll)
+            val (ref, bm) = DVIO.read(dp)
+            if (ref == t.path) out.or(bm)
           } else deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
-            if (r.getUTF8String(0).toString == t.path) out.add(r.getLong(1))
+            if (r.getUTF8String(0).toString == t.path) out.addLong(r.getLong(1))
           }
         }
         out

@@ -335,8 +335,9 @@ object GraftSparkTable {
     * Keyed by path; bounded LRU. Values map data-file path → deleted
     * positions. */
   object PosDeleteCache {
-    def get(path: String, load: () => Map[String, java.util.HashSet[Long]])
-        : Map[String, java.util.HashSet[Long]] =
+    def get(path: String,
+        load: () => Map[String, org.roaringbitmap.longlong.Roaring64Bitmap])
+        : Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] =
       GraftExecutorCache.get(("pos", path),
         GraftExecutorCache.weighPosMap)(load())
   }
@@ -1559,19 +1560,26 @@ object GraftSparkTable {
       * ambiguous suffix, e.g. an import colliding with a native file
       * name, never silently cross-applies). */
     private def deletedPositions(dataPath: String,
-        deletePaths: Array[String]): java.util.HashSet[Long] = {
+        deletePaths: Array[String]): org.roaringbitmap.longlong.Roaring64Bitmap = {
       import graft.core.meta.GraftIO.{dataSuffix, stripScheme}
-      val out = new java.util.HashSet[Long]()
+      // masks stay Roaring bitmaps end-to-end: a boxed HashSet[Long] costs
+      // ~48 B per deleted position (500 MB heap for a 10M-row DV), while
+      // the bitmap stays within a few bits/position — the difference
+      // between an executor cache that holds the working set and one that
+      // thrashes at 100 TB delete volumes
+      val out = new org.roaringbitmap.longlong.Roaring64Bitmap()
       deletePaths.foreach { dp =>
         val byFile = PosDeleteCache.get(dp, () => {
-          if (graft.core.meta.DVIO.isDV(dp))
-            graft.core.meta.DVIO.readAsSets(dp, crypto)
-              .map { case (k, v) => stripScheme(k) -> v }
-          else {
-            val m = scala.collection.mutable.Map.empty[String, java.util.HashSet[Long]]
+          if (graft.core.meta.DVIO.isDV(dp)) {
+            val (ref, bm) = graft.core.meta.DVIO.read(dp, crypto)
+            Map(stripScheme(ref) -> bm)
+          } else {
+            val m = scala.collection.mutable
+              .Map.empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
             deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
               m.getOrElseUpdate(stripScheme(r.getUTF8String(0).toString),
-                new java.util.HashSet[Long]()).add(r.getLong(1))
+                new org.roaringbitmap.longlong.Roaring64Bitmap())
+                .addLong(r.getLong(1))
             }
             m.toMap
           }
@@ -1584,7 +1592,7 @@ object GraftSparkTable {
             case _         => None
           }
         }
-        hit.foreach(out.addAll)
+        hit.foreach(out.or) // or() mutates OUT only; cached bitmaps stay pristine
       }
       out
     }
@@ -1837,7 +1845,7 @@ object GraftSparkTable {
           // batches, masked in place, with _pos as a row-index vector
           // (reference ColumnarBatchUtil.buildRowIdMapping)
           val deleted =
-            if (t.deletePaths.isEmpty) new java.util.HashSet[Long]()
+            if (t.deletePaths.isEmpty) new org.roaringbitmap.longlong.Roaring64Bitmap()
             else deletedPositions(t.path, t.deletePaths)
           var base = 0L
           val nData = dataRequired.length
