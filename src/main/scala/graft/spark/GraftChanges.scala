@@ -233,12 +233,26 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
           : org.roaringbitmap.longlong.Roaring64Bitmap = {
         val out = new org.roaringbitmap.longlong.Roaring64Bitmap()
         paths.foreach { dp =>
-          if (DVIO.isDV(dp)) {
-            val (ref, bm) = DVIO.read(dp)
-            if (ref == t.path) out.or(bm)
-          } else deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
-            if (r.getUTF8String(0).toString == t.path) out.addLong(r.getLong(1))
+          // parsed once per JVM via the shared executor cache — a CDC
+          // range covering many data files otherwise re-parses the same
+          // delete file for every change task
+          val byFile = GraftExecutorCache.get(("pos-chg", dp),
+            GraftExecutorCache.weighPosMap) {
+            if (DVIO.isDV(dp)) {
+              val (ref, bm) = DVIO.read(dp)
+              Map(ref -> bm)
+            } else {
+              val m = scala.collection.mutable
+                .Map.empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
+              deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
+                m.getOrElseUpdate(r.getUTF8String(0).toString,
+                  new org.roaringbitmap.longlong.Roaring64Bitmap())
+                  .addLong(r.getLong(1))
+              }
+              m.toMap
+            }
           }
+          byFile.get(t.path).foreach(out.or)
         }
         out
       }

@@ -52,6 +52,26 @@ class DVSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC") || e.getMessage.contains("mismatch"))
   }
 
+  test("seeded random round-trips across position regimes") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(5000)
+      // mixed regimes: dense small, sparse mid, above-2^32 (multi-key
+      // portable serialization), run-heavy blocks
+      val positions = (Seq.fill(n)(rnd.nextInt(1 << 20).toLong) ++
+        Seq.fill(n / 4)((1L << 32) + rnd.nextInt(1 << 16)) ++
+        (0L until rnd.nextInt(64).toLong)).distinct
+      val path = tmp()
+      val card = DVIO.write(path, s"/wh/t/data/f$trial.parquet",
+        positions.iterator)
+      assert(card === positions.size)
+      val (ref, bm) = DVIO.read(path)
+      assert(ref === s"/wh/t/data/f$trial.parquet")
+      assert(bm.getLongCardinality === positions.size, s"trial $trial")
+      assert(positions.forall(bm.contains), s"trial $trial")
+    }
+  }
+
   test("legacy GDV1 containers still read") {
     // hand-write the old container: GDV1 | pathLen | path | Roaring64Bitmap
     val path = tmp()
