@@ -1952,9 +1952,60 @@ object Engine {
       FROM orders WHERE o_orderkey % 4 <> 1 AND o_orderkey % 6 <> 2
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ------------------------------------------------------------------ g58
+  // REST multi-table transaction (reference RESTCatalog.commitTransaction
+  // + open-api /v1/transactions/commit; previously unit-only): ONE atomic
+  // transaction moves the n_regionkey>=2 partitions out of nation_r1 and
+  // into nation_r2 — a metadata-delete on r1 plus a file-level append to
+  // r2, both staged and published through the single transaction
+  // endpoint. In-gate requires prove both sides landed; the oracle
+  // recomputes the moved set from the source relation.
+  private val g58 = Q(
+    "g58_engine_rest_transaction",
+    (s, dir) => {
+      val wh = warehouse(dir) + "_rest"
+      val uri = RestFixture.ensure(wh)
+      s.conf.set("spark.sql.catalog.grest", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grest.catalog-impl", "rest")
+      s.conf.set("spark.sql.catalog.grest.uri", uri)
+      val cat = graft.core.meta.RestCatalog.connect(uri)
+      if (!cat.tableExists(Seq("db"), "nation_r1")) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS grest.db")
+        s.sql("""CREATE TABLE grest.db.nation_r1 (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+          PARTITIONED BY (n_regionkey)""")
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .writeTo("grest.db.nation_r1").append()
+      }
+      if (!cat.tableExists(Seq("db"), "nation_r2"))
+        s.sql("""CREATE TABLE grest.db.nation_r2 (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+          PARTITIONED BY (n_regionkey)""")
+      if (cat.loadTable(Seq("db"), "nation_r2").get.meta.currentSnapshot.isEmpty) {
+        import graft.core.expr.Expr
+        cat.transact(Seq(Seq("db") -> "nation_r1", Seq("db") -> "nation_r2")) { ts =>
+          val Seq(t1, t2) = ts
+          val moving = t1.newScan()
+            .filter(Expr.gtEq("n_regionkey", 2L)).planFiles().map(_.file)
+          require(moving.nonEmpty, "g58: nothing to move")
+          t1.newOverwrite()
+            .overwriteByRowFilter(Expr.gtEq("n_regionkey", 2L)).commit()
+          t2.newAppend().appendFiles(moving).commit()
+        }
+      }
+      // both legs of the transaction are visible, consistently
+      val left = s.table("grest.db.nation_r1")
+      require(left.filter(col("n_regionkey") >= 2).isEmpty,
+        "g58: moved partitions still visible in nation_r1")
+      s.table("grest.db.nation_r2").orderBy("n_nationkey")
+    },
+    Some("""
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      WHERE n_regionkey >= 2 ORDER BY n_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56, g57)
+    g52, g53, g54, g55, g56, g57, g58)
 }

@@ -267,9 +267,21 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
             else SparkBridge.valueAt(row, p, dataSchema(p).dataType)
           val keys = new java.util.HashSet[Seq[Any]]()
           t.eqDeletePaths.foreach { ep =>
-            rowFunc(pf(ep, Long.MaxValue)).foreach { r =>
-              keys.add(t.eqKeyPositions.map(p => canonical(r, p)).toSeq)
+            // per-JVM cache, keyed by (path, key positions, key types):
+            // one eq-delete file masks every lower-sequence data file in
+            // the range, so each change task would otherwise re-parse it
+            val cached = GraftExecutorCache.get(
+              ("eq-chg", ep, t.eqKeyPositions.toSeq,
+                t.eqKeyPositions.map(p => dataSchema(p).dataType.catalogString).toSeq),
+              (s: java.util.HashSet[Seq[Any]]) =>
+                GraftExecutorCache.weighKeySet(s, t.eqKeyPositions.length)) {
+              val ks = new java.util.HashSet[Seq[Any]]()
+              rowFunc(pf(ep, Long.MaxValue)).foreach { r =>
+                ks.add(t.eqKeyPositions.map(p => canonical(r, p)).toSeq)
+              }
+              ks
             }
+            keys.addAll(cached)
           }
           rowFunc(pf(t.path, t.length)).zipWithIndex.collect {
             case (row, idx) if !masked.contains(idx.toLong) &&
