@@ -28,6 +28,51 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     DataFile(path, "parquet", 0, Nil, recordCount = rows, fileSizeBytes = rows * 100,
       columnStats = Map(1 -> ColStats(Some(rows), Some(0L), None, Some(1L), Some(rows))))
 
+  test("racing DV row-deltas on one data file merge under CAS retry") {
+    val wh = Files.createTempDirectory("graft-dv-race").toString
+    val cat = new HadoopCatalog(wh)
+    val t = cat.createTable(Seq("db"), "dvrace", schema)
+    val dataPath = s"${t.location}/data/f1.parquet"
+    t.newAppend().appendFile(dataFile(dataPath, 10000)).commit()
+
+    // 8 writers, each deleting a disjoint position range via its own DV;
+    // every commit whose base already carries a DV for f1 must re-merge
+    // inside the retry (manifests() runs against the fresh base)
+    val writers = 8
+    val perWriter = 100
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = try {
+          val positions = (0 until perWriter).map(i => (w * perWriter + i).toLong)
+          val dvPath = s"${t.location}/data/dv-race-$w.dv"
+          val n = DVIO.write(dvPath, dataPath, positions.iterator)
+          val dv = DataFile(dvPath, "dv", 0, Nil, n, GraftIO.size(dvPath),
+            content = FileContent.PositionDeletes,
+            referencedDataFile = Some(dataPath))
+          new GTable(cat.tableOps(Seq("db"), "dvrace"))
+            .newRowDelta().addDeletes(dv).commit()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"racing DV commits failed: ${errs.peek()}")
+
+    val live = ManifestIO
+      .readList(t.refresh().currentSnapshot.get.manifestListPath)
+      .filter(_.content == 1)
+      .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map(_.file))
+    assert(live.size === 1,
+      s"expected ONE merged DV after $writers racing deletes, got ${live.map(_.path)}")
+    val (ref, bm) = DVIO.read(live.head.path)
+    assert(ref === dataPath)
+    assert(bm.getLongCardinality === writers.toLong * perWriter)
+    assert((0 until writers * perWriter).forall(i => bm.contains(i.toLong)))
+    assert(live.head.recordCount === writers.toLong * perWriter)
+  }
+
   test("parallel appenders + compacting rewriter never lose rows") {
     val wh = Files.createTempDirectory("graft-stress").toString
     val cat = new HadoopCatalog(wh)
