@@ -143,6 +143,11 @@ object SortOrder { val Unsorted: SortOrder = SortOrder(0, Nil) }
 final case class StatisticsFile(snapshotId: Long, path: String,
     fileSizeBytes: Long)
 
+/** A partition-statistics file attached to a snapshot (format/spec.md
+  * "Partition Statistics"; reference core/.../PartitionStatisticsFile). */
+final case class PartitionStatisticsFile(snapshotId: Long, path: String,
+    fileSizeBytes: Long)
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -166,6 +171,8 @@ final case class TableMetadata(
     nextRowId: Long = 0L,
     // Puffin statistics files (format/puffin-spec.md; spec.md statistics)
     statistics: Seq[StatisticsFile] = Nil,
+    // spec `partition-statistics`: per-snapshot partition stats files
+    partitionStatistics: Seq[PartitionStatisticsFile] = Nil,
     // spec `metadata-log`: previous metadata files, oldest first, each
     // (timestamp the file BECAME current, file path); appended by the
     // catalog ops at commit and trimmed to

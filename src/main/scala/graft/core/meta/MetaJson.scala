@@ -348,6 +348,14 @@ object MetaJson {
           .put("file-size-in-bytes", sf.fileSizeBytes)
       }
     }
+    if (m.partitionStatistics.nonEmpty) {
+      val st = o.putArray("partition-statistics")
+      m.partitionStatistics.foreach { sf =>
+        st.addObject().put("snapshot-id", sf.snapshotId)
+          .put("statistics-path", wp(sf.path))
+          .put("file-size-in-bytes", sf.fileSizeBytes)
+      }
+    }
     if (m.metadataLog.nonEmpty) {
       val ml = o.putArray("metadata-log")
       m.metadataLog.foreach { case (ts, f) =>
@@ -440,6 +448,15 @@ object MetaJson {
         val st = Seq.newBuilder[StatisticsFile]
         Option(n.get("statistics")).foreach(_.elements().forEachRemaining { e =>
           st += StatisticsFile(e.get("snapshot-id").asLong(),
+            res(e.get("statistics-path").asText()),
+            e.get("file-size-in-bytes").asLong())
+        })
+        st.result()
+      },
+      partitionStatistics = {
+        val st = Seq.newBuilder[PartitionStatisticsFile]
+        Option(n.get("partition-statistics")).foreach(_.elements().forEachRemaining { e =>
+          st += PartitionStatisticsFile(e.get("snapshot-id").asLong(),
             res(e.get("statistics-path").asText()),
             e.get("file-size-in-bytes").asLong())
         })

@@ -502,13 +502,18 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         val expiredIds = expired.map(_.snapshotId).toSet
         // statistics files attached to expired snapshots go with them
         val expiredStats = t.meta.statistics.filter(sf => expiredIds(sf.snapshotId))
+        val expiredPartStats =
+          t.meta.partitionStatistics.filter(sf => expiredIds(sf.snapshotId))
         t.commitUpdate { base =>
           base.copy(
             snapshots = base.snapshots.filterNot(sn => expiredIds(sn.snapshotId)),
             snapshotLog = base.snapshotLog.filterNot { case (_, id) => expiredIds(id) },
-            statistics = base.statistics.filterNot(sf => expiredIds(sf.snapshotId)))
+            statistics = base.statistics.filterNot(sf => expiredIds(sf.snapshotId)),
+            partitionStatistics = base.partitionStatistics
+              .filterNot(sf => expiredIds(sf.snapshotId)))
         }
-        expiredStats.foreach(sf => try GraftIO.delete(sf.path) catch { case _: Throwable => () })
+        (expiredStats.map(_.path) ++ expiredPartStats.map(_.path))
+          .foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
         // Reachability diff at MANIFEST granularity first (shared
         // manifests need no reading at all), then a distributed except
         // over entries of only the dropped vs surviving manifests
@@ -621,6 +626,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         t.meta.snapshots.map(_.manifestListPath) ++
         mfs.map(_.path) ++
         t.meta.statistics.map(_.path) ++
+        t.meta.partitionStatistics.map(_.path) ++
         t.meta.properties.get("partition-stats-path").toSeq).toDS()
       val metaDir = s"${t.location}/metadata"
       val metaFirst: Seq[String] = {
@@ -1479,7 +1485,23 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       }
       val statsPath = s"${t.location}/metadata/partition-stats-${sn.snapshotId}.json"
       GraftIO.writeString(statsPath, node.toString)
-      t.updateProperties(Map("partition-stats-path" -> statsPath))
+      // register in table metadata `partition-statistics` (spec partition
+      // statistics files, one per snapshot — reference
+      // PartitionStatisticsFile) replacing any prior entry for this
+      // snapshot; the legacy property stays for existing readers
+      var replacedPs: Seq[String] = Nil
+      t.commitUpdate { base =>
+        replacedPs = base.partitionStatistics
+          .filter(_.snapshotId == sn.snapshotId).map(_.path)
+        base.copy(
+          properties = base.properties + ("partition-stats-path" -> statsPath),
+          partitionStatistics = base.partitionStatistics
+            .filterNot(_.snapshotId == sn.snapshotId) :+
+            PartitionStatisticsFile(sn.snapshotId, statsPath,
+              GraftIO.size(statsPath)))
+      }
+      replacedPs.filterNot(_ == statsPath)
+        .foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
       out(StructType(Seq(
           StructField("statistics_file", StringType),
           StructField("partitions_analyzed", IntegerType))),

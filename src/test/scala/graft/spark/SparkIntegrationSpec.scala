@@ -1415,6 +1415,16 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ps = spark.sql("CALL graft.system.compute_partition_stats('db.regsrc')").collect()(0)
     assert(ps.getInt(1) === 2, s"expected 2 partitions, got ${ps.getInt(1)}")
     assert(graft.core.meta.GraftIO.exists(ps.getString(0)))
+    // registered as a spec partition-statistics file (snapshot-scoped),
+    // and the registration survives a metadata JSON round-trip
+    val psMeta = coreTable("regsrc").meta
+    val psReg = psMeta.partitionStatistics
+    assert(psReg.size === 1 && psReg.head.path === ps.getString(0))
+    assert(psReg.head.snapshotId === psMeta.currentSnapshot.get.snapshotId)
+    assert(psReg.head.fileSizeBytes > 0)
+    // re-running replaces (not stacks) the snapshot's entry
+    spark.sql("CALL graft.system.compute_partition_stats('db.regsrc')")
+    assert(coreTable("regsrc").meta.partitionStatistics.size === 1)
 
     // rewrite_table_path: staged metadata copies + file list
     val rp = spark.sql(
