@@ -28,6 +28,34 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     DataFile(path, "parquet", 0, Nil, recordCount = rows, fileSizeBytes = rows * 100,
       columnStats = Map(1 -> ColStats(Some(rows), Some(0L), None, Some(1L), Some(rows))))
 
+  test("two DVs for one data file in a SINGLE commit are unioned") {
+    val wh = Files.createTempDirectory("graft-dv-sib").toString
+    val cat = new HadoopCatalog(wh)
+    val t = cat.createTable(Seq("db"), "dvsib", schema)
+    val dataPath = s"${t.location}/data/f1.parquet"
+    t.newAppend().appendFile(dataFile(dataPath, 1000)).commit()
+    def dv(name: String, positions: Seq[Long]): DataFile = {
+      val p = s"${t.location}/data/$name.dv"
+      val n = DVIO.write(p, dataPath, positions.iterator)
+      DataFile(p, "dv", 0, Nil, n, GraftIO.size(p),
+        content = FileContent.PositionDeletes,
+        referencedDataFile = Some(dataPath))
+    }
+    t.newRowDelta()
+      .addDeletes(dv("a", Seq(1L, 2L, 3L)))
+      .addDeletes(dv("b", Seq(3L, 4L)))
+      .commit()
+    val live = ManifestIO
+      .readList(t.refresh().currentSnapshot.get.manifestListPath)
+      .filter(_.content == 1)
+      .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map(_.file))
+    assert(live.size === 1, s"sibling DVs not merged: ${live.map(_.path)}")
+    val (_, bm) = DVIO.read(live.head.path)
+    assert(bm.getLongCardinality === 4) // {1,2,3,4} — overlap collapsed
+    assert(live.head.contentOffset.contains(4L))
+    assert(live.head.contentSizeInBytes.exists(_ > 0L))
+  }
+
   test("racing DV row-deltas on one data file merge under CAS retry") {
     val wh = Files.createTempDirectory("graft-dv-race").toString
     val cat = new HadoopCatalog(wh)
