@@ -115,14 +115,25 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
           col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
       val l = t(s, dir, "lineitem")
-      // dims broadcast; fact-fact join shuffles on the order key
-      c.join(o, col("c_custkey") === col("o_custkey"))
+      // region⋈nation resolves ASIA's nation keys FIRST; broadcasting
+      // that tiny set into customer AND supplier semi-filters both
+      // before any fact shuffle — the c⋈o exchange then carries ~1/5 of
+      // the customers (regions are selective), which is the difference
+      // at 100 TB where that shuffle dominates. Catalyst can't derive
+      // this itself: the c_nationkey restriction only appears via the
+      // supplier join, after the big shuffles are already planned.
+      val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supA = sup.join(broadcast(asiaN),
+        col("s_nationkey") === col("n_nationkey"))
+      val cA = c.join(
+        broadcast(asiaN.select(col("n_nationkey").as("cn_nationkey"))),
+        col("c_nationkey") === col("cn_nationkey"))
+      cA.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(sup),
+        .join(broadcast(supA),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
           .as("revenue_e4"))
