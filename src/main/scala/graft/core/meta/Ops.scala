@@ -1124,7 +1124,36 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     val newDvs = dels0.filter(f => DVIO.isDV(f.path) && f.referencedDataFile.isDefined)
     if (newDvs.isEmpty) return (dels0, Set.empty)
     val refs = newDvs.flatMap(_.referencedDataFile).toSet
+    // manifest-level prune before any entry read: a prior DV for one of
+    // the referenced data files must live in a delete manifest whose
+    // partition summaries can contain that DV's partition tuple — at
+    // scale this turns O(all delete manifests) commit-time reads into
+    // O(touched partitions) (same layer-2 idea as scan planning)
+    val newParts = newDvs.map(f => (f.specId, f.partition)).distinct
+    def mightHold(mf: ManifestFile): Boolean =
+      mf.partitionSummaries.isEmpty || newParts.exists { case (specId, tuple) =>
+        mf.specId != specId || {
+          val partType = base.specById(mf.specId).partitionType(base.schema)
+          tuple.zipWithIndex.forall { case (v, i) =>
+            mf.partitionSummaries.lift(i).forall { s =>
+              v match {
+                case null => s.containsNull
+                case _: Array[Byte] | _: Seq[_] => true // no byte-wise order
+                case prim => (s.lower, s.upper) match {
+                  case (Some(lo), Some(hi)) =>
+                    partType.fields.lift(i).forall { pf =>
+                      TypeComparators.compare(pf.tpe, prim, lo) >= 0 &&
+                        TypeComparators.compare(pf.tpe, prim, hi) <= 0
+                    }
+                  case _ => true
+                }
+              }
+            }
+          }
+        }
+      }
     val priorByRef: Map[String, Seq[DataFile]] = ms.filter(_.content == 1)
+      .filter(mightHold)
       .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map(_.file))
       .filter(f => DVIO.isDV(f.path) && f.referencedDataFile.exists(refs.contains))
       .groupBy(_.referencedDataFile.get)
