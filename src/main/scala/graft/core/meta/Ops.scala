@@ -904,32 +904,18 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
     val bound = deleteExpr.map(e => Expr.bind(schema, e))
     val removedSeen = scala.collection.mutable.Set.empty[String]
     droppedFiles.clear()
-    // rewrite existing manifests without the removed files
-    val kept = parentManifests(base).flatMap { mf =>
+    // rewrite existing manifests without the removed files. TWO passes:
+    // data manifests first (collecting every dropped data-file path),
+    // then delete manifests — spec v3 "when removing a data file,
+    // writers must also remove any deletion vector that applies to that
+    // data file from delete manifests", so a compaction/CoW that retires
+    // a data file retires its DV in the SAME commit instead of leaving
+    // it dangling for remove_dangling_deletes
+    def rewriteWithout(mf: ManifestFile,
+        drop: ManifestEntry => Boolean): Option[ManifestFile] = {
       val entries = ManifestIO.readEntries(mf).filter(_.isLive)
       val spec = base.specById(mf.specId)
-      val (dropped, keptEntries) = entries.partition { e =>
-        if (removeSet.contains(e.file.path)) { removedSeen += e.file.path; true }
-        else if (replaceParts.exists(_.contains(normalizeKey(e.file.partition)))) true
-        else bound match {
-          case Some(expr) if e.file.content == FileContent.Data =>
-            val partType = spec.partitionType(schema)
-            val partStrict = Projections.strict(spec, schema, expr)
-            val partMatches = RowEvaluator.eval(partStrict, ArrayRow(e.file.partition.toArray))
-            val strictStats = StrictMetricsEvaluator.rowsMustMatch(expr, e.file.fileStats)
-            if (partMatches || strictStats) true
-            else {
-              val inclusive = Projections.inclusive(spec, schema, expr)
-              val mightMatch = RowEvaluator.eval(inclusive, ArrayRow(e.file.partition.toArray)) &&
-                InclusiveMetricsEvaluator.rowsMightMatch(expr, e.file.fileStats)
-              if (mightMatch)
-                throw new ValidationException(
-                  s"cannot metadata-delete: ${e.file.path} partially matches; rewrite required")
-              false
-            }
-          case _ => false
-        }
-      }
+      val (dropped, keptEntries) = entries.partition(drop)
       droppedFiles ++= dropped.map(_.file)
       if (dropped.isEmpty) Some(mf)
       else if (keptEntries.isEmpty) None
@@ -937,6 +923,38 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
         mf.content, spec, schema, snapshotId,
         GraftIO.metadataGzip(base.properties), tableCrypto(base)))
     }
+    def baseDrop(spec: PartitionSpec)(e: ManifestEntry): Boolean =
+      if (removeSet.contains(e.file.path)) { removedSeen += e.file.path; true }
+      else if (replaceParts.exists(_.contains(normalizeKey(e.file.partition)))) true
+      else bound match {
+        case Some(expr) if e.file.content == FileContent.Data =>
+          val partStrict = Projections.strict(spec, schema, expr)
+          val partMatches = RowEvaluator.eval(partStrict, ArrayRow(e.file.partition.toArray))
+          val strictStats = StrictMetricsEvaluator.rowsMustMatch(expr, e.file.fileStats)
+          if (partMatches || strictStats) true
+          else {
+            val inclusive = Projections.inclusive(spec, schema, expr)
+            val mightMatch = RowEvaluator.eval(inclusive, ArrayRow(e.file.partition.toArray)) &&
+              InclusiveMetricsEvaluator.rowsMightMatch(expr, e.file.fileStats)
+            if (mightMatch)
+              throw new ValidationException(
+                s"cannot metadata-delete: ${e.file.path} partially matches; rewrite required")
+            false
+          }
+        case _ => false
+      }
+    val (dataParents, delParents) = parentManifests(base).partition(_.content == 0)
+    val keptData = dataParents.flatMap(mf =>
+      rewriteWithout(mf, baseDrop(base.specById(mf.specId))))
+    val droppedDataPaths = droppedFiles.iterator
+      .filter(_.content == FileContent.Data).map(_.path).toSet
+    val keptDel = delParents.flatMap { mf =>
+      val spec = base.specById(mf.specId)
+      rewriteWithout(mf, e => baseDrop(spec)(e) ||
+        (DVIO.isDV(e.file.path) &&
+          e.file.referencedDataFile.exists(droppedDataPaths.contains)))
+    }
+    val kept = keptData ++ keptDel
     // A path we were told to replace is no longer live: a concurrent
     // commit (compaction, another CoW) already removed it. Committing the
     // rewritten copy anyway would duplicate its surviving rows — fail the

@@ -2663,6 +2663,29 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) === 32L)
   }
 
+  test("retiring a data file retires its DV in the same commit") {
+    spark.sql("""CREATE TABLE graft.db.dvret (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.format'='dv')""")
+    spark.range(0, 60).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.dvret").append()
+    spark.range(60, 120).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.dvret").append()
+    spark.sql("DELETE FROM graft.db.dvret WHERE id % 3 = 1")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvret.delete_files")
+      .head().getLong(0) >= 1L)
+    // compaction rewrites the data files (applying the DV masks); spec
+    // v3 requires the same commit to drop the DVs that referenced them —
+    // no dangling delete files, no remove_dangling_deletes needed
+    spark.sql("CALL graft.system.rewrite_data_files('db.dvret')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvret.delete_files")
+      .head().getLong(0) === 0L,
+      "DVs referencing rewritten data files survived the rewrite commit")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvret").head().getLong(0) === 80L)
+    assert(spark.sql("SELECT CAST(sum(id) AS BIGINT) FROM graft.db.dvret")
+      .head().getLong(0) === (0L until 120L).filter(_ % 3 != 1).sum)
+  }
+
   test("custom scan metrics instantiate reflectively (listener contract)") {
     // Spark's SQLAppStatusListener re-creates each CustomMetric class by
     // name with a PUBLIC ZERO-ARG constructor to aggregate task values; a
