@@ -950,8 +950,12 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
       .filter(_.content == FileContent.Data).map(_.path).toSet
     val keptDel = delParents.flatMap { mf =>
       val spec = base.specById(mf.specId)
+      // DVs AND file-granular position-delete files: both declare (via
+      // referenced_data_file) that their content applies to exactly one
+      // data file, so they retire with it; partition-granularity deletes
+      // (no referenced file) stay for remove_dangling_deletes
       rewriteWithout(mf, e => baseDrop(spec)(e) ||
-        (DVIO.isDV(e.file.path) &&
+        (e.file.content == FileContent.PositionDeletes &&
           e.file.referencedDataFile.exists(droppedDataPaths.contains)))
     }
     val kept = keptData ++ keptDel
