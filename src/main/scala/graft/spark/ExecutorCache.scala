@@ -35,29 +35,45 @@ object GraftExecutorCache {
   private val cache = new java.util.LinkedHashMap[Any, Entry](64, 0.75f, true)
   private var totalWeight = 0L
 
+  private val inflight =
+    new java.util.concurrent.ConcurrentHashMap[Any, java.util.concurrent.CompletableFuture[AnyRef]]()
+
   /** loads-once per key per JVM (while resident); weigher runs once at
-    * insert. Loads happen under the lock: delete-file parses are pure
-    * and racing tasks would otherwise do the same IO N times — the
-    * reference serializes per-key loads the same way (Caffeine loader). */
-  def get[V <: AnyRef](key: Any, weigher: V => Long)(load: => V): V =
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) hit.value.asInstanceOf[V]
-      else {
-        val v = load
-        val w = math.max(64L, weigher(v))
-        if (w <= maxEntrySize) {
-          totalWeight += w
-          cache.put(key, Entry(v, w))
-          val it = cache.entrySet().iterator()
-          while (totalWeight > maxTotalSize && it.hasNext) {
-            val e = it.next()
-            if (e.getKey != key) { totalWeight -= e.getValue.weight; it.remove() }
-          }
+    * insert. The map lock covers only bookkeeping — loads run OUTSIDE it
+    * behind a per-key latch, so 32 executor threads parsing 32 DIFFERENT
+    * delete files proceed in parallel while racing loads of the SAME
+    * file still collapse to one IO (the reference gets both properties
+    * from Caffeine's per-key loader). */
+  def get[V <: AnyRef](key: Any, weigher: V => Long)(load: => V): V = {
+    val hit0 = cache.synchronized(cache.get(key))
+    if (hit0 != null) return hit0.value.asInstanceOf[V]
+    val fut = new java.util.concurrent.CompletableFuture[AnyRef]()
+    val prev = inflight.putIfAbsent(key, fut)
+    if (prev != null)
+      // another thread owns the load; propagate its failure cause as-is
+      try return prev.get().asInstanceOf[V]
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    try {
+      // lost the fast-path/latch race? someone may have inserted already
+      val hit1 = cache.synchronized(cache.get(key))
+      if (hit1 != null) { fut.complete(hit1.value); return hit1.value.asInstanceOf[V] }
+      val v = load
+      val w = math.max(64L, weigher(v))
+      if (w <= maxEntrySize) cache.synchronized {
+        totalWeight += w
+        cache.put(key, Entry(v, w))
+        val it = cache.entrySet().iterator()
+        while (totalWeight > maxTotalSize && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { totalWeight -= e.getValue.weight; it.remove() }
         }
-        v
       }
-    }
+      fut.complete(v)
+      v
+    } catch {
+      case e: Throwable => fut.completeExceptionally(e); throw e
+    } finally inflight.remove(key)
+  }
 
   /** test hook: resident entry count + total weight */
   private[graft] def stats: (Int, Long) =

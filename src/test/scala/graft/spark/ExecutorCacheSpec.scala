@@ -46,6 +46,46 @@ class ExecutorCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(reloads === 2)
   }
 
+  test("loads on distinct keys run in parallel; same key loads once") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // two loads that each block until BOTH have started: deadlocks in
+    // under-lock loading, passes with per-key latching
+    val started = new CountDownLatch(2)
+    val pool = Executors.newFixedThreadPool(2)
+    val futs = Seq("pk-a", "pk-b").map { k =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          GraftExecutorCache.get(k, (_: String) => 10L) {
+            started.countDown()
+            assert(started.await(10, TimeUnit.SECONDS),
+              "parallel load never started — loads are serialized")
+            k
+          }
+          ()
+        }
+      })
+    }
+    futs.foreach(_.get(15, TimeUnit.SECONDS))
+    pool.shutdown()
+
+    // same key from many threads: exactly one load
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool2 = Executors.newFixedThreadPool(8)
+    val futs2 = (1 to 8).map { _ =>
+      pool2.submit(new Runnable {
+        override def run(): Unit = {
+          val v = GraftExecutorCache.get("pk-same", (_: String) => 10L) {
+            loads.incrementAndGet(); Thread.sleep(50); "V"
+          }
+          assert(v === "V")
+        }
+      })
+    }
+    futs2.foreach(_.get(15, TimeUnit.SECONDS))
+    pool2.shutdown()
+    assert(loads.get() === 1)
+  }
+
   test("entries above max-entry-size bypass the cache") {
     System.setProperty("graft.executor-cache.max-entry-size", "100")
     var loads = 0
