@@ -1142,9 +1142,10 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     * prior DV paths to drop from the parent delete manifests. Runs
     * inside manifests() so a CAS retry re-merges against the fresh base. */
   private def mergeDVs(base: TableMetadata, ms: Seq[ManifestFile],
-      snapshotId: Long, dels0: Seq[DataFile]): (Seq[DataFile], Set[String]) = {
+      snapshotId: Long,
+      dels0: Seq[DataFile]): (Seq[DataFile], Set[String], ManifestFile => Boolean) = {
     val newDvs = dels0.filter(f => DVIO.isDV(f.path) && f.referencedDataFile.isDefined)
-    if (newDvs.isEmpty) return (dels0, Set.empty)
+    if (newDvs.isEmpty) return (dels0, Set.empty, _ => false)
     val refs = newDvs.flatMap(_.referencedDataFile).toSet
     // manifest-level prune before any entry read: a prior DV for one of
     // the referenced data files must live in a delete manifest whose
@@ -1183,7 +1184,7 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     val needsMerge = dvByRef.filter { case (ref, nd) =>
       nd.size > 1 || priorByRef.contains(ref)
     }
-    if (needsMerge.isEmpty) return (dels0, Set.empty)
+    if (needsMerge.isEmpty) return (dels0, Set.empty, _ => false)
     val crypto = tableCrypto(base)
     val merged: Map[String, DataFile] = needsMerge.map { case (ref, nd) =>
       val bm = new org.roaringbitmap.longlong.Roaring64Bitmap
@@ -1215,18 +1216,23 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     val superseded = priorByRef.collect {
       case (ref, priors) if needsMerge.contains(ref) => priors.map(_.path)
     }.flatten.toSet
-    (out.result(), superseded)
+    (out.result(), superseded, mightHold)
   }
 
   override protected def manifests(base: TableMetadata, snapshotId: Long,
       seq: Long): Seq[ManifestFile] = {
     val schema = base.schema
     var ms = parentManifests(base)
-    val (dels, supersededDvs) = mergeDVs(base, ms, snapshotId, deleteFiles.result())
+    val (dels, supersededDvs, mergeTouched) =
+      mergeDVs(base, ms, snapshotId, deleteFiles.result())
     // drop superseded DVs from the parent delete manifests (same-commit
-    // replacement, like OverwriteFiles' kept-manifest rewrite)
+    // replacement, like OverwriteFiles' kept-manifest rewrite). Only
+    // manifests the merge's partition prune touched can hold superseded
+    // paths; skipping the rest is result-safe either way — a stray
+    // duplicate entry would leave old+merged DVs live and readers union
+    // (merged ⊇ old), so results cannot change.
     if (supersededDvs.nonEmpty) ms = ms.flatMap { mf =>
-      if (mf.content != 1) Some(mf)
+      if (mf.content != 1 || !mergeTouched(mf)) Some(mf)
       else {
         val entries = ManifestIO.readEntries(mf).filter(_.isLive)
         val keep = entries.filterNot(e => supersededDvs.contains(e.file.path))
