@@ -51,7 +51,11 @@ object Bench {
       }
       (q.name, samples.sorted.apply(1), samples)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // failed queries are EXCLUDED from queries/total/ratio — their wall
+    // times are time-to-exception, not measurements; raw samples stay in
+    // "samples" for forensics and the names land in "failed" + exit 2
+    val ok = results.filterNot { case (k, _, _) => failed.contains(k) }
+    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // raw samples, in run order: a contaminated driver run (cold
     // warehouse rebuild in the same JVM) shows up as a wild first sample
@@ -59,7 +63,7 @@ object Bench {
     val sampleJson = results.map { case (k, _, ss) =>
       "\"" + k + "\":[" + ss.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val wasCold = graft.queries.Engine.builtCold(sfDir)
     // BASELINE.md's 2x budget is vs native spark.read.parquet: measure the
     // exact native equivalent of g01 (q06's plan) in the SAME run so the
@@ -74,8 +78,8 @@ object Bench {
       }.sorted
       samples(1)
     }.getOrElse(0.0)
-    val g01 = results.find(_._1 == "g01_engine_scan_prune").map(_._2).getOrElse(0.0)
-    val ratio = if (native > 0) g01 / native else -1.0
+    val g01 = ok.find(_._1 == "g01_engine_scan_prune").map(_._2).getOrElse(0.0)
+    val ratio = if (native > 0 && g01 > 0) g01 / native else -1.0
     val failedJson = failed.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", " ") + "\""

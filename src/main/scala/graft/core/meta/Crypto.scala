@@ -172,6 +172,7 @@ object KmsRegistry {
   @volatile private var kms: Kms = new LocalKms(Map.empty)
   @volatile private var keyList: String = ""
   @volatile private var merged: Map[String, Array[Byte]] = Map.empty
+  private val seen = scala.collection.mutable.Set.empty[String]
 
   def set(k: Kms): Unit = kms = k
   /** MERGE new key material into the process-global local KMS (last
@@ -181,10 +182,16 @@ object KmsRegistry {
     * encrypted tables would fail with "unknown KMS master key" only at
     * read time. */
   def setKeyList(s: String): Unit = synchronized {
-    if (s != null && s != keyList) {
-      keyList = s
+    if (s != null && s.nonEmpty && seen.add(s)) {
       merged = merged ++ LocalKms.parseKeyList(s)
       kms = new LocalKms(merged)
+      // the canonical MERGED serialization: this string rides into Hadoop
+      // job confs (GraftParquetCrypto.configure) and must carry EVERY
+      // catalog's keys, not just the last-initialized one — executors
+      // resolve parquet modular encryption from it
+      keyList = merged.map { case (id, k) =>
+        s"$id:${Base64.getEncoder.encodeToString(k)}"
+      }.mkString(",")
     }
   }
   def current: Kms = kms
@@ -228,13 +235,20 @@ object CryptoRegistry {
             fileKeys.put(s.manifestListPath, crypto.fileKey(km))
         }
       } catch {
-        // ADVICE: only swallow KMS-UNAVAILABLE (the lazy-resolution case);
-        // an authentication/unwrap failure means corrupt or wrong key
-        // metadata and must surface at the parse site, not later as a
-        // misleading "no table key is available"
+        // AUTHENTICATION failures (GCM tag mismatch, malformed key
+        // metadata) mean corrupt or wrong key material and must surface
+        // at the parse site, not later as a misleading "no table key is
+        // available". Anything else — unknown master key, a pluggable
+        // KMS's own not-found/timeout exceptions — is KMS-unavailable
+        // and fails LAZILY at the first read that needs the key, so
+        // keyless metadata operations (snapshots/history, path rewrites)
+        // stay legal. Keyed on exception CLASS, not LocalKms's message
+        // strings, so custom Kms implementations get the same contract.
+        case e: javax.crypto.BadPaddingException => throw e
         case e: IllegalArgumentException
             if e.getMessage != null &&
-              e.getMessage.startsWith("unknown KMS master key") => ()
+              e.getMessage.contains("corrupt file key metadata") => throw e
+        case _: Exception => ()
       }
     }
 

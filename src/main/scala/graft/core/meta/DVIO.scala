@@ -144,6 +144,11 @@ object DVIO {
     require((flags & 1) == 0, s"compressed puffin footer unsupported: $path")
     val payloadSize = ByteBuffer.wrap(bytes, n - 12, 4)
       .order(ByteOrder.LITTLE_ENDIAN).getInt
+    // 4 (magic) + 4 (footer magic) + 12 (size+flags+magic) = 20 min bytes
+    // around the payload; a corrupt size must fail with the file named,
+    // not an index error or a multi-GB String allocation
+    require(payloadSize > 0 && payloadSize <= n - 20,
+      s"corrupt puffin footer payload size $payloadSize in $path")
     val payloadStart = n - 12 - payloadSize
     val footer = MetaJson.mapper.readTree(
       new String(bytes, payloadStart, payloadSize, StandardCharsets.UTF_8))

@@ -231,28 +231,30 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       def positionsOf(paths: Array[String])
           : org.roaringbitmap.longlong.Roaring64Bitmap = {
+        import graft.core.meta.GraftIO.stripScheme
         val out = new org.roaringbitmap.longlong.Roaring64Bitmap()
         paths.foreach { dp =>
-          // parsed once per JVM via the shared executor cache — a CDC
-          // range covering many data files otherwise re-parses the same
-          // delete file for every change task
-          val byFile = GraftExecutorCache.get(("pos-chg", dp),
+          // parsed once per JVM via the shared executor cache, under the
+          // SAME key namespace and scheme-stripped map keys as the batch
+          // scan's PosDeleteCache — a table read both ways shares one
+          // entry per delete file instead of caching it twice
+          val byFile = GraftExecutorCache.get(("pos", dp),
             GraftExecutorCache.weighPosMap) {
             if (DVIO.isDV(dp)) {
               val (ref, bm) = DVIO.read(dp)
-              Map(ref -> bm)
+              Map(stripScheme(ref) -> bm)
             } else {
               val m = scala.collection.mutable
                 .Map.empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
               deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
-                m.getOrElseUpdate(r.getUTF8String(0).toString,
+                m.getOrElseUpdate(stripScheme(r.getUTF8String(0).toString),
                   new org.roaringbitmap.longlong.Roaring64Bitmap())
                   .addLong(r.getLong(1))
               }
               m.toMap
             }
           }
-          byFile.get(t.path).foreach(out.or)
+          byFile.get(stripScheme(t.path)).foreach(out.or)
         }
         out
       }

@@ -66,12 +66,16 @@ final class GraftParquetKms extends org.apache.parquet.crypto.keytools.KmsClient
     confKeys = Option(configuration.get(GraftParquetCrypto.KeyListConf))
       .map(LocalKms.parseKeyList).getOrElse(Map.empty)
 
-  private def kms: graft.core.meta.Kms =
-    if (confKeys.nonEmpty) new LocalKms(confKeys) else KmsRegistry.current
+  /** conf keys win for the ids they define, but an id the conf doesn't
+    * know falls back to the process registry — a job conf serialized
+    * before another catalog registered its keys must not hide them */
+  private def kmsFor(masterKeyId: String): graft.core.meta.Kms =
+    if (confKeys.contains(masterKeyId)) new LocalKms(confKeys)
+    else KmsRegistry.current
 
   override def wrapKey(key: Array[Byte], masterKeyId: String): String =
-    kms.wrapKey(key, masterKeyId)
+    kmsFor(masterKeyId).wrapKey(key, masterKeyId)
 
   override def unwrapKey(wrappedKey: String, masterKeyId: String): Array[Byte] =
-    kms.unwrapKey(wrappedKey, masterKeyId)
+    kmsFor(masterKeyId).unwrapKey(wrappedKey, masterKeyId)
 }

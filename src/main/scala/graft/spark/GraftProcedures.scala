@@ -851,13 +851,42 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           oldPaths ++= fs.map(_.path)
           }
         }
+        // cross-group DV dedupe: the rewrite groups by (specId, partition),
+        // so one data file whose deletes span partition-spec versions can
+        // surface in two groups and get two DVs — union them here so the
+        // commit upholds v3's one-DV-per-data-file invariant (the commit
+        // path's mergeDVs only merges against PRIOR snapshots' vectors)
+        val rawNew = newFiles.result()
+        val (dvNew, restNew) = rawNew.partition(f =>
+          DVIO.isDV(f.path) && f.referencedDataFile.isDefined)
+        val dedupedDv = dvNew.groupBy(_.referencedDataFile.get).map {
+          case (_, fs) if fs.size == 1 => fs.head
+          case (ref, fs) =>
+            val tCrypto = graft.core.meta.TableCrypto.resolve(t.meta)
+            val bm = new org.roaringbitmap.longlong.Roaring64Bitmap
+            fs.foreach(f =>
+              DVIO.read(f.path, tCrypto)._2.forEach((l: Long) => bm.addLong(l)))
+            val path = s"${t.location}/data/dv-rw-${java.util.UUID.randomUUID}.dv"
+            val it = bm.getLongIterator
+            val (n, off, len) = DVIO.writeBlob(path, ref,
+              new Iterator[Long] {
+                def hasNext: Boolean = it.hasNext
+                def next(): Long = it.next()
+              }, tCrypto)
+            fs.foreach(f =>
+              try GraftIO.delete(f.path) catch { case _: Throwable => () })
+            fs.head.copy(path = path, recordCount = n,
+              fileSizeBytes = GraftIO.size(path),
+              contentOffset = Some(off), contentSizeInBytes = Some(len))
+        }.toSeq
+        val finalNew = restNew ++ dedupedDv
         val ow = t.newOverwrite().deleteFiles(oldPaths.result())
-          .addFiles(newFiles.result()).overrideOperation("replace")
+          .addFiles(finalNew).overrideOperation("replace")
         scanSnap.foreach(ow.validateFromSnapshot)
         ow.commit()
         out(StructType(Seq(StructField("rewritten_delete_files_count", IntegerType),
           StructField("added_delete_files_count", IntegerType))),
-          row(oldPaths.result().size, newFiles.result().size))
+          row(oldPaths.result().size, finalNew.size))
       }
 
     case "compute_table_stats" =>
