@@ -2686,6 +2686,72 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) === (0L until 120L).filter(_ % 3 != 1).sum)
   }
 
+  test("MoR UPDATE on a dv table writes DVs and upholds the merge invariant") {
+    spark.sql("""CREATE TABLE graft.db.dvup (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.update.mode'='merge-on-read',
+                     'write.delete.mode'='merge-on-read',
+                     'write.delete.format'='dv')""")
+    spark.range(0, 100).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.dvup").append()
+    // two UPDATEs with overlapping ranges: each masks old row versions
+    // via DVs; the second commit must merge into the first file's vector
+    spark.sql("UPDATE graft.db.dvup SET v = concat(v, '+a') WHERE id < 30")
+    spark.sql("UPDATE graft.db.dvup SET v = concat(v, '+b') WHERE id >= 20 AND id < 40")
+    val dels = spark.sql(
+      "SELECT file_format, content_offset FROM graft.db.dvup.delete_files").collect()
+    assert(dels.nonEmpty && dels.forall(_.getString(0) == "dv"), dels.mkString)
+    assert(dels.forall(!_.isNullAt(1)), "DV entries missing content_offset")
+    val tasks = coreTable("dvup").newScan().planFiles()
+    tasks.filter(_.deletes.nonEmpty).foreach { ft =>
+      assert(ft.deletes.map(_.path).distinct.size === 1,
+        s"stacked DVs on ${ft.file.path}")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvup").head().getLong(0) === 100L)
+    val rows = spark.sql("SELECT id, v FROM graft.db.dvup ORDER BY id").collect()
+    assert(rows(5).getString(1) === "v5+a")
+    assert(rows(25).getString(1) === "v25+a+b")
+    assert(rows(35).getString(1) === "v35+b")
+    assert(rows(50).getString(1) === "v50")
+  }
+
+  test("MERGE INTO a dv table routes its deletes through DVs") {
+    spark.sql("""CREATE TABLE graft.db.dvmg (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+                     'write.delete.format'='dv')""")
+    spark.range(0, 50).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.dvmg").append()
+    spark.range(40, 60).selectExpr("id", "concat('n', id) AS v")
+      .createOrReplaceTempView("dvmg_src")
+    spark.sql("""MERGE INTO graft.db.dvmg t USING dvmg_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val fmts = spark.sql(
+      "SELECT DISTINCT file_format FROM graft.db.dvmg.delete_files")
+      .collect().map(_.getString(0)).toSet
+    assert(fmts === Set("dv"), s"MERGE wrote non-DV deletes: $fmts")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvmg").head().getLong(0) === 60L)
+    val vs = spark.sql("SELECT v FROM graft.db.dvmg ORDER BY id").collect()
+    assert(vs(39).getString(0) === "v39")
+    assert(vs(45).getString(0) === "n45") // matched → updated
+    assert(vs(55).getString(0) === "n55") // unmatched → inserted
+  }
+
+  test("changelog reads deletes recorded as deletion vectors") {
+    spark.sql("""CREATE TABLE graft.db.dvcdc (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.format'='dv')""")
+    spark.range(0, 30).selectExpr("id", "concat('v', id) AS v")
+      .writeTo("graft.db.dvcdc").append()
+    spark.sql("DELETE FROM graft.db.dvcdc WHERE id % 10 = 7")
+    val changes = spark.sql("""SELECT _change_type, id FROM graft.db.dvcdc.changes
+      ORDER BY _change_ordinal, _change_type, id""").collect()
+    val deletes = changes.filter(_.getString(0) == "DELETE").map(_.getLong(1)).toSeq
+    assert(deletes === Seq(7L, 17L, 27L),
+      s"DV-backed changelog deletes wrong: $deletes")
+    val inserts = changes.filter(_.getString(0) == "INSERT")
+    assert(inserts.length === 30)
+  }
+
   test("custom scan metrics instantiate reflectively (listener contract)") {
     // Spark's SQLAppStatusListener re-creates each CustomMetric class by
     // name with a PUBLIC ZERO-ARG constructor to aggregate task values; a
