@@ -2752,6 +2752,40 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inserts.length === 30)
   }
 
+  test("expire + orphan cleanup reclaims superseded DV containers") {
+    spark.sql("""CREATE TABLE graft.db.dvgc (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.format'='dv')""")
+    spark.range(0, 40).selectExpr("id", "concat('v', id) AS v")
+      .coalesce(1).writeTo("graft.db.dvgc").append()
+    spark.sql("DELETE FROM graft.db.dvgc WHERE id < 5")
+    spark.sql("DELETE FROM graft.db.dvgc WHERE id >= 35")
+    def dvOnDisk(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val dataDir = java.nio.file.Paths.get(coreTable("dvgc").location + "/data")
+      val st = java.nio.file.Files.list(dataDir)
+      try st.iterator().asScala.map(_.toString).filter(_.endsWith(".dv")).toSeq
+      finally st.close()
+    }
+    // commit 2 merged; disk holds the two commit DVs plus the merged one,
+    // only one of which is live
+    assert(dvOnDisk().size >= 3)
+    val cutoff = System.currentTimeMillis() + 60000
+    // expire reclaims the DV referenced ONLY by expired snapshots; orphan
+    // cleanup reclaims commit 2's pre-merge DV, which no snapshot ever
+    // referenced (the commit published the merged vector instead)
+    spark.sql(s"CALL graft.system.expire_snapshots('db.dvgc', ${cutoff}L, 1)")
+    assert(dvOnDisk().size === 2, s"expire left: ${dvOnDisk()}")
+    val removed = spark.sql(
+      s"CALL graft.system.remove_orphan_files('db.dvgc', false, ${cutoff}L)")
+      .collect()(0).getInt(0)
+    assert(removed >= 1, s"expected the pre-merge DV reclaimed, removed=$removed")
+    assert(dvOnDisk().size === 1, s"DVs left on disk: ${dvOnDisk()}")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dvgc").head().getLong(0) === 30L)
+    assert(spark.sql("SELECT CAST(sum(id) AS BIGINT) FROM graft.db.dvgc")
+      .head().getLong(0) === (5L until 35L).sum)
+  }
+
   test("custom scan metrics instantiate reflectively (listener contract)") {
     // Spark's SQLAppStatusListener re-creates each CustomMetric class by
     // name with a PUBLIC ZERO-ARG constructor to aggregate task values; a
