@@ -171,24 +171,29 @@ object LocalKms {
 object KmsRegistry {
   @volatile private var kms: Kms = new LocalKms(Map.empty)
   @volatile private var keyList: String = ""
-  @volatile private var merged: Map[String, Array[Byte]] = Map.empty
-  private val seen = scala.collection.mutable.Set.empty[String]
+  // key material scoped PER SOURCE (catalog name): the live KMS is the
+  // union across sources (later definition of a key id wins), so two
+  // catalogs with different encryption.kms.key-list values coexist —
+  // while a catalog re-initialized with a ROTATED list replaces its own
+  // scope wholesale, dropping removed/replaced key material instead of
+  // keeping every key ever seen resident for the process lifetime (and
+  // out of the serialized conf below)
+  private val perSource =
+    scala.collection.mutable.LinkedHashMap.empty[String, (String, Map[String, Array[Byte]])]
 
   def set(k: Kms): Unit = kms = k
-  /** MERGE new key material into the process-global local KMS (last
-    * definition of a given key id wins) rather than replacing it: two
-    * catalogs configured with different encryption.kms.key-list values
-    * must not clobber each other's master keys — the first catalog's
-    * encrypted tables would fail with "unknown KMS master key" only at
-    * read time. */
-  def setKeyList(s: String): Unit = synchronized {
-    if (s != null && s.nonEmpty && seen.add(s)) {
-      merged = merged ++ LocalKms.parseKeyList(s)
+
+  /** install `source`'s key list, replacing that source's previous keys */
+  def setKeyList(source: String, s: String): Unit = synchronized {
+    if (s != null && s.nonEmpty && !perSource.get(source).exists(_._1 == s)) {
+      perSource.put(source, (s, LocalKms.parseKeyList(s)))
+      val merged =
+        perSource.values.foldLeft(Map.empty[String, Array[Byte]])(_ ++ _._2)
       kms = new LocalKms(merged)
       // the canonical MERGED serialization: this string rides into Hadoop
-      // job confs (GraftParquetCrypto.configure) and must carry EVERY
-      // catalog's keys, not just the last-initialized one — executors
-      // resolve parquet modular encryption from it
+      // job confs (GraftParquetCrypto.configure) and must carry every
+      // LIVE catalog's keys — executors resolve parquet modular
+      // encryption from it. Rotated-out keys are excluded.
       keyList = merged.map { case (id, k) =>
         s"$id:${Base64.getEncoder.encodeToString(k)}"
       }.mkString(",")
@@ -215,8 +220,18 @@ object CryptoRegistry {
     override def removeEldestEntry(
         e: java.util.Map.Entry[String, V]): Boolean = size() > max
   }
-  private val tables = new Lru[Option[TableCrypto]](10000)
-  private val fileKeys = new Lru[(Array[Byte], Array[Byte])](100000)
+  /** per-table entry: resolved crypto + that table's manifest-list DEKs.
+    * File keys live INSIDE the table entry rather than in a separate LRU
+    * so they can never be evicted out from under a still-resident table
+    * (they are un-reloadable: the wrapping keyMetadata is only seen at
+    * metadata-parse time). A table eviction drops its keys with it; the
+    * next metadata parse re-registers both. Per-table key count is
+    * bounded by live snapshots — expired snapshots' keys drop on the
+    * rebuild below. */
+  private final class Entry(val crypto: Option[TableCrypto]) {
+    val fileKeys = new java.util.HashMap[String, (Array[Byte], Array[Byte])]()
+  }
+  private val tables = new Lru[Entry](10000)
 
   def register(meta: TableMetadata): Unit =
     if (meta.encryptionKeys.nonEmpty) {
@@ -226,13 +241,19 @@ object CryptoRegistry {
       try {
         val tc = TableCrypto.resolve(meta)
         synchronized {
-          tables.put(meta.location, tc)
+          val prev = Option(tables.get(meta.location))
+          val e = new Entry(tc)
+          // rebuild from CURRENT metadata: live snapshots' keys from their
+          // keyMetadata, write-time keys (putFileKey) carried over only if
+          // still referenced — expired snapshots age out here
           for {
             crypto <- tc
             s <- meta.snapshots
             km <- s.keyMetadata
-          } if (!fileKeys.containsKey(s.manifestListPath))
-            fileKeys.put(s.manifestListPath, crypto.fileKey(km))
+          } e.fileKeys.put(s.manifestListPath,
+            prev.flatMap(p => Option(p.fileKeys.get(s.manifestListPath)))
+              .getOrElse(crypto.fileKey(km)))
+          tables.put(meta.location, e)
         }
       } catch {
         // AUTHENTICATION failures (GCM tag mismatch, malformed key
@@ -255,22 +276,33 @@ object CryptoRegistry {
   /** table crypto for a metadata file living under {base}/metadata/ */
   def forPath(path: String): Option[TableCrypto] =
     GraftIO.metadataBase(path).flatMap(b =>
-      synchronized(Option(tables.get(b))).flatten)
+      synchronized(Option(tables.get(b))).flatMap(_.crypto))
 
   /** table crypto for a CONTENT file under {base}/data/ (DVs, stats) */
   def forContentPath(path: String): Option[TableCrypto] = {
     val i = path.lastIndexOf("/data/")
     val byData =
-      if (i > 0) synchronized(Option(tables.get(path.substring(0, i)))).flatten
+      if (i > 0)
+        synchronized(Option(tables.get(path.substring(0, i)))).flatMap(_.crypto)
       else None
     byData.orElse(forPath(path))
   }
 
   def fileKey(path: String): Option[(Array[Byte], Array[Byte])] =
-    synchronized(Option(fileKeys.get(path)))
+    GraftIO.metadataBase(path).flatMap(b => synchronized(
+      Option(tables.get(b)).flatMap(e => Option(e.fileKeys.get(path)))))
 
   def putFileKey(path: String, key: (Array[Byte], Array[Byte])): Unit =
-    synchronized { fileKeys.put(path, key); () }
+    GraftIO.metadataBase(path).foreach { b =>
+      synchronized {
+        // a write can precede the table's (re-)registration: park the key
+        // on a placeholder entry; register() carries it over
+        val e = Option(tables.get(b)).getOrElse {
+          val fresh = new Entry(None); tables.put(b, fresh); fresh
+        }
+        e.fileKeys.put(path, key)
+      }
+    }
 }
 
 /** An encryption key tracked in table metadata (spec "Encryption Keys":

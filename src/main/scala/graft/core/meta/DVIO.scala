@@ -158,9 +158,14 @@ object DVIO {
       val b = blob.next()
       if (b.get("type").asText() == "deletion-vector-v1") {
         val off = b.get("offset").asLong()
-        val len = b.get("length").asLong().toInt
+        val len = b.get("length").asLong()
+        // validate as Longs BEFORE the Int narrowing: a corrupt (negative
+        // or >2 GB) offset/length must fail with the file named, not as a
+        // silent truncation + IndexOutOfBounds from ByteBuffer.wrap
+        require(off >= 4 && len >= 12 && off + len <= payloadStart,
+          s"corrupt DV blob offset/length ($off/$len) in $path")
         val ref = b.get("properties").get("referenced-data-file").asText()
-        found = (ref, parseDvBlob(path, bytes, off.toInt, len))
+        found = (ref, parseDvBlob(path, bytes, off.toInt, len.toInt))
       }
     }
     require(found != null, s"no deletion-vector-v1 blob in $path")

@@ -47,7 +47,7 @@ object Engine {
     // ("graft-gate-mk123" = 16 bytes — AES requires 16/24/32)
     val gateKms = "gate-mk:Z3JhZnQtZ2F0ZS1tazEyMw=="
     s.conf.set("spark.sql.catalog.graft.encryption.kms.key-list", gateKms)
-    graft.core.meta.KmsRegistry.setKeyList(gateKms)
+    graft.core.meta.KmsRegistry.setKeyList("gate", gateKms)
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")

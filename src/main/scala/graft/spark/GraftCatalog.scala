@@ -49,7 +49,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // table-encryption key material (reference CatalogProperties
     // ENCRYPTION_KMS_*): spark.sql.catalog.<name>.encryption.kms.key-list
     // seeds the local KMS that wraps/unwraps per-table keys
-    GraftParquetCrypto.seedKms(Option(options.get("encryption.kms.key-list")))
+    GraftParquetCrypto.seedKms(name,
+      Option(options.get("encryption.kms.key-list")))
     // catalog-impl selects where the table pointer lives (reference
     // SparkCatalog catalog-impl / JdbcCatalog): 'jdbc' + uri → pointer
     // rows with SQL CAS; default → directory catalog with file CAS

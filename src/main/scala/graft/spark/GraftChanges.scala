@@ -201,6 +201,9 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
     val fmt = new ParquetFileFormat
     val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+    // encrypted tables: parquet modular decryption factory + key list ride
+    // the job conf to executors, mirroring the batch scan
+    GraftParquetCrypto.configure(conf, table.meta)
     def freshConf = new org.apache.hadoop.conf.Configuration(conf)
     val rowFunc = fmt.buildReaderWithPartitionValues(spark, dataSchema,
       new StructType(), dataSchema, Nil,
@@ -211,13 +214,18 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       new StructType(), deleteSchema, Nil,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
         "enableVectorizedReader" -> "false"), freshConf)
-    new ChangesReaderFactory(rowFunc, deleteFunc, dataSchema)
+    new ChangesReaderFactory(rowFunc, deleteFunc, dataSchema,
+      graft.core.meta.TableCrypto.resolve(table.meta))
   }
 
   private final class ChangesReaderFactory(
       rowFunc: PartitionedFile => Iterator[InternalRow],
       deleteFunc: PartitionedFile => Iterator[InternalRow],
-      dataSchema: StructType)
+      dataSchema: StructType,
+      // resolved at plan time and serialized into the factory, mirroring
+      // the batch scan: executor-side DV reads over encrypted tables must
+      // not depend on a driver-populated CryptoRegistry
+      crypto: Option[graft.core.meta.TableCrypto])
     extends PartitionReaderFactory {
 
     private def pf(path: String, length: Long): PartitionedFile =
@@ -241,7 +249,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
           val byFile = GraftExecutorCache.get(("pos", dp),
             GraftExecutorCache.weighPosMap) {
             if (DVIO.isDV(dp)) {
-              val (ref, bm) = DVIO.read(dp)
+              val (ref, bm) = DVIO.read(dp, crypto)
               Map(stripScheme(ref) -> bm)
             } else {
               val m = scala.collection.mutable

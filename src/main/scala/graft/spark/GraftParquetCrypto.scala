@@ -20,9 +20,11 @@ import graft.core.meta.{KmsRegistry, LocalKms, TableCrypto, TableMetadata}
 object GraftParquetCrypto {
   val KeyListConf = "graft.encryption.kms.key-list"
 
-  /** seed the process KMS from a Spark conf / catalog options value */
-  def seedKms(keyList: Option[String]): Unit =
-    keyList.filter(_.nonEmpty).foreach(KmsRegistry.setKeyList)
+  /** seed the process KMS from a Spark conf / catalog options value;
+    * `source` scopes the keys (catalog name) so a re-init with a rotated
+    * list replaces that catalog's keys instead of merging forever */
+  def seedKms(source: String, keyList: Option[String]): Unit =
+    keyList.filter(_.nonEmpty).foreach(KmsRegistry.setKeyList(source, _))
 
   def isEncrypted(meta: TableMetadata): Boolean = meta.encryptionKeys.nonEmpty
 

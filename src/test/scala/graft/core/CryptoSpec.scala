@@ -56,7 +56,7 @@ class CryptoSpec extends AnyFunSuite {
 
   test("table key chain: create → resolve → per-file keys") {
     val master = AesGcm.randomBytes(16)
-    KmsRegistry.setKeyList("mk:" +
+    KmsRegistry.setKeyList("spec", "mk:" +
       java.util.Base64.getEncoder.encodeToString(master))
     val (ek, tc) = TableCrypto.create("mk")
     assert(ek.encryptedById.contains("mk"))
@@ -73,7 +73,7 @@ class CryptoSpec extends AnyFunSuite {
 
   test("newTable with encryption.key-id mints an encryption key") {
     val master = AesGcm.randomBytes(16)
-    KmsRegistry.setKeyList("mknew:" +
+    KmsRegistry.setKeyList("spec", "mknew:" +
       java.util.Base64.getEncoder.encodeToString(master))
     val meta = TableMetadata.newTable("/tmp/ct2", GSchemaFixtures.schema,
       graft.core.expr.PartitionSpec.Unpartitioned,
@@ -118,8 +118,8 @@ class CryptoSpec extends AnyFunSuite {
   test("KmsRegistry merges key lists across catalogs") {
     val k1 = java.util.Base64.getEncoder.encodeToString(AesGcm.randomBytes(16))
     val k2 = java.util.Base64.getEncoder.encodeToString(AesGcm.randomBytes(16))
-    KmsRegistry.setKeyList(s"cat-a-mk:$k1")
-    KmsRegistry.setKeyList(s"cat-b-mk:$k2")
+    KmsRegistry.setKeyList("cat-a", s"cat-a-mk:$k1")
+    KmsRegistry.setKeyList("cat-b", s"cat-b-mk:$k2")
     // the second catalog's init must NOT clobber the first's master key
     val dek = AesGcm.randomBytes(16)
     val wrapped = KmsRegistry.current.wrapKey(dek, "cat-a-mk")

@@ -145,6 +145,25 @@ class EncryptionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("changelog read decodes encrypted deletion vectors") {
+    // the changes reader ships the table crypto in its factory (like the
+    // batch scan) — this must work even if the executor-side registry
+    // never saw the table
+    spark.sql("""CREATE TABLE genc.db.sec6 (id BIGINT, v STRING)
+      TBLPROPERTIES ('encryption.key-id'='mk0', 'format-version'='3',
+                     'write.delete.mode'='merge-on-read')""")
+    spark.sql("SELECT id, concat('cdc-', string(id)) AS v FROM range(1, 5)")
+      .coalesce(1).writeTo("genc.db.sec6").append()
+    spark.sql("DELETE FROM genc.db.sec6 WHERE id IN (2, 3)")
+    assert(walk(table("sec6").location).exists(_.endsWith(".dv")),
+      "expected a DV delete file")
+    val ch = spark.read.table("genc.db.sec6.changes")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(ch.filter(_._2 == "DELETE").map(_._1) == Seq(2L, 3L))
+    assert(ch.filter(_._2 == "INSERT").map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("puffin statistics files on an encrypted table are AGS1") {
     spark.sql("""CREATE TABLE genc.db.sec5 (id BIGINT, v STRING)
       TBLPROPERTIES ('encryption.key-id'='mk0')""")
