@@ -416,13 +416,18 @@ final class PositionDeletesScan(table: GTable)
     val spark = org.apache.spark.sql.SparkSession.active
     val deleteSchema = StructType(Seq(
       StructField("file_path", StringType), StructField("pos", LongType)))
+    val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    // encrypted tables: modular-decryption factory for parquet delete
+    // files; the table crypto rides the factory for executor-side DV reads
+    GraftParquetCrypto.configure(conf, table.meta)
     val readFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
       .buildReaderWithPartitionValues(spark, deleteSchema, new StructType(),
         deleteSchema, Nil,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"),
-        spark.sessionState.newHadoopConfWithOptions(Map.empty))
-    new PositionDeletesScan.Factory(readFunc)
+        conf)
+    new PositionDeletesScan.Factory(readFunc,
+      graft.core.meta.TableCrypto.resolve(table.meta))
   }
 }
 
@@ -431,7 +436,8 @@ object PositionDeletesScan {
   import org.apache.spark.sql.execution.datasources.PartitionedFile
 
   private[spark] final class Factory(
-      readFunc: PartitionedFile => Iterator[InternalRow])
+      readFunc: PartitionedFile => Iterator[InternalRow],
+      crypto: Option[graft.core.meta.TableCrypto] = None)
     extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val t = p.asInstanceOf[PosDeleteFileTask]
@@ -439,7 +445,7 @@ object PositionDeletesScan {
         if (t.format == "dv") {
           // stream the bitmap: a 100M-position DV iterates in place
           // instead of allocating one row object per position up front
-          val (ref, bm) = DVIO.read(t.path)
+          val (ref, bm) = DVIO.read(t.path, crypto)
           val refU = UTF8String.fromString(ref)
           val pathU = UTF8String.fromString(t.path)
           val li = bm.getLongIterator

@@ -162,6 +162,11 @@ class EncryptionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(ch.filter(_._2 == "DELETE").map(_._1) == Seq(2L, 3L))
     assert(ch.filter(_._2 == "INSERT").map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // position_deletes metadata table decodes the encrypted DV
+    // executor-side through the factory-shipped crypto too
+    val pd = spark.read.table("genc.db.sec6.position_deletes")
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pd == Seq(1L, 2L), s"position_deletes over encrypted DV: $pd")
   }
 
   test("puffin statistics files on an encrypted table are AGS1") {
