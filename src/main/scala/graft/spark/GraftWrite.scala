@@ -368,6 +368,13 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
           codecOverride.getOrElse(table.meta.properties
             .getOrElse("write.avro.compression-codec", "snappy")))
       case "orc" =>
+        // bloom filters (reference TableProperties ORC_BLOOM_FILTER_*):
+        // ride the job conf; Spark's OrcOutputWriter builds its writer
+        // options from the hadoop conf, so orc.* keys pass through
+        table.meta.properties.get("write.orc.bloom.filter.columns")
+          .foreach(job.getConfiguration.set("orc.bloom.filter.columns", _))
+        table.meta.properties.get("write.orc.bloom.filter.fpp")
+          .foreach(job.getConfiguration.set("orc.bloom.filter.fpp", _))
         new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
           .prepareWrite(spark, job,
             Map("compression" -> codecOverride.getOrElse(
@@ -392,11 +399,23 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
           .foreach(job.getConfiguration.set("parquet.block.size", _))
         props.get("write.parquet.page-size-bytes")
           .foreach(job.getConfiguration.set("parquet.page.size", _))
-        // write.parquet.bloom-filter-enabled.column.<col> = true
+        // bloom filters (reference TableProperties PARQUET_BLOOM_FILTER_*
+        // → parquet-mr per-column '#col' conf keys): point-lookup row-group
+        // pruning at scale for high-NDV id columns dictionaries can't cover
         props.collect {
           case (k, v) if k.startsWith("write.parquet.bloom-filter-enabled.column.") =>
             job.getConfiguration.set("parquet.bloom.filter.enabled#" +
               k.stripPrefix("write.parquet.bloom-filter-enabled.column."), v)
+          case (k, v) if k.startsWith("write.parquet.bloom-filter-fpp.column.") =>
+            job.getConfiguration.set("parquet.bloom.filter.fpp#" +
+              k.stripPrefix("write.parquet.bloom-filter-fpp.column."), v)
+          case (k, v) if k.startsWith("write.parquet.bloom-filter-ndv.column.") =>
+            job.getConfiguration.set("parquet.bloom.filter.expected.ndv#" +
+              k.stripPrefix("write.parquet.bloom-filter-ndv.column."), v)
+          case (k, v) if k == "write.parquet.bloom-filter-max-bytes" =>
+            job.getConfiguration.set("parquet.bloom.filter.max.bytes", v)
+          case (k, v) if k == "write.parquet.bloom-filter-adaptive-enabled" =>
+            job.getConfiguration.set("parquet.bloom.filter.adaptive.enabled", v)
         }
         new ParquetFileFormat().prepareWrite(spark, job,
           Map("compression" -> codec), fileSchema)
