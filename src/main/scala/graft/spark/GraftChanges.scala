@@ -67,10 +67,28 @@ final class GraftChangesTable(table: GTable, fullName: String)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // timestamp range (reference SparkReadOptions START_TIMESTAMP /
+    // END_TIMESTAMP, millis): resolved against the main-branch ancestry —
+    // start is exclusive (the baseline state), end inclusive — and
+    // rejected when mixed with the id form, like the reference
     val startId = Option(options.get("start-snapshot-id")).map(_.toLong)
     val endId = Option(options.get("end-snapshot-id")).map(_.toLong)
+    val startTs = Option(options.get("start-timestamp")).map(_.toLong)
+    val endTs = Option(options.get("end-timestamp")).map(_.toLong)
+    require(startId.isEmpty || startTs.isEmpty,
+      "cannot set both start-snapshot-id and start-timestamp")
+    require(endId.isEmpty || endTs.isEmpty,
+      "cannot set both end-snapshot-id and end-timestamp")
+    def byTs(ts: Long): Option[Long] = {
+      val anc = table.refresh().ancestry("main").sortBy(_.sequenceNumber)
+      anc.takeWhile(_.timestampMs <= ts).lastOption.map(_.snapshotId)
+    }
+    val start = startId.orElse(startTs.flatMap(byTs))
+    val end = endId.orElse(endTs.flatMap(byTs))
+    require(endTs.isEmpty || end.isDefined,
+      s"end-timestamp ${endTs.get} precedes the first snapshot")
     new ScanBuilder {
-      override def build(): Scan = new GraftChangesScan(table, startId, endId)
+      override def build(): Scan = new GraftChangesScan(table, start, end)
     }
   }
 }

@@ -124,11 +124,28 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val branch = Option(options.get("branch"))
       .orElse(Option(options.get("tag"))).orElse(refPin.map(_._1))
     val asOf = Option(options.get("as-of-timestamp")).map(_.toLong)
-    val maxFiles = Option(options.get("max-files-per-micro-batch")).map(_.toInt)
-    val maxRecords = Option(options.get("max-records-per-micro-batch")).map(_.toLong)
+    // both the reference SparkReadOptions spellings (streaming-…) and the
+    // shorter historical graft ones are accepted
+    val maxFiles = Option(options.get("streaming-max-files-per-micro-batch"))
+      .orElse(Option(options.get("max-files-per-micro-batch"))).map(_.toInt)
+    val maxRecords = Option(options.get("streaming-max-rows-per-micro-batch"))
+      .orElse(Option(options.get("max-records-per-micro-batch"))).map(_.toLong)
     val streamFromTs = Option(options.get("stream-from-timestamp")).map(_.toLong)
+    // incremental append range: snapshot ids, or timestamps resolved
+    // against the main ancestry (reference SparkReadOptions
+    // START_TIMESTAMP/END_TIMESTAMP; start exclusive, end inclusive)
+    def snapAtOrBefore(ts: Long): Option[Long] = {
+      val anc = table.refresh().ancestry("main").sortBy(_.sequenceNumber)
+      anc.takeWhile(_.timestampMs <= ts).lastOption.map(_.snapshotId)
+    }
+    val startTsOpt = Option(options.get("start-timestamp")).map(_.toLong)
+    val endTsOpt = Option(options.get("end-timestamp")).map(_.toLong)
+    require(Option(options.get("start-snapshot-id")).isEmpty || startTsOpt.isEmpty,
+      "cannot set both start-snapshot-id and start-timestamp")
     val incremental = Option(options.get("start-snapshot-id")).map(_.toLong)
-      .map(s => (s, Option(options.get("end-snapshot-id")).map(_.toLong)))
+      .orElse(startTsOpt.flatMap(snapAtOrBefore))
+      .map(s => (s, Option(options.get("end-snapshot-id")).map(_.toLong)
+        .orElse(endTsOpt.flatMap(snapAtOrBefore))))
     // reference SparkReadOptions streaming-skip-delete/overwrite-snapshots:
     // default FAIL when the stream reaches a snapshot that removed rows
     val streamSkip = (
@@ -148,8 +165,12 @@ class GraftSparkTable(val table: GTable, fullName: String,
       incremental = incremental, streamMaxRecords = maxRecords,
       streamFromTs = streamFromTs, streamSkip = streamSkip,
       streamAsync = streamAsyncPlanning,
+      streamPollMs =
+        Option(options.get("streaming-snapshot-polling-interval-ms")).map(_.toLong),
       splitOverride = splitOverride,
-      vecOverride = Option(options.get("vectorization-enabled")).map(_.toBoolean))
+      vecOverride = Option(options.get("vectorization-enabled")).map(_.toBoolean),
+      aggPushEnabled =
+        Option(options.get("aggregate-push-down-enabled")).forall(_.toBoolean))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -400,8 +421,10 @@ object GraftSparkTable {
       streamFromTs: Option[Long] = None,
       streamSkip: (Boolean, Boolean) = (false, false),
       streamAsync: Boolean = false,
+      streamPollMs: Option[Long] = None,
       splitOverride: (Option[Long], Option[Long], Option[Int]) = (None, None, None),
-      vecOverride: Option[Boolean] = None)
+      vecOverride: Option[Boolean] = None,
+      aggPushEnabled: Boolean = true)
     extends ScanBuilder with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -424,14 +447,17 @@ object GraftSparkTable {
     private var lastAgg: AnyRef = _
     override def supportCompletePushDown(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-      aggResult = evalAggregation(agg)
+      aggResult = if (aggPushEnabled) evalAggregation(agg) else None
       lastAgg = agg
       aggResult.isDefined
     }
 
     override def pushAggregation(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-      if (!(agg eq lastAgg)) { aggResult = evalAggregation(agg); lastAgg = agg }
+      if (!(agg eq lastAgg)) {
+        aggResult = if (aggPushEnabled) evalAggregation(agg) else None
+        lastAgg = agg
+      }
       aggResult.isDefined
     }
 
@@ -584,7 +610,8 @@ object GraftSparkTable {
       case None =>
         val scan = new GraftScan(table, expr, required, limit, snapshotId, branch,
           asOfTs, ignoreResiduals, streamMaxFiles, incremental, streamMaxRecords,
-          streamFromTs, streamSkip, streamAsync, splitOverride, vecOverride)
+          streamFromTs, streamSkip, streamAsync, streamPollMs, splitOverride,
+          vecOverride)
         onBuild(scan)
         scan
     }
@@ -646,6 +673,7 @@ object GraftSparkTable {
       streamFromTs: Option[Long] = None,
       streamSkip: (Boolean, Boolean) = (false, false),
       streamAsync: Boolean = false,
+      streamPollMs: Option[Long] = None,
       splitOverride: (Option[Long], Option[Long], Option[Int]) = (None, None, None),
       vecOverride: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportStatistics
@@ -710,7 +738,7 @@ object GraftSparkTable {
       new GraftMicroBatchStream(table, streamMaxFiles, () => buildReaderFactory(conservative = true),
         streamMaxRecords, branch, streamFromTs,
         skipDelete = streamSkip._1, skipOverwrite = streamSkip._2,
-        asyncPlanning = streamAsync)
+        asyncPlanning = streamAsync, pollingIntervalMs = streamPollMs)
 
     private var runtimeExpr: Expr = TrueE
     @transient private var cachedTasks: Seq[FileScanTask] = _

@@ -30,7 +30,8 @@ final class GraftMicroBatchStream(
     streamFromTs: Option[Long] = None,
     skipDelete: Boolean = false,
     skipOverwrite: Boolean = false,
-    asyncPlanning: Boolean = false)
+    asyncPlanning: Boolean = false,
+    pollingIntervalMs: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -99,8 +100,25 @@ final class GraftMicroBatchStream(
       ()
     }
 
+  // streaming-snapshot-polling-interval-ms (reference SparkReadOptions):
+  // rate-limit catalog refreshes under sub-interval triggers — a trigger
+  // landing inside the window reuses the last lineage (same freshness
+  // contract as the reference: new snapshots surface one poll late)
+  @volatile private var lastPoll: (Long, Seq[Snapshot]) = null
+
   private def lineage(): Seq[Snapshot] =
-    if (!asyncPlanning) computeLineage()
+    if (!asyncPlanning) pollingIntervalMs match {
+      case None => computeLineage()
+      case Some(iv) =>
+        val cached = lastPoll
+        val now = System.currentTimeMillis()
+        if (cached != null && now - cached._1 < iv) cached._2
+        else {
+          val snaps = computeLineage()
+          lastPoll = (now, snaps)
+          snaps
+        }
+    }
     else {
       val snap = prefetched
       schedulePrefetch()

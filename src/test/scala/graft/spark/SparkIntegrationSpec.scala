@@ -438,6 +438,43 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       netRows.toString)
   }
 
+  test("changelog and incremental reads accept timestamp ranges") {
+    spark.sql("CREATE TABLE graft.db.cdc_ts (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.cdc_ts VALUES (1)")
+    Thread.sleep(10)
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(10)
+    spark.sql("INSERT INTO graft.db.cdc_ts VALUES (2)")
+    Thread.sleep(10)
+    val afterSecond = System.currentTimeMillis()
+    Thread.sleep(10)
+    spark.sql("INSERT INTO graft.db.cdc_ts VALUES (3)")
+
+    // (start, end]: rows appended after ts1 up to ts2 → only id=2
+    val ch = spark.read
+      .option("start-timestamp", afterFirst.toString)
+      .option("end-timestamp", afterSecond.toString)
+      .table("graft.db.cdc_ts.changes")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ch === Seq(2L), s"changes in ts range: $ch")
+
+    // incremental append scan with the same range semantics
+    val inc = spark.read
+      .option("start-timestamp", afterFirst.toString)
+      .option("end-timestamp", afterSecond.toString)
+      .table("graft.db.cdc_ts")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(inc === Seq(2L), s"incremental in ts range: $inc")
+
+    // mixing spellings is rejected
+    val err = intercept[IllegalArgumentException] {
+      spark.read.option("start-snapshot-id", "1")
+        .option("start-timestamp", afterFirst.toString)
+        .table("graft.db.cdc_ts").collect()
+    }
+    assert(err.getMessage.contains("start-snapshot-id and start-timestamp"))
+  }
+
   test("CTAS and RTAS through the staging catalog") {
     spark.sql("CREATE TABLE graft.db.ctas USING parquet AS SELECT id, id * 2 AS dbl FROM range(10)")
     assert(spark.sql("SELECT sum(dbl) FROM graft.db.ctas").collect()(0).getLong(0) === 90L)

@@ -133,6 +133,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snaps === 2L, s"expected 2 snapshots, got $snaps")
   }
 
+  test("reference option spellings and polling interval work") {
+    spark.sql("CREATE TABLE graft.db.stream_src5 (id BIGINT)")
+    spark.sql("CREATE TABLE graft.db.stream_dst5 (id BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.db.stream_src5 VALUES ($i)"))
+    val checkpoint = Files.createTempDirectory("graft-ckpt5").toString
+    val q = spark.readStream
+      .option("streaming-max-files-per-micro-batch", "1") // reference name
+      .option("streaming-snapshot-polling-interval-ms", "50")
+      .table("graft.db.stream_src5")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.db.stream_dst5")
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT id FROM graft.db.stream_dst5 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // the 1-file admission cap (under its reference spelling) held
+    val snaps = spark.sql("SELECT count(*) FROM graft.db.stream_dst5.snapshots")
+      .collect()(0).getLong(0)
+    assert(snaps === 3L, s"expected 3 snapshots, got $snaps")
+  }
+
   test("row-removing snapshots fail the stream unless skip options opt in") {
     spark.sql("CREATE TABLE graft.db.stream_src4 (id BIGINT)")
     spark.sql("CREATE TABLE graft.db.stream_dst4 (id BIGINT)")
