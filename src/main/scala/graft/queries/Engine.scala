@@ -51,7 +51,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v32").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v33").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -60,7 +60,7 @@ object Engine {
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
-        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g", "enc_g", "mev_g", "dvm_g")
+        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g", "enc_g", "mev_g", "dvm_g", "bloom_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // the wipe above went through a FRESH HadoopCatalog, bypassing the
       // session GraftCatalog's 30s-TTL cache; invalidate it so an in-JVM
@@ -679,8 +679,18 @@ object Engine {
       s.sql("DELETE FROM graft.db.dvm_g WHERE o_orderkey % 4 = 1")
       s.sql("DELETE FROM graft.db.dvm_g WHERE o_orderkey % 6 = 2")
 
+      // parquet bloom filters (g59): high-NDV point-lookup column — the
+      // footer-level assertion runs in-gate every time
+      s.sql("""CREATE TABLE graft.db.bloom_g (
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES (
+          'write.parquet.bloom-filter-enabled.column.o_orderkey'='true',
+          'write.parquet.bloom-filter-ndv.column.o_orderkey'='100000')""")
+      o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .writeTo("graft.db.bloom_g").append()
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v32" -> "true"))
+        .updateProperties(Map("build-complete-v33" -> "true"))
     }
     built += wh
   }
@@ -2003,9 +2013,49 @@ object Engine {
       SELECT n_nationkey, n_name, n_regionkey FROM nation
       WHERE n_regionkey >= 2 ORDER BY n_nationkey"""))
 
+  // ------------------------------------------------------------------ g59
+  // Parquet bloom filters (reference TableProperties
+  // PARQUET_BLOOM_FILTER_* → parquet-mr '#col' conf keys, Parquet.java
+  // WriteBuilder): setup wrote orders with a bloom filter on the
+  // high-NDV o_orderkey. The gate asserts — at the footer level — that
+  // every data file carries the filter for o_orderkey and none for the
+  // unconfigured columns, then runs point lookups whose row-group
+  // pruning rides that filter (plus stats) and compares to the oracle.
+  private val g59 = Q(
+    "g59_engine_bloom_filters",
+    (s, dir) => {
+      setup(s, dir)
+      val t0 = new HadoopCatalog(warehouse(dir)).loadTable(Seq("db"), "bloom_g").get
+      val files = t0.newScan().planFiles().map(_.file.path)
+      require(files.nonEmpty, "g59: no data files")
+      files.foreach { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val cols = r.getFooter.getBlocks.get(0).getColumns
+          val off = (0 until cols.size()).map(cols.get)
+            .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+          require(off("o_orderkey") > 0, s"g59: no bloom filter in $p")
+          require(off("o_custkey") <= 0,
+            s"g59: unconfigured column grew a bloom filter in $p")
+        } finally r.close()
+      }
+      s.table("graft.db.bloom_g")
+        .filter(col("o_orderkey").isin(1L, 7L, 32L, 4934L, 999999999L))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_c"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+          AS sum_c
+      FROM orders WHERE o_orderkey IN (1, 7, 32, 4934, 999999999)"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56, g57, g58)
+    g52, g53, g54, g55, g56, g57, g58, g59)
 }
