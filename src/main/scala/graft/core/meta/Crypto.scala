@@ -228,7 +228,8 @@ object CryptoRegistry {
     * next metadata parse re-registers both. Per-table key count is
     * bounded by live snapshots — expired snapshots' keys drop on the
     * rebuild below. */
-  private final class Entry(val crypto: Option[TableCrypto]) {
+  private final class Entry(val crypto: Option[TableCrypto],
+      val stamp: Long = -1L) {
     val fileKeys = new java.util.HashMap[String, (Array[Byte], Array[Byte])]()
   }
   private val tables = new Lru[Entry](10000)
@@ -242,18 +243,39 @@ object CryptoRegistry {
         val tc = TableCrypto.resolve(meta)
         synchronized {
           val prev = Option(tables.get(meta.location))
-          val e = new Entry(tc)
-          // rebuild from CURRENT metadata: live snapshots' keys from their
-          // keyMetadata, write-time keys (putFileKey) carried over only if
-          // still referenced — expired snapshots age out here
-          for {
-            crypto <- tc
-            s <- meta.snapshots
-            km <- s.keyMetadata
-          } e.fileKeys.put(s.manifestListPath,
-            prev.flatMap(p => Option(p.fileKeys.get(s.manifestListPath)))
-              .getOrElse(crypto.fileKey(km)))
-          tables.put(meta.location, e)
+          // parsing OLD metadata (time travel, a concurrent reader mid-
+          // commit) must never drop keys a NEWER registration installed:
+          // only same-or-newer metadata replaces the entry; older parses
+          // merge their snapshots' keys into the existing one
+          if (prev.exists(p => meta.lastUpdatedMs < p.stamp)) {
+            val e = prev.get
+            for {
+              crypto <- tc
+              s <- meta.snapshots
+              km <- s.keyMetadata
+            } if (!e.fileKeys.containsKey(s.manifestListPath))
+              e.fileKeys.put(s.manifestListPath, crypto.fileKey(km))
+          } else {
+            val e = new Entry(tc, meta.lastUpdatedMs)
+            // carry over EVERY previous key (parked write-time keys for
+            // not-yet-visible snapshots included), then refresh from the
+            // current snapshots' keyMetadata
+            prev.foreach(p => e.fileKeys.putAll(p.fileKeys))
+            for {
+              crypto <- tc
+              s <- meta.snapshots
+              km <- s.keyMetadata
+            } if (!e.fileKeys.containsKey(s.manifestListPath))
+              e.fileKeys.put(s.manifestListPath, crypto.fileKey(km))
+            // age out keys for expired snapshots only when the map has
+            // clearly outgrown the live set — a bounded prune that cannot
+            // race away a just-parked key in the common case
+            if (e.fileKeys.size > 2 * meta.snapshots.size + 64) {
+              val live = meta.snapshots.map(_.manifestListPath).toSet
+              e.fileKeys.keySet.removeIf(k => !live.contains(k))
+            }
+            tables.put(meta.location, e)
+          }
         }
       } catch {
         // AUTHENTICATION failures (GCM tag mismatch, malformed key

@@ -161,8 +161,11 @@ object DVIO {
         val len = b.get("length").asLong()
         // validate as Longs BEFORE the Int narrowing: a corrupt (negative
         // or >2 GB) offset/length must fail with the file named, not as a
-        // silent truncation + IndexOutOfBounds from ByteBuffer.wrap
-        require(off >= 4 && len >= 12 && off + len <= payloadStart,
+        // silent truncation + IndexOutOfBounds from ByteBuffer.wrap.
+        // Bounds are phrased subtraction-side so a huge off+len cannot
+        // overflow past the check
+        require(off >= 4 && len >= 12 &&
+          off <= payloadStart && len <= payloadStart - off,
           s"corrupt DV blob offset/length ($off/$len) in $path")
         val ref = b.get("properties").get("referenced-data-file").asText()
         found = (ref, parseDvBlob(path, bytes, off.toInt, len.toInt))

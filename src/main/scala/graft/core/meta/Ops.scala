@@ -417,7 +417,10 @@ object ManifestIO {
     // (spec manifest_file.key_metadata)
     val fileKey = crypto.map(_.newFileKey())
     GraftIO.writeString(path, sb.toString, gzip, fileKey.map(k => (k._2, k._3)))
-    fileKey.foreach(k => CryptoRegistry.putFileKey(path, (k._2, k._3)))
+    // no registry park here: manifest DEKs are re-unwrapped from the
+    // manifest-list entry's key_metadata at read time (readEntries) — the
+    // registry's fileKeys serve only manifest LISTS, whose DEKs live in
+    // snapshot records
     val partType = spec.partitionType(schema)
     // Entries whose partition tuple is shorter than the spec (e.g. global
     // position deletes with partition=Nil committed under a partitioned

@@ -79,10 +79,12 @@ final class GraftChangesTable(table: GTable, fullName: String)
       "cannot set both start-snapshot-id and start-timestamp")
     require(endId.isEmpty || endTs.isEmpty,
       "cannot set both end-snapshot-id and end-timestamp")
-    def byTs(ts: Long): Option[Long] = {
-      val anc = table.refresh().ancestry("main").sortBy(_.sequenceNumber)
-      anc.takeWhile(_.timestampMs <= ts).lastOption.map(_.snapshotId)
-    }
+    // ONE refresh resolves both bounds (they must agree on the lineage);
+    // commit timestamps may be non-monotonic under writer clock skew, so
+    // filter the whole ancestry, not a sorted prefix
+    lazy val ancestry = table.refresh().ancestry("main").sortBy(_.sequenceNumber)
+    def byTs(ts: Long): Option[Long] =
+      ancestry.filter(_.timestampMs <= ts).lastOption.map(_.snapshotId)
     val start = startId.orElse(startTs.flatMap(byTs))
     val end = endId.orElse(endTs.flatMap(byTs))
     require(endTs.isEmpty || end.isDefined,

@@ -133,19 +133,34 @@ class GraftSparkTable(val table: GTable, fullName: String,
     val streamFromTs = Option(options.get("stream-from-timestamp")).map(_.toLong)
     // incremental append range: snapshot ids, or timestamps resolved
     // against the main ancestry (reference SparkReadOptions
-    // START_TIMESTAMP/END_TIMESTAMP; start exclusive, end inclusive)
-    def snapAtOrBefore(ts: Long): Option[Long] = {
-      val anc = table.refresh().ancestry("main").sortBy(_.sequenceNumber)
-      anc.takeWhile(_.timestampMs <= ts).lastOption.map(_.snapshotId)
-    }
+    // START_TIMESTAMP/END_TIMESTAMP; start exclusive, end inclusive).
+    // ONE refresh resolves both bounds so they can never disagree about
+    // the lineage; commit timestamps may be non-monotonic under writer
+    // clock skew, so filter the whole ancestry, not a sorted prefix
     val startTsOpt = Option(options.get("start-timestamp")).map(_.toLong)
     val endTsOpt = Option(options.get("end-timestamp")).map(_.toLong)
-    require(Option(options.get("start-snapshot-id")).isEmpty || startTsOpt.isEmpty,
+    lazy val ancestry = table.refresh().ancestry("main").sortBy(_.sequenceNumber)
+    def snapAtOrBefore(ts: Long): Option[Long] =
+      ancestry.filter(_.timestampMs <= ts).lastOption.map(_.snapshotId)
+    val startIdOpt = Option(options.get("start-snapshot-id")).map(_.toLong)
+    val endIdOpt = Option(options.get("end-snapshot-id")).map(_.toLong)
+    require(startIdOpt.isEmpty || startTsOpt.isEmpty,
       "cannot set both start-snapshot-id and start-timestamp")
-    val incremental = Option(options.get("start-snapshot-id")).map(_.toLong)
-      .orElse(startTsOpt.flatMap(snapAtOrBefore))
-      .map(s => (s, Option(options.get("end-snapshot-id")).map(_.toLong)
-        .orElse(endTsOpt.flatMap(snapAtOrBefore))))
+    require(endIdOpt.isEmpty || endTsOpt.isEmpty,
+      "cannot set both end-snapshot-id and end-timestamp")
+    require((endIdOpt.isEmpty && endTsOpt.isEmpty) ||
+      startIdOpt.nonEmpty || startTsOpt.nonEmpty,
+      "cannot set an end bound without start-snapshot-id or start-timestamp")
+    // an end-timestamp older than every snapshot is a user error, not an
+    // unbounded read (an unresolved end id would widen to MaxValue)
+    val endResolved = endIdOpt.orElse(endTsOpt.map(ts => snapAtOrBefore(ts)
+      .getOrElse(throw new IllegalArgumentException(
+        s"end-timestamp $ts precedes the first snapshot"))))
+    val incremental = startIdOpt
+      // a start-timestamp before the first snapshot means "from the
+      // beginning": id 0 never resolves, so startSeq falls back to 0
+      .orElse(startTsOpt.map(ts => snapAtOrBefore(ts).getOrElse(0L)))
+      .map(s => (s, endResolved))
     // reference SparkReadOptions streaming-skip-delete/overwrite-snapshots:
     // default FAIL when the stream reaches a snapshot that removed rows
     val streamSkip = (

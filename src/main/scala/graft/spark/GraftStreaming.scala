@@ -93,6 +93,7 @@ final class GraftMicroBatchStream(
             val snaps = computeLineage()
             snaps.foreach(addedFiles) // warm manifest cache off-trigger
             prefetched = snaps
+            lastPoll = (System.nanoTime(), snaps) // arms the poll window
           } catch { case _: Throwable => () /* next trigger falls back sync */ }
           finally prefetchPending.set(false)
         }
@@ -103,25 +104,32 @@ final class GraftMicroBatchStream(
   // streaming-snapshot-polling-interval-ms (reference SparkReadOptions):
   // rate-limit catalog refreshes under sub-interval triggers — a trigger
   // landing inside the window reuses the last lineage (same freshness
-  // contract as the reference: new snapshots surface one poll late)
+  // contract as the reference: new snapshots surface one poll late).
+  // Monotonic clock: a wall-clock step-back must not freeze polling.
   @volatile private var lastPoll: (Long, Seq[Snapshot]) = null
 
-  private def lineage(): Seq[Snapshot] =
-    if (!asyncPlanning) pollingIntervalMs match {
-      case None => computeLineage()
-      case Some(iv) =>
-        val cached = lastPoll
-        val now = System.currentTimeMillis()
-        if (cached != null && now - cached._1 < iv) cached._2
-        else {
-          val snaps = computeLineage()
-          lastPoll = (now, snaps)
-          snaps
-        }
+  private def pollDue(): Boolean = pollingIntervalMs match {
+    case None => true
+    case Some(iv) =>
+      val cached = lastPoll
+      cached == null || (System.nanoTime() - cached._1) / 1000000L >= iv
+  }
+
+  private def pollLineage(): Seq[Snapshot] =
+    if (!pollDue()) lastPoll._2
+    else {
+      val snaps = computeLineage()
+      lastPoll = (System.nanoTime(), snaps)
+      snaps
     }
+
+  private def lineage(): Seq[Snapshot] =
+    if (!asyncPlanning) pollLineage()
     else {
       val snap = prefetched
-      schedulePrefetch()
+      // the polling interval throttles prefetches too: inside the window
+      // the background refresh is skipped, not just the trigger-path one
+      if (pollDue()) schedulePrefetch()
       // first trigger (nothing prefetched yet) plans synchronously
       if (snap != null) snap else computeLineage()
     }

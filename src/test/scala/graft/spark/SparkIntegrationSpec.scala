@@ -473,6 +473,31 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
         .table("graft.db.cdc_ts").collect()
     }
     assert(err.getMessage.contains("start-snapshot-id and start-timestamp"))
+
+    // a start-timestamp before the first snapshot means "from the
+    // beginning", and the end bound still applies
+    val fromStart = spark.read
+      .option("start-timestamp", "1")
+      .option("end-timestamp", afterSecond.toString)
+      .table("graft.db.cdc_ts")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(fromStart === Seq(1L, 2L), s"from-beginning range: $fromStart")
+
+    // an end bound without any start is rejected (it would silently ride
+    // a full-table scan otherwise)
+    val err2 = intercept[IllegalArgumentException] {
+      spark.read.option("end-timestamp", afterSecond.toString)
+        .table("graft.db.cdc_ts").collect()
+    }
+    assert(err2.getMessage.contains("end bound"), err2.getMessage)
+
+    // an end-timestamp before the first snapshot is a user error
+    val err3 = intercept[IllegalArgumentException] {
+      spark.read.option("start-timestamp", "1").option("end-timestamp", "2")
+        .table("graft.db.cdc_ts").collect()
+    }
+    assert(err3.getMessage.contains("precedes the first snapshot"),
+      err3.getMessage)
   }
 
   test("CTAS and RTAS through the staging catalog") {
