@@ -29,9 +29,12 @@ object Bench {
     headliners.foreach { q =>
       try q.run(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Median of 3 timed runs per query: single-shot numbers on a shared
-    // machine swing 2-7x (GC pauses, page-cache state); the driver benches
-    // once per round, so each reported number must be noise-robust. Before
+    // Median of 5 timed runs per query: single-shot numbers on a shared
+    // machine swing 2-7x (GC pauses, page-cache state, co-tenant load);
+    // the driver benches once per round, so each reported number must be
+    // noise-robust — r8's driver run medianed 3 samples under heavy load
+    // and published 3x-inflated numbers for queries that run 4x faster
+    // when sampled 5x locally. Before
     // each sample, drop any DataFrame persist() left by the previous run so
     // every sample measures a cold plan (persist reuse within one run is
     // still counted — that reuse is part of the query's design).
@@ -40,7 +43,7 @@ object Bench {
     // failure and exit nonzero after printing whatever is valid.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = headliners.map { q =>
-      val samples = (1 to 3).map { _ =>
+      val samples = (1 to 5).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case e: Throwable =>
@@ -49,7 +52,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (q.name, samples.sorted.apply(1), samples)
+      (q.name, samples.sorted.apply(2), samples)
     }
     // failed queries are EXCLUDED from queries/total/ratio — their wall
     // times are time-to-exception, not measurements; raw samples stay in
@@ -67,16 +70,16 @@ object Bench {
     val wasCold = graft.queries.Engine.builtCold(sfDir)
     // BASELINE.md's 2x budget is vs native spark.read.parquet: measure the
     // exact native equivalent of g01 (q06's plan) in the SAME run so the
-    // gate is evaluated directly, not by cross-run proxy. Median of 3 —
+    // gate is evaluated directly, not by cross-run proxy. Median of 5 —
     // the baseline must not be a single noisy sample.
     val natQ = SparkEntry.bank.find(_.name == "q06_forecast_revenue")
     val native = natQ.map { q =>
-      val samples = (1 to 3).map { _ =>
+      val samples = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      samples(1)
+      samples(2)
     }.getOrElse(0.0)
     val g01 = ok.find(_._1 == "g01_engine_scan_prune").map(_._2).getOrElse(0.0)
     val ratio = if (native > 0 && g01 > 0) g01 / native else -1.0
