@@ -1,0 +1,176 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based DML fuzz: a seeded random sequence of appends, CoW/MoR
+  * deletes (parquet position deletes AND deletion vectors), updates,
+  * merges and maintenance procedures runs against a graft table while a
+  * plain in-memory map applies the same semantics; after EVERY operation
+  * the full table read must equal the model. This is the cheapest way to
+  * catch cross-feature interactions (e.g. a DV committed over a file the
+  * same sequence later compacts, an equality-superseded position delete,
+  * an expire racing nothing but still rewriting metadata) that
+  * feature-scoped tests never line up in one history. */
+class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("graft-fuzz-wh").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-dml-fuzz")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.gfz", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.gfz.warehouse", warehouse)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfz.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def runSeed(seed: Int, partitioned: Boolean, steps: Int): Unit = {
+    val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}"
+    val fq = s"gfz.db.$name"
+    val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
+    spark.sql(s"""CREATE TABLE $fq (id BIGINT, grp BIGINT, v STRING)
+      $partClause TBLPROPERTIES ('format-version'='3')""")
+
+    val rng = new Random(seed)
+    val model = mutable.LinkedHashMap.empty[Long, (Long, String)]
+    var nextId = 0L
+
+    def appendRows(): String = {
+      val n = 1 + rng.nextInt(40)
+      val rows = (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        val grp = rng.nextInt(5).toLong
+        val v = s"v$id-${rng.nextInt(100)}"
+        model.put(id, (grp, v))
+        (id, grp, v)
+      }
+      val df = spark.createDataFrame(rows).toDF("id", "grp", "v")
+      // sometimes several files, sometimes one
+      (if (rng.nextBoolean()) df.repartition(2) else df.coalesce(1))
+        .writeTo(fq).append()
+      s"append($n)"
+    }
+
+    def setModes(): String = {
+      val del = if (rng.nextBoolean()) "merge-on-read" else "copy-on-write"
+      val upd = if (rng.nextBoolean()) "merge-on-read" else "copy-on-write"
+      val fmt = if (rng.nextBoolean()) "dv" else "parquet"
+      spark.sql(s"""ALTER TABLE $fq SET TBLPROPERTIES (
+        'write.delete.mode'='$del', 'write.update.mode'='$upd',
+        'write.merge.mode'='${if (rng.nextBoolean()) "merge-on-read" else "copy-on-write"}',
+        'write.delete.format'='$fmt')""")
+      s"modes($del,$upd,$fmt)"
+    }
+
+    def deleteByGroup(): String = {
+      val g = rng.nextInt(5)
+      spark.sql(s"DELETE FROM $fq WHERE grp = $g")
+      model.filterInPlace { case (_, (grp, _)) => grp != g }
+      s"delete(grp=$g)"
+    }
+
+    def deleteByMod(): String = {
+      val m = 2 + rng.nextInt(5); val r = rng.nextInt(m)
+      spark.sql(s"DELETE FROM $fq WHERE id % $m = $r")
+      model.filterInPlace { case (id, _) => id % m != r }
+      s"delete(id%$m=$r)"
+    }
+
+    def update(): String = {
+      val m = 2 + rng.nextInt(5); val r = rng.nextInt(m)
+      spark.sql(s"UPDATE $fq SET v = concat(v, '+') WHERE id % $m = $r")
+      model.mapValuesInPlace { case (id, (g, v)) =>
+        if (id % m == r) (g, v + "+") else (g, v)
+      }
+      s"update(id%$m=$r)"
+    }
+
+    def merge(): String = {
+      // half the source hits existing ids (update), half are fresh inserts
+      val existing = rng.shuffle(model.keys.toVector).take(rng.nextInt(10))
+      val fresh = (0 until rng.nextInt(10)).map { _ =>
+        val id = nextId; nextId += 1; id
+      }
+      val rows = (existing ++ fresh).map { id =>
+        (id, rng.nextInt(5).toLong, s"m$id-${rng.nextInt(100)}")
+      }
+      if (rows.isEmpty) return "merge(skip)"
+      spark.createDataFrame(rows).toDF("id", "grp", "v")
+        .createOrReplaceTempView("fuzz_src")
+      spark.sql(s"""MERGE INTO $fq t USING fuzz_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      rows.foreach { case (id, g, v) => model.put(id, (g, v)) }
+      s"merge(${existing.size}u+${fresh.size}i)"
+    }
+
+    def procedure(): String = rng.nextInt(4) match {
+      case 0 =>
+        spark.sql(s"CALL gfz.system.rewrite_data_files(table => 'db.$name')")
+        "rewrite_data_files"
+      case 1 =>
+        spark.sql(s"CALL gfz.system.rewrite_position_delete_files(table => 'db.$name')")
+        "rewrite_position_deletes"
+      case 2 =>
+        spark.sql(s"CALL gfz.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
+        "expire_snapshots"
+      case _ =>
+        spark.sql(s"CALL gfz.system.rewrite_manifests('db.$name')")
+        "rewrite_manifests"
+    }
+
+    def check(step: Int, op: String): Unit = {
+      val actual = spark.sql(s"SELECT id, grp, v FROM $fq")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+        .sortBy(_._1).toSeq
+      val expected = model.toSeq.sortBy(_._1)
+      assert(actual == expected,
+        s"seed=$seed partitioned=$partitioned step=$step after $op: " +
+          s"table=${actual.take(8)}... (${actual.size} rows) vs " +
+          s"model ${expected.take(8)}... (${expected.size} rows)")
+    }
+
+    // always start with data so the first DML has something to chew on
+    check(0, appendRows())
+    (1 to steps).foreach { step =>
+      val op = rng.nextInt(10) match {
+        case 0 | 1 | 2 => appendRows()
+        case 3         => setModes()
+        case 4         => deleteByGroup()
+        case 5         => deleteByMod()
+        case 6 | 7     => update()
+        case 8         => merge()
+        case _         => procedure()
+      }
+      check(step, op)
+    }
+    // end-of-life: everything still reads after a final compact + expire
+    spark.sql(s"CALL gfz.system.rewrite_data_files(table => 'db.$name')")
+    spark.sql(s"CALL gfz.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
+    check(steps + 1, "final-compact-expire")
+  }
+
+  test("seeded DML fuzz on an unpartitioned v3 table") {
+    runSeed(seed = 1337, partitioned = false, steps = 30)
+  }
+
+  test("seeded DML fuzz on a partitioned v3 table") {
+    runSeed(seed = 9001, partitioned = true, steps = 30)
+  }
+}
