@@ -120,6 +120,7 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"merge(${existing.size}u+${fresh.size}i)"
     }
 
+    var expired = false
     def procedure(): String = rng.nextInt(4) match {
       case 0 =>
         spark.sql(s"CALL gfz.system.rewrite_data_files(table => 'db.$name')")
@@ -129,6 +130,7 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         "rewrite_position_deletes"
       case 2 =>
         spark.sql(s"CALL gfz.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
+        expired = true
         "expire_snapshots"
       case _ =>
         spark.sql(s"CALL gfz.system.rewrite_manifests('db.$name')")
@@ -160,6 +162,40 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       check(step, op)
     }
+    // CDC invariant: replaying the raw changelog — per ordinal, deletes
+    // first, then inserts (a CoW rewrite emits both for carried-over
+    // rows) — must reconstruct exactly the final table state. Only
+    // checkable while the full history is retained: an expire truncates
+    // the ancestry and the changelog legitimately starts mid-stream.
+    if (!expired) {
+    val changes = spark.sql(
+      s"""SELECT id, grp, v, _change_type, _change_ordinal
+          FROM $fq.changes""").collect()
+      .map(r => (r.getInt(4), r.getString(3),
+        (r.getLong(0), (r.getLong(1), r.getString(2)))))
+    val replay = mutable.AnyRefMap.empty[AnyRef, Int] // multiset
+    changes.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, ops) =>
+      ops.filter(_._2 == "DELETE").foreach { case (_, _, row) =>
+        val k = row.asInstanceOf[AnyRef]
+        replay.get(k) match {
+          case Some(1) => replay.remove(k)
+          case Some(n) => replay.put(k, n - 1)
+          case None => fail(s"seed=$seed: changelog DELETE of absent row $row")
+        }
+      }
+      ops.filter(_._2 == "INSERT").foreach { case (_, _, row) =>
+        val k = row.asInstanceOf[AnyRef]
+        replay.put(k, replay.getOrElse(k, 0) + 1)
+      }
+    }
+    val replayed = replay.keys.map(_.asInstanceOf[(Long, (Long, String))])
+      .toSeq.sortBy(_._1)
+    assert(replay.values.forall(_ == 1), s"seed=$seed: replay multiset skew")
+    assert(replayed == model.toSeq.sortBy(_._1),
+      s"seed=$seed: changelog replay diverges from final state " +
+        s"(${replayed.size} vs ${model.size} rows)")
+    }
+
     // end-of-life: everything still reads after a final compact + expire
     spark.sql(s"CALL gfz.system.rewrite_data_files(table => 'db.$name')")
     spark.sql(s"CALL gfz.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
