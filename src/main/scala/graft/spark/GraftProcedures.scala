@@ -1703,6 +1703,12 @@ object RewriteDataFiles {
       where: String = ""): util.Iterator[Scan] = {
     val spark = SparkSession.active
     val schemaWithIds = graft.core.types.SparkTypes.toSparkSchema(t.schema)
+    // the group reads below go through DataFrameReader with the CURRENT
+    // table schema; columns renamed since a file was written only resolve
+    // by field id, and Spark's parquet source consults the SESSION conf
+    // for that (per-relation options are ignored) — without it a
+    // rename-then-compact silently nulls the column's values
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val scan = t.newScan()
     // `where` restricts the rewrite to files that MAY match (inclusive
     // metadata pruning — file selection, not row filtering)
@@ -1892,8 +1898,15 @@ object RewriteDataFiles {
               val fields = t.meta.schema.fields
               val keyNames = eqByFile.keys.head.equalityIds
                 .flatMap(id => fields.find(_.id == id).map(_.name))
+              // explicit id-annotated key schema: the delete file stores
+              // the keys under their WRITE-TIME names — a since-renamed
+              // key column only binds through field ids
+              val keySchema = org.apache.spark.sql.types.StructType(
+                graft.core.types.SparkTypes.toSparkSchema(t.meta.schema)
+                  .fields.filter(f => keyNames.contains(f.name)))
               val delKeys = eqByFile.map { case (d, applies) =>
                 spark.read.options(GraftParquetCrypto.readOptions(t.meta))
+                  .schema(keySchema)
                   .parquet(d.path).select(keyNames.map(col): _*)
                   .toDF(keyNames.map(n => s"__ek_$n"): _*)
                   .withColumn("__ef", explode(sarray(applies.map(lit): _*)))
