@@ -40,7 +40,8 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def runSeed(seed: Int, partitioned: Boolean, steps: Int): Unit = {
+  private def runSeed(seed: Int, partitioned: Boolean, steps: Int,
+      evolveSpec: Boolean = false): Unit = {
     val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}"
     val fq = s"gfz.db.$name"
     val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
@@ -120,6 +121,27 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"merge(${existing.size}u+${fresh.size}i)"
     }
 
+    // partition-spec evolution: old files keep their write-time spec;
+    // scans, deletes and compaction groups must handle a mixed-spec table
+    val specStates = Seq("", "grp", "bucket4") // identity / bucket(4, id)
+    var specState = if (partitioned) 1 else 0
+    def evolvePartitioning(): String = {
+      val next = (specState + 1 + rng.nextInt(2)) % 3
+      // drop current field (if any), add the next (if any)
+      specState match {
+        case 1 => spark.sql(s"ALTER TABLE $fq DROP PARTITION FIELD grp")
+        case 2 => spark.sql(s"ALTER TABLE $fq DROP PARTITION FIELD bucket(4, id)")
+        case _ => ()
+      }
+      next match {
+        case 1 => spark.sql(s"ALTER TABLE $fq ADD PARTITION FIELD grp")
+        case 2 => spark.sql(s"ALTER TABLE $fq ADD PARTITION FIELD bucket(4, id)")
+        case _ => ()
+      }
+      val from = specStates(specState); specState = next
+      s"spec($from->${specStates(next)})"
+    }
+
     var expired = false
     def procedure(): String = rng.nextInt(4) match {
       case 0 =>
@@ -151,14 +173,15 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // always start with data so the first DML has something to chew on
     check(0, appendRows())
     (1 to steps).foreach { step =>
-      val op = rng.nextInt(10) match {
+      val op = rng.nextInt(if (evolveSpec) 11 else 10) match {
         case 0 | 1 | 2 => appendRows()
         case 3         => setModes()
         case 4         => deleteByGroup()
         case 5         => deleteByMod()
         case 6 | 7     => update()
         case 8         => merge()
-        case _         => procedure()
+        case 9         => procedure()
+        case _         => evolvePartitioning()
       }
       check(step, op)
     }
@@ -208,5 +231,9 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("seeded DML fuzz on a partitioned v3 table") {
     runSeed(seed = 9001, partitioned = true, steps = 30)
+  }
+
+  test("seeded DML fuzz with partition-spec evolution") {
+    runSeed(seed = 424242, partitioned = true, steps = 30, evolveSpec = true)
   }
 }
