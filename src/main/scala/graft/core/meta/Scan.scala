@@ -15,7 +15,12 @@ final case class FileScanTask(
     deletes: Seq[DataFile],
     // sequence number the file was added at (row lineage
     // _last_updated_sequence_number for unmodified rows)
-    dataSequenceNumber: Long = 0L)
+    dataSequenceNumber: Long = 0L,
+    // schema id current when the file was WRITTEN (from its adding
+    // snapshot; -1 = unknown). Name-resolved formats (ORC) must read a
+    // since-renamed column under its write-time name — without this a
+    // rename silently nulls the column for pre-rename files.
+    writeSchemaId: Int = -1)
 
 /** Matches delete files to data files by partition + sequence number
   * (reference DeleteFileIndex.java). Position deletes apply when
@@ -102,7 +107,9 @@ final case class PlanContext(
     deleteIndex: DeleteFileIndex,
     // encrypted tables: resolved table key rides to executors in the
     // task closure (the driver-side CryptoRegistry doesn't travel)
-    crypto: Option[TableCrypto] = None)
+    crypto: Option[TableCrypto] = None,
+    // snapshotId → schemaId at commit time, for FileScanTask.writeSchemaId
+    snapshotSchema: Map[Long, Int] = Map.empty)
 
 object TableScan {
   /** Local layer-3 over many manifests: IO-bound, fan out on the common
@@ -132,7 +139,8 @@ object TableScan {
         if (residual == FalseE) None
         else Some(FileScanTask(e.file, 0L, e.file.fileSizeBytes, residual,
           ctx.deleteIndex.forDataFile(e.dataSequenceNumber, e.file),
-          e.dataSequenceNumber))
+          e.dataSequenceNumber,
+          writeSchemaId = ctx.snapshotSchema.getOrElse(e.snapshotId, -1)))
       }
     }
   }
@@ -280,7 +288,9 @@ final class TableScan(table: GTable) {
       specIds.map(id => id -> m.specById(id)).toMap,
       specIds.map(id => id -> partPred(id)).toMap,
       new DeleteFileIndex(deleteEntries, schema),
-      TableCrypto.resolve(m))
+      TableCrypto.resolve(m),
+      snapshotSchema = m.snapshots
+        .flatMap(s => s.schemaId.map(s.snapshotId -> _)).toMap)
     Some((ctx, dataManifests))
   }
 

@@ -205,6 +205,44 @@ object GraftProcedures {
     * across both delete formats (parquet files and roaring DVs). */
   /** (file_path, pos, __src) rows of position-delete files, __src = the
     * delete file each row came from (the per-file path-matching scope). */
+  /** Whole-file ORC read with per-row positions: Spark's ORC _metadata
+    * struct has no row_index, so each file is read in ONE split on an
+    * executor (row order = file order, like the scan's position path) and
+    * positions come from the iterator. `fileSchema` carries the columns'
+    * WRITE-TIME names (ORC resolves by name); the output uses
+    * `outSchema`'s current names positionally, plus __f/__p. */
+  private[spark] def orcReadToDf(spark: SparkSession, paths: Seq[String],
+      outSchema: org.apache.spark.sql.types.StructType,
+      fileSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+    val readFn = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+      .buildReaderWithPartitionValues(spark, fileSchema,
+        new StructType(), fileSchema, Nil,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"),
+        spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    val withPos = StructType(outSchema.fields ++ Seq(
+      StructField("__f", StringType), StructField("__p", LongType)))
+    val rdd = spark.sparkContext.parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val rows = readFn(PartitionedFile(
+          org.apache.spark.sql.catalyst.InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPathString(p), 0, Long.MaxValue,
+          Array.empty[String], 0L, Long.MaxValue, Map.empty))
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(withPos)
+        rows.zipWithIndex.map { case (r, i) =>
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+            r, org.apache.spark.sql.catalyst.InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(p), i.toLong))
+          conv(joined).asInstanceOf[org.apache.spark.sql.Row]
+        }
+      }
+    spark.createDataFrame(rdd, withPos)
+  }
+
   private[spark] def deleteRowsDf(spark: SparkSession,
       files: Seq[DataFile],
       readOpts: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
@@ -1858,17 +1896,44 @@ object RewriteDataFiles {
       val readSchema = org.apache.spark.sql.types.StructType(
         schemaWithIds.fields ++ lineageFields)
       // per-format reads with __f/__p path+position columns (file-source
-      // formats via _metadata, avro via the reader itself)
-      val raw = ts.groupBy(_.file.format).map { case (f, fts) =>
+      // formats via _metadata, avro via the reader itself). ORC resolves
+      // columns by NAME, so files written before a rename are grouped by
+      // their write-time schema and read under those names (then put back
+      // under the current ones) — parquet needs none of this (field ids).
+      def orcHistNames(schemaId: Int): Option[Seq[String]] =
+        t.meta.schemas.find(_.schemaId == schemaId).map { hist =>
+          val histTop = hist.fields.map(f => f.id -> f.name).toMap
+          readSchema.fields.toSeq.map { f =>
+            t.meta.schema.fields.find(_.name == f.name).map(_.id) match {
+              case Some(fid) => histTop.getOrElse(fid, s"__absent_$fid")
+              case None      => f.name // lineage extension columns
+            }
+          }
+        }
+      val raw = ts.groupBy(ft =>
+          (ft.file.format,
+            if (ft.file.format == "orc") ft.writeSchemaId else -1))
+        .map { case ((f, schemaId), fts) =>
         import org.apache.spark.sql.functions.col
         if (f == "avro")
           GraftAvro.readToDf(spark, fts.map(_.file.path), readSchema, withPos = true)
-        else {
+        else if (f == "orc") {
+          // ORC: Spark's _metadata exposes no row_index, and columns
+          // resolve by NAME — read each file whole on an executor (like
+          // the scan's position path), under its write-time names,
+          // emitting positions from the row iterator
+          val fileSchema = (if (schemaId >= 0 &&
+              schemaId != t.meta.currentSchemaId) orcHistNames(schemaId)
+            else None) match {
+            case Some(ns) => org.apache.spark.sql.types.StructType(
+              readSchema.fields.zip(ns).map { case (fld, n) => fld.copy(name = n) })
+            case None => readSchema
+          }
+          orcReadToDf(spark, fts.map(_.file.path), readSchema, fileSchema)
+        } else {
           val rdr = spark.read.schema(readSchema)
             .options(GraftParquetCrypto.readOptions(t.meta))
-          val base = if (f == "orc") rdr.orc(fts.map(_.file.path): _*)
-            else rdr.parquet(fts.map(_.file.path): _*)
-          base.select(col("*"),
+          rdr.parquet(fts.map(_.file.path): _*).select(col("*"),
             col("_metadata.file_path").as("__f"),
             col("_metadata.row_index").as("__p"))
         }

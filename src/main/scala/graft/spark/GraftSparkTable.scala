@@ -415,7 +415,10 @@ object GraftSparkTable {
       // shred column ("mat:" markers in its shredStats) — readers serve
       // _shred_* from the typed file columns; older files fall back to
       // parsing the variant binary per row
-      shredMat: Boolean = false) {
+      shredMat: Boolean = false,
+      // write-time schema id (name-based formats read since-renamed
+      // columns under their write-time names); -1 = current
+      writeSchemaId: Int = -1) {
     def nameBased: Boolean = fileFormat != "parquet"
   }
 
@@ -794,7 +797,8 @@ object GraftSparkTable {
             .flatMap(mf => graft.core.meta.ManifestIO.readEntries(mf))
             .filter(e => e.status == 1 && e.snapshotId == sn.snapshotId)
             .filter(e => InclusiveMetricsEvaluator.rowsMightMatch(bound, e.file.fileStats))
-            .map(e => FileScanTask(e.file, 0L, e.file.fileSizeBytes, TrueE, Nil))
+            .map(e => FileScanTask(e.file, 0L, e.file.fileSizeBytes, TrueE, Nil,
+              writeSchemaId = sn.schemaId.getOrElse(-1)))
         }
     }
 
@@ -1042,7 +1046,8 @@ object GraftSparkTable {
         specId = t.file.specId, partition = t.file.partition,
         firstRowId = t.file.firstRowId, dataSeq = t.dataSequenceNumber,
         shredMat = shredAll.nonEmpty &&
-          shredAll.forall(sp => t.file.shredStats.contains(sp.matKey)))
+          shredAll.forall(sp => t.file.shredStats.contains(sp.matKey)),
+        writeSchemaId = t.writeSchemaId)
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -1154,7 +1159,23 @@ object GraftSparkTable {
       // parquet imports and equality deletes force the row path; position
       // deletes stay columnar via delete-aware vectors
       val allParquet = ts.forall(_.file.format == "parquet")
-      val allOrc = ts.nonEmpty && ts.forall(_.file.format == "orc")
+      // ORC files written under an EARLIER schema whose top-level names
+      // differ need per-schema readers (row path); they also disqualify
+      // the scan-wide ORC batch reader below
+      val curSchemaId = table.schema.schemaId
+      val orcHistIds: Seq[Int] =
+        if (conservative)
+          // streaming factory: tasks aren't known up front — prebuild for
+          // every differing schema, but only when the table writes ORC
+          (if (table.meta.properties.get("write.format.default").contains("orc"))
+            table.meta.schemas.map(_.schemaId).filter(_ != curSchemaId)
+          else Nil)
+        else ts.iterator
+          .filter(t => t.file.format == "orc" &&
+            t.writeSchemaId >= 0 && t.writeSchemaId != curSchemaId)
+          .map(_.writeSchemaId).toSeq.distinct
+      val allOrc = ts.nonEmpty && ts.forall(_.file.format == "orc") &&
+        orcHistIds.isEmpty
       // shredded metadata columns stay columnar only when EVERY planned
       // file physically carries the requested materialized columns
       // (parquet + "mat:" markers) — one legacy file degrades the scan to
@@ -1349,8 +1370,16 @@ object GraftSparkTable {
       // imported files (add_files/snapshot_table) have no field ids: read
       // them by NAME with the id metadata stripped (reference name-mapping,
       // schema.name-mapping.default)
+      // drop ONLY the parquet field ids (name-based formats must not id-
+      // match); EXISTS_DEFAULT and the rest of the metadata stay — wiping
+      // it all silently disabled v3 initial defaults on ORC reads
       def stripIds(st: StructType): StructType =
-        StructType(st.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+        StructType(st.fields.map { f =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          mb.remove("parquet.field.id")
+          f.copy(metadata = mb.build())
+        })
       lazy val nameConf = {
         val c = new org.apache.hadoop.conf.Configuration(conf)
         c.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
@@ -1399,6 +1428,44 @@ object GraftSparkTable {
             new StructType(), stripIds(dataRequired), Nil,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshNameConf)
         else null
+      // per-historical-schema ORC row funcs: request each field under its
+      // WRITE-TIME top-level name (position-aligned with the current
+      // required schema, so downstream projection is untouched); fields
+      // absent at write time read null under a unique placeholder.
+      // Filters are dropped — their names reference the current schema.
+      val orcHistRow: Map[Int, (PartitionedFile => Iterator[InternalRow],
+          PartitionedFile => Iterator[InternalRow])] = {
+        val cur = table.schema
+        def translate(st: StructType, hist: graft.core.types.GSchema): StructType = {
+          val histTop = hist.fields.map(f => f.id -> f.name).toMap
+          val named = st.fields.map { f =>
+            cur.fields.find(_.name == f.name).map(_.id) match {
+              case Some(fid) =>
+                f.copy(name = histTop.getOrElse(fid, s"__absent_$fid"))
+              case None => f // extension column (not in the table schema)
+            }
+          }
+          StructType(named)
+        }
+        def differs(hist: graft.core.types.GSchema): Boolean =
+          hist.fields.exists(f => cur.byId.get(f.id).exists(_.name != f.name)) ||
+            cur.fields.exists(f => !hist.byId.contains(f.id))
+        orcHistIds.flatMap { id =>
+          table.meta.schemas.find(_.schemaId == id).filter(differs).map { hist =>
+            val full = translate(stripIds(fullSchema), hist)
+            val fullNF = translate(stripIds(fullSchemaNF), hist)
+            val f = orcFmt.buildReaderWithPartitionValues(spark, full,
+              new StructType(), translate(stripIds(dataRequiredBin), hist), Nil,
+              Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+                "enableVectorizedReader" -> "false"), freshNameConf)
+            val fNF = orcFmt.buildReaderWithPartitionValues(spark, fullNF,
+              new StructType(), translate(stripIds(dataReadNFBin), hist), Nil,
+              Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+                "enableVectorizedReader" -> "false"), freshNameConf)
+            id -> (f, fNF)
+          }
+        }.toMap
+      }
       // avro data files: our own sync-splittable row reader (no spark-avro
       // connector on this classpath); filters re-applied by Spark above.
       // These broadcast nothing — cheap to construct when avro is present.
@@ -1418,6 +1485,7 @@ object GraftSparkTable {
         nameRowFunc, nameRowFuncNoFilter,
         if (allOrc) orcBatchFuncNoFilter else batchFuncNoFilter,
         orcRowFunc, orcRowFuncNoFilter,
+        orcHistRow = orcHistRow,
         defaultSpecId = table.spec.specId,
         partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray,
         avroRowFunc = avroRowFunc, avroFullFunc = avroFullFunc,
@@ -1508,6 +1576,10 @@ object GraftSparkTable {
       batchFuncNoFilter: PartitionedFile => Iterator[InternalRow],
       orcRowFunc: PartitionedFile => Iterator[InternalRow],
       orcRowFuncNoFilter: PartitionedFile => Iterator[InternalRow],
+      // per-write-schema ORC readers (filtered / no-filter): files written
+      // before a rename resolve columns by their write-time names
+      orcHistRow: Map[Int, (PartitionedFile => Iterator[InternalRow],
+        PartitionedFile => Iterator[InternalRow])] = Map.empty,
       defaultSpecId: Int = 0,
       partTypes: Array[GType] = Array.empty,
       avroRowFunc: PartitionedFile => Iterator[InternalRow] = null,
@@ -2034,7 +2106,8 @@ object GraftSparkTable {
           // shred column serve _shred_* without touching the binary
           val mat = hasShred && t.shredMat && t.fileFormat == "parquet"
           val f = t.fileFormat match {
-            case "orc"        => orcRowFunc
+            case "orc" =>
+              orcHistRow.get(t.writeSchemaId).map(_._1).getOrElse(orcRowFunc)
             case "parquet-nm" => nameRowFunc
             case "avro"       => avroRowFunc
             case _ =>
@@ -2052,7 +2125,8 @@ object GraftSparkTable {
           val mat = hasShred && t.shredMat && t.fileFormat == "parquet"
           // full-file read so row index == file position
           val f = t.fileFormat match {
-            case "orc"        => orcRowFuncNoFilter
+            case "orc" =>
+              orcHistRow.get(t.writeSchemaId).map(_._2).getOrElse(orcRowFuncNoFilter)
             case "parquet-nm" => nameRowFuncNoFilter
             case "avro"       => avroRowFuncNF
             case _ =>

@@ -43,10 +43,12 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * ("int" | "long" | "float" | "double" | "string") */
   private final case class MCol(fid: Int, var name: String, var tpe: String)
 
-  private def runSeed(seed: Int, steps: Int): Unit = {
-    val name = s"sevo_$seed"
+  private def runSeed(seed: Int, steps: Int,
+      format: String = "parquet"): Unit = {
+    val name = s"sevo_${seed}_$format"
     val fq = s"gse.db.$name"
-    spark.sql(s"CREATE TABLE $fq (id BIGINT)")
+    spark.sql(s"""CREATE TABLE $fq (id BIGINT)
+      TBLPROPERTIES ('write.format.default'='$format')""")
 
     val rng = new Random(seed)
     var nextFid = 0
@@ -188,4 +190,9 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("seeded schema-evolution fuzz, seed 5") { runSeed(5, 30) }
   test("seeded schema-evolution fuzz, seed 71") { runSeed(71, 30) }
+  // ORC resolves columns by name: renames must read write-time names
+  // through the per-write-schema readers (r9 fix)
+  test("seeded schema-evolution fuzz on ORC, seed 13") {
+    runSeed(13, 30, format = "orc")
+  }
 }
