@@ -195,4 +195,7 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("seeded schema-evolution fuzz on ORC, seed 13") {
     runSeed(13, 30, format = "orc")
   }
+  test("seeded schema-evolution fuzz on Avro, seed 17") {
+    runSeed(17, 30, format = "avro")
+  }
 }
