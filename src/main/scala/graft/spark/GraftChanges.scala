@@ -55,7 +55,12 @@ object GraftChangesTable {
       // when set: emit ONLY rows whose identifier key appears in these
       // equality-delete files (MoR equality deletes / streaming upsert)
       eqDeletePaths: Array[String] = Array.empty,
-      eqKeyPositions: Array[Int] = Array.empty) extends InputPartition
+      eqKeyPositions: Array[Int] = Array.empty,
+      // data-file format + write-time schema id: ORC resolves columns by
+      // NAME, so files written before a rename read under their
+      // write-time names through a per-schema reader
+      format: String = "parquet",
+      writeSchemaId: Int = -1) extends InputPartition
 }
 
 final class GraftChangesTable(table: GTable, fullName: String)
@@ -104,14 +109,20 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
   override def toBatch: Batch = this
   override def description(): String = s"graft-changes(${table.location})"
 
-  private def liveDataFiles(sn: Snapshot): Map[String, DataFile] =
+  // snapshotId -> the schema current at that commit (for write-time names)
+  @volatile private var schemaIds: Map[Long, Int] = Map.empty
+  private def schemaIdOf(snapshotId: Long): Int =
+    schemaIds.getOrElse(snapshotId, -1)
+
+  private def liveDataFiles(sn: Snapshot): Map[String, (DataFile, Int)] =
     ManifestIO.readList(sn.manifestListPath)
       .filter(_.content == 0)
-      .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map(_.file))
-      .map(f => f.path -> f).toMap
+      .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
+      .map(e => e.file.path -> (e.file, schemaIdOf(e.snapshotId))).toMap
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = table.refresh()
+    schemaIds = m.snapshots.flatMap(s => s.schemaId.map(s.snapshotId -> _)).toMap
     // main-branch ancestry only: snapshots staged on other branches (WAP)
     // are not published changes and must not appear in CDC output
     val ordered = m.ancestry("main").sortBy(_.sequenceNumber)
@@ -127,7 +138,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
     val tasks = Seq.newBuilder[InputPartition]
     // the range is a contiguous parent chain: each snapshot's state is the
     // next one's parent state — carry it forward instead of re-reading
-    var carried: Option[Map[String, DataFile]] = None
+    var carried: Option[Map[String, (DataFile, Int)]] = None
     range.zipWithIndex.foreach { case (sn, ordinal) =>
       val manifests = ManifestIO.readList(sn.manifestListPath)
       // data files added in this snapshot
@@ -136,7 +147,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
         .filter(e => e.status == ManifestEntryStatus.Added && e.snapshotId == sn.snapshotId)
         .foreach { e =>
           tasks += ChangeTask(e.file.path, e.file.fileSizeBytes, "INSERT",
-            ordinal, sn.snapshotId, Array.empty)
+            ordinal, sn.snapshotId, Array.empty,
+            format = e.file.format, writeSchemaId = schemaIdOf(e.snapshotId))
         }
       // position-delete files live in the PARENT state: rows they mask
       // were deleted by EARLIER snapshots and must not be re-reported by
@@ -151,16 +163,17 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       def maskFor(path: String): Array[String] =
         parentPosDeletes.filter(_.referencedDataFile.forall(_ == path))
           .map(_.path).toArray
-      val beforeOpt: Option[Map[String, DataFile]] =
+      val beforeOpt: Option[Map[String, (DataFile, Int)]] =
         carried.orElse(parentOpt.map(liveDataFiles))
       val after = liveDataFiles(sn)
       carried = Some(after)
       // data files removed vs parent (copy-on-write deletes/overwrites)
       beforeOpt.foreach { before =>
         (before.keySet -- after.keySet).foreach { path =>
-          val f = before(path)
+          val (f, ws) = before(path)
           tasks += ChangeTask(f.path, f.fileSizeBytes, "DELETE",
-            ordinal, sn.snapshotId, Array.empty, maskPaths = maskFor(path))
+            ordinal, sn.snapshotId, Array.empty, maskPaths = maskFor(path),
+            format = f.format, writeSchemaId = ws)
         }
       }
       // delete files added in this snapshot (merge-on-read)
@@ -176,19 +189,20 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
         // group known-ref deletes by target; only unknown-ref deletes fan
         // out against every live data file (reader filters by path)
         val (known, unknown) = addedDeletes.partition(_.referencedDataFile.isDefined)
-        val targets: Seq[(DataFile, Seq[DataFile])] = {
+        val targets: Seq[((DataFile, Int), Seq[DataFile])] = {
           val byRef = known.groupBy(_.referencedDataFile.get).toSeq
             .flatMap { case (p, ds) =>
               live.get(p).map(f => (f, ds ++ unknown)) }
-          val covered = byRef.map(_._1.path).toSet
+          val covered = byRef.map(_._1._1.path).toSet
           byRef ++ (if (unknown.isEmpty) Nil
-                    else live.values.filterNot(f => covered(f.path))
+                    else live.values.filterNot(f => covered(f._1.path))
                       .map(f => (f, unknown)).toSeq)
         }
-        targets.foreach { case (dataFile, deletes) =>
+        targets.foreach { case ((dataFile, ws), deletes) =>
           tasks += ChangeTask(dataFile.path, dataFile.fileSizeBytes, "DELETE",
             ordinal, sn.snapshotId, deletes.map(_.path).toArray,
-            maskPaths = maskFor(dataFile.path))
+            maskPaths = maskFor(dataFile.path),
+            format = dataFile.format, writeSchemaId = ws)
         }
       }
       // equality-delete files added in this snapshot (streaming upsert /
@@ -201,12 +215,13 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
         beforeOpt.foreach { before =>
           addedEqDeletes.groupBy(_.equalityIds).foreach { case (ids, eqFiles) =>
             val keyPos = ids.map(id => schema.posOf(id)).toArray
-            before.values.foreach { dataFile =>
+            before.values.foreach { case (dataFile, ws) =>
               tasks += ChangeTask(dataFile.path, dataFile.fileSizeBytes, "DELETE",
                 ordinal, sn.snapshotId, Array.empty,
                 maskPaths = maskFor(dataFile.path),
                 eqDeletePaths = eqFiles.map(_.path).toArray,
-                eqKeyPositions = keyPos)
+                eqKeyPositions = keyPos,
+                format = dataFile.format, writeSchemaId = ws)
             }
           }
         }
@@ -234,8 +249,28 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       new StructType(), deleteSchema, Nil,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
         "enableVectorizedReader" -> "false"), freshConf)
+    // ORC/avro data files: ORC resolves by name (per-write-schema readers
+    // for since-renamed columns, like the batch scan), avro via our own
+    // field-id reader
+    val stripped = GraftSparkTable.stripFieldIds(dataSchema)
+    val orcFmt = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+    def orcReader(st: StructType): PartitionedFile => Iterator[InternalRow] =
+      orcFmt.buildReaderWithPartitionValues(spark, st, new StructType(), st,
+        Nil, Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), freshConf)
+    val orcFunc = orcReader(stripped)
+    val cur = table.schema
+    val orcHist: Map[Int, PartitionedFile => Iterator[InternalRow]] =
+      table.meta.schemas
+        .filter(h => h.schemaId != cur.schemaId &&
+          GraftSparkTable.namesDiffer(cur, h))
+        .map(h => h.schemaId ->
+          orcReader(GraftSparkTable.translateTopNames(stripped, cur, h)))
+        .toMap
+    val avroFunc = GraftAvro.ReadFunc(dataSchema.json)
     new ChangesReaderFactory(rowFunc, deleteFunc, dataSchema,
-      graft.core.meta.TableCrypto.resolve(table.meta))
+      graft.core.meta.TableCrypto.resolve(table.meta),
+      orcFunc, orcHist, avroFunc)
   }
 
   private final class ChangesReaderFactory(
@@ -245,8 +280,21 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       // resolved at plan time and serialized into the factory, mirroring
       // the batch scan: executor-side DV reads over encrypted tables must
       // not depend on a driver-populated CryptoRegistry
-      crypto: Option[graft.core.meta.TableCrypto])
+      crypto: Option[graft.core.meta.TableCrypto],
+      orcFunc: PartitionedFile => Iterator[InternalRow],
+      orcHist: Map[Int, PartitionedFile => Iterator[InternalRow]],
+      avroFunc: PartitionedFile => Iterator[InternalRow])
     extends PartitionReaderFactory {
+
+    /** format-dispatched reader for a change task's DATA file (equality-
+      * delete files stay on the parquet rowFunc — the delta writer always
+      * writes deletes as parquet) */
+    private def dataFunc(t: ChangeTask): PartitionedFile => Iterator[InternalRow] =
+      t.format match {
+        case "orc"  => orcHist.getOrElse(t.writeSchemaId, orcFunc)
+        case "avro" => avroFunc
+        case _      => rowFunc
+      }
 
     private def pf(path: String, length: Long): PartitionedFile =
       PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), 0L,
@@ -313,19 +361,19 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
             }
             keys.addAll(cached)
           }
-          rowFunc(pf(t.path, t.length)).zipWithIndex.collect {
+          dataFunc(t)(pf(t.path, t.length)).zipWithIndex.collect {
             case (row, idx) if !masked.contains(idx.toLong) &&
               keys.contains(t.eqKeyPositions.map(p => canonical(row, p)).toSeq) => row
           }
         } else if (t.posDeletePaths.isEmpty) {
-          if (masked.isEmpty) rowFunc(pf(t.path, t.length))
-          else rowFunc(pf(t.path, t.length)).zipWithIndex.collect {
+          if (masked.isEmpty) dataFunc(t)(pf(t.path, t.length))
+          else dataFunc(t)(pf(t.path, t.length)).zipWithIndex.collect {
             case (row, idx) if !masked.contains(idx.toLong) => row
           }
         } else {
           val deleted = positionsOf(t.posDeletePaths)
           // emit ONLY the newly deleted positions — these are the removed rows
-          rowFunc(pf(t.path, t.length)).zipWithIndex.collect {
+          dataFunc(t)(pf(t.path, t.length)).zipWithIndex.collect {
             case (row, idx) if deleted.contains(idx.toLong) &&
               !masked.contains(idx.toLong) => row
           }

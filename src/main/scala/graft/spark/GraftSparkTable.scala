@@ -240,6 +240,40 @@ class GraftSparkTable(val table: GTable, fullName: String,
 }
 
 object GraftSparkTable {
+  /** drop ONLY the parquet field ids for name-based readers (ORC,
+    * name-mapped imports); EXISTS_DEFAULT etc. must survive or v3
+    * initial defaults silently stop applying */
+  private[spark] def stripFieldIds(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      mb.remove("parquet.field.id")
+      f.copy(metadata = mb.build())
+    })
+
+  /** rename `st`'s top-level fields (current names per `cur`) to their
+    * names in the historical schema `hist`, matched by field id; fields
+    * absent at write time get a unique placeholder (reads null) */
+  private[spark] def translateTopNames(
+      st: org.apache.spark.sql.types.StructType,
+      cur: graft.core.types.GSchema,
+      hist: graft.core.types.GSchema): org.apache.spark.sql.types.StructType = {
+    val histTop = hist.fields.map(f => f.id -> f.name).toMap
+    org.apache.spark.sql.types.StructType(st.fields.map { f =>
+      cur.fields.find(_.name == f.name).map(_.id) match {
+        case Some(fid) => f.copy(name = histTop.getOrElse(fid, s"__absent_$fid"))
+        case None      => f // extension column (not in the table schema)
+      }
+    })
+  }
+
+  /** true when `hist` names/field-sets differ from the current schema */
+  private[spark] def namesDiffer(cur: graft.core.types.GSchema,
+      hist: graft.core.types.GSchema): Boolean =
+    hist.fields.exists(f => cur.byId.get(f.id).exists(_.name != f.name)) ||
+      cur.fields.exists(f => !hist.byId.contains(f.id))
+
 
   val MetaFileCol = "_file"
   val MetaPosCol = "_pos"
@@ -1370,16 +1404,8 @@ object GraftSparkTable {
       // imported files (add_files/snapshot_table) have no field ids: read
       // them by NAME with the id metadata stripped (reference name-mapping,
       // schema.name-mapping.default)
-      // drop ONLY the parquet field ids (name-based formats must not id-
-      // match); EXISTS_DEFAULT and the rest of the metadata stay — wiping
-      // it all silently disabled v3 initial defaults on ORC reads
       def stripIds(st: StructType): StructType =
-        StructType(st.fields.map { f =>
-          val mb = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-          mb.remove("parquet.field.id")
-          f.copy(metadata = mb.build())
-        })
+        GraftSparkTable.stripFieldIds(st)
       lazy val nameConf = {
         val c = new org.apache.hadoop.conf.Configuration(conf)
         c.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
@@ -1436,22 +1462,11 @@ object GraftSparkTable {
       val orcHistRow: Map[Int, (PartitionedFile => Iterator[InternalRow],
           PartitionedFile => Iterator[InternalRow])] = {
         val cur = table.schema
-        def translate(st: StructType, hist: graft.core.types.GSchema): StructType = {
-          val histTop = hist.fields.map(f => f.id -> f.name).toMap
-          val named = st.fields.map { f =>
-            cur.fields.find(_.name == f.name).map(_.id) match {
-              case Some(fid) =>
-                f.copy(name = histTop.getOrElse(fid, s"__absent_$fid"))
-              case None => f // extension column (not in the table schema)
-            }
-          }
-          StructType(named)
-        }
-        def differs(hist: graft.core.types.GSchema): Boolean =
-          hist.fields.exists(f => cur.byId.get(f.id).exists(_.name != f.name)) ||
-            cur.fields.exists(f => !hist.byId.contains(f.id))
+        def translate(st: StructType, hist: graft.core.types.GSchema): StructType =
+          GraftSparkTable.translateTopNames(st, cur, hist)
         orcHistIds.flatMap { id =>
-          table.meta.schemas.find(_.schemaId == id).filter(differs).map { hist =>
+          table.meta.schemas.find(_.schemaId == id)
+            .filter(GraftSparkTable.namesDiffer(cur, _)).map { hist =>
             val full = translate(stripIds(fullSchema), hist)
             val fullNF = translate(stripIds(fullSchemaNF), hist)
             val f = orcFmt.buildReaderWithPartitionValues(spark, full,

@@ -41,12 +41,13 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def runSeed(seed: Int, partitioned: Boolean, steps: Int,
-      evolveSpec: Boolean = false): Unit = {
-    val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}"
+      evolveSpec: Boolean = false, format: String = "parquet"): Unit = {
+    val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
     val fq = s"gfz.db.$name"
     val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
     spark.sql(s"""CREATE TABLE $fq (id BIGINT, grp BIGINT, v STRING)
-      $partClause TBLPROPERTIES ('format-version'='3')""")
+      $partClause TBLPROPERTIES ('format-version'='3',
+        'write.format.default'='$format')""")
 
     val rng = new Random(seed)
     val model = mutable.LinkedHashMap.empty[Long, (Long, String)]
@@ -231,6 +232,14 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("seeded DML fuzz on a partitioned v3 table") {
     runSeed(seed = 9001, partitioned = true, steps = 30)
+  }
+
+  test("seeded DML fuzz on an ORC table") {
+    runSeed(seed = 808, partitioned = false, steps = 25, format = "orc")
+  }
+
+  test("seeded DML fuzz on an Avro table") {
+    runSeed(seed = 909, partitioned = false, steps = 25, format = "avro")
   }
 
   test("seeded DML fuzz with partition-spec evolution") {
