@@ -160,6 +160,11 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         "rewrite_manifests"
     }
 
+    // (snapshotId, model state right after the op) for time-travel checks
+    val snapshotsSeen = mutable.ArrayBuffer.empty[(Long, Seq[(Long, (Long, String))])]
+    def coreTable() =
+      new graft.core.meta.HadoopCatalog(warehouse).loadTable(Seq("db"), name).get
+
     def check(step: Int, op: String): Unit = {
       val actual = spark.sql(s"SELECT id, grp, v FROM $fq")
         .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
@@ -169,6 +174,8 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"seed=$seed partitioned=$partitioned step=$step after $op: " +
           s"table=${actual.take(8)}... (${actual.size} rows) vs " +
           s"model ${expected.take(8)}... (${expected.size} rows)")
+      coreTable().meta.currentSnapshot.foreach(s =>
+        snapshotsSeen += ((s.snapshotId, expected)))
     }
 
     // always start with data so the first DML has something to chew on
@@ -219,6 +226,21 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"seed=$seed: changelog replay diverges from final state " +
         s"(${replayed.size} vs ${model.size} rows)")
     }
+
+    // time-travel invariant: VERSION AS OF any still-retained snapshot
+    // must reproduce the model state captured right after its commit —
+    // MoR deletes, DV merges and compactions must never bleed newer
+    // state into an older snapshot's read
+    val retained = coreTable().meta.snapshots.map(_.snapshotId).toSet
+    snapshotsSeen.toSeq.reverse.distinctBy(_._1).filter(p => retained(p._1))
+      .take(12).foreach { case (sid, state) =>
+        val tt = spark.sql(s"SELECT id, grp, v FROM $fq VERSION AS OF $sid")
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+          .sortBy(_._1).toSeq
+        assert(tt == state,
+          s"seed=$seed: time travel to $sid diverges " +
+            s"(${tt.size} vs ${state.size} rows)")
+      }
 
     // end-of-life: everything still reads after a final compact + expire
     spark.sql(s"CALL gfz.system.rewrite_data_files(table => 'db.$name')")
