@@ -242,6 +242,28 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             s"(${tt.size} vs ${state.size} rows)")
       }
 
+    // metadata-table consistency: the files table must list exactly the
+    // planned data files; snapshots must mirror the metadata; the
+    // partitions table's physical row total must equal the sum of file
+    // record counts
+    val plannedPaths = coreTable().newScan().planFiles().map(_.file.path).toSet
+    // content=0: the files table also lists DELETE files (reference
+    // BaseFilesTable) — only data files appear in the scan plan
+    val filesRows = spark.sql(
+      s"SELECT file_path, record_count FROM $fq.files WHERE content = 0")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(filesRows.map(_._1).toSet == plannedPaths,
+      s"seed=$seed: files metadata table diverges from the scan plan")
+    val snapCount = spark.sql(s"SELECT count(*) FROM $fq.snapshots")
+      .collect()(0).getLong(0)
+    assert(snapCount == coreTable().meta.snapshots.size.toLong,
+      s"seed=$seed: snapshots table count $snapCount != metadata")
+    val partSum = spark.sql(s"SELECT sum(record_count) FROM $fq.partitions")
+      .collect()(0)
+    assert((if (partSum.isNullAt(0)) 0L else partSum.getLong(0)) ==
+      filesRows.map(_._2).sum,
+      s"seed=$seed: partitions record_count total diverges from files")
+
     // end-of-life: everything still reads after a final compact + expire
     spark.sql(s"CALL gfz.system.rewrite_data_files(table => 'db.$name')")
     spark.sql(s"CALL gfz.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
