@@ -270,6 +270,94 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(steps + 1, "final-compact-expire")
   }
 
+  /** Branch fuzz: main and a `dev` branch evolve through independent
+    * random DML (appends, deletes, updates on either ref); after every
+    * op BOTH refs must match their own models — no write may bleed
+    * across refs, and dropping/recreating the branch resets it to the
+    * main state it forked from. */
+  private def runBranchSeed(seed: Int, steps: Int): Unit = {
+    val name = s"bfz_$seed"
+    val fq = s"gfz.db.$name"
+    spark.sql(s"""CREATE TABLE $fq (id BIGINT, grp BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='3')""")
+    val rng = new Random(seed)
+    val main = mutable.LinkedHashMap.empty[Long, (Long, String)]
+    var branch: mutable.LinkedHashMap[Long, (Long, String)] = null
+    var nextId = 0L
+
+    def target(): (String, mutable.LinkedHashMap[Long, (Long, String)]) =
+      if (branch != null && rng.nextBoolean()) (s"$fq.branch_dev", branch)
+      else (fq, main)
+
+    def append(): String = {
+      val (tgt, model) = target()
+      val n = 1 + rng.nextInt(20)
+      val rows = (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        val grp = rng.nextInt(5).toLong
+        val v = s"b$id-${rng.nextInt(100)}"
+        model.put(id, (grp, v))
+        (id, grp, v)
+      }
+      spark.createDataFrame(rows).toDF("id", "grp", "v")
+        .coalesce(1).writeTo(tgt).append()
+      s"append($tgt, $n)"
+    }
+
+    def delete(): String = {
+      val (tgt, model) = target()
+      val m = 2 + rng.nextInt(4); val r = rng.nextInt(m)
+      spark.sql(s"DELETE FROM $tgt WHERE id % $m = $r")
+      model.filterInPlace { case (id, _) => id % m != r }
+      s"delete($tgt, id%$m=$r)"
+    }
+
+    def update(): String = {
+      val (tgt, model) = target()
+      val m = 2 + rng.nextInt(4); val r = rng.nextInt(m)
+      spark.sql(s"UPDATE $tgt SET v = concat(v, '~') WHERE id % $m = $r")
+      model.mapValuesInPlace { case (id, (g, v)) =>
+        if (id % m == r) (g, v + "~") else (g, v)
+      }
+      s"update($tgt, id%$m=$r)"
+    }
+
+    def flipBranch(): String =
+      if (branch == null) {
+        spark.sql(s"ALTER TABLE $fq CREATE BRANCH dev")
+        branch = main.clone() // forks from the current main state
+        "create-branch"
+      } else {
+        spark.sql(s"ALTER TABLE $fq DROP BRANCH dev")
+        branch = null
+        "drop-branch"
+      }
+
+    def check(step: Int, op: String): Unit = {
+      def read(tgt: String) = spark.sql(s"SELECT id, grp, v FROM $tgt")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+        .sortBy(_._1).toSeq
+      assert(read(fq) == main.toSeq.sortBy(_._1),
+        s"seed=$seed step=$step after $op: MAIN diverges")
+      if (branch != null)
+        assert(read(s"$fq.branch_dev") == branch.toSeq.sortBy(_._1),
+          s"seed=$seed step=$step after $op: BRANCH diverges")
+    }
+
+    check(0, append())
+    (1 to steps).foreach { step =>
+      val op = rng.nextInt(8) match {
+        case 0 | 1 | 2 => append()
+        case 3 | 4     => delete()
+        case 5 | 6     => update()
+        case _         => flipBranch()
+      }
+      check(step, op)
+    }
+  }
+
+  test("seeded branch DML fuzz") { runBranchSeed(321, 25) }
+
   test("seeded DML fuzz on an unpartitioned v3 table") {
     runSeed(seed = 1337, partitioned = false, steps = 30)
   }
