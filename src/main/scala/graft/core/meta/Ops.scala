@@ -422,14 +422,19 @@ object ManifestIO {
     // registry's fileKeys serve only manifest LISTS, whose DEKs live in
     // snapshot records
     val partType = spec.partitionType(schema)
-    // Entries whose partition tuple is shorter than the spec (e.g. global
-    // position deletes with partition=Nil committed under a partitioned
-    // spec) can't contribute field bounds — emit no summaries so the
-    // manifest is never pruned (conservative; reference writes such
-    // deletes under an unpartitioned spec).
+    // Summaries are only sound when EVERY live entry was written under
+    // THIS spec: a shorter tuple (global position deletes under a
+    // partitioned spec) can't contribute bounds, and a same-arity tuple
+    // from a DIFFERENT spec (mixed-spec manifests after
+    // rewrite_manifests on an evolved table) would contribute bounds
+    // with the wrong meaning — e.g. bucket ordinals summarized as
+    // identity values, silently mis-pruning. Emit no summaries in either
+    // case so the manifest is never pruned (conservative).
     val liveEntries = entries.filter(_.isLive)
     val summaries =
-      if (liveEntries.exists(_.file.partition.length < partType.fields.length)) Nil
+      if (liveEntries.exists(e =>
+        e.file.partition.length < partType.fields.length ||
+          e.file.specId != specId)) Nil
       else partType.fields.zipWithIndex.map { case (pf, i) =>
       val vals = liveEntries.map(_.file.partition(i))
       val nonNull = vals.filter(_ != null)

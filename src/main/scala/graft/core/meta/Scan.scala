@@ -127,15 +127,27 @@ object TableScan {
   /** Prune one data manifest's entries to FileScanTasks (runs on the
     * driver's fork-join pool or inside a Spark job). */
   def planManifest(ctx: PlanContext, mf: ManifestFile): Seq[FileScanTask] = {
-    val spec = ctx.specs(mf.specId)
-    val partPred = ctx.partPreds(mf.specId)
     ManifestIO.readEntries(mf, ctx.crypto).filter(_.isLive).flatMap { e =>
+      // resolve the spec per FILE, not per manifest: rewrite_manifests /
+      // compaction can place entries written under an older spec inside a
+      // manifest labeled with the current one, so the file's partition
+      // tuple may not match the manifest spec's shape. When the file's
+      // spec is unknown or its tuple doesn't match, skip partition
+      // pruning entirely (conservative) — the row-level residual still
+      // applies the full predicate.
+      val fSpec = ctx.specs.get(e.file.specId)
+        .filter(_.fields.length == e.file.partition.length)
       val partRow = ArrayRow(e.file.partition.toArray)
-      val keep = RowEvaluator.eval(partPred, partRow) &&
+      val partKeep = fSpec.forall(sp =>
+        RowEvaluator.eval(ctx.partPreds.getOrElse(sp.specId, TrueE), partRow))
+      val keep = partKeep &&
         InclusiveMetricsEvaluator.rowsMightMatch(ctx.bound, e.file.fileStats)
       if (!keep) None
       else {
-        val residual = Projections.residual(spec, ctx.schema, ctx.bound, partRow)
+        val residual = fSpec match {
+          case Some(sp) => Projections.residual(sp, ctx.schema, ctx.bound, partRow)
+          case None     => ctx.bound
+        }
         if (residual == FalseE) None
         else Some(FileScanTask(e.file, 0L, e.file.fileSizeBytes, residual,
           ctx.deleteIndex.forDataFile(e.dataSequenceNumber, e.file),
@@ -284,9 +296,13 @@ final class TableScan(table: GTable) {
     // live-file counts come from manifest metadata — no extra IO
     rptTotalDataFiles = dataManifests
       .map(mf => mf.addedFilesCount.toLong + mf.existingFilesCount).sum
+    // EVERY table spec, not just the manifest-declared ones: entries can
+    // carry files written under a spec no surviving manifest is labeled
+    // with (rewrite_manifests regroups them under the current spec)
+    val allSpecIds = (specIds ++ m.specs.map(_.specId)).distinct
     val ctx = PlanContext(schema, bound,
-      specIds.map(id => id -> m.specById(id)).toMap,
-      specIds.map(id => id -> partPred(id)).toMap,
+      allSpecIds.map(id => id -> m.specById(id)).toMap,
+      allSpecIds.map(id => id -> partPred(id)).toMap,
       new DeleteFileIndex(deleteEntries, schema),
       TableCrypto.resolve(m),
       snapshotSchema = m.snapshots

@@ -375,6 +375,6 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("seeded DML fuzz with partition-spec evolution") {
-    runSeed(seed = 424242, partitioned = true, steps = 30, evolveSpec = true)
+    runSeed(seed = 60005, partitioned = true, steps = 40, evolveSpec = true)
   }
 }
