@@ -1197,17 +1197,23 @@ object GraftSparkTable {
       // differ need per-schema readers (row path); they also disqualify
       // the scan-wide ORC batch reader below
       val curSchemaId = table.schema.schemaId
-      val orcHistIds: Seq[Int] =
+      def histIdsFor(fmtName: String, conservativeAll: Boolean): Seq[Int] =
         if (conservative)
           // streaming factory: tasks aren't known up front — prebuild for
-          // every differing schema, but only when the table writes ORC
-          (if (table.meta.properties.get("write.format.default").contains("orc"))
+          // every differing schema when the format can plausibly appear
+          (if (conservativeAll)
             table.meta.schemas.map(_.schemaId).filter(_ != curSchemaId)
           else Nil)
         else ts.iterator
-          .filter(t => t.file.format == "orc" &&
+          .filter(t => t.file.format == fmtName &&
             t.writeSchemaId >= 0 && t.writeSchemaId != curSchemaId)
           .map(_.writeSchemaId).toSeq.distinct
+      val orcHistIds: Seq[Int] = histIdsFor("orc",
+        table.meta.properties.get("write.format.default").contains("orc"))
+      // imported parquet (no field ids, resolved by name): the file's
+      // names equal the import-time schema names, so the same per-write-
+      // schema translation makes renames exact here too
+      val nmHistIds: Seq[Int] = histIdsFor("parquet-nm", conservativeAll = true)
       val allOrc = ts.nonEmpty && ts.forall(_.file.format == "orc") &&
         orcHistIds.isEmpty
       // shredded metadata columns stay columnar only when EVERY planned
@@ -1481,6 +1487,29 @@ object GraftSparkTable {
           }
         }.toMap
       }
+      // same, for name-resolved imported parquet (field-id matching off)
+      val nmHistRow: Map[Int, (PartitionedFile => Iterator[InternalRow],
+          PartitionedFile => Iterator[InternalRow])] = {
+        val cur = table.schema
+        nmHistIds.flatMap { id =>
+          table.meta.schemas.find(_.schemaId == id)
+            .filter(GraftSparkTable.namesDiffer(cur, _)).map { hist =>
+            def tr(st: StructType): StructType =
+              GraftSparkTable.translateTopNames(st, cur, hist)
+            val f = fmt.buildReaderWithPartitionValues(spark,
+              tr(stripIds(fullSchema)), new StructType(),
+              tr(stripIds(dataRequiredBin)), Nil,
+              Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+                "enableVectorizedReader" -> "false"), freshNameConf)
+            val fNF = fmt.buildReaderWithPartitionValues(spark,
+              tr(stripIds(fullSchemaNF)), new StructType(),
+              tr(stripIds(dataReadNFBin)), Nil,
+              Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+                "enableVectorizedReader" -> "false"), freshNameConf)
+            id -> (f, fNF)
+          }
+        }.toMap
+      }
       // avro data files: our own sync-splittable row reader (no spark-avro
       // connector on this classpath); filters re-applied by Spark above.
       // These broadcast nothing — cheap to construct when avro is present.
@@ -1501,6 +1530,7 @@ object GraftSparkTable {
         if (allOrc) orcBatchFuncNoFilter else batchFuncNoFilter,
         orcRowFunc, orcRowFuncNoFilter,
         orcHistRow = orcHistRow,
+        nmHistRow = nmHistRow,
         defaultSpecId = table.spec.specId,
         partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray,
         avroRowFunc = avroRowFunc, avroFullFunc = avroFullFunc,
@@ -1594,6 +1624,8 @@ object GraftSparkTable {
       // per-write-schema ORC readers (filtered / no-filter): files written
       // before a rename resolve columns by their write-time names
       orcHistRow: Map[Int, (PartitionedFile => Iterator[InternalRow],
+        PartitionedFile => Iterator[InternalRow])] = Map.empty,
+      nmHistRow: Map[Int, (PartitionedFile => Iterator[InternalRow],
         PartitionedFile => Iterator[InternalRow])] = Map.empty,
       defaultSpecId: Int = 0,
       partTypes: Array[GType] = Array.empty,
@@ -2123,7 +2155,8 @@ object GraftSparkTable {
           val f = t.fileFormat match {
             case "orc" =>
               orcHistRow.get(t.writeSchemaId).map(_._1).getOrElse(orcRowFunc)
-            case "parquet-nm" => nameRowFunc
+            case "parquet-nm" =>
+              nmHistRow.get(t.writeSchemaId).map(_._1).getOrElse(nameRowFunc)
             case "avro"       => avroRowFunc
             case _ =>
               if (!hasShred) rowFunc
@@ -2142,7 +2175,8 @@ object GraftSparkTable {
           val f = t.fileFormat match {
             case "orc" =>
               orcHistRow.get(t.writeSchemaId).map(_._2).getOrElse(orcRowFuncNoFilter)
-            case "parquet-nm" => nameRowFuncNoFilter
+            case "parquet-nm" =>
+              nmHistRow.get(t.writeSchemaId).map(_._2).getOrElse(nameRowFuncNoFilter)
             case "avro"       => avroRowFuncNF
             case _ =>
               if (!hasShred) rowFuncNoFilter

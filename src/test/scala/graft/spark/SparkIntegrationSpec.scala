@@ -966,6 +966,19 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.getInt(0) === 1 && res.getLong(1) === 50L)
     assert(spark.sql("SELECT count(*), min(id), max(id) FROM graft.db.imported")
       .collect()(0).toSeq === Seq(50L, 0L, 49L))
+
+    // imported files carry no field ids and resolve by NAME: a rename
+    // must keep reading them under their import-time names (per-write-
+    // schema translation, like ORC) — previously this read all-null
+    spark.sql("ALTER TABLE graft.db.imported RENAME COLUMN v TO label")
+    val renamed = spark.sql(
+      "SELECT label FROM graft.db.imported WHERE id = 7").collect()
+    assert(renamed.map(_.getString(0)).toSeq === Seq("x7"),
+      s"imported column lost after rename: ${renamed.mkString(",")}")
+    // and a filter on the renamed column still prunes correctly
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.imported WHERE label = 'x11'")
+      .collect()(0).getLong(0) === 1L)
   }
 
   test("catalog-stored SQL views: create, read, replace, drop") {
