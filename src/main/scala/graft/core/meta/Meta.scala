@@ -57,7 +57,14 @@ final case class ManifestEntry(
     status: Int,
     snapshotId: Long,
     dataSequenceNumber: Long,
-    file: DataFile) {
+    file: DataFile,
+    // schema id current when the FILE was written, persisted in the
+    // entry so it survives snapshot expiry (the adding snapshot — the
+    // only other source — may no longer exist). Name-resolved formats
+    // (ORC, imported parquet) need it to read since-renamed columns
+    // under their write-time names. None on entries written before r9;
+    // planning then falls back to the snapshot lookup.
+    writeSchemaId: Option[Int] = None) {
   def isLive: Boolean = status != ManifestEntryStatus.Deleted
 }
 

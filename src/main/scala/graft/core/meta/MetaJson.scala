@@ -229,6 +229,7 @@ object MetaJson {
     val o = mapper.createObjectNode()
     o.put("status", e.status).put("snapshot-id", e.snapshotId)
       .put("sequence-number", e.dataSequenceNumber)
+    e.writeSchemaId.foreach(o.put("write-schema-id", _))
     o.set[JsonNode]("file", writeDataFile(e.file))
     mapper.writeValueAsString(o)
   }
@@ -236,7 +237,8 @@ object MetaJson {
   def readEntry(line: String): ManifestEntry = {
     val n = mapper.readTree(line)
     ManifestEntry(n.get("status").asInt(), n.get("snapshot-id").asLong(),
-      n.get("sequence-number").asLong(), readDataFile(n.get("file")))
+      n.get("sequence-number").asLong(), readDataFile(n.get("file")),
+      writeSchemaId = Option(n.get("write-schema-id")).map(_.asInt()))
   }
 
   // ------------------------------------------------------------- manifest list

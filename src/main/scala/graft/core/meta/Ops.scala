@@ -402,13 +402,25 @@ object ManifestIO {
     // store relative (the manifest lives in {location}/metadata/, so the
     // base is recoverable at read time); foreign paths stay absolute
     val base = GraftIO.metadataBase(path)
-    def store(e: ManifestEntry): ManifestEntry = base match {
-      case Some(b) =>
-        e.copy(file = e.file.copy(
-          path = GraftIO.relativize(e.file.path, b),
-          referencedDataFile = e.file.referencedDataFile
-            .map(GraftIO.relativize(_, b))))
-      case _ => e
+    // freshly added files were written under the CURRENT schema: stamp it
+    // so name-resolved readers keep working after the snapshot expires.
+    // Carried (Existing) entries keep their stored value — or None for
+    // pre-r9 manifests, which falls back to the snapshot lookup.
+    def stamp(e: ManifestEntry): ManifestEntry =
+      if (e.writeSchemaId.isEmpty && e.status == ManifestEntryStatus.Added &&
+        e.snapshotId == snapshotId)
+        e.copy(writeSchemaId = Some(schema.schemaId))
+      else e
+    def store(e0: ManifestEntry): ManifestEntry = {
+      val e = stamp(e0)
+      base match {
+        case Some(b) =>
+          e.copy(file = e.file.copy(
+            path = GraftIO.relativize(e.file.path, b),
+            referencedDataFile = e.file.referencedDataFile
+              .map(GraftIO.relativize(_, b))))
+        case _ => e
+      }
     }
     val sb = new StringBuilder
     entries.foreach { e => sb.append(MetaJson.writeEntry(store(e))).append('\n') }

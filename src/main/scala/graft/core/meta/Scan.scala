@@ -152,7 +152,8 @@ object TableScan {
         else Some(FileScanTask(e.file, 0L, e.file.fileSizeBytes, residual,
           ctx.deleteIndex.forDataFile(e.dataSequenceNumber, e.file),
           e.dataSequenceNumber,
-          writeSchemaId = ctx.snapshotSchema.getOrElse(e.snapshotId, -1)))
+          writeSchemaId = e.writeSchemaId
+            .getOrElse(ctx.snapshotSchema.getOrElse(e.snapshotId, -1))))
       }
     }
   }

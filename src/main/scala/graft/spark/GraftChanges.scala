@@ -118,7 +118,12 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
     ManifestIO.readList(sn.manifestListPath)
       .filter(_.content == 0)
       .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
-      .map(e => e.file.path -> (e.file, schemaIdOf(e.snapshotId))).toMap
+      .map(e => e.file.path ->
+        (e.file, e.writeSchemaId.getOrElse(schemaIdOf(e.snapshotId)))).toMap
+
+  // formats present in the planned tasks: lets the reader factory skip
+  // building ORC/Avro/name-based readers for pure-parquet tables
+  @volatile private var plannedFormats: Set[String] = null
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = table.refresh()
@@ -148,7 +153,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
         .foreach { e =>
           tasks += ChangeTask(e.file.path, e.file.fileSizeBytes, "INSERT",
             ordinal, sn.snapshotId, Array.empty,
-            format = e.file.format, writeSchemaId = schemaIdOf(e.snapshotId))
+            format = e.file.format,
+            writeSchemaId = e.writeSchemaId.getOrElse(schemaIdOf(e.snapshotId)))
         }
       // position-delete files live in the PARENT state: rows they mask
       // were deleted by EARLIER snapshots and must not be re-reported by
@@ -227,7 +233,9 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
         }
       }
     }
-    tasks.result().toArray
+    val out = tasks.result().toArray
+    plannedFormats = out.map(_.asInstanceOf[ChangeTask].format).toSet
+    out
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -249,28 +257,48 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       new StructType(), deleteSchema, Nil,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
         "enableVectorizedReader" -> "false"), freshConf)
-    // ORC/avro data files: ORC resolves by name (per-write-schema readers
-    // for since-renamed columns, like the batch scan), avro via our own
-    // field-id reader
+    // ORC and imported-parquet data files resolve by NAME (per-write-
+    // schema readers for since-renamed columns, like the batch scan),
+    // avro via our own field-id reader. Only built for formats the plan
+    // actually contains — a pure-parquet changelog pays nothing extra.
+    val fmts = Option(plannedFormats)
+      .getOrElse(Set("parquet", "parquet-nm", "orc", "avro"))
     val stripped = GraftSparkTable.stripFieldIds(dataSchema)
-    val orcFmt = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
-    def orcReader(st: StructType): PartitionedFile => Iterator[InternalRow] =
-      orcFmt.buildReaderWithPartitionValues(spark, st, new StructType(), st,
-        Nil, Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
-          "enableVectorizedReader" -> "false"), freshConf)
-    val orcFunc = orcReader(stripped)
     val cur = table.schema
-    val orcHist: Map[Int, PartitionedFile => Iterator[InternalRow]] =
-      table.meta.schemas
-        .filter(h => h.schemaId != cur.schemaId &&
-          GraftSparkTable.namesDiffer(cur, h))
-        .map(h => h.schemaId ->
-          orcReader(GraftSparkTable.translateTopNames(stripped, cur, h)))
-        .toMap
-    val avroFunc = GraftAvro.ReadFunc(dataSchema.json)
+    lazy val nameDiffering = table.meta.schemas
+      .filter(h => h.schemaId != cur.schemaId &&
+        GraftSparkTable.namesDiffer(cur, h))
+    // field-id matching OFF for the name-based formats
+    lazy val nameConf = {
+      val c = freshConf
+      c.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+      c
+    }
+    val orcFmt = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+    def reader(isOrc: Boolean)(st: StructType)
+        : PartitionedFile => Iterator[InternalRow] = {
+      val opts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+        "enableVectorizedReader" -> "false")
+      if (isOrc) orcFmt.buildReaderWithPartitionValues(spark, st,
+        new StructType(), st, Nil, opts, nameConf)
+      else fmt.buildReaderWithPartitionValues(spark, st,
+        new StructType(), st, Nil, opts, nameConf)
+    }
+    def funcsFor(isOrc: Boolean): (PartitionedFile => Iterator[InternalRow],
+        Map[Int, PartitionedFile => Iterator[InternalRow]]) =
+      (reader(isOrc)(stripped),
+        nameDiffering.map(h => h.schemaId -> reader(isOrc)(
+          GraftSparkTable.translateTopNames(stripped, cur, h))).toMap)
+    val (orcFunc, orcHist) =
+      if (fmts("orc")) funcsFor(isOrc = true) else (null, Map.empty[Int,
+        PartitionedFile => Iterator[InternalRow]])
+    val (nmFunc, nmHist) =
+      if (fmts("parquet-nm")) funcsFor(isOrc = false) else (null, Map.empty[Int,
+        PartitionedFile => Iterator[InternalRow]])
+    val avroFunc = if (fmts("avro")) GraftAvro.ReadFunc(dataSchema.json) else null
     new ChangesReaderFactory(rowFunc, deleteFunc, dataSchema,
       graft.core.meta.TableCrypto.resolve(table.meta),
-      orcFunc, orcHist, avroFunc)
+      orcFunc, orcHist, avroFunc, nmFunc, nmHist)
   }
 
   private final class ChangesReaderFactory(
@@ -283,7 +311,9 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       crypto: Option[graft.core.meta.TableCrypto],
       orcFunc: PartitionedFile => Iterator[InternalRow],
       orcHist: Map[Int, PartitionedFile => Iterator[InternalRow]],
-      avroFunc: PartitionedFile => Iterator[InternalRow])
+      avroFunc: PartitionedFile => Iterator[InternalRow],
+      nmFunc: PartitionedFile => Iterator[InternalRow],
+      nmHist: Map[Int, PartitionedFile => Iterator[InternalRow]])
     extends PartitionReaderFactory {
 
     /** format-dispatched reader for a change task's DATA file (equality-
@@ -291,9 +321,10 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       * writes deletes as parquet) */
     private def dataFunc(t: ChangeTask): PartitionedFile => Iterator[InternalRow] =
       t.format match {
-        case "orc"  => orcHist.getOrElse(t.writeSchemaId, orcFunc)
-        case "avro" => avroFunc
-        case _      => rowFunc
+        case "orc"        => orcHist.getOrElse(t.writeSchemaId, orcFunc)
+        case "parquet-nm" => nmHist.getOrElse(t.writeSchemaId, nmFunc)
+        case "avro"       => avroFunc
+        case _            => rowFunc
       }
 
     private def pf(path: String, length: Long): PartitionedFile =

@@ -1742,11 +1742,10 @@ object RewriteDataFiles {
     val spark = SparkSession.active
     val schemaWithIds = graft.core.types.SparkTypes.toSparkSchema(t.schema)
     // the group reads below go through DataFrameReader with the CURRENT
-    // table schema; columns renamed since a file was written only resolve
-    // by field id, and Spark's parquet source consults the SESSION conf
-    // for that (per-relation options are ignored) — without it a
-    // rename-then-compact silently nulls the column's values
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // table schema. Columns renamed since a file was written resolve by
+    // NAME through per-write-schema translated read schemas (below) —
+    // never via the session-wide parquet field-id conf, which would leak
+    // to unrelated queries and break field-id-less imported files.
     val scan = t.newScan()
     // `where` restricts the rewrite to files that MAY match (inclusive
     // metadata pruning — file selection, not row filtering)
@@ -1896,48 +1895,51 @@ object RewriteDataFiles {
       val readSchema = org.apache.spark.sql.types.StructType(
         schemaWithIds.fields ++ lineageFields)
       // per-format reads with __f/__p path+position columns (file-source
-      // formats via _metadata, avro via the reader itself). ORC resolves
-      // columns by NAME, so files written before a rename are grouped by
-      // their write-time schema and read under those names (then put back
-      // under the current ones) — parquet needs none of this (field ids).
-      def orcHistNames(schemaId: Int): Option[Seq[String]] =
-        t.meta.schemas.find(_.schemaId == schemaId).map { hist =>
-          val histTop = hist.fields.map(f => f.id -> f.name).toMap
-          readSchema.fields.toSeq.map { f =>
-            t.meta.schema.fields.find(_.name == f.name).map(_.id) match {
-              case Some(fid) => histTop.getOrElse(fid, s"__absent_$fid")
-              case None      => f.name // lineage extension columns
-            }
-          }
-        }
-      val raw = ts.groupBy(ft =>
-          (ft.file.format,
-            if (ft.file.format == "orc") ft.writeSchemaId else -1))
+      // formats via _metadata, avro via the reader itself). ALL name-
+      // resolved reads (ORC always; parquet resolves by name here too —
+      // no session field-id conf) group files by their WRITE-TIME schema
+      // and read under those names, then restore the current ones
+      // positionally; a file's names equal its write schema's names by
+      // construction (our writers and add_files imports alike).
+      def histSchema(schemaId: Int): Option[org.apache.spark.sql.types.StructType] =
+        if (schemaId < 0 || schemaId == t.meta.currentSchemaId) None
+        else t.meta.schemas.find(_.schemaId == schemaId)
+          .filter(GraftSparkTable.namesDiffer(t.meta.schema, _))
+          .map(h => GraftSparkTable.translateTopNames(readSchema, t.meta.schema, h))
+      val raw = ts.groupBy(ft => (ft.file.format, ft.writeSchemaId))
         .map { case ((f, schemaId), fts) =>
         import org.apache.spark.sql.functions.col
         if (f == "avro")
           GraftAvro.readToDf(spark, fts.map(_.file.path), readSchema, withPos = true)
         else if (f == "orc") {
-          // ORC: Spark's _metadata exposes no row_index, and columns
-          // resolve by NAME — read each file whole on an executor (like
-          // the scan's position path), under its write-time names,
+          // ORC: Spark's _metadata exposes no row_index — read each file
+          // whole on an executor (like the scan's position path),
           // emitting positions from the row iterator
-          val fileSchema = (if (schemaId >= 0 &&
-              schemaId != t.meta.currentSchemaId) orcHistNames(schemaId)
-            else None) match {
-            case Some(ns) => org.apache.spark.sql.types.StructType(
-              readSchema.fields.zip(ns).map { case (fld, n) => fld.copy(name = n) })
-            case None => readSchema
-          }
-          orcReadToDf(spark, fts.map(_.file.path), readSchema, fileSchema)
+          orcReadToDf(spark, fts.map(_.file.path), readSchema,
+            histSchema(schemaId).getOrElse(readSchema))
         } else {
-          val rdr = spark.read.schema(readSchema)
+          val rdrSchema = histSchema(schemaId).getOrElse(readSchema)
+          // strip field ids: parquet-nm imports have none, and name
+          // resolution is what the write-schema grouping relies on
+          val rdr = spark.read.schema(GraftSparkTable.stripFieldIds(rdrSchema))
             .options(GraftParquetCrypto.readOptions(t.meta))
-          rdr.parquet(fts.map(_.file.path): _*).select(col("*"),
+          val base0 = rdr.parquet(fts.map(_.file.path): _*)
+          val base =
+            if (rdrSchema eq readSchema) base0
+            else base0.toDF(readSchema.fieldNames.toIndexedSeq: _*)
+          base.select(col("*"),
             col("_metadata.file_path").as("__f"),
             col("_metadata.row_index").as("__p"))
         }
       }.reduce(_ union _)
+        // restore the field-id metadata the name-based reads stripped:
+        // the staging write takes parquet field ids from the DataFrame
+        // schema, and files written without them read as null in the
+        // id-resolving scan
+        .select(readSchema.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)) ++
+          Seq(org.apache.spark.sql.functions.col("__f"),
+            org.apache.spark.sql.functions.col("__p")): _*)
       val df1pre =
         if (!anyDeletes) raw
         else {

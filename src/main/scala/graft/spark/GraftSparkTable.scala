@@ -832,7 +832,8 @@ object GraftSparkTable {
             .filter(e => e.status == 1 && e.snapshotId == sn.snapshotId)
             .filter(e => InclusiveMetricsEvaluator.rowsMightMatch(bound, e.file.fileStats))
             .map(e => FileScanTask(e.file, 0L, e.file.fileSizeBytes, TrueE, Nil,
-              writeSchemaId = sn.schemaId.getOrElse(-1)))
+              writeSchemaId =
+                e.writeSchemaId.orElse(sn.schemaId).getOrElse(-1)))
         }
     }
 
@@ -1197,23 +1198,28 @@ object GraftSparkTable {
       // differ need per-schema readers (row path); they also disqualify
       // the scan-wide ORC batch reader below
       val curSchemaId = table.schema.schemaId
-      def histIdsFor(fmtName: String, conservativeAll: Boolean): Seq[Int] =
-        if (conservative)
+      // only schemas whose NAMES differ need translated readers: a type
+      // widen or added column bumps the schema id without renaming, and
+      // must not disqualify the vectorized ORC batch path below
+      def namesDifferAt(id: Int): Boolean =
+        table.meta.schemas.find(_.schemaId == id)
+          .exists(GraftSparkTable.namesDiffer(table.schema, _))
+      def histIdsFor(fmtName: String): Seq[Int] =
+        (if (conservative)
           // streaming factory: tasks aren't known up front — prebuild for
-          // every differing schema when the format can plausibly appear
-          (if (conservativeAll)
-            table.meta.schemas.map(_.schemaId).filter(_ != curSchemaId)
-          else Nil)
+          // every name-differing schema (any format can appear via the
+          // per-write write-format option, not just the table default)
+          table.meta.schemas.map(_.schemaId).filter(_ != curSchemaId)
         else ts.iterator
           .filter(t => t.file.format == fmtName &&
             t.writeSchemaId >= 0 && t.writeSchemaId != curSchemaId)
-          .map(_.writeSchemaId).toSeq.distinct
-      val orcHistIds: Seq[Int] = histIdsFor("orc",
-        table.meta.properties.get("write.format.default").contains("orc"))
+          .map(_.writeSchemaId).toSeq.distinct)
+          .filter(namesDifferAt)
+      val orcHistIds: Seq[Int] = histIdsFor("orc")
       // imported parquet (no field ids, resolved by name): the file's
       // names equal the import-time schema names, so the same per-write-
       // schema translation makes renames exact here too
-      val nmHistIds: Seq[Int] = histIdsFor("parquet-nm", conservativeAll = true)
+      val nmHistIds: Seq[Int] = histIdsFor("parquet-nm")
       val allOrc = ts.nonEmpty && ts.forall(_.file.format == "orc") &&
         orcHistIds.isEmpty
       // shredded metadata columns stay columnar only when EVERY planned
@@ -1487,6 +1493,37 @@ object GraftSparkTable {
           }
         }.toMap
       }
+      // full-schema (equality-masking) readers for the name-resolved
+      // formats, keyed by (format, writeSchemaId); -1 = current names.
+      // Without these, an ORC or imported file carrying equality deletes
+      // fell through to the parquet full reader and crashed.
+      val nameFullRow: Map[(String, Int), PartitionedFile => Iterator[InternalRow]] = {
+        if (!anyEq) Map.empty
+        else {
+          val fullEq =
+            if (wantLineage) StructType(fullSchema.fields ++ lineageReadFields)
+            else fullSchema
+          val rowOpts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+            "enableVectorizedReader" -> "false")
+          def mk(fmtName: String, st: StructType)
+              : PartitionedFile => Iterator[InternalRow] =
+            if (fmtName == "orc")
+              orcFmt.buildReaderWithPartitionValues(spark, st,
+                new StructType(), st, Nil, rowOpts, freshNameConf)
+            else fmt.buildReaderWithPartitionValues(spark, st,
+              new StructType(), st, Nil, rowOpts, freshNameConf)
+          Seq("orc" -> orcHistIds, "parquet-nm" -> nmHistIds)
+            .filter { case (n, _) => formats(n) }
+            .flatMap { case (n, ids) =>
+              val base = ((n, -1) -> mk(n, stripIds(fullEq)))
+              val hist = ids.flatMap(id =>
+                table.meta.schemas.find(_.schemaId == id).map(h => (n, id) ->
+                  mk(n, GraftSparkTable.translateTopNames(
+                    stripIds(fullEq), table.schema, h))))
+              base +: hist
+            }.toMap
+        }
+      }
       // same, for name-resolved imported parquet (field-id matching off)
       val nmHistRow: Map[Int, (PartitionedFile => Iterator[InternalRow],
           PartitionedFile => Iterator[InternalRow])] = {
@@ -1531,6 +1568,7 @@ object GraftSparkTable {
         orcRowFunc, orcRowFuncNoFilter,
         orcHistRow = orcHistRow,
         nmHistRow = nmHistRow,
+        nameFullRow = nameFullRow,
         defaultSpecId = table.spec.specId,
         partTypes = table.spec.partitionType(table.schema).fields.map(_.tpe).toArray,
         avroRowFunc = avroRowFunc, avroFullFunc = avroFullFunc,
@@ -1627,6 +1665,10 @@ object GraftSparkTable {
         PartitionedFile => Iterator[InternalRow])] = Map.empty,
       nmHistRow: Map[Int, (PartitionedFile => Iterator[InternalRow],
         PartitionedFile => Iterator[InternalRow])] = Map.empty,
+      // full-schema eq-masking readers for name-based formats, keyed by
+      // (format, writeSchemaId); (format, -1) = current names
+      nameFullRow: Map[(String, Int), PartitionedFile => Iterator[InternalRow]] =
+        Map.empty,
       defaultSpecId: Int = 0,
       partTypes: Array[GType] = Array.empty,
       avroRowFunc: PartitionedFile => Iterator[InternalRow] = null,
@@ -1806,6 +1848,9 @@ object GraftSparkTable {
       val nFull = fullSchema.length
       val dataFull =
         if (t.fileFormat == "avro") { if (lineageExt) avroFullLin else avroFullFunc }
+        else if (t.fileFormat == "orc" || t.fileFormat == "parquet-nm")
+          nameFullRow.getOrElse((t.fileFormat, t.writeSchemaId),
+            nameFullRow((t.fileFormat, -1)))
         else if (lineageExt) rowFuncFullLin
         else rowFuncFull
       dataFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {

@@ -417,8 +417,13 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
           case (k, v) if k == "write.parquet.bloom-filter-adaptive-enabled" =>
             job.getConfiguration.set("parquet.bloom.filter.adaptive.enabled", v)
         }
-        new ParquetFileFormat().prepareWrite(spark, job,
+        val w = new ParquetFileFormat().prepareWrite(spark, job,
           Map("compression" -> codec), fileSchema)
+        // prepareWrite copies the SESSION field-id flag over ours —
+        // graft files must ALWAYS carry field ids, whatever the session
+        job.getConfiguration
+          .setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+        w
     }
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
@@ -490,6 +495,9 @@ object GraftUpsertWriterFactory {
     val job = Job.getInstance(conf)
     val owf = new ParquetFileFormat().prepareWrite(spark, job,
       Map("compression" -> "snappy"), eqStruct)
+    // re-force after prepareWrite (it copies the session flag)
+    job.getConfiguration
+      .setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     new GraftUpsertWriterFactory(inner, table.location, eqStruct.json,
@@ -965,9 +973,13 @@ final class GraftDeltaBatchWrite(table: GTable, branchPin: Option[String] = None
     table.meta.properties.get("write.target-file-rows")
       .foreach(dataJob.getConfiguration.set("graft.write.target-file-rows", _))
     val dataOwf = new ParquetFileFormat().prepareWrite(spark, dataJob, codec, writeSchema)
+    dataJob.getConfiguration
+      .setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     val delJob = Job.getInstance(conf)
     val delOwf = new ParquetFileFormat()
       .prepareWrite(spark, delJob, codec, GraftDeltaWriter.DeleteSchema)
+    delJob.getConfiguration
+      .setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     val confMap = dataJob.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     // the delete writer needs the conf prepareWrite populated with the
@@ -1241,6 +1253,9 @@ final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = No
     val job = Job.getInstance(conf)
     val owf = new ParquetFileFormat().prepareWrite(spark, job,
       Map("compression" -> "snappy"), eqStruct)
+    // re-force after prepareWrite (it copies the session flag)
+    job.getConfiguration
+      .setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     val confMap = job.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     // UPDATE/MERGE also write replacement rows: a full-schema data
@@ -1257,6 +1272,8 @@ final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = No
     table.meta.properties.get("write.target-file-rows")
       .foreach(dataJob.getConfiguration.set("graft.write.target-file-rows", _))
     val dataOwf = new ParquetFileFormat().prepareWrite(spark, dataJob, codec, writeSchema)
+    dataJob.getConfiguration
+      .setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     val dataConfMap = dataJob.getConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     new GraftEqDeltaWriterFactory(table.location, eqStruct.json, confMap,

@@ -1,0 +1,102 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regressions for the name-resolved formats (ORC, imported parquet)
+  * across schema evolution corners the fuzz doesn't line up on its own:
+  * rename surviving snapshot EXPIRY (write-schema ids persisted in
+  * manifest entries), compaction of imported field-id-less files, and
+  * equality deletes over ORC data files. */
+class NameFormatEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("graft-nfe-wh").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-name-format-evolution")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.gnf", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.gnf.warehouse", warehouse)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnf.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("ORC rename survives snapshot expiry and compaction") {
+    spark.sql("""CREATE TABLE gnf.db.oex (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("SELECT id, concat('e-', string(id)) AS v FROM range(0, 6)")
+      .coalesce(1).writeTo("gnf.db.oex").append()
+    spark.sql("ALTER TABLE gnf.db.oex RENAME COLUMN v TO label")
+    // the adding snapshot disappears — the entry-stored write schema id
+    // must keep resolving the write-time name
+    spark.sql("INSERT INTO gnf.db.oex VALUES (100, 'new')")
+    spark.sql("CALL gnf.system.expire_snapshots(table => 'db.oex', retain_last => 1)")
+    def labels() = spark.sql("SELECT label FROM gnf.db.oex WHERE id < 6 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels() == (0 until 6).map(i => s"e-$i"),
+      s"pre-rename ORC values lost after expire: ${labels()}")
+    // compaction must bake the VALUES, not nulls, into the new files
+    spark.sql("CALL gnf.system.rewrite_data_files(table => 'db.oex')")
+    assert(labels() == (0 until 6).map(i => s"e-$i"),
+      s"pre-rename ORC values lost after compaction: ${labels()}")
+  }
+
+  test("imported parquet compacts and streams through CDC after a rename") {
+    val ext = Files.createTempDirectory("nfe-ext").toString
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    spark.range(0, 8).selectExpr("id", "concat('i-', string(id)) AS v")
+      .coalesce(1).write.parquet(s"$ext/b1")
+    spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    spark.sql("CREATE TABLE gnf.db.imp (id BIGINT, v STRING)")
+    spark.sql(s"CALL gnf.system.add_files('db.imp', '$ext/b1')")
+    spark.sql("ALTER TABLE gnf.db.imp RENAME COLUMN v TO txt")
+    // changelog read over the imported (field-id-less) file
+    val ch = spark.read.table("gnf.db.imp.changes")
+      .selectExpr("id", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(ch == (0L until 8L).map(i => (i, s"i-$i")),
+      s"changelog over imported file after rename: $ch")
+    // compaction of imported files (no field ids) with the renamed schema
+    spark.sql("SELECT id, concat('i-', string(id)) AS txt FROM range(8, 10)")
+      .coalesce(1).writeTo("gnf.db.imp").append()
+    spark.sql(
+      "CALL gnf.system.rewrite_data_files(table => 'db.imp', min_input_files => 2)")
+    val all = spark.sql("SELECT id, txt FROM gnf.db.imp ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(all == (0L until 10L).map(i => (i, s"i-$i")),
+      s"imported values lost in compaction: $all")
+  }
+
+  test("equality deletes over an ORC table mask and survive a rename") {
+    spark.sql("""CREATE TABLE gnf.db.oeq (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.format.default'='orc',
+                     'write.delete.mode'='merge-on-read',
+                     'write.delete.equality-enabled'='true')""")
+    spark.sql("CALL gnf.system.set_identifier_fields('db.oeq', 'id')")
+    spark.sql("SELECT id, concat('q-', string(id)) AS v FROM range(0, 8)")
+      .coalesce(1).writeTo("gnf.db.oeq").append()
+    spark.sql("DELETE FROM gnf.db.oeq WHERE id IN (2, 5)")
+    def ids() = spark.sql("SELECT id FROM gnf.db.oeq ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids() == Seq(0L, 1L, 3L, 4L, 6L, 7L),
+      s"eq-delete over ORC: ${ids()}")
+    // the eq-masked full-schema read must track renames too
+    spark.sql("ALTER TABLE gnf.db.oeq RENAME COLUMN v TO w")
+    val rows = spark.sql("SELECT id, w FROM gnf.db.oeq ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq(0L, 1L, 3L, 4L, 6L, 7L).map(i => (i, s"q-$i")),
+      s"eq-masked ORC read after rename: $rows")
+  }
+}

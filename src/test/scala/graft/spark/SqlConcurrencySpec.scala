@@ -76,8 +76,8 @@ class SqlConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
         (0 until 3).foreach { _ =>
           // conflict-validated replace: may forfeit a batch under races
           // but must never corrupt visible data
-          try spark.sql("CALL gcc.system.rewrite_data_files(table => 'db.cc2', " +
-            "options => map('min-input-files', '2'))")
+          try spark.sql(
+            "CALL gcc.system.rewrite_data_files(table => 'db.cc2', min_input_files => 2)")
           catch { case _: Exception => () }
           Thread.sleep(30)
         }
