@@ -179,10 +179,19 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 7             => dropColumn()
         case 8             => widen()
         case _             =>
-          // compaction rewrites old files under the CURRENT schema — the
-          // reads must not change
-          spark.sql(s"CALL gse.system.rewrite_data_files(table => 'db.$name')")
-          "rewrite_data_files"
+          if (rng.nextBoolean()) {
+            // compaction rewrites old files under the CURRENT schema —
+            // the reads must not change
+            spark.sql(s"CALL gse.system.rewrite_data_files(table => 'db.$name')")
+            "rewrite_data_files"
+          } else {
+            // expiry drops the snapshots that recorded each file's write
+            // schema: the entry-persisted write-schema-id must keep
+            // renamed columns readable
+            spark.sql(
+              s"CALL gse.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
+            "expire_snapshots"
+          }
       }
       check(step, op)
     }
