@@ -2034,12 +2034,19 @@ object Engine {
           new org.apache.hadoop.conf.Configuration())
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
-          val cols = r.getFooter.getBlocks.get(0).getColumns
-          val off = (0 until cols.size()).map(cols.get)
-            .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
-          require(off("o_orderkey") > 0, s"g59: no bloom filter in $p")
-          require(off("o_custkey") <= 0,
-            s"g59: unconfigured column grew a bloom filter in $p")
+          // every row group, not just the first: a multi-group file whose
+          // later groups lost the filter would silently weaken pruning
+          val blocks = r.getFooter.getBlocks
+          require(blocks.size() > 0, s"g59: no row groups in $p")
+          (0 until blocks.size()).foreach { b =>
+            val cols = blocks.get(b).getColumns
+            val off = (0 until cols.size()).map(cols.get)
+              .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+            require(off("o_orderkey") > 0,
+              s"g59: no bloom filter in $p row group $b")
+            require(off("o_custkey") <= 0,
+              s"g59: unconfigured column grew a bloom filter in $p row group $b")
+          }
         } finally r.close()
       }
       s.table("graft.db.bloom_g")

@@ -48,8 +48,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse")
     // table-encryption key material (reference CatalogProperties
     // ENCRYPTION_KMS_*): spark.sql.catalog.<name>.encryption.kms.key-list
-    // seeds the local KMS that wraps/unwraps per-table keys
-    GraftParquetCrypto.seedKms(name,
+    // seeds the local KMS that wraps/unwraps per-table keys. The KMS
+    // scope is name + warehouse/uri, NOT the bare name: two sessions may
+    // point the same catalog NAME at different warehouses with different
+    // key lists, and a name-keyed scope would clobber the first one's
+    // master keys on the second initialize (rotation within ONE catalog
+    // still replaces its own scope because the scope string is stable).
+    GraftParquetCrypto.seedKms(
+      s"$name@${Option(options.get("uri")).getOrElse(wh)}",
       Option(options.get("encryption.kms.key-list")))
     // catalog-impl selects where the table pointer lives (reference
     // SparkCatalog catalog-impl / JdbcCatalog): 'jdbc' + uri → pointer

@@ -243,6 +243,50 @@ object GraftProcedures {
     spark.createDataFrame(rdd, withPos)
   }
 
+  /** id-resolved parquet → DataFrame: binds columns by parquet field id
+    * regardless of file-side NAMES (our parquet writers always stamp
+    * ids), via buildReaderWithPartitionValues over a job-local conf.
+    * This is the only safe channel: the DataFrameReader path captures
+    * field-id matching from the SESSION conf (a per-read option never
+    * reaches the parquet reader), and flipping the session conf would
+    * leak into every concurrent read in the session. */
+  private[spark] def idParquetToDf(spark: SparkSession, paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      meta: graft.core.meta.TableMetadata,
+      withPos: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+    val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+    GraftParquetCrypto.configure(conf, meta)
+    val readFn = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(spark, schema,
+        new StructType(), schema, Nil,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+          "enableVectorizedReader" -> "false"), conf)
+    val outSchema =
+      if (withPos) StructType(schema.fields ++ Seq(
+        StructField("__f", StringType), StructField("__p", LongType)))
+      else schema
+    val rdd = spark.sparkContext.parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val rows = readFn(PartitionedFile(
+          org.apache.spark.sql.catalyst.InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPathString(p), 0, Long.MaxValue,
+          Array.empty[String], 0L, Long.MaxValue, Map.empty))
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(outSchema)
+        if (withPos) rows.zipWithIndex.map { case (r, i) =>
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+            r, org.apache.spark.sql.catalyst.InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(p), i.toLong))
+          conv(joined).asInstanceOf[org.apache.spark.sql.Row]
+        }
+        else rows.map(r => conv(r).asInstanceOf[org.apache.spark.sql.Row])
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   private[spark] def deleteRowsDf(spark: SparkSession,
       files: Seq[DataFile],
       readOpts: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
@@ -1906,18 +1950,44 @@ object RewriteDataFiles {
         else t.meta.schemas.find(_.schemaId == schemaId)
           .filter(GraftSparkTable.namesDiffer(t.meta.schema, _))
           .map(h => GraftSparkTable.translateTopNames(readSchema, t.meta.schema, h))
+      // write schema UNKNOWN (pre-write-schema-id manifest entry whose
+      // adding snapshot was expired) + a rename anywhere in schema
+      // history: a name-resolved read could silently null a since-renamed
+      // column and the rewrite would commit that corruption permanently.
+      // Parquet files our writers produced carry field ids, so they fall
+      // back to an id-resolved read; name-only formats fail loudly.
+      def unknownUnsafe(schemaId: Int): Boolean =
+        schemaId < 0 && t.meta.schemas.exists(h =>
+          h.schemaId != t.meta.currentSchemaId &&
+            GraftSparkTable.namesDiffer(t.meta.schema, h))
       val raw = ts.groupBy(ft => (ft.file.format, ft.writeSchemaId))
         .map { case ((f, schemaId), fts) =>
         import org.apache.spark.sql.functions.col
         if (f == "avro")
           GraftAvro.readToDf(spark, fts.map(_.file.path), readSchema, withPos = true)
         else if (f == "orc") {
+          if (unknownUnsafe(schemaId))
+            throw new IllegalStateException(
+              "rewrite_data_files: ORC files with unknown write schema in a " +
+              "table whose schema history renames columns cannot be read " +
+              s"safely by name; skipping rewrite of: ${fts.map(_.file.path).mkString(", ")}")
           // ORC: Spark's _metadata exposes no row_index — read each file
           // whole on an executor (like the scan's position path),
           // emitting positions from the row iterator
           orcReadToDf(spark, fts.map(_.file.path), readSchema,
             histSchema(schemaId).getOrElse(readSchema))
+        } else if (f == "parquet" && unknownUnsafe(schemaId)) {
+          // id-resolved fallback: our parquet files always stamp field
+          // ids, and readSchema keeps its parquet.field.id metadata
+          GraftProcedures.idParquetToDf(spark, fts.map(_.file.path),
+            readSchema, t.meta, withPos = true)
         } else {
+          if (unknownUnsafe(schemaId)) // parquet-nm: no ids to fall back on
+            throw new IllegalStateException(
+              "rewrite_data_files: name-mapped parquet files with unknown " +
+              "write schema in a table whose schema history renames columns " +
+              "cannot be read safely by name; skipping rewrite of: " +
+              fts.map(_.file.path).mkString(", "))
           val rdrSchema = histSchema(schemaId).getOrElse(readSchema)
           // strip field ids: parquet-nm imports have none, and name
           // resolution is what the write-schema grouping relies on
@@ -1963,27 +2033,38 @@ object RewriteDataFiles {
             if (eqByFile.isEmpty) afterPos
             else {
               val fields = t.meta.schema.fields
-              val keyNames = eqByFile.keys.head.equalityIds
-                .flatMap(id => fields.find(_.id == id).map(_.name))
-              // explicit id-annotated key schema: the delete file stores
-              // the keys under their WRITE-TIME names — a since-renamed
-              // key column only binds through field ids
-              val keySchema = org.apache.spark.sql.types.StructType(
-                graft.core.types.SparkTypes.toSparkSchema(t.meta.schema)
-                  .fields.filter(f => keyNames.contains(f.name)))
-              val delKeys = eqByFile.map { case (d, applies) =>
-                spark.read.options(GraftParquetCrypto.readOptions(t.meta))
-                  .schema(keySchema)
-                  .parquet(d.path).select(keyNames.map(col): _*)
-                  .toDF(keyNames.map(n => s"__ek_$n"): _*)
-                  .withColumn("__ef", explode(sarray(applies.map(lit): _*)))
-                  .withColumn("__src", lit(d.path))
-              }.reduce(_ unionByName _)
-              GraftProcedures.joinWithDeletePaths(afterPos, "__f", delKeys,
-                "__ef", "__src", "left_anti",
-                (t, d) => keyNames.map(n => t(n) <=> d(s"__ek_$n"))
-                  .reduce(_ && _),
-                antiKeys = Seq("__f", "__p"))
+              val sparkFull = graft.core.types.SparkTypes.toSparkSchema(t.meta.schema)
+              // one anti-join per distinct equality-key set: delete files
+              // written under different identifier-field configurations
+              // must not be squeezed into one shared key schema
+              eqByFile.groupBy(_._1.equalityIds.toSeq).foldLeft(afterPos) {
+                case (acc, (eqIds, group)) =>
+                  val keyNames = eqIds
+                    .flatMap(id => fields.find(_.id == id).map(_.name))
+                  // id-annotated key schema + field-id resolution: the
+                  // delete file stores keys under their WRITE-TIME names
+                  // — a since-renamed key column only binds through
+                  // parquet field ids, which our delete writers always
+                  // stamp. A plain name-resolved spark.read would see
+                  // all-null keys after a rename, and the null-safe
+                  // anti-join would resurrect every deleted row into the
+                  // permanently compacted output.
+                  val keySchema = org.apache.spark.sql.types.StructType(
+                    sparkFull.fields.filter(f => keyNames.contains(f.name)))
+                  val delKeys = group.map { case (d, applies) =>
+                    GraftProcedures.idParquetToDf(spark, Seq(d.path),
+                        keySchema, t.meta, withPos = false)
+                      .select(keyNames.map(col): _*)
+                      .toDF(keyNames.map(n => s"__ek_$n"): _*)
+                      .withColumn("__ef", explode(sarray(applies.map(lit): _*)))
+                      .withColumn("__src", lit(d.path))
+                  }.reduce(_ unionByName _)
+                  GraftProcedures.joinWithDeletePaths(acc, "__f", delKeys,
+                    "__ef", "__src", "left_anti",
+                    (t, d) => keyNames.map(n => t(n) <=> d(s"__ek_$n"))
+                      .reduce(_ && _),
+                    antiKeys = Seq("__f", "__p"))
+              }
             }
           afterEq
         }

@@ -268,11 +268,16 @@ object GraftSparkTable {
     })
   }
 
-  /** true when `hist` names/field-sets differ from the current schema */
+  /** true when a name-based read of a `hist`-written file under CURRENT
+    * names could mis-bind: a field renamed since write, or a field added
+    * since write whose name collides with a different write-time field
+    * (a non-colliding add just reads null by name — no translation
+    * needed, and no reason to leave the vectorized batch path) */
   private[spark] def namesDiffer(cur: graft.core.types.GSchema,
       hist: graft.core.types.GSchema): Boolean =
     hist.fields.exists(f => cur.byId.get(f.id).exists(_.name != f.name)) ||
-      cur.fields.exists(f => !hist.byId.contains(f.id))
+      cur.fields.exists(f => !hist.byId.contains(f.id) &&
+        hist.fields.exists(h => h.name == f.name && h.id != f.id))
 
 
   val MetaFileCol = "_file"

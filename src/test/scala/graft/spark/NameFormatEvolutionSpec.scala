@@ -99,4 +99,101 @@ class NameFormatEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq(0L, 1L, 3L, 4L, 6L, 7L).map(i => (i, s"q-$i")),
       s"eq-masked ORC read after rename: $rows")
   }
+
+  test("eq-delete keys bind by field id through a key rename in rewrite") {
+    spark.sql("""CREATE TABLE gnf.db.eqr (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.equality-enabled'='true')""")
+    spark.sql("CALL gnf.system.set_identifier_fields('db.eqr', 'k')")
+    spark.sql("SELECT id AS k, concat('r-', string(id)) AS v FROM range(0, 10)")
+      .coalesce(1).writeTo("gnf.db.eqr").append()
+    // eq-delete file stores the key under its WRITE-TIME name 'k'
+    spark.sql("DELETE FROM gnf.db.eqr WHERE k IN (2, 5)")
+    spark.sql("ALTER TABLE gnf.db.eqr RENAME COLUMN k TO key_id")
+    // the rewrite reads the delete keys under the NEW name — only field
+    // ids can bind them; a name-resolved read would see all-null keys
+    // and resurrect rows 2 and 5 in the permanently compacted output
+    spark.sql("CALL gnf.system.rewrite_data_files(table => 'db.eqr')")
+    val rows = spark.sql("SELECT key_id FROM gnf.db.eqr ORDER BY key_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L),
+      s"deleted keys resurrected or rows lost after key rename + rewrite: $rows")
+  }
+
+  test("unknown write schema + rename: parquet rewrites via field ids") {
+    spark.sql("CREATE TABLE gnf.db.uws (id BIGINT, v STRING)")
+    spark.sql("SELECT id, concat('u-', string(id)) AS v FROM range(0, 3)")
+      .coalesce(1).writeTo("gnf.db.uws").append()
+    spark.sql("SELECT id, concat('u-', string(id)) AS v FROM range(3, 6)")
+      .coalesce(1).writeTo("gnf.db.uws").append()
+    spark.sql("ALTER TABLE gnf.db.uws RENAME COLUMN v TO name2")
+    // simulate a pre-write-schema-id manifest entry whose adding snapshot
+    // is EXPIRED (so planning's snapshot→schema fallback can't resolve it
+    // either): expire history, then strip the field from every manifest
+    spark.sql("CALL gnf.system.expire_snapshots(table => 'db.uws', retain_last => 1)")
+    import scala.jdk.CollectionConverters._
+    val metaDir = java.nio.file.Paths.get(warehouse, "db", "uws", "metadata")
+    Files.list(metaDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest-"))
+      .foreach { p =>
+        val s = new String(Files.readAllBytes(p), "UTF-8")
+          .replaceAll(""""write-schema-id":-?\d+,?""", "")
+          .replaceAll(""",\}""", "}")
+        Files.write(p, s.getBytes("UTF-8"))
+      }
+    spark.sessionState.catalogManager.catalog("gnf")
+      .asInstanceOf[GraftCatalog].invalidateCache()
+    // the id-resolved fallback must read the values, not nulls
+    val res = spark.sql("CALL gnf.system.rewrite_data_files(table => 'db.uws')")
+      .collect()(0)
+    assert(res.getInt(res.fieldIndex("rewritten_data_files_count")) == 2,
+      s"rewrite did not engage: $res")
+    val rows = spark.sql("SELECT id, name2 FROM gnf.db.uws ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == (0L until 6L).map(i => (i, s"u-$i")),
+      s"unknown-write-schema rewrite nulled renamed column: $rows")
+  }
+
+  test("unknown write schema + rename: ORC rewrite fails loudly") {
+    spark.sql("""CREATE TABLE gnf.db.uwo (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("SELECT id, concat('o-', string(id)) AS v FROM range(0, 3)")
+      .coalesce(1).writeTo("gnf.db.uwo").append()
+    spark.sql("SELECT id, concat('o-', string(id)) AS v FROM range(3, 6)")
+      .coalesce(1).writeTo("gnf.db.uwo").append()
+    spark.sql("ALTER TABLE gnf.db.uwo RENAME COLUMN v TO name2")
+    spark.sql("CALL gnf.system.expire_snapshots(table => 'db.uwo', retain_last => 1)")
+    import scala.jdk.CollectionConverters._
+    val metaDir = java.nio.file.Paths.get(warehouse, "db", "uwo", "metadata")
+    Files.list(metaDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest-"))
+      .foreach { p =>
+        val s = new String(Files.readAllBytes(p), "UTF-8")
+          .replaceAll(""""write-schema-id":-?\d+,?""", "")
+          .replaceAll(""",\}""", "}")
+        Files.write(p, s.getBytes("UTF-8"))
+      }
+    spark.sessionState.catalogManager.catalog("gnf")
+      .asInstanceOf[GraftCatalog].invalidateCache()
+    // ORC has no field ids to fall back on — committing a name-resolved
+    // rewrite would null the renamed column permanently; fail instead
+    val e = intercept[Exception] {
+      spark.sql("CALL gnf.system.rewrite_data_files(table => 'db.uwo')").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("cannot be read safely by name")),
+      s"expected a loud unknown-write-schema failure, got: $e")
+    // nothing committed: the original files are still the table (a
+    // name-resolved rewrite would have permanently nulled `name2`; the
+    // transient read of an unknown-schema ORC file is a separate,
+    // non-destructive limitation)
+    val snaps = spark.sql("SELECT COUNT(*) FROM gnf.db.uwo.snapshots")
+      .collect()(0).getLong(0)
+    assert(snaps == 1L, s"rewrite must not have committed, snapshots: $snaps")
+    val ids = spark.sql("SELECT id FROM gnf.db.uwo ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == (0L until 6L), s"data files lost: $ids")
+  }
 }
