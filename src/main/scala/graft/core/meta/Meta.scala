@@ -106,7 +106,14 @@ final case class ManifestFile(
     deletedRowsCount: Long = 0L,
     // encrypted tables: this manifest file's wrapped DEK+AAD (spec
     // manifest_file field 519 key_metadata)
-    keyMetadata: Option[String] = None) {
+    keyMetadata: Option[String] = None,
+    // spec manifest-list field 515 sequence_number: the snapshot sequence
+    // when this manifest was added. v2 entry-field inheritance (a null
+    // sequence on an ADDED entry inherits this) and the Avro list writer
+    // need it; graft's JSON entries always store explicit sequences, so
+    // None is fine for pre-existing manifests (inheritance then falls
+    // back to minSequenceNumber, which equals it for fresh manifests).
+    sequenceNumber: Option[Long] = None) {
   def hasLiveFiles: Boolean = addedFilesCount + existingFilesCount > 0
   def liveRowsCount: Long = addedRowsCount + existingRowsCount
 }

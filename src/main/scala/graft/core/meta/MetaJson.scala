@@ -85,10 +85,22 @@ object MetaJson {
         val buf = Seq.newBuilder[GField]
         while (fields.hasNext) {
           val f = fields.next()
+          // graft's dialect tags the field type "ftype" and stores
+          // defaults as SQL text; the spec dialect (Appendix C — what
+          // genuine Iceberg metadata and Avro manifest headers carry)
+          // uses "type" and JSON single-values for defaults
+          val graftDialect = f.has("ftype")
+          def default(key: String): Option[String] =
+            Option(f.get(key)).filterNot(_.isNull).flatMap { d =>
+              if (graftDialect) Some(d.asText())
+              else if (d.isTextual) Some("'" + d.asText().replace("'", "''") + "'")
+              else if (d.isNumber || d.isBoolean) Some(d.asText())
+              else None // structured spec defaults: no SQL equivalent
+            }
           buf += GField(f.get("id").asInt(), f.get("name").asText(),
-            readType(f.get("ftype")), f.get("required").asBoolean(),
-            Option(f.get("initial-default")).map(_.asText()),
-            Option(f.get("write-default")).map(_.asText()))
+            readType(if (graftDialect) f.get("ftype") else f.get("type")),
+            f.get("required").asBoolean(),
+            default("initial-default"), default("write-default"))
         }
         GStruct(buf.result())
       case "list" =>
@@ -111,9 +123,14 @@ object MetaJson {
 
   def readSchema(n: JsonNode): GSchema = {
     val ids = Set.newBuilder[Int]
-    n.get("identifier-field-ids").elements().forEachRemaining(e => ids += e.asInt())
-    GSchema(readType(n.get("struct")).asInstanceOf[GStruct],
-      n.get("schema-id").asInt(), ids.result())
+    Option(n.get("identifier-field-ids"))
+      .foreach(_.elements().forEachRemaining(e => ids += e.asInt()))
+    // graft dialect nests the root under "struct"; the spec dialect IS
+    // the struct ({"type":"struct","schema-id":..,"fields":[..]})
+    val struct = readType(Option(n.get("struct")).getOrElse(n))
+      .asInstanceOf[GStruct]
+    GSchema(struct,
+      Option(n.get("schema-id")).map(_.asInt()).getOrElse(0), ids.result())
   }
 
   // ------------------------------------------------------------- spec
@@ -131,13 +148,23 @@ object MetaJson {
     o
   }
 
-  def readSpec(n: JsonNode): PartitionSpec = {
+  def readSpec(n: JsonNode): PartitionSpec =
+    PartitionSpec(n.get("spec-id").asInt(), readSpecFields(n.get("fields")))
+
+  /** a bare partition-field array (spec Appendix C; also the Avro
+    * manifest header's `partition-spec` and v1's `partition-spec`).
+    * v1 fields may omit field-id — assigned 1000+position, matching the
+    * reference's v1 assignment. */
+  def readSpecFields(fields: JsonNode): Seq[PartitionField] = {
     val buf = Seq.newBuilder[PartitionField]
-    n.get("fields").elements().forEachRemaining { f =>
-      buf += PartitionField(f.get("source-id").asInt(), f.get("field-id").asInt(),
+    var i = 0
+    fields.elements().forEachRemaining { f =>
+      buf += PartitionField(f.get("source-id").asInt(),
+        Option(f.get("field-id")).map(_.asInt()).getOrElse(1000 + i),
         f.get("name").asText(), Transform.fromName(f.get("transform").asText()))
+      i += 1
     }
-    PartitionSpec(n.get("spec-id").asInt(), buf.result())
+    buf.result()
   }
 
   // ------------------------------------------------------------- stats
@@ -251,6 +278,7 @@ object MetaJson {
       .put("deleted-files", m.deletedFilesCount).put("added-rows", m.addedRowsCount)
       .put("existing-rows", m.existingRowsCount).put("deleted-rows", m.deletedRowsCount)
     m.keyMetadata.foreach(o.put("key-metadata", _))
+    m.sequenceNumber.foreach(o.put("seq", _))
     val arr = o.putArray("summaries")
     m.partitionSummaries.foreach { s =>
       val so = arr.addObject()
@@ -280,7 +308,8 @@ object MetaJson {
       existingRowsCount = Option(n.get("existing-rows")).map(_.asLong())
         .getOrElse(if (n.get("existing-files").asInt() > 0) -1L else 0L),
       deletedRowsCount = Option(n.get("deleted-rows")).map(_.asLong()).getOrElse(0L),
-      keyMetadata = Option(n.get("key-metadata")).map(_.asText()))
+      keyMetadata = Option(n.get("key-metadata")).map(_.asText()),
+      sequenceNumber = Option(n.get("seq")).map(_.asLong()))
   }
 
   // ------------------------------------------------------------- table metadata

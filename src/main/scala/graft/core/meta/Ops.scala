@@ -29,13 +29,30 @@ object GraftIO {
     })
   }
 
+  /** Binary write with optional AGS1 encryption (Avro manifests carry
+    * their own codec, so no gzip layer here). */
+  def writeBytes(path: String, content: Array[Byte],
+      fileKey: Option[(Array[Byte], Array[Byte])] = None): Unit = {
+    val p = toPath(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, fileKey match {
+      case Some((dek, aad)) => AesGcm.encryptStream(content, dek, aad)
+      case None             => content
+    })
+  }
+
+  def readString(path: String,
+      fileKey: Option[(Array[Byte], Array[Byte])] = None,
+      expectedLen: Long = -1L): String =
+    new String(readBytes(path, fileKey, expectedLen), StandardCharsets.UTF_8)
+
   /** Reads transparently decrypt (AGS1 magic, when a file key is at
     * hand) and decompress by magic (0x1f 0x8b), so a table can flip
     * `write.metadata.compression-codec` or turn encryption on at any
     * point and mixed plain/gzip/encrypted metadata trees keep reading. */
-  def readString(path: String,
+  def readBytes(path: String,
       fileKey: Option[(Array[Byte], Array[Byte])] = None,
-      expectedLen: Long = -1L): String = {
+      expectedLen: Long = -1L): Array[Byte] = {
     val raw = Files.readAllBytes(toPath(path))
     val bytes =
       if (AesGcm.isEncrypted(raw)) {
@@ -59,8 +76,8 @@ object GraftIO {
     if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-    } else new String(bytes, StandardCharsets.UTF_8)
+      try in.readAllBytes() finally in.close()
+    } else bytes
   }
 
   private def encode(content: String, gzip: Boolean): Array[Byte] =
@@ -397,7 +414,8 @@ object ManifestIO {
 
   def write(path: String, entries: Seq[ManifestEntry], specId: Int, content: Int,
       spec: PartitionSpec, schema: GSchema, snapshotId: Long,
-      gzip: Boolean = false, crypto: Option[TableCrypto] = None): ManifestFile = {
+      gzip: Boolean = false, crypto: Option[TableCrypto] = None,
+      avro: Boolean = false, formatVersion: Int = 2): ManifestFile = {
     // v4 relative locations: data-file paths under the table location
     // store relative (the manifest lives in {location}/metadata/, so the
     // base is recoverable at read time); foreign paths stay absolute
@@ -422,18 +440,33 @@ object ManifestIO {
         case _ => e
       }
     }
-    val sb = new StringBuilder
-    entries.foreach { e => sb.append(MetaJson.writeEntry(store(e))).append('\n') }
     // encrypted tables: every manifest gets a fresh DEK+AAD wrapped by
     // the table key; the wrapped form rides in the manifest-list entry
     // (spec manifest_file.key_metadata)
     val fileKey = crypto.map(_.newFileKey())
-    GraftIO.writeString(path, sb.toString, gzip, fileKey.map(k => (k._2, k._3)))
+    val partType = spec.partitionType(schema)
+    // spec Avro can only express single-spec, full-arity manifests (the
+    // partition record's shape IS the spec); mixed-spec regroupings and
+    // short global-delete tuples fall back to JSON-lines for that one
+    // manifest — readers sniff per file, so mixed trees read fine
+    val avroOk = avro && entries.forall(e =>
+      e.file.specId == specId &&
+        e.file.partition.length == partType.fields.length)
+    if (avroOk) {
+      // spec files store full paths — no v4 relativization, so external
+      // Iceberg readers can consume the manifest as-is
+      val bytes = AvroManifests.writeManifest(entries.map(stamp), spec,
+        schema, content, formatVersion)
+      GraftIO.writeBytes(path, bytes, fileKey.map(k => (k._2, k._3)))
+    } else {
+      val sb = new StringBuilder
+      entries.foreach { e => sb.append(MetaJson.writeEntry(store(e))).append('\n') }
+      GraftIO.writeString(path, sb.toString, gzip, fileKey.map(k => (k._2, k._3)))
+    }
     // no registry park here: manifest DEKs are re-unwrapped from the
     // manifest-list entry's key_metadata at read time (readEntries) — the
     // registry's fileKeys serve only manifest LISTS, whose DEKs live in
     // snapshot records
-    val partType = spec.partitionType(schema)
     // Summaries are only sound when EVERY live entry was written under
     // THIS spec: a shorter tuple (global position deletes under a
     // partitioned spec) can't contribute bounds, and a same-arity tuple
@@ -475,7 +508,11 @@ object ManifestIO {
       existingRowsCount = entries.filter(_.status == ManifestEntryStatus.Existing)
         .map(_.file.recordCount).sum,
       deletedRowsCount = entries.filter(_.status == ManifestEntryStatus.Deleted)
-        .map(_.file.recordCount).sum)
+        .map(_.file.recordCount).sum,
+      // spec list field 515: the sequence this manifest was added — for a
+      // fresh manifest, the max sequence among its Added entries
+      sequenceNumber = entries.filter(_.status == ManifestEntryStatus.Added)
+        .map(_.dataSequenceNumber).maxOption)
   }
 
   def readEntries(m: ManifestFile,
@@ -491,46 +528,61 @@ object ManifestIO {
             s"manifest ${m.path} is encrypted but no table key is available"))
           .fileKey(km)
       }
-      GraftIO.readString(m.path, fileKey,
+      val bytes = GraftIO.readBytes(m.path, fileKey,
         expectedLen = if (fileKey.isDefined) m.length else -1L)
-        .linesIterator.filter(_.nonEmpty)
-        .map(MetaJson.readEntry)
-        .map(e => e.copy(file = e.file.copy(
-          path = GraftIO.resolve(e.file.path, base),
-          referencedDataFile = e.file.referencedDataFile
-            .map(GraftIO.resolve(_, base)))))
-        .toSeq
+      val parsed =
+        if (AvroManifests.isAvro(bytes)) AvroManifests.readEntries(bytes, m)
+        else new String(bytes, StandardCharsets.UTF_8)
+          .linesIterator.filter(_.nonEmpty)
+          .map(MetaJson.readEntry).toSeq
+      parsed.map(e => e.copy(file = e.file.copy(
+        path = GraftIO.resolve(e.file.path, base),
+        referencedDataFile = e.file.referencedDataFile
+          .map(GraftIO.resolve(_, base)))))
     }
 
   /** Writes the manifest list; for encrypted tables returns the list's
     * wrapped DEK+AAD, which the caller records on the snapshot (spec v3:
-    * "the encryption key used for a snapshot is specified by key-id"). */
+    * "the encryption key used for a snapshot is specified by key-id").
+    * `partTypes` (spec id → partition field types) is only consulted for
+    * Avro lists, to Appendix-D-encode the summary bounds. */
   def writeList(path: String, manifests: Seq[ManifestFile],
-      gzip: Boolean = false, crypto: Option[TableCrypto] = None): Option[String] = {
-    val base = GraftIO.metadataBase(path)
-    def store(m: ManifestFile): ManifestFile = base match {
-      case Some(b) => m.copy(path = GraftIO.relativize(m.path, b))
-      case None    => m
-    }
-    val arr = MetaJson.mapper.createArrayNode()
-    manifests.foreach(m => arr.add(MetaJson.writeManifestFile(store(m))))
+      gzip: Boolean = false, crypto: Option[TableCrypto] = None,
+      avro: Boolean = false, formatVersion: Int = 2,
+      partTypes: Int => Seq[graft.core.types.GType] = _ => Nil): Option[String] = {
     val fileKey = crypto.map(_.newFileKey())
-    GraftIO.writeString(path, MetaJson.mapper.writeValueAsString(arr), gzip,
-      fileKey.map(k => (k._2, k._3)))
+    if (avro) {
+      // spec files store full paths (no v4 relativization): external
+      // Iceberg readers resolve nothing
+      val bytes = AvroManifests.writeList(manifests, formatVersion, partTypes)
+      GraftIO.writeBytes(path, bytes, fileKey.map(k => (k._2, k._3)))
+    } else {
+      val base = GraftIO.metadataBase(path)
+      def store(m: ManifestFile): ManifestFile = base match {
+        case Some(b) => m.copy(path = GraftIO.relativize(m.path, b))
+        case None    => m
+      }
+      val arr = MetaJson.mapper.createArrayNode()
+      manifests.foreach(m => arr.add(MetaJson.writeManifestFile(store(m))))
+      GraftIO.writeString(path, MetaJson.mapper.writeValueAsString(arr), gzip,
+        fileKey.map(k => (k._2, k._3)))
+    }
     fileKey.foreach(k => CryptoRegistry.putFileKey(path, (k._2, k._3)))
     fileKey.map(_._1)
   }
 
   def readList(path: String): Seq[ManifestFile] = listCache.get(path) {
     val base = GraftIO.metadataBase(path)
-    val n = MetaJson.mapper.readTree(
-      GraftIO.readString(path, CryptoRegistry.fileKey(path)))
-    val buf = Seq.newBuilder[ManifestFile]
-    n.elements().forEachRemaining(e => buf += {
-      val m = MetaJson.readManifestFile(e)
-      m.copy(path = GraftIO.resolve(m.path, base))
-    })
-    buf.result()
+    val bytes = GraftIO.readBytes(path, CryptoRegistry.fileKey(path))
+    val parsed =
+      if (AvroManifests.isAvro(bytes)) AvroManifests.readList(bytes)
+      else {
+        val n = MetaJson.mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+        val buf = Seq.newBuilder[ManifestFile]
+        n.elements().forEachRemaining(e => buf += MetaJson.readManifestFile(e))
+        buf.result()
+      }
+    parsed.map(m => m.copy(path = GraftIO.resolve(m.path, base)))
   }
 }
 

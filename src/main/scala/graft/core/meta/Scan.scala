@@ -252,7 +252,11 @@ final class TableScan(table: GTable) {
           valueCount = None,
           nullCount = if (s.containsNull) None else Some(0L),
           nanCount = if (s.containsNan) None else Some(0L),
-          lower = s.lower, upper = s.upper)
+          // Avro-read lists keep bounds as raw Appendix-D bytes (their
+          // type is only known here, with the spec in hand); JSON-read
+          // bounds are already typed and pass through
+          lower = s.lower.map(SingleValue.adapt(pf.tpe, _)),
+          upper = s.upper.map(SingleValue.adapt(pf.tpe, _)))
       }
     }.toMap
     FileStats(1L, cols)
