@@ -413,66 +413,119 @@ object MetaJson {
     * `{base}/metadata/`, relative tracked locations (v4 relative
     * locations, spec "File Locations in Metadata") resolve against that
     * base, and a table that was MOVED (base != stored location) is
-    * re-rooted so all downstream paths point at the new home. */
+    * re-rooted so all downstream paths point at the new home.
+    *
+    * Accepts BOTH graft's dialect and genuine spec metadata (reference
+    * TableMetadataParser.java:395-511, SnapshotParser.java:124-205):
+    * v1 singular `schema` / bare `partition-spec`, snapshot `operation`
+    * nested in `summary`, optional `sequence-number`, v1 embedded
+    * `manifests` arrays, absent `properties`/`snapshots`/`snapshot-log`/
+    * `refs`/`sort-orders`, `current-snapshot-id: -1` as "none", and
+    * `direction`/`null-order` sort-field spellings. */
   def readMetadata(json: String, metaPath: Option[String] = None): TableMetadata = {
     val n = mapper.readTree(json)
+    def opt(name: String): Option[JsonNode] =
+      Option(n.get(name)).filterNot(_.isNull)
     // resolution base: where the file actually lives (re-roots a moved
     // table), else the stored location (path-less reads, e.g. REST)
     val base = metaPath.flatMap(GraftIO.metadataBase)
     val resolveBase = Some(base.getOrElse(n.get("location").asText()))
     def res(p: String): String = GraftIO.resolve(p, resolveBase)
     val schemas = Seq.newBuilder[GSchema]
-    n.get("schemas").elements().forEachRemaining(s => schemas += readSchema(s))
+    opt("schemas") match {
+      case Some(arr) => arr.elements().forEachRemaining(s => schemas += readSchema(s))
+      case None => // v1 singular `schema` (TableMetadataParser.java:499-511)
+        schemas += readSchema(n.get("schema"))
+    }
+    val allSchemas = schemas.result()
     val specs = Seq.newBuilder[PartitionSpec]
-    n.get("partition-specs").elements().forEachRemaining(s => specs += readSpec(s))
+    opt("partition-specs") match {
+      case Some(arr) => arr.elements().forEachRemaining(s => specs += readSpec(s))
+      case None => // v1 bare `partition-spec` field array
+        specs += PartitionSpec(0,
+          opt("partition-spec").map(readSpecFields).getOrElse(Nil))
+    }
+    val allSpecs = specs.result()
     val orders = Seq.newBuilder[SortOrder]
-    n.get("sort-orders").elements().forEachRemaining { oo =>
+    opt("sort-orders").foreach(_.elements().forEachRemaining { oo =>
       val fs = Seq.newBuilder[SortField]
       oo.get("fields").elements().forEachRemaining { f =>
+        // graft spells direction as booleans (`asc`, `nulls-first`); the
+        // spec as strings (`direction`: asc|desc, `null-order`:
+        // nulls-first|nulls-last)
+        val asc = Option(f.get("asc")).map(_.asBoolean()).getOrElse(
+          f.get("direction").asText().equalsIgnoreCase("asc"))
+        val nullsFirst = Option(f.get("nulls-first")).map(_.asBoolean()).getOrElse(
+          Option(f.get("null-order")).forall(_.asText().equalsIgnoreCase("nulls-first")))
         fs += SortField(f.get("source-id").asInt(),
-          Transform.fromName(f.get("transform").asText()),
-          f.get("asc").asBoolean(), f.get("nulls-first").asBoolean())
+          Transform.fromName(f.get("transform").asText()), asc, nullsFirst)
       }
       orders += SortOrder(oo.get("order-id").asInt(), fs.result())
-    }
+    })
+    val allOrders = orders.result()
     val props = Map.newBuilder[String, String]
-    n.get("properties").fields().forEachRemaining(e => props += e.getKey -> e.getValue.asText())
+    opt("properties").foreach(_.fields().forEachRemaining(e =>
+      props += e.getKey -> e.getValue.asText()))
     val snaps = Seq.newBuilder[Snapshot]
-    n.get("snapshots").elements().forEachRemaining { so =>
+    opt("snapshots").foreach(_.elements().forEachRemaining { so =>
       val sum = Map.newBuilder[String, String]
-      so.get("summary").fields().forEachRemaining(e => sum += e.getKey -> e.getValue.asText())
+      Option(so.get("summary")).filterNot(_.isNull).foreach(
+        _.fields().forEachRemaining(e => sum += e.getKey -> e.getValue.asText()))
+      val sumMap = sum.result()
+      // spec nests the operation inside summary (SnapshotParser.java:
+      // 141-155, defaulting a missing operation to overwrite); graft
+      // stores it top-level
+      val operation = Option(so.get("operation")).map(_.asText())
+        .orElse(sumMap.get("operation")).getOrElse("overwrite")
+      // v1 may embed the manifest list as a `manifests` path array
+      // (SnapshotParser.java:179-192); encode as an inline list that
+      // ManifestIO.readList expands by stat-ing each manifest
+      val listPath = Option(so.get("manifest-list")).map(m => res(m.asText()))
+        .getOrElse {
+          val paths = Seq.newBuilder[String]
+          Option(so.get("manifests")).foreach(_.elements()
+            .forEachRemaining(p => paths += res(p.asText())))
+          ManifestIO.inlineList(paths.result())
+        }
       snaps += Snapshot(so.get("snapshot-id").asLong(),
         Option(so.get("parent-snapshot-id")).map(_.asLong()),
-        so.get("sequence-number").asLong(), so.get("timestamp-ms").asLong(),
-        so.get("operation").asText(), res(so.get("manifest-list").asText()),
-        sum.result(),
+        Option(so.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+        so.get("timestamp-ms").asLong(),
+        operation, listPath,
+        sumMap - "operation",
         Option(so.get("first-row-id")).map(_.asLong()),
         Option(so.get("schema-id")).map(_.asInt()),
         Option(so.get("key-id")).map(_.asText()),
         Option(so.get("manifest-list-key-metadata")).map(_.asText()))
-    }
+    })
     val log = Seq.newBuilder[(Long, Long)]
-    n.get("snapshot-log").elements().forEachRemaining { e =>
+    opt("snapshot-log").foreach(_.elements().forEachRemaining { e =>
       log += ((e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong()))
-    }
+    })
     val refs = Map.newBuilder[String, SnapshotRef]
-    n.get("refs").fields().forEachRemaining { e =>
+    opt("refs").foreach(_.fields().forEachRemaining { e =>
       val r = e.getValue
       refs += e.getKey -> SnapshotRef(r.get("snapshot-id").asLong(), r.get("type").asText(),
         Option(r.get("min-snapshots-to-keep")).map(_.asInt()),
         Option(r.get("max-snapshot-age-ms")).map(_.asLong()),
         Option(r.get("max-ref-age-ms")).map(_.asLong()))
-    }
+    })
     val out = TableMetadata(
       n.get("format-version").asInt(), n.get("table-uuid").asText(),
-      base.getOrElse(n.get("location").asText()), n.get("last-sequence-number").asLong(),
+      base.getOrElse(n.get("location").asText()),
+      opt("last-sequence-number").map(_.asLong()).getOrElse(0L),
       n.get("last-updated-ms").asLong(), n.get("last-column-id").asInt(),
-      n.get("current-schema-id").asInt(), schemas.result(),
-      n.get("default-spec-id").asInt(), specs.result(),
-      n.get("last-partition-id").asInt(),
-      n.get("default-sort-order-id").asInt(), orders.result(),
+      opt("current-schema-id").map(_.asInt())
+        .getOrElse(allSchemas.head.schemaId), allSchemas,
+      opt("default-spec-id").map(_.asInt())
+        .getOrElse(allSpecs.head.specId), allSpecs,
+      opt("last-partition-id").map(_.asInt()).getOrElse(
+        allSpecs.flatMap(_.fields.map(_.fieldId)).maxOption.getOrElse(999)),
+      opt("default-sort-order-id").map(_.asInt()).getOrElse(0),
+      if (allOrders.isEmpty) Seq(SortOrder.Unsorted) else allOrders,
       props.result(),
-      Option(n.get("current-snapshot-id")).map(_.asLong()),
+      // v1 writers use -1 for "no current snapshot"
+      opt("current-snapshot-id").map(_.asLong()).filter(_ != -1L),
       snaps.result(), log.result(), refs.result(),
       Option(n.get("next-row-id")).map(_.asLong()).getOrElse(0L),
       statistics = {

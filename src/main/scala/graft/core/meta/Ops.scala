@@ -571,7 +571,33 @@ object ManifestIO {
     fileKey.map(_._1)
   }
 
-  def readList(path: String): Seq[ManifestFile] = listCache.get(path) {
+  /** Synthetic manifest-list "path" for v1 snapshots that embed their
+    * manifests directly in table metadata (spec v1 `manifests` array;
+    * reference SnapshotParser.java:179-192): readList expands it by
+    * stat-ing each manifest. Counts are unknown (1/1/0 keeps the
+    * manifest live; -1 existing rows = unknown, same convention as
+    * pre-field JSON lists); the Avro header's partition-spec-id
+    * overrides the placeholder spec id at entry-read time. */
+  def inlineList(manifestPaths: Seq[String]): String =
+    "inline:" + MetaJson.mapper.writeValueAsString(
+      manifestPaths.foldLeft(MetaJson.mapper.createArrayNode())((a, p) => { a.add(p); a }))
+
+  def readList(path: String): Seq[ManifestFile] = {
+    if (path.startsWith("inline:")) return listCache.get(path) {
+      val arr = MetaJson.mapper.readTree(path.stripPrefix("inline:"))
+      val buf = Seq.newBuilder[ManifestFile]
+      arr.elements().forEachRemaining { p =>
+        val mp = p.asText()
+        buf += ManifestFile(mp,
+          length = try GraftIO.size(mp) catch { case _: Throwable => 0L },
+          specId = 0, content = FileContent.Data, addedSnapshotId = -1L,
+          minSequenceNumber = 0L, addedFilesCount = 1, existingFilesCount = 1,
+          deletedFilesCount = 0, addedRowsCount = 0L,
+          existingRowsCount = -1L)
+      }
+      buf.result()
+    }
+    listCache.get(path) {
     val base = GraftIO.metadataBase(path)
     val bytes = GraftIO.readBytes(path, CryptoRegistry.fileKey(path))
     val parsed =
@@ -583,6 +609,7 @@ object ManifestIO {
         buf.result()
       }
     parsed.map(m => m.copy(path = GraftIO.resolve(m.path, base)))
+    }
   }
 }
 
