@@ -313,7 +313,155 @@ object MetaJson {
   }
 
   // ------------------------------------------------------------- table metadata
-  def writeMetadata(m: TableMetadata): String = {
+
+  /** `compatibility.format=iceberg` makes every metadata document this
+    * table writes spec-conformant: Appendix-C JSON dialect for the
+    * metadata.json (plus spec-Avro manifests/manifest lists via
+    * ManifestIO.avroEnabled), so an external Iceberg reader can load the
+    * tree as a Hadoop-catalog table (v{N}.metadata.json +
+    * version-hint.text is exactly that layout). */
+  def icebergCompat(props: Map[String, String]): Boolean =
+    props.get("compatibility.format").exists(_.equalsIgnoreCase("iceberg"))
+
+  def writeMetadata(m: TableMetadata): String =
+    if (icebergCompat(m.properties)) writeMetadataSpec(m) else writeMetadataGraft(m)
+
+  /** Spec-dialect writer (reference TableMetadataParser.java toJson):
+    * absolute tracked paths, Appendix-C schemas, operation nested in the
+    * snapshot summary, string sort directions, and — for v1 — the
+    * singular `schema`/`partition-spec` forms alongside the arrays, the
+    * way the reference writes modern v1 metadata. */
+  private def writeMetadataSpec(m: TableMetadata): String = {
+    val o = mapper.createObjectNode()
+    o.put("format-version", m.formatVersion).put("table-uuid", m.tableUuid)
+      .put("location", m.location)
+    if (m.formatVersion >= 2) o.put("last-sequence-number", m.lastSequenceNumber)
+    o.put("last-updated-ms", m.lastUpdatedMs).put("last-column-id", m.lastColumnId)
+    if (m.formatVersion >= 3) o.put("next-row-id", m.nextRowId)
+    // defaults: graft stores SQL text; emit the JSON single-value when
+    // the text is a plain literal, else omit (conservative)
+    def defaultJson(sql: String): Option[JsonNode] = {
+      val t = sql.trim
+      val nf = mapper.getNodeFactory
+      if (t.equalsIgnoreCase("true")) Some(nf.booleanNode(true))
+      else if (t.equalsIgnoreCase("false")) Some(nf.booleanNode(false))
+      else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+        Some(nf.textNode(t.substring(1, t.length - 1).replace("''", "'")))
+      else t.toLongOption.map(nf.numberNode(_): JsonNode)
+        .orElse(t.toDoubleOption.map(nf.numberNode(_): JsonNode))
+    }
+    def schemaSpecJson(s: GSchema): ObjectNode = {
+      val so = IcebergJson.schemaJson(s)
+      // graft's SQL-text defaults ride along where literal
+      val fields = so.get("fields")
+      val byId = s.struct.fields.map(f => f.id -> f).toMap
+      fields.elements().forEachRemaining { fn =>
+        val f = byId(fn.get("id").asInt())
+        f.initialDefaultSql.flatMap(defaultJson).foreach(
+          fn.asInstanceOf[ObjectNode].set[JsonNode]("initial-default", _))
+        f.writeDefaultSql.flatMap(defaultJson).foreach(
+          fn.asInstanceOf[ObjectNode].set[JsonNode]("write-default", _))
+      }
+      so
+    }
+    o.put("current-schema-id", m.currentSchemaId)
+    val schemas = o.putArray("schemas")
+    m.schemas.foreach(s => schemas.add(schemaSpecJson(s)))
+    if (m.formatVersion == 1) {
+      o.set[JsonNode]("schema", schemaSpecJson(m.schema))
+      o.set[JsonNode]("partition-spec", IcebergJson.specFieldsJson(m.spec))
+    }
+    o.put("default-spec-id", m.defaultSpecId)
+    val specs = o.putArray("partition-specs")
+    m.specs.foreach { s =>
+      val sn = specs.addObject()
+      sn.put("spec-id", s.specId)
+      sn.set[JsonNode]("fields", IcebergJson.specFieldsJson(s))
+    }
+    o.put("last-partition-id", m.lastPartitionId)
+    o.put("default-sort-order-id", m.defaultSortOrderId)
+    val orders = o.putArray("sort-orders")
+    m.sortOrders.foreach { so =>
+      val oo = orders.addObject()
+      oo.put("order-id", so.orderId)
+      val fs = oo.putArray("fields")
+      so.fields.foreach { f =>
+        fs.addObject().put("transform", f.transform.name)
+          .put("source-id", f.sourceId)
+          .put("direction", if (f.ascending) "asc" else "desc")
+          .put("null-order", if (f.nullsFirst) "nulls-first" else "nulls-last")
+      }
+    }
+    val props = o.putObject("properties")
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    m.currentSnapshotId.foreach(o.put("current-snapshot-id", _))
+    val snaps = o.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val so = snaps.addObject()
+      so.put("snapshot-id", s.snapshotId)
+      s.parentId.foreach(so.put("parent-snapshot-id", _))
+      so.put("timestamp-ms", s.timestampMs)
+      if (m.formatVersion >= 2) so.put("sequence-number", s.sequenceNumber)
+      val sum = so.putObject("summary")
+      sum.put("operation", s.operation)
+      (s.summary - "operation").foreach { case (k, v) => sum.put(k, v) }
+      so.put("manifest-list", s.manifestListPath)
+      s.schemaId.foreach(so.put("schema-id", _))
+      s.firstRowId.foreach(so.put("first-row-id", _))
+      s.keyId.foreach(so.put("key-id", _))
+      s.keyMetadata.foreach(so.put("manifest-list-key-metadata", _))
+    }
+    val log = o.putArray("snapshot-log")
+    m.snapshotLog.foreach { case (ts, id) =>
+      log.addObject().put("timestamp-ms", ts).put("snapshot-id", id)
+    }
+    val ml = o.putArray("metadata-log")
+    m.metadataLog.foreach { case (ts, f) =>
+      ml.addObject().put("timestamp-ms", ts).put("metadata-file", f)
+    }
+    if (m.refs.nonEmpty) {
+      val refs = o.putObject("refs")
+      m.refs.foreach { case (name, r) =>
+        val ro = refs.putObject(name)
+        ro.put("snapshot-id", r.snapshotId).put("type", r.refType)
+        r.minSnapshotsToKeep.foreach(ro.put("min-snapshots-to-keep", _))
+        r.maxSnapshotAgeMs.foreach(ro.put("max-snapshot-age-ms", _))
+        r.maxRefAgeMs.foreach(ro.put("max-ref-age-ms", _))
+      }
+    }
+    if (m.statistics.nonEmpty) {
+      val st = o.putArray("statistics")
+      m.statistics.foreach { sf =>
+        st.addObject().put("snapshot-id", sf.snapshotId)
+          .put("statistics-path", sf.path)
+          .put("file-size-in-bytes", sf.fileSizeBytes)
+      }
+    }
+    if (m.partitionStatistics.nonEmpty) {
+      val st = o.putArray("partition-statistics")
+      m.partitionStatistics.foreach { sf =>
+        st.addObject().put("snapshot-id", sf.snapshotId)
+          .put("statistics-path", sf.path)
+          .put("file-size-in-bytes", sf.fileSizeBytes)
+      }
+    }
+    if (m.encryptionKeys.nonEmpty) {
+      val ek = o.putArray("encryption-keys")
+      m.encryptionKeys.foreach { k =>
+        val ko = ek.addObject()
+        ko.put("key-id", k.keyId)
+          .put("encrypted-key-metadata", k.encryptedKeyMetadata)
+        k.encryptedById.foreach(ko.put("encrypted-by-id", _))
+        if (k.properties.nonEmpty) {
+          val kp = ko.putObject("properties")
+          k.properties.foreach { case (pk, pv) => kp.put(pk, pv) }
+        }
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  private def writeMetadataGraft(m: TableMetadata): String = {
     // v4 relative locations (spec "File Locations in Metadata"): tracked
     // paths under the table location are always stored relative, so a
     // table directory can be moved and re-registered without rewriting

@@ -220,9 +220,10 @@ trait TableOps {
     * one (file + JDBC pointer catalogs); feeds metadata_log_entries. */
   def currentMetadataPath: Option[String] = None
 
-  def newManifestPath(): String = s"$metadataDir/manifest-${UUID.randomUUID}.json"
-  def newManifestListPath(snapshotId: Long): String =
-    s"$metadataDir/snap-$snapshotId-${UUID.randomUUID}.json"
+  def newManifestPath(ext: String = "json"): String =
+    s"$metadataDir/manifest-${UUID.randomUUID}.$ext"
+  def newManifestListPath(snapshotId: Long, ext: String = "json"): String =
+    s"$metadataDir/snap-$snapshotId-${UUID.randomUUID}.$ext"
 }
 
 /** File-based pointer (reference HadoopTableOperations): version N IS the
@@ -411,6 +412,27 @@ object ManifestIO {
   // path-keyed parse caches are safe on driver and executors alike
   private val listCache = new BoundedCache[Seq[ManifestFile]](256)
   private val entryCache = new BoundedCache[Seq[ManifestEntry]](64)
+
+  /** `write.manifests.format=avro` — or the blanket
+    * `compatibility.format=iceberg` — makes every manifest and manifest
+    * list this table writes spec-Avro, consumable by external Iceberg
+    * readers; readers sniff per file, so flipping the property mid-life
+    * leaves a perfectly readable mixed tree. */
+  def avroEnabled(props: Map[String, String]): Boolean =
+    props.get("write.manifests.format") match {
+      case Some(f) => f.equalsIgnoreCase("avro")
+      case None    => MetaJson.icebergCompat(props)
+    }
+
+  def fileExt(props: Map[String, String]): String =
+    if (avroEnabled(props)) "avro" else "json"
+
+  /** spec id → partition field types under the current schema, for
+    * Appendix-D-encoding Avro manifest-list summary bounds (callers
+    * Try-wrap: a spec whose source column was since dropped yields no
+    * types and that manifest simply isn't pruned) */
+  def partTypesOf(base: TableMetadata): Int => Seq[graft.core.types.GType] =
+    id => base.specById(id).partitionType(base.schema).fields.map(_.tpe)
 
   def write(path: String, entries: Seq[ManifestEntry], specId: Int, content: Int,
       spec: PartitionSpec, schema: GSchema, snapshotId: Long,
@@ -763,6 +785,19 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
     cryptoCache.get
   }
 
+  /** Manifest write honoring the table's format properties: spec-Avro
+    * when `write.manifests.format=avro` / `compatibility.format=iceberg`,
+    * JSON-lines (gzip per metadata codec) otherwise. The single choke
+    * point every producer's manifest goes through. */
+  protected final def writeManifestFile(base: TableMetadata,
+      entries: Seq[ManifestEntry], spec: PartitionSpec, content: Int,
+      snapshotId: Long): ManifestFile =
+    ManifestIO.write(table.ops.newManifestPath(ManifestIO.fileExt(base.properties)),
+      entries, spec.specId, content, spec, base.schema, snapshotId,
+      GraftIO.metadataGzip(base.properties), tableCrypto(base),
+      avro = ManifestIO.avroEnabled(base.properties),
+      formatVersion = base.formatVersion)
+
   /** head snapshot this commit builds on: the branch's head, or — when
     * the branch doesn't exist yet (first staged WAP write) — the current
     * main head, so a new branch forks from the table's current state */
@@ -831,9 +866,13 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       allocatedRows = 0L
       cryptoCache = None
       val ms = manifests(base, snapshotId, seq)
-      val listPath = table.ops.newManifestListPath(snapshotId)
+      val listAvro = ManifestIO.avroEnabled(base.properties)
+      val listPath = table.ops.newManifestListPath(snapshotId,
+        ManifestIO.fileExt(base.properties))
       val listKeyMeta = ManifestIO.writeList(listPath, ms,
-        GraftIO.metadataGzip(base.properties), tableCrypto(base))
+        GraftIO.metadataGzip(base.properties), tableCrypto(base),
+        avro = listAvro, formatVersion = base.formatVersion,
+        partTypes = ManifestIO.partTypesOf(base))
       val parent = parentSnapshot(base).map(_.snapshotId)
       // table-state totals (reference SnapshotSummary total-* metrics):
       // exact sums over the new manifest list — O(#manifests), no entry
@@ -908,9 +947,7 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
     if (added.isEmpty) return parentManifests(base)
     val entries = added.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
     val spec = base.specById(added.head.specId)
-    val m = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-      FileContent.Data, spec, base.schema, snapshotId,
-      GraftIO.metadataGzip(base.properties), tableCrypto(base))
+    val m = writeManifestFile(base, entries, spec, FileContent.Data, snapshotId)
     m +: parentManifests(base)
   }
 
@@ -1018,9 +1055,7 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
       droppedFiles ++= dropped.map(_.file)
       if (dropped.isEmpty) Some(mf)
       else if (keptEntries.isEmpty) None
-      else Some(ManifestIO.write(table.ops.newManifestPath(), keptEntries, mf.specId,
-        mf.content, spec, schema, snapshotId,
-        GraftIO.metadataGzip(base.properties), tableCrypto(base)))
+      else Some(writeManifestFile(base, keptEntries, spec, mf.content, snapshotId))
     }
     def baseDrop(spec: PartitionSpec)(e: ManifestEntry): Boolean =
       if (removeSet.contains(e.file.path)) { removedSeen += e.file.path; true }
@@ -1076,9 +1111,8 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
         val spec = base.specById(fs.head.specId)
         val entries = fs.map(f =>
           ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
-        ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-          if (isDelete) 1 else FileContent.Data, spec, schema, snapshotId,
-          GraftIO.metadataGzip(base.properties), tableCrypto(base))
+        writeManifestFile(base, entries, spec,
+          if (isDelete) 1 else FileContent.Data, snapshotId)
       } ++ kept
     }
   }
@@ -1337,25 +1371,20 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
         val keep = entries.filterNot(e => supersededDvs.contains(e.file.path))
         if (keep.size == entries.size) Some(mf)
         else if (keep.isEmpty) None
-        else Some(ManifestIO.write(table.ops.newManifestPath(), keep, mf.specId,
-          mf.content, base.specById(mf.specId), schema, snapshotId,
-          GraftIO.metadataGzip(base.properties), tableCrypto(base)))
+        else Some(writeManifestFile(base, keep, base.specById(mf.specId),
+          mf.content, snapshotId))
       }
     }
     if (dels.nonEmpty) {
       val spec = base.specById(dels.head.specId)
       val entries = dels.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
-      ms = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-        1, spec, schema, snapshotId,
-        GraftIO.metadataGzip(base.properties), tableCrypto(base)) +: ms
+      ms = writeManifestFile(base, entries, spec, 1, snapshotId) +: ms
     }
     val datas = assignRowIds(base, dataFiles.result())
     if (datas.nonEmpty) {
       val spec = base.specById(datas.head.specId)
       val entries = datas.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
-      ms = ManifestIO.write(table.ops.newManifestPath(), entries, spec.specId,
-        FileContent.Data, spec, schema, snapshotId,
-        GraftIO.metadataGzip(base.properties), tableCrypto(base)) +: ms
+      ms = writeManifestFile(base, entries, spec, FileContent.Data, snapshotId) +: ms
     }
     ms
   }

@@ -560,19 +560,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     e.copy(dataSequenceNumber = shiftSeq(e.dataSequenceNumber),
                       file = f2)
                   }
-                  val nm = graft.core.meta.ManifestIO.write(ops.newManifestPath(),
+                  val nm = graft.core.meta.ManifestIO.write(
+                    ops.newManifestPath(
+                      graft.core.meta.ManifestIO.fileExt(staged.properties)),
                     entries, m.specId, m.content, staged.specById(m.specId),
                     staged.schema, m.addedSnapshotId,
                     graft.core.meta.GraftIO.metadataGzip(staged.properties),
-                    stagedCrypto)
+                    stagedCrypto,
+                    avro = graft.core.meta.ManifestIO.avroEnabled(staged.properties),
+                    formatVersion = staged.formatVersion)
                   attemptFiles += nm.path
                   nm
                 })
               }
-              val listPath = ops.newManifestListPath(s.snapshotId)
+              val listPath = ops.newManifestListPath(s.snapshotId,
+                graft.core.meta.ManifestIO.fileExt(staged.properties))
               val listKeyMeta = graft.core.meta.ManifestIO.writeList(listPath,
                 newMfs, graft.core.meta.GraftIO.metadataGzip(staged.properties),
-                stagedCrypto)
+                stagedCrypto,
+                avro = graft.core.meta.ManifestIO.avroEnabled(staged.properties),
+                formatVersion = staged.formatVersion,
+                partTypes = graft.core.meta.ManifestIO.partTypesOf(staged))
               attemptFiles += listPath
               s.copy(sequenceNumber = shiftSeq(s.sequenceNumber),
                 manifestListPath = listPath,

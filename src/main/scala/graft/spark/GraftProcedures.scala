@@ -780,6 +780,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         .get("commit.manifest.target-entries").flatMap(_.toIntOption)
         .getOrElse(8192)
       val mfGzip = GraftIO.metadataGzip(m.properties)
+      val mfAvro = ManifestIO.avroEnabled(m.properties)
+      val mfExt = ManifestIO.fileExt(m.properties)
+      val mfFormatVersion = m.formatVersion
       // runs on executors: the resolved table key ships in the closure
       // (registry state is driver-local)
       val mfCrypto = graft.core.meta.TableCrypto.resolve(m)
@@ -802,10 +805,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             def flush(): Unit = if (buf.nonEmpty) {
               val (specId, content) = curKey
               val path =
-                s"$location/metadata/manifest-${java.util.UUID.randomUUID}.json"
+                s"$location/metadata/manifest-${java.util.UUID.randomUUID}.$mfExt"
               outMfs += ManifestIO.write(path, buf.toSeq, specId, content,
                 specsById(specId), schema, snapshotId = 0L, gzip = mfGzip,
-                crypto = mfCrypto)
+                crypto = mfCrypto, avro = mfAvro, formatVersion = mfFormatVersion)
               buf.clear()
             }
             it.foreach { case ((specId, content, _), e) =>
