@@ -646,16 +646,37 @@ object Pipeline {
   /** Sequence packing for LLM training: assign documents to fixed-budget
     * context windows per language — pack boundary every `budget`
     * cumulative tokens (fixed-boundary packing; deterministic order by
-    * doc_id). One window + one partial agg: shuffles once on lang. */
+    * doc_id). The per-language running sum is a TWO-PHASE prefix sum:
+    * doc_ids are blocked into fixed 64k-id ranges, phase 1 sums tokens
+    * per (lang, block) and runs the only per-language ordered pass over
+    * those block summaries (corpus/65536 rows, not rows), phase 2 adds
+    * the joined block offset to a block-local running sum. No window
+    * partition ever holds more than one block of one language — a
+    * single-window-partition-per-language plan would put an entire
+    * language's corpus through one task at 100 TB. */
   private val p17 = Q(
     "p17_pack_sequences",
     (s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "documents")
+      val blockIds = 65536L
+      val tk = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast(LongType).as("tokens"))
-        .withColumn("prior", coalesce(sum("tokens").over(w), lit(0L)))
+        .withColumn("blk", expr(s"doc_id div $blockIds"))
+      // blk is monotone in doc_id, so cumulative block sums in blk order
+      // are exactly the tokens preceding the block in doc_id order
+      val offW = Window.partitionBy("lang").orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = tk.groupBy("lang", "blk")
+        .agg(sum("tokens").as("blk_tokens"))
+        .withColumn("blk_offset", coalesce(sum("blk_tokens").over(offW), lit(0L)))
+        .select("lang", "blk", "blk_offset")
+      val locW = Window.partitionBy("lang", "blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // offsets is tiny (one row per 64k doc_ids per language) — AQE
+      // broadcasts the join on its own; no hard hint
+      tk.withColumn("local_prior", coalesce(sum("tokens").over(locW), lit(0L)))
+        .join(offsets, Seq("lang", "blk"))
+        .withColumn("prior", col("local_prior") + col("blk_offset"))
         .withColumn("pack_id", expr("prior div 2048"))
         .groupBy("lang", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"))

@@ -122,6 +122,11 @@ object Relational {
       // at 100 TB where that shuffle dominates. Catalyst can't derive
       // this itself: the c_nationkey restriction only appears via the
       // supplier join, after the big shuffles are already planned.
+      // The only hard hints are on ≤25-row nation sets; the supplier
+      // side is deliberately UNhinted — suppliers scale with the corpus,
+      // so whether l⋈sup broadcasts is a size decision the engine's
+      // reported stats + AQE make per run (broadcast at test SFs, shuffle
+      // hash at 100 TB), never a hard-coded driver OOM.
       val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .select("n_nationkey", "n_name")
       val supA = sup.join(broadcast(asiaN),
@@ -131,7 +136,7 @@ object Relational {
         col("c_nationkey") === col("cn_nationkey"))
       cA.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(supA),
+        .join(supA,
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
