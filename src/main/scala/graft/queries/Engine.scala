@@ -51,7 +51,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v33").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v34").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -60,7 +60,8 @@ object Engine {
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
-        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g", "enc_g", "mev_g", "dvm_g", "bloom_g")
+        "adm_g", "dang_g", "rb_g", "rpd_g", "msch_g", "metrics_g", "enc_g", "mev_g", "dvm_g", "bloom_g",
+        "ice_src_g", "ice_reg_g")
         .foreach(t => cat.dropTable(Seq("db"), t))
       // the wipe above went through a FRESH HadoopCatalog, bypassing the
       // session GraftCatalog's 30s-TTL cache; invalidate it so an in-JVM
@@ -689,8 +690,25 @@ object Engine {
       o.select("o_orderkey", "o_custkey", "o_totalprice")
         .writeTo("graft.db.bloom_g").append()
 
+      // genuine-Iceberg interop (g60): a spec-shaped v2 MoR tree —
+      // Appendix-C metadata JSON, spec-Avro manifests + manifest list,
+      // and a position-delete parquet — then register_table from its
+      // metadata.json, the migrating user's first-day operation
+      // (reference RegisterTableProcedure + HadoopTableOperations)
+      s.sql("""CREATE TABLE graft.db.ice_src_g (
+        s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT)
+        PARTITIONED BY (bucket(4, s_suppkey))
+        TBLPROPERTIES ('compatibility.format'='iceberg',
+                       'write.delete.mode'='merge-on-read',
+                       'write.update.mode'='merge-on-read')""")
+      sup.writeTo("graft.db.ice_src_g").append()
+      s.sql("DELETE FROM graft.db.ice_src_g WHERE s_suppkey % 7 = 3")
+      val iceMeta = new HadoopCatalog(wh).loadTable(Seq("db"), "ice_src_g")
+        .get.ops.currentMetadataPath.get
+      s.sql(s"CALL graft.system.register_table('db.ice_reg_g', '$iceMeta')")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v33" -> "true"))
+        .updateProperties(Map("build-complete-v34" -> "true"))
     }
     built += wh
   }
@@ -2060,9 +2078,64 @@ object Engine {
           AS sum_c
       FROM orders WHERE o_orderkey IN (1, 7, 32, 4934, 999999999)"""))
 
+  // ------------------------------------------------------------------ g60
+  // Genuine-Iceberg interop: the setup registered db.ice_reg_g from the
+  // metadata.json of a spec-shaped v2 MoR tree. In-gate, every run: the
+  // metadata document must BE the spec dialect (operation nested in the
+  // snapshot summary, Appendix-C `type` fields, no graft `ftype`), the
+  // manifest list and every manifest must be genuine Avro (magic-byte
+  // checked), and a live position-delete file must be present — then the
+  // registered table must match DuckDB over the raw supplier parquet
+  // with the deleted keys subtracted (reference RegisterTableProcedure;
+  // TableMetadataParser/ManifestWriter output shapes).
+  private val g60 = Q(
+    "g60_engine_iceberg_interop",
+    (s, dir) => {
+      setup(s, dir)
+      import graft.core.meta.{AvroManifests, FileContent, GraftIO, ManifestIO, MetaJson}
+      val src = new HadoopCatalog(warehouse(dir)).loadTable(Seq("db"), "ice_src_g").get
+      val metaDoc = MetaJson.mapper.readTree(
+        GraftIO.readString(src.ops.currentMetadataPath.get))
+      require(metaDoc.get("format-version").asInt() == 2, "g60: not v2")
+      val snaps = metaDoc.get("snapshots")
+      require(snaps.size() >= 2, "g60: expected append + delete snapshots")
+      (0 until snaps.size()).foreach { i =>
+        val sn = snaps.get(i)
+        require(!sn.has("operation") && sn.get("summary").has("operation"),
+          s"g60: snapshot $i operation not spec-nested: $sn")
+        require(sn.has("sequence-number") && sn.has("manifest-list"),
+          s"g60: snapshot $i missing v2 fields: $sn")
+      }
+      val f0 = metaDoc.get("schemas").get(0).get("fields").get(0)
+      require(f0.has("type") && !f0.has("ftype"),
+        s"g60: schema fields not Appendix-C dialect: $f0")
+      val sn = src.meta.currentSnapshot.get
+      def avroBytes(p: String) =
+        java.nio.file.Files.readAllBytes(GraftIO.toPath(p))
+      require(sn.manifestListPath.endsWith(".avro") &&
+        AvroManifests.isAvro(avroBytes(sn.manifestListPath)),
+        s"g60: manifest list not Avro: ${sn.manifestListPath}")
+      val mfs = ManifestIO.readList(sn.manifestListPath)
+      mfs.foreach(mf => require(AvroManifests.isAvro(avroBytes(mf.path)),
+        s"g60: manifest not Avro: ${mf.path}"))
+      val live = mfs.flatMap(mf => ManifestIO.readEntries(mf)).filter(_.isLive)
+      require(live.exists(_.file.content == FileContent.PositionDeletes),
+        "g60: no live position-delete file in the tree")
+      require(live.filter(_.file.content == FileContent.Data)
+        .forall(_.file.format == "parquet"), "g60: non-parquet data files")
+      s.table("graft.db.ice_reg_g")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), max(col("s_name")).as("max_name"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n, MAX(s_name) AS max_name
+      FROM supplier WHERE s_suppkey % 7 <> 3
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56, g57, g58, g59)
+    g52, g53, g54, g55, g56, g57, g58, g59, g60)
 }

@@ -196,4 +196,55 @@ class NameFormatEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq
     assert(ids == (0L until 6L), s"data files lost: $ids")
   }
+
+  test("format-version 1 iceberg-compat table reads end-to-end, time travel, embedded manifests") {
+    import graft.core.meta.{GraftIO, HadoopCatalog, ManifestIO, MetaJson}
+    spark.sql("""CREATE TABLE gnf.db.v1ice (id BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='1', 'compatibility.format'='iceberg')""")
+    spark.sql("SELECT id, concat('a-', string(id)) AS v FROM range(0, 5)")
+      .coalesce(1).writeTo("gnf.db.v1ice").append()
+    spark.sql("SELECT id, concat('b-', string(id)) AS v FROM range(5, 9)")
+      .coalesce(1).writeTo("gnf.db.v1ice").append()
+    val cat = new HadoopCatalog(warehouse)
+    val t = cat.loadTable(Seq("db"), "v1ice").get
+    val metaPath = t.ops.currentMetadataPath.get
+    val doc = MetaJson.mapper.readTree(GraftIO.readString(metaPath))
+    // v1 spec dialect: singular schema/partition-spec alongside the
+    // arrays, no last-sequence-number, snapshots without sequence-number
+    assert(doc.get("format-version").asInt() === 1)
+    assert(!doc.has("last-sequence-number"))
+    assert(doc.has("schema") && doc.has("partition-spec"))
+    assert(!doc.get("snapshots").get(0).has("sequence-number"))
+    assert(t.meta.currentSnapshot.get.manifestListPath.endsWith(".avro"))
+    def count(sql: String): Long = spark.sql(sql).collect()(0).getLong(0)
+    assert(count("SELECT count(*) FROM gnf.db.v1ice") === 9L)
+    val firstId = t.meta.snapshots.head.snapshotId
+    assert(count(s"SELECT count(*) FROM gnf.db.v1ice VERSION AS OF $firstId") === 5L)
+    // the OLD v1 form — snapshots embedding the expanded `manifests`
+    // path array instead of a manifest-list file — written back as the
+    // next metadata version, the way an early-Iceberg writer left trees
+    val snaps = doc.get("snapshots")
+    (0 until snaps.size()).foreach { i =>
+      val sn = snaps.get(i)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val mfs = ManifestIO.readList(sn.get("manifest-list").asText())
+      sn.remove("manifest-list")
+      val arr = sn.putArray("manifests")
+      mfs.foreach(mf => arr.add(mf.path))
+    }
+    val metaDir = java.nio.file.Paths.get(warehouse, "db", "v1ice", "metadata")
+    val nextV = metaPath.split("/").last.stripPrefix("v")
+      .stripSuffix(".metadata.json").toInt + 1
+    Files.write(metaDir.resolve(s"v$nextV.metadata.json"),
+      doc.toString.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"),
+      nextV.toString.getBytes("UTF-8"))
+    spark.sessionState.catalogManager.catalog("gnf")
+      .asInstanceOf[GraftCatalog].invalidateCache()
+    assert(count("SELECT count(*) FROM gnf.db.v1ice") === 9L)
+    assert(count(s"SELECT count(*) FROM gnf.db.v1ice VERSION AS OF $firstId") === 5L)
+    val vs = spark.sql("SELECT v FROM gnf.db.v1ice WHERE id >= 5 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(vs === (5 until 9).map(i => s"b-$i"))
+  }
 }
