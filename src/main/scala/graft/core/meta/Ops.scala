@@ -1298,8 +1298,13 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
                 case prim => (s.lower, s.upper) match {
                   case (Some(lo), Some(hi)) =>
                     partType.fields.lift(i).forall { pf =>
-                      TypeComparators.compare(pf.tpe, prim, lo) >= 0 &&
-                        TypeComparators.compare(pf.tpe, prim, hi) <= 0
+                      // Avro-read lists keep bounds as Appendix-D bytes
+                      // (typed only once the spec is in hand); JSON-read
+                      // bounds pass through adapt unchanged
+                      TypeComparators.compare(pf.tpe, prim,
+                        SingleValue.adapt(pf.tpe, lo)) >= 0 &&
+                        TypeComparators.compare(pf.tpe, prim,
+                          SingleValue.adapt(pf.tpe, hi)) <= 0
                     }
                   case _ => true
                 }

@@ -41,13 +41,16 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def runSeed(seed: Int, partitioned: Boolean, steps: Int,
-      evolveSpec: Boolean = false, format: String = "parquet"): Unit = {
+      evolveSpec: Boolean = false, format: String = "parquet",
+      icebergCompat: Boolean = false): Unit = {
     val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
     val fq = s"gfz.db.$name"
     val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
+    val compatProp =
+      if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
     spark.sql(s"""CREATE TABLE $fq (id BIGINT, grp BIGINT, v STRING)
       $partClause TBLPROPERTIES ('format-version'='3',
-        'write.format.default'='$format')""")
+        'write.format.default'='$format'$compatProp)""")
 
     val rng = new Random(seed)
     val model = mutable.LinkedHashMap.empty[Long, (Long, String)]
@@ -73,11 +76,31 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val del = if (rng.nextBoolean()) "merge-on-read" else "copy-on-write"
       val upd = if (rng.nextBoolean()) "merge-on-read" else "copy-on-write"
       val fmt = if (rng.nextBoolean()) "dv" else "parquet"
+      // flipping the manifest codec mid-history leaves a MIXED JSON/Avro
+      // metadata tree that every later op (and the sniffing readers)
+      // must keep handling
+      val mf = if (rng.nextBoolean()) "avro" else "json"
       spark.sql(s"""ALTER TABLE $fq SET TBLPROPERTIES (
         'write.delete.mode'='$del', 'write.update.mode'='$upd',
         'write.merge.mode'='${if (rng.nextBoolean()) "merge-on-read" else "copy-on-write"}',
-        'write.delete.format'='$fmt')""")
-      s"modes($del,$upd,$fmt)"
+        'write.delete.format'='$fmt',
+        'write.manifests.format'='$mf')""")
+      // flipping the metadata DIALECT mid-history (graft JSON ↔ spec
+      // Appendix-C) leaves a version log whose documents alternate
+      // dialects — readMetadata sniffs per-document, so every later op,
+      // time travel and expiry must keep working across the flip
+      val compat = if (icebergCompat && rng.nextBoolean()) {
+        if (rng.nextBoolean()) {
+          spark.sql(
+            s"ALTER TABLE $fq SET TBLPROPERTIES ('compatibility.format'='iceberg')")
+          ",compat=iceberg"
+        } else {
+          spark.sql(
+            s"ALTER TABLE $fq UNSET TBLPROPERTIES ('compatibility.format')")
+          ",compat=off"
+        }
+      } else ""
+      s"modes($del,$upd,$fmt,$mf$compat)"
     }
 
     def deleteByGroup(): String = {
@@ -376,5 +399,14 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("seeded DML fuzz with partition-spec evolution") {
     runSeed(seed = 60005, partitioned = true, steps = 40, evolveSpec = true)
+  }
+
+  // every random op commits spec-dialect (Appendix-C) metadata + Avro
+  // manifests and is immediately re-read through the spec parsers — the
+  // interop writer/reader pair gets the same model-checked history as
+  // the graft dialect, including mid-history dialect flips
+  test("seeded DML fuzz in iceberg-compat mode") {
+    runSeed(seed = 424242, partitioned = true, steps = 35,
+      evolveSpec = true, icebergCompat = true)
   }
 }
