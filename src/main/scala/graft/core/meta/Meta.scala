@@ -152,10 +152,21 @@ final case class SortField(sourceId: Int, transform: Transform,
 final case class SortOrder(orderId: Int, fields: Seq[SortField])
 object SortOrder { val Unsorted: SortOrder = SortOrder(0, Nil) }
 
+/** One blob's catalog-level metadata inside a statistics file entry
+  * (format/spec.md blob metadata; reference api/.../BlobMetadata) —
+  * lets a planner pick blobs without opening the Puffin footer. */
+final case class StatBlobMeta(tpe: String, snapshotId: Long,
+    sequenceNumber: Long, fields: Seq[Int],
+    properties: Map[String, String] = Map.empty)
+
 /** A Puffin statistics file attached to a snapshot
-  * (format/spec.md statistics-file; reference core/.../StatisticsFile). */
+  * (format/spec.md statistics-file; reference core/.../StatisticsFile).
+  * Footer size + blob list are spec-required on the JSON entry
+  * (reference StatisticsFileParser.fromJson uses getLong/array, not
+  * optional) — 0/Nil only on entries written before they were tracked. */
 final case class StatisticsFile(snapshotId: Long, path: String,
-    fileSizeBytes: Long)
+    fileSizeBytes: Long, fileFooterSizeBytes: Long = 0L,
+    blobMetadata: Seq[StatBlobMeta] = Nil)
 
 /** A partition-statistics file attached to a snapshot (format/spec.md
   * "Partition Statistics"; reference core/.../PartitionStatisticsFile). */

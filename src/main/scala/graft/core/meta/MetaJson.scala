@@ -323,6 +323,29 @@ object MetaJson {
   def icebergCompat(props: Map[String, String]): Boolean =
     props.get("compatibility.format").exists(_.equalsIgnoreCase("iceberg"))
 
+  /** Statistics-file entry, identical in both dialects (the spec shape —
+    * reference StatisticsFileParser: footer size and blob-metadata are
+    * REQUIRED there, so always emit them). `wp` maps the stored path. */
+  private def statisticsJson(so: ObjectNode, sf: StatisticsFile,
+      wp: String => String): Unit = {
+    so.put("snapshot-id", sf.snapshotId)
+      .put("statistics-path", wp(sf.path))
+      .put("file-size-in-bytes", sf.fileSizeBytes)
+      .put("file-footer-size-in-bytes", sf.fileFooterSizeBytes)
+    val blobs = so.putArray("blob-metadata")
+    sf.blobMetadata.foreach { b =>
+      val bo = blobs.addObject()
+      bo.put("type", b.tpe).put("snapshot-id", b.snapshotId)
+        .put("sequence-number", b.sequenceNumber)
+      val fs = bo.putArray("fields")
+      b.fields.foreach(fs.add)
+      if (b.properties.nonEmpty) {
+        val p = bo.putObject("properties")
+        b.properties.foreach { case (k, v) => p.put(k, v) }
+      }
+    }
+  }
+
   def writeMetadata(m: TableMetadata): String =
     if (icebergCompat(m.properties)) writeMetadataSpec(m) else writeMetadataGraft(m)
 
@@ -431,11 +454,7 @@ object MetaJson {
     }
     if (m.statistics.nonEmpty) {
       val st = o.putArray("statistics")
-      m.statistics.foreach { sf =>
-        st.addObject().put("snapshot-id", sf.snapshotId)
-          .put("statistics-path", sf.path)
-          .put("file-size-in-bytes", sf.fileSizeBytes)
-      }
+      m.statistics.foreach(sf => statisticsJson(st.addObject(), sf, identity))
     }
     if (m.partitionStatistics.nonEmpty) {
       val st = o.putArray("partition-statistics")
@@ -521,11 +540,7 @@ object MetaJson {
     }
     if (m.statistics.nonEmpty) {
       val st = o.putArray("statistics")
-      m.statistics.foreach { sf =>
-        st.addObject().put("snapshot-id", sf.snapshotId)
-          .put("statistics-path", wp(sf.path))
-          .put("file-size-in-bytes", sf.fileSizeBytes)
-      }
+      m.statistics.foreach(sf => statisticsJson(st.addObject(), sf, wp))
     }
     if (m.partitionStatistics.nonEmpty) {
       val st = o.putArray("partition-statistics")
@@ -679,9 +694,24 @@ object MetaJson {
       statistics = {
         val st = Seq.newBuilder[StatisticsFile]
         Option(n.get("statistics")).foreach(_.elements().forEachRemaining { e =>
+          val blobs = Seq.newBuilder[StatBlobMeta]
+          Option(e.get("blob-metadata")).foreach(_.elements().forEachRemaining { b =>
+            val fields = Seq.newBuilder[Int]
+            Option(b.get("fields")).foreach(
+              _.elements().forEachRemaining(f => fields += f.asInt()))
+            val bprops = Map.newBuilder[String, String]
+            Option(b.get("properties")).foreach(_.properties().forEach(en =>
+              bprops += en.getKey -> en.getValue.asText()))
+            blobs += StatBlobMeta(b.get("type").asText(),
+              b.get("snapshot-id").asLong(),
+              Option(b.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+              fields.result(), bprops.result())
+          })
           st += StatisticsFile(e.get("snapshot-id").asLong(),
             res(e.get("statistics-path").asText()),
-            e.get("file-size-in-bytes").asLong())
+            e.get("file-size-in-bytes").asLong(),
+            Option(e.get("file-footer-size-in-bytes")).map(_.asLong()).getOrElse(0L),
+            blobs.result())
         })
         st.result()
       },

@@ -30,9 +30,12 @@ object Puffin {
       payload: Array[Byte],
       properties: Map[String, String] = Map.empty)
 
+  /** Writes the container; returns (file size, footer size) — the footer
+    * region spans its leading Magic through the trailing Magic (reference
+    * PuffinWriter.footerSize), which statistics-file entries must record. */
   def write(path: String, blobs: Seq[Blob],
       fileProperties: Map[String, String] = Map.empty,
-      crypto: Option[TableCrypto] = None): Long = {
+      crypto: Option[TableCrypto] = None): (Long, Long) = {
     val out = new ByteArrayOutputStream()
     val d = new DataOutputStream(out)
     d.write(Magic)
@@ -83,7 +86,8 @@ object Puffin {
       case None => out.toByteArray
     }
     Files.write(p, bytes)
-    bytes.length.toLong
+    // Magic(4) + footer JSON + payload-size(4) + flags(4) + Magic(4)
+    (bytes.length.toLong, footer.length.toLong + 16L)
   }
 
   def read(path: String, crypto: Option[TableCrypto] = None): Seq[Blob] = {

@@ -1023,7 +1023,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             Puffin.ndvPayload(r.getLong(i)),
             Map("ndv" -> r.getLong(i).toString))
         }
-        val size = Puffin.write(puffinPath, blobs,
+        val (size, footerSize) = Puffin.write(puffinPath, blobs,
           crypto = graft.core.meta.TableCrypto.resolve(t.meta))
         // delete superseded puffin files AFTER the commit lands: the
         // replaced entries are unreferenced from the new metadata and
@@ -1036,7 +1036,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           base.copy(properties = base.properties ++ props,
             statistics = base.statistics
               .filterNot(sf => snap.exists(_.snapshotId == sf.snapshotId)) :+
-              StatisticsFile(snap.map(_.snapshotId).getOrElse(0L), puffinPath, size))
+              StatisticsFile(snap.map(_.snapshotId).getOrElse(0L), puffinPath,
+                size, footerSize,
+                blobs.map(b => graft.core.meta.StatBlobMeta(b.blobType,
+                  b.snapshotId, b.sequenceNumber, b.fields, b.properties))))
         }
         replaced.filterNot(_ == puffinPath)
           .foreach(p => try graft.core.meta.GraftIO.delete(p) catch { case _: Throwable => () })

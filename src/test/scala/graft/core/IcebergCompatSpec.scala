@@ -141,4 +141,38 @@ class IcebergCompatSpec extends AnyFunSuite {
     assert(m2.refs === m.refs)
     assert(m2.snapshotLog === m.snapshotLog)
   }
+
+  // statistics entries: the reference's StatisticsFileParser REQUIRES
+  // file-footer-size-in-bytes and blob-metadata — a compat document
+  // missing them fails a genuine reader; and both dialects must
+  // round-trip them losslessly
+  test("statistics entries carry footer size + blob metadata in both dialects") {
+    val wh = Files.createTempDirectory("graft-compat-st").toString
+    val cat = new HadoopCatalog(wh)
+    val t = cat.createTable(Seq("db"), "st", schema, PartitionSpec.Unpartitioned,
+      Map("compatibility.format" -> "iceberg"))
+    t.newAppend().appendFile(df("f.parquet", Nil, (1L, 5L))).commit()
+    val sid = t.meta.currentSnapshot.get.snapshotId
+    val stats = StatisticsFile(sid, s"${t.location}/metadata/x.stats.puffin",
+      1234L, 222L, Seq(StatBlobMeta("apache-datasketches-theta-v1", sid, 1L,
+        Seq(1, 2), Map("ndv" -> "42"))))
+    t.commitUpdate(b => b.copy(statistics = Seq(stats)))
+
+    val n = readJson(t.ops.currentMetadataPath.get)
+    val e = n.get("statistics").get(0)
+    assert(e.get("file-footer-size-in-bytes").asLong() === 222L)
+    val b = e.get("blob-metadata").get(0)
+    assert(b.get("type").asText() === "apache-datasketches-theta-v1")
+    assert(b.get("snapshot-id").asLong() === sid)
+    assert(b.get("sequence-number").asLong() === 1L)
+    assert(b.get("fields").get(1).asInt() === 2)
+    assert(b.get("properties").get("ndv").asText() === "42")
+    // spec-dialect parse-back
+    assert(MetaJson.readMetadata(MetaJson.writeMetadata(t.meta)).statistics
+      === Seq(stats))
+    // graft-dialect parse-back (flip compat off, rewrite, re-read)
+    t.commitUpdate(b => b.copy(properties = b.properties - "compatibility.format"))
+    val m3 = MetaJson.readMetadata(MetaJson.writeMetadata(t.meta))
+    assert(m3.statistics === Seq(stats))
+  }
 }

@@ -44,11 +44,13 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private final case class MCol(fid: Int, var name: String, var tpe: String)
 
   private def runSeed(seed: Int, steps: Int,
-      format: String = "parquet"): Unit = {
-    val name = s"sevo_${seed}_$format"
+      format: String = "parquet", icebergCompat: Boolean = false): Unit = {
+    val name = s"sevo_${seed}_$format${if (icebergCompat) "_ice" else ""}"
     val fq = s"gse.db.$name"
+    val compatProp =
+      if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
     spark.sql(s"""CREATE TABLE $fq (id BIGINT)
-      TBLPROPERTIES ('write.format.default'='$format')""")
+      TBLPROPERTIES ('write.format.default'='$format'$compatProp)""")
 
     val rng = new Random(seed)
     var nextFid = 0
@@ -206,5 +208,12 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   test("seeded schema-evolution fuzz on Avro, seed 17") {
     runSeed(17, 30, format = "avro")
+  }
+  // iceberg-compat: every evolution step round-trips the whole schema
+  // history through the spec (Appendix-C) metadata dialect — renames,
+  // drops, promotions and literal defaults must survive the spec
+  // writer/parser pair, not just graft's own JSON
+  test("seeded schema-evolution fuzz in iceberg-compat mode, seed 23") {
+    runSeed(23, 30, icebergCompat = true)
   }
 }
