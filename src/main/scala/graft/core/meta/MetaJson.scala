@@ -346,6 +346,18 @@ object MetaJson {
     }
   }
 
+  /** Document-level dialect sniff: graft schemas tag field types `ftype`,
+    * Appendix-C uses `type` — used by register_table to keep a genuine
+    * Iceberg tree spec-readable after import (auto-set compat). */
+  def isSpecDialect(json: String): Boolean = {
+    val n = mapper.readTree(json)
+    val schema0 = Option(n.get("schemas")).filter(_.isArray).filter(_.size > 0)
+      .map(_.get(0)).orElse(Option(n.get("schema")))
+    schema0.flatMap(s => Option(s.get("fields")))
+      .filter(_.isArray).filter(_.size > 0)
+      .exists(fs => !fs.get(0).has("ftype"))
+  }
+
   def writeMetadata(m: TableMetadata): String =
     if (icebergCompat(m.properties)) writeMetadataSpec(m) else writeMetadataGraft(m)
 

@@ -96,7 +96,12 @@ object GraftIO {
     * ours are JSON, where gzip is the difference between reading
     * hundreds of MB and tens of MB of manifest text per plan at scale) */
   def metadataGzip(props: Map[String, String]): Boolean =
-    props.get("write.metadata.compression-codec").exists(_.equalsIgnoreCase("gzip"))
+    props.get("write.metadata.compression-codec").exists(_.equalsIgnoreCase("gzip")) &&
+      // spec layout: external readers derive the codec from the FILE NAME
+      // (reference TableMetadataParser.Codec.fromFileName) and our version
+      // files are always v{N}.metadata.json — a gzip'd compat document
+      // would be unreadable outside, so compat wins over compression
+      !MetaJson.icebergCompat(props)
 
   def exists(path: String): Boolean = Files.exists(toPath(path))
 

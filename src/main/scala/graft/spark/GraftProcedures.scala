@@ -1554,10 +1554,19 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val (ns, tbl) = if (parts.length >= 2) (parts.init, parts.last)
                       else (Seq("db"), parts.head)
       require(!catalog.tableExists(ns, tbl), s"table already exists: $tblName")
-      val meta = MetaJson.readMetadata(GraftIO.readString(metaFile), Some(metaFile))
+      val srcJson = GraftIO.readString(metaFile)
+      val meta = MetaJson.readMetadata(srcJson, Some(metaFile))
       val loc = catalog.tableLocation(ns, tbl)
       val ops = new FileTableOps(loc)
-      require(ops.commit(0, meta.copy(location = loc)),
+      // a genuine Iceberg source stays externally readable: auto-enable
+      // compat so graft's own commits keep writing the spec dialect +
+      // Avro manifests into the imported tree (the user can UNSET it)
+      val props =
+        if (MetaJson.isSpecDialect(srcJson) &&
+            !meta.properties.contains("compatibility.format"))
+          meta.properties + ("compatibility.format" -> "iceberg")
+        else meta.properties
+      require(ops.commit(0, meta.copy(location = loc, properties = props)),
         s"failed to register $tblName at $loc")
       val t = new GTable(ops)
       val (dataFiles, deleteFiles) = t.meta.currentSnapshot.map { sn =>
@@ -1638,31 +1647,62 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         if (stagingArg.nonEmpty) stagingArg
         else s"${t.location}/metadata/rewrite-${java.util.UUID.randomUUID}"
       java.nio.file.Files.createDirectories(GraftIO.toPath(staging))
-      def rewrite(path: String): String = {
-        val name = GraftIO.toPath(path).getFileName.toString
-        val outPath = s"$staging/$name"
+      val m = t.meta
+      def mv(p: String): String = p.replace(srcPrefix, dstPrefix)
+      def stagePath(p: String): String =
+        s"$staging/${GraftIO.toPath(p).getFileName}"
+      // JSON documents (metadata.json, JSON-lines manifests) rewrite as
+      // text; Avro manifests are BINARY — a string replace corrupts the
+      // container, so they re-encode through the codec with moved paths
+      def rewriteText(path: String): String = {
+        val outPath = stagePath(path)
         GraftIO.writeString(outPath,
           GraftIO.readString(path).replace(srcPrefix, dstPrefix))
         outPath
       }
-      val m = t.meta
+      def rewriteList(sn: Snapshot, mfs: Seq[ManifestFile]): String =
+        if (AvroManifests.isAvro(
+            java.nio.file.Files.readAllBytes(GraftIO.toPath(sn.manifestListPath)))) {
+          val outPath = stagePath(sn.manifestListPath)
+          java.nio.file.Files.write(GraftIO.toPath(outPath),
+            AvroManifests.writeList(mfs.map(mf => mf.copy(path = mv(mf.path))),
+              m.formatVersion, ManifestIO.partTypesOf(m)))
+          outPath
+        } else rewriteText(sn.manifestListPath)
+      def rewriteManifest(mf: ManifestFile): String =
+        if (AvroManifests.isAvro(
+            java.nio.file.Files.readAllBytes(GraftIO.toPath(mf.path)))) {
+          val outPath = stagePath(mf.path)
+          val moved = ManifestIO.readEntries(mf).map(e => e.copy(file =
+            e.file.copy(path = mv(e.file.path),
+              referencedDataFile = e.file.referencedDataFile.map(mv))))
+          java.nio.file.Files.write(GraftIO.toPath(outPath),
+            AvroManifests.writeManifest(moved, m.specById(mf.specId),
+              m.schema, mf.content, m.formatVersion))
+          outPath
+        } else rewriteText(mf.path)
       val srcMetaPath = s"${t.location}/metadata/v${t.ops.currentVersion()}.metadata.json"
-      val metaCopy = rewrite(srcMetaPath)
+      val metaCopy = rewriteText(srcMetaPath)
       val copied = mutable.ArrayBuffer.empty[(String, String)]
       // the copy target is the ORIGINAL layout under the new prefix (the
       // staging dir is only where the rewritten bytes live locally)
-      copied += ((metaCopy, srcMetaPath.replace(srcPrefix, dstPrefix)))
+      copied += ((metaCopy, mv(srcMetaPath)))
       m.snapshots.foreach { sn =>
-        copied += ((rewrite(sn.manifestListPath),
-          sn.manifestListPath.replace(srcPrefix, dstPrefix)))
-        try ManifestIO.readList(sn.manifestListPath).foreach { mf =>
-          copied += ((rewrite(mf.path), mf.path.replace(srcPrefix, dstPrefix)))
-          try ManifestIO.readEntries(mf).foreach { e =>
-            // data files are not rewritten, only listed for the copy tool
-            copied += ((e.file.path, e.file.path.replace(srcPrefix, dstPrefix)))
-          } catch { case _: Throwable => () }
+        try {
+          val mfs = ManifestIO.readList(sn.manifestListPath)
+          copied += ((rewriteList(sn, mfs), mv(sn.manifestListPath)))
+          mfs.foreach { mf =>
+            copied += ((rewriteManifest(mf), mv(mf.path)))
+            try ManifestIO.readEntries(mf).foreach { e =>
+              // data files are not rewritten, only listed for the copy tool
+              copied += ((e.file.path, mv(e.file.path)))
+            } catch { case _: Throwable => () }
+          }
         } catch { case _: Throwable => () }
       }
+      // statistics files embed no paths: plain copies for the copy tool
+      (m.statistics.map(_.path) ++ m.partitionStatistics.map(_.path))
+        .foreach(p => copied += ((p, mv(p))))
       val fileList = s"$staging/file-list.csv"
       GraftIO.writeString(fileList,
         copied.distinct.map { case (a, b) => s"$a,$b" }.mkString("\n"))

@@ -243,7 +243,21 @@ class IcebergMetadataSpec extends AnyFunSuite {
   test("reference fixture: TableMetadataStatisticsFiles") {
     fixture("TableMetadataStatisticsFiles.json").foreach { json =>
       val m = MetaJson.readMetadata(json)
-      assert(m.statistics.nonEmpty || m.partitionStatistics.nonEmpty)
+      val sf = m.statistics.head
+      assert(sf.path === "s3://a/b/stats.puffin")
+      assert(sf.fileSizeBytes === 413L)
+      assert(sf.fileFooterSizeBytes === 42L)
+      assert(sf.blobMetadata ===
+        Seq(StatBlobMeta("ndv", 3055729675574597004L, 1L, Seq(1))))
+    }
+  }
+
+  test("reference fixture: TableMetadataPartitionStatisticsFiles") {
+    fixture("TableMetadataPartitionStatisticsFiles.json").foreach { json =>
+      val m = MetaJson.readMetadata(json)
+      assert(m.partitionStatistics.nonEmpty)
+      assert(m.partitionStatistics.head.snapshotId > 0)
+      assert(m.partitionStatistics.head.fileSizeBytes > 0)
     }
   }
 }

@@ -1510,6 +1510,63 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lines = graft.core.meta.GraftIO.readString(fileList).split("\n")
     assert(lines.nonEmpty && lines.forall(_.contains(",/new/wh")),
       s"file list not rewritten: ${lines.take(3).mkString(";")}")
+
+    // avro-manifest tree: the staged copies must stay VALID Avro with
+    // moved paths (a text replace would corrupt the binary container)
+    spark.sql("""CREATE TABLE graft.db.rtpa (id BIGINT)
+      TBLPROPERTIES ('compatibility.format'='iceberg')""")
+    spark.sql("INSERT INTO graft.db.rtpa VALUES (1),(2)")
+    spark.sql("DELETE FROM graft.db.rtpa WHERE id = 2")
+    val rpa = spark.sql(
+      s"CALL graft.system.rewrite_table_path('db.rtpa', '$warehouse', '/new/wh')")
+      .collect()(0)
+    val stagingDir = graft.core.meta.GraftIO.toPath(rpa.getString(1)).getParent
+    val stagedAvro = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(stagingDir).iterator())
+      .asScala.filter(_.toString.endsWith(".avro")).toSeq
+    assert(stagedAvro.nonEmpty, "no staged avro metadata files")
+    stagedAvro.foreach { p =>
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      assert(graft.core.meta.AvroManifests.isAvro(bytes),
+        s"staged $p is not valid Avro")
+      // every embedded path moved to the new prefix
+      if (p.toString.contains("manifest-list") || p.toString.contains("snap-")) {
+        val mfs = graft.core.meta.AvroManifests.readList(bytes)
+        assert(mfs.forall(_.path.startsWith("/new/wh")),
+          s"list $p keeps old paths: ${mfs.map(_.path)}")
+      }
+    }
+  }
+
+  test("register_table auto-enables compat for spec-dialect sources") {
+    // graft-dialect source: registering must NOT add the property
+    assert(!coreTable("regdst").meta.properties.contains("compatibility.format"))
+
+    // spec-dialect source WITHOUT the property — what a genuine Iceberg
+    // tree looks like (strip the property from a compat-written doc)
+    spark.sql("""CREATE TABLE graft.db.icesrc2 (id BIGINT, cat STRING)
+      TBLPROPERTIES ('compatibility.format'='iceberg')""")
+    spark.sql("INSERT INTO graft.db.icesrc2 VALUES (1,'a'),(2,'b')")
+    val src = coreTable("icesrc2")
+    val metaJson = graft.core.meta.MetaJson.mapper.readTree(
+      graft.core.meta.GraftIO.readString(src.ops.currentMetadataPath.get))
+    metaJson.get("properties").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove("compatibility.format")
+    val doctored = Files.createTempDirectory("graft-icereg").resolve("v3.metadata.json")
+    Files.write(doctored, graft.core.meta.MetaJson.mapper
+      .writeValueAsString(metaJson).getBytes("UTF-8"))
+    spark.sql(s"CALL graft.system.register_table('db.icereg2', '$doctored')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.icereg2")
+      .collect()(0).getLong(0) === 2L)
+    // compat auto-set, and the NEXT commit still writes the spec dialect
+    assert(coreTable("icereg2").meta.properties
+      .get("compatibility.format").contains("iceberg"))
+    spark.sql("INSERT INTO graft.db.icereg2 VALUES (3,'c')")
+    val t2 = coreTable("icereg2")
+    val n2 = graft.core.meta.MetaJson.mapper.readTree(
+      graft.core.meta.GraftIO.readString(t2.ops.currentMetadataPath.get))
+    assert(n2.get("schemas").get(0).get("fields").get(0).has("type"))
+    assert(t2.meta.currentSnapshot.get.manifestListPath.endsWith(".avro"))
   }
 
   test("orc data format: write, columnar read, prune, CoW delete, compaction") {
