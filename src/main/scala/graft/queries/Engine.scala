@@ -2133,9 +2133,35 @@ object Engine {
       FROM supplier WHERE s_suppkey % 7 <> 3
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // ------------------------------------------------------------------ g61
+  // Partition statistics file: compute_partition_stats writes the spec's
+  // Parquet shape (reference api/.../PartitionStatistics.java — one
+  // unified partition struct + per-partition counts, parquet field ids
+  // 1-13) registered under metadata `partition-statistics`. The gate
+  // reads the file back with a plain parquet reader; per-partition
+  // data_record_count must equal DuckDB's GROUP BY over the raw source
+  // (part_ow's dynamic overwrite replaced Brand#1 rows 1:1, so live
+  // per-brand record counts still match the source).
+  private val g61 = Q(
+    "g61_engine_partition_stats",
+    (s, dir) => {
+      setup(s, dir)
+      s.sql("CALL graft.system.compute_partition_stats('db.part_ow')")
+      val psPath = new HadoopCatalog(warehouse(dir))
+        .loadTable(Seq("db"), "part_ow").get.meta.partitionStatistics.head.path
+      require(psPath.endsWith(".parquet"), s"g61: not a parquet stats file: $psPath")
+      s.read.parquet(psPath)
+        .selectExpr("partition.p_brand AS p_brand",
+          "data_record_count AS brand_rows")
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS brand_rows
+      FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56, g57, g58, g59, g60)
+    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61)
 }

@@ -1598,19 +1598,99 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         case b: Array[Byte] => b.toSeq
         case x              => x
       }))
-      val node = MetaJson.mapper.createArrayNode()
-      byPart.foreach { case ((specId, partKey), es) =>
-        val o = node.addObject()
-        o.put("spec_id", specId)
-        o.put("partition", partKey.mkString("[", ",", "]"))
-        o.put("data_file_count", es.count(_.file.content == FileContent.Data))
-        o.put("record_count",
-          es.filter(_.file.content == FileContent.Data).map(_.file.recordCount).sum)
-        o.put("delete_file_count", es.count(_.file.content != FileContent.Data))
-        o.put("total_size_bytes", es.map(_.file.fileSizeBytes).sum)
+      // spec "Partition Statistics file": a Parquet file in the exact
+      // reference schema (api/.../PartitionStatistics.java field ids
+      // 1-13), partition as ONE unified struct across all specs keyed by
+      // partition-field id — external readers consume it as-is. The spec
+      // requires a partitioned table; unpartitioned keeps a JSON summary.
+      val unified = {
+        val seen = scala.collection.mutable.LinkedHashMap
+          .empty[Int, graft.core.types.GField]
+        m.specs.foreach(sp => sp.partitionType(m.schema).fields.foreach(f =>
+          if (!seen.contains(f.id)) seen(f.id) = f))
+        seen.values.toSeq
       }
-      val statsPath = s"${t.location}/metadata/partition-stats-${sn.snapshotId}.json"
-      GraftIO.writeString(statsPath, node.toString)
+      val statsPath = if (unified.nonEmpty) {
+        import graft.core.types.{GField, GStruct, GInt, GLong}
+        val v3 = m.formatVersion >= 3
+        val statsStruct = GStruct(Seq(
+          GField(1, "partition", GStruct(unified), required = true),
+          GField(2, "spec_id", GInt, required = true),
+          GField(3, "data_record_count", GLong, required = true),
+          GField(4, "data_file_count", GInt, required = true),
+          GField(5, "total_data_file_size_in_bytes", GLong, required = true),
+          GField(6, "position_delete_record_count", GLong),
+          GField(7, "position_delete_file_count", GInt),
+          GField(8, "equality_delete_record_count", GLong),
+          GField(9, "equality_delete_file_count", GInt),
+          GField(10, "total_record_count", GLong),
+          GField(11, "last_updated_at", GLong),
+          GField(12, "last_updated_snapshot_id", GLong)) ++
+          (if (v3) Seq(GField(13, "dv_count", GInt, required = true)) else Nil))
+        val sparkSchema = SparkTypes.toSparkStruct(statsStruct)
+        val spark = SparkSession.active
+        val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+        conf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+        val job = org.apache.hadoop.mapreduce.Job.getInstance(conf)
+        val owf = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat().prepareWrite(spark, job,
+            Map("compression" -> "snappy"), sparkSchema)
+        job.getConfiguration
+          .setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+        val p = s"${t.location}/metadata/partition-stats-${sn.snapshotId}-" +
+          s"${java.util.UUID.randomUUID}.parquet"
+        val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          job.getConfiguration,
+          new org.apache.hadoop.mapreduce.TaskAttemptID(
+            new org.apache.hadoop.mapreduce.TaskID("graft-pstats", 0,
+              org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0))
+        val w = owf.newInstance(p, sparkSchema, ctx)
+        try byPart.toSeq.sortBy(_._1._1).foreach { case ((specId, partKey), es) =>
+          val posOf = m.specById(specId).partitionType(m.schema)
+            .fields.map(_.id).zipWithIndex.toMap
+          val dataEs = es.filter(_.file.content == FileContent.Data)
+          val delEs = es.filter(_.file.content == FileContent.PositionDeletes)
+          val (dvEs, posEs) = delEs.partition(e => DVIO.isDV(e.file.path))
+          val eqEs = es.filter(_.file.content == FileContent.EqualityDeletes)
+          val lastSid = es.map(_.snapshotId).max
+          val pr = new GenericInternalRow(unified.length)
+          unified.zipWithIndex.foreach { case (f, i) =>
+            pr.update(i, EqDeleteFiles.toInternal(
+              posOf.get(f.id).map(partKey(_)).orNull, SparkTypes.toSpark(f.tpe)))
+          }
+          val row = new GenericInternalRow(statsStruct.fields.length)
+          row.update(0, pr)
+          row.update(1, specId)
+          row.update(2, dataEs.map(_.file.recordCount).sum)
+          row.update(3, dataEs.size)
+          row.update(4, dataEs.map(_.file.fileSizeBytes).sum)
+          row.update(5, (posEs ++ dvEs).map(_.file.recordCount).sum)
+          row.update(6, posEs.size)
+          row.update(7, eqEs.map(_.file.recordCount).sum)
+          row.update(8, eqEs.size)
+          row.update(9, null) // total_record_count: needs delete application
+          row.update(10, m.snapshotById(lastSid).map(s => Long.box(s.timestampMs)).orNull)
+          row.update(11, Long.box(lastSid))
+          if (v3) row.update(12, dvEs.size)
+          w.write(row)
+        } finally w.close()
+        p
+      } else {
+        val node = MetaJson.mapper.createArrayNode()
+        byPart.foreach { case ((specId, partKey), es) =>
+          val o = node.addObject()
+          o.put("spec_id", specId)
+          o.put("partition", partKey.mkString("[", ",", "]"))
+          o.put("data_file_count", es.count(_.file.content == FileContent.Data))
+          o.put("record_count",
+            es.filter(_.file.content == FileContent.Data).map(_.file.recordCount).sum)
+          o.put("delete_file_count", es.count(_.file.content != FileContent.Data))
+          o.put("total_size_bytes", es.map(_.file.fileSizeBytes).sum)
+        }
+        val jp = s"${t.location}/metadata/partition-stats-${sn.snapshotId}.json"
+        GraftIO.writeString(jp, node.toString)
+        jp
+      }
       // register in table metadata `partition-statistics` (spec partition
       // statistics files, one per snapshot — reference
       // PartitionStatisticsFile) replacing any prior entry for this

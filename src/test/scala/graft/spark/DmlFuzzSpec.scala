@@ -298,11 +298,14 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * op BOTH refs must match their own models — no write may bleed
     * across refs, and dropping/recreating the branch resets it to the
     * main state it forked from. */
-  private def runBranchSeed(seed: Int, steps: Int): Unit = {
+  private def runBranchSeed(seed: Int, steps: Int,
+      icebergCompat: Boolean = false): Unit = {
     val name = s"bfz_$seed"
     val fq = s"gfz.db.$name"
+    val compatProp =
+      if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
     spark.sql(s"""CREATE TABLE $fq (id BIGINT, grp BIGINT, v STRING)
-      TBLPROPERTIES ('format-version'='3')""")
+      TBLPROPERTIES ('format-version'='3'$compatProp)""")
     val rng = new Random(seed)
     val main = mutable.LinkedHashMap.empty[Long, (Long, String)]
     var branch: mutable.LinkedHashMap[Long, (Long, String)] = null
@@ -380,6 +383,12 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("seeded branch DML fuzz") { runBranchSeed(321, 25) }
+
+  // branch refs + retention fields must survive the spec (Appendix-C)
+  // refs serialization on every commit
+  test("seeded branch DML fuzz in iceberg-compat mode") {
+    runBranchSeed(654, 25, icebergCompat = true)
+  }
 
   test("seeded DML fuzz on an unpartitioned v3 table") {
     runSeed(seed = 1337, partitioned = false, steps = 30)

@@ -182,6 +182,36 @@ class EncryptionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blobs.nonEmpty && blobs.exists(_.blobType == "graft-ndv-v1"))
   }
 
+  test("encrypted avro manifests: AGS1 on disk, DML + codec flip correct") {
+    spark.sql("""CREATE TABLE genc.db.secav (id BIGINT, v STRING)
+      TBLPROPERTIES ('encryption.key-id'='mk0', 'format-version'='3',
+        'write.manifests.format'='avro', 'write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO genc.db.secav VALUES (1,'topsecret-a'),(2,'topsecret-b'),(3,'topsecret-c')")
+    spark.sql("DELETE FROM genc.db.secav WHERE id = 2")
+    assert(spark.sql("SELECT id FROM genc.db.secav ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val t = table("secav")
+    val snap = t.meta.currentSnapshot.get
+    // on disk: encrypted (AGS1 magic, NOT avro magic); decrypted payload
+    // is genuine Avro via the keyed read path
+    assert(AesGcm.isEncrypted(bytesOf(snap.manifestListPath)))
+    val mfs = ManifestIO.readList(snap.manifestListPath)
+    assert(mfs.nonEmpty && mfs.forall(_.keyMetadata.isDefined))
+    mfs.foreach(m => assert(AesGcm.isEncrypted(bytesOf(m.path))))
+    assert(mfs.exists(_.path.endsWith(".avro")))
+    for (f <- walk(t.location)) {
+      val s = new String(bytesOf(f), "ISO-8859-1")
+      assert(!s.contains("topsecret"), s"plaintext leak in $f")
+    }
+    // codec flip back to JSON mid-life: the mixed encrypted tree keeps
+    // reading and a CoW-style rewrite carries the avro manifests
+    spark.sql("ALTER TABLE genc.db.secav SET TBLPROPERTIES ('write.manifests.format'='json')")
+    spark.sql("INSERT INTO genc.db.secav VALUES (4,'topsecret-d')")
+    spark.sql("CALL genc.system.rewrite_data_files(table => 'db.secav')")
+    assert(spark.sql("SELECT id FROM genc.db.secav ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+  }
+
   test("unencrypted tables are untouched (no crypto conf bleed)") {
     spark.sql("CREATE TABLE genc.db.plain (id BIGINT, v STRING)")
     spark.sql("INSERT INTO genc.db.plain VALUES (1, 'visible')")

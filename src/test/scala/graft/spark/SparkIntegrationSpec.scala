@@ -1500,6 +1500,16 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-running replaces (not stacks) the snapshot's entry
     spark.sql("CALL graft.system.compute_partition_stats('db.regsrc')")
     assert(coreTable("regsrc").meta.partitionStatistics.size === 1)
+    // the stats file is the SPEC's Parquet shape (partition struct +
+    // counts, reference PartitionStatistics.java) — readable as-is
+    val psFile = coreTable("regsrc").meta.partitionStatistics.head.path
+    assert(psFile.endsWith(".parquet"))
+    val psDf = spark.read.parquet(psFile)
+    assert(psDf.columns.take(5) === Array("partition", "spec_id",
+      "data_record_count", "data_file_count", "total_data_file_size_in_bytes"))
+    val byCat = psDf.selectExpr("partition.cat", "data_record_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCat === Map("a" -> 2L, "b" -> 1L))
 
     // rewrite_table_path: staged metadata copies + file list
     val rp = spark.sql(
