@@ -418,4 +418,21 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     runSeed(seed = 424242, partitioned = true, steps = 35,
       evolveSpec = true, icebergCompat = true)
   }
+
+  // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
+  // (failure messages carry the seed — promote any find to a fixed test)
+  sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
+    val base = (System.nanoTime() % 1000000).toInt
+    (0 until n).foreach { i =>
+      test(s"soak DML fuzz, seed ${base + i}") {
+        runSeed(seed = base + i, partitioned = i % 2 == 0, steps = 30,
+          evolveSpec = i % 3 != 0,
+          format = if (i % 4 == 3) "orc" else "parquet",
+          icebergCompat = i % 2 == 1)
+      }
+      test(s"soak branch fuzz, seed ${base + i}") {
+        runBranchSeed(base + i, 20, icebergCompat = i % 2 == 0)
+      }
+    }
+  }
 }

@@ -216,4 +216,16 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("seeded schema-evolution fuzz in iceberg-compat mode, seed 23") {
     runSeed(23, 30, icebergCompat = true)
   }
+
+  // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
+  sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
+    val base = (System.nanoTime() % 1000000).toInt
+    (0 until n).foreach { i =>
+      test(s"soak schema-evolution fuzz, seed ${base + i}") {
+        runSeed(base + i, 25,
+          format = if (i % 3 == 2) "orc" else "parquet",
+          icebergCompat = i % 2 == 1)
+      }
+    }
+  }
 }
