@@ -1740,45 +1740,166 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           GraftIO.readString(path).replace(srcPrefix, dstPrefix))
         outPath
       }
+      val snapLists = m.snapshots.flatMap { sn =>
+        try Some(sn -> ManifestIO.readList(sn.manifestListPath))
+        catch { case _: Throwable => None }
+      }
+      val uniqueMfs = snapLists.flatMap(_._2)
+        .groupBy(_.path).map(_._2.head).toSeq
+      val entriesByMf: Map[String, Seq[ManifestEntry]] = uniqueMfs.map { mf =>
+        mf.path -> (try ManifestIO.readEntries(mf)
+          catch { case _: Throwable => Seq.empty[ManifestEntry] })
+      }.toMap
+
+      // ---- pass 1: delete files whose CONTENT embeds data-file paths.
+      // Graft's own reader has a relocation-stable suffix fallback, but
+      // an EXTERNAL reader of the moved tree matches deletes by exact
+      // path — so DV puffins get their referenced-data-file moved and
+      // position-delete parquets get the file_path column rewritten
+      // (reference RewriteTablePathUtil.rewritePositionDeleteFile);
+      // equality deletes embed no paths and copy as-is. Skipped for
+      // encrypted tables (no external reader can consume those anyway,
+      // and the suffix fallback keeps graft reads correct).
+      val tCrypto = TableCrypto.resolve(m)
+      // original path -> (staged, newFileSize, newContentOffset, newLen)
+      val dvInfo = mutable.Map.empty[String, (String, Long, Long, Long)]
+      // original path -> (staged, newFileSize)
+      val posInfo = mutable.Map.empty[String, (String, Long)]
+      if (tCrypto.isEmpty) {
+        entriesByMf.values.flatten
+          .filter(_.file.content == FileContent.PositionDeletes)
+          .map(_.file).groupBy(_.path).map(_._2.head).foreach { f =>
+          try {
+            val staged = stagePath(f.path)
+            if (DVIO.isDV(f.path)) {
+              val (ref, bm) = DVIO.read(f.path)
+              val positions = mutable.ArrayBuffer.empty[Long]
+              bm.forEach((l: Long) => positions += l)
+              val (_, off, len) =
+                DVIO.writeBlob(staged, mv(ref), positions.iterator)
+              dvInfo(f.path) = (staged, GraftIO.size(staged), off, len)
+            } else if (f.format == "parquet") {
+              import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
+              val spark = SparkSession.active
+              val moved = spark.read.parquet(f.path).withColumn("file_path",
+                when(col("file_path").startsWith(srcPrefix),
+                  concat(lit(dstPrefix),
+                    expr(s"substring(file_path, ${srcPrefix.length + 1})")))
+                  .otherwise(col("file_path")))
+              val tmp = s"$staging/.tmp-${java.util.UUID.randomUUID}"
+              moved.coalesce(1).sortWithinPartitions("file_path", "pos")
+                .write.parquet(tmp)
+              val part = GraftIO.list(tmp).filter(_.endsWith(".parquet")).head
+              java.nio.file.Files.move(GraftIO.toPath(part), GraftIO.toPath(staged))
+              GraftIO.list(tmp).foreach(p =>
+                try GraftIO.delete(p) catch { case _: Throwable => () })
+              try java.nio.file.Files.deleteIfExists(GraftIO.toPath(tmp))
+              catch { case _: Throwable => () }
+              posInfo(f.path) = (staged, GraftIO.size(staged))
+            }
+          } catch { case e: Throwable => // unreadable → copied as-is
+            System.err.println(s"rewrite_table_path: keeping ${f.path} as-is: $e")
+          }
+        }
+      }
+
+      // ---- pass 2: manifests. Avro re-encodes through the codec (a
+      // text replace corrupts the binary container); JSON-lines manifests
+      // rewrite as text unless an entry needs updated delete-file
+      // size/offsets, in which case they re-serialize structurally.
+      def moveEntry(e: ManifestEntry): ManifestEntry = {
+        val f0 = e.file
+        val f1 = f0.copy(path = mv(f0.path),
+          referencedDataFile = f0.referencedDataFile.map(mv))
+        val f2 = dvInfo.get(f0.path) match {
+          case Some((_, size, off, len)) =>
+            f1.copy(fileSizeBytes = size,
+              contentOffset = Some(off), contentSizeInBytes = Some(len))
+          case None => posInfo.get(f0.path) match {
+            case Some((_, size)) =>
+              // file_path bounds embed old paths: move them when the
+              // prefix is intact, else drop the stat (no path pruning
+              // beats WRONG path pruning in the moved tree)
+              val pid = DeleteFileIndex.FilePathFieldId
+              val stats1 = f1.columnStats.get(pid) match {
+                case Some(cs) =>
+                  def mvB(b: Any): Option[Any] = b match {
+                    case s: String if s.startsWith(srcPrefix) => Some(mv(s))
+                    case _ => None
+                  }
+                  (cs.lower.flatMap(mvB), cs.upper.flatMap(mvB)) match {
+                    case (lo @ Some(_), hi @ Some(_)) =>
+                      f1.columnStats.updated(pid, cs.copy(lower = lo, upper = hi))
+                    case _ => f1.columnStats - pid
+                  }
+                case None => f1.columnStats
+              }
+              f1.copy(fileSizeBytes = size, columnStats = stats1)
+            case None => f1
+          }
+        }
+        e.copy(file = f2)
+      }
+      // original manifest path -> (staged path, staged length)
+      val mfStaged: Map[String, (String, Long)] = uniqueMfs.map { mf =>
+        val entries = entriesByMf(mf.path)
+        val needsUpdate = entries.exists(e =>
+          dvInfo.contains(e.file.path) || posInfo.contains(e.file.path))
+        val isAvro = try AvroManifests.isAvro(
+          java.nio.file.Files.readAllBytes(GraftIO.toPath(mf.path)))
+          catch { case _: Throwable => false }
+        val staged =
+          if (isAvro) {
+            val outPath = stagePath(mf.path)
+            java.nio.file.Files.write(GraftIO.toPath(outPath),
+              AvroManifests.writeManifest(entries.map(moveEntry),
+                m.specById(mf.specId), m.schema, mf.content, m.formatVersion))
+            outPath
+          } else if (needsUpdate) {
+            val outPath = stagePath(mf.path)
+            val sb = new StringBuilder
+            entries.foreach(e =>
+              sb.append(MetaJson.writeEntry(moveEntry(e))).append('\n'))
+            GraftIO.writeString(outPath, sb.toString)
+            outPath
+          } else rewriteText(mf.path)
+        mf.path -> (staged, GraftIO.size(staged))
+      }.toMap
+
+      // ---- pass 3: manifest lists (length fields track the staged
+      // manifests) + the metadata document + the copy list
       def rewriteList(sn: Snapshot, mfs: Seq[ManifestFile]): String =
         if (AvroManifests.isAvro(
             java.nio.file.Files.readAllBytes(GraftIO.toPath(sn.manifestListPath)))) {
           val outPath = stagePath(sn.manifestListPath)
           java.nio.file.Files.write(GraftIO.toPath(outPath),
-            AvroManifests.writeList(mfs.map(mf => mf.copy(path = mv(mf.path))),
+            AvroManifests.writeList(mfs.map(mf => mf.copy(path = mv(mf.path),
+              length = mfStaged.get(mf.path).map(_._2).getOrElse(mf.length))),
               m.formatVersion, ManifestIO.partTypesOf(m)))
           outPath
         } else rewriteText(sn.manifestListPath)
-      def rewriteManifest(mf: ManifestFile): String =
-        if (AvroManifests.isAvro(
-            java.nio.file.Files.readAllBytes(GraftIO.toPath(mf.path)))) {
-          val outPath = stagePath(mf.path)
-          val moved = ManifestIO.readEntries(mf).map(e => e.copy(file =
-            e.file.copy(path = mv(e.file.path),
-              referencedDataFile = e.file.referencedDataFile.map(mv))))
-          java.nio.file.Files.write(GraftIO.toPath(outPath),
-            AvroManifests.writeManifest(moved, m.specById(mf.specId),
-              m.schema, mf.content, m.formatVersion))
-          outPath
-        } else rewriteText(mf.path)
       val srcMetaPath = s"${t.location}/metadata/v${t.ops.currentVersion()}.metadata.json"
       val metaCopy = rewriteText(srcMetaPath)
       val copied = mutable.ArrayBuffer.empty[(String, String)]
       // the copy target is the ORIGINAL layout under the new prefix (the
       // staging dir is only where the rewritten bytes live locally)
       copied += ((metaCopy, mv(srcMetaPath)))
-      m.snapshots.foreach { sn =>
-        try {
-          val mfs = ManifestIO.readList(sn.manifestListPath)
-          copied += ((rewriteList(sn, mfs), mv(sn.manifestListPath)))
-          mfs.foreach { mf =>
-            copied += ((rewriteManifest(mf), mv(mf.path)))
-            try ManifestIO.readEntries(mf).foreach { e =>
-              // data files are not rewritten, only listed for the copy tool
-              copied += ((e.file.path, mv(e.file.path)))
-            } catch { case _: Throwable => () }
+      snapLists.foreach { case (sn, mfs) =>
+        try copied += ((rewriteList(sn, mfs), mv(sn.manifestListPath)))
+        catch { case _: Throwable => () }
+        mfs.foreach { mf =>
+          mfStaged.get(mf.path).foreach { case (staged, _) =>
+            copied += ((staged, mv(mf.path)))
           }
-        } catch { case _: Throwable => () }
+          entriesByMf.getOrElse(mf.path, Nil).foreach { e =>
+            val p = e.file.path
+            val src = dvInfo.get(p).map(_._1)
+              .orElse(posInfo.get(p).map(_._1)).getOrElse(p)
+            // rewritten delete content ships from staging; data files are
+            // not rewritten, only listed for the copy tool
+            copied += ((src, mv(p)))
+          }
+        }
       }
       // statistics files embed no paths: plain copies for the copy tool
       (m.statistics.map(_.path) ++ m.partitionStatistics.map(_.path))

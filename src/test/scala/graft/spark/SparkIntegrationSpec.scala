@@ -1524,9 +1524,10 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // avro-manifest tree: the staged copies must stay VALID Avro with
     // moved paths (a text replace would corrupt the binary container)
     spark.sql("""CREATE TABLE graft.db.rtpa (id BIGINT)
-      TBLPROPERTIES ('compatibility.format'='iceberg')""")
-    spark.sql("INSERT INTO graft.db.rtpa VALUES (1),(2)")
-    spark.sql("DELETE FROM graft.db.rtpa WHERE id = 2")
+      TBLPROPERTIES ('compatibility.format'='iceberg', 'format-version'='3',
+        'write.delete.mode'='merge-on-read', 'write.delete.format'='dv')""")
+    spark.sql("INSERT INTO graft.db.rtpa VALUES (1),(2),(3)")
+    spark.sql("DELETE FROM graft.db.rtpa WHERE id % 3 = 2")
     val rpa = spark.sql(
       s"CALL graft.system.rewrite_table_path('db.rtpa', '$warehouse', '/new/wh')")
       .collect()(0)
@@ -1546,6 +1547,44 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"list $p keeps old paths: ${mfs.map(_.path)}")
       }
     }
+    // delete-file CONTENT is rewritten too: an external reader of the
+    // moved tree matches deletes by exact path, so the staged DV puffin
+    // must reference the data file under the NEW prefix
+    val srcDeletes = coreTable("rtpa").newScan().planFiles()
+      .flatMap(_.deletes).map(_.path)
+    val stagedDv = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(stagingDir).iterator())
+      .asScala.map(_.toString).find(graft.core.meta.DVIO.isDV)
+    assert(stagedDv.isDefined,
+      s"no staged deletion vector; source deletes=$srcDeletes staged=" +
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.list(stagingDir).iterator()).asScala.toSeq)
+    val (dvRef, dvBm) = graft.core.meta.DVIO.read(stagedDv.get)
+    assert(dvRef.startsWith("/new/wh"), s"DV still references $dvRef")
+    assert(dvBm.getLongCardinality === 1L)
+
+    // position-delete PARQUET content: file_path column moves as well
+    spark.sql("""CREATE TABLE graft.db.rtpp (id BIGINT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        'write.delete.format'='parquet')""")
+    spark.sql("INSERT INTO graft.db.rtpp VALUES (1),(2),(3)")
+    spark.sql("DELETE FROM graft.db.rtpp WHERE id % 3 = 2")
+    val rpp = spark.sql(
+      s"CALL graft.system.rewrite_table_path('db.rtpp', '$warehouse', '/new/wh')")
+      .collect()(0)
+    val ppStaging = graft.core.meta.GraftIO.toPath(rpp.getString(1)).getParent
+    val stagedPd = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(ppStaging).iterator())
+      .asScala.map(_.toString)
+      .find(p => p.endsWith(".parquet") && p.contains("delete"))
+    assert(stagedPd.isDefined, "no staged position-delete parquet")
+    val pd = spark.read.parquet(stagedPd.get).collect()
+    assert(pd.nonEmpty && pd.forall(_.getString(0).startsWith("/new/wh")),
+      s"pos-delete file_path not moved: ${pd.map(_.getString(0)).take(2).mkString(",")}")
+    // and the staged manifest entry tracks the REWRITTEN file's size
+    val fl = graft.core.meta.GraftIO.readString(rpp.getString(1))
+    assert(fl.split("\n").exists(l => l.startsWith(stagedPd.get + ",")),
+      "file list must ship the staged delete file")
   }
 
   test("register_table auto-enables compat for spec-dialect sources") {

@@ -112,4 +112,11 @@ class StreamingFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("seeded streaming fuzz, seed 7") { runSeed(7, 14) }
   test("seeded streaming fuzz, seed 70") { runSeed(70, 16) }
+
+  // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds
+  sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
+    val base = (System.nanoTime() % 1000000).toInt
+    (0 until n).foreach(i =>
+      test(s"soak streaming fuzz, seed ${base + i}") { runSeed(base + i, 12) })
+  }
 }
