@@ -1803,68 +1803,22 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         }
       }
 
-      // ---- pass 2: manifests. Avro re-encodes through the codec (a
-      // text replace corrupts the binary container); JSON-lines manifests
-      // rewrite as text unless an entry needs updated delete-file
-      // size/offsets, in which case they re-serialize structurally.
-      def moveEntry(e: ManifestEntry): ManifestEntry = {
-        val f0 = e.file
-        val f1 = f0.copy(path = mv(f0.path),
-          referencedDataFile = f0.referencedDataFile.map(mv))
-        val f2 = dvInfo.get(f0.path) match {
-          case Some((_, size, off, len)) =>
-            f1.copy(fileSizeBytes = size,
-              contentOffset = Some(off), contentSizeInBytes = Some(len))
-          case None => posInfo.get(f0.path) match {
-            case Some((_, size)) =>
-              // file_path bounds embed old paths: move them when the
-              // prefix is intact, else drop the stat (no path pruning
-              // beats WRONG path pruning in the moved tree)
-              val pid = DeleteFileIndex.FilePathFieldId
-              val stats1 = f1.columnStats.get(pid) match {
-                case Some(cs) =>
-                  def mvB(b: Any): Option[Any] = b match {
-                    case s: String if s.startsWith(srcPrefix) => Some(mv(s))
-                    case _ => None
-                  }
-                  (cs.lower.flatMap(mvB), cs.upper.flatMap(mvB)) match {
-                    case (lo @ Some(_), hi @ Some(_)) =>
-                      f1.columnStats.updated(pid, cs.copy(lower = lo, upper = hi))
-                    case _ => f1.columnStats - pid
-                  }
-                case None => f1.columnStats
-              }
-              f1.copy(fileSizeBytes = size, columnStats = stats1)
-            case None => f1
-          }
-        }
-        e.copy(file = f2)
+      // ---- pass 2: manifests — distributed as a Spark job for big
+      // trees (reference RewriteTablePathSparkAction), serial below the
+      // threshold and for encrypted tables (executor-side entry reads
+      // need the driver's key registry).
+      val dvMap = dvInfo.toMap
+      val posMap = posInfo.toMap
+      val mfStaged: Map[String, (String, Long)] = {
+        val doOne = (mf: ManifestFile) => mf.path ->
+          RewriteTablePathTask.rewriteManifest(mf, m, dvMap, posMap,
+            srcPrefix, dstPrefix, staging)
+        if (uniqueMfs.size >= 64 && tCrypto.isEmpty) {
+          val sc = SparkSession.active.sparkContext
+          sc.parallelize(uniqueMfs, math.max(1, math.min(uniqueMfs.size, 256)))
+            .map(doOne).collect().toMap
+        } else uniqueMfs.map(doOne).toMap
       }
-      // original manifest path -> (staged path, staged length)
-      val mfStaged: Map[String, (String, Long)] = uniqueMfs.map { mf =>
-        val entries = entriesByMf(mf.path)
-        val needsUpdate = entries.exists(e =>
-          dvInfo.contains(e.file.path) || posInfo.contains(e.file.path))
-        val isAvro = try AvroManifests.isAvro(
-          java.nio.file.Files.readAllBytes(GraftIO.toPath(mf.path)))
-          catch { case _: Throwable => false }
-        val staged =
-          if (isAvro) {
-            val outPath = stagePath(mf.path)
-            java.nio.file.Files.write(GraftIO.toPath(outPath),
-              AvroManifests.writeManifest(entries.map(moveEntry),
-                m.specById(mf.specId), m.schema, mf.content, m.formatVersion))
-            outPath
-          } else if (needsUpdate) {
-            val outPath = stagePath(mf.path)
-            val sb = new StringBuilder
-            entries.foreach(e =>
-              sb.append(MetaJson.writeEntry(moveEntry(e))).append('\n'))
-            GraftIO.writeString(outPath, sb.toString)
-            outPath
-          } else rewriteText(mf.path)
-        mf.path -> (staged, GraftIO.size(staged))
-      }.toMap
 
       // ---- pass 3: manifest lists (length fields track the staged
       // manifests) + the metadata document + the copy list
@@ -1913,6 +1867,80 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         row(s(GraftIO.toPath(metaCopy).getFileName.toString), s(fileList)))
 
     case other => throw new IllegalArgumentException(other)
+  }
+}
+
+/** Per-manifest unit of rewrite_table_path, shaped to run on executors
+  * (reference RewriteTablePathSparkAction distributes exactly this):
+  * everything it needs ships as serializable values, nothing driver-only.
+  * Avro manifests re-encode through the codec (a text replace corrupts
+  * the binary container); JSON-lines manifests rewrite as text unless an
+  * entry needs updated delete-file sizes/offsets, in which case they
+  * re-serialize structurally. */
+object RewriteTablePathTask extends Serializable {
+  /** @return (staged path, staged length) */
+  def rewriteManifest(mf: ManifestFile, m: TableMetadata,
+      dvInfo: Map[String, (String, Long, Long, Long)],
+      posInfo: Map[String, (String, Long)],
+      srcPrefix: String, dstPrefix: String, staging: String): (String, Long) = {
+    def mv(p: String): String = p.replace(srcPrefix, dstPrefix)
+    def moveEntry(e: ManifestEntry): ManifestEntry = {
+      val f0 = e.file
+      val f1 = f0.copy(path = mv(f0.path),
+        referencedDataFile = f0.referencedDataFile.map(mv))
+      val f2 = dvInfo.get(f0.path) match {
+        case Some((_, size, off, len)) =>
+          f1.copy(fileSizeBytes = size,
+            contentOffset = Some(off), contentSizeInBytes = Some(len))
+        case None => posInfo.get(f0.path) match {
+          case Some((_, size)) =>
+            // file_path bounds embed old paths: move them when the
+            // prefix is intact, else drop the stat (no path pruning
+            // beats WRONG path pruning in the moved tree)
+            val pid = DeleteFileIndex.FilePathFieldId
+            val stats1 = f1.columnStats.get(pid) match {
+              case Some(cs) =>
+                def mvB(b: Any): Option[Any] = b match {
+                  case s: String if s.startsWith(srcPrefix) => Some(mv(s))
+                  case _ => None
+                }
+                (cs.lower.flatMap(mvB), cs.upper.flatMap(mvB)) match {
+                  case (lo @ Some(_), hi @ Some(_)) =>
+                    f1.columnStats.updated(pid, cs.copy(lower = lo, upper = hi))
+                  case _ => f1.columnStats - pid
+                }
+              case None => f1.columnStats
+            }
+            f1.copy(fileSizeBytes = size, columnStats = stats1)
+          case None => f1
+        }
+      }
+      e.copy(file = f2)
+    }
+    val outPath = s"$staging/${GraftIO.toPath(mf.path).getFileName}"
+    val isAvro = try AvroManifests.isAvro(
+      java.nio.file.Files.readAllBytes(GraftIO.toPath(mf.path)))
+      catch { case _: Throwable => false }
+    if (isAvro) {
+      val entries = ManifestIO.readEntries(mf)
+      java.nio.file.Files.write(GraftIO.toPath(outPath),
+        AvroManifests.writeManifest(entries.map(moveEntry),
+          m.specById(mf.specId), m.schema, mf.content, m.formatVersion))
+    } else {
+      val entries = try ManifestIO.readEntries(mf)
+        catch { case _: Throwable => Nil }
+      val needsUpdate = entries.exists(e =>
+        dvInfo.contains(e.file.path) || posInfo.contains(e.file.path))
+      if (needsUpdate) {
+        val sb = new StringBuilder
+        entries.foreach(e =>
+          sb.append(MetaJson.writeEntry(moveEntry(e))).append('\n'))
+        GraftIO.writeString(outPath, sb.toString)
+      } else
+        GraftIO.writeString(outPath,
+          GraftIO.readString(mf.path).replace(srcPrefix, dstPrefix))
+    }
+    (outPath, GraftIO.size(outPath))
   }
 }
 

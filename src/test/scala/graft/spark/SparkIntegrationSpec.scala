@@ -1587,6 +1587,33 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "file list must ship the staged delete file")
   }
 
+  test("rewrite_table_path distributes the manifest rewrite on big trees") {
+    // 70 manifests (one per commit) crosses the ≥64 Spark-job threshold;
+    // built through the core API so no Spark write amplification
+    import graft.core.meta.{HadoopCatalog => HC}
+    import graft.core.types.{GField, GLong, GSchema, GString, GStruct}
+    val schema = GSchema(GStruct(Seq(
+      GField(1, "id", GLong, required = true), GField(2, "v", GString))))
+    val cat = new HC(warehouse)
+    val t = cat.createTable(Seq("db"), "bigrtp", schema,
+      graft.core.expr.PartitionSpec.Unpartitioned, Map.empty)
+    (0 until 70).foreach { i =>
+      t.newAppend().appendFile(graft.core.meta.DataFile(
+        s"${t.location}/data/f$i.parquet", "parquet", 0, Nil,
+        recordCount = 10, fileSizeBytes = 100)).commit()
+    }
+    val r = spark.sql(
+      s"CALL graft.system.rewrite_table_path('db.bigrtp', '$warehouse', '/new/wh')")
+      .collect()(0)
+    val fl = graft.core.meta.GraftIO.readString(r.getString(1)).split("\n")
+    // every one of the 70 manifests staged, every data file listed
+    assert(fl.count(_.contains("manifest-")) === 70,
+      s"expected 70 staged manifests, got ${fl.count(_.contains("manifest-"))}")
+    (0 until 70).foreach(i => assert(
+      fl.exists(l => l.endsWith(s",/new/wh/db/bigrtp/data/f$i.parquet")),
+      s"data file f$i missing from the copy list"))
+  }
+
   test("register_table auto-enables compat for spec-dialect sources") {
     // graft-dialect source: registering must NOT add the property
     assert(!coreTable("regdst").meta.properties.contains("compatibility.format"))
