@@ -127,8 +127,11 @@ object MetaJson {
       .foreach(_.elements().forEachRemaining(e => ids += e.asInt()))
     // graft dialect nests the root under "struct"; the spec dialect IS
     // the struct ({"type":"struct","schema-id":..,"fields":[..]})
-    val struct = readType(Option(n.get("struct")).getOrElse(n))
-      .asInstanceOf[GStruct]
+    val root = Option(n.get("struct")).getOrElse(n)
+    if (root.isObject && !root.has("type"))
+      throw new IllegalArgumentException(
+        s"Cannot parse type from json: missing type in $root")
+    val struct = readType(root).asInstanceOf[GStruct]
     GSchema(struct,
       Option(n.get("schema-id")).map(_.asInt()).getOrElse(0), ids.result())
   }
@@ -601,6 +604,19 @@ object MetaJson {
     val n = mapper.readTree(json)
     def opt(name: String): Option[JsonNode] =
       Option(n.get(name)).filterNot(_.isNull)
+    // reference TableMetadataParser: unsupported versions and v2+ docs
+    // missing spec-required sections are rejected, not guessed at
+    val fv = Option(n.get("format-version")).map(_.asInt()).getOrElse(
+      throw new IllegalArgumentException(
+        "Cannot parse missing field: format-version"))
+    if (fv < 1 || fv > 4)
+      throw new IllegalArgumentException(
+        s"Cannot read unsupported version $fv")
+    if (fv >= 2)
+      Seq("schemas", "partition-specs", "last-partition-id", "sort-orders",
+        "current-schema-id").foreach(f =>
+        if (opt(f).isEmpty) throw new IllegalArgumentException(
+          s"$f must exist in format v$fv"))
     // resolution base: where the file actually lives (re-roots a moved
     // table), else the stored location (path-less reads, e.g. REST)
     val base = metaPath.flatMap(GraftIO.metadataBase)
@@ -690,8 +706,12 @@ object MetaJson {
       base.getOrElse(n.get("location").asText()),
       opt("last-sequence-number").map(_.asLong()).getOrElse(0L),
       n.get("last-updated-ms").asLong(), n.get("last-column-id").asInt(),
-      opt("current-schema-id").map(_.asInt())
-        .getOrElse(allSchemas.head.schemaId), allSchemas,
+      opt("current-schema-id").map(_.asInt()).map { id =>
+        if (!allSchemas.exists(_.schemaId == id))
+          throw new IllegalArgumentException(
+            s"Cannot find schema with current-schema-id=$id from schemas")
+        id
+      }.getOrElse(allSchemas.head.schemaId), allSchemas,
       opt("default-spec-id").map(_.asInt())
         .getOrElse(allSpecs.head.specId), allSpecs,
       opt("last-partition-id").map(_.asInt()).getOrElse(

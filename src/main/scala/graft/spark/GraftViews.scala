@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewChange, Vie
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.core.meta.{GraftIO, MetaJson}
+import graft.core.types.SparkTypes
 
 /** Catalog-stored SQL views (reference api/core view/ + view-spec.md):
   * each view is a JSON document under `<warehouse>/<ns>/_views/<name>.json`
@@ -36,6 +37,10 @@ object GraftViewStore {
     def put(namespace: Seq[String], name: String, doc: String, replace: Boolean): Unit
     def delete(namespace: Seq[String], name: String): Boolean
     def names(namespace: Seq[String]): Seq[String]
+    /** the view's base location recorded in metadata (view-spec
+      * "View Metadata": required `location`) */
+    def locationFor(namespace: Seq[String], name: String): String =
+      (namespace :+ name).mkString("/")
   }
 
   final case class FileViewDocs(warehouse: String) extends ViewDocs {
@@ -61,6 +66,8 @@ object GraftViewStore {
       GraftIO.delete(p)
       existed
     }
+    override def locationFor(namespace: Seq[String], name: String): String =
+      s"${dir(namespace)}/$name"
     override def names(namespace: Seq[String]): Seq[String] = {
       val d = GraftIO.toPath(dir(namespace))
       if (!java.nio.file.Files.isDirectory(d)) Nil
@@ -128,30 +135,55 @@ object GraftViewStore {
     override def properties(): util.Map[String, String] = props.asJava
   }
 
-  private def toJson(v: StoredView): String = {
+  /** Writes the spec's view-metadata shape (view-spec "View Metadata":
+    * view-uuid / format-version / location / schemas / current-version-id
+    * / versions-with-representations / version-log; reference
+    * ViewMetadataParser.toJson, ViewVersionParser.toJson) so any
+    * spec-conformant reader can consume a graft view. Graft rides three
+    * extra fields alongside — top-level `name` plus per-version
+    * `schema` (lossless Spark DataType JSON) and column name lists —
+    * which spec readers ignore. */
+  private def toJson(v: StoredView, location: String): String = {
     val o = MetaJson.mapper.createObjectNode()
-    o.put("format-version", 1)
+    o.put("view-uuid", v.viewUuid)
+      .put("format-version", 1)
+      .put("location", location)
       .put("name", v.viewName)
-      .put("view-uuid", v.viewUuid)
-      .put("current-version-id", v.currentVersionId)
+    if (v.props.nonEmpty) {
+      val p = o.putObject("properties")
+      v.props.foreach { case (k, x) => p.put(k, x) }
+    }
+    // distinct per-version Spark schemas become the spec `schemas` list,
+    // keyed by position; each version references its entry by schema-id
+    val distinctSchemas = v.versions.map(_.schemaJson).distinct
+    val schemaIdOf = distinctSchemas.zipWithIndex.toMap
+    val schemas = o.putArray("schemas")
+    distinctSchemas.zipWithIndex.foreach { case (sj, idx) =>
+      val g = SparkTypes.fromSpark(DataType.fromJson(sj).asInstanceOf[StructType])
+      schemas.add(graft.core.meta.IcebergJson.schemaJson(g.copy(schemaId = idx)))
+    }
+    o.put("current-version-id", v.currentVersionId)
     val vs = o.putArray("versions")
     v.versions.foreach { ver =>
       val n = vs.addObject()
-      n.put("version-id", ver.versionId).put("timestamp-ms", ver.timestampMs)
-        .put("sql", ver.sql)
-        .put("default-catalog", ver.catalogName)
-        .put("schema", ver.schemaJson)
+      n.put("version-id", ver.versionId)
+        .put("timestamp-ms", ver.timestampMs)
+        .put("schema-id", schemaIdOf(ver.schemaJson))
+      val sm = n.putObject("summary"); ver.summary.foreach { case (k, x) => sm.put(k, x) }
+      if (ver.catalogName.nonEmpty) n.put("default-catalog", ver.catalogName)
       val ns = n.putArray("default-namespace"); ver.namespaceParts.foreach(ns.add)
+      n.putArray("representations").addObject()
+        .put("type", "sql").put("sql", ver.sql).put("dialect", "spark-sql")
+      // graft extras (spec readers ignore unknown fields)
+      n.put("schema", ver.schemaJson)
       val qc = n.putArray("query-column-names"); ver.queryCols.foreach(qc.add)
       val ca = n.putArray("column-aliases"); ver.aliases.foreach(ca.add)
       val cc = n.putArray("column-comments"); ver.comments.foreach(cc.add)
-      val sm = n.putObject("summary"); ver.summary.foreach { case (k, x) => sm.put(k, x) }
     }
     val vl = o.putArray("version-log")
     v.versionLog.foreach { case (ts, id) =>
       vl.addObject().put("timestamp-ms", ts).put("version-id", id)
     }
-    val p = o.putObject("properties"); v.props.foreach { case (k, x) => p.put(k, x) }
     MetaJson.mapper.writeValueAsString(o)
   }
 
@@ -165,9 +197,16 @@ object GraftViewStore {
     load(FileViewDocs(warehouse), ident)
 
   def load(docs: ViewDocs, ident: Identifier): Option[StoredView] =
-    docs.get(ident.namespace.toSeq, ident.name).map(fromJson)
+    docs.get(ident.namespace.toSeq, ident.name).map(fromJson(_, ident.name))
 
-  private def fromJson(doc: String): StoredView = {
+  /** Parses a stored view document in any of three shapes: the spec's
+    * view metadata (view-spec "View Metadata" — representations +
+    * Iceberg-typed `schemas`; reference ViewMetadataParser.fromJson,
+    * ViewVersionParser.fromJson — this is what graft now writes and what
+    * a genuine Apache-Iceberg view file contains), graft's legacy
+    * versioned dialect (flat per-version `sql`), and the pre-versioning
+    * single-definition document. */
+  def fromJson(doc: String, fallbackName: String): StoredView = {
     {
       val n = MetaJson.mapper.readTree(doc)
       val props = scala.collection.mutable.Map.empty[String, String]
@@ -175,12 +214,50 @@ object GraftViewStore {
         n.get("properties").properties().asScala
           .foreach(e => props += e.getKey -> e.getValue.asText())
       if (n.has("versions")) {
+        // spec-typed schemas, converted lazily to Spark schema JSON
+        val specSchemas: Map[Int, String] =
+          if (!n.has("schemas")) Map.empty
+          else {
+            val b = Map.newBuilder[Int, String]
+            n.get("schemas").elements().forEachRemaining { sn =>
+              val g = MetaJson.readSchema(sn)
+              b += g.schemaId -> SparkTypes.toSparkSchema(g).json
+            }
+            b.result()
+          }
         val vers = Seq.newBuilder[ViewVersion]
         n.get("versions").elements().forEachRemaining { vn =>
+          // SQL text: spec representations (prefer the spark-sql dialect;
+          // reject duplicate SQL dialects like the reference builder) or
+          // the legacy flat field
+          val sql =
+            if (vn.has("representations")) {
+              val reps = Seq.newBuilder[(String, String)] // dialect -> sql
+              vn.get("representations").elements().forEachRemaining { rn =>
+                if (rn.get("type").asText() == "sql")
+                  reps += Option(rn.get("dialect")).map(_.asText())
+                    .getOrElse("") -> rn.get("sql").asText()
+              }
+              val all = reps.result()
+              val dup = all.groupBy(_._1).collectFirst { case (d, rs) if rs.size > 1 => d }
+              dup.foreach(d => throw new IllegalArgumentException(
+                s"Invalid view version: duplicate SQL representations for dialect $d"))
+              all.find(_._1 == "spark-sql").orElse(all.headOption).map(_._2)
+                .getOrElse(throw new IllegalArgumentException(
+                  "Invalid view version: no SQL representation"))
+            } else vn.get("sql").asText()
+          // schema: graft's lossless Spark JSON when present, else the
+          // spec schema referenced by schema-id
+          val schemaJson =
+            if (vn.has("schema")) vn.get("schema").asText()
+            else specSchemas.getOrElse(vn.get("schema-id").asInt(),
+              throw new IllegalArgumentException(
+                s"Invalid view version: schema-id ${vn.get("schema-id")} not in schemas"))
           vers += ViewVersion(vn.get("version-id").asInt(),
-            vn.get("timestamp-ms").asLong(), vn.get("sql").asText(),
-            vn.get("default-catalog").asText(), readArr(vn, "default-namespace"),
-            vn.get("schema").asText(), readArr(vn, "query-column-names"),
+            vn.get("timestamp-ms").asLong(), sql,
+            Option(vn.get("default-catalog")).map(_.asText()).getOrElse(""),
+            readArr(vn, "default-namespace"),
+            schemaJson, readArr(vn, "query-column-names"),
             readArr(vn, "column-aliases"), readArr(vn, "column-comments"),
             if (vn.has("summary"))
               vn.get("summary").properties().asScala
@@ -191,10 +268,22 @@ object GraftViewStore {
         if (n.has("version-log"))
           n.get("version-log").elements().forEachRemaining(e =>
             log += ((e.get("timestamp-ms").asLong(), e.get("version-id").asInt())))
-        StoredView(n.get("name").asText(),
+        if (n.has("schemas") && !n.has("location"))
+          throw new IllegalArgumentException(
+            "Cannot parse missing field: location")
+        val currentId = Option(n.get("current-version-id")).map(_.asInt())
+          .getOrElse(throw new IllegalArgumentException(
+            "Cannot parse missing field: current-version-id"))
+        val allVers = vers.result()
+        if (!allVers.exists(_.versionId == currentId))
+          throw new IllegalArgumentException(
+            s"Cannot find current version $currentId in view versions: " +
+              allVers.map(_.versionId).mkString(", "))
+        StoredView(
+          if (n.has("name")) n.get("name").asText() else fallbackName,
           if (n.has("view-uuid")) n.get("view-uuid").asText()
           else util.UUID.randomUUID.toString,
-          n.get("current-version-id").asInt(), vers.result(), log.result(),
+          currentId, allVers, log.result(),
           props.toMap)
       } else {
         // pre-versioning single-definition document: surface as version 1
@@ -203,7 +292,9 @@ object GraftViewStore {
           n.get("schema").asText(), readArr(n, "query-column-names"),
           readArr(n, "column-aliases"), readArr(n, "column-comments"),
           Map("operation" -> "create"))
-        StoredView(n.get("name").asText(), util.UUID.randomUUID.toString,
+        StoredView(
+          if (n.has("name")) n.get("name").asText() else fallbackName,
+          util.UUID.randomUUID.toString,
           1, Seq(v1), Seq((0L, 1)), props.toMap)
       }
     }
@@ -240,7 +331,8 @@ object GraftViewStore {
     val v = StoredView(ident.name,
       existing.map(_.viewUuid).getOrElse(util.UUID.randomUUID.toString),
       nextId, versions, log, newProps)
-    docs.put(ident.namespace.toSeq, ident.name, toJson(v),
+    docs.put(ident.namespace.toSeq, ident.name,
+      toJson(v, docs.locationFor(ident.namespace.toSeq, ident.name)),
       replace = existing.isDefined)
     v
   }
@@ -259,7 +351,9 @@ object GraftViewStore {
     // property changes do not create a version (view-spec: versions are
     // immutable view DEFINITIONS)
     val updated = v.copy(props = props)
-    docs.put(ident.namespace.toSeq, ident.name, toJson(updated), replace = true)
+    docs.put(ident.namespace.toSeq, ident.name,
+      toJson(updated, docs.locationFor(ident.namespace.toSeq, ident.name)),
+      replace = true)
     updated
   }
 
@@ -275,7 +369,9 @@ object GraftViewStore {
   def rename(docs: ViewDocs, from: Identifier, to: Identifier): Unit = {
     val v = load(docs, from).getOrElse(throw new NoSuchViewException(from))
     if (load(docs, to).isDefined) throw new ViewAlreadyExistsException(to)
-    docs.put(to.namespace.toSeq, to.name, toJson(v.copy(viewName = to.name)),
+    docs.put(to.namespace.toSeq, to.name,
+      toJson(v.copy(viewName = to.name),
+        docs.locationFor(to.namespace.toSeq, to.name)),
       replace = false)
     docs.delete(from.namespace.toSeq, from.name)
   }

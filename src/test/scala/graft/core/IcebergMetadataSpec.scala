@@ -252,6 +252,24 @@ class IcebergMetadataSpec extends AnyFunSuite {
     }
   }
 
+  test("reference fixture: invalid documents are rejected") {
+    // reference TestTableMetadata expectations: unsupported versions and
+    // v2 docs missing spec-required sections must fail with a clear
+    // error, not be silently guessed at
+    def rejects(name: String): Unit =
+      fixture(name).foreach { json =>
+        val e = intercept[Exception](MetaJson.readMetadata(json))
+        assert(e.isInstanceOf[IllegalArgumentException], s"$name: $e")
+      }
+    rejects("TableMetadataUnsupportedVersion.json")
+    rejects("TableMetadataV2MissingSchemas.json")
+    rejects("TableMetadataV2MissingPartitionSpecs.json")
+    rejects("TableMetadataV2MissingLastPartitionId.json")
+    rejects("TableMetadataV2MissingSortOrder.json")
+    rejects("TableMetadataV2CurrentSchemaNotFound.json")
+    rejects("TableMetadataV1MissingSchemaType.json")
+  }
+
   test("reference fixture: TableMetadataPartitionStatisticsFiles") {
     fixture("TableMetadataPartitionStatisticsFiles.json").foreach { json =>
       val m = MetaJson.readMetadata(json)

@@ -1008,6 +1008,54 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("SELECT * FROM graft.db.v_big").collect())
   }
 
+  test("view documents are spec-shaped and load without graft extras") {
+    spark.sql("CREATE TABLE graft.db.vspec_t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.vspec_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CALL graft.system.create_view('db.vspec', " +
+      "'SELECT id, v FROM graft.db.vspec_t WHERE id <= 2')")
+    val docPath = s"$warehouse/db/_views/vspec.json"
+    val doc = graft.core.meta.GraftIO.readString(docPath)
+    val n = graft.core.meta.MetaJson.mapper.readTree(doc)
+    // every view-spec required field is present in the spec's shape
+    assert(n.get("view-uuid").asText().length === 36)
+    assert(n.get("format-version").asInt() === 1)
+    assert(n.get("location").asText().endsWith("_views/vspec"))
+    assert(n.get("schemas").isArray && n.get("schemas").size() === 1)
+    val sch = n.get("schemas").get(0)
+    assert(sch.get("type").asText() === "struct")
+    assert(sch.get("fields").get(0).get("type").asText() === "long")
+    assert(n.get("current-version-id").asInt() === 1)
+    val ver = n.get("versions").get(0)
+    assert(ver.get("schema-id").asInt() === 0)
+    assert(ver.get("summary").isObject)
+    assert(ver.get("default-namespace").isArray)
+    val rep = ver.get("representations").get(0)
+    assert(rep.get("type").asText() === "sql")
+    assert(rep.get("dialect").asText() === "spark-sql")
+    assert(rep.get("sql").asText().contains("id <= 2"))
+    assert(n.get("version-log").get(0).get("version-id").asInt() === 1)
+    // simulate a doc written by an external spec-conformant engine:
+    // strip every graft extra and reload through the full SQL path
+    val o = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    o.remove("name")
+    o.get("versions").elements().forEachRemaining { vn =>
+      val vo = vn.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      vo.remove("schema"); vo.remove("query-column-names")
+      vo.remove("column-aliases"); vo.remove("column-comments")
+    }
+    graft.core.meta.GraftIO.writeString(docPath,
+      graft.core.meta.MetaJson.mapper.writeValueAsString(o))
+    val rows = spark.sql("SELECT id, v FROM graft.db.vspec ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b")))
+    // the reconstructed schema came from the Iceberg-typed schemas list
+    val stored = GraftViewStore.load(warehouse,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "vspec")).get
+    assert(stored.viewName === "vspec") // falls back to the identifier
+    assert(stored.schema().fieldNames.toSeq === Seq("id", "v"))
+    spark.sql("CALL graft.system.drop_view('db.vspec')")
+  }
+
   test("snapshot_table imports an external directory as a new table") {
     val ext = java.nio.file.Files.createTempDirectory("snap-src").toString + "/t"
     spark.range(0, 30).selectExpr("id", "id * 10 AS x").coalesce(1).write.parquet(ext)
