@@ -600,6 +600,80 @@ object MetaJson {
     * `manifests` arrays, absent `properties`/`snapshots`/`snapshot-log`/
     * `refs`/`sort-orders`, `current-snapshot-id: -1` as "none", and
     * `direction`/`null-order` sort-field spellings. */
+  /** one snapshot node, graft or spec dialect (spec nests the operation
+    * inside summary — SnapshotParser.java:141-155, defaulting a missing
+    * operation to overwrite; v1 may embed the manifest list as a
+    * `manifests` path array, SnapshotParser.java:179-192, encoded as an
+    * inline list that ManifestIO.readList expands) */
+  def readSnapshot(so: JsonNode, res: String => String = identity): Snapshot = {
+    val sum = Map.newBuilder[String, String]
+    Option(so.get("summary")).filterNot(_.isNull).foreach(
+      _.fields().forEachRemaining(e => sum += e.getKey -> e.getValue.asText()))
+    val sumMap = sum.result()
+    val operation = Option(so.get("operation")).map(_.asText())
+      .orElse(sumMap.get("operation")).getOrElse("overwrite")
+    val listPath = Option(so.get("manifest-list")).map(m => res(m.asText()))
+      .getOrElse {
+        val paths = Seq.newBuilder[String]
+        Option(so.get("manifests")).foreach(_.elements()
+          .forEachRemaining(p => paths += res(p.asText())))
+        ManifestIO.inlineList(paths.result())
+      }
+    Snapshot(so.get("snapshot-id").asLong(),
+      Option(so.get("parent-snapshot-id")).map(_.asLong()),
+      Option(so.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+      so.get("timestamp-ms").asLong(),
+      operation, listPath,
+      sumMap - "operation",
+      Option(so.get("first-row-id")).map(_.asLong()),
+      Option(so.get("schema-id")).map(_.asInt()),
+      Option(so.get("key-id")).map(_.asText()),
+      Option(so.get("manifest-list-key-metadata")).map(_.asText()))
+  }
+
+  /** one sort-order node; graft spells direction as booleans (`asc`,
+    * `nulls-first`), the spec as strings (`direction`: asc|desc,
+    * `null-order`: nulls-first|nulls-last) */
+  def readSortOrder(oo: JsonNode): SortOrder = {
+    val fs = Seq.newBuilder[SortField]
+    oo.get("fields").elements().forEachRemaining { f =>
+      val asc = Option(f.get("asc")).map(_.asBoolean()).getOrElse(
+        f.get("direction").asText().equalsIgnoreCase("asc"))
+      val nullsFirst = Option(f.get("nulls-first")).map(_.asBoolean()).getOrElse(
+        Option(f.get("null-order")).forall(_.asText().equalsIgnoreCase("nulls-first")))
+      fs += SortField(f.get("source-id").asInt(),
+        Transform.fromName(f.get("transform").asText()), asc, nullsFirst)
+    }
+    SortOrder(oo.get("order-id").asInt(), fs.result())
+  }
+
+  def readStatisticsFile(e: JsonNode, res: String => String = identity): StatisticsFile = {
+    val blobs = Seq.newBuilder[StatBlobMeta]
+    Option(e.get("blob-metadata")).foreach(_.elements().forEachRemaining { b =>
+      val fields = Seq.newBuilder[Int]
+      Option(b.get("fields")).foreach(
+        _.elements().forEachRemaining(f => fields += f.asInt()))
+      val bprops = Map.newBuilder[String, String]
+      Option(b.get("properties")).foreach(_.properties().forEach(en =>
+        bprops += en.getKey -> en.getValue.asText()))
+      blobs += StatBlobMeta(b.get("type").asText(),
+        b.get("snapshot-id").asLong(),
+        Option(b.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+        fields.result(), bprops.result())
+    })
+    StatisticsFile(e.get("snapshot-id").asLong(),
+      res(e.get("statistics-path").asText()),
+      e.get("file-size-in-bytes").asLong(),
+      Option(e.get("file-footer-size-in-bytes")).map(_.asLong()).getOrElse(0L),
+      blobs.result())
+  }
+
+  def readPartitionStatisticsFile(e: JsonNode,
+      res: String => String = identity): PartitionStatisticsFile =
+    PartitionStatisticsFile(e.get("snapshot-id").asLong(),
+      res(e.get("statistics-path").asText()),
+      e.get("file-size-in-bytes").asLong())
+
   def readMetadata(json: String, metaPath: Option[String] = None): TableMetadata = {
     val n = mapper.readTree(json)
     def opt(name: String): Option[JsonNode] =
@@ -638,56 +712,15 @@ object MetaJson {
     }
     val allSpecs = specs.result()
     val orders = Seq.newBuilder[SortOrder]
-    opt("sort-orders").foreach(_.elements().forEachRemaining { oo =>
-      val fs = Seq.newBuilder[SortField]
-      oo.get("fields").elements().forEachRemaining { f =>
-        // graft spells direction as booleans (`asc`, `nulls-first`); the
-        // spec as strings (`direction`: asc|desc, `null-order`:
-        // nulls-first|nulls-last)
-        val asc = Option(f.get("asc")).map(_.asBoolean()).getOrElse(
-          f.get("direction").asText().equalsIgnoreCase("asc"))
-        val nullsFirst = Option(f.get("nulls-first")).map(_.asBoolean()).getOrElse(
-          Option(f.get("null-order")).forall(_.asText().equalsIgnoreCase("nulls-first")))
-        fs += SortField(f.get("source-id").asInt(),
-          Transform.fromName(f.get("transform").asText()), asc, nullsFirst)
-      }
-      orders += SortOrder(oo.get("order-id").asInt(), fs.result())
-    })
+    opt("sort-orders").foreach(_.elements().forEachRemaining(
+      oo => orders += readSortOrder(oo)))
     val allOrders = orders.result()
     val props = Map.newBuilder[String, String]
     opt("properties").foreach(_.fields().forEachRemaining(e =>
       props += e.getKey -> e.getValue.asText()))
     val snaps = Seq.newBuilder[Snapshot]
     opt("snapshots").foreach(_.elements().forEachRemaining { so =>
-      val sum = Map.newBuilder[String, String]
-      Option(so.get("summary")).filterNot(_.isNull).foreach(
-        _.fields().forEachRemaining(e => sum += e.getKey -> e.getValue.asText()))
-      val sumMap = sum.result()
-      // spec nests the operation inside summary (SnapshotParser.java:
-      // 141-155, defaulting a missing operation to overwrite); graft
-      // stores it top-level
-      val operation = Option(so.get("operation")).map(_.asText())
-        .orElse(sumMap.get("operation")).getOrElse("overwrite")
-      // v1 may embed the manifest list as a `manifests` path array
-      // (SnapshotParser.java:179-192); encode as an inline list that
-      // ManifestIO.readList expands by stat-ing each manifest
-      val listPath = Option(so.get("manifest-list")).map(m => res(m.asText()))
-        .getOrElse {
-          val paths = Seq.newBuilder[String]
-          Option(so.get("manifests")).foreach(_.elements()
-            .forEachRemaining(p => paths += res(p.asText())))
-          ManifestIO.inlineList(paths.result())
-        }
-      snaps += Snapshot(so.get("snapshot-id").asLong(),
-        Option(so.get("parent-snapshot-id")).map(_.asLong()),
-        Option(so.get("sequence-number")).map(_.asLong()).getOrElse(0L),
-        so.get("timestamp-ms").asLong(),
-        operation, listPath,
-        sumMap - "operation",
-        Option(so.get("first-row-id")).map(_.asLong()),
-        Option(so.get("schema-id")).map(_.asInt()),
-        Option(so.get("key-id")).map(_.asText()),
-        Option(so.get("manifest-list-key-metadata")).map(_.asText()))
+      snaps += readSnapshot(so, res)
     })
     val log = Seq.newBuilder[(Long, Long)]
     opt("snapshot-log").foreach(_.elements().forEachRemaining { e =>
@@ -725,35 +758,14 @@ object MetaJson {
       Option(n.get("next-row-id")).map(_.asLong()).getOrElse(0L),
       statistics = {
         val st = Seq.newBuilder[StatisticsFile]
-        Option(n.get("statistics")).foreach(_.elements().forEachRemaining { e =>
-          val blobs = Seq.newBuilder[StatBlobMeta]
-          Option(e.get("blob-metadata")).foreach(_.elements().forEachRemaining { b =>
-            val fields = Seq.newBuilder[Int]
-            Option(b.get("fields")).foreach(
-              _.elements().forEachRemaining(f => fields += f.asInt()))
-            val bprops = Map.newBuilder[String, String]
-            Option(b.get("properties")).foreach(_.properties().forEach(en =>
-              bprops += en.getKey -> en.getValue.asText()))
-            blobs += StatBlobMeta(b.get("type").asText(),
-              b.get("snapshot-id").asLong(),
-              Option(b.get("sequence-number")).map(_.asLong()).getOrElse(0L),
-              fields.result(), bprops.result())
-          })
-          st += StatisticsFile(e.get("snapshot-id").asLong(),
-            res(e.get("statistics-path").asText()),
-            e.get("file-size-in-bytes").asLong(),
-            Option(e.get("file-footer-size-in-bytes")).map(_.asLong()).getOrElse(0L),
-            blobs.result())
-        })
+        Option(n.get("statistics")).foreach(_.elements().forEachRemaining(
+          e => st += readStatisticsFile(e, res)))
         st.result()
       },
       partitionStatistics = {
         val st = Seq.newBuilder[PartitionStatisticsFile]
-        Option(n.get("partition-statistics")).foreach(_.elements().forEachRemaining { e =>
-          st += PartitionStatisticsFile(e.get("snapshot-id").asLong(),
-            res(e.get("statistics-path").asText()),
-            e.get("file-size-in-bytes").asLong())
-        })
+        Option(n.get("partition-statistics")).foreach(_.elements()
+          .forEachRemaining(e => st += readPartitionStatisticsFile(e, res)))
         st.result()
       },
       metadataLog = {

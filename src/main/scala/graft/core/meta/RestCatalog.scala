@@ -22,11 +22,19 @@ import graft.core.types.GSchema
   *   GET    /v1/config                               → {warehouse}
   *   GET    /v1/namespaces/{ns}/tables               → {identifiers:[...]}
   *   POST   /v1/namespaces/{ns}/tables/{t}/create    → {location, version}
-  *   GET    /v1/namespaces/{ns}/tables/{t}           → {version, metadata}
+  *   GET    /v1/namespaces/{ns}/tables/{t}           → {version, metadata-location, metadata}
   *   POST   /v1/namespaces/{ns}/tables/{t}/commit    → 200 | 409
   *   DELETE /v1/namespaces/{ns}/tables/{t}           → 200 | 404
   *   POST   /v1/tables/rename                        → 200 | 404 | 409
   *   POST   /v1/transactions/commit                  → 200 | 409
+  *
+  * plus the SPEC's own protocol (open-api createTable / updateTable /
+  * registerTable; requirements + update actions applied by
+  * [[SpecUpdates]]), so a genuine Iceberg REST client can create,
+  * register, and commit against this server:
+  *   POST   /v1/namespaces/{ns}/tables               CreateTableRequest → LoadTableResult
+  *   POST   /v1/namespaces/{ns}/tables/{t}           CommitTableRequest → CommitTableResponse | 409
+  *   POST   /v1/namespaces/{ns}/register             {name, metadata-location} → LoadTableResult
   */
 object RestCatalogServer {
   /** Start an in-process server over a directory warehouse; returns
@@ -61,6 +69,19 @@ object RestCatalogServer {
     }
     def readBody(x: HttpExchange): String =
       new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+    // spec LoadTableResult / CommitTableResponse shape (open-api):
+    // metadata-location + the full metadata document; `version` rides
+    // along for graft's own client
+    def loadResultJson(ops: FileTableOps): String = {
+      val o = MetaJson.mapper.createObjectNode()
+      ops.currentMetadataPath.foreach(p => o.put("metadata-location", p))
+      o.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
+        MetaJson.mapper.readTree(MetaJson.writeMetadata(ops.current().get)))
+      o.put("version", ops.currentVersion())
+      o.putObject("config")
+      MetaJson.mapper.writeValueAsString(o)
+    }
 
     /** true when the request may proceed; otherwise a 401 was sent */
     def authed(x: HttpExchange): Boolean = serverToken match {
@@ -254,6 +275,7 @@ object RestCatalogServer {
               // enforcement would come from a real object store.
               val o = MetaJson.mapper.createObjectNode()
               o.put("version", v)
+              ops.currentMetadataPath.foreach(p => o.put("metadata-location", p))
               o.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
                 MetaJson.mapper.readTree(MetaJson.writeMetadata(ops.current().get)))
               val cfg = o.putObject("config")
@@ -282,6 +304,85 @@ object RestCatalogServer {
             val ok = txnLock.synchronized(ops.commit(base, meta))
             if (ok) json(x, 200, s"""{"version": ${base + 1}}""")
             else json(x, 409, s"""{"error": "commit conflict at base $base"}""")
+          case ("POST", Array(ns, "tables", t)) =>
+            // the SPEC's updateTable route (open-api updateTable,
+            // CommitTableRequest): type-tagged requirements validated
+            // against current metadata + action-tagged updates applied to
+            // it — how a genuine Iceberg REST client commits. 409 on a
+            // violated requirement or CAS loss, 404 on a plain update of
+            // a missing table, 400 on unknown actions.
+            val body = MetaJson.mapper.readTree(readBody(x))
+            val loc = backing.tableLocation(ns.split("\\.").toSeq, t)
+            val ops = new FileTableOps(loc)
+            txnLock.synchronized {
+              val cur = ops.current()
+              val hasCreate = Option(body.get("requirements")).exists { arr =>
+                var found = false
+                arr.elements().forEachRemaining(r =>
+                  if (r.get("type").asText() == "assert-create") found = true)
+                found
+              }
+              if (cur.isEmpty && !hasCreate)
+                json(x, 404, s"""{"error": "no such table"}""")
+              else SpecUpdates.applyCommit(cur, body, loc) match {
+                case Left(err) =>
+                  json(x, 409, s"""{"error": ${MetaJson.mapper.writeValueAsString(err)}}""")
+                case Right(m2) =>
+                  if (ops.commit(ops.currentVersion(), m2))
+                    json(x, 200, loadResultJson(ops))
+                  else json(x, 409, s"""{"error": "commit conflict"}""")
+              }
+            }
+          case ("POST", Array(ns, "tables")) =>
+            // the SPEC's createTable route (open-api createTable,
+            // CreateTableRequest: name, schema, partition-spec,
+            // write-order, properties)
+            val body = MetaJson.mapper.readTree(readBody(x))
+            val name = body.get("name").asText()
+            val nsSeq = ns.split("\\.").toSeq
+            val loc = backing.tableLocation(nsSeq, name)
+            val schema = MetaJson.readSchema(body.get("schema"))
+            val spec = Option(body.get("partition-spec")).filterNot(_.isNull)
+              .map { pn =>
+                if (pn.has("fields"))
+                  PartitionSpec(
+                    Option(pn.get("spec-id")).map(_.asInt()).getOrElse(0),
+                    MetaJson.readSpecFields(pn.get("fields")))
+                else PartitionSpec(0, MetaJson.readSpecFields(pn))
+              }.getOrElse(PartitionSpec.Unpartitioned)
+            val order = Option(body.get("write-order")).filterNot(_.isNull)
+              .map(MetaJson.readSortOrder).getOrElse(SortOrder.Unsorted)
+            val props = {
+              val b = Map.newBuilder[String, String]
+              Option(body.get("properties")).foreach(_.fields()
+                .forEachRemaining(e => b += e.getKey -> e.getValue.asText()))
+              b.result()
+            }
+            val m = SpecUpdates.emptyBase(loc).copy(
+              currentSchemaId = schema.schemaId, schemas = Seq(schema),
+              lastColumnId = schema.highestFieldId,
+              defaultSpecId = spec.specId, specs = Seq(spec),
+              lastPartitionId =
+                spec.fields.map(_.fieldId).maxOption.getOrElse(999),
+              defaultSortOrderId = order.orderId, sortOrders = Seq(order),
+              properties =
+                if (props.contains("compatibility.format")) props
+                else props + ("compatibility.format" -> "iceberg"))
+            val ops = new FileTableOps(loc)
+            if (txnLock.synchronized(ops.commit(0, m)))
+              json(x, 200, loadResultJson(ops))
+            else json(x, 409, s"""{"error": "table exists"}""")
+          case ("POST", Array(ns, "register")) =>
+            // the SPEC's register route (open-api registerTable): adopt a
+            // table by its existing metadata-location, no data rewrite
+            val body = MetaJson.mapper.readTree(readBody(x))
+            val name = body.get("name").asText()
+            val mloc = body.get("metadata-location").asText()
+            val meta = MetaJson.readMetadata(GraftIO.readString(mloc), Some(mloc))
+            val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, name))
+            if (txnLock.synchronized(ops.commit(0, meta)))
+              json(x, 200, loadResultJson(ops))
+            else json(x, 409, s"""{"error": "table exists"}""")
           case ("POST", Array(ns, "tables", t, "metrics")) =>
             // validate at ingest: a stored non-JSON body would otherwise
             // poison every later GET of this table's ring
@@ -434,7 +535,8 @@ final class RestTableOps(
     namespace: String,
     name: String,
     token: Option[String] = None,
-    delegation: Boolean = false) extends TableOps {
+    delegation: Boolean = false,
+    specCommits: Boolean = false) extends TableOps {
 
   private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
   private def hdrs: Map[String, String] =
@@ -509,7 +611,25 @@ final class RestTableOps(
     }
     val clean = if (props == updated.properties) updated
       else updated.copy(properties = props)
-    if (baseVersion == 0) {
+    if (specCommits) {
+      // the SPEC's commit protocol: derive typed requirements + update
+      // actions from the base→updated diff and POST them to the spec
+      // updateTable route — what lets this client commit against any
+      // spec-conformant REST catalog, not just graft's server
+      val baseMeta =
+        if (baseVersion == 0) None
+        else load() match {
+          case Some((v, m)) if v == baseVersion => Some(m)
+          // the table moved past our base: deriving a diff against the
+          // newer state would silently mis-target, so fail the CAS and
+          // let the caller's retry loop re-plan
+          case _ => return false
+        }
+      val body = SpecUpdates.deriveCommit(baseMeta, clean)
+      val (code, _) = RestHttp.post(tableUrl,
+        MetaJson.mapper.writeValueAsString(body), hdrs)
+      code == 200
+    } else if (baseVersion == 0) {
       val (code, _) = RestHttp.post(s"$tableUrl/create", MetaJson.writeMetadata(clean), hdrs)
       code == 200
     } else {
@@ -525,7 +645,8 @@ final class RestTableOps(
   * so data/metadata paths agree between client and server (single shared
   * filesystem in this implementation, as with HadoopCatalog). */
 final class RestCatalog private (warehouse: String, uri: String,
-    token: Option[String], delegation: Boolean)
+    token: Option[String], delegation: Boolean,
+    specCommits: Boolean = false)
   extends HadoopCatalog(warehouse) {
 
   private def ns(namespace: Seq[String]): String = namespace.mkString(".")
@@ -534,7 +655,7 @@ final class RestCatalog private (warehouse: String, uri: String,
 
   private def ops(namespace: Seq[String], name: String): RestTableOps =
     new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name,
-      token, delegation)
+      token, delegation, specCommits)
 
   /** Load the table's vended storage credentials (requires the catalog
     * to have been connected with access delegation). One fresh set per
@@ -829,7 +950,8 @@ object RestCatalog {
     * property) for a bearer token, then fetch the warehouse from the
     * server config endpoint. */
   def connect(uri: String, credential: Option[String] = None,
-      accessDelegation: Boolean = false): RestCatalog = {
+      accessDelegation: Boolean = false,
+      specCommits: Boolean = false): RestCatalog = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     val token = credential.map { cred =>
       val (id, secret) = cred.split(":", 2) match {
@@ -847,6 +969,6 @@ object RestCatalog {
     require(code == 200, s"REST catalog config failed: $code $body")
     val warehouse = MetaJson.mapper.readTree(body).get("warehouse").asText()
     wireMetrics(uri, warehouse, token)
-    new RestCatalog(warehouse, uri, token, accessDelegation)
+    new RestCatalog(warehouse, uri, token, accessDelegation, specCommits)
   }
 }

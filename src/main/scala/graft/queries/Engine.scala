@@ -2159,9 +2159,49 @@ object Engine {
       SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS brand_rows
       FROM part GROUP BY p_brand ORDER BY p_brand"""))
 
+  // ------------------------------------------------------------------ g62
+  // Spec REST commit protocol: a catalog with commit-protocol=spec sends
+  // every commit as the spec's CommitTableRequest — typed requirements
+  // plus update actions (reference MetadataUpdateParser /
+  // UpdateRequirementParser, open-api updateTable) — which the server
+  // validates and replays. Create, append, row-level delete, and schema
+  // evolution all cross the wire as updates; the final table must match
+  // the oracle computed directly on the raw source.
+  private val g62 = Q(
+    "g62_engine_rest_spec_protocol",
+    (s, dir) => {
+      val wh = warehouse(dir) + "_rest"
+      val uri = RestFixture.ensure(wh)
+      s.conf.set("spark.sql.catalog.grests", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grests.catalog-impl", "rest")
+      s.conf.set("spark.sql.catalog.grests.uri", uri)
+      s.conf.set("spark.sql.catalog.grests.commit-protocol", "spec")
+      val cat = graft.core.meta.RestCatalog.connect(uri)
+      if (!cat.tableExists(Seq("db"), "nation_sp")) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS grests.db")
+        s.sql("""CREATE TABLE grests.db.nation_sp (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+          PARTITIONED BY (n_regionkey)""")
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .writeTo("grests.db.nation_sp").append()
+        s.sql("DELETE FROM grests.db.nation_sp WHERE n_regionkey = 0")
+        s.sql("ALTER TABLE grests.db.nation_sp ADD COLUMN note STRING")
+        s.sql("INSERT INTO grests.db.nation_sp VALUES (30, 'GRAFTLAND', 9, 'new')")
+      }
+      s.table("grests.db.nation_sp")
+        .select("n_nationkey", "n_name", "n_regionkey", "note")
+        .orderBy("n_nationkey")
+    },
+    Some("""
+      SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS note
+      FROM nation WHERE n_regionkey <> 0
+      UNION ALL
+      SELECT 30, 'GRAFTLAND', 9, 'new'
+      ORDER BY n_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61)
+    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62)
 }

@@ -75,8 +75,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // header-style access delegation opts into vended storage
         // credentials on every table load (reference
         // X-Iceberg-Access-Delegation)
+        // commit-protocol=spec flips commits from graft's full-metadata
+        // POST to the spec's requirements+updates CommitTableRequest
         graft.core.meta.RestCatalog.connect(uri, Option(options.get("credential")),
-          Option(options.get("access-delegation")).contains("vended-credentials"))
+          Option(options.get("access-delegation")).contains("vended-credentials"),
+          Option(options.get("commit-protocol")).contains("spec"))
       case _ => new HadoopCatalog(wh)
     }
     // expiration-aware table cache (reference CachingCatalog +

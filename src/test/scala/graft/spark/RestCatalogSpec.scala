@@ -33,6 +33,12 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.catalog.rcat", classOf[GraftCatalog].getName)
       .config("spark.sql.catalog.rcat.catalog-impl", "rest")
       .config("spark.sql.catalog.rcat.uri", uri)
+      // same server, but every commit crosses the wire as a SPEC
+      // CommitTableRequest (requirements + update actions)
+      .config("spark.sql.catalog.rcats", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.rcats.catalog-impl", "rest")
+      .config("spark.sql.catalog.rcats.uri", uri)
+      .config("spark.sql.catalog.rcats.commit-protocol", "spec")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -439,5 +445,212 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(!cat.tableExists(Seq("db"), "txnew2"),
       "mid-apply rollback left the created table behind")
+  }
+
+  // ---------------------------------------------------------------------
+  // the SPEC's REST protocol (open-api createTable/updateTable,
+  // CommitTableRequest requirements+updates): a genuine Iceberg REST
+  // client never ships whole metadata documents — it posts typed
+  // requirements and update actions. These tests drive graft's server
+  // with raw spec-shaped HTTP, interleaved with Spark DML through
+  // graft's own client.
+  // ---------------------------------------------------------------------
+
+  import graft.core.meta.{MetaJson, RestHttp}
+
+  private def specPost(path: String, body: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val (code, resp) = RestHttp.post(s"$uri$path", body)
+    (code, MetaJson.mapper.readTree(if (resp.nonEmpty) resp else "{}"))
+  }
+  private def loadMeta(t: String): com.fasterxml.jackson.databind.JsonNode =
+    MetaJson.mapper.readTree(
+      RestHttp.get(s"$uri/v1/namespaces/db/tables/$t")._2).get("metadata")
+
+  test("spec protocol: createTable, requirements, update actions") {
+    // CreateTableRequest with an Iceberg-typed schema and a partition spec
+    val (cc, created) = specPost("/v1/namespaces/db/tables", """{
+      "name": "spec_t",
+      "schema": {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": true, "type": "long"},
+        {"id": 2, "name": "v", "required": false, "type": "string"}]},
+      "partition-spec": {"spec-id": 0, "fields": []},
+      "properties": {"k0": "v0"}
+    }""")
+    assert(cc === 200, created.toString)
+    assert(created.get("metadata-location").asText().endsWith(".metadata.json"))
+    val uuid = created.get("metadata").get("table-uuid").asText()
+    // spec-created tables default to fully spec-shaped documents
+    assert(created.get("metadata").get("properties")
+      .get("compatibility.format").asText() === "iceberg")
+
+    // graft's own client + Spark see and write the table
+    spark.sql("INSERT INTO rcat.db.spec_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT * FROM rcat.db.spec_t").count() === 3)
+
+    // spec commit: assert-table-uuid + set-properties/remove-properties
+    val (c1, _) = specPost("/v1/namespaces/db/tables/spec_t", s"""{
+      "requirements": [{"type": "assert-table-uuid", "uuid": "$uuid"}],
+      "updates": [
+        {"action": "set-properties", "updates": {"a": "1", "k0": "v1"}},
+        {"action": "remove-properties", "removals": ["missing"]}]
+    }""")
+    assert(c1 === 200)
+    assert(loadMeta("spec_t").get("properties").get("a").asText() === "1")
+    assert(loadMeta("spec_t").get("properties").get("k0").asText() === "v1")
+
+    // violated requirement → 409, nothing applied
+    val (c2, e2) = specPost("/v1/namespaces/db/tables/spec_t", """{
+      "requirements": [{"type": "assert-table-uuid",
+        "uuid": "00000000-0000-0000-0000-000000000000"}],
+      "updates": [{"action": "set-properties", "updates": {"bad": "1"}}]
+    }""")
+    assert(c2 === 409 && e2.get("error").asText().contains("UUID"))
+    assert(!loadMeta("spec_t").get("properties").has("bad"))
+
+    // unknown action → 400
+    val (c3, _) = specPost("/v1/namespaces/db/tables/spec_t",
+      """{"updates": [{"action": "no-such-action"}]}""")
+    assert(c3 === 400)
+
+    // update of a missing table → 404; create-through-commit with
+    // assert-create succeeds instead
+    val (c4, _) = specPost("/v1/namespaces/db/tables/ghost_t",
+      """{"updates": [{"action": "set-properties", "updates": {"x": "1"}}]}""")
+    assert(c4 === 404)
+
+    // schema evolution through the protocol: add-schema + the -1
+    // "last added in this commit" sentinel
+    val (c5, _) = specPost("/v1/namespaces/db/tables/spec_t", """{
+      "updates": [
+        {"action": "add-schema", "schema": {"type": "struct", "schema-id": 0,
+          "fields": [
+            {"id": 1, "name": "id", "required": true, "type": "long"},
+            {"id": 2, "name": "v", "required": false, "type": "string"},
+            {"id": 3, "name": "w", "required": false, "type": "double"}]},
+          "last-column-id": 3},
+        {"action": "set-current-schema", "schema-id": -1}]
+    }""")
+    assert(c5 === 200)
+    val evolved = spark.sql("SELECT id, v, w FROM rcat.db.spec_t ORDER BY id").collect()
+    assert(evolved.length === 3 && evolved.forall(_.isNullAt(2)),
+      "new column from a spec add-schema commit must read as nulls")
+
+    // tag the current snapshot via set-snapshot-ref, guarded by
+    // assert-ref-snapshot-id with null (= ref must not exist yet)
+    val snapId = loadMeta("spec_t").get("current-snapshot-id").asLong()
+    val (c6, _) = specPost("/v1/namespaces/db/tables/spec_t", s"""{
+      "requirements": [
+        {"type": "assert-ref-snapshot-id", "ref": "audit", "snapshot-id": null}],
+      "updates": [{"action": "set-snapshot-ref", "ref-name": "audit",
+        "snapshot-id": $snapId, "type": "tag"}]
+    }""")
+    assert(c6 === 200)
+    spark.sql("INSERT INTO rcat.db.spec_t VALUES (4, 'd', 4.5)")
+    assert(spark.sql("SELECT * FROM rcat.db.spec_t").count() === 4)
+    assert(spark.sql("SELECT * FROM rcat.db.spec_t VERSION AS OF 'audit'").count() === 3,
+      "tag created through the spec protocol must time-travel")
+
+    // stale ref assertion → 409
+    val (c7, _) = specPost("/v1/namespaces/db/tables/spec_t", s"""{
+      "requirements": [
+        {"type": "assert-ref-snapshot-id", "ref": "audit", "snapshot-id": 123456}],
+      "updates": [{"action": "remove-snapshot-ref", "ref-name": "audit"}]
+    }""")
+    assert(c7 === 409)
+
+    // correct assertion removes the tag
+    val (c8, _) = specPost("/v1/namespaces/db/tables/spec_t", s"""{
+      "requirements": [
+        {"type": "assert-ref-snapshot-id", "ref": "audit", "snapshot-id": $snapId}],
+      "updates": [{"action": "remove-snapshot-ref", "ref-name": "audit"}]
+    }""")
+    assert(c8 === 200)
+    intercept[Exception](
+      spark.sql("SELECT * FROM rcat.db.spec_t VERSION AS OF 'audit'").collect())
+  }
+
+  test("spec commit protocol end-to-end: Spark DML as requirements+updates") {
+    // the rcats catalog's every commit is a derived CommitTableRequest:
+    // create, append, row-level delete, schema evolution, branch DDL and
+    // time travel all flow through the spec protocol
+    spark.sql("""CREATE TABLE rcats.db.sp_dml (id BIGINT, v STRING, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO rcats.db.sp_dml VALUES
+      (1, 'a', TIMESTAMP '2024-01-01 10:00:00'),
+      (2, 'b', TIMESTAMP '2024-01-02 10:00:00'),
+      (3, 'c', TIMESTAMP '2024-01-02 11:00:00')""")
+    assert(spark.sql("SELECT * FROM rcats.db.sp_dml").count() === 3)
+    spark.sql("DELETE FROM rcats.db.sp_dml WHERE id = 2")
+    assert(spark.sql("SELECT id FROM rcats.db.sp_dml ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // schema evolution crosses as add-schema/set-current-schema
+    spark.sql("ALTER TABLE rcats.db.sp_dml ADD COLUMN w DOUBLE")
+    spark.sql("INSERT INTO rcats.db.sp_dml VALUES " +
+      "(4, 'd', TIMESTAMP '2024-01-03 10:00:00', 4.5)")
+    assert(spark.sql("SELECT w FROM rcats.db.sp_dml WHERE id = 4")
+      .collect()(0).getDouble(0) === 4.5)
+    // time travel over spec-committed snapshots
+    val snaps = spark.sql(
+      "SELECT snapshot_id FROM rcats.db.sp_dml.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0))
+    assert(snaps.length === 3)
+    assert(spark.sql(s"SELECT * FROM rcats.db.sp_dml VERSION AS OF ${snaps.head}")
+      .count() === 3)
+    // branch DDL crosses as set-snapshot-ref / remove-snapshot-ref
+    spark.sql("ALTER TABLE rcats.db.sp_dml CREATE BRANCH dev")
+    spark.sql("INSERT INTO rcats.db.sp_dml.branch_dev VALUES " +
+      "(9, 'z', TIMESTAMP '2024-01-09 10:00:00', 9.9)")
+    assert(spark.sql("SELECT * FROM rcats.db.sp_dml VERSION AS OF 'dev'").count() === 4)
+    assert(spark.sql("SELECT * FROM rcats.db.sp_dml").count() === 3,
+      "main must not see the dev branch write")
+    spark.sql("ALTER TABLE rcats.db.sp_dml DROP BRANCH dev")
+    // properties cross as set-properties / remove-properties
+    spark.sql("ALTER TABLE rcats.db.sp_dml SET TBLPROPERTIES ('pk'='pv')")
+    spark.sql("ALTER TABLE rcats.db.sp_dml UNSET TBLPROPERTIES ('pk')")
+    // the graft-protocol catalog reads the same table identically
+    assert(spark.sql("SELECT id FROM rcat.db.sp_dml ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("spec protocol: add-snapshot + set-snapshot-ref publishes a commit") {
+    // an engine-style commit: the client adds a SNAPSHOT it planned and
+    // moves main in the same request (reference REST commits pair these)
+    val m = loadMeta("spec_t")
+    val cur = m.get("current-snapshot-id").asLong()
+    // reuse the FIRST snapshot's manifest list as the new snapshot's
+    // content: a protocol-level rollback
+    val snaps = m.get("snapshots")
+    val first = snaps.get(0)
+    val lastSeq = m.get("last-sequence-number").asLong()
+    val newId = 990011L
+    val (c1, _) = specPost("/v1/namespaces/db/tables/spec_t", s"""{
+      "requirements": [
+        {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": $cur}],
+      "updates": [
+        {"action": "add-snapshot", "snapshot": {
+          "snapshot-id": $newId, "parent-snapshot-id": $cur,
+          "sequence-number": ${lastSeq + 1},
+          "timestamp-ms": ${System.currentTimeMillis()},
+          "summary": {"operation": "overwrite"},
+          "manifest-list": ${MetaJson.mapper.writeValueAsString(
+            first.get("manifest-list").asText())},
+          "schema-id": ${m.get("current-schema-id").asInt()}}},
+        {"action": "set-snapshot-ref", "ref-name": "main",
+          "snapshot-id": $newId, "type": "branch"}]
+    }""")
+    assert(c1 === 200)
+    // main now reads the first snapshot's content (3 rows, pre-(4,'d'))
+    assert(spark.sql("SELECT * FROM rcat.db.spec_t").count() === 3,
+      "add-snapshot + set-snapshot-ref main must publish the new snapshot")
+    assert(loadMeta("spec_t").get("current-snapshot-id").asLong() === newId)
+
+    // duplicate snapshot id is rejected with 400
+    val (c2, _) = specPost("/v1/namespaces/db/tables/spec_t", s"""{
+      "updates": [{"action": "add-snapshot", "snapshot": {
+        "snapshot-id": $newId, "sequence-number": ${lastSeq + 2},
+        "timestamp-ms": 1, "summary": {"operation": "append"},
+        "manifest-list": "x"}}]
+    }""")
+    assert(c2 === 400)
   }
 }
