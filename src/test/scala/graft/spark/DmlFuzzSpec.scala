@@ -22,9 +22,14 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
   private var warehouse: String = _
+  private var restWarehouse: String = _
+  private var restServer: com.sun.net.httpserver.HttpServer = _
 
   override def beforeAll(): Unit = {
     warehouse = Files.createTempDirectory("graft-fuzz-wh").toString
+    restWarehouse = Files.createTempDirectory("graft-fuzz-rest-wh").toString
+    val started = graft.core.meta.RestCatalogServer.start(restWarehouse)
+    restServer = started._1
     spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-dml-fuzz")
@@ -32,19 +37,30 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.gfz", classOf[GraftCatalog].getName)
       .config("spark.sql.catalog.gfz.warehouse", warehouse)
+      // the same fuzz over the spec REST commit protocol: every commit
+      // crosses as a derived CommitTableRequest that the server replays
+      .config("spark.sql.catalog.gfzr", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.gfzr.catalog-impl", "rest")
+      .config("spark.sql.catalog.gfzr.uri", started._2)
+      .config("spark.sql.catalog.gfzr.commit-protocol", "spec")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gfz.db")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfzr.db")
   }
 
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    if (restServer != null) restServer.stop(0)
+  }
 
   private def runSeed(seed: Int, partitioned: Boolean, steps: Int,
       evolveSpec: Boolean = false, format: String = "parquet",
-      icebergCompat: Boolean = false): Unit = {
+      icebergCompat: Boolean = false, cat: String = "gfz"): Unit = {
     val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
-    val fq = s"gfz.db.$name"
+    val fq = s"$cat.db.$name"
+    val catWarehouse = if (cat == "gfzr") restWarehouse else warehouse
     val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
     val compatProp =
       if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
@@ -169,24 +185,24 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     var expired = false
     def procedure(): String = rng.nextInt(4) match {
       case 0 =>
-        spark.sql(s"CALL gfz.system.rewrite_data_files(table => 'db.$name')")
+        spark.sql(s"CALL $cat.system.rewrite_data_files(table => 'db.$name')")
         "rewrite_data_files"
       case 1 =>
-        spark.sql(s"CALL gfz.system.rewrite_position_delete_files(table => 'db.$name')")
+        spark.sql(s"CALL $cat.system.rewrite_position_delete_files(table => 'db.$name')")
         "rewrite_position_deletes"
       case 2 =>
-        spark.sql(s"CALL gfz.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
+        spark.sql(s"CALL $cat.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
         expired = true
         "expire_snapshots"
       case _ =>
-        spark.sql(s"CALL gfz.system.rewrite_manifests('db.$name')")
+        spark.sql(s"CALL $cat.system.rewrite_manifests('db.$name')")
         "rewrite_manifests"
     }
 
     // (snapshotId, model state right after the op) for time-travel checks
     val snapshotsSeen = mutable.ArrayBuffer.empty[(Long, Seq[(Long, (Long, String))])]
     def coreTable() =
-      new graft.core.meta.HadoopCatalog(warehouse).loadTable(Seq("db"), name).get
+      new graft.core.meta.HadoopCatalog(catWarehouse).loadTable(Seq("db"), name).get
 
     def check(step: Int, op: String): Unit = {
       val actual = spark.sql(s"SELECT id, grp, v FROM $fq")
@@ -288,8 +304,8 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"seed=$seed: partitions record_count total diverges from files")
 
     // end-of-life: everything still reads after a final compact + expire
-    spark.sql(s"CALL gfz.system.rewrite_data_files(table => 'db.$name')")
-    spark.sql(s"CALL gfz.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
+    spark.sql(s"CALL $cat.system.rewrite_data_files(table => 'db.$name')")
+    spark.sql(s"CALL $cat.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
     check(steps + 1, "final-compact-expire")
   }
 
@@ -417,6 +433,16 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("seeded DML fuzz in iceberg-compat mode") {
     runSeed(seed = 424242, partitioned = true, steps = 35,
       evolveSpec = true, icebergCompat = true)
+  }
+
+  // every random op's COMMIT crosses the wire as a spec
+  // CommitTableRequest (requirements + update actions) that the REST
+  // server validates and replays — the whole model-checked history
+  // exercises deriveCommit/applyCommit on real DML, procedures, spec
+  // evolution and time travel
+  test("seeded DML fuzz over the spec REST commit protocol") {
+    runSeed(seed = 777001, partitioned = true, steps = 30,
+      evolveSpec = true, cat = "gfzr")
   }
 
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
