@@ -213,9 +213,98 @@ object RestCatalogServer {
     // /v1/namespaces/{ns}/tables[/{t}[/create|/commit]]
     server.createContext("/v1/namespaces", (x: HttpExchange) =>
       try if (authed(x)) {
-        val parts = x.getRequestURI.getPath.stripPrefix("/v1/namespaces/")
-          .split("/").filter(_.nonEmpty)
+        val parts = x.getRequestURI.getPath.stripPrefix("/v1/namespaces")
+          .stripPrefix("/").split("/").filter(_.nonEmpty)
         (x.getRequestMethod, parts) match {
+          // ---- namespace routes (open-api listNamespaces /
+          // createNamespace / loadNamespaceMetadata / dropNamespace /
+          // updateProperties); properties persist in the namespace
+          // directory's _namespace.json
+          case ("GET", Array()) =>
+            val o = MetaJson.mapper.createObjectNode()
+            val arr = o.putArray("namespaces")
+            GraftIO.list(warehouse)
+              .map(GraftIO.toPath).filter(java.nio.file.Files.isDirectory(_))
+              .map(_.getFileName.toString).sorted
+              .foreach(n => arr.addArray().add(n))
+            json(x, 200, MetaJson.mapper.writeValueAsString(o))
+          case ("POST", Array()) =>
+            val body = MetaJson.mapper.readTree(readBody(x))
+            val nsLevels = {
+              val b = Seq.newBuilder[String]
+              body.get("namespace").elements().forEachRemaining(e => b += e.asText())
+              b.result()
+            }
+            val dir = GraftIO.toPath((warehouse +: nsLevels).mkString("/"))
+            if (java.nio.file.Files.isDirectory(dir))
+              json(x, 409, s"""{"error": "namespace already exists"}""")
+            else {
+              java.nio.file.Files.createDirectories(dir)
+              val props = Option(body.get("properties"))
+                .map(MetaJson.mapper.writeValueAsString).getOrElse("{}")
+              if (props != "{}")
+                GraftIO.writeString(s"$dir/_namespace.json", props)
+              json(x, 200, s"""{"namespace": ${MetaJson.mapper.writeValueAsString(
+                  nsLevels.toArray)}, "properties": $props}""")
+            }
+          case ("GET", Array(ns)) =>
+            val dir = s"$warehouse/${ns.replace('.', '/')}"
+            if (!java.nio.file.Files.isDirectory(GraftIO.toPath(dir)))
+              json(x, 404, s"""{"error": "no such namespace"}""")
+            else {
+              val props =
+                if (GraftIO.exists(s"$dir/_namespace.json"))
+                  GraftIO.readString(s"$dir/_namespace.json")
+                else "{}"
+              json(x, 200, s"""{"namespace": ${MetaJson.mapper.writeValueAsString(
+                  ns.split("\\.")) }, "properties": $props}""")
+            }
+          case ("HEAD", Array(ns)) =>
+            val ok = java.nio.file.Files.isDirectory(
+              GraftIO.toPath(s"$warehouse/${ns.replace('.', '/')}"))
+            x.sendResponseHeaders(if (ok) 204 else 404, -1); x.close()
+          case ("DELETE", Array(ns)) =>
+            val dir = GraftIO.toPath(s"$warehouse/${ns.replace('.', '/')}")
+            if (!java.nio.file.Files.isDirectory(dir))
+              json(x, 404, s"""{"error": "no such namespace"}""")
+            else if (backing.listTables(ns.split("\\.").toSeq).nonEmpty)
+              // spec: dropping a non-empty namespace is a 409
+              json(x, 409, s"""{"error": "namespace is not empty"}""")
+            else {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+              x.sendResponseHeaders(204, -1); x.close()
+            }
+          case ("POST", Array(ns, "properties")) =>
+            val dir = s"$warehouse/${ns.replace('.', '/')}"
+            if (!java.nio.file.Files.isDirectory(GraftIO.toPath(dir)))
+              json(x, 404, s"""{"error": "no such namespace"}""")
+            else {
+              val body = MetaJson.mapper.readTree(readBody(x))
+              val cur: com.fasterxml.jackson.databind.node.ObjectNode =
+                (if (GraftIO.exists(s"$dir/_namespace.json"))
+                  MetaJson.mapper.readTree(GraftIO.readString(s"$dir/_namespace.json"))
+                else MetaJson.mapper.createObjectNode())
+                  .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              val removed = MetaJson.mapper.createArrayNode()
+              Option(body.get("removals")).foreach(_.elements().forEachRemaining { r =>
+                if (cur.has(r.asText())) removed.add(r.asText())
+                cur.remove(r.asText())
+              })
+              val updated = MetaJson.mapper.createArrayNode()
+              Option(body.get("updates")).foreach(_.fields().forEachRemaining { e =>
+                cur.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue)
+                updated.add(e.getKey)
+              })
+              GraftIO.writeString(s"$dir/_namespace.json",
+                MetaJson.mapper.writeValueAsString(cur))
+              val o = MetaJson.mapper.createObjectNode()
+              o.set[com.fasterxml.jackson.databind.JsonNode]("removed", removed)
+              o.set[com.fasterxml.jackson.databind.JsonNode]("updated", updated)
+              o.putArray("missing")
+              json(x, 200, MetaJson.mapper.writeValueAsString(o))
+            }
           case ("GET", Array(ns, "tables")) =>
             // paginated listing (reference CatalogHandlers.paginate):
             // stable sort order, pageToken = last name already returned,

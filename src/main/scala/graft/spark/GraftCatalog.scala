@@ -689,17 +689,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     java.nio.file.Files.isDirectory(
       graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/")))
 
+  // namespace properties persist in the namespace directory's
+  // _namespace.json — the same store the REST server's spec namespace
+  // routes read and write, so both surfaces agree
+  private def nsPropsPath(namespace: Array[String]): String =
+    (catalog.warehouse +: namespace).mkString("/") + "/_namespace.json"
+
+  private def readNsProps(namespace: Array[String]): Map[String, String] = {
+    val p = nsPropsPath(namespace)
+    if (!graft.core.meta.GraftIO.exists(p)) Map.empty
+    else {
+      val b = Map.newBuilder[String, String]
+      graft.core.meta.MetaJson.mapper
+        .readTree(graft.core.meta.GraftIO.readString(p))
+        .fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
+      b.result()
+    }
+  }
+
+  private def writeNsProps(namespace: Array[String], props: Map[String, String]): Unit =
+    if (props.isEmpty)
+      graft.core.meta.GraftIO.delete(nsPropsPath(namespace))
+    else {
+      val o = graft.core.meta.MetaJson.mapper.createObjectNode()
+      props.foreach { case (k, v) => o.put(k, v) }
+      graft.core.meta.GraftIO.writeString(nsPropsPath(namespace),
+        graft.core.meta.MetaJson.mapper.writeValueAsString(o))
+    }
+
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
-    if (namespaceExists(namespace)) new util.HashMap[String, String]()
-    else throw new NoSuchNamespaceException(namespace)
+    if (namespaceExists(namespace)) {
+      val m = new util.HashMap[String, String]()
+      readNsProps(namespace).foreach { case (k, v) => m.put(k, v) }
+      m
+    } else throw new NoSuchNamespaceException(namespace)
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit =
+      metadata: util.Map[String, String]): Unit = {
     java.nio.file.Files.createDirectories(
       graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/")))
+    import scala.jdk.CollectionConverters._
+    if (!metadata.isEmpty) writeNsProps(namespace, metadata.asScala.toMap)
+  }
 
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit = ()
+      changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    var props = readNsProps(namespace)
+    changes.foreach {
+      case sp: NamespaceChange.SetProperty    => props += (sp.property -> sp.value)
+      case rp: NamespaceChange.RemoveProperty => props -= rp.property
+      case _                                  => ()
+    }
+    writeNsProps(namespace, props)
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/"))

@@ -454,7 +454,10 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         runSeed(seed = base + i, partitioned = i % 2 == 0, steps = 30,
           evolveSpec = i % 3 != 0,
           format = if (i % 4 == 3) "orc" else "parquet",
-          icebergCompat = i % 2 == 1)
+          icebergCompat = i % 2 == 1,
+          // a third of the soak routes every commit through the spec
+          // REST protocol (derive→apply on the server)
+          cat = if (i % 3 == 2) "gfzr" else "gfz")
       }
       test(s"soak branch fuzz, seed ${base + i}") {
         runBranchSeed(base + i, 20, icebergCompat = i % 2 == 0)

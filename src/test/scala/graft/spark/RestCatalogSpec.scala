@@ -569,6 +569,48 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT * FROM rcat.db.spec_t VERSION AS OF 'audit'").collect())
   }
 
+  test("spec namespace routes: list, create, metadata, properties, drop") {
+    // create with properties (open-api createNamespace)
+    val (c1, b1) = specPost("/v1/namespaces",
+      """{"namespace": ["nsx"], "properties": {"owner": "etl"}}""")
+    assert(c1 === 200 && b1.get("properties").get("owner").asText() === "etl")
+    // duplicate create → 409
+    assert(specPost("/v1/namespaces", """{"namespace": ["nsx"]}""")._1 === 409)
+    // list contains it (ListNamespacesResponse shape: array of arrays)
+    val (c2, b2) = (RestHttp.get(s"$uri/v1/namespaces")._1,
+      MetaJson.mapper.readTree(RestHttp.get(s"$uri/v1/namespaces")._2))
+    assert(c2 === 200)
+    val listed = {
+      val b = Seq.newBuilder[String]
+      b2.get("namespaces").elements().forEachRemaining(e => b += e.get(0).asText())
+      b.result()
+    }
+    assert(listed.contains("nsx") && listed.contains("db"))
+    // loadNamespaceMetadata + HEAD probe
+    val (c3, b3) = (RestHttp.get(s"$uri/v1/namespaces/nsx")._1,
+      MetaJson.mapper.readTree(RestHttp.get(s"$uri/v1/namespaces/nsx")._2))
+    assert(c3 === 200 && b3.get("properties").get("owner").asText() === "etl")
+    assert(RestHttp.head(s"$uri/v1/namespaces/nsx")._1 === 204)
+    assert(RestHttp.head(s"$uri/v1/namespaces/ghost")._1 === 404)
+    // updateProperties (removals + updates, UpdateNamespacePropertiesResponse)
+    val (c4, b4) = specPost("/v1/namespaces/nsx/properties",
+      """{"removals": ["owner"], "updates": {"retention": "30d"}}""")
+    assert(c4 === 200)
+    assert(b4.get("removed").get(0).asText() === "owner")
+    assert(b4.get("updated").get(0).asText() === "retention")
+    // Spark sees the same properties through DESCRIBE NAMESPACE
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED rcat.nsx").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("Properties").exists(_.contains("retention")),
+      s"DESCRIBE NAMESPACE must surface REST-set properties: $desc")
+    // drop: non-empty → 409, empty → 204
+    spark.sql("CREATE TABLE rcat.nsx.tmp_t (id BIGINT)")
+    assert(RestHttp.delete(s"$uri/v1/namespaces/nsx")._1 === 409)
+    spark.sql("DROP TABLE rcat.nsx.tmp_t")
+    assert(RestHttp.delete(s"$uri/v1/namespaces/nsx")._1 === 204)
+    assert(RestHttp.head(s"$uri/v1/namespaces/nsx")._1 === 404)
+  }
+
   test("spec commit protocol end-to-end: Spark DML as requirements+updates") {
     // the rcats catalog's every commit is a derived CommitTableRequest:
     // create, append, row-level delete, schema evolution, branch DDL and
