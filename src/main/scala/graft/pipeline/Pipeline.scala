@@ -1273,7 +1273,75 @@ object Pipeline {
       FROM members LEFT JOIN drops ON members.cid = drops.cid
       ORDER BY members.cid"""))
 
+  // ---------------------------------------------------------------- p29
+  // Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better"): find every maximal
+  // token span that occurs more than once ANYWHERE in the corpus
+  // (cross-doc or repeated within one doc). The suffix-array pass of the
+  // paper is approximated the way production pipelines run it at scale:
+  // every K-token gram is keyed by a 128-bit digest of its text, a
+  // corpus-wide count over that key marks duplicated grams, and the
+  // surviving (doc, pos) gram starts merge into maximal spans per doc.
+  // Scale shape at 100 TB: the only corpus-wide operation is the
+  // hash-partitioned count over the 16-byte gram digest (never the gram
+  // text, never a pair join); span merging is a per-doc window bounded
+  // by document length. Output per affected doc: duplicated gram count,
+  // maximal-span count, and the union length in tokens of all
+  // duplicated spans — exactly what a removal pass would cut.
+  private val p29 = Q(
+    "p29_dedup_substring",
+    (s, dir) => {
+      val K = 8
+      val g = tok(s, dir).select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN size(ws) >= $K
+             |THEN transform(sequence(1, size(ws) - ${K - 1}),
+             |               i -> md5(array_join(slice(ws, i, $K), ' ')))
+             |ELSE array() END""".stripMargin)).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      // corpus-wide duplicate mark: one shuffle on the digest; gram
+      // groups are occurrence lists (tiny), so the window never skews
+      val dup = g
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("cnt") > 1)
+        .select("doc_id", "pos")
+      // merge overlapping/adjacent [pos, pos+K) intervals per doc: a new
+      // span opens when the gap to the previous duplicated gram exceeds
+      // K; the union length adds min(next - pos, K) per gram
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      dup
+        .withColumn("ns",
+          when(lag("pos", 1).over(w).isNull ||
+            col("pos") - lag("pos", 1).over(w) > K, 1L).otherwise(0L))
+        .withColumn("cov",
+          when(lead("pos", 1).over(w).isNull, lit(K.toLong))
+            .otherwise(least(lead("pos", 1).over(w) - col("pos"), lit(K.toLong))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("dup_grams"), sum("ns").as("dup_spans"),
+          sum("cov").as("dup_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $sqlTok,
+      g AS (SELECT doc_id, i AS pos,
+                   md5(array_to_string(ws[i:i+7], ' ')) AS h
+            FROM tok, unnest(generate_series(1, len(ws) - 7)) t(i)),
+      d AS (SELECT doc_id, pos FROM (
+              SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt
+              FROM g)
+            WHERE cnt > 1),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN LAG(pos) OVER w IS NULL
+                     OR pos - LAG(pos) OVER w > 8 THEN 1 ELSE 0 END AS ns,
+              CASE WHEN LEAD(pos) OVER w IS NULL THEN 8
+                   ELSE LEAST(LEAD(pos) OVER w - pos, 8) END AS cov
+            FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams,
+             CAST(SUM(ns) AS BIGINT) AS dup_spans,
+             CAST(SUM(cov) AS BIGINT) AS dup_tokens
+      FROM m GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
     p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
-    p24, p25, p26, p27, p28)
+    p24, p25, p26, p27, p28, p29)
 }
