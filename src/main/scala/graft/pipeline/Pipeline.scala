@@ -1341,7 +1341,61 @@ object Pipeline {
              CAST(SUM(cov) AS BIGINT) AS dup_tokens
       FROM m GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- p30
+  // LM-rarity quality scoring — the integer-exact core of CCNet-style
+  // perplexity filtering (Wenzek et al. 2020): a document is suspect
+  // when many of its word trigrams are rare under the corpus-wide
+  // trigram LM counts. Exact-integer formulation (rare/hapax counts +
+  // one final IEEE division, no transcendental logprobs) so the DuckDB
+  // oracle hashes bit-identically. Scale shape at 100 TB: the corpus
+  // trigram count is a groupBy with map-side partial aggregation
+  // (Zipf-head keys combine before the shuffle); the per-occurrence
+  // re-join that would skew on "one of the" never happens — occurrences
+  // join only the RARE slice of the count table (cb < 5), where every
+  // surviving key has at most 4 rows on either side, so no heavy key
+  // exists anywhere in the plan. Common trigrams fall out as left-join
+  // nulls.
+  private val p30 = Q(
+    "p30_quality_lm_rarity",
+    (s, dir) => {
+      val occ = tok(s, dir).select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(ws) >= 3
+            |THEN transform(sequence(0, size(ws) - 3),
+            |  i -> concat(element_at(ws, i + 1), '~', element_at(ws, i + 2),
+            |              '~', element_at(ws, i + 3)))
+            |ELSE array() END""".stripMargin)).as("b"))
+      val rare = occ.groupBy("b").agg(count(lit(1)).as("cb"))
+        .filter(col("cb") < 5)
+      occ.join(rare, Seq("b"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"),
+          count(when(col("cb") === 1, 1)).as("hapax_cnt"),
+          count(col("cb")).as("rare_cnt"))
+        .withColumn("hapax_ratio",
+          col("hapax_cnt").cast(DoubleType) / col("n_bi"))
+        .withColumn("rare_ratio",
+          col("rare_cnt").cast(DoubleType) / col("n_bi"))
+        .withColumn("keep", (col("hapax_ratio") <= 0.5).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $sqlTok,
+      occ AS (SELECT doc_id, ws[i] || '~' || ws[i+1] || '~' || ws[i+2] AS b
+              FROM tok, unnest(generate_series(1, len(ws)-2)) g(i)),
+      rare AS (SELECT b, COUNT(*) AS cb FROM occ GROUP BY b
+               HAVING COUNT(*) < 5)
+      SELECT occ.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bi,
+             CAST(COUNT(CASE WHEN cb = 1 THEN 1 END) AS BIGINT) AS hapax_cnt,
+             CAST(COUNT(cb) AS BIGINT) AS rare_cnt,
+             CAST(COUNT(CASE WHEN cb = 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS hapax_ratio,
+             CAST(COUNT(cb) AS DOUBLE) / COUNT(*) AS rare_ratio,
+             CAST(CAST(COUNT(CASE WHEN cb = 1 THEN 1 END) AS DOUBLE) / COUNT(*) <= 0.5 AS INTEGER) AS keep
+      FROM occ LEFT JOIN rare ON occ.b = rare.b
+      GROUP BY occ.doc_id ORDER BY occ.doc_id"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
     p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
-    p24, p25, p26, p27, p28, p29)
+    p24, p25, p26, p27, p28, p29, p30)
 }
