@@ -50,24 +50,7 @@ object DVIO {
     * re-parsing the footer */
   def writeBlob(path: String, dataFilePath: String, positions: Iterator[Long],
       crypto: Option[TableCrypto] = None): (Long, Long, Long) = {
-    val bm = new Roaring64NavigableMap()
-    positions.foreach(bm.addLong)
-    bm.runOptimize()
-
-    // deletion-vector-v1 blob bytes (puffin-spec.md): BE length + magic +
-    // portable roaring (LE internals) + BE CRC-32 of magic+vector
-    val vecBos = new java.io.ByteArrayOutputStream()
-    bm.serializePortable(new DataOutputStream(vecBos))
-    val vec = vecBos.toByteArray
-    val crc = new java.util.zip.CRC32()
-    crc.update(DvMagic)
-    crc.update(vec)
-    val blob = ByteBuffer.allocate(4 + 4 + vec.length + 4)
-      .order(ByteOrder.BIG_ENDIAN)
-      .putInt(4 + vec.length).put(DvMagic).put(vec)
-      .putInt(crc.getValue.toInt).array()
-
-    val cardinality = bm.getLongCardinality
+    val (blob, cardinality) = blobBytesWithCardinality(positions)
     val payload = footerJson(blobOffset = 4L, blobLength = blob.length.toLong,
       dataFilePath, cardinality)
     val payloadBytes = payload.getBytes(StandardCharsets.UTF_8)
@@ -94,6 +77,37 @@ object DVIO {
     })
     (cardinality, 4L, blob.length.toLong)
   }
+
+  /** Spec deletion-vector-v1 blob bytes for a position set: BE length +
+    * magic + portable 64-bit roaring (LE internals) + BE CRC-32 of
+    * magic+vector. Exposed (with [[parseBlobBytes]]) so golden-file
+    * interop tests can check byte-for-byte equality against the
+    * reference's committed `*-position-index.bin` fixtures
+    * (core/src/test/resources/org/apache/iceberg/deletes). */
+  private[graft] def blobBytes(positions: Iterator[Long]): Array[Byte] =
+    blobBytesWithCardinality(positions)._1
+
+  private def blobBytesWithCardinality(
+      positions: Iterator[Long]): (Array[Byte], Long) = {
+    val bm = new Roaring64NavigableMap()
+    positions.foreach(bm.addLong)
+    bm.runOptimize()
+    val vecBos = new java.io.ByteArrayOutputStream()
+    bm.serializePortable(new DataOutputStream(vecBos))
+    val vec = vecBos.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(DvMagic)
+    crc.update(vec)
+    val blob = ByteBuffer.allocate(4 + 4 + vec.length + 4)
+      .order(ByteOrder.BIG_ENDIAN)
+      .putInt(4 + vec.length).put(DvMagic).put(vec)
+      .putInt(crc.getValue.toInt).array()
+    (blob, bm.getLongCardinality)
+  }
+
+  /** counterpart of [[blobBytes]]: parse standalone blob bytes. */
+  private[graft] def parseBlobBytes(bytes: Array[Byte]): Roaring64Bitmap =
+    parseDvBlob("(bytes)", bytes, 0, bytes.length)
 
   private def footerJson(blobOffset: Long, blobLength: Long,
       dataFilePath: String, cardinality: Long): String = {

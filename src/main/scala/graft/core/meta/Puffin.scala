@@ -136,6 +136,22 @@ object Puffin {
     override def close(): Unit = open = false
   }
 
+  /** file-level footer properties (e.g. created-by) — blob payloads are
+    * not touched. */
+  def readFileProperties(path: String): Map[String, String] = {
+    val bytes = Files.readAllBytes(GraftIO.toPath(path))
+    val n = bytes.length
+    require(n > 20, s"not a puffin file: $path")
+    val tail = ByteBuffer.wrap(bytes, n - 12, 8).order(ByteOrder.LITTLE_ENDIAN)
+    val footerLen = tail.getInt()
+    val footer = MetaJson.mapper.readTree(
+      new String(bytes, n - 12 - footerLen, footerLen, StandardCharsets.UTF_8))
+    val out = Map.newBuilder[String, String]
+    Option(footer.get("properties")).foreach(_.fields().forEachRemaining(e =>
+      out += e.getKey -> e.getValue.asText()))
+    out.result()
+  }
+
   private def readChannel(path: String,
       ch0: java.nio.channels.SeekableByteChannel): Seq[Blob] = {
     // ranged channel reads with LONG blob offsets: statistics files can
@@ -171,9 +187,24 @@ object Puffin {
         val props = Map.newBuilder[String, String]
         Option(bo.get("properties")).foreach(_.fields().forEachRemaining(e =>
           props += e.getKey -> e.getValue.asText()))
+        // puffin-spec compression-codec: absent = uncompressed; the
+        // reference writes zstd-compressed sketch blobs, which must be
+        // decompressed here — returning the raw frame would silently
+        // corrupt NDV stats read from reference-written files
+        val raw = readAt(off, len)
+        val payload = Option(bo.get("compression-codec")).map(_.asText()) match {
+          case None => raw
+          case Some("zstd") =>
+            val zin = new com.github.luben.zstd.ZstdInputStream(
+              new java.io.ByteArrayInputStream(raw))
+            try zin.readAllBytes() finally zin.close()
+          case Some(other) =>
+            throw new IllegalArgumentException(
+              s"unsupported puffin blob compression-codec '$other' in $path")
+        }
         out += Blob(bo.get("type").asText(), fields.result(),
           bo.get("snapshot-id").asLong(), bo.get("sequence-number").asLong(),
-          readAt(off, len), props.result())
+          payload, props.result())
       }
       out.result()
     } finally ch.close()
