@@ -1299,12 +1299,16 @@ object Pipeline {
              |               i -> md5(array_join(slice(ws, i, $K), ' ')))
              |ELSE array() END""".stripMargin)).as(Seq("p0", "h")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
-      // corpus-wide duplicate mark: one shuffle on the digest; gram
-      // groups are occurrence lists (tiny), so the window never skews
-      val dup = g
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-        .filter(col("cnt") > 1)
-        .select("doc_id", "pos")
+      // corpus-wide duplicate mark: digest counts are a groupBy (map-side
+      // partial agg absorbs Zipf-head digests before the shuffle), then
+      // occurrences equi-join the duplicated-key set. Deliberately NOT a
+      // window over h: a boilerplate 8-gram repeated 100M times at corpus
+      // scale would pin one window task, and windows cannot be skew-split
+      // — whereas AQE splits a skewed join probe side freely (the build
+      // row per key is replicated to every split)
+      val dupKeys = g.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select("h")
+      val dup = g.join(dupKeys, Seq("h")).select("doc_id", "pos")
       // merge overlapping/adjacent [pos, pos+K) intervals per doc: a new
       // span opens when the gap to the previous duplicated gram exceeds
       // K; the union length adds min(next - pos, K) per gram
