@@ -1399,7 +1399,58 @@ object Pipeline {
       FROM occ LEFT JOIN rare ON occ.b = rare.b
       GROUP BY occ.doc_id ORDER BY occ.doc_id"""))
 
+  // ---------------------------------------------------------------- p31
+  // Canonical-document selection per duplicate cluster — the decision
+  // step that actually ships a deduplicated corpus: p26 closes the
+  // verified near-dup pairs into clusters; HERE each cluster elects one
+  // canonical document (longest by n_chars, ties to the smallest
+  // doc_id) and every other member is marked for removal. Singletons
+  // (docs in no cluster) are their own canonical. The argmax is a
+  // single struct-max aggregate keyed by cluster — max(struct(n_chars,
+  // -doc_id)) — with map-side partial aggregation, NOT a row_number
+  // window over the corpus: a boilerplate mega-cluster becomes an
+  // AQE-splittable join probe, never one window task.
+  private val p31 = Q(
+    "p31_dedup_canonical",
+    (s, dir) => {
+      val clusters = connectedComponents(minhashPairs(s, dir)
+        .select("d1", "d2")).select("doc_id", "cluster")
+      val lab = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val canon = lab.groupBy("cluster").agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("m"),
+        count(lit(1)).as("csize"))
+        .select(col("cluster"), (-col("m.negid")).as("canonical"), col("csize"))
+      lab.join(canon, "cluster")
+        .select(col("doc_id"), col("cluster"), col("csize"), col("canonical"),
+          (col("doc_id") === col("canonical")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $sqlMinhashPairs,
+      edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+                UNION SELECT d2, d1 FROM pairs),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        WHERE e.v <> r.u),
+      lab0 AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+               FROM reach GROUP BY u),
+      lab AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
+                     d.n_chars
+              FROM documents d LEFT JOIN lab0 l ON l.doc_id = d.doc_id),
+      canon AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize,
+                       (list(doc_id ORDER BY n_chars DESC, doc_id ASC))[1]
+                         AS canonical
+                FROM lab GROUP BY cluster)
+      SELECT l.doc_id, l.cluster, c.csize, c.canonical,
+             CAST(l.doc_id = c.canonical AS INTEGER) AS is_canonical
+      FROM lab l JOIN canon c ON c.cluster = l.cluster
+      ORDER BY l.doc_id"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
     p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
-    p24, p25, p26, p27, p28, p29, p30)
+    p24, p25, p26, p27, p28, p29, p30, p31)
 }
