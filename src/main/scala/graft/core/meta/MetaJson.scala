@@ -376,29 +376,42 @@ object MetaJson {
     if (m.formatVersion >= 2) o.put("last-sequence-number", m.lastSequenceNumber)
     o.put("last-updated-ms", m.lastUpdatedMs).put("last-column-id", m.lastColumnId)
     if (m.formatVersion >= 3) o.put("next-row-id", m.nextRowId)
-    // defaults: graft stores SQL text; emit the JSON single-value when
-    // the text is a plain literal, else omit (conservative)
+    // defaults: graft stores SQL text; emit the spec's JSON single-value
+    // for literal shapes (bool/number/string plus typed DATE/TIME/
+    // TIMESTAMP literals — the single-value form is the unquoted text).
+    // A default this cannot represent must FAIL the compat write, not be
+    // omitted: an external reader filling NULL where graft applies the
+    // default is silent wrong data on exactly the interop path
+    // compatibility.format exists to serve.
     def defaultJson(sql: String): Option[JsonNode] = {
       val t = sql.trim
       val nf = mapper.getNodeFactory
+      val typedLit = "(?i)^(DATE|TIME|TIMESTAMP(?:TZ)?)\\s+'(.*)'$".r
       if (t.equalsIgnoreCase("true")) Some(nf.booleanNode(true))
       else if (t.equalsIgnoreCase("false")) Some(nf.booleanNode(false))
       else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
         Some(nf.textNode(t.substring(1, t.length - 1).replace("''", "'")))
-      else t.toLongOption.map(nf.numberNode(_): JsonNode)
-        .orElse(t.toDoubleOption.map(nf.numberNode(_): JsonNode))
+      else t match {
+        case typedLit(_, v) => Some(nf.textNode(v))
+        case _ => t.toLongOption.map(nf.numberNode(_): JsonNode)
+          .orElse(t.toDoubleOption.map(nf.numberNode(_): JsonNode))
+      }
     }
     def schemaSpecJson(s: GSchema): ObjectNode = {
       val so = IcebergJson.schemaJson(s)
-      // graft's SQL-text defaults ride along where literal
       val fields = so.get("fields")
       val byId = s.struct.fields.map(f => f.id -> f).toMap
+      def put(fn: ObjectNode, key: String, name: String, sql: Option[String]): Unit =
+        sql.foreach { d =>
+          fn.set[JsonNode](key, defaultJson(d).getOrElse(
+            throw new IllegalStateException(
+              s"column '$name': default $d is not a literal the iceberg " +
+                s"compat dialect can represent as $key")))
+        }
       fields.elements().forEachRemaining { fn =>
         val f = byId(fn.get("id").asInt())
-        f.initialDefaultSql.flatMap(defaultJson).foreach(
-          fn.asInstanceOf[ObjectNode].set[JsonNode]("initial-default", _))
-        f.writeDefaultSql.flatMap(defaultJson).foreach(
-          fn.asInstanceOf[ObjectNode].set[JsonNode]("write-default", _))
+        put(fn.asInstanceOf[ObjectNode], "initial-default", f.name, f.initialDefaultSql)
+        put(fn.asInstanceOf[ObjectNode], "write-default", f.name, f.writeDefaultSql)
       }
       so
     }

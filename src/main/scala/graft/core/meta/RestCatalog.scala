@@ -70,6 +70,15 @@ object RestCatalogServer {
     def readBody(x: HttpExchange): String =
       new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
+    // a multi-level namespace arrives percent-decoded from the URL path;
+    // the spec joins levels with the 0x1F unit separator
+    // (open-api: "Namespace parts should be separated by %1F") — graft's
+    // own client uses '.', so accept both
+    def nsParts(ns: String): Seq[String] =
+      (if (ns.indexOf(0x1f.toChar) >= 0) ns.split(0x1f.toChar)
+       else ns.split("\\.")).toSeq.filter(_.nonEmpty)
+    def nsDir(ns: String): String = (warehouse +: nsParts(ns)).mkString("/")
+
     // spec LoadTableResult / CommitTableResponse shape (open-api):
     // metadata-location + the full metadata document; `version` rides
     // along for graft's own client
@@ -161,7 +170,7 @@ object RestCatalogServer {
             val cns = c.get("namespace").asText()
             val cnm = c.get("name").asText()
             b += ((new FileTableOps(
-                backing.tableLocation(cns.split("\\.").toSeq, cnm)),
+                backing.tableLocation(nsParts(cns), cnm)),
               c.get("base-version").asInt(),
               MetaJson.readMetadata(
                 MetaJson.mapper.writeValueAsString(c.get("metadata"))),
@@ -199,7 +208,7 @@ object RestCatalogServer {
                       if (ops.currentVersion() == v) ops.commit(v, prior)
                     case (_, _, None, dns, dnm) =>
                       // the transaction CREATED this table: undo = drop
-                      try backing.dropTable(dns.split("\\.").toSeq, dnm)
+                      try backing.dropTable(nsParts(dns), dnm)
                       catch { case _: Throwable => () }
                   }
                   json(x, 409, s"""{"error": ${MetaJson.mapper.writeValueAsString(
@@ -221,12 +230,28 @@ object RestCatalogServer {
           // updateProperties); properties persist in the namespace
           // directory's _namespace.json
           case ("GET", Array()) =>
+            // listNamespaces: direct children of ?parent= (or the root);
+            // a child directory that is itself a table (has metadata/) is
+            // NOT a namespace
+            val parent = Option(x.getRequestURI.getQuery).getOrElse("")
+              .split("&").filter(_.startsWith("parent="))
+              .map(v => java.net.URLDecoder.decode(
+                v.stripPrefix("parent="), "UTF-8")).headOption
+            val baseParts = parent.map(nsParts).getOrElse(Seq.empty)
+            val baseDir = (warehouse +: baseParts).mkString("/")
             val o = MetaJson.mapper.createObjectNode()
             val arr = o.putArray("namespaces")
-            GraftIO.list(warehouse)
-              .map(GraftIO.toPath).filter(java.nio.file.Files.isDirectory(_))
-              .map(_.getFileName.toString).sorted
-              .foreach(n => arr.addArray().add(n))
+            if (java.nio.file.Files.isDirectory(GraftIO.toPath(baseDir)))
+              GraftIO.list(baseDir)
+                .map(GraftIO.toPath).filter(java.nio.file.Files.isDirectory(_))
+                .filterNot(d => java.nio.file.Files.isDirectory(
+                  d.resolve("metadata")))
+                .map(_.getFileName.toString).filterNot(_.startsWith("_"))
+                .sorted
+                .foreach { n =>
+                  val e = arr.addArray()
+                  (baseParts :+ n).foreach(e.add)
+                }
             json(x, 200, MetaJson.mapper.writeValueAsString(o))
           case ("POST", Array()) =>
             val body = MetaJson.mapper.readTree(readBody(x))
@@ -240,35 +265,71 @@ object RestCatalogServer {
               json(x, 409, s"""{"error": "namespace already exists"}""")
             else {
               java.nio.file.Files.createDirectories(dir)
-              val props = Option(body.get("properties"))
-                .map(MetaJson.mapper.writeValueAsString).getOrElse("{}")
-              if (props != "{}")
-                GraftIO.writeString(s"$dir/_namespace.json", props)
+              val props = {
+                val b = Map.newBuilder[String, String]
+                Option(body.get("properties")).foreach(_.fields()
+                  .forEachRemaining(e => b += e.getKey -> e.getValue.asText()))
+                b.result()
+              }
+              // always write the store — dropNamespace distinguishes a
+              // child NAMESPACE (protected) from a dropped table's
+              // residual directory (removable) by its presence
+              NamespaceProps.write(warehouse, nsLevels, props)
               json(x, 200, s"""{"namespace": ${MetaJson.mapper.writeValueAsString(
-                  nsLevels.toArray)}, "properties": $props}""")
+                  nsLevels.toArray)}, "properties": ${
+                  MetaJson.mapper.writeValueAsString(
+                    props.foldLeft(MetaJson.mapper.createObjectNode()) {
+                      case (o, (k, v)) => o.put(k, v) })}}""")
             }
           case ("GET", Array(ns)) =>
-            val dir = s"$warehouse/${ns.replace('.', '/')}"
+            val dir = nsDir(ns)
             if (!java.nio.file.Files.isDirectory(GraftIO.toPath(dir)))
               json(x, 404, s"""{"error": "no such namespace"}""")
             else {
-              val props =
-                if (GraftIO.exists(s"$dir/_namespace.json"))
-                  GraftIO.readString(s"$dir/_namespace.json")
-                else "{}"
+              val props = NamespaceProps.read(warehouse, nsParts(ns))
+                .foldLeft(MetaJson.mapper.createObjectNode()) {
+                  case (o, (k, v)) => o.put(k, v) }
               json(x, 200, s"""{"namespace": ${MetaJson.mapper.writeValueAsString(
-                  ns.split("\\.")) }, "properties": $props}""")
+                  nsParts(ns).toArray) }, "properties": ${
+                  MetaJson.mapper.writeValueAsString(props)}}""")
             }
           case ("HEAD", Array(ns)) =>
             val ok = java.nio.file.Files.isDirectory(
-              GraftIO.toPath(s"$warehouse/${ns.replace('.', '/')}"))
+              GraftIO.toPath(nsDir(ns)))
             x.sendResponseHeaders(if (ok) 204 else 404, -1); x.close()
           case ("DELETE", Array(ns)) =>
-            val dir = GraftIO.toPath(s"$warehouse/${ns.replace('.', '/')}")
+            val dir = GraftIO.toPath(nsDir(ns))
             if (!java.nio.file.Files.isDirectory(dir))
               json(x, 404, s"""{"error": "no such namespace"}""")
-            else if (backing.listTables(ns.split("\\.").toSeq).nonEmpty)
-              // spec: dropping a non-empty namespace is a 409
+            else if ({
+              // spec: dropping a non-empty namespace is a 409 — non-empty
+              // means live tables, child namespaces, or views, at ANY
+              // depth (the old tables-only check silently destroyed
+              // child namespaces' tables). A child dir blocks the
+              // recursive delete when it carries a _namespace.json
+              // marker (created namespaces always do) or any live table
+              // (metadata/*.metadata.json) underneath; a dropped table's
+              // residual directory (identity removed, data left by the
+              // gc.enabled=false contract) has neither and stays
+              // removable. _views blocks only while it still holds views.
+              import scala.jdk.CollectionConverters._
+              def liveTableInside(d: java.nio.file.Path): Boolean = {
+                val st = java.nio.file.Files.walk(d)
+                try st.iterator().asScala.exists { p =>
+                  p.getFileName.toString.endsWith(".metadata.json") &&
+                    Option(p.getParent)
+                      .exists(_.getFileName.toString == "metadata")
+                } finally st.close()
+              }
+              GraftIO.list(nsDir(ns)).map(GraftIO.toPath).exists { d =>
+                val n = d.getFileName.toString
+                java.nio.file.Files.isDirectory(d) && (
+                  (n == "_views" && GraftIO.list(d.toString).nonEmpty) ||
+                  (!n.startsWith("_") && (
+                    java.nio.file.Files.exists(d.resolve("_namespace.json")) ||
+                    liveTableInside(d))))
+              }
+            })
               json(x, 409, s"""{"error": "namespace is not empty"}""")
             else {
               import scala.jdk.CollectionConverters._
@@ -277,31 +338,31 @@ object RestCatalogServer {
               x.sendResponseHeaders(204, -1); x.close()
             }
           case ("POST", Array(ns, "properties")) =>
-            val dir = s"$warehouse/${ns.replace('.', '/')}"
+            val dir = nsDir(ns)
             if (!java.nio.file.Files.isDirectory(GraftIO.toPath(dir)))
               json(x, 404, s"""{"error": "no such namespace"}""")
             else {
+              // read-modify-write through the ONE shared store
+              // (NamespaceProps) so this route and the Spark catalog's
+              // SupportsNamespaces can never disagree on shape/lifecycle
               val body = MetaJson.mapper.readTree(readBody(x))
-              val cur: com.fasterxml.jackson.databind.node.ObjectNode =
-                (if (GraftIO.exists(s"$dir/_namespace.json"))
-                  MetaJson.mapper.readTree(GraftIO.readString(s"$dir/_namespace.json"))
-                else MetaJson.mapper.createObjectNode())
-                  .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-              val removed = MetaJson.mapper.createArrayNode()
-              Option(body.get("removals")).foreach(_.elements().forEachRemaining { r =>
-                if (cur.has(r.asText())) removed.add(r.asText())
-                cur.remove(r.asText())
-              })
-              val updated = MetaJson.mapper.createArrayNode()
-              Option(body.get("updates")).foreach(_.fields().forEachRemaining { e =>
-                cur.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue)
-                updated.add(e.getKey)
-              })
-              GraftIO.writeString(s"$dir/_namespace.json",
-                MetaJson.mapper.writeValueAsString(cur))
+              val removals = {
+                val b = Seq.newBuilder[String]
+                Option(body.get("removals")).foreach(
+                  _.elements().forEachRemaining(r => b += r.asText()))
+                b.result()
+              }
+              val updates = {
+                val b = Map.newBuilder[String, String]
+                Option(body.get("updates")).foreach(_.fields()
+                  .forEachRemaining(e => b += e.getKey -> e.getValue.asText()))
+                b.result()
+              }
+              val (removed, updatedKeys) =
+                NamespaceProps.update(warehouse, nsParts(ns), removals, updates)
               val o = MetaJson.mapper.createObjectNode()
-              o.set[com.fasterxml.jackson.databind.JsonNode]("removed", removed)
-              o.set[com.fasterxml.jackson.databind.JsonNode]("updated", updated)
+              val ra = o.putArray("removed"); removed.foreach(ra.add)
+              val ua = o.putArray("updated"); updatedKeys.foreach(ua.add)
               o.putArray("missing")
               json(x, 200, MetaJson.mapper.writeValueAsString(o))
             }
@@ -315,7 +376,7 @@ object RestCatalogServer {
                 java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8") }.toMap
             val pageSize = params.get("pageSize").flatMap(_.toIntOption)
             val after = params.getOrElse("pageToken", "")
-            val all = backing.listTables(ns.split("\\.").toSeq).sorted
+            val all = backing.listTables(nsParts(ns)).sorted
             val fromTok = if (after.isEmpty) all else all.filter(_ > after)
             val page = pageSize.map(fromTok.take).getOrElse(fromTok)
             val o = MetaJson.mapper.createObjectNode()
@@ -327,7 +388,7 @@ object RestCatalogServer {
           case ("HEAD", Array(ns, "tables", t)) =>
             // cheap existence probe (reference spec tableExists HEAD):
             // no metadata payload, version in a header
-            val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, t))
+            val ops = new FileTableOps(backing.tableLocation(nsParts(ns), t))
             val v = ops.currentVersion()
             if (v == 0) { x.sendResponseHeaders(404, -1); x.close() }
             else {
@@ -336,7 +397,7 @@ object RestCatalogServer {
             }
           case ("POST", Array(ns, "tables", t, "create")) =>
             val meta = MetaJson.readMetadata(readBody(x))
-            val nsSeq = ns.split("\\.").toSeq
+            val nsSeq = nsParts(ns)
             val loc = backing.tableLocation(nsSeq, t)
             val ops = new FileTableOps(loc)
             // location is server-assigned: rewrite it into the metadata
@@ -345,7 +406,7 @@ object RestCatalogServer {
               json(x, 200, s"""{"location": ${MetaJson.mapper.writeValueAsString(loc)}, "version": 1}""")
             else json(x, 409, s"""{"error": "table exists"}""")
           case ("GET", Array(ns, "tables", t)) =>
-            val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, t))
+            val ops = new FileTableOps(backing.tableLocation(nsParts(ns), t))
             val v = ops.currentVersion()
             if (v == 0) json(x, 404, s"""{"error": "no such table"}""")
             else {
@@ -387,7 +448,7 @@ object RestCatalogServer {
             val base = body.get("base-version").asInt()
             val meta = MetaJson.readMetadata(
               MetaJson.mapper.writeValueAsString(body.get("metadata")))
-            val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, t))
+            val ops = new FileTableOps(backing.tableLocation(nsParts(ns), t))
             // shares the transaction lock: a single-table commit must not
             // interleave with a multi-table verify-then-apply window
             val ok = txnLock.synchronized(ops.commit(base, meta))
@@ -401,7 +462,7 @@ object RestCatalogServer {
             // violated requirement or CAS loss, 404 on a plain update of
             // a missing table, 400 on unknown actions.
             val body = MetaJson.mapper.readTree(readBody(x))
-            val loc = backing.tableLocation(ns.split("\\.").toSeq, t)
+            val loc = backing.tableLocation(nsParts(ns), t)
             val ops = new FileTableOps(loc)
             txnLock.synchronized {
               val cur = ops.current()
@@ -428,7 +489,7 @@ object RestCatalogServer {
             // write-order, properties)
             val body = MetaJson.mapper.readTree(readBody(x))
             val name = body.get("name").asText()
-            val nsSeq = ns.split("\\.").toSeq
+            val nsSeq = nsParts(ns)
             val loc = backing.tableLocation(nsSeq, name)
             val schema = MetaJson.readSchema(body.get("schema"))
             val spec = Option(body.get("partition-spec")).filterNot(_.isNull)
@@ -448,6 +509,10 @@ object RestCatalogServer {
               b.result()
             }
             val m = SpecUpdates.emptyBase(loc).copy(
+              // reserved property selects the spec version, as in
+              // TableMetadata.newTable (default v2)
+              formatVersion = props.get("format-version")
+                .flatMap(_.toIntOption).getOrElse(2),
               currentSchemaId = schema.schemaId, schemas = Seq(schema),
               lastColumnId = schema.highestFieldId,
               defaultSpecId = spec.specId, specs = Seq(spec),
@@ -463,13 +528,28 @@ object RestCatalogServer {
             else json(x, 409, s"""{"error": "table exists"}""")
           case ("POST", Array(ns, "register")) =>
             // the SPEC's register route (open-api registerTable): adopt a
-            // table by its existing metadata-location, no data rewrite
+            // table by its existing metadata-location, no data rewrite.
+            // Same relocation + compat rules as the register_table
+            // procedure: the adopted metadata's location becomes the NEW
+            // table dir — without this, writeMetadata relativizes tracked
+            // paths against the OLD location and the next read re-roots
+            // them under the new (empty) dir; and a genuine Iceberg
+            // source auto-enables compat so later commits keep the tree
+            // externally readable
             val body = MetaJson.mapper.readTree(readBody(x))
             val name = body.get("name").asText()
             val mloc = body.get("metadata-location").asText()
-            val meta = MetaJson.readMetadata(GraftIO.readString(mloc), Some(mloc))
-            val ops = new FileTableOps(backing.tableLocation(ns.split("\\.").toSeq, name))
-            if (txnLock.synchronized(ops.commit(0, meta)))
+            val srcJson = GraftIO.readString(mloc)
+            val meta = MetaJson.readMetadata(srcJson, Some(mloc))
+            val loc = backing.tableLocation(nsParts(ns), name)
+            val rprops =
+              if (MetaJson.isSpecDialect(srcJson) &&
+                  !meta.properties.contains("compatibility.format"))
+                meta.properties + ("compatibility.format" -> "iceberg")
+              else meta.properties
+            val ops = new FileTableOps(loc)
+            if (txnLock.synchronized(
+                ops.commit(0, meta.copy(location = loc, properties = rprops))))
               json(x, 200, loadResultJson(ops))
             else json(x, 409, s"""{"error": "table exists"}""")
           case ("POST", Array(ns, "tables", t, "metrics")) =>
@@ -501,7 +581,7 @@ object RestCatalogServer {
             // data files; a plain drop removes just the table identity
             val purge = Option(x.getRequestURI.getQuery)
               .exists(_.contains("purgeRequested=true"))
-            if (backing.dropTable(ns.split("\\.").toSeq, t, purge))
+            if (backing.dropTable(nsParts(ns), t, purge))
               json(x, 200, "{}")
             else json(x, 404, s"""{"error": "no such table"}""")
           // view routes (reference open-api listViews / loadView /
@@ -509,7 +589,7 @@ object RestCatalogServer {
           // to the server and stored under the server's warehouse
           case ("GET", Array(ns, "views")) =>
             val d = java.nio.file.Paths.get(
-              (warehouse +: ns.split("\\.").toSeq :+ "_views").mkString("/"))
+              (warehouse +: nsParts(ns) :+ "_views").mkString("/"))
             val names =
               if (!java.nio.file.Files.isDirectory(d)) Nil
               else {
@@ -528,14 +608,14 @@ object RestCatalogServer {
             names.foreach(arr.add)
             json(x, 200, MetaJson.mapper.writeValueAsString(o))
           case ("GET", Array(ns, "views", v)) =>
-            val p = (warehouse +: ns.split("\\.").toSeq :+ "_views")
+            val p = (warehouse +: nsParts(ns) :+ "_views")
               .mkString("/") + s"/$v.json"
             if (!GraftIO.exists(p)) json(x, 404, s"""{"error": "no such view"}""")
             else json(x, 200, GraftIO.readString(p))
           case ("POST", Array(ns, "views", v)) =>
             val body = MetaJson.mapper.readTree(readBody(x))
             val replace = body.has("replace") && body.get("replace").asBoolean()
-            val dir = (warehouse +: ns.split("\\.").toSeq :+ "_views").mkString("/")
+            val dir = (warehouse +: nsParts(ns) :+ "_views").mkString("/")
             val p = s"$dir/$v.json"
             if (!replace && GraftIO.exists(p))
               json(x, 409, s"""{"error": "view exists"}""")
@@ -546,7 +626,7 @@ object RestCatalogServer {
               json(x, 200, "{}")
             }
           case ("DELETE", Array(ns, "views", v)) =>
-            val p = (warehouse +: ns.split("\\.").toSeq :+ "_views")
+            val p = (warehouse +: nsParts(ns) :+ "_views")
               .mkString("/") + s"/$v.json"
             if (!GraftIO.exists(p)) json(x, 404, s"""{"error": "no such view"}""")
             else { GraftIO.delete(p); json(x, 200, "{}") }

@@ -25,6 +25,13 @@ object SpecUpdates {
     var lastAddedSchemaId: Option[Int] = None
     var lastAddedSpecId: Option[Int] = None
     var lastAddedOrderId: Option[Int] = None
+    // snapshot ids ADDED by this same request: a set-snapshot-ref for one
+    // of these logs the snapshot's own timestamp; for a pre-existing
+    // snapshot (rollback) it logs the time of the change instead
+    // (reference TableMetadata.setRef, TableMetadata.java:1341-1344) —
+    // logging the original timestamp would make snapshot-log
+    // non-monotonic and corrupt TIMESTAMP AS OF
+    val addedSnapshots = scala.collection.mutable.Set.empty[Long]
   }
 
   private def jLong(n: JsonNode, f: String): Option[Long] =
@@ -179,6 +186,7 @@ object SpecUpdates {
         if (m.snapshots.exists(_.snapshotId == s.snapshotId))
           throw new IllegalArgumentException(
             s"Cannot add snapshot with existing id: ${s.snapshotId}")
+        ctx.addedSnapshots += s.snapshotId
         val staged = m.withStagedSnapshot(s)
         // v3 row lineage: reserve the ids this snapshot assigned
         s.firstRowId match {
@@ -197,13 +205,20 @@ object SpecUpdates {
           jInt(n, "min-snapshots-to-keep"), jLong(n, "max-snapshot-age-ms"),
           jLong(n, "max-ref-age-ms"))
         val base = m.copy(refs = m.refs.updated(name, r))
-        if (name == "main")
+        if (name == "main") {
+          // snapshot-log timestamp: the snapshot's own for a snapshot
+          // added in THIS request, the change time for a rollback to a
+          // pre-existing one (reference TableMetadata.java:1341-1344);
+          // max() keeps the log monotonic under clock skew
+          val timeOfChange =
+            if (ctx.addedSnapshots(sid)) sn.timestampMs
+            else math.max(m.lastUpdatedMs, System.currentTimeMillis())
           base.copy(currentSnapshotId = Some(sid),
-            lastUpdatedMs = math.max(m.lastUpdatedMs, sn.timestampMs),
+            lastUpdatedMs = math.max(m.lastUpdatedMs, timeOfChange),
             snapshotLog =
               if (m.currentSnapshotId.contains(sid)) m.snapshotLog
-              else m.snapshotLog :+ ((sn.timestampMs, sid)))
-        else base
+              else m.snapshotLog :+ ((timeOfChange, sid)))
+        } else base
 
       case "remove-snapshots" =>
         val ids = {
@@ -301,9 +316,12 @@ object SpecUpdates {
   /** base metadata for a create-through-commit (assert-create +
     * assign-uuid/add-schema/add-spec/... updates): empty shell the
     * updates fill — specs/orders stay empty so the adds keep their
-    * client-assigned ids (manifests reference spec ids by value) */
+    * client-assigned ids (manifests reference spec ids by value).
+    * Format version starts at 1, the LOWEST: deriveCommit then emits
+    * upgrade-format-version for any v2+ create, and a v1 create never
+    * derives the downgrade the server must reject. */
   def emptyBase(location: String): TableMetadata =
-    TableMetadata(2, java.util.UUID.randomUUID().toString, location,
+    TableMetadata(1, java.util.UUID.randomUUID().toString, location,
       0L, System.currentTimeMillis(), 0,
       currentSchemaId = 0, schemas = Nil,
       defaultSpecId = 0, specs = Nil,

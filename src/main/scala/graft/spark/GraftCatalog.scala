@@ -690,32 +690,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/")))
 
   // namespace properties persist in the namespace directory's
-  // _namespace.json — the same store the REST server's spec namespace
-  // routes read and write, so both surfaces agree
-  private def nsPropsPath(namespace: Array[String]): String =
-    (catalog.warehouse +: namespace).mkString("/") + "/_namespace.json"
-
-  private def readNsProps(namespace: Array[String]): Map[String, String] = {
-    val p = nsPropsPath(namespace)
-    if (!graft.core.meta.GraftIO.exists(p)) Map.empty
-    else {
-      val b = Map.newBuilder[String, String]
-      graft.core.meta.MetaJson.mapper
-        .readTree(graft.core.meta.GraftIO.readString(p))
-        .fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
-      b.result()
-    }
-  }
+  // _namespace.json, through the ONE shared store (NamespaceProps) the
+  // REST server's spec namespace routes also use, so both surfaces
+  // agree on path, shape, and lifecycle (the file doubles as the
+  // created-namespace marker dropNamespace relies on — never deleted
+  // when props empty out)
+  private def readNsProps(namespace: Array[String]): Map[String, String] =
+    graft.core.meta.NamespaceProps.read(catalog.warehouse, namespace.toSeq)
 
   private def writeNsProps(namespace: Array[String], props: Map[String, String]): Unit =
-    if (props.isEmpty)
-      graft.core.meta.GraftIO.delete(nsPropsPath(namespace))
-    else {
-      val o = graft.core.meta.MetaJson.mapper.createObjectNode()
-      props.foreach { case (k, v) => o.put(k, v) }
-      graft.core.meta.GraftIO.writeString(nsPropsPath(namespace),
-        graft.core.meta.MetaJson.mapper.writeValueAsString(o))
-    }
+    graft.core.meta.NamespaceProps.write(catalog.warehouse, namespace.toSeq, props)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace)) {

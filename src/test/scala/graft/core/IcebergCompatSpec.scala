@@ -120,6 +120,38 @@ class IcebergCompatSpec extends AnyFunSuite {
     assert(t.newScan().planFiles().size === 3)
   }
 
+  test("compat column defaults: literals serialize, non-literals fail loudly") {
+    val wh = Files.createTempDirectory("graft-compat-def").toString
+    val cat = new HadoopCatalog(wh)
+    val withDefaults = GSchema(GStruct(Seq(
+      GField(1, "id", GLong, required = true),
+      GField(2, "d", GDate, required = false,
+        initialDefaultSql = Some("DATE '2020-01-01'"),
+        writeDefaultSql = Some("DATE '2020-01-01'")),
+      GField(3, "n", GInt, required = false,
+        initialDefaultSql = Some("42")))))
+    val t = cat.createTable(Seq("db"), "cdef", withDefaults,
+      PartitionSpec.Unpartitioned, Map("compatibility.format" -> "iceberg"))
+    // typed DATE literal → spec single-value JSON (unquoted text)
+    val n = readJson(s"${t.location}/metadata/v1.metadata.json")
+    val fields = n.get("schemas").get(0).get("fields")
+    assert(fields.get(1).get("initial-default").asText() === "2020-01-01")
+    assert(fields.get(1).get("write-default").asText() === "2020-01-01")
+    assert(fields.get(2).get("initial-default").asInt() === 42)
+    // a default the compat dialect cannot represent must FAIL the write —
+    // omitting it would make external readers fill NULL where graft
+    // applies the default (silent wrong data on the interop path)
+    val bad = GSchema(GStruct(Seq(
+      GField(1, "id", GLong, required = true),
+      GField(2, "ts", GTimestamp(), required = false,
+        initialDefaultSql = Some("current_timestamp()")))))
+    val e = intercept[IllegalStateException] {
+      cat.createTable(Seq("db"), "cbad", bad, PartitionSpec.Unpartitioned,
+        Map("compatibility.format" -> "iceberg"))
+    }
+    assert(e.getMessage.contains("current_timestamp()"))
+  }
+
   test("compat metadata round-trips through readMetadata exactly") {
     val wh = Files.createTempDirectory("graft-compat-rt").toString
     val cat = new HadoopCatalog(wh)

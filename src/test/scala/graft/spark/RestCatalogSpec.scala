@@ -695,4 +695,85 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }""")
     assert(c2 === 400)
   }
+
+  test("nested namespaces: %1F separator, parent listing, non-empty drop") {
+    assert(specPost("/v1/namespaces", """{"namespace": ["na"]}""")._1 === 200)
+    assert(specPost("/v1/namespaces", """{"namespace": ["na", "nb"]}""")._1 === 200)
+    // the spec joins namespace levels with the 0x1F unit separator in
+    // URL paths — a genuine client's create→load round trip must work
+    val (cl, blRaw) = RestHttp.get(s"$uri/v1/namespaces/na%1Fnb")
+    val bl = MetaJson.mapper.readTree(blRaw)
+    assert(cl === 200, s"load of nested namespace via %%1F failed: $blRaw")
+    assert(bl.get("namespace").get(0).asText() === "na" &&
+      bl.get("namespace").get(1).asText() === "nb")
+    assert(RestHttp.head(s"$uri/v1/namespaces/na%1Fnb")._1 === 204)
+    // ?parent= listing returns children as full-path arrays
+    val kids = MetaJson.mapper.readTree(
+      RestHttp.get(s"$uri/v1/namespaces?parent=na")._2).get("namespaces")
+    assert(kids.size() === 1 && kids.get(0).get(0).asText() === "na" &&
+      kids.get(0).get(1).asText() === "nb")
+    // a table under the nested namespace (created via the spec route,
+    // addressed by %1F) is NOT listed as a namespace...
+    val (ct, _) = specPost("/v1/namespaces/na%1Fnb/tables",
+      """{"name": "deep_t", "schema": {"type": "struct", "schema-id": 0,
+          "fields": [{"id": 1, "name": "id", "required": false,
+                      "type": "long"}]}}""")
+    assert(ct === 200)
+    assert(MetaJson.mapper.readTree(
+      RestHttp.get(s"$uri/v1/namespaces?parent=na%1Fnb")._2)
+      .get("namespaces").size() === 0)
+    // ...and dropping a namespace with a CHILD NAMESPACE is a 409, not a
+    // recursive delete of the child's tables
+    assert(RestHttp.delete(s"$uri/v1/namespaces/na")._1 === 409)
+    assert(RestHttp.delete(s"$uri/v1/namespaces/na%1Fnb")._1 === 409)
+    assert(RestHttp.get(s"$uri/v1/namespaces/na%1Fnb/tables/deep_t")._1 === 200,
+      "deep_t must survive the rejected drops")
+    assert(RestHttp.delete(s"$uri/v1/namespaces/na%1Fnb/tables/deep_t")._1 === 200)
+    assert(RestHttp.delete(s"$uri/v1/namespaces/na%1Fnb")._1 === 204)
+    assert(RestHttp.delete(s"$uri/v1/namespaces/na")._1 === 204)
+  }
+
+  test("spec register route adopts the tree at its new location") {
+    spark.sql("CREATE TABLE rcat.db.reg_src (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rcat.db.reg_src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val mloc = MetaJson.mapper.readTree(
+      RestHttp.get(s"$uri/v1/namespaces/db/tables/reg_src")._2)
+      .get("metadata-location").asText()
+    val (cr, _) = specPost("/v1/namespaces/db/register",
+      s"""{"name": "reg_dst", "metadata-location": ${
+        MetaJson.mapper.writeValueAsString(mloc)}}""")
+    assert(cr === 200)
+    // the adopted table must READ: registration rewrites the metadata
+    // location to the new table dir so tracked paths stay pointed at the
+    // source tree instead of being re-rooted under the empty new dir
+    assert(spark.sql("SELECT * FROM rcat.db.reg_dst").count() === 3)
+    assert(spark.sql("SELECT v FROM rcat.db.reg_dst WHERE id = 2")
+      .head().getString(0) === "b")
+  }
+
+  test("spec commit protocol creates format-version 1 tables") {
+    spark.sql("""CREATE TABLE rcats.db.v1_spec_t (id BIGINT)
+      TBLPROPERTIES ('format-version'='1')""")
+    spark.sql("INSERT INTO rcats.db.v1_spec_t VALUES (1), (2)")
+    assert(spark.sql("SELECT * FROM rcats.db.v1_spec_t").count() === 2)
+    assert(loadMeta("v1_spec_t").get("format-version").asInt() === 1,
+      "create-through-spec-commit must not force format-version 2")
+  }
+
+  test("spec rollback keeps the snapshot log monotonic") {
+    spark.sql("CREATE TABLE rcats.db.rb_t (id BIGINT)")
+    spark.sql("INSERT INTO rcats.db.rb_t VALUES (1)")
+    spark.sql("INSERT INTO rcats.db.rb_t VALUES (2)")
+    val snaps = spark.sql(
+      "SELECT snapshot_id FROM rcats.db.rb_t.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0))
+    spark.sql(s"CALL rcats.system.rollback_to_snapshot('db.rb_t', ${snaps.head})")
+    assert(spark.sql("SELECT * FROM rcats.db.rb_t").count() === 1)
+    val log = loadMeta("rb_t").get("snapshot-log")
+    val ts = (0 until log.size()).map(i => log.get(i).get("timestamp-ms").asLong())
+    assert(ts === ts.sorted,
+      s"server-side set-snapshot-ref replay must log the CHANGE time for a " +
+        s"rollback to a pre-existing snapshot, keeping the log monotonic: $ts")
+    assert(log.get(log.size() - 1).get("snapshot-id").asLong() === snaps.head)
+  }
 }
