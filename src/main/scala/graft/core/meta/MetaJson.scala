@@ -329,7 +329,7 @@ object MetaJson {
   /** Statistics-file entry, identical in both dialects (the spec shape —
     * reference StatisticsFileParser: footer size and blob-metadata are
     * REQUIRED there, so always emit them). `wp` maps the stored path. */
-  private def statisticsJson(so: ObjectNode, sf: StatisticsFile,
+  private[meta] def statisticsJson(so: ObjectNode, sf: StatisticsFile,
       wp: String => String): Unit = {
     so.put("snapshot-id", sf.snapshotId)
       .put("statistics-path", wp(sf.path))
@@ -431,37 +431,16 @@ object MetaJson {
     }
     o.put("last-partition-id", m.lastPartitionId)
     o.put("default-sort-order-id", m.defaultSortOrderId)
+    // sort-order and snapshot shapes come from the SAME builders the
+    // REST commit wire uses (SpecUpdates) — one place to diverge from
     val orders = o.putArray("sort-orders")
-    m.sortOrders.foreach { so =>
-      val oo = orders.addObject()
-      oo.put("order-id", so.orderId)
-      val fs = oo.putArray("fields")
-      so.fields.foreach { f =>
-        fs.addObject().put("transform", f.transform.name)
-          .put("source-id", f.sourceId)
-          .put("direction", if (f.ascending) "asc" else "desc")
-          .put("null-order", if (f.nullsFirst) "nulls-first" else "nulls-last")
-      }
-    }
+    m.sortOrders.foreach(so => orders.add(SpecUpdates.sortOrderJson(so)))
     val props = o.putObject("properties")
     m.properties.foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(o.put("current-snapshot-id", _))
     val snaps = o.putArray("snapshots")
-    m.snapshots.foreach { s =>
-      val so = snaps.addObject()
-      so.put("snapshot-id", s.snapshotId)
-      s.parentId.foreach(so.put("parent-snapshot-id", _))
-      so.put("timestamp-ms", s.timestampMs)
-      if (m.formatVersion >= 2) so.put("sequence-number", s.sequenceNumber)
-      val sum = so.putObject("summary")
-      sum.put("operation", s.operation)
-      (s.summary - "operation").foreach { case (k, v) => sum.put(k, v) }
-      so.put("manifest-list", s.manifestListPath)
-      s.schemaId.foreach(so.put("schema-id", _))
-      s.firstRowId.foreach(so.put("first-row-id", _))
-      s.keyId.foreach(so.put("key-id", _))
-      s.keyMetadata.foreach(so.put("manifest-list-key-metadata", _))
-    }
+    m.snapshots.foreach(s =>
+      snaps.add(SpecUpdates.snapshotJson(s, m.formatVersion)))
     val log = o.putArray("snapshot-log")
     m.snapshotLog.foreach { case (ts, id) =>
       log.addObject().put("timestamp-ms", ts).put("snapshot-id", id)

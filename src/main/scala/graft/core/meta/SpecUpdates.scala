@@ -336,13 +336,17 @@ object SpecUpdates {
   import MetaJson.mapper
 
   /** spec-dialect snapshot JSON (SnapshotParser.toJson: operation nested
-    * in summary) */
-  def snapshotJson(s: Snapshot): ObjectNode = {
+    * in summary) — the ONE builder for this shape; the REST commit wire
+    * and the metadata-document writer (MetaJson.writeMetadataSpec) both
+    * use it, so the two can never diverge. v1 documents omit
+    * sequence-number (the spec introduces it in v2); the wire always
+    * sends it. */
+  def snapshotJson(s: Snapshot, formatVersion: Int = 2): ObjectNode = {
     val so = mapper.createObjectNode()
     so.put("snapshot-id", s.snapshotId)
     s.parentId.foreach(so.put("parent-snapshot-id", _))
-    so.put("sequence-number", s.sequenceNumber)
-      .put("timestamp-ms", s.timestampMs)
+    if (formatVersion >= 2) so.put("sequence-number", s.sequenceNumber)
+    so.put("timestamp-ms", s.timestampMs)
       .put("manifest-list", s.manifestListPath)
     val sum = so.putObject("summary")
     sum.put("operation", s.operation)
@@ -374,23 +378,10 @@ object SpecUpdates {
     o
   }
 
+  /** one shape with the metadata-document writer (MetaJson) */
   def statisticsJson(sf: StatisticsFile): ObjectNode = {
     val o = mapper.createObjectNode()
-    o.put("snapshot-id", sf.snapshotId)
-      .put("statistics-path", sf.path)
-      .put("file-size-in-bytes", sf.fileSizeBytes)
-      .put("file-footer-size-in-bytes", sf.fileFooterSizeBytes)
-    val blobs = o.putArray("blob-metadata")
-    sf.blobMetadata.foreach { b =>
-      val bo = blobs.addObject()
-      bo.put("type", b.tpe).put("snapshot-id", b.snapshotId)
-        .put("sequence-number", b.sequenceNumber)
-      val fs = bo.putArray("fields"); b.fields.foreach(fs.add)
-      if (b.properties.nonEmpty) {
-        val p = bo.putObject("properties")
-        b.properties.foreach { case (k, v) => p.put(k, v) }
-      }
-    }
+    MetaJson.statisticsJson(o, sf, identity)
     o
   }
 
