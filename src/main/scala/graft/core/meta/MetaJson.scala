@@ -329,6 +329,34 @@ object MetaJson {
   /** Statistics-file entry, identical in both dialects (the spec shape —
     * reference StatisticsFileParser: footer size and blob-metadata are
     * REQUIRED there, so always emit them). `wp` maps the stored path. */
+  // defaults: graft stores SQL text; emit the spec's JSON single-value
+  // for literal shapes — bool, integer, exact decimal (BigDecimal, never
+  // a scale-losing double), quoted string, and typed DATE/TIME/TIMESTAMP
+  // literals (spec single-value timestamps are ISO-8601, so the SQL
+  // space separator becomes 'T'). A default this cannot represent must
+  // FAIL the compat write, not be omitted: an external reader filling
+  // NULL where graft applies the default is silent wrong data on exactly
+  // the interop path compatibility.format exists to serve.
+  private val typedLitRe = "(?i)^(DATE|TIME|TIMESTAMP(?:TZ|_NTZ)?)\\s+'(.*)'$".r
+
+  private[meta] def defaultJson(sql: String): Option[JsonNode] = {
+    val t = sql.trim
+    val nf = mapper.getNodeFactory
+    if (t.equalsIgnoreCase("true")) Some(nf.booleanNode(true))
+    else if (t.equalsIgnoreCase("false")) Some(nf.booleanNode(false))
+    else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      Some(nf.textNode(t.substring(1, t.length - 1).replace("''", "'")))
+    else t match {
+      case typedLitRe(kind, v) =>
+        val lit = if (kind.toUpperCase.startsWith("TIMESTAMP"))
+          v.replaceFirst(" ", "T") else v
+        Some(nf.textNode(lit))
+      case _ => t.toLongOption.map(nf.numberNode(_): JsonNode)
+        .orElse(scala.util.Try(new java.math.BigDecimal(t)).toOption
+          .map(nf.numberNode(_): JsonNode))
+    }
+  }
+
   private[meta] def statisticsJson(so: ObjectNode, sf: StatisticsFile,
       wp: String => String): Unit = {
     so.put("snapshot-id", sf.snapshotId)
@@ -376,27 +404,7 @@ object MetaJson {
     if (m.formatVersion >= 2) o.put("last-sequence-number", m.lastSequenceNumber)
     o.put("last-updated-ms", m.lastUpdatedMs).put("last-column-id", m.lastColumnId)
     if (m.formatVersion >= 3) o.put("next-row-id", m.nextRowId)
-    // defaults: graft stores SQL text; emit the spec's JSON single-value
-    // for literal shapes (bool/number/string plus typed DATE/TIME/
-    // TIMESTAMP literals — the single-value form is the unquoted text).
-    // A default this cannot represent must FAIL the compat write, not be
-    // omitted: an external reader filling NULL where graft applies the
-    // default is silent wrong data on exactly the interop path
-    // compatibility.format exists to serve.
-    def defaultJson(sql: String): Option[JsonNode] = {
-      val t = sql.trim
-      val nf = mapper.getNodeFactory
-      val typedLit = "(?i)^(DATE|TIME|TIMESTAMP(?:TZ)?)\\s+'(.*)'$".r
-      if (t.equalsIgnoreCase("true")) Some(nf.booleanNode(true))
-      else if (t.equalsIgnoreCase("false")) Some(nf.booleanNode(false))
-      else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
-        Some(nf.textNode(t.substring(1, t.length - 1).replace("''", "'")))
-      else t match {
-        case typedLit(_, v) => Some(nf.textNode(v))
-        case _ => t.toLongOption.map(nf.numberNode(_): JsonNode)
-          .orElse(t.toDoubleOption.map(nf.numberNode(_): JsonNode))
-      }
-    }
+    def defaultJson(sql: String): Option[JsonNode] = MetaJson.defaultJson(sql)
     def schemaSpecJson(s: GSchema): ObjectNode = {
       val so = IcebergJson.schemaJson(s)
       val fields = so.get("fields")

@@ -79,6 +79,22 @@ object RestCatalogServer {
        else ns.split("\\.")).toSeq.filter(_.nonEmpty)
     def nsDir(ns: String): String = (warehouse +: nsParts(ns)).mkString("/")
 
+    // true when the directory holds, at ANY depth, a namespace marker, a
+    // live table (metadata/*.metadata.json), or a stored view — the one
+    // predicate dropNamespace (blocks) and listNamespaces (shows) share,
+    // so a dropped table's residual directory is invisible to both
+    def hasLiveContent(d: java.nio.file.Path): Boolean = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(d)
+      try st.iterator().asScala.exists { p =>
+        val parent = Option(p.getParent).map(_.getFileName.toString)
+        p.getFileName.toString == "_namespace.json" ||
+          (p.getFileName.toString.endsWith(".metadata.json") &&
+            parent.contains("metadata")) ||
+          (parent.contains("_views") && !java.nio.file.Files.isDirectory(p))
+      } finally st.close()
+    }
+
     // spec LoadTableResult / CommitTableResponse shape (open-api):
     // metadata-location + the full metadata document; `version` rides
     // along for graft's own client
@@ -230,10 +246,13 @@ object RestCatalogServer {
           // updateProperties); properties persist in the namespace
           // directory's _namespace.json
           case ("GET", Array()) =>
-            // listNamespaces: direct children of ?parent= (or the root);
-            // a child directory that is itself a table (has metadata/) is
-            // NOT a namespace
-            val parent = Option(x.getRequestURI.getQuery).getOrElse("")
+            // listNamespaces: direct children of ?parent= (or the root).
+            // Decode from the RAW query exactly once — getQuery already
+            // decodes, and a second URLDecoder pass corrupts '+'/'%'/'&'
+            // in namespace names. A child is a namespace when it carries
+            // the marker or live content; a table dir or a dropped
+            // table's residual is neither.
+            val parent = Option(x.getRequestURI.getRawQuery).getOrElse("")
               .split("&").filter(_.startsWith("parent="))
               .map(v => java.net.URLDecoder.decode(
                 v.stripPrefix("parent="), "UTF-8")).headOption
@@ -246,6 +265,8 @@ object RestCatalogServer {
                 .map(GraftIO.toPath).filter(java.nio.file.Files.isDirectory(_))
                 .filterNot(d => java.nio.file.Files.isDirectory(
                   d.resolve("metadata")))
+                .filter(d => java.nio.file.Files.exists(
+                  d.resolve("_namespace.json")) || hasLiveContent(d))
                 .map(_.getFileName.toString).filterNot(_.startsWith("_"))
                 .sorted
                 .foreach { n =>
@@ -271,9 +292,11 @@ object RestCatalogServer {
                   .forEachRemaining(e => b += e.getKey -> e.getValue.asText()))
                 b.result()
               }
-              // always write the store — dropNamespace distinguishes a
-              // child NAMESPACE (protected) from a dropped table's
-              // residual directory (removable) by its presence
+              // marker at EVERY level (a nested create implicitly
+              // creates ancestors), then the leaf's store — dropNamespace
+              // and listNamespaces tell namespaces from dropped-table
+              // residual directories by the marker's presence
+              NamespaceProps.mark(warehouse, nsLevels)
               NamespaceProps.write(warehouse, nsLevels, props)
               json(x, 200, s"""{"namespace": ${MetaJson.mapper.writeValueAsString(
                   nsLevels.toArray)}, "properties": ${
@@ -306,28 +329,17 @@ object RestCatalogServer {
               // means live tables, child namespaces, or views, at ANY
               // depth (the old tables-only check silently destroyed
               // child namespaces' tables). A child dir blocks the
-              // recursive delete when it carries a _namespace.json
-              // marker (created namespaces always do) or any live table
-              // (metadata/*.metadata.json) underneath; a dropped table's
-              // residual directory (identity removed, data left by the
-              // gc.enabled=false contract) has neither and stays
-              // removable. _views blocks only while it still holds views.
-              import scala.jdk.CollectionConverters._
-              def liveTableInside(d: java.nio.file.Path): Boolean = {
-                val st = java.nio.file.Files.walk(d)
-                try st.iterator().asScala.exists { p =>
-                  p.getFileName.toString.endsWith(".metadata.json") &&
-                    Option(p.getParent)
-                      .exists(_.getFileName.toString == "metadata")
-                } finally st.close()
-              }
+              // recursive delete when it holds — anywhere underneath — a
+              // _namespace.json marker (creates mark every level), a
+              // live table (metadata/*.metadata.json), or a stored view;
+              // a dropped table's residual directory (identity removed,
+              // data left by the gc.enabled=false contract) has none of
+              // these and stays removable.
               GraftIO.list(nsDir(ns)).map(GraftIO.toPath).exists { d =>
                 val n = d.getFileName.toString
                 java.nio.file.Files.isDirectory(d) && (
                   (n == "_views" && GraftIO.list(d.toString).nonEmpty) ||
-                  (!n.startsWith("_") && (
-                    java.nio.file.Files.exists(d.resolve("_namespace.json")) ||
-                    liveTableInside(d))))
+                  (!n.startsWith("_") && hasLiveContent(d)))
               }
             })
               json(x, 409, s"""{"error": "namespace is not empty"}""")
@@ -358,13 +370,21 @@ object RestCatalogServer {
                   .forEachRemaining(e => b += e.getKey -> e.getValue.asText()))
                 b.result()
               }
-              val (removed, updatedKeys) =
-                NamespaceProps.update(warehouse, nsParts(ns), removals, updates)
-              val o = MetaJson.mapper.createObjectNode()
-              val ra = o.putArray("removed"); removed.foreach(ra.add)
-              val ua = o.putArray("updated"); updatedKeys.foreach(ua.add)
-              o.putArray("missing")
-              json(x, 200, MetaJson.mapper.writeValueAsString(o))
+              // spec: a key in BOTH lists must fail the request (422),
+              // not be applied-and-reported-twice
+              val both = removals.toSet.intersect(updates.keySet)
+              if (both.nonEmpty)
+                json(x, 422, s"""{"error": ${MetaJson.mapper.writeValueAsString(
+                  s"keys in both removals and updates: ${both.toSeq.sorted.mkString(", ")}")}}""")
+              else {
+                val (removed, updatedKeys) =
+                  NamespaceProps.update(warehouse, nsParts(ns), removals, updates)
+                val o = MetaJson.mapper.createObjectNode()
+                val ra = o.putArray("removed"); removed.foreach(ra.add)
+                val ua = o.putArray("updated"); updatedKeys.foreach(ua.add)
+                o.putArray("missing")
+                json(x, 200, MetaJson.mapper.writeValueAsString(o))
+              }
             }
           case ("GET", Array(ns, "tables")) =>
             // paginated listing (reference CatalogHandlers.paginate):
@@ -510,9 +530,16 @@ object RestCatalogServer {
             }
             val m = SpecUpdates.emptyBase(loc).copy(
               // reserved property selects the spec version, as in
-              // TableMetadata.newTable (default v2)
+              // TableMetadata.newTable (default v2); bounds-checked HERE
+              // — an out-of-range version would commit a document
+              // readMetadata then rejects, leaving the table permanently
+              // unloadable yet blocking re-creation
               formatVersion = props.get("format-version")
-                .flatMap(_.toIntOption).getOrElse(2),
+                .flatMap(_.toIntOption)
+                .map { v =>
+                  require(v >= 1 && v <= 4, s"unsupported format-version: $v")
+                  v
+                }.getOrElse(2),
               currentSchemaId = schema.schemaId, schemas = Seq(schema),
               lastColumnId = schema.highestFieldId,
               defaultSpecId = spec.specId, specs = Seq(spec),

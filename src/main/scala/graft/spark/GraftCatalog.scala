@@ -713,6 +713,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     java.nio.file.Files.createDirectories(
       graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/")))
     import scala.jdk.CollectionConverters._
+    // marker at every level, even with no properties — dropNamespace and
+    // listNamespaces tell namespaces from dropped-table residuals by it
+    graft.core.meta.NamespaceProps.mark(catalog.warehouse, namespace.toSeq)
     if (!metadata.isEmpty) writeNsProps(namespace, metadata.asScala.toMap)
   }
 

@@ -129,7 +129,11 @@ class IcebergCompatSpec extends AnyFunSuite {
         initialDefaultSql = Some("DATE '2020-01-01'"),
         writeDefaultSql = Some("DATE '2020-01-01'")),
       GField(3, "n", GInt, required = false,
-        initialDefaultSql = Some("42")))))
+        initialDefaultSql = Some("42")),
+      GField(4, "ts", GTimestamp(), required = false,
+        initialDefaultSql = Some("TIMESTAMP '2021-06-01 10:30:00'")),
+      GField(5, "amt", GDecimal(10, 2), required = false,
+        initialDefaultSql = Some("42.50")))))
     val t = cat.createTable(Seq("db"), "cdef", withDefaults,
       PartitionSpec.Unpartitioned, Map("compatibility.format" -> "iceberg"))
     // typed DATE literal → spec single-value JSON (unquoted text)
@@ -138,6 +142,13 @@ class IcebergCompatSpec extends AnyFunSuite {
     assert(fields.get(1).get("initial-default").asText() === "2020-01-01")
     assert(fields.get(1).get("write-default").asText() === "2020-01-01")
     assert(fields.get(2).get("initial-default").asInt() === 42)
+    // spec single-value timestamps are ISO-8601: SQL space becomes 'T'
+    assert(fields.get(3).get("initial-default").asText() === "2021-06-01T10:30:00")
+    // decimals keep exact scale in the DOCUMENT (BigDecimal, not a
+    // double) — assert on the raw text; a plain read-back parses floats
+    // as doubles and would hide a scale-losing writer
+    assert(GraftIO.readString(s"${t.location}/metadata/v1.metadata.json")
+      .contains("42.50"))
     // a default the compat dialect cannot represent must FAIL the write —
     // omitting it would make external readers fill NULL where graft
     // applies the default (silent wrong data on the interop path)

@@ -731,6 +731,33 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RestHttp.delete(s"$uri/v1/namespaces/na%1Fnb/tables/deep_t")._1 === 200)
     assert(RestHttp.delete(s"$uri/v1/namespaces/na%1Fnb")._1 === 204)
     assert(RestHttp.delete(s"$uri/v1/namespaces/na")._1 === 204)
+
+    // a Spark-created PROPERTY-LESS namespace still blocks its parent's
+    // drop (creates mark every level, even without properties)
+    spark.sql("CREATE NAMESPACE rcat.np")
+    spark.sql("CREATE NAMESPACE rcat.np.deep")
+    assert(RestHttp.delete(s"$uri/v1/namespaces/np")._1 === 409,
+      "empty child namespace without properties must still protect the parent")
+    assert(RestHttp.delete(s"$uri/v1/namespaces/np%1Fdeep")._1 === 204)
+    assert(RestHttp.delete(s"$uri/v1/namespaces/np")._1 === 204)
+
+    // a key in both removals and updates fails with 422, applying nothing
+    assert(specPost("/v1/namespaces", """{"namespace": ["nq"],
+      "properties": {"k": "v1"}}""")._1 === 200)
+    assert(specPost("/v1/namespaces/nq/properties",
+      """{"removals": ["k"], "updates": {"k": "v2"}}""")._1 === 422)
+    assert(MetaJson.mapper.readTree(RestHttp.get(s"$uri/v1/namespaces/nq")._2)
+      .get("properties").get("k").asText() === "v1")
+    assert(RestHttp.delete(s"$uri/v1/namespaces/nq")._1 === 204)
+
+    // out-of-range format-version on the spec create route is a 400, not
+    // a committed-but-unloadable table
+    assert(specPost("/v1/namespaces/db/tables",
+      """{"name": "fv9_t", "properties": {"format-version": "9"},
+          "schema": {"type": "struct", "schema-id": 0,
+          "fields": [{"id": 1, "name": "id", "required": false,
+                      "type": "long"}]}}""")._1 === 400)
+    assert(RestHttp.get(s"$uri/v1/namespaces/db/tables/fv9_t")._1 !== 200)
   }
 
   test("spec register route adopts the tree at its new location") {
