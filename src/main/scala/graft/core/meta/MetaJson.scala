@@ -348,12 +348,17 @@ object MetaJson {
       Some(nf.textNode(t.substring(1, t.length - 1).replace("''", "'")))
     else t match {
       case typedLitRe(kind, v) =>
+        // ISO-8601: date→time separator becomes 'T', and the optional
+        // space before a zone offset is removed entirely
         val lit = if (kind.toUpperCase.startsWith("TIMESTAMP"))
-          v.replaceFirst(" ", "T") else v
+          v.replaceFirst(" ", "T").replace(" ", "") else v
         Some(nf.textNode(lit))
       case _ => t.toLongOption.map(nf.numberNode(_): JsonNode)
+        // BigDecimal first (exact scale for decimals), then plain double
+        // parse, which also accepts SQL's D/F-suffixed float literals
         .orElse(scala.util.Try(new java.math.BigDecimal(t)).toOption
           .map(nf.numberNode(_): JsonNode))
+        .orElse(t.toDoubleOption.map(nf.numberNode(_): JsonNode))
     }
   }
 
@@ -404,7 +409,6 @@ object MetaJson {
     if (m.formatVersion >= 2) o.put("last-sequence-number", m.lastSequenceNumber)
     o.put("last-updated-ms", m.lastUpdatedMs).put("last-column-id", m.lastColumnId)
     if (m.formatVersion >= 3) o.put("next-row-id", m.nextRowId)
-    def defaultJson(sql: String): Option[JsonNode] = MetaJson.defaultJson(sql)
     def schemaSpecJson(s: GSchema): ObjectNode = {
       val so = IcebergJson.schemaJson(s)
       val fields = so.get("fields")

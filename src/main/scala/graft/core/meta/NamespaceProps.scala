@@ -56,6 +56,13 @@ object NamespaceProps {
   def marked(warehouse: String, namespace: Seq[String]): Boolean =
     GraftIO.exists(path(warehouse, namespace))
 
+  /** Atomic read-modify-write under the store lock — the Spark catalog's
+    * alterNamespace goes through here so it cannot lose a concurrent
+    * REST-side property update (and vice versa). */
+  def mutate(warehouse: String, namespace: Seq[String])(
+      f: Map[String, String] => Map[String, String]): Unit =
+    lock.synchronized { write(warehouse, namespace, f(read(warehouse, namespace))) }
+
   /** spec UpdateNamespacePropertiesRequest semantics: apply removals +
     * updates atomically, returning (actually-removed, updated) key
     * lists. Callers must reject a key present in BOTH lists (spec: 422)

@@ -83,16 +83,33 @@ object RestCatalogServer {
     // live table (metadata/*.metadata.json), or a stored view — the one
     // predicate dropNamespace (blocks) and listNamespaces (shows) share,
     // so a dropped table's residual directory is invisible to both
-    def hasLiveContent(d: java.nio.file.Path): Boolean = {
-      import scala.jdk.CollectionConverters._
-      val st = java.nio.file.Files.walk(d)
-      try st.iterator().asScala.exists { p =>
-        val parent = Option(p.getParent).map(_.getFileName.toString)
-        p.getFileName.toString == "_namespace.json" ||
-          (p.getFileName.toString.endsWith(".metadata.json") &&
-            parent.contains("metadata")) ||
-          (parent.contains("_views") && !java.nio.file.Files.isDirectory(p))
-      } finally st.close()
+    def hasLiveContent(d: java.nio.file.Path): Boolean =
+      // own marker first: the common marked-namespace case stays O(1)
+      // instead of walking a possibly huge residual data tree
+      java.nio.file.Files.exists(d.resolve("_namespace.json")) || {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(d)
+        try st.iterator().asScala.exists { p =>
+          val parent = Option(p.getParent).map(_.getFileName.toString)
+          p.getFileName.toString == "_namespace.json" ||
+            (p.getFileName.toString.endsWith(".metadata.json") &&
+              parent.contains("metadata")) ||
+            (parent.contains("_views") && !java.nio.file.Files.isDirectory(p))
+        } finally st.close()
+      }
+
+    // what GET/HEAD/DELETE/createNamespace all mean by "this namespace
+    // exists": a directory that is not a table and carries the marker or
+    // live content. A dropped table's residual directory is invisible
+    // here exactly as it is to listNamespaces — a client can re-create a
+    // namespace over it. (Legacy property-less namespaces created before
+    // markers existed are indistinguishable from residuals and read as
+    // absent.)
+    def isNamespaceDir(dir: String): Boolean = {
+      val p = GraftIO.toPath(dir)
+      java.nio.file.Files.isDirectory(p) &&
+        !java.nio.file.Files.isDirectory(p.resolve("metadata")) &&
+        hasLiveContent(p)
     }
 
     // spec LoadTableResult / CommitTableResponse shape (open-api):
@@ -282,7 +299,7 @@ object RestCatalogServer {
               b.result()
             }
             val dir = GraftIO.toPath((warehouse +: nsLevels).mkString("/"))
-            if (java.nio.file.Files.isDirectory(dir))
+            if (isNamespaceDir(dir.toString))
               json(x, 409, s"""{"error": "namespace already exists"}""")
             else {
               java.nio.file.Files.createDirectories(dir)
@@ -305,8 +322,7 @@ object RestCatalogServer {
                       case (o, (k, v)) => o.put(k, v) })}}""")
             }
           case ("GET", Array(ns)) =>
-            val dir = nsDir(ns)
-            if (!java.nio.file.Files.isDirectory(GraftIO.toPath(dir)))
+            if (!isNamespaceDir(nsDir(ns)))
               json(x, 404, s"""{"error": "no such namespace"}""")
             else {
               val props = NamespaceProps.read(warehouse, nsParts(ns))
@@ -317,12 +333,11 @@ object RestCatalogServer {
                   MetaJson.mapper.writeValueAsString(props)}}""")
             }
           case ("HEAD", Array(ns)) =>
-            val ok = java.nio.file.Files.isDirectory(
-              GraftIO.toPath(nsDir(ns)))
+            val ok = isNamespaceDir(nsDir(ns))
             x.sendResponseHeaders(if (ok) 204 else 404, -1); x.close()
           case ("DELETE", Array(ns)) =>
             val dir = GraftIO.toPath(nsDir(ns))
-            if (!java.nio.file.Files.isDirectory(dir))
+            if (!isNamespaceDir(dir.toString))
               json(x, 404, s"""{"error": "no such namespace"}""")
             else if ({
               // spec: dropping a non-empty namespace is a 409 — non-empty
@@ -350,8 +365,7 @@ object RestCatalogServer {
               x.sendResponseHeaders(204, -1); x.close()
             }
           case ("POST", Array(ns, "properties")) =>
-            val dir = nsDir(ns)
-            if (!java.nio.file.Files.isDirectory(GraftIO.toPath(dir)))
+            if (!isNamespaceDir(nsDir(ns)))
               json(x, 404, s"""{"error": "no such namespace"}""")
             else {
               // read-modify-write through the ONE shared store

@@ -722,13 +722,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    var props = readNsProps(namespace)
-    changes.foreach {
-      case sp: NamespaceChange.SetProperty    => props += (sp.property -> sp.value)
-      case rp: NamespaceChange.RemoveProperty => props -= rp.property
-      case _                                  => ()
+    // atomic under the shared store lock — a plain read-modify-write
+    // here could silently drop a concurrent REST-side property update
+    graft.core.meta.NamespaceProps.mutate(catalog.warehouse, namespace.toSeq) {
+      props =>
+        changes.foldLeft(props) {
+          case (p, sp: NamespaceChange.SetProperty)    => p + (sp.property -> sp.value)
+          case (p, rp: NamespaceChange.RemoveProperty) => p - rp.property
+          case (p, _)                                  => p
+        }
     }
-    writeNsProps(namespace, props)
   }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
@@ -736,6 +739,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!java.nio.file.Files.exists(p)) false
     else {
       import scala.jdk.CollectionConverters._
+      // non-cascade drop must refuse a namespace that still holds tables,
+      // marked child namespaces, or views — the REST route 409s here, and
+      // an unconditional recursive delete would silently destroy child
+      // namespaces' tables (SQL: DROP NAMESPACE ... CASCADE opts in)
+      if (!cascade) {
+        val blocker = graft.core.meta.GraftIO.list(p.toString)
+          .map(graft.core.meta.GraftIO.toPath)
+          .filter(java.nio.file.Files.isDirectory(_))
+          .find { d =>
+            val n = d.getFileName.toString
+            (n == "_views" && graft.core.meta.GraftIO.list(d.toString).nonEmpty) ||
+              (!n.startsWith("_") && {
+                val st = java.nio.file.Files.walk(d)
+                try st.iterator().asScala.exists { f =>
+                  val parent = Option(f.getParent).map(_.getFileName.toString)
+                  f.getFileName.toString == "_namespace.json" ||
+                    (f.getFileName.toString.endsWith(".metadata.json") &&
+                      parent.contains("metadata")) ||
+                    (parent.contains("_views") &&
+                      !java.nio.file.Files.isDirectory(f))
+                } finally st.close()
+              })
+          }
+        blocker.foreach { d =>
+          throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+            namespace, s"contains ${d.getFileName}; use CASCADE", None)
+        }
+      }
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
       true

@@ -3058,4 +3058,20 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(inst.aggregateTaskMetrics(Array(2L, 3L)).nonEmpty)
     }
   }
+
+  test("DROP NAMESPACE refuses non-empty without CASCADE") {
+    spark.sql("CREATE NAMESPACE graft.dnx")
+    spark.sql("CREATE TABLE graft.dnx.t1 (id BIGINT)")
+    spark.sql("INSERT INTO graft.dnx.t1 VALUES (1)")
+    // a plain drop on a namespace with live tables must refuse, not
+    // recursively destroy them
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE graft.dnx"))
+    assert(e.getMessage.toLowerCase.contains("empty") ||
+      e.getMessage.toLowerCase.contains("cascade"), e.getMessage)
+    assert(spark.sql("SELECT * FROM graft.dnx.t1").count() === 1,
+      "refused drop must leave the table intact")
+    // CASCADE opts in to the recursive delete
+    spark.sql("DROP NAMESPACE graft.dnx CASCADE")
+    assert(!spark.catalog.databaseExists("graft.dnx"))
+  }
 }
