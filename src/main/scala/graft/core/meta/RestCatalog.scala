@@ -549,8 +549,10 @@ object RestCatalogServer {
               // readMetadata then rejects, leaving the table permanently
               // unloadable yet blocking re-creation
               formatVersion = props.get("format-version")
-                .flatMap(_.toIntOption)
-                .map { v =>
+                .map { s =>
+                  val v = s.toIntOption.getOrElse(
+                    throw new IllegalArgumentException(
+                      s"format-version must be an integer, got: $s"))
                   require(v >= 1 && v <= 4, s"unsupported format-version: $v")
                   v
                 }.getOrElse(2),

@@ -758,6 +758,12 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
           "fields": [{"id": 1, "name": "id", "required": false,
                       "type": "long"}]}}""")._1 === 400)
     assert(RestHttp.get(s"$uri/v1/namespaces/db/tables/fv9_t")._1 !== 200)
+    // ...and a non-numeric version is a 400, not a silent v2 guess
+    assert(specPost("/v1/namespaces/db/tables",
+      """{"name": "fvx_t", "properties": {"format-version": "two"},
+          "schema": {"type": "struct", "schema-id": 0,
+          "fields": [{"id": 1, "name": "id", "required": false,
+                      "type": "long"}]}}""")._1 === 400)
   }
 
   test("spec register route adopts the tree at its new location") {
