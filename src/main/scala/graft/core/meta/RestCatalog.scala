@@ -172,9 +172,23 @@ object RestCatalogServer {
     server.createContext("/v1/tables/rename", (x: HttpExchange) =>
       try if (authed(x)) {
         val n = MetaJson.mapper.readTree(readBody(x))
-        require(n.hasNonNull("from") && n.hasNonNull("to"), "from/to required")
-        val from = n.get("from").asText().split("\\.").toSeq
-        val to = n.get("to").asText().split("\\.").toSeq
+        // accept BOTH body shapes: the spec's RenameTableRequest
+        // ({source/destination: {namespace: [...], name}}) from genuine
+        // Iceberg clients, and graft's own {from, to} dotted strings
+        def ident(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+          val b = Seq.newBuilder[String]
+          node.get("namespace").elements().forEachRemaining(e => b += e.asText())
+          b += node.get("name").asText()
+          b.result()
+        }
+        val (from, to) =
+          if (n.hasNonNull("source") && n.hasNonNull("destination"))
+            (ident(n.get("source")), ident(n.get("destination")))
+          else {
+            require(n.hasNonNull("from") && n.hasNonNull("to"), "from/to required")
+            (n.get("from").asText().split("\\.").toSeq,
+              n.get("to").asText().split("\\.").toSeq)
+          }
         require(from.length >= 2 && to.length >= 2, "namespace.table required")
         // an atomic directory move server-side (relative locations make
         // the moved directory the renamed table)

@@ -766,6 +766,17 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
                       "type": "long"}]}}""")._1 === 400)
   }
 
+  test("rename accepts the spec RenameTableRequest shape") {
+    spark.sql("CREATE TABLE rcat.db.rn_src (id BIGINT)")
+    spark.sql("INSERT INTO rcat.db.rn_src VALUES (7)")
+    val (c, _) = specPost("/v1/tables/rename",
+      """{"source": {"namespace": ["db"], "name": "rn_src"},
+          "destination": {"namespace": ["db"], "name": "rn_dst"}}""")
+    assert(c === 200)
+    assert(spark.sql("SELECT * FROM rcat.db.rn_dst").count() === 1)
+    assert(RestHttp.get(s"$uri/v1/namespaces/db/tables/rn_src")._1 === 404)
+  }
+
   test("spec register route adopts the tree at its new location") {
     spark.sql("CREATE TABLE rcat.db.reg_src (id BIGINT, v STRING)")
     spark.sql("INSERT INTO rcat.db.reg_src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
