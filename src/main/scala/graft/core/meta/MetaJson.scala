@@ -344,7 +344,11 @@ object MetaJson {
     val nf = mapper.getNodeFactory
     if (t.equalsIgnoreCase("true")) Some(nf.booleanNode(true))
     else if (t.equalsIgnoreCase("false")) Some(nf.booleanNode(false))
-    else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+    else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2 &&
+        // a SINGLE string literal only: interior quotes must all be the
+        // '' escape, else this is an expression ("'a' || 'b'") that must
+        // fail the compat write, not be mangled into a wrong string
+        !t.substring(1, t.length - 1).replace("''", "").contains('\''))
       Some(nf.textNode(t.substring(1, t.length - 1).replace("''", "'")))
     else t match {
       case typedLitRe(kind, v) =>

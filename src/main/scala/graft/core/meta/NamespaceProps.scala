@@ -64,15 +64,64 @@ object NamespaceProps {
     lock.synchronized { write(warehouse, namespace, f(read(warehouse, namespace))) }
 
   /** spec UpdateNamespacePropertiesRequest semantics: apply removals +
-    * updates atomically, returning (actually-removed, updated) key
-    * lists. Callers must reject a key present in BOTH lists (spec: 422)
-    * before calling. */
+    * updates atomically, returning (actually-removed, updated, missing)
+    * key lists — `missing` is the removals that were not present, which
+    * the response must report. Callers must reject a key present in
+    * BOTH lists (spec: 422) before calling. */
   def update(warehouse: String, namespace: Seq[String],
       removals: Seq[String], updates: Map[String, String])
-      : (Seq[String], Seq[String]) = lock.synchronized {
+      : (Seq[String], Seq[String], Seq[String]) = lock.synchronized {
     val cur = read(warehouse, namespace)
     val removed = removals.filter(cur.contains)
     write(warehouse, namespace, (cur -- removals) ++ updates)
-    (removed, updates.keys.toSeq)
+    (removed, updates.keys.toSeq, removals.filterNot(cur.contains))
   }
+
+  /** True when `d` holds, at any depth, a namespace marker, a live table
+    * (a metadata dir with a .metadata.json), or a stored view (a file
+    * under _views). The scan prunes `data` directories — pure data trees
+    * cannot hold any of these — so probing a dropped table's residual
+    * costs its structure, not a walk over every data file. */
+  def hasLiveContent(d: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(d.resolve("_namespace.json")) ||
+      GraftIO.list(d.toString).map(GraftIO.toPath).exists { c =>
+        val n = c.getFileName.toString
+        java.nio.file.Files.isDirectory(c) && (n match {
+          case "data"     => false
+          case "metadata" =>
+            GraftIO.list(c.toString).exists(_.endsWith(".metadata.json"))
+          case "_views"   => GraftIO.list(c.toString).nonEmpty
+          case _          => hasLiveContent(c)
+        })
+      }
+
+  /** The ONE namespace-existence predicate (Spark catalog and REST
+    * routes agree): a non-table directory carrying the marker or live
+    * content. A dropped table's residual directory reads as absent —
+    * re-creatable — on BOTH surfaces. The empty namespace is the
+    * warehouse root. */
+  def isNamespaceDir(warehouse: String, namespace: Seq[String]): Boolean =
+    if (namespace.isEmpty)
+      java.nio.file.Files.isDirectory(GraftIO.toPath(warehouse))
+    else {
+      val p = GraftIO.toPath((warehouse +: namespace).mkString("/"))
+      java.nio.file.Files.isDirectory(p) &&
+        !java.nio.file.Files.isDirectory(p.resolve("metadata")) &&
+        hasLiveContent(p)
+    }
+
+  /** Drop guard shared by Spark dropNamespace and the REST route: the
+    * first child that makes the namespace non-empty (a marked child
+    * namespace, live tables/views at any depth, or a non-empty _views),
+    * or None when the namespace is safely removable. */
+  def nonEmptyBlocker(warehouse: String, namespace: Seq[String]): Option[String] =
+    GraftIO.list((warehouse +: namespace).mkString("/"))
+      .map(GraftIO.toPath)
+      .filter(java.nio.file.Files.isDirectory(_))
+      .find { d =>
+        val n = d.getFileName.toString
+        (n == "_views" && GraftIO.list(d.toString).nonEmpty) ||
+          (!n.startsWith("_") && hasLiveContent(d))
+      }
+      .map(_.getFileName.toString)
 }

@@ -79,32 +79,14 @@ object RestCatalogServer {
        else ns.split("\\.")).toSeq.filter(_.nonEmpty)
     def nsDir(ns: String): String = (warehouse +: nsParts(ns)).mkString("/")
 
-    // true when the directory holds, at ANY depth, a namespace marker, a
-    // live table (metadata/*.metadata.json), or a stored view — the one
-    // predicate dropNamespace (blocks) and listNamespaces (shows) share,
-    // so a dropped table's residual directory is invisible to both
+    // existence/liveness via the shared predicates (NamespaceProps) the
+    // Spark catalog also uses, so the two surfaces can never disagree on
+    // whether a namespace exists. A dropped table's residual directory
+    // reads as absent — re-creatable — on both. (Legacy property-less
+    // namespaces created before markers existed are indistinguishable
+    // from residuals and read as absent.)
     def hasLiveContent(d: java.nio.file.Path): Boolean =
-      // own marker first: the common marked-namespace case stays O(1)
-      // instead of walking a possibly huge residual data tree
-      java.nio.file.Files.exists(d.resolve("_namespace.json")) || {
-        import scala.jdk.CollectionConverters._
-        val st = java.nio.file.Files.walk(d)
-        try st.iterator().asScala.exists { p =>
-          val parent = Option(p.getParent).map(_.getFileName.toString)
-          p.getFileName.toString == "_namespace.json" ||
-            (p.getFileName.toString.endsWith(".metadata.json") &&
-              parent.contains("metadata")) ||
-            (parent.contains("_views") && !java.nio.file.Files.isDirectory(p))
-        } finally st.close()
-      }
-
-    // what GET/HEAD/DELETE/createNamespace all mean by "this namespace
-    // exists": a directory that is not a table and carries the marker or
-    // live content. A dropped table's residual directory is invisible
-    // here exactly as it is to listNamespaces — a client can re-create a
-    // namespace over it. (Legacy property-less namespaces created before
-    // markers existed are indistinguishable from residuals and read as
-    // absent.)
+      NamespaceProps.hasLiveContent(d)
     def isNamespaceDir(dir: String): Boolean = {
       val p = GraftIO.toPath(dir)
       java.nio.file.Files.isDirectory(p) &&
@@ -312,6 +294,12 @@ object RestCatalogServer {
               body.get("namespace").elements().forEachRemaining(e => b += e.asText())
               b.result()
             }
+            // levels containing '.' or the 0x1F separator would be
+            // creatable but never addressable (nsParts would re-split
+            // them) — reject up front rather than strand the namespace
+            require(nsLevels.forall(l =>
+              !l.contains('.') && l.indexOf(0x1f.toChar) < 0 && l.nonEmpty),
+              s"invalid namespace levels: ${nsLevels.mkString("[", ", ", "]")}")
             val dir = GraftIO.toPath((warehouse +: nsLevels).mkString("/"))
             if (isNamespaceDir(dir.toString))
               json(x, 409, s"""{"error": "namespace already exists"}""")
@@ -353,24 +341,15 @@ object RestCatalogServer {
             val dir = GraftIO.toPath(nsDir(ns))
             if (!isNamespaceDir(dir.toString))
               json(x, 404, s"""{"error": "no such namespace"}""")
-            else if ({
-              // spec: dropping a non-empty namespace is a 409 — non-empty
-              // means live tables, child namespaces, or views, at ANY
-              // depth (the old tables-only check silently destroyed
-              // child namespaces' tables). A child dir blocks the
-              // recursive delete when it holds — anywhere underneath — a
-              // _namespace.json marker (creates mark every level), a
-              // live table (metadata/*.metadata.json), or a stored view;
-              // a dropped table's residual directory (identity removed,
-              // data left by the gc.enabled=false contract) has none of
-              // these and stays removable.
-              GraftIO.list(nsDir(ns)).map(GraftIO.toPath).exists { d =>
-                val n = d.getFileName.toString
-                java.nio.file.Files.isDirectory(d) && (
-                  (n == "_views" && GraftIO.list(d.toString).nonEmpty) ||
-                  (!n.startsWith("_") && hasLiveContent(d)))
-              }
-            })
+            // spec: dropping a non-empty namespace is a 409 — non-empty
+            // means live tables, child namespaces, or views, at ANY
+            // depth (the old tables-only check silently destroyed child
+            // namespaces' tables); the SAME shared guard backs Spark's
+            // non-cascade DROP NAMESPACE. A dropped table's residual
+            // directory (identity removed, data left by the
+            // gc.enabled=false contract) never blocks.
+            else if (NamespaceProps
+                .nonEmptyBlocker(warehouse, nsParts(ns)).nonEmpty)
               json(x, 409, s"""{"error": "namespace is not empty"}""")
             else {
               import scala.jdk.CollectionConverters._
@@ -405,12 +384,14 @@ object RestCatalogServer {
                 json(x, 422, s"""{"error": ${MetaJson.mapper.writeValueAsString(
                   s"keys in both removals and updates: ${both.toSeq.sorted.mkString(", ")}")}}""")
               else {
-                val (removed, updatedKeys) =
+                val (removed, updatedKeys, missing) =
                   NamespaceProps.update(warehouse, nsParts(ns), removals, updates)
                 val o = MetaJson.mapper.createObjectNode()
                 val ra = o.putArray("removed"); removed.foreach(ra.add)
                 val ua = o.putArray("updated"); updatedKeys.foreach(ua.add)
-                o.putArray("missing")
+                // spec: removals that were NOT present are reported, not
+                // silently dropped from all three lists
+                val ma = o.putArray("missing"); missing.foreach(ma.add)
                 json(x, 200, MetaJson.mapper.writeValueAsString(o))
               }
             }

@@ -226,10 +226,18 @@ object SpecUpdates {
           n.get("snapshot-ids").elements().forEachRemaining(e => b += e.asLong())
           b.result()
         }
+        // refs left pointing at removed snapshots are dropped with them
+        // (reference rewriteSnapshotsInternal removes dangling refs, and
+        // removing main clears current-snapshot-id) — otherwise the
+        // committed document carries a dangling current-snapshot-id that
+        // spec-conformant readers reject
+        val keptRefs = m.refs.filterNot { case (_, r) => ids(r.snapshotId) }
         m.copy(snapshots = m.snapshots.filterNot(s => ids(s.snapshotId)),
           snapshotLog = m.snapshotLog.filterNot { case (_, id) => ids(id) },
           statistics = m.statistics.filterNot(s => ids(s.snapshotId)),
-          partitionStatistics = m.partitionStatistics.filterNot(s => ids(s.snapshotId)))
+          partitionStatistics = m.partitionStatistics.filterNot(s => ids(s.snapshotId)),
+          refs = keptRefs,
+          currentSnapshotId = m.currentSnapshotId.filterNot(ids))
 
       case "remove-snapshot-ref" =>
         val name = n.get("ref-name").asText()

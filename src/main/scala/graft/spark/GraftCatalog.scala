@@ -677,17 +677,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftUdfStore.load(catalog.warehouse, ident.namespace.toSeq, ident.name).isDefined
 
   // ----------------------------------------------------------- namespaces
+  // existence/listing go through the ONE shared predicate
+  // (NamespaceProps.isNamespaceDir) the REST routes also use, so the two
+  // surfaces agree: a dropped table's residual directory is absent and
+  // re-creatable on both, a marked or live directory exists on both
   override def listNamespaces(): Array[Array[String]] =
     graft.core.meta.GraftIO.list(catalog.warehouse)
-      .filter(p => java.nio.file.Files.isDirectory(graft.core.meta.GraftIO.toPath(p)))
-      .map(p => Array(graft.core.meta.GraftIO.toPath(p).getFileName.toString)).toArray
+      .map(p => graft.core.meta.GraftIO.toPath(p).getFileName.toString)
+      .filter(n => !n.startsWith("_") &&
+        graft.core.meta.NamespaceProps.isNamespaceDir(catalog.warehouse, Seq(n)))
+      .map(Array(_)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    java.nio.file.Files.isDirectory(
-      graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/")))
+    graft.core.meta.NamespaceProps.isNamespaceDir(
+      catalog.warehouse, namespace.toSeq)
 
   // namespace properties persist in the namespace directory's
   // _namespace.json, through the ONE shared store (NamespaceProps) the
@@ -740,33 +746,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else {
       import scala.jdk.CollectionConverters._
       // non-cascade drop must refuse a namespace that still holds tables,
-      // marked child namespaces, or views — the REST route 409s here, and
-      // an unconditional recursive delete would silently destroy child
-      // namespaces' tables (SQL: DROP NAMESPACE ... CASCADE opts in)
-      if (!cascade) {
-        val blocker = graft.core.meta.GraftIO.list(p.toString)
-          .map(graft.core.meta.GraftIO.toPath)
-          .filter(java.nio.file.Files.isDirectory(_))
-          .find { d =>
-            val n = d.getFileName.toString
-            (n == "_views" && graft.core.meta.GraftIO.list(d.toString).nonEmpty) ||
-              (!n.startsWith("_") && {
-                val st = java.nio.file.Files.walk(d)
-                try st.iterator().asScala.exists { f =>
-                  val parent = Option(f.getParent).map(_.getFileName.toString)
-                  f.getFileName.toString == "_namespace.json" ||
-                    (f.getFileName.toString.endsWith(".metadata.json") &&
-                      parent.contains("metadata")) ||
-                    (parent.contains("_views") &&
-                      !java.nio.file.Files.isDirectory(f))
-                } finally st.close()
-              })
+      // marked child namespaces, or views — the REST route 409s through
+      // the SAME shared guard, and an unconditional recursive delete
+      // would silently destroy child namespaces' tables (SQL: DROP
+      // NAMESPACE ... CASCADE opts in)
+      if (!cascade)
+        graft.core.meta.NamespaceProps
+          .nonEmptyBlocker(catalog.warehouse, namespace.toSeq).foreach { d =>
+            throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+              namespace, s"contains $d; use CASCADE", None)
           }
-        blocker.foreach { d =>
-          throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
-            namespace, s"contains ${d.getFileName}; use CASCADE", None)
-        }
-      }
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
       true

@@ -161,6 +161,27 @@ class IcebergCompatSpec extends AnyFunSuite {
         Map("compatibility.format" -> "iceberg"))
     }
     assert(e.getMessage.contains("current_timestamp()"))
+    // a quoted-string EXPRESSION ('a' || 'b' starts and ends with a
+    // quote) must fail too, not be mangled into the string "a' || 'b"
+    val expr = GSchema(GStruct(Seq(
+      GField(1, "id", GLong, required = true),
+      GField(2, "s", GString, required = false,
+        initialDefaultSql = Some("'a' || 'b'")))))
+    val e2 = intercept[IllegalStateException] {
+      cat.createTable(Seq("db"), "cexpr", expr, PartitionSpec.Unpartitioned,
+        Map("compatibility.format" -> "iceberg"))
+    }
+    assert(e2.getMessage.contains("'a' || 'b'"))
+    // while a string literal with a doubled-quote ESCAPE still serializes
+    val esc = GSchema(GStruct(Seq(
+      GField(1, "id", GLong, required = true),
+      GField(2, "s", GString, required = false,
+        initialDefaultSql = Some("'it''s'")))))
+    val t2 = cat.createTable(Seq("db"), "cesc", esc,
+      PartitionSpec.Unpartitioned, Map("compatibility.format" -> "iceberg"))
+    val n2 = readJson(s"${t2.location}/metadata/v1.metadata.json")
+    assert(n2.get("schemas").get(0).get("fields").get(1)
+      .get("initial-default").asText() === "it's")
   }
 
   test("compat metadata round-trips through readMetadata exactly") {

@@ -82,6 +82,27 @@ class SpecUpdatesSpec extends AnyFunSuite {
     assert(got2.snapshotLog === u2.snapshotLog)
   }
 
+  test("remove-snapshots drops dangling refs and current-snapshot-id") {
+    val b = base0
+    val s1 = Snapshot(201L, None, 1L, 1000L, "append", "/tmp/spec-upd/mlA.json",
+      Map.empty, schemaId = Some(0))
+    val m1 = roundTrip(Some(b), b.withSnapshot(s1))
+    assert(m1.currentSnapshotId === Some(201L))
+    // a raw remove-snapshots update naming the CURRENT snapshot (no
+    // client guards it) must not commit a dangling current-snapshot-id
+    // — spec-conformant readers reject such a document
+    val body = MetaJson.mapper.readTree(
+      """{"updates": [{"action": "remove-snapshots", "snapshot-ids": [201]}]}""")
+    SpecUpdates.applyCommit(Some(m1), body, m1.location) match {
+      case Right(m) =>
+        assert(m.snapshots.isEmpty)
+        assert(m.currentSnapshotId === None,
+          "current-snapshot-id must not dangle after its snapshot is removed")
+        assert(m.refs.isEmpty, "refs to removed snapshots must be dropped")
+      case Left(err) => fail(err)
+    }
+  }
+
   test("schema / spec / sort-order evolution replays with ids preserved") {
     val b = base0
     val schema2 = GSchema(GStruct(schema.struct.fields :+

@@ -750,6 +750,28 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .get("properties").get("k").asText() === "v1")
     assert(RestHttp.delete(s"$uri/v1/namespaces/nq")._1 === 204)
 
+    // removals not present are reported in `missing`, not dropped from
+    // all three response lists
+    assert(specPost("/v1/namespaces", """{"namespace": ["nmiss"]}""")._1 === 200)
+    val (cm, bm) = specPost("/v1/namespaces/nmiss/properties",
+      """{"removals": ["ghost"], "updates": {"k": "v"}}""")
+    assert(cm === 200 && bm.get("missing").get(0).asText() === "ghost" &&
+      bm.get("removed").size() === 0)
+    assert(RestHttp.delete(s"$uri/v1/namespaces/nmiss")._1 === 204)
+
+    // a namespace LEVEL containing '.' would be creatable but never
+    // addressable (path parsing re-splits it) — rejected up front
+    assert(specPost("/v1/namespaces",
+      """{"namespace": ["prod.analytics"]}""")._1 === 400)
+
+    // Spark and REST agree on existence: a namespace created through
+    // Spark without properties exists over REST too
+    spark.sql("CREATE NAMESPACE rcat.nagree")
+    assert(RestHttp.head(s"$uri/v1/namespaces/nagree")._1 === 204)
+    assert(RestHttp.delete(s"$uri/v1/namespaces/nagree")._1 === 204)
+    assert(!spark.catalog.databaseExists("rcat.nagree"),
+      "REST-dropped namespace must be gone for Spark as well")
+
     // out-of-range format-version on the spec create route is a 400, not
     // a committed-but-unloadable table
     assert(specPost("/v1/namespaces/db/tables",
