@@ -19,6 +19,15 @@ object NamespaceProps {
 
   private val lock = new Object
 
+  /** A level containing '.' or the 0x1F separator would be creatable
+    * but never addressable (both the REST paths and graft identifiers
+    * re-split on them) — every creation path (REST create, Spark
+    * create, rename-into) validates through here. */
+  def validateLevels(namespace: Seq[String]): Unit =
+    require(namespace.forall(l =>
+      l.nonEmpty && !l.contains('.') && l.indexOf(0x1f.toChar) < 0),
+      s"invalid namespace levels: ${namespace.mkString("[", ", ", "]")}")
+
   def path(warehouse: String, namespace: Seq[String]): String =
     (warehouse +: namespace).mkString("/") + "/_namespace.json"
 
@@ -47,6 +56,7 @@ object NamespaceProps {
     * level's existing properties. */
   def mark(warehouse: String, namespace: Seq[String]): Unit =
     lock.synchronized {
+      validateLevels(namespace)
       namespace.indices.foreach { i =>
         val lvl = namespace.take(i + 1)
         if (!GraftIO.exists(path(warehouse, lvl))) write(warehouse, lvl, Map.empty)
@@ -105,9 +115,14 @@ object NamespaceProps {
       java.nio.file.Files.isDirectory(GraftIO.toPath(warehouse))
     else {
       val p = GraftIO.toPath((warehouse +: namespace).mkString("/"))
+      // the marker SHORT-CIRCUITS the not-a-table test: a marked
+      // namespace stays a namespace even when it holds a child table
+      // named "metadata" (which would otherwise make it read as a table
+      // directory and vanish from both surfaces)
       java.nio.file.Files.isDirectory(p) &&
-        !java.nio.file.Files.isDirectory(p.resolve("metadata")) &&
-        hasLiveContent(p)
+        (java.nio.file.Files.exists(p.resolve("_namespace.json")) ||
+          (!java.nio.file.Files.isDirectory(p.resolve("metadata")) &&
+            hasLiveContent(p)))
     }
 
   /** Drop guard shared by Spark dropNamespace and the REST route: the

@@ -85,14 +85,8 @@ object RestCatalogServer {
     // reads as absent — re-creatable — on both. (Legacy property-less
     // namespaces created before markers existed are indistinguishable
     // from residuals and read as absent.)
-    def hasLiveContent(d: java.nio.file.Path): Boolean =
-      NamespaceProps.hasLiveContent(d)
-    def isNamespaceDir(dir: String): Boolean = {
-      val p = GraftIO.toPath(dir)
-      java.nio.file.Files.isDirectory(p) &&
-        !java.nio.file.Files.isDirectory(p.resolve("metadata")) &&
-        hasLiveContent(p)
-    }
+    def nsExists(parts: Seq[String]): Boolean =
+      NamespaceProps.isNamespaceDir(warehouse, parts)
 
     // spec LoadTableResult / CommitTableResponse shape (open-api):
     // metadata-location + the full metadata document; `version` rides
@@ -158,6 +152,8 @@ object RestCatalogServer {
         // ({source/destination: {namespace: [...], name}}) from genuine
         // Iceberg clients, and graft's own {from, to} dotted strings
         def ident(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+          require(node.hasNonNull("namespace") && node.hasNonNull("name"),
+            "rename identifiers require namespace and name")
           val b = Seq.newBuilder[String]
           node.get("namespace").elements().forEachRemaining(e => b += e.asText())
           b += node.get("name").asText()
@@ -172,6 +168,10 @@ object RestCatalogServer {
               n.get("to").asText().split("\\.").toSeq)
           }
         require(from.length >= 2 && to.length >= 2, "namespace.table required")
+        // the destination's namespace levels must be addressable — the
+        // spec ident shape could otherwise move a table into a namespace
+        // the path parsing can never reach again
+        NamespaceProps.validateLevels(to.init)
         // an atomic directory move server-side (relative locations make
         // the moved directory the renamed table)
         try {
@@ -275,12 +275,8 @@ object RestCatalogServer {
             val arr = o.putArray("namespaces")
             if (java.nio.file.Files.isDirectory(GraftIO.toPath(baseDir)))
               GraftIO.list(baseDir)
-                .map(GraftIO.toPath).filter(java.nio.file.Files.isDirectory(_))
-                .filterNot(d => java.nio.file.Files.isDirectory(
-                  d.resolve("metadata")))
-                .filter(d => java.nio.file.Files.exists(
-                  d.resolve("_namespace.json")) || hasLiveContent(d))
-                .map(_.getFileName.toString).filterNot(_.startsWith("_"))
+                .map(p => GraftIO.toPath(p).getFileName.toString)
+                .filter(n => !n.startsWith("_") && nsExists(baseParts :+ n))
                 .sorted
                 .foreach { n =>
                   val e = arr.addArray()
@@ -294,14 +290,12 @@ object RestCatalogServer {
               body.get("namespace").elements().forEachRemaining(e => b += e.asText())
               b.result()
             }
-            // levels containing '.' or the 0x1F separator would be
-            // creatable but never addressable (nsParts would re-split
-            // them) — reject up front rather than strand the namespace
-            require(nsLevels.forall(l =>
-              !l.contains('.') && l.indexOf(0x1f.toChar) < 0 && l.nonEmpty),
-              s"invalid namespace levels: ${nsLevels.mkString("[", ", ", "]")}")
+            // reject unaddressable levels BEFORE the directory exists
+            // (shared validator — Spark createNamespace validates the
+            // same way through NamespaceProps.mark)
+            NamespaceProps.validateLevels(nsLevels)
             val dir = GraftIO.toPath((warehouse +: nsLevels).mkString("/"))
-            if (isNamespaceDir(dir.toString))
+            if (nsExists(nsLevels))
               json(x, 409, s"""{"error": "namespace already exists"}""")
             else {
               java.nio.file.Files.createDirectories(dir)
@@ -324,7 +318,7 @@ object RestCatalogServer {
                       case (o, (k, v)) => o.put(k, v) })}}""")
             }
           case ("GET", Array(ns)) =>
-            if (!isNamespaceDir(nsDir(ns)))
+            if (!nsExists(nsParts(ns)))
               json(x, 404, s"""{"error": "no such namespace"}""")
             else {
               val props = NamespaceProps.read(warehouse, nsParts(ns))
@@ -335,11 +329,11 @@ object RestCatalogServer {
                   MetaJson.mapper.writeValueAsString(props)}}""")
             }
           case ("HEAD", Array(ns)) =>
-            val ok = isNamespaceDir(nsDir(ns))
+            val ok = nsExists(nsParts(ns))
             x.sendResponseHeaders(if (ok) 204 else 404, -1); x.close()
           case ("DELETE", Array(ns)) =>
             val dir = GraftIO.toPath(nsDir(ns))
-            if (!isNamespaceDir(dir.toString))
+            if (!nsExists(nsParts(ns)))
               json(x, 404, s"""{"error": "no such namespace"}""")
             // spec: dropping a non-empty namespace is a 409 — non-empty
             // means live tables, child namespaces, or views, at ANY
@@ -358,7 +352,7 @@ object RestCatalogServer {
               x.sendResponseHeaders(204, -1); x.close()
             }
           case ("POST", Array(ns, "properties")) =>
-            if (!isNamespaceDir(nsDir(ns)))
+            if (!nsExists(nsParts(ns)))
               json(x, 404, s"""{"error": "no such namespace"}""")
             else {
               // read-modify-write through the ONE shared store

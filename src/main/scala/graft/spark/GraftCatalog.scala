@@ -716,6 +716,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
+    // reject unaddressable levels ('.'/0x1F) BEFORE the directory exists
+    graft.core.meta.NamespaceProps.validateLevels(namespace.toSeq)
     java.nio.file.Files.createDirectories(
       graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/")))
     import scala.jdk.CollectionConverters._
@@ -742,7 +744,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/"))
-    if (!java.nio.file.Files.exists(p)) false
+    // the same existence predicate as namespaceExists/REST: a residual
+    // dropped-table directory is not a namespace, so it cannot be
+    // "dropped" either — the surfaces must agree on the drop verb too
+    if (!namespaceExists(namespace)) false
     else {
       import scala.jdk.CollectionConverters._
       // non-cascade drop must refuse a namespace that still holds tables,
