@@ -19,14 +19,20 @@ object NamespaceProps {
 
   private val lock = new Object
 
-  /** A level containing '.' or the 0x1F separator would be creatable
-    * but never addressable (both the REST paths and graft identifiers
-    * re-split on them) — every creation path (REST create, Spark
-    * create, rename-into) validates through here. */
-  def validateLevels(namespace: Seq[String]): Unit =
+  /** Levels that would be creatable but never (or differently)
+    * addressable are rejected by every creation path (REST create, Spark
+    * create, rename-into): '.' and 0x1F re-split in paths/identifiers,
+    * '/' and '\' change the directory identity, '_' collides with
+    * internal directories (_views, _namespace.json) and is filtered from
+    * every listing. Zero levels would address the warehouse root. */
+  def validateLevels(namespace: Seq[String]): Unit = {
+    require(namespace.nonEmpty, "namespace must have at least one level")
     require(namespace.forall(l =>
-      l.nonEmpty && !l.contains('.') && l.indexOf(0x1f.toChar) < 0),
+      l.nonEmpty && !l.startsWith("_") && !l.contains('.') &&
+        !l.contains('/') && !l.contains('\\') &&
+        l.indexOf(0x1f.toChar) < 0),
       s"invalid namespace levels: ${namespace.mkString("[", ", ", "]")}")
+  }
 
   def path(warehouse: String, namespace: Seq[String]): String =
     (warehouse +: namespace).mkString("/") + "/_namespace.json"
@@ -59,6 +65,13 @@ object NamespaceProps {
       validateLevels(namespace)
       namespace.indices.foreach { i =>
         val lvl = namespace.take(i + 1)
+        // a level that coincides with an existing TABLE directory must
+        // refuse: planting the marker inside a table dir would make the
+        // table read as an (empty) namespace whose plain drop deletes
+        // the table's data
+        require(!java.nio.file.Files.isDirectory(GraftIO.toPath(
+          (warehouse +: lvl).mkString("/") + "/metadata")),
+          s"namespace ${lvl.mkString(".")} collides with an existing table")
         if (!GraftIO.exists(path(warehouse, lvl))) write(warehouse, lvl, Map.empty)
       }
     }

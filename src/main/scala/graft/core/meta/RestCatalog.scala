@@ -85,8 +85,11 @@ object RestCatalogServer {
     // reads as absent — re-creatable — on both. (Legacy property-less
     // namespaces created before markers existed are indistinguishable
     // from residuals and read as absent.)
+    // parts.nonEmpty guard: a path string like "." or a bare separator
+    // parses to ZERO levels, which the shared predicate would resolve to
+    // the warehouse root — and a DELETE there would remove the warehouse
     def nsExists(parts: Seq[String]): Boolean =
-      NamespaceProps.isNamespaceDir(warehouse, parts)
+      parts.nonEmpty && NamespaceProps.isNamespaceDir(warehouse, parts)
 
     // spec LoadTableResult / CommitTableResponse shape (open-api):
     // metadata-location + the full metadata document; `version` rides

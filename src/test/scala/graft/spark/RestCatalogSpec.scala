@@ -760,9 +760,32 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RestHttp.delete(s"$uri/v1/namespaces/nmiss")._1 === 204)
 
     // a namespace LEVEL containing '.' would be creatable but never
-    // addressable (path parsing re-splits it) — rejected up front
+    // addressable (path parsing re-splits it) — rejected up front, as
+    // are '/' (directory identity), '_' (internal-dir collision), empty
+    // levels, and an empty level LIST (the warehouse root)
     assert(specPost("/v1/namespaces",
       """{"namespace": ["prod.analytics"]}""")._1 === 400)
+    assert(specPost("/v1/namespaces", """{"namespace": ["a/b"]}""")._1 === 400)
+    assert(specPost("/v1/namespaces", """{"namespace": ["_views"]}""")._1 === 400)
+    assert(specPost("/v1/namespaces", """{"namespace": []}""")._1 === 400)
+
+    // a namespace path parsing to ZERO levels must never resolve to the
+    // warehouse root — DELETE there would remove the warehouse itself
+    assert(RestHttp.head(s"$uri/v1/namespaces/.")._1 === 404)
+    assert(RestHttp.delete(s"$uri/v1/namespaces/.")._1 === 404)
+    assert(RestHttp.get(s"$uri/v1/namespaces/db/tables")._1 === 200,
+      "warehouse must survive the root-delete probe")
+
+    // creating a namespace over an existing LIVE TABLE path must refuse
+    // (the marker would make the table read as an empty, droppable
+    // namespace)
+    spark.sql("CREATE TABLE rcat.db.collide_t (id BIGINT)")
+    spark.sql("INSERT INTO rcat.db.collide_t VALUES (5)")
+    assert(specPost("/v1/namespaces",
+      """{"namespace": ["db", "collide_t"]}""")._1 === 400)
+    assert(spark.sql("SELECT * FROM rcat.db.collide_t").count() === 1,
+      "table must be untouched by the refused namespace create")
+    spark.sql("DROP TABLE rcat.db.collide_t")
 
     // Spark and REST agree on existence: a namespace created through
     // Spark without properties exists over REST too
