@@ -60,19 +60,41 @@ object NamespaceProps {
   /** Marker exists at EVERY level of `namespace` (creating a nested
     * namespace implicitly creates its ancestors); never clobbers a
     * level's existing properties. */
+  /** Table signature: a metadata/ dir actually holding a metadata
+    * document (a bare dir NAMED metadata may be a child table or child
+    * namespace of a marked namespace). */
+  private def looksLikeTable(warehouse: String, namespace: Seq[String]): Boolean = {
+    val md = (warehouse +: namespace).mkString("/") + "/metadata"
+    java.nio.file.Files.isDirectory(GraftIO.toPath(md)) &&
+      GraftIO.list(md).exists(_.endsWith(".metadata.json"))
+  }
+
   def mark(warehouse: String, namespace: Seq[String]): Unit =
     lock.synchronized {
       validateLevels(namespace)
       namespace.indices.foreach { i =>
         val lvl = namespace.take(i + 1)
-        // a level that coincides with an existing TABLE directory must
-        // refuse: planting the marker inside a table dir would make the
-        // table read as an (empty) namespace whose plain drop deletes
-        // the table's data
-        require(!java.nio.file.Files.isDirectory(GraftIO.toPath(
-          (warehouse +: lvl).mkString("/") + "/metadata")),
-          s"namespace ${lvl.mkString(".")} collides with an existing table")
-        if (!GraftIO.exists(path(warehouse, lvl))) write(warehouse, lvl, Map.empty)
+        if (!GraftIO.exists(path(warehouse, lvl))) {
+          // an UNMARKED level that coincides with an existing table must
+          // refuse: planting the marker inside a table dir would make
+          // the table read as an (empty) namespace whose plain drop
+          // deletes the table's data. Marked levels are exempt — a
+          // namespace may legitimately hold a child named "metadata".
+          def collides = looksLikeTable(warehouse, lvl)
+          require(!collides,
+            s"namespace ${lvl.mkString(".")} collides with an existing table")
+          write(warehouse, lvl, Map.empty) // writeString creates the dirs
+          // close the check-then-act window against a concurrent table
+          // create on the same path (table commits don't take this
+          // lock): if the table signature appeared meanwhile, withdraw
+          // the marker rather than leave a table that reads as a
+          // droppable-empty namespace
+          if (collides) {
+            GraftIO.delete(path(warehouse, lvl))
+            throw new IllegalArgumentException(
+              s"namespace ${lvl.mkString(".")} collides with an existing table")
+          }
+        }
       }
     }
 
@@ -114,6 +136,9 @@ object NamespaceProps {
           case "metadata" =>
             GraftIO.list(c.toString).exists(_.endsWith(".metadata.json"))
           case "_views"   => GraftIO.list(c.toString).nonEmpty
+          // other internal dirs neither live nor recursed — keeps this
+          // aligned with nonEmptyBlocker/listings, which skip them
+          case u if u.startsWith("_") => false
           case _          => hasLiveContent(c)
         })
       }

@@ -74,9 +74,17 @@ object RestCatalogServer {
     // the spec joins levels with the 0x1F unit separator
     // (open-api: "Namespace parts should be separated by %1F") — graft's
     // own client uses '.', so accept both
-    def nsParts(ns: String): Seq[String] =
-      (if (ns.indexOf(0x1f.toChar) >= 0) ns.split(0x1f.toChar)
-       else ns.split("\\.")).toSeq.filter(_.nonEmpty)
+    def nsParts(ns: String): Seq[String] = {
+      val parts =
+        (if (ns.indexOf(0x1f.toChar) >= 0) ns.split(0x1f.toChar)
+         else ns.split("\\.")).toSeq.filter(_.nonEmpty)
+      // never let a path level escape or re-root the warehouse: '.'
+      // vanishes in the dot-split but '..' and '/' arrive intact via the
+      // %1F separator and would traverse OUTSIDE the warehouse
+      require(parts.forall(p => p != "." && p != ".." && !p.contains('/')),
+        s"invalid namespace path: $ns")
+      parts
+    }
     def nsDir(ns: String): String = (warehouse +: nsParts(ns)).mkString("/")
 
     // existence/liveness via the shared predicates (NamespaceProps) the
@@ -173,8 +181,12 @@ object RestCatalogServer {
         require(from.length >= 2 && to.length >= 2, "namespace.table required")
         // the destination's namespace levels must be addressable — the
         // spec ident shape could otherwise move a table into a namespace
-        // the path parsing can never reach again
+        // the path parsing can never reach again — and NEITHER side may
+        // traverse outside the warehouse
         NamespaceProps.validateLevels(to.init)
+        require((from ++ to).forall(p =>
+          p != "." && p != ".." && !p.contains('/')),
+          "rename identifiers must not contain path segments")
         // an atomic directory move server-side (relative locations make
         // the moved directory the renamed table)
         try {
@@ -293,15 +305,13 @@ object RestCatalogServer {
               body.get("namespace").elements().forEachRemaining(e => b += e.asText())
               b.result()
             }
-            // reject unaddressable levels BEFORE the directory exists
+            // reject unaddressable levels BEFORE anything exists on disk
             // (shared validator — Spark createNamespace validates the
             // same way through NamespaceProps.mark)
             NamespaceProps.validateLevels(nsLevels)
-            val dir = GraftIO.toPath((warehouse +: nsLevels).mkString("/"))
             if (nsExists(nsLevels))
               json(x, 409, s"""{"error": "namespace already exists"}""")
             else {
-              java.nio.file.Files.createDirectories(dir)
               val props = {
                 val b = Map.newBuilder[String, String]
                 Option(body.get("properties")).foreach(_.fields()
@@ -613,10 +623,15 @@ object RestCatalogServer {
             json(x, 200, MetaJson.mapper.writeValueAsString(o))
           case ("DELETE", Array(ns, "tables", t)) =>
             // open-api purgeRequested: only an explicit purge deletes
-            // data files; a plain drop removes just the table identity
+            // data files; a plain drop removes just the table identity.
+            // The name must not denote a NAMESPACE — a purge of a child
+            // namespace addressed as a table would recursively delete
+            // every table under it
             val purge = Option(x.getRequestURI.getQuery)
               .exists(_.contains("purgeRequested=true"))
-            if (backing.dropTable(nsParts(ns), t, purge))
+            if (NamespaceProps.marked(warehouse, nsParts(ns) :+ t))
+              json(x, 404, s"""{"error": "$t is a namespace, not a table"}""")
+            else if (backing.dropTable(nsParts(ns), t, purge))
               json(x, 200, "{}")
             else json(x, 404, s"""{"error": "no such table"}""")
           // view routes (reference open-api listViews / loadView /

@@ -716,12 +716,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
-    // reject unaddressable levels ('.'/0x1F) BEFORE the directory exists
-    graft.core.meta.NamespaceProps.validateLevels(namespace.toSeq)
-    java.nio.file.Files.createDirectories(
-      graft.core.meta.GraftIO.toPath((catalog.warehouse +: namespace).mkString("/")))
     import scala.jdk.CollectionConverters._
-    // marker at every level, even with no properties — dropNamespace and
+    // mark() validates the levels and refuses table collisions BEFORE
+    // anything exists on disk, then creates the directories itself (the
+    // marker writes create parents) — no stray dirs on a refused create.
+    // Marker at every level, even with no properties: dropNamespace and
     // listNamespaces tell namespaces from dropped-table residuals by it
     graft.core.meta.NamespaceProps.mark(catalog.warehouse, namespace.toSeq)
     if (!metadata.isEmpty) writeNsProps(namespace, metadata.asScala.toMap)

@@ -770,11 +770,22 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(specPost("/v1/namespaces", """{"namespace": []}""")._1 === 400)
 
     // a namespace path parsing to ZERO levels must never resolve to the
-    // warehouse root — DELETE there would remove the warehouse itself
+    // warehouse root — DELETE there would remove the warehouse itself —
+    // and '..' levels must never traverse outside it
     assert(RestHttp.head(s"$uri/v1/namespaces/.")._1 === 404)
-    assert(RestHttp.delete(s"$uri/v1/namespaces/.")._1 === 404)
-    assert(RestHttp.get(s"$uri/v1/namespaces/db/tables")._1 === 200,
-      "warehouse must survive the root-delete probe")
+    assert(RestHttp.delete(s"$uri/v1/namespaces/.")._1 !== 204)
+    assert(RestHttp.head(s"$uri/v1/namespaces/..%1Fdb")._1 !== 204)
+    assert(RestHttp.head(s"$uri/v1/namespaces/db")._1 === 204,
+      "warehouse content must survive the root-delete probe")
+
+    // a child NAMESPACE addressed as a table must not be purge-deletable
+    assert(specPost("/v1/namespaces", """{"namespace": ["pp", "sub"]}""")._1 === 200)
+    assert(RestHttp.delete(
+      s"$uri/v1/namespaces/pp/tables/sub?purgeRequested=true")._1 === 404)
+    assert(RestHttp.head(s"$uri/v1/namespaces/pp%1Fsub")._1 === 204,
+      "child namespace must survive the table-purge probe")
+    assert(RestHttp.delete(s"$uri/v1/namespaces/pp%1Fsub")._1 === 204)
+    assert(RestHttp.delete(s"$uri/v1/namespaces/pp")._1 === 204)
 
     // creating a namespace over an existing LIVE TABLE path must refuse
     // (the marker would make the table read as an empty, droppable
