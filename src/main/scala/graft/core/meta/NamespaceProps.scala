@@ -25,12 +25,17 @@ object NamespaceProps {
     * '/' and '\' change the directory identity, '_' collides with
     * internal directories (_views, _namespace.json) and is filtered from
     * every listing. Zero levels would address the warehouse root. */
+  /** One anti-traversal predicate for EVERY path-derived name (namespace
+    * levels, table names, rename identifiers): nothing may escape or
+    * re-root the warehouse or smuggle a separator. */
+  def validName(s: String): Boolean =
+    s.nonEmpty && s != "." && s != ".." && !s.contains('/') &&
+      !s.contains('\\') && s.indexOf(0x1f.toChar) < 0
+
   def validateLevels(namespace: Seq[String]): Unit = {
     require(namespace.nonEmpty, "namespace must have at least one level")
     require(namespace.forall(l =>
-      l.nonEmpty && !l.startsWith("_") && !l.contains('.') &&
-        !l.contains('/') && !l.contains('\\') &&
-        l.indexOf(0x1f.toChar) < 0),
+      validName(l) && !l.startsWith("_") && !l.contains('.')),
       s"invalid namespace levels: ${namespace.mkString("[", ", ", "]")}")
   }
 
@@ -84,8 +89,10 @@ object NamespaceProps {
           require(!collides,
             s"namespace ${lvl.mkString(".")} collides with an existing table")
           write(warehouse, lvl, Map.empty) // writeString creates the dirs
-          // close the check-then-act window against a concurrent table
-          // create on the same path (table commits don't take this
+          // NARROW the check-then-act window against a concurrent table
+          // create on the same path (table commits don't take this lock,
+          // so a commit landing after this recheck can still interleave
+          // — full closure would need the table-commit path to share the
           // lock): if the table signature appeared meanwhile, withdraw
           // the marker rather than leave a table that reads as a
           // droppable-empty namespace
@@ -136,9 +143,6 @@ object NamespaceProps {
           case "metadata" =>
             GraftIO.list(c.toString).exists(_.endsWith(".metadata.json"))
           case "_views"   => GraftIO.list(c.toString).nonEmpty
-          // other internal dirs neither live nor recursed — keeps this
-          // aligned with nonEmptyBlocker/listings, which skip them
-          case u if u.startsWith("_") => false
           case _          => hasLiveContent(c)
         })
       }
@@ -173,8 +177,10 @@ object NamespaceProps {
       .filter(java.nio.file.Files.isDirectory(_))
       .find { d =>
         val n = d.getFileName.toString
-        (n == "_views" && GraftIO.list(d.toString).nonEmpty) ||
-          (!n.startsWith("_") && hasLiveContent(d))
+        // symmetric with hasLiveContent: any live content blocks,
+        // including under legacy underscore-named children
+        if (n == "_views") GraftIO.list(d.toString).nonEmpty
+        else hasLiveContent(d)
       }
       .map(_.getFileName.toString)
 }

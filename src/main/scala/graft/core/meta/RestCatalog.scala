@@ -184,8 +184,7 @@ object RestCatalogServer {
         // the path parsing can never reach again — and NEITHER side may
         // traverse outside the warehouse
         NamespaceProps.validateLevels(to.init)
-        require((from ++ to).forall(p =>
-          p != "." && p != ".." && !p.contains('/')),
+        require((from ++ to).forall(NamespaceProps.validName),
           "rename identifiers must not contain path segments")
         // an atomic directory move server-side (relative locations make
         // the moved directory the renamed table)
@@ -525,6 +524,8 @@ object RestCatalogServer {
             // write-order, properties)
             val body = MetaJson.mapper.readTree(readBody(x))
             val name = body.get("name").asText()
+            require(NamespaceProps.validName(name) && !name.startsWith("_"),
+              s"invalid table name: $name")
             val nsSeq = nsParts(ns)
             val loc = backing.tableLocation(nsSeq, name)
             val schema = MetaJson.readSchema(body.get("schema"))
@@ -583,6 +584,8 @@ object RestCatalogServer {
             // externally readable
             val body = MetaJson.mapper.readTree(readBody(x))
             val name = body.get("name").asText()
+            require(NamespaceProps.validName(name) && !name.startsWith("_"),
+              s"invalid table name: $name")
             val mloc = body.get("metadata-location").asText()
             val srcJson = GraftIO.readString(mloc)
             val meta = MetaJson.readMetadata(srcJson, Some(mloc))
@@ -629,7 +632,12 @@ object RestCatalogServer {
             // every table under it
             val purge = Option(x.getRequestURI.getQuery)
               .exists(_.contains("purgeRequested=true"))
-            if (NamespaceProps.marked(warehouse, nsParts(ns) :+ t))
+            // the name must be warehouse-contained (a '..' segment would
+            // make the purge walk-delete the warehouse) and must not
+            // denote a NAMESPACE — marked OR merely live — whose purge
+            // would recursively delete every table under it
+            require(NamespaceProps.validName(t), s"invalid table name: $t")
+            if (nsExists(nsParts(ns) :+ t))
               json(x, 404, s"""{"error": "$t is a namespace, not a table"}""")
             else if (backing.dropTable(nsParts(ns), t, purge))
               json(x, 200, "{}")
@@ -682,7 +690,12 @@ object RestCatalogServer {
             else { GraftIO.delete(p); json(x, 200, "{}") }
           case _ => json(x, 404, s"""{"error": "unknown route"}""")
         }
-      } catch { case e: Throwable => json(x, 400, errJson(e)) })
+      } catch { case e: Throwable =>
+        // HEAD responses must not carry a body (a malformed HEAD path,
+        // e.g. a '..' level, lands here via nsParts' require)
+        if (x.getRequestMethod == "HEAD") {
+          x.sendResponseHeaders(400, -1); x.close()
+        } else json(x, 400, errJson(e)) })
 
     // DAEMON threads only: the server must never pin the JVM open (the
     // dispatcher thread inherits daemon status from its creator, so
