@@ -32,6 +32,9 @@ object DeleteFileIndex {
     * RELOCATION-STABLE suffix key (GraftIO.dataSuffix) so the bounds
     * survive a table move, where raw-path bounds would not. */
   val FilePathFieldId = 2147483546
+  /** reserved field id of the position-delete pos column (reference
+    * MetadataColumns.DELETE_FILE_POS) */
+  val PosFieldId = 2147483545
 }
 
 final class DeleteFileIndex(deletes: Seq[ManifestEntry],

@@ -51,7 +51,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v34").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v35").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build
@@ -707,8 +707,25 @@ object Engine {
         .get.ops.currentMetadataPath.get
       s.sql(s"CALL graft.system.register_table('db.ice_reg_g', '$iceMeta')")
 
+      // mixed-format MoR interop (g63): a spec-shaped v2 tree whose
+      // DELETE FILES are Avro over Parquet data — the shape Flink CDC
+      // writes (reference DeleteFilter dispatches per DeleteFile.format())
+      // — registered from its metadata.json like a migrating user would
+      s.sql("""CREATE TABLE graft.db.mix_src_g (
+        c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, c_acctbal DOUBLE)
+        TBLPROPERTIES ('compatibility.format'='iceberg',
+                       'write.delete.mode'='merge-on-read',
+                       'write.delete.format'='avro')""")
+      t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .writeTo("graft.db.mix_src_g").append()
+      s.sql("DELETE FROM graft.db.mix_src_g WHERE c_custkey % 5 = 2")
+      val mixMeta = new HadoopCatalog(wh).loadTable(Seq("db"), "mix_src_g")
+        .get.ops.currentMetadataPath.get
+      s.sql(s"CALL graft.system.register_table('db.mix_reg_g', '$mixMeta')")
+
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v34" -> "true"))
+        .updateProperties(Map("build-complete-v35" -> "true"))
     }
     built += wh
   }
@@ -2199,9 +2216,44 @@ object Engine {
       SELECT 30, 'GRAFTLAND', 9, 'new'
       ORDER BY n_nationkey"""))
 
+  // ------------------------------------------------------------------ g63
+  // Mixed-format MoR interop: the setup registered db.mix_reg_g from the
+  // metadata.json of a spec-shaped v2 tree whose position-delete files
+  // are AVRO over PARQUET data — the default shape Flink CDC writes and
+  // the first thing a migrating MoR user reads (reference
+  // data/.../DeleteFilter.java dispatches readers per DeleteFile.format()).
+  // In-gate every run: the live tree must really hold avro delete files
+  // next to parquet data files, then the registered table must match
+  // DuckDB over the raw customer parquet minus the deleted keys.
+  private val g63 = Q(
+    "g63_engine_mixed_delete_formats",
+    (s, dir) => {
+      setup(s, dir)
+      import graft.core.meta.{FileContent, ManifestIO}
+      val src = new HadoopCatalog(warehouse(dir)).loadTable(Seq("db"), "mix_src_g").get
+      val live = ManifestIO.readList(src.meta.currentSnapshot.get.manifestListPath)
+        .flatMap(mf => ManifestIO.readEntries(mf)).filter(_.isLive)
+      val dels = live.filter(_.file.content == FileContent.PositionDeletes)
+      require(dels.nonEmpty && dels.forall(e =>
+        e.file.format == "avro" && e.file.path.endsWith(".avro")),
+        s"g63: expected avro position-delete files, got ${dels.map(_.file.format)}")
+      require(live.filter(_.file.content == FileContent.Data)
+        .forall(_.file.format == "parquet"), "g63: non-parquet data files")
+      s.table("graft.db.mix_reg_g")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("c_acctbal"))).as("bal_e2"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS bal_e2
+      FROM customer WHERE c_custkey % 5 <> 2
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62)
+    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63)
 }

@@ -56,6 +56,12 @@ object GraftChangesTable {
       // equality-delete files (MoR equality deletes / streaming upsert)
       eqDeletePaths: Array[String] = Array.empty,
       eqKeyPositions: Array[Int] = Array.empty,
+      // per-entry formats of the three delete-path arrays (parallel;
+      // entries past the end default to parquet) — delete files keep
+      // their OWN manifest-recorded format, independent of the data's
+      posDelFormats: Array[String] = Array.empty,
+      maskFormats: Array[String] = Array.empty,
+      eqDelFormats: Array[String] = Array.empty,
       // data-file format + write-time schema id: ORC resolves columns by
       // NAME, so files written before a rename read under their
       // write-time names through a per-schema reader
@@ -124,6 +130,9 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
   // formats present in the planned tasks: lets the reader factory skip
   // building ORC/Avro/name-based readers for pure-parquet tables
   @volatile private var plannedFormats: Set[String] = null
+  // formats of the planned DELETE files (pos/mask/eq) — external trees
+  // mix avro/orc deletes over parquet data
+  @volatile private var plannedDelFormats: Set[String] = null
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = table.refresh()
@@ -166,9 +175,12 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
           .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive).map(_.file))
           .filter(_.content == FileContent.PositionDeletes)
       }
-      def maskFor(path: String): Array[String] =
+      def maskFilesFor(path: String): Seq[DataFile] =
         parentPosDeletes.filter(_.referencedDataFile.forall(_ == path))
-          .map(_.path).toArray
+      def maskFor(path: String): Array[String] =
+        maskFilesFor(path).map(_.path).toArray
+      def maskFmts(path: String): Array[String] =
+        maskFilesFor(path).map(_.format).toArray
       val beforeOpt: Option[Map[String, (DataFile, Int)]] =
         carried.orElse(parentOpt.map(liveDataFiles))
       val after = liveDataFiles(sn)
@@ -179,6 +191,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
           val (f, ws) = before(path)
           tasks += ChangeTask(f.path, f.fileSizeBytes, "DELETE",
             ordinal, sn.snapshotId, Array.empty, maskPaths = maskFor(path),
+            maskFormats = maskFmts(path),
             format = f.format, writeSchemaId = ws)
         }
       }
@@ -208,6 +221,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
           tasks += ChangeTask(dataFile.path, dataFile.fileSizeBytes, "DELETE",
             ordinal, sn.snapshotId, deletes.map(_.path).toArray,
             maskPaths = maskFor(dataFile.path),
+            posDelFormats = deletes.map(_.format).toArray,
+            maskFormats = maskFmts(dataFile.path),
             format = dataFile.format, writeSchemaId = ws)
         }
       }
@@ -225,7 +240,9 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
               tasks += ChangeTask(dataFile.path, dataFile.fileSizeBytes, "DELETE",
                 ordinal, sn.snapshotId, Array.empty,
                 maskPaths = maskFor(dataFile.path),
+                maskFormats = maskFmts(dataFile.path),
                 eqDeletePaths = eqFiles.map(_.path).toArray,
+                eqDelFormats = eqFiles.map(_.format).toArray,
                 eqKeyPositions = keyPos,
                 format = dataFile.format, writeSchemaId = ws)
             }
@@ -235,6 +252,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
     }
     val out = tasks.result().toArray
     plannedFormats = out.map(_.asInstanceOf[ChangeTask].format).toSet
+    plannedDelFormats = out.iterator.map(_.asInstanceOf[ChangeTask])
+      .flatMap(t => t.posDelFormats ++ t.maskFormats ++ t.eqDelFormats).toSet
     out
   }
 
@@ -296,9 +315,28 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       if (fmts("parquet-nm")) funcsFor(isOrc = false) else (null, Map.empty[Int,
         PartitionedFile => Iterator[InternalRow]])
     val avroFunc = if (fmts("avro")) GraftAvro.ReadFunc(dataSchema.json) else null
+    // delete FILES dispatch on their own manifest-recorded format
+    // (reference DeleteFilter): position deletes read (file_path, pos),
+    // equality deletes read the full schema (absent columns null)
+    val delFmts = Option(plannedDelFormats)
+      .getOrElse(Set("parquet", "orc", "avro"))
+    val avroDeleteFunc: PartitionedFile => Iterator[InternalRow] =
+      if (delFmts("avro")) GraftAvro.ReadFunc(deleteSchema.json) else null
+    val orcDeleteFunc =
+      if (delFmts("orc"))
+        orcFmt.buildReaderWithPartitionValues(spark, deleteSchema,
+          new StructType(), deleteSchema, Nil,
+          Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+            "enableVectorizedReader" -> "false"), nameConf)
+      else null
+    val avroEqFunc: PartitionedFile => Iterator[InternalRow] =
+      if (delFmts("avro")) GraftAvro.ReadFunc(dataSchema.json) else null
+    val orcEqFunc =
+      if (delFmts("orc")) reader(isOrc = true)(stripped) else null
     new ChangesReaderFactory(rowFunc, deleteFunc, dataSchema,
       graft.core.meta.TableCrypto.resolve(table.meta),
-      orcFunc, orcHist, avroFunc, nmFunc, nmHist)
+      orcFunc, orcHist, avroFunc, nmFunc, nmHist,
+      avroDeleteFunc, orcDeleteFunc, avroEqFunc, orcEqFunc)
   }
 
   private final class ChangesReaderFactory(
@@ -313,7 +351,11 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       orcHist: Map[Int, PartitionedFile => Iterator[InternalRow]],
       avroFunc: PartitionedFile => Iterator[InternalRow],
       nmFunc: PartitionedFile => Iterator[InternalRow],
-      nmHist: Map[Int, PartitionedFile => Iterator[InternalRow]])
+      nmHist: Map[Int, PartitionedFile => Iterator[InternalRow]],
+      avroDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
+      orcDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
+      avroEqFunc: PartitionedFile => Iterator[InternalRow] = null,
+      orcEqFunc: PartitionedFile => Iterator[InternalRow] = null)
     extends PartitionReaderFactory {
 
     /** format-dispatched reader for a change task's DATA file (equality-
@@ -336,11 +378,11 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](UTF8String.fromString(t.changeType), t.ordinal, t.commitSnapshotId))
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      def positionsOf(paths: Array[String])
+      def positionsOf(paths: Array[String], formats: Array[String])
           : org.roaringbitmap.longlong.Roaring64Bitmap = {
         import graft.core.meta.GraftIO.stripScheme
         val out = new org.roaringbitmap.longlong.Roaring64Bitmap()
-        paths.foreach { dp =>
+        paths.zipWithIndex.foreach { case (dp, di) =>
           // parsed once per JVM via the shared executor cache, under the
           // SAME key namespace and scheme-stripped map keys as the batch
           // scan's PosDeleteCache — a table read both ways shares one
@@ -351,9 +393,16 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
               val (ref, bm) = DVIO.read(dp, crypto)
               Map(stripScheme(ref) -> bm)
             } else {
+              // per-delete-file format dispatch (reference DeleteFilter)
+              val readFn =
+                (if (di < formats.length) formats(di) else "parquet") match {
+                  case "avro" if avroDeleteFunc != null => avroDeleteFunc
+                  case "orc" if orcDeleteFunc != null   => orcDeleteFunc
+                  case _                                => deleteFunc
+                }
               val m = scala.collection.mutable
                 .Map.empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
-              deleteFunc(pf(dp, Long.MaxValue)).foreach { r =>
+              readFn(pf(dp, Long.MaxValue)).foreach { r =>
                 m.getOrElseUpdate(stripScheme(r.getUTF8String(0).toString),
                   new org.roaringbitmap.longlong.Roaring64Bitmap())
                   .addLong(r.getLong(1))
@@ -366,7 +415,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
         out
       }
       // rows deleted BEFORE this snapshot are never re-reported
-      val masked = positionsOf(t.maskPaths)
+      val masked = positionsOf(t.maskPaths, t.maskFormats)
       val base: Iterator[InternalRow] =
         if (t.eqDeletePaths.nonEmpty) {
           // emit rows whose identifier key appears in the added
@@ -375,7 +424,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
             if (row.isNullAt(p)) null
             else SparkBridge.valueAt(row, p, dataSchema(p).dataType)
           val keys = new java.util.HashSet[Seq[Any]]()
-          t.eqDeletePaths.foreach { ep =>
+          t.eqDeletePaths.zipWithIndex.foreach { case (ep, ei) =>
             // per-JVM cache, keyed by (path, key positions, key types):
             // one eq-delete file masks every lower-sequence data file in
             // the range, so each change task would otherwise re-parse it
@@ -385,7 +434,16 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
               (s: java.util.HashSet[Seq[Any]]) =>
                 GraftExecutorCache.weighKeySet(s, t.eqKeyPositions.length)) {
               val ks = new java.util.HashSet[Seq[Any]]()
-              rowFunc(pf(ep, Long.MaxValue)).foreach { r =>
+              // the eq-delete FILE reads with its own format's
+              // full-schema reader (absent columns resolve null)
+              val eqRead =
+                (if (ei < t.eqDelFormats.length) t.eqDelFormats(ei)
+                 else "parquet") match {
+                  case "avro" if avroEqFunc != null => avroEqFunc
+                  case "orc" if orcEqFunc != null   => orcEqFunc
+                  case _                            => rowFunc
+                }
+              eqRead(pf(ep, Long.MaxValue)).foreach { r =>
                 ks.add(t.eqKeyPositions.map(p => canonical(r, p)).toSeq)
               }
               ks
@@ -402,7 +460,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
             case (row, idx) if !masked.contains(idx.toLong) => row
           }
         } else {
-          val deleted = positionsOf(t.posDeletePaths)
+          val deleted = positionsOf(t.posDeletePaths, t.posDelFormats)
           // emit ONLY the newly deleted positions — these are the removed rows
           dataFunc(t)(pf(t.path, t.length)).zipWithIndex.collect {
             case (row, idx) if deleted.contains(idx.toLong) &&

@@ -290,14 +290,26 @@ object GraftProcedures {
   private[spark] def deleteRowsDf(spark: SparkSession,
       files: Seq[DataFile],
       readOpts: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.input_file_name
-    val (dv, pq) = files.partition(_.format == "dv")
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val (dv, rest) = files.partition(_.format == "dv")
+    // per-file format dispatch (reference DeleteFilter): external trees
+    // mix avro/orc position deletes over parquet data
+    val (av, rest2) = rest.partition(_.format == "avro")
+    val (orc, pq) = rest2.partition(_.format == "orc")
     val parts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     if (pq.nonEmpty)
       parts += spark.read.schema(GraftDeltaWriter.DeleteSchema)
         .options(readOpts)
         .parquet(pq.map(_.path): _*)
         .withColumn("__src", input_file_name())
+    if (av.nonEmpty)
+      parts += GraftAvro.readToDf(spark, av.map(_.path),
+          GraftDeltaWriter.DeleteSchema, withPos = true)
+        .select(col("file_path"), col("pos"), col("__f").as("__src"))
+    if (orc.nonEmpty)
+      parts += orcReadToDf(spark, orc.map(_.path),
+          GraftDeltaWriter.DeleteSchema, GraftDeltaWriter.DeleteSchema)
+        .select(col("file_path"), col("pos"), col("__f").as("__src"))
     if (dv.nonEmpty) {
       val rows = dv.flatMap { f =>
         val (ref, bm) = DVIO.read(f.path)

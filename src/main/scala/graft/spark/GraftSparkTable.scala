@@ -434,13 +434,21 @@ object GraftSparkTable {
           GraftExecutorCache.weighKeySet(s, positions.size))(load())
   }
 
-  /** an equality-delete file + the field ids it deletes by */
-  final case class EqDeleteDesc(path: String, fieldIds: Array[Int])
+  /** an equality-delete file + the field ids it deletes by. `format` is
+    * the file's OWN manifest-recorded format — external v2 trees commonly
+    * mix Avro deletes over Parquet data (reference DeleteFilter dispatches
+    * per DeleteFile.format(), data/.../DeleteFilter.java) */
+  final case class EqDeleteDesc(path: String, fieldIds: Array[Int],
+      format: String = "parquet")
 
   /** Serializable slice of a FileScanTask shipped to executors. */
   final case class TaskDesc(path: String, start: Long, length: Long,
       deletePaths: Array[String],
       eqDeletes: Array[EqDeleteDesc] = Array.empty,
+      // per-entry format of `deletePaths` (parallel array; entries past
+      // its end default to "parquet") — position-delete files keep their
+      // manifest-recorded format independently of the data file's
+      posDelFormats: Array[String] = Array.empty,
       // "parquet" (field-id resolution) | "parquet-nm" (imported, by name)
       // | "orc" (imported, by name)
       fileFormat: String = "parquet",
@@ -1081,7 +1089,8 @@ object GraftSparkTable {
     private def toDesc(t: FileScanTask): TaskDesc = {
       val (eq, pos) = t.deletes.partition(_.content == graft.core.meta.FileContent.EqualityDeletes)
       TaskDesc(t.file.path, t.start, t.length, pos.map(_.path).toArray,
-        eq.map(d => EqDeleteDesc(d.path, d.equalityIds.toArray)).toArray,
+        eq.map(d => EqDeleteDesc(d.path, d.equalityIds.toArray, d.format)).toArray,
+        posDelFormats = pos.map(_.format).toArray,
         fileFormat = t.file.format,
         specId = t.file.specId, partition = t.file.partition,
         firstRowId = t.file.firstRowId, dataSeq = t.dataSequenceNumber,
@@ -1191,6 +1200,22 @@ object GraftSparkTable {
         ts.exists(_.deletes.exists(_.content == FileContent.EqualityDeletes))
       val anyNonDvPos = conservative || ts.exists(_.deletes.exists(d =>
         d.content == FileContent.PositionDeletes && !graft.core.meta.DVIO.isDV(d.path)))
+      // delete files carry their OWN format independently of the data
+      // (reference DeleteFilter dispatches per DeleteFile.format()) —
+      // Flink-shaped external trees write Avro deletes over Parquet data.
+      // Build a reader per format actually present among the delete files.
+      val allDelFmts = Set("parquet", "orc", "avro")
+      val posDelFmts: Set[String] =
+        if (conservative) allDelFmts
+        else ts.iterator.flatMap(_.deletes.iterator
+          .filter(d => d.content == FileContent.PositionDeletes &&
+            !graft.core.meta.DVIO.isDV(d.path))
+          .map(_.format)).toSet
+      val eqDelFmts: Set[String] =
+        if (conservative) allDelFmts
+        else ts.iterator.flatMap(_.deletes.iterator
+          .filter(_.content == FileContent.EqualityDeletes)
+          .map(_.format)).toSet
       val wantLineage = metaCols.contains(MetaRowIdCol) || metaCols.contains(MetaSeqCol)
       val needPosRow = metaCols.contains(MetaPosCol) || wantLineage
       val needPosV = metaCols.contains(MetaPosCol)
@@ -1390,7 +1415,7 @@ object GraftSparkTable {
         org.apache.spark.sql.types.StructField("file_path", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType)))
       val deleteFunc =
-        if (anyNonDvPos)
+        if (anyNonDvPos && posDelFmts.exists(_.startsWith("parquet")))
           fmt.buildReaderWithPartitionValues(spark, deleteSchema,
             new StructType(), deleteSchema, Nil,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
@@ -1470,6 +1495,28 @@ object GraftSparkTable {
           orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
             new StructType(), stripIds(dataRequired), Nil,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "true"), freshNameConf)
+        else null
+      // position-delete files in the non-table formats (file_path/pos read
+      // by name — both formats resolve names, so genuine external delete
+      // files with the reserved field ids read identically)
+      val orcDeleteFunc =
+        if (anyNonDvPos && posDelFmts("orc"))
+          orcFmt.buildReaderWithPartitionValues(spark, deleteSchema,
+            new StructType(), deleteSchema, Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshNameConf)
+        else null
+      val avroDeleteFunc: PartitionedFile => Iterator[InternalRow] =
+        if (anyNonDvPos && posDelFmts("avro")) GraftAvro.ReadFunc(deleteSchema.json)
+        else null
+      // equality-delete files in ORC: full-schema read by name (absent
+      // columns null — only the file's key columns are present)
+      val orcDelFullFunc =
+        if (eqDelFmts("orc"))
+          orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
+            new StructType(), stripIds(fullSchema), Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshNameConf)
         else null
       // per-historical-schema ORC row funcs: request each field under its
       // WRITE-TIME top-level name (position-aligned with the current
@@ -1558,7 +1605,11 @@ object GraftSparkTable {
       val needAvro = formats("avro")
       val avroRowFunc = if (needAvro) GraftAvro.ReadFunc(dataRequiredBin.json) else null
       val avroRowFuncNF = if (needAvro) GraftAvro.ReadFunc(dataReadNFBin.json) else null
-      val avroFullFunc = if (needAvro && anyEq) GraftAvro.ReadFunc(fullSchema.json) else null
+      // built when avro DATA files carry eq deletes OR the eq-delete files
+      // themselves are avro (field-id resolution nulls absent columns)
+      val avroFullFunc =
+        if (anyEq && (needAvro || eqDelFmts("avro"))) GraftAvro.ReadFunc(fullSchema.json)
+        else null
       val avroFullLin =
         if (needAvro && anyEq && wantLineage)
           GraftAvro.ReadFunc(StructType(fullSchema.fields ++ lineageReadFields).json)
@@ -1588,7 +1639,9 @@ object GraftSparkTable {
         shredBinRowFuncNF = shredBinRowFuncNF,
         shredParentRel = shredParentRel, shredParentFull = shredParentFull,
         batchFuncEq = batchFuncEq, eqBatchPos = eqBatchPos,
-        crypto = graft.core.meta.TableCrypto.resolve(table.meta))
+        crypto = graft.core.meta.TableCrypto.resolve(table.meta),
+        orcDeleteFunc = orcDeleteFunc, avroDeleteFunc = avroDeleteFunc,
+        orcDelFullFunc = orcDelFullFunc)
     }
 
     /** (parent, path) → materialized shred file-column name */
@@ -1704,7 +1757,13 @@ object GraftSparkTable {
       batchFuncEq: PartitionedFile => Iterator[InternalRow] = null,
       eqBatchPos: Map[Int, (Int, org.apache.spark.sql.types.DataType)] = Map.empty,
       // encrypted tables: table key for executor-side DV decryption
-      crypto: Option[graft.core.meta.TableCrypto] = None)
+      crypto: Option[graft.core.meta.TableCrypto] = None,
+      // per-delete-file format dispatch (reference DeleteFilter keys its
+      // readers on DeleteFile.format()): position/equality delete files in
+      // formats other than the parquet default
+      orcDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
+      avroDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
+      orcDelFullFunc: PartitionedFile => Iterator[InternalRow] = null)
     extends PartitionReaderFactory {
 
     // per-executor shred helpers (transient: rebuilt after serialization)
@@ -1769,7 +1828,9 @@ object GraftSparkTable {
       * ambiguous suffix, e.g. an import colliding with a native file
       * name, never silently cross-applies). */
     private def deletedPositions(dataPath: String,
-        deletePaths: Array[String]): org.roaringbitmap.longlong.Roaring64Bitmap = {
+        deletePaths: Array[String],
+        formats: Array[String] = Array.empty)
+        : org.roaringbitmap.longlong.Roaring64Bitmap = {
       import graft.core.meta.GraftIO.{dataSuffix, stripScheme}
       // masks stay Roaring bitmaps end-to-end: a boxed HashSet[Long] costs
       // ~48 B per deleted position (500 MB heap for a 10M-row DV), while
@@ -1777,15 +1838,23 @@ object GraftSparkTable {
       // between an executor cache that holds the working set and one that
       // thrashes at 100 TB delete volumes
       val out = new org.roaringbitmap.longlong.Roaring64Bitmap()
-      deletePaths.foreach { dp =>
+      deletePaths.zipWithIndex.foreach { case (dp, di) =>
         val byFile = PosDeleteCache.get(dp, () => {
           if (graft.core.meta.DVIO.isDV(dp)) {
             val (ref, bm) = graft.core.meta.DVIO.read(dp, crypto)
             Map(stripScheme(ref) -> bm)
           } else {
+            // each delete file parses with its OWN manifest-recorded
+            // format (reference DeleteFilter per-file dispatch); entries
+            // past the formats array default to the parquet reader
+            val readFn = (if (di < formats.length) formats(di) else "parquet") match {
+              case "avro" if avroDeleteFunc != null => avroDeleteFunc
+              case "orc" if orcDeleteFunc != null   => orcDeleteFunc
+              case _                                => deleteFunc
+            }
             val m = scala.collection.mutable
               .Map.empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
-            deleteFunc(pf(dp, 0, Long.MaxValue)).foreach { r =>
+            readFn(pf(dp, 0, Long.MaxValue)).foreach { r =>
               m.getOrElseUpdate(stripScheme(r.getUTF8String(0).toString),
                 new org.roaringbitmap.longlong.Roaring64Bitmap())
                 .addLong(r.getLong(1))
@@ -1827,10 +1896,17 @@ object GraftSparkTable {
       val posOf = fullSchema.fieldNames.zipWithIndex.toMap
       val positions = ed.fieldIds.flatMap(id =>
         fieldNamesById.get(id).flatMap(posOf.get))
+      // the delete FILE reads with its own format's full-schema reader
+      // (all three project fullSchema's field order, so `positions` holds)
+      val delRead = ed.format match {
+        case "avro" if avroFullFunc != null  => avroFullFunc
+        case "orc" if orcDelFullFunc != null => orcDelFullFunc
+        case _                               => rowFuncFull
+      }
       val keys = EqDeleteCache.get(ed.path, positions.toSeq,
         positions.toSeq.map(p => fullSchema(p).dataType.catalogString), () => {
         val ks = new java.util.HashSet[Seq[Any]]()
-        rowFuncFull(pf(ed.path, 0, Long.MaxValue)).foreach { r =>
+        delRead(pf(ed.path, 0, Long.MaxValue)).foreach { r =>
           ks.add(positions.map(p => canonical(r, p, fullSchema(p).dataType)).toSeq)
         }
         ks
@@ -1845,7 +1921,7 @@ object GraftSparkTable {
       // per delete file: the key positions + the set of deleted keys
       val masks: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] =
         t.eqDeletes.toSeq.map(eqKeySet)
-      val posDeleted = deletedPositions(t.path, t.deletePaths)
+      val posDeleted = deletedPositions(t.path, t.deletePaths, t.posDelFormats)
       val project = dataRequired.fields.map(f => fullSchema.fieldIndex(f.name))
       // when lineage columns are requested, read the lineage-extended
       // variant so compacted files' materialized _row_id wins over the
@@ -2058,7 +2134,7 @@ object GraftSparkTable {
           // (reference ColumnarBatchUtil.buildRowIdMapping)
           val deleted =
             if (t.deletePaths.isEmpty) new org.roaringbitmap.longlong.Roaring64Bitmap()
-            else deletedPositions(t.path, t.deletePaths)
+            else deletedPositions(t.path, t.deletePaths, t.posDelFormats)
           var base = 0L
           val nData = dataRequired.length
           val hasEq = eqMasks.nonEmpty
@@ -2219,7 +2295,7 @@ object GraftSparkTable {
           }
         } else {
           // positions deleted for THIS data file across its delete files
-          val deleted = deletedPositions(t.path, t.deletePaths)
+          val deleted = deletedPositions(t.path, t.deletePaths, t.posDelFormats)
           val mat = hasShred && t.shredMat && t.fileFormat == "parquet"
           // full-file read so row index == file position
           val f = t.fileFormat match {

@@ -502,7 +502,10 @@ object GraftUpsertWriterFactory {
       .map(e => e.getKey -> e.getValue).toMap
     new GraftUpsertWriterFactory(inner, table.location, eqStruct.json,
       confMap, eqFields.map(f => writeSchema.fieldIndex(f.name)).toArray,
-      eqIds.toArray, owf)
+      eqIds.toArray, owf,
+      // eq deletes can't be DVs; only 'avro' switches the file format
+      if (table.meta.properties.get("write.delete.format").contains("avro")) "avro"
+      else "parquet")
   }
 }
 
@@ -513,11 +516,13 @@ final class GraftUpsertWriterFactory(
     confMap: Map[String, String],
     keyPos: Array[Int],
     eqIds: Array[Int],
-    owf: OutputWriterFactory) extends DataWriterFactory {
+    owf: OutputWriterFactory,
+    deleteFormat: String = "parquet") extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftUpsertWriter(inner.createWriter(partitionId, taskId),
-      location, eqSchemaJson, confMap, keyPos, eqIds, owf, partitionId, taskId)
+      location, eqSchemaJson, confMap, keyPos, eqIds, owf, partitionId, taskId,
+      deleteFormat)
 }
 
 final class GraftUpsertWriter(
@@ -529,7 +534,8 @@ final class GraftUpsertWriter(
     eqIds: Array[Int],
     owf: OutputWriterFactory,
     partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    deleteFormat: String = "parquet") extends DataWriter[InternalRow] {
 
   private val eqSchema = org.apache.spark.sql.types.DataType.fromJson(eqSchemaJson)
     .asInstanceOf[StructType]
@@ -554,7 +560,7 @@ final class GraftUpsertWriter(
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
     val eqFile = EqDeleteFiles.write(location, eqSchema, eqIds, 0, Nil,
-      keys, owf, conf, partitionId, taskId)
+      keys, owf, conf, partitionId, taskId, deleteFormat)
     GraftDeltaCommitMessage(dataMsg.files, Seq(eqFile))
   }
 
@@ -571,24 +577,36 @@ object EqDeleteFiles {
   def write(location: String, eqSchema: StructType, eqIds: Array[Int],
       specId: Int, partition: Seq[Any], keys: Iterable[Seq[Any]],
       owf: OutputWriterFactory, conf: Configuration,
-      partitionId: Int, taskId: Long): DataFile = {
+      partitionId: Int, taskId: Long, format: String = "parquet"): DataFile = {
     val dir = s"$location/data"
     java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
-    val path = s"$dir/eq-delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
-    val ctx = new TaskAttemptContextImpl(conf,
-      new TaskAttemptID(new TaskID("graft-eq", partitionId, TaskType.MAP, taskId.toInt), 0))
-    val w = owf.newInstance(path, eqSchema, ctx)
+    val ext = if (format == "avro") "avro" else "parquet"
+    val path = s"$dir/eq-delete-$partitionId-$taskId-${UUID.randomUUID}.$ext"
     val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       eqSchema.length)
-    keys.foreach { key =>
+    def fill(key: Seq[Any]): InternalRow = {
       var i = 0
       while (i < eqSchema.length) {
         out.update(i, toInternal(key(i), eqSchema.fields(i).dataType))
         i += 1
       }
-      w.write(out)
+      out
     }
-    w.close()
+    if (format == "avro") {
+      // field ids ride as avro field-id props (eqSchema carries them in
+      // its Spark metadata), matching Flink's eq-delete file shape
+      val gEq = graft.core.types.GSchema(graft.core.types.GStruct(
+        eqSchema.fields.zip(eqIds).map { case (f, id) =>
+          graft.core.types.GField(id, f.name, SparkBridge.gTypeOf(f.dataType))
+        }.toSeq))
+      GraftAvro.writeFile(path, eqSchema, gEq, keys.iterator.map(fill))
+    } else {
+      val ctx = new TaskAttemptContextImpl(conf,
+        new TaskAttemptID(new TaskID("graft-eq", partitionId, TaskType.MAP, taskId.toInt), 0))
+      val w = owf.newInstance(path, eqSchema, ctx)
+      keys.foreach(k => w.write(fill(k)))
+      w.close()
+    }
     // min/max of the key columns (values are already in memory): the
     // delta conflict validation prunes concurrent operations by these
     // bounds — without them every pair of concurrent row-level ops on
@@ -609,7 +627,7 @@ object EqDeleteFiles {
           Some((keys.size - vals.size).toLong), None, lo, hi)
       }
     }.toMap
-    DataFile(path, "parquet", specId, partition, keys.size.toLong,
+    DataFile(path, ext, specId, partition, keys.size.toLong,
       GraftIO.size(path), stats,
       content = graft.core.meta.FileContent.EqualityDeletes,
       equalityIds = eqIds.toSeq)
@@ -1069,6 +1087,17 @@ object GraftDeltaWriter {
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
+  /** same schema with the spec's reserved field ids (format/spec.md
+    * position deletes: file_path=2147483546, pos=2147483545) — avro delete
+    * files carry them as field-id props so external id-based readers
+    * project them exactly */
+  val DeleteGSchema: graft.core.types.GSchema = graft.core.types.GSchema(
+    graft.core.types.GStruct(Seq(
+      graft.core.types.GField(graft.core.meta.DeleteFileIndex.FilePathFieldId,
+        "file_path", graft.core.types.GString, required = true),
+      graft.core.types.GField(graft.core.meta.DeleteFileIndex.PosFieldId,
+        "pos", graft.core.types.GLong, required = true))))
+
   /** partition tuple (internal rep) from a (_spec_id, _partition)
     * metadata projection row, or Nil when it doesn't apply cleanly —
     * Nil means the delete file attaches globally, which is always
@@ -1124,24 +1153,38 @@ final class GraftDeltaWriter(
 
   override def insert(row: InternalRow): Unit = dataWriter.write(row)
 
-  /** one parquet position-delete file for `dels` (sorted (file,pos)) */
+  /** one position-delete file for `dels` (sorted (file,pos)); format is
+    * `write.delete.format` — parquet (default) or avro (the shape Flink
+    * CDC pipelines write; reference core delete writers take any
+    * FileFormat) */
   private def writeDeleteFile(partition: Seq[Any],
       dels: mutable.ArrayBuffer[(String, Long)]): DataFile = {
     val dir = s"$location/data"
     java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
-    val path = s"$dir/delete-$partitionId-$taskId-${UUID.randomUUID}.parquet"
-    val ctx = new TaskAttemptContextImpl(conf,
-      new TaskAttemptID(new TaskID("graft-del", partitionId, TaskType.MAP, taskId.toInt), 0))
-    val w = delOwf.newInstance(path, GraftDeltaWriter.DeleteSchema, ctx)
+    val ext = if (deleteFormat == "avro") "avro" else "parquet"
+    val path = s"$dir/delete-$partitionId-$taskId-${UUID.randomUUID}.$ext"
     // sorted by (file, pos) so per-file runs are contiguous
     dels.sortInPlace()
     val rowOut = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-    dels.foreach { case (f, p) =>
-      rowOut.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f))
-      rowOut.setLong(1, p)
-      w.write(rowOut)
+    if (deleteFormat == "avro") {
+      GraftAvro.writeFile(path, GraftDeltaWriter.DeleteSchema,
+        GraftDeltaWriter.DeleteGSchema,
+        dels.iterator.map { case (f, p) =>
+          rowOut.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f))
+          rowOut.setLong(1, p)
+          rowOut: InternalRow
+        })
+    } else {
+      val ctx = new TaskAttemptContextImpl(conf,
+        new TaskAttemptID(new TaskID("graft-del", partitionId, TaskType.MAP, taskId.toInt), 0))
+      val w = delOwf.newInstance(path, GraftDeltaWriter.DeleteSchema, ctx)
+      dels.foreach { case (f, p) =>
+        rowOut.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f))
+        rowOut.setLong(1, p)
+        w.write(rowOut)
+      }
+      w.close()
     }
-    w.close()
     val refs = dels.map(_._1).distinct
     // file_path range of the RELOCATION-STABLE suffix keys: the delete
     // index uses it to skip data files this delete can't reference
@@ -1151,7 +1194,7 @@ final class GraftDeltaWriter(
       graft.core.expr.ColStats(valueCount = Some(dels.size.toLong),
         nullCount = Some(0L), nanCount = None,
         lower = Some(keys.min), upper = Some(keys.max)))
-    DataFile(path, "parquet", specId, partition, dels.size.toLong,
+    DataFile(path, ext, specId, partition, dels.size.toLong,
       GraftIO.size(path), pathStats, content = FileContent.PositionDeletes,
       referencedDataFile = if (refs.size == 1) Some(refs.head) else None)
   }
@@ -1279,7 +1322,10 @@ final class GraftEqDeltaBatchWrite(table: GTable, branchPin: Option[String] = No
     new GraftEqDeltaWriterFactory(table.location, eqStruct.json, confMap,
       eqIds.toArray, MetaJson.writeSpec(table.spec).toString,
       MetaJson.writeSchema(gSchemaForFile).toString, owf,
-      writeSchema.json, dataOwf, dataConfMap)
+      writeSchema.json, dataOwf, dataConfMap,
+      // eq deletes can't be DVs; only 'avro' switches the file format
+      if (table.meta.properties.get("write.delete.format").contains("avro")) "avro"
+      else "parquet")
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -1299,7 +1345,8 @@ final class GraftEqDeltaWriterFactory(
     owf: OutputWriterFactory,
     writeSchemaJson: String,
     dataOwf: OutputWriterFactory,
-    dataConfMap: Map[String, String]) extends DeltaWriterFactory {
+    dataConfMap: Map[String, String],
+    deleteFormat: String = "parquet") extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val eqSchema = org.apache.spark.sql.types.DataType.fromJson(eqSchemaJson)
@@ -1316,7 +1363,7 @@ final class GraftEqDeltaWriterFactory(
       dataOwf, dataConf, partitionId, taskId, lineage = true)
     new GraftEqDeltaWriter(location, spec.specId,
       spec.partitionType(gSchema).fields.map(f => SparkTypes.toSpark(f.tpe)).toArray,
-      eqSchema, eqIds, owf, conf, partitionId, taskId, dataWriter)
+      eqSchema, eqIds, owf, conf, partitionId, taskId, dataWriter, deleteFormat)
   }
 }
 
@@ -1330,7 +1377,8 @@ final class GraftEqDeltaWriter(
     conf: Configuration,
     partitionId: Int,
     taskId: Long,
-    dataWriter: GraftFanoutWriter) extends DeltaWriter[InternalRow] {
+    dataWriter: GraftFanoutWriter,
+    deleteFormat: String = "parquet") extends DeltaWriter[InternalRow] {
 
   // distinct identifier tuples per referenced partition tuple: a key
   // deleted twice in one task writes once (equality deletes are
@@ -1367,7 +1415,7 @@ final class GraftEqDeltaWriter(
     val dataMsg = dataWriter.commit().asInstanceOf[GraftCommitMessage]
     val files = deleted.values.toSeq.map { case (partition, keys) =>
       EqDeleteFiles.write(location, eqSchema, eqIds, specId, partition,
-        keys, owf, conf, partitionId, taskId)
+        keys, owf, conf, partitionId, taskId, deleteFormat)
     }
     GraftDeltaCommitMessage(dataMsg.files, files)
   }

@@ -91,7 +91,13 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     def setModes(): String = {
       val del = if (rng.nextBoolean()) "merge-on-read" else "copy-on-write"
       val upd = if (rng.nextBoolean()) "merge-on-read" else "copy-on-write"
-      val fmt = if (rng.nextBoolean()) "dv" else "parquet"
+      // avro included: delete files keep their own format independent of
+      // the data's, so this seeds mixed-format MoR trees (the Flink shape)
+      val fmt = rng.nextInt(3) match {
+        case 0 => "dv"
+        case 1 => "avro"
+        case _ => "parquet"
+      }
       // flipping the manifest codec mid-history leaves a MIXED JSON/Avro
       // metadata tree that every later op (and the sniffing readers)
       // must keep handling
