@@ -48,7 +48,11 @@ object RestCatalogServer {
     * `Authorization: Bearer` on every call; anything else gets 401. */
   def start(warehouse: String, port: Int = 0,
       credential: Option[(String, String)] = None,
-      tableConfig: Map[String, String] = Map.empty): (HttpServer, String) = {
+      tableConfig: Map[String, String] = Map.empty,
+      // server-side scan planning: file-scan-tasks per plan-task chunk
+      // (small in tests to exercise the multi-chunk fetch path; a real
+      // deployment sizes this to the response-payload budget)
+      planPageSize: Int = 10000): (HttpServer, String) = {
     val backing = new HadoopCatalog(warehouse)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // per-server-instance opaque token; handed out only for the right
@@ -262,11 +266,38 @@ object RestCatalogServer {
         }
       } catch { case e: Throwable => json(x, 400, errJson(e)) })
 
+    // server-side scan planning state: plan-id → pre-serialized ScanTasks
+    // chunk JSONs (reference CatalogHandlers plan handling). Bounded ring:
+    // completed plans evict oldest-first past the cap.
+    val plans = new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]()
+    val planOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def storePlan(id: String, chunks: IndexedSeq[String]): Unit = {
+      plans.put(id, chunks)
+      planOrder.add(id)
+      while (plans.size() > 128) {
+        val old = planOrder.poll()
+        if (old != null) plans.remove(old) else return
+      }
+    }
+
     // /v1/namespaces/{ns}/tables[/{t}[/create|/commit]]
     server.createContext("/v1/namespaces", (x: HttpExchange) =>
       try if (authed(x)) {
         val parts = x.getRequestURI.getPath.stripPrefix("/v1/namespaces")
           .stripPrefix("/").split("/").filter(_.nonEmpty)
+        // anti-traversal: EVERY route addressing a table or view name
+        // validates it ONCE here — the legacy create/commit routes used
+        // to accept '..' or '_x' and let a client commit table metadata
+        // into the namespace's parent (warehouse-root poisoning)
+        parts match {
+          case Array(_, "tables", t, _*) =>
+            require(NamespaceProps.validName(t) && !t.startsWith("_"),
+              s"invalid table name: $t")
+          case Array(_, "views", v, _*) =>
+            require(NamespaceProps.validName(v) && !v.startsWith("_"),
+              s"invalid view name: $v")
+          case _ => ()
+        }
         (x.getRequestMethod, parts) match {
           // ---- namespace routes (open-api listNamespaces /
           // createNamespace / loadNamespaceMetadata / dropNamespace /
@@ -600,6 +631,107 @@ object RestCatalogServer {
                 ops.commit(0, meta.copy(location = loc, properties = rprops))))
               json(x, 200, loadResultJson(ops))
             else json(x, 409, s"""{"error": "table exists"}""")
+          // ---- server-side scan planning (open-api planTableScan /
+          // fetchPlanningResult / cancelPlanning / fetchScanTasks;
+          // reference CatalogHandlers, RESTTableScan). The server runs
+          // the full 3-layer pruning funnel and returns only surviving
+          // FileScanTasks — a thin client at 100 TB never ships
+          // manifests. Results chunk into opaque plan-tasks past
+          // planPageSize; the X-Graft-Plan-Async header exercises the
+          // spec's "submitted" + poll path deterministically.
+          case ("POST", Array(ns, "tables", t, "plan")) =>
+            val body = MetaJson.mapper.readTree(readBody(x))
+            val ops = new FileTableOps(backing.tableLocation(nsParts(ns), t))
+            if (ops.currentVersion() == 0)
+              json(x, 404, s"""{"error": "no such table"}""")
+            else if (Option(body.get("start-snapshot-id")).exists(!_.isNull))
+              json(x, 400,
+                s"""{"error": "incremental scan planning is not supported"}""")
+            else {
+              val table = new GTable(ops)
+              val meta = table.refresh()
+              val scan = table.newScan()
+              Option(body.get("snapshot-id")).filterNot(_.isNull)
+                .foreach(sn => scan.useSnapshot(sn.asLong()))
+              Option(body.get("filter")).filterNot(_.isNull)
+                .foreach(f => scan.filter(SpecExpr.read(f)))
+              val tasks = scan.planFiles()
+              // stats-fields trims per-file column stats to the named
+              // fields; absent → full stats (graft clients need bounds
+              // for metadata-only aggregate pushdown)
+              val statsIds: Option[Set[Int]] =
+                Option(body.get("stats-fields")).filterNot(_.isNull).map { arr =>
+                  val b = Set.newBuilder[Int]
+                  arr.elements().forEachRemaining(fn =>
+                    meta.schema.byName.get(fn.asText()).foreach(f => b += f.id))
+                  b.result()
+                }
+              val trimmed = statsIds match {
+                case None => tasks
+                case Some(keep) => tasks.map(ft => ft.copy(file = ft.file.copy(
+                  columnStats = ft.file.columnStats.view
+                    .filterKeys(keep).toMap)))
+              }
+              val planId = java.util.UUID.randomUUID().toString
+              val chunks = trimmed.grouped(math.max(1, planPageSize)).toIndexedSeq
+              val chunkJsons = chunks.map(c =>
+                MetaJson.mapper.writeValueAsString(SpecScanTasks.writeTasks(c, meta)))
+              storePlan(planId, if (chunkJsons.isEmpty)
+                IndexedSeq(MetaJson.mapper.writeValueAsString(
+                  SpecScanTasks.writeTasks(Nil, meta)))
+                else chunkJsons)
+              val async = Option(x.getRequestHeaders.getFirst("X-Graft-Plan-Async"))
+                .exists(_.equalsIgnoreCase("true"))
+              if (async)
+                json(x, 200, s"""{"status": "submitted", "plan-id": ${
+                  MetaJson.mapper.writeValueAsString(planId)}}""")
+              else {
+                val o =
+                  if (chunkJsons.size <= 1)
+                    MetaJson.mapper.readTree(plans.get(planId).head)
+                      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                  else {
+                    val oo = MetaJson.mapper.createObjectNode()
+                    val pts = oo.putArray("plan-tasks")
+                    chunkJsons.indices.foreach(i =>
+                      pts.add(SpecScanTasks.planTask(planId, i)))
+                    oo
+                  }
+                o.put("status", "completed").put("plan-id", planId)
+                json(x, 200, MetaJson.mapper.writeValueAsString(o))
+              }
+            }
+          case ("GET", Array(ns, "tables", t, "plan", pid)) =>
+            val chunks = plans.get(pid)
+            if (chunks == null) json(x, 404, s"""{"error": "no such plan-id"}""")
+            else {
+              val o =
+                if (chunks.size <= 1)
+                  MetaJson.mapper.readTree(chunks.head)
+                    .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                else {
+                  val oo = MetaJson.mapper.createObjectNode()
+                  val pts = oo.putArray("plan-tasks")
+                  chunks.indices.foreach(i => pts.add(SpecScanTasks.planTask(pid, i)))
+                  oo
+                }
+              o.put("status", "completed")
+              json(x, 200, MetaJson.mapper.writeValueAsString(o))
+            }
+          case ("DELETE", Array(ns, "tables", t, "plan", pid)) =>
+            if (plans.remove(pid) == null)
+              json(x, 404, s"""{"error": "no such plan-id"}""")
+            else { x.sendResponseHeaders(204, -1); x.close() }
+          case ("POST", Array(ns, "tables", t, "tasks")) =>
+            val body = MetaJson.mapper.readTree(readBody(x))
+            val pt = Option(body.get("plan-task")).filterNot(_.isNull)
+              .map(_.asText()).getOrElse(
+                throw new IllegalArgumentException("plan-task required"))
+            val (pid, idx) = SpecScanTasks.parsePlanTask(pt)
+            val chunks = plans.get(pid)
+            if (chunks == null || idx < 0 || idx >= chunks.size)
+              json(x, 404, s"""{"error": "no such plan-task"}""")
+            else json(x, 200, chunks(idx))
           case ("POST", Array(ns, "tables", t, "metrics")) =>
             // validate at ingest: a stored non-JSON body would otherwise
             // poison every later GET of this table's ring
@@ -768,7 +900,10 @@ final class RestTableOps(
     name: String,
     token: Option[String] = None,
     delegation: Boolean = false,
-    specCommits: Boolean = false) extends TableOps {
+    specCommits: Boolean = false,
+    // catalog-level rest-scan-planning=server: plan scans through the
+    // server's planTableScan endpoints instead of reading manifests
+    serverPlanning: Boolean = false) extends TableOps {
 
   private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
   private def hdrs: Map[String, String] =
@@ -787,6 +922,53 @@ final class RestTableOps(
   def serverConfig: Map[String, String] = lastConfig
   /** vended credentials from the last load; empty unless `delegation` */
   def storageCredentials: Seq[StorageCredential] = lastCreds
+
+  /** server-side planning is on when the catalog asked for it OR the
+    * server advertises it per-table (open-api `scan-planning-mode`) */
+  def serverPlanningOn: Boolean =
+    serverPlanning || lastConfig.get("scan-planning-mode").contains("server")
+
+  /** Plan a snapshot scan through the server (open-api planTableScan +
+    * fetchPlanningResult + fetchScanTasks; reference RESTTableScan):
+    * POST the filter, poll while "submitted", then fetch every chunk.
+    * `meta` types the wire values (partition tuples, stat bounds). */
+  def planScan(snapshotId: Option[Long], filter: graft.core.expr.Expr,
+      meta: TableMetadata): Seq[FileScanTask] = {
+    val req = MetaJson.mapper.createObjectNode()
+    snapshotId.foreach(req.put("snapshot-id", _))
+    if (filter != graft.core.expr.TrueE)
+      req.set[com.fasterxml.jackson.databind.JsonNode]("filter",
+        SpecExpr.write(filter))
+    val (code, body) = RestHttp.post(s"$tableUrl/plan",
+      MetaJson.mapper.writeValueAsString(req), hdrs)
+    require(code == 200, s"planTableScan failed: $code $body")
+    var n = MetaJson.mapper.readTree(body)
+    val planId = Option(n.get("plan-id")).map(_.asText())
+    // poll the async path until the server reports a terminal status
+    var waitedMs = 0L
+    while (n.get("status").asText() == "submitted") {
+      require(waitedMs < 120000L, "scan planning timed out after 120s")
+      Thread.sleep(50); waitedMs += 50
+      val id = planId.getOrElse(
+        throw new IllegalStateException("submitted status without plan-id"))
+      val (c2, b2) = RestHttp.get(s"$tableUrl/plan/$id", hdrs)
+      require(c2 == 200, s"fetchPlanningResult failed: $c2 $b2")
+      n = MetaJson.mapper.readTree(b2)
+    }
+    val status = n.get("status").asText()
+    require(status == "completed", s"scan planning $status: $n")
+    val inline = SpecScanTasks.readTasks(n, meta)
+    val chunked = Option(n.get("plan-tasks")).map { arr =>
+      (0 until arr.size()).flatMap { i =>
+        val (c3, b3) = RestHttp.post(s"$tableUrl/tasks",
+          MetaJson.mapper.writeValueAsString(MetaJson.mapper.createObjectNode()
+            .put("plan-task", arr.get(i).asText())), hdrs)
+        require(c3 == 200, s"fetchScanTasks failed: $c3 $b3")
+        SpecScanTasks.readTasks(MetaJson.mapper.readTree(b3), meta)
+      }
+    }.getOrElse(Seq.empty)
+    inline ++ chunked
+  }
 
   private def load(): Option[(Int, TableMetadata)] = {
     val (code, body) = RestHttp.get(tableUrl, hdrs)
@@ -878,7 +1060,8 @@ final class RestTableOps(
   * filesystem in this implementation, as with HadoopCatalog). */
 final class RestCatalog private (warehouse: String, uri: String,
     token: Option[String], delegation: Boolean,
-    specCommits: Boolean = false)
+    specCommits: Boolean = false,
+    serverPlanning: Boolean = false)
   extends HadoopCatalog(warehouse) {
 
   private def ns(namespace: Seq[String]): String = namespace.mkString(".")
@@ -887,7 +1070,7 @@ final class RestCatalog private (warehouse: String, uri: String,
 
   private def ops(namespace: Seq[String], name: String): RestTableOps =
     new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name,
-      token, delegation, specCommits)
+      token, delegation, specCommits, serverPlanning)
 
   /** Load the table's vended storage credentials (requires the catalog
     * to have been connected with access delegation). One fresh set per
@@ -1183,7 +1366,8 @@ object RestCatalog {
     * server config endpoint. */
   def connect(uri: String, credential: Option[String] = None,
       accessDelegation: Boolean = false,
-      specCommits: Boolean = false): RestCatalog = {
+      specCommits: Boolean = false,
+      serverPlanning: Boolean = false): RestCatalog = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     val token = credential.map { cred =>
       val (id, secret) = cred.split(":", 2) match {
@@ -1201,6 +1385,7 @@ object RestCatalog {
     require(code == 200, s"REST catalog config failed: $code $body")
     val warehouse = MetaJson.mapper.readTree(body).get("warehouse").asText()
     wireMetrics(uri, warehouse, token)
-    new RestCatalog(warehouse, uri, token, accessDelegation, specCommits)
+    new RestCatalog(warehouse, uri, token, accessDelegation, specCommits,
+      serverPlanning)
   }
 }

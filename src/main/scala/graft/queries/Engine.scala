@@ -2251,9 +2251,69 @@ object Engine {
       FROM customer WHERE c_custkey % 5 <> 2
       GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  // ------------------------------------------------------------------ g64
+  // REST server-side scan planning (reference open-api planTableScan /
+  // fetchPlanningResult / fetchScanTasks; CatalogHandlers, RESTTableScan):
+  // a catalog with rest-scan-planning=server never reads manifests
+  // client-side — the filter crosses as a spec Predicate, the server runs
+  // the 3-layer pruning funnel, and only surviving FileScanTasks (plus
+  // their MoR delete files) come back, chunked into opaque plan-tasks.
+  // The gate writes a partitioned MoR table over the REST catalog, then
+  // queries it through a SERVER-PLANNING catalog with a partition filter
+  // and matches DuckDB on the raw source.
+  private val g64 = Q(
+    "g64_engine_rest_server_planning",
+    (s, dir) => {
+      val wh = warehouse(dir) + "_rest"
+      val uri = RestFixture.ensure(wh)
+      s.conf.set("spark.sql.catalog.grest.uri", uri) // base catalog (writes)
+      s.conf.set("spark.sql.catalog.grest", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grest.catalog-impl", "rest")
+      // the reading catalog plans through the server
+      s.conf.set("spark.sql.catalog.grestp", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grestp.catalog-impl", "rest")
+      s.conf.set("spark.sql.catalog.grestp.uri", uri)
+      s.conf.set("spark.sql.catalog.grestp.rest-scan-planning", "server")
+      val cat = graft.core.meta.RestCatalog.connect(uri)
+      if (!cat.tableExists(Seq("db"), "orders_sp")) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS grest.db")
+        s.sql("""CREATE TABLE grest.db.orders_sp (
+          o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+          PARTITIONED BY (o_orderstatus)
+          TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .writeTo("grest.db.orders_sp").append()
+        s.sql("DELETE FROM grest.db.orders_sp WHERE o_orderkey % 3 = 1")
+      }
+      // in-gate attestation: the server-planned task set equals local
+      // planning exactly (files + delete files), so the query below
+      // genuinely exercised the wire protocol
+      val table = cat.loadTable(Seq("db"), "orders_sp").get
+      val localPlan = table.newScan().planFiles()
+      val remotePlan = cat.tableOps(Seq("db"), "orders_sp")
+        .asInstanceOf[graft.core.meta.RestTableOps]
+        .planScan(table.meta.currentSnapshot.map(_.snapshotId),
+          graft.core.expr.TrueE, table.meta)
+      def k(ts: Seq[graft.core.meta.FileScanTask]) =
+        ts.map(t => (t.file.path, t.deletes.map(_.path).sorted)).sortBy(_._1)
+      require(remotePlan.nonEmpty && k(remotePlan) == k(localPlan),
+        s"g64: server plan diverged from local (${remotePlan.size} vs ${localPlan.size})")
+      s.table("grestp.db.orders_sp")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_e2"))
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_e2
+      FROM orders WHERE o_orderkey % 3 <> 1 AND o_orderstatus = 'F'
+      GROUP BY o_orderstatus"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63)
+    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64)
 }

@@ -77,9 +77,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // X-Iceberg-Access-Delegation)
         // commit-protocol=spec flips commits from graft's full-metadata
         // POST to the spec's requirements+updates CommitTableRequest
+        // rest-scan-planning=server routes scan planning through the
+        // server's planTableScan endpoints (thin-client mode: the
+        // manifests never cross the wire)
         graft.core.meta.RestCatalog.connect(uri, Option(options.get("credential")),
           Option(options.get("access-delegation")).contains("vended-credentials"),
-          Option(options.get("commit-protocol")).contains("spec"))
+          Option(options.get("commit-protocol")).contains("spec"),
+          Option(options.get("rest-scan-planning")).contains("server"))
       case _ => new HadoopCatalog(wh)
     }
     // expiration-aware table cache (reference CachingCatalog +

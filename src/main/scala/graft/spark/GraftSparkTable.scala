@@ -860,7 +860,23 @@ object GraftSparkTable {
         val coreScan = newCoreScan()
         plannedSnapshot = coreScan.snapshot().map(_.snapshotId)
         var planRanDistributed = false
-        var ts = {
+        // REST server-side planning (reference RESTTableScan;
+        // rest-scan-planning=server or server-advertised
+        // scan-planning-mode=server): the snapshot/branch resolves
+        // CLIENT-side from the loaded metadata, then the server runs the
+        // pruning funnel and only surviving tasks cross the wire. Any
+        // failure falls back to local planning — availability over
+        // thinness.
+        val serverPlanned: Option[Seq[FileScanTask]] = table.ops match {
+          case r: graft.core.meta.RestTableOps if r.serverPlanningOn =>
+            try Some(plannedSnapshot match {
+              case None => Nil
+              case sid  => r.planScan(sid, Expr.and(expr, runtimeExpr), table.meta)
+            })
+            catch { case _: Throwable => None }
+          case _ => None
+        }
+        var ts = serverPlanned.getOrElse {
           // distributed planning (reference SparkDistributedDataScan +
           // SparkReadConf 256 MB threshold): past the metadata threshold,
           // fan manifest pruning out as a Spark job; only surviving tasks

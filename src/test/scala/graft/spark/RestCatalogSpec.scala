@@ -876,4 +876,144 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"rollback to a pre-existing snapshot, keeping the log monotonic: $ts")
     assert(log.get(log.size() - 1).get("snapshot-id").asLong() === snaps.head)
   }
+
+  // ------------------------------------------- server-side scan planning
+
+  test("planTableScan: sync plan with filter prunes and returns spec tasks") {
+    spark.sql("""CREATE TABLE rcat.db.plan_t (id BIGINT, grp BIGINT, v STRING)
+      PARTITIONED BY (grp)""")
+    spark.sql(
+      "INSERT INTO rcat.db.plan_t SELECT id, id % 4, concat('v', id) FROM range(0, 40)")
+    val (c0, full) = specPost("/v1/namespaces/db/tables/plan_t/plan", "{}")
+    assert(c0 === 200, full.toString)
+    assert(full.get("status").asText() === "completed")
+    val planId = full.get("plan-id").asText()
+    val allTasks = full.get("file-scan-tasks")
+    assert(allTasks.size() === 4, s"expected 4 partitions planned: $full")
+    // spec ContentFile shape
+    val df0 = allTasks.get(0).get("data-file")
+    assert(df0.get("content").asText() === "data")
+    assert(df0.get("file-format").asText() === "parquet")
+    assert(df0.get("partition").isArray && df0.get("partition").size() === 1)
+    assert(df0.has("record-count") && df0.has("file-size-in-bytes"))
+
+    // partition-pruned plan: grp = 2 keeps one task, residual collapses
+    val (c1, pruned) = specPost("/v1/namespaces/db/tables/plan_t/plan",
+      """{"filter": {"type": "eq", "term": "grp", "value": 2}}""")
+    assert(c1 === 200, pruned.toString)
+    assert(pruned.get("file-scan-tasks").size() === 1,
+      s"partition pruning must run server-side: $pruned")
+    assert(pruned.get("file-scan-tasks").get(0).get("residual-filter")
+      .asBoolean(), "identity-partition residual must collapse to true")
+
+    // fetchPlanningResult replays the stored result; cancel drops it
+    val (c2, fetched) = (RestHttp.get(
+      s"$uri/v1/namespaces/db/tables/plan_t/plan/$planId"))
+    assert(c2 === 200)
+    assert(MetaJson.mapper.readTree(fetched).get("status").asText() === "completed")
+    assert(RestHttp.delete(
+      s"$uri/v1/namespaces/db/tables/plan_t/plan/$planId")._1 === 204)
+    assert(RestHttp.get(
+      s"$uri/v1/namespaces/db/tables/plan_t/plan/$planId")._1 === 404)
+    // unknown table and traversal names are rejected
+    assert(specPost("/v1/namespaces/db/tables/nope_t/plan", "{}")._1 === 404)
+    assert(specPost("/v1/namespaces/db/tables/../plan", "{}")._1 === 400)
+  }
+
+  test("planTableScan: async submit + poll, chunked plan-tasks fetch") {
+    // a second server over the SAME warehouse with 1-task chunks
+    // exercises the plan-tasks path the spec designed for huge scans
+    val (srv2, uri2) = RestCatalogServer.start(warehouse, planPageSize = 1)
+    try {
+      // async: submitted + plan-id, then the poll route serves the result
+      val (ca, sub) = {
+        val (code, resp) = RestHttp.post(
+          s"$uri2/v1/namespaces/db/tables/plan_t/plan", "{}",
+          Map("X-Graft-Plan-Async" -> "true"))
+        (code, MetaJson.mapper.readTree(resp))
+      }
+      assert(ca === 200 && sub.get("status").asText() === "submitted", sub.toString)
+      val pid = sub.get("plan-id").asText()
+      val (cp, polled) = RestHttp.get(
+        s"$uri2/v1/namespaces/db/tables/plan_t/plan/$pid")
+      assert(cp === 200)
+      val pn = MetaJson.mapper.readTree(polled)
+      assert(pn.get("status").asText() === "completed")
+      // 4 one-task chunks → plan-tasks, no inline tasks
+      val pts = pn.get("plan-tasks")
+      assert(pts != null && pts.size() === 4, s"expected 4 plan-tasks: $pn")
+      val fetched = (0 until pts.size()).flatMap { i =>
+        val (cf, body) = RestHttp.post(
+          s"$uri2/v1/namespaces/db/tables/plan_t/tasks",
+          s"""{"plan-task": ${MetaJson.mapper.writeValueAsString(
+            pts.get(i).asText())}}""")
+        assert(cf === 200)
+        val tasks = MetaJson.mapper.readTree(body).get("file-scan-tasks")
+        (0 until tasks.size()).map(j =>
+          tasks.get(j).get("data-file").get("file-path").asText())
+      }
+      assert(fetched.size === 4 && fetched.distinct.size === 4)
+      assert(RestHttp.post(s"$uri2/v1/namespaces/db/tables/plan_t/tasks",
+        s"""{"plan-task": "$pid#99"}""")._1 === 404)
+    } finally srv2.stop(0)
+  }
+
+  test("server planning round-trips MoR deletes and matches local planning") {
+    spark.sql("""CREATE TABLE rcat.db.plan_mor (id BIGINT, grp BIGINT, v STRING)
+      PARTITIONED BY (grp)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql(
+      "INSERT INTO rcat.db.plan_mor SELECT id, id % 2, concat('v', id) FROM range(0, 20)")
+    spark.sql("DELETE FROM rcat.db.plan_mor WHERE id % 5 = 1")
+    val cat = RestCatalog.connect(uri)
+    val table = cat.loadTable(Seq("db"), "plan_mor").get
+    val local = table.newScan().planFiles()
+    val remote = cat.tableOps(Seq("db"), "plan_mor")
+      .asInstanceOf[graft.core.meta.RestTableOps]
+      .planScan(table.meta.currentSnapshot.map(_.snapshotId),
+        graft.core.expr.TrueE, table.meta)
+    def key(ts: Seq[graft.core.meta.FileScanTask]) =
+      ts.map(t => (t.file.path, t.file.partition, t.file.recordCount,
+        t.deletes.map(_.path).sorted, t.dataSequenceNumber)).sortBy(_._1)
+    assert(key(remote) === key(local),
+      "server-planned tasks must equal local planning (files, partitions, deletes)")
+    assert(remote.exists(_.deletes.nonEmpty), "MoR deletes must cross the wire")
+    // stats round-trip: bounds survive typed (metadata agg pushdown needs them)
+    val lb = remote.flatMap(_.file.columnStats.get(1)).flatMap(_.lower)
+    val lbLocal = local.flatMap(_.file.columnStats.get(1)).flatMap(_.lower)
+    assert(lb.toSet === lbLocal.toSet, s"id lower bounds diverged: $lb vs $lbLocal")
+  }
+
+  test("rest-scan-planning=server: Spark scans plan through the server") {
+    spark.conf.set("spark.sql.catalog.rcatp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rcatp.catalog-impl", "rest")
+    spark.conf.set("spark.sql.catalog.rcatp.uri", uri)
+    spark.conf.set("spark.sql.catalog.rcatp.rest-scan-planning", "server")
+    val got = spark.sql(
+      "SELECT id FROM rcatp.db.plan_mor WHERE grp = 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === (0L until 20L).filter(i => i % 2 == 1 && i % 5 != 1),
+      s"server-planned Spark scan returned wrong rows: $got")
+    // time travel still resolves the snapshot CLIENT-side
+    val firstSnap = spark.sql(
+      "SELECT snapshot_id FROM rcatp.db.plan_mor.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0)).head
+    assert(spark.sql(
+      s"SELECT count(*) FROM rcatp.db.plan_mor VERSION AS OF $firstSnap")
+      .collect().head.getLong(0) === 20L)
+  }
+
+  test("planTableScan: stats-fields trims per-file column stats") {
+    val (c, n) = specPost("/v1/namespaces/db/tables/plan_t/plan",
+      """{"stats-fields": ["id"]}""")
+    assert(c === 200)
+    val tasks = n.get("file-scan-tasks")
+    (0 until tasks.size()).foreach { i =>
+      val df = tasks.get(i).get("data-file")
+      val lb = df.get("lower-bounds")
+      assert(lb != null && lb.get("keys").size() === 1 &&
+        lb.get("keys").get(0).asInt() === 1,
+        s"stats must trim to the requested field: $df")
+    }
+  }
 }
