@@ -366,6 +366,31 @@ object MetaJson {
     }
   }
 
+  /** Appendix-C schema JSON WITH column defaults: every spec-dialect
+    * schema write (metadata documents AND commit-protocol add-schema
+    * actions) must carry initial-default/write-default, failing loudly on
+    * a default the dialect cannot represent — an external reader filling
+    * NULL where graft applies the default is silent wrong data (reference
+    * SchemaParser writes both keys). */
+  private[meta] def schemaSpecJson(s: GSchema): ObjectNode = {
+    val so = IcebergJson.schemaJson(s)
+    val fields = so.get("fields")
+    val byId = s.struct.fields.map(f => f.id -> f).toMap
+    def put(fn: ObjectNode, key: String, name: String, sql: Option[String]): Unit =
+      sql.foreach { d =>
+        fn.set[JsonNode](key, defaultJson(d).getOrElse(
+          throw new IllegalStateException(
+            s"column '$name': default $d is not a literal the iceberg " +
+              s"compat dialect can represent as $key")))
+      }
+    fields.elements().forEachRemaining { fn =>
+      val f = byId(fn.get("id").asInt())
+      put(fn.asInstanceOf[ObjectNode], "initial-default", f.name, f.initialDefaultSql)
+      put(fn.asInstanceOf[ObjectNode], "write-default", f.name, f.writeDefaultSql)
+    }
+    so
+  }
+
   private[meta] def statisticsJson(so: ObjectNode, sf: StatisticsFile,
       wp: String => String): Unit = {
     so.put("snapshot-id", sf.snapshotId)
@@ -413,24 +438,6 @@ object MetaJson {
     if (m.formatVersion >= 2) o.put("last-sequence-number", m.lastSequenceNumber)
     o.put("last-updated-ms", m.lastUpdatedMs).put("last-column-id", m.lastColumnId)
     if (m.formatVersion >= 3) o.put("next-row-id", m.nextRowId)
-    def schemaSpecJson(s: GSchema): ObjectNode = {
-      val so = IcebergJson.schemaJson(s)
-      val fields = so.get("fields")
-      val byId = s.struct.fields.map(f => f.id -> f).toMap
-      def put(fn: ObjectNode, key: String, name: String, sql: Option[String]): Unit =
-        sql.foreach { d =>
-          fn.set[JsonNode](key, defaultJson(d).getOrElse(
-            throw new IllegalStateException(
-              s"column '$name': default $d is not a literal the iceberg " +
-                s"compat dialect can represent as $key")))
-        }
-      fields.elements().forEachRemaining { fn =>
-        val f = byId(fn.get("id").asInt())
-        put(fn.asInstanceOf[ObjectNode], "initial-default", f.name, f.initialDefaultSql)
-        put(fn.asInstanceOf[ObjectNode], "write-default", f.name, f.writeDefaultSql)
-      }
-      so
-    }
     o.put("current-schema-id", m.currentSchemaId)
     val schemas = o.putArray("schemas")
     m.schemas.foreach(s => schemas.add(schemaSpecJson(s)))

@@ -139,7 +139,15 @@ object NamespaceProps {
       GraftIO.list(d.toString).map(GraftIO.toPath).exists { c =>
         val n = c.getFileName.toString
         java.nio.file.Files.isDirectory(c) && (n match {
-          case "data"     => false
+          case "data" =>
+            // prune ONLY table-layout data trees (a `metadata` sibling
+            // marks the parent as a table dir — live or residual): there
+            // a `data` child is pure data and the walk would cost one IO
+            // per data file. Under a PLAIN directory, "data" is just a
+            // name — a live table or namespace called data must still
+            // count, or a non-cascade drop would silently delete it.
+            !java.nio.file.Files.isDirectory(d.resolve("metadata")) &&
+              hasLiveContent(c)
           case "metadata" =>
             GraftIO.list(c.toString).exists(_.endsWith(".metadata.json"))
           case "_views"   => GraftIO.list(c.toString).nonEmpty

@@ -218,6 +218,57 @@ object Puffin {
   def ndvFromPayload(p: Array[Byte]): Long =
     ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN).getLong()
 
+  /** NDV estimate from an `apache-datasketches-theta-v1` blob payload —
+    * the compact Theta sketch wire format the reference writes via the
+    * DataSketches library (reference NDVSketchUtil;
+    * format/puffin-spec.md). The format is public and little-endian:
+    *
+    *   byte 0: preamble longs (1 empty/single-item, 2 exact, 3 estimating)
+    *   byte 1: serialization version (3)   byte 2: family id
+    *   byte 5: flags (bit2 = EMPTY)        bytes 6-7: seed hash
+    *   preLongs>=2: bytes 8-11 = retained entry count (i32)
+    *   preLongs==3: bytes 16-23 = thetaLong (i64)
+    *   then the retained hash longs.
+    *
+    * estimate = retained / (thetaLong / 2^63-1): exact-mode sketches
+    * (theta = Long.MaxValue) estimate their retained count; estimating
+    * sketches scale by the sampling fraction. No datasketches jar is on
+    * this classpath — the estimate needs only the preamble. */
+  def thetaEstimate(p: Array[Byte]): Option[Long] =
+    try {
+      if (p.length < 8) return None
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      val preLongs = p(0) & 0x3f
+      val serVer = p(1) & 0xff
+      if (serVer < 1 || serVer > 4) return None
+      val empty = (p(5) & 0x04) != 0
+      if (empty) Some(0L)
+      else if (preLongs == 1) Some(1L) // single-item sketch
+      else if (p.length < preLongs * 8) None
+      else {
+        val retained = bb.getInt(8)
+        if (retained < 0) None
+        else if (preLongs == 2) Some(retained.toLong) // exact mode
+        else if (preLongs == 3) {
+          val theta = bb.getLong(16)
+          if (theta <= 0L) None
+          else Some(math.round(
+            retained.toDouble * (Long.MaxValue.toDouble / theta.toDouble)))
+        } else None
+      }
+    } catch { case _: Throwable => None }
+
+  /** NDV from a statistics blob of any supported type: the spec's `ndv`
+    * summary property when present (no payload IO), else the decoded
+    * payload (graft count or theta sketch preamble). */
+  def ndvFromBlob(tpe: String, properties: Map[String, String],
+      payload: () => Option[Array[Byte]]): Option[Long] =
+    properties.get("ndv").flatMap(_.toLongOption).orElse(tpe match {
+      case "graft-ndv-v1" => payload().map(ndvFromPayload)
+      case "apache-datasketches-theta-v1" => payload().flatMap(thetaEstimate)
+      case _ => None
+    })
+
   private def sliceEq(bytes: Array[Byte], off: Int, m: Array[Byte]): Boolean =
     m.indices.forall(i => bytes(off + i) == m(i))
 }

@@ -430,7 +430,11 @@ object SpecUpdates {
           .put("last-assigned-field-id", b.lastColumnId)
       }
       val a = action("add-schema")
-      a.set[JsonNode]("schema", IcebergJson.schemaJson(s))
+      // schemaSpecJson, not the bare IcebergJson form: the wire schema
+      // must carry initial-default/write-default (failing loudly on an
+      // unrepresentable default) or the server stores the schema without
+      // defaults and readers fill NULL where the default was intended
+      a.set[JsonNode]("schema", MetaJson.schemaSpecJson(s))
       a.put("last-column-id", updated.lastColumnId)
     }
     val goneSchemas = baseSchemaIds -- updated.schemas.map(_.schemaId).toSet

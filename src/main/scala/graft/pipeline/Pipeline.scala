@@ -254,10 +254,29 @@ object Pipeline {
     })
 
   // ---------------------------------------------------------------- p05
+  /** The all-pairs join is QUADRATIC by design — it exists only as the
+    * recall baseline p18's LSH path is verified against, and must never
+    * be mistaken for the production dedup. The fence fails fast above a
+    * verification-sized corpus unless the caller explicitly opts in with
+    * spark.graft.allow-all-pairs=true. */
+  private val AllPairsMaxRows = 200000L
+
+  private def fenceAllPairs(s: SparkSession, rows: Long): Unit = {
+    val allow = s.conf.getOption("spark.graft.allow-all-pairs").contains("true")
+    val max = s.conf.getOption("spark.graft.all-pairs-max-rows")
+      .flatMap(_.toLongOption).getOrElse(AllPairsMaxRows)
+    require(allow || rows <= max,
+      s"p05 is the brute-force all-pairs RECALL BASELINE (${rows} rows → " +
+        s"~${rows * rows / 2} pairs); it does not scale past verification " +
+        s"inputs. Use p18 (embedding LSH) in production, or set " +
+        s"spark.graft.allow-all-pairs=true to force the quadratic plan.")
+  }
+
   private val p05 = Q(
     "p05_dedup_embedding_cosine",
     (s, dir) => {
       val e = embNorm(s, dir)
+      fenceAllPairs(s, e.count())
       e.toDF("id1", "v1", "n1")
         .join(e.toDF("id2", "v2", "n2"), col("id1") < col("id2"))
         .withColumn("cos", cosCol)

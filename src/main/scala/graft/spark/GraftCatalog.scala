@@ -96,6 +96,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (Option(options.get("cache-enabled")).contains("false") ||
           cacheTtl == 0L) backing
       else new graft.core.meta.CachingCatalog(backing, cacheTtl)
+    // Upgrade migration: namespaces created before the _namespace.json
+    // marker existed are bare directories, which the shared existence
+    // predicate (marker or live content) reads as ABSENT — SHOW
+    // NAMESPACES would omit them and USE would fail until re-created.
+    // Back-fill the marker once per catalog open for top-level children
+    // that are plainly legacy namespaces: no marker, and NOT table-shaped
+    // (no metadata dir — a dropped table's residual must stay absent).
+    // (REST catalogs skip it: namespace lifecycle is the server's.)
+    if (!Option(options.get("catalog-impl")).map(_.toLowerCase).contains("rest"))
+      try {
+        import graft.core.meta.{GraftIO, NamespaceProps}
+        val bwh = backing.warehouse
+        if (java.nio.file.Files.isDirectory(GraftIO.toPath(bwh)))
+          GraftIO.list(bwh).map(GraftIO.toPath).foreach { c =>
+            val n = c.getFileName.toString
+            if (java.nio.file.Files.isDirectory(c) && !n.startsWith("_") &&
+                NamespaceProps.validName(n) &&
+                !java.nio.file.Files.exists(c.resolve("_namespace.json")) &&
+                !java.nio.file.Files.isDirectory(c.resolve("metadata")))
+              NamespaceProps.mark(bwh, Seq(n))
+          }
+      } catch { case _: Throwable => () } // best-effort; never blocks open
   }
 
   override def name(): String = catalogName

@@ -1790,18 +1790,71 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
               val (_, off, len) =
                 DVIO.writeBlob(staged, mv(ref), positions.iterator)
               dvInfo(f.path) = (staged, GraftIO.size(staged), off, len)
-            } else if (f.format == "parquet") {
+            } else if (f.format == "avro") {
+              // avro delete files rewrite through graft's own codec, the
+              // reserved field ids riding the schema (no Spark job — the
+              // per-file row count is the delete list, not table data)
+              import org.apache.spark.sql.execution.datasources.PartitionedFile
+              val readFn = GraftAvro.ReadFunc(GraftDeltaWriter.DeleteSchema.json)
+              val rows = readFn(PartitionedFile(
+                org.apache.spark.sql.catalyst.InternalRow.empty,
+                org.apache.spark.paths.SparkPath.fromPathString(f.path),
+                0, Long.MaxValue, Array.empty[String], 0L, Long.MaxValue, Map.empty))
+              val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+              GraftAvro.writeFile(staged, GraftDeltaWriter.DeleteSchema,
+                GraftDeltaWriter.DeleteGSchema, rows.map { r =>
+                  val p0 = r.getUTF8String(0).toString
+                  out.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(
+                    if (p0.startsWith(srcPrefix)) dstPrefix + p0.substring(srcPrefix.length)
+                    else p0))
+                  out.setLong(1, r.getLong(1))
+                  out: org.apache.spark.sql.catalyst.InternalRow
+                })
+              posInfo(f.path) = (staged, GraftIO.size(staged))
+            } else if (f.format == "parquet" || f.format == "orc") {
               import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
               val spark = SparkSession.active
-              val moved = spark.read.parquet(f.path).withColumn("file_path",
+              val src =
+                if (f.format == "orc") spark.read.orc(f.path)
+                else spark.read.parquet(f.path)
+              val moved = src.withColumn("file_path",
                 when(col("file_path").startsWith(srcPrefix),
                   concat(lit(dstPrefix),
                     expr(s"substring(file_path, ${srcPrefix.length + 1})")))
                   .otherwise(col("file_path")))
+              // external readers project delete files BY FIELD ID
+              // (2147483546/2147483545 — reference rewritePositionDeleteFile
+              // writes through the id-carrying schema): a plain
+              // read→write drops the ids (Spark's reader never surfaces
+              // them), so re-annotate file_path/pos; extra columns (the
+              // optional `row` payload) pass through untouched
+              def annot(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id", id).build()
+              val annotated = moved.select(moved.schema.fieldNames.map {
+                case "file_path" => col("file_path").as("file_path",
+                  annot(graft.core.meta.DeleteFileIndex.FilePathFieldId.toLong))
+                case "pos" => col("pos").as("pos",
+                  annot(graft.core.meta.DeleteFileIndex.PosFieldId.toLong))
+                case other => col(other)
+              }.toSeq: _*)
               val tmp = s"$staging/.tmp-${java.util.UUID.randomUUID}"
-              moved.coalesce(1).sortWithinPartitions("file_path", "pos")
-                .write.parquet(tmp)
-              val part = GraftIO.list(tmp).filter(_.endsWith(".parquet")).head
+              val sorted = annotated.coalesce(1)
+                .sortWithinPartitions("file_path", "pos")
+              // id writing is governed by the session flag (default on);
+              // force it for this maintenance op so the rewritten tree
+              // stays externally readable regardless of session config
+              val flagKey = "spark.sql.parquet.fieldId.write.enabled"
+              val prior = spark.conf.getOption(flagKey)
+              spark.conf.set(flagKey, "true")
+              try {
+                if (f.format == "orc") sorted.write.orc(tmp)
+                else sorted.write.parquet(tmp)
+              } finally prior match {
+                case Some(v) => spark.conf.set(flagKey, v)
+                case None    => spark.conf.unset(flagKey)
+              }
+              val ext = if (f.format == "orc") ".orc" else ".parquet"
+              val part = GraftIO.list(tmp).filter(_.endsWith(ext)).head
               java.nio.file.Files.move(GraftIO.toPath(part), GraftIO.toPath(staged))
               GraftIO.list(tmp).foreach(p =>
                 try GraftIO.delete(p) catch { case _: Throwable => () })

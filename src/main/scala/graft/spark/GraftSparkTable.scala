@@ -240,6 +240,38 @@ class GraftSparkTable(val table: GTable, fullName: String,
 }
 
 object GraftSparkTable {
+  /** fieldId → NDV from the metadata's statistics files: prefer the file
+    * attached to the CURRENT snapshot, else the most recent entry. Per
+    * blob, the spec's `ndv` summary property wins (no payload IO —
+    * reference readers use it the same way); otherwise the blob payload
+    * decodes, with the Puffin container read at most once: graft-ndv-v1
+    * counts or the reference's apache-datasketches-theta-v1 compact
+    * sketches (Puffin.thetaEstimate). */
+  private[spark] def statisticsNdv(
+      meta: graft.core.meta.TableMetadata): Map[Int, Long] = {
+    val sf = meta.statistics
+      .find(s => meta.currentSnapshot.exists(_.snapshotId == s.snapshotId))
+      .orElse(meta.statistics.lastOption)
+    sf match {
+      case None => Map.empty
+      case Some(f) =>
+        lazy val blobs: Seq[graft.core.meta.Puffin.Blob] =
+          try graft.core.meta.Puffin.read(f.path,
+            graft.core.meta.TableCrypto.resolve(meta))
+          catch { case _: Throwable => Nil }
+        f.blobMetadata.flatMap { bm =>
+          bm.fields match {
+            case Seq(id) =>
+              graft.core.meta.Puffin.ndvFromBlob(bm.tpe, bm.properties, () =>
+                blobs.find(b => b.blobType == bm.tpe &&
+                  b.fields == bm.fields && b.snapshotId == bm.snapshotId)
+                  .map(_.payload)).map(id -> _)
+            case _ => None
+          }
+        }.toMap
+    }
+  }
+
   /** drop ONLY the parquet field ids for name-based readers (ORC,
     * name-mapped imports); EXISTS_DEFAULT etc. must survive or v3
     * initial defaults silently stop applying */
@@ -992,6 +1024,15 @@ object GraftSparkTable {
       }
     }
 
+    // NDVs from the metadata's statistics files (computed once per scan):
+    // blob summary `ndv` property when present — zero payload IO — else
+    // the decoded blob (graft-ndv-v1 count, or the reference's
+    // apache-datasketches-theta-v1 compact sketch preamble). This is how
+    // a REGISTERED genuine Iceberg table feeds NDV into CBO without
+    // graft's stats.ndv.* properties ever having been computed.
+    @transient private lazy val statisticsNdv: Map[Int, Long] =
+      GraftSparkTable.statisticsNdv(table.meta)
+
     // ------------------------------------------------- stats for CBO/AQE
     override def estimateStatistics(): Statistics = {
       val ts = tasks()
@@ -1006,7 +1047,8 @@ object GraftSparkTable {
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       table.schema.fields.foreach { f =>
-        val ndv = table.meta.properties.get(s"stats.ndv.${f.name}").flatMap(_.toLongOption)
+        val ndv = table.meta.properties.get(s"stats.ndv.${f.name}")
+          .flatMap(_.toLongOption).orElse(statisticsNdv.get(f.id))
         val nulls = {
           val perFile = ts.map(_.file.fileStats.col(f.id).nullCount)
           if (perFile.nonEmpty && perFile.forall(_.isDefined)) Some(perFile.flatten.sum)

@@ -166,4 +166,38 @@ class SpecUpdatesSpec extends AnyFunSuite {
     assert(got.schemas.size === b.schemas.size, "identical schema must be reused")
     assert(got.currentSchemaId === b.schema.schemaId)
   }
+
+  test("add-schema carries column defaults over the wire") {
+    val b = base0
+    val evolved = GSchema(GStruct(Seq(
+      GField(1, "id", GLong, required = true),
+      GField(2, "v", GString),
+      GField(3, "region", GString,
+        initialDefaultSql = Some("'unknown'"),
+        writeDefaultSql = Some("'emea'")))), schemaId = 1)
+    val updated = b.copy(schemas = b.schemas :+ evolved,
+      currentSchemaId = 1, lastColumnId = 3)
+    // the wire JSON itself must carry the defaults (reference
+    // SchemaParser writes initial-default/write-default) — a server
+    // storing the schema without them makes readers fill NULL where the
+    // default was intended
+    val body = SpecUpdates.deriveCommit(Some(b), updated)
+    val addSchema = {
+      val ups = body.get("updates")
+      (0 until ups.size()).map(ups.get)
+        .find(_.get("action").asText() == "add-schema")
+        .getOrElse(fail("no add-schema action derived"))
+    }
+    val f3 = {
+      val fs = addSchema.get("schema").get("fields")
+      (0 until fs.size()).map(fs.get).find(_.get("id").asInt() == 3).get
+    }
+    assert(f3.get("initial-default").asText() === "unknown", f3.toString)
+    assert(f3.get("write-default").asText() === "emea", f3.toString)
+    // and the replay restores them as graft SQL defaults
+    val got = roundTrip(Some(b), updated)
+    val gf = got.schemas.find(_.schemaId == 1).get.fields.find(_.id == 3).get
+    assert(gf.initialDefaultSql === Some("'unknown'"))
+    assert(gf.writeDefaultSql === Some("'emea'"))
+  }
 }

@@ -1629,10 +1629,49 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pd = spark.read.parquet(stagedPd.get).collect()
     assert(pd.nonEmpty && pd.forall(_.getString(0).startsWith("/new/wh")),
       s"pos-delete file_path not moved: ${pd.map(_.getString(0)).take(2).mkString(",")}")
+    // external readers project delete files BY FIELD ID: the rewrite must
+    // preserve the reserved ids (2147483546/2147483545), not drop them
+    // the way a plain read→write does
+    locally {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(stagedPd.get),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val fields = r.getFooter.getFileMetaData.getSchema.getFields
+        val ids = (0 until fields.size()).map { i =>
+          fields.get(i).getName -> Option(fields.get(i).getId).map(_.intValue())
+        }.toMap
+        assert(ids.get("file_path").flatten.contains(2147483546) &&
+          ids.get("pos").flatten.contains(2147483545),
+          s"rewritten delete parquet lost its reserved field ids: $ids")
+      } finally r.close()
+    }
     // and the staged manifest entry tracks the REWRITTEN file's size
     val fl = graft.core.meta.GraftIO.readString(rpp.getString(1))
     assert(fl.split("\n").exists(l => l.startsWith(stagedPd.get + ",")),
       "file list must ship the staged delete file")
+
+    // avro position deletes (the Flink shape) rewrite through the avro
+    // codec — content moves and the file round-trips as genuine avro
+    spark.sql("""CREATE TABLE graft.db.rtpav (id BIGINT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        'write.delete.format'='avro')""")
+    spark.sql("INSERT INTO graft.db.rtpav VALUES (1),(2),(3)")
+    spark.sql("DELETE FROM graft.db.rtpav WHERE id % 3 = 2")
+    val rav = spark.sql(
+      s"CALL graft.system.rewrite_table_path('db.rtpav', '$warehouse', '/new/wh')")
+      .collect()(0)
+    val avStaging = graft.core.meta.GraftIO.toPath(rav.getString(1)).getParent
+    val stagedAv = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(avStaging).iterator())
+      .asScala.map(_.toString)
+      .find(p => p.endsWith(".avro") && p.contains("delete"))
+    assert(stagedAv.isDefined, "no staged position-delete avro")
+    val avRows = GraftAvro.readToDf(spark, Seq(stagedAv.get),
+      GraftDeltaWriter.DeleteSchema, withPos = false).collect()
+    assert(avRows.nonEmpty && avRows.forall(_.getString(0).startsWith("/new/wh")),
+      s"avro delete file_path not moved: ${avRows.map(_.getString(0)).take(2).mkString(",")}")
   }
 
   test("rewrite_table_path distributes the manifest rewrite on big trees") {
@@ -3073,5 +3112,41 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CASCADE opts in to the recursive delete
     spark.sql("DROP NAMESPACE graft.dnx CASCADE")
     assert(!spark.catalog.databaseExists("graft.dnx"))
+  }
+
+  test("a live table literally named 'data' blocks a non-cascade drop") {
+    // legacy layout: an UNMARKED namespace directory whose child table is
+    // called data — the walk's data-prune must not make it invisible
+    spark.sql("CREATE NAMESPACE graft.dnd")
+    spark.sql("CREATE TABLE graft.dnd.data (id BIGINT)")
+    spark.sql("INSERT INTO graft.dnd.data VALUES (7)")
+    // simulate the pre-marker layout: remove the namespace marker
+    java.nio.file.Files.deleteIfExists(
+      graft.core.meta.GraftIO.toPath(s"$warehouse/dnd/_namespace.json"))
+    assert(graft.core.meta.NamespaceProps.isNamespaceDir(warehouse, Seq("dnd")),
+      "live content under an unmarked dir must read as a namespace")
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE graft.dnd"))
+    assert(e.getMessage.toLowerCase.contains("empty") ||
+      e.getMessage.toLowerCase.contains("cascade"), e.getMessage)
+    assert(spark.sql("SELECT * FROM graft.dnd.data").count() === 1,
+      "the table named 'data' must survive the refused drop")
+    spark.sql("DROP NAMESPACE graft.dnd CASCADE")
+  }
+
+  test("bare legacy namespace directories back-fill markers on catalog open") {
+    // an empty namespace created before the marker existed: plain dir
+    val legacy = graft.core.meta.GraftIO.toPath(s"$warehouse/legacyns")
+    java.nio.file.Files.createDirectories(legacy)
+    assert(!graft.core.meta.NamespaceProps.isNamespaceDir(
+      warehouse, Seq("legacyns")), "precondition: bare dir reads absent")
+    // a fresh catalog open over the same warehouse migrates it
+    spark.conf.set("spark.sql.catalog.gmig", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmig.warehouse", warehouse)
+    val names = spark.sql("SHOW NAMESPACES IN gmig")
+      .collect().map(_.getString(0))
+    assert(names.contains("legacyns"),
+      s"legacy namespace must surface after marker back-fill: ${names.toSeq}")
+    // dropped-table residuals must NOT be resurrected by the back-fill
+    assert(java.nio.file.Files.exists(legacy.resolve("_namespace.json")))
   }
 }
