@@ -798,22 +798,78 @@ object RestCatalogServer {
             names.foreach(arr.add)
             json(x, 200, MetaJson.mapper.writeValueAsString(o))
           case ("GET", Array(ns, "views", v)) =>
+            // LoadViewResult (open-api loadView): metadata-location +
+            // the spec view-metadata document itself
             val p = (warehouse +: nsParts(ns) :+ "_views")
               .mkString("/") + s"/$v.json"
             if (!GraftIO.exists(p)) json(x, 404, s"""{"error": "no such view"}""")
-            else json(x, 200, GraftIO.readString(p))
+            else {
+              val o = MetaJson.mapper.createObjectNode()
+              o.put("metadata-location", p)
+              o.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
+                MetaJson.mapper.readTree(GraftIO.readString(p)))
+              json(x, 200, MetaJson.mapper.writeValueAsString(o))
+            }
+          case ("HEAD", Array(ns, "views", v)) =>
+            val p = (warehouse +: nsParts(ns) :+ "_views")
+              .mkString("/") + s"/$v.json"
+            x.sendResponseHeaders(if (GraftIO.exists(p)) 204 else 404, -1)
+            x.close()
+          case ("POST", Array(ns, "views")) =>
+            // the SPEC's createView route (open-api CreateViewRequest:
+            // name, schema, view-version, properties) — the server
+            // assembles the full view-metadata document
+            val body = MetaJson.mapper.readTree(readBody(x))
+            val name = body.get("name").asText()
+            require(NamespaceProps.validName(name) && !name.startsWith("_"),
+              s"invalid view name: $name")
+            val dir = (warehouse +: nsParts(ns) :+ "_views").mkString("/")
+            val p = s"$dir/$name.json"
+            if (GraftIO.exists(p)) json(x, 409, s"""{"error": "view exists"}""")
+            else {
+              val doc = SpecViewUpdates.fromCreateRequest(body,
+                backing.tableLocation(nsParts(ns), name))
+              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+              GraftIO.writeString(p, MetaJson.mapper.writeValueAsString(doc))
+              val o = MetaJson.mapper.createObjectNode()
+              o.put("metadata-location", p)
+              o.set[com.fasterxml.jackson.databind.JsonNode]("metadata", doc)
+              json(x, 200, MetaJson.mapper.writeValueAsString(o))
+            }
           case ("POST", Array(ns, "views", v)) =>
             val body = MetaJson.mapper.readTree(readBody(x))
-            val replace = body.has("replace") && body.get("replace").asBoolean()
             val dir = (warehouse +: nsParts(ns) :+ "_views").mkString("/")
             val p = s"$dir/$v.json"
-            if (!replace && GraftIO.exists(p))
-              json(x, 409, s"""{"error": "view exists"}""")
-            else {
-              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-              GraftIO.writeString(p,
-                MetaJson.mapper.writeValueAsString(body.get("view")))
-              json(x, 200, "{}")
+            if (body.has("updates")) {
+              // the SPEC's replaceView route (open-api CommitViewRequest:
+              // assert-view-uuid requirements + view update actions) —
+              // how a genuine Iceberg client evolves a view
+              if (!GraftIO.exists(p)) json(x, 404, s"""{"error": "no such view"}""")
+              else txnLock.synchronized {
+                val cur = MetaJson.mapper.readTree(GraftIO.readString(p))
+                  .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                SpecViewUpdates.applyCommit(cur, body) match {
+                  case Left(err) =>
+                    json(x, 409, s"""{"error": ${MetaJson.mapper.writeValueAsString(err)}}""")
+                  case Right(doc) =>
+                    GraftIO.writeString(p, MetaJson.mapper.writeValueAsString(doc))
+                    val o = MetaJson.mapper.createObjectNode()
+                    o.put("metadata-location", p)
+                    o.set[com.fasterxml.jackson.databind.JsonNode]("metadata", doc)
+                    json(x, 200, MetaJson.mapper.writeValueAsString(o))
+                }
+              }
+            } else {
+              // graft's legacy whole-document store ({view, replace})
+              val replace = body.has("replace") && body.get("replace").asBoolean()
+              if (!replace && GraftIO.exists(p))
+                json(x, 409, s"""{"error": "view exists"}""")
+              else {
+                java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+                GraftIO.writeString(p,
+                  MetaJson.mapper.writeValueAsString(body.get("view")))
+                json(x, 200, "{}")
+              }
             }
           case ("DELETE", Array(ns, "views", v)) =>
             val p = (warehouse +: nsParts(ns) :+ "_views")
@@ -1249,7 +1305,15 @@ final class RestCatalog private (warehouse: String, uri: String,
   def loadViewDoc(namespace: Seq[String], name: String): Option[String] = {
     val (code, body) = RestHttp.get(
       s"$uri/v1/namespaces/${ns(namespace)}/views/$name", hdrs)
-    if (code == 200) Some(body) else None
+    if (code != 200) None
+    else {
+      // LoadViewResult wraps the document in `metadata` (spec loadView);
+      // older graft servers served the raw document — accept both
+      val n = MetaJson.mapper.readTree(body)
+      Option(n.get("metadata")).filterNot(_.isNull)
+        .map(MetaJson.mapper.writeValueAsString)
+        .orElse(Some(body))
+    }
   }
 
   /** store a view document; IllegalStateException on 409 (exists) */

@@ -587,3 +587,140 @@ object SpecUpdates {
     }
   }
 }
+
+/** Spec view commit protocol (reference open-api CommitViewRequest /
+  * ViewUpdate; core/.../view/ViewMetadata + CatalogHandlers view
+  * handlers): requirements (assert-view-uuid) validated against the
+  * stored view-metadata document, then action-tagged updates applied
+  * DIRECTLY over the JSON tree — graft's stored view documents ARE
+  * spec view metadata, so no model round-trip is needed. */
+object SpecViewUpdates {
+  import com.fasterxml.jackson.databind.JsonNode
+  import com.fasterxml.jackson.databind.node.ObjectNode
+  import MetaJson.mapper
+
+  /** full view metadata from the spec's CreateViewRequest (name,
+    * location, schema, view-version, properties) */
+  def fromCreateRequest(body: JsonNode, location: String): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("view-uuid", java.util.UUID.randomUUID().toString)
+      .put("format-version", 1)
+      .put("location", location)
+    Option(body.get("name")).foreach(n => o.put("name", n.asText()))
+    Option(body.get("properties")).filterNot(_.isNull)
+      .foreach(p => o.set[JsonNode]("properties", p.deepCopy[JsonNode]()))
+    val schema = Option(body.get("schema")).filterNot(_.isNull).getOrElse(
+      throw new IllegalArgumentException("createView requires schema"))
+    val schemaId =
+      Option(schema.get("schema-id")).map(_.asInt()).filter(_ >= 0).getOrElse(0)
+    val schemas = o.putArray("schemas")
+    val sc = schema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    sc.put("schema-id", schemaId)
+    schemas.add(sc)
+    val ver = Option(body.get("view-version")).filterNot(_.isNull).getOrElse(
+      throw new IllegalArgumentException("createView requires view-version"))
+    val vv = ver.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    if (!vv.hasNonNull("version-id")) vv.put("version-id", 1)
+    if (!vv.hasNonNull("timestamp-ms"))
+      vv.put("timestamp-ms", System.currentTimeMillis())
+    vv.put("schema-id", schemaId) // the request's single schema
+    o.put("current-version-id", vv.get("version-id").asInt())
+    o.putArray("versions").add(vv)
+    o.putArray("version-log").addObject()
+      .put("timestamp-ms", vv.get("timestamp-ms").asLong())
+      .put("version-id", vv.get("version-id").asInt())
+    o
+  }
+
+  /** @return Left(error) on a violated requirement / malformed update */
+  def applyCommit(current: ObjectNode, body: JsonNode): Either[String, ObjectNode] = {
+    // requirements: the spec defines assert-view-uuid only
+    var reqErr: Option[String] = None
+    Option(body.get("requirements")).foreach(_.elements().forEachRemaining { r =>
+      if (reqErr.isEmpty) r.get("type").asText() match {
+        case "assert-view-uuid" =>
+          val want = r.get("uuid").asText()
+          val have = Option(current.get("view-uuid")).map(_.asText()).getOrElse("")
+          if (want != have)
+            reqErr = Some(s"requirement failed: view uuid is $have, not $want")
+        case other => reqErr = Some(s"unknown view requirement: $other")
+      }
+    })
+    if (reqErr.isDefined) return Left(reqErr.get)
+    val m = current.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    var lastAdded: Option[Int] = None
+    var err: Option[String] = None
+    def versionsArr = m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("versions")
+    def maxVersionId: Int = {
+      var mx = 0
+      versionsArr.elements().forEachRemaining(v =>
+        mx = math.max(mx, v.get("version-id").asInt()))
+      mx
+    }
+    Option(body.get("updates")).foreach(_.elements().forEachRemaining { u =>
+      if (err.isEmpty) u.get("action").asText() match {
+        case "assign-uuid" =>
+          val want = u.get("uuid").asText()
+          val have = Option(m.get("view-uuid")).map(_.asText())
+          if (have.exists(_ != want))
+            err = Some(s"cannot reassign view uuid ${have.get} to $want")
+          else m.put("view-uuid", want)
+        case "upgrade-format-version" =>
+          m.put("format-version", u.get("format-version").asInt())
+        case "set-location" => m.put("location", u.get("location").asText())
+        case "set-properties" =>
+          val p = Option(m.get("properties")).filterNot(_.isNull)
+            .map(_.asInstanceOf[ObjectNode]).getOrElse(m.putObject("properties"))
+          u.get("updates").properties().forEach(e =>
+            p.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]()))
+        case "remove-properties" =>
+          Option(m.get("properties")).filterNot(_.isNull)
+            .map(_.asInstanceOf[ObjectNode]).foreach { p =>
+              u.get("removals").elements().forEachRemaining(r => p.remove(r.asText()))
+            }
+        case "add-schema" =>
+          val sc = u.get("schema").deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+          val schemas = m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+          // -1 or colliding ids get the next fresh id (reference
+          // ViewMetadata.Builder reassigns)
+          var mx = -1
+          schemas.elements().forEachRemaining(s =>
+            mx = math.max(mx, s.get("schema-id").asInt()))
+          val want = Option(sc.get("schema-id")).map(_.asInt()).getOrElse(-1)
+          if (want < 0 || want <= mx) sc.put("schema-id", mx + 1)
+          schemas.add(sc)
+        case "add-view-version" =>
+          val vv = u.get("view-version").deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+          val next = maxVersionId + 1
+          if (!vv.hasNonNull("version-id") || vv.get("version-id").asInt() <= maxVersionId)
+            vv.put("version-id", next)
+          if (!vv.hasNonNull("timestamp-ms"))
+            vv.put("timestamp-ms", System.currentTimeMillis())
+          versionsArr.add(vv)
+          lastAdded = Some(vv.get("version-id").asInt())
+        case "set-current-view-version" =>
+          val raw = u.get("view-version-id").asInt()
+          val target =
+            if (raw == -1) lastAdded.getOrElse {
+              err = Some("set-current-view-version -1 without add-view-version")
+              -1
+            } else raw
+          if (err.isEmpty) {
+            var found = false
+            versionsArr.elements().forEachRemaining(v =>
+              if (v.get("version-id").asInt() == target) found = true)
+            if (!found) err = Some(s"unknown view version: $target")
+            else {
+              m.put("current-version-id", target)
+              m.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("version-log")
+                .addObject()
+                .put("timestamp-ms", System.currentTimeMillis())
+                .put("version-id", target)
+            }
+          }
+        case other => err = Some(s"unknown view update action: $other")
+      }
+    })
+    err.toLeft(m)
+  }
+}

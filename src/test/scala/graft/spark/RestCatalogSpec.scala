@@ -1003,6 +1003,76 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) === 20L)
   }
 
+  test("spec view protocol: createView, commit with requirements, loadView") {
+    spark.sql("CREATE TABLE rcat.db.vbase (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rcat.db.vbase VALUES (1,'a'),(2,'b'),(3,'c')")
+    // spec CreateViewRequest: schema + view-version with a sql
+    // representation (open-api createView)
+    val (cc, created) = specPost("/v1/namespaces/db/views", """{
+      "name": "specv",
+      "schema": {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": true, "type": "long"}]},
+      "view-version": {
+        "version-id": 1, "schema-id": 0,
+        "summary": {"engine-name": "external"},
+        "default-catalog": "rcat", "default-namespace": ["db"],
+        "representations": [
+          {"type": "sql", "dialect": "spark-sql",
+           "sql": "SELECT id FROM rcat.db.vbase WHERE id > 1"}]},
+      "properties": {"owner": "ext"}
+    }""")
+    assert(cc === 200, created.toString)
+    val uuid = created.get("metadata").get("view-uuid").asText()
+    assert(created.get("metadata-location").asText().endsWith("specv.json"))
+    // HEAD existence probe
+    assert(RestHttp.head(s"$uri/v1/namespaces/db/views/specv")._1 === 204)
+    // graft's Spark layer reads the spec-created view end-to-end
+    val got = spark.sql("SELECT * FROM rcat.db.specv ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 3L), s"spec-created view must be queryable: $got")
+
+    // spec CommitViewRequest: new version + set-current -1, guarded by
+    // assert-view-uuid
+    val (c1, committed) = specPost("/v1/namespaces/db/views/specv", s"""{
+      "requirements": [{"type": "assert-view-uuid", "uuid": "$uuid"}],
+      "updates": [
+        {"action": "set-properties", "updates": {"rev": "2"}},
+        {"action": "add-view-version", "view-version": {
+          "version-id": 0, "schema-id": 0,
+          "summary": {"engine-name": "external"},
+          "default-catalog": "rcat", "default-namespace": ["db"],
+          "representations": [
+            {"type": "sql", "dialect": "spark-sql",
+             "sql": "SELECT id FROM rcat.db.vbase WHERE id > 2"}]}},
+        {"action": "set-current-view-version", "view-version-id": -1}]
+    }""")
+    assert(c1 === 200, committed.toString)
+    val meta2 = committed.get("metadata")
+    assert(meta2.get("current-version-id").asInt() === 2,
+      "colliding version-id must reassign to max+1")
+    assert(meta2.get("properties").get("rev").asText() === "2")
+    assert(meta2.get("version-log").size() === 2, "commit must append the log")
+    val got2 = spark.sql("SELECT * FROM rcat.db.specv").collect().map(_.getLong(0))
+    assert(got2.toSeq === Seq(3L), s"view must serve the NEW version: ${got2.toSeq}")
+
+    // wrong uuid → 409, nothing applied
+    val (c2, _) = specPost("/v1/namespaces/db/views/specv", """{
+      "requirements": [{"type": "assert-view-uuid",
+        "uuid": "00000000-0000-0000-0000-000000000000"}],
+      "updates": [{"action": "set-properties", "updates": {"rev": "3"}}]
+    }""")
+    assert(c2 === 409)
+    assert(spark.sql("SELECT * FROM rcat.db.specv").count() === 1)
+    // unknown target version → 409
+    assert(specPost("/v1/namespaces/db/views/specv", """{
+      "updates": [{"action": "set-current-view-version", "view-version-id": 99}]
+    }""")._1 === 409)
+    // commit against a missing view → 404
+    assert(specPost("/v1/namespaces/db/views/ghost", """{
+      "updates": [{"action": "set-properties", "updates": {"a": "1"}}]
+    }""")._1 === 404)
+  }
+
   test("planTableScan: stats-fields trims per-file column stats") {
     val (c, n) = specPost("/v1/namespaces/db/tables/plan_t/plan",
       """{"stats-fields": ["id"]}""")
