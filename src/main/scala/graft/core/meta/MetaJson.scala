@@ -547,7 +547,14 @@ object MetaJson {
       val so = snaps.addObject()
       so.put("snapshot-id", s.snapshotId).put("sequence-number", s.sequenceNumber)
         .put("timestamp-ms", s.timestampMs).put("operation", s.operation)
-        .put("manifest-list", wp(s.manifestListPath))
+      // v1 embedded-manifests snapshots keep their `manifests` array form
+      // (the inline: sentinel is in-memory only — persisted, a later read
+      // would re-root it under the table location as a relative path)
+      ManifestIO.inlinePaths(s.manifestListPath) match {
+        case Some(paths) =>
+          val arr = so.putArray("manifests"); paths.foreach(p => arr.add(wp(p)))
+        case None => so.put("manifest-list", wp(s.manifestListPath))
+      }
       s.parentId.foreach(so.put("parent-snapshot-id", _))
       s.firstRowId.foreach(so.put("first-row-id", _))
       s.schemaId.foreach(so.put("schema-id", _))

@@ -609,6 +609,19 @@ object ManifestIO {
     "inline:" + MetaJson.mapper.writeValueAsString(
       manifestPaths.foldLeft(MetaJson.mapper.createArrayNode())((a, p) => { a.add(p); a }))
 
+  /** the sentinel's embedded manifest paths, when `path` is one —
+    * metadata WRITERS must serialize these back as the v1 `manifests`
+    * array (the sentinel is an in-memory form only; persisted, a later
+    * read would re-root it as a relative path) */
+  def inlinePaths(path: String): Option[Seq[String]] =
+    if (!path.startsWith("inline:")) None
+    else Some {
+      val arr = MetaJson.mapper.readTree(path.stripPrefix("inline:"))
+      val b = Seq.newBuilder[String]
+      arr.elements().forEachRemaining(p => b += p.asText())
+      b.result()
+    }
+
   def readList(path: String): Seq[ManifestFile] = {
     if (path.startsWith("inline:")) return listCache.get(path) {
       val arr = MetaJson.mapper.readTree(path.stripPrefix("inline:"))

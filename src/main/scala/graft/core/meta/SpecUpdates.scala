@@ -355,7 +355,13 @@ object SpecUpdates {
     s.parentId.foreach(so.put("parent-snapshot-id", _))
     if (formatVersion >= 2) so.put("sequence-number", s.sequenceNumber)
     so.put("timestamp-ms", s.timestampMs)
-      .put("manifest-list", s.manifestListPath)
+    // v1 embedded-manifests snapshots re-serialize as `manifests` (the
+    // spec's own v1 form); the inline: sentinel must never persist
+    ManifestIO.inlinePaths(s.manifestListPath) match {
+      case Some(paths) =>
+        val arr = so.putArray("manifests"); paths.foreach(arr.add)
+      case None => so.put("manifest-list", s.manifestListPath)
+    }
     val sum = so.putObject("summary")
     sum.put("operation", s.operation)
     (s.summary - "operation").foreach { case (k, v) => sum.put(k, v) }

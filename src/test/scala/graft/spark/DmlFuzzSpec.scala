@@ -404,7 +404,173 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Register-chain fuzz: the migrating user's whole lifecycle as one
+    * model-checked history. A table is BORN as a spec-dialect (compat)
+    * tree at format-version 1, mutates through random DML, upgrades
+    * v1→v2 mid-history (flipping on MoR deletes with a random delete
+    * format), and is repeatedly adopted under a fresh name via
+    * register_table — then mutated FURTHER as the registered copy, so
+    * the re-register chain covers trees whose history mixes dialects,
+    * format versions, and delete shapes. Ends by rewrite_table_path-ing
+    * the final table to a real directory, copying per the file list,
+    * and registering the MOVED tree — which must read the same model. */
+  private def runRegisterSeed(seed: Int, steps: Int): Unit = {
+    val rng = new Random(seed)
+    var gen = 0
+    var name = s"reg_${seed}_0"
+    def fq = s"gfz.db.$name"
+    def coreT(n: String) =
+      new graft.core.meta.HadoopCatalog(warehouse).loadTable(Seq("db"), n).get
+    spark.sql(s"""CREATE TABLE $fq (id BIGINT, grp BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='1',
+                     'compatibility.format'='iceberg')""")
+    // generation 0 must really be the spec dialect from birth
+    assert(graft.core.meta.MetaJson.isSpecDialect(
+      graft.core.meta.GraftIO.readString(
+        coreT(name).ops.currentMetadataPath.get)),
+      s"seed=$seed: compat table's metadata is not spec-dialect")
+
+    val model = mutable.LinkedHashMap.empty[Long, (Long, String)]
+    var nextId = 0L
+    var upgraded = false
+
+    def append(): String = {
+      val n = 1 + rng.nextInt(25)
+      val rows = (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        val grp = rng.nextInt(4).toLong
+        val v = s"r$id-${rng.nextInt(100)}"
+        model.put(id, (grp, v))
+        (id, grp, v)
+      }
+      spark.createDataFrame(rows).toDF("id", "grp", "v")
+        .coalesce(1).writeTo(fq).append()
+      s"append($n)"
+    }
+    def delete(): String = {
+      val m = 2 + rng.nextInt(4); val r = rng.nextInt(m)
+      spark.sql(s"DELETE FROM $fq WHERE id % $m = $r")
+      model.filterInPlace { case (id, _) => id % m != r }
+      s"delete(id%$m=$r)"
+    }
+    def update(): String = {
+      val m = 2 + rng.nextInt(4); val r = rng.nextInt(m)
+      spark.sql(s"UPDATE $fq SET v = concat(v, '^') WHERE id % $m = $r")
+      model.mapValuesInPlace { case (id, (g, v)) =>
+        if (id % m == r) (g, v + "^") else (g, v)
+      }
+      s"update(id%$m=$r)"
+    }
+    def upgrade(): String =
+      if (upgraded) append()
+      else {
+        upgraded = true
+        // v1 histories carry CoW snapshots only; from here MoR deletes
+        // (random file format) stack v2 shapes onto the v1 prefix
+        val fmt = if (rng.nextBoolean()) "avro" else "parquet"
+        spark.sql(s"""ALTER TABLE $fq SET TBLPROPERTIES (
+          'format-version'='2', 'write.delete.mode'='merge-on-read',
+          'write.delete.format'='$fmt')""")
+        s"upgrade(v1->v2, deletes=$fmt)"
+      }
+    def reRegister(): String = {
+      gen += 1
+      val old = name
+      name = s"reg_${seed}_$gen"
+      val metaPath = coreT(old).ops.currentMetadataPath.get
+      spark.sql(s"CALL gfz.system.register_table('db.$name', '$metaPath')")
+      s"re-register($old -> $name)"
+    }
+    def check(step: Int, op: String): Unit = {
+      val actual = spark.sql(s"SELECT id, grp, v FROM $fq")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+        .sortBy(_._1).toSeq
+      assert(actual == model.toSeq.sortBy(_._1),
+        s"seed=$seed step=$step after $op on $name: " +
+          s"${actual.size} rows vs model ${model.size}")
+    }
+
+    check(0, append())
+    (1 to steps).foreach { step =>
+      val op = rng.nextInt(10) match {
+        case 0 | 1 | 2 => append()
+        case 3 | 4     => delete()
+        case 5 | 6     => update()
+        case 7         => upgrade()
+        case _         => reRegister()
+      }
+      check(step, op)
+    }
+    if (gen == 0) check(steps + 1, reRegister())
+
+    // final act of the migration story: MOVE the tree (rewrite paths to
+    // a real directory, copy per the file list) and register the copy
+    val dst = Files.createTempDirectory(s"graft-reg-moved-$seed").toString
+    val r = spark.sql(
+      s"CALL gfz.system.rewrite_table_path('db.$name', '$warehouse', '$dst')")
+      .collect()(0)
+    val fileList = graft.core.meta.GraftIO.readString(r.getString(1))
+    fileList.split("\n").filter(_.nonEmpty).foreach { line =>
+      val Array(src, tgt) = line.split(",", 2)
+      val tp = graft.core.meta.GraftIO.toPath(tgt)
+      java.nio.file.Files.createDirectories(tp.getParent)
+      java.nio.file.Files.copy(graft.core.meta.GraftIO.toPath(src), tp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val movedMeta = s"$dst/db/$name/metadata/${r.getString(0)}"
+    assert(graft.core.meta.GraftIO.exists(movedMeta),
+      s"seed=$seed: moved tree missing its metadata document at $movedMeta")
+    spark.sql(
+      s"CALL gfz.system.register_table('db.${name}_moved', '$movedMeta')")
+    val moved = spark.sql(s"SELECT id, grp, v FROM gfz.db.${name}_moved")
+      .collect().map(r2 => (r2.getLong(0), (r2.getLong(1), r2.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(moved == model.toSeq.sortBy(_._1),
+      s"seed=$seed: the MOVED re-registered tree diverges " +
+        s"(${moved.size} rows vs model ${model.size})")
+  }
+
   test("seeded branch DML fuzz") { runBranchSeed(321, 25) }
+
+  test("register-chain fuzz: spec birth, v1->v2 upgrade, re-register, move") {
+    runRegisterSeed(515151, 25)
+  }
+
+  test("v1 snapshot with an embedded manifests array of AVRO manifests registers") {
+    // genuine OLD v1 writers embed the manifest list as a `manifests`
+    // path array in the snapshot itself (SnapshotParser v1 form) while
+    // the manifests are spec Avro — synthesize that tree from a compat
+    // table and register it
+    import graft.core.meta.{AvroManifests, GraftIO, ManifestIO, MetaJson}
+    spark.sql("""CREATE TABLE gfz.db.emb_src (id BIGINT, v STRING)
+      TBLPROPERTIES ('format-version'='1',
+                     'compatibility.format'='iceberg')""")
+    spark.sql(
+      "INSERT INTO gfz.db.emb_src SELECT id, concat('v', id) FROM range(0, 12)")
+    val t = new graft.core.meta.HadoopCatalog(warehouse)
+      .loadTable(Seq("db"), "emb_src").get
+    val metaPath = t.ops.currentMetadataPath.get
+    val doc = MetaJson.mapper.readTree(GraftIO.readString(metaPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = doc.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+    assert(snaps.size() === 1)
+    val sn = snaps.get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val listPath = sn.get("manifest-list").asText()
+    val mfs = ManifestIO.readList(listPath)
+    assert(mfs.nonEmpty && mfs.forall(mf => AvroManifests.isAvro(
+      java.nio.file.Files.readAllBytes(GraftIO.toPath(mf.path)))),
+      "precondition: compat manifests must be genuine Avro")
+    sn.remove("manifest-list")
+    val arr = sn.putArray("manifests")
+    mfs.foreach(mf => arr.add(mf.path))
+    val embPath = s"${t.location}/metadata/v1-embedded.metadata.json"
+    GraftIO.writeString(embPath, MetaJson.mapper.writeValueAsString(doc))
+    spark.sql(s"CALL gfz.system.register_table('db.emb_reg', '$embPath')")
+    val got = spark.sql("SELECT id FROM gfz.db.emb_reg ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === (0L until 12L),
+      s"embedded-manifests v1 tree misread after register: $got")
+  }
 
   // branch refs + retention fields must survive the spec (Appendix-C)
   // refs serialization on every commit
@@ -467,6 +633,9 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       test(s"soak branch fuzz, seed ${base + i}") {
         runBranchSeed(base + i, 20, icebergCompat = i % 2 == 0)
+      }
+      test(s"soak register-chain fuzz, seed ${base + i}") {
+        runRegisterSeed(base + i, 20)
       }
     }
   }
