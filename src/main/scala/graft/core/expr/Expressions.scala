@@ -241,6 +241,18 @@ object Expr {
 
 /** Literal conversion/promotion to internal representation. */
 object Literals {
+  /** ISO-8601 timestamp string → Instant, HONORING an explicit zone
+    * offset (+05:00, -08:00, Z); a bare local datetime reads as UTC —
+    * spec single-value timestamptz strings carry +00:00, ntz none. */
+  def parseInstant(s: String): java.time.Instant = {
+    val t = s.replaceFirst(" ", "T")
+    try java.time.OffsetDateTime.parse(t).toInstant
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
+    }
+  }
+
   def convert(v: Any, t: GType): Any =
     if (v == null) null
     else t match {
@@ -279,6 +291,8 @@ object Literals {
         case bd: BigDecimal           => bd.bigDecimal.setScale(s)
         case i: Int                   => java.math.BigDecimal.valueOf(i.toLong).setScale(s)
         case l: Long                  => java.math.BigDecimal.valueOf(l).setScale(s)
+        case str: String => // spec single-value wire form ("123.4500")
+          new java.math.BigDecimal(str).setScale(s)
         case other => throw new IllegalArgumentException(s"cannot convert to decimal: $other")
       }
       case GDate => v match {
@@ -293,13 +307,24 @@ object Literals {
         case t: java.sql.Timestamp =>
           t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
         case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case s: String => // ISO-8601, spec single-value wire form
+          val i = Literals.parseInstant(s)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
         case other => throw new IllegalArgumentException(s"cannot convert to timestamp: $other")
       }
       case GTimestampNs(_) => v match {
         case l: Long => l // nanos since epoch
         case t: java.sql.Timestamp => t.getTime / 1000L * 1000000000L + t.getNanos
         case i: java.time.Instant => i.getEpochSecond * 1000000000L + i.getNano
+        case s: String =>
+          val i = Literals.parseInstant(s)
+          i.getEpochSecond * 1000000000L + i.getNano
         case other => throw new IllegalArgumentException(s"cannot convert to timestamp_ns: $other")
+      }
+      case GTime => v match {
+        case l: Long   => l
+        case s: String => java.time.LocalTime.parse(s).toNanoOfDay / 1000L
+        case other => throw new IllegalArgumentException(s"cannot convert to time: $other")
       }
       case GString => v match {
         case s: String => s
@@ -307,6 +332,11 @@ object Literals {
       }
       case GBinary | GGeometry(_) | GGeography(_, _) => v match {
         case b: Array[Byte] => b
+        case s: String if s.length % 2 == 0 && s.forall(c =>
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+              (c >= 'A' && c <= 'F')) =>
+          // spec single-value wire form: uppercase hexadecimal string
+          s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
         case other => throw new IllegalArgumentException(s"cannot convert to binary: $other")
       }
       case other => throw new IllegalArgumentException(s"cannot convert literal to $other")

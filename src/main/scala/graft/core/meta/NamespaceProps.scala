@@ -140,20 +140,33 @@ object NamespaceProps {
         val n = c.getFileName.toString
         java.nio.file.Files.isDirectory(c) && (n match {
           case "data" =>
-            // prune ONLY table-layout data trees (a `metadata` sibling
-            // marks the parent as a table dir — live or residual): there
-            // a `data` child is pure data and the walk would cost one IO
-            // per data file. Under a PLAIN directory, "data" is just a
-            // name — a live table or namespace called data must still
-            // count, or a non-cascade drop would silently delete it.
-            !java.nio.file.Files.isDirectory(d.resolve("metadata")) &&
-              hasLiveContent(c)
+            // prune ONLY table-layout data trees (parent is a table dir,
+            // live or residual): there a `data` child is pure data and
+            // the walk would cost one IO per data file. Under a plain
+            // directory, "data" is just a name — a live table or
+            // namespace called data must still count, or a non-cascade
+            // drop would silently delete it.
+            !hasTableMetadataChild(d) && hasLiveContent(c)
           case "metadata" =>
             GraftIO.list(c.toString).exists(_.endsWith(".metadata.json"))
           case "_views"   => GraftIO.list(c.toString).nonEmpty
           case _          => hasLiveContent(c)
         })
       }
+
+  /** True when `d`'s "metadata" child is a TABLE's metadata directory —
+    * a plain directory holding version documents, never nested
+    * metadata/data directories or a namespace marker. Distinguishes a
+    * table dir (live or dropped residual) from a plain directory whose
+    * child merely happens to be NAMED metadata (itself a table or a
+    * namespace) — the latter must not make the parent read as a table. */
+  def hasTableMetadataChild(d: java.nio.file.Path): Boolean = {
+    val md = d.resolve("metadata")
+    java.nio.file.Files.isDirectory(md) &&
+      !java.nio.file.Files.exists(md.resolve("_namespace.json")) &&
+      !java.nio.file.Files.isDirectory(md.resolve("metadata")) &&
+      !java.nio.file.Files.isDirectory(md.resolve("data"))
+  }
 
   /** The ONE namespace-existence predicate (Spark catalog and REST
     * routes agree): a non-table directory carrying the marker or live
@@ -168,11 +181,11 @@ object NamespaceProps {
       // the marker SHORT-CIRCUITS the not-a-table test: a marked
       // namespace stays a namespace even when it holds a child table
       // named "metadata" (which would otherwise make it read as a table
-      // directory and vanish from both surfaces)
+      // directory and vanish from both surfaces); for UNMARKED legacy
+      // dirs the same table-shape probe used by the content walk decides
       java.nio.file.Files.isDirectory(p) &&
         (java.nio.file.Files.exists(p.resolve("_namespace.json")) ||
-          (!java.nio.file.Files.isDirectory(p.resolve("metadata")) &&
-            hasLiveContent(p)))
+          (!hasTableMetadataChild(p) && hasLiveContent(p)))
     }
 
   /** Drop guard shared by Spark dropNamespace and the REST route: the

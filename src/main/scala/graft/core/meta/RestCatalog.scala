@@ -825,16 +825,20 @@ object RestCatalogServer {
               s"invalid view name: $name")
             val dir = (warehouse +: nsParts(ns) :+ "_views").mkString("/")
             val p = s"$dir/$name.json"
-            if (GraftIO.exists(p)) json(x, 409, s"""{"error": "view exists"}""")
-            else {
-              val doc = SpecViewUpdates.fromCreateRequest(body,
-                backing.tableLocation(nsParts(ns), name))
-              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-              GraftIO.writeString(p, MetaJson.mapper.writeValueAsString(doc))
-              val o = MetaJson.mapper.createObjectNode()
-              o.put("metadata-location", p)
-              o.set[com.fasterxml.jackson.databind.JsonNode]("metadata", doc)
-              json(x, 200, MetaJson.mapper.writeValueAsString(o))
+            // exists-check + write under the commit lock: concurrent
+            // creates must 409, never silently overwrite each other
+            txnLock.synchronized {
+              if (GraftIO.exists(p)) json(x, 409, s"""{"error": "view exists"}""")
+              else {
+                val doc = SpecViewUpdates.fromCreateRequest(body,
+                  backing.tableLocation(nsParts(ns), name))
+                java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+                GraftIO.writeString(p, MetaJson.mapper.writeValueAsString(doc))
+                val o = MetaJson.mapper.createObjectNode()
+                o.put("metadata-location", p)
+                o.set[com.fasterxml.jackson.databind.JsonNode]("metadata", doc)
+                json(x, 200, MetaJson.mapper.writeValueAsString(o))
+              }
             }
           case ("POST", Array(ns, "views", v)) =>
             val body = MetaJson.mapper.readTree(readBody(x))

@@ -31,18 +31,11 @@ object SpecValueJson {
   }
 
   private def parseMicros(s: String): Long = {
-    val t = s.replaceFirst(" ", "T")
-    val (body, _) =
-      if (t.endsWith("Z")) (t.dropRight(1), true)
-      else {
-        val i = t.lastIndexOf('+')
-        val j = t.lastIndexOf('-')
-        val k = math.max(i, if (j > 9) j else -1) // '-' after the date part
-        if (k > 0) (t.substring(0, k), true) else (t, false)
-      }
-    val ldt = java.time.LocalDateTime.parse(body)
-    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-      ldt.getNano / 1000L
+    // honors a real zone offset (+05:00 etc.), not just +00:00/Z — a
+    // legal non-canonical offset must shift the instant, never be
+    // silently read as UTC
+    val i = graft.core.expr.Literals.parseInstant(s)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
   private def hex(b: Array[Byte]): String =
@@ -108,10 +101,8 @@ object SpecValueJson {
       case GTime          => java.time.LocalTime.parse(n.asText()).toNanoOfDay / 1000L
       case GTimestamp(_)  => parseMicros(n.asText())
       case GTimestampNs(_) =>
-        val t2 = n.asText().replaceFirst(" ", "T")
-        val body = t2.stripSuffix("Z").replaceFirst("\\+00:00$", "")
-        val ldt = java.time.LocalDateTime.parse(body)
-        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano
+        val i = graft.core.expr.Literals.parseInstant(n.asText())
+        i.getEpochSecond * 1000000000L + i.getNano
       case GString        => n.asText()
       case GUuid =>
         val u = java.util.UUID.fromString(n.asText())
@@ -274,9 +265,15 @@ object SpecScanTasks {
     case other => throw new IllegalArgumentException(s"unknown content: $other")
   }
 
-  /** wire file-format: DVs are Puffin containers per the spec enum */
-  private def formatName(f: DataFile): String =
-    if (f.format == "dv") "puffin" else f.format
+  /** wire file-format: the spec enum admits only avro/orc/parquet/puffin
+    * — DVs are Puffin containers, and graft's name-mapped import marker
+    * ("parquet-nm") is physically parquet; both internal names ride the
+    * x-graft-format extension so graft clients round-trip exactly */
+  private def formatName(f: DataFile): String = f.format match {
+    case "dv"         => "puffin"
+    case "parquet-nm" => "parquet"
+    case other        => other
+  }
 
   /** partition RESULT types per spec id (bucket→int, days→date, ...);
     * a spec referencing dropped source columns yields no types and the
@@ -359,7 +356,7 @@ object SpecScanTasks {
         }
         so
       })
-    if (f.format == "dv") o.put("x-graft-format", "dv")
+    if (f.format != formatName(f)) o.put("x-graft-format", f.format)
     o
   }
 
@@ -413,12 +410,11 @@ object SpecScanTasks {
       }
       b.result()
     }.getOrElse(Map.empty[String, ColStats])
-    val fmt =
-      if (Option(n.get("x-graft-format")).exists(_.asText() == "dv")) "dv"
-      else n.get("file-format").asText().toLowerCase match {
+    val fmt = Option(n.get("x-graft-format")).map(_.asText()).getOrElse(
+      n.get("file-format").asText().toLowerCase match {
         case "puffin" => "dv" // DV blobs live in Puffin containers
         case f        => f
-      }
+      })
     DataFile(
       n.get("file-path").asText(), fmt, specId, pt.result(),
       n.get("record-count").asLong(), n.get("file-size-in-bytes").asLong(),

@@ -276,7 +276,9 @@ object Pipeline {
     "p05_dedup_embedding_cosine",
     (s, dir) => {
       val e = embNorm(s, dir)
-      fenceAllPairs(s, e.count())
+      // row count from the RAW parquet (metadata-only count-star) — the
+      // fence must not pay a second normalization pass
+      fenceAllPairs(s, t(s, dir, "embeddings").count())
       e.toDF("id1", "v1", "n1")
         .join(e.toDF("id2", "v2", "n2"), col("id1") < col("id2"))
         .withColumn("cos", cosCol)

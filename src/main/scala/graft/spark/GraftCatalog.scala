@@ -114,8 +114,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (java.nio.file.Files.isDirectory(c) && !n.startsWith("_") &&
                 NamespaceProps.validName(n) &&
                 !java.nio.file.Files.exists(c.resolve("_namespace.json")) &&
-                !java.nio.file.Files.isDirectory(c.resolve("metadata")))
-              NamespaceProps.mark(bwh, Seq(n))
+                // the SHARED table-shape probe: a table/residual dir must
+                // not backfill, but a legacy namespace whose child merely
+                // happens to be NAMED metadata must
+                !NamespaceProps.hasTableMetadataChild(c))
+              // per-child: one unmarkable dir must not abort the rest
+              try NamespaceProps.mark(bwh, Seq(n))
+              catch { case _: Throwable => () }
           }
       } catch { case _: Throwable => () } // best-effort; never blocks open
   }

@@ -1791,25 +1791,37 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
                 DVIO.writeBlob(staged, mv(ref), positions.iterator)
               dvInfo(f.path) = (staged, GraftIO.size(staged), off, len)
             } else if (f.format == "avro") {
-              // avro delete files rewrite through graft's own codec, the
-              // reserved field ids riding the schema (no Spark job — the
-              // per-file row count is the delete list, not table data)
-              import org.apache.spark.sql.execution.datasources.PartitionedFile
-              val readFn = GraftAvro.ReadFunc(GraftDeltaWriter.DeleteSchema.json)
-              val rows = readFn(PartitionedFile(
-                org.apache.spark.sql.catalyst.InternalRow.empty,
-                org.apache.spark.paths.SparkPath.fromPathString(f.path),
-                0, Long.MaxValue, Array.empty[String], 0L, Long.MaxValue, Map.empty))
-              val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-              GraftAvro.writeFile(staged, GraftDeltaWriter.DeleteSchema,
-                GraftDeltaWriter.DeleteGSchema, rows.map { r =>
-                  val p0 = r.getUTF8String(0).toString
-                  out.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(
-                    if (p0.startsWith(srcPrefix)) dstPrefix + p0.substring(srcPrefix.length)
-                    else p0))
-                  out.setLong(1, r.getLong(1))
-                  out: org.apache.spark.sql.catalyst.InternalRow
-                })
+              // avro delete files copy record-for-record under the FILE'S
+              // OWN schema (the spec's optional `row` payload and the
+              // reserved field-id props survive untouched), with only the
+              // file_path field moved; records re-sort by (file_path,
+              // pos) since prefix replacement can reorder mixed-prefix
+              // keys (no Spark job — the row count is a delete list)
+              import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableFileInput}
+              import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+              val reader = new DataFileReader[GenericRecord](
+                new SeekableFileInput(GraftIO.toPath(f.path).toFile),
+                new GenericDatumReader[GenericRecord]())
+              try {
+                val schema = reader.getSchema
+                val recs = mutable.ArrayBuffer.empty[GenericRecord]
+                while (reader.hasNext) {
+                  val r = reader.next()
+                  val p0 = String.valueOf(r.get("file_path"))
+                  r.put("file_path",
+                    if (p0.startsWith(srcPrefix))
+                      dstPrefix + p0.substring(srcPrefix.length)
+                    else p0)
+                  recs += r
+                }
+                recs.sortInPlaceBy(r =>
+                  (String.valueOf(r.get("file_path")),
+                    r.get("pos").asInstanceOf[java.lang.Long].longValue()))
+                val w = new DataFileWriter[GenericRecord](
+                  new GenericDatumWriter[GenericRecord](schema))
+                w.create(schema, GraftIO.toPath(staged).toFile)
+                try recs.foreach(w.append) finally w.close()
+              } finally reader.close()
               posInfo(f.path) = (staged, GraftIO.size(staged))
             } else if (f.format == "parquet" || f.format == "orc") {
               import org.apache.spark.sql.functions.{col, concat, expr, lit, when}

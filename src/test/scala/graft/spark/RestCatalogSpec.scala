@@ -1073,6 +1073,33 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }""")._1 === 404)
   }
 
+  test("planTableScan: spec string literals (timestamps) filter and prune") {
+    spark.sql("""CREATE TABLE rcat.db.plan_ts (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO rcat.db.plan_ts VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00'), (2, TIMESTAMP '2024-01-01 11:00:00'),
+      (3, TIMESTAMP '2024-03-05 10:00:00'), (4, TIMESTAMP '2024-03-05 11:00:00')""")
+    // the exact wire shape a genuine client sends: ISO-8601 string value
+    val (c, n) = specPost("/v1/namespaces/db/tables/plan_ts/plan",
+      """{"filter": {"type": "gt", "term": "ts",
+          "value": "2024-02-01T00:00:00+00:00"}}""")
+    assert(c === 200, s"timestamp literals must bind server-side: $n")
+    assert(n.get("file-scan-tasks").size() === 1,
+      s"day-partition pruning must run on the ISO literal: $n")
+    // a NON-UTC offset shifts the instant instead of being read as UTC:
+    // 2024-03-05T07:00:00-05:00 == 12:00Z — inclusive day-pruning keeps
+    // the March file (the day may hold later rows), but the residual
+    // must carry the SHIFTED bound, not the local time read as UTC
+    val (c2, n2) = specPost("/v1/namespaces/db/tables/plan_ts/plan",
+      """{"filter": {"type": "gt", "term": "ts",
+          "value": "2024-03-05T07:00:00-05:00"}}""")
+    assert(c2 === 200 && n2.get("file-scan-tasks").size() === 1, n2.toString)
+    val residual = n2.get("file-scan-tasks").get(0).get("residual-filter")
+    assert(residual.get("value").asLong() ===
+      java.time.Instant.parse("2024-03-05T12:00:00Z").toEpochMilli * 1000L,
+      s"the -05:00 offset must shift the residual bound to 12:00Z: $residual")
+  }
+
   test("planTableScan: stats-fields trims per-file column stats") {
     val (c, n) = specPost("/v1/namespaces/db/tables/plan_t/plan",
       """{"stats-fields": ["id"]}""")

@@ -3114,6 +3114,27 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.databaseExists("graft.dnx"))
   }
 
+  test("unmarked dir with child tables named 'metadata' AND 'data' stays live") {
+    // the nasty shape: the parent LOOKS table-ish (it has a metadata
+    // child), but that child is itself a live TABLE — the data-prune
+    // must not hide the sibling table named data
+    spark.sql("CREATE NAMESPACE graft.dnm")
+    spark.sql("CREATE TABLE graft.dnm.metadata (id BIGINT)")
+    spark.sql("INSERT INTO graft.dnm.metadata VALUES (1)")
+    spark.sql("CREATE TABLE graft.dnm.data (id BIGINT)")
+    spark.sql("INSERT INTO graft.dnm.data VALUES (2)")
+    java.nio.file.Files.deleteIfExists(
+      graft.core.meta.GraftIO.toPath(s"$warehouse/dnm/_namespace.json"))
+    assert(graft.core.meta.NamespaceProps
+      .nonEmptyBlocker(warehouse, Seq("dnm")).nonEmpty,
+      "both live child tables must block a non-cascade drop")
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE graft.dnm"))
+    assert(e.getMessage.toLowerCase.contains("empty") ||
+      e.getMessage.toLowerCase.contains("cascade"), e.getMessage)
+    assert(spark.sql("SELECT * FROM graft.dnm.data").count() === 1)
+    spark.sql("DROP NAMESPACE graft.dnm CASCADE")
+  }
+
   test("a live table literally named 'data' blocks a non-cascade drop") {
     // legacy layout: an UNMARKED namespace directory whose child table is
     // called data — the walk's data-prune must not make it invisible
