@@ -148,7 +148,12 @@ object NamespaceProps {
             // drop would silently delete it.
             !hasTableMetadataChild(d) && hasLiveContent(c)
           case "metadata" =>
-            GraftIO.list(c.toString).exists(_.endsWith(".metadata.json"))
+            // a version document directly inside = a live table at `d`;
+            // otherwise the child may ITSELF be a table or namespace
+            // that merely happens to be named metadata — recurse (cheap
+            // for a residual: its metadata dir holds only flat files)
+            GraftIO.list(c.toString).exists(_.endsWith(".metadata.json")) ||
+              hasLiveContent(c)
           case "_views"   => GraftIO.list(c.toString).nonEmpty
           case _          => hasLiveContent(c)
         })

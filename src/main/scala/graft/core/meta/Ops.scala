@@ -622,6 +622,31 @@ object ManifestIO {
       b.result()
     }
 
+  /** Rewrite every inline-list snapshot to reference a REAL manifest-list
+    * file. v1 docs may legally carry embedded `manifests` arrays, but
+    * v2+ REQUIRES manifest-list (format/spec.md snapshots) — every
+    * v1→v2 upgrade path materializes through here so the upgraded
+    * document never persists the v1 form. List format/codec follow the
+    * table's manifest settings, like any commit. */
+  def materializeInline(m: TableMetadata): TableMetadata = {
+    val needs = m.snapshots.exists(_.manifestListPath.startsWith("inline:"))
+    if (!needs) m
+    else m.copy(snapshots = m.snapshots.map { sn =>
+      inlinePaths(sn.manifestListPath) match {
+        case None => sn
+        case Some(_) =>
+          val mfs = readList(sn.manifestListPath) // expands + stats sizes
+          val path = s"${m.location}/metadata/manifest-list-" +
+            s"${sn.snapshotId}-${java.util.UUID.randomUUID}${fileExt(m.properties)}"
+          writeList(path, mfs, GraftIO.metadataGzip(m.properties),
+            TableCrypto.resolve(m), avro = avroEnabled(m.properties),
+            formatVersion = math.max(2, m.formatVersion),
+            partTypes = partTypesOf(m))
+          sn.copy(manifestListPath = path)
+      }
+    })
+  }
+
   def readList(path: String): Seq[ManifestFile] = {
     if (path.startsWith("inline:")) return listCache.get(path) {
       val arr = MetaJson.mapper.readTree(path.stripPrefix("inline:"))

@@ -864,15 +864,19 @@ object RestCatalogServer {
                 }
               }
             } else {
-              // graft's legacy whole-document store ({view, replace})
-              val replace = body.has("replace") && body.get("replace").asBoolean()
-              if (!replace && GraftIO.exists(p))
-                json(x, 409, s"""{"error": "view exists"}""")
-              else {
-                java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-                GraftIO.writeString(p,
-                  MetaJson.mapper.writeValueAsString(body.get("view")))
-                json(x, 200, "{}")
+              // graft's legacy whole-document store ({view, replace});
+              // the SAME lock as the spec routes — a legacy create racing
+              // another create (either shape) must 409, never clobber
+              txnLock.synchronized {
+                val replace = body.has("replace") && body.get("replace").asBoolean()
+                if (!replace && GraftIO.exists(p))
+                  json(x, 409, s"""{"error": "view exists"}""")
+                else {
+                  java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+                  GraftIO.writeString(p,
+                    MetaJson.mapper.writeValueAsString(body.get("view")))
+                  json(x, 200, "{}")
+                }
               }
             }
           case ("DELETE", Array(ns, "views", v)) =>

@@ -97,7 +97,11 @@ object SpecUpdates {
           s"Cannot downgrade v${m.formatVersion} table to v$fv")
         if (fv > 4) throw new IllegalArgumentException(
           s"Cannot upgrade table to unsupported format version: v$fv")
-        m.copy(formatVersion = fv)
+        // v2 requires manifest-list: materialize any v1 embedded-manifests
+        // snapshots so the upgraded document never persists the v1 form
+        val m2 = if (fv >= 2 && m.formatVersion < 2)
+          ManifestIO.materializeInline(m) else m
+        m2.copy(formatVersion = fv)
 
       case "add-schema" =>
         val s0 = MetaJson.readSchema(n.get("schema"))

@@ -388,9 +388,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case None => base.formatVersion
       }
       val newSchema = schema.copy(schemaId = base.schemas.map(_.schemaId).max + 1)
-      base.copy(
+      // v1→v2+ upgrade: v2 REQUIRES manifest-list, so any v1 snapshots
+      // still carrying embedded `manifests` arrays materialize real list
+      // files now — the upgraded document must never persist the v1 form
+      val base2 =
+        if (newVersion >= 2 && base.formatVersion < 2)
+          graft.core.meta.ManifestIO.materializeInline(base)
+        else base
+      base2.copy(
         formatVersion = newVersion,
-        schemas = base.schemas :+ newSchema,
+        schemas = base2.schemas :+ newSchema,
         currentSchemaId = newSchema.schemaId,
         lastColumnId = nextId,
         properties = props)

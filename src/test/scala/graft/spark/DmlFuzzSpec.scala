@@ -570,6 +570,24 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq
     assert(got === (0L until 12L),
       s"embedded-manifests v1 tree misread after register: $got")
+
+    // v1→v2 upgrade: v2 REQUIRES manifest-list, so the embedded-array
+    // snapshot must materialize a real list file — the upgraded document
+    // may not carry the v1 `manifests` form (external parsers reject it)
+    spark.sql(
+      "ALTER TABLE gfz.db.emb_reg SET TBLPROPERTIES ('format-version'='2')")
+    val reg = new graft.core.meta.HadoopCatalog(warehouse)
+      .loadTable(Seq("db"), "emb_reg").get
+    val upDoc = GraftIO.readString(reg.ops.currentMetadataPath.get)
+    val upSnaps = MetaJson.mapper.readTree(upDoc).get("snapshots")
+    (0 until upSnaps.size()).foreach { i =>
+      val s2 = upSnaps.get(i)
+      assert(!s2.has("manifests") && s2.hasNonNull("manifest-list"),
+        s"v2 document must not carry embedded manifests arrays: $s2")
+    }
+    assert(spark.sql("SELECT id FROM gfz.db.emb_reg ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === (0L until 12L),
+      "upgraded embedded-manifests tree must still read")
   }
 
   // branch refs + retention fields must survive the spec (Appendix-C)

@@ -3135,6 +3135,24 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP NAMESPACE graft.dnm CASCADE")
   }
 
+  test("unmarked dir whose ONLY child is a table named 'metadata' stays live") {
+    // the liveness walk's metadata arm must recurse when the child named
+    // metadata is ITSELF a table, or the two surfaces disagree (blocker
+    // blocks the drop while existence reads absent)
+    spark.sql("CREATE NAMESPACE graft.dnm2")
+    spark.sql("CREATE TABLE graft.dnm2.metadata (id BIGINT)")
+    spark.sql("INSERT INTO graft.dnm2.metadata VALUES (1)")
+    java.nio.file.Files.deleteIfExists(
+      graft.core.meta.GraftIO.toPath(s"$warehouse/dnm2/_namespace.json"))
+    assert(graft.core.meta.NamespaceProps.isNamespaceDir(warehouse, Seq("dnm2")),
+      "a nested live table named metadata must keep the namespace visible")
+    assert(graft.core.meta.NamespaceProps
+      .nonEmptyBlocker(warehouse, Seq("dnm2")).nonEmpty,
+      "the nested live table must block a non-cascade drop")
+    assert(spark.sql("SELECT * FROM graft.dnm2.metadata").count() === 1)
+    spark.sql("DROP NAMESPACE graft.dnm2 CASCADE")
+  }
+
   test("a live table literally named 'data' blocks a non-cascade drop") {
     // legacy layout: an UNMARKED namespace directory whose child table is
     // called data — the walk's data-prune must not make it invisible
