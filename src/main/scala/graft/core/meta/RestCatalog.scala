@@ -1023,12 +1023,30 @@ final class RestTableOps(
     require(status == "completed", s"scan planning $status: $n")
     val inline = SpecScanTasks.readTasks(n, meta)
     val chunked = Option(n.get("plan-tasks")).map { arr =>
-      (0 until arr.size()).flatMap { i =>
+      // a 100 TB plan shards into hundreds of plan-tasks: fetch them
+      // CONCURRENTLY (bounded) — sequential round-trips would make
+      // planning latency linear in metadata size, defeating the point
+      // of server planning. Order is preserved per the returned array.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pts = (0 until arr.size()).map(arr.get(_).asText())
+      def fetch(pt: String): Seq[FileScanTask] = {
         val (c3, b3) = RestHttp.post(s"$tableUrl/tasks",
           MetaJson.mapper.writeValueAsString(MetaJson.mapper.createObjectNode()
-            .put("plan-task", arr.get(i).asText())), hdrs)
+            .put("plan-task", pt)), hdrs)
         require(c3 == 200, s"fetchScanTasks failed: $c3 $b3")
         SpecScanTasks.readTasks(MetaJson.mapper.readTree(b3), meta)
+      }
+      if (pts.size <= 1) pts.flatMap(fetch)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, pts.size), (r: Runnable) => {
+            val t = new Thread(r, "graft-plan-fetch"); t.setDaemon(true); t
+          })
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.traverse(pts)(pt => Future(fetch(pt))), Duration.Inf).flatten
+        finally pool.shutdown()
       }
     }.getOrElse(Seq.empty)
     inline ++ chunked
