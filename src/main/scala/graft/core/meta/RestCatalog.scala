@@ -266,19 +266,38 @@ object RestCatalogServer {
         }
       } catch { case e: Throwable => json(x, 400, errJson(e)) })
 
-    // server-side scan planning state: plan-id → pre-serialized ScanTasks
-    // chunk JSONs (reference CatalogHandlers plan handling). Bounded ring:
-    // completed plans evict oldest-first past the cap.
-    val plans = new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]()
+    // server-side scan planning state: plan-id → plan state holding
+    // pre-serialized ScanTasks chunk JSONs once planning completes
+    // (reference CatalogHandlers plan handling). `chunks`/`error` are
+    // written by the planning thread, read by the poll routes. Bounded
+    // ring: plans evict oldest-first past the cap.
+    final class PlanState {
+      @volatile var chunks: IndexedSeq[String] = null // null = still planning
+      @volatile var error: String = null
+      def status: String =
+        if (error != null) "failed"
+        else if (chunks != null) "completed"
+        else "submitted"
+    }
+    val plans = new java.util.concurrent.ConcurrentHashMap[String, PlanState]()
     val planOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    def storePlan(id: String, chunks: IndexedSeq[String]): Unit = {
-      plans.put(id, chunks)
+    def storePlan(id: String): PlanState = {
+      val st = new PlanState
+      plans.put(id, st)
       planOrder.add(id)
       while (plans.size() > 128) {
         val old = planOrder.poll()
-        if (old != null) plans.remove(old) else return
+        if (old != null) plans.remove(old) else return st
       }
+      st
     }
+    // async planning pool: a long plan must not pin an HTTP handler
+    // thread — the submitted/poll contract exists exactly for huge
+    // metadata (daemon threads; the server never pins the JVM open)
+    val planExec = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-rest-plan"); t.setDaemon(true); t
+      })
 
     // /v1/namespaces/{ns}/tables[/{t}[/create|/commit]]
     server.createContext("/v1/namespaces", (x: HttpExchange) =>
@@ -650,75 +669,109 @@ object RestCatalogServer {
             else {
               val table = new GTable(ops)
               val meta = table.refresh()
-              val scan = table.newScan()
-              Option(body.get("snapshot-id")).filterNot(_.isNull)
-                .foreach(sn => scan.useSnapshot(sn.asLong()))
-              Option(body.get("filter")).filterNot(_.isNull)
-                .foreach(f => scan.filter(SpecExpr.read(f)))
-              val tasks = scan.planFiles()
-              // stats-fields trims per-file column stats to the named
-              // fields; absent → full stats (graft clients need bounds
-              // for metadata-only aggregate pushdown)
-              val statsIds: Option[Set[Int]] =
-                Option(body.get("stats-fields")).filterNot(_.isNull).map { arr =>
-                  val b = Set.newBuilder[Int]
-                  arr.elements().forEachRemaining(fn =>
-                    meta.schema.byName.get(fn.asText()).foreach(f => b += f.id))
-                  b.result()
+              // the full plan (funnel → chunk → serialize), run inline
+              // for sync requests, on the planning pool for async ones
+              def computeChunks(): IndexedSeq[String] = {
+                val scan = table.newScan()
+                Option(body.get("snapshot-id")).filterNot(_.isNull)
+                  .foreach(sn => scan.useSnapshot(sn.asLong()))
+                Option(body.get("filter")).filterNot(_.isNull)
+                  .foreach(f => scan.filter(SpecExpr.read(f)))
+                val tasks = scan.planFiles()
+                // stats-fields trims per-file column stats to the named
+                // fields; absent → full stats (graft clients need bounds
+                // for metadata-only aggregate pushdown)
+                val statsIds: Option[Set[Int]] =
+                  Option(body.get("stats-fields")).filterNot(_.isNull).map { arr =>
+                    val b = Set.newBuilder[Int]
+                    arr.elements().forEachRemaining(fn =>
+                      meta.schema.byName.get(fn.asText()).foreach(f => b += f.id))
+                    b.result()
+                  }
+                val trimmed = statsIds match {
+                  case None => tasks
+                  case Some(keep) => tasks.map(ft => ft.copy(file = ft.file.copy(
+                    columnStats = ft.file.columnStats.view
+                      .filterKeys(keep).toMap)))
                 }
-              val trimmed = statsIds match {
-                case None => tasks
-                case Some(keep) => tasks.map(ft => ft.copy(file = ft.file.copy(
-                  columnStats = ft.file.columnStats.view
-                    .filterKeys(keep).toMap)))
+                val chunkJsons = trimmed.grouped(math.max(1, planPageSize))
+                  .map(c => MetaJson.mapper.writeValueAsString(
+                    SpecScanTasks.writeTasks(c, meta))).toIndexedSeq
+                if (chunkJsons.isEmpty)
+                  IndexedSeq(MetaJson.mapper.writeValueAsString(
+                    SpecScanTasks.writeTasks(Nil, meta)))
+                else chunkJsons
               }
-              val planId = java.util.UUID.randomUUID().toString
-              val chunks = trimmed.grouped(math.max(1, planPageSize)).toIndexedSeq
-              val chunkJsons = chunks.map(c =>
-                MetaJson.mapper.writeValueAsString(SpecScanTasks.writeTasks(c, meta)))
-              storePlan(planId, if (chunkJsons.isEmpty)
-                IndexedSeq(MetaJson.mapper.writeValueAsString(
-                  SpecScanTasks.writeTasks(Nil, meta)))
-                else chunkJsons)
-              val async = Option(x.getRequestHeaders.getFirst("X-Graft-Plan-Async"))
-                .exists(_.equalsIgnoreCase("true"))
-              if (async)
-                json(x, 200, s"""{"status": "submitted", "plan-id": ${
-                  MetaJson.mapper.writeValueAsString(planId)}}""")
-              else {
+              def completedNode(pid: String, chunks: IndexedSeq[String]) = {
                 val o =
-                  if (chunkJsons.size <= 1)
-                    MetaJson.mapper.readTree(plans.get(planId).head)
+                  if (chunks.size <= 1)
+                    MetaJson.mapper.readTree(chunks.head)
                       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
                   else {
                     val oo = MetaJson.mapper.createObjectNode()
                     val pts = oo.putArray("plan-tasks")
-                    chunkJsons.indices.foreach(i =>
-                      pts.add(SpecScanTasks.planTask(planId, i)))
+                    chunks.indices.foreach(i =>
+                      pts.add(SpecScanTasks.planTask(pid, i)))
                     oo
                   }
-                o.put("status", "completed").put("plan-id", planId)
+                o.put("status", "completed")
+                o
+              }
+              val planId = java.util.UUID.randomUUID().toString
+              val st = storePlan(planId)
+              val async = Option(x.getRequestHeaders.getFirst("X-Graft-Plan-Async"))
+                .exists(_.equalsIgnoreCase("true"))
+              if (async) {
+                // REAL async: respond immediately, plan on the pool —
+                // a huge-metadata plan must not pin an HTTP handler
+                // thread (this is the contract the spec's submitted/poll
+                // status path exists for)
+                planExec.submit(new Runnable {
+                  override def run(): Unit =
+                    try st.chunks = computeChunks()
+                    catch { case e: Throwable =>
+                      st.error = Option(e.getMessage).getOrElse(e.toString) }
+                })
+                json(x, 200, s"""{"status": "submitted", "plan-id": ${
+                  MetaJson.mapper.writeValueAsString(planId)}}""")
+              } else {
+                try st.chunks = computeChunks()
+                catch { case e: Throwable => plans.remove(planId); throw e }
+                val o = completedNode(planId, st.chunks)
+                o.put("plan-id", planId)
                 json(x, 200, MetaJson.mapper.writeValueAsString(o))
               }
             }
           case ("GET", Array(ns, "tables", t, "plan", pid)) =>
-            val chunks = plans.get(pid)
-            if (chunks == null) json(x, 404, s"""{"error": "no such plan-id"}""")
-            else {
-              val o =
-                if (chunks.size <= 1)
-                  MetaJson.mapper.readTree(chunks.head)
-                    .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-                else {
-                  val oo = MetaJson.mapper.createObjectNode()
-                  val pts = oo.putArray("plan-tasks")
-                  chunks.indices.foreach(i => pts.add(SpecScanTasks.planTask(pid, i)))
-                  oo
-                }
-              o.put("status", "completed")
-              json(x, 200, MetaJson.mapper.writeValueAsString(o))
+            val st = plans.get(pid)
+            if (st == null) json(x, 404, s"""{"error": "no such plan-id"}""")
+            else st.status match {
+              case "submitted" =>
+                json(x, 200, s"""{"status": "submitted"}""")
+              case "failed" =>
+                json(x, 200, s"""{"status": "failed", "error": ${
+                  MetaJson.mapper.writeValueAsString(st.error)}}""")
+              case _ =>
+                val chunks = st.chunks
+                val o =
+                  if (chunks.size <= 1)
+                    MetaJson.mapper.readTree(chunks.head)
+                      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                  else {
+                    val oo = MetaJson.mapper.createObjectNode()
+                    val pts = oo.putArray("plan-tasks")
+                    chunks.indices.foreach(i =>
+                      pts.add(SpecScanTasks.planTask(pid, i)))
+                    oo
+                  }
+                o.put("status", "completed")
+                json(x, 200, MetaJson.mapper.writeValueAsString(o))
             }
           case ("DELETE", Array(ns, "tables", t, "plan", pid)) =>
+            // cancelPlanning: removing the state makes an in-flight
+            // planner's result unreachable; its thread finishes into a
+            // dropped object (planFiles has no interruption points worth
+            // plumbing — metadata IO is bounded)
             if (plans.remove(pid) == null)
               json(x, 404, s"""{"error": "no such plan-id"}""")
             else { x.sendResponseHeaders(204, -1); x.close() }
@@ -728,7 +781,8 @@ object RestCatalogServer {
               .map(_.asText()).getOrElse(
                 throw new IllegalArgumentException("plan-task required"))
             val (pid, idx) = SpecScanTasks.parsePlanTask(pt)
-            val chunks = plans.get(pid)
+            val st = plans.get(pid)
+            val chunks = if (st == null) null else st.chunks
             if (chunks == null || idx < 0 || idx >= chunks.size)
               json(x, 404, s"""{"error": "no such plan-task"}""")
             else json(x, 200, chunks(idx))

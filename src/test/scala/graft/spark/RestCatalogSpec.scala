@@ -934,11 +934,19 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(ca === 200 && sub.get("status").asText() === "submitted", sub.toString)
       val pid = sub.get("plan-id").asText()
-      val (cp, polled) = RestHttp.get(
-        s"$uri2/v1/namespaces/db/tables/plan_t/plan/$pid")
-      assert(cp === 200)
-      val pn = MetaJson.mapper.readTree(polled)
-      assert(pn.get("status").asText() === "completed")
+      // REAL async: the server responds before planning finishes — poll
+      // until the status turns terminal, as a genuine client would
+      var pn = MetaJson.mapper.createObjectNode()
+        .put("status", "submitted"): com.fasterxml.jackson.databind.JsonNode
+      var waited = 0
+      while (pn.get("status").asText() == "submitted" && waited < 200) {
+        Thread.sleep(50); waited += 1
+        val (cp, polled) = RestHttp.get(
+          s"$uri2/v1/namespaces/db/tables/plan_t/plan/$pid")
+        assert(cp === 200)
+        pn = MetaJson.mapper.readTree(polled)
+      }
+      assert(pn.get("status").asText() === "completed", pn.toString)
       // 4 one-task chunks → plan-tasks, no inline tasks
       val pts = pn.get("plan-tasks")
       assert(pts != null && pts.size() === 4, s"expected 4 plan-tasks: $pn")
