@@ -675,6 +675,13 @@ object RestCatalogServer {
                 val scan = table.newScan()
                 Option(body.get("snapshot-id")).filterNot(_.isNull)
                   .foreach(sn => scan.useSnapshot(sn.asLong()))
+                // time travel binds against the snapshot's write-time
+                // schema (a renamed column resolves its OLD name);
+                // case-sensitive defaults true per the spec
+                if (Option(body.get("use-snapshot-schema"))
+                    .exists(_.asBoolean(false))) scan.useSnapshotSchema()
+                scan.caseSensitive(Option(body.get("case-sensitive"))
+                  .forall(_.asBoolean(true)))
                 Option(body.get("filter")).filterNot(_.isNull)
                   .foreach(f => scan.filter(SpecExpr.read(f)))
                 val tasks = scan.planFiles()
@@ -1051,9 +1058,14 @@ final class RestTableOps(
     * POST the filter, poll while "submitted", then fetch every chunk.
     * `meta` types the wire values (partition tuples, stat bounds). */
   def planScan(snapshotId: Option[Long], filter: graft.core.expr.Expr,
-      meta: TableMetadata): Seq[FileScanTask] = {
+      meta: TableMetadata, useSnapshotSchema: Boolean = false): Seq[FileScanTask] = {
     val req = MetaJson.mapper.createObjectNode()
     snapshotId.foreach(req.put("snapshot-id", _))
+    // time travel binds under the snapshot's write-time schema (spec
+    // use-snapshot-schema); graft resolves names case-insensitively
+    // like Spark, so say so rather than inherit the spec's true default
+    if (useSnapshotSchema) req.put("use-snapshot-schema", true)
+    req.put("case-sensitive", false)
     if (filter != graft.core.expr.TrueE)
       req.set[com.fasterxml.jackson.databind.JsonNode]("filter",
         SpecExpr.write(filter))

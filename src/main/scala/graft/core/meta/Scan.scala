@@ -205,6 +205,13 @@ final class TableScan(table: GTable) {
   private var snapshotIdOpt: Option[Long] = None
   private var filterExpr: Expr = TrueE
   private var refName: Option[String] = None
+  // schema to BIND/plan against: the table's current schema unless a
+  // time-travel scan asks for the snapshot's write-time schema
+  // (reference TableScanContext useSnapshotSchema / open-api
+  // use-snapshot-schema) — after a rename, a snapshot-schema filter
+  // must resolve the OLD name
+  private var schemaOverride: Option[GSchema] = None
+  private var caseSensitiveBind: Boolean = false
 
   // planning-funnel counters captured by the last planParts() call
   private var rptSnapshotId = 0L
@@ -229,6 +236,16 @@ final class TableScan(table: GTable) {
     this
   }
   def filter(e: Expr): TableScan = { filterExpr = Expr.and(filterExpr, e); this }
+
+  /** bind and plan against the selected snapshot's write-time schema
+    * (time travel; no-op when the snapshot predates schema tracking) */
+  def useSnapshotSchema(): TableScan = {
+    schemaOverride = snapshot().flatMap(_.schemaId)
+      .flatMap(id => table.meta.schemas.find(_.schemaId == id))
+    this
+  }
+
+  def caseSensitive(on: Boolean): TableScan = { caseSensitiveBind = on; this }
 
   def snapshot(): Option[Snapshot] = {
     val m = table.meta
@@ -272,8 +289,8 @@ final class TableScan(table: GTable) {
   def planParts(): Option[(PlanContext, Seq[ManifestFile])] = {
     val m = table.meta
     val snap = snapshot().getOrElse(return None)
-    val schema = m.schema
-    val bound = Expr.bind(schema, filterExpr)
+    val schema = schemaOverride.getOrElse(m.schema)
+    val bound = Expr.bind(schema, filterExpr, caseSensitiveBind)
     val manifests = ManifestIO.readList(snap.manifestListPath)
 
     // per-spec inclusive partition projections (computed once)

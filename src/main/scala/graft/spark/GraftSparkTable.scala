@@ -903,7 +903,10 @@ object GraftSparkTable {
           case r: graft.core.meta.RestTableOps if r.serverPlanningOn =>
             try Some(plannedSnapshot match {
               case None => Nil
-              case sid  => r.planScan(sid, Expr.and(expr, runtimeExpr), table.meta)
+              case sid  => r.planScan(sid, Expr.and(expr, runtimeExpr), table.meta,
+                // time travel (id/timestamp) binds under the snapshot's
+                // write-time schema; branch reads use the table schema
+                useSnapshotSchema = snapshotId.isDefined || asOfTs.isDefined)
             })
             catch { case _: Throwable => None }
           case _ => None

@@ -1108,6 +1108,31 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the -05:00 offset must shift the residual bound to 12:00Z: $residual")
   }
 
+  test("planTableScan honors use-snapshot-schema and case-sensitive") {
+    spark.sql("CREATE TABLE rcat.db.plan_ren (id BIGINT, oldname STRING)")
+    spark.sql("INSERT INTO rcat.db.plan_ren VALUES (1, 'a'), (2, 'b')")
+    val snap1 = spark.sql(
+      "SELECT snapshot_id FROM rcat.db.plan_ren.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0)).head
+    spark.sql("ALTER TABLE rcat.db.plan_ren RENAME COLUMN oldname TO newname")
+    // time travel + snapshot schema: the OLD column name binds
+    val (c1, n1) = specPost("/v1/namespaces/db/tables/plan_ren/plan", s"""{
+      "snapshot-id": $snap1, "use-snapshot-schema": true,
+      "filter": {"type": "not-null", "term": "oldname"}}""")
+    assert(c1 === 200 && n1.get("file-scan-tasks").size() > 0, n1.toString)
+    // without the flag the CURRENT schema governs and oldname is gone
+    assert(specPost("/v1/namespaces/db/tables/plan_ren/plan", s"""{
+      "snapshot-id": $snap1,
+      "filter": {"type": "not-null", "term": "oldname"}}""")._1 === 400)
+    // case-sensitive (the spec default): wrong-case refs refuse...
+    assert(specPost("/v1/namespaces/db/tables/plan_ren/plan",
+      """{"filter": {"type": "not-null", "term": "NEWNAME"}}""")._1 === 400)
+    // ...and case-sensitive=false matches them (graft/Spark semantics)
+    assert(specPost("/v1/namespaces/db/tables/plan_ren/plan",
+      """{"case-sensitive": false,
+          "filter": {"type": "not-null", "term": "NEWNAME"}}""")._1 === 200)
+  }
+
   test("planTableScan: stats-fields trims per-file column stats") {
     val (c, n) = specPost("/v1/namespaces/db/tables/plan_t/plan",
       """{"stats-fields": ["id"]}""")
