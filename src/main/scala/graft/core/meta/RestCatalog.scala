@@ -278,6 +278,8 @@ object RestCatalogServer {
         if (error != null) "failed"
         else if (chunks != null) "completed"
         else "submitted"
+      def weight: Long =
+        Option(chunks).map(_.iterator.map(_.length.toLong).sum).getOrElse(0L)
     }
     val plans = new java.util.concurrent.ConcurrentHashMap[String, PlanState]()
     val planOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -285,7 +287,13 @@ object RestCatalogServer {
       val st = new PlanState
       plans.put(id, st)
       planOrder.add(id)
-      while (plans.size() > 128) {
+      // bounded by COUNT and BYTES: a handful of 100 TB-scale plans can
+      // hold GBs of serialized tasks — old plans evict before memory does
+      def totalBytes: Long = {
+        var s = 0L; plans.values().forEach(p => s += p.weight); s
+      }
+      while (plans.size() > 128 ||
+          (plans.size() > 1 && totalBytes > 256L * 1024 * 1024)) {
         val old = planOrder.poll()
         if (old != null) plans.remove(old) else return st
       }
