@@ -625,10 +625,13 @@ object ManifestIO {
   /** Rewrite every inline-list snapshot to reference a REAL manifest-list
     * file. v1 docs may legally carry embedded `manifests` arrays, but
     * v2+ REQUIRES manifest-list (format/spec.md snapshots) — every
-    * v1→v2 upgrade path materializes through here so the upgraded
-    * document never persists the v1 form. List format/codec follow the
-    * table's manifest settings, like any commit. */
-  def materializeInline(m: TableMetadata): TableMetadata = {
+    * v1→v2+ upgrade path materializes through here (passing the TARGET
+    * version, so a direct v1→v3 upgrade writes v3-shaped lists) and the
+    * upgraded document never persists the v1 form. List format/codec
+    * follow the table's manifest settings, like any commit; an encrypted
+    * table's wrapped list DEK records on the snapshot (same contract as
+    * every other writeList caller). */
+  def materializeInline(m: TableMetadata, targetFormatVersion: Int): TableMetadata = {
     val needs = m.snapshots.exists(_.manifestListPath.startsWith("inline:"))
     if (!needs) m
     else m.copy(snapshots = m.snapshots.map { sn =>
@@ -638,11 +641,12 @@ object ManifestIO {
           val mfs = readList(sn.manifestListPath) // expands + stats sizes
           val path = s"${m.location}/metadata/manifest-list-" +
             s"${sn.snapshotId}-${java.util.UUID.randomUUID}${fileExt(m.properties)}"
-          writeList(path, mfs, GraftIO.metadataGzip(m.properties),
+          val keyMeta = writeList(path, mfs, GraftIO.metadataGzip(m.properties),
             TableCrypto.resolve(m), avro = avroEnabled(m.properties),
-            formatVersion = math.max(2, m.formatVersion),
+            formatVersion = math.max(2, targetFormatVersion),
             partTypes = partTypesOf(m))
-          sn.copy(manifestListPath = path)
+          sn.copy(manifestListPath = path,
+            keyMetadata = keyMeta.orElse(sn.keyMetadata))
       }
     })
   }

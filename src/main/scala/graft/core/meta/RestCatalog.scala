@@ -288,16 +288,43 @@ object RestCatalogServer {
       plans.put(id, st)
       planOrder.add(id)
       // bounded by COUNT and BYTES: a handful of 100 TB-scale plans can
-      // hold GBs of serialized tasks — old plans evict before memory does
+      // hold GBs of serialized tasks — old plans evict before memory
+      // does. Only TERMINAL plans evict (an in-flight plan's id must
+      // stay valid for its poller), the newest 8 are always retained
+      // (their clients are plausibly mid-fetch), and the scan is bounded
+      // so rotating non-evictable entries can't loop forever.
       def totalBytes: Long = {
         var s = 0L; plans.values().forEach(p => s += p.weight); s
       }
-      while (plans.size() > 128 ||
-          (plans.size() > 1 && totalBytes > 256L * 1024 * 1024)) {
+      var guard = planOrder.size()
+      while (guard > 0 && plans.size() > 8 &&
+          (plans.size() > 128 || totalBytes > 256L * 1024 * 1024)) {
+        guard -= 1
         val old = planOrder.poll()
-        if (old != null) plans.remove(old) else return st
+        if (old == null) return st
+        val ps = plans.get(old)
+        if (old != id && (ps == null || ps.status != "submitted"))
+          plans.remove(old)
+        else planOrder.add(old) // in-flight (or the new plan): keep
       }
       st
+    }
+    /** completed-result shape shared by planTableScan and
+      * fetchPlanningResult: one chunk inlines, many become plan-tasks */
+    def completedPlanNode(pid: String, chunks: IndexedSeq[String])
+        : com.fasterxml.jackson.databind.node.ObjectNode = {
+      val o =
+        if (chunks.size <= 1)
+          MetaJson.mapper.readTree(chunks.head)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        else {
+          val oo = MetaJson.mapper.createObjectNode()
+          val pts = oo.putArray("plan-tasks")
+          chunks.indices.foreach(i => pts.add(SpecScanTasks.planTask(pid, i)))
+          oo
+        }
+      o.put("status", "completed")
+      o
     }
     // async planning pool: a long plan must not pin an HTTP handler
     // thread — the submitted/poll contract exists exactly for huge
@@ -695,12 +722,16 @@ object RestCatalogServer {
                 val tasks = scan.planFiles()
                 // stats-fields trims per-file column stats to the named
                 // fields; absent → full stats (graft clients need bounds
-                // for metadata-only aggregate pushdown)
+                // for metadata-only aggregate pushdown). Names resolve
+                // against the SAME schema the filter bound with — under
+                // use-snapshot-schema the request spells OLD names
+                val nameSchema = scan.snapshot()
+                  .map(scan.planningSchema).getOrElse(meta.schema)
                 val statsIds: Option[Set[Int]] =
                   Option(body.get("stats-fields")).filterNot(_.isNull).map { arr =>
                     val b = Set.newBuilder[Int]
                     arr.elements().forEachRemaining(fn =>
-                      meta.schema.byName.get(fn.asText()).foreach(f => b += f.id))
+                      nameSchema.byName.get(fn.asText()).foreach(f => b += f.id))
                     b.result()
                   }
                 val trimmed = statsIds match {
@@ -716,21 +747,6 @@ object RestCatalogServer {
                   IndexedSeq(MetaJson.mapper.writeValueAsString(
                     SpecScanTasks.writeTasks(Nil, meta)))
                 else chunkJsons
-              }
-              def completedNode(pid: String, chunks: IndexedSeq[String]) = {
-                val o =
-                  if (chunks.size <= 1)
-                    MetaJson.mapper.readTree(chunks.head)
-                      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-                  else {
-                    val oo = MetaJson.mapper.createObjectNode()
-                    val pts = oo.putArray("plan-tasks")
-                    chunks.indices.foreach(i =>
-                      pts.add(SpecScanTasks.planTask(pid, i)))
-                    oo
-                  }
-                o.put("status", "completed")
-                o
               }
               val planId = java.util.UUID.randomUUID().toString
               val st = storePlan(planId)
@@ -752,7 +768,7 @@ object RestCatalogServer {
               } else {
                 try st.chunks = computeChunks()
                 catch { case e: Throwable => plans.remove(planId); throw e }
-                val o = completedNode(planId, st.chunks)
+                val o = completedPlanNode(planId, st.chunks)
                 o.put("plan-id", planId)
                 json(x, 200, MetaJson.mapper.writeValueAsString(o))
               }
@@ -767,20 +783,8 @@ object RestCatalogServer {
                 json(x, 200, s"""{"status": "failed", "error": ${
                   MetaJson.mapper.writeValueAsString(st.error)}}""")
               case _ =>
-                val chunks = st.chunks
-                val o =
-                  if (chunks.size <= 1)
-                    MetaJson.mapper.readTree(chunks.head)
-                      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-                  else {
-                    val oo = MetaJson.mapper.createObjectNode()
-                    val pts = oo.putArray("plan-tasks")
-                    chunks.indices.foreach(i =>
-                      pts.add(SpecScanTasks.planTask(pid, i)))
-                    oo
-                  }
-                o.put("status", "completed")
-                json(x, 200, MetaJson.mapper.writeValueAsString(o))
+                json(x, 200, MetaJson.mapper.writeValueAsString(
+                  completedPlanNode(pid, st.chunks)))
             }
           case ("DELETE", Array(ns, "tables", t, "plan", pid)) =>
             // cancelPlanning: removing the state makes an in-flight
@@ -1113,14 +1117,9 @@ final class RestTableOps(
       }
       if (pts.size <= 1) pts.flatMap(fetch)
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(8, pts.size), (r: Runnable) => {
-            val t = new Thread(r, "graft-plan-fetch"); t.setDaemon(true); t
-          })
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try Await.result(
+        implicit val ec: ExecutionContext = RestCatalog.planFetchEc
+        Await.result(
           Future.traverse(pts)(pt => Future(fetch(pt))), Duration.Inf).flatten
-        finally pool.shutdown()
       }
     }.getOrElse(Seq.empty)
     inline ++ chunked
@@ -1445,6 +1444,15 @@ object RestCatalog {
     * open-api CommitTransactionRequest) */
   final case class TableCommit(namespace: Seq[String], name: String,
       baseVersion: Int, metadata: TableMetadata)
+
+  /** shared bounded pool for concurrent plan-task fetches (daemon —
+    * lives for the JVM instead of 8 threads created/torn down per
+    * server-planned scan) */
+  private[meta] lazy val planFetchEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
+        val t = new Thread(r, "graft-plan-fetch"); t.setDaemon(true); t
+      }))
 
   // fire-and-forget metrics posts: one daemon thread, bounded queue,
   // DROPS on overflow — reporting must never add latency to (or fail) a

@@ -205,12 +205,13 @@ final class TableScan(table: GTable) {
   private var snapshotIdOpt: Option[Long] = None
   private var filterExpr: Expr = TrueE
   private var refName: Option[String] = None
-  // schema to BIND/plan against: the table's current schema unless a
-  // time-travel scan asks for the snapshot's write-time schema
-  // (reference TableScanContext useSnapshotSchema / open-api
-  // use-snapshot-schema) — after a rename, a snapshot-schema filter
-  // must resolve the OLD name
-  private var schemaOverride: Option[GSchema] = None
+  // bind/plan against the snapshot's write-time schema instead of the
+  // table's current one (reference TableScanContext useSnapshotSchema /
+  // open-api use-snapshot-schema) — after a rename, a snapshot-schema
+  // filter must resolve the OLD name. A FLAG, resolved at plan time:
+  // eager resolution would silently depend on useSnapshot()/asOfTime()
+  // call order.
+  private var snapshotSchemaBind: Boolean = false
   private var caseSensitiveBind: Boolean = false
 
   // planning-funnel counters captured by the last planParts() call
@@ -239,13 +240,18 @@ final class TableScan(table: GTable) {
 
   /** bind and plan against the selected snapshot's write-time schema
     * (time travel; no-op when the snapshot predates schema tracking) */
-  def useSnapshotSchema(): TableScan = {
-    schemaOverride = snapshot().flatMap(_.schemaId)
-      .flatMap(id => table.meta.schemas.find(_.schemaId == id))
-    this
-  }
+  def useSnapshotSchema(): TableScan = { snapshotSchemaBind = true; this }
 
   def caseSensitive(on: Boolean): TableScan = { caseSensitiveBind = on; this }
+
+  /** the schema this scan binds/plans with, resolved against the FINAL
+    * snapshot selection (also what name-keyed request fields like
+    * stats-fields must resolve against) */
+  def planningSchema(snap: Snapshot): GSchema =
+    if (!snapshotSchemaBind) table.meta.schema
+    else snap.schemaId
+      .flatMap(id => table.meta.schemas.find(_.schemaId == id))
+      .getOrElse(table.meta.schema)
 
   def snapshot(): Option[Snapshot] = {
     val m = table.meta
@@ -289,7 +295,7 @@ final class TableScan(table: GTable) {
   def planParts(): Option[(PlanContext, Seq[ManifestFile])] = {
     val m = table.meta
     val snap = snapshot().getOrElse(return None)
-    val schema = schemaOverride.getOrElse(m.schema)
+    val schema = planningSchema(snap)
     val bound = Expr.bind(schema, filterExpr, caseSensitiveBind)
     val manifests = ManifestIO.readList(snap.manifestListPath)
 

@@ -100,7 +100,7 @@ object SpecUpdates {
         // v2 requires manifest-list: materialize any v1 embedded-manifests
         // snapshots so the upgraded document never persists the v1 form
         val m2 = if (fv >= 2 && m.formatVersion < 2)
-          ManifestIO.materializeInline(m) else m
+          ManifestIO.materializeInline(m, fv) else m
         m2.copy(formatVersion = fv)
 
       case "add-schema" =>

@@ -393,7 +393,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // files now — the upgraded document must never persist the v1 form
       val base2 =
         if (newVersion >= 2 && base.formatVersion < 2)
-          graft.core.meta.ManifestIO.materializeInline(base)
+          graft.core.meta.ManifestIO.materializeInline(base, newVersion)
         else base
       base2.copy(
         formatVersion = newVersion,
