@@ -278,11 +278,17 @@ object RestCatalogServer {
         if (error != null) "failed"
         else if (chunks != null) "completed"
         else "submitted"
-      def weight: Long =
-        Option(chunks).map(_.iterator.map(_.length.toLong).sum).getOrElse(0L)
+      def weight: Long = // ×2: String chars are UTF-16 code units on heap
+        Option(chunks).map(_.iterator.map(_.length.toLong * 2).sum).getOrElse(0L)
     }
     val plans = new java.util.concurrent.ConcurrentHashMap[String, PlanState]()
     val planOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    /** in-flight (submitted) plans, for async-admission backpressure */
+    def submittedCount: Int = {
+      var n = 0
+      plans.values().forEach(p => if (p.status == "submitted") n += 1)
+      n
+    }
     def storePlan(id: String): PlanState = {
       val st = new PlanState
       plans.put(id, st)
@@ -290,22 +296,30 @@ object RestCatalogServer {
       // bounded by COUNT and BYTES: a handful of 100 TB-scale plans can
       // hold GBs of serialized tasks — old plans evict before memory
       // does. Only TERMINAL plans evict (an in-flight plan's id must
-      // stay valid for its poller), the newest 8 are always retained
-      // (their clients are plausibly mid-fetch), and the scan is bounded
-      // so rotating non-evictable entries can't loop forever.
-      def totalBytes: Long = {
-        var s = 0L; plans.values().forEach(p => s += p.weight); s
+      // stay valid for its poller; bursts of in-flight plans are bounded
+      // by the async-admission check instead), the newest 8 TERMINAL
+      // plans always survive (their clients are plausibly mid-fetch),
+      // totals compute once and decrement per eviction, and the scan is
+      // bounded so rotating non-evictable entries can't loop forever.
+      var total = 0L
+      var terminal = 0
+      plans.values().forEach { p =>
+        total += p.weight
+        if (p.status != "submitted") terminal += 1
       }
       var guard = planOrder.size()
-      while (guard > 0 && plans.size() > 8 &&
-          (plans.size() > 128 || totalBytes > 256L * 1024 * 1024)) {
+      while (guard > 0 && terminal > 8 &&
+          (plans.size() > 128 || total > 256L * 1024 * 1024)) {
         guard -= 1
         val old = planOrder.poll()
         if (old == null) return st
         val ps = plans.get(old)
-        if (old != id && (ps == null || ps.status != "submitted"))
+        if (ps == null) () // stale id: drop from the queue
+        else if (old != id && ps.status != "submitted") {
           plans.remove(old)
-        else planOrder.add(old) // in-flight (or the new plan): keep
+          total -= ps.weight
+          terminal -= 1
+        } else planOrder.add(old) // in-flight (or the new plan): keep
       }
       st
     }
@@ -748,10 +762,16 @@ object RestCatalogServer {
                     SpecScanTasks.writeTasks(Nil, meta)))
                 else chunkJsons
               }
-              val planId = java.util.UUID.randomUUID().toString
-              val st = storePlan(planId)
               val async = Option(x.getRequestHeaders.getFirst("X-Graft-Plan-Async"))
                 .exists(_.equalsIgnoreCase("true"))
+              // async admission: in-flight plans are never evicted (their
+              // ids must stay pollable), so a burst must be REFUSED, not
+              // accumulated — 503 tells the client to retry or plan sync
+              if (async && submittedCount >= 64) {
+                json(x, 503, s"""{"error": "too many in-flight plans"}""")
+              } else {
+              val planId = java.util.UUID.randomUUID().toString
+              val st = storePlan(planId)
               if (async) {
                 // REAL async: respond immediately, plan on the pool —
                 // a huge-metadata plan must not pin an HTTP handler
@@ -771,6 +791,7 @@ object RestCatalogServer {
                 val o = completedPlanNode(planId, st.chunks)
                 o.put("plan-id", planId)
                 json(x, 200, MetaJson.mapper.writeValueAsString(o))
+              }
               }
             }
           case ("GET", Array(ns, "tables", t, "plan", pid)) =>
@@ -1109,9 +1130,12 @@ final class RestTableOps(
       import scala.concurrent.duration.Duration
       val pts = (0 until arr.size()).map(arr.get(_).asText())
       def fetch(pt: String): Seq[FileScanTask] = {
+        // HARD timeout: the fetch pool is shared JVM-wide, so a hung
+        // server must release its threads instead of starving every
+        // other server-planned scan forever
         val (c3, b3) = RestHttp.post(s"$tableUrl/tasks",
           MetaJson.mapper.writeValueAsString(MetaJson.mapper.createObjectNode()
-            .put("plan-task", pt)), hdrs)
+            .put("plan-task", pt)), hdrs, timeoutMs = 120000L)
         require(c3 == 200, s"fetchScanTasks failed: $c3 $b3")
         SpecScanTasks.readTasks(MetaJson.mapper.readTree(b3), meta)
       }
