@@ -52,12 +52,19 @@ object RestCatalogServer {
       // server-side scan planning: file-scan-tasks per plan-task chunk
       // (small in tests to exercise the multi-chunk fetch path; a real
       // deployment sizes this to the response-payload budget)
-      planPageSize: Int = 10000): (HttpServer, String) = {
+      planPageSize: Int = 10000,
+      // bearer-token lifetime; tokens genuinely EXPIRE (the spec's
+      // expires_in is a contract, not advisory) — short in tests to
+      // exercise the client's AuthSession refresh path
+      tokenTtlSec: Long = 3600,
+      // vended storage-credential lifetime (expires-at-ms)
+      credTtlMs: Long = 15 * 60 * 1000L): (HttpServer, String) = {
     val backing = new HadoopCatalog(warehouse)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    // per-server-instance opaque token; handed out only for the right
-    // client credential
-    val serverToken = credential.map(_ => java.util.UUID.randomUUID().toString)
+    // opaque bearer tokens minted per exchange, token → expiry epoch-ms;
+    // expired entries reject with 401 and sweep lazily at mint time
+    val issuedTokens =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     // per-table ring of client-reported metrics payloads (reference
     // open-api reportMetrics: engines POST scan/commit reports so the
     // catalog operator sees load without engine-side access)
@@ -116,17 +123,21 @@ object RestCatalogServer {
       MetaJson.mapper.writeValueAsString(o)
     }
 
-    /** true when the request may proceed; otherwise a 401 was sent */
-    def authed(x: HttpExchange): Boolean = serverToken match {
-      case None => true
-      case Some(tok)
-        if Option(x.getRequestHeaders.getFirst("Authorization"))
-          .contains(s"Bearer $tok") => true
-      case _ =>
+    /** true when the request may proceed; otherwise a 401 was sent.
+      * A token past its advertised expires_in rejects exactly like a
+      * wrong one — clients must refresh, not outlive the TTL. */
+    def authed(x: HttpExchange): Boolean = {
+      val ok = credential.isEmpty ||
+        Option(x.getRequestHeaders.getFirst("Authorization"))
+          .collect { case a if a.startsWith("Bearer ") => a.substring(7) }
+          .flatMap(t => Option(issuedTokens.get(t)))
+          .exists(_ >= System.currentTimeMillis())
+      if (!ok) {
         // HEAD responses must not carry a body
         if (x.getRequestMethod == "HEAD") { x.sendResponseHeaders(401, -1); x.close() }
         else json(x, 401, """{"error": "unauthorized"}""")
-        false
+      }
+      ok
     }
 
     // OAuth2 token endpoint: client-credentials grant only, form-encoded
@@ -144,8 +155,14 @@ object RestCatalogServer {
             if form.get("grant_type").contains("client_credentials") &&
               form.get("client_id").contains(id) &&
               form.get("client_secret").contains(secret) =>
-            json(x, 200, s"""{"access_token": ${MetaJson.mapper.writeValueAsString(serverToken.get)},""" +
-              s""" "token_type": "bearer", "expires_in": 3600}""")
+            val now = System.currentTimeMillis()
+            val tok = java.util.UUID.randomUUID().toString
+            issuedTokens.put(tok, now + tokenTtlSec * 1000L)
+            // sweep expired tokens so re-exchange churn can't grow the
+            // registry without bound
+            issuedTokens.forEach((t, e) => if (e < now) issuedTokens.remove(t, e))
+            json(x, 200, s"""{"access_token": ${MetaJson.mapper.writeValueAsString(tok)},""" +
+              s""" "token_type": "bearer", "expires_in": $tokenTtlSec}""")
           case Some(_) => json(x, 401, """{"error": "invalid client credentials"}""")
           case None    => json(x, 400, """{"error": "auth not configured on this server"}""")
         }
@@ -271,9 +288,13 @@ object RestCatalogServer {
     // (reference CatalogHandlers plan handling). `chunks`/`error` are
     // written by the planning thread, read by the poll routes. Bounded
     // ring: plans evict oldest-first past the cap.
-    final class PlanState {
+    final class PlanState(val table: String) {
       @volatile var chunks: IndexedSeq[String] = null // null = still planning
       @volatile var error: String = null
+      // last time a client created/polled/fetched this plan — eviction
+      // spares recently-touched plans (their client is mid-scan)
+      @volatile var lastTouchMs: Long = System.currentTimeMillis()
+      def touch(): Unit = lastTouchMs = System.currentTimeMillis()
       def status: String =
         if (error != null) "failed"
         else if (chunks != null) "completed"
@@ -283,43 +304,52 @@ object RestCatalogServer {
     }
     val plans = new java.util.concurrent.ConcurrentHashMap[String, PlanState]()
     val planOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    /** in-flight (submitted) plans, for async-admission backpressure */
-    def submittedCount: Int = {
-      var n = 0
-      plans.values().forEach(p => if (p.status == "submitted") n += 1)
-      n
-    }
-    def storePlan(id: String): PlanState = {
-      val st = new PlanState
+    /** in-flight async plans (atomic admission counter: incremented at
+      * admission, decremented when the planning runnable terminates —
+      * a check-then-act scan over the map could admit past the bound
+      * under a concurrent burst, and rescanned O(n) per request) */
+    val inFlightPlans = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** a terminal plan idle less than this survives soft-cap eviction:
+      * its client is plausibly still fetching plan-task chunks, and a
+      * mid-scan 404 is unrecoverable for an external spec client */
+    val planIdleGraceMs = 60000L
+    def storePlan(id: String, table: String): PlanState = {
+      val st = new PlanState(table)
       plans.put(id, st)
       planOrder.add(id)
       // bounded by COUNT and BYTES: a handful of 100 TB-scale plans can
       // hold GBs of serialized tasks — old plans evict before memory
       // does. Only TERMINAL plans evict (an in-flight plan's id must
       // stay valid for its poller; bursts of in-flight plans are bounded
-      // by the async-admission check instead), the newest 8 TERMINAL
+      // by the async-admission counter instead), the newest 8 TERMINAL
       // plans always survive (their clients are plausibly mid-fetch),
       // totals compute once and decrement per eviction, and the scan is
       // bounded so rotating non-evictable entries can't loop forever.
+      // Soft caps (128 plans / 256 MB) only evict plans idle past the
+      // grace period; hard caps (2×) evict oldest-first regardless, so
+      // memory stays bounded even when every plan was touched recently.
       var total = 0L
       var terminal = 0
       plans.values().forEach { p =>
         total += p.weight
         if (p.status != "submitted") terminal += 1
       }
+      val now = System.currentTimeMillis()
+      def overSoft = plans.size() > 128 || total > 256L * 1024 * 1024
+      def overHard = plans.size() > 256 || total > 512L * 1024 * 1024
       var guard = planOrder.size()
-      while (guard > 0 && terminal > 8 &&
-          (plans.size() > 128 || total > 256L * 1024 * 1024)) {
+      while (guard > 0 && terminal > 8 && overSoft) {
         guard -= 1
         val old = planOrder.poll()
         if (old == null) return st
         val ps = plans.get(old)
         if (ps == null) () // stale id: drop from the queue
-        else if (old != id && ps.status != "submitted") {
+        else if (old != id && ps.status != "submitted" &&
+            (overHard || now - ps.lastTouchMs > planIdleGraceMs)) {
           plans.remove(old)
           total -= ps.weight
           terminal -= 1
-        } else planOrder.add(old) // in-flight (or the new plan): keep
+        } else planOrder.add(old) // in-flight / in-grace / the new plan
       }
       st
     }
@@ -573,7 +603,7 @@ object RestCatalogServer {
                 val cc = cred.putObject("config")
                 cc.put("token", java.util.UUID.randomUUID().toString)
                 cc.put("expires-at-ms",
-                  (System.currentTimeMillis() + 15 * 60 * 1000L).toString)
+                  (System.currentTimeMillis() + credTtlMs).toString)
               }
               json(x, 200, MetaJson.mapper.writeValueAsString(o))
             }
@@ -766,12 +796,19 @@ object RestCatalogServer {
                 .exists(_.equalsIgnoreCase("true"))
               // async admission: in-flight plans are never evicted (their
               // ids must stay pollable), so a burst must be REFUSED, not
-              // accumulated — 503 tells the client to retry or plan sync
-              if (async && submittedCount >= 64) {
+              // accumulated — 503 tells the client to retry or plan sync.
+              // Atomic increment-then-check admits at most 64 even under
+              // a concurrent burst; over-increments roll back.
+              val admitted = !async || {
+                if (inFlightPlans.incrementAndGet() > 64) {
+                  inFlightPlans.decrementAndGet(); false
+                } else true
+              }
+              if (!admitted) {
                 json(x, 503, s"""{"error": "too many in-flight plans"}""")
               } else {
               val planId = java.util.UUID.randomUUID().toString
-              val st = storePlan(planId)
+              val st = storePlan(planId, s"$ns/$t")
               if (async) {
                 // REAL async: respond immediately, plan on the pool —
                 // a huge-metadata plan must not pin an HTTP handler
@@ -782,6 +819,7 @@ object RestCatalogServer {
                     try st.chunks = computeChunks()
                     catch { case e: Throwable =>
                       st.error = Option(e.getMessage).getOrElse(e.toString) }
+                    finally inFlightPlans.decrementAndGet()
                 })
                 json(x, 200, s"""{"status": "submitted", "plan-id": ${
                   MetaJson.mapper.writeValueAsString(planId)}}""")
@@ -796,8 +834,12 @@ object RestCatalogServer {
             }
           case ("GET", Array(ns, "tables", t, "plan", pid)) =>
             val st = plans.get(pid)
-            if (st == null) json(x, 404, s"""{"error": "no such plan-id"}""")
-            else st.status match {
+            // plan-ids are scoped to the table that created them: a
+            // plan-id leaked across tables must not read (or cancel)
+            // another table's results
+            if (st == null || st.table != s"$ns/$t")
+              json(x, 404, s"""{"error": "no such plan-id"}""")
+            else { st.touch(); st.status match {
               case "submitted" =>
                 json(x, 200, s"""{"status": "submitted"}""")
               case "failed" =>
@@ -806,13 +848,14 @@ object RestCatalogServer {
               case _ =>
                 json(x, 200, MetaJson.mapper.writeValueAsString(
                   completedPlanNode(pid, st.chunks)))
-            }
+            } }
           case ("DELETE", Array(ns, "tables", t, "plan", pid)) =>
             // cancelPlanning: removing the state makes an in-flight
             // planner's result unreachable; its thread finishes into a
             // dropped object (planFiles has no interruption points worth
             // plumbing — metadata IO is bounded)
-            if (plans.remove(pid) == null)
+            val st = plans.get(pid)
+            if (st == null || st.table != s"$ns/$t" || !plans.remove(pid, st))
               json(x, 404, s"""{"error": "no such plan-id"}""")
             else { x.sendResponseHeaders(204, -1); x.close() }
           case ("POST", Array(ns, "tables", t, "tasks")) =>
@@ -822,10 +865,11 @@ object RestCatalogServer {
                 throw new IllegalArgumentException("plan-task required"))
             val (pid, idx) = SpecScanTasks.parsePlanTask(pt)
             val st = plans.get(pid)
-            val chunks = if (st == null) null else st.chunks
+            val chunks =
+              if (st == null || st.table != s"$ns/$t") null else st.chunks
             if (chunks == null || idx < 0 || idx >= chunks.size)
               json(x, 404, s"""{"error": "no such plan-task"}""")
-            else json(x, 200, chunks(idx))
+            else { st.touch(); json(x, 200, chunks(idx)) }
           case ("POST", Array(ns, "tables", t, "metrics")) =>
             // validate at ingest: a stored non-JSON body would otherwise
             // poison every later GET of this table's ring
@@ -1043,6 +1087,56 @@ object RestHttp {
   }
 }
 
+/** OAuth2 auth session shared by every handle of one catalog connection
+  * (reference core/.../rest/auth/OAuth2Util `AuthSession` — which
+  * schedules a refresh at token expiration — wired through
+  * RESTSessionCatalog). Graft refreshes on ACCESS instead of on a
+  * daemon: `headers` re-exchanges the client credential once the token
+  * has lived 80% of its advertised `expires_in`, so no request is ever
+  * sent with a token inside its last 20% of life, and no refresh thread
+  * outlives the catalog. Requests that still bounce 401 (revocation,
+  * server restart, clock skew) retry once with a forced re-exchange via
+  * [[RestCatalog.withAuthRetry]]. Credential-less sessions are inert. */
+final class AuthSession(uri: String, credential: Option[(String, String)]) {
+  @volatile private var tok: Option[String] = None
+  @volatile private var refreshAtMs: Long = 0L
+
+  /** exchange the credential for a fresh bearer token (client-credentials
+    * grant); false when there is no credential to exchange */
+  def refreshNow(): Boolean = synchronized {
+    credential match {
+      case None => false
+      case Some((id, secret)) =>
+        def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+        val (code, resp) = RestHttp.post(s"$uri/v1/oauth/tokens",
+          s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}")
+        require(code == 200, s"OAuth token exchange failed: $code $resp")
+        val n = MetaJson.mapper.readTree(resp)
+        tok = Some(n.get("access_token").asText())
+        refreshAtMs = Option(n.get("expires_in")).filterNot(_.isNull)
+          .map(_.asLong()) match {
+          case Some(ttlSec) => System.currentTimeMillis() + ttlSec * 800L // 80%
+          case None         => Long.MaxValue // non-expiring token
+        }
+        true
+    }
+  }
+
+  /** current bearer token, proactively re-exchanged when stale */
+  def token: Option[String] = {
+    if (credential.isDefined &&
+        (tok.isEmpty || System.currentTimeMillis() >= refreshAtMs))
+      synchronized {
+        if (tok.isEmpty || System.currentTimeMillis() >= refreshAtMs)
+          refreshNow()
+      }
+    tok
+  }
+
+  def headers: Map[String, String] =
+    token.map(t => "Authorization" -> s"Bearer $t").toMap
+}
+
 /** A storage credential vended by the catalog for one location prefix
   * (reference open-api StorageCredential): the client applies the
   * innermost matching prefix when opening files under it. */
@@ -1056,7 +1150,7 @@ final class RestTableOps(
     uri: String,
     namespace: String,
     name: String,
-    token: Option[String] = None,
+    session: AuthSession = new AuthSession("", None),
     delegation: Boolean = false,
     specCommits: Boolean = false,
     // catalog-level rest-scan-planning=server: plan scans through the
@@ -1065,9 +1159,15 @@ final class RestTableOps(
 
   private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
   private def hdrs: Map[String, String] =
-    token.map(t => "Authorization" -> s"Bearer $t").toMap ++
+    session.headers ++
       (if (delegation) Map("X-Graft-Access-Delegation" -> "vended-credentials")
        else Map.empty)
+  /** run an authed request; one retry with a forced token re-exchange
+    * when the server answers 401 (token revoked / server restarted) */
+  private def req(f: Map[String, String] => (Int, String)): (Int, String) =
+    RestCatalog.withAuthRetry(session)(s => f(s ++
+      (if (delegation) Map("X-Graft-Access-Delegation" -> "vended-credentials")
+       else Map.empty)))
 
   // captured from the last successful load; the overlay must be
   // distinguishable from the table's own stored properties so commit()
@@ -1078,8 +1178,16 @@ final class RestTableOps(
 
   /** server-controlled table config from the last load (empty before) */
   def serverConfig: Map[String, String] = lastConfig
-  /** vended credentials from the last load; empty unless `delegation` */
-  def storageCredentials: Seq[StorageCredential] = lastCreds
+  /** vended credentials; when any cached credential is past its
+    * `expires-at-ms` the table config is RE-LOADED so the caller never
+    * holds a dead credential (reference open-api StorageCredential +
+    * core/.../rest/credentials refresh-on-expiry). Empty unless the
+    * catalog connected with access delegation. */
+  def storageCredentials: Seq[StorageCredential] = {
+    if (lastCreds.exists(_.expiresAtMs.exists(_ <= System.currentTimeMillis())))
+      load() // refreshes lastCreds as a side effect
+    lastCreds
+  }
 
   /** server-side planning is on when the catalog asked for it OR the
     * server advertises it per-table (open-api `scan-planning-mode`) */
@@ -1101,20 +1209,31 @@ final class RestTableOps(
     req.put("case-sensitive", false)
     if (filter != graft.core.expr.TrueE)
       req.set[com.fasterxml.jackson.databind.JsonNode]("filter",
-        SpecExpr.write(filter))
-    val (code, body) = RestHttp.post(s"$tableUrl/plan",
-      MetaJson.mapper.writeValueAsString(req), hdrs)
+        // lossy: shred preds widen to TRUE rather than failing the
+        // request — the server prunes with the remaining conjuncts
+        SpecExpr.writeLossy(filter))
+    val (code, body) = this.req(h => RestHttp.post(s"$tableUrl/plan",
+      MetaJson.mapper.writeValueAsString(req), h))
     require(code == 200, s"planTableScan failed: $code $body")
     var n = MetaJson.mapper.readTree(body)
     val planId = Option(n.get("plan-id")).map(_.asText())
-    // poll the async path until the server reports a terminal status
+    // poll the async path until the server reports a terminal status;
+    // a plan over 100 TB of metadata can legitimately take minutes, so
+    // the deadline is a table/catalog property, and the poll backs off
+    // exponentially (50ms → 2s) instead of hammering a fixed 50ms
+    val timeoutMs = lastConfig.get("rest.plan-poll-timeout-ms")
+      .flatMap(_.toLongOption).getOrElse(120000L)
     var waitedMs = 0L
+    var sleepMs = 50L
     while (n.get("status").asText() == "submitted") {
-      require(waitedMs < 120000L, "scan planning timed out after 120s")
-      Thread.sleep(50); waitedMs += 50
+      require(waitedMs < timeoutMs,
+        s"scan planning timed out after ${timeoutMs}ms " +
+          "(raise rest.plan-poll-timeout-ms)")
+      Thread.sleep(sleepMs); waitedMs += sleepMs
+      sleepMs = Math.min(sleepMs * 2, 2000L)
       val id = planId.getOrElse(
         throw new IllegalStateException("submitted status without plan-id"))
-      val (c2, b2) = RestHttp.get(s"$tableUrl/plan/$id", hdrs)
+      val (c2, b2) = this.req(RestHttp.get(s"$tableUrl/plan/$id", _))
       require(c2 == 200, s"fetchPlanningResult failed: $c2 $b2")
       n = MetaJson.mapper.readTree(b2)
     }
@@ -1133,9 +1252,9 @@ final class RestTableOps(
         // HARD timeout: the fetch pool is shared JVM-wide, so a hung
         // server must release its threads instead of starving every
         // other server-planned scan forever
-        val (c3, b3) = RestHttp.post(s"$tableUrl/tasks",
+        val (c3, b3) = this.req(h => RestHttp.post(s"$tableUrl/tasks",
           MetaJson.mapper.writeValueAsString(MetaJson.mapper.createObjectNode()
-            .put("plan-task", pt)), hdrs, timeoutMs = 120000L)
+            .put("plan-task", pt)), h, timeoutMs = 120000L))
         require(c3 == 200, s"fetchScanTasks failed: $c3 $b3")
         SpecScanTasks.readTasks(MetaJson.mapper.readTree(b3), meta)
       }
@@ -1150,7 +1269,7 @@ final class RestTableOps(
   }
 
   private def load(): Option[(Int, TableMetadata)] = {
-    val (code, body) = RestHttp.get(tableUrl, hdrs)
+    val (code, body) = req(RestHttp.get(tableUrl, _))
     if (code != 200) None
     else {
       val n = MetaJson.mapper.readTree(body)
@@ -1219,16 +1338,16 @@ final class RestTableOps(
           case _ => return false
         }
       val body = SpecUpdates.deriveCommit(baseMeta, clean)
-      val (code, _) = RestHttp.post(tableUrl,
-        MetaJson.mapper.writeValueAsString(body), hdrs)
+      val (code, _) = req(h => RestHttp.post(tableUrl,
+        MetaJson.mapper.writeValueAsString(body), h))
       code == 200
     } else if (baseVersion == 0) {
-      val (code, _) = RestHttp.post(s"$tableUrl/create", MetaJson.writeMetadata(clean), hdrs)
+      val (code, _) = req(h => RestHttp.post(s"$tableUrl/create", MetaJson.writeMetadata(clean), h))
       code == 200
     } else {
-      val (code, _) = RestHttp.post(s"$tableUrl/commit",
+      val (code, _) = req(h => RestHttp.post(s"$tableUrl/commit",
         s"""{"base-version": $baseVersion, "metadata": ${MetaJson.writeMetadata(clean)}}""",
-        hdrs)
+        h))
       code == 200
     }
   }
@@ -1238,18 +1357,20 @@ final class RestTableOps(
   * so data/metadata paths agree between client and server (single shared
   * filesystem in this implementation, as with HadoopCatalog). */
 final class RestCatalog private (warehouse: String, uri: String,
-    token: Option[String], delegation: Boolean,
+    session: AuthSession, delegation: Boolean,
     specCommits: Boolean = false,
     serverPlanning: Boolean = false)
   extends HadoopCatalog(warehouse) {
 
   private def ns(namespace: Seq[String]): String = namespace.mkString(".")
-  private def hdrs: Map[String, String] =
-    token.map(t => "Authorization" -> s"Bearer $t").toMap
+  private def hdrs: Map[String, String] = session.headers
+  /** authed request with a single forced-refresh retry on 401 */
+  private def req(f: Map[String, String] => (Int, String)): (Int, String) =
+    RestCatalog.withAuthRetry(session)(f)
 
   private def ops(namespace: Seq[String], name: String): RestTableOps =
     new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name,
-      token, delegation, specCommits, serverPlanning)
+      session, delegation, specCommits, serverPlanning)
 
   /** Load the table's vended storage credentials (requires the catalog
     * to have been connected with access delegation). One fresh set per
@@ -1282,7 +1403,7 @@ final class RestCatalog private (warehouse: String, uri: String,
   override def tableExists(namespace: Seq[String], name: String): Boolean =
     // HEAD probe: no metadata payload crosses the wire (reference spec
     // tableExists)
-    RestHttp.head(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name", hdrs)._1 == 204
+    req(RestHttp.head(s"$uri/v1/namespaces/${ns(namespace)}/tables/$name", _))._1 == 204
 
   override def dropTable(namespace: Seq[String], name: String): Boolean =
     dropTable(namespace, name, purge = true)
@@ -1292,9 +1413,9 @@ final class RestCatalog private (warehouse: String, uri: String,
   // server's decision for a REST table
   override def dropTable(namespace: Seq[String], name: String,
       purge: Boolean): Boolean =
-    RestHttp.delete(
+    req(RestHttp.delete(
       s"$uri/v1/namespaces/${ns(namespace)}/tables/$name" +
-        (if (purge) "?purgeRequested=true" else ""), hdrs)._1 == 200
+        (if (purge) "?purgeRequested=true" else ""), _))._1 == 200
 
   /** routes through the server's rename endpoint so capability (and the
     * atomic move itself) is decided server-side */
@@ -1303,8 +1424,8 @@ final class RestCatalog private (warehouse: String, uri: String,
     val body = MetaJson.mapper.createObjectNode()
     body.put("from", s"${ns(namespace)}.$name")
     body.put("to", s"${ns(newNamespace)}.$newName")
-    val (code, resp) = RestHttp.post(s"$uri/v1/tables/rename",
-      MetaJson.mapper.writeValueAsString(body), hdrs)
+    val (code, resp) = req(h => RestHttp.post(s"$uri/v1/tables/rename",
+      MetaJson.mapper.writeValueAsString(body), h))
     code match {
       case 200 => ()
       case 404 => throw new IllegalArgumentException(
@@ -1329,8 +1450,8 @@ final class RestCatalog private (warehouse: String, uri: String,
       o.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
         MetaJson.mapper.readTree(MetaJson.writeMetadata(c.metadata)))
     }
-    val (code, resp) = RestHttp.post(s"$uri/v1/transactions/commit",
-      MetaJson.mapper.writeValueAsString(body), hdrs)
+    val (code, resp) = req(h => RestHttp.post(s"$uri/v1/transactions/commit",
+      MetaJson.mapper.writeValueAsString(body), h))
     code match {
       case 200 => ()
       case 409 => throw new CommitConflictException(
@@ -1395,8 +1516,8 @@ final class RestCatalog private (warehouse: String, uri: String,
     while (more) {
       val tok = if (token.isEmpty) ""
         else s"&pageToken=${java.net.URLEncoder.encode(token, "UTF-8")}"
-      val (code, body) = RestHttp.get(
-        s"$uri/v1/namespaces/${ns(namespace)}/tables?pageSize=100$tok", hdrs)
+      val (code, body) = req(RestHttp.get(
+        s"$uri/v1/namespaces/${ns(namespace)}/tables?pageSize=100$tok", _))
       if (code != 200) return out.result()
       val n = MetaJson.mapper.readTree(body)
       n.get("identifiers").elements().forEachRemaining(e => out += e.asText())
@@ -1414,8 +1535,8 @@ final class RestCatalog private (warehouse: String, uri: String,
   // shares with the server
 
   def listViewNames(namespace: Seq[String]): Seq[String] = {
-    val (code, body) = RestHttp.get(
-      s"$uri/v1/namespaces/${ns(namespace)}/views", hdrs)
+    val (code, body) = req(RestHttp.get(
+      s"$uri/v1/namespaces/${ns(namespace)}/views", _))
     if (code != 200) Nil
     else {
       val out = Seq.newBuilder[String]
@@ -1426,8 +1547,8 @@ final class RestCatalog private (warehouse: String, uri: String,
   }
 
   def loadViewDoc(namespace: Seq[String], name: String): Option[String] = {
-    val (code, body) = RestHttp.get(
-      s"$uri/v1/namespaces/${ns(namespace)}/views/$name", hdrs)
+    val (code, body) = req(RestHttp.get(
+      s"$uri/v1/namespaces/${ns(namespace)}/views/$name", _))
     if (code != 200) None
     else {
       // LoadViewResult wraps the document in `metadata` (spec loadView);
@@ -1446,9 +1567,9 @@ final class RestCatalog private (warehouse: String, uri: String,
     o.put("replace", replace)
     o.set[com.fasterxml.jackson.databind.JsonNode]("view",
       MetaJson.mapper.readTree(doc))
-    val (code, resp) = RestHttp.post(
+    val (code, resp) = req(h => RestHttp.post(
       s"$uri/v1/namespaces/${ns(namespace)}/views/$name",
-      MetaJson.mapper.writeValueAsString(o), hdrs)
+      MetaJson.mapper.writeValueAsString(o), h))
     code match {
       case 200 => ()
       case 409 => throw new IllegalStateException(
@@ -1459,7 +1580,7 @@ final class RestCatalog private (warehouse: String, uri: String,
   }
 
   def dropViewDoc(namespace: Seq[String], name: String): Boolean =
-    RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/views/$name", hdrs)._1 == 200
+    req(RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/views/$name", _))._1 == 200
 }
 
 object RestCatalog {
@@ -1492,17 +1613,18 @@ object RestCatalog {
       new java.util.concurrent.ArrayBlockingQueue[Runnable](256), tf,
       new java.util.concurrent.ThreadPoolExecutor.DiscardPolicy)
   }
-  // live metrics targets, uri -> (warehouse prefix, auth headers).
-  // connect() UPDATES the entry so a re-connect after server restart or
-  // token rotation posts with the fresh token, and exactly ONE global
-  // sink pair serves every uri (the sink count cannot grow with the
-  // number of catalogs a JVM connects to)
+  // live metrics targets, uri -> (warehouse prefix, auth session).
+  // connect() UPDATES the entry so a re-connect after server restart
+  // posts with the fresh session, the session itself refreshes its
+  // token over time (reports fire long after connect), and exactly ONE
+  // global sink pair serves every uri (the sink count cannot grow with
+  // the number of catalogs a JVM connects to)
   private val metricsTargets = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Map[String, String])]()
+    String, (String, AuthSession)]()
   private val metricsWired = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def postMetrics(uri: String, prefix: String,
-      hdrs: Map[String, String], tableLocation: String, kind: String,
+      session: AuthSession, tableLocation: String, kind: String,
       fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
     val rel = tableLocation.stripPrefix(prefix).split("/").filter(_.nonEmpty)
     if (rel.length < 2) return
@@ -1515,16 +1637,15 @@ object RestCatalog {
       // bounded timeout: a hung server must not wedge the lone metrics
       // thread (and thereby silently drop every later report)
       try RestHttp.post(s"$uri/v1/namespaces/$ns/tables/$t/metrics", body,
-        hdrs, timeoutMs = 5000)
+        session.headers, timeoutMs = 5000)
       catch { case _: Throwable => () })
   }
 
   /** register `uri` as a metrics target for tables under `warehouse`;
     * the global forwarders consult the registry at fire time */
   private def wireMetrics(uri: String, warehouse: String,
-      token: Option[String]): Unit = {
-    val hdrs = token.map(t => "Authorization" -> s"Bearer $t").toMap
-    metricsTargets.put(uri, (warehouse.stripSuffix("/") + "/", hdrs))
+      session: AuthSession): Unit = {
+    metricsTargets.put(uri, (warehouse.stripSuffix("/") + "/", session))
     if (!metricsWired.compareAndSet(false, true)) return
     ScanReports.addSink { r =>
       metricsTargets.forEach { (uri, v) =>
@@ -1564,24 +1685,32 @@ object RestCatalog {
       accessDelegation: Boolean = false,
       specCommits: Boolean = false,
       serverPlanning: Boolean = false): RestCatalog = {
-    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
-    val token = credential.map { cred =>
-      val (id, secret) = cred.split(":", 2) match {
+    val idSecret = credential.map { cred =>
+      cred.split(":", 2) match {
         case Array(i, s) => (i, s)
         case _ => throw new IllegalArgumentException(
           "credential must be 'client-id:client-secret'")
       }
-      val (code, resp) = RestHttp.post(s"$uri/v1/oauth/tokens",
-        s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}")
-      require(code == 200, s"OAuth token exchange failed: $code $resp")
-      MetaJson.mapper.readTree(resp).get("access_token").asText()
     }
-    val hdrs = token.map(t => "Authorization" -> s"Bearer $t").toMap
-    val (code, body) = RestHttp.get(s"$uri/v1/config", hdrs)
+    val session = new AuthSession(uri, idSecret)
+    session.refreshNow() // fail fast on a bad credential, at connect time
+    val (code, body) = withAuthRetry(session)(
+      h => RestHttp.get(s"$uri/v1/config", h))
     require(code == 200, s"REST catalog config failed: $code $body")
     val warehouse = MetaJson.mapper.readTree(body).get("warehouse").asText()
-    wireMetrics(uri, warehouse, token)
-    new RestCatalog(warehouse, uri, token, accessDelegation, specCommits,
+    wireMetrics(uri, warehouse, session)
+    new RestCatalog(warehouse, uri, session, accessDelegation, specCommits,
       serverPlanning)
+  }
+
+  /** Run an authed request; when the server still answers 401 (token
+    * revoked, server restarted, clock skew past the proactive-refresh
+    * margin) force one re-exchange of the client credential and retry
+    * exactly once. Reference RESTSessionCatalog + OAuth2Util keep
+    * sessions fresh the same way (scheduled refresh + re-auth). */
+  def withAuthRetry(session: AuthSession)(
+      f: Map[String, String] => (Int, String)): (Int, String) = {
+    val first = f(session.headers)
+    if (first._1 == 401 && session.refreshNow()) f(session.headers) else first
   }
 }

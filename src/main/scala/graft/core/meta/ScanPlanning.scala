@@ -183,9 +183,39 @@ object SpecExpr {
         term.put("type", "transform").put("transform", tr.name)
         term.set[JsonNode]("term", nf.textNode(ref))
         predJson(op, term, values)
+      case BoundTransformPred(op, tr, f, _, values) =>
+        // bound transform preds round-trip through the same unbound wire
+        // shape (values are already in the transform's result space); the
+        // receiver re-binds by name
+        val term = mapper.createObjectNode()
+        term.put("type", "transform").put("transform", tr.name)
+        term.set[JsonNode]("term", nf.textNode(f.name))
+        predJson(op, term, values)
       case other =>
         throw new IllegalArgumentException(s"cannot serialize predicate: $other")
     }
+  }
+
+  /** Serialization for filters/residuals that may contain predicates the
+    * spec expression JSON cannot express (shredded-variant stats preds).
+    * Those leaves are WIDENED to a conservative constant — TRUE in
+    * positive position, FALSE under an odd number of NOTs — so the
+    * resulting expression only ever matches a superset of rows. This is
+    * lossless in practice: ShredPred row evaluation is already
+    * conservative TRUE (Spark re-applies the original function filter
+    * after the scan); shred preds only sharpen FILE pruning. */
+  def writeLossy(e: Expr): JsonNode = write(widen(e, neg = false))
+
+  private def widen(e: Expr, neg: Boolean): Expr = e match {
+    case And(l, r) => Expr.and(widen(l, neg), widen(r, neg))
+    case Or(l, r)  => Expr.or(widen(l, neg), widen(r, neg))
+    case Not(c) => widen(c, !neg) match {
+      case TrueE  => FalseE
+      case FalseE => TrueE
+      case x      => Not(x)
+    }
+    case _: ShredPred | _: UnboundShredPred => if (neg) FalseE else TrueE
+    case other => other
   }
 
   private def predJson(op: Operation, term: JsonNode, values: Seq[Any]): JsonNode = {
@@ -451,7 +481,7 @@ object SpecScanTasks {
         val refs = to.putArray("delete-file-references")
         t.deletes.foreach(d => refs.add(deleteIndex(d.path)))
       }
-      to.set[JsonNode]("residual-filter", SpecExpr.write(t.residual))
+      to.set[JsonNode]("residual-filter", SpecExpr.writeLossy(t.residual))
       to.put("x-graft-data-sequence-number", t.dataSequenceNumber)
       if (t.writeSchemaId >= 0) to.put("x-graft-write-schema-id", t.writeSchemaId)
     }

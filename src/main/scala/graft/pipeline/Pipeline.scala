@@ -26,11 +26,27 @@ import TextHash._
 object Pipeline {
 
   private val P_ = P.toString
-  // p03's persisted signature+set DataFrame (replaced per invocation)
-  @volatile private var p03Cache: DataFrame = _
-  // p07's persisted bucketed-embedding DataFrame (both self-join sides
-  // reuse it — without persist the scan + 8 hyperplane dots run twice)
-  @volatile private var p07Cache: DataFrame = _
+  // Persisted-DataFrame slots keyed per (query, session, dir): each
+  // invocation unpersists only ITS OWN previous cache, so two concurrent
+  // sessions (or interleaved dirs) never thrash each other's persist.
+  // Bounded: past 8 live slots the oldest unpersists. The persist exists
+  // for intra-query reuse (both self-join sides read it once) and the
+  // slot exists to release the PREVIOUS invocation's blocks.
+  private val dfSlots =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val dfSlotOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def persistSlot(key: String, df: DataFrame): DataFrame =
+    dfSlots.synchronized {
+      def drop(k: String): Unit = Option(dfSlots.remove(k)).foreach { d =>
+        try d.unpersist(false) catch { case _: Throwable => () }
+      }
+      drop(key); dfSlotOrder.remove(key)
+      val out = df.persist()
+      dfSlots.put(key, out); dfSlotOrder.add(key)
+      while (dfSlots.size > 8) Option(dfSlotOrder.poll()).foreach(drop)
+      out
+    }
 
   /** documents tokenized once: (doc_id, text, ws). */
   private def tok(s: SparkSession, dir: String): DataFrame =
@@ -137,12 +153,9 @@ object Pipeline {
       }
       // signatures+sets are tiny vs the corpus and reused 3×; unpersist
       // the previous invocation's cache so repeated runs don't accumulate
-      val sigSet = bh.groupBy("doc_id")
-        .agg(minCols.head, (minCols.tail :+ collect_set(col("b")).as("bs")): _*)
-      Pipeline.synchronized {
-        if (p03Cache != null) { try p03Cache.unpersist(false) catch { case _: Throwable => () } }
-        p03Cache = sigSet.persist()
-      }
+      val sigSet = persistSlot(s"p03|${System.identityHashCode(s)}|$dir",
+        bh.groupBy("doc_id")
+          .agg(minCols.head, (minCols.tail :+ collect_set(col("b")).as("bs")): _*))
       val bandArr = array((0 until NumBands).map { j =>
         struct(col(s"m${2 * j}").as("x"), col(s"m${2 * j + 1}").as("y"))
       }: _*)
@@ -329,9 +342,8 @@ object Pipeline {
       val bucketCol = (0 until 8).map { k =>
         when(arrayDot(col("v"), hyperplane(k)) >= 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _)
-      if (p07Cache != null) { p07Cache.unpersist(); p07Cache = null }
-      val eb = e.withColumn("bucket", bucketCol).persist()
-      p07Cache = eb
+      val eb = persistSlot(s"p07|${System.identityHashCode(s)}|$dir",
+        e.withColumn("bucket", bucketCol))
       val q = eb.toDF("qid", "v1", "n1", "b1").filter(col("qid") < 50)
       val n = eb.toDF("nid", "v2", "n2", "b2")
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)

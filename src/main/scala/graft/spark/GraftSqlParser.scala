@@ -23,7 +23,10 @@ import graft.core.meta.HadoopCatalog
   *   ALTER TABLE t WRITE DISTRIBUTED BY PARTITION [LOCALLY ORDERED BY ...]
   *   ALTER TABLE t WRITE UNORDERED
   *   ALTER TABLE t CREATE [OR REPLACE] BRANCH|TAG [IF NOT EXISTS] name
-  *       [AS OF VERSION v] [retention clauses ignored]
+  *       [AS OF VERSION v] [RETAIN n DAYS|HOURS|MINUTES]
+  *       [WITH SNAPSHOT RETENTION k SNAPSHOTS [n DAYS|HOURS|MINUTES]]
+  *       (retention clauses are applied: they set ref max-age /
+  *       min-snapshots-to-keep / max-snapshot-age on the branch/tag)
   *   ALTER TABLE t DROP BRANCH|TAG [IF EXISTS] name
   * Everything else falls through to Spark's parser. Statements execute as
   * driver-side commands on the same metadata ops the CALL procedures use.

@@ -128,4 +128,39 @@ class ScanPlanningSpec extends AnyFunSuite {
     assert(SpecScanTasks.parsePlanTask(t) === (("abc-123", 7)))
     intercept[IllegalArgumentException](SpecScanTasks.parsePlanTask("nohash"))
   }
+
+  test("bound transform predicates serialize; shred preds widen, not throw") {
+    import graft.core.transform.BucketT
+    // a residual can legitimately hold the BOUND transform pred that
+    // partition projection returned (Spark system-function pushdown →
+    // server binds → Projections.residual hands it back verbatim); the
+    // wire shape is the same as the unbound form and re-binds on read
+    val tr = BucketT(16)
+    val idField = schema.struct.fields.head // id: long
+    val bound = BoundTransformPred(Op.Eq, tr, idField, 0, Seq(3))
+    val back = SpecExpr.read(SpecExpr.write(bound))
+    assert(back === TransformPred(Op.Eq, tr, "id", Seq(3L)))
+    assert(Expr.bind(schema, back).isInstanceOf[BoundTransformPred])
+
+    // shredded-variant preds have no spec encoding: writeLossy WIDENS
+    // them (TRUE positive, FALSE under NOT) instead of failing the plan
+    val shred = ShredPred(Op.GtEq, "9:$.x", GLong, Seq(2L))
+    assert(SpecExpr.read(SpecExpr.writeLossy(shred)) === TrueE)
+    // under a NOT the leaf must flip to FALSE so Not(...) stays TRUE —
+    // widening must never NARROW the residual
+    assert(SpecExpr.read(SpecExpr.writeLossy(Not(shred))) === TrueE)
+    // conjunction keeps the expressible side
+    val mixed = And(shred, UnboundPred(Op.Gt, "id", Seq(5L)))
+    assert(SpecExpr.read(SpecExpr.writeLossy(mixed)) ===
+      UnboundPred(Op.Gt, "id", Seq(5L)))
+    // disjunction with an inexpressible arm collapses to TRUE (superset)
+    assert(SpecExpr.read(SpecExpr.writeLossy(
+      Or(shred, UnboundPred(Op.Gt, "id", Seq(5L))))) === TrueE)
+    // a whole task serializes instead of 400-ing the plan
+    val f = DataFile("/d/v.parquet", "parquet", 0, Nil, 10L, 100L)
+    val wire = SpecScanTasks.writeTasks(
+      Seq(FileScanTask(f, 0, 100L, And(bound, shred), Nil)), meta)
+    val res = SpecScanTasks.readTasks(wire, meta).head.residual
+    assert(res === TransformPred(Op.Eq, tr, "id", Seq(3L)))
+  }
 }

@@ -375,6 +375,53 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop(0)
   }
 
+  test("auth session outlives token expiry: proactive refresh, 401 retry, vended-cred reload") {
+    val wh2 = Files.createTempDirectory("graft-rest-ttl-wh").toString
+    // tokens live 2s and genuinely expire server-side; the client
+    // session re-exchanges at 80% of TTL. Vended creds live 300ms.
+    val (srv, u) = RestCatalogServer.start(wh2,
+      credential = Some(("svc", "pw")), tokenTtlSec = 2, credTtlMs = 300)
+    val port = srv.getAddress.getPort
+    val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
+    val cat = RestCatalog.connect(u, Some("svc:pw"), accessDelegation = true)
+    try {
+      cat.createTable(Seq("db"), "ttl_t", schema)
+      // a catalog-call sequence spanning SEVERAL token lifetimes must
+      // succeed without manual re-auth — the failure mode this guards is
+      // a streaming job dying with 401s at minute 61 of a 3600s TTL
+      (1 to 5).foreach { i =>
+        Thread.sleep(900)
+        val t = cat.loadTable(Seq("db"), "ttl_t").get
+        t.updateProperties(Map(s"step$i" -> "ok"))
+      }
+      assert(cat.loadTable(Seq("db"), "ttl_t").get
+        .meta.properties.contains("step5"))
+      // vended-credential expiry: a HELD ops handle whose cached
+      // credential lapsed must re-load instead of serving the dead one
+      val held = cat.tableOps(Seq("db"), "ttl_t")
+        .asInstanceOf[graft.core.meta.RestTableOps]
+      assert(held.currentVersion() > 0) // loads + vends
+      val c1 = held.storageCredentials.head.config("token")
+      Thread.sleep(400) // past the 300ms credential TTL
+      val c2 = held.storageCredentials.head.config("token")
+      assert(c2 !== c1, "expired vended credential must force a reload")
+      assert(held.storageCredentials.head.expiresAtMs
+        .exists(_ > System.currentTimeMillis()))
+    } finally srv.stop(0)
+    // reactive path: a server restart voids every issued token WITHOUT
+    // the client's expiry clock knowing — the next request 401s and must
+    // re-exchange the credential once, not fail
+    val (srv2, u2) = RestCatalogServer.start(wh2, port = port,
+      credential = Some(("svc", "pw")), tokenTtlSec = 2)
+    try {
+      assert(u2 === u)
+      val t = cat.loadTable(Seq("db"), "ttl_t").get
+      t.updateProperties(Map("after-restart" -> "ok"))
+      assert(cat.loadTable(Seq("db"), "ttl_t").get
+        .meta.properties.contains("after-restart"))
+    } finally srv2.stop(0)
+  }
+
   test("multi-table transaction: both commit atomically, conflict rolls back") {
     val cat = RestCatalog.connect(uri)
     val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
@@ -918,6 +965,26 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown table and traversal names are rejected
     assert(specPost("/v1/namespaces/db/tables/nope_t/plan", "{}")._1 === 404)
     assert(specPost("/v1/namespaces/db/tables/../plan", "{}")._1 === 400)
+
+    // plan-ids are scoped to the table that created them: reading,
+    // chunk-fetching or cancelling through ANOTHER table's path is 404 —
+    // a leaked plan-id must not bypass per-table addressing
+    spark.sql("CREATE TABLE rcat.db.plan_other (id BIGINT)")
+    val (c3, fresh) = specPost("/v1/namespaces/db/tables/plan_t/plan", "{}")
+    assert(c3 === 200)
+    val pid2 = fresh.get("plan-id").asText()
+    assert(RestHttp.get(
+      s"$uri/v1/namespaces/db/tables/plan_other/plan/$pid2")._1 === 404)
+    assert(specPost("/v1/namespaces/db/tables/plan_other/tasks",
+      s"""{"plan-task": "$pid2#0"}""")._1 === 404)
+    assert(RestHttp.delete(
+      s"$uri/v1/namespaces/db/tables/plan_other/plan/$pid2")._1 === 404)
+    // ...while the owning table still reads and cancels it fine
+    assert(RestHttp.get(
+      s"$uri/v1/namespaces/db/tables/plan_t/plan/$pid2")._1 === 200)
+    assert(RestHttp.delete(
+      s"$uri/v1/namespaces/db/tables/plan_t/plan/$pid2")._1 === 204)
+    spark.sql("DROP TABLE rcat.db.plan_other")
   }
 
   test("planTableScan: async submit + poll, chunked plan-tasks fetch") {
