@@ -1015,25 +1015,34 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           else rdr.parquet(fs.map(_.path): _*)
         }
       }.reduce(_ union _)
-      import org.apache.spark.sql.functions.approx_count_distinct
       val fields = t.schema.fields
         .filter(f => f.tpe.isPrimitive && f.tpe != graft.core.types.GVariant)
       if (fields.nonEmpty) {
+        // one pass computes a COMPACT THETA SKETCH per column (reference
+        // ComputeTableStatsSparkAction + NDVSketchUtil → DataSketches;
+        // graft.functions.ThetaNdvAgg): map-side bounded KMV
+        // accumulators, merged on the driver — the sketch bytes are what
+        // genuine Iceberg readers consume, the estimate feeds CBO props
         val cols = fields.map(_.name)
-        val r = df.select(cols.map(c => approx_count_distinct(c).as(c)): _*).collect()(0)
+        import org.apache.spark.sql.functions.col
+        val r = df.select(fields.map(f =>
+          graft.functions.ThetaFunctions
+            .thetaNdvSketch(col(f.name), f.tpe).as(f.name)): _*).collect()(0)
+        val sketches = fields.indices.map(i => r.getAs[Array[Byte]](i))
+        val ndvs = sketches.map(s => Puffin.thetaEstimate(s).getOrElse(0L))
         // NDVs both as properties (CBO's SupportsReportStatistics source)
         // and as a Puffin statistics file recorded in table metadata
         // (reference ComputeTableStatsSparkAction → puffin blobs)
-        val props = cols.zipWithIndex.map { case (c, i) => s"stats.ndv.$c" -> r.getLong(i).toString }
+        val props = cols.zipWithIndex.map { case (c, i) => s"stats.ndv.$c" -> ndvs(i).toString }
         val snap = t.meta.currentSnapshot
         val puffinPath =
           s"${t.location}/metadata/${java.util.UUID.randomUUID}.stats.puffin"
         val blobs = fields.zipWithIndex.map { case (f, i) =>
-          Puffin.Blob("graft-ndv-v1", Seq(f.id),
+          Puffin.Blob("apache-datasketches-theta-v1", Seq(f.id),
             snap.map(_.snapshotId).getOrElse(0L),
             snap.map(_.sequenceNumber).getOrElse(0L),
-            Puffin.ndvPayload(r.getLong(i)),
-            Map("ndv" -> r.getLong(i).toString))
+            sketches(i),
+            Map("ndv" -> ndvs(i).toString))
         }
         val (size, footerSize) = Puffin.write(puffinPath, blobs,
           crypto = graft.core.meta.TableCrypto.resolve(t.meta))

@@ -179,7 +179,8 @@ class EncryptionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(puffins.nonEmpty)
     puffins.foreach(p => assert(AesGcm.isEncrypted(bytesOf(p)), s"plain puffin: $p"))
     val blobs = Puffin.read(puffins.head)
-    assert(blobs.nonEmpty && blobs.exists(_.blobType == "graft-ndv-v1"))
+    assert(blobs.nonEmpty &&
+      blobs.exists(_.blobType == "apache-datasketches-theta-v1"))
   }
 
   test("encrypted avro manifests: AGS1 on disk, DML + codec flip correct") {

@@ -364,9 +364,13 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.size === 1)
     assert(stats.head.snapshotId === rm.meta.currentSnapshot.get.snapshotId)
     val blobs = graft.core.meta.Puffin.read(stats.head.path)
-    assert(blobs.size === 1 && blobs.head.blobType === "graft-ndv-v1")
+    assert(blobs.size === 1 &&
+      blobs.head.blobType === "apache-datasketches-theta-v1")
     assert(blobs.head.fields === Seq(1))
-    assert(graft.core.meta.Puffin.ndvFromPayload(blobs.head.payload) >= 2L)
+    // the payload is a genuine DataSketches-readable compact sketch
+    assert(graft.core.meta.Puffin.thetaEstimate(blobs.head.payload)
+      .exists(_ >= 2L))
+    assert(blobs.head.properties.get("ndv").exists(_.toLong >= 2L))
   }
 
   test("merge-on-read DELETE writes position deletes, not rewrites") {
