@@ -2311,9 +2311,84 @@ object Engine {
       FROM orders WHERE o_orderkey % 3 <> 1 AND o_orderstatus = 'F'
       GROUP BY o_orderstatus"""))
 
+  // ------------------------------------------------------------------ g65
+  // Delta Lake import (reference delta-lake
+  // BaseSnapshotDeltaLakeTableAction): the gate SYNTHESIZES a Delta
+  // table from nation — one parquet file per region written WITHOUT the
+  // partition column (the Delta physical layout), a version-0 log of
+  // metaData + adds, and a version-1 replace of region 0's file —
+  // then snapshot_delta replays it into a graft table. Matching the
+  // oracle proves: log replay (the replace must win), name-mapped reads
+  // (no field ids in the files), and identity-partition constants (the
+  // partition column exists only in the log).
+  private val g65 = Q(
+    "g65_engine_delta_import",
+    (s, dir) => {
+      val wh = warehouse(dir)
+      val cat = new HadoopCatalog(wh)
+      if (!cat.loadTable(Seq("db"), "delta_imp_g").isDefined) {
+        val root = s"$wh/_delta_src_nation"
+        val logDir = s"$root/_delta_log"
+        val nation = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey", LongType),
+          org.apache.spark.sql.types.StructField("n_name", StringType),
+          org.apache.spark.sql.types.StructField("n_regionkey", LongType))).json
+        val regions = nation.select("n_regionkey").distinct()
+          .collect().map(_.getAs[Number](0).longValue).sorted
+        def writeRegion(r: Long, suffix: String): (String, Long) = {
+          val tmp = java.nio.file.Files.createTempDirectory("g65").toString
+          nation.filter(col("n_regionkey") === r)
+            .select("n_nationkey", "n_name") // Delta layout: no part col
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = graft.core.meta.GraftIO.walkFiles(tmp)
+            .filter(_.endsWith(".parquet")).head
+          val rel = s"r=$r/part-$suffix.parquet"
+          val dst = graft.core.meta.GraftIO.toPath(s"$root/$rel")
+          java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.copy(graft.core.meta.GraftIO.toPath(part), dst)
+          (rel, java.nio.file.Files.size(dst))
+        }
+        def add(rel: String, r: Long, size: Long) =
+          s"""{"add":{"path":"$rel","partitionValues":{"n_regionkey":"$r"},"size":$size,"modificationTime":1700000000000,"dataChange":true}}"""
+        val meta0 = {
+          val sch = graft.core.meta.MetaJson.mapper.writeValueAsString(schemaJson)
+          s"""{"metaData":{"id":"g65","format":{"provider":"parquet","options":{}},"schemaString":$sch,"partitionColumns":["n_regionkey"],"configuration":{},"createdTime":1700000000000}}"""
+        }
+        val v0 = regions.map(r => writeRegion(r, "v0") match {
+          case (rel, size) => (r, rel, size)
+        })
+        graft.core.meta.GraftIO.writeString(
+          s"$logDir/${"%020d".format(0)}.json",
+          (meta0 +: v0.map { case (r, rel, size) => add(rel, r, size) }.toSeq)
+            .mkString("\n"))
+        // v1: replace region 0's file (same rows, fresh file) — replay
+        // must drop the removed file or region 0 double-counts
+        val (rel1, size1) = writeRegion(regions.head, "v1")
+        graft.core.meta.GraftIO.writeString(
+          s"$logDir/${"%020d".format(1)}.json",
+          Seq(s"""{"remove":{"path":"${v0.head._2}","deletionTimestamp":1700000001000,"dataChange":true}}""",
+            add(rel1, regions.head, size1)).mkString("\n"))
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+        s.sql(s"CALL graft.system.snapshot_delta('$root', 'db.delta_imp_g')")
+      }
+      s.table("graft.db.delta_imp_g")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"),
+          sum(col("n_nationkey")).as("sum_k"))
+        .orderBy("n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name,
+        CAST(SUM(n_nationkey) AS BIGINT) AS sum_k
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64)
+    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65)
 }

@@ -42,7 +42,7 @@ object GraftProcedures {
     "set_identifier_fields", "drop_identifier_fields", "set_geo_type",
     "create_udf", "create_udtf", "drop_udf", "rollback_udf",
     "ancestors_of", "publish_changes", "register_table", "migrate",
-    "compute_partition_stats", "rewrite_table_path",
+    "compute_partition_stats", "rewrite_table_path", "snapshot_delta",
     // reference-registry aliases
     "snapshot", "rewrite_position_delete_files")
 
@@ -85,6 +85,26 @@ object GraftProcedures {
 
   private[spark] def walkFiles(dir: String): Seq[String] =
     GraftIO.walkFiles(dir)
+
+  /** register one external parquet file by its footer: record count +
+    * column stats, format parquet-nm when the file carries no field ids
+    * (shared by add_files and snapshot_delta) */
+  private[spark] def importParquetFile(path: String, partition: Seq[Any],
+      specId: Int, schema: graft.core.types.GSchema,
+      conf: org.apache.hadoop.conf.Configuration): DataFile = {
+    val (size, stats) = FooterStats.read(path, conf, schema)
+    val hPath = new org.apache.hadoop.fs.Path(
+      "file://" + GraftIO.toPath(path).toString)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
+      org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
+    val (rows, hasIds) =
+      try (r.getRecordCount,
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null))
+      finally r.close()
+    DataFile(path, if (hasIds) "parquet" else "parquet-nm",
+      specId, partition, rows, size, stats)
+  }
 
   /** delete every path in `ds` executor-side; returns the number
     * SUCCESSFULLY deleted (failures are skipped, not counted — the next
@@ -386,6 +406,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
     case "add_files" =>
       Array(param("table", StringType), param("source_dir", StringType))
     case "snapshot_table" | "snapshot" =>
+      Array(param("source_dir", StringType), param("table", StringType))
+    case "snapshot_delta" =>
       Array(param("source_dir", StringType), param("table", StringType))
     case "remove_dangling_deletes" =>
       Array(param("table", StringType))
@@ -1179,27 +1201,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           // columns resolve by name (imported files carry no field ids)
           val (size, rows, stats) = GraftAvro.footerStats(path, schema)
           DataFile(path, "avro", spec.specId, partition, rows, size, stats)
-        } else {
-          val (size, stats) = FooterStats.read(path, conf, schema)
-          val rows = {
-            val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
-              org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
-            try r.getRecordCount finally r.close()
-          }
-          // files without parquet field ids are read name-based
-          val hasIds = {
-            val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
-              org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
-            try r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null)
-            finally r.close()
-          }
-          DataFile(path, if (hasIds) "parquet" else "parquet-nm",
-            spec.specId, partition, rows, size, stats)
-        }
+        } else importParquetFile(path, partition, spec.specId, schema, conf)
       }
       t.newAppend().appendFiles(dataFiles).commit()
       out(StructType(Seq(StructField("added_files_count", IntegerType),
@@ -1509,6 +1511,61 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val dropped = GraftViewStore.drop(GraftViewStore.docsFor(catalog),
         org.apache.spark.sql.connector.catalog.Identifier.of(parts.init.toArray, parts.last))
       out(StructType(Seq(StructField("dropped", BooleanType))), row(dropped))
+
+    case "snapshot_delta" =>
+      // import a Delta Lake table without copying data (reference
+      // delta-lake/.../BaseSnapshotDeltaLakeTableAction): replay the
+      // public _delta_log — one graft commit per Delta version, tagged
+      // delta-version-N like the reference — registering live parquet
+      // name-mapped (Delta files carry no field ids, and their partition
+      // columns exist only in the log; the scan serves those as
+      // identity-partition constants from task metadata)
+      val srcDir = input.getUTF8String(0).toString
+      val tblName = input.getUTF8String(1).toString
+      val parts = tblName.split("\\.").toSeq
+      val (ns, tbl) = if (parts.length >= 2) (parts.init, parts.last)
+                      else (Seq("db"), parts.head)
+      val spark = SparkSession.active
+      val log = DeltaImport.readLog(spark, srcDir)
+      val gSchema = graft.core.types.SparkTypes.fromSpark(log.schema)
+      val spec =
+        if (log.partitionColumns.isEmpty) graft.core.expr.PartitionSpec.Unpartitioned
+        else graft.core.expr.PartitionSpec.of(gSchema, log.partitionColumns.map(c =>
+          c -> (graft.core.transform.IdentityT: graft.core.transform.Transform)): _*)
+      val t = catalog.createTable(ns, tbl, gSchema, spec, Map(
+        "snapshot_source" -> "delta", "original_location" -> srcDir))
+      val conf = spark.sessionState.newHadoopConf()
+      var added = 0L
+      var records = 0L
+      var versions = 0L
+      log.changes.foreach { vc =>
+        if (vc.adds.nonEmpty || vc.removes.nonEmpty) {
+          val dataFiles = vc.adds.map { case (path, pv) =>
+            val partition: Seq[Any] = spec.fields.map { pf =>
+              val src = gSchema.byId(pf.sourceId)
+              DeltaImport.parsePartitionValue(src.tpe,
+                pv.getOrElse(src.name, null))
+            }
+            importParquetFile(path, partition, spec.specId, gSchema, conf)
+          }
+          val snap =
+            if (vc.removes.isEmpty)
+              t.newAppend().appendFiles(dataFiles).commit()
+            else t.newOverwrite().addFiles(dataFiles)
+              .deleteFiles(vc.removes).commit()
+          t.setRef(s"delta-version-${vc.version}", snap.snapshotId,
+            SnapshotRefType.Tag)
+          added += dataFiles.size
+          records += dataFiles.map(_.recordCount).sum
+          versions += 1
+        }
+      }
+      out(StructType(Seq(
+          StructField("imported_files_count", LongType),
+          StructField("imported_records", LongType),
+          StructField("versions_committed", LongType),
+          StructField("latest_delta_version", LongType))),
+        row(added, records, versions, log.latestVersion))
 
     case "snapshot_table" | "snapshot" =>
       // import an external parquet directory as a NEW graft table without

@@ -1702,7 +1702,25 @@ object GraftSparkTable {
         batchFuncEq = batchFuncEq, eqBatchPos = eqBatchPos,
         crypto = graft.core.meta.TableCrypto.resolve(table.meta),
         orcDeleteFunc = orcDeleteFunc, avroDeleteFunc = avroDeleteFunc,
-        orcDelFullFunc = orcDelFullFunc)
+        orcDelFullFunc = orcDelFullFunc,
+        identityConsts = {
+          // every spec's identity fields whose source resolves in the
+          // CURRENT schema (a dropped source column has no projection
+          // to fill — tasks of that spec skip it)
+          val bySpec = table.meta.specs.map { sp =>
+            sp.specId -> sp.fields.zipWithIndex.flatMap { case (pfld, i) =>
+              if (pfld.transform != graft.core.transform.IdentityT) None
+              else table.schema.byId.get(pfld.sourceId).map(src =>
+                (src.name, i, src.tpe))
+            }
+          }.filter(_._2.nonEmpty).toMap
+          if (formats("parquet-nm")) bySpec else Map.empty
+        },
+        nmRowSchema = stripIds(dataRequiredBin),
+        nmRowSchemaNF = stripIds(dataReadNFBin),
+        nmFullSchema = stripIds(
+          if (wantLineage) StructType(fullSchema.fields ++ lineageReadFields)
+          else fullSchema))
     }
 
     /** (parent, path) → materialized shred file-column name */
@@ -1824,8 +1842,63 @@ object GraftSparkTable {
       // formats other than the parquet default
       orcDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
       avroDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
-      orcDelFullFunc: PartitionedFile => Iterator[InternalRow] = null)
+      orcDelFullFunc: PartitionedFile => Iterator[InternalRow] = null,
+      // identity-partition constants for name-mapped imports (reference
+      // PartitionUtil.constantsMap): specId -> (source column name,
+      // partition tuple index, partition result type). Delta-layout and
+      // hive-layout parquet physically LACKS its partition columns — the
+      // reader must serve them from the task's partition tuple, or they
+      // read as null. Applied on the parquet-nm row paths (nm files
+      // never take the columnar path).
+      identityConsts: Map[Int, Seq[(String, Int, GType)]] = Map.empty,
+      // exact output schemas of the parquet-nm readers (filtered /
+      // no-filter / full-eq), for positioning the constant projection
+      nmRowSchema: StructType = new StructType(),
+      nmRowSchemaNF: StructType = new StructType(),
+      nmFullSchema: StructType = new StructType())
     extends PartitionReaderFactory {
+
+    /** wrap a parquet-nm row reader so identity-partition source columns
+      * come from the task's partition tuple instead of the (absent)
+      * file column. No-op for non-import formats and unpartitioned
+      * specs; a codegen'd UnsafeProjection per task otherwise. */
+    private def identityFill(t: TaskDesc, schema: StructType,
+        f: PartitionedFile => Iterator[InternalRow])
+        : PartitionedFile => Iterator[InternalRow] = {
+      if (t.fileFormat != "parquet-nm" || f == null) return f
+      val consts = identityConsts.getOrElse(t.specId, Nil)
+      if (consts.isEmpty) return f
+      val over: Map[Int, Any] = consts.flatMap { case (name, pi, gt) =>
+        val pos = schema.fieldNames.indexOf(name)
+        if (pos < 0 || pi >= t.partition.length) None
+        else {
+          val raw = t.partition(pi) match {
+            case b: Seq[_] => b.asInstanceOf[Seq[Byte]].toArray
+            case x         => x
+          }
+          val internal = raw match {
+            case null                        => null
+            case s: String                   =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case d: java.math.BigDecimal     =>
+              org.apache.spark.sql.types.Decimal(d)
+            case x                           => x
+          }
+          val _ = gt // types already encoded in `schema`
+          Some(pos -> internal)
+        }
+      }.toMap
+      if (over.isEmpty) return f
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+      val exprs = schema.fields.zipWithIndex.map { case (fd, i) =>
+        over.get(i) match {
+          case Some(v) => Literal(v, fd.dataType)
+          case None    => BoundReference(i, fd.dataType, nullable = true)
+        }
+      }
+      val proj = UnsafeProjection.create(exprs.toArray[org.apache.spark.sql.catalyst.expressions.Expression])
+      pfile => f(pfile).map(proj)
+    }
 
     // per-executor shred helpers (transient: rebuilt after serialization)
     @transient private lazy val shredPaths =
@@ -1991,8 +2064,9 @@ object GraftSparkTable {
       val dataFull =
         if (t.fileFormat == "avro") { if (lineageExt) avroFullLin else avroFullFunc }
         else if (t.fileFormat == "orc" || t.fileFormat == "parquet-nm")
-          nameFullRow.getOrElse((t.fileFormat, t.writeSchemaId),
-            nameFullRow((t.fileFormat, -1)))
+          identityFill(t, nmFullSchema,
+            nameFullRow.getOrElse((t.fileFormat, t.writeSchemaId),
+              nameFullRow((t.fileFormat, -1))))
         else if (lineageExt) rowFuncFullLin
         else rowFuncFull
       dataFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
@@ -2343,7 +2417,8 @@ object GraftSparkTable {
             case "orc" =>
               orcHistRow.get(t.writeSchemaId).map(_._1).getOrElse(orcRowFunc)
             case "parquet-nm" =>
-              nmHistRow.get(t.writeSchemaId).map(_._1).getOrElse(nameRowFunc)
+              identityFill(t, nmRowSchema,
+                nmHistRow.get(t.writeSchemaId).map(_._1).getOrElse(nameRowFunc))
             case "avro"       => avroRowFunc
             case _ =>
               if (!hasShred) rowFunc
@@ -2363,7 +2438,8 @@ object GraftSparkTable {
             case "orc" =>
               orcHistRow.get(t.writeSchemaId).map(_._2).getOrElse(orcRowFuncNoFilter)
             case "parquet-nm" =>
-              nmHistRow.get(t.writeSchemaId).map(_._2).getOrElse(nameRowFuncNoFilter)
+              identityFill(t, nmRowSchemaNF,
+                nmHistRow.get(t.writeSchemaId).map(_._2).getOrElse(nameRowFuncNoFilter))
             case "avro"       => avroRowFuncNF
             case _ =>
               if (!hasShred) rowFuncNoFilter

@@ -1,0 +1,192 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.meta.GraftIO
+
+/** snapshot_delta: import a Delta Lake table by replaying its public
+  * `_delta_log` (reference delta-lake
+  * BaseSnapshotDeltaLakeTableAction) — versions become tagged graft
+  * snapshots, partition columns (absent from Delta data files) read as
+  * identity-partition constants, checkpoints seed vacuumed logs. */
+class DeltaImportSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("graft-delta-wh").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-delta")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pad20(v: Long): String = f"$v%020d"
+
+  /** write one parquet data file (NO partition columns — the Delta
+    * layout) and return its (relativePath, size) */
+  private def writeDataFile(root: String, rel: String, rows: Seq[(Long, String)]): Long = {
+    val tmp = Files.createTempDirectory("delta-part").toString
+    spark.createDataFrame(rows.map { case (i, v) => Row(i, v) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = GraftIO.walkFiles(tmp).filter(_.endsWith(".parquet")).head
+    val dst = GraftIO.toPath(s"$root/$rel")
+    Files.createDirectories(dst.getParent)
+    Files.copy(GraftIO.toPath(part), dst)
+    Files.size(dst)
+  }
+
+  implicit private class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  private val schemaString = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("p", LongType))).json
+
+  private def metaAction: String = {
+    val sch = graft.core.meta.MetaJson.mapper.writeValueAsString(schemaString)
+    s"""{"metaData":{"id":"test-meta-id","format":{"provider":"parquet","options":{}},"schemaString":$sch,"partitionColumns":["p"],"configuration":{},"createdTime":1700000000000}}"""
+  }
+
+  private def addAction(rel: String, p: Long, size: Long): String =
+    s"""{"add":{"path":"$rel","partitionValues":{"p":"$p"},"size":$size,"modificationTime":1700000000000,"dataChange":true}}"""
+
+  private def removeAction(rel: String): String =
+    s"""{"remove":{"path":"$rel","deletionTimestamp":1700000001000,"dataChange":true}}"""
+
+  test("snapshot_delta replays versions, fills partition constants, tags versions") {
+    val root = Files.createTempDirectory("delta-src").toString
+    val s0 = writeDataFile(root, "p=1/part-000.parquet", Seq((1L, "a"), (2L, "b")))
+    val s1 = writeDataFile(root, "p=2/part-001.parquet", Seq((3L, "c")))
+    val s2 = writeDataFile(root, "p=1/part-002.parquet", Seq((4L, "d")))
+    val s3 = writeDataFile(root, "p=1/part-003.parquet", Seq((5L, "e")))
+    val log = s"$root/_delta_log"
+    // v0: create + two files; v1: append; v2: compaction-style replace
+    GraftIO.writeString(s"$log/${pad20(0)}.json",
+      Seq(metaAction,
+        addAction("p=1/part-000.parquet", 1L, s0),
+        addAction("p=2/part-001.parquet", 2L, s1)).mkString("\n"))
+    GraftIO.writeString(s"$log/${pad20(1)}.json",
+      addAction("p=1/part-002.parquet", 1L, s2))
+    GraftIO.writeString(s"$log/${pad20(2)}.json",
+      Seq(removeAction("p=1/part-000.parquet"),
+        removeAction("p=1/part-002.parquet"),
+        addAction("p=1/part-003.parquet", 1L, s3)).mkString("\n"))
+
+    val res = spark.sql(
+      s"CALL graft.system.snapshot_delta('$root', 'db.delta_t')").collect()(0)
+    assert(res.getLong(0) === 4L) // files imported across versions
+    assert(res.getLong(2) === 3L) // versions committed
+    assert(res.getLong(3) === 2L) // latest delta version
+
+    // final state: v2 replaced p=1 with one file holding id=5
+    val rows = spark.sql(
+      "SELECT id, v, p FROM graft.db.delta_t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((3L, "c", 2L), (5L, "e", 1L)))
+
+    // the partition column (absent from the files) reads as a constant,
+    // and partition pruning works on it
+    val p1 = spark.sql(
+      "SELECT id FROM graft.db.delta_t WHERE p = 1 ORDER BY id").collect()
+    assert(p1.map(_.getLong(0)).toSeq === Seq(5L))
+
+    // per-version tags time-travel to each Delta version's exact state
+    assert(spark.sql(
+      "SELECT id FROM graft.db.delta_t VERSION AS OF 'delta-version-0' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(spark.sql(
+      "SELECT id FROM graft.db.delta_t VERSION AS OF 'delta-version-1' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+
+    // provenance properties (reference SNAPSHOT_SOURCE_PROP)
+    val props = new graft.core.meta.HadoopCatalog(warehouse)
+      .loadTable(Seq("db"), "delta_t").get.meta.properties
+    assert(props.get("snapshot_source").contains("delta"))
+    assert(props.get("original_location").contains(root))
+  }
+
+  test("checkpoint seeds a vacuumed log; json versions after it replay") {
+    val root = Files.createTempDirectory("delta-cp-src").toString
+    val s0 = writeDataFile(root, "p=1/part-cp0.parquet", Seq((10L, "x")))
+    val s1 = writeDataFile(root, "p=2/part-cp1.parquet", Seq((11L, "y")))
+    val s2 = writeDataFile(root, "p=3/part-new.parquet", Seq((12L, "z")))
+    val log = s"$root/_delta_log"
+    // checkpoint at version 3 (versions 0-3 vacuumed): state = two files.
+    // A checkpoint is a parquet table of actions: nullable add/metaData
+    // structs, one action per row.
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val cpSchema = StructType(Seq(
+      StructField("add", addT), StructField("metaData", metaT)))
+    val cpRows = Seq(
+      Row(Row("p=1/part-cp0.parquet", Map("p" -> "1"), s0), null),
+      Row(Row("p=2/part-cp1.parquet", Map("p" -> "2"), s1), null),
+      Row(null, Row("m-id", schemaString, Seq("p"))))
+    val tmp = Files.createTempDirectory("delta-cp").toString
+    spark.createDataFrame(cpRows.asJava, cpSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val cpFile = GraftIO.walkFiles(tmp).filter(_.endsWith(".parquet")).head
+    Files.createDirectories(GraftIO.toPath(log))
+    Files.copy(GraftIO.toPath(cpFile),
+      GraftIO.toPath(s"$log/${pad20(3)}.checkpoint.parquet"))
+    GraftIO.writeString(s"$log/_last_checkpoint",
+      s"""{"version":3,"size":3}""")
+    // version 4: one more add
+    GraftIO.writeString(s"$log/${pad20(4)}.json",
+      addAction("p=3/part-new.parquet", 3L, s2))
+
+    spark.sql(s"CALL graft.system.snapshot_delta('$root', 'db.delta_cp')")
+    val rows = spark.sql(
+      "SELECT id, p FROM graft.db.delta_cp ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((10L, 1L), (11L, 2L), (12L, 3L)))
+    // checkpoint state travels as its own tagged version
+    assert(spark.sql(
+      "SELECT id FROM graft.db.delta_cp VERSION AS OF 'delta-version-3' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L, 11L))
+  }
+
+  test("log gaps and non-delta dirs are rejected") {
+    val root = Files.createTempDirectory("delta-bad").toString
+    intercept[Exception](spark.sql(
+      s"CALL graft.system.snapshot_delta('$root', 'db.delta_bad')"))
+    val s0 = writeDataFile(root, "part-0.parquet", Seq((1L, "a")))
+    val log = s"$root/_delta_log"
+    GraftIO.writeString(s"$log/${pad20(0)}.json",
+      Seq(metaAction, addAction("part-0.parquet", 1L, s0)).mkString("\n"))
+    GraftIO.writeString(s"$log/${pad20(2)}.json", // gap: no version 1
+      addAction("part-0.parquet", 1L, s0))
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.snapshot_delta('$root', 'db.delta_bad')"))
+    assert(e.getMessage.contains("gap"))
+  }
+}
