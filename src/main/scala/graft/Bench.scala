@@ -42,7 +42,7 @@ object Bench {
     // (r7's g01 published 0.009 s fast-fails as real numbers); record the
     // failure and exit nonzero after printing whatever is valid.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = headliners.map { q =>
+    def sampleAll(): Seq[(String, Double, Seq[Double])] = headliners.map { q =>
       val samples = (1 to 5).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -54,6 +54,54 @@ object Bench {
       }
       (q.name, samples.sorted.apply(2), samples)
     }
+    var results = sampleAll()
+    val wasCold = graft.queries.Engine.builtCold(sfDir)
+    // BASELINE.md's 2x budget is vs native spark.read.parquet: measure the
+    // exact native equivalent of g01 (q06's plan) in the SAME run so the
+    // gate is evaluated directly, not by cross-run proxy. Median of 5 —
+    // the baseline must not be a single noisy sample.
+    val natQ = SparkEntry.bank.find(_.name == "q06_forecast_revenue")
+    def measureNative(): Double = natQ.map { q =>
+      val samples = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      samples(2)
+    }.getOrElse(0.0)
+    var native = measureNative()
+    // NOISE CONTROL: the native scan is a machine-health canary — the
+    // same code and data measured 0.21-0.23 s every round, so a reading
+    // far above the committed expectation means CO-TENANT LOAD, not an
+    // engine change (r12's committed bench recorded a 0.876 s native
+    // scan and 4-24x query inflation from one such burst). When the
+    // control trips: wait out the burst, re-measure the control, and if
+    // it recovers re-measure every query — the burst contaminated those
+    // samples too. If it never recovers, publish control_ok=false so
+    // the run is marked invalid rather than read as a regression.
+    val expectedNative: Double = {
+      val f = Seq("BENCH_CONTROL.json", "/root/repo/BENCH_CONTROL.json")
+        .map(new java.io.File(_)).find(_.exists())
+        .getOrElse(new java.io.File("BENCH_CONTROL.json"))
+      if (!f.exists()) 0.22
+      else {
+        val m = """"native_scan_sec"\s*:\s*([0-9.]+)""".r
+        m.findFirstMatchIn(
+          new String(java.nio.file.Files.readAllBytes(f.toPath)))
+          .map(_.group(1).toDouble).getOrElse(0.22)
+      }
+    }
+    var controlRetries = 0
+    while (native > expectedNative * 2 && controlRetries < 2) {
+      Thread.sleep(15000)
+      native = measureNative()
+      controlRetries += 1
+      if (native <= expectedNative * 2) {
+        failed.clear()
+        results = sampleAll() // burst passed: resample the queries
+      }
+    }
+    val controlOk = native <= expectedNative * 2
     // failed queries are EXCLUDED from queries/total/ratio — their wall
     // times are time-to-exception, not measurements; raw samples stay in
     // "samples" for forensics and the names land in "failed" + exit 2
@@ -67,20 +115,6 @@ object Bench {
       "\"" + k + "\":[" + ss.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    val wasCold = graft.queries.Engine.builtCold(sfDir)
-    // BASELINE.md's 2x budget is vs native spark.read.parquet: measure the
-    // exact native equivalent of g01 (q06's plan) in the SAME run so the
-    // gate is evaluated directly, not by cross-run proxy. Median of 5 —
-    // the baseline must not be a single noisy sample.
-    val natQ = SparkEntry.bank.find(_.name == "q06_forecast_revenue")
-    val native = natQ.map { q =>
-      val samples = (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
-        try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      samples(2)
-    }.getOrElse(0.0)
     val g01 = ok.find(_._1 == "g01_engine_scan_prune").map(_._2).getOrElse(0.0)
     val ratio = if (native > 0 && g01 > 0) g01 / native else -1.0
     val failedJson = failed.map { case (k, v) =>
@@ -90,6 +124,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""samples":$sampleJson,"warehouse_was_cold":$wasCold,""" +
       s""""failed":$failedJson,""" +
+      s""""control_ok":$controlOk,"control_retries":$controlRetries,""" +
+      s""""native_expected_sec":$expectedNative,""" +
       s""""native_scan_sec":$native,"g01_vs_native":$ratio,"sf":"$sfDir"}""")
     spark.stop()
     // nonzero exit: a setup crash must never masquerade as a fast sample

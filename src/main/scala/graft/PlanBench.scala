@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.expr.Expr
+import graft.core.meta._
+
+/** Planning-at-scale benchmark (reference spark-extensions jmh
+  * PlanningBenchmark: 30 partitions x 50k files + per-partition
+  * deletes). Metadata-only — no data rows — so it isolates the cost the
+  * driver pays before the first task runs, the number that decides
+  * whether a 1000-executor job spends its first minutes planning.
+  *
+  * Measures, and prints as ONE JSON line (also written to
+  * PLANBENCH.json):
+  *   - full_plan_sec: plan all 1.5M files (every manifest read)
+  *   - pruned_plan_sec: one-partition filter — manifest-list partition
+  *     summaries must skip 29/30 manifests, so this must be roughly
+  *     full/30, i.e. sub-linear in the pruned-away metadata
+  *   - stats_plan_sec: partition + id-bounds filter (3-layer funnel
+  *     down to ONE file); every plan also attaches the 1500
+  *     partition-scoped position deletes through the DeleteFileIndex
+  *   - server_plan_sec / server_chunks: the same pruned plan fetched
+  *     through REST server-side planning, chunked — a thin client
+  *     never holding the full task list as one string
+  */
+object PlanBench {
+  private val Partitions = 30
+  private val FilesPerPartition = 50000
+  private val DeletesPerPartition = 50
+
+  def main(args: Array[String]): Unit = {
+    val wh = Files.createTempDirectory("graft-planbench").toString
+    val cat = new HadoopCatalog(wh)
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (t, buildSec) = time(SyntheticMeta.build(cat, "planbench",
+      Partitions, FilesPerPartition, DeletesPerPartition))
+
+    // warm-up: JIT + page cache for the JSON manifest parse paths
+    t.newScan().filter(Expr.equalTo("p", 1L)).planFiles()
+
+    val (full, fullSec) = time(t.newScan().planFiles())
+    require(full.size == Partitions * FilesPerPartition,
+      s"full plan found ${full.size} files")
+
+    val (pruned, prunedSec) = time(
+      t.newScan().filter(Expr.equalTo("p", 7L)).planFiles())
+    require(pruned.size == FilesPerPartition,
+      s"pruned plan found ${pruned.size} files")
+    require(pruned.forall(_.deletes.size == DeletesPerPartition),
+      "pruned tasks must carry their partition's deletes")
+
+    val (narrow, narrowSec) = time(t.newScan()
+      .filter(Expr.and(Expr.equalTo("p", 7L), Expr.ltEq("id", 999L)))
+      .planFiles())
+    require(narrow.size == 1, s"stats pruning kept ${narrow.size} files")
+
+    // sub-linear check: pruning 29/30 of the metadata must cut planning
+    // by at least 5x (it reads 1 manifest instead of 30 + the delete
+    // index of one partition)
+    val subLinear = prunedSec < fullSec / 5.0
+
+    // server-side planning of the pruned query: 50k surviving tasks
+    // chunk into plan-tasks (page 5000 -> ~10 chunks); the client
+    // fetches them concurrently, never one giant response
+    val (srv, uri) = RestCatalogServer.start(wh, planPageSize = 5000)
+    val (serverTasks, serverSec) = try {
+      val rc = RestCatalog.connect(uri)
+      val ops = rc.tableOps(Seq("db"), "planbench")
+        .asInstanceOf[RestTableOps]
+      val meta = t.meta
+      time(ops.planScan(meta.currentSnapshot.map(_.snapshotId),
+        Expr.equalTo("p", 7L), meta))
+    } finally srv.stop(0)
+    require(serverTasks.size == FilesPerPartition,
+      s"server plan found ${serverTasks.size} tasks")
+    val serverChunks =
+      math.ceil(FilesPerPartition / 5000.0).toInt // page size above
+
+    val json =
+      s"""{"metric":"planning","partitions":$Partitions,""" +
+      s""""files_per_partition":$FilesPerPartition,""" +
+      s""""delete_files_per_partition":$DeletesPerPartition,""" +
+      s""""build_sec":${f"$buildSec%.3f"},""" +
+      s""""full_plan_sec":${f"$fullSec%.3f"},""" +
+      s""""pruned_plan_sec":${f"$prunedSec%.3f"},""" +
+      s""""stats_plan_sec":${f"$narrowSec%.3f"},""" +
+      s""""pruned_vs_full_ratio":${f"${prunedSec / fullSec}%.4f"},""" +
+      s""""sub_linear_ok":$subLinear,""" +
+      s""""server_plan_sec":${f"$serverSec%.3f"},""" +
+      s""""server_chunks":$serverChunks,""" +
+      s""""reference_shape":"PlanningBenchmark.java 30x50k+50del"}"""
+    println(json)
+    GraftIO.writeString(
+      new java.io.File("PLANBENCH.json").getAbsolutePath, json)
+  }
+}

@@ -784,13 +784,24 @@ object RestCatalogServer {
                     columnStats = ft.file.columnStats.view
                       .filterKeys(keep).toMap)))
                 }
-                val chunkJsons = trimmed.grouped(math.max(1, planPageSize))
-                  .map(c => MetaJson.mapper.writeValueAsString(
-                    SpecScanTasks.writeTasks(c, meta))).toIndexedSeq
-                if (chunkJsons.isEmpty)
-                  IndexedSeq(MetaJson.mapper.writeValueAsString(
-                    SpecScanTasks.writeTasks(Nil, meta)))
-                else chunkJsons
+                // chunks serialize INDEPENDENTLY and concurrently — a
+                // 50k-task plan spends its time in JSON writes, and a
+                // single handler thread would serialize them back-to-back
+                val groups = trimmed.grouped(math.max(1, planPageSize))
+                  .toIndexedSeq
+                def ser(c: Seq[FileScanTask]): String =
+                  MetaJson.mapper.writeValueAsString(
+                    SpecScanTasks.writeTasks(c, meta))
+                if (groups.isEmpty) IndexedSeq(ser(Nil))
+                else if (groups.size == 1) IndexedSeq(ser(groups.head))
+                else {
+                  import scala.concurrent.{Await, Future}
+                  import scala.concurrent.duration.Duration
+                  implicit val ec: scala.concurrent.ExecutionContext =
+                    RestCatalog.planFetchEc
+                  Await.result(
+                    Future.traverse(groups)(g => Future(ser(g))), Duration.Inf)
+                }
               }
               val async = Option(x.getRequestHeaders.getFirst("X-Graft-Plan-Async"))
                 .exists(_.equalsIgnoreCase("true"))

@@ -305,18 +305,27 @@ object SpecScanTasks {
     case other        => other
   }
 
+  /** per-call memo of partition RESULT types by spec id — a 50k-task
+    * plan must not rebuild the partition struct per file */
+  type PartTypeCache = scala.collection.mutable.Map[Int, Seq[GType]]
+  def newPartTypeCache(): PartTypeCache =
+    scala.collection.mutable.Map.empty[Int, Seq[GType]]
+
   /** partition RESULT types per spec id (bucket→int, days→date, ...);
     * a spec referencing dropped source columns yields no types and the
     * values fall back to the untyped codec */
-  private def partTypes(meta: TableMetadata, specId: Int): Seq[GType] =
-    try meta.specById(specId).partitionType(meta.schema).fields.map(_.tpe)
-    catch { case _: Throwable => Nil }
+  private def partTypes(meta: TableMetadata, specId: Int,
+      cache: PartTypeCache): Seq[GType] =
+    cache.getOrElseUpdate(specId,
+      try meta.specById(specId).partitionType(meta.schema).fields.map(_.tpe)
+      catch { case _: Throwable => Nil })
 
   private def statType(meta: TableMetadata, fieldId: Int): Option[GType] =
     if (fieldId == DeleteFileIndex.FilePathFieldId) Some(GString)
     else meta.schema.byId.get(fieldId).map(_.tpe)
 
-  def writeFile(f: DataFile, meta: TableMetadata): ObjectNode = {
+  def writeFile(f: DataFile, meta: TableMetadata,
+      typeCache: PartTypeCache = newPartTypeCache()): ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("content", contentName(f.content))
       .put("file-path", f.path)
@@ -324,7 +333,7 @@ object SpecScanTasks {
       .put("spec-id", f.specId)
       .put("file-size-in-bytes", f.fileSizeBytes)
       .put("record-count", f.recordCount)
-    val types = partTypes(meta, f.specId)
+    val types = partTypes(meta, f.specId, typeCache)
     val pt = o.putArray("partition")
     f.partition.zipWithIndex.foreach { case (v, i) =>
       types.lift(i) match {
@@ -390,9 +399,10 @@ object SpecScanTasks {
     o
   }
 
-  def readFile(n: JsonNode, meta: TableMetadata): DataFile = {
+  def readFile(n: JsonNode, meta: TableMetadata,
+      typeCache: PartTypeCache = newPartTypeCache()): DataFile = {
     val specId = n.get("spec-id").asInt()
-    val types = partTypes(meta, specId)
+    val types = partTypes(meta, specId, typeCache)
     val pt = Seq.newBuilder[Any]
     var i = 0
     n.get("partition").elements().forEachRemaining { v =>
@@ -459,6 +469,7 @@ object SpecScanTasks {
   /** one chunk of FileScanTasks → spec ScanTasks object: deduped
     * `delete-files` array + per-task 0-based `delete-file-references` */
   def writeTasks(tasks: Seq[FileScanTask], meta: TableMetadata): ObjectNode = {
+    val typeCache = newPartTypeCache()
     val o = mapper.createObjectNode()
     val deleteIndex = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val deleteFiles = Seq.newBuilder[DataFile]
@@ -471,12 +482,12 @@ object SpecScanTasks {
     val dfs = deleteFiles.result()
     if (dfs.nonEmpty) {
       val arr = o.putArray("delete-files")
-      dfs.foreach(d => arr.add(writeFile(d, meta)))
+      dfs.foreach(d => arr.add(writeFile(d, meta, typeCache)))
     }
     val arr = o.putArray("file-scan-tasks")
     tasks.foreach { t =>
       val to = arr.addObject()
-      to.set[JsonNode]("data-file", writeFile(t.file, meta))
+      to.set[JsonNode]("data-file", writeFile(t.file, meta, typeCache))
       if (t.deletes.nonEmpty) {
         val refs = to.putArray("delete-file-references")
         t.deletes.foreach(d => refs.add(deleteIndex(d.path)))
@@ -490,13 +501,14 @@ object SpecScanTasks {
 
   /** spec ScanTasks object → FileScanTasks (resolving delete refs) */
   def readTasks(n: JsonNode, meta: TableMetadata): Seq[FileScanTask] = {
+    val typeCache = newPartTypeCache()
     val deletes = Option(n.get("delete-files")).map { arr =>
-      (0 until arr.size()).map(i => readFile(arr.get(i), meta))
+      (0 until arr.size()).map(i => readFile(arr.get(i), meta, typeCache))
     }.getOrElse(Seq.empty)
     Option(n.get("file-scan-tasks")).map { arr =>
       (0 until arr.size()).map { i =>
         val to = arr.get(i)
-        val f = readFile(to.get("data-file"), meta)
+        val f = readFile(to.get("data-file"), meta, typeCache)
         val ds = Option(to.get("delete-file-references")).map { refs =>
           (0 until refs.size()).map(j => deletes(refs.get(j).asInt()))
         }.getOrElse(Seq.empty)
