@@ -28,7 +28,12 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     warehouse = Files.createTempDirectory("graft-fuzz-wh").toString
     restWarehouse = Files.createTempDirectory("graft-fuzz-rest-wh").toString
-    val started = graft.core.meta.RestCatalogServer.start(restWarehouse)
+    // auth-hardened server: the bearer token genuinely expires every 3s,
+    // so any fuzz history over REST (each runs many seconds) crosses
+    // several token lifetimes — the AuthSession refresh path is soaked
+    // by EVERY rest-arm seed, not a dedicated test
+    val started = graft.core.meta.RestCatalogServer.start(restWarehouse,
+      credential = Some(("fuzz", "pw")), tokenTtlSec = 3)
     restServer = started._1
     spark = SparkSession.builder()
       .master("local[4]")
@@ -42,7 +47,17 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.catalog.gfzr", classOf[GraftCatalog].getName)
       .config("spark.sql.catalog.gfzr.catalog-impl", "rest")
       .config("spark.sql.catalog.gfzr.uri", started._2)
+      .config("spark.sql.catalog.gfzr.credential", "fuzz:pw")
       .config("spark.sql.catalog.gfzr.commit-protocol", "spec")
+      // thin-client arm: every SCAN of a gfzp table plans through the
+      // server's planTableScan endpoints, so a full DML history churns
+      // the plan store (admission, eviction, chunking) with real
+      // MoR delete attachment riding the wire
+      .config("spark.sql.catalog.gfzp", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.gfzp.catalog-impl", "rest")
+      .config("spark.sql.catalog.gfzp.uri", started._2)
+      .config("spark.sql.catalog.gfzp.credential", "fuzz:pw")
+      .config("spark.sql.catalog.gfzp.rest-scan-planning", "server")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,7 +75,8 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       icebergCompat: Boolean = false, cat: String = "gfz"): Unit = {
     val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
     val fq = s"$cat.db.$name"
-    val catWarehouse = if (cat == "gfzr") restWarehouse else warehouse
+    val catWarehouse =
+      if (cat == "gfzr" || cat == "gfzp") restWarehouse else warehouse
     val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
     val compatProp =
       if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
@@ -635,6 +651,16 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       evolveSpec = true, cat = "gfzr")
   }
 
+  // every random op's READS plan through the REST server (thin-client
+  // rest-scan-planning=server): a full model-checked history of appends,
+  // MoR deletes, spec evolution and time travel where the surviving
+  // FileScanTasks + delete files always cross the wire — and the 3s
+  // token TTL forces several AuthSession refreshes along the way
+  test("seeded DML fuzz with server-side scan planning") {
+    runSeed(seed = 888001, partitioned = true, steps = 30,
+      evolveSpec = true, cat = "gfzp")
+  }
+
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
   // (failure messages carry the seed — promote any find to a fixed test)
   sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
@@ -646,8 +672,11 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           format = if (i % 4 == 3) "orc" else "parquet",
           icebergCompat = i % 2 == 1,
           // a third of the soak routes every commit through the spec
-          // REST protocol (derive→apply on the server)
-          cat = if (i % 3 == 2) "gfzr" else "gfz")
+          // REST protocol (derive→apply on the server); another slice
+          // plans every scan through the server's plan store
+          cat = if (i % 3 == 2) "gfzr"
+                else if (i % 4 == 1) "gfzp"
+                else "gfz")
       }
       test(s"soak branch fuzz, seed ${base + i}") {
         runBranchSeed(base + i, 20, icebergCompat = i % 2 == 0)
