@@ -1,0 +1,424 @@
+package graft.core.meta
+
+import java.util.UUID
+
+import org.apache.hadoop.hive.conf.HiveConf
+import org.apache.hadoop.hive.metastore.{HiveMetaStoreClient, IMetaStoreClient}
+import org.apache.hadoop.hive.metastore.api._
+
+import graft.core.expr.PartitionSpec
+import graft.core.types._
+
+/** Hive Metastore catalog (reference
+  * hive-metastore/src/main/java/org/apache/iceberg/hive/HiveCatalog.java +
+  * HiveTableOperations.java): the current-metadata POINTER lives in the
+  * HMS table's `metadata_location` parameter — the convention every
+  * HMS-fronted Iceberg deployment shares — while metadata and data files
+  * stay under the table location exactly like the other catalogs.
+  * Commit protocol (reference HiveTableOperations.doCommit): write the
+  * new metadata document under a unique name, take an EXCLUSIVE HMS
+  * table lock, re-read the table, verify `metadata_location` still
+  * names the base version, alter_table to the new pointer, unlock.
+  *
+  * The client speaks thrift to a standalone metastore when `uri`
+  * (thrift://host:port) is set; without one it runs the metastore
+  * EMBEDDED over a local Derby database (the standard HMS local mode) —
+  * how this sandbox tests the protocol without an HMS service. The HMS
+  * lock API needs the metastore's transaction tables, which schematool
+  * normally creates; [[HiveMs.ensureTxnSchema]] bootstraps them on an
+  * embedded Derby so the REAL lock path runs in tests. If the lock API
+  * is unavailable (bare metastore without txn schema), commits fall
+  * back to a JVM-wide per-table mutex — safe for a single driver,
+  * documented as weaker across drivers.
+  *
+  * HMS normalizes database/table names to lowercase; callers should use
+  * lowercase identifiers (Spark already does).
+  */
+object HiveMs {
+
+  /** one client per catalog, every call serialized (HiveMetaStoreClient
+    * is not thread-safe) */
+  final class Client(conf: HiveConf) {
+    private val c: IMetaStoreClient = new HiveMetaStoreClient(conf)
+    def sync[A](f: IMetaStoreClient => A): A = synchronized(f(c))
+  }
+
+  // one embedded client per Derby path, shared across catalog
+  // initializations: concurrent first-boots would race the datanucleus
+  // schema auto-create, and N ObjectStores over one Derby buy nothing
+  private val embedded =
+    new java.util.concurrent.ConcurrentHashMap[String, Client]()
+
+  /** Build a client. `uri` = thrift metastore; absent = embedded over
+    * Derby at `dbPath` (created on first use). */
+  def connect(uri: Option[String], dbPath: String,
+      warehouseDir: String): Client = {
+    def whDir(conf: HiveConf): Unit = conf.set("hive.metastore.warehouse.dir",
+      if (warehouseDir.contains("://")) warehouseDir else s"file://$warehouseDir")
+    uri match {
+      case Some(u) =>
+        val conf = new HiveConf()
+        conf.set("hive.metastore.uris", u)
+        whDir(conf)
+        new Client(conf)
+      case None =>
+        embedded.computeIfAbsent(dbPath, _ => {
+          val conf = new HiveConf()
+          conf.set("hive.metastore.uris", "")
+          conf.set("javax.jdo.option.ConnectionURL",
+            s"jdbc:derby:;databaseName=$dbPath;create=true")
+          conf.set("javax.jdo.option.ConnectionDriverName",
+            "org.apache.derby.jdbc.EmbeddedDriver")
+          conf.set("hive.metastore.schema.verification", "false")
+          conf.set("datanucleus.schema.autoCreateAll", "true")
+          // the txn handler (lock API) needs a JDBC pool; DBCP ships
+          // with Spark, BoneCP (the default) does not
+          conf.set("datanucleus.connectionPoolingType", "DBCP")
+          ensureTxnSchema(s"jdbc:derby:;databaseName=$dbPath;create=true")
+          whDir(conf)
+          new Client(conf)
+        })
+    }
+  }
+
+  /** Transaction/lock tables for an EMBEDDED metastore (the subset of
+    * hive-txn-schema-2.3.0.derby.sql the lock API touches — a real HMS
+    * deployment already has them from schematool; datanucleus
+    * auto-create only builds the JDO entities, not these raw-SQL
+    * tables). Idempotent: Derby X0Y32 (exists) is ignored. */
+  def ensureTxnSchema(jdbcUrl: String): Unit = {
+    val ddl = Seq(
+      """CREATE TABLE TXNS (
+        TXN_ID bigint PRIMARY KEY, TXN_STATE char(1) NOT NULL,
+        TXN_STARTED bigint NOT NULL, TXN_LAST_HEARTBEAT bigint NOT NULL,
+        TXN_USER varchar(128) NOT NULL, TXN_HOST varchar(128) NOT NULL,
+        TXN_AGENT_INFO varchar(128), TXN_META_INFO varchar(128),
+        TXN_HEARTBEAT_COUNT integer)""",
+      """CREATE TABLE TXN_COMPONENTS (
+        TC_TXNID bigint NOT NULL, TC_DATABASE varchar(128) NOT NULL,
+        TC_TABLE varchar(128), TC_PARTITION varchar(767),
+        TC_OPERATION_TYPE char(1) NOT NULL)""",
+      """CREATE TABLE COMPLETED_TXN_COMPONENTS (
+        CTC_TXNID bigint NOT NULL, CTC_DATABASE varchar(128) NOT NULL,
+        CTC_TABLE varchar(128), CTC_PARTITION varchar(767))""",
+      "CREATE TABLE NEXT_TXN_ID (NTXN_NEXT bigint NOT NULL)",
+      "INSERT INTO NEXT_TXN_ID VALUES(1)",
+      """CREATE TABLE HIVE_LOCKS (
+        HL_LOCK_EXT_ID bigint NOT NULL, HL_LOCK_INT_ID bigint NOT NULL,
+        HL_TXNID bigint, HL_DB varchar(128) NOT NULL,
+        HL_TABLE varchar(128), HL_PARTITION varchar(767),
+        HL_LOCK_STATE char(1) NOT NULL, HL_LOCK_TYPE char(1) NOT NULL,
+        HL_LAST_HEARTBEAT bigint NOT NULL, HL_ACQUIRED_AT bigint,
+        HL_USER varchar(128) NOT NULL, HL_HOST varchar(128) NOT NULL,
+        HL_HEARTBEAT_COUNT integer, HL_AGENT_INFO varchar(128),
+        HL_BLOCKEDBY_EXT_ID bigint, HL_BLOCKEDBY_INT_ID bigint,
+        PRIMARY KEY(HL_LOCK_EXT_ID, HL_LOCK_INT_ID))""",
+      "CREATE TABLE NEXT_LOCK_ID (NL_NEXT bigint NOT NULL)",
+      "INSERT INTO NEXT_LOCK_ID VALUES(1)",
+      """CREATE TABLE COMPACTION_QUEUE (
+        CQ_ID bigint PRIMARY KEY, CQ_DATABASE varchar(128) NOT NULL,
+        CQ_TABLE varchar(128) NOT NULL, CQ_PARTITION varchar(767),
+        CQ_STATE char(1) NOT NULL, CQ_TYPE char(1) NOT NULL,
+        CQ_TBLPROPERTIES varchar(2048), CQ_WORKER_ID varchar(128),
+        CQ_START bigint, CQ_RUN_AS varchar(128),
+        CQ_HIGHEST_TXN_ID bigint, CQ_META_INFO varchar(2048) for bit data,
+        CQ_HADOOP_JOB_ID varchar(32))""",
+      "CREATE TABLE NEXT_COMPACTION_QUEUE_ID (NCQ_NEXT bigint NOT NULL)",
+      "INSERT INTO NEXT_COMPACTION_QUEUE_ID VALUES(1)",
+      """CREATE TABLE COMPLETED_COMPACTIONS (
+        CC_ID bigint PRIMARY KEY, CC_DATABASE varchar(128) NOT NULL,
+        CC_TABLE varchar(128) NOT NULL, CC_PARTITION varchar(767),
+        CC_STATE char(1) NOT NULL, CC_TYPE char(1) NOT NULL,
+        CC_TBLPROPERTIES varchar(2048), CC_WORKER_ID varchar(128),
+        CC_START bigint, CC_END bigint, CC_RUN_AS varchar(128),
+        CC_HIGHEST_TXN_ID bigint, CC_META_INFO varchar(2048) for bit data,
+        CC_HADOOP_JOB_ID varchar(32))""",
+      """CREATE TABLE AUX_TABLE (
+        MT_KEY1 varchar(128) NOT NULL, MT_KEY2 bigint NOT NULL,
+        MT_COMMENT varchar(255), PRIMARY KEY(MT_KEY1, MT_KEY2))""",
+      """CREATE TABLE WRITE_SET (
+        WS_DATABASE varchar(128) NOT NULL, WS_TABLE varchar(128) NOT NULL,
+        WS_PARTITION varchar(767), WS_TXNID bigint NOT NULL,
+        WS_COMMIT_ID bigint NOT NULL, WS_OPERATION_TYPE char(1) NOT NULL)""")
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val st = c.createStatement()
+      try ddl.foreach { sql =>
+        try st.executeUpdate(sql)
+        catch {
+          case e: java.sql.SQLException
+            if Option(e.getSQLState).contains("X0Y32") => () // exists
+          // a second connection may be racing the same bootstrap
+          case e: java.sql.SQLException
+            if sql.startsWith("INSERT") => ()
+        }
+      } finally st.close()
+    } finally c.close()
+  }
+
+  /** graft type → HMS column type (informational: HMS shows the schema,
+    * the authoritative one lives in the metadata document — reference
+    * HiveSchemaUtil) */
+  def hiveType(t: GType): String = t match {
+    case GBoolean        => "boolean"
+    case GInt            => "int"
+    case GLong           => "bigint"
+    case GFloat          => "float"
+    case GDouble         => "double"
+    case GDecimal(p, s)  => s"decimal($p,$s)"
+    case GDate           => "date"
+    case GTimestamp(_)   => "timestamp"
+    case GString         => "string"
+    case GBinary | GUuid => "binary"
+    case _               => "string" // nested/exotic: display-only
+  }
+}
+
+/** Metadata pointer in the HMS table's parameters; CAS = lock →
+  * verify-base → alter_table → unlock. */
+final class HiveTableOps(
+    defaultLocation: String,
+    hive: HiveMs.Client,
+    db: String,
+    name: String) extends TableOps {
+
+  private val MetadataLocation = "metadata_location"
+  private val PrevMetadataLocation = "previous_metadata_location"
+  private val VersionKey = "graft.version"
+
+  private def getHmsTable: Option[Table] =
+    try Some(hive.sync(_.getTable(db, name)))
+    catch { case _: NoSuchObjectException => None }
+
+  override lazy val location: String =
+    getHmsTable.flatMap(t => Option(t.getSd).flatMap(sd =>
+      Option(sd.getLocation))).map(_.stripPrefix("file:"))
+      .getOrElse(defaultLocation)
+
+  override def currentVersion(): Int =
+    getHmsTable.flatMap(t =>
+      Option(t.getParameters.get(VersionKey)).flatMap(_.toIntOption))
+      .getOrElse(0)
+
+  override def currentMetadataPath: Option[String] =
+    getHmsTable.flatMap(t =>
+      Option(t.getParameters.get(MetadataLocation))).map(_.stripPrefix("file:"))
+
+  override def current(): Option[TableMetadata] =
+    currentMetadataPath.map(p => FileTableOps.metaCache.get(p)(
+      MetaJson.readMetadata(GraftIO.readString(p), Some(p))))
+
+  /** EXCLUSIVE HMS table lock around `f`; falls back to a JVM-wide
+    * per-table mutex when the metastore lacks the txn schema (reference
+    * HiveTableOperations acquires the same lock through
+    * MetastoreLock/HiveLock). */
+  private def withTableLock[A](f: => A): A = {
+    val lockId: Option[Long] =
+      try {
+        val comp = new LockComponent(LockType.EXCLUSIVE, LockLevel.TABLE, db)
+        comp.setTablename(name)
+        val req = new LockRequest(
+          java.util.Collections.singletonList(comp),
+          System.getProperty("user.name", "graft"), "localhost")
+        var resp = hive.sync(_.lock(req))
+        val deadline = System.currentTimeMillis() + 60000
+        while (resp.getState == LockState.WAITING &&
+            System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          resp = hive.sync(_.checkLock(resp.getLockid))
+        }
+        if (resp.getState == LockState.ACQUIRED) Some(resp.getLockid)
+        else {
+          try hive.sync(_.unlock(resp.getLockid)) catch { case _: Throwable => () }
+          throw new CommitConflictException(
+            s"could not acquire HMS lock on $db.$name: ${resp.getState}")
+        }
+      } catch {
+        case e: CommitConflictException => throw e
+        case _: Throwable => None // lock API unavailable: JVM fallback
+      }
+    lockId match {
+      case Some(id) =>
+        try f finally {
+          try hive.sync(_.unlock(id)) catch { case _: Throwable => () }
+        }
+      case None =>
+        HiveTableOps.jvmLocks
+          .computeIfAbsent(s"$db.$name", _ => new Object)
+          .synchronized(f)
+    }
+  }
+
+  override def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
+    val metadataPath =
+      s"$metadataDir/v${baseVersion + 1}-${UUID.randomUUID}.metadata.json"
+    val prevPath = if (baseVersion == 0) None else currentMetadataPath
+    val (toWrite, expired) = prevPath match {
+      case Some(p) =>
+        val base =
+          try FileTableOps.metaCache.get(p)(
+            MetaJson.readMetadata(GraftIO.readString(p), Some(p)))
+          catch { case _: Throwable => return false }
+        MetadataLogs.advance(base, p, updated)
+      case None => (updated, Nil)
+    }
+    GraftIO.writeString(metadataPath, MetaJson.writeMetadata(toWrite),
+      GraftIO.metadataGzip(toWrite.properties))
+    val ok = withTableLock {
+      if (baseVersion == 0) {
+        if (getHmsTable.isDefined) false
+        else {
+          hive.sync(_.createTable(
+            newHmsTable(toWrite, metadataPath)))
+          true
+        }
+      } else getHmsTable match {
+        case None => false
+        case Some(t) =>
+          val ver = Option(t.getParameters.get(VersionKey))
+            .flatMap(_.toIntOption).getOrElse(0)
+          if (ver != baseVersion) false
+          else {
+            t.getParameters.put(MetadataLocation, metadataPath)
+            prevPath.foreach(t.getParameters.put(PrevMetadataLocation, _))
+            t.getParameters.put(VersionKey, (baseVersion + 1).toString)
+            // keep the HMS-visible schema current (reference refreshes
+            // HMS columns on commit so SHOW in other engines is honest)
+            t.getSd.setCols(hmsCols(toWrite.schema))
+            hive.sync(_.alter_table(db, name, t))
+            true
+          }
+      }
+    }
+    if (!ok) GraftIO.delete(metadataPath)
+    else expired.foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
+    ok
+  }
+
+  private def hmsCols(schema: GSchema): java.util.List[FieldSchema] = {
+    val l = new java.util.ArrayList[FieldSchema](schema.fields.size)
+    schema.fields.foreach(f =>
+      l.add(new FieldSchema(f.name.toLowerCase, HiveMs.hiveType(f.tpe), "")))
+    l
+  }
+
+  private def newHmsTable(meta: TableMetadata, metadataPath: String): Table = {
+    val sd = new StorageDescriptor()
+    sd.setCols(hmsCols(meta.schema))
+    sd.setLocation(
+      if (location.contains("://")) location else s"file://$location")
+    // the reference registers the Iceberg IO classes here; graft tables
+    // are not Hive-readable row-by-row, so plain file formats suffice
+    sd.setInputFormat("org.apache.hadoop.mapred.FileInputFormat")
+    sd.setOutputFormat("org.apache.hadoop.mapred.FileOutputFormat")
+    val serde = new SerDeInfo()
+    serde.setSerializationLib(
+      "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+    sd.setSerdeInfo(serde)
+    val t = new Table()
+    t.setDbName(db)
+    t.setTableName(name)
+    t.setTableType("EXTERNAL_TABLE")
+    t.setSd(sd)
+    val params = new java.util.HashMap[String, String]()
+    params.put("EXTERNAL", "TRUE")
+    params.put("table_type", "ICEBERG") // the marker every engine checks
+    params.put(MetadataLocation, metadataPath)
+    params.put(VersionKey, "1")
+    t.setParameters(params)
+    t
+  }
+}
+
+object HiveTableOps {
+  private[meta] val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}
+
+/** Catalog front: databases are HMS databases (created on demand),
+  * tables are HMS entries whose `metadata_location` points at graft
+  * metadata documents under the warehouse. */
+final class HiveMsCatalog(warehouse: String, val hive: HiveMs.Client)
+  extends HadoopCatalog(warehouse) {
+
+  private def ns(namespace: Seq[String]): String =
+    namespace.mkString(".").toLowerCase
+
+  private def ensureDb(db: String): Unit =
+    try hive.sync(_.createDatabase(new Database(db, "",
+      s"file://${warehouse.stripSuffix("/")}/$db", new java.util.HashMap())))
+    catch { case _: AlreadyExistsException => () }
+
+  private def ops(namespace: Seq[String], name: String): HiveTableOps =
+    new HiveTableOps(tableLocation(namespace, name), hive,
+      ns(namespace), name.toLowerCase)
+
+  override def createTable(namespace: Seq[String], name: String, schema: GSchema,
+      spec: PartitionSpec = PartitionSpec.Unpartitioned,
+      properties: Map[String, String] = Map.empty): GTable = {
+    ensureDb(ns(namespace))
+    val o = ops(namespace, name)
+    val meta = TableMetadata.newTable(o.location, schema, spec, properties)
+    if (!o.commit(0, meta))
+      throw new IllegalStateException(s"table already exists: ${ns(namespace)}.$name")
+    new GTable(o)
+  }
+
+  override def loadTable(namespace: Seq[String], name: String): Option[GTable] = {
+    val o = ops(namespace, name)
+    if (o.currentVersion() > 0) Some(new GTable(o)) else None
+  }
+
+  override def tableOps(namespace: Seq[String], name: String): TableOps = {
+    // staged CTAS/RTAS publish against version 0: the database must
+    // already exist for the publishing commit's create_table
+    ensureDb(ns(namespace))
+    ops(namespace, name)
+  }
+
+  override def tableExists(namespace: Seq[String], name: String): Boolean =
+    ops(namespace, name).currentVersion() > 0
+
+  override def dropTable(namespace: Seq[String], name: String,
+      purge: Boolean): Boolean = {
+    val o = ops(namespace, name)
+    if (o.currentVersion() == 0) false
+    else {
+      val loc = o.location
+      // HMS must not touch the files (EXTERNAL): graft owns the purge
+      hive.sync(_.dropTable(ns(namespace), name.toLowerCase, false, true))
+      if (purge && GraftIO.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(GraftIO.toPath(loc))
+        val paths = try st.iterator().asScala.toSeq finally st.close()
+        paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      true
+    }
+  }
+
+  override def listTables(namespace: Seq[String]): Seq[String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      hive.sync(_.getAllTables(ns(namespace))).asScala.toSeq.sorted
+    } catch { case _: Throwable => Nil }
+
+  /** Rename = HMS alter_table with a new identity; the EXTERNAL location
+    * (and every file) stays put — the pointer-catalog rename semantics
+    * the directory catalog cannot give (reference HiveCatalog.renameTable). */
+  override def renameTable(namespace: Seq[String], name: String,
+      newNamespace: Seq[String], newName: String): Unit = {
+    if (tableExists(newNamespace, newName))
+      throw new IllegalStateException(
+        s"table already exists: ${ns(newNamespace)}.$newName")
+    val t = try hive.sync(_.getTable(ns(namespace), name.toLowerCase))
+      catch {
+        case _: NoSuchObjectException => throw new IllegalArgumentException(
+          s"no such table: ${ns(namespace)}.$name")
+      }
+    ensureDb(ns(newNamespace))
+    t.setDbName(ns(newNamespace))
+    t.setTableName(newName.toLowerCase)
+    hive.sync(_.alter_table(ns(namespace), name.toLowerCase, t))
+  }
+}

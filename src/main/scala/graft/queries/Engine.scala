@@ -2386,9 +2386,54 @@ object Engine {
         CAST(SUM(n_nationkey) AS BIGINT) AS sum_k
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
+  // ------------------------------------------------------------------ g66
+  // Hive Metastore catalog (reference hive-metastore HiveCatalog +
+  // HiveTableOperations): the metadata pointer lives in the HMS table's
+  // metadata_location parameter and every commit CASes through an
+  // exclusive HMS table lock. The metastore runs EMBEDDED over Derby
+  // (standard HMS local mode, txn schema bootstrapped so the real lock
+  // path runs). The gate writes a partitioned table with a MoR delete
+  // through catalog-impl=hive and matches DuckDB on the raw source.
+  private val g66 = Q(
+    "g66_engine_hive_catalog",
+    (s, dir) => {
+      val wh = warehouse(dir) + "_hms"
+      s.conf.set("spark.sql.catalog.ghms", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.ghms.warehouse", wh)
+      s.conf.set("spark.sql.catalog.ghms.catalog-impl", "hive")
+      val cat = new graft.core.meta.HiveMsCatalog(wh,
+        graft.core.meta.HiveMs.connect(None, s"$wh/_hms_db", wh))
+      if (!cat.tableExists(Seq("db"), "supp_hms")) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS ghms.db")
+        s.sql("""CREATE TABLE ghms.db.supp_hms (
+          s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
+          PARTITIONED BY (s_nationkey)
+          TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+        t(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey", "s_acctbal")
+          .writeTo("ghms.db.supp_hms").append()
+        s.sql("DELETE FROM ghms.db.supp_hms WHERE s_suppkey % 4 = 2")
+      }
+      // in-gate attestation: the HMS entry really is the pointer
+      val hms = cat.hive.sync(_.getTable("db", "supp_hms"))
+      require(hms.getParameters.get("table_type") == "ICEBERG" &&
+        hms.getParameters.get("metadata_location") != null,
+        "g66: HMS table must carry the metadata_location pointer")
+      s.table("ghms.db.supp_hms")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("sum_b2"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_b2
+      FROM supplier WHERE s_suppkey % 4 <> 2
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
-    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65)
+    g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
+    g66)
 }

@@ -66,6 +66,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"catalog $name: catalog-impl=jdbc requires a 'uri' option"))
         new graft.core.meta.JdbcCatalog(wh, uri, name)
+      case Some("hive") =>
+        // Hive Metastore catalog (reference hive-metastore HiveCatalog):
+        // uri = thrift://host:port for a standalone metastore; absent =
+        // the metastore runs EMBEDDED over Derby at `metastore-db`
+        // (default <warehouse>/_hms_db) — standard HMS local mode
+        val client = graft.core.meta.HiveMs.connect(
+          Option(options.get("uri")),
+          Option(options.get("metastore-db")).getOrElse(s"$wh/_hms_db"), wh)
+        new graft.core.meta.HiveMsCatalog(wh, client)
       case Some("rest") =>
         val uri = Option(options.get("uri")).getOrElse(
           throw new IllegalArgumentException(
