@@ -190,9 +190,16 @@ final class HiveTableOps(
     try Some(hive.sync(_.getTable(db, name)))
     catch { case _: NoSuchObjectException => None }
 
+  /** "file:///abs" and "file:/abs" both normalize to "/abs" — a naive
+    * stripPrefix("file:") would leave "///abs", splitting path-keyed
+    * caches and prefix comparisons into two spellings */
+  private def plainPath(p: String): String =
+    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/')
+    else p
+
   override lazy val location: String =
     getHmsTable.flatMap(t => Option(t.getSd).flatMap(sd =>
-      Option(sd.getLocation))).map(_.stripPrefix("file:"))
+      Option(sd.getLocation))).map(plainPath)
       .getOrElse(defaultLocation)
 
   override def currentVersion(): Int =
@@ -202,7 +209,7 @@ final class HiveTableOps(
 
   override def currentMetadataPath: Option[String] =
     getHmsTable.flatMap(t =>
-      Option(t.getParameters.get(MetadataLocation))).map(_.stripPrefix("file:"))
+      Option(t.getParameters.get(MetadataLocation))).map(plainPath)
 
   override def current(): Option[TableMetadata] =
     currentMetadataPath.map(p => FileTableOps.metaCache.get(p)(
@@ -235,7 +242,18 @@ final class HiveTableOps(
         }
       } catch {
         case e: CommitConflictException => throw e
-        case _: Throwable => None // lock API unavailable: JVM fallback
+        // fall back ONLY when the metastore genuinely lacks the lock
+        // machinery (no txn schema / no pool classes) — a TRANSIENT
+        // thrift or database error must FAIL the commit attempt, not
+        // silently downgrade to a single-JVM mutex while another driver
+        // holds the real HMS lock (lost-update risk)
+        case e: MetaException
+          if Option(e.getMessage).exists(m =>
+            m.contains("NEXT_LOCK_ID") || m.contains("does not exist") ||
+              m.contains("Unable to update transaction database")) => None
+        case _: NoClassDefFoundError | _: NoSuchMethodError => None
+        case e: Throwable => throw new CommitConflictException(
+          s"HMS lock on $db.$name failed: $e")
       }
     lockId match {
       case Some(id) =>

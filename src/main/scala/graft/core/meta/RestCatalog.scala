@@ -797,8 +797,12 @@ object RestCatalogServer {
                 else {
                   import scala.concurrent.{Await, Future}
                   import scala.concurrent.duration.Duration
+                  // a DEDICATED pool: the client-side chunk FETCHES block
+                  // planFetchEc threads on HTTP calls into this very
+                  // server — sharing the pool would let an embedded
+                  // client+server (tests, local mode) starve each other
                   implicit val ec: scala.concurrent.ExecutionContext =
-                    RestCatalog.planFetchEc
+                    RestCatalog.planSerializeEc
                   Await.result(
                     Future.traverse(groups)(g => Future(ser(g))), Duration.Inf)
                 }
@@ -1119,8 +1123,12 @@ final class AuthSession(uri: String, credential: Option[(String, String)]) {
       case None => false
       case Some((id, secret)) =>
         def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+        // bounded: headers (and thus this exchange) are evaluated on
+        // the lone async metrics thread too — a hung token endpoint
+        // must not wedge it forever
         val (code, resp) = RestHttp.post(s"$uri/v1/oauth/tokens",
-          s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}")
+          s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}",
+          timeoutMs = 30000)
         require(code == 200, s"OAuth token exchange failed: $code $resp")
         val n = MetaJson.mapper.readTree(resp)
         tok = Some(n.get("access_token").asText())
@@ -1169,10 +1177,6 @@ final class RestTableOps(
     serverPlanning: Boolean = false) extends TableOps {
 
   private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
-  private def hdrs: Map[String, String] =
-    session.headers ++
-      (if (delegation) Map("X-Graft-Access-Delegation" -> "vended-credentials")
-       else Map.empty)
   /** run an authed request; one retry with a forced token re-exchange
     * when the server answers 401 (token revoked / server restarted) */
   private def req(f: Map[String, String] => (Int, String)): (Int, String) =
@@ -1374,7 +1378,6 @@ final class RestCatalog private (warehouse: String, uri: String,
   extends HadoopCatalog(warehouse) {
 
   private def ns(namespace: Seq[String]): String = namespace.mkString(".")
-  private def hdrs: Map[String, String] = session.headers
   /** authed request with a single forced-refresh retry on 401 */
   private def req(f: Map[String, String] => (Int, String)): (Int, String) =
     RestCatalog.withAuthRetry(session)(f)
@@ -1608,6 +1611,16 @@ object RestCatalog {
     scala.concurrent.ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
         val t = new Thread(r, "graft-plan-fetch"); t.setDaemon(true); t
+      }))
+
+  /** server-side chunk SERIALIZATION pool — deliberately separate from
+    * planFetchEc: fetch futures block on HTTP and must never be able to
+    * queue ahead of the serialization work the server needs to answer
+    * them (embedded client+server deadlock otherwise) */
+  private[meta] lazy val planSerializeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
+        val t = new Thread(r, "graft-plan-serialize"); t.setDaemon(true); t
       }))
 
   // fire-and-forget metrics posts: one daemon thread, bounded queue,

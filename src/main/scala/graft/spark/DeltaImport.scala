@@ -152,9 +152,13 @@ object DeltaImport {
 
   /** Delta partition-value string → graft internal value. PROTOCOL.md
     * serializes null as JSON null; an empty string is null for
-    * non-string types and the empty string for strings. */
+    * non-string types and the empty string for strings. Strings pass
+    * through VERBATIM — TypeComparators.parse is the hive-path codec
+    * whose literal "null" sentinel would corrupt a legitimate string
+    * value "null". */
   def parsePartitionValue(tpe: graft.core.types.GType, s: String): Any =
     if (s == null) null
-    else if (s.isEmpty && tpe != graft.core.types.GString) null
+    else if (tpe == graft.core.types.GString) s
+    else if (s.isEmpty) null
     else graft.core.types.TypeComparators.parse(tpe, s)
 }

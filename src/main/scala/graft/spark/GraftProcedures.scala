@@ -88,10 +88,15 @@ object GraftProcedures {
 
   /** register one external parquet file by its footer: record count +
     * column stats, format parquet-nm when the file carries no field ids
-    * (shared by add_files and snapshot_delta) */
+    * (shared by add_files and snapshot_delta). `forceNameMapped` pins
+    * parquet-nm even when the file DOES carry ids — Delta column-mapping
+    * ids are Delta's, not ours, and only the name-mapped read path
+    * serves identity-partition constants for the columns Delta keeps
+    * out of its data files. */
   private[spark] def importParquetFile(path: String, partition: Seq[Any],
       specId: Int, schema: graft.core.types.GSchema,
-      conf: org.apache.hadoop.conf.Configuration): DataFile = {
+      conf: org.apache.hadoop.conf.Configuration,
+      forceNameMapped: Boolean = false): DataFile = {
     val (size, stats) = FooterStats.read(path, conf, schema)
     val hPath = new org.apache.hadoop.fs.Path(
       "file://" + GraftIO.toPath(path).toString)
@@ -102,7 +107,7 @@ object GraftProcedures {
       try (r.getRecordCount,
         r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null))
       finally r.close()
-    DataFile(path, if (hasIds) "parquet" else "parquet-nm",
+    DataFile(path, if (hasIds && !forceNameMapped) "parquet" else "parquet-nm",
       specId, partition, rows, size, stats)
   }
 
@@ -1546,7 +1551,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
               DeltaImport.parsePartitionValue(src.tpe,
                 pv.getOrElse(src.name, null))
             }
-            importParquetFile(path, partition, spec.specId, gSchema, conf)
+            importParquetFile(path, partition, spec.specId, gSchema, conf,
+              forceNameMapped = true)
           }
           val snap =
             if (vc.removes.isEmpty)

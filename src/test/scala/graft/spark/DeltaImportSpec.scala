@@ -175,6 +175,53 @@ class DeltaImportSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq === Seq(10L, 11L))
   }
 
+  test("field-id-bearing data files still import name-mapped with partition constants") {
+    // Delta column mapping (or files converted from Iceberg) leaves
+    // parquet field ids in the files; those ids are NOT graft's, so the
+    // import must force name-mapped reads — otherwise the log-only
+    // partition column silently reads null
+    val root = Files.createTempDirectory("delta-ids-src").toString
+    // a graft-written file carries parquet field ids
+    val gwh = Files.createTempDirectory("delta-ids-wh").toString
+    val idCat = new graft.core.meta.HadoopCatalog(gwh)
+    spark.conf.set("spark.sql.catalog.gsrc",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsrc.warehouse", gwh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsrc.db")
+    spark.sql("CREATE TABLE gsrc.db.src (id BIGINT, v STRING)")
+    spark.range(1, 3).selectExpr("id", "char(96 + id) AS v")
+      .coalesce(1).writeTo("gsrc.db.src").append()
+    val srcFile = graft.core.meta.GraftIO
+      .walkFiles(idCat.tableLocation(Seq("db"), "src") + "/data")
+      .filter(_.endsWith(".parquet")).head
+    val rel = "p=9/part-ids.parquet"
+    val dst = graft.core.meta.GraftIO.toPath(s"$root/$rel")
+    Files.createDirectories(dst.getParent)
+    Files.copy(graft.core.meta.GraftIO.toPath(srcFile), dst)
+    val log = s"$root/_delta_log"
+    GraftIO.writeString(s"$log/${pad20(0)}.json",
+      Seq(metaAction, addAction(rel, 9L, Files.size(dst))).mkString("\n"))
+    spark.sql(s"CALL graft.system.snapshot_delta('$root', 'db.delta_ids')")
+    // the registered file must be name-mapped despite carrying field ids
+    val entries = new graft.core.meta.HadoopCatalog(warehouse)
+      .loadTable(Seq("db"), "delta_ids").get.newScan().planFiles()
+    assert(entries.map(_.file.format).toSet === Set("parquet-nm"))
+    val rows = spark.sql(
+      "SELECT id, v, p FROM graft.db.delta_ids ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "a", 9L), (2L, "b", 9L)),
+      "partition constant must fill even for field-id-bearing files")
+  }
+
+  test("the literal string partition value 'null' survives import") {
+    import graft.core.types._
+    assert(DeltaImport.parsePartitionValue(GString, "null") === "null")
+    assert(DeltaImport.parsePartitionValue(GString, "") === "")
+    assert(DeltaImport.parsePartitionValue(GString, null) === null)
+    assert(DeltaImport.parsePartitionValue(GLong, "") === null)
+    assert(DeltaImport.parsePartitionValue(GLong, "7") === 7L)
+  }
+
   test("log gaps and non-delta dirs are rejected") {
     val root = Files.createTempDirectory("delta-bad").toString
     intercept[Exception](spark.sql(
