@@ -105,8 +105,9 @@ object Bench {
     val retriesBeforeSampling = controlRetries
     var results = sampleAll()
     var post = settleControl()
-    if (calm(post) && controlRetries > retriesBeforeSampling &&
-        controlRetries < 3) {
+    val postTripped = controlRetries > retriesBeforeSampling
+    var resampled = false
+    if (calm(post) && postTripped && controlRetries < 3) {
       // a burst hit DURING sampling (the POST control tripped) but the
       // machine recovered: those samples are contaminated — take them
       // again, re-bracketed. Pre-phase retries alone don't resample:
@@ -115,9 +116,13 @@ object Bench {
       pre = post
       results = sampleAll()
       post = measureNative()
+      resampled = true
     }
     val native = math.min(pre, post)
-    val controlOk = calm(pre) && calm(post)
+    // a post-side trip whose recovery exhausted the retry budget leaves
+    // the contaminated samples in place — that run is INVALID even
+    // though both bracket readings ended calm
+    val controlOk = calm(pre) && calm(post) && (!postTripped || resampled)
     // failed queries are EXCLUDED from queries/total/ratio — their wall
     // times are time-to-exception, not measurements; raw samples stay in
     // "samples" for forensics and the names land in "failed" + exit 2

@@ -249,11 +249,18 @@ final class HiveTableOps(
         // holds the real HMS lock (lost-update risk)
         case e: MetaException
           if Option(e.getMessage).exists(m =>
-            m.contains("NEXT_LOCK_ID") || m.contains("does not exist") ||
-              m.contains("Unable to update transaction database")) => None
+            m.contains("NEXT_LOCK_ID") || m.contains("HIVE_LOCKS")) =>
+          // the metastore names a missing LOCK TABLE: no txn schema.
+          // (TxnHandler wraps EVERY SQLException in the same generic
+          // "Unable to update transaction database" text, so matching
+          // that alone would downgrade transient DB errors too.)
+          None
         case _: NoClassDefFoundError | _: NoSuchMethodError => None
-        case e: Throwable => throw new CommitConflictException(
-          s"HMS lock on $db.$name failed: $e")
+        case e: Throwable =>
+          val ex = new CommitConflictException(
+            s"HMS lock on $db.$name failed: $e")
+          ex.initCause(e)
+          throw ex
       }
     lockId match {
       case Some(id) =>
@@ -282,7 +289,12 @@ final class HiveTableOps(
     }
     GraftIO.writeString(metadataPath, MetaJson.writeMetadata(toWrite),
       GraftIO.metadataGzip(toWrite.properties))
-    val ok = withTableLock {
+    // a lock-acquisition failure (timeout, transient thrift/DB error) is
+    // a RETRYABLE lost attempt, not an abort: returning false lets the
+    // caller's refresh-and-retry loop (commitUpdate/transaction, up to
+    // 20 attempts) handle it, and the !ok path below reclaims the
+    // already-written metadata document instead of leaking it
+    val ok = try withTableLock {
       if (baseVersion == 0) {
         if (getHmsTable.isDefined) false
         else {
@@ -307,7 +319,7 @@ final class HiveTableOps(
             true
           }
       }
-    }
+    } catch { case _: CommitConflictException => false }
     if (!ok) GraftIO.delete(metadataPath)
     else expired.foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
     ok
@@ -405,12 +417,7 @@ final class HiveMsCatalog(warehouse: String, val hive: HiveMs.Client)
       val loc = o.location
       // HMS must not touch the files (EXTERNAL): graft owns the purge
       hive.sync(_.dropTable(ns(namespace), name.toLowerCase, false, true))
-      if (purge && GraftIO.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        val st = java.nio.file.Files.walk(GraftIO.toPath(loc))
-        val paths = try st.iterator().asScala.toSeq finally st.close()
-        paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      if (purge) GraftIO.deleteTree(loc)
       true
     }
   }

@@ -105,6 +105,17 @@ object GraftIO {
 
   def exists(path: String): Boolean = Files.exists(toPath(path))
 
+  /** recursive delete, deepest-first; missing paths are a no-op */
+  def deleteTree(path: String): Unit = {
+    val p = toPath(path)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(p)
+      val paths = try st.iterator().asScala.toSeq finally st.close()
+      paths.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   def size(path: String): Long = Files.size(toPath(path))
 
   def delete(path: String): Unit = Files.deleteIfExists(toPath(path))
@@ -1502,15 +1513,9 @@ class HadoopCatalog(val warehouse: String) {
     * contract). */
   def dropTable(namespace: Seq[String], name: String, purge: Boolean): Boolean = {
     val locStr = tableLocation(namespace, name)
-    val loc = GraftIO.toPath(if (purge) locStr else s"$locStr/metadata")
-    if (!java.nio.file.Files.exists(loc)) false
-    else {
-      import scala.jdk.CollectionConverters._
-      val st = java.nio.file.Files.walk(loc)
-      val paths = try st.iterator().asScala.toSeq finally st.close()
-      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      true
-    }
+    val loc = if (purge) locStr else s"$locStr/metadata"
+    if (!GraftIO.exists(loc)) false
+    else { GraftIO.deleteTree(loc); true }
   }
 
   def listTables(namespace: Seq[String]): Seq[String] = {

@@ -2333,12 +2333,7 @@ object Engine {
         // source tree (and possibly a half-created table) that would
         // poison every later run — wipe both before synthesizing
         cat.dropTable(Seq("db"), "delta_imp_g")
-        if (graft.core.meta.GraftIO.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          val st = java.nio.file.Files.walk(graft.core.meta.GraftIO.toPath(root))
-          val paths = try st.iterator().asScala.toSeq finally st.close()
-          paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        graft.core.meta.GraftIO.deleteTree(root)
         val nation = t(s, dir, "nation")
           .select("n_nationkey", "n_name", "n_regionkey")
         val schemaJson = org.apache.spark.sql.types.StructType(Seq(

@@ -30,7 +30,8 @@ object DeltaImport {
       adds: Seq[(String, Map[String, String])], // absolute path -> partitionValues
       removes: Seq[String],                     // absolute paths
       schemaString: Option[String],
-      partitionColumns: Option[Seq[String]])
+      partitionColumns: Option[Seq[String]],
+      configuration: Map[String, String] = Map.empty)
 
   final case class DeltaLog(changes: Seq[VersionChange],
       schema: StructType, partitionColumns: Seq[String]) {
@@ -78,6 +79,7 @@ object DeltaImport {
       val adds = Seq.newBuilder[(String, Map[String, String])]
       var schemaString: Option[String] = None
       var partCols: Option[Seq[String]] = None
+      var cfg = Map.empty[String, String]
       if (cols.contains("add") || cols.contains("metaData")) {
         df.select(df.columns.filter(c => c == "add" || c == "metaData").map(df.col): _*)
           .collect().foreach { row =>
@@ -93,11 +95,14 @@ object DeltaImport {
                 schemaString = Option(m.getAs[String]("schemaString"))
                 partCols = Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
                   .map(_.toSeq)
+                if (m.schema.fieldNames.contains("configuration"))
+                  cfg = Option(m.getAs[scala.collection.Map[String, String]](
+                    "configuration")).map(_.toMap).getOrElse(Map.empty)
               case _ => ()
             }
           }
       }
-      VersionChange(v, adds.result(), Nil, schemaString, partCols)
+      VersionChange(v, adds.result(), Nil, schemaString, partCols, cfg)
     }
 
     val replayFrom = cpVersion.map(_ + 1).getOrElse {
@@ -116,6 +121,7 @@ object DeltaImport {
       val removes = Seq.newBuilder[String]
       var schemaString: Option[String] = None
       var partCols: Option[Seq[String]] = None
+      val config = Map.newBuilder[String, String]
       GraftIO.readString(s"$logDir/${pad20(v)}.json").split("\n")
         .filter(_.trim.nonEmpty).foreach { line =>
           val n = MetaJson.mapper.readTree(line)
@@ -134,13 +140,26 @@ object DeltaImport {
               arr.elements().forEachRemaining(e => b += e.asText())
               b.result()
             }
+            Option(m.get("configuration")).foreach(_.fields()
+              .forEachRemaining(e => config += e.getKey -> e.getValue.asText()))
           }
         }
-      VersionChange(v, adds.result(), removes.result(), schemaString, partCols)
+      VersionChange(v, adds.result(), removes.result(), schemaString, partCols,
+        config.result())
     }
 
     val changes = cpChange.toSeq ++ jsonChanges
     require(changes.nonEmpty, s"empty Delta log: $logDir")
+    // column mapping stores PHYSICAL column names (col-<uuid>) in the
+    // data files: a name-mapped read against the logical schema would
+    // silently produce all-NULL columns — refuse loudly instead
+    // (reference BaseSnapshotDeltaLakeTableAction predates column
+    // mapping and reads logical names the same way)
+    changes.flatMap(_.configuration.get("delta.columnMapping.mode"))
+      .lastOption.filterNot(m => m.isEmpty || m == "none").foreach(m =>
+        throw new IllegalArgumentException(
+          s"cannot import a Delta table with delta.columnMapping.mode=$m: " +
+            "its files store physical column names, not the logical schema"))
     // latest schema wins (reference: snapshots with the UPDATED schema;
     // mid-history schema changes register under the final shape)
     val schemaString = changes.flatMap(_.schemaString).lastOption.getOrElse(

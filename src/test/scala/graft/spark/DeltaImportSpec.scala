@@ -222,6 +222,19 @@ class DeltaImportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DeltaImport.parsePartitionValue(GLong, "7") === 7L)
   }
 
+  test("column-mapped Delta tables are refused loudly, not imported as NULLs") {
+    val root = Files.createTempDirectory("delta-cm").toString
+    val s0 = writeDataFile(root, "part-cm.parquet", Seq((1L, "a")))
+    val sch = graft.core.meta.MetaJson.mapper.writeValueAsString(schemaString)
+    GraftIO.writeString(s"$root/_delta_log/${pad20(0)}.json",
+      Seq(
+        s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$sch,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1700000000000}}""",
+        addAction("part-cm.parquet", 1L, s0)).mkString("\n"))
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.snapshot_delta('$root', 'db.delta_cm')"))
+    assert(e.getMessage.contains("columnMapping"), e.getMessage)
+  }
+
   test("log gaps and non-delta dirs are rejected") {
     val root = Files.createTempDirectory("delta-bad").toString
     intercept[Exception](spark.sql(
