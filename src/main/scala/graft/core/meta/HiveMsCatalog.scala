@@ -237,11 +237,13 @@ final class HiveTableOps(
         if (resp.getState == LockState.ACQUIRED) Some(resp.getLockid)
         else {
           try hive.sync(_.unlock(resp.getLockid)) catch { case _: Throwable => () }
-          throw new CommitConflictException(
+          // CONTENTION (another committer holds the lock past our
+          // deadline): retryable — commit() maps this to a lost CAS
+          throw new HiveTableOps.LockContention(
             s"could not acquire HMS lock on $db.$name: ${resp.getState}")
         }
       } catch {
-        case e: CommitConflictException => throw e
+        case e: HiveTableOps.LockContention => throw e
         // fall back ONLY when the metastore genuinely lacks the lock
         // machinery (no txn schema / no pool classes) — a TRANSIENT
         // thrift or database error must FAIL the commit attempt, not
@@ -249,7 +251,10 @@ final class HiveTableOps(
         // holds the real HMS lock (lost-update risk)
         case e: MetaException
           if Option(e.getMessage).exists(m =>
-            m.contains("NEXT_LOCK_ID") || m.contains("HIVE_LOCKS")) =>
+            // case-insensitive: Postgres/MySQL metastore backends fold
+            // the missing table name to lowercase in the wrapped error
+            m.toUpperCase.contains("NEXT_LOCK_ID") ||
+              m.toUpperCase.contains("HIVE_LOCKS")) =>
           // the metastore names a missing LOCK TABLE: no txn schema.
           // (TxnHandler wraps EVERY SQLException in the same generic
           // "Unable to update transaction database" text, so matching
@@ -257,6 +262,9 @@ final class HiveTableOps(
           None
         case _: NoClassDefFoundError | _: NoSuchMethodError => None
         case e: Throwable =>
+          // hard failure (pre-ACID metastore, thrift error): FAIL FAST
+          // with the real cause — commit() lets this propagate rather
+          // than burning the caller's 20-attempt retry budget on it
           val ex = new CommitConflictException(
             s"HMS lock on $db.$name failed: $e")
           ex.initCause(e)
@@ -289,11 +297,13 @@ final class HiveTableOps(
     }
     GraftIO.writeString(metadataPath, MetaJson.writeMetadata(toWrite),
       GraftIO.metadataGzip(toWrite.properties))
-    // a lock-acquisition failure (timeout, transient thrift/DB error) is
-    // a RETRYABLE lost attempt, not an abort: returning false lets the
-    // caller's refresh-and-retry loop (commitUpdate/transaction, up to
-    // 20 attempts) handle it, and the !ok path below reclaims the
-    // already-written metadata document instead of leaking it
+    // lock CONTENTION (another committer held the lock past the wait
+    // deadline) is a RETRYABLE lost attempt: returning false lets the
+    // caller's refresh-and-retry loop handle it, and the !ok path below
+    // reclaims the already-written metadata document. Hard lock-API
+    // failures propagate as CommitConflictException with their cause —
+    // retrying a pre-ACID metastore 20 times would stall for minutes
+    // and then lose the root error.
     val ok = try withTableLock {
       if (baseVersion == 0) {
         if (getHmsTable.isDefined) false
@@ -319,7 +329,10 @@ final class HiveTableOps(
             true
           }
       }
-    } catch { case _: CommitConflictException => false }
+    } catch {
+      case _: HiveTableOps.LockContention => false
+      case e: Throwable => GraftIO.delete(metadataPath); throw e
+    }
     if (!ok) GraftIO.delete(metadataPath)
     else expired.foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
     ok
@@ -363,6 +376,9 @@ final class HiveTableOps(
 object HiveTableOps {
   private[meta] val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** lock held by someone else past the wait deadline — retryable */
+  private[meta] final class LockContention(msg: String)
+    extends RuntimeException(msg)
 }
 
 /** Catalog front: databases are HMS databases (created on demand),

@@ -222,13 +222,7 @@ final class JdbcCatalog(warehouse: String, uri: String,
         }
         // the database row IS the identity; purge additionally removes
         // the tree, a plain drop leaves the files for external readers
-        val p = GraftIO.toPath(loc)
-        if (purge && java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          val st = java.nio.file.Files.walk(p)
-          val paths = try st.iterator().asScala.toSeq finally st.close()
-          paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        if (purge) GraftIO.deleteTree(loc)
         true
     }
   }

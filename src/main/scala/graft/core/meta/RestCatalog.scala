@@ -487,9 +487,7 @@ object RestCatalogServer {
                 .nonEmptyBlocker(warehouse, nsParts(ns)).nonEmpty)
               json(x, 409, s"""{"error": "namespace is not empty"}""")
             else {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-                .foreach(java.nio.file.Files.deleteIfExists(_))
+              GraftIO.deleteTree(dir.toString)
               x.sendResponseHeaders(204, -1); x.close()
             }
           case ("POST", Array(ns, "properties")) =>

@@ -98,6 +98,7 @@ object DeltaImport {
                 if (m.schema.fieldNames.contains("configuration"))
                   cfg = Option(m.getAs[scala.collection.Map[String, String]](
                     "configuration")).map(_.toMap).getOrElse(Map.empty)
+                    .filter(_._2 != null) // nullable parquet map values
               case _ => ()
             }
           }
@@ -141,7 +142,8 @@ object DeltaImport {
               b.result()
             }
             Option(m.get("configuration")).foreach(_.fields()
-              .forEachRemaining(e => config += e.getKey -> e.getValue.asText()))
+              .forEachRemaining(e =>
+                if (!e.getValue.isNull) config += e.getKey -> e.getValue.asText()))
           }
         }
       VersionChange(v, adds.result(), removes.result(), schemaString, partCols,

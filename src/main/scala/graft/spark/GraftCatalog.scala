@@ -807,8 +807,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
               namespace, s"contains $d; use CASCADE", None)
           }
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      graft.core.meta.GraftIO.deleteTree(p.toString)
       true
     }
   }
