@@ -381,7 +381,6 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // session re-exchanges at 80% of TTL. Vended creds live 300ms.
     val (srv, u) = RestCatalogServer.start(wh2,
       credential = Some(("svc", "pw")), tokenTtlSec = 2, credTtlMs = 300)
-    val port = srv.getAddress.getPort
     val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
     val cat = RestCatalog.connect(u, Some("svc:pw"), accessDelegation = true)
     try {
@@ -410,16 +409,27 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop(0)
     // reactive path: a server restart voids every issued token WITHOUT
     // the client's expiry clock knowing — the next request 401s and must
-    // re-exchange the credential once, not fail
-    val (srv2, u2) = RestCatalogServer.start(wh2, port = port,
-      credential = Some(("svc", "pw")), tokenTtlSec = 2)
+    // re-exchange the credential once, not fail. A LONG TTL makes this
+    // deterministic: the client's token is fresh by its own clock, so
+    // the proactive refresh cannot mask the 401 path.
+    val wh3 = Files.createTempDirectory("graft-rest-401-wh").toString
+    val (srvA, uA) = RestCatalogServer.start(wh3,
+      credential = Some(("svc", "pw")), tokenTtlSec = 3600)
+    val portA = srvA.getAddress.getPort
+    val cat2 = RestCatalog.connect(uA, Some("svc:pw"))
+    cat2.createTable(Seq("db"), "restart_t", schema)
+    srvA.stop(0)
+    val (srvB, uB) = RestCatalogServer.start(wh3, port = portA,
+      credential = Some(("svc", "pw")), tokenTtlSec = 3600)
     try {
-      assert(u2 === u)
-      val t = cat.loadTable(Seq("db"), "ttl_t").get
+      assert(uB === uA)
+      // srvB never issued cat2's token: the first request 401s and the
+      // session must re-exchange once, transparently
+      val t = cat2.loadTable(Seq("db"), "restart_t").get
       t.updateProperties(Map("after-restart" -> "ok"))
-      assert(cat.loadTable(Seq("db"), "ttl_t").get
+      assert(cat2.loadTable(Seq("db"), "restart_t").get
         .meta.properties.contains("after-restart"))
-    } finally srv2.stop(0)
+    } finally srvB.stop(0)
   }
 
   test("multi-table transaction: both commit atomically, conflict rolls back") {
