@@ -441,7 +441,17 @@ final class HiveMsCatalog(warehouse: String, val hive: HiveMs.Client)
   override def listTables(namespace: Seq[String]): Seq[String] =
     try {
       import scala.jdk.CollectionConverters._
-      hive.sync(_.getAllTables(ns(namespace))).asScala.toSeq.sorted
+      val db = ns(namespace)
+      val names = hive.sync(_.getAllTables(db)).asScala.toSeq
+      if (names.isEmpty) Nil
+      else
+        // one batched fetch, then filter to Iceberg-marked entries — an
+        // HMS database routinely mixes Hive-native tables in (reference
+        // HiveCatalog.listTables does the same isIcebergTable filter)
+        hive.sync(_.getTableObjectsByName(db, names.asJava)).asScala
+          .filter(t => Option(t.getParameters)
+            .exists(p => "ICEBERG".equalsIgnoreCase(p.get("table_type"))))
+          .map(_.getTableName).toSeq.sorted
     } catch { case _: Throwable => Nil }
 
   /** Rename = HMS alter_table with a new identity; the EXTERNAL location

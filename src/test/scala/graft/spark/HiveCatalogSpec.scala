@@ -50,6 +50,28 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = cat.createTable(Seq("hdb"), "core_t", schema)
     assert(cat.tableExists(Seq("hdb"), "core_t"))
     assert(cat.listTables(Seq("hdb")) === Seq("core_t"))
+    // a Hive-NATIVE table in the same database is not listed (reference
+    // HiveCatalog filters to Iceberg-marked entries)
+    locally {
+      import org.apache.hadoop.hive.metastore.api._
+      val sd = new StorageDescriptor()
+      sd.setCols(java.util.Collections.singletonList(
+        new FieldSchema("x", "int", "")))
+      sd.setLocation(s"file://$warehouse/hdb/native_t")
+      sd.setInputFormat("org.apache.hadoop.mapred.TextInputFormat")
+      sd.setOutputFormat("org.apache.hadoop.mapred.FileOutputFormat")
+      val serde = new SerDeInfo()
+      serde.setSerializationLib(
+        "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+      sd.setSerdeInfo(serde)
+      val nt = new Table()
+      nt.setDbName("hdb"); nt.setTableName("native_t")
+      nt.setTableType("MANAGED_TABLE"); nt.setSd(sd)
+      nt.setParameters(new java.util.HashMap())
+      cat.hive.sync(_.createTable(nt))
+      assert(cat.listTables(Seq("hdb")) === Seq("core_t"),
+        "hive-native tables must not list as graft tables")
+    }
     // the pointer and version live in HMS parameters
     val hms = cat.hive.sync(_.getTable("hdb", "core_t"))
     assert(hms.getParameters.get("table_type") === "ICEBERG")
