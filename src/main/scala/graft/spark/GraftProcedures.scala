@@ -1020,11 +1020,35 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val t = loadTable(input.getUTF8String(0).toString)
       val spark = SparkSession.active
       val schema = graft.core.types.SparkTypes.toSparkSchema(t.schema)
-      val byFmt = t.newScan().planFiles().map(_.file).groupBy(_.format)
+      val liveFiles = t.newScan().planFiles().map(_.file)
+      val byFmt = liveFiles.groupBy(_.format)
       if (byFmt.isEmpty) {
         // no live data files: nothing to analyze
         return out(StructType(Seq(StructField("columns_analyzed", IntegerType))), row(0))
       }
+      // identity-partition sources over name-mapped imports: the files
+      // physically LACK the column (Delta/hive layout), so a raw scan
+      // would sketch nothing but nulls. When every live file's spec has
+      // the field as an identity source, the value set IS the set of
+      // live partition values — build the sketch from METADATA (exact,
+      // zero data IO). Only engaged when a name-based file is present;
+      // ordinary tables keep the scan-based sketch.
+      val metadataNdvFields: Map[Int, Seq[Any]] =
+        if (!liveFiles.exists(_.format != "parquet")) Map.empty
+        else {
+          val specsById = t.meta.specs.map(sp => sp.specId -> sp).toMap
+          t.schema.fields.flatMap { f =>
+            val idx = liveFiles.map { df0 =>
+              specsById.get(df0.specId).map(_.fields.indexWhere(pf =>
+                pf.sourceId == f.id &&
+                  pf.transform == graft.core.transform.IdentityT)).getOrElse(-1)
+            }
+            if (idx.isEmpty || idx.contains(-1)) None
+            else Some(f.id -> liveFiles.zip(idx).map { case (df0, i) =>
+              graft.core.meta.SingleValue.adapt(f.tpe, df0.partition(i))
+            }.distinct)
+          }.toMap
+        }
       val df = byFmt.map { case (f, fs) =>
         if (f == "avro") GraftAvro.readToDf(spark, fs.map(_.path), schema, withPos = false)
         else {
@@ -1052,10 +1076,26 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         // genuine Iceberg readers consume, the estimate feeds CBO props
         val cols = fields.map(_.name)
         import org.apache.spark.sql.functions.col
-        val r = df.select(fields.map(f =>
-          graft.functions.ThetaFunctions
-            .thetaNdvSketch(col(f.name), f.tpe).as(f.name)): _*).collect()(0)
-        val sketches = fields.indices.map(i => r.getAs[Array[Byte]](i))
+        val scanFields = fields.filterNot(f => metadataNdvFields.contains(f.id))
+        val scanned: Map[Int, Array[Byte]] =
+          if (scanFields.isEmpty) Map.empty
+          else {
+            val r = df.select(scanFields.map(f =>
+              graft.functions.ThetaFunctions
+                .thetaNdvSketch(col(f.name), f.tpe).as(f.name)): _*).collect()(0)
+            scanFields.zipWithIndex
+              .map { case (f, i) => f.id -> r.getAs[Array[Byte]](i) }.toMap
+          }
+        val sketches = fields.map { f =>
+          scanned.getOrElse(f.id, {
+            // metadata path: sketch the distinct live partition values
+            val kmv = new graft.core.meta.ThetaKmv()
+            metadataNdvFields(f.id).foreach(v =>
+              graft.core.meta.SingleValue.toBytes(f.tpe, v)
+                .foreach(kmv.updateValue))
+            kmv.toCompactBytes
+          })
+        }
         val ndvs = sketches.map(s => Puffin.thetaEstimate(s).getOrElse(0L))
         // NDVs both as properties (CBO's SupportsReportStatistics source)
         // and as a Puffin statistics file recorded in table metadata
@@ -2426,6 +2466,40 @@ object RewriteDataFiles {
             col("_metadata.row_index").as("__p"))
         }
       }.reduce(_ union _)
+      // identity-partition constants: imported files (Delta/hive layout)
+      // physically LACK their identity-partition source columns — read
+      // raw they come back null, and the rewrite would bake that null
+      // into the new files PERMANENTLY. Every file in this group shares
+      // one partition tuple, so the constant is a literal; graft-written
+      // files carry the column with exactly this value, so the override
+      // is a no-op for them (same rule as the scan's identityFill).
+      val identityFilled = {
+        val specOf = t.meta.specs.find(_.specId == specId)
+        val consts = specOf.toSeq.flatMap(_.fields.zipWithIndex.collect {
+          case (pf, i) if pf.transform == graft.core.transform.IdentityT &&
+              i < partition.length =>
+            t.meta.schema.byId.get(pf.sourceId).map(src => (src, partition(i)))
+        }.flatten)
+        val nameBased = ts.exists(_.file.format != "parquet")
+        if (consts.isEmpty || !nameBased) raw
+        else consts.foldLeft(raw) { case (df, (src, v)) =>
+          if (!readSchema.fieldNames.contains(src.name)) df
+          else {
+            val dt = graft.core.types.SparkTypes.toSpark(src.tpe)
+            val internal = v match {
+              case null                    => null
+              case s0: String              =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(s0)
+              case d: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(d)
+              case b: Seq[_]               => b.asInstanceOf[Seq[Byte]].toArray
+              case x                       => x
+            }
+            df.withColumn(src.name, org.apache.spark.sql.GraftSqlBridge.column(
+              org.apache.spark.sql.catalyst.expressions.Literal(internal, dt)))
+          }
+        }
+      }
+      val rawRestored = identityFilled
         // restore the field-id metadata the name-based reads stripped:
         // the staging write takes parquet field ids from the DataFrame
         // schema, and files written without them read as null in the
@@ -2435,10 +2509,10 @@ object RewriteDataFiles {
           Seq(org.apache.spark.sql.functions.col("__f"),
             org.apache.spark.sql.functions.col("__p")): _*)
       val df1pre =
-        if (!anyDeletes) raw
+        if (!anyDeletes) rawRestored
         else {
           import org.apache.spark.sql.functions.{array => sarray, col, concat, explode, lit}
-          val withPos = raw
+          val withPos = rawRestored
           val afterPos =
             if (posFiles.isEmpty) withPos
             else {

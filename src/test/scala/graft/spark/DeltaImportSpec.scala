@@ -222,6 +222,61 @@ class DeltaImportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DeltaImport.parsePartitionValue(GLong, "7") === 7L)
   }
 
+  test("graft DML on top of an imported Delta table (MoR over nm files)") {
+    // after the import the table is a normal graft table: row-level DML
+    // must work over the name-mapped files, with the identity-partition
+    // constants surviving the delete-bearing and eq-masked read paths
+    val root = Files.createTempDirectory("delta-dml-src").toString
+    val s0 = writeDataFile(root, "p=1/part-a.parquet",
+      (1L to 6L).map(i => (i, s"v$i")))
+    val s1 = writeDataFile(root, "p=2/part-b.parquet",
+      (7L to 9L).map(i => (i, s"v$i")))
+    val log = s"$root/_delta_log"
+    GraftIO.writeString(s"$log/${pad20(0)}.json",
+      Seq(metaAction,
+        addAction("p=1/part-a.parquet", 1L, s0),
+        addAction("p=2/part-b.parquet", 2L, s1)).mkString("\n"))
+    spark.sql(s"CALL graft.system.snapshot_delta('$root', 'db.delta_dml')")
+    spark.sql("""ALTER TABLE graft.db.delta_dml SET TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    // MoR position delete against an nm file — the no-filter read path
+    // must still fill the partition constant for surviving rows
+    spark.sql("DELETE FROM graft.db.delta_dml WHERE id % 2 = 0")
+    val afterDel = spark.sql(
+      "SELECT id, p FROM graft.db.delta_dml ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(afterDel === Seq((1L, 1L), (3L, 1L), (5L, 1L), (7L, 2L), (9L, 2L)))
+    // MoR update rewrites values; partition constants must survive
+    spark.sql("UPDATE graft.db.delta_dml SET v = concat(v, '!') WHERE p = 2")
+    val afterUpd = spark.sql(
+      "SELECT id, v, p FROM graft.db.delta_dml WHERE p = 2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(afterUpd === Seq((7L, "v7!", 2L), (9L, "v9!", 2L)))
+    // fresh graft-written rows coexist with imported nm files
+    spark.sql("INSERT INTO graft.db.delta_dml VALUES (100, 'new', 3)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.delta_dml WHERE p = 3")
+      .collect()(0).getLong(0) === 1L)
+    // NDV stats: the partition column exists only in metadata for the
+    // imported files — compute_table_stats must sketch its live
+    // partition values, not scan nulls
+    spark.sql("CALL graft.system.compute_table_stats('db.delta_dml')")
+    val props = new graft.core.meta.HadoopCatalog(warehouse)
+      .loadTable(Seq("db"), "delta_dml").get.meta.properties
+    assert(props.get("stats.ndv.p").exists(_.toLong === 3L),
+      s"identity-source NDV must come from partition metadata: $props")
+    assert(props.get("stats.ndv.id").exists(_.toLong >= 6L))
+    // compaction normalizes the mixed tree and nothing changes —
+    // including the partition column the imported files never carried
+    // (the rewrite must materialize the constant, not bake a null)
+    spark.sql("CALL graft.system.rewrite_data_files('db.delta_dml')")
+    val afterCompact = spark.sql(
+      "SELECT id, p FROM graft.db.delta_dml ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(afterCompact ===
+      Seq((1L, 1L), (3L, 1L), (5L, 1L), (7L, 2L), (9L, 2L), (100L, 3L)))
+  }
+
   test("column-mapped Delta tables are refused loudly, not imported as NULLs") {
     val root = Files.createTempDirectory("delta-cm").toString
     val s0 = writeDataFile(root, "part-cm.parquet", Seq((1L, "a")))

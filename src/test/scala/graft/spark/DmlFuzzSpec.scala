@@ -23,11 +23,14 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
   private var warehouse: String = _
   private var restWarehouse: String = _
+  private var hiveWarehouse: String = _
   private var restServer: com.sun.net.httpserver.HttpServer = _
 
   override def beforeAll(): Unit = {
     warehouse = Files.createTempDirectory("graft-fuzz-wh").toString
     restWarehouse = Files.createTempDirectory("graft-fuzz-rest-wh").toString
+    hiveWarehouse = Files.createTempDirectory("graft-fuzz-hms-wh").toString
+    System.setProperty("derby.system.home", hiveWarehouse)
     // auth-hardened server: the bearer token genuinely expires every 3s,
     // so any fuzz history over REST (each runs many seconds) crosses
     // several token lifetimes — the AuthSession refresh path is soaked
@@ -58,11 +61,17 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.catalog.gfzp.uri", started._2)
       .config("spark.sql.catalog.gfzp.credential", "fuzz:pw")
       .config("spark.sql.catalog.gfzp.rest-scan-planning", "server")
+      // Hive Metastore arm: every commit of a gfzh history CASes
+      // through the embedded metastore's exclusive table locks
+      .config("spark.sql.catalog.gfzh", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.gfzh.warehouse", hiveWarehouse)
+      .config("spark.sql.catalog.gfzh.catalog-impl", "hive")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gfz.db")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gfzr.db")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfzh.db")
   }
 
   override def afterAll(): Unit = {
@@ -76,7 +85,9 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
     val fq = s"$cat.db.$name"
     val catWarehouse =
-      if (cat == "gfzr" || cat == "gfzp") restWarehouse else warehouse
+      if (cat == "gfzr" || cat == "gfzp") restWarehouse
+      else if (cat == "gfzh") hiveWarehouse
+      else warehouse
     val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
     val compatProp =
       if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
@@ -223,8 +234,16 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // (snapshotId, model state right after the op) for time-travel checks
     val snapshotsSeen = mutable.ArrayBuffer.empty[(Long, Seq[(Long, (Long, String))])]
-    def coreTable() =
-      new graft.core.meta.HadoopCatalog(catWarehouse).loadTable(Seq("db"), name).get
+    def coreTable() = {
+      // the HMS arm's pointer lives in the metastore, not a version file
+      val c: graft.core.meta.HadoopCatalog =
+        if (cat == "gfzh")
+          new graft.core.meta.HiveMsCatalog(catWarehouse,
+            graft.core.meta.HiveMs.connect(
+              None, s"$catWarehouse/_hms_db", catWarehouse))
+        else new graft.core.meta.HadoopCatalog(catWarehouse)
+      c.loadTable(Seq("db"), name).get
+    }
 
     def check(step: Int, op: String): Unit = {
       val actual = spark.sql(s"SELECT id, grp, v FROM $fq")
@@ -651,6 +670,16 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       evolveSpec = true, cat = "gfzr")
   }
 
+  // every random op's COMMIT takes an exclusive HMS table lock and
+  // alters the metastore pointer (catalog-impl=hive, embedded Derby
+  // metastore with the real txn-lock schema) — the full model-checked
+  // history of DML, procedures, spec evolution and time travel runs
+  // over the Hive Metastore commit protocol
+  test("seeded DML fuzz over the Hive Metastore catalog") {
+    runSeed(seed = 999001, partitioned = true, steps = 30,
+      evolveSpec = true, cat = "gfzh")
+  }
+
   // every random op's READS plan through the REST server (thin-client
   // rest-scan-planning=server): a full model-checked history of appends,
   // MoR deletes, spec evolution and time travel where the surviving
@@ -676,6 +705,7 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           // plans every scan through the server's plan store
           cat = if (i % 3 == 2) "gfzr"
                 else if (i % 4 == 1) "gfzp"
+                else if (i % 5 == 0) "gfzh"
                 else "gfz")
       }
       test(s"soak branch fuzz, seed ${base + i}") {

@@ -159,6 +159,23 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable(Seq("hdb"), "race_t", purge = true)
   }
 
+  test("multi-op transaction commits atomically through the HMS pointer") {
+    val t = cat.createTable(Seq("hdb"), "txn_t", schema)
+    val before = cat.tableOps(Seq("hdb"), "txn_t").currentVersion()
+    // property update + a second metadata op in ONE CAS: the HMS
+    // pointer must advance exactly once
+    t.transaction { txn =>
+      txn.updateProperties(Map("a" -> "1"))
+      txn.updateProperties(Map("b" -> "2"))
+    }
+    val ops = cat.tableOps(Seq("hdb"), "txn_t")
+    assert(ops.currentVersion() === before + 1,
+      "a transaction is ONE pointer advance")
+    val props = ops.current().get.properties
+    assert(props.get("a").contains("1") && props.get("b").contains("2"))
+    cat.dropTable(Seq("hdb"), "txn_t", purge = true)
+  }
+
   test("rename keeps the location; Spark SQL end-to-end over catalog-impl=hive") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ghms.sdb")
     spark.sql("""CREATE TABLE ghms.sdb.hive_t (id BIGINT, grp BIGINT, v STRING)
