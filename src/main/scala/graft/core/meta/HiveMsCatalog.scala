@@ -452,7 +452,13 @@ final class HiveMsCatalog(warehouse: String, val hive: HiveMs.Client)
           .filter(t => Option(t.getParameters)
             .exists(p => "ICEBERG".equalsIgnoreCase(p.get("table_type"))))
           .map(_.getTableName).toSeq.sorted
-    } catch { case _: Throwable => Nil }
+    } catch {
+      // a missing database lists as empty; transient metastore errors
+      // PROPAGATE — a silently-empty listing reads as data loss
+      case _: NoSuchObjectException => Nil
+      case e: MetaException
+        if Option(e.getMessage).exists(_.contains("No such database")) => Nil
+    }
 
   /** Rename = HMS alter_table with a new identity; the EXTERNAL location
     * (and every file) stays put — the pointer-catalog rename semantics

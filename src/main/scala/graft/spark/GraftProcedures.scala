@@ -1029,25 +1029,39 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       // identity-partition sources over name-mapped imports: the files
       // physically LACK the column (Delta/hive layout), so a raw scan
       // would sketch nothing but nulls. When every live file's spec has
-      // the field as an identity source, the value set IS the set of
-      // live partition values — build the sketch from METADATA (exact,
-      // zero data IO). Only engaged when a name-based file is present;
+      // the field as an identity source (with a full partition tuple),
+      // the value set IS the set of live partition values — build the
+      // sketch from METADATA (exact, zero data IO). Only engaged when a
+      // name-mapped file is present, mirroring the scan's identityFill;
       // ordinary tables keep the scan-based sketch.
       val metadataNdvFields: Map[Int, Seq[Any]] =
-        if (!liveFiles.exists(_.format != "parquet")) Map.empty
+        if (!liveFiles.exists(_.format == "parquet-nm")) Map.empty
         else {
-          val specsById = t.meta.specs.map(sp => sp.specId -> sp).toMap
-          t.schema.fields.flatMap { f =>
-            val idx = liveFiles.map { df0 =>
-              specsById.get(df0.specId).map(_.fields.indexWhere(pf =>
-                pf.sourceId == f.id &&
-                  pf.transform == graft.core.transform.IdentityT)).getOrElse(-1)
+          // per-spec identity index, computed ONCE per (spec, field) —
+          // a per-file indexWhere would be O(fields x files) on the
+          // driver at millions of live files
+          val idxBySpec: Map[Int, Map[Int, Int]] = t.meta.specs.map(sp =>
+            sp.specId -> sp.fields.zipWithIndex.collect {
+              case (pf, i) if pf.transform == graft.core.transform.IdentityT =>
+                pf.sourceId -> i
+            }.toMap).toMap
+          val candidates = scala.collection.mutable.Map.empty[
+            Int, scala.collection.mutable.LinkedHashSet[Any]]
+          t.schema.fields.foreach(f =>
+            candidates(f.id) = scala.collection.mutable.LinkedHashSet.empty[Any])
+          val fieldType = t.schema.fields.map(f => f.id -> f.tpe).toMap
+          liveFiles.foreach { df0 =>
+            val idx = idxBySpec.getOrElse(df0.specId, Map.empty)
+            candidates.keySet.toSeq.foreach { fid =>
+              idx.get(fid) match {
+                case Some(i) if i < df0.partition.length =>
+                  candidates(fid) += graft.core.meta.SingleValue
+                    .adapt(fieldType(fid), df0.partition(i))
+                case _ => candidates.remove(fid) // not identity everywhere
+              }
             }
-            if (idx.isEmpty || idx.contains(-1)) None
-            else Some(f.id -> liveFiles.zip(idx).map { case (df0, i) =>
-              graft.core.meta.SingleValue.adapt(f.tpe, df0.partition(i))
-            }.distinct)
-          }.toMap
+          }
+          candidates.map { case (fid, vs) => fid -> vs.toSeq }.toMap
         }
       val df = byFmt.map { case (f, fs) =>
         if (f == "avro") GraftAvro.readToDf(spark, fs.map(_.path), schema, withPos = false)
@@ -2486,16 +2500,9 @@ object RewriteDataFiles {
           if (!readSchema.fieldNames.contains(src.name)) df
           else {
             val dt = graft.core.types.SparkTypes.toSpark(src.tpe)
-            val internal = v match {
-              case null                    => null
-              case s0: String              =>
-                org.apache.spark.unsafe.types.UTF8String.fromString(s0)
-              case d: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(d)
-              case b: Seq[_]               => b.asInstanceOf[Seq[Byte]].toArray
-              case x                       => x
-            }
             df.withColumn(src.name, org.apache.spark.sql.GraftSqlBridge.column(
-              org.apache.spark.sql.catalyst.expressions.Literal(internal, dt)))
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                GraftSparkTable.partitionValueToInternal(v), dt)))
           }
         }
       }

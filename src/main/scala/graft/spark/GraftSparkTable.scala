@@ -474,6 +474,19 @@ object GraftSparkTable {
       format: String = "parquet")
 
   /** Serializable slice of a FileScanTask shipped to executors. */
+  /** internal partition-tuple value → Catalyst internal value (ONE shared
+    * mapping for the scan's identity fill and the rewrite's constant
+    * materialization — divergent copies would let compacted files bake
+    * different values than the scan serves) */
+  def partitionValueToInternal(v: Any): Any = v match {
+    case null                    => null
+    case s: String               =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case d: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(d)
+    case b: Seq[_]               => b.asInstanceOf[Seq[Byte]].toArray
+    case x                       => x
+  }
+
   final case class TaskDesc(path: String, start: Long, length: Long,
       deletePaths: Array[String],
       eqDeletes: Array[EqDeleteDesc] = Array.empty,
@@ -1872,20 +1885,8 @@ object GraftSparkTable {
         val pos = schema.fieldNames.indexOf(name)
         if (pos < 0 || pi >= t.partition.length) None
         else {
-          val raw = t.partition(pi) match {
-            case b: Seq[_] => b.asInstanceOf[Seq[Byte]].toArray
-            case x         => x
-          }
-          val internal = raw match {
-            case null                        => null
-            case s: String                   =>
-              org.apache.spark.unsafe.types.UTF8String.fromString(s)
-            case d: java.math.BigDecimal     =>
-              org.apache.spark.sql.types.Decimal(d)
-            case x                           => x
-          }
           val _ = gt // types already encoded in `schema`
-          Some(pos -> internal)
+          Some(pos -> GraftSparkTable.partitionValueToInternal(t.partition(pi)))
         }
       }.toMap
       if (over.isEmpty) return f

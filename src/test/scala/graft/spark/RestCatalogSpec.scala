@@ -416,7 +416,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (srvA, uA) = RestCatalogServer.start(wh3,
       credential = Some(("svc", "pw")), tokenTtlSec = 3600)
     val portA = srvA.getAddress.getPort
-    val cat2 = RestCatalog.connect(uA, Some("svc:pw"))
+    val cat2 = RestCatalog.connect(uA, Some("svc:pw"), accessDelegation = true)
     cat2.createTable(Seq("db"), "restart_t", schema)
     srvA.stop(0)
     val (srvB, uB) = RestCatalogServer.start(wh3, port = portA,
@@ -429,6 +429,10 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       t.updateProperties(Map("after-restart" -> "ok"))
       assert(cat2.loadTable(Seq("db"), "restart_t").get
         .meta.properties.contains("after-restart"))
+      // vended credentials flow again through the refreshed session
+      val creds = cat2.storageCredentials(Seq("db"), "restart_t")
+      assert(creds.nonEmpty && creds.head.config.contains("token"),
+        "vended credentials must survive the 401 re-exchange")
     } finally srvB.stop(0)
   }
 
