@@ -27,7 +27,7 @@ import graft.core.types.{GBinary, GGeography, GGeometry, GeoDefaults, SparkTypes
   * rewrite_data_files runs real Spark jobs per file group and commits one
   * atomic replace.
   */
-object GraftProcedures {
+object GraftProcedures extends Serializable {
 
   val names: Seq[String] = Seq(
     "rollback_to_snapshot", "rollback_to_timestamp", "set_current_snapshot",
@@ -109,6 +109,50 @@ object GraftProcedures {
       finally r.close()
     DataFile(path, if (hasIds && !forceNameMapped) "parquet" else "parquet-nm",
       specId, partition, rows, size, stats)
+  }
+
+  /** ORC footer import (row count from the tail; stats deferred) */
+  private[spark] def importOrcFile(path: String, partition: Seq[Any],
+      specId: Int, conf: org.apache.hadoop.conf.Configuration): DataFile = {
+    val hPath = new org.apache.hadoop.fs.Path(
+      "file://" + GraftIO.toPath(path).toString)
+    val r = org.apache.orc.OrcFile.createReader(hPath,
+      org.apache.orc.OrcFile.readerOptions(conf))
+    val rows = try r.getNumberOfRows finally r.close()
+    DataFile(path, "orc", specId, partition, rows, GraftIO.size(path), Map.empty)
+  }
+
+  /** Register a batch of external files by footer, DISTRIBUTED past a
+    * small threshold: a 100 TB import is millions of footer reads — one
+    * driver thread doing them serially is the difference between
+    * seconds and hours (reference SparkTableUtil runs its import
+    * listing/footer jobs on the cluster the same way). Only the
+    * metadata-scale DataFile descriptors return to the driver. */
+  private[spark] def importFiles(files: Seq[(String, Seq[Any])], specId: Int,
+      schema: graft.core.types.GSchema,
+      forceNameMapped: Boolean = false): Seq[DataFile] = {
+    def one(path: String, partition: Seq[Any],
+        conf: org.apache.hadoop.conf.Configuration): DataFile =
+      if (path.endsWith(".orc")) importOrcFile(path, partition, specId, conf)
+      else if (path.endsWith(".avro")) {
+        // avro import: one scan collects row count + column metrics;
+        // columns resolve by name (imported files carry no field ids)
+        val (size, rows, stats) = GraftAvro.footerStats(path, schema)
+        DataFile(path, "avro", specId, partition, rows, size, stats)
+      } else importParquetFile(path, partition, specId, schema, conf,
+        forceNameMapped)
+    if (files.size <= 64) {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      files.map { case (p, part) => one(p, part, conf) }
+    } else {
+      val sc = SparkSession.active.sparkContext
+      sc.parallelize(files, math.max(1, math.min(files.size / 16, 256)))
+        .mapPartitions { it =>
+          // Configuration is not serializable: fresh per partition
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { case (p, part) => one(p, part, conf) }
+        }.collect().toSeq
+    }
   }
 
   /** delete every path in `ds` executor-side; returns the number
@@ -1232,13 +1276,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       // identity-partition tuples.
       val t = loadTable(input.getUTF8String(0).toString)
       val srcDir = input.getUTF8String(1).toString
-      val conf = SparkSession.active.sessionState.newHadoopConf()
       val spec = t.spec
       val schema = t.schema
       val files = walkFiles(srcDir)
         .filter(p => p.endsWith(".parquet") || p.endsWith(".orc") || p.endsWith(".avro"))
       require(files.nonEmpty, s"no parquet/orc/avro files under $srcDir")
-      val dataFiles = files.map { path =>
+      val withPartitions = files.map { path =>
         val partition: Seq[Any] = spec.fields.map { pf =>
           val src = schema.byId(pf.sourceId)
           val seg = path.split("/").find(_.startsWith(src.name + "="))
@@ -1247,21 +1290,11 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
               s"file $path missing partition segment ${src.name}= (identity import only)"))
           graft.core.types.TypeComparators.parse(src.tpe, seg)
         }
-        if (path.endsWith(".orc")) {
-          // ORC import: row count from the ORC tail; column stats deferred
-          val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
-          val r = org.apache.orc.OrcFile.createReader(hPath,
-            org.apache.orc.OrcFile.readerOptions(conf))
-          val rows = try r.getNumberOfRows finally r.close()
-          DataFile(path, "orc", spec.specId, partition, rows,
-            GraftIO.size(path), Map.empty)
-        } else if (path.endsWith(".avro")) {
-          // avro import: one scan collects row count + column metrics;
-          // columns resolve by name (imported files carry no field ids)
-          val (size, rows, stats) = GraftAvro.footerStats(path, schema)
-          DataFile(path, "avro", spec.specId, partition, rows, size, stats)
-        } else importParquetFile(path, partition, spec.specId, schema, conf)
+        (path, partition)
       }
+      // footer reads run DISTRIBUTED past a small threshold — a large
+      // import is millions of footers, not a driver loop
+      val dataFiles = importFiles(withPartitions, spec.specId, schema)
       t.newAppend().appendFiles(dataFiles).commit()
       out(StructType(Seq(StructField("added_files_count", IntegerType),
         StructField("added_records", LongType))),
@@ -1593,21 +1626,23 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           c -> (graft.core.transform.IdentityT: graft.core.transform.Transform)): _*)
       val t = catalog.createTable(ns, tbl, gSchema, spec, Map(
         "snapshot_source" -> "delta", "original_location" -> srcDir))
-      val conf = spark.sessionState.newHadoopConf()
       var added = 0L
       var records = 0L
       var versions = 0L
       log.changes.foreach { vc =>
         if (vc.adds.nonEmpty || vc.removes.nonEmpty) {
-          val dataFiles = vc.adds.map { case (path, pv) =>
+          val withPartitions = vc.adds.map { case (path, pv) =>
             val partition: Seq[Any] = spec.fields.map { pf =>
               val src = gSchema.byId(pf.sourceId)
               DeltaImport.parsePartitionValue(src.tpe,
                 pv.getOrElse(src.name, null))
             }
-            importParquetFile(path, partition, spec.specId, gSchema, conf,
-              forceNameMapped = true)
+            (path, partition)
           }
+          // distributed footer reads: a checkpoint-seeded version can
+          // carry the WHOLE table's live file set
+          val dataFiles = importFiles(withPartitions, spec.specId, gSchema,
+            forceNameMapped = true)
           val snap =
             if (vc.removes.isEmpty)
               t.newAppend().appendFiles(dataFiles).commit()

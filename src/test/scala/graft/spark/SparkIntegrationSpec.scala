@@ -373,6 +373,19 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blobs.head.properties.get("ndv").exists(_.toLong >= 2L))
   }
 
+  test("add_files imports >64 files through the distributed footer path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-imp-many").toString
+    // 80 files crosses the importFiles threshold: footers read on
+    // executors, only DataFile descriptors return to the driver
+    spark.range(0, 800).repartition(80).write.mode("overwrite").parquet(dir)
+    spark.sql("CREATE TABLE graft.db.imp_many (id BIGINT)")
+    val res = spark.sql(
+      s"CALL graft.system.add_files('db.imp_many', '$dir')").collect()(0)
+    assert(res.getInt(0) === 80 && res.getLong(1) === 800L)
+    assert(spark.sql("SELECT count(*), sum(id) FROM graft.db.imp_many")
+      .collect()(0) === org.apache.spark.sql.Row(800L, 319600L))
+  }
+
   test("merge-on-read DELETE writes position deletes, not rewrites") {
     spark.sql("""CREATE TABLE graft.db.mor (id BIGINT, v STRING)
       TBLPROPERTIES ('write.delete.mode'='merge-on-read',
