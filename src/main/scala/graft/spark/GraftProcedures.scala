@@ -111,6 +111,20 @@ object GraftProcedures extends Serializable {
       specId, partition, rows, size, stats)
   }
 
+  /** per-(spec, partition) partial for compute_partition_stats — merged
+    * with reduceByKey so manifest entries never land on the driver */
+  private[spark] final case class PartStatsAgg(
+      dataRecords: Long, dataFiles: Int, dataBytes: Long,
+      posRecords: Long, posFiles: Int, eqRecords: Long, eqFiles: Int,
+      dvFiles: Int, allBytes: Long, lastSid: Long) {
+    def merge(o: PartStatsAgg): PartStatsAgg = PartStatsAgg(
+      dataRecords + o.dataRecords, dataFiles + o.dataFiles,
+      dataBytes + o.dataBytes, posRecords + o.posRecords,
+      posFiles + o.posFiles, eqRecords + o.eqRecords, eqFiles + o.eqFiles,
+      dvFiles + o.dvFiles, allBytes + o.allBytes,
+      math.max(lastSid, o.lastSid))
+  }
+
   /** ORC footer import (row count from the tail; stats deferred) */
   private[spark] def importOrcFile(path: String, partition: Seq[Any],
       specId: Int, conf: org.apache.hadoop.conf.Configuration): DataFile = {
@@ -1765,12 +1779,40 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val m = t.meta
       val sn = m.currentSnapshot.getOrElse(
         throw new IllegalArgumentException("table has no snapshots"))
-      val entries = ManifestIO.readList(sn.manifestListPath)
-        .flatMap(mf => ManifestIO.readEntries(mf)).filter(_.isLive)
-      val byPart = entries.groupBy(e => (e.file.specId, e.file.partition.map {
-        case b: Array[Byte] => b.toSeq
-        case x              => x
-      }))
+      // per-partition aggregates computed DISTRIBUTED, one task per
+      // manifest (reference ComputePartitionStatsSparkAction is a
+      // cluster action for the same reason): entries never land on the
+      // driver whole — only the O(partitions) merged aggregates do
+      val manifests = ManifestIO.readList(sn.manifestListPath)
+      val mfCrypto = graft.core.meta.TableCrypto.resolve(m)
+      val byPart: Seq[((Int, Seq[Any]), PartStatsAgg)] =
+        if (manifests.isEmpty) Nil
+        else SparkSession.active.sparkContext
+          .parallelize(manifests, math.max(1, math.min(manifests.size, 64)))
+          .flatMap { mf =>
+            ManifestIO.readEntries(mf, mfCrypto).filter(_.isLive).map { e =>
+              val key = (e.file.specId, e.file.partition.map {
+                case b: Array[Byte] => b.toSeq
+                case x              => x
+              })
+              val isData = e.file.content == FileContent.Data
+              val isPos = e.file.content == FileContent.PositionDeletes
+              val isDv = isPos && DVIO.isDV(e.file.path)
+              val isEq = e.file.content == FileContent.EqualityDeletes
+              key -> PartStatsAgg(
+                if (isData) e.file.recordCount else 0L,
+                if (isData) 1 else 0,
+                if (isData) e.file.fileSizeBytes else 0L,
+                if (isPos) e.file.recordCount else 0L,
+                if (isPos && !isDv) 1 else 0,
+                if (isEq) e.file.recordCount else 0L,
+                if (isEq) 1 else 0,
+                if (isDv) 1 else 0,
+                e.file.fileSizeBytes, e.snapshotId)
+            }
+          }
+          .reduceByKey(_ merge _)
+          .collect().toSeq
       // spec "Partition Statistics file": a Parquet file in the exact
       // reference schema (api/.../PartitionStatistics.java field ids
       // 1-13), partition as ONE unified struct across all specs keyed by
@@ -1818,14 +1860,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             new org.apache.hadoop.mapreduce.TaskID("graft-pstats", 0,
               org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0))
         val w = owf.newInstance(p, sparkSchema, ctx)
-        try byPart.toSeq.sortBy(_._1._1).foreach { case ((specId, partKey), es) =>
+        try byPart.sortBy(_._1._1).foreach { case ((specId, partKey), agg) =>
           val posOf = m.specById(specId).partitionType(m.schema)
             .fields.map(_.id).zipWithIndex.toMap
-          val dataEs = es.filter(_.file.content == FileContent.Data)
-          val delEs = es.filter(_.file.content == FileContent.PositionDeletes)
-          val (dvEs, posEs) = delEs.partition(e => DVIO.isDV(e.file.path))
-          val eqEs = es.filter(_.file.content == FileContent.EqualityDeletes)
-          val lastSid = es.map(_.snapshotId).max
           val pr = new GenericInternalRow(unified.length)
           unified.zipWithIndex.foreach { case (f, i) =>
             pr.update(i, EqDeleteFiles.toInternal(
@@ -1834,31 +1871,31 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           val row = new GenericInternalRow(statsStruct.fields.length)
           row.update(0, pr)
           row.update(1, specId)
-          row.update(2, dataEs.map(_.file.recordCount).sum)
-          row.update(3, dataEs.size)
-          row.update(4, dataEs.map(_.file.fileSizeBytes).sum)
-          row.update(5, (posEs ++ dvEs).map(_.file.recordCount).sum)
-          row.update(6, posEs.size)
-          row.update(7, eqEs.map(_.file.recordCount).sum)
-          row.update(8, eqEs.size)
+          row.update(2, agg.dataRecords)
+          row.update(3, agg.dataFiles)
+          row.update(4, agg.dataBytes)
+          row.update(5, agg.posRecords)
+          row.update(6, agg.posFiles)
+          row.update(7, agg.eqRecords)
+          row.update(8, agg.eqFiles)
           row.update(9, null) // total_record_count: needs delete application
-          row.update(10, m.snapshotById(lastSid).map(s => Long.box(s.timestampMs)).orNull)
-          row.update(11, Long.box(lastSid))
-          if (v3) row.update(12, dvEs.size)
+          row.update(10, m.snapshotById(agg.lastSid)
+            .map(s => Long.box(s.timestampMs)).orNull)
+          row.update(11, Long.box(agg.lastSid))
+          if (v3) row.update(12, agg.dvFiles)
           w.write(row)
         } finally w.close()
         p
       } else {
         val node = MetaJson.mapper.createArrayNode()
-        byPart.foreach { case ((specId, partKey), es) =>
+        byPart.foreach { case ((specId, partKey), agg) =>
           val o = node.addObject()
           o.put("spec_id", specId)
           o.put("partition", partKey.mkString("[", ",", "]"))
-          o.put("data_file_count", es.count(_.file.content == FileContent.Data))
-          o.put("record_count",
-            es.filter(_.file.content == FileContent.Data).map(_.file.recordCount).sum)
-          o.put("delete_file_count", es.count(_.file.content != FileContent.Data))
-          o.put("total_size_bytes", es.map(_.file.fileSizeBytes).sum)
+          o.put("data_file_count", agg.dataFiles)
+          o.put("record_count", agg.dataRecords)
+          o.put("delete_file_count", agg.posFiles + agg.dvFiles + agg.eqFiles)
+          o.put("total_size_bytes", agg.allBytes)
         }
         val jp = s"${t.location}/metadata/partition-stats-${sn.snapshotId}.json"
         GraftIO.writeString(jp, node.toString)
