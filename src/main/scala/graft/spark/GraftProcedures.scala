@@ -1756,11 +1756,14 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       require(ops.commit(0, meta.copy(location = loc, properties = props)),
         s"failed to register $tblName at $loc")
       val t = new GTable(ops)
+      // live counts from the manifest-list SUMMARIES (added + existing
+      // per manifest) — registering a 1.5M-file table must not read
+      // every manifest entry just to report two counters
       val (dataFiles, deleteFiles) = t.meta.currentSnapshot.map { sn =>
-        val entries = ManifestIO.readList(sn.manifestListPath)
-          .flatMap(mf => ManifestIO.readEntries(mf)).filter(_.isLive)
-        (entries.count(_.file.content == FileContent.Data),
-          entries.count(_.file.content != FileContent.Data))
+        val mfs = ManifestIO.readList(sn.manifestListPath)
+        def live(content: Int) = mfs.filter(_.content == content)
+          .map(mf => mf.addedFilesCount + mf.existingFilesCount).sum
+        (live(0), live(1))
       }.getOrElse((0, 0))
       out(StructType(Seq(
           StructField("current_snapshot_id", LongType),
