@@ -159,6 +159,56 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable(Seq("hdb"), "race_t", purge = true)
   }
 
+  test("thrift mode: a standalone metastore serves the same protocol") {
+    // start a REAL thrift metastore in-process (HiveMetaStore.startMetaStore,
+    // the standalone service entry point) over its own Derby, then drive
+    // the catalog through uri=thrift://... — the deployment shape the
+    // embedded tests cannot cover
+    val msDir = Files.createTempDirectory("graft-hms-thrift").toString
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val msConf = new org.apache.hadoop.hive.conf.HiveConf()
+    msConf.set("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=$msDir/ms_db;create=true")
+    msConf.set("javax.jdo.option.ConnectionDriverName",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    msConf.set("hive.metastore.schema.verification", "false")
+    msConf.set("datanucleus.schema.autoCreateAll", "true")
+    msConf.set("datanucleus.connectionPoolingType", "DBCP")
+    msConf.set("hive.metastore.warehouse.dir", s"file://$msDir/wh")
+    HiveMs.ensureTxnSchema(s"jdbc:derby:;databaseName=$msDir/ms_db;create=true")
+    val server = new Thread(() =>
+      try org.apache.hadoop.hive.metastore.HiveMetaStore.startMetaStore(
+        port, org.apache.hadoop.hive.shims.ShimLoader.getHadoopThriftAuthBridge,
+        msConf)
+      catch { case _: Throwable => () }, "hms-thrift")
+    server.setDaemon(true)
+    server.start()
+    // wait for the thrift port
+    val deadline = System.currentTimeMillis() + 60000
+    var up = false
+    while (!up && System.currentTimeMillis() < deadline) {
+      try {
+        val s = new java.net.Socket("127.0.0.1", port)
+        s.close(); up = true
+      } catch { case _: Throwable => Thread.sleep(200) }
+    }
+    assert(up, "thrift metastore did not start")
+    val tcat = new HiveMsCatalog(s"$msDir/wh",
+      HiveMs.connect(Some(s"thrift://127.0.0.1:$port"), "", s"$msDir/wh"))
+    val t = tcat.createTable(Seq("tdb"), "thrift_t", schema)
+    t.updateProperties(Map("via" -> "thrift"))
+    assert(tcat.loadTable(Seq("tdb"), "thrift_t").get
+      .meta.properties.get("via").contains("thrift"))
+    assert(tcat.listTables(Seq("tdb")) === Seq("thrift_t"))
+    // the pointer CAS (lock -> verify -> alter) ran over the wire
+    val hms = tcat.hive.sync(_.getTable("tdb", "thrift_t"))
+    assert(hms.getParameters.get("graft.version") === "2")
+    assert(tcat.dropTable(Seq("tdb"), "thrift_t", purge = true))
+  }
+
   test("multi-op transaction commits atomically through the HMS pointer") {
     val t = cat.createTable(Seq("hdb"), "txn_t", schema)
     val before = cat.tableOps(Seq("hdb"), "txn_t").currentVersion()
