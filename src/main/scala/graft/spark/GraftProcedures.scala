@@ -144,27 +144,30 @@ object GraftProcedures extends Serializable {
     * metadata-scale DataFile descriptors return to the driver. */
   private[spark] def importFiles(files: Seq[(String, Seq[Any])], specId: Int,
       schema: graft.core.types.GSchema,
+      conf: org.apache.hadoop.conf.Configuration,
       forceNameMapped: Boolean = false): Seq[DataFile] = {
     def one(path: String, partition: Seq[Any],
-        conf: org.apache.hadoop.conf.Configuration): DataFile =
-      if (path.endsWith(".orc")) importOrcFile(path, partition, specId, conf)
+        c: org.apache.hadoop.conf.Configuration): DataFile =
+      if (path.endsWith(".orc")) importOrcFile(path, partition, specId, c)
       else if (path.endsWith(".avro")) {
         // avro import: one scan collects row count + column metrics;
         // columns resolve by name (imported files carry no field ids)
         val (size, rows, stats) = GraftAvro.footerStats(path, schema)
         DataFile(path, "avro", specId, partition, rows, size, stats)
-      } else importParquetFile(path, partition, specId, schema, conf,
+      } else importParquetFile(path, partition, specId, schema, c,
         forceNameMapped)
-    if (files.size <= 64) {
-      val conf = SparkSession.active.sessionState.newHadoopConf()
-      files.map { case (p, part) => one(p, part, conf) }
-    } else {
+    if (files.size <= 64) files.map { case (p, part) => one(p, part, conf) }
+    else {
       val sc = SparkSession.active.sparkContext
+      // the SESSION conf ships to executors (SerializableConfiguration):
+      // footer reads honor conf-carried settings — parquet modular
+      // decryption factories, spark.hadoop.* — identically to the
+      // small-batch driver branch
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
       sc.parallelize(files, math.max(1, math.min(files.size / 16, 256)))
         .mapPartitions { it =>
-          // Configuration is not serializable: fresh per partition
-          val conf = new org.apache.hadoop.conf.Configuration()
-          it.map { case (p, part) => one(p, part, conf) }
+          val c = sconf.value
+          it.map { case (p, part) => one(p, part, c) }
         }.collect().toSeq
     }
   }
@@ -1308,7 +1311,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       }
       // footer reads run DISTRIBUTED past a small threshold — a large
       // import is millions of footers, not a driver loop
-      val dataFiles = importFiles(withPartitions, spec.specId, schema)
+      val dataFiles = importFiles(withPartitions, spec.specId, schema,
+        SparkSession.active.sessionState.newHadoopConf())
       t.newAppend().appendFiles(dataFiles).commit()
       out(StructType(Seq(StructField("added_files_count", IntegerType),
         StructField("added_records", LongType))),
@@ -1640,6 +1644,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           c -> (graft.core.transform.IdentityT: graft.core.transform.Transform)): _*)
       val t = catalog.createTable(ns, tbl, gSchema, spec, Map(
         "snapshot_source" -> "delta", "original_location" -> srcDir))
+      val hConf = spark.sessionState.newHadoopConf() // once per replay
       var added = 0L
       var records = 0L
       var versions = 0L
@@ -1656,7 +1661,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           // distributed footer reads: a checkpoint-seeded version can
           // carry the WHOLE table's live file set
           val dataFiles = importFiles(withPartitions, spec.specId, gSchema,
-            forceNameMapped = true)
+            hConf, forceNameMapped = true)
           val snap =
             if (vc.removes.isEmpty)
               t.newAppend().appendFiles(dataFiles).commit()
@@ -1758,20 +1763,28 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val t = new GTable(ops)
       // live counts from the manifest-list SUMMARIES (added + existing
       // per manifest) — registering a 1.5M-file table must not read
-      // every manifest entry just to report two counters
+      // every manifest entry just to report two counters. v1 lists may
+      // OMIT the counts (AvroManifests.readList defaults them to 1 to
+      // keep the manifest live): a summary totaling <= 2 is potentially
+      // that placeholder, so those few manifests are counted exactly.
       val (dataFiles, deleteFiles) = t.meta.currentSnapshot.map { sn =>
         val mfs = ManifestIO.readList(sn.manifestListPath)
-        def live(content: Int) = mfs.filter(_.content == content)
-          .map(mf => mf.addedFilesCount + mf.existingFilesCount).sum
+        def live(content: Int): Long = mfs.filter(_.content == content).map {
+          mf =>
+            val summary = mf.addedFilesCount.toLong + mf.existingFilesCount
+            if (summary > 2) summary
+            else (try ManifestIO.readEntries(mf).count(_.isLive)
+            catch { case _: Throwable => 0 }).toLong
+        }.sum
         (live(0), live(1))
-      }.getOrElse((0, 0))
+      }.getOrElse((0L, 0L))
       out(StructType(Seq(
           StructField("current_snapshot_id", LongType),
           StructField("total_snapshots_count", LongType),
           StructField("total_data_files_count", LongType),
           StructField("total_delete_files_count", LongType))),
         row(t.meta.currentSnapshotId.getOrElse(-1L),
-          t.meta.snapshots.size.toLong, dataFiles.toLong, deleteFiles.toLong))
+          t.meta.snapshots.size.toLong, dataFiles, deleteFiles))
 
     case "compute_partition_stats" =>
       // per-partition file/record/delete counts from live manifest entries

@@ -179,23 +179,27 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     msConf.set("datanucleus.connectionPoolingType", "DBCP")
     msConf.set("hive.metastore.warehouse.dir", s"file://$msDir/wh")
     HiveMs.ensureTxnSchema(s"jdbc:derby:;databaseName=$msDir/ms_db;create=true")
+    @volatile var startupError: Throwable = null
     val server = new Thread(() =>
       try org.apache.hadoop.hive.metastore.HiveMetaStore.startMetaStore(
         port, org.apache.hadoop.hive.shims.ShimLoader.getHadoopThriftAuthBridge,
         msConf)
-      catch { case _: Throwable => () }, "hms-thrift")
+      catch { case e: Throwable => startupError = e }, "hms-thrift")
     server.setDaemon(true)
     server.start()
-    // wait for the thrift port
+    // wait for the thrift port; a startup failure (stolen port, Derby
+    // error) surfaces its cause instead of a bare 60s timeout
     val deadline = System.currentTimeMillis() + 60000
     var up = false
-    while (!up && System.currentTimeMillis() < deadline) {
+    while (!up && startupError == null &&
+        System.currentTimeMillis() < deadline) {
       try {
         val s = new java.net.Socket("127.0.0.1", port)
         s.close(); up = true
       } catch { case _: Throwable => Thread.sleep(200) }
     }
-    assert(up, "thrift metastore did not start")
+    assert(up, s"thrift metastore did not start: ${Option(startupError)
+      .map(_.toString).getOrElse("timeout")}")
     val tcat = new HiveMsCatalog(s"$msDir/wh",
       HiveMs.connect(Some(s"thrift://127.0.0.1:$port"), "", s"$msDir/wh"))
     val t = tcat.createTable(Seq("tdb"), "thrift_t", schema)
