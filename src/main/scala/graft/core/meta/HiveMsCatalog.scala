@@ -63,6 +63,10 @@ object HiveMs {
         new Client(conf)
       case None =>
         embedded.computeIfAbsent(dbPath, _ => {
+          // keep Derby's log next to the metastore db, not in the
+          // process working directory
+          if (System.getProperty("derby.stream.error.file") == null)
+            System.setProperty("derby.stream.error.file", s"$dbPath-derby.log")
           val conf = new HiveConf()
           conf.set("hive.metastore.uris", "")
           conf.set("javax.jdo.option.ConnectionURL",
