@@ -125,14 +125,29 @@ object GraftProcedures extends Serializable {
       math.max(lastSid, o.lastSid))
   }
 
-  /** ORC footer import (row count from the tail; stats deferred) */
+  /** ORC footer import (row count from the tail; stats deferred).
+    * `requiredCols` must be PRESENT in the file: the ORC read path has
+    * no identity-constant fill (unlike parquet-nm), so a hive-layout
+    * ORC file whose partition column lives only in the path would read
+    * silent NULLs — refuse at import instead. */
   private[spark] def importOrcFile(path: String, partition: Seq[Any],
-      specId: Int, conf: org.apache.hadoop.conf.Configuration): DataFile = {
+      specId: Int, conf: org.apache.hadoop.conf.Configuration,
+      requiredCols: Seq[String] = Nil): DataFile = {
     val hPath = new org.apache.hadoop.fs.Path(
       "file://" + GraftIO.toPath(path).toString)
     val r = org.apache.orc.OrcFile.createReader(hPath,
       org.apache.orc.OrcFile.readerOptions(conf))
-    val rows = try r.getNumberOfRows finally r.close()
+    val (rows, fieldNames) =
+      try (r.getNumberOfRows,
+        r.getSchema.getFieldNames.toArray.map(String.valueOf(_)).toSet)
+      finally r.close()
+    val missing = requiredCols.filterNot(c =>
+      fieldNames.contains(c) || fieldNames.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"ORC import: $path does not contain identity-partition column(s) " +
+        s"${missing.mkString(", ")}; hive-layout ORC (partition values " +
+        "only in the directory path) cannot be read back — import " +
+        "parquet, or rewrite the ORC with the columns materialized")
     DataFile(path, "orc", specId, partition, rows, GraftIO.size(path), Map.empty)
   }
 
@@ -145,10 +160,14 @@ object GraftProcedures extends Serializable {
   private[spark] def importFiles(files: Seq[(String, Seq[Any])], specId: Int,
       schema: graft.core.types.GSchema,
       conf: org.apache.hadoop.conf.Configuration,
-      forceNameMapped: Boolean = false): Seq[DataFile] = {
+      forceNameMapped: Boolean = false,
+      // identity-partition source names ORC files must carry (see
+      // importOrcFile — no constant fill on the ORC read path)
+      orcRequiredCols: Seq[String] = Nil): Seq[DataFile] = {
     def one(path: String, partition: Seq[Any],
         c: org.apache.hadoop.conf.Configuration): DataFile =
-      if (path.endsWith(".orc")) importOrcFile(path, partition, specId, c)
+      if (path.endsWith(".orc"))
+        importOrcFile(path, partition, specId, c, orcRequiredCols)
       else if (path.endsWith(".avro")) {
         // avro import: one scan collects row count + column metrics;
         // columns resolve by name (imported files carry no field ids)
@@ -1311,8 +1330,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       }
       // footer reads run DISTRIBUTED past a small threshold — a large
       // import is millions of footers, not a driver loop
+      val identitySources = spec.fields
+        .filter(_.transform == graft.core.transform.IdentityT)
+        .flatMap(pf => schema.byId.get(pf.sourceId).map(_.name))
       val dataFiles = importFiles(withPartitions, spec.specId, schema,
-        SparkSession.active.sessionState.newHadoopConf())
+        SparkSession.active.sessionState.newHadoopConf(),
+        orcRequiredCols = identitySources)
       t.newAppend().appendFiles(dataFiles).commit()
       out(StructType(Seq(StructField("added_files_count", IntegerType),
         StructField("added_records", LongType))),
