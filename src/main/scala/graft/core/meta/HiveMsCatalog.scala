@@ -37,10 +37,22 @@ import graft.core.types._
 object HiveMs {
 
   /** one client per catalog, every call serialized (HiveMetaStoreClient
-    * is not thread-safe) */
+    * is not thread-safe). Every call SAVES AND RESTORES the thread's
+    * context classloader: Hive code paths (HiveConf/ObjectStore/
+    * UDFClassLoader plumbing) are known to swap — and sometimes close —
+    * the context loader, which later breaks anything that resolves
+    * classes through it (Spark's ClosureCleaner NPEs with a null
+    * capturingClassReader; Spark's own HiveClientImpl does the same
+    * save/restore around every Hive call for this reason). */
   final class Client(conf: HiveConf) {
-    private val c: IMetaStoreClient = new HiveMetaStoreClient(conf)
-    def sync[A](f: IMetaStoreClient => A): A = synchronized(f(c))
+    private def restoring[A](f: => A): A = {
+      val t = Thread.currentThread()
+      val saved = t.getContextClassLoader
+      try f finally t.setContextClassLoader(saved)
+    }
+    private val c: IMetaStoreClient = restoring(new HiveMetaStoreClient(conf))
+    def sync[A](f: IMetaStoreClient => A): A =
+      synchronized(restoring(f(c)))
   }
 
   // one embedded client per Derby path, shared across catalog

@@ -1130,10 +1130,11 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           t.schema.fields.foreach(f =>
             candidates(f.id) = scala.collection.mutable.LinkedHashSet.empty[Any])
           val fieldType = t.schema.fields.map(f => f.id -> f.tpe).toMap
+          val fieldIds = t.schema.fields.map(_.id)
           liveFiles.foreach { df0 =>
             val idx = idxBySpec.getOrElse(df0.specId, Map.empty)
-            candidates.keySet.toSeq.foreach { fid =>
-              idx.get(fid) match {
+            fieldIds.foreach { fid =>
+              if (candidates.contains(fid)) idx.get(fid) match {
                 case Some(i) if i < df0.partition.length =>
                   candidates(fid) += graft.core.meta.SingleValue
                     .adapt(fieldType(fid), df0.partition(i))
