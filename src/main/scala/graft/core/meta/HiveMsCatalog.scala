@@ -411,6 +411,16 @@ final class HiveMsCatalog(warehouse: String, val hive: HiveMs.Client)
       s"file://${warehouse.stripSuffix("/")}/$db", new java.util.HashMap())))
     catch { case _: AlreadyExistsException => () }
 
+  /** mirror a created namespace into an HMS database */
+  def ensureDatabase(namespace: Seq[String]): Unit = ensureDb(ns(namespace))
+
+  /** drop the mirrored HMS database; best-effort (a database that was
+    * never mirrored, or still holds non-graft tables on a non-cascade
+    * drop, is left alone) */
+  def dropDatabase(namespace: Seq[String], cascade: Boolean): Unit =
+    try hive.sync(_.dropDatabase(ns(namespace), false, true, cascade))
+    catch { case _: Throwable => () }
+
   private def ops(namespace: Seq[String], name: String): HiveTableOps =
     new HiveTableOps(tableLocation(namespace, name), hive,
       ns(namespace), name.toLowerCase)

@@ -32,6 +32,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** warehouse root (view + UDF stores key off it) */
   private[spark] def warehouse: String = catalog.warehouse
 
+  /** the HMS backing when this catalog fronts one (possibly wrapped in
+    * the caching catalog) — namespace ops mirror into HMS databases so
+    * external metastore viewers see the same database set */
+  private def hiveBacking: Option[graft.core.meta.HiveMsCatalog] =
+    catalog match {
+      case h: graft.core.meta.HiveMsCatalog => Some(h)
+      case c: graft.core.meta.CachingCatalog => c.underlying match {
+        case h: graft.core.meta.HiveMsCatalog => Some(h)
+        case _ => None
+      }
+      case _ => None
+    }
+
   /** drop all cached table entries (reference Catalog.invalidateTable /
     * CachingCatalog invalidation): needed when tables are mutated through
     * a DIFFERENT catalog instance (e.g. a test harness wiping a warehouse
@@ -771,6 +784,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // listNamespaces tell namespaces from dropped-table residuals by it
     graft.core.meta.NamespaceProps.mark(catalog.warehouse, namespace.toSeq)
     if (!metadata.isEmpty) writeNsProps(namespace, metadata.asScala.toMap)
+    // hive backing: mirror into an HMS DATABASE so SHOW DATABASES on the
+    // metastore matches SHOW NAMESPACES here
+    hiveBacking.foreach(_.ensureDatabase(namespace.toSeq))
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -808,6 +824,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               namespace, s"contains $d; use CASCADE", None)
           }
       graft.core.meta.GraftIO.deleteTree(p.toString)
+      // hive backing: drop the mirrored HMS database (cascade drops its
+      // table entries; the files are already gone with the tree)
+      hiveBacking.foreach(_.dropDatabase(namespace.toSeq, cascade))
       true
     }
   }

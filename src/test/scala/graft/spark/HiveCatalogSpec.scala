@@ -213,6 +213,15 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tcat.dropTable(Seq("tdb"), "thrift_t", purge = true))
   }
 
+  test("namespace create/drop mirrors into HMS databases") {
+    spark.sql("CREATE NAMESPACE ghms.mirror_ns")
+    assert(cat.hive.sync(_.getAllDatabases).contains("mirror_ns"),
+      "CREATE NAMESPACE on a hive-backed catalog must create the HMS database")
+    spark.sql("DROP NAMESPACE ghms.mirror_ns")
+    assert(!cat.hive.sync(_.getAllDatabases).contains("mirror_ns"),
+      "DROP NAMESPACE must drop the mirrored HMS database")
+  }
+
   test("multi-op transaction commits atomically through the HMS pointer") {
     val t = cat.createTable(Seq("hdb"), "txn_t", schema)
     val before = cat.tableOps(Seq("hdb"), "txn_t").currentVersion()
