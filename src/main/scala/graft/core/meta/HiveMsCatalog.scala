@@ -76,7 +76,9 @@ object HiveMs {
       case None =>
         embedded.computeIfAbsent(dbPath, _ => {
           // keep Derby's log next to the metastore db, not in the
-          // process working directory
+          // process working directory. Best-effort: the property is
+          // JVM-global and Derby reads it once at engine boot, so the
+          // first embedded database to boot decides the location
           if (System.getProperty("derby.stream.error.file") == null)
             System.setProperty("derby.stream.error.file", s"$dbPath-derby.log")
           val conf = new HiveConf()
@@ -411,15 +413,33 @@ final class HiveMsCatalog(warehouse: String, val hive: HiveMs.Client)
       s"file://${warehouse.stripSuffix("/")}/$db", new java.util.HashMap())))
     catch { case _: AlreadyExistsException => () }
 
-  /** mirror a created namespace into an HMS database */
-  def ensureDatabase(namespace: Seq[String]): Unit = ensureDb(ns(namespace))
+  /** mirror a created namespace into an HMS database. Best-effort and
+    * single-level only: HMS databases are flat (no dots), and the
+    * graft-side namespace is already created — a metastore hiccup must
+    * not fail the statement that succeeded. */
+  def ensureDatabase(namespace: Seq[String]): Unit =
+    if (namespace.length == 1)
+      try ensureDb(ns(namespace))
+      catch { case scala.util.control.NonFatal(_) => () }
 
-  /** drop the mirrored HMS database; best-effort (a database that was
-    * never mirrored, or still holds non-graft tables on a non-cascade
-    * drop, is left alone) */
+  /** drop the mirrored HMS database, best-effort. A cascade drop removes
+    * only ICEBERG-MARKED table entries and then drops the database
+    * NON-cascade — a native Hive table sharing the database (which graft
+    * never surfaced) blocks the database drop instead of being silently
+    * destroyed. */
   def dropDatabase(namespace: Seq[String], cascade: Boolean): Unit =
-    try hive.sync(_.dropDatabase(ns(namespace), false, true, cascade))
-    catch { case _: Throwable => () }
+    if (namespace.length == 1) try {
+      val db = ns(namespace)
+      if (cascade)
+        listTables(namespace).foreach(t0 =>
+          try hive.sync(_.dropTable(db, t0, false, true))
+          catch { case scala.util.control.NonFatal(_) => () })
+      hive.sync(_.dropDatabase(db, false, true, false))
+    } catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); ()
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   private def ops(namespace: Seq[String], name: String): HiveTableOps =
     new HiveTableOps(tableLocation(namespace, name), hive,

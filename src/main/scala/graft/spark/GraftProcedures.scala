@@ -141,8 +141,11 @@ object GraftProcedures extends Serializable {
       try (r.getNumberOfRows,
         r.getSchema.getFieldNames.toArray.map(String.valueOf(_)).toSet)
       finally r.close()
+    // case-insensitive on BOTH sides, matching Spark's default ORC
+    // name resolution (spark.sql.caseSensitive=false)
+    val lowerFields = fieldNames.map(_.toLowerCase)
     val missing = requiredCols.filterNot(c =>
-      fieldNames.contains(c) || fieldNames.contains(c.toLowerCase))
+      lowerFields.contains(c.toLowerCase))
     require(missing.isEmpty,
       s"ORC import: $path does not contain identity-partition column(s) " +
         s"${missing.mkString(", ")}; hive-layout ORC (partition values " +
@@ -1715,12 +1718,27 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val (ns, tbl) = if (parts.length >= 2) (parts.init, parts.last)
                       else (Seq("db"), parts.head)
       val spark = SparkSession.active
-      val anyOrc = walkFiles(srcDir).exists(_.endsWith(".orc"))
+      val srcFiles = walkFiles(srcDir)
+      val anyOrc = srcFiles.exists(_.endsWith(".orc"))
       val inferred =
         if (anyOrc) spark.read.orc(srcDir).schema
         else spark.read.parquet(srcDir).schema
       val gSchema = graft.core.types.SparkTypes.fromSpark(inferred)
-      catalog.createTable(ns, tbl, gSchema)
+      // hive-layout sources: `col=value` path segments are PARTITION
+      // columns (Spark's reader inferred them into the schema, but the
+      // files themselves may not carry them) — the new table must be
+      // identity-partitioned on those or the values are lost; add_files
+      // then extracts the per-file tuples, parquet reads them as
+      // identity constants, and ORC without the physical columns is
+      // refused by the import guard instead of reading NULLs
+      val relSegs = srcFiles.flatMap(_.stripPrefix(srcDir).split("/"))
+      val hiveCols = gSchema.fields.map(_.name)
+        .filter(n => relSegs.exists(_.startsWith(n + "=")))
+      val spec0 =
+        if (hiveCols.isEmpty) graft.core.expr.PartitionSpec.Unpartitioned
+        else graft.core.expr.PartitionSpec.of(gSchema, hiveCols.map(c =>
+          c -> (graft.core.transform.IdentityT: graft.core.transform.Transform)): _*)
+      catalog.createTable(ns, tbl, gSchema, spec0)
       // delegate file registration to the same footer-based import
       val addProc = new GraftProcedure("add_files", catalog)
       addProc.call(new GenericInternalRow(Array[Any](

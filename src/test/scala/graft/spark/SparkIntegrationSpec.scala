@@ -386,6 +386,33 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0) === org.apache.spark.sql.Row(800L, 319600L))
   }
 
+  test("snapshot_table of a hive-layout source keeps its partition values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-hive").toString
+    spark.range(0, 40).selectExpr("id", "id % 4 AS p")
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    spark.sql(s"CALL graft.system.snapshot_table('$dir', 'db.snap_hive')")
+    // the hive-layout column became an identity partition, and its
+    // values come back (as constants for the column-less files)
+    // NB: spark.read's partition-dir inference types p as INT
+    val rows = spark.sql(
+      "SELECT p, count(*) FROM graft.db.snap_hive GROUP BY p ORDER BY p")
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue)).toSeq
+    assert(rows === Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L)))
+    val spec = coreTable("snap_hive").spec
+    assert(spec.fields.map(_.name) === Seq("p"),
+      "hive-layout source must import identity-partitioned")
+    // a hive-layout ORC source is REFUSED (no constant fill on that path)
+    val odir = java.nio.file.Files.createTempDirectory("graft-snap-orc").toString
+    spark.range(0, 8).selectExpr("id", "id % 2 AS p")
+      .write.partitionBy("p").mode("overwrite").orc(odir)
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.snapshot_table('$odir', 'db.snap_orc_hive')"))
+    assert(e.getMessage.contains("identity-partition") ||
+      Option(e.getCause).exists(_.getMessage.contains("identity-partition")),
+      s"hive-layout ORC must be refused loudly: ${e.getMessage}")
+  }
+
   test("merge-on-read DELETE writes position deletes, not rewrites") {
     spark.sql("""CREATE TABLE graft.db.mor (id BIGINT, v STRING)
       TBLPROPERTIES ('write.delete.mode'='merge-on-read',
