@@ -53,13 +53,25 @@ object HiveMs {
     private val c: IMetaStoreClient = restoring(new HiveMetaStoreClient(conf))
     def sync[A](f: IMetaStoreClient => A): A =
       synchronized(restoring(f(c)))
+    /** the metastore's lock-expiry horizon — held locks heartbeat at
+      * half this (reference MetastoreLock/HiveLockHeartbeat) */
+    val txnTimeoutMs: Long = conf.getTimeVar(
+      HiveConf.ConfVars.HIVE_TXN_TIMEOUT,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    /** half the expiry horizon, floored; tests shrink it to observe
+      * beats without booting a second embedded metastore (HMSHandler
+      * keeps static per-JVM state, so one embedded metastore per JVM) */
+    @volatile var heartbeatIntervalMs: Long = math.max(txnTimeoutMs / 2, 500L)
   }
 
-  // one embedded client per Derby path, shared across catalog
-  // initializations: concurrent first-boots would race the datanucleus
-  // schema auto-create, and N ObjectStores over one Derby buy nothing
+  // one embedded client per (Derby path, warehouse), shared across
+  // catalog initializations: concurrent first-boots would race the
+  // datanucleus schema auto-create, and N ObjectStores over one Derby
+  // buy nothing. The warehouse is part of the key because the client
+  // bakes hive.metastore.warehouse.dir in — two catalogs sharing a
+  // Derby path with different warehouses must not inherit each other's
   private val embedded =
-    new java.util.concurrent.ConcurrentHashMap[String, Client]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Client]()
 
   /** Build a client. `uri` = thrift metastore; absent = embedded over
     * Derby at `dbPath` (created on first use). */
@@ -74,7 +86,7 @@ object HiveMs {
         whDir(conf)
         new Client(conf)
       case None =>
-        embedded.computeIfAbsent(dbPath, _ => {
+        embedded.computeIfAbsent((dbPath, warehouseDir), _ => {
           // keep Derby's log next to the metastore db, not in the
           // process working directory. Best-effort: the property is
           // JVM-global and Derby reads it once at engine boot, so the
@@ -166,9 +178,15 @@ object HiveMs {
         catch {
           case e: java.sql.SQLException
             if Option(e.getSQLState).contains("X0Y32") => () // exists
-          // a second connection may be racing the same bootstrap
-          case e: java.sql.SQLException
-            if sql.startsWith("INSERT") => ()
+          // a second connection may be racing the same bootstrap; only
+          // swallow the INSERT failure if the seed row actually exists —
+          // a genuinely failed NEXT_*_ID seed would otherwise surface
+          // later as an inscrutable lock-API failure
+          case e: java.sql.SQLException if sql.startsWith("INSERT") =>
+            val table = sql.split("\\s+")(2)
+            val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+            val seeded = try { rs.next() && rs.getLong(1) > 0 } finally rs.close()
+            if (!seeded) throw e
         }
       } finally st.close()
     } finally c.close()
@@ -220,24 +238,68 @@ final class HiveTableOps(
       Option(sd.getLocation))).map(plainPath)
       .getOrElse(defaultLocation)
 
-  override def currentVersion(): Int =
-    getHmsTable.flatMap(t =>
-      Option(t.getParameters.get(VersionKey)).flatMap(_.toIntOption))
-      .getOrElse(0)
+  /** The (version, pointer) pair this thread's latest read observed.
+    * `commit(baseVersion, …)` CASes on the POINTER recorded here for
+    * `baseVersion` — the version number is bookkeeping for the generic
+    * retry loops, but the pointer is the only key a FOREIGN engine
+    * (reference Spark, Trino, Flink) honors: they commit by swapping
+    * `metadata_location` and never touch `graft.version` (reference
+    * HiveTableOperations.java:304-309 compares metadata locations).
+    * Thread-local is sound because every commit path reads
+    * currentVersion()/current() and commits on the same thread. */
+  private val lastRead = new ThreadLocal[(Int, String)]
 
-  override def currentMetadataPath: Option[String] =
-    getHmsTable.flatMap(t =>
-      Option(t.getParameters.get(MetadataLocation))).map(plainPath)
+  /** Derive a version number for an HMS entry that lacks
+    * `graft.version` — a genuine Iceberg table created by another
+    * engine. Iceberg names documents `%05d-uuid.metadata.json` with the
+    * counter from 0; graft names them `v{N}-uuid.metadata.json`.
+    * Unparseable names degrade to 1: the CAS is on the pointer, so the
+    * version number only needs to be positive and base-stable. */
+  private def versionFromPath(p: String): Int = {
+    val f = p.substring(p.lastIndexOf('/') + 1)
+    val graftRe = """v(\d+)-.*""".r
+    val icebergRe = """(\d+)-.*""".r
+    f match {
+      case graftRe(v)   => v.toIntOption.getOrElse(1)
+      case icebergRe(v) => v.toIntOption.map(_ + 1).getOrElse(1)
+      case _            => 1
+    }
+  }
+
+  /** ONE HMS read → (version, pointer), recorded for this thread. Any
+    * entry bearing a `metadata_location` is live (foreign-table
+    * adoption — reference HiveTableOperations.java:183,206); the
+    * version counter is seeded from the document name when the
+    * graft-private parameter is absent. */
+  private def readState(): Option[(Int, String)] = {
+    val st = getHmsTable.flatMap { t =>
+      Option(t.getParameters.get(MetadataLocation)).map(plainPath).map { p =>
+        val v = Option(t.getParameters.get(VersionKey))
+          .flatMap(_.toIntOption).filter(_ > 0)
+          .getOrElse(versionFromPath(p))
+        (v, p)
+      }
+    }
+    st.foreach(lastRead.set)
+    st
+  }
+
+  override def currentVersion(): Int = readState().map(_._1).getOrElse(0)
+
+  override def currentMetadataPath: Option[String] = readState().map(_._2)
 
   override def current(): Option[TableMetadata] =
-    currentMetadataPath.map(p => FileTableOps.metaCache.get(p)(
-      MetaJson.readMetadata(GraftIO.readString(p), Some(p))))
+    readState().map { case (_, p) => FileTableOps.metaCache.get(p)(
+      MetaJson.readMetadata(GraftIO.readString(p), Some(p))) }
 
-  /** EXCLUSIVE HMS table lock around `f`; falls back to a JVM-wide
-    * per-table mutex when the metastore lacks the txn schema (reference
-    * HiveTableOperations acquires the same lock through
-    * MetastoreLock/HiveLock). */
-  private def withTableLock[A](f: => A): A = {
+  /** EXCLUSIVE HMS table lock around `f`, HEARTBEATED at half the
+    * metastore's `hive.txn.timeout` while held so a slow commit (big
+    * metadata write, stalled thrift round-trip) never loses the lock to
+    * the expiry reaper (reference MetastoreLock + HiveLockHeartbeat);
+    * falls back to a JVM-wide per-table mutex when the metastore lacks
+    * the txn schema (reference HiveTableOperations acquires the same
+    * lock through MetastoreLock/HiveLock). Visible to tests. */
+  private[graft] def withTableLock[A](f: => A): A = {
     val lockId: Option[Long] =
       try {
         val comp = new LockComponent(LockType.EXCLUSIVE, LockLevel.TABLE, db)
@@ -290,7 +352,26 @@ final class HiveTableOps(
       }
     lockId match {
       case Some(id) =>
+        // heartbeat(0, lockId) refreshes HL_LAST_HEARTBEAT without a
+        // txn; a failed beat is retried at the next interval (the lock
+        // survives one missed beat by construction: interval = timeout/2)
+        val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val interval = hive.heartbeatIntervalMs
+        val hb = new Thread({ () =>
+          var run = true
+          while (run && beating.get()) {
+            try Thread.sleep(interval)
+            catch { case _: InterruptedException => run = false }
+            if (run && beating.get())
+              try hive.sync(_.heartbeat(0, id))
+              catch { case _: Throwable => () }
+          }
+        }: Runnable, s"graft-hms-lock-heartbeat-$db.$name")
+        hb.setDaemon(true)
+        hb.start()
         try f finally {
+          beating.set(false)
+          hb.interrupt()
           try hive.sync(_.unlock(id)) catch { case _: Throwable => () }
         }
       case None =>
@@ -301,9 +382,21 @@ final class HiveTableOps(
   }
 
   override def commit(baseVersion: Int, updated: TableMetadata): Boolean = {
+    // the base POINTER this committer refreshed from — the CAS key. If
+    // this thread's last read does not match baseVersion (a concurrent
+    // commit moved the table between the caller's currentVersion() and
+    // refresh()), the attempt is already stale: fail it for a retry.
+    val basePtr: Option[String] =
+      if (baseVersion == 0) None
+      else Option(lastRead.get()).collect {
+        case (v, p) if v == baseVersion => p
+      } match {
+        case some @ Some(_) => some
+        case None           => return false
+      }
     val metadataPath =
       s"$metadataDir/v${baseVersion + 1}-${UUID.randomUUID}.metadata.json"
-    val prevPath = if (baseVersion == 0) None else currentMetadataPath
+    val prevPath = basePtr
     val (toWrite, expired) = prevPath match {
       case Some(p) =>
         val base =
@@ -333,12 +426,18 @@ final class HiveTableOps(
       } else getHmsTable match {
         case None => false
         case Some(t) =>
-          val ver = Option(t.getParameters.get(VersionKey))
-            .flatMap(_.toIntOption).getOrElse(0)
-          if (ver != baseVersion) false
+          // CAS on the metadata POINTER (reference
+          // HiveTableOperations.java:304-309): a foreign engine's
+          // commit swaps metadata_location without touching the
+          // graft-private version counter, so comparing anything else
+          // silently discards the foreign commit — a lost update.
+          val ptr = Option(t.getParameters.get(MetadataLocation)).map(plainPath)
+          if (ptr != basePtr) false
           else {
             t.getParameters.put(MetadataLocation, metadataPath)
             prevPath.foreach(t.getParameters.put(PrevMetadataLocation, _))
+            // informational only (never the CAS key); also SEEDS the
+            // counter on a table adopted from another engine
             t.getParameters.put(VersionKey, (baseVersion + 1).toString)
             // keep the HMS-visible schema current (reference refreshes
             // HMS columns on commit so SHOW in other engines is honest)

@@ -213,6 +213,123 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tcat.dropTable(Seq("tdb"), "thrift_t", purge = true))
   }
 
+  test("adopts a foreign Iceberg HMS entry (pointer param only, no graft.version)") {
+    // plant an entry the way another engine (reference Spark, Trino,
+    // Flink) would: metadata_location + table_type=ICEBERG, Iceberg-style
+    // document name, and NO graft-private parameters
+    import org.apache.hadoop.hive.metastore.api._
+    val loc = s"$warehouse/hdb/foreign_t"
+    val meta = TableMetadata.newTable(loc, schema,
+      graft.core.expr.PartitionSpec.Unpartitioned, Map("origin" -> "foreign"))
+    val mdPath =
+      s"$loc/metadata/00000-${java.util.UUID.randomUUID}.metadata.json"
+    GraftIO.writeString(mdPath, MetaJson.writeMetadata(meta))
+    val sd = new StorageDescriptor()
+    sd.setCols(java.util.Collections.singletonList(
+      new FieldSchema("id", "bigint", "")))
+    sd.setLocation(s"file://$loc")
+    sd.setInputFormat("org.apache.iceberg.mr.hive.HiveIcebergInputFormat")
+    sd.setOutputFormat("org.apache.iceberg.mr.hive.HiveIcebergOutputFormat")
+    val serde = new SerDeInfo()
+    serde.setSerializationLib(
+      "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+    sd.setSerdeInfo(serde)
+    val ft = new Table()
+    ft.setDbName("hdb"); ft.setTableName("foreign_t")
+    ft.setTableType("EXTERNAL_TABLE"); ft.setSd(sd)
+    val params = new java.util.HashMap[String, String]()
+    params.put("EXTERNAL", "TRUE")
+    params.put("table_type", "ICEBERG")
+    params.put("metadata_location", mdPath)
+    ft.setParameters(params)
+    cat.hive.sync(_.createTable(ft))
+    // reads: the entry is live despite carrying no graft.version
+    assert(cat.tableExists(Seq("hdb"), "foreign_t"),
+      "a pointer-bearing HMS entry must load without graft parameters")
+    assert(cat.listTables(Seq("hdb")).contains("foreign_t"))
+    val t = cat.loadTable(Seq("hdb"), "foreign_t").get
+    assert(t.meta.properties.get("origin").contains("foreign"))
+    // writes: a graft commit CASes the pointer and seeds the counter
+    t.updateProperties(Map("adopted" -> "yes"))
+    val hms = cat.hive.sync(_.getTable("hdb", "foreign_t"))
+    assert(hms.getParameters.get("metadata_location") !== mdPath)
+    assert(hms.getParameters.get("previous_metadata_location") === mdPath)
+    assert(Option(hms.getParameters.get("graft.version"))
+      .flatMap(_.toIntOption).exists(_ > 0), "commit must seed the counter")
+    assert(cat.loadTable(Seq("hdb"), "foreign_t").get
+      .meta.properties.get("adopted").contains("yes"))
+    cat.dropTable(Seq("hdb"), "foreign_t", purge = true)
+  }
+
+  test("a foreign pointer swap between refresh and commit wins the race") {
+    val t = cat.createTable(Seq("hdb"), "swap_t", schema)
+    t.updateProperties(Map("base" -> "1"))
+    val ops = cat.tableOps(Seq("hdb"), "swap_t")
+    val v = ops.currentVersion()
+    val base = ops.current().get
+    // a FOREIGN engine commits now: new document, pointer swap via raw
+    // alter_table, graft.version deliberately untouched
+    val foreignMeta = base.copy(properties = base.properties + ("foreign" -> "won"))
+    val foreignPath = s"${ops.location}/metadata/00007-${
+      java.util.UUID.randomUUID}.metadata.json"
+    GraftIO.writeString(foreignPath, MetaJson.writeMetadata(foreignMeta))
+    val hms = cat.hive.sync(_.getTable("hdb", "swap_t"))
+    hms.getParameters.put("metadata_location", foreignPath)
+    cat.hive.sync(_.alter_table("hdb", "swap_t", hms))
+    // graft's in-flight commit (built on the pre-swap base) must LOSE
+    val mine = base.copy(properties = base.properties + ("mine" -> "lost"))
+    assert(!ops.commit(v, mine),
+      "a commit whose base pointer moved must fail the CAS, not clobber " +
+        "the foreign commit")
+    val after = cat.hive.sync(_.getTable("hdb", "swap_t"))
+    assert(after.getParameters.get("metadata_location") === foreignPath,
+      "the foreign pointer must survive")
+    // the standard retry loop lands ON TOP of the foreign base
+    cat.loadTable(Seq("hdb"), "swap_t").get
+      .updateProperties(Map("mine" -> "retried"))
+    val props = cat.tableOps(Seq("hdb"), "swap_t").current().get.properties
+    assert(props.get("foreign").contains("won"))
+    assert(props.get("mine").contains("retried"))
+    cat.dropTable(Seq("hdb"), "swap_t", purge = true)
+  }
+
+  test("held locks heartbeat: a slow commit keeps HL_LAST_HEARTBEAT fresh") {
+    // the default interval is half the metastore's expiry horizon
+    // (hive.txn.timeout 300s -> 150s); shrink it on the SHARED client to
+    // observe beats in-test — a second embedded metastore in the JVM
+    // would poison HMSHandler's static per-thread RawStore state
+    assert(cat.hive.heartbeatIntervalMs === cat.hive.txnTimeoutMs / 2)
+    cat.createTable(Seq("hdb"), "hb_t", schema)
+    val ops = cat.tableOps(Seq("hdb"), "hb_t").asInstanceOf[HiveTableOps]
+    def lastHeartbeat(): Long = {
+      val c = java.sql.DriverManager.getConnection(
+        s"jdbc:derby:;databaseName=$warehouse/_hms_db")
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT MAX(HL_LAST_HEARTBEAT) FROM HIVE_LOCKS")
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally c.close()
+    }
+    val saved = cat.hive.heartbeatIntervalMs
+    cat.hive.heartbeatIntervalMs = 250L
+    try ops.withTableLock {
+      Thread.sleep(350)
+      val first = lastHeartbeat()
+      assert(first > 0L, "the exclusive lock row must exist while held")
+      // a commit stalled well past several beat intervals stays fresh
+      Thread.sleep(1200)
+      val later = lastHeartbeat()
+      assert(later > first,
+        s"heartbeat must advance HL_LAST_HEARTBEAT while held ($first -> $later)")
+    } finally cat.hive.heartbeatIntervalMs = saved
+    // and a real commit through the same client still works afterwards
+    cat.loadTable(Seq("hdb"), "hb_t").get
+      .updateProperties(Map("after" -> "heartbeat"))
+    assert(cat.loadTable(Seq("hdb"), "hb_t").get
+      .meta.properties.get("after").contains("heartbeat"))
+    cat.dropTable(Seq("hdb"), "hb_t", purge = true)
+  }
+
   test("namespace create/drop mirrors into HMS databases") {
     spark.sql("CREATE NAMESPACE ghms.mirror_ns")
     assert(cat.hive.sync(_.getAllDatabases).contains("mirror_ns"),
