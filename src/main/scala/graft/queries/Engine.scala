@@ -2435,10 +2435,71 @@ object Engine {
       FROM supplier WHERE s_suppkey % 4 <> 2
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // ------------------------------------------------------------------ g67
+  // Import FROM A SESSION-CATALOG TABLE IDENTIFIER (reference
+  // SnapshotTableProcedure / AddFilesProcedure + SparkTableUtil
+  // .getPartitions): the gate registers supplier as partitioned
+  // parquet AND orc tables in spark_catalog, snapshots each BY NAME —
+  // partition list and types from the catalog, never path inference —
+  // and matches DuckDB over the raw source. The ORC half additionally
+  // proves the orc-nm constant fill (the files physically lack
+  // s_nationkey; its values exist only in the metastore).
+  private val g67 = Q(
+    "g67_engine_catalog_import",
+    (s, dir) => {
+      val wh = warehouse(dir)
+      val cat = new HadoopCatalog(wh)
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      if (!cat.loadTable(Seq("db"), "cat_imp_pq").isDefined) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+        // idempotent re-entry: wipe partial source trees + half-created
+        // tables from a crashed prior attempt
+        cat.dropTable(Seq("db"), "cat_imp_pq")
+        cat.dropTable(Seq("db"), "cat_imp_orc")
+        Seq("pq", "orc").foreach { f =>
+          s.sql(s"DROP TABLE IF EXISTS spark_catalog.default.g67_src_$f")
+          graft.core.meta.GraftIO.deleteTree(s"$wh/_cat_src_$f")
+        }
+        t(s, dir, "supplier")
+          .select("s_suppkey", "s_acctbal", "s_nationkey")
+          .createOrReplaceTempView("g67_supplier_src")
+        Seq("pq" -> "parquet", "orc" -> "orc").foreach { case (k, fmt) =>
+          s.sql(s"""CREATE TABLE spark_catalog.default.g67_src_$k
+            (s_suppkey BIGINT, s_acctbal DOUBLE, s_nationkey BIGINT)
+            USING $fmt PARTITIONED BY (s_nationkey)
+            LOCATION '$wh/_cat_src_$k'""")
+          s.sql(s"""INSERT INTO spark_catalog.default.g67_src_$k
+            SELECT s_suppkey, s_acctbal, s_nationkey FROM g67_supplier_src""")
+          s.sql(s"CALL graft.system.snapshot_table(" +
+            s"'default.g67_src_$k', 'db.cat_imp_$k')")
+        }
+      }
+      def side(tbl: String, tag: String) =
+        s.table(tbl).select(lit(tag).as("src"), col("s_nationkey"),
+          col("s_suppkey"), cents(col("s_acctbal")).as("b2"))
+      side("graft.db.cat_imp_pq", "pq")
+        .unionAll(side("graft.db.cat_imp_orc", "orc"))
+        .groupBy("src", "s_nationkey")
+        .agg(count(lit(1)).as("n"), sum(col("b2")).as("sum_b2"),
+          sum(col("s_suppkey")).as("sum_k"))
+        .orderBy("src", "s_nationkey")
+    },
+    Some("""
+      WITH s2 AS (SELECT s_nationkey, s_suppkey,
+          CAST(CAST(s_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS b2
+        FROM supplier)
+      SELECT src, s_nationkey, COUNT(*) AS n,
+        CAST(SUM(b2) AS BIGINT) AS sum_b2,
+        CAST(SUM(s_suppkey) AS BIGINT) AS sum_k
+      FROM (SELECT 'pq' AS src, * FROM s2
+            UNION ALL SELECT 'orc' AS src, * FROM s2)
+      GROUP BY src, s_nationkey ORDER BY src, s_nationkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66)
+    g66, g67)
 }

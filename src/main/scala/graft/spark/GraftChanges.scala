@@ -281,7 +281,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
     // avro via our own field-id reader. Only built for formats the plan
     // actually contains — a pure-parquet changelog pays nothing extra.
     val fmts = Option(plannedFormats)
-      .getOrElse(Set("parquet", "parquet-nm", "orc", "avro"))
+      .getOrElse(Set("parquet", "parquet-nm", "orc", "orc-nm", "avro"))
     val stripped = GraftSparkTable.stripFieldIds(dataSchema)
     val cur = table.schema
     lazy val nameDiffering = table.meta.schemas
@@ -309,7 +309,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
         nameDiffering.map(h => h.schemaId -> reader(isOrc)(
           GraftSparkTable.translateTopNames(stripped, cur, h))).toMap)
     val (orcFunc, orcHist) =
-      if (fmts("orc")) funcsFor(isOrc = true) else (null, Map.empty[Int,
+      if (fmts("orc") || fmts("orc-nm")) funcsFor(isOrc = true)
+      else (null, Map.empty[Int,
         PartitionedFile => Iterator[InternalRow]])
     val (nmFunc, nmHist) =
       if (fmts("parquet-nm")) funcsFor(isOrc = false) else (null, Map.empty[Int,
@@ -363,7 +364,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       * writes deletes as parquet) */
     private def dataFunc(t: ChangeTask): PartitionedFile => Iterator[InternalRow] =
       t.format match {
-        case "orc"        => orcHist.getOrElse(t.writeSchemaId, orcFunc)
+        case "orc" | "orc-nm" => orcHist.getOrElse(t.writeSchemaId, orcFunc)
         case "parquet-nm" => nmHist.getOrElse(t.writeSchemaId, nmFunc)
         case "avro"       => avroFunc
         case _            => rowFunc

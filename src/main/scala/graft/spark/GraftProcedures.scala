@@ -126,13 +126,15 @@ object GraftProcedures extends Serializable {
   }
 
   /** ORC footer import (row count from the tail; stats deferred).
-    * `requiredCols` must be PRESENT in the file: the ORC read path has
-    * no identity-constant fill (unlike parquet-nm), so a hive-layout
-    * ORC file whose partition column lives only in the path would read
-    * silent NULLs — refuse at import instead. */
+    * A file physically carrying every identity-partition column imports
+    * as plain "orc"; a hive-layout file whose partition values live only
+    * in the directory/metastore imports as "orc-nm" — the read path
+    * serves those columns from the task's partition tuple via the same
+    * identity-constant fill parquet-nm uses (reference
+    * PartitionUtil.constantsMap). */
   private[spark] def importOrcFile(path: String, partition: Seq[Any],
       specId: Int, conf: org.apache.hadoop.conf.Configuration,
-      requiredCols: Seq[String] = Nil): DataFile = {
+      identityCols: Seq[String] = Nil): DataFile = {
     val hPath = new org.apache.hadoop.fs.Path(
       "file://" + GraftIO.toPath(path).toString)
     val r = org.apache.orc.OrcFile.createReader(hPath,
@@ -144,14 +146,10 @@ object GraftProcedures extends Serializable {
     // case-insensitive on BOTH sides, matching Spark's default ORC
     // name resolution (spark.sql.caseSensitive=false)
     val lowerFields = fieldNames.map(_.toLowerCase)
-    val missing = requiredCols.filterNot(c =>
+    val missing = identityCols.filterNot(c =>
       lowerFields.contains(c.toLowerCase))
-    require(missing.isEmpty,
-      s"ORC import: $path does not contain identity-partition column(s) " +
-        s"${missing.mkString(", ")}; hive-layout ORC (partition values " +
-        "only in the directory path) cannot be read back — import " +
-        "parquet, or rewrite the ORC with the columns materialized")
-    DataFile(path, "orc", specId, partition, rows, GraftIO.size(path), Map.empty)
+    DataFile(path, if (missing.nonEmpty) "orc-nm" else "orc",
+      specId, partition, rows, GraftIO.size(path), Map.empty)
   }
 
   /** Register a batch of external files by footer, DISTRIBUTED past a
@@ -164,14 +162,21 @@ object GraftProcedures extends Serializable {
       schema: graft.core.types.GSchema,
       conf: org.apache.hadoop.conf.Configuration,
       forceNameMapped: Boolean = false,
-      // identity-partition source names ORC files must carry (see
-      // importOrcFile — no constant fill on the ORC read path)
-      orcRequiredCols: Seq[String] = Nil): Seq[DataFile] = {
+      // identity-partition source names: ORC files missing any of them
+      // import as "orc-nm" (constant-filled at read, see importOrcFile)
+      orcIdentityCols: Seq[String] = Nil,
+      // metastore-declared format for files WITHOUT an extension (a
+      // hive-written tree names files part-00000_0): extensions still
+      // win so a mixed directory imports per-file
+      formatHint: Option[String] = None): Seq[DataFile] = {
     def one(path: String, partition: Seq[Any],
         c: org.apache.hadoop.conf.Configuration): DataFile =
-      if (path.endsWith(".orc"))
-        importOrcFile(path, partition, specId, c, orcRequiredCols)
-      else if (path.endsWith(".avro")) {
+      if (path.endsWith(".orc") ||
+          (formatHint.contains("orc") && !path.endsWith(".parquet") &&
+            !path.endsWith(".avro")))
+        importOrcFile(path, partition, specId, c, orcIdentityCols)
+      else if (path.endsWith(".avro") ||
+          (formatHint.contains("avro") && !path.endsWith(".parquet"))) {
         // avro import: one scan collects row count + column metrics;
         // columns resolve by name (imported files carry no field ids)
         val (size, rows, stats) = GraftAvro.footerStats(path, schema)
@@ -193,6 +198,76 @@ object GraftProcedures extends Serializable {
         }.collect().toSeq
     }
   }
+
+  /** Session-catalog (metastore-backed) import source: resolve `ident`
+    * through Spark's V1 session catalog into the CatalogTable plus one
+    * (directory, partition-value map) per partition. The METASTORE is
+    * authoritative for the partition list and the values — never
+    * `col=value` path inference, so non-layout partition locations and
+    * typed values import exactly (reference SnapshotTableProcedure +
+    * SparkTableUtil.getPartitions). None when `ident` is a path or no
+    * such session-catalog table exists (callers fall back to the
+    * directory-source behavior). */
+  private[spark] def sessionCatalogSource(ident: String)
+      : Option[(org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                Seq[(String, Map[String, String])])] = {
+    if (ident.startsWith("/") || ident.contains("://") ||
+        ident.startsWith("file:")) return None
+    val spark = SparkSession.active
+    val sc = spark.sessionState.catalog
+    val ti =
+      try spark.sessionState.sqlParser.parseMultipartIdentifier(ident) match {
+        case Seq(t1) => org.apache.spark.sql.catalyst.TableIdentifier(t1)
+        case Seq(db, t1) =>
+          org.apache.spark.sql.catalyst.TableIdentifier(t1, Some(db))
+        case Seq(cat, db, t1) if cat.equalsIgnoreCase("spark_catalog") =>
+          org.apache.spark.sql.catalyst.TableIdentifier(t1, Some(db))
+        case _ => return None
+      } catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+          return None
+      }
+    if (!sc.tableExists(ti)) return None
+    val ct = sc.getTableMetadata(ti)
+    def loc(u: Option[java.net.URI], what: String): String = u match {
+      case Some(x) if x.getScheme == "file" => x.getPath
+      case Some(x)                          => x.toString
+      case None => throw new IllegalArgumentException(
+        s"session-catalog import: $what of $ident has no location")
+    }
+    val parts: Seq[(String, Map[String, String])] =
+      if (ct.partitionColumnNames.isEmpty)
+        Seq((loc(ct.storage.locationUri, "table"), Map.empty))
+      else sc.listPartitions(ti).map(p =>
+        (loc(p.storage.locationUri, s"partition ${p.spec}"), p.spec))
+    Some((ct, parts))
+  }
+
+  /** data format of a session-catalog table: datasource provider first,
+    * hive input-format/serde class names second */
+  private[spark] def catalogFormat(
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable): String = {
+    val p = ct.provider.map(_.toLowerCase).getOrElse("")
+    val hive = ct.storage.inputFormat.map(_.toLowerCase).getOrElse("") +
+      ct.storage.serde.map(_.toLowerCase).getOrElse("")
+    val all = p + " " + hive
+    if (all.contains("parquet")) "parquet"
+    else if (all.contains("orc")) "orc"
+    else if (all.contains("avro")) "avro"
+    else throw new UnsupportedOperationException(
+      s"cannot import session-catalog table ${ct.identifier}: " +
+        s"unsupported format (provider=${ct.provider}, " +
+        s"inputFormat=${ct.storage.inputFormat})")
+  }
+
+  /** data files under an imported directory: everything except markers
+    * (_SUCCESS, hidden files, checksums) — hive-written files often
+    * carry no format extension at all */
+  private[spark] def dataFilesUnder(dir: String): Seq[String] =
+    walkFiles(dir).filter { p =>
+      val n = p.substring(p.lastIndexOf('/') + 1)
+      !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".crc")
+    }
 
   /** delete every path in `ds` executor-side; returns the number
     * SUCCESSFULLY deleted (failures are skipped, not counted — the next
@@ -1118,7 +1193,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       // name-mapped file is present, mirroring the scan's identityFill;
       // ordinary tables keep the scan-based sketch.
       val metadataNdvFields: Map[Int, Seq[Any]] =
-        if (!liveFiles.exists(_.format == "parquet-nm")) Map.empty
+        if (!liveFiles.exists(f =>
+            f.format == "parquet-nm" || f.format == "orc-nm")) Map.empty
         else {
           // per-spec identity index, computed ONCE per (spec, field) —
           // a per-file indexWhere would be O(fields x files) on the
@@ -1154,13 +1230,13 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           // with a field-id-annotated schema fails outright, so strip
           // the ids and resolve by name (the import contract)
           val readSchema =
-            if (f == "parquet-nm")
+            if (f == "parquet-nm" || f == "orc-nm")
               StructType(schema.fields.map(_.copy(
                 metadata = org.apache.spark.sql.types.Metadata.empty)))
             else schema
           val rdr = spark.read.schema(readSchema)
             .options(GraftParquetCrypto.readOptions(t.meta))
-          if (f == "orc") rdr.orc(fs.map(_.path): _*)
+          if (f == "orc" || f == "orc-nm") rdr.orc(fs.map(_.path): _*)
           else rdr.parquet(fs.map(_.path): _*)
         }
       }.reduce(_ union _)
@@ -1310,36 +1386,74 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         row(GraftProcedures.s(viewName)))
 
     case "add_files" =>
-      // external import: register existing parquet files by reading their
-      // footers — no data rewrite (reference AddFilesProcedure /
-      // SparkTableUtil). Hive-style `col=value` path segments become
-      // identity-partition tuples.
+      // external import: register existing parquet/orc/avro files by
+      // reading their footers — no data rewrite (reference
+      // AddFilesProcedure / SparkTableUtil). Two source shapes:
+      // a SESSION-CATALOG table identifier (partition list + values from
+      // the metastore), or a directory whose hive-style `col=value` path
+      // segments become identity-partition tuples.
       val t = loadTable(input.getUTF8String(0).toString)
-      val srcDir = input.getUTF8String(1).toString
+      val srcArg = input.getUTF8String(1).toString
       val spec = t.spec
       val schema = t.schema
-      val files = walkFiles(srcDir)
-        .filter(p => p.endsWith(".parquet") || p.endsWith(".orc") || p.endsWith(".avro"))
-      require(files.nonEmpty, s"no parquet/orc/avro files under $srcDir")
-      val withPartitions = files.map { path =>
-        val partition: Seq[Any] = spec.fields.map { pf =>
-          val src = schema.byId(pf.sourceId)
-          val seg = path.split("/").find(_.startsWith(src.name + "="))
-            .map(_.substring(src.name.length + 1))
-            .getOrElse(throw new IllegalArgumentException(
-              s"file $path missing partition segment ${src.name}= (identity import only)"))
-          graft.core.types.TypeComparators.parse(src.tpe, seg)
-        }
-        (path, partition)
-      }
-      // footer reads run DISTRIBUTED past a small threshold — a large
-      // import is millions of footers, not a driver loop
       val identitySources = spec.fields
         .filter(_.transform == graft.core.transform.IdentityT)
         .flatMap(pf => schema.byId.get(pf.sourceId).map(_.name))
+      val (withPartitions, fmtHint) = sessionCatalogSource(srcArg) match {
+        case Some((ct, srcParts)) =>
+          // the target spec must identity-cover every metastore
+          // partition column, or values absent from the files are lost
+          val identLower = identitySources.map(_.toLowerCase).toSet
+          val uncovered = ct.partitionColumnNames
+            .filterNot(c => identLower.contains(c.toLowerCase))
+          require(uncovered.isEmpty,
+            s"add_files from ${ct.identifier}: partition column(s) " +
+              s"${uncovered.mkString(", ")} are not identity partition " +
+              "sources of the target table — their values exist only in " +
+              "the metastore and would be lost")
+          val files = srcParts.flatMap { case (dir, pmap) =>
+            val pmapL = pmap.map { case (k, v) => k.toLowerCase -> v }
+            val tuple: Seq[Any] = spec.fields.map { pf =>
+              require(pf.transform == graft.core.transform.IdentityT,
+                s"add_files from a catalog table supports identity " +
+                  s"partitioning only (target has ${pf.transform})")
+              val src = schema.byId(pf.sourceId)
+              pmapL.get(src.name.toLowerCase) match {
+                // hive's marker for a null partition value
+                case Some("__HIVE_DEFAULT_PARTITION__") => null
+                case Some(v) =>
+                  graft.core.types.TypeComparators.parse(src.tpe, v)
+                case None => throw new IllegalArgumentException(
+                  s"partition column ${src.name} missing from metastore " +
+                    s"partition spec $pmap of ${ct.identifier}")
+              }
+            }
+            dataFilesUnder(dir).map(p => (p, tuple))
+          }
+          require(files.nonEmpty, s"no data files in ${ct.identifier}")
+          (files, Some(catalogFormat(ct)))
+        case None =>
+          val files = walkFiles(srcArg)
+            .filter(p => p.endsWith(".parquet") || p.endsWith(".orc") ||
+              p.endsWith(".avro"))
+          require(files.nonEmpty, s"no parquet/orc/avro files under $srcArg")
+          (files.map { path =>
+            val partition: Seq[Any] = spec.fields.map { pf =>
+              val src = schema.byId(pf.sourceId)
+              val seg = path.split("/").find(_.startsWith(src.name + "="))
+                .map(_.substring(src.name.length + 1))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"file $path missing partition segment ${src.name}= (identity import only)"))
+              graft.core.types.TypeComparators.parse(src.tpe, seg)
+            }
+            (path, partition)
+          }, None)
+      }
+      // footer reads run DISTRIBUTED past a small threshold — a large
+      // import is millions of footers, not a driver loop
       val dataFiles = importFiles(withPartitions, spec.specId, schema,
         SparkSession.active.sessionState.newHadoopConf(),
-        orcRequiredCols = identitySources)
+        orcIdentityCols = identitySources, formatHint = fmtHint)
       t.newAppend().appendFiles(dataFiles).commit()
       out(StructType(Seq(StructField("added_files_count", IntegerType),
         StructField("added_records", LongType))),
@@ -1709,40 +1823,48 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         row(added, records, versions, log.latestVersion))
 
     case "snapshot_table" | "snapshot" =>
-      // import an external parquet directory as a NEW graft table without
-      // copying data (reference SnapshotTableProcedure): infer the schema
-      // with Spark, create the table, register files by footer
-      val srcDir = input.getUTF8String(0).toString
+      // import an external source as a NEW graft table without copying
+      // data (reference SnapshotTableProcedure). A SESSION-CATALOG table
+      // identifier takes schema, partition columns and their TYPES from
+      // the metastore (reference SparkTableUtil.getPartitions); a
+      // directory source infers the schema with Spark and partitions on
+      // `col=value` path segments.
+      val srcArg = input.getUTF8String(0).toString
       val tblName = input.getUTF8String(1).toString
       val parts = tblName.split("\\.").toSeq
       val (ns, tbl) = if (parts.length >= 2) (parts.init, parts.last)
                       else (Seq("db"), parts.head)
       val spark = SparkSession.active
-      val srcFiles = walkFiles(srcDir)
-      val anyOrc = srcFiles.exists(_.endsWith(".orc"))
-      val inferred =
-        if (anyOrc) spark.read.orc(srcDir).schema
-        else spark.read.parquet(srcDir).schema
-      val gSchema = graft.core.types.SparkTypes.fromSpark(inferred)
-      // hive-layout sources: `col=value` path segments are PARTITION
-      // columns (Spark's reader inferred them into the schema, but the
-      // files themselves may not carry them) — the new table must be
-      // identity-partitioned on those or the values are lost; add_files
-      // then extracts the per-file tuples, parquet reads them as
-      // identity constants, and ORC without the physical columns is
-      // refused by the import guard instead of reading NULLs
-      val relSegs = srcFiles.flatMap(_.stripPrefix(srcDir).split("/"))
-      val hiveCols = gSchema.fields.map(_.name)
-        .filter(n => relSegs.exists(_.startsWith(n + "=")))
+      val (gSchema, partCols) = sessionCatalogSource(srcArg) match {
+        case Some((ct, _)) =>
+          (graft.core.types.SparkTypes.fromSpark(ct.schema),
+            ct.partitionColumnNames)
+        case None =>
+          val srcFiles = walkFiles(srcArg)
+          val anyOrc = srcFiles.exists(_.endsWith(".orc"))
+          val inferred =
+            if (anyOrc) spark.read.orc(srcArg).schema
+            else spark.read.parquet(srcArg).schema
+          val gs = graft.core.types.SparkTypes.fromSpark(inferred)
+          // hive-layout sources: `col=value` path segments are PARTITION
+          // columns (Spark's reader inferred them into the schema, but
+          // the files themselves may not carry them) — the new table
+          // must be identity-partitioned on those or the values are
+          // lost; add_files then extracts the per-file tuples, and the
+          // nm read paths serve them as identity constants
+          val relSegs = srcFiles.flatMap(_.stripPrefix(srcArg).split("/"))
+          (gs, gs.fields.map(_.name)
+            .filter(n => relSegs.exists(_.startsWith(n + "="))))
+      }
       val spec0 =
-        if (hiveCols.isEmpty) graft.core.expr.PartitionSpec.Unpartitioned
-        else graft.core.expr.PartitionSpec.of(gSchema, hiveCols.map(c =>
+        if (partCols.isEmpty) graft.core.expr.PartitionSpec.Unpartitioned
+        else graft.core.expr.PartitionSpec.of(gSchema, partCols.map(c =>
           c -> (graft.core.transform.IdentityT: graft.core.transform.Transform)): _*)
       catalog.createTable(ns, tbl, gSchema, spec0)
       // delegate file registration to the same footer-based import
       val addProc = new GraftProcedure("add_files", catalog)
       addProc.call(new GenericInternalRow(Array[Any](
-        s(tblName), s(srcDir))))
+        s(tblName), s(srcArg))))
 
     case "migrate" =>
       // like snapshot, but records provenance and is intended to REPLACE
@@ -2573,7 +2695,7 @@ object RewriteDataFiles {
         import org.apache.spark.sql.functions.col
         if (f == "avro")
           GraftAvro.readToDf(spark, fts.map(_.file.path), readSchema, withPos = true)
-        else if (f == "orc") {
+        else if (f == "orc" || f == "orc-nm") {
           if (unknownUnsafe(schemaId))
             throw new IllegalStateException(
               "rewrite_data_files: ORC files with unknown write schema in a " +

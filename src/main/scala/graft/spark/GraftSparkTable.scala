@@ -495,7 +495,8 @@ object GraftSparkTable {
       // manifest-recorded format independently of the data file's
       posDelFormats: Array[String] = Array.empty,
       // "parquet" (field-id resolution) | "parquet-nm" (imported, by name)
-      // | "orc" (imported, by name)
+      // | "orc" (by name) | "orc-nm" (imported ORC missing its
+      // identity-partition columns: by name + constant fill)
       fileFormat: String = "parquet",
       // for _spec_id/_partition metadata columns (internal-rep values)
       specId: Int = 0,
@@ -1268,8 +1269,14 @@ object GraftSparkTable {
       import graft.core.meta.FileContent
       val ts = tasks()
       val formats: Set[String] =
-        if (conservative) Set("parquet", "parquet-nm", "orc", "avro")
+        if (conservative) Set("parquet", "parquet-nm", "orc", "orc-nm", "avro")
         else ts.iterator.map(_.file.format).toSet
+      // "orc-nm" = imported ORC physically LACKING its identity-partition
+      // columns (hive-layout / metastore-registered sources): reads ride
+      // the plain ORC name-resolved readers plus the identity-constant
+      // fill, exactly the parquet-nm posture — so every ORC reader gate
+      // below treats the two tags as one format family
+      val anyOrcFmt = formats("orc") || formats("orc-nm")
       val anyEq = conservative ||
         ts.exists(_.deletes.exists(_.content == FileContent.EqualityDeletes))
       val anyNonDvPos = conservative || ts.exists(_.deletes.exists(d =>
@@ -1319,7 +1326,8 @@ object GraftSparkTable {
             t.writeSchemaId >= 0 && t.writeSchemaId != curSchemaId)
           .map(_.writeSchemaId).toSeq.distinct)
           .filter(namesDifferAt)
-      val orcHistIds: Seq[Int] = histIdsFor("orc")
+      val orcHistIds: Seq[Int] =
+        (histIdsFor("orc") ++ histIdsFor("orc-nm")).distinct
       // imported parquet (no field ids, resolved by name): the file's
       // names equal the import-time schema names, so the same per-write-
       // schema translation makes renames exact here too
@@ -1545,14 +1553,14 @@ object GraftSparkTable {
       // imported ORC files: Spark's ORC reader resolves columns by name
       lazy val orcFmt = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
       val orcRowFunc =
-        if (cleanFormats("orc"))
+        if (cleanFormats("orc") || cleanFormats("orc-nm"))
           orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchema),
             new StructType(), stripIds(dataRequiredBin), v1Filters,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
               "enableVectorizedReader" -> "false"), freshNameConf)
         else null
       val orcRowFuncNoFilter =
-        if (nfFormats("orc"))
+        if (nfFormats("orc") || nfFormats("orc-nm"))
           orcFmt.buildReaderWithPartitionValues(spark, stripIds(fullSchemaNF),
             new StructType(), stripIds(dataReadNFBin), Nil,
             Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
@@ -1639,7 +1647,7 @@ object GraftSparkTable {
             else fmt.buildReaderWithPartitionValues(spark, st,
               new StructType(), st, Nil, rowOpts, freshNameConf)
           Seq("orc" -> orcHistIds, "parquet-nm" -> nmHistIds)
-            .filter { case (n, _) => formats(n) }
+            .filter { case (n, _) => if (n == "orc") anyOrcFmt else formats(n) }
             .flatMap { case (n, ids) =>
               val base = ((n, -1) -> mk(n, stripIds(fullEq)))
               val hist = ids.flatMap(id =>
@@ -1727,7 +1735,8 @@ object GraftSparkTable {
                 (src.name, i, src.tpe))
             }
           }.filter(_._2.nonEmpty).toMap
-          if (formats("parquet-nm")) bySpec else Map.empty
+          if (formats("parquet-nm") || formats("orc-nm")) bySpec
+          else Map.empty
         },
         nmRowSchema = stripIds(dataRequiredBin),
         nmRowSchemaNF = stripIds(dataReadNFBin),
@@ -1878,7 +1887,8 @@ object GraftSparkTable {
     private def identityFill(t: TaskDesc, schema: StructType,
         f: PartitionedFile => Iterator[InternalRow])
         : PartitionedFile => Iterator[InternalRow] = {
-      if (t.fileFormat != "parquet-nm" || f == null) return f
+      if ((t.fileFormat != "parquet-nm" && t.fileFormat != "orc-nm") ||
+        f == null) return f
       val consts = identityConsts.getOrElse(t.specId, Nil)
       if (consts.isEmpty) return f
       val over: Map[Int, Any] = consts.flatMap { case (name, pi, gt) =>
@@ -2064,10 +2074,13 @@ object GraftSparkTable {
       val nFull = fullSchema.length
       val dataFull =
         if (t.fileFormat == "avro") { if (lineageExt) avroFullLin else avroFullFunc }
-        else if (t.fileFormat == "orc" || t.fileFormat == "parquet-nm")
+        else if (t.fileFormat == "orc" || t.fileFormat == "orc-nm" ||
+            t.fileFormat == "parquet-nm") {
+          val key = if (t.fileFormat == "orc-nm") "orc" else t.fileFormat
           identityFill(t, nmFullSchema,
-            nameFullRow.getOrElse((t.fileFormat, t.writeSchemaId),
-              nameFullRow((t.fileFormat, -1))))
+            nameFullRow.getOrElse((key, t.writeSchemaId),
+              nameFullRow((key, -1))))
+        }
         else if (lineageExt) rowFuncFullLin
         else rowFuncFull
       dataFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
@@ -2417,6 +2430,9 @@ object GraftSparkTable {
           val f = t.fileFormat match {
             case "orc" =>
               orcHistRow.get(t.writeSchemaId).map(_._1).getOrElse(orcRowFunc)
+            case "orc-nm" =>
+              identityFill(t, nmRowSchema,
+                orcHistRow.get(t.writeSchemaId).map(_._1).getOrElse(orcRowFunc))
             case "parquet-nm" =>
               identityFill(t, nmRowSchema,
                 nmHistRow.get(t.writeSchemaId).map(_._1).getOrElse(nameRowFunc))
@@ -2438,6 +2454,9 @@ object GraftSparkTable {
           val f = t.fileFormat match {
             case "orc" =>
               orcHistRow.get(t.writeSchemaId).map(_._2).getOrElse(orcRowFuncNoFilter)
+            case "orc-nm" =>
+              identityFill(t, nmRowSchemaNF,
+                orcHistRow.get(t.writeSchemaId).map(_._2).getOrElse(orcRowFuncNoFilter))
             case "parquet-nm" =>
               identityFill(t, nmRowSchemaNF,
                 nmHistRow.get(t.writeSchemaId).map(_._2).getOrElse(nameRowFuncNoFilter))

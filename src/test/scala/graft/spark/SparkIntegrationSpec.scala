@@ -402,15 +402,21 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val spec = coreTable("snap_hive").spec
     assert(spec.fields.map(_.name) === Seq("p"),
       "hive-layout source must import identity-partitioned")
-    // a hive-layout ORC source is REFUSED (no constant fill on that path)
+    // a hive-layout ORC source imports as "orc-nm": the files lack the
+    // partition column physically, so reads serve it as an identity
+    // constant (the same fill as parquet-nm)
     val odir = java.nio.file.Files.createTempDirectory("graft-snap-orc").toString
     spark.range(0, 8).selectExpr("id", "id % 2 AS p")
       .write.partitionBy("p").mode("overwrite").orc(odir)
-    val e = intercept[Exception](spark.sql(
-      s"CALL graft.system.snapshot_table('$odir', 'db.snap_orc_hive')"))
-    assert(e.getMessage.contains("identity-partition") ||
-      Option(e.getCause).exists(_.getMessage.contains("identity-partition")),
-      s"hive-layout ORC must be refused loudly: ${e.getMessage}")
+    spark.sql(s"CALL graft.system.snapshot_table('$odir', 'db.snap_orc_hive')")
+    val orows = spark.sql(
+      "SELECT p, count(*), sum(id) FROM graft.db.snap_orc_hive GROUP BY p ORDER BY p")
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)).toSeq
+    assert(orows === Seq((0L, 4L, 12L), (1L, 4L, 16L)),
+      "hive-layout ORC partition values must come back as constants")
+    assert(spark.sql("SELECT file_format FROM graft.db.snap_orc_hive.files")
+      .collect().forall(_.getString(0) == "orc-nm"))
   }
 
   test("merge-on-read DELETE writes position deletes, not rewrites") {
