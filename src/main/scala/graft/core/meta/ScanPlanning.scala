@@ -302,6 +302,7 @@ object SpecScanTasks {
   private def formatName(f: DataFile): String = f.format match {
     case "dv"         => "puffin"
     case "parquet-nm" => "parquet"
+    case "parquet-im" => "parquet"
     case "orc-nm"     => "orc"
     case other        => other
   }

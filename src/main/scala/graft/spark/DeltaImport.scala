@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.core.meta.{GraftIO, MetaJson}
+import graft.core.types._
 
 /** Delta Lake table import (reference
   * delta-lake/src/main/java/org/apache/iceberg/delta/BaseSnapshotDeltaLakeTableAction.java):
@@ -14,14 +15,24 @@ import graft.core.meta.{GraftIO, MetaJson}
   *
   * Format (delta.io PROTOCOL.md, public): `_delta_log/` holds
   * zero-padded `<version>.json` files of newline-delimited actions
-  * ({"metaData":…}, {"add":…}, {"remove":…}, {"commitInfo":…}), plus
-  * optional parquet checkpoints summarizing state at a version
-  * (`_last_checkpoint` names the latest). `metaData.schemaString` is a
-  * Spark StructType JSON; `partitionColumns` are identity partitions;
-  * add/remove paths are table-root-relative and URL-encoded; partition
-  * values are strings. Data files do NOT contain partition columns —
-  * the import registers them name-mapped (parquet-nm) and the reader
-  * serves identity-partition constants from task metadata.
+  * ({"metaData":…}, {"add":…}, {"remove":…}, {"protocol":…},
+  * {"commitInfo":…}), plus optional parquet checkpoints summarizing
+  * state at a version (`_last_checkpoint` names the latest).
+  * `metaData.schemaString` is a Spark StructType JSON; `partitionColumns`
+  * are identity partitions; add/remove paths are table-root-relative and
+  * URL-encoded; partition values are strings. Data files do NOT contain
+  * partition columns — plain tables register name-mapped (parquet-nm),
+  * COLUMN-MAPPED tables register id-mapped (parquet-im: the files store
+  * physical col-<uuid> names but carry parquet field ids, so the
+  * field-id read path resolves them); both serve identity-partition
+  * constants from task metadata.
+  *
+  * Memory: the log is scanned twice — a cheap first pass keeps only
+  * metaData/protocol (validating the protocol BEFORE any table is
+  * created) and the second pass streams ONE VersionChange at a time
+  * through an iterator, so driver peak is O(largest single version)
+  * plus O(live files) for a checkpoint seed (inherent to building that
+  * one commit; the reference holds the same).
   */
 object DeltaImport {
 
@@ -33,10 +44,20 @@ object DeltaImport {
       partitionColumns: Option[Seq[String]],
       configuration: Map[String, String] = Map.empty)
 
-  final case class DeltaLog(changes: Seq[VersionChange],
-      schema: StructType, partitionColumns: Seq[String]) {
-    def latestVersion: Long = changes.last.version
-  }
+  /** log-wide facts, known before any data file is touched */
+  final case class DeltaInfo(schema: StructType,
+      partitionColumns: Seq[String],
+      columnMapping: Option[String], // "name" | "id" when enabled
+      latestVersion: Long)
+
+  /** reader features this importer can faithfully serve (PROTOCOL.md
+    * reader-version-3 feature names). `deletionVectors` is tolerated at
+    * the PROTOCOL level only — any add action actually carrying a DV is
+    * rejected in the same pre-pass, so a table with the feature enabled
+    * but no DVs present still imports. */
+  private val SafeReaderFeatures = Set(
+    "columnMapping", "timestampNtz", "deletionVectors",
+    "vacuumProtocolCheck", "typeWidening", "typeWidening-preview")
 
   private def pad20(v: Long): String = f"$v%020d"
 
@@ -48,64 +69,30 @@ object DeltaImport {
     else s"${root.stripSuffix("/")}/$decoded"
   }
 
-  /** Read and replay a `_delta_log` directory. Uses the checkpoint named
-    * by `_last_checkpoint` as the start state when the earlier JSON
-    * versions were vacuumed away; JSON deltas after it replay
-    * incrementally. */
-  def readLog(spark: SparkSession, tableDir: String): DeltaLog = {
+  private final case class LogLayout(root: String, logDir: String,
+      cpVersion: Option[Long], cpParts: Seq[String], jsonTail: Seq[Long])
+
+  private def layout(tableDir: String): LogLayout = {
     val root = tableDir.stripSuffix("/")
     val logDir = s"$root/_delta_log"
     require(GraftIO.exists(logDir), s"not a Delta table (no _delta_log): $tableDir")
     val names = GraftIO.walkFiles(logDir).map(_.split("/").last)
     val jsonVersions = names.filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong).sorted
-
-    // checkpoint start state (optional)
     val cpVersion: Option[Long] =
       if (!names.contains("_last_checkpoint")) None
       else Some(MetaJson.mapper
         .readTree(GraftIO.readString(s"$logDir/_last_checkpoint"))
         .get("version").asLong())
-    val cpChange: Option[VersionChange] = cpVersion.map { v =>
+    val cpParts = cpVersion.map { v =>
       val parts = names.filter(n =>
         n == s"${pad20(v)}.checkpoint.parquet" ||
           n.matches(s"${pad20(v)}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
         .map(n => s"$logDir/$n")
-      require(parts.nonEmpty, s"_last_checkpoint names version $v but no checkpoint file exists")
-      // a checkpoint is an ordinary parquet table of actions: one row per
-      // action with nested add/remove/metaData structs
-      val df = spark.read.parquet(parts: _*)
-      val cols = df.columns.toSet
-      val adds = Seq.newBuilder[(String, Map[String, String])]
-      var schemaString: Option[String] = None
-      var partCols: Option[Seq[String]] = None
-      var cfg = Map.empty[String, String]
-      if (cols.contains("add") || cols.contains("metaData")) {
-        df.select(df.columns.filter(c => c == "add" || c == "metaData").map(df.col): _*)
-          .collect().foreach { row =>
-            row.schema.fieldNames.zipWithIndex.foreach {
-              case ("add", i) if !row.isNullAt(i) =>
-                val a = row.getStruct(i)
-                val path = a.getAs[String]("path")
-                val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
-                  .map(_.toMap).getOrElse(Map.empty)
-                adds += ((fullPath(path, root), pv))
-              case ("metaData", i) if !row.isNullAt(i) =>
-                val m = row.getStruct(i)
-                schemaString = Option(m.getAs[String]("schemaString"))
-                partCols = Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
-                  .map(_.toSeq)
-                if (m.schema.fieldNames.contains("configuration"))
-                  cfg = Option(m.getAs[scala.collection.Map[String, String]](
-                    "configuration")).map(_.toMap).getOrElse(Map.empty)
-                    .filter(_._2 != null) // nullable parquet map values
-              case _ => ()
-            }
-          }
-      }
-      VersionChange(v, adds.result(), Nil, schemaString, partCols, cfg)
-    }
-
+      require(parts.nonEmpty,
+        s"_last_checkpoint names version $v but no checkpoint file exists")
+      parts
+    }.getOrElse(Nil)
     val replayFrom = cpVersion.map(_ + 1).getOrElse {
       require(jsonVersions.headOption.contains(0L),
         s"Delta log must start at version 0 (or have a checkpoint); found ${jsonVersions.headOption}")
@@ -115,60 +102,268 @@ object DeltaImport {
     // versions must be contiguous — a gap means a vacuumed log segment
     // we cannot faithfully replay
     tail.zipWithIndex.foreach { case (v, i) =>
-      require(v == replayFrom + i, s"Delta log gap: expected version ${replayFrom + i}, found $v")
+      require(v == replayFrom + i,
+        s"Delta log gap: expected version ${replayFrom + i}, found $v")
     }
-    val jsonChanges = tail.map { v =>
+    require(cpVersion.isDefined || tail.nonEmpty, s"empty Delta log: $logDir")
+    LogLayout(root, logDir, cpVersion, cpParts, tail)
+  }
+
+  private def checkProtocol(minReader: Int, features: Seq[String]): Unit = {
+    // minReaderVersion 1 = base, 2 = column mapping (now served via the
+    // field-id read path), 3 = explicit reader-feature list
+    if (minReader >= 3) {
+      val unsafe = features.filterNot(SafeReaderFeatures)
+      require(unsafe.isEmpty,
+        s"cannot import Delta table: unsupported readerFeatures ${unsafe.mkString(", ")}")
+    } else require(minReader <= 2,
+      s"cannot import Delta table: minReaderVersion $minReader")
+  }
+
+  /** Pass 1 over a JSON version: metaData + protocol only; rejects any
+    * add carrying a deletion vector (a DV-masked file imported whole
+    * would silently resurrect deleted rows). */
+  private def scanJson(logDir: String, v: Long,
+      sawMeta: (String, Option[Seq[String]], Map[String, String]) => Unit): Unit =
+    GraftIO.readString(s"$logDir/${pad20(v)}.json").split("\n")
+      .filter(_.trim.nonEmpty).foreach { line =>
+        // cheap pre-filter; the JSON parse below confirms
+        val n = MetaJson.mapper.readTree(line)
+        Option(n.get("add")).filterNot(_.isNull).foreach { a =>
+          require(Option(a.get("deletionVector")).forall(_.isNull),
+            s"cannot import Delta table: version $v adds a file with a " +
+              "deletion vector; importing it whole would resurrect deleted rows")
+        }
+        Option(n.get("protocol")).filterNot(_.isNull).foreach { p =>
+          val feats = Option(p.get("readerFeatures")).map { arr =>
+            val b = Seq.newBuilder[String]
+            arr.elements().forEachRemaining(e => b += e.asText())
+            b.result()
+          }.getOrElse(Nil)
+          checkProtocol(
+            Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1), feats)
+        }
+        Option(n.get("metaData")).filterNot(_.isNull).foreach { m =>
+          val cfg = Map.newBuilder[String, String]
+          Option(m.get("configuration")).foreach(_.fields()
+            .forEachRemaining(e =>
+              if (!e.getValue.isNull) cfg += e.getKey -> e.getValue.asText()))
+          sawMeta(
+            Option(m.get("schemaString")).map(_.asText()).orNull,
+            Option(m.get("partitionColumns")).map { arr =>
+              val b = Seq.newBuilder[String]
+              arr.elements().forEachRemaining(e => b += e.asText())
+              b.result()
+            },
+            cfg.result())
+        }
+      }
+
+  /** Open a `_delta_log` for import: validates the protocol and DV
+    * absence, resolves the FINAL schema/partitioning (latest metaData
+    * wins — mid-history schema changes register under the final shape,
+    * like the reference), and returns a LAZY iterator of per-version
+    * changes (checkpoint seed first when present). */
+  def open(spark: SparkSession, tableDir: String)
+      : (DeltaInfo, Iterator[VersionChange]) = {
+    val l = layout(tableDir)
+    var schemaString: Option[String] = None
+    var partCols: Option[Seq[String]] = None
+    var config = Map.empty[String, String]
+
+    // checkpoint pass 1: metaData/protocol columns + a DV presence check
+    // as ONE aggregate — the add rows never land on the driver here
+    if (l.cpParts.nonEmpty) {
+      val df = spark.read.parquet(l.cpParts: _*)
+      val cols = df.columns.toSet
+      if (cols.contains("metaData")) {
+        import org.apache.spark.sql.functions.col
+        df.select(col("metaData")).where(col("metaData").isNotNull)
+          .collect().foreach { row =>
+            val m = row.getStruct(0)
+            schemaString = Option(m.getAs[String]("schemaString"))
+            partCols = Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+              .map(_.toSeq)
+            if (m.schema.fieldNames.contains("configuration"))
+              config = Option(m.getAs[scala.collection.Map[String, String]](
+                "configuration")).map(_.toMap).getOrElse(Map.empty)
+                .filter(_._2 != null) // nullable parquet map values
+          }
+      }
+      if (cols.contains("protocol")) {
+        import org.apache.spark.sql.functions.col
+        df.select(col("protocol")).where(col("protocol").isNotNull)
+          .collect().foreach { row =>
+            val p = row.getStruct(0)
+            val minReader =
+              if (p.schema.fieldNames.contains("minReaderVersion") &&
+                  !p.isNullAt(p.fieldIndex("minReaderVersion")))
+                p.getAs[Number]("minReaderVersion").intValue
+              else 1
+            val feats =
+              if (p.schema.fieldNames.contains("readerFeatures"))
+                Option(p.getAs[scala.collection.Seq[String]]("readerFeatures"))
+                  .map(_.toSeq).getOrElse(Nil)
+              else Nil
+            checkProtocol(minReader, feats)
+          }
+      }
+      if (cols.contains("add")) {
+        import org.apache.spark.sql.functions.col
+        val addSchema = df.schema("add").dataType.asInstanceOf[StructType]
+        if (addSchema.fieldNames.contains("deletionVector")) {
+          val dvCount = df.where(col("add").isNotNull &&
+            col("add.deletionVector").isNotNull).count()
+          require(dvCount == 0L,
+            s"cannot import Delta table: checkpoint carries $dvCount file(s) " +
+              "with deletion vectors; importing them whole would resurrect " +
+              "deleted rows")
+        }
+      }
+    }
+    // JSON pass 1: protocol + DV guard + latest metaData
+    l.jsonTail.foreach(v => scanJson(l.logDir, v, (sch, pc, cfg) => {
+      if (sch != null) schemaString = Some(sch)
+      pc.foreach(p => partCols = Some(p))
+      config = config ++ cfg
+    }))
+
+    val mapping = config.get("delta.columnMapping.mode")
+      .filterNot(m => m.isEmpty || m == "none")
+    val sch = schemaString.getOrElse(throw new IllegalArgumentException(
+      s"Delta log has no metaData action: ${l.logDir}"))
+    val info = DeltaInfo(
+      DataType.fromJson(sch).asInstanceOf[StructType],
+      partCols.getOrElse(Nil), mapping,
+      l.jsonTail.lastOption.orElse(l.cpVersion).get)
+
+    // pass 2: lazy per-version changes; each VersionChange is released
+    // by the caller before the next parses
+    val cpIt: Iterator[VersionChange] = l.cpVersion.iterator.map { v =>
+      val adds = Seq.newBuilder[(String, Map[String, String])]
+      if (l.cpParts.nonEmpty) {
+        val df = spark.read.parquet(l.cpParts: _*)
+        if (df.columns.contains("add")) {
+          import org.apache.spark.sql.functions.col
+          // toLocalIterator: one partition of add rows on the driver at
+          // a time while the (path, values) pairs accumulate
+          df.select(col("add")).where(col("add").isNotNull)
+            .toLocalIterator().forEachRemaining { row =>
+              val a = row.getStruct(0)
+              val path = a.getAs[String]("path")
+              val pv = Option(a.getAs[scala.collection.Map[String, String]](
+                "partitionValues")).map(_.toMap).getOrElse(Map.empty)
+              adds += ((fullPath(path, l.root), pv))
+            }
+        }
+      }
+      VersionChange(v, adds.result(), Nil, schemaString, partCols, config)
+    }
+    val jsonIt: Iterator[VersionChange] = l.jsonTail.iterator.map { v =>
       val adds = Seq.newBuilder[(String, Map[String, String])]
       val removes = Seq.newBuilder[String]
-      var schemaString: Option[String] = None
-      var partCols: Option[Seq[String]] = None
-      val config = Map.newBuilder[String, String]
-      GraftIO.readString(s"$logDir/${pad20(v)}.json").split("\n")
+      var vSchema: Option[String] = None
+      var vPartCols: Option[Seq[String]] = None
+      val vConfig = Map.newBuilder[String, String]
+      GraftIO.readString(s"${l.logDir}/${pad20(v)}.json").split("\n")
         .filter(_.trim.nonEmpty).foreach { line =>
           val n = MetaJson.mapper.readTree(line)
           Option(n.get("add")).filterNot(_.isNull).foreach { a =>
             val pv = Map.newBuilder[String, String]
             Option(a.get("partitionValues")).foreach(_.fields().forEachRemaining(e =>
               pv += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())))
-            adds += ((fullPath(a.get("path").asText(), root), pv.result()))
+            adds += ((fullPath(a.get("path").asText(), l.root), pv.result()))
           }
           Option(n.get("remove")).filterNot(_.isNull).foreach(r =>
-            removes += fullPath(r.get("path").asText(), root))
+            removes += fullPath(r.get("path").asText(), l.root))
           Option(n.get("metaData")).filterNot(_.isNull).foreach { m =>
-            schemaString = Option(m.get("schemaString")).map(_.asText())
-            partCols = Option(m.get("partitionColumns")).map { arr =>
+            vSchema = Option(m.get("schemaString")).map(_.asText())
+            vPartCols = Option(m.get("partitionColumns")).map { arr =>
               val b = Seq.newBuilder[String]
               arr.elements().forEachRemaining(e => b += e.asText())
               b.result()
             }
             Option(m.get("configuration")).foreach(_.fields()
               .forEachRemaining(e =>
-                if (!e.getValue.isNull) config += e.getKey -> e.getValue.asText()))
+                if (!e.getValue.isNull) vConfig += e.getKey -> e.getValue.asText()))
           }
         }
-      VersionChange(v, adds.result(), removes.result(), schemaString, partCols,
-        config.result())
+      VersionChange(v, adds.result(), removes.result(), vSchema, vPartCols,
+        vConfig.result())
     }
+    (info, cpIt ++ jsonIt)
+  }
 
-    val changes = cpChange.toSeq ++ jsonChanges
-    require(changes.nonEmpty, s"empty Delta log: $logDir")
-    // column mapping stores PHYSICAL column names (col-<uuid>) in the
-    // data files: a name-mapped read against the logical schema would
-    // silently produce all-NULL columns — refuse loudly instead
-    // (reference BaseSnapshotDeltaLakeTableAction predates column
-    // mapping and reads logical names the same way)
-    changes.flatMap(_.configuration.get("delta.columnMapping.mode"))
-      .lastOption.filterNot(m => m.isEmpty || m == "none").foreach(m =>
-        throw new IllegalArgumentException(
-          s"cannot import a Delta table with delta.columnMapping.mode=$m: " +
-            "its files store physical column names, not the logical schema"))
-    // latest schema wins (reference: snapshots with the UPDATED schema;
-    // mid-history schema changes register under the final shape)
-    val schemaString = changes.flatMap(_.schemaString).lastOption.getOrElse(
-      throw new IllegalArgumentException(s"Delta log has no metaData action: $logDir"))
-    val partCols = changes.flatMap(_.partitionColumns).lastOption.getOrElse(Nil)
-    DeltaLog(changes, DataType.fromJson(schemaString).asInstanceOf[StructType],
-      partCols)
+  /** Back-compat eager read (tests, small logs): materializes every
+    * version. Production import goes through [[open]]. */
+  final case class DeltaLog(changes: Seq[VersionChange],
+      schema: StructType, partitionColumns: Seq[String],
+      columnMapping: Option[String] = None) {
+    def latestVersion: Long = changes.last.version
+  }
+
+  def readLog(spark: SparkSession, tableDir: String): DeltaLog = {
+    val (info, it) = open(spark, tableDir)
+    DeltaLog(it.toSeq, info.schema, info.partitionColumns, info.columnMapping)
+  }
+
+  /** Column-mapped schema (PROTOCOL.md column-mapping): every struct
+    * field carries `delta.columnMapping.id` (the parquet field id the
+    * writers stamp) and `delta.columnMapping.physicalName` (what the
+    * file stores). The graft schema takes DELTA'S ids, so the field-id
+    * read path resolves physical columns with no name translation;
+    * array/map element ids (not delta-mapped) get fresh ids past the
+    * mapped range. Returns the schema plus fieldId -> physicalName (for
+    * footer stats, which match by file column NAME). */
+  def mappedSchema(st: StructType): (GSchema, Map[Int, String]) = {
+    val phys = Map.newBuilder[Int, String]
+    var maxId = 0
+    def fieldId(f: org.apache.spark.sql.types.StructField): Int = {
+      require(f.metadata.contains("delta.columnMapping.id"),
+        s"column-mapped Delta schema field ${f.name} lacks delta.columnMapping.id")
+      val id = f.metadata.getLong("delta.columnMapping.id").toInt
+      maxId = math.max(maxId, id)
+      id
+    }
+    // first sweep records the mapped id range so fresh (element) ids
+    // never collide with it
+    def sweep(dt: org.apache.spark.sql.types.DataType): Unit = dt match {
+      case s: StructType => s.fields.foreach { f => fieldId(f); sweep(f.dataType) }
+      case a: org.apache.spark.sql.types.ArrayType => sweep(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => sweep(m.keyType); sweep(m.valueType)
+      case _ => ()
+    }
+    sweep(st)
+    var next = maxId
+    def nid(): Int = { next += 1; next }
+    def conv(dt: org.apache.spark.sql.types.DataType): GType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case BooleanType      => GBoolean
+        case ByteType | ShortType | IntegerType => GInt
+        case LongType         => GLong
+        case FloatType        => GFloat
+        case DoubleType       => GDouble
+        case d: DecimalType   => GDecimal(d.precision, d.scale)
+        case DateType         => GDate
+        case TimestampType    => GTimestamp(false)
+        case TimestampNTZType => GTimestamp(true)
+        case StringType       => GString
+        case BinaryType       => GBinary
+        case s: StructType    => GStruct(s.fields.map { f =>
+          val id = f.metadata.getLong("delta.columnMapping.id").toInt
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            phys += id -> f.metadata.getString("delta.columnMapping.physicalName")
+          GField(id, f.name, conv(f.dataType), !f.nullable)
+        })
+        case a: ArrayType     => GList(nid(), conv(a.elementType), !a.containsNull)
+        case m: MapType       => GMap(nid(), conv(m.keyType), nid(), conv(m.valueType), !m.valueContainsNull)
+        case other => throw new IllegalArgumentException(
+          s"unsupported Spark type in column-mapped Delta schema: $other")
+      }
+    }
+    val struct = conv(st).asInstanceOf[GStruct]
+    (GSchema(struct), phys.result())
   }
 
   /** Delta partition-value string → graft internal value. PROTOCOL.md

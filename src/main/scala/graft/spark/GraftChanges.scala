@@ -281,7 +281,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
     // avro via our own field-id reader. Only built for formats the plan
     // actually contains — a pure-parquet changelog pays nothing extra.
     val fmts = Option(plannedFormats)
-      .getOrElse(Set("parquet", "parquet-nm", "orc", "orc-nm", "avro"))
+      .getOrElse(Set("parquet", "parquet-nm", "parquet-im", "orc", "orc-nm",
+        "avro"))
     val stripped = GraftSparkTable.stripFieldIds(dataSchema)
     val cur = table.schema
     lazy val nameDiffering = table.meta.schemas
@@ -367,6 +368,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
         case "orc" | "orc-nm" => orcHist.getOrElse(t.writeSchemaId, orcFunc)
         case "parquet-nm" => nmHist.getOrElse(t.writeSchemaId, nmFunc)
         case "avro"       => avroFunc
+        // parquet-im: the id-resolved reader serves column-mapped files
+        // directly (ids are the table's ids by construction)
         case _            => rowFunc
       }
 

@@ -96,7 +96,12 @@ object GraftProcedures extends Serializable {
   private[spark] def importParquetFile(path: String, partition: Seq[Any],
       specId: Int, schema: graft.core.types.GSchema,
       conf: org.apache.hadoop.conf.Configuration,
-      forceNameMapped: Boolean = false): DataFile = {
+      forceNameMapped: Boolean = false,
+      // column-mapped Delta: the table schema holds the FILE's field
+      // ids, so register id-resolved ("parquet-im") — and a mapped file
+      // WITHOUT ids genuinely cannot be served (name resolution would
+      // look for logical names the file does not store): refuse loudly
+      idMapped: Boolean = false): DataFile = {
     val (size, stats) = FooterStats.read(path, conf, schema)
     val hPath = new org.apache.hadoop.fs.Path(
       "file://" + GraftIO.toPath(path).toString)
@@ -107,8 +112,15 @@ object GraftProcedures extends Serializable {
       try (r.getRecordCount,
         r.getFooter.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null))
       finally r.close()
-    DataFile(path, if (hasIds && !forceNameMapped) "parquet" else "parquet-nm",
-      specId, partition, rows, size, stats)
+    if (idMapped) {
+      require(hasIds,
+        s"column-mapped Delta file $path carries no parquet field ids; " +
+          "its physical column names cannot be resolved against the " +
+          "logical schema — this file cannot be imported faithfully")
+      DataFile(path, "parquet-im", specId, partition, rows, size, stats)
+    } else
+      DataFile(path, if (hasIds && !forceNameMapped) "parquet" else "parquet-nm",
+        specId, partition, rows, size, stats)
   }
 
   /** per-(spec, partition) partial for compute_partition_stats — merged
@@ -162,6 +174,7 @@ object GraftProcedures extends Serializable {
       schema: graft.core.types.GSchema,
       conf: org.apache.hadoop.conf.Configuration,
       forceNameMapped: Boolean = false,
+      idMapped: Boolean = false,
       // identity-partition source names: ORC files missing any of them
       // import as "orc-nm" (constant-filled at read, see importOrcFile)
       orcIdentityCols: Seq[String] = Nil,
@@ -182,7 +195,7 @@ object GraftProcedures extends Serializable {
         val (size, rows, stats) = GraftAvro.footerStats(path, schema)
         DataFile(path, "avro", specId, partition, rows, size, stats)
       } else importParquetFile(path, partition, specId, schema, c,
-        forceNameMapped)
+        forceNameMapped, idMapped)
     if (files.size <= 64) files.map { case (p, part) => one(p, part, conf) }
     else {
       val sc = SparkSession.active.sparkContext
@@ -1193,8 +1206,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       // name-mapped file is present, mirroring the scan's identityFill;
       // ordinary tables keep the scan-based sketch.
       val metadataNdvFields: Map[Int, Seq[Any]] =
-        if (!liveFiles.exists(f =>
-            f.format == "parquet-nm" || f.format == "orc-nm")) Map.empty
+        if (!liveFiles.exists(f => f.format == "parquet-nm" ||
+            f.format == "orc-nm" || f.format == "parquet-im")) Map.empty
         else {
           // per-spec identity index, computed ONCE per (spec, field) —
           // a per-file indexWhere would be O(fields x files) on the
@@ -1225,6 +1238,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         }
       val df = byFmt.map { case (f, fs) =>
         if (f == "avro") GraftAvro.readToDf(spark, fs.map(_.path), schema, withPos = false)
+        else if (f == "parquet-im")
+          // column-mapped imports: physical names differ, ids match
+          GraftProcedures.idParquetToDf(spark, fs.map(_.path), schema,
+            t.meta, withPos = false)
         else {
           // name-mapped imports carry no parquet field ids: reading them
           // with a field-id-annotated schema fails outright, so strip
@@ -1777,32 +1794,59 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val (ns, tbl) = if (parts.length >= 2) (parts.init, parts.last)
                       else (Seq("db"), parts.head)
       val spark = SparkSession.active
-      val log = DeltaImport.readLog(spark, srcDir)
-      val gSchema = graft.core.types.SparkTypes.fromSpark(log.schema)
+      // open() validates the protocol (reader features, no deletion
+      // vectors) BEFORE any table exists, resolves the final schema,
+      // and streams ONE version at a time — driver peak stays
+      // O(largest single version), not O(sum of adds across versions)
+      val (info, changes) = DeltaImport.open(spark, srcDir)
+      // column-mapped tables (delta.columnMapping.mode=name|id): the
+      // files store physical col-<uuid> names BUT carry parquet field
+      // ids, so graft takes Delta's ids into its schema and registers
+      // the files id-mapped (parquet-im) — the field-id read path
+      // resolves them with no name translation. Footer stats match by
+      // file column name, so they read through the PHYSICAL schema.
+      val (gSchema, statsSchema, idMapped) = info.columnMapping match {
+        case Some(_) =>
+          val (gs, physNames) = DeltaImport.mappedSchema(info.schema)
+          val phys = gs.copy(struct = graft.core.types.GStruct(
+            gs.struct.fields.map(f =>
+              f.copy(name = physNames.getOrElse(f.id, f.name)))))
+          (gs, phys, true)
+        case None =>
+          val gs = graft.core.types.SparkTypes.fromSpark(info.schema)
+          (gs, gs, false)
+      }
       val spec =
-        if (log.partitionColumns.isEmpty) graft.core.expr.PartitionSpec.Unpartitioned
-        else graft.core.expr.PartitionSpec.of(gSchema, log.partitionColumns.map(c =>
+        if (info.partitionColumns.isEmpty) graft.core.expr.PartitionSpec.Unpartitioned
+        else graft.core.expr.PartitionSpec.of(gSchema, info.partitionColumns.map(c =>
           c -> (graft.core.transform.IdentityT: graft.core.transform.Transform)): _*)
+      // add.partitionValues keys are PHYSICAL names on column-mapped
+      // tables; consult both spellings
+      val physByField: Map[Int, String] = statsSchema.struct.fields
+        .map(f => f.id -> f.name).toMap
       val t = catalog.createTable(ns, tbl, gSchema, spec, Map(
         "snapshot_source" -> "delta", "original_location" -> srcDir))
       val hConf = spark.sessionState.newHadoopConf() // once per replay
       var added = 0L
       var records = 0L
       var versions = 0L
-      log.changes.foreach { vc =>
+      var latest = info.latestVersion
+      changes.foreach { vc =>
+        latest = vc.version
         if (vc.adds.nonEmpty || vc.removes.nonEmpty) {
           val withPartitions = vc.adds.map { case (path, pv) =>
             val partition: Seq[Any] = spec.fields.map { pf =>
               val src = gSchema.byId(pf.sourceId)
               DeltaImport.parsePartitionValue(src.tpe,
-                pv.getOrElse(src.name, null))
+                pv.getOrElse(src.name,
+                  pv.getOrElse(physByField.getOrElse(src.id, src.name), null)))
             }
             (path, partition)
           }
           // distributed footer reads: a checkpoint-seeded version can
           // carry the WHOLE table's live file set
-          val dataFiles = importFiles(withPartitions, spec.specId, gSchema,
-            hConf, forceNameMapped = true)
+          val dataFiles = importFiles(withPartitions, spec.specId, statsSchema,
+            hConf, forceNameMapped = !idMapped, idMapped = idMapped)
           val snap =
             if (vc.removes.isEmpty)
               t.newAppend().appendFiles(dataFiles).commit()
@@ -1820,7 +1864,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           StructField("imported_records", LongType),
           StructField("versions_committed", LongType),
           StructField("latest_delta_version", LongType))),
-        row(added, records, versions, log.latestVersion))
+        row(added, records, versions, math.max(latest, info.latestVersion)))
 
     case "snapshot_table" | "snapshot" =>
       // import an external source as a NEW graft table without copying
@@ -2706,9 +2750,11 @@ object RewriteDataFiles {
           // emitting positions from the row iterator
           orcReadToDf(spark, fts.map(_.file.path), readSchema,
             histSchema(schemaId).getOrElse(readSchema))
-        } else if (f == "parquet" && unknownUnsafe(schemaId)) {
-          // id-resolved fallback: our parquet files always stamp field
-          // ids, and readSchema keeps its parquet.field.id metadata
+        } else if (f == "parquet-im" ||
+            (f == "parquet" && unknownUnsafe(schemaId))) {
+          // id-resolved read: our parquet files always stamp field ids,
+          // column-mapped imports carry the table's ids by construction,
+          // and readSchema keeps its parquet.field.id metadata
           GraftProcedures.idParquetToDf(spark, fts.map(_.file.path),
             readSchema, t.meta, withPos = true)
         } else {

@@ -1269,7 +1269,8 @@ object GraftSparkTable {
       import graft.core.meta.FileContent
       val ts = tasks()
       val formats: Set[String] =
-        if (conservative) Set("parquet", "parquet-nm", "orc", "orc-nm", "avro")
+        if (conservative)
+          Set("parquet", "parquet-nm", "parquet-im", "orc", "orc-nm", "avro")
         else ts.iterator.map(_.file.format).toSet
       // "orc-nm" = imported ORC physically LACKING its identity-partition
       // columns (hive-layout / metastore-registered sources): reads ride
@@ -1550,6 +1551,26 @@ object GraftSparkTable {
             Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
               "enableVectorizedReader" -> "false"), freshNameConf)
         else null
+      // id-mapped imports (column-mapped Delta, "parquet-im"): the
+      // table schema carries the FILE's field ids, so the ordinary
+      // field-id-resolved parquet row readers serve them — these two
+      // differ from rowFunc/rowFuncNoFilter only in reading the
+      // Bin-extended schemas so identityFill positions line up with the
+      // nm row schemas used for the constant projection
+      val imRowFunc =
+        if (cleanFormats("parquet-im"))
+          fmt.buildReaderWithPartitionValues(spark, fullSchema,
+            new StructType(), dataRequiredBin, v1Filters,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshConf)
+        else null
+      val imRowFuncNF =
+        if (nfFormats("parquet-im"))
+          fmt.buildReaderWithPartitionValues(spark, fullSchemaNF,
+            new StructType(), dataReadNFBin, Nil,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false",
+              "enableVectorizedReader" -> "false"), freshConf)
+        else null
       // imported ORC files: Spark's ORC reader resolves columns by name
       lazy val orcFmt = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
       val orcRowFunc =
@@ -1735,14 +1756,17 @@ object GraftSparkTable {
                 (src.name, i, src.tpe))
             }
           }.filter(_._2.nonEmpty).toMap
-          if (formats("parquet-nm") || formats("orc-nm")) bySpec
+          if (formats("parquet-nm") || formats("orc-nm") ||
+              formats("parquet-im")) bySpec
           else Map.empty
         },
         nmRowSchema = stripIds(dataRequiredBin),
         nmRowSchemaNF = stripIds(dataReadNFBin),
         nmFullSchema = stripIds(
           if (wantLineage) StructType(fullSchema.fields ++ lineageReadFields)
-          else fullSchema))
+          else fullSchema),
+        imRowFunc = imRowFunc,
+        imRowFuncNF = imRowFuncNF)
     }
 
     /** (parent, path) → materialized shred file-column name */
@@ -1877,7 +1901,11 @@ object GraftSparkTable {
       // no-filter / full-eq), for positioning the constant projection
       nmRowSchema: StructType = new StructType(),
       nmRowSchemaNF: StructType = new StructType(),
-      nmFullSchema: StructType = new StructType())
+      nmFullSchema: StructType = new StructType(),
+      // id-mapped imports (column-mapped Delta): field-id-resolved row
+      // readers over the Bin-extended schemas, constant-filled like nm
+      imRowFunc: PartitionedFile => Iterator[InternalRow] = null,
+      imRowFuncNF: PartitionedFile => Iterator[InternalRow] = null)
     extends PartitionReaderFactory {
 
     /** wrap a parquet-nm row reader so identity-partition source columns
@@ -1887,8 +1915,8 @@ object GraftSparkTable {
     private def identityFill(t: TaskDesc, schema: StructType,
         f: PartitionedFile => Iterator[InternalRow])
         : PartitionedFile => Iterator[InternalRow] = {
-      if ((t.fileFormat != "parquet-nm" && t.fileFormat != "orc-nm") ||
-        f == null) return f
+      if ((t.fileFormat != "parquet-nm" && t.fileFormat != "orc-nm" &&
+        t.fileFormat != "parquet-im") || f == null) return f
       val consts = identityConsts.getOrElse(t.specId, Nil)
       if (consts.isEmpty) return f
       val over: Map[Int, Any] = consts.flatMap { case (name, pi, gt) =>
@@ -2081,6 +2109,11 @@ object GraftSparkTable {
             nameFullRow.getOrElse((key, t.writeSchemaId),
               nameFullRow((key, -1))))
         }
+        else if (t.fileFormat == "parquet-im")
+          // field-id resolution is rename-proof: no per-write-schema
+          // translation needed, just the identity-constant fill
+          identityFill(t, nmFullSchema,
+            if (lineageExt) rowFuncFullLin else rowFuncFull)
         else if (lineageExt) rowFuncFullLin
         else rowFuncFull
       dataFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
@@ -2436,6 +2469,7 @@ object GraftSparkTable {
             case "parquet-nm" =>
               identityFill(t, nmRowSchema,
                 nmHistRow.get(t.writeSchemaId).map(_._1).getOrElse(nameRowFunc))
+            case "parquet-im" => identityFill(t, nmRowSchema, imRowFunc)
             case "avro"       => avroRowFunc
             case _ =>
               if (!hasShred) rowFunc
@@ -2460,6 +2494,7 @@ object GraftSparkTable {
             case "parquet-nm" =>
               identityFill(t, nmRowSchemaNF,
                 nmHistRow.get(t.writeSchemaId).map(_._2).getOrElse(nameRowFuncNoFilter))
+            case "parquet-im" => identityFill(t, nmRowSchemaNF, imRowFuncNF)
             case "avro"       => avroRowFuncNF
             case _ =>
               if (!hasShred) rowFuncNoFilter

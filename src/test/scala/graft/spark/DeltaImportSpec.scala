@@ -277,17 +277,169 @@ class DeltaImportSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 1L), (3L, 1L), (5L, 1L), (7L, 2L), (9L, 2L), (100L, 3L)))
   }
 
-  test("column-mapped Delta tables are refused loudly, not imported as NULLs") {
+  // ---- column mapping (PROTOCOL.md): logical names in the schema,
+  // physical col-<uuid> names + parquet field ids in the files
+  private def cmField(name: String, dt: org.apache.spark.sql.types.DataType,
+      id: Long, phys: String): StructField =
+    StructField(name, dt, nullable = true, new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build())
+
+  private val cmSchemaString = StructType(Seq(
+    cmField("id", LongType, 1, "col-aaa"),
+    cmField("v", StringType, 2, "col-bbb"),
+    cmField("p", LongType, 3, "col-ccc"))).json
+
+  private def cmMetaAction: String = {
+    val sch = graft.core.meta.MetaJson.mapper.writeValueAsString(cmSchemaString)
+    s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$sch,"partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1700000000000}}"""
+  }
+
+  /** a Delta column-mapped data file: PHYSICAL column names, parquet
+    * field ids, and NO partition column */
+  private def writeCmDataFile(root: String, rel: String, withIds: Boolean,
+      rows: Seq[(Long, String)]): Long = {
+    def fid(id: Long) =
+      if (withIds) new MetadataBuilder().putLong("parquet.field.id", id).build()
+      else org.apache.spark.sql.types.Metadata.empty
+    val tmp = Files.createTempDirectory("delta-cm-part").toString
+    val prior = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try spark.createDataFrame(rows.map { case (i, v) => Row(i, v) }.asJava,
+      StructType(Seq(
+        StructField("col-aaa", LongType, nullable = true, fid(1)),
+        StructField("col-bbb", StringType, nullable = true, fid(2)))))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
+    val part = GraftIO.walkFiles(tmp).filter(_.endsWith(".parquet")).head
+    val dst = GraftIO.toPath(s"$root/$rel")
+    Files.createDirectories(dst.getParent)
+    Files.copy(GraftIO.toPath(part), dst)
+    Files.size(dst)
+  }
+
+  test("column-mapped Delta imports via field ids (parquet-im)") {
     val root = Files.createTempDirectory("delta-cm").toString
-    val s0 = writeDataFile(root, "part-cm.parquet", Seq((1L, "a")))
-    val sch = graft.core.meta.MetaJson.mapper.writeValueAsString(schemaString)
+    val s0 = writeCmDataFile(root, "part-cm0.parquet", withIds = true,
+      Seq((1L, "a"), (2L, "b")))
+    val s1 = writeCmDataFile(root, "part-cm1.parquet", withIds = true,
+      Seq((3L, "c")))
+    // partitionValues keys are the PHYSICAL names on mapped tables
     GraftIO.writeString(s"$root/_delta_log/${pad20(0)}.json",
-      Seq(
-        s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$sch,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1700000000000}}""",
-        addAction("part-cm.parquet", 1L, s0)).mkString("\n"))
+      Seq(cmMetaAction,
+        s"""{"add":{"path":"part-cm0.parquet","partitionValues":{"col-ccc":"7"},"size":$s0,"modificationTime":1700000000000,"dataChange":true}}""",
+        s"""{"add":{"path":"part-cm1.parquet","partitionValues":{"col-ccc":"8"},"size":$s1,"modificationTime":1700000000000,"dataChange":true}}""")
+        .mkString("\n"))
+    spark.sql(s"CALL graft.system.snapshot_delta('$root', 'db.delta_cm')")
+    // registered id-mapped; reads resolve the physical columns by id
+    val entries = new graft.core.meta.HadoopCatalog(warehouse)
+      .loadTable(Seq("db"), "delta_cm").get.newScan().planFiles()
+    assert(entries.map(_.file.format).toSet === Set("parquet-im"))
+    val rows = spark.sql(
+      "SELECT id, v, p FROM graft.db.delta_cm ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "a", 7L), (2L, "b", 7L), (3L, "c", 8L)),
+      "logical names must resolve physical columns; partition constants fill")
+    // predicate on a data column pushes into the id-resolved read;
+    // predicate on the constant-filled partition column prunes
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.delta_cm WHERE p = 7")
+      .collect()(0).getLong(0) === 2L)
+    // renames stay exact: field-id resolution is rename-proof
+    spark.sql("ALTER TABLE graft.db.delta_cm RENAME COLUMN v TO w")
+    assert(spark.sql(
+      "SELECT w FROM graft.db.delta_cm WHERE id = 3").collect()(0)
+      .getString(0) === "c")
+    // row-level DML over parquet-im files keeps values + constants
+    spark.sql("DELETE FROM graft.db.delta_cm WHERE id = 2")
+    val after = spark.sql(
+      "SELECT id, w, p FROM graft.db.delta_cm ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(after === Seq((1L, "a", 7L), (3L, "c", 8L)))
+  }
+
+  test("column-mapped files WITHOUT parquet field ids are refused loudly") {
+    val root = Files.createTempDirectory("delta-cm-noids").toString
+    val s0 = writeCmDataFile(root, "part-noids.parquet", withIds = false,
+      Seq((1L, "a")))
+    GraftIO.writeString(s"$root/_delta_log/${pad20(0)}.json",
+      Seq(cmMetaAction,
+        s"""{"add":{"path":"part-noids.parquet","partitionValues":{"col-ccc":"7"},"size":$s0,"modificationTime":1700000000000,"dataChange":true}}""")
+        .mkString("\n"))
     val e = intercept[Exception](spark.sql(
-      s"CALL graft.system.snapshot_delta('$root', 'db.delta_cm')"))
-    assert(e.getMessage.contains("columnMapping"), e.getMessage)
+      s"CALL graft.system.snapshot_delta('$root', 'db.delta_cm_noids')"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("field ids")),
+      s"a mapped file without ids cannot be served: ${e.getMessage}")
+  }
+
+  test("deletion vectors are rejected before any table is created") {
+    val root = Files.createTempDirectory("delta-dv").toString
+    val s0 = writeDataFile(root, "part-dv.parquet", Seq((1L, "a")))
+    GraftIO.writeString(s"$root/_delta_log/${pad20(0)}.json",
+      Seq(metaAction,
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"add":{"path":"part-dv.parquet","partitionValues":{"p":"1"},"size":$s0,"modificationTime":1700000000000,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t","offset":1,"sizeInBytes":36,"cardinality":2}}}""")
+        .mkString("\n"))
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.snapshot_delta('$root', 'db.delta_dv')"))
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    // nothing was created: the guard runs in the pre-pass
+    assert(new graft.core.meta.HadoopCatalog(warehouse)
+      .loadTable(Seq("db"), "delta_dv").isEmpty)
+    // the FEATURE alone (no DV actually present) does not block import
+    val root2 = Files.createTempDirectory("delta-dv-ok").toString
+    val s1 = writeDataFile(root2, "p=1/part-ok.parquet", Seq((1L, "a")))
+    GraftIO.writeString(s"$root2/_delta_log/${pad20(0)}.json",
+      Seq(metaAction,
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":[]}}""",
+        addAction("p=1/part-ok.parquet", 1L, s1)).mkString("\n"))
+    spark.sql(s"CALL graft.system.snapshot_delta('$root2', 'db.delta_dv_ok')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.delta_dv_ok")
+      .collect()(0).getLong(0) === 1L)
+  }
+
+  test("unknown reader features are rejected") {
+    val root = Files.createTempDirectory("delta-v2cp").toString
+    val s0 = writeDataFile(root, "part-x.parquet", Seq((1L, "a")))
+    GraftIO.writeString(s"$root/_delta_log/${pad20(0)}.json",
+      Seq(metaAction,
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":[]}}""",
+        addAction("part-x.parquet", 1L, s0)).mkString("\n"))
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.snapshot_delta('$root', 'db.delta_v2cp')"))
+    assert(e.getMessage.contains("readerFeatures"), e.getMessage)
+  }
+
+  test("replay streams one version at a time (driver memory stays bounded)") {
+    // a 1,000-version log; open() must NOT materialize the per-version
+    // adds up front. Proof of laziness: corrupt a later version AFTER
+    // open() returns — iteration succeeds up to it and fails only there.
+    val root = Files.createTempDirectory("delta-big").toString
+    val log = s"$root/_delta_log"
+    val lines0 = Seq(metaAction, addAction("f-0.parquet", 0L, 10L))
+    GraftIO.writeString(s"$log/${pad20(0)}.json", lines0.mkString("\n"))
+    (1L until 1000L).foreach(v => GraftIO.writeString(
+      s"$log/${pad20(v)}.json", addAction(s"f-$v.parquet", v % 5, 10L)))
+    val (info, it) = DeltaImport.open(spark, root)
+    assert(info.latestVersion === 999L)
+    assert(info.partitionColumns === Seq("p"))
+    // pass 1 never materialized adds; now break version 600's JSON
+    GraftIO.writeString(s"$log/${pad20(600)}.json", "{not json")
+    var seen = 0L
+    val e = intercept[Exception] {
+      it.foreach { vc =>
+        assert(vc.version === seen, "versions must stream in order")
+        assert(vc.adds.length === 1)
+        seen += 1
+      }
+    }
+    assert(seen === 600L,
+      s"iteration must parse versions lazily, one at a time (got to $seen)")
   }
 
   test("log gaps and non-delta dirs are rejected") {
