@@ -37,6 +37,10 @@ import graft.core.types.GSchema
   *   POST   /v1/namespaces/{ns}/register             {name, metadata-location} → LoadTableResult
   */
 object RestCatalogServer {
+  /** the `scope` form parameter of the most recent token exchange —
+    * observed by tests asserting the client sends one */
+  val lastTokenScope = new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** Start an in-process server over a directory warehouse; returns
     * (server, uri). Backing store: FileTableOps per table, so the server
     * composes with everything the Hadoop catalog supports.
@@ -58,7 +62,13 @@ object RestCatalogServer {
       // exercise the client's AuthSession refresh path
       tokenTtlSec: Long = 3600,
       // vended storage-credential lifetime (expires-at-ms)
-      credTtlMs: Long = 15 * 60 * 1000L): (HttpServer, String) = {
+      credTtlMs: Long = 15 * 60 * 1000L,
+      // ConfigResponse `endpoints` (reference RESTSessionCatalog
+      // Endpoint): when set, the config advertises EXACTLY these routes
+      // and the optional families (plan/views/metrics) outside the list
+      // answer 404 — tests prove clients degrade without error-path
+      // round-trips. None = classic server (everything implied).
+      advertiseEndpoints: Option[Seq[String]] = None): (HttpServer, String) = {
     val backing = new HadoopCatalog(warehouse)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // opaque bearer tokens minted per exchange, token → expiry epoch-ms;
@@ -157,6 +167,7 @@ object RestCatalogServer {
               form.get("client_secret").contains(secret) =>
             val now = System.currentTimeMillis()
             val tok = java.util.UUID.randomUUID().toString
+            form.get("scope").foreach(sc => lastTokenScope.set(sc))
             issuedTokens.put(tok, now + tokenTtlSec * 1000L)
             // sweep expired tokens so re-exchange churn can't grow the
             // registry without bound
@@ -172,10 +183,15 @@ object RestCatalogServer {
     // defaults/overrides a second engine instance merges into its own
     // settings; warehouse doubles as both for this backend
     server.createContext("/v1/config", (x: HttpExchange) =>
-      if (authed(x)) json(x, 200,
-        s"""{"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)},""" +
-          s""" "defaults": {"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)}},""" +
-          s""" "overrides": {}}"""))
+      if (authed(x)) {
+        val eps = advertiseEndpoints.map(_.map(e =>
+          MetaJson.mapper.writeValueAsString(e)).mkString(
+            """, "endpoints": [""", ", ", "]")).getOrElse("")
+        json(x, 200,
+          s"""{"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)},""" +
+            s""" "defaults": {"warehouse": ${MetaJson.mapper.writeValueAsString(warehouse)}},""" +
+            s""" "overrides": {}$eps}""")
+      })
 
     server.createContext("/v1/tables/rename", (x: HttpExchange) =>
       try if (authed(x)) {
@@ -396,7 +412,22 @@ object RestCatalogServer {
               s"invalid view name: $v")
           case _ => ()
         }
-        (x.getRequestMethod, parts) match {
+        // endpoint negotiation: optional families outside the
+        // advertised list refuse with 404 (spec behavior for an
+        // unsupported route), proving a negotiating client never
+        // called them when its run shows no errors
+        val family: Option[String] =
+          if (parts.length >= 4 && parts(1) == "tables" &&
+              (parts(3) == "plan" || parts(3) == "tasks")) Some("/plan")
+          else if (parts.length >= 4 && parts(1) == "tables" &&
+              parts(3) == "metrics") Some("/metrics")
+          else if (parts.length >= 2 && parts(1) == "views") Some("/views")
+          else None
+        val gated = family.exists(f =>
+          !advertiseEndpoints.forall(_.exists(_.contains(f))))
+        if (gated)
+          json(x, 404, s"""{"error": "endpoint not advertised"}""")
+        else (x.getRequestMethod, parts) match {
           // ---- namespace routes (open-api listNamespaces /
           // createNamespace / loadNamespaceMetadata / dropNamespace /
           // updateProperties); properties persist in the namespace
@@ -1110,7 +1141,10 @@ object RestHttp {
   * outlives the catalog. Requests that still bounce 401 (revocation,
   * server restart, clock skew) retry once with a forced re-exchange via
   * [[RestCatalog.withAuthRetry]]. Credential-less sessions are inert. */
-final class AuthSession(uri: String, credential: Option[(String, String)]) {
+final class AuthSession(uri: String, credential: Option[(String, String)],
+    // OAuth2 `scope` on the token exchange (reference OAuth2Util —
+    // clients default to "catalog"); only sent when a credential is
+    scope: Option[String] = None) {
   @volatile private var tok: Option[String] = None
   @volatile private var refreshAtMs: Long = 0L
 
@@ -1124,8 +1158,10 @@ final class AuthSession(uri: String, credential: Option[(String, String)]) {
         // bounded: headers (and thus this exchange) are evaluated on
         // the lone async metrics thread too — a hung token endpoint
         // must not wedge it forever
+        val scopeParam = scope.map(sc => s"&scope=${enc(sc)}").getOrElse("")
         val (code, resp) = RestHttp.post(s"$uri/v1/oauth/tokens",
-          s"grant_type=client_credentials&client_id=${enc(id)}&client_secret=${enc(secret)}",
+          s"grant_type=client_credentials&client_id=${enc(id)}" +
+            s"&client_secret=${enc(secret)}$scopeParam",
           timeoutMs = 30000)
         require(code == 200, s"OAuth token exchange failed: $code $resp")
         val n = MetaJson.mapper.readTree(resp)
@@ -1172,7 +1208,11 @@ final class RestTableOps(
     specCommits: Boolean = false,
     // catalog-level rest-scan-planning=server: plan scans through the
     // server's planTableScan endpoints instead of reading manifests
-    serverPlanning: Boolean = false) extends TableOps {
+    serverPlanning: Boolean = false,
+    // endpoint negotiation (reference RESTSessionCatalog Endpoint): the
+    // server's ConfigResponse advertised the plan routes — false means
+    // the client silently plans locally, no error-path round-trips
+    planAdvertised: Boolean = true) extends TableOps {
 
   private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
   /** run an authed request; one retry with a forced token re-exchange
@@ -1203,9 +1243,10 @@ final class RestTableOps(
   }
 
   /** server-side planning is on when the catalog asked for it OR the
-    * server advertises it per-table (open-api `scan-planning-mode`) */
-  def serverPlanningOn: Boolean =
-    serverPlanning || lastConfig.get("scan-planning-mode").contains("server")
+    * server advertises it per-table (open-api `scan-planning-mode`) —
+    * and the server ADVERTISES the plan routes at all */
+  def serverPlanningOn: Boolean = planAdvertised &&
+    (serverPlanning || lastConfig.get("scan-planning-mode").contains("server"))
 
   /** Plan a snapshot scan through the server (open-api planTableScan +
     * fetchPlanningResult + fetchScanTasks; reference RESTTableScan):
@@ -1372,8 +1413,17 @@ final class RestTableOps(
 final class RestCatalog private (warehouse: String, uri: String,
     session: AuthSession, delegation: Boolean,
     specCommits: Boolean = false,
-    serverPlanning: Boolean = false)
+    serverPlanning: Boolean = false,
+    // ConfigResponse `endpoints`: None = classic server, everything
+    // implied; Some = exactly these routes exist — unadvertised
+    // families (plan/views/metrics) silently degrade client-side
+    endpoints: Option[Set[String]] = None)
   extends HadoopCatalog(warehouse) {
+
+  private def advertised(family: String): Boolean =
+    endpoints.forall(_.exists(_.contains(family)))
+  private[meta] def viewsAdvertised: Boolean = advertised("/views")
+  private[meta] def planAdvertised: Boolean = advertised("/plan")
 
   private def ns(namespace: Seq[String]): String = namespace.mkString(".")
   /** authed request with a single forced-refresh retry on 401 */
@@ -1382,7 +1432,7 @@ final class RestCatalog private (warehouse: String, uri: String,
 
   private def ops(namespace: Seq[String], name: String): RestTableOps =
     new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name,
-      session, delegation, specCommits, serverPlanning)
+      session, delegation, specCommits, serverPlanning, planAdvertised)
 
   /** Load the table's vended storage credentials (requires the catalog
     * to have been connected with access delegation). One fresh set per
@@ -1547,6 +1597,7 @@ final class RestCatalog private (warehouse: String, uri: String,
   // shares with the server
 
   def listViewNames(namespace: Seq[String]): Seq[String] = {
+    if (!viewsAdvertised) return Nil // negotiated away: no round-trip
     val (code, body) = req(RestHttp.get(
       s"$uri/v1/namespaces/${ns(namespace)}/views", _))
     if (code != 200) Nil
@@ -1559,6 +1610,7 @@ final class RestCatalog private (warehouse: String, uri: String,
   }
 
   def loadViewDoc(namespace: Seq[String], name: String): Option[String] = {
+    if (!viewsAdvertised) return None // negotiated away: no round-trip
     val (code, body) = req(RestHttp.get(
       s"$uri/v1/namespaces/${ns(namespace)}/views/$name", _))
     if (code != 200) None
@@ -1575,6 +1627,8 @@ final class RestCatalog private (warehouse: String, uri: String,
   /** store a view document; IllegalStateException on 409 (exists) */
   def putViewDoc(namespace: Seq[String], name: String, doc: String,
       replace: Boolean): Unit = {
+    if (!viewsAdvertised) throw new UnsupportedOperationException(
+      "this REST catalog server does not advertise view endpoints")
     val o = MetaJson.mapper.createObjectNode()
     o.put("replace", replace)
     o.set[com.fasterxml.jackson.databind.JsonNode]("view",
@@ -1592,7 +1646,8 @@ final class RestCatalog private (warehouse: String, uri: String,
   }
 
   def dropViewDoc(namespace: Seq[String], name: String): Boolean =
-    req(RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/views/$name", _))._1 == 200
+    viewsAdvertised &&
+      req(RestHttp.delete(s"$uri/v1/namespaces/${ns(namespace)}/views/$name", _))._1 == 200
 }
 
 object RestCatalog {
@@ -1706,7 +1761,10 @@ object RestCatalog {
   def connect(uri: String, credential: Option[String] = None,
       accessDelegation: Boolean = false,
       specCommits: Boolean = false,
-      serverPlanning: Boolean = false): RestCatalog = {
+      serverPlanning: Boolean = false,
+      // OAuth2 scope on the token exchange; reference clients default
+      // to "catalog" (OAuth2Util.SCOPE)
+      scope: Option[String] = None): RestCatalog = {
     val idSecret = credential.map { cred =>
       cred.split(":", 2) match {
         case Array(i, s) => (i, s)
@@ -1714,15 +1772,28 @@ object RestCatalog {
           "credential must be 'client-id:client-secret'")
       }
     }
-    val session = new AuthSession(uri, idSecret)
+    val session = new AuthSession(uri, idSecret,
+      Some(scope.getOrElse("catalog")))
     session.refreshNow() // fail fast on a bad credential, at connect time
     val (code, body) = withAuthRetry(session)(
       h => RestHttp.get(s"$uri/v1/config", h))
     require(code == 200, s"REST catalog config failed: $code $body")
-    val warehouse = MetaJson.mapper.readTree(body).get("warehouse").asText()
-    wireMetrics(uri, warehouse, session)
+    val cfg = MetaJson.mapper.readTree(body)
+    val warehouse = cfg.get("warehouse").asText()
+    // ConfigResponse `endpoints` (reference RESTSessionCatalog:175,229):
+    // when present the server supports EXACTLY these routes; gate the
+    // optional families on it instead of probing with 404 round-trips
+    val endpoints: Option[Set[String]] =
+      Option(cfg.get("endpoints")).filterNot(_.isNull).map { arr =>
+        val b = Set.newBuilder[String]
+        arr.elements().forEachRemaining(e => b += e.asText())
+        b.result()
+      }
+    def advertised(family: String): Boolean =
+      endpoints.forall(_.exists(_.contains(family)))
+    if (advertised("/metrics")) wireMetrics(uri, warehouse, session)
     new RestCatalog(warehouse, uri, session, accessDelegation, specCommits,
-      serverPlanning)
+      serverPlanning, endpoints)
   }
 
   /** Run an authed request; when the server still answers 401 (token

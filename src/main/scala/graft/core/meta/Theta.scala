@@ -80,7 +80,10 @@ object Theta {
       bb.put(2.toByte).put(3.toByte).put(3.toByte).put(0.toByte).put(0.toByte)
       bb.put((ReadOnly | Compact | Ordered).toByte)
       bb.putShort(defaultSeedHash)
-      bb.putInt(n).putInt(0)
+      // bytes 12-15 carry the sampling probability p as a float;
+      // DataSketches serializes 1.0f there (no sampling) and some
+      // heapify paths read it back
+      bb.putInt(n).putFloat(1.0f)
       coords.foreach(bb.putLong)
       bb.array()
     } else {
@@ -90,7 +93,7 @@ object Theta {
       bb.put(3.toByte).put(3.toByte).put(3.toByte).put(0.toByte).put(0.toByte)
       bb.put((ReadOnly | Compact | Ordered).toByte)
       bb.putShort(defaultSeedHash)
-      bb.putInt(nominal).putInt(0)
+      bb.putInt(nominal).putFloat(1.0f) // p = 1.0f, as DataSketches writes
       bb.putLong(theta)
       var i = 0
       while (i < nominal) { bb.putLong(coords(i)); i += 1 }

@@ -102,10 +102,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // rest-scan-planning=server routes scan planning through the
         // server's planTableScan endpoints (thin-client mode: the
         // manifests never cross the wire)
+        // `scope` rides the OAuth2 token exchange (reference RESTCatalog
+        // `scope` property; defaults to "catalog")
         graft.core.meta.RestCatalog.connect(uri, Option(options.get("credential")),
           Option(options.get("access-delegation")).contains("vended-credentials"),
           Option(options.get("commit-protocol")).contains("spec"),
-          Option(options.get("rest-scan-planning")).contains("server"))
+          Option(options.get("rest-scan-planning")).contains("server"),
+          Option(options.get("scope")))
       case _ => new HadoopCatalog(wh)
     }
     // expiration-aware table cache (reference CachingCatalog +

@@ -1227,4 +1227,89 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"stats must trim to the requested field: $df")
     }
   }
+  test("endpoint negotiation: unadvertised families degrade without round-trips") {
+    // a server advertising ONLY the core table routes: the optional
+    // families (plan/views/metrics) 404 if ever called, so a clean run
+    // proves the client gated them on the ConfigResponse endpoints list
+    val wh2 = Files.createTempDirectory("graft-rest-neg").toString
+    val core = Seq(
+      "GET /v1/config",
+      "GET /v1/namespaces",
+      "POST /v1/namespaces",
+      "GET /v1/namespaces/{namespace}/tables",
+      "POST /v1/namespaces/{namespace}/tables",
+      "GET /v1/namespaces/{namespace}/tables/{table}",
+      "POST /v1/namespaces/{namespace}/tables/{table}/commit",
+      "DELETE /v1/namespaces/{namespace}/tables/{table}",
+      "POST /v1/tables/rename")
+    val (srv, negUri) = RestCatalogServer.start(wh2,
+      credential = Some(("svc", "hunter2")),
+      advertiseEndpoints = Some(core))
+    try {
+      RestCatalogServer.lastTokenScope.set("")
+      // the catalog ASKS for server planning — negotiation must turn it
+      // off silently because the plan routes are not advertised
+      val cat = graft.core.meta.RestCatalog.connect(negUri,
+        credential = Some("svc:hunter2"), serverPlanning = true)
+      // OAuth scope rode the exchange (reference default "catalog")
+      assert(RestCatalogServer.lastTokenScope.get() === "catalog")
+      import graft.core.types.{GField, GLong, GSchema, GStruct}
+      val schema = GSchema(GStruct(Seq(GField(1, "id", GLong, required = true))))
+      val t = cat.createTable(Seq("negdb"), "neg_t", schema)
+      t.updateProperties(Map("k" -> "v"))
+      // scans PLAN LOCALLY (no /plan round-trip, which would 404)
+      assert(cat.loadTable(Seq("negdb"), "neg_t").get.newScan().planFiles().isEmpty)
+      val ops = cat.tableOps(Seq("negdb"), "neg_t")
+        .asInstanceOf[graft.core.meta.RestTableOps]
+      assert(!ops.serverPlanningOn,
+        "plan routes not advertised -> server planning must negotiate off")
+      // view surface degrades: empty/None/unsupported, no 404 churn
+      assert(cat.listViewNames(Seq("negdb")) === Nil)
+      assert(cat.loadViewDoc(Seq("negdb"), "v1").isEmpty)
+      intercept[UnsupportedOperationException](
+        cat.putViewDoc(Seq("negdb"), "v1", "{}", replace = false))
+      assert(!cat.dropViewDoc(Seq("negdb"), "v1"))
+      assert(cat.dropTable(Seq("negdb"), "neg_t", purge = true))
+      // and an explicit scope overrides the default
+      RestCatalogServer.lastTokenScope.set("")
+      graft.core.meta.RestCatalog.connect(negUri,
+        credential = Some("svc:hunter2"), scope = Some("catalog:read"))
+      assert(RestCatalogServer.lastTokenScope.get() === "catalog:read")
+    } finally srv.stop(0)
+  }
+
+  test("endpoint negotiation: an advertising server that includes the families serves them") {
+    val wh2 = Files.createTempDirectory("graft-rest-negall").toString
+    val (srv, aUri) = RestCatalogServer.start(wh2,
+      advertiseEndpoints = Some(Seq(
+        "GET /v1/config",
+        "GET /v1/namespaces",
+        "POST /v1/namespaces",
+        "GET /v1/namespaces/{namespace}/tables",
+        "POST /v1/namespaces/{namespace}/tables",
+        "GET /v1/namespaces/{namespace}/tables/{table}",
+        "POST /v1/namespaces/{namespace}/tables/{table}/commit",
+        "POST /v1/namespaces/{namespace}/tables/{table}/plan",
+        "GET /v1/namespaces/{namespace}/tables/{table}/plan/{plan-id}",
+        "POST /v1/namespaces/{namespace}/tables/{table}/tasks",
+        "POST /v1/namespaces/{namespace}/tables/{table}/metrics",
+        "GET /v1/namespaces/{namespace}/views",
+        "GET /v1/namespaces/{namespace}/views/{view}",
+        "POST /v1/namespaces/{namespace}/views/{view}",
+        "DELETE /v1/namespaces/{namespace}/views/{view}",
+        "DELETE /v1/namespaces/{namespace}/tables/{table}")))
+    try {
+      val cat = graft.core.meta.RestCatalog.connect(aUri,
+        serverPlanning = true)
+      import graft.core.types.{GField, GLong, GSchema, GStruct}
+      val schema = GSchema(GStruct(Seq(GField(1, "id", GLong, required = true))))
+      cat.createTable(Seq("adb"), "a_t", schema)
+      val ops = cat.tableOps(Seq("adb"), "a_t")
+        .asInstanceOf[graft.core.meta.RestTableOps]
+      assert(ops.serverPlanningOn, "advertised plan routes stay usable")
+      cat.putViewDoc(Seq("adb"), "av", """{"view-uuid":"u1"}""", replace = false)
+      assert(cat.listViewNames(Seq("adb")) === Seq("av"))
+      assert(cat.dropViewDoc(Seq("adb"), "av"))
+    } finally srv.stop(0)
+  }
 }
