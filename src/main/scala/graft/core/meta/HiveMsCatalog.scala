@@ -441,8 +441,22 @@ final class HiveTableOps(
             t.getParameters.put(VersionKey, (baseVersion + 1).toString)
             // keep the HMS-visible schema current (reference refreshes
             // HMS columns on commit so SHOW in other engines is honest)
+            val oldCols = new java.util.ArrayList[FieldSchema](t.getSd.getCols)
             t.getSd.setCols(hmsCols(toWrite.schema))
-            hive.sync(_.alter_table(db, name, t))
+            try hive.sync(_.alter_table(db, name, t))
+            catch {
+              case e: InvalidOperationException
+                if Option(e.getMessage).exists(
+                  _.toLowerCase.contains("incompatible")) =>
+                // a strict metastore (hive.metastore.disallow.
+                // incompatible.col.type.changes=true, the 2.3 default)
+                // rejects the COSMETIC column refresh when evolution
+                // reuses a position with a new type (drop+add). The
+                // pointer swap is the commit; keep the old visible
+                // columns rather than failing the table's real state
+                t.getSd.setCols(oldCols)
+                hive.sync(_.alter_table(db, name, t))
+            }
             true
           }
       }

@@ -44,9 +44,10 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private final case class MCol(fid: Int, var name: String, var tpe: String)
 
   private def runSeed(seed: Int, steps: Int,
-      format: String = "parquet", icebergCompat: Boolean = false): Unit = {
+      format: String = "parquet", icebergCompat: Boolean = false,
+      cat: String = "gse"): Unit = {
     val name = s"sevo_${seed}_$format${if (icebergCompat) "_ice" else ""}"
-    val fq = s"gse.db.$name"
+    val fq = s"$cat.db.$name"
     val compatProp =
       if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
     spark.sql(s"""CREATE TABLE $fq (id BIGINT)
@@ -184,14 +185,14 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (rng.nextBoolean()) {
             // compaction rewrites old files under the CURRENT schema —
             // the reads must not change
-            spark.sql(s"CALL gse.system.rewrite_data_files(table => 'db.$name')")
+            spark.sql(s"CALL $cat.system.rewrite_data_files(table => 'db.$name')")
             "rewrite_data_files"
           } else {
             // expiry drops the snapshots that recorded each file's write
             // schema: the entry-persisted write-schema-id must keep
             // renamed columns readable
             spark.sql(
-              s"CALL gse.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
+              s"CALL $cat.system.expire_snapshots(table => 'db.$name', retain_last => 1)")
             "expire_snapshots"
           }
       }
@@ -217,6 +218,61 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     runSeed(23, 30, icebergCompat = true)
   }
 
+  /** boot an in-process STANDALONE thrift metastore over its own Derby
+    * (HiveCatalogSpec pattern) — the client side then speaks pure
+    * thrift, so no second embedded HMSHandler pollutes this JVM */
+  private lazy val thriftCatalog: String = {
+    val msDir = Files.createTempDirectory("graft-sevo-thrift").toString
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val msConf = new org.apache.hadoop.hive.conf.HiveConf()
+    msConf.set("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=$msDir/ms_db;create=true")
+    msConf.set("javax.jdo.option.ConnectionDriverName",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    msConf.set("hive.metastore.schema.verification", "false")
+    msConf.set("datanucleus.schema.autoCreateAll", "true")
+    msConf.set("datanucleus.connectionPoolingType", "DBCP")
+    msConf.set("hive.metastore.warehouse.dir", s"file://$msDir/wh")
+    graft.core.meta.HiveMs.ensureTxnSchema(
+      s"jdbc:derby:;databaseName=$msDir/ms_db;create=true")
+    @volatile var startupError: Throwable = null
+    val server = new Thread(() =>
+      try org.apache.hadoop.hive.metastore.HiveMetaStore.startMetaStore(
+        port, org.apache.hadoop.hive.shims.ShimLoader.getHadoopThriftAuthBridge,
+        msConf)
+      catch { case e: Throwable => startupError = e }, "sevo-hms-thrift")
+    server.setDaemon(true)
+    server.start()
+    val deadline = System.currentTimeMillis() + 60000
+    var up = false
+    while (!up && startupError == null &&
+        System.currentTimeMillis() < deadline) {
+      try {
+        val sck = new java.net.Socket("127.0.0.1", port)
+        sck.close(); up = true
+      } catch { case _: Throwable => Thread.sleep(200) }
+    }
+    assert(up, s"thrift metastore did not start: ${Option(startupError)
+      .map(_.toString).getOrElse("timeout")}")
+    spark.conf.set("spark.sql.catalog.gseh", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gseh.warehouse", s"$msDir/wh")
+    spark.conf.set("spark.sql.catalog.gseh.catalog-impl", "hive")
+    spark.conf.set("spark.sql.catalog.gseh.uri", s"thrift://127.0.0.1:$port")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gseh.db")
+    "gseh"
+  }
+
+  // every evolution step's commit (schema DDL, appends, compaction,
+  // expiry) CASes the metadata_location pointer over the WIRE through a
+  // standalone thrift metastore — the deployment shape the embedded
+  // DmlFuzz gfzh arm cannot cover
+  test("seeded schema-evolution fuzz over a thrift Hive Metastore, seed 31") {
+    runSeed(31, 30, cat = thriftCatalog)
+  }
+
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
   sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
     val base = (System.nanoTime() % 1000000).toInt
@@ -224,7 +280,8 @@ class SchemaEvolutionFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       test(s"soak schema-evolution fuzz, seed ${base + i}") {
         runSeed(base + i, 25,
           format = if (i % 3 == 2) "orc" else "parquet",
-          icebergCompat = i % 2 == 1)
+          icebergCompat = i % 2 == 1,
+          cat = if (i % 4 == 3) thriftCatalog else "gse")
       }
     }
   }
