@@ -77,7 +77,10 @@ object Bench {
     // its number read as a regression.
     final case class QResult(name: String, median: Double,
       samples: Seq[Double], valid: Boolean)
-    def sampleBlock(q: graft.queries.Q): (Double, Seq[Double], Boolean) = {
+    // (median, samples, valid, canariesOk): canariesOk separates REAL
+    // burst evidence (a tripped native canary) from a spread trip that a
+    // query's own fast-fail samples can fabricate
+    def sampleBlock(q: graft.queries.Q): (Double, Seq[Double], Boolean, Boolean) = {
       val preOk = calmQuick()
       val samples = (1 to 5).map { _ =>
         spark.catalog.clearCache()
@@ -91,15 +94,22 @@ object Bench {
       val sorted = samples.sorted
       val spreadOk = sorted.head <= 0 || sorted(2) <= sorted.head * 4
       val postOk = calmQuick()
-      (sorted(2), samples, preOk && postOk && spreadOk)
+      (sorted(2), samples, preOk && postOk && spreadOk, preOk && postOk)
     }
     var blockRetries = 0
     def sampleQuery(q: graft.queries.Q): QResult = {
       var attempt = 0
-      var out: (Double, Seq[Double], Boolean) = null
-      while (attempt == 0 || (!out._3 && attempt < 3 &&
-          !failed.contains(q.name))) {
-        if (attempt > 0) { blockRetries += 1; Thread.sleep(15000) }
+      var out: (Double, Seq[Double], Boolean, Boolean) = null
+      // retry an invalid block; a query that FAILED retries only when a
+      // canary actually tripped (the failure may be the burst itself) —
+      // a failure with calm canaries is an engine bug and must report
+      while (attempt == 0 ||
+          (!out._3 && attempt < 3 && (!out._4 || !failed.contains(q.name)))) {
+        if (attempt > 0) {
+          blockRetries += 1
+          if (!out._4) failed.remove(q.name) // burst-evidence forgiveness
+          Thread.sleep(15000)
+        }
         out = sampleBlock(q)
         attempt += 1
       }

@@ -64,14 +64,16 @@ object HiveMs {
     @volatile var heartbeatIntervalMs: Long = math.max(txnTimeoutMs / 2, 500L)
   }
 
-  // one embedded client per (Derby path, warehouse), shared across
-  // catalog initializations: concurrent first-boots would race the
-  // datanucleus schema auto-create, and N ObjectStores over one Derby
-  // buy nothing. The warehouse is part of the key because the client
-  // bakes hive.metastore.warehouse.dir in — two catalogs sharing a
-  // Derby path with different warehouses must not inherit each other's
+  // one embedded client per Derby path, shared across catalog
+  // initializations: concurrent first-boots would race the datanucleus
+  // schema auto-create, N ObjectStores over one Derby buy nothing, and
+  // HMSHandler keeps static per-JVM/per-thread state — one embedded
+  // metastore per Derby, full stop. The client bakes
+  // hive.metastore.warehouse.dir in, so a second catalog reusing the
+  // same Derby path with a DIFFERENT warehouse fails loudly instead of
+  // silently inheriting the first one's
   private val embedded =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Client]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Client, String)]()
 
   /** Build a client. `uri` = thrift metastore; absent = embedded over
     * Derby at `dbPath` (created on first use). */
@@ -86,7 +88,7 @@ object HiveMs {
         whDir(conf)
         new Client(conf)
       case None =>
-        embedded.computeIfAbsent((dbPath, warehouseDir), _ => {
+        val (client, wh) = embedded.computeIfAbsent(dbPath, _ => {
           // keep Derby's log next to the metastore db, not in the
           // process working directory. Best-effort: the property is
           // JVM-global and Derby reads it once at engine boot, so the
@@ -106,8 +108,17 @@ object HiveMs {
           conf.set("datanucleus.connectionPoolingType", "DBCP")
           ensureTxnSchema(s"jdbc:derby:;databaseName=$dbPath;create=true")
           whDir(conf)
-          new Client(conf)
+          (new Client(conf), warehouseDir)
         })
+        // equivalent spellings (file:// scheme, trailing slash) are the
+        // same warehouse — only a genuinely different location aborts
+        def normWh(w: String): String =
+          if (w.contains("://") && !w.startsWith("file:")) w.stripSuffix("/")
+          else ("/" + w.stripPrefix("file:").dropWhile(_ == '/')).stripSuffix("/")
+        require(normWh(wh) == normWh(warehouseDir),
+          s"embedded metastore at $dbPath already serves warehouse $wh; " +
+            s"cannot reopen it for $warehouseDir")
+        client
     }
   }
 
@@ -184,8 +195,15 @@ object HiveMs {
           // later as an inscrutable lock-API failure
           case e: java.sql.SQLException if sql.startsWith("INSERT") =>
             val table = sql.split("\\s+")(2)
-            val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
-            val seeded = try { rs.next() && rs.getLong(1) > 0 } finally rs.close()
+            // the probe can hit the same transient lock as the racing
+            // INSERT — surface the ORIGINAL failure, never the probe's
+            val seeded =
+              try {
+                val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+                try rs.next() && rs.getLong(1) > 0 finally rs.close()
+              } catch { case p: java.sql.SQLException =>
+                e.addSuppressed(p); throw e
+              }
             if (!seeded) throw e
         }
       } finally st.close()

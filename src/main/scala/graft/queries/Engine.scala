@@ -2451,7 +2451,8 @@ object Engine {
       val cat = new HadoopCatalog(wh)
       s.conf.set("spark.sql.catalog.graft", classOf[graft.spark.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      if (!cat.loadTable(Seq("db"), "cat_imp_pq").isDefined) {
+      if (!cat.loadTable(Seq("db"), "cat_imp_pq").isDefined ||
+          !cat.loadTable(Seq("db"), "cat_imp_orc").isDefined) {
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
         // idempotent re-entry: wipe partial source trees + half-created
         // tables from a crashed prior attempt

@@ -111,13 +111,16 @@ object DeltaImport {
 
   private def checkProtocol(minReader: Int, features: Seq[String]): Unit = {
     // minReaderVersion 1 = base, 2 = column mapping (now served via the
-    // field-id read path), 3 = explicit reader-feature list
-    if (minReader >= 3) {
+    // field-id read path), 3 = explicit reader-feature list; anything
+    // NEWER is an unknown protocol whose semantics (new file-masking
+    // mechanisms, say) cannot be honored — refuse loudly
+    require(minReader <= 3,
+      s"cannot import Delta table: unsupported minReaderVersion $minReader")
+    if (minReader == 3) {
       val unsafe = features.filterNot(SafeReaderFeatures)
       require(unsafe.isEmpty,
         s"cannot import Delta table: unsupported readerFeatures ${unsafe.mkString(", ")}")
-    } else require(minReader <= 2,
-      s"cannot import Delta table: minReaderVersion $minReader")
+    }
   }
 
   /** Pass 1 over a JSON version: metaData + protocol only; rejects any
@@ -292,19 +295,6 @@ object DeltaImport {
         vConfig.result())
     }
     (info, cpIt ++ jsonIt)
-  }
-
-  /** Back-compat eager read (tests, small logs): materializes every
-    * version. Production import goes through [[open]]. */
-  final case class DeltaLog(changes: Seq[VersionChange],
-      schema: StructType, partitionColumns: Seq[String],
-      columnMapping: Option[String] = None) {
-    def latestVersion: Long = changes.last.version
-  }
-
-  def readLog(spark: SparkSession, tableDir: String): DeltaLog = {
-    val (info, it) = open(spark, tableDir)
-    DeltaLog(it.toSeq, info.schema, info.partitionColumns, info.columnMapping)
   }
 
   /** Column-mapped schema (PROTOCOL.md column-mapping): every struct

@@ -66,7 +66,12 @@ object GraftChangesTable {
       // NAME, so files written before a rename read under their
       // write-time names through a per-schema reader
       format: String = "parquet",
-      writeSchemaId: Int = -1) extends InputPartition
+      writeSchemaId: Int = -1,
+      // spec id + partition tuple of the data file, for the identity-
+      // constant fill over imported (nm/im) files that physically lack
+      // their identity-partition columns — same rule as the batch scan
+      specId: Int = -1,
+      partition: Array[Any] = Array.empty) extends InputPartition
 }
 
 final class GraftChangesTable(table: GTable, fullName: String)
@@ -163,7 +168,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
           tasks += ChangeTask(e.file.path, e.file.fileSizeBytes, "INSERT",
             ordinal, sn.snapshotId, Array.empty,
             format = e.file.format,
-            writeSchemaId = e.writeSchemaId.getOrElse(schemaIdOf(e.snapshotId)))
+            writeSchemaId = e.writeSchemaId.getOrElse(schemaIdOf(e.snapshotId)),
+            specId = e.file.specId, partition = e.file.partition.toArray)
         }
       // position-delete files live in the PARENT state: rows they mask
       // were deleted by EARLIER snapshots and must not be re-reported by
@@ -192,7 +198,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
           tasks += ChangeTask(f.path, f.fileSizeBytes, "DELETE",
             ordinal, sn.snapshotId, Array.empty, maskPaths = maskFor(path),
             maskFormats = maskFmts(path),
-            format = f.format, writeSchemaId = ws)
+            format = f.format, writeSchemaId = ws,
+            specId = f.specId, partition = f.partition.toArray)
         }
       }
       // delete files added in this snapshot (merge-on-read)
@@ -223,7 +230,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
             maskPaths = maskFor(dataFile.path),
             posDelFormats = deletes.map(_.format).toArray,
             maskFormats = maskFmts(dataFile.path),
-            format = dataFile.format, writeSchemaId = ws)
+            format = dataFile.format, writeSchemaId = ws,
+            specId = dataFile.specId, partition = dataFile.partition.toArray)
         }
       }
       // equality-delete files added in this snapshot (streaming upsert /
@@ -244,7 +252,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
                 eqDeletePaths = eqFiles.map(_.path).toArray,
                 eqDelFormats = eqFiles.map(_.format).toArray,
                 eqKeyPositions = keyPos,
-                format = dataFile.format, writeSchemaId = ws)
+                format = dataFile.format, writeSchemaId = ws,
+                specId = dataFile.specId, partition = dataFile.partition.toArray)
             }
           }
         }
@@ -335,10 +344,23 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       if (delFmts("avro")) GraftAvro.ReadFunc(dataSchema.json) else null
     val orcEqFunc =
       if (delFmts("orc")) reader(isOrc = true)(stripped) else null
+    // identity-partition constants for imported (nm/im) files — same
+    // construction as the batch scan's identityConsts (reference
+    // PartitionUtil.constantsMap): specId -> (source name, tuple index)
+    val identityConsts: Map[Int, Seq[(String, Int)]] =
+      if (!fmts.exists(f => f == "parquet-nm" || f == "orc-nm" ||
+          f == "parquet-im")) Map.empty
+      else table.meta.specs.map { sp =>
+        sp.specId -> sp.fields.zipWithIndex.flatMap { case (pfld, i) =>
+          if (pfld.transform != graft.core.transform.IdentityT) None
+          else table.schema.byId.get(pfld.sourceId).map(src => (src.name, i))
+        }
+      }.filter(_._2.nonEmpty).toMap
     new ChangesReaderFactory(rowFunc, deleteFunc, dataSchema,
       graft.core.meta.TableCrypto.resolve(table.meta),
       orcFunc, orcHist, avroFunc, nmFunc, nmHist,
-      avroDeleteFunc, orcDeleteFunc, avroEqFunc, orcEqFunc)
+      avroDeleteFunc, orcDeleteFunc, avroEqFunc, orcEqFunc,
+      identityConsts)
   }
 
   private final class ChangesReaderFactory(
@@ -357,19 +379,41 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       avroDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
       orcDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
       avroEqFunc: PartitionedFile => Iterator[InternalRow] = null,
-      orcEqFunc: PartitionedFile => Iterator[InternalRow] = null)
+      orcEqFunc: PartitionedFile => Iterator[InternalRow] = null,
+      identityConsts: Map[Int, Seq[(String, Int)]] = Map.empty)
     extends PartitionReaderFactory {
+
+    /** wrap an imported-format reader so identity-partition source
+      * columns come from the task's partition tuple instead of the
+      * (absent) file column — the batch scan's identityFill, for CDC */
+    private def identityFill(t: ChangeTask,
+        f: PartitionedFile => Iterator[InternalRow])
+        : PartitionedFile => Iterator[InternalRow] = {
+      if (f == null) return f
+      val consts = identityConsts.getOrElse(t.specId, Nil)
+      if (consts.isEmpty) return f
+      GraftSparkTable.identityFillProjection(
+          dataSchema, consts, t.partition.toSeq) match {
+        case Some(proj) => pfile => f(pfile).map(proj)
+        case None       => f
+      }
+    }
 
     /** format-dispatched reader for a change task's DATA file (equality-
       * delete files stay on the parquet rowFunc — the delta writer always
       * writes deletes as parquet) */
     private def dataFunc(t: ChangeTask): PartitionedFile => Iterator[InternalRow] =
       t.format match {
-        case "orc" | "orc-nm" => orcHist.getOrElse(t.writeSchemaId, orcFunc)
-        case "parquet-nm" => nmHist.getOrElse(t.writeSchemaId, nmFunc)
-        case "avro"       => avroFunc
+        case "orc"    => orcHist.getOrElse(t.writeSchemaId, orcFunc)
+        case "orc-nm" =>
+          identityFill(t, orcHist.getOrElse(t.writeSchemaId, orcFunc))
+        case "parquet-nm" =>
+          identityFill(t, nmHist.getOrElse(t.writeSchemaId, nmFunc))
         // parquet-im: the id-resolved reader serves column-mapped files
-        // directly (ids are the table's ids by construction)
+        // directly (ids are the table's ids by construction); the
+        // partition columns still exist only in metadata
+        case "parquet-im" => identityFill(t, rowFunc)
+        case "avro"       => avroFunc
         case _            => rowFunc
       }
 

@@ -1831,7 +1831,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       var records = 0L
       var versions = 0L
       var latest = info.latestVersion
-      changes.foreach { vc =>
+      // a mid-replay failure the pre-pass cannot see (e.g. a mapped file
+      // without field ids) must not leave a half-created table behind —
+      // drop what this call created, then rethrow
+      try changes.foreach { vc =>
         latest = vc.version
         if (vc.adds.nonEmpty || vc.removes.nonEmpty) {
           val withPartitions = vc.adds.map { case (path, pv) =>
@@ -1858,6 +1861,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           records += dataFiles.map(_.recordCount).sum
           versions += 1
         }
+      }
+      catch {
+        case e: Throwable =>
+          try catalog.dropTable(ns, tbl, purge = true)
+          catch { case c: Throwable => e.addSuppressed(c) }
+          throw e
       }
       out(StructType(Seq(
           StructField("imported_files_count", LongType),
@@ -1905,10 +1914,19 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         else graft.core.expr.PartitionSpec.of(gSchema, partCols.map(c =>
           c -> (graft.core.transform.IdentityT: graft.core.transform.Transform)): _*)
       catalog.createTable(ns, tbl, gSchema, spec0)
-      // delegate file registration to the same footer-based import
-      val addProc = new GraftProcedure("add_files", catalog)
-      addProc.call(new GenericInternalRow(Array[Any](
-        s(tblName), s(srcArg))))
+      // delegate file registration to the same footer-based import; a
+      // registration failure must not leave a half-created table that
+      // blocks re-runs (same abort contract as snapshot_delta)
+      try {
+        val addProc = new GraftProcedure("add_files", catalog)
+        addProc.call(new GenericInternalRow(Array[Any](
+          s(tblName), s(srcArg))))
+      } catch {
+        case e: Throwable =>
+          try catalog.dropTable(ns, tbl, purge = true)
+          catch { case c: Throwable => e.addSuppressed(c) }
+          throw e
+      }
 
     case "migrate" =>
       // like snapshot, but records provenance and is intended to REPLACE

@@ -487,6 +487,35 @@ object GraftSparkTable {
     case x                       => x
   }
 
+  /** THE identity-constant fill rule (reference PartitionUtil
+    * .constantsMap), shared by the batch scan and the CDC scan so the
+    * two read paths can never serve different values for an imported
+    * file's metadata-only partition columns (the compaction rewrite
+    * applies the same rule in DataFrame form): overwrite each identity
+    * source column at its position in `schema` with the task's
+    * partition-tuple value. None when nothing needs filling. */
+  def identityFillProjection(schema: StructType,
+      consts: Seq[(String, Int)], partition: Seq[Any])
+      : Option[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+    val over: Map[Int, Any] = consts.flatMap { case (name, pi) =>
+      val pos = schema.fieldNames.indexOf(name)
+      if (pos < 0 || pi >= partition.length) None
+      else Some(pos -> partitionValueToInternal(partition(pi)))
+    }.toMap
+    if (over.isEmpty) None
+    else {
+      val exprs = schema.fields.zipWithIndex.map { case (fd, i) =>
+        over.get(i) match {
+          case Some(v) => Literal(v, fd.dataType)
+          case None    => BoundReference(i, fd.dataType, nullable = true)
+        }
+      }
+      Some(UnsafeProjection.create(
+        exprs.toArray[org.apache.spark.sql.catalyst.expressions.Expression]))
+    }
+  }
+
   final case class TaskDesc(path: String, start: Long, length: Long,
       deletePaths: Array[String],
       eqDeletes: Array[EqDeleteDesc] = Array.empty,
@@ -1753,7 +1782,7 @@ object GraftSparkTable {
             sp.specId -> sp.fields.zipWithIndex.flatMap { case (pfld, i) =>
               if (pfld.transform != graft.core.transform.IdentityT) None
               else table.schema.byId.get(pfld.sourceId).map(src =>
-                (src.name, i, src.tpe))
+                (src.name, i))
             }
           }.filter(_._2.nonEmpty).toMap
           if (formats("parquet-nm") || formats("orc-nm") ||
@@ -1889,14 +1918,14 @@ object GraftSparkTable {
       orcDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
       avroDeleteFunc: PartitionedFile => Iterator[InternalRow] = null,
       orcDelFullFunc: PartitionedFile => Iterator[InternalRow] = null,
-      // identity-partition constants for name-mapped imports (reference
-      // PartitionUtil.constantsMap): specId -> (source column name,
-      // partition tuple index, partition result type). Delta-layout and
-      // hive-layout parquet physically LACKS its partition columns — the
-      // reader must serve them from the task's partition tuple, or they
-      // read as null. Applied on the parquet-nm row paths (nm files
-      // never take the columnar path).
-      identityConsts: Map[Int, Seq[(String, Int, GType)]] = Map.empty,
+      // identity-partition constants for name-mapped/id-mapped imports
+      // (reference PartitionUtil.constantsMap): specId -> (source column
+      // name, partition tuple index). Delta-layout and hive-layout files
+      // physically LACK their partition columns — the reader must serve
+      // them from the task's partition tuple, or they read as null.
+      // Applied on the nm/im row paths (those never take the columnar
+      // path).
+      identityConsts: Map[Int, Seq[(String, Int)]] = Map.empty,
       // exact output schemas of the parquet-nm readers (filtered /
       // no-filter / full-eq), for positioning the constant projection
       nmRowSchema: StructType = new StructType(),
@@ -1919,24 +1948,11 @@ object GraftSparkTable {
         t.fileFormat != "parquet-im") || f == null) return f
       val consts = identityConsts.getOrElse(t.specId, Nil)
       if (consts.isEmpty) return f
-      val over: Map[Int, Any] = consts.flatMap { case (name, pi, gt) =>
-        val pos = schema.fieldNames.indexOf(name)
-        if (pos < 0 || pi >= t.partition.length) None
-        else {
-          val _ = gt // types already encoded in `schema`
-          Some(pos -> GraftSparkTable.partitionValueToInternal(t.partition(pi)))
-        }
-      }.toMap
-      if (over.isEmpty) return f
-      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
-      val exprs = schema.fields.zipWithIndex.map { case (fd, i) =>
-        over.get(i) match {
-          case Some(v) => Literal(v, fd.dataType)
-          case None    => BoundReference(i, fd.dataType, nullable = true)
-        }
+      GraftSparkTable.identityFillProjection(
+          schema, consts, t.partition.toSeq) match {
+        case Some(proj) => pfile => f(pfile).map(proj)
+        case None       => f
       }
-      val proj = UnsafeProjection.create(exprs.toArray[org.apache.spark.sql.catalyst.expressions.Expression])
-      pfile => f(pfile).map(proj)
     }
 
     // per-executor shred helpers (transient: rebuilt after serialization)

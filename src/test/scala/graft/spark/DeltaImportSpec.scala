@@ -213,6 +213,81 @@ class DeltaImportSpec extends AnyFunSuite with BeforeAndAfterAll {
       "partition constant must fill even for field-id-bearing files")
   }
 
+  test("changelog over imported files serves identity-partition constants") {
+    // the CDC read path routes nm/im files through its own readers —
+    // without the identity fill, every change row read NULL for the
+    // partition column that exists only in the log/metadata
+    val root = Files.createTempDirectory("delta-cdc-src").toString
+    val s0 = writeDataFile(root, "p=4/part-cdc0.parquet", Seq((1L, "a"), (2L, "b")))
+    val s1 = writeDataFile(root, "p=5/part-cdc1.parquet", Seq((3L, "c")))
+    val log = s"$root/_delta_log"
+    GraftIO.writeString(s"$log/${pad20(0)}.json",
+      Seq(metaAction, addAction("p=4/part-cdc0.parquet", 4L, s0)).mkString("\n"))
+    GraftIO.writeString(s"$log/${pad20(1)}.json",
+      Seq(removeAction("p=4/part-cdc0.parquet"),
+        addAction("p=5/part-cdc1.parquet", 5L, s1)).mkString("\n"))
+    spark.sql(s"CALL graft.system.snapshot_delta('$root', 'db.delta_cdc')")
+    val ch = spark.sql(
+      """SELECT _change_type, id, p FROM graft.db.delta_cdc.changes
+         ORDER BY _change_ordinal, _change_type, id""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ch === Seq(
+      ("INSERT", 1L, 4L), ("INSERT", 2L, 4L),
+      ("DELETE", 1L, 4L), ("DELETE", 2L, 4L), ("INSERT", 3L, 5L)),
+      "CDC rows over nm files must carry the partition constants")
+    // column-mapped (parquet-im) files too
+    val root2 = Files.createTempDirectory("delta-cdc-cm").toString
+    val c0 = writeCmDataFile(root2, "part-cmc.parquet", withIds = true,
+      Seq((9L, "z")))
+    GraftIO.writeString(s"$root2/_delta_log/${pad20(0)}.json",
+      Seq(cmMetaAction,
+        s"""{"add":{"path":"part-cmc.parquet","partitionValues":{"col-ccc":"6"},"size":$c0,"modificationTime":1700000000000,"dataChange":true}}""")
+        .mkString("\n"))
+    spark.sql(s"CALL graft.system.snapshot_delta('$root2', 'db.delta_cdc_cm')")
+    val ch2 = spark.sql(
+      "SELECT _change_type, id, p FROM graft.db.delta_cdc_cm.changes").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ch2 === Seq(("INSERT", 9L, 6L)))
+  }
+
+  test("a failed mid-replay import leaves no half-created table") {
+    // mapped table whose SECOND version adds an id-less file: the
+    // pre-pass cannot see it, so the abort must drop what was created
+    val root = Files.createTempDirectory("delta-abort").toString
+    val ok0 = writeCmDataFile(root, "part-ok.parquet", withIds = true,
+      Seq((1L, "a")))
+    val bad = writeCmDataFile(root, "part-bad.parquet", withIds = false,
+      Seq((2L, "b")))
+    GraftIO.writeString(s"$root/_delta_log/${pad20(0)}.json",
+      Seq(cmMetaAction,
+        s"""{"add":{"path":"part-ok.parquet","partitionValues":{"col-ccc":"1"},"size":$ok0,"modificationTime":1700000000000,"dataChange":true}}""")
+        .mkString("\n"))
+    GraftIO.writeString(s"$root/_delta_log/${pad20(1)}.json",
+      s"""{"add":{"path":"part-bad.parquet","partitionValues":{"col-ccc":"2"},"size":$bad,"modificationTime":1700000000000,"dataChange":true}}""")
+    intercept[Exception](spark.sql(
+      s"CALL graft.system.snapshot_delta('$root', 'db.delta_abort')"))
+    assert(new graft.core.meta.HadoopCatalog(warehouse)
+      .loadTable(Seq("db"), "delta_abort").isEmpty,
+      "an aborted import must drop the half-created table")
+    // and the name is reusable after remediation
+    GraftIO.deleteTree(s"$root/_delta_log/${pad20(1)}.json")
+    spark.sql(s"CALL graft.system.snapshot_delta('$root', 'db.delta_abort')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.delta_abort")
+      .collect()(0).getLong(0) === 1L)
+  }
+
+  test("future Delta protocol versions are refused") {
+    val root = Files.createTempDirectory("delta-v4").toString
+    val s0 = writeDataFile(root, "part-v4.parquet", Seq((1L, "a")))
+    GraftIO.writeString(s"$root/_delta_log/${pad20(0)}.json",
+      Seq(metaAction,
+        s"""{"protocol":{"minReaderVersion":4,"minWriterVersion":9}}""",
+        addAction("part-v4.parquet", 1L, s0)).mkString("\n"))
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.snapshot_delta('$root', 'db.delta_v4')"))
+    assert(e.getMessage.contains("minReaderVersion"), e.getMessage)
+  }
+
   test("the literal string partition value 'null' survives import") {
     import graft.core.types._
     assert(DeltaImport.parsePartitionValue(GString, "null") === "null")
