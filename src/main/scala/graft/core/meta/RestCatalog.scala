@@ -37,9 +37,10 @@ import graft.core.types.GSchema
   *   POST   /v1/namespaces/{ns}/register             {name, metadata-location} → LoadTableResult
   */
 object RestCatalogServer {
-  /** the `scope` form parameter of the most recent token exchange —
-    * observed by tests asserting the client sends one */
+  /** the `scope`/`audience` form parameters of the most recent token
+    * exchange — observed by tests asserting the client sends them */
   val lastTokenScope = new java.util.concurrent.atomic.AtomicReference[String]("")
+  val lastTokenAudience = new java.util.concurrent.atomic.AtomicReference[String]("")
 
   /** Start an in-process server over a directory warehouse; returns
     * (server, uri). Backing store: FileTableOps per table, so the server
@@ -168,6 +169,7 @@ object RestCatalogServer {
             val now = System.currentTimeMillis()
             val tok = java.util.UUID.randomUUID().toString
             form.get("scope").foreach(sc => lastTokenScope.set(sc))
+            form.get("audience").foreach(a => lastTokenAudience.set(a))
             issuedTokens.put(tok, now + tokenTtlSec * 1000L)
             // sweep expired tokens so re-exchange churn can't grow the
             // registry without bound
@@ -1142,9 +1144,11 @@ object RestHttp {
   * server restart, clock skew) retry once with a forced re-exchange via
   * [[RestCatalog.withAuthRetry]]. Credential-less sessions are inert. */
 final class AuthSession(uri: String, credential: Option[(String, String)],
-    // OAuth2 `scope` on the token exchange (reference OAuth2Util —
-    // clients default to "catalog"); only sent when a credential is
-    scope: Option[String] = None) {
+    // OAuth2 `scope`/`audience` on the token exchange (reference
+    // OAuth2Util — clients default scope to "catalog"; audience rides
+    // only when configured); only sent when a credential is
+    scope: Option[String] = None,
+    audience: Option[String] = None) {
   @volatile private var tok: Option[String] = None
   @volatile private var refreshAtMs: Long = 0L
 
@@ -1158,7 +1162,8 @@ final class AuthSession(uri: String, credential: Option[(String, String)],
         // bounded: headers (and thus this exchange) are evaluated on
         // the lone async metrics thread too — a hung token endpoint
         // must not wedge it forever
-        val scopeParam = scope.map(sc => s"&scope=${enc(sc)}").getOrElse("")
+        val scopeParam = scope.map(sc => s"&scope=${enc(sc)}").getOrElse("") +
+          audience.map(a => s"&audience=${enc(a)}").getOrElse("")
         val (code, resp) = RestHttp.post(s"$uri/v1/oauth/tokens",
           s"grant_type=client_credentials&client_id=${enc(id)}" +
             s"&client_secret=${enc(secret)}$scopeParam",
@@ -1763,8 +1768,9 @@ object RestCatalog {
       specCommits: Boolean = false,
       serverPlanning: Boolean = false,
       // OAuth2 scope on the token exchange; reference clients default
-      // to "catalog" (OAuth2Util.SCOPE)
-      scope: Option[String] = None): RestCatalog = {
+      // to "catalog" (OAuth2Util.SCOPE). `audience` rides only when set.
+      scope: Option[String] = None,
+      audience: Option[String] = None): RestCatalog = {
     val idSecret = credential.map { cred =>
       cred.split(":", 2) match {
         case Array(i, s) => (i, s)
@@ -1773,7 +1779,7 @@ object RestCatalog {
       }
     }
     val session = new AuthSession(uri, idSecret,
-      Some(scope.getOrElse("catalog")))
+      Some(scope.getOrElse("catalog")), audience)
     session.refreshNow() // fail fast on a bad credential, at connect time
     val (code, body) = withAuthRetry(session)(
       h => RestHttp.get(s"$uri/v1/config", h))

@@ -108,7 +108,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Option(options.get("access-delegation")).contains("vended-credentials"),
           Option(options.get("commit-protocol")).contains("spec"),
           Option(options.get("rest-scan-planning")).contains("server"),
-          Option(options.get("scope")))
+          Option(options.get("scope")), Option(options.get("audience")))
       case _ => new HadoopCatalog(wh)
     }
     // expiration-aware table cache (reference CachingCatalog +

@@ -1270,11 +1270,15 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         cat.putViewDoc(Seq("negdb"), "v1", "{}", replace = false))
       assert(!cat.dropViewDoc(Seq("negdb"), "v1"))
       assert(cat.dropTable(Seq("negdb"), "neg_t", purge = true))
-      // and an explicit scope overrides the default
+      // and an explicit scope/audience override the defaults
       RestCatalogServer.lastTokenScope.set("")
+      RestCatalogServer.lastTokenAudience.set("")
       graft.core.meta.RestCatalog.connect(negUri,
-        credential = Some("svc:hunter2"), scope = Some("catalog:read"))
+        credential = Some("svc:hunter2"), scope = Some("catalog:read"),
+        audience = Some("https://example.invalid/warehouse"))
       assert(RestCatalogServer.lastTokenScope.get() === "catalog:read")
+      assert(RestCatalogServer.lastTokenAudience.get() ===
+        "https://example.invalid/warehouse")
     } finally srv.stop(0)
   }
 
