@@ -97,6 +97,17 @@ class CatalogImportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       "SELECT count(*), sum(id) FROM graft.db.imp_cat_orc WHERE p = 0")
       .collect()(0) === Row(8L, 120L)) // p=0 ids 0,3..27 minus {0,15}
+    // changelog rows over orc-nm files carry the constants too (the
+    // CDC readers share the batch scan's identity fill); the CoW
+    // delete reports whole-file changes, so assert the VALUES: every
+    // change row's p equals id % 3 and none is NULL
+    val ch = spark.sql(
+      "SELECT id, p FROM graft.db.imp_cat_orc.changes").collect()
+    assert(ch.nonEmpty)
+    ch.foreach { r =>
+      assert(!r.isNullAt(1) && r.getInt(1) === (r.getLong(0) % 3).toInt,
+        s"CDC over orc-nm must serve partition constants, not NULLs: $r")
+    }
     // compaction rewrites to parquet with the constants materialized
     spark.sql("CALL graft.system.rewrite_data_files('db.imp_cat_orc')")
     val after = spark.sql(

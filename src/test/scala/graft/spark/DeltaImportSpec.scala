@@ -213,6 +213,50 @@ class DeltaImportSpec extends AnyFunSuite with BeforeAndAfterAll {
       "partition constant must fill even for field-id-bearing files")
   }
 
+  test("multi-part checkpoints seed like single-part ones") {
+    // PROTOCOL.md: a checkpoint may split into N parts named
+    // <v>.checkpoint.<part-of-10>.<n-of-10>.parquet — all parts
+    // together are the state
+    val root = Files.createTempDirectory("delta-mpcp-src").toString
+    val s0 = writeDataFile(root, "p=1/part-m0.parquet", Seq((20L, "m")))
+    val s1 = writeDataFile(root, "p=2/part-m1.parquet", Seq((21L, "n")))
+    val log = s"$root/_delta_log"
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val cpSchema = StructType(Seq(
+      StructField("add", addT), StructField("metaData", metaT)))
+    def writePart(rows: Seq[Row], name: String): Unit = {
+      val tmp = Files.createTempDirectory("delta-mpcp").toString
+      spark.createDataFrame(rows.asJava, cpSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = GraftIO.walkFiles(tmp).filter(_.endsWith(".parquet")).head
+      Files.createDirectories(GraftIO.toPath(log))
+      Files.copy(GraftIO.toPath(f), GraftIO.toPath(s"$log/$name"))
+    }
+    // part 1: one add + the metaData row; part 2: the other add
+    writePart(Seq(
+      Row(Row("p=1/part-m0.parquet", Map("p" -> "1"), s0), null),
+      Row(null, Row("m-id", schemaString, Seq("p")))),
+      s"${pad20(5)}.checkpoint.0000000001.0000000002.parquet")
+    writePart(Seq(
+      Row(Row("p=2/part-m1.parquet", Map("p" -> "2"), s1), null)),
+      s"${pad20(5)}.checkpoint.0000000002.0000000002.parquet")
+    GraftIO.writeString(s"$log/_last_checkpoint",
+      """{"version":5,"size":3,"parts":2}""")
+    spark.sql(s"CALL graft.system.snapshot_delta('$root', 'db.delta_mpcp')")
+    val rows = spark.sql(
+      "SELECT id, p FROM graft.db.delta_mpcp ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((20L, 1L), (21L, 2L)),
+      "both checkpoint parts must contribute to the seed state")
+  }
+
   test("changelog over imported files serves identity-partition constants") {
     // the CDC read path routes nm/im files through its own readers —
     // without the identity fill, every change row read NULL for the

@@ -261,6 +261,54 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable(Seq("hdb"), "foreign_t", purge = true)
   }
 
+  test("adopts an entry pointing at REFERENCE-authored metadata bytes") {
+    // the strongest adoption claim: the pointer names a metadata
+    // document written by the reference implementation itself
+    // (core/src/test/resources/TableMetadataV2Valid.json), planted the
+    // way a genuine engine's HMS entry looks
+    import org.apache.hadoop.hive.metastore.api._
+    val fixture = "/root/reference/core/src/test/resources/TableMetadataV2Valid.json"
+    assume(GraftIO.exists(fixture))
+    val loc = s"$warehouse/hdb/ref_fixture_t"
+    val mdPath = s"$loc/metadata/00034-${java.util.UUID.randomUUID}.metadata.json"
+    GraftIO.writeString(mdPath, GraftIO.readString(fixture))
+    val sd = new StorageDescriptor()
+    sd.setCols(java.util.Collections.singletonList(
+      new FieldSchema("x", "bigint", "")))
+    sd.setLocation(s"file://$loc")
+    sd.setInputFormat("org.apache.hadoop.mapred.FileInputFormat")
+    sd.setOutputFormat("org.apache.hadoop.mapred.FileOutputFormat")
+    val serde = new SerDeInfo()
+    serde.setSerializationLib(
+      "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+    sd.setSerdeInfo(serde)
+    val ft = new Table()
+    ft.setDbName("hdb"); ft.setTableName("ref_fixture_t")
+    ft.setTableType("EXTERNAL_TABLE"); ft.setSd(sd)
+    val params = new java.util.HashMap[String, String]()
+    params.put("EXTERNAL", "TRUE")
+    params.put("table_type", "ICEBERG")
+    params.put("metadata_location", mdPath)
+    ft.setParameters(params)
+    cat.hive.sync(_.createTable(ft))
+    val t = cat.loadTable(Seq("hdb"), "ref_fixture_t").get
+    // the reference document parsed: schema, snapshots, sequence state
+    assert(t.schema.fields.map(_.name) === Seq("x", "y", "z"))
+    assert(t.meta.formatVersion === 2)
+    assert(t.meta.currentSnapshotId.contains(3055729675574597004L))
+    assert(t.meta.lastSequenceNumber === 34L)
+    // a graft commit lands ON TOP of the reference state
+    t.updateProperties(Map("adopted-from" -> "reference-fixture"))
+    val hms = cat.hive.sync(_.getTable("hdb", "ref_fixture_t"))
+    assert(hms.getParameters.get("previous_metadata_location") === mdPath)
+    val t2 = cat.loadTable(Seq("hdb"), "ref_fixture_t").get
+    assert(t2.meta.properties.get("adopted-from")
+      .contains("reference-fixture"))
+    assert(t2.meta.currentSnapshotId.contains(3055729675574597004L),
+      "the reference snapshot state must survive the graft commit")
+    cat.dropTable(Seq("hdb"), "ref_fixture_t", purge = true)
+  }
+
   test("a foreign pointer swap between refresh and commit wins the race") {
     val t = cat.createTable(Seq("hdb"), "swap_t", schema)
     t.updateProperties(Map("base" -> "1"))
