@@ -580,7 +580,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("identifier_columns", StringType, "''"),
         param("net_changes", BooleanType, "false"))
     case "add_files" =>
-      Array(param("table", StringType), param("source_dir", StringType))
+      Array(param("table", StringType), param("source_dir", StringType),
+        param("check_duplicate_files", BooleanType, "true"))
     case "snapshot_table" | "snapshot" =>
       Array(param("source_dir", StringType), param("table", StringType))
     case "snapshot_delta" =>
@@ -1465,6 +1466,29 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
             }
             (path, partition)
           }, None)
+      }
+      // re-importing a live file would silently double its rows
+      // (reference AddFilesProcedure check_duplicate_files, default
+      // true): probe the imported paths against the table's live
+      // entries, ONE TASK PER MANIFEST — the import batch broadcasts,
+      // the million-file table never lands on the driver
+      val checkDup = input.numFields < 3 || input.isNullAt(2) ||
+        input.getBoolean(2)
+      if (checkDup) {
+        val mfs = t.currentManifests(t.meta).filter(_.content == 0)
+        if (mfs.nonEmpty) {
+          val sc = SparkSession.active.sparkContext
+          val bc = sc.broadcast(withPartitions.map(_._1).toSet)
+          val dups = sc.parallelize(mfs, math.max(1, math.min(mfs.size, 64)))
+            .flatMap(mf => ManifestIO.readEntries(mf)
+              .filter(e => e.isLive && bc.value.contains(e.file.path))
+              .map(_.file.path))
+            .take(3)
+          require(dups.isEmpty,
+            s"add_files: file(s) already live in the target table " +
+              s"(pass check_duplicate_files => false to force): " +
+              dups.mkString(", "))
+        }
       }
       // footer reads run DISTRIBUTED past a small threshold — a large
       // import is millions of footers, not a driver loop

@@ -129,6 +129,28 @@ class CatalogImportSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0) === Row(10L, 155L))
   }
 
+  test("add_files refuses re-importing live files unless forced") {
+    mkSource("cat_dup", "parquet")
+    spark.sql("""CREATE TABLE graft.db.dup_target
+      (id BIGINT, v STRING, p INT) PARTITIONED BY (p)""")
+    spark.sql("CALL graft.system.add_files('db.dup_target', 'default.cat_dup')")
+    // the same import again duplicates every row — refused by default
+    // (reference AddFilesProcedure check_duplicate_files)
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.add_files('db.dup_target', 'default.cat_dup')"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("already live")),
+      s"duplicate import must refuse: ${e.getMessage}")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dup_target")
+      .collect()(0).getLong(0) === 30L, "the refused import must add nothing")
+    // explicit opt-out forces the duplicate registration
+    spark.sql("CALL graft.system.add_files('db.dup_target', " +
+      "'default.cat_dup', check_duplicate_files => false)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dup_target")
+      .collect()(0).getLong(0) === 60L)
+  }
+
   test("add_files refuses a target spec that drops metastore partition columns") {
     mkSource("cat_bad", "parquet")
     spark.sql("CREATE TABLE graft.db.add_bad (id BIGINT, v STRING, p INT)")
