@@ -580,7 +580,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         param("identifier_columns", StringType, "''"),
         param("net_changes", BooleanType, "false"))
     case "add_files" =>
+      // reference AddFilesProcedure parameter order
       Array(param("table", StringType), param("source_dir", StringType),
+        param("partition_filter",
+          org.apache.spark.sql.types.MapType(StringType, StringType), "NULL"),
         param("check_duplicate_files", BooleanType, "true"))
     case "snapshot_table" | "snapshot" =>
       Array(param("source_dir", StringType), param("table", StringType))
@@ -1414,11 +1417,30 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       val srcArg = input.getUTF8String(1).toString
       val spec = t.spec
       val schema = t.schema
+      // partition_filter: import ONLY matching source partitions
+      // (reference AddFilesProcedure) — exact string match per named
+      // column against the metastore values / path segments
+      val partFilter: Map[String, String] =
+        if (input.numFields < 3 || input.isNullAt(2)) Map.empty
+        else {
+          val md = input.getMap(2)
+          (0 until md.numElements()).map(i =>
+            md.keyArray.getUTF8String(i).toString.toLowerCase ->
+              md.valueArray.getUTF8String(i).toString).toMap
+        }
       val identitySources = spec.fields
         .filter(_.transform == graft.core.transform.IdentityT)
         .flatMap(pf => schema.byId.get(pf.sourceId).map(_.name))
       val (withPartitions, fmtHint) = sessionCatalogSource(srcArg) match {
-        case Some((ct, srcParts)) =>
+        case Some((ct, srcParts0)) =>
+          val srcParts =
+            if (partFilter.isEmpty) srcParts0
+            else srcParts0.filter { case (_, pmap) =>
+              val pmapL = pmap.map { case (k, v) => k.toLowerCase -> v }
+              partFilter.forall { case (k, v) => pmapL.get(k).contains(v) }
+            }
+          require(srcParts.nonEmpty,
+            s"partition_filter $partFilter matches no partitions of ${ct.identifier}")
           // the target spec must identity-cover every metastore
           // partition column, or values absent from the files are lost
           val identLower = identitySources.map(_.toLowerCase).toSet
@@ -1451,10 +1473,15 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           require(files.nonEmpty, s"no data files in ${ct.identifier}")
           (files, Some(catalogFormat(ct)))
         case None =>
-          val files = walkFiles(srcArg)
+          val files0 = walkFiles(srcArg)
             .filter(p => p.endsWith(".parquet") || p.endsWith(".orc") ||
               p.endsWith(".avro"))
-          require(files.nonEmpty, s"no parquet/orc/avro files under $srcArg")
+          val files =
+            if (partFilter.isEmpty) files0
+            else files0.filter(p => partFilter.forall { case (k, v) =>
+              p.split("/").exists(_.equalsIgnoreCase(s"$k=$v")) })
+          require(files.nonEmpty, s"no parquet/orc/avro files under $srcArg" +
+            (if (partFilter.isEmpty) "" else s" matching $partFilter"))
           (files.map { path =>
             val partition: Seq[Any] = spec.fields.map { pf =>
               val src = schema.byId(pf.sourceId)
@@ -1472,8 +1499,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
       // true): probe the imported paths against the table's live
       // entries, ONE TASK PER MANIFEST — the import batch broadcasts,
       // the million-file table never lands on the driver
-      val checkDup = input.numFields < 3 || input.isNullAt(2) ||
-        input.getBoolean(2)
+      val checkDup = input.numFields < 4 || input.isNullAt(3) ||
+        input.getBoolean(3)
       if (checkDup) {
         val mfs = t.currentManifests(t.meta).filter(_.content == 0)
         if (mfs.nonEmpty) {

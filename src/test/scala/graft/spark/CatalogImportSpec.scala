@@ -129,6 +129,24 @@ class CatalogImportSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0) === Row(10L, 155L))
   }
 
+  test("add_files imports only partitions matching partition_filter") {
+    mkSource("cat_pf", "parquet")
+    spark.sql("""CREATE TABLE graft.db.pf_target
+      (id BIGINT, v STRING, p INT) PARTITIONED BY (p)""")
+    val res = spark.sql("CALL graft.system.add_files('db.pf_target', " +
+      "'default.cat_pf', partition_filter => map('p', '1'))").collect()(0)
+    assert(res.getLong(1) === 10L, s"only p=1 rows import: $res")
+    assert(spark.sql("SELECT DISTINCT p FROM graft.db.pf_target")
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+    // a filter matching nothing refuses loudly
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.add_files('db.pf_target', 'default.cat_pf', " +
+        "partition_filter => map('p', '99'))"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("matches no partitions")))
+  }
+
   test("add_files refuses re-importing live files unless forced") {
     mkSource("cat_dup", "parquet")
     spark.sql("""CREATE TABLE graft.db.dup_target
