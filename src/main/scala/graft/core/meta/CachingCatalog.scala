@@ -88,6 +88,17 @@ final class CachingCatalog(val underlying: HadoopCatalog,
     underlying.dropTable(namespace, name)
   }
 
+  // WITHOUT this override the 3-arg drop fell through to the inherited
+  // directory implementation: a plain DROP TABLE (purge=false) through
+  // Spark deleted the metadata directory but left the UNDERLYING
+  // catalog's pointer (HMS entry, JDBC row) dangling — the table kept
+  // "existing" with its metadata gone
+  override def dropTable(namespace: Seq[String], name: String,
+      purge: Boolean): Boolean = {
+    invalidate(namespace, name)
+    underlying.dropTable(namespace, name, purge)
+  }
+
   override def renameTable(namespace: Seq[String], name: String,
       newNamespace: Seq[String], newName: String): Unit = {
     invalidate(namespace, name)

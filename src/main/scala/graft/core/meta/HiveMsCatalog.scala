@@ -553,6 +553,24 @@ final class HiveMsCatalog(warehouse: String, val hive: HiveMs.Client)
       try ensureDb(ns(namespace))
       catch { case scala.util.control.NonFatal(_) => () }
 
+  /** every HMS database — foreign engines' included: the catalog's
+    * namespace listing must show what SHOW DATABASES on the metastore
+    * shows (reference HiveCatalog.listNamespaces) */
+  def listHmsDatabases: Seq[String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      hive.sync(_.getAllDatabases).asScala.toSeq
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** a database exists in the metastore (regardless of any local
+    * namespace marker) */
+  def hmsDatabaseExists(db: String): Boolean =
+    try { hive.sync(_.getDatabase(db.toLowerCase)); true }
+    catch {
+      case _: NoSuchObjectException => false
+      case scala.util.control.NonFatal(_) => false
+    }
+
   /** drop the mirrored HMS database, best-effort. A cascade drop removes
     * only ICEBERG-MARKED table entries and then drops the database
     * NON-cascade — a native Hive table sharing the database (which graft

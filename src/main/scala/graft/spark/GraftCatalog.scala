@@ -744,19 +744,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // (NamespaceProps.isNamespaceDir) the REST routes also use, so the two
   // surfaces agree: a dropped table's residual directory is absent and
   // re-creatable on both, a marked or live directory exists on both
-  override def listNamespaces(): Array[Array[String]] =
-    graft.core.meta.GraftIO.list(catalog.warehouse)
+  override def listNamespaces(): Array[Array[String]] = {
+    val local = graft.core.meta.GraftIO.list(catalog.warehouse)
       .map(p => graft.core.meta.GraftIO.toPath(p).getFileName.toString)
       .filter(n => !n.startsWith("_") &&
         graft.core.meta.NamespaceProps.isNamespaceDir(catalog.warehouse, Seq(n)))
-      .map(Array(_)).toArray
+    // hive backing: FOREIGN databases (created by other engines straight
+    // in the metastore) list too — reference HiveCatalog.listNamespaces
+    // returns the metastore's database set
+    val hms = hiveBacking.toSeq.flatMap(_.listHmsDatabases)
+      .filter(graft.core.meta.NamespaceProps.validName)
+    (local ++ hms).distinct.sorted.map(Array(_)).toArray
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     graft.core.meta.NamespaceProps.isNamespaceDir(
-      catalog.warehouse, namespace.toSeq)
+      catalog.warehouse, namespace.toSeq) ||
+      (namespace.length == 1 &&
+        hiveBacking.exists(_.hmsDatabaseExists(namespace.head)))
 
   // namespace properties persist in the namespace directory's
   // _namespace.json, through the ONE shared store (NamespaceProps) the

@@ -53,6 +53,28 @@ class CachingCatalogSpec extends AnyFunSuite {
     assert(!cat.tableExists(Seq("db"), "c3"))
   }
 
+  test("the 3-arg drop DELEGATES to the underlying catalog") {
+    // regression: without the override the purge-arity drop fell
+    // through to the inherited DIRECTORY implementation — a plain DROP
+    // TABLE through Spark deleted the metadata dir but left the
+    // underlying catalog's pointer (HMS entry, JDBC row) dangling
+    val wh = Files.createTempDirectory("graft-cc3").toString
+    var sawPurge: Option[Boolean] = None
+    val underlying = new HadoopCatalog(wh) {
+      override def dropTable(namespace: Seq[String], name: String,
+          purge: Boolean): Boolean = {
+        sawPurge = Some(purge)
+        super.dropTable(namespace, name, purge)
+      }
+    }
+    val cat = new CachingCatalog(underlying)
+    cat.createTable(Seq("db"), "c3", schema)
+    assert(cat.dropTable(Seq("db"), "c3", purge = false))
+    assert(sawPurge.contains(false),
+      "the 3-arg drop must reach the UNDERLYING catalog, not the base dir impl")
+    assert(!underlying.tableExists(Seq("db"), "c3"))
+  }
+
   test("expiration bounds how long a foreign drop is masked") {
     val wh = Files.createTempDirectory("graft-cc3").toString
     val underlying = new HadoopCatalog(wh)

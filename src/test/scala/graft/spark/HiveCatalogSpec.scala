@@ -309,6 +309,51 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable(Seq("hdb"), "ref_fixture_t", purge = true)
   }
 
+  test("foreign HMS databases list and resolve through the Spark catalog") {
+    // a database created straight in the metastore by another engine —
+    // no local namespace marker exists, but SHOW NAMESPACES/SHOW TABLES
+    // and reads must see it (reference HiveCatalog.listNamespaces)
+    import org.apache.hadoop.hive.metastore.api._
+    cat.hive.sync(_.createDatabase(new Database("foreigndb", "",
+      s"file://$warehouse/foreigndb", new java.util.HashMap())))
+    val loc = s"$warehouse/foreigndb/ft1"
+    val meta = TableMetadata.newTable(loc, schema,
+      graft.core.expr.PartitionSpec.Unpartitioned, Map.empty)
+    val mdPath = s"$loc/metadata/00000-${java.util.UUID.randomUUID}.metadata.json"
+    GraftIO.writeString(mdPath, MetaJson.writeMetadata(meta))
+    val sd = new StorageDescriptor()
+    sd.setCols(java.util.Collections.singletonList(
+      new FieldSchema("id", "bigint", "")))
+    sd.setLocation(s"file://$loc")
+    sd.setInputFormat("org.apache.hadoop.mapred.FileInputFormat")
+    sd.setOutputFormat("org.apache.hadoop.mapred.FileOutputFormat")
+    val serde = new SerDeInfo()
+    serde.setSerializationLib(
+      "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+    sd.setSerdeInfo(serde)
+    val ft = new Table()
+    ft.setDbName("foreigndb"); ft.setTableName("ft1")
+    ft.setTableType("EXTERNAL_TABLE"); ft.setSd(sd)
+    val params = new java.util.HashMap[String, String]()
+    params.put("EXTERNAL", "TRUE")
+    params.put("table_type", "ICEBERG")
+    params.put("metadata_location", mdPath)
+    ft.setParameters(params)
+    cat.hive.sync(_.createTable(ft))
+    assert(spark.sql("SHOW NAMESPACES IN ghms").collect()
+      .map(_.getString(0)).contains("foreigndb"),
+      "a metastore-only database must list as a namespace")
+    assert(spark.sql("SHOW TABLES IN ghms.foreigndb").collect()
+      .map(_.getString(1)).contains("ft1"))
+    // write + read through Spark against the adopted foreign table
+    spark.sql("INSERT INTO ghms.foreigndb.ft1 VALUES (7, 'x')")
+    assert(spark.sql("SELECT id, v FROM ghms.foreigndb.ft1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((7L, "x")))
+    spark.sql("DROP TABLE ghms.foreigndb.ft1")
+    assert(!cat.tableExists(Seq("foreigndb"), "ft1"))
+    cat.hive.sync(_.dropDatabase("foreigndb", true, true, true))
+  }
+
   test("a foreign pointer swap between refresh and commit wins the race") {
     val t = cat.createTable(Seq("hdb"), "swap_t", schema)
     t.updateProperties(Map("base" -> "1"))
