@@ -586,7 +586,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           org.apache.spark.sql.types.MapType(StringType, StringType), "NULL"),
         param("check_duplicate_files", BooleanType, "true"))
     case "snapshot_table" | "snapshot" =>
-      Array(param("source_dir", StringType), param("table", StringType))
+      Array(param("source_dir", StringType), param("table", StringType),
+        param("properties",
+          org.apache.spark.sql.types.MapType(StringType, StringType), "NULL"))
     case "snapshot_delta" =>
       Array(param("source_dir", StringType), param("table", StringType))
     case "remove_dangling_deletes" =>
@@ -1964,7 +1966,17 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
         if (partCols.isEmpty) graft.core.expr.PartitionSpec.Unpartitioned
         else graft.core.expr.PartitionSpec.of(gSchema, partCols.map(c =>
           c -> (graft.core.transform.IdentityT: graft.core.transform.Transform)): _*)
-      catalog.createTable(ns, tbl, gSchema, spec0)
+      // user-supplied table properties land on the new table (reference
+      // SnapshotTableProcedure `properties`)
+      val snapProps: Map[String, String] =
+        if (input.numFields < 3 || input.isNullAt(2)) Map.empty
+        else {
+          val md = input.getMap(2)
+          (0 until md.numElements()).map(i =>
+            md.keyArray.getUTF8String(i).toString ->
+              md.valueArray.getUTF8String(i).toString).toMap
+        }
+      catalog.createTable(ns, tbl, gSchema, spec0, snapProps)
       // delegate file registration to the same footer-based import; a
       // registration failure must not leave a half-created table that
       // blocks re-runs (same abort contract as snapshot_delta)

@@ -195,6 +195,15 @@ class CatalogImportSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 10L)
   }
 
+  test("snapshot_table applies user-supplied properties") {
+    mkSource("cat_props", "parquet")
+    spark.sql("CALL graft.system.snapshot_table('default.cat_props', " +
+      "'db.imp_cat_props', properties => map('owner', 'etl', 'tier', 'gold'))")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.imp_cat_props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("owner").contains("etl") && props.get("tier").contains("gold"))
+  }
+
   test("migrate from a catalog identifier records provenance") {
     mkSource("cat_mig", "orc")
     spark.sql("CALL graft.system.migrate('default.cat_mig', 'db.imp_cat_mig')")
