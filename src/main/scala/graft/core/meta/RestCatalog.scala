@@ -41,6 +41,13 @@ object RestCatalogServer {
     * exchange — observed by tests asserting the client sends them */
   val lastTokenScope = new java.util.concurrent.atomic.AtomicReference[String]("")
   val lastTokenAudience = new java.util.concurrent.atomic.AtomicReference[String]("")
+  /** path of the most recent token exchange — observed by tests
+    * asserting the client honors `oauth2-server-uri` */
+  val lastTokenPath = new java.util.concurrent.atomic.AtomicReference[String]("")
+  /** table-load instrumentation: responses that shipped a full metadata
+    * body vs 304 Not-Modified hits served off the client's ETag */
+  val tableLoadFull = new java.util.concurrent.atomic.AtomicLong
+  val tableLoad304 = new java.util.concurrent.atomic.AtomicLong
 
   /** Start an in-process server over a directory warehouse; returns
     * (server, uri). Backing store: FileTableOps per table, so the server
@@ -152,9 +159,14 @@ object RestCatalogServer {
     }
 
     // OAuth2 token endpoint: client-credentials grant only, form-encoded
-    // (reference open-api getToken); the only route that never needs auth
-    server.createContext("/v1/oauth/tokens", (x: HttpExchange) =>
+    // (reference open-api getToken); the only route that never needs
+    // auth. Registered at the spec default path AND an alternate one so
+    // tests can prove clients honor `oauth2-server-uri` (reference
+    // OAuth2Properties.OAUTH2_SERVER_URI — a real deployment points it
+    // at an external IdP).
+    val tokenHandler: com.sun.net.httpserver.HttpHandler = (x: HttpExchange) =>
       try {
+        lastTokenPath.set(x.getRequestURI.getPath)
         val form = readBody(x).split("&").filter(_.contains("="))
           .map { kv =>
             val i = kv.indexOf('=')
@@ -179,7 +191,9 @@ object RestCatalogServer {
           case Some(_) => json(x, 401, """{"error": "invalid client credentials"}""")
           case None    => json(x, 400, """{"error": "auth not configured on this server"}""")
         }
-      } catch { case e: Throwable => json(x, 400, errJson(e)) })
+      } catch { case e: Throwable => json(x, 400, errJson(e)) }
+    server.createContext("/v1/oauth/tokens", tokenHandler)
+    server.createContext("/alt/oauth/tokens", tokenHandler)
 
     // reference rest-catalog-open-api.yaml getConfig: server-controlled
     // defaults/overrides a second engine instance merges into its own
@@ -605,6 +619,19 @@ object RestCatalogServer {
             val v = ops.currentVersion()
             if (v == 0) json(x, 404, s"""{"error": "no such table"}""")
             else {
+              // ETag = the metadata document's identity (unique per
+              // version): an If-None-Match hit answers 304 with no body
+              // instead of re-shipping a potentially multi-MB metadata
+              // document (open-api loadTable If-None-Match / 304)
+              val etag =
+                "\"" + ops.currentMetadataPath.getOrElse(s"v$v") + "\""
+              val notModified = Option(
+                x.getRequestHeaders.getFirst("If-None-Match")).contains(etag)
+              if (notModified) {
+                RestCatalogServer.tableLoad304.incrementAndGet()
+                x.getResponseHeaders.set("ETag", etag)
+                x.sendResponseHeaders(304, -1); x.close()
+              } else {
               // LoadTableResult-shaped response (reference open-api
               // LoadTableResponse): `config` carries server-controlled
               // table configuration the CLIENT must apply on top of the
@@ -621,8 +648,20 @@ object RestCatalogServer {
               val o = MetaJson.mapper.createObjectNode()
               o.put("version", v)
               ops.currentMetadataPath.foreach(p => o.put("metadata-location", p))
+              // `?snapshots=refs` (open-api loadTable `snapshots` query
+              // param): serve only the snapshots referenced by branches
+              // or tags — clients in snapshot-loading-mode=refs load the
+              // rest lazily. Default (`all` or absent) is the full list.
+              val full = ops.current().get
+              val served = if (Option(x.getRequestURI.getQuery)
+                  .exists(_.split("&").contains("snapshots=refs"))) {
+                val keep = full.refs.valuesIterator.map(_.snapshotId).toSet ++
+                  full.currentSnapshotId
+                full.copy(snapshots =
+                  full.snapshots.filter(s => keep(s.snapshotId)))
+              } else full
               o.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
-                MetaJson.mapper.readTree(MetaJson.writeMetadata(ops.current().get)))
+                MetaJson.mapper.readTree(MetaJson.writeMetadata(served)))
               val cfg = o.putObject("config")
               tableConfig.foreach { case (k, vv) => cfg.put(k, vv) }
               val wantsCreds = Option(
@@ -636,7 +675,10 @@ object RestCatalogServer {
                 cc.put("expires-at-ms",
                   (System.currentTimeMillis() + credTtlMs).toString)
               }
+              RestCatalogServer.tableLoadFull.incrementAndGet()
+              x.getResponseHeaders.set("ETag", etag)
               json(x, 200, MetaJson.mapper.writeValueAsString(o))
+              }
             }
           case ("POST", Array(ns, "tables", t, "commit")) =>
             val body = MetaJson.mapper.readTree(readBody(x))
@@ -1105,6 +1147,20 @@ object RestHttp {
   def get(url: String, headers: Map[String, String] = Map.empty): (Int, String) =
     send(withHeaders(HttpRequest.newBuilder(java.net.URI.create(url)).GET(), headers))
 
+  /** GET that also surfaces the response's ETag header (open-api
+    * loadTable If-None-Match / 304 conditional-load protocol) */
+  def getWithEtag(url: String, headers: Map[String, String] = Map.empty)
+      : (Int, String, Option[String]) = {
+    val req = withHeaders(
+      HttpRequest.newBuilder(java.net.URI.create(url)).GET(), headers)
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val etag = {
+      val v = r.headers().firstValue("ETag")
+      if (v.isPresent) Some(v.get) else None
+    }
+    (r.statusCode(), r.body(), etag)
+  }
+
   def post(url: String, body: String,
       headers: Map[String, String] = Map.empty,
       timeoutMs: Long = 0): (Int, String) = {
@@ -1148,7 +1204,11 @@ final class AuthSession(uri: String, credential: Option[(String, String)],
     // OAuth2Util — clients default scope to "catalog"; audience rides
     // only when configured); only sent when a credential is
     scope: Option[String] = None,
-    audience: Option[String] = None) {
+    audience: Option[String] = None,
+    // `oauth2-server-uri` (reference OAuth2Properties.OAUTH2_SERVER_URI):
+    // a full token-endpoint URI when the IdP is NOT the catalog server —
+    // absent, the exchange goes to the catalog's own /v1/oauth/tokens
+    tokenUri: Option[String] = None) {
   @volatile private var tok: Option[String] = None
   @volatile private var refreshAtMs: Long = 0L
 
@@ -1164,7 +1224,8 @@ final class AuthSession(uri: String, credential: Option[(String, String)],
         // must not wedge it forever
         val scopeParam = scope.map(sc => s"&scope=${enc(sc)}").getOrElse("") +
           audience.map(a => s"&audience=${enc(a)}").getOrElse("")
-        val (code, resp) = RestHttp.post(s"$uri/v1/oauth/tokens",
+        val (code, resp) = RestHttp.post(
+          tokenUri.getOrElse(s"$uri/v1/oauth/tokens"),
           s"grant_type=client_credentials&client_id=${enc(id)}" +
             s"&client_secret=${enc(secret)}$scopeParam",
           timeoutMs = 30000)
@@ -1202,6 +1263,32 @@ final case class StorageCredential(prefix: String, config: Map[String, String]) 
   def expiresAtMs: Option[Long] = config.get("expires-at-ms").flatMap(_.toLongOption)
 }
 
+/** The `snapshot-loading-mode=refs` snapshot list (reference
+  * RESTSessionCatalog SnapshotMode.REFS + TableMetadata's
+  * snapshotsSupplier): built from the ref-reachable subset the server
+  * returned, it PRESENTS the full list — any traversal (iterator,
+  * length, serialization) forces one `snapshots=all` load, memoized.
+  * `find` probes the subset first, so the hot lookups (current snapshot
+  * / ref heads, by unique snapshot id) never force. Like the reference
+  * supplier, a forced load observes the table's snapshots AT FORCE TIME;
+  * a table that moved between the refs load and the force serves the
+  * newer full list. */
+final class LazySnapshots(subset: Seq[Snapshot], loadAll: () => Seq[Snapshot])
+  extends scala.collection.immutable.Seq[Snapshot] {
+  lazy val all: Seq[Snapshot] = loadAll()
+  def apply(i: Int): Snapshot = all(i)
+  def length: Int = all.length
+  def iterator: Iterator[Snapshot] = all.iterator
+  override def isEmpty: Boolean = subset.isEmpty && all.isEmpty
+  /** id-style lookups are unique across the list, so a subset hit is THE
+    * answer; predicates the subset misses fall through to the full list */
+  override def find(p: Snapshot => Boolean): Option[Snapshot] =
+    subset.find(p).orElse(all.find(p))
+  /** Java serialization (a metadata captured in a Spark closure) must
+    * not ship the HTTP loader: materialize instead */
+  private def writeReplace(): Object = all.toVector
+}
+
 /** Client-side ops: the version/metadata pointer is the REST resource. */
 final class RestTableOps(
     val location: String,
@@ -1217,7 +1304,11 @@ final class RestTableOps(
     // endpoint negotiation (reference RESTSessionCatalog Endpoint): the
     // server's ConfigResponse advertised the plan routes — false means
     // the client silently plans locally, no error-path round-trips
-    planAdvertised: Boolean = true) extends TableOps {
+    planAdvertised: Boolean = true,
+    // snapshot-loading-mode (reference RESTCatalogProperties
+    // SNAPSHOT_LOADING_MODE): "refs" loads only branch/tag-referenced
+    // snapshots eagerly and the rest through a lazy one-shot supplier
+    snapshotMode: String = "all") extends TableOps {
 
   private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
   /** run an authed request; one retry with a forced token re-exchange
@@ -1243,7 +1334,9 @@ final class RestTableOps(
     * catalog connected with access delegation. */
   def storageCredentials: Seq[StorageCredential] = {
     if (lastCreds.exists(_.expiresAtMs.exists(_ <= System.currentTimeMillis())))
-      load() // refreshes lastCreds as a side effect
+      // full-body load: a 304 off the ETag cache would carry no
+      // storage-credentials and leave the expired vend in place
+      load(forceFull = true) // refreshes lastCreds as a side effect
     lastCreds
   }
 
@@ -1327,9 +1420,29 @@ final class RestTableOps(
     inline ++ chunked
   }
 
-  private def load(): Option[(Int, TableMetadata)] = {
-    val (code, body) = req(RestHttp.get(tableUrl, _))
-    if (code != 200) None
+  /** the last load's (etag, version, parsed metadata): a repeat GET
+    * sends If-None-Match and a 304 serves this without re-shipping or
+    * re-parsing the metadata document (open-api loadTable ETag / 304) */
+  @volatile private var etagCache: Option[(String, Int, TableMetadata)] = None
+
+  /** `forceFull` bypasses both the refs filter and the ETag cache — the
+    * lazy-snapshot supplier and the vended-credential refresh need a
+    * genuine full-body 200, never a 304 echo of stale state */
+  private def load(forceFull: Boolean = false): Option[(Int, TableMetadata)] = {
+    val refsMode = snapshotMode == "refs" && !forceFull
+    val url = if (refsMode) s"$tableUrl?snapshots=refs" else tableUrl
+    val cached = etagCache
+    val condHeaders =
+      if (forceFull) Map.empty[String, String]
+      else cached.map(c => "If-None-Match" -> c._1).toMap
+    var etag: Option[String] = None
+    val (code, body) = req { h =>
+      val (c, b, e) = RestHttp.getWithEtag(url, h ++ condHeaders)
+      etag = e
+      (c, b)
+    }
+    if (code == 304) cached.map(c => (c._2, c._3))
+    else if (code != 200) { etagCache = None; None }
     else {
       val n = MetaJson.mapper.readTree(body)
       lastConfig = Option(n.get("config")).map { c =>
@@ -1347,10 +1460,22 @@ final class RestTableOps(
         }
         b.result()
       }.getOrElse(Nil)
-      val meta = MetaJson.readMetadata(
+      val parsed = MetaJson.readMetadata(
         MetaJson.mapper.writeValueAsString(n.get("metadata")))
+      // refs mode: the wire carried only branch/tag-referenced
+      // snapshots; present the full list through a lazy supplier so
+      // time travel to an unreferenced snapshot (and full-history ops
+      // like expiry) transparently load it
+      val meta =
+        if (refsMode)
+          parsed.copy(snapshots = new LazySnapshots(parsed.snapshots,
+            () => load(forceFull = true).map(_._2.snapshots.toVector)
+              .getOrElse(Vector.empty)))
+        else parsed
       lastRawProps = meta.properties
-      Some((n.get("version").asInt(), meta))
+      val v = n.get("version").asInt()
+      etag.foreach(e => etagCache = Some((e, v, meta)))
+      Some((v, meta))
     }
   }
 
@@ -1422,7 +1547,9 @@ final class RestCatalog private (warehouse: String, uri: String,
     // ConfigResponse `endpoints`: None = classic server, everything
     // implied; Some = exactly these routes exist — unadvertised
     // families (plan/views/metrics) silently degrade client-side
-    endpoints: Option[Set[String]] = None)
+    endpoints: Option[Set[String]] = None,
+    // snapshot-loading-mode: "all" (default) or "refs" (lazy history)
+    snapshotMode: String = "all")
   extends HadoopCatalog(warehouse) {
 
   private def advertised(family: String): Boolean =
@@ -1437,7 +1564,8 @@ final class RestCatalog private (warehouse: String, uri: String,
 
   private def ops(namespace: Seq[String], name: String): RestTableOps =
     new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name,
-      session, delegation, specCommits, serverPlanning, planAdvertised)
+      session, delegation, specCommits, serverPlanning, planAdvertised,
+      snapshotMode)
 
   /** Load the table's vended storage credentials (requires the catalog
     * to have been connected with access delegation). One fresh set per
@@ -1770,7 +1898,12 @@ object RestCatalog {
       // OAuth2 scope on the token exchange; reference clients default
       // to "catalog" (OAuth2Util.SCOPE). `audience` rides only when set.
       scope: Option[String] = None,
-      audience: Option[String] = None): RestCatalog = {
+      audience: Option[String] = None,
+      // token-endpoint URI when the IdP is not the catalog server
+      // (reference OAuth2Properties.OAUTH2_SERVER_URI)
+      oauth2ServerUri: Option[String] = None,
+      // "refs" = lazy snapshot history (reference snapshot-loading-mode)
+      snapshotMode: String = "all"): RestCatalog = {
     val idSecret = credential.map { cred =>
       cred.split(":", 2) match {
         case Array(i, s) => (i, s)
@@ -1779,7 +1912,7 @@ object RestCatalog {
       }
     }
     val session = new AuthSession(uri, idSecret,
-      Some(scope.getOrElse("catalog")), audience)
+      Some(scope.getOrElse("catalog")), audience, oauth2ServerUri)
     session.refreshNow() // fail fast on a bad credential, at connect time
     val (code, body) = withAuthRetry(session)(
       h => RestHttp.get(s"$uri/v1/config", h))
@@ -1798,8 +1931,10 @@ object RestCatalog {
     def advertised(family: String): Boolean =
       endpoints.forall(_.exists(_.contains(family)))
     if (advertised("/metrics")) wireMetrics(uri, warehouse, session)
+    require(snapshotMode == "all" || snapshotMode == "refs",
+      s"snapshot-loading-mode must be 'all' or 'refs', got '$snapshotMode'")
     new RestCatalog(warehouse, uri, session, accessDelegation, specCommits,
-      serverPlanning, endpoints)
+      serverPlanning, endpoints, snapshotMode)
   }
 
   /** Run an authed request; when the server still answers 401 (token

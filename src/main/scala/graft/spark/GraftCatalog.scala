@@ -104,11 +104,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // manifests never cross the wire)
         // `scope` rides the OAuth2 token exchange (reference RESTCatalog
         // `scope` property; defaults to "catalog")
+        // oauth2-server-uri points the token exchange at an external IdP
+        // snapshot-loading-mode=refs loads branch/tag-referenced
+        // snapshots eagerly and the rest lazily (reference
+        // RESTCatalogProperties)
         graft.core.meta.RestCatalog.connect(uri, Option(options.get("credential")),
           Option(options.get("access-delegation")).contains("vended-credentials"),
           Option(options.get("commit-protocol")).contains("spec"),
           Option(options.get("rest-scan-planning")).contains("server"),
-          Option(options.get("scope")), Option(options.get("audience")))
+          Option(options.get("scope")), Option(options.get("audience")),
+          Option(options.get("oauth2-server-uri")),
+          Option(options.get("snapshot-loading-mode")).getOrElse("all"))
       case _ => new HadoopCatalog(wh)
     }
     // expiration-aware table cache (reference CachingCatalog +

@@ -39,6 +39,14 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.catalog.rcats.catalog-impl", "rest")
       .config("spark.sql.catalog.rcats.uri", uri)
       .config("spark.sql.catalog.rcats.commit-protocol", "spec")
+      // same server in snapshot-loading-mode=refs: branch/tag-referenced
+      // snapshots load eagerly, the rest lazily; cache off so reads
+      // observe commits made through the other catalogs immediately
+      .config("spark.sql.catalog.rcatr", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.rcatr.catalog-impl", "rest")
+      .config("spark.sql.catalog.rcatr.uri", uri)
+      .config("spark.sql.catalog.rcatr.snapshot-loading-mode", "refs")
+      .config("spark.sql.catalog.rcatr.cache-enabled", "false")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -1314,6 +1322,97 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       cat.putViewDoc(Seq("adb"), "av", """{"view-uuid":"u1"}""", replace = false)
       assert(cat.listViewNames(Seq("adb")) === Seq("av"))
       assert(cat.dropViewDoc(Seq("adb"), "av"))
+    } finally srv.stop(0)
+  }
+
+  test("ETag conditional load: 304 on unchanged metadata, fresh tag after a commit") {
+    import graft.core.meta.RestHttp
+    spark.sql("CREATE TABLE rcat.db.etag_t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rcat.db.etag_t VALUES (1, 'a')")
+
+    // raw protocol: 200 carries an ETag; a matching If-None-Match is 304
+    // with no body; a commit rotates the tag (open-api loadTable 304)
+    val url = s"$uri/v1/namespaces/db/tables/etag_t"
+    val (c1, _, e1) = RestHttp.getWithEtag(url)
+    assert(c1 === 200 && e1.isDefined)
+    val (c2, b2, _) = RestHttp.getWithEtag(url, Map("If-None-Match" -> e1.get))
+    assert(c2 === 304 && b2.isEmpty)
+    spark.sql("INSERT INTO rcat.db.etag_t VALUES (2, 'b')")
+    val (c3, _, e3) = RestHttp.getWithEtag(url, Map("If-None-Match" -> e1.get))
+    assert(c3 === 200 && e3.isDefined && e3 != e1)
+
+    // client side: a repeat load on one handle is served as a 304 off
+    // the cached parse; a foreign commit is still seen immediately
+    val cat = RestCatalog.connect(uri)
+    val ops = cat.tableOps(Seq("db"), "etag_t")
+    val v1 = ops.currentVersion()
+    val nm0 = RestCatalogServer.tableLoad304.get()
+    assert(ops.currentVersion() === v1 && v1 > 0)
+    assert(RestCatalogServer.tableLoad304.get() > nm0,
+      "second load should be a 304 cache hit")
+    spark.sql("INSERT INTO rcat.db.etag_t VALUES (3, 'c')")
+    assert(ops.currentVersion() === v1 + 1,
+      "stale ETag must not mask a foreign commit")
+    assert(ops.current().exists(_.currentSnapshotId.isDefined))
+  }
+
+  test("snapshots=refs: server filters to ref heads; refs-mode client lazily completes") {
+    import graft.core.meta.{MetaJson, RestHttp}
+    spark.sql("CREATE TABLE rcat.db.refs_t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rcat.db.refs_t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE rcat.db.refs_t CREATE TAG first")
+    spark.sql("INSERT INTO rcat.db.refs_t VALUES (2, 'b')")
+    spark.sql("INSERT INTO rcat.db.refs_t VALUES (3, 'c')")
+    val allSnaps = spark.sql(
+      "SELECT snapshot_id FROM rcat.db.refs_t.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0))
+    assert(allSnaps.length === 3)
+
+    // wire shape: ?snapshots=refs serves only the tag head + main head,
+    // the default serves the full history (open-api `snapshots` param)
+    def wireSnapshots(q: String): Set[Long] = {
+      val (c, b, _) = RestHttp.getWithEtag(
+        s"$uri/v1/namespaces/db/tables/refs_t$q")
+      assert(c === 200)
+      val arr = MetaJson.mapper.readTree(b).get("metadata").get("snapshots")
+      val ids = Set.newBuilder[Long]
+      arr.elements().forEachRemaining(s => ids += s.get("snapshot-id").asLong())
+      ids.result()
+    }
+    assert(wireSnapshots("?snapshots=refs") === Set(allSnaps(0), allSnaps(2)))
+    assert(wireSnapshots("") === allSnaps.toSet)
+
+    // refs-mode catalog: the current read never needs the middle
+    // snapshot; time travel TO it forces the lazy full load and works
+    assert(spark.sql("SELECT count(*) FROM rcatr.db.refs_t")
+      .collect().head.getLong(0) === 3)
+    assert(spark.sql(
+      s"SELECT count(*) FROM rcatr.db.refs_t VERSION AS OF ${allSnaps(1)}")
+      .collect().head.getLong(0) === 2)
+
+    // a commit THROUGH the refs-mode catalog must not drop unreferenced
+    // snapshots: the lazy list materializes fully before the metadata
+    // document crosses the wire
+    spark.sql("INSERT INTO rcatr.db.refs_t VALUES (4, 'd')")
+    val after = spark.sql("SELECT snapshot_id FROM rcat.db.refs_t.snapshots")
+      .collect().map(_.getLong(0)).toSet
+    assert(after.size === 4 && allSnaps.forall(after))
+    assert(spark.sql("SELECT count(*) FROM rcat.db.refs_t")
+      .collect().head.getLong(0) === 4)
+  }
+
+  test("oauth2-server-uri routes the token exchange to the configured endpoint") {
+    val wh2 = Files.createTempDirectory("graft-rest-idp").toString
+    val (srv, u) = RestCatalogServer.start(wh2, credential = Some(("svc", "pw")))
+    try {
+      RestCatalogServer.lastTokenPath.set("")
+      val cat = RestCatalog.connect(u, Some("svc:pw"),
+        oauth2ServerUri = Some(s"$u/alt/oauth/tokens"))
+      assert(RestCatalogServer.lastTokenPath.get === "/alt/oauth/tokens",
+        "exchange must hit the configured IdP endpoint, not the default")
+      val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
+      cat.createTable(Seq("idb"), "i_t", schema)
+      assert(cat.loadTable(Seq("idb"), "i_t").isDefined)
     } finally srv.stop(0)
   }
 }
