@@ -210,6 +210,15 @@ object HiveMs {
     } finally c.close()
   }
 
+  /** an HMS entry that is an Iceberg VIEW pointer (reference
+    * HiveOperationsBase.isValidIcebergView: tableType VIRTUAL_VIEW +
+    * table_type=ICEBERG-VIEW). Views carry `metadata_location` too, so
+    * the TABLE ops must not adopt them as tables. */
+  def isViewEntry(t: Table): Boolean =
+    "VIRTUAL_VIEW".equalsIgnoreCase(t.getTableType) ||
+      Option(t.getParameters).exists(p =>
+        "ICEBERG-VIEW".equalsIgnoreCase(p.get("table_type")))
+
   /** graft type → HMS column type (informational: HMS shows the schema,
     * the authoritative one lives in the metadata document — reference
     * HiveSchemaUtil) */
@@ -290,7 +299,7 @@ final class HiveTableOps(
     * version counter is seeded from the document name when the
     * graft-private parameter is absent. */
   private def readState(): Option[(Int, String)] = {
-    val st = getHmsTable.flatMap { t =>
+    val st = getHmsTable.filterNot(HiveMs.isViewEntry).flatMap { t =>
       Option(t.getParameters.get(MetadataLocation)).map(plainPath).map { p =>
         val v = Option(t.getParameters.get(VersionKey))
           .flatMap(_.toIntOption).filter(_ > 0)
@@ -668,6 +677,9 @@ final class HiveMsCatalog(warehouse: String, val hive: HiveMs.Client)
         case _: NoSuchObjectException => throw new IllegalArgumentException(
           s"no such table: ${ns(namespace)}.$name")
       }
+    if (HiveMs.isViewEntry(t))
+      throw new IllegalArgumentException(
+        s"${ns(namespace)}.$name is a view, not a table")
     ensureDb(ns(newNamespace))
     t.setDbName(ns(newNamespace))
     t.setTableName(newName.toLowerCase)

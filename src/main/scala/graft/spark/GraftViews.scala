@@ -94,11 +94,130 @@ object GraftViewStore {
       rc.listViewNames(namespace)
   }
 
+  /** HMS-registered view documents (reference hive-metastore
+    * HiveViewOperations + HMSTablePropertyHelper.setHmsParameters): the
+    * spec view-metadata document lives under the warehouse, but the
+    * POINTER is an HMS entry with tableType VIRTUAL_VIEW and parameters
+    * `table_type=ICEBERG-VIEW` + `metadata_location` — the convention
+    * HMS-fronted Iceberg engines share, so foreign engines list and
+    * read graft views, and graft reads theirs (any entry bearing the
+    * markers is live, regardless of creator). Each put writes a fresh
+    * uuid-named document and swaps the pointer under the HMS table
+    * lock, like table commits. */
+  final class HiveViewDocs(cat: graft.core.meta.HiveMsCatalog) extends ViewDocs {
+    import org.apache.hadoop.hive.metastore.api.{FieldSchema, NoSuchObjectException, SerDeInfo, StorageDescriptor, Table => HmsTable}
+
+    private def db(namespace: Seq[String]): String =
+      namespace.mkString(".").toLowerCase
+    private def dir(namespace: Seq[String]): String =
+      (cat.warehouse +: namespace :+ "_views").mkString("/")
+
+    private def entry(namespace: Seq[String], name: String): Option[HmsTable] =
+      try Some(cat.hive.sync(_.getTable(db(namespace), name.toLowerCase)))
+      catch { case _: NoSuchObjectException => None }
+
+    private def isIcebergView(t: HmsTable): Boolean =
+      "VIRTUAL_VIEW".equalsIgnoreCase(t.getTableType) &&
+        Option(t.getParameters).exists(p =>
+          "ICEBERG-VIEW".equalsIgnoreCase(p.get("table_type")) &&
+            p.get("metadata_location") != null)
+
+    private def plainPath(p: String): String =
+      if (p.startsWith("file:"))
+        "/" + p.stripPrefix("file:").dropWhile(_ == '/')
+      else p
+
+    override def get(namespace: Seq[String], name: String): Option[String] =
+      entry(namespace, name).filter(isIcebergView).flatMap { t =>
+        val p = plainPath(t.getParameters.get("metadata_location"))
+        if (GraftIO.exists(p)) Some(GraftIO.readString(p)) else None
+      }
+
+    override def put(namespace: Seq[String], name: String, doc: String,
+        replace: Boolean): Unit = {
+      val docPath =
+        s"${dir(namespace)}/$name-${java.util.UUID.randomUUID}.metadata.json"
+      java.nio.file.Files.createDirectories(GraftIO.toPath(dir(namespace)))
+      GraftIO.writeString(docPath, doc)
+      // tableOps ensures the HMS database exists and hands back the ops
+      // whose EXCLUSIVE HMS lock guards the read-verify-swap (reference
+      // HiveViewOperations commits through MetastoreLock exactly like
+      // tables)
+      val lockOps = cat.tableOps(namespace, name)
+        .asInstanceOf[graft.core.meta.HiveTableOps]
+      try lockOps.withTableLock {
+        entry(namespace, name) match {
+          case Some(t) if !isIcebergView(t) =>
+            throw new IllegalStateException(
+              s"${db(namespace)}.$name exists and is not an Iceberg view")
+          case Some(_) if !replace =>
+            throw new ViewAlreadyExistsException(
+              Identifier.of(namespace.toArray, name))
+          case Some(t) =>
+            val prev = t.getParameters.get("metadata_location")
+            t.getParameters.put("metadata_location", docPath)
+            if (prev != null)
+              t.getParameters.put("previous_metadata_location", prev)
+            cat.hive.sync(_.alter_table(db(namespace), name.toLowerCase, t))
+          case None =>
+            cat.hive.sync(_.createTable(newViewEntry(namespace, name, docPath)))
+        }
+      } catch {
+        case e: Throwable => GraftIO.delete(docPath); throw e
+      }
+    }
+
+    override def delete(namespace: Seq[String], name: String): Boolean =
+      entry(namespace, name).filter(isIcebergView) match {
+        case None => false
+        case Some(t) =>
+          val p = plainPath(t.getParameters.get("metadata_location"))
+          cat.hive.sync(_.dropTable(db(namespace), name.toLowerCase, false, true))
+          try GraftIO.delete(p) catch { case scala.util.control.NonFatal(_) => () }
+          true
+      }
+
+    override def names(namespace: Seq[String]): Seq[String] =
+      try {
+        val d = db(namespace)
+        val all = cat.hive.sync(_.getAllTables(d)).asScala.toSeq
+        if (all.isEmpty) Nil
+        else cat.hive.sync(_.getTableObjectsByName(d, all.asJava)).asScala
+          .filter(isIcebergView).map(_.getTableName).toSeq.sorted
+      } catch { case _: NoSuchObjectException => Nil }
+
+    override def locationFor(namespace: Seq[String], name: String): String =
+      s"${dir(namespace)}/$name"
+
+    private def newViewEntry(namespace: Seq[String], name: String,
+        docPath: String): HmsTable = {
+      val sd = new StorageDescriptor()
+      sd.setCols(java.util.Collections.singletonList(
+        new FieldSchema("dummy", "string", "")))
+      val serde = new SerDeInfo()
+      serde.setSerializationLib(
+        "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+      sd.setSerdeInfo(serde)
+      val t = new HmsTable()
+      t.setDbName(db(namespace))
+      t.setTableName(name.toLowerCase)
+      t.setTableType("VIRTUAL_VIEW")
+      t.setSd(sd)
+      val params = new java.util.HashMap[String, String]()
+      params.put("table_type", "ICEBERG-VIEW")
+      params.put("metadata_location", docPath)
+      t.setParameters(params)
+      t
+    }
+  }
+
   /** pick the doc store for a catalog backing: REST catalogs serve view
-    * documents over the protocol, everything else uses the warehouse */
+    * documents over the protocol, HMS catalogs register pointer entries
+    * in the metastore, everything else uses the warehouse */
   def docsFor(cat: graft.core.meta.HadoopCatalog): ViewDocs = cat match {
     case c: graft.core.meta.CachingCatalog => docsFor(c.underlying)
     case r: graft.core.meta.RestCatalog    => new RestViewDocs(r)
+    case h: graft.core.meta.HiveMsCatalog  => new HiveViewDocs(h)
     case c                                 => FileViewDocs(c.warehouse)
   }
 

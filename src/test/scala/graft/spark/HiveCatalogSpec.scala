@@ -480,4 +480,74 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM ghms.sdb.hive_renamed")
       .collect()(0).getLong(0) === 24L)
   }
+
+  test("views register as HMS VIRTUAL_VIEW entries; foreign entries adopt") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghms.vdb")
+    spark.sql("CREATE TABLE ghms.vdb.base (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO ghms.vdb.base VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("CALL ghms.system.create_view('vdb.v_top', " +
+      "'SELECT id FROM ghms.vdb.base WHERE id >= 2')")
+    assert(spark.sql("SELECT count(*) FROM ghms.vdb.v_top")
+      .collect().head.getLong(0) === 2)
+
+    // the pointer entry carries the reference markers (HiveViewOperations:
+    // VIRTUAL_VIEW + table_type=ICEBERG-VIEW + metadata_location)
+    val e = cat.hive.sync(_.getTable("vdb", "v_top"))
+    assert(e.getTableType === "VIRTUAL_VIEW")
+    assert(e.getParameters.get("table_type") === "ICEBERG-VIEW")
+    val loc = e.getParameters.get("metadata_location")
+    assert(loc != null && GraftIO.exists(loc.stripPrefix("file:")))
+
+    // a view is NOT a table: existence, listing, rename all refuse
+    assert(!cat.tableExists(Seq("vdb"), "v_top"))
+    assert(!cat.listTables(Seq("vdb")).contains("v_top"))
+    intercept[IllegalArgumentException](
+      cat.renameTable(Seq("vdb"), "v_top", Seq("vdb"), "v_moved"))
+    val docs = new GraftViewStore.HiveViewDocs(cat)
+    assert(docs.names(Seq("vdb")) === Seq("v_top"))
+
+    // replace rotates the pointer to a fresh document
+    spark.sql("CALL ghms.system.create_view('vdb.v_top', " +
+      "'SELECT id FROM ghms.vdb.base WHERE id >= 3', true)")
+    assert(spark.sql("SELECT count(*) FROM ghms.vdb.v_top")
+      .collect().head.getLong(0) === 1)
+    val e2 = cat.hive.sync(_.getTable("vdb", "v_top"))
+    assert(e2.getParameters.get("metadata_location") !== loc)
+    assert(e2.getParameters.get("previous_metadata_location") === loc)
+
+    // FOREIGN adoption: a raw-HMS VIRTUAL_VIEW entry (markers + pointer,
+    // no graft involvement in its creation) lists and reads
+    locally {
+      import org.apache.hadoop.hive.metastore.api._
+      val sd = new StorageDescriptor()
+      sd.setCols(java.util.Collections.singletonList(
+        new FieldSchema("dummy", "string", "")))
+      val serde = new SerDeInfo()
+      serde.setSerializationLib(
+        "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+      sd.setSerdeInfo(serde)
+      val ft = new Table()
+      ft.setDbName("vdb"); ft.setTableName("v_foreign")
+      ft.setTableType("VIRTUAL_VIEW"); ft.setSd(sd)
+      val params = new java.util.HashMap[String, String]()
+      params.put("table_type", "ICEBERG-VIEW")
+      params.put("metadata_location",
+        e2.getParameters.get("metadata_location"))
+      ft.setParameters(params)
+      cat.hive.sync(_.createTable(ft))
+    }
+    assert(docs.names(Seq("vdb")) === Seq("v_foreign", "v_top"))
+    assert(spark.sql("SELECT count(*) FROM ghms.vdb.v_foreign")
+      .collect().head.getLong(0) === 1)
+
+    // drop removes the HMS entry
+    spark.sql("CALL ghms.system.drop_view('vdb.v_top')")
+    assert(docs.names(Seq("vdb")) === Seq("v_foreign"))
+    assert(cat.hive.sync(c =>
+      try { c.getTable("vdb", "v_top"); false }
+      catch {
+        case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException =>
+          true
+      }))
+  }
 }
