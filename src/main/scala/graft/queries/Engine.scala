@@ -2497,10 +2497,131 @@ object Engine {
             UNION ALL SELECT 'orc' AS src, * FROM s2)
       GROUP BY src, s_nationkey ORDER BY src, s_nationkey"""))
 
+  // ------------------------------------------------------------------ g68
+  // REST conditional loads + lazy snapshot history (open-api loadTable
+  // If-None-Match/304 + the `snapshots` query param; reference
+  // RESTSessionCatalog SnapshotMode.REFS + RESTCatalogProperties
+  // SNAPSHOT_LOADING_MODE): three snapshots with a tag on the first are
+  // read through a snapshot-loading-mode=refs catalog — current data
+  // AND time travel to the MIDDLE snapshot, which no ref names, so the
+  // lazy full load must fire. In-gate attestations: the refs wire shape
+  // is filtered to ref heads, and a repeat load on one handle is served
+  // 304 off the client's ETag.
+  private val g68 = Q(
+    "g68_engine_rest_lazy_loads",
+    (s, dir) => {
+      val wh = warehouse(dir) + "_rest"
+      val uri = RestFixture.ensure(wh)
+      s.conf.set("spark.sql.catalog.grest", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grest.catalog-impl", "rest")
+      s.conf.set("spark.sql.catalog.grest.uri", uri)
+      s.conf.set("spark.sql.catalog.grestr", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grestr.catalog-impl", "rest")
+      s.conf.set("spark.sql.catalog.grestr.uri", uri)
+      s.conf.set("spark.sql.catalog.grestr.snapshot-loading-mode", "refs")
+      s.conf.set("spark.sql.catalog.grestr.cache-enabled", "false")
+      val cat = graft.core.meta.RestCatalog.connect(uri)
+      if (!cat.tableExists(Seq("db"), "cust_lazy")) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS grest.db")
+        s.sql("""CREATE TABLE grest.db.cust_lazy (
+          c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE)""")
+        val src = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        src.filter(col("c_custkey") % 3 === 0)
+          .writeTo("grest.db.cust_lazy").append()
+        s.sql("ALTER TABLE grest.db.cust_lazy CREATE TAG first_load")
+        src.filter(col("c_custkey") % 3 === 1)
+          .writeTo("grest.db.cust_lazy").append()
+        src.filter(col("c_custkey") % 3 === 2)
+          .writeTo("grest.db.cust_lazy").append()
+      }
+      val allMeta = cat.loadTable(Seq("db"), "cust_lazy").get.meta
+      val snapIds = allMeta.snapshots.map(_.snapshotId)
+      require(snapIds.size == 3, s"g68: expected 3 snapshots, got ${snapIds.size}")
+      // attestation 1: ?snapshots=refs ships only the tag + main heads
+      val (rc, rb, _) = graft.core.meta.RestHttp.getWithEtag(
+        s"$uri/v1/namespaces/db/tables/cust_lazy?snapshots=refs")
+      require(rc == 200, s"g68: refs load failed: $rc")
+      val refsWire = {
+        val arr = graft.core.meta.MetaJson.mapper.readTree(rb)
+          .get("metadata").get("snapshots")
+        val b = Set.newBuilder[Long]
+        arr.elements().forEachRemaining(n => b += n.get("snapshot-id").asLong())
+        b.result()
+      }
+      require(refsWire == Set(snapIds.head, snapIds.last),
+        s"g68: refs wire shape not filtered to ref heads: $refsWire")
+      // attestation 2: a repeat load on one handle is a 304 cache hit
+      val ops = cat.tableOps(Seq("db"), "cust_lazy")
+      ops.currentVersion()
+      val nm0 = graft.core.meta.RestCatalogServer.tableLoad304.get()
+      ops.currentVersion()
+      require(graft.core.meta.RestCatalogServer.tableLoad304.get() > nm0,
+        "g68: repeat load must be served 304 off the ETag")
+      // attestation 3: time travel to the UNREFERENCED middle snapshot
+      // through the refs-mode catalog forces the lazy full load
+      val middle = snapIds(1)
+      val ttGot = s.sql(
+        s"SELECT count(*) FROM grestr.db.cust_lazy VERSION AS OF $middle")
+        .collect().head.getLong(0)
+      val ttExp = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 < 2).count()
+      require(ttGot == ttExp,
+        s"g68: refs-mode time travel returned $ttGot, expected $ttExp")
+      s.table("grestr.db.cust_lazy")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("sum_b2"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_b2
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  // ------------------------------------------------------------------ g69
+  // Views over the Hive Metastore catalog (reference hive-metastore
+  // HiveViewOperations + HiveCatalog.listViews): create_view registers
+  // an HMS VIRTUAL_VIEW entry with table_type=ICEBERG-VIEW and the
+  // metadata_location pointer — the convention foreign engines share —
+  // and reads resolve the spec view-metadata document it names. The
+  // in-gate attestation checks the markers and that the view is NOT
+  // visible as a table.
+  private val g69 = Q(
+    "g69_engine_hive_views",
+    (s, dir) => {
+      val wh = warehouse(dir) + "_hms"
+      s.conf.set("spark.sql.catalog.ghms", classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.ghms.warehouse", wh)
+      s.conf.set("spark.sql.catalog.ghms.catalog-impl", "hive")
+      val cat = new graft.core.meta.HiveMsCatalog(wh,
+        graft.core.meta.HiveMs.connect(None, s"$wh/_hms_db", wh))
+      if (!cat.tableExists(Seq("db"), "nation_hv")) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS ghms.db")
+        s.sql("CREATE TABLE ghms.db.nation_hv (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .writeTo("ghms.db.nation_hv").append()
+        s.sql("""CALL ghms.system.create_view('db.nation_by_region_v',
+          'SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS max_name
+           FROM ghms.db.nation_hv GROUP BY n_regionkey', true)""")
+      }
+      val hms = cat.hive.sync(_.getTable("db", "nation_by_region_v"))
+      require("VIRTUAL_VIEW".equalsIgnoreCase(hms.getTableType) &&
+        "ICEBERG-VIEW".equalsIgnoreCase(hms.getParameters.get("table_type")) &&
+        hms.getParameters.get("metadata_location") != null,
+        "g69: the view must be an HMS VIRTUAL_VIEW pointer entry")
+      require(!cat.tableExists(Seq("db"), "nation_by_region_v"),
+        "g69: a view entry must not read as a table")
+      s.sql("""SELECT n_regionkey, n, max_name
+        FROM ghms.db.nation_by_region_v ORDER BY n_regionkey""")
+    },
+    Some("""
+      SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n, MAX(n_name) AS max_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66, g67)
+    g66, g67, g68, g69)
 }
