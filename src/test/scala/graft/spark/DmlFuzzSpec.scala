@@ -61,6 +61,15 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.catalog.gfzp.uri", started._2)
       .config("spark.sql.catalog.gfzp.credential", "fuzz:pw")
       .config("spark.sql.catalog.gfzp.rest-scan-planning", "server")
+      // lazy-history arm: every LOAD of a gfzl table ships only
+      // branch/tag-referenced snapshots plus an ETag (304 conditional
+      // reloads); anything past the ref heads (time travel, snapshot
+      // procedures) goes through the lazy full-load supplier
+      .config("spark.sql.catalog.gfzl", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.gfzl.catalog-impl", "rest")
+      .config("spark.sql.catalog.gfzl.uri", started._2)
+      .config("spark.sql.catalog.gfzl.credential", "fuzz:pw")
+      .config("spark.sql.catalog.gfzl.snapshot-loading-mode", "refs")
       // Hive Metastore arm: every commit of a gfzh history CASes
       // through the embedded metastore's exclusive table locks
       .config("spark.sql.catalog.gfzh", classOf[GraftCatalog].getName)
@@ -72,6 +81,7 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gfz.db")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gfzr.db")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gfzh.db")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfzl.db")
   }
 
   override def afterAll(): Unit = {
@@ -85,7 +95,7 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
     val fq = s"$cat.db.$name"
     val catWarehouse =
-      if (cat == "gfzr" || cat == "gfzp") restWarehouse
+      if (cat == "gfzr" || cat == "gfzp" || cat == "gfzl") restWarehouse
       else if (cat == "gfzh") hiveWarehouse
       else warehouse
     val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
@@ -688,6 +698,16 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("seeded DML fuzz with server-side scan planning") {
     runSeed(seed = 888001, partitioned = true, steps = 30,
       evolveSpec = true, cat = "gfzp")
+  }
+
+  // every LOAD ships the refs-filtered metadata with an ETag (304
+  // conditional reloads on repeat loads), and every access past the
+  // ref heads — time travel, snapshot procedures — goes through the
+  // lazy full-load supplier: the model-checked history must be
+  // invariant to HOW the snapshot list is materialized
+  test("seeded DML fuzz over refs-mode lazy snapshot loading") {
+    runSeed(seed = 555001, partitioned = true, steps = 30,
+      evolveSpec = true, cat = "gfzl")
   }
 
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
