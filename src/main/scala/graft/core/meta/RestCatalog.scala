@@ -1514,7 +1514,13 @@ final class RestTableOps(
       // spec-conformant REST catalog, not just graft's server
       val baseMeta =
         if (baseVersion == 0) None
-        else load() match {
+        // FULL load: the base diffed against must be ONE consistent
+        // document. A refs-mode lazy list forced later (inside
+        // deriveCommit) could observe a newer state than the version
+        // checked here — a foreign STAGED snapshot added between the
+        // two GETs would land in the remove-snapshots action while the
+        // main-ref assert still passes: a lost update.
+        else load(forceFull = true) match {
           case Some((v, m)) if v == baseVersion => Some(m)
           // the table moved past our base: deriving a diff against the
           // newer state would silently mis-target, so fail the CAS and
