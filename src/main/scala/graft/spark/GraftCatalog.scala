@@ -25,6 +25,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var catalog: HadoopCatalog = _
+  // catalog-level table property policy (reference CatalogProperties
+  // TABLE_DEFAULT_PREFIX / TABLE_OVERRIDE_PREFIX via
+  // BaseMetastoreCatalog.TableBuilder): `table-default.<k>` seeds new
+  // tables (user-supplied values win), `table-override.<k>` is enforced
+  // over them — how an operator pins e.g. metadata cleanup or a format
+  // across every table created through the catalog. `view-default.` /
+  // `view-override.` do the same for view properties.
+  private var tableDefaults: Map[String, String] = Map.empty
+  private var tableOverrides: Map[String, String] = Map.empty
+  private var viewDefaults: Map[String, String] = Map.empty
+  private var viewOverrides: Map[String, String] = Map.empty
+
+  /** defaults under, overrides over the user-supplied properties */
+  private def withTablePolicy(user: Map[String, String]): Map[String, String] =
+    tableDefaults ++ user ++ tableOverrides
 
   /** underlying file catalog (procedures + extension DDL) */
   private[spark] def core: HadoopCatalog = catalog
@@ -57,6 +72,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    def prefixed(prefix: String): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      options.asScala.collect {
+        case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
+      }.toMap
+    }
+    tableDefaults = prefixed("table-default.")
+    tableOverrides = prefixed("table-override.")
+    viewDefaults = prefixed("view-default.")
+    viewOverrides = prefixed("view-override.")
     val wh = Option(options.get("warehouse"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse")
     // table-encryption key material (reference CatalogProperties
@@ -262,7 +287,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException(ident)
     val (schema, spec) = schemaAndSpec(columns, partitions)
     val t = catalog.createTable(ident.namespace.toSeq, ident.name, schema, spec,
-      properties.asScala.toMap)
+      withTablePolicy(properties.asScala.toMap))
     new GraftSparkTable(t, fullName(ident))
   }
 
@@ -480,10 +505,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
 
   override def createView(info: ViewInfo): View =
-    GraftViewStore.create(viewDocs, info, replace = false)
+    GraftViewStore.create(viewDocs, info, replace = false,
+      defaults = viewDefaults, overrides = viewOverrides)
 
   override def replaceView(info: ViewInfo, orCreate: Boolean): View =
-    GraftViewStore.create(viewDocs, info, replace = true)
+    GraftViewStore.create(viewDocs, info, replace = true,
+      defaults = viewDefaults, overrides = viewOverrides)
 
   override def alterView(ident: Identifier, changes: ViewChange*): View =
     GraftViewStore.alter(viewDocs, ident, changes)
@@ -508,7 +535,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ns = ident.namespace.toSeq
     val ops = catalog.tableOps(ns, ident.name)
     val (schema, spec) = schemaAndSpec(columns, partitions)
-    val props = properties.asScala.toMap
+    val props = withTablePolicy(properties.asScala.toMap)
     val initial =
       if (replace && ops.currentVersion() > 0)
         TableMetadata.buildReplacement(ops.current().get, schema, spec, props)
@@ -717,8 +744,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ----------------------------------------------------------- procedures
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident.name, catalog).getOrElse(
-      throw new RuntimeException(s"no such procedure: ${ident.name}"))
+    GraftProcedures.load(ident.name, catalog, (viewDefaults, viewOverrides))
+      .getOrElse(
+        throw new RuntimeException(s"no such procedure: ${ident.name}"))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray

@@ -46,8 +46,14 @@ object GraftProcedures extends Serializable {
     // reference-registry aliases
     "snapshot", "rewrite_position_delete_files")
 
-  def load(name: String, catalog: HadoopCatalog): Option[UnboundProcedure] =
-    if (names.contains(name.toLowerCase)) Some(new GraftProcedure(name.toLowerCase, catalog))
+  def load(name: String, catalog: HadoopCatalog,
+      // catalog-level view property policy (defaults, overrides) —
+      // applied by create_view (reference CatalogProperties
+      // VIEW_DEFAULT_PREFIX / VIEW_OVERRIDE_PREFIX)
+      viewPolicy: (Map[String, String], Map[String, String]) =
+        (Map.empty, Map.empty)): Option[UnboundProcedure] =
+    if (names.contains(name.toLowerCase))
+      Some(new GraftProcedure(name.toLowerCase, catalog, viewPolicy))
     else None
 
   // ---------------------------------------------------------- helpers
@@ -519,7 +525,9 @@ object GraftProcedures extends Serializable {
   }
 }
 
-final class GraftProcedure(pname: String, catalog: HadoopCatalog)
+final class GraftProcedure(pname: String, catalog: HadoopCatalog,
+    viewPolicy: (Map[String, String], Map[String, String]) =
+      (Map.empty, Map.empty))
   extends UnboundProcedure with BoundProcedure {
 
   import GraftProcedures._
@@ -1823,7 +1831,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog)
           spark.sessionState.catalogManager.currentCatalog.name,
           Array.empty[String], schema, schema.fieldNames,
           Array.empty[String], Array.empty[String],
-          new java.util.HashMap[String, String]()), replace)
+          new java.util.HashMap[String, String]()), replace,
+        defaults = viewPolicy._1, overrides = viewPolicy._2)
       out(StructType(Seq(StructField("view", StringType))), row(s(viewName)))
 
     case "drop_view" =>

@@ -428,13 +428,18 @@ object GraftViewStore {
   def create(warehouse: String, info: ViewInfo, replace: Boolean): StoredView =
     create(FileViewDocs(warehouse), info, replace)
 
-  def create(docs: ViewDocs, info: ViewInfo, replace: Boolean): StoredView = {
+  def create(docs: ViewDocs, info: ViewInfo, replace: Boolean,
+      // catalog-level view property policy (reference CatalogProperties
+      // VIEW_DEFAULT_PREFIX / VIEW_OVERRIDE_PREFIX): defaults under,
+      // overrides over the statement's own properties
+      defaults: Map[String, String] = Map.empty,
+      overrides: Map[String, String] = Map.empty): StoredView = {
     val ident = info.ident
     val existing = load(docs, ident)
     if (!replace && existing.isDefined)
       throw new ViewAlreadyExistsException(ident)
     val now = System.currentTimeMillis()
-    val newProps = info.properties.asScala.toMap
+    val newProps = defaults ++ info.properties.asScala.toMap ++ overrides
     val nextId = existing.map(_.versions.map(_.versionId).max + 1).getOrElse(1)
     val ver = ViewVersion(nextId, now, info.sql, info.currentCatalog,
       info.currentNamespace.toSeq, info.schema.json,

@@ -3238,4 +3238,52 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dropped-table residuals must NOT be resurrected by the back-fill
     assert(java.nio.file.Files.exists(legacy.resolve("_namespace.json")))
   }
+
+  test("catalog property policy: table/view defaults under, overrides over") {
+    // reference CatalogProperties TABLE_DEFAULT_PREFIX / TABLE_OVERRIDE_
+    // PREFIX (BaseMetastoreCatalog.TableBuilder) and the view twins
+    spark.conf.set("spark.sql.catalog.gpol", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpol.warehouse", s"$warehouse/_polwh")
+    spark.conf.set(
+      "spark.sql.catalog.gpol.table-default.write.parquet.compression-codec",
+      "zstd")
+    spark.conf.set(
+      "spark.sql.catalog.gpol.table-override.commit.retry.num-retries", "9")
+    spark.conf.set("spark.sql.catalog.gpol.view-default.team", "data-eng")
+    spark.conf.set("spark.sql.catalog.gpol.view-override.audited", "true")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpol.db")
+
+    def props(tbl: String): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // defaults seed, user values win over defaults, overrides win over user
+    spark.sql("""CREATE TABLE gpol.db.pol_plain (id BIGINT)
+      TBLPROPERTIES ('commit.retry.num-retries'='2')""")
+    val p1 = props("gpol.db.pol_plain")
+    assert(p1.get("write.parquet.compression-codec").contains("zstd"))
+    assert(p1.get("commit.retry.num-retries").contains("9"),
+      "table-override must win over the statement's own property")
+    spark.sql("""CREATE TABLE gpol.db.pol_user (id BIGINT)
+      TBLPROPERTIES ('write.parquet.compression-codec'='gzip')""")
+    assert(props("gpol.db.pol_user")
+      .get("write.parquet.compression-codec").contains("gzip"),
+      "a user-supplied value must win over table-default")
+
+    // the CTAS (staged) path applies the same policy
+    spark.sql("CREATE TABLE gpol.db.pol_ctas AS SELECT 1L AS id")
+    val p3 = props("gpol.db.pol_ctas")
+    assert(p3.get("write.parquet.compression-codec").contains("zstd"))
+    assert(p3.get("commit.retry.num-retries").contains("9"))
+
+    // view policy through the create_view procedure
+    spark.sql("CALL gpol.system.create_view('db.pol_v', " +
+      "'SELECT id FROM gpol.db.pol_plain')")
+    val v = GraftViewStore.load(
+      GraftViewStore.FileViewDocs(s"$warehouse/_polwh"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "pol_v")).get
+    assert(v.properties.get("team").contains("data-eng"))
+    assert(v.properties.get("audited").contains("true"))
+  }
 }
