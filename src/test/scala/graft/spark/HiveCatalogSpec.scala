@@ -540,6 +540,26 @@ class HiveCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM ghms.vdb.v_foreign")
       .collect().head.getLong(0) === 1)
 
+    // concurrent replaces serialize through the HMS lock: the final
+    // pointer names a readable document and no replace is lost half-way
+    locally {
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 6).map { i =>
+        new Thread(() =>
+          try docs.put(Seq("vdb"), "v_race", s"""{"view-uuid":"u$i"}""",
+            replace = true)
+          catch { case t: Throwable => failures.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(failures.isEmpty, s"concurrent view replaces failed: $failures")
+      val e3 = cat.hive.sync(_.getTable("vdb", "v_race"))
+      val ptr = e3.getParameters.get("metadata_location")
+      assert(ptr != null && GraftIO.exists(ptr.stripPrefix("file:")))
+      val doc = docs.get(Seq("vdb"), "v_race").get
+      assert((0 until 6).exists(i => doc.contains(s"u$i")))
+      assert(docs.delete(Seq("vdb"), "v_race"))
+    }
+
     // drop removes the HMS entry
     spark.sql("CALL ghms.system.drop_view('vdb.v_top')")
     assert(docs.names(Seq("vdb")) === Seq("v_foreign"))
