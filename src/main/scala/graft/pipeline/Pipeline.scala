@@ -1483,7 +1483,77 @@ object Pipeline {
       FROM lab l JOIN canon c ON c.cluster = l.cluster
       ORDER BY l.doc_id"""))
 
+  // ---------------------------------------------------------------- p32
+  // Fused corpus-prep pass: the canonical training-data preparation
+  // chain (quality gate → language-ID → exact dedup → per-language
+  // corpus stats) as ONE declarative plan. Composition order is the
+  // scale decision: the token gate runs BEFORE the dedup shuffle (rows
+  // dropped early never cross the wire), language-ID is computed
+  // map-side and carried through the groupBy as an agg (identical text
+  // ⇒ identical prediction, so max() is exact), and the per-language
+  // rollup is a map-side-combined aggregation over the already-deduped
+  // rows. Two shuffles total for the whole chain; everything between
+  // them is whole-stage codegen.
+  private val p32 = Q(
+    "p32_corpus_prep",
+    (s, dir) => {
+      def score(words: String*) = {
+        val list = words.map(w => s"'$w'").mkString(", ")
+        expr(s"size(filter(ws, w -> w IN ($list)))")
+      }
+      val gated = tok(s, dir)
+        .withColumn("n_tokens", size(col("ws")))
+        .filter(col("n_tokens") >= 30) // quality gate, pre-shuffle
+        .withColumn("s_en", score("the", "a", "of"))
+        .withColumn("s_de", score("der", "die", "und"))
+        .withColumn("s_es", score("el", "la", "los"))
+        .withColumn("s_fr", score("le", "les", "et"))
+        .withColumn("pred",
+          when(col("s_en") > 0 && col("s_en") >= col("s_de") &&
+            col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") > 0 && col("s_de") >= col("s_es") &&
+              col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") > 0 && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und"))
+      val kept = gated.groupBy("text").agg(
+        min("doc_id").as("doc_id"),
+        count(lit(1)).as("copies"),
+        max("n_tokens").as("n_tokens"),
+        max("pred").as("pred"))
+      kept.groupBy("pred").agg(
+        count(lit(1)).as("n_docs"),
+        sum("copies").as("n_docs_raw"),
+        sum("n_tokens").cast("long").as("sum_tokens"))
+        .orderBy("pred")
+    },
+    Some(s"""
+      WITH $sqlTok,
+      gated AS (
+        SELECT t2.doc_id, d.text, len(t2.ws) AS n_tokens,
+          CASE WHEN len(list_filter(t2.ws, w -> w IN ('the','a','of'))) > 0
+                    AND len(list_filter(t2.ws, w -> w IN ('the','a','of'))) >= len(list_filter(t2.ws, w -> w IN ('der','die','und')))
+                    AND len(list_filter(t2.ws, w -> w IN ('the','a','of'))) >= len(list_filter(t2.ws, w -> w IN ('el','la','los')))
+                    AND len(list_filter(t2.ws, w -> w IN ('the','a','of'))) >= len(list_filter(t2.ws, w -> w IN ('le','les','et'))) THEN 'en'
+               WHEN len(list_filter(t2.ws, w -> w IN ('der','die','und'))) > 0
+                    AND len(list_filter(t2.ws, w -> w IN ('der','die','und'))) >= len(list_filter(t2.ws, w -> w IN ('el','la','los')))
+                    AND len(list_filter(t2.ws, w -> w IN ('der','die','und'))) >= len(list_filter(t2.ws, w -> w IN ('le','les','et'))) THEN 'de'
+               WHEN len(list_filter(t2.ws, w -> w IN ('el','la','los'))) > 0
+                    AND len(list_filter(t2.ws, w -> w IN ('el','la','los'))) >= len(list_filter(t2.ws, w -> w IN ('le','les','et'))) THEN 'es'
+               WHEN len(list_filter(t2.ws, w -> w IN ('le','les','et'))) > 0 THEN 'fr'
+               ELSE 'und' END AS pred
+        FROM tok t2 JOIN documents d ON d.doc_id = t2.doc_id
+        WHERE len(t2.ws) >= 30),
+      kept AS (
+        SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS copies,
+          MAX(n_tokens) AS n_tokens, MAX(pred) AS pred
+        FROM gated GROUP BY text)
+      SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(copies) AS BIGINT) AS n_docs_raw,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM kept GROUP BY pred ORDER BY pred"""))
+
   val all: Vector[Q] = Vector(p01, p02, p03, p04, p05, p06, p07, p08, p09,
     p10, p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
-    p24, p25, p26, p27, p28, p29, p30, p31)
+    p24, p25, p26, p27, p28, p29, p30, p31, p32)
 }
