@@ -210,14 +210,34 @@ object HiveMs {
     } finally c.close()
   }
 
-  /** an HMS entry that is an Iceberg VIEW pointer (reference
-    * HiveOperationsBase.isValidIcebergView: tableType VIRTUAL_VIEW +
-    * table_type=ICEBERG-VIEW). Views carry `metadata_location` too, so
-    * the TABLE ops must not adopt them as tables. */
+  /** an HMS entry that is VIEW-shaped in ANY respect (reference
+    * HiveOperationsBase.isValidIcebergView markers: tableType
+    * VIRTUAL_VIEW, table_type=ICEBERG-VIEW). Views carry
+    * `metadata_location` too, so the TABLE ops must not adopt them as
+    * tables — this EXCLUSION predicate is deliberately the broad OR of
+    * the markers, while [[isIcebergViewEntry]] (what the view store
+    * serves) is the strict AND: an entry carrying only one marker is
+    * neither table nor view rather than risking a view read as a table. */
   def isViewEntry(t: Table): Boolean =
     "VIRTUAL_VIEW".equalsIgnoreCase(t.getTableType) ||
       Option(t.getParameters).exists(p =>
         "ICEBERG-VIEW".equalsIgnoreCase(p.get("table_type")))
+
+  /** a live Iceberg VIEW pointer entry: both reference markers plus the
+    * metadata_location pointer (reference
+    * HiveOperationsBase.isValidIcebergView) */
+  def isIcebergViewEntry(t: Table): Boolean =
+    "VIRTUAL_VIEW".equalsIgnoreCase(t.getTableType) &&
+      Option(t.getParameters).exists(p =>
+        "ICEBERG-VIEW".equalsIgnoreCase(p.get("table_type")) &&
+          p.get("metadata_location") != null)
+
+  /** "file:///abs" and "file:/abs" both normalize to "/abs" — a naive
+    * stripPrefix("file:") would leave "///abs", splitting path-keyed
+    * caches and prefix comparisons into two spellings */
+  def plainPath(p: String): String =
+    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/')
+    else p
 
   /** graft type → HMS column type (informational: HMS shows the schema,
     * the authoritative one lives in the metadata document — reference
@@ -253,12 +273,7 @@ final class HiveTableOps(
     try Some(hive.sync(_.getTable(db, name)))
     catch { case _: NoSuchObjectException => None }
 
-  /** "file:///abs" and "file:/abs" both normalize to "/abs" — a naive
-    * stripPrefix("file:") would leave "///abs", splitting path-keyed
-    * caches and prefix comparisons into two spellings */
-  private def plainPath(p: String): String =
-    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/')
-    else p
+  private def plainPath(p: String): String = HiveMs.plainPath(p)
 
   override lazy val location: String =
     getHmsTable.flatMap(t => Option(t.getSd).flatMap(sd =>

@@ -1274,7 +1274,9 @@ final case class StorageCredential(prefix: String, config: Map[String, String]) 
   * a table that moved between the refs load and the force serves the
   * newer full list. */
 final class LazySnapshots(subset: Seq[Snapshot], loadAll: () => Seq[Snapshot])
-  extends scala.collection.immutable.Seq[Snapshot] {
+  extends scala.collection.immutable.Seq[Snapshot] with Serializable {
+  // a throwing loader is NOT memoized (Scala lazy val retries after an
+  // exception), so a transient load failure stays retryable
   lazy val all: Seq[Snapshot] = loadAll()
   def apply(i: Int): Snapshot = all(i)
   def length: Int = all.length
@@ -1469,8 +1471,13 @@ final class RestTableOps(
       val meta =
         if (refsMode)
           parsed.copy(snapshots = new LazySnapshots(parsed.snapshots,
+            // a failed full load must THROW, never default: lazy val
+            // memoizes, and an empty history memoized off a transient
+            // 503 would make a later expire-style commit derive a
+            // metadata with zero snapshots — a corrupted table
             () => load(forceFull = true).map(_._2.snapshots.toVector)
-              .getOrElse(Vector.empty)))
+              .getOrElse(throw new IllegalStateException(
+                s"lazy snapshot load failed for $tableUrl"))))
         else parsed
       lastRawProps = meta.properties
       val v = n.get("version").asInt()
@@ -1559,7 +1566,7 @@ final class RestCatalog private (warehouse: String, uri: String,
   extends HadoopCatalog(warehouse) {
 
   private def advertised(family: String): Boolean =
-    endpoints.forall(_.exists(_.contains(family)))
+    RestCatalog.advertisedIn(endpoints, family)
   private[meta] def viewsAdvertised: Boolean = advertised("/views")
   private[meta] def planAdvertised: Boolean = advertised("/plan")
 
@@ -1934,14 +1941,22 @@ object RestCatalog {
         arr.elements().forEachRemaining(e => b += e.asText())
         b.result()
       }
-    def advertised(family: String): Boolean =
-      endpoints.forall(_.exists(_.contains(family)))
-    if (advertised("/metrics")) wireMetrics(uri, warehouse, session)
+    if (advertisedIn(endpoints, "/metrics"))
+      wireMetrics(uri, warehouse, session)
     require(snapshotMode == "all" || snapshotMode == "refs",
       s"snapshot-loading-mode must be 'all' or 'refs', got '$snapshotMode'")
     new RestCatalog(warehouse, uri, session, accessDelegation, specCommits,
       serverPlanning, endpoints, snapshotMode)
   }
+
+  /** ConfigResponse endpoint negotiation: None = classic server
+    * (everything implied); Some = a route family is usable only when
+    * some advertised route mentions it (reference RESTSessionCatalog
+    * Endpoint). ONE predicate for connect-time gating (metrics wiring)
+    * and instance-time gating (views/plan) so they can never diverge. */
+  private[meta] def advertisedIn(endpoints: Option[Set[String]],
+      family: String): Boolean =
+    endpoints.forall(_.exists(_.contains(family)))
 
   /** Run an authed request; when the server still answers 401 (token
     * revoked, server restarted, clock skew past the proactive-refresh

@@ -744,7 +744,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ----------------------------------------------------------- procedures
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident.name, catalog, (viewDefaults, viewOverrides))
+    GraftProcedures.load(ident.name, catalog,
+      GraftProcedures.CatalogPolicy(tableDefaults, tableOverrides,
+        viewDefaults, viewOverrides))
       .getOrElse(
         throw new RuntimeException(s"no such procedure: ${ident.name}"))
 

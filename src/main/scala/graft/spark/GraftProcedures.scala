@@ -46,14 +46,27 @@ object GraftProcedures extends Serializable {
     // reference-registry aliases
     "snapshot", "rewrite_position_delete_files")
 
+  /** Catalog-level property policy threaded from the Spark catalog
+    * (reference CatalogProperties TABLE_DEFAULT_PREFIX /
+    * TABLE_OVERRIDE_PREFIX and the view twins): applied wherever a
+    * procedure CREATES a table (snapshot_table / migrate /
+    * snapshot_delta) or view (create_view), so imported tables honor
+    * the same policy as CREATE TABLE. register_table adopts an existing
+    * metadata document and is deliberately exempt. */
+  final case class CatalogPolicy(
+      tableDefaults: Map[String, String] = Map.empty,
+      tableOverrides: Map[String, String] = Map.empty,
+      viewDefaults: Map[String, String] = Map.empty,
+      viewOverrides: Map[String, String] = Map.empty) {
+    /** defaults under, overrides over the user-supplied properties */
+    def table(user: Map[String, String]): Map[String, String] =
+      tableDefaults ++ user ++ tableOverrides
+  }
+
   def load(name: String, catalog: HadoopCatalog,
-      // catalog-level view property policy (defaults, overrides) —
-      // applied by create_view (reference CatalogProperties
-      // VIEW_DEFAULT_PREFIX / VIEW_OVERRIDE_PREFIX)
-      viewPolicy: (Map[String, String], Map[String, String]) =
-        (Map.empty, Map.empty)): Option[UnboundProcedure] =
+      policy: CatalogPolicy = CatalogPolicy()): Option[UnboundProcedure] =
     if (names.contains(name.toLowerCase))
-      Some(new GraftProcedure(name.toLowerCase, catalog, viewPolicy))
+      Some(new GraftProcedure(name.toLowerCase, catalog, policy))
     else None
 
   // ---------------------------------------------------------- helpers
@@ -526,8 +539,7 @@ object GraftProcedures extends Serializable {
 }
 
 final class GraftProcedure(pname: String, catalog: HadoopCatalog,
-    viewPolicy: (Map[String, String], Map[String, String]) =
-      (Map.empty, Map.empty))
+    policy: GraftProcedures.CatalogPolicy = GraftProcedures.CatalogPolicy())
   extends UnboundProcedure with BoundProcedure {
 
   import GraftProcedures._
@@ -1488,8 +1500,17 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
               p.endsWith(".avro"))
           val files =
             if (partFilter.isEmpty) files0
+            // key matches case-insensitively (hive folds column names);
+            // the VALUE matches exactly — grp=a must not admit grp=A, a
+            // different partition (matches the catalog-source branch and
+            // the reference AddFilesProcedure)
             else files0.filter(p => partFilter.forall { case (k, v) =>
-              p.split("/").exists(_.equalsIgnoreCase(s"$k=$v")) })
+              p.split("/").exists { seg =>
+                val i = seg.indexOf('=')
+                i > 0 && seg.substring(0, i).equalsIgnoreCase(k) &&
+                  seg.substring(i + 1) == v
+              }
+            })
           require(files.nonEmpty, s"no parquet/orc/avro files under $srcArg" +
             (if (partFilter.isEmpty) "" else s" matching $partFilter"))
           (files.map { path =>
@@ -1832,7 +1853,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
           Array.empty[String], schema, schema.fieldNames,
           Array.empty[String], Array.empty[String],
           new java.util.HashMap[String, String]()), replace,
-        defaults = viewPolicy._1, overrides = viewPolicy._2)
+        defaults = policy.viewDefaults, overrides = policy.viewOverrides)
       out(StructType(Seq(StructField("view", StringType))), row(s(viewName)))
 
     case "drop_view" =>
@@ -1886,8 +1907,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
       // tables; consult both spellings
       val physByField: Map[Int, String] = statsSchema.struct.fields
         .map(f => f.id -> f.name).toMap
-      val t = catalog.createTable(ns, tbl, gSchema, spec, Map(
-        "snapshot_source" -> "delta", "original_location" -> srcDir))
+      val t = catalog.createTable(ns, tbl, gSchema, spec, policy.table(Map(
+        "snapshot_source" -> "delta", "original_location" -> srcDir)))
       val hConf = spark.sessionState.newHadoopConf() // once per replay
       var added = 0L
       var records = 0L
@@ -1985,12 +2006,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
             md.keyArray.getUTF8String(i).toString ->
               md.valueArray.getUTF8String(i).toString).toMap
         }
-      catalog.createTable(ns, tbl, gSchema, spec0, snapProps)
+      catalog.createTable(ns, tbl, gSchema, spec0, policy.table(snapProps))
       // delegate file registration to the same footer-based import; a
       // registration failure must not leave a half-created table that
       // blocks re-runs (same abort contract as snapshot_delta)
       try {
-        val addProc = new GraftProcedure("add_files", catalog)
+        val addProc = new GraftProcedure("add_files", catalog, policy)
         addProc.call(new GenericInternalRow(Array[Any](
           s(tblName), s(srcArg))))
       } catch {
@@ -2006,7 +2027,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
       // the source dir is left in place and the new table owns the files)
       val srcDir = input.getUTF8String(0).toString
       val tblName = input.getUTF8String(1).toString
-      val snapProc = new GraftProcedure("snapshot_table", catalog)
+      val snapProc = new GraftProcedure("snapshot_table", catalog, policy)
       val res = snapProc.call(new GenericInternalRow(Array[Any](
         s(srcDir), s(tblName))))
       loadTable(tblName).updateProperties(Map("migrated-from" -> srcDir))

@@ -117,15 +117,10 @@ object GraftViewStore {
       catch { case _: NoSuchObjectException => None }
 
     private def isIcebergView(t: HmsTable): Boolean =
-      "VIRTUAL_VIEW".equalsIgnoreCase(t.getTableType) &&
-        Option(t.getParameters).exists(p =>
-          "ICEBERG-VIEW".equalsIgnoreCase(p.get("table_type")) &&
-            p.get("metadata_location") != null)
+      graft.core.meta.HiveMs.isIcebergViewEntry(t)
 
     private def plainPath(p: String): String =
-      if (p.startsWith("file:"))
-        "/" + p.stripPrefix("file:").dropWhile(_ == '/')
-      else p
+      graft.core.meta.HiveMs.plainPath(p)
 
     override def get(namespace: Seq[String], name: String): Option[String] =
       entry(namespace, name).filter(isIcebergView).flatMap { t =>

@@ -147,6 +147,24 @@ class CatalogImportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("matches no partitions")))
   }
 
+  test("directory-source partition_filter: keys fold case, values match exactly") {
+    val dir = s"$warehouse/_pf_dir_src"
+    spark.range(0, 5).selectExpr("id", "'lo' AS v")
+      .write.mode("overwrite").parquet(s"$dir/tag=a")
+    spark.range(0, 7).selectExpr("id", "'hi' AS v")
+      .write.mode("overwrite").parquet(s"$dir/tag=A")
+    spark.sql("""CREATE TABLE graft.db.pf_dir
+      (id BIGINT, v STRING, tag STRING) PARTITIONED BY (tag)""")
+    // key 'TAG' folds to the column; value 'a' must NOT admit tag=A —
+    // a different partition value
+    spark.sql(s"CALL graft.system.add_files('db.pf_dir', '$dir', " +
+      "partition_filter => map('TAG', 'a'))")
+    val got = spark.sql("SELECT tag, count(*) FROM graft.db.pf_dir GROUP BY tag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 5L)),
+      s"value match must be exact (got $got)")
+  }
+
   test("add_files refuses re-importing live files unless forced") {
     mkSource("cat_dup", "parquet")
     spark.sql("""CREATE TABLE graft.db.dup_target

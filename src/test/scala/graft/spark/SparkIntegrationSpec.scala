@@ -3276,6 +3276,15 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p3.get("write.parquet.compression-codec").contains("zstd"))
     assert(p3.get("commit.retry.num-retries").contains("9"))
 
+    // imports create through the same policy as CREATE TABLE
+    spark.sql("SELECT 1L AS id, 2L AS v").write.mode("overwrite")
+      .parquet(s"$warehouse/_polwh/_src_pol")
+    spark.sql(s"CALL gpol.system.snapshot_table(" +
+      s"'$warehouse/_polwh/_src_pol', 'db.pol_imp')")
+    val p4 = props("gpol.db.pol_imp")
+    assert(p4.get("write.parquet.compression-codec").contains("zstd"))
+    assert(p4.get("commit.retry.num-retries").contains("9"))
+
     // view policy through the create_view procedure
     spark.sql("CALL gpol.system.create_view('db.pol_v', " +
       "'SELECT id FROM gpol.db.pol_plain')")
