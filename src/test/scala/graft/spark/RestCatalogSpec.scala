@@ -1401,6 +1401,23 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) === 4)
   }
 
+  test("a failed lazy snapshot force throws — never memoizes an empty history") {
+    spark.sql("CREATE TABLE rcat.db.lazy_fail (id BIGINT)")
+    spark.sql("INSERT INTO rcat.db.lazy_fail VALUES (1)")
+    spark.sql("INSERT INTO rcat.db.lazy_fail VALUES (2)")
+    val cat = RestCatalog.connect(uri, snapshotMode = "refs")
+    val ops = cat.tableOps(Seq("db"), "lazy_fail")
+    val meta = ops.current().get
+    // the refs subset (main head) answers without forcing
+    assert(meta.currentSnapshot.isDefined)
+    // drop the table behind the handle's back: forcing the full list
+    // must THROW (retryable), not memoize an empty history that a later
+    // expire-style commit would write back as a zero-snapshot metadata
+    spark.sql("DROP TABLE rcat.db.lazy_fail")
+    val e = intercept[IllegalStateException](meta.snapshots.length)
+    assert(e.getMessage.contains("lazy snapshot load failed"))
+  }
+
   test("oauth2-server-uri routes the token exchange to the configured endpoint") {
     val wh2 = Files.createTempDirectory("graft-rest-idp").toString
     val (srv, u) = RestCatalogServer.start(wh2, credential = Some(("svc", "pw")))
