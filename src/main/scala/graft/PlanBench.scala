@@ -38,6 +38,15 @@ object PlanBench {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    // co-tenant noise hit two committed BENCH artifacts before per-query
+    // controls landed; planning gets the same medicine — each metric is
+    // the MIN of 3 samples (planning is deterministic CPU+IO, so the min
+    // is the machine-capability number, and a burst hitting one sample
+    // cannot masquerade as a regression)
+    def best[A](f: => A): (A, Double) = {
+      val runs = (1 to 3).map(_ => time(f))
+      (runs.head._1, runs.map(_._2).min)
+    }
 
     val (t, buildSec) = time(SyntheticMeta.build(cat, "planbench",
       Partitions, FilesPerPartition, DeletesPerPartition))
@@ -45,18 +54,18 @@ object PlanBench {
     // warm-up: JIT + page cache for the JSON manifest parse paths
     t.newScan().filter(Expr.equalTo("p", 1L)).planFiles()
 
-    val (full, fullSec) = time(t.newScan().planFiles())
+    val (full, fullSec) = best(t.newScan().planFiles())
     require(full.size == Partitions * FilesPerPartition,
       s"full plan found ${full.size} files")
 
-    val (pruned, prunedSec) = time(
+    val (pruned, prunedSec) = best(
       t.newScan().filter(Expr.equalTo("p", 7L)).planFiles())
     require(pruned.size == FilesPerPartition,
       s"pruned plan found ${pruned.size} files")
     require(pruned.forall(_.deletes.size == DeletesPerPartition),
       "pruned tasks must carry their partition's deletes")
 
-    val (narrow, narrowSec) = time(t.newScan()
+    val (narrow, narrowSec) = best(t.newScan()
       .filter(Expr.and(Expr.equalTo("p", 7L), Expr.ltEq("id", 999L)))
       .planFiles())
     require(narrow.size == 1, s"stats pruning kept ${narrow.size} files")
@@ -75,7 +84,7 @@ object PlanBench {
       val ops = rc.tableOps(Seq("db"), "planbench")
         .asInstanceOf[RestTableOps]
       val meta = t.meta
-      time(ops.planScan(meta.currentSnapshot.map(_.snapshotId),
+      best(ops.planScan(meta.currentSnapshot.map(_.snapshotId),
         Expr.equalTo("p", 7L), meta))
     } finally srv.stop(0)
     require(serverTasks.size == FilesPerPartition,

@@ -1426,6 +1426,10 @@ final class RestTableOps(
     * sends If-None-Match and a 304 serves this without re-shipping or
     * re-parsing the metadata document (open-api loadTable ETag / 304) */
   @volatile private var etagCache: Option[(String, Int, TableMetadata)] = None
+  /** status of the most recent non-200 load — diagnostic only (the lazy
+    * snapshot force reports it so a dropped table (404) reads
+    * differently from a transient outage (503)) */
+  @volatile private var lastLoadStatus: Int = 0
 
   /** `forceFull` bypasses both the refs filter and the ETag cache — the
     * lazy-snapshot supplier and the vended-credential refresh need a
@@ -1444,7 +1448,7 @@ final class RestTableOps(
       (c, b)
     }
     if (code == 304) cached.map(c => (c._2, c._3))
-    else if (code != 200) { etagCache = None; None }
+    else if (code != 200) { lastLoadStatus = code; etagCache = None; None }
     else {
       val n = MetaJson.mapper.readTree(body)
       lastConfig = Option(n.get("config")).map { c =>
@@ -1477,7 +1481,10 @@ final class RestTableOps(
             // metadata with zero snapshots — a corrupted table
             () => load(forceFull = true).map(_._2.snapshots.toVector)
               .getOrElse(throw new IllegalStateException(
-                s"lazy snapshot load failed for $tableUrl"))))
+                s"lazy snapshot load failed for $tableUrl " +
+                  s"(HTTP $lastLoadStatus${
+                    if (lastLoadStatus == 404) " — table no longer exists"
+                    else ""})"))))
         else parsed
       lastRawProps = meta.properties
       val v = n.get("version").asInt()

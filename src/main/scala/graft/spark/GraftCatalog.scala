@@ -25,21 +25,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var catalog: HadoopCatalog = _
-  // catalog-level table property policy (reference CatalogProperties
+  // catalog-level property policy (reference CatalogProperties
   // TABLE_DEFAULT_PREFIX / TABLE_OVERRIDE_PREFIX via
   // BaseMetastoreCatalog.TableBuilder): `table-default.<k>` seeds new
   // tables (user-supplied values win), `table-override.<k>` is enforced
   // over them — how an operator pins e.g. metadata cleanup or a format
   // across every table created through the catalog. `view-default.` /
-  // `view-override.` do the same for view properties.
-  private var tableDefaults: Map[String, String] = Map.empty
-  private var tableOverrides: Map[String, String] = Map.empty
-  private var viewDefaults: Map[String, String] = Map.empty
-  private var viewOverrides: Map[String, String] = Map.empty
+  // `view-override.` do the same for view properties. ONE CatalogPolicy
+  // serves the direct CREATE path, staged CTAS/RTAS, and the
+  // table-creating procedures, so the merge semantics cannot drift.
+  private var policy: GraftProcedures.CatalogPolicy =
+    GraftProcedures.CatalogPolicy()
 
   /** defaults under, overrides over the user-supplied properties */
   private def withTablePolicy(user: Map[String, String]): Map[String, String] =
-    tableDefaults ++ user ++ tableOverrides
+    policy.table(user)
 
   /** underlying file catalog (procedures + extension DDL) */
   private[spark] def core: HadoopCatalog = catalog
@@ -78,10 +78,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
       }.toMap
     }
-    tableDefaults = prefixed("table-default.")
-    tableOverrides = prefixed("table-override.")
-    viewDefaults = prefixed("view-default.")
-    viewOverrides = prefixed("view-override.")
+    policy = GraftProcedures.CatalogPolicy(
+      prefixed("table-default."), prefixed("table-override."),
+      prefixed("view-default."), prefixed("view-override."))
     val wh = Option(options.get("warehouse"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_warehouse")
     // table-encryption key material (reference CatalogProperties
@@ -506,11 +505,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createView(info: ViewInfo): View =
     GraftViewStore.create(viewDocs, info, replace = false,
-      defaults = viewDefaults, overrides = viewOverrides)
+      defaults = policy.viewDefaults, overrides = policy.viewOverrides)
 
   override def replaceView(info: ViewInfo, orCreate: Boolean): View =
     GraftViewStore.create(viewDocs, info, replace = true,
-      defaults = viewDefaults, overrides = viewOverrides)
+      defaults = policy.viewDefaults, overrides = policy.viewOverrides)
 
   override def alterView(ident: Identifier, changes: ViewChange*): View =
     GraftViewStore.alter(viewDocs, ident, changes)
@@ -744,11 +743,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ----------------------------------------------------------- procedures
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident.name, catalog,
-      GraftProcedures.CatalogPolicy(tableDefaults, tableOverrides,
-        viewDefaults, viewOverrides))
-      .getOrElse(
-        throw new RuntimeException(s"no such procedure: ${ident.name}"))
+    GraftProcedures.load(ident.name, catalog, policy).getOrElse(
+      throw new RuntimeException(s"no such procedure: ${ident.name}"))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray

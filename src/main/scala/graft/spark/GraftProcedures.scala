@@ -1516,8 +1516,14 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
           (files.map { path =>
             val partition: Seq[Any] = spec.fields.map { pf =>
               val src = schema.byId(pf.sourceId)
-              val seg = path.split("/").find(_.startsWith(src.name + "="))
-                .map(_.substring(src.name.length + 1))
+              // key folds case like the filter above (hive lowercases
+              // column names in directory layouts); the VALUE is verbatim
+              val seg = path.split("/").flatMap { sg =>
+                val i = sg.indexOf('=')
+                if (i > 0 && sg.substring(0, i).equalsIgnoreCase(src.name))
+                  Some(sg.substring(i + 1))
+                else None
+              }.headOption
                 .getOrElse(throw new IllegalArgumentException(
                   s"file $path missing partition segment ${src.name}= (identity import only)"))
               graft.core.types.TypeComparators.parse(src.tpe, seg)
