@@ -437,6 +437,8 @@ object RestCatalogServer {
               (parts(3) == "plan" || parts(3) == "tasks")) Some("/plan")
           else if (parts.length >= 4 && parts(1) == "tables" &&
               parts(3) == "metrics") Some("/metrics")
+          else if (parts.length >= 4 && parts(1) == "tables" &&
+              parts(3) == "credentials") Some("/credentials")
           else if (parts.length >= 2 && parts(1) == "views") Some("/views")
           else None
         val gated = family.exists(f =>
@@ -679,6 +681,24 @@ object RestCatalogServer {
               x.getResponseHeaders.set("ETag", etag)
               json(x, 200, MetaJson.mapper.writeValueAsString(o))
               }
+            }
+          case ("GET", Array(ns, "tables", t, "credentials")) =>
+            // open-api loadCredentials: refresh vended credentials
+            // WITHOUT re-shipping the metadata document — the client
+            // calls this when a vend expires mid-job (reference
+            // LoadCredentialsResponse / ResourcePaths.credentials)
+            val ops = new FileTableOps(backing.tableLocation(nsParts(ns), t))
+            if (ops.currentVersion() == 0)
+              json(x, 404, s"""{"error": "no such table"}""")
+            else {
+              val o = MetaJson.mapper.createObjectNode()
+              val cred = o.putArray("storage-credentials").addObject()
+              cred.put("prefix", ops.location)
+              val cc = cred.putObject("config")
+              cc.put("token", java.util.UUID.randomUUID().toString)
+              cc.put("expires-at-ms",
+                (System.currentTimeMillis() + credTtlMs).toString)
+              json(x, 200, MetaJson.mapper.writeValueAsString(o))
             }
           case ("POST", Array(ns, "tables", t, "commit")) =>
             val body = MetaJson.mapper.readTree(readBody(x))
@@ -1310,7 +1330,10 @@ final class RestTableOps(
     // snapshot-loading-mode (reference RESTCatalogProperties
     // SNAPSHOT_LOADING_MODE): "refs" loads only branch/tag-referenced
     // snapshots eagerly and the rest through a lazy one-shot supplier
-    snapshotMode: String = "all") extends TableOps {
+    snapshotMode: String = "all",
+    // the server advertises the loadCredentials route: expired vends
+    // refresh through it instead of re-shipping the metadata document
+    credsAdvertised: Boolean = true) extends TableOps {
 
   private def tableUrl = s"$uri/v1/namespaces/$namespace/tables/$name"
   /** run an authed request; one retry with a forced token re-exchange
@@ -1329,16 +1352,41 @@ final class RestTableOps(
 
   /** server-controlled table config from the last load (empty before) */
   def serverConfig: Map[String, String] = lastConfig
+  /** the `storage-credentials` array of a load/credentials response */
+  private def parseCreds(
+      n: com.fasterxml.jackson.databind.JsonNode): Seq[StorageCredential] =
+    Option(n.get("storage-credentials")).map { arr =>
+      val b = Seq.newBuilder[StorageCredential]
+      arr.elements().forEachRemaining { c =>
+        val cfg = Map.newBuilder[String, String]
+        Option(c.get("config")).foreach(
+          _.fields().forEachRemaining(e => cfg += e.getKey -> e.getValue.asText()))
+        b += StorageCredential(c.get("prefix").asText(), cfg.result())
+      }
+      b.result()
+    }.getOrElse(Nil)
+
   /** vended credentials; when any cached credential is past its
-    * `expires-at-ms` the table config is RE-LOADED so the caller never
-    * holds a dead credential (reference open-api StorageCredential +
-    * core/.../rest/credentials refresh-on-expiry). Empty unless the
-    * catalog connected with access delegation. */
+    * `expires-at-ms` it is refreshed — through the spec loadCredentials
+    * endpoint when the server advertises it (open-api
+    * `tables/{t}/credentials`: fresh vends WITHOUT re-shipping the
+    * metadata document), else through a full-body table load (a 304 off
+    * the ETag cache would carry no storage-credentials and leave the
+    * expired vend in place). Empty unless the catalog connected with
+    * access delegation. */
   def storageCredentials: Seq[StorageCredential] = {
-    if (lastCreds.exists(_.expiresAtMs.exists(_ <= System.currentTimeMillis())))
-      // full-body load: a 304 off the ETag cache would carry no
-      // storage-credentials and leave the expired vend in place
-      load(forceFull = true) // refreshes lastCreds as a side effect
+    if (lastCreds.exists(_.expiresAtMs.exists(_ <= System.currentTimeMillis()))) {
+      val viaEndpoint = credsAdvertised && {
+        val (code, body) = req(RestHttp.get(s"$tableUrl/credentials", _))
+        code == 200 && {
+          val fresh = parseCreds(MetaJson.mapper.readTree(body))
+          if (fresh.nonEmpty) lastCreds = fresh
+          fresh.nonEmpty
+        }
+      }
+      if (!viaEndpoint)
+        load(forceFull = true) // refreshes lastCreds as a side effect
+    }
     lastCreds
   }
 
@@ -1456,16 +1504,7 @@ final class RestTableOps(
         c.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
         b.result()
       }.getOrElse(Map.empty)
-      lastCreds = Option(n.get("storage-credentials")).map { arr =>
-        val b = Seq.newBuilder[StorageCredential]
-        arr.elements().forEachRemaining { c =>
-          val cfg = Map.newBuilder[String, String]
-          Option(c.get("config")).foreach(
-            _.fields().forEachRemaining(e => cfg += e.getKey -> e.getValue.asText()))
-          b += StorageCredential(c.get("prefix").asText(), cfg.result())
-        }
-        b.result()
-      }.getOrElse(Nil)
+      lastCreds = parseCreds(n)
       val parsed = MetaJson.readMetadata(
         MetaJson.mapper.writeValueAsString(n.get("metadata")))
       // refs mode: the wire carried only branch/tag-referenced
@@ -1585,7 +1624,7 @@ final class RestCatalog private (warehouse: String, uri: String,
   private def ops(namespace: Seq[String], name: String): RestTableOps =
     new RestTableOps(tableLocation(namespace, name), uri, ns(namespace), name,
       session, delegation, specCommits, serverPlanning, planAdvertised,
-      snapshotMode)
+      snapshotMode, advertised("/credentials"))
 
   /** Load the table's vended storage credentials (requires the catalog
     * to have been connected with access delegation). One fresh set per

@@ -1401,6 +1401,26 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) === 4)
   }
 
+  test("expired vends refresh via the credentials endpoint, not a table reload") {
+    val wh2 = Files.createTempDirectory("graft-rest-credep").toString
+    // credTtlMs=1: every vend is expired by the next observation
+    val (srv, u) = RestCatalogServer.start(wh2, credTtlMs = 1)
+    try {
+      val cat = RestCatalog.connect(u, accessDelegation = true)
+      val schema = GSchema(GStruct(Seq(GField(1, "id", GLong))))
+      cat.createTable(Seq("cdb"), "c_t", schema)
+      val ops = cat.tableOps(Seq("cdb"), "c_t")
+        .asInstanceOf[graft.core.meta.RestTableOps]
+      ops.current() // seeds the (already expired) vend
+      Thread.sleep(5)
+      val full0 = RestCatalogServer.tableLoadFull.get()
+      val creds = ops.storageCredentials
+      assert(creds.nonEmpty && creds.forall(_.expiresAtMs.isDefined))
+      assert(RestCatalogServer.tableLoadFull.get() === full0,
+        "the refresh must hit loadCredentials, not re-ship the metadata")
+    } finally srv.stop(0)
+  }
+
   test("a failed lazy snapshot force throws — never memoizes an empty history") {
     spark.sql("CREATE TABLE rcat.db.lazy_fail (id BIGINT)")
     spark.sql("INSERT INTO rcat.db.lazy_fail VALUES (1)")
