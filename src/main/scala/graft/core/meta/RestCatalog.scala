@@ -250,6 +250,41 @@ object RestCatalogServer {
         }
       } catch { case e: Throwable => json(x, 400, errJson(e)) })
 
+    // spec renameView (open-api /v1/views/rename, RenameTableRequest
+    // body shape): move the view document between namespace stores —
+    // 404 on a missing source, 409 when the destination exists
+    server.createContext("/v1/views/rename", (x: HttpExchange) =>
+      try if (authed(x)) {
+        val n = MetaJson.mapper.readTree(readBody(x))
+        def ident(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+          require(node.hasNonNull("namespace") && node.hasNonNull("name"),
+            "rename identifiers require namespace and name")
+          val b = Seq.newBuilder[String]
+          node.get("namespace").elements().forEachRemaining(e => b += e.asText())
+          b += node.get("name").asText()
+          b.result()
+        }
+        require(n.hasNonNull("source") && n.hasNonNull("destination"),
+          "source/destination required")
+        val (from, to) = (ident(n.get("source")), ident(n.get("destination")))
+        require(from.length >= 2 && to.length >= 2, "namespace.view required")
+        NamespaceProps.validateLevels(to.init)
+        require((from ++ to).forall(NamespaceProps.validName),
+          "rename identifiers must not contain path segments")
+        def docPath(id: Seq[String]): String =
+          (warehouse +: id.init :+ "_views").mkString("/") + s"/${id.last}.json"
+        val (src, dst) = (docPath(from), docPath(to))
+        if (!GraftIO.exists(src)) json(x, 404, s"""{"error": "no such view"}""")
+        else if (GraftIO.exists(dst)) json(x, 409, s"""{"error": "view exists"}""")
+        else {
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(dst).getParent)
+          java.nio.file.Files.move(java.nio.file.Paths.get(src),
+            java.nio.file.Paths.get(dst))
+          json(x, 200, "{}")
+        }
+      } catch { case e: Throwable => json(x, 400, errJson(e)) })
+
     // multi-table transaction commit (reference RESTCatalog
     // .commitTransaction(List<TableCommit>) + open-api commitTransaction):
     // N table CAS'es applied all-or-nothing. The server owns every pointer

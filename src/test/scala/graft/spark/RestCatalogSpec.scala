@@ -1401,6 +1401,24 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) === 4)
   }
 
+  test("spec views/rename moves the document; 404 missing, 409 occupied") {
+    import graft.core.meta.RestHttp
+    val cat = RestCatalog.connect(uri)
+    cat.putViewDoc(Seq("db"), "vr_src", """{"view-uuid":"vr1"}""", replace = false)
+    def rename(from: String, to: String): Int =
+      RestHttp.post(s"$uri/v1/views/rename",
+        s"""{"source": {"namespace": ["db"], "name": "$from"},
+             "destination": {"namespace": ["db"], "name": "$to"}}""")._1
+    assert(rename("vr_src", "vr_dst") === 200)
+    assert(cat.loadViewDoc(Seq("db"), "vr_src").isEmpty)
+    assert(cat.loadViewDoc(Seq("db"), "vr_dst").exists(_.contains("vr1")))
+    assert(rename("vr_src", "vr_other") === 404)
+    cat.putViewDoc(Seq("db"), "vr_src", """{"view-uuid":"vr2"}""", replace = false)
+    assert(rename("vr_src", "vr_dst") === 409)
+    assert(cat.dropViewDoc(Seq("db"), "vr_src"))
+    assert(cat.dropViewDoc(Seq("db"), "vr_dst"))
+  }
+
   test("expired vends refresh via the credentials endpoint, not a table reload") {
     val wh2 = Files.createTempDirectory("graft-rest-credep").toString
     // credTtlMs=1: every vend is expired by the next observation
