@@ -443,6 +443,41 @@ object ManifestIO {
   def fileExt(props: Map[String, String]): String =
     if (avroEnabled(props)) "avro" else "json"
 
+  /** Structural size estimate of one serialized manifest entry, for
+    * rolling manifests at `commit.manifest.target-size-bytes` (reference
+    * RollingManifestWriter.java checks writer.length() per row; graft's
+    * JSON-lines writer serializes whole files, so rolling decides on an
+    * estimate — granularity of the split, not a format length, is what
+    * matters, and being off by 2× just shifts the roll point). */
+  def estimateEntrySize(e: ManifestEntry): Long = {
+    val f = e.file
+    140L + f.path.length + 20L * f.partition.size +
+      100L * (f.columnStats.size + f.shredStats.size) +
+      8L * f.equalityIds.size +
+      f.referencedDataFile.map(_.length + 32L).getOrElse(0L)
+  }
+
+  /** Greedy split of an entry set at the target manifest size: a
+    * million-file import/compaction emits parallel-readable,
+    * list-prunable manifests instead of one monolith. Single chunk when
+    * everything fits (the common case — zero behavior change). */
+  def chunkByTarget(entries: Seq[ManifestEntry], target: Long): Seq[Seq[ManifestEntry]] = {
+    if (entries.size <= 1) return Seq(entries)
+    val chunks = Seq.newBuilder[Seq[ManifestEntry]]
+    val cur = Seq.newBuilder[ManifestEntry]
+    var n = 0
+    var w = 0L
+    entries.foreach { e =>
+      val s = estimateEntrySize(e)
+      if (n > 0 && w + s > target) {
+        chunks += cur.result(); cur.clear(); n = 0; w = 0L
+      }
+      cur += e; n += 1; w += s
+    }
+    if (n > 0) chunks += cur.result()
+    chunks.result()
+  }
+
   /** spec id → partition field types under the current schema, for
     * Appendix-D-encoding Avro manifest-list summary bounds (callers
     * Try-wrap: a spec whose source column was since dropped yields no
@@ -693,6 +728,23 @@ object ManifestIO {
   }
 }
 
+/** Commit-time manifest maintenance knobs (reference
+  * TableProperties.java:115-122 — MANIFEST_TARGET_SIZE_BYTES /
+  * MANIFEST_MIN_MERGE_COUNT / MANIFEST_MERGE_ENABLED, same names and
+  * defaults). */
+object ManifestMerge {
+  val MergeEnabledKey = "commit.manifest-merge.enabled"
+  val MinCountKey = "commit.manifest.min-count-to-merge"
+  val TargetSizeKey = "commit.manifest.target-size-bytes"
+
+  def enabled(props: Map[String, String]): Boolean =
+    props.get(MergeEnabledKey).forall(_.equalsIgnoreCase("true"))
+  def minCountToMerge(props: Map[String, String]): Int =
+    props.get(MinCountKey).flatMap(_.toIntOption).getOrElse(100)
+  def targetSizeBytes(props: Map[String, String]): Long =
+    props.get(TargetSizeKey).flatMap(_.toLongOption).getOrElse(8L * 1024 * 1024)
+}
+
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 class ValidationException(msg: String) extends RuntimeException(msg)
 
@@ -856,6 +908,118 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       avro = ManifestIO.avroEnabled(base.properties),
       formatVersion = base.formatVersion)
 
+  /** Rolling variant of writeManifestFile (reference
+    * RollingManifestWriter.java): splits the entry set at
+    * `commit.manifest.target-size-bytes` so a giant import or compaction
+    * commit emits parallel-readable manifests with per-manifest partition
+    * summaries instead of one monolith. One manifest in the common case. */
+  protected final def writeManifestFiles(base: TableMetadata,
+      entries: Seq[ManifestEntry], spec: PartitionSpec, content: Int,
+      snapshotId: Long): Seq[ManifestFile] =
+    ManifestIO.chunkByTarget(entries,
+        ManifestMerge.targetSizeBytes(base.properties))
+      .map(chunk => writeManifestFile(base, chunk, spec, content, snapshotId))
+
+  /** Commit-time manifest merging (reference MergeAppend.java via
+    * MergingSnapshotProducer.java + ManifestMergeManager.java:83-239).
+    * On by default (`commit.manifest-merge.enabled`): per content kind
+    * (data / deletes, reference keeps two managers) and per spec,
+    * manifests bin-pack FROM THE END at
+    * `commit.manifest.target-size-bytes` (lookback 1, so the one
+    * under-filled bin is the newest and fills up on later commits); every
+    * multi-manifest bin rewrites into ONE manifest — except the bin
+    * holding this commit's newest manifest, which merges only once it
+    * reaches `commit.manifest.min-count-to-merge` (default 100). Net:
+    * manifest count stays bounded (~min-count per spec) under
+    * frequent-commit workloads — the streaming-sink planning cliff —
+    * while merge WRITE amplification stays amortized O(1) per commit.
+    *
+    * Carried entries keep their snapshot id + data sequence as Existing
+    * (changelog / incremental / cherry-pick filters on
+    * status==Added && snapshotId==sn are unaffected; older snapshots'
+    * own manifest lists are immutable). Deleted markers from prior
+    * snapshots are dropped (only meaningful in the list of the snapshot
+    * that wrote them — graft rewrites drop entries instead of writing
+    * markers, so these arise only on imported Iceberg Avro manifests).
+    * All-dead manifests are dropped like the reference's
+    * hasAddedFiles||hasExistingFiles filter. */
+  protected final def mergeManifests(base: TableMetadata, snapshotId: Long,
+      all: Seq[ManifestFile]): Seq[ManifestFile] = {
+    val props = base.properties
+    if (!ManifestMerge.enabled(props) || all.size < 2) return all
+    val target = ManifestMerge.targetSizeBytes(props)
+    val minCount = math.max(2, ManifestMerge.minCountToMerge(props))
+    val out = Seq.newBuilder[ManifestFile]
+    Seq(0, 1).foreach { content =>
+      val group = all.filter(m => m.content == content && m.hasLiveFiles)
+      if (group.nonEmpty) {
+        // the newest manifest of this content kind — its bin gets the
+        // min-count guard so steady-state commits don't rewrite eagerly
+        val firstPath = group.head.path
+        val bySpec = group.groupBy(_.specId)
+        group.map(_.specId).distinct.foreach { specId =>
+          packEnd(bySpec(specId), target).foreach { bin =>
+            if (bin.size == 1) out += bin.head
+            else if (bin.exists(_.path == firstPath) && bin.size < minCount)
+              out ++= bin
+            else out ++= createMerged(base, snapshotId, bin, specId, content)
+          }
+        }
+      }
+    }
+    val merged = out.result()
+    // this attempt's pre-merge manifests that were merged away are
+    // referenced by nothing — delete eagerly (reference
+    // ManifestMergeManager.cleanUncommitted) instead of leaving orphans
+    val kept = merged.map(_.path).toSet
+    all.filter(m => m.addedSnapshotId == snapshotId && !kept.contains(m.path))
+      .foreach(m => GraftIO.delete(m.path))
+    merged
+  }
+
+  /** Bin-pack manifests by file length up to `target`, packing from the
+    * END with lookback 1 (reference BinPacking.ListPacker.packEnd): input
+    * order is newest-first, so the under-filled bin is the newest one —
+    * it merges on a later commit once it fills. Bins come back in input
+    * order, entries within each bin in input order. */
+  private def packEnd(group: Seq[ManifestFile],
+      target: Long): Seq[List[ManifestFile]] = {
+    val bins = List.newBuilder[List[ManifestFile]]
+    var cur = List.empty[ManifestFile]
+    var w = 0L
+    group.reverseIterator.foreach { m =>
+      if (cur.nonEmpty && w + m.length > target) {
+        bins += cur; cur = Nil; w = 0L
+      }
+      cur = m :: cur // prepend restores newest-first order within the bin
+      w += m.length
+    }
+    if (cur.nonEmpty) bins += cur
+    bins.result().reverse
+  }
+
+  /** Rewrite one bin into a single manifest (reference
+    * ManifestMergeManager.createManifest): this commit's Added entries
+    * stay Added, live carried entries become Existing with their original
+    * snapshot id / sequence, prior snapshots' Deleted markers drop. None
+    * when everything dropped. */
+  private def createMerged(base: TableMetadata, snapshotId: Long,
+      bin: Seq[ManifestFile], specId: Int, content: Int): Option[ManifestFile] = {
+    val crypto = tableCrypto(base)
+    val entries = bin.flatMap { m =>
+      ManifestIO.readEntries(m, crypto).flatMap { e =>
+        if (e.status == ManifestEntryStatus.Deleted)
+          if (e.snapshotId == snapshotId) Some(e) else None
+        else if (e.status == ManifestEntryStatus.Added && e.snapshotId == snapshotId)
+          Some(e)
+        else Some(e.copy(status = ManifestEntryStatus.Existing))
+      }
+    }
+    if (entries.isEmpty) None
+    else Some(writeManifestFile(base, entries, base.specById(specId), content,
+      snapshotId))
+  }
+
   /** head snapshot this commit builds on: the branch's head, or — when
     * the branch doesn't exist yet (first staged WAP write) — the current
     * main head, so a new branch forks from the table's current state */
@@ -1005,8 +1169,10 @@ final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") 
     if (added.isEmpty) return parentManifests(base)
     val entries = added.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
     val spec = base.specById(added.head.specId)
-    val m = writeManifestFile(base, entries, spec, FileContent.Data, snapshotId)
-    m +: parentManifests(base)
+    val fresh = writeManifestFiles(base, entries, spec, FileContent.Data, snapshotId)
+    // MergeAppend semantics when commit.manifest-merge.enabled (the
+    // reference's DEFAULT append path) — FastAppend behavior otherwise
+    mergeManifests(base, snapshotId, fresh ++ parentManifests(base))
   }
 
   override protected def summary(base: TableMetadata): Map[String, String] = {
@@ -1161,18 +1327,20 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
       throw new CommitConflictException(
         s"files to replace no longer live (concurrent rewrite?): ${missing.take(3).mkString(", ")}")
     val addedFiles = assignRowIds(base, added.result())
-    if (addedFiles.isEmpty) kept
-    else {
-      // data and delete files go to separate manifests (content 0 vs 1) —
-      // rewrite_position_deletes replaces delete files through this path
-      addedFiles.groupBy(_.isDeleteFile).toSeq.map { case (isDelete, fs) =>
-        val spec = base.specById(fs.head.specId)
-        val entries = fs.map(f =>
-          ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
-        writeManifestFile(base, entries, spec,
-          if (isDelete) 1 else FileContent.Data, snapshotId)
-      } ++ kept
-    }
+    val ms =
+      if (addedFiles.isEmpty) kept
+      else {
+        // data and delete files go to separate manifests (content 0 vs 1) —
+        // rewrite_position_deletes replaces delete files through this path
+        addedFiles.groupBy(_.isDeleteFile).toSeq.flatMap { case (isDelete, fs) =>
+          val spec = base.specById(fs.head.specId)
+          val entries = fs.map(f =>
+            ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
+          writeManifestFiles(base, entries, spec,
+            if (isDelete) 1 else FileContent.Data, snapshotId)
+        } ++ kept
+      }
+    mergeManifests(base, snapshotId, ms)
   }
 
   override protected def summary(base: TableMetadata): Map[String, String] = {
@@ -1441,15 +1609,15 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     if (dels.nonEmpty) {
       val spec = base.specById(dels.head.specId)
       val entries = dels.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
-      ms = writeManifestFile(base, entries, spec, 1, snapshotId) +: ms
+      ms = writeManifestFiles(base, entries, spec, 1, snapshotId) ++ ms
     }
     val datas = assignRowIds(base, dataFiles.result())
     if (datas.nonEmpty) {
       val spec = base.specById(datas.head.specId)
       val entries = datas.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
-      ms = writeManifestFile(base, entries, spec, FileContent.Data, snapshotId) +: ms
+      ms = writeManifestFiles(base, entries, spec, FileContent.Data, snapshotId) ++ ms
     }
-    ms
+    mergeManifests(base, snapshotId, ms)
   }
 
   override protected def summary(base: TableMetadata): Map[String, String] = {

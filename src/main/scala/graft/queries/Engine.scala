@@ -2618,10 +2618,80 @@ object Engine {
       SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n, MAX(n_name) AS max_name
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
+  // ------------------------------------------------------------------ g70
+  // Commit-time manifest merging (reference MergeAppend.java /
+  // MergingSnapshotProducer.java, commit.manifest.min-count-to-merge):
+  // 150 tiny single-file commits — the streaming-sink shape that
+  // otherwise accumulates one manifest per commit forever — must keep
+  // the manifest list BOUNDED while full reads, time travel into the
+  // middle of the merged history, and the changelog all stay exact.
+  private val g70 = Q(
+    "g70_engine_manifest_merge",
+    (s, dir) => {
+      setup(s, dir)
+      val cat = new HadoopCatalog(warehouse(dir))
+      val ready = cat.loadTable(Seq("db"), "mm150_g")
+        .exists(_.meta.snapshots.size == 150)
+      if (!ready) {
+        cat.dropTable(Seq("db"), "mm150_g")
+        s.sessionState.catalogManager.catalog("graft") match {
+          case g: graft.spark.GraftCatalog => g.invalidateCache()
+          case _ => ()
+        }
+        s.sql("""CREATE TABLE graft.db.mm150_g (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+          TBLPROPERTIES ('commit.manifest.min-count-to-merge'='8')""")
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .coalesce(1).writeTo("graft.db.mm150_g").append()
+        val tb = cat.loadTable(Seq("db"), "mm150_g").get
+        val baseFiles = tb.newScan().planFiles().map(_.file)
+        // 149 more single-manifest commits, each appending a fresh COPY
+        // of the base files (metadata-speed, no Spark job per commit)
+        (2 to 150).foreach { i =>
+          val copies = baseFiles.zipWithIndex.map { case (f, j) =>
+            val np = f.path.stripSuffix(".parquet") + s"-c$i-$j.parquet"
+            java.nio.file.Files.copy(graft.core.meta.GraftIO.toPath(f.path),
+              graft.core.meta.GraftIO.toPath(np))
+            f.copy(path = np, firstRowId = None)
+          }
+          tb.newAppend().appendFiles(copies).commit()
+        }
+      }
+      val meta = cat.loadTable(Seq("db"), "mm150_g").get.refresh()
+      val mCount = graft.core.meta.ManifestIO.readList(
+        meta.currentSnapshot.get.manifestListPath).size
+      // bounded at min-count + a constant — the whole point of the gate
+      require(mCount <= 9,
+        s"g70: 150 commits must keep the manifest list bounded, got $mCount")
+      require(meta.snapshots.size == 150, "g70: expected 150 snapshots")
+      val snap40 = meta.snapshots.find(_.sequenceNumber == 40L).get.snapshotId
+      val full = s.sql("""SELECT 'full' AS part, COUNT(*) AS n,
+        CAST(SUM(n_regionkey) AS BIGINT) AS sumkey FROM graft.db.mm150_g""")
+      val tt = s.sql(s"""SELECT 'tt' AS part, COUNT(*) AS n,
+        CAST(SUM(n_regionkey) AS BIGINT) AS sumkey
+        FROM graft.db.mm150_g VERSION AS OF $snap40""")
+      val cdc = s.read.table("graft.db.mm150_g.changes")
+        .where(col("_change_type") === "INSERT")
+        .agg(count(lit(1)).as("n"), sum(col("n_regionkey")).as("sumkey"))
+        .select(lit("cdc").as("part"), col("n"), col("sumkey"))
+      val bounded = s.range(1).select(lit("bounded").as("part"),
+        lit(if (mCount <= 9) 1L else 0L).as("n"), lit(0L).as("sumkey"))
+      full.union(tt).union(cdc).union(bounded).orderBy("part")
+    },
+    Some("""
+      SELECT 'bounded' AS part, CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sumkey
+      UNION ALL
+      SELECT 'cdc', 150*COUNT(*), CAST(150*SUM(n_regionkey) AS BIGINT) FROM nation
+      UNION ALL
+      SELECT 'full', 150*COUNT(*), CAST(150*SUM(n_regionkey) AS BIGINT) FROM nation
+      UNION ALL
+      SELECT 'tt', 40*COUNT(*), CAST(40*SUM(n_regionkey) AS BIGINT) FROM nation
+      ORDER BY part"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66, g67, g68, g69)
+    g66, g67, g68, g69, g70)
 }

@@ -91,7 +91,8 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def runSeed(seed: Int, partitioned: Boolean, steps: Int,
       evolveSpec: Boolean = false, format: String = "parquet",
-      icebergCompat: Boolean = false, cat: String = "gfz"): Unit = {
+      icebergCompat: Boolean = false, cat: String = "gfz",
+      mergeMinCount: Option[Int] = None): Unit = {
     val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
     val fq = s"$cat.db.$name"
     val catWarehouse =
@@ -101,9 +102,14 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
     val compatProp =
       if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
+    // merge-enabled arm: an aggressive min-count makes commit-time
+    // manifest merging fire repeatedly within a short history, so every
+    // random op lands on freshly-rewritten (Existing-status) manifests
+    val mergeProp = mergeMinCount
+      .map(n => s", 'commit.manifest.min-count-to-merge'='$n'").getOrElse("")
     spark.sql(s"""CREATE TABLE $fq (id BIGINT, grp BIGINT, v STRING)
       $partClause TBLPROPERTIES ('format-version'='3',
-        'write.format.default'='$format'$compatProp)""")
+        'write.format.default'='$format'$compatProp$mergeProp)""")
 
     val rng = new Random(seed)
     val model = mutable.LinkedHashMap.empty[Long, (Long, String)]
@@ -353,6 +359,22 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((if (partSum.isNullAt(0)) 0L else partSum.getLong(0)) ==
       filesRows.map(_._2).sum,
       s"seed=$seed: partitions record_count total diverges from files")
+
+    // merge-enabled arm: commit-time manifest merging must keep the
+    // manifest list bounded by the min-count guard — per content kind,
+    // and per spec (spec evolution can leave one unmerged group per old
+    // spec) — while every read/time-travel/metadata check above passed
+    mergeMinCount.foreach { n =>
+      val meta = coreTable().meta
+      val ms = graft.core.meta.ManifestIO.readList(
+        meta.currentSnapshot.get.manifestListPath)
+      val bound = n * meta.specs.size + 2
+      Seq(0, 1).foreach { content =>
+        val cnt = ms.count(_.content == content)
+        assert(cnt <= bound,
+          s"seed=$seed: $cnt content-$content manifests exceed bound $bound")
+      }
+    }
 
     // end-of-life: everything still reads after a final compact + expire
     spark.sql(s"CALL $cat.system.rewrite_data_files(table => 'db.$name')")
@@ -710,6 +732,22 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       evolveSpec = true, cat = "gfzl")
   }
 
+  // every commit merges manifests aggressively (min-count 2–8 derived
+  // from the seed, so merging fires many times in 35 steps): random DML,
+  // CoW/MoR deletes, compaction and spec evolution all land on
+  // freshly-merged Existing-status manifests — manifest rewrites under
+  // concurrent history churn are exactly where a lost-file or
+  // sequence-number bug would hide
+  test("seeded DML fuzz with aggressive manifest merging") {
+    runSeed(seed = 321001, partitioned = true, steps = 35,
+      evolveSpec = true, mergeMinCount = Some(2 + 321001 % 7))
+  }
+
+  test("seeded DML fuzz with manifest merging in iceberg-compat mode") {
+    runSeed(seed = 321002, partitioned = true, steps = 30,
+      icebergCompat = true, mergeMinCount = Some(3))
+  }
+
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
   // (failure messages carry the seed — promote any find to a fixed test)
   sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
@@ -720,6 +758,8 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           evolveSpec = i % 3 != 0,
           format = if (i % 4 == 3) "orc" else "parquet",
           icebergCompat = i % 2 == 1,
+          // a third of the soak merges manifests aggressively
+          mergeMinCount = if (i % 3 == 1) Some(2 + (base + i) % 7) else None,
           // a third of the soak routes every commit through the spec
           // REST protocol (derive→apply on the server); another slice
           // plans every scan through the server's plan store
