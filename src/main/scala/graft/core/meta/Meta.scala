@@ -211,8 +211,15 @@ final case class TableMetadata(
   def spec: graft.core.expr.PartitionSpec = specs.find(_.specId == defaultSpecId).get
   def specById(id: Int): graft.core.expr.PartitionSpec = specs.find(_.specId == id).get
   def currentSnapshot: Option[Snapshot] =
-    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
-  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+    currentSnapshotId.flatMap(snapshotById)
+  // id lookups route through LazySnapshots' unique-key fast path so a
+  // refs-mode table's hot lookups (current snapshot, ref heads) never
+  // force the full snapshot-list load; ids are unique, so subset-first
+  // probing is order-safe (unlike generic find)
+  def snapshotById(id: Long): Option[Snapshot] = snapshots match {
+    case ls: LazySnapshots => ls.findById(id)
+    case s                 => s.find(_.snapshotId == id)
+  }
   def ref(name: String): Option[SnapshotRef] =
     refs.get(name).orElse(
       if (name == "main") currentSnapshotId.map(SnapshotRef(_, SnapshotRefType.Branch)) else None)

@@ -659,9 +659,17 @@ object RestCatalogServer {
               // ETag = the metadata document's identity (unique per
               // version): an If-None-Match hit answers 304 with no body
               // instead of re-shipping a potentially multi-MB metadata
-              // document (open-api loadTable If-None-Match / 304)
+              // document (open-api loadTable If-None-Match / 304).
+              // The validator varies BY REPRESENTATION (HTTP Vary
+              // semantics): a refs-filtered body and the full body get
+              // distinct etags, so a conditional full load can never be
+              // 304-confirmed by a validator obtained from a
+              // ?snapshots=refs response
+              val refsMode = Option(x.getRequestURI.getQuery)
+                .exists(_.split("&").contains("snapshots=refs"))
               val etag =
-                "\"" + ops.currentMetadataPath.getOrElse(s"v$v") + "\""
+                "\"" + ops.currentMetadataPath.getOrElse(s"v$v") +
+                  (if (refsMode) "-refs" else "") + "\""
               val notModified = Option(
                 x.getRequestHeaders.getFirst("If-None-Match")).contains(etag)
               if (notModified) {
@@ -690,8 +698,7 @@ object RestCatalogServer {
               // or tags — clients in snapshot-loading-mode=refs load the
               // rest lazily. Default (`all` or absent) is the full list.
               val full = ops.current().get
-              val served = if (Option(x.getRequestURI.getQuery)
-                  .exists(_.split("&").contains("snapshots=refs"))) {
+              val served = if (refsMode) {
                 val keep = full.refs.valuesIterator.map(_.snapshotId).toSet ++
                   full.currentSnapshotId
                 full.copy(snapshots =
@@ -723,8 +730,17 @@ object RestCatalogServer {
             // calls this when a vend expires mid-job (reference
             // LoadCredentialsResponse / ResourcePaths.credentials)
             val ops = new FileTableOps(backing.tableLocation(nsParts(ns), t))
+            // same gate as the table-load vend: credentials are issued
+            // only to clients that negotiated access delegation — the
+            // two credential-vending surfaces must honor the same
+            // contract, not one of them unconditionally
+            val negotiated = Option(
+              x.getRequestHeaders.getFirst("X-Graft-Access-Delegation"))
+              .exists(_.split(",").map(_.trim).contains("vended-credentials"))
             if (ops.currentVersion() == 0)
               json(x, 404, s"""{"error": "no such table"}""")
+            else if (!negotiated)
+              json(x, 400, s"""{"error": "credentials require access delegation (X-Graft-Access-Delegation: vended-credentials)"}""")
             else {
               val o = MetaJson.mapper.createObjectNode()
               val cred = o.putArray("storage-credentials").addObject()
@@ -1337,10 +1353,16 @@ final class LazySnapshots(subset: Seq[Snapshot], loadAll: () => Seq[Snapshot])
   def length: Int = all.length
   def iterator: Iterator[Snapshot] = all.iterator
   override def isEmpty: Boolean = subset.isEmpty && all.isEmpty
-  /** id-style lookups are unique across the list, so a subset hit is THE
-    * answer; predicates the subset misses fall through to the full list */
-  override def find(p: Snapshot => Boolean): Option[Snapshot] =
-    subset.find(p).orElse(all.find(p))
+  /** Snapshot ids are unique across the list, so a subset hit IS the
+    * answer and never forces the full load — the hot lookups (current
+    * snapshot, ref heads) stay lazy. Generic `find` deliberately has NO
+    * subset fast path: Seq.find promises FIRST match in list order, and
+    * probing the ref-reachable subset first would reorder matches for
+    * non-unique predicates (e.g. a wap.id carried by both the staged
+    * snapshot and its published cherry-pick) — those force the full
+    * list via the default implementation. */
+  def findById(id: Long): Option[Snapshot] =
+    subset.find(_.snapshotId == id).orElse(all.find(_.snapshotId == id))
   /** Java serialization (a metadata captured in a Spark closure) must
     * not ship the HTTP loader: materialize instead */
   private def writeReplace(): Object = all.toVector

@@ -97,8 +97,15 @@ object Pipeline {
     (s, dir) =>
       tok(s, dir)
         .withColumn("k", concat_ws(" ", slice(col("ws"), 1, 5)))
-        .groupBy("k")
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        // 100-TB scale: shuffle on a 128-bit digest of the dedup key, not
+        // the raw string — the exchange then moves fixed 32-byte keys
+        // instead of unbounded text. Exactness: md5 collisions merge two
+        // DISTINCT keys with probability ~n²/2¹²⁹ — at a trillion keys
+        // that is ~10⁻¹⁵, i.e. collision-free at any corpus scale, and
+        // min(k) recovers the key itself (identical within a group).
+        .groupBy(md5(col("k")).as("kh"))
+        .agg(min(col("k")).as("k"),
+          min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
         .filter(col("copies") > 1)
         .select("k", "keeper", "copies")
         .orderBy("keeper"),
@@ -1516,7 +1523,13 @@ object Pipeline {
             .when(col("s_es") > 0 && col("s_es") >= col("s_fr"), "es")
             .when(col("s_fr") > 0, "fr")
             .otherwise("und"))
-      val kept = gated.groupBy("text").agg(
+      // dedup shuffle keyed on a 128-bit digest, not the full document
+      // text: the exchange moves 32-byte keys + tiny agg buffers instead
+      // of whole documents (THE shuffle-width decision at 100 TB; md5
+      // collisions merge distinct texts with ~n²/2¹²⁹ probability —
+      // negligible at any corpus scale — and nothing downstream needs
+      // the text itself, only per-group aggregates)
+      val kept = gated.groupBy(md5(col("text")).as("kh")).agg(
         min("doc_id").as("doc_id"),
         count(lit(1)).as("copies"),
         max("n_tokens").as("n_tokens"),

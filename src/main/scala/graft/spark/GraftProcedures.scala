@@ -156,6 +156,70 @@ object GraftProcedures extends Serializable {
       math.max(lastSid, o.lastSid))
   }
 
+  /** Exact-value sidecar checkpoint for incremental
+    * compute_partition_stats: the spec parquet file is the EXTERNAL
+    * artifact (readable by any engine), but its unified partition struct
+    * round-trips through Spark's external types lossily (dates as
+    * java.sql.Date vs internal day ordinals, null-vs-absent arity).
+    * The sidecar persists the aggregates in graft's internal value
+    * encoding (MetaJson typed values — the same codec manifests use),
+    * so the next incremental run starts from bit-exact state. Missing
+    * or unreadable sidecar ⇒ full recompute. */
+  private[spark] def statsCkptPath(statsPath: String): String =
+    statsPath.stripSuffix(".parquet") + ".ckpt.json"
+
+  private[spark] def writeStatsCkpt(statsPath: String,
+      aggs: Seq[((Int, Seq[Any]), PartStatsAgg)]): Unit = {
+    val root = MetaJson.mapper.createObjectNode()
+    val arr = root.putArray("stats")
+    aggs.foreach { case ((specId, part), a) =>
+      val o = arr.addObject()
+      o.put("spec", specId)
+      val pa = o.putArray("p")
+      part.foreach {
+        // PartStatsAgg keys normalize Array[Byte] → Seq[Byte] (value
+        // equality); the codec stores bytes, the reader re-normalizes
+        case bs: Seq[_] =>
+          pa.add(MetaJson.writeValue(bs.asInstanceOf[Seq[Byte]].toArray))
+        case v => pa.add(MetaJson.writeValue(v))
+      }
+      o.put("dr", a.dataRecords); o.put("df", a.dataFiles)
+      o.put("db", a.dataBytes); o.put("pr", a.posRecords)
+      o.put("pf", a.posFiles); o.put("er", a.eqRecords)
+      o.put("ef", a.eqFiles); o.put("dv", a.dvFiles)
+      o.put("ab", a.allBytes); o.put("ls", a.lastSid)
+    }
+    GraftIO.writeString(statsCkptPath(statsPath), root.toString)
+  }
+
+  private[spark] def readStatsCkpt(
+      statsPath: String): Option[Map[(Int, Seq[Any]), PartStatsAgg]] =
+    try {
+      val p = statsCkptPath(statsPath)
+      if (!GraftIO.exists(p)) None
+      else {
+        val root = MetaJson.mapper.readTree(GraftIO.readString(p))
+        val b = Map.newBuilder[(Int, Seq[Any]), PartStatsAgg]
+        root.get("stats").elements().forEachRemaining { o =>
+          val part = {
+            val vals = Seq.newBuilder[Any]
+            o.get("p").elements().forEachRemaining(n =>
+              vals += (MetaJson.readValue(n) match {
+                case bytes: Array[Byte] => bytes.toSeq
+                case v                  => v
+              }))
+            vals.result()
+          }
+          b += ((o.get("spec").asInt, part) -> PartStatsAgg(
+            o.get("dr").asLong, o.get("df").asInt, o.get("db").asLong,
+            o.get("pr").asLong, o.get("pf").asInt, o.get("er").asLong,
+            o.get("ef").asInt, o.get("dv").asInt, o.get("ab").asLong,
+            o.get("ls").asLong))
+        }
+        Some(b.result())
+      }
+    } catch { case _: Throwable => None }
+
   /** ORC footer import (row count from the tail; stats deferred).
     * A file physically carrying every identity-partition column imports
     * as plain "orc"; a hive-layout file whose partition values live only
@@ -2123,15 +2187,21 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
       // per-partition aggregates computed DISTRIBUTED, one task per
       // manifest (reference ComputePartitionStatsSparkAction is a
       // cluster action for the same reason): entries never land on the
-      // driver whole — only the O(partitions) merged aggregates do
-      val manifests = ManifestIO.readList(sn.manifestListPath)
+      // driver whole — only the O(partitions) merged aggregates do.
+      // `work` pairs each manifest with an optional "only count entries
+      // ADDED by this snapshot" filter (the incremental delta shape).
       val mfCrypto = graft.core.meta.TableCrypto.resolve(m)
-      val byPart: Seq[((Int, Seq[Any]), PartStatsAgg)] =
-        if (manifests.isEmpty) Nil
+      def aggregate(work: Seq[(ManifestFile, Option[Long])])
+          : Seq[((Int, Seq[Any]), PartStatsAgg)] =
+        if (work.isEmpty) Nil
         else SparkSession.active.sparkContext
-          .parallelize(manifests, math.max(1, math.min(manifests.size, 64)))
-          .flatMap { mf =>
-            ManifestIO.readEntries(mf, mfCrypto).filter(_.isLive).map { e =>
+          .parallelize(work, math.max(1, math.min(work.size, 64)))
+          .flatMap { case (mf, onlyAddedBy) =>
+            ManifestIO.readEntries(mf, mfCrypto)
+              .filter(e => e.isLive && onlyAddedBy.forall(sid =>
+                e.status == graft.core.meta.ManifestEntryStatus.Added &&
+                  e.snapshotId == sid))
+              .map { e =>
               val key = (e.file.specId, e.file.partition.map {
                 case b: Array[Byte] => b.toSeq
                 case x              => x
@@ -2154,6 +2224,64 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
           }
           .reduceByKey(_ merge _)
           .collect().toSeq
+      // Incremental compute (reference PartitionStatsHandler.java:85-130,
+      // computeAndMergeStatsIncremental / computeStatsDiff, surfaced by
+      // ComputePartitionStatsSparkAction.java:36): start from the NEWEST
+      // main ancestor carrying both a registered stats file and graft's
+      // exact-value checkpoint sidecar, then aggregate only the manifests
+      // each since-snapshot ADDED (each read from that snapshot's own
+      // manifest list, so commit-time manifest merging — which re-stamps
+      // carried entries as Existing in later lists — can't hide adds).
+      // Graft rewrites DROP manifest entries instead of writing Deleted
+      // markers, so removals in the delta are invisible to a manifest
+      // diff: the incremental path requires every since-snapshot to be a
+      // pure append and falls back to a full recompute otherwise
+      // (delete/overwrite/replace histories), or when any since-list is
+      // unreadable. Cost on the steady streaming path: O(delta), not
+      // O(table).
+      val chain = m.ancestry()
+      val statsBySnap = m.partitionStatistics.map(f => f.snapshotId -> f).toMap
+      val headPos = chain.indexWhere(_.snapshotId == sn.snapshotId)
+      val incrementalBase: Option[(Int, Map[(Int, Seq[Any]), PartStatsAgg])] =
+        if (headPos < 0) None
+        else (headPos to 0 by -1).iterator.flatMap { i =>
+          statsBySnap.get(chain(i).snapshotId)
+            .flatMap(f => GraftProcedures.readStatsCkpt(f.path).map((i, _)))
+        }.nextOption()
+      val (byPart, manifestsRead, noop): (Seq[((Int, Seq[Any]), PartStatsAgg)], Int, Boolean) =
+        incrementalBase match {
+          case Some((basePos, baseAggs)) if basePos == headPos =>
+            // stats for the current snapshot already exist — no-op
+            // (reference computeAndWriteStatsFile returns the existing
+            // file for a repeat call on the same snapshot)
+            (baseAggs.toSeq, 0, true)
+          case Some((basePos, baseAggs))
+              if chain.slice(basePos + 1, headPos + 1)
+                .forall(_.operation == "append") =>
+            val since = chain.slice(basePos + 1, headPos + 1)
+            scala.util.Try {
+              since.flatMap { s0 =>
+                ManifestIO.readList(s0.manifestListPath)
+                  .filter(_.addedSnapshotId == s0.snapshotId)
+                  .map(mf => (mf, Option(s0.snapshotId)))
+              }
+            }.toOption match {
+              case Some(work) =>
+                val acc = scala.collection.mutable.LinkedHashMap
+                  .empty[(Int, Seq[Any]), PartStatsAgg]
+                baseAggs.foreach { case (k, v) => acc(k) = v }
+                aggregate(work).foreach { case (k, v) =>
+                  acc(k) = acc.get(k).map(_ merge v).getOrElse(v)
+                }
+                (acc.toSeq, work.size, false)
+              case None =>
+                val manifests = ManifestIO.readList(sn.manifestListPath)
+                (aggregate(manifests.map((_, None))), manifests.size, false)
+            }
+          case _ =>
+            val manifests = ManifestIO.readList(sn.manifestListPath)
+            (aggregate(manifests.map((_, None))), manifests.size, false)
+        }
       // spec "Partition Statistics file": a Parquet file in the exact
       // reference schema (api/.../PartitionStatistics.java field ids
       // 1-13), partition as ONE unified struct across all specs keyed by
@@ -2166,7 +2294,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
           if (!seen.contains(f.id)) seen(f.id) = f))
         seen.values.toSeq
       }
-      val statsPath = if (unified.nonEmpty) {
+      val statsPath = if (noop) {
+        statsBySnap(sn.snapshotId).path
+      } else if (unified.nonEmpty) {
         import graft.core.types.{GField, GStruct, GInt, GLong}
         val v3 = m.formatVersion >= 3
         val statsStruct = GStruct(Seq(
@@ -2226,6 +2356,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
           if (v3) row.update(12, agg.dvFiles)
           w.write(row)
         } finally w.close()
+        // exact-value sidecar: the seed state for the NEXT incremental run
+        GraftProcedures.writeStatsCkpt(p, byPart)
         p
       } else {
         val node = MetaJson.mapper.createArrayNode()
@@ -2247,22 +2379,28 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
       // PartitionStatisticsFile) replacing any prior entry for this
       // snapshot; the legacy property stays for existing readers
       var replacedPs: Seq[String] = Nil
-      t.commitUpdate { base =>
-        replacedPs = base.partitionStatistics
-          .filter(_.snapshotId == sn.snapshotId).map(_.path)
-        base.copy(
-          properties = base.properties + ("partition-stats-path" -> statsPath),
-          partitionStatistics = base.partitionStatistics
-            .filterNot(_.snapshotId == sn.snapshotId) :+
-            PartitionStatisticsFile(sn.snapshotId, statsPath,
-              GraftIO.size(statsPath)))
+      if (!noop) {
+        t.commitUpdate { base =>
+          replacedPs = base.partitionStatistics
+            .filter(_.snapshotId == sn.snapshotId).map(_.path)
+          base.copy(
+            properties = base.properties + ("partition-stats-path" -> statsPath),
+            partitionStatistics = base.partitionStatistics
+              .filterNot(_.snapshotId == sn.snapshotId) :+
+              PartitionStatisticsFile(sn.snapshotId, statsPath,
+                GraftIO.size(statsPath)))
+        }
+        replacedPs.filterNot(_ == statsPath).foreach { p =>
+          try GraftIO.delete(p) catch { case _: Throwable => () }
+          try GraftIO.delete(GraftProcedures.statsCkptPath(p))
+          catch { case _: Throwable => () }
+        }
       }
-      replacedPs.filterNot(_ == statsPath)
-        .foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
       out(StructType(Seq(
           StructField("statistics_file", StringType),
-          StructField("partitions_analyzed", IntegerType))),
-        row(s(statsPath), byPart.size))
+          StructField("partitions_analyzed", IntegerType),
+          StructField("manifests_read", IntegerType))),
+        row(s(statsPath), byPart.size, manifestsRead))
 
     case "rewrite_table_path" =>
       // prepare a table's metadata tree for relocation to a new prefix

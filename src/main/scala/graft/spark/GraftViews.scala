@@ -162,15 +162,26 @@ object GraftViewStore {
       }
     }
 
-    override def delete(namespace: Seq[String], name: String): Boolean =
-      entry(namespace, name).filter(isIcebergView) match {
-        case None => false
-        case Some(t) =>
-          val p = plainPath(t.getParameters.get("metadata_location"))
-          cat.hive.sync(_.dropTable(db(namespace), name.toLowerCase, false, true))
-          try GraftIO.delete(p) catch { case scala.util.control.NonFatal(_) => () }
-          true
+    override def delete(namespace: Seq[String], name: String): Boolean = {
+      // cheap unlocked existence probe first (a miss takes no lock),
+      // then re-read + drop under the SAME exclusive HMS lock put()
+      // takes: a delete racing a concurrent replace could otherwise
+      // read the old pointer, drop the entry AFTER the replace rotated
+      // it, and delete the stale document while orphaning the fresh one
+      if (entry(namespace, name).filter(isIcebergView).isEmpty) return false
+      val lockOps = cat.tableOps(namespace, name)
+        .asInstanceOf[graft.core.meta.HiveTableOps]
+      lockOps.withTableLock {
+        entry(namespace, name).filter(isIcebergView) match {
+          case None => false
+          case Some(t) =>
+            val p = plainPath(t.getParameters.get("metadata_location"))
+            cat.hive.sync(_.dropTable(db(namespace), name.toLowerCase, false, true))
+            try GraftIO.delete(p) catch { case scala.util.control.NonFatal(_) => () }
+            true
+        }
       }
+    }
 
     override def names(namespace: Seq[String]): Seq[String] =
       try {

@@ -1401,6 +1401,52 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) === 4)
   }
 
+  test("refs-mode validator never confirms a full load; loadCredentials requires delegation") {
+    import graft.core.meta.RestHttp
+    spark.sql("CREATE TABLE rcat.db.etagv_t (id BIGINT)")
+    spark.sql("INSERT INTO rcat.db.etagv_t VALUES (1)")
+    val url = s"$uri/v1/namespaces/db/tables/etagv_t"
+    val (cr, _, er) = RestHttp.getWithEtag(s"$url?snapshots=refs")
+    assert(cr === 200 && er.isDefined)
+    // the two representations carry DISTINCT validators (HTTP Vary
+    // semantics): a refs-mode etag must never 304-confirm a full load —
+    // that would hand the client a filtered body it believes is complete
+    val (cf, bf, ef) = RestHttp.getWithEtag(url, Map("If-None-Match" -> er.get))
+    assert(cf === 200 && bf.nonEmpty && ef.isDefined && ef != er)
+    // …while each validator still confirms its OWN representation
+    val (cr2, _, _) = RestHttp.getWithEtag(s"$url?snapshots=refs",
+      Map("If-None-Match" -> er.get))
+    assert(cr2 === 304)
+    val (cf2, _, _) = RestHttp.getWithEtag(url, Map("If-None-Match" -> ef.get))
+    assert(cf2 === 304)
+    // credential vending honors the delegation negotiation on BOTH
+    // surfaces: loadCredentials refuses a caller that never negotiated
+    val (cc, _, _) = RestHttp.getWithEtag(s"$url/credentials")
+    assert(cc === 400)
+    val (cc2, cb2, _) = RestHttp.getWithEtag(s"$url/credentials",
+      Map("X-Graft-Access-Delegation" -> "vended-credentials"))
+    assert(cc2 === 200 && cb2.contains("storage-credentials"))
+  }
+
+  test("LazySnapshots: generic find preserves list order; findById never forces") {
+    import graft.core.meta.{LazySnapshots, Snapshot}
+    def snap(id: Long, wap: Option[String]) = Snapshot(id, None, id, id,
+      "append", "inline:[]", summary = wap.map("wap.id" -> _).toMap)
+    // s1 (older, staged) and s3 (its published cherry-pick) share a
+    // wap.id; only s3 is ref-reachable. Seq.find promises FIRST match in
+    // list order — the wap.id lookup must resolve to the OLDER staged
+    // snapshot, not the subset's published copy.
+    val s1 = snap(1L, Some("w")); val s2 = snap(2L, None); val s3 = snap(3L, Some("w"))
+    var forced = 0
+    val ls = new LazySnapshots(Seq(s3), () => { forced += 1; Seq(s1, s2, s3) })
+    assert(ls.findById(3L).contains(s3) && forced === 0,
+      "unique-id lookup served from the subset must not force")
+    assert(ls.find(_.summary.get("wap.id").contains("w")) === Some(s1),
+      "generic find must honor list order, not subset order")
+    assert(forced === 1)
+    assert(ls.findById(1L).contains(s1))
+  }
+
   test("spec views/rename moves the document; 404 missing, 409 occupied") {
     import graft.core.meta.RestHttp
     val cat = RestCatalog.connect(uri)

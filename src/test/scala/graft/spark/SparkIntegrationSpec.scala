@@ -1563,6 +1563,55 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(anc.map(_.getString(2)).forall(_ == "append"))
   }
 
+  test("compute_partition_stats is incremental over pure-append deltas") {
+    spark.sql("""CREATE TABLE graft.db.ipstats (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.db.ipstats VALUES (1,'a'),(2,'b'),(3,'a')")
+    def call() = spark.sql(
+      "CALL graft.system.compute_partition_stats('db.ipstats')").collect()(0)
+    // first run: full compute over the head snapshot's one manifest
+    val first = call()
+    assert(first.getInt(2) === 1, s"full pass should read 1 manifest")
+    // same snapshot again: no-op, nothing read, same file returned
+    val rerun = call()
+    assert(rerun.getInt(2) === 0)
+    assert(rerun.getString(0) === first.getString(0))
+    // two pure-append commits → only the TWO delta manifests are read
+    // (reference ComputePartitionStatsSparkAction incremental compute),
+    // not the table's three
+    spark.sql("INSERT INTO graft.db.ipstats VALUES (4,'a'),(5,'c')")
+    spark.sql("INSERT INTO graft.db.ipstats VALUES (6,'c')")
+    val inc = call()
+    assert(inc.getInt(2) === 2,
+      s"incremental pass should read only the delta, got ${inc.getInt(2)}")
+    assert(inc.getInt(1) === 3) // partitions a, b, c
+    def statsRows(p: String): Seq[(String, Int, Long, Int, Long)] =
+      spark.read.parquet(p).selectExpr("partition.cat", "spec_id",
+          "data_record_count", "data_file_count", "last_updated_snapshot_id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).toSeq.sortBy(_._1)
+    val incRows = statsRows(inc.getString(0))
+    // force a FULL recompute (delete every incremental checkpoint
+    // sidecar) — the incremental result must be bit-identical to it
+    coreTable("ipstats").meta.partitionStatistics.foreach(f =>
+      graft.core.meta.GraftIO.delete(GraftProcedures.statsCkptPath(f.path)))
+    val full = call()
+    assert(full.getInt(2) === 3, "without a checkpoint, all manifests read")
+    assert(statsRows(full.getString(0)) === incRows)
+    assert(incRows.map(r => r._1 -> r._3) === Seq("a" -> 3L, "b" -> 1L, "c" -> 2L))
+    // a non-append delta (CoW delete) disables the incremental path:
+    // graft rewrites drop manifest entries rather than writing Deleted
+    // markers, so removals are invisible to a manifest diff
+    spark.sql("DELETE FROM graft.db.ipstats WHERE id = 1")
+    val headList = graft.core.meta.ManifestIO.readList(
+      coreTable("ipstats").meta.currentSnapshot.get.manifestListPath)
+    val afterDel = call()
+    assert(afterDel.getInt(2) === headList.size,
+      "a delete in the history must force a full recompute")
+    val delRows = statsRows(afterDel.getString(0))
+    assert(delRows.map(r => r._1 -> r._3) === Seq("a" -> 2L, "b" -> 1L, "c" -> 2L))
+  }
+
   test("register_table, migrate, compute_partition_stats, rewrite_table_path") {
     spark.sql("""CREATE TABLE graft.db.regsrc (id BIGINT, cat STRING)
       PARTITIONED BY (cat)""")
