@@ -103,6 +103,35 @@ object Relational {
       ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10"""),
     headline = true)
 
+  // ---------------------------------------------------------------- q04
+  private val q04 = Q(
+    "q04_order_priority",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      // TPC-H Q4's shape: a correlated EXISTS = LEFT SEMI join on
+      // (equi key + non-equi correlate). The semi join never widens the
+      // probe side — each order contributes once no matter how many
+      // lineitems match — and the date filter runs before the exchange,
+      // so at 100 TB the shuffle carries one quarter of orders and a
+      // two-column projection of lineitem.
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   // ---------------------------------------------------------------- q05
   private val q05 = Q(
     "q05_region_revenue",
@@ -605,6 +634,6 @@ object Relational {
       ) WHERE hour_bucket % 24 = 0
       ORDER BY event_type, hour_bucket"""))
 
-  val all: Vector[Q] = Vector(q01, q02, q03, q05, q06, q07, q08, q09, q10,
+  val all: Vector[Q] = Vector(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }
