@@ -1079,6 +1079,11 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
       val targetEntries = m.properties
         .get("commit.manifest.target-entries").flatMap(_.toIntOption)
         .getOrElse(8192)
+      // primary roll criterion is the reference's byte target
+      // (commit.manifest.target-size-bytes, RewriteManifestsSparkAction
+      // targetManifestSizeBytes); target-entries stays as a hard cap
+      val targetBytes = graft.core.meta.ManifestMerge
+        .targetSizeBytes(m.properties)
       val mfGzip = GraftIO.metadataGzip(m.properties)
       val mfAvro = ManifestIO.avroEnabled(m.properties)
       val mfExt = ManifestIO.fileExt(m.properties)
@@ -1101,6 +1106,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
           .mapPartitions { it =>
             val outMfs = Seq.newBuilder[ManifestFile]
             var curKey: (Int, Int) = null
+            var bufBytes = 0L
             val buf = scala.collection.mutable.ArrayBuffer.empty[ManifestEntry]
             def flush(): Unit = if (buf.nonEmpty) {
               val (specId, content) = curKey
@@ -1109,13 +1115,15 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
               outMfs += ManifestIO.write(path, buf.toSeq, specId, content,
                 specsById(specId), schema, snapshotId = 0L, gzip = mfGzip,
                 crypto = mfCrypto, avro = mfAvro, formatVersion = mfFormatVersion)
-              buf.clear()
+              buf.clear(); bufBytes = 0L
             }
             it.foreach { case ((specId, content, _), e) =>
-              if (curKey != (specId, content) || buf.size >= targetEntries) {
+              if (curKey != (specId, content) || buf.size >= targetEntries ||
+                bufBytes >= targetBytes) {
                 flush(); curKey = (specId, content)
               }
               buf += e
+              bufBytes += ManifestIO.estimateEntrySize(e)
             }
             flush()
             outMfs.result().iterator
