@@ -388,13 +388,19 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * across refs, and dropping/recreating the branch resets it to the
     * main state it forked from. */
   private def runBranchSeed(seed: Int, steps: Int,
-      icebergCompat: Boolean = false): Unit = {
+      icebergCompat: Boolean = false,
+      mergeMinCount: Option[Int] = None): Unit = {
     val name = s"bfz_$seed"
     val fq = s"gfz.db.$name"
     val compatProp =
       if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
+    // merging is per-branch-lineage (parentManifests follows the target
+    // ref): an aggressive min-count makes both refs' histories merge
+    // independently — a cross-ref bleed would corrupt one model
+    val mergeProp = mergeMinCount
+      .map(n => s", 'commit.manifest.min-count-to-merge'='$n'").getOrElse("")
     spark.sql(s"""CREATE TABLE $fq (id BIGINT, grp BIGINT, v STRING)
-      TBLPROPERTIES ('format-version'='3'$compatProp)""")
+      TBLPROPERTIES ('format-version'='3'$compatProp$mergeProp)""")
     val rng = new Random(seed)
     val main = mutable.LinkedHashMap.empty[Long, (Long, String)]
     var branch: mutable.LinkedHashMap[Long, (Long, String)] = null
@@ -746,6 +752,10 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("seeded DML fuzz with manifest merging in iceberg-compat mode") {
     runSeed(seed = 321002, partitioned = true, steps = 30,
       icebergCompat = true, mergeMinCount = Some(3))
+  }
+
+  test("seeded branch DML fuzz with aggressive manifest merging") {
+    runBranchSeed(321003, 25, mergeMinCount = Some(3))
   }
 
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
