@@ -1102,6 +1102,19 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       val dataMs = ms.filter(_.content == 0)
       val delMs = ms.filter(_.content == 1)
       val deltas = summary(base)
+      // manifest-maintenance observability (reference
+      // SnapshotSummary.java:65-67 CREATED/REPLACED/KEPT_MANIFESTS_COUNT
+      // via MergingSnapshotProducer:1025-1037): created = written by this
+      // commit, kept = carried from the parent untouched, replaced =
+      // parent manifests no longer in the new list (filter-rewritten,
+      // merged away, or dropped empty)
+      val msPaths = ms.map(_.path).toSet
+      val createdCount = ms.count(_.addedSnapshotId == snapshotId)
+      val manifestCounts = Map(
+        "manifests-created" -> createdCount.toString,
+        "manifests-kept" -> (ms.size - createdCount).toString,
+        "manifests-replaced" ->
+          parentManifests(base).count(p => !msPaths.contains(p.path)).toString)
       val totals = Map(
         "total-data-files" ->
           dataMs.map(m => (m.addedFilesCount + m.existingFilesCount).toLong).sum.toString,
@@ -1127,7 +1140,8 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
           }
         }
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
-        operationName, listPath, deltas ++ totals ++ extraSummary,
+        operationName, listPath,
+        deltas ++ totals ++ manifestCounts ++ extraSummary,
         firstRowId = if (allocatedRows > 0) Some(base.nextRowId) else None,
         schemaId = Some(base.currentSchemaId),
         keyId = tableCrypto(base).map(_.tableKeyId),

@@ -100,6 +100,11 @@ class ManifestMergeSpec extends AnyFunSuite {
     // manifest-list counts reflect the split
     assert(ms.head.addedFilesCount === 1)
     assert(ms.head.existingFilesCount === 1)
+    // reference SnapshotSummary manifest-maintenance counts
+    val sum2 = t.meta.currentSnapshot.get.summary
+    assert(sum2("manifests-created") === "1")
+    assert(sum2("manifests-kept") === "0")
+    assert(sum2("manifests-replaced") === "1")
     // the pre-merge manifest of THIS commit was deleted eagerly (no orphan)
     val mfDir = GraftIO.list(s"${t.location}/metadata").filter(_.contains("manifest-"))
       .filterNot(_.contains("manifest-list"))
@@ -143,6 +148,25 @@ class ManifestMergeSpec extends AnyFunSuite {
     val tasks = t.newScan().planFiles()
     assert(tasks.size === 40)
     assert(tasks.map(_.file.path).distinct.size === 40)
+  }
+
+  test("a 40k-file import-sized append rolls at the DEFAULT 8MB target") {
+    val cat = tempCatalog()
+    val t = cat.createTable(Seq("db"), "bigimp", schema)
+    val ap = t.newAppend()
+    (1 to 40000).foreach(i =>
+      ap.appendFile(dataFile(f"imports/part-$i%05d-of-40000.parquet",
+        (i * 10L, i * 10L + 4))))
+    ap.commit()
+    val ms = ManifestIO.readList(t.refresh().currentSnapshot.get.manifestListPath)
+    assert(ms.size > 1,
+      s"a 40k-entry commit must roll at the default target, got ${ms.size}")
+    // each rolled manifest lands near the target, never a monolith
+    assert(ms.forall(_.length < 12L * 1024 * 1024),
+      s"rolled manifest exceeds target: ${ms.map(_.length).max}")
+    assert(ms.map(_.addedFilesCount).sum === 40000)
+    val tasks = t.newScan().planFiles()
+    assert(tasks.size === 40000)
   }
 
   test("overwrite after merging drops files exactly; conflicts still detected") {

@@ -106,6 +106,37 @@ class EncryptionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("manifest merging reads and rewrites encrypted manifests") {
+    // createMerged must unwrap each parent manifest's DEK from its
+    // manifest-list key_metadata and wrap a FRESH key for the merged
+    // manifest — a merge that dropped or reused keys would either fail
+    // to read or write plaintext
+    spark.sql("""CREATE TABLE genc.db.mm_enc (id BIGINT, v STRING)
+      TBLPROPERTIES ('encryption.key-id'='mk0',
+        'commit.manifest.min-count-to-merge'='3')""")
+    (1 to 9).foreach(i =>
+      spark.sql(s"INSERT INTO genc.db.mm_enc VALUES ($i, 'enc-val-$i')"))
+    val t = table("mm_enc")
+    val ms = graft.core.meta.ManifestIO.readList(
+      t.meta.currentSnapshot.get.manifestListPath)
+    assert(ms.size <= 3, s"encrypted manifests must merge, got ${ms.size}")
+    // every surviving manifest is encrypted (own key metadata) and not
+    // plaintext on disk
+    ms.foreach { m =>
+      assert(m.keyMetadata.isDefined, s"merged manifest ${m.path} lost its key")
+      assert(AesGcm.isEncrypted(bytesOf(m.path)), s"${m.path} is plaintext")
+      assert(!new String(bytesOf(m.path), java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("enc-val"), "manifest leaks plaintext values")
+    }
+    assert(spark.sql("SELECT count(*), sum(id) FROM genc.db.mm_enc")
+      .collect().head.toSeq == Seq(9L, 45L))
+    // time travel into the merged history decrypts the older lists too
+    val mid = t.meta.snapshots.find(_.sequenceNumber == 5L).get.snapshotId
+    assert(spark.sql(
+      s"SELECT count(*) FROM genc.db.mm_enc VERSION AS OF $mid")
+      .collect().head.getLong(0) == 5L)
+  }
+
   test("compaction preserves encryption") {
     spark.sql("""CREATE TABLE genc.db.sec3 (id BIGINT, v STRING)
       TBLPROPERTIES ('encryption.key-id'='mk0')""")
