@@ -38,11 +38,19 @@ class StreamingFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def runSeed(seed: Int, steps: Int): Unit = {
+  private def runSeed(seed: Int, steps: Int,
+      mergeMinCount: Option[Int] = None): Unit = {
     val src = s"gsf.db.sfz_src_$seed"
     val dst = s"gsf.db.sfz_dst_$seed"
-    spark.sql(s"CREATE TABLE $src (id BIGINT, v STRING)")
-    spark.sql(s"CREATE TABLE $dst (id BIGINT, v STRING)")
+    // merge arm: the streaming SINK is the canonical frequent-commit
+    // workload manifest merging exists for — an aggressive min-count on
+    // both ends makes every micro-batch commit land on freshly-merged
+    // manifests while the source's incremental offsets keep resolving
+    val mp = mergeMinCount
+      .map(n => s" TBLPROPERTIES ('commit.manifest.min-count-to-merge'='$n')")
+      .getOrElse("")
+    spark.sql(s"CREATE TABLE $src (id BIGINT, v STRING)$mp")
+    spark.sql(s"CREATE TABLE $dst (id BIGINT, v STRING)$mp")
     val checkpoint = Files.createTempDirectory(s"graft-sfz-ckpt-$seed").toString
 
     val rng = new Random(seed)
@@ -108,9 +116,25 @@ class StreamingFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     drain() // final: everything appended must have arrived exactly once
     drain() // no-op restart: nothing duplicated
+
+    // merge arm: the sink's manifest list must be BOUNDED after the
+    // whole history — this is the 1,440-manifests/day streaming cliff
+    // the merge path exists to prevent
+    mergeMinCount.foreach { n =>
+      val t = new graft.core.meta.HadoopCatalog(warehouse)
+        .loadTable(Seq("db"), s"sfz_dst_$seed").get
+      val ms = graft.core.meta.ManifestIO.readList(
+        t.meta.currentSnapshot.get.manifestListPath)
+      assert(ms.size <= n + 2,
+        s"seed=$seed: sink manifest list unbounded: ${ms.size} > ${n + 2}")
+    }
   }
 
   test("seeded streaming fuzz, seed 7") { runSeed(7, 14) }
+
+  test("seeded streaming fuzz with aggressive manifest merging") {
+    runSeed(7007, 16, mergeMinCount = Some(3))
+  }
   test("seeded streaming fuzz, seed 70") { runSeed(70, 16) }
 
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds
