@@ -894,7 +894,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
             partitionStatistics = base.partitionStatistics
               .filterNot(sf => expiredIds(sf.snapshotId)))
         }
-        (expiredStats.map(_.path) ++ expiredPartStats.map(_.path))
+        (expiredStats.map(_.path) ++ expiredPartStats.map(_.path) ++
+          // incremental-compute checkpoint sidecars retire with their
+          // stats files
+          expiredPartStats.map(sf => GraftProcedures.statsCkptPath(sf.path)))
           .foreach(p => try GraftIO.delete(p) catch { case _: Throwable => () })
         // Reachability diff at MANIFEST granularity first (shared
         // manifests need no reading at all), then a distributed except
@@ -1009,6 +1012,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         mfs.map(_.path) ++
         t.meta.statistics.map(_.path) ++
         t.meta.partitionStatistics.map(_.path) ++
+        // each stats file's incremental checkpoint sidecar is live
+        // engine state (seed of the next incremental compute), not junk
+        t.meta.partitionStatistics.map(f =>
+          GraftProcedures.statsCkptPath(f.path)) ++
         t.meta.properties.get("partition-stats-path").toSeq).toDS()
       val metaDir = s"${t.location}/metadata"
       val metaFirst: Seq[String] = {

@@ -1591,6 +1591,13 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
           r.getInt(3), r.getLong(4))).toSeq.sortBy(_._1)
     val incRows = statsRows(inc.getString(0))
+    // the checkpoint sidecar is reachable engine state: an orphan sweep
+    // must not delete it (the no-op fast path below only works while the
+    // head's checkpoint is readable)
+    spark.sql(s"""CALL graft.system.remove_orphan_files('db.ipstats',
+      dry_run => false, older_than_ms => ${System.currentTimeMillis() + 3600000L})""")
+    assert(call().getInt(2) === 0,
+      "checkpoint must survive remove_orphan_files")
     // force a FULL recompute (delete every incremental checkpoint
     // sidecar) — the incremental result must be bit-identical to it
     coreTable("ipstats").meta.partitionStatistics.foreach(f =>
