@@ -78,6 +78,41 @@ object PlanBench {
     // server-side planning of the pruned query: 50k surviving tasks
     // chunk into plan-tasks (page 5000 -> ~10 chunks); the client
     // fetches them concurrently, never one giant response
+    // streaming-commit shape: N tiny single-file commits, with
+    // commit-time manifest merging (default min-count 100) vs disabled.
+    // Manifest count is the planning denominator — the merged table
+    // must plan the SAME rows from ~N/min-count manifests instead of N.
+    // This is the 1,440-manifests/day cliff a 1-minute-trigger
+    // streaming sink hits within hours.
+    val StreamCommits = 400
+    def streamTable(name: String, props: Map[String, String]): GTable = {
+      val schema2 = graft.core.types.GSchema(graft.core.types.GStruct(Seq(
+        graft.core.types.GField(1, "id", graft.core.types.GLong,
+          required = true))))
+      val st = cat.createTable(Seq("db"), name, schema2, properties = props)
+      (1 to StreamCommits).foreach { i =>
+        st.newAppend().appendFile(graft.core.meta.DataFile(
+          f"s$i%04d.parquet", "parquet", 0, Nil, 10L, 1000L,
+          columnStats = Map(1 -> graft.core.expr.ColStats(
+            Some(10L), Some(0L), None, Some(i * 10L), Some(i * 10L + 9)))))
+          .commit()
+      }
+      st
+    }
+    val tMerged = streamTable("stream_merged", Map.empty)
+    val tUnmerged = streamTable("stream_unmerged",
+      Map(ManifestMerge.MergeEnabledKey -> "false"))
+    def listLen(t0: GTable): Int =
+      ManifestIO.readList(t0.meta.currentSnapshot.get.manifestListPath).size
+    val mergedManifests = listLen(tMerged)
+    val unmergedManifests = listLen(tUnmerged)
+    require(unmergedManifests == StreamCommits &&
+      mergedManifests <= 110, // ~min-count + growth since the last merge
+      s"unexpected shapes: $mergedManifests vs $unmergedManifests")
+    val (mPlan, mergedPlanSec) = best(tMerged.newScan().planFiles())
+    val (uPlan, unmergedPlanSec) = best(tUnmerged.newScan().planFiles())
+    require(mPlan.size == StreamCommits && uPlan.size == StreamCommits)
+
     val (srv, uri) = RestCatalogServer.start(wh, planPageSize = 5000)
     val (serverTasks, serverSec) = try {
       val rc = RestCatalog.connect(uri)
@@ -104,6 +139,11 @@ object PlanBench {
       s""""sub_linear_ok":$subLinear,""" +
       s""""server_plan_sec":${f"$serverSec%.3f"},""" +
       s""""server_chunks":$serverChunks,""" +
+      s""""streaming_commits":$StreamCommits,""" +
+      s""""merged_manifests":$mergedManifests,""" +
+      s""""unmerged_manifests":$unmergedManifests,""" +
+      s""""merged_plan_sec":${f"$mergedPlanSec%.4f"},""" +
+      s""""unmerged_plan_sec":${f"$unmergedPlanSec%.4f"},""" +
       s""""reference_shape":"PlanningBenchmark.java 30x50k+50del"}"""
     println(json)
     GraftIO.writeString(
