@@ -147,13 +147,24 @@ object GraftProcedures extends Serializable {
   private[spark] final case class PartStatsAgg(
       dataRecords: Long, dataFiles: Int, dataBytes: Long,
       posRecords: Long, posFiles: Int, eqRecords: Long, eqFiles: Int,
-      dvFiles: Int, allBytes: Long, lastSid: Long) {
-    def merge(o: PartStatsAgg): PartStatsAgg = PartStatsAgg(
-      dataRecords + o.dataRecords, dataFiles + o.dataFiles,
-      dataBytes + o.dataBytes, posRecords + o.posRecords,
-      posFiles + o.posFiles, eqRecords + o.eqRecords, eqFiles + o.eqFiles,
-      dvFiles + o.dvFiles, allBytes + o.allBytes,
-      math.max(lastSid, o.lastSid))
+      dvFiles: Int, allBytes: Long, lastSid: Long, lastTs: Long = 0L) {
+    def merge(o: PartStatsAgg): PartStatsAgg = {
+      // "last updated" = the entry whose adding snapshot committed most
+      // recently (reference PartitionStatsHandler.liveEntry compares
+      // timestampMillis — snapshot IDs are random, so max(id) means
+      // nothing); ties and unknown timestamps (expired snapshots, ts=0)
+      // break deterministically on the id so distributed merge order
+      // can't change the result
+      val takeOther = o.lastTs > lastTs ||
+        (o.lastTs == lastTs && o.lastSid > lastSid)
+      PartStatsAgg(
+        dataRecords + o.dataRecords, dataFiles + o.dataFiles,
+        dataBytes + o.dataBytes, posRecords + o.posRecords,
+        posFiles + o.posFiles, eqRecords + o.eqRecords, eqFiles + o.eqFiles,
+        dvFiles + o.dvFiles, allBytes + o.allBytes,
+        if (takeOther) o.lastSid else lastSid,
+        if (takeOther) o.lastTs else lastTs)
+    }
   }
 
   /** Exact-value sidecar checkpoint for incremental
@@ -188,6 +199,7 @@ object GraftProcedures extends Serializable {
       o.put("pf", a.posFiles); o.put("er", a.eqRecords)
       o.put("ef", a.eqFiles); o.put("dv", a.dvFiles)
       o.put("ab", a.allBytes); o.put("ls", a.lastSid)
+      o.put("lt", a.lastTs)
     }
     GraftIO.writeString(statsCkptPath(statsPath), root.toString)
   }
@@ -214,7 +226,9 @@ object GraftProcedures extends Serializable {
             o.get("dr").asLong, o.get("df").asInt, o.get("db").asLong,
             o.get("pr").asLong, o.get("pf").asInt, o.get("er").asLong,
             o.get("ef").asInt, o.get("dv").asInt, o.get("ab").asLong,
-            o.get("ls").asLong))
+            // "lt" missing (pre-r15 sidecar) throws here → the outer
+            // catch falls back to a full recompute, by design
+            o.get("ls").asLong, o.get("lt").asLong))
         }
         Some(b.result())
       }
@@ -2206,6 +2220,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
       // `work` pairs each manifest with an optional "only count entries
       // ADDED by this snapshot" filter (the incremental delta shape).
       val mfCrypto = graft.core.meta.TableCrypto.resolve(m)
+      // snapshot id → commit timestamp, for last-updated election
+      // (expired adding snapshots resolve to 0 = never the latest)
+      val tsOf = m.snapshots.map(s0 => s0.snapshotId -> s0.timestampMs).toMap
       def aggregate(work: Seq[(ManifestFile, Option[Long])])
           : Seq[((Int, Seq[Any]), PartStatsAgg)] =
         if (work.isEmpty) Nil
@@ -2234,7 +2251,8 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
                 if (isEq) e.file.recordCount else 0L,
                 if (isEq) 1 else 0,
                 if (isDv) 1 else 0,
-                e.file.fileSizeBytes, e.snapshotId)
+                e.file.fileSizeBytes, e.snapshotId,
+                tsOf.getOrElse(e.snapshotId, 0L))
             }
           }
           .reduceByKey(_ merge _)
@@ -2365,8 +2383,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
           row.update(7, agg.eqRecords)
           row.update(8, agg.eqFiles)
           row.update(9, null) // total_record_count: needs delete application
-          row.update(10, m.snapshotById(agg.lastSid)
-            .map(s => Long.box(s.timestampMs)).orNull)
+          row.update(10,
+            if (agg.lastTs > 0L) Long.box(agg.lastTs)
+            else m.snapshotById(agg.lastSid)
+              .map(s => Long.box(s.timestampMs)).orNull)
           row.update(11, Long.box(agg.lastSid))
           if (v3) row.update(12, agg.dvFiles)
           w.write(row)
