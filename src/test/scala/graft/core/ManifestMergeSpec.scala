@@ -150,6 +150,44 @@ class ManifestMergeSpec extends AnyFunSuite {
     assert(tasks.map(_.file.path).distinct.size === 40)
   }
 
+  test("concurrent appends with merging: no lost files under CAS retries") {
+    // merge rewrites are re-planned per CAS attempt against the fresh
+    // base — a bin computed from a stale parent set that survived a
+    // retry would lose (or duplicate) files. Three writers hammering one
+    // table with min-count 4 makes merges and retries collide constantly.
+    val cat = tempCatalog()
+    cat.createTable(Seq("db"), "conc", schema,
+      properties = Map(ManifestMerge.MinCountKey -> "4"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { th =>
+      new Thread(() => {
+        try {
+          val t = cat.loadTable(Seq("db"), "conc").get
+          (1 to 20).foreach { i =>
+            var done = false
+            while (!done) {
+              try {
+                t.newAppend().appendFile(
+                  dataFile(s"t$th-f$i.parquet", (i * 10L, i * 10L + 4))).commit()
+                done = true
+              } catch { case _: CommitConflictException => () }
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      }, s"merge-appender-$th")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    val t = cat.loadTable(Seq("db"), "conc").get
+    val tasks = t.newScan().planFiles()
+    assert(tasks.size === 60)
+    assert(tasks.map(_.file.path).distinct.size === 60)
+    assert(t.refresh().snapshots.size === 60)
+    assert(listLen(t) <= 6, s"list unbounded under concurrency: ${listLen(t)}")
+    // summary totals stay exact through merged, contended history
+    assert(t.meta.currentSnapshot.get.summary("total-data-files") === "60")
+  }
+
   test("a 40k-file import-sized append rolls at the DEFAULT 8MB target") {
     val cat = tempCatalog()
     val t = cat.createTable(Seq("db"), "bigimp", schema)
