@@ -97,15 +97,14 @@ object Pipeline {
     (s, dir) =>
       tok(s, dir)
         .withColumn("k", concat_ws(" ", slice(col("ws"), 1, 5)))
-        // 100-TB scale: shuffle on a 128-bit digest of the dedup key, not
-        // the raw string — the exchange then moves fixed 32-byte keys
-        // instead of unbounded text. Exactness: md5 collisions merge two
-        // DISTINCT keys with probability ~n²/2¹²⁹ — at a trillion keys
-        // that is ~10⁻¹⁵, i.e. collision-free at any corpus scale, and
-        // min(k) recovers the key itself (identical within a group).
-        .groupBy(md5(col("k")).as("kh"))
-        .agg(min(col("k")).as("k"),
-          min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        // The dedup key here is the first 5 tokens — bounded ~tens of
+        // bytes — and the OUTPUT must carry it, so grouping by a digest
+        // would not narrow the exchange (the key would still cross
+        // inside a min() buffer, plus the 16-byte digest on top).
+        // Digest-keyed shuffles pay off when the key is unbounded and
+        // droppable after grouping — that is p32's full-text dedup.
+        .groupBy("k")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
         .filter(col("copies") > 1)
         .select("k", "keeper", "copies")
         .orderBy("keeper"),

@@ -2279,6 +2279,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         if (headPos < 0) None
         else (headPos to 0 by -1).iterator.flatMap { i =>
           statsBySnap.get(chain(i).snapshotId)
+            // the registered stats file must itself still exist — the
+            // no-op fast path returns its PATH, and seeding from a
+            // sidecar whose primary was removed out-of-band would freeze
+            // a dangling registration instead of self-healing via a
+            // recompute
+            .filter(f => GraftIO.exists(f.path))
             .flatMap(f => GraftProcedures.readStatsCkpt(f.path).map((i, _)))
         }.nextOption()
       val (byPart, manifestsRead, noop): (Seq[((Int, Seq[Any]), PartStatsAgg)], Int, Boolean) =

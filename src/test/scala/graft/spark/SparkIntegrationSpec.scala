@@ -1617,6 +1617,13 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a delete in the history must force a full recompute")
     val delRows = statsRows(afterDel.getString(0))
     assert(delRows.map(r => r._1 -> r._3) === Seq("a" -> 2L, "b" -> 1L, "c" -> 2L))
+    // out-of-band removal of the stats parquet (sidecar intact) must
+    // self-heal via a recompute — never a no-op returning a dangling path
+    graft.core.meta.GraftIO.delete(afterDel.getString(0))
+    val healed = call()
+    assert(healed.getInt(2) > 0, "dangling stats file must force a recompute")
+    assert(graft.core.meta.GraftIO.exists(healed.getString(0)))
+    assert(statsRows(healed.getString(0)) === delRows)
   }
 
   test("register_table, migrate, compute_partition_stats, rewrite_table_path") {
