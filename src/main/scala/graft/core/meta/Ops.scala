@@ -462,7 +462,8 @@ object ManifestIO {
     * list-prunable manifests instead of one monolith. Single chunk when
     * everything fits (the common case — zero behavior change). */
   def chunkByTarget(entries: Seq[ManifestEntry], target: Long): Seq[Seq[ManifestEntry]] = {
-    if (entries.size <= 1) return Seq(entries)
+    if (entries.isEmpty) return Nil // never emit an empty manifest
+    if (entries.size == 1) return Seq(entries)
     val chunks = Seq.newBuilder[Seq[ManifestEntry]]
     val cur = Seq.newBuilder[ManifestEntry]
     var n = 0
@@ -745,6 +746,63 @@ object ManifestMerge {
     props.get(TargetSizeKey).flatMap(_.toLongOption).getOrElse(8L * 1024 * 1024)
 }
 
+/** Commit retry knobs (reference TableProperties.java:89-101 —
+  * COMMIT_NUM_RETRIES 4 / COMMIT_MIN_RETRY_WAIT_MS 100 /
+  * COMMIT_MAX_RETRY_WAIT_MS 60000 / COMMIT_TOTAL_RETRY_TIME_MS 1800000,
+  * same names and defaults): per-table tuning of optimistic-commit
+  * contention behavior — a hot multi-writer table can retry longer, a
+  * fail-fast pipeline can set num-retries=0. */
+object CommitRetry {
+  val NumRetriesKey = "commit.retry.num-retries"
+  val MinWaitKey = "commit.retry.min-wait-ms"
+  val MaxWaitKey = "commit.retry.max-wait-ms"
+  val TotalTimeoutKey = "commit.retry.total-timeout-ms"
+
+  final case class Knobs(numRetries: Int, minWaitMs: Long, maxWaitMs: Long,
+      totalTimeoutMs: Long)
+
+  def of(props: Map[String, String]): Knobs = {
+    def l(k: String, d: Long) =
+      props.get(k).flatMap(_.toLongOption).getOrElse(d).max(0L)
+    Knobs(
+      props.get(NumRetriesKey).flatMap(_.toIntOption).getOrElse(4).max(0),
+      l(MinWaitKey, 100L), l(MaxWaitKey, 60000L), l(TotalTimeoutKey, 1800000L))
+  }
+
+  /** Backoff before retry `attempt` (1-based): jittered exponential,
+    * uniform in [minWait, min(maxWait, minWait·2^(attempt-1))] — the
+    * exponential schedule is the reference's (Tasks.exponentialBackoff);
+    * the jitter avoids lockstep re-contention when many writers hit one
+    * table. Always within [min(minWait,maxWait), maxWait]. */
+  def waitMs(attempt: Int, k: Knobs, rnd: java.util.Random): Long = {
+    val lo = math.min(k.minWaitMs, k.maxWaitMs)
+    val shift = math.min(math.max(attempt - 1, 0), 20)
+    val exp = // overflow-safe minWait << shift
+      if (shift > 0 && k.minWaitMs > (Long.MaxValue >> shift)) Long.MaxValue
+      else k.minWaitMs << shift
+    val cap = math.max(lo, math.min(k.maxWaitMs, exp))
+    if (cap <= lo) lo else lo + (rnd.nextDouble() * (cap - lo)).toLong
+  }
+
+  /** Shared retry-or-throw decision: returns the sleep for this retry or
+    * throws when the table's retry budget (count or wall-clock) is
+    * spent. `attempt` is 1-based (the just-failed attempt number). */
+  def nextWaitOrThrow(attempt: Int, startedAtMs: Long,
+      props: Map[String, String], what: String, where: String): Long = {
+    val k = of(props)
+    if (attempt > k.numRetries)
+      throw new CommitConflictException(
+        s"$what failed after $attempt attempts at $where " +
+          s"($NumRetriesKey=${k.numRetries})")
+    val elapsed = System.currentTimeMillis() - startedAtMs
+    if (elapsed >= k.totalTimeoutMs)
+      throw new CommitConflictException(
+        s"$what failed: retries exhausted ${elapsed} ms at $where " +
+          s"($TotalTimeoutKey=${k.totalTimeoutMs})")
+    waitMs(attempt, k, java.util.concurrent.ThreadLocalRandom.current())
+  }
+}
+
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 class ValidationException(msg: String) extends RuntimeException(msg)
 
@@ -776,9 +834,9 @@ final class GTable(val ops: TableOps) {
     * safe to re-run; files staged by a losing attempt are best-effort
     * cleaned up. */
   def transaction[A](body: GTable => A): A = {
+    val t0 = System.currentTimeMillis()
     var attempts = 0
-    val max = 20
-    while (attempts < max) {
+    while (true) {
       val baseVersion = ops.currentVersion()
       val base = refresh()
       val stagedOps = new StagedOps(ops, base)
@@ -792,11 +850,10 @@ final class GTable(val ops: TableOps) {
       }
       stagedOps.cleanupStagedFiles()
       attempts += 1
-      val cap = math.min(200L, 4L << math.min(attempts, 6))
-      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+      Thread.sleep(CommitRetry.nextWaitOrThrow(attempts, t0, base.properties,
+        "transaction", location))
     }
-    throw new CommitConflictException(
-      s"transaction failed after $attempts attempts at $location")
+    throw new IllegalStateException("unreachable")
   }
 
   def newScan(): TableScan = { refresh(); new TableScan(this) }
@@ -830,9 +887,9 @@ final class GTable(val ops: TableOps) {
     * spinning in lockstep (reference Tasks.foreach().retry() in
     * SnapshotProducer.commit). */
   def commitUpdate(f: TableMetadata => TableMetadata): TableMetadata = {
+    val t0 = System.currentTimeMillis()
     var attempts = 0
-    val max = 20
-    while (attempts < max) {
+    while (true) {
       val baseVersion = ops.currentVersion()
       val base = refresh()
       val updated = f(base)
@@ -841,10 +898,10 @@ final class GTable(val ops: TableOps) {
         return updated
       }
       attempts += 1
-      val cap = math.min(200L, 4L << math.min(attempts, 6))
-      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+      Thread.sleep(CommitRetry.nextWaitOrThrow(attempts, t0, base.properties,
+        "commit", location))
     }
-    throw new CommitConflictException(s"commit failed after $attempts attempts at $location")
+    throw new IllegalStateException("unreachable")
   }
 }
 
@@ -953,14 +1010,18 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
     Seq(0, 1).foreach { content =>
       val group = all.filter(m => m.content == content && m.hasLiveFiles)
       if (group.nonEmpty) {
-        // the newest manifest of this content kind — its bin gets the
-        // min-count guard so steady-state commits don't rewrite eagerly
-        val firstPath = group.head.path
         val bySpec = group.groupBy(_.specId)
         group.map(_.specId).distinct.foreach { specId =>
+          // the newest manifest of this (content, spec) group — its bin
+          // gets the min-count guard so steady-state commits don't
+          // rewrite eagerly (reference ManifestMergeManager applies the
+          // guard to the first bin of EACH spec group; guarding only the
+          // globally-newest manifest would over-merge every other spec's
+          // head bin after a spec evolution)
+          val newestPath = bySpec(specId).head.path
           packEnd(bySpec(specId), target).foreach { bin =>
             if (bin.size == 1) out += bin.head
-            else if (bin.exists(_.path == firstPath) && bin.size < minCount)
+            else if (bin.exists(_.path == newestPath) && bin.size < minCount)
               out ++= bin
             else out ++= createMerged(base, snapshotId, bin, specId, content)
           }
@@ -1079,7 +1140,7 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
   def commit(): Snapshot = {
     val t0 = System.currentTimeMillis()
     var attempts = 0
-    while (attempts < 10) {
+    while (true) {
       val baseVersion = table.ops.currentVersion()
       val base = table.refresh()
       validate(base)
@@ -1159,16 +1220,22 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
       }
       GraftIO.delete(listPath) // clean up the orphaned list; manifests may be reused
       attempts += 1
-      // jittered exponential backoff (reference Tasks.retry): avoids
-      // lockstep re-contention when many writers hit the same table
-      val cap = math.min(200L, 4L << math.min(attempts, 6))
-      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1))
+      // retry budget + jittered exponential backoff per the table's own
+      // commit.retry.* properties (reference TableProperties.java:89-101,
+      // applied through Tasks.retry in SnapshotProducer.commit)
+      Thread.sleep(CommitRetry.nextWaitOrThrow(attempts, t0, base.properties,
+        s"$operationName commit", table.location))
     }
-    throw new CommitConflictException(s"commit failed after $attempts attempts")
+    throw new IllegalStateException("unreachable")
   }
 }
 
-/** Append without merging manifests (reference FastAppend.java). */
+/** Append (reference FastAppend.java / MergeAppend.java): with
+  * `commit.manifest-merge.enabled` (the default) the inherited
+  * mergeManifests applies MergeAppend semantics — small manifests
+  * bin-pack into merged ones at commit time; disabling the property
+  * yields the reference's FastAppend behavior (one new manifest per
+  * commit, nothing rewritten). */
 final class FastAppend(table: GTable) extends SnapshotProducer(table, "append") {
   private val files = Seq.newBuilder[DataFile]
   private var toBranch = "main"

@@ -232,7 +232,10 @@ object GraftProcedures extends Serializable {
         }
         Some(b.result())
       }
-    } catch { case _: Throwable => None }
+      // NonFatal only: a malformed/stale sidecar falls back to a full
+      // recompute, but OOM / interrupts must propagate, not silently
+      // degrade into the expensive path
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** ORC footer import (row count from the tail; stats deferred).
     * A file physically carrying every identity-partition column imports

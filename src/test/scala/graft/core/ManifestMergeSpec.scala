@@ -79,6 +79,37 @@ class ManifestMergeSpec extends AnyFunSuite {
     assert(listLen(t2) === 12)
   }
 
+  test("min-count guard applies per (content, spec) group after spec evolution") {
+    val cat = tempCatalog()
+    val t = cat.createTable(Seq("db"), "multispec", schema,
+      properties = Map(ManifestMerge.MinCountKey -> "8"))
+    (1 to 3).foreach { i =>
+      t.newAppend().appendFile(dataFile(s"s0-$i.parquet", (i * 10L, i * 10L + 4))).commit()
+    }
+    // evolve to a bucket spec; later appends write spec-1 manifests
+    t.commitUpdate { base =>
+      val ns = graft.core.expr.PartitionSpec(1, Seq(
+        graft.core.expr.PartitionField(1, 1000, "id_bucket",
+          graft.core.transform.BucketT(4))))
+      base.copy(specs = base.specs :+ ns, defaultSpecId = 1,
+        lastPartitionId = 1000)
+    }
+    def spec1File(i: Int) = DataFile(s"s1-$i.parquet", "parquet", 1,
+      Seq(i % 4), 5L, 1000L)
+    (1 to 3).foreach(i => t.newAppend().appendFile(spec1File(i)).commit())
+    // both spec groups sit below min-count: NOTHING merges — the guard
+    // covers the newest bin of EACH spec group, not just the bin holding
+    // the globally-newest manifest
+    assert(listLen(t) === 6)
+    // pushing spec 1 past min-count merges only spec 1's bin; spec 0's
+    // three manifests stay untouched under their own guard
+    (4 to 9).foreach(i => t.newAppend().appendFile(spec1File(i)).commit())
+    val ms = ManifestIO.readList(t.refresh().currentSnapshot.get.manifestListPath)
+    assert(ms.count(_.specId == 0) === 3)
+    assert(ms.count(_.specId == 1) < 9)
+    assert(t.newScan().planFiles().size === 12)
+  }
+
   test("merged entries: this commit's stay Added, carried become Existing with original ids") {
     val cat = tempCatalog()
     val t = cat.createTable(Seq("db"), "status", schema,
