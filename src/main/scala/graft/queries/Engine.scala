@@ -2688,10 +2688,64 @@ object Engine {
       SELECT 'tt', 40*COUNT(*), CAST(40*SUM(n_regionkey) AS BIGINT) FROM nation
       ORDER BY part"""))
 
+  // ------------------------------------------------------------------ g71
+  // SQL view DDL (reference spark-extensions RewriteViewCommands.scala:
+  // 50-77 + CheckViews.scala + ShowV2ViewsExec.scala): the full view
+  // lifecycle — CREATE with a user column list, CREATE OR REPLACE,
+  // SHOW VIEWS, ALTER VIEW SET TBLPROPERTIES, DROP VIEW — driven purely
+  // as SQL statements against the graft catalog (no procedures), with
+  // the stored document staying a spec-shaped versioned view metadata.
+  private val g71 = Q(
+    "g71_engine_sql_view_ddl",
+    (s, dir) => {
+      setup(s, dir)
+      val wh = warehouse(dir)
+      def ident(n: String) =
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), n)
+      // clean slate: the gate re-drives the lifecycle each run
+      s.sql("DROP VIEW IF EXISTS graft.db.flag_stats_v")
+      s.sql("DROP VIEW IF EXISTS graft.db.ddl_tmp_v")
+      // CREATE with a user column list (aliases re-applied on read)
+      s.sql("""CREATE VIEW graft.db.flag_stats_v (flag, n COMMENT 'rows') AS
+        SELECT l_returnflag, COUNT(*) FROM graft.db.lineitem_g
+        GROUP BY l_returnflag""")
+      require(s.sql("SELECT flag, n FROM graft.db.flag_stats_v").collect().nonEmpty,
+        "g71: the created view must serve its aliased columns")
+      // REPLACE: widen with a quantity sum — reads must serve version 2
+      s.sql("""CREATE OR REPLACE VIEW graft.db.flag_stats_v (flag, n, qty_c) AS
+        SELECT l_returnflag, COUNT(*), SUM(CAST(l_quantity * 100 AS BIGINT))
+        FROM graft.db.lineitem_g GROUP BY l_returnflag""")
+      // SHOW VIEWS lists it as a non-temporary catalog view
+      val shown = s.sql("SHOW VIEWS IN graft.db").collect()
+        .filter(_.getString(1) == "flag_stats_v")
+      require(shown.length == 1 && !shown.head.getBoolean(2),
+        "g71: SHOW VIEWS must list the view as non-temporary")
+      // ALTER ... SET TBLPROPERTIES persists without a new version
+      s.sql("ALTER VIEW graft.db.flag_stats_v SET TBLPROPERTIES ('ddl'='sql')")
+      val v = graft.spark.GraftViewStore.load(wh, ident("flag_stats_v")).get
+      require(v.props.get("ddl").contains("sql"),
+        "g71: ALTER VIEW SET TBLPROPERTIES must persist")
+      require(v.currentVersionId == 2 && v.versions.size == 2,
+        s"g71: REPLACE must append a view version, got ${v.versions.size}")
+      require(v.current.sql.contains("l_quantity"),
+        "g71: reads must serve the replaced definition")
+      // DROP VIEW removes the document; a vanished view stops resolving
+      s.sql("CREATE VIEW graft.db.ddl_tmp_v AS SELECT 1 AS one")
+      s.sql("DROP VIEW graft.db.ddl_tmp_v")
+      require(graft.spark.GraftViewStore.load(wh, ident("ddl_tmp_v")).isEmpty,
+        "g71: DROP VIEW must remove the stored document")
+      s.sql("""SELECT flag, n, qty_c FROM graft.db.flag_stats_v
+        ORDER BY flag""")
+    },
+    Some("""
+      SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_c
+      FROM lineitem GROUP BY l_returnflag ORDER BY flag"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66, g67, g68, g69, g70)
+    g66, g67, g68, g69, g70, g71)
 }

@@ -9,9 +9,13 @@ import org.apache.spark.sql.connector.catalog.Identifier
 /** Session extensions (reference IcebergSparkSessionExtensions +
   * analysis/ResolveViews.scala): Spark 4 ships the ViewCatalog API but no
   * analyzer support for v2 views, so reads of catalog-stored views are
-  * substituted here — the stored SQL is re-parsed and inlined, and the
-  * analyzer resolves the rest. View DDL goes through the create_view /
-  * drop_view procedures.
+  * substituted here — the stored SQL is re-parsed in its stored
+  * resolution context and inlined, and the analyzer resolves the rest.
+  * View DDL (CREATE/REPLACE/DROP/SHOW VIEW, ALTER VIEW SET/UNSET) is
+  * routed to the ViewCatalog at parse time by GraftViewDdl (via
+  * GraftSqlParser — ResolveSessionCatalog would reject the v2 plans for
+  * non-session catalogs before any injected rule runs); the create_view /
+  * drop_view procedures remain as the scripting surface.
   *
   * Register with: spark.sql.extensions=graft.spark.GraftExtensions
   */
@@ -135,6 +139,9 @@ object ReplaceGraftStaticInvoke extends Rule[LogicalPlan] {
 
 class ResolveGraftViews(spark: org.apache.spark.sql.SparkSession)
   extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation => UR}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
 
   private def catalogManager = spark.sessionState.catalogManager
 
@@ -156,12 +163,46 @@ class ResolveGraftViews(spark: org.apache.spark.sql.SparkSession)
     }
   }
 
+  /** Re-qualify unqualified names in the view body with the view's STORED
+    * resolution context (reference ResolveViews.qualifyTableIdentifiers:
+    * 162-174): a view created under `USE graft.db` must read the same
+    * tables from any later session, whatever its current catalog is.
+    * 1-part names get catalog+namespace, multi-part names that don't
+    * start with a registered catalog get the catalog. */
+  private def qualify(plan: LogicalPlan, ctx: Seq[String]): LogicalPlan =
+    if (ctx.isEmpty) plan
+    else plan transform {
+      case u @ UR(Seq(table), _, _) =>
+        u.copy(multipartIdentifier = ctx :+ table)
+      case u @ UR(parts, _, _)
+          if !catalogManager.isCatalogRegistered(parts.head) =>
+        u.copy(multipartIdentifier = ctx.head +: parts)
+      case other =>
+        other.transformExpressions { case sq: SubqueryExpression =>
+          sq.withNewPlan(qualify(sq.plan, ctx))
+        }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedRelation =>
       lookupView(u.multipartIdentifier) match {
-        case Some((view, _)) =>
-          val parsed = spark.sessionState.sqlParser.parsePlan(view.query())
-          SubqueryAlias(u.multipartIdentifier.last, parsed)
+        case Some((view, catName)) =>
+          val cur = view.current
+          val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
+          val ctx = (if (cur.catalogName.nonEmpty) Seq(cur.catalogName)
+                     else Seq(catName)) ++ cur.namespaceParts
+          val qualified = qualify(parsed, ctx)
+          // user column list (CREATE VIEW v(a, b) AS ...): re-alias the
+          // query's output names to the view's declared names (reference
+          // ResolveViews.aliasColumns; positional via the stored
+          // query-column-names)
+          val aliased =
+            if (cur.aliases.isEmpty || cur.aliases.size != cur.queryCols.size)
+              qualified
+            else Project(cur.queryCols.zip(cur.aliases).map { case (qc, a) =>
+              Alias(UnresolvedAttribute.quoted(qc), a)()
+            }, qualified)
+          SubqueryAlias(u.multipartIdentifier.last, aliased)
         case None => u
       }
   }

@@ -39,7 +39,12 @@ class GraftSqlParser(delegate: ParserInterface,
     // catalog-stored SQL UDTFs expand at parse time (Spark 4 has no v2
     // table-function catalog ability; its resolver would reject the call
     // before any extension rule runs)
-    session.map(s => GraftUdfMacro.expandTableFunctions(s, plan)).getOrElse(plan)
+    val expanded =
+      session.map(s => GraftUdfMacro.expandTableFunctions(s, plan)).getOrElse(plan)
+    // view DDL on graft catalogs swaps at parse time too:
+    // ResolveSessionCatalog rejects v2 view plans for non-session
+    // catalogs before any extension rule could run (GraftViewDdl)
+    session.map(s => GraftViewDdl.rewrite(s, expanded)).getOrElse(expanded)
   }
 
   override def parseExpression(sqlText: String): Expression =

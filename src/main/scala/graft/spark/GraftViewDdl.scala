@@ -1,0 +1,267 @@
+package graft.spark
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, NoSuchViewException, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedView, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SetViewProperties, ShowViews, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.util.StringUtils
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+/** SQL view DDL for graft catalogs (reference spark-extensions
+  * analysis/RewriteViewCommands.scala:50-77 + CheckViews.scala +
+  * ShowV2ViewsExec.scala): Spark 4 parses `CREATE [OR REPLACE] VIEW`,
+  * `DROP VIEW`, `SHOW VIEWS` and `ALTER VIEW ... SET/UNSET TBLPROPERTIES`
+  * into v2 logical plans but ResolveSessionCatalog REJECTS them for any
+  * non-session catalog ("does not support views") in the same analyzer
+  * batch — before an injected extension rule can run. So graft swaps the
+  * plans at PARSE time (GraftSqlParser post-processes the delegate's
+  * tree), the same reason the reference intercepts while identifiers are
+  * still unresolved. The commands analyze the view query in run(), where
+  * the full session resolution (graft relations, stored UDFs, other
+  * views) is available. Temp-view targets keep Spark's own handling. */
+object GraftViewDdl {
+
+  /** root-plan rewrite, called from GraftSqlParser.parsePlan — view DDL
+    * is always a root statement, so no tree walk */
+  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
+    case cv: CreateView => cv.child match {
+      case ui: UnresolvedIdentifier
+          if !(ui.allowTemp && isTempView(spark, ui.nameParts)) =>
+        graftIdent(spark, ui.nameParts) match {
+          case Some((g, ident)) =>
+            val sqlText = cv.originalText.getOrElse(
+              throw new IllegalArgumentException(
+                s"CREATE VIEW $ident requires a SQL query text"))
+            CreateGraftViewCommand(g, ident, sqlText, cv.query,
+              cv.userSpecifiedColumns, cv.comment, cv.properties,
+              cv.allowExisting, cv.replace)
+          case None => cv
+        }
+      case _ => cv
+    }
+
+    case dv @ DropView(ui: UnresolvedIdentifier, ifExists) =>
+      if (ui.allowTemp && isTempView(spark, ui.nameParts)) dv
+      else graftIdent(spark, ui.nameParts)
+        .map { case (g, id) => DropGraftViewCommand(g, id, ifExists): LogicalPlan }
+        .getOrElse(dv)
+
+    case sv: ShowViews =>
+      val target = sv.namespace match {
+        case CurrentNamespace =>
+          spark.sessionState.catalogManager.currentCatalog match {
+            case g: GraftCatalog =>
+              Some((g, spark.sessionState.catalogManager.currentNamespace.toSeq))
+            case _ => None
+          }
+        case un: UnresolvedNamespace => graftNamespace(spark, un.multipartIdentifier)
+        case _ => None
+      }
+      target.map { case (g, ns) =>
+        ShowGraftViewsCommand(g, ns, sv.pattern, sv.output): LogicalPlan
+      }.getOrElse(sv)
+
+    case sp @ SetViewProperties(uv: UnresolvedView, props) =>
+      existingGraftView(spark, uv).map { case (g, ident) =>
+        AlterGraftViewCommand(g, ident,
+          props.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) })
+          : LogicalPlan
+      }.getOrElse(sp)
+
+    case up @ UnsetViewProperties(uv: UnresolvedView, keys, _) =>
+      existingGraftView(spark, uv).map { case (g, ident) =>
+        AlterGraftViewCommand(g, ident, keys.map(ViewChange.removeProperty))
+          : LogicalPlan
+      }.getOrElse(up)
+
+    case other => other
+  }
+
+  private[spark] def isTempView(spark: SparkSession, parts: Seq[String]): Boolean =
+    spark.sessionState.catalogManager.v1SessionCatalog.isTempView(parts)
+
+  /** nameParts → (graft catalog, identifier): leading part as a
+    * registered catalog name, else the session's current catalog +
+    * namespace — the resolution CatalogAndIdentifier applies. None when
+    * the target is not a graft catalog. */
+  private[spark] def graftIdent(spark: SparkSession,
+      parts: Seq[String]): Option[(GraftCatalog, Identifier)] = {
+    val cm = spark.sessionState.catalogManager
+    val (catalogName, ident) = parts match {
+      case Seq(cat, rest @ _*) if rest.nonEmpty && cm.isCatalogRegistered(cat) =>
+        (cat, Identifier.of(rest.init.toArray, rest.last))
+      case Seq(rest @ _*) if rest.nonEmpty =>
+        (cm.currentCatalog.name,
+          Identifier.of(cm.currentNamespace ++ rest.init, rest.last))
+      case _ => return None
+    }
+    cm.catalog(catalogName) match {
+      case g: GraftCatalog => Some((g, ident))
+      case _ => None
+    }
+  }
+
+  private def graftNamespace(spark: SparkSession,
+      parts: Seq[String]): Option[(GraftCatalog, Seq[String])] = {
+    val cm = spark.sessionState.catalogManager
+    val (catalogName, ns) = parts match {
+      case Seq(cat, rest @ _*) if cm.isCatalogRegistered(cat) => (cat, rest)
+      case rest => (cm.currentCatalog.name, rest)
+    }
+    cm.catalog(catalogName) match {
+      case g: GraftCatalog => Some((g, ns.toSeq))
+      case _ => None
+    }
+  }
+
+  private def existingGraftView(spark: SparkSession,
+      uv: UnresolvedView): Option[(GraftCatalog, Identifier)] =
+    if (uv.allowTemp && isTempView(spark, uv.multipartIdentifier)) None
+    else graftIdent(spark, uv.multipartIdentifier).filter { case (g, ident) =>
+      try { g.loadView(ident); true } catch { case _: Exception => false }
+    }
+}
+
+/** CREATE [OR REPLACE] VIEW against a graft ViewCatalog (reference
+  * CreateV2ViewExec semantics): analyzes the query here — full session
+  * resolution, including other graft views and stored UDFs — captures the
+  * creation context (current catalog + namespace) so unqualified names in
+  * the SQL resolve the same way forever, and stores the spec-shaped view
+  * document through the ViewCatalog. */
+final case class CreateGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, sqlText: String, query: LogicalPlan,
+    userColumns: Seq[(String, Option[String])], comment: Option[String],
+    props: Map[String, String], allowExisting: Boolean, replace: Boolean)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    verifyNoTempObjects(spark)
+    // a view must not shadow a table: reads resolve views first, so a
+    // same-named pair would silently flip the table's meaning
+    if (catalog.tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalog.name) ++ ident.namespace :+ ident.name)
+    val qSchema = spark.sessionState.executePlan(query).analyzed.schema
+    val aliases = userColumns.map(_._1)
+    if (aliases.nonEmpty && aliases.size != qSchema.size)
+      throw new IllegalArgumentException(
+        s"CREATE VIEW column list has ${aliases.size} names but the query " +
+          s"produces ${qSchema.size} columns")
+    val comments = userColumns.map(_._2.getOrElse(""))
+    // the stored schema carries the user's column names; the raw query
+    // output names ride alongside so reads can re-alias positionally
+    val viewSchema =
+      if (aliases.isEmpty) qSchema
+      else StructType(qSchema.fields.zip(aliases).map { case (f, a) =>
+        f.copy(name = a)
+      })
+    val cm = spark.sessionState.catalogManager
+    val info = new ViewInfo(ident, sqlText, cm.currentCatalog.name,
+      cm.currentNamespace, viewSchema, qSchema.fieldNames,
+      aliases.toArray, comments.toArray,
+      (props ++ comment.map("comment" -> _)).asJava)
+    if (replace) catalog.replaceView(info, orCreate = true)
+    else try catalog.createView(info)
+    catch { case _: ViewAlreadyExistsException if allowExisting => () }
+    Nil
+  }
+
+  /** Permanent views must not reference temp objects (reference
+    * RewriteViewCommands.verifyTemporaryObjectsDontExist:130-175): the
+    * stored SQL is re-parsed in LATER sessions where the temp
+    * view/function no longer exists. CTE names are substituted away
+    * first so `WITH t AS ... FROM t` never false-positives on a
+    * same-named temp view. */
+  private def verifyNoTempObjects(spark: SparkSession): Unit = {
+    val q = CTESubstitution.apply(query)
+    def collectTempViews(p: LogicalPlan): Seq[Seq[String]] =
+      p.flatMap {
+        case u: UnresolvedRelation
+            if GraftViewDdl.isTempView(spark, u.multipartIdentifier) =>
+          Seq(u.multipartIdentifier)
+        case other => other.expressions.flatMap(_.flatMap {
+          case s: SubqueryExpression => collectTempViews(s.plan)
+          case _ => Nil
+        })
+      }.distinct
+    val tempViews = collectTempViews(q)
+    if (tempViews.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot create view ${catalog.name}.$ident that references " +
+          s"temporary view(s): ${tempViews.map(_.mkString(".")).mkString(", ")}")
+    val sessionCat = spark.sessionState.catalogManager.v1SessionCatalog
+    val tempFns = q.flatMap(_.expressions.flatMap(_.collect {
+      case f: UnresolvedFunction if f.nameParts.size == 1 &&
+          sessionCat.isTemporaryFunction(FunctionIdentifier(f.nameParts.head)) =>
+        f.nameParts.head
+    })).distinct
+    if (tempFns.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot create view ${catalog.name}.$ident that references " +
+          s"temporary function(s): ${tempFns.mkString(", ")}")
+    // direct self-reference would make the read-side substitution loop
+    // until the analyzer's fixpoint gives up (deeper create-time cycles
+    // can't form: the new view's query must already resolve; reference
+    // CheckViews walks the full graph — the direct case is the one a
+    // typo actually produces)
+    val selfRefs = q.collect {
+      case u: UnresolvedRelation if GraftViewDdl
+          .graftIdent(spark, u.multipartIdentifier).exists(_._2 == ident) => u
+    }
+    if (selfRefs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot create view ${catalog.name}.$ident that references itself")
+  }
+}
+
+final case class DropGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (!catalog.dropView(ident) && !ifExists)
+      throw new NoSuchViewException(ident)
+    Nil
+  }
+}
+
+/** SHOW VIEWS over a graft namespace (reference ShowV2ViewsExec): the
+  * catalog's views plus the session's temp views — global-temp when the
+  * named namespace IS the global-temp database, local always, matching
+  * the session-catalog command's output shape. */
+final case class ShowGraftViewsCommand(catalog: GraftCatalog,
+    namespace: Seq[String], pattern: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = Seq.newBuilder[Row]
+    val globalTemp = spark.sessionState.conf.getConfString(
+      "spark.sql.globalTempDatabase", "global_temp")
+    if (namespace.headOption.contains(globalTemp)) {
+      spark.sessionState.catalog.globalTempViewManager
+        .listViewNames(pattern.getOrElse("*"))
+        .foreach(n => rows += Row(globalTemp, n, true))
+    } else {
+      catalog.listViews(namespace: _*).foreach { v =>
+        if (pattern.forall(p => StringUtils.filterPattern(Seq(v.name), p).nonEmpty))
+          rows += Row(v.namespace.mkString("."), v.name, false)
+      }
+    }
+    spark.sessionState.catalog.listLocalTempViews(pattern.getOrElse("*"))
+      .foreach(v => rows += Row(v.database.getOrElse(""), v.table, true))
+    rows.result()
+  }
+}
+
+final case class AlterGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, changes: Seq[ViewChange]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    catalog.alterView(ident, changes: _*)
+    Nil
+  }
+}

@@ -1,0 +1,159 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.meta.MetaJson
+
+/** SQL view DDL routed to the ViewCatalog (reference spark-extensions
+  * analysis/RewriteViewCommands.scala + CheckViews.scala +
+  * ShowV2ViewsExec.scala): CREATE [OR REPLACE] VIEW, DROP VIEW,
+  * SHOW VIEWS, and ALTER VIEW SET/UNSET TBLPROPERTIES work as plain SQL
+  * against graft catalogs, producing the same spec-shaped view-metadata
+  * documents the create_view procedure writes. */
+class ViewDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("graft-viewddl").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-viewddl")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.src (k BIGINT, cat STRING)")
+    spark.range(0, 30)
+      .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS cat")
+      .writeTo("graft.db.src").append()
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("CREATE VIEW / query / DROP VIEW lifecycle, purely via SQL") {
+    spark.sql("""CREATE VIEW graft.db.v_by_cat AS
+      SELECT cat, COUNT(*) AS n, SUM(k) AS total FROM graft.db.src GROUP BY cat""")
+    val rows = spark.sql(
+      "SELECT cat, n, total FROM graft.db.v_by_cat ORDER BY cat").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("even", 15L, 210L), ("odd", 15L, 225L)))
+    // plain CREATE on an existing view fails; IF NOT EXISTS is a no-op
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.db.v_by_cat AS SELECT 1 AS one")
+    }
+    spark.sql("CREATE VIEW IF NOT EXISTS graft.db.v_by_cat AS SELECT 1 AS one")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.v_by_cat").collect()
+      .head.getLong(0) === 2L)
+    spark.sql("DROP VIEW graft.db.v_by_cat")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.db.v_by_cat").collect() }
+    // DROP of a missing view: IF EXISTS swallows, plain throws
+    spark.sql("DROP VIEW IF EXISTS graft.db.v_by_cat")
+    intercept[Exception] { spark.sql("DROP VIEW graft.db.v_by_cat") }
+  }
+
+  test("CREATE OR REPLACE appends a spec view version; document stays spec-shaped") {
+    spark.sql("""CREATE VIEW graft.db.v_ver
+      TBLPROPERTIES ('owner'='teamA')
+      AS SELECT k FROM graft.db.src WHERE k < 10""")
+    spark.sql("""CREATE OR REPLACE VIEW graft.db.v_ver
+      TBLPROPERTIES ('owner'='teamA')
+      AS SELECT k FROM graft.db.src WHERE k < 5""")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.db.v_ver").collect()
+      .head.getLong(0) === 5L)
+    // the stored document is the spec's view metadata: version list,
+    // current-version-id moved, representations carry the SQL
+    val doc = MetaJson.mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Path.of(
+        s"$warehouse/db/_views/v_ver.json")))
+    assert(doc.get("format-version").asInt === 1)
+    assert(doc.get("current-version-id").asInt === 2)
+    assert(doc.get("versions").size === 2)
+    val reps = doc.get("versions").get(1).get("representations")
+    assert(reps.get(0).get("type").asText === "sql")
+    assert(reps.get(0).get("sql").asText.contains("k < 5"))
+    assert(doc.get("properties").get("owner").asText === "teamA")
+    spark.sql("DROP VIEW graft.db.v_ver")
+  }
+
+  test("user column list: aliases and comments are stored and served") {
+    spark.sql("""CREATE VIEW graft.db.v_cols (category COMMENT 'the bucket', cnt)
+      AS SELECT cat, COUNT(*) FROM graft.db.src GROUP BY cat""")
+    val got = spark.sql(
+      "SELECT category, cnt FROM graft.db.v_cols ORDER BY category").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("even", 15L), ("odd", 15L)))
+    // column-count mismatch rejected at create time
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.db.v_bad (a, b, c) AS SELECT 1 AS x, 2 AS y")
+    }
+    spark.sql("DROP VIEW graft.db.v_cols")
+  }
+
+  test("SHOW VIEWS lists catalog views, honors LIKE, flags temp views") {
+    spark.sql("CREATE VIEW graft.db.sv_alpha AS SELECT 1 AS a")
+    spark.sql("CREATE VIEW graft.db.sv_beta AS SELECT 2 AS b")
+    spark.sql("CREATE TEMPORARY VIEW sv_temp AS SELECT 3 AS c")
+    val all = spark.sql("SHOW VIEWS IN graft.db").collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(all.contains(("sv_alpha", false)) && all.contains(("sv_beta", false)))
+    assert(all.contains(("sv_temp", true)))
+    val like = spark.sql("SHOW VIEWS IN graft.db LIKE 'sv_a*'").collect()
+      .map(_.getString(1)).toSet
+    assert(like === Set("sv_alpha"))
+    spark.sql("DROP VIEW graft.db.sv_alpha")
+    spark.sql("DROP VIEW graft.db.sv_beta")
+    spark.catalog.dropTempView("sv_temp")
+  }
+
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES mutates props without a new version") {
+    spark.sql("CREATE VIEW graft.db.v_props AS SELECT 1 AS one")
+    spark.sql("ALTER VIEW graft.db.v_props SET TBLPROPERTIES ('a'='1','b'='2')")
+    spark.sql("ALTER VIEW graft.db.v_props UNSET TBLPROPERTIES ('b')")
+    val doc = MetaJson.mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Path.of(
+        s"$warehouse/db/_views/v_props.json")))
+    assert(doc.get("properties").get("a").asText === "1")
+    assert(!doc.get("properties").has("b"))
+    assert(doc.get("versions").size === 1) // property-only: no new version
+    spark.sql("DROP VIEW graft.db.v_props")
+  }
+
+  test("guards: temp-view reference, self-reference, table shadowing") {
+    spark.sql("CREATE TEMPORARY VIEW guard_tmp AS SELECT 7 AS g")
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE VIEW graft.db.v_guard AS SELECT * FROM guard_tmp")
+    }
+    assert(e1.getMessage.contains("temporary"))
+    spark.catalog.dropTempView("guard_tmp")
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE VIEW graft.db.v_self AS SELECT * FROM graft.db.v_self")
+    }
+    assert(e2.getMessage.contains("itself") ||
+      e2.getMessage.toLowerCase.contains("not found"))
+    // a view must not shadow an existing table
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.db.src AS SELECT 1 AS one")
+    }
+  }
+
+  test("stored resolution context: unqualified names resolve as at creation") {
+    // create under USE graft.db with a bare table name; read from a
+    // DIFFERENT current catalog/namespace later
+    spark.sql("USE graft.db")
+    spark.sql("CREATE VIEW ctx_v AS SELECT COUNT(*) AS n FROM src")
+    spark.sql("USE spark_catalog.default")
+    assert(spark.sql("SELECT n FROM graft.db.ctx_v").collect().head.getLong(0) === 30L)
+    spark.sql("DROP VIEW graft.db.ctx_v")
+  }
+}
