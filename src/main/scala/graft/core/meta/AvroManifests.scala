@@ -369,7 +369,12 @@ object AvroManifests {
             referencedDataFile = Option(field(df, "referenced_data_file")).map(str),
             contentOffset = optLong(field(df, "content_offset")),
             contentSizeInBytes = optLong(field(df, "content_size_in_bytes")),
-            firstRowId = optLong(field(df, "first_row_id"))),
+            firstRowId = optLong(field(df, "first_row_id")),
+            splitOffsets = field(df, "split_offsets") match {
+              case null => Nil
+              case c: java.util.Collection[_] =>
+                c.asScala.toSeq.map(_.asInstanceOf[java.lang.Long].longValue())
+            }),
           writeSchemaId = if (added) headerSchemaId else None)
       }
       out.result()
@@ -694,6 +699,13 @@ object AvroManifests {
         df.put("equality_ids", arr)
       }
       f.referencedDataFile.foreach(df.put("referenced_data_file", _))
+      if (f.splitOffsets.nonEmpty) {
+        val soSchema = dfSchema.getField("split_offsets").schema()
+          .getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        val arr = new GenericData.Array[java.lang.Long](f.splitOffsets.size, soSchema)
+        f.splitOffsets.foreach(v => arr.add(Long.box(v)))
+        df.put("split_offsets", arr)
+      }
       if (formatVersion >= 3) {
         f.firstRowId.foreach(v => df.put("first_row_id", Long.box(v)))
         f.contentOffset.foreach(v => df.put("content_offset", Long.box(v)))

@@ -42,7 +42,13 @@ final case class DataFile(
     // shredded-variant sub-path stats, keyed "variantFieldId:$.path"
     // (write.variant.shred.* config; reference variant shredding spec) —
     // lets variant_get predicates prune files without schema fields
-    shredStats: Map[String, graft.core.expr.ColStats] = Map.empty) {
+    shredStats: Map[String, graft.core.expr.ColStats] = Map.empty,
+    // parquet row-group start offsets (spec manifest field 132
+    // split_offsets; reference BaseFile.java:73): row-group-aligned
+    // boundaries let the planner split large files — including ones
+    // carrying deletes or serving _pos, where byte splits can't keep
+    // positions exact
+    splitOffsets: Seq[Long] = Nil) {
   def fileStats: FileStats = FileStats(recordCount, columnStats, shredStats)
   def isDeleteFile: Boolean = content != FileContent.Data
 }

@@ -214,6 +214,9 @@ object MetaJson {
     f.contentOffset.foreach(o.put("content-offset", _))
     f.contentSizeInBytes.foreach(o.put("content-size", _))
     f.firstRowId.foreach(o.put("first-row-id", _))
+    if (f.splitOffsets.nonEmpty) {
+      val so = o.putArray("split-offsets"); f.splitOffsets.foreach(so.add)
+    }
     if (f.shredStats.nonEmpty) {
       val so = o.putObject("shred-stats")
       f.shredStats.foreach { case (key, st) =>
@@ -252,7 +255,12 @@ object MetaJson {
             Option(eo.get("hi")).map(readValue))
         }
         buf.result()
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      splitOffsets = Option(n.get("split-offsets")).map { a =>
+        val b = Seq.newBuilder[Long]
+        a.elements().forEachRemaining(e => b += e.asLong())
+        b.result()
+      }.getOrElse(Nil))
   }
 
   def writeEntry(e: ManifestEntry): String = {

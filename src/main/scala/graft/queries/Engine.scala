@@ -51,11 +51,16 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v35").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v36").contains("true"))
     if (!complete) {
       coldBuilt += wh
-      // wipe any partial previous build
-      Seq("lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
+      // wipe any partial previous build. EVERY table the build block
+      // creates MUST be listed: a missing entry makes the rebuild crash
+      // on CREATE TABLE against the previous round's leftover (r16
+      // post-mortem: mix_src_g wasn't listed, and the v35→v36 marker
+      // bump left every setup attempt dying mid-build).
+      Seq("mix_src_g", "mix_reg_g",
+        "lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
         "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
@@ -445,7 +450,7 @@ object Engine {
         tx.updateProperties(Map("txn-batched" -> "true"))
         val staged = listTree(txnStage).filter(_.endsWith(".parquet"))
         val dataFiles = staged.map { p =>
-          val (size, stats) = graft.spark.FooterStats.read(p, hconf, tx.schema)
+          val (size, stats, _) = graft.spark.FooterStats.read(p, hconf, tx.schema)
           // Spark-native files carry no graft field ids → name-mapped
           graft.core.meta.DataFile(p, "parquet-nm", tx.spec.specId, Nil,
             txnRows, size, stats)
@@ -725,7 +730,7 @@ object Engine {
       s.sql(s"CALL graft.system.register_table('db.mix_reg_g', '$mixMeta')")
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v35" -> "true"))
+        .updateProperties(Map("build-complete-v36" -> "true"))
     }
     built += wh
   }
@@ -2742,10 +2747,87 @@ object Engine {
         CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_c
       FROM lineitem GROUP BY l_returnflag ORDER BY flag"""))
 
+  // ------------------------------------------------------------------ g72
+  // readable_metrics on the files metadata table (reference
+  // MetricsUtil.readableMetricsSchema — MetricsUtil.java:193,354 —
+  // joined at BaseFilesTable.java:56): per-column TYPED min/max/null
+  // counts, the first tool a user reaches for when debugging why
+  // pruning didn't fire. Folding per-file bounds across every data file
+  // must reproduce the table-wide min/max/count the oracle computes from
+  // the raw rows — typed as long/double/timestamp/string, not hex.
+  private val g72 = Q(
+    "g72_engine_readable_metrics",
+    (s, dir) => {
+      setup(s, dir)
+      s.sql("""
+        SELECT
+          MIN(readable_metrics.l_orderkey.lower_bound) AS lo_ok,
+          MAX(readable_metrics.l_orderkey.upper_bound) AS hi_ok,
+          MIN(readable_metrics.l_quantity.lower_bound) AS lo_q,
+          MAX(readable_metrics.l_quantity.upper_bound) AS hi_q,
+          MIN(readable_metrics.l_returnflag.lower_bound) AS lo_f,
+          MAX(readable_metrics.l_returnflag.upper_bound) AS hi_f,
+          CAST(MIN(unix_micros(readable_metrics.l_shipdate.lower_bound)) AS BIGINT) AS lo_d,
+          CAST(MAX(unix_micros(readable_metrics.l_shipdate.upper_bound)) AS BIGINT) AS hi_d,
+          CAST(SUM(readable_metrics.l_orderkey.value_count) AS BIGINT) AS vc,
+          CAST(SUM(readable_metrics.l_returnflag.null_value_count) AS BIGINT) AS nc
+        FROM graft.db.lineitem_g.files WHERE content = 0""")
+    },
+    Some("""
+      SELECT
+        MIN(l_orderkey) AS lo_ok, MAX(l_orderkey) AS hi_ok,
+        MIN(l_quantity) AS lo_q, MAX(l_quantity) AS hi_q,
+        MIN(l_returnflag) AS lo_f, MAX(l_returnflag) AS hi_f,
+        CAST(epoch_us(MIN(l_shipdate)) AS BIGINT) AS lo_d,
+        CAST(epoch_us(MAX(l_shipdate)) AS BIGINT) AS hi_d,
+        CAST(COUNT(*) AS BIGINT) AS vc, CAST(0 AS BIGINT) AS nc
+      FROM lineitem"""))
+
+  // ------------------------------------------------------------------ g73
+  // Offsets-aware, delete-tolerant splits (reference
+  // OffsetsAwareSplitScanTaskIterator.java + BaseFile.java:73
+  // split_offsets): a multi-row-group MoR file carrying a DV plans as
+  // MULTIPLE row-group-aligned tasks — one DV no longer serializes the
+  // whole file onto a single reader — and the split read applies the
+  // deletes oracle-exactly (each split derives its first-row index, so
+  // masking stays file-absolute).
+  private val g73 = Q(
+    "g73_engine_split_mor_read",
+    (s, dir) => {
+      setup(s, dir)
+      val cat = new HadoopCatalog(warehouse(dir))
+      if (!cat.tableExists(Seq("db"), "spl_g")) {
+        s.sql("""CREATE TABLE graft.db.spl_g (l_orderkey BIGINT, l_quantity DOUBLE)
+          TBLPROPERTIES ('write.parquet.row-group-size-bytes'='32768',
+                         'read.split.target-size'='65536',
+                         'write.delete.mode'='merge-on-read')""")
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+          .coalesce(1).writeTo("graft.db.spl_g").append()
+        s.sql("DELETE FROM graft.db.spl_g WHERE l_orderkey % 7 = 3")
+      }
+      val gt = cat.loadTable(Seq("db"), "spl_g").get
+      val file = gt.newScan().planFiles().map(_.file)
+        .filter(_.content == graft.core.meta.FileContent.Data).head
+      require(file.splitOffsets.size > 1,
+        s"g73: the write must record row-group split_offsets, got ${file.splitOffsets.size}")
+      val df = s.table("graft.db.spl_g")
+      require(df.rdd.getNumPartitions > 1,
+        s"g73: the DV-carrying multi-row-group file must plan >1 task, " +
+          s"got ${df.rdd.getNumPartitions}")
+      df.agg(count(lit(1)).as("n"),
+        sum(cents(col("l_quantity"))).as("qty_c"),
+        sum(col("l_orderkey")).as("sum_ok"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS qty_c,
+        CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem WHERE l_orderkey % 7 <> 3"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66, g67, g68, g69, g70, g71)
+    g66, g67, g68, g69, g70, g71, g72, g73)
 }

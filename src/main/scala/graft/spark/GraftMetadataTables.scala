@@ -43,6 +43,88 @@ object GraftMetadataTables {
     ArrayBasedMapData(kv.map(e => s(e._1)).toArray, kv.map(e => s(e._2)).toArray)
   }
 
+  /** readable_metrics (reference MetricsUtil.readableMetricsSchema —
+    * MetricsUtil.java:193,354 — joined into the table at
+    * BaseFilesTable.java:56): one nested struct per primitive leaf of
+    * the data schema, with lower/upper bounds TYPED as the column, so a
+    * user debugging why pruning didn't fire reads
+    * `readable_metrics.ts.lower_bound` as a timestamp, not a hex blob.
+    * column_size is always null — graft's manifests deliberately don't
+    * carry per-column byte sizes. */
+  final case class MetricCol(id: Int, name: String, dt: DataType)
+
+  def metricCols(schema: graft.core.types.GSchema): Seq[MetricCol] = {
+    import graft.core.types._
+    def walk(prefix: String, fs: Seq[GField]): Seq[MetricCol] = fs.flatMap { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.tpe match {
+        case s: GStruct           => walk(p, s.fields)
+        case GVariant | GUnknown  => Nil // stats live in shredStats / absent
+        case t if t.isPrimitive   => Seq(MetricCol(f.id, p, SparkTypes.toSpark(t)))
+        case _                    => Nil // list/map: no per-column stats
+      }
+    }
+    walk("", schema.fields)
+  }
+
+  def readableMetricsType(cols: Seq[MetricCol]): StructType =
+    StructType(cols.map(c => StructField(c.name, StructType(Seq(
+      StructField("column_size", LongType),
+      StructField("value_count", LongType),
+      StructField("null_value_count", LongType),
+      StructField("nan_value_count", LongType),
+      StructField("lower_bound", c.dt),
+      StructField("upper_bound", c.dt))))))
+
+  /** stat value (plain Scala, MetaJson.readValue shapes) → Spark
+    * internal value of the column's type; null when unconvertible
+    * rather than failing the whole metadata query */
+  private[spark] def statInternal(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _)                          => null
+    case (s: String, StringType)            => UTF8String.fromString(s)
+    case (b: Array[Byte], BinaryType)       => b
+    case (i: Int, IntegerType | DateType)   => i
+    case (i: Int, LongType | TimestampType | TimestampNTZType) => i.toLong
+    case (l: Long, LongType | TimestampType | TimestampNTZType) => l
+    case (l: Long, IntegerType | DateType)  => l.toInt
+    case (f: Float, FloatType)              => f
+    case (f: Float, DoubleType)             => f.toDouble
+    case (d: Double, DoubleType)            => d
+    case (b: Boolean, BooleanType)          => b
+    case (d: java.math.BigDecimal, t: DecimalType) =>
+      Decimal(d, t.precision, t.scale)
+    case (other, StringType)                => UTF8String.fromString(String.valueOf(other))
+    case _                                  => null
+  }
+
+  private[spark] def readableMetricsRow(
+      stats: Map[Int, graft.core.expr.ColStats],
+      cols: Seq[MetricCol]): InternalRow =
+    new GenericInternalRow(cols.map[Any] { c =>
+      stats.get(c.id) match {
+        case None => new GenericInternalRow(
+          Array[Any](null, null, null, null, null, null))
+        case Some(cs) => new GenericInternalRow(Array[Any](
+          null, // column_size: not tracked
+          cs.valueCount.map(Long.box).orNull,
+          cs.nullCount.map(Long.box).orNull,
+          cs.nanCount.map(Long.box).orNull,
+          statInternal(cs.lower.orNull, c.dt),
+          statInternal(cs.upper.orNull, c.dt)))
+      }
+    }.toArray)
+
+  /** entry-level kinds carry readable_metrics typed from the table's
+    * current schema (reference BaseFilesTable/BaseEntriesTable) */
+  def schemaOf(kind: String, schema: graft.core.types.GSchema): StructType =
+    kind match {
+      case "files" | "data_files" | "delete_files" | "all_files" |
+           "all_data_files" | "all_delete_files" | "entries" | "all_entries" =>
+        StructType(schemaOf(kind).fields :+
+          StructField("readable_metrics", readableMetricsType(metricCols(schema))))
+      case _ => schemaOf(kind)
+    }
+
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
       StructField("committed_at", TimestampType),
@@ -274,7 +356,8 @@ object GraftMetadataTables {
   * tables; carries the spec-id → partition-field-names map so the
   * partition tuple renders without table metadata on the executor. */
 final case class ManifestReadTask(manifest: ManifestFile,
-    specNames: Map[Int, Seq[String]], kind: String)
+    specNames: Map[Int, Seq[String]], kind: String,
+    metricCols: Seq[GraftMetadataTables.MetricCol] = Nil)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Distributed scan for the entry-level metadata tables (files/entries/
@@ -289,11 +372,13 @@ final class ManifestEntriesScan(table: GTable, kind: String)
   extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
-  override def readSchema(): StructType = GraftMetadataTables.schemaOf(kind)
+  override def readSchema(): StructType =
+    GraftMetadataTables.schemaOf(kind, table.meta.schema)
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def description(): String = s"graft-$kind(${table.location})"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val metricCols = GraftMetadataTables.metricCols(table.meta.schema)
     val m = table.refresh()
     val manifests =
       if (kind.startsWith("all_"))
@@ -304,7 +389,8 @@ final class ManifestEntriesScan(table: GTable, kind: String)
       else
         m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
     val specNames = m.specs.map(sp => sp.specId -> sp.fields.map(_.name)).toMap
-    manifests.map(mf => ManifestReadTask(mf, specNames, kind): InputPartition).toArray
+    manifests.map(mf =>
+      ManifestReadTask(mf, specNames, kind, metricCols): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ManifestEntriesScan.Factory
@@ -342,7 +428,9 @@ object ManifestEntriesScan {
               e.status, e.snapshotId, e.dataSequenceNumber, us(e.file.path),
               e.file.recordCount, e.file.content, e.file.fileSizeBytes,
               e.file.specId,
-              partString(e.file.specId, e.file.partition))): InternalRow
+              partString(e.file.specId, e.file.partition),
+              GraftMetadataTables.readableMetricsRow(
+                e.file.columnStats, t.metricCols))): InternalRow
           }
         else
           filtered.iterator.map { e =>
@@ -369,7 +457,9 @@ object ManifestEntriesScan {
               counts(_.valueCount), counts(_.nullCount), counts(_.nanCount),
               bounds(_.lower), bounds(_.upper),
               e.file.contentOffset.map(Long.box).orNull,
-              e.file.contentSizeInBytes.map(Long.box).orNull)): InternalRow
+              e.file.contentSizeInBytes.map(Long.box).orNull,
+              GraftMetadataTables.readableMetricsRow(
+                e.file.columnStats, t.metricCols))): InternalRow
           }
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
@@ -477,7 +567,8 @@ final class GraftMetadataTable(table: GTable, fullName: String, kind: String)
   extends Table with SupportsRead {
 
   override def name(): String = fullName
-  override def schema(): StructType = GraftMetadataTables.schemaOf(kind)
+  override def schema(): StructType =
+    GraftMetadataTables.schemaOf(kind, table.meta.schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 

@@ -121,7 +121,7 @@ object GraftProcedures extends Serializable {
       // WITHOUT ids genuinely cannot be served (name resolution would
       // look for logical names the file does not store): refuse loudly
       idMapped: Boolean = false): DataFile = {
-    val (size, stats) = FooterStats.read(path, conf, schema)
+    val (size, stats, splitOffs) = FooterStats.read(path, conf, schema)
     val hPath = new org.apache.hadoop.fs.Path(
       "file://" + GraftIO.toPath(path).toString)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -136,10 +136,11 @@ object GraftProcedures extends Serializable {
         s"column-mapped Delta file $path carries no parquet field ids; " +
           "its physical column names cannot be resolved against the " +
           "logical schema — this file cannot be imported faithfully")
-      DataFile(path, "parquet-im", specId, partition, rows, size, stats)
+      DataFile(path, "parquet-im", specId, partition, rows, size, stats,
+        splitOffsets = splitOffs)
     } else
       DataFile(path, if (hasIds && !forceNameMapped) "parquet" else "parquet-nm",
-        specId, partition, rows, size, stats)
+        specId, partition, rows, size, stats, splitOffsets = splitOffs)
   }
 
   /** per-(spec, partition) partial for compute_partition_stats — merged
@@ -655,7 +656,18 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         param("min_input_files", IntegerType, "2"),
         param("partial_progress_enabled", BooleanType, "false"),
         param("partial_progress_max_commits", IntegerType, "10"),
-        param("where", StringType, "''"))
+        param("where", StringType, "''"),
+        // reference BinPackRewriteFilePlanner.java:70-72
+        // DELETE_FILE_THRESHOLD: a well-sized file qualifies once this
+        // many delete files apply to it. Graft's default 1 keeps its
+        // long-standing any-delete-qualifies behavior (the reference
+        // defaults to MAX_VALUE and relies on separate dangling-delete
+        // maintenance); raise it to bound MoR write amplification.
+        param("delete_file_threshold", IntegerType, "1"),
+        // reference SizeBasedFileRewritePlanner.java:90-97 REWRITE_ALL:
+        // the escape hatch that rewrites every selected file regardless
+        // of size or delete count
+        param("rewrite_all", BooleanType, "false"))
     case "rewrite_manifests" | "rewrite_position_deletes"
        | "rewrite_position_delete_files" =>
       Array(param("table", StringType))
@@ -1078,7 +1090,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         input.getLong(3), input.getInt(4),
         partialProgress = input.getBoolean(5),
         maxCommits = input.getInt(6),
-        where = input.getUTF8String(7).toString)
+        where = input.getUTF8String(7).toString,
+        deleteFileThreshold = input.getInt(8),
+        rewriteAll = input.getBoolean(9))
 
     case "rewrite_manifests" =>
       // Re-cluster live entries into partition-range-clustered manifests
@@ -2855,7 +2869,9 @@ object RewriteDataFiles {
       targetSize: Long, minInputFiles: Int,
       partialProgress: Boolean = false,
       maxCommits: Int = 10,
-      where: String = ""): util.Iterator[Scan] = {
+      where: String = "",
+      deleteFileThreshold: Int = 1,
+      rewriteAll: Boolean = false): util.Iterator[Scan] = {
     val spark = SparkSession.active
     val schemaWithIds = graft.core.types.SparkTypes.toSparkSchema(t.schema)
     // the group reads below go through DataFrameReader with the CURRENT
@@ -2892,16 +2908,19 @@ object RewriteDataFiles {
       s"rewrite over mixed equality-delete key sets not supported: $eqIdSets")
 
     // group by partition tuple; a group qualifies if it has enough small
-    // files (binpack), carries position deletes to apply, or any files at
-    // all (sort/zorder re-cluster everything)
+    // files (binpack), carries files at/over the delete-file threshold
+    // (reference BinPackRewriteFilePlanner.java:70-72), or any files at
+    // all (sort/zorder re-cluster everything; rewrite_all is the
+    // explicit escape hatch — SizeBasedFileRewritePlanner.java:90-97)
     val bySort = strategy.toLowerCase == "sort"
     val byZ = strategy.toLowerCase == "zorder"
     require(bySort || byZ || strategy.toLowerCase == "binpack",
       s"unknown strategy $strategy")
+    require(deleteFileThreshold >= 1, "delete_file_threshold must be >= 1")
     val groups = tasks.groupBy(ts => (ts.file.specId, ts.file.partition))
       .filter { case (_, ts) =>
-        if (bySort || byZ) ts.nonEmpty
-        else ts.exists(_.deletes.nonEmpty) ||
+        if (bySort || byZ || rewriteAll) ts.nonEmpty
+        else ts.exists(_.deletes.size >= deleteFileThreshold) ||
           ts.count(_.file.fileSizeBytes < targetSize) >= minInputFiles
       }
     if (groups.isEmpty)
@@ -3248,13 +3267,16 @@ object RewriteDataFiles {
         val target = s"$dataDir/rewrite-${java.util.UUID.randomUUID}.$outFmt"
         java.nio.file.Files.move(GraftIO.toPath(sf), GraftIO.toPath(target))
         val sparkSchema = graft.core.types.SparkTypes.toSparkSchema(t.meta.schema)
-        val (size, stats) =
-          if (outFmt == "orc") FooterStats.readOrc(target, conf, t.meta.schema, sparkSchema)
-          else FooterStats.read(target, conf, t.meta.schema)
+        val (size, stats, splitOffs) =
+          if (outFmt == "orc") {
+            val (sz, st) = FooterStats.readOrc(target, conf, t.meta.schema, sparkSchema)
+            (sz, st, Nil)
+          } else FooterStats.read(target, conf, t.meta.schema)
         val rows =
           if (outFmt == "orc") orcRowCount(target, conf)
           else readRowCount(target, conf)
-        groupNew += DataFile(target, outFmt, specId, partition, rows, size, stats)
+        groupNew += DataFile(target, outFmt, specId, partition, rows, size, stats,
+          splitOffsets = splitOffs)
       }
       }
       val gf = groupNew.result()

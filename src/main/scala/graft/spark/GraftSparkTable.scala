@@ -449,6 +449,42 @@ object GraftSparkTable {
         GraftExecutorCache.weighPosMap)(load())
   }
 
+  /** Executor-side cache of parquet row-group (startingPos, rowCount)
+    * pairs: a split task (start > 0) derives its first-row index here so
+    * `_pos` / delete masking stay file-absolute (the reference reads the
+    * same footer ranges in OffsetsAwareSplitScanTaskIterator readers).
+    * One footer read per file per executor, shared by all of its splits. */
+  object RowGroupCache {
+    def rowGroups(path: String, cryptoConf: Map[String, String])
+        : Seq[(Long, Long)] =
+      GraftExecutorCache.get(("rowgroups", path),
+        (v: Seq[(Long, Long)]) => 64L + 32L * v.size) {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        cryptoConf.foreach { case (k, v) => conf.set(k, v) }
+        val hPath = new org.apache.hadoop.fs.Path(
+          "file://" + graft.core.meta.GraftIO.toPath(path).toString)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
+          org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala
+            .map(b => (b.getStartingPos, b.getRowCount)).toSeq
+        } finally r.close()
+      }
+
+    /** file position of the first row a (start, length) range reads:
+      * rows of every row group whose start precedes the range. Valid
+      * because split boundaries sit ON group starts (planner invariant),
+      * and parquet assigns a group to the range containing its midpoint
+      * — which always lies within the group itself. */
+    def firstRowIndex(path: String, start: Long,
+        cryptoConf: Map[String, String]): Long =
+      if (start == 0L) 0L
+      else rowGroups(path, cryptoConf)
+        .iterator.filter(_._1 < start).map(_._2).sum
+  }
+
   /** Executor-side cache of parsed EQUALITY-delete key sets, mirroring
     * PosDeleteCache: one eq-delete file is applied to every data file
     * with a lower sequence, so without caching each task re-reads and
@@ -1143,15 +1179,42 @@ object GraftSparkTable {
           .flatMap(_.toLongOption)).getOrElse(128L * 1024 * 1024)
       val target = math.min(configured,
         math.max(4L * 1024 * 1024, totalBytes / math.max(1, parallelism)))
-      // split oversized files at target boundaries — safe only when the
-      // reader honors (start, length): no delete masking, no _pos
+      // split oversized files at target boundaries. Free-form byte splits
+      // are safe when the reader takes the filtered (start, length) path
+      // — no position accounting needed. Delete-carrying or
+      // position-serving tasks (pos deletes / DVs to mask, _pos/_row_id
+      // to serve, eq-delete row-path masking that also counts positions)
+      // split only at recorded parquet row-group offsets (reference
+      // OffsetsAwareSplitScanTaskIterator + BaseFile.java:73
+      // split_offsets): with boundaries at row-group starts, the reader
+      // derives each split's first-row index from the footer and keeps
+      // positions exact. Without offsets (ORC/avro/legacy files) such
+      // tasks stay whole — at 100 TB MoR this is what stops one DV from
+      // serializing a 1 GB file read.
       val needPos = required.fieldNames.contains(MetaPosCol) ||
         required.fieldNames.contains(MetaRowIdCol) ||
         required.fieldNames.contains(MetaSeqCol)
       val split = all.flatMap { t =>
-        if (t.length <= target || t.deletes.nonEmpty || needPos) Seq(t)
-        else (0L until t.length by target).map(off =>
-          t.copy(start = off, length = math.min(target, t.length - off)))
+        val positional = needPos || t.deletes.nonEmpty
+        if (t.length <= target) Seq(t)
+        else if (!positional)
+          (0L until t.length by target).map(off =>
+            t.copy(start = off, length = math.min(target, t.length - off)))
+        else if (t.file.format == "parquet" && t.file.splitOffsets.size > 1 &&
+            t.start == 0) {
+          // row-group-aligned boundaries, each segment >= target
+          val bounds = Seq.newBuilder[Long]
+          bounds += 0L
+          var segStart = 0L
+          t.file.splitOffsets.drop(1).foreach { o =>
+            if (o - segStart >= target) { bounds += o; segStart = o }
+          }
+          val bs = bounds.result()
+          bs.zipWithIndex.map { case (b, i) =>
+            val end = if (i + 1 < bs.size) bs(i + 1) else t.length
+            t.copy(start = b, length = end - b)
+          }
+        } else Seq(t)
       }
       val groups = {
         // bin-pack into ~target-size groups with a lookback window of
@@ -1772,6 +1835,7 @@ object GraftSparkTable {
         shredParentRel = shredParentRel, shredParentFull = shredParentFull,
         batchFuncEq = batchFuncEq, eqBatchPos = eqBatchPos,
         crypto = graft.core.meta.TableCrypto.resolve(table.meta),
+        footerCryptoConf = GraftParquetCrypto.readOptions(table.meta),
         orcDeleteFunc = orcDeleteFunc, avroDeleteFunc = avroDeleteFunc,
         orcDelFullFunc = orcDelFullFunc,
         identityConsts = {
@@ -1912,6 +1976,9 @@ object GraftSparkTable {
       eqBatchPos: Map[Int, (Int, org.apache.spark.sql.types.DataType)] = Map.empty,
       // encrypted tables: table key for executor-side DV decryption
       crypto: Option[graft.core.meta.TableCrypto] = None,
+      // parquet-crypto read options for executor-side footer reads
+      // (split tasks derive their first-row index from the footer)
+      footerCryptoConf: Map[String, String] = Map.empty,
       // per-delete-file format dispatch (reference DeleteFilter keys its
       // readers on DeleteFile.format()): position/equality delete files in
       // formats other than the parquet default
@@ -2008,6 +2075,12 @@ object GraftSparkTable {
     private def pf(path: String, start: Long, length: Long): PartitionedFile =
       PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), start, length,
         Array.empty[String], 0L, length, Map.empty)
+
+    /** file position of the first row this (possibly split) task reads:
+      * 0 for whole-file tasks — no footer touch; split tasks sum the row
+      * counts of the groups before their start (executor-cached) */
+    private def posBaseOf(t: TaskDesc): Long =
+      GraftSparkTable.RowGroupCache.firstRowIndex(t.path, t.start, footerCryptoConf)
 
     /** positions deleted for `dataPath` across `deletePaths` (cached per
       * executor: delete files are immutable). Delete content stores the
@@ -2132,8 +2205,9 @@ object GraftSparkTable {
             if (lineageExt) rowFuncFullLin else rowFuncFull)
         else if (lineageExt) rowFuncFullLin
         else rowFuncFull
-      dataFull(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
-        case (row, idx) if !posDeleted.contains(idx.toLong) &&
+      val posBase = posBaseOf(t)
+      dataFull(pf(t.path, t.start, t.length)).zipWithIndex.collect {
+        case (row, idx) if !posDeleted.contains(posBase + idx) &&
           !masks.exists { case (positions, keys) =>
             keys.contains(positions.map(p => canonical(row, p, fullSchema(p).dataType)).toSeq)
           } =>
@@ -2157,7 +2231,7 @@ object GraftSparkTable {
             }
             arr
           }
-          (out: InternalRow, idx.toLong, matRowId, matSeq, sv)
+          (out: InternalRow, posBase + idx, matRowId, matSeq, sv)
       }
     }
 
@@ -2327,16 +2401,18 @@ object GraftSparkTable {
               new ColumnarBatch((dataCols ++ metaVecs).toArray, k)
             }
         } else {
-          // delete-aware / position-bearing columnar read: full-file
-          // batches, masked in place, with _pos as a row-index vector
-          // (reference ColumnarBatchUtil.buildRowIdMapping)
+          // delete-aware / position-bearing columnar read: unfiltered
+          // batches over the task's (start, length) range — row-group
+          // aligned for splits — masked in place, with _pos as a
+          // file-absolute row-index vector starting at the split's
+          // first-row index (reference ColumnarBatchUtil.buildRowIdMapping)
           val deleted =
             if (t.deletePaths.isEmpty) new org.roaringbitmap.longlong.Roaring64Bitmap()
             else deletedPositions(t.path, t.deletePaths, t.posDelFormats)
-          var base = 0L
+          var base = posBaseOf(t)
           val nData = dataRequired.length
           val hasEq = eqMasks.nonEmpty
-          batchFuncNoFilter(pf(t.path, 0, Long.MaxValue))
+          batchFuncNoFilter(pf(t.path, t.start, t.length))
             .asInstanceOf[Iterator[ColumnarBatch]].map { cb =>
               val n = cb.numRows()
               val b0 = base
@@ -2500,7 +2576,9 @@ object GraftSparkTable {
           // positions deleted for THIS data file across its delete files
           val deleted = deletedPositions(t.path, t.deletePaths, t.posDelFormats)
           val mat = hasShred && t.shredMat && t.fileFormat == "parquet"
-          // full-file read so row index == file position
+          // unfiltered range read: row index + the split's first-row
+          // index == file position (whole files read from 0)
+          val posBase = posBaseOf(t)
           val f = t.fileFormat match {
             case "orc" =>
               orcHistRow.get(t.writeSchemaId).map(_._2).getOrElse(orcRowFuncNoFilter)
@@ -2517,10 +2595,10 @@ object GraftSparkTable {
               else if (mat) shredMatRowFuncNF else shredBinRowFuncNF
           }
           val lin = if (lineageExt) 2 else 0
-          f(pf(t.path, 0, Long.MaxValue)).zipWithIndex.collect {
-            case (row, idx) if !deleted.contains(idx.toLong) =>
-              if (!hasShred) withMetaExt(row, idx.toLong)
-              else withMetaExt(row, idx.toLong,
+          f(pf(t.path, t.start, t.length)).zipWithIndex.collect {
+            case (row, idx) if !deleted.contains(posBase + idx) =>
+              if (!hasShred) withMetaExt(row, posBase + idx)
+              else withMetaExt(row, posBase + idx,
                 shredValsOf(row, mat, nData + lin, lin))
           }
         }

@@ -423,6 +423,13 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
         // graft files must ALWAYS carry field ids, whatever the session
         job.getConfiguration
           .setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
+        // timestamps as INT64 micros, never INT96 (format spec
+        // "Parquet: timestamp/timestamptz as int64 micros"; Spark's
+        // session default can still be legacy INT96, which also carries
+        // NO footer min/max — killing bound pruning and readable_metrics
+        // on every timestamp column)
+        job.getConfiguration.set(
+          "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         w
     }
     val confMap = job.getConfiguration.iterator().asScala
@@ -908,16 +915,19 @@ final class GraftFanoutWriter(
     }
     open.clear()
     val files = closed.result().map { case (key, path, rows, geo, shred) =>
-      val (size, stats) = fileFormat match {
+      val (size, stats, splitOffs) = fileFormat match {
         case "avro" =>
-          val (sz, _, st) = GraftAvro.footerStats(path, gSchema); (sz, st)
-        case "orc"  => FooterStats.readOrc(path, conf, gSchema, writeSchema)
+          val (sz, _, st) = GraftAvro.footerStats(path, gSchema); (sz, st, Nil)
+        case "orc"  =>
+          val (sz, st) = FooterStats.readOrc(path, conf, gSchema, writeSchema)
+          (sz, st, Nil)
         // geo bounds were accumulated as rows flowed: skip the re-read
         case _      => FooterStats.read(path, conf, gSchema, skipGeo = geo != null)
       }
       val withGeo = if (geo == null) stats else stats ++ geo.stats(rows)
       DataFile(path, fileFormat, spec.specId, key, rows, size, withGeo,
-        shredStats = if (shred == null) Map.empty else shred.stats(rows))
+        shredStats = if (shred == null) Map.empty else shred.stats(rows),
+        splitOffsets = splitOffs)
     }
     GraftCommitMessage(files)
   }
@@ -1427,8 +1437,11 @@ final class GraftEqDeltaWriter(
 /** Extract per-column min/max/null stats from a parquet footer
   * (reference parquet/.../ParquetUtil footer metrics). */
 object FooterStats {
-  def read(path: String, conf: Configuration,
-      schema: GSchema, skipGeo: Boolean = false): (Long, Map[Int, ColStats]) = {
+  /** returns (file size, per-column stats, row-group start offsets —
+    * the spec's split_offsets, recorded so the planner can split this
+    * file at row-group boundaries) */
+  def read(path: String, conf: Configuration, schema: GSchema,
+      skipGeo: Boolean = false): (Long, Map[Int, ColStats], Seq[Long]) = {
     val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
     // HadoopReadOptions (not the bare open) loads the decryption factory
     // from the conf, so footers of modular-encrypted files stay readable
@@ -1439,7 +1452,10 @@ object FooterStats {
       val blocks = footer.getBlocks.asScala
       val size = GraftIO.size(path)
       val byField = mutable.Map.empty[Int, ColStats]
-      val byName = schema.fields.map(f => f.name -> f).toMap
+      // dotted-path map: struct-nested leaves (addr.zip) collect stats
+      // too — parquet column paths are dotted the same way (reference
+      // ParquetUtil.fileMetrics walks the full MessageType)
+      val byName = schema.byName
       val colNames = blocks.flatMap(_.getColumns.asScala.map(_.getPath.toDotString)).distinct
       colNames.foreach { name =>
         byName.get(name).foreach { field =>
@@ -1477,7 +1493,12 @@ object FooterStats {
               upper = boxOpt.map(b => GeoBounds.encode(b.xmax, b.ymax)))
           }
       }
-      (size, byField.toMap)
+      // offsets only meaningful with >1 row group: a single-group file
+      // can't split anyway, so skip the manifest bytes
+      val offsets =
+        if (blocks.size <= 1) Nil
+        else blocks.map(_.getStartingPos).toSeq
+      (size, byField.toMap, offsets)
     } finally reader.close()
   }
 
@@ -1598,7 +1619,16 @@ object FooterStats {
         Some(l.longValue)
       case (GFloat, f: java.lang.Float)                   => Some(f.floatValue)
       case (GDouble, d: java.lang.Double)                 => Some(d.doubleValue)
-      case _                                              => None // decimals etc: skip v1
+      case (GBoolean, b: java.lang.Boolean)               => Some(b.booleanValue)
+      // decimal bounds per physical type (int32/int64/fixed/binary) —
+      // price-like columns are exactly where min/max pruning pays
+      case (GDecimal(_, s), i: java.lang.Integer) =>
+        Some(java.math.BigDecimal.valueOf(i.longValue, s))
+      case (GDecimal(_, s), l: java.lang.Long) =>
+        Some(java.math.BigDecimal.valueOf(l.longValue, s))
+      case (GDecimal(_, s), b: org.apache.parquet.io.api.Binary) =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), s))
+      case _                                              => None
     }
     val withVals = statsList.filter(_.hasNonNullValue)
     if (withVals.isEmpty) (None, None)

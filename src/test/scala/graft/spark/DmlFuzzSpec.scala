@@ -92,7 +92,12 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def runSeed(seed: Int, partitioned: Boolean, steps: Int,
       evolveSpec: Boolean = false, format: String = "parquet",
       icebergCompat: Boolean = false, cat: String = "gfz",
-      mergeMinCount: Option[Int] = None): Unit = {
+      mergeMinCount: Option[Int] = None,
+      // run the incremental-vs-full partition-stats invariant every N
+      // steps (the checkpoint-seeded delta path re-deriving aggregates
+      // over MERGED manifest lists is the subtlest interaction of the
+      // two features)
+      statsEvery: Option[Int] = None): Unit = {
     val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
     val fq = s"$cat.db.$name"
     val catWarehouse =
@@ -274,6 +279,38 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         snapshotsSeen += ((s.snapshotId, expected)))
     }
 
+    // incremental-vs-full partition-stats invariant (reference
+    // PartitionStatsHandler.computeAndMergeStatsIncremental): the
+    // incremental call — seeded from whatever checkpoint an earlier
+    // mid-history call left, re-deriving deltas over commit-time-MERGED
+    // manifest lists — must produce byte-identical aggregates to a full
+    // recompute of the same snapshot (forced by deleting every stats
+    // artifact so no checkpoint can seed). Skipped once snapshots
+    // expired: entries whose ADDING snapshot expired resolve to
+    // commit-ts 0 in a full recompute, so last-updated election can
+    // legitimately differ from a checkpoint that recorded the live ts.
+    def statsInvariant(step: Int): Unit = {
+      def computeAndRead(): Map[(Int, Seq[Any]), GraftProcedures.PartStatsAgg] = {
+        spark.sql(s"CALL $cat.system.compute_partition_stats(table => 'db.$name')")
+        val meta = coreTable().refresh()
+        val cur = meta.currentSnapshot.get.snapshotId
+        val sf = meta.partitionStatistics.find(_.snapshotId == cur)
+          .getOrElse(fail(s"seed=$seed step=$step: no stats registered"))
+        GraftProcedures.readStatsCkpt(sf.path)
+          .getOrElse(fail(s"seed=$seed step=$step: unreadable ckpt"))
+      }
+      val inc = computeAndRead()
+      // drop EVERY stats artifact: nothing can seed → full recompute
+      coreTable().meta.partitionStatistics.foreach { f =>
+        graft.core.meta.GraftIO.delete(f.path)
+        graft.core.meta.GraftIO.delete(GraftProcedures.statsCkptPath(f.path))
+      }
+      val full = computeAndRead()
+      assert(inc == full,
+        s"seed=$seed step=$step: incremental partition stats diverge from " +
+          s"full recompute (${inc.size} vs ${full.size} partitions)")
+    }
+
     // always start with data so the first DML has something to chew on
     check(0, appendRows())
     (1 to steps).foreach { step =>
@@ -288,6 +325,7 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case _         => evolvePartitioning()
       }
       check(step, op)
+      if (!expired && statsEvery.exists(n => step % n == 0)) statsInvariant(step)
     }
     // CDC invariant: replaying the raw changelog — per ordinal, deletes
     // first, then inserts (a CoW rewrite emits both for carried-over
@@ -758,6 +796,20 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     runBranchSeed(321003, 25, mergeMinCount = Some(3))
   }
 
+  test("seeded DML fuzz: incremental partition stats under manifest merging") {
+    // mid-history compute_partition_stats every 3 steps on a
+    // merge-enabled table: each call's checkpoint seeds the NEXT call's
+    // incremental path over freshly-merged manifest lists, and every
+    // result must equal a forced full recompute
+    runSeed(seed = 321004, partitioned = true, steps = 21,
+      mergeMinCount = Some(3), statsEvery = Some(3))
+  }
+
+  test("seeded DML fuzz: incremental stats, spec evolution and merging") {
+    runSeed(seed = 321005, partitioned = true, steps = 18,
+      evolveSpec = true, mergeMinCount = Some(2), statsEvery = Some(4))
+  }
+
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
   // (failure messages carry the seed — promote any find to a fixed test)
   sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
@@ -770,6 +822,8 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           icebergCompat = i % 2 == 1,
           // a third of the soak merges manifests aggressively
           mergeMinCount = if (i % 3 == 1) Some(2 + (base + i) % 7) else None,
+          // a slice runs the incremental-vs-full stats invariant
+          statsEvery = if (i % 2 == 1) Some(3 + i % 3) else None,
           // a third of the soak routes every commit through the spec
           // REST protocol (derive→apply on the server); another slice
           // plans every scan through the server's plan store

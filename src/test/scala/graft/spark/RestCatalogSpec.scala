@@ -1184,17 +1184,26 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.get("file-scan-tasks").size() === 1,
       s"day-partition pruning must run on the ISO literal: $n")
     // a NON-UTC offset shifts the instant instead of being read as UTC:
-    // 2024-03-05T07:00:00-05:00 == 12:00Z — inclusive day-pruning keeps
-    // the March file (the day may hold later rows), but the residual
-    // must carry the SHIFTED bound, not the local time read as UTC
+    // 2024-03-05T05:30:00-05:00 == 10:30Z — between the March file's
+    // 10:00/11:00 bounds, so the file survives stat pruning and the
+    // residual must carry the SHIFTED bound, not the local time read as
+    // UTC. (A 12:00Z bound now correctly prunes the file outright: since
+    // the writer emits INT64-micros timestamps, files carry exact ts
+    // min/max and pruning is tighter than day-granularity alone.)
     val (c2, n2) = specPost("/v1/namespaces/db/tables/plan_ts/plan",
       """{"filter": {"type": "gt", "term": "ts",
-          "value": "2024-03-05T07:00:00-05:00"}}""")
+          "value": "2024-03-05T05:30:00-05:00"}}""")
     assert(c2 === 200 && n2.get("file-scan-tasks").size() === 1, n2.toString)
     val residual = n2.get("file-scan-tasks").get(0).get("residual-filter")
     assert(residual.get("value").asLong() ===
-      java.time.Instant.parse("2024-03-05T12:00:00Z").toEpochMilli * 1000L,
-      s"the -05:00 offset must shift the residual bound to 12:00Z: $residual")
+      java.time.Instant.parse("2024-03-05T10:30:00Z").toEpochMilli * 1000L,
+      s"the -05:00 offset must shift the residual bound to 10:30Z: $residual")
+    // exact ts stats: a bound past the file's max prunes it outright
+    assert(specPost("/v1/namespaces/db/tables/plan_ts/plan",
+      """{"filter": {"type": "gt", "term": "ts",
+          "value": "2024-03-05T07:00:00-05:00"}}""")
+      ._2.get("file-scan-tasks").size() === 0,
+      "a 12:00Z bound must prune the 10:00-11:00Z file via column stats")
   }
 
   test("planTableScan honors use-snapshot-schema and case-sensitive") {
