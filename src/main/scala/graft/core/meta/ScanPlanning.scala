@@ -383,6 +383,11 @@ object SpecScanTasks {
     f.contentOffset.foreach(o.put("content-offset", _))
     f.contentSizeInBytes.foreach(o.put("content-size-in-bytes", _))
     f.firstRowId.foreach(o.put("first-row-id", _))
+    // spec ContentFileParser split-offsets: without them a server-planned
+    // client loses row-group-aligned splitting of delete-carrying files
+    if (f.splitOffsets.nonEmpty) {
+      val so = o.putArray("split-offsets"); f.splitOffsets.foreach(so.add)
+    }
     // graft extensions (ignored by genuine clients, full graft fidelity)
     f.referencedDataFile.foreach(o.put("x-graft-referenced-data-file", _))
     if (f.shredStats.nonEmpty)
@@ -465,7 +470,12 @@ object SpecScanTasks {
       Option(n.get("content-offset")).map(_.asLong()),
       Option(n.get("content-size-in-bytes")).map(_.asLong()),
       Option(n.get("first-row-id")).map(_.asLong()),
-      shred)
+      shred,
+      splitOffsets = Option(n.get("split-offsets")).map { arr =>
+        val b = Seq.newBuilder[Long]
+        arr.elements().forEachRemaining(e => b += e.asLong())
+        b.result()
+      }.getOrElse(Nil))
   }
 
   /** one chunk of FileScanTasks → spec ScanTasks object: deduped

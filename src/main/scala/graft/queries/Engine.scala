@@ -2796,7 +2796,16 @@ object Engine {
     (s, dir) => {
       setup(s, dir)
       val cat = new HadoopCatalog(warehouse(dir))
-      if (!cat.tableExists(Seq("db"), "spl_g")) {
+      // self-healing build: a completion marker, not bare existence — a
+      // crash mid-build must rebuild, not freeze a half-built table
+      val ready = cat.loadTable(Seq("db"), "spl_g")
+        .exists(_.meta.properties.get("g73-ready").contains("true"))
+      if (!ready) {
+        cat.dropTable(Seq("db"), "spl_g")
+        s.sessionState.catalogManager.catalog("graft") match {
+          case g: graft.spark.GraftCatalog => g.invalidateCache()
+          case _ => ()
+        }
         s.sql("""CREATE TABLE graft.db.spl_g (l_orderkey BIGINT, l_quantity DOUBLE)
           TBLPROPERTIES ('write.parquet.row-group-size-bytes'='32768',
                          'read.split.target-size'='65536',
@@ -2804,6 +2813,8 @@ object Engine {
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
           .coalesce(1).writeTo("graft.db.spl_g").append()
         s.sql("DELETE FROM graft.db.spl_g WHERE l_orderkey % 7 = 3")
+        cat.loadTable(Seq("db"), "spl_g").get
+          .updateProperties(Map("g73-ready" -> "true"))
       }
       val gt = cat.loadTable(Seq("db"), "spl_g").get
       val file = gt.newScan().planFiles().map(_.file)

@@ -139,7 +139,7 @@ object ReplaceGraftStaticInvoke extends Rule[LogicalPlan] {
 
 class ResolveGraftViews(spark: org.apache.spark.sql.SparkSession)
   extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation => UR}
+  import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, GetColumnByOrdinal, UnresolvedRelation => UR}
   import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
   import org.apache.spark.sql.catalyst.plans.logical.Project
 
@@ -189,19 +189,26 @@ class ResolveGraftViews(spark: org.apache.spark.sql.SparkSession)
         case Some((view, catName)) =>
           val cur = view.current
           val parsed = spark.sessionState.sqlParser.parsePlan(cur.sql)
+          // substitute CTEs FIRST (reference ResolveViews:141-143): a
+          // WITH-clause name must never be re-qualified into a table
+          // reference — `WITH src AS (...) ... FROM src` would otherwise
+          // silently read a real catalog table named src
           val ctx = (if (cur.catalogName.nonEmpty) Seq(cur.catalogName)
                      else Seq(catName)) ++ cur.namespaceParts
-          val qualified = qualify(parsed, ctx)
+          val qualified = qualify(CTESubstitution.apply(parsed), ctx)
           // user column list (CREATE VIEW v(a, b) AS ...): re-alias the
-          // query's output names to the view's declared names (reference
-          // ResolveViews.aliasColumns; positional via the stored
-          // query-column-names)
+          // query's output to the view's declared names POSITIONALLY
+          // (reference ResolveViews.aliasColumns uses GetColumnByOrdinal
+          // — by-name resolution breaks on duplicate query output names)
           val aliased =
             if (cur.aliases.isEmpty || cur.aliases.size != cur.queryCols.size)
               qualified
-            else Project(cur.queryCols.zip(cur.aliases).map { case (qc, a) =>
-              Alias(UnresolvedAttribute.quoted(qc), a)()
-            }, qualified)
+            else {
+              val types = view.schema().fields.map(_.dataType)
+              Project(cur.aliases.zipWithIndex.map { case (a, i) =>
+                Alias(GetColumnByOrdinal(i, types(i)), a)()
+              }, qualified)
+            }
           SubqueryAlias(u.multipartIdentifier.last, aliased)
         case None => u
       }

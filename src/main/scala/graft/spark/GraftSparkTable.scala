@@ -1200,8 +1200,11 @@ object GraftSparkTable {
         else if (!positional)
           (0L until t.length by target).map(off =>
             t.copy(start = off, length = math.min(target, t.length - off)))
-        else if (t.file.format == "parquet" && t.file.splitOffsets.size > 1 &&
-            t.start == 0) {
+        // any parquet flavor splits: nm/im imports read through the same
+        // range-respecting Spark parquet readers, and imports record
+        // splitOffsets exactly for this
+        else if (t.file.format.startsWith("parquet") &&
+            t.file.splitOffsets.size > 1 && t.start == 0) {
           // row-group-aligned boundaries, each segment >= target
           val bounds = Seq.newBuilder[Long]
           bounds += 0L

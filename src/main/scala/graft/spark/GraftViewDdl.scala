@@ -197,11 +197,15 @@ final case class CreateGraftViewCommand(catalog: GraftCatalog,
         s"Cannot create view ${catalog.name}.$ident that references " +
           s"temporary view(s): ${tempViews.map(_.mkString(".")).mkString(", ")}")
     val sessionCat = spark.sessionState.catalogManager.v1SessionCatalog
-    val tempFns = q.flatMap(_.expressions.flatMap(_.collect {
-      case f: UnresolvedFunction if f.nameParts.size == 1 &&
-          sessionCat.isTemporaryFunction(FunctionIdentifier(f.nameParts.head)) =>
-        f.nameParts.head
-    })).distinct
+    def collectTempFns(p: LogicalPlan): Seq[String] =
+      p.flatMap(_.expressions.flatMap(_.flatMap {
+        case s: SubqueryExpression => collectTempFns(s.plan)
+        case f: UnresolvedFunction if f.nameParts.size == 1 &&
+            sessionCat.isTemporaryFunction(FunctionIdentifier(f.nameParts.head)) =>
+          Seq(f.nameParts.head)
+        case _ => Nil
+      })).distinct
+    val tempFns = collectTempFns(q)
     if (tempFns.nonEmpty)
       throw new IllegalArgumentException(
         s"Cannot create view ${catalog.name}.$ident that references " +

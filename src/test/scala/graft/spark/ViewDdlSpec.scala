@@ -147,6 +147,38 @@ class ViewDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CTE names in the view body never re-qualify into table references") {
+    // the CTE name deliberately shadows a REAL table: a read that
+    // re-qualified `src` would silently return 30 rows from the table
+    // instead of the CTE's 1
+    spark.sql("""CREATE VIEW graft.db.v_cte AS
+      WITH src AS (SELECT 42 AS k) SELECT k FROM src""")
+    val got = spark.sql("SELECT k FROM graft.db.v_cte").collect()
+    assert(got.length === 1 && got.head.getInt(0) === 42)
+    spark.sql("DROP VIEW graft.db.v_cte")
+  }
+
+  test("duplicate query output names resolve positionally via the column list") {
+    spark.sql("""CREATE VIEW graft.db.v_dup (lo, hi) AS
+      SELECT MIN(k), MAX(k) FROM (SELECT k, k FROM graft.db.src)""")
+    spark.sql("DROP VIEW graft.db.v_dup")
+    // the sharp case: the QUERY exposes the same name twice
+    spark.sql("CREATE VIEW graft.db.v_dup2 (a, b) AS SELECT k, k FROM graft.db.src")
+    val r = spark.sql(
+      "SELECT a, b FROM graft.db.v_dup2 WHERE a = 3").collect()
+    assert(r.length === 1 && r.head.getLong(0) === 3L && r.head.getLong(1) === 3L)
+    spark.sql("DROP VIEW graft.db.v_dup2")
+  }
+
+  test("temp function inside a subquery is rejected at create time") {
+    spark.udf.register("vddl_tmp_fn", (x: Long) => x + 1)
+    val e = intercept[Exception] {
+      spark.sql("""CREATE VIEW graft.db.v_subfn AS
+        SELECT (SELECT MAX(vddl_tmp_fn(k)) FROM graft.db.src) AS m""")
+    }
+    assert(e.getMessage.contains("temporary"))
+  }
+
   test("stored resolution context: unqualified names resolve as at creation") {
     // create under USE graft.db with a bare table name; read from a
     // DIFFERENT current catalog/namespace later
