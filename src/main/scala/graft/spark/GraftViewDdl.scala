@@ -4,9 +4,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, NoSuchViewException, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedView, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, NoSuchViewException, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SetViewProperties, ShowViews, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowViews, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.util.StringUtils
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -79,6 +79,41 @@ object GraftViewDdl {
           : LogicalPlan
       }.getOrElse(up)
 
+    // ALTER VIEW ... AS query: a redefinition — appends a spec view
+    // version, keeps the stored properties, resets the column list to
+    // the new query's output (v1 session-catalog semantics)
+    case av: AlterViewAs => av.child match {
+      case uv: UnresolvedView =>
+        existingGraftView(spark, uv).map { case (g, ident) =>
+          AlterGraftViewAsCommand(g, ident, av.originalText, av.query)
+            : LogicalPlan
+        }.getOrElse(av)
+      case _ => av
+    }
+
+    // ALTER VIEW ... RENAME TO: moves the document within the catalog
+    case rt: RenameTable if rt.isView => rt.child match {
+      case uv: UnresolvedTableOrView
+          if !isTempView(spark, uv.multipartIdentifier) =>
+        graftIdent(spark, uv.multipartIdentifier)
+          .filter { case (g, from) =>
+            try { g.loadView(from); true } catch { case _: Exception => false }
+          }
+          .map { case (g, from) =>
+            // the destination must land in the SAME catalog (bare names
+            // resolve there; an explicit leading catalog must match)
+            val toParts = rt.newName match {
+              case Seq(cat, rest @ _*) if rest.nonEmpty && cat == g.name => rest
+              case parts => parts
+            }
+            val to = Identifier.of(
+              if (toParts.size > 1) toParts.init.toArray else from.namespace,
+              toParts.last)
+            RenameGraftViewCommand(g, from, to): LogicalPlan
+          }.getOrElse(rt)
+      case _ => rt
+    }
+
     case other => other
   }
 
@@ -125,6 +160,57 @@ object GraftViewDdl {
     else graftIdent(spark, uv.multipartIdentifier).filter { case (g, ident) =>
       try { g.loadView(ident); true } catch { case _: Exception => false }
     }
+
+  /** Permanent views must not reference temp objects (reference
+    * RewriteViewCommands.verifyTemporaryObjectsDontExist:130-175): the
+    * stored SQL is re-parsed in LATER sessions where the temp
+    * view/function no longer exists. CTE names are substituted away
+    * first so `WITH t AS ... FROM t` never false-positives on a
+    * same-named temp view. Also rejects direct self-reference, which
+    * would make the read-side substitution loop until the analyzer's
+    * fixpoint gives up (deeper create-time cycles can't form: the new
+    * view's query must already resolve; reference CheckViews walks the
+    * full graph — the direct case is the one a typo actually produces). */
+  private[spark] def verifyNoTempObjects(spark: SparkSession,
+      catalogName: String, ident: Identifier, query: LogicalPlan): Unit = {
+    val q = CTESubstitution.apply(query)
+    def collectTempViews(p: LogicalPlan): Seq[Seq[String]] =
+      p.flatMap {
+        case u: UnresolvedRelation
+            if isTempView(spark, u.multipartIdentifier) =>
+          Seq(u.multipartIdentifier)
+        case other => other.expressions.flatMap(_.flatMap {
+          case s: SubqueryExpression => collectTempViews(s.plan)
+          case _ => Nil
+        })
+      }.distinct
+    val tempViews = collectTempViews(q)
+    if (tempViews.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot create view $catalogName.$ident that references " +
+          s"temporary view(s): ${tempViews.map(_.mkString(".")).mkString(", ")}")
+    val sessionCat = spark.sessionState.catalogManager.v1SessionCatalog
+    def collectTempFns(p: LogicalPlan): Seq[String] =
+      p.flatMap(_.expressions.flatMap(_.flatMap {
+        case s: SubqueryExpression => collectTempFns(s.plan)
+        case f: UnresolvedFunction if f.nameParts.size == 1 &&
+            sessionCat.isTemporaryFunction(FunctionIdentifier(f.nameParts.head)) =>
+          Seq(f.nameParts.head)
+        case _ => Nil
+      })).distinct
+    val tempFns = collectTempFns(q)
+    if (tempFns.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot create view $catalogName.$ident that references " +
+          s"temporary function(s): ${tempFns.mkString(", ")}")
+    val selfRefs = q.collect {
+      case u: UnresolvedRelation
+          if graftIdent(spark, u.multipartIdentifier).exists(_._2 == ident) => u
+    }
+    if (selfRefs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot create view $catalogName.$ident that references itself")
+  }
 }
 
 /** CREATE [OR REPLACE] VIEW against a graft ViewCatalog (reference
@@ -142,7 +228,7 @@ final case class CreateGraftViewCommand(catalog: GraftCatalog,
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    verifyNoTempObjects(spark)
+    GraftViewDdl.verifyNoTempObjects(spark, catalog.name, ident, query)
     // a view must not shadow a table: reads resolve views first, so a
     // same-named pair would silently flip the table's meaning
     if (catalog.tableExists(ident))
@@ -172,56 +258,35 @@ final case class CreateGraftViewCommand(catalog: GraftCatalog,
     catch { case _: ViewAlreadyExistsException if allowExisting => () }
     Nil
   }
+}
 
-  /** Permanent views must not reference temp objects (reference
-    * RewriteViewCommands.verifyTemporaryObjectsDontExist:130-175): the
-    * stored SQL is re-parsed in LATER sessions where the temp
-    * view/function no longer exists. CTE names are substituted away
-    * first so `WITH t AS ... FROM t` never false-positives on a
-    * same-named temp view. */
-  private def verifyNoTempObjects(spark: SparkSession): Unit = {
-    val q = CTESubstitution.apply(query)
-    def collectTempViews(p: LogicalPlan): Seq[Seq[String]] =
-      p.flatMap {
-        case u: UnresolvedRelation
-            if GraftViewDdl.isTempView(spark, u.multipartIdentifier) =>
-          Seq(u.multipartIdentifier)
-        case other => other.expressions.flatMap(_.flatMap {
-          case s: SubqueryExpression => collectTempViews(s.plan)
-          case _ => Nil
-        })
-      }.distinct
-    val tempViews = collectTempViews(q)
-    if (tempViews.nonEmpty)
-      throw new IllegalArgumentException(
-        s"Cannot create view ${catalog.name}.$ident that references " +
-          s"temporary view(s): ${tempViews.map(_.mkString(".")).mkString(", ")}")
-    val sessionCat = spark.sessionState.catalogManager.v1SessionCatalog
-    def collectTempFns(p: LogicalPlan): Seq[String] =
-      p.flatMap(_.expressions.flatMap(_.flatMap {
-        case s: SubqueryExpression => collectTempFns(s.plan)
-        case f: UnresolvedFunction if f.nameParts.size == 1 &&
-            sessionCat.isTemporaryFunction(FunctionIdentifier(f.nameParts.head)) =>
-          Seq(f.nameParts.head)
-        case _ => Nil
-      })).distinct
-    val tempFns = collectTempFns(q)
-    if (tempFns.nonEmpty)
-      throw new IllegalArgumentException(
-        s"Cannot create view ${catalog.name}.$ident that references " +
-          s"temporary function(s): ${tempFns.mkString(", ")}")
-    // direct self-reference would make the read-side substitution loop
-    // until the analyzer's fixpoint gives up (deeper create-time cycles
-    // can't form: the new view's query must already resolve; reference
-    // CheckViews walks the full graph — the direct case is the one a
-    // typo actually produces)
-    val selfRefs = q.collect {
-      case u: UnresolvedRelation if GraftViewDdl
-          .graftIdent(spark, u.multipartIdentifier).exists(_._2 == ident) => u
-    }
-    if (selfRefs.nonEmpty)
-      throw new IllegalArgumentException(
-        s"Cannot create view ${catalog.name}.$ident that references itself")
+/** ALTER VIEW ... AS query (reference AlterV2ViewExec semantics): a
+  * redefinition appends a spec view version and keeps the stored
+  * properties; the column list resets to the new query's output. */
+final case class AlterGraftViewAsCommand(catalog: GraftCatalog,
+    ident: Identifier, sqlText: String, query: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftViewDdl.verifyNoTempObjects(spark, catalog.name, ident, query)
+    val existing = catalog.loadView(ident) // throws NoSuchViewException
+    val qSchema = spark.sessionState.executePlan(query).analyzed.schema
+    val cm = spark.sessionState.catalogManager
+    val info = new ViewInfo(ident, sqlText, cm.currentCatalog.name,
+      cm.currentNamespace, qSchema, qSchema.fieldNames,
+      Array.empty[String], Array.empty[String], existing.properties())
+    catalog.replaceView(info, orCreate = false)
+    Nil
+  }
+}
+
+final case class RenameGraftViewCommand(catalog: GraftCatalog,
+    from: Identifier, to: Identifier) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    catalog.renameView(from, to)
+    Nil
   }
 }
 

@@ -179,6 +179,29 @@ class ViewDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("temporary"))
   }
 
+  test("ALTER VIEW AS redefines (new version, props kept); RENAME moves the doc") {
+    spark.sql("""CREATE VIEW graft.db.v_alter
+      TBLPROPERTIES ('keepme'='1')
+      AS SELECT k FROM graft.db.src WHERE k < 10""")
+    spark.sql("ALTER VIEW graft.db.v_alter AS SELECT k FROM graft.db.src WHERE k < 4")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.v_alter").collect()
+      .head.getLong(0) === 4L)
+    val doc = MetaJson.mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Path.of(
+        s"$warehouse/db/_views/v_alter.json")))
+    assert(doc.get("versions").size === 2)
+    assert(doc.get("properties").get("keepme").asText === "1")
+    // ALTER VIEW AS on a missing view fails
+    intercept[Exception] {
+      spark.sql("ALTER VIEW graft.db.v_ghost AS SELECT 1 AS one")
+    }
+    spark.sql("ALTER VIEW graft.db.v_alter RENAME TO v_renamed")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.v_renamed").collect()
+      .head.getLong(0) === 4L)
+    intercept[Exception] { spark.sql("SELECT * FROM graft.db.v_alter").collect() }
+    spark.sql("DROP VIEW graft.db.v_renamed")
+  }
+
   test("stored resolution context: unqualified names resolve as at creation") {
     // create under USE graft.db with a bare table name; read from a
     // DIFFERENT current catalog/namespace later
