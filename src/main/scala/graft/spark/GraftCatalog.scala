@@ -284,6 +284,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (catalog.tableExists(ident.namespace.toSeq, ident.name))
       throw new TableAlreadyExistsException(ident)
+    // the view twin of the CREATE VIEW table-shadow guard: reads resolve
+    // views first, so a same-named table would be unreachable
+    if (GraftViewStore.load(viewDocs, ident).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val (schema, spec) = schemaAndSpec(columns, partitions)
     val t = catalog.createTable(ident.namespace.toSeq, ident.name, schema, spec,
       withTablePolicy(properties.asScala.toMap))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, NoSuchViewException, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowViews, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowCreateTable, ShowViews, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.util.StringUtils
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -89,6 +89,19 @@ object GraftViewDdl {
             : LogicalPlan
         }.getOrElse(av)
       case _ => av
+    }
+
+    // SHOW CREATE TABLE on a graft VIEW renders its definition (Spark
+    // only serves session-catalog views; tables keep Spark's handling)
+    case sct: ShowCreateTable => sct.child match {
+      case uv: UnresolvedTableOrView
+          if !isTempView(spark, uv.multipartIdentifier) =>
+        graftIdent(spark, uv.multipartIdentifier).filter { case (g, ident) =>
+          try { g.loadView(ident); true } catch { case _: Exception => false }
+        }.map { case (g, ident) =>
+          ShowCreateGraftViewCommand(g, ident, sct.output): LogicalPlan
+        }.getOrElse(sct)
+      case _ => sct
     }
 
     // ALTER VIEW ... RENAME TO: moves the document within the catalog
@@ -287,6 +300,41 @@ final case class RenameGraftViewCommand(catalog: GraftCatalog,
   override def run(spark: SparkSession): Seq[Row] = {
     catalog.renameView(from, to)
     Nil
+  }
+}
+
+/** SHOW CREATE TABLE on a graft view: a re-runnable CREATE VIEW
+  * statement — declared columns with comments, properties, the stored
+  * SQL (mirrors Spark's session-view rendering). */
+final case class ShowCreateGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(ident)
+    val full = (Seq(catalog.name) ++ ident.namespace :+ ident.name)
+      .map(p => s"`$p`").mkString(".")
+    val sb = new StringBuilder(s"CREATE VIEW $full")
+    val names =
+      if (v.columnAliases.nonEmpty) v.columnAliases.toSeq
+      else v.schema().fieldNames.toSeq
+    val comments = v.columnComments()
+    if (names.nonEmpty)
+      sb.append(names.zipWithIndex.map { case (n, i) =>
+        val c = if (i < comments.length && comments(i).nonEmpty)
+          s" COMMENT '${comments(i)}'" else ""
+        s"`$n`$c"
+      }.mkString(" (\n  ", ",\n  ", ")"))
+    import scala.jdk.CollectionConverters._
+    val props = v.properties().asScala.toSeq.sortBy(_._1)
+      .filterNot(_._1 == "comment")
+    Option(v.properties().get("comment"))
+      .foreach(c => sb.append(s"\nCOMMENT '$c'"))
+    if (props.nonEmpty)
+      sb.append(props.map { case (k, x) => s"'$k' = '$x'" }
+        .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")"))
+    sb.append(s"\nAS ${v.query}\n")
+    Seq(Row(sb.toString))
   }
 }
 

@@ -202,6 +202,23 @@ class ViewDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW graft.db.v_renamed")
   }
 
+  test("SHOW CREATE TABLE renders a view; CREATE TABLE can't shadow a view") {
+    spark.sql("""CREATE VIEW graft.db.v_show (total COMMENT 'sum')
+      TBLPROPERTIES ('team'='data')
+      AS SELECT SUM(k) FROM graft.db.src""")
+    val stmt = spark.sql("SHOW CREATE TABLE graft.db.v_show")
+      .collect().head.getString(0)
+    assert(stmt.contains("CREATE VIEW `graft`.`db`.`v_show`"))
+    assert(stmt.contains("`total` COMMENT 'sum'"))
+    assert(stmt.contains("'team' = 'data'"))
+    assert(stmt.contains("AS SELECT SUM(k) FROM graft.db.src"))
+    // a table must not shadow the view
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.v_show (x BIGINT)")
+    }
+    spark.sql("DROP VIEW graft.db.v_show")
+  }
+
   test("stored resolution context: unqualified names resolve as at creation") {
     // create under USE graft.db with a bare table name; read from a
     // DIFFERENT current catalog/namespace later
