@@ -2430,6 +2430,10 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         }
         val jp = s"${t.location}/metadata/partition-stats-${sn.snapshotId}.json"
         GraftIO.writeString(jp, node.toString)
+        // unpartitioned tables get the exact-value sidecar too: their
+        // next compute seeds incrementally (O(delta) manifest reads) and
+        // repeat calls take the no-op fast path, same as partitioned
+        GraftProcedures.writeStatsCkpt(jp, byPart)
         jp
       }
       // register in table metadata `partition-statistics` (spec partition

@@ -810,6 +810,14 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       evolveSpec = true, mergeMinCount = Some(2), statsEvery = Some(4))
   }
 
+  test("seeded DML fuzz: incremental stats on an UNPARTITIONED compat table") {
+    // soak find (seed 434999): unpartitioned tables took the JSON stats
+    // branch with no checkpoint sidecar — no incremental path and an
+    // unreadable seed for the invariant
+    runSeed(seed = 434999, partitioned = false, steps = 16,
+      evolveSpec = true, icebergCompat = true, statsEvery = Some(4))
+  }
+
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
   // (failure messages carry the seed — promote any find to a fixed test)
   sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
