@@ -252,17 +252,22 @@ object GraftProcedures extends Serializable {
       "file://" + GraftIO.toPath(path).toString)
     val r = org.apache.orc.OrcFile.createReader(hPath,
       org.apache.orc.OrcFile.readerOptions(conf))
-    val (rows, fieldNames) =
-      try (r.getNumberOfRows,
-        r.getSchema.getFieldNames.toArray.map(String.valueOf(_)).toSet)
-      finally r.close()
+    val (rows, fieldNames, stripeOffs) =
+      try {
+        import scala.jdk.CollectionConverters._
+        val stripes = r.getStripes.asScala
+        (r.getNumberOfRows,
+          r.getSchema.getFieldNames.toArray.map(String.valueOf(_)).toSet,
+          if (stripes.size <= 1) Nil else stripes.map(_.getOffset).toSeq)
+      } finally r.close()
     // case-insensitive on BOTH sides, matching Spark's default ORC
     // name resolution (spark.sql.caseSensitive=false)
     val lowerFields = fieldNames.map(_.toLowerCase)
     val missing = identityCols.filterNot(c =>
       lowerFields.contains(c.toLowerCase))
     DataFile(path, if (missing.nonEmpty) "orc-nm" else "orc",
-      specId, partition, rows, GraftIO.size(path), Map.empty)
+      specId, partition, rows, GraftIO.size(path), Map.empty,
+      splitOffsets = stripeOffs)
   }
 
   /** Register a batch of external files by footer, DISTRIBUTED past a
@@ -3272,10 +3277,9 @@ object RewriteDataFiles {
         java.nio.file.Files.move(GraftIO.toPath(sf), GraftIO.toPath(target))
         val sparkSchema = graft.core.types.SparkTypes.toSparkSchema(t.meta.schema)
         val (size, stats, splitOffs) =
-          if (outFmt == "orc") {
-            val (sz, st) = FooterStats.readOrc(target, conf, t.meta.schema, sparkSchema)
-            (sz, st, Nil)
-          } else FooterStats.read(target, conf, t.meta.schema)
+          if (outFmt == "orc")
+            FooterStats.readOrc(target, conf, t.meta.schema, sparkSchema)
+          else FooterStats.read(target, conf, t.meta.schema)
         val rows =
           if (outFmt == "orc") orcRowCount(target, conf)
           else readRowCount(target, conf)

@@ -449,39 +449,47 @@ object GraftSparkTable {
         GraftExecutorCache.weighPosMap)(load())
   }
 
-  /** Executor-side cache of parquet row-group (startingPos, rowCount)
+  /** Executor-side cache of row-group/stripe (startingPos, rowCount)
     * pairs: a split task (start > 0) derives its first-row index here so
     * `_pos` / delete masking stay file-absolute (the reference reads the
     * same footer ranges in OffsetsAwareSplitScanTaskIterator readers).
     * One footer read per file per executor, shared by all of its splits. */
   object RowGroupCache {
-    def rowGroups(path: String, cryptoConf: Map[String, String])
-        : Seq[(Long, Long)] =
+    def rowGroups(path: String, format: String,
+        cryptoConf: Map[String, String]): Seq[(Long, Long)] =
       GraftExecutorCache.get(("rowgroups", path),
         (v: Seq[(Long, Long)]) => 64L + 32L * v.size) {
         val conf = new org.apache.hadoop.conf.Configuration()
         cryptoConf.foreach { case (k, v) => conf.set(k, v) }
         val hPath = new org.apache.hadoop.fs.Path(
           "file://" + graft.core.meta.GraftIO.toPath(path).toString)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
-          org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
-        try {
-          import scala.jdk.CollectionConverters._
-          r.getFooter.getBlocks.asScala
+        import scala.jdk.CollectionConverters._
+        if (format.startsWith("orc")) {
+          val r = org.apache.orc.OrcFile.createReader(hPath,
+            org.apache.orc.OrcFile.readerOptions(conf))
+          try r.getStripes.asScala
+            .map(s => (s.getOffset, s.getNumberOfRows)).toSeq
+          finally r.close()
+        } else {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf),
+            org.apache.parquet.HadoopReadOptions.builder(conf, hPath).build())
+          try r.getFooter.getBlocks.asScala
             .map(b => (b.getStartingPos, b.getRowCount)).toSeq
-        } finally r.close()
+          finally r.close()
+        }
       }
 
     /** file position of the first row a (start, length) range reads:
-      * rows of every row group whose start precedes the range. Valid
-      * because split boundaries sit ON group starts (planner invariant),
-      * and parquet assigns a group to the range containing its midpoint
-      * — which always lies within the group itself. */
-    def firstRowIndex(path: String, start: Long,
+      * rows of every row group/stripe whose start precedes the range.
+      * Valid because split boundaries sit ON group starts (planner
+      * invariant): parquet assigns a group to the range containing its
+      * midpoint — always inside the group — and ORC assigns a stripe to
+      * the range containing its start offset. */
+    def firstRowIndex(path: String, format: String, start: Long,
         cryptoConf: Map[String, String]): Long =
       if (start == 0L) 0L
-      else rowGroups(path, cryptoConf)
+      else rowGroups(path, format, cryptoConf)
         .iterator.filter(_._1 < start).map(_._2).sum
   }
 
@@ -1200,10 +1208,12 @@ object GraftSparkTable {
         else if (!positional)
           (0L until t.length by target).map(off =>
             t.copy(start = off, length = math.min(target, t.length - off)))
-        // any parquet flavor splits: nm/im imports read through the same
-        // range-respecting Spark parquet readers, and imports record
-        // splitOffsets exactly for this
-        else if (t.file.format.startsWith("parquet") &&
+        // any parquet/orc flavor splits: nm/im imports read through the
+        // same range-respecting Spark readers, and imports record
+        // splitOffsets (row-group starts / stripe offsets) exactly for
+        // this. Avro stays whole — no recorded offsets.
+        else if ((t.file.format.startsWith("parquet") ||
+              t.file.format.startsWith("orc")) &&
             t.file.splitOffsets.size > 1 && t.start == 0) {
           // row-group-aligned boundaries, each segment >= target
           val bounds = Seq.newBuilder[Long]
@@ -2081,9 +2091,10 @@ object GraftSparkTable {
 
     /** file position of the first row this (possibly split) task reads:
       * 0 for whole-file tasks — no footer touch; split tasks sum the row
-      * counts of the groups before their start (executor-cached) */
+      * counts of the groups/stripes before their start (executor-cached) */
     private def posBaseOf(t: TaskDesc): Long =
-      GraftSparkTable.RowGroupCache.firstRowIndex(t.path, t.start, footerCryptoConf)
+      GraftSparkTable.RowGroupCache.firstRowIndex(t.path, t.fileFormat,
+        t.start, footerCryptoConf)
 
     /** positions deleted for `dataPath` across `deletePaths` (cached per
       * executor: delete files are immutable). Delete content stores the

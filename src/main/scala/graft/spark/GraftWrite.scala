@@ -375,6 +375,11 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
           .foreach(job.getConfiguration.set("orc.bloom.filter.columns", _))
         table.meta.properties.get("write.orc.bloom.filter.fpp")
           .foreach(job.getConfiguration.set("orc.bloom.filter.fpp", _))
+        // stripe size (reference TableProperties ORC_STRIPE_SIZE_BYTES):
+        // the ORC analog of the parquet row-group size — stripes are the
+        // split/stride unit for offsets-aware task splitting
+        table.meta.properties.get("write.orc.stripe-size-bytes")
+          .foreach(job.getConfiguration.set("orc.stripe.size", _))
         new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
           .prepareWrite(spark, job,
             Map("compression" -> codecOverride.getOrElse(
@@ -918,9 +923,7 @@ final class GraftFanoutWriter(
       val (size, stats, splitOffs) = fileFormat match {
         case "avro" =>
           val (sz, _, st) = GraftAvro.footerStats(path, gSchema); (sz, st, Nil)
-        case "orc"  =>
-          val (sz, st) = FooterStats.readOrc(path, conf, gSchema, writeSchema)
-          (sz, st, Nil)
+        case "orc"  => FooterStats.readOrc(path, conf, gSchema, writeSchema)
         // geo bounds were accumulated as rows flowed: skip the re-read
         case _      => FooterStats.read(path, conf, gSchema, skipGeo = geo != null)
       }
@@ -1559,12 +1562,18 @@ object FooterStats {
     case _ => 1
   }
 
+  /** returns (file size, per-column stats, stripe start offsets — the
+    * ORC analog of parquet split_offsets, for row-group-aligned splits) */
   def readOrc(path: String, conf: Configuration, schema: GSchema,
-      writeSchema: StructType): (Long, Map[Int, ColStats]) = {
+      writeSchema: StructType): (Long, Map[Int, ColStats], Seq[Long]) = {
     import org.apache.orc.{ColumnStatistics => OStats, _}
     val hPath = new org.apache.hadoop.fs.Path("file://" + GraftIO.toPath(path).toString)
     val reader = OrcFile.createReader(hPath, OrcFile.readerOptions(conf))
     try {
+      import scala.jdk.CollectionConverters._
+      val stripes = reader.getStripes.asScala
+      val stripeOffs =
+        if (stripes.size <= 1) Nil else stripes.map(_.getOffset).toSeq
       val rows = reader.getNumberOfRows
       val all = reader.getStatistics
       val byName = schema.fields.map(f => f.name -> f).toMap
@@ -1603,7 +1612,7 @@ object FooterStats {
           }
         }
       }
-      (GraftIO.size(path), byField.toMap)
+      (GraftIO.size(path), byField.toMap, stripeOffs)
     } finally reader.close()
   }
 

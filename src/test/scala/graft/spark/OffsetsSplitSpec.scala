@@ -81,6 +81,41 @@ class OffsetsSplitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.count() === N - N / 1000)
   }
 
+  test("ORC: stripe offsets recorded; a pos-delete-carrying file splits and reads exact") {
+    spark.sql("""CREATE TABLE graft.db.splo (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.format.default'='orc',
+                     'write.orc.stripe-size-bytes'='65536',
+                     'read.split.target-size'='49152',
+                     'format-version'='2',
+                     'write.delete.mode'='merge-on-read')""")
+    // high-entropy values: orc.stripe.size is an UNCOMPRESSED buffer
+    // threshold, and compressible data would leave the whole file under
+    // the split target
+    spark.range(0, N).selectExpr("id", "sha2(cast(id AS string), 256) AS v")
+      .coalesce(1).writeTo("graft.db.splo").append()
+    val file = new graft.core.meta.HadoopCatalog(warehouse)
+      .loadTable(Seq("db"), "splo").get
+      .newScan().planFiles().map(_.file).head
+    assert(file.format === "orc")
+    assert(file.splitOffsets.size > 3,
+      s"expected multiple stripes, got ${file.splitOffsets.size}")
+    spark.sql("DELETE FROM graft.db.splo WHERE id % 1000 = 7")
+    val df = spark.table("graft.db.splo")
+    assert(df.rdd.getNumPartitions > 1,
+      "a delete-carrying multi-stripe ORC file must split across tasks")
+    assert(df.count() === N - N / 1000)
+    val expSum = (0L until N).filterNot(_ % 1000 == 7).sum
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).collect()
+      .head.getLong(0) === expSum)
+    // _pos == id (single ordered file), across splits, both read paths
+    val vec = spark.sql("SELECT _pos, id FROM graft.db.splo")
+    assert(vec.where("_pos <> id").count() === 0)
+    val row = spark.read.option("vectorization-enabled", "false")
+      .table("graft.db.splo").selectExpr("_pos", "id")
+    assert(row.rdd.getNumPartitions > 1)
+    assert(row.where("_pos <> id").count() === 0)
+  }
+
   test("row-group alignment: no row is lost or duplicated at boundaries") {
     val ids = spark.table("graft.db.spl").selectExpr("id")
     assert(ids.distinct().count() === ids.count())
