@@ -488,6 +488,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(oldIdent)
     if (catalog.tableExists(newIdent.namespace.toSeq, newIdent.name))
       throw new TableAlreadyExistsException(newIdent)
+    // view-shadow twin of the createTable guard: a table renamed onto a
+    // view name would be unreachable (reads resolve views first)
+    if (GraftViewStore.load(viewDocs, newIdent).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
     catalog.renameTable(oldIdent.namespace.toSeq, oldIdent.name,
       newIdent.namespace.toSeq, newIdent.name)
   }
@@ -535,6 +539,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def staged(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String],
       replace: Boolean, orCreate: Boolean): StagedTable = {
+    // CTAS/RTAS take this path, not createTable — same view-shadow guard
+    if (GraftViewStore.load(viewDocs, ident).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val ns = ident.namespace.toSeq
     val ops = catalog.tableOps(ns, ident.name)
     val (schema, spec) = schemaAndSpec(columns, partitions)

@@ -113,10 +113,18 @@ object GraftViewDdl {
             try { g.loadView(from); true } catch { case _: Exception => false }
           }
           .map { case (g, from) =>
-            // the destination must land in the SAME catalog (bare names
-            // resolve there; an explicit leading catalog must match)
+            // the destination must land in the SAME catalog: bare names
+            // resolve there, an explicit leading catalog must match —
+            // a mismatching one would silently park the document in a
+            // ghost namespace
+            val cm = spark.sessionState.catalogManager
             val toParts = rt.newName match {
               case Seq(cat, rest @ _*) if rest.nonEmpty && cat == g.name => rest
+              case Seq(cat, rest @ _*) if rest.nonEmpty &&
+                  cm.isCatalogRegistered(cat) =>
+                throw new IllegalArgumentException(
+                  s"Cannot rename view ${g.name}.$from across catalogs " +
+                    s"(destination names catalog $cat)")
               case parts => parts
             }
             val to = Identifier.of(
@@ -224,6 +232,47 @@ object GraftViewDdl {
       throw new IllegalArgumentException(
         s"Cannot create view $catalogName.$ident that references itself")
   }
+
+  /** Reject view reference CYCLES before committing a (re)definition
+    * (reference CheckViews.checkCyclicViewReference): a REPLACE/ALTER of
+    * `a` to read from `b` when `b` (transitively) reads from `a` would
+    * make every later read loop until the analyzer's fixpoint gives up.
+    * CREATE of a brand-new view can't cycle (its query must already
+    * resolve), but redefinitions resolve against the OLD body — so the
+    * graph is walked over the STORED SQL of every referenced view. */
+  private[spark] def verifyNoCycles(spark: SparkSession, target: GraftCatalog,
+      ident: Identifier, query: LogicalPlan): Unit = {
+    val seen = scala.collection.mutable.Set.empty[(String, Identifier)]
+    val budget = new java.util.concurrent.atomic.AtomicInteger(100)
+    def walk(q: LogicalPlan, path: Seq[String]): Unit = {
+      val refs = CTESubstitution.apply(q).flatMap {
+        case u: UnresolvedRelation => Seq(u.multipartIdentifier)
+        case other => other.expressions.flatMap(_.flatMap {
+          case s: SubqueryExpression =>
+            CTESubstitution.apply(s.plan).collect {
+              case u: UnresolvedRelation => u.multipartIdentifier
+            }
+          case _ => Nil
+        })
+      }.distinct
+      refs.foreach { parts =>
+        graftIdent(spark, parts).foreach { case (g, id) =>
+          val here = s"${g.name}.${id.namespace.mkString(".")}.${id.name}"
+          if ((g eq target) && id == ident)
+            throw new IllegalArgumentException(
+              s"Cannot alter view ${target.name}.$ident: cyclic view " +
+                s"reference through ${(path :+ here).mkString(" -> ")}")
+          if (seen.add((g.name, id)) && budget.decrementAndGet() > 0) {
+            val body = try Some(g.loadView(id).query())
+              catch { case _: Exception => None } // a table, or missing
+            body.foreach(sql =>
+              walk(spark.sessionState.sqlParser.parsePlan(sql), path :+ here))
+          }
+        }
+      }
+    }
+    walk(query, Nil)
+  }
 }
 
 /** CREATE [OR REPLACE] VIEW against a graft ViewCatalog (reference
@@ -242,6 +291,9 @@ final case class CreateGraftViewCommand(catalog: GraftCatalog,
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftViewDdl.verifyNoTempObjects(spark, catalog.name, ident, query)
+    // a REPLACE can close a cycle through other views (their stored
+    // bodies still reference THIS view's old definition)
+    if (replace) GraftViewDdl.verifyNoCycles(spark, catalog, ident, query)
     // a view must not shadow a table: reads resolve views first, so a
     // same-named pair would silently flip the table's meaning
     if (catalog.tableExists(ident))
@@ -284,6 +336,9 @@ final case class AlterGraftViewAsCommand(catalog: GraftCatalog,
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftViewDdl.verifyNoTempObjects(spark, catalog.name, ident, query)
+    // redefinitions resolve against the OLD body, so an indirect cycle
+    // (a -> b -> a) would commit cleanly and break every later read
+    GraftViewDdl.verifyNoCycles(spark, catalog, ident, query)
     val existing = catalog.loadView(ident) // throws NoSuchViewException
     val qSchema = spark.sessionState.executePlan(query).analyzed.schema
     val cm = spark.sessionState.catalogManager
@@ -298,6 +353,11 @@ final case class AlterGraftViewAsCommand(catalog: GraftCatalog,
 final case class RenameGraftViewCommand(catalog: GraftCatalog,
     from: Identifier, to: Identifier) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // same shadow guard as CREATE VIEW: the renamed view must not land
+    // on a table name (reads resolve views first)
+    if (catalog.tableExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalog.name) ++ to.namespace :+ to.name)
     catalog.renameView(from, to)
     Nil
   }
@@ -310,10 +370,16 @@ final case class ShowCreateGraftViewCommand(catalog: GraftCatalog,
     ident: Identifier, override val output: Seq[Attribute])
   extends LeafRunnableCommand {
 
+  // re-runnable output demands escaping: '…' values double embedded
+  // quotes, `…` identifiers double embedded backticks (what Spark's own
+  // SHOW CREATE TABLE does via escapeSingleQuotedString/quoteIdentifier)
+  private def sq(s: String): String = s.replace("'", "''")
+  private def bq(s: String): String = "`" + s.replace("`", "``") + "`"
+
   override def run(spark: SparkSession): Seq[Row] = {
     val v = catalog.loadView(ident)
     val full = (Seq(catalog.name) ++ ident.namespace :+ ident.name)
-      .map(p => s"`$p`").mkString(".")
+      .map(bq).mkString(".")
     val sb = new StringBuilder(s"CREATE VIEW $full")
     val names =
       if (v.columnAliases.nonEmpty) v.columnAliases.toSeq
@@ -322,16 +388,16 @@ final case class ShowCreateGraftViewCommand(catalog: GraftCatalog,
     if (names.nonEmpty)
       sb.append(names.zipWithIndex.map { case (n, i) =>
         val c = if (i < comments.length && comments(i).nonEmpty)
-          s" COMMENT '${comments(i)}'" else ""
-        s"`$n`$c"
+          s" COMMENT '${sq(comments(i))}'" else ""
+        s"${bq(n)}$c"
       }.mkString(" (\n  ", ",\n  ", ")"))
     import scala.jdk.CollectionConverters._
     val props = v.properties().asScala.toSeq.sortBy(_._1)
       .filterNot(_._1 == "comment")
     Option(v.properties().get("comment"))
-      .foreach(c => sb.append(s"\nCOMMENT '$c'"))
+      .foreach(c => sb.append(s"\nCOMMENT '${sq(c)}'"))
     if (props.nonEmpty)
-      sb.append(props.map { case (k, x) => s"'$k' = '$x'" }
+      sb.append(props.map { case (k, x) => s"'${sq(k)}' = '${sq(x)}'" }
         .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")"))
     sb.append(s"\nAS ${v.query}\n")
     Seq(Row(sb.toString))

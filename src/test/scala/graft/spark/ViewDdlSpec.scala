@@ -219,6 +219,63 @@ class ViewDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW graft.db.v_show")
   }
 
+  test("indirect view cycles are rejected at redefinition time") {
+    spark.sql("CREATE VIEW graft.db.cyc_a AS SELECT k FROM graft.db.src")
+    spark.sql("CREATE VIEW graft.db.cyc_b AS SELECT k FROM graft.db.cyc_a")
+    // a -> b while b -> a: both redefinition spellings must refuse
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER VIEW graft.db.cyc_a AS SELECT k FROM graft.db.cyc_b")
+    }
+    assert(e1.getMessage.contains("cyclic"))
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE VIEW graft.db.cyc_a AS SELECT k FROM graft.db.cyc_b")
+    }
+    assert(e2.getMessage.contains("cyclic"))
+    // both views still read fine afterwards
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.cyc_b").collect()
+      .head.getLong(0) === 30L)
+    spark.sql("DROP VIEW graft.db.cyc_b")
+    spark.sql("DROP VIEW graft.db.cyc_a")
+  }
+
+  test("shadow guards: CTAS, table rename, and view rename all refuse") {
+    spark.sql("CREATE VIEW graft.db.sh_v AS SELECT 1 AS one")
+    // CTAS onto a view name
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.sh_v AS SELECT 2 AS two")
+    }
+    // table renamed onto a view name
+    spark.sql("CREATE TABLE graft.db.sh_t (x BIGINT)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.sh_t RENAME TO sh_v")
+    }
+    // view renamed onto a table name
+    intercept[Exception] {
+      spark.sql("ALTER VIEW graft.db.sh_v RENAME TO sh_t")
+    }
+    // cross-catalog view rename is an explicit error, not a ghost dir
+    val e = intercept[Exception] {
+      spark.sql("ALTER VIEW graft.db.sh_v RENAME TO spark_catalog.default.x")
+    }
+    assert(e.getMessage.contains("across catalogs"))
+    // everything still intact
+    assert(spark.sql("SELECT one FROM graft.db.sh_v").collect()
+      .head.getInt(0) === 1)
+    spark.sql("DROP TABLE graft.db.sh_t")
+    spark.sql("DROP VIEW graft.db.sh_v")
+  }
+
+  test("SHOW CREATE TABLE escapes quotes in comments and property values") {
+    spark.sql("""CREATE VIEW graft.db.v_esc (c COMMENT 'it''s')
+      TBLPROPERTIES ('k'='a''b')
+      AS SELECT 1""")
+    val stmt = spark.sql("SHOW CREATE TABLE graft.db.v_esc")
+      .collect().head.getString(0)
+    assert(stmt.contains("COMMENT 'it''s'"))
+    assert(stmt.contains("'k' = 'a''b'"))
+    spark.sql("DROP VIEW graft.db.v_esc")
+  }
+
   test("stored resolution context: unqualified names resolve as at creation") {
     // create under USE graft.db with a bare table name; read from a
     // DIFFERENT current catalog/namespace later
