@@ -672,7 +672,12 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         // reference SizeBasedFileRewritePlanner.java:90-97 REWRITE_ALL:
         // the escape hatch that rewrites every selected file regardless
         // of size or delete count
-        param("rewrite_all", BooleanType, "false"))
+        param("rewrite_all", BooleanType, "false"),
+        // reference SizeBasedFileRewritePlanner MIN/MAX_FILE_SIZE
+        // (defaults 0.75x / 1.8x of the target): files OUTSIDE the band
+        // qualify — undersized ones by count, any oversized one alone
+        param("min_file_size_bytes", LongType, "-1"),
+        param("max_file_size_bytes", LongType, "-1"))
     case "rewrite_manifests" | "rewrite_position_deletes"
        | "rewrite_position_delete_files" =>
       Array(param("table", StringType))
@@ -1097,7 +1102,9 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         maxCommits = input.getInt(6),
         where = input.getUTF8String(7).toString,
         deleteFileThreshold = input.getInt(8),
-        rewriteAll = input.getBoolean(9))
+        rewriteAll = input.getBoolean(9),
+        minFileSizeBytes = input.getLong(10),
+        maxFileSizeBytes = input.getLong(11))
 
     case "rewrite_manifests" =>
       // Re-cluster live entries into partition-range-clustered manifests
@@ -2880,7 +2887,9 @@ object RewriteDataFiles {
       maxCommits: Int = 10,
       where: String = "",
       deleteFileThreshold: Int = 1,
-      rewriteAll: Boolean = false): util.Iterator[Scan] = {
+      rewriteAll: Boolean = false,
+      minFileSizeBytes: Long = -1L,
+      maxFileSizeBytes: Long = -1L): util.Iterator[Scan] = {
     val spark = SparkSession.active
     val schemaWithIds = graft.core.types.SparkTypes.toSparkSchema(t.schema)
     // the group reads below go through DataFrameReader with the CURRENT
@@ -2926,11 +2935,21 @@ object RewriteDataFiles {
     require(bySort || byZ || strategy.toLowerCase == "binpack",
       s"unknown strategy $strategy")
     require(deleteFileThreshold >= 1, "delete_file_threshold must be >= 1")
+    // size band (reference SizeBasedFileRewritePlanner
+    // MIN_FILE_SIZE_DEFAULT_RATIO 0.75 / MAX_FILE_SIZE_DEFAULT_RATIO
+    // 1.8): undersized files qualify by count; ANY oversized file
+    // qualifies its group alone — it must split back toward the target
+    val minFs = if (minFileSizeBytes > 0) minFileSizeBytes
+      else (targetSize * 0.75).toLong
+    val maxFs = if (maxFileSizeBytes > 0) maxFileSizeBytes
+      else (targetSize * 1.8).toLong
     val groups = tasks.groupBy(ts => (ts.file.specId, ts.file.partition))
       .filter { case (_, ts) =>
         if (bySort || byZ || rewriteAll) ts.nonEmpty
         else ts.exists(_.deletes.size >= deleteFileThreshold) ||
-          ts.count(_.file.fileSizeBytes < targetSize) >= minInputFiles
+          ts.count(t => t.file.fileSizeBytes < minFs ||
+            t.file.fileSizeBytes > maxFs) >= minInputFiles ||
+          ts.exists(_.file.fileSizeBytes > maxFs)
       }
     if (groups.isEmpty)
       return GraftProcedures.out(resultSchema, GraftProcedures.row(0, 0, 0L, 0))

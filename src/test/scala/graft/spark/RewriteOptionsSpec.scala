@@ -68,6 +68,27 @@ class RewriteOptionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.db.rwa").count() === 50L)
   }
 
+  test("size band: an oversized file qualifies alone and splits toward the target") {
+    spark.sql("CREATE TABLE graft.db.band (id BIGINT, v STRING)")
+    // one file far above a tiny target: must qualify without any deletes
+    // or small-file count, and rewrite into multiple near-target files
+    spark.range(0, 60000)
+      .selectExpr("id", "sha2(cast(id AS string), 256) AS v")
+      .coalesce(1).writeTo("graft.db.band").append()
+    val before = spark.table("graft.db.band.files").count()
+    assert(before === 1L)
+    val r = spark.sql("""CALL graft.system.rewrite_data_files(
+      table => 'db.band', target_file_size_bytes => 1048576)""").collect().head
+    assert(r.getInt(0) === 1, "the oversized file must be selected")
+    assert(r.getInt(1) > 1, "the rewrite must split it into several files")
+    assert(spark.table("graft.db.band").count() === 60000L)
+    // a file comfortably INSIDE the band does not re-qualify
+    assert(rewriteCount("""CALL graft.system.rewrite_data_files(
+      table => 'db.band',
+      target_file_size_bytes => 1048576,
+      min_file_size_bytes => 1, max_file_size_bytes => 10485760)""") === 0)
+  }
+
   test("default threshold 1 preserves the any-delete-qualifies behavior") {
     spark.sql("""CREATE TABLE graft.db.dft1 (id BIGINT)
       TBLPROPERTIES ('format-version'='2',
