@@ -53,6 +53,18 @@ final case class DataFile(
   def isDeleteFile: Boolean = content != FileContent.Data
 }
 
+/** GLOBAL delete files: a MoR delete/update hitting rows of a NON-current
+  * spec can't know their partition tuple (the _partition metadata column
+  * is typed by the current spec), so the writer emits the delete with an
+  * empty tuple and this sentinel specId. RowDelta resolves it at commit
+  * to a real unpartitioned spec — appended to the table if none exists —
+  * keeping every manifest entry's tuple arity consistent with its spec
+  * (the reference never produces the mismatch: its _partition column is
+  * the UNIFIED struct over all specs, Partitioning.partitionType). */
+object GlobalDeletes {
+  val SpecSentinel: Int = -1
+}
+
 object ManifestEntryStatus {
   val Existing = 0
   val Added = 1

@@ -1137,12 +1137,18 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
     out
   }
 
+  /** commit-time metadata amendment hook: runs on every CAS attempt's
+    * fresh base BEFORE manifests are written, and the amended metadata is
+    * what the snapshot commits on top of (RowDelta uses it to append an
+    * unpartitioned spec for global delete files) */
+  protected def amendBase(base: TableMetadata): TableMetadata = base
+
   def commit(): Snapshot = {
     val t0 = System.currentTimeMillis()
     var attempts = 0
     while (true) {
       val baseVersion = table.ops.currentVersion()
-      val base = table.refresh()
+      val base = amendBase(table.refresh())
       validate(base)
       val snapshotId = math.abs(java.util.UUID.randomUUID.getMostSignificantBits)
       val seq = base.lastSequenceNumber + 1
@@ -1664,12 +1670,28 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     (out.result(), superseded, mightHold)
   }
 
+  /** global delete files (sentinel specId) need a real unpartitioned
+    * spec to commit under — append one if the table never had one */
+  override protected def amendBase(base: TableMetadata): TableMetadata =
+    if (!deleteFiles.result().exists(_.specId == GlobalDeletes.SpecSentinel) ||
+        base.specs.exists(_.fields.isEmpty)) base
+    else base.copy(specs = base.specs :+
+      graft.core.expr.PartitionSpec(base.specs.map(_.specId).max + 1, Nil))
+
   override protected def manifests(base: TableMetadata, snapshotId: Long,
       seq: Long): Seq[ManifestFile] = {
     val schema = base.schema
     var ms = parentManifests(base)
+    // resolve the global-delete sentinel to the (possibly just-amended)
+    // unpartitioned spec: entries stay arity-consistent with their spec
+    val globalSpecId = base.specs.find(_.fields.isEmpty).map(_.specId)
+    val rawDels = deleteFiles.result().map { f =>
+      if (f.specId != GlobalDeletes.SpecSentinel) f
+      else f.copy(specId = globalSpecId.getOrElse(throw new IllegalStateException(
+        "global delete file without an unpartitioned spec (amendBase not applied)")))
+    }
     val (dels, supersededDvs, mergeTouched) =
-      mergeDVs(base, ms, snapshotId, deleteFiles.result())
+      mergeDVs(base, ms, snapshotId, rawDels)
     // drop superseded DVs from the parent delete manifests (same-commit
     // replacement, like OverwriteFiles' kept-manifest rewrite). Only
     // manifests the merge's partition prune touched can hold superseded
@@ -1687,16 +1709,17 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
           mf.content, snapshotId))
       }
     }
-    if (dels.nonEmpty) {
-      val spec = base.specById(dels.head.specId)
-      val entries = dels.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
-      ms = writeManifestFiles(base, entries, spec, 1, snapshotId) ++ ms
+    // one manifest group per spec: a delta mixing current-spec scoped
+    // deletes with GLOBAL (unpartitioned-spec) ones must not write the
+    // latter under the former's spec
+    dels.groupBy(_.specId).foreach { case (sid, group) =>
+      val entries = group.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
+      ms = writeManifestFiles(base, entries, base.specById(sid), 1, snapshotId) ++ ms
     }
     val datas = assignRowIds(base, dataFiles.result())
-    if (datas.nonEmpty) {
-      val spec = base.specById(datas.head.specId)
-      val entries = datas.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
-      ms = writeManifestFiles(base, entries, spec, FileContent.Data, snapshotId) ++ ms
+    datas.groupBy(_.specId).foreach { case (sid, group) =>
+      val entries = group.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
+      ms = writeManifestFiles(base, entries, base.specById(sid), FileContent.Data, snapshotId) ++ ms
     }
     mergeManifests(base, snapshotId, ms)
   }

@@ -2404,8 +2404,14 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
             .fields.map(_.id).zipWithIndex.toMap
           val pr = new GenericInternalRow(unified.length)
           unified.zipWithIndex.foreach { case (f, i) =>
+            // bounds-guarded: tables written before global deletes got
+            // their own unpartitioned spec (r16) can carry empty-tuple
+            // entries under a partitioned spec id — render those as null
+            // partition values instead of failing the whole stats run
             pr.update(i, EqDeleteFiles.toInternal(
-              posOf.get(f.id).map(partKey(_)).orNull, SparkTypes.toSpark(f.tpe)))
+              posOf.get(f.id).collect {
+                case idx if idx < partKey.length => partKey(idx)
+              }.orNull, SparkTypes.toSpark(f.tpe)))
           }
           val row = new GenericInternalRow(statsStruct.fields.length)
           row.update(0, pr)

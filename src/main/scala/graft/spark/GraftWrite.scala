@@ -1115,19 +1115,25 @@ object GraftDeltaWriter {
     * metadata projection row, or Nil when it doesn't apply cleanly —
     * Nil means the delete file attaches globally, which is always
     * correct, just less prunable */
+  /** Some(tuple) when the row belongs to the CURRENT spec (the empty
+    * tuple for an unpartitioned current spec); None for rows of OTHER
+    * specs — their delete files must go GLOBAL (the _partition metadata
+    * column is typed by the current spec, so an old spec's tuple is
+    * unreadable here; the reference reads a unified struct instead). */
   def partitionOf(meta: InternalRow, specId: Int,
-      partSparkTypes: Array[org.apache.spark.sql.types.DataType]): Seq[Any] =
+      partSparkTypes: Array[org.apache.spark.sql.types.DataType]): Option[Seq[Any]] =
     try {
-      if (meta == null || partSparkTypes.isEmpty || meta.numFields < 2 ||
-          meta.isNullAt(0) || meta.getInt(0) != specId || meta.isNullAt(1)) Nil
+      if (partSparkTypes.isEmpty) Some(Nil) // unpartitioned current spec
+      else if (meta == null || meta.numFields < 2 ||
+          meta.isNullAt(0) || meta.getInt(0) != specId || meta.isNullAt(1)) None
       else {
         val st = meta.getStruct(1, partSparkTypes.length)
-        partSparkTypes.zipWithIndex.map { case (dt, i) =>
+        Some(partSparkTypes.zipWithIndex.map { case (dt, i) =>
           SparkBridge.valueAt(st, i, dt)
-        }.toSeq
+        }.toSeq)
       }
     } catch {
-      case _: Throwable => Nil
+      case _: Throwable => None
     }
 }
 
@@ -1144,15 +1150,20 @@ final class GraftDeltaWriter(
     deleteGranularity: String = "partition",
     crypto: Option[graft.core.meta.TableCrypto] = None) extends DeltaWriter[InternalRow] {
 
-  // position deletes grouped by the referenced data file's partition tuple
-  // (reference fans delete files out per partition so they prune at scan
-  // time; Nil = global — unknown partition or a non-default-spec file)
-  private val deleted =
-    mutable.Map.empty[Seq[Any], (Seq[Any], mutable.ArrayBuffer[(String, Long)])]
+  // position deletes grouped by (specId, referenced file's partition
+  // tuple): current-spec rows fan out per partition so the delete files
+  // prune at scan time; rows of OTHER specs group under the GLOBAL
+  // sentinel (empty tuple, resolved to an unpartitioned spec at commit)
+  private val deleted = mutable.Map
+    .empty[(Int, Seq[Any]), (Seq[Any], mutable.ArrayBuffer[(String, Long)])]
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    val raw = GraftDeltaWriter.partitionOf(meta, specId, partSparkTypes)
-    val key = raw.map { case b: Array[Byte] => b.toSeq; case x => x }
+    val (sid, raw) =
+      GraftDeltaWriter.partitionOf(meta, specId, partSparkTypes) match {
+        case Some(t) => (specId, t)
+        case None    => (graft.core.meta.GlobalDeletes.SpecSentinel, Nil)
+      }
+    val key = (sid, raw.map { case b: Array[Byte] => b.toSeq; case x => x })
     deleted.getOrElseUpdate(key, (raw, mutable.ArrayBuffer.empty))
       ._2 += ((id.getUTF8String(0).toString, id.getLong(1)))
   }
@@ -1170,7 +1181,7 @@ final class GraftDeltaWriter(
     * `write.delete.format` — parquet (default) or avro (the shape Flink
     * CDC pipelines write; reference core delete writers take any
     * FileFormat) */
-  private def writeDeleteFile(partition: Seq[Any],
+  private def writeDeleteFile(sid: Int, partition: Seq[Any],
       dels: mutable.ArrayBuffer[(String, Long)]): DataFile = {
     val dir = s"$location/data"
     java.nio.file.Files.createDirectories(GraftIO.toPath(dir))
@@ -1207,7 +1218,7 @@ final class GraftDeltaWriter(
       graft.core.expr.ColStats(valueCount = Some(dels.size.toLong),
         nullCount = Some(0L), nanCount = None,
         lower = Some(keys.min), upper = Some(keys.max)))
-    DataFile(path, ext, specId, partition, dels.size.toLong,
+    DataFile(path, ext, sid, partition, dels.size.toLong,
       GraftIO.size(path), pathStats, content = FileContent.PositionDeletes,
       referencedDataFile = if (refs.size == 1) Some(refs.head) else None)
   }
@@ -1221,14 +1232,14 @@ final class GraftDeltaWriter(
         // file per referenced data file — the delete index prunes it to
         // exactly that file's tasks, and a rewrite of the data file drops
         // it one-for-one instead of leaving a partly-dangling blob
-        deleted.values.toSeq.flatMap { case (partition, dels) =>
+        deleted.toSeq.flatMap { case ((sid, _), (partition, dels)) =>
           dels.groupBy(_._1).toSeq.map { case (_, posRows) =>
-            writeDeleteFile(partition,
+            writeDeleteFile(sid, partition,
               mutable.ArrayBuffer.from(posRows))
           }
         }
-      else deleted.values.toSeq.map { case (partition, dels) =>
-        writeDeleteFile(partition, dels)
+      else deleted.toSeq.map { case ((sid, _), (partition, dels)) =>
+        writeDeleteFile(sid, partition, dels)
       }
     GraftDeltaCommitMessage(dataMsg.files, deleteFiles)
   }
@@ -1236,12 +1247,12 @@ final class GraftDeltaWriter(
   /** deletion vectors: one Roaring bitmap file per referenced data file
     * (reference v3 DVs; write.delete.format = 'dv') */
   private def commitDVs(): Seq[DataFile] =
-    deleted.values.toSeq.flatMap { case (partition, dels) =>
+    deleted.toSeq.flatMap { case ((sid, _), (partition, dels)) =>
       dels.groupBy(_._1).toSeq.map { case (dataPath, posRows) =>
         val path = s"$location/data/dv-$partitionId-$taskId-${UUID.randomUUID}.dv"
         val (n, off, len) =
           DVIO.writeBlob(path, dataPath, posRows.iterator.map(_._2), crypto)
-        DataFile(path, "dv", specId, partition, n, GraftIO.size(path),
+        DataFile(path, "dv", sid, partition, n, GraftIO.size(path),
           Map.empty, content = FileContent.PositionDeletes,
           referencedDataFile = Some(dataPath),
           contentOffset = Some(off), contentSizeInBytes = Some(len))
@@ -1393,15 +1404,20 @@ final class GraftEqDeltaWriter(
     dataWriter: GraftFanoutWriter,
     deleteFormat: String = "parquet") extends DeltaWriter[InternalRow] {
 
-  // distinct identifier tuples per referenced partition tuple: a key
-  // deleted twice in one task writes once (equality deletes are
-  // value-keyed, duplicates are pure overhead)
-  private val deleted =
-    mutable.Map.empty[Seq[Any], (Seq[Any], mutable.LinkedHashSet[Seq[Any]])]
+  // distinct identifier tuples per (specId, referenced partition tuple):
+  // a key deleted twice in one task writes once (equality deletes are
+  // value-keyed, duplicates are pure overhead); rows of other specs
+  // group under the GLOBAL sentinel like position deletes
+  private val deleted = mutable.Map
+    .empty[(Int, Seq[Any]), (Seq[Any], mutable.LinkedHashSet[Seq[Any]])]
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    val raw = GraftDeltaWriter.partitionOf(meta, specId, partSparkTypes)
-    val partKey = raw.map { case b: Array[Byte] => b.toSeq; case x => x }
+    val (sid, raw) =
+      GraftDeltaWriter.partitionOf(meta, specId, partSparkTypes) match {
+        case Some(t) => (specId, t)
+        case None    => (graft.core.meta.GlobalDeletes.SpecSentinel, Nil)
+      }
+    val partKey = (sid, raw.map { case b: Array[Byte] => b.toSeq; case x => x })
     val key = eqSchema.fields.indices.map { i =>
       SparkBridge.valueAt(id, i, eqSchema.fields(i).dataType) match {
         case b: Array[Byte] => b.toSeq // value-hashable for the set
@@ -1426,8 +1442,8 @@ final class GraftEqDeltaWriter(
 
   override def commit(): WriterCommitMessage = {
     val dataMsg = dataWriter.commit().asInstanceOf[GraftCommitMessage]
-    val files = deleted.values.toSeq.map { case (partition, keys) =>
-      EqDeleteFiles.write(location, eqSchema, eqIds, specId, partition,
+    val files = deleted.toSeq.map { case ((sid, _), (partition, keys)) =>
+      EqDeleteFiles.write(location, eqSchema, eqIds, sid, partition,
         keys, owf, conf, partitionId, taskId, deleteFormat)
     }
     GraftDeltaCommitMessage(dataMsg.files, files)

@@ -818,6 +818,24 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       evolveSpec = true, icebergCompat = true, statsEvery = Some(4))
   }
 
+  test("seeded DML fuzz: global deletes against old-spec rows (soak 333150)") {
+    // soak find: a MoR delete/update hitting rows written under a
+    // NON-current spec produced a delete file stamped with the CURRENT
+    // spec id but an EMPTY partition tuple — arity-inconsistent metadata
+    // that crashed compute_partition_stats and would mis-render in
+    // spec-Avro partition records. Global deletes now commit under a
+    // real unpartitioned spec (added on demand).
+    runSeed(seed = 333150, partitioned = false, steps = 30,
+      evolveSpec = true, icebergCompat = true, cat = "gfzp",
+      mergeMinCount = Some(8), statsEvery = Some(4))
+  }
+
+  test("seeded DML fuzz: global deletes over the spec REST protocol (soak 333154)") {
+    runSeed(seed = 333154, partitioned = false, steps = 30,
+      evolveSpec = true, icebergCompat = true, cat = "gfzr",
+      statsEvery = Some(5))
+  }
+
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
   // (failure messages carry the seed — promote any find to a fixed test)
   sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
