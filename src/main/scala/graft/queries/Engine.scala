@@ -1776,9 +1776,12 @@ object Engine {
     (s, dir) => {
       setup(s, dir)
       val nk = t(s, dir, "supplier").agg(min("s_nationkey")).head().getAs[Number](0).longValue
+      // the typed unified partition struct makes this check exact: read
+      // the delete files' partition values as LONGs, not rendered strings
       val delParts = s.table("graft.db.dang_g.delete_files")
-        .select("partition").collect().map(_.getString(0)).toSeq
-      require(!delParts.contains(s"s_nationkey=$nk"),
+        .select("partition.s_nationkey").collect()
+        .filter(!_.isNullAt(0)).map(_.getLong(0)).toSeq
+      require(!delParts.contains(nk),
         s"g49: stranded eq-delete of partition $nk survived: $delParts")
       val nNations = t(s, dir, "supplier")
         .select("s_nationkey").distinct().count()
@@ -2835,10 +2838,135 @@ object Engine {
         CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem WHERE l_orderkey % 7 <> 3"""))
 
+  // ------------------------------------------------------------------ g74
+  // Typed unified partition struct + partitions-table delete debt
+  // (reference Partitioning.partitionType — Partitioning.java:240-328 —
+  // consumed by PartitionsTable.java:104-121 and BaseFilesTable): the
+  // first thing an operator does when chasing a hot or MoR-debt-heavy
+  // partition is `WHERE partition.<field> = …` on t.files and read the
+  // per-partition position/equality delete counts off t.partitions.
+  // One partition gets MoR deletes; the gate (a) filters t.files on the
+  // TYPED partition value, (b) reads per-partition delete debt, and
+  // (c) asserts last_updated_* tracks the committing snapshot.
+  private val g74 = Q(
+    "g74_engine_partitions_debt",
+    (s, dir) => {
+      setup(s, dir)
+      val cat = new HadoopCatalog(warehouse(dir))
+      // self-healing build: a completion marker, not bare existence
+      val ready = cat.loadTable(Seq("db"), "pdebt_g")
+        .exists(_.meta.properties.get("g74-ready").contains("true"))
+      if (!ready) {
+        cat.dropTable(Seq("db"), "pdebt_g")
+        s.sessionState.catalogManager.catalog("graft") match {
+          case g: graft.spark.GraftCatalog => g.invalidateCache()
+          case _ => ()
+        }
+        s.sql("""CREATE TABLE graft.db.pdebt_g (
+          s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
+          PARTITIONED BY (s_nationkey)
+          TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+        t(s, dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+          .writeTo("graft.db.pdebt_g").append()
+        val minNk = t(s, dir, "supplier").agg(min("s_nationkey"))
+          .head().getAs[Number](0).longValue
+        s.sql(s"""DELETE FROM graft.db.pdebt_g
+          WHERE s_suppkey % 3 = 0 AND s_nationkey = $minNk""")
+        cat.loadTable(Seq("db"), "pdebt_g").get
+          .updateProperties(Map("g74-ready" -> "true"))
+      }
+      val nk = t(s, dir, "supplier").agg(min("s_nationkey"))
+        .head().getAs[Number](0).longValue
+      val meta = cat.loadTable(Seq("db"), "pdebt_g").get.meta
+      val delSid = meta.currentSnapshot.get.snapshotId
+      val appendSid = meta.currentSnapshot.get.parentId.get
+      // (a) typed partition predicate on the files table: the debt
+      // partition's data-file record_count must equal the raw row count
+      val filesRc = s.table("graft.db.pdebt_g.files")
+        .filter(col("content") === 0 && col("partition.s_nationkey") === nk)
+        .agg(sum("record_count")).head().getLong(0)
+      val rawRc = t(s, dir, "supplier")
+        .filter(col("s_nationkey") === nk).count()
+      require(filesRc == rawRc,
+        s"g74: typed partition filter on t.files: $filesRc != $rawRc")
+      // (c) freshness columns track the committing snapshot per partition
+      val lastBySid = s.table("graft.db.pdebt_g.partitions")
+        .select(col("partition.s_nationkey"), col("last_updated_snapshot_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(lastBySid(nk) == delSid,
+        s"g74: debt partition last_updated ${lastBySid(nk)} != delete commit $delSid")
+      require(lastBySid.filter(_._1 != nk).values.forall(_ == appendSid),
+        s"g74: untouched partitions must keep the append snapshot $appendSid")
+      // (b) per-partition MoR debt, typed keys, against the oracle
+      s.table("graft.db.pdebt_g.partitions")
+        .select(col("partition.s_nationkey").as("nk"),
+          col("record_count").as("rc"),
+          col("position_delete_record_count").as("pdc"),
+          col("equality_delete_record_count").as("edc"))
+        .orderBy("nk")
+    },
+    Some("""
+      SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS rc,
+        CAST(SUM(CASE WHEN s_suppkey % 3 = 0
+          AND s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+          THEN 1 ELSE 0 END) AS BIGINT) AS pdc,
+        CAST(0 AS BIGINT) AS edc
+      FROM supplier GROUP BY s_nationkey ORDER BY nk"""))
+
+  // ------------------------------------------------------------------ g75
+  // position_deletes with row/partition/spec_id (reference
+  // PositionDeletesTable.java:114-162): rewrite_position_deletes users
+  // scope compactions by querying the delete file's own typed partition;
+  // the per-partition position counts must match the rows the oracle says
+  // were deleted, and the serving columns (spec_id, delete_file_path)
+  // must be populated.
+  private val g75 = Q(
+    "g75_engine_position_deletes_partition",
+    (s, dir) => {
+      setup(s, dir)
+      val cat = new HadoopCatalog(warehouse(dir))
+      val ready = cat.loadTable(Seq("db"), "pdrow_g")
+        .exists(_.meta.properties.get("g75-ready").contains("true"))
+      if (!ready) {
+        cat.dropTable(Seq("db"), "pdrow_g")
+        s.sessionState.catalogManager.catalog("graft") match {
+          case g: graft.spark.GraftCatalog => g.invalidateCache()
+          case _ => ()
+        }
+        s.sql("""CREATE TABLE graft.db.pdrow_g (
+          s_suppkey BIGINT, s_nationkey BIGINT)
+          PARTITIONED BY (s_nationkey)
+          TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+        t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+          .writeTo("graft.db.pdrow_g").append()
+        s.sql("DELETE FROM graft.db.pdrow_g WHERE s_suppkey % 4 = 1")
+        cat.loadTable(Seq("db"), "pdrow_g").get
+          .updateProperties(Map("g75-ready" -> "true"))
+      }
+      val pd = s.table("graft.db.pdrow_g.position_deletes")
+      // `row` (deleted row content) is in the schema; graft's writers
+      // don't store it, so it reads back null — the column must exist
+      // and be the table's struct
+      require(pd.schema.fieldNames.contains("row"), "g75: no row column")
+      require(pd.schema("row").dataType.isInstanceOf[
+        org.apache.spark.sql.types.StructType], "g75: row not a struct")
+      val served = pd.select("spec_id", "delete_file_path").collect()
+      require(served.nonEmpty && served.forall(r =>
+        !r.isNullAt(0) && r.getString(1).nonEmpty),
+        "g75: spec_id/delete_file_path must be populated")
+      pd.groupBy(col("partition.s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("nk")
+    },
+    Some("""
+      SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n
+      FROM supplier WHERE s_suppkey % 4 = 1
+      GROUP BY s_nationkey ORDER BY nk"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66, g67, g68, g69, g70, g71, g72, g73)
+    g66, g67, g68, g69, g70, g71, g72, g73, g74, g75)
 }

@@ -12,6 +12,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.meta._
+import graft.core.types.SparkTypes
+
+/** One field of the table's UNIFIED partition struct (reference
+  * Partitioning.partitionType — core Partitioning.java:240-244,267-328):
+  * the union of partition fields across ALL specs whose source column is
+  * still in the current schema, the newest spec's name winning on id
+  * collisions, sorted by partition-field id, every field nullable (a file
+  * of another spec has no value for it). Serializable: rides input
+  * partitions to executors. */
+final case class UPartField(fieldId: Int, name: String, dt: DataType)
 
 /** Metadata tables: `SELECT * FROM cat.db.tbl.snapshots` etc. (reference
   * core/.../MetadataTableType.java:23-39 + {Snapshots,History,…}Table.java).
@@ -21,7 +31,14 @@ import graft.core.meta._
   * their all_ variants) and position_deletes are DISTRIBUTED scans —
   * one input partition per manifest (or delete file), entries read
   * executor-side — because at 100 TB those are millions of rows
-  * (reference BaseFilesTable.ManifestReadTask / PositionDeletesTable). */
+  * (reference BaseFilesTable.ManifestReadTask / PositionDeletesTable).
+  *
+  * `partition` renders as the TYPED unified struct on files/entries/
+  * partitions/position_deletes (reference PartitionsTable.java:104-108,
+  * BaseFilesTable.java calculateSchema), so operators can
+  * `WHERE partition.day >= DATE '…'` and join tables on typed values;
+  * like the reference, the column is dropped entirely when every spec is
+  * unpartitioned (BaseFilesTable.java:53 selectNot PARTITION_ID). */
 object GraftMetadataTables {
 
   val types: Set[String] = Set(
@@ -30,6 +47,10 @@ object GraftMetadataTables {
     "data_files", "delete_files",
     "all_files", "all_manifests", "all_entries",
     "all_data_files", "all_delete_files", "scan_reports", "commit_reports")
+
+  private val filesKinds = Set("files", "data_files", "delete_files",
+    "all_files", "all_data_files", "all_delete_files")
+  private val entriesKinds = Set("entries", "all_entries")
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -42,6 +63,44 @@ object GraftMetadataTables {
     val kv = m.toSeq
     ArrayBasedMapData(kv.map(e => s(e._1)).toArray, kv.map(e => s(e._2)).toArray)
   }
+
+  // ------------------------------------------------ unified partition type
+
+  /** Reference Partitioning.partitionType: union over all specs, LIMITED
+    * to fields whose source column exists in the CURRENT schema
+    * (allActiveFieldIds), newest spec's name on id collisions, sorted by
+    * field id. graft's VoidT keeps the source's result type, so the
+    * reference's void-vs-real type reconciliation is a no-op here. */
+  def unifiedPartitionFields(m: TableMetadata): Seq[UPartField] = {
+    val cur = m.schema.byId
+    val seen = scala.collection.mutable.Map.empty[Int, (String, DataType)]
+    m.specs.sortBy(-_.specId).foreach { sp =>
+      sp.fields.foreach { pf =>
+        cur.get(pf.sourceId).foreach { src =>
+          if (!seen.contains(pf.fieldId))
+            seen(pf.fieldId) =
+              (pf.name, SparkTypes.toSpark(pf.transform.resultType(src.tpe)))
+        }
+      }
+    }
+    seen.toSeq.sortBy(_._1).map { case (id, (n, dt)) => UPartField(id, n, dt) }
+  }
+
+  def partitionStructType(uparts: Seq[UPartField]): StructType =
+    StructType(uparts.map(f => StructField(f.name, f.dt)))
+
+  /** Coerce one file's spec-shaped tuple into the unified struct
+    * (reference PartitionUtil.coercePartition): match by partition-field
+    * id, null where this spec has no such field. Bounds-guarded — tuples
+    * written before global deletes got their own spec (r16) can be
+    * shorter than their stamped spec. */
+  def coercedPartitionRow(uparts: Seq[UPartField], specFieldIds: Seq[Int],
+      tuple: Seq[Any]): InternalRow =
+    new GenericInternalRow(uparts.map[Any] { f =>
+      val i = specFieldIds.indexOf(f.fieldId)
+      if (i >= 0 && i < tuple.length) EqDeleteFiles.toInternal(tuple(i), f.dt)
+      else null
+    }.toArray)
 
   /** readable_metrics (reference MetricsUtil.readableMetricsSchema —
     * MetricsUtil.java:193,354 — joined into the table at
@@ -86,7 +145,8 @@ object GraftMetadataTables {
     case (i: Int, IntegerType | DateType)   => i
     case (i: Int, LongType | TimestampType | TimestampNTZType) => i.toLong
     case (l: Long, LongType | TimestampType | TimestampNTZType) => l
-    case (l: Long, IntegerType | DateType)  => l.toInt
+    // out-of-range stored bounds render null, not a wrapped Int
+    case (l: Long, IntegerType | DateType) if l.isValidInt => l.toInt
     case (f: Float, FloatType)              => f
     case (f: Float, DoubleType)             => f.toDouble
     case (d: Double, DoubleType)            => d
@@ -114,16 +174,76 @@ object GraftMetadataTables {
       }
     }.toArray)
 
-  /** entry-level kinds carry readable_metrics typed from the table's
-    * current schema (reference BaseFilesTable/BaseEntriesTable) */
-  def schemaOf(kind: String, schema: graft.core.types.GSchema): StructType =
+  // ------------------------------------------------------------- schemas
+
+  /** Table-shaped kinds: typed partition struct + readable_metrics need
+    * the table metadata (specs + current schema). */
+  def schemaOf(kind: String, m: TableMetadata): StructType = {
+    val uparts = unifiedPartitionFields(m)
+    val partField: Seq[StructField] =
+      if (uparts.isEmpty) Nil
+      else Seq(StructField("partition", partitionStructType(uparts)))
     kind match {
-      case "files" | "data_files" | "delete_files" | "all_files" |
-           "all_data_files" | "all_delete_files" | "entries" | "all_entries" =>
-        StructType(schemaOf(kind).fields :+
-          StructField("readable_metrics", readableMetricsType(metricCols(schema))))
-      case _ => schemaOf(kind)
+      case k if filesKinds(k) => StructType(Seq(
+        StructField("content", IntegerType),
+        StructField("file_path", StringType),
+        StructField("file_format", StringType),
+        StructField("spec_id", IntegerType)) ++ partField ++ Seq(
+        StructField("record_count", LongType),
+        StructField("file_size_in_bytes", LongType),
+        // per-column metrics keyed by field id (reference BaseFilesTable
+        // schema: value_counts/null_value_counts/nan_value_counts/
+        // lower_bounds/upper_bounds); bounds render human-readable, which
+        // also makes the metrics-mode policy observable (g53)
+        StructField("value_counts", MapType(IntegerType, LongType)),
+        StructField("null_value_counts", MapType(IntegerType, LongType)),
+        StructField("nan_value_counts", MapType(IntegerType, LongType)),
+        StructField("lower_bounds", MapType(IntegerType, StringType)),
+        StructField("upper_bounds", MapType(IntegerType, StringType)),
+        // DV-only (spec fields 144/145): blob position inside the puffin
+        StructField("content_offset", LongType),
+        StructField("content_size_in_bytes", LongType),
+        StructField("readable_metrics", readableMetricsType(metricCols(m.schema)))))
+      case k if entriesKinds(k) => StructType(Seq(
+        StructField("status", IntegerType),
+        StructField("snapshot_id", LongType),
+        StructField("sequence_number", LongType),
+        StructField("file_path", StringType),
+        StructField("record_count", LongType),
+        StructField("content", IntegerType),
+        StructField("file_size_in_bytes", LongType),
+        StructField("spec_id", IntegerType)) ++ partField ++ Seq(
+        StructField("readable_metrics", readableMetricsType(metricCols(m.schema)))))
+      // reference PartitionsTable.java:57-121: partition + spec_id are
+      // dropped for a fully-unpartitioned table (the one root row)
+      case "partitions" => StructType(partField ++
+        (if (uparts.isEmpty) Nil else Seq(StructField("spec_id", IntegerType))) ++ Seq(
+        StructField("record_count", LongType),
+        StructField("file_count", IntegerType),
+        StructField("total_data_file_size_in_bytes", LongType),
+        StructField("position_delete_record_count", LongType),
+        StructField("position_delete_file_count", IntegerType),
+        StructField("equality_delete_record_count", LongType),
+        StructField("equality_delete_file_count", IntegerType),
+        StructField("last_updated_at", TimestampType),
+        StructField("last_updated_snapshot_id", LongType)))
+      // reference PositionDeletesTable.calculateSchema
+      // (PositionDeletesTable.java:114-162): the deleted row content and
+      // the delete file's own partition/spec ride along, so
+      // rewrite_position_deletes users can scope compactions in SQL
+      case "position_deletes" => StructType(Seq(
+        StructField("file_path", StringType),
+        StructField("pos", LongType),
+        StructField("row", SparkTypes.toSparkStruct(m.schema.struct))) ++
+        partField ++ Seq(
+        StructField("spec_id", IntegerType),
+        StructField("delete_file_path", StringType)) ++
+        (if (m.formatVersion >= 3) Seq(
+          StructField("content_offset", LongType),
+          StructField("content_size_in_bytes", LongType)) else Nil))
+      case other => schemaOf(other)
     }
+  }
 
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => StructType(Seq(
@@ -154,50 +274,10 @@ object GraftMetadataTables {
       StructField("added_data_files_count", IntegerType),
       StructField("existing_data_files_count", IntegerType),
       StructField("deleted_data_files_count", IntegerType)))
-    case "files" => StructType(Seq(
-      StructField("content", IntegerType),
-      StructField("file_path", StringType),
-      StructField("file_format", StringType),
-      StructField("spec_id", IntegerType),
-      StructField("partition", StringType),
-      StructField("record_count", LongType),
-      StructField("file_size_in_bytes", LongType),
-      // per-column metrics keyed by field id (reference BaseFilesTable
-      // schema: value_counts/null_value_counts/nan_value_counts/
-      // lower_bounds/upper_bounds); bounds render human-readable, which
-      // also makes the metrics-mode policy observable (g53)
-      StructField("value_counts", MapType(IntegerType, LongType)),
-      StructField("null_value_counts", MapType(IntegerType, LongType)),
-      StructField("nan_value_counts", MapType(IntegerType, LongType)),
-      StructField("lower_bounds", MapType(IntegerType, StringType)),
-      StructField("upper_bounds", MapType(IntegerType, StringType)),
-      // DV-only (spec fields 144/145): blob position inside the puffin
-      StructField("content_offset", LongType),
-      StructField("content_size_in_bytes", LongType)))
-    case "entries" => StructType(Seq(
-      StructField("status", IntegerType),
-      StructField("snapshot_id", LongType),
-      StructField("sequence_number", LongType),
-      StructField("file_path", StringType),
-      StructField("record_count", LongType),
-      StructField("content", IntegerType),
-      StructField("file_size_in_bytes", LongType),
-      StructField("spec_id", IntegerType),
-      StructField("partition", StringType)))
-    case "partitions" => StructType(Seq(
-      StructField("partition", StringType),
-      StructField("spec_id", IntegerType),
-      StructField("record_count", LongType),
-      StructField("file_count", IntegerType),
-      StructField("total_size_in_bytes", LongType)))
     case "metadata_log_entries" => StructType(Seq(
       StructField("timestamp", TimestampType),
       StructField("file", StringType),
       StructField("latest_snapshot_id", LongType)))
-    case "position_deletes" => StructType(Seq(
-      StructField("file_path", StringType),
-      StructField("pos", LongType),
-      StructField("delete_file_path", StringType)))
     case "scan_reports" => StructType(Seq(
       StructField("made_at", TimestampType),
       StructField("snapshot_id", LongType),
@@ -217,27 +297,30 @@ object GraftMetadataTables {
       StructField("attempts", IntegerType),
       StructField("duration_ms", LongType),
       StructField("summary", MapType(StringType, StringType))))
-    case "data_files" | "delete_files" => schemaOf("files")
-    case "all_files" | "all_data_files" | "all_delete_files" => schemaOf("files")
     case "all_manifests" => schemaOf("manifests")
-    case "all_entries" => schemaOf("entries")
     case other => throw new IllegalArgumentException(s"unknown metadata table: $other")
   }
 
-  def rowsOf(kind: String, table: GTable): Array[InternalRow] = {
-    val m = table.refresh() // metadata tables reflect the CURRENT state
+  /** Per-partition aggregation partial for the `partitions` table
+    * (reference PartitionsTable.Partition.update): counters per content
+    * kind + the most recent committing snapshot (spec_id follows it). */
+  final case class PartAgg(dataRecords: Long, dataFiles: Long, dataBytes: Long,
+      posRecords: Long, posFiles: Long, eqRecords: Long, eqFiles: Long,
+      lastTs: Long, lastSid: Long, specId: Int) {
+    def merge(o: PartAgg): PartAgg = {
+      val (ts, sid, sp) =
+        if (o.lastTs > lastTs) (o.lastTs, o.lastSid, o.specId)
+        else (lastTs, lastSid, specId)
+      PartAgg(dataRecords + o.dataRecords, dataFiles + o.dataFiles,
+        dataBytes + o.dataBytes, posRecords + o.posRecords,
+        posFiles + o.posFiles, eqRecords + o.eqRecords, eqFiles + o.eqFiles,
+        ts, sid, sp)
+    }
+  }
+
+  def rowsOf(kind: String, table: GTable, m: TableMetadata): Array[InternalRow] = {
     def currentManifests: Seq[ManifestFile] =
       m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
-    def partString(specId: Int, tuple: Seq[Any]): UTF8String = {
-      val spec = m.specById(specId)
-      s(spec.fields.zip(tuple).map { case (pf, v) =>
-        val shown = v match {
-          case b: Array[Byte] => b.map("%02x".format(_)).mkString
-          case other          => String.valueOf(other)
-        }
-        s"${pf.name}=$shown"
-      }.mkString("{", ", ", "}"))
-    }
 
     kind match {
       case "snapshots" => m.snapshots.map { sn =>
@@ -271,36 +354,65 @@ object GraftMetadataTables {
       }.toArray
       case "partitions" =>
         // distributed aggregate (reference PartitionsTable is built from
-        // the entries scan): each task folds ONE manifest into
-        // (spec, partition) → (records, files, bytes) partials,
-        // reduceByKey combines map-side, and the driver collects only
-        // O(partitions) — at 1.5M files the driver never sees an entry
-        val dataMfs = currentManifests.filter(_.content == 0)
-        if (dataMfs.isEmpty) Array.empty
+        // the entries scan): each task folds ONE manifest — data AND
+        // delete manifests, so MoR debt is SQL-visible — into
+        // unified-partition-key → PartAgg partials, reduceByKey combines
+        // map-side, and the driver collects only O(partitions) — at 1.5M
+        // files the driver never sees an entry
+        val uparts = unifiedPartitionFields(m)
+        val specFieldIds: Map[Int, Seq[Int]] =
+          m.specs.map(sp => sp.specId -> sp.fields.map(_.fieldId)).toMap
+        val snapTs: Map[Long, Long] =
+          m.snapshots.map(sn => sn.snapshotId -> sn.timestampMs).toMap
+        val upartIds = uparts.map(_.fieldId)
+        val mfs = currentManifests
+        if (mfs.isEmpty) Array.empty
         else {
           val sc = org.apache.spark.sql.SparkSession.active.sparkContext
           val partials = sc
-            .parallelize(dataMfs, math.max(1, math.min(dataMfs.size, 64)))
+            .parallelize(mfs, math.max(1, math.min(mfs.size, 64)))
             .flatMap { mf =>
-              ManifestIO.readEntries(mf).iterator.collect {
-                case e if e.isLive && e.file.content == FileContent.Data =>
-                  // byte-array partition values normalize for hashable keys
-                  ((e.file.specId, e.file.partition.map {
+              ManifestIO.readEntries(mf).iterator.filter(_.isLive).map { e =>
+                val f = e.file
+                // coerce to the unified tuple (normalized for hashable
+                // keys: byte arrays compare by reference)
+                val ids = specFieldIds.getOrElse(f.specId, Nil)
+                val key: Seq[Any] = upartIds.map { fid =>
+                  val i = ids.indexOf(fid)
+                  if (i >= 0 && i < f.partition.length) f.partition(i) match {
                     case b: Array[Byte] => b.toSeq
                     case x              => x
-                  }), (e.file.partition, e.file.recordCount, 1L, e.file.fileSizeBytes))
+                  } else null
+                }
+                val ts = snapTs.getOrElse(e.snapshotId, Long.MinValue)
+                val agg = f.content match {
+                  case FileContent.Data =>
+                    PartAgg(f.recordCount, 1L, f.fileSizeBytes,
+                      0L, 0L, 0L, 0L, ts, e.snapshotId, f.specId)
+                  case FileContent.PositionDeletes =>
+                    PartAgg(0L, 0L, 0L, f.recordCount, 1L, 0L, 0L,
+                      ts, e.snapshotId, f.specId)
+                  case _ =>
+                    PartAgg(0L, 0L, 0L, 0L, 0L, f.recordCount, 1L,
+                      ts, e.snapshotId, f.specId)
+                }
+                (key, agg)
               }
             }
-            .reduceByKey((a, b) => (a._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+            .reduceByKey(_ merge _)
             .collect()
           partials
-            .map { case ((specId, _), (tuple, records, files, bytes)) =>
-              (specId, partString(specId, tuple), records, files, bytes)
-            }
-            .sortBy { case (specId, ps, _, _, _) => (specId, ps.toString) }
-            .map { case (specId, ps, records, files, bytes) =>
-              new GenericInternalRow(Array[Any](
-                ps, specId, records, files.toInt, bytes)): InternalRow
+            .sortBy { case (key, _) => key.map(String.valueOf).mkString(" ") }
+            .map { case (key, a) =>
+              val tail = Array[Any](a.dataRecords, a.dataFiles.toInt,
+                a.dataBytes, a.posRecords, a.posFiles.toInt,
+                a.eqRecords, a.eqFiles.toInt,
+                if (a.lastTs == Long.MinValue) null else Long.box(a.lastTs * 1000L),
+                if (a.lastTs == Long.MinValue) null else Long.box(a.lastSid))
+              val head: Array[Any] =
+                if (uparts.isEmpty) Array.empty
+                else Array(coercedPartitionRow(uparts, upartIds, key), a.specId)
+              new GenericInternalRow(head ++ tail): InternalRow
             }
         }
       case "metadata_log_entries" =>
@@ -353,10 +465,12 @@ object GraftMetadataTables {
 }
 
 /** One manifest to read executor-side for the entry-level metadata
-  * tables; carries the spec-id → partition-field-names map so the
-  * partition tuple renders without table metadata on the executor. */
+  * tables; carries the unified partition fields + each spec's
+  * partition-field-id order so the typed partition struct coerces
+  * without table metadata on the executor. */
 final case class ManifestReadTask(manifest: ManifestFile,
-    specNames: Map[Int, Seq[String]], kind: String,
+    specFieldIds: Map[Int, Seq[Int]], kind: String,
+    uparts: Seq[UPartField] = Nil,
     metricCols: Seq[GraftMetadataTables.MetricCol] = Nil)
   extends org.apache.spark.sql.connector.read.InputPartition
 
@@ -367,19 +481,23 @@ final case class ManifestReadTask(manifest: ManifestFile,
   * potentially millions of rows across thousands of manifests — are
   * read executor-side, one input partition per manifest. Like the
   * reference, the all_ tables may produce more than one row per file
-  * when several retained snapshots reference it. */
-final class ManifestEntriesScan(table: GTable, kind: String)
+  * when several retained snapshots reference it.
+  *
+  * The table metadata is SNAPSHOTTED at scan construction: readSchema()
+  * and the read tasks derive from the same document, so a concurrent
+  * refresh can't skew the readable_metrics/partition arity between
+  * Spark's schema() call and planInputPartitions(). */
+final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata)
   extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
-  override def readSchema(): StructType =
-    GraftMetadataTables.schemaOf(kind, table.meta.schema)
+  override def readSchema(): StructType = GraftMetadataTables.schemaOf(kind, m)
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def description(): String = s"graft-$kind(${table.location})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val metricCols = GraftMetadataTables.metricCols(table.meta.schema)
-    val m = table.refresh()
+    val metricCols = GraftMetadataTables.metricCols(m.schema)
+    val uparts = GraftMetadataTables.unifiedPartitionFields(m)
     val manifests =
       if (kind.startsWith("all_"))
         m.snapshots
@@ -388,9 +506,9 @@ final class ManifestEntriesScan(table: GTable, kind: String)
           .groupBy(_.path).map(_._2.head).toSeq
       else
         m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
-    val specNames = m.specs.map(sp => sp.specId -> sp.fields.map(_.name)).toMap
+    val specFieldIds = m.specs.map(sp => sp.specId -> sp.fields.map(_.fieldId)).toMap
     manifests.map(mf =>
-      ManifestReadTask(mf, specNames, kind, metricCols): InputPartition).toArray
+      ManifestReadTask(mf, specFieldIds, kind, uparts, metricCols): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ManifestEntriesScan.Factory
@@ -403,16 +521,12 @@ object ManifestEntriesScan {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val t = p.asInstanceOf[ManifestReadTask]
       def us(v: String): UTF8String = UTF8String.fromString(v)
-      def partString(specId: Int, tuple: Seq[Any]): UTF8String = {
-        val names = t.specNames.getOrElse(specId, Nil)
-        us(names.zip(tuple).map { case (name, v) =>
-          val shown = v match {
-            case b: Array[Byte] => b.map("%02x".format(_)).mkString
-            case other          => String.valueOf(other)
-          }
-          s"$name=$shown"
-        }.mkString("{", ", ", "}"))
-      }
+      // typed unified partition struct, or no column when every spec is
+      // unpartitioned (schema drops it; the row must match arity)
+      def partSlot(specId: Int, tuple: Seq[Any]): Seq[Any] =
+        if (t.uparts.isEmpty) Nil
+        else Seq(GraftMetadataTables.coercedPartitionRow(
+          t.uparts, t.specFieldIds.getOrElse(specId, Nil), tuple))
       val entries = ManifestIO.readEntries(t.manifest).filter(_.isLive)
       val filtered = t.kind match {
         case "data_files" | "all_data_files" =>
@@ -424,13 +538,13 @@ object ManifestEntriesScan {
       val it: Iterator[InternalRow] =
         if (t.kind == "entries" || t.kind == "all_entries")
           filtered.iterator.map { e =>
-            new GenericInternalRow(Array[Any](
+            new GenericInternalRow((Seq[Any](
               e.status, e.snapshotId, e.dataSequenceNumber, us(e.file.path),
               e.file.recordCount, e.file.content, e.file.fileSizeBytes,
-              e.file.specId,
-              partString(e.file.specId, e.file.partition),
+              e.file.specId) ++
+              partSlot(e.file.specId, e.file.partition) :+
               GraftMetadataTables.readableMetricsRow(
-                e.file.columnStats, t.metricCols))): InternalRow
+                e.file.columnStats, t.metricCols)).toArray): InternalRow
           }
         else
           filtered.iterator.map { e =>
@@ -450,16 +564,16 @@ object ManifestEntriesScan {
               if (kv.isEmpty) null
               else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2: Any).toArray)
             }
-            new GenericInternalRow(Array[Any](
-              e.file.content, us(e.file.path), us(e.file.format), e.file.specId,
-              partString(e.file.specId, e.file.partition),
+            new GenericInternalRow((Seq[Any](
+              e.file.content, us(e.file.path), us(e.file.format), e.file.specId) ++
+              partSlot(e.file.specId, e.file.partition) ++ Seq[Any](
               e.file.recordCount, e.file.fileSizeBytes,
               counts(_.valueCount), counts(_.nullCount), counts(_.nanCount),
               bounds(_.lower), bounds(_.upper),
               e.file.contentOffset.map(Long.box).orNull,
               e.file.contentSizeInBytes.map(Long.box).orNull,
               GraftMetadataTables.readableMetricsRow(
-                e.file.columnStats, t.metricCols))): InternalRow
+                e.file.columnStats, t.metricCols))).toArray): InternalRow
           }
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
@@ -472,8 +586,11 @@ object ManifestEntriesScan {
 }
 
 /** One live position-delete file (or deletion vector) to read
-  * executor-side. */
-final case class PosDeleteFileTask(path: String, format: String)
+  * executor-side; carries the delete file's own partition tuple +
+  * spec so the typed struct renders without table metadata. */
+final case class PosDeleteFileTask(path: String, format: String,
+    specId: Int = 0, partition: Seq[Any] = Nil,
+    contentOffset: Option[Long] = None, contentSize: Option[Long] = None)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Distributed `position_deletes` scan (reference
@@ -483,41 +600,66 @@ final case class PosDeleteFileTask(path: String, format: String)
   * executor-side, one input partition per delete file. Parquet delete
   * files go through a driver-built (executor-run) reader closure,
   * deletion-vector bitmaps decode on the executor; the driver never
-  * materializes delete rows (the previous LocalScan collect()ed every
-  * delete file onto the driver). */
-final class PositionDeletesScan(table: GTable)
+  * materializes delete rows. Serves the reference's full column set
+  * (PositionDeletesTable.java:114-162): `row` (the deleted row content
+  * when the delete file stored it; graft's writers don't, so it reads
+  * back null there), the typed `partition`/`spec_id` of the delete file,
+  * and on v3 the DV blob's content_offset/content_size_in_bytes. */
+final class PositionDeletesScan(table: GTable, m: TableMetadata)
   extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 
-  override def readSchema(): StructType = GraftMetadataTables.schemaOf("position_deletes")
+  override def readSchema(): StructType =
+    GraftMetadataTables.schemaOf("position_deletes", m)
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def description(): String = s"graft-position-deletes(${table.location})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val m = table.refresh()
     m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
       .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
       .filter(_.file.content == FileContent.PositionDeletes)
-      .map(e => PosDeleteFileTask(e.file.path, e.file.format): InputPartition)
+      .map(e => PosDeleteFileTask(e.file.path, e.file.format, e.file.specId,
+        e.file.partition, e.file.contentOffset,
+        e.file.contentSizeInBytes): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
+    // NAME-matched read schema: toSparkStruct stamps parquet field-id
+    // metadata, and any id in the read schema makes Spark demand ids in
+    // the FILE — graft-written delete files carry none. Strip recursively.
+    def strip(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, strip(f.dataType), f.nullable)))
+      case a: ArrayType  => a.copy(elementType = strip(a.elementType))
+      case mp: MapType   => mp.copy(keyType = strip(mp.keyType),
+        valueType = strip(mp.valueType))
+      case other         => other
+    }
+    val rowType = strip(SparkTypes.toSparkStruct(m.schema.struct))
+      .asInstanceOf[StructType]
+    // read (file_path, pos, row): delete files that never stored the
+    // deleted row content — all graft-written ones — fill `row` null
+    // through the normal missing-column path
     val deleteSchema = StructType(Seq(
-      StructField("file_path", StringType), StructField("pos", LongType)))
+      StructField("file_path", StringType), StructField("pos", LongType),
+      StructField("row", rowType)))
     val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     // encrypted tables: modular-decryption factory for parquet delete
     // files; the table crypto rides the factory for executor-side DV reads
-    GraftParquetCrypto.configure(conf, table.meta)
+    GraftParquetCrypto.configure(conf, m)
     val readFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
       .buildReaderWithPartitionValues(spark, deleteSchema, new StructType(),
         deleteSchema, Nil,
         Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false",
           "enableVectorizedReader" -> "false"),
         conf)
+    val uparts = GraftMetadataTables.unifiedPartitionFields(m)
+    val specFieldIds = m.specs.map(sp => sp.specId -> sp.fields.map(_.fieldId)).toMap
     new PositionDeletesScan.Factory(readFunc,
-      graft.core.meta.TableCrypto.resolve(table.meta))
+      graft.core.meta.TableCrypto.resolve(m),
+      uparts, specFieldIds, rowType.size, m.formatVersion >= 3)
   }
 }
 
@@ -527,30 +669,45 @@ object PositionDeletesScan {
 
   private[spark] final class Factory(
       readFunc: PartitionedFile => Iterator[InternalRow],
-      crypto: Option[graft.core.meta.TableCrypto] = None)
+      crypto: Option[graft.core.meta.TableCrypto] = None,
+      uparts: Seq[UPartField] = Nil,
+      specFieldIds: Map[Int, Seq[Int]] = Map.empty,
+      rowTypeWidth: Int = 0,
+      v3: Boolean = false)
     extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val t = p.asInstanceOf[PosDeleteFileTask]
+      val partSlot: Seq[Any] =
+        if (uparts.isEmpty) Nil
+        else Seq(GraftMetadataTables.coercedPartitionRow(
+          uparts, specFieldIds.getOrElse(t.specId, Nil), t.partition))
+      val offSlot: Seq[Any] =
+        if (!v3) Nil
+        else Seq(t.contentOffset.map(Long.box).orNull,
+          t.contentSize.map(Long.box).orNull)
+      def out(filePath: Any, pos: Long, row: Any): InternalRow =
+        new GenericInternalRow((Seq[Any](filePath, pos, row) ++ partSlot ++
+          Seq[Any](t.specId, UTF8String.fromString(t.path)) ++ offSlot).toArray)
       val it: Iterator[InternalRow] =
         if (t.format == "dv") {
           // stream the bitmap: a 100M-position DV iterates in place
           // instead of allocating one row object per position up front
           val (ref, bm) = DVIO.read(t.path, crypto)
           val refU = UTF8String.fromString(ref)
-          val pathU = UTF8String.fromString(t.path)
           val li = bm.getLongIterator
           new Iterator[InternalRow] {
             override def hasNext: Boolean = li.hasNext
-            override def next(): InternalRow =
-              new GenericInternalRow(Array[Any](refU, li.next(), pathU))
+            override def next(): InternalRow = out(refU, li.next(), null)
           }
         } else {
           val pf = PartitionedFile(InternalRow.empty,
             org.apache.spark.paths.SparkPath.fromPathString(t.path),
             0L, Long.MaxValue, Array.empty[String], 0L, Long.MaxValue, Map.empty)
           readFunc(pf).map { r =>
-            new GenericInternalRow(Array[Any](
-              r.getUTF8String(0), r.getLong(1), UTF8String.fromString(t.path))): InternalRow
+            // the parquet row reader may reuse its row object — copy the
+            // nested struct out before handing the row downstream
+            val row = if (r.isNullAt(2)) null else r.getStruct(2, rowTypeWidth).copy()
+            out(r.getUTF8String(0), r.getLong(1), row)
           }
         }
       new PartitionReader[InternalRow] {
@@ -563,12 +720,17 @@ object PositionDeletesScan {
   }
 }
 
+/** The metadata is snapshotted ONCE at load: schema(), scan planning,
+  * and LocalScan rows all derive from the same document, so a concurrent
+  * commit between Spark's schema() call and the scan can't skew struct
+  * arity (reference BaseMetadataTable caches the table at creation). */
 final class GraftMetadataTable(table: GTable, fullName: String, kind: String)
   extends Table with SupportsRead {
 
+  private val m: TableMetadata = table.refresh()
+
   override def name(): String = fullName
-  override def schema(): StructType =
-    GraftMetadataTables.schemaOf(kind, table.meta.schema)
+  override def schema(): StructType = GraftMetadataTables.schemaOf(kind, m)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -579,9 +741,10 @@ final class GraftMetadataTable(table: GTable, fullName: String, kind: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        if (kind == "position_deletes") new PositionDeletesScan(table)
-        else if (distributedKinds(kind)) new ManifestEntriesScan(table, kind)
+        if (kind == "position_deletes") new PositionDeletesScan(table, m)
+        else if (distributedKinds(kind)) new ManifestEntriesScan(table, kind, m)
         else new GraftSparkTable.GraftLocalScan(
-          GraftMetadataTables.schemaOf(kind), GraftMetadataTables.rowsOf(kind, table))
+          GraftMetadataTables.schemaOf(kind, m),
+          GraftMetadataTables.rowsOf(kind, table, m))
     }
 }

@@ -1,0 +1,191 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Typed unified partition struct on the metadata tables (reference
+  * Partitioning.partitionType — Partitioning.java:240-328 — consumed by
+  * PartitionsTable.java:104-121, BaseFilesTable calculateSchema, and
+  * PositionDeletesTable.java:114-162): `partition` is a struct unified
+  * across ALL specs, typed by the transforms, so operators filter
+  * `t.files WHERE partition.day >= DATE '…'` and find MoR-debt-heavy
+  * partitions through the partitions table's delete counts. */
+class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("graft-metapart").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-metapart")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def coreTable(name: String) =
+    new graft.core.meta.HadoopCatalog(warehouse).loadTable(Seq("db"), name).get
+
+  test("files/entries expose a typed partition struct filterable in SQL") {
+    spark.sql("""CREATE TABLE graft.db.tp (id BIGINT, cat STRING, ts TIMESTAMP)
+      PARTITIONED BY (cat, days(ts))""")
+    spark.sql("""INSERT INTO graft.db.tp VALUES
+      (1, 'a', TIMESTAMP '2024-01-01 05:00:00'),
+      (2, 'a', TIMESTAMP '2024-01-02 05:00:00'),
+      (3, 'b', TIMESTAMP '2024-01-01 06:00:00')""")
+    val pt = spark.table("graft.db.tp.files").schema("partition").dataType
+      .asInstanceOf[StructType]
+    assert(pt.fieldNames.toSeq === Seq("cat", "ts_day"))
+    assert(pt("cat").dataType === org.apache.spark.sql.types.StringType)
+    assert(pt("ts_day").dataType === org.apache.spark.sql.types.DateType)
+    // typed predicates on both fields
+    assert(spark.sql("""SELECT sum(record_count) FROM graft.db.tp.files
+      WHERE partition.cat = 'a'""").head().getLong(0) === 2L)
+    assert(spark.sql("""SELECT sum(record_count) FROM graft.db.tp.files
+      WHERE partition.ts_day >= DATE '2024-01-02'""").head().getLong(0) === 1L)
+    // entries carries the same struct
+    assert(spark.sql("""SELECT count(*) FROM graft.db.tp.entries
+      WHERE partition.cat = 'b'""").head().getLong(0) === 1L)
+  }
+
+  test("unified struct spans evolved specs; old-spec files read null") {
+    spark.sql("CREATE TABLE graft.db.evo (id BIGINT, cat STRING)")
+    spark.sql("INSERT INTO graft.db.evo VALUES (1, 'x')") // unpartitioned spec
+    spark.sql("CALL graft.system.add_partition_field('db.evo', 'identity', 'cat')")
+    spark.sql("INSERT INTO graft.db.evo VALUES (2, 'y')") // cat-partitioned spec
+    val rows = spark.sql("""SELECT spec_id, partition.cat FROM graft.db.evo.files
+      ORDER BY spec_id""").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(1), "old-spec file must coerce to null")
+    assert(rows(1).getString(1) === "y")
+    // the partitions table groups by the UNIFIED key: old-spec file lands
+    // in the null partition, new-spec file under its value
+    val parts = spark.sql("""SELECT partition.cat, record_count
+      FROM graft.db.evo.partitions ORDER BY partition.cat NULLS FIRST""").collect()
+    assert(parts.length === 2)
+    assert(parts(0).isNullAt(0) && parts(0).getLong(1) === 1L)
+    assert(parts(1).getString(0) === "y" && parts(1).getLong(1) === 1L)
+  }
+
+  test("fully-unpartitioned tables drop partition (+spec_id on partitions)") {
+    spark.sql("CREATE TABLE graft.db.unp (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.unp VALUES (1), (2), (3)")
+    assert(!spark.table("graft.db.unp.files").schema.fieldNames.contains("partition"))
+    val pdf = spark.table("graft.db.unp.partitions")
+    assert(!pdf.schema.fieldNames.contains("partition"))
+    assert(!pdf.schema.fieldNames.contains("spec_id"))
+    val root = pdf.collect()
+    assert(root.length === 1)
+    assert(root.head.getAs[Long]("record_count") === 3L)
+    assert(root.head.getAs[Int]("file_count") >= 1)
+  }
+
+  test("partitions table surfaces MoR delete debt and freshness") {
+    spark.sql("""CREATE TABLE graft.db.debt (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 20).selectExpr("id", "CASE WHEN id < 10 THEN 'a' ELSE 'b' END AS cat")
+      .writeTo("graft.db.debt").append()
+    val appendSid = coreTable("debt").meta.currentSnapshot.get.snapshotId
+    spark.sql("DELETE FROM graft.db.debt WHERE cat = 'a' AND id % 3 = 0")
+    val delSid = coreTable("debt").meta.currentSnapshot.get.snapshotId
+    val rows = spark.sql("""SELECT partition.cat, record_count,
+        position_delete_record_count, position_delete_file_count,
+        equality_delete_record_count, last_updated_snapshot_id,
+        last_updated_at
+      FROM graft.db.debt.partitions ORDER BY partition.cat""").collect()
+    assert(rows.length === 2)
+    val a = rows(0); val b = rows(1)
+    assert(a.getString(0) === "a")
+    assert(a.getLong(1) === 10L)     // MoR: data files untouched
+    assert(a.getLong(2) === 4L)      // ids 0,3,6,9 deleted
+    assert(a.getInt(3) >= 1)
+    assert(a.getLong(4) === 0L)
+    assert(a.getLong(5) === delSid)  // debt partition updated by the delete
+    assert(!a.isNullAt(6))
+    assert(b.getString(0) === "b")
+    assert(b.getLong(2) === 0L && b.getInt(3) === 0)
+    assert(b.getLong(5) === appendSid) // untouched partition keeps the append
+  }
+
+  test("partitions table surfaces equality-delete debt") {
+    spark.sql("""CREATE TABLE graft.db.eqd (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.equality-enabled'='true')""")
+    spark.sql("CALL graft.system.set_identifier_fields('db.eqd', 'id')")
+    spark.range(0, 10).selectExpr("id", "CASE WHEN id < 5 THEN 'a' ELSE 'b' END AS cat")
+      .writeTo("graft.db.eqd").append()
+    spark.sql("DELETE FROM graft.db.eqd WHERE cat = 'b' AND id >= 8")
+    val byCat = spark.sql("""SELECT partition.cat,
+        equality_delete_record_count, equality_delete_file_count
+      FROM graft.db.eqd.partitions ORDER BY partition.cat""").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(byCat("b")._1 === 2L && byCat("b")._2 >= 1)
+    assert(byCat("a") === ((0L, 0)))
+  }
+
+  test("position_deletes serves partition/spec_id/delete_file_path and a row column") {
+    spark.sql("""CREATE TABLE graft.db.pdp (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 12).selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cat")
+      .writeTo("graft.db.pdp").append()
+    spark.sql("DELETE FROM graft.db.pdp WHERE id IN (0, 2, 1)")
+    val pd = spark.table("graft.db.pdp.position_deletes")
+    val rowT = pd.schema("row").dataType.asInstanceOf[StructType]
+    assert(rowT.fieldNames.toSeq === Seq("id", "cat"))
+    val byCat = pd.groupBy("partition.cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCat === Map("a" -> 2L, "b" -> 1L))
+    val served = pd.select("spec_id", "delete_file_path", "row").collect()
+    assert(served.forall(r => !r.isNullAt(0) && r.getString(1).nonEmpty))
+    // graft's delete writers don't store the deleted row content
+    assert(served.forall(_.isNullAt(2)))
+  }
+
+  test("v3 DVs ride position_deletes with typed partition and blob offsets") {
+    spark.sql("""CREATE TABLE graft.db.pdv (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('format-version'='3',
+                     'write.delete.mode'='merge-on-read')""")
+    spark.range(0, 10).selectExpr("id", "CASE WHEN id < 6 THEN 'a' ELSE 'b' END AS cat")
+      .coalesce(1).writeTo("graft.db.pdv").append()
+    spark.sql("DELETE FROM graft.db.pdv WHERE id IN (1, 7)")
+    val pd = spark.table("graft.db.pdv.position_deletes")
+    assert(pd.schema.fieldNames.contains("content_offset"))
+    val rows = pd.select("partition.cat", "pos", "content_offset",
+      "content_size_in_bytes").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(0)).toSet === Set("a", "b"))
+    assert(rows.forall(r => !r.isNullAt(2) && r.getLong(3) > 0L))
+  }
+
+  test("bucket/truncate transforms keep their typed result in the struct") {
+    spark.sql("""CREATE TABLE graft.db.tb (id BIGINT, name STRING)
+      PARTITIONED BY (bucket(4, id), truncate(2, name))""")
+    spark.sql("INSERT INTO graft.db.tb VALUES (7, 'graft'), (9, 'spark')")
+    val pt = spark.table("graft.db.tb.files").schema("partition").dataType
+      .asInstanceOf[StructType]
+    assert(pt("id_bucket").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(pt("name_trunc").dataType === org.apache.spark.sql.types.StringType)
+    val got = spark.sql("""SELECT partition.id_bucket, partition.name_trunc,
+        record_count FROM graft.db.tb.files ORDER BY partition.name_trunc""")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._2).toSeq === Seq("gr", "sp"))
+    assert(got.forall(g => g._1 >= 0 && g._1 < 4 && g._3 === 1L))
+  }
+}
