@@ -799,7 +799,12 @@ object CommitRetry {
       throw new CommitConflictException(
         s"$what failed: retries exhausted ${elapsed} ms at $where " +
           s"($TotalTimeoutKey=${k.totalTimeoutMs})")
-    waitMs(attempt, k, java.util.concurrent.ThreadLocalRandom.current())
+    // clamp to the remaining wall-clock budget: a single backoff can be
+    // up to max-wait-ms (60s default) — unclamped it would overshoot the
+    // configured total timeout by nearly a full max-wait
+    math.min(
+      waitMs(attempt, k, java.util.concurrent.ThreadLocalRandom.current()),
+      k.totalTimeoutMs - elapsed)
   }
 }
 

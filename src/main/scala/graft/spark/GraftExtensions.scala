@@ -165,22 +165,48 @@ class ResolveGraftViews(spark: org.apache.spark.sql.SparkSession)
 
   /** Re-qualify unqualified names in the view body with the view's STORED
     * resolution context (reference ResolveViews.qualifyTableIdentifiers:
-    * 162-174): a view created under `USE graft.db` must read the same
-    * tables from any later session, whatever its current catalog is.
-    * 1-part names get catalog+namespace, multi-part names that don't
-    * start with a registered catalog get the catalog. */
+    * 162-174 + qualifyFunctionIdentifiers): a view created under
+    * `USE graft.db` must read the same tables — and bind the same
+    * catalog-stored UDFs/UDTFs — from any later session, whatever its
+    * current catalog is. 1-part names get catalog+namespace, multi-part
+    * names that don't start with a registered catalog get the catalog.
+    * Function names that are built-ins or session temp functions keep
+    * their 1-part form (temp functions are already rejected at view
+    * creation; the check here is defense for Spark's own built-ins). */
   private def qualify(plan: LogicalPlan, ctx: Seq[String]): LogicalPlan =
     if (ctx.isEmpty) plan
-    else plan transform {
-      case u @ UR(Seq(table), _, _) =>
-        u.copy(multipartIdentifier = ctx :+ table)
-      case u @ UR(parts, _, _)
-          if !catalogManager.isCatalogRegistered(parts.head) =>
-        u.copy(multipartIdentifier = ctx.head +: parts)
-      case other =>
-        other.transformExpressions { case sq: SubqueryExpression =>
-          sq.withNewPlan(qualify(sq.plan, ctx))
+    else {
+      val sessionCat = spark.sessionState.catalog
+      def qualifyFns(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : org.apache.spark.sql.catalyst.expressions.Expression =
+        e.transformUp {
+          case sq: SubqueryExpression => sq.withNewPlan(qualify(sq.plan, ctx))
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.nameParts.size == 1 &&
+                sessionCat.lookupBuiltinOrTempFunction(f.nameParts.head).isEmpty &&
+                sessionCat.lookupBuiltinOrTempTableFunction(f.nameParts.head).isEmpty =>
+            f.copy(nameParts = ctx :+ f.nameParts.head)
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.nameParts.size > 1 &&
+                !catalogManager.isCatalogRegistered(f.nameParts.head) =>
+            f.copy(nameParts = ctx.head +: f.nameParts)
         }
+      plan transform {
+        case u @ UR(Seq(table), _, _) =>
+          u.copy(multipartIdentifier = ctx :+ table)
+        case u @ UR(parts, _, _)
+            if !catalogManager.isCatalogRegistered(parts.head) =>
+          u.copy(multipartIdentifier = ctx.head +: parts)
+        // stored table functions that did NOT expand at parse time (their
+        // name only resolves under the stored context) re-qualify here and
+        // expand in ResolveGraftUdfs' analyzer pass
+        case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+            if tvf.name.size == 1 &&
+              sessionCat.lookupBuiltinOrTempTableFunction(tvf.name.head).isEmpty =>
+          tvf.copy(name = ctx :+ tvf.name.head,
+            functionArgs = tvf.functionArgs.map(qualifyFns))
+        case other => other.mapExpressions(qualifyFns)
+      }
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {

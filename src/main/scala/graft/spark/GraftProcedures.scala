@@ -678,9 +678,15 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         // qualify — undersized ones by count, any oversized one alone
         param("min_file_size_bytes", LongType, "-1"),
         param("max_file_size_bytes", LongType, "-1"))
-    case "rewrite_manifests" | "rewrite_position_deletes"
-       | "rewrite_position_delete_files" =>
-      Array(param("table", StringType))
+    case "rewrite_manifests" => Array(param("table", StringType))
+    case "rewrite_position_deletes" | "rewrite_position_delete_files" =>
+      // reference RewritePositionDeleteFilesSparkAction honors
+      // partial-progress.enabled / partial-progress.max-commits: a
+      // 100-TB table with millions of delete files must not ride one
+      // giant all-or-nothing commit
+      Array(param("table", StringType),
+        param("partial_progress_enabled", BooleanType, "false"),
+        param("partial_progress_max_commits", IntegerType, "10"))
     case "ancestors_of" =>
       Array(param("table", StringType), param("snapshot_id", LongType, "-1"))
     case "publish_changes" =>
@@ -1222,12 +1228,33 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
       } else {
         val conf = spark.sessionState.newHadoopConf()
         GraftParquetCrypto.configure(conf, t.meta)
-        val newFiles = Seq.newBuilder[DataFile]
-        val oldPaths = Seq.newBuilder[String]
         import org.apache.spark.sql.functions.{col => fcol}
         val liveDf = spark.createDataFrame(
           liveData.toSeq.map(Tuple1(_))).toDF("__live")
-        rewritable.foreach { case ((specId, _), fs) =>
+        // partial progress (reference partial-progress.enabled/
+        // max-commits): deterministic group order → stable batches; each
+        // batch commits separately and validates from the PREVIOUS commit,
+        // so a mid-run failure keeps everything already committed and a
+        // failed batch forfeits only its own groups (its uncommitted
+        // outputs become orphans for remove_orphan_files)
+        val partialProgress = input.getBoolean(1)
+        val maxCommits = math.max(1, input.getInt(2))
+        val groupSeq = rewritable.toSeq.sortBy { case ((specId, key), _) =>
+          (specId, key.map(String.valueOf).mkString(" ")) }
+        val doPartial = partialProgress && groupSeq.size > 1
+        val batchSize =
+          if (doPartial)
+            math.max(1, math.ceil(groupSeq.size.toDouble / maxCommits).toInt)
+          else groupSeq.size
+        var validateFrom = scanSnap
+        var rewrittenTotal = 0
+        var addedTotal = 0
+        var batchIdx = 0
+        groupSeq.grouped(batchSize).foreach { batch => try {
+        batchIdx += 1
+        val newFiles = Seq.newBuilder[DataFile]
+        val oldPaths = Seq.newBuilder[String]
+        batch.foreach { case ((specId, _), fs) =>
           val partition = fs.head.partition
           // keep delete rows that still apply to SOME live file under the
           // read path's matching rule (exact wins, unique suffix only).
@@ -1323,13 +1350,30 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
               contentOffset = Some(off), contentSizeInBytes = Some(len))
         }.toSeq
         val finalNew = restNew ++ dedupedDv
+        // TEST FAILPOINT (fault-injection seam, set only by tests): lets a
+        // spec prove a mid-run batch failure leaves earlier batch commits
+        // intact — the conflict/IO failures this models can't be staged
+        // deterministically from SQL
+        if (sys.props.get("graft.test.rpd.failBatch")
+            .flatMap(_.toIntOption).contains(batchIdx))
+          throw new RuntimeException(s"injected failure in batch $batchIdx")
         val ow = t.newOverwrite().deleteFiles(oldPaths.result())
           .addFiles(finalNew).overrideOperation("replace")
-        scanSnap.foreach(ow.validateFromSnapshot)
-        ow.commit()
+        validateFrom.foreach(ow.validateFromSnapshot)
+        val snap = ow.commit()
+        validateFrom = Some(snap.snapshotId)
+        rewrittenTotal += oldPaths.result().size
+        addedTotal += finalNew.size
+        } catch {
+          // partial progress: a failed batch forfeits only its own groups
+          case e: Throwable if doPartial =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"rewrite_position_deletes batch $batchIdx failed, " +
+                s"forfeiting ${batch.size} groups", e)
+        }}
         out(StructType(Seq(StructField("rewritten_delete_files_count", IntegerType),
           StructField("added_delete_files_count", IntegerType))),
-          row(oldPaths.result().size, finalNew.size))
+          row(rewrittenTotal, addedTotal))
       }
 
     case "compute_table_stats" =>

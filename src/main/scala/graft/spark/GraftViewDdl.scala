@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, CurrentNamespace, NoSuchViewException, UnresolvedFunction, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowCreateTable, ShowViews, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DescribeRelation, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowCreateTable, ShowTableProperties, ShowViews, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.util.StringUtils
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -102,6 +102,34 @@ object GraftViewDdl {
           ShowCreateGraftViewCommand(g, ident, sct.output): LogicalPlan
         }.getOrElse(sct)
       case _ => sct
+    }
+
+    // DESCRIBE on a graft VIEW: Spark routes it through
+    // UnresolvedTableOrView, which only the session catalog serves —
+    // swap to a command that prints the stored schema + view detail
+    // (the reference reaches the same surface through its v2-view
+    // analyzer path). Tables keep Spark's handling.
+    case dr: DescribeRelation => dr.relation match {
+      case uv: UnresolvedTableOrView
+          if !isTempView(spark, uv.multipartIdentifier) =>
+        graftIdent(spark, uv.multipartIdentifier).filter { case (g, ident) =>
+          try { g.loadView(ident); true } catch { case _: Exception => false }
+        }.map { case (g, ident) =>
+          DescribeGraftViewCommand(g, ident, dr.isExtended, dr.output): LogicalPlan
+        }.getOrElse(dr)
+      case _ => dr
+    }
+
+    // SHOW TBLPROPERTIES on a graft VIEW
+    case stp: ShowTableProperties => stp.table match {
+      case uv: UnresolvedTableOrView
+          if !isTempView(spark, uv.multipartIdentifier) =>
+        graftIdent(spark, uv.multipartIdentifier).filter { case (g, ident) =>
+          try { g.loadView(ident); true } catch { case _: Exception => false }
+        }.map { case (g, ident) =>
+          ShowGraftViewPropsCommand(g, ident, stp.propertyKey, stp.output): LogicalPlan
+        }.getOrElse(stp)
+      case _ => stp
     }
 
     // ALTER VIEW ... RENAME TO: moves the document within the catalog
@@ -243,7 +271,7 @@ object GraftViewDdl {
   private[spark] def verifyNoCycles(spark: SparkSession, target: GraftCatalog,
       ident: Identifier, query: LogicalPlan): Unit = {
     val seen = scala.collection.mutable.Set.empty[(String, Identifier)]
-    val budget = new java.util.concurrent.atomic.AtomicInteger(100)
+    val budget = new java.util.concurrent.atomic.AtomicInteger(1000)
     def walk(q: LogicalPlan, path: Seq[String]): Unit = {
       val refs = CTESubstitution.apply(q).flatMap {
         case u: UnresolvedRelation => Seq(u.multipartIdentifier)
@@ -262,7 +290,14 @@ object GraftViewDdl {
             throw new IllegalArgumentException(
               s"Cannot alter view ${target.name}.$ident: cyclic view " +
                 s"reference through ${(path :+ here).mkString(" -> ")}")
-          if (seen.add((g.name, id)) && budget.decrementAndGet() > 0) {
+          if (seen.add((g.name, id))) {
+            // REFUSE (don't silently pass) when the graph outgrows the
+            // walk budget: an unverified commit could hide a cycle that
+            // breaks every later read
+            if (budget.decrementAndGet() < 0)
+              throw new IllegalStateException(
+                s"Cannot alter view ${target.name}.$ident: the view " +
+                  "dependency graph exceeds the 1000-view cycle-check budget")
             val body = try Some(g.loadView(id).query())
               catch { case _: Exception => None } // a table, or missing
             body.foreach(sql =>
@@ -401,6 +436,61 @@ final case class ShowCreateGraftViewCommand(catalog: GraftCatalog,
         .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")"))
     sb.append(s"\nAS ${v.query}\n")
     Seq(Row(sb.toString))
+  }
+}
+
+/** DESCRIBE [EXTENDED] on a graft view: the stored column schema (with
+  * declared column comments), plus — EXTENDED — a detail section shaped
+  * like Spark's session-view rendering (View Text, creation context,
+  * query output columns, properties). */
+final case class DescribeGraftViewCommand(catalog: GraftCatalog,
+    ident: Identifier, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(ident)
+    val comments = v.columnComments()
+    val cols = v.schema().fields.zipWithIndex.map { case (f, i) =>
+      Row(f.name, f.dataType.simpleString,
+        if (i < comments.length && comments(i).nonEmpty) comments(i) else null)
+    }.toSeq
+    if (!isExtended) cols
+    else {
+      val props = v.properties().asScala.toSeq.sortBy(_._1)
+        .filterNot(_._1 == "comment")
+        .map { case (k, x) => s"$k=$x" }.mkString("[", ", ", "]")
+      cols ++ Seq(
+        Row("", "", ""),
+        Row("# Detailed View Information", "", ""),
+        Row("Catalog", catalog.name, ""),
+        Row("Namespace", ident.namespace.mkString("."), ""),
+        Row("View", ident.name, ""),
+        Row("Type", "VIEW", "")) ++
+        Option(v.properties().get("comment")).map(c => Row("Comment", c, "")) ++ Seq(
+        Row("View Text", v.query, ""),
+        Row("View Catalog and Namespace",
+          (v.currentCatalog +: v.currentNamespace.toSeq).mkString("."), ""),
+        Row("View Query Output Columns",
+          v.queryColumnNames.mkString("[", ", ", "]"), ""),
+        Row("View Properties", props, ""))
+    }
+  }
+}
+
+/** SHOW TBLPROPERTIES on a graft view: all stored properties, or the one
+  * asked for (with Spark's does-not-have-property message when absent). */
+final case class ShowGraftViewPropsCommand(catalog: GraftCatalog,
+    ident: Identifier, propertyKey: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = catalog.loadView(ident).properties().asScala.toMap
+    propertyKey match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k,
+        s"View ${(Seq(catalog.name) ++ ident.namespace :+ ident.name).mkString(".")} " +
+          s"does not have property: $k")))
+      case None => props.toSeq.sortBy(_._1).map { case (k, x) => Row(k, x) }
+    }
   }
 }
 

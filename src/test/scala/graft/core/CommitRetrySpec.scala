@@ -101,6 +101,24 @@ class CommitRetrySpec extends AnyFunSuite {
     assert(CommitRetry.waitMs(5, huge, rnd) >= Long.MaxValue / 2)
   }
 
+  test("a backoff never sleeps past the total-timeout wall clock") {
+    // min-wait 60s with a 500ms total budget: unclamped, one backoff
+    // would overshoot the budget 120×
+    val props = Map(
+      CommitRetry.NumRetriesKey -> "10",
+      CommitRetry.MinWaitKey -> "60000",
+      CommitRetry.MaxWaitKey -> "60000",
+      CommitRetry.TotalTimeoutKey -> "500")
+    val startedAt = System.currentTimeMillis() - 200 // 200ms already spent
+    val w = CommitRetry.nextWaitOrThrow(1, startedAt, props, "t", "w")
+    assert(w <= 300L, s"sleep $w must not extend past the remaining budget")
+    // budget already spent → throws instead of sleeping
+    intercept[CommitConflictException] {
+      CommitRetry.nextWaitOrThrow(
+        1, System.currentTimeMillis() - 600, props, "t", "w")
+    }
+  }
+
   test("transactions honor the same budget") {
     val (t, ops) = tableWith(Map(
       CommitRetry.NumRetriesKey -> "1", CommitRetry.MinWaitKey -> "1",

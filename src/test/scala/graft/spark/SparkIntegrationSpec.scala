@@ -1445,6 +1445,51 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) FROM graft.db.rpd.all_delete_files").collect()(0).getLong(0) >= 1L)
   }
 
+  test("rewrite_position_deletes partial progress: earlier batches survive a failure") {
+    spark.sql("""CREATE TABLE graft.db.rpdp (id BIGINT, p BIGINT)
+      PARTITIONED BY (p)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    (0 until 2).foreach { _ =>
+      spark.range(0, 40).selectExpr("id", "id % 4 AS p")
+        .writeTo("graft.db.rpdp").append()
+    }
+    // two MoR deletes → ≥2 position-delete files in EVERY partition →
+    // 4 rewritable groups
+    spark.sql("DELETE FROM graft.db.rpdp WHERE id % 5 = 0")
+    spark.sql("DELETE FROM graft.db.rpdp WHERE id % 7 = 2")
+    // ids removed: 8 (%5) + 6 (%7=2) - 1 (id 30 in both) = 13 → 27 ids × 2
+    val expected = 54L
+    def rows() = spark.sql("SELECT count(*) FROM graft.db.rpdp")
+      .collect()(0).getLong(0)
+    def snaps() = spark.sql("SELECT count(*) FROM graft.db.rpdp.snapshots")
+      .collect()(0).getLong(0)
+    assert(rows() === expected)
+    val delsBefore = spark.sql(
+      "SELECT count(*) FROM graft.db.rpdp.delete_files").collect()(0).getLong(0)
+    assert(delsBefore >= 8L) // 4 partitions × 2 delete files
+    // inject a failure into batch 2 of 2: batch 1's commit must survive,
+    // batch 2 forfeits its groups, and the table keeps masking correctly
+    val before = snaps()
+    System.setProperty("graft.test.rpd.failBatch", "2")
+    val res1 = try spark.sql(
+      "CALL graft.system.rewrite_position_deletes('db.rpdp', true, 2)")
+      .collect()(0)
+    finally System.clearProperty("graft.test.rpd.failBatch")
+    assert(snaps() - before === 1L, "exactly the surviving batch committed")
+    assert(res1.getInt(0) > 0 && res1.getInt(0) < delsBefore.toInt,
+      s"partial result must reflect only committed batches: $res1")
+    assert(rows() === expected, "masking intact after the partial run")
+    val delsMid = spark.sql(
+      "SELECT count(*) FROM graft.db.rpdp.delete_files").collect()(0).getLong(0)
+    assert(delsMid < delsBefore, "batch 1's consolidation is visible")
+    // re-run without the failpoint: the forfeited groups get rewritten
+    spark.sql("CALL graft.system.rewrite_position_deletes('db.rpdp', true, 2)")
+    val delsAfter = spark.sql(
+      "SELECT count(*) FROM graft.db.rpdp.delete_files").collect()(0).getLong(0)
+    assert(delsAfter === 4L, s"one merged delete file per partition: $delsAfter")
+    assert(rows() === expected)
+  }
+
   test("join on non-partition key with partition column pruned away (DPP refs)") {
     // regression: filterAttributes used to report partition source columns
     // unconditionally; when the projection dropped them, Spark's dynamic

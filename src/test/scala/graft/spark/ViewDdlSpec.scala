@@ -276,6 +276,42 @@ class ViewDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW graft.db.v_esc")
   }
 
+  test("DESCRIBE and DESCRIBE EXTENDED serve the stored view schema") {
+    spark.sql("""CREATE VIEW graft.db.d_v (a COMMENT 'first', b)
+      COMMENT 'view doc' TBLPROPERTIES ('team'='core')
+      AS SELECT 1, 'x'""")
+    val basic = spark.sql("DESCRIBE graft.db.d_v").collect()
+    assert(basic.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(basic.head.getString(1) === "int")
+    assert(basic.head.getString(2) === "first")
+    assert(basic(1).getString(1) === "string")
+    val ext = spark.sql("DESCRIBE EXTENDED graft.db.d_v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ext("Type") === "VIEW")
+    assert(ext("Catalog") === "graft")
+    assert(ext("Namespace") === "db")
+    assert(ext("View") === "d_v")
+    assert(ext("Comment") === "view doc")
+    assert(ext("View Text").contains("SELECT 1"))
+    assert(ext("View Properties").contains("team=core"))
+    // tables keep Spark's own DESCRIBE
+    assert(spark.sql("DESCRIBE graft.db.src").collect().nonEmpty)
+    spark.sql("DROP VIEW graft.db.d_v")
+  }
+
+  test("SHOW TBLPROPERTIES on a view: all keys, one key, missing key") {
+    spark.sql("""CREATE VIEW graft.db.p_v
+      TBLPROPERTIES ('k1'='v1', 'k2'='v2') AS SELECT 1""")
+    val all = spark.sql("SHOW TBLPROPERTIES graft.db.p_v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(all.get("k1").contains("v1") && all.get("k2").contains("v2"))
+    val one = spark.sql("SHOW TBLPROPERTIES graft.db.p_v ('k1')").collect()
+    assert(one.length === 1 && one.head.getString(1) === "v1")
+    val missing = spark.sql("SHOW TBLPROPERTIES graft.db.p_v ('nope')").collect()
+    assert(missing.head.getString(1).contains("does not have property"))
+    spark.sql("DROP VIEW graft.db.p_v")
+  }
+
   test("stored resolution context: unqualified names resolve as at creation") {
     // create under USE graft.db with a bare table name; read from a
     // DIFFERENT current catalog/namespace later
@@ -284,5 +320,24 @@ class ViewDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("USE spark_catalog.default")
     assert(spark.sql("SELECT n FROM graft.db.ctx_v").collect().head.getLong(0) === 30L)
     spark.sql("DROP VIEW graft.db.ctx_v")
+  }
+
+  test("stored resolution context: unqualified UDF/UDTF bind as at creation") {
+    // reference ResolveViews.qualifyFunctionIdentifiers: a view created
+    // under USE graft.db that calls an unqualified catalog-stored
+    // function must bind THAT function from any later context — while
+    // built-ins in the same body stay built-ins
+    spark.sql("CALL graft.system.create_udf('db.v_plus2', 'x bigint', 'bigint', 'x + 2')")
+    spark.sql("CALL graft.system.create_udtf('db.v_rows', '', 'SELECT id AS n FROM range(3)')")
+    spark.sql("USE graft.db")
+    spark.sql("""CREATE VIEW fn_v AS
+      SELECT v_plus2(k) AS p, abs(-k) AS a FROM src WHERE k = 1""")
+    spark.sql("CREATE VIEW tvf_v AS SELECT SUM(n) AS s FROM v_rows()")
+    spark.sql("USE spark_catalog.default")
+    val r = spark.sql("SELECT p, a FROM graft.db.fn_v").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 1L)
+    assert(spark.sql("SELECT s FROM graft.db.tvf_v").collect().head.getLong(0) === 3L)
+    spark.sql("DROP VIEW graft.db.fn_v")
+    spark.sql("DROP VIEW graft.db.tvf_v")
   }
 }
