@@ -97,7 +97,13 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       // steps (the checkpoint-seeded delta path re-deriving aggregates
       // over MERGED manifest lists is the subtlest interaction of the
       // two features)
-      statsEvery: Option[Int] = None): Unit = {
+      statsEvery: Option[Int] = None,
+      // tiny row groups/stripes + a small split target: EVERY read in the
+      // run exercises offsets-aware delete-tolerant splits (r16) — the
+      // per-split posBase accounting is positional and new, so it gets
+      // the same model-checked sweep over random DV/pos/eq histories as
+      // everything else
+      tinySplits: Boolean = false): Unit = {
     val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
     val fq = s"$cat.db.$name"
     val catWarehouse =
@@ -112,20 +118,29 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // random op lands on freshly-rewritten (Existing-status) manifests
     val mergeProp = mergeMinCount
       .map(n => s", 'commit.manifest.min-count-to-merge'='$n'").getOrElse("")
+    val splitProp = if (!tinySplits) "" else
+      ", 'write.parquet.row-group-size-bytes'='32768'" +
+      ", 'write.orc.stripe-size-bytes'='32768'" +
+      ", 'read.split.target-size'='65536'"
     spark.sql(s"""CREATE TABLE $fq (id BIGINT, grp BIGINT, v STRING)
       $partClause TBLPROPERTIES ('format-version'='3',
-        'write.format.default'='$format'$compatProp$mergeProp)""")
+        'write.format.default'='$format'$compatProp$mergeProp$splitProp)""")
 
     val rng = new Random(seed)
     val model = mutable.LinkedHashMap.empty[Long, (Long, String)]
     var nextId = 0L
 
     def appendRows(): String = {
-      val n = 1 + rng.nextInt(40)
+      // tiny-splits arm: appends must be big enough — and INCOMPRESSIBLE
+      // enough (a constant pad snappy-compresses below the split target)
+      // — that files span several 32 KB row groups/stripes, or no read
+      // would ever split
+      val n = if (tinySplits) 4000 + rng.nextInt(4000) else 1 + rng.nextInt(40)
       val rows = (0 until n).map { _ =>
         val id = nextId; nextId += 1
         val grp = rng.nextInt(5).toLong
-        val v = s"v$id-${rng.nextInt(100)}"
+        val pad = if (tinySplits) "-" + rng.alphanumeric.take(40).mkString else ""
+        val v = s"v$id-${rng.nextInt(100)}$pad"
         model.put(id, (grp, v))
         (id, grp, v)
       }
@@ -266,6 +281,7 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       c.loadTable(Seq("db"), name).get
     }
 
+    var sawSplit = false
     def check(step: Int, op: String): Unit = {
       val actual = spark.sql(s"SELECT id, grp, v FROM $fq")
         .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
@@ -277,6 +293,13 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"model ${expected.take(8)}... (${expected.size} rows)")
       coreTable().meta.currentSnapshot.foreach(s =>
         snapshotsSeen += ((s.snapshotId, expected)))
+      // tiny-splits arm: the sweep is only meaningful if reads actually
+      // plan MORE tasks than there are live data files at least once
+      if (tinySplits && !sawSplit) {
+        val live = coreTable().newScan().planFiles()
+          .map(_.file.path).distinct.size
+        sawSplit = spark.table(fq).rdd.getNumPartitions > live
+      }
     }
 
     // incremental-vs-full partition-stats invariant (reference
@@ -413,6 +436,10 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"seed=$seed: $cnt content-$content manifests exceed bound $bound")
       }
     }
+
+    assert(!tinySplits || sawSplit,
+      s"seed=$seed: the tiny-splits arm never planned a multi-split read " +
+        "— the sweep exercised nothing; grow the appends or shrink the target")
 
     // end-of-life: everything still reads after a final compact + expire
     spark.sql(s"CALL $cat.system.rewrite_data_files(table => 'db.$name')")
@@ -836,6 +863,20 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       statsEvery = Some(5))
   }
 
+  // offsets-aware split sweep: 32 KB row groups + a 64 KB split target
+  // mean EVERY read here plans multiple splits per file over random
+  // DV/pos/eq-delete histories — the per-split posBase accounting (r16)
+  // is positional, so masking staying file-absolute gets model-checked
+  // on both the parquet and ORC paths
+  test("seeded DML fuzz with tiny row-group splits (parquet)") {
+    runSeed(seed = 171001, partitioned = true, steps = 15, tinySplits = true)
+  }
+
+  test("seeded DML fuzz with tiny stripe splits (ORC)") {
+    runSeed(seed = 171002, partitioned = false, steps = 12, format = "orc",
+      tinySplits = true)
+  }
+
   // opt-in soak: GRAFT_FUZZ_SOAK=n runs n fresh random seeds per config
   // (failure messages carry the seed — promote any find to a fixed test)
   sys.env.get("GRAFT_FUZZ_SOAK").map(_.toInt).filter(_ > 0).foreach { n =>
@@ -856,7 +897,9 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           cat = if (i % 3 == 2) "gfzr"
                 else if (i % 4 == 1) "gfzp"
                 else if (i % 5 == 0) "gfzh"
-                else "gfz")
+                else "gfz",
+          // a slice forces offsets-aware splits on every read
+          tinySplits = i % 5 == 2)
       }
       test(s"soak branch fuzz, seed ${base + i}") {
         runBranchSeed(base + i, 20, icebergCompat = i % 2 == 0)
