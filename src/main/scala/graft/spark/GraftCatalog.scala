@@ -511,6 +511,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftViewStore.load(viewDocs, ident)
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
 
+  /** cheap existence probe (no document read/parse, no exception control
+    * flow) — the parse-time DDL swaps call this on every DESCRIBE/SHOW/
+    * RENAME statement, most of which target plain tables */
+  override def viewExists(ident: Identifier): Boolean =
+    try viewDocs.has(ident.namespace.toSeq, ident.name)
+    catch { case scala.util.control.NonFatal(_) => false }
+
   override def createView(info: ViewInfo): View =
     GraftViewStore.create(viewDocs, info, replace = false,
       defaults = policy.viewDefaults, overrides = policy.viewOverrides)

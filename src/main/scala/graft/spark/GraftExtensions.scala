@@ -205,6 +205,11 @@ class ResolveGraftViews(spark: org.apache.spark.sql.SparkSession)
               sessionCat.lookupBuiltinOrTempTableFunction(tvf.name.head).isEmpty =>
           tvf.copy(name = ctx :+ tvf.name.head,
             functionArgs = tvf.functionArgs.map(qualifyFns))
+        case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+            if tvf.name.size > 1 &&
+              !catalogManager.isCatalogRegistered(tvf.name.head) =>
+          tvf.copy(name = ctx.head +: tvf.name,
+            functionArgs = tvf.functionArgs.map(qualifyFns))
         case other => other.mapExpressions(qualifyFns)
       }
     }

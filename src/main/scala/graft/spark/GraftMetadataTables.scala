@@ -83,24 +83,52 @@ object GraftMetadataTables {
         }
       }
     }
-    seen.toSeq.sortBy(_._1).map { case (id, (n, dt)) => UPartField(id, n, dt) }
+    val raw = seen.toSeq.sortBy(_._1).map { case (id, (n, dt)) => UPartField(id, n, dt) }
+    // add_partition_field recycles historical field ids (reference
+    // BaseUpdatePartitionSpec), so one name normally maps to one id —
+    // but metadata written before that fix, or imported, can still carry
+    // two ids under one name. Disambiguate all but the NEWEST with the
+    // field id so `partition.<name>` never turns ambiguous.
+    val newestByName = raw.groupBy(_.name).map { case (n, fs) =>
+      n -> fs.map(_.fieldId).max }
+    raw.map(f =>
+      if (newestByName(f.name) == f.fieldId) f
+      else f.copy(name = s"${f.name}_${f.fieldId}"))
   }
 
   def partitionStructType(uparts: Seq[UPartField]): StructType =
     StructType(uparts.map(f => StructField(f.name, f.dt)))
+
+  /** Per-spec coercion indexes: unified-struct position → tuple index
+    * (-1 when the spec lacks the field). Computed ONCE per scan/task so
+    * the per-row coercion is a flat array walk, not an indexOf — these
+    * tables serve millions of rows at 100 TB. */
+  def coercionIndexes(uparts: Seq[UPartField],
+      specFieldIds: Map[Int, Seq[Int]]): Map[Int, Array[Int]] =
+    specFieldIds.map { case (sid, ids) =>
+      sid -> uparts.map(f => ids.indexOf(f.fieldId)).toArray
+    }
 
   /** Coerce one file's spec-shaped tuple into the unified struct
     * (reference PartitionUtil.coercePartition): match by partition-field
     * id, null where this spec has no such field. Bounds-guarded — tuples
     * written before global deletes got their own spec (r16) can be
     * shorter than their stamped spec. */
-  def coercedPartitionRow(uparts: Seq[UPartField], specFieldIds: Seq[Int],
-      tuple: Seq[Any]): InternalRow =
-    new GenericInternalRow(uparts.map[Any] { f =>
-      val i = specFieldIds.indexOf(f.fieldId)
-      if (i >= 0 && i < tuple.length) EqDeleteFiles.toInternal(tuple(i), f.dt)
-      else null
-    }.toArray)
+  def coercedPartitionRow(uparts: Seq[UPartField], idx: Array[Int],
+      tuple: Seq[Any]): InternalRow = {
+    val out = new Array[Any](uparts.length)
+    var i = 0
+    while (i < out.length) {
+      val j = if (i < idx.length) idx(i) else -1
+      out(i) =
+        if (j >= 0 && j < tuple.length) EqDeleteFiles.toInternal(tuple(j), uparts(i).dt)
+        else null
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  private[spark] val NoIdx: Array[Int] = Array.empty[Int]
 
   /** readable_metrics (reference MetricsUtil.readableMetricsSchema —
     * MetricsUtil.java:193,354 — joined into the table at
@@ -401,8 +429,10 @@ object GraftMetadataTables {
             }
             .reduceByKey(_ merge _)
             .collect()
+          // the reduce key is already in unified order: identity indexes
+          val identityIdx = Array.tabulate(uparts.length)(i => i)
           partials
-            .sortBy { case (key, _) => key.map(String.valueOf).mkString(" ") }
+            .sortBy { case (key, _) => key.map(String.valueOf).mkString("\u0000") }
             .map { case (key, a) =>
               val tail = Array[Any](a.dataRecords, a.dataFiles.toInt,
                 a.dataBytes, a.posRecords, a.posFiles.toInt,
@@ -411,7 +441,7 @@ object GraftMetadataTables {
                 if (a.lastTs == Long.MinValue) null else Long.box(a.lastSid))
               val head: Array[Any] =
                 if (uparts.isEmpty) Array.empty
-                else Array(coercedPartitionRow(uparts, upartIds, key), a.specId)
+                else Array(coercedPartitionRow(uparts, identityIdx, key), a.specId)
               new GenericInternalRow(head ++ tail): InternalRow
             }
         }
@@ -522,11 +552,15 @@ object ManifestEntriesScan {
       val t = p.asInstanceOf[ManifestReadTask]
       def us(v: String): UTF8String = UTF8String.fromString(v)
       // typed unified partition struct, or no column when every spec is
-      // unpartitioned (schema drops it; the row must match arity)
-      def partSlot(specId: Int, tuple: Seq[Any]): Seq[Any] =
-        if (t.uparts.isEmpty) Nil
-        else Seq(GraftMetadataTables.coercedPartitionRow(
-          t.uparts, t.specFieldIds.getOrElse(specId, Nil), tuple))
+      // unpartitioned (schema drops it; the row must match arity).
+      // Coercion indexes computed ONCE per manifest — the per-row path
+      // is a flat array walk
+      val hasPart = t.uparts.nonEmpty
+      val o = if (hasPart) 1 else 0
+      val idx = GraftMetadataTables.coercionIndexes(t.uparts, t.specFieldIds)
+      def partRow(specId: Int, tuple: Seq[Any]): Any =
+        GraftMetadataTables.coercedPartitionRow(t.uparts,
+          idx.getOrElse(specId, GraftMetadataTables.NoIdx), tuple)
       val entries = ManifestIO.readEntries(t.manifest).filter(_.isLive)
       val filtered = t.kind match {
         case "data_files" | "all_data_files" =>
@@ -538,13 +572,15 @@ object ManifestEntriesScan {
       val it: Iterator[InternalRow] =
         if (t.kind == "entries" || t.kind == "all_entries")
           filtered.iterator.map { e =>
-            new GenericInternalRow((Seq[Any](
-              e.status, e.snapshotId, e.dataSequenceNumber, us(e.file.path),
-              e.file.recordCount, e.file.content, e.file.fileSizeBytes,
-              e.file.specId) ++
-              partSlot(e.file.specId, e.file.partition) :+
-              GraftMetadataTables.readableMetricsRow(
-                e.file.columnStats, t.metricCols)).toArray): InternalRow
+            val out = new Array[Any](9 + o)
+            out(0) = e.status; out(1) = e.snapshotId
+            out(2) = e.dataSequenceNumber; out(3) = us(e.file.path)
+            out(4) = e.file.recordCount; out(5) = e.file.content
+            out(6) = e.file.fileSizeBytes; out(7) = e.file.specId
+            if (hasPart) out(8) = partRow(e.file.specId, e.file.partition)
+            out(8 + o) = GraftMetadataTables.readableMetricsRow(
+              e.file.columnStats, t.metricCols)
+            new GenericInternalRow(out): InternalRow
           }
         else
           filtered.iterator.map { e =>
@@ -564,16 +600,19 @@ object ManifestEntriesScan {
               if (kv.isEmpty) null
               else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2: Any).toArray)
             }
-            new GenericInternalRow((Seq[Any](
-              e.file.content, us(e.file.path), us(e.file.format), e.file.specId) ++
-              partSlot(e.file.specId, e.file.partition) ++ Seq[Any](
-              e.file.recordCount, e.file.fileSizeBytes,
-              counts(_.valueCount), counts(_.nullCount), counts(_.nanCount),
-              bounds(_.lower), bounds(_.upper),
-              e.file.contentOffset.map(Long.box).orNull,
-              e.file.contentSizeInBytes.map(Long.box).orNull,
-              GraftMetadataTables.readableMetricsRow(
-                e.file.columnStats, t.metricCols))).toArray): InternalRow
+            val out = new Array[Any](14 + o)
+            out(0) = e.file.content; out(1) = us(e.file.path)
+            out(2) = us(e.file.format); out(3) = e.file.specId
+            if (hasPart) out(4) = partRow(e.file.specId, e.file.partition)
+            out(4 + o) = e.file.recordCount; out(5 + o) = e.file.fileSizeBytes
+            out(6 + o) = counts(_.valueCount); out(7 + o) = counts(_.nullCount)
+            out(8 + o) = counts(_.nanCount)
+            out(9 + o) = bounds(_.lower); out(10 + o) = bounds(_.upper)
+            out(11 + o) = e.file.contentOffset.map(Long.box).orNull
+            out(12 + o) = e.file.contentSizeInBytes.map(Long.box).orNull
+            out(13 + o) = GraftMetadataTables.readableMetricsRow(
+              e.file.columnStats, t.metricCols)
+            new GenericInternalRow(out): InternalRow
           }
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
@@ -628,17 +667,11 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata)
     val spark = org.apache.spark.sql.SparkSession.active
     // NAME-matched read schema: toSparkStruct stamps parquet field-id
     // metadata, and any id in the read schema makes Spark demand ids in
-    // the FILE — graft-written delete files carry none. Strip recursively.
-    def strip(dt: DataType): DataType = dt match {
-      case s: StructType => StructType(s.fields.map(f =>
-        StructField(f.name, strip(f.dataType), f.nullable)))
-      case a: ArrayType  => a.copy(elementType = strip(a.elementType))
-      case mp: MapType   => mp.copy(keyType = strip(mp.keyType),
-        valueType = strip(mp.valueType))
-      case other         => other
-    }
-    val rowType = strip(SparkTypes.toSparkStruct(m.schema.struct))
-      .asInstanceOf[StructType]
+    // the FILE — graft-written delete files carry none. stripFieldIds
+    // removes ONLY the parquet ids: EXISTS_DEFAULT etc. must survive or
+    // v3 initial defaults silently stop applying to stored `row` content.
+    val rowType =
+      GraftSparkTable.stripFieldIds(SparkTypes.toSparkStruct(m.schema.struct))
     // read (file_path, pos, row): delete files that never stored the
     // deleted row content — all graft-written ones — fill `row` null
     // through the normal missing-column path
@@ -677,17 +710,28 @@ object PositionDeletesScan {
     extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val t = p.asInstanceOf[PosDeleteFileTask]
+      val idx = GraftMetadataTables.coercionIndexes(uparts, specFieldIds)
       val partSlot: Seq[Any] =
         if (uparts.isEmpty) Nil
-        else Seq(GraftMetadataTables.coercedPartitionRow(
-          uparts, specFieldIds.getOrElse(t.specId, Nil), t.partition))
-      val offSlot: Seq[Any] =
-        if (!v3) Nil
-        else Seq(t.contentOffset.map(Long.box).orNull,
-          t.contentSize.map(Long.box).orNull)
-      def out(filePath: Any, pos: Long, row: Any): InternalRow =
-        new GenericInternalRow((Seq[Any](filePath, pos, row) ++ partSlot ++
-          Seq[Any](t.specId, UTF8String.fromString(t.path)) ++ offSlot).toArray)
+        else Seq(GraftMetadataTables.coercedPartitionRow(uparts,
+          idx.getOrElse(t.specId, GraftMetadataTables.NoIdx), t.partition))
+      // every slot but (file_path, pos, row) is CONSTANT per delete file
+      // — hoist them; the per-row path fills a pre-sized array (these
+      // scans serve millions of (file, pos) rows)
+      val po = partSlot.size
+      val width = 5 + po + (if (v3) 2 else 0)
+      val pathU = UTF8String.fromString(t.path)
+      def out(filePath: Any, pos: Long, row: Any): InternalRow = {
+        val a = new Array[Any](width)
+        a(0) = filePath; a(1) = pos; a(2) = row
+        if (po == 1) a(3) = partSlot.head
+        a(3 + po) = t.specId; a(4 + po) = pathU
+        if (v3) {
+          a(5 + po) = t.contentOffset.map(Long.box).orNull
+          a(6 + po) = t.contentSize.map(Long.box).orNull
+        }
+        new GenericInternalRow(a)
+      }
       val it: Iterator[InternalRow] =
         if (t.format == "dv") {
           // stream the bitmap: a 100M-position DV iterates in place

@@ -1240,7 +1240,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         val partialProgress = input.getBoolean(1)
         val maxCommits = math.max(1, input.getInt(2))
         val groupSeq = rewritable.toSeq.sortBy { case ((specId, key), _) =>
-          (specId, key.map(String.valueOf).mkString(" ")) }
+          (specId, key.map(String.valueOf).mkString("\u0000")) }
         val doPartial = partialProgress && groupSeq.size > 1
         val batchSize =
           if (doPartial)
@@ -1250,6 +1250,7 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         var rewrittenTotal = 0
         var addedTotal = 0
         var batchIdx = 0
+        var lastFailure: Throwable = null
         groupSeq.grouped(batchSize).foreach { batch => try {
         batchIdx += 1
         val newFiles = Seq.newBuilder[DataFile]
@@ -1365,12 +1366,19 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         rewrittenTotal += oldPaths.result().size
         addedTotal += finalNew.size
         } catch {
-          // partial progress: a failed batch forfeits only its own groups
-          case e: Throwable if doPartial =>
+          // partial progress: a failed batch forfeits only its own
+          // groups. NonFatal only — an OOM/interrupt must not keep the
+          // loop limping through a broken JVM.
+          case scala.util.control.NonFatal(e) if doPartial =>
+            lastFailure = e
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"rewrite_position_deletes batch $batchIdx failed, " +
                 s"forfeiting ${batch.size} groups", e)
         }}
+        // EVERY batch failing is a failed action, not a quiet (0, 0) —
+        // the caller must be able to tell total failure from nothing-to-do
+        if (rewrittenTotal == 0 && addedTotal == 0 && lastFailure != null)
+          throw lastFailure
         out(StructType(Seq(StructField("rewritten_delete_files_count", IntegerType),
           StructField("added_delete_files_count", IntegerType))),
           row(rewrittenTotal, addedTotal))
@@ -1810,14 +1818,30 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
             case tt: graft.core.transform.TruncateT => s"${src.name}_trunc"
             case _ => s"${src.name}_$transformName"
           }
-        val nextFieldId = base.lastPartitionId + 1
+        // RECYCLE a historical field with the same source + transform
+        // (reference BaseUpdatePartitionSpec.recycleOrCreatePartitionField,
+        // v2+): re-adding a dropped field keeps its field id, so the
+        // unified partition struct (Partitioning.partitionType) never
+        // grows two identically-named fields and old files' tuples stay
+        // addressable under the revived field
+        val recycled = base.specs.flatMap(_.fields).find(f =>
+          f.sourceId == src.id && f.transform == tr &&
+            (requested.isEmpty || f.name == fieldName))
+        val field = recycled.getOrElse(graft.core.expr.PartitionField(
+          src.id, base.lastPartitionId + 1, fieldName, tr))
+        require(!cur.fields.exists(_.fieldId == field.fieldId),
+          s"partition field ${field.name} is already in the current spec")
+        // a NEW field must not reuse a live name either (two ids, one
+        // name would make partition.<name> ambiguous on metadata tables)
+        require(recycled.isDefined ||
+            !base.specs.flatMap(_.fields).exists(_.name == fieldName),
+          s"partition field name $fieldName was used by a historical " +
+            "field of a different transform; pick another name")
         val newSpec = graft.core.expr.PartitionSpec(
-          base.specs.map(_.specId).max + 1,
-          cur.fields :+ graft.core.expr.PartitionField(
-            src.id, nextFieldId, fieldName, tr))
+          base.specs.map(_.specId).max + 1, cur.fields :+ field)
         base.copy(specs = base.specs :+ newSpec,
           defaultSpecId = newSpec.specId,
-          lastPartitionId = nextFieldId)
+          lastPartitionId = math.max(base.lastPartitionId, field.fieldId))
       }
       out(StructType(Seq(StructField("spec_id", IntegerType))),
         row(t.meta.defaultSpecId))
@@ -3075,7 +3099,7 @@ object RewriteDataFiles {
         droppedDeletes ++= obsolete
         rewritten += pr; added += pa; bytes += pb
       } catch {
-        case e: Throwable if doPartial =>
+        case scala.util.control.NonFatal(e) if doPartial =>
           failedFiles += pr
           org.slf4j.LoggerFactory.getLogger(getClass)
             .warn(s"rewrite batch commit failed, forfeiting ${old.size} files", e)
@@ -3367,7 +3391,7 @@ object RewriteDataFiles {
     } catch {
       // partial progress: a failed group forfeits only its own rewrite;
       // its uncommitted outputs become orphans (remove_orphan_files)
-      case e: Throwable if doPartial =>
+      case scala.util.control.NonFatal(e) if doPartial =>
         failedFiles += ts.size
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"rewrite group ($specId, $partition) failed, skipping", e)

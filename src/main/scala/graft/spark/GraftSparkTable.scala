@@ -274,15 +274,24 @@ object GraftSparkTable {
 
   /** drop ONLY the parquet field ids for name-based readers (ORC,
     * name-mapped imports); EXISTS_DEFAULT etc. must survive or v3
-    * initial defaults silently stop applying */
+    * initial defaults silently stop applying. Recurses — ONE id anywhere
+    * in a read schema makes Spark demand ids in the file. */
   private[spark] def stripFieldIds(st: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(st.fields.map { f =>
-      val mb = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata)
-      mb.remove("parquet.field.id")
-      f.copy(metadata = mb.build())
-    })
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        mb.remove("parquet.field.id")
+        f.copy(dataType = walk(f.dataType), metadata = mb.build())
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType   => m.copy(keyType = walk(m.keyType),
+        valueType = walk(m.valueType))
+      case other        => other
+    }
+    walk(st).asInstanceOf[StructType]
+  }
 
   /** rename `st`'s top-level fields (current names per `cur`) to their
     * names in the historical schema `hist`, matched by field id; fields

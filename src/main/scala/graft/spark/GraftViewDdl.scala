@@ -96,9 +96,8 @@ object GraftViewDdl {
     case sct: ShowCreateTable => sct.child match {
       case uv: UnresolvedTableOrView
           if !isTempView(spark, uv.multipartIdentifier) =>
-        graftIdent(spark, uv.multipartIdentifier).filter { case (g, ident) =>
-          try { g.loadView(ident); true } catch { case _: Exception => false }
-        }.map { case (g, ident) =>
+        graftIdent(spark, uv.multipartIdentifier)
+          .filter { case (g, ident) => g.viewExists(ident) }.map { case (g, ident) =>
           ShowCreateGraftViewCommand(g, ident, sct.output): LogicalPlan
         }.getOrElse(sct)
       case _ => sct
@@ -112,9 +111,8 @@ object GraftViewDdl {
     case dr: DescribeRelation => dr.relation match {
       case uv: UnresolvedTableOrView
           if !isTempView(spark, uv.multipartIdentifier) =>
-        graftIdent(spark, uv.multipartIdentifier).filter { case (g, ident) =>
-          try { g.loadView(ident); true } catch { case _: Exception => false }
-        }.map { case (g, ident) =>
+        graftIdent(spark, uv.multipartIdentifier)
+          .filter { case (g, ident) => g.viewExists(ident) }.map { case (g, ident) =>
           DescribeGraftViewCommand(g, ident, dr.isExtended, dr.output): LogicalPlan
         }.getOrElse(dr)
       case _ => dr
@@ -124,9 +122,8 @@ object GraftViewDdl {
     case stp: ShowTableProperties => stp.table match {
       case uv: UnresolvedTableOrView
           if !isTempView(spark, uv.multipartIdentifier) =>
-        graftIdent(spark, uv.multipartIdentifier).filter { case (g, ident) =>
-          try { g.loadView(ident); true } catch { case _: Exception => false }
-        }.map { case (g, ident) =>
+        graftIdent(spark, uv.multipartIdentifier)
+          .filter { case (g, ident) => g.viewExists(ident) }.map { case (g, ident) =>
           ShowGraftViewPropsCommand(g, ident, stp.propertyKey, stp.output): LogicalPlan
         }.getOrElse(stp)
       case _ => stp
@@ -137,9 +134,7 @@ object GraftViewDdl {
       case uv: UnresolvedTableOrView
           if !isTempView(spark, uv.multipartIdentifier) =>
         graftIdent(spark, uv.multipartIdentifier)
-          .filter { case (g, from) =>
-            try { g.loadView(from); true } catch { case _: Exception => false }
-          }
+          .filter { case (g, from) => g.viewExists(from) }
           .map { case (g, from) =>
             // the destination must land in the SAME catalog: bare names
             // resolve there, an explicit leading catalog must match —
@@ -206,9 +201,8 @@ object GraftViewDdl {
   private def existingGraftView(spark: SparkSession,
       uv: UnresolvedView): Option[(GraftCatalog, Identifier)] =
     if (uv.allowTemp && isTempView(spark, uv.multipartIdentifier)) None
-    else graftIdent(spark, uv.multipartIdentifier).filter { case (g, ident) =>
-      try { g.loadView(ident); true } catch { case _: Exception => false }
-    }
+    else graftIdent(spark, uv.multipartIdentifier)
+      .filter { case (g, ident) => g.viewExists(ident) }
 
   /** Permanent views must not reference temp objects (reference
     * RewriteViewCommands.verifyTemporaryObjectsDontExist:130-175): the

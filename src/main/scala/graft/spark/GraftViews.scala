@@ -33,6 +33,10 @@ object GraftViewStore {
     * filesystem the client shares with the server) */
   trait ViewDocs {
     def get(namespace: Seq[String], name: String): Option[String]
+    /** existence probe without reading/parsing the document — the parse
+      * rules call this on every DESCRIBE/SHOW statement */
+    def has(namespace: Seq[String], name: String): Boolean =
+      get(namespace, name).isDefined
     /** throws ViewAlreadyExistsException when present and !replace */
     def put(namespace: Seq[String], name: String, doc: String, replace: Boolean): Unit
     def delete(namespace: Seq[String], name: String): Boolean
@@ -52,6 +56,8 @@ object GraftViewStore {
       val p = path(namespace, name)
       if (GraftIO.exists(p)) Some(GraftIO.readString(p)) else None
     }
+    override def has(namespace: Seq[String], name: String): Boolean =
+      GraftIO.exists(path(namespace, name))
     override def put(namespace: Seq[String], name: String, doc: String,
         replace: Boolean): Unit = {
       if (!replace && GraftIO.exists(path(namespace, name)))

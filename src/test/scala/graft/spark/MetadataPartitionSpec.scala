@@ -174,6 +174,34 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => !r.isNullAt(2) && r.getLong(3) > 0L))
   }
 
+  test("drop + re-add recycles the field id; partition.<name> stays unambiguous") {
+    // reference BaseUpdatePartitionSpec.recycleOrCreatePartitionField
+    // (v2+): re-adding a dropped field reuses its historical field id, so
+    // the unified struct never grows two fields named alike
+    spark.sql("CREATE TABLE graft.db.recyc (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO graft.db.recyc VALUES (1, 'a')")
+    spark.sql("CALL graft.system.drop_partition_field('db.recyc', 'cat')")
+    spark.sql("INSERT INTO graft.db.recyc VALUES (2, 'b')") // unpartitioned spec
+    spark.sql("CALL graft.system.add_partition_field('db.recyc', 'identity', 'cat')")
+    spark.sql("INSERT INTO graft.db.recyc VALUES (3, 'c')")
+    val t = coreTable("recyc")
+    assert(t.meta.specs.size === 3)
+    assert(t.meta.spec.fields.head.fieldId ===
+      t.meta.specs.head.fields.head.fieldId, "field id must be recycled")
+    val pt = spark.table("graft.db.recyc.files").schema("partition").dataType
+      .asInstanceOf[StructType]
+    assert(pt.fieldNames.toSeq === Seq("cat"))
+    val vals = spark.sql("""SELECT partition.cat FROM graft.db.recyc.files
+      ORDER BY partition.cat NULLS FIRST""").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(vals === Seq(null, "a", "c"))
+    // a NEW field must not grab a historical name of a different shape
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.add_partition_field('db.recyc', 'identity', 'id', 'cat')")
+    }
+    assert(e.getMessage.contains("cat"))
+  }
+
   test("bucket/truncate transforms keep their typed result in the struct") {
     spark.sql("""CREATE TABLE graft.db.tb (id BIGINT, name STRING)
       PARTITIONED BY (bucket(4, id), truncate(2, name))""")
