@@ -118,6 +118,25 @@ object GraftViewDdl {
       case _ => dr
     }
 
+    // DESCRIBE <view>.<column>: Spark's v1 shape (info_name/info_value
+    // rows: col_name, data_type, comment)
+    case dc: org.apache.spark.sql.catalyst.plans.logical.DescribeColumn =>
+      dc.relation match {
+        case uv: UnresolvedTableOrView
+            if !isTempView(spark, uv.multipartIdentifier) =>
+          val colName = dc.column match {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              Some(a.name)
+            case _ => None
+          }
+          graftIdent(spark, uv.multipartIdentifier)
+            .filter { case (g, ident) => g.viewExists(ident) }
+            .flatMap { case (g, ident) => colName.map(c =>
+              DescribeGraftViewColumnCommand(g, ident, c, dc.output): LogicalPlan)
+            }.getOrElse(dc)
+        case _ => dc
+      }
+
     // SHOW TBLPROPERTIES on a graft VIEW
     case stp: ShowTableProperties => stp.table match {
       case uv: UnresolvedTableOrView
@@ -468,6 +487,29 @@ final case class DescribeGraftViewCommand(catalog: GraftCatalog,
           v.queryColumnNames.mkString("[", ", ", "]"), ""),
         Row("View Properties", props, ""))
     }
+  }
+}
+
+/** DESCRIBE <view>.<column>: Spark's session-view rendering —
+  * info_name/info_value rows for col_name, data_type, comment. */
+final case class DescribeGraftViewColumnCommand(catalog: GraftCatalog,
+    ident: Identifier, column: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(ident)
+    val fields = v.schema().fields
+    val i = fields.indexWhere(_.name.equalsIgnoreCase(column))
+    if (i < 0)
+      throw new IllegalArgumentException(
+        s"Column $column does not exist in view ${catalog.name}." +
+          s"${(ident.namespace :+ ident.name).mkString(".")}")
+    val comments = v.columnComments()
+    Seq(
+      Row("col_name", fields(i).name),
+      Row("data_type", fields(i).dataType.simpleString),
+      Row("comment",
+        if (i < comments.length && comments(i).nonEmpty) comments(i) else "NULL"))
   }
 }
 

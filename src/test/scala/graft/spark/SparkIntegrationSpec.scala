@@ -1969,8 +1969,13 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val remaining = coreTable("ddlx").meta.schema.identifierFieldIds
       .flatMap(id => coreTable("ddlx").meta.schema.fields.find(_.id == id)).map(_.name)
     assert(remaining === Set("id"), remaining)
+    // re-adding a field already in the current spec is refused (reference
+    // BaseUpdatePartitionSpec duplicate check; ts_month is live from the
+    // REPLACE above and recycling resolves the re-add to the same id)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.ddlx ADD PARTITION FIELD months(ts)")
+    }
     // REPLACE with an invalid transform fails WITHOUT dropping the original
-    spark.sql("ALTER TABLE graft.db.ddlx ADD PARTITION FIELD months(ts)")
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.db.ddlx REPLACE PARTITION FIELD ts_month WITH months(cat)")
     }

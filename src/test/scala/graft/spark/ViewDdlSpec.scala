@@ -296,6 +296,13 @@ class ViewDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ext("View Properties").contains("team=core"))
     // tables keep Spark's own DESCRIBE
     assert(spark.sql("DESCRIBE graft.db.src").collect().nonEmpty)
+    // single-column form (info_name/info_value rows)
+    val colRows = spark.sql("DESCRIBE graft.db.d_v a").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(colRows("col_name") === "a")
+    assert(colRows("data_type") === "int")
+    assert(colRows("comment") === "first")
+    intercept[Exception] { spark.sql("DESCRIBE graft.db.d_v nope").collect() }
     spark.sql("DROP VIEW graft.db.d_v")
   }
 
