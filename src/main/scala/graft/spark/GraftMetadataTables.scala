@@ -228,6 +228,13 @@ object GraftMetadataTables {
         StructField("nan_value_counts", MapType(IntegerType, LongType)),
         StructField("lower_bounds", MapType(IntegerType, StringType)),
         StructField("upper_bounds", MapType(IntegerType, StringType)),
+        // manifest fields 132/135/142/143 (reference DataFile.getType
+        // order): row-group/stripe boundaries, eq-delete key ids, v3 row
+        // lineage start, and the single data file a delete targets
+        StructField("split_offsets", ArrayType(LongType)),
+        StructField("equality_ids", ArrayType(IntegerType)),
+        StructField("first_row_id", LongType),
+        StructField("referenced_data_file", StringType),
         // DV-only (spec fields 144/145): blob position inside the puffin
         StructField("content_offset", LongType),
         StructField("content_size_in_bytes", LongType),
@@ -293,6 +300,9 @@ object GraftMetadataTables {
       StructField("snapshot_id", LongType),
       StructField("min_snapshots_to_keep", IntegerType),
       StructField("max_snapshot_age_in_ms", LongType)))
+    // reference ManifestsTable.java:33-53: counts split per content kind
+    // (a data manifest reads 0 delete counts and vice versa) + the
+    // manifest-list partition summaries that drive pruning
     case "manifests" => StructType(Seq(
       StructField("content", IntegerType),
       StructField("path", StringType),
@@ -301,7 +311,15 @@ object GraftMetadataTables {
       StructField("added_snapshot_id", LongType),
       StructField("added_data_files_count", IntegerType),
       StructField("existing_data_files_count", IntegerType),
-      StructField("deleted_data_files_count", IntegerType)))
+      StructField("deleted_data_files_count", IntegerType),
+      StructField("added_delete_files_count", IntegerType),
+      StructField("existing_delete_files_count", IntegerType),
+      StructField("deleted_delete_files_count", IntegerType),
+      StructField("partition_summaries", ArrayType(StructType(Seq(
+        StructField("contains_null", BooleanType),
+        StructField("contains_nan", BooleanType),
+        StructField("lower_bound", StringType),
+        StructField("upper_bound", StringType)))))))
     case "metadata_log_entries" => StructType(Seq(
       StructField("timestamp", TimestampType),
       StructField("file", StringType),
@@ -346,6 +364,32 @@ object GraftMetadataTables {
     }
   }
 
+  /** one `manifests`/`all_manifests` row (reference ManifestsTable):
+    * counts land in the data or delete column set by the manifest's
+    * content kind; partition-summary bounds render human-readable. */
+  private def manifestRow(mf: ManifestFile): InternalRow = {
+    def shown(v: Any): Any = v match {
+      case null               => null
+      case b: Array[Byte]     => s(b.map("%02x".format(_)).mkString)
+      case other              => s(String.valueOf(other))
+    }
+    val summaries = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mf.partitionSummaries.map { fs =>
+        new GenericInternalRow(Array[Any](fs.containsNull, fs.containsNan,
+          shown(fs.lower.orNull), shown(fs.upper.orNull))): Any
+      }.toArray)
+    val d = mf.content == 0
+    new GenericInternalRow(Array[Any](
+      mf.content, s(mf.path), mf.length, mf.specId, mf.addedSnapshotId,
+      if (d) mf.addedFilesCount else 0,
+      if (d) mf.existingFilesCount else 0,
+      if (d) mf.deletedFilesCount else 0,
+      if (d) 0 else mf.addedFilesCount,
+      if (d) 0 else mf.existingFilesCount,
+      if (d) 0 else mf.deletedFilesCount,
+      summaries))
+  }
+
   def rowsOf(kind: String, table: GTable, m: TableMetadata): Array[InternalRow] = {
     def currentManifests: Seq[ManifestFile] =
       m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
@@ -375,11 +419,7 @@ object GraftMetadataTables {
           r.minSnapshotsToKeep.map(Int.box).orNull,
           r.maxSnapshotAgeMs.map(Long.box).orNull)): InternalRow
       }.toArray
-      case "manifests" => currentManifests.map { mf =>
-        new GenericInternalRow(Array[Any](
-          mf.content, s(mf.path), mf.length, mf.specId, mf.addedSnapshotId,
-          mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount)): InternalRow
-      }.toArray
+      case "manifests" => currentManifests.map(manifestRow).toArray
       case "partitions" =>
         // distributed aggregate (reference PartitionsTable is built from
         // the entries scan): each task folds ONE manifest — data AND
@@ -483,11 +523,7 @@ object GraftMetadataTables {
           .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
             catch { case _: Throwable => Nil })
           .groupBy(_.path).map(_._2.head).toSeq
-          .map { mf =>
-            new GenericInternalRow(Array[Any](
-              mf.content, s(mf.path), mf.length, mf.specId, mf.addedSnapshotId,
-              mf.addedFilesCount, mf.existingFilesCount, mf.deletedFilesCount)): InternalRow
-          }.toArray
+          .map(manifestRow).toArray
       case other => throw new IllegalArgumentException(
         s"metadata table $other is served by a distributed scan, not a LocalScan")
     }
@@ -600,7 +636,7 @@ object ManifestEntriesScan {
               if (kv.isEmpty) null
               else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2: Any).toArray)
             }
-            val out = new Array[Any](14 + o)
+            val out = new Array[Any](18 + o)
             out(0) = e.file.content; out(1) = us(e.file.path)
             out(2) = us(e.file.format); out(3) = e.file.specId
             if (hasPart) out(4) = partRow(e.file.specId, e.file.partition)
@@ -608,9 +644,17 @@ object ManifestEntriesScan {
             out(6 + o) = counts(_.valueCount); out(7 + o) = counts(_.nullCount)
             out(8 + o) = counts(_.nanCount)
             out(9 + o) = bounds(_.lower); out(10 + o) = bounds(_.upper)
-            out(11 + o) = e.file.contentOffset.map(Long.box).orNull
-            out(12 + o) = e.file.contentSizeInBytes.map(Long.box).orNull
-            out(13 + o) = GraftMetadataTables.readableMetricsRow(
+            out(11 + o) = if (e.file.splitOffsets.isEmpty) null
+              else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                e.file.splitOffsets.toArray)
+            out(12 + o) = if (e.file.equalityIds.isEmpty) null
+              else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                e.file.equalityIds.toArray)
+            out(13 + o) = e.file.firstRowId.map(Long.box).orNull
+            out(14 + o) = e.file.referencedDataFile.map(us).orNull
+            out(15 + o) = e.file.contentOffset.map(Long.box).orNull
+            out(16 + o) = e.file.contentSizeInBytes.map(Long.box).orNull
+            out(17 + o) = GraftMetadataTables.readableMetricsRow(
               e.file.columnStats, t.metricCols)
             new GenericInternalRow(out): InternalRow
           }

@@ -136,6 +136,47 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(byCat("b")._1 === 2L && byCat("b")._2 >= 1)
     assert(byCat("a") === ((0L, 0)))
+    // the delete files expose their equality key ids (manifest field 135)
+    val eqIds = spark.sql("SELECT equality_ids FROM graft.db.eqd.delete_files")
+      .collect()
+    assert(eqIds.nonEmpty &&
+      eqIds.forall(r => !r.isNullAt(0) && r.getSeq[Int](0).nonEmpty))
+  }
+
+  test("files exposes split_offsets/referenced_data_file; manifests split counts") {
+    spark.sql("""CREATE TABLE graft.db.fcols (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.parquet.row-group-size-bytes'='32768',
+                     'format-version'='3',
+                     'write.delete.mode'='merge-on-read')""")
+    spark.range(0, 30000).selectExpr("id", "repeat('x', 60) AS v").coalesce(1)
+      .writeTo("graft.db.fcols").append()
+    spark.sql("DELETE FROM graft.db.fcols WHERE id = 5")
+    val rows = spark.sql("""SELECT content, split_offsets,
+        referenced_data_file, first_row_id FROM graft.db.fcols.files""")
+      .collect()
+    val data = rows.find(_.getInt(0) === 0).get
+    assert(data.getSeq[Long](1).size > 1, "multi-row-group file must list offsets")
+    assert(!data.isNullAt(3), "v3 data file carries its first_row_id")
+    val dv = rows.find(_.getInt(0) === 1).get
+    assert(dv.getString(2).nonEmpty, "a DV names the data file it masks")
+    // manifests: counts land in the column set of the manifest's content
+    val mf = spark.sql("""SELECT content, added_data_files_count,
+        added_delete_files_count FROM graft.db.fcols.manifests""").collect()
+    assert(mf.filter(_.getInt(0) === 0)
+      .forall(r => r.getInt(1) >= 1 && r.getInt(2) === 0))
+    assert(mf.filter(_.getInt(0) === 1)
+      .forall(r => r.getInt(1) === 0 && r.getInt(2) >= 1))
+    assert(mf.map(_.getInt(0)).toSet === Set(0, 1))
+  }
+
+  test("manifests partition_summaries render bounds human-readable") {
+    // the `debt` table (cat-partitioned) was built by the MoR-debt test
+    val sums = spark.sql(
+      "SELECT partition_summaries FROM graft.db.debt.manifests").collect()
+    assert(sums.nonEmpty && sums.forall(!_.isNullAt(0)))
+    val s0 = sums.map(_.getSeq[org.apache.spark.sql.Row](0)).find(_.nonEmpty).get
+    assert(s0.head.getString(2) <= s0.head.getString(3),
+      s"lower must not exceed upper: ${s0.head}")
   }
 
   test("position_deletes serves partition/spec_id/delete_file_path and a row column") {
