@@ -87,13 +87,19 @@ object GraftMetadataTables {
     // add_partition_field recycles historical field ids (reference
     // BaseUpdatePartitionSpec), so one name normally maps to one id —
     // but metadata written before that fix, or imported, can still carry
-    // two ids under one name. Disambiguate all but the NEWEST with the
-    // field id so `partition.<name>` never turns ambiguous.
+    // two ids under one name. Disambiguate: the NEWEST field keeps the
+    // bare name, older twins get an id suffix, and the claim loop keeps
+    // appending until genuinely unique (a real field could already be
+    // named like a suffixed one).
     val newestByName = raw.groupBy(_.name).map { case (n, fs) =>
       n -> fs.map(_.fieldId).max }
-    raw.map(f =>
-      if (newestByName(f.name) == f.fieldId) f
-      else f.copy(name = s"${f.name}_${f.fieldId}"))
+    val taken = scala.collection.mutable.Set.empty[String]
+    raw.sortBy(-_.fieldId).map { f =>
+      var n = if (newestByName(f.name) == f.fieldId) f.name
+              else s"${f.name}_${f.fieldId}"
+      while (!taken.add(n)) n = n + "_"
+      f.copy(name = n)
+    }.sortBy(_.fieldId)
   }
 
   def partitionStructType(uparts: Seq[UPartField]): StructType =
@@ -129,6 +135,14 @@ object GraftMetadataTables {
   }
 
   private[spark] val NoIdx: Array[Int] = Array.empty[Int]
+
+  /** THE one human-readable value rendering for metadata tables (bounds
+    * maps, partition summaries): binary hex-dumps, everything else
+    * stringifies. */
+  private[spark] def showValue(v: Any): UTF8String = v match {
+    case b: Array[Byte] => UTF8String.fromString(b.map("%02x".format(_)).mkString)
+    case other          => UTF8String.fromString(String.valueOf(other))
+  }
 
   /** readable_metrics (reference MetricsUtil.readableMetricsSchema —
     * MetricsUtil.java:193,354 — joined into the table at
@@ -366,17 +380,27 @@ object GraftMetadataTables {
 
   /** one `manifests`/`all_manifests` row (reference ManifestsTable):
     * counts land in the data or delete column set by the manifest's
-    * content kind; partition-summary bounds render human-readable. */
-  private def manifestRow(mf: ManifestFile): InternalRow = {
-    def shown(v: Any): Any = v match {
-      case null               => null
-      case b: Array[Byte]     => s(b.map("%02x".format(_)).mkString)
-      case other              => s(String.valueOf(other))
+    * content kind; partition-summary bounds render human-readable —
+    * Avro-read lists keep bounds as raw Appendix-D bytes (the type is
+    * only known with the spec in hand, same as Scan's manifest pruning),
+    * so decode through SingleValue.adapt before stringifying. */
+  private def manifestRow(mf: ManifestFile, m: TableMetadata): InternalRow = {
+    val ptypes: Map[Int, graft.core.types.GType] =
+      scala.util.Try(m.specById(mf.specId).partitionType(m.schema)
+        .fields.zipWithIndex.map { case (f, i) => i -> f.tpe }.toMap)
+        .getOrElse(Map.empty) // dropped source columns: show raw
+    def shown(i: Int, v: Any): Any = v match {
+      case null  => null
+      case other =>
+        val adapted = ptypes.get(i)
+          .map(t => scala.util.Try(SingleValue.adapt(t, other)).getOrElse(other))
+          .getOrElse(other)
+        showValue(adapted)
     }
     val summaries = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      mf.partitionSummaries.map { fs =>
+      mf.partitionSummaries.zipWithIndex.map { case (fs, i) =>
         new GenericInternalRow(Array[Any](fs.containsNull, fs.containsNan,
-          shown(fs.lower.orNull), shown(fs.upper.orNull))): Any
+          shown(i, fs.lower.orNull), shown(i, fs.upper.orNull))): Any
       }.toArray)
     val d = mf.content == 0
     new GenericInternalRow(Array[Any](
@@ -419,7 +443,7 @@ object GraftMetadataTables {
           r.minSnapshotsToKeep.map(Int.box).orNull,
           r.maxSnapshotAgeMs.map(Long.box).orNull)): InternalRow
       }.toArray
-      case "manifests" => currentManifests.map(manifestRow).toArray
+      case "manifests" => currentManifests.map(manifestRow(_, m)).toArray
       case "partitions" =>
         // distributed aggregate (reference PartitionsTable is built from
         // the entries scan): each task folds ONE manifest — data AND
@@ -523,7 +547,7 @@ object GraftMetadataTables {
           .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
             catch { case _: Throwable => Nil })
           .groupBy(_.path).map(_._2.head).toSeq
-          .map(manifestRow).toArray
+          .map(manifestRow(_, m)).toArray
       case other => throw new IllegalArgumentException(
         s"metadata table $other is served by a distributed scan, not a LocalScan")
     }
@@ -628,10 +652,7 @@ object ManifestEntriesScan {
             }
             def bounds(sel: graft.core.expr.ColStats => Option[Any]): Any = {
               val kv = st.flatMap { case (id, cs) =>
-                sel(cs).map {
-                  case b: Array[Byte] => id -> us(b.map("%02x".format(_)).mkString)
-                  case other          => id -> us(String.valueOf(other))
-                }
+                sel(cs).map(v => id -> GraftMetadataTables.showValue(v))
               }
               if (kv.isEmpty) null
               else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2: Any).toArray)

@@ -1823,7 +1823,11 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
         // v2+): re-adding a dropped field keeps its field id, so the
         // unified partition struct (Partitioning.partitionType) never
         // grows two identically-named fields and old files' tuples stay
-        // addressable under the revived field
+        // addressable under the revived field. When NO name is requested
+        // the match deliberately ignores names and the revived field
+        // keeps its HISTORICAL name — exactly the reference's rule
+        // (BaseUpdatePartitionSpec.java:136: "if target name is
+        // specified then consider it too, otherwise not")
         val recycled = base.specs.flatMap(_.fields).find(f =>
           f.sourceId == src.id && f.transform == tr &&
             (requested.isEmpty || f.name == fieldName))

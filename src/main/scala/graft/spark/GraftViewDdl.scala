@@ -124,14 +124,14 @@ object GraftViewDdl {
       dc.relation match {
         case uv: UnresolvedTableOrView
             if !isTempView(spark, uv.multipartIdentifier) =>
-          val colName = dc.column match {
+          val colParts = dc.column match {
             case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              Some(a.name)
+              Some(a.nameParts)
             case _ => None
           }
           graftIdent(spark, uv.multipartIdentifier)
             .filter { case (g, ident) => g.viewExists(ident) }
-            .flatMap { case (g, ident) => colName.map(c =>
+            .flatMap { case (g, ident) => colParts.map(c =>
               DescribeGraftViewColumnCommand(g, ident, c, dc.output): LogicalPlan)
             }.getOrElse(dc)
         case _ => dc
@@ -491,25 +491,38 @@ final case class DescribeGraftViewCommand(catalog: GraftCatalog,
 }
 
 /** DESCRIBE <view>.<column>: Spark's session-view rendering —
-  * info_name/info_value rows for col_name, data_type, comment. */
+  * info_name/info_value rows for col_name, data_type, comment. Dotted
+  * paths resolve through nested structs (declared column comments only
+  * exist at the top level). */
 final case class DescribeGraftViewColumnCommand(catalog: GraftCatalog,
-    ident: Identifier, column: String,
+    ident: Identifier, colParts: Seq[String],
     override val output: Seq[Attribute]) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val v = catalog.loadView(ident)
+    def missing() = throw new IllegalArgumentException(
+      s"Column ${colParts.mkString(".")} does not exist in view " +
+        s"${catalog.name}.${(ident.namespace :+ ident.name).mkString(".")}")
     val fields = v.schema().fields
-    val i = fields.indexWhere(_.name.equalsIgnoreCase(column))
-    if (i < 0)
-      throw new IllegalArgumentException(
-        s"Column $column does not exist in view ${catalog.name}." +
-          s"${(ident.namespace :+ ident.name).mkString(".")}")
+    val topIdx = fields.indexWhere(_.name.equalsIgnoreCase(colParts.head))
+    if (topIdx < 0) missing()
+    var field = fields(topIdx)
+    colParts.tail.foreach { part =>
+      field = field.dataType match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(part)).getOrElse(missing())
+        case _ => missing()
+      }
+    }
     val comments = v.columnComments()
+    val comment =
+      if (colParts.size == 1 && topIdx < comments.length &&
+          comments(topIdx).nonEmpty) comments(topIdx)
+      else "NULL"
     Seq(
-      Row("col_name", fields(i).name),
-      Row("data_type", fields(i).dataType.simpleString),
-      Row("comment",
-        if (i < comments.length && comments(i).nonEmpty) comments(i) else "NULL"))
+      Row("col_name", field.name),
+      Row("data_type", field.dataType.simpleString),
+      Row("comment", comment))
   }
 }
 

@@ -170,13 +170,30 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("manifests partition_summaries render bounds human-readable") {
-    // the `debt` table (cat-partitioned) was built by the MoR-debt test
+    spark.sql("""CREATE TABLE graft.db.msum (id BIGINT, n BIGINT)
+      PARTITIONED BY (n)""")
+    spark.range(0, 6).selectExpr("id", "id % 3 + 1000 AS n")
+      .writeTo("graft.db.msum").append()
     val sums = spark.sql(
-      "SELECT partition_summaries FROM graft.db.debt.manifests").collect()
+      "SELECT partition_summaries FROM graft.db.msum.manifests").collect()
     assert(sums.nonEmpty && sums.forall(!_.isNullAt(0)))
     val s0 = sums.map(_.getSeq[org.apache.spark.sql.Row](0)).find(_.nonEmpty).get
-    assert(s0.head.getString(2) <= s0.head.getString(3),
-      s"lower must not exceed upper: ${s0.head}")
+    assert(s0.head.getString(2) === "1000" && s0.head.getString(3) === "1002",
+      s"bounds must render as decoded values, not raw bytes: ${s0.head}")
+
+    // Avro manifest lists store bounds as raw Appendix-D bytes — the
+    // table must decode them through the spec's partition types, not
+    // hex-dump little-endian longs
+    spark.sql("""CREATE TABLE graft.db.msuma (id BIGINT, n BIGINT)
+      PARTITIONED BY (n)
+      TBLPROPERTIES ('write.manifests.format'='avro')""")
+    spark.range(0, 6).selectExpr("id", "id % 3 + 1000 AS n")
+      .writeTo("graft.db.msuma").append()
+    val sa = spark.sql(
+      "SELECT partition_summaries FROM graft.db.msuma.manifests").collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0)).find(_.nonEmpty).get
+    assert(sa.head.getString(2) === "1000" && sa.head.getString(3) === "1002",
+      s"avro-list bounds must decode: ${sa.head}")
   }
 
   test("position_deletes serves partition/spec_id/delete_file_path and a row column") {

@@ -303,6 +303,14 @@ class ViewDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(colRows("data_type") === "int")
     assert(colRows("comment") === "first")
     intercept[Exception] { spark.sql("DESCRIBE graft.db.d_v nope").collect() }
+    // nested columns resolve through struct fields
+    spark.sql("""CREATE VIEW graft.db.d_nv AS
+      SELECT named_struct('x', 1, 'y', 'z') AS st""")
+    val nested = spark.sql("DESCRIBE graft.db.d_nv st.x").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(nested("col_name") === "x" && nested("data_type") === "int")
+    intercept[Exception] { spark.sql("DESCRIBE graft.db.d_nv st.nope").collect() }
+    spark.sql("DROP VIEW graft.db.d_nv")
     spark.sql("DROP VIEW graft.db.d_v")
   }
 
