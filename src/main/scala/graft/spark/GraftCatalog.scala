@@ -218,17 +218,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else None
   }
 
-  /** VERSION AS OF: snapshot id, or a branch/tag name. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val t = catalog.loadTable(ident.namespace.toSeq, ident.name)
-      .getOrElse(throw new NoSuchTableException(ident))
-    val snapshotId = version.toLongOption match {
+  /** `t.files VERSION/TIMESTAMP AS OF …` (reference BaseMetadataTable
+    * time travel): the metadata table serves the PINNED snapshot's
+    * manifest-derived state. */
+  private def loadMetadataTableAsOf(ident: Identifier,
+      resolve: GTable => Long): Option[Table] = {
+    val kind = ident.name.toLowerCase
+    if (ident.namespace.length < 2 || !GraftMetadataTables.types.contains(kind)) None
+    else catalog.loadTable(ident.namespace.init.toSeq, ident.namespace.last)
+      .map(t => new GraftMetadataTable(t, fullName(ident), kind,
+        asOf = Some(resolve(t))))
+  }
+
+  private def resolveSnapshot(t: GTable, name: String, version: String): Long =
+    version.toLongOption match {
       case Some(id) if t.meta.snapshotById(id).isDefined => id
       case _ =>
         t.meta.ref(version).map(_.snapshotId)
           .getOrElse(throw new IllegalArgumentException(
-            s"no snapshot or ref '$version' in ${ident.name}"))
+            s"no snapshot or ref '$version' in $name"))
     }
+
+  /** VERSION AS OF: snapshot id, or a branch/tag name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = catalog.loadTable(ident.namespace.toSeq, ident.name)
+      .getOrElse(loadMetadataTableAsOf(ident,
+          bt => resolveSnapshot(bt, ident.toString, version)) match {
+        case Some(mt) => return mt
+        case None => throw new NoSuchTableException(ident)
+      })
+    val snapshotId = resolveSnapshot(t, ident.name, version)
     // branch refs read with the CURRENT table schema (the branch keeps
     // advancing); tags and raw snapshot ids pin the snapshot's schema
     // (reference SnapshotUtil.schemaFor)
@@ -248,8 +267,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** TIMESTAMP AS OF (micros since epoch). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    def asOfSnap(bt: GTable): Long =
+      bt.meta.snapshotAsOfTime(timestampMicros / 1000L)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot as of $timestampMicros in ${ident.name}"))
+        .snapshotId
     val t = catalog.loadTable(ident.namespace.toSeq, ident.name)
-      .getOrElse(throw new NoSuchTableException(ident))
+      .getOrElse(loadMetadataTableAsOf(ident, asOfSnap) match {
+        case Some(mt) => return mt
+        case None => throw new NoSuchTableException(ident)
+      })
     val snap = t.meta.snapshotAsOfTime(timestampMicros / 1000L)
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot as of $timestampMicros in ${ident.name}"))

@@ -414,9 +414,16 @@ object GraftMetadataTables {
       summaries))
   }
 
-  def rowsOf(kind: String, table: GTable, m: TableMetadata): Array[InternalRow] = {
+  /** `asOf`: VERSION/TIMESTAMP AS OF pin — manifest-derived kinds
+    * (manifests/partitions here; files/entries/position_deletes in their
+    * scans) serve THAT snapshot's state; document-level kinds
+    * (snapshots/history/refs/…) keep the current document, like the
+    * reference's static-table time travel. */
+  def rowsOf(kind: String, table: GTable, m: TableMetadata,
+      asOf: Option[Long] = None): Array[InternalRow] = {
     def currentManifests: Seq[ManifestFile] =
-      m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+      asOf.flatMap(m.snapshotById).orElse(m.currentSnapshot)
+        .map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
 
     kind match {
       case "snapshots" => m.snapshots.map { sn =>
@@ -577,7 +584,8 @@ final case class ManifestReadTask(manifest: ManifestFile,
   * and the read tasks derive from the same document, so a concurrent
   * refresh can't skew the readable_metrics/partition arity between
   * Spark's schema() call and planInputPartitions(). */
-final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata)
+final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
+    asOf: Option[Long] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
@@ -595,7 +603,8 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata)
             catch { case _: Throwable => Nil })
           .groupBy(_.path).map(_._2.head).toSeq
       else
-        m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+        asOf.flatMap(m.snapshotById).orElse(m.currentSnapshot)
+          .map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
     val specFieldIds = m.specs.map(sp => sp.specId -> sp.fields.map(_.fieldId)).toMap
     manifests.map(mf =>
       ManifestReadTask(mf, specFieldIds, kind, uparts, metricCols): InputPartition).toArray
@@ -709,7 +718,8 @@ final case class PosDeleteFileTask(path: String, format: String,
   * when the delete file stored it; graft's writers don't, so it reads
   * back null there), the typed `partition`/`spec_id` of the delete file,
   * and on v3 the DV blob's content_offset/content_size_in_bytes. */
-final class PositionDeletesScan(table: GTable, m: TableMetadata)
+final class PositionDeletesScan(table: GTable, m: TableMetadata,
+    asOf: Option[Long] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 
@@ -719,7 +729,8 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata)
   override def description(): String = s"graft-position-deletes(${table.location})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    m.currentSnapshot.map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+    asOf.flatMap(m.snapshotById).orElse(m.currentSnapshot)
+      .map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
       .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
       .filter(_.file.content == FileContent.PositionDeletes)
       .map(e => PosDeleteFileTask(e.file.path, e.file.format, e.file.specId,
@@ -833,7 +844,8 @@ object PositionDeletesScan {
   * and LocalScan rows all derive from the same document, so a concurrent
   * commit between Spark's schema() call and the scan can't skew struct
   * arity (reference BaseMetadataTable caches the table at creation). */
-final class GraftMetadataTable(table: GTable, fullName: String, kind: String)
+final class GraftMetadataTable(table: GTable, fullName: String, kind: String,
+    asOf: Option[Long] = None)
   extends Table with SupportsRead {
 
   private val m: TableMetadata = table.refresh()
@@ -850,10 +862,10 @@ final class GraftMetadataTable(table: GTable, fullName: String, kind: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        if (kind == "position_deletes") new PositionDeletesScan(table, m)
-        else if (distributedKinds(kind)) new ManifestEntriesScan(table, kind, m)
+        if (kind == "position_deletes") new PositionDeletesScan(table, m, asOf)
+        else if (distributedKinds(kind)) new ManifestEntriesScan(table, kind, m, asOf)
         else new GraftSparkTable.GraftLocalScan(
           GraftMetadataTables.schemaOf(kind, m),
-          GraftMetadataTables.rowsOf(kind, table, m))
+          GraftMetadataTables.rowsOf(kind, table, m, asOf))
     }
 }

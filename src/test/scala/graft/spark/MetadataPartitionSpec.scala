@@ -260,6 +260,39 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("cat"))
   }
 
+  test("metadata tables time travel: VERSION/TIMESTAMP AS OF pins the snapshot") {
+    spark.sql("""CREATE TABLE graft.db.ttm (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.db.ttm VALUES (1, 'a')")
+    val s1 = coreTable("ttm").meta.currentSnapshot.get
+    spark.sql("INSERT INTO graft.db.ttm VALUES (2, 'b'), (3, 'b')")
+    // current state: 2 files / 3 rows; pinned: 1 file / 1 row
+    assert(spark.sql("SELECT count(*) FROM graft.db.ttm.files")
+      .head().getLong(0) >= 2L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.ttm.files VERSION AS OF ${s1.snapshotId}")
+      .head().getLong(0) === 1L)
+    val pinned = spark.sql(s"""SELECT partition.cat, record_count
+      FROM graft.db.ttm.partitions VERSION AS OF ${s1.snapshotId}""").collect()
+    assert(pinned.length === 1 &&
+      pinned.head.getString(0) === "a" && pinned.head.getLong(1) === 1L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.ttm.manifests VERSION AS OF ${s1.snapshotId}")
+      .head().getLong(0) === 1L)
+    // a branch/tag name pins too; TIMESTAMP AS OF resolves by commit time
+    spark.sql(s"ALTER TABLE graft.db.ttm CREATE TAG first AS OF VERSION ${s1.snapshotId}")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ttm.files VERSION AS OF 'first'")
+      .head().getLong(0) === 1L)
+    val tsLit = new java.sql.Timestamp(s1.timestampMs).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.ttm.files TIMESTAMP AS OF '$tsLit'")
+      .head().getLong(0) === 1L)
+    // document-level kinds keep the full document under a pin
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.ttm.snapshots VERSION AS OF ${s1.snapshotId}")
+      .head().getLong(0) === 2L)
+  }
+
   test("bucket/truncate transforms keep their typed result in the struct") {
     spark.sql("""CREATE TABLE graft.db.tb (id BIGINT, name STRING)
       PARTITIONED BY (bucket(4, id), truncate(2, name))""")
