@@ -2963,10 +2963,56 @@ object Engine {
       FROM supplier WHERE s_suppkey % 4 = 1
       GROUP BY s_nationkey ORDER BY nk"""))
 
+  // ------------------------------------------------------------------ g76
+  // Time travel on metadata tables (reference BaseMetadataTable):
+  // `t.files VERSION AS OF s` serves the PINNED snapshot's manifest
+  // state — per-partition record counts at the first append must match
+  // the oracle over exactly that append's source subset, with the later
+  // append invisible.
+  private val g76 = Q(
+    "g76_engine_metadata_time_travel",
+    (s, dir) => {
+      setup(s, dir)
+      val cat = new HadoopCatalog(warehouse(dir))
+      val ready = cat.loadTable(Seq("db"), "ttm_g")
+        .exists(_.meta.properties.get("g76-ready").contains("true"))
+      if (!ready) {
+        cat.dropTable(Seq("db"), "ttm_g")
+        s.sessionState.catalogManager.catalog("graft") match {
+          case g: graft.spark.GraftCatalog => g.invalidateCache()
+          case _ => ()
+        }
+        s.sql("""CREATE TABLE graft.db.ttm_g (s_suppkey BIGINT, s_nationkey BIGINT)
+          PARTITIONED BY (s_nationkey)""")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        sup.filter(col("s_suppkey") % 2 === 0).writeTo("graft.db.ttm_g").append()
+        val sid = cat.loadTable(Seq("db"), "ttm_g").get
+          .meta.currentSnapshot.get.snapshotId
+        sup.filter(col("s_suppkey") % 2 === 1).writeTo("graft.db.ttm_g").append()
+        cat.loadTable(Seq("db"), "ttm_g").get
+          .updateProperties(Map("g76-ready" -> "true", "g76-snap" -> sid.toString))
+      }
+      val sid = cat.loadTable(Seq("db"), "ttm_g").get.meta.properties("g76-snap")
+      val now = s.sql("SELECT CAST(sum(record_count) AS BIGINT) FROM graft.db.ttm_g.files WHERE content = 0")
+        .head().getLong(0)
+      val pinned = s.sql(s"SELECT CAST(sum(record_count) AS BIGINT) FROM graft.db.ttm_g.files VERSION AS OF $sid WHERE content = 0")
+        .head().getLong(0)
+      require(pinned < now,
+        s"g76: the pin must hide the second append ($pinned vs $now)")
+      s.sql(s"""SELECT partition.s_nationkey AS nk,
+          CAST(sum(record_count) AS BIGINT) AS rc
+        FROM graft.db.ttm_g.files VERSION AS OF $sid
+        WHERE content = 0 GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""
+      SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS rc
+      FROM supplier WHERE s_suppkey % 2 = 0
+      GROUP BY s_nationkey ORDER BY nk"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66, g67, g68, g69, g70, g71, g72, g73, g74, g75)
+    g66, g67, g68, g69, g70, g71, g72, g73, g74, g75, g76)
 }
