@@ -308,10 +308,12 @@ object GraftMetadataTables {
       StructField("snapshot_id", LongType),
       StructField("parent_id", LongType),
       StructField("is_current_ancestor", BooleanType)))
+    // reference RefsTable.java:35-40
     case "refs" => StructType(Seq(
       StructField("name", StringType),
       StructField("type", StringType),
       StructField("snapshot_id", LongType),
+      StructField("max_reference_age_in_ms", LongType),
       StructField("min_snapshots_to_keep", IntegerType),
       StructField("max_snapshot_age_in_ms", LongType)))
     // reference ManifestsTable.java:33-53: counts split per content kind
@@ -334,10 +336,13 @@ object GraftMetadataTables {
         StructField("contains_nan", BooleanType),
         StructField("lower_bound", StringType),
         StructField("upper_bound", StringType)))))))
+    // reference MetadataLogEntriesTable.java:31-35
     case "metadata_log_entries" => StructType(Seq(
       StructField("timestamp", TimestampType),
       StructField("file", StringType),
-      StructField("latest_snapshot_id", LongType)))
+      StructField("latest_snapshot_id", LongType),
+      StructField("latest_schema_id", IntegerType),
+      StructField("latest_sequence_number", LongType)))
     case "scan_reports" => StructType(Seq(
       StructField("made_at", TimestampType),
       StructField("snapshot_id", LongType),
@@ -447,6 +452,7 @@ object GraftMetadataTables {
       case "refs" => m.refs.map { case (name, r) =>
         new GenericInternalRow(Array[Any](
           s(name), s(r.refType), r.snapshotId,
+          r.maxRefAgeMs.map(Long.box).orNull,
           r.minSnapshotsToKeep.map(Int.box).orNull,
           r.maxSnapshotAgeMs.map(Long.box).orNull)): InternalRow
       }.toArray
@@ -525,9 +531,12 @@ object GraftMetadataTables {
           table.ops.currentMetadataPath.map(p => (m.lastUpdatedMs, p)).toSeq
         entries.map { case (ts, file) =>
           val latest = m.snapshotLog.filter(_._1 <= ts).lastOption.map(_._2)
+            .flatMap(m.snapshotById)
           new GenericInternalRow(Array[Any](
             ts * 1000L, s(file),
-            latest.map(java.lang.Long.valueOf).orNull)): InternalRow
+            latest.map(sn => Long.box(sn.snapshotId)).orNull,
+            latest.flatMap(_.schemaId).map(Int.box).orNull,
+            latest.map(sn => Long.box(sn.sequenceNumber)).orNull)): InternalRow
         }.toArray
       case "scan_reports" =>
         // this session's recent planning reports for THIS table, newest

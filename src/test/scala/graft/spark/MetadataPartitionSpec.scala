@@ -279,6 +279,10 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       s"SELECT count(*) FROM graft.db.ttm.manifests VERSION AS OF ${s1.snapshotId}")
       .head().getLong(0) === 1L)
+    // refs table serves the reference's max_reference_age_in_ms column
+    spark.sql("ALTER TABLE graft.db.ttm CREATE TAG keep7 RETAIN 7 DAYS")
+    assert(spark.sql("""SELECT max_reference_age_in_ms FROM graft.db.ttm.refs
+      WHERE name = 'keep7'""").head().getLong(0) === 7L * 24 * 3600 * 1000)
     // a branch/tag name pins too; TIMESTAMP AS OF resolves by commit time
     spark.sql(s"ALTER TABLE graft.db.ttm CREATE TAG first AS OF VERSION ${s1.snapshotId}")
     assert(spark.sql("SELECT count(*) FROM graft.db.ttm.files VERSION AS OF 'first'")

@@ -3030,6 +3030,12 @@ class SparkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0))
     assert(rows(1).getLong(1) === snaps(0)) // v2 was current at snapshot 1
     assert(rows(2).getLong(1) === snaps(1)) // current doc carries snapshot 2
+    // reference MetadataLogEntriesTable also serves the latest snapshot's
+    // schema id + sequence number
+    val extra = spark.sql("""SELECT latest_schema_id, latest_sequence_number
+      FROM graft.db.mlog.metadata_log_entries ORDER BY timestamp""").collect()
+    assert(extra(0).isNullAt(1))
+    assert(extra(1).getLong(1) === 1L && extra(2).getLong(1) === 2L)
   }
 
   test("executor cache: repeated scans parse each DV container once") {
