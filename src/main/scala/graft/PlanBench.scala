@@ -75,6 +75,21 @@ object PlanBench {
     // index of one partition)
     val subLinear = prunedSec < fullSec / 5.0
 
+    // the partitions metadata table folds ALL 1.5M data entries + 1.5k
+    // delete entries into 30 rows with per-kind delete debt — a
+    // distributed reduceByKey over per-manifest partials; the driver
+    // only ever collects O(partitions)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").appName("graft-planbench")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val (prows, partitionsSec) = try {
+      val r = best(graft.spark.GraftMetadataTables.rowsOf("partitions", t, t.meta))
+      require(r._1.length == Partitions,
+        s"partitions table produced ${r._1.length} rows")
+      r
+    } finally spark.stop()
+
     // server-side planning of the pruned query: 50k surviving tasks
     // chunk into plan-tasks (page 5000 -> ~10 chunks); the client
     // fetches them concurrently, never one giant response
@@ -137,6 +152,7 @@ object PlanBench {
       s""""stats_plan_sec":${f"$narrowSec%.3f"},""" +
       s""""pruned_vs_full_ratio":${f"${prunedSec / fullSec}%.4f"},""" +
       s""""sub_linear_ok":$subLinear,""" +
+      s""""partitions_table_sec":${f"$partitionsSec%.3f"},""" +
       s""""server_plan_sec":${f"$serverSec%.3f"},""" +
       s""""server_chunks":$serverChunks,""" +
       s""""streaming_commits":$StreamCommits,""" +
