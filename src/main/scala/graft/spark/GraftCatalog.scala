@@ -224,7 +224,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def loadMetadataTableAsOf(ident: Identifier,
       resolve: GTable => Long): Option[Table] = {
     val kind = ident.name.toLowerCase
-    if (ident.namespace.length < 2 || !GraftMetadataTables.types.contains(kind)) None
+    if (ident.namespace.isEmpty || !GraftMetadataTables.types.contains(kind)) None
     else catalog.loadTable(ident.namespace.init.toSeq, ident.namespace.last)
       .map(t => new GraftMetadataTable(t, fullName(ident), kind,
         asOf = Some(resolve(t))))

@@ -93,13 +93,20 @@ object GraftMetadataTables {
     // named like a suffixed one).
     val newestByName = raw.groupBy(_.name).map { case (n, fs) =>
       n -> fs.map(_.fieldId).max }
+    // two phases: every bare-name OWNER claims first, so a synthetic
+    // suffix can never displace a real field that happens to be named
+    // like one (e.g. a genuine column "a_3" vs twin-of-"a" id 3)
     val taken = scala.collection.mutable.Set.empty[String]
-    raw.sortBy(-_.fieldId).map { f =>
-      var n = if (newestByName(f.name) == f.fieldId) f.name
-              else s"${f.name}_${f.fieldId}"
-      while (!taken.add(n)) n = n + "_"
-      f.copy(name = n)
-    }.sortBy(_.fieldId)
+    raw.filter(f => newestByName(f.name) == f.fieldId)
+      .foreach(f => taken.add(f.name))
+    raw.map { f =>
+      if (newestByName(f.name) == f.fieldId) f
+      else {
+        var n = s"${f.name}_${f.fieldId}"
+        while (!taken.add(n)) n = n + "_"
+        f.copy(name = n)
+      }
+    }
   }
 
   def partitionStructType(uparts: Seq[UPartField]): StructType =
@@ -135,6 +142,21 @@ object GraftMetadataTables {
   }
 
   private[spark] val NoIdx: Array[Int] = Array.empty[Int]
+
+  /** THE manifest list for a (possibly pinned) read. A pin that no
+    * longer resolves — the snapshot expired between time-travel
+    * resolution and this refresh — must THROW, never silently serve the
+    * current snapshot as if it were historical state. */
+  private[spark] def pinnedManifests(m: TableMetadata,
+      asOf: Option[Long]): Seq[ManifestFile] = {
+    val sn = asOf match {
+      case Some(id) => Some(m.snapshotById(id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id no longer exists (expired since time-travel resolution)")))
+      case None => m.currentSnapshot
+    }
+    sn.map(x => ManifestIO.readList(x.manifestListPath)).getOrElse(Nil)
+  }
 
   /** THE one human-readable value rendering for metadata tables (bounds
     * maps, partition summaries): binary hex-dumps, everything else
@@ -426,9 +448,7 @@ object GraftMetadataTables {
     * reference's static-table time travel. */
   def rowsOf(kind: String, table: GTable, m: TableMetadata,
       asOf: Option[Long] = None): Array[InternalRow] = {
-    def currentManifests: Seq[ManifestFile] =
-      asOf.flatMap(m.snapshotById).orElse(m.currentSnapshot)
-        .map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+    def currentManifests: Seq[ManifestFile] = pinnedManifests(m, asOf)
 
     kind match {
       case "snapshots" => m.snapshots.map { sn =>
@@ -530,11 +550,14 @@ object GraftMetadataTables {
         val entries = m.metadataLog ++
           table.ops.currentMetadataPath.map(p => (m.lastUpdatedMs, p)).toSeq
         entries.map { case (ts, file) =>
-          val latest = m.snapshotLog.filter(_._1 <= ts).lastOption.map(_._2)
-            .flatMap(m.snapshotById)
+          // the logged id is reported even when its snapshot is no
+          // longer resolvable (foreign/pruned metadata) — only the
+          // derived columns null out, like the reference
+          val latestId = m.snapshotLog.filter(_._1 <= ts).lastOption.map(_._2)
+          val latest = latestId.flatMap(m.snapshotById)
           new GenericInternalRow(Array[Any](
             ts * 1000L, s(file),
-            latest.map(sn => Long.box(sn.snapshotId)).orNull,
+            latestId.map(Long.box).orNull,
             latest.flatMap(_.schemaId).map(Int.box).orNull,
             latest.map(sn => Long.box(sn.sequenceNumber)).orNull)): InternalRow
         }.toArray
@@ -611,9 +634,7 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
           .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
             catch { case _: Throwable => Nil })
           .groupBy(_.path).map(_._2.head).toSeq
-      else
-        asOf.flatMap(m.snapshotById).orElse(m.currentSnapshot)
-          .map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+      else GraftMetadataTables.pinnedManifests(m, asOf)
     val specFieldIds = m.specs.map(sp => sp.specId -> sp.fields.map(_.fieldId)).toMap
     manifests.map(mf =>
       ManifestReadTask(mf, specFieldIds, kind, uparts, metricCols): InputPartition).toArray
@@ -738,8 +759,7 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata,
   override def description(): String = s"graft-position-deletes(${table.location})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    asOf.flatMap(m.snapshotById).orElse(m.currentSnapshot)
-      .map(sn => ManifestIO.readList(sn.manifestListPath)).getOrElse(Nil)
+    GraftMetadataTables.pinnedManifests(m, asOf)
       .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
       .filter(_.file.content == FileContent.PositionDeletes)
       .map(e => PosDeleteFileTask(e.file.path, e.file.format, e.file.specId,

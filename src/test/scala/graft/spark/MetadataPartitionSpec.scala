@@ -295,6 +295,21 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       s"SELECT count(*) FROM graft.db.ttm.snapshots VERSION AS OF ${s1.snapshotId}")
       .head().getLong(0) === 2L)
+    // a pin that stops resolving (snapshot expired between resolution
+    // and the read) must THROW, never silently serve current state
+    spark.sql("ALTER TABLE graft.db.ttm DROP TAG first")
+    spark.sql("ALTER TABLE graft.db.ttm DROP TAG keep7")
+    spark.sql(
+      "CALL graft.system.expire_snapshots(table => 'db.ttm', retain_last => 1)")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT count(*) FROM graft.db.ttm.files VERSION AS OF ${s1.snapshotId}")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("no longer exists") ||
+      m.contains("no snapshot")), msgs(e).mkString(" | "))
   }
 
   test("bucket/truncate transforms keep their typed result in the struct") {
