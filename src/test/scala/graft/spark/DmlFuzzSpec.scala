@@ -420,6 +420,32 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((if (partSum.isNullAt(0)) 0L else partSum.getLong(0)) ==
       filesRows.map(_._2).sum,
       s"seed=$seed: partitions record_count total diverges from files")
+    // typed partitions table ≡ files-table aggregation per UNIFIED key:
+    // the delete-debt counters (data/position/equality) of every
+    // coerced partition must match what the files table says, across
+    // whatever spec-evolution/merge/delete history the seed produced
+    if (spark.table(s"$fq.partitions").schema.fieldNames.contains("partition")) {
+      val byKey = scala.collection.mutable.Map
+        .empty[String, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+      spark.sql(s"""SELECT CAST(partition AS STRING) AS k, content,
+          CAST(sum(record_count) AS BIGINT) AS rc
+        FROM $fq.files GROUP BY 1, 2""").collect().foreach { r =>
+        val (d, p, q) = byKey(r.getString(0))
+        byKey(r.getString(0)) = r.getInt(1) match {
+          case 0 => (d + r.getLong(2), p, q)
+          case 1 => (d, p + r.getLong(2), q)
+          case _ => (d, p, q + r.getLong(2))
+        }
+      }
+      val pTab = spark.sql(s"""SELECT CAST(partition AS STRING),
+          record_count, position_delete_record_count,
+          equality_delete_record_count FROM $fq.partitions""").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(pTab == byKey.toMap,
+        s"seed=$seed: partitions debt diverges from files aggregation\n" +
+          s"  partitions=$pTab\n  files=${byKey.toMap}")
+    }
 
     // merge-enabled arm: commit-time manifest merging must keep the
     // manifest list bounded by the min-count guard — per content kind,
