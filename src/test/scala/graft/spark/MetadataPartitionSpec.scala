@@ -310,6 +310,13 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(m => m.contains("no longer exists") ||
       m.contains("no snapshot")), msgs(e).mkString(" | "))
+    // the SQL path above usually fails at resolution time; pin the
+    // scan-time TOCTOU guard directly — a pin that resolved but expired
+    // before the scan's refresh must throw, never fall back to current
+    val toctou = intercept[IllegalArgumentException] {
+      GraftMetadataTables.pinnedManifests(coreTable("ttm").meta, Some(999999999L))
+    }
+    assert(toctou.getMessage.contains("no longer exists"))
   }
 
   test("bucket/truncate transforms keep their typed result in the struct") {
