@@ -226,8 +226,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val kind = ident.name.toLowerCase
     if (ident.namespace.isEmpty || !GraftMetadataTables.types.contains(kind)) None
     else catalog.loadTable(ident.namespace.init.toSeq, ident.namespace.last)
-      .map(t => new GraftMetadataTable(t, fullName(ident), kind,
-        asOf = Some(resolve(t))))
+      .map { t =>
+        // refresh BEFORE resolving: a snapshot/tag created after the
+        // cache fill must resolve, and a branch pin must land on the
+        // head the scan will actually serve. The refreshed document is
+        // handed to the metadata table so resolve + scan see ONE state.
+        val m = t.refresh()
+        new GraftMetadataTable(t, fullName(ident), kind,
+          asOf = Some(resolve(t)), preloaded = Some(m))
+      }
   }
 
   private def resolveSnapshot(t: GTable, name: String, version: String): Long =

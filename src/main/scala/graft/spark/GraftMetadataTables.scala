@@ -158,6 +158,39 @@ object GraftMetadataTables {
     sn.map(x => ManifestIO.readList(x.manifestListPath)).getOrElse(Nil)
   }
 
+  /** Snapshots the all_* kinds enumerate: every retained snapshot
+    * normally; under a VERSION/TIMESTAMP AS OF pin only the pinned
+    * snapshot's ancestry — and the pin must still RESOLVE. Silently
+    * enumerating post-pin snapshots (or accepting an expired pin) would
+    * serve current state dressed up as history. */
+  private[spark] def allSnapshots(m: TableMetadata,
+      asOf: Option[Long]): Seq[Snapshot] = asOf match {
+    case None => m.snapshots
+    case Some(id) =>
+      val pinned = m.snapshotById(id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id no longer exists (expired since time-travel resolution)"))
+      val buf = Seq.newBuilder[Snapshot]
+      var cur: Option[Snapshot] = Some(pinned)
+      while (cur.isDefined) {
+        buf += cur.get
+        cur = cur.get.parentId.flatMap(m.snapshotById)
+      }
+      buf.result()
+  }
+
+  /** Union of manifests across the enumerated snapshots, deduplicated by
+    * path. An unreadable HISTORICAL manifest list (expired mid-read,
+    * foreign metadata) renders as no rows from that snapshot — but only
+    * for NonFatal failures; an OOM must fail the query, not fake an
+    * empty history. */
+  private[spark] def allManifests(m: TableMetadata,
+      asOf: Option[Long]): Seq[ManifestFile] =
+    allSnapshots(m, asOf)
+      .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
+        catch { case scala.util.control.NonFatal(_) => Nil })
+      .groupBy(_.path).map(_._2.head).toSeq
+
   /** THE one human-readable value rendering for metadata tables (bounds
     * maps, partition summaries): binary hex-dumps, everything else
     * stringifies. */
@@ -395,13 +428,17 @@ object GraftMetadataTables {
       posRecords: Long, posFiles: Long, eqRecords: Long, eqFiles: Long,
       lastTs: Long, lastSid: Long, specId: Int) {
     def merge(o: PartAgg): PartAgg = {
-      val (ts, sid, sp) =
-        if (o.lastTs > lastTs) (o.lastTs, o.lastSid, o.specId)
-        else (lastTs, lastSid, specId)
+      // spec_id is max over contributing files (reference
+      // PartitionsTable.Partition.update keeps Math.max) — NOT the latest
+      // committer's, or a late commit of an old-spec file would report a
+      // stale spec. Same-millisecond snapshots tie-break on snapshot id so
+      // last_updated_snapshot_id is deterministic across reduceByKey runs.
+      val takeO = o.lastTs > lastTs || (o.lastTs == lastTs && o.lastSid > lastSid)
+      val (ts, sid) = if (takeO) (o.lastTs, o.lastSid) else (lastTs, lastSid)
       PartAgg(dataRecords + o.dataRecords, dataFiles + o.dataFiles,
         dataBytes + o.dataBytes, posRecords + o.posRecords,
         posFiles + o.posFiles, eqRecords + o.eqRecords, eqFiles + o.eqFiles,
-        ts, sid, sp)
+        ts, sid, math.max(specId, o.specId))
     }
   }
 
@@ -412,10 +449,16 @@ object GraftMetadataTables {
     * only known with the spec in hand, same as Scan's manifest pruning),
     * so decode through SingleValue.adapt before stringifying. */
   private def manifestRow(mf: ManifestFile, m: TableMetadata): InternalRow = {
+    // partition-field types resolved PER FIELD: one dropped source column
+    // degrades only that field's bound rendering to raw, not the whole
+    // spec's summaries
     val ptypes: Map[Int, graft.core.types.GType] =
-      scala.util.Try(m.specById(mf.specId).partitionType(m.schema)
-        .fields.zipWithIndex.map { case (f, i) => i -> f.tpe }.toMap)
-        .getOrElse(Map.empty) // dropped source columns: show raw
+      scala.util.Try(m.specById(mf.specId)).toOption.map {
+        _.fields.zipWithIndex.flatMap { case (pf, i) =>
+          scala.util.Try(pf.transform.resultType(m.schema.byId(pf.sourceId).tpe))
+            .toOption.map(i -> _)
+        }.toMap
+      }.getOrElse(Map.empty) // unknown spec: show raw
     def shown(i: Int, v: Any): Any = v match {
       case null  => null
       case other =>
@@ -494,8 +537,12 @@ object GraftMetadataTables {
         if (mfs.isEmpty) Array.empty
         else {
           val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+          // task count scales with the CLUSTER, floored at 64 so a big
+          // manifest list still fans out on a small driver — a hard cap
+          // would fold thousands of manifests per task at 1000 executors
           val partials = sc
-            .parallelize(mfs, math.max(1, math.min(mfs.size, 64)))
+            .parallelize(mfs,
+              math.max(1, math.min(mfs.size, math.max(64, sc.defaultParallelism))))
             .flatMap { mf =>
               ManifestIO.readEntries(mf).iterator.filter(_.isLive).map { e =>
                 val f = e.file
@@ -581,12 +628,7 @@ object GraftMetadataTables {
             strMap(r.summary))): InternalRow
         }.toArray
       case "all_manifests" =>
-        // union across ALL snapshots, deduplicated by path
-        m.snapshots
-          .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
-            catch { case _: Throwable => Nil })
-          .groupBy(_.path).map(_._2.head).toSeq
-          .map(manifestRow(_, m)).toArray
+        allManifests(m, asOf).map(manifestRow(_, m)).toArray
       case other => throw new IllegalArgumentException(
         s"metadata table $other is served by a distributed scan, not a LocalScan")
     }
@@ -629,11 +671,7 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
     val metricCols = GraftMetadataTables.metricCols(m.schema)
     val uparts = GraftMetadataTables.unifiedPartitionFields(m)
     val manifests =
-      if (kind.startsWith("all_"))
-        m.snapshots
-          .flatMap(sn => try ManifestIO.readList(sn.manifestListPath)
-            catch { case _: Throwable => Nil })
-          .groupBy(_.path).map(_._2.head).toSeq
+      if (kind.startsWith("all_")) GraftMetadataTables.allManifests(m, asOf)
       else GraftMetadataTables.pinnedManifests(m, asOf)
     val specFieldIds = m.specs.map(sp => sp.specId -> sp.fields.map(_.fieldId)).toMap
     manifests.map(mf =>
@@ -874,10 +912,14 @@ object PositionDeletesScan {
   * commit between Spark's schema() call and the scan can't skew struct
   * arity (reference BaseMetadataTable caches the table at creation). */
 final class GraftMetadataTable(table: GTable, fullName: String, kind: String,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None, preloaded: Option[TableMetadata] = None)
   extends Table with SupportsRead {
 
-  private val m: TableMetadata = table.refresh()
+  // `preloaded`: the document time travel RESOLVED against (the catalog
+  // refreshes before resolving a version/timestamp) — reusing it here
+  // closes the refresh/resolve race where a pin resolves on one document
+  // and the scan serves another
+  private val m: TableMetadata = preloaded.getOrElse(table.refresh())
 
   override def name(): String = fullName
   override def schema(): StructType = GraftMetadataTables.schemaOf(kind, m)

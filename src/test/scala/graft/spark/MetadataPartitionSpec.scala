@@ -319,6 +319,46 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toctou.getMessage.contains("no longer exists"))
   }
 
+  test("all_* kinds honor the time-travel pin via the pinned ancestry") {
+    spark.sql("""CREATE TABLE graft.db.attm (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.db.attm VALUES (1, 'a')")
+    val s1 = coreTable("attm").meta.currentSnapshot.get
+    spark.sql("INSERT INTO graft.db.attm VALUES (2, 'b'), (3, 'b')")
+    // unpinned: files from BOTH snapshots
+    assert(spark.sql(
+      "SELECT count(DISTINCT file_path) FROM graft.db.attm.all_files")
+      .head().getLong(0) >= 2L)
+    // pinned: only the first snapshot's ancestry — the second append
+    // must be invisible even though all_ kinds enumerate snapshots
+    assert(spark.sql(s"""SELECT count(DISTINCT file_path)
+        FROM graft.db.attm.all_files VERSION AS OF ${s1.snapshotId}""")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(s"""SELECT count(*)
+        FROM graft.db.attm.all_manifests VERSION AS OF ${s1.snapshotId}""")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(s"""SELECT count(*)
+        FROM graft.db.attm.all_entries VERSION AS OF ${s1.snapshotId}""")
+      .head().getLong(0) === 1L)
+    // a pin that doesn't resolve throws at resolution…
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT count(*) FROM graft.db.attm.all_files VERSION AS OF 987654321")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("no snapshot") ||
+      m.contains("no longer exists")), msgs(e).mkString(" | "))
+    // …and the scan-time TOCTOU guard throws too (a pin that resolved
+    // but expired before the scan's refresh must never serve current
+    // state as history)
+    val toctou = intercept[IllegalArgumentException] {
+      GraftMetadataTables.allSnapshots(coreTable("attm").meta, Some(999999999L))
+    }
+    assert(toctou.getMessage.contains("no longer exists"))
+  }
+
   test("bucket/truncate transforms keep their typed result in the struct") {
     spark.sql("""CREATE TABLE graft.db.tb (id BIGINT, name STRING)
       PARTITIONED BY (bucket(4, id), truncate(2, name))""")
