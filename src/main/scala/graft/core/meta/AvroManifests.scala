@@ -324,6 +324,12 @@ object AvroManifests {
           if (status == ManifestEntryStatus.Added)
             m.sequenceNumber.getOrElse(m.minSequenceNumber)
           else 0L)
+        // spec entry field 4: null on an ADDED entry inherits the
+        // manifest's sequence, same rule as the data sequence above
+        val fileSeq = optLong(field(r, "file_sequence_number")).orElse(
+          if (status == ManifestEntryStatus.Added)
+            Some(m.sequenceNumber.getOrElse(m.minSequenceNumber))
+          else None)
         val df = r.get("data_file").asInstanceOf[GenericRecord]
         val partition: Seq[Any] = df.get("partition") match {
           case null => Nil
@@ -374,8 +380,10 @@ object AvroManifests {
               case null => Nil
               case c: java.util.Collection[_] =>
                 c.asScala.toSeq.map(_.asInstanceOf[java.lang.Long].longValue())
-            }),
-          writeSchemaId = if (added) headerSchemaId else None)
+            },
+            sortOrderId = optInt(field(df, "sort_order_id"))),
+          writeSchemaId = if (added) headerSchemaId else None,
+          fileSequenceNumber = fileSeq)
       }
       out.result()
     } finally reader.close()
@@ -658,7 +666,7 @@ object AvroManifests {
       r.put("status", e.status)
       r.put("snapshot_id", e.snapshotId)
       r.put("sequence_number", e.dataSequenceNumber)
-      r.put("file_sequence_number", e.dataSequenceNumber)
+      r.put("file_sequence_number", e.fileSequence)
       val f = e.file
       val df = new GenericData.Record(dfSchema)
       df.put("content", f.content)
@@ -699,6 +707,7 @@ object AvroManifests {
         df.put("equality_ids", arr)
       }
       f.referencedDataFile.foreach(df.put("referenced_data_file", _))
+      f.sortOrderId.foreach(id => df.put("sort_order_id", Int.box(id)))
       if (f.splitOffsets.nonEmpty) {
         val soSchema = dfSchema.getField("split_offsets").schema()
           .getTypes.asScala.find(_.getType != Schema.Type.NULL).get

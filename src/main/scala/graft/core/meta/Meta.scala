@@ -48,7 +48,11 @@ final case class DataFile(
     // boundaries let the planner split large files — including ones
     // carrying deletes or serving _pos, where byte splits can't keep
     // positions exact
-    splitOffsets: Seq[Long] = Nil) {
+    splitOffsets: Seq[Long] = Nil,
+    // id of the table sort order this file's rows are clustered by
+    // (spec manifest field 140 sort_order_id; reference DataFile.java:98)
+    // — None for unsorted writes or orders not registered on the table
+    sortOrderId: Option[Int] = None) {
   def fileStats: FileStats = FileStats(recordCount, columnStats, shredStats)
   def isDeleteFile: Boolean = content != FileContent.Data
 }
@@ -82,8 +86,15 @@ final case class ManifestEntry(
     // (ORC, imported parquet) need it to read since-renamed columns
     // under their write-time names. None on entries written before r9;
     // planning then falls back to the snapshot lookup.
-    writeSchemaId: Option[Int] = None) {
+    writeSchemaId: Option[Int] = None,
+    // sequence when the FILE was first added (spec entry field 4
+    // file_sequence_number). graft's own commits never separate it from
+    // dataSequenceNumber (adds stamp both to the commit sequence and
+    // carries preserve both), so None means "same as data sequence";
+    // Avro-read Iceberg manifests keep a genuinely different value.
+    fileSequenceNumber: Option[Long] = None) {
   def isLive: Boolean = status != ManifestEntryStatus.Deleted
+  def fileSequence: Long = fileSequenceNumber.getOrElse(dataSequenceNumber)
 }
 
 /** Per-partition-field summary kept in the manifest list for manifest

@@ -214,6 +214,7 @@ object MetaJson {
     f.contentOffset.foreach(o.put("content-offset", _))
     f.contentSizeInBytes.foreach(o.put("content-size", _))
     f.firstRowId.foreach(o.put("first-row-id", _))
+    f.sortOrderId.foreach(o.put("sort-order-id", _))
     if (f.splitOffsets.nonEmpty) {
       val so = o.putArray("split-offsets"); f.splitOffsets.foreach(so.add)
     }
@@ -260,7 +261,8 @@ object MetaJson {
         val b = Seq.newBuilder[Long]
         a.elements().forEachRemaining(e => b += e.asLong())
         b.result()
-      }.getOrElse(Nil))
+      }.getOrElse(Nil),
+      sortOrderId = Option(n.get("sort-order-id")).map(_.asInt()))
   }
 
   def writeEntry(e: ManifestEntry): String = {
@@ -268,6 +270,10 @@ object MetaJson {
     o.put("status", e.status).put("snapshot-id", e.snapshotId)
       .put("sequence-number", e.dataSequenceNumber)
     e.writeSchemaId.foreach(o.put("write-schema-id", _))
+    // only written when it genuinely differs from the data sequence
+    // (Avro-imported Iceberg entries); absent means "same"
+    e.fileSequenceNumber.filter(_ != e.dataSequenceNumber)
+      .foreach(o.put("file-sequence-number", _))
     o.set[JsonNode]("file", writeDataFile(e.file))
     mapper.writeValueAsString(o)
   }
@@ -276,7 +282,8 @@ object MetaJson {
     val n = mapper.readTree(line)
     ManifestEntry(n.get("status").asInt(), n.get("snapshot-id").asLong(),
       n.get("sequence-number").asLong(), readDataFile(n.get("file")),
-      writeSchemaId = Option(n.get("write-schema-id")).map(_.asInt()))
+      writeSchemaId = Option(n.get("write-schema-id")).map(_.asInt()),
+      fileSequenceNumber = Option(n.get("file-sequence-number")).map(_.asLong()))
   }
 
   // ------------------------------------------------------------- manifest list

@@ -887,6 +887,25 @@ final class GTable(val ops: TableOps) {
   def updateProperties(up: Map[String, String]): Unit =
     commitUpdate(base => base.copy(properties = base.properties ++ up))
 
+  /** Register `fields` as the table's default sort order (reference
+    * BaseReplaceSortOrder / `ALTER TABLE … WRITE ORDERED BY`): reuse an
+    * existing order's id when the fields match exactly — data files
+    * stamped with that id stay truthful — else mint the next id. Empty
+    * fields = revert to unsorted (order 0). */
+  def replaceSortOrder(fields: Seq[SortField]): Unit = commitUpdate { base =>
+    if (fields.isEmpty) base.copy(defaultSortOrderId = 0,
+      sortOrders =
+        if (base.sortOrders.exists(_.orderId == 0)) base.sortOrders
+        else SortOrder.Unsorted +: base.sortOrders)
+    else base.sortOrders.find(o => o.orderId != 0 && o.fields == fields) match {
+      case Some(o) => base.copy(defaultSortOrderId = o.orderId)
+      case None =>
+        val id = (base.sortOrders.map(_.orderId) :+ 0).max + 1
+        base.copy(sortOrders = base.sortOrders :+ SortOrder(id, fields),
+          defaultSortOrderId = id)
+    }
+  }
+
   /** Generic retried CAS of a metadata transformation, with jittered
     * exponential backoff so hot committers interleave instead of
     * spinning in lockstep (reference Tasks.foreach().retry() in

@@ -3009,10 +3009,70 @@ object Engine {
       FROM supplier WHERE s_suppkey % 2 = 0
       GROUP BY s_nationkey ORDER BY nk"""))
 
+  // ------------------------------------------------------------------ g77
+  // Entries spec shape + sort_order_id (reference ManifestEntry.getSchema
+  // via BaseEntriesTable.java:53-62; DataFile.java:98 sort_order_id):
+  // tools written against the reference read `entries.data_file.<field>`
+  // and `file_sequence_number`, and check sort_order_id after a sorted
+  // compaction. WRITE ORDERED BY registers the order in table metadata
+  // (reference SetWriteDistributionAndOrdering replaces the table sort
+  // order) so the stamped id is a real foreign key.
+  private val g77 = Q(
+    "g77_engine_entries_sort_order",
+    (s, dir) => {
+      setup(s, dir)
+      val cat = new HadoopCatalog(warehouse(dir))
+      val ready = cat.loadTable(Seq("db"), "soid_g")
+        .exists(_.meta.properties.get("g77-ready").contains("true"))
+      if (!ready) {
+        cat.dropTable(Seq("db"), "soid_g")
+        s.sessionState.catalogManager.catalog("graft") match {
+          case g: graft.spark.GraftCatalog => g.invalidateCache()
+          case _ => ()
+        }
+        s.sql("""CREATE TABLE graft.db.soid_g (
+          s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)""")
+        t(s, dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+          .writeTo("graft.db.soid_g").append()
+        s.sql("ALTER TABLE graft.db.soid_g WRITE ORDERED BY s_suppkey ASC")
+        s.sql("""CALL graft.system.rewrite_data_files(table => 'db.soid_g',
+          strategy => 'sort', sort_order => 's_suppkey ASC',
+          min_input_files => 1)""")
+        cat.loadTable(Seq("db"), "soid_g").get
+          .updateProperties(Map("g77-ready" -> "true"))
+      }
+      val meta = cat.loadTable(Seq("db"), "soid_g").get.meta
+      val oid = meta.defaultSortOrderId
+      require(oid > 0, "g77: WRITE ORDERED BY must register a sort order")
+      require(meta.sortOrders.exists(o => o.orderId == oid && o.fields.nonEmpty),
+        "g77: the registered order must carry its fields")
+      // every live data file came out of the sorted rewrite → stamped
+      val stamped = s.table("graft.db.soid_g.files")
+        .filter(col("content") === 0).select("sort_order_id").collect()
+      require(stamped.nonEmpty && stamped.forall(r =>
+        !r.isNullAt(0) && r.getInt(0) == oid),
+        "g77: sorted-compaction output must carry the registered sort_order_id")
+      // entries serve the reference shape: file fields nested under
+      // data_file, file_sequence_number = commit sequence on graft writes
+      val e = s.table("graft.db.soid_g.entries")
+      require(e.schema.fieldNames.contains("file_sequence_number"),
+        "g77: entries must serve file_sequence_number")
+      require(e.schema("data_file").dataType
+        .isInstanceOf[org.apache.spark.sql.types.StructType],
+        "g77: entries must nest the file fields as a data_file struct")
+      require(e.filter(col("file_sequence_number") =!= col("sequence_number"))
+        .isEmpty, "g77: graft commits never separate file and data sequences")
+      e.filter(col("data_file.content") === 0)
+        .agg(sum(col("data_file.record_count")).as("rc"),
+          min(col("data_file.sort_order_id")).as("soid"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS rc, 1 AS soid FROM supplier"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66, g67, g68, g69, g70, g71, g72, g73, g74, g75, g76)
+    g66, g67, g68, g69, g70, g71, g72, g73, g74, g75, g76, g77)
 }

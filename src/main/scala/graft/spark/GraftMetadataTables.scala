@@ -273,51 +273,71 @@ object GraftMetadataTables {
 
   // ------------------------------------------------------------- schemas
 
+  /** The data-file column set served by the files kinds and nested as
+    * `data_file` in the entries kinds (reference DataFile.getType field
+    * order — api/.../DataFile.java:51-148). column_sizes is the one spec
+    * field deliberately absent: graft manifests don't track per-column
+    * byte sizes (documented on readable_metrics too); key_metadata is
+    * declared for schema parity and always null — graft encrypts at
+    * manifest granularity, not per data file. */
+  def fileStructFields(uparts: Seq[UPartField],
+      mcols: Seq[MetricCol]): Seq[StructField] = {
+    val partField: Seq[StructField] =
+      if (uparts.isEmpty) Nil
+      else Seq(StructField("partition", partitionStructType(uparts)))
+    Seq(
+      StructField("content", IntegerType),
+      StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("spec_id", IntegerType)) ++ partField ++ Seq(
+      StructField("record_count", LongType),
+      StructField("file_size_in_bytes", LongType),
+      // per-column metrics keyed by field id (reference BaseFilesTable
+      // schema: value_counts/null_value_counts/nan_value_counts/
+      // lower_bounds/upper_bounds); bounds render human-readable, which
+      // also makes the metrics-mode policy observable (g53)
+      StructField("value_counts", MapType(IntegerType, LongType)),
+      StructField("null_value_counts", MapType(IntegerType, LongType)),
+      StructField("nan_value_counts", MapType(IntegerType, LongType)),
+      StructField("lower_bounds", MapType(IntegerType, StringType)),
+      StructField("upper_bounds", MapType(IntegerType, StringType)),
+      StructField("key_metadata", BinaryType),
+      // manifest fields 132/135/140/142/143 (reference DataFile.getType
+      // order): row-group/stripe boundaries, eq-delete key ids, the
+      // registered sort order the rows are clustered by, v3 row lineage
+      // start, and the single data file a delete targets
+      StructField("split_offsets", ArrayType(LongType)),
+      StructField("equality_ids", ArrayType(IntegerType)),
+      StructField("sort_order_id", IntegerType),
+      StructField("first_row_id", LongType),
+      StructField("referenced_data_file", StringType),
+      // DV-only (spec fields 144/145): blob position inside the puffin
+      StructField("content_offset", LongType),
+      StructField("content_size_in_bytes", LongType))
+  }
+
   /** Table-shaped kinds: typed partition struct + readable_metrics need
     * the table metadata (specs + current schema). */
   def schemaOf(kind: String, m: TableMetadata): StructType = {
     val uparts = unifiedPartitionFields(m)
+    val mcols = metricCols(m.schema)
     val partField: Seq[StructField] =
       if (uparts.isEmpty) Nil
       else Seq(StructField("partition", partitionStructType(uparts)))
     kind match {
-      case k if filesKinds(k) => StructType(Seq(
-        StructField("content", IntegerType),
-        StructField("file_path", StringType),
-        StructField("file_format", StringType),
-        StructField("spec_id", IntegerType)) ++ partField ++ Seq(
-        StructField("record_count", LongType),
-        StructField("file_size_in_bytes", LongType),
-        // per-column metrics keyed by field id (reference BaseFilesTable
-        // schema: value_counts/null_value_counts/nan_value_counts/
-        // lower_bounds/upper_bounds); bounds render human-readable, which
-        // also makes the metrics-mode policy observable (g53)
-        StructField("value_counts", MapType(IntegerType, LongType)),
-        StructField("null_value_counts", MapType(IntegerType, LongType)),
-        StructField("nan_value_counts", MapType(IntegerType, LongType)),
-        StructField("lower_bounds", MapType(IntegerType, StringType)),
-        StructField("upper_bounds", MapType(IntegerType, StringType)),
-        // manifest fields 132/135/142/143 (reference DataFile.getType
-        // order): row-group/stripe boundaries, eq-delete key ids, v3 row
-        // lineage start, and the single data file a delete targets
-        StructField("split_offsets", ArrayType(LongType)),
-        StructField("equality_ids", ArrayType(IntegerType)),
-        StructField("first_row_id", LongType),
-        StructField("referenced_data_file", StringType),
-        // DV-only (spec fields 144/145): blob position inside the puffin
-        StructField("content_offset", LongType),
-        StructField("content_size_in_bytes", LongType),
-        StructField("readable_metrics", readableMetricsType(metricCols(m.schema)))))
+      case k if filesKinds(k) => StructType(fileStructFields(uparts, mcols) :+
+        StructField("readable_metrics", readableMetricsType(mcols)))
+      // reference ManifestEntry.getSchema served by BaseEntriesTable
+      // (BaseEntriesTable.java:53-62): the file fields ride NESTED as the
+      // `data_file` struct, plus file_sequence_number; readable_metrics
+      // joins at the top level like the reference
       case k if entriesKinds(k) => StructType(Seq(
         StructField("status", IntegerType),
         StructField("snapshot_id", LongType),
         StructField("sequence_number", LongType),
-        StructField("file_path", StringType),
-        StructField("record_count", LongType),
-        StructField("content", IntegerType),
-        StructField("file_size_in_bytes", LongType),
-        StructField("spec_id", IntegerType)) ++ partField ++ Seq(
-        StructField("readable_metrics", readableMetricsType(metricCols(m.schema)))))
+        StructField("file_sequence_number", LongType),
+        StructField("data_file", StructType(fileStructFields(uparts, mcols))),
+        StructField("readable_metrics", readableMetricsType(mcols))))
       // reference PartitionsTable.java:57-121: partition + spec_id are
       // dropped for a fully-unpartitioned table (the one root row)
       case "partitions" => StructType(partField ++
@@ -642,7 +662,11 @@ object GraftMetadataTables {
 final case class ManifestReadTask(manifest: ManifestFile,
     specFieldIds: Map[Int, Seq[Int]], kind: String,
     uparts: Seq[UPartField] = Nil,
-    metricCols: Seq[GraftMetadataTables.MetricCol] = Nil)
+    metricCols: Seq[GraftMetadataTables.MetricCol] = Nil,
+    // pruned top-level output columns, in serving order; empty = all.
+    // Unprojected columns are never BUILT (readable_metrics/bounds maps
+    // are the expensive ones), not just dropped.
+    columns: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Distributed scan for the entry-level metadata tables (files/entries/
@@ -692,12 +716,92 @@ object ManifestEntriesScan {
       // unpartitioned (schema drops it; the row must match arity).
       // Coercion indexes computed ONCE per manifest — the per-row path
       // is a flat array walk
-      val hasPart = t.uparts.nonEmpty
-      val o = if (hasPart) 1 else 0
       val idx = GraftMetadataTables.coercionIndexes(t.uparts, t.specFieldIds)
       def partRow(specId: Int, tuple: Seq[Any]): Any =
         GraftMetadataTables.coercedPartitionRow(t.uparts,
           idx.getOrElse(specId, GraftMetadataTables.NoIdx), tuple)
+
+      def counts(e: ManifestEntry,
+          sel: graft.core.expr.ColStats => Option[Long]): Any = {
+        val kv = e.file.columnStats.toSeq.sortBy(_._1)
+          .flatMap { case (id, cs) => sel(cs).map(id -> _) }
+        if (kv.isEmpty) null
+        else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2).toArray)
+      }
+      def bounds(e: ManifestEntry,
+          sel: graft.core.expr.ColStats => Option[Any]): Any = {
+        val kv = e.file.columnStats.toSeq.sortBy(_._1).flatMap { case (id, cs) =>
+          sel(cs).map(v => id -> GraftMetadataTables.showValue(v))
+        }
+        if (kv.isEmpty) null
+        else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2: Any).toArray)
+      }
+
+      // one emitter per top-level column: the pruned reader only BUILDS
+      // what the query projects (a `SELECT file_path` never renders
+      // bounds maps or readable_metrics)
+      def fileEmitter(name: String): ManifestEntry => Any = name match {
+        case "content"            => e => e.file.content
+        case "file_path"          => e => us(e.file.path)
+        case "file_format"        => e => us(e.file.format)
+        case "spec_id"            => e => e.file.specId
+        case "partition"          => e => partRow(e.file.specId, e.file.partition)
+        case "record_count"       => e => e.file.recordCount
+        case "file_size_in_bytes" => e => e.file.fileSizeBytes
+        case "value_counts"       => e => counts(e, _.valueCount)
+        case "null_value_counts"  => e => counts(e, _.nullCount)
+        case "nan_value_counts"   => e => counts(e, _.nanCount)
+        case "lower_bounds"       => e => bounds(e, _.lower)
+        case "upper_bounds"       => e => bounds(e, _.upper)
+        case "key_metadata"       => _ => null // manifest-level crypto only
+        case "split_offsets"      => e =>
+          if (e.file.splitOffsets.isEmpty) null
+          else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            e.file.splitOffsets.toArray)
+        case "equality_ids"       => e =>
+          if (e.file.equalityIds.isEmpty) null
+          else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            e.file.equalityIds.toArray)
+        case "sort_order_id"      => e => e.file.sortOrderId.map(Int.box).orNull
+        case "first_row_id"       => e => e.file.firstRowId.map(Long.box).orNull
+        case "referenced_data_file" => e => e.file.referencedDataFile.map(us).orNull
+        case "content_offset"     => e => e.file.contentOffset.map(Long.box).orNull
+        case "content_size_in_bytes" =>
+          e => e.file.contentSizeInBytes.map(Long.box).orNull
+        case "readable_metrics"   => e =>
+          GraftMetadataTables.readableMetricsRow(e.file.columnStats, t.metricCols)
+        case other => throw new IllegalArgumentException(
+          s"unknown files column: $other")
+      }
+
+      val isEntries = t.kind == "entries" || t.kind == "all_entries"
+      def entryEmitter(name: String): ManifestEntry => Any = name match {
+        case "status"               => e => e.status
+        case "snapshot_id"          => e => e.snapshotId
+        case "sequence_number"      => e => e.dataSequenceNumber
+        case "file_sequence_number" => e => e.fileSequence
+        case "data_file" =>
+          val dfEmit = GraftMetadataTables.fileStructFields(t.uparts, Nil)
+            .map(f => fileEmitter(f.name)).toArray
+          e => {
+            val a = new Array[Any](dfEmit.length)
+            var i = 0
+            while (i < dfEmit.length) { a(i) = dfEmit(i)(e); i += 1 }
+            new GenericInternalRow(a)
+          }
+        case other => fileEmitter(other) // readable_metrics
+      }
+
+      val colNames: Seq[String] =
+        if (t.columns.nonEmpty) t.columns
+        else if (isEntries) Seq("status", "snapshot_id", "sequence_number",
+          "file_sequence_number", "data_file", "readable_metrics")
+        else GraftMetadataTables.fileStructFields(t.uparts, Nil).map(_.name) :+
+          "readable_metrics"
+      val emitters: Array[ManifestEntry => Any] =
+        colNames.map(n =>
+          if (isEntries) entryEmitter(n) else fileEmitter(n)).toArray
+
       val entries = ManifestIO.readEntries(t.manifest).filter(_.isLive)
       val filtered = t.kind match {
         case "data_files" | "all_data_files" =>
@@ -706,56 +810,12 @@ object ManifestEntriesScan {
           entries.filter(_.file.content != FileContent.Data)
         case _ => entries
       }
-      val it: Iterator[InternalRow] =
-        if (t.kind == "entries" || t.kind == "all_entries")
-          filtered.iterator.map { e =>
-            val out = new Array[Any](9 + o)
-            out(0) = e.status; out(1) = e.snapshotId
-            out(2) = e.dataSequenceNumber; out(3) = us(e.file.path)
-            out(4) = e.file.recordCount; out(5) = e.file.content
-            out(6) = e.file.fileSizeBytes; out(7) = e.file.specId
-            if (hasPart) out(8) = partRow(e.file.specId, e.file.partition)
-            out(8 + o) = GraftMetadataTables.readableMetricsRow(
-              e.file.columnStats, t.metricCols)
-            new GenericInternalRow(out): InternalRow
-          }
-        else
-          filtered.iterator.map { e =>
-            val st = e.file.columnStats.toSeq.sortBy(_._1)
-            def counts(sel: graft.core.expr.ColStats => Option[Long]): Any = {
-              val kv = st.flatMap { case (id, cs) => sel(cs).map(id -> _) }
-              if (kv.isEmpty) null
-              else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2).toArray)
-            }
-            def bounds(sel: graft.core.expr.ColStats => Option[Any]): Any = {
-              val kv = st.flatMap { case (id, cs) =>
-                sel(cs).map(v => id -> GraftMetadataTables.showValue(v))
-              }
-              if (kv.isEmpty) null
-              else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2: Any).toArray)
-            }
-            val out = new Array[Any](18 + o)
-            out(0) = e.file.content; out(1) = us(e.file.path)
-            out(2) = us(e.file.format); out(3) = e.file.specId
-            if (hasPart) out(4) = partRow(e.file.specId, e.file.partition)
-            out(4 + o) = e.file.recordCount; out(5 + o) = e.file.fileSizeBytes
-            out(6 + o) = counts(_.valueCount); out(7 + o) = counts(_.nullCount)
-            out(8 + o) = counts(_.nanCount)
-            out(9 + o) = bounds(_.lower); out(10 + o) = bounds(_.upper)
-            out(11 + o) = if (e.file.splitOffsets.isEmpty) null
-              else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                e.file.splitOffsets.toArray)
-            out(12 + o) = if (e.file.equalityIds.isEmpty) null
-              else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                e.file.equalityIds.toArray)
-            out(13 + o) = e.file.firstRowId.map(Long.box).orNull
-            out(14 + o) = e.file.referencedDataFile.map(us).orNull
-            out(15 + o) = e.file.contentOffset.map(Long.box).orNull
-            out(16 + o) = e.file.contentSizeInBytes.map(Long.box).orNull
-            out(17 + o) = GraftMetadataTables.readableMetricsRow(
-              e.file.columnStats, t.metricCols)
-            new GenericInternalRow(out): InternalRow
-          }
+      val it: Iterator[InternalRow] = filtered.iterator.map { e =>
+        val a = new Array[Any](emitters.length)
+        var i = 0
+        while (i < emitters.length) { a(i) = emitters(i)(e); i += 1 }
+        new GenericInternalRow(a): InternalRow
+      }
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
         override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }

@@ -3041,6 +3041,29 @@ object RewriteDataFiles {
       .map(_.split("\\s+")(0))
     require(!(bySort || byZ) || sortCols.nonEmpty,
       s"$strategy strategy requires sort_order")
+    // a sorted rewrite stamps sort_order_id on its output files when the
+    // requested order IS a registered table order (reference
+    // SparkShufflingDataRewriter → SparkFileWriterFactory) — the id is a
+    // foreign key into table metadata, so an ad-hoc unregistered order
+    // leaves it null rather than dangle; z-order has no SortOrder form
+    val rwSortOrderId: Option[Int] =
+      if (!bySort) None
+      else {
+        val want = sortOrder.split(",").map(_.trim).filter(_.nonEmpty)
+          .toSeq.map { part =>
+            val bits = part.split("\\s+")
+            (t.meta.schema.findField(bits(0)).map(_.id),
+              !(bits.length > 1 && bits(1).equalsIgnoreCase("desc")))
+          }
+        t.meta.sortOrders.find { o =>
+          o.fields.nonEmpty && o.fields.length == want.length &&
+            o.fields.zip(want).forall { case (sf, (idOpt, asc)) =>
+              idOpt.contains(sf.sourceId) &&
+                sf.transform == graft.core.transform.IdentityT &&
+                sf.ascending == asc
+            }
+        }.map(_.orderId)
+      }
 
     var rewritten = 0
     var added = 0
@@ -3360,7 +3383,8 @@ object RewriteDataFiles {
           }
         }.collect()
         written.foreach { case (target, rows, size, stats) =>
-          groupNew += DataFile(target, outFmt, specId, partition, rows, size, stats)
+          groupNew += DataFile(target, outFmt, specId, partition, rows, size,
+            stats, sortOrderId = rwSortOrderId)
         }
       } else {
       val staging = java.nio.file.Files.createTempDirectory("graft-rewrite").toString
@@ -3381,7 +3405,7 @@ object RewriteDataFiles {
           if (outFmt == "orc") orcRowCount(target, conf)
           else readRowCount(target, conf)
         groupNew += DataFile(target, outFmt, specId, partition, rows, size, stats,
-          splitOffsets = splitOffs)
+          splitOffsets = splitOffs, sortOrderId = rwSortOrderId)
       }
       }
       val gf = groupNew.result()

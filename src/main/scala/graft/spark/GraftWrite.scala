@@ -445,7 +445,34 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
       fileSchema.json,
       metaJson.writeSchema(fileGSchema).toString,
       metaJson.writeSpec(table.spec).toString,
-      owf, confMap, dataFormat, lineage = isCow, shredSpecs = shredSpecs)
+      owf, confMap, dataFormat, lineage = isCow, shredSpecs = shredSpecs,
+      sortOrderId = stampSortOrderId)
+  }
+
+  /** sort_order_id stamped on written data files (reference
+    * SparkFileWriterFactory dataSortOrderId): only when the table's
+    * default sort order is registered AND the write.sort-order property
+    * the write path actually applies still matches it field-for-field —
+    * a manually drifted property must not stamp a stale id. */
+  private def stampSortOrderId: Option[Int] = {
+    val m = table.meta
+    m.sortOrders
+      .find(o => o.orderId == m.defaultSortOrderId && o.fields.nonEmpty)
+      .filter { o =>
+        val propFields = m.properties.getOrElse("write.sort-order", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+            val bits = part.split("\\s+")
+            (m.schema.findField(bits(0)).map(_.id),
+              !(bits.length > 1 && bits(1).equalsIgnoreCase("desc")))
+          }
+        propFields.length == o.fields.length &&
+          o.fields.zip(propFields).forall { case (sf, (idOpt, asc)) =>
+            idOpt.contains(sf.sourceId) &&
+              sf.transform == graft.core.transform.IdentityT &&
+              sf.ascending == asc
+          }
+      }
+      .map(_.orderId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -664,7 +691,8 @@ final class GraftWriterFactory(
     confMap: Map[String, String],
     fileFormat: String = "parquet",
     lineage: Boolean = false,
-    shredSpecs: Seq[GraftSparkTable.ShredSpec] = Nil) extends DataWriterFactory {
+    shredSpecs: Seq[GraftSparkTable.ShredSpec] = Nil,
+    sortOrderId: Option[Int] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val writeSchema = org.apache.spark.sql.types.DataType.fromJson(writeSchemaJson)
@@ -674,7 +702,7 @@ final class GraftWriterFactory(
     val conf = new Configuration(false)
     confMap.foreach { case (k, v) => conf.set(k, v) }
     new GraftFanoutWriter(location, writeSchema, gSchema, spec, owf, conf,
-      partitionId, taskId, fileFormat, lineage, shredSpecs)
+      partitionId, taskId, fileFormat, lineage, shredSpecs, sortOrderId)
   }
 }
 
@@ -701,7 +729,10 @@ final class GraftFanoutWriter(
     // (writeSchema's trailing fields, reserved ids) and accumulated into
     // per-file shredded stats with a "mat:" marker so readers know the
     // column is physically present
-    shredSpecs: Seq[GraftSparkTable.ShredSpec] = Nil) extends DataWriter[InternalRow] {
+    shredSpecs: Seq[GraftSparkTable.ShredSpec] = Nil,
+    // registered table sort order the incoming rows are clustered by
+    // (requiredOrdering applied it) — stamped on every written data file
+    sortOrderId: Option[Int] = None) extends DataWriter[InternalRow] {
 
   // per spec: parent-variant ordinal in writeSchema, the spec, Spark
   // type, parsed path (specs whose parent the schema lacks are dropped)
@@ -930,7 +961,7 @@ final class GraftFanoutWriter(
       val withGeo = if (geo == null) stats else stats ++ geo.stats(rows)
       DataFile(path, fileFormat, spec.specId, key, rows, size, withGeo,
         shredStats = if (shred == null) Map.empty else shred.stats(rows),
-        splitOffsets = splitOffs)
+        splitOffsets = splitOffs, sortOrderId = sortOrderId)
     }
     GraftCommitMessage(files)
   }

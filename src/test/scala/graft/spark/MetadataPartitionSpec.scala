@@ -56,9 +56,14 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       WHERE partition.cat = 'a'""").head().getLong(0) === 2L)
     assert(spark.sql("""SELECT sum(record_count) FROM graft.db.tp.files
       WHERE partition.ts_day >= DATE '2024-01-02'""").head().getLong(0) === 1L)
-    // entries carries the same struct
+    // entries nests the file fields as the reference's data_file struct
+    // (ManifestEntry.getSchema via BaseEntriesTable.java:53-62)
     assert(spark.sql("""SELECT count(*) FROM graft.db.tp.entries
-      WHERE partition.cat = 'b'""").head().getLong(0) === 1L)
+      WHERE data_file.partition.cat = 'b'""").head().getLong(0) === 1L)
+    // file_sequence_number serves the file's commit sequence (graft
+    // commits never separate it from the data sequence)
+    assert(spark.sql("""SELECT count(*) FROM graft.db.tp.entries
+      WHERE file_sequence_number = sequence_number""").head().getLong(0) > 0L)
   }
 
   test("unified struct spans evolved specs; old-spec files read null") {
@@ -357,6 +362,45 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftMetadataTables.allSnapshots(coreTable("attm").meta, Some(999999999L))
     }
     assert(toctou.getMessage.contains("no longer exists"))
+  }
+
+  test("WRITE ORDERED BY registers a sort order; files carry sort_order_id") {
+    spark.sql("CREATE TABLE graft.db.soid (id BIGINT, cat STRING)")
+    spark.sql("INSERT INTO graft.db.soid VALUES (3, 'c'), (1, 'a')") // unsorted
+    spark.sql("ALTER TABLE graft.db.soid WRITE ORDERED BY id ASC")
+    spark.sql("INSERT INTO graft.db.soid VALUES (2, 'b'), (4, 'd')") // sorted
+    val m = coreTable("soid").meta
+    assert(m.defaultSortOrderId > 0)
+    assert(m.sortOrders.exists(o =>
+      o.orderId == m.defaultSortOrderId && o.fields.nonEmpty))
+    val ids = spark.sql(
+      "SELECT sort_order_id FROM graft.db.soid.files").collect()
+    // the pre-DDL file reads null; the post-DDL file carries the id
+    assert(ids.exists(_.isNullAt(0)))
+    assert(ids.exists(r => !r.isNullAt(0) && r.getInt(0) == m.defaultSortOrderId))
+    // key_metadata: declared for schema parity, always null (graft
+    // encrypts at manifest granularity)
+    assert(spark.sql("SELECT key_metadata FROM graft.db.soid.files")
+      .collect().forall(_.isNullAt(0)))
+    // entries nests it inside data_file
+    assert(spark.sql("""SELECT count(*) FROM graft.db.soid.entries
+        WHERE data_file.sort_order_id IS NOT NULL""").head().getLong(0) >= 1L)
+    // a sorted compaction by the registered order stamps EVERY output
+    spark.sql("""CALL graft.system.rewrite_data_files(table => 'db.soid',
+      strategy => 'sort', sort_order => 'id ASC', min_input_files => 1)""")
+    val after = spark.sql("SELECT sort_order_id FROM graft.db.soid.files").collect()
+    assert(after.nonEmpty && after.forall(r =>
+      !r.isNullAt(0) && r.getInt(0) == m.defaultSortOrderId))
+    // re-running the same DDL reuses the id; a different order mints a new one
+    spark.sql("ALTER TABLE graft.db.soid WRITE ORDERED BY id ASC")
+    assert(coreTable("soid").meta.defaultSortOrderId == m.defaultSortOrderId)
+    spark.sql("ALTER TABLE graft.db.soid WRITE ORDERED BY cat DESC")
+    val m2 = coreTable("soid").meta
+    assert(m2.defaultSortOrderId != m.defaultSortOrderId)
+    assert(m2.sortOrders.map(_.orderId).distinct.size == m2.sortOrders.size)
+    // WRITE UNORDERED reverts to the unsorted order
+    spark.sql("ALTER TABLE graft.db.soid WRITE UNORDERED")
+    assert(coreTable("soid").meta.defaultSortOrderId == 0)
   }
 
   test("bucket/truncate transforms keep their typed result in the struct") {
