@@ -90,6 +90,22 @@ object PlanBench {
       r
     } finally spark.stop()
 
+    // metadata-table pushdown at the same scale (r17 top item): a
+    // partition-filtered t.files scan must plan ONE manifest task, not
+    // one per partition — O(matching manifests), not O(table metadata)
+    val uparts = graft.spark.GraftMetadataTables.unifiedPartitionFields(t.meta)
+    val pctx = graft.spark.GraftMetadataTables.pruneCtx(uparts, "files")
+    val mdPrune = Expr.bind(pctx.schema, Expr.equalTo("partition.p", 7L))
+    val (mdFull, mdFullSec) = best(new graft.spark.ManifestEntriesScan(
+      t, "files", t.meta).planInputPartitions())
+    val (mdPruned, mdPrunedSec) = best(new graft.spark.ManifestEntriesScan(
+      t, "files", t.meta, None, mdPrune, Some(pctx)).planInputPartitions())
+    // one data + one delete manifest per partition
+    require(mdFull.length == 2 * Partitions,
+      s"metadata full scan planned ${mdFull.length} tasks")
+    require(mdPruned.length == 2,
+      s"metadata pruned scan planned ${mdPruned.length} tasks")
+
     // server-side planning of the pruned query: 50k surviving tasks
     // chunk into plan-tasks (page 5000 -> ~10 chunks); the client
     // fetches them concurrently, never one giant response
@@ -153,6 +169,10 @@ object PlanBench {
       s""""pruned_vs_full_ratio":${f"${prunedSec / fullSec}%.4f"},""" +
       s""""sub_linear_ok":$subLinear,""" +
       s""""partitions_table_sec":${f"$partitionsSec%.3f"},""" +
+      s""""metadata_files_tasks_full":${mdFull.length},""" +
+      s""""metadata_files_tasks_pruned":${mdPruned.length},""" +
+      s""""metadata_full_plan_sec":${f"$mdFullSec%.4f"},""" +
+      s""""metadata_pruned_plan_sec":${f"$mdPrunedSec%.4f"},""" +
       s""""server_plan_sec":${f"$serverSec%.3f"},""" +
       s""""server_chunks":$serverChunks,""" +
       s""""streaming_commits":$StreamCommits,""" +

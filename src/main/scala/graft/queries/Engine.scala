@@ -3069,10 +3069,57 @@ object Engine {
     Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS rc, 1 AS soid FROM supplier"""))
 
+  // ------------------------------------------------------------------ g78
+  // Metadata-scan filter pushdown (reference BaseFilesTable.java:69-86
+  // ManifestEvaluator; TestMetadataTableFilters): a partition-filtered
+  // t.files query must plan FEWER manifests than the table has — one
+  // input partition per surviving manifest — while matching the oracle.
+  // Without it, WHERE partition.x = v on a 30k-manifest table reads all
+  // 30k manifests executor-side; that's the difference between
+  // O(matching) and O(table metadata) at 100 TB.
+  private val g78 = Q(
+    "g78_engine_metadata_pushdown",
+    (s, dir) => {
+      setup(s, dir)
+      val cat = new HadoopCatalog(warehouse(dir))
+      val ready = cat.loadTable(Seq("db"), "pdp_g")
+        .exists(_.meta.properties.get("g78-ready").contains("true"))
+      if (!ready) {
+        cat.dropTable(Seq("db"), "pdp_g")
+        s.sessionState.catalogManager.catalog("graft") match {
+          case g: graft.spark.GraftCatalog => g.invalidateCache()
+          case _ => ()
+        }
+        s.sql("""CREATE TABLE graft.db.pdp_g (s_suppkey BIGINT, s_nationkey BIGINT)
+          PARTITIONED BY (s_nationkey)""")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        // three commits → three manifests with disjoint nation ranges
+        (0 until 3).foreach { arm =>
+          sup.filter(col("s_nationkey") % 3 === arm)
+            .writeTo("graft.db.pdp_g").append()
+        }
+        cat.loadTable(Seq("db"), "pdp_g").get
+          .updateProperties(Map("g78-ready" -> "true"))
+      }
+      val nk = t(s, dir, "supplier").agg(min("s_nationkey"))
+        .head().getAs[Number](0).longValue
+      val totalManifests = s.table("graft.db.pdp_g.manifests").count()
+      require(totalManifests >= 3, s"g78: expected >=3 manifests, $totalManifests")
+      val q = s.table("graft.db.pdp_g.files")
+        .filter(col("content") === 0 && col("partition.s_nationkey") === nk)
+      val planned = q.rdd.getNumPartitions
+      require(planned < totalManifests,
+        s"g78: pushdown must prune manifests ($planned planned of $totalManifests)")
+      q.agg(sum("record_count").as("rc"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS rc FROM supplier
+      WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66, g67, g68, g69, g70, g71, g72, g73, g74, g75, g76, g77)
+    g66, g67, g68, g69, g70, g71, g72, g73, g74, g75, g76, g77, g78)
 }

@@ -1,0 +1,165 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Filter + column pushdown on the entry-level metadata tables
+  * (reference BaseFilesTable.java:69-86 ManifestEvaluator over the
+  * transformed spec; core/src/test/.../TestMetadataTableFilters pins the
+  * matrix): a partition/spec_id/content predicate on t.files must prune
+  * MANIFESTS at planning — observable as fewer input partitions — and a
+  * narrow projection must stop the reader from building the expensive
+  * columns (readable_metrics, bounds maps, position_deletes' `row`). */
+class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var warehouse: String = _
+
+  override def beforeAll(): Unit = {
+    warehouse = Files.createTempDirectory("graft-metapush").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-metapush")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    // three commits → three manifests with disjoint partition summaries
+    spark.sql("""CREATE TABLE graft.db.pp (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.db.pp VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.db.pp VALUES (2, 'b')")
+    spark.sql("INSERT INTO graft.db.pp VALUES (3, 'c'), (4, 'c')")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def coreTable(name: String) =
+    new graft.core.meta.HadoopCatalog(warehouse).loadTable(Seq("db"), name).get
+
+  test("partition predicate on t.files prunes manifests at planning") {
+    val files = spark.table("graft.db.pp.files")
+    assert(files.rdd.getNumPartitions === 3) // one task per manifest
+    val q = files.filter(col("partition.cat") === "a")
+    assert(q.rdd.getNumPartitions === 1,
+      "partition summary pruning must drop the b/c manifests")
+    assert(q.count() === 1L)
+    assert(q.select("record_count").head().getLong(0) === 1L)
+    // range predicate
+    val r = files.filter(col("partition.cat") >= "c")
+    assert(r.rdd.getNumPartitions === 1)
+    assert(r.select("record_count").head().getLong(0) === 2L)
+    // unconvertible predicates cost pruning, never rows
+    val u = files.filter(col("file_path").contains("graft.db"))
+    assert(u.rdd.getNumPartitions === 3)
+  }
+
+  test("entries prune via data_file.partition predicates") {
+    val q = spark.table("graft.db.pp.entries")
+      .filter(col("data_file.partition.cat") === "b")
+    assert(q.rdd.getNumPartitions === 1)
+    assert(q.count() === 1L)
+    assert(q.select("data_file.record_count").head().getLong(0) === 1L)
+  }
+
+  test("content predicates and content-restricted kinds prune structurally") {
+    spark.sql("""CREATE TABLE graft.db.ppm (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    // partition 'a' keeps a survivor so the DELETE can't take the
+    // metadata-delete short-circuit (a whole-file match just drops the
+    // file and leaves no delete manifest)
+    spark.sql("INSERT INTO graft.db.ppm VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    spark.sql("DELETE FROM graft.db.ppm WHERE id = 1")
+    val files = spark.table("graft.db.ppm.files")
+    assert(files.rdd.getNumPartitions === 2) // data + delete manifest
+    assert(files.filter(col("content") === 0).rdd.getNumPartitions === 1)
+    // delete kinds are content 1 (pos) / 2 (eq): a range predicate prunes
+    // the data manifest; NotEq stays conservative like the reference
+    assert(files.filter(col("content") >= 1).rdd.getNumPartitions === 1)
+    assert(files.filter(col("content") =!= 0).rdd.getNumPartitions === 2)
+    assert(spark.table("graft.db.ppm.data_files").rdd.getNumPartitions === 1)
+    assert(spark.table("graft.db.ppm.delete_files").rdd.getNumPartitions === 1)
+    // combined partition + content predicate
+    val q = files.filter(col("content") === 0 && col("partition.cat") === "a")
+    assert(q.count() === 1L)
+  }
+
+  test("column pruning reaches the reader tasks; count(*) is zero-width") {
+    val b = new GraftMetadataTable(coreTable("pp"), "t", "files")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    val pr = b.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+    pr.pruneColumns(StructType(Seq(StructField("file_path", StringType))))
+    val scan = b.build()
+    assert(scan.readSchema().fieldNames.toSeq === Seq("file_path"))
+    val task = scan.toBatch.planInputPartitions().head
+      .asInstanceOf[ManifestReadTask]
+    assert(task.columns === Some(Seq("file_path")),
+      "the task must carry the pruned projection so unbuilt columns stay unbuilt")
+    // SQL level: narrow and zero-width projections serve correctly
+    assert(spark.sql("SELECT file_path FROM graft.db.pp.files").count() === 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pp.files")
+      .head().getLong(0) === 3L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.pp.entries").head().getLong(0) === 3L)
+  }
+
+  test("pruning stays inclusive across evolved specs") {
+    spark.sql("CREATE TABLE graft.db.ppe (id BIGINT, cat STRING)")
+    spark.sql("INSERT INTO graft.db.ppe VALUES (1, 'x')") // spec 0: unpartitioned
+    spark.sql("CALL graft.system.add_partition_field('db.ppe', 'identity', 'cat')")
+    spark.sql("INSERT INTO graft.db.ppe VALUES (2, 'y')")
+    val q = spark.table("graft.db.ppe.files")
+      .filter(col("partition.cat") === "y")
+    // the old-spec manifest has no summary for cat → kept (inclusive);
+    // Spark's post-scan filter still drops its rows
+    assert(q.rdd.getNumPartitions === 2)
+    assert(q.count() === 1L)
+    // spec_id prunes exactly (each manifest is single-spec here)
+    val bySpec = spark.table("graft.db.ppe.files").filter(col("spec_id") === 0)
+    assert(bySpec.rdd.getNumPartitions === 1)
+    assert(bySpec.count() === 1L)
+  }
+
+  test("position_deletes prunes whole delete files; row read elided") {
+    spark.sql("""CREATE TABLE graft.db.ppd (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.db.ppd VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    spark.sql("DELETE FROM graft.db.ppd WHERE id IN (1, 3)")
+    val pd = spark.table("graft.db.ppd.position_deletes")
+    assert(pd.rdd.getNumPartitions === 2) // one delete file per partition
+    val q = pd.filter(col("partition.cat") === "a")
+    assert(q.rdd.getNumPartitions === 1)
+    assert(q.count() === 1L)
+    val byPath = pd.select("delete_file_path").distinct().collect().map(_.getString(0))
+    val one = pd.filter(col("delete_file_path") === byPath.head)
+    assert(one.rdd.getNumPartitions === 1)
+    // spec_id exact predicate keeps everything (single spec)
+    assert(pd.filter(col("spec_id") === pd.select("spec_id").head().getInt(0))
+      .count() === 2L)
+    // an unprojected `row` must not reach the parquet reader: the scan's
+    // read schema drops it and values still serve
+    val b = new GraftMetadataTable(coreTable("ppd"), "t", "position_deletes")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    b.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(StructType(Seq(StructField("file_path", StringType),
+        StructField("pos", org.apache.spark.sql.types.LongType))))
+    val scan = b.build()
+    assert(scan.readSchema().fieldNames.toSeq === Seq("file_path", "pos"))
+    assert(spark.sql(
+      "SELECT file_path, pos FROM graft.db.ppd.position_deletes").count() === 2L)
+  }
+}
