@@ -225,6 +225,12 @@ object GraftMetadataTables {
       if (kind == "position_deletes")
         Seq(GField(specIdId, "spec_id", GInt),
           GField(pathId, "delete_file_path", GString)) ++ partField
+      // partitions: ONLY partition columns may prune. The group key IS
+      // the partition tuple, so a key matching the predicate keeps every
+      // manifest holding its files (inclusive) and aggregates complete;
+      // pruning by spec_id would be unsound — a partition spanning specs
+      // would aggregate partially yet still pass Spark's post-filter.
+      else if (kind == "partitions") partField
       else {
         val cols = Seq(GField(contentId, "content", GInt),
           GField(specIdId, "spec_id", GInt)) ++ partField
@@ -616,8 +622,19 @@ object GraftMetadataTables {
     * (snapshots/history/refs/…) keep the current document, like the
     * reference's static-table time travel. */
   def rowsOf(kind: String, table: GTable, m: TableMetadata,
-      asOf: Option[Long] = None): Array[InternalRow] = {
-    def currentManifests: Seq[ManifestFile] = pinnedManifests(m, asOf)
+      asOf: Option[Long] = None,
+      prune: graft.core.expr.Expr = graft.core.expr.TrueE,
+      pctx: Option[PruneCtx] = None): Array[InternalRow] = {
+    def currentManifests: Seq[ManifestFile] = {
+      val mfs = pinnedManifests(m, asOf)
+      pctx match {
+        case Some(c) if prune != graft.core.expr.TrueE =>
+          mfs.filter(mf =>
+            graft.core.expr.InclusiveMetricsEvaluator.rowsMightMatch(prune,
+              manifestPruneStats(mf, m, c)))
+        case _ => mfs
+      }
+    }
 
     kind match {
       case "snapshots" => m.snapshots.map { sn =>
@@ -1195,7 +1212,8 @@ final class GraftMetadataTable(table: GTable, fullName: String, kind: String,
     "all_delete_files")
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (kind == "position_deletes" || distributedKinds(kind))
+    if (kind == "position_deletes" || kind == "partitions" ||
+        distributedKinds(kind))
       new GraftMetadataTable.MetadataScanBuilder(table, kind, m, asOf)
     else new ScanBuilder {
       // O(snapshots) kinds stay driver-side LocalScans; Spark filters
@@ -1260,6 +1278,12 @@ object GraftMetadataTable {
     override def build(): Scan =
       if (kind == "position_deletes")
         new PositionDeletesScan(table, m, asOf, prune, Some(pctx), required)
+      else if (kind == "partitions")
+        // still a LocalScan (O(partitions) rows) — but the distributed
+        // fold behind it only reads manifests that might hold a matching
+        // partition; column pruning is skipped (rows are already tiny)
+        new GraftSparkTable.GraftLocalScan(full,
+          GraftMetadataTables.rowsOf(kind, table, m, asOf, prune, Some(pctx)))
       else
         new ManifestEntriesScan(table, kind, m, asOf, prune, Some(pctx), required)
   }

@@ -445,6 +445,34 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pTab == byKey.toMap,
         s"seed=$seed: partitions debt diverges from files aggregation\n" +
           s"  partitions=$pTab\n  files=${byKey.toMap}")
+
+      // metadata-scan pushdown invariant: a partition-filtered t.files
+      // query (manifest pruning fires at planning) must serve exactly
+      // the post-filtered FULL scan, across whatever spec-evolution /
+      // delete / merge history the seed produced — inclusive pruning may
+      // only drop manifests whose rows the predicate drops anyway
+      import org.apache.spark.sql.functions.{col, lit}
+      val pcol = spark.table(s"$fq.files").schema("partition").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head
+      val cand = spark.table(s"$fq.files")
+        .select(col(s"partition.$pcol"))
+        .filter(col(s"partition.$pcol").isNotNull).limit(1).collect()
+      if (cand.nonEmpty && !cand.head.get(0).isInstanceOf[Array[Byte]]) {
+        val v = cand.head.get(0)
+        val pruned = spark.table(s"$fq.files")
+          .filter(col(s"partition.$pcol") === lit(v))
+          .select("file_path", "record_count").collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+        val full = spark.table(s"$fq.files")
+          .select(col("file_path"), col("record_count"),
+            col(s"partition.$pcol").as("pv"))
+          .collect().filter(r => !r.isNullAt(2) && r.get(2) == v)
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+        assert(pruned == full,
+          s"seed=$seed: pushdown-pruned files scan diverges from the " +
+            s"post-filtered full scan on partition.$pcol = $v\n" +
+            s"  pruned=$pruned\n  full=$full")
+      }
     }
 
     // merge-enabled arm: commit-time manifest merging must keep the

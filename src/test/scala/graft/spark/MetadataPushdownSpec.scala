@@ -132,6 +132,35 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySpec.count() === 1L)
   }
 
+  test("partitions table prunes manifests by partition predicate, soundly") {
+    spark.sql("""CREATE TABLE graft.db.ppp (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.db.ppp VALUES (1, 'a')")
+    // 'a' spans TWO manifests: pruning must keep both or the aggregate
+    // under-counts while still passing Spark's post-filter
+    spark.sql("INSERT INTO graft.db.ppp VALUES (2, 'a'), (3, 'b')")
+    spark.sql("INSERT INTO graft.db.ppp VALUES (4, 'c')")
+    val r = spark.table("graft.db.ppp.partitions")
+      .filter(col("partition.cat") === "a").collect()
+    assert(r.length === 1 && r.head.getAs[Long]("record_count") === 2L)
+    // direct: the fold only reads manifests that might hold 'a' — the
+    // 'c'-only manifest is pruned, the two 'a'-carrying ones are kept
+    val t = coreTable("ppp")
+    val m = t.refresh()
+    val uparts = GraftMetadataTables.unifiedPartitionFields(m)
+    val ctx = GraftMetadataTables.pruneCtx(uparts, "partitions")
+    val prune = graft.core.expr.Expr.bind(ctx.schema,
+      graft.core.expr.Expr.equalTo("partition.cat", "a"))
+    val rows = GraftMetadataTables.rowsOf("partitions", t, m, None,
+      prune, Some(ctx))
+    assert(rows.length === 2, "a+b partitions from the kept manifests")
+    // spec_id is NOT in the partitions pruning schema (unsound there):
+    // a pushed spec_id predicate must leave the fold unpruned
+    val sidPrune = scala.util.Try(graft.core.expr.Expr.bind(ctx.schema,
+      graft.core.expr.Expr.equalTo("spec_id", 0)))
+    assert(sidPrune.isFailure)
+  }
+
   test("position_deletes prunes whole delete files; row read elided") {
     spark.sql("""CREATE TABLE graft.db.ppd (id BIGINT, cat STRING)
       PARTITIONED BY (cat)
