@@ -828,6 +828,7 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val t0 = System.currentTimeMillis()
     val metricCols = GraftMetadataTables.metricCols(m.schema)
     val uparts = GraftMetadataTables.unifiedPartitionFields(m)
     val manifests =
@@ -852,6 +853,19 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
             GraftMetadataTables.manifestPruneStats(mf, m, c)))
       case _ => kindPruned
     }
+    // metadata scans report their planning funnel like data scans
+    // (reference: metadata tables are tables; their ScanReports show
+    // whether manifest pruning actually pruned) — visible via
+    // t.scan_reports with the kind in the filter string
+    ScanReports.add(ScanReport(
+      table.location,
+      asOf.orElse(m.currentSnapshot.map(_.snapshotId)).getOrElse(-1L),
+      s"metadata:$kind " +
+        (if (pruneExpr == graft.core.expr.TrueE) "true" else pruneExpr.toString),
+      manifests.size, pruned.size,
+      pruned.map(mf => mf.addedFilesCount.toLong + mf.existingFilesCount).sum,
+      pruned.size, 0, System.currentTimeMillis() - t0,
+      System.currentTimeMillis()))
     val specFieldIds = m.specs.map(sp => sp.specId -> sp.fields.map(_.fieldId)).toMap
     pruned.map(mf =>
       ManifestReadTask(mf, specFieldIds, kind, uparts, metricCols,

@@ -139,6 +139,29 @@ class AvroManifestsSpec extends AnyFunSuite {
     assert(back(1).writeSchemaId === None) // Existing resolves via snapshot
   }
 
+  test("sort_order_id and file_sequence_number round-trip through Avro") {
+    val spec = PartitionSpec(0, Seq(PartitionField(2, 1000, "i", IdentityT)))
+    val entries = Seq(
+      // stamped sorted file; explicit file sequence differing from data
+      ManifestEntry(ManifestEntryStatus.Existing, 800L, 3L,
+        df("/w/t/data/s.parquet", Seq(1)).copy(sortOrderId = Some(2)),
+        fileSequenceNumber = Some(5L)),
+      // unsorted file, no explicit file sequence: ADDED inherits
+      ManifestEntry(ManifestEntryStatus.Added, 900L, 4L,
+        df("/w/t/data/u.parquet", Seq(2))))
+    val bytes = AvroManifests.writeManifest(entries, spec, schema,
+      FileContent.Data, formatVersion = 2)
+    val mf = ManifestFile("/w/t/metadata/m2.avro", bytes.length, 0, 0,
+      addedSnapshotId = 900L, minSequenceNumber = 3L, addedFilesCount = 1,
+      existingFilesCount = 1, deletedFilesCount = 0, addedRowsCount = 10L,
+      sequenceNumber = Some(4L))
+    val back = AvroManifests.readEntries(bytes, mf)
+    assert(back.head.file.sortOrderId === Some(2))
+    assert(back.head.fileSequence === 5L) // preserved, distinct from data seq 3
+    assert(back(1).file.sortOrderId === None)
+    assert(back(1).fileSequence === 4L) // written as data sequence
+  }
+
   test("manifest round-trip: delete manifest with equality ids and DV fields") {
     val spec = PartitionSpec(0, Nil)
     val eqDel = df("/w/t/data/eq.parquet", Nil,

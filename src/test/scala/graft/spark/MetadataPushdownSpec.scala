@@ -62,6 +62,18 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unconvertible predicates cost pruning, never rows
     val u = files.filter(col("file_path").contains("graft.db"))
     assert(u.rdd.getNumPartitions === 3)
+    // the planning funnel is observable: the pruned scan reported
+    // 3 total manifests, 1 scanned
+    val rpt = spark.sql("""SELECT total_manifests, scanned_manifests, filter
+        FROM graft.db.pp.scan_reports""").collect()
+      .filter(_.getString(2).startsWith("metadata:files"))
+    assert(rpt.exists(r => r.getInt(0) === 3 && r.getInt(1) === 1),
+      rpt.mkString(" | "))
+    // all_ variants prune through the same machinery
+    val af = spark.table("graft.db.pp.all_files")
+      .filter(col("partition.cat") === "a")
+    assert(af.rdd.getNumPartitions === 1)
+    assert(af.select("record_count").collect().map(_.getLong(0)).sum === 1L)
   }
 
   test("entries prune via data_file.partition predicates") {
