@@ -207,7 +207,13 @@ object GraftMetadataTables {
     * evaluates every predicate post-scan, so a predicate that fails to
     * bind or a field with no stats only costs pruning, never rows. */
   final case class PruneCtx(schema: graft.core.types.GSchema,
-      contentId: Int, specIdId: Int, pathId: Int)
+      contentId: Int, specIdId: Int, pathId: Int,
+      // the UNIFIED type per partition-field id — the type predicates
+      // bind with. A spec whose own result type differs for the same id
+      // (recycled field id over a different source, pre-recycling or
+      // imported metadata) must contribute NO stats for it: adapting its
+      // bound would hand the comparator a value of the wrong type.
+      partTypes: Map[Int, graft.core.types.GType] = Map.empty)
 
   def pruneCtx(uparts: Seq[UPartField], kind: String): PruneCtx = {
     import graft.core.types._
@@ -221,6 +227,7 @@ object GraftMetadataTables {
       if (uparts.isEmpty) Nil
       else Seq(GField(partId, "partition",
         GStruct(uparts.map(u => GField(u.fieldId, u.name, u.gt)))))
+    val partTypes = uparts.map(u => u.fieldId -> u.gt).toMap
     val fields =
       if (kind == "position_deletes")
         Seq(GField(specIdId, "spec_id", GInt),
@@ -237,7 +244,7 @@ object GraftMetadataTables {
         if (entriesKinds(kind)) Seq(GField(dfId, "data_file", GStruct(cols)))
         else cols
       }
-    PruneCtx(GSchema(GStruct(fields)), contentId, specIdId, pathId)
+    PruneCtx(GSchema(GStruct(fields)), contentId, specIdId, pathId, partTypes)
   }
 
   /** One manifest's partition summaries + list-entry fields →
@@ -260,6 +267,9 @@ object GraftMetadataTables {
           s <- mf.partitionSummaries.lift(i)
           t <- scala.util.Try(
             pf.transform.resultType(m.schema.byId(pf.sourceId).tpe)).toOption
+          // the bound predicate compares with the UNIFIED type; a spec
+          // typing this field id differently must stay stat-less here
+          if ctx.partTypes.get(pf.fieldId).contains(t)
         } yield pf.fieldId -> ColStats(
           nullCount = if (s.containsNull) None else Some(0L),
           nanCount = if (s.containsNan) None else Some(0L),
@@ -291,9 +301,12 @@ object GraftMetadataTables {
           case null => pf.fieldId ->
             ColStats(valueCount = Some(1L), nullCount = Some(1L))
           case v =>
+            // same unified-type guard as manifestPruneStats: a value of
+            // a differently-typed recycled field contributes no bounds
             val adapted = scala.util.Try(
               pf.transform.resultType(m.schema.byId(pf.sourceId).tpe))
               .toOption
+              .filter(t => ctx.partTypes.get(pf.fieldId).contains(t))
               .flatMap(t => scala.util.Try(SingleValue.adapt(t, v)).toOption)
             pf.fieldId -> adapted.map(exact)
               .getOrElse(ColStats(valueCount = Some(1L), nullCount = Some(0L)))
@@ -392,8 +405,7 @@ object GraftMetadataTables {
     * byte sizes (documented on readable_metrics too); key_metadata is
     * declared for schema parity and always null — graft encrypts at
     * manifest granularity, not per data file. */
-  def fileStructFields(uparts: Seq[UPartField],
-      mcols: Seq[MetricCol]): Seq[StructField] = {
+  def fileStructFields(uparts: Seq[UPartField]): Seq[StructField] = {
     val partField: Seq[StructField] =
       if (uparts.isEmpty) Nil
       else Seq(StructField("partition", partitionStructType(uparts)))
@@ -437,7 +449,7 @@ object GraftMetadataTables {
       if (uparts.isEmpty) Nil
       else Seq(StructField("partition", partitionStructType(uparts)))
     kind match {
-      case k if filesKinds(k) => StructType(fileStructFields(uparts, mcols) :+
+      case k if filesKinds(k) => StructType(fileStructFields(uparts) :+
         StructField("readable_metrics", readableMetricsType(mcols)))
       // reference ManifestEntry.getSchema served by BaseEntriesTable
       // (BaseEntriesTable.java:53-62): the file fields ride NESTED as the
@@ -448,7 +460,7 @@ object GraftMetadataTables {
         StructField("snapshot_id", LongType),
         StructField("sequence_number", LongType),
         StructField("file_sequence_number", LongType),
-        StructField("data_file", StructType(fileStructFields(uparts, mcols))),
+        StructField("data_file", StructType(fileStructFields(uparts))),
         StructField("readable_metrics", readableMetricsType(mcols))))
       // reference PartitionsTable.java:57-121: partition + spec_id are
       // dropped for a fully-unpartitioned table (the one root row)
@@ -891,16 +903,19 @@ object ManifestEntriesScan {
         GraftMetadataTables.coercedPartitionRow(t.uparts,
           idx.getOrElse(specId, GraftMetadataTables.NoIdx), tuple)
 
-      def counts(e: ManifestEntry,
+      // `st`: the entry's column stats sorted by field id, computed ONCE
+      // per entry (only when a stats-derived column is projected) and
+      // shared by all five counts/bounds emitters
+      type Stats = Seq[(Int, graft.core.expr.ColStats)]
+      def counts(st: Stats,
           sel: graft.core.expr.ColStats => Option[Long]): Any = {
-        val kv = e.file.columnStats.toSeq.sortBy(_._1)
-          .flatMap { case (id, cs) => sel(cs).map(id -> _) }
+        val kv = st.flatMap { case (id, cs) => sel(cs).map(id -> _) }
         if (kv.isEmpty) null
         else ArrayBasedMapData(kv.map(_._1).toArray, kv.map(_._2).toArray)
       }
-      def bounds(e: ManifestEntry,
+      def bounds(st: Stats,
           sel: graft.core.expr.ColStats => Option[Any]): Any = {
-        val kv = e.file.columnStats.toSeq.sortBy(_._1).flatMap { case (id, cs) =>
+        val kv = st.flatMap { case (id, cs) =>
           sel(cs).map(v => id -> GraftMetadataTables.showValue(v))
         }
         if (kv.isEmpty) null
@@ -910,53 +925,55 @@ object ManifestEntriesScan {
       // one emitter per top-level column: the pruned reader only BUILDS
       // what the query projects (a `SELECT file_path` never renders
       // bounds maps or readable_metrics)
-      def fileEmitter(name: String): ManifestEntry => Any = name match {
-        case "content"            => e => e.file.content
-        case "file_path"          => e => us(e.file.path)
-        case "file_format"        => e => us(e.file.format)
-        case "spec_id"            => e => e.file.specId
-        case "partition"          => e => partRow(e.file.specId, e.file.partition)
-        case "record_count"       => e => e.file.recordCount
-        case "file_size_in_bytes" => e => e.file.fileSizeBytes
-        case "value_counts"       => e => counts(e, _.valueCount)
-        case "null_value_counts"  => e => counts(e, _.nullCount)
-        case "nan_value_counts"   => e => counts(e, _.nanCount)
-        case "lower_bounds"       => e => bounds(e, _.lower)
-        case "upper_bounds"       => e => bounds(e, _.upper)
-        case "key_metadata"       => _ => null // manifest-level crypto only
-        case "split_offsets"      => e =>
+      val statsCols = Set("value_counts", "null_value_counts",
+        "nan_value_counts", "lower_bounds", "upper_bounds")
+      def fileEmitter(name: String): (ManifestEntry, Stats) => Any = name match {
+        case "content"            => (e, _) => e.file.content
+        case "file_path"          => (e, _) => us(e.file.path)
+        case "file_format"        => (e, _) => us(e.file.format)
+        case "spec_id"            => (e, _) => e.file.specId
+        case "partition"          => (e, _) => partRow(e.file.specId, e.file.partition)
+        case "record_count"       => (e, _) => e.file.recordCount
+        case "file_size_in_bytes" => (e, _) => e.file.fileSizeBytes
+        case "value_counts"       => (_, st) => counts(st, _.valueCount)
+        case "null_value_counts"  => (_, st) => counts(st, _.nullCount)
+        case "nan_value_counts"   => (_, st) => counts(st, _.nanCount)
+        case "lower_bounds"       => (_, st) => bounds(st, _.lower)
+        case "upper_bounds"       => (_, st) => bounds(st, _.upper)
+        case "key_metadata"       => (_, _) => null // manifest-level crypto only
+        case "split_offsets"      => (e, _) =>
           if (e.file.splitOffsets.isEmpty) null
           else new org.apache.spark.sql.catalyst.util.GenericArrayData(
             e.file.splitOffsets.toArray)
-        case "equality_ids"       => e =>
+        case "equality_ids"       => (e, _) =>
           if (e.file.equalityIds.isEmpty) null
           else new org.apache.spark.sql.catalyst.util.GenericArrayData(
             e.file.equalityIds.toArray)
-        case "sort_order_id"      => e => e.file.sortOrderId.map(Int.box).orNull
-        case "first_row_id"       => e => e.file.firstRowId.map(Long.box).orNull
-        case "referenced_data_file" => e => e.file.referencedDataFile.map(us).orNull
-        case "content_offset"     => e => e.file.contentOffset.map(Long.box).orNull
+        case "sort_order_id"      => (e, _) => e.file.sortOrderId.map(Int.box).orNull
+        case "first_row_id"       => (e, _) => e.file.firstRowId.map(Long.box).orNull
+        case "referenced_data_file" => (e, _) => e.file.referencedDataFile.map(us).orNull
+        case "content_offset"     => (e, _) => e.file.contentOffset.map(Long.box).orNull
         case "content_size_in_bytes" =>
-          e => e.file.contentSizeInBytes.map(Long.box).orNull
-        case "readable_metrics"   => e =>
+          (e, _) => e.file.contentSizeInBytes.map(Long.box).orNull
+        case "readable_metrics"   => (e, _) =>
           GraftMetadataTables.readableMetricsRow(e.file.columnStats, t.metricCols)
         case other => throw new IllegalArgumentException(
           s"unknown files column: $other")
       }
 
       val isEntries = t.kind == "entries" || t.kind == "all_entries"
-      def entryEmitter(name: String): ManifestEntry => Any = name match {
-        case "status"               => e => e.status
-        case "snapshot_id"          => e => e.snapshotId
-        case "sequence_number"      => e => e.dataSequenceNumber
-        case "file_sequence_number" => e => e.fileSequence
+      def entryEmitter(name: String): (ManifestEntry, Stats) => Any = name match {
+        case "status"               => (e, _) => e.status
+        case "snapshot_id"          => (e, _) => e.snapshotId
+        case "sequence_number"      => (e, _) => e.dataSequenceNumber
+        case "file_sequence_number" => (e, _) => e.fileSequence
         case "data_file" =>
-          val dfEmit = GraftMetadataTables.fileStructFields(t.uparts, Nil)
+          val dfEmit = GraftMetadataTables.fileStructFields(t.uparts)
             .map(f => fileEmitter(f.name)).toArray
-          e => {
+          (e, st) => {
             val a = new Array[Any](dfEmit.length)
             var i = 0
-            while (i < dfEmit.length) { a(i) = dfEmit(i)(e); i += 1 }
+            while (i < dfEmit.length) { a(i) = dfEmit(i)(e, st); i += 1 }
             new GenericInternalRow(a)
           }
         case other => fileEmitter(other) // readable_metrics
@@ -965,11 +982,13 @@ object ManifestEntriesScan {
       val colNames: Seq[String] = t.columns.getOrElse(
         if (isEntries) Seq("status", "snapshot_id", "sequence_number",
           "file_sequence_number", "data_file", "readable_metrics")
-        else GraftMetadataTables.fileStructFields(t.uparts, Nil).map(_.name) :+
+        else GraftMetadataTables.fileStructFields(t.uparts).map(_.name) :+
           "readable_metrics")
-      val emitters: Array[ManifestEntry => Any] =
+      val emitters: Array[(ManifestEntry, Stats) => Any] =
         colNames.map(n =>
           if (isEntries) entryEmitter(n) else fileEmitter(n)).toArray
+      val needStats = colNames.exists(statsCols) ||
+        (isEntries && colNames.contains("data_file"))
 
       val entries = ManifestIO.readEntries(t.manifest).filter(_.isLive)
       val filtered = t.kind match {
@@ -980,9 +999,11 @@ object ManifestEntriesScan {
         case _ => entries
       }
       val it: Iterator[InternalRow] = filtered.iterator.map { e =>
+        val st: Stats =
+          if (needStats) e.file.columnStats.toSeq.sortBy(_._1) else Nil
         val a = new Array[Any](emitters.length)
         var i = 0
-        while (i < emitters.length) { a(i) = emitters(i)(e); i += 1 }
+        while (i < emitters.length) { a(i) = emitters(i)(e, st); i += 1 }
         new GenericInternalRow(a): InternalRow
       }
       new PartitionReader[InternalRow] {

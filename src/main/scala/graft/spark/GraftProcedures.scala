@@ -3047,23 +3047,7 @@ object RewriteDataFiles {
     // foreign key into table metadata, so an ad-hoc unregistered order
     // leaves it null rather than dangle; z-order has no SortOrder form
     val rwSortOrderId: Option[Int] =
-      if (!bySort) None
-      else {
-        val want = sortOrder.split(",").map(_.trim).filter(_.nonEmpty)
-          .toSeq.map { part =>
-            val bits = part.split("\\s+")
-            (t.meta.schema.findField(bits(0)).map(_.id),
-              !(bits.length > 1 && bits(1).equalsIgnoreCase("desc")))
-          }
-        t.meta.sortOrders.find { o =>
-          o.fields.nonEmpty && o.fields.length == want.length &&
-            o.fields.zip(want).forall { case (sf, (idOpt, asc)) =>
-              idOpt.contains(sf.sourceId) &&
-                sf.transform == graft.core.transform.IdentityT &&
-                sf.ascending == asc
-            }
-        }.map(_.orderId)
-      }
+      if (!bySort) None else SortSpecs.registeredOrderId(t.meta, sortOrder)
 
     var rewritten = 0
     var added = 0

@@ -294,17 +294,7 @@ final case class GraftDdlCommand(table: String, action: String, args: Seq[String
         // SetWriteDistributionAndOrdering replaces the table sort
         // order): data files written under it then carry a truthful
         // sort_order_id. One transaction = one metadata CAS.
-        val sortFields = order.split(",").map(_.trim).filter(_.nonEmpty)
-          .toSeq.map { part =>
-            val bits = part.split("\\s+")
-            val src = t.schema.findField(bits(0)).getOrElse(
-              throw new IllegalArgumentException(
-                s"WRITE ORDERED BY: no such column: ${bits(0)}"))
-            val asc = !(bits.length > 1 && bits(1).equalsIgnoreCase("desc"))
-            // spec defaults: ASC sorts nulls first, DESC nulls last
-            graft.core.meta.SortField(src.id,
-              graft.core.transform.IdentityT, asc, nullsFirst = asc)
-          }
+        val sortFields = SortSpecs.toSortFields(t.schema, order)
         t.transaction { st =>
           st.updateProperties(props.result().toMap)
           st.replaceSortOrder(sortFields)

@@ -223,20 +223,23 @@ final class GraftWrite(table: GTable, writeSchema: StructType, mode: WriteMode,
   // within each partition write, tightening per-file min/max stats so
   // later scans prune harder
   private def tableSortOrders: Array[SortOrder] =
-    table.meta.properties.get("write.sort-order").toArray.flatMap {
-      _.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
-        val bits = part.split("\\s+")
-        val dir = if (bits.length > 1 && bits(1).equalsIgnoreCase("desc"))
-          SortDirection.DESCENDING else SortDirection.ASCENDING
+    table.meta.properties.get("write.sort-order").toArray.flatMap { order =>
+      SortSpecs.parse(order).map { p =>
+        val dir =
+          if (p.asc) SortDirection.ASCENDING else SortDirection.DESCENDING
+        val nulls =
+          if (p.nullsFirst)
+            org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
+          else org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST
         // map the table-schema column name onto the query's name when a
         // positional accept-any-schema write renamed the output
         val colName = queryNames match {
           case Some(qn) =>
-            val i = table.schema.fields.indexWhere(_.name.equalsIgnoreCase(bits(0)))
-            if (i >= 0 && i < qn.length) qn(i) else bits(0)
-          case None => bits(0)
+            val i = table.schema.fields.indexWhere(_.name.equalsIgnoreCase(p.colName))
+            if (i >= 0 && i < qn.length) qn(i) else p.colName
+          case None => p.colName
         }
-        VE.sort(VE.identity(colName), dir)
+        VE.sort(VE.identity(colName), dir, nulls)
       }
     }
 
@@ -456,23 +459,9 @@ final class GraftBatchWrite(table: GTable, writeSchema: StructType, mode: WriteM
     * a manually drifted property must not stamp a stale id. */
   private def stampSortOrderId: Option[Int] = {
     val m = table.meta
-    m.sortOrders
-      .find(o => o.orderId == m.defaultSortOrderId && o.fields.nonEmpty)
-      .filter { o =>
-        val propFields = m.properties.getOrElse("write.sort-order", "")
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
-            val bits = part.split("\\s+")
-            (m.schema.findField(bits(0)).map(_.id),
-              !(bits.length > 1 && bits(1).equalsIgnoreCase("desc")))
-          }
-        propFields.length == o.fields.length &&
-          o.fields.zip(propFields).forall { case (sf, (idOpt, asc)) =>
-            idOpt.contains(sf.sourceId) &&
-              sf.transform == graft.core.transform.IdentityT &&
-              sf.ascending == asc
-          }
-      }
-      .map(_.orderId)
+    SortSpecs.registeredOrderId(m,
+        m.properties.getOrElse("write.sort-order", ""))
+      .filter(_ == m.defaultSortOrderId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -398,6 +398,12 @@ class MetadataPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m2 = coreTable("soid").meta
     assert(m2.defaultSortOrderId != m.defaultSortOrderId)
     assert(m2.sortOrders.map(_.orderId).distinct.size == m2.sortOrders.size)
+    // identifiers resolve case-insensitively and backticked; explicit
+    // NULLS FIRST overrides the DESC default (nulls last)
+    spark.sql("ALTER TABLE graft.db.soid WRITE ORDERED BY `ID` DESC NULLS FIRST")
+    val m3 = coreTable("soid").meta
+    val f3 = m3.sortOrders.find(_.orderId == m3.defaultSortOrderId).get.fields.head
+    assert(!f3.ascending && f3.nullsFirst)
     // WRITE UNORDERED reverts to the unsorted order
     spark.sql("ALTER TABLE graft.db.soid WRITE UNORDERED")
     assert(coreTable("soid").meta.defaultSortOrderId == 0)
