@@ -76,6 +76,24 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(af.select("record_count").collect().map(_.getLong(0)).sum === 1L)
   }
 
+  test("date-transformed partition predicates prune (days(ts) + DATE literal)") {
+    spark.sql("""CREATE TABLE graft.db.ppt (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft.db.ppt VALUES
+      (1, TIMESTAMP '2024-01-01 05:00:00')""")
+    spark.sql("""INSERT INTO graft.db.ppt VALUES
+      (2, TIMESTAMP '2024-02-01 05:00:00'), (3, TIMESTAMP '2024-02-02 06:00:00')""")
+    val files = spark.table("graft.db.ppt.files")
+    assert(files.rdd.getNumPartitions === 2)
+    val q = files.filter(col("partition.ts_day") >= java.sql.Date.valueOf("2024-02-01"))
+    assert(q.rdd.getNumPartitions === 1,
+      "the January manifest must prune on the typed date bound")
+    assert(q.select("record_count").collect().map(_.getLong(0)).sum === 2L)
+    val eq = files.filter(col("partition.ts_day") === java.sql.Date.valueOf("2024-01-01"))
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(eq.count() === 1L)
+  }
+
   test("entries prune via data_file.partition predicates") {
     val q = spark.table("graft.db.pp.entries")
       .filter(col("data_file.partition.cat") === "b")
