@@ -801,8 +801,10 @@ final case class ManifestReadTask(manifest: ManifestFile,
     // pruned top-level output columns, in serving order; None = all,
     // Some(Nil) = zero-width rows (count(*)). Unprojected columns are
     // never BUILT (readable_metrics/bounds maps are the expensive ones),
-    // not just dropped.
-    columns: Option[Seq[String]] = None)
+    // not just dropped. metricCols arrives already nested-pruned;
+    // dfColumns narrows the entries kinds' data_file struct the same way.
+    columns: Option[Seq[String]] = None,
+    dfColumns: Option[Seq[String]] = None)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Distributed scan for the entry-level metadata tables (files/entries/
@@ -822,15 +824,42 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
     asOf: Option[Long] = None,
     pruneExpr: graft.core.expr.Expr = graft.core.expr.TrueE,
     pctx: Option[GraftMetadataTables.PruneCtx] = None,
-    columns: Option[Seq[String]] = None)
+    columns: Option[Seq[String]] = None,
+    // nested pruning: which readable_metrics columns / data_file fields
+    // survive — on a 1000-column schema the readable_metrics struct is
+    // 1000x6 values per row, so building only the projected sub-structs
+    // matters even when the column itself is selected
+    metricNames: Option[Seq[String]] = None,
+    dfColumns: Option[Seq[String]] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
+  private def prunedMetricCols: Seq[GraftMetadataTables.MetricCol] = {
+    val all = GraftMetadataTables.metricCols(m.schema)
+    metricNames match {
+      case None => all
+      case Some(ns) => val keep = ns.toSet; all.filter(c => keep(c.name))
+    }
+  }
+
   override def readSchema(): StructType = {
     val full = GraftMetadataTables.schemaOf(kind, m)
+    val narrowed = StructType(full.fields.map { f =>
+      f.name match {
+        case "readable_metrics" if metricNames.isDefined =>
+          f.copy(dataType =
+            GraftMetadataTables.readableMetricsType(prunedMetricCols))
+        case "data_file" if dfColumns.isDefined =>
+          val keep = dfColumns.get.toSet
+          f.copy(dataType = StructType(f.dataType.asInstanceOf[StructType]
+            .fields.filter(df => keep(df.name))))
+        case _ => f
+      }
+    })
     columns match {
-      case None => full
-      case Some(names) => StructType(names.flatMap(n => full.fields.find(_.name == n)))
+      case None => narrowed
+      case Some(names) =>
+        StructType(names.flatMap(n => narrowed.fields.find(_.name == n)))
     }
   }
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -841,7 +870,7 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val t0 = System.currentTimeMillis()
-    val metricCols = GraftMetadataTables.metricCols(m.schema)
+    val metricCols = prunedMetricCols
     val uparts = GraftMetadataTables.unifiedPartitionFields(m)
     val manifests =
       if (kind.startsWith("all_")) GraftMetadataTables.allManifests(m, asOf)
@@ -881,7 +910,7 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
     val specFieldIds = m.specs.map(sp => sp.specId -> sp.fields.map(_.fieldId)).toMap
     pruned.map(mf =>
       ManifestReadTask(mf, specFieldIds, kind, uparts, metricCols,
-        columns): InputPartition).toArray
+        columns, dfColumns): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ManifestEntriesScan.Factory
@@ -968,8 +997,10 @@ object ManifestEntriesScan {
         case "sequence_number"      => (e, _) => e.dataSequenceNumber
         case "file_sequence_number" => (e, _) => e.fileSequence
         case "data_file" =>
-          val dfEmit = GraftMetadataTables.fileStructFields(t.uparts)
-            .map(f => fileEmitter(f.name)).toArray
+          val dfFields = GraftMetadataTables.fileStructFields(t.uparts)
+            .map(_.name)
+          val dfEmit = t.dfColumns.map(ns => dfFields.filter(ns.toSet))
+            .getOrElse(dfFields).map(fileEmitter).toArray
           (e, st) => {
             val a = new Array[Any](dfEmit.length)
             var i = 0
@@ -988,7 +1019,8 @@ object ManifestEntriesScan {
         colNames.map(n =>
           if (isEntries) entryEmitter(n) else fileEmitter(n)).toArray
       val needStats = colNames.exists(statsCols) ||
-        (isEntries && colNames.contains("data_file"))
+        (isEntries && colNames.contains("data_file") &&
+          t.dfColumns.forall(_.exists(statsCols)))
 
       val entries = ManifestIO.readEntries(t.manifest).filter(_.isLive)
       val filtered = t.kind match {
@@ -1284,6 +1316,8 @@ object GraftMetadataTable {
     private var pushed: Array[VPred] = Array.empty
     private var prune: Expr = TrueE
     private var required: Option[Seq[String]] = None
+    private var metricNames: Option[Seq[String]] = None
+    private var dfColumns: Option[Seq[String]] = None
 
     override def pushPredicates(predicates: Array[VPred]): Array[VPred] = {
       // keep only predicates that fully BIND against the synthetic
@@ -1304,10 +1338,23 @@ object GraftMetadataTable {
     override def pushedPredicates(): Array[VPred] = pushed
 
     override def pruneColumns(requiredSchema: StructType): Unit = {
-      // top-level pruning only: a partially-requested nested struct
-      // (data_file.file_path) serves the whole column; Spark re-projects
       val names = requiredSchema.fields.map(_.name).toSet
       required = Some(full.fields.map(_.name).filter(names).toSeq)
+      // nested pruning for the two WIDE structs: which readable_metrics
+      // columns and which data_file fields the query actually touches —
+      // canonical order, so schema and emitters can't drift. Other
+      // partially-requested structs (partition) serve whole; Spark
+      // re-projects.
+      requiredSchema.fields.find(_.name == "readable_metrics").foreach { f =>
+        val asked = f.dataType.asInstanceOf[StructType].fieldNames.toSet
+        metricNames = Some(GraftMetadataTables.metricCols(m.schema)
+          .map(_.name).filter(asked))
+      }
+      requiredSchema.fields.find(_.name == "data_file").foreach { f =>
+        val asked = f.dataType.asInstanceOf[StructType].fieldNames.toSet
+        dfColumns = Some(GraftMetadataTables.fileStructFields(uparts)
+          .map(_.name).filter(asked))
+      }
     }
 
     override def build(): Scan =
@@ -1320,6 +1367,7 @@ object GraftMetadataTable {
         new GraftSparkTable.GraftLocalScan(full,
           GraftMetadataTables.rowsOf(kind, table, m, asOf, prune, Some(pctx)))
       else
-        new ManifestEntriesScan(table, kind, m, asOf, prune, Some(pctx), required)
+        new ManifestEntriesScan(table, kind, m, asOf, prune, Some(pctx),
+          required, metricNames, dfColumns)
   }
 }

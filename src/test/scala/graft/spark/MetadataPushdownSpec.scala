@@ -145,6 +145,47 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) FROM graft.db.pp.entries").head().getLong(0) === 3L)
   }
 
+  test("nested pruning narrows readable_metrics and data_file structs") {
+    import org.apache.spark.sql.types._
+    // SQL level: narrow projections still serve correct values
+    val v = spark.sql(
+      "SELECT readable_metrics.id.null_value_count FROM graft.db.pp.files")
+      .collect()
+    assert(v.length === 3 && v.forall(_.getLong(0) === 0L))
+    assert(spark.sql(
+      "SELECT sum(data_file.record_count) FROM graft.db.pp.entries")
+      .head().getLong(0) === 4L)
+    // direct: the scan declares and builds only the projected sub-structs
+    val b = new GraftMetadataTable(coreTable("pp"), "t", "files")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    b.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(StructType(Seq(StructField("readable_metrics",
+        StructType(Seq(StructField("id", StructType(Seq(
+          StructField("null_value_count", LongType))))))))))
+    val scan = b.build()
+    val rm = scan.readSchema()("readable_metrics").dataType
+      .asInstanceOf[StructType]
+    assert(rm.fieldNames.toSeq === Seq("id"),
+      "only the projected metric column survives in the declared schema")
+    val task = scan.toBatch.planInputPartitions().head
+      .asInstanceOf[ManifestReadTask]
+    assert(task.metricCols.map(_.name) === Seq("id"))
+    // entries: data_file narrows the same way
+    val b2 = new GraftMetadataTable(coreTable("pp"), "t", "entries")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    b2.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(StructType(Seq(StructField("data_file",
+        StructType(Seq(StructField("record_count", LongType)))))))
+    val scan2 = b2.build()
+    assert(scan2.readSchema()("data_file").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq === Seq("record_count"))
+    val task2 = scan2.toBatch.planInputPartitions().head
+      .asInstanceOf[ManifestReadTask]
+    assert(task2.dfColumns === Some(Seq("record_count")))
+  }
+
   test("pruning stays inclusive across evolved specs") {
     spark.sql("CREATE TABLE graft.db.ppe (id BIGINT, cat STRING)")
     spark.sql("INSERT INTO graft.db.ppe VALUES (1, 'x')") // spec 0: unpartitioned
