@@ -105,30 +105,87 @@ final class GraftChangesTable(table: GTable, fullName: String)
     val end = endId.orElse(endTs.flatMap(byTs))
     require(endTs.isEmpty || end.isDefined,
       s"end-timestamp ${endTs.get} precedes the first snapshot")
-    new ScanBuilder {
-      override def build(): Scan = new GraftChangesScan(table, start, end)
+    // filter pushdown (reference BaseIncrementalChangelogScan takes the
+    // scan's row filter): pushed predicates on DATA columns prune whole
+    // change tasks at planning — partition projection + file metrics,
+    // same funnel as the batch scan. A partition-filtered CDC read of a
+    // 100 TB table must not open every changed file. All predicates
+    // return to Spark for row-level evaluation (pruning is inclusive).
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
+      import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPred}
+      private var pushed: Array[VPred] = Array.empty
+      private var exprs: Seq[graft.core.expr.Expr] = Nil
+      override def pushPredicates(ps: Array[VPred]): Array[VPred] = {
+        val conv = ps.flatMap(p => SparkBridge.toExpr(p).map(p -> _))
+        pushed = conv.map(_._1)
+        exprs = conv.map(_._2).toSeq
+        ps
+      }
+      override def pushedPredicates(): Array[VPred] = pushed
+      override def build(): Scan = new GraftChangesScan(table, start, end,
+        exprs.foldLeft[graft.core.expr.Expr](graft.core.expr.TrueE)(
+          graft.core.expr.Expr.and))
     }
   }
 }
 
 final class GraftChangesScan(table: GTable, startId: Option[Long],
-    endId: Option[Long]) extends Scan with Batch {
+    endId: Option[Long],
+    rowFilter: graft.core.expr.Expr = graft.core.expr.TrueE)
+  extends Scan with Batch {
 
   import GraftChangesTable._
 
   override def readSchema(): StructType = changeSchema(table)
   override def toBatch: Batch = this
-  override def description(): String = s"graft-changes(${table.location})"
+  override def description(): String = {
+    val f = if (rowFilter == graft.core.expr.TrueE) ""
+      else s", filter=$rowFilter"
+    s"graft-changes(${table.location}$f)"
+  }
+
+  /** per-DATA-file keeper for the pushed row filter (mirrors
+    * TableScan.planManifest's layer 3): exact partition eval over the
+    * inclusive projection + column min/max stats. Delete files are never
+    * filtered — they mask rows of KEPT files. Unbindable filters (stale
+    * schema, non-data columns) degrade to keep-everything. */
+  private def keeper(m: TableMetadata): DataFile => Boolean = {
+    import graft.core.expr._
+    if (rowFilter == TrueE) return _ => true
+    val schema = m.schema
+    val bound =
+      try Expr.bind(schema, rowFilter)
+      catch { case scala.util.control.NonFatal(_) => return _ => true }
+    val partPreds = scala.collection.mutable.Map.empty[Int, Expr]
+    f => {
+      val fSpec = scala.util.Try(m.specById(f.specId)).toOption
+        .filter(_.fields.length == f.partition.length)
+      val partKeep = fSpec.forall { sp =>
+        val pred = partPreds.getOrElseUpdate(sp.specId,
+          Projections.inclusive(sp, schema, bound))
+        RowEvaluator.eval(pred, ArrayRow(f.partition.toArray))
+      }
+      partKeep && InclusiveMetricsEvaluator.rowsMightMatch(bound, f.fileStats)
+    }
+  }
 
   // snapshotId -> the schema current at that commit (for write-time names)
   @volatile private var schemaIds: Map[Long, Int] = Map.empty
   private def schemaIdOf(snapshotId: Long): Int =
     schemaIds.getOrElse(snapshotId, -1)
 
-  private def liveDataFiles(sn: Snapshot): Map[String, (DataFile, Int)] =
+  // `keep`: the pushed-filter keeper — filtering the STATE MAPS keeps
+  // the before/after diff, pos-delete targets, and eq-delete fan-out all
+  // consistently restricted to files whose rows can match (a pruned
+  // file's change rows would be dropped by Spark's post-scan filter
+  // anyway; pruning them here skips the file read entirely)
+  private def liveDataFiles(sn: Snapshot,
+      keep: DataFile => Boolean): Map[String, (DataFile, Int)] =
     ManifestIO.readList(sn.manifestListPath)
       .filter(_.content == 0)
       .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
+      .filter(e => keep(e.file))
       .map(e => e.file.path ->
         (e.file, e.writeSchemaId.getOrElse(schemaIdOf(e.snapshotId)))).toMap
 
@@ -141,6 +198,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = table.refresh()
+    val keep = keeper(m)
     schemaIds = m.snapshots.flatMap(s => s.schemaId.map(s.snapshotId -> _)).toMap
     // main-branch ancestry only: snapshots staged on other branches (WAP)
     // are not published changes and must not appear in CDC output
@@ -164,6 +222,7 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       manifests.filter(mf => mf.content == 0 && mf.addedSnapshotId == sn.snapshotId)
         .flatMap(mf => ManifestIO.readEntries(mf))
         .filter(e => e.status == ManifestEntryStatus.Added && e.snapshotId == sn.snapshotId)
+        .filter(e => keep(e.file))
         .foreach { e =>
           tasks += ChangeTask(e.file.path, e.file.fileSizeBytes, "INSERT",
             ordinal, sn.snapshotId, Array.empty,
@@ -188,8 +247,8 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
       def maskFmts(path: String): Array[String] =
         maskFilesFor(path).map(_.format).toArray
       val beforeOpt: Option[Map[String, (DataFile, Int)]] =
-        carried.orElse(parentOpt.map(liveDataFiles))
-      val after = liveDataFiles(sn)
+        carried.orElse(parentOpt.map(liveDataFiles(_, keep)))
+      val after = liveDataFiles(sn, keep)
       carried = Some(after)
       // data files removed vs parent (copy-on-write deletes/overwrites)
       beforeOpt.foreach { before =>

@@ -232,6 +232,27 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sidPrune.isFailure)
   }
 
+  test("changes table prunes change tasks by pushed data predicates") {
+    spark.sql("""CREATE TABLE graft.db.ppc (id BIGINT, grp BIGINT)
+      PARTITIONED BY (grp)""")
+    spark.sql("INSERT INTO graft.db.ppc VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO graft.db.ppc VALUES (3, 10)")
+    spark.sql("DELETE FROM graft.db.ppc WHERE id = 1")
+    val all = spark.table("graft.db.ppc.changes")
+    val filtered = all.filter(col("grp") === 10L)
+    // whole change tasks drop at planning (one task per changed file)
+    assert(filtered.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"${filtered.rdd.getNumPartitions} vs ${all.rdd.getNumPartitions}")
+    // and the served rows equal the post-filtered full scan
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[Long]("grp"),
+        r.getAs[String]("_change_type"), r.getAs[Int]("_change_ordinal"))
+    val lhs = filtered.collect().map(key).sorted
+    val rhs = all.collect().filter(_.getAs[Long]("grp") == 10L).map(key).sorted
+    assert(lhs.toSeq === rhs.toSeq)
+    assert(lhs.nonEmpty)
+  }
+
   test("position_deletes prunes whole delete files; row read elided") {
     spark.sql("""CREATE TABLE graft.db.ppd (id BIGINT, cat STRING)
       PARTITIONED BY (cat)
