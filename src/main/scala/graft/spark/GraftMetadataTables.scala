@@ -50,9 +50,9 @@ object GraftMetadataTables {
     "all_files", "all_manifests", "all_entries",
     "all_data_files", "all_delete_files", "scan_reports", "commit_reports")
 
-  private val filesKinds = Set("files", "data_files", "delete_files",
+  private[spark] val filesKinds = Set("files", "data_files", "delete_files",
     "all_files", "all_data_files", "all_delete_files")
-  private val entriesKinds = Set("entries", "all_entries")
+  private[spark] val entriesKinds = Set("entries", "all_entries")
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -830,7 +830,8 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
     // 1000x6 values per row, so building only the projected sub-structs
     // matters even when the column itself is selected
     metricNames: Option[Seq[String]] = None,
-    dfColumns: Option[Seq[String]] = None)
+    dfColumns: Option[Seq[String]] = None,
+    limit: Option[Int] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
@@ -887,12 +888,28 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
     // partition summaries + exact content/spec_id bounds, inclusive —
     // at 30k manifests a partition-filtered query reads only the
     // matching ones instead of all of table metadata
-    val pruned = pctx match {
+    val predPruned = pctx match {
       case Some(c) if pruneExpr != graft.core.expr.TrueE =>
         kindPruned.filter(mf =>
           graft.core.expr.InclusiveMetricsEvaluator.rowsMightMatch(pruneExpr,
             GraftMetadataTables.manifestPruneStats(mf, m, c)))
       case _ => kindPruned
+    }
+    // pushed LIMIT: a manifest prefix whose cumulative live-entry count
+    // covers it — the list entry's added+existing counts are exact, so
+    // `LIMIT 10` plans one manifest, not 30k; Spark applies the exact
+    // cut. Guarded to the filterless case: Spark only pushes a limit
+    // with no filter above the scan, and under a residual predicate a
+    // count-based prefix could under-serve
+    val pruned = limit match {
+      case Some(n) if pruneExpr == graft.core.expr.TrueE =>
+        var acc = 0L
+        predPruned.takeWhile { mf =>
+          val take = acc < n
+          acc += mf.addedFilesCount.toLong + mf.existingFilesCount
+          take
+        }
+      case _ => predPruned
     }
     // metadata scans report their planning funnel like data scans
     // (reference: metadata tables are tables; their ScanReports show
@@ -1072,7 +1089,8 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata,
     asOf: Option[Long] = None,
     pruneExpr: graft.core.expr.Expr = graft.core.expr.TrueE,
     pctx: Option[GraftMetadataTables.PruneCtx] = None,
-    columns: Option[Seq[String]] = None)
+    columns: Option[Seq[String]] = None,
+    limit: Option[Int] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 
@@ -1098,12 +1116,24 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata,
     // a pushed predicate on them drops whole delete files before their
     // content is opened (reference PositionDeletesTable scopes
     // rewrite_position_deletes this way)
-    val pruned = pctx match {
+    val predPruned = pctx match {
       case Some(c) if pruneExpr != graft.core.expr.TrueE =>
         all.filter(e =>
           graft.core.expr.InclusiveMetricsEvaluator.rowsMightMatch(pruneExpr,
             GraftMetadataTables.posDeletePruneStats(e.file, m, c)))
       case _ => all
+    }
+    // pushed LIMIT (filterless only): a delete-file prefix whose
+    // cumulative record count covers it — never opens the rest
+    val pruned = limit match {
+      case Some(n) if pruneExpr == graft.core.expr.TrueE =>
+        var acc = 0L
+        predPruned.takeWhile { e =>
+          val take = acc < n
+          acc += e.file.recordCount
+          take
+        }
+      case _ => predPruned
     }
     pruned.map(e => PosDeleteFileTask(e.file.path, e.file.format, e.file.specId,
         e.file.partition, e.file.contentOffset,
@@ -1307,7 +1337,9 @@ object GraftMetadataTable {
   private[spark] final class MetadataScanBuilder(table: GTable, kind: String,
       m: TableMetadata, asOf: Option[Long])
     extends ScanBuilder
-    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
     private val uparts = GraftMetadataTables.unifiedPartitionFields(m)
     private val pctx = GraftMetadataTables.pruneCtx(uparts, kind)
@@ -1318,6 +1350,65 @@ object GraftMetadataTable {
     private var required: Option[Seq[String]] = None
     private var metricNames: Option[Seq[String]] = None
     private var dfColumns: Option[Seq[String]] = None
+    private var limit: Option[Int] = None
+    private var countResult: Option[Long] = None
+
+    // ------------------------------------------------------- aggregates
+    // COUNT(*) on files/entries kinds is pure manifest-LIST math: the
+    // list entry's added+existing counts ARE the live entry count, so a
+    // 30k-manifest table answers instantly with zero manifest reads.
+    // position_deletes sums live delete-entry record counts — manifest
+    // reads, but never delete-file contents. Spark only offers the
+    // aggregate when no residual filter sits above the scan, so
+    // `prune != TrueE` can't occur here; bail anyway for safety.
+    private def evalCount(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Option[Long] = {
+      import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+      if (prune != TrueE || agg.groupByExpressions().nonEmpty) return None
+      val aggs = agg.aggregateExpressions()
+      if (aggs.isEmpty || !aggs.forall(_.isInstanceOf[CountStar])) return None
+      try {
+        if (GraftMetadataTables.filesKinds(kind) ||
+            GraftMetadataTables.entriesKinds(kind)) {
+          val manifests =
+            if (kind.startsWith("all_")) GraftMetadataTables.allManifests(m, asOf)
+            else GraftMetadataTables.pinnedManifests(m, asOf)
+          val kept = kind match {
+            case "data_files" | "all_data_files"     => manifests.filter(_.content == 0)
+            case "delete_files" | "all_delete_files" => manifests.filter(_.content != 0)
+            case _                                   => manifests
+          }
+          Some(kept.map(mf =>
+            mf.addedFilesCount.toLong + mf.existingFilesCount).sum)
+        } else if (kind == "position_deletes") {
+          Some(GraftMetadataTables.pinnedManifests(m, asOf)
+            .filter(_.content != 0)
+            .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
+            .filter(_.file.content == FileContent.PositionDeletes)
+            .map(_.file.recordCount).sum)
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = {
+      countResult = evalCount(agg)
+      countResult.isDefined
+    }
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = {
+      if (countResult.isEmpty) countResult = evalCount(agg)
+      countResult.isDefined
+    }
+
+    // LIMIT: plan only a manifest prefix whose cumulative live-entry
+    // count covers it — `LIMIT 10` on a 30k-manifest table reads one
+    // manifest. Returns false: per-manifest counts overshoot, Spark
+    // re-applies the exact limit.
+    override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
     override def pushPredicates(predicates: Array[VPred]): Array[VPred] = {
       // keep only predicates that fully BIND against the synthetic
@@ -1357,9 +1448,18 @@ object GraftMetadataTable {
       }
     }
 
-    override def build(): Scan =
+    override def build(): Scan = countResult match {
+      case Some(n) =>
+        new GraftSparkTable.GraftLocalScan(
+          StructType(Seq(StructField("count(*)", LongType))),
+          Array(new GenericInternalRow(Array[Any](n)): InternalRow))
+      case None => buildScan()
+    }
+
+    private def buildScan(): Scan =
       if (kind == "position_deletes")
-        new PositionDeletesScan(table, m, asOf, prune, Some(pctx), required)
+        new PositionDeletesScan(table, m, asOf, prune, Some(pctx), required,
+          limit)
       else if (kind == "partitions")
         // still a LocalScan (O(partitions) rows) — but the distributed
         // fold behind it only reads manifests that might hold a matching
@@ -1368,6 +1468,6 @@ object GraftMetadataTable {
           GraftMetadataTables.rowsOf(kind, table, m, asOf, prune, Some(pctx)))
       else
         new ManifestEntriesScan(table, kind, m, asOf, prune, Some(pctx),
-          required, metricNames, dfColumns)
+          required, metricNames, dfColumns, limit)
   }
 }

@@ -186,6 +186,35 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(task2.dfColumns === Some(Seq("record_count")))
   }
 
+  test("count(*) answers from manifest-list math; LIMIT plans a prefix") {
+    // count(*) pushes completely: the plan carries a LocalScan, zero
+    // manifest-read tasks
+    val cnt = spark.sql("SELECT count(*) FROM graft.db.pp.files")
+    assert(cnt.head().getLong(0) === 3L)
+    assert(cnt.queryExecution.executedPlan.toString.contains("LocalTableScan") ||
+      cnt.queryExecution.executedPlan.toString.contains("graft-local"),
+      cnt.queryExecution.executedPlan.toString.take(500))
+    assert(spark.sql("SELECT count(*) FROM graft.db.pp.entries")
+      .head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pp.data_files")
+      .head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pp.delete_files")
+      .head().getLong(0) === 0L)
+    // a filtered count is NOT answered from counts (predicate needs rows)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.pp.files WHERE partition.cat = 'a'")
+      .head().getLong(0) === 1L)
+    // LIMIT 1 plans a one-manifest prefix instead of all three
+    val lim = spark.sql("SELECT file_path FROM graft.db.pp.files LIMIT 1")
+    assert(lim.count() === 1L)
+    val b = new GraftMetadataTable(coreTable("pp"), "t", "files")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    assert(b.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownLimit].pushLimit(1)
+      === false) // Spark re-applies the exact cut
+    assert(b.build().toBatch.planInputPartitions().length === 1)
+  }
+
   test("pruning stays inclusive across evolved specs") {
     spark.sql("CREATE TABLE graft.db.ppe (id BIGINT, cat STRING)")
     spark.sql("INSERT INTO graft.db.ppe VALUES (1, 'x')") // spec 0: unpartitioned
@@ -264,6 +293,9 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = pd.filter(col("partition.cat") === "a")
     assert(q.rdd.getNumPartitions === 1)
     assert(q.count() === 1L)
+    // count(*) sums live delete-entry record counts — no content reads
+    assert(spark.sql("SELECT count(*) FROM graft.db.ppd.position_deletes")
+      .head().getLong(0) === 2L)
     val byPath = pd.select("delete_file_path").distinct().collect().map(_.getString(0))
     val one = pd.filter(col("delete_file_path") === byPath.head)
     assert(one.rdd.getNumPartitions === 1)
