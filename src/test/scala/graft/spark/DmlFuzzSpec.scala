@@ -411,6 +411,16 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(filesRows.map(_._1).toSet == plannedPaths,
       s"seed=$seed: files metadata table diverges from the scan plan")
+    // count(*) pushdown answers from manifest-LIST counts
+    // (added+existing = live entries) with zero manifest reads — this
+    // ties that bookkeeping to the actual rows across random histories,
+    // including Avro-manifest (icebergCompat) and merge-rewritten arms
+    val allFilesRows = spark.table(s"$fq.files").collect().length.toLong
+    val pushedCount = spark.sql(s"SELECT count(*) FROM $fq.files")
+      .head().getLong(0)
+    assert(pushedCount == allFilesRows,
+      s"seed=$seed: pushed count(*) $pushedCount != files rows $allFilesRows" +
+        " (manifest-list live counts drifted from entries)")
     val snapCount = spark.sql(s"SELECT count(*) FROM $fq.snapshots")
       .collect()(0).getLong(0)
     assert(snapCount == coreTable().meta.snapshots.size.toLong,

@@ -230,6 +230,16 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bySpec = spark.table("graft.db.ppe.files").filter(col("spec_id") === 0)
     assert(bySpec.rdd.getNumPartitions === 1)
     assert(bySpec.count() === 1L)
+    // IS NULL keeps the old-spec manifest (its files have no cat value);
+    // the new-spec manifest has containsNull=false and prunes
+    val nulls = spark.table("graft.db.ppe.files")
+      .filter(col("partition.cat").isNull)
+    assert(nulls.count() === 1L)
+    // IN over the three-manifest table prunes to the two named values
+    val in2 = spark.table("graft.db.pp.files")
+      .filter(col("partition.cat").isin("a", "c"))
+    assert(in2.rdd.getNumPartitions === 2)
+    assert(in2.count() === 2L)
   }
 
   test("partitions table prunes manifests by partition predicate, soundly") {
