@@ -117,7 +117,17 @@ final class GraftChangesTable(table: GTable, fullName: String)
       private var pushed: Array[VPred] = Array.empty
       private var exprs: Seq[graft.core.expr.Expr] = Nil
       override def pushPredicates(ps: Array[VPred]): Array[VPred] = {
-        val conv = ps.flatMap(p => SparkBridge.toExpr(p).map(p -> _))
+        // only predicates that BIND against the table schema count as
+        // pushed — a _change_type filter converts but can never prune,
+        // and advertising it in the plan would mislead CDC tuning.
+        // (Kept unbound here; the keeper rebinds at plan time against
+        // the refreshed schema.)
+        val conv = ps.flatMap { p =>
+          SparkBridge.toExpr(p)
+            .filter(e => scala.util.Try(
+              graft.core.expr.Expr.bind(table.meta.schema, e)).isSuccess)
+            .map(p -> _)
+        }
         pushed = conv.map(_._1)
         exprs = conv.map(_._2).toSeq
         ps
@@ -145,30 +155,11 @@ final class GraftChangesScan(table: GTable, startId: Option[Long],
     s"graft-changes(${table.location}$f)"
   }
 
-  /** per-DATA-file keeper for the pushed row filter (mirrors
-    * TableScan.planManifest's layer 3): exact partition eval over the
-    * inclusive projection + column min/max stats. Delete files are never
-    * filtered — they mask rows of KEPT files. Unbindable filters (stale
-    * schema, non-data columns) degrade to keep-everything. */
-  private def keeper(m: TableMetadata): DataFile => Boolean = {
-    import graft.core.expr._
-    if (rowFilter == TrueE) return _ => true
-    val schema = m.schema
-    val bound =
-      try Expr.bind(schema, rowFilter)
-      catch { case scala.util.control.NonFatal(_) => return _ => true }
-    val partPreds = scala.collection.mutable.Map.empty[Int, Expr]
-    f => {
-      val fSpec = scala.util.Try(m.specById(f.specId)).toOption
-        .filter(_.fields.length == f.partition.length)
-      val partKeep = fSpec.forall { sp =>
-        val pred = partPreds.getOrElseUpdate(sp.specId,
-          Projections.inclusive(sp, schema, bound))
-        RowEvaluator.eval(pred, ArrayRow(f.partition.toArray))
-      }
-      partKeep && InclusiveMetricsEvaluator.rowsMightMatch(bound, f.fileStats)
-    }
-  }
+  /** per-DATA-file keeper for the pushed row filter — the batch scan's
+    * layer-3 funnel via the shared core FileKeeper. Delete files are
+    * never filtered: they mask rows of KEPT files. */
+  private def keeper(m: TableMetadata): DataFile => Boolean =
+    FileKeeper.forFilter(m, rowFilter)
 
   // snapshotId -> the schema current at that commit (for write-time names)
   @volatile private var schemaIds: Map[Long, Int] = Map.empty

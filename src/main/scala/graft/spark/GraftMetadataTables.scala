@@ -1351,7 +1351,8 @@ object GraftMetadataTable {
     private var metricNames: Option[Seq[String]] = None
     private var dfColumns: Option[Seq[String]] = None
     private var limit: Option[Int] = None
-    private var countResult: Option[Long] = None
+    // (count, manifests enumerated) — the second drives the ScanReport
+    private var countResult: Option[(Long, Int)] = None
 
     // ------------------------------------------------------- aggregates
     // COUNT(*) on files/entries kinds is pure manifest-LIST math: the
@@ -1363,7 +1364,7 @@ object GraftMetadataTable {
     // `prune != TrueE` can't occur here; bail anyway for safety.
     private def evalCount(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-        : Option[Long] = {
+        : Option[(Long, Int)] = {
       import org.apache.spark.sql.connector.expressions.aggregate.CountStar
       if (prune != TrueE || agg.groupByExpressions().nonEmpty) return None
       val aggs = agg.aggregateExpressions()
@@ -1379,14 +1380,16 @@ object GraftMetadataTable {
             case "delete_files" | "all_delete_files" => manifests.filter(_.content != 0)
             case _                                   => manifests
           }
-          Some(kept.map(mf =>
-            mf.addedFilesCount.toLong + mf.existingFilesCount).sum)
+          Some((kept.map(mf =>
+            mf.addedFilesCount.toLong + mf.existingFilesCount).sum,
+            manifests.size))
         } else if (kind == "position_deletes") {
-          Some(GraftMetadataTables.pinnedManifests(m, asOf)
+          val manifests = GraftMetadataTables.pinnedManifests(m, asOf)
             .filter(_.content != 0)
+          Some((manifests
             .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
             .filter(_.file.content == FileContent.PositionDeletes)
-            .map(_.file.recordCount).sum)
+            .map(_.file.recordCount).sum, manifests.size))
         } else None
       } catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -1449,7 +1452,14 @@ object GraftMetadataTable {
     }
 
     override def build(): Scan = countResult match {
-      case Some(n) =>
+      case Some((n, totalManifests)) =>
+        // the pushed count still reports its funnel: scanned=0 manifests
+        // READ is the whole point, and an operator auditing scan_reports
+        // must see the query happened
+        ScanReports.add(ScanReport(table.location,
+          asOf.orElse(m.currentSnapshot.map(_.snapshotId)).getOrElse(-1L),
+          s"metadata:$kind count(*) pushed",
+          totalManifests, 0, n, 0, 0, 0L, System.currentTimeMillis()))
         new GraftSparkTable.GraftLocalScan(
           StructType(Seq(StructField("count(*)", LongType))),
           Array(new GenericInternalRow(Array[Any](n)): InternalRow))

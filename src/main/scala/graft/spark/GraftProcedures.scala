@@ -3032,13 +3032,20 @@ object RewriteDataFiles {
     if (groups.isEmpty)
       return GraftProcedures.out(resultSchema, GraftProcedures.row(0, 0, 0L, 0))
 
-    val sortCols = sortOrder.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
-      val bits = part.split("\\s+")
-      val c = org.apache.spark.sql.functions.col(bits(0))
-      if (bits.length > 1 && bits(1).equalsIgnoreCase("desc")) c.desc else c.asc
-    }
-    val zFields = sortOrder.split(",").map(_.trim).filter(_.nonEmpty)
-      .map(_.split("\\s+")(0))
+    // parsed through the ONE SortSpecs grammar so the applied sort —
+    // direction AND null placement — is exactly what a matching
+    // registered order (and thus the stamped sort_order_id) describes
+    val sortParts = SortSpecs.parse(sortOrder)
+    val sortCols = sortParts.map { p =>
+      val c = org.apache.spark.sql.functions.col(p.colName)
+      (p.asc, p.nullsFirst) match {
+        case (true, true)   => c.asc_nulls_first
+        case (true, false)  => c.asc_nulls_last
+        case (false, true)  => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }.toArray
+    val zFields = sortParts.map(_.colName).toArray
     require(!(bySort || byZ) || sortCols.nonEmpty,
       s"$strategy strategy requires sort_order")
     // a sorted rewrite stamps sort_order_id on its output files when the

@@ -19,9 +19,19 @@ object SortSpecs {
 
   def parse(order: String): Seq[Part] =
     order.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
-      val bits = part.split("\\s+")
-      val name = bits(0).stripPrefix("`").stripSuffix("`")
-      val tokens = bits.drop(1).map(_.toLowerCase)
+      // the identifier is either one backtick-quoted run (may contain
+      // whitespace) or the first whitespace-delimited token; direction/
+      // nulls tokens follow AFTER it, never inside it
+      val (name, rest) =
+        if (part.startsWith("`")) {
+          val end = part.indexOf('`', 1)
+          require(end > 0, s"unterminated backtick in sort order: $part")
+          (part.substring(1, end), part.substring(end + 1))
+        } else {
+          val sp = part.indexWhere(_.isWhitespace)
+          if (sp < 0) (part, "") else (part.substring(0, sp), part.substring(sp))
+        }
+      val tokens = rest.trim.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase)
       val asc = !tokens.headOption.contains("desc")
       val nullsFirst = tokens.sliding(2).collectFirst {
         case Array("nulls", "first") => true
@@ -30,14 +40,27 @@ object SortSpecs {
       Part(name, asc, nullsFirst)
     }
 
+  /** exact match first, then UNIQUE case-insensitive: two columns
+    * differing only by case must not resolve nondeterministically off a
+    * hash-map walk */
+  private def resolve(schema: GSchema, name: String) =
+    schema.byName.getOrElse(name, {
+      val ms = schema.byName.toSeq
+        .filter(_._1.equalsIgnoreCase(name)).map(_._2).distinct
+      ms match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"sort order: no such column: $name")
+        case _ => throw new IllegalArgumentException(
+          s"sort order: ambiguous column (case-insensitive): $name")
+      }
+    })
+
   /** resolve against the table schema → registered-order fields; throws
     * on unknown columns (DDL wants the loud failure) */
   def toSortFields(schema: GSchema, order: String): Seq[SortField] =
     parse(order).map { p =>
-      val f = schema.byName.collectFirst {
-        case (n, fld) if n.equalsIgnoreCase(p.colName) => fld
-      }.getOrElse(throw new IllegalArgumentException(
-        s"sort order: no such column: ${p.colName}"))
+      val f = resolve(schema, p.colName)
       SortField(f.id, IdentityT, p.asc, p.nullsFirst)
     }
 
