@@ -382,6 +382,25 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replayed == model.toSeq.sortBy(_._1),
       s"seed=$seed: changelog replay diverges from final state " +
         s"(${replayed.size} vs ${model.size} rows)")
+
+    // changes-scan pushdown invariant: a grp-filtered changelog read
+    // (change tasks prune at planning via the shared FileKeeper) must
+    // serve exactly the post-filtered full changelog, across the same
+    // random CoW/MoR/compaction histories the replay above walked
+    changes.map(_._3._2._1).headOption.foreach { g =>
+      val pushed = spark.sql(
+        s"""SELECT id, grp, v, _change_type, _change_ordinal
+            FROM $fq.changes WHERE grp = $g""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getInt(4))).sorted.toSeq
+      val full = changes
+        .filter(_._3._2._1 == g)
+        .map(c => (c._3._1, c._3._2._1, c._3._2._2, c._2, c._1))
+        .sorted.toSeq
+      assert(pushed == full,
+        s"seed=$seed: pushdown-pruned changes scan diverges on grp=$g " +
+          s"(${pushed.size} vs ${full.size} rows)")
+    }
     }
 
     // time-travel invariant: VERSION AS OF any still-retained snapshot
