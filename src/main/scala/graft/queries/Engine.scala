@@ -3116,10 +3116,59 @@ object Engine {
       SELECT CAST(COUNT(*) AS BIGINT) AS rc FROM supplier
       WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)"""))
 
+  // ------------------------------------------------------------------ g79
+  // Changelog-scan filter pushdown (reference BaseIncrementalChangelogScan
+  // row filter): a partition-filtered CDC read must plan FEWER change
+  // tasks than the unfiltered changelog — a 100 TB table's CDC consumer
+  // scoped to one partition must not open every changed file — while the
+  // served change rows match the oracle.
+  private val g79 = Q(
+    "g79_engine_changes_pushdown",
+    (s, dir) => {
+      setup(s, dir)
+      val cat = new HadoopCatalog(warehouse(dir))
+      val ready = cat.loadTable(Seq("db"), "cdc_g")
+        .exists(_.meta.properties.get("g79-ready").contains("true"))
+      if (!ready) {
+        cat.dropTable(Seq("db"), "cdc_g")
+        s.sessionState.catalogManager.catalog("graft") match {
+          case g: graft.spark.GraftCatalog => g.invalidateCache()
+          case _ => ()
+        }
+        s.sql("""CREATE TABLE graft.db.cdc_g (s_suppkey BIGINT, s_nationkey BIGINT)
+          PARTITIONED BY (s_nationkey)""")
+        t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+          .writeTo("graft.db.cdc_g").append()
+        s.sql("""DELETE FROM graft.db.cdc_g
+          WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM graft.db.cdc_g)""")
+        cat.loadTable(Seq("db"), "cdc_g").get
+          .updateProperties(Map("g79-ready" -> "true"))
+      }
+      val nk = t(s, dir, "supplier").agg(min("s_nationkey"))
+        .head().getAs[Number](0).longValue
+      val all = s.table("graft.db.cdc_g.changes")
+      val q = all.filter(col("s_nationkey") === nk)
+      require(q.rdd.getNumPartitions < all.rdd.getNumPartitions,
+        s"g79: pushdown must prune change tasks (${q.rdd.getNumPartitions} " +
+          s"of ${all.rdd.getNumPartitions})")
+      // the min-nation partition was appended then wholly deleted: its
+      // filtered changelog is one INSERT + one DELETE per row
+      q.groupBy(col("_change_type").as("ct"))
+        .agg(count(lit(1)).as("n")).orderBy("ct")
+    },
+    Some("""
+      SELECT ct, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT 'INSERT' AS ct FROM supplier
+          WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+        UNION ALL
+        SELECT 'DELETE' AS ct FROM supplier
+          WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+      ) GROUP BY ct ORDER BY ct"""))
+
   val all: Vector[Q] = Vector(g01, g02, g03, g04, g05, g06, g07, g08, g09,
     g10, g11, g12, g13, g14, g15, g16, g17, g18, g19, g20, g21, g22, g23,
     g24, g25, g26, g27, g28, g29, g30, g31, g32, g33, g34, g35, g36, g37,
     g38, g39, g40, g41, g42, g43, g44, g45, g46, g47, g48, g49, g50, g51,
     g52, g53, g54, g55, g56, g57, g58, g59, g60, g61, g62, g63, g64, g65,
-    g66, g67, g68, g69, g70, g71, g72, g73, g74, g75, g76, g77, g78)
+    g66, g67, g68, g69, g70, g71, g72, g73, g74, g75, g76, g77, g78, g79)
 }
