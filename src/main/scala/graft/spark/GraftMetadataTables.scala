@@ -1367,8 +1367,10 @@ object GraftMetadataTable {
         : Option[(Long, Int)] = {
       import org.apache.spark.sql.connector.expressions.aggregate.CountStar
       if (prune != TrueE || agg.groupByExpressions().nonEmpty) return None
+      // exactly ONE CountStar: the served LocalScan has one column, so
+      // a (pathological) multi-count projection must take the row path
       val aggs = agg.aggregateExpressions()
-      if (aggs.isEmpty || !aggs.forall(_.isInstanceOf[CountStar])) return None
+      if (aggs.length != 1 || !aggs.head.isInstanceOf[CountStar]) return None
       try {
         if (GraftMetadataTables.filesKinds(kind) ||
             GraftMetadataTables.entriesKinds(kind)) {
