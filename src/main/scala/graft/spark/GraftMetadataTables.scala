@@ -1109,7 +1109,21 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val all = GraftMetadataTables.pinnedManifests(m, asOf)
+    val t0 = System.currentTimeMillis()
+    val manifests = GraftMetadataTables.pinnedManifests(m, asOf)
+    // structural + summary pruning BEFORE any entry read: data manifests
+    // never hold delete entries, and a pushed partition predicate drops
+    // whole delete manifests off their summaries — the same two layers
+    // the files kinds apply
+    val delManifests = manifests.filter(_.content != 0)
+    val keptManifests = pctx match {
+      case Some(c) if pruneExpr != graft.core.expr.TrueE =>
+        delManifests.filter(mf =>
+          graft.core.expr.InclusiveMetricsEvaluator.rowsMightMatch(pruneExpr,
+            GraftMetadataTables.manifestPruneStats(mf, m, c)))
+      case _ => delManifests
+    }
+    val all = keptManifests
       .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
       .filter(_.file.content == FileContent.PositionDeletes)
     // the delete file's partition/spec_id/path are EXACT at planning:
@@ -1135,6 +1149,13 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata,
         }
       case _ => predPruned
     }
+    // funnel report, like the other entry-level metadata scans
+    ScanReports.add(ScanReport(table.location,
+      asOf.orElse(m.currentSnapshot.map(_.snapshotId)).getOrElse(-1L),
+      "metadata:position_deletes " +
+        (if (pruneExpr == graft.core.expr.TrueE) "true" else pruneExpr.toString),
+      manifests.size, keptManifests.size, all.size.toLong, pruned.size, 0,
+      System.currentTimeMillis() - t0, System.currentTimeMillis()))
     pruned.map(e => PosDeleteFileTask(e.file.path, e.file.format, e.file.specId,
         e.file.partition, e.file.contentOffset,
         e.file.contentSizeInBytes): InputPartition)
