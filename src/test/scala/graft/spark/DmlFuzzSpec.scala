@@ -103,14 +103,19 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       // per-split posBase accounting is positional and new, so it gets
       // the same model-checked sweep over random DV/pos/eq histories as
       // everything else
-      tinySplits: Boolean = false): Unit = {
-    val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format"
+      tinySplits: Boolean = false,
+      // partition clause override: a TRANSFORMED spec (bucket) drives the
+      // coerced unified struct, summary pruning and the pushdown
+      // invariant through non-identity partition values
+      partitionBy: String = "grp"): Unit = {
+    val name = s"fuzz_${seed}_${if (partitioned) "p" else "u"}_$format" +
+      (if (partitionBy != "grp") "_t" else "")
     val fq = s"$cat.db.$name"
     val catWarehouse =
       if (cat == "gfzr" || cat == "gfzp" || cat == "gfzl") restWarehouse
       else if (cat == "gfzh") hiveWarehouse
       else warehouse
-    val partClause = if (partitioned) "PARTITIONED BY (grp)" else ""
+    val partClause = if (partitioned) s"PARTITIONED BY ($partitionBy)" else ""
     val compatProp =
       if (icebergCompat) ", 'compatibility.format'='iceberg'" else ""
     // merge-enabled arm: an aggressive min-count makes commit-time
@@ -951,6 +956,14 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   // DV/pos/eq-delete histories — the per-split posBase accounting (r16)
   // is positional, so masking staying file-absolute gets model-checked
   // on both the parquet and ORC paths
+  test("seeded DML fuzz under bucket-transformed partitioning") {
+    // non-identity partition values flow through the coerced unified
+    // struct, summary pruning, the partitions/files cross-check and the
+    // pushdown invariant
+    runSeed(seed = 4242, partitioned = true, steps = 30,
+      partitionBy = "bucket(8, grp)")
+  }
+
   test("seeded DML fuzz with tiny row-group splits (parquet)") {
     runSeed(seed = 171001, partitioned = true, steps = 15, tinySplits = true)
   }
