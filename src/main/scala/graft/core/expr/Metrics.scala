@@ -2,16 +2,21 @@ package graft.core.expr
 
 import graft.core.types._
 
-/** Per-column file statistics (subset of manifest entry metrics,
-  * format/spec.md data_file fields: value_counts, null_value_counts,
+/** Per-column file statistics (manifest entry metrics, format/spec.md
+  * data_file fields: column_sizes, value_counts, null_value_counts,
   * nan_value_counts, lower_bounds, upper_bounds). Bounds are in the
-  * internal value representation. */
+  * internal value representation. `sizeBytes` is the column's on-disk
+  * bytes (spec field 117) — kept under EVERY metrics mode like the
+  * reference (ParquetUtil.footerMetrics accumulates sizes before the
+  * mode check): sizes are what an operator reads to find which column
+  * bloats a table, so `none` must not erase them. */
 final case class ColStats(
     valueCount: Option[Long] = None,
     nullCount: Option[Long] = None,
     nanCount: Option[Long] = None,
     lower: Option[Any] = None,
-    upper: Option[Any] = None)
+    upper: Option[Any] = None,
+    sizeBytes: Option[Long] = None)
 
 final case class FileStats(recordCount: Long, cols: Map[Int, ColStats],
     shreds: Map[String, ColStats] = Map.empty) {

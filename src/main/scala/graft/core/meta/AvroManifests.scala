@@ -338,6 +338,7 @@ object AvroManifests {
               internal(p.get(f.pos()), partTypes.lift(i).flatten)
             }
         }
+        val colSizes = longMap(field(df, "column_sizes"))
         val valueCounts = longMap(field(df, "value_counts"))
         val nullCounts = longMap(field(df, "null_value_counts"))
         val nanCounts = longMap(field(df, "nan_value_counts"))
@@ -349,10 +350,11 @@ object AvroManifests {
         val uppers = bytesMap(field(df, "upper_bounds"))
           .flatMap { case (id, b) => decode(id, b).map(id -> _) }
         val statIds = valueCounts.keySet ++ nullCounts.keySet ++
-          nanCounts.keySet ++ lowers.keySet ++ uppers.keySet
+          nanCounts.keySet ++ lowers.keySet ++ uppers.keySet ++
+          colSizes.keySet
         val stats = statIds.map(id => id -> ColStats(
           valueCounts.get(id), nullCounts.get(id), nanCounts.get(id),
-          lowers.get(id), uppers.get(id))).toMap
+          lowers.get(id), uppers.get(id), colSizes.get(id))).toMap
         val eqIds = field(df, "equality_ids") match {
           case null => Nil
           case c: java.util.Collection[_] =>
@@ -693,6 +695,8 @@ object AvroManifests {
             b <- SingleValue.toBytes(fld.tpe, v)
           } yield id -> b
         }
+      val cs = f.columnStats.collect { case (id, st) if st.sizeBytes.isDefined => id -> st.sizeBytes.get }
+      if (cs.nonEmpty) df.put("column_sizes", kvArray(dfSchema.getField("column_sizes").schema(), cs))
       if (vc.nonEmpty) df.put("value_counts", kvArray(dfSchema.getField("value_counts").schema(), vc))
       if (nc.nonEmpty) df.put("null_value_counts", kvArray(dfSchema.getField("null_value_counts").schema(), nc))
       if (nanc.nonEmpty) df.put("nan_value_counts", kvArray(dfSchema.getField("nan_value_counts").schema(), nanc))

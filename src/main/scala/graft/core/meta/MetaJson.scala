@@ -180,6 +180,7 @@ object MetaJson {
       st.nanCount.foreach(so.put("nan", _))
       st.lower.foreach(v => so.set[JsonNode]("lo", writeValue(v)))
       st.upper.foreach(v => so.set[JsonNode]("hi", writeValue(v)))
+      st.sizeBytes.foreach(so.put("sz", _))
     }
     o
   }
@@ -193,7 +194,8 @@ object MetaJson {
         Option(so.get("nc")).map(_.asLong()),
         Option(so.get("nan")).map(_.asLong()),
         Option(so.get("lo")).map(readValue),
-        Option(so.get("hi")).map(readValue))
+        Option(so.get("hi")).map(readValue),
+        Option(so.get("sz")).map(_.asLong()))
     }
     buf.result()
   }

@@ -63,7 +63,11 @@ final class MetricsConfig(modeById: Map[Int, MetricsMode], schema: GSchema) {
     stats.flatMap { case (id, st) =>
       mode(id) match {
         case Full      => Some(id -> st)
-        case NoMetrics => None
+        // column_sizes survive EVERY mode (reference ParquetUtil
+        // .footerMetrics accumulates sizes before the mode check):
+        // `none` strips counts and bounds, never the on-disk bytes
+        case NoMetrics =>
+          st.sizeBytes.map(sz => id -> ColStats(sizeBytes = Some(sz)))
         case Counts    => Some(id -> st.copy(lower = None, upper = None))
         case Truncate(n) =>
           val t = schema.byId.get(id).map(_.tpe)

@@ -1500,6 +1500,11 @@ object FooterStats {
         byName.get(name).foreach { field =>
           val chunks = blocks.flatMap(_.getColumns.asScala
             .filter(_.getPath.toDotString == name))
+          // column_sizes (spec field 117): on-disk bytes of the chunk,
+          // recorded even when the chunk has no value statistics —
+          // sizes are physical, not a metrics-mode artifact (reference
+          // ParquetUtil.footerMetrics sums getTotalSize unconditionally)
+          val sz = chunks.map(_.getTotalSize).sum
           val statsList = chunks.map(_.getStatistics).filter(_ != null)
           if (statsList.nonEmpty && statsList.forall(s => !s.isEmpty)) {
             val nulls = statsList.map(_.getNumNulls).sum
@@ -1509,7 +1514,10 @@ object FooterStats {
               valueCount = Some(values),
               nullCount = if (nulls >= 0) Some(nulls) else None,
               nanCount = None,
-              lower = lo, upper = hi)
+              lower = lo, upper = hi,
+              sizeBytes = if (sz > 0) Some(sz) else None)
+          } else if (sz > 0) {
+            byField(field.id) = ColStats(sizeBytes = Some(sz))
           }
         }
       }
@@ -1638,13 +1646,17 @@ object FooterStats {
               case _ => (None, None)
             }
             val nonNull = st.getNumberOfValues
+            // column_sizes: ORC tracks on-disk bytes per column in its
+            // statistics (reference OrcMetrics uses getBytesOnDisk too)
+            val sz = scala.util.Try(st.getBytesOnDisk).getOrElse(0L)
             if (st.getNumberOfValues >= 0)
               byField(field.id) = ColStats(
                 valueCount = Some(rows),
                 nullCount = Some(rows - nonNull),
                 nanCount = None,
                 lower = if (nonNull == 0) None else lo,
-                upper = if (nonNull == 0) None else hi)
+                upper = if (nonNull == 0) None else hi,
+                sizeBytes = if (sz > 0) Some(sz) else None)
           }
         }
       }

@@ -36,7 +36,9 @@ class AvroManifestsSpec extends AnyFunSuite {
 
   private def stats(id: Int, lo: Any, hi: Any, nulls: Long = 1L,
       nans: Option[Long] = None): (Int, ColStats) =
-    id -> ColStats(Some(100L), Some(nulls), nans, Some(lo), Some(hi))
+    // sizeBytes exercises spec field 117 (column_sizes) round-trips
+    id -> ColStats(Some(100L), Some(nulls), nans, Some(lo), Some(hi),
+      sizeBytes = Some(1000L + id))
 
   private val allStats = Map(
     stats(1, false, true),
@@ -72,6 +74,7 @@ class AvroManifestsSpec extends AnyFunSuite {
       }
       assert(norm(x.lower) === norm(y.lower), s"field $id lower")
       assert(norm(x.upper) === norm(y.upper), s"field $id upper")
+      assert(x.sizeBytes === y.sizeBytes, s"field $id sizeBytes")
     }
   }
 
