@@ -1020,10 +1020,11 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
     * status==Added && snapshotId==sn are unaffected; older snapshots'
     * own manifest lists are immutable). Deleted markers from prior
     * snapshots are dropped (only meaningful in the list of the snapshot
-    * that wrote them — graft rewrites drop entries instead of writing
-    * markers, so these arise only on imported Iceberg Avro manifests).
-    * All-dead manifests are dropped like the reference's
-    * hasAddedFiles||hasExistingFiles filter. */
+    * that wrote them). All-dead manifests from PRIOR snapshots drop like
+    * the reference's merge; THIS commit's own all-dead marker manifests
+    * pass through untouched — they ARE the deletion record (reference
+    * TestRewriteFiles pins the rewritten file serving status=DELETED
+    * from its own manifest). */
   protected final def mergeManifests(base: TableMetadata, snapshotId: Long,
       all: Seq[ManifestFile]): Seq[ManifestFile] = {
     val props = base.properties
@@ -1052,6 +1053,11 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
         }
       }
     }
+    // this commit's all-dead marker manifests ride along unmerged: the
+    // hasLiveFiles group filter above must not erase what this snapshot
+    // just recorded as deleted
+    out ++= all.filter(m => !m.hasLiveFiles && m.deletedFilesCount > 0 &&
+      m.addedSnapshotId == snapshotId)
     val merged = out.result()
     // this attempt's pre-merge manifests that were merged away are
     // referenced by nothing — delete eagerly (reference
@@ -1385,12 +1391,27 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
     def rewriteWithout(mf: ManifestFile,
         drop: ManifestEntry => Boolean): Option[ManifestFile] = {
       val entries = ManifestIO.readEntries(mf).filter(_.isLive)
+      // a manifest with NOTHING live left — only prior snapshots'
+      // Deleted markers — drops from the new list; markers outlive
+      // exactly the snapshot that wrote them (reference
+      // ManifestFilterManager/ManifestMergeManager age them out)
+      if (entries.isEmpty) return None
       val spec = base.specById(mf.specId)
       val (dropped, keptEntries) = entries.partition(drop)
       droppedFiles ++= dropped.map(_.file)
       if (dropped.isEmpty) Some(mf)
-      else if (keptEntries.isEmpty) None
-      else Some(writeManifestFile(base, keptEntries, spec, mf.content, snapshotId))
+      else {
+        // removed entries stay in the rewritten manifest as status=2
+        // Deleted markers stamped with the deleting snapshot, original
+        // sequence numbers preserved (reference ManifestFilterManager
+        // filterManifest → ManifestWriter.delete): the entries metadata
+        // table and external tooling see WHAT this commit removed — an
+        // all-deleted manifest is still written for that record
+        val markers = dropped.map(e =>
+          e.copy(status = ManifestEntryStatus.Deleted, snapshotId = snapshotId))
+        Some(writeManifestFile(base, keptEntries ++ markers, spec, mf.content,
+          snapshotId))
+      }
     }
     def baseDrop(spec: PartitionSpec)(e: ManifestEntry): Boolean =
       if (removeSet.contains(e.file.path)) { removedSeen += e.file.path; true }

@@ -51,7 +51,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v36").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v37").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build. EVERY table the build block
@@ -730,7 +730,7 @@ object Engine {
       s.sql(s"CALL graft.system.register_table('db.mix_reg_g', '$mixMeta')")
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v36" -> "true"))
+        .updateProperties(Map("build-complete-v37" -> "true"))
     }
     built += wh
   }
@@ -2762,6 +2762,21 @@ object Engine {
     "g72_engine_readable_metrics",
     (s, dir) => {
       setup(s, dir)
+      // column_sizes (spec field 117): every data file accounts its
+      // columns' on-disk bytes, bounded by the physical file size, and
+      // readable_metrics.<col>.column_size serves the same entry
+      val szOk = s.sql("""SELECT
+          MIN(aggregate(map_values(column_sizes), 0L, (a, v) -> a + v)) AS lo,
+          MAX(CASE WHEN aggregate(map_values(column_sizes), 0L, (a, v) -> a + v)
+                <= file_size_in_bytes THEN 0 ELSE 1 END) AS oversize,
+          MIN(readable_metrics.l_orderkey.column_size) AS rmsz
+        FROM graft.db.lineitem_g.files WHERE content = 0""").head()
+      require(!szOk.isNullAt(0) && szOk.getLong(0) > 0L,
+        "g72: column_sizes must be recorded for written data files")
+      require(szOk.getInt(1) == 0,
+        "g72: per-column sizes must not exceed the file size")
+      require(!szOk.isNullAt(2) && szOk.getLong(2) > 0L,
+        "g72: readable_metrics.column_size must serve the manifest entry")
       s.sql("""
         SELECT
           MIN(readable_metrics.l_orderkey.lower_bound) AS lo_ok,
@@ -3023,7 +3038,7 @@ object Engine {
       setup(s, dir)
       val cat = new HadoopCatalog(warehouse(dir))
       val ready = cat.loadTable(Seq("db"), "soid_g")
-        .exists(_.meta.properties.get("g77-ready").contains("true"))
+        .exists(_.meta.properties.get("g77-ready-v2").contains("true"))
       if (!ready) {
         cat.dropTable(Seq("db"), "soid_g")
         s.sessionState.catalogManager.catalog("graft") match {
@@ -3039,7 +3054,7 @@ object Engine {
           strategy => 'sort', sort_order => 's_suppkey ASC',
           min_input_files => 1)""")
         cat.loadTable(Seq("db"), "soid_g").get
-          .updateProperties(Map("g77-ready" -> "true"))
+          .updateProperties(Map("g77-ready-v2" -> "true"))
       }
       val meta = cat.loadTable(Seq("db"), "soid_g").get.meta
       val oid = meta.defaultSortOrderId
@@ -3062,7 +3077,13 @@ object Engine {
         "g77: entries must nest the file fields as a data_file struct")
       require(e.filter(col("file_sequence_number") =!= col("sequence_number"))
         .isEmpty, "g77: graft commits never separate file and data sequences")
-      e.filter(col("data_file.content") === 0)
+      // entries serve ALL statuses like the reference (BaseEntriesTable
+      // reads entries(), not liveEntries): the sorted rewrite's Deleted
+      // markers must be visible, and the aggregate below must exclude
+      // them or the replaced files double-count
+      require(e.filter(col("status") === 2).count() > 0,
+        "g77: the rewrite's status=2 Deleted markers must be served")
+      e.filter(col("data_file.content") === 0 && col("status") =!= 2)
         .agg(sum(col("data_file.record_count")).as("rc"),
           min(col("data_file.sort_order_id")).as("soid"))
     },

@@ -330,8 +330,8 @@ object GraftMetadataTables {
     * the data schema, with lower/upper bounds TYPED as the column, so a
     * user debugging why pruning didn't fire reads
     * `readable_metrics.ts.lower_bound` as a timestamp, not a hex blob.
-    * column_size is always null — graft's manifests deliberately don't
-    * carry per-column byte sizes. */
+    * column_size serves the manifest's column_sizes entry (spec field
+    * 117, on-disk bytes from the write-time footer). */
   final case class MetricCol(id: Int, name: String, dt: DataType)
 
   def metricCols(schema: graft.core.types.GSchema): Seq[MetricCol] = {
@@ -387,7 +387,7 @@ object GraftMetadataTables {
         case None => new GenericInternalRow(
           Array[Any](null, null, null, null, null, null))
         case Some(cs) => new GenericInternalRow(Array[Any](
-          null, // column_size: not tracked
+          cs.sizeBytes.map(Long.box).orNull,
           cs.valueCount.map(Long.box).orNull,
           cs.nullCount.map(Long.box).orNull,
           cs.nanCount.map(Long.box).orNull,
@@ -400,11 +400,9 @@ object GraftMetadataTables {
 
   /** The data-file column set served by the files kinds and nested as
     * `data_file` in the entries kinds (reference DataFile.getType field
-    * order — api/.../DataFile.java:51-148). column_sizes is the one spec
-    * field deliberately absent: graft manifests don't track per-column
-    * byte sizes (documented on readable_metrics too); key_metadata is
-    * declared for schema parity and always null — graft encrypts at
-    * manifest granularity, not per data file. */
+    * order — api/.../DataFile.java:51-148). key_metadata is declared for
+    * schema parity and always null — graft encrypts at manifest
+    * granularity, not per data file. */
   def fileStructFields(uparts: Seq[UPartField]): Seq[StructField] = {
     val partField: Seq[StructField] =
       if (uparts.isEmpty) Nil
@@ -417,9 +415,12 @@ object GraftMetadataTables {
       StructField("record_count", LongType),
       StructField("file_size_in_bytes", LongType),
       // per-column metrics keyed by field id (reference BaseFilesTable
-      // schema: value_counts/null_value_counts/nan_value_counts/
-      // lower_bounds/upper_bounds); bounds render human-readable, which
-      // also makes the metrics-mode policy observable (g53)
+      // schema: column_sizes/value_counts/null_value_counts/
+      // nan_value_counts/lower_bounds/upper_bounds); bounds render
+      // human-readable, which also makes the metrics-mode policy
+      // observable (g53); column_sizes (spec field 117) are on-disk
+      // bytes from the parquet/ORC footers, kept under every mode
+      StructField("column_sizes", MapType(IntegerType, LongType)),
       StructField("value_counts", MapType(IntegerType, LongType)),
       StructField("null_value_counts", MapType(IntegerType, LongType)),
       StructField("nan_value_counts", MapType(IntegerType, LongType)),
@@ -688,7 +689,8 @@ object GraftMetadataTables {
         val snapTs: Map[Long, Long] =
           m.snapshots.map(sn => sn.snapshotId -> sn.timestampMs).toMap
         val upartIds = uparts.map(_.fieldId)
-        val mfs = currentManifests
+        // all-Deleted marker manifests hold nothing live: skip the read
+        val mfs = currentManifests.filter(_.hasLiveFiles)
         if (mfs.isEmpty) Array.empty
         else {
           val sc = org.apache.spark.sql.SparkSession.active.sparkContext
@@ -832,7 +834,8 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
     metricNames: Option[Seq[String]] = None,
     dfColumns: Option[Seq[String]] = None,
     limit: Option[Int] = None)
-  extends Scan with org.apache.spark.sql.connector.read.Batch {
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
   private def prunedMetricCols: Seq[GraftMetadataTables.MetricCol] = {
@@ -869,21 +872,35 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
     s"graft-$kind(${table.location}$f)"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** per-manifest served-row count: live entries for the files kinds,
+    * ALL entries (deleted markers included) for the entries kinds —
+    * must match what the reader actually emits or the LIMIT prefix,
+    * pushed count(*) and reported statistics under-serve */
+  private def servedCount(mf: ManifestFile): Long =
+    mf.addedFilesCount.toLong + mf.existingFilesCount +
+      (if (GraftMetadataTables.entriesKinds(kind)) mf.deletedFilesCount.toLong
+       else 0L)
+
+  /** The planned manifest funnel — (total enumerated, pruned kept) —
+    * computed ONCE and shared by planInputPartitions and
+    * estimateStatistics (manifest-LIST scale; no manifest is read). */
+  @transient private lazy val funnel: (Int, Seq[ManifestFile]) = {
     val t0 = System.currentTimeMillis()
-    val metricCols = prunedMetricCols
-    val uparts = GraftMetadataTables.unifiedPartitionFields(m)
     val manifests =
       if (kind.startsWith("all_")) GraftMetadataTables.allManifests(m, asOf)
       else GraftMetadataTables.pinnedManifests(m, asOf)
     // structural prune: a data manifest contains ONLY data entries and a
     // delete manifest only delete entries, so the content-restricted
-    // kinds drop whole manifests before any entry is read
-    val kindPruned = kind match {
+    // kinds drop whole manifests before any entry is read; the files
+    // kinds additionally skip manifests with NOTHING live (all-Deleted
+    // marker manifests from a row-level commit) off the list counts —
+    // entries kinds serve those markers, so they must keep reading them
+    val kindPruned = (kind match {
       case "data_files" | "all_data_files"     => manifests.filter(_.content == 0)
       case "delete_files" | "all_delete_files" => manifests.filter(_.content != 0)
       case _                                   => manifests
-    }
+    }).filter(mf =>
+      GraftMetadataTables.entriesKinds(kind) || mf.hasLiveFiles)
     // predicate prune (reference BaseFilesTable ManifestEvaluator):
     // partition summaries + exact content/spec_id bounds, inclusive —
     // at 30k manifests a partition-filtered query reads only the
@@ -895,8 +912,8 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
             GraftMetadataTables.manifestPruneStats(mf, m, c)))
       case _ => kindPruned
     }
-    // pushed LIMIT: a manifest prefix whose cumulative live-entry count
-    // covers it — the list entry's added+existing counts are exact, so
+    // pushed LIMIT: a manifest prefix whose cumulative served-entry
+    // count covers it — the list entry's counts are exact, so
     // `LIMIT 10` plans one manifest, not 30k; Spark applies the exact
     // cut. Guarded to the filterless case: Spark only pushes a limit
     // with no filter above the scan, and under a residual predicate a
@@ -906,7 +923,7 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
         var acc = 0L
         predPruned.takeWhile { mf =>
           val take = acc < n
-          acc += mf.addedFilesCount.toLong + mf.existingFilesCount
+          acc += servedCount(mf)
           take
         }
       case _ => predPruned
@@ -921,13 +938,37 @@ final class ManifestEntriesScan(table: GTable, kind: String, m: TableMetadata,
       s"metadata:$kind " +
         (if (pruneExpr == graft.core.expr.TrueE) "true" else pruneExpr.toString),
       manifests.size, pruned.size,
-      pruned.map(mf => mf.addedFilesCount.toLong + mf.existingFilesCount).sum,
+      pruned.map(servedCount).sum,
       pruned.size, 0, System.currentTimeMillis() - t0,
       System.currentTimeMillis()))
+    (manifests.size, pruned)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val metricCols = prunedMetricCols
+    val uparts = GraftMetadataTables.unifiedPartitionFields(m)
     val specFieldIds = m.specs.map(sp => sp.specId -> sp.fields.map(_.fieldId)).toMap
-    pruned.map(mf =>
+    funnel._2.map(mf =>
       ManifestReadTask(mf, specFieldIds, kind, uparts, metricCols,
         columns, dfColumns): InputPartition).toArray
+  }
+
+  /** Row/size estimates from manifest-LIST counts alone (reference
+    * SparkScan.estimateStatistics serves the same purpose for data
+    * scans): joining t.files/t.entries against a dimension — "files in
+    * debt partitions" style queries — gets a real broadcast decision
+    * instead of Spark's unknown-size default. Size = rows × the served
+    * schema's default width, which shrinks with column pruning. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = funnel._2.map(servedCount).sum
+    val width = readSchema().defaultSize.max(8)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * width.toLong)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ManifestEntriesScan.Factory
@@ -971,7 +1012,7 @@ object ManifestEntriesScan {
       // one emitter per top-level column: the pruned reader only BUILDS
       // what the query projects (a `SELECT file_path` never renders
       // bounds maps or readable_metrics)
-      val statsCols = Set("value_counts", "null_value_counts",
+      val statsCols = Set("column_sizes", "value_counts", "null_value_counts",
         "nan_value_counts", "lower_bounds", "upper_bounds")
       def fileEmitter(name: String): (ManifestEntry, Stats) => Any = name match {
         case "content"            => (e, _) => e.file.content
@@ -981,6 +1022,7 @@ object ManifestEntriesScan {
         case "partition"          => (e, _) => partRow(e.file.specId, e.file.partition)
         case "record_count"       => (e, _) => e.file.recordCount
         case "file_size_in_bytes" => (e, _) => e.file.fileSizeBytes
+        case "column_sizes"       => (_, st) => counts(st, _.sizeBytes)
         case "value_counts"       => (_, st) => counts(st, _.valueCount)
         case "null_value_counts"  => (_, st) => counts(st, _.nullCount)
         case "nan_value_counts"   => (_, st) => counts(st, _.nanCount)
@@ -1039,7 +1081,13 @@ object ManifestEntriesScan {
         (isEntries && colNames.contains("data_file") &&
           t.dfColumns.forall(_.exists(statsCols)))
 
-      val entries = ManifestIO.readEntries(t.manifest).filter(_.isLive)
+      // entries kinds serve ALL entries — status=2 Deleted markers
+      // included (reference BaseEntriesTable reads reader.entries(), not
+      // liveEntries — ManifestGroup.java:353-356), so `WHERE status = 2`
+      // finds what the current snapshot removed; files kinds are
+      // live-only (reference ignoreDeleted)
+      val raw = ManifestIO.readEntries(t.manifest)
+      val entries = if (isEntries) raw else raw.filter(_.isLive)
       val filtered = t.kind match {
         case "data_files" | "all_data_files" =>
           entries.filter(_.file.content == FileContent.Data)
@@ -1091,7 +1139,8 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata,
     pctx: Option[GraftMetadataTables.PruneCtx] = None,
     columns: Option[Seq[String]] = None,
     limit: Option[Int] = None)
-  extends Scan with org.apache.spark.sql.connector.read.Batch {
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 
   override def readSchema(): StructType = {
@@ -1108,14 +1157,17 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata,
     s"graft-position-deletes(${table.location}$f)"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The planned delete-file list, computed ONCE and shared by
+    * planInputPartitions and estimateStatistics (manifest reads are
+    * entry-cached, so the shared plan costs one pass). */
+  @transient private lazy val plannedEntries: Seq[ManifestEntry] = {
     val t0 = System.currentTimeMillis()
     val manifests = GraftMetadataTables.pinnedManifests(m, asOf)
     // structural + summary pruning BEFORE any entry read: data manifests
     // never hold delete entries, and a pushed partition predicate drops
     // whole delete manifests off their summaries — the same two layers
     // the files kinds apply
-    val delManifests = manifests.filter(_.content != 0)
+    val delManifests = manifests.filter(mf => mf.content != 0 && mf.hasLiveFiles)
     val keptManifests = pctx match {
       case Some(c) if pruneExpr != graft.core.expr.TrueE =>
         delManifests.filter(mf =>
@@ -1156,10 +1208,29 @@ final class PositionDeletesScan(table: GTable, m: TableMetadata,
         (if (pruneExpr == graft.core.expr.TrueE) "true" else pruneExpr.toString),
       manifests.size, keptManifests.size, all.size.toLong, pruned.size, 0,
       System.currentTimeMillis() - t0, System.currentTimeMillis()))
-    pruned.map(e => PosDeleteFileTask(e.file.path, e.file.format, e.file.specId,
+    pruned
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedEntries.map(e =>
+      PosDeleteFileTask(e.file.path, e.file.format, e.file.specId,
         e.file.partition, e.file.contentOffset,
         e.file.contentSizeInBytes): InputPartition)
       .toArray
+
+  /** Rows from the delete entries' exact record counts — no delete-file
+    * content is opened. Feeds broadcast decisions for joins against
+    * position_deletes (e.g. scoping rewrite_position_deletes in SQL). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = plannedEntries.map(_.file.recordCount).sum
+    val width = readSchema().defaultSize.max(8)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * width.toLong)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1403,12 +1474,17 @@ object GraftMetadataTable {
             case "delete_files" | "all_delete_files" => manifests.filter(_.content != 0)
             case _                                   => manifests
           }
+          // files kinds serve live entries (added+existing); entries
+          // kinds also serve status=2 Deleted markers, so their count
+          // includes the list entry's deleted count
+          val withDeleted = GraftMetadataTables.entriesKinds(kind)
           Some((kept.map(mf =>
-            mf.addedFilesCount.toLong + mf.existingFilesCount).sum,
+            mf.addedFilesCount.toLong + mf.existingFilesCount +
+              (if (withDeleted) mf.deletedFilesCount.toLong else 0L)).sum,
             manifests.size))
         } else if (kind == "position_deletes") {
           val manifests = GraftMetadataTables.pinnedManifests(m, asOf)
-            .filter(_.content != 0)
+            .filter(mf => mf.content != 0 && mf.hasLiveFiles)
           Some((manifests
             .flatMap(mf => ManifestIO.readEntries(mf).filter(_.isLive))
             .filter(_.file.content == FileContent.PositionDeletes)
@@ -1426,7 +1502,10 @@ object GraftMetadataTable {
     override def pushAggregation(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
         : Boolean = {
-      if (countResult.isEmpty) countResult = evalCount(agg)
+      // always re-evaluate: reusing a result cached by an earlier
+      // supportCompletePushDown call would serve a DIFFERENT
+      // aggregation's count if Spark ever probes twice
+      countResult = evalCount(agg)
       countResult.isDefined
     }
 

@@ -963,12 +963,19 @@ final class GraftProcedure(pname: String, catalog: HadoopCatalog,
             afterSnaps.map(_.manifestListPath).toSet) ++ droppedMfs.map(_.path)
         val spark = SparkSession.active
         import spark.implicits._
+        // LIVE entries only on BOTH sides (reference ManifestFiles
+        // .readPaths → liveEntries, used by ReachableFileCleanup for the
+        // candidate AND protection sets): a status=2 Deleted marker in a
+        // retained manifest must NOT protect the removed file from
+        // cleanup — with markers now written by row-level commits, a
+        // marker-protected file would leak on disk until the marker
+        // manifest itself is rewritten
         def entryPathsDs(mfs: Seq[ManifestFile]) =
           if (mfs.isEmpty) spark.emptyDataset[String]
           else spark.sparkContext
             .parallelize(mfs, math.max(1, math.min(mfs.size, 64)))
-            .flatMap(mf => try ManifestIO.readEntries(mf).flatMap(e =>
-                e.file.path +: e.file.referencedDataFile.toSeq)
+            .flatMap(mf => try ManifestIO.readEntries(mf).filter(_.isLive)
+                .flatMap(e => e.file.path +: e.file.referencedDataFile.toSeq)
               catch { case _: Throwable => Nil })
             .toDS()
         // data-file deletion runs executor-side: an expiry at 100 TB can

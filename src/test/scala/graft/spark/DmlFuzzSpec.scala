@@ -445,6 +445,20 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pushedCount == allFilesRows,
       s"seed=$seed: pushed count(*) $pushedCount != files rows $allFilesRows" +
         " (manifest-list live counts drifted from entries)")
+    // entries serve ALL statuses (Deleted markers included, reference
+    // BaseEntriesTable), and their pushed count adds the list entry's
+    // deleted count — tie both to the served rows across random
+    // delete/rewrite histories
+    val entryRows = spark.table(s"$fq.entries").collect()
+    val pushedEntries = spark.sql(s"SELECT count(*) FROM $fq.entries")
+      .head().getLong(0)
+    assert(pushedEntries == entryRows.length.toLong,
+      s"seed=$seed: pushed entries count(*) $pushedEntries != " +
+        s"${entryRows.length} served rows")
+    val statusIdx = entryRows.headOption
+      .map(_.fieldIndex("status")).getOrElse(0)
+    assert(entryRows.count(_.getInt(statusIdx) != 2).toLong == allFilesRows,
+      s"seed=$seed: live entries != files rows (status accounting drifted)")
     val snapCount = spark.sql(s"SELECT count(*) FROM $fq.snapshots")
       .collect()(0).getLong(0)
     assert(snapCount == coreTable().meta.snapshots.size.toLong,

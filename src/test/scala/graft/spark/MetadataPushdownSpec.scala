@@ -325,4 +325,84 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       "SELECT file_path, pos FROM graft.db.ppd.position_deletes").count() === 2L)
   }
+
+  test("entries serve Deleted markers; files stay live-only") {
+    // reference BaseEntriesTable reads reader.entries(), NOT
+    // liveEntries (ManifestGroup.java:353-356): a CoW delete's
+    // status=2 markers are part of the served table, and the pushed
+    // count(*) must account for them (added+existing+deleted)
+    spark.sql("CREATE TABLE graft.db.pe (id BIGINT, cat STRING)")
+    spark.sql("INSERT INTO graft.db.pe VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.pe VALUES (3, 'c')")
+    spark.sql("DELETE FROM graft.db.pe WHERE id = 1") // CoW: rewrites file 1
+    val e = spark.table("graft.db.pe.entries").collect()
+    val statuses = e.map(_.getAs[Int]("status"))
+    assert(statuses.contains(2), "the delete's status=2 marker must serve")
+    // live entries == files rows; the deleted marker is extra
+    val files = spark.table("graft.db.pe.files").count()
+    assert(statuses.count(_ != 2).toLong === files)
+    assert(e.length.toLong > files)
+    // pushed count(*) includes the deleted marker — and matches rows
+    assert(spark.sql("SELECT count(*) FROM graft.db.pe.entries")
+      .head().getLong(0) === e.length.toLong)
+    // the marker still carries its data_file payload (path of the
+    // removed file) so `WHERE status = 2` is a usable tombstone query
+    val removed = spark.sql(
+      "SELECT data_file.file_path FROM graft.db.pe.entries WHERE status = 2")
+      .collect().map(_.getString(0))
+    assert(removed.length === 1 &&
+      !spark.table("graft.db.pe.files").select("file_path")
+        .collect().map(_.getString(0)).contains(removed.head))
+    // LIMIT prefix accounting includes deleted markers: LIMIT covering
+    // all entries still serves them all
+    assert(spark.sql(s"SELECT * FROM graft.db.pe.entries LIMIT ${e.length}")
+      .count() === e.length.toLong)
+  }
+
+  test("metadata scans report statistics from manifest-list counts") {
+    // SupportsReportStatistics off the list counts alone: joins against
+    // t.files get a real broadcast decision instead of unknown-size
+    val b = new GraftMetadataTable(coreTable("pp"), "t", "files")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    val st = b.build().asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().getAsLong === 3L)
+    assert(st.sizeInBytes().getAsLong > 0L)
+    // size shrinks with column pruning (defaultSize of the served schema)
+    val b2 = new GraftMetadataTable(coreTable("pp"), "t", "files")
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    b2.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(StructType(Seq(StructField("file_path", StringType))))
+    val st2 = b2.build().asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st2.numRows().getAsLong === 3L)
+    assert(st2.sizeInBytes().getAsLong < st.sizeInBytes().getAsLong)
+  }
+
+  test("expire reclaims files a Deleted marker references; marker stays") {
+    spark.sql("CREATE TABLE graft.db.pex (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.pex VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.db.pex VALUES (3)")
+    spark.sql("DELETE FROM graft.db.pex WHERE id = 1") // CoW rewrite + marker
+    val removedPath = spark.sql(
+      "SELECT data_file.file_path FROM graft.db.pex.entries WHERE status = 2")
+      .head().getString(0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(removedPath)))
+    val cutoff = System.currentTimeMillis() + 60000
+    spark.sql(s"CALL graft.system.expire_snapshots('db.pex', ${cutoff}L, 1)")
+    // only the delete snapshot survives; its status=2 marker must NOT
+    // protect the removed file from cleanup (reference
+    // ManifestFiles.readPaths → liveEntries on both diff sides) — a
+    // marker-protected file would leak until its manifest is rewritten
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(removedPath)),
+      "expire must reclaim a file only a Deleted marker references")
+    // the marker itself still serves (metadata-only; no IO behind it)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.pex.entries WHERE status = 2")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pex").head().getLong(0) === 2L)
+  }
 }

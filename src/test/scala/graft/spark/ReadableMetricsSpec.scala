@@ -93,11 +93,17 @@ class ReadableMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
         MAX(readable_metrics.id.upper_bound) AS hi
       FROM graft.db.rm.entries""").collect().head
     assert(e.getLong(0) === 2L && e.getLong(1) === 9L)
-    // column_size is declared (schema parity with the reference) but
-    // null — graft manifests don't track per-column byte sizes
+    // column_size serves the manifest's column_sizes entry (spec field
+    // 117): on-disk bytes from the parquet footer
     val cs = spark.sql(
       "SELECT readable_metrics.id.column_size FROM graft.db.rm.files").collect()
-    assert(cs.forall(_.isNullAt(0)))
+    assert(cs.forall(r => !r.isNullAt(0) && r.getLong(0) > 0L))
+    // the column_sizes map itself: every leaf accounted, total bounded
+    // by the physical file size
+    val tot = spark.sql("""SELECT file_size_in_bytes,
+        aggregate(map_values(column_sizes), 0L, (a, v) -> a + v) AS sz
+      FROM graft.db.rm.files""").collect()
+    assert(tot.forall(r => r.getLong(1) > 0L && r.getLong(1) <= r.getLong(0)))
   }
 
   test("a column with no collected stats serves an all-null struct") {
@@ -107,9 +113,24 @@ class ReadableMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (100, 'new', CAST('5.00' AS DECIMAL(10,2)), DATE'2000-01-01',
        TIMESTAMP'2020-01-01 00:00:00', 3.5, named_struct('city','x','zip',1))""")
     val rows = spark.sql("""SELECT readable_metrics.score.lower_bound AS lo,
-        readable_metrics.id.lower_bound AS id_lo
+        readable_metrics.id.lower_bound AS id_lo,
+        readable_metrics.score.column_size AS sz
       FROM graft.db.rm.files ORDER BY id_lo""").collect()
-    // the new file collected nothing for score; id still has bounds
-    assert(rows.exists(r => r.isNullAt(0) && r.getLong(1) == 100L))
+    // the new file collected nothing for score; id still has bounds.
+    // column_size SURVIVES metrics mode none (reference accumulates
+    // sizes before the mode check) — sizes are physical, not metrics
+    assert(rows.exists(r => r.isNullAt(0) && r.getLong(1) == 100L &&
+      !r.isNullAt(2) && r.getLong(2) > 0L))
+  }
+
+  test("ORC files record column_sizes too (getBytesOnDisk)") {
+    spark.sql("""CREATE TABLE graft.db.rmorc (id BIGINT, name STRING)
+      TBLPROPERTIES ('write.format.default'='orc')""")
+    spark.sql("INSERT INTO graft.db.rmorc VALUES (1, 'a'), (2, 'b')")
+    val r = spark.sql("""SELECT readable_metrics.id.column_size,
+        readable_metrics.name.column_size
+      FROM graft.db.rmorc.files""").collect().head
+    assert(!r.isNullAt(0) && r.getLong(0) > 0L)
+    assert(!r.isNullAt(1) && r.getLong(1) > 0L)
   }
 }
