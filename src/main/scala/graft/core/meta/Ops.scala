@@ -1223,18 +1223,27 @@ abstract class SnapshotProducer(table: GTable, operation: String) {
         (if (dataMs.forall(_.existingRowsCount >= 0))
           Map("total-records" -> dataMs.map(_.liveRowsCount).sum.toString)
         else Map.empty) ++
-        // total-files-size chains parent total + this commit's deltas
-        // (manifest lists don't carry live byte sums); omitted when the
-        // chain was broken by a pre-field ancestor
+        // total-files-size / total-position-deletes /
+        // total-equality-deletes chain parent total + this commit's
+        // deltas (manifest lists don't carry live byte sums or
+        // per-content delete-record sums; reference SnapshotSummary
+        // chains the same way); each omitted when its chain was broken
+        // by a pre-field ancestor
         {
           def d(k: String) = deltas.get(k).flatMap(_.toLongOption).getOrElse(0L)
-          val delta = d("added-files-size") - d("removed-files-size")
-          parentSnapshot(base) match {
-            case None => Map("total-files-size" -> delta.toString)
-            case Some(p) => p.summary.get("total-files-size").flatMap(_.toLongOption)
-              .map(t => Map("total-files-size" -> (t + delta).toString))
-              .getOrElse(Map.empty)
-          }
+          def chained(key: String, delta: Long): Map[String, String] =
+            parentSnapshot(base) match {
+              case None => Map(key -> delta.toString)
+              case Some(p) => p.summary.get(key).flatMap(_.toLongOption)
+                .map(t => Map(key -> math.max(0L, t + delta).toString))
+                .getOrElse(Map.empty)
+            }
+          chained("total-files-size",
+            d("added-files-size") - d("removed-files-size")) ++
+          chained("total-position-deletes",
+            d("added-position-deletes") - d("removed-position-deletes")) ++
+          chained("total-equality-deletes",
+            d("added-equality-deletes") - d("removed-equality-deletes"))
         }
       val snap = Snapshot(snapshotId, parent, seq, System.currentTimeMillis(),
         operationName, listPath,
@@ -1488,6 +1497,21 @@ final class OverwriteFiles(table: GTable) extends SnapshotProducer(table, "overw
       "deleted-records" ->
         droppedFiles.filter(isData).map(_.recordCount).sum.toString,
       "removed-files-size" -> droppedFiles.map(_.fileSizeBytes).sum.toString,
+      // delete-RECORD deltas by content kind, so the snapshot totals
+      // (total-position-deletes / total-equality-deletes) can chain
+      // parent + delta (reference SnapshotSummary removed*Deletes)
+      "removed-position-deletes" -> droppedFiles
+        .filter(_.content == FileContent.PositionDeletes)
+        .map(_.recordCount).sum.toString,
+      "removed-equality-deletes" -> droppedFiles
+        .filter(_.content == FileContent.EqualityDeletes)
+        .map(_.recordCount).sum.toString,
+      "added-position-deletes" -> adds
+        .filter(_.content == FileContent.PositionDeletes)
+        .map(_.recordCount).sum.toString,
+      "added-equality-deletes" -> adds
+        .filter(_.content == FileContent.EqualityDeletes)
+        .map(_.recordCount).sum.toString,
       "changed-partition-count" ->
         (adds ++ droppedFiles).map(PartitionTuples.key).distinct.size.toString)
   }
@@ -1743,20 +1767,31 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     // paths; skipping the rest is result-safe either way — a stray
     // duplicate entry would leave old+merged DVs live and readers union
     // (merged ⊇ old), so results cannot change.
+    supersededDvRecords = 0L
     if (supersededDvs.nonEmpty) ms = ms.flatMap { mf =>
       if (mf.content != 1 || !mergeTouched(mf)) Some(mf)
       else {
         val entries = ManifestIO.readEntries(mf).filter(_.isLive)
-        val keep = entries.filterNot(e => supersededDvs.contains(e.file.path))
-        if (keep.size == entries.size) Some(mf)
-        else if (keep.isEmpty) None
-        else Some(writeManifestFile(base, keep, base.specById(mf.specId),
-          mf.content, snapshotId))
+        val (dropped, keep) =
+          entries.partition(e => supersededDvs.contains(e.file.path))
+        supersededDvRecords += dropped.map(_.file.recordCount).sum
+        if (dropped.isEmpty) Some(mf)
+        else {
+          // the superseded DV leaves a status=2 Deleted marker like any
+          // other removed file (reference records removed delete files
+          // through the same filter-manager path), so t.entries shows
+          // the replacement and the chained totals subtract its records
+          val markers = dropped.map(e =>
+            e.copy(status = ManifestEntryStatus.Deleted, snapshotId = snapshotId))
+          Some(writeManifestFile(base, keep ++ markers,
+            base.specById(mf.specId), mf.content, snapshotId))
+        }
       }
     }
     // one manifest group per spec: a delta mixing current-spec scoped
     // deletes with GLOBAL (unpartitioned-spec) ones must not write the
     // latter under the former's spec
+    committedDels = dels
     dels.groupBy(_.specId).foreach { case (sid, group) =>
       val entries = group.map(f => ManifestEntry(ManifestEntryStatus.Added, snapshotId, seq, f))
       ms = writeManifestFiles(base, entries, base.specById(sid), 1, snapshotId) ++ ms
@@ -1769,9 +1804,16 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
     mergeManifests(base, snapshotId, ms)
   }
 
+  // delete-record accounting for the chained snapshot totals: the
+  // COMMITTED (post-DV-merge) delete files and the superseded priors'
+  // records. summary() runs after manifests() in commit(); both fields
+  // are re-filled per CAS attempt.
+  private var committedDels: Seq[DataFile] = Nil
+  private var supersededDvRecords: Long = 0L
+
   override protected def summary(base: TableMetadata): Map[String, String] = {
     val datas = dataFiles.result()
-    val dels = deleteFiles.result()
+    val dels = if (committedDels.nonEmpty) committedDels else deleteFiles.result()
     Map(
       "added-delete-files" -> dels.size.toString,
       "added-data-files" -> datas.size.toString,
@@ -1783,6 +1825,7 @@ final class RowDelta(table: GTable) extends SnapshotProducer(table, "delete") {
       "added-equality-deletes" -> dels
         .filter(_.content == FileContent.EqualityDeletes)
         .map(_.recordCount).sum.toString,
+      "removed-position-deletes" -> supersededDvRecords.toString,
       "changed-partition-count" ->
         (datas ++ dels).map(PartitionTuples.key).distinct.size.toString)
   }

@@ -459,6 +459,27 @@ class DmlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.fieldIndex("status")).getOrElse(0)
     assert(entryRows.count(_.getInt(statusIdx) != 2).toLong == allFilesRows,
       s"seed=$seed: live entries != files rows (status accounting drifted)")
+    // chained snapshot totals (total-position-deletes /
+    // total-equality-deletes) must equal the files table's LIVE
+    // delete-record sums after every random step — catches any commit
+    // path (CoW retire, DV supersede, rewrite_position_deletes,
+    // remove_dangling_deletes, rollback) whose added/removed deltas
+    // drift the chain
+    val curSummary = coreTable().meta.currentSnapshot.map(_.summary)
+      .getOrElse(Map.empty[String, String])
+    def liveDeleteRecords(content: Int): Long = {
+      val r = spark.sql(s"SELECT sum(record_count) FROM $fq.files " +
+        s"WHERE content = $content").head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    curSummary.get("total-position-deletes").foreach(v =>
+      assert(v.toLong == liveDeleteRecords(1),
+        s"seed=$seed: total-position-deletes $v drifted from live " +
+          s"DV/pos records ${liveDeleteRecords(1)}"))
+    curSummary.get("total-equality-deletes").foreach(v =>
+      assert(v.toLong == liveDeleteRecords(2),
+        s"seed=$seed: total-equality-deletes $v drifted from live " +
+          s"eq records ${liveDeleteRecords(2)}"))
     val snapCount = spark.sql(s"SELECT count(*) FROM $fq.snapshots")
       .collect()(0).getLong(0)
     assert(snapCount == coreTable().meta.snapshots.size.toLong,

@@ -359,6 +359,32 @@ class MetadataPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === e.length.toLong)
   }
 
+  test("snapshot summary chains total-position-deletes across commits") {
+    // reference SnapshotSummary totals: parent total + added - removed,
+    // per delete content kind. A DV-merge that supersedes a prior DV
+    // must subtract the replaced records or the total drifts upward.
+    spark.sql("""CREATE TABLE graft.db.ptot (id BIGINT, cat STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.delete.format'='dv')""")
+    // ONE data file, so a partial DELETE takes the DV path instead of
+    // the whole-file metadata short-circuit
+    spark.range(1, 5).selectExpr("id", "'a' AS cat").coalesce(1)
+      .writeTo("graft.db.ptot").append()
+    spark.sql("DELETE FROM graft.db.ptot WHERE id = 1")
+    def total(): Long = spark.sql("""SELECT summary['total-position-deletes']
+        FROM graft.db.ptot.snapshots ORDER BY sequence_number DESC
+        LIMIT 1""").head().getString(0).toLong
+    assert(total() === 1L)
+    // second DELETE merges into one DV (union of 2 positions),
+    // superseding the 1-record DV: total must be 2, not 3
+    spark.sql("DELETE FROM graft.db.ptot WHERE id = 2")
+    assert(total() === 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.ptot").head().getLong(0) === 2L)
+    // the superseded DV leaves a status=2 marker in entries
+    assert(spark.sql("""SELECT count(*) FROM graft.db.ptot.entries
+        WHERE status = 2 AND data_file.content = 1""").head().getLong(0) >= 1L)
+  }
+
   test("metadata scans report statistics from manifest-list counts") {
     // SupportsReportStatistics off the list counts alone: joins against
     // t.files get a real broadcast decision instead of unknown-size
