@@ -15,6 +15,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r18 (guide §3.1/§9): let the planner pick shuffled-hash over
+      // sort-merge when the build side fits its size conditions, and let
+      // AQE rewrite a planned SMJ to SHJ when every post-shuffle partition
+      // is under 64 MB. Both are SIZE-GUARDED decisions, not local-core
+      // tuning: at 100 TB an oversized build side still sort-merges.
+      // Measured r18: headline total 4.18 s -> 3.55 s at sf0.1 (same box,
+      // same samples protocol; q03 0.83->0.73, q05 1.12->0.97,
+      // p03 1.41->1.10).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

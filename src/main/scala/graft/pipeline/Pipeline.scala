@@ -162,15 +162,22 @@ object Pipeline {
       val sigSet = persistSlot(s"p03|${System.identityHashCode(s)}|$dir",
         bh.groupBy("doc_id")
           .agg(minCols.head, (minCols.tail :+ collect_set(col("b")).as("bs")): _*))
+      // r18 (guide §2.3, narrower shuffle keys): the (band index, minhash
+      // pair) join key packs INJECTIVELY into one long — each min is
+      // mod P < 2^30 and the band index < 4, so
+      // bidx*2^60 + x*2^30 + y < 2^62 never collides across bands or
+      // pairs. One 8-byte key replaces an int + a 2-long struct in the
+      // self-join exchange (plan diff: join on single bigint, no struct
+      // comparisons); the candidate set is unchanged.
       val bandArr = array((0 until NumBands).map { j =>
-        struct(col(s"m${2 * j}").as("x"), col(s"m${2 * j + 1}").as("y"))
+        lit(j.toLong << 60) + (col(s"m${2 * j}") * lit(1L << 30)) +
+          col(s"m${2 * j + 1}")
       }: _*)
-      val bands = sigSet.select(col("doc_id"),
-        posexplode(bandArr).as(Seq("bidx", "bkey")))
-      // candidate pairs: hash-partitioned equi-join on (band index, band key)
-      val cand = bands.toDF("d1", "i1", "k1")
-        .join(bands.toDF("d2", "i2", "k2"),
-          col("i1") === col("i2") && col("k1") === col("k2") && col("d1") < col("d2"))
+      val bands = sigSet.select(col("doc_id"), explode(bandArr).as("bkey"))
+      // candidate pairs: hash-partitioned equi-join on the packed band key
+      val cand = bands.toDF("d1", "k1")
+        .join(bands.toDF("d2", "k2"),
+          col("k1") === col("k2") && col("d1") < col("d2"))
         .select("d1", "d2").distinct()
       // verify candidates with exact bigram Jaccard: set intersection on
       // the per-doc arrays — joins stay on doc_id (agg partitioning reused,
@@ -236,14 +243,16 @@ object Pipeline {
       // product — and the exact bit_count verify keeps output identical
       // to the naive formulation.
       val bands = Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4))
+      // r18 (guide §2.3): band index and 5-bit band key pack injectively
+      // into one long (band*64 + key, key < 32) — single-bigint join key
+      // instead of two columns; same candidate set.
       val banded = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array(bands.map { case (off, w) =>
-          expr(s"shiftright(simhash, $off) & ${(1 << w) - 1}")
-        }: _*)).as(Seq("band", "key")))
-      banded.toDF("d1", "s1", "band1", "key1")
-        .join(banded.toDF("d2", "s2", "band2", "key2"),
-          col("band1") === col("band2") && col("key1") === col("key2") &&
-            col("d1") < col("d2"))
+        explode(array(bands.zipWithIndex.map { case ((off, w), i) =>
+          expr(s"${i * 64L}L + (shiftright(simhash, $off) & ${(1 << w) - 1})")
+        }: _*)).as("bk"))
+      banded.toDF("d1", "s1", "bk1")
+        .join(banded.toDF("d2", "s2", "bk2"),
+          col("bk1") === col("bk2") && col("d1") < col("d2"))
         .select("d1", "s1", "d2", "s2").distinct()
         .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
         .filter(col("hamming") <= 4)
@@ -749,14 +758,17 @@ object Pipeline {
       val sigCol = (0 until 24).map { k =>
         when(arrayDot(col("v"), hyperplane(k)) >= 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _)
+      // r18 (guide §2.3): (table, bucket) packs injectively into one long
+      // (tbl*256 + bkt, bkt < 256) — single-bigint join key; same
+      // candidate set.
       val banded = e.withColumn("sig", sigCol)
         .select(col("vec_id"),
-          posexplode(array((0 until 3).map(tb =>
-            expr(s"shiftright(sig, ${8 * tb}) & 255")): _*)).as(Seq("tbl", "bkt")))
-      val cand = banded.toDF("id1", "t1", "b1")
-        .join(banded.toDF("id2", "t2", "b2"),
-          col("t1") === col("t2") && col("b1") === col("b2") &&
-            col("id1") < col("id2"))
+          explode(array((0 until 3).map(tb =>
+            expr(s"${tb * 256L}L + (shiftright(sig, ${8 * tb}) & 255)")): _*))
+            .as("tb"))
+      val cand = banded.toDF("id1", "tb1")
+        .join(banded.toDF("id2", "tb2"),
+          col("tb1") === col("tb2") && col("id1") < col("id2"))
         .select("id1", "id2").distinct()
       val v1 = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
       val v2 = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))

@@ -51,7 +51,7 @@ object Engine {
 
     val cat = new HadoopCatalog(wh)
     val complete = cat.loadTable(Seq("db"), "lineitem_g")
-      .exists(_.meta.properties.get("build-complete-v37").contains("true"))
+      .exists(_.meta.properties.get("build-complete-v38").contains("true"))
     if (!complete) {
       coldBuilt += wh
       // wipe any partial previous build. EVERY table the build block
@@ -61,7 +61,7 @@ object Engine {
       // bump left every setup attempt dying mid-build).
       Seq("mix_src_g", "mix_reg_g",
         "lineitem_g", "orders_snap", "orders_del", "part_ow", "cust_evo",
-        "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "stream_g",
+        "cow_del", "mor_cust", "mrg_part", "compact_g", "cdc_g", "cdc_pd_g", "stream_g",
         "spev_g", "mor_part_g", "wap_g", "wapid_g", "dv_g", "orc_g", "dflt_g",
         "avro_g", "eqdel_g", "geo_g", "geog_g", "rtas_g", "spj_c_g", "spj_o_g", "var_shred_g", "imp_g", "exp_g", "ns_g",
         "lin_g", "orph_g", "txn_g", "relo_g", "relo_copy_g", "wmk_src_g", "wmk_g",
@@ -730,7 +730,7 @@ object Engine {
       s.sql(s"CALL graft.system.register_table('db.mix_reg_g', '$mixMeta')")
 
       new HadoopCatalog(wh).loadTable(Seq("db"), "lineitem_g").get
-        .updateProperties(Map("build-complete-v37" -> "true"))
+        .updateProperties(Map("build-complete-v38" -> "true"))
     }
     built += wh
   }
@@ -3148,26 +3148,26 @@ object Engine {
     (s, dir) => {
       setup(s, dir)
       val cat = new HadoopCatalog(warehouse(dir))
-      val ready = cat.loadTable(Seq("db"), "cdc_g")
+      val ready = cat.loadTable(Seq("db"), "cdc_pd_g")
         .exists(_.meta.properties.get("g79-ready").contains("true"))
       if (!ready) {
-        cat.dropTable(Seq("db"), "cdc_g")
+        cat.dropTable(Seq("db"), "cdc_pd_g")
         s.sessionState.catalogManager.catalog("graft") match {
           case g: graft.spark.GraftCatalog => g.invalidateCache()
           case _ => ()
         }
-        s.sql("""CREATE TABLE graft.db.cdc_g (s_suppkey BIGINT, s_nationkey BIGINT)
+        s.sql("""CREATE TABLE graft.db.cdc_pd_g (s_suppkey BIGINT, s_nationkey BIGINT)
           PARTITIONED BY (s_nationkey)""")
         t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-          .writeTo("graft.db.cdc_g").append()
-        s.sql("""DELETE FROM graft.db.cdc_g
-          WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM graft.db.cdc_g)""")
-        cat.loadTable(Seq("db"), "cdc_g").get
+          .writeTo("graft.db.cdc_pd_g").append()
+        s.sql("""DELETE FROM graft.db.cdc_pd_g
+          WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM graft.db.cdc_pd_g)""")
+        cat.loadTable(Seq("db"), "cdc_pd_g").get
           .updateProperties(Map("g79-ready" -> "true"))
       }
       val nk = t(s, dir, "supplier").agg(min("s_nationkey"))
         .head().getAs[Number](0).longValue
-      val all = s.table("graft.db.cdc_g.changes")
+      val all = s.table("graft.db.cdc_pd_g.changes")
       val q = all.filter(col("s_nationkey") === nk)
       require(q.rdd.getNumPartitions < all.rdd.getNumPartitions,
         s"g79: pushdown must prune change tasks (${q.rdd.getNumPartitions} " +

@@ -160,9 +160,16 @@ object Relational {
         .select("n_nationkey", "n_name")
       val supA = sup.join(broadcast(asiaN),
         col("s_nationkey") === col("n_nationkey"))
-      val cA = c.join(
-        broadcast(asiaN.select(col("n_nationkey").as("cn_nationkey"))),
-        col("c_nationkey") === col("cn_nationkey"))
+      // r18: the customer side joins the same asiaN subtree directly (no
+      // cn_nationkey rename Project). NOTE the broadcast still prunes to
+      // n_nationkey-only on this branch (nothing consumes n_name here), so
+      // it canonicalizes differently from the supplier-side broadcast and
+      // is NOT deduped; only the inner ASIA r_regionkey broadcast is
+      // stage-cache-reused (it was before this change too). Results
+      // identical; kept for the simpler plan.
+      val cA = c.join(broadcast(asiaN),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
       cA.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .join(supA,
