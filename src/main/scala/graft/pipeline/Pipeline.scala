@@ -925,13 +925,18 @@ object Pipeline {
     * iteration assignment seeded from vec_id 0-7. Returns (quantized
     * vectors, final vec_id→cid assignment). */
   private def kmeansQ(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // r18: codegen quantization (was an interpreted transform lambda per
+    // element); exact same floor(x*64) longs — see ArrayQuantizeFloor
     val q = t(s, dir, "embeddings").select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+      graft.functions.VectorFunctions.arrayQuantizeFloor(col("embedding"), 64)
         .as("qv"))
     def assign(cent: DataFrame): DataFrame =
       q.crossJoin(broadcast(cent))
-        .withColumn("dist",
-          expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        // r18: codegen ArraySqDistL replaces the interpreted
+        // aggregate(zip_with(...)) lambda — same exact integer result on
+        // the fixed 64-dim quantized vectors, fused into the row loop
+        .withColumn("dist", graft.functions.VectorFunctions.arraySqDistL(
+          col("qv"), col("cv")))
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cid"))
@@ -1255,15 +1260,19 @@ object Pipeline {
     (s, dir) => {
       val (q, a2) = kmeansQ(s, dir)
       val n = q.join(a2, "vec_id")
+        // r18: codegen dot(qv, qv) for the squared norm (was interpreted
+        // aggregate(transform(...)))
         .withColumn("qn",
-          expr("aggregate(transform(qv, v -> v * v), 0L, (acc, x) -> acc + x)"))
+          graft.functions.VectorFunctions.arrayDotL(col("qv"), col("qv")))
       val a = n.select(col("cid"), col("vec_id").as("id1"),
         col("qv").as("v1"), col("qn").as("n1"))
       val b = n.select(col("cid"), col("vec_id").as("id2"),
         col("qv").as("v2"), col("qn").as("n2"))
       val pairs = a.join(b, Seq("cid")).filter(col("id1") < col("id2"))
+        // r18: codegen integer dot — the within-cluster pair loop is the
+        // hottest arithmetic in this operator
         .withColumn("dot",
-          expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+          graft.functions.VectorFunctions.arrayDotL(col("v1"), col("v2")))
       val dropped = pairs
         .filter(col("dot") > 0 &&
           col("dot") * col("dot") * 100 >= col("n1") * col("n2") * 16)

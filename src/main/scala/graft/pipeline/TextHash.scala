@@ -58,11 +58,38 @@ object TextHash {
     if (m < 0) m + P else m
   }
 
-  /** Spark: word-bigram array ("w1~w2") from a token-array column. */
+  /** Spark: word-bigram array ("w1~w2") from a token-array column. A
+    * native codegen'd expression (r18): the previous
+    * transform/lambdafunction HOF is CodegenFallback — one interpreted
+    * lambda + two element_at per bigram dominated the p03 signature
+    * pass. Same strings; for <2 tokens this returns an EMPTY array,
+    * which is the oracle's generate_series(1, len-1) shape (the HOF
+    * threw on element_at index 0 — unreachable: every corpus doc has
+    * >= 10 tokens, asserted in TextHashSpec). */
   def bigrams(wsCol: String): Column =
-    expr(s"""transform(sequence(0, size($wsCol) - 2),
-         |  i -> concat(element_at($wsCol, i + 1), '~', element_at($wsCol, i + 2)))"""
-      .stripMargin)
+    GraftSqlBridge.column(Bigrams(GraftSqlBridge.expression(col(wsCol))))
+
+  private val Tilde = UTF8String.fromString("~")
+
+  /** bigram array of a token array; empty below 2 tokens. */
+  def bigramsOf(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val a = arr.getUTF8String(i)
+      val b = arr.getUTF8String(i + 1)
+      // SQL concat semantics: null element -> null bigram (split() never
+      // yields nulls, so this is defensive parity with the old HOF)
+      out(i) = if (a == null || b == null) null else UTF8String.concat(a, Tilde, b)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
 }
 
 /** Codegen'd base-31 polynomial string hash (see TextHash.polyHash). */
@@ -79,5 +106,24 @@ final case class PolyHash(child: Expression, n: Int)
     defineCodeGen(ctx, ev, c => s"graft.pipeline.TextHash.polyHash($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Codegen'd word-bigram array (see TextHash.bigramsOf). */
+final case class Bigrams(child: Expression)
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_bigrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.bigramsOf(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.TextHash.bigramsOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
     copy(child = newChild)
 }
