@@ -419,8 +419,10 @@ object Pipeline {
       tok(s, dir)
         .select(col("doc_id"),
           size(col("ws")).as("n_tokens"),
-          expr("size(filter(ws, w -> w IN ('the', 'a')))").as("stop_cnt"),
-          expr("size(filter(ws, w -> length(w) >= 6))").as("long_cnt"))
+          // r18 (guide §4): codegen set-membership / min-length counts —
+          // the size(filter(ws, lambda)) HOFs are CodegenFallback
+          countInSet(col("ws"), Seq("the", "a")).as("stop_cnt"),
+          countMinLen(col("ws"), 6).as("long_cnt"))
         .withColumn("stop_ratio", col("stop_cnt").cast(DoubleType) / col("n_tokens"))
         .withColumn("quality",
           when(col("n_tokens") >= 60 && col("stop_cnt") * 15 >= col("n_tokens"), "high")
@@ -443,10 +445,10 @@ object Pipeline {
   private val p10 = Q(
     "p10_text_langid",
     (s, dir) => {
-      def score(words: String*) = {
-        val list = words.map(w => s"'$w'").mkString(", ")
-        expr(s"size(filter(ws, w -> w IN ($list)))")
-      }
+      // r18 (guide §4): codegen set-membership count — the
+      // size(filter(ws, w -> w IN (...))) HOF ran an interpreted lambda
+      // per token, 4x per doc
+      def score(words: String*) = countInSet(col("ws"), words)
       tok(s, dir)
         .select(col("doc_id"), col("ws"))
         .withColumn("s_en", score("the", "a", "of"))
@@ -511,24 +513,26 @@ object Pipeline {
   private val p12 = Q(
     "p12_multimodal_features",
     (s, dir) => {
-      import s.implicits._
-      // Multimodal plumbing: opaque binary column + per-partition batched
-      // "decode". The container ships no image/audio codecs, so the decode
-      // step is a STUB: deterministic pseudo-features over the raw bytes.
-      // Schema, partitioning and the mapPartitions batch shape are real.
+      // Multimodal plumbing: opaque binary column + deterministic
+      // pseudo-features over the raw bytes (the container ships no
+      // image/audio codecs, so the "decode" is a STUB). r18 (guide §4):
+      // the stub arithmetic is pure byte sums, so it now runs as
+      // whole-stage-codegen expressions (BinaryByteSum over substring
+      // slices) instead of a typed mapPartitions — the Dataset encoder
+      // boundary (DeserializeToObject/SerializeFromObject) cost one
+      // row-copy each way and broke the codegen stage. A REAL decode
+      // (codecs, batched native calls) would stay mapPartitions/
+      // mapInArrow; this one shouldn't. Same values: length/substring
+      // on BINARY are byte-based, byteSum(1-byte slice) = that byte
+      // unsigned.
+      import graft.functions.ByteFunctions.byteSum
       t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          it.map { case (id, blob) =>
-            var sum = 0L
-            var i = 0
-            while (i < blob.length) { sum += blob(i) & 0xff; i += 1 }
-            (id, blob.length.toLong, (blob(0) & 0xff).toLong,
-              (blob(blob.length - 1) & 0xff).toLong, sum % 65536)
-          }
-        }
-        .toDF("doc_id", "n_bytes", "first_byte", "last_byte", "checksum")
+        .select(col("doc_id"),
+          length(col("blob")).cast(LongType).as("n_bytes"),
+          byteSum(expr("substring(blob, 1, 1)")).as("first_byte"),
+          byteSum(expr("substring(blob, length(blob), 1)")).as("last_byte"),
+          (byteSum(col("blob")) % 65536).as("checksum"))
         .orderBy("doc_id")
     },
     Some("""
@@ -633,24 +637,24 @@ object Pipeline {
   private val p15 = Q(
     "p15_multimodal_frames",
     (s, dir) => {
-      import s.implicits._
+      // r18 (guide §4): same move as p12 — the frame loop becomes
+      // explode(sequence) + codegen byte sums over substring slices;
+      // the typed mapPartitions paid the Dataset encoder boundary per
+      // row. Same rows: frames = min(8, ceil(len/64)) and the len=0
+      // case emits nothing (the filter mirrors `0 until 0`).
+      import graft.functions.ByteFunctions.byteSum
       t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          it.flatMap { case (id, blob) =>
-            val frames = math.min(8, (blob.length + 63) / 64)
-            (0 until frames).iterator.map { f =>
-              val start = f * 64
-              val end = math.min(start + 64, blob.length)
-              var sum = 0L
-              var i = start
-              while (i < end) { sum += blob(i) & 0xff; i += 1 }
-              (id, f, (end - start).toLong, sum % 65536)
-            }
-          }
-        }
-        .toDF("doc_id", "frame_idx", "n_bytes", "checksum")
+        .withColumn("nb", length(col("blob")))
+        .filter(col("nb") > 0)
+        .select(col("doc_id"), col("blob"),
+          explode(expr(
+            "sequence(0, least(7, cast((nb + 63) div 64 as int) - 1))"))
+            .as("frame_idx"))
+        .withColumn("fb", expr("substring(blob, frame_idx * 64 + 1, 64)"))
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("fb")).cast(LongType).as("n_bytes"),
+          (byteSum(col("fb")) % 65536).as("checksum"))
         .orderBy("doc_id", "frame_idx")
     },
     Some("""
@@ -1081,10 +1085,12 @@ object Pipeline {
       // Spark's sequence(0, n) runs DESCENDING for n < 0 (DuckDB's
       // generate_series is just empty), so the guard keeps both engines
       // on the same gram set
+      // r18 (guide §4): codegen 3-gram windows — the transform/slice HOF
+      // ran an interpreted lambda per gram; same strings (WordWindows is
+      // empty below width, matching the size>=3 filter + sequence bound)
       val grams = tok(s, dir).filter(size(col("ws")) >= 3)
         .select(col("doc_id"),
-          explode(expr("""transform(sequence(0, size(ws) - 3),
-            i -> concat_ws('~', slice(ws, i + 1, 3)))""")).as("g"))
+          explode(wordWindows("ws", 3, 1, "~", partial = false)).as("g"))
       grams.groupBy("g")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"))
@@ -1208,10 +1214,13 @@ object Pipeline {
   private val p27 = Q(
     "p27_segment_dedup",
     (s, dir) => {
+      // r18 (guide §4): codegen chunk windows (width 8, stride 8, last
+      // chunk short) — same strings as the transform/slice HOF, whose
+      // interpreted lambda ran once per chunk
       val chunks = tok(s, dir).filter(size(col("ws")) >= 1)
         .select(col("doc_id"),
-          posexplode(expr("""transform(sequence(0, (size(ws)+7) div 8 - 1),
-            i -> concat_ws(' ', slice(ws, i*8+1, 8)))""")).as(Seq("idx", "c")))
+          posexplode(wordWindows("ws", 8, 8, " ", partial = true))
+            .as(Seq("idx", "c")))
       val boiler = chunks.groupBy("c")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)
@@ -1352,13 +1361,15 @@ object Pipeline {
     "p29_dedup_substring",
     (s, dir) => {
       val K = 8
+      // r18 (guide §4): codegen K-gram windows; md5 (itself codegen) now
+      // applies per exploded row instead of inside an interpreted
+      // transform lambda. Same digests: WordWindows yields the same
+      // space-joined grams the slice/array_join chain did, and is empty
+      // below K tokens, matching the old CASE guard.
       val g = tok(s, dir).select(col("doc_id"),
-        posexplode(expr(
-          s"""CASE WHEN size(ws) >= $K
-             |THEN transform(sequence(1, size(ws) - ${K - 1}),
-             |               i -> md5(array_join(slice(ws, i, $K), ' ')))
-             |ELSE array() END""".stripMargin)).as(Seq("p0", "h")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+        posexplode(wordWindows("ws", K, 1, " ", partial = false))
+          .as(Seq("p0", "c")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), md5(col("c")).as("h"))
       // corpus-wide duplicate mark: digest counts are a groupBy (map-side
       // partial agg absorbs Zipf-head digests before the shuffle), then
       // occurrences equi-join the duplicated-key set. Deliberately NOT a
@@ -1422,13 +1433,13 @@ object Pipeline {
   private val p30 = Q(
     "p30_quality_lm_rarity",
     (s, dir) => {
+      // r18 (guide §4): codegen trigram windows — the transform/
+      // element_at/concat HOF ran an interpreted lambda + three array
+      // probes per trigram. Same strings on the corpus (tokens are never
+      // null, where concat_ws-style joining and the old concat would
+      // differ); empty below 3 tokens = the old CASE guard.
       val occ = tok(s, dir).select(col("doc_id"),
-        explode(expr(
-          """CASE WHEN size(ws) >= 3
-            |THEN transform(sequence(0, size(ws) - 3),
-            |  i -> concat(element_at(ws, i + 1), '~', element_at(ws, i + 2),
-            |              '~', element_at(ws, i + 3)))
-            |ELSE array() END""".stripMargin)).as("b"))
+        explode(wordWindows("ws", 3, 1, "~", partial = false)).as("b"))
       val rare = occ.groupBy("b").agg(count(lit(1)).as("cb"))
         .filter(col("cb") < 5)
       occ.join(rare, Seq("b"), "left")
@@ -1524,10 +1535,8 @@ object Pipeline {
   private val p32 = Q(
     "p32_corpus_prep",
     (s, dir) => {
-      def score(words: String*) = {
-        val list = words.map(w => s"'$w'").mkString(", ")
-        expr(s"size(filter(ws, w -> w IN ($list)))")
-      }
+      // r18 (guide §4): codegen set-membership count (see p10)
+      def score(words: String*) = countInSet(col("ws"), words)
       val gated = tok(s, dir)
         .withColumn("n_tokens", size(col("ws")))
         .filter(col("n_tokens") >= 30) // quality gate, pre-shuffle

@@ -90,6 +90,81 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Spark: sep-joined word windows of a token-array column — the one
+    * array shape behind the n-gram / chunking operators (r18, guide §4):
+    * the `transform(sequence(...), i -> concat_ws(sep, slice(ws, ...)))`
+    * HOFs these replace are CodegenFallback (one interpreted lambda +
+    * slice/concat per window). `partial=false` yields the overlapping
+    * n-gram shape (`max(0, n - width + 1)` windows, stride 1 in all
+    * callers); `partial=true` the chunking shape (`ceil(n / stride)`
+    * windows, last one short). Join semantics are concat_ws/array_join
+    * (null elements skipped — unreachable: split() never yields null). */
+  def wordWindows(wsCol: String, width: Int, stride: Int, sep: String,
+      partial: Boolean): Column =
+    GraftSqlBridge.column(WordWindows(
+      GraftSqlBridge.expression(col(wsCol)), width, stride, sep, partial))
+
+  /** windows of a token array (see [[wordWindows]]). */
+  def wordWindowsOf(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      width: Int, stride: Int, sep: UTF8String, partial: Boolean)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = arr.numElements()
+    val cnt =
+      if (partial) { if (n == 0) 0 else (n - 1) / stride + 1 }
+      else math.max(0, n - width + 1)
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      val start = i * stride
+      val end = math.min(start + width, n)
+      val parts = new Array[UTF8String](end - start)
+      var j = start
+      while (j < end) { parts(j - start) = arr.getUTF8String(j); j += 1 }
+      // UTF8String.concatWs skips nulls — exactly concat_ws/array_join
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Spark: count of tokens that are members of a fixed string set —
+    * replaces the CodegenFallback `size(filter(ws, w -> w IN (...)))`
+    * in the langid/quality scorers (r18, guide §4). Null elements never
+    * count (the HOF's IN predicate is null for them). */
+  def countInSet(wsCol: Column, words: Seq[String]): Column =
+    GraftSqlBridge.column(CountInSet(GraftSqlBridge.expression(wsCol), words))
+
+  def countInSetOf(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w != null && set.contains(w)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Spark: count of tokens with at least `minLen` chars — replaces the
+    * CodegenFallback `size(filter(ws, w -> length(w) >= n))` (r18). */
+  def countMinLen(wsCol: Column, minLen: Int): Column =
+    GraftSqlBridge.column(CountMinLen(GraftSqlBridge.expression(wsCol), minLen))
+
+  def countMinLenOf(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      minLen: Int): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w != null && w.numChars() >= minLen) c += 1
+      i += 1
+    }
+    c
+  }
 }
 
 /** Codegen'd base-31 polynomial string hash (see TextHash.polyHash). */
@@ -125,5 +200,80 @@ final case class Bigrams(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.pipeline.TextHash.bigramsOf($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
+/** Codegen'd sep-joined token windows (see TextHash.wordWindowsOf). */
+final case class WordWindows(child: Expression, width: Int, stride: Int,
+    sep: String, partial: Boolean)
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_word_windows"
+
+  @transient private lazy val sepU8: UTF8String = UTF8String.fromString(sep)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordWindowsOf(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      width, stride, sepU8, partial)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sepU8,
+      classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.pipeline.TextHash.wordWindowsOf($c, $width, $stride, $sepRef, $partial)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindows =
+    copy(child = newChild)
+}
+
+/** Codegen'd fixed-set membership count (see TextHash.countInSetOf). */
+final case class CountInSet(child: Expression, words: Seq[String])
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.countInSetOf(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("set", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.pipeline.TextHash.countInSetOf($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
+/** Codegen'd min-length token count (see TextHash.countMinLenOf). */
+final case class CountMinLen(child: Expression, minLen: Int)
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_count_min_len"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.countMinLenOf(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], minLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.pipeline.TextHash.countMinLenOf($c, $minLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): CountMinLen =
     copy(child = newChild)
 }
