@@ -950,7 +950,9 @@ object Pipeline {
         .groupBy("cid", "j")
         .agg(floor(sum(col("x")) / count(lit(1))).cast(LongType).as("c"))
         .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(j, c))), s -> s.c)").as("cv"))
+        // r18: built-in codegen field extraction (see p27's note); this
+        // one runs on k=8 rows, changed for uniformity not speed
+        .agg(expr("sort_array(collect_list(struct(j, c))).c").as("cv"))
     val c0 = q.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     (q, assign(recompute(assign(c0))))
@@ -1228,8 +1230,12 @@ object Pipeline {
       val kept = chunks.join(broadcast(boiler), col("c") === col("bc"), "left_anti")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("nk"),
-          concat_ws(" ", expr(
-            "transform(array_sort(collect_list(struct(idx, c))), x -> x.c)"))
+          // r18 (guide §4): sort_array(...).c extracts the field with the
+          // built-in codegen GetArrayStructFields — the transform lambda
+          // it replaces was the last interpreted node in this plan. Same
+          // order: collect_list never emits null structs, so array_sort's
+          // and sort_array's orderings coincide.
+          concat_ws(" ", expr("sort_array(collect_list(struct(idx, c))).c"))
             .as("clean"))
       t(s, dir, "documents")
         .select(col("doc_id"),
