@@ -17,35 +17,31 @@ object MicroBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val wanted = if (args.nonEmpty) args.toSeq else Seq("p03_dedup_minhash_lsh")
     val bank = SparkEntry.bank.map(q => q.name -> q).toMap
-    wanted.foreach { name =>
+    // r19 (ADVICE): a failed warm-up SKIPS that query only — the previous
+    // non-local `return` aborted the whole run and bypassed spark.stop()
+    try wanted.foreach { name =>
       val q = bank.getOrElse(name, sys.error(s"unknown query $name"))
       spark.sparkContext.setJobDescription(s"microbench warmup: $name")
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        println(s"FAIL $name: ${e.getMessage}"); return }
-      val samples = (1 to 5).map { i =>
-        spark.catalog.clearCache()
-        spark.sparkContext.setJobDescription(s"microbench $name #$i")
-        val t0 = System.nanoTime()
-        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      val warmOk =
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          println(s"FAIL $name: ${e.getMessage}"); false }
+      if (warmOk) {
+        val samples = (1 to 5).map { i =>
+          spark.catalog.clearCache()
+          spark.sparkContext.setJobDescription(s"microbench $name #$i")
+          val t0 = System.nanoTime()
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val med = samples.sorted.apply(2)
+        println(f"MICRO $name median=$med%.3f samples=" +
+          samples.map(s => f"$s%.3f").mkString("[", ",", "]"))
       }
-      val med = samples.sorted.apply(2)
-      println(f"MICRO $name median=$med%.3f samples=" +
-        samples.map(s => f"$s%.3f").mkString("[", ",", "]"))
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

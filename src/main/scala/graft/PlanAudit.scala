@@ -7,15 +7,8 @@ import org.apache.spark.sql.SparkSession
   * contract; run with `sbt "runMain graft.PlanAudit [names...]"`). */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      // mirror Bench's join-strategy confs so audited plans match the bench
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // same shared confs as Bench/Verify so audited plans match the bench
+    val spark = Sessions.builder("8")
       .config("spark.sql.extensions", classOf[graft.spark.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

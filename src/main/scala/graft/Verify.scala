@@ -7,11 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // r19 (r18 verdict item 3): built from the SAME shared builder as
+    // Bench, so the oracle validates the exact join-strategy plan shapes
+    // (SHJ-preferring, size-guarded) the bench times — previously Verify
+    // lacked those confs and validated SMJ-shaped plans instead.
+    val spark = Sessions.builder(cpus)
       .config("spark.sql.extensions", classOf[graft.spark.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
