@@ -148,20 +148,34 @@ object Pipeline {
     * pairs (d1 < d2, inter, uni). Shared by p03 (pair listing) and p26
     * (cluster assembly over the pair graph). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-      // ONE wide agg computes both the MinHash signature and the distinct
-      // bigram set per doc: min() is duplicate-insensitive and collect_set
-      // dedups in the agg, so tokenize→explode→hash→aggregate is a single
-      // shuffle (no separate distinct pass, no re-scan for verification)
-      val bh = tok(s, dir).select(col("doc_id"), explode(bigrams("ws")).as("b"))
-        .withColumn("h", strHash("b"))
-      val minCols = (0 until NumHashes).map { k =>
-        min(pmod(col("h") * minhashA(k) + minhashB(k), lit(P))).as(s"m$k")
-      }
-      // signatures+sets are tiny vs the corpus and reused 3×; unpersist
-      // the previous invocation's cache so repeated runs don't accumulate
+      // r19 (guide §2.4, remove shuffles outright): the signature pass is
+      // DOC-LOCAL, so the old explode → groupBy(doc_id) aggregation
+      // (ObjectHashAggregate + Exchange + ObjectHashAggregate, one
+      // hash-map update per bigram OCCURRENCE, collect_set of bigram
+      // STRINGS as the agg buffer) is replaced by one codegen projection
+      // per document row: mins and the verify set are computed in a
+      // single pass over each doc's bigram array, ZERO shuffles. The
+      // verify set is a sorted 128-bit-digest set (array<bigint> of
+      // flattened (x,y) pairs — r18 verdict item 1; exactness argument
+      // and channel construction in TextHash.digestPairs), so the
+      // per-pair intersection below is a primitive sorted merge instead
+      // of array_intersect over strings.
+      //
+      // Value parity with the old aggregation (pinned by
+      // MinHashDigestSpec on the real corpora): a null bigram contributed
+      // neither to any min (null h) nor to collect_set — both expressions
+      // skip nulls the same way. Docs with an EMPTY bigram array (<2
+      // tokens) never formed a group under explode; here they keep a
+      // sigSet row with sig=[null,...] and bs=[], which is inert — null
+      // band keys never satisfy the k1 = k2 equi-join, so such docs reach
+      // neither cand nor the verify output. (A size(bg) > 0 filter would
+      // preserve the old rowset exactly but gets pushed below the bg
+      // projection and recomputes graft_bigrams per doc — measured cost,
+      // zero semantic effect.)
       val sigSet = persistSlot(s"p03|${System.identityHashCode(s)}|$dir",
-        bh.groupBy("doc_id")
-          .agg(minCols.head, (minCols.tail :+ collect_set(col("b")).as("bs")): _*))
+        tok(s, dir).select(col("doc_id"), bigrams("ws").as("bg"))
+          .select(col("doc_id"), minhashSig(col("bg")).as("sig"),
+            digestPairs(col("bg")).as("bs")))
       // r18 (guide §2.3, narrower shuffle keys): the (band index, minhash
       // pair) join key packs INJECTIVELY into one long — each min is
       // mod P < 2^30 and the band index < 4, so
@@ -170,8 +184,8 @@ object Pipeline {
       // self-join exchange (plan diff: join on single bigint, no struct
       // comparisons); the candidate set is unchanged.
       val bandArr = array((0 until NumBands).map { j =>
-        lit(j.toLong << 60) + (col(s"m${2 * j}") * lit(1L << 30)) +
-          col(s"m${2 * j + 1}")
+        lit(j.toLong << 60) + (col("sig").getItem(2 * j) * lit(1L << 30)) +
+          col("sig").getItem(2 * j + 1)
       }: _*)
       val bands = sigSet.select(col("doc_id"), explode(bandArr).as("bkey"))
       // candidate pairs: hash-partitioned equi-join on the packed band key
@@ -179,14 +193,16 @@ object Pipeline {
         .join(bands.toDF("d2", "k2"),
           col("k1") === col("k2") && col("d1") < col("d2"))
         .select("d1", "d2").distinct()
-      // verify candidates with exact bigram Jaccard: set intersection on
-      // the per-doc arrays — joins stay on doc_id (agg partitioning reused,
-      // no exploded pair×bigram shuffle)
+      // verify candidates with exact bigram Jaccard: digest-set
+      // intersection on the per-doc sorted arrays — joins stay on doc_id
+      // (no exploded pair×bigram shuffle); set sizes are size(bs)/2
+      // (two longs per distinct bigram)
       val docSets = sigSet.select(col("doc_id").as("dk"), col("bs"))
       cand.join(docSets.toDF("dx", "bx"), col("d1") === col("dx"))
         .join(docSets.toDF("dy", "by"), col("d2") === col("dy"))
-        .withColumn("inter", size(array_intersect(col("bx"), col("by"))).cast(LongType))
-        .withColumn("uni", (size(col("bx")) + size(col("by"))).cast(LongType) - col("inter"))
+        .withColumn("inter", digestIntersectCount(col("bx"), col("by")).cast(LongType))
+        .withColumn("uni",
+          expr("CAST((size(bx) + size(by)) DIV 2 AS BIGINT)") - col("inter"))
         .filter(col("inter") * 2 >= col("uni"))
         .select("d1", "d2", "inter", "uni")
   }
