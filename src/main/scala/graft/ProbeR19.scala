@@ -1,0 +1,331 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.pipeline.TextHash._
+
+/** r19 dev probe (guide §1: measure first): decomposes p03's signature
+  * aggregation and verify joins to size the digest-set redesign before
+  * touching the operator. Not part of the driver contract.
+  * Run: sbt "runMain graft.ProbeR19"
+  */
+object ProbeR19 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.queries.Tables.t
+
+    def tok(dir: String): DataFrame =
+      t(spark, dir, "documents").select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("ws"))
+
+    def bh(dir: String): DataFrame =
+      tok(dir).select(col("doc_id"), explode(bigrams("ws")).as("b"))
+        .withColumn("h", strHash("b"))
+
+    val minCols = (0 until NumHashes).map { k =>
+      min(pmod(col("h") * minhashA(k) + minhashB(k), lit(P))).as(s"m$k")
+    }
+
+    // variants of the signature aggregation
+    def sigStr(dir: String): DataFrame = bh(dir).groupBy("doc_id")
+      .agg(minCols.head, (minCols.tail :+ collect_set(col("b")).as("bs")): _*)
+    def sigMd5(dir: String): DataFrame = bh(dir).groupBy("doc_id")
+      .agg(minCols.head,
+        (minCols.tail :+ collect_set(unhex(md5(col("b")))).as("bs")): _*)
+    def sigXx(dir: String): DataFrame = bh(dir).groupBy("doc_id")
+      .agg(minCols.head,
+        (minCols.tail :+ collect_set(xxhash64(col("b"))).as("bs")): _*)
+    def sigMinsOnly(dir: String): DataFrame = bh(dir).groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+
+    // full minhashPairs with a pluggable signature source
+    def pairs(sig: DataFrame): DataFrame = {
+      val sigSet = sig.persist()
+      val bandArr = array((0 until NumBands).map { j =>
+        lit(j.toLong << 60) + (col(s"m${2 * j}") * lit(1L << 30)) +
+          col(s"m${2 * j + 1}")
+      }: _*)
+      val bands = sigSet.select(col("doc_id"), explode(bandArr).as("bkey"))
+      val cand = bands.toDF("d1", "k1")
+        .join(bands.toDF("d2", "k2"),
+          col("k1") === col("k2") && col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val docSets = sigSet.select(col("doc_id").as("dk"), col("bs"))
+      val out = cand.join(docSets.toDF("dx", "bx"), col("d1") === col("dx"))
+        .join(docSets.toDF("dy", "by"), col("d2") === col("dy"))
+        .withColumn("inter", size(array_intersect(col("bx"), col("by"))).cast(LongType))
+        .withColumn("uni", (size(col("bx")) + size(col("by"))).cast(LongType) - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select("d1", "d2", "inter", "uni")
+      out
+    }
+
+    def time(name: String, mk: () => DataFrame): Unit = {
+      spark.sparkContext.setJobDescription(s"probe warmup: $name")
+      mk().write.format("noop").mode("overwrite").save()
+      val samples = (1 to 5).map { i =>
+        spark.catalog.clearCache()
+        spark.sparkContext.setJobDescription(s"probe $name #$i")
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE $name median=${samples.sorted.apply(2)}%.3f samples=" +
+        samples.map(s => f"$s%.3f").mkString("[", ",", "]"))
+    }
+
+    // section selector: run `ProbeR19 p27` to skip the p03 sections etc.
+    val sections = if (args.isEmpty) Set("all") else args.toSet
+    def on(s: String): Boolean = sections("all") || sections(s)
+
+    // 0. correctness cross-checks first (cheap, sf0.01)
+    val sfSmall = "/root/testdata/sf0.01"
+    lazy val pStr = pairs(sigStr(sfSmall)).orderBy("d1", "d2")
+    if (on("p03")) {
+    val pMd5 = pairs(sigMd5(sfSmall)).orderBy("d1", "d2")
+    val pXx = pairs(sigXx(sfSmall)).orderBy("d1", "d2")
+    println(s"CHECK sf0.01 pairs str=${pStr.count()} md5diff=" +
+      s"${pMd5.exceptAll(pStr).count() + pStr.exceptAll(pMd5).count()} xxdiff=" +
+      s"${pXx.exceptAll(pStr).count() + pStr.exceptAll(pXx).count()}")
+    // injectivity of the digests on the real corpora
+    for (d <- Seq("/root/testdata/sf0.001", sfSmall, sfDir)) {
+      val r = bh(d).agg(
+        countDistinct(col("b")).as("nb"),
+        countDistinct(unhex(md5(col("b")))).as("nmd5"),
+        countDistinct(xxhash64(col("b"))).as("nxx")).head()
+      println(s"CHECK injectivity $d: distinct_b=${r.getLong(0)} " +
+        s"md5=${r.getLong(1)} xx64=${r.getLong(2)}")
+    }
+    }
+
+    // more digest variants: 128-bit struct of two xxhash64 channels, and
+    // md5 kept as the 32-char hex string (no unhex)
+    def sigStruct(dir: String): DataFrame = bh(dir).groupBy("doc_id")
+      .agg(minCols.head, (minCols.tail :+ collect_set(
+        struct(xxhash64(col("b")).as("x"), xxhash64(lit(1), col("b")).as("y")))
+        .as("bs")): _*)
+    def sigMd5Hex(dir: String): DataFrame = bh(dir).groupBy("doc_id")
+      .agg(minCols.head, (minCols.tail :+ collect_set(md5(col("b"))).as("bs")): _*)
+
+    if (on("p03")) {
+    val pStruct = pairs(sigStruct(sfSmall)).orderBy("d1", "d2")
+    println(s"CHECK sf0.01 structdiff=" +
+      s"${pStruct.exceptAll(pStr).count() + pStr.exceptAll(pStruct).count()}")
+    }
+
+    // candidate-generation-only (bs never touched after the agg): isolates
+    // the persist/cache cost of each bs element type from the verify cost
+    def candOnly(sig: DataFrame): DataFrame = {
+      val sigSet = sig.persist()
+      val bandArr = array((0 until NumBands).map { j =>
+        lit(j.toLong << 60) + (col(s"m${2 * j}") * lit(1L << 30)) +
+          col(s"m${2 * j + 1}")
+      }: _*)
+      val bands = sigSet.select(col("doc_id"), explode(bandArr).as("bkey"))
+      bands.toDF("d1", "k1")
+        .join(bands.toDF("d2", "k2"),
+          col("k1") === col("k2") && col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+    }
+
+    // r19 doc-local variants
+    if (on("p03")) println("PARTITIONS tok=" + tok(sfDir).rdd.getNumPartitions)
+    def sigDocLocal(dir: String): DataFrame =
+      tok(dir).select(col("doc_id"), bigrams("ws").as("bg"))
+        .select(col("doc_id"), minhashSig(col("bg")).as("sig"),
+          digestPairs(col("bg")).as("bs"))
+    def pairsDocLocal(dir: String, nparts: Int): DataFrame = {
+      val base = tok(dir).select(col("doc_id"), bigrams("ws").as("bg"))
+      val rep = if (nparts > 0) base.repartition(nparts) else base
+      val sigSet = rep.select(col("doc_id"), minhashSig(col("bg")).as("sig"),
+          digestPairs(col("bg")).as("bs")).persist()
+      val bandArr = array((0 until NumBands).map { j =>
+        lit(j.toLong << 60) + (col("sig").getItem(2 * j) * lit(1L << 30)) +
+          col("sig").getItem(2 * j + 1)
+      }: _*)
+      val bands = sigSet.select(col("doc_id"), explode(bandArr).as("bkey"))
+      val cand = bands.toDF("d1", "k1")
+        .join(bands.toDF("d2", "k2"),
+          col("k1") === col("k2") && col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val docSets = sigSet.select(col("doc_id").as("dk"), col("bs"))
+      cand.join(docSets.toDF("dx", "bx"), col("d1") === col("dx"))
+        .join(docSets.toDF("dy", "by"), col("d2") === col("dy"))
+        .withColumn("inter", digestIntersectCount(col("bx"), col("by")).cast(LongType))
+        .withColumn("uni",
+          expr("CAST((size(bx) + size(by)) DIV 2 AS BIGINT)") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select("d1", "d2", "inter", "uni")
+    }
+    if (on("p03")) {
+    time("sig_doclocal_noper", () => sigDocLocal(sfDir))
+    time("pairs_doclocal_p0", () => pairsDocLocal(sfDir, 0))
+    time("pairs_doclocal_p32", () => pairsDocLocal(sfDir, 32))
+    }
+
+    // ---- p27 decomposition (verdict item 7) ----
+    def chunksDf(dir: String): DataFrame =
+      tok(dir).filter(size(col("ws")) >= 1)
+        .select(col("doc_id"),
+          posexplode(wordWindows("ws", 8, 8, " ", partial = true))
+            .as(Seq("idx", "c")))
+    def p27boiler(dir: String): DataFrame =
+      chunksDf(dir).groupBy("c")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select(col("c").as("bc"))
+    def p27boilerDigest(dir: String): DataFrame =
+      chunksDf(dir).groupBy(xxhash64(col("c")).as("ch"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select(col("ch").as("bch"))
+    def p27kept(dir: String): DataFrame =
+      chunksDf(dir).join(broadcast(p27boiler(dir)),
+          col("c") === col("bc"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nk"),
+          concat_ws(" ", expr("sort_array(collect_list(struct(idx, c))).c"))
+            .as("clean"))
+    def p27keptDigest(dir: String): DataFrame =
+      chunksDf(dir).join(broadcast(p27boilerDigest(dir)),
+          xxhash64(col("c")) === col("bch"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nk"),
+          concat_ws(" ", expr("sort_array(collect_list(struct(idx, c))).c"))
+            .as("clean"))
+    def p27boilerMd5(dir: String): DataFrame =
+      chunksDf(dir).groupBy(md5(col("c")).as("ch"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select(col("ch").as("bch"))
+    def p27keptMd5(dir: String): DataFrame =
+      chunksDf(dir).join(broadcast(p27boilerMd5(dir)),
+          md5(col("c")) === col("bch"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nk"),
+          concat_ws(" ", expr("sort_array(collect_list(struct(idx, c))).c"))
+            .as("clean"))
+    if (on("p27")) {
+    // correctness: digest-keyed variants must keep the kept-set identical
+    val kStr = p27kept(sfSmall)
+    println("CHECK p27 sf0.01 digestdiff=" +
+      (p27keptDigest(sfSmall).exceptAll(kStr).count() +
+        kStr.exceptAll(p27keptDigest(sfSmall)).count()) +
+      " md5diff=" + (p27keptMd5(sfSmall).exceptAll(kStr).count() +
+        kStr.exceptAll(p27keptMd5(sfSmall)).count()))
+    time("p27_chunks_only", () => chunksDf(sfDir))
+    time("p27_boiler_str", () => p27boiler(sfDir))
+    time("p27_boiler_digest", () => p27boilerDigest(sfDir))
+    time("p27_boiler_md5", () => p27boilerMd5(sfDir))
+    time("p27_kept_str", () => p27kept(sfDir))
+    time("p27_kept_digest", () => p27keptDigest(sfDir))
+    time("p27_kept_md5", () => p27keptMd5(sfDir))
+    }
+
+    if (on("p26")) {
+    // job count + wall time of the CC loop with eager vs lazy local
+    // checkpoints, same star passes, same graph
+    def ccJobs(eager: Boolean): (Long, Int, Double) = {
+      import org.apache.spark.sql.DataFrame
+      def sym(e: DataFrame): DataFrame =
+        e.union(e.select(col("v").as("u"), col("u").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
+      def star(e: DataFrame, large: Boolean): DataFrame = {
+        val m = e.groupBy("u").agg(min(col("v")).as("mv"))
+          .select(col("u").as("uu"), least(col("mv"), col("u")).as("m"))
+        val nbr = e.join(m, col("u") === col("uu"))
+        val out =
+          if (large) nbr.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+          else nbr.filter(col("v") <= col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .union(m.select(col("uu").as("u"), col("m").as("v")))
+        sym(out)
+      }
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(counter)
+      val t0 = System.nanoTime()
+      val pairsDf = spark.range(0, 2000).selectExpr("id as d1", "id + 1 as d2")
+      var edges = sym(pairsDf.select(col("d1").as("u"), col("d2").as("v")))
+        .localCheckpoint(eager)
+      var n = edges.count()
+      var converged = n == 0
+      var rounds = 0
+      while (!converged && rounds < 30) {
+        val next = star(star(edges, large = true), large = false)
+          .localCheckpoint(eager)
+        val nn = next.count()
+        converged = nn == n && next.except(edges).isEmpty
+        edges = next; n = nn; rounds += 1
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      spark.sparkContext.removeSparkListener(counter)
+      (counter.jobs.get().toLong, rounds, secs)
+    }
+    for (eager <- Seq(true, false, true, false)) {
+      val (j, r, s) = ccJobs(eager)
+      println(f"PROBE cc eager=$eager jobs=$j rounds=$r secs=$s%.2f")
+    }
+    }
+
+    if (on("q13")) {
+    // current multi-countDistinct (Expand x4) vs a separate-agg rewrite
+    def q13cur(dir: String): DataFrame =
+      t(spark, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    def q13multi(dir: String): DataFrame = {
+      val li = t(spark, dir, "lineitem")
+      val a = li.select("l_returnflag", "l_suppkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_supp"))
+      val b = li.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_part"))
+      val c = li.select("l_returnflag", "l_suppkey", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_supp_part"))
+      val d = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+      a.join(b, "l_returnflag").join(c, "l_returnflag").join(d, "l_returnflag")
+        .orderBy("l_returnflag")
+    }
+    println("CHECK q13 rewrite diff=" +
+      (q13cur(sfSmall).exceptAll(q13multi(sfSmall)).count() +
+        q13multi(sfSmall).exceptAll(q13cur(sfSmall)).count()))
+    time("q13_expand", () => q13cur(sfDir))
+    time("q13_multiagg", () => q13multi(sfDir))
+    }
+
+    if (on("p03")) {
+    // 1. aggregation-only timings at sfDir
+    time("sig_mins_only", () => sigMinsOnly(sfDir))
+    time("sig_collect_str", () => sigStr(sfDir))
+    time("sig_collect_md5", () => sigMd5(sfDir))
+    time("sig_collect_md5hex", () => sigMd5Hex(sfDir))
+    time("sig_collect_xx64", () => sigXx(sfDir))
+    time("sig_collect_struct", () => sigStruct(sfDir))
+    // 1b. cand-only (persist cost of the bs payload, verify excluded)
+    time("cand_str", () => candOnly(sigStr(sfDir)))
+    time("cand_md5", () => candOnly(sigMd5(sfDir)))
+    time("cand_xx64", () => candOnly(sigXx(sfDir)))
+    time("cand_struct", () => candOnly(sigStruct(sfDir)))
+    // 2. full pairs pipeline
+    time("pairs_str", () => pairs(sigStr(sfDir)))
+    time("pairs_md5", () => pairs(sigMd5(sfDir)))
+    time("pairs_md5hex", () => pairs(sigMd5Hex(sfDir)))
+    time("pairs_xx64", () => pairs(sigXx(sfDir)))
+    time("pairs_struct", () => pairs(sigStruct(sfDir)))
+    }
+
+    spark.stop()
+  }
+}

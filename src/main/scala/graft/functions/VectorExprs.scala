@@ -21,9 +21,24 @@ case class ArrayDot(left: Expression, right: Expression)
   extends BinaryExpression with Serializable {
 
   // call sites guarantee array<double> inputs (explicit .cast at the
-  // column level); no ImplicitCastInputTypes — it is private[sql]
+  // column level); no ImplicitCastInputTypes — it is private[sql].
+  // r19 (ADVICE): wrong child types now fail at ANALYSIS time instead of
+  // ClassCastException at execution. NOTE the length semantics stay
+  // deliberate: unequal lengths truncate to min(len) (the old zip_with
+  // chain returned NULL) — every call site is fixed 64-dim; a new caller
+  // with ragged arrays must not assume NULL-on-mismatch.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs two ARRAY<DOUBLE> inputs, got $other")
+    }
 
   // null ELEMENTS read as 0-contribution is not needed here: embedding
   // arrays are dense; containsNull inputs still evaluate (null element
@@ -71,6 +86,16 @@ case class ArrayDotL(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "array_dot_l"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs two ARRAY<BIGINT> inputs, got $other")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -110,6 +135,16 @@ case class ArraySqDistL(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "array_sqdist_l"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs two ARRAY<BIGINT> inputs, got $other")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -160,6 +195,16 @@ case class ArrayQuantizeFloor(child: Expression, scale: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "array_quantize_floor"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs ARRAY<FLOAT|DOUBLE> input, got $other")
+    }
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

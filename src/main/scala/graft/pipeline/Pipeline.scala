@@ -541,6 +541,12 @@ object Pipeline {
       // mapInArrow; this one shouldn't. Same values: length/substring
       // on BINARY are byte-based, byteSum(1-byte slice) = that byte
       // unsigned.
+      // Degenerate-input contract (r19 ADVICE note): an EMPTY blob now
+      // yields first_byte/last_byte = 0 (byteSum of an empty slice) and
+      // a NULL text yields null feature columns, where the old typed
+      // mapPartitions threw (blob(0)) / NPE'd. This corpus has neither;
+      // a future corpus with empty docs gets rows, not a crash — revisit
+      // the semantics then rather than inheriting them silently.
       import graft.functions.ByteFunctions.byteSum
       t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
@@ -1166,14 +1172,22 @@ object Pipeline {
     // driver long before the data does. (On a real cluster this would be
     // a reliable checkpoint() to the cluster FS instead — same pattern
     // GraphX/GraphFrames use for iterative convergence.)
+    //
+    // r19 (guide §2.6 / r18 verdict item 6): the checkpoint is LAZY and
+    // the per-round count() is its materializing action, so each round
+    // runs ONE job (compute + cache + count together) instead of two
+    // (eager-checkpoint job, then a count job over the cached blocks).
+    // The exact fixpoint test is unchanged; the rare except() job still
+    // only fires when the counts match. Job-count pinned by
+    // ConnectedComponentsSpec.
     var edges = sym(pairs.select(col("d1").as("u"), col("d2").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var n = edges.count()
     var converged = n == 0
     var rounds = 0
     while (!converged && rounds < 30) {
       val next = star(star(edges, large = true), large = false)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nn = next.count()
       // exact fixpoint test: both sides are distinct sets, so equal
       // count + empty difference ⇔ identical edge sets

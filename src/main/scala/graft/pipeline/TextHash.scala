@@ -320,9 +320,19 @@ object TextHash {
 /** Codegen'd base-31 polynomial string hash (see TextHash.polyHash). */
 final case class PolyHash(child: Expression, n: Int)
   extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.StringType
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_hash"
+
+  // r19 (ADVICE): wrong child types fail at analysis, not with a
+  // ClassCastException mid-task (same pattern as BinaryByteSum)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs STRING input, got $other")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     TextHash.polyHash(input.asInstanceOf[UTF8String], n)
@@ -337,10 +347,17 @@ final case class PolyHash(child: Expression, n: Int)
 /** Codegen'd word-bigram array (see TextHash.bigramsOf). */
 final case class Bigrams(child: Expression)
   extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{ArrayType, StringType}
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "graft_bigrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<STRING> input, got $other")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     TextHash.bigramsOf(
@@ -357,10 +374,17 @@ final case class Bigrams(child: Expression)
 final case class WordWindows(child: Expression, width: Int, stride: Int,
     sep: String, partial: Boolean)
   extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{ArrayType, StringType}
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "graft_word_windows"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<STRING> input, got $other")
+  }
 
   @transient private lazy val sepU8: UTF8String = UTF8String.fromString(sep)
 
@@ -383,10 +407,17 @@ final case class WordWindows(child: Expression, width: Int, stride: Int,
 /** Codegen'd fixed-set membership count (see TextHash.countInSetOf). */
 final case class CountInSet(child: Expression, words: Seq[String])
   extends UnaryExpression {
-  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_count_in_set"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<STRING> input, got $other")
+  }
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.size * 2)
@@ -495,10 +526,17 @@ final case class DigestIntersectCount(left: Expression, right: Expression)
 /** Codegen'd min-length token count (see TextHash.countMinLenOf). */
 final case class CountMinLen(child: Expression, minLen: Int)
   extends UnaryExpression {
-  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_count_min_len"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<STRING> input, got $other")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     TextHash.countMinLenOf(

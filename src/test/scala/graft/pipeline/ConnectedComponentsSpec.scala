@@ -54,6 +54,35 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.values.toSet == Set((1L, 6L)))
   }
 
+  test("lazy checkpoints: one materializing job per round, not two") {
+    // r19: localCheckpoint(eager=false) + count() fold the round's
+    // materialization and its convergence count into ONE job (AQE's
+    // per-exchange stage jobs dominate the absolute count — measured
+    // 149 vs 162 jobs over 12 rounds on a 2000-node chain, i.e. exactly
+    // one job per round + one at init saved). This 7-node chain runs
+    // 49 jobs under the lazy scheme; the bound has slack for AQE/except
+    // variation but trips if the eager per-round job comes back.
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val df = spark.createDataFrame(
+        Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 6L -> 7L))
+        .toDF("d1", "d2")
+      val out = Pipeline.connectedComponents(df).collect()
+      assert(out.length === 7)
+      // listener events are async; a short settle keeps the count stable
+      Thread.sleep(1000)
+      val jobs = counter.jobs.get()
+      assert(jobs <= 55, s"connectedComponents ran $jobs jobs on a 7-chain")
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
   test("empty pair set yields an empty result") {
     val df = spark.emptyDataFrame
       .select(org.apache.spark.sql.functions.lit(0L).as("d1"),
