@@ -224,6 +224,52 @@ object ProbeR19 {
     time("p27_kept_md5", () => p27keptMd5(sfDir))
     }
 
+    if (on("ansi")) {
+      println("CHECK ansi.enabled=" + spark.conf.get("spark.sql.ansi.enabled"))
+      try println("CHECK element_at OOB -> " +
+        spark.sql("select element_at(array(1L), 5)").collect().mkString)
+      catch { case e: Throwable =>
+        println("CHECK element_at OOB -> throws " + e.getClass.getSimpleName) }
+    }
+
+    if (on("q05")) {
+    import org.apache.spark.sql.types.TimestampType
+    def q05parts(dir: String, upTo: Int): DataFrame = {
+      val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(spark, dir, "nation")
+      val sup = t(spark, dir, "supplier")
+      val c = t(spark, dir, "customer")
+      val o = t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val l = t(spark, dir, "lineitem")
+      val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supA = sup.join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+      val cA = c.join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      val co = cA.join(o, col("c_custkey") === col("o_custkey"))
+      if (upTo == 1) return co.select("o_orderkey", "c_nationkey")
+      val col3 = co.join(l, col("o_orderkey") === col("l_orderkey"))
+      if (upTo == 2) return col3.select("l_suppkey", "c_nationkey",
+        "l_extendedprice", "l_discount")
+      col3.join(supA, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(graft.queries.Tables.cents(col("l_extendedprice")) *
+          (lit(100L) - graft.queries.Tables.pct(col("l_discount"))))
+          .as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("n_name").asc)
+    }
+    time("q05_scan_orders", () => t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType)))
+    time("q05_scan_lineitem", () => t(spark, sfDir, "lineitem"))
+    time("q05_c_join_o", () => q05parts(sfDir, 1))
+    time("q05_co_join_l", () => q05parts(sfDir, 2))
+    time("q05_full", () => q05parts(sfDir, 3))
+    }
+
     if (on("p26")) {
     // job count + wall time of the CC loop with eager vs lazy local
     // checkpoints, same star passes, same graph

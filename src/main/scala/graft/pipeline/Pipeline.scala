@@ -243,16 +243,13 @@ object Pipeline {
   private val p04 = Q(
     "p04_dedup_simhash",
     (s, dir) => {
-      val wx = tok(s, dir).select(col("doc_id"), explode(col("ws")).as("w"))
-        .withColumn("h", strHash("w"))
-      val bitSums = (0 until 24).map { j =>
-        sum(when(expr(s"(shiftright(h, $j) & 1)") === 1, 1L).otherwise(-1L)).as(s"w$j")
-      }
-      val sh = wx.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash",
-          (0 until 24).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
-            .reduce(_ + _))
-        .select("doc_id", "simhash")
+      // r19 (guide §2.4): the 24-bit SimHash is DOC-LOCAL — the old
+      // explode → groupBy(doc_id) with 24 ±1 bit sums (an Exchange + a
+      // 24-long agg buffer per doc) is one codegen walk per document
+      // row, zero shuffles. Same value: SimHashSig folds exactly the
+      // sum(when(bit,1).otherwise(-1)) arithmetic, including the
+      // null-token -1 branch (pinned in DocLocalSigSpec).
+      val sh = tok(s, dir).select(col("doc_id"), simHashSig(col("ws")).as("simhash"))
       // pigeonhole banding: 24 bits in 5 bands (5+5+5+5+4); Hamming <= 4
       // means at least one band is bit-identical, so the candidate set
       // from 5 per-band hash equi-joins is complete — never an all-pairs
@@ -266,13 +263,20 @@ object Pipeline {
         explode(array(bands.zipWithIndex.map { case ((off, w), i) =>
           expr(s"${i * 64L}L + (shiftright(simhash, $off) & ${(1 << w) - 1})")
         }: _*)).as("bk"))
+      // r19 (guide §2.3, filter/project before the exchange): the cheap
+      // codegen hamming verify now runs BEFORE the distinct — the
+      // distinct's exchange carries only the near-duplicate pairs
+      // (hamming <= 4) instead of every banded candidate (a 24-bit
+      // SimHash over a small vocabulary makes dense bands: ~2M candidate
+      // rows at sf0.1 vs a handful of qualifying pairs). Output is
+      // identical: hamming is a function of (d1, d2), so
+      // distinct-then-filter and filter-then-distinct keep the same rows.
       banded.toDF("d1", "s1", "bk1")
         .join(banded.toDF("d2", "s2", "bk2"),
           col("bk1") === col("bk2") && col("d1") < col("d2"))
-        .select("d1", "s1", "d2", "s2").distinct()
         .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
         .filter(col("hamming") <= 4)
-        .select("d1", "d2", "hamming")
+        .select("d1", "d2", "hamming").distinct()
         .orderBy("d1", "d2")
     },
     Some {
@@ -506,13 +510,17 @@ object Pipeline {
   private val p11 = Q(
     "p11_text_fingerprint",
     (s, dir) => {
-      val powArr = pow31.take(MaxLen).map(_.toString + "L").mkString("array(", ",", ")")
+      // r19 (guide §2.4): the positional fingerprint is DOC-LOCAL — the
+      // old posexplode → strHash → element_at(pows) → groupBy(doc_id)
+      // sum (an Exchange per corpus pass) is one codegen walk per
+      // document row, zero shuffles. Exact same arithmetic including the
+      // null-token skip (pinned in DocLocalSigSpec); docs past MaxLen
+      // tokens — unreachable, corpus max 100 — now truncate where the
+      // old element_at threw under ANSI (see polyPosFingerprint doc).
+      // Every doc keeps its row: split() yields at least [""] so the old
+      // explode always produced >= 1 row per doc.
       tok(s, dir)
-        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
-        .withColumn("h", strHash("w"))
-        .withColumn("term", (col("h") % 1048576) * expr(s"element_at($powArr, pos + 1)"))
-        .groupBy("doc_id")
-        .agg(pmod(sum(col("term")), lit(P)).as("fp"))
+        .select(col("doc_id"), polyPosFingerprint(col("ws")).as("fp"))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -867,16 +875,26 @@ object Pipeline {
   private val p20 = Q(
     "p20_quality_repetition",
     (s, dir) => {
-      val tk = tok(s, dir)
-      val tokStats = tk.select(col("doc_id"), explode(col("ws")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_tok"))
-      val bgTotal = tk.select(col("doc_id"),
-        (size(col("ws")) - 1).cast(LongType).as("n_bg"))
-      val bgDistinct = bigramSets(s, dir)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_bgd"))
-      tokStats.join(bgTotal, "doc_id").join(bgDistinct, "doc_id")
+      // r19 (guide §2.4): every measure here is DOC-LOCAL — the old plan
+      // ran TWO explode → groupBy aggregation chains (token frequencies,
+      // distinct bigrams) plus two joins to reassemble them, i.e. three
+      // Exchanges over corpus-derived rows for per-document integers.
+      // Now one codegen projection, zero shuffles: n_tok = size(ws)
+      // (= the old sum of per-token counts), top_tok = max token
+      // frequency in one hash-map walk, n_bgd = |distinct bigrams| in
+      // one set walk (null-token/bigram edges mirror the old grouping —
+      // pinned in DocLocalSigSpec). The n_bg >= 1 filter reproduces the
+      // old INNER joins, which dropped docs with <2 tokens (their bigram
+      // explode emitted no row); it references the computed column so
+      // pushdown rewrites it to a cheap size(split) predicate, not a
+      // bigram recompute.
+      tok(s, dir)
+        .select(col("doc_id"),
+          size(col("ws")).cast(LongType).as("n_tok"),
+          topTokenCount(col("ws")).as("top_tok"),
+          (size(col("ws")) - 1).cast(LongType).as("n_bg"),
+          arrayDistinctCount(bigrams("ws")).as("n_bgd"))
+        .filter(col("n_bg") >= 1)
         .withColumn("n_dup_bg", col("n_bg") - col("n_bgd"))
         .filter(col("n_dup_bg") * 4 > col("n_bg") ||
           col("top_tok") * 5 > col("n_tok"))

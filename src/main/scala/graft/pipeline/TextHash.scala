@@ -278,6 +278,120 @@ object TextHash {
     c
   }
 
+  // ---- r19: more doc-local signatures (p04 / p11 / p20) --------------
+  // Same §2.4 move as the MinHash pass above: these per-document values
+  // ran as explode → groupBy(doc_id) aggregations (one Exchange + wide
+  // agg buffers each) although every input token arrives in one row.
+
+  /** Spark: the 24-bit SimHash of a token-array column — exactly p04's
+    * old `sum(±1 per bit of polyHash(w))` aggregation folded into one
+    * walk: a null token contributes -1 to every bit sum (the old
+    * when(...).otherwise(-1) took the otherwise branch on null h). */
+  def simHashSig(wsCol: Column): Column =
+    GraftSqlBridge.column(SimHashSig(GraftSqlBridge.expression(wsCol)))
+
+  def simHashOf(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val cnt = new Array[Long](24)
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w == null) {
+        var j = 0
+        while (j < 24) { cnt(j) -= 1; j += 1 }
+      } else {
+        val h = polyHash(w, 24)
+        var j = 0
+        while (j < 24) {
+          cnt(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var s = 0L
+    var j = 0
+    while (j < 24) { if (cnt(j) > 0) s |= (1L << j); j += 1 }
+    s
+  }
+
+  /** Spark: p11's positional fingerprint of a token-array column —
+    * sum over word index i of (polyHash(w_i) % 2^20) * 31^i mod P,
+    * exactly the old posexplode → groupBy sum for every reachable input:
+    * null tokens vanish (null h made the term null, which sum() skips)
+    * and a doc with no surviving term gets a null fp. Degenerate-input
+    * contract change (documented, not reachable): a doc with more than
+    * MaxLen (128) tokens now fingerprints its first MaxLen tokens where
+    * the old element_at(pows, pos+1) THREW under ANSI mode — the corpus
+    * bound (<= 100 tokens) is asserted in DocLocalSigSpec. */
+  def polyPosFingerprint(wsCol: Column): Column =
+    GraftSqlBridge.column(PolyPosFingerprint(GraftSqlBridge.expression(wsCol)))
+
+  def polyPosFingerprintOf(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val n = math.min(arr.numElements(), MaxLen)
+    var sum = 0L
+    var any = false
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w != null) {
+        // h < P, h % 2^20 < 2^20, pow31 < P < 2^30: each term < 2^50 and
+        // docs are bounded by MaxLen terms, so the sum never overflows
+        sum += (polyHash(w, 24) % 1048576L) * pow31(i)
+        any = true
+      }
+      i += 1
+    }
+    if (!any) null else java.lang.Long.valueOf(sum % P)
+  }
+
+  /** Spark: the count of the most frequent token — p20's old
+    * explode → groupBy(doc_id, w) → max(count). A null token forms its
+    * own group there, so null occurrences count as one key here too. */
+  def topTokenCount(wsCol: Column): Column =
+    GraftSqlBridge.column(TopTokenCount(GraftSqlBridge.expression(wsCol)))
+
+  def topTokenCountOf(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val m = new java.util.HashMap[UTF8String, Long](n * 2)
+    var nullCnt = 0L
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w == null) nullCnt += 1
+      else {
+        val c = m.get(w)
+        m.put(w, if (c == 0L) 1L else c + 1L)
+      }
+      i += 1
+    }
+    var mx = nullCnt
+    val it = m.values().iterator()
+    while (it.hasNext) { val v = it.next(); if (v > mx) mx = v }
+    mx
+  }
+
+  /** Spark: |distinct elements| of a string-array column — p20's old
+    * explode → distinct → count per doc. A null element is one distinct
+    * value (the old (doc_id, null) row). */
+  def arrayDistinctCount(wsCol: Column): Column =
+    GraftSqlBridge.column(ArrayDistinctCount(GraftSqlBridge.expression(wsCol)))
+
+  def arrayDistinctCountOf(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val set = new java.util.HashSet[UTF8String](n * 2)
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w == null) hasNull = true else { set.add(w); () }
+      i += 1
+    }
+    set.size.toLong + (if (hasNull) 1L else 0L)
+  }
+
   /** Spark: count of tokens that are members of a fixed string set —
     * replaces the CodegenFallback `size(filter(ws, w -> w IN (...)))`
     * in the langid/quality scorers (r18, guide §4). Null elements never
@@ -521,6 +635,122 @@ final case class DigestIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DigestIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd 24-bit SimHash of a token array (see TextHash.simHashOf). */
+final case class SimHashSig(child: Expression)
+  extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<STRING> input, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simHashOf(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.TextHash.simHashOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+/** Codegen'd positional fingerprint (see TextHash.polyPosFingerprintOf). */
+final case class PolyPosFingerprint(child: Expression)
+  extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polypos_fingerprint"
+  // a doc whose every term is skipped (all-null tokens) has a null fp
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<STRING> input, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.polyPosFingerprintOf(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("fp")
+      s"""
+         |Object $v = graft.pipeline.TextHash.polyPosFingerprintOf($c);
+         |if ($v == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $v).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PolyPosFingerprint =
+    copy(child = newChild)
+}
+
+/** Codegen'd max token frequency (see TextHash.topTokenCountOf). */
+final case class TopTokenCount(child: Expression)
+  extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top_token_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<STRING> input, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.topTokenCountOf(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.TextHash.topTokenCountOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
+/** Codegen'd distinct-element count (see TextHash.arrayDistinctCountOf). */
+final case class ArrayDistinctCount(child: Expression)
+  extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_array_distinct_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<STRING> input, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.arrayDistinctCountOf(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.pipeline.TextHash.arrayDistinctCountOf($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArrayDistinctCount =
+    copy(child = newChild)
 }
 
 /** Codegen'd min-length token count (see TextHash.countMinLenOf). */

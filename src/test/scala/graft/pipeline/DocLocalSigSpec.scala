@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import TextHash._
+
+/** r19: p04's SimHash, p11's positional fingerprint and p20's
+  * repetition stats became doc-local codegen expressions (their
+  * explode → groupBy(doc_id) aggregations computed per-document values).
+  * This suite pins value equality of each expression against the exact
+  * old aggregation on the REAL corpus, declared-output equality of the
+  * rewritten operators, and the expressions' null/degenerate edges. */
+class DocLocalSigSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-doclocal-sig")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tokDf(dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+
+  test("corpus precondition: every doc fits the MaxLen fingerprint bound") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val over = tokDf(dir).filter(size(col("ws")) > MaxLen).count()
+      assert(over === 0, s"$dir has docs over $MaxLen tokens")
+    }
+  }
+
+  test("simHashSig equals the old 24-bit-sum aggregation on real corpus") {
+    val dir = "/root/testdata/sf0.01"
+    val wx = tokDf(dir).select(col("doc_id"), explode(col("ws")).as("w"))
+      .withColumn("h", strHash("w"))
+    val bitSums = (0 until 24).map { j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1)") === 1, 1L).otherwise(-1L)).as(s"w$j")
+    }
+    val oldSh = wx.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("old_sh",
+        (0 until 24).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _))
+      .select("doc_id", "old_sh")
+    val newSh = tokDf(dir).select(col("doc_id"), simHashSig(col("ws")).as("new_sh"))
+    assert(oldSh.count() === newSh.count())
+    assert(oldSh.join(newSh, "doc_id")
+      .filter(not(col("old_sh") <=> col("new_sh"))).count() === 0)
+  }
+
+  test("polyPosFingerprint equals the old posexplode aggregation on real corpus") {
+    val dir = "/root/testdata/sf0.01"
+    val powArr = pow31.take(MaxLen).map(_.toString + "L").mkString("array(", ",", ")")
+    val oldFp = tokDf(dir)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .withColumn("h", strHash("w"))
+      .withColumn("term", (col("h") % 1048576) * expr(s"element_at($powArr, pos + 1)"))
+      .groupBy("doc_id")
+      .agg(pmod(sum(col("term")), lit(P)).as("old_fp"))
+    val newFp = tokDf(dir)
+      .select(col("doc_id"), polyPosFingerprint(col("ws")).as("new_fp"))
+    assert(oldFp.count() === newFp.count())
+    assert(oldFp.join(newFp, "doc_id")
+      .filter(not(col("old_fp") <=> col("new_fp"))).count() === 0)
+  }
+
+  test("p20 stats equal the old two-chain aggregation on real corpus") {
+    val dir = "/root/testdata/sf0.01"
+    val tk = tokDf(dir)
+    val tokStats = tk.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("o_n_tok"), max(col("c")).as("o_top_tok"))
+    val bgDistinct = tk.select(col("doc_id"), explode(bigrams("ws")).as("b"))
+      .distinct().groupBy("doc_id").agg(count(lit(1)).as("o_n_bgd"))
+    val oldStats = tokStats.join(bgDistinct, "doc_id")
+    val newStats = tk.select(col("doc_id"),
+      size(col("ws")).cast(LongType).as("n_tok"),
+      topTokenCount(col("ws")).as("top_tok"),
+      arrayDistinctCount(bigrams("ws")).as("n_bgd"))
+    val bad = oldStats.join(newStats, "doc_id").filter(
+      not(col("o_n_tok") <=> col("n_tok")) ||
+        not(col("o_top_tok") <=> col("top_tok")) ||
+        not(col("o_n_bgd") <=> col("n_bgd"))).count()
+    assert(bad === 0)
+  }
+
+  test("p04/p11/p20 declared output is identical to the old formulations") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      // p04 old: sig agg + distinct-before-filter order
+      val wx = tokDf(dir).select(col("doc_id"), explode(col("ws")).as("w"))
+        .withColumn("h", strHash("w"))
+      val bitSums = (0 until 24).map { j =>
+        sum(when(expr(s"(shiftright(h, $j) & 1)") === 1, 1L).otherwise(-1L)).as(s"w$j")
+      }
+      val sh = wx.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 24).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _))
+        .select("doc_id", "simhash")
+      val bandDefs = Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4))
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array(bandDefs.zipWithIndex.map { case ((off, w), i) =>
+          expr(s"${i * 64L}L + (shiftright(simhash, $off) & ${(1 << w) - 1})")
+        }: _*)).as("bk"))
+      val oldP04 = banded.toDF("d1", "s1", "bk1")
+        .join(banded.toDF("d2", "s2", "bk2"),
+          col("bk1") === col("bk2") && col("d1") < col("d2"))
+        .select("d1", "s1", "d2", "s2").distinct()
+        .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+        .filter(col("hamming") <= 4)
+        .select("d1", "d2", "hamming")
+      val newP04 = graft.SparkEntry.queries("p04_dedup_simhash")(spark, dir)
+      assert(newP04.exceptAll(oldP04).count() === 0, s"p04 new-only rows on $dir")
+      assert(oldP04.exceptAll(newP04).count() === 0, s"p04 old-only rows on $dir")
+
+      // p11 old
+      val powArr = pow31.take(MaxLen).map(_.toString + "L").mkString("array(", ",", ")")
+      val oldP11 = tokDf(dir)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .withColumn("h", strHash("w"))
+        .withColumn("term", (col("h") % 1048576) * expr(s"element_at($powArr, pos + 1)"))
+        .groupBy("doc_id")
+        .agg(pmod(sum(col("term")), lit(P)).as("fp"))
+      val newP11 = graft.SparkEntry.queries("p11_text_fingerprint")(spark, dir)
+      assert(newP11.exceptAll(oldP11).count() === 0, s"p11 new-only rows on $dir")
+      assert(oldP11.exceptAll(newP11).count() === 0, s"p11 old-only rows on $dir")
+
+      // p20 old: two agg chains + inner joins
+      val tk = tokDf(dir)
+      val tokStats = tk.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_tok"))
+      val bgTotal = tk.select(col("doc_id"),
+        (size(col("ws")) - 1).cast(LongType).as("n_bg"))
+      val bgDistinct = tk.select(col("doc_id"), explode(bigrams("ws")).as("b"))
+        .distinct().groupBy("doc_id").agg(count(lit(1)).as("n_bgd"))
+      val oldP20 = tokStats.join(bgTotal, "doc_id").join(bgDistinct, "doc_id")
+        .withColumn("n_dup_bg", col("n_bg") - col("n_bgd"))
+        .filter(col("n_dup_bg") * 4 > col("n_bg") ||
+          col("top_tok") * 5 > col("n_tok"))
+        .select("doc_id", "n_tok", "top_tok", "n_dup_bg")
+      val newP20 = graft.SparkEntry.queries("p20_quality_repetition")(spark, dir)
+      assert(newP20.exceptAll(oldP20).count() === 0, s"p20 new-only rows on $dir")
+      assert(oldP20.exceptAll(newP20).count() === 0, s"p20 old-only rows on $dir")
+    }
+  }
+
+  test("expression edge semantics: nulls, empties, duplicates") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: String*) = new GenericArrayData(xs.map {
+      case null => null
+      case s => UTF8String.fromString(s)
+    }.toArray[Any])
+    // simHash: a null token adds -1 to every bit sum — same hash as a
+    // token whose bits are all zero minus presence, i.e. [w, null] and
+    // [w] differ exactly when some cnt crosses zero; pin both values
+    val one = TextHash.simHashOf(arr("x"))
+    val h = TextHash.polyHash(UTF8String.fromString("x"), 24)
+    var expected = 0L
+    (0 until 24).foreach { j => if (((h >> j) & 1L) == 1L) expected |= (1L << j) }
+    assert(one === expected)
+    assert(TextHash.simHashOf(arr("x", null)) === 0L) // +1-1 ties -> bit 0
+    assert(TextHash.simHashOf(arr()) === 0L)
+    // polyPosFingerprint: positional, null-skipping, null when no term
+    assert(TextHash.polyPosFingerprintOf(arr()) === null)
+    assert(TextHash.polyPosFingerprintOf(arr(null)) === null)
+    val fp = TextHash.polyPosFingerprintOf(arr("a", "b"))
+    val ha = TextHash.polyHash(UTF8String.fromString("a"), 24) % 1048576L
+    val hb = TextHash.polyHash(UTF8String.fromString("b"), 24) % 1048576L
+    assert(fp === (ha * pow31(0) + hb * pow31(1)) % P)
+    // null token occupies its position (posexplode did the same)
+    assert(TextHash.polyPosFingerprintOf(arr(null, "b")) === (hb * pow31(1)) % P)
+    // topTokenCount: duplicates counted, nulls form one key
+    assert(TextHash.topTokenCountOf(arr("a", "b", "a", "a")) === 3L)
+    assert(TextHash.topTokenCountOf(arr(null, null, "a")) === 2L)
+    assert(TextHash.topTokenCountOf(arr()) === 0L)
+    // arrayDistinctCount: dedup, null is one distinct value
+    assert(TextHash.arrayDistinctCountOf(arr("a", "b", "a")) === 2L)
+    assert(TextHash.arrayDistinctCountOf(arr(null, null, "a")) === 2L)
+    assert(TextHash.arrayDistinctCountOf(arr()) === 0L)
+  }
+}
