@@ -232,6 +232,44 @@ object ProbeR19 {
         println("CHECK element_at OOB -> throws " + e.getClass.getSimpleName) }
     }
 
+    if (on("p19")) {
+    def bgOld(dir: String): DataFrame =
+      tok(dir).select(col("doc_id"), explode(bigrams("ws")).as("b")).distinct()
+    def bgNew(dir: String): DataFrame =
+      tok(dir).select(col("doc_id"),
+        explode(array_distinct(bigrams("ws"))).as("b"))
+    def p19of(bg: DataFrame): DataFrame = {
+      val bench = bg.filter(col("doc_id") % 37 === 0).toDF("bid", "bb")
+      val cand = bg.filter(col("doc_id") % 37 =!= 0)
+      cand.join(broadcast(bench), col("b") === col("bb"))
+        .groupBy("doc_id", "bid").agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 10)
+        .groupBy("doc_id")
+        .agg(max(col("overlap")).as("max_overlap"),
+          countDistinct(col("bid")).as("n_bench"))
+    }
+    def p02of(bg: DataFrame, sz: DataFrame): DataFrame =
+      bg.toDF("d1", "bx")
+        .join(bg.toDF("d2", "by"), col("bx") === col("by") && col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
+        .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
+        .withColumn("uni", col("n1") + col("n2") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select("d1", "d2", "inter", "uni")
+    def szOld(bg: DataFrame): DataFrame =
+      bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    def szNew(dir: String): DataFrame =
+      tok(dir).select(col("doc_id"),
+        graft.pipeline.TextHash.arrayDistinctCount(bigrams("ws")).as("n"))
+    time("p19_old_distinct", () => p19of(bgOld(sfDir)))
+    time("p19_new_doclocal", () => p19of(bgNew(sfDir)))
+    time("p02_old_distinct", () => p02of(bgOld(sfDir), szOld(bgOld(sfDir))))
+    time("p02_new_doclocal", () => p02of(bgNew(sfDir), szNew(sfDir)))
+    time("p19_old_distinct2", () => p19of(bgOld(sfDir)))
+    time("p19_new_doclocal2", () => p19of(bgNew(sfDir)))
+    }
+
     if (on("q05")) {
     import org.apache.spark.sql.types.TimestampType
     def q05parts(dir: String, upTo: Int): DataFrame = {

@@ -53,9 +53,20 @@ object Pipeline {
     t(s, dir, "documents").select(col("doc_id"), col("text"),
       split(col("text"), " ").as("ws"))
 
-  /** Distinct word-bigrams per doc: (doc_id, b). */
+  /** Distinct word-bigrams per doc: (doc_id, b). r19 (guide §2.4): the
+    * dedup is PER-DOC, so the corpus-wide `.distinct()` Exchange is
+    * replaced by the codegen array_distinct BEFORE the explode — the
+    * identical row set (SQL string equality either way, one null kept
+    * either way, row order immaterial to the consumer) with zero
+    * shuffles. Used by p19, whose downstream work is a broadcast join +
+    * narrow aggs. p02 deliberately does NOT use this form: its
+    * quadratic all-pairs join needs the parallel distribution the
+    * distinct's exchange provides (measured back-to-back at sf0.1:
+    * doc-local bg made p02 +70% — the one-split local scan serialized a
+    * 70M-row join — while p19 read -29%). */
   private def bigramSets(s: SparkSession, dir: String): DataFrame =
-    tok(s, dir).select(col("doc_id"), explode(bigrams("ws")).as("b")).distinct()
+    tok(s, dir).select(col("doc_id"),
+      explode(array_distinct(bigrams("ws"))).as("b"))
 
   /** embeddings with double vector + norm: (vec_id, v, nrm). All vector
     * math runs through the codegen'd ArrayDot expression — the HOF form
@@ -119,7 +130,15 @@ object Pipeline {
   private val p02 = Q(
     "p02_dedup_ngram_jaccard",
     (s, dir) => {
-      val bg = bigramSets(s, dir)
+      // p02 keeps the distinct() FORM of the bigram sets deliberately
+      // (see bigramSets doc): its all-pairs-per-shared-bigram join — the
+      // gate's SEMANTICS, p03's exact-verify baseline — produces ~70M
+      // rows at sf0.1 and needs the exchange's distribution; the
+      // doc-local form was measured at +70% here (one-split scan
+      // serialized the join) and is used only where downstream work is
+      // narrow (p19).
+      val bg = tok(s, dir)
+        .select(col("doc_id"), explode(bigrams("ws")).as("b")).distinct()
       val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val x = bg.toDF("d1", "bx")
       val y = bg.toDF("d2", "by")

@@ -158,6 +158,51 @@ class DocLocalSigSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("doc-local bigramSets keeps the exact row set of the old distinct()") {
+    val dir = "/root/testdata/sf0.01"
+    val oldBg = tokDf(dir)
+      .select(col("doc_id"), explode(bigrams("ws")).as("b")).distinct()
+    val newBg = tokDf(dir)
+      .select(col("doc_id"), explode(array_distinct(bigrams("ws"))).as("b"))
+    assert(newBg.exceptAll(oldBg).count() === 0)
+    assert(oldBg.exceptAll(newBg).count() === 0)
+  }
+
+  test("p02/p19 declared output is identical to the old formulations") {
+    def oldBg(dir: String) = tokDf(dir)
+      .select(col("doc_id"), explode(bigrams("ws")).as("b")).distinct()
+    // p02 old (sf0.01 — its all-pairs join is quadratic by design)
+    val dir = "/root/testdata/sf0.01"
+    val bg = oldBg(dir)
+    val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val oldP02 = bg.toDF("d1", "bx")
+      .join(bg.toDF("d2", "by"), col("bx") === col("by") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
+      .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("d1", "d2", "inter", "uni")
+    val newP02 = graft.SparkEntry.queries("p02_dedup_ngram_jaccard")(spark, dir)
+    assert(newP02.exceptAll(oldP02).count() === 0)
+    assert(oldP02.exceptAll(newP02).count() === 0)
+    // p19 old, at both SFs
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val bgd = oldBg(d)
+      val bench = bgd.filter(col("doc_id") % 37 === 0).toDF("bid", "bb")
+      val cand = bgd.filter(col("doc_id") % 37 =!= 0)
+      val oldP19 = cand.join(broadcast(bench), col("b") === col("bb"))
+        .groupBy("doc_id", "bid").agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 10)
+        .groupBy("doc_id")
+        .agg(max(col("overlap")).as("max_overlap"),
+          countDistinct(col("bid")).as("n_bench"))
+      val newP19 = graft.SparkEntry.queries("p19_decontaminate")(spark, d)
+      assert(newP19.exceptAll(oldP19).count() === 0, s"p19 new-only on $d")
+      assert(oldP19.exceptAll(newP19).count() === 0, s"p19 old-only on $d")
+    }
+  }
+
   test("expression edge semantics: nulls, empties, duplicates") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
