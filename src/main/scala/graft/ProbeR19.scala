@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -268,6 +268,41 @@ object ProbeR19 {
     time("p02_new_doclocal", () => p02of(bgNew(sfDir), szNew(sfDir)))
     time("p19_old_distinct2", () => p19of(bgOld(sfDir)))
     time("p19_new_doclocal2", () => p19of(bgNew(sfDir)))
+    }
+
+    if (on("p29")) {
+    val K = 8
+    def p29of(dig: Column => Column): DataFrame = {
+      val g = tok(sfDir).select(col("doc_id"),
+        posexplode(wordWindows("ws", K, 1, " ", partial = false))
+          .as(Seq("p0", "c")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), dig(col("c")).as("h"))
+      val dupKeys = g.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select("h")
+      val dup = g.join(dupKeys, Seq("h")).select("doc_id", "pos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      dup
+        .withColumn("ns",
+          when(lag("pos", 1).over(w).isNull ||
+            col("pos") - lag("pos", 1).over(w) > K, 1L).otherwise(0L))
+        .withColumn("cov",
+          when(lead("pos", 1).over(w).isNull, lit(K.toLong))
+            .otherwise(least(lead("pos", 1).over(w) - col("pos"), lit(K.toLong))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("dup_grams"), sum("ns").as("dup_spans"),
+          sum("cov").as("dup_tokens"))
+    }
+    def xxPair(c: Column): Column =
+      struct(xxhash64(c).as("x"), xxhash64(reverse(c)).as("y"))
+    val a = p29of(md5)
+    val b = p29of(xxPair)
+    println("CHECK p29 xxdiff=" +
+      (a.exceptAll(b).count() + b.exceptAll(a).count()))
+    time("p29_md5", () => p29of(md5))
+    time("p29_xxpair", () => p29of(xxPair))
+    time("p29_md5_2", () => p29of(md5))
+    time("p29_xxpair_2", () => p29of(xxPair))
     }
 
     if (on("q05")) {

@@ -1434,15 +1434,24 @@ object Pipeline {
     "p29_dedup_substring",
     (s, dir) => {
       val K = 8
-      // r18 (guide §4): codegen K-gram windows; md5 (itself codegen) now
-      // applies per exploded row instead of inside an interpreted
-      // transform lambda. Same digests: WordWindows yields the same
-      // space-joined grams the slice/array_join chain did, and is empty
-      // below K tokens, matching the old CASE guard.
+      // r18 (guide §4): codegen K-gram windows (WordWindows yields the
+      // same space-joined grams the slice/array_join chain did, empty
+      // below K tokens). r19 (guide §2.3): the 128-bit gram key is now a
+      // struct of two independently-constructed xxhash64 channels
+      // (x over the gram, y over its reverse — the same channel design
+      // and n²/2¹²⁹ collision bound as p03's digest sets, see
+      // TextHash.digestPairs) instead of the md5 hex string: 16 fixed
+      // bytes instead of 32 through the corpus-wide count shuffle, and
+      // ~10x cheaper to compute per gram occurrence (two passes pay it:
+      // the count and the probe). Output pinned identical to the md5
+      // formulation in DocLocalSigSpec. The key stays a digest — never
+      // the gram text — which is the r17 scale decision.
       val g = tok(s, dir).select(col("doc_id"),
         posexplode(wordWindows("ws", K, 1, " ", partial = false))
           .as(Seq("p0", "c")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), md5(col("c")).as("h"))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"),
+          struct(xxhash64(col("c")).as("x"),
+            xxhash64(reverse(col("c"))).as("y")).as("h"))
       // corpus-wide duplicate mark: digest counts are a groupBy (map-side
       // partial agg absorbs Zipf-head digests before the shuffle), then
       // occurrences equi-join the duplicated-key set. Deliberately NOT a

@@ -203,6 +203,35 @@ class DocLocalSigSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p29 output is identical with the xxhash64-pair gram key") {
+    // the old md5-hex-keyed formulation, output-compared to the bank
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val K = 8
+      val g = tokDf(dir).select(col("doc_id"),
+        posexplode(wordWindows("ws", K, 1, " ", partial = false))
+          .as(Seq("p0", "c")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), md5(col("c")).as("h"))
+      val dupKeys = g.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select("h")
+      val dup = g.join(dupKeys, Seq("h")).select("doc_id", "pos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val oldP29 = dup
+        .withColumn("ns",
+          when(lag("pos", 1).over(w).isNull ||
+            col("pos") - lag("pos", 1).over(w) > K, 1L).otherwise(0L))
+        .withColumn("cov",
+          when(lead("pos", 1).over(w).isNull, lit(K.toLong))
+            .otherwise(least(lead("pos", 1).over(w) - col("pos"), lit(K.toLong))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("dup_grams"), sum("ns").as("dup_spans"),
+          sum("cov").as("dup_tokens"))
+      val newP29 = graft.SparkEntry.queries("p29_dedup_substring")(spark, dir)
+      assert(newP29.exceptAll(oldP29).count() === 0, s"p29 new-only on $dir")
+      assert(oldP29.exceptAll(newP29).count() === 0, s"p29 old-only on $dir")
+    }
+  }
+
   test("expression edge semantics: nulls, empties, duplicates") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
