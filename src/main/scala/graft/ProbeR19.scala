@@ -305,6 +305,73 @@ object ProbeR19 {
     time("p29_xxpair_2", () => p29of(xxPair))
     }
 
+    if (on("p13")) {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.arrayDot
+    def embNorm(dir: String): DataFrame =
+      t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
+    def cosCol: Column = arrayDot(col("v1"), col("v2")) / (col("n1") * col("n2"))
+    def p13old(dir: String): DataFrame = {
+      val e = embNorm(dir)
+      val cents = e.filter(col("vec_id") < 16).toDF("cid", "cv", "cn")
+      val ranked = e.join(broadcast(cents), col("vec_id") =!= lit(-1))
+        .withColumn("ccos", arrayDot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      val lists = ranked.filter(col("crank") === 1)
+        .select(col("vec_id").as("nid"), col("cid").as("list"),
+          col("v").as("v2"), col("nrm").as("n2"))
+      val probes = ranked.filter(col("vec_id") < 30 && col("crank") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("plist"),
+          col("v").as("v1"), col("nrm").as("n1"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      probes.join(lists, col("plist") === col("list") && col("qid") =!= col("nid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid")
+    }
+    def p13new(dir: String): DataFrame = {
+      val e = embNorm(dir)
+      val cents = e.filter(col("vec_id") < 16).toDF("cid", "cv", "cn")
+      def scoredOf(base: DataFrame): DataFrame =
+        base.join(broadcast(cents), col("vec_id") =!= lit(-1))
+          .withColumn("ccos",
+            arrayDot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      // lists: argmax via struct-min agg (map-side partials; exchange
+      // carries ONE row per vector, not 16 window rows)
+      val lists = scoredOf(e).groupBy("vec_id")
+        .agg(min(struct((-col("ccos")).as("nc"), col("cid").as("cid"),
+          col("v").as("v"), col("nrm").as("nrm"))).as("m"))
+        .select(col("vec_id").as("nid"), col("m.cid").as("list"),
+          col("m.v").as("v2"), col("m.nrm").as("n2"))
+      // probes: only 30 vectors — filter FIRST, tiny window after
+      val probes = scoredOf(e.filter(col("vec_id") < 30))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+        .filter(col("crank") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("plist"),
+          col("v").as("v1"), col("nrm").as("n1"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      probes.join(lists, col("plist") === col("list") && col("qid") =!= col("nid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid")
+    }
+    val zeroNorms = embNorm(sfDir).filter(col("nrm") === 0 || isnan(col("nrm"))).count()
+    println(s"CHECK p13 zero/NaN norms=$zeroNorms")
+    val a13 = p13old(sfSmall); val b13 = p13new(sfSmall)
+    println("CHECK p13 sf0.01 diff=" +
+      (a13.exceptAll(b13).count() + b13.exceptAll(a13).count()))
+    time("p13_old_window", () => p13old(sfDir))
+    time("p13_new_argmax", () => p13new(sfDir))
+    time("p13_old_window2", () => p13old(sfDir))
+    time("p13_new_argmax2", () => p13new(sfDir))
+    }
+
     if (on("q05")) {
     import org.apache.spark.sql.types.TimestampType
     def q05parts(dir: String, upTo: Int): DataFrame = {

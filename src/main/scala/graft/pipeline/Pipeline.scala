@@ -607,15 +607,34 @@ object Pipeline {
     (s, dir) => {
       val e = embNorm(s, dir)
       val cents = e.filter(col("vec_id") < 16).toDF("cid", "cv", "cn")
-      // rank lists per vector by centroid cosine (broadcast 16 centroids)
-      val ranked = e.join(broadcast(cents), col("vec_id") =!= lit(-1))
-        .withColumn("ccos", arrayDot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      def scoredOf(base: DataFrame): DataFrame =
+        base.join(broadcast(cents), col("vec_id") =!= lit(-1))
+          .withColumn("ccos",
+            arrayDot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      // r19 (guide §2.3; the p31 argmax pattern): the per-vector BEST
+      // list was a row_number window over the full vectors×centroids
+      // cross product — windows have no partial aggregation, so every
+      // one of the 16 embedding-wide rows per vector crossed the
+      // exchange. The struct-min argmax computes the same winner with
+      // map-side partials: ONE row per vector through the shuffle (16x
+      // narrower on embedding payloads at any scale; flat at sf0.1 —
+      // structural). min(struct(-ccos, cid, ...)) ≡ row_number ordered
+      // by (ccos DESC, cid ASC) = 1: cid is unique per group so the
+      // ordering is strict, SQL double ordering treats ±0.0 as equal on
+      // both paths, and NaN cosines cannot occur (no zero-norm
+      // embeddings — asserted in DocLocalSigSpec, where old-vs-new
+      // output equality is pinned on both SFs).
+      val lists = scoredOf(e).groupBy("vec_id")
+        .agg(min(struct((-col("ccos")).as("nc"), col("cid").as("cid"),
+          col("v").as("v"), col("nrm").as("nrm"))).as("m"))
+        .select(col("vec_id").as("nid"), col("m.cid").as("list"),
+          col("m.v").as("v2"), col("m.nrm").as("n2"))
+      // probes keep the window (top-2 needs a rank, not an argmax) but
+      // over the 30 probe vectors only — 480 rows, not the corpus
+      val probes = scoredOf(e.filter(col("vec_id") < 30))
         .withColumn("crank", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
-      val lists = ranked.filter(col("crank") === 1)
-        .select(col("vec_id").as("nid"), col("cid").as("list"),
-          col("v").as("v2"), col("nrm").as("n2"))
-      val probes = ranked.filter(col("vec_id") < 30 && col("crank") <= 2)
+        .filter(col("crank") <= 2)
         .select(col("vec_id").as("qid"), col("cid").as("plist"),
           col("v").as("v1"), col("nrm").as("n1"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)

@@ -232,6 +232,45 @@ class DocLocalSigSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p13 output is identical with the argmax list assignment") {
+    import graft.functions.VectorFunctions.arrayDot
+    import org.apache.spark.sql.expressions.Window
+    def embNorm(dir: String): DataFrame =
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      // precondition for the -ccos struct-min equivalence: no zero-norm
+      // embedding, hence no NaN cosine (NaN orders differently under
+      // negation)
+      assert(embNorm(dir).filter(col("nrm") === 0 || isnan(col("nrm")))
+        .count() === 0)
+      val e = embNorm(dir)
+      val cents = e.filter(col("vec_id") < 16).toDF("cid", "cv", "cn")
+      val ranked = e.join(broadcast(cents), col("vec_id") =!= lit(-1))
+        .withColumn("ccos", arrayDot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      val lists = ranked.filter(col("crank") === 1)
+        .select(col("vec_id").as("nid"), col("cid").as("list"),
+          col("v").as("v2"), col("nrm").as("n2"))
+      val probes = ranked.filter(col("vec_id") < 30 && col("crank") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("plist"),
+          col("v").as("v1"), col("nrm").as("n1"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      val cosC = arrayDot(col("v1"), col("v2")) / (col("n1") * col("n2"))
+      val oldP13 = probes
+        .join(lists, col("plist") === col("list") && col("qid") =!= col("nid"))
+        .withColumn("cos", cosC)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid")
+      val newP13 = graft.SparkEntry.queries("p13_ann_ivf")(spark, dir)
+      assert(newP13.exceptAll(oldP13).count() === 0, s"p13 new-only on $dir")
+      assert(oldP13.exceptAll(newP13).count() === 0, s"p13 old-only on $dir")
+    }
+  }
+
   test("expression edge semantics: nulls, empties, duplicates") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
